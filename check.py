@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run Verify output
+against the DuckDB oracle (same parquet tables), compare values.
+Usage: python3 check.py <sfDir> <verifyOutDir>"""
+import sys, json, glob, os
+import duckdb
+
+sf, out = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for p in glob.glob(f"{sf}/*.parquet"):
+    name = os.path.basename(p).replace(".parquet", "")
+    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+ok = fail = 0
+for name in sorted(os.listdir(out)):
+    d = os.path.join(out, name)
+    if not os.path.isdir(d):
+        continue
+    got = con.sql(f"SELECT * FROM '{d}/*.parquet'").df()
+    if name not in oracle:
+        print(f"{name:24s} rows-only: {len(got)} rows")
+        continue
+    try:
+        exp = con.sql(oracle[name]).df()
+    except Exception as e:
+        print(f"{name:24s} ORACLE ERROR: {str(e)[:160]}")
+        fail += 1
+        continue
+    got = got[sorted(got.columns)]
+    exp = exp[sorted(exp.columns)]
+    if list(got.columns) != list(exp.columns):
+        print(f"{name:24s} SCHEMA MISMATCH: {list(got.columns)} vs {list(exp.columns)}")
+        fail += 1
+        continue
+    if len(got) != len(exp):
+        print(f"{name:24s} ROWCOUNT {len(got)} vs {len(exp)}")
+        fail += 1
+        continue
+    gs = got.sort_values(by=list(got.columns)).reset_index(drop=True)
+    es = exp.sort_values(by=list(exp.columns)).reset_index(drop=True)
+    mismatch = None
+    for c in got.columns:
+        gv, ev = gs[c].tolist(), es[c].tolist()
+        if [str(x) for x in gv] != [str(x) for x in ev]:
+            for i, (a, b) in enumerate(zip(gv, ev)):
+                if str(a) != str(b):
+                    mismatch = (c, i, a, b)
+                    break
+            break
+    if mismatch:
+        c, i, a, b = mismatch
+        print(f"{name:24s} VALUE MISMATCH col={c} row={i}: {a!r} vs {b!r}")
+        fail += 1
+    else:
+        print(f"{name:24s} OK ({len(got)} rows)")
+        ok += 1
+print(f"\n{ok} ok, {fail} fail")
+sys.exit(1 if fail else 0)

@@ -1,13 +1,475 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.agg.Aggs
+import graft.dedup.Dedup
+import graft.dsl.QueryDsl
+import graft.rel.Relational
+import graft.search.Search
+import graft.sim.Ann
+import graft.streaming.EventStreams
+import graft.text.TextAnalysis
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Num
+
+/** Driver contract — one `queries` entry per SURVEY.md §2 operator, one
+  * `oracleSql` DuckDB-equivalent per entry (SURVEY.md §5 explains the
+  * bit-for-bit parity conventions: shared tokenizer regex, md5-based
+  * hashes, decimal big-sums, round(_,4) on floats, total ORDER BY).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Flagship: BM25 relevance top-10 (the ES `_score` path) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Search.bm25TopK(
+      Tables.documents(spark, "/root/testdata/sf0.001"),
+      "doc_id", "text", "fast hash join", 10)
+
+  // shared DuckDB CTE: analyzed documents (mirror of Analyzer.tokens)
+  private val TokCte =
+    "WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks FROM documents)"
+
+  // DuckDB mirror of Dedup.baseHash: fold 12 hex chars of md5 to BIGINT
+  private def hexFold(expr: String, n: Int): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(regexp_extract_all(substr(md5($expr), 1, $n), '.'), " +
+      "c -> (CASE WHEN ascii(c) <= 57 THEN ascii(c) - 48 ELSE ascii(c) - 87 END)::BIGINT)), (a, v) -> a * 16 + v)"
+
+  // deterministic synthetic geo columns (SURVEY.md §3)
+  private def withGeo(c: DataFrame): DataFrame = c
+    .withColumn("lat", (col("c_custkey") * 7919 % 18000) / 100.0 - 90.0)
+    .withColumn("lon", (col("c_custkey") * 104729 % 36000) / 100.0 - 180.0)
+  private val GeoCte =
+    "WITH g AS (SELECT c_custkey, (c_custkey * 7919 % 18000) / 100.0 - 90.0 AS lat, (c_custkey * 104729 % 36000) / 100.0 - 180.0 AS lon FROM customer)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- A. Query DSL (filter context) ----
+    "q_term" -> ((s, d) => t(s, d, "documents")
+      .where(QueryDsl.term(col("lang"), "en"))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))),
+    "q_terms" -> ((s, d) => t(s, d, "lineitem")
+      .where(QueryDsl.terms(col("l_returnflag"), Seq("A", "R")))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))),
+    "q_range" -> ((s, d) => t(s, d, "orders")
+      .where(QueryDsl.range(col("o_totalprice"), gte = Some(1000.0), lt = Some(5000.0)) &&
+        QueryDsl.range(col("o_orderdate"), gte = Some("1996-01-01")))
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))),
+    "q_exists" -> ((s, d) => Tables.events(s, d)
+      .where(QueryDsl.exists(col("value")) && QueryDsl.exists(col("props")))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"))),
+    "q_prefix" -> ((s, d) => t(s, d, "part")
+      .where(QueryDsl.prefix(col("p_type"), "ECO"))
+      .select(col("p_partkey"), col("p_type"))
+      .orderBy(col("p_partkey"))),
+    "q_wildcard" -> ((s, d) => t(s, d, "orders")
+      .where(QueryDsl.wildcard(col("o_orderpriority"), "*-HIGH"))
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))),
+    "q_regexp" -> ((s, d) => t(s, d, "documents")
+      .where(QueryDsl.regexp(col("source"), "src1[0-9]"))
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))),
+    "q_ids" -> ((s, d) => t(s, d, "documents")
+      .where(QueryDsl.ids(col("doc_id"), Seq(3L, 7L, 11L, 19L)))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))),
+    "q_bool" -> ((s, d) => t(s, d, "lineitem")
+      .where(QueryDsl.bool(
+        must = Seq(QueryDsl.range(col("l_shipdate"), gte = Some("1997-01-01"))),
+        should = Seq(QueryDsl.term(col("l_returnflag"), "A"), QueryDsl.term(col("l_linestatus"), "F")),
+        mustNot = Seq(col("l_quantity") > 45),
+        minimumShouldMatch = 1))
+      .select(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))),
+    "q_bool_msm" -> ((s, d) => t(s, d, "documents")
+      .where(QueryDsl.bool(
+        should = Seq(
+          QueryDsl.term(col("lang"), "en"),
+          QueryDsl.prefix(col("source"), "src1"),
+          col("n_chars") > 300),
+        minimumShouldMatch = 2))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))),
+    "q_fuzzy" -> ((s, d) => t(s, d, "documents")
+      .where(QueryDsl.fuzzy(col("source"), "src12", maxEdits = 1))
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))),
+
+    // ---- B. Full-text (query context) ----
+    "q_match" -> ((s, d) => t(s, d, "documents")
+      .where(Search.matchQuery(col("text"), "spark window"))
+      .select(col("doc_id")).orderBy(col("doc_id"))),
+    "q_match_and" -> ((s, d) => t(s, d, "documents")
+      .where(Search.matchQueryAnd(col("text"), "spark window"))
+      .select(col("doc_id")).orderBy(col("doc_id"))),
+    "q_match_phrase" -> ((s, d) => t(s, d, "documents")
+      .where(Search.matchPhrase(col("text"), "table scan"))
+      .select(col("doc_id")).orderBy(col("doc_id"))),
+    "q_query_string" -> ((s, d) => t(s, d, "documents")
+      .where(Search.queryString(Seq(col("text"), col("source")), "src5 merge"))
+      .select(col("doc_id")).orderBy(col("doc_id"))),
+    "q_bm25" -> ((s, d) =>
+      Search.bm25TopK(t(s, d, "documents"), "doc_id", "text", "fast hash join", 10)),
+    "q_more_like_this" -> ((s, d) =>
+      Search.moreLikeThis(t(s, d, "documents"), "doc_id", "text", seedId = 7L, m = 5, minMatch = 2)),
+
+    // ---- C. Aggregations ----
+    "q_agg_terms" -> ((s, d) => Aggs.termsAgg(t(s, d, "orders"), "o_orderpriority", 3)),
+    "q_agg_stats" -> ((s, d) => Aggs.statsAgg(t(s, d, "lineitem"), "l_extendedprice")),
+    "q_agg_extended_stats" -> ((s, d) => Aggs.extendedStatsAgg(t(s, d, "lineitem"), "l_quantity")),
+    "q_agg_percentiles" -> ((s, d) => Aggs.percentilesAgg(t(s, d, "lineitem"), "l_extendedprice")),
+    "q_agg_cardinality" -> ((s, d) => Aggs.cardinalityAgg(t(s, d, "lineitem"), "l_partkey")),
+    "q_agg_histogram" -> ((s, d) => Aggs.histogramAgg(t(s, d, "lineitem"), "l_extendedprice", 5000.0)),
+    "q_agg_date_histogram" -> ((s, d) => Aggs.dateHistogramAgg(t(s, d, "orders"), "o_orderdate", "month")),
+    "q_agg_range" -> ((s, d) => Aggs.rangeAgg(t(s, d, "orders"), "o_totalprice", Seq(1000.0, 5000.0, 20000.0))),
+    "q_agg_filters" -> ((s, d) => Aggs.filtersAgg(Tables.events(s, d), Seq(
+      "high_value" -> (col("value") > 75),
+      "clicks" -> (col("event_type") === "click"),
+      "errors" -> (col("event_type") === "error")))),
+    "q_agg_top_hits" -> ((s, d) =>
+      Aggs.topHitsAgg(t(s, d, "orders"), "o_orderpriority", "o_totalprice", "o_orderkey", 3)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+        .orderBy(col("o_orderpriority"), col("rn"))),
+    "q_agg_composite" -> ((s, d) =>
+      Aggs.compositeAgg(t(s, d, "documents"), Seq("lang", "source"), Some(Seq("de", "src3")), 10)),
+    "q_agg_nested" -> ((s, d) => Aggs.nestedAgg(t(s, d, "documents"), "lang", "source", "n_chars")),
+    "q_agg_sig_terms" -> ((s, d) =>
+      Aggs.significantTerms(t(s, d, "documents"), "text", col("lang") === "en", minFgCount = 5, k = 10)),
+    "q_agg_global" -> ((s, d) =>
+      Aggs.globalWithFilter(t(s, d, "orders"), col("o_orderstatus") === "F", "o_totalprice")),
+
+    // ---- D. Relational / enrich ----
+    "q_join_enrich" -> ((s, d) =>
+      Relational.enrich(
+        Relational.enrich(
+          t(s, d, "customer").withColumnRenamed("c_nationkey", "n_nationkey"),
+          t(s, d, "nation"), Seq("n_nationkey")),
+        t(s, d, "region").withColumnRenamed("r_regionkey", "n_regionkey"), Seq("n_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_customers"), Num.round(avg(col("c_acctbal")), 4).as("avg_bal"))
+        .orderBy(col("r_name"))),
+    "q_join_revenue" -> ((s, d) => {
+      val c = t(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
+      val o = t(s, d, "orders").where(col("o_orderdate") < "1998-01-01")
+      val l = t(s, d, "lineitem").where(col("l_shipdate") > "1998-01-01")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(Num.round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+    "q_semi_join" -> ((s, d) => t(s, d, "customer")
+      .join(t(s, d, "orders").where(col("o_totalprice") > 10000)
+        .select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name")).orderBy(col("c_custkey"))),
+    "q_anti_join" -> ((s, d) => t(s, d, "customer")
+      .join(t(s, d, "orders").where(col("o_totalprice") > 24000)
+        .select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name")).orderBy(col("c_custkey"))),
+    "q_window_topn" -> ((s, d) =>
+      Relational.topNPerGroup(t(s, d, "orders"), Seq("o_custkey"),
+        col("o_totalprice").desc, col("o_orderkey").asc, 2)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+        .orderBy(col("o_custkey"), col("rn"))),
+
+    // ---- E. Write path / geo ----
+    "q_upsert_id" -> ((s, d) =>
+      Relational.upsertLastWriteWins(Tables.events(s, d), Seq("user_id"), col("ts_ns"), col("event_id"))
+        .select(col("user_id"), col("event_type").as("last_type"), col("value").as("last_value"))
+        .orderBy(col("user_id"))),
+    "q_write_roundtrip" -> ((s, d) => {
+      val out = s"/tmp/graft_roundtrip_${System.getProperty("user.name")}"
+      Multimodal.mediaTable(t(s, d, "documents"))
+        .write.mode("overwrite").partitionBy("mime").parquet(out)
+      s.read.parquet(out).groupBy(col("mime")).agg(count(lit(1)).as("n"))
+        .orderBy(col("mime"))
+    }),
+    "q_geo_distance" -> ((s, d) => {
+      val g = withGeo(t(s, d, "customer"))
+      g.withColumn("dist_km",
+        Num.round(Relational.haversineKm(col("lat"), col("lon"), lit(0.0), lit(0.0)), 4))
+        .where(col("dist_km") <= 3000.0)
+        .select(col("c_custkey"), col("dist_km"))
+        .orderBy(col("c_custkey"))
+    }),
+    "q_geo_bbox" -> ((s, d) => withGeo(t(s, d, "customer"))
+      .where(Relational.geoBoundingBox(col("lat"), col("lon"), 40.0, -60.0, -30.0, 90.0))
+      .select(col("c_custkey"), col("lat"), col("lon"))
+      .orderBy(col("c_custkey"))),
+
+    // ---- F. LLM-data-pipeline ----
+    "q_dedup_exact" -> ((s, d) => Dedup.exactDuplicates(Tables.events(s, d), "event_id", "props")),
+    "q_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(t(s, d, "documents"), "doc_id", "text", 0.8)),
+    "q_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", 3)),
+    "q_dedup_ngram" -> ((s, d) =>
+      Dedup.ngramJaccardTopK(t(s, d, "documents").where(col("source") === "src0"), "doc_id", "text", 20)),
+    "q_dedup_embed" -> ((s, d) =>
+      Dedup.embeddingTopKPairs(t(s, d, "embeddings"), "vec_id", "embedding", "label", 20)),
+    "q_ann_brute" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Ann.bruteForceTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding", 10)
+    }),
+    "q_ann_lsh" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Ann.lshTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding", dim = 64, k = 10)
+    }),
+    "q_lang_id" -> ((s, d) => {
+      val (pl, ps) = TextAnalysis.languageId(col("text"))
+      t(s, d, "documents")
+        .select(col("doc_id"), pl.as("pred_lang"), ps.as("lang_score"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_quality" -> ((s, d) =>
+      TextAnalysis.qualityScore(col("text"))(t(s, d, "documents"))
+        .select(col("doc_id"), col("n_tokens"), col("punct_ratio"),
+          col("stopword_ratio"), col("ttr"), col("quality"))
+        .orderBy(col("doc_id"))),
+    "q_tokens" -> ((s, d) => {
+      val cs = TextAnalysis.tokenCounts(col("text"))
+      t(s, d, "documents")
+        .select(col("doc_id") +: cs.map { case (n, c) => c.as(n) }: _*)
+        .orderBy(col("doc_id"))
+    }),
+    "q_fingerprint" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))),
+    "q_multimodal_meta" -> ((s, d) =>
+      Multimodal.metadata(Multimodal.mediaTable(t(s, d, "documents")))),
+
+    // ---- G. Streaming-shaped ----
+    "q_stream_window" -> ((s, d) => EventStreams.hourlyTypeCounts(Tables.events(s, d))),
+    "q_sessionize" -> ((s, d) => EventStreams.sessionize(Tables.events(s, d), 30)),
+    "q_props_json" -> ((s, d) => EventStreams.propsField(Tables.events(s, d), "k"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    // ---- A ----
+    "q_term" -> "SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en' ORDER BY doc_id",
+    "q_terms" -> "SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem WHERE l_returnflag IN ('A','R') ORDER BY l_orderkey, l_linenumber",
+    "q_range" -> "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice >= 1000 AND o_totalprice < 5000 AND o_orderdate >= TIMESTAMP '1996-01-01' ORDER BY o_orderkey",
+    "q_exists" -> "SELECT event_type, count(*)::BIGINT AS n FROM events WHERE value IS NOT NULL AND props IS NOT NULL GROUP BY event_type ORDER BY event_type",
+    "q_prefix" -> "SELECT p_partkey, p_type FROM part WHERE p_type LIKE 'ECO%' ORDER BY p_partkey",
+    "q_wildcard" -> "SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority LIKE '%-HIGH' ORDER BY o_orderkey",
+    "q_regexp" -> "SELECT doc_id, source FROM documents WHERE regexp_matches(source, '^(?:src1[0-9])$') ORDER BY doc_id",
+    "q_ids" -> "SELECT doc_id, lang FROM documents WHERE doc_id IN (3, 7, 11, 19) ORDER BY doc_id",
+    "q_bool" -> ("SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01' " +
+      "AND (l_returnflag = 'A' OR l_linestatus = 'F') AND NOT (l_quantity > 45) ORDER BY l_orderkey, l_linenumber"),
+    "q_bool_msm" -> ("SELECT doc_id, lang, source, n_chars FROM documents WHERE " +
+      "(CASE WHEN lang = 'en' THEN 1 ELSE 0 END + CASE WHEN source LIKE 'src1%' THEN 1 ELSE 0 END + " +
+      "CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) >= 2 ORDER BY doc_id"),
+    "q_fuzzy" -> "SELECT doc_id, source FROM documents WHERE levenshtein(source, 'src12') <= 1 ORDER BY doc_id",
+
+    // ---- B ----
+    "q_match" -> s"$TokCte SELECT doc_id FROM tok WHERE list_has_any(toks, ['spark','window']) ORDER BY doc_id",
+    "q_match_and" -> s"$TokCte SELECT doc_id FROM tok WHERE list_has_all(toks, ['spark','window']) ORDER BY doc_id",
+    "q_match_phrase" -> s"$TokCte SELECT doc_id FROM tok WHERE contains(' ' || array_to_string(toks, ' ') || ' ', ' table scan ') ORDER BY doc_id",
+    "q_query_string" -> ("WITH f AS (SELECT doc_id, " +
+      "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks, " +
+      "list_filter(regexp_split_to_array(lower(source), '[^a-z0-9]+'), x -> len(x) > 0) AS stoks FROM documents) " +
+      "SELECT doc_id FROM f WHERE list_has_any(toks, ['src5','merge']) OR list_has_any(stoks, ['src5','merge']) ORDER BY doc_id"),
+    "q_bm25" -> (TokCte + ", " +
+      "dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl, toks FROM tok), " +
+      "st AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl), " +
+      "tf AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl) " +
+      "WHERE term IN ('fast','hash','join') GROUP BY doc_id, dl, term), " +
+      "df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term) " +
+      "SELECT tf.doc_id AS id, round(sum(ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) * " +
+      "tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / st.avgdl))), 4) AS score " +
+      "FROM tf JOIN df USING (term) CROSS JOIN st GROUP BY tf.doc_id ORDER BY score DESC, id LIMIT 10"),
+    "q_more_like_this" -> (TokCte + ", " +
+      "seed AS (SELECT term FROM (SELECT unnest(toks) AS term FROM tok WHERE doc_id = 7) GROUP BY term ORDER BY count(*) DESC, term LIMIT 5), " +
+      "st AS (SELECT list(term) AS terms FROM seed) " +
+      "SELECT doc_id AS id, len(list_intersect(list_distinct(toks), st.terms))::INT AS overlap FROM tok, st " +
+      "WHERE doc_id <> 7 AND len(list_intersect(list_distinct(toks), st.terms)) >= 2 ORDER BY overlap DESC, id"),
+
+    // ---- C ----
+    "q_agg_terms" -> "SELECT o_orderpriority AS key, count(*)::BIGINT AS doc_count FROM orders GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 3",
+    "q_agg_stats" -> ("SELECT count(l_extendedprice)::BIGINT AS cnt, round(min(l_extendedprice), 4) AS min_v, " +
+      "round(max(l_extendedprice), 4) AS max_v, round(avg(l_extendedprice), 4) AS avg_v, " +
+      "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_v FROM lineitem"),
+    "q_agg_extended_stats" -> ("SELECT count(l_quantity)::BIGINT AS cnt, round(avg(l_quantity), 4) AS avg_v, " +
+      "round(sum(l_quantity * l_quantity), 4) AS sum_sq, round(var_pop(l_quantity), 4) AS variance, " +
+      "round(stddev_pop(l_quantity), 4) AS std_dev FROM lineitem"),
+    "q_agg_percentiles" -> ("SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS p25, " +
+      "round(quantile_cont(l_extendedprice, 0.50), 4) AS p50, round(quantile_cont(l_extendedprice, 0.95), 4) AS p95 FROM lineitem"),
+    "q_agg_cardinality" -> "SELECT count(DISTINCT l_partkey)::BIGINT AS cardinality FROM lineitem",
+    "q_agg_histogram" -> ("SELECT CAST(floor(l_extendedprice / 5000.0) * 5000.0 AS DOUBLE) AS bucket, " +
+      "count(*)::BIGINT AS doc_count FROM lineitem GROUP BY 1 ORDER BY bucket"),
+    "q_agg_date_histogram" -> ("SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS bucket, " +
+      "count(*)::BIGINT AS doc_count FROM orders GROUP BY 1 ORDER BY bucket"),
+    "q_agg_range" -> ("SELECT CASE WHEN o_totalprice < 1000.0 THEN '*-1000.0' " +
+      "WHEN o_totalprice >= 1000.0 AND o_totalprice < 5000.0 THEN '1000.0-5000.0' " +
+      "WHEN o_totalprice >= 5000.0 AND o_totalprice < 20000.0 THEN '5000.0-20000.0' " +
+      "ELSE '20000.0-*' END AS bucket, count(*)::BIGINT AS doc_count, " +
+      "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_v " +
+      "FROM orders GROUP BY 1 ORDER BY bucket"),
+    "q_agg_filters" -> ("SELECT count_if(value > 75)::BIGINT AS high_value, " +
+      "count_if(event_type = 'click')::BIGINT AS clicks, count_if(event_type = 'error')::BIGINT AS errors FROM events"),
+    "q_agg_top_hits" -> ("SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM " +
+      "(SELECT o_orderpriority, o_orderkey, o_totalprice, " +
+      "row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) " +
+      "WHERE rn <= 3 ORDER BY o_orderpriority, rn"),
+    "q_agg_composite" -> ("SELECT lang, source, count(*)::BIGINT AS doc_count FROM documents " +
+      "WHERE lang > 'de' OR (lang = 'de' AND source > 'src3') GROUP BY lang, source ORDER BY lang, source LIMIT 10"),
+    "q_agg_nested" -> ("SELECT lang, source, count(*)::BIGINT AS doc_count, round(avg(n_chars), 4) AS avg_metric " +
+      "FROM documents GROUP BY lang, source ORDER BY lang, source"),
+    "q_agg_sig_terms" -> ("WITH terms AS (SELECT lang = 'en' AS fg, " +
+      "unnest(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0))) AS term FROM documents), " +
+      "tot AS (SELECT count_if(lang = 'en')::DOUBLE AS fg_total, count(*)::DOUBLE AS bg_total FROM documents), " +
+      "g AS (SELECT term, count_if(fg)::BIGINT AS fg_count, count(*)::BIGINT AS bg_count FROM terms GROUP BY term HAVING count_if(fg) >= 5) " +
+      "SELECT term, fg_count, bg_count, " +
+      "round((fg_count / fg_total) * ln((fg_count / fg_total) / (bg_count / bg_total)), 4) AS score " +
+      "FROM g CROSS JOIN tot ORDER BY score DESC, term LIMIT 10"),
+    "q_agg_global" -> ("SELECT count(*)::BIGINT AS global_count, round(avg(o_totalprice), 4) AS global_avg, " +
+      "count_if(o_orderstatus = 'F')::BIGINT AS filtered_count, " +
+      "round(avg(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4) AS filtered_avg FROM orders"),
+
+    // ---- D ----
+    "q_join_enrich" -> ("SELECT r_name, count(*)::BIGINT AS n_customers, round(avg(c_acctbal), 4) AS avg_bal " +
+      "FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
+      "GROUP BY r_name ORDER BY r_name"),
+    "q_join_revenue" -> ("SELECT l_orderkey, round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue " +
+      "FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey " +
+      "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01' " +
+      "GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+    "q_semi_join" -> ("SELECT c_custkey, c_name FROM customer WHERE EXISTS " +
+      "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 10000) ORDER BY c_custkey"),
+    "q_anti_join" -> ("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +
+      "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 24000) ORDER BY c_custkey"),
+    "q_window_topn" -> ("SELECT o_custkey, o_orderkey, o_totalprice, rn FROM " +
+      "(SELECT o_custkey, o_orderkey, o_totalprice, " +
+      "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) " +
+      "WHERE rn <= 2 ORDER BY o_custkey, rn"),
+
+    // ---- E ----
+    "q_upsert_id" -> ("SELECT user_id, event_type AS last_type, value AS last_value FROM events " +
+      "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) DESC, event_id DESC) = 1 ORDER BY user_id"),
+    "q_geo_distance" -> (GeoCte + " SELECT * FROM (SELECT c_custkey, " +
+      "round(2 * 6371 * asin(sqrt(pow(sin(radians(0.0 - lat) / 2), 2) + " +
+      "cos(radians(lat)) * cos(radians(0.0)) * pow(sin(radians(0.0 - lon) / 2), 2))), 4) AS dist_km " +
+      "FROM g) WHERE dist_km <= 3000.0 ORDER BY c_custkey"),
+    "q_geo_bbox" -> (GeoCte + " SELECT c_custkey, lat, lon FROM g " +
+      "WHERE lat <= 40.0 AND lat >= -30.0 AND lon >= -60.0 AND lon <= 90.0 ORDER BY c_custkey"),
+
+    // ---- F ----
+    "q_dedup_exact" -> ("SELECT md5(props) AS content_hash, count(*)::BIGINT AS n_dups, min(event_id) AS keep_id " +
+      "FROM events GROUP BY 1 HAVING count(*) >= 2 ORDER BY keep_id"),
+    "q_dedup_minhash" -> (TokCte + ", " +
+      "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM tok WHERE len(toks) >= 3), " +
+      s"hs AS (SELECT doc_id, sh, list_transform(sh, x -> ${hexFold("x", 12)}) AS hs FROM sh), " +
+      "sig AS (SELECT doc_id, sh, list_transform(range(0, 32), i -> " +
+      "list_aggregate(list_transform(hs, h -> (h * (2*i + 3) + ((i + 1) * 2654435761) % 2305843009213693951) % 2305843009213693951), 'min')) AS sig FROM hs), " +
+      "banded AS (SELECT doc_id, unnest(list_transform(range(0, 8), b -> " +
+      "b::VARCHAR || ',' || sig[4*b+1]::VARCHAR || ',' || sig[4*b+2]::VARCHAR || ',' || sig[4*b+3]::VARCHAR || ',' || sig[4*b+4]::VARCHAR)) AS band FROM sig), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id), " +
+      "pairs AS (SELECT id1, id2, len(list_intersect(sa.sh, sb.sh))::DOUBLE AS inter, len(sa.sh) AS n1, len(sb.sh) AS n2 " +
+      "FROM cand JOIN sh sa ON sa.doc_id = id1 JOIN sh sb ON sb.doc_id = id2) " +
+      "SELECT id1, id2, round(inter / (n1 + n2 - inter), 4) AS jaccard FROM pairs " +
+      "WHERE round(inter / (n1 + n2 - inter), 4) >= 0.8 ORDER BY id1, id2"),
+    "q_dedup_simhash" -> ("WITH tok AS (SELECT doc_id, list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS toks FROM documents), " +
+      "md AS (SELECT doc_id, list_transform(toks, t -> md5(t)) AS md5s FROM tok), " +
+      "bits AS (SELECT doc_id, list_transform(range(0, 32), j -> CASE WHEN " +
+      "list_reduce(list_prepend(0, list_transform(md5s, m -> CASE WHEN " +
+      "(((CASE WHEN ascii(substr(m, (j // 4)::INT + 1, 1)) <= 57 THEN ascii(substr(m, (j // 4)::INT + 1, 1)) - 48 " +
+      "ELSE ascii(substr(m, (j // 4)::INT + 1, 1)) - 87 END) // (2 ** (3 - j % 4))::INT) % 2) = 1 THEN 1 ELSE -1 END)), (a, v) -> a + v) > 0 " +
+      "THEN 1::BIGINT ELSE 0::BIGINT END) AS bs FROM md), " +
+      "sig AS (SELECT doc_id, list_reduce(list_prepend(0::BIGINT, bs), (a, b) -> a * 2 + b) AS sig FROM bits) " +
+      "SELECT a.doc_id AS id1, b.doc_id AS id2, bit_count(xor(a.sig, b.sig))::INT AS hamming " +
+      "FROM sig a JOIN sig b ON a.doc_id < b.doc_id WHERE bit_count(xor(a.sig, b.sig)) <= 3 ORDER BY id1, id2"),
+    "q_dedup_ngram" -> ("WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks FROM documents WHERE source = 'src0'), " +
+      "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM tok WHERE len(toks) >= 3) " +
+      "SELECT a.doc_id AS id1, b.doc_id AS id2, " +
+      "round(len(list_intersect(a.sh, b.sh))::DOUBLE / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard " +
+      "FROM sh a JOIN sh b ON a.doc_id < b.doc_id ORDER BY jaccard DESC, id1, id2 LIMIT 20"),
+    "q_dedup_embed" -> ("WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), " +
+      "n AS (SELECT vec_id, label, v, sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm FROM e) " +
+      "SELECT a.vec_id AS id1, b.vec_id AS id2, " +
+      "round(list_reduce(list_prepend(0.0, list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])), (x, y) -> x + y) / (a.nrm * b.nrm), 4) AS cosine " +
+      "FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id ORDER BY cosine DESC, id1, id2 LIMIT 20"),
+    "q_ann_brute" -> ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), " +
+      "n AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm FROM e), " +
+      "p AS (SELECT q.vec_id AS query_id, c.vec_id AS id, " +
+      "round(list_reduce(list_prepend(0.0, list_transform(range(1, len(c.v) + 1), i -> c.v[i] * q.v[i])), (x, y) -> x + y) / (c.nrm * q.nrm), 4) AS cosine " +
+      "FROM n c CROSS JOIN (SELECT * FROM n WHERE vec_id < 5) q WHERE c.vec_id <> q.vec_id) " +
+      "SELECT query_id, id, cosine, rank FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rank FROM p) " +
+      "WHERE rank <= 10 ORDER BY query_id, rank"),
+    "q_ann_lsh" -> {
+      // mirror of Ann.tableBuckets / planeComponent: 4 tables x 8 planes,
+      // components from md5("h:t:p:d") folded to a 32-bit uniform
+      val comp = "((" + hexFold("'h:' || t::VARCHAR || ':' || p::VARCHAR || ':' || d::VARCHAR", 8) +
+        ") / 4294967296.0 - 0.5)"
+      val dotp = s"list_reduce(list_transform(range(0, 64), d -> v[d + 1] * $comp), (x, y) -> x + y)"
+      val bucketT = "list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 8), p -> " +
+        s"CASE WHEN $dotp >= 0 THEN (1::BIGINT << (7 - p)) ELSE 0::BIGINT END)), (a, b) -> a + b)"
+      val buckets = s"list_transform(range(0, 4), t -> t::VARCHAR || '|' || ($bucketT)::VARCHAR)"
+      "WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), " +
+        "n AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm FROM e), " +
+        s"b AS (SELECT vec_id, unnest($buckets) AS bucket FROM e), " +
+        "qb AS (SELECT vec_id AS query_id, bucket FROM b WHERE vec_id < 5), " +
+        "cand AS (SELECT DISTINCT qb.query_id, b2.vec_id AS id FROM b b2 JOIN qb USING (bucket) WHERE b2.vec_id <> qb.query_id), " +
+        "p AS (SELECT query_id, id, round(list_reduce(list_prepend(0.0, list_transform(range(1, len(c.v) + 1), i -> c.v[i] * q.v[i])), (x, y) -> x + y) / (c.nrm * q.nrm), 4) AS cosine " +
+        "FROM cand JOIN n c ON c.vec_id = cand.id JOIN n q ON q.vec_id = cand.query_id) " +
+        "SELECT query_id, id, cosine, rank FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rank FROM p) " +
+        "WHERE rank <= 10 ORDER BY query_id, rank"
+    },
+    "q_lang_id" -> {
+      val langs = TextAnalysis.stopwords
+      val ratios = langs.map { case (l, ws) =>
+        val wl = ws.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(toks, t -> list_contains([$wl], t)))::DOUBLE / greatest(len(toks), 1)::DOUBLE AS r_$l"
+      }.mkString(", ")
+      // mirror of the fold in TextAnalysis.languageId: later lang wins only on strict >
+      TokCte + s", r AS (SELECT doc_id, $ratios FROM tok) " +
+        "SELECT doc_id, CASE " +
+        "WHEN r_zh > greatest(r_de, r_en, r_es, r_fr) THEN 'zh' " +
+        "WHEN r_fr > greatest(r_de, r_en, r_es) THEN 'fr' " +
+        "WHEN r_es > greatest(r_de, r_en) THEN 'es' " +
+        "WHEN r_en > r_de THEN 'en' ELSE 'de' END AS pred_lang, " +
+        "round(greatest(r_de, r_en, r_es, r_fr, r_zh), 4) AS lang_score FROM r ORDER BY doc_id"
+    },
+    "q_quality" -> {
+      val en = TextAnalysis.stopwords.toMap.apply("en").map(w => s"'$w'").mkString(", ")
+      "WITH b AS (SELECT doc_id, text, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks FROM documents), " +
+        "m AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens, " +
+        "round(len(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE / greatest(len(text), 1)::DOUBLE, 4) AS punct_ratio, " +
+        s"round(len(list_filter(toks, t -> list_contains([$en], t)))::DOUBLE / greatest(len(toks), 1)::DOUBLE, 4) AS stopword_ratio, " +
+        "round(len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1)::DOUBLE, 4) AS ttr FROM b) " +
+        "SELECT doc_id, n_tokens, punct_ratio, stopword_ratio, ttr, " +
+        "round(least(n_tokens / 100.0, 1.0) * 0.3 + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2 + " +
+        "least(stopword_ratio * 5.0, 1.0) * 0.2 + ttr * 0.3, 4) AS quality FROM m ORDER BY doc_id"
+    },
+    "q_tokens" -> ("SELECT doc_id, " +
+      "len(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0))::BIGINT AS ws_tokens, " +
+      "len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]'))::BIGINT AS bpe_tokens " +
+      "FROM documents ORDER BY doc_id"),
+    "q_fingerprint" -> (TokCte + " SELECT doc_id, " +
+      s"list_reduce(list_prepend(0::BIGINT, list_transform(toks, t -> ${hexFold("t", 12)} % 1000000007)), " +
+      "(a, v) -> (a * 31 + v) % 1000000007) AS fp FROM tok ORDER BY doc_id"),
+    "q_multimodal_meta" -> ("SELECT doc_id AS media_id, " +
+      "CASE WHEN doc_id % 3 = 0 THEN 'image/png' WHEN doc_id % 3 = 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime, " +
+      "octet_length(encode(text))::BIGINT AS n_bytes, " +
+      "(doc_id % 640 + 32)::INT AS width, (doc_id % 480 + 32)::INT AS height, " +
+      "(doc_id % 640 + 32)::BIGINT * (doc_id % 480 + 32)::BIGINT AS pixels, " +
+      "md5(text) AS content_hash FROM documents ORDER BY media_id"),
+
+    // ---- G ----
+    "q_stream_window" -> ("SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type, " +
+      "count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type"),
+    "q_sessionize" -> ("WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tn FROM events), " +
+      "l AS (SELECT *, lag(tn) OVER (PARTITION BY user_id ORDER BY tn, event_id) AS prev FROM e), " +
+      "n AS (SELECT *, CASE WHEN prev IS NULL OR tn - prev > 1800000000000 THEN 1 ELSE 0 END AS ns FROM l), " +
+      "s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY tn, event_id ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id FROM n) " +
+      "SELECT user_id, session_id, count(*)::BIGINT AS n_events, round((max(tn) - min(tn)) / 1e9, 3) AS duration_sec " +
+      "FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"),
+    "q_props_json" -> ("SELECT event_type, count(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS n, " +
+      "round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k FROM events GROUP BY event_type ORDER BY event_type")
+  )
 }

@@ -1,0 +1,201 @@
+package graft.agg
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.util.Num
+
+/** The ES aggregation framework re-expressed as single-pass Spark
+  * aggregates. Every helper is one `groupBy().agg()` (partial/map-side
+  * combine for free) or one window pass; none collects to the driver.
+  *
+  * Scale notes (SURVEY.md §4): `terms` with a size-N cut is a full
+  * groupBy then a tiny ordered limit (Spark's TakeOrderedAndProject —
+  * no global sort materialization). Exact percentile/cardinality
+  * variants are the oracle-checkable forms; the 100 TB paths are
+  * `approx_percentile` / `approx_count_distinct` (HLL++), exposed as
+  * `*Approx` variants.
+  */
+object Aggs {
+
+  /** `{"terms": {"field": f, "size": n}}` — bucket counts, ES ordering
+    * (doc_count desc, key asc). */
+  def termsAgg(df: DataFrame, field: String, size: Int): DataFrame =
+    df.groupBy(col(field).as("key"))
+      .agg(count(lit(1)).as("doc_count"))
+      .orderBy(col("doc_count").desc, col("key").asc)
+      .limit(size)
+
+  /** `{"stats": {"field": f}}` — one pass, one row. The big sum runs in
+    * DECIMAL: a double sum over millions of rows is order-dependent
+    * (partial-agg order differs run to run and engine to engine);
+    * decimal accumulation is exact, so the result is deterministic at
+    * any scale and any partitioning. */
+  def statsAgg(df: DataFrame, field: String): DataFrame =
+    df.agg(
+      count(col(field)).as("cnt"),
+      Num.round(min(col(field)).cast("double"), 4).as("min_v"),
+      Num.round(max(col(field)).cast("double"), 4).as("max_v"),
+      Num.round(avg(col(field)), 4).as("avg_v"),
+      Num.round(sum(col(field).cast("decimal(18,4)")).cast("double"), 4).as("sum_v"))
+
+  /** `{"extended_stats": {...}}` — adds sum-of-squares / variance /
+    * stddev (population, matching ES). */
+  def extendedStatsAgg(df: DataFrame, field: String): DataFrame =
+    df.agg(
+      count(col(field)).as("cnt"),
+      Num.round(avg(col(field)), 4).as("avg_v"),
+      Num.round(sum(col(field) * col(field)).cast("double"), 4).as("sum_sq"),
+      Num.round(var_pop(col(field)), 4).as("variance"),
+      Num.round(stddev_pop(col(field)), 4).as("std_dev"))
+
+  /** `{"percentiles": {...}}` — exact interpolated percentiles (the
+    * oracle-checkable form; ES itself uses TDigest approximation, and
+    * `percentilesApprox` below is the matching 100 TB path). */
+  def percentilesAgg(df: DataFrame, field: String): DataFrame =
+    df.agg(
+      Num.round(expr(s"percentile($field, 0.25)"), 4).as("p25"),
+      Num.round(expr(s"percentile($field, 0.50)"), 4).as("p50"),
+      Num.round(expr(s"percentile($field, 0.95)"), 4).as("p95"))
+
+  def percentilesApprox(df: DataFrame, field: String): DataFrame =
+    df.agg(
+      percentile_approx(col(field), lit(0.5), lit(10000)).as("p50_approx"))
+
+  /** `{"cardinality": {"field": f}}` — exact for the oracle; the ES
+    * semantic (HLL) is `cardinalityApprox`. */
+  def cardinalityAgg(df: DataFrame, field: String): DataFrame =
+    df.agg(countDistinct(col(field)).as("cardinality"))
+
+  def cardinalityApprox(df: DataFrame, field: String): DataFrame =
+    df.agg(approx_count_distinct(col(field)).as("cardinality_approx"))
+
+  /** `{"histogram": {"field": f, "interval": i}}`. */
+  def histogramAgg(df: DataFrame, field: String, interval: Double): DataFrame =
+    df.groupBy((floor(col(field) / interval) * interval).cast("double").as("bucket"))
+      .agg(count(lit(1)).as("doc_count"))
+      .orderBy(col("bucket").asc)
+
+  /** `{"date_histogram": {"calendar_interval": "month"}}`. */
+  def dateHistogramAgg(df: DataFrame, tsField: String, interval: String): DataFrame =
+    df.groupBy(to_date(date_trunc(interval, col(tsField))).as("bucket"))
+      .agg(count(lit(1)).as("doc_count"))
+      .orderBy(col("bucket").asc)
+
+  /** `{"range": {"field": f, "ranges": [...]}}` — half-open [from, to)
+    * buckets like ES; one pass via a CASE bucket key. */
+  def rangeAgg(df: DataFrame, field: String, edges: Seq[Double]): DataFrame = {
+    val f = col(field)
+    val bucket = edges.sliding(2).foldLeft(
+      when(f < edges.head, lit(s"*-${edges.head}"))) {
+      case (acc, Seq(lo, hi)) =>
+        acc.when(f >= lo && f < hi, lit(s"$lo-$hi"))
+      case (acc, _) => acc
+    }.otherwise(lit(s"${edges.last}-*"))
+    df.groupBy(bucket.as("bucket"))
+      .agg(
+        count(lit(1)).as("doc_count"),
+        // decimal sum: deterministic under any aggregation order
+        Num.round(sum(f.cast("decimal(18,4)")).cast("double"), 4).as("sum_v"))
+      .orderBy(col("bucket").asc)
+  }
+
+  /** `{"filters": {"filters": {name: query...}}}` — N named predicate
+    * buckets counted in ONE scan (count_if per bucket), not N scans. */
+  def filtersAgg(df: DataFrame, buckets: Seq[(String, Column)]): DataFrame = {
+    val aggs = buckets.map { case (name, pred) =>
+      sum(when(pred, 1L).otherwise(0L)).as(name)
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** `{"terms": {...}, "aggs": {"top": {"top_hits": {...}}}}` — per-
+    * bucket top-k rows by sort column: one window pass, no per-bucket
+    * queries. */
+  def topHitsAgg(
+      df: DataFrame, bucketField: String, sortField: String, idField: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(bucketField))
+      .orderBy(col(sortField).desc, col(idField).asc)
+    df.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+  }
+
+  /** `{"composite": {...}}` — multi-source bucket pagination: key-ordered
+    * buckets strictly after `afterKey`, `size` per page. The after-key
+    * predicate is a lexicographic tuple comparison, pushable below the
+    * aggregation by Catalyst since it only references grouping keys. */
+  def compositeAgg(
+      df: DataFrame,
+      keys: Seq[String],
+      afterKey: Option[Seq[String]],
+      size: Int): DataFrame = {
+    val grouped = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("doc_count"))
+    val paged = afterKey match {
+      case Some(after) =>
+        require(after.length == keys.length)
+        // (k1,k2) > (a1,a2) lexicographically
+        val gt = keys.zip(after).zipWithIndex.map { case ((k, a), i) =>
+          val eqPrefix = keys.take(i).zip(after.take(i))
+            .map { case (pk, pa) => col(pk) === lit(pa) }
+            .foldLeft(lit(true))(_ && _)
+          eqPrefix && col(k) > lit(a)
+        }.reduce(_ || _)
+        grouped.where(gt)
+      case None => grouped
+    }
+    paged.orderBy(keys.map(col(_).asc): _*).limit(size)
+  }
+
+  /** Nested sub-aggregation: outer terms bucket with an inner metric —
+    * a single two-key groupBy (ONE shuffle), not a per-bucket re-agg. */
+  def nestedAgg(df: DataFrame, outer: String, inner: String, metric: String): DataFrame =
+    df.groupBy(col(outer), col(inner))
+      .agg(count(lit(1)).as("doc_count"), Num.round(avg(col(metric)), 4).as("avg_metric"))
+      .orderBy(col(outer).asc, col(inner).asc)
+
+  /** `{"global": {}}` + filtered bucket: whole-index metrics next to a
+    * filtered subset's metrics in one scan (conditional aggregation). */
+  def globalWithFilter(df: DataFrame, pred: Column, field: String): DataFrame =
+    df.agg(
+      count(lit(1)).as("global_count"),
+      Num.round(avg(col(field)), 4).as("global_avg"),
+      sum(when(pred, 1L).otherwise(0L)).as("filtered_count"),
+      Num.round(avg(when(pred, col(field))), 4).as("filtered_avg"))
+
+  /** `{"significant_terms": {"field": f}}` over an analyzed text field:
+    * terms over-represented in the foreground (`pred`) vs the whole
+    * index. Score: fgRate * ln(fgRate / bgRate) (the "relative entropy"
+    * core of ES's JLH/mutual-information heuristics). Single explode +
+    * one conditional groupBy — fg and bg counts in the same pass.
+    */
+  def significantTerms(
+      df: DataFrame,
+      textField: String,
+      pred: Column,
+      minFgCount: Long = 5,
+      k: Int = 10): DataFrame = {
+    import graft.analysis.Analyzer
+    val terms = df
+      .select(pred.as("fg"), explode(Analyzer.termSet(col(textField))).as("term"))
+    // ES rates are over DOC counts (fg docs / all docs), not term totals.
+    val totals = df.agg(
+      sum(when(pred, 1L).otherwise(0L)).cast("double").as("fg_total"),
+      count(lit(1)).cast("double").as("bg_total"))
+    terms
+      .groupBy(col("term"))
+      .agg(
+        sum(when(col("fg"), 1L).otherwise(0L)).as("fg_count"),
+        count(lit(1)).as("bg_count"))
+      .where(col("fg_count") >= minFgCount)
+      .crossJoin(broadcast(totals))
+      .withColumn("fg_rate", col("fg_count") / col("fg_total"))
+      .withColumn("bg_rate", col("bg_count") / col("bg_total"))
+      .select(
+        col("term"),
+        col("fg_count"),
+        col("bg_count"),
+        Num.round(col("fg_rate") * log(col("fg_rate") / col("bg_rate")), 4).as("score"))
+      .orderBy(col("score").desc, col("term").asc)
+      .limit(k)
+  }
+}

@@ -1,0 +1,43 @@
+package graft.analysis
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The ES "standard analyzer" re-expressed as Catalyst columns:
+  * lowercase + split on non-alphanumeric runs. Tokenization happens
+  * per-row (narrow, no shuffle) and is shared by match queries, BM25,
+  * dedup shingling and the text-analysis operators, so Spark computes it
+  * once per plan subtree via subexpression elimination.
+  *
+  * The exact pattern is mirrored verbatim by the DuckDB oracle SQL
+  * (`regexp_split_to_array(lower(x), '[^a-z0-9]+')`) — keep them in sync.
+  */
+object Analyzer {
+  val TokenSplit = "[^a-z0-9]+"
+
+  /** Ordered token array of an analyzed text field. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), TokenSplit), t => length(t) > 0)
+
+  /** Distinct terms of a document (set semantics, order unspecified —
+    * only ever used under set ops / aggregation). */
+  def termSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** Tokenize a query string at plan time (driver side, it's a literal). */
+  def analyze(query: String): Seq[String] =
+    query.toLowerCase.split(TokenSplit).filter(_.nonEmpty).toSeq
+
+  /** Token 3-gram shingles over an ordered token array: the unit used by
+    * MinHash / n-gram-Jaccard dedup. Narrow per-row transform. */
+  def shingles(toks: Column, n: Int = 3): Column = {
+    require(n >= 1)
+    // sequence(1, m) DESCENDS when m < 1, so short docs need an explicit
+    // empty-array branch.
+    val m = size(toks) - (n - 1)
+    when(m < 1, array().cast("array<string>")).otherwise(
+      array_distinct(
+        transform(
+          sequence(lit(1), m),
+          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))))
+  }
+}

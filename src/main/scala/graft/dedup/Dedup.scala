@@ -1,0 +1,224 @@
+package graft.dedup
+
+import graft.analysis.Analyzer
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.util.Num
+
+/** Large-scale dedup operators for training-data pipelines.
+  *
+  * All hash primitives are md5-based so the DuckDB oracle can replicate
+  * them bit-for-bit (SURVEY.md §5). MinHash signatures use the
+  * lexicographic min of md5 hex strings — a valid min-hash family, and
+  * portable across engines without integer conversion.
+  *
+  * Scale design: signatures are computed per-row with array HOFs
+  * (narrow — no shuffle, no UDF); the only shuffles are (1) the LSH
+  * band-bucket exchange and (2) the candidate-pair join, both of which
+  * move O(docs * bands) small rows, never the full text. Exact Jaccard
+  * verification runs only on LSH candidates.
+  */
+object Dedup {
+
+  /** Exact dedup on normalized content hash: groups identical texts,
+    * keeps the smallest id. Output: one row per duplicate GROUP
+    * (n_dups >= 2). */
+  def exactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keep_id"))
+      .where(col("n_dups") >= 2)
+      .orderBy(col("keep_id").asc)
+
+  /** 2^61-1 (Mersenne prime) — the minhash modulus. Base hashes are
+    * 48-bit and multipliers < 2^14, so a*h + b stays under 2^63: no
+    * overflow in either engine. */
+  private val P = 2305843009213693951L
+
+  /** One md5 per shingle, folded to a 48-bit integer. The DuckDB oracle
+    * reproduces this with a hex-char fold over the same 12-char md5
+    * prefix. */
+  private def baseHash(x: Column): Column =
+    conv(substring(md5(x), 1, 12), 16, 10).cast("long")
+
+  /** Per-seed min-hash via ONE md5 per shingle + a cheap linear
+    * transform per seed: h_i = (a_i*h + b_i) mod P. (The earlier
+    * 1-md5-per-seed-per-shingle form spent 32x the hashing work for the
+    * same signature quality.) */
+  private def minhashSig(shingleCol: Column, numHashes: Int): Column = {
+    val hs = transform(shingleCol, x => baseHash(x))
+    array((0 until numHashes).map { i =>
+      val a = 2L * i + 3L
+      val b = (i + 1L) * 2654435761L % P
+      array_min(transform(hs, h => (h * a + b) % P))
+    }: _*)
+  }
+
+  /** LSH band keys: bands of `rowsPerBand` consecutive signature values,
+    * prefixed with the band index so different bands never collide. */
+  private def bandKeys(sigCol: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      concat_ws(
+        ",",
+        lit(b.toString) +:
+          (1 to rowsPerBand).map(r =>
+            element_at(sigCol, b * rowsPerBand + r).cast("string")): _*)
+    }: _*)
+
+  /** MinHash + LSH near-duplicate pairs, verified by exact shingle
+    * Jaccard >= `threshold`. Returns (id1, id2, jaccard) ordered.
+    *
+    * Pipeline: shingle (narrow) -> 32-seed signature (narrow) -> band
+    * explode -> self-join on band key (the one shuffle) -> distinct
+    * candidate pairs -> exact verify via array_intersect on the two
+    * shingle sets.
+    */
+  def minhashLsh(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      numHashes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sh = docs.select(
+      col(idCol).as("id"),
+      Analyzer.shingles(Analyzer.tokens(col(textCol))).as("sh"))
+      .where(size(col("sh")) > 0)
+
+    val sig = sh.select(
+      col("id"), col("sh"),
+      minhashSig(col("sh"), numHashes).as("sig"))
+
+    val banded = sig.select(
+      col("id"),
+      explode(bandKeys(col("sig"), bands, rowsPerBand)).as("band"))
+
+    val candidates = banded.as("a")
+      .join(banded.as("b"), col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+
+    val shA = sh.select(col("id").as("id1"), col("sh").as("sh1"))
+    val shB = sh.select(col("id").as("id2"), col("sh").as("sh2"))
+    candidates
+      .join(shA, "id1").join(shB, "id2")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn(
+        "jaccard",
+        Num.round(col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")), 4))
+      .where(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+      .orderBy(col("id1").asc, col("id2").asc)
+  }
+
+  /** Nibble value of hex char `c` (both engines: ascii arithmetic). */
+  private def nib(c: Column): Column =
+    when(ascii(c) <= 57, ascii(c) - 48).otherwise(ascii(c) - 87)
+
+  /** 32-bit SimHash over distinct tokens: bit j of the signature is the
+    * sign of sum over tokens of (+1 / -1) according to bit j of
+    * md5(token). 32 bits (not 64) keeps the signature < 2^31 so the
+    * oracle's BIGINT arithmetic can't overflow. All-narrow HOFs.
+    */
+  def simhash32(textCol: Column): Column = {
+    val md5s = transform(array_distinct(Analyzer.tokens(textCol)), t => md5(t))
+    val bits = transform(sequence(lit(0), lit(31)), j => {
+      val hexPos = (j / 4).cast("int") + 1 // 1-based hex char index
+      val shift = lit(3) - (j % 4)
+      val votes = aggregate(
+        md5s,
+        lit(0),
+        (acc, m) => {
+          val nibble = nib(m.substr(hexPos, lit(1)))
+          val bit = (nibble / pow(lit(2), shift)).cast("int") % 2
+          acc + when(bit === 1, 1).otherwise(-1)
+        })
+      when(votes > 0, 1L).otherwise(0L)
+    })
+    aggregate(bits, lit(0L), (acc, b) => acc * 2 + b)
+  }
+
+  /** SimHash near-dup pairs with hamming distance <= maxHamming,
+    * candidate-filtered by 4 LSH bands of 8 bits. With maxHamming <= 3
+    * and 4 bands, pigeonhole guarantees at least one identical band, so
+    * the band filter loses NO qualifying pair — band-join then exact
+    * hamming is equivalent to the all-pairs scan the oracle runs.
+    */
+  def simhashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4x8-bit bands only guarantee recall for hamming <= 3")
+    val sig = docs.select(col(idCol).as("id"), simhash32(col(textCol)).as("sig"))
+
+    val banded = sig.select(
+      col("id"), col("sig"),
+      explode(array((0 until 4).map { b =>
+        concat(lit(b + "|"), (shiftright(col("sig"), 8 * b) % 256).cast("string"))
+      }: _*)).as("band"))
+
+    banded.as("a")
+      .join(banded.as("b"), col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("id1"), col("b.id").as("id2"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+      .orderBy(col("id1").asc, col("id2").asc)
+  }
+
+  /** Exact n-gram (shingle) Jaccard over all pairs of a (pre-filtered)
+    * subset — the brute-force ground-truth variant; use LSH above when
+    * the subset isn't small. Returns top-k pairs by similarity. */
+  def ngramJaccardTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val sh = docs.select(
+      col(idCol).as("id"),
+      Analyzer.shingles(Analyzer.tokens(col(textCol))).as("sh"))
+      .where(size(col("sh")) > 0)
+    sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("id1"), col("b.id").as("id2"),
+        size(array_intersect(col("a.sh"), col("b.sh"))).cast("double").as("inter"),
+        size(col("a.sh")).as("n1"), size(col("b.sh")).as("n2"))
+      .withColumn("jaccard", Num.round(col("inter") / (col("n1") + col("n2") - col("inter")), 4))
+      .select(col("id1"), col("id2"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("id1").asc, col("id2").asc)
+      .limit(k)
+  }
+
+  /** Embedding near-dup: top-k most-similar pairs by exact cosine,
+    * blocked on a grouping column (e.g. a cluster/label id) so the
+    * pair join is bucket-local — the blocking column is what bounds
+    * candidate count at scale. */
+  def embeddingTopKPairs(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      blockCol: String,
+      k: Int): DataFrame = {
+    val e = emb.select(
+      col(idCol).as("id"), col(blockCol).as("blk"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    e.as("a").join(e.as("b"), col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("id1"), col("b.id").as("id2"),
+        Num.round(Vectors.cosine(col("a.v"), col("b.v")), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("id1").asc, col("id2").asc)
+      .limit(k)
+  }
+}
+
+/** Dense-vector column math over array<double>, built from zip_with /
+  * aggregate HOFs (no UDF, no driver work). A codegen'd Catalyst
+  * Expression is the planned upgrade for the 100 TB hot path. */
+object Vectors {
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+}

@@ -1,0 +1,77 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A decoded-media record: what a real decoder (image/audio lib) would
+  * emit per asset. The decode itself is STUBBED (no media libs in this
+  * environment) with a deterministic fake; everything around it —
+  * schema, encoders, batched per-partition iteration, partitioning —
+  * is the real Spark plumbing a production decoder plugs into. */
+case class MediaFeature(
+    media_id: Long,
+    mime: String,
+    n_bytes: Long,
+    width: Int,
+    height: Int,
+    feat_hash: String)
+
+/** Multimodal columns: media as opaque `binary` with typed metadata.
+  *
+  * Design for 100 TB: the binary payload never shuffles — metadata
+  * extraction and decode are map-only stages; `decodeFeatures` uses
+  * typed `mapPartitions` so a real decoder amortizes model/codec init
+  * once per partition (the JVM analog of `mapInPandas` batching).
+  */
+object Multimodal {
+
+  /** Build a media table from the documents table: payload = utf8 bytes
+    * of the text (a stand-in for image/audio bytes), metadata derived
+    * deterministically from doc_id. */
+  def mediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      when(col("doc_id") % 3 === 0, "image/png")
+        .when(col("doc_id") % 3 === 1, "audio/wav")
+        .otherwise("video/mp4").as("mime"),
+      (col("doc_id") % 640 + 32).cast("int").as("width"),
+      (col("doc_id") % 480 + 32).cast("int").as("height"))
+
+  /** Column-only metadata pass (no decode): pure codegen'd expressions,
+    * oracle-checkable. */
+  def metadata(media: DataFrame): DataFrame =
+    media.select(
+      col("media_id"),
+      col("mime"),
+      length(col("payload")).cast("long").as("n_bytes"),
+      col("width"), col("height"),
+      (col("width").cast("long") * col("height")).as("pixels"),
+      md5(col("payload")).as("content_hash"))
+      .orderBy(col("media_id").asc)
+
+  /** "Decode" each asset per partition. The ??? decode is replaced by a
+    * deterministic fake (md5 of payload) — swap `fakeDecode` for a real
+    * codec; the iterator shape (init once, stream batches) is what a
+    * GPU/codec-backed decoder needs. */
+  def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeature] = {
+    import spark.implicits._
+    media
+      .select("media_id", "mime", "payload", "width", "height")
+      .as[(Long, String, Array[Byte], Int, Int)]
+      .mapPartitions { rows =>
+        // real impl: val codec = HeavyCodec.init()  // once per partition
+        rows.map { case (id, mime, payload, w, h) =>
+          val feat = fakeDecode(payload)
+          MediaFeature(id, mime, payload.length.toLong, w, h, feat)
+        }
+      }
+  }
+
+  /** Deterministic stand-in for the media decoder (STUB — container has
+    * no image/audio codecs). */
+  private def fakeDecode(payload: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.digest(payload).map("%02x".format(_)).mkString
+  }
+}

@@ -1,0 +1,68 @@
+package graft.rel
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.util.Num
+
+/** Relational patterns a connector user runs on ES-sourced frames, plus
+  * the connector's write-path semantics and geo filters.
+  */
+object Relational {
+
+  /** Dimension enrich: explicit `broadcast()` so the fact side never
+    * shuffles — at 100 TB the dim tables (nation/region/part at TPC-H
+    * ratios) stay tiny relative to the facts. */
+  def enrich(fact: DataFrame, dim: DataFrame, key: Seq[String]): DataFrame =
+    fact.join(broadcast(dim), key, "inner")
+
+  /** Per-group top-N via one window pass (rank <= n). */
+  def topNPerGroup(
+      df: DataFrame,
+      partCols: Seq[String],
+      orderCol: Column,
+      tieBreak: Column,
+      n: Int): DataFrame = {
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(orderCol, tieBreak)
+    df.withColumn("rn", row_number().over(w)).where(col("rn") <= n)
+  }
+
+  /** The connector's `es.mapping.id` + `es.write.operation=upsert`
+    * semantics: last write wins per document id. One window pass
+    * partitioned by id ordered by (version desc, tiebreak desc) —
+    * equivalent to ES applying the bulk ops in order, but computed
+    * distributed (no per-doc round trips). */
+  def upsertLastWriteWins(
+      ops: DataFrame,
+      idCols: Seq[String],
+      versionCol: Column,
+      tieBreak: Column): DataFrame = {
+    val w = Window.partitionBy(idCols.map(col): _*)
+      .orderBy(versionCol.desc, tieBreak.desc)
+    ops.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** Haversine distance in km (the core of `geo_distance`). Pure
+    * codegen'd math — safe in filter position. */
+  def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val dLat = radians(lat2 - lat1) / 2
+    val dLon = radians(lon2 - lon1) / 2
+    val a = pow(sin(dLat), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon), 2)
+    lit(2.0 * 6371.0) * asin(sqrt(a))
+  }
+
+  /** `{"geo_distance": {"distance": "...km", ...}}`. */
+  def geoDistance(lat: Column, lon: Column, clat: Double, clon: Double, km: Double): Column =
+    Num.round(haversineKm(lat, lon, lit(clat), lit(clon)), 4) <= km
+
+  /** `{"geo_bounding_box": {...}}` — plain range predicates, fully
+    * pushdown-eligible (this is why ES itself grid-indexes: the bbox
+    * prefilter is cheap; graft gets the same from parquet min/max). */
+  def geoBoundingBox(
+      lat: Column, lon: Column,
+      top: Double, left: Double, bottom: Double, right: Double): Column =
+    lat <= top && lat >= bottom && lon >= left && lon <= right
+}

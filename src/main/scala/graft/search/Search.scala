@@ -1,0 +1,142 @@
+package graft.search
+
+import graft.analysis.Analyzer
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.util.Num
+
+/** Full-text (query-context) search: the ES `match` family and BM25
+  * relevance scoring, re-expressed as DataFrame transforms.
+  *
+  * Scale design (SURVEY.md §4): per-document tokenization is narrow;
+  * corpus statistics (N, avgdl) are a 1-row aggregate cross-joined back
+  * (Spark broadcasts single-row relations, so this costs nothing); the
+  * per-term document-frequency table is at most |query terms| rows and
+  * is broadcast-joined. The only shuffle in a BM25 run is the final
+  * per-document score aggregation over (doc, term) partials — the
+  * pattern a distributed search engine can't avoid.
+  */
+object Search {
+
+  /** `{"match": {field: q}}` with operator OR — true when any analyzed
+    * query token appears in the analyzed field. */
+  def matchQuery(field: Column, query: String): Column = {
+    val q = Analyzer.analyze(query)
+    require(q.nonEmpty, s"match query analyzed to zero tokens: $query")
+    arrays_overlap(Analyzer.tokens(field), lit(q.toArray))
+  }
+
+  /** `{"match": {field: {query: q, operator: "and"}}}` — all tokens
+    * present. Unrolled to a conjunction of array_contains (codegen'd;
+    * no per-row set construction). */
+  def matchQueryAnd(field: Column, query: String): Column = {
+    val q = Analyzer.analyze(query)
+    require(q.nonEmpty, s"match query analyzed to zero tokens: $query")
+    val toks = Analyzer.tokens(field)
+    q.map(t => array_contains(toks, t)).reduce(_ && _)
+  }
+
+  /** `{"match_phrase": {field: q}}` — analyzed tokens must appear
+    * consecutively, in order. Tokens match `[a-z0-9]+`, so rejoining
+    * with single spaces makes phrase containment a substring test —
+    * a codegen'd string scan, no positional index needed. */
+  def matchPhrase(field: Column, query: String): Column = {
+    val q = Analyzer.analyze(query)
+    require(q.nonEmpty, s"match_phrase analyzed to zero tokens: $query")
+    val joined = concat(lit(" "), concat_ws(" ", Analyzer.tokens(field)), lit(" "))
+    joined.contains(" " + q.mkString(" ") + " ")
+  }
+
+  /** `{"query_string": {"query": q, "fields": [...]}}` (simplified: the
+    * analyzed-OR semantics across multiple fields). */
+  def queryString(fields: Seq[Column], query: String): Column =
+    fields.map(f => matchQuery(f, query)).reduce(_ || _)
+
+  /** BM25 top-k: the `_score` the reference exposes via
+    * `es.read.metadata`. Returns (id, score) with score rounded to 4
+    * decimals (FP-stable across engines for the oracle compare) and a
+    * deterministic (score desc, id asc) order.
+    *
+    * idf = ln(1 + (N - df + 0.5)/(df + 0.5))          [Lucene BM25]
+    * tfp = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      query: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val q = Analyzer.analyze(query)
+    require(q.nonEmpty, s"bm25 query analyzed to zero tokens: $query")
+
+    val toks = docs.select(
+      col(idCol).as("id"),
+      Analyzer.tokens(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+
+    // 1-row corpus stats; cross-joined (broadcast of a single row).
+    val stats = toks.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+
+    // (doc, term, tf, dl) for query terms only — the explode is filtered
+    // before the shuffle so only matching postings move.
+    val tf = toks
+      .select(col("id"), col("dl"), explode(col("toks")).as("term"))
+      .where(col("term").isin(q: _*))
+      .groupBy(col("id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+
+    // document frequency per query term: <= |q| rows -> broadcast.
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfPart = col("tf") * (k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl")))
+
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("term_score", idf * tfPart)
+      .groupBy(col("id"))
+      .agg(Num.round(sum(col("term_score")), 4).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** `more_like_this`: take the seed document's top-`m` terms by term
+    * frequency (tie-broken by term asc), then find other documents
+    * containing at least `minMatch` of them. Seed term extraction is a
+    * tiny aggregate over one document; the candidate scan is a narrow
+    * filter over the corpus — no O(corpus) shuffle.
+    */
+  def moreLikeThis(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      seedId: Long,
+      m: Int = 5,
+      minMatch: Int = 2): DataFrame = {
+    val seedTerms = docs
+      .where(col(idCol) === seedId)
+      .select(explode(Analyzer.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("term").asc)
+      .limit(m)
+
+    val toks = docs.select(
+      col(idCol).as("id"),
+      Analyzer.termSet(col(textCol)).as("terms"))
+
+    toks
+      .where(col("id") =!= seedId)
+      .crossJoin(broadcast(seedTerms.agg(collect_list(col("term")).as("seed_terms"))))
+      .withColumn(
+        "overlap",
+        size(array_intersect(col("terms"), array_sort(col("seed_terms")))))
+      .where(col("overlap") >= minMatch)
+      .select(col("id"), col("overlap"))
+      .orderBy(col("overlap").desc, col("id").asc)
+  }
+}

@@ -1,0 +1,122 @@
+package graft.sim
+
+import graft.dedup.Vectors
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.util.Num
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine against a broadcast query set — exact,
+  * and at 100 TB still the right shape when the query set is small (the
+  * corpus streams once, queries live in memory; no corpus shuffle).
+  *
+  * Scale path: sign-random-projection LSH — each vector hashes to a
+  * small bucket id computed per-row from md5-derived hyperplanes
+  * (deterministic, no fitted model to ship); neighbor search then only
+  * scans the query's bucket. Hyperplane components are pseudo-random
+  * uniforms in [-0.5, 0.5) derived from md5("h:<plane>:<dim>"), so the
+  * DuckDB oracle regenerates the identical planes.
+  */
+object Ann {
+
+  /** Exact top-k neighbors for each query vector (cosine), via
+    * crossJoin(broadcast(queries)) + per-query window top-k. */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(
+      col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val q = queries.select(
+      col(idCol).as("query_id"),
+      transform(col(vecCol), x => x.cast("double")).as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    c.crossJoin(broadcast(q))
+      .where(col("id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("id"),
+        Num.round(Vectors.cosine(col("v"), col("qv")), 4).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
+  /** Deterministic hyperplane: component d is a uniform in [-0.5, 0.5)
+    * from the first 8 hex chars of md5("h:<table>:<plane>:<d>") —
+    * computed driver-side (bit-identical to the engine-side md5 the
+    * DuckDB oracle uses) and shipped as ONE array literal per plane.
+    * An unrolled 64-term expression per plane blew the whole-stage
+    * codegen budget (40s+ of janino on a 2048-node tree); an array
+    * literal + HOF dot keeps the plan tiny. */
+  private def planeVec(t: Int, p: Int, dim: Int): Array[Double] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dim) { d =>
+      val hex = digest.digest(s"h:$t:$p:$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0 - 0.5
+    }
+  }
+
+  /** Sign-random-projection bucket id (one hash table): bit p =
+    * (v . plane_p) >= 0. Narrow per-row math, no shuffle. */
+  def srpBucket(vec: Column, dim: Int, table: Int, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val dotp = Vectors.dot(vec, lit(planeVec(table, p, dim)))
+      when(dotp >= 0, lit(1L << (planes - 1 - p))).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** One bucket key per hash table, table-index-prefixed. Multiple
+    * small tables (OR-amplification) instead of one wide bucket: a
+    * single 16-bit bucket over random-ish vectors is so selective that
+    * candidate sets come back empty; 4x8-bit tables trade precision for
+    * recall the standard LSH way. */
+  def tableBuckets(vec: Column, dim: Int, tables: Int = 4, planes: Int = 8): Column =
+    array((0 until tables).map { t =>
+      concat_ws("|", lit(t.toString), srpBucket(vec, dim, t, planes).cast("string"))
+    }: _*)
+
+  /** LSH-bucketed ANN: candidates = ids sharing ANY table bucket with
+    * the query (deduped), then exact cosine + per-query top-k on the
+    * candidate set only. Recall < 1 by construction (that's the
+    * approximation); the oracle replicates the same buckets, so results
+    * are still deterministic. */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int): DataFrame = {
+    val c = corpus.select(
+      col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val q = queries.select(
+      col(idCol).as("query_id"),
+      transform(col(vecCol), x => x.cast("double")).as("qv"))
+    val cb = c.select(col("id"), explode(tableBuckets(col("v"), dim)).as("bucket"))
+    val qb = q.select(col("query_id"), explode(tableBuckets(col("qv"), dim)).as("bucket"))
+    val candidates = cb.join(broadcast(qb), "bucket")
+      .where(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    candidates
+      .join(c, "id")
+      .join(broadcast(q), "query_id")
+      .select(
+        col("query_id"), col("id"),
+        Num.round(Vectors.cosine(col("v"), col("qv")), 4).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+}

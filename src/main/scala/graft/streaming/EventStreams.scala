@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.util.Num
+
+/** Streaming-shaped analytics over the events table (ts_ns = epoch
+  * nanos, see Tables.events). Each transform is written against an
+  * unresolved DataFrame, so the SAME code runs on a batch frame (for
+  * the oracle) and on `spark.readStream` input (the streaming spec
+  * exercises that path with a memory sink).
+  *
+  * Event-time math stays in exact integer nanos (`div`), never doubles —
+  * epoch values exceed 2^53, so double division would misplace events
+  * at bucket boundaries.
+  */
+object EventStreams {
+  private val HourNs = 3600L * 1000 * 1000 * 1000
+
+  /** Tumbling-window aggregate — ES-style date_histogram over a stream.
+    * Group key = exact integer hour bucket; state size O(windows x
+    * types) under a watermark. */
+  def hourlyTypeCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        expr(s"ts_ns div $HourNs").as("hour_bucket"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Num.round(sum(col("value")), 4).as("sum_value"))
+      .orderBy(col("hour_bucket").asc, col("event_type").asc)
+
+  /** Gap-based sessionization (batch form): a session break is a gap
+    * > `gapMinutes` between consecutive events of a user. One window
+    * pass for the lag + running sum, one aggregate for the sessions —
+    * both partition by user, so a 100 TB event log shuffles once on
+    * user_id. (The streaming form of the same semantics uses
+    * flatMapGroupsWithState — see the streaming spec.) */
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ns").asc, col("event_id").asc)
+    val gapNs = gapMinutes * 60L * 1000 * 1000 * 1000
+    events
+      .withColumn("prev_ts", lag(col("ts_ns"), 1).over(byUser))
+      .withColumn(
+        "new_session",
+        when(col("prev_ts").isNull || (col("ts_ns") - col("prev_ts")) > gapNs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Num.round(((max(col("ts_ns")) - min(col("ts_ns"))) / 1e9), 3).as("duration_sec"))
+      .orderBy(col("user_id").asc, col("session_id").asc)
+  }
+
+  /** JSON props access — ES documents are JSON; the connector maps
+    * fields. Extract a typed field from the raw JSON column. */
+  def propsField(events: DataFrame, field: String): DataFrame =
+    events
+      .withColumn("k", get_json_object(col("props"), s"$$.$field").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("k")).as("n"),
+        Num.round(avg(col("k")), 4).as("avg_k"))
+      .orderBy(col("event_type").asc)
+}

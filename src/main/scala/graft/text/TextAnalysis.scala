@@ -1,0 +1,85 @@
+package graft.text
+
+import graft.analysis.Analyzer
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.util.Num
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting. All
+  * per-row (narrow) column math — at 100 TB these run as a single
+  * map-only stage fused into the scan by whole-stage codegen.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language function-word lists (public knowledge). Scoring
+    * is the classic stopword-hit heuristic: share of tokens that are
+    * function words of language L. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "im", "nicht"),
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "was", "for", "with", "a"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "no"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "est"),
+    "zh" -> Seq("de", "shi", "le", "bu", "wo", "zai", "you", "he", "ren", "ta"))
+
+  private def hitRatio(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(lit(words.toArray), t))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+
+  /** Language ID: argmax over per-language stopword-hit ratios, ties
+    * broken by language code asc (deterministic). Output columns:
+    * pred_lang, lang_score. */
+  def languageId(text: Column): (Column, Column) = {
+    val scores = stopwords.map { case (l, ws) => l -> hitRatio(Analyzer.tokens(text), ws) }
+    // fixed-precedence argmax: earlier (asc) language wins ties
+    val best = scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
+      case ((bl, bs), (l, s)) => (when(s > bs, lit(l)).otherwise(bl), greatest(s, bs))
+    }
+    (best._1, Num.round(best._2, 4))
+  }
+
+  /** Heuristic quality score in [0,1]: combines length, punctuation
+    * ratio, stopword ratio and repetition (type/token ratio) — the
+    * standard cheap pre-filters applied before expensive model scoring
+    * in data pipelines. */
+  def qualityScore(text: Column): DataFrame => DataFrame = { df =>
+    val toks = Analyzer.tokens(text)
+    val nChars = length(text).cast("double")
+    val nToks = greatest(size(toks), lit(1)).cast("double")
+    val punct = length(regexp_replace(lower(text), "[a-z0-9 ]", "")).cast("double")
+    val en = stopwords.toMap.apply("en")
+    df.withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("punct_ratio", Num.round(punct / greatest(nChars, lit(1.0)), 4))
+      .withColumn("stopword_ratio", Num.round(hitRatio(toks, en), 4))
+      .withColumn("ttr", Num.round(size(array_distinct(toks)).cast("double") / nToks, 4))
+      .withColumn(
+        "quality",
+        Num.round(
+          least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.3
+            + (lit(1.0) - least(col("punct_ratio") * 5.0, lit(1.0))) * 0.2
+            + least(col("stopword_ratio") * 5.0, lit(1.0)) * 0.2
+            + col("ttr") * 0.3,
+          4))
+  }
+
+  /** Token counting: whitespace tokens and a BPE-ish regex segmentation
+    * (letter runs / digit runs / single punctuation marks) — the cheap
+    * proxy used to size training corpora. */
+  def tokenCounts(text: Column): Seq[(String, Column)] = Seq(
+    "ws_tokens" -> size(filter(split(text, "\\s+"), t => length(t) > 0)).cast("long"),
+    "bpe_tokens" -> size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0))).cast("long"))
+
+  /** Order-sensitive document fingerprint: polynomial rolling hash over
+    * the token stream, tokens hashed via md5 (portable). Modulus 1e9+7
+    * keeps every intermediate < 2^35 (no overflow in either engine).
+    * Identical token streams => identical fingerprint; any reorder or
+    * edit changes it (unlike the bag-of-words content_hash). */
+  def fingerprint(text: Column): Column = {
+    val M = 1000000007L
+    val tokHash = (t: Column) => conv(substring(md5(t), 1, 12), 16, 10).cast("long") % M
+    aggregate(
+      Analyzer.tokens(text),
+      lit(0L),
+      (acc, t) => (acc * 31L + tokHash(t)) % M)
+  }
+}

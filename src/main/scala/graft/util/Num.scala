@@ -1,0 +1,23 @@
+package graft.util
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+object Num {
+  /** Round half-away-from-zero applied to the BINARY double — the
+    * semantics DuckDB (and C std::round) use. Spark's own `round()`
+    * routes through BigDecimal.valueOf, i.e. the shortest decimal
+    * STRING repr, so e.g. the double 0.57404999..9 ("0.57405") rounds
+    * UP in Spark but DOWN everywhere that rounds the binary value.
+    * Every user-facing float in graft goes through this so results are
+    * reproducible across engines and partitionings (SURVEY.md §5).
+    */
+  def round(c: Column, scale: Int): Column = {
+    val m = math.pow(10, scale)
+    val r = floor(abs(c) * m + lit(0.5)) / m
+    when(c < 0, -r).otherwise(r)
+  }
+
+  def r4(c: Column): Column = round(c, 4)
+  def r3(c: Column): Column = round(c, 3)
+}
