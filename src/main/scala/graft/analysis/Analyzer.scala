@@ -31,13 +31,10 @@ object Analyzer {
     * MinHash / n-gram-Jaccard dedup. Narrow per-row transform. */
   def shingles(toks: Column, n: Int = 3): Column = {
     require(n >= 1)
-    // sequence(1, m) DESCENDS when m < 1, so short docs need an explicit
-    // empty-array branch.
-    val m = size(toks) - (n - 1)
-    when(m < 1, array().cast("array<string>")).otherwise(
-      array_distinct(
-        transform(
-          sequence(lit(1), m),
-          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))))
+    // native Catalyst expression (graft.expr.TokenShingles): the HOF
+    // formulation (array_distinct over transform/concat_ws) is
+    // interpreted per node and ~50x slower on long documents.
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expr.TokenShingles(org.apache.spark.sql.GraftBridge.expression(toks), n))
   }
 }

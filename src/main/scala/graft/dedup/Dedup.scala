@@ -1,7 +1,9 @@
 package graft.dedup
 
 import graft.analysis.Analyzer
+import graft.expr.{MinHashSig, SimHash32}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.functions._
 import graft.util.Num
 
@@ -35,24 +37,13 @@ object Dedup {
     * overflow in either engine. */
   private val P = 2305843009213693951L
 
-  /** One md5 per shingle, folded to a 48-bit integer. The DuckDB oracle
-    * reproduces this with a hex-char fold over the same 12-char md5
-    * prefix. */
-  private def baseHash(x: Column): Column =
-    conv(substring(md5(x), 1, 12), 16, 10).cast("long")
-
-  /** Per-seed min-hash via ONE md5 per shingle + a cheap linear
-    * transform per seed: h_i = (a_i*h + b_i) mod P. (The earlier
-    * 1-md5-per-seed-per-shingle form spent 32x the hashing work for the
-    * same signature quality.) */
-  private def minhashSig(shingleCol: Column, numHashes: Int): Column = {
-    val hs = transform(shingleCol, x => baseHash(x))
-    array((0 until numHashes).map { i =>
-      val a = 2L * i + 3L
-      val b = (i + 1L) * 2654435761L % P
-      array_min(transform(hs, h => (h * a + b) % P))
-    }: _*)
-  }
+  /** Per-seed min-hash signature: h_i = (a_i*h + b_i) mod P minima over
+    * shingles — computed by the native MinHashSig Catalyst expression
+    * (graft.expr.HashExprs): one compiled loop per row. The HOF
+    * formulation of the same fold (aggregate + zip_with) is interpreted
+    * per tree node and ~50x slower. */
+  private def minhashSig(shingleCol: Column, numHashes: Int): Column =
+    GraftBridge.column(MinHashSig(GraftBridge.expression(shingleCol), numHashes))
 
   /** LSH band keys: bands of `rowsPerBand` consecutive signature values,
     * prefixed with the band index so different bands never collide. */
@@ -81,10 +72,17 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sh = docs.select(
+    // A single small parquet file arrives as ONE partition; shingling is
+    // the expensive narrow stage, so spread it across the cluster first
+    // (the text is tiny relative to the compute). Cache the result: it
+    // feeds three branches (banding + both verify sides). At 100 TB:
+    // checkpoint to parquet instead of memory cache.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val sh = docs.repartition(par).select(
       col(idCol).as("id"),
       Analyzer.shingles(Analyzer.tokens(col(textCol))).as("sh"))
       .where(size(col("sh")) > 0)
+      .cache()
 
     val sig = sh.select(
       col("id"), col("sh"),
@@ -112,32 +110,20 @@ object Dedup {
       .orderBy(col("id1").asc, col("id2").asc)
   }
 
-  /** Nibble value of hex char `c` (both engines: ascii arithmetic). */
-  private def nib(c: Column): Column =
-    when(ascii(c) <= 57, ascii(c) - 48).otherwise(ascii(c) - 87)
-
   /** 32-bit SimHash over distinct tokens: bit j of the signature is the
     * sign of sum over tokens of (+1 / -1) according to bit j of
     * md5(token). 32 bits (not 64) keeps the signature < 2^31 so the
-    * oracle's BIGINT arithmetic can't overflow. All-narrow HOFs.
+    * oracle's BIGINT arithmetic can't overflow.
+    *
+    * Shape: ONE aggregate pass folding a 32-wide vote vector; the
+    * per-token +-1 vector is unrolled with Scala-constant positions and
+    * power-of-two divisors (integer ops only). The earlier
+    * per-bit-per-token form re-evaluated md5 32x per token (HOFs are
+    * interpreted) — 10x slower.
     */
-  def simhash32(textCol: Column): Column = {
-    val md5s = transform(array_distinct(Analyzer.tokens(textCol)), t => md5(t))
-    val bits = transform(sequence(lit(0), lit(31)), j => {
-      val hexPos = (j / 4).cast("int") + 1 // 1-based hex char index
-      val shift = lit(3) - (j % 4)
-      val votes = aggregate(
-        md5s,
-        lit(0),
-        (acc, m) => {
-          val nibble = nib(m.substr(hexPos, lit(1)))
-          val bit = (nibble / pow(lit(2), shift)).cast("int") % 2
-          acc + when(bit === 1, 1).otherwise(-1)
-        })
-      when(votes > 0, 1L).otherwise(0L)
-    })
-    aggregate(bits, lit(0L), (acc, b) => acc * 2 + b)
-  }
+  def simhash32(textCol: Column): Column =
+    GraftBridge.column(
+      SimHash32(GraftBridge.expression(array_distinct(Analyzer.tokens(textCol)))))
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming,
     * candidate-filtered by 4 LSH bands of 8 bits. With maxHamming <= 3
@@ -151,7 +137,10 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4x8-bit bands only guarantee recall for hamming <= 3")
-    val sig = docs.select(col(idCol).as("id"), simhash32(col(textCol)).as("sig"))
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val sig = docs.repartition(par)
+      .select(col(idCol).as("id"), simhash32(col(textCol)).as("sig"))
+      .cache() // long+string pair per doc: tiny; feeds both join sides
 
     val banded = sig.select(
       col("id"), col("sig"),
@@ -173,7 +162,8 @@ object Dedup {
     * subset — the brute-force ground-truth variant; use LSH above when
     * the subset isn't small. Returns top-k pairs by similarity. */
   def ngramJaccardTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val sh = docs.select(
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val sh = docs.repartition(par).select(
       col(idCol).as("id"),
       Analyzer.shingles(Analyzer.tokens(col(textCol))).as("sh"))
       .where(size(col("sh")) > 0)
