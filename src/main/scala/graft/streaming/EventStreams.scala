@@ -55,6 +55,17 @@ object EventStreams {
       .orderBy(col("user_id").asc, col("session_id").asc)
   }
 
+  /** Session windows via Spark's native `session_window` — the
+    * streaming-ready form of `sessionize` (same gap semantics, usable
+    * under `readStream` + watermark where the manual lag/running-sum
+    * windowing isn't). State per (user, open session) only. */
+  def sessionWindows(events: DataFrame, gapMinutes: Int): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+
   /** JSON props access — ES documents are JSON; the connector maps
     * fields. Extract a typed field from the raw JSON column. */
   def propsField(events: DataFrame, field: String): DataFrame =

@@ -1,0 +1,75 @@
+package graft
+
+import graft.agg.Aggs
+import org.apache.spark.sql.functions._
+
+class AggsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    ("a", 1.0), ("a", 3.0), ("b", 2.0), ("b", 4.0), ("b", 6.0), ("c", 10.0))
+    .toDF("k", "v")
+
+  test("terms agg: ES ordering (count desc, key asc) + size") {
+    val r = Aggs.termsAgg(df, "k", 2).as[(String, Long)].collect().toSeq
+    assert(r == Seq(("b", 3L), ("a", 2L)))
+  }
+
+  test("stats / extended_stats") {
+    val s = Aggs.statsAgg(df, "v").collect().head
+    assert(s.getAs[Long]("cnt") == 6L)
+    assert(s.getAs[Double]("min_v") == 1.0 && s.getAs[Double]("max_v") == 10.0)
+    assert(s.getAs[Double]("sum_v") == 26.0)
+    val e = Aggs.extendedStatsAgg(df, "v").collect().head
+    assert(e.getAs[Double]("sum_sq") == 166.0)
+  }
+
+  test("percentiles exact") {
+    val p = Aggs.percentilesAgg(df, "v").collect().head
+    assert(p.getAs[Double]("p50") == 3.5)
+  }
+
+  test("histogram buckets") {
+    val h = Aggs.histogramAgg(df, "v", 5.0).as[(Double, Long)].collect().toSeq
+    assert(h == Seq((0.0, 4L), (5.0, 1L), (10.0, 1L)))
+  }
+
+  test("range agg half-open buckets") {
+    val r = Aggs.rangeAgg(df, "v", Seq(2.0, 6.0)).collect()
+      .map(x => (x.getString(0), x.getLong(1))).toSeq
+    assert(r.toSet == Set(("*-2.0", 1L), ("2.0-6.0", 3L), ("6.0-*", 2L)))
+  }
+
+  test("filters agg counts in one pass") {
+    val f = Aggs.filtersAgg(df, Seq("big" -> (col("v") > 3), "as" -> (col("k") === "a")))
+      .as[(Long, Long)].collect().head
+    assert(f == ((3L, 2L)))
+  }
+
+  test("top_hits per bucket with deterministic ties") {
+    val t = Aggs.topHitsAgg(df.withColumn("id", monotonically_increasing_id()), "k", "v", "id", 1)
+    assert(t.count() == 3)
+  }
+
+  test("composite paging after-key") {
+    val c = Aggs.compositeAgg(df, Seq("k"), Some(Seq("a")), 10).as[(String, Long)].collect()
+    assert(c.map(_._1).toSeq == Seq("b", "c"))
+  }
+
+  test("global + filtered bucket") {
+    val g = Aggs.globalWithFilter(df, col("k") === "b", "v").collect().head
+    assert(g.getAs[Long]("global_count") == 6L)
+    assert(g.getAs[Long]("filtered_count") == 3L)
+    assert(g.getAs[Double]("filtered_avg") == 4.0)
+  }
+
+  test("significant terms surfaces fg-skewed term") {
+    val docs = (1 to 20).map(i =>
+      (i.toLong, if (i <= 10) "en" else "de",
+        if (i <= 10) "common special" else "common other"))
+      .toDF("doc_id", "lang", "text")
+    val st = Aggs.significantTerms(docs, "text", col("lang") === "en", minFgCount = 2, k = 3)
+      .as[(String, Long, Long, Double)].collect()
+    assert(st.head._1 == "special")
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.dedup.{Dedup, Vectors}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+
+  test("exact duplicates grouped, min id kept") {
+    val docs = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "aaa")).toDF("id", "text")
+    val r = Dedup.exactDuplicates(docs, "id", "text").as[(String, Long, Long)].collect()
+    assert(r.length == 1 && r.head._2 == 3L && r.head._3 == 1L)
+  }
+
+  test("minhash LSH finds the planted near-dup and skips unrelated") {
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " x"), // near-dup of 1
+      (3L, "completely different words about spark catalyst optimizer internals plans"),
+      (4L, base.replace("quick", "slow"))).toDF("id", "text")
+    val pairs = Dedup.minhashLsh(docs, "id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 > 0.8))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs at hamming 0; pairs honor threshold") {
+    val docs = Seq((1L, base), (2L, base), (3L, "zzz yyy xxx www vvv uuu ttt")).toDF("id", "text")
+    val pairs = Dedup.simhashPairs(docs, "id", "text", 3).as[(Long, Long, Int)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+    assert(!pairs.exists(p => p._2 == 3L))
+  }
+
+  test("ngram jaccard top-k ordering") {
+    val docs = Seq((1L, base), (2L, base + " extra"), (3L, base.replace("fox", "cat") + " junk words here"))
+      .toDF("id", "text")
+    val r = Dedup.ngramJaccardTopK(docs, "id", "text", 2).as[(Long, Long, Double)].collect()
+    assert(r.length == 2)
+    assert(r.head._3 >= r.last._3)
+    assert((r.head._1, r.head._2) == ((1L, 2L)))
+  }
+
+  test("embedding pairs blocked by label; cosine of identical vecs = 1") {
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f, 1.0f), 0),
+      (2L, Array(1.0f, 0.0f, 1.0f), 0),
+      (3L, Array(-1.0f, 1.0f, 0.0f), 0),
+      (4L, Array(1.0f, 0.0f, 1.0f), 1) // same vec, different block -> never paired
+    ).toDF("vec_id", "embedding", "label")
+    val r = Dedup.embeddingTopKPairs(e, "vec_id", "embedding", "label", 10)
+      .as[(Long, Long, Double)].collect()
+    assert(r.head == ((1L, 2L, 1.0)))
+    assert(!r.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("Vectors.cosine HOF math") {
+    val df = Seq((Array(1.0, 2.0, 2.0), Array(2.0, 4.0, 4.0))).toDF("a", "b")
+    val c = df.select(Vectors.cosine(col("a"), col("b"))).as[Double].collect().head
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import java.security.MessageDigest
+
+import graft.analysis.Analyzer
+import graft.expr.HashKernels
+import org.apache.spark.sql.functions._
+
+/** Native Catalyst expressions vs independently-computed expected
+  * values (the same definitions the DuckDB oracle implements). */
+class ExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("TokenShingles: distinct ordered 3-grams, short docs empty") {
+    val df = Seq(
+      (1L, "a b c d c d e"), // includes a repeat window region
+      (2L, "a b"), // too short
+      (3L, "x y z x y z x y z") // heavy repeats
+    ).toDF("id", "text")
+    val r = df.select(col("id"), Analyzer.shingles(Analyzer.tokens(col("text"))).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(r(1L) == Seq("a b c", "b c d", "c d c", "d c d", "c d e"))
+    assert(r(2L).isEmpty)
+    assert(r(3L).toSet == Set("x y z", "y z x", "z x y"))
+  }
+
+  test("MinHashSig matches the reference definition") {
+    val shingles = Seq("a b c", "b c d", "c d e")
+    val md = MessageDigest.getInstance("MD5")
+    val (as, bs) = HashKernels.coeffs(32)
+    val expected = Array.fill(32)(HashKernels.P)
+    shingles.foreach { s =>
+      // reference: conv(substr(md5_hex,1,12),16,10)
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val h = java.lang.Long.parseLong(hex, 16)
+      (0 until 32).foreach { k =>
+        val v = (h * as(k) + bs(k)) % HashKernels.P
+        if (v < expected(k)) expected(k) = v
+      }
+    }
+    val df = Seq((1L, "a b c d e")).toDF("id", "text")
+    val got = df.select(
+      graft.dedup.Dedup.simhash32(col("text")).as("sim"), // smoke alongside
+      org.apache.spark.sql.GraftBridge.column(graft.expr.MinHashSig(
+        org.apache.spark.sql.GraftBridge.expression(
+          Analyzer.shingles(Analyzer.tokens(col("text")))), 32)).as("sig"))
+      .select(col("sig")).as[Seq[Long]].collect().head
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  test("SimHash32: identical token sets -> identical sig; sig < 2^32") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"), (3L, "delta eps zeta"))
+      .toDF("id", "text")
+    val sigs = df.select(col("id"), graft.dedup.Dedup.simhash32(col("text")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L)) // order-insensitive (bag of distinct tokens)
+    assert(sigs(1L) != sigs(3L))
+    assert(sigs.values.forall(s => s >= 0 && s < (1L << 32)))
+  }
+}

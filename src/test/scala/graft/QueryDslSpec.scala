@@ -1,0 +1,56 @@
+package graft
+
+import graft.dsl.QueryDsl
+import org.apache.spark.sql.functions._
+
+class QueryDslSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    (1L, "alpha", 10, "src1"),
+    (2L, "beta", 20, "src2"),
+    (3L, "alpha", 30, "src10"),
+    (4L, "gamma", 40, "other")).toDF("id", "kind", "v", "src")
+
+  test("term / terms / ids") {
+    assert(df.where(QueryDsl.term(col("kind"), "alpha")).count() == 2)
+    assert(df.where(QueryDsl.terms(col("kind"), Seq("beta", "gamma"))).count() == 2)
+    assert(df.where(QueryDsl.ids(col("id"), Seq(1L, 4L))).count() == 2)
+  }
+
+  test("range with mixed bounds") {
+    assert(df.where(QueryDsl.range(col("v"), gte = Some(20), lt = Some(40))).count() == 2)
+    assert(df.where(QueryDsl.range(col("v"), gt = Some(10))).count() == 3)
+    intercept[IllegalArgumentException](QueryDsl.range(col("v")))
+  }
+
+  test("prefix / wildcard / regexp anchored") {
+    assert(df.where(QueryDsl.prefix(col("src"), "src")).count() == 3)
+    assert(df.where(QueryDsl.wildcard(col("src"), "src?")).count() == 2)
+    assert(df.where(QueryDsl.wildcard(col("src"), "src*")).count() == 3)
+    // ES regexp is fully anchored: "src1" must NOT match "src10"
+    assert(df.where(QueryDsl.regexp(col("src"), "src1")).count() == 1)
+  }
+
+  test("fuzzy edit distance") {
+    assert(df.where(QueryDsl.fuzzy(col("src"), "src1", 1))
+      .count() == 3) // src1(0), src2(1), src10(1)
+  }
+
+  test("bool minimum_should_match") {
+    val q = QueryDsl.bool(
+      should = Seq(col("kind") === "alpha", col("v") >= 30, col("src") === "src1"),
+      minimumShouldMatch = 2)
+    // id1: alpha+src1, id3: alpha+30 -> 2 hits; id4: only v>=30
+    assert(df.where(q).as[(Long, String, Int, String)].collect().map(_._1).sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("bool must/mustNot with should as pure OR") {
+    val q = QueryDsl.bool(
+      must = Seq(col("v") > 10),
+      should = Seq(col("kind") === "alpha", col("kind") === "beta"),
+      mustNot = Seq(col("src") === "src2"),
+      minimumShouldMatch = 1)
+    assert(df.where(q).select("id").as[Long].collect().toSeq.sorted == Seq(3L))
+  }
+}

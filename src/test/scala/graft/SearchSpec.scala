@@ -1,0 +1,48 @@
+package graft
+
+import graft.search.Search
+import org.apache.spark.sql.functions._
+
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps"),
+    (2L, "the quick red fox"),
+    (3L, "slow brown turtle walks"),
+    (4L, "Quick, BROWN fox!")).toDF("doc_id", "text")
+
+  test("match OR vs AND") {
+    assert(docs.where(Search.matchQuery(col("text"), "quick turtle")).count() == 4)
+    assert(docs.where(Search.matchQueryAnd(col("text"), "quick brown")).count() == 2) // 1 and 4
+  }
+
+  test("match is analyzed (case/punct-insensitive)") {
+    assert(docs.where(Search.matchQueryAnd(col("text"), "QUICK brown FOX")).count() == 2)
+  }
+
+  test("match_phrase needs adjacency in order") {
+    assert(docs.where(Search.matchPhrase(col("text"), "quick brown")).count() == 2) // 1, 4
+    assert(docs.where(Search.matchPhrase(col("text"), "brown quick")).count() == 0)
+  }
+
+  test("query_string over multiple fields") {
+    val df = docs.withColumn("title", lit("zebra"))
+    assert(df.where(Search.queryString(Seq(col("text"), col("title")), "zebra")).count() == 4)
+  }
+
+  test("bm25 ranks rarer terms higher and is deterministic") {
+    val r = Search.bm25TopK(docs, "doc_id", "text", "brown turtle", 4)
+      .as[(Long, Double)].collect()
+    // doc3 has both query terms incl. rare 'turtle' -> top
+    assert(r.head._1 == 3L)
+    assert(r.map(_._2).toSeq == r.map(_._2).sortBy(-_).toSeq)
+  }
+
+  test("more_like_this finds overlapping docs, excludes seed") {
+    val r = Search.moreLikeThis(docs, "doc_id", "text", seedId = 1L, m = 3, minMatch = 2)
+      .as[(Long, Int)].collect()
+    assert(!r.map(_._1).contains(1L))
+    assert(r.nonEmpty)
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Stage the events parquet into a directory so it can drive a file
+    * stream source. */
+  private lazy val streamDir: String = {
+    val dir = Files.createTempDirectory("graft_stream").toString
+    Files.copy(
+      Paths.get(s"$sfDir/events.parquet"),
+      Paths.get(s"$dir/events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    dir
+  }
+
+  test("hourly window agg: identical results on batch and stream") {
+    val batch = EventStreams.hourlyTypeCounts(Tables.events(spark, sfDir))
+      .as[(Long, String, Long, Double)].collect().toSet
+
+    val streamIn = spark.readStream
+      .schema(Tables.eventsSchema)
+      .parquet(streamDir)
+      .withColumnRenamed("ts", "ts_ns")
+    val q = EventStreams.hourlyTypeCounts(streamIn)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hourly_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hourly_out")
+        .as[(Long, String, Long, Double)].collect().toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("session_window agg runs on a stream with watermark") {
+    val streamIn = spark.readStream
+      .schema(Tables.eventsSchema)
+      .parquet(streamDir)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withWatermark("ts", "1 hour")
+    val sessions = streamIn
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      q.processAllAvailable()
+      // append mode emits only watermark-closed sessions; with a static
+      // file the stream ends before the watermark passes the last
+      // session, so assert the QUERY RAN and the plan is stateful
+      assert(q.lastProgress != null)
+    } finally q.stop()
+  }
+
+  test("batch sessionize and session_window agree on session counts") {
+    val ev = Tables.events(spark, sfDir)
+    val manual = EventStreams.sessionize(ev, 30)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val native = EventStreams.sessionWindows(ev, 30)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(manual == native)
+  }
+
+  test("upsert semantics: one row per id, latest wins") {
+    val ops = Seq(
+      (1L, 100L, "a", 10L), (1L, 200L, "b", 11L), (2L, 150L, "c", 12L))
+      .toDF("user_id", "ts_ns", "event_type", "event_id")
+    val r = graft.rel.Relational
+      .upsertLastWriteWins(ops, Seq("user_id"), col("ts_ns"), col("event_id"))
+      .select("user_id", "event_type").as[(Long, String)].collect().toMap
+    assert(r == Map(1L -> "b", 2L -> "c"))
+  }
+}
