@@ -102,6 +102,15 @@ object SparkEntry {
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id"))),
 
+    "q_dsl_json" -> ((s, d) => t(s, d, "documents")
+      .where(graft.dsl.QueryDslJson.compile(
+        """{"bool": {"must": [{"term": {"lang": "en"}}],
+                     "should": [{"prefix": {"source": "src1"}}, {"range": {"n_chars": {"gt": 300}}}],
+                     "must_not": [{"wildcard": {"source": "src?"}}],
+                     "minimum_should_match": 1}}"""))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))),
+
     // ---- B. Full-text (query context) ----
     "q_match" -> ((s, d) => t(s, d, "documents")
       .where(Search.matchQuery(col("text"), "spark window"))
@@ -266,6 +275,9 @@ object SparkEntry {
       "(CASE WHEN lang = 'en' THEN 1 ELSE 0 END + CASE WHEN source LIKE 'src1%' THEN 1 ELSE 0 END + " +
       "CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) >= 2 ORDER BY doc_id"),
     "q_fuzzy" -> "SELECT doc_id, source FROM documents WHERE levenshtein(source, 'src12') <= 1 ORDER BY doc_id",
+
+    "q_dsl_json" -> ("SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en' " +
+      "AND (source LIKE 'src1%' OR n_chars > 300) AND NOT (source LIKE 'src_') ORDER BY doc_id"),
 
     // ---- B ----
     "q_match" -> s"$TokCte SELECT doc_id FROM tok WHERE list_has_any(toks, ['spark','window']) ORDER BY doc_id",

@@ -1,0 +1,128 @@
+package graft.dsl
+
+import graft.search.Search
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Compiler from Elasticsearch Query-DSL JSON (the reference's
+  * `es.query` payload format) to a Catalyst predicate.
+  *
+  * A user of the reference connector passes queries like
+  * `{"bool": {"must": [{"range": {"price": {"gte": 10}}}]}}` via
+  * `es.query`; graft accepts the same JSON and compiles it to a
+  * `Column`, so it benefits from parquet pushdown instead of ES
+  * shard-side filtering. Full-text clauses (match/match_phrase) compile
+  * to the analyzed-token predicates in graft.search.Search.
+  *
+  * `_id` in `ids` queries resolves against `idField`.
+  */
+object QueryDslJson {
+
+  def compile(json: String, idField: String = "_id"): Column =
+    compileNode(JsonMethods.parse(json), idField)
+
+  private def lits(v: JValue): Any = v match {
+    case JString(s) => s
+    case JInt(i) => i.toLong
+    case JLong(l) => l
+    case JDouble(d) => d
+    case JDecimal(d) => d.toDouble
+    case JBool(b) => b
+    case other => throw new IllegalArgumentException(s"unsupported literal: $other")
+  }
+
+  private def arr(v: JValue): Seq[Any] = v match {
+    case JArray(xs) => xs.map(lits)
+    case single => Seq(lits(single))
+  }
+
+  private def clauses(v: JValue, idField: String): Seq[Column] = v match {
+    case JArray(xs) => xs.map(compileNode(_, idField))
+    case JNothing | JNull => Nil
+    case single => Seq(compileNode(single, idField))
+  }
+
+  private def compileNode(q: JValue, idField: String): Column = q match {
+    case JObject(JField(op, body) :: Nil) =>
+      (op, body) match {
+        case ("match_all", _) => lit(true)
+
+        case ("term", JObject(JField(f, JObject(fields)) :: Nil))
+            if fields.exists(_._1 == "value") =>
+          QueryDsl.term(col(f), lits(fields.find(_._1 == "value").get._2))
+        case ("term", JObject(JField(f, v) :: Nil)) => QueryDsl.term(col(f), lits(v))
+
+        case ("terms", JObject(JField(f, v) :: Nil)) => QueryDsl.terms(col(f), arr(v))
+
+        case ("ids", JObject(fields)) =>
+          QueryDsl.ids(col(idField), arr(fields.find(_._1 == "values")
+            .getOrElse(throw new IllegalArgumentException("ids needs values"))._2))
+
+        case ("range", JObject(JField(f, JObject(bounds)) :: Nil)) =>
+          val b = bounds.toMap
+          QueryDsl.range(col(f),
+            gte = b.get("gte").map(lits), gt = b.get("gt").map(lits),
+            lte = b.get("lte").map(lits), lt = b.get("lt").map(lits))
+
+        case ("exists", JObject(fields)) =>
+          QueryDsl.exists(col(fields.find(_._1 == "field").map(x => lits(x._2).toString)
+            .getOrElse(throw new IllegalArgumentException("exists needs field"))))
+
+        case ("prefix", JObject(JField(f, v) :: Nil)) =>
+          QueryDsl.prefix(col(f), lits(v).toString)
+        case ("wildcard", JObject(JField(f, v) :: Nil)) =>
+          QueryDsl.wildcard(col(f), lits(v).toString)
+        case ("regexp", JObject(JField(f, v) :: Nil)) =>
+          QueryDsl.regexp(col(f), lits(v).toString)
+
+        case ("fuzzy", JObject(JField(f, JObject(fields)) :: Nil)) =>
+          val m = fields.toMap
+          val value = lits(m("value")).toString
+          val edits = m.get("fuzziness").map(lits(_).toString.toInt).getOrElse(2)
+          QueryDsl.fuzzy(col(f), value, edits)
+        case ("fuzzy", JObject(JField(f, v) :: Nil)) =>
+          QueryDsl.fuzzy(col(f), lits(v).toString)
+
+        case ("match", JObject(JField(f, JObject(fields)) :: Nil))
+            if fields.exists(_._1 == "query") =>
+          val m = fields.toMap
+          val query = lits(m("query")).toString
+          m.get("operator").map(lits(_).toString.toLowerCase) match {
+            case Some("and") => Search.matchQueryAnd(col(f), query)
+            case _ => Search.matchQuery(col(f), query)
+          }
+        case ("match", JObject(JField(f, v) :: Nil)) =>
+          Search.matchQuery(col(f), lits(v).toString)
+
+        case ("match_phrase", JObject(JField(f, JObject(fields)) :: Nil))
+            if fields.exists(_._1 == "query") =>
+          Search.matchPhrase(col(f), lits(fields.toMap.apply("query")).toString)
+        case ("match_phrase", JObject(JField(f, v) :: Nil)) =>
+          Search.matchPhrase(col(f), lits(v).toString)
+
+        case ("query_string", JObject(fields)) =>
+          val m = fields.toMap
+          val query = lits(m.getOrElse("query",
+            throw new IllegalArgumentException("query_string needs query"))).toString
+          val qFields = m.get("fields").map(arr(_).map(f => col(f.toString)))
+            .getOrElse(throw new IllegalArgumentException("query_string needs fields"))
+          Search.queryString(qFields, query)
+
+        case ("bool", JObject(parts)) =>
+          val m = parts.toMap
+          QueryDsl.bool(
+            must = clauses(m.getOrElse("must", JNothing), idField),
+            filter = clauses(m.getOrElse("filter", JNothing), idField),
+            should = clauses(m.getOrElse("should", JNothing), idField),
+            mustNot = clauses(m.getOrElse("must_not", JNothing), idField),
+            minimumShouldMatch = m.get("minimum_should_match")
+              .map(lits(_).toString.toInt).getOrElse(0))
+
+        case _ => throw new IllegalArgumentException(s"unsupported query clause: $op")
+      }
+    case JObject(Nil) => lit(true)
+    case other => throw new IllegalArgumentException(s"expected a query object, got: $other")
+  }
+}

@@ -1,0 +1,107 @@
+package graft.sources
+
+import graft.dsl.QueryDslJson
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The connector facade — graft's equivalent of the reference's
+  * `org.elasticsearch.spark.sql` implicits (`spark.esDF(index, query)`
+  * / `df.saveToEs(index, cfg)`).
+  *
+  * An "index" is a parquet directory. Reads accept an ES Query-DSL
+  * JSON string (compiled to a pushdown-eligible predicate). Writes
+  * honor the reference's option names, remapped:
+  *
+  *   - `graft.mapping.id`       (es.mapping.id): document id column
+  *   - `graft.write.operation`  (es.write.operation):
+  *       `index` (default) — replace-by-id into the index (upsert)
+  *       `append`          — blind bulk append (ES `create`)
+  *       `overwrite`       — replace the whole index
+  *   - `graft.mapping.version`  (es.mapping.version): optional version
+  *       column; higher version wins on id conflict (external
+  *       versioning). Without it, incoming rows win over existing.
+  *
+  * Scale notes: upsert unions the existing index with the batch and
+  * resolves ids with ONE window pass (shuffle on id) — the distributed
+  * analog of ES bulk-upsert, with no per-doc round trips. The swap is
+  * a directory rename, not a rewrite-in-place, because Spark cannot
+  * overwrite an input path it is still reading.
+  */
+object Connector {
+
+  object implicits {
+    implicit class GraftSessionOps(val spark: SparkSession) {
+      /** `spark.esDF(resource, query)` analog. */
+      def graftDF(path: String, queryJson: String = null, idField: String = "_id"): DataFrame = {
+        val df = spark.read.parquet(path)
+        if (queryJson == null) df else df.where(QueryDslJson.compile(queryJson, idField))
+      }
+    }
+
+    implicit class GraftDataFrameOps(val df: DataFrame) {
+      /** `df.saveToEs(resource, cfg)` analog. */
+      def saveToGraft(path: String, cfg: Map[String, String] = Map.empty): Unit =
+        Connector.save(df, path, cfg)
+    }
+  }
+
+  def save(batch: DataFrame, path: String, cfg: Map[String, String]): Unit = {
+    val spark = batch.sparkSession
+    val op = cfg.getOrElse("graft.write.operation", "index")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(new Path(path))
+
+    op match {
+      case "append" =>
+        batch.write.mode("append").parquet(path)
+      case "overwrite" =>
+        batch.write.mode("overwrite").parquet(path)
+      case "index" | "upsert" =>
+        val idCol = cfg.getOrElse("graft.mapping.id",
+          throw new IllegalArgumentException(s"$op write needs graft.mapping.id"))
+        if (!exists) {
+          dedupWithin(batch, idCol, cfg).write.mode("overwrite").parquet(path)
+        } else {
+          val existing = spark.read.parquet(path)
+          // incoming rows outrank existing on id conflict (bulk order);
+          // with a version column, the higher version wins instead
+          val merged = cfg.get("graft.mapping.version") match {
+            case Some(v) =>
+              resolve(existing.withColumn("_src", lit(0)).unionByName(
+                batch.withColumn("_src", lit(1))), idCol, col(v), col("_src"))
+            case None =>
+              resolve(existing.withColumn("_src", lit(0)).unionByName(
+                batch.withColumn("_src", lit(1))), idCol, col("_src"), col("_src"))
+          }
+          // two-phase swap: can't overwrite a path being read
+          val tmp = new Path(path + "_graft_tmp")
+          if (fs.exists(tmp)) fs.delete(tmp, true)
+          merged.drop("_src").write.mode("overwrite").parquet(tmp.toString)
+          fs.delete(new Path(path), true)
+          fs.rename(tmp, new Path(path))
+        }
+      case other =>
+        throw new IllegalArgumentException(s"unknown graft.write.operation: $other")
+    }
+  }
+
+  /** Keep one row per id: highest (primary, tiebreak) wins. */
+  private def resolve(
+      df: DataFrame, idCol: String,
+      primary: org.apache.spark.sql.Column,
+      tiebreak: org.apache.spark.sql.Column): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(primary.desc, tiebreak.desc)
+    df.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+  }
+
+  /** In-batch id dedup for first write (last occurrence wins, matching
+    * bulk-apply order; needs a deterministic order column if the batch
+    * has true duplicates — we use the version column when present). */
+  private def dedupWithin(df: DataFrame, idCol: String, cfg: Map[String, String]): DataFrame =
+    cfg.get("graft.mapping.version") match {
+      case Some(v) => resolve(df, idCol, col(v), col(v))
+      case None => df.dropDuplicates(idCol)
+    }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.dsl.{QueryDsl, QueryDslJson}
+import graft.sources.Connector.implicits._
+import org.apache.spark.sql.functions._
+
+class ConnectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Query-DSL JSON compiles to the same results as the Scala DSL") {
+    val docs = Tables.documents(spark, sfDir)
+    def ids(c: org.apache.spark.sql.Column) =
+      docs.where(c).select("doc_id").as[Long].collect().toSet
+
+    assert(ids(QueryDslJson.compile("""{"term": {"lang": "en"}}""")) ==
+      ids(QueryDsl.term(col("lang"), "en")))
+    assert(ids(QueryDslJson.compile("""{"terms": {"lang": ["en", "de"]}}""")) ==
+      ids(QueryDsl.terms(col("lang"), Seq("en", "de"))))
+    assert(ids(QueryDslJson.compile("""{"range": {"n_chars": {"gte": 100, "lt": 300}}}""")) ==
+      ids(QueryDsl.range(col("n_chars"), gte = Some(100L), lt = Some(300L))))
+    assert(ids(QueryDslJson.compile("""{"ids": {"values": [1, 5, 9]}}""", idField = "doc_id")) ==
+      Set(1L, 5L, 9L))
+    assert(ids(QueryDslJson.compile(
+      """{"bool": {"must": [{"term": {"lang": "en"}}],
+         "should": [{"prefix": {"source": "src1"}}, {"range": {"n_chars": {"gt": 300}}}],
+         "must_not": [{"wildcard": {"source": "src?"}}],
+         "minimum_should_match": 1}}""")) ==
+      ids(QueryDsl.bool(
+        must = Seq(QueryDsl.term(col("lang"), "en")),
+        should = Seq(QueryDsl.prefix(col("source"), "src1"), col("n_chars") > 300),
+        mustNot = Seq(QueryDsl.wildcard(col("source"), "src?")),
+        minimumShouldMatch = 1)))
+    assert(ids(QueryDslJson.compile(
+      """{"match": {"text": {"query": "spark window", "operator": "and"}}}""")) ==
+      ids(graft.search.Search.matchQueryAnd(col("text"), "spark window")))
+    assert(ids(QueryDslJson.compile("""{"match_phrase": {"text": "table scan"}}""")) ==
+      ids(graft.search.Search.matchPhrase(col("text"), "table scan")))
+    assert(ids(QueryDslJson.compile("""{"match_all": {}}""")).size == docs.count())
+    intercept[IllegalArgumentException](QueryDslJson.compile("""{"knn_unsupported": {}}"""))
+  }
+
+  test("connector roundtrip: index write, JSON-query read, upsert semantics") {
+    val dir = Files.createTempDirectory("graft_index").toString + "/idx"
+    val v1 = Seq((1L, "alpha", 1), (2L, "beta", 1), (3L, "gamma", 1)).toDF("id", "name", "ver")
+    v1.saveToGraft(dir, Map("graft.mapping.id" -> "id"))
+    assert(spark.graftDF(dir).count() == 3)
+
+    // upsert: id 2 updated, id 4 inserted
+    val v2 = Seq((2L, "beta2", 2), (4L, "delta", 2)).toDF("id", "name", "ver")
+    v2.saveToGraft(dir, Map("graft.mapping.id" -> "id"))
+    val after = spark.graftDF(dir).as[(Long, String, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(after.keySet == Set(1L, 2L, 3L, 4L))
+    assert(after(2L)._1 == "beta2")
+
+    // versioned upsert: stale version must NOT overwrite
+    val stale = Seq((4L, "delta_old", 0)).toDF("id", "name", "ver")
+    stale.saveToGraft(dir, Map("graft.mapping.id" -> "id", "graft.mapping.version" -> "ver"))
+    val afterStale = spark.graftDF(dir).as[(Long, String, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(afterStale(4L)._1 == "delta")
+
+    // JSON query read path
+    val hits = spark.graftDF(dir, """{"prefix": {"name": "beta"}}""").count()
+    assert(hits == 1)
+
+    // append
+    Seq((9L, "omega", 1)).toDF("id", "name", "ver")
+      .saveToGraft(dir, Map("graft.write.operation" -> "append"))
+    assert(spark.graftDF(dir).count() == 5)
+  }
+
+  test("GraftExtensions: native kernels callable from pure SQL") {
+    // getOrCreate ignores withExtensions when a session already exists:
+    // clear the active/default session, build a fresh one on the SAME
+    // SparkContext, restore afterwards
+    import org.apache.spark.sql.SparkSession
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val r = s2.sql(
+        "SELECT simhash32(array('alpha','beta')) AS sh, " +
+          "minhash_sig(token_shingles(array('a','b','c','d'), 3)) AS mh")
+        .collect().head
+      assert(r.getAs[Long]("sh") >= 0L)
+      assert(r.getSeq[Long](1).length == 32)
+    } finally {
+      SparkSession.clearActiveSession()
+      prev.foreach(SparkSession.setDefaultSession)
+    }
+  }
+}
