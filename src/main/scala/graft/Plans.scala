@@ -1,0 +1,18 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.001"
+    for (name <- Seq("q_term", "q_range", "q_bool", "q_dsl_json", "q_agg_terms", "q_join_enrich", "q_join_revenue", "q_bm25", "q_agg_top_hits")) {
+      println(s"========= $name")
+      println(SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString.take(3000))
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,112 @@
+package graft.sources
+
+import graft.dsl.{QueryDsl, QueryDslJson}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SQLContext}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+/** `spark.read.format("graft")` — the connector architecture of the
+  * reference, Spark-native. elasticsearch-hadoop's Spark integration is
+  * exactly this shape: a `RelationProvider` whose relation implements
+  * `PrunedFilteredScan`, translating Spark `Filter`s into the ES Query
+  * DSL and `requiredColumns` into `_source` includes. graft keeps the
+  * translation table (see `FilterTranslator`) but the "server side" is
+  * the parquet scan, so pushed filters land in row-group pruning
+  * instead of shards.
+  *
+  * Options: `graft.query` (ES Query-DSL JSON applied server-side),
+  * `graft.mapping.id` (id column for `ids` queries and upsert writes),
+  * `graft.write.operation` / `graft.mapping.version` (see Connector).
+  */
+class DefaultSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def path(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException("format(\"graft\") requires a path"))
+
+  override def createRelation(
+      sqlContext: SQLContext, parameters: Map[String, String]): BaseRelation =
+    GraftRelation(
+      sqlContext,
+      path(parameters),
+      parameters.get("graft.query"),
+      parameters.getOrElse("graft.mapping.id", "_id"))
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      mode: SaveMode,
+      parameters: Map[String, String],
+      data: DataFrame): BaseRelation = {
+    val cfg = mode match {
+      // explicit graft.write.operation wins; otherwise map the SaveMode
+      case _ if parameters.contains("graft.write.operation") => parameters
+      case SaveMode.Append => parameters + ("graft.write.operation" -> "append")
+      case SaveMode.Overwrite => parameters + ("graft.write.operation" -> "overwrite")
+      case _ => parameters + ("graft.write.operation" -> "index")
+    }
+    Connector.save(data, path(parameters), cfg)
+    createRelation(sqlContext, parameters)
+  }
+}
+
+case class GraftRelation(
+    sqlContext: SQLContext,
+    path: String,
+    queryJson: Option[String],
+    idField: String)
+  extends BaseRelation with PrunedFilteredScan {
+
+  private def base: DataFrame = {
+    val df = sqlContext.sparkSession.read.parquet(path)
+    queryJson.fold(df)(q => df.where(QueryDslJson.compile(q, idField)))
+  }
+
+  override def schema: StructType = base.schema
+
+  /** Filters graft can evaluate exactly are NOT re-applied by Spark. */
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
+    filters.filter(f => FilterTranslator.translate(f).isEmpty)
+
+  override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
+    val pushed = filters.flatMap(FilterTranslator.translate)
+    val filtered = pushed.foldLeft(base)(_ where _)
+    val projected =
+      if (requiredColumns.isEmpty) filtered.select() // count(*)-style scan
+      else filtered.select(requiredColumns.map(col).toIndexedSeq: _*)
+    projected.rdd
+  }
+}
+
+/** Spark `Filter` -> graft Query DSL — the same translation table the
+  * reference applies for its pushdown (SURVEY.md §1): EqualTo->term,
+  * In->terms, ranges, IsNull/IsNotNull->missing/exists,
+  * StringStartsWith->prefix, StringEndsWith/Contains->wildcard,
+  * And/Or/Not->bool. Unsupported filters return None and are left for
+  * Spark to evaluate (correct, just not pushed). */
+object FilterTranslator {
+  def translate(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(QueryDsl.term(col(a), v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> v)
+    case In(a, vs) => Some(QueryDsl.terms(col(a), vs.toSeq))
+    case GreaterThan(a, v) => Some(QueryDsl.range(col(a), gt = Some(v)))
+    case GreaterThanOrEqual(a, v) => Some(QueryDsl.range(col(a), gte = Some(v)))
+    case LessThan(a, v) => Some(QueryDsl.range(col(a), lt = Some(v)))
+    case LessThanOrEqual(a, v) => Some(QueryDsl.range(col(a), lte = Some(v)))
+    case IsNull(a) => Some(QueryDsl.missing(col(a)))
+    case IsNotNull(a) => Some(QueryDsl.exists(col(a)))
+    case StringStartsWith(a, p) => Some(QueryDsl.prefix(col(a), p))
+    case StringEndsWith(a, s) => Some(QueryDsl.wildcard(col(a), "*" + s))
+    case StringContains(a, s) => Some(QueryDsl.wildcard(col(a), "*" + s + "*"))
+    case And(l, r) =>
+      for (lc <- translate(l); rc <- translate(r)) yield lc && rc
+    case Or(l, r) =>
+      for (lc <- translate(l); rc <- translate(r)) yield lc || rc
+    case Not(c) => translate(c).map(!_)
+    case _ => None
+  }
+}
