@@ -111,6 +111,11 @@ object SparkEntry {
       .select(col("doc_id"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))),
 
+    "q_uri_query" -> ((s, d) => t(s, d, "documents")
+      .where(graft.dsl.EsQuery.compile("?q=lang:en AND (n_chars:>300 OR source:src1*) AND NOT source:src19"))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))),
+
     // ---- B. Full-text (query context) ----
     "q_match" -> ((s, d) => t(s, d, "documents")
       .where(Search.matchQuery(col("text"), "spark window"))
@@ -149,6 +154,8 @@ object SparkEntry {
     "q_agg_composite" -> ((s, d) =>
       Aggs.compositeAgg(t(s, d, "documents"), Seq("lang", "source"), Some(Seq("de", "src3")), 10)),
     "q_agg_nested" -> ((s, d) => Aggs.nestedAgg(t(s, d, "documents"), "lang", "source", "n_chars")),
+    "q_agg_pipeline" -> ((s, d) =>
+      Aggs.dateHistogramPipeline(t(s, d, "orders"), "o_orderdate", "month", "o_totalprice")),
     "q_agg_sig_terms" -> ((s, d) =>
       Aggs.significantTerms(t(s, d, "documents"), "text", col("lang") === "en", minFgCount = 5, k = 10)),
     "q_agg_global" -> ((s, d) =>
@@ -278,6 +285,17 @@ object SparkEntry {
 
     "q_dsl_json" -> ("SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en' " +
       "AND (source LIKE 'src1%' OR n_chars > 300) AND NOT (source LIKE 'src_') ORDER BY doc_id"),
+
+    "q_uri_query" -> ("SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en' " +
+      "AND (n_chars > 300 OR source LIKE 'src1%') AND NOT source = 'src19' ORDER BY doc_id"),
+    "q_agg_pipeline" -> ("WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS bucket, " +
+      "count(*)::BIGINT AS doc_count, " +
+      "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_v FROM orders GROUP BY 1) " +
+      "SELECT bucket, doc_count, sum_v, " +
+      "round(sum(sum_v) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING), 4) AS cum_sum, " +
+      "round(sum_v - lag(sum_v) OVER (ORDER BY bucket), 4) AS deriv, " +
+      "round(avg(sum_v) OVER (ORDER BY bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg " +
+      "FROM b ORDER BY bucket"),
 
     // ---- B ----
     "q_match" -> s"$TokCte SELECT doc_id FROM tok WHERE list_has_any(toks, ['spark','window']) ORDER BY doc_id",

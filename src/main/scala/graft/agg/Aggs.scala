@@ -162,6 +162,29 @@ object Aggs {
       sum(when(pred, 1L).otherwise(0L)).as("filtered_count"),
       Num.round(avg(when(pred, col(field))), 4).as("filtered_avg"))
 
+  /** ES PIPELINE aggregations over a date_histogram parent:
+    * cumulative_sum, derivative, moving_avg — one window pass over the
+    * bucket frame. The frame is #buckets rows (tiny at any corpus
+    * size), so the single-partition global-order window is free; the
+    * heavy lifting stays in the partial-aggregated groupBy below it. */
+  def dateHistogramPipeline(
+      df: DataFrame, tsField: String, interval: String, metric: String): DataFrame = {
+    val buckets = df
+      .groupBy(to_date(date_trunc(interval, col(tsField))).as("bucket"))
+      .agg(
+        count(lit(1)).as("doc_count"),
+        Num.round(sum(col(metric).cast("decimal(18,4)")).cast("double"), 4).as("sum_v"))
+    val w = Window.orderBy(col("bucket"))
+    buckets
+      .withColumn("cum_sum",
+        Num.round(sum(col("sum_v")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 4))
+      .withColumn("deriv",
+        Num.round(col("sum_v") - lag(col("sum_v"), 1).over(w), 4))
+      .withColumn("moving_avg",
+        Num.round(avg(col("sum_v")).over(w.rowsBetween(-2, 0)), 4))
+      .orderBy(col("bucket"))
+  }
+
   /** `{"significant_terms": {"field": f}}` over an analyzed text field:
     * terms over-represented in the foreground (`pred`) vs the whole
     * index. Score: fgRate * ln(fgRate / bgRate) (the "relative entropy"

@@ -110,6 +110,34 @@ object QueryDslJson {
             .getOrElse(throw new IllegalArgumentException("query_string needs fields"))
           Search.queryString(qFields, query)
 
+        // geo: a point "field" f maps to columns f_lat / f_lon
+        case ("geo_distance", JObject(parts)) =>
+          val m = parts.toMap
+          val dist = m.getOrElse("distance",
+            throw new IllegalArgumentException("geo_distance needs distance"))
+          val km = lits(dist).toString match {
+            case d if d.endsWith("km") => d.dropRight(2).toDouble
+            case d if d.endsWith("m") => d.dropRight(1).toDouble / 1000.0
+            case d => d.toDouble / 1000.0 // ES default unit: meters
+          }
+          val (f, point) = m.find(_._1 != "distance")
+            .getOrElse(throw new IllegalArgumentException("geo_distance needs a point field"))
+          val p = point.asInstanceOf[JObject].obj.toMap
+          graft.rel.Relational.geoDistance(
+            col(s"${f}_lat"), col(s"${f}_lon"),
+            lits(p("lat")).toString.toDouble, lits(p("lon")).toString.toDouble, km)
+
+        case ("geo_bounding_box", JObject(JField(f, JObject(corners)) :: Nil)) =>
+          val c = corners.toMap
+          val tl = c("top_left").asInstanceOf[JObject].obj.toMap
+          val br = c("bottom_right").asInstanceOf[JObject].obj.toMap
+          graft.rel.Relational.geoBoundingBox(
+            col(s"${f}_lat"), col(s"${f}_lon"),
+            top = lits(tl("lat")).toString.toDouble,
+            left = lits(tl("lon")).toString.toDouble,
+            bottom = lits(br("lat")).toString.toDouble,
+            right = lits(br("lon")).toString.toDouble)
+
         case ("bool", JObject(parts)) =>
           val m = parts.toMap
           QueryDsl.bool(

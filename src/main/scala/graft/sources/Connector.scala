@@ -1,6 +1,6 @@
 package graft.sources
 
-import graft.dsl.QueryDslJson
+import graft.dsl.EsQuery
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -33,10 +33,20 @@ object Connector {
 
   object implicits {
     implicit class GraftSessionOps(val spark: SparkSession) {
-      /** `spark.esDF(resource, query)` analog. */
-      def graftDF(path: String, queryJson: String = null, idField: String = "_id"): DataFrame = {
-        val df = spark.read.parquet(path)
-        if (queryJson == null) df else df.where(QueryDslJson.compile(queryJson, idField))
+      /** `spark.esDF(resource, query)` analog. `query` is either URI
+        * (`?q=...`) or Query-DSL JSON. `fieldInclude`/`fieldExclude`
+        * mirror es.read.field.include/exclude (source filtering →
+        * column pruning here). */
+      def graftDF(
+          path: String,
+          query: String = null,
+          idField: String = "_id",
+          fieldInclude: Seq[String] = Nil,
+          fieldExclude: Seq[String] = Nil): DataFrame = {
+        val df0 = spark.read.parquet(path)
+        val df1 = if (query == null) df0 else df0.where(EsQuery.compile(query, idField))
+        val df2 = if (fieldInclude.nonEmpty) df1.select(fieldInclude.map(col): _*) else df1
+        fieldExclude.foldLeft(df2)(_ drop _)
       }
     }
 

@@ -1,6 +1,6 @@
 package graft.sources
 
-import graft.dsl.{QueryDsl, QueryDslJson}
+import graft.dsl.{EsQuery, QueryDsl}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SQLContext}
 import org.apache.spark.sql.functions.col
@@ -35,7 +35,9 @@ class DefaultSource extends RelationProvider
       sqlContext,
       path(parameters),
       parameters.get("graft.query"),
-      parameters.getOrElse("graft.mapping.id", "_id"))
+      parameters.getOrElse("graft.mapping.id", "_id"),
+      parameters.get("graft.read.field.include").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
+      parameters.get("graft.read.field.exclude").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil))
 
   override def createRelation(
       sqlContext: SQLContext,
@@ -57,13 +59,17 @@ class DefaultSource extends RelationProvider
 case class GraftRelation(
     sqlContext: SQLContext,
     path: String,
-    queryJson: Option[String],
-    idField: String)
+    query: Option[String],
+    idField: String,
+    fieldInclude: Seq[String] = Nil,
+    fieldExclude: Seq[String] = Nil)
   extends BaseRelation with PrunedFilteredScan {
 
   private def base: DataFrame = {
-    val df = sqlContext.sparkSession.read.parquet(path)
-    queryJson.fold(df)(q => df.where(QueryDslJson.compile(q, idField)))
+    val df0 = sqlContext.sparkSession.read.parquet(path)
+    val df1 = query.fold(df0)(q => df0.where(EsQuery.compile(q, idField)))
+    val df2 = if (fieldInclude.nonEmpty) df1.select(fieldInclude.map(col): _*) else df1
+    fieldExclude.foldLeft(df2)(_ drop _)
   }
 
   override def schema: StructType = base.schema

@@ -1,0 +1,26 @@
+package graft.streaming
+
+import graft.sources.Connector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The reference's Structured Streaming sink
+  * (`df.writeStream.format("es")`) analog: every micro-batch is applied
+  * to the index with the connector's bulk semantics (id-upsert by
+  * default), via foreachBatch. Checkpointed, so a restarted stream
+  * resumes without re-applying acknowledged batches; upsert-by-id makes
+  * replayed batches idempotent (the reference's recommended setup).
+  */
+object GraftSink {
+  def startUpsert(
+      stream: DataFrame,
+      path: String,
+      cfg: Map[String, String],
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Connector.save(batch, path, cfg)
+      }
+      .start()
+}

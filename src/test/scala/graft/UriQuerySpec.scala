@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.dsl.{EsQuery, UriQuery}
+import graft.streaming.GraftSink
+import org.apache.spark.sql.functions._
+
+class UriQuerySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, sfDir)
+  private def ids(c: org.apache.spark.sql.Column) =
+    docs.where(c).select("doc_id").as[Long].collect().toSet
+
+  test("field:term, wildcard, prefix-star") {
+    assert(ids(UriQuery.compile("lang:en")) == ids(col("lang") === "en"))
+    assert(ids(UriQuery.compile("source:src1*")) == ids(col("source").startsWith("src1")))
+    assert(ids(UriQuery.compile("source:src?")) == ids(col("source").rlike("^src.$")))
+  }
+
+  test("comparisons and ranges") {
+    assert(ids(UriQuery.compile("n_chars:>300")) == ids(col("n_chars") > 300))
+    assert(ids(UriQuery.compile("n_chars:[100 TO 200]")) ==
+      ids(col("n_chars") >= 100 && col("n_chars") <= 200))
+    assert(ids(UriQuery.compile("n_chars:{100 TO *}")) == ids(col("n_chars") > 100))
+  }
+
+  test("boolean operators with parentheses and NOT") {
+    val got = ids(UriQuery.compile("lang:en AND (n_chars:>300 OR source:src1*) AND NOT source:src19"))
+    val want = ids(col("lang") === "en" &&
+      (col("n_chars") > 300 || col("source").startsWith("src1")) && !(col("source") === "src19"))
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("bare terms hit the default field as analyzed match; quoted = phrase") {
+    assert(ids(UriQuery.compile("spark")) ==
+      ids(graft.search.Search.matchQuery(col("text"), "spark")))
+    assert(ids(UriQuery.compile("text:\"table scan\"")) ==
+      ids(graft.search.Search.matchPhrase(col("text"), "table scan")))
+  }
+
+  test("EsQuery dispatches on payload shape") {
+    assert(ids(EsQuery.compile("""{"term": {"lang": "en"}}""")) == ids(col("lang") === "en"))
+    assert(ids(EsQuery.compile("?q=lang:en")) == ids(col("lang") === "en"))
+    assert(ids(EsQuery.compile("q=lang:en")) == ids(col("lang") === "en"))
+  }
+
+  test("geo JSON clauses with the f_lat/f_lon convention") {
+    val df = Seq((1L, 0.0, 0.0), (2L, 10.0, 10.0), (3L, 60.0, 120.0))
+      .toDF("id", "loc_lat", "loc_lon")
+    val near = df.where(graft.dsl.QueryDslJson.compile(
+      """{"geo_distance": {"distance": "1000km", "loc": {"lat": 0, "lon": 0}}}"""))
+      .select("id").as[Long].collect().toSet
+    assert(near == Set(1L)) // (10,10) is ~1569km away, outside 1000km
+    val inBox = df.where(graft.dsl.QueryDslJson.compile(
+      """{"geo_bounding_box": {"loc": {"top_left": {"lat": 20, "lon": -5},
+                                       "bottom_right": {"lat": -5, "lon": 20}}}}"""))
+      .select("id").as[Long].collect().toSet
+    assert(inBox == Set(1L, 2L))
+  }
+
+  test("streaming sink: micro-batch upsert into an index is idempotent-shaped") {
+    val stage = Files.createTempDirectory("graft_sink_in").toString
+    Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$stage/events.parquet"))
+    val idxDir = Files.createTempDirectory("graft_sink_idx").toString + "/idx"
+    val ckpt = Files.createTempDirectory("graft_sink_ckpt").toString
+
+    val stream = spark.readStream.schema(Tables.eventsSchema).parquet(stage)
+      .withColumnRenamed("ts", "ts_ns")
+    val q = GraftSink.startUpsert(stream, idxDir,
+      Map("graft.mapping.id" -> "user_id", "graft.mapping.version" -> "ts_ns"), ckpt)
+    try q.processAllAvailable() finally q.stop()
+
+    val out = spark.read.parquet(idxDir)
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(out.count() == users) // one doc per id after upsert
+    // latest version won per user
+    val expect = graft.rel.Relational
+      .upsertLastWriteWins(Tables.events(spark, sfDir), Seq("user_id"), col("ts_ns"), col("event_id"))
+      .select("user_id", "ts_ns").as[(Long, Long)].collect().toMap
+    val got = out.select("user_id", "ts_ns").as[(Long, Long)].collect().toMap
+    assert(got.keySet == expect.keySet)
+    assert(got.forall { case (u, t) => expect(u) == t })
+  }
+}
