@@ -134,6 +134,19 @@ object SparkEntry {
     "q_more_like_this" -> ((s, d) =>
       Search.moreLikeThis(t(s, d, "documents"), "doc_id", "text", seedId = 7L, m = 5, minMatch = 2)),
 
+    "q_function_score" -> ((s, d) =>
+      Search.functionScoreTopK(t(s, d, "documents"), "doc_id", "n_chars", 300.0, 100.0, 15)),
+    "q_collapse" -> ((s, d) =>
+      Search.collapse(t(s, d, "documents"), "lang", "n_chars", "doc_id")
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+        .orderBy(col("lang"))),
+    "q_search_after" -> ((s, d) =>
+      Search.searchAfter(t(s, d, "documents"), "doc_id", "n_chars", 400L, 250L, 10)
+        .select(col("doc_id"), col("n_chars"))),
+    "q_suggest" -> ((s, d) => Search.suggest(t(s, d, "documents"), "text", "spak", 2, 5)),
+    "q_highlight" -> ((s, d) =>
+      Search.highlight(t(s, d, "documents"), "doc_id", "text", "merge").limit(20)),
+
     // ---- C. Aggregations ----
     "q_agg_terms" -> ((s, d) => Aggs.termsAgg(t(s, d, "orders"), "o_orderpriority", 3)),
     "q_agg_stats" -> ((s, d) => Aggs.statsAgg(t(s, d, "lineitem"), "l_extendedprice")),
@@ -319,6 +332,23 @@ object SparkEntry {
       "st AS (SELECT list(term) AS terms FROM seed) " +
       "SELECT doc_id AS id, len(list_intersect(list_distinct(toks), st.terms))::INT AS overlap FROM tok, st " +
       "WHERE doc_id <> 7 AND len(list_intersect(list_distinct(toks), st.terms)) >= 2 ORDER BY overlap DESC, id"),
+
+    "q_function_score" -> ("SELECT doc_id AS id, round(ln(1.0 + CAST(n_chars AS DOUBLE)) * " +
+      "exp(ln(0.5) * pow(CAST(n_chars AS DOUBLE) - 300.0, 2) / (100.0 * 100.0)), 4) AS score " +
+      "FROM documents ORDER BY score DESC, id LIMIT 15"),
+    "q_collapse" -> ("SELECT lang, doc_id, n_chars FROM (SELECT lang, doc_id, n_chars, " +
+      "row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn FROM documents) " +
+      "WHERE rn = 1 ORDER BY lang"),
+    "q_search_after" -> ("SELECT doc_id, n_chars FROM documents WHERE n_chars < 400 " +
+      "OR (n_chars = 400 AND doc_id > 250) ORDER BY n_chars DESC, doc_id LIMIT 10"),
+    "q_suggest" -> (TokCte + " SELECT token, count(*)::BIGINT AS freq FROM " +
+      "(SELECT unnest(toks) AS token FROM tok) GROUP BY token " +
+      "HAVING token <> 'spak' AND levenshtein(token, 'spak') <= 2 " +
+      "ORDER BY freq DESC, token LIMIT 5"),
+    "q_highlight" -> ("SELECT doc_id AS id, replace(regexp_extract(lower(text), " +
+      "'([a-z0-9]+ ){0,3}merge( [a-z0-9]+){0,3}'), 'merge', '<em>merge</em>') AS snippet " +
+      "FROM documents WHERE list_contains(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), " +
+      "x -> len(x) > 0), 'merge') ORDER BY id LIMIT 20"),
 
     // ---- C ----
     "q_agg_terms" -> "SELECT o_orderpriority AS key, count(*)::BIGINT AS doc_count FROM orders GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 3",

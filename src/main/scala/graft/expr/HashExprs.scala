@@ -3,9 +3,10 @@ package graft.expr
 import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the dedup hash kernels.
   *
@@ -17,6 +18,11 @@ import org.apache.spark.sql.types._
   * in one compiled JVM loop per row (sub-second), which is the
   * difference between feasible and not at 100 TB.
   *
+  * All three implement `doGenCode` as a straight static call into
+  * `HashKernels`, so they participate in whole-stage codegen instead of
+  * breaking the span the way CodegenFallback does (a fallback forces
+  * row materialization around the expression).
+  *
   * Value parity is bit-for-bit with the DuckDB oracle SQL in
   * SparkEntry: md5 over UTF-8 bytes, first 12 hex chars as a 48-bit
   * big-endian integer, (h*a_i + b_i) mod (2^61-1) minima
@@ -26,9 +32,13 @@ import org.apache.spark.sql.types._
 object HashKernels {
   val P: Long = 2305843009213693951L // 2^61 - 1
 
-  def coeffs(numHashes: Int): (Array[Long], Array[Long]) = (
-    Array.tabulate(numHashes)(i => 2L * i + 3L),
-    Array.tabulate(numHashes)(i => (i + 1L) * 2654435761L % P))
+  private val coeffCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+
+  def coeffs(numHashes: Int): (Array[Long], Array[Long]) =
+    coeffCache.computeIfAbsent(numHashes, n => (
+      Array.tabulate(n)(i => 2L * i + 3L),
+      Array.tabulate(n)(i => (i + 1L) * 2654435761L % P)))
 
   /** first 6 md5 bytes big-endian == conv(substr(md5_hex,1,12),16,10) */
   def hash48(md: MessageDigest, bytes: Array[Byte]): Long = {
@@ -36,21 +46,11 @@ object HashKernels {
     ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) | ((d(2) & 0xffL) << 24) |
       ((d(3) & 0xffL) << 16) | ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
   }
-}
 
-/** array<string> shingles -> array<long> of `numHashes` min-hash values. */
-case class MinHashSig(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
-  import HashKernels._
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "minhash_sig"
-
-  private lazy val (as, bs) = coeffs(numHashes)
-
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** array<string> shingles -> numHashes min-hash values. */
+  def minhashSigKernel(arr: ArrayData, numHashes: Int): ArrayData = {
     val md = MessageDigest.getInstance("MD5")
+    val (as, bs) = coeffs(numHashes)
     val sig = Array.fill(numHashes)(P)
     var i = 0
     val n = arr.numElements()
@@ -67,19 +67,8 @@ case class MinHashSig(child: Expression, numHashes: Int)
     new GenericArrayData(sig)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
-    copy(child = newChild)
-}
-
-/** array<string> distinct tokens -> 32-bit SimHash as long. */
-case class SimHash32(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = LongType
-  override def prettyName: String = "simhash32"
-
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** array<string> distinct tokens -> 32-bit SimHash. */
+  def simhash32Kernel(arr: ArrayData): Long = {
     val md = MessageDigest.getInstance("MD5")
     val votes = new Array[Int](32)
     var i = 0
@@ -100,8 +89,62 @@ case class SimHash32(child: Expression)
       sig = sig * 2 + (if (votes(j) > 0) 1L else 0L)
       j += 1
     }
-    java.lang.Long.valueOf(sig)
+    sig
   }
+
+  /** array<string> tokens -> distinct ordered n-gram shingles. */
+  def shinglesKernel(arr: ArrayData, n: Int): ArrayData = {
+    val num = arr.numElements()
+    if (num < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val space = UTF8String.fromString(" ")
+    var i = 0
+    while (i <= num - n) {
+      val parts = new Array[UTF8String](2 * n - 1)
+      var k = 0
+      while (k < n) {
+        if (k > 0) parts(2 * k - 1) = space
+        parts(2 * k) = arr.getUTF8String(i + k)
+        k += 1
+      }
+      seen.add(UTF8String.concat(parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+}
+
+/** array<string> shingles -> array<long> of `numHashes` min-hash values. */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.minhashSigKernel(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.HashKernels.minhashSigKernel($c, $numHashes);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** array<string> distinct tokens -> 32-bit SimHash as long. */
+case class SimHash32(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash32"
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(HashKernels.simhash32Kernel(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.HashKernels.simhash32Kernel($c);")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash32 =
     copy(child = newChild)
@@ -113,30 +156,17 @@ case class SimHash32(child: Expression)
   * ~50x less cost: the interpreted-HOF version walks ~6000 expression
   * nodes per document. */
 case class TokenShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "token_shingles"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val num = arr.numElements()
-    if (num < n) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
-    var i = 0
-    while (i <= num - n) {
-      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](2 * n - 1)
-      var k = 0
-      while (k < n) {
-        if (k > 0) parts(2 * k - 1) = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
-        parts(2 * k) = arr.getUTF8String(i + k)
-        k += 1
-      }
-      seen.add(org.apache.spark.unsafe.types.UTF8String.concat(parts: _*))
-      i += 1
-    }
-    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
-  }
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.shinglesKernel(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.HashKernels.shinglesKernel($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): TokenShingles =
     copy(child = newChild)

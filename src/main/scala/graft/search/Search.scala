@@ -105,6 +105,79 @@ object Search {
       .limit(k)
   }
 
+  /** `function_score`: field_value_factor x gauss decay — ES's
+    * recency/proximity boosting re-expressed as a closed-form column.
+    * gauss(x) = exp(ln(decay) * (x-origin)^2 / scale^2)  [ES formula
+    * with offset=0, decay=0.5]. Pure codegen'd math, no shuffle until
+    * the final top-k. */
+  def functionScoreTopK(
+      docs: DataFrame,
+      idCol: String,
+      numField: String,
+      origin: Double,
+      scale: Double,
+      k: Int): DataFrame = {
+    val x = col(numField).cast("double")
+    val fvf = log(lit(1.0) + x) // field_value_factor log1p modifier
+    val decay = exp(lit(math.log(0.5)) * pow(x - origin, 2) / lit(scale * scale))
+    docs.select(
+      col(idCol).as("id"),
+      Num.round(fvf * decay, 4).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** `collapse`: one hit per group key, best by sort — ES field
+    * collapsing. Single window pass. */
+  def collapse(docs: DataFrame, groupField: String, sortField: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupField))
+      .orderBy(col(sortField).desc, col(idCol).asc)
+    docs.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** `search_after` pagination: hits strictly after the cursor in
+    * (sortField DESC, id ASC) order. The cursor predicate is plain
+    * comparisons, so deep paging costs one scan — no global offset. */
+  def searchAfter(
+      docs: DataFrame, idCol: String, sortField: String,
+      afterSort: Any, afterId: Any, size: Int): DataFrame =
+    docs
+      .where(col(sortField) < lit(afterSort) ||
+        (col(sortField) === lit(afterSort) && col(idCol) > lit(afterId)))
+      .orderBy(col(sortField).desc, col(idCol).asc)
+      .limit(size)
+
+  /** Term suggester: corpus-vocabulary terms within edit distance
+    * `maxEdits` of the input, by descending frequency. The vocab
+    * aggregation is the only shuffle; the levenshtein filter runs on
+    * the (tiny) vocab frame. */
+  def suggest(
+      docs: DataFrame, textCol: String, term: String,
+      maxEdits: Int = 2, k: Int = 5): DataFrame =
+    docs
+      .select(explode(graft.analysis.Analyzer.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .where(col("token") =!= term && levenshtein(col("token"), lit(term)) <= maxEdits)
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(k)
+
+  /** Highlighting: the first match window (up to 3 tokens of context
+    * each side) with the hit wrapped in <em> tags. Narrow per-row
+    * regex; only matching docs are scanned thanks to the pushdown-able
+    * match predicate. */
+  def highlight(docs: DataFrame, idCol: String, textCol: String, term: String): DataFrame =
+    docs
+      .where(matchQuery(col(textCol), term))
+      .select(
+        col(idCol).as("id"),
+        regexp_replace(
+          regexp_extract(lower(col(textCol)), s"([a-z0-9]+ ){0,3}$term( [a-z0-9]+){0,3}", 0),
+          term, s"<em>$term</em>").as("snippet"))
+      .orderBy(col("id").asc)
+
   /** `more_like_this`: take the seed document's top-`m` terms by term
     * frequency (tie-broken by term asc), then find other documents
     * containing at least `minMatch` of them. Seed term extraction is a
