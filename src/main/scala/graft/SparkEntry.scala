@@ -203,6 +203,18 @@ object SparkEntry {
       .join(t(s, d, "orders").where(col("o_totalprice") > 24000)
         .select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name")).orderBy(col("c_custkey"))),
+    "q_nested" -> ((s, d) => {
+      // ES nested docs: orders with lineitems as an array-of-structs
+      // child field; the nested query = "a child matches the predicate"
+      val nested = Relational.nest(
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_quantity"), col("l_returnflag")),
+        "l_orderkey", "lines")
+      Relational.nestedExists(
+        t(s, d, "orders"), nested, "o_orderkey", "l_orderkey", "lines",
+        ln => ln.getField("l_quantity") > 48 && ln.getField("l_returnflag") === "A")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
     "q_window_topn" -> ((s, d) =>
       Relational.topNPerGroup(t(s, d, "orders"), Seq("o_custkey"),
         col("o_totalprice").desc, col("o_orderkey").asc, 2)
@@ -408,6 +420,10 @@ object SparkEntry {
       "(SELECT o_custkey, o_orderkey, o_totalprice, " +
       "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) " +
       "WHERE rn <= 2 ORDER BY o_custkey, rn"),
+
+    "q_nested" -> ("SELECT o_orderkey, o_totalprice FROM orders WHERE EXISTS " +
+      "(SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 48 " +
+      "AND l_returnflag = 'A') ORDER BY o_orderkey"),
 
     // ---- E ----
     "q_upsert_id" -> ("SELECT user_id, event_type AS last_type, value AS last_value FROM events " +

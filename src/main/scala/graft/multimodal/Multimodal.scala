@@ -68,6 +68,40 @@ object Multimodal {
       }
   }
 
+  /** Frame sampling: `n` evenly-spaced frames per video asset — the
+    * map-only stage a video pipeline runs before per-frame featurizing.
+    * Decode is STUBBED (frame hash = md5(payload ++ frameIdx)); the
+    * fan-out shape (one input row -> n frame rows, iterator-based, no
+    * shuffle) is the real plumbing. */
+  def sampleFrames(spark: SparkSession, media: DataFrame, n: Int): Dataset[FrameSample] = {
+    import spark.implicits._
+    media.select("media_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // real impl: val codec = VideoCodec.init()  // once per partition
+        rows.flatMap { case (id, payload) =>
+          (0 until n).iterator.map { i =>
+            FrameSample(id, i, fakeDecode(payload :+ i.toByte))
+          }
+        }
+      }
+  }
+
+  /** Resize: target-dim recompute over the payload (STUB decode; real
+    * schema/batching). Output metadata carries the new dims and a
+    * deterministic content hash of (payload, dims). */
+  def resize(spark: SparkSession, media: DataFrame, w: Int, h: Int): Dataset[MediaFeature] = {
+    import spark.implicits._
+    media.select("media_id", "mime", "payload")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, mime, payload) =>
+          val hash = fakeDecode(payload ++ s":$w:$h".getBytes("UTF-8"))
+          MediaFeature(id, mime, payload.length.toLong, w, h, hash)
+        }
+      }
+  }
+
   /** Deterministic stand-in for the media decoder (STUB — container has
     * no image/audio codecs). */
   private def fakeDecode(payload: Array[Byte]): String = {
@@ -75,3 +109,6 @@ object Multimodal {
     d.digest(payload).map("%02x".format(_)).mkString
   }
 }
+
+/** One sampled frame of a media asset. */
+case class FrameSample(media_id: Long, frame_idx: Int, frame_hash: String)

@@ -44,6 +44,30 @@ object Relational {
       .drop("rn")
   }
 
+  /** ES `nested` documents: parent rows carry an array-of-structs child
+    * field (the mapping's `nested` type). `nest` builds that shape from
+    * a flat child table (one shuffle on the parent key — at 100 TB this
+    * is the same co-location you'd get from index-time nesting);
+    * `nestedExists` is the `{"nested": {"path": ..., "query": ...}}`
+    * semantics: parents with at least one child matching the predicate,
+    * evaluated per-row on the array (narrow; no re-join). */
+  def nest(children: DataFrame, parentKey: String, as: String): DataFrame = {
+    val childCols = children.columns.filter(_ != parentKey).map(col)
+    children.groupBy(col(parentKey))
+      .agg(collect_list(struct(childCols.toIndexedSeq: _*)).as(as))
+  }
+
+  def nestedExists(
+      parents: DataFrame,
+      nested: DataFrame,
+      parentKey: String,
+      nestedKey: String,
+      as: String,
+      pred: Column => Column): DataFrame =
+    parents
+      .join(nested, col(parentKey) === col(nestedKey))
+      .where(exists(col(as), pred))
+
   /** Haversine distance in km (the core of `geo_distance`). Pure
     * codegen'd math — safe in filter position. */
   def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {

@@ -43,7 +43,11 @@ object Connector {
           idField: String = "_id",
           fieldInclude: Seq[String] = Nil,
           fieldExclude: Seq[String] = Nil): DataFrame = {
-        val df0 = spark.read.parquet(path)
+        // ES multi-index syntax: "idx1,idx2" reads several indices.
+        // Loaded separately and unioned by name: each index may carry
+        // its own (routing) partitioning scheme.
+        val df0 = path.split(",").map(_.trim).filter(_.nonEmpty)
+          .map(spark.read.parquet(_)).reduce(_ unionByName _)
         val df1 = if (query == null) df0 else df0.where(EsQuery.compile(query, idField))
         val df2 = if (fieldInclude.nonEmpty) df1.select(fieldInclude.map(col): _*) else df1
         fieldExclude.foldLeft(df2)(_ drop _)
@@ -63,16 +67,23 @@ object Connector {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val exists = fs.exists(new Path(path))
 
+    // es.mapping.routing analog: co-locate docs by the routing column
+    // (directory partitioning, so routed reads prune whole partitions)
+    def writer(df: DataFrame) = cfg.get("graft.mapping.routing") match {
+      case Some(r) => df.write.partitionBy(r)
+      case None => df.write
+    }
+
     op match {
       case "append" =>
-        batch.write.mode("append").parquet(path)
+        writer(batch).mode("append").parquet(path)
       case "overwrite" =>
-        batch.write.mode("overwrite").parquet(path)
+        writer(batch).mode("overwrite").parquet(path)
       case "index" | "upsert" =>
         val idCol = cfg.getOrElse("graft.mapping.id",
           throw new IllegalArgumentException(s"$op write needs graft.mapping.id"))
         if (!exists) {
-          dedupWithin(batch, idCol, cfg).write.mode("overwrite").parquet(path)
+          writer(dedupWithin(batch, idCol, cfg)).mode("overwrite").parquet(path)
         } else {
           val existing = spark.read.parquet(path)
           // incoming rows outrank existing on id conflict (bulk order);
@@ -88,7 +99,7 @@ object Connector {
           // two-phase swap: can't overwrite a path being read
           val tmp = new Path(path + "_graft_tmp")
           if (fs.exists(tmp)) fs.delete(tmp, true)
-          merged.drop("_src").write.mode("overwrite").parquet(tmp.toString)
+          writer(merged.drop("_src")).mode("overwrite").parquet(tmp.toString)
           fs.delete(new Path(path), true)
           fs.rename(tmp, new Path(path))
         }

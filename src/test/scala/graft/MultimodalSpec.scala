@@ -35,6 +35,37 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.forall(f => f.width >= 32 && f.height >= 32))
   }
 
+  test("frame sampling fans out n frames per asset, deterministic hashes") {
+    val media = Multimodal.mediaTable(Tables.documents(spark, sfDir).limit(10))
+    val frames = Multimodal.sampleFrames(spark, media, 4).collect()
+    assert(frames.length == 40)
+    assert(frames.map(f => (f.media_id, f.frame_idx)).distinct.length == 40)
+    val again = Multimodal.sampleFrames(spark, media, 4).collect()
+    assert(frames.map(_.frame_hash).sorted.toSeq == again.map(_.frame_hash).sorted.toSeq)
+  }
+
+  test("resize rewrites dims and changes the content hash deterministically") {
+    val media = Multimodal.mediaTable(Tables.documents(spark, sfDir).limit(5))
+    val r = Multimodal.resize(spark, media, 224, 224).collect()
+    assert(r.forall(f => f.width == 224 && f.height == 224))
+    val r2 = Multimodal.resize(spark, media, 64, 64).collect()
+    assert(r.map(_.feat_hash).toSet.intersect(r2.map(_.feat_hash).toSet).isEmpty)
+  }
+
+  test("routing write partitions the index directory by the routing column") {
+    import graft.sources.Connector.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_route").toString + "/idx"
+    Tables.documents(spark, sfDir).limit(50)
+      .saveToGraft(dir, Map("graft.mapping.id" -> "doc_id", "graft.mapping.routing" -> "lang"))
+    val parts = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(parts.exists(_.startsWith("lang=")))
+    // multi-index read: "idx1,idx2" unions two indices
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_route2").toString + "/idx"
+    Tables.documents(spark, sfDir).where(col("doc_id") >= 50).limit(25)
+      .saveToGraft(dir2, Map("graft.mapping.id" -> "doc_id", "graft.mapping.routing" -> "lang"))
+    assert(spark.graftDF(s"$dir,$dir2").count() == 75)
+  }
+
   test("entry + every registered query is runnable at sf0.001 (smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))

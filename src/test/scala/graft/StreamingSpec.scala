@@ -71,6 +71,34 @@ class StreamingSpec extends SparkSpec {
     assert(manual == native)
   }
 
+  test("custom state: mapGroupsWithState running per-user counts on a stream") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val streamIn = spark.readStream
+      .schema(Tables.eventsSchema)
+      .parquet(streamDir)
+      .withColumnRenamed("ts", "ts_ns")
+      .select("user_id").as[Long]
+    val counts = streamIn
+      .groupByKey(identity)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, events: Iterator[Long], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + events.size
+          state.update(n)
+          (user, n)
+      }
+    val q = counts.writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("state_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("state_out")
+        .groupBy("_1").agg(max("_2").as("n"))
+        .as[(Long, Long)].collect().toMap
+      val want = Tables.events(spark, sfDir)
+        .groupBy("user_id").count().as[(Long, Long)].collect().toMap
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("upsert semantics: one row per id, latest wins") {
     val ops = Seq(
       (1L, 100L, "a", 10L), (1L, 200L, "b", 11L), (2L, 150L, "c", 12L))
