@@ -167,6 +167,25 @@ object SparkEntry {
     "q_agg_composite" -> ((s, d) =>
       Aggs.compositeAgg(t(s, d, "documents"), Seq("lang", "source"), Some(Seq("de", "src3")), 10)),
     "q_agg_nested" -> ((s, d) => Aggs.nestedAgg(t(s, d, "documents"), "lang", "source", "n_chars")),
+    "q_agg_adjacency" -> ((s, d) => Aggs.adjacencyMatrix(t(s, d, "orders"), Seq(
+      "urgent" -> (col("o_orderpriority") === "1-URGENT"),
+      "big" -> (col("o_totalprice") > 20000),
+      "open" -> (col("o_orderstatus") === "O")))),
+    "q_agg_rare_terms" -> ((s, d) => Aggs.rareTermsAgg(t(s, d, "documents"), "source", 30L, 10)),
+    "q_agg_weighted_avg" -> ((s, d) =>
+      Aggs.weightedAvg(t(s, d, "lineitem"), "l_extendedprice", "l_quantity")),
+    "q_agg_matrix_stats" -> ((s, d) =>
+      Aggs.matrixStats(t(s, d, "lineitem"), "l_quantity", "l_extendedprice")),
+    "q_geo_centroid" -> ((s, d) => {
+      val g = withGeo(t(s, d, "customer"))
+      Aggs.geoCentroid(g.where(col("c_mktsegment") === "BUILDING"), "lat", "lon")
+    }),
+    "q_autocomplete" -> ((s, d) => t(s, d, "documents")
+      .select(explode(graft.analysis.Analyzer.tokens(col("text"))).as("token"))
+      .where(col("token").startsWith("s"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(8)),
     "q_agg_pipeline" -> ((s, d) =>
       Aggs.dateHistogramPipeline(t(s, d, "orders"), "o_orderdate", "month", "o_totalprice")),
     "q_agg_sig_terms" -> ((s, d) =>
@@ -403,6 +422,25 @@ object SparkEntry {
     "q_agg_global" -> ("SELECT count(*)::BIGINT AS global_count, round(avg(o_totalprice), 4) AS global_avg, " +
       "count_if(o_orderstatus = 'F')::BIGINT AS filtered_count, " +
       "round(avg(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4) AS filtered_avg FROM orders"),
+
+    "q_agg_adjacency" -> ("SELECT count_if(o_orderpriority = '1-URGENT')::BIGINT AS urgent, " +
+      "count_if(o_totalprice > 20000)::BIGINT AS big, count_if(o_orderstatus = 'O')::BIGINT AS open, " +
+      "count_if(o_orderpriority = '1-URGENT' AND o_totalprice > 20000)::BIGINT AS \"urgent&big\", " +
+      "count_if(o_orderpriority = '1-URGENT' AND o_orderstatus = 'O')::BIGINT AS \"urgent&open\", " +
+      "count_if(o_totalprice > 20000 AND o_orderstatus = 'O')::BIGINT AS \"big&open\" FROM orders"),
+    "q_agg_rare_terms" -> ("SELECT source AS key, count(*)::BIGINT AS doc_count FROM documents " +
+      "GROUP BY source HAVING count(*) <= 30 ORDER BY doc_count, key LIMIT 10"),
+    "q_agg_weighted_avg" -> ("SELECT round(CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(28,8))) AS DOUBLE) / " +
+      "CAST(sum(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE), 4) AS weighted_avg FROM lineitem"),
+    "q_agg_matrix_stats" -> ("SELECT count(*)::BIGINT AS cnt, " +
+      "round(covar_pop(l_quantity, l_extendedprice), 4) AS covariance, " +
+      "round(corr(l_quantity, l_extendedprice), 4) AS correlation FROM lineitem"),
+    "q_geo_centroid" -> (GeoCte.replace("FROM customer", "FROM customer WHERE c_mktsegment = 'BUILDING'") +
+      " SELECT round(avg(lat), 4) AS centroid_lat, round(avg(lon), 4) AS centroid_lon, " +
+      "count(*)::BIGINT AS doc_count FROM g"),
+    "q_autocomplete" -> (TokCte + " SELECT token, count(*)::BIGINT AS freq FROM " +
+      "(SELECT unnest(toks) AS token FROM tok) WHERE token LIKE 's%' " +
+      "GROUP BY token ORDER BY freq DESC, token LIMIT 8"),
 
     // ---- D ----
     "q_join_enrich" -> ("SELECT r_name, count(*)::BIGINT AS n_customers, round(avg(c_acctbal), 4) AS avg_bal " +

@@ -162,6 +162,49 @@ object Aggs {
       sum(when(pred, 1L).otherwise(0L)).as("filtered_count"),
       Num.round(avg(when(pred, col(field))), 4).as("filtered_avg"))
 
+  /** `adjacency_matrix`: counts for every named filter and pairwise
+    * intersection — one scan, conditional sums (no N^2 scans). */
+  def adjacencyMatrix(df: DataFrame, filters: Seq[(String, Column)]): DataFrame = {
+    val singles = filters.map { case (n, p) => sum(when(p, 1L).otherwise(0L)).as(n) }
+    val pairs = for {
+      (i, idx) <- filters.zipWithIndex
+      j <- filters.drop(idx + 1)
+    } yield sum(when(i._2 && j._2, 1L).otherwise(0L)).as(s"${i._1}&${j._1}")
+    val all = singles ++ pairs
+    df.agg(all.head, all.tail: _*)
+  }
+
+  /** `rare_terms`: the long tail — buckets by ASCENDING doc count. */
+  def rareTermsAgg(df: DataFrame, field: String, maxDocCount: Long, k: Int): DataFrame =
+    df.groupBy(col(field).as("key"))
+      .agg(count(lit(1)).as("doc_count"))
+      .where(col("doc_count") <= maxDocCount)
+      .orderBy(col("doc_count").asc, col("key").asc)
+      .limit(k)
+
+  /** `weighted_avg`: sum(w*v)/sum(w), single pass, decimal-stable. */
+  def weightedAvg(df: DataFrame, valueField: String, weightField: String): DataFrame =
+    df.agg(
+      Num.round(
+        sum((col(valueField) * col(weightField)).cast("decimal(28,8)")).cast("double") /
+          sum(col(weightField).cast("decimal(28,8)")).cast("double"),
+        4).as("weighted_avg"))
+
+  /** `matrix_stats`: correlation/covariance between two numeric fields
+    * (population forms, matching ES). */
+  def matrixStats(df: DataFrame, f1: String, f2: String): DataFrame =
+    df.agg(
+      count(lit(1)).as("cnt"),
+      Num.round(covar_pop(col(f1), col(f2)), 4).as("covariance"),
+      Num.round(corr(col(f1), col(f2)), 4).as("correlation"))
+
+  /** `geo_centroid`: mean point of a geo field (column-pair model). */
+  def geoCentroid(df: DataFrame, latField: String, lonField: String): DataFrame =
+    df.agg(
+      Num.round(avg(col(latField)), 4).as("centroid_lat"),
+      Num.round(avg(col(lonField)), 4).as("centroid_lon"),
+      count(lit(1)).as("doc_count"))
+
   /** ES PIPELINE aggregations over a date_histogram parent:
     * cumulative_sum, derivative, moving_avg — one window pass over the
     * bucket frame. The frame is #buckets rows (tiny at any corpus
