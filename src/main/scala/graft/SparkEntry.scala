@@ -194,6 +194,19 @@ object SparkEntry {
       Aggs.globalWithFilter(t(s, d, "orders"), col("o_orderstatus") === "F", "o_totalprice")),
 
     // ---- D. Relational / enrich ----
+    "q_tpch_q1" -> ((s, d) => t(s, d, "lineitem")
+      .where(col("l_shipdate") <= "1998-09-02")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Num.round(sum(col("l_quantity").cast("decimal(28,8)")).cast("double"), 4).as("sum_qty"),
+        Num.round(sum(col("l_extendedprice").cast("decimal(28,8)")).cast("double"), 4).as("sum_base_price"),
+        Num.round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(28,8)")).cast("double"), 4).as("sum_disc_price"),
+        Num.round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).cast("decimal(28,8)")).cast("double"), 4).as("sum_charge"),
+        Num.round(avg(col("l_quantity")), 4).as("avg_qty"),
+        Num.round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        Num.round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))),
     "q_join_enrich" -> ((s, d) =>
       Relational.enrich(
         Relational.enrich(
@@ -280,6 +293,23 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       Ann.lshTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding", dim = 64, k = 10)
+    }),
+    "q_ann_ivf" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Ann.ivfTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
+        nCentroids = 16, nprobe = 4, k = 10)
+    }),
+    "q_pipeline_clean" -> ((s, d) => {
+      // composed cleaning pipeline: quality gate + near-dup removal
+      // (drop the higher id of each verified near-dup pair)
+      val docs = t(s, d, "documents")
+      val dups = Dedup.minhashLsh(docs, "doc_id", "text", 0.8)
+        .select(col("id2").as("doc_id"))
+      TextAnalysis.qualityScore(col("text"))(docs)
+        .where(col("quality") >= 0.45 && col("n_chars") >= 100)
+        .join(dups, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("quality"))
+        .orderBy(col("doc_id"))
     }),
     "q_lang_id" -> ((s, d) => {
       val (pl, ps) = TextAnalysis.languageId(col("text"))
@@ -473,6 +503,29 @@ object SparkEntry {
     "q_geo_bbox" -> (GeoCte + " SELECT c_custkey, lat, lon FROM g " +
       "WHERE lat <= 40.0 AND lat >= -30.0 AND lon >= -60.0 AND lon <= 90.0 ORDER BY c_custkey"),
 
+"q_ann_ivf" -> ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), " +
+      "n AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm FROM e), " +
+      "cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16), " +
+      "asg AS (SELECT id, cent_id FROM (SELECT c.vec_id AS id, cents.cent_id, " +
+      "row_number() OVER (PARTITION BY c.vec_id ORDER BY round(list_reduce(list_prepend(0.0, list_transform(range(1, len(c.v) + 1), i -> c.v[i] * cv[i])), (x, y) -> x + y) / (c.nrm * cnrm), 4) DESC, cents.cent_id) AS rn " +
+      "FROM n c CROSS JOIN cents) WHERE rn = 1), " +
+      "qp AS (SELECT query_id, cent_id FROM (SELECT q.vec_id AS query_id, cents.cent_id, " +
+      "row_number() OVER (PARTITION BY q.vec_id ORDER BY round(list_reduce(list_prepend(0.0, list_transform(range(1, len(q.v) + 1), i -> q.v[i] * cv[i])), (x, y) -> x + y) / (q.nrm * cnrm), 4) DESC, cents.cent_id) AS rn " +
+      "FROM n q CROSS JOIN cents WHERE q.vec_id < 5) WHERE rn <= 4), " +
+      "cand AS (SELECT DISTINCT query_id, id FROM qp JOIN asg USING (cent_id) WHERE id <> query_id), " +
+      "p AS (SELECT query_id, id, round(list_reduce(list_prepend(0.0, list_transform(range(1, len(c.v) + 1), i -> c.v[i] * q.v[i])), (x, y) -> x + y) / (c.nrm * q.nrm), 4) AS cosine " +
+      "FROM cand JOIN n c ON c.vec_id = cand.id JOIN n q ON q.vec_id = cand.query_id) " +
+      "SELECT query_id, id, cosine, rank FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rank FROM p) " +
+      "WHERE rank <= 10 ORDER BY query_id, rank"),
+"q_tpch_q1" -> ("SELECT l_returnflag, l_linestatus, " +
+      "round(CAST(sum(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE), 4) AS sum_qty, " +
+      "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE), 4) AS sum_base_price, " +
+      "round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,8))) AS DOUBLE), 4) AS sum_disc_price, " +
+      "round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(28,8))) AS DOUBLE), 4) AS sum_charge, " +
+      "round(avg(l_quantity), 4) AS avg_qty, round(avg(l_extendedprice), 4) AS avg_price, " +
+      "round(avg(l_discount), 4) AS avg_disc, count(*)::BIGINT AS count_order " +
+      "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' " +
+      "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
     // ---- F ----
     "q_dedup_exact" -> ("SELECT md5(props) AS content_hash, count(*)::BIGINT AS n_dups, min(event_id) AS keep_id " +
       "FROM events GROUP BY 1 HAVING count(*) >= 2 ORDER BY keep_id"),
@@ -533,6 +586,29 @@ object SparkEntry {
         "FROM cand JOIN n c ON c.vec_id = cand.id JOIN n q ON q.vec_id = cand.query_id) " +
         "SELECT query_id, id, cosine, rank FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rank FROM p) " +
         "WHERE rank <= 10 ORDER BY query_id, rank"
+    },
+    "q_pipeline_clean" -> {
+      val en = TextAnalysis.stopwords.toMap.apply("en").map(w => s"'$w'").mkString(", ")
+      TokCte + ", " +
+      "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM tok WHERE len(toks) >= 3), " +
+      s"hs AS (SELECT doc_id, sh, list_transform(sh, x -> ${hexFold("x", 12)}) AS hs FROM sh), " +
+      "sig AS (SELECT doc_id, sh, list_transform(range(0, 32), i -> " +
+      "list_aggregate(list_transform(hs, h -> (h * (2*i + 3) + ((i + 1) * 2654435761) % 2305843009213693951) % 2305843009213693951), 'min')) AS sig FROM hs), " +
+      "banded AS (SELECT doc_id, unnest(list_transform(range(0, 8), b -> " +
+      "b::VARCHAR || ',' || sig[4*b+1]::VARCHAR || ',' || sig[4*b+2]::VARCHAR || ',' || sig[4*b+3]::VARCHAR || ',' || sig[4*b+4]::VARCHAR)) AS band FROM sig), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id), " +
+      "dups AS (SELECT DISTINCT id2 FROM (SELECT id1, id2, len(list_intersect(sa.sh, sb.sh))::DOUBLE AS inter, len(sa.sh) AS n1, len(sb.sh) AS n2 " +
+      "FROM cand JOIN sh sa ON sa.doc_id = id1 JOIN sh sb ON sb.doc_id = id2) WHERE round(inter / (n1 + n2 - inter), 4) >= 0.8), " +
+      "m AS (SELECT d.doc_id, len(b.toks)::BIGINT AS n_tokens, d.n_chars, " +
+      "round(len(regexp_replace(lower(d.text), '[a-z0-9 ]', '', 'g'))::DOUBLE / greatest(len(d.text), 1)::DOUBLE, 4) AS punct_ratio, " +
+      s"round(len(list_filter(b.toks, t -> list_contains([$en], t)))::DOUBLE / greatest(len(b.toks), 1)::DOUBLE, 4) AS stopword_ratio, " +
+      "round(len(list_distinct(b.toks))::DOUBLE / greatest(len(b.toks), 1)::DOUBLE, 4) AS ttr " +
+      "FROM documents d JOIN tok b USING (doc_id)), " +
+      "scored AS (SELECT doc_id, n_chars, " +
+      "round(least(n_tokens / 100.0, 1.0) * 0.3 + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2 + " +
+      "least(stopword_ratio * 5.0, 1.0) * 0.2 + ttr * 0.3, 4) AS quality FROM m) " +
+      "SELECT doc_id, quality FROM scored WHERE quality >= 0.45 AND n_chars >= 100 " +
+      "AND doc_id NOT IN (SELECT id2 FROM dups) ORDER BY doc_id"
     },
     "q_lang_id" -> {
       val langs = TextAnalysis.stopwords

@@ -73,6 +73,60 @@ object Ann {
     bits.reduce(_ + _)
   }
 
+  /** IVF-flat with deterministic seed centroids: the coarse quantizer's
+    * centroids are the first `nCentroids` corpus vectors (a fixed seed
+    * sample — no iterative fit to ship), every vector is assigned to
+    * its nearest centroid (one narrow pass against broadcast
+    * centroids), and queries probe only the `nprobe` nearest centroid
+    * lists. At 100 TB the assignment is the partitioning: each inverted
+    * list is a shuffle partition and a probe touches nprobe/nCentroids
+    * of the corpus. */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int,
+      nprobe: Int,
+      k: Int): DataFrame = {
+    val c = corpus.select(
+      col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val cents = c.where(col("id") < nCentroids)
+      .select(col("id").as("cent_id"), col("v").as("cv"))
+    val wAssign = Window.partitionBy(col("id"))
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    val assign = c.crossJoin(broadcast(cents))
+      .select(col("id"), col("cent_id"),
+        Num.round(Vectors.cosine(col("v"), col("cv")), 4).as("ccos"))
+      .withColumn("rn", row_number().over(wAssign))
+      .where(col("rn") === 1)
+      .select(col("id"), col("cent_id"))
+    val q = queries.select(
+      col(idCol).as("query_id"),
+      transform(col(vecCol), x => x.cast("double")).as("qv"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("cent_id").asc)
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("cent_id"),
+        Num.round(Vectors.cosine(col("qv"), col("cv")), 4).as("qcos"))
+      .withColumn("rn", row_number().over(wProbe))
+      .where(col("rn") <= nprobe)
+      .select(col("query_id"), col("cent_id"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    probes.join(assign, "cent_id")
+      .where(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"))
+      .join(c, "id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("id"),
+        Num.round(Vectors.cosine(col("v"), col("qv")), 4).as("cosine"))
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= k)
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
   /** One bucket key per hash table, table-index-prefixed. Multiple
     * small tables (OR-amplification) instead of one wide bucket: a
     * single 16-bit bucket over random-ish vectors is so selective that
