@@ -147,6 +147,12 @@ object SparkEntry {
     "q_highlight" -> ((s, d) =>
       Search.highlight(t(s, d, "documents"), "doc_id", "text", "merge").limit(20)),
 
+    "q_percolate" -> ((s, d) => Search.percolate(t(s, d, "documents"), "doc_id", Seq(
+      "wants_spark" -> Search.matchQueryAnd(col("text"), "spark join"),
+      "long_en" -> (QueryDsl.term(col("lang"), "en") && col("n_chars") > 350),
+      "src1x_phrase" -> (QueryDsl.prefix(col("source"), "src1") &&
+        Search.matchPhrase(col("text"), "table scan"))))),
+
     // ---- C. Aggregations ----
     "q_agg_terms" -> ((s, d) => Aggs.termsAgg(t(s, d, "orders"), "o_orderpriority", 3)),
     "q_agg_stats" -> ((s, d) => Aggs.statsAgg(t(s, d, "lineitem"), "l_extendedprice")),
@@ -410,6 +416,15 @@ object SparkEntry {
       "'([a-z0-9]+ ){0,3}merge( [a-z0-9]+){0,3}'), 'merge', '<em>merge</em>') AS snippet " +
       "FROM documents WHERE list_contains(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), " +
       "x -> len(x) > 0), 'merge') ORDER BY id LIMIT 20"),
+
+    "q_percolate" -> (TokCte.replace("SELECT doc_id,", "SELECT doc_id, lang, source, n_chars,") +
+      ", m AS (SELECT doc_id, " +
+      "CASE WHEN list_has_all(toks, ['spark','join']) THEN 'wants_spark' END AS q1, " +
+      "CASE WHEN lang = 'en' AND n_chars > 350 THEN 'long_en' END AS q2, " +
+      "CASE WHEN source LIKE 'src1%' AND contains(' ' || array_to_string(toks, ' ') || ' ', ' table scan ') THEN 'src1x_phrase' END AS q3 " +
+      "FROM tok) " +
+      "SELECT doc_id AS id, query_id FROM (SELECT doc_id, unnest([q1, q2, q3]) AS query_id FROM m) " +
+      "WHERE query_id IS NOT NULL ORDER BY id, query_id"),
 
     // ---- C ----
     "q_agg_terms" -> "SELECT o_orderpriority AS key, count(*)::BIGINT AS doc_count FROM orders GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 3",

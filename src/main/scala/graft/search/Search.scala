@@ -178,6 +178,27 @@ object Search {
           term, s"<em>$term</em>").as("snippet"))
       .orderBy(col("id").asc)
 
+  /** `percolate`: reverse search — a registry of stored queries is
+    * matched AGAINST each document. Queries are compiled once on the
+    * driver (they're Query-DSL strings); per document, the matched
+    * query ids come from one array-valued projection (N codegen'd
+    * predicates per row, no join, no shuffle) — the Spark-native shape
+    * of ES's percolator index. */
+  def percolate(
+      docs: DataFrame,
+      idCol: String,
+      storedQueries: Seq[(String, Column)]): DataFrame = {
+    val matched = array(storedQueries.map { case (qid, pred) =>
+      when(pred, lit(qid)).otherwise(lit(null))
+    }: _*)
+    docs.select(
+      col(idCol).as("id"),
+      filter(matched, x => x.isNotNull).as("matched_queries"))
+      .where(size(col("matched_queries")) > 0)
+      .select(col("id"), explode(col("matched_queries")).as("query_id"))
+      .orderBy(col("id").asc, col("query_id").asc)
+  }
+
   /** `more_like_this`: take the seed document's top-`m` terms by term
     * frequency (tie-broken by term asc), then find other documents
     * containing at least `minMatch` of them. Seed term extraction is a
