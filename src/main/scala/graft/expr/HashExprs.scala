@@ -92,6 +92,24 @@ object HashKernels {
     sig
   }
 
+  /** one-pass (n_tokens, n_distinct, stop_hits) over a token array. */
+  def tokenStatsKernel(
+      arr: ArrayData,
+      stopSet: java.util.HashSet[UTF8String]): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = arr.numElements()
+    val seen = new java.util.HashSet[UTF8String]()
+    var hits = 0L
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      seen.add(t)
+      if (stopSet.contains(t)) hits += 1
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, seen.size.toLong, hits))
+  }
+
   /** array<string> tokens -> distinct ordered n-gram shingles. */
   def shinglesKernel(arr: ArrayData, n: Int): ArrayData = {
     val num = arr.numElements()
@@ -112,6 +130,38 @@ object HashKernels {
     }
     new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
   }
+}
+
+/** One-pass token statistics for quality scoring: (n_tokens,
+  * n_distinct, stop_hits). The HOF formulation inlines the tokenizer
+  * into each ratio (CollapseProject), blowing up both janino compile
+  * time and runtime; this is one compiled loop. */
+case class TokenStats(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("stop_hits", LongType, nullable = false)))
+  override def prettyName: String = "token_stats"
+
+  @transient private lazy val stopSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    stopwords.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.tokenStatsKernel(input.asInstanceOf[ArrayData], stopSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("stopSet", stopSet, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.HashKernels.tokenStatsKernel($c, $setRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenStats =
+    copy(child = newChild)
 }
 
 /** array<string> shingles -> array<long> of `numHashes` min-hash values. */
