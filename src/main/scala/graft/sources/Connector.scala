@@ -42,7 +42,8 @@ object Connector {
           query: String = null,
           idField: String = "_id",
           fieldInclude: Seq[String] = Nil,
-          fieldExclude: Seq[String] = Nil): DataFrame = {
+          fieldExclude: Seq[String] = Nil,
+          readMetadata: Boolean = false): DataFrame = {
         // ES multi-index syntax: "idx1,idx2" reads several indices.
         // Loaded separately and unioned by name: each index may carry
         // its own (routing) partitioning scheme.
@@ -50,7 +51,13 @@ object Connector {
           .map(spark.read.parquet(_)).reduce(_ unionByName _)
         val df1 = if (query == null) df0 else df0.where(EsQuery.compile(query, idField))
         val df2 = if (fieldInclude.nonEmpty) df1.select(fieldInclude.map(col): _*) else df1
-        fieldExclude.foldLeft(df2)(_ drop _)
+        val df3 = fieldExclude.foldLeft(df2)(_ drop _)
+        // es.read.metadata analog: surface _id/_index alongside _source
+        if (readMetadata) {
+          require(df3.columns.contains(idField),
+            s"readMetadata needs id column '$idField' in the result")
+          df3.withColumn("_id", col(idField)).withColumn("_index", lit(path))
+        } else df3
       }
     }
 

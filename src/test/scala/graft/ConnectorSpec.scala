@@ -70,6 +70,11 @@ class ConnectorSpec extends SparkSpec {
     Seq((9L, "omega", 1)).toDF("id", "name", "ver")
       .saveToGraft(dir, Map("graft.write.operation" -> "append"))
     assert(spark.graftDF(dir).count() == 5)
+
+    // es.read.metadata analog
+    val meta = spark.graftDF(dir, idField = "id", readMetadata = true)
+    assert(meta.columns.contains("_id") && meta.columns.contains("_index"))
+    assert(meta.where(col("_id") =!= col("id")).count() == 0)
   }
 
   test("GraftExtensions: native kernels callable from pure SQL") {
