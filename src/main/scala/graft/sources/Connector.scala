@@ -17,7 +17,9 @@ import org.apache.spark.sql.functions._
   *   - `graft.mapping.id`       (es.mapping.id): document id column
   *   - `graft.write.operation`  (es.write.operation):
   *       `index` (default) — replace-by-id into the index (upsert)
-  *       `append`          — blind bulk append (ES `create`)
+  *       `create`          — insert only ids NOT already present
+  *       `update`          — replace only ids already present
+  *       `append`          — blind bulk append (no id semantics)
   *       `overwrite`       — replace the whole index
   *   - `graft.mapping.version`  (es.mapping.version): optional version
   *       column; higher version wins on id conflict (external
@@ -86,6 +88,35 @@ object Connector {
         writer(batch).mode("append").parquet(path)
       case "overwrite" =>
         writer(batch).mode("overwrite").parquet(path)
+      case "create" if exists =>
+        // ES `create`: only documents whose id is absent are written
+        val idCol = cfg.getOrElse("graft.mapping.id",
+          throw new IllegalArgumentException("create write needs graft.mapping.id"))
+        val existingIds = spark.read.parquet(path).select(col(idCol))
+        val fresh = dedupWithin(batch, idCol, cfg)
+          .join(existingIds, Seq(idCol), "left_anti")
+        writer(fresh).mode("append").parquet(path)
+      case "create" =>
+        val idCol = cfg.getOrElse("graft.mapping.id",
+          throw new IllegalArgumentException("create write needs graft.mapping.id"))
+        writer(dedupWithin(batch, idCol, cfg)).mode("overwrite").parquet(path)
+      case "update" =>
+        // ES `update`: only documents whose id EXISTS are replaced
+        val idCol = cfg.getOrElse("graft.mapping.id",
+          throw new IllegalArgumentException("update write needs graft.mapping.id"))
+        if (exists) {
+          val existing = spark.read.parquet(path)
+          val updatable = batch.join(
+            existing.select(col(idCol)), Seq(idCol), "left_semi")
+          val merged = resolve(
+            existing.withColumn("_src", lit(0)).unionByName(
+              updatable.withColumn("_src", lit(1))), idCol, col("_src"), col("_src"))
+          val tmp = new Path(path + "_graft_tmp")
+          if (fs.exists(tmp)) fs.delete(tmp, true)
+          writer(merged.drop("_src")).mode("overwrite").parquet(tmp.toString)
+          fs.delete(new Path(path), true)
+          fs.rename(tmp, new Path(path))
+        } // no index -> nothing to update (ES would error per-doc)
       case "index" | "upsert" =>
         val idCol = cfg.getOrElse("graft.mapping.id",
           throw new IllegalArgumentException(s"$op write needs graft.mapping.id"))

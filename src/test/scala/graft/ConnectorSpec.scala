@@ -71,6 +71,22 @@ class ConnectorSpec extends SparkSpec {
       .saveToGraft(dir, Map("graft.write.operation" -> "append"))
     assert(spark.graftDF(dir).count() == 5)
 
+    // create: only new ids land
+    Seq((9L, "omega_NO", 9), (10L, "kappa", 1)).toDF("id", "name", "ver")
+      .saveToGraft(dir, Map("graft.write.operation" -> "create", "graft.mapping.id" -> "id"))
+    val afterCreate = spark.graftDF(dir).as[(Long, String, Int)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(afterCreate(10L) == "kappa")
+    assert(afterCreate(9L) == "omega") // existing id untouched
+
+    // update: only existing ids are replaced
+    Seq((10L, "kappa2", 2), (99L, "ghost", 1)).toDF("id", "name", "ver")
+      .saveToGraft(dir, Map("graft.write.operation" -> "update", "graft.mapping.id" -> "id"))
+    val afterUpdate = spark.graftDF(dir).as[(Long, String, Int)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(afterUpdate(10L) == "kappa2")
+    assert(!afterUpdate.contains(99L))
+
     // es.read.metadata analog
     val meta = spark.graftDF(dir, idField = "id", readMetadata = true)
     assert(meta.columns.contains("_id") && meta.columns.contains("_index"))
