@@ -126,13 +126,13 @@ object Connector {
           val existing = spark.read.parquet(path)
           // incoming rows outrank existing on id conflict (bulk order);
           // with a version column, the higher version wins instead
+          // allowMissingColumns = ES dynamic mapping: a batch may add
+          // fields (or omit existing ones); absent fields become null
+          val unioned = existing.withColumn("_src", lit(0)).unionByName(
+            batch.withColumn("_src", lit(1)), allowMissingColumns = true)
           val merged = cfg.get("graft.mapping.version") match {
-            case Some(v) =>
-              resolve(existing.withColumn("_src", lit(0)).unionByName(
-                batch.withColumn("_src", lit(1))), idCol, col(v), col("_src"))
-            case None =>
-              resolve(existing.withColumn("_src", lit(0)).unionByName(
-                batch.withColumn("_src", lit(1))), idCol, col("_src"), col("_src"))
+            case Some(v) => resolve(unioned, idCol, col(v), col("_src"))
+            case None => resolve(unioned, idCol, col("_src"), col("_src"))
           }
           // two-phase swap: can't overwrite a path being read
           val tmp = new Path(path + "_graft_tmp")

@@ -87,6 +87,15 @@ class ConnectorSpec extends SparkSpec {
     assert(afterUpdate(10L) == "kappa2")
     assert(!afterUpdate.contains(99L))
 
+    // dynamic mapping: a batch with a NEW field upserts cleanly,
+    // existing docs get null for the new field
+    Seq((11L, "lambda", 1, "extra")).toDF("id", "name", "ver", "note")
+      .saveToGraft(dir, Map("graft.mapping.id" -> "id"))
+    val evolved = spark.graftDF(dir)
+    assert(evolved.columns.contains("note"))
+    assert(evolved.where(col("id") === 11 && col("note") === "extra").count() == 1)
+    assert(evolved.where(col("id") === 1).select("note").first().isNullAt(0))
+
     // es.read.metadata analog
     val meta = spark.graftDF(dir, idField = "id", readMetadata = true)
     assert(meta.columns.contains("_id") && meta.columns.contains("_index"))
