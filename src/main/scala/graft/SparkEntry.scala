@@ -173,6 +173,32 @@ object SparkEntry {
     "q_agg_composite" -> ((s, d) =>
       Aggs.compositeAgg(t(s, d, "documents"), Seq("lang", "source"), Some(Seq("de", "src3")), 10)),
     "q_agg_nested" -> ((s, d) => Aggs.nestedAgg(t(s, d, "documents"), "lang", "source", "n_chars")),
+    "q_agg_top_metrics" -> ((s, d) => t(s, d, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        max_by(col("n_chars"), col("doc_id")).as("latest_n_chars"),
+        max(col("doc_id")).as("latest_doc"))
+      .orderBy(col("lang"))),
+    "q_agg_string_stats" -> ((s, d) => t(s, d, "documents")
+      .agg(
+        count(col("text")).as("cnt"),
+        min(length(col("text"))).as("min_length"),
+        max(length(col("text"))).as("max_length"),
+        Num.round(avg(length(col("text"))), 4).as("avg_length"))),
+    "q_agg_sampler" -> ((s, d) => t(s, d, "documents")
+      // deterministic hash sampler (~20%): the shard-seeded sampler agg
+      .where(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long") % 5 === 0)
+      .agg(count(lit(1)).as("sample_size"), Num.round(avg(col("n_chars")), 4).as("avg_n_chars"))),
+    "q_agg_date_range" -> ((s, d) => {
+      val o = col("o_orderdate")
+      t(s, d, "orders")
+        .groupBy(
+          when(o < "1997-01-01", "*-1997")
+            .when(o >= "1997-01-01" && o < "1999-01-01", "1997-1999")
+            .otherwise("1999-*").as("bucket"))
+        .agg(count(lit(1)).as("doc_count"))
+        .orderBy(col("bucket"))
+    }),
     "q_agg_adjacency" -> ((s, d) => Aggs.adjacencyMatrix(t(s, d, "orders"), Seq(
       "urgent" -> (col("o_orderpriority") === "1-URGENT"),
       "big" -> (col("o_totalprice") > 20000),
@@ -200,6 +226,12 @@ object SparkEntry {
       Aggs.globalWithFilter(t(s, d, "orders"), col("o_orderstatus") === "F", "o_totalprice")),
 
     // ---- D. Relational / enrich ----
+    "q_tpch_q6" -> ((s, d) => t(s, d, "lineitem")
+      .where(col("l_shipdate") >= "1997-01-01" && col("l_shipdate") < "1998-01-01" &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+      .agg(Num.round(
+        sum((col("l_extendedprice") * col("l_discount")).cast("decimal(28,8)")).cast("double"), 4)
+        .as("revenue"))),
     "q_tpch_q1" -> ((s, d) => t(s, d, "lineitem")
       .where(col("l_shipdate") <= "1998-09-02")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -468,6 +500,21 @@ object SparkEntry {
       "count_if(o_orderstatus = 'F')::BIGINT AS filtered_count, " +
       "round(avg(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4) AS filtered_avg FROM orders"),
 
+    "q_agg_top_metrics" -> ("SELECT lang, max_by(n_chars, doc_id) AS latest_n_chars, " +
+      "max(doc_id) AS latest_doc FROM documents GROUP BY lang ORDER BY lang"),
+    "q_agg_string_stats" -> ("SELECT count(text)::BIGINT AS cnt, min(length(text))::INT AS min_length, " +
+      "max(length(text))::INT AS max_length, round(avg(length(text)), 4) AS avg_length FROM documents"),
+    "q_agg_sampler" -> ("WITH h AS (SELECT *, list_reduce(list_prepend(0::BIGINT, " +
+      "list_transform(regexp_extract_all(substr(md5(doc_id::VARCHAR), 1, 4), '.'), " +
+      "c -> (CASE WHEN ascii(c) <= 57 THEN ascii(c) - 48 ELSE ascii(c) - 87 END)::BIGINT)), (a, v) -> a * 16 + v) AS hv " +
+      "FROM documents) SELECT count(*)::BIGINT AS sample_size, round(avg(n_chars), 4) AS avg_n_chars " +
+      "FROM h WHERE hv % 5 = 0"),
+    "q_agg_date_range" -> ("SELECT CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN '*-1997' " +
+      "WHEN o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1999-01-01' THEN '1997-1999' " +
+      "ELSE '1999-*' END AS bucket, count(*)::BIGINT AS doc_count FROM orders GROUP BY 1 ORDER BY bucket"),
+    "q_tpch_q6" -> ("SELECT round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,8))) AS DOUBLE), 4) AS revenue " +
+      "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' " +
+      "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"),
     "q_agg_adjacency" -> ("SELECT count_if(o_orderpriority = '1-URGENT')::BIGINT AS urgent, " +
       "count_if(o_totalprice > 20000)::BIGINT AS big, count_if(o_orderstatus = 'O')::BIGINT AS open, " +
       "count_if(o_orderpriority = '1-URGENT' AND o_totalprice > 20000)::BIGINT AS \"urgent&big\", " +

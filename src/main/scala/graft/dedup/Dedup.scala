@@ -200,9 +200,9 @@ object Dedup {
   }
 }
 
-/** Dense-vector column math over array<double>, built from zip_with /
-  * aggregate HOFs (no UDF, no driver work). A codegen'd Catalyst
-  * Expression is the planned upgrade for the 100 TB hot path. */
+/** Dense-vector column math over array<double>. `cosine` routes to the
+  * native CosineSim kernel (one compiled loop, bit-identical fold order
+  * to the HOF formulation); dot/norm HOFs remain for composition. */
 object Vectors {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
@@ -210,5 +210,9 @@ object Vectors {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expr.CosineSim(
+        org.apache.spark.sql.GraftBridge.expression(a),
+        org.apache.spark.sql.GraftBridge.expression(b)))
 }
