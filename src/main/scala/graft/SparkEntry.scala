@@ -129,6 +129,17 @@ object SparkEntry {
     "q_query_string" -> ((s, d) => t(s, d, "documents")
       .where(Search.queryString(Seq(col("text"), col("source")), "src5 merge"))
       .select(col("doc_id")).orderBy(col("doc_id"))),
+    "q_match_phrase_slop" -> ((s, d) => t(s, d, "documents")
+      .where(Search.matchPhraseSlop(col("text"), "table scan", slop = 1))
+      .select(col("doc_id")).orderBy(col("doc_id"))),
+    "q_constant_score" -> ((s, d) =>
+      Search.constantScore(t(s, d, "documents"), "doc_id",
+        QueryDsl.term(col("lang"), "fr") && col("n_chars") > 300, 1.2)),
+    "q_pinned" -> ((s, d) =>
+      Search.pinnedTopK(t(s, d, "documents"), "doc_id", "text", "fast hash join", Seq(7L, 11L), 10)),
+    "q_boosting" -> ((s, d) =>
+      Search.boostingTopK(t(s, d, "documents"), "doc_id", "text", "fast hash join",
+        QueryDsl.term(col("lang"), "de"), 0.5, 10)),
     "q_bm25" -> ((s, d) =>
       Search.bm25TopK(t(s, d, "documents"), "doc_id", "text", "fast hash join", 10)),
     "q_more_like_this" -> ((s, d) =>
@@ -417,6 +428,20 @@ object SparkEntry {
       "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks, " +
       "list_filter(regexp_split_to_array(lower(source), '[^a-z0-9]+'), x -> len(x) > 0) AS stoks FROM documents) " +
       "SELECT doc_id FROM f WHERE list_has_any(toks, ['src5','merge']) OR list_has_any(stoks, ['src5','merge']) ORDER BY doc_id"),
+    "q_match_phrase_slop" -> (TokCte + ", p AS (SELECT doc_id, " +
+      "list_filter(range(1, len(toks) + 1), i -> toks[i] = 'table') AS p0, " +
+      "list_filter(range(1, len(toks) + 1), i -> toks[i] = 'scan') AS p1 FROM tok) " +
+      "SELECT doc_id FROM p WHERE len(list_filter(p0, a -> len(list_filter(p1, b -> b > a AND b - a <= 2)) > 0)) > 0 ORDER BY doc_id"),
+    "q_constant_score" -> ("SELECT doc_id AS id, 1.2 AS score FROM documents " +
+      "WHERE lang = 'fr' AND n_chars > 300 ORDER BY id"),
+    "q_pinned" -> (TokCte + ", " +
+      "dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl, toks FROM tok), st AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl), tf AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl) WHERE term IN ('fast','hash','join') GROUP BY doc_id, dl, term), df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term), sc AS (SELECT tf.doc_id AS id, round(sum(ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) * tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / st.avgdl))), 4) AS score FROM tf JOIN df USING (term) CROSS JOIN st GROUP BY tf.doc_id)" +
+      " SELECT id, score, (CASE WHEN id = 7 THEN 0 WHEN id = 11 THEN 1 ELSE 2147483647 END) < 2147483647 AS pinned " +
+      "FROM sc ORDER BY CASE WHEN id = 7 THEN 0 WHEN id = 11 THEN 1 ELSE 2147483647 END, score DESC, id LIMIT 10"),
+    "q_boosting" -> (TokCte + ", " +
+      "dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl, toks FROM tok), st AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl), tf AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl) WHERE term IN ('fast','hash','join') GROUP BY doc_id, dl, term), df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term), sc AS (SELECT tf.doc_id AS id, round(sum(ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) * tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / st.avgdl))), 4) AS score FROM tf JOIN df USING (term) CROSS JOIN st GROUP BY tf.doc_id)" +
+      " SELECT sc.id, round(sc.score * CASE WHEN d.lang = 'de' THEN 0.5 ELSE 1.0 END, 4) AS score " +
+      "FROM sc JOIN documents d ON d.doc_id = sc.id ORDER BY score DESC, id LIMIT 10"),
     "q_bm25" -> (TokCte + ", " +
       "dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl, toks FROM tok), " +
       "st AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl), " +

@@ -105,6 +105,66 @@ object Search {
       .limit(k)
   }
 
+  /** `match_phrase` with `slop`: the two analyzed terms must appear in
+    * order within `slop` intervening positions. Position lists are
+    * per-row array math (narrow); the common two-term case of ES's
+    * span_near. */
+  def matchPhraseSlop(field: Column, query: String, slop: Int): Column = {
+    val q = Analyzer.analyze(query)
+    require(q.length == 2, "matchPhraseSlop implements the two-term case")
+    val toks = Analyzer.tokens(field)
+    val idx = sequence(lit(1), size(toks))
+    val pos0 = filter(idx, i => element_at(toks, i) === q(0))
+    val pos1 = filter(idx, i => element_at(toks, i) === q(1))
+    exists(pos0, p0 => exists(pos1, p1 => p1 > p0 && p1 - p0 <= slop + 1))
+  }
+
+  /** `constant_score`: filter-context match with a fixed score. */
+  def constantScore(docs: DataFrame, idCol: String, pred: Column, boost: Double): DataFrame =
+    docs.where(pred)
+      .select(col(idCol).as("id"), lit(boost).as("score"))
+      .orderBy(col("id").asc)
+
+  /** `pinned`: promoted ids first (in pin order), everything else by
+    * relevance — one CASE sort key on top of the scored frame. */
+  def pinnedTopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      query: String,
+      pinned: Seq[Long],
+      k: Int): DataFrame = {
+    val scored = bm25TopK(docs, idCol, textCol, query, Int.MaxValue)
+    val pinRank = pinned.zipWithIndex.foldLeft(when(lit(false), 0)) {
+      case (acc, (id, i)) => acc.when(col("id") === id, i)
+    }.otherwise(Int.MaxValue)
+    scored
+      .withColumn("pin_rank", pinRank)
+      .orderBy(col("pin_rank").asc, col("score").desc, col("id").asc)
+      .limit(k)
+      .select(col("id"), col("score"), (col("pin_rank") < Int.MaxValue).as("pinned"))
+  }
+
+  /** `boosting`: positive relevance, demoted (not excluded) when the
+    * negative clause matches — score x negativeBoost. */
+  def boostingTopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      positiveQuery: String,
+      negative: Column,
+      negativeBoost: Double,
+      k: Int): DataFrame = {
+    val scored = bm25TopK(docs, idCol, textCol, positiveQuery, Int.MaxValue)
+    val neg = docs.select(col(idCol).as("id"), negative.as("_neg"))
+    scored.join(neg, "id")
+      .select(
+        col("id"),
+        Num.round(col("score") * when(col("_neg"), negativeBoost).otherwise(1.0), 4).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** `function_score`: field_value_factor x gauss decay — ES's
     * recency/proximity boosting re-expressed as a closed-form column.
     * gauss(x) = exp(ln(decay) * (x-origin)^2 / scale^2)  [ES formula
