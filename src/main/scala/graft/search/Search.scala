@@ -105,18 +105,25 @@ object Search {
       .limit(k)
   }
 
-  /** `match_phrase` with `slop`: the two analyzed terms must appear in
-    * order within `slop` intervening positions. Position lists are
-    * per-row array math (narrow); the common two-term case of ES's
-    * span_near. */
+  /** `match_phrase` with `slop` (span_near-style): all analyzed terms
+    * in order, each consecutive pair within `slop` intervening
+    * positions. Per-term position lists + a chain of nested `exists`
+    * built at plan time — per-row array math, narrow, any term count.
+    * (ES's exact slop counts total displacement; the per-gap bound is
+    * the common span_near in_order=true usage.) */
   def matchPhraseSlop(field: Column, query: String, slop: Int): Column = {
     val q = Analyzer.analyze(query)
-    require(q.length == 2, "matchPhraseSlop implements the two-term case")
+    require(q.length >= 2, "matchPhraseSlop needs at least two terms")
     val toks = Analyzer.tokens(field)
     val idx = sequence(lit(1), size(toks))
-    val pos0 = filter(idx, i => element_at(toks, i) === q(0))
-    val pos1 = filter(idx, i => element_at(toks, i) === q(1))
-    exists(pos0, p0 => exists(pos1, p1 => p1 > p0 && p1 - p0 <= slop + 1))
+    val posLists = q.map(term => filter(idx, i => element_at(toks, i) === term))
+    // innermost-out: exists(pos_n, p_n => p_n > p_{n-1} && gap ok)
+    def chain(rest: Seq[Column], prev: Column): Column = rest match {
+      case Seq() => lit(true)
+      case next +: tail =>
+        exists(next, p => p > prev && p - prev <= slop + 1 && chain(tail, p))
+    }
+    exists(posLists.head, p0 => chain(posLists.tail, p0))
   }
 
   /** `constant_score`: filter-context match with a fixed score. */

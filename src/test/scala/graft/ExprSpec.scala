@@ -48,6 +48,31 @@ class ExprSpec extends SparkSpec {
     assert(got.toSeq == expected.toSeq)
   }
 
+  test("Num.round matches binary half-away-from-zero (DuckDB semantics)") {
+    import graft.util.Num
+    val df = Seq(0.57405, 2.5, 3.5, -2.5, 0.00005, 1.23449999).toDF("x")
+    val got = df.select(Num.round(col("x"), 4).as("r")).as[Double].collect().toSeq
+    // 0.57405 stores as 0.574049..9 -> rounds DOWN on the binary value
+    assert(got == Seq(0.574, 2.5, 3.5, -2.5, 1.0E-4, 1.2345))
+    val g0 = Seq(2.5, 3.5, -2.5).toDF("x")
+      .select(Num.round(col("x"), 0).as("r")).as[Double].collect().toSeq
+    assert(g0 == Seq(3.0, 4.0, -3.0))
+  }
+
+  test("matchPhraseSlop: n-term in-order matching with bounded gaps") {
+    import graft.search.Search
+    val df = Seq(
+      (1L, "a quick brown fox"),
+      (2L, "quick x brown y fox"),
+      (3L, "quick x y brown fox"),
+      (4L, "fox brown quick")).toDF("id", "text")
+    def ids(slop: Int) = df.where(Search.matchPhraseSlop(col("text"), "quick brown fox", slop))
+      .select("id").as[Long].collect().toSet
+    assert(ids(0) == Set(1L))
+    assert(ids(1) == Set(1L, 2L))
+    assert(ids(2) == Set(1L, 2L, 3L))
+  }
+
   test("SimHash32: identical token sets -> identical sig; sig < 2^32") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"), (3L, "delta eps zeta"))
       .toDF("id", "text")
