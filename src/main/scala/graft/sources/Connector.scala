@@ -45,12 +45,13 @@ object Connector {
           idField: String = "_id",
           fieldInclude: Seq[String] = Nil,
           fieldExclude: Seq[String] = Nil,
-          readMetadata: Boolean = false): DataFrame = {
+          readMetadata: Boolean = false,
+          format: String = "parquet"): DataFrame = {
         // ES multi-index syntax: "idx1,idx2" reads several indices.
         // Loaded separately and unioned by name: each index may carry
         // its own (routing) partitioning scheme.
         val df0 = path.split(",").map(_.trim).filter(_.nonEmpty)
-          .map(spark.read.parquet(_)).reduce(_ unionByName _)
+          .map(spark.read.format(format).load(_)).reduce(_ unionByName _)
         val df1 = if (query == null) df0 else df0.where(EsQuery.compile(query, idField))
         val df2 = if (fieldInclude.nonEmpty) df1.select(fieldInclude.map(col): _*) else df1
         val df3 = fieldExclude.foldLeft(df2)(_ drop _)
@@ -75,37 +76,41 @@ object Connector {
     val op = cfg.getOrElse("graft.write.operation", "index")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val exists = fs.exists(new Path(path))
+    // es.input.json analog: the index can be stored as json (or orc)
+    // instead of parquet — same bulk semantics over any columnar/row fmt
+    val fmt = cfg.getOrElse("graft.format", "parquet")
 
     // es.mapping.routing analog: co-locate docs by the routing column
     // (directory partitioning, so routed reads prune whole partitions)
     def writer(df: DataFrame) = cfg.get("graft.mapping.routing") match {
-      case Some(r) => df.write.partitionBy(r)
-      case None => df.write
+      case Some(r) => df.write.format(fmt).partitionBy(r)
+      case None => df.write.format(fmt)
     }
+    def reader = spark.read.format(fmt)
 
     op match {
       case "append" =>
-        writer(batch).mode("append").parquet(path)
+        writer(batch).mode("append").save(path)
       case "overwrite" =>
-        writer(batch).mode("overwrite").parquet(path)
+        writer(batch).mode("overwrite").save(path)
       case "create" if exists =>
         // ES `create`: only documents whose id is absent are written
         val idCol = cfg.getOrElse("graft.mapping.id",
           throw new IllegalArgumentException("create write needs graft.mapping.id"))
-        val existingIds = spark.read.parquet(path).select(col(idCol))
+        val existingIds = reader.load(path).select(col(idCol))
         val fresh = dedupWithin(batch, idCol, cfg)
           .join(existingIds, Seq(idCol), "left_anti")
-        writer(fresh).mode("append").parquet(path)
+        writer(fresh).mode("append").save(path)
       case "create" =>
         val idCol = cfg.getOrElse("graft.mapping.id",
           throw new IllegalArgumentException("create write needs graft.mapping.id"))
-        writer(dedupWithin(batch, idCol, cfg)).mode("overwrite").parquet(path)
+        writer(dedupWithin(batch, idCol, cfg)).mode("overwrite").save(path)
       case "update" =>
         // ES `update`: only documents whose id EXISTS are replaced
         val idCol = cfg.getOrElse("graft.mapping.id",
           throw new IllegalArgumentException("update write needs graft.mapping.id"))
         if (exists) {
-          val existing = spark.read.parquet(path)
+          val existing = reader.load(path)
           val updatable = batch.join(
             existing.select(col(idCol)), Seq(idCol), "left_semi")
           val merged = resolve(
@@ -113,7 +118,7 @@ object Connector {
               updatable.withColumn("_src", lit(1))), idCol, col("_src"), col("_src"))
           val tmp = new Path(path + "_graft_tmp")
           if (fs.exists(tmp)) fs.delete(tmp, true)
-          writer(merged.drop("_src")).mode("overwrite").parquet(tmp.toString)
+          writer(merged.drop("_src")).mode("overwrite").save(tmp.toString)
           fs.delete(new Path(path), true)
           fs.rename(tmp, new Path(path))
         } // no index -> nothing to update (ES would error per-doc)
@@ -121,9 +126,9 @@ object Connector {
         val idCol = cfg.getOrElse("graft.mapping.id",
           throw new IllegalArgumentException(s"$op write needs graft.mapping.id"))
         if (!exists) {
-          writer(dedupWithin(batch, idCol, cfg)).mode("overwrite").parquet(path)
+          writer(dedupWithin(batch, idCol, cfg)).mode("overwrite").save(path)
         } else {
-          val existing = spark.read.parquet(path)
+          val existing = reader.load(path)
           // incoming rows outrank existing on id conflict (bulk order);
           // with a version column, the higher version wins instead
           // allowMissingColumns = ES dynamic mapping: a batch may add
@@ -137,7 +142,7 @@ object Connector {
           // two-phase swap: can't overwrite a path being read
           val tmp = new Path(path + "_graft_tmp")
           if (fs.exists(tmp)) fs.delete(tmp, true)
-          writer(merged.drop("_src")).mode("overwrite").parquet(tmp.toString)
+          writer(merged.drop("_src")).mode("overwrite").save(tmp.toString)
           fs.delete(new Path(path), true)
           fs.rename(tmp, new Path(path))
         }

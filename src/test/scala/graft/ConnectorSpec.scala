@@ -102,6 +102,29 @@ class ConnectorSpec extends SparkSpec {
     assert(meta.where(col("_id") =!= col("id")).count() == 0)
   }
 
+  test("json-format index: same bulk semantics over es.input.json-style storage") {
+    val dir = Files.createTempDirectory("graft_json").toString + "/idx"
+    val cfg = Map("graft.mapping.id" -> "id", "graft.format" -> "json")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name").saveToGraft(dir, cfg)
+    Seq((2L, "b2"), (3L, "c")).toDF("id", "name").saveToGraft(dir, cfg)
+    val r = spark.graftDF(dir, format = "json")
+      .select("id", "name").as[(Long, String)].collect().toMap
+    assert(r == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+    // and it is really json on disk
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+    assert(files.exists(_.endsWith(".json")))
+  }
+
+  test("nested bool-in-bool JSON compiles recursively") {
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.where(QueryDslJson.compile(
+      """{"bool": {"must": [{"bool": {"should": [{"term": {"lang": "en"}},
+           {"term": {"lang": "de"}}], "minimum_should_match": 1}},
+           {"range": {"n_chars": {"gt": 200}}}]}}""")).count()
+    val direct = docs.where((col("lang") === "en" || col("lang") === "de") && col("n_chars") > 200).count()
+    assert(n == direct && n > 0)
+  }
+
   test("GraftExtensions: native kernels callable from pure SQL") {
     // getOrCreate ignores withExtensions when a session already exists:
     // clear the active/default session, build a fresh one on the SAME
