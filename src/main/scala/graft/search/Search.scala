@@ -172,6 +172,18 @@ object Search {
       .limit(k)
   }
 
+  /** Percolator-index form: the stored queries are Query-DSL JSON
+    * documents (exactly what an ES percolator field holds), compiled on
+    * the driver and pushed through `percolate`. */
+  def percolateJson(
+      docs: DataFrame,
+      idCol: String,
+      registry: Seq[(String, String)],
+      registryIdField: String = "_id"): DataFrame =
+    percolate(docs, idCol, registry.map { case (qid, json) =>
+      qid -> graft.dsl.QueryDslJson.compile(json, registryIdField)
+    })
+
   /** `function_score`: field_value_factor x gauss decay — ES's
     * recency/proximity boosting re-expressed as a closed-form column.
     * gauss(x) = exp(ln(decay) * (x-origin)^2 / scale^2)  [ES formula

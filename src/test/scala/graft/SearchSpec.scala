@@ -39,6 +39,17 @@ class SearchSpec extends SparkSpec {
     assert(r.map(_._2).toSeq == r.map(_._2).sortBy(-_).toSeq)
   }
 
+  test("percolate over a JSON query registry (percolator-index form)") {
+    val r = graft.search.Search.percolateJson(docs, "doc_id", Seq(
+      "q_quick" -> """{"match": {"text": "quick"}}""",
+      "q_brown_phrase" -> """{"match_phrase": {"text": "quick brown"}}""",
+      "q_none" -> """{"term": {"text": "zzz_nothing"}}"""))
+      .as[(Long, String)].collect()
+    assert(r.count(_._2 == "q_quick") == 3) // docs 1, 2, 4
+    assert(r.count(_._2 == "q_brown_phrase") == 2) // docs 1, 4
+    assert(!r.exists(_._2 == "q_none"))
+  }
+
   test("more_like_this finds overlapping docs, excludes seed") {
     val r = Search.moreLikeThis(docs, "doc_id", "text", seedId = 1L, m = 3, minMatch = 2)
       .as[(Long, Int)].collect()
