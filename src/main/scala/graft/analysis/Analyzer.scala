@@ -15,9 +15,14 @@ import org.apache.spark.sql.functions._
 object Analyzer {
   val TokenSplit = "[^a-z0-9]+"
 
-  /** Ordered token array of an analyzed text field. */
+  /** Ordered token array of an analyzed text field. Native compiled
+    * kernel (graft.expr.Tokenize): identical values to
+    * `filter(split(lower(x), TokenSplit), len > 0)`, but the filter
+    * HOF is CodegenFallback — interpreted under every text operator —
+    * while this is one compiled byte scan. */
   def tokens(text: Column): Column =
-    filter(split(lower(text), TokenSplit), t => length(t) > 0)
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expr.Tokenize(org.apache.spark.sql.GraftBridge.expression(text)))
 
   /** Distinct terms of a document (set semantics, order unspecified —
     * only ever used under set ops / aggregation). */

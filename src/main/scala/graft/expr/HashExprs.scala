@@ -129,6 +129,90 @@ object HashKernels {
     dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
+  /** string -> analyzed token array: lowercase, then maximal
+    * [a-z0-9] byte runs. Exactly the ES standard-analyzer semantics of
+    * `filter(split(lower(x), "[^a-z0-9]+"), len > 0)` — every
+    * non-[a-z0-9] character (multibyte UTF-8 bytes are all >= 0x80, so
+    * byte scanning is safe) is a delimiter and empties are dropped —
+    * but as one compiled scan instead of regex-split + interpreted
+    * filter HOF. Shared by the whole text family via Analyzer.tokens.
+    */
+  def tokenizeKernel(s: UTF8String): ArrayData = {
+    val bytes = s.toLowerCase.getBytes
+    val n = bytes.length
+    val out = new java.util.ArrayList[Any](8)
+    var i = 0
+    while (i < n) {
+      val b = bytes(i)
+      if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) {
+        var j = i + 1
+        while (j < n && {
+          val c = bytes(j); (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+        }) j += 1
+        out.add(UTF8String.fromBytes(bytes, i, j - i))
+        i = j
+      } else i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** tokens -> true iff `terms` occur in order with every consecutive
+    * pair within `slop` intervening positions (gap <= slop+1) — the
+    * span_near in_order=true semantics of match_phrase with slop.
+    *
+    * Greedy-max DP, one left-to-right pass: reach(i) = the largest
+    * position where the chain terms[0..i] can currently end. Exact,
+    * because the only constraint looking forward is p - reach(i-1) <=
+    * slop+1 and a LARGER previous position only loosens it — so the
+    * maximal reach dominates every other feasible chain end. O(n*k)
+    * per row; replaces a nested interpreted-HOF chain that was ~100x
+    * slower (the r1 bench's single largest cost).
+    */
+  def phraseSlopKernel(toks: ArrayData, terms: Array[UTF8String], slop: Int): Boolean = {
+    val k = terms.length
+    val reach = new Array[Int](k)
+    java.util.Arrays.fill(reach, -1)
+    val n = toks.numElements()
+    var p = 0
+    while (p < n) {
+      val t = toks.getUTF8String(p)
+      // descending i: reach(i-1) still holds a strictly earlier
+      // position when i is processed (a token can't chain on itself).
+      var i = k - 1
+      while (i >= 0) {
+        if (terms(i).equals(t) &&
+          (i == 0 || (reach(i - 1) >= 0 && p - reach(i - 1) <= slop + 1))) {
+          if (i == k - 1) return true
+          reach(i) = p
+        }
+        i -= 1
+      }
+      p += 1
+    }
+    false
+  }
+
+  /** tokens + L stopword sets -> [n_tokens, hits_0, .., hits_{L-1}]
+    * in ONE pass — the language-ID hit counters without evaluating the
+    * tokenizer (or walking the array) once per language. */
+  def langHitsKernel(arr: ArrayData, sets: Array[java.util.HashSet[UTF8String]]): ArrayData = {
+    val l = sets.length
+    val out = new Array[Long](l + 1)
+    val n = arr.numElements()
+    out(0) = n.toLong
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      var j = 0
+      while (j < l) {
+        if (sets(j).contains(t)) out(j + 1) += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** array<string> tokens -> distinct ordered n-gram shingles. */
   def shinglesKernel(arr: ArrayData, n: Int): ArrayData = {
     val num = arr.numElements()
@@ -238,6 +322,84 @@ case class TokenShingles(child: Expression, n: Int)
       s"${ev.value} = graft.expr.HashKernels.shinglesKernel($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): TokenShingles =
+    copy(child = newChild)
+}
+
+/** string -> analyzed token array (the ES standard analyzer) as one
+  * compiled kernel. The HOF formulation — filter(split(lower(x), re),
+  * len > 0) — leaves the filter interpreted (CodegenFallback) under
+  * every text operator; this is the common factor of the six slowest
+  * r1 text queries. */
+case class Tokenize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "tokenize"
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.tokenizeKernel(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.HashKernels.tokenizeKernel($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Tokenize =
+    copy(child = newChild)
+}
+
+/** match_phrase-with-slop positional match over a token array: one
+  * compiled greedy-max DP pass (see HashKernels.phraseSlopKernel)
+  * instead of per-term interpreted position-list HOFs. */
+case class PhraseSlopMatch(child: Expression, terms: Seq[String], slop: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "phrase_slop_match"
+
+  @transient private lazy val termArr: Array[UTF8String] =
+    terms.map(UTF8String.fromString).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Boolean.valueOf(
+      HashKernels.phraseSlopKernel(input.asInstanceOf[ArrayData], termArr, slop))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val termsRef = ctx.addReferenceObj("terms", termArr,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.HashKernels.phraseSlopKernel($c, $termsRef, $slop);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PhraseSlopMatch =
+    copy(child = newChild)
+}
+
+/** Per-language stopword hit counts in one pass:
+  * [n_tokens, hits_lang0, ...]. Language-ID's per-language ratio
+  * columns otherwise re-evaluate the tokenizer once per language
+  * (CollapseProject re-inlines the shared projection). */
+case class LangHits(child: Expression, wordSets: Seq[Seq[String]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lang_hits"
+
+  @transient private lazy val sets: Array[java.util.HashSet[UTF8String]] =
+    wordSets.map { ws =>
+      val s = new java.util.HashSet[UTF8String]()
+      ws.foreach(w => s.add(UTF8String.fromString(w)))
+      s
+    }.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.langHitsKernel(input.asInstanceOf[ArrayData], sets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setsRef = ctx.addReferenceObj("sets", sets, "java.util.HashSet[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.HashKernels.langHitsKernel($c, $setsRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LangHits =
     copy(child = newChild)
 }
 

@@ -67,6 +67,22 @@ object Search {
       query: String,
       k: Int,
       k1: Double = 1.2,
+      b: Double = 0.75): DataFrame =
+    bm25Scores(docs, idCol, textCol, query, k1, b)
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+
+  /** Unsorted (id, score) BM25 frame — the building block for every
+    * relevance-ranked variant (plain/pinned/boosting/connector
+    * metadata). Callers apply their OWN single ordered limit
+    * (TakeOrderedAndProject); ranking here would force a wasted global
+    * sort that the caller immediately re-sorts. */
+  def bm25Scores(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      query: String,
+      k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     val q = Analyzer.analyze(query)
     require(q.nonEmpty, s"bm25 query analyzed to zero tokens: $query")
@@ -101,29 +117,22 @@ object Search {
       .withColumn("term_score", idf * tfPart)
       .groupBy(col("id"))
       .agg(Num.round(sum(col("term_score")), 4).as("score"))
-      .orderBy(col("score").desc, col("id").asc)
-      .limit(k)
   }
 
   /** `match_phrase` with `slop` (span_near-style): all analyzed terms
     * in order, each consecutive pair within `slop` intervening
-    * positions. Per-term position lists + a chain of nested `exists`
-    * built at plan time — per-row array math, narrow, any term count.
-    * (ES's exact slop counts total displacement; the per-gap bound is
-    * the common span_near in_order=true usage.) */
+    * positions — narrow per-row math, any term count. (ES's exact slop
+    * counts total displacement; the per-gap bound is the common
+    * span_near in_order=true usage.) */
   def matchPhraseSlop(field: Column, query: String, slop: Int): Column = {
     val q = Analyzer.analyze(query)
     require(q.length >= 2, "matchPhraseSlop needs at least two terms")
-    val toks = Analyzer.tokens(field)
-    val idx = sequence(lit(1), size(toks))
-    val posLists = q.map(term => filter(idx, i => element_at(toks, i) === term))
-    // innermost-out: exists(pos_n, p_n => p_n > p_{n-1} && gap ok)
-    def chain(rest: Seq[Column], prev: Column): Column = rest match {
-      case Seq() => lit(true)
-      case next +: tail =>
-        exists(next, p => p > prev && p - prev <= slop + 1 && chain(tail, p))
-    }
-    exists(posLists.head, p0 => chain(posLists.tail, p0))
+    // native compiled DP over the token array (one pass, O(n*terms));
+    // the HOF formulation of the same chain (per-term position lists +
+    // nested exists) was interpreted per node and ~100x slower.
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expr.PhraseSlopMatch(
+        org.apache.spark.sql.GraftBridge.expression(Analyzer.tokens(field)), q, slop))
   }
 
   /** `constant_score`: filter-context match with a fixed score. */
@@ -141,7 +150,7 @@ object Search {
       query: String,
       pinned: Seq[Long],
       k: Int): DataFrame = {
-    val scored = bm25TopK(docs, idCol, textCol, query, Int.MaxValue)
+    val scored = bm25Scores(docs, idCol, textCol, query)
     val pinRank = pinned.zipWithIndex.foldLeft(when(lit(false), 0)) {
       case (acc, (id, i)) => acc.when(col("id") === id, i)
     }.otherwise(Int.MaxValue)
@@ -162,7 +171,7 @@ object Search {
       negative: Column,
       negativeBoost: Double,
       k: Int): DataFrame = {
-    val scored = bm25TopK(docs, idCol, textCol, positiveQuery, Int.MaxValue)
+    val scored = bm25Scores(docs, idCol, textCol, positiveQuery)
     val neg = docs.select(col(idCol).as("id"), negative.as("_neg"))
     scored.join(neg, "id")
       .select(
@@ -247,15 +256,24 @@ object Search {
     * each side) with the hit wrapped in <em> tags. Narrow per-row
     * regex; only matching docs are scanned thanks to the pushdown-able
     * match predicate. */
-  def highlight(docs: DataFrame, idCol: String, textCol: String, term: String): DataFrame =
+  def highlight(docs: DataFrame, idCol: String, textCol: String, term: String): DataFrame = {
+    // analyze first (mirrors the guarding matchQuery: "Merge" and
+    // "c++" become their analyzed token), then quote — the raw input
+    // must never reach the regex engine as pattern syntax.
+    val analyzed = Analyzer.analyze(term)
+    require(analyzed.length == 1, s"highlight takes a single term: $term")
+    val t = analyzed.head
+    val quoted = java.util.regex.Pattern.quote(t)
+    val replacement = java.util.regex.Matcher.quoteReplacement(s"<em>$t</em>")
     docs
-      .where(matchQuery(col(textCol), term))
+      .where(matchQuery(col(textCol), t))
       .select(
         col(idCol).as("id"),
         regexp_replace(
-          regexp_extract(lower(col(textCol)), s"([a-z0-9]+ ){0,3}$term( [a-z0-9]+){0,3}", 0),
-          term, s"<em>$term</em>").as("snippet"))
+          regexp_extract(lower(col(textCol)), s"([a-z0-9]+ ){0,3}$quoted( [a-z0-9]+){0,3}", 0),
+          quoted, replacement).as("snippet"))
       .orderBy(col("id").asc)
+  }
 
   /** `percolate`: reverse search — a registry of stored queries is
     * matched AGAINST each document. Queries are compiled once on the

@@ -28,9 +28,21 @@ object TextAnalysis {
 
   /** Language ID: argmax over per-language stopword-hit ratios, ties
     * broken by language code asc (deterministic). Output columns:
-    * pred_lang, lang_score. */
+    * pred_lang, lang_score.
+    *
+    * All L hit counters come from ONE LangHits kernel pass
+    * ([n_tokens, hits_0, ..]); the per-ratio HOF formulation
+    * re-evaluated the tokenizer once per language after
+    * CollapseProject re-inlining (the r1 hazard). */
   def languageId(text: Column): (Column, Column) = {
-    val scores = stopwords.map { case (l, ws) => l -> hitRatio(Analyzer.tokens(text), ws) }
+    val hits = org.apache.spark.sql.GraftBridge.column(
+      graft.expr.LangHits(
+        org.apache.spark.sql.GraftBridge.expression(Analyzer.tokens(text)),
+        stopwords.map(_._2)))
+    val nToks = greatest(element_at(hits, 1), lit(1L)).cast("double")
+    val scores = stopwords.zipWithIndex.map { case ((l, _), i) =>
+      l -> element_at(hits, i + 2).cast("double") / nToks
+    }
     // fixed-precedence argmax: earlier (asc) language wins ties
     val best = scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
       case ((bl, bs), (l, s)) => (when(s > bs, lit(l)).otherwise(bl), greatest(s, bs))
@@ -43,15 +55,19 @@ object TextAnalysis {
     * standard cheap pre-filters applied before expensive model scoring
     * in data pipelines. */
   def qualityScore(text: Column): DataFrame => DataFrame = { df =>
-    val toks = Analyzer.tokens(text)
+    // one TokenStats kernel pass per row: (n_tokens, n_distinct,
+    // stop_hits) — the HOF ratios each re-walked the token array.
+    val ts = org.apache.spark.sql.GraftBridge.column(
+      graft.expr.TokenStats(
+        org.apache.spark.sql.GraftBridge.expression(Analyzer.tokens(text)),
+        stopwords.toMap.apply("en")))
     val nChars = length(text).cast("double")
-    val nToks = greatest(size(toks), lit(1)).cast("double")
+    val nToks = greatest(ts.getField("n_tokens"), lit(1L)).cast("double")
     val punct = length(regexp_replace(lower(text), "[a-z0-9 ]", "")).cast("double")
-    val en = stopwords.toMap.apply("en")
-    df.withColumn("n_tokens", size(toks).cast("long"))
+    df.withColumn("n_tokens", ts.getField("n_tokens"))
       .withColumn("punct_ratio", Num.round(punct / greatest(nChars, lit(1.0)), 4))
-      .withColumn("stopword_ratio", Num.round(hitRatio(toks, en), 4))
-      .withColumn("ttr", Num.round(size(array_distinct(toks)).cast("double") / nToks, 4))
+      .withColumn("stopword_ratio", Num.round(ts.getField("stop_hits").cast("double") / nToks, 4))
+      .withColumn("ttr", Num.round(ts.getField("n_distinct").cast("double") / nToks, 4))
       .withColumn(
         "quality",
         Num.round(
