@@ -158,6 +158,17 @@ object SparkEntry {
     "q_highlight" -> ((s, d) =>
       Search.highlight(t(s, d, "documents"), "doc_id", "text", "merge").limit(20)),
 
+    // es.read.metadata with a scored query: the connector read path
+    // surfaces _score (BM25 over the match clause) alongside _id.
+    "q_read_metadata_score" -> ((s, d) => {
+      import graft.sources.Connector.implicits._
+      s.graftDF(s"$d/documents.parquet", """{"match": {"text": "merge sort"}}""",
+        idField = "doc_id", readMetadata = true)
+        .select(col("_id").as("id"), col("_score").as("score"))
+        .orderBy(col("score").desc, col("id").asc)
+        .limit(15)
+    }),
+
     "q_percolate" -> ((s, d) => Search.percolate(t(s, d, "documents"), "doc_id", Seq(
       "wants_spark" -> Search.matchQueryAnd(col("text"), "spark join"),
       "long_en" -> (QueryDsl.term(col("lang"), "en") && col("n_chars") > 350),
@@ -474,6 +485,16 @@ object SparkEntry {
       "FROM documents WHERE list_contains(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), " +
       "x -> len(x) > 0), 'merge') ORDER BY id LIMIT 20"),
 
+    "q_read_metadata_score" -> (TokCte + ", " +
+      "dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl, toks FROM tok), " +
+      "st AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl), " +
+      "tf AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl) " +
+      "WHERE term IN ('merge','sort') GROUP BY doc_id, dl, term), " +
+      "df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term) " +
+      "SELECT tf.doc_id AS id, round(sum(ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) * " +
+      "tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / st.avgdl))), 4) AS score " +
+      "FROM tf JOIN df USING (term) CROSS JOIN st GROUP BY tf.doc_id ORDER BY score DESC, id LIMIT 15"),
+
     "q_percolate" -> (TokCte.replace("SELECT doc_id,", "SELECT doc_id, lang, source, n_chars,") +
       ", m AS (SELECT doc_id, " +
       "CASE WHEN list_has_all(toks, ['spark','join']) THEN 'wants_spark' END AS q1, " +
@@ -628,16 +649,22 @@ object SparkEntry {
       "FROM cand JOIN sh sa ON sa.doc_id = id1 JOIN sh sb ON sb.doc_id = id2) " +
       "SELECT id1, id2, round(inter / (n1 + n2 - inter), 4) AS jaccard FROM pairs " +
       "WHERE round(inter / (n1 + n2 - inter), 4) >= 0.8 ORDER BY id1, id2"),
+    // 64-bit simhash as TWO 32-bit halves (hi = bits 1..32, lo = bits
+    // 33..64): folding all 64 into one BIGINT overflows DuckDB, but
+    // each half stays < 2^32 and hamming is the sum of half-hammings.
     "q_dedup_simhash" -> ("WITH tok AS (SELECT doc_id, list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS toks FROM documents), " +
       "md AS (SELECT doc_id, list_transform(toks, t -> md5(t)) AS md5s FROM tok), " +
-      "bits AS (SELECT doc_id, list_transform(range(0, 32), j -> CASE WHEN " +
+      "bits AS (SELECT doc_id, list_transform(range(0, 64), j -> CASE WHEN " +
       "list_reduce(list_prepend(0, list_transform(md5s, m -> CASE WHEN " +
       "(((CASE WHEN ascii(substr(m, (j // 4)::INT + 1, 1)) <= 57 THEN ascii(substr(m, (j // 4)::INT + 1, 1)) - 48 " +
       "ELSE ascii(substr(m, (j // 4)::INT + 1, 1)) - 87 END) // (2 ** (3 - j % 4))::INT) % 2) = 1 THEN 1 ELSE -1 END)), (a, v) -> a + v) > 0 " +
       "THEN 1::BIGINT ELSE 0::BIGINT END) AS bs FROM md), " +
-      "sig AS (SELECT doc_id, list_reduce(list_prepend(0::BIGINT, bs), (a, b) -> a * 2 + b) AS sig FROM bits) " +
-      "SELECT a.doc_id AS id1, b.doc_id AS id2, bit_count(xor(a.sig, b.sig))::INT AS hamming " +
-      "FROM sig a JOIN sig b ON a.doc_id < b.doc_id WHERE bit_count(xor(a.sig, b.sig)) <= 3 ORDER BY id1, id2"),
+      "sig AS (SELECT doc_id, list_reduce(list_prepend(0::BIGINT, bs[1:32]), (a, b) -> a * 2 + b) AS hi, " +
+      "list_reduce(list_prepend(0::BIGINT, bs[33:64]), (a, b) -> a * 2 + b) AS lo FROM bits) " +
+      "SELECT a.doc_id AS id1, b.doc_id AS id2, " +
+      "(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)))::INT AS hamming " +
+      "FROM sig a JOIN sig b ON a.doc_id < b.doc_id " +
+      "WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3 ORDER BY id1, id2"),
     "q_dedup_ngram" -> ("WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks FROM documents WHERE source = 'src0'), " +
       "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM tok WHERE len(toks) >= 3) " +
       "SELECT a.doc_id AS id1, b.doc_id AS id2, " +

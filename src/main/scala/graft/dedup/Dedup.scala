@@ -125,27 +125,45 @@ object Dedup {
     GraftBridge.column(
       SimHash32(GraftBridge.expression(array_distinct(Analyzer.tokens(textCol)))))
 
+  /** 64-bit SimHash over distinct tokens (first 64 md5 bits as votes).
+    * The DuckDB oracle reproduces it as two 32-bit halves (hi/lo) —
+    * folding 64 bits into one BIGINT overflows there, but each half
+    * stays < 2^32. Spark holds the full signature in one (signed)
+    * long. */
+  def simhash64(textCol: Column): Column =
+    GraftBridge.column(
+      graft.expr.SimHash64(GraftBridge.expression(array_distinct(Analyzer.tokens(textCol)))))
+
   /** SimHash near-dup pairs with hamming distance <= maxHamming,
-    * candidate-filtered by 4 LSH bands of 8 bits. With maxHamming <= 3
+    * candidate-filtered by 4 LSH bands of 16 bits. With maxHamming <= 3
     * and 4 bands, pigeonhole guarantees at least one identical band, so
     * the band filter loses NO qualifying pair — band-join then exact
     * hamming is equivalent to the all-pairs scan the oracle runs.
+    *
+    * Scale: 16-bit bands give 65,536 buckets per band, so expected
+    * candidate pairs are ~ n^2 / 2^17 per band under a uniform
+    * signature distribution — 256x fewer than the r1 32-bit/8-bit
+    * banding, and the signature entropy (64 bits over md5 votes) keeps
+    * buckets near-uniform. Residual hazard at 100x is template-heavy
+    * corpora collapsing onto few signatures; that skew is exactly what
+    * AQE skew-join (on in GraftSession) splits at runtime.
     */
   def simhashPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, "4x8-bit bands only guarantee recall for hamming <= 3")
+    require(maxHamming <= 3, "4x16-bit bands only guarantee recall for hamming <= 3")
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val sig = docs.repartition(par)
-      .select(col(idCol).as("id"), simhash32(col(textCol)).as("sig"))
+      .select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
       .cache() // long+string pair per doc: tiny; feeds both join sides
 
     val banded = sig.select(
       col("id"), col("sig"),
       explode(array((0 until 4).map { b =>
-        concat(lit(b + "|"), (shiftright(col("sig"), 8 * b) % 256).cast("string"))
+        concat(lit(b + "|"),
+          shiftrightunsigned(col("sig"), 16 * b).bitwiseAND(lit(0xffffL)).cast("string"))
       }: _*)).as("band"))
 
     banded.as("a")

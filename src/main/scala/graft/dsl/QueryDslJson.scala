@@ -23,6 +23,30 @@ object QueryDslJson {
   def compile(json: String, idField: String = "_id"): Column =
     compileNode(JsonMethods.parse(json), idField)
 
+  /** The (field, query-text) of every SCORING clause in the query tree
+    * — `match` clauses at the top level or under bool must/should.
+    * Filter context (bool.filter, must_not) contributes no score,
+    * mirroring ES; the connector's `readMetadata` sums BM25 over these
+    * clauses to populate `_score`. */
+  def scoringClauses(json: String): Seq[(String, String)] =
+    collectScoring(JsonMethods.parse(json))
+
+  private def collectScoring(q: JValue): Seq[(String, String)] = q match {
+    case JObject(JField("match", JObject(JField(f, body) :: Nil)) :: Nil) =>
+      body match {
+        case JObject(fields) =>
+          fields.toMap.get("query").map(v => f -> lits(v).toString).toSeq
+        case v => Seq(f -> lits(v).toString)
+      }
+    case JObject(JField("bool", JObject(fields)) :: Nil) =>
+      val m = fields.toMap
+      Seq("must", "should").flatMap(k => m.get(k).toSeq.flatMap {
+        case JArray(xs) => xs.flatMap(collectScoring)
+        case single => collectScoring(single)
+      })
+    case _ => Nil
+  }
+
   private def lits(v: JValue): Any = v match {
     case JString(s) => s
     case JInt(i) => i.toLong

@@ -92,6 +92,34 @@ object HashKernels {
     sig
   }
 
+  /** array<string> distinct tokens -> 64-bit SimHash (first 64 md5
+    * bits as +-1 votes, sign bits MSB-first; wraps to a signed long).
+    * The 64-bit width is what makes LSH banding scale: 4 bands of 16
+    * bits = 65,536 buckets per band, vs 256 for the 32-bit variant. */
+  def simhash64Kernel(arr: ArrayData): Long = {
+    val md = MessageDigest.getInstance("MD5")
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      var j = 0
+      while (j < 64) {
+        val bit = (d(j >> 3) >> (7 - (j & 7))) & 1
+        votes(j) += (if (bit == 1) 1 else -1)
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      sig = sig * 2 + (if (votes(j) > 0) 1L else 0L)
+      j += 1
+    }
+    sig
+  }
+
   /** one-pass (n_tokens, n_distinct, stop_hits) over a token array. */
   def tokenStatsKernel(
       arr: ArrayData,
@@ -300,6 +328,24 @@ case class SimHash32(child: Expression)
       s"${ev.value} = graft.expr.HashKernels.simhash32Kernel($c);")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+}
+
+/** array<string> distinct tokens -> 64-bit SimHash as (signed) long. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(HashKernels.simhash64Kernel(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.HashKernels.simhash64Kernel($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }
 

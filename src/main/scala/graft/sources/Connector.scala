@@ -55,11 +55,34 @@ object Connector {
         val df1 = if (query == null) df0 else df0.where(EsQuery.compile(query, idField))
         val df2 = if (fieldInclude.nonEmpty) df1.select(fieldInclude.map(col): _*) else df1
         val df3 = fieldExclude.foldLeft(df2)(_ drop _)
-        // es.read.metadata analog: surface _id/_index alongside _source
+        // es.read.metadata analog: surface _id/_index alongside the
+        // source fields, plus _score when the query carries scoring
+        // (match) clauses — mirroring the reference, where a scored
+        // query exposes its relevance via the metadata map.
         if (readMetadata) {
           require(df3.columns.contains(idField),
             s"readMetadata needs id column '$idField' in the result")
-          df3.withColumn("_id", col(idField)).withColumn("_index", lit(path))
+          val withMeta = df3.withColumn("_id", col(idField)).withColumn("_index", lit(path))
+          val scoring = Option(query).map(_.trim).filter(_.startsWith("{"))
+            .map(graft.dsl.QueryDslJson.scoringClauses).getOrElse(Nil)
+          if (scoring.isEmpty) withMeta
+          else {
+            // per-clause BM25 over the whole index (corpus stats come
+            // from the index, not the filtered hits), summed per doc.
+            // The scores frame is small (only docs containing query
+            // terms) and joins back on id.
+            val perClause = scoring.map { case (f, q) =>
+              graft.search.Search.bm25Scores(df0, idField, f, q)
+            }
+            val scores = perClause.reduce(_ unionByName _)
+              .groupBy(col("id"))
+              .agg(graft.util.Num.round(sum(col("score")), 4).as("_score"))
+              .withColumnRenamed("id", "_graft_score_id")
+            withMeta
+              .join(scores, col(idField) === col("_graft_score_id"), "left")
+              .drop("_graft_score_id")
+              .withColumn("_score", coalesce(col("_score"), lit(0.0)))
+          }
         } else df3
       }
     }
@@ -75,7 +98,14 @@ object Connector {
     val spark = batch.sparkSession
     val op = cfg.getOrElse("graft.write.operation", "index")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val exists = fs.exists(new Path(path))
+    // crash recovery: a swap that died between "rename live aside" and
+    // "rename tmp in" leaves the index at path_graft_old. Restore it
+    // before looking at `exists`, so a sink replay after a crash sees
+    // the full index instead of silently rebuilding from one batch.
+    val livePath = new Path(path)
+    val oldPath = new Path(path + "_graft_old")
+    if (!fs.exists(livePath) && fs.exists(oldPath)) fs.rename(oldPath, livePath)
+    val exists = fs.exists(livePath)
     // es.input.json analog: the index can be stored as json (or orc)
     // instead of parquet — same bulk semantics over any columnar/row fmt
     val fmt = cfg.getOrElse("graft.format", "parquet")
@@ -113,14 +143,18 @@ object Connector {
           val existing = reader.load(path)
           val updatable = batch.join(
             existing.select(col(idCol)), Seq(idCol), "left_semi")
-          val merged = resolve(
-            existing.withColumn("_src", lit(0)).unionByName(
-              updatable.withColumn("_src", lit(1))), idCol, col("_src"), col("_src"))
+          val unioned = existing.withColumn("_src", lit(0)).unionByName(
+            updatable.withColumn("_src", lit(1)))
+          // external versioning applies to update exactly as to index:
+          // a stale-versioned update must not clobber a newer document
+          val merged = cfg.get("graft.mapping.version") match {
+            case Some(v) => resolve(unioned, idCol, col(v), col("_src"))
+            case None => resolve(unioned, idCol, col("_src"), col("_src"))
+          }
           val tmp = new Path(path + "_graft_tmp")
           if (fs.exists(tmp)) fs.delete(tmp, true)
           writer(merged.drop("_src")).mode("overwrite").save(tmp.toString)
-          fs.delete(new Path(path), true)
-          fs.rename(tmp, new Path(path))
+          swapIn(fs, livePath, tmp)
         } // no index -> nothing to update (ES would error per-doc)
       case "index" | "upsert" =>
         val idCol = cfg.getOrElse("graft.mapping.id",
@@ -143,12 +177,28 @@ object Connector {
           val tmp = new Path(path + "_graft_tmp")
           if (fs.exists(tmp)) fs.delete(tmp, true)
           writer(merged.drop("_src")).mode("overwrite").save(tmp.toString)
-          fs.delete(new Path(path), true)
-          fs.rename(tmp, new Path(path))
+          swapIn(fs, livePath, tmp)
         }
       case other =>
         throw new IllegalArgumentException(s"unknown graft.write.operation: $other")
     }
+  }
+
+  /** Crash-safe index swap: rename the live directory ASIDE, rename
+    * the new one in, then drop the old copy — every crash point leaves
+    * either the old or the new index recoverable (`save` restores a
+    * leftover `_graft_old` on its next run). The previous
+    * delete-then-rename had a window where a crash lost the index
+    * entirely, which a foreachBatch replay then "recovered" from a
+    * single micro-batch. */
+  private def swapIn(fs: org.apache.hadoop.fs.FileSystem, live: Path, tmp: Path): Unit = {
+    val old = new Path(live.toString + "_graft_old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(live) && !fs.rename(live, old))
+      throw new java.io.IOException(s"swap: rename $live -> $old failed")
+    if (!fs.rename(tmp, live))
+      throw new java.io.IOException(s"swap: rename $tmp -> $live failed")
+    fs.delete(old, true)
   }
 
   /** Keep one row per id: highest (primary, tiebreak) wins. */
@@ -160,12 +210,17 @@ object Connector {
     df.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
   }
 
-  /** In-batch id dedup for first write (last occurrence wins, matching
-    * bulk-apply order; needs a deterministic order column if the batch
-    * has true duplicates — we use the version column when present). */
+  /** In-batch id dedup for first write: last occurrence wins, matching
+    * bulk-apply order. With a version column the higher version wins;
+    * otherwise arrival order is stamped with monotonically_increasing_id
+    * at this boundary — deterministic for a given input partitioning,
+    * unlike dropDuplicates (which keeps whichever row a partition race
+    * delivers first). */
   private def dedupWithin(df: DataFrame, idCol: String, cfg: Map[String, String]): DataFrame =
     cfg.get("graft.mapping.version") match {
       case Some(v) => resolve(df, idCol, col(v), col(v))
-      case None => df.dropDuplicates(idCol)
+      case None =>
+        resolve(df.withColumn("_ord", monotonically_increasing_id()),
+          idCol, col("_ord"), col("_ord")).drop("_ord")
     }
 }

@@ -41,6 +41,33 @@ class ConnectorSpec extends SparkSpec {
     intercept[IllegalArgumentException](QueryDslJson.compile("""{"knn_unsupported": {}}"""))
   }
 
+  test("readMetadata surfaces _score for scored queries, 0.0 for filter-only hits") {
+    val path = s"$sfDir/documents.parquet"
+    val scored = spark.graftDF(path, """{"match": {"text": "merge sort"}}""",
+      idField = "doc_id", readMetadata = true)
+    assert(scored.columns.contains("_score") && scored.columns.contains("_id"))
+    // _score equals the direct BM25 ranking for the same query
+    val viaConnector = scored
+      .select(col("_id").as("id"), col("_score").as("score"))
+      .orderBy(col("score").desc, col("id").asc).limit(5)
+      .as[(Long, Double)].collect().toSeq
+    val direct = graft.search.Search
+      .bm25TopK(Tables.documents(spark, sfDir), "doc_id", "text", "merge sort", 5)
+      .as[(Long, Double)].collect().toSeq
+    assert(viaConnector == direct)
+    // filter-context query: no scoring clause -> no _score column
+    val filtered = spark.graftDF(path, """{"term": {"lang": "en"}}""",
+      idField = "doc_id", readMetadata = true)
+    assert(!filtered.columns.contains("_score"))
+    // bool with a filter AND a match: hits kept by filter but missing
+    // the match terms still appear when the match is in should (msm 0)
+    val mixed = spark.graftDF(path,
+      """{"bool": {"must": [{"match": {"text": "merge"}}], "filter": [{"term": {"lang": "en"}}]}}""",
+      idField = "doc_id", readMetadata = true)
+    assert(mixed.columns.contains("_score"))
+    assert(mixed.where(col("_score") <= 0.0).count() == 0)
+  }
+
   test("connector roundtrip: index write, JSON-query read, upsert semantics") {
     val dir = Files.createTempDirectory("graft_index").toString + "/idx"
     val v1 = Seq((1L, "alpha", 1), (2L, "beta", 1), (3L, "gamma", 1)).toDF("id", "name", "ver")
