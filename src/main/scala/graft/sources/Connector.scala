@@ -95,7 +95,7 @@ object Connector {
   }
 
   def save(batch: DataFrame, path: String, cfg: Map[String, String]): Unit = {
-    val spark = batch.sparkSession
+    implicit val spark: SparkSession = batch.sparkSession
     val op = cfg.getOrElse("graft.write.operation", "index")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     // crash recovery: a swap that died between "rename live aside" and
@@ -191,7 +191,8 @@ object Connector {
     * delete-then-rename had a window where a crash lost the index
     * entirely, which a foreachBatch replay then "recovered" from a
     * single micro-batch. */
-  private def swapIn(fs: org.apache.hadoop.fs.FileSystem, live: Path, tmp: Path): Unit = {
+  private def swapIn(fs: org.apache.hadoop.fs.FileSystem, live: Path, tmp: Path)(
+      implicit spark: SparkSession): Unit = {
     val old = new Path(live.toString + "_graft_old")
     if (fs.exists(old)) fs.delete(old, true)
     if (fs.exists(live) && !fs.rename(live, old))
@@ -199,6 +200,9 @@ object Connector {
     if (!fs.rename(tmp, live))
       throw new java.io.IOException(s"swap: rename $tmp -> $live failed")
     fs.delete(old, true)
+    // the rename bypassed Spark's writers, so the shared file-status
+    // cache still lists the pre-swap files for this path
+    spark.catalog.refreshByPath(live.toString)
   }
 
   /** Keep one row per id: highest (primary, tiebreak) wins. */

@@ -8,22 +8,69 @@ import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 
 /** `spark.read.format("graft")` — the connector architecture of the
-  * reference, Spark-native. elasticsearch-hadoop's Spark integration is
-  * exactly this shape: a `RelationProvider` whose relation implements
-  * `PrunedFilteredScan`, translating Spark `Filter`s into the ES Query
-  * DSL and `requiredColumns` into `_source` includes. graft keeps the
-  * translation table (see `FilterTranslator`) but the "server side" is
-  * the parquet scan, so pushed filters land in row-group pruning
-  * instead of shards.
+  * reference, Spark-native.
+  *
+  * READS go through DataSource V2 (`FileDataSourceV2` -> `GraftTable`,
+  * see GraftTableV2.scala): the native vectorized parquet scan with
+  * catalyst filter/column pushdown and no RDD boundary, `graft.query`
+  * enforced row-level inside the scan. WRITES stay on the V1
+  * `CreatableRelationProvider` path (Spark routes file-source V2
+  * writes back to V1), dispatching to `Connector.save`'s bulk
+  * semantics. The V1 read relation (`GraftRelation` +
+  * `FilterTranslator`) is kept: it documents the reference's own
+  * RelationProvider/PrunedFilteredScan architecture and serves any
+  * caller constructing the relation directly.
   *
   * Options: `graft.query` (ES Query-DSL JSON applied server-side),
   * `graft.mapping.id` (id column for `ids` queries and upsert writes),
   * `graft.write.operation` / `graft.mapping.version` (see Connector).
   */
 class DefaultSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with DataSourceRegister
+    with org.apache.spark.sql.connector.catalog.TableProvider {
+
+  // NOTE: deliberately TableProvider, NOT FileDataSourceV2 — Spark's
+  // v1 DataSource swaps a FileDataSourceV2 for its fallbackFileFormat
+  // on EVERY v1 code path, which would silence Connector.save's bulk
+  // semantics on writes. A plain TableProvider gets the v2 read path
+  // while DataFrameWriter routes non-writable tables back to the v1
+  // CreatableRelationProvider below.
 
   override def shortName(): String = "graft"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def v2Paths(options: org.apache.spark.sql.util.CaseInsensitiveStringMap): Seq[String] = {
+    val fromPaths = Option(options.get("paths")).map { json =>
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      om.readValue(json, classOf[Array[String]]).toSeq
+    }.getOrElse(Nil)
+    (Option(options.get("path")).toSeq ++ fromPaths).distinct
+  }
+
+  private def table(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap,
+      schema: Option[org.apache.spark.sql.types.StructType]): GraftTable = {
+    val paths = v2Paths(options)
+    require(paths.nonEmpty, "format(\"graft\") requires a path")
+    val withoutPaths = new java.util.HashMap[String, String](options.asCaseSensitiveMap())
+    withoutPaths.remove("path"); withoutPaths.remove("paths")
+    GraftTable(s"graft ${paths.mkString(",")}",
+      org.apache.spark.sql.SparkSession.active,
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(withoutPaths), paths, schema)
+  }
+
+  override def inferSchema(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : org.apache.spark.sql.types.StructType =
+    table(options, None).schema()
+
+  override def getTable(
+      schema: org.apache.spark.sql.types.StructType,
+      partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.Table =
+    table(new org.apache.spark.sql.util.CaseInsensitiveStringMap(properties), Option(schema))
 
   private def path(parameters: Map[String, String]): String =
     parameters.getOrElse("path",

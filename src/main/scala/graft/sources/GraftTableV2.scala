@@ -1,0 +1,176 @@
+package graft.sources
+
+import java.util.{Set => JSet}
+
+import graft.dsl.EsQuery
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, Predicate => CatalystPredicate}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter => LogicalFilter}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScanBuilder, ParquetTable}
+import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 read path for `format("graft")`.
+  *
+  * The r1 connector was DSv1 (`RelationProvider` + `PrunedFilteredScan`,
+  * faithful to the reference's own architecture), but its `buildScan`
+  * returned `df.rdd` — an InternalRow -> Row -> InternalRow round trip
+  * that broke whole-stage codegen at the relation boundary. This table
+  * delegates straight to Spark's native parquet DSv2 scan
+  * (`ParquetTable` / `ParquetScanBuilder`), so reads get the vectorized
+  * columnar reader, catalyst filter pushdown (row-group + page
+  * pruning), partition pruning for routed indices, and column pruning —
+  * with NO RDD boundary in the physical plan.
+  *
+  * `graft.query` (ES Query-DSL / URI syntax) is compiled once on the
+  * driver and enforced ROW-LEVEL inside the scan by wrapping the
+  * parquet reader factory with a codegen'd predicate — the DSv2 analog
+  * of the reference pushing `es.query` to the server side. Plan-level
+  * filters remain Spark's job (they are returned as residual by the
+  * parquet builder and re-applied above the scan, the standard
+  * best-effort-pushdown contract).
+  */
+case class GraftTable(
+    tableName: String,
+    spark: SparkSession,
+    options: CaseInsensitiveStringMap,
+    paths: Seq[String],
+    userSpecifiedSchema: Option[StructType]) extends Table with SupportsRead {
+
+  private lazy val delegate: ParquetTable =
+    ParquetTable(tableName, spark, options, paths, userSpecifiedSchema,
+      classOf[ParquetFileFormat])
+
+  override def name(): String = tableName
+  override def schema(): StructType = delegate.schema
+  override def partitioning(): Array[Transform] = delegate.partitioning()
+  override def capabilities(): JSet[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder = {
+    def opt(k: String) = Option(scanOptions.get(k)).orElse(Option(options.get(k)))
+    val idField = opt("graft.mapping.id").getOrElse("_id")
+    val query = opt("graft.query").map(q => EsQuery.compile(q, idField))
+    new GraftScanBuilder(
+      spark,
+      delegate.newScanBuilder(scanOptions),
+      schema(),
+      query)
+  }
+}
+
+/** Delegating scan builder: catalyst filter + column pushdown go to the
+  * parquet builder untouched; the compiled `graft.query` predicate adds
+  * its referenced columns to the pruned schema (the scan must read them
+  * to evaluate the filter, even when the caller didn't select them —
+  * Spark projects them away above). */
+class GraftScanBuilder(
+    spark: SparkSession,
+    delegate: ParquetScanBuilder,
+    tableSchema: StructType,
+    query: Option[Column])
+  extends ScanBuilder
+    with SupportsPushDownCatalystFilters
+    with SupportsPushDownRequiredColumns {
+
+  /** The query condition resolved + type-coerced against the FULL table
+    * schema by running it through a real Dataset (which also converts
+    * Spark 4 column nodes to catalyst expressions), then
+    * ReplaceExpressions so no RuntimeReplaceable node reaches the
+    * row-level evaluator. Resolved once; bound to the (narrower) scan
+    * row layout by name at reader-factory time. */
+  private lazy val resolvedQuery: Option[Expression] = query.map { c =>
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), tableSchema)
+    org.apache.spark.sql.catalyst.optimizer.ReplaceExpressions(
+      empty.where(c).queryExecution.analyzed)
+      .collectFirst { case f: LogicalFilter => f.condition }
+      .getOrElse(throw new IllegalStateException("graft.query failed to resolve"))
+  }
+
+  private lazy val queryRefs: Set[String] =
+    resolvedQuery.map(_.references.map(_.name).toSet).getOrElse(Set.empty)
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
+    delegate.pushFilters(filters)
+
+  override def pushedFilters: Array[V2Predicate] = delegate.pushedFilters
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    val names = requiredSchema.fieldNames.toSet ++ queryRefs
+    delegate.pruneColumns(StructType(tableSchema.fields.filter(f => names(f.name))))
+  }
+
+  override def build(): Scan = resolvedQuery match {
+    case None => delegate.build()
+    case Some(cond) =>
+      // every pruneColumns call unions queryRefs in, and the un-pruned
+      // default is the full schema — either way the scan reads the
+      // filter's columns.
+      GraftFilteredScan(delegate.build(), cond)
+  }
+}
+
+/** A scan that applies the compiled `graft.query` condition row-level
+  * inside the readers. The delegate's partitions are reused verbatim;
+  * only the reader factory is wrapped. Forcing the row-based (non
+  * -columnar) parquet reader costs vectorization ONLY when a query
+  * option is present — plan-level predicates keep the columnar path. */
+case class GraftFilteredScan(delegate: Scan, cond: Expression)
+  extends Scan with Batch {
+
+  override def readSchema(): StructType = delegate.readSchema()
+  override def description(): String = s"GraftFiltered(${delegate.description()})"
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    delegate.toBatch.planInputPartitions()
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // bind by NAME to the scan's row layout (readDataSchema ++
+    // readPartitionSchema): the resolved condition's exprIds come from
+    // a throwaway analysis relation, so ordinals must be re-derived.
+    val idx = readSchema().fieldNames.zipWithIndex.toMap
+    val bound = cond.transform {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        org.apache.spark.sql.catalyst.expressions.BoundReference(
+          idx.getOrElse(a.name,
+            throw new IllegalStateException(s"graft.query column ${a.name} not in scan")),
+          a.dataType, a.nullable)
+    }
+    GraftFilteringReaderFactory(delegate.toBatch.createReaderFactory(), bound)
+  }
+}
+
+case class GraftFilteringReaderFactory(
+    delegate: PartitionReaderFactory,
+    bound: Expression) extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = false
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val base = delegate.createReader(partition)
+    // codegen'd predicate, compiled once per partition on the executor
+    val pred = CatalystPredicate.create(bound)
+    pred.initialize(0)
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        while (base.next()) {
+          val r = base.get()
+          if (pred.eval(r)) { current = r; return true }
+        }
+        false
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = base.close()
+    }
+  }
+}

@@ -26,6 +26,38 @@ class DefaultSourceSpec extends SparkSpec {
     assert(viaGraft == direct && viaGraft.nonEmpty)
   }
 
+  test("format(graft) reads are DSv2: native parquet BatchScan, pushdown, no RDD boundary") {
+    val df = spark.read.format("graft").load(idx)
+      .where(col("lang") === "en").select("doc_id", "n_chars")
+    val plan = df.queryExecution.executedPlan.toString
+    // native v2 parquet scan with the filter pushed and columns pruned
+    assert(plan.contains("BatchScan graft"))
+    assert(plan.contains("EqualTo(lang,en)"))
+    assert(!plan.contains("Scan ExistingRDD"))
+    val batchScan = df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(batchScan.isDefined)
+    val readCols = batchScan.get.scan.readSchema().fieldNames.toSet
+    assert(readCols == Set("doc_id", "lang", "n_chars"))
+
+    // a graft.query wraps the same parquet scan with a row-level filter
+    val q = spark.read.format("graft")
+      .option("graft.query", """{"match": {"text": "spark window"}}""")
+      .load(idx).select("doc_id")
+    val qScan = q.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }
+    assert(qScan.exists(_.isInstanceOf[graft.sources.GraftFilteredScan]))
+    // text is read (the filter needs it) even though only doc_id is selected
+    assert(qScan.get.readSchema().fieldNames.toSet == Set("doc_id", "text"))
+    val viaQuery = q.as[Long].collect().toSet
+    val direct = spark.read.parquet(idx)
+      .where(graft.search.Search.matchQuery(col("text"), "spark window"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaQuery == direct && viaQuery.nonEmpty)
+  }
+
   test("format(graft): graft.query option applies the ES JSON query") {
     val n = spark.read.format("graft")
       .option("graft.query", """{"bool": {"must": [{"term": {"lang": "de"}}]}}""")
