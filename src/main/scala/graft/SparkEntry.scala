@@ -115,6 +115,26 @@ object SparkEntry {
       .where(graft.dsl.EsQuery.compile("?q=lang:en AND (n_chars:>300 OR source:src1*) AND NOT source:src19"))
       .select(col("doc_id"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))),
+    // Lucene +/- clause modifiers: +required -prohibited, plain clause
+    // becomes optional (scoring-only, no filter effect)
+    "q_uri_plusminus" -> ((s, d) => t(s, d, "documents")
+      .where(graft.dsl.UriQuery.compile("+lang:en -source:src19 n_chars:>300"))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))),
+    // fuzzy suffix on an analyzed field: any token within 1 edit
+    "q_uri_fuzzy" -> ((s, d) => t(s, d, "documents")
+      .where(graft.dsl.UriQuery.compile("lang:en AND text:spak~1"))
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))),
+    // default_operator=AND: bare adjacency requires every term
+    "q_uri_default_and" -> ((s, d) => t(s, d, "documents")
+      .where(graft.dsl.UriQuery.compile("merge sort", "text", "and"))
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))),
+    // boosted multi-field query_string: fields ["text^2","source"]
+    "q_uri_boost" -> ((s, d) =>
+      Search.queryStringTopK(t(s, d, "documents"), "doc_id",
+        Search.parseBoostFields(Seq("text^2", "source")), "merge src5", 10)),
 
     // ---- B. Full-text (query context) ----
     "q_match" -> ((s, d) => t(s, d, "documents")
@@ -234,6 +254,10 @@ object SparkEntry {
       val g = withGeo(t(s, d, "customer"))
       Aggs.geoCentroid(g.where(col("c_mktsegment") === "BUILDING"), "lat", "lon")
     }),
+    "q_geo_grid" -> ((s, d) =>
+      Aggs.geohashGridAgg(withGeo(t(s, d, "customer")), "lat", "lon", precision = 4, k = 15)),
+    "q_geo_tile" -> ((s, d) =>
+      Aggs.geotileGridAgg(withGeo(t(s, d, "customer")), "lat", "lon", zoom = 6, k = 15)),
     "q_autocomplete" -> ((s, d) => t(s, d, "documents")
       .select(explode(graft.analysis.Analyzer.tokens(col("text"))).as("token"))
       .where(col("token").startsWith("s"))
@@ -242,6 +266,20 @@ object SparkEntry {
       .limit(8)),
     "q_agg_pipeline" -> ((s, d) =>
       Aggs.dateHistogramPipeline(t(s, d, "orders"), "o_orderdate", "month", "o_totalprice")),
+    "q_agg_percentile_ranks" -> ((s, d) =>
+      Aggs.percentileRanksAgg(t(s, d, "lineitem"), "l_extendedprice", Seq(1000.0, 10000.0, 50000.0))),
+    "q_agg_multi_terms" -> ((s, d) =>
+      Aggs.multiTermsAgg(t(s, d, "documents"), Seq("lang", "source"), 10)),
+    "q_agg_auto_date_histogram" -> ((s, d) =>
+      Aggs.autoDateHistogramAgg(t(s, d, "orders"), "o_orderdate", 20)),
+    "q_agg_diversified" -> ((s, d) =>
+      Aggs.diversifiedSamplerAgg(t(s, d, "documents"), "doc_id", "lang", "n_chars", 40)),
+    "q_suggest_phrase" -> ((s, d) =>
+      Search.phraseSuggest(t(s, d, "documents"), "text", "table scin", maxEdits = 1, k = 5)),
+    "q_match_fuzzy" -> ((s, d) => t(s, d, "documents")
+      .where(graft.dsl.QueryDslJson.compile(
+        """{"match": {"text": {"query": "spak window", "fuzziness": 1}}}"""))
+      .select(col("doc_id")).orderBy(col("doc_id"))),
     "q_agg_sig_terms" -> ((s, d) =>
       Aggs.significantTerms(t(s, d, "documents"), "text", col("lang") === "en", minFgCount = 5, k = 10)),
     "q_agg_global" -> ((s, d) =>
@@ -422,6 +460,32 @@ object SparkEntry {
 
     "q_uri_query" -> ("SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en' " +
       "AND (n_chars > 300 OR source LIKE 'src1%') AND NOT source = 'src19' ORDER BY doc_id"),
+    "q_uri_plusminus" -> ("SELECT doc_id, source, n_chars FROM documents " +
+      "WHERE lang = 'en' AND NOT source = 'src19' ORDER BY doc_id"),
+    "q_uri_fuzzy" -> (TokCte.replace("FROM documents", "FROM documents WHERE lang = 'en'") +
+      " SELECT doc_id FROM tok WHERE len(list_filter(toks, t -> levenshtein(t, 'spak') <= 1)) > 0 ORDER BY doc_id"),
+    "q_uri_default_and" -> (TokCte +
+      " SELECT doc_id FROM tok WHERE list_has_all(toks, ['merge','sort']) ORDER BY doc_id"),
+    "q_uri_boost" -> (TokCte + ", " +
+      "stok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(source), '[^a-z0-9]+'), x -> len(x) > 0) AS toks FROM documents), " +
+      "dl1 AS (SELECT doc_id, len(toks)::DOUBLE AS dl, toks FROM tok), " +
+      "st1 AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl1), " +
+      "tf1 AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl1) " +
+      "WHERE term IN ('merge','src5') GROUP BY doc_id, dl, term), " +
+      "df1 AS (SELECT term, count(*)::DOUBLE AS df FROM tf1 GROUP BY term), " +
+      "sc1 AS (SELECT tf1.doc_id AS id, round(sum(ln(1.0 + (st1.n_docs - df1.df + 0.5) / (df1.df + 0.5)) * " +
+      "tf1.tf * (1.2 + 1.0) / (tf1.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf1.dl / st1.avgdl))), 4) AS score " +
+      "FROM tf1 JOIN df1 USING (term) CROSS JOIN st1 GROUP BY tf1.doc_id), " +
+      "dl2 AS (SELECT doc_id, len(toks)::DOUBLE AS dl, toks FROM stok), " +
+      "st2 AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl2), " +
+      "tf2 AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl2) " +
+      "WHERE term IN ('merge','src5') GROUP BY doc_id, dl, term), " +
+      "df2 AS (SELECT term, count(*)::DOUBLE AS df FROM tf2 GROUP BY term), " +
+      "sc2 AS (SELECT tf2.doc_id AS id, round(sum(ln(1.0 + (st2.n_docs - df2.df + 0.5) / (df2.df + 0.5)) * " +
+      "tf2.tf * (1.2 + 1.0) / (tf2.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf2.dl / st2.avgdl))), 4) AS score " +
+      "FROM tf2 JOIN df2 USING (term) CROSS JOIN st2 GROUP BY tf2.doc_id), " +
+      "u AS (SELECT id, score * 2.0 AS s FROM sc1 UNION ALL SELECT id, score * 1.0 FROM sc2) " +
+      "SELECT id, round(sum(s), 4) AS score FROM u GROUP BY id ORDER BY score DESC, id LIMIT 10"),
     "q_agg_pipeline" -> ("WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS bucket, " +
       "count(*)::BIGINT AS doc_count, " +
       "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_v FROM orders GROUP BY 1) " +
@@ -505,6 +569,36 @@ object SparkEntry {
       "WHERE query_id IS NOT NULL ORDER BY id, query_id"),
 
     // ---- C ----
+    "q_agg_percentile_ranks" -> ("SELECT " +
+      "round(count_if(l_extendedprice <= 1000.0)::DOUBLE / count(*)::DOUBLE * 100.0, 4) AS rank_1000_0, " +
+      "round(count_if(l_extendedprice <= 10000.0)::DOUBLE / count(*)::DOUBLE * 100.0, 4) AS rank_10000_0, " +
+      "round(count_if(l_extendedprice <= 50000.0)::DOUBLE / count(*)::DOUBLE * 100.0, 4) AS rank_50000_0 " +
+      "FROM lineitem"),
+    "q_agg_multi_terms" -> ("SELECT lang, source, count(*)::BIGINT AS doc_count FROM documents " +
+      "GROUP BY lang, source ORDER BY doc_count DESC, lang, source LIMIT 10"),
+    "q_agg_auto_date_histogram" -> ("WITH sp AS (SELECT date_diff('day', min(o_orderdate), max(o_orderdate)) AS days FROM orders), " +
+      "st AS (SELECT CASE WHEN days * 24 <= 20 THEN 'hour' WHEN days <= 20 THEN 'day' " +
+      "WHEN days / 31.0 <= 20 THEN 'month' ELSE 'year' END AS iv FROM sp), " +
+      "b AS (SELECT iv, CASE iv WHEN 'hour' THEN strftime(date_trunc('hour', o_orderdate), '%Y-%m-%d %H:%M:%S') " +
+      "WHEN 'day' THEN strftime(date_trunc('day', o_orderdate), '%Y-%m-%d %H:%M:%S') " +
+      "WHEN 'month' THEN strftime(date_trunc('month', o_orderdate), '%Y-%m-%d %H:%M:%S') " +
+      "ELSE strftime(date_trunc('year', o_orderdate), '%Y-%m-%d %H:%M:%S') END AS bucket " +
+      "FROM orders CROSS JOIN st) " +
+      "SELECT iv AS interval, bucket, count(*)::BIGINT AS doc_count FROM b GROUP BY 1, 2 ORDER BY bucket"),
+    "q_agg_diversified" -> ("WITH s AS (SELECT doc_id, lang, n_chars FROM documents " +
+      "QUALIFY row_number() OVER (PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) <= 40) " +
+      "SELECT count(*)::BIGINT AS sample_size, round(avg(n_chars), 4) AS avg_metric FROM s"),
+    "q_suggest_phrase" -> (TokCte + ", bg AS (SELECT doc_id, " +
+      "unnest(list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))) AS bigram FROM tok WHERE len(toks) >= 2), " +
+      "v AS (SELECT bigram, count(*)::BIGINT AS freq FROM bg GROUP BY bigram) " +
+      "SELECT bigram AS suggestion, freq FROM v " +
+      "WHERE bigram <> 'table scin' " +
+      "AND levenshtein(split_part(bigram, ' ', 1), 'table') <= 1 " +
+      "AND levenshtein(split_part(bigram, ' ', 2), 'scin') <= 1 " +
+      "ORDER BY freq DESC, suggestion LIMIT 5"),
+    "q_match_fuzzy" -> (TokCte + " SELECT doc_id FROM tok WHERE " +
+      "len(list_filter(toks, t -> levenshtein(t, 'spak') <= 1)) > 0 " +
+      "OR len(list_filter(toks, t -> levenshtein(t, 'window') <= 1)) > 0 ORDER BY doc_id"),
     "q_agg_terms" -> "SELECT o_orderpriority AS key, count(*)::BIGINT AS doc_count FROM orders GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 3",
     "q_agg_stats" -> ("SELECT count(l_extendedprice)::BIGINT AS cnt, round(min(l_extendedprice), 4) AS min_v, " +
       "round(max(l_extendedprice), 4) AS max_v, round(avg(l_extendedprice), 4) AS avg_v, " +
@@ -576,6 +670,26 @@ object SparkEntry {
     "q_geo_centroid" -> (GeoCte.replace("FROM customer", "FROM customer WHERE c_mktsegment = 'BUILDING'") +
       " SELECT round(avg(lat), 4) AS centroid_lat, round(avg(lon), 4) AS centroid_lon, " +
       "count(*)::BIGINT AS doc_count FROM g"),
+    // geohash p=4: 20 interleaved bits (lon 10 + lat 10), base32 chars.
+    // Same fixed-point floor construction as the GeoHash kernel —
+    // pure arithmetic, so both engines agree bit-for-bit.
+    "q_geo_grid" -> (GeoCte + ", b AS (SELECT " +
+      "least(CAST(floor((lon + 180.0) / 360.0 * 1024) AS BIGINT), 1023) AS loni, " +
+      "least(CAST(floor((lat + 90.0) / 180.0 * 1024) AS BIGINT), 1023) AS lati FROM g), " +
+      "v AS (SELECT list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 20), k -> " +
+      "CASE WHEN k % 2 = 0 THEN (loni >> (9 - k // 2)::INT) & 1 ELSE (lati >> (9 - k // 2)::INT) & 1 END)), " +
+      "(a, b) -> a * 2 + b) AS v FROM b), " +
+      "h AS (SELECT substr('0123456789bcdefghjkmnpqrstuvwxyz', (((v >> 15) & 31))::INT + 1, 1) || " +
+      "substr('0123456789bcdefghjkmnpqrstuvwxyz', (((v >> 10) & 31))::INT + 1, 1) || " +
+      "substr('0123456789bcdefghjkmnpqrstuvwxyz', (((v >> 5) & 31))::INT + 1, 1) || " +
+      "substr('0123456789bcdefghjkmnpqrstuvwxyz', ((v & 31))::INT + 1, 1) AS key FROM v) " +
+      "SELECT key, count(*)::BIGINT AS doc_count FROM h GROUP BY key " +
+      "ORDER BY doc_count DESC, key LIMIT 15"),
+    "q_geo_tile" -> (GeoCte + ", c AS (SELECT greatest(least(lat, 85.05112878), -85.05112878) AS latc, lon FROM g), " +
+      "t AS (SELECT CAST(least(floor((lon + 180.0) / 360.0 * 64.0), 63.0) AS BIGINT) AS x, " +
+      "CAST(greatest(least(floor((1.0 - ln(tan(radians(latc)) + 1.0 / cos(radians(latc))) / pi()) / 2.0 * 64.0), 63.0), 0.0) AS BIGINT) AS y FROM c) " +
+      "SELECT '6/' || x::VARCHAR || '/' || y::VARCHAR AS key, count(*)::BIGINT AS doc_count " +
+      "FROM t GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 15"),
     "q_autocomplete" -> (TokCte + " SELECT token, count(*)::BIGINT AS freq FROM " +
       "(SELECT unnest(toks) AS token FROM tok) WHERE token LIKE 's%' " +
       "GROUP BY token ORDER BY freq DESC, token LIMIT 8"),

@@ -198,12 +198,117 @@ object Aggs {
       Num.round(covar_pop(col(f1), col(f2)), 4).as("covariance"),
       Num.round(corr(col(f1), col(f2)), 4).as("correlation"))
 
+  /** `percentile_ranks`: for each probe value, the share of documents
+    * with field <= value, as a percentage. One single-row aggregate —
+    * map-side combined, no sort (the inverse of `percentiles`, which
+    * needs the quantile). */
+  def percentileRanksAgg(df: DataFrame, field: String, values: Seq[Double]): DataFrame = {
+    def rank(v: Double) =
+      Num.round(count(when(col(field) <= v, 1)).cast("double") /
+        count(lit(1)).cast("double") * 100.0, 4)
+        .as(s"rank_$v".replace('.', '_'))
+    df.agg(rank(values.head), values.tail.map(rank): _*)
+  }
+
+  /** `multi_terms`: terms agg over a composite key — top-k (field
+    * tuple) buckets by count. Same one-exchange shape as terms. */
+  def multiTermsAgg(df: DataFrame, fields: Seq[String], k: Int): DataFrame =
+    df.groupBy(fields.map(col): _*)
+      .agg(count(lit(1)).as("doc_count"))
+      .orderBy(col("doc_count").desc +: fields.map(f => col(f).asc): _*)
+      .limit(k)
+
+  /** `auto_date_histogram`: pick the calendar interval (hour/day/
+    * month/year) so the bucket count stays <= targetBuckets, then
+    * bucket by it. The interval choice derives from the min/max span —
+    * a 1-row aggregate cross-joined back (broadcast, no collect), so
+    * the whole thing is still two scans and one exchange. Buckets are
+    * formatted strings so sub-day intervals keep a uniform schema. */
+  def autoDateHistogramAgg(df: DataFrame, tsField: String, targetBuckets: Int): DataFrame = {
+    val stats = df.agg(
+      datediff(max(col(tsField)), min(col(tsField))).as("span_days"))
+    val days = col("span_days")
+    val iv = when(days * 24 <= targetBuckets, "hour")
+      .when(days <= targetBuckets, "day")
+      .when(days / 31.0 <= targetBuckets, "month")
+      .otherwise("year")
+    val fmt = "yyyy-MM-dd HH:mm:ss"
+    val bucket = when(col("interval") === "hour", date_format(date_trunc("hour", col(tsField)), fmt))
+      .when(col("interval") === "day", date_format(date_trunc("day", col(tsField)), fmt))
+      .when(col("interval") === "month", date_format(date_trunc("month", col(tsField)), fmt))
+      .otherwise(date_format(date_trunc("year", col(tsField)), fmt))
+    df.crossJoin(broadcast(stats))
+      .withColumn("interval", iv)
+      .groupBy(col("interval"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("doc_count"))
+      .orderBy(col("bucket"))
+  }
+
+  /** `diversified_sampler`: cap the sample at `maxPerKey` documents
+    * per diversity-field value (deterministic md5 order), then compute
+    * the metrics over the de-biased sample. One window shuffle on the
+    * diversity key; the capped sample is what flows to the final
+    * single-row agg. */
+  def diversifiedSamplerAgg(
+      df: DataFrame, idCol: String, diversityField: String,
+      metricField: String, maxPerKey: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(diversityField))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    df.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= maxPerKey)
+      .agg(
+        count(lit(1)).as("sample_size"),
+        Num.round(avg(col(metricField)), 4).as("avg_metric"))
+  }
+
   /** `geo_centroid`: mean point of a geo field (column-pair model). */
   def geoCentroid(df: DataFrame, latField: String, lonField: String): DataFrame =
     df.agg(
       Num.round(avg(col(latField)), 4).as("centroid_lat"),
       Num.round(avg(col(lonField)), 4).as("centroid_lon"),
       count(lit(1)).as("doc_count"))
+
+  /** `geohash_grid`: bucket points by geohash cell at `precision`,
+    * top-k cells by count (the map-visualization workhorse). The key
+    * is a compiled kernel (graft.expr.GeoHash); one groupBy shuffle of
+    * (cell, partial count) — the same shape as terms agg, so 100 TB
+    * cost is one map-combined exchange over at most 32^precision
+    * cells. */
+  def geohashGridAgg(
+      df: DataFrame, latField: String, lonField: String,
+      precision: Int, k: Int): DataFrame = {
+    val cell = org.apache.spark.sql.GraftBridge.column(
+      graft.expr.GeoHash(
+        org.apache.spark.sql.GraftBridge.expression(col(latField).cast("double")),
+        org.apache.spark.sql.GraftBridge.expression(col(lonField).cast("double")),
+        precision))
+    df.groupBy(cell.as("key"))
+      .agg(count(lit(1)).as("doc_count"))
+      .orderBy(col("doc_count").desc, col("key").asc)
+      .limit(k)
+  }
+
+  /** `geotile_grid`: web-mercator slippy-tile buckets ("z/x/y") at
+    * `zoom`. Same single-exchange shape as geohash_grid. The y formula
+    * is the standard OSM tile math; latitude is clamped to the
+    * mercator domain first, exactly as ES does. */
+  def geotileGridAgg(
+      df: DataFrame, latField: String, lonField: String,
+      zoom: Int, k: Int): DataFrame = {
+    val n = (1 << zoom).toDouble
+    val latC = greatest(least(col(latField).cast("double"), lit(85.05112878)), lit(-85.05112878))
+    val r = radians(latC)
+    val x = least(floor((col(lonField).cast("double") + 180.0) / 360.0 * n), lit(n - 1.0))
+      .cast("long")
+    val y = greatest(
+      least(floor((lit(1.0) - log(tan(r) + lit(1.0) / cos(r)) / math.Pi) / 2.0 * n), lit(n - 1.0)),
+      lit(0.0)).cast("long")
+    df.groupBy(concat_ws("/", lit(zoom), x, y).as("key"))
+      .agg(count(lit(1)).as("doc_count"))
+      .orderBy(col("doc_count").desc, col("key").asc)
+      .limit(k)
+  }
 
   /** ES PIPELINE aggregations over a date_histogram parent:
     * cumulative_sum, derivative, moving_avg — one window pass over the

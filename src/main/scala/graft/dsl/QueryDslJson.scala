@@ -113,8 +113,10 @@ object QueryDslJson {
             if fields.exists(_._1 == "query") =>
           val m = fields.toMap
           val query = lits(m("query")).toString
-          m.get("operator").map(lits(_).toString.toLowerCase) match {
-            case Some("and") => Search.matchQueryAnd(col(f), query)
+          val fuzziness = m.get("fuzziness").map(lits(_).toString.toInt)
+          (fuzziness, m.get("operator").map(lits(_).toString.toLowerCase)) match {
+            case (Some(n), _) => Search.matchQueryFuzzy(col(f), query, n)
+            case (_, Some("and")) => Search.matchQueryAnd(col(f), query)
             case _ => Search.matchQuery(col(f), query)
           }
         case ("match", JObject(JField(f, v) :: Nil)) =>

@@ -1,27 +1,42 @@
 package graft.dsl
 
+import graft.analysis.Analyzer
 import graft.search.Search
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** The reference's OTHER `es.query` format: a Lucene query string
-  * (`?q=...`), e.g. `lang:en AND (n_chars:>300 OR source:src1*) AND
-  * NOT text:"table scan"`.
+  * (`?q=...`), e.g. `+lang:en -source:src19 text:spak~1 title:fast^2`.
   *
-  * Supported subset (the operators the URI q= syntax is actually used
-  * for): `field:value`, quoted phrases (match_phrase), wildcard values
-  * (`*`/`?`), comparison shortcuts (`field:>v`, `>=`, `<`, `<=`),
+  * Supported surface (the operators the URI q= syntax is actually used
+  * for): `field:value`, quoted phrases (match_phrase) with `~N`
+  * proximity slop, wildcard values (`*`/`?`), fuzzy suffix (`term~1`,
+  * bare `~` = 2 edits), boost suffix (`term^2` — scoring-only, a
+  * no-op in filter context; see Search.queryStringTopK for the scored
+  * form), comparison shortcuts (`field:>v`, `>=`, `<`, `<=`),
   * inclusive/exclusive ranges (`field:[a TO b]`, `field:{a TO b}`),
-  * `AND` / `OR` / `NOT`, parentheses, and bare terms against a default
-  * field (analyzed match, like ES's `default_field`).
+  * `AND` / `OR` / `NOT`, Lucene `+` (must) / `-` (must_not) clause
+  * modifiers, `default_operator` for bare adjacency, parentheses, and
+  * bare terms against a default field (analyzed match, like ES's
+  * `default_field`).
+  *
+  * Modifier semantics follow Lucene: when a level contains `+`/`-`
+  * clauses, the `+` clauses are required, `-` prohibited, and plain
+  * clauses become optional (scoring-only — no filter effect). Without
+  * modifiers, AND binds tighter than OR and bare adjacency joins with
+  * `default_operator` (OR unless overridden).
   *
   * Compiles to the same Catalyst predicates as the JSON DSL, so the
   * whole thing pushes into the parquet scan.
   */
 object UriQuery {
 
-  def compile(q: String, defaultField: String = "text"): Column =
-    new Parser(tokenize(q), defaultField).parseExpr()
+  def compile(
+      q: String,
+      defaultField: String = "text",
+      defaultOperator: String = "or"): Column =
+    new Parser(tokenize(q), defaultField,
+      defaultOperator.equalsIgnoreCase("and")).parseTop()
 
   // ---- tokenizer ----
   private sealed trait Tok
@@ -30,7 +45,10 @@ object UriQuery {
   private case object AND extends Tok
   private case object OR extends Tok
   private case object NOT extends Tok
-  private case class Clause(field: Option[String], value: String, quoted: Boolean) extends Tok
+  private case object PLUS extends Tok
+  private case object MINUS extends Tok
+  private case class Clause(field: Option[String], value: String, quoted: Boolean,
+      suffix: String = "") extends Tok
 
   private def tokenize(q: String): List[Tok] = {
     val out = scala.collection.mutable.ListBuffer.empty[Tok]
@@ -41,6 +59,12 @@ object UriQuery {
       i += 1 // opening quote
       while (i < s.length && s(i) != '"') { sb += s(i); i += 1 }
       i += 1 // closing quote
+      sb.toString
+    }
+    // `~2` / `^1.5` right after a closing quote
+    def readSuffix(): String = {
+      val sb = new StringBuilder
+      while (i < s.length && !" ()".contains(s(i))) { sb += s(i); i += 1 }
       sb.toString
     }
     def readBare(): String = {
@@ -59,7 +83,9 @@ object UriQuery {
         case ' ' => i += 1
         case '(' => out += LP; i += 1
         case ')' => out += RP; i += 1
-        case '"' => out += Clause(None, readQuoted(), quoted = true)
+        case '+' if i + 1 < s.length && s(i + 1) != ' ' => out += PLUS; i += 1
+        case '-' if i + 1 < s.length && s(i + 1) != ' ' => out += MINUS; i += 1
+        case '"' => out += Clause(None, readQuoted(), quoted = true, suffix = readSuffix())
         case _ =>
           val start = i
           val word = readBare()
@@ -69,13 +95,13 @@ object UriQuery {
             case "NOT" | "!" => out += NOT
             case w if w.contains(':') =>
               val field = w.substring(0, w.indexOf(':'))
-              var rest = w.substring(w.indexOf(':') + 1)
+              val rest = w.substring(w.indexOf(':') + 1)
               if (rest.isEmpty && i < s.length && s(i) == '"') {
-                out += Clause(Some(field), readQuoted(), quoted = true)
+                out += Clause(Some(field), readQuoted(), quoted = true, suffix = readSuffix())
               } else if (rest.startsWith("\"")) {
                 // field:"phrase" came through readBare without space
                 i = start + field.length + 1
-                out += Clause(Some(field), readQuoted(), quoted = true)
+                out += Clause(Some(field), readQuoted(), quoted = true, suffix = readSuffix())
               } else {
                 out += Clause(Some(field), rest, quoted = false)
               }
@@ -87,38 +113,73 @@ object UriQuery {
   }
 
   // ---- recursive descent ----
-  private class Parser(var toks: List[Tok], defaultField: String) {
+  private class Parser(var toks: List[Tok], defaultField: String, defaultAnd: Boolean) {
     private def peek: Option[Tok] = toks.headOption
     private def next(): Tok = { val t = toks.head; toks = toks.tail; t }
 
-    def parseExpr(): Column = {
-      var left = parseAnd()
-      while (peek.contains(OR)) { next(); left = left || parseAnd() }
-      left
+    def parseTop(): Column = {
+      val c = parseLevel()
+      require(toks.isEmpty, s"trailing tokens: $toks")
+      c
     }
 
-    private def parseAnd(): Column = {
-      var left = parseNot()
-      while (peek.contains(AND)) { next(); left = left && parseNot() }
-      left
-    }
+    /** One parenthesization level: a flat item sequence with explicit
+      * (AND/OR) or implicit (default_operator) joiners and +/-/NOT
+      * modifiers, combined per the Lucene rules in the scaladoc. */
+    private def parseLevel(): Column = {
+      // (modifier, column, explicit-joiner-before-item)
+      val items = scala.collection.mutable.ListBuffer.empty[(Int, Column, Option[Boolean])]
+      var pendingJoin: Option[Boolean] = None
+      var pendingMod = 0
+      while (peek.isDefined && peek.get != RP) {
+        next() match {
+          case AND => pendingJoin = Some(true)
+          case OR => pendingJoin = Some(false)
+          case NOT | MINUS => pendingMod = -1
+          case PLUS => pendingMod = 1
+          case LP =>
+            val e = parseLevel()
+            require(peek.contains(RP), "expected )")
+            next()
+            items += ((pendingMod, e, pendingJoin)); pendingMod = 0; pendingJoin = None
+          case c: Clause =>
+            items += ((pendingMod, compileClause(c), pendingJoin))
+            pendingMod = 0; pendingJoin = None
+          case other => throw new IllegalArgumentException(s"unexpected token $other")
+        }
+      }
+      require(items.nonEmpty, "empty query group")
 
-    private def parseNot(): Column = peek match {
-      case Some(NOT) => next(); !parseNot()
-      case _ => parsePrimary()
-    }
-
-    private def parsePrimary(): Column = next() match {
-      case LP =>
-        val e = parseExpr()
-        require(peek.contains(RP), "expected )")
-        next()
-        e
-      case Clause(field, value, quoted) => compileClause(field, value, quoted)
-      case other => throw new IllegalArgumentException(s"unexpected token $other")
+      val must = items.toList.collect { case (1, c, _) => c }
+      val mustNot = items.toList.collect { case (-1, c, _) => c }
+      val plain = items.toList.filter(_._1 == 0)
+      // plain chain with AND-over-OR precedence; implicit joiner is the
+      // default operator
+      val plainCol: Option[Column] = plain match {
+        case Nil => None
+        case head :: tail =>
+          var orGroups = List.empty[Column]
+          var cur = head._2
+          tail.foreach { case (_, c, join) =>
+            if (join.getOrElse(defaultAnd)) cur = cur && c
+            else { orGroups ::= cur; cur = c }
+          }
+          Some((cur :: orGroups).reduce(_ || _))
+      }
+      if (must.isEmpty && mustNot.isEmpty) plainCol.get
+      else {
+        // Lucene: with required clauses present, plain clauses are
+        // optional (scoring-only) and impose no filter
+        val pos =
+          if (must.nonEmpty) must.reduce(_ && _)
+          else plainCol.getOrElse(lit(true))
+        mustNot.reduceOption(_ || _).fold(pos)(n => pos && !n)
+      }
     }
 
     private val RangePat = """^([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([}\]])$""".r
+    private val BoostPat = """^(.+)\^([0-9]+(?:\.[0-9]+)?)$""".r
+    private val FuzzPat = """^(.+?)~([0-9]*)$""".r
 
     private def typed(v: String): Any =
       if (v == "*") v
@@ -126,25 +187,43 @@ object UriQuery {
         .orElse(scala.util.Try(v.toDouble).toOption)
         .getOrElse(v)
 
-    private def compileClause(fieldOpt: Option[String], value: String, quoted: Boolean): Column = {
-      val field = fieldOpt.getOrElse(defaultField)
+    private def compileClause(cl: Clause): Column = {
+      val field = cl.field.getOrElse(defaultField)
       val c = col(field)
-      if (quoted) {
-        if (fieldOpt.isEmpty || field == defaultField) Search.matchPhrase(c, value)
-        else Search.matchPhrase(c, value)
-      } else value match {
-        case RangePat(lb, lo, hi, rb) =>
-          val bounds = Seq.newBuilder[Column]
-          if (lo != "*") bounds += (if (lb == "[") c >= lit(typed(lo)) else c > lit(typed(lo)))
-          if (hi != "*") bounds += (if (rb == "]") c <= lit(typed(hi)) else c < lit(typed(hi)))
-          bounds.result().reduceOption(_ && _).getOrElse(lit(true))
-        case v if v.startsWith(">=") => c >= lit(typed(v.drop(2)))
-        case v if v.startsWith("<=") => c <= lit(typed(v.drop(2)))
-        case v if v.startsWith(">") => c > lit(typed(v.drop(1)))
-        case v if v.startsWith("<") => c < lit(typed(v.drop(1)))
-        case v if v.contains('*') || v.contains('?') => QueryDsl.wildcard(c, v)
-        case v if fieldOpt.isEmpty => Search.matchQuery(c, v)
-        case v => QueryDsl.term(c, typed(v))
+      if (cl.quoted) {
+        // `"a b"~N` = phrase with proximity slop (span_near)
+        val slop = cl.suffix match {
+          case s if s.startsWith("~") && s.drop(1).forall(_.isDigit) =>
+            if (s.length == 1) 2 else s.drop(1).toInt
+          case _ => 0
+        }
+        val terms = Analyzer.analyze(cl.value)
+        if (slop > 0 && terms.length >= 2) Search.matchPhraseSlop(c, cl.value, slop)
+        else Search.matchPhrase(c, cl.value)
+      } else {
+        // `^boost` is scoring-only: strip it, filter semantics unchanged
+        val value = cl.value match { case BoostPat(v, _) => v case v => v }
+        value match {
+          case RangePat(lb, lo, hi, rb) =>
+            val bounds = Seq.newBuilder[Column]
+            if (lo != "*") bounds += (if (lb == "[") c >= lit(typed(lo)) else c > lit(typed(lo)))
+            if (hi != "*") bounds += (if (rb == "]") c <= lit(typed(hi)) else c < lit(typed(hi)))
+            bounds.result().reduceOption(_ && _).getOrElse(lit(true))
+          case v if v.startsWith(">=") => c >= lit(typed(v.drop(2)))
+          case v if v.startsWith("<=") => c <= lit(typed(v.drop(2)))
+          case v if v.startsWith(">") => c > lit(typed(v.drop(1)))
+          case v if v.startsWith("<") => c < lit(typed(v.drop(1)))
+          case v if v.contains('*') || v.contains('?') => QueryDsl.wildcard(c, v)
+          case FuzzPat(v, n) =>
+            val edits = if (n.isEmpty) 2 else n.toInt
+            if (cl.field.isEmpty || field == defaultField)
+              // fuzzy inside full text: any analyzed token within the
+              // edit distance (ES `fuzziness` on a match query)
+              exists(Analyzer.tokens(c), t => levenshtein(t, lit(v)) <= edits)
+            else QueryDsl.fuzzy(c, v, edits)
+          case v if cl.field.isEmpty => Search.matchQuery(c, v)
+          case v => QueryDsl.term(c, typed(v))
+        }
       }
     }
   }

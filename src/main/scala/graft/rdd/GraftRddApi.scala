@@ -1,0 +1,102 @@
+package graft.rdd
+
+import graft.sources.Connector
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** The reference's ORIGINAL surface: the RDD-level API
+  * (`org.elasticsearch.spark`), where documents are
+  * `Map[String, Any]` and `sc.esRDD(index)` / `rdd.saveToEs(index)`
+  * move them without a schema.
+  *
+  * graft keeps the same shape — `spark.graftRDD(path)` yields
+  * `(id, Map[field -> value])`, `rdd.saveToGraft(path)` bulk-writes
+  * maps — but implements it ON TOP of the DataFrame connector: the
+  * maps are converted at the boundary, the schema is inferred from the
+  * data exactly once (the reference's dynamic mapping), and every
+  * write goes through Connector.save's bulk semantics (id resolution,
+  * versioning, routing). The conversion is a narrow map stage; no
+  * per-document driver round trips.
+  */
+object GraftRddApi {
+
+  object implicits {
+    implicit class GraftRddSessionOps(val spark: SparkSession) {
+      /** `sc.esRDD(resource, query)` analog: (id, fields) pairs. */
+      def graftRDD(
+          path: String,
+          query: String = null,
+          idField: String = "_id"): RDD[(Any, Map[String, Any])] = {
+        import Connector.implicits._
+        val df = spark.graftDF(path, query, idField)
+        val names = df.schema.fieldNames
+        val idIdx = names.indexOf(idField)
+        require(idIdx >= 0, s"graftRDD needs id column '$idField' in the index")
+        df.rdd.map { row =>
+          val m = names.indices.iterator
+            .filter(i => !row.isNullAt(i))
+            .map(i => names(i) -> row.get(i)).toMap
+          (row.get(idIdx), m)
+        }
+      }
+    }
+
+    implicit class GraftMapRddOps(val rdd: RDD[Map[String, Any]]) {
+      /** `rdd.saveToEs(resource, cfg)` analog: infer the mapping from
+        * the data (one pass — the union of keys with their first
+        * non-null value's type, matching dynamic mapping), then bulk
+        * write through the connector. */
+      def saveToGraft(path: String, cfg: Map[String, String] = Map.empty): Unit = {
+        val spark = SparkSession.active
+        val schema = inferSchema(rdd)
+        val names = schema.fieldNames
+        val rows = rdd.map(m =>
+          Row.fromSeq(names.map(n => m.get(n).map(GraftRddApi.widen).orNull)))
+        Connector.save(spark.createDataFrame(rows, schema), path, cfg)
+      }
+    }
+  }
+
+  /** Dynamic-mapping inference: field -> Spark type from the first
+    * non-null value seen for it (ints widen to long, floats to double,
+    * like the reference's numeric mapping defaults). One aggregate
+    * over the data — no collect of the documents themselves. */
+  private[rdd] def inferSchema(rdd: RDD[Map[String, Any]]): StructType = {
+    val fieldTypes = rdd.aggregate(Map.empty[String, DataType])(
+      (acc, m) => m.foldLeft(acc) {
+        case (a, (k, v)) if !a.contains(k) && v != null => a + (k -> typeOf(v))
+        case (a, _) => a
+      },
+      (a, b) => b.foldLeft(a) {
+        case (acc, (k, t)) if !acc.contains(k) => acc + (k -> t)
+        case (acc, _) => acc
+      })
+    require(fieldTypes.nonEmpty, "saveToGraft: no fields to infer a mapping from")
+    StructType(fieldTypes.toSeq.sortBy(_._1).map { case (k, t) =>
+      StructField(k, t, nullable = true)
+    })
+  }
+
+  /** Value-side counterpart of the numeric widening in typeOf. */
+  private[rdd] def widen(v: Any): Any = v match {
+    case i: java.lang.Integer => i.longValue
+    case s: java.lang.Short => s.longValue
+    case b: java.lang.Byte => b.longValue
+    case f: java.lang.Float => f.doubleValue
+    case x => x
+  }
+
+  private def typeOf(v: Any): DataType = v match {
+    case _: String => StringType
+    case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short | _: java.lang.Byte =>
+      LongType
+    case _: java.lang.Double | _: java.lang.Float => DoubleType
+    case _: java.lang.Boolean => BooleanType
+    case _: java.sql.Timestamp => TimestampType
+    case _: java.sql.Date => DateType
+    case _: Array[Byte] => BinaryType
+    case other => throw new IllegalArgumentException(
+      s"saveToGraft: unsupported field value type ${other.getClass.getName}")
+  }
+}

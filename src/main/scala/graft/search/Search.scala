@@ -52,6 +52,38 @@ object Search {
   def queryString(fields: Seq[Column], query: String): Column =
     fields.map(f => matchQuery(f, query)).reduce(_ || _)
 
+  /** `"title^2"`-style field spec -> (field, boost). */
+  def parseBoostFields(specs: Seq[String]): Seq[(String, Double)] =
+    specs.map { s =>
+      s.split("\\^") match {
+        case Array(f) => f -> 1.0
+        case Array(f, b) => f -> b.toDouble
+        case _ => throw new IllegalArgumentException(s"bad field spec: $s")
+      }
+    }
+
+  /** Scored `query_string` over boosted fields — `fields:
+    * ["text^2", "source"]` semantics: per-field BM25, weighted sum,
+    * one ordered limit. Each per-field score frame holds only docs
+    * containing query terms in that field, so the union + re-agg moves
+    * O(matching docs), not the corpus. */
+  def queryStringTopK(
+      docs: DataFrame,
+      idCol: String,
+      fields: Seq[(String, Double)],
+      query: String,
+      k: Int): DataFrame = {
+    require(fields.nonEmpty, "queryStringTopK needs at least one field")
+    val perField = fields.map { case (f, b) =>
+      bm25Scores(docs, idCol, f, query).select(col("id"), (col("score") * b).as("s"))
+    }
+    perField.reduce(_ unionByName _)
+      .groupBy(col("id"))
+      .agg(Num.round(sum(col("s")), 4).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** BM25 top-k: the `_score` the reference exposes via
     * `es.read.metadata`. Returns (id, score) with score rounded to 4
     * decimals (FP-stable across engines for the oracle compare) and a
@@ -251,6 +283,43 @@ object Search {
       .where(col("token") =!= term && levenshtein(col("token"), lit(term)) <= maxEdits)
       .orderBy(col("freq").desc, col("token").asc)
       .limit(k)
+
+  /** Fuzzy `match`: fuzziness INSIDE full text — true when any
+    * analyzed document token is within `maxEdits` of any query token
+    * (OR semantics, like `{"match": {f: {"query": q, "fuzziness":
+    * n}}}`). */
+  def matchQueryFuzzy(field: Column, query: String, maxEdits: Int): Column = {
+    val q = Analyzer.analyze(query)
+    require(q.nonEmpty, s"fuzzy match analyzed to zero tokens: $query")
+    val toks = Analyzer.tokens(field)
+    q.map(term => exists(toks, t => levenshtein(t, lit(term)) <= maxEdits))
+      .reduce(_ || _)
+  }
+
+  /** Phrase suggester: corrections for a two-term phrase from the
+    * corpus's own bigram vocabulary — bigrams whose words are each
+    * within `maxEdits` of the corresponding input term, ranked by
+    * document frequency. The bigram vocabulary aggregation is the one
+    * shuffle (same shape as the term suggester); the levenshtein
+    * filter runs on the (tiny) vocabulary frame. */
+  def phraseSuggest(
+      docs: DataFrame, textCol: String, phrase: String,
+      maxEdits: Int = 1, k: Int = 5): DataFrame = {
+    val terms = Analyzer.analyze(phrase)
+    require(terms.length == 2, s"phraseSuggest takes a two-term phrase: $phrase")
+    val joined = terms.mkString(" ")
+    docs
+      .select(explode(Analyzer.shingles(Analyzer.tokens(col(textCol)), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("freq"))
+      .withColumn("w1", element_at(split(col("bigram"), " "), 1))
+      .withColumn("w2", element_at(split(col("bigram"), " "), 2))
+      .where(col("bigram") =!= joined &&
+        levenshtein(col("w1"), lit(terms.head)) <= maxEdits &&
+        levenshtein(col("w2"), lit(terms(1))) <= maxEdits)
+      .select(col("bigram").as("suggestion"), col("freq"))
+      .orderBy(col("freq").desc, col("suggestion").asc)
+      .limit(k)
+  }
 
   /** Highlighting: the first match window (up to 3 tokens of context
     * each side) with the hit wrapped in <em> tags. Narrow per-row

@@ -82,4 +82,32 @@ class ExprSpec extends SparkSpec {
     assert(sigs(1L) != sigs(3L))
     assert(sigs.values.forall(s => s >= 0 && s < (1L << 32)))
   }
+
+  test("Tokenize matches the HOF analyzer on mixed content") {
+    val df = Seq("Fast Hash-Join! 42x", "  ", "ALL-CAPS..and...dots", "naïve café 3.14")
+      .toDF("text")
+    val both = df.select(
+      graft.analysis.Analyzer.tokens(col("text")).as("native"),
+      filter(split(lower(col("text")), "[^a-z0-9]+"), t => length(t) > 0).as("hof"))
+      .as[(Seq[String], Seq[String])].collect()
+    both.foreach { case (n, h) => assert(n == h) }
+  }
+
+  test("GeoHash matches the public reference encoding") {
+    // canonical example: Råbjerg Mile, Denmark
+    val df = Seq((57.64911, 10.40744), (0.0, 0.0), (-25.382708, -49.265506))
+      .toDF("lat", "lon")
+    def gh(p: Int) = df.select(org.apache.spark.sql.GraftBridge.column(
+      graft.expr.GeoHash(
+        org.apache.spark.sql.GraftBridge.expression(col("lat")),
+        org.apache.spark.sql.GraftBridge.expression(col("lon")), p)))
+      .as[String].collect().toSeq
+    assert(gh(11) == Seq("u4pruydqqvj", "s0000000000", "6gkzwgjzn82"))
+    assert(gh(5) == Seq("u4pru", "s0000", "6gkzw"))
+    // grid agg buckets and orders deterministically
+    val g = graft.agg.Aggs.geohashGridAgg(
+      Seq((1.0, 1.0), (1.01, 1.01), (50.0, 50.0)).toDF("lat", "lon"), "lat", "lon", 3, 10)
+      .as[(String, Long)].collect()
+    assert(g.head._2 == 2) // the two nearby points share a cell at p=3
+  }
 }

@@ -1,0 +1,46 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.rdd.GraftRddApi.implicits._
+import org.apache.spark.sql.functions._
+
+class RddApiSpec extends SparkSpec {
+
+  test("RDD roundtrip: saveToGraft maps -> graftRDD (id, fields) pairs") {
+    val dir = Files.createTempDirectory("graft_rdd").toString + "/idx"
+    val docs: Seq[Map[String, Any]] = Seq(
+      Map("id" -> 1L, "name" -> "alpha", "score" -> 0.5),
+      Map("id" -> 2L, "name" -> "beta", "score" -> 1.5, "extra" -> "x"),
+      Map("id" -> 3, "name" -> "gamma")) // Int id widens to long
+    spark.sparkContext.parallelize(docs).saveToGraft(dir, Map("graft.mapping.id" -> "id"))
+
+    val back = spark.graftRDD(dir, idField = "id").collect().toMap
+    assert(back.keySet == Set(1L, 2L, 3L))
+    assert(back(2L)("extra") == "x")
+    assert(back(2L)("score") == 1.5)
+    assert(!back(3L).contains("score")) // nulls are absent fields, like _source
+    assert(back(3L)("name") == "gamma")
+  }
+
+  test("RDD writes share connector upsert semantics") {
+    val dir = Files.createTempDirectory("graft_rdd2").toString + "/idx"
+    spark.sparkContext.parallelize(Seq[Map[String, Any]](
+      Map("id" -> 1L, "v" -> "old"), Map("id" -> 2L, "v" -> "keep")))
+      .saveToGraft(dir, Map("graft.mapping.id" -> "id"))
+    spark.sparkContext.parallelize(Seq[Map[String, Any]](
+      Map("id" -> 1L, "v" -> "new")))
+      .saveToGraft(dir, Map("graft.mapping.id" -> "id"))
+    val m = spark.graftRDD(dir, idField = "id").collect().toMap
+    assert(m(1L)("v") == "new" && m(2L)("v") == "keep")
+  }
+
+  test("graftRDD applies the ES query before the map conversion") {
+    val dir = Files.createTempDirectory("graft_rdd3").toString + "/idx"
+    Tables.documents(spark, sfDir).write.parquet(dir)
+    val en = spark.graftRDD(dir, """{"term": {"lang": "en"}}""", idField = "doc_id")
+    val direct = Tables.documents(spark, sfDir)
+      .where(col("lang") === "en").count()
+    assert(en.count() == direct && direct > 0)
+  }
+}

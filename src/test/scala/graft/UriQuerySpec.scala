@@ -40,6 +40,52 @@ class UriQuerySpec extends SparkSpec {
       ids(graft.search.Search.matchPhrase(col("text"), "table scan")))
   }
 
+  test("Lucene +/- modifiers: must / must_not, plain clauses optional") {
+    assert(ids(UriQuery.compile("+lang:en -source:src19 n_chars:>300")) ==
+      ids(col("lang") === "en" && !(col("source") === "src19")))
+    // without any required clause, plain clauses filter as usual
+    assert(ids(UriQuery.compile("-lang:en n_chars:>300")) ==
+      ids(col("n_chars") > 300 && !(col("lang") === "en")))
+  }
+
+  test("fuzzy suffix: token-level on the default field, value-level on keywords") {
+    assert(ids(UriQuery.compile("text:spak~1")) ==
+      ids(exists(graft.analysis.Analyzer.tokens(col("text")),
+        t => levenshtein(t, lit("spak")) <= 1)))
+    assert(ids(UriQuery.compile("source:src12~1")) ==
+      ids(levenshtein(col("source"), lit("src12")) <= 1))
+    // bare ~ defaults to 2 edits
+    assert(ids(UriQuery.compile("source:src12~")) ==
+      ids(levenshtein(col("source"), lit("src12")) <= 2))
+  }
+
+  test("boost suffix is scoring-only (filter semantics unchanged)") {
+    assert(ids(UriQuery.compile("lang:en^2")) == ids(col("lang") === "en"))
+    assert(ids(UriQuery.compile("source:src1*^1.5")) == ids(col("source").startsWith("src1")))
+  }
+
+  test("default_operator AND; quoted phrase with ~slop") {
+    assert(ids(UriQuery.compile("merge sort", "text", "and")) ==
+      ids(graft.search.Search.matchQueryAnd(col("text"), "merge sort")))
+    assert(ids(UriQuery.compile("merge sort", "text", "or")) ==
+      ids(graft.search.Search.matchQuery(col("text"), "merge sort")))
+    assert(ids(UriQuery.compile("text:\"table scan\"~1")) ==
+      ids(graft.search.Search.matchPhraseSlop(col("text"), "table scan", 1)))
+  }
+
+  test("queryStringTopK: boosted fields sum per-field BM25") {
+    val top = graft.search.Search.queryStringTopK(
+      docs, "doc_id", graft.search.Search.parseBoostFields(Seq("text^2", "source")),
+      "merge src5", 5).as[(Long, Double)].collect()
+    assert(top.length == 5)
+    assert(top.sortBy(-_._2).map(_._1).toSeq == top.map(_._1).toSeq)
+    // a doc matching in both fields outscores its text-only score
+    val textOnly = graft.search.Search.bm25Scores(docs, "doc_id", "text", "merge src5")
+    val both = top.toMap
+    val t = textOnly.as[(Long, Double)].collect().toMap
+    both.keys.filter(t.contains).foreach(id => assert(both(id) >= 2.0 * t(id) - 1e-9))
+  }
+
   test("EsQuery dispatches on payload shape") {
     assert(ids(EsQuery.compile("""{"term": {"lang": "en"}}""")) == ids(col("lang") === "en"))
     assert(ids(EsQuery.compile("?q=lang:en")) == ids(col("lang") === "en"))
