@@ -46,5 +46,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(toks) => SimHash32(toks)
         case _ => throw new IllegalArgumentException("simhash32(tokens)")
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[graft.expr.SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(toks) => graft.expr.SimHash64(toks)
+        case _ => throw new IllegalArgumentException("simhash64(tokens)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("tokenize"),
+      new ExpressionInfo(classOf[graft.expr.Tokenize].getName, "tokenize"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(text) => graft.expr.Tokenize(text)
+        case _ => throw new IllegalArgumentException("tokenize(text)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("geohash"),
+      new ExpressionInfo(classOf[graft.expr.GeoHash].getName, "geohash"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(lat, lon) => graft.expr.GeoHash(lat, lon, 12)
+        case Seq(lat, lon, p) => graft.expr.GeoHash(lat, lon, intArg(p, "geohash precision"))
+        case _ => throw new IllegalArgumentException("geohash(lat, lon[, precision])")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[graft.expr.CosineSim].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(a, b) => graft.expr.CosineSim(a, b)
+        case _ => throw new IllegalArgumentException("cosine_sim(a, b)")
+      }))
   }
 }

@@ -345,6 +345,17 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("o_orderkey"))
     }),
+    // ES join-field parent/child: has_child with min_children, has_parent
+    "q_has_child" -> ((s, d) =>
+      Relational.hasChild(t(s, d, "orders"), t(s, d, "lineitem"),
+        "o_orderkey", "l_orderkey", col("l_quantity") > 45, minChildren = 3)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))),
+    "q_has_parent" -> ((s, d) =>
+      Relational.hasParent(t(s, d, "lineitem"), t(s, d, "orders"),
+        "o_orderkey", "l_orderkey", col("o_orderpriority") === "1-URGENT")
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
     "q_window_topn" -> ((s, d) =>
       Relational.topNPerGroup(t(s, d, "orders"), Seq("o_custkey"),
         col("o_totalprice").desc, col("o_orderkey").asc, 2)
@@ -711,6 +722,12 @@ object SparkEntry {
       "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) " +
       "WHERE rn <= 2 ORDER BY o_custkey, rn"),
 
+    "q_has_child" -> ("SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey IN " +
+      "(SELECT l_orderkey FROM lineitem WHERE l_quantity > 45 GROUP BY l_orderkey HAVING count(*) >= 3) " +
+      "ORDER BY o_orderkey"),
+    "q_has_parent" -> ("SELECT l_orderkey, l_linenumber FROM lineitem WHERE EXISTS " +
+      "(SELECT 1 FROM orders WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT') " +
+      "ORDER BY l_orderkey, l_linenumber"),
     "q_nested" -> ("SELECT o_orderkey, o_totalprice FROM orders WHERE EXISTS " +
       "(SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 48 " +
       "AND l_returnflag = 'A') ORDER BY o_orderkey"),

@@ -68,6 +68,46 @@ object Relational {
       .join(nested, col(parentKey) === col(nestedKey))
       .where(exists(col(as), pred))
 
+  /** ES `join`-field `has_child`: parents with between `minChildren`
+    * and `maxChildren` children matching the predicate. The common
+    * min=1/unbounded case is a pure left_semi join (no child counts
+    * materialize, the join short-circuits per key); the counted form
+    * aggregates the FILTERED children first, so only matching
+    * (parent, count) pairs shuffle. */
+  def hasChild(
+      parents: DataFrame,
+      children: DataFrame,
+      parentKey: String,
+      childFk: String,
+      pred: Column,
+      minChildren: Int = 1,
+      maxChildren: Int = Int.MaxValue): DataFrame =
+    if (minChildren <= 1 && maxChildren == Int.MaxValue)
+      parents.join(
+        children.where(pred).select(col(childFk).as(parentKey)),
+        Seq(parentKey), "left_semi")
+    else
+      parents.join(
+        children.where(pred)
+          .groupBy(col(childFk).as(parentKey))
+          .agg(count(lit(1)).as("_nc"))
+          .where(col("_nc") >= minChildren && col("_nc") <= maxChildren)
+          .select(col(parentKey)),
+        Seq(parentKey), "left_semi")
+
+  /** ES `has_parent`: children whose parent matches the predicate —
+    * left_semi from the child side; the filtered parent keys are
+    * usually small enough to broadcast. */
+  def hasParent(
+      children: DataFrame,
+      parents: DataFrame,
+      parentKey: String,
+      childFk: String,
+      pred: Column): DataFrame =
+    children.join(
+      parents.where(pred).select(col(parentKey).as(childFk)),
+      Seq(childFk), "left_semi")
+
   /** Haversine distance in km (the core of `geo_distance`). Pure
     * codegen'd math — safe in filter position. */
   def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {

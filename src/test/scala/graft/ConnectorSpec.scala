@@ -169,10 +169,17 @@ class ConnectorSpec extends SparkSpec {
     try {
       val r = s2.sql(
         "SELECT simhash32(array('alpha','beta')) AS sh, " +
-          "minhash_sig(token_shingles(array('a','b','c','d'), 3)) AS mh")
+          "minhash_sig(token_shingles(array('a','b','c','d'), 3)) AS mh, " +
+          "tokenize('Fast Hash-Join 42x') AS tk, " +
+          "simhash64(tokenize('alpha beta')) AS sh64, " +
+          "geohash(57.64911d, 10.40744d, 5) AS gh, " +
+          "cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS cs")
         .collect().head
       assert(r.getAs[Long]("sh") >= 0L)
       assert(r.getSeq[Long](1).length == 32)
+      assert(r.getSeq[String](2) == Seq("fast", "hash", "join", "42x"))
+      assert(r.getAs[String]("gh") == "u4pru")
+      assert(math.abs(r.getAs[Double]("cs") - 1.0) < 1e-12)
     } finally {
       SparkSession.clearActiveSession()
       prev.foreach(SparkSession.setDefaultSession)
