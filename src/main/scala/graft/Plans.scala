@@ -9,7 +9,13 @@ object Plans {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.001"
-    for (name <- Seq("q_term", "q_range", "q_bool", "q_dsl_json", "q_agg_terms", "q_join_enrich", "q_join_revenue", "q_bm25", "q_agg_top_hits")) {
+    for (name <- args.toSeq match {
+      case Nil => Seq("q_term", "q_range", "q_bool", "q_dsl_json", "q_agg_terms",
+        "q_join_enrich", "q_join_revenue", "q_bm25", "q_agg_top_hits",
+        "q_match_phrase_slop", "q_dedup_simhash", "q_geo_grid", "q_uri_boost",
+        "q_has_child", "q_pinned")
+      case names => names
+    }) {
       println(s"========= $name")
       println(SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString.take(3000))
     }
