@@ -28,20 +28,25 @@ object Relational {
   }
 
   /** The connector's `es.mapping.id` + `es.write.operation=upsert`
-    * semantics: last write wins per document id. One window pass
-    * partitioned by id ordered by (version desc, tiebreak desc) —
-    * equivalent to ES applying the bulk ops in order, but computed
-    * distributed (no per-doc round trips). */
+    * semantics: last write wins per document id — equivalent to ES
+    * applying the bulk ops in order, but computed distributed (no
+    * per-doc round trips).
+    *
+    * Implemented as `max_by(struct(row), struct(version, tiebreak))`
+    * rather than a row_number window: the aggregate PARTIALLY combines
+    * on the map side (each task ships at most one row per id it saw)
+    * and never sorts, where the window shuffles and sorts every op.
+    * At 100 TB of ops with a bounded id space that is the difference
+    * between a combine-shrunk exchange and a full-data sort. */
   def upsertLastWriteWins(
       ops: DataFrame,
       idCols: Seq[String],
       versionCol: Column,
       tieBreak: Column): DataFrame = {
-    val w = Window.partitionBy(idCols.map(col): _*)
-      .orderBy(versionCol.desc, tieBreak.desc)
-    ops.withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .drop("rn")
+    val payload = struct(ops.columns.map(col).toIndexedSeq: _*)
+    ops.groupBy(idCols.map(col): _*)
+      .agg(max_by(payload, struct(versionCol, tieBreak)).as("_latest"))
+      .select(ops.columns.map(c => col("_latest").getField(c).as(c)).toIndexedSeq: _*)
   }
 
   /** ES `nested` documents: parent rows carry an array-of-structs child

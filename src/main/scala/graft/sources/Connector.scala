@@ -3,7 +3,6 @@ package graft.sources
 import graft.dsl.EsQuery
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The connector facade — graft's equivalent of the reference's
@@ -26,10 +25,11 @@ import org.apache.spark.sql.functions._
   *       versioning). Without it, incoming rows win over existing.
   *
   * Scale notes: upsert unions the existing index with the batch and
-  * resolves ids with ONE window pass (shuffle on id) — the distributed
-  * analog of ES bulk-upsert, with no per-doc round trips. The swap is
-  * a directory rename, not a rewrite-in-place, because Spark cannot
-  * overwrite an input path it is still reading.
+  * resolves ids with ONE partially-aggregating max_by (map-side
+  * combine, no sort — see `resolve`) — the distributed analog of ES
+  * bulk-upsert, with no per-doc round trips. The swap is a directory
+  * rename, not a rewrite-in-place, because Spark cannot overwrite an
+  * input path it is still reading.
   */
 object Connector {
 
@@ -205,13 +205,18 @@ object Connector {
     spark.catalog.refreshByPath(live.toString)
   }
 
-  /** Keep one row per id: highest (primary, tiebreak) wins. */
+  /** Keep one row per id: highest (primary, tiebreak) wins. max_by
+    * instead of a row_number window — partial aggregation shrinks the
+    * exchange to one row per id per task and skips the sort (see
+    * Relational.upsertLastWriteWins). */
   private def resolve(
       df: DataFrame, idCol: String,
       primary: org.apache.spark.sql.Column,
       tiebreak: org.apache.spark.sql.Column): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(primary.desc, tiebreak.desc)
-    df.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+    val payload = struct(df.columns.map(col).toIndexedSeq: _*)
+    df.groupBy(col(idCol))
+      .agg(max_by(payload, struct(primary, tiebreak)).as("_latest"))
+      .select(df.columns.map(c => col("_latest").getField(c).as(c)).toIndexedSeq: _*)
   }
 
   /** In-batch id dedup for first write: last occurrence wins, matching
