@@ -94,6 +94,67 @@ object Ann {
       transform(col(vecCol), x => x.cast("double")).as("v"))
     val cents = c.where(col("id") < nCentroids)
       .select(col("id").as("cent_id"), col("v").as("cv"))
+    ivfTopKWith(corpus, queries, idCol, vecCol, cents, nprobe, k)
+  }
+
+  /** Lloyd k-means fit for the IVF coarse quantizer — the list-balance
+    * path the seed-centroid variant trades away. Deterministic init
+    * (first k vectors by id); each iteration is one broadcast-assign
+    * pass + one per-dimension mean (posexplode + groupBy — partial
+    * aggregation, k*dim tiny result). Only the k*dim centroid model
+    * ever reaches the driver, exactly like an MLlib fit. Returns a
+    * (cent_id, cv) frame for `ivfTopKWith`. */
+  def kmeansCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(
+      col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    var cents: Seq[(Long, Seq[Double])] = c.orderBy(col("id")).limit(k)
+      .as[(Long, Seq[Double])].collect().toSeq
+      .zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
+    for (_ <- 1 to iters) {
+      val centsDf = cents.toDF("cent_id", "cv")
+      val wAssign = Window.partitionBy(col("id"))
+        .orderBy(col("ccos").desc, col("cent_id").asc)
+      val assigned = c.crossJoin(broadcast(centsDf))
+        .select(col("id"), col("cent_id"), col("v"),
+          Vectors.cosine(col("v"), col("cv")).as("ccos"))
+        .withColumn("rn", row_number().over(wAssign))
+        .where(col("rn") === 1)
+      val means = assigned
+        .select(col("cent_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .as[(Long, Int, Double)].collect()
+      val byCent = means.groupBy(_._1).map { case (cid, xs) =>
+        cid -> xs.sortBy(_._2).map(_._3).toSeq
+      }
+      // empty clusters keep their previous centroid
+      cents = cents.map { case (cid, old) => (cid, byCent.getOrElse(cid, old)) }
+    }
+    cents.toDF("cent_id", "cv")
+  }
+
+  /** IVF-flat over a supplied centroid frame (seed or k-means-fitted):
+    * assignment is one narrow pass against the broadcast centroids,
+    * probes touch nprobe/nCentroids of the corpus. */
+  def ivfTopKWith(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: DataFrame,
+      nprobe: Int,
+      k: Int): DataFrame = {
+    val c = corpus.select(
+      col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
     val wAssign = Window.partitionBy(col("id"))
       .orderBy(col("ccos").desc, col("cent_id").asc)
     val assign = c.crossJoin(broadcast(cents))

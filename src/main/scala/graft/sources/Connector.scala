@@ -85,6 +85,22 @@ object Connector {
           }
         } else df3
       }
+
+      /** `readStream` over an index — the streaming analog of graftDF.
+        * Schema is inferred once from the existing index; the ES query
+        * compiles to the same pushdown predicate; files appearing in
+        * the index directory become micro-batches (file-source
+        * semantics). Pairs with GraftSink for index-to-index streaming
+        * pipelines. */
+      def graftStream(
+          path: String,
+          query: String = null,
+          idField: String = "_id",
+          format: String = "parquet"): DataFrame = {
+        val schema = spark.read.format(format).load(path).schema
+        val s0 = spark.readStream.schema(schema).format(format).load(path)
+        if (query == null) s0 else s0.where(EsQuery.compile(query, idField))
+      }
     }
 
     implicit class GraftDataFrameOps(val df: DataFrame) {

@@ -29,6 +29,25 @@ class AnnTextSpec extends SparkSpec {
     lsh.foreach { r => assert(brute(r._2) == r._3) }
   }
 
+  test("k-means fit: balanced-ish IVF lists, fitted probe works end-to-end") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = Ann.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iters = 2)
+      .as[(Long, Seq[Double])].collect()
+    assert(cents.length == 8)
+    assert(cents.forall(_._2.length == cents.head._2.length))
+    // fitted centroids drive the same IVF probe path
+    val r = Ann.ivfTopKWith(emb, emb.where(col("vec_id") < 3), "vec_id", "embedding",
+      Ann.kmeansCentroids(emb, "vec_id", "embedding", 8, 2), nprobe = 3, k = 5)
+      .as[(Long, Long, Double, Int)].collect()
+    val byQuery = r.groupBy(_._1)
+    assert(byQuery.keySet == Set(0L, 1L, 2L))
+    byQuery.values.foreach { rows =>
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length).toSeq)
+      assert(rows.sortBy(_._4).map(_._3).toSeq.reverse.sorted.reverse ==
+        rows.sortBy(_._4).map(_._3).toSeq) // cosine descending by rank
+    }
+  }
+
   test("language id: stopword-heavy english text detected") {
     val df = Seq((1L, "the cat and the dog is in the house for a while")).toDF("id", "text")
     val (pl, ps) = TextAnalysis.languageId(col("text"))

@@ -99,6 +99,22 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("graftStream: streaming read of an index with an ES query applied") {
+    import graft.sources.Connector.implicits._
+    val dir = Files.createTempDirectory("graft_rstream").toString + "/idx"
+    Tables.documents(spark, sfDir).write.parquet(dir)
+    val q = spark.graftStream(dir, """{"term": {"lang": "en"}}""", idField = "doc_id")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("graft_rstream_t")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT lang, n FROM graft_rstream_t").collect()
+      val expected = Tables.documents(spark, sfDir).where(col("lang") === "en").count()
+      assert(rows.toSeq.map(r => (r.getString(0), r.getLong(1))) == Seq(("en", expected)))
+    } finally q.stop()
+  }
+
   test("upsert semantics: one row per id, latest wins") {
     val ops = Seq(
       (1L, 100L, "a", 10L), (1L, 200L, "b", 11L), (2L, 150L, "c", 12L))
