@@ -135,6 +135,12 @@ object SparkEntry {
     "q_uri_boost" -> ((s, d) =>
       Search.queryStringTopK(t(s, d, "documents"), "doc_id",
         Search.parseBoostFields(Seq("text^2", "source")), "merge src5", 10)),
+    // multi_match best_fields: max of per-field BM25
+    "q_multi_match" -> ((s, d) =>
+      Search.multiMatchTopK(t(s, d, "documents"), "doc_id",
+        Seq("text", "source"), "merge src5", 10)),
+    "q_rank_feature" -> ((s, d) =>
+      Search.rankFeatureTopK(t(s, d, "documents"), "doc_id", "n_chars", 200.0, 15)),
 
     // ---- B. Full-text (query context) ----
     "q_match" -> ((s, d) => t(s, d, "documents")
@@ -305,6 +311,28 @@ object SparkEntry {
         Num.round(avg(col("l_discount")), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))),
+    // TPC-H Q5: the 6-table join showcase — dims broadcast, the two
+    // fact-fact joins shuffle on their keys, AQE handles skew.
+    "q_tpch_q5" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+        .where(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1997-01-01")
+      val l = t(s, d, "lineitem")
+      val su = t(s, d, "supplier")
+      val n = t(s, d, "nation")
+      val r = t(s, d, "region").where(col("r_name") === "ASIA")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(Num.round(
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(28,8)"))
+            .cast("double"), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
     "q_join_enrich" -> ((s, d) =>
       Relational.enrich(
         Relational.enrich(
@@ -497,6 +525,29 @@ object SparkEntry {
       "FROM tf2 JOIN df2 USING (term) CROSS JOIN st2 GROUP BY tf2.doc_id), " +
       "u AS (SELECT id, score * 2.0 AS s FROM sc1 UNION ALL SELECT id, score * 1.0 FROM sc2) " +
       "SELECT id, round(sum(s), 4) AS score FROM u GROUP BY id ORDER BY score DESC, id LIMIT 10"),
+    "q_multi_match" -> (TokCte + ", " +
+      "stok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(source), '[^a-z0-9]+'), x -> len(x) > 0) AS toks FROM documents), " +
+      "dl1 AS (SELECT doc_id, len(toks)::DOUBLE AS dl, toks FROM tok), " +
+      "st1 AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl1), " +
+      "tf1 AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl1) " +
+      "WHERE term IN ('merge','src5') GROUP BY doc_id, dl, term), " +
+      "df1 AS (SELECT term, count(*)::DOUBLE AS df FROM tf1 GROUP BY term), " +
+      "sc1 AS (SELECT tf1.doc_id AS id, round(sum(ln(1.0 + (st1.n_docs - df1.df + 0.5) / (df1.df + 0.5)) * " +
+      "tf1.tf * (1.2 + 1.0) / (tf1.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf1.dl / st1.avgdl))), 4) AS score " +
+      "FROM tf1 JOIN df1 USING (term) CROSS JOIN st1 GROUP BY tf1.doc_id), " +
+      "dl2 AS (SELECT doc_id, len(toks)::DOUBLE AS dl, toks FROM stok), " +
+      "st2 AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl2), " +
+      "tf2 AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl2) " +
+      "WHERE term IN ('merge','src5') GROUP BY doc_id, dl, term), " +
+      "df2 AS (SELECT term, count(*)::DOUBLE AS df FROM tf2 GROUP BY term), " +
+      "sc2 AS (SELECT tf2.doc_id AS id, round(sum(ln(1.0 + (st2.n_docs - df2.df + 0.5) / (df2.df + 0.5)) * " +
+      "tf2.tf * (1.2 + 1.0) / (tf2.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf2.dl / st2.avgdl))), 4) AS score " +
+      "FROM tf2 JOIN df2 USING (term) CROSS JOIN st2 GROUP BY tf2.doc_id), " +
+      "u AS (SELECT id, score AS s FROM sc1 UNION ALL SELECT id, score FROM sc2) " +
+      "SELECT id, round(max(s), 4) AS score FROM u GROUP BY id ORDER BY score DESC, id LIMIT 10"),
+    "q_rank_feature" -> ("SELECT doc_id AS id, " +
+      "round(CAST(n_chars AS DOUBLE) / (CAST(n_chars AS DOUBLE) + 200.0), 4) AS score " +
+      "FROM documents ORDER BY score DESC, id LIMIT 15"),
     "q_agg_pipeline" -> ("WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS bucket, " +
       "count(*)::BIGINT AS doc_count, " +
       "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_v FROM orders GROUP BY 1) " +
@@ -713,6 +764,12 @@ object SparkEntry {
       "FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey " +
       "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01' " +
       "GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+    "q_tpch_q5" -> ("SELECT n_name, round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,8))) AS DOUBLE), 4) AS revenue " +
+      "FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey " +
+      "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+      "JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
+      "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' " +
+      "GROUP BY n_name ORDER BY revenue DESC, n_name"),
     "q_semi_join" -> ("SELECT c_custkey, c_name FROM customer WHERE EXISTS " +
       "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 10000) ORDER BY c_custkey"),
     "q_anti_join" -> ("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +

@@ -284,6 +284,49 @@ object Search {
       .orderBy(col("freq").desc, col("token").asc)
       .limit(k)
 
+  /** `multi_match`: BM25 over several fields combined per `mode` —
+    * `best_fields` (ES default: the best single field wins, max) or
+    * `most_fields` (fields reinforce each other, sum). Same union +
+    * re-agg shape as queryStringTopK: only docs containing query terms
+    * move. */
+  def multiMatchTopK(
+      docs: DataFrame,
+      idCol: String,
+      fields: Seq[String],
+      query: String,
+      k: Int,
+      mode: String = "best_fields"): DataFrame = {
+    require(fields.nonEmpty, "multiMatchTopK needs at least one field")
+    val combine = mode match {
+      case "best_fields" => max(col("s"))
+      case "most_fields" => sum(col("s"))
+      case other => throw new IllegalArgumentException(s"unknown multi_match mode: $other")
+    }
+    fields.map(f => bm25Scores(docs, idCol, f, query).select(col("id"), col("score").as("s")))
+      .reduce(_ unionByName _)
+      .groupBy(col("id"))
+      .agg(Num.round(combine, 4).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** `rank_feature` query (saturation function): score = x / (x +
+    * pivot) — the sub-linear boost ES applies to numeric feature
+    * fields (pagerank, url_length...). Pure codegen'd column math. */
+  def rankFeatureTopK(
+      docs: DataFrame,
+      idCol: String,
+      featureField: String,
+      pivot: Double,
+      k: Int): DataFrame = {
+    val x = col(featureField).cast("double")
+    docs.select(
+      col(idCol).as("id"),
+      Num.round(x / (x + pivot), 4).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Fuzzy `match`: fuzziness INSIDE full text — true when any
     * analyzed document token is within `maxEdits` of any query token
     * (OR semantics, like `{"match": {f: {"query": q, "fuzziness":
