@@ -38,6 +38,21 @@ object SparkEntry {
     s"list_reduce(list_prepend(0::BIGINT, list_transform(regexp_extract_all(substr(md5($expr), 1, $n), '.'), " +
       "c -> (CASE WHEN ascii(c) <= 57 THEN ascii(c) - 48 ELSE ascii(c) - 87 END)::BIGINT)), (a, v) -> a * 16 + v)"
 
+  // shared DuckDB CTE chain: MinHash-LSH verified near-dup pairs `vp`
+  // (mirror of Dedup.minhashLsh; appended after TokCte)
+  private lazy val MinhashCtes: String = ", " +
+    "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM tok WHERE len(toks) >= 3), " +
+    s"hs AS (SELECT doc_id, sh, list_transform(sh, x -> ${hexFold("x", 12)}) AS hs FROM sh), " +
+    "sig AS (SELECT doc_id, sh, list_transform(range(0, 32), i -> " +
+    "list_aggregate(list_transform(hs, h -> (h * (2*i + 3) + ((i + 1) * 2654435761) % 2305843009213693951) % 2305843009213693951), 'min')) AS sig FROM hs), " +
+    "banded AS (SELECT doc_id, unnest(list_transform(range(0, 8), b -> " +
+    "b::VARCHAR || ',' || sig[4*b+1]::VARCHAR || ',' || sig[4*b+2]::VARCHAR || ',' || sig[4*b+3]::VARCHAR || ',' || sig[4*b+4]::VARCHAR)) AS band FROM sig), " +
+    "cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id), " +
+    "vp AS (SELECT id1, id2, round(inter / (n1 + n2 - inter), 4) AS jaccard FROM " +
+    "(SELECT id1, id2, len(list_intersect(sa.sh, sb.sh))::DOUBLE AS inter, len(sa.sh) AS n1, len(sb.sh) AS n2 " +
+    "FROM cand JOIN sh sa ON sa.doc_id = id1 JOIN sh sb ON sb.doc_id = id2) " +
+    "WHERE round(inter / (n1 + n2 - inter), 4) >= 0.8)"
+
   // deterministic synthetic geo columns (SURVEY.md §3)
   private def withGeo(c: DataFrame): DataFrame = c
     .withColumn("lat", (col("c_custkey") * 7919 % 18000) / 100.0 - 90.0)
@@ -418,6 +433,9 @@ object SparkEntry {
     // ---- F. LLM-data-pipeline ----
     "q_dedup_exact" -> ((s, d) => Dedup.exactDuplicates(Tables.events(s, d), "event_id", "props")),
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(t(s, d, "documents"), "doc_id", "text", 0.8)),
+    // cluster-level dedup: connected components over the verified pairs
+    "q_dedup_cluster" -> ((s, d) =>
+      Dedup.dedupClusters(Dedup.minhashLsh(t(s, d, "documents"), "doc_id", "text", 0.8))),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", 3)),
     "q_dedup_ngram" -> ((s, d) =>
       Dedup.ngramJaccardTopK(t(s, d, "documents").where(col("source") === "src0"), "doc_id", "text", 20)),
@@ -825,18 +843,14 @@ object SparkEntry {
     // ---- F ----
     "q_dedup_exact" -> ("SELECT md5(props) AS content_hash, count(*)::BIGINT AS n_dups, min(event_id) AS keep_id " +
       "FROM events GROUP BY 1 HAVING count(*) >= 2 ORDER BY keep_id"),
-    "q_dedup_minhash" -> (TokCte + ", " +
-      "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM tok WHERE len(toks) >= 3), " +
-      s"hs AS (SELECT doc_id, sh, list_transform(sh, x -> ${hexFold("x", 12)}) AS hs FROM sh), " +
-      "sig AS (SELECT doc_id, sh, list_transform(range(0, 32), i -> " +
-      "list_aggregate(list_transform(hs, h -> (h * (2*i + 3) + ((i + 1) * 2654435761) % 2305843009213693951) % 2305843009213693951), 'min')) AS sig FROM hs), " +
-      "banded AS (SELECT doc_id, unnest(list_transform(range(0, 8), b -> " +
-      "b::VARCHAR || ',' || sig[4*b+1]::VARCHAR || ',' || sig[4*b+2]::VARCHAR || ',' || sig[4*b+3]::VARCHAR || ',' || sig[4*b+4]::VARCHAR)) AS band FROM sig), " +
-      "cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id), " +
-      "pairs AS (SELECT id1, id2, len(list_intersect(sa.sh, sb.sh))::DOUBLE AS inter, len(sa.sh) AS n1, len(sb.sh) AS n2 " +
-      "FROM cand JOIN sh sa ON sa.doc_id = id1 JOIN sh sb ON sb.doc_id = id2) " +
-      "SELECT id1, id2, round(inter / (n1 + n2 - inter), 4) AS jaccard FROM pairs " +
-      "WHERE round(inter / (n1 + n2 - inter), 4) >= 0.8 ORDER BY id1, id2"),
+    "q_dedup_minhash" -> (TokCte + MinhashCtes +
+      " SELECT id1, id2, jaccard FROM vp ORDER BY id1, id2"),
+    // connected components over vp: recursive reachable-min label
+    "q_dedup_cluster" -> (TokCte.replace("WITH ", "WITH RECURSIVE ") + MinhashCtes + ", " +
+      "e AS (SELECT id1 AS a, id2 AS b FROM vp UNION SELECT id2, id1 FROM vp), " +
+      "n AS (SELECT DISTINCT a AS id FROM e), " +
+      "r AS (SELECT id, id AS m FROM n UNION SELECT e.a, r.m FROM e JOIN r ON e.b = r.id) " +
+      "SELECT id AS doc_id, min(m) AS cluster_id FROM r GROUP BY id ORDER BY doc_id"),
     // 64-bit simhash as TWO 32-bit halves (hi = bits 1..32, lo = bits
     // 33..64): folding all 64 into one BIGINT overflows DuckDB, but
     // each half stays < 2^32 and hamming is the sum of half-hammings.
@@ -891,16 +905,8 @@ object SparkEntry {
     },
     "q_pipeline_clean" -> {
       val en = TextAnalysis.stopwords.toMap.apply("en").map(w => s"'$w'").mkString(", ")
-      TokCte + ", " +
-      "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM tok WHERE len(toks) >= 3), " +
-      s"hs AS (SELECT doc_id, sh, list_transform(sh, x -> ${hexFold("x", 12)}) AS hs FROM sh), " +
-      "sig AS (SELECT doc_id, sh, list_transform(range(0, 32), i -> " +
-      "list_aggregate(list_transform(hs, h -> (h * (2*i + 3) + ((i + 1) * 2654435761) % 2305843009213693951) % 2305843009213693951), 'min')) AS sig FROM hs), " +
-      "banded AS (SELECT doc_id, unnest(list_transform(range(0, 8), b -> " +
-      "b::VARCHAR || ',' || sig[4*b+1]::VARCHAR || ',' || sig[4*b+2]::VARCHAR || ',' || sig[4*b+3]::VARCHAR || ',' || sig[4*b+4]::VARCHAR)) AS band FROM sig), " +
-      "cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id), " +
-      "dups AS (SELECT DISTINCT id2 FROM (SELECT id1, id2, len(list_intersect(sa.sh, sb.sh))::DOUBLE AS inter, len(sa.sh) AS n1, len(sb.sh) AS n2 " +
-      "FROM cand JOIN sh sa ON sa.doc_id = id1 JOIN sh sb ON sb.doc_id = id2) WHERE round(inter / (n1 + n2 - inter), 4) >= 0.8), " +
+      TokCte + MinhashCtes + ", " +
+      "dups AS (SELECT DISTINCT id2 FROM vp), " +
       "m AS (SELECT d.doc_id, len(b.toks)::BIGINT AS n_tokens, d.n_chars, " +
       "round(len(regexp_replace(lower(d.text), '[a-z0-9 ]', '', 'g'))::DOUBLE / greatest(len(d.text), 1)::DOUBLE, 4) AS punct_ratio, " +
       s"round(len(list_filter(b.toks, t -> list_contains([$en], t)))::DOUBLE / greatest(len(b.toks), 1)::DOUBLE, 4) AS stopword_ratio, " +

@@ -176,6 +176,48 @@ object Dedup {
       .orderBy(col("id1").asc, col("id2").asc)
   }
 
+  /** Near-duplicate CLUSTERS from a verified pair list: connected
+    * components by iterative min-label propagation — every document
+    * ends up labeled with the smallest doc id reachable through the
+    * near-dup relation, which is the cluster id a pipeline keeps /
+    * drops against (pairs alone under-delete: a~b, b~c must collapse
+    * to ONE survivor).
+    *
+    * Each iteration is one join + min-aggregate (both partial-
+    * aggregating); convergence needs O(component diameter) rounds and
+    * near-dup components are shallow in practice (the iteration cap
+    * guards pathological chains). The per-round count() is the
+    * convergence check — an O(nodes) action, same pattern as any
+    * iterative fit. At extreme scale swap the propagation for the
+    * large-star/small-star formulation; the output contract is
+    * identical. */
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .distinct().cache()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id")).cache()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("b"), col("lbl").as("blbl")), "b")
+        .groupBy(col("a").as("id"))
+        .agg(min(col("blbl")).as("nmin"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .cache()
+      converged = next.join(labels.select(col("id"), col("lbl").as("old")), "id")
+        .where(col("lbl") =!= col("old")).isEmpty
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Exact n-gram (shingle) Jaccard over all pairs of a (pre-filtered)
     * subset — the brute-force ground-truth variant; use LSH above when
     * the subset isn't small. Returns top-k pairs by similarity. */

@@ -26,6 +26,19 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("dedupClusters: transitive pairs collapse to one cluster (min id label)") {
+    // chain 1~2, 2~3 plus isolated pair 10~11: 2 clusters
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (10L, 11L, 0.85))
+      .toDF("id1", "id2", "jaccard")
+    val r = Dedup.dedupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // a longer chain still converges (diameter > 2)
+    val chain = (1L to 8L).sliding(2).map(s => (s.head, s.last, 0.9)).toSeq
+      .toDF("id1", "id2", "jaccard")
+    val rc = Dedup.dedupClusters(chain).as[(Long, Long)].collect()
+    assert(rc.forall(_._2 == 1L) && rc.length == 8)
+  }
+
   test("simhash: identical docs at hamming 0; pairs honor threshold") {
     val docs = Seq((1L, base), (2L, base), (3L, "zzz yyy xxx www vvv uuu ttt")).toDF("id", "text")
     val pairs = Dedup.simhashPairs(docs, "id", "text", 3).as[(Long, Long, Int)].collect()
