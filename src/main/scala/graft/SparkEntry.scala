@@ -38,6 +38,27 @@ object SparkEntry {
     s"list_reduce(list_prepend(0::BIGINT, list_transform(regexp_extract_all(substr(md5($expr), 1, $n), '.'), " +
       "c -> (CASE WHEN ascii(c) <= 57 THEN ascii(c) - 48 ELSE ascii(c) - 87 END)::BIGINT)), (a, v) -> a * 16 + v)"
 
+  /** Shared DuckDB CTE chain computing per-doc BM25 (k1=1.2, b=0.75,
+    * round 4) over a (doc_id, toks) source CTE — appended as
+    * dl/st/tf/df/sc with a distinguishing suffix. Single definition so
+    * the BM25 formula can't silently diverge between the six scoring
+    * oracles that use it. */
+  private def bm25Ctes(p: String, tokSrc: String, terms: Seq[String]): String = {
+    val in = terms.map(t => s"'$t'").mkString(",")
+    s", dl$p AS (SELECT doc_id, len(toks)::DOUBLE AS dl, toks FROM $tokSrc), " +
+      s"st$p AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl$p), " +
+      s"tf$p AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl$p) " +
+      s"WHERE term IN ($in) GROUP BY doc_id, dl, term), " +
+      s"df$p AS (SELECT term, count(*)::DOUBLE AS df FROM tf$p GROUP BY term), " +
+      s"sc$p AS (SELECT tf$p.doc_id AS id, round(sum(ln(1.0 + (st$p.n_docs - df$p.df + 0.5) / (df$p.df + 0.5)) * " +
+      s"tf$p.tf * (1.2 + 1.0) / (tf$p.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf$p.dl / st$p.avgdl))), 4) AS score " +
+      s"FROM tf$p JOIN df$p USING (term) CROSS JOIN st$p GROUP BY tf$p.doc_id)"
+  }
+
+  // source-field token CTE used by the two-field scoring oracles
+  private val STokCte =
+    ", stok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(source), '[^a-z0-9]+'), x -> len(x) > 0) AS toks FROM documents)"
+
   // shared DuckDB CTE chain: MinHash-LSH verified near-dup pairs `vp`
   // (mirror of Dedup.minhashLsh; appended after TokCte)
   private lazy val MinhashCtes: String = ", " +
@@ -523,45 +544,15 @@ object SparkEntry {
       " SELECT doc_id FROM tok WHERE len(list_filter(toks, t -> levenshtein(t, 'spak') <= 1)) > 0 ORDER BY doc_id"),
     "q_uri_default_and" -> (TokCte +
       " SELECT doc_id FROM tok WHERE list_has_all(toks, ['merge','sort']) ORDER BY doc_id"),
-    "q_uri_boost" -> (TokCte + ", " +
-      "stok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(source), '[^a-z0-9]+'), x -> len(x) > 0) AS toks FROM documents), " +
-      "dl1 AS (SELECT doc_id, len(toks)::DOUBLE AS dl, toks FROM tok), " +
-      "st1 AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl1), " +
-      "tf1 AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl1) " +
-      "WHERE term IN ('merge','src5') GROUP BY doc_id, dl, term), " +
-      "df1 AS (SELECT term, count(*)::DOUBLE AS df FROM tf1 GROUP BY term), " +
-      "sc1 AS (SELECT tf1.doc_id AS id, round(sum(ln(1.0 + (st1.n_docs - df1.df + 0.5) / (df1.df + 0.5)) * " +
-      "tf1.tf * (1.2 + 1.0) / (tf1.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf1.dl / st1.avgdl))), 4) AS score " +
-      "FROM tf1 JOIN df1 USING (term) CROSS JOIN st1 GROUP BY tf1.doc_id), " +
-      "dl2 AS (SELECT doc_id, len(toks)::DOUBLE AS dl, toks FROM stok), " +
-      "st2 AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl2), " +
-      "tf2 AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl2) " +
-      "WHERE term IN ('merge','src5') GROUP BY doc_id, dl, term), " +
-      "df2 AS (SELECT term, count(*)::DOUBLE AS df FROM tf2 GROUP BY term), " +
-      "sc2 AS (SELECT tf2.doc_id AS id, round(sum(ln(1.0 + (st2.n_docs - df2.df + 0.5) / (df2.df + 0.5)) * " +
-      "tf2.tf * (1.2 + 1.0) / (tf2.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf2.dl / st2.avgdl))), 4) AS score " +
-      "FROM tf2 JOIN df2 USING (term) CROSS JOIN st2 GROUP BY tf2.doc_id), " +
-      "u AS (SELECT id, score * 2.0 AS s FROM sc1 UNION ALL SELECT id, score * 1.0 FROM sc2) " +
+    "q_uri_boost" -> (TokCte + STokCte +
+      bm25Ctes("1", "tok", Seq("merge", "src5")) +
+      bm25Ctes("2", "stok", Seq("merge", "src5")) +
+      ", u AS (SELECT id, score * 2.0 AS s FROM sc1 UNION ALL SELECT id, score * 1.0 FROM sc2) " +
       "SELECT id, round(sum(s), 4) AS score FROM u GROUP BY id ORDER BY score DESC, id LIMIT 10"),
-    "q_multi_match" -> (TokCte + ", " +
-      "stok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(source), '[^a-z0-9]+'), x -> len(x) > 0) AS toks FROM documents), " +
-      "dl1 AS (SELECT doc_id, len(toks)::DOUBLE AS dl, toks FROM tok), " +
-      "st1 AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl1), " +
-      "tf1 AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl1) " +
-      "WHERE term IN ('merge','src5') GROUP BY doc_id, dl, term), " +
-      "df1 AS (SELECT term, count(*)::DOUBLE AS df FROM tf1 GROUP BY term), " +
-      "sc1 AS (SELECT tf1.doc_id AS id, round(sum(ln(1.0 + (st1.n_docs - df1.df + 0.5) / (df1.df + 0.5)) * " +
-      "tf1.tf * (1.2 + 1.0) / (tf1.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf1.dl / st1.avgdl))), 4) AS score " +
-      "FROM tf1 JOIN df1 USING (term) CROSS JOIN st1 GROUP BY tf1.doc_id), " +
-      "dl2 AS (SELECT doc_id, len(toks)::DOUBLE AS dl, toks FROM stok), " +
-      "st2 AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl2), " +
-      "tf2 AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl2) " +
-      "WHERE term IN ('merge','src5') GROUP BY doc_id, dl, term), " +
-      "df2 AS (SELECT term, count(*)::DOUBLE AS df FROM tf2 GROUP BY term), " +
-      "sc2 AS (SELECT tf2.doc_id AS id, round(sum(ln(1.0 + (st2.n_docs - df2.df + 0.5) / (df2.df + 0.5)) * " +
-      "tf2.tf * (1.2 + 1.0) / (tf2.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf2.dl / st2.avgdl))), 4) AS score " +
-      "FROM tf2 JOIN df2 USING (term) CROSS JOIN st2 GROUP BY tf2.doc_id), " +
-      "u AS (SELECT id, score AS s FROM sc1 UNION ALL SELECT id, score FROM sc2) " +
+    "q_multi_match" -> (TokCte + STokCte +
+      bm25Ctes("1", "tok", Seq("merge", "src5")) +
+      bm25Ctes("2", "stok", Seq("merge", "src5")) +
+      ", u AS (SELECT id, score AS s FROM sc1 UNION ALL SELECT id, score FROM sc2) " +
       "SELECT id, round(max(s), 4) AS score FROM u GROUP BY id ORDER BY score DESC, id LIMIT 10"),
     "q_rank_feature" -> ("SELECT doc_id AS id, " +
       "round(CAST(n_chars AS DOUBLE) / (CAST(n_chars AS DOUBLE) + 200.0), 4) AS score " +
@@ -589,23 +580,14 @@ object SparkEntry {
       "SELECT doc_id FROM p WHERE len(list_filter(p0, a -> len(list_filter(p1, b -> b > a AND b - a <= 2)) > 0)) > 0 ORDER BY doc_id"),
     "q_constant_score" -> ("SELECT doc_id AS id, 1.2 AS score FROM documents " +
       "WHERE lang = 'fr' AND n_chars > 300 ORDER BY id"),
-    "q_pinned" -> (TokCte + ", " +
-      "dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl, toks FROM tok), st AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl), tf AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl) WHERE term IN ('fast','hash','join') GROUP BY doc_id, dl, term), df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term), sc AS (SELECT tf.doc_id AS id, round(sum(ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) * tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / st.avgdl))), 4) AS score FROM tf JOIN df USING (term) CROSS JOIN st GROUP BY tf.doc_id)" +
+    "q_pinned" -> (TokCte + bm25Ctes("", "tok", Seq("fast", "hash", "join")) +
       " SELECT id, score, (CASE WHEN id = 7 THEN 0 WHEN id = 11 THEN 1 ELSE 2147483647 END) < 2147483647 AS pinned " +
       "FROM sc ORDER BY CASE WHEN id = 7 THEN 0 WHEN id = 11 THEN 1 ELSE 2147483647 END, score DESC, id LIMIT 10"),
-    "q_boosting" -> (TokCte + ", " +
-      "dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl, toks FROM tok), st AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl), tf AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl) WHERE term IN ('fast','hash','join') GROUP BY doc_id, dl, term), df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term), sc AS (SELECT tf.doc_id AS id, round(sum(ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) * tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / st.avgdl))), 4) AS score FROM tf JOIN df USING (term) CROSS JOIN st GROUP BY tf.doc_id)" +
+    "q_boosting" -> (TokCte + bm25Ctes("", "tok", Seq("fast", "hash", "join")) +
       " SELECT sc.id, round(sc.score * CASE WHEN d.lang = 'de' THEN 0.5 ELSE 1.0 END, 4) AS score " +
       "FROM sc JOIN documents d ON d.doc_id = sc.id ORDER BY score DESC, id LIMIT 10"),
-    "q_bm25" -> (TokCte + ", " +
-      "dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl, toks FROM tok), " +
-      "st AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl), " +
-      "tf AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl) " +
-      "WHERE term IN ('fast','hash','join') GROUP BY doc_id, dl, term), " +
-      "df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term) " +
-      "SELECT tf.doc_id AS id, round(sum(ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) * " +
-      "tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / st.avgdl))), 4) AS score " +
-      "FROM tf JOIN df USING (term) CROSS JOIN st GROUP BY tf.doc_id ORDER BY score DESC, id LIMIT 10"),
+    "q_bm25" -> (TokCte + bm25Ctes("", "tok", Seq("fast", "hash", "join")) +
+      " SELECT id, score FROM sc ORDER BY score DESC, id LIMIT 10"),
     "q_more_like_this" -> (TokCte + ", " +
       "seed AS (SELECT term FROM (SELECT unnest(toks) AS term FROM tok WHERE doc_id = 7) GROUP BY term ORDER BY count(*) DESC, term LIMIT 5), " +
       "st AS (SELECT list(term) AS terms FROM seed) " +
@@ -629,15 +611,8 @@ object SparkEntry {
       "FROM documents WHERE list_contains(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), " +
       "x -> len(x) > 0), 'merge') ORDER BY id LIMIT 20"),
 
-    "q_read_metadata_score" -> (TokCte + ", " +
-      "dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl, toks FROM tok), " +
-      "st AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl), " +
-      "tf AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl) " +
-      "WHERE term IN ('merge','sort') GROUP BY doc_id, dl, term), " +
-      "df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term) " +
-      "SELECT tf.doc_id AS id, round(sum(ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) * " +
-      "tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / st.avgdl))), 4) AS score " +
-      "FROM tf JOIN df USING (term) CROSS JOIN st GROUP BY tf.doc_id ORDER BY score DESC, id LIMIT 15"),
+    "q_read_metadata_score" -> (TokCte + bm25Ctes("", "tok", Seq("merge", "sort")) +
+      " SELECT id, score FROM sc ORDER BY score DESC, id LIMIT 15"),
 
     "q_percolate" -> (TokCte.replace("SELECT doc_id,", "SELECT doc_id, lang, source, n_chars,") +
       ", m AS (SELECT doc_id, " +
@@ -767,7 +742,7 @@ object SparkEntry {
       "ORDER BY doc_count DESC, key LIMIT 15"),
     "q_geo_tile" -> (GeoCte + ", c AS (SELECT greatest(least(lat, 85.05112878), -85.05112878) AS latc, lon FROM g), " +
       "t AS (SELECT CAST(least(floor((lon + 180.0) / 360.0 * 64.0), 63.0) AS BIGINT) AS x, " +
-      "CAST(greatest(least(floor((1.0 - ln(tan(radians(latc)) + 1.0 / cos(radians(latc))) / pi()) / 2.0 * 64.0), 63.0), 0.0) AS BIGINT) AS y FROM c) " +
+      "CAST(greatest(least(floor(round((1.0 - ln(tan(radians(latc)) + 1.0 / cos(radians(latc))) / pi()) / 2.0 * 64.0, 9)), 63.0), 0.0) AS BIGINT) AS y FROM c) " +
       "SELECT '6/' || x::VARCHAR || '/' || y::VARCHAR AS key, count(*)::BIGINT AS doc_count " +
       "FROM t GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 15"),
     "q_autocomplete" -> (TokCte + " SELECT token, count(*)::BIGINT AS freq FROM " +

@@ -292,7 +292,14 @@ object Aggs {
   /** `geotile_grid`: web-mercator slippy-tile buckets ("z/x/y") at
     * `zoom`. Same single-exchange shape as geohash_grid. The y formula
     * is the standard OSM tile math; latitude is clamped to the
-    * mercator domain first, exactly as ES does. */
+    * mercator domain first, exactly as ES does.
+    *
+    * Cross-engine determinism: the y formula goes through tan/cos/ln,
+    * which JVM Math and C libm may disagree on by 1 ulp — amplified by
+    * floor() into a whole-tile flip at a boundary. Quantizing the
+    * pre-floor value to 1e-9 (Num.round mirrors DuckDB's round
+    * bit-for-bit) absorbs ulp noise; geohash needs no such guard (pure
+    * +,-,*,/ arithmetic). */
   def geotileGridAgg(
       df: DataFrame, latField: String, lonField: String,
       zoom: Int, k: Int): DataFrame = {
@@ -301,8 +308,9 @@ object Aggs {
     val r = radians(latC)
     val x = least(floor((col(lonField).cast("double") + 180.0) / 360.0 * n), lit(n - 1.0))
       .cast("long")
+    val yRaw = (lit(1.0) - log(tan(r) + lit(1.0) / cos(r)) / math.Pi) / 2.0 * n
     val y = greatest(
-      least(floor((lit(1.0) - log(tan(r) + lit(1.0) / cos(r)) / math.Pi) / 2.0 * n), lit(n - 1.0)),
+      least(floor(Num.round(yRaw, 9)), lit(n - 1.0)),
       lit(0.0)).cast("long")
     df.groupBy(concat_ws("/", lit(zoom), x, y).as("key"))
       .agg(count(lit(1)).as("doc_count"))

@@ -183,20 +183,24 @@ object Dedup {
     * drops against (pairs alone under-delete: a~b, b~c must collapse
     * to ONE survivor).
     *
-    * Each iteration is one join + min-aggregate (both partial-
-    * aggregating); convergence needs O(component diameter) rounds and
-    * near-dup components are shallow in practice (the iteration cap
-    * guards pathological chains). The per-round count() is the
-    * convergence check — an O(nodes) action, same pattern as any
-    * iterative fit. At extreme scale swap the propagation for the
-    * large-star/small-star formulation; the output contract is
-    * identical. */
+    * Each iteration is one edge join + min-aggregate plus a
+    * pointer-jumping self-join (all partial-aggregating), so
+    * convergence is O(log component-diameter) rounds — 20 rounds
+    * covers any realistic component. The per-round isEmpty is the
+    * convergence check, an O(nodes) action, same pattern as any
+    * iterative fit; non-convergence throws rather than silently
+    * returning non-minimal labels. At extreme scale swap the
+    * propagation for the large-star/small-star formulation; the
+    * output contract is identical. */
   def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
       .distinct().cache()
+    // localCheckpoint (not cache): truncates the lineage each round so
+    // the plan stays one join deep instead of nesting per iteration;
+    // superseded iteration state is GC-cleaned once unreferenced.
     var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("lbl", col("id")).cache()
+      .withColumn("lbl", col("id")).localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -204,16 +208,28 @@ object Dedup {
         .join(labels.select(col("id").as("b"), col("lbl").as("blbl")), "b")
         .groupBy(col("a").as("id"))
         .agg(min(col("blbl")).as("nmin"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
-        .cache()
+      // pointer jumping: besides the neighbor minimum, adopt the label
+      // OF the current label — doubles the propagation horizon per
+      // round, so convergence is O(log diameter), not O(diameter)
+      val lblOfLbl = labels.select(col("id").as("lbl"), col("lbl").as("llbl"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .join(lblOfLbl, Seq("lbl"), "left")
+        .select(col("id"), least(
+          col("lbl"),
+          coalesce(col("nmin"), col("lbl")),
+          coalesce(col("llbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
       converged = next.join(labels.select(col("id"), col("lbl").as("old")), "id")
         .where(col("lbl") =!= col("old")).isEmpty
-      labels.unpersist()
       labels = next
       iter += 1
     }
+    edges.unpersist()
+    // silent truncation would return NON-minimal labels that diverge
+    // from the oracle's exact transitive closure — refuse instead
+    if (!converged) throw new IllegalStateException(
+      s"dedupClusters did not converge in $maxIters rounds (component diameter > 2^$maxIters?)")
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
       .orderBy(col("doc_id").asc)
   }

@@ -113,11 +113,17 @@ object QueryDslJson {
             if fields.exists(_._1 == "query") =>
           val m = fields.toMap
           val query = lits(m("query")).toString
-          val fuzziness = m.get("fuzziness").map(lits(_).toString.toInt)
-          (fuzziness, m.get("operator").map(lits(_).toString.toLowerCase)) match {
-            case (Some(n), _) => Search.matchQueryFuzzy(col(f), query, n)
-            case (_, Some("and")) => Search.matchQueryAnd(col(f), query)
-            case _ => Search.matchQuery(col(f), query)
+          // ES "AUTO" fuzziness scales with term length, capping at 2
+          // edits — the cap is the faithful simplification here
+          val fuzziness = m.get("fuzziness").map(lits(_).toString).map {
+            case s if s.equalsIgnoreCase("auto") => 2
+            case s => s.toInt
+          }
+          val andOp = m.get("operator").map(lits(_).toString.toLowerCase).contains("and")
+          fuzziness match {
+            case Some(n) => Search.matchQueryFuzzy(col(f), query, n, andOp)
+            case None if andOp => Search.matchQueryAnd(col(f), query)
+            case None => Search.matchQuery(col(f), query)
           }
         case ("match", JObject(JField(f, v) :: Nil)) =>
           Search.matchQuery(col(f), lits(v).toString)

@@ -124,27 +124,37 @@ object UriQuery {
     }
 
     /** One parenthesization level: a flat item sequence with explicit
-      * (AND/OR) or implicit (default_operator) joiners and +/-/NOT
-      * modifiers, combined per the Lucene rules in the scaladoc. */
+      * (AND/OR) or implicit (default_operator) joiners, local NOT
+      * negation, and Lucene +/- modifiers, combined per the rules in
+      * the object scaladoc. */
     private def parseLevel(): Column = {
       // (modifier, column, explicit-joiner-before-item)
       val items = scala.collection.mutable.ListBuffer.empty[(Int, Column, Option[Boolean])]
       var pendingJoin: Option[Boolean] = None
       var pendingMod = 0
+      var pendingNot = false
       while (peek.isDefined && peek.get != RP) {
         next() match {
           case AND => pendingJoin = Some(true)
           case OR => pendingJoin = Some(false)
-          case NOT | MINUS => pendingMod = -1
+          // NOT is a local negation INSIDE the joiner chain (it keeps
+          // its position in the AND/OR precedence: `a OR NOT b` is
+          // a || !b); only the Lucene `-` modifier prohibits globally.
+          case NOT => pendingNot = !pendingNot
+          case MINUS => pendingMod = -1
           case PLUS => pendingMod = 1
           case LP =>
-            val e = parseLevel()
+            val e0 = parseLevel()
             require(peek.contains(RP), "expected )")
             next()
-            items += ((pendingMod, e, pendingJoin)); pendingMod = 0; pendingJoin = None
+            val e = if (pendingNot) !e0 else e0
+            items += ((pendingMod, e, pendingJoin))
+            pendingMod = 0; pendingJoin = None; pendingNot = false
           case c: Clause =>
-            items += ((pendingMod, compileClause(c), pendingJoin))
-            pendingMod = 0; pendingJoin = None
+            val e0 = compileClause(c)
+            val e = if (pendingNot) !e0 else e0
+            items += ((pendingMod, e, pendingJoin))
+            pendingMod = 0; pendingJoin = None; pendingNot = false
           case other => throw new IllegalArgumentException(s"unexpected token $other")
         }
       }

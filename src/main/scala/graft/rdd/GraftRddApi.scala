@@ -49,11 +49,17 @@ object GraftRddApi {
         * write through the connector. */
       def saveToGraft(path: String, cfg: Map[String, String] = Map.empty): Unit = {
         val spark = SparkSession.active
-        val schema = inferSchema(rdd)
-        val names = schema.fieldNames
-        val rows = rdd.map(m =>
-          Row.fromSeq(names.map(n => m.get(n).map(GraftRddApi.widen).orNull)))
-        Connector.save(spark.createDataFrame(rows, schema), path, cfg)
+        // the data is read twice (schema-inference aggregate + the
+        // write) — persist so an expensive upstream runs once
+        val wasPersisted = rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE
+        if (!wasPersisted) rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val schema = inferSchema(rdd)
+          val names = schema.fieldNames
+          val rows = rdd.map(m =>
+            Row.fromSeq(names.map(n => m.get(n).map(GraftRddApi.widen).orNull)))
+          Connector.save(spark.createDataFrame(rows, schema), path, cfg)
+        } finally if (!wasPersisted) rdd.unpersist()
       }
     }
   }

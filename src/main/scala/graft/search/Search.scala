@@ -327,16 +327,17 @@ object Search {
       .limit(k)
   }
 
-  /** Fuzzy `match`: fuzziness INSIDE full text — true when any
-    * analyzed document token is within `maxEdits` of any query token
-    * (OR semantics, like `{"match": {f: {"query": q, "fuzziness":
-    * n}}}`). */
-  def matchQueryFuzzy(field: Column, query: String, maxEdits: Int): Column = {
+  /** Fuzzy `match`: fuzziness INSIDE full text — per query token, the
+    * document must hold an analyzed token within `maxEdits`; tokens
+    * combine with OR (default) or AND per the match `operator`, like
+    * `{"match": {f: {"query": q, "fuzziness": n, "operator": ...}}}`. */
+  def matchQueryFuzzy(
+      field: Column, query: String, maxEdits: Int, andOperator: Boolean = false): Column = {
     val q = Analyzer.analyze(query)
     require(q.nonEmpty, s"fuzzy match analyzed to zero tokens: $query")
     val toks = Analyzer.tokens(field)
-    q.map(term => exists(toks, t => levenshtein(t, lit(term)) <= maxEdits))
-      .reduce(_ || _)
+    val perTerm = q.map(term => exists(toks, t => levenshtein(t, lit(term)) <= maxEdits))
+    if (andOperator) perTerm.reduce(_ && _) else perTerm.reduce(_ || _)
   }
 
   /** Phrase suggester: corrections for a two-term phrase from the

@@ -38,6 +38,19 @@ class ConnectorSpec extends SparkSpec {
     assert(ids(QueryDslJson.compile("""{"match_phrase": {"text": "table scan"}}""")) ==
       ids(graft.search.Search.matchPhrase(col("text"), "table scan")))
     assert(ids(QueryDslJson.compile("""{"match_all": {}}""")).size == docs.count())
+    // fuzziness honors the operator: AND requires every term fuzzily
+    assert(ids(QueryDslJson.compile(
+      """{"match": {"text": {"query": "spak window", "fuzziness": 1, "operator": "and"}}}""")) ==
+      ids(graft.search.Search.matchQueryFuzzy(col("text"), "spak window", 1, andOperator = true)))
+    val orSet = ids(QueryDslJson.compile(
+      """{"match": {"text": {"query": "spak window", "fuzziness": 1}}}"""))
+    val andSet = ids(QueryDslJson.compile(
+      """{"match": {"text": {"query": "spak window", "fuzziness": 1, "operator": "and"}}}"""))
+    assert(andSet.subsetOf(orSet) && andSet.size < orSet.size)
+    // ES's "AUTO" fuzziness is accepted (capped at 2 edits)
+    assert(ids(QueryDslJson.compile(
+      """{"match": {"text": {"query": "spak", "fuzziness": "AUTO"}}}""")) ==
+      ids(graft.search.Search.matchQueryFuzzy(col("text"), "spak", 2)))
     intercept[IllegalArgumentException](QueryDslJson.compile("""{"knn_unsupported": {}}"""))
   }
 

@@ -40,6 +40,18 @@ class UriQuerySpec extends SparkSpec {
       ids(graft.search.Search.matchPhrase(col("text"), "table scan")))
   }
 
+  test("NOT keeps its position in the AND/OR chain; only '-' prohibits globally") {
+    // a OR NOT b  ==  a || !b  (NOT is local, not a level-wide prohibit)
+    assert(ids(UriQuery.compile("lang:en OR NOT source:src1*")) ==
+      ids(col("lang") === "en" || !col("source").startsWith("src1")))
+    assert(ids(UriQuery.compile("lang:en AND NOT source:src19 OR source:src1*")) ==
+      ids((col("lang") === "en" && !(col("source") === "src19")) ||
+        col("source").startsWith("src1")))
+    // '-' by contrast prohibits across the level
+    assert(ids(UriQuery.compile("lang:en OR lang:de -source:src19")) ==
+      ids((col("lang") === "en" || col("lang") === "de") && !(col("source") === "src19")))
+  }
+
   test("Lucene +/- modifiers: must / must_not, plain clauses optional") {
     assert(ids(UriQuery.compile("+lang:en -source:src19 n_chars:>300")) ==
       ids(col("lang") === "en" && !(col("source") === "src19")))
