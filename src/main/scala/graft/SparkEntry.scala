@@ -310,6 +310,13 @@ object SparkEntry {
       Aggs.dateHistogramPipeline(t(s, d, "orders"), "o_orderdate", "month", "o_totalprice")),
     "q_agg_percentile_ranks" -> ((s, d) =>
       Aggs.percentileRanksAgg(t(s, d, "lineitem"), "l_extendedprice", Seq(1000.0, 10000.0, 50000.0))),
+    "q_agg_histogram_empty" -> ((s, d) =>
+      Aggs.dateHistogramEmptyBuckets(t(s, d, "orders"), "o_orderdate")),
+    "q_terms_lookup" -> ((s, d) =>
+      Relational.termsLookup(t(s, d, "orders"), "o_custkey",
+        t(s, d, "customer").where(col("c_mktsegment") === "MACHINERY"), "c_custkey")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .orderBy(col("o_orderkey"))),
     "q_agg_multi_terms" -> ((s, d) =>
       Aggs.multiTermsAgg(t(s, d, "documents"), Seq("lang", "source"), 10)),
     "q_agg_auto_date_histogram" -> ((s, d) =>
@@ -631,6 +638,13 @@ object SparkEntry {
       "FROM lineitem"),
     "q_agg_multi_terms" -> ("SELECT lang, source, count(*)::BIGINT AS doc_count FROM documents " +
       "GROUP BY lang, source ORDER BY doc_count DESC, lang, source LIMIT 10"),
+    "q_agg_histogram_empty" -> ("WITH mm AS (SELECT date_trunc('month', min(o_orderdate)) AS lo, " +
+      "date_trunc('month', max(o_orderdate)) AS hi FROM orders), " +
+      "spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE) AS bucket FROM mm), " +
+      "c AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS bucket, count(*)::BIGINT AS n FROM orders GROUP BY 1) " +
+      "SELECT spine.bucket, coalesce(c.n, 0)::BIGINT AS doc_count FROM spine LEFT JOIN c USING (bucket) ORDER BY bucket"),
+    "q_terms_lookup" -> ("SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey IN " +
+      "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY') ORDER BY o_orderkey"),
     "q_agg_auto_date_histogram" -> ("WITH sp AS (SELECT date_diff('day', min(o_orderdate), max(o_orderdate)) AS days FROM orders), " +
       "st AS (SELECT CASE WHEN days * 24 <= 20 THEN 'hour' WHEN days <= 20 THEN 'day' " +
       "WHEN days / 31.0 <= 20 THEN 'month' ELSE 'year' END AS iv FROM sp), " +

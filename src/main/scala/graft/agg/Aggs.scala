@@ -198,6 +198,25 @@ object Aggs {
       Num.round(covar_pop(col(f1), col(f2)), 4).as("covariance"),
       Num.round(corr(col(f1), col(f2)), 4).as("correlation"))
 
+  /** `date_histogram` with `min_doc_count: 0`: empty buckets between
+    * the corpus min and max are materialized (the form chart consumers
+    * rely on). The bucket spine is generated from the 1-row min/max
+    * agg via sequence() — #buckets rows, broadcast to the left join —
+    * so gap filling costs one extra broadcast join, never a shuffle of
+    * the data. Month granularity. */
+  def dateHistogramEmptyBuckets(df: DataFrame, tsField: String): DataFrame = {
+    val counted = df
+      .groupBy(date_trunc("month", col(tsField)).cast("date").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val spine = df
+      .agg(date_trunc("month", min(col(tsField))).cast("date").as("lo"),
+        date_trunc("month", max(col(tsField))).cast("date").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 month"))).as("bucket"))
+    spine.join(counted, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("n"), lit(0L)).as("doc_count"))
+      .orderBy(col("bucket"))
+  }
+
   /** `percentile_ranks`: for each probe value, the share of documents
     * with field <= value, as a percentage. One single-row aggregate —
     * map-side combined, no sort (the inverse of `percentiles`, which

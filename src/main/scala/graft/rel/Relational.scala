@@ -100,6 +100,19 @@ object Relational {
           .select(col(parentKey)),
         Seq(parentKey), "left_semi")
 
+  /** ES `terms` lookup query: filter docs whose `field` appears in a
+    * value list read from ANOTHER index (the terms-lookup form of
+    * `{"terms": {f: {"index": ..., "path": ...}}}`) — a left_semi join
+    * against the (usually tiny, broadcastable) lookup column. */
+  def termsLookup(
+      docs: DataFrame,
+      field: String,
+      lookup: DataFrame,
+      lookupField: String): DataFrame =
+    docs.join(
+      broadcast(lookup.select(col(lookupField).as(field))),
+      Seq(field), "left_semi")
+
   /** ES `has_parent`: children whose parent matches the predicate —
     * left_semi from the child side; the filtered parent keys are
     * usually small enough to broadcast. */

@@ -34,6 +34,16 @@ class AggsSpec extends SparkSpec {
     assert(h == Seq((0.0, 4L), (5.0, 1L), (10.0, 1L)))
   }
 
+  test("date_histogram min_doc_count=0 materializes the gap months") {
+    val ts = Seq("2020-01-15", "2020-02-10", "2020-05-01")
+      .map(d => Tuple1(java.sql.Timestamp.valueOf(d + " 00:00:00"))).toDF("ts")
+    val r = Aggs.dateHistogramEmptyBuckets(ts, "ts")
+      .as[(java.sql.Date, Long)].collect().toSeq
+    assert(r.map(_._1.toString) ==
+      Seq("2020-01-01", "2020-02-01", "2020-03-01", "2020-04-01", "2020-05-01"))
+    assert(r.map(_._2) == Seq(1L, 1L, 0L, 0L, 1L)) // March+April filled with 0
+  }
+
   test("range agg half-open buckets") {
     val r = Aggs.rangeAgg(df, "v", Seq(2.0, 6.0)).collect()
       .map(x => (x.getString(0), x.getLong(1))).toSeq

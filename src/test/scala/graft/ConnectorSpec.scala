@@ -81,6 +81,22 @@ class ConnectorSpec extends SparkSpec {
     assert(mixed.where(col("_score") <= 0.0).count() == 0)
   }
 
+  test("swap crash recovery: a leftover _graft_old index is restored on the next save") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val dir = Files.createTempDirectory("graft_crash").toString + "/idx"
+    val cfg = Map("graft.mapping.id" -> "id")
+    Seq((1L, "a")).toDF("id", "v").saveToGraft(dir, cfg)
+    // simulate a crash between "rename live aside" and "rename tmp in":
+    // the live directory sits at path_graft_old, nothing at path
+    JFiles.move(Paths.get(dir), Paths.get(dir + "_graft_old"))
+    assert(!JFiles.exists(Paths.get(dir)))
+    // the next save must restore the old copy, then upsert into it —
+    // NOT rebuild the index from this one batch
+    Seq((2L, "b")).toDF("id", "v").saveToGraft(dir, cfg)
+    val after = spark.graftDF(dir).as[(Long, String)].collect().toMap
+    assert(after == Map(1L -> "a", 2L -> "b"))
+  }
+
   test("connector roundtrip: index write, JSON-query read, upsert semantics") {
     val dir = Files.createTempDirectory("graft_index").toString + "/idx"
     val v1 = Seq((1L, "alpha", 1), (2L, "beta", 1), (3L, "gamma", 1)).toDF("id", "name", "ver")
