@@ -16,5 +16,11 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // post-shuffle coalescing keeps reducer partitions near target
+      // size when a filter/agg shrinks the data mid-plan
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // 128m splits: the scan parallelism knob — at 100 TB this yields
+      // ~800k input splits, which AQE then coalesces after pruning
+      .config("spark.sql.files.maxPartitionBytes", "134217728")
       .config("spark.sql.session.timeZone", "UTC")
 }

@@ -177,6 +177,16 @@ object SparkEntry {
         Seq("text", "source"), "merge src5", 10)),
     "q_rank_feature" -> ((s, d) =>
       Search.rankFeatureTopK(t(s, d, "documents"), "doc_id", "n_chars", 200.0, 15)),
+    // two-phase ranking: BM25 window, re-ranked by a secondary signal
+    "q_rescore" -> ((s, d) =>
+      Search.rescoreTopK(t(s, d, "documents"), "doc_id", "text", "fast hash join",
+        log(lit(1.0) + col("n_chars")), windowSize = 50, k = 10,
+        queryWeight = 1.0, rescoreWeight = 0.5)),
+    "q_text_clean" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.cleanText(col("text")).as("clean"),
+        length(TextAnalysis.cleanText(col("text"))).as("clean_len"))
+      .orderBy(col("doc_id"))),
 
     // ---- B. Full-text (query context) ----
     "q_match" -> ((s, d) => t(s, d, "documents")
@@ -564,6 +574,16 @@ object SparkEntry {
     "q_rank_feature" -> ("SELECT doc_id AS id, " +
       "round(CAST(n_chars AS DOUBLE) / (CAST(n_chars AS DOUBLE) + 200.0), 4) AS score " +
       "FROM documents ORDER BY score DESC, id LIMIT 15"),
+    "q_rescore" -> (TokCte + bm25Ctes("", "tok", Seq("fast", "hash", "join")) +
+      ", w AS (SELECT id, score FROM sc ORDER BY score DESC, id LIMIT 50) " +
+      "SELECT w.id, round(w.score * 1.0 + ln(1.0 + d.n_chars) * 0.5, 4) AS score " +
+      "FROM w JOIN documents d ON d.doc_id = w.id ORDER BY score DESC, id LIMIT 10"),
+    "q_text_clean" -> ("SELECT doc_id, " +
+      "trim(regexp_replace(regexp_replace(regexp_replace(text, 'https?://\\S+', ' ', 'g'), " +
+      "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', ' ', 'g'), '\\s+', ' ', 'g')) AS clean, " +
+      "length(trim(regexp_replace(regexp_replace(regexp_replace(text, 'https?://\\S+', ' ', 'g'), " +
+      "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', ' ', 'g'), '\\s+', ' ', 'g')))::INT AS clean_len " +
+      "FROM documents ORDER BY doc_id"),
     "q_agg_pipeline" -> ("WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS bucket, " +
       "count(*)::BIGINT AS doc_count, " +
       "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_v FROM orders GROUP BY 1) " +

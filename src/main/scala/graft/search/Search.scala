@@ -284,6 +284,31 @@ object Search {
       .orderBy(col("freq").desc, col("token").asc)
       .limit(k)
 
+  /** `rescore`: re-rank the top `windowSize` first-pass (BM25) hits
+    * with a secondary scoring expression — ES's two-phase ranking.
+    * The first pass bounds the window (TakeOrderedAndProject); the
+    * rescorer runs only on `windowSize` rows, so an expensive
+    * secondary signal costs O(window), not O(corpus).
+    * `combined = queryWeight * score + rescoreWeight * secondary`. */
+  def rescoreTopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      query: String,
+      secondary: Column,
+      windowSize: Int,
+      k: Int,
+      queryWeight: Double = 1.0,
+      rescoreWeight: Double = 1.0): DataFrame = {
+    val window = bm25TopK(docs, idCol, textCol, query, windowSize)
+    window
+      .join(docs.select(col(idCol).as("id"), secondary.as("_sec")), "id")
+      .select(col("id"),
+        Num.round(col("score") * queryWeight + col("_sec") * rescoreWeight, 4).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** `multi_match`: BM25 over several fields combined per `mode` —
     * `best_fields` (ES default: the best single field wins, max) or
     * `most_fields` (fields reinforce each other, sum). Same union +

@@ -78,6 +78,15 @@ object TextAnalysis {
           4))
   }
 
+  /** Cheap text normalization — the standard pre-tokenization cleanup
+    * in data pipelines: strip URLs and emails, collapse whitespace
+    * runs, trim. Pure regex column math (narrow, codegen'd). */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(regexp_replace(text,
+      "https?://\\S+", " "),
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", " "),
+      "\\s+", " "))
+
   /** Token counting: whitespace tokens and a BPE-ish regex segmentation
     * (letter runs / digit runs / single punctuation marks) — the cheap
     * proxy used to size training corpora. */
