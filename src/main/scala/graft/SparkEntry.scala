@@ -198,6 +198,12 @@ object SparkEntry {
     "q_match_phrase" -> ((s, d) => t(s, d, "documents")
       .where(Search.matchPhrase(col("text"), "table scan"))
       .select(col("doc_id")).orderBy(col("doc_id"))),
+    "q_match_phrase_prefix" -> ((s, d) => t(s, d, "documents")
+      .where(Search.matchPhrasePrefix(col("text"), "table sc"))
+      .select(col("doc_id")).orderBy(col("doc_id"))),
+    "q_span_first" -> ((s, d) => t(s, d, "documents")
+      .where(Search.spanFirst(col("text"), "spark", 10))
+      .select(col("doc_id")).orderBy(col("doc_id"))),
     "q_query_string" -> ((s, d) => t(s, d, "documents")
       .where(Search.queryString(Seq(col("text"), col("source")), "src5 merge"))
       .select(col("doc_id")).orderBy(col("doc_id"))),
@@ -597,6 +603,9 @@ object SparkEntry {
     "q_match" -> s"$TokCte SELECT doc_id FROM tok WHERE list_has_any(toks, ['spark','window']) ORDER BY doc_id",
     "q_match_and" -> s"$TokCte SELECT doc_id FROM tok WHERE list_has_all(toks, ['spark','window']) ORDER BY doc_id",
     "q_match_phrase" -> s"$TokCte SELECT doc_id FROM tok WHERE contains(' ' || array_to_string(toks, ' ') || ' ', ' table scan ') ORDER BY doc_id",
+    "q_match_phrase_prefix" -> s"$TokCte SELECT doc_id FROM tok WHERE contains(' ' || array_to_string(toks, ' ') || ' ', ' table sc') ORDER BY doc_id",
+    "q_span_first" -> (s"$TokCte SELECT doc_id FROM tok WHERE " +
+      "list_position(toks, 'spark') >= 1 AND list_position(toks, 'spark') <= 10 ORDER BY doc_id"),
     "q_query_string" -> ("WITH f AS (SELECT doc_id, " +
       "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks, " +
       "list_filter(regexp_split_to_array(lower(source), '[^a-z0-9]+'), x -> len(x) > 0) AS stoks FROM documents) " +

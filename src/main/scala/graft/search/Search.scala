@@ -47,6 +47,26 @@ object Search {
     joined.contains(" " + q.mkString(" ") + " ")
   }
 
+  /** `match_phrase_prefix` — the phrase-autocomplete query: all terms
+    * adjacent in order, the LAST term matching as a prefix. Same
+    * codegen'd substring scan as matchPhrase: omitting the trailing
+    * space boundary makes the final term a prefix match. */
+  def matchPhrasePrefix(field: Column, query: String): Column = {
+    val q = Analyzer.analyze(query)
+    require(q.nonEmpty, s"match_phrase_prefix analyzed to zero tokens: $query")
+    val joined = concat(lit(" "), concat_ws(" ", Analyzer.tokens(field)), lit(" "))
+    joined.contains(" " + q.mkString(" "))
+  }
+
+  /** `span_first`: the term must occur within the first `end` token
+    * positions — one array_position lookup, no position lists. */
+  def spanFirst(field: Column, term: String, end: Int): Column = {
+    val analyzed = Analyzer.analyze(term)
+    require(analyzed.length == 1, s"span_first takes a single term: $term")
+    val pos = array_position(Analyzer.tokens(field), analyzed.head)
+    pos >= 1 && pos <= end
+  }
+
   /** `{"query_string": {"query": q, "fields": [...]}}` (simplified: the
     * analyzed-OR semantics across multiple fields). */
   def queryString(fields: Seq[Column], query: String): Column =
