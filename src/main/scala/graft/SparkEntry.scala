@@ -530,6 +530,12 @@ object SparkEntry {
     "q_fingerprint" -> ((s, d) => t(s, d, "documents")
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))),
+    // training-batch sequence packing, group-local (parallel) windows
+    "q_pack" -> ((s, d) =>
+      TextAnalysis.packSequences(t(s, d, "documents"), "doc_id", col("n_chars"), "source", 5000L)
+        .groupBy(col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("size")).as("pack_chars"))
+        .orderBy(col("pack_id"))),
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.metadata(Multimodal.mediaTable(t(s, d, "documents")))),
 
@@ -969,6 +975,11 @@ object SparkEntry {
     "q_fingerprint" -> (TokCte + " SELECT doc_id, " +
       s"list_reduce(list_prepend(0::BIGINT, list_transform(toks, t -> ${hexFold("t", 12)} % 1000000007)), " +
       "(a, v) -> (a * 31 + v) % 1000000007) AS fp FROM tok ORDER BY doc_id"),
+    "q_pack" -> ("WITH p AS (SELECT doc_id, source, n_chars, " +
+      "source || '/' || CAST(floor(CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_chars AS DOUBLE) / 5000) AS BIGINT)::VARCHAR AS pack_id " +
+      "FROM documents) " +
+      "SELECT pack_id, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS pack_chars " +
+      "FROM p GROUP BY pack_id ORDER BY pack_id"),
     "q_multimodal_meta" -> ("SELECT doc_id AS media_id, " +
       "CASE WHEN doc_id % 3 = 0 THEN 'image/png' WHEN doc_id % 3 = 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime, " +
       "octet_length(encode(text))::BIGINT AS n_bytes, " +

@@ -94,6 +94,30 @@ object TextAnalysis {
     "ws_tokens" -> size(filter(split(text, "\\s+"), t => length(t) > 0)).cast("long"),
     "bpe_tokens" -> size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0))).cast("long"))
 
+  /** Sequence packing for training batches: assign documents to packs
+    * of ~`budget` units (tokens/chars) by cumulative size, WITHIN a
+    * grouping column — the window is group-local, so packing
+    * parallelizes across groups instead of forcing one global sort
+    * (the scalable shape; a global pack order is a single-partition
+    * window at 100 TB). A document lands in the pack where its START
+    * offset falls: deterministic, one window pass. */
+  def packSequences(
+      docs: DataFrame,
+      idCol: String,
+      sizeCol: Column,
+      groupCol: String,
+      budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(idCol).asc)
+    val cum = sum(sizeCol).over(w)
+    docs.select(
+      col(idCol),
+      col(groupCol),
+      sizeCol.as("size"),
+      concat_ws("/", col(groupCol),
+        floor((cum - sizeCol).cast("double") / budget).cast("long")).as("pack_id"))
+  }
+
   /** Order-sensitive document fingerprint: polynomial rolling hash over
     * the token stream, tokens hashed via md5 (portable). Modulus 1e9+7
     * keeps every intermediate < 2^35 (no overflow in either engine).
