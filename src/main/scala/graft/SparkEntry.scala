@@ -591,10 +591,10 @@ object SparkEntry {
       "SELECT w.id, round(w.score * 1.0 + ln(1.0 + d.n_chars) * 0.5, 4) AS score " +
       "FROM w JOIN documents d ON d.doc_id = w.id ORDER BY score DESC, id LIMIT 10"),
     "q_text_clean" -> ("SELECT doc_id, " +
-      "trim(regexp_replace(regexp_replace(regexp_replace(text, 'https?://\\S+', ' ', 'g'), " +
-      "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', ' ', 'g'), '\\s+', ' ', 'g')) AS clean, " +
-      "length(trim(regexp_replace(regexp_replace(regexp_replace(text, 'https?://\\S+', ' ', 'g'), " +
-      "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', ' ', 'g'), '\\s+', ' ', 'g')))::INT AS clean_len " +
+      "trim(regexp_replace(regexp_replace(regexp_replace(text, 'https?://[^ \\t\\n\\f\\r]+', ' ', 'g'), " +
+      "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', ' ', 'g'), '[ \\t\\n\\f\\r]+', ' ', 'g')) AS clean, " +
+      "length(trim(regexp_replace(regexp_replace(regexp_replace(text, 'https?://[^ \\t\\n\\f\\r]+', ' ', 'g'), " +
+      "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', ' ', 'g'), '[ \\t\\n\\f\\r]+', ' ', 'g')))::INT AS clean_len " +
       "FROM documents ORDER BY doc_id"),
     "q_agg_pipeline" -> ("WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS bucket, " +
       "count(*)::BIGINT AS doc_count, " +

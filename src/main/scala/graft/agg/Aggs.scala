@@ -208,9 +208,13 @@ object Aggs {
     val counted = df
       .groupBy(date_trunc("month", col(tsField)).cast("date").as("bucket"))
       .agg(count(lit(1)).as("n"))
-    val spine = df
-      .agg(date_trunc("month", min(col(tsField))).cast("date").as("lo"),
-        date_trunc("month", max(col(tsField))).cast("date").as("hi"))
+    // spine bounds come from the tiny counted frame, not another pass
+    // over df: month-truncation is monotone, so min/max of the buckets
+    // equal the truncated raw min/max — and because both branches
+    // share the identical groupBy subtree, exchange reuse makes the
+    // whole thing ONE scan of the data.
+    val spine = counted
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 month"))).as("bucket"))
     spine.join(counted, Seq("bucket"), "left")
       .select(col("bucket"), coalesce(col("n"), lit(0L)).as("doc_count"))

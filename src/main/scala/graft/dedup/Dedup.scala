@@ -196,11 +196,13 @@ object Dedup {
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
       .distinct().cache()
-    // localCheckpoint (not cache): truncates the lineage each round so
-    // the plan stays one join deep instead of nesting per iteration;
-    // superseded iteration state is GC-cleaned once unreferenced.
+    // cache (NOT localCheckpoint): caching keeps the lineage, so an
+    // executor loss recomputes instead of failing on missing local
+    // checkpoint blocks; superseded generations are unpersisted
+    // explicitly each round. Pointer jumping keeps the round count —
+    // and therefore the nested-plan depth — logarithmic.
     var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint(true)
+      .withColumn("lbl", col("id")).cache()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -219,9 +221,10 @@ object Dedup {
           col("lbl"),
           coalesce(col("nmin"), col("lbl")),
           coalesce(col("llbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
+        .cache()
       converged = next.join(labels.select(col("id"), col("lbl").as("old")), "id")
         .where(col("lbl") =!= col("old")).isEmpty
+      labels.unpersist()
       labels = next
       iter += 1
     }

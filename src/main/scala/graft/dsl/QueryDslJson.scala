@@ -113,15 +113,12 @@ object QueryDslJson {
             if fields.exists(_._1 == "query") =>
           val m = fields.toMap
           val query = lits(m("query")).toString
-          // ES "AUTO" fuzziness scales with term length, capping at 2
-          // edits — the cap is the faithful simplification here
-          val fuzziness = m.get("fuzziness").map(lits(_).toString).map {
-            case s if s.equalsIgnoreCase("auto") => 2
-            case s => s.toInt
-          }
           val andOp = m.get("operator").map(lits(_).toString.toLowerCase).contains("and")
-          fuzziness match {
-            case Some(n) => Search.matchQueryFuzzy(col(f), query, n, andOp)
+          m.get("fuzziness").map(lits(_).toString) match {
+            case Some(s) if s.equalsIgnoreCase("auto") =>
+              // length-scaled like ES: 0 edits (<3 chars), 1 (<6), 2
+              Search.matchQueryFuzzyAuto(col(f), query, andOp)
+            case Some(s) => Search.matchQueryFuzzy(col(f), query, s.toInt, andOp)
             case None if andOp => Search.matchQueryAnd(col(f), query)
             case None => Search.matchQuery(col(f), query)
           }

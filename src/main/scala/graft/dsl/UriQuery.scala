@@ -26,6 +26,13 @@ import org.apache.spark.sql.functions._
   * modifiers, AND binds tighter than OR and bare adjacency joins with
   * `default_operator` (OR unless overridden).
   *
+  * Deliberate divergence from Lucene's classic parser: `NOT` negates
+  * its clause IN PLACE in the boolean chain (`a OR NOT b` = a || !b,
+  * the boolean-algebra reading users expect from AND/OR/NOT syntax),
+  * whereas Lucene hoists every NOT to a level-wide MUST_NOT. Users
+  * who want the Lucene hoisting write `-b` — both behaviors are
+  * available, split by spelling.
+  *
   * Compiles to the same Catalyst predicates as the JSON DSL, so the
   * whole thing pushes into the parquet scan.
   */

@@ -321,10 +321,12 @@ object Search {
       queryWeight: Double = 1.0,
       rescoreWeight: Double = 1.0): DataFrame = {
     val window = bm25TopK(docs, idCol, textCol, query, windowSize)
-    window
-      .join(docs.select(col(idCol).as("id"), secondary.as("_sec")), "id")
-      .select(col("id"),
-        Num.round(col("score") * queryWeight + col("_sec") * rescoreWeight, 4).as("score"))
+    // join the corpus TO the broadcast window first and compute the
+    // secondary expression on the joined rows — so it evaluates on
+    // O(window) survivors, not under the join on the corpus side
+    docs.join(broadcast(window), col(idCol) === window("id"))
+      .select(window("id"),
+        Num.round(window("score") * queryWeight + secondary * rescoreWeight, 4).as("score"))
       .orderBy(col("score").desc, col("id").asc)
       .limit(k)
   }
@@ -377,11 +379,28 @@ object Search {
     * combine with OR (default) or AND per the match `operator`, like
     * `{"match": {f: {"query": q, "fuzziness": n, "operator": ...}}}`. */
   def matchQueryFuzzy(
-      field: Column, query: String, maxEdits: Int, andOperator: Boolean = false): Column = {
+      field: Column, query: String, maxEdits: Int, andOperator: Boolean = false): Column =
+    matchQueryFuzzyPerTerm(field, query, _ => maxEdits, andOperator)
+
+  /** ES `"fuzziness": "AUTO"` — the edit budget scales with term
+    * length: 0 edits for 1-2 chars, 1 for 3-5, 2 for 6+. A flat cap
+    * over-matches short terms badly (levenshtein <= 2 of a 3-char
+    * token is most of the alphabet). */
+  def matchQueryFuzzyAuto(
+      field: Column, query: String, andOperator: Boolean = false): Column =
+    matchQueryFuzzyPerTerm(field, query,
+      t => if (t.length < 3) 0 else if (t.length < 6) 1 else 2, andOperator)
+
+  private def matchQueryFuzzyPerTerm(
+      field: Column, query: String, edits: String => Int, andOperator: Boolean): Column = {
     val q = Analyzer.analyze(query)
     require(q.nonEmpty, s"fuzzy match analyzed to zero tokens: $query")
     val toks = Analyzer.tokens(field)
-    val perTerm = q.map(term => exists(toks, t => levenshtein(t, lit(term)) <= maxEdits))
+    val perTerm = q.map { term =>
+      val n = edits(term)
+      if (n == 0) array_contains(toks, term)
+      else exists(toks, t => levenshtein(t, lit(term)) <= n)
+    }
     if (andOperator) perTerm.reduce(_ && _) else perTerm.reduce(_ || _)
   }
 

@@ -80,12 +80,15 @@ object TextAnalysis {
 
   /** Cheap text normalization — the standard pre-tokenization cleanup
     * in data pipelines: strip URLs and emails, collapse whitespace
-    * runs, trim. Pure regex column math (narrow, codegen'd). */
+    * runs, trim. Pure regex column math (narrow, codegen'd).
+    * Whitespace is an EXPLICIT class: Java's \s includes \x0B while
+    * RE2's (the DuckDB oracle's) does not, so shorthand classes break
+    * bit-for-bit parity on exotic whitespace. */
   def cleanText(text: Column): Column =
     trim(regexp_replace(regexp_replace(regexp_replace(text,
-      "https?://\\S+", " "),
+      "https?://[^ \\t\\n\\f\\r]+", " "),
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", " "),
-      "\\s+", " "))
+      "[ \\t\\n\\f\\r]+", " "))
 
   /** Token counting: whitespace tokens and a BPE-ish regex segmentation
     * (letter runs / digit runs / single punctuation marks) — the cheap
@@ -107,8 +110,13 @@ object TextAnalysis {
       sizeCol: Column,
       groupCol: String,
       budget: Long): DataFrame = {
+    // explicit ROWS frame: the default RANGE frame sums ALL peer rows
+    // of a tied idCol at once, silently diverging from the documented
+    // per-row cumulative semantics when ids are not unique
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     val cum = sum(sizeCol).over(w)
     docs.select(
       col(idCol),

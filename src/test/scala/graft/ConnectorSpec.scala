@@ -47,10 +47,14 @@ class ConnectorSpec extends SparkSpec {
     val andSet = ids(QueryDslJson.compile(
       """{"match": {"text": {"query": "spak window", "fuzziness": 1, "operator": "and"}}}"""))
     assert(andSet.subsetOf(orSet) && andSet.size < orSet.size)
-    // ES's "AUTO" fuzziness is accepted (capped at 2 edits)
+    // ES's "AUTO" fuzziness is length-scaled: 4-char term -> 1 edit
     assert(ids(QueryDslJson.compile(
       """{"match": {"text": {"query": "spak", "fuzziness": "AUTO"}}}""")) ==
-      ids(graft.search.Search.matchQueryFuzzy(col("text"), "spak", 2)))
+      ids(graft.search.Search.matchQueryFuzzy(col("text"), "spak", 1)))
+    // <3 chars -> exact; >=6 chars -> 2 edits
+    assert(ids(QueryDslJson.compile(
+      """{"match": {"text": {"query": "ab", "fuzziness": "AUTO"}}}""")) ==
+      ids(graft.search.Search.matchQuery(col("text"), "ab")))
     intercept[IllegalArgumentException](QueryDslJson.compile("""{"knn_unsupported": {}}"""))
   }
 
