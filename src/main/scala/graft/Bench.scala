@@ -31,13 +31,17 @@ object Bench {
       catch { case _: Throwable => failed += name }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal times keep the line compact, and the headline fields
+    // go LAST: the driver records a bounded TAIL of the log, so the
+    // r1 layout (total first) lost the total when the line outgrew
+    // the capture window
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // ONE line of JSON — a broken query must be visible as "failed",
     // not as a suspiciously fast total
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(f"""{"queries":$qs,"failed":$failedJson,"sf":"$sfDir","metric":"total","unit":"sec","value":$total%.3f}""")
     spark.stop()
   }
 }
