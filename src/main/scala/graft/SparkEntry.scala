@@ -253,6 +253,16 @@ object SparkEntry {
       "src1x_phrase" -> (QueryDsl.prefix(col("source"), "src1") &&
         Search.matchPhrase(col("text"), "table scan"))))),
 
+    // inverted-index percolation: the registry is DATA, not plan
+    "q_percolate_scale" -> ((s, d) => {
+      import s.implicits._
+      val registry = Seq(
+        ("wants_spark", Seq("spark", "join")),
+        ("table_scan", Seq("table", "scan")),
+        ("merge_heavy", Seq("merge", "sort", "hash"))).toDF("query_id", "terms")
+      Search.percolateTerms(t(s, d, "documents"), "doc_id", "text", registry)
+    }),
+
     // ---- C. Aggregations ----
     "q_agg_terms" -> ((s, d) => Aggs.termsAgg(t(s, d, "orders"), "o_orderpriority", 3)),
     "q_agg_stats" -> ((s, d) => Aggs.statsAgg(t(s, d, "lineitem"), "l_extendedprice")),
@@ -656,6 +666,13 @@ object SparkEntry {
     "q_read_metadata_score" -> (TokCte + bm25Ctes("", "tok", Seq("merge", "sort")) +
       " SELECT id, score FROM sc ORDER BY score DESC, id LIMIT 15"),
 
+    "q_percolate_scale" -> (TokCte + ", " +
+      "reg AS (SELECT * FROM (VALUES ('wants_spark', ['spark','join']), " +
+      "('table_scan', ['table','scan']), ('merge_heavy', ['merge','sort','hash'])) AS t(query_id, terms)), " +
+      "qx AS (SELECT query_id, unnest(terms) AS term, len(terms) AS n_terms FROM reg), " +
+      "dx AS (SELECT doc_id AS id, unnest(list_distinct(toks)) AS term FROM tok) " +
+      "SELECT id, query_id FROM dx JOIN qx USING (term) " +
+      "GROUP BY id, query_id, n_terms HAVING count(*) = n_terms ORDER BY id, query_id"),
     "q_percolate" -> (TokCte.replace("SELECT doc_id,", "SELECT doc_id, lang, source, n_chars,") +
       ", m AS (SELECT doc_id, " +
       "CASE WHEN list_has_all(toks, ['spark','join']) THEN 'wants_spark' END AS q1, " +

@@ -473,6 +473,33 @@ object Search {
       .orderBy(col("id").asc, col("query_id").asc)
   }
 
+  /** Percolation for LARGE query registries: stored conjunctive
+    * term-set queries live in a TABLE of (query_id, terms) and match
+    * via ONE exploded-token join + per-(doc, query) count comparison —
+    * the inverted-index shape of ES's percolator field. The compiled
+    * form (`percolate`) inlines every stored query into the plan and
+    * caps at a few hundred queries before codegen blows up; this scales
+    * to millions of stored queries (the registry broadcasts, the
+    * corpus explodes only tokens appearing in some query). */
+  def percolateTerms(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      registry: DataFrame): DataFrame = {
+    val q = registry.select(
+      col("query_id"),
+      explode(col("terms")).as("term"),
+      size(col("terms")).as("n_terms"))
+    docs
+      .select(col(idCol).as("id"), explode(Analyzer.termSet(col(textCol))).as("term"))
+      .join(broadcast(q), "term")
+      .groupBy(col("id"), col("query_id"), col("n_terms"))
+      .agg(count(lit(1)).as("matched"))
+      .where(col("matched") === col("n_terms"))
+      .select(col("id"), col("query_id"))
+      .orderBy(col("id").asc, col("query_id").asc)
+  }
+
   /** `more_like_this`: take the seed document's top-`m` terms by term
     * frequency (tie-broken by term asc), then find other documents
     * containing at least `minMatch` of them. Seed term extraction is a
