@@ -453,6 +453,18 @@ object SparkEntry {
         "o_orderkey", "l_orderkey", col("o_orderpriority") === "1-URGENT")
         .select(col("l_orderkey"), col("l_linenumber"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
+    // as-of join: each click picks up the latest prior view's value
+    "q_asof" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val views = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts_ns")).agg(max(col("value")).as("view_value"))
+      Relational.asofLookup(
+        ev.where(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts_ns"), col("value")),
+        views, "user_id", "ts_ns", "ts_ns", "view_value", "asof_view_value")
+        .select(col("event_id"), col("user_id"), col("value"), col("asof_view_value"))
+        .orderBy(col("event_id"))
+    }),
     "q_window_topn" -> ((s, d) =>
       Relational.topNPerGroup(t(s, d, "orders"), Seq("o_custkey"),
         col("o_totalprice").desc, col("o_orderkey").asc, 2)
@@ -833,6 +845,11 @@ object SparkEntry {
       "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 10000) ORDER BY c_custkey"),
     "q_anti_join" -> ("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +
       "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 24000) ORDER BY c_custkey"),
+    "q_asof" -> ("WITH v AS (SELECT user_id, epoch_ns(ts) AS tn, max(value) AS view_value FROM events " +
+      "WHERE event_type = 'view' GROUP BY user_id, epoch_ns(ts)), " +
+      "c AS (SELECT event_id, user_id, epoch_ns(ts) AS tn, value FROM events WHERE event_type = 'click') " +
+      "SELECT c.event_id, c.user_id, c.value, v.view_value AS asof_view_value " +
+      "FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.tn >= v.tn ORDER BY c.event_id"),
     "q_window_topn" -> ("SELECT o_custkey, o_orderkey, o_totalprice, rn FROM " +
       "(SELECT o_custkey, o_orderkey, o_totalprice, " +
       "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) " +

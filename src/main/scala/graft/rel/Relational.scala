@@ -100,6 +100,46 @@ object Relational {
           .select(col(parentKey)),
         Seq(parentKey), "left_semi")
 
+  /** AS-OF join (point-in-time lookup): each left row picks up the
+    * right-side `valueCol` from the LATEST right row with
+    * rightTs <= leftTs for the same key — the feature-store /
+    * event-enrichment operator Spark lacks natively.
+    *
+    * One union + one key-partitioned window pass (no per-row range
+    * probe, no join explosion): rows from both sides sort by
+    * (ts, side) within each key — right rows first at equal ts, so
+    * <= semantics hold — and `last(value, ignoreNulls)` carries the
+    * most recent right value forward onto left rows. Windows are
+    * key-local, so the single shuffle partitions by key and
+    * parallelizes across keys at any scale. Right-side (key, ts)
+    * pairs must be unique for determinism — pre-aggregate if not. */
+  def asofLookup(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      valueCol: String,
+      as: String): DataFrame = {
+    val vType = right.schema(valueCol).dataType
+    val l = left
+      .withColumn("_ts", col(leftTsCol))
+      .withColumn("_side", lit(1))
+      .withColumn("_v", lit(null).cast(vType))
+    val r = right.select(
+      col(keyCol),
+      col(rightTsCol).as("_ts"),
+      lit(0).as("_side"),
+      col(valueCol).cast(vType).as("_v"))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("_ts").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn(as, last(col("_v"), ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
+      .drop("_ts", "_side", "_v")
+  }
+
   /** ES `terms` lookup query: filter docs whose `field` appears in a
     * value list read from ANOTHER index (the terms-lookup form of
     * `{"terms": {f: {"index": ..., "path": ...}}}`) — a left_semi join
