@@ -453,6 +453,27 @@ object SparkEntry {
         "o_orderkey", "l_orderkey", col("o_orderpriority") === "1-URGENT")
         .select(col("l_orderkey"), col("l_linenumber"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
+    // ES range fields: one agg over all three relation semantics
+    "q_range_field" -> ((s, d) => {
+      val lo = col("o_orderdate")
+      val hi = col("o_orderdate") + expr("interval 90 days")
+      val qlo = lit("1997-06-01").cast("timestamp")
+      val qhi = lit("1997-08-01").cast("timestamp")
+      t(s, d, "orders").agg(
+        count(when(Relational.rangeRelation(lo, hi, qlo, qhi, "intersects"), 1)).as("n_intersects"),
+        count(when(Relational.rangeRelation(lo, hi, qlo, qhi, "within"), 1)).as("n_within"),
+        count(when(Relational.rangeRelation(lo, hi, qlo, qhi, "contains"), 1)).as("n_contains"))
+    }),
+    // interval overlap join via grid bucketing (range join)
+    "q_interval_join" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      def iv(src: String) = docs.where(col("source") === src).select(
+        col("doc_id"),
+        (col("doc_id") * 7 % 500).cast("double").as("lo"),
+        (col("doc_id") * 7 % 500 + 9).cast("double").as("hi"))
+      Relational.intervalOverlapJoin(
+        iv("src0"), iv("src1"), "doc_id", "lo", "hi", "doc_id", "lo", "hi", cellWidth = 8.0)
+    }),
     // as-of join: each click picks up the latest prior view's value
     "q_asof" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -845,6 +866,15 @@ object SparkEntry {
       "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 10000) ORDER BY c_custkey"),
     "q_anti_join" -> ("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +
       "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 24000) ORDER BY c_custkey"),
+    "q_range_field" -> ("SELECT " +
+      "count_if(o_orderdate <= TIMESTAMP '1997-08-01' AND o_orderdate + INTERVAL 90 DAY >= TIMESTAMP '1997-06-01')::BIGINT AS n_intersects, " +
+      "count_if(o_orderdate >= TIMESTAMP '1997-06-01' AND o_orderdate + INTERVAL 90 DAY <= TIMESTAMP '1997-08-01')::BIGINT AS n_within, " +
+      "count_if(o_orderdate <= TIMESTAMP '1997-06-01' AND o_orderdate + INTERVAL 90 DAY >= TIMESTAMP '1997-08-01')::BIGINT AS n_contains " +
+      "FROM orders"),
+    "q_interval_join" -> ("WITH a AS (SELECT doc_id, (doc_id * 7 % 500)::DOUBLE AS lo, (doc_id * 7 % 500 + 9)::DOUBLE AS hi FROM documents WHERE source = 'src0'), " +
+      "b AS (SELECT doc_id, (doc_id * 7 % 500)::DOUBLE AS lo, (doc_id * 7 % 500 + 9)::DOUBLE AS hi FROM documents WHERE source = 'src1') " +
+      "SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM a JOIN b ON a.lo <= b.hi AND a.hi >= b.lo " +
+      "ORDER BY a_id, b_id"),
     "q_asof" -> ("WITH v AS (SELECT user_id, epoch_ns(ts) AS tn, max(value) AS view_value FROM events " +
       "WHERE event_type = 'view' GROUP BY user_id, epoch_ns(ts)), " +
       "c AS (SELECT event_id, user_id, epoch_ns(ts) AS tn, value FROM events WHERE event_type = 'click') " +

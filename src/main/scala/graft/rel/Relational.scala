@@ -166,6 +166,46 @@ object Relational {
       parents.where(pred).select(col(parentKey).as(childFk)),
       Seq(childFk), "left_semi")
 
+  /** ES range-field relations (integer_range/date_range queries):
+    * predicate for [lo, hi] vs the query range under INTERSECTS /
+    * WITHIN / CONTAINS semantics. Plain comparisons — pushdown-safe. */
+  def rangeRelation(
+      lo: Column, hi: Column, qLo: Column, qHi: Column, relation: String): Column =
+    relation.toLowerCase match {
+      case "intersects" => lo <= qHi && hi >= qLo
+      case "within" => lo >= qLo && hi <= qHi
+      case "contains" => lo <= qLo && hi >= qHi
+      case other => throw new IllegalArgumentException(s"unknown range relation: $other")
+    }
+
+  /** Interval overlap JOIN (range join): pairs (a, b) whose numeric
+    * intervals overlap. Spark's default plan for an inequality-only
+    * join is a cartesian product; this buckets each interval onto a
+    * coarse grid (cells of `cellWidth`), joins on cell — the one
+    * shuffle, same shape as LSH banding — dedups candidate pairs, and
+    * applies the exact overlap check. Lossless: overlapping intervals
+    * always share at least one grid cell. `cellWidth` trades shuffle
+    * fan-out (interval_span / width cells per row) against candidate
+    * selectivity; set it near the typical interval width. */
+  def intervalOverlapJoin(
+      a: DataFrame, b: DataFrame,
+      aId: String, aLo: String, aHi: String,
+      bId: String, bLo: String, bHi: String,
+      cellWidth: Double): DataFrame = {
+    def cells(df: DataFrame, id: String, lo: String, hi: String, p: String) = df.select(
+      col(id).as(s"${p}_id"), col(lo).cast("double").as(s"${p}_lo"),
+      col(hi).cast("double").as(s"${p}_hi"),
+      explode(sequence(
+        floor(col(lo).cast("double") / cellWidth).cast("long"),
+        floor(col(hi).cast("double") / cellWidth).cast("long"))).as("cell"))
+    cells(a, aId, aLo, aHi, "a").as("ca")
+      .join(cells(b, bId, bLo, bHi, "b").as("cb"), "cell")
+      .where(col("a_lo") <= col("b_hi") && col("a_hi") >= col("b_lo"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+      .orderBy(col("a_id").asc, col("b_id").asc)
+  }
+
   /** Haversine distance in km (the core of `geo_distance`). Pure
     * codegen'd math — safe in filter position. */
   def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
