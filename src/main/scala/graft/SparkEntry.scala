@@ -334,6 +334,9 @@ object SparkEntry {
       .limit(8)),
     "q_agg_pipeline" -> ((s, d) =>
       Aggs.dateHistogramPipeline(t(s, d, "orders"), "o_orderdate", "month", "o_totalprice")),
+    "q_agg_bucket_ops" -> ((s, d) =>
+      Aggs.pipelineBucketOps(t(s, d, "orders"), "o_orderdate", "month", "o_totalprice",
+        lagN = 12, minAvg = 250000.0)),
     "q_agg_percentile_ranks" -> ((s, d) =>
       Aggs.percentileRanksAgg(t(s, d, "lineitem"), "l_extendedprice", Seq(1000.0, 10000.0, 50000.0))),
     "q_agg_histogram_empty" -> ((s, d) =>
@@ -716,6 +719,13 @@ object SparkEntry {
       "WHERE query_id IS NOT NULL ORDER BY id, query_id"),
 
     // ---- C ----
+    "q_agg_bucket_ops" -> ("WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS bucket, " +
+      "count(*)::BIGINT AS doc_count, " +
+      "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_v FROM orders GROUP BY 1), " +
+      "p AS (SELECT bucket, doc_count, sum_v, round(sum_v / doc_count::DOUBLE, 4) AS avg_per_doc, " +
+      "round(sum_v - lag(sum_v, 12) OVER (ORDER BY bucket), 4) AS serial_diff FROM b) " +
+      "SELECT bucket, doc_count, sum_v, avg_per_doc, serial_diff FROM p " +
+      "WHERE avg_per_doc >= 250000.0 ORDER BY bucket"),
     "q_agg_percentile_ranks" -> ("SELECT " +
       "round(count_if(l_extendedprice <= 1000.0)::DOUBLE / count(*)::DOUBLE * 100.0, 4) AS rank_1000_0, " +
       "round(count_if(l_extendedprice <= 10000.0)::DOUBLE / count(*)::DOUBLE * 100.0, 4) AS rank_10000_0, " +

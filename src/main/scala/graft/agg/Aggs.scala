@@ -364,6 +364,32 @@ object Aggs {
       .orderBy(col("bucket"))
   }
 
+  /** `serial_diff` (lag-n differencing) + `bucket_script` (per-bucket
+    * computed metric) + `bucket_selector` (HAVING over a bucket
+    * expression) over a date_histogram parent — the remaining pipeline
+    * aggs. Same shape as dateHistogramPipeline: all the window math
+    * runs on the tiny bucket frame. */
+  def pipelineBucketOps(
+      df: DataFrame, tsField: String, interval: String, metric: String,
+      lagN: Int, minAvg: Double): DataFrame = {
+    val buckets = df
+      .groupBy(to_date(date_trunc(interval, col(tsField))).as("bucket"))
+      .agg(
+        count(lit(1)).as("doc_count"),
+        Num.round(sum(col(metric).cast("decimal(18,4)")).cast("double"), 4).as("sum_v"))
+    val w = Window.orderBy(col("bucket"))
+    buckets
+      // bucket_script: avg value per doc, computed from sibling metrics
+      .withColumn("avg_per_doc",
+        Num.round(col("sum_v") / col("doc_count").cast("double"), 4))
+      // serial_diff: value minus the value lagN buckets earlier
+      .withColumn("serial_diff",
+        Num.round(col("sum_v") - lag(col("sum_v"), lagN).over(w), 4))
+      // bucket_selector: drop buckets failing the script predicate
+      .where(col("avg_per_doc") >= minAvg)
+      .orderBy(col("bucket"))
+  }
+
   /** `{"significant_terms": {"field": f}}` over an analyzed text field:
     * terms over-represented in the foreground (`pred`) vs the whole
     * index. Score: fgRate * ln(fgRate / bgRate) (the "relative entropy"
