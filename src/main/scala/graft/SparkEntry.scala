@@ -576,6 +576,14 @@ object SparkEntry {
     "q_fingerprint" -> ((s, d) => t(s, d, "documents")
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))),
+    "q_keywords" -> ((s, d) =>
+      TextAnalysis.keywordsTopK(t(s, d, "documents"), "doc_id", "text", 3)),
+    "q_pii" -> ((s, d) => {
+      val sig = TextAnalysis.piiSignals(col("text"))
+      t(s, d, "documents")
+        .select(col("doc_id") +: sig.map { case (n, c) => c.as(n) }: _*)
+        .orderBy(col("doc_id"))
+    }),
     // training-batch sequence packing, group-local (parallel) windows
     "q_pack" -> ((s, d) =>
       TextAnalysis.packSequences(t(s, d, "documents"), "doc_id", col("n_chars"), "source", 5000L)
@@ -1045,6 +1053,19 @@ object SparkEntry {
     "q_tokens" -> ("SELECT doc_id, " +
       "len(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0))::BIGINT AS ws_tokens, " +
       "len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]'))::BIGINT AS bpe_tokens " +
+      "FROM documents ORDER BY doc_id"),
+    "q_keywords" -> (TokCte + ", " +
+      "tf AS (SELECT doc_id AS id, term, count(*)::DOUBLE AS tf FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY 1, 2), " +
+      "nd AS (SELECT count(*)::DOUBLE AS n_docs FROM documents), " +
+      "dfreq AS (SELECT term, count(*)::DOUBLE AS dfreq FROM tf GROUP BY term), " +
+      "sc AS (SELECT id, term, round(tf * ln(nd.n_docs / dfreq.dfreq), 4) AS score FROM tf JOIN dfreq USING (term) CROSS JOIN nd), " +
+      "r AS (SELECT id, term, score, row_number() OVER (PARTITION BY id ORDER BY score DESC, term) AS rank FROM sc) " +
+      "SELECT id, rank, term, score FROM r WHERE rank <= 3 ORDER BY id, rank"),
+    "q_pii" -> ("SELECT doc_id, " +
+      "regexp_matches(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}') AS has_email, " +
+      "regexp_matches(text, 'https?://') AS has_url, " +
+      "len(regexp_extract_all(text, '[0-9]+'))::BIGINT AS n_digit_runs, " +
+      "len(regexp_extract_all(text, '[0-9]{6,}'))::BIGINT AS n_long_numbers " +
       "FROM documents ORDER BY doc_id"),
     "q_fingerprint" -> (TokCte + " SELECT doc_id, " +
       s"list_reduce(list_prepend(0::BIGINT, list_transform(toks, t -> ${hexFold("t", 12)} % 1000000007)), " +

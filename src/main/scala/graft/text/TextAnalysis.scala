@@ -97,6 +97,38 @@ object TextAnalysis {
     "ws_tokens" -> size(filter(split(text, "\\s+"), t => length(t) > 0)).cast("long"),
     "bpe_tokens" -> size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0))).cast("long"))
 
+  /** Per-document keyword extraction: top-k terms by tf-idf — the
+    * feature-tagging op pipelines run after cleaning. tf is one
+    * explode+groupBy; the document-frequency table is vocabulary-sized
+    * and joins on term (shuffle); corpus size is a 1-row broadcast.
+    * idf = ln(n_docs / df). */
+  def keywordsTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("id"), explode(Analyzer.tokens(col(textCol))).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("dfreq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", Num.round(col("tf") * log(col("n_docs") / col("dfreq")), 4))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("id"), col("rank"), col("term"), col("score"))
+      .orderBy(col("id").asc, col("rank").asc)
+  }
+
+  /** PII signals for privacy filtering: cheap regex detectors a
+    * pipeline gates on before training. Narrow column math; the regex
+    * dialect is the Java/RE2 common subset so the oracle agrees. */
+  def piiSignals(text: Column): Seq[(String, Column)] = Seq(
+    "has_email" -> text.rlike("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"),
+    "has_url" -> text.rlike("https?://"),
+    "n_digit_runs" -> size(regexp_extract_all(text, lit("[0-9]+"), lit(0))).cast("long"),
+    "n_long_numbers" -> size(regexp_extract_all(text, lit("[0-9]{6,}"), lit(0))).cast("long"))
+
   /** Sequence packing for training batches: assign documents to packs
     * of ~`budget` units (tokens/chars) by cumulative size, WITHIN a
     * grouping column — the window is group-local, so packing
