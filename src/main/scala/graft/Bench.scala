@@ -35,13 +35,17 @@ object Bench {
     // go LAST: the driver records a bounded TAIL of the log, so the
     // r1 layout (total first) lost the total when the line outgrew
     // the capture window
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
+    // Locale.ROOT: the f-interpolator uses the default locale, and a
+    // comma-decimal locale would emit invalid JSON
+    def d3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + d3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // ONE line of JSON — a broken query must be visible as "failed",
     // not as a suspiciously fast total
-    println(f"""{"queries":$qs,"failed":$failedJson,"sf":"$sfDir","metric":"total","unit":"sec","value":$total%.3f}""")
+    println(s"""{"queries":$qs,"failed":$failedJson,"sf":"$sfDir","metric":"total","unit":"sec","value":${d3(total)}}""")
     spark.stop()
   }
 }

@@ -346,13 +346,19 @@ object Aggs {
     * bucket frame. The frame is #buckets rows (tiny at any corpus
     * size), so the single-partition global-order window is free; the
     * heavy lifting stays in the partial-aggregated groupBy below it. */
-  def dateHistogramPipeline(
-      df: DataFrame, tsField: String, interval: String, metric: String): DataFrame = {
-    val buckets = df
-      .groupBy(to_date(date_trunc(interval, col(tsField))).as("bucket"))
+  /** Shared date-histogram bucket frame (bucket, doc_count, sum_v) —
+    * ONE definition of the decimal-sum parity convention for every
+    * pipeline agg built on it. */
+  private def bucketFrame(
+      df: DataFrame, tsField: String, interval: String, metric: String): DataFrame =
+    df.groupBy(to_date(date_trunc(interval, col(tsField))).as("bucket"))
       .agg(
         count(lit(1)).as("doc_count"),
         Num.round(sum(col(metric).cast("decimal(18,4)")).cast("double"), 4).as("sum_v"))
+
+  def dateHistogramPipeline(
+      df: DataFrame, tsField: String, interval: String, metric: String): DataFrame = {
+    val buckets = bucketFrame(df, tsField, interval, metric)
     val w = Window.orderBy(col("bucket"))
     buckets
       .withColumn("cum_sum",
@@ -372,11 +378,7 @@ object Aggs {
   def pipelineBucketOps(
       df: DataFrame, tsField: String, interval: String, metric: String,
       lagN: Int, minAvg: Double): DataFrame = {
-    val buckets = df
-      .groupBy(to_date(date_trunc(interval, col(tsField))).as("bucket"))
-      .agg(
-        count(lit(1)).as("doc_count"),
-        Num.round(sum(col(metric).cast("decimal(18,4)")).cast("double"), 4).as("sum_v"))
+    val buckets = bucketFrame(df, tsField, interval, metric)
     val w = Window.orderBy(col("bucket"))
     buckets
       // bucket_script: avg value per doc, computed from sibling metrics

@@ -122,20 +122,27 @@ object Relational {
       valueCol: String,
       as: String): DataFrame = {
     val vType = right.schema(valueCol).dataType
+    // the carried value rides inside a STRUCT: a right row whose value
+    // is genuinely NULL still produces a non-null struct, so
+    // last(ignoreNulls) skips only the union-fill nulls of LEFT rows —
+    // "latest right row has NULL value" correctly yields NULL instead
+    // of resurrecting an older value
+    val wrapType = org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("v", vType)))
     val l = left
       .withColumn("_ts", col(leftTsCol))
       .withColumn("_side", lit(1))
-      .withColumn("_v", lit(null).cast(vType))
+      .withColumn("_v", lit(null).cast(wrapType))
     val r = right.select(
       col(keyCol),
       col(rightTsCol).as("_ts"),
       lit(0).as("_side"),
-      col(valueCol).cast(vType).as("_v"))
+      struct(col(valueCol).cast(vType).as("v")).as("_v"))
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col("_ts").asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r, allowMissingColumns = true)
-      .withColumn(as, last(col("_v"), ignoreNulls = true).over(w))
+      .withColumn(as, last(col("_v"), ignoreNulls = true).over(w).getField("v"))
       .where(col("_side") === 1)
       .drop("_ts", "_side", "_v")
   }
@@ -171,7 +178,7 @@ object Relational {
     * WITHIN / CONTAINS semantics. Plain comparisons — pushdown-safe. */
   def rangeRelation(
       lo: Column, hi: Column, qLo: Column, qHi: Column, relation: String): Column =
-    relation.toLowerCase match {
+    relation.toLowerCase(java.util.Locale.ROOT) match {
       case "intersects" => lo <= qHi && hi >= qLo
       case "within" => lo >= qLo && hi <= qHi
       case "contains" => lo <= qLo && hi >= qHi

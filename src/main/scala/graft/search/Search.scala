@@ -490,9 +490,12 @@ object Search {
       col("query_id"),
       explode(col("terms")).as("term"),
       size(col("terms")).as("n_terms"))
+    // no broadcast hint: small registries broadcast via AQE on their
+    // own, and a millions-of-queries registry must be free to fall
+    // back to a shuffle join instead of hitting the broadcast limit
     docs
       .select(col(idCol).as("id"), explode(Analyzer.termSet(col(textCol))).as("term"))
-      .join(broadcast(q), "term")
+      .join(q, "term")
       .groupBy(col("id"), col("query_id"), col("n_terms"))
       .agg(count(lit(1)).as("matched"))
       .where(col("matched") === col("n_terms"))
