@@ -1,0 +1,44 @@
+package graft
+
+import graft.rel.Relational
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asofLookup: latest right value at ts <= left ts; NULL values are NOT skipped") {
+    val clicks = Seq((1L, 7L, 30L), (2L, 7L, 5L), (3L, 8L, 50L))
+      .toDF("event_id", "user_id", "ts")
+    val views = Seq(
+      (7L, 10L, Some(5.0)),
+      (7L, 20L, None), // latest before ts=30 — must yield NULL, not 5.0
+      (8L, 50L, Some(9.0))) // equal ts: <= semantics include it
+      .toDF("user_id", "ts", "v")
+    val r = Relational.asofLookup(clicks, views, "user_id", "ts", "ts", "v", "asof_v")
+      .select(col("event_id"), col("asof_v"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(r(1L).isEmpty) // latest right row exists but its value is NULL
+    assert(r(2L).isEmpty) // no right row at ts <= 5 at all
+    assert(r(3L).contains(9.0)) // equal-ts right row qualifies
+  }
+
+  test("intervalOverlapJoin: grid bucketing is lossless vs the exact predicate") {
+    val a = Seq((1L, 0.0, 5.0), (2L, 10.0, 12.0), (3L, 100.0, 101.0)).toDF("id", "lo", "hi")
+    val b = Seq((10L, 4.0, 6.0), (11L, 13.0, 20.0), (12L, 99.5, 100.2)).toDF("id", "lo", "hi")
+    val got = Relational.intervalOverlapJoin(a, b, "id", "lo", "hi", "id", "lo", "hi", 7.0)
+      .as[(Long, Long)].collect().toSet
+    val exact = a.as("a").join(b.as("b"),
+      col("a.lo") <= col("b.hi") && col("a.hi") >= col("b.lo"))
+      .select(col("a.id"), col("b.id")).as[(Long, Long)].collect().toSet
+    assert(got == exact && got == Set((1L, 10L), (3L, 12L)))
+  }
+
+  test("rangeRelation semantics and locale-safe relation names") {
+    val df = Seq((1L, 2.0, 4.0), (2L, 0.0, 10.0), (3L, 6.0, 8.0)).toDF("id", "lo", "hi")
+    def ids(rel: String) = df.where(Relational.rangeRelation(
+      col("lo"), col("hi"), lit(3.0), lit(7.0), rel)).select("id").as[Long].collect().toSet
+    assert(ids("INTERSECTS") == Set(1L, 2L, 3L)) // uppercase accepted
+    assert(ids("within") == Set.empty) // no [lo,hi] inside [3,7]
+    assert(ids("contains") == Set(2L))
+  }
+}
