@@ -18,6 +18,7 @@ import org.apache.spark.sql.functions._
   *       `index` (default) — replace-by-id into the index (upsert)
   *       `create`          — insert only ids NOT already present
   *       `update`          — replace only ids already present
+  *       `delete`          — remove the batch's ids from the index
   *       `append`          — blind bulk append (no id semantics)
   *       `overwrite`       — replace the whole index
   *   - `graft.mapping.version`  (es.mapping.version): optional version
@@ -172,6 +173,18 @@ object Connector {
           writer(merged.drop("_src")).mode("overwrite").save(tmp.toString)
           swapIn(fs, livePath, tmp)
         } // no index -> nothing to update (ES would error per-doc)
+      case "delete" =>
+        // ES bulk `delete`: remove the batch's ids from the index
+        val idCol = cfg.getOrElse("graft.mapping.id",
+          throw new IllegalArgumentException("delete write needs graft.mapping.id"))
+        if (exists) {
+          val remaining = reader.load(path)
+            .join(batch.select(col(idCol)), Seq(idCol), "left_anti")
+          val tmp = new Path(path + "_graft_tmp")
+          if (fs.exists(tmp)) fs.delete(tmp, true)
+          writer(remaining).mode("overwrite").save(tmp.toString)
+          swapIn(fs, livePath, tmp)
+        } // no index -> nothing to delete (ES reports not_found per doc)
       case "index" | "upsert" =>
         val idCol = cfg.getOrElse("graft.mapping.id",
           throw new IllegalArgumentException(s"$op write needs graft.mapping.id"))

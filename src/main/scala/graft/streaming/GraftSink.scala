@@ -23,4 +23,17 @@ object GraftSink {
         Connector.save(batch, path, cfg)
       }
       .start()
+
+  /** Append-mode streaming sink (the time-series shape: every event is
+    * a new document, no id resolution). Replays after a crash can
+    * duplicate the unacknowledged batch — ES has the same semantics
+    * for bulk-append without ids; use startUpsert with an id column
+    * for exactly-once-per-id. */
+  def startAppend(
+      stream: DataFrame,
+      path: String,
+      cfg: Map[String, String],
+      checkpoint: String): StreamingQuery =
+    startUpsert(stream, path,
+      cfg + ("graft.write.operation" -> "append"), checkpoint)
 }

@@ -85,6 +85,16 @@ class ConnectorSpec extends SparkSpec {
     assert(mixed.where(col("_score") <= 0.0).count() == 0)
   }
 
+  test("delete operation removes the batch's ids, leaves the rest") {
+    val dir = Files.createTempDirectory("graft_del").toString + "/idx"
+    val cfg = Map("graft.mapping.id" -> "id")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").saveToGraft(dir, cfg)
+    Seq((2L, "x"), (9L, "x")).toDF("id", "v") // 9 absent: not_found is a no-op
+      .saveToGraft(dir, cfg + ("graft.write.operation" -> "delete"))
+    val after = spark.graftDF(dir).as[(Long, String)].collect().toMap
+    assert(after == Map(1L -> "a", 3L -> "c"))
+  }
+
   test("swap crash recovery: a leftover _graft_old index is restored on the next save") {
     import java.nio.file.{Files => JFiles, Paths}
     val dir = Files.createTempDirectory("graft_crash").toString + "/idx"
