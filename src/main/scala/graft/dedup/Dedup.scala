@@ -162,7 +162,7 @@ object Dedup {
     val banded = sig.select(
       col("id"), col("sig"),
       explode(array((0 until 4).map { b =>
-        concat(lit(b + "|"),
+        concat(lit(s"$b|"),
           shiftrightunsigned(col("sig"), 16 * b).bitwiseAND(lit(0xffffL)).cast("string"))
       }: _*)).as("band"))
 

@@ -57,7 +57,7 @@ object GraftRddApi {
           val schema = inferSchema(rdd)
           val names = schema.fieldNames
           val rows = rdd.map(m =>
-            Row.fromSeq(names.map(n => m.get(n).map(GraftRddApi.widen).orNull)))
+            Row.fromSeq(names.toIndexedSeq.map(n => m.get(n).map(GraftRddApi.widen).orNull)))
           Connector.save(spark.createDataFrame(rows, schema), path, cfg)
         } finally if (!wasPersisted) rdd.unpersist()
       }
