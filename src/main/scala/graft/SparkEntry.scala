@@ -525,7 +525,7 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(t(s, d, "documents"), "doc_id", "text", 0.8)),
     // cluster-level dedup: connected components over the verified pairs
     "q_dedup_cluster" -> ((s, d) =>
-      Dedup.dedupClusters(Dedup.minhashLsh(t(s, d, "documents"), "doc_id", "text", 0.8))),
+      Dedup.dedupClusters(Dedup.minhashLshUnsorted(t(s, d, "documents"), "doc_id", "text", 0.8))),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", 3)),
     "q_dedup_ngram" -> ((s, d) =>
       Dedup.ngramJaccardTopK(t(s, d, "documents").where(col("source") === "src0"), "doc_id", "text", 20)),

@@ -70,6 +70,19 @@ object Dedup {
       textCol: String,
       threshold: Double = 0.8,
       numHashes: Int = 32,
+      bands: Int = 8): DataFrame =
+    minhashLshUnsorted(docs, idCol, textCol, threshold, numHashes, bands)
+      .orderBy(col("id1").asc, col("id2").asc)
+
+  /** `minhashLsh` without the final presentation sort — the input shape
+    * for consumers that immediately reshuffle (e.g. `dedupClusters`),
+    * where a global sort would be pure wasted work. */
+  def minhashLshUnsorted(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      numHashes: Int = 32,
       bands: Int = 8): DataFrame = {
     val rowsPerBand = numHashes / bands
     // A single small parquet file arrives as ONE partition; shingling is
@@ -107,7 +120,6 @@ object Dedup {
         Num.round(col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")), 4))
       .where(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
-      .orderBy(col("id1").asc, col("id2").asc)
   }
 
   /** 32-bit SimHash over distinct tokens: bit j of the signature is the
@@ -201,8 +213,14 @@ object Dedup {
     // checkpoint blocks; superseded generations are unpersisted
     // explicitly each round. Pointer jumping keeps the round count —
     // and therefore the nested-plan depth — logarithmic.
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("lbl", col("id")).cache()
+    // seed with the neighborhood minimum directly (min of self and all
+    // neighbors) — one round cheaper than the identity seeding
+    var cached = edges
+      .groupBy(col("a").as("id"))
+      .agg(min(col("b")).as("nmin"))
+      .select(col("id"), least(col("id"), col("nmin")).as("lbl"), col("id").as("old"))
+      .cache()
+    var labels = cached.select(col("id"), col("lbl"))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -214,18 +232,22 @@ object Dedup {
       // OF the current label — doubles the propagation horizon per
       // round, so convergence is O(log diameter), not O(diameter)
       val lblOfLbl = labels.select(col("id").as("lbl"), col("lbl").as("llbl"))
+      // carry the previous label alongside the new one so the
+      // convergence check is a count over THIS frame — the same action
+      // that materializes the cache, not a second join-shaped job
       val next = labels
         .join(nbrMin, Seq("id"), "left")
         .join(lblOfLbl, Seq("lbl"), "left")
         .select(col("id"), least(
           col("lbl"),
           coalesce(col("nmin"), col("lbl")),
-          coalesce(col("llbl"), col("lbl"))).as("lbl"))
+          coalesce(col("llbl"), col("lbl"))).as("lbl"),
+          col("lbl").as("old"))
         .cache()
-      converged = next.join(labels.select(col("id"), col("lbl").as("old")), "id")
-        .where(col("lbl") =!= col("old")).isEmpty
-      labels.unpersist()
-      labels = next
+      converged = next.where(col("lbl") =!= col("old")).isEmpty
+      cached.unpersist()
+      cached = next
+      labels = next.select(col("id"), col("lbl"))
       iter += 1
     }
     edges.unpersist()

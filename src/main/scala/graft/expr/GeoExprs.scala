@@ -1,6 +1,6 @@
 package graft.expr
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -47,8 +47,10 @@ object GeoKernels {
 
 /** (lat, lon) -> geohash string at `precision` characters. */
 case class GeoHash(left: Expression, right: Expression, precision: Int)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
   require(precision >= 1 && precision <= 12, "geohash precision in [1,12]")
+
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] = Seq(DoubleType, DoubleType)
 
   override def dataType: DataType = StringType
   override def prettyName: String = "geohash"

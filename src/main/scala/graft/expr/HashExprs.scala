@@ -2,7 +2,7 @@ package graft.expr
 
 import java.security.MessageDigest
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -268,7 +268,9 @@ object HashKernels {
   * into each ratio (CollapseProject), blowing up both janino compile
   * time and runtime; this is one compiled loop. */
 case class TokenStats(child: Expression, stopwords: Seq[String])
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] = Seq(ArrayType(StringType))
 
   override def dataType: DataType = StructType(Seq(
     StructField("n_tokens", LongType, nullable = false),
@@ -297,7 +299,9 @@ case class TokenStats(child: Expression, stopwords: Seq[String])
 
 /** array<string> shingles -> array<long> of `numHashes` min-hash values. */
 case class MinHashSig(child: Expression, numHashes: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] = Seq(ArrayType(StringType))
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
@@ -315,7 +319,9 @@ case class MinHashSig(child: Expression, numHashes: Int)
 
 /** array<string> distinct tokens -> 32-bit SimHash as long. */
 case class SimHash32(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] = Seq(ArrayType(StringType))
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash32"
@@ -333,7 +339,9 @@ case class SimHash32(child: Expression)
 
 /** array<string> distinct tokens -> 64-bit SimHash as (signed) long. */
 case class SimHash64(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] = Seq(ArrayType(StringType))
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
@@ -355,7 +363,9 @@ case class SimHash64(child: Expression)
   * ~50x less cost: the interpreted-HOF version walks ~6000 expression
   * nodes per document. */
 case class TokenShingles(child: Expression, n: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] = Seq(ArrayType(StringType))
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "token_shingles"
@@ -376,7 +386,10 @@ case class TokenShingles(child: Expression, n: Int)
   * len > 0) — leaves the filter interpreted (CodegenFallback) under
   * every text operator; this is the common factor of the six slowest
   * r1 text queries. */
-case class Tokenize(child: Expression) extends UnaryExpression {
+case class Tokenize(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] = Seq(StringType)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "tokenize"
@@ -396,7 +409,9 @@ case class Tokenize(child: Expression) extends UnaryExpression {
   * compiled greedy-max DP pass (see HashKernels.phraseSlopKernel)
   * instead of per-term interpreted position-list HOFs. */
 case class PhraseSlopMatch(child: Expression, terms: Seq[String], slop: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] = Seq(ArrayType(StringType))
 
   override def dataType: DataType = BooleanType
   override def prettyName: String = "phrase_slop_match"
@@ -424,7 +439,9 @@ case class PhraseSlopMatch(child: Expression, terms: Seq[String], slop: Int)
   * columns otherwise re-evaluate the tokenizer once per language
   * (CollapseProject re-inlines the shared projection). */
 case class LangHits(child: Expression, wordSets: Seq[Seq[String]])
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] = Seq(ArrayType(StringType))
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "lang_hits"
@@ -455,7 +472,11 @@ case class LangHits(child: Expression, wordSets: Seq[Seq[String]])
   * HOF/oracle formulation exactly (left fold from 0.0), so results are
   * bit-identical to both. */
 case class CosineSim(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"

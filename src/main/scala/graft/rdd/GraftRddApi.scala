@@ -19,7 +19,7 @@ import org.apache.spark.sql.types._
   * versioning, routing). The conversion is a narrow map stage; no
   * per-document driver round trips.
   */
-object GraftRddApi {
+object GraftRddApi extends Serializable {
 
   object implicits {
     implicit class GraftRddSessionOps(val spark: SparkSession) {
@@ -57,31 +57,56 @@ object GraftRddApi {
           val schema = inferSchema(rdd)
           val names = schema.fieldNames
           val rows = rdd.map(m =>
-            Row.fromSeq(names.toIndexedSeq.map(n => m.get(n).map(GraftRddApi.widen).orNull)))
+            Row.fromSeq(names.toIndexedSeq.map(n =>
+              m.get(n).map(v => GraftRddApi.coerce(GraftRddApi.widen(v), schema(n).dataType))
+                .orNull)))
           Connector.save(spark.createDataFrame(rows, schema), path, cfg)
         } finally if (!wasPersisted) rdd.unpersist()
       }
     }
   }
 
-  /** Dynamic-mapping inference: field -> Spark type from the first
-    * non-null value seen for it (ints widen to long, floats to double,
-    * like the reference's numeric mapping defaults). One aggregate
-    * over the data — no collect of the documents themselves. */
+  /** Dynamic-mapping inference: field -> Spark type from the values
+    * seen for it (ints widen to long, floats to double, like the
+    * reference's numeric mapping defaults). One aggregate over the
+    * data — no collect of the documents themselves. Conflicting types
+    * for a field MERGE when compatible (long + double -> double) and
+    * raise a descriptive dynamic-mapping error when not — the earlier
+    * first-non-null-wins merge made the winner partition-order-
+    * dependent and surfaced as an opaque encoder crash at write time. */
   private[rdd] def inferSchema(rdd: RDD[Map[String, Any]]): StructType = {
+    def put(acc: Map[String, DataType], k: String, t: DataType): Map[String, DataType] =
+      acc.get(k) match {
+        case None => acc + (k -> t)
+        case Some(prev) if prev == t => acc
+        case Some(prev) => acc + (k -> mergeTypes(k, prev, t))
+      }
     val fieldTypes = rdd.aggregate(Map.empty[String, DataType])(
       (acc, m) => m.foldLeft(acc) {
-        case (a, (k, v)) if !a.contains(k) && v != null => a + (k -> typeOf(v))
+        case (a, (k, v)) if v != null => put(a, k, typeOf(v))
         case (a, _) => a
       },
-      (a, b) => b.foldLeft(a) {
-        case (acc, (k, t)) if !acc.contains(k) => acc + (k -> t)
-        case (acc, _) => acc
-      })
+      (a, b) => b.foldLeft(a) { case (acc, (k, t)) => put(acc, k, t) })
     require(fieldTypes.nonEmpty, "saveToGraft: no fields to infer a mapping from")
     StructType(fieldTypes.toSeq.sortBy(_._1).map { case (k, t) =>
       StructField(k, t, nullable = true)
     })
+  }
+
+  /** Widen compatible numeric types; refuse incompatible ones with the
+    * field name in the message (the dynamic-mapping conflict error). */
+  private def mergeTypes(k: String, a: DataType, b: DataType): DataType = (a, b) match {
+    case (LongType, DoubleType) | (DoubleType, LongType) => DoubleType
+    case _ => throw new IllegalArgumentException(
+      s"saveToGraft: dynamic-mapping conflict for field '$k': " +
+        s"${a.simpleString} vs ${b.simpleString}")
+  }
+
+  /** Align a (widened) value with the field's MERGED type: a long value
+    * under a field that resolved to double must ship as double. */
+  private[rdd] def coerce(v: Any, t: DataType): Any = (v, t) match {
+    case (l: java.lang.Long, DoubleType) => l.doubleValue
+    case _ => v
   }
 
   /** Value-side counterpart of the numeric widening in typeOf. */

@@ -129,22 +129,34 @@ object Relational {
     // of resurrecting an older value
     val wrapType = org.apache.spark.sql.types.StructType(
       Seq(org.apache.spark.sql.types.StructField("v", vType)))
+    // internal working columns must not collide with caller columns
+    // (a fixed "_ts" would silently overwrite and then drop a caller's
+    // "_ts") — extend with "_" until the name is fresh on BOTH inputs
+    val taken = (left.columns ++ right.columns).toSet
+    def fresh(base: String): String = {
+      var n = base
+      while (taken.contains(n)) n += "_"
+      n
+    }
+    val tsC = fresh("_graft_asof_ts")
+    val sideC = fresh("_graft_asof_side")
+    val vC = fresh("_graft_asof_v")
     val l = left
-      .withColumn("_ts", col(leftTsCol))
-      .withColumn("_side", lit(1))
-      .withColumn("_v", lit(null).cast(wrapType))
+      .withColumn(tsC, col(leftTsCol))
+      .withColumn(sideC, lit(1))
+      .withColumn(vC, lit(null).cast(wrapType))
     val r = right.select(
       col(keyCol),
-      col(rightTsCol).as("_ts"),
-      lit(0).as("_side"),
-      struct(col(valueCol).cast(vType).as("v")).as("_v"))
+      col(rightTsCol).as(tsC),
+      lit(0).as(sideC),
+      struct(col(valueCol).cast(vType).as("v")).as(vC))
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col("_ts").asc, col("_side").asc)
+      .orderBy(col(tsC).asc, col(sideC).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r, allowMissingColumns = true)
-      .withColumn(as, last(col("_v"), ignoreNulls = true).over(w).getField("v"))
-      .where(col("_side") === 1)
-      .drop("_ts", "_side", "_v")
+      .withColumn(as, last(col(vC), ignoreNulls = true).over(w).getField("v"))
+      .where(col(sideC) === 1)
+      .drop(tsC, sideC, vC)
   }
 
   /** ES `terms` lookup query: filter docs whose `field` appears in a

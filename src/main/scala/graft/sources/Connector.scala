@@ -52,7 +52,13 @@ object Connector {
         // Loaded separately and unioned by name: each index may carry
         // its own (routing) partitioning scheme.
         val df0 = path.split(",").map(_.trim).filter(_.nonEmpty)
-          .map(spark.read.format(format).load(_)).reduce(_ unionByName _)
+          .map { p =>
+            // a crash mid-swap may have left the index at _graft_old;
+            // restore it here too, or a read issued between the crash
+            // and the next write fails on a missing directory
+            Connector.recoverSwap(spark, p)
+            spark.read.format(format).load(p)
+          }.reduce(_ unionByName _)
         val df1 = if (query == null) df0 else df0.where(EsQuery.compile(query, idField))
         val df2 = if (fieldInclude.nonEmpty) df1.select(fieldInclude.map(col): _*) else df1
         val df3 = fieldExclude.foldLeft(df2)(_ drop _)
@@ -98,6 +104,7 @@ object Connector {
           query: String = null,
           idField: String = "_id",
           format: String = "parquet"): DataFrame = {
+        Connector.recoverSwap(spark, path)
         val schema = spark.read.format(format).load(path).schema
         val s0 = spark.readStream.schema(schema).format(format).load(path)
         if (query == null) s0 else s0.where(EsQuery.compile(query, idField))
@@ -120,8 +127,7 @@ object Connector {
     // before looking at `exists`, so a sink replay after a crash sees
     // the full index instead of silently rebuilding from one batch.
     val livePath = new Path(path)
-    val oldPath = new Path(path + "_graft_old")
-    if (!fs.exists(livePath) && fs.exists(oldPath)) fs.rename(oldPath, livePath)
+    recoverSwap(spark, path)
     val exists = fs.exists(livePath)
     // es.input.json analog: the index can be stored as json (or orc)
     // instead of parquet — same bulk semantics over any columnar/row fmt
@@ -210,6 +216,22 @@ object Connector {
         }
       case other =>
         throw new IllegalArgumentException(s"unknown graft.write.operation: $other")
+    }
+  }
+
+  /** Restore a crash-interrupted swap: live directory missing but
+    * `_graft_old` present means the writer died between "rename live
+    * aside" and "rename tmp in" — the old generation IS the index.
+    * Shared by the write path and both read paths (graftDF /
+    * graftStream), so any access after the crash heals it. */
+  private[sources] def recoverSwap(spark: SparkSession, path: String): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(path)
+    val old = new Path(path + "_graft_old")
+    if (!fs.exists(live) && fs.exists(old)) {
+      if (!fs.rename(old, live))
+        throw new java.io.IOException(s"swap recovery: rename $old -> $live failed")
+      spark.catalog.refreshByPath(path)
     }
   }
 

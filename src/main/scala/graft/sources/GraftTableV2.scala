@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter => LogicalFilter}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScanBuilder, ParquetTable}
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -124,11 +124,24 @@ class GraftScanBuilder(
   * -columnar) parquet reader costs vectorization ONLY when a query
   * option is present — plan-level predicates keep the columnar path. */
 case class GraftFilteredScan(delegate: Scan, cond: Expression)
-  extends Scan with Batch {
+  extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = delegate.readSchema()
   override def description(): String = s"GraftFiltered(${delegate.description()})"
   override def toBatch: Batch = this
+
+  /** Forward the parquet scan's size/row statistics so join planning
+    * (broadcast decisions) still sees them — the wrapper previously
+    * hid them, degrading every read that used graft.query. The row
+    * filter only shrinks the data, so the delegate's numbers remain a
+    * safe upper bound. */
+  override def estimateStatistics(): Statistics = delegate match {
+    case s: SupportsReportStatistics => s.estimateStatistics()
+    case _ => new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
+  }
 
   override def planInputPartitions(): Array[InputPartition] =
     delegate.toBatch.planInputPartitions()

@@ -12,3 +12,10 @@ object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 }
+
+/** `AbstractDataType` (the `inputTypes` element type of
+  * ExpectsInputTypes) is `private[sql]`; this public alias lets graft's
+  * expressions declare input types for proper analysis-time errors. */
+object GraftTypes {
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
+}

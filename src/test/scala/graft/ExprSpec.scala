@@ -110,4 +110,43 @@ class ExprSpec extends SparkSpec {
       .as[(String, Long)].collect()
     assert(g.head._2 == 2) // the two nearby points share a cell at p=3
   }
+
+  test("declared inputTypes: wrong-typed args fail at analysis, numerics implicit-cast") {
+    import org.apache.spark.sql.{Row, SparkSession}
+    import org.apache.spark.sql.types._
+    // getOrCreate ignores withExtensions when a session exists — build
+    // a fresh one on the same SparkContext (cf. ConnectorSpec)
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val df = s2.createDataFrame(
+        java.util.List.of(Row(1L, "ab", 12, 34)),
+        StructType(Seq(StructField("n", LongType), StructField("s", StringType),
+          StructField("la", IntegerType), StructField("lo", IntegerType))))
+      df.createOrReplaceTempView("typed_probe")
+      // analysis-time error (not an executor ClassCastException) for
+      // un-castable argument types (a scalar where an array is needed)
+      val err = intercept[org.apache.spark.sql.AnalysisException] {
+        s2.sql("SELECT simhash32(n) FROM typed_probe").schema
+      }
+      assert(err.getMessage.toLowerCase.contains("type"))
+      intercept[org.apache.spark.sql.AnalysisException] {
+        s2.sql("SELECT cosine_sim(s, s) FROM typed_probe").schema
+      }
+      // int lat/lon implicitly cast to double instead of erroring
+      val gh = s2.sql("SELECT geohash(la, lo, 4) AS g FROM typed_probe")
+        .collect().head.getString(0)
+      assert(gh.length == 4)
+    } finally {
+      SparkSession.clearActiveSession()
+      prev.foreach(SparkSession.setDefaultSession)
+    }
+  }
 }

@@ -43,4 +43,26 @@ class RddApiSpec extends SparkSpec {
       .where(col("lang") === "en").count()
     assert(en.count() == direct && direct > 0)
   }
+
+  test("inferSchema widens long/double conflicts and rejects incompatible ones") {
+    val dir = Files.createTempDirectory("graft_rdd4").toString + "/idx"
+    // field `v` arrives as Int in one doc and Double in another: the
+    // merged mapping must be double regardless of partition order
+    spark.sparkContext.parallelize(Seq[Map[String, Any]](
+      Map("id" -> 1L, "v" -> 2), Map("id" -> 2L, "v" -> 0.5)), 2)
+      .saveToGraft(dir, Map("graft.mapping.id" -> "id"))
+    val m = spark.graftRDD(dir, idField = "id").collect().toMap
+    assert(m(1L)("v") == 2.0 && m(2L)("v") == 0.5)
+
+    val bad = spark.sparkContext.parallelize(Seq[Map[String, Any]](
+      Map("id" -> 1L, "v" -> "text"), Map("id" -> 2L, "v" -> 7)), 2)
+    val err = intercept[Exception] {
+      bad.saveToGraft(dir + "_bad", Map("graft.mapping.id" -> "id"))
+    }
+    // the conflict may surface wrapped in a SparkException — check the
+    // whole cause chain for the descriptive message
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
+    assert(msgs(err).contains("dynamic-mapping conflict for field 'v'"))
+  }
 }

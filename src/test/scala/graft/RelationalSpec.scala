@@ -22,6 +22,21 @@ class RelationalSpec extends SparkSpec {
     assert(r(3L).contains(9.0)) // equal-ts right row qualifies
   }
 
+  test("asofLookup: caller columns named like the old internal _ts/_side/_v survive") {
+    // r2 used fixed internal names; a left frame already carrying "_ts"
+    // was silently overwritten and dropped. Now the working columns are
+    // collision-proofed, so caller columns pass through untouched.
+    val clicks = Seq((1L, 7L, 30L, "keep_ts", "keep_side"))
+      .toDF("event_id", "user_id", "ts", "_ts", "_side")
+    val views = Seq((7L, 10L, 5.0)).toDF("user_id", "ts", "_v")
+    val out = Relational.asofLookup(clicks, views, "user_id", "ts", "ts", "_v", "asof_v")
+    assert(out.columns.toSet ==
+      Set("event_id", "user_id", "ts", "_ts", "_side", "asof_v"))
+    val row = out.select(col("_ts"), col("_side"), col("asof_v")).collect().head
+    assert(row.getString(0) == "keep_ts" && row.getString(1) == "keep_side")
+    assert(row.getDouble(2) == 5.0)
+  }
+
   test("intervalOverlapJoin: grid bucketing is lossless vs the exact predicate") {
     val a = Seq((1L, 0.0, 5.0), (2L, 10.0, 12.0), (3L, 100.0, 101.0)).toDF("id", "lo", "hi")
     val b = Seq((10L, 4.0, 6.0), (11L, 13.0, 20.0), (12L, 99.5, 100.2)).toDF("id", "lo", "hi")
