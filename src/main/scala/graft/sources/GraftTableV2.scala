@@ -7,13 +7,15 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, Predicate => CatalystPredicate}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter => LogicalFilter}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScanBuilder, ParquetTable}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -42,7 +44,8 @@ case class GraftTable(
     spark: SparkSession,
     options: CaseInsensitiveStringMap,
     paths: Seq[String],
-    userSpecifiedSchema: Option[StructType]) extends Table with SupportsRead {
+    userSpecifiedSchema: Option[StructType])
+  extends Table with SupportsRead with SupportsWrite {
 
   private lazy val delegate: ParquetTable =
     ParquetTable(tableName, spark, options, paths, userSpecifiedSchema,
@@ -52,7 +55,12 @@ case class GraftTable(
   override def schema(): StructType = delegate.schema
   override def partitioning(): Array[Transform] = delegate.partitioning()
   override def capabilities(): JSet[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      // writes take the DSv2 plan (AppendData / OverwriteByExpression)
+      // and bridge to Connector.save via V1Write — see GraftWriteBuilder
+      TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
 
   override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder = {
     def opt(k: String) = Option(scanOptions.get(k)).orElse(Option(options.get(k)))
@@ -63,6 +71,53 @@ case class GraftTable(
       delegate.newScanBuilder(scanOptions),
       schema(),
       query)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(paths.size == 1,
+      s"graft write needs exactly one index path, got ${paths.mkString(",")}")
+    // table-level options (from the reader/writer .option(...) calls)
+    // merged with the per-write options; per-write wins
+    val merged = new java.util.HashMap[String, String](options.asCaseSensitiveMap())
+    merged.putAll(info.options.asCaseSensitiveMap())
+    new GraftWriteBuilder(paths.head, merged)
+  }
+}
+
+/** DSv2 write lifecycle for the graft table.
+  *
+  * The write itself bridges to `Connector.save` through `V1Write` /
+  * `InsertableRelation` — deliberately: graft's bulk semantics
+  * (id-resolution merge against the EXISTING index, external
+  * versioning, crash-safe directory swap) are whole-batch operations,
+  * and Connector.save already implements the stage-then-commit
+  * pattern a custom BatchWrite would have to rebuild (write to
+  * `_graft_tmp`, atomically swap in, heal `_graft_old` on crash).
+  * What DSv2 adds here is the plan-level lifecycle: `AppendData` /
+  * `OverwriteByExpression(true)` nodes, writer-v2 (`writeTo`)
+  * support, and capability checks — same bridge design as Spark's own
+  * JDBC v2 connector. */
+class GraftWriteBuilder(path: String, opts: java.util.Map[String, String])
+  extends WriteBuilder with SupportsTruncate {
+
+  private var truncateRequested = false
+
+  override def truncate(): WriteBuilder = { truncateRequested = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
+        import scala.jdk.CollectionConverters._
+        val cfg0 = opts.asScala.toMap
+        // explicit graft.write.operation wins; otherwise the v2 plan
+        // decides: truncate/overwrite -> replace the index, append ->
+        // blind bulk append (the DSv1 SaveMode mapping, v2-shaped)
+        val cfg =
+          if (cfg0.contains("graft.write.operation")) cfg0
+          else if (truncateRequested || overwrite) cfg0 + ("graft.write.operation" -> "overwrite")
+          else cfg0 + ("graft.write.operation" -> "append")
+        Connector.save(data, path, cfg)
+      }
   }
 }
 

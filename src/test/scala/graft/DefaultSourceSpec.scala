@@ -77,6 +77,30 @@ class DefaultSourceSpec extends SparkSpec {
     assert(r == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
   }
 
+  test("DSv2 write path: append/overwrite plan as v2 and keep bulk semantics") {
+    val dir = Files.createTempDirectory("graft_dsv2w").toString + "/w"
+    // first write: no mode -> v1 fallback -> operation "index"
+    Seq((1L, "a")).toDF("id", "name")
+      .write.format("graft").option("graft.mapping.id", "id").save(dir)
+    // append mode -> v2 AppendData -> blind bulk append
+    Seq((2L, "b")).toDF("id", "name")
+      .write.format("graft").mode(SaveMode.Append).save(dir)
+    assert(spark.read.format("graft").load(dir).count() == 2)
+    // append mode + explicit upsert operation: the option wins over the
+    // v2 plan's default mapping, so id 2 is REPLACED, not duplicated
+    Seq((2L, "b2")).toDF("id", "name")
+      .write.format("graft").mode(SaveMode.Append)
+      .option("graft.mapping.id", "id")
+      .option("graft.write.operation", "index").save(dir)
+    val r = spark.read.format("graft").load(dir).as[(Long, String)].collect().toMap
+    assert(r == Map(1L -> "a", 2L -> "b2"))
+    // overwrite mode -> v2 truncate -> index replaced wholesale
+    Seq((9L, "z")).toDF("id", "name")
+      .write.format("graft").mode(SaveMode.Overwrite).save(dir)
+    val r2 = spark.read.format("graft").load(dir).as[(Long, String)].collect().toMap
+    assert(r2 == Map(9L -> "z"))
+  }
+
   test("filter translation table mirrors the reference pushdown") {
     def t(f: Filter) = FilterTranslator.translate(f)
     assert(t(EqualTo("x", 1)).isDefined)
