@@ -55,5 +55,12 @@ for name in sorted(os.listdir(out)):
     else:
         print(f"{name:24s} OK ({len(got)} rows)")
         ok += 1
+# a query that CRASHED in Verify leaves no result dir at all — surface
+# it as a failure instead of silently shrinking the "ok" count
+for name in sorted(oracle):
+    if not os.path.isdir(os.path.join(out, name)):
+        print(f"{name:24s} MISSING RESULT (query failed in Verify?)")
+        fail += 1
+
 print(f"\n{ok} ok, {fail} fail")
 sys.exit(1 if fail else 0)

@@ -81,6 +81,26 @@ object SparkEntry {
   private val GeoCte =
     "WITH g AS (SELECT c_custkey, (c_custkey * 7919 % 18000) / 100.0 - 90.0 AS lat, (c_custkey * 104729 % 36000) / 100.0 - 180.0 AS lon FROM customer)"
 
+  /** Shared polygon for q_geo_polygon — the ORACLE SQL is generated
+    * from the same vertex list (same precomputed edge deltas as
+    * Relational.geoPolygon), so the two ray casts are the identical
+    * IEEE expression on both engines. */
+  private val GeoPolygonVertices: Seq[(Double, Double)] =
+    Seq((0.0, -120.0), (60.0, -30.0), (30.0, 60.0), (-30.0, 90.0), (-60.0, -45.0))
+
+  private def geoPolygonOracleSql(vertices: Seq[(Double, Double)]): String = {
+    val terms = vertices.indices.map { i =>
+      val (lat1, lon1) = vertices(i)
+      val (lat2, lon2) = vertices((i + 1) % vertices.size)
+      val dLon = lon2 - lon1
+      val dLat = lat2 - lat1
+      s"(CASE WHEN (($lat1 > lat) != ($lat2 > lat)) AND " +
+        s"(lon < $dLon * (lat - $lat1) / $dLat + $lon1) THEN 1 ELSE 0 END)"
+    }
+    GeoCte + " SELECT c_custkey, lat, lon FROM g WHERE " +
+      s"(${terms.mkString(" + ")}) % 2 = 1 ORDER BY c_custkey"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A. Query DSL (filter context) ----
     "q_term" -> ((s, d) => t(s, d, "documents")
@@ -177,6 +197,26 @@ object SparkEntry {
         Seq("text", "source"), "merge src5", 10)),
     "q_rank_feature" -> ((s, d) =>
       Search.rankFeatureTopK(t(s, d, "documents"), "doc_id", "n_chars", 200.0, 15)),
+    // relevance decaying with geo distance from an origin point
+    "q_distance_feature" -> ((s, d) =>
+      Search.distanceFeatureTopK(withGeo(t(s, d, "customer")), "c_custkey",
+        "lat", "lon", originLat = 10.0, originLon = 20.0, pivotKm = 1000.0, k = 15)),
+    // the ES wrapper query: base64-embedded query-dsl json
+    "q_wrapper" -> ((s, d) => {
+      val inner = """{"bool": {"must": [{"term": {"lang": "en"}}, {"range": {"n_chars": {"gte": 200}}}]}}"""
+      val b64 = java.util.Base64.getEncoder.encodeToString(
+        inner.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      t(s, d, "documents")
+        .where(graft.dsl.QueryDslJson.compile(s"""{"wrapper": {"query": "$b64"}}"""))
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+    // point-in-polygon geo filter (even-odd ray cast)
+    "q_geo_polygon" -> ((s, d) =>
+      withGeo(t(s, d, "customer"))
+        .where(graft.rel.Relational.geoPolygon(col("lat"), col("lon"), GeoPolygonVertices))
+        .select(col("c_custkey"), col("lat"), col("lon"))
+        .orderBy(col("c_custkey"))),
     // two-phase ranking: BM25 window, re-ranked by a secondary signal
     "q_rescore" -> ((s, d) =>
       Search.rescoreTopK(t(s, d, "documents"), "doc_id", "text", "fast hash join",
@@ -352,6 +392,17 @@ object SparkEntry {
       Aggs.autoDateHistogramAgg(t(s, d, "orders"), "o_orderdate", 20)),
     "q_agg_diversified" -> ((s, d) =>
       Aggs.diversifiedSamplerAgg(t(s, d, "documents"), "doc_id", "lang", "n_chars", 40)),
+    "q_agg_missing" -> ((s, d) => Aggs.missingAgg(Tables.events(s, d), "value")),
+    "q_agg_moving_fn" -> ((s, d) =>
+      Aggs.dateHistogramMovingFn(t(s, d, "orders"), "o_orderdate", "month", "o_totalprice", 3)),
+    "q_agg_bucket_sort" -> ((s, d) =>
+      Aggs.bucketSortAgg(t(s, d, "orders"), "o_orderdate", "month", "o_totalprice",
+        from = 2, sz = 5)),
+    "q_agg_children" -> ((s, d) =>
+      Aggs.childrenAgg(t(s, d, "orders"), t(s, d, "lineitem"),
+        "o_orderkey", "l_orderkey", "o_orderstatus", "l_quantity")),
+    "q_agg_random_sampler" -> ((s, d) =>
+      Aggs.randomSamplerAgg(t(s, d, "orders"), "o_orderkey", 0.1, "o_totalprice")),
     "q_suggest_phrase" -> ((s, d) =>
       Search.phraseSuggest(t(s, d, "documents"), "text", "table scin", maxEdits = 1, k = 5)),
     "q_match_fuzzy" -> ((s, d) => t(s, d, "documents")
@@ -592,6 +643,26 @@ object SparkEntry {
         .orderBy(col("pack_id"))),
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.metadata(Multimodal.mediaTable(t(s, d, "documents")))),
+    // context-window chunking: 64-token windows, 16-token overlap
+    "q_chunk" -> ((s, d) =>
+      TextAnalysis.chunkTokens(t(s, d, "documents"), "doc_id", "text", 64, 16)
+        .orderBy(col("id"), col("chunk_idx"))),
+    // deterministic data-mixing sample: per-language keep rates
+    "q_sample_strat" -> ((s, d) =>
+      TextAnalysis.stratifiedSample(t(s, d, "documents"), "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 0.2), defaultRate = 0.1)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+    // benchmark-contamination screen: corpus (id >= 25) vs eval set (id < 25)
+    "q_contamination" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.contaminationScreen(
+        docs.where(col("doc_id") >= 25), "doc_id", "text",
+        docs.where(col("doc_id") < 25), "text")
+    }),
+    "q_pii_redact" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"), TextAnalysis.redactPii(col("text")).as("redacted"))
+      .orderBy(col("doc_id"))),
 
     // ---- G. Streaming-shaped ----
     "q_stream_window" -> ((s, d) => EventStreams.hourlyTypeCounts(Tables.events(s, d))),
@@ -637,6 +708,13 @@ object SparkEntry {
       bm25Ctes("2", "stok", Seq("merge", "src5")) +
       ", u AS (SELECT id, score AS s FROM sc1 UNION ALL SELECT id, score FROM sc2) " +
       "SELECT id, round(max(s), 4) AS score FROM u GROUP BY id ORDER BY score DESC, id LIMIT 10"),
+    "q_distance_feature" -> (GeoCte + " SELECT c_custkey AS id, " +
+      "round(1000.0 / (1000.0 + 2 * 6371 * asin(sqrt(pow(sin(radians(10.0 - lat) / 2), 2) + " +
+      "cos(radians(lat)) * cos(radians(10.0)) * pow(sin(radians(20.0 - lon) / 2), 2)))), 4) AS score " +
+      "FROM g ORDER BY score DESC, id LIMIT 15"),
+    "q_wrapper" -> ("SELECT doc_id, n_chars FROM documents " +
+      "WHERE lang = 'en' AND n_chars >= 200 ORDER BY doc_id"),
+    "q_geo_polygon" -> geoPolygonOracleSql(GeoPolygonVertices),
     "q_rank_feature" -> ("SELECT doc_id AS id, " +
       "round(CAST(n_chars AS DOUBLE) / (CAST(n_chars AS DOUBLE) + 200.0), 4) AS score " +
       "FROM documents ORDER BY score DESC, id LIMIT 15"),
@@ -757,6 +835,33 @@ object SparkEntry {
       "ELSE strftime(date_trunc('year', o_orderdate), '%Y-%m-%d %H:%M:%S') END AS bucket " +
       "FROM orders CROSS JOIN st) " +
       "SELECT iv AS interval, bucket, count(*)::BIGINT AS doc_count FROM b GROUP BY 1, 2 ORDER BY bucket"),
+    "q_agg_missing" -> ("SELECT sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT " +
+      "AS missing_count FROM events"),
+    "q_agg_moving_fn" -> ("WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS bucket, " +
+      "count(*)::BIGINT AS doc_count, " +
+      "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_v FROM orders GROUP BY 1) " +
+      "SELECT bucket, doc_count, sum_v, " +
+      "round(max(sum_v) OVER w, 4) AS moving_max, " +
+      "round(min(sum_v) OVER w, 4) AS moving_min, " +
+      "round(CAST(sum(CAST(sum_v AS DECIMAL(18,4))) OVER w AS DOUBLE), 4) AS moving_sum " +
+      "FROM b WINDOW w AS (ORDER BY bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) " +
+      "ORDER BY bucket"),
+    "q_agg_bucket_sort" -> ("WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS bucket, " +
+      "count(*)::BIGINT AS doc_count, " +
+      "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_v FROM orders GROUP BY 1), " +
+      "r AS (SELECT row_number() OVER (ORDER BY sum_v DESC, bucket)::INT AS rank, " +
+      "bucket, doc_count, sum_v FROM b) " +
+      "SELECT rank, bucket, doc_count, sum_v FROM r WHERE rank > 2 AND rank <= 7 ORDER BY rank"),
+    "q_agg_children" -> ("WITH pp AS (SELECT l_orderkey AS o_orderkey, count(*)::BIGINT AS n_children, " +
+      "sum(CAST(l_quantity AS DECIMAL(18,4))) AS m_sum FROM lineitem GROUP BY 1) " +
+      "SELECT o_orderstatus AS key, count(*)::BIGINT AS parent_count, " +
+      "sum(n_children)::BIGINT AS child_count, " +
+      "round(CAST(sum(m_sum) AS DOUBLE), 4) AS metric_sum " +
+      "FROM orders JOIN pp USING (o_orderkey) GROUP BY 1 ORDER BY key"),
+    "q_agg_random_sampler" -> ("SELECT count(*)::BIGINT AS sampled_count, " +
+      "floor(count(*)::DOUBLE / 0.1)::BIGINT AS est_total, " +
+      "round(avg(o_totalprice), 4) AS sample_avg FROM orders " +
+      s"WHERE ${hexFold("o_orderkey::VARCHAR", 12)} / 281474976710656.0 < 0.1"),
     "q_agg_diversified" -> ("WITH s AS (SELECT doc_id, lang, n_chars FROM documents " +
       "QUALIFY row_number() OVER (PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) <= 40) " +
       "SELECT count(*)::BIGINT AS sample_size, round(avg(n_chars), 4) AS avg_metric FROM s"),
@@ -1081,6 +1186,29 @@ object SparkEntry {
       "(doc_id % 640 + 32)::INT AS width, (doc_id % 480 + 32)::INT AS height, " +
       "(doc_id % 640 + 32)::BIGINT * (doc_id % 480 + 32)::BIGINT AS pixels, " +
       "md5(text) AS content_hash FROM documents ORDER BY media_id"),
+    "q_chunk" -> (TokCte +
+      ", c AS (SELECT doc_id, unnest(range(0, greatest((len(toks) - 1) // 48, 0) + 1)) AS s, toks " +
+      "FROM tok WHERE len(toks) > 0) " +
+      "SELECT doc_id AS id, s::INT AS chunk_idx, " +
+      "len(toks[s*48 + 1 : s*48 + 64])::BIGINT AS n_tokens, " +
+      "array_to_string(toks[s*48 + 1 : s*48 + 64], ' ') AS chunk_text " +
+      "FROM c ORDER BY id, chunk_idx"),
+    "q_sample_strat" -> ("SELECT doc_id, lang FROM documents " +
+      s"WHERE ${hexFold("doc_id::VARCHAR", 12)} / 281474976710656.0 < " +
+      "(CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'de' THEN 0.2 ELSE 0.1 END) " +
+      "ORDER BY doc_id"),
+    "q_contamination" -> (TokCte +
+      ", shd AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), " +
+      "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM tok WHERE len(toks) >= 3), " +
+      "bench AS (SELECT DISTINCT unnest(sh) AS s FROM shd WHERE doc_id < 25), " +
+      "ds AS (SELECT doc_id, unnest(sh) AS s FROM shd WHERE doc_id >= 25) " +
+      "SELECT doc_id AS id, count(*)::BIGINT AS n_shared FROM ds JOIN bench USING (s) " +
+      "GROUP BY 1 HAVING count(*) >= 1 ORDER BY id"),
+    "q_pii_redact" -> ("SELECT doc_id, " +
+      "regexp_replace(regexp_replace(regexp_replace(text, " +
+      "'https?://[^ \\t\\n\\f\\r]+', '[URL]', 'g'), " +
+      "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'), " +
+      "'[0-9]{6,}', '[NUM]', 'g') AS redacted FROM documents ORDER BY doc_id"),
 
     // ---- G ----
     "q_stream_window" -> ("SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type, " +

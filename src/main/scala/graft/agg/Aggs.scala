@@ -428,4 +428,88 @@ object Aggs {
       .orderBy(col("score").desc, col("term").asc)
       .limit(k)
   }
+
+  /** `{"missing": {"field": f}}` — count of documents missing the
+    * field. One partial-aggregating pass. */
+  def missingAgg(df: DataFrame, field: String): DataFrame =
+    df.agg(sum(when(col(field).isNull, 1L).otherwise(0L)).as("missing_count"))
+
+  /** `moving_fn` pipeline agg over a date_histogram parent: max / min /
+    * sum over a sliding window of the last `window` buckets. Same shape
+    * as dateHistogramPipeline — the global-order window runs on the
+    * tiny bucket frame, the heavy partial-agg groupBy below it. */
+  def dateHistogramMovingFn(
+      df: DataFrame, tsField: String, interval: String, metric: String,
+      window: Int): DataFrame = {
+    val buckets = bucketFrame(df, tsField, interval, metric)
+    val w = Window.orderBy(col("bucket")).rowsBetween(-(window - 1), 0)
+    buckets
+      .withColumn("moving_max", Num.round(max(col("sum_v")).over(w), 4))
+      .withColumn("moving_min", Num.round(min(col("sum_v")).over(w), 4))
+      // decimal window sum: engines differ in how they incrementalize
+      // a moving double sum (recompute vs subtract), so only an exact
+      // type guarantees bit parity
+      .withColumn("moving_sum",
+        Num.round(sum(col("sum_v").cast("decimal(18,4)")).over(w).cast("double"), 4))
+      .orderBy(col("bucket"))
+  }
+
+  /** `bucket_sort` pipeline agg: reorder the parent's buckets by a
+    * sibling metric and truncate with from/size — the "top N buckets
+    * by revenue" idiom. Global row_number is fine: the frame is bucket
+    * -count rows, never the corpus. */
+  def bucketSortAgg(
+      df: DataFrame, tsField: String, interval: String, metric: String,
+      from: Int, sz: Int): DataFrame = {
+    val buckets = bucketFrame(df, tsField, interval, metric)
+    val w = Window.orderBy(col("sum_v").desc, col("bucket").asc)
+    buckets
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") > from && col("rank") <= from + sz)
+      .select(col("rank"), col("bucket"), col("doc_count"), col("sum_v"))
+      .orderBy(col("rank"))
+  }
+
+  /** `children` agg (join-field): per parent bucket, metrics computed
+    * over the parents' CHILDREN. The child side pre-aggregates per
+    * parent key BEFORE the join (partial-agg shrinks the shuffle to
+    * one row per parent), then the bucket rollup is a second tiny
+    * aggregate — two exchanges, both combine-shrunk, vs the naive
+    * join-then-group that shuffles every child row. */
+  def childrenAgg(
+      parents: DataFrame, children: DataFrame,
+      parentKey: String, childFk: String,
+      bucketField: String, childMetric: String): DataFrame = {
+    val perParent = children
+      .groupBy(col(childFk).as(parentKey))
+      .agg(
+        count(lit(1)).as("n_children"),
+        sum(col(childMetric).cast("decimal(18,4)")).as("m_sum"))
+    parents
+      .join(perParent, Seq(parentKey), "inner")
+      .groupBy(col(bucketField).as("key"))
+      .agg(
+        count(lit(1)).as("parent_count"),
+        sum(col("n_children")).as("child_count"),
+        Num.round(sum(col("m_sum")).cast("double"), 4).as("metric_sum"))
+      .orderBy(col("key").asc)
+  }
+
+  /** `random_sampler` agg: deterministic hash sample at `probability`,
+    * metrics computed on the sample and scaled back by 1/p — the
+    * cheap-estimate agg for interactive dashboards over huge indices.
+    * The sampling predicate is the same portable 48-bit md5 uniform
+    * used by stratifiedSample, so the oracle reproduces the exact
+    * sample (rand() would not be checkable). Map-only filter + one
+    * partial agg. */
+  def randomSamplerAgg(
+      df: DataFrame, idCol: String, probability: Double, metric: String): DataFrame = {
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+      .cast("double") / lit(281474976710656.0) // 2^48
+    df.where(u < probability)
+      .agg(
+        count(lit(1)).as("sampled_count"),
+        floor(count(lit(1)).cast("double") / probability).cast("long").as("est_total"),
+        Num.round(avg(col(metric)), 4).as("sample_avg"))
+  }
 }

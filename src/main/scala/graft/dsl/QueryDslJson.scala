@@ -167,6 +167,27 @@ object QueryDslJson {
             bottom = lits(br("lat")).toString.toDouble,
             right = lits(br("lon")).toString.toDouble)
 
+        case ("geo_polygon", JObject(JField(f, JObject(parts)) :: Nil)) =>
+          val pts = parts.toMap.getOrElse("points",
+            throw new IllegalArgumentException("geo_polygon needs points")) match {
+            case JArray(xs) => xs.map { p =>
+              val m = p.asInstanceOf[JObject].obj.toMap
+              (lits(m("lat")).toString.toDouble, lits(m("lon")).toString.toDouble)
+            }
+            case other => throw new IllegalArgumentException(s"bad points: $other")
+          }
+          graft.rel.Relational.geoPolygon(col(s"${f}_lat"), col(s"${f}_lon"), pts)
+
+        // {"wrapper": {"query": "<base64 of a query-dsl json>"}} — the
+        // ES escape hatch for embedding a query through systems that
+        // can't carry raw JSON; decode and compile recursively
+        case ("wrapper", JObject(fields)) =>
+          val b64 = lits(fields.toMap.getOrElse("query",
+            throw new IllegalArgumentException("wrapper needs query"))).toString
+          compileNode(JsonMethods.parse(new String(
+            java.util.Base64.getDecoder.decode(b64),
+            java.nio.charset.StandardCharsets.UTF_8)), idField)
+
         case ("bool", JObject(parts)) =>
           val m = parts.toMap
           QueryDsl.bool(

@@ -239,6 +239,24 @@ object Relational {
   def geoDistance(lat: Column, lon: Column, clat: Double, clon: Double, km: Double): Column =
     Num.round(haversineKm(lat, lon, lit(clat), lit(clon)), 4) <= km
 
+  /** `{"geo_polygon": {...}}` — point-in-polygon via the even-odd ray
+    * cast (public algorithm): count edges (i, j) whose lat interval
+    * straddles the point and whose lon at the point's latitude lies to
+    * the point's east; odd count = inside. The vertex list is a Scala
+    * constant, so the test unrolls to pure +,-,*,/ column comparisons
+    * (codegen'd, same IEEE ops as the oracle's identical formula). */
+  def geoPolygon(lat: Column, lon: Column, vertices: Seq[(Double, Double)]): Column = {
+    require(vertices.size >= 3, "geo_polygon needs at least 3 vertices")
+    val crossings = vertices.indices.map { i =>
+      val (lat1, lon1) = vertices(i)
+      val (lat2, lon2) = vertices((i + 1) % vertices.size)
+      val straddles = (lit(lat1) > lat) =!= (lit(lat2) > lat)
+      val xLon = lit(lon2 - lon1) * (lat - lit(lat1)) / lit(lat2 - lat1) + lit(lon1)
+      when(straddles && lon < xLon, 1).otherwise(0)
+    }
+    crossings.reduce(_ + _) % 2 === 1
+  }
+
   /** `{"geo_bounding_box": {...}}` — plain range predicates, fully
     * pushdown-eligible (this is why ES itself grid-indexes: the bbox
     * prefilter is cheap; graft gets the same from parquet min/max). */

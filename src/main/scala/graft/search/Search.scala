@@ -374,6 +374,29 @@ object Search {
       .limit(k)
   }
 
+  /** `distance_feature` query: relevance decays with geo distance from
+    * an origin — score = pivot / (pivot + distance_km), ES's reciprocal
+    * decay. Same shape as rank_feature: narrow scoring math + one
+    * TakeOrderedAndProject; the haversine is codegen'd column math
+    * (Relational.haversineKm). */
+  def distanceFeatureTopK(
+      docs: DataFrame,
+      idCol: String,
+      latCol: String,
+      lonCol: String,
+      originLat: Double,
+      originLon: Double,
+      pivotKm: Double,
+      k: Int): DataFrame = {
+    val d = graft.rel.Relational.haversineKm(
+      col(latCol), col(lonCol), lit(originLat), lit(originLon))
+    docs.select(
+      col(idCol).as("id"),
+      Num.round(lit(pivotKm) / (lit(pivotKm) + d), 4).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Fuzzy `match`: fuzziness INSIDE full text — per query token, the
     * document must hold an analyzed token within `maxEdits`; tokens
     * combine with OR (default) or AND per the match `operator`, like

@@ -158,6 +158,97 @@ object TextAnalysis {
         floor((cum - sizeCol).cast("double") / budget).cast("long")).as("pack_id"))
   }
 
+  /** Token-window chunking for context-window preparation: split each
+    * document's token stream into windows of `chunkSize` tokens with
+    * `overlap` tokens carried between consecutive chunks — THE
+    * pre-training/RAG segmentation op. One narrow pass: tokenize
+    * (compiled kernel), build the window starts with `sequence`, slice
+    * per start, posexplode. No shuffle; at 100 TB this stays a map-only
+    * stage and the chunk count per row is bounded by doc length.
+    * Output: (id, chunk_idx, n_tokens, chunk_text). */
+  def chunkTokens(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int,
+      overlap: Int): DataFrame = {
+    require(chunkSize > overlap && overlap >= 0,
+      s"chunkTokens needs chunkSize > overlap >= 0, got ($chunkSize, $overlap)")
+    val stride = chunkSize - overlap
+    // starts: 0, stride, 2*stride, ... strictly below n_tokens (empty
+    // docs produce no chunks). Slice is 1-based. Built against the
+    // PROJECTED "toks" column — the text column is gone by then.
+    val starts = sequence(lit(0), greatest(
+      floor((size(col("toks")) - 1).cast("double") / stride).cast("int"), lit(0)))
+    docs
+      .select(col(idCol).as("id"), Analyzer.tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(col("id"),
+        posexplode(transform(starts, s => slice(col("toks"), s * stride + 1, lit(chunkSize)))))
+      .select(
+        col("id"), col("pos").as("chunk_idx"),
+        size(col("col")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("col")).as("chunk_text"))
+  }
+
+  /** Deterministic stratified sampling for data mixing: keep a row iff
+    * a uniform hash of its id falls under the stratum's rate — the
+    * reproducible alternative to rand() that makes mixes auditable and
+    * re-runnable. The hash is the first 48 md5 bits of the id scaled
+    * to [0,1) (portable: the oracle computes the identical value).
+    * Narrow map-only filter; no shuffle, no state. */
+  def stratifiedSample(
+      docs: DataFrame,
+      idCol: String,
+      strataCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double): DataFrame = {
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+      .cast("double") / lit(281474976710656.0) // 2^48
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
+      when(col(strataCol) === k, lit(r)).otherwise(acc)
+    }
+    docs.where(u < rate)
+  }
+
+  /** Benchmark-contamination screen: documents sharing at least
+    * `minShared` 3-gram shingles with any benchmark text. The
+    * benchmark's shingle set is tiny (eval sets are small) and
+    * BROADCAST; docs explode their shingles once and the overlap count
+    * is a broadcast-join + groupBy on doc id — the full corpus never
+    * shuffles. Output: (id, n_shared) for contaminated docs. */
+  def contaminationScreen(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      minShared: Int = 1): DataFrame = {
+    val benchShingles = benchmark
+      .select(explode(Analyzer.shingles(Analyzer.tokens(col(benchTextCol)))).as("sh"))
+      .distinct()
+    docs
+      .select(col(idCol).as("id"),
+        explode(Analyzer.shingles(Analyzer.tokens(col(textCol)))).as("sh"))
+      .join(broadcast(benchShingles), "sh")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .orderBy(col("id").asc)
+  }
+
+  /** PII redaction (the masking counterpart of `piiSignals`): URLs,
+    * emails, then long digit runs replaced with typed placeholders, in
+    * that order — URLs first so an email-looking URL path segment
+    * doesn't get half-masked. Pure regex column math (narrow,
+    * codegen'd), same Java/RE2-common dialect as the detectors. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, "https?://[^ \\t\\n\\f\\r]+", "[URL]"),
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+      "[0-9]{6,}", "[NUM]")
+
   /** Order-sensitive document fingerprint: polynomial rolling hash over
     * the token stream, tokens hashed via md5 (portable). Modulus 1e9+7
     * keeps every intermediate < 2^35 (no overflow in either engine).

@@ -79,4 +79,53 @@ class AnnTextSpec extends SparkSpec {
     assert(f(1L) == f(3L))
     assert(f(1L) != f(2L))
   }
+
+  test("chunkTokens: window size, overlap carry, short docs single chunk") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"), // 3 tokens -> one chunk
+      (3L, "")) // empty -> no chunks
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.chunkTokens(docs, "doc_id", "text", chunkSize = 6, overlap = 2)
+      .orderBy(col("id"), col("chunk_idx"))
+      .select("id", "chunk_idx", "chunk_text")
+      .as[(Long, Int, String)].collect()
+    // stride 4: starts 0, 4, 8 for the 10-token doc
+    val d1 = r.filter(_._1 == 1L).map(_._3)
+    assert(d1.toSeq == Seq(
+      "t1 t2 t3 t4 t5 t6", "t5 t6 t7 t8 t9 t10", "t9 t10"))
+    assert(r.filter(_._1 == 2L).map(_._3).toSeq == Seq("a b c"))
+    assert(!r.exists(_._1 == 3L))
+  }
+
+  test("stratifiedSample: deterministic, rate-ordered strata sizes") {
+    val docs = (1L to 2000L).map(i => (i, if (i % 2 == 0) "en" else "xx"))
+      .toDF("doc_id", "lang")
+    def run() = TextAnalysis.stratifiedSample(
+      docs, "doc_id", "lang", Map("en" -> 0.5), defaultRate = 0.05)
+      .select("doc_id").as[Long].collect().toSet
+    val a = run(); val b = run()
+    assert(a == b) // deterministic (the point vs rand())
+    val en = a.count(_ % 2 == 0).toDouble / 1000.0
+    val xx = a.count(_ % 2 == 1).toDouble / 1000.0
+    assert(en > 0.4 && en < 0.6 && xx < 0.12) // rates roughly honored
+  }
+
+  test("contaminationScreen: shared shingles found, clean docs pass") {
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "completely unrelated text with different words entirely"))
+      .toDF("doc_id", "text")
+    val bench = Seq((1L, "quick brown fox jumps")).toDF("doc_id", "text")
+    val r = TextAnalysis.contaminationScreen(corpus, "doc_id", "text", bench, "text")
+      .as[(Long, Long)].collect().toMap
+    assert(r.contains(100L) && r(100L) >= 2) // "quick brown fox", "brown fox jumps"
+    assert(!r.contains(101L))
+  }
+
+  test("redactPii masks urls, emails, long numbers") {
+    val out = Seq("see https://x.io/a?b=1 or mail a.b@c.de now 1234567 ok 12345")
+      .toDF("text").select(TextAnalysis.redactPii(col("text"))).as[String].collect().head
+    assert(out == "see [URL] or mail [EMAIL] now [NUM] ok 12345")
+  }
 }

@@ -53,4 +53,13 @@ class QueryDslSpec extends SparkSpec {
       minimumShouldMatch = 1)
     assert(df.where(q).select("id").as[Long].collect().toSeq.sorted == Seq(3L))
   }
+
+  test("wrapper query: base64-embedded json compiles recursively") {
+    val inner = """{"term": {"kind": "alpha"}}"""
+    val b64 = java.util.Base64.getEncoder.encodeToString(inner.getBytes("UTF-8"))
+    val viaWrapper = df.where(
+      graft.dsl.QueryDslJson.compile(s"""{"wrapper": {"query": "$b64"}}"""))
+      .count()
+    assert(viaWrapper == df.where(col("kind") === "alpha").count() && viaWrapper == 2)
+  }
 }

@@ -56,4 +56,17 @@ class RelationalSpec extends SparkSpec {
     assert(ids("within") == Set.empty) // no [lo,hi] inside [3,7]
     assert(ids("contains") == Set(2L))
   }
+
+  test("geoPolygon: even-odd ray cast classifies inside/outside") {
+    val square = Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0))
+    val pts = Seq(
+      (1L, 5.0, 5.0), // inside
+      (2L, 15.0, 5.0), // north of it
+      (3L, 5.0, 15.0), // east of it
+      (4L, -1.0, -1.0)) // southwest
+      .toDF("id", "lat", "lon")
+    val in = pts.where(Relational.geoPolygon(col("lat"), col("lon"), square))
+      .select("id").as[Long].collect().toSet
+    assert(in == Set(1L))
+  }
 }
