@@ -307,7 +307,10 @@ object SparkEntry {
     "q_agg_terms" -> ((s, d) => Aggs.termsAgg(t(s, d, "orders"), "o_orderpriority", 3)),
     "q_agg_stats" -> ((s, d) => Aggs.statsAgg(t(s, d, "lineitem"), "l_extendedprice")),
     "q_agg_extended_stats" -> ((s, d) => Aggs.extendedStatsAgg(t(s, d, "lineitem"), "l_quantity")),
-    "q_agg_percentiles" -> ((s, d) => Aggs.percentilesAgg(t(s, d, "lineitem"), "l_extendedprice")),
+    // distributed sort-selection, not the single-reducer percentile agg
+    "q_agg_percentiles" -> ((s, d) => Aggs.percentilesExactDistributed(
+      t(s, d, "lineitem"), "l_extendedprice",
+      Seq("p25" -> 0.25, "p50" -> 0.50, "p95" -> 0.95))),
     "q_agg_cardinality" -> ((s, d) => Aggs.cardinalityAgg(t(s, d, "lineitem"), "l_partkey")),
     "q_agg_histogram" -> ((s, d) => Aggs.histogramAgg(t(s, d, "lineitem"), "l_extendedprice", 5000.0)),
     "q_agg_date_histogram" -> ((s, d) => Aggs.dateHistogramAgg(t(s, d, "orders"), "o_orderdate", "month")),

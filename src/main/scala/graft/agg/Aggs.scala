@@ -62,6 +62,49 @@ object Aggs {
     df.agg(
       percentile_approx(col(field), lit(0.5), lit(10000)).as("p50_approx"))
 
+  /** Exact interpolated percentiles by DISTRIBUTED sort + positional
+    * selection — same values as `percentile(...)` (and the oracle's
+    * quantile_cont), different plan: Spark's exact percentile agg
+    * merges a value->count map of the whole column into ONE reducer,
+    * which is the last single-node bottleneck at scale. Here the
+    * column goes through a range-partitioned sort (TeraSort shape —
+    * every partition sorts locally after a sampled range exchange),
+    * `zipWithIndex` assigns global positions with one count job, and
+    * only the <= 2*|qs| boundary values reach the driver. The
+    * interpolation is Spark's own lower + (upper-lower)*frac, which
+    * the existing oracle hash-match shows agrees with quantile_cont.
+    */
+  def percentilesExactDistributed(
+      df: DataFrame, field: String, qs: Seq[(String, Double)]): DataFrame = {
+    val spark = df.sparkSession
+    val vals = df.select(col(field).cast("double").as("v")).where(col("v").isNotNull)
+    // one sort, cached: the count job and the selection job share it
+    val sorted = vals.orderBy(col("v")).rdd.map(_.getDouble(0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = sorted.count()
+      require(n > 0, s"percentiles over empty column $field")
+      val positions = qs.map { case (_, q) =>
+        val pos = (n - 1) * q
+        (math.floor(pos).toLong, math.ceil(pos).toLong, pos)
+      }
+      val needed = positions.flatMap(p => Seq(p._1, p._2)).toSet
+      val picked = sorted.zipWithIndex()
+        .filter { case (_, i) => needed.contains(i) }
+        .map(_.swap).collect().toMap // <= 2*|qs| scalars
+      val row = org.apache.spark.sql.Row.fromSeq(positions.map {
+        case (lo, hi, pos) =>
+          val l = picked(lo); val h = picked(hi)
+          Num.roundDouble(l + (h - l) * (pos - lo), 4)
+      })
+      spark.createDataFrame(
+        java.util.List.of(row),
+        org.apache.spark.sql.types.StructType(qs.map { case (name, _) =>
+          org.apache.spark.sql.types.StructField(name, org.apache.spark.sql.types.DoubleType)
+        }))
+    } finally sorted.unpersist(blocking = false)
+  }
+
   /** `{"cardinality": {"field": f}}` — exact for the oracle; the ES
     * semantic (HLL) is `cardinalityApprox`. */
   def cardinalityAgg(df: DataFrame, field: String): DataFrame =

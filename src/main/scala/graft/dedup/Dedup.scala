@@ -56,6 +56,25 @@ object Dedup {
             element_at(sigCol, b * rowsPerBand + r).cast("string")): _*)
     }: _*)
 
+  /** LSH banding autotuner: pick the band count whose S-curve
+    * inflection sits closest to the target similarity threshold.
+    * With b bands of r = numHashes/b rows, a pair of similarity s
+    * becomes a candidate with P = 1 - (1 - s^r)^b; the curve's steep
+    * point is t*(b) = (1/b)^(1/r) (standard LSH analysis — Mining of
+    * Massive Datasets ch.3). Choosing b with t* nearest the verify
+    * threshold minimizes the sum of missed-pair and wasted-candidate
+    * work; more bands = more recall but more candidates to verify.
+    * Returns (bands, rowsPerBand). */
+  def tuneBands(numHashes: Int, threshold: Double): (Int, Int) = {
+    require(numHashes > 0 && threshold > 0 && threshold < 1)
+    val candidates = (1 to numHashes).filter(numHashes % _ == 0)
+    val best = candidates.minBy { b =>
+      val r = numHashes / b
+      math.abs(math.pow(1.0 / b, 1.0 / r) - threshold)
+    }
+    (best, numHashes / best)
+  }
+
   /** MinHash + LSH near-duplicate pairs, verified by exact shingle
     * Jaccard >= `threshold`. Returns (id1, id2, jaccard) ordered.
     *

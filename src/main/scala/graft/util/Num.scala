@@ -20,4 +20,13 @@ object Num {
 
   def r4(c: Column): Column = round(c, 4)
   def r3(c: Column): Column = round(c, 3)
+
+  /** Scalar (driver-side) twin of `round` — identical half-away-from-
+    * zero binary semantics, for operators that assemble their 1-row
+    * result from collected scalars. */
+  def roundDouble(v: Double, scale: Int): Double = {
+    val m = math.pow(10, scale)
+    val r = math.floor(math.abs(v) * m + 0.5) / m
+    if (v < 0) -r else r
+  }
 }

@@ -73,4 +73,14 @@ class DedupSpec extends SparkSpec {
     val c = df.select(Vectors.cosine(col("a"), col("b"))).as[Double].collect().head
     assert(math.abs(c - 1.0) < 1e-12)
   }
+
+  test("tuneBands: S-curve inflection tracks the threshold") {
+    // t*(b) = (1/b)^(b/n): high thresholds want few bands, low want many
+    assert(Dedup.tuneBands(32, 0.95) == (2, 16))
+    assert(Dedup.tuneBands(32, 0.8) == (4, 8))
+    assert(Dedup.tuneBands(32, 0.6) == (8, 4))
+    assert(Dedup.tuneBands(32, 0.3) == (16, 2))
+    val (b, r) = Dedup.tuneBands(128, 0.5)
+    assert(b * r == 128)
+  }
 }
