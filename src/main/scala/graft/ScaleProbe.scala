@@ -1,0 +1,71 @@
+package graft
+
+import graft.agg.Aggs
+import graft.dedup.Dedup
+import graft.search.Search
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shuffle-sizing validation at ~10x the bench SF (i.e. ~sf1) without
+  * writing any data: each table is the sf0.1 parquet unioned N times
+  * with shifted ids. Only the flagship shuffle-heavy operators run —
+  * the point is to catch plans whose cost curves bend (candidate
+  * explosions, single-reducer merges, skew) before a real cluster
+  * does. Replicated docs are EXACT near-dup clone groups, which is the
+  * worst case for the LSH verify stage and for connected components
+  * (every group is a 10-clique), so the dedup numbers here are an
+  * upper bound.
+  *
+  * Run: SPARK_GRAFT_CPUS=32 sbt "runMain graft.ScaleProbe [N]"
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(10)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def times(df: DataFrame, idCol: String, shift: Long): DataFrame =
+      (0 until n).map(i => df.withColumn(idCol, col(idCol) + lit(i * shift)))
+        .reduce(_ unionByName _)
+
+    val docs = times(Tables.documents(spark, sfDir), "doc_id", 10000000L)
+    val li = times(Tables.lineitem(spark, sfDir), "l_orderkey", 100000000L)
+
+    def time(name: String)(thunk: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = thunk
+      println(f"[scaleprobe] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($rows rows)")
+    }
+
+    time("tpch_q1_10x") {
+      SparkEntry.queries("q_tpch_q1")(spark, sfDir) // warm plan path
+      li.where(col("l_shipdate") <= "1998-09-02")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("s"), avg(col("l_extendedprice")).as("a"))
+        .count()
+    }
+    time("percentiles_10x") {
+      Aggs.percentilesExactDistributed(li, "l_extendedprice",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p95" -> 0.95)).count()
+    }
+    time("bm25_topk_10x") {
+      Search.bm25TopK(docs, "doc_id", "text", "fast hash join", 10).count()
+    }
+    time("minhash_pairs_10x") {
+      Dedup.minhashLshUnsorted(docs, "doc_id", "text", 0.8).count()
+    }
+    time("dedup_clusters_10x") {
+      Dedup.dedupClusters(
+        Dedup.minhashLshUnsorted(docs, "doc_id", "text", 0.8)).count()
+    }
+    spark.stop()
+  }
+}

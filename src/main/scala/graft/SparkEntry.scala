@@ -396,6 +396,8 @@ object SparkEntry {
     "q_agg_diversified" -> ((s, d) =>
       Aggs.diversifiedSamplerAgg(t(s, d, "documents"), "doc_id", "lang", "n_chars", 40)),
     "q_agg_missing" -> ((s, d) => Aggs.missingAgg(Tables.events(s, d), "value")),
+    "q_agg_bucket_stats" -> ((s, d) =>
+      Aggs.bucketStatsAgg(t(s, d, "orders"), "o_orderdate", "month", "o_totalprice")),
     "q_agg_moving_fn" -> ((s, d) =>
       Aggs.dateHistogramMovingFn(t(s, d, "orders"), "o_orderdate", "month", "o_totalprice", 3)),
     "q_agg_bucket_sort" -> ((s, d) =>
@@ -840,6 +842,12 @@ object SparkEntry {
       "SELECT iv AS interval, bucket, count(*)::BIGINT AS doc_count FROM b GROUP BY 1, 2 ORDER BY bucket"),
     "q_agg_missing" -> ("SELECT sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT " +
       "AS missing_count FROM events"),
+    "q_agg_bucket_stats" -> ("WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS bucket, " +
+      "count(*)::BIGINT AS doc_count, " +
+      "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_v FROM orders GROUP BY 1) " +
+      "SELECT count(*)::BIGINT AS n_buckets, round(CAST(sum(CAST(sum_v AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_bucket, " +
+      "round(max(sum_v), 4) AS max_bucket, round(min(sum_v), 4) AS min_bucket, " +
+      "round(CAST(sum(CAST(sum_v AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_bucket FROM b"),
     "q_agg_moving_fn" -> ("WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS bucket, " +
       "count(*)::BIGINT AS doc_count, " +
       "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_v FROM orders GROUP BY 1) " +

@@ -435,6 +435,26 @@ object Aggs {
       .orderBy(col("bucket"))
   }
 
+  /** `avg_bucket` / `max_bucket` / `min_bucket` / `sum_bucket` /
+    * `stats_bucket` sibling pipeline aggs: one scalar row summarizing
+    * the parent date_histogram's per-bucket metric. Two partial
+    * aggregates back to back — the bucket frame never leaves the
+    * executors and the final row is a single-value rollup. */
+  def bucketStatsAgg(
+      df: DataFrame, tsField: String, interval: String, metric: String): DataFrame =
+    bucketFrame(df, tsField, interval, metric)
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        // decimal-sum / count, not avg(): a double avg's summation
+        // order differs between engines at 1e7 magnitudes (ulp-level,
+        // visible through round-4 at the .xxxx5 boundary)
+        Num.round(
+          sum(col("sum_v").cast("decimal(18,4)")).cast("double") / count(lit(1)),
+          4).as("avg_bucket"),
+        Num.round(max(col("sum_v")), 4).as("max_bucket"),
+        Num.round(min(col("sum_v")), 4).as("min_bucket"),
+        Num.round(sum(col("sum_v").cast("decimal(18,4)")).cast("double"), 4).as("sum_bucket"))
+
   /** `{"significant_terms": {"field": f}}` over an analyzed text field:
     * terms over-represented in the foreground (`pred`) vs the whole
     * index. Score: fgRate * ln(fgRate / bgRate) (the "relative entropy"

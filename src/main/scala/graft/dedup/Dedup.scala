@@ -115,14 +115,24 @@ object Dedup {
       Analyzer.shingles(Analyzer.tokens(col(textCol))).as("sh"))
       .where(size(col("sh")) > 0)
       .cache()
+    // EAGER materialization: the banded join + both verify sides all
+    // read `sh`; left lazy, the first action computes those branches
+    // concurrently and each races to fill the cache — recomputing the
+    // expensive shingle stage per branch instead of once (observed 3x+
+    // at 10x scale). One count pins the cache before any consumer runs.
+    sh.count()
 
     val sig = sh.select(
       col("id"), col("sh"),
       minhashSig(col("sh"), numHashes).as("sig"))
 
+    // cache + eager: the self-join's two sides would otherwise EACH
+    // recompute the 32-seed signature kernel from the shingle cache
     val banded = sig.select(
       col("id"),
       explode(bandKeys(col("sig"), bands, rowsPerBand)).as("band"))
+      .cache()
+    banded.count()
 
     val candidates = banded.as("a")
       .join(banded.as("b"), col("a.band") === col("b.band") && col("a.id") < col("b.id"))
@@ -190,12 +200,16 @@ object Dedup {
       .select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
       .cache() // long+string pair per doc: tiny; feeds both join sides
 
+    // cache + eager: both self-join sides read the banded frame; left
+    // lazy they race the sig cache and recompute the simhash kernel
     val banded = sig.select(
       col("id"), col("sig"),
       explode(array((0 until 4).map { b =>
         concat(lit(s"$b|"),
           shiftrightunsigned(col("sig"), 16 * b).bitwiseAND(lit(0xffffL)).cast("string"))
       }: _*)).as("band"))
+      .cache()
+    banded.count()
 
     banded.as("a")
       .join(banded.as("b"), col("a.band") === col("b.band") && col("a.id") < col("b.id"))
@@ -227,6 +241,10 @@ object Dedup {
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
       .distinct().cache()
+    // eager: every round joins edges TWICE (neighbor-min + the next
+    // round's); materialize once before any branch can race the cache
+    // and recompute the (expensive) upstream pair pipeline
+    edges.count()
     // cache (NOT localCheckpoint): caching keeps the lineage, so an
     // executor loss recomputes instead of failing on missing local
     // checkpoint blocks; superseded generations are unpersisted
@@ -239,6 +257,7 @@ object Dedup {
       .agg(min(col("b")).as("nmin"))
       .select(col("id"), least(col("id"), col("nmin")).as("lbl"), col("id").as("old"))
       .cache()
+    cached.count() // eager: read by two branches (labels + lblOfLbl) per round
     var labels = cached.select(col("id"), col("lbl"))
     var iter = 0
     var converged = false
@@ -263,7 +282,11 @@ object Dedup {
           coalesce(col("llbl"), col("lbl"))).as("lbl"),
           col("lbl").as("old"))
         .cache()
+      val t0 = System.nanoTime()
       converged = next.where(col("lbl") =!= col("old")).isEmpty
+      if (sys.env.contains("GRAFT_CC_VERBOSE"))
+        System.err.println(
+          f"[cc] round $iter: ${(System.nanoTime() - t0) / 1e9}%.2f s converged=$converged")
       cached.unpersist()
       cached = next
       labels = next.select(col("id"), col("lbl"))
