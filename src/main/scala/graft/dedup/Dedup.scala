@@ -143,10 +143,11 @@ object Dedup {
     val shB = sh.select(col("id").as("id2"), col("sh").as("sh2"))
     candidates
       .join(shA, "id1").join(shB, "id2")
-      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
-      .withColumn(
-        "jaccard",
-        Num.round(col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")), 4))
+      // compiled one-pass Jaccard kernel: no intersection array per
+      // pair (this verify is the dominant cost when duplicates are
+      // dense); value bit-identical to the array_intersect column math
+      .withColumn("jaccard", Num.round(GraftBridge.column(graft.expr.JaccardSim(
+        GraftBridge.expression(col("sh1")), GraftBridge.expression(col("sh2")))), 4))
       .where(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
   }
@@ -313,10 +314,9 @@ object Dedup {
     sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
       .select(
         col("a.id").as("id1"), col("b.id").as("id2"),
-        size(array_intersect(col("a.sh"), col("b.sh"))).cast("double").as("inter"),
-        size(col("a.sh")).as("n1"), size(col("b.sh")).as("n2"))
-      .withColumn("jaccard", Num.round(col("inter") / (col("n1") + col("n2") - col("inter")), 4))
-      .select(col("id1"), col("id2"), col("jaccard"))
+        Num.round(GraftBridge.column(graft.expr.JaccardSim(
+          GraftBridge.expression(col("a.sh")),
+          GraftBridge.expression(col("b.sh")))), 4).as("jaccard"))
       .orderBy(col("jaccard").desc, col("id1").asc, col("id2").asc)
       .limit(k)
   }

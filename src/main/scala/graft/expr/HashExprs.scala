@@ -157,6 +157,29 @@ object HashKernels {
     dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
+  /** Jaccard similarity of two DISTINCT-element string arrays (shingle
+    * sets): |a ∩ b| / (|a| + |b| - |a ∩ b|) in one hash-probe pass —
+    * no intersection ARRAY materializes (the size(array_intersect(..))
+    * formulation allocates one per candidate pair, the dominant cost
+    * of LSH verification). All counts are exact ints < 2^31, so the
+    * final double arithmetic is bit-identical to the column math. */
+  def jaccardKernel(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return 0.0
+    val (small, large, ns, nl) = if (na <= nb) (a, b, na, nb) else (b, a, nb, na)
+    val set = new java.util.HashSet[UTF8String](ns * 2)
+    var i = 0
+    while (i < ns) { set.add(small.getUTF8String(i)); i += 1 }
+    var inter = 0
+    i = 0
+    while (i < nl) {
+      if (set.contains(large.getUTF8String(i))) inter += 1
+      i += 1
+    }
+    inter.toDouble / ((na + nb) - inter.toDouble)
+  }
+
   /** string -> analyzed token array: lowercase, then maximal
     * [a-z0-9] byte runs. Exactly the ES standard-analyzer semantics of
     * `filter(split(lower(x), "[^a-z0-9]+"), len > 0)` — every
@@ -464,6 +487,31 @@ case class LangHits(child: Expression, wordSets: Seq[Seq[String]])
 
   override protected def withNewChildInternal(newChild: Expression): LangHits =
     copy(child = newChild)
+}
+
+/** Exact Jaccard similarity over two distinct-element array<string>
+  * columns (shingle sets) — one hash-probe pass, no intersection array
+  * allocation. See HashKernels.jaccardKernel. */
+case class JaccardSim(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] =
+    Seq(ArrayType(StringType), ArrayType(StringType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(HashKernels.jaccardKernel(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expr.HashKernels.jaccardKernel($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSim =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Exact cosine similarity over two array<double> columns — one

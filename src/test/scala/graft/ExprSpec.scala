@@ -149,4 +149,21 @@ class ExprSpec extends SparkSpec {
       prev.foreach(SparkSession.setDefaultSession)
     }
   }
+
+  test("JaccardSim kernel matches the array_intersect column math") {
+    val df = Seq(
+      (Seq("a b c", "b c d", "c d e"), Seq("b c d", "c d e", "d e f")),
+      (Seq("x"), Seq("y")),
+      (Seq("p", "q"), Seq("p", "q"))).toDF("s1", "s2")
+    val r = df.select(
+      org.apache.spark.sql.GraftBridge.column(graft.expr.JaccardSim(
+        org.apache.spark.sql.GraftBridge.expression(col("s1")),
+        org.apache.spark.sql.GraftBridge.expression(col("s2")))).as("k"),
+      (size(array_intersect(col("s1"), col("s2"))).cast("double") /
+        (size(col("s1")) + size(col("s2")) -
+          size(array_intersect(col("s1"), col("s2"))).cast("double"))).as("h"))
+      .as[(Double, Double)].collect()
+    r.foreach { case (k, h) => assert(k == h) } // bit-identical
+    assert(r.map(_._1).toSeq == Seq(0.5, 0.0, 1.0))
+  }
 }
