@@ -398,6 +398,8 @@ object SparkEntry {
     "q_agg_missing" -> ((s, d) => Aggs.missingAgg(Tables.events(s, d), "value")),
     "q_agg_bucket_stats" -> ((s, d) =>
       Aggs.bucketStatsAgg(t(s, d, "orders"), "o_orderdate", "month", "o_totalprice")),
+    "q_agg_normalize" -> ((s, d) =>
+      Aggs.normalizeAgg(t(s, d, "orders"), "o_orderdate", "month", "o_totalprice")),
     "q_agg_moving_fn" -> ((s, d) =>
       Aggs.dateHistogramMovingFn(t(s, d, "orders"), "o_orderdate", "month", "o_totalprice", 3)),
     "q_agg_bucket_sort" -> ((s, d) =>
@@ -668,6 +670,9 @@ object SparkEntry {
     "q_pii_redact" -> ((s, d) => t(s, d, "documents")
       .select(col("doc_id"), TextAnalysis.redactPii(col("text")).as("redacted"))
       .orderBy(col("doc_id"))),
+    "q_repetition" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"), TextAnalysis.repetitionRatio(col("text")).as("rep_ratio"))
+      .orderBy(col("doc_id"))),
 
     // ---- G. Streaming-shaped ----
     "q_stream_window" -> ((s, d) => EventStreams.hourlyTypeCounts(Tables.events(s, d))),
@@ -848,6 +853,12 @@ object SparkEntry {
       "SELECT count(*)::BIGINT AS n_buckets, round(CAST(sum(CAST(sum_v AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_bucket, " +
       "round(max(sum_v), 4) AS max_bucket, round(min(sum_v), 4) AS min_bucket, " +
       "round(CAST(sum(CAST(sum_v AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_bucket FROM b"),
+    "q_agg_normalize" -> ("WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS bucket, " +
+      "count(*)::BIGINT AS doc_count, " +
+      "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_v FROM orders GROUP BY 1) " +
+      "SELECT bucket, doc_count, sum_v, " +
+      "round(sum_v / CAST(sum(CAST(sum_v AS DECIMAL(18,4))) OVER () AS DOUBLE) * 100.0, 4) AS pct_of_sum " +
+      "FROM b ORDER BY bucket"),
     "q_agg_moving_fn" -> ("WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS bucket, " +
       "count(*)::BIGINT AS doc_count, " +
       "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_v FROM orders GROUP BY 1) " +
@@ -1220,6 +1231,11 @@ object SparkEntry {
       "'https?://[^ \\t\\n\\f\\r]+', '[URL]', 'g'), " +
       "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'), " +
       "'[0-9]{6,}', '[NUM]', 'g') AS redacted FROM documents ORDER BY doc_id"),
+    "q_repetition" -> (TokCte + " SELECT doc_id, " +
+      "round(CASE WHEN greatest(len(toks) - 2, 0) > 0 THEN " +
+      "(greatest(len(toks) - 2, 0)::DOUBLE - len(list_distinct(list_transform(range(1, len(toks) - 1), " +
+      "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))::DOUBLE) / greatest(len(toks) - 2, 0)::DOUBLE " +
+      "ELSE 0.0 END, 4) AS rep_ratio FROM tok ORDER BY doc_id"),
 
     // ---- G ----
     "q_stream_window" -> ("SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type, " +

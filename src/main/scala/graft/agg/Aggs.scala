@@ -435,6 +435,21 @@ object Aggs {
       .orderBy(col("bucket"))
   }
 
+  /** `normalize` pipeline agg (percent_of_sum): each bucket's share of
+    * the total metric. The total is a window sum OVER the tiny bucket
+    * frame (decimal — exact, order-independent); the corpus-sized work
+    * stays in the partial-aggregating groupBy underneath. */
+  def normalizeAgg(
+      df: DataFrame, tsField: String, interval: String, metric: String): DataFrame = {
+    val buckets = bucketFrame(df, tsField, interval, metric)
+    val total = sum(col("sum_v").cast("decimal(18,4)"))
+      .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    buckets
+      .withColumn("pct_of_sum",
+        Num.round(col("sum_v") / total.cast("double") * 100.0, 4))
+      .orderBy(col("bucket"))
+  }
+
   /** `avg_bucket` / `max_bucket` / `min_bucket` / `sum_bucket` /
     * `stats_bucket` sibling pipeline aggs: one scalar row summarizing
     * the parent date_histogram's per-bucket metric. Two partial

@@ -66,6 +66,35 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
 
+  /** Sliding-window aggregate (width/slide) — the overlapping-window
+    * date_histogram variant. Streaming-ready: under a watermark the
+    * state is O(open windows x types) and closed windows emit in
+    * append mode. Runs identically on a batch frame. */
+  def slidingTypeCounts(
+      events: DataFrame, width: String = "2 hours", slide: String = "1 hour"): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Num.round(sum(col("value")), 4).as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Streaming exact dedup: drop events whose content hash was already
+    * seen within the watermark horizon — the streaming analog of
+    * `Dedup.exactDuplicates` for an ingest pipeline. State is bounded
+    * by the watermark (old hashes age out), so it runs forever at a
+    * fixed memory budget — the property a naive dropDuplicates (which
+    * keeps ALL keys) lacks. */
+  def streamingDedupByContent(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .where(col("props").isNotNull)
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withColumn("content_hash", md5(col("props")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** JSON props access — ES documents are JSON; the connector maps
     * fields. Extract a typed field from the raw JSON column. */
   def propsField(events: DataFrame, field: String): DataFrame =

@@ -237,6 +237,19 @@ object TextAnalysis {
       .orderBy(col("id").asc)
   }
 
+  /** Repetition ratio (the Gopher-style quality signal): fraction of
+    * 3-gram occurrences that are repeats of an earlier 3-gram in the
+    * same document — near-1 for template/boilerplate spam, near-0 for
+    * prose. total 3-grams = n_tokens - 2; distinct come from the
+    * compiled shingle kernel. Narrow map-only column math. */
+  def repetitionRatio(text: Column): Column = {
+    val toks = Analyzer.tokens(text)
+    val total = greatest(size(toks) - 2, lit(0)).cast("double")
+    val distinctN = size(Analyzer.shingles(toks)).cast("double")
+    Num.round(
+      when(total > 0, (total - distinctN) / total).otherwise(lit(0.0)), 4)
+  }
+
   /** PII redaction (the masking counterpart of `piiSignals`): URLs,
     * emails, then long digit runs replaced with typed placeholders, in
     * that order — URLs first so an email-looking URL path segment

@@ -99,6 +99,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding window agg: identical results on batch and stream") {
+    val batch = EventStreams.slidingTypeCounts(Tables.events(spark, sfDir))
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    val streamIn = spark.readStream
+      .schema(Tables.eventsSchema)
+      .parquet(streamDir)
+      .withColumnRenamed("ts", "ts_ns")
+    val q = EventStreams.slidingTypeCounts(streamIn)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sliding_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sliding_out")
+        .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+      assert(streamed == batch && batch.nonEmpty)
+      // overlapping windows: each event lands in width/slide = 2 windows
+      val n = Tables.events(spark, sfDir).count()
+      assert(batch.toSeq.map(_._3).sum == 2 * n)
+    } finally q.stop()
+  }
+
+  test("streaming dedup within watermark matches batch distinct-content count") {
+    val streamIn = spark.readStream
+      .schema(Tables.eventsSchema)
+      .parquet(streamDir)
+      .withColumnRenamed("ts", "ts_ns")
+    val q = EventStreams.streamingDedupByContent(streamIn)
+      .select("event_id", "content_hash")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val kept = spark.table("dedup_out").count()
+      val want = Tables.events(spark, sfDir)
+        .where(col("props").isNotNull)
+        .select(md5(col("props"))).distinct().count()
+      assert(kept == want && kept > 0)
+    } finally q.stop()
+  }
+
   test("graftStream: streaming read of an index with an ES query applied") {
     import graft.sources.Connector.implicits._
     val dir = Files.createTempDirectory("graft_rstream").toString + "/idx"
