@@ -211,6 +211,14 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
+    // unordered positional proximity (span_near in_order=false)
+    "q_span_near" -> ((s, d) => t(s, d, "documents")
+      .where(Search.spanNear(col("text"), "join hash", 3))
+      .select(col("doc_id")).orderBy(col("doc_id"))),
+    // terms_set: >= 2 of the 3 terms present
+    "q_terms_set" -> ((s, d) => t(s, d, "documents")
+      .where(Search.termsSet(col("text"), Seq("merge", "hash", "scan"), lit(2)))
+      .select(col("doc_id")).orderBy(col("doc_id"))),
     // point-in-polygon geo filter (even-odd ray cast)
     "q_geo_polygon" -> ((s, d) =>
       withGeo(t(s, d, "customer"))
@@ -400,6 +408,9 @@ object SparkEntry {
       Aggs.bucketStatsAgg(t(s, d, "orders"), "o_orderdate", "month", "o_totalprice")),
     "q_agg_normalize" -> ((s, d) =>
       Aggs.normalizeAgg(t(s, d, "orders"), "o_orderdate", "month", "o_totalprice")),
+    "q_agg_geo_distance" -> ((s, d) =>
+      Aggs.geoDistanceAgg(withGeo(t(s, d, "customer")), "lat", "lon",
+        originLat = 10.0, originLon = 20.0, edgesKm = Seq(2000.0, 5000.0, 10000.0))),
     "q_agg_moving_fn" -> ((s, d) =>
       Aggs.dateHistogramMovingFn(t(s, d, "orders"), "o_orderdate", "month", "o_totalprice", 3)),
     "q_agg_bucket_sort" -> ((s, d) =>
@@ -725,6 +736,15 @@ object SparkEntry {
     "q_wrapper" -> ("SELECT doc_id, n_chars FROM documents " +
       "WHERE lang = 'en' AND n_chars >= 200 ORDER BY doc_id"),
     "q_geo_polygon" -> geoPolygonOracleSql(GeoPolygonVertices),
+    "q_span_near" -> (TokCte + ", pos AS (SELECT doc_id, " +
+      "list_filter(range(1, len(toks) + 1), i -> toks[i] = 'join') AS p1, " +
+      "list_filter(range(1, len(toks) + 1), i -> toks[i] = 'hash') AS p2 FROM tok) " +
+      "SELECT doc_id FROM pos WHERE len(p1) > 0 AND len(p2) > 0 AND " +
+      "len(list_filter(p1, i -> len(list_filter(p2, j -> greatest(i, j) - least(i, j) + 1 - 2 <= 3)) > 0)) > 0 " +
+      "ORDER BY doc_id"),
+    "q_terms_set" -> (TokCte + " SELECT doc_id FROM tok " +
+      "WHERE len(list_intersect(list_distinct(toks), ['merge', 'hash', 'scan'])) >= 2 " +
+      "ORDER BY doc_id"),
     "q_rank_feature" -> ("SELECT doc_id AS id, " +
       "round(CAST(n_chars AS DOUBLE) / (CAST(n_chars AS DOUBLE) + 200.0), 4) AS score " +
       "FROM documents ORDER BY score DESC, id LIMIT 15"),
@@ -859,6 +879,12 @@ object SparkEntry {
       "SELECT bucket, doc_count, sum_v, " +
       "round(sum_v / CAST(sum(CAST(sum_v AS DECIMAL(18,4))) OVER () AS DOUBLE) * 100.0, 4) AS pct_of_sum " +
       "FROM b ORDER BY bucket"),
+    "q_agg_geo_distance" -> (GeoCte + ", d AS (SELECT " +
+      "2 * 6371 * asin(sqrt(pow(sin(radians(10.0 - lat) / 2), 2) + " +
+      "cos(radians(lat)) * cos(radians(10.0)) * pow(sin(radians(20.0 - lon) / 2), 2))) AS km FROM g) " +
+      "SELECT CASE WHEN km < 2000.0 THEN '*-2000.0' WHEN km >= 2000.0 AND km < 5000.0 THEN '2000.0-5000.0' " +
+      "WHEN km >= 5000.0 AND km < 10000.0 THEN '5000.0-10000.0' ELSE '10000.0-*' END AS ring, " +
+      "count(*)::BIGINT AS doc_count FROM d GROUP BY 1 ORDER BY ring"),
     "q_agg_moving_fn" -> ("WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS bucket, " +
       "count(*)::BIGINT AS doc_count, " +
       "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_v FROM orders GROUP BY 1) " +

@@ -435,6 +435,25 @@ object Aggs {
       .orderBy(col("bucket"))
   }
 
+  /** `geo_distance` agg: documents bucketed into distance RINGS around
+    * an origin ([0,e1), [e1,e2), ... [en,*)) — the "how far are my
+    * users" map widget. One pass: codegen'd haversine + CASE ring key,
+    * partial-aggregating count. */
+  def geoDistanceAgg(
+      df: DataFrame, latCol: String, lonCol: String,
+      originLat: Double, originLon: Double, edgesKm: Seq[Double]): DataFrame = {
+    val d = graft.rel.Relational.haversineKm(
+      col(latCol), col(lonCol), lit(originLat), lit(originLon))
+    val ring = edgesKm.sliding(2).foldLeft(
+      when(d < edgesKm.head, lit(s"*-${edgesKm.head}"))) {
+      case (acc, Seq(lo, hi)) => acc.when(d >= lo && d < hi, lit(s"$lo-$hi"))
+      case (acc, _) => acc
+    }.otherwise(lit(s"${edgesKm.last}-*"))
+    df.groupBy(ring.as("ring"))
+      .agg(count(lit(1)).as("doc_count"))
+      .orderBy(col("ring").asc)
+  }
+
   /** `normalize` pipeline agg (percent_of_sum): each bucket's share of
     * the total metric. The total is a window sum OVER the tiny bucket
     * frame (decimal — exact, order-independent); the corpus-sized work

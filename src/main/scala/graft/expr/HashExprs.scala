@@ -157,6 +157,41 @@ object HashKernels {
     dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
+  /** tokens -> true iff ALL `terms` occur within some window whose
+    * intervening-position count is <= slop, in ANY order — the ES
+    * span_near in_order=false semantics (slop = window - k extra
+    * positions). Classic minimal-window two-pointer: scan positions,
+    * keep the LATEST position of each term; whenever all terms have
+    * been seen, the candidate window is [min(last), p] and its slack
+    * is (p - min + 1) - k. O(n*k) per row. */
+  def spanNearKernel(toks: ArrayData, terms: Array[UTF8String], slop: Int): Boolean = {
+    val k = terms.length
+    val last = new Array[Int](k)
+    java.util.Arrays.fill(last, -1)
+    var seen = 0
+    val n = toks.numElements()
+    var p = 0
+    while (p < n) {
+      val t = toks.getUTF8String(p)
+      var i = 0
+      while (i < k) {
+        if (terms(i).equals(t)) {
+          if (last(i) < 0) seen += 1
+          last(i) = p
+        }
+        i += 1
+      }
+      if (seen == k) {
+        var minLast = Int.MaxValue
+        var j = 0
+        while (j < k) { if (last(j) < minLast) minLast = last(j); j += 1 }
+        if ((p - minLast + 1) - k <= slop) return true
+      }
+      p += 1
+    }
+    false
+  }
+
   /** Jaccard similarity of two DISTINCT-element string arrays (shingle
     * sets): |a ∩ b| / (|a| + |b| - |a ∩ b|) in one hash-probe pass —
     * no intersection ARRAY materializes (the size(array_intersect(..))
@@ -454,6 +489,36 @@ case class PhraseSlopMatch(child: Expression, terms: Seq[String], slop: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): PhraseSlopMatch =
+    copy(child = newChild)
+}
+
+/** span_near(in_order=false) positional match over a token array: one
+  * compiled minimal-window pass (see HashKernels.spanNearKernel).
+  * `terms` must be distinct. */
+case class SpanNearMatch(child: Expression, terms: Seq[String], slop: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(terms.distinct.size == terms.size, "span_near terms must be distinct")
+
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "span_near_match"
+
+  @transient private lazy val termArr: Array[UTF8String] =
+    terms.map(UTF8String.fromString).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Boolean.valueOf(
+      HashKernels.spanNearKernel(input.asInstanceOf[ArrayData], termArr, slop))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val termsRef = ctx.addReferenceObj("terms", termArr,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.HashKernels.spanNearKernel($c, $termsRef, $slop);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SpanNearMatch =
     copy(child = newChild)
 }
 

@@ -67,6 +67,27 @@ object Search {
     pos >= 1 && pos <= end
   }
 
+  /** `span_near` with `in_order: false`: all terms within a window
+    * leaving at most `slop` intervening positions, any order — one
+    * compiled minimal-window pass (SpanNearMatch kernel). The ordered
+    * form is `matchPhraseSlop`. */
+  def spanNear(field: Column, query: String, slop: Int): Column = {
+    val q = Analyzer.analyze(query).distinct
+    require(q.length >= 2, "spanNear needs at least two distinct terms")
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expr.SpanNearMatch(
+        org.apache.spark.sql.GraftBridge.expression(Analyzer.tokens(field)), q, slop))
+  }
+
+  /** `terms_set` query: match documents containing at least
+    * `minimumShouldMatch` of the given terms (the analyzed-text form;
+    * ES's per-doc minimum_should_match_field variant passes a Column).
+    * One array_intersect against a literal term set — narrow,
+    * codegen'd. */
+  def termsSet(field: Column, terms: Seq[String], minimumShouldMatch: Column): Column =
+    size(array_intersect(Analyzer.termSet(field),
+      array(terms.map(t => lit(Analyzer.analyze(t).head)): _*))) >= minimumShouldMatch
+
   /** `{"query_string": {"query": q, "fields": [...]}}` (simplified: the
     * analyzed-OR semantics across multiple fields). */
   def queryString(fields: Seq[Column], query: String): Column =

@@ -56,4 +56,24 @@ class SearchSpec extends SparkSpec {
     assert(!r.map(_._1).contains(1L))
     assert(r.nonEmpty)
   }
+
+  test("spanNear: unordered window match with slop; termsSet threshold") {
+    import graft.search.Search
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      (1L, "hash join x"), // adjacent, reversed order: window 2, slop 0
+      (2L, "join a b c hash"), // window 5 -> 3 intervening
+      (3L, "join only here"),
+      (4L, "a hash b join c")).toDF("id", "text")
+    def ids(slop: Int) = df.where(Search.spanNear(col("text"), "join hash", slop))
+      .select("id").as[Long].collect().toSet
+    assert(ids(0) == Set(1L))
+    assert(ids(1) == Set(1L, 4L)) // id4: window 3, 1 intervening
+    assert(ids(3) == Set(1L, 2L, 4L))
+
+    val ts = df.where(Search.termsSet(col("text"), Seq("join", "hash", "zzz"), lit(2)))
+      .select("id").as[Long].collect().toSet
+    assert(ts == Set(1L, 2L, 4L)) // need 2 of {join, hash, zzz}
+  }
 }
