@@ -52,6 +52,7 @@ object Connector {
         // Loaded separately and unioned by name: each index may carry
         // its own (routing) partitioning scheme.
         val df0 = path.split(",").map(_.trim).filter(_.nonEmpty)
+          .flatMap(Connector.expandPattern(spark, _))
           .map { p =>
             // a crash mid-swap may have left the index at _graft_old;
             // restore it here too, or a read issued between the crash
@@ -217,6 +218,71 @@ object Connector {
       case other =>
         throw new IllegalArgumentException(s"unknown graft.write.operation: $other")
     }
+  }
+
+  /** ES index-pattern expansion (`logs-*`): a path containing glob
+    * characters expands to every matching index directory, sorted for
+    * determinism. A literal path passes through untouched (missing
+    * literals surface as the usual read error, matching ES's 404). */
+  private[sources] def expandPattern(spark: SparkSession, pattern: String): Seq[String] = {
+    if (!pattern.exists("*?[{".contains(_))) return Seq(pattern)
+    val p = new Path(pattern)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hits = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
+      .filter(_.isDirectory)
+      // swap machinery leftovers are not indices
+      .filterNot(st => st.getPath.getName.endsWith("_graft_old") ||
+        st.getPath.getName.endsWith("_graft_tmp"))
+      .map(_.getPath.toUri.getPath).sorted
+    require(hits.nonEmpty, s"index pattern matched nothing: $pattern")
+    hits
+  }
+
+  /** `_update_by_query` analog: apply column assignments to every
+    * document matching the ES query, leave the rest untouched, swap
+    * the result in crash-safely. One read + one conditional projection
+    * + one write — no per-doc round trips (the reference's
+    * update-by-query is a scroll + bulk loop). */
+  def updateByQuery(
+      spark: SparkSession,
+      path: String,
+      query: String,
+      set: Map[String, org.apache.spark.sql.Column],
+      cfg: Map[String, String] = Map.empty): Unit = {
+    val fmt = cfg.getOrElse("graft.format", "parquet")
+    val idField = cfg.getOrElse("graft.mapping.id", "_id")
+    recoverSwap(spark, path)
+    val existing = spark.read.format(fmt).load(path)
+    val pred = EsQuery.compile(query, idField)
+    val updated = set.foldLeft(existing) { case (df, (c, v)) =>
+      df.withColumn(c, when(pred, v).otherwise(col(c)))
+    }
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path + "_graft_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    updated.write.format(fmt).mode("overwrite").save(tmp.toString)
+    swapIn(fs, new Path(path), tmp)(spark)
+  }
+
+  /** `_delete_by_query` analog: drop every document matching the ES
+    * query. Same one-pass swap shape as updateByQuery. */
+  def deleteByQuery(
+      spark: SparkSession,
+      path: String,
+      query: String,
+      cfg: Map[String, String] = Map.empty): Unit = {
+    val fmt = cfg.getOrElse("graft.format", "parquet")
+    val idField = cfg.getOrElse("graft.mapping.id", "_id")
+    recoverSwap(spark, path)
+    // NULL-safe negation: a predicate that evaluates NULL (e.g. a term
+    // over a null field) must KEEP the doc, not delete it
+    val remaining = spark.read.format(fmt).load(path)
+      .where(!coalesce(EsQuery.compile(query, idField), lit(false)))
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path + "_graft_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    remaining.write.format(fmt).mode("overwrite").save(tmp.toString)
+    swapIn(fs, new Path(path), tmp)(spark)
   }
 
   /** Restore a crash-interrupted swap: live directory missing but

@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import graft.dsl.{QueryDsl, QueryDslJson}
+import graft.sources.Connector
 import graft.sources.Connector.implicits._
 import org.apache.spark.sql.functions._
 
@@ -227,5 +228,38 @@ class ConnectorSpec extends SparkSpec {
       SparkSession.clearActiveSession()
       prev.foreach(SparkSession.setDefaultSession)
     }
+  }
+
+  test("updateByQuery / deleteByQuery: one-pass swap, NULL-safe match") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_ubq").toString + "/idx"
+    Seq((1L, "en", 10L), (2L, "de", 20L), (3L, "en", 30L))
+      .toDF("doc_id", "lang", "score")
+      .write.parquet(dir)
+    Connector.updateByQuery(spark, dir,
+      """{"term": {"lang": "en"}}""",
+      Map("score" -> (col("score") + 100L)))
+    val afterUpdate = spark.read.parquet(dir)
+      .select("doc_id", "score").as[(Long, Long)].collect().toMap
+    assert(afterUpdate == Map(1L -> 110L, 2L -> 20L, 3L -> 130L))
+
+    Connector.deleteByQuery(spark, dir, """{"range": {"score": {"gte": 120}}}""")
+    val afterDelete = spark.read.parquet(dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(afterDelete == Set(1L, 2L))
+  }
+
+  test("index patterns: graftDF expands globs like ES logs-*") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_pat").toString
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$base/logs-2026-01")
+    Seq((2L, "b")).toDF("id", "v").write.parquet(s"$base/logs-2026-02")
+    Seq((9L, "x")).toDF("id", "v").write.parquet(s"$base/other")
+    val r = spark.graftDF(s"$base/logs-*").select("id").as[Long].collect().toSet
+    assert(r == Set(1L, 2L))
+    val err = intercept[IllegalArgumentException] {
+      spark.graftDF(s"$base/nope-*")
+    }
+    assert(err.getMessage.contains("matched nothing"))
   }
 }
