@@ -408,6 +408,9 @@ object SparkEntry {
       Aggs.bucketStatsAgg(t(s, d, "orders"), "o_orderdate", "month", "o_totalprice")),
     "q_agg_normalize" -> ((s, d) =>
       Aggs.normalizeAgg(t(s, d, "orders"), "o_orderdate", "month", "o_totalprice")),
+    "q_agg_boxplot" -> ((s, d) => Aggs.boxplotAgg(t(s, d, "lineitem"), "l_extendedprice")),
+    "q_agg_rate" -> ((s, d) =>
+      Aggs.rateAgg(t(s, d, "orders"), "o_orderdate", "month", "o_totalprice")),
     "q_agg_geo_distance" -> ((s, d) =>
       Aggs.geoDistanceAgg(withGeo(t(s, d, "customer")), "lat", "lon",
         originLat = 10.0, originLon = 20.0, edgesKm = Seq(2000.0, 5000.0, 10000.0))),
@@ -878,6 +881,17 @@ object SparkEntry {
       "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_v FROM orders GROUP BY 1) " +
       "SELECT bucket, doc_count, sum_v, " +
       "round(sum_v / CAST(sum(CAST(sum_v AS DECIMAL(18,4))) OVER () AS DOUBLE) * 100.0, 4) AS pct_of_sum " +
+      "FROM b ORDER BY bucket"),
+    "q_agg_boxplot" -> ("SELECT round(quantile_cont(l_extendedprice, 0.0), 4) AS min_v, " +
+      "round(quantile_cont(l_extendedprice, 0.25), 4) AS q1, " +
+      "round(quantile_cont(l_extendedprice, 0.5), 4) AS q2, " +
+      "round(quantile_cont(l_extendedprice, 0.75), 4) AS q3, " +
+      "round(quantile_cont(l_extendedprice, 1.0), 4) AS max_v FROM lineitem"),
+    "q_agg_rate" -> ("WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS bucket, " +
+      "count(*)::BIGINT AS doc_count, " +
+      "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_v FROM orders GROUP BY 1) " +
+      "SELECT bucket, doc_count, sum_v, " +
+      "round(sum_v / date_part('day', last_day(bucket))::DOUBLE, 4) AS per_day " +
       "FROM b ORDER BY bucket"),
     "q_agg_geo_distance" -> (GeoCte + ", d AS (SELECT " +
       "2 * 6371 * asin(sqrt(pow(sin(radians(10.0 - lat) / 2), 2) + " +

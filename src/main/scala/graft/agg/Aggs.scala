@@ -435,6 +435,28 @@ object Aggs {
       .orderBy(col("bucket"))
   }
 
+  /** `boxplot` agg: min / q1 / median / q3 / max through the SAME
+    * distributed sort-selection as percentilesExactDistributed (q=0
+    * and q=1 select positions 0 and n-1) — one range-partitioned sort,
+    * five boundary values to the driver. */
+  def boxplotAgg(df: DataFrame, field: String): DataFrame =
+    percentilesExactDistributed(df, field, Seq(
+      "min_v" -> 0.0, "q1" -> 0.25, "q2" -> 0.5, "q3" -> 0.75, "max_v" -> 1.0))
+
+  /** `rate` agg inside a date_histogram: the bucket metric normalized
+    * to a per-day rate (sum / days in the calendar bucket) — the
+    * "revenue per day by month" widget. Same single-pass bucket frame;
+    * the day count is calendar math on the bucket key. */
+  def rateAgg(
+      df: DataFrame, tsField: String, interval: String, metric: String): DataFrame = {
+    require(interval == "month", "rateAgg: per-day rate implemented for month buckets")
+    bucketFrame(df, tsField, interval, metric)
+      .withColumn("days", dayofmonth(last_day(col("bucket"))).cast("double"))
+      .withColumn("per_day", Num.round(col("sum_v") / col("days"), 4))
+      .select(col("bucket"), col("doc_count"), col("sum_v"), col("per_day"))
+      .orderBy(col("bucket"))
+  }
+
   /** `geo_distance` agg: documents bucketed into distance RINGS around
     * an origin ([0,e1), [e1,e2), ... [en,*)) — the "how far are my
     * users" map widget. One pass: codegen'd haversine + CASE ring key,
