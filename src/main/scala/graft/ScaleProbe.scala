@@ -46,7 +46,6 @@ object ScaleProbe {
     }
 
     time("tpch_q1_10x") {
-      SparkEntry.queries("q_tpch_q1")(spark, sfDir) // warm plan path
       li.where(col("l_shipdate") <= "1998-09-02")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(col("l_quantity")).as("s"), avg(col("l_extendedprice")).as("a"))

@@ -199,7 +199,6 @@ object Dedup {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val sig = docs.repartition(par)
       .select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
-      .cache() // long+string pair per doc: tiny; feeds both join sides
 
     // cache + eager: both self-join sides read the banded frame; left
     // lazy they race the sig cache and recompute the simhash kernel
