@@ -56,8 +56,13 @@ for name in sorted(os.listdir(out)):
         print(f"{name:24s} OK ({len(got)} rows)")
         ok += 1
 # a query that CRASHED in Verify leaves no result dir at all — surface
-# it as a failure instead of silently shrinking the "ok" count
-for name in sorted(oracle):
+# it as a failure instead of silently shrinking the "ok" count. The
+# queries.json manifest covers rows-only queries with no oracle entry.
+manifest = set(oracle)
+mf = os.path.join(out, "queries.json")
+if os.path.exists(mf):
+    manifest |= set(json.load(open(mf)))
+for name in sorted(manifest):
     if not os.path.isdir(os.path.join(out, name)):
         print(f"{name:24s} MISSING RESULT (query failed in Verify?)")
         fail += 1

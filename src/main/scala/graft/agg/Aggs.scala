@@ -623,9 +623,7 @@ object Aggs {
     * partial agg. */
   def randomSamplerAgg(
       df: DataFrame, idCol: String, probability: Double, metric: String): DataFrame = {
-    val u = conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
-      .cast("double") / lit(281474976710656.0) // 2^48
-    df.where(u < probability)
+    df.where(Num.uniformHash48(col(idCol)) < probability)
       .agg(
         count(lit(1)).as("sampled_count"),
         floor(count(lit(1)).cast("double") / probability).cast("long").as("est_total"),

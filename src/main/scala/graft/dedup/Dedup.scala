@@ -19,6 +19,15 @@ import graft.util.Num
   * band-bucket exchange and (2) the candidate-pair join, both of which
   * move O(docs * bands) small rows, never the full text. Exact Jaccard
   * verification runs only on LSH candidates.
+  *
+  * CACHING CONTRACT: the LSH/CC operators pin intermediate caches
+  * (shingle sets, banded signatures, edge lists) that stay referenced
+  * by the returned plan — call `spark.catalog.clearCache()` (or
+  * unpersist selectively) between unrelated jobs, and prefer
+  * checkpointing the intermediates to parquet at cluster scale. The
+  * caches are materialized EAGERLY in dependency order on purpose:
+  * left lazy, concurrent consumer branches of one action each
+  * recompute the full upstream pipeline while racing to fill them.
   */
 object Dedup {
 

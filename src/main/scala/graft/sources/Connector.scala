@@ -228,12 +228,24 @@ object Connector {
     if (!pattern.exists("*?[{".contains(_))) return Seq(pattern)
     val p = new Path(pattern)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hits = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
-      .filter(_.isDirectory)
+    def glob(pat: Path): Seq[Path] =
+      Option(fs.globStatus(pat)).map(_.toSeq).getOrElse(Nil)
+        .filter(_.isDirectory)
+        // keep the SCHEME (s3a://...): toUri.getPath would strip it and
+        // re-resolve against the default filesystem
+        .map(_.getPath)
+    // an index whose swap crashed mid-rename exists only as X_graft_old
+    // — the live glob can't see it, so recover those FIRST or a
+    // pattern read silently returns partial data
+    glob(new Path(pattern + "_graft_old")).foreach { old =>
+      val live = old.toString.stripSuffix("_graft_old")
+      recoverSwap(spark, live)
+    }
+    val hits = glob(p)
       // swap machinery leftovers are not indices
-      .filterNot(st => st.getPath.getName.endsWith("_graft_old") ||
-        st.getPath.getName.endsWith("_graft_tmp"))
-      .map(_.getPath.toUri.getPath).sorted
+      .filterNot(pp => pp.getName.endsWith("_graft_old") ||
+        pp.getName.endsWith("_graft_tmp"))
+      .map(_.toString).sorted
     require(hits.nonEmpty, s"index pattern matched nothing: $pattern")
     hits
   }
@@ -257,11 +269,7 @@ object Connector {
     val updated = set.foldLeft(existing) { case (df, (c, v)) =>
       df.withColumn(c, when(pred, v).otherwise(col(c)))
     }
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(path + "_graft_tmp")
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    updated.write.format(fmt).mode("overwrite").save(tmp.toString)
-    swapIn(fs, new Path(path), tmp)(spark)
+    writeSwapped(spark, path, updated, cfg)
   }
 
   /** `_delete_by_query` analog: drop every document matching the ES
@@ -278,10 +286,24 @@ object Connector {
     // over a null field) must KEEP the doc, not delete it
     val remaining = spark.read.format(fmt).load(path)
       .where(!coalesce(EsQuery.compile(query, idField), lit(false)))
+    writeSwapped(spark, path, remaining, cfg)
+  }
+
+  /** Shared crash-safe rewrite honoring the index's write options
+    * (format + routing partitioning) — by-query ops must not silently
+    * flatten a routed index's directory layout. */
+  private def writeSwapped(
+      spark: SparkSession, path: String, df: DataFrame,
+      cfg: Map[String, String]): Unit = {
+    val fmt = cfg.getOrElse("graft.format", "parquet")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(path + "_graft_tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    remaining.write.format(fmt).mode("overwrite").save(tmp.toString)
+    val w = cfg.get("graft.mapping.routing") match {
+      case Some(r) => df.write.format(fmt).partitionBy(r)
+      case None => df.write.format(fmt)
+    }
+    w.mode("overwrite").save(tmp.toString)
     swapIn(fs, new Path(path), tmp)(spark)
   }
 

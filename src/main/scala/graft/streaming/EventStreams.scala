@@ -89,9 +89,12 @@ object EventStreams {
     * keeps ALL keys) lacks. */
   def streamingDedupByContent(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events
-      .where(col("props").isNotNull)
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-      .withColumn("content_hash", md5(col("props")))
+      // null content must PASS THROUGH, not be dropped (they are legal
+      // non-duplicate events) and must not all collapse onto one null
+      // key — give each a unique synthetic key instead
+      .withColumn("content_hash",
+        coalesce(md5(col("props")), concat(lit("_null_"), col("event_id").cast("string"))))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 

@@ -203,8 +203,7 @@ object TextAnalysis {
       strataCol: String,
       rates: Map[String, Double],
       defaultRate: Double): DataFrame = {
-    val u = conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
-      .cast("double") / lit(281474976710656.0) // 2^48
+    val u = Num.uniformHash48(col(idCol))
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
       when(col(strataCol) === k, lit(r)).otherwise(acc)
     }

@@ -18,6 +18,14 @@ object Num {
     when(c < 0, -r).otherwise(r)
   }
 
+  /** Deterministic uniform draw in [0,1): first 48 md5 bits of the key
+    * scaled by 2^-48 — the portable substitute for rand() that both
+    * engines reproduce bit-for-bit (oracle: hexFold / 2^48). Shared by
+    * every sampling operator so the construction can't drift. */
+  def uniformHash48(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 12), 16, 10)
+      .cast("double") / lit(281474976710656.0)
+
   def r4(c: Column): Column = round(c, 4)
   def r3(c: Column): Column = round(c, 3)
 

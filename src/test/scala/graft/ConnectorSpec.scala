@@ -257,6 +257,16 @@ class ConnectorSpec extends SparkSpec {
     Seq((9L, "x")).toDF("id", "v").write.parquet(s"$base/other")
     val r = spark.graftDF(s"$base/logs-*").select("id").as[Long].collect().toSet
     assert(r == Set(1L, 2L))
+    // an index whose swap crashed (live gone, only _graft_old left)
+    // must be recovered and INCLUDED by the pattern read
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(
+      new org.apache.hadoop.fs.Path(s"$base/logs-2026-02"),
+      new org.apache.hadoop.fs.Path(s"$base/logs-2026-02_graft_old"))
+    spark.catalog.refreshByPath(s"$base/logs-2026-02")
+    val r2 = spark.graftDF(s"$base/logs-*").select("id").as[Long].collect().toSet
+    assert(r2 == Set(1L, 2L))
     val err = intercept[IllegalArgumentException] {
       spark.graftDF(s"$base/nope-*")
     }

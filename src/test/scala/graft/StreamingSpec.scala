@@ -132,9 +132,11 @@ class StreamingSpec extends SparkSpec {
     try {
       q.processAllAvailable()
       val kept = spark.table("dedup_out").count()
-      val want = Tables.events(spark, sfDir)
-        .where(col("props").isNotNull)
-        .select(md5(col("props"))).distinct().count()
+      val ev = Tables.events(spark, sfDir)
+      // nulls pass through untouched (each gets a unique synthetic key)
+      val want = ev.where(col("props").isNotNull)
+        .select(md5(col("props"))).distinct().count() +
+        ev.where(col("props").isNull).count()
       assert(kept == want && kept > 0)
     } finally q.stop()
   }
