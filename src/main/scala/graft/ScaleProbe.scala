@@ -65,6 +65,10 @@ object ScaleProbe {
       Dedup.dedupClusters(
         Dedup.minhashLshUnsorted(docs, "doc_id", "text", 0.8)).count()
     }
+    spark.catalog.clearCache()
+    time("simhash_pairs_10x") {
+      Dedup.simhashPairs(docs, "doc_id", "text", 3).count()
+    }
     spark.stop()
   }
 }
