@@ -1,0 +1,124 @@
+package graft
+
+import graft.expr.HashKernels
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests: each compiled kernel vs an obviously-correct naive
+  * reference over randomized inputs. Pure JVM — no Spark session.
+  * (scalacheck drives the generators; scalatest hosts the suite, so
+  * failures surface with the usual reporting.) */
+class KernelPropertySpec extends AnyFunSuite {
+
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def arr(xs: Seq[String]): GenericArrayData =
+    new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
+
+  private val word: Gen[String] = Gen.choose(1, 3)
+    .flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+  private val doc: Gen[List[String]] = Gen.choose(0, 14).flatMap(Gen.listOfN(_, word))
+
+  test("phraseSlopKernel == exhaustive ordered-chain search") {
+    // naive: some strictly-increasing position tuple (p1..pk), token
+    // at p_i == term_i, consecutive gap p_i - p_{i-1} <= slop + 1
+    def naive(toks: List[String], terms: List[String], slop: Int): Boolean = {
+      def go(i: Int, prev: Int): Boolean =
+        if (i == terms.length) true
+        else (prev + 1 until toks.length).exists { p =>
+          toks(p) == terms(i) && (prev < 0 || p - prev <= slop + 1) && go(i + 1, p)
+        }
+      go(0, -1)
+    }
+    val gen = for {
+      toks <- doc
+      k <- Gen.choose(2, 3)
+      terms <- Gen.listOfN(k, word)
+      slop <- Gen.choose(0, 4)
+    } yield (toks, terms, slop)
+    check(Prop.forAll(gen) { case (toks, terms, slop) =>
+      HashKernels.phraseSlopKernel(
+        arr(toks), terms.map(UTF8String.fromString).toArray, slop) ==
+        naive(toks, terms, slop)
+    })
+  }
+
+  test("spanNearKernel == exhaustive any-order window search") {
+    def naive(toks: List[String], terms: List[String], slop: Int): Boolean = {
+      val positions = terms.map(t => toks.zipWithIndex.filter(_._1 == t).map(_._2))
+      if (positions.exists(_.isEmpty)) false
+      else {
+        def tuples(ps: List[List[Int]]): List[List[Int]] = ps match {
+          case Nil => List(Nil)
+          case h :: t => for (x <- h; rest <- tuples(t)) yield x :: rest
+        }
+        tuples(positions).exists { tup =>
+          (tup.max - tup.min + 1) - terms.length <= slop
+        }
+      }
+    }
+    val gen = for {
+      toks <- doc
+      k <- Gen.choose(2, 3)
+      terms <- Gen.listOfN(k, word).suchThat(ts => ts.distinct.size == ts.size)
+      slop <- Gen.choose(0, 4)
+    } yield (toks, terms, slop)
+    check(Prop.forAll(gen) { case (toks, terms, slop) =>
+      HashKernels.spanNearKernel(
+        arr(toks), terms.map(UTF8String.fromString).toArray, slop) ==
+        naive(toks, terms, slop)
+    })
+  }
+
+  test("jaccardKernel == set-based Jaccard on distinct inputs") {
+    val distinctList = doc.map(_.distinct)
+    check(Prop.forAll(distinctList, distinctList) { (a, b) =>
+      val expect =
+        if (a.isEmpty && b.isEmpty) 0.0
+        else {
+          val inter = a.toSet.intersect(b.toSet).size
+          inter.toDouble / ((a.size + b.size) - inter.toDouble)
+        }
+      HashKernels.jaccardKernel(arr(a), arr(b)) == expect
+    })
+  }
+
+  test("tokenizeKernel == lowercase regex split") {
+    val text = Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar, 3 -> Gen.oneOf(' ', '.', ',', '-', '!', '\n'),
+      1 -> Gen.oneOf('é', 'ß', '中'))).map(_.mkString)
+    check(Prop.forAll(text) { s =>
+      val got = HashKernels.tokenizeKernel(UTF8String.fromString(s))
+      val want = s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      (0 until got.numElements()).map(got.getUTF8String(_).toString) == want
+    })
+  }
+
+  test("shinglesKernel == distinct sliding 3-gram join") {
+    check(Prop.forAll(doc) { toks =>
+      val got = HashKernels.shinglesKernel(arr(toks), 3)
+      val want = toks.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq.distinct
+      (0 until got.numElements()).map(got.getUTF8String(_).toString) == want
+    })
+  }
+
+  test("spanNearKernel subsumes phraseSlopKernel (ordered implies unordered)") {
+    val gen = for {
+      toks <- doc
+      terms <- Gen.listOfN(2, word).suchThat(ts => ts.distinct.size == ts.size)
+      slop <- Gen.choose(0, 4)
+    } yield (toks, terms, slop)
+    check(Prop.forAll(gen) { case (toks, terms, slop) =>
+      val t = terms.map(UTF8String.fromString).toArray
+      // an ordered chain within slop is a window within slop
+      !HashKernels.phraseSlopKernel(arr(toks), t, slop) ||
+        HashKernels.spanNearKernel(arr(toks), t, slop)
+    })
+  }
+}
