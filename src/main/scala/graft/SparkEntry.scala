@@ -620,7 +620,8 @@ object SparkEntry {
       // composed cleaning pipeline: quality gate + near-dup removal
       // (drop the higher id of each verified near-dup pair)
       val docs = t(s, d, "documents")
-      val dups = Dedup.minhashLsh(docs, "doc_id", "text", 0.8)
+      // unsorted pair core: the anti-join reshuffles anyway
+      val dups = Dedup.minhashLshUnsorted(docs, "doc_id", "text", 0.8)
         .select(col("id2").as("doc_id"))
       TextAnalysis.qualityScore(col("text"))(docs)
         .where(col("quality") >= 0.45 && col("n_chars") >= 100)
