@@ -13,7 +13,10 @@ object Plans {
       case Nil => Seq("q_term", "q_range", "q_bool", "q_dsl_json", "q_agg_terms",
         "q_join_enrich", "q_join_revenue", "q_bm25", "q_agg_top_hits",
         "q_match_phrase_slop", "q_dedup_simhash", "q_geo_grid", "q_uri_boost",
-        "q_has_child", "q_pinned")
+        "q_has_child", "q_pinned",
+        // r3 flagships
+        "q_chunk", "q_contamination", "q_agg_children", "q_span_near",
+        "q_sample_strat", "q_agg_rate", "q_agg_auto_date_histogram")
       case names => names
     }) {
       println(s"========= $name")

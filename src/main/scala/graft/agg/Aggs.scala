@@ -286,26 +286,27 @@ object Aggs {
 
   /** `auto_date_histogram`: pick the calendar interval (hour/day/
     * month/year) so the bucket count stays <= targetBuckets, then
-    * bucket by it. The interval choice derives from the min/max span —
-    * a 1-row aggregate cross-joined back (broadcast, no collect), so
-    * the whole thing is still two scans and one exchange. Buckets are
-    * formatted strings so sub-day intervals keep a uniform schema. */
+    * bucket by it. The interval choice is a 1-row min/max aggregate
+    * COLLECTED as a scalar (like any fitted parameter) — the r2
+    * broadcast-join formulation made every row evaluate a 4-branch
+    * date_trunc CASE under a BroadcastNestedLoopJoin; with the
+    * interval fixed on the driver the main pass is one single-branch
+    * partial-agg groupBy. Buckets are formatted strings so sub-day
+    * intervals keep a uniform schema. */
   def autoDateHistogramAgg(df: DataFrame, tsField: String, targetBuckets: Int): DataFrame = {
-    val stats = df.agg(
-      datediff(max(col(tsField)), min(col(tsField))).as("span_days"))
-    val days = col("span_days")
-    val iv = when(days * 24 <= targetBuckets, "hour")
-      .when(days <= targetBuckets, "day")
-      .when(days / 31.0 <= targetBuckets, "month")
-      .otherwise("year")
+    val row = df.agg(
+      datediff(max(col(tsField)), min(col(tsField))).as("span_days")).head()
+    require(!row.isNullAt(0), s"auto_date_histogram over empty/all-null $tsField")
+    val days = row.getInt(0)
+    val interval =
+      if (days * 24L <= targetBuckets) "hour"
+      else if (days <= targetBuckets) "day"
+      else if (days / 31.0 <= targetBuckets) "month"
+      else "year"
     val fmt = "yyyy-MM-dd HH:mm:ss"
-    val bucket = when(col("interval") === "hour", date_format(date_trunc("hour", col(tsField)), fmt))
-      .when(col("interval") === "day", date_format(date_trunc("day", col(tsField)), fmt))
-      .when(col("interval") === "month", date_format(date_trunc("month", col(tsField)), fmt))
-      .otherwise(date_format(date_trunc("year", col(tsField)), fmt))
-    df.crossJoin(broadcast(stats))
-      .withColumn("interval", iv)
-      .groupBy(col("interval"), bucket.as("bucket"))
+    df.groupBy(
+      lit(interval).as("interval"),
+      date_format(date_trunc(interval, col(tsField)), fmt).as("bucket"))
       .agg(count(lit(1)).as("doc_count"))
       .orderBy(col("bucket"))
   }
