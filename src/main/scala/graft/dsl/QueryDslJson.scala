@@ -167,6 +167,37 @@ object QueryDslJson {
             bottom = lits(br("lat")).toString.toDouble,
             right = lits(br("lon")).toString.toDouble)
 
+        // {"span_near": {"clauses": [{"span_term": {f: w}}, ...],
+        //  "slop": n, "in_order": true|false}} — all clauses must
+        // target one field (the ES span family's own constraint)
+        case ("span_near", JObject(parts)) =>
+          val m = parts.toMap
+          val clauses = m.get("clauses") match {
+            case Some(JArray(xs)) => xs.map {
+              case JObject(JField("span_term", JObject(JField(f, v) :: Nil)) :: Nil) =>
+                (f, lits(v).toString)
+              case other => throw new IllegalArgumentException(s"bad span clause: $other")
+            }
+            case _ => throw new IllegalArgumentException("span_near needs clauses")
+          }
+          require(clauses.map(_._1).distinct.size == 1,
+            "span_near clauses must target a single field")
+          val field = clauses.head._1
+          val terms = clauses.map(_._2).mkString(" ")
+          val slop = m.get("slop").map(lits(_).toString.toInt).getOrElse(0)
+          val inOrder = m.get("in_order").map(lits(_).toString.toBoolean).getOrElse(true)
+          if (inOrder) Search.matchPhraseSlop(col(field), terms, slop)
+          else Search.spanNear(col(field), terms, slop)
+
+        // {"terms_set": {f: {"terms": [...], "minimum_should_match": n}}}
+        case ("terms_set", JObject(JField(f, JObject(parts)) :: Nil)) =>
+          val m = parts.toMap
+          val terms = arr(m.getOrElse("terms",
+            throw new IllegalArgumentException("terms_set needs terms"))).map(_.toString)
+          val msm = m.get("minimum_should_match").map(lits(_).toString.toInt)
+            .getOrElse(terms.size)
+          Search.termsSet(col(f), terms, lit(msm))
+
         case ("geo_polygon", JObject(JField(f, JObject(parts)) :: Nil)) =>
           val pts = parts.toMap.getOrElse("points",
             throw new IllegalArgumentException("geo_polygon needs points")) match {

@@ -62,4 +62,28 @@ class QueryDslSpec extends SparkSpec {
       .count()
     assert(viaWrapper == df.where(col("kind") === "alpha").count() && viaWrapper == 2)
   }
+
+  test("json span_near and terms_set clauses compile") {
+    val docs = Seq(
+      (1L, "fast hash join wins"),
+      (2L, "join a b c hash"),
+      (3L, "hash only")).toDF("id", "text")
+    // unordered, slop 1: id1 (adjacent) matches; id2 (3 intervening) not
+    val near = docs.where(graft.dsl.QueryDslJson.compile(
+      """{"span_near": {"clauses": [{"span_term": {"text": "hash"}},
+        {"span_term": {"text": "join"}}], "slop": 1, "in_order": false}}"""))
+      .select("id").as[Long].collect().toSet
+    assert(near == Set(1L))
+    // ordered (in_order default): "hash join" in order, slop 0
+    val ord = docs.where(graft.dsl.QueryDslJson.compile(
+      """{"span_near": {"clauses": [{"span_term": {"text": "hash"}},
+        {"span_term": {"text": "join"}}], "slop": 0}}"""))
+      .select("id").as[Long].collect().toSet
+    assert(ord == Set(1L))
+    val ts = docs.where(graft.dsl.QueryDslJson.compile(
+      """{"terms_set": {"text": {"terms": ["hash", "join", "zzz"],
+        "minimum_should_match": 2}}}"""))
+      .select("id").as[Long].collect().toSet
+    assert(ts == Set(1L, 2L))
+  }
 }
