@@ -189,6 +189,24 @@ object QueryDslJson {
           if (inOrder) Search.matchPhraseSlop(col(field), terms, slop)
           else Search.spanNear(col(field), terms, slop)
 
+        // {"intervals": {f: {"match": {"query": "...", "max_gaps": n,
+        //  "ordered": true|false}}}} — the intervals query's match rule
+        // is positional proximity: ordered routes to the phrase-slop
+        // kernel, unordered to the minimal-window kernel (max_gaps = 0
+        // means adjacent, like ES)
+        case ("intervals", JObject(JField(f, JObject(
+            JField("match", JObject(parts)) :: Nil)) :: Nil)) =>
+          val m = parts.toMap
+          val q = lits(m.getOrElse("query",
+            throw new IllegalArgumentException("intervals match needs query"))).toString
+          val maxGaps = m.get("max_gaps").map(lits(_).toString.toInt).getOrElse(-1)
+          val ordered = m.get("ordered").map(lits(_).toString.toBoolean).getOrElse(false)
+          if (maxGaps < 0) {
+            // no gap bound: plain all-terms match (AND semantics)
+            Search.matchQueryAnd(col(f), q)
+          } else if (ordered) Search.matchPhraseSlop(col(f), q, maxGaps)
+          else Search.spanNear(col(f), q, maxGaps)
+
         // {"terms_set": {f: {"terms": [...], "minimum_should_match": n}}}
         case ("terms_set", JObject(JField(f, JObject(parts)) :: Nil)) =>
           val m = parts.toMap
