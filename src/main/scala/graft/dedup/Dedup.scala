@@ -292,7 +292,13 @@ object Dedup {
           col("lbl").as("old"))
         .cache()
       val t0 = System.nanoTime()
-      converged = next.where(col("lbl") =!= col("old")).isEmpty
+      // count(), not isEmpty: take(1) would stop at the first changed
+      // row on a non-converged round, leaving next's cache partially
+      // filled — and the prior generation is about to be unpersisted,
+      // so later rounds would recompute the missing partitions through
+      // the full uncached multi-round lineage. count() scans every
+      // partition, fully materializing the cache in the same action.
+      converged = next.where(col("lbl") =!= col("old")).count() == 0
       if (sys.env.contains("GRAFT_CC_VERBOSE"))
         System.err.println(
           f"[cc] round $iter: ${(System.nanoTime() - t0) / 1e9}%.2f s converged=$converged")

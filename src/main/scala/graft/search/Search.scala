@@ -73,8 +73,12 @@ object Search {
     * form is `matchPhraseSlop`. */
   def spanNear(field: Column, query: String, slop: Int): Column = {
     val q = Analyzer.analyze(query).distinct
-    require(q.length >= 2, "spanNear needs at least two distinct terms")
-    org.apache.spark.sql.GraftBridge.column(
+    require(q.nonEmpty, s"span_near analyzed to zero tokens: $query")
+    // a single distinct term is a valid ES span_near (and a valid
+    // intervals clause with max_gaps >= 0): the window is one
+    // position, so it degrades to plain term containment
+    if (q.length == 1) array_contains(Analyzer.tokens(field), q.head)
+    else org.apache.spark.sql.GraftBridge.column(
       graft.expr.SpanNearMatch(
         org.apache.spark.sql.GraftBridge.expression(Analyzer.tokens(field)), q, slop))
   }

@@ -51,7 +51,7 @@ object Connector {
         // ES multi-index syntax: "idx1,idx2" reads several indices.
         // Loaded separately and unioned by name: each index may carry
         // its own (routing) partitioning scheme.
-        val df0 = path.split(",").map(_.trim).filter(_.nonEmpty)
+        val parts = path.split(",").map(_.trim).filter(_.nonEmpty)
           .flatMap(Connector.expandPattern(spark, _))
           .map { p =>
             // a crash mid-swap may have left the index at _graft_old;
@@ -59,7 +59,15 @@ object Connector {
             // and the next write fails on a missing directory
             Connector.recoverSwap(spark, p)
             spark.read.format(format).load(p)
-          }.reduce(_ unionByName _)
+          }
+        // allow_no_indices=true (the ES default for wildcard
+        // expressions): a pattern matching nothing yields zero hits,
+        // not an error. With no matched index there is no schema, so
+        // an empty zero-column frame is the faithful "0 hits" result
+        // — returned before query/projection, which could not resolve
+        // against it anyway.
+        if (parts.isEmpty) return spark.emptyDataFrame
+        val df0 = parts.reduce(_ unionByName _)
         val df1 = if (query == null) df0 else df0.where(EsQuery.compile(query, idField))
         val df2 = if (fieldInclude.nonEmpty) df1.select(fieldInclude.map(col): _*) else df1
         val df3 = fieldExclude.foldLeft(df2)(_ drop _)
@@ -246,7 +254,8 @@ object Connector {
       .filterNot(pp => pp.getName.endsWith("_graft_old") ||
         pp.getName.endsWith("_graft_tmp"))
       .map(_.toString).sorted
-    require(hits.nonEmpty, s"index pattern matched nothing: $pattern")
+    // allow_no_indices: unmatched wildcard = empty expansion (only
+    // literal names 404, and those never reach the glob branch)
     hits
   }
 
@@ -266,9 +275,29 @@ object Connector {
     recoverSwap(spark, path)
     val existing = spark.read.format(fmt).load(path)
     val pred = EsQuery.compile(query, idField)
-    val updated = set.foldLeft(existing) { case (df, (c, v)) =>
-      df.withColumn(c, when(pred, v).otherwise(col(c)))
+    // ES update_by_query evaluates the query ONCE against the original
+    // docs. Sequential withColumn folds would re-resolve the predicate
+    // (and later set expressions) against already-updated columns —
+    // wrong row set when the query references a column the set also
+    // assigns. Materialize the match bit first, then apply every
+    // assignment in ONE select so all value expressions see the
+    // original snapshot.
+    val matchCol = Iterator.from(0).map(i => s"__graft_ubq_match_$i")
+      .find(c => !existing.columns.contains(c)).get
+    val snap = existing.withColumn(matchCol, coalesce(pred, lit(false)))
+    val assigned = existing.columns.map { c =>
+      set.get(c) match {
+        case Some(v) => when(col(matchCol), v).otherwise(col(c)).as(c)
+        case None    => col(c)
+      }
     }
+    // set keys naming columns absent from the index add the field
+    // (ES scripted updates can introduce fields); null where unmatched
+    val added = set.collect {
+      case (c, v) if !existing.columns.contains(c) =>
+        when(col(matchCol), v).otherwise(lit(null)).as(c)
+    }
+    val updated = snap.select((assigned ++ added).toIndexedSeq: _*)
     writeSwapped(spark, path, updated, cfg)
   }
 

@@ -249,6 +249,31 @@ class ConnectorSpec extends SparkSpec {
     assert(afterDelete == Set(1L, 2L))
   }
 
+  test("updateByQuery: multi-column set sees the ORIGINAL snapshot") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_ubq2").toString + "/idx"
+    Seq((1L, 10L), (2L, 20L), (3L, 30L))
+      .toDF("doc_id", "score")
+      .write.parquet(dir)
+    // the query references `score`, and the set ALSO assigns `score` —
+    // ES evaluates the query once against the original docs, so both
+    // the score bump and the new flag column must hit rows 1 and 2
+    // (original score < 25), regardless of assignment order
+    Connector.updateByQuery(spark, dir,
+      """{"range": {"score": {"lt": 25}}}""",
+      scala.collection.immutable.ListMap(
+        "score" -> (col("score") + 100L),
+        "flag"  -> lit("hit")))
+    val rows = spark.read.parquet(dir)
+      .select("doc_id", "score", "flag")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)))).toSet
+    assert(rows == Set(
+      (1L, 110L, Some("hit")),
+      (2L, 120L, Some("hit")),
+      (3L, 30L, None)))
+  }
+
   test("index patterns: graftDF expands globs like ES logs-*") {
     import java.nio.file.Files
     val base = Files.createTempDirectory("graft_pat").toString
@@ -267,9 +292,10 @@ class ConnectorSpec extends SparkSpec {
     spark.catalog.refreshByPath(s"$base/logs-2026-02")
     val r2 = spark.graftDF(s"$base/logs-*").select("id").as[Long].collect().toSet
     assert(r2 == Set(1L, 2L))
-    val err = intercept[IllegalArgumentException] {
-      spark.graftDF(s"$base/nope-*")
-    }
-    assert(err.getMessage.contains("matched nothing"))
+    // allow_no_indices (the ES default for wildcard expressions): an
+    // unmatched pattern is zero hits, not an error...
+    assert(spark.graftDF(s"$base/nope-*").count() == 0L)
+    // ...while a missing LITERAL name still fails (ES 404)
+    intercept[Exception] { spark.graftDF(s"$base/definitely-missing").count() }
   }
 }

@@ -75,5 +75,15 @@ class SearchSpec extends SparkSpec {
     val ts = df.where(Search.termsSet(col("text"), Seq("join", "hash", "zzz"), lit(2)))
       .select("id").as[Long].collect().toSet
     assert(ts == Set(1L, 2L, 4L)) // need 2 of {join, hash, zzz}
+
+    // single distinct term (also "hash hash", which analyzes to one
+    // distinct term) is a valid span_near / intervals clause — it
+    // degrades to plain containment instead of throwing
+    val single = df.where(Search.spanNear(col("text"), "hash", 0))
+      .select("id").as[Long].collect().toSet
+    assert(single == Set(1L, 2L, 4L))
+    val dupTerm = df.where(Search.spanNear(col("text"), "hash hash", 2))
+      .select("id").as[Long].collect().toSet
+    assert(dupTerm == Set(1L, 2L, 4L))
   }
 }
