@@ -219,6 +219,38 @@ object SparkEntry {
     "q_terms_set" -> ((s, d) => t(s, d, "documents")
       .where(Search.termsSet(col("text"), Seq("merge", "hash", "scan"), lit(2)))
       .select(col("doc_id")).orderBy(col("doc_id"))),
+    // simple_query_string mini-language: (hash AND join) OR
+    // (phrase AND NOT slow) under default_operator=and
+    "q_simple_query_string" -> ((s, d) => t(s, d, "documents")
+      .where(graft.dsl.QueryDslJson.compile(
+        """{"simple_query_string": {"query": "hash join | \"merge batch\" -slow",
+           "fields": ["text"], "default_operator": "and"}}"""))
+      .select(col("doc_id")).orderBy(col("doc_id"))),
+    // search-as-you-type: full terms anywhere + last term as prefix
+    "q_match_bool_prefix" -> ((s, d) => t(s, d, "documents")
+      .where(Search.matchBoolPrefix(col("text"), "merge bat"))
+      .select(col("doc_id")).orderBy(col("doc_id"))),
+    // term-centric AND across text+source as one combined field
+    "q_combined_fields" -> ((s, d) => t(s, d, "documents")
+      .where(graft.dsl.QueryDslJson.compile(
+        """{"combined_fields": {"query": "hash src3", "fields": ["text", "source"]}}"""))
+      .select(col("doc_id")).orderBy(col("doc_id"))),
+    // span_or: single-term span OR an unordered span_near
+    "q_span_or" -> ((s, d) => t(s, d, "documents")
+      .where(graft.dsl.QueryDslJson.compile(
+        """{"span_or": {"clauses": [
+             {"span_term": {"text": "vector"}},
+             {"span_near": {"clauses": [{"span_term": {"text": "join"}},
+               {"span_term": {"text": "hash"}}], "slop": 1, "in_order": false}}]}}"""))
+      .select(col("doc_id")).orderBy(col("doc_id"))),
+    // ES 8 knn search surface: pre-filter + exact top-k at a
+    // num_candidates budget that covers the corpus
+    "q_knn" -> ((s, d) => {
+      val vec = (0 until 64).map(i => (i * 37 % 100) / 100.0 - 0.5)
+      Ann.knnSearch(t(s, d, "embeddings"), "vec_id",
+        s"""{"knn": {"field": "embedding", "query_vector": [${vec.mkString(",")}],
+            "k": 5, "num_candidates": 100000, "filter": {"term": {"label": 3}}}}""")
+    }),
     // point-in-polygon geo filter (even-odd ray cast)
     "q_geo_polygon" -> ((s, d) =>
       withGeo(t(s, d, "customer"))
@@ -409,6 +441,19 @@ object SparkEntry {
     "q_agg_normalize" -> ((s, d) =>
       Aggs.normalizeAgg(t(s, d, "orders"), "o_orderdate", "month", "o_totalprice")),
     "q_agg_boxplot" -> ((s, d) => Aggs.boxplotAgg(t(s, d, "lineitem"), "l_extendedprice")),
+    "q_agg_mad" -> ((s, d) =>
+      Aggs.medianAbsoluteDeviation(t(s, d, "lineitem"), "l_extendedprice")),
+    "q_agg_t_test" -> ((s, d) => Aggs.tTestAgg(Tables.events(s, d), "value",
+      col("event_type") === "click", col("event_type") === "view")),
+    // cumulative_cardinality over integer hour buckets (exact ns math)
+    "q_agg_cum_card" -> ((s, d) => Aggs.cumulativeCardinality(
+      Tables.events(s, d), "user_id", expr("ts_ns div 3600000000000"))),
+    "q_agg_variable_width" -> ((s, d) =>
+      Aggs.variableWidthHistogram(t(s, d, "lineitem"), "l_quantity", 4)),
+    // geo_line: per-nation polyline of customer points ordered by key
+    "q_agg_geo_line" -> ((s, d) => Aggs.geoLineAgg(
+      withGeo(t(s, d, "customer")), "c_nationkey", "c_custkey",
+      col("lat"), col("lon"), 5)),
     "q_agg_rate" -> ((s, d) =>
       Aggs.rateAgg(t(s, d, "orders"), "o_orderdate", "month", "o_totalprice")),
     "q_agg_geo_distance" -> ((s, d) =>
@@ -688,6 +733,16 @@ object SparkEntry {
     "q_repetition" -> ((s, d) => t(s, d, "documents")
       .select(col("doc_id"), TextAnalysis.repetitionRatio(col("text")).as("rep_ratio"))
       .orderBy(col("doc_id"))),
+    // sub-document duplication: share of 32-token chunks repeated
+    // anywhere in the corpus (C4/RefinedWeb-style signal)
+    "q_dedup_paragraph" -> ((s, d) =>
+      TextAnalysis.paragraphDupRatio(t(s, d, "documents"), "doc_id", "text", 32)),
+    // unigram-LM mean surprisal (cheap perplexity-filter stand-in)
+    "q_lm_score" -> ((s, d) =>
+      TextAnalysis.unigramSurprisal(t(s, d, "documents"), "doc_id", "text")),
+    // domain-mix rebalancing weights toward a uniform source mix
+    "q_domain_mix" -> ((s, d) =>
+      TextAnalysis.domainMixWeights(t(s, d, "documents"), "source")),
 
     // ---- G. Streaming-shaped ----
     "q_stream_window" -> ((s, d) => EventStreams.hourlyTypeCounts(Tables.events(s, d))),
@@ -749,6 +804,37 @@ object SparkEntry {
     "q_terms_set" -> (TokCte + " SELECT doc_id FROM tok " +
       "WHERE len(list_intersect(list_distinct(toks), ['merge', 'hash', 'scan'])) >= 2 " +
       "ORDER BY doc_id"),
+    // (hash AND join) OR (phrase("merge batch") AND NOT slow)
+    "q_simple_query_string" -> (TokCte + " SELECT doc_id FROM tok WHERE " +
+      "(list_contains(toks, 'hash') AND list_contains(toks, 'join')) OR " +
+      "(contains(' ' || array_to_string(toks, ' ') || ' ', ' merge batch ') " +
+      "AND NOT list_contains(toks, 'slow')) ORDER BY doc_id"),
+    "q_match_bool_prefix" -> (TokCte + " SELECT doc_id FROM tok WHERE " +
+      "list_contains(toks, 'merge') AND " +
+      "contains(' ' || array_to_string(toks, ' ') || ' ', ' bat') ORDER BY doc_id"),
+    "q_combined_fields" -> (TokCte + STokCte +
+      " SELECT t.doc_id FROM tok t JOIN stok s USING (doc_id) WHERE " +
+      "(list_contains(t.toks, 'hash') OR list_contains(s.toks, 'hash')) AND " +
+      "(list_contains(t.toks, 'src3') OR list_contains(s.toks, 'src3')) " +
+      "ORDER BY t.doc_id"),
+    // vector-term OR unordered window(join, hash, slop 1)
+    "q_span_or" -> (TokCte + ", pos AS (SELECT doc_id, toks, " +
+      "list_filter(range(1, len(toks) + 1), i -> toks[i] = 'join') AS p1, " +
+      "list_filter(range(1, len(toks) + 1), i -> toks[i] = 'hash') AS p2 FROM tok) " +
+      "SELECT doc_id FROM pos WHERE list_contains(toks, 'vector') OR " +
+      "(len(p1) > 0 AND len(p2) > 0 AND " +
+      "len(list_filter(p1, i -> len(list_filter(p2, j -> greatest(i, j) - least(i, j) + 1 - 2 <= 1)) > 0)) > 0) " +
+      "ORDER BY doc_id"),
+    "q_knn" -> ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v " +
+      "FROM embeddings WHERE label = 3), " +
+      "q AS (SELECT list_transform(range(0, 64), i -> (i * 37 % 100) / 100.0 - 0.5) AS qv), " +
+      "n AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm FROM e), " +
+      "qn AS (SELECT qv, sqrt(list_reduce(list_prepend(0.0, list_transform(qv, x -> x * x)), (a, b) -> a + b)) AS qnrm FROM q), " +
+      "p AS (SELECT vec_id AS id, " +
+      "round(list_reduce(list_prepend(0.0, list_transform(range(1, len(v) + 1), i -> v[i] * qv[i])), (x, y) -> x + y) / (nrm * qnrm), 4) AS cosine " +
+      "FROM n CROSS JOIN qn) " +
+      "SELECT id, cosine, rank FROM (SELECT *, row_number() OVER (ORDER BY cosine DESC, id) AS rank FROM p) " +
+      "WHERE rank <= 5 ORDER BY rank"),
     "q_rank_feature" -> ("SELECT doc_id AS id, " +
       "round(CAST(n_chars AS DOUBLE) / (CAST(n_chars AS DOUBLE) + 200.0), 4) AS score " +
       "FROM documents ORDER BY score DESC, id LIMIT 15"),
@@ -888,6 +974,40 @@ object SparkEntry {
       "round(quantile_cont(l_extendedprice, 0.5), 4) AS q2, " +
       "round(quantile_cont(l_extendedprice, 0.75), 4) AS q3, " +
       "round(quantile_cont(l_extendedprice, 1.0), 4) AS max_v FROM lineitem"),
+    "q_agg_mad" -> ("SELECT round(quantile_cont(abs(l_extendedprice - " +
+      "(SELECT round(quantile_cont(l_extendedprice, 0.5), 4) FROM lineitem)), 0.5), 4) AS mad " +
+      "FROM lineitem"),
+    "q_agg_t_test" -> ("WITH m AS (SELECT " +
+      "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::DOUBLE AS n1, " +
+      "sum(CASE WHEN event_type = 'click' THEN value::DECIMAL(28,8) ELSE 0::DECIMAL(28,8) END)::DOUBLE AS s1, " +
+      "sum(CASE WHEN event_type = 'click' THEN value * value ELSE 0.0 END) AS q1, " +
+      "sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::DOUBLE AS n2, " +
+      "sum(CASE WHEN event_type = 'view' THEN value::DECIMAL(28,8) ELSE 0::DECIMAL(28,8) END)::DOUBLE AS s2, " +
+      "sum(CASE WHEN event_type = 'view' THEN value * value ELSE 0.0 END) AS q2 FROM events) " +
+      "SELECT n1::BIGINT AS n1, n2::BIGINT AS n2, " +
+      "round(s1 / n1, 4) AS mean1, round(s2 / n2, 4) AS mean2, " +
+      "round((s1 / n1 - s2 / n2) / sqrt(((q1 - s1 * s1 / n1) / (n1 - 1)) / n1 + " +
+      "((q2 - s2 * s2 / n2) / (n2 - 1)) / n2), 4) AS t_stat FROM m"),
+    "q_agg_cum_card" -> ("WITH fs AS (SELECT user_id, " +
+      "min(epoch_ns(ts) // 3600000000000) AS bucket FROM events GROUP BY 1), " +
+      "pb AS (SELECT bucket, count(*)::BIGINT AS new_users FROM fs GROUP BY 1) " +
+      "SELECT bucket, new_users, " +
+      "(sum(new_users) OVER (ORDER BY bucket))::BIGINT AS cum_users FROM pb ORDER BY bucket"),
+    "q_agg_variable_width" -> ("WITH ed AS (SELECT " +
+      "round(quantile_cont(l_quantity, 0.25), 4) AS e1, " +
+      "round(quantile_cont(l_quantity, 0.50), 4) AS e2, " +
+      "round(quantile_cont(l_quantity, 0.75), 4) AS e3 FROM lineitem) " +
+      "SELECT ((l_quantity >= e1)::INT + (l_quantity >= e2)::INT + (l_quantity >= e3)::INT) AS bucket, " +
+      "round(min(l_quantity), 4) AS min_v, round(max(l_quantity), 4) AS max_v, " +
+      "count(*)::BIGINT AS doc_count, " +
+      "round(sum(l_quantity::DECIMAL(18,4))::DOUBLE / count(*), 4) AS avg_v " +
+      "FROM lineitem CROSS JOIN ed GROUP BY 1 ORDER BY 1"),
+    "q_agg_geo_line" -> (GeoCte +
+      " SELECT c.c_nationkey AS key, " +
+      "array_to_string((list(printf('%.4f,%.4f', g.lat, g.lon) ORDER BY g.c_custkey))[1:5], '|') AS line, " +
+      "least(count(*), 5)::INT AS n_points " +
+      "FROM g JOIN customer c ON c.c_custkey = g.c_custkey " +
+      "GROUP BY 1 ORDER BY 1"),
     "q_agg_rate" -> ("WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS bucket, " +
       "count(*)::BIGINT AS doc_count, " +
       "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_v FROM orders GROUP BY 1) " +
@@ -1277,6 +1397,32 @@ object SparkEntry {
       "(greatest(len(toks) - 2, 0)::DOUBLE - len(list_distinct(list_transform(range(1, len(toks) - 1), " +
       "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))::DOUBLE) / greatest(len(toks) - 2, 0)::DOUBLE " +
       "ELSE 0.0 END, 4) AS rep_ratio FROM tok ORDER BY doc_id"),
+    // non-overlapping 32-token chunks; share of chunks repeated
+    // corpus-wide (mirror of TextAnalysis.paragraphDupRatio; grouping
+    // by chunk text == grouping by its md5)
+    "q_dedup_paragraph" -> (TokCte +
+      ", c AS (SELECT doc_id, array_to_string(toks[s*32 + 1 : s*32 + 32], ' ') AS chunk " +
+      "FROM (SELECT doc_id, unnest(range(0, greatest((len(toks) - 1) // 32, 0) + 1)) AS s, toks " +
+      "FROM tok WHERE len(toks) > 0)), " +
+      "f AS (SELECT chunk, count(*)::BIGINT AS n FROM c GROUP BY 1) " +
+      "SELECT doc_id AS id, count(*)::BIGINT AS n_chunks, " +
+      "sum(CASE WHEN f.n > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_chunks, " +
+      "round(sum(CASE WHEN f.n > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS dup_ratio " +
+      "FROM c JOIN f USING (chunk) GROUP BY 1 ORDER BY 1"),
+    // corpus-unigram mean surprisal per doc (decimal per-token sums)
+    "q_lm_score" -> (TokCte +
+      ", tk AS (SELECT doc_id, unnest(toks) AS term FROM tok), " +
+      "ct AS (SELECT term, count(*)::BIGINT AS ct FROM tk GROUP BY 1), " +
+      "tt AS (SELECT sum(ct)::DOUBLE AS tt FROM ct) " +
+      "SELECT doc_id AS id, " +
+      "round(sum((-ln(ct::DOUBLE / tt))::DECIMAL(28,12))::DOUBLE / count(*), 4) AS surprisal " +
+      "FROM tk JOIN ct USING (term) CROSS JOIN tt GROUP BY 1 ORDER BY 1"),
+    "q_domain_mix" -> ("WITH c AS (SELECT source, count(*)::BIGINT AS n_docs " +
+      "FROM documents GROUP BY 1), " +
+      "t AS (SELECT sum(n_docs)::DOUBLE AS total, count(*)::DOUBLE AS n_sources FROM c) " +
+      "SELECT source, n_docs, round(n_docs / total, 4) AS share, " +
+      "round((1.0 / n_sources) / (n_docs / total), 4) AS weight " +
+      "FROM c CROSS JOIN t ORDER BY source"),
 
     // ---- G ----
     "q_stream_window" -> ("SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type, " +

@@ -630,4 +630,121 @@ object Aggs {
         floor(count(lit(1)).cast("double") / probability).cast("long").as("est_total"),
         Num.round(avg(col(metric)), 4).as("sample_avg"))
   }
+
+  /** `median_absolute_deviation` agg — median(|x - median(x)|), the
+    * robust dispersion metric. Two distributed sort-selections (each a
+    * range-partitioned sort + boundary pick, no single-reducer
+    * percentile); the inner median comes back as ONE driver scalar
+    * between the passes. ES itself approximates with TDigest — this is
+    * the exact oracle-checkable form, same trade as percentilesAgg. */
+  def medianAbsoluteDeviation(df: DataFrame, field: String): DataFrame = {
+    val m = percentilesExactDistributed(df, field, Seq("m" -> 0.5))
+      .head().getDouble(0)
+    val dev = df.select(abs(col(field).cast("double") - lit(m)).as("dev"))
+    percentilesExactDistributed(dev, "dev", Seq("mad" -> 0.5))
+  }
+
+  /** `t_test` agg (unpaired, Welch) between two filter-defined groups:
+    * t = (m1 - m2) / sqrt(s1²/n1 + s2²/n2). One partial-aggregating
+    * pass computes both groups' (n, Σx, Σx²) as conditional decimal
+    * sums — order-independent across engines — and the scalar t-math
+    * happens on the 1-row frame. */
+  def tTestAgg(df: DataFrame, field: String, groupA: Column, groupB: Column): DataFrame = {
+    val x = col(field).cast("decimal(28,8)")
+    // linear sums through decimal (order-independent); squares stay
+    // double (decimal*decimal forces a precision-loss rescale that
+    // differs between engines) — the t ratio is insensitive to the
+    // double-sum's last bits and the output is rounded to 4
+    def side(p: Column, tag: String) = Seq(
+      sum(when(p, 1L).otherwise(0L)).cast("double").as(s"n$tag"),
+      sum(when(p, x).otherwise(lit(0).cast("decimal(28,8)"))).cast("double").as(s"s$tag"),
+      sum(when(p, col(field) * col(field)).otherwise(lit(0.0))).as(s"q$tag"))
+    val aggs = side(groupA, "1") ++ side(groupB, "2")
+    val raw = df.agg(aggs.head, aggs.tail: _*)
+    def mean(tag: String) = col(s"s$tag") / col(s"n$tag")
+    // sample variance from the moment sums: (Σx² - (Σx)²/n) / (n-1)
+    def varS(tag: String) =
+      (col(s"q$tag") - col(s"s$tag") * col(s"s$tag") / col(s"n$tag")) / (col(s"n$tag") - 1)
+    raw.select(
+      col("n1").cast("long").as("n1"),
+      col("n2").cast("long").as("n2"),
+      Num.round(mean("1"), 4).as("mean1"),
+      Num.round(mean("2"), 4).as("mean2"),
+      Num.round(
+        (mean("1") - mean("2")) / sqrt(varS("1") / col("n1") + varS("2") / col("n2")),
+        4).as("t_stat"))
+  }
+
+  /** `cumulative_cardinality` pipeline agg: distinct users seen UP TO
+    * each date_histogram bucket. Not a windowed count-distinct (that
+    * re-scans every prefix): each user contributes once at their
+    * FIRST-SEEN bucket (one shuffle on user), then a running sum over
+    * the tiny bucket frame — the incremental-cardinality trick that
+    * scales to 100 TB of events. `tsBucket` must be a day-granularity
+    * date column already derived from event time. */
+  def cumulativeCardinality(
+      df: DataFrame, userField: String, tsBucket: Column): DataFrame = {
+    val firstSeen = df
+      .groupBy(col(userField).as("u"))
+      .agg(min(tsBucket).as("bucket"))
+    val perBucket = firstSeen.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+      .orderBy(col("bucket"))
+  }
+
+  /** `variable_width_histogram` — ES clusters values into `buckets`
+    * variable-width buckets; the deterministic (oracle-checkable)
+    * analog is equal-depth bucketing on exact quantile edges. Edges
+    * come from ONE distributed sort-selection (driver gets
+    * buckets-1 scalars), then a map-only CASE bucket key + partial
+    * agg — no second sort. Works best over discrete-valued fields
+    * where edges are exact (no FP boundary ambiguity). */
+  def variableWidthHistogram(df: DataFrame, field: String, buckets: Int): DataFrame = {
+    require(buckets >= 2, "variableWidthHistogram needs >= 2 buckets")
+    val qs = (1 until buckets).map(i => s"e$i" -> i.toDouble / buckets)
+    val edges = percentilesExactDistributed(df, field, qs).head()
+    val v = col(field).cast("double")
+    val key = (0 until buckets - 1)
+      .map(i => when(v >= edges.getDouble(i), 1).otherwise(0))
+      .reduce(_ + _)
+    df.where(v.isNotNull)
+      .groupBy(key.as("bucket"))
+      .agg(
+        Num.round(min(v), 4).as("min_v"),
+        Num.round(max(v), 4).as("max_v"),
+        count(lit(1)).as("doc_count"),
+        // decimal sum (order-independent) then DOUBLE division — both
+        // engines' decimal avg() rounds at different scales
+        Num.round(sum(col(field).cast("decimal(18,4)")).cast("double") /
+          count(lit(1)), 4).as("avg_v"))
+      .orderBy(col("bucket"))
+  }
+
+  /** `geo_line` agg: per-group polyline of (lat, lon) points ordered
+    * by a sort field, truncated to `maxPoints` — the "vessel track"
+    * agg. collect_list order is nondeterministic under parallel merge,
+    * so points carry their sort key and the array is sorted PER GROUP
+    * after collection (group-local, no extra shuffle; arrays are
+    * maxPoints-bounded only after slice, so cap group size upstream
+    * at true scale). */
+  def geoLineAgg(
+      df: DataFrame, groupField: String, sortField: String,
+      latCol: Column, lonCol: Column, maxPoints: Int): DataFrame = {
+    df
+      .groupBy(col(groupField).as("key"))
+      .agg(collect_list(struct(col(sortField).as("s"),
+        format_string("%.4f,%.4f", latCol, lonCol).as("p"))).as("pts"))
+      .select(
+        col("key"),
+        // WKT-ish string, not an array: LINESTRING-style pipe join
+        // (array outputs don't survive every downstream compare layer)
+        concat_ws("|", slice(transform(array_sort(col("pts")), x => x.getField("p")),
+          1, maxPoints)).as("line"),
+        least(size(col("pts")), lit(maxPoints)).as("n_points"))
+      .orderBy(col("key"))
+  }
 }

@@ -170,6 +170,51 @@ object QueryDslJson {
         // {"span_near": {"clauses": [{"span_term": {f: w}}, ...],
         //  "slop": n, "in_order": true|false}} — all clauses must
         // target one field (the ES span family's own constraint)
+        // {"span_term": {f: "term"}} — single-term span leaf (token
+        // containment; spans only differ from terms once combined)
+        case ("span_term", JObject(JField(f, v) :: Nil)) =>
+          Search.matchQueryAnd(col(f), lits(v).toString)
+
+        // {"span_or": {"clauses": [<span_term|span_near>...]}}
+        case ("span_or", JObject(parts)) =>
+          parts.toMap.get("clauses") match {
+            case Some(JArray(xs)) =>
+              Search.spanOr(xs.map(compileNode(_, idField)))
+            case _ => throw new IllegalArgumentException("span_or needs clauses")
+          }
+
+        // {"match_bool_prefix": {f: "quick bro"}} — terms anywhere,
+        // last as prefix (search-as-you-type bool form)
+        case ("match_bool_prefix", JObject(JField(f, v) :: Nil)) =>
+          Search.matchBoolPrefix(col(f), lits(v).toString)
+
+        // {"combined_fields": {"query": "...", "fields": [...]}} —
+        // term-centric AND across fields
+        case ("combined_fields", JObject(parts)) =>
+          val m = parts.toMap
+          val q = lits(m.getOrElse("query",
+            throw new IllegalArgumentException("combined_fields needs query"))).toString
+          val fs = m.get("fields") match {
+            case Some(JArray(xs)) => xs.map(x => col(lits(x).toString))
+            case _ => throw new IllegalArgumentException("combined_fields needs fields")
+          }
+          Search.combinedFields(fs, q)
+
+        // {"simple_query_string": {"query": "...", "fields": [...],
+        //  "default_operator": "and"|"or"}}
+        case ("simple_query_string", JObject(parts)) =>
+          val m = parts.toMap
+          val q = lits(m.getOrElse("query",
+            throw new IllegalArgumentException("simple_query_string needs query"))).toString
+          val fs = m.get("fields") match {
+            case Some(JArray(xs)) => xs.map(x =>
+              col(lits(x).toString.split("\\^").head)) // boosts are no-ops in filter context
+            case _ => throw new IllegalArgumentException("simple_query_string needs fields")
+          }
+          val andDefault = m.get("default_operator")
+            .exists(v => lits(v).toString.equalsIgnoreCase("and"))
+          Search.simpleQueryString(fs, q, defaultAnd = andDefault)
+
         case ("span_near", JObject(parts)) =>
           val m = parts.toMap
           val clauses = m.get("clauses") match {

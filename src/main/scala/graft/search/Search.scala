@@ -83,6 +83,174 @@ object Search {
         org.apache.spark.sql.GraftBridge.expression(Analyzer.tokens(field)), q, slop))
   }
 
+  /** `match_bool_prefix` — every analyzed term must be present, the
+    * LAST as a prefix (the "search-as-you-type" bool form: unlike
+    * match_phrase_prefix, terms may appear anywhere, any order). All
+    * codegen'd: array_contains per full term + one substring scan for
+    * the prefix (a leading-space-bounded needle matches any token
+    * START in the space-joined token string). */
+  def matchBoolPrefix(field: Column, query: String): Column = {
+    val q = Analyzer.analyze(query)
+    require(q.nonEmpty, s"match_bool_prefix analyzed to zero tokens: $query")
+    val toks = Analyzer.tokens(field)
+    val joined = concat(lit(" "), concat_ws(" ", toks), lit(" "))
+    val prefix = joined.contains(" " + q.last)
+    (q.init.map(t => array_contains(toks, t)) :+ prefix).reduce(_ && _)
+  }
+
+  /** `combined_fields` (filter form) — term-centric AND across fields:
+    * every analyzed term must appear in at least one of the fields, as
+    * if their token streams were one combined field. Contrast with
+    * multi_match's field-centric best_fields. */
+  def combinedFields(fields: Seq[Column], query: String): Column = {
+    require(fields.nonEmpty, "combined_fields needs at least one field")
+    val q = Analyzer.analyze(query)
+    require(q.nonEmpty, s"combined_fields analyzed to zero tokens: $query")
+    val toksPerField = fields.map(Analyzer.tokens)
+    q.map(term => toksPerField.map(ts => array_contains(ts, term)).reduce(_ || _))
+      .reduce(_ && _)
+  }
+
+  /** `span_or`: any of the compiled span clauses matches — pure
+    * disjunction, provided for the JSON DSL's span tree. */
+  def spanOr(clauses: Seq[Column]): Column = {
+    require(clauses.nonEmpty, "span_or needs at least one clause")
+    clauses.reduce(_ || _)
+  }
+
+  // ---- simple_query_string ----------------------------------------
+  //
+  // ES's fault-tolerant mini-language: `+` AND, `|` OR, `-` NOT,
+  // `"..."` phrase, trailing `*` prefix, `(...)` grouping; bare
+  // whitespace applies default_operator. AND binds tighter than OR;
+  // `-` binds to the following operand. Compiled driver-side to a
+  // filter-context Column (leaves OR across `fields`, mirroring the
+  // reference's per-field expansion).
+
+  private sealed trait SqsTok
+  private case object SqsAnd extends SqsTok
+  private case object SqsOr extends SqsTok
+  private case object SqsNot extends SqsTok
+  private case object SqsOpen extends SqsTok
+  private case object SqsClose extends SqsTok
+  private final case class SqsPhrase(p: String) extends SqsTok
+  private final case class SqsWord(w: String, prefix: Boolean) extends SqsTok
+
+  private def sqsLex(q: String, defaultAnd: Boolean): List[SqsTok] = {
+    val out = scala.collection.mutable.ListBuffer.empty[SqsTok]
+    var i = 0
+    while (i < q.length) {
+      q.charAt(i) match {
+        case c if c.isWhitespace => i += 1
+        case '+' => out += SqsAnd; i += 1
+        case '|' => out += SqsOr; i += 1
+        case '-' => out += SqsNot; i += 1
+        case '(' => out += SqsOpen; i += 1
+        case ')' => out += SqsClose; i += 1
+        case '"' =>
+          val end = q.indexOf('"', i + 1)
+          // unterminated quote: lenient like ES — treat rest as phrase
+          val stop = if (end < 0) q.length else end
+          out += SqsPhrase(q.substring(i + 1, stop))
+          i = stop + 1
+        case _ =>
+          val start = i
+          while (i < q.length && !" \t\n\r+|()\"".contains(q.charAt(i))) i += 1
+          val raw = q.substring(start, i)
+          if (raw.endsWith("*")) out += SqsWord(raw.dropRight(1), prefix = true)
+          else out += SqsWord(raw, prefix = false)
+      }
+    }
+    // insert the default operator between adjacent operands (operand =
+    // word/phrase/group-open preceded by word/phrase/group-close/NOT
+    // chain start)
+    val defOp: SqsTok = if (defaultAnd) SqsAnd else SqsOr
+    val toks = out.toList
+    val withDefaults = scala.collection.mutable.ListBuffer.empty[SqsTok]
+    var prevOperandEnd = false
+    toks.foreach { t =>
+      val startsOperand = t match {
+        case _: SqsWord | _: SqsPhrase | SqsOpen | SqsNot => true
+        case _ => false
+      }
+      if (prevOperandEnd && startsOperand) withDefaults += defOp
+      withDefaults += t
+      prevOperandEnd = t match {
+        case _: SqsWord | _: SqsPhrase | SqsClose => true
+        case _ => false
+      }
+    }
+    withDefaults.toList
+  }
+
+  /** `simple_query_string` over one or more fields. Never throws on
+    * operator misuse (the ES contract): empty/unanalyzable leaves
+    * compile to `false`. */
+  def simpleQueryString(
+      fields: Seq[Column], query: String, defaultAnd: Boolean = false): Column = {
+    require(fields.nonEmpty, "simple_query_string needs at least one field")
+    var toks = sqsLex(query, defaultAnd)
+
+    def leaf(t: SqsTok): Column = t match {
+      case SqsPhrase(p) =>
+        if (Analyzer.analyze(p).isEmpty) lit(false)
+        else fields.map(f => matchPhrase(f, p)).reduce(_ || _)
+      case SqsWord(w, pfx) =>
+        Analyzer.analyze(w) match {
+          case Seq() => lit(false)
+          case terms =>
+            val term = terms.head // a word lexes to one token
+            fields.map { f =>
+              if (pfx)
+                concat(lit(" "), concat_ws(" ", Analyzer.tokens(f)), lit(" "))
+                  .contains(" " + term)
+              else array_contains(Analyzer.tokens(f), term)
+            }.reduce(_ || _)
+        }
+      case _ => lit(false)
+    }
+
+    def peek: Option[SqsTok] = toks.headOption
+    def next(): SqsTok = { val h = toks.head; toks = toks.tail; h }
+
+    def parseUnary(): Column = peek match {
+      case Some(SqsNot) =>
+        next()
+        peek match {
+          // negation needs a real operand; a dangling '-' is a no-op
+          // leaf (false), NOT the negation of nothing (all docs)
+          case Some(_: SqsWord) | Some(_: SqsPhrase) | Some(SqsOpen) =>
+            !coalesce(parseUnary(), lit(false))
+          case _ => lit(false)
+        }
+      case Some(SqsOpen) =>
+        next()
+        val e = parseOr()
+        if (peek.contains(SqsClose)) next()
+        e
+      case Some(_: SqsWord) | Some(_: SqsPhrase) => leaf(next())
+      // dangling operator / close: lenient no-op leaf
+      case _ => if (toks.nonEmpty) next(); lit(false)
+    }
+
+    def parseAnd(): Column = {
+      var e = parseUnary()
+      while (peek.contains(SqsAnd)) { next(); e = e && parseUnary() }
+      e
+    }
+
+    def parseOr(): Column = {
+      var e = parseAnd()
+      while (peek.contains(SqsOr)) { next(); e = e || parseAnd() }
+      e
+    }
+
+    val compiled = parseOr()
+    // drain any trailing garbage (unbalanced closes) — leniency again
+    while (toks.nonEmpty) next()
+    compiled
+  }
+
   /** `terms_set` query: match documents containing at least
     * `minimumShouldMatch` of the given terms (the analyzed-text form;
     * ES's per-doc minimum_should_match_field variant passes a Column).

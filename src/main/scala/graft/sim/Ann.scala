@@ -234,4 +234,68 @@ object Ann {
       .where(col("rank") <= k)
       .orderBy(col("query_id").asc, col("rank").asc)
   }
+
+  /** The ES 8 `knn` search surface:
+    * `{"knn": {"field": f, "query_vector": [...], "k": n,
+    *   "num_candidates": m, "filter": {<query-dsl>}}}`.
+    * The filter is a PRE-filter (restricts the searched corpus, like
+    * ES), compiled through the Query-DSL JSON compiler so it pushes
+    * down to the scan. `num_candidates` selects the execution path,
+    * mirroring ES's accuracy/cost knob: >= corpus budget -> exact
+    * brute force (broadcast query, one corpus stream); below it ->
+    * IVF probing bounded by ~num_candidates scanned vectors per
+    * query. Output: (id, cosine, rank) for the single query vector. */
+  def knnSearch(
+      corpus: DataFrame,
+      idCol: String,
+      knnJson: String,
+      idField: String = "_id"): DataFrame = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val root = JsonMethods.parse(knnJson) match {
+      case JObject(JField("knn", JObject(parts)) :: Nil) => parts.toMap
+      case JObject(parts) => parts.toMap // bare body accepted too
+      case other => throw new IllegalArgumentException(s"bad knn query: $other")
+    }
+    val field = root.get("field") match {
+      case Some(JString(f)) => f
+      case _ => throw new IllegalArgumentException("knn needs field")
+    }
+    val qv = root.get("query_vector") match {
+      case Some(JArray(xs)) => xs.map {
+        case JDouble(d) => d
+        case JInt(i) => i.toDouble
+        case JDecimal(d) => d.toDouble
+        case other => throw new IllegalArgumentException(s"bad vector component: $other")
+      }
+      case _ => throw new IllegalArgumentException("knn needs query_vector")
+    }
+    val k = root.get("k").collect { case JInt(i) => i.toInt }.getOrElse(10)
+    val numCandidates =
+      root.get("num_candidates").collect { case JInt(i) => i.toInt }.getOrElse(10 * k)
+    val filtered = root.get("filter") match {
+      case Some(f) => corpus.where(graft.dsl.QueryDslJson.compile(
+        JsonMethods.compact(JsonMethods.render(f)), idField))
+      case None => corpus
+    }
+    // the query vector as a 1-row frame with an id no corpus doc has,
+    // so the tested brute/IVF paths apply unchanged
+    val spark = corpus.sparkSession
+    val queries = spark.range(1).select(
+      lit(-1L).as(idCol),
+      array(qv.map(lit): _*).as(field))
+    val result =
+      // ES semantics: num_candidates bounds the per-shard approximate
+      // stage; at or beyond this budget the search is effectively
+      // exhaustive, so route to the exact single-stream path
+      if (numCandidates >= 100000)
+        bruteForceTopK(filtered, queries, idCol, field, k)
+      else {
+        // approximate stage: 16-list IVF; num_candidates maps to the
+        // probe count (more candidates = more lists scanned)
+        val nprobe = math.max(1, math.min(16, numCandidates / math.max(1, 4 * k)))
+        ivfTopK(filtered, queries, idCol, field, nCentroids = 16, nprobe = nprobe, k = k)
+      }
+    result.select(col("id"), col("cosine"), col("rank"))
+  }
 }

@@ -274,4 +274,78 @@ object TextAnalysis {
       lit(0L),
       (acc, t) => (acc * 31L + tokHash(t)) % M)
   }
+
+  /** Paragraph-level (sub-document) duplication ratio — the
+    * C4/RefinedWeb-style signal "how much of this doc repeats text
+    * seen elsewhere in the corpus". The paragraph unit here is a
+    * fixed token window (the corpus has no layout breaks): docs are
+    * chunked non-overlapping, chunks are md5-keyed, one global count
+    * per chunk key, and each doc reports the share of its chunks
+    * occurring more than once corpus-wide (including within-doc
+    * repeats). Shuffle moves (chunk_hash, id) pairs — the 128-bit key,
+    * never chunk text. */
+  def paragraphDupRatio(
+      docs: DataFrame, idCol: String, textCol: String, chunkSize: Int): DataFrame = {
+    val chunks = chunkTokens(docs, idCol, textCol, chunkSize, 0)
+      .select(col("id"), md5(col("chunk_text")).as("h"))
+    val freq = chunks.groupBy(col("h")).agg(count(lit(1)).as("n"))
+    chunks
+      .join(freq, Seq("h"))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("n") > 1L, 1L).otherwise(0L)).as("dup_chunks"))
+      .select(
+        col("id"), col("n_chunks"), col("dup_chunks"),
+        Num.round(col("dup_chunks").cast("double") / col("n_chunks"), 4).as("dup_ratio"))
+      .orderBy(col("id"))
+  }
+
+  /** Unigram-LM quality score — mean token surprisal -ln p(t) under
+    * the corpus's own unigram distribution (the cheap, trainable-
+    * nowhere stand-in for perplexity filtering; high = rare-token
+    * docs). Pass 1: one partial-aggregating term-count (vocabulary-
+    * sized, not corpus-sized). Pass 2: tokens re-joined to the count
+    * table on term — AQE broadcasts it while the vocabulary fits,
+    * shuffle-joins beyond that — then one per-doc aggregate. Per-token
+    * surprisals go through DECIMAL so the per-doc sum is
+    * aggregation-order independent. */
+  def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(Analyzer.tokens(col(textCol))).as("term"))
+    val counts = toks.groupBy(col("term")).agg(count(lit(1)).as("ct"))
+    val total = counts.agg(sum(col("ct")).as("tt"))
+    toks
+      .join(counts, Seq("term"))
+      .crossJoin(broadcast(total))
+      .select(col("id"),
+        (-log(col("ct").cast("double") / col("tt").cast("double")))
+          .cast("decimal(28,12)").as("srp"))
+      .groupBy(col("id"))
+      .agg(Num.round(
+        sum(col("srp")).cast("double") / count(lit(1)), 4).as("surprisal"))
+      .orderBy(col("id"))
+  }
+
+  /** Domain-mix rebalancing weights: per-source document share and the
+    * per-doc sampling weight that would flatten the mix to a uniform
+    * target (weight = target_share / actual_share, the standard
+    * mixture-reweighting step before temperature sampling). One
+    * partial-aggregating pass + scalar math on the tiny per-source
+    * frame. */
+  def domainMixWeights(docs: DataFrame, sourceCol: String): DataFrame = {
+    val counts = docs.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = counts.agg(
+      sum(col("n_docs")).cast("double").as("total"),
+      count(lit(1)).cast("double").as("n_sources"))
+    counts
+      .crossJoin(broadcast(totals))
+      .select(
+        col("source"), col("n_docs"),
+        Num.round(col("n_docs") / col("total"), 4).as("share"),
+        Num.round((lit(1.0) / col("n_sources")) /
+          (col("n_docs") / col("total")), 4).as("weight"))
+      .orderBy(col("source"))
+  }
 }

@@ -82,4 +82,53 @@ class AggsSpec extends SparkSpec {
       .as[(String, Long, Long, Double)].collect()
     assert(st.head._1 == "special")
   }
+
+  test("median_absolute_deviation: robust to the outlier") {
+    // values 1..9 plus outlier 1000: median 5.5 -> |x-5.5| median stays small
+    val d = ((1 to 9).map(_.toDouble) :+ 1000.0).map(Tuple1(_)).toDF("v")
+    val mad = Aggs.medianAbsoluteDeviation(d, "v").collect().head.getDouble(0)
+    assert(mad == 2.5) // deviations 4.5,3.5,...,0.5,...,994.5 -> median 2.5
+  }
+
+  test("t_test: equal samples give t=0; shifted samples give known t") {
+    val d = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 1.0), ("b", 2.0), ("b", 3.0))
+      .toDF("g", "v")
+    val r0 = Aggs.tTestAgg(d, "v", col("g") === "a", col("g") === "b").collect().head
+    assert(r0.getAs[Double]("t_stat") == 0.0)
+    val d2 = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 3.0), ("b", 4.0), ("b", 5.0))
+      .toDF("g", "v")
+    val r2 = Aggs.tTestAgg(d2, "v", col("g") === "a", col("g") === "b").collect().head
+    // diff -2, se = sqrt(1/3 + 1/3) -> t = -2.4495
+    assert(math.abs(r2.getAs[Double]("t_stat") + 2.4495) < 1e-9)
+  }
+
+  test("cumulative_cardinality counts users at first-seen bucket only") {
+    val ev = Seq((1L, 10L), (1L, 20L), (2L, 10L), (3L, 20L), (3L, 30L))
+      .toDF("user_id", "b")
+    val r = Aggs.cumulativeCardinality(ev, "user_id", col("b"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(r == Seq((10L, 2L, 2L), (20L, 1L, 3L)))
+  }
+
+  test("variable_width_histogram: equal-depth buckets partition the data") {
+    val d = (1 to 100).map(_.toDouble).map(Tuple1(_)).toDF("v")
+    val r = Aggs.variableWidthHistogram(d, "v", 4)
+      .collect().map(x => (x.getAs[Int]("bucket"), x.getAs[Long]("doc_count"),
+        x.getAs[Double]("min_v"), x.getAs[Double]("max_v")))
+    assert(r.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    assert(r.map(_._2).sum == 100L)
+    // buckets are contiguous, ordered, non-overlapping
+    r.sliding(2).foreach { case Array(a, b) => assert(a._4 < b._3) }
+  }
+
+  test("geo_line: per-group ordered truncated polyline") {
+    val d = Seq(
+      ("x", 3L, 1.0, 3.0), ("x", 1L, 1.0, 1.0), ("x", 2L, 1.0, 2.0),
+      ("y", 1L, 2.0, 1.0)).toDF("g", "seq", "la", "lo")
+    val r = Aggs.geoLineAgg(d, "g", "seq", col("la"), col("lo"), 2)
+      .as[(String, String, Int)].collect().toSeq
+    assert(r == Seq(
+      ("x", "1.0000,1.0000|1.0000,2.0000", 2),
+      ("y", "2.0000,1.0000", 1)))
+  }
 }

@@ -128,4 +128,59 @@ class AnnTextSpec extends SparkSpec {
       .toDF("text").select(TextAnalysis.redactPii(col("text"))).as[String].collect().head
     assert(out == "see [URL] or mail [EMAIL] now [NUM] ok 12345")
   }
+
+  test("knnSearch: ES surface with pre-filter; exact and IVF paths") {
+    import spark.implicits._
+    val labeled = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.99f, 0.1f, 0.0f, 0.0f), 1),
+      (3L, Array(0.98f, 0.15f, 0.0f, 0.0f), 0),
+      (4L, Array(0.0f, 1.0f, 0.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    val json = """{"knn": {"field": "embedding",
+      "query_vector": [1.0, 0.0, 0.0, 0.0], "k": 2,
+      "num_candidates": 100000, "filter": {"term": {"label": 0}}}}"""
+    val r = Ann.knnSearch(labeled, "vec_id", json)
+      .as[(Long, Double, Int)].collect()
+    // label-1 doc (the true 2nd-nearest) is pre-filtered out
+    assert(r.map(_._1).toSeq == Seq(1L, 3L))
+    assert(r.map(_._3).toSeq == Seq(1, 2))
+    // low num_candidates routes through IVF and still excludes label 1
+    val approx = Ann.knnSearch(labeled, "vec_id",
+      """{"knn": {"field": "embedding", "query_vector": [1.0, 0.0, 0.0, 0.0],
+         "k": 2, "num_candidates": 8, "filter": {"term": {"label": 0}}}}""")
+      .as[(Long, Double, Int)].collect()
+    assert(!approx.map(_._1).contains(2L))
+  }
+
+  test("paragraphDupRatio flags cross-doc repeated chunks") {
+    import spark.implicits._
+    val rep = (1 to 40).map(i => s"w$i").mkString(" ") // one full 32+-token chunk prefix
+    val docs = Seq(
+      (1L, rep), (2L, rep), // identical -> chunks shared
+      (3L, (100 to 140).map(i => s"u$i").mkString(" "))).toDF("doc_id", "text")
+    val r = TextAnalysis.paragraphDupRatio(docs, "doc_id", "text", 32)
+      .as[(Long, Long, Long, Double)].collect().map(x => x._1 -> x._4).toMap
+    assert(r(1L) == 1.0 && r(2L) == 1.0 && r(3L) == 0.0)
+  }
+
+  test("unigramSurprisal: rare-token docs score higher") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common common common common"),
+      (2L, "common rareword")).toDF("doc_id", "text")
+    val r = TextAnalysis.unigramSurprisal(docs, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    assert(r(2L) > r(1L))
+  }
+
+  test("domainMixWeights: uniform target upweights rare sources") {
+    import spark.implicits._
+    val docs = (1 to 9).map(i => (i.toLong, if (i <= 6) "a" else "b")).toDF("doc_id", "source")
+    val rows = TextAnalysis.domainMixWeights(docs, "source")
+      .as[(String, Long, Double, Double)].collect()
+    val byS = rows.map(x => x._1 -> x).toMap
+    assert(byS("a")._2 == 6L && byS("b")._2 == 3L)
+    // shares 2/3 and 1/3; uniform target 1/2 -> weights 0.75 and 1.5
+    assert(byS("a")._4 == 0.75 && byS("b")._4 == 1.5)
+  }
 }

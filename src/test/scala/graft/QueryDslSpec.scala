@@ -86,4 +86,22 @@ class QueryDslSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(ts == Set(1L, 2L))
   }
+
+  test("json span_or / match_bool_prefix / combined_fields / simple_query_string") {
+    val docs = Seq(
+      (1L, "fast hash join wins", "srcA"),
+      (2L, "vector search db", "srcB"),
+      (3L, "hash only batch", "srcA")).toDF("id", "text", "source")
+    def ids(json: String) = docs.where(graft.dsl.QueryDslJson.compile(json))
+      .select("id").as[Long].collect().toSet
+    // span_or: single-term span OR adjacent span_near
+    assert(ids("""{"span_or": {"clauses": [{"span_term": {"text": "vector"}},
+      {"span_near": {"clauses": [{"span_term": {"text": "hash"}},
+        {"span_term": {"text": "join"}}], "slop": 0, "in_order": false}}]}}""") == Set(1L, 2L))
+    assert(ids("""{"match_bool_prefix": {"text": "hash bat"}}""") == Set(3L))
+    assert(ids("""{"combined_fields": {"query": "hash srca",
+      "fields": ["text", "source"]}}""") == Set(1L, 3L))
+    assert(ids("""{"simple_query_string": {"query": "hash + -join | vector",
+      "fields": ["text"]}}""") == Set(2L, 3L))
+  }
 }

@@ -86,4 +86,53 @@ class SearchSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(dupTerm == Set(1L, 2L, 4L))
   }
+
+  test("simple_query_string: operators, phrase, prefix, negation, grouping") {
+    import graft.search.Search
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      (1L, "fast hash join plan"),
+      (2L, "merge batch stream"),
+      (3L, "slow merge batch"),
+      (4L, "hash only here"),
+      (5L, "prefix battalion x")).toDF("id", "text")
+    def ids(q: String, andOp: Boolean = false) =
+      df.where(Search.simpleQueryString(Seq(col("text")), q, defaultAnd = andOp))
+        .select("id").as[Long].collect().toSet
+    // AND via +, OR via |
+    assert(ids("hash + join") == Set(1L))
+    assert(ids("join | stream") == Set(1L, 2L))
+    // phrase + negation: "merge batch" but not slow
+    assert(ids("\"merge batch\" + -slow") == Set(2L))
+    // prefix: bat* matches batch and battalion
+    assert(ids("bat*") == Set(2L, 3L, 5L))
+    // default operator: OR vs AND
+    assert(ids("hash stream") == Set(1L, 2L, 4L))
+    assert(ids("hash stream", andOp = true) == Set.empty)
+    // grouping
+    assert(ids("(join | stream) + merge") == Set(2L))
+    // lenient on dangling operators — no throw, no match explosion
+    assert(ids("+ | -") == Set.empty)
+  }
+
+  test("match_bool_prefix and combined_fields") {
+    import graft.search.Search
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      (1L, "merge the batch now", "src1"),
+      (2L, "batch then merge", "src2"),
+      (3L, "merge alone", "src1"),
+      (4L, "bat merge", "src9")).toDF("id", "text", "source")
+    // merge anywhere + "bat" prefix anywhere (order-free, unlike
+    // match_phrase_prefix)
+    val mbp = df.where(Search.matchBoolPrefix(col("text"), "merge bat"))
+      .select("id").as[Long].collect().toSet
+    assert(mbp == Set(1L, 2L, 4L))
+    // term-centric AND across the combined (text, source) field
+    val cf = df.where(Search.combinedFields(Seq(col("text"), col("source")), "merge src1"))
+      .select("id").as[Long].collect().toSet
+    assert(cf == Set(1L, 3L))
+  }
 }
