@@ -69,6 +69,23 @@ object ScaleProbe {
     time("simhash_pairs_10x") {
       Dedup.simhashPairs(docs, "doc_id", "text", 3).count()
     }
+    // r4 additions — the new corpus-shuffling pipeline signals.
+    // paragraph dedup shuffles (chunk_hash, id); replicated docs make
+    // every chunk a 10x-duplicate (worst case for the count join).
+    spark.catalog.clearCache()
+    time("paragraph_dup_10x") {
+      graft.text.TextAnalysis.paragraphDupRatio(docs, "doc_id", "text", 32).count()
+    }
+    // unigram surprisal explodes every token (the widest shuffle in
+    // the text family: ~50-300 rows per doc) then re-joins the
+    // vocabulary-sized count table
+    time("lm_surprisal_10x") {
+      graft.text.TextAnalysis.unigramSurprisal(docs, "doc_id", "text").count()
+    }
+    time("cum_cardinality_10x") {
+      val ev = times(Tables.events(spark, sfDir), "user_id", 100000L)
+      Aggs.cumulativeCardinality(ev, "user_id", expr("ts_ns div 3600000000000")).count()
+    }
     spark.stop()
   }
 }

@@ -98,6 +98,43 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Windowed distinct-user cardinality — the streaming form of the
+    * `cardinality` agg inside a `date_histogram`. HLL sketch state
+    * per open window (approx_count_distinct is a mergeable partial
+    * agg, so it streams at fixed per-window memory where exact
+    * distinct would buffer every key); watermark bounds the number of
+    * open windows. Runs identically on a batch frame (the watermark
+    * is a no-op there). */
+  def windowedUserCardinality(
+      events: DataFrame, width: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .select(col("w.start").as("w_start"), col("approx_users"))
+
+  /** Windowed value profile — count / decimal sum / approx p50+p95
+    * per tumbling window: the `stats`+`percentiles` agg pair under a
+    * date_histogram, streaming-ready (percentile_approx keeps one
+    * bounded sketch per window; the decimal sum is order-independent
+    * across micro-batches). */
+  def windowedValueProfile(
+      events: DataFrame, width: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Num.round(sum(col("value").cast("decimal(18,4)")).cast("double"), 4).as("sum_value"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50"),
+        percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95"))
+      .select(col("w.start").as("w_start"), col("n_events"),
+        col("sum_value"), col("p50"), col("p95"))
+
   /** JSON props access — ES documents are JSON; the connector maps
     * fields. Extract a typed field from the raw JSON column. */
   def propsField(events: DataFrame, field: String): DataFrame =

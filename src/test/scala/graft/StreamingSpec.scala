@@ -141,6 +141,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed cardinality + value profile: identical on batch and stream") {
+    val ev = Tables.events(spark, sfDir)
+    val batchCard = EventStreams.windowedUserCardinality(ev)
+      .as[(java.sql.Timestamp, Long)].collect().toSet
+    val batchProf = EventStreams.windowedValueProfile(ev)
+      .as[(java.sql.Timestamp, Long, Double, Double, Double)].collect().toSet
+    val streamIn = spark.readStream
+      .schema(Tables.eventsSchema)
+      .parquet(streamDir)
+      .withColumnRenamed("ts", "ts_ns")
+    val q1 = EventStreams.windowedUserCardinality(streamIn)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("card_out").start()
+    val q2 = EventStreams.windowedValueProfile(streamIn)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("prof_out").start()
+    try {
+      q1.processAllAvailable(); q2.processAllAvailable()
+      val sCard = spark.table("card_out")
+        .as[(java.sql.Timestamp, Long)].collect().toSet
+      val sProf = spark.table("prof_out")
+        .as[(java.sql.Timestamp, Long, Double, Double, Double)].collect().toSet
+      assert(sCard == batchCard && batchCard.nonEmpty)
+      assert(sProf == batchProf && batchProf.nonEmpty)
+      // HLL estimate stays within its error bound of the exact count
+      val exact = ev
+        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+        .groupBy(window(col("ts"), "1 hour")).agg(countDistinct(col("user_id")).as("n"))
+        .agg(sum(col("n"))).as[Long].collect().head
+      val approxTotal = batchCard.toSeq.map(_._2).sum
+      assert(math.abs(approxTotal - exact).toDouble / exact < 0.15)
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("graftStream: streaming read of an index with an ES query applied") {
     import graft.sources.Connector.implicits._
     val dir = Files.createTempDirectory("graft_rstream").toString + "/idx"
