@@ -138,6 +138,25 @@ object HashKernels {
       Array[Any](n.toLong, seen.size.toLong, hits))
   }
 
+  /** Polynomial rolling fingerprint over an ordered token array:
+    * acc = (acc * 31 + (md5_48(tok) % M)) % M, M = 1e9+7. Value-
+    * identical to the `aggregate` HOF formulation in
+    * TextAnalysis.fingerprint (hash48 == conv(substr(md5,1,12),16,10))
+    * and to the DuckDB oracle's list_reduce — but one compiled loop
+    * instead of an interpreted fold with per-token hex-string md5. */
+  def fingerprintKernel(arr: ArrayData): Long = {
+    val md = MessageDigest.getInstance("MD5")
+    val M = 1000000007L
+    var acc = 0L
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      acc = (acc * 31L + hash48(md, arr.getUTF8String(i).getBytes) % M) % M
+      i += 1
+    }
+    acc
+  }
+
   /** cosine over two double arrays; fold order identical to the HOF
     * formulation (init 0.0, ascending index) for bit parity. */
   def cosineKernel(x: ArrayData, y: ArrayData): Double = {
@@ -372,6 +391,26 @@ case class MinHashSig(child: Expression, numHashes: Int)
       s"${ev.value} = graft.expr.HashKernels.minhashSigKernel($c, $numHashes);")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** array<string> ordered tokens -> polynomial rolling fingerprint. */
+case class RollingFingerprint(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] = Seq(ArrayType(StringType))
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_fingerprint"
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(HashKernels.fingerprintKernel(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.HashKernels.fingerprintKernel($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingFingerprint =
     copy(child = newChild)
 }
 

@@ -266,14 +266,14 @@ object TextAnalysis {
     * keeps every intermediate < 2^35 (no overflow in either engine).
     * Identical token streams => identical fingerprint; any reorder or
     * edit changes it (unlike the bag-of-words content_hash). */
-  def fingerprint(text: Column): Column = {
-    val M = 1000000007L
-    val tokHash = (t: Column) => conv(substring(md5(t), 1, 12), 16, 10).cast("long") % M
-    aggregate(
-      Analyzer.tokens(text),
-      lit(0L),
-      (acc, t) => (acc * 31L + tokHash(t)) % M)
-  }
+  def fingerprint(text: Column): Column =
+    // native compiled kernel — the `aggregate` HOF fold with a
+    // per-token hex-string md5 is CodegenFallback and ~3x slower;
+    // fingerprintKernel computes the identical value (hash48 ==
+    // conv(substr(md5,1,12),16,10), same fold order and modulus)
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expr.RollingFingerprint(
+        org.apache.spark.sql.GraftBridge.expression(Analyzer.tokens(text))))
 
   /** Paragraph-level (sub-document) duplication ratio — the
     * C4/RefinedWeb-style signal "how much of this doc repeats text

@@ -121,4 +121,21 @@ class KernelPropertySpec extends AnyFunSuite {
         HashKernels.spanNearKernel(arr(toks), t, slop)
     })
   }
+
+  test("fingerprintKernel == naive md5 polynomial fold") {
+    val M = 1000000007L
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map(b => f"$b%02x").mkString
+    }
+    // the documented construction: conv(substr(md5_hex,1,12),16,10)
+    def naive(toks: List[String]): Long =
+      toks.foldLeft(0L) { (acc, t) =>
+        (acc * 31L + java.lang.Long.parseLong(md5hex(t).take(12), 16) % M) % M
+      }
+    check(Prop.forAll(doc) { toks =>
+      HashKernels.fingerprintKernel(arr(toks)) == naive(toks)
+    })
+  }
 }
