@@ -16,7 +16,10 @@ object Plans {
         "q_has_child", "q_pinned",
         // r3 flagships
         "q_chunk", "q_contamination", "q_agg_children", "q_span_near",
-        "q_sample_strat", "q_agg_rate", "q_agg_auto_date_histogram")
+        "q_sample_strat", "q_agg_rate", "q_agg_auto_date_histogram",
+        // r4 flagships
+        "q_knn", "q_dedup_paragraph", "q_lm_score", "q_agg_cum_card",
+        "q_simple_query_string", "q_agg_variable_width")
       case names => names
     }) {
       println(s"========= $name")
