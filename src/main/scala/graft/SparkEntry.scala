@@ -243,6 +243,46 @@ object SparkEntry {
              {"span_near": {"clauses": [{"span_term": {"text": "join"}},
                {"span_term": {"text": "hash"}}], "slop": 1, "in_order": false}}]}}"""))
       .select(col("doc_id")).orderBy(col("doc_id"))),
+    // _search/template: mustache-rendered query -> DSL compile; the
+    // min_chars param exercises scalar substitution, the absent
+    // boost param exercises the inverted-section default
+    "q_search_template" -> ((s, d) => t(s, d, "documents")
+      .where(graft.dsl.SearchTemplate.compile(
+        """{"source": "{\"bool\": {\"must\": [{\"term\": {\"lang\": \"{{lang}}\"}}, {\"range\": {\"n_chars\": {\"gte\": {{min_chars}}{{^min_chars}}100{{/min_chars}}}}}]}}",
+           "params": {"lang": "en", "min_chars": 200}}"""))
+      .select(col("doc_id")).orderBy(col("doc_id"))),
+    // _rank_eval: precision/MRR/DCG/recall of the BM25 top-10 against
+    // graded ratings (rating = matched-query-terms - 1)
+    "q_rank_eval" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val results = Search.bm25TopK(docs, "doc_id", "text", "fast hash join", 10)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score").desc, col("id").asc)))
+        .select(lit(1L).as("query_id"), col("id"), col("rank"))
+      val toks = graft.analysis.Analyzer.tokens(col("text"))
+      val ratings = docs.select(
+        lit(1L).as("query_id"),
+        col("doc_id").as("id"),
+        (Seq("fast", "hash", "join")
+          .map(t => when(array_contains(toks, t), 1).otherwise(0))
+          .reduce(_ + _) - 1).as("rating"))
+        .where(col("rating") > 0)
+      Search.rankEval(results, ratings, 10)
+    }),
+    // geo_shape envelope relation over doc-side envelopes
+    "q_geo_shape" -> ((s, d) => {
+      val c = withGeo(t(s, d, "customer"))
+        .withColumn("min_lat", col("lat") - (col("c_custkey") % 10).cast("double") / 10.0)
+        .withColumn("max_lat", col("lat") + (col("c_custkey") % 10).cast("double") / 10.0)
+        .withColumn("min_lon", col("lon") - (col("c_custkey") % 7).cast("double") / 7.0)
+        .withColumn("max_lon", col("lon") + (col("c_custkey") % 7).cast("double") / 7.0)
+      c.where(Relational.envelopeRelation(
+          col("min_lat"), col("max_lat"), col("min_lon"), col("max_lon"),
+          -10.0, 10.0, -20.0, 20.0, "intersects"))
+        .select(col("c_custkey"), col("min_lat"), col("max_lon"))
+        .orderBy(col("c_custkey"))
+    }),
     // ES 8 knn search surface: pre-filter + exact top-k at a
     // num_candidates budget that covers the corpus
     "q_knn" -> ((s, d) => {
@@ -825,6 +865,26 @@ object SparkEntry {
       "(len(p1) > 0 AND len(p2) > 0 AND " +
       "len(list_filter(p1, i -> len(list_filter(p2, j -> greatest(i, j) - least(i, j) + 1 - 2 <= 1)) > 0)) > 0) " +
       "ORDER BY doc_id"),
+    "q_search_template" -> ("SELECT doc_id FROM documents " +
+      "WHERE lang = 'en' AND n_chars >= 200 ORDER BY doc_id"),
+    "q_rank_eval" -> (TokCte + bm25Ctes("", "tok", Seq("fast", "hash", "join")) +
+      ", rk AS (SELECT id, rank FROM (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rank FROM sc) WHERE rank <= 10), " +
+      "rt AS (SELECT doc_id AS id, (list_contains(toks, 'fast')::INT + list_contains(toks, 'hash')::INT + list_contains(toks, 'join')::INT) - 1 AS rating " +
+      "FROM tok WHERE (list_contains(toks, 'fast')::INT + list_contains(toks, 'hash')::INT + list_contains(toks, 'join')::INT) - 1 > 0), " +
+      "j AS (SELECT rk.rank, rt.rating FROM rk LEFT JOIN rt USING (id)) " +
+      "SELECT 1::BIGINT AS query_id, " +
+      "round(sum(CASE WHEN rating > 0 THEN 1.0 ELSE 0.0 END) / 10, 4) AS precision_k, " +
+      "round(coalesce(1.0 / min(CASE WHEN rating > 0 THEN rank END), 0.0), 4) AS mrr, " +
+      "round(sum(CASE WHEN rating > 0 THEN (pow(2.0, rating) - 1.0) / (ln(rank + 1.0) / ln(2.0)) ELSE 0.0 END), 4) AS dcg_k, " +
+      "round(sum(CASE WHEN rating > 0 THEN 1 ELSE 0 END)::DOUBLE / (SELECT count(*) FROM rt), 4) AS recall_k " +
+      "FROM j"),
+    "q_geo_shape" -> (GeoCte +
+      ", env AS (SELECT c_custkey, " +
+      "lat - (c_custkey % 10) / 10.0 AS min_lat, lat + (c_custkey % 10) / 10.0 AS max_lat, " +
+      "lon - (c_custkey % 7) / 7.0 AS min_lon, lon + (c_custkey % 7) / 7.0 AS max_lon FROM g) " +
+      "SELECT c_custkey, min_lat, max_lon FROM env " +
+      "WHERE max_lat >= -10.0 AND min_lat <= 10.0 AND max_lon >= -20.0 AND min_lon <= 20.0 " +
+      "ORDER BY c_custkey"),
     "q_knn" -> ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v " +
       "FROM embeddings WHERE label = 3), " +
       "q AS (SELECT list_transform(range(0, 64), i -> (i * 37 % 100) / 100.0 - 0.5) AS qv), " +

@@ -264,4 +264,26 @@ object Relational {
       lat: Column, lon: Column,
       top: Double, left: Double, bottom: Double, right: Double): Column =
     lat <= top && lat >= bottom && lon >= left && lon <= right
+
+  /** `geo_shape` with envelope geometry — the indexed-shape case where
+    * each DOCUMENT carries a shape (here its bounding envelope:
+    * minLat/maxLat/minLon/maxLon columns) and the query supplies an
+    * envelope plus a spatial relation. Envelope-vs-envelope reduces to
+    * interval overlap tests — plain range predicates that push to the
+    * parquet scan (row-group min/max pruning), which is exactly the
+    * grid-prefilter role ES's BKD tree plays. */
+  def envelopeRelation(
+      minLat: Column, maxLat: Column, minLon: Column, maxLon: Column,
+      qMinLat: Double, qMaxLat: Double, qMinLon: Double, qMaxLon: Double,
+      relation: String = "intersects"): Column = relation match {
+    case "intersects" =>
+      maxLat >= qMinLat && minLat <= qMaxLat && maxLon >= qMinLon && minLon <= qMaxLon
+    case "disjoint" =>
+      maxLat < qMinLat || minLat > qMaxLat || maxLon < qMinLon || minLon > qMaxLon
+    case "within" => // the doc shape entirely inside the query envelope
+      minLat >= qMinLat && maxLat <= qMaxLat && minLon >= qMinLon && maxLon <= qMaxLon
+    case "contains" => // the doc shape covers the query envelope
+      minLat <= qMinLat && maxLat >= qMaxLat && minLon <= qMinLon && maxLon >= qMaxLon
+    case other => throw new IllegalArgumentException(s"unknown geo_shape relation: $other")
+  }
 }

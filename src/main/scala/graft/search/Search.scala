@@ -753,4 +753,37 @@ object Search {
       .select(col("id"), col("overlap"))
       .orderBy(col("overlap").desc, col("id").asc)
   }
+
+  /** The `_rank_eval` API: search-quality metrics of a ranked result
+    * set against graded relevance ratings — precision@k, recall@k,
+    * MRR and DCG@k per query. `results` = (query_id, id, rank),
+    * `ratings` = (query_id, id, rating); ratings are the small frame
+    * (human-judged lists) and broadcast, so the ranked results never
+    * shuffle for the join — one partial-aggregating groupBy ends the
+    * plan. */
+  def rankEval(results: DataFrame, ratings: DataFrame, k: Int): DataFrame = {
+    val topK = results.where(col("rank") <= k)
+      .join(broadcast(ratings), Seq("query_id", "id"), "left")
+      .withColumn("rel", coalesce(col("rating"), lit(0)) > 0)
+    val totalRel = ratings.where(col("rating") > 0)
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
+    topK
+      .groupBy(col("query_id"))
+      .agg(
+        Num.round(sum(when(col("rel"), 1.0).otherwise(0.0)) / k, 4).as("precision_k"),
+        // MRR: reciprocal of the FIRST relevant rank (0 when none)
+        Num.round(coalesce(lit(1.0) /
+          min(when(col("rel"), col("rank"))), lit(0.0)), 4).as("mrr"),
+        // DCG@k with the standard (2^rating - 1) / log2(rank + 1) gain
+        Num.round(sum(when(col("rel"),
+          (pow(lit(2.0), col("rating")) - 1.0) /
+            (log(col("rank") + 1.0) / log(lit(2.0)))).otherwise(0.0)), 4).as("dcg_k"),
+        sum(when(col("rel"), 1L).otherwise(0L)).as("rel_in_k"))
+      .join(broadcast(totalRel), Seq("query_id"), "left")
+      .select(
+        col("query_id"), col("precision_k"), col("mrr"), col("dcg_k"),
+        Num.round(col("rel_in_k") /
+          coalesce(col("n_rel"), lit(Long.MaxValue)).cast("double"), 4).as("recall_k"))
+      .orderBy(col("query_id"))
+  }
 }

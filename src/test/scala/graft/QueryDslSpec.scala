@@ -104,4 +104,45 @@ class QueryDslSpec extends SparkSpec {
     assert(ids("""{"simple_query_string": {"query": "hash + -join | vector",
       "fields": ["text"]}}""") == Set(2L, 3L))
   }
+
+  test("search template: mustache params, toJson, inverted default") {
+    import graft.dsl.SearchTemplate
+    val df = Seq((1L, "en", 300L), (2L, "en", 100L), (3L, "de", 400L))
+      .toDF("id", "lang", "n")
+    // scalar + default: min param present
+    val hit = df.where(SearchTemplate.compile(
+      """{"source": "{\"bool\": {\"must\": [{\"term\": {\"lang\": \"{{lang}}\"}}, {\"range\": {\"n\": {\"gte\": {{min}}{{^min}}50{{/min}}}}}]}}",
+         "params": {"lang": "en", "min": 200}}"""))
+      .select("id").as[Long].collect().toSet
+    assert(hit == Set(1L))
+    // absent param -> inverted-section default (50)
+    val dflt = df.where(SearchTemplate.compile(
+      """{"source": "{\"bool\": {\"must\": [{\"term\": {\"lang\": \"{{lang}}\"}}, {\"range\": {\"n\": {\"gte\": {{min}}{{^min}}50{{/min}}}}}]}}",
+         "params": {"lang": "en"}}"""))
+      .select("id").as[Long].collect().toSet
+    assert(dflt == Set(1L, 2L))
+    // toJson injects an array for a terms query
+    val tj = df.where(SearchTemplate.compile(
+      """{"source": "{\"terms\": {\"lang\": {{#toJson}}langs{{/toJson}}}}",
+         "params": {"langs": ["en", "fr"]}}"""))
+      .select("id").as[Long].collect().toSet
+    assert(tj == Set(1L, 2L))
+  }
+
+  test("geo_shape envelope relations") {
+    import graft.rel.Relational
+    val df = Seq(
+      (1L, 0.0, 1.0, 0.0, 1.0),    // inside query env
+      (2L, -5.0, 5.0, -5.0, 5.0),  // contains query env
+      (3L, 1.5, 3.0, 0.0, 1.0),    // overlaps top edge
+      (4L, 10.0, 11.0, 10.0, 11.0) // disjoint
+    ).toDF("id", "mnla", "mxla", "mnlo", "mxlo")
+    def ids(rel: String) = df.where(Relational.envelopeRelation(
+      col("mnla"), col("mxla"), col("mnlo"), col("mxlo"),
+      -2.0, 2.0, -2.0, 2.0, rel)).select("id").as[Long].collect().toSet
+    assert(ids("intersects") == Set(1L, 2L, 3L))
+    assert(ids("disjoint") == Set(4L))
+    assert(ids("within") == Set(1L))
+    assert(ids("contains") == Set(2L))
+  }
 }

@@ -135,4 +135,20 @@ class SearchSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(cf == Set(1L, 3L))
   }
+
+  test("rankEval: precision / MRR / DCG / recall against graded ratings") {
+    import graft.search.Search
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val results = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3))
+      .toDF("query_id", "id", "rank")
+    val ratings = Seq((1L, 20L, 2), (1L, 30L, 1), (1L, 99L, 1))
+      .toDF("query_id", "id", "rating")
+    val r = Search.rankEval(results, ratings, 3).collect().head
+    assert(r.getAs[Double]("precision_k") == 0.6667) // 2 of 3 relevant
+    assert(r.getAs[Double]("mrr") == 0.5)            // first relevant at rank 2
+    // DCG = (2^2-1)/log2(3) + (2^1-1)/log2(4) = 3/1.585 + 0.5
+    assert(math.abs(r.getAs[Double]("dcg_k") - 2.3928) < 1e-9)
+    assert(r.getAs[Double]("recall_k") == 0.6667)    // 2 of 3 rated>0 found
+  }
 }
