@@ -243,6 +243,20 @@ object SparkEntry {
              {"span_near": {"clauses": [{"span_term": {"text": "join"}},
                {"span_term": {"text": "hash"}}], "slop": 1, "in_order": false}}]}}"""))
       .select(col("doc_id")).orderBy(col("doc_id"))),
+    // ES|QL piped queries compiled onto the same Catalyst plan
+    "q_esql_where" -> ((s, d) => graft.dsl.Esql.run(s, d,
+      """from orders | where o_totalprice >= 1000 and o_orderstatus == "O"
+        | eval bucket = round(o_totalprice / 1000.0, 0)
+        | keep o_orderkey, bucket | sort o_orderkey | limit 500""")),
+    "q_esql_stats" -> ((s, d) => graft.dsl.Esql.run(s, d,
+      """from lineitem
+        | stats sum_qty = sum(l_quantity), n = count(*), max_p = max(l_extendedprice) by l_returnflag
+        | sort l_returnflag""")),
+    "q_esql_eval_agg" -> ((s, d) => graft.dsl.Esql.run(s, d,
+      """from documents | where lang != "xx"
+        | eval kchars = n_chars / 100
+        | stats n = count(*), avg_k = avg(kchars) by lang
+        | eval avg_k = round(avg_k, 4) | sort lang""")),
     // _search/template: mustache-rendered query -> DSL compile; the
     // min_chars param exercises scalar substitution, the absent
     // boost param exercises the inverted-section default
@@ -865,6 +879,15 @@ object SparkEntry {
       "(len(p1) > 0 AND len(p2) > 0 AND " +
       "len(list_filter(p1, i -> len(list_filter(p2, j -> greatest(i, j) - least(i, j) + 1 - 2 <= 1)) > 0)) > 0) " +
       "ORDER BY doc_id"),
+    "q_esql_where" -> ("SELECT o_orderkey, round(o_totalprice / 1000.0, 0) AS bucket " +
+      "FROM orders WHERE o_totalprice >= 1000 AND o_orderstatus = 'O' " +
+      "ORDER BY o_orderkey LIMIT 500"),
+    "q_esql_stats" -> ("SELECT l_returnflag, sum(l_quantity) AS sum_qty, " +
+      "count(*)::BIGINT AS n, max(l_extendedprice) AS max_p " +
+      "FROM lineitem GROUP BY 1 ORDER BY l_returnflag"),
+    "q_esql_eval_agg" -> ("SELECT lang, count(*)::BIGINT AS n, " +
+      "round(avg(n_chars / 100), 4) AS avg_k FROM documents " +
+      "WHERE lang <> 'xx' GROUP BY 1 ORDER BY lang"),
     "q_search_template" -> ("SELECT doc_id FROM documents " +
       "WHERE lang = 'en' AND n_chars >= 200 ORDER BY doc_id"),
     "q_rank_eval" -> (TokCte + bm25Ctes("", "tok", Seq("fast", "hash", "join")) +

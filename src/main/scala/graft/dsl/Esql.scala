@@ -1,0 +1,341 @@
+package graft.dsl
+
+import graft.util.Num
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A compiler for the piped query language the reference ecosystem
+  * ships as ES|QL — `FROM idx | WHERE ... | STATS ... BY ... | SORT
+  * ... | LIMIT n` — onto DataFrame transforms, so every pipe stage
+  * lands in the same Catalyst plan (WHERE pushes to the scan, STATS
+  * partial-aggregates, SORT+LIMIT fuses to TakeOrderedAndProject).
+  *
+  * Supported commands: FROM, WHERE, EVAL, STATS..BY, SORT, LIMIT,
+  * KEEP, DROP. Expressions: arithmetic, comparisons (`==`, `!=`,
+  * `>=`, ...), AND/OR/NOT, LIKE/RLIKE, parentheses, `IS [NOT] NULL`,
+  * functions (ROUND/ABS/LENGTH/TO_LOWER/TO_UPPER/SUBSTRING/CONCAT/
+  * COALESCE/STARTS_WITH), aggregates (COUNT(*)/COUNT/SUM/AVG/MIN/MAX/
+  * COUNT_DISTINCT/MEDIAN/PERCENTILE).
+  *
+  * The pipe layout makes compilation deliberately simple: split on
+  * top-level `|` (quote-aware), dispatch each segment on its leading
+  * keyword, fold over the frame. No optimizer work is done here —
+  * stage fusion is Catalyst's job and happens after assembly.
+  */
+object Esql {
+
+  // ---- tokenizer ---------------------------------------------------
+
+  private sealed trait Tok
+  private final case class TId(s: String) extends Tok
+  private final case class TNum(v: Double, isInt: Boolean) extends Tok
+  private final case class TStr(s: String) extends Tok
+  private final case class TOp(s: String) extends Tok
+
+  private def lex(s: String): List[Tok] = {
+    val out = scala.collection.mutable.ListBuffer.empty[Tok]
+    var i = 0
+    val ops2 = Set("==", "!=", ">=", "<=")
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '"') {
+        val e = s.indexOf('"', i + 1)
+        require(e >= 0, s"unterminated string in: $s")
+        out += TStr(s.substring(i + 1, e)); i = e + 1
+      } else if (c.isDigit || (c == '.' && i + 1 < s.length && s.charAt(i + 1).isDigit)) {
+        val start = i
+        while (i < s.length && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
+        val raw = s.substring(start, i)
+        out += TNum(raw.toDouble, !raw.contains('.'))
+      } else if (c.isLetter || c == '_') {
+        val start = i
+        while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+        out += TId(s.substring(start, i))
+      } else if (i + 1 < s.length && ops2.contains(s.substring(i, i + 2))) {
+        out += TOp(s.substring(i, i + 2)); i += 2
+      } else { out += TOp(c.toString); i += 1 }
+    }
+    out.toList
+  }
+
+  // ---- expression parser (recursive descent over the token list) ---
+
+  private final class P(var toks: List[Tok]) {
+    def peek: Option[Tok] = toks.headOption
+    def next(): Tok = { val h = toks.head; toks = toks.tail; h }
+    def expectOp(op: String): Unit = next() match {
+      case TOp(`op`) => ()
+      case other => throw new IllegalArgumentException(s"expected '$op', got $other")
+    }
+    def isKw(kw: String): Boolean = peek match {
+      case Some(TId(s)) => s.equalsIgnoreCase(kw)
+      case _ => false
+    }
+
+    def parseExpr(): Column = parseOr()
+
+    private def parseOr(): Column = {
+      var e = parseAnd()
+      while (isKw("or")) { next(); e = e || parseAnd() }
+      e
+    }
+    private def parseAnd(): Column = {
+      var e = parseNot()
+      while (isKw("and")) { next(); e = e && parseNot() }
+      e
+    }
+    private def parseNot(): Column =
+      if (isKw("not")) { next(); !parseNot() } else parseCmp()
+
+    private def parseCmp(): Column = {
+      val l = parseAdd()
+      peek match {
+        case Some(TOp("==")) => next(); l === parseAdd()
+        case Some(TOp("!=")) => next(); l =!= parseAdd()
+        case Some(TOp(">=")) => next(); l >= parseAdd()
+        case Some(TOp("<=")) => next(); l <= parseAdd()
+        case Some(TOp(">")) => next(); l > parseAdd()
+        case Some(TOp("<")) => next(); l < parseAdd()
+        case Some(TId(k)) if k.equalsIgnoreCase("like") =>
+          next(); l.like(str(next()))
+        case Some(TId(k)) if k.equalsIgnoreCase("rlike") =>
+          next(); l.rlike(str(next()))
+        case Some(TId(k)) if k.equalsIgnoreCase("is") =>
+          next()
+          if (isKw("not")) { next(); require(isKw("null")); next(); l.isNotNull }
+          else { require(isKw("null")); next(); l.isNull }
+        case _ => l
+      }
+    }
+    private def str(t: Tok): String = t match {
+      case TStr(s) => s
+      case other => throw new IllegalArgumentException(s"expected string, got $other")
+    }
+
+    private def parseAdd(): Column = {
+      var e = parseMul()
+      var go = true
+      while (go) peek match {
+        case Some(TOp("+")) => next(); e = e + parseMul()
+        case Some(TOp("-")) => next(); e = e - parseMul()
+        case _ => go = false
+      }
+      e
+    }
+    private def parseMul(): Column = {
+      var e = parseUnary()
+      var go = true
+      while (go) peek match {
+        case Some(TOp("*")) => next(); e = e * parseUnary()
+        case Some(TOp("/")) => next(); e = e / parseUnary()
+        case Some(TOp("%")) => next(); e = e % parseUnary()
+        case _ => go = false
+      }
+      e
+    }
+    private def parseUnary(): Column = peek match {
+      case Some(TOp("-")) => next(); lit(0) - parseUnary()
+      case _ => parsePrimary()
+    }
+
+    private def parseArgs(): Seq[Column] = {
+      expectOp("(")
+      if (peek.contains(TOp(")"))) { next(); return Nil }
+      val args = scala.collection.mutable.ListBuffer(parseExpr())
+      while (peek.contains(TOp(","))) { next(); args += parseExpr() }
+      expectOp(")")
+      args.toSeq
+    }
+
+    private def fn(name: String, args: Seq[Column]): Column =
+      (name.toLowerCase, args) match {
+        case ("round", Seq(x)) => Num.round(x, 0)
+        case ("abs", Seq(x)) => abs(x)
+        case ("length", Seq(x)) => length(x)
+        case ("to_lower", Seq(x)) => lower(x)
+        case ("to_upper", Seq(x)) => upper(x)
+        case ("substring", Seq(x, a, b)) => x.substr(a, b)
+        case ("concat", xs) => concat(xs: _*)
+        case ("coalesce", xs) => coalesce(xs: _*)
+        case ("starts_with", Seq(x, p)) => x.startsWith(p)
+        case (other, _) =>
+          throw new IllegalArgumentException(s"unknown ES|QL function: $other")
+      }
+
+    // ROUND's scale must be a literal (it selects the rounding
+    // EXPRESSION, Num.round being scale-specialized) — parsed here
+    // rather than through the generic arg path
+    private def parseRound(): Column = {
+      expectOp("(")
+      val e = parseExpr()
+      val scale = peek match {
+        case Some(TOp(",")) => next(); next() match {
+          case TNum(v, true) => v.toInt
+          case other =>
+            throw new IllegalArgumentException(s"ROUND scale must be an int literal, got $other")
+        }
+        case _ => 0
+      }
+      expectOp(")")
+      Num.round(e, scale)
+    }
+
+    private def identName(): String = next() match {
+      case TId(s) => s
+      case other => throw new IllegalArgumentException(s"expected column name, got $other")
+    }
+
+    private def parsePrimary(): Column = next() match {
+      case TNum(v, isInt) => if (isInt) lit(v.toLong) else lit(v)
+      case TStr(s) => lit(s)
+      case TOp("(") =>
+        val e = parseExpr(); expectOp(")"); e
+      case TId(name) if peek.contains(TOp("(")) =>
+        if (name.equalsIgnoreCase("round")) parseRound()
+        else fn(name, parseArgs())
+      case TId(name) if name.equalsIgnoreCase("true") => lit(true)
+      case TId(name) if name.equalsIgnoreCase("false") => lit(false)
+      case TId(name) if name.equalsIgnoreCase("null") => lit(null)
+      case TId(name) => col(name)
+      case other => throw new IllegalArgumentException(s"unexpected token: $other")
+    }
+
+    /** Aggregate call at STATS position; falls back to a plain
+      * expression wrapped in an implicit FIRST? No — ES|QL requires an
+      * aggregate, so unknown names fail loudly. */
+    def parseAgg(): Column = next() match {
+      case TId(name) =>
+        expectOp("(")
+        name.toLowerCase match {
+          case "count" =>
+            val c = peek match {
+              case Some(TOp("*")) => next(); count(lit(1))
+              case _ => count(parseExpr())
+            }
+            expectOp(")"); c
+          case "count_distinct" => val e = parseExpr(); expectOp(")"); countDistinct(e)
+          case "sum" => val e = parseExpr(); expectOp(")"); sum(e)
+          case "avg" => val e = parseExpr(); expectOp(")"); avg(e)
+          case "min" => val e = parseExpr(); expectOp(")"); min(e)
+          case "max" => val e = parseExpr(); expectOp(")"); max(e)
+          // exact interpolated percentile over a named column,
+          // matching the oracle's quantile_cont (single-reducer — the
+          // approx form is the scale path, as with percentilesAgg)
+          case "median" =>
+            val id = identName(); expectOp(")")
+            expr(s"percentile($id, 0.5)")
+          case "percentile" =>
+            val id = identName(); expectOp(",")
+            val p = next() match {
+              case TNum(v, _) => v
+              case other =>
+                throw new IllegalArgumentException(s"PERCENTILE needs a numeric literal, got $other")
+            }
+            expectOp(")")
+            expr(s"percentile($id, $p)")
+          case other => throw new IllegalArgumentException(s"unknown aggregate: $other")
+        }
+      case other => throw new IllegalArgumentException(s"expected aggregate, got $other")
+    }
+  }
+
+  // ---- pipe assembly -----------------------------------------------
+
+  /** Split on top-level '|' (quote-aware). */
+  private def segments(q: String): Seq[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    val cur = new StringBuilder
+    var inStr = false
+    q.foreach {
+      case '"' => inStr = !inStr; cur += '"'
+      case '|' if !inStr => out += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    out += cur.result()
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0; var inStr = false
+    s.foreach {
+      case '"' => inStr = !inStr; cur += '"'
+      case '(' if !inStr => depth += 1; cur += '('
+      case ')' if !inStr => depth -= 1; cur += ')'
+      case c if c == sep && depth == 0 && !inStr => out += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    out += cur.result()
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Run an ES|QL query against the parquet tables in `dir` (FROM
+    * resolves table names through `graft.Tables`). */
+  def run(spark: SparkSession, dir: String, query: String): DataFrame = {
+    val segs = segments(query)
+    require(segs.nonEmpty && segs.head.toLowerCase.startsWith("from"),
+      "ES|QL query must start with FROM")
+    val table = segs.head.drop(4).trim
+    require(table.matches("[A-Za-z0-9_]+"), s"bad FROM target: $table")
+    val source = graft.Tables.load(spark, dir, table)
+    segs.tail.foldLeft(source)(applyCommand)
+  }
+
+  /** Apply one pipe segment to the frame (exposed for testing against
+    * in-memory frames). */
+  def applyCommand(df: DataFrame, seg: String): DataFrame = {
+    val (kw, rest) = seg.span(!_.isWhitespace)
+    val body = rest.trim
+    kw.toLowerCase match {
+      case "where" => df.where(new P(lex(body)).parseExpr())
+      case "limit" => df.limit(body.trim.toInt)
+      case "keep" => df.select(splitTopLevel(body, ',').map(c => col(c.trim)): _*)
+      case "drop" => splitTopLevel(body, ',').map(_.trim).foldLeft(df)(_ drop _)
+      case "eval" =>
+        splitTopLevel(body, ',').foldLeft(df) { (acc, assign) =>
+          val (name, e) = parseAssign(assign)
+          acc.withColumn(name, e)
+        }
+      case "sort" =>
+        val orders = splitTopLevel(body, ',').map { part =>
+          val ps = part.trim.split("\\s+")
+          val c = col(ps.head)
+          ps.map(_.toLowerCase) match {
+            case Array(_, "desc") => c.desc
+            case Array(_, "asc") | Array(_) => c.asc
+            case _ => throw new IllegalArgumentException(s"bad SORT clause: $part")
+          }
+        }
+        df.orderBy(orders: _*)
+      case "stats" =>
+        val (aggPart, byPart) = body.toLowerCase.lastIndexOf(" by ") match {
+          case -1 => (body, "")
+          case i => (body.substring(0, i), body.substring(i + 4))
+        }
+        val aggs = splitTopLevel(aggPart, ',').map { a =>
+          val (name, c) = parseAggAssign(a)
+          c.as(name)
+        }
+        if (byPart.trim.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+        else {
+          val keys = splitTopLevel(byPart, ',').map(k => col(k.trim))
+          df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+        }
+      case other => throw new IllegalArgumentException(s"unknown ES|QL command: $other")
+    }
+  }
+
+  private def parseAssign(s: String): (String, Column) = {
+    val i = s.indexOf('=')
+    require(i > 0, s"EVAL needs name = expr, got: $s")
+    (s.substring(0, i).trim, new P(lex(s.substring(i + 1))).parseExpr())
+  }
+
+  private def parseAggAssign(s: String): (String, Column) = {
+    val i = s.indexOf('=')
+    require(i > 0, s"STATS needs name = AGG(...), got: $s")
+    (s.substring(0, i).trim, new P(lex(s.substring(i + 1))).parseAgg())
+  }
+}

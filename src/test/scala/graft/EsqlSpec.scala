@@ -1,0 +1,59 @@
+package graft
+
+import graft.dsl.Esql
+import org.apache.spark.sql.functions._
+
+class EsqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    (1L, "a", 10.0, "xfoo"),
+    (2L, "a", 20.0, "bar"),
+    (3L, "b", 30.0, "foo2"),
+    (4L, "b", 40.0, null),
+    (5L, "c", 50.5, "baz")).toDF("id", "k", "v", "s")
+
+  private def run(pipes: String*) = pipes.foldLeft(df)(Esql.applyCommand)
+
+  test("WHERE: comparisons, boolean ops, LIKE, IS NULL") {
+    assert(run("""where v >= 20 and k != "c"""").select("id").as[Long].collect().toSet
+      == Set(2L, 3L, 4L))
+    assert(run("""where s like "%foo%" or s is null""").select("id").as[Long]
+      .collect().toSet == Set(1L, 3L, 4L))
+    assert(run("""where not (k == "a") and v < 45""").select("id").as[Long]
+      .collect().toSet == Set(3L, 4L))
+  }
+
+  test("EVAL + KEEP + SORT + LIMIT compose") {
+    val r = run(
+      "eval v2 = round(v * 2, 1), tag = concat(k, \"!\")",
+      "keep id, v2, tag",
+      "sort v2 desc, id",
+      "limit 2")
+      .as[(Long, Double, String)].collect().toSeq
+    assert(r == Seq((5L, 101.0, "c!"), (4L, 80.0, "b!")))
+  }
+
+  test("STATS..BY: aggregates with group keys; bare STATS = global") {
+    val r = run("stats n = count(*), sv = sum(v), mx = max(v) by k", "sort k")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(r == Seq(("a", 2L, 30.0, 20.0), ("b", 2L, 70.0, 40.0), ("c", 1L, 50.5, 50.5)))
+    val g = run("stats n = count(*), md = median(v)")
+      .as[(Long, Double)].collect().head
+    assert(g == ((5L, 30.0)))
+  }
+
+  test("full pipeline through run() against the parquet tables") {
+    val r = Esql.run(spark, sfDir,
+      """from documents | where lang == "en" | stats n = count(*), cmax = max(n_chars) by source | sort source | limit 3""")
+      .as[(String, Long, Long)].collect()
+    assert(r.nonEmpty && r.length <= 3)
+    assert(r.map(_._1).toSeq == r.map(_._1).toSeq.sorted)
+  }
+
+  test("errors are loud: unknown command / function / aggregate") {
+    intercept[IllegalArgumentException](run("explode v"))
+    intercept[IllegalArgumentException](run("eval x = frobnicate(v)"))
+    intercept[IllegalArgumentException](run("stats x = welford(v)"))
+  }
+}
