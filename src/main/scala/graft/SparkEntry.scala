@@ -257,6 +257,15 @@ object SparkEntry {
         | eval kchars = n_chars / 100
         | stats n = count(*), avg_k = avg(kchars) by lang
         | eval avg_k = round(avg_k, 4) | sort lang""")),
+    // ENRICH (broadcast lookup join) + DISSECT (literal-anchored
+    // field extraction) in one pipeline
+    "q_esql_enrich" -> ((s, d) => graft.dsl.Esql.run(s, d,
+      """from customer | enrich nation on c_nationkey == n_nationkey with n_name
+        | stats n = count(*), acct = sum(c_acctbal) by n_name
+        | eval acct = round(acct, 2) | sort n_name""")),
+    "q_esql_dissect" -> ((s, d) => graft.dsl.Esql.run(s, d,
+      """from orders | dissect o_orderpriority "%{pr_num}-%{pr_name}"
+        | stats n = count(*) by pr_name | sort pr_name""")),
     // _search/template: mustache-rendered query -> DSL compile; the
     // min_chars param exercises scalar substitution, the absent
     // boost param exercises the inverted-section default
@@ -888,6 +897,12 @@ object SparkEntry {
     "q_esql_eval_agg" -> ("SELECT lang, count(*)::BIGINT AS n, " +
       "round(avg(n_chars / 100), 4) AS avg_k FROM documents " +
       "WHERE lang <> 'xx' GROUP BY 1 ORDER BY lang"),
+    "q_esql_enrich" -> ("SELECT n_name, count(*)::BIGINT AS n, " +
+      "round(sum(c_acctbal), 2) AS acct FROM customer " +
+      "LEFT JOIN nation ON c_nationkey = n_nationkey " +
+      "GROUP BY 1 ORDER BY n_name"),
+    "q_esql_dissect" -> ("SELECT regexp_extract(o_orderpriority, '^(.*?)-(.*)$', 2) AS pr_name, " +
+      "count(*)::BIGINT AS n FROM orders GROUP BY 1 ORDER BY pr_name"),
     "q_search_template" -> ("SELECT doc_id FROM documents " +
       "WHERE lang = 'en' AND n_chars >= 200 ORDER BY doc_id"),
     "q_rank_eval" -> (TokCte + bm25Ctes("", "tok", Seq("fast", "hash", "join")) +

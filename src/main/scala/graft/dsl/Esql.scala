@@ -271,8 +271,8 @@ object Esql {
     out.toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
-  /** Run an ES|QL query against the parquet tables in `dir` (FROM
-    * resolves table names through `graft.Tables`). */
+  /** Run an ES|QL query against the parquet tables in `dir` (FROM and
+    * ENRICH resolve table names through `graft.Tables`). */
   def run(spark: SparkSession, dir: String, query: String): DataFrame = {
     val segs = segments(query)
     require(segs.nonEmpty && segs.head.toLowerCase.startsWith("from"),
@@ -280,12 +280,17 @@ object Esql {
     val table = segs.head.drop(4).trim
     require(table.matches("[A-Za-z0-9_]+"), s"bad FROM target: $table")
     val source = graft.Tables.load(spark, dir, table)
-    segs.tail.foldLeft(source)(applyCommand)
+    val resolve = (t: String) => graft.Tables.load(spark, dir, t)
+    segs.tail.foldLeft(source)(applyCommand(_, _, resolve))
   }
 
   /** Apply one pipe segment to the frame (exposed for testing against
-    * in-memory frames). */
-  def applyCommand(df: DataFrame, seg: String): DataFrame = {
+    * in-memory frames; ENRICH needs a table resolver and fails loudly
+    * without one). */
+  def applyCommand(
+      df: DataFrame, seg: String,
+      resolve: String => DataFrame = t =>
+        throw new IllegalArgumentException(s"no table resolver for ENRICH $t")): DataFrame = {
     val (kw, rest) = seg.span(!_.isWhitespace)
     val body = rest.trim
     kw.toLowerCase match {
@@ -322,6 +327,63 @@ object Esql {
         else {
           val keys = splitTopLevel(byPart, ',').map(k => col(k.trim))
           df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+        }
+      case "rename" =>
+        // RENAME old AS new [, ...]
+        splitTopLevel(body, ',').foldLeft(df) { (acc, part) =>
+          part.trim.split("(?i)\\s+as\\s+") match {
+            case Array(o, n) => acc.withColumnRenamed(o.trim, n.trim)
+            case _ => throw new IllegalArgumentException(s"bad RENAME clause: $part")
+          }
+        }
+      case "mv_expand" =>
+        // MV_EXPAND col — one row per element of a multi-value field
+        val c = body.trim
+        df.withColumn(c, explode(col(c)))
+      case "dissect" =>
+        // DISSECT field "%{a}-%{b} %{c}" — literal-anchored extraction.
+        // The pattern compiles to ONE regex with a lazy group per key
+        // (greedy for the last), evaluated once per key via
+        // regexp_extract — narrow codegen'd column math, the log-
+        // pipeline workhorse.
+        val m = "^([A-Za-z0-9_]+)\\s+\"(.*)\"$".r
+        body.trim match {
+          case m(field, pattern) =>
+            val key = "%\\{([A-Za-z0-9_]+)\\}".r
+            val keys = key.findAllMatchIn(pattern).map(_.group(1)).toSeq
+            require(keys.nonEmpty, s"DISSECT pattern has no keys: $pattern")
+            // literals between keys are regex-escaped; every group is
+            // lazy except the final one
+            val parts = key.split(pattern).map(java.util.regex.Pattern.quote)
+            val regex = new StringBuilder("^")
+            keys.indices.foreach { i =>
+              regex ++= (if (i < parts.length) parts(i) else "")
+              regex ++= (if (i == keys.size - 1) "(.*)" else "(.*?)")
+            }
+            if (keys.size < parts.length) regex ++= parts.last
+            regex ++= "$"
+            keys.zipWithIndex.foldLeft(df) { case (acc, (k, i)) =>
+              acc.withColumn(k, regexp_extract(col(field), regex.result(), i + 1))
+            }
+          case other => throw new IllegalArgumentException(s"bad DISSECT: $other")
+        }
+      case "enrich" =>
+        // ENRICH table ON left == right [WITH f1, f2] — the lookup-
+        // join command. The enrich table is the small side by
+        // definition (an ES enrich index), so it broadcasts: the
+        // stream never shuffles.
+        val m = "^([A-Za-z0-9_]+)\\s+(?i:on)\\s+([A-Za-z0-9_]+)\\s*==\\s*([A-Za-z0-9_]+)(?:\\s+(?i:with)\\s+(.*))?$".r
+        body.trim match {
+          case m(table, left, right, withCols) =>
+            val cols = Option(withCols)
+              .map(splitTopLevel(_, ',').map(_.trim)).getOrElse(Nil)
+            val enrichSide = {
+              val t = resolve(table)
+              if (cols.isEmpty) t else t.select((right +: cols).map(col): _*)
+            }
+            df.join(broadcast(enrichSide), df(left) === enrichSide(right), "left")
+              .drop(enrichSide(right))
+          case other => throw new IllegalArgumentException(s"bad ENRICH: $other")
         }
       case other => throw new IllegalArgumentException(s"unknown ES|QL command: $other")
     }

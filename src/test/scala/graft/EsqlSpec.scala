@@ -13,7 +13,7 @@ class EsqlSpec extends SparkSpec {
     (4L, "b", 40.0, null),
     (5L, "c", 50.5, "baz")).toDF("id", "k", "v", "s")
 
-  private def run(pipes: String*) = pipes.foldLeft(df)(Esql.applyCommand)
+  private def run(pipes: String*) = pipes.foldLeft(df)(Esql.applyCommand(_, _))
 
   test("WHERE: comparisons, boolean ops, LIKE, IS NULL") {
     assert(run("""where v >= 20 and k != "c"""").select("id").as[Long].collect().toSet
@@ -55,5 +55,30 @@ class EsqlSpec extends SparkSpec {
     intercept[IllegalArgumentException](run("explode v"))
     intercept[IllegalArgumentException](run("eval x = frobnicate(v)"))
     intercept[IllegalArgumentException](run("stats x = welford(v)"))
+  }
+
+  test("RENAME / MV_EXPAND / DISSECT") {
+    val r = run("rename v as score, k as grp", "keep id, grp, score")
+    assert(r.columns.toSeq == Seq("id", "grp", "score"))
+
+    val mv = Seq((1L, Seq("a", "b")), (2L, Seq("c")))
+      .toDF("id", "tags")
+    val expanded = Esql.applyCommand(mv, "mv_expand tags")
+      .as[(Long, String)].collect().toSet
+    assert(expanded == Set((1L, "a"), (1L, "b"), (2L, "c")))
+
+    val logs = Seq("1-URGENT done", "5-LOW waiting").toDF("line")
+    val d = Esql.applyCommand(logs, """dissect line "%{pri}-%{label} %{state}"""")
+      .select("pri", "label", "state").as[(String, String, String)].collect().toSet
+    assert(d == Set(("1", "URGENT", "done"), ("5", "LOW", "waiting")))
+  }
+
+  test("ENRICH: broadcast lookup join with column selection") {
+    val dims = Seq(("a", "alpha"), ("b", "beta")).toDF("kk", "label")
+    val r = Esql.applyCommand(df, "enrich dims on k == kk with label", _ => dims)
+      .select("id", "label").as[(Long, Option[String])].collect().toMap
+    assert(r(1L).contains("alpha") && r(3L).contains("beta") && r(5L).isEmpty)
+    // without a resolver, ENRICH fails loudly
+    intercept[IllegalArgumentException](run("enrich dims on k == kk"))
   }
 }
