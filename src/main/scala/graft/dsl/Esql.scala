@@ -105,6 +105,12 @@ object Esql {
           next()
           if (isKw("not")) { next(); require(isKw("null")); next(); l.isNotNull }
           else { require(isKw("null")); next(); l.isNull }
+        case Some(TId(k)) if k.equalsIgnoreCase("in") =>
+          next(); expectOp("(")
+          val vals = scala.collection.mutable.ListBuffer(parseAdd())
+          while (peek.contains(TOp(","))) { next(); vals += parseAdd() }
+          expectOp(")")
+          vals.map(l === _).reduce(_ || _)
         case _ => l
       }
     }
@@ -152,6 +158,12 @@ object Esql {
       (name.toLowerCase, args) match {
         case ("round", Seq(x)) => Num.round(x, 0)
         case ("abs", Seq(x)) => abs(x)
+        // CASE(cond1, val1, cond2, val2, ..., default)
+        case ("case", xs) if xs.size >= 3 && xs.size % 2 == 1 =>
+          val default = xs.last
+          xs.dropRight(1).grouped(2).toSeq.foldRight(default) {
+            case (Seq(c, v), acc) => when(c, v).otherwise(acc)
+          }
         case ("length", Seq(x)) => length(x)
         case ("to_lower", Seq(x)) => lower(x)
         case ("to_upper", Seq(x)) => upper(x)
@@ -366,6 +378,40 @@ object Esql {
               acc.withColumn(k, regexp_extract(col(field), regex.result(), i + 1))
             }
           case other => throw new IllegalArgumentException(s"bad DISSECT: $other")
+        }
+      case "grok" =>
+        // GROK field "%{WORD:user} %{NUMBER:bytes:int}" — the named-
+        // pattern sibling of DISSECT. Only the commonly-used pattern
+        // names are built in (public grok base patterns); each capture
+        // becomes a column, with optional :int/:long/:double coercion.
+        val m = "^([A-Za-z0-9_]+)\\s+\"(.*)\"$".r
+        body.trim match {
+          case m(field, pattern) =>
+            val lib = Map(
+              "WORD" -> "\\w+", "NUMBER" -> "-?\\d+(?:\\.\\d+)?",
+              "INT" -> "-?\\d+", "NOTSPACE" -> "\\S+", "DATA" -> ".*?",
+              "GREEDYDATA" -> ".*", "IP" -> "\\d{1,3}(?:\\.\\d{1,3}){3}",
+              "LOGLEVEL" -> "TRACE|DEBUG|INFO|WARN|ERROR|FATAL")
+            val key = "%\\{([A-Z]+):([A-Za-z0-9_]+)(?::(int|long|double))?\\}".r
+            val caps = key.findAllMatchIn(pattern)
+              .map(k => (k.group(2), Option(k.group(3)))).toSeq
+            require(caps.nonEmpty, s"GROK pattern has no captures: $pattern")
+            val parts = key.split(pattern).map(java.util.regex.Pattern.quote)
+            val pats = key.findAllMatchIn(pattern).map(k =>
+              lib.getOrElse(k.group(1),
+                throw new IllegalArgumentException(s"unknown grok pattern: %{${k.group(1)}}"))).toSeq
+            val regex = new StringBuilder("^")
+            caps.indices.foreach { i =>
+              regex ++= (if (i < parts.length) parts(i) else "")
+              regex ++= s"(${pats(i)})"
+            }
+            if (caps.size < parts.length) regex ++= parts.last
+            regex ++= "$"
+            caps.zipWithIndex.foldLeft(df) { case (acc, ((name, cast), i)) =>
+              val raw = regexp_extract(col(field), regex.result(), i + 1)
+              acc.withColumn(name, cast.fold(raw)(t => raw.cast(t)))
+            }
+          case other => throw new IllegalArgumentException(s"bad GROK: $other")
         }
       case "enrich" =>
         // ENRICH table ON left == right [WITH f1, f2] — the lookup-

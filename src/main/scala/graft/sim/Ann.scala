@@ -292,9 +292,18 @@ object Ann {
         bruteForceTopK(filtered, queries, idCol, field, k)
       else {
         // approximate stage: 16-list IVF; num_candidates maps to the
-        // probe count (more candidates = more lists scanned)
+        // probe count (more candidates = more lists scanned). Seed
+        // centroids are the first 16 vectors of the FILTERED corpus
+        // (ivfTopK's `id < n` seeding could come up empty after a
+        // selective pre-filter — e.g. a label predicate that excludes
+        // every low id).
         val nprobe = math.max(1, math.min(16, numCandidates / math.max(1, 4 * k)))
-        ivfTopK(filtered, queries, idCol, field, nCentroids = 16, nprobe = nprobe, k = k)
+        val cents = filtered
+          .select(col(idCol).as("cent_src_id"),
+            transform(col(field), x => x.cast("double")).as("cv"))
+          .orderBy(col("cent_src_id")).limit(16)
+          .select(col("cent_src_id").as("cent_id"), col("cv"))
+        ivfTopKWith(filtered, queries, idCol, field, cents, nprobe = nprobe, k = k)
       }
     result.select(col("id"), col("cosine"), col("rank"))
   }

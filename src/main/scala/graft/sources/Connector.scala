@@ -118,6 +118,33 @@ object Connector {
         val s0 = spark.readStream.schema(schema).format(format).load(path)
         if (query == null) s0 else s0.where(EsQuery.compile(query, idField))
       }
+
+      /** `_count` analog: hit count under an optional query — the
+        * cheapest request ES serves; here it is a count over the
+        * pushed-down predicate (parquet row-group stats serve most of
+        * it without materializing rows). */
+      def graftCount(path: String, query: String = null): Long =
+        graftDF(path, query).count()
+
+      /** `_field_caps` analog: one row per field with its type and
+        * aggregatable/searchable flags (in graft every primitive
+        * column is both — there is no doc_values split). Pure schema
+        * introspection, no data read. */
+      def fieldCaps(path: String, format: String = "parquet"): DataFrame = {
+        Connector.recoverSwap(spark, path)
+        val schema = spark.read.format(format).load(path).schema
+        import org.apache.spark.sql.types._
+        val rows = schema.fields.map { f =>
+          val primitive = f.dataType match {
+            case _: StructType | _: ArrayType | _: MapType => false
+            case _ => true
+          }
+          (f.name, f.dataType.typeName, primitive, primitive)
+        }.toSeq
+        import spark.implicits._
+        rows.toDF("field", "type", "searchable", "aggregatable")
+          .orderBy(col("field"))
+      }
     }
 
     implicit class GraftDataFrameOps(val df: DataFrame) {

@@ -298,4 +298,18 @@ class ConnectorSpec extends SparkSpec {
     // ...while a missing LITERAL name still fails (ES 404)
     intercept[Exception] { spark.graftDF(s"$base/definitely-missing").count() }
   }
+
+  test("graftCount and fieldCaps") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_caps").toString + "/idx"
+    Seq((1L, "en", Seq(1.0)), (2L, "de", Seq(2.0)), (3L, "en", Seq(3.0)))
+      .toDF("doc_id", "lang", "vec").write.parquet(dir)
+    assert(spark.graftCount(dir) == 3L)
+    assert(spark.graftCount(dir, """{"term": {"lang": "en"}}""") == 2L)
+    val caps = spark.fieldCaps(dir)
+      .as[(String, String, Boolean, Boolean)].collect().toSeq
+    assert(caps.map(_._1) == Seq("doc_id", "lang", "vec"))
+    assert(caps.find(_._1 == "vec").exists(c => !c._3)) // arrays not primitive
+    assert(caps.find(_._1 == "doc_id").exists(c => c._3 && c._4))
+  }
 }

@@ -73,6 +73,23 @@ class EsqlSpec extends SparkSpec {
     assert(d == Set(("1", "URGENT", "done"), ("5", "LOW", "waiting")))
   }
 
+  test("IN, CASE, GROK") {
+    assert(run("""where k in ("a", "c")""").select("id").as[Long].collect().toSet
+      == Set(1L, 2L, 5L))
+    val c = run("""eval tier = case(v < 15, "low", v < 45, "mid", "high")""")
+      .select("id", "tier").as[(Long, String)].collect().toMap
+    assert(c == Map(1L -> "low", 2L -> "mid", 3L -> "mid", 4L -> "mid", 5L -> "high"))
+
+    val logs = Seq("alice 404 ERROR from 10.0.0.1").toDF("line")
+    val g = Esql.applyCommand(logs,
+      """grok line "%{WORD:user} %{NUMBER:code:int} %{LOGLEVEL:level} from %{IP:ip}"""")
+      .select("user", "code", "level", "ip")
+      .as[(String, Int, String, String)].collect().head
+    assert(g == (("alice", 404, "ERROR", "10.0.0.1")))
+    intercept[IllegalArgumentException](
+      Esql.applyCommand(logs, """grok line "%{NOPE:x}""""))
+  }
+
   test("ENRICH: broadcast lookup join with column selection") {
     val dims = Seq(("a", "alpha"), ("b", "beta")).toDF("kk", "label")
     val r = Esql.applyCommand(df, "enrich dims on k == kk with label", _ => dims)
