@@ -61,6 +61,11 @@ object ScaleProbe {
     time("minhash_pairs_10x") {
       Dedup.minhashLshUnsorted(docs, "doc_id", "text", 0.8).count()
     }
+    // isolate: the pairs run leaves its shingle/band caches resident;
+    // without a clear, the clusters run rebuilds its own copies under
+    // storage-pool pressure and eviction thrash moves the number 3x
+    // (the r3 memory-sizing finding)
+    spark.catalog.clearCache()
     time("dedup_clusters_10x") {
       Dedup.dedupClusters(
         Dedup.minhashLshUnsorted(docs, "doc_id", "text", 0.8)).count()
