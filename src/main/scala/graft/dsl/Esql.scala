@@ -337,7 +337,13 @@ object Esql {
         }
         if (byPart.trim.isEmpty) df.agg(aggs.head, aggs.tail: _*)
         else {
-          val keys = splitTopLevel(byPart, ',').map(k => col(k.trim))
+          // BY keys are column names or inline aliases (BY b = expr);
+          // (?!=) keeps `==` inside an alias expression from matching
+          val aliasRe = "^([A-Za-z0-9_]+)\\s*=(?!=)(.*)$".r
+          val keys = splitTopLevel(byPart, ',').map(_.trim).map {
+            case aliasRe(name, e) => new P(lex(e)).parseExpr().as(name)
+            case k => col(k)
+          }
           df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
         }
       case "rename" =>

@@ -41,6 +41,10 @@ class EsqlSpec extends SparkSpec {
     val g = run("stats n = count(*), md = median(v)")
       .as[(Long, Double)].collect().head
     assert(g == ((5L, 30.0)))
+    // inline BY alias: group key computed in the same segment
+    val byExpr = run("""stats n = count(*) by band = round(v / 20.0, 0)""", "sort band")
+      .as[(Double, Long)].collect().toSeq
+    assert(byExpr == Seq((1.0, 2L), (2.0, 2L), (3.0, 1L)))
   }
 
   test("full pipeline through run() against the parquet tables") {
