@@ -58,7 +58,13 @@ object Connector {
             // restore it here too, or a read issued between the crash
             // and the next write fails on a missing directory
             Connector.recoverSwap(spark, p)
-            spark.read.format(format).load(p)
+            Connector.resolveAlias(spark, p) match {
+              case Some((target, filter)) =>
+                Connector.recoverSwap(spark, target)
+                val t = spark.read.format(format).load(target)
+                filter.fold(t)(f => t.where(EsQuery.compile(f, idField)))
+              case None => spark.read.format(format).load(p)
+            }
           }
         // allow_no_indices=true (the ES default for wildcard
         // expressions): a pattern matching nothing yields zero hits,
@@ -253,6 +259,48 @@ object Connector {
       case other =>
         throw new IllegalArgumentException(s"unknown graft.write.operation: $other")
     }
+  }
+
+  /** `_aliases` analog: an alias is a directory holding ONE
+    * descriptor file (`_graft_alias.json`) pointing at a target index
+    * with an optional filter query — ES's filtered alias. Reads
+    * through `graftDF` resolve it transparently; the filter compiles
+    * into the same pushdown predicate as any query, so a filtered
+    * alias costs nothing over a direct filtered read. One level only
+    * (ES aliases cannot point at aliases either). */
+  def putAlias(
+      spark: SparkSession, aliasPath: String, targetPath: String,
+      filter: String = null): Unit = {
+    val dir = new Path(aliasPath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val f = fs.create(new Path(dir, "_graft_alias.json"), true)
+    val filterJson = Option(filter)
+      .map(q => s""","filter":${q.trim}""").getOrElse("")
+    f.write(s"""{"target":"$targetPath"$filterJson}""".getBytes("UTF-8"))
+    f.close()
+  }
+
+  private[sources] def resolveAlias(
+      spark: SparkSession, p: String): Option[(String, Option[String])] = {
+    val marker = new Path(p, "_graft_alias.json")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) return None
+    val in = fs.open(marker)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    import org.json4s._
+    val root = org.json4s.jackson.JsonMethods.parse(body) match {
+      case JObject(fields) => fields.toMap
+      case other => throw new IllegalArgumentException(s"bad alias descriptor: $other")
+    }
+    val target = root.get("target") match {
+      case Some(JString(t)) => t
+      case _ => throw new IllegalArgumentException(s"alias $p has no target")
+    }
+    val filter = root.get("filter")
+      .map(f => org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(f)))
+    Some((target, filter))
   }
 
   /** ES index-pattern expansion (`logs-*`): a path containing glob

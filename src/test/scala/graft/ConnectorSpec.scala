@@ -299,6 +299,24 @@ class ConnectorSpec extends SparkSpec {
     intercept[Exception] { spark.graftDF(s"$base/definitely-missing").count() }
   }
 
+  test("filtered aliases resolve transparently through graftDF") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_alias").toString
+    Seq((1L, "en"), (2L, "de"), (3L, "en"))
+      .toDF("doc_id", "lang").write.parquet(s"$base/idx")
+    // plain alias: all rows
+    Connector.putAlias(spark, s"$base/all_docs", s"$base/idx")
+    assert(spark.graftDF(s"$base/all_docs").count() == 3L)
+    // filtered alias: the ES filtered-alias view
+    Connector.putAlias(spark, s"$base/en_docs", s"$base/idx",
+      """{"term": {"lang": "en"}}""")
+    val en = spark.graftDF(s"$base/en_docs").select("doc_id").as[Long].collect().toSet
+    assert(en == Set(1L, 3L))
+    // a query over the alias composes with the alias filter
+    assert(spark.graftDF(s"$base/en_docs",
+      """{"range": {"doc_id": {"gte": 2}}}""").count() == 1L)
+  }
+
   test("graftCount and fieldCaps") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_caps").toString + "/idx"
