@@ -230,6 +230,10 @@ object SparkEntry {
     "q_match_bool_prefix" -> ((s, d) => t(s, d, "documents")
       .where(Search.matchBoolPrefix(col("text"), "merge bat"))
       .select(col("doc_id")).orderBy(col("doc_id"))),
+    // match with minimum_should_match: 50% of 4 terms (floor) = 2
+    "q_match_msm" -> ((s, d) => t(s, d, "documents")
+      .where(Search.matchQueryMsm(col("text"), "spark window merge batch", "50%"))
+      .select(col("doc_id")).orderBy(col("doc_id"))),
     // term-centric AND across text+source as one combined field
     "q_combined_fields" -> ((s, d) => t(s, d, "documents")
       .where(graft.dsl.QueryDslJson.compile(
@@ -506,6 +510,10 @@ object SparkEntry {
     "q_agg_boxplot" -> ((s, d) => Aggs.boxplotAgg(t(s, d, "lineitem"), "l_extendedprice")),
     "q_agg_mad" -> ((s, d) =>
       Aggs.medianAbsoluteDeviation(t(s, d, "lineitem"), "l_extendedprice")),
+    // significant_text: sampled + duplicate-text-filtered foreground
+    "q_agg_sig_text" -> ((s, d) => Aggs.significantText(
+      t(s, d, "documents"), "doc_id", "text", col("lang") === "en",
+      sampleProb = 0.5, minFgCount = 5, k = 10)),
     "q_agg_t_test" -> ((s, d) => Aggs.tTestAgg(Tables.events(s, d), "value",
       col("event_type") === "click", col("event_type") === "view")),
     // cumulative_cardinality over integer hour buckets (exact ns math)
@@ -875,6 +883,22 @@ object SparkEntry {
     "q_match_bool_prefix" -> (TokCte + " SELECT doc_id FROM tok WHERE " +
       "list_contains(toks, 'merge') AND " +
       "contains(' ' || array_to_string(toks, ' ') || ' ', ' bat') ORDER BY doc_id"),
+    "q_match_msm" -> (TokCte + " SELECT doc_id FROM tok WHERE " +
+      "(list_contains(toks, 'spark')::INT + list_contains(toks, 'window')::INT + " +
+      "list_contains(toks, 'merge')::INT + list_contains(toks, 'batch')::INT) >= 2 " +
+      "ORDER BY doc_id"),
+    "q_agg_sig_text" -> (
+      s"WITH s AS (SELECT doc_id, text FROM documents WHERE lang = 'en' AND ${hexFold("doc_id::VARCHAR", 12)} / 281474976710656.0 < 0.5), " +
+      "d AS (SELECT text FROM (SELECT text, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM s) WHERE rn = 1), " +
+      "ft AS (SELECT unnest(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0))) AS term FROM d), " +
+      "fc AS (SELECT term, count(*)::BIGINT AS fg_count FROM ft GROUP BY 1), " +
+      "bt AS (SELECT unnest(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0))) AS term FROM documents), " +
+      "bc AS (SELECT term, count(*)::BIGINT AS bg_count FROM bt GROUP BY 1), " +
+      "tot AS (SELECT (SELECT count(*) FROM d)::DOUBLE AS fg_total, (SELECT count(*) FROM documents)::DOUBLE AS bg_total) " +
+      "SELECT term, fg_count, bg_count, " +
+      "round((fg_count / fg_total) * ln((fg_count / fg_total) / (bg_count / bg_total)), 4) AS score " +
+      "FROM fc JOIN bc USING (term) CROSS JOIN tot WHERE fg_count >= 5 " +
+      "ORDER BY score DESC, term LIMIT 10"),
     "q_combined_fields" -> (TokCte + STokCte +
       " SELECT t.doc_id FROM tok t JOIN stok s USING (doc_id) WHERE " +
       "(list_contains(t.toks, 'hash') OR list_contains(s.toks, 'hash')) AND " +

@@ -631,6 +631,47 @@ object Aggs {
         Num.round(avg(col(metric)), 4).as("sample_avg"))
   }
 
+  /** `significant_text` — significant_terms' free-text sibling, with
+    * the two behaviors that make it a DIFFERENT agg in ES: the
+    * foreground is a SAMPLE of the matching docs (shard_size analog —
+    * here a deterministic md5 sample, oracle-reproducible), and
+    * duplicate text is filtered before counting
+    * (filter_duplicate_text, the near-dup/boilerplate guard). Which
+    * row of a duplicate-text group survives is irrelevant: identical
+    * text has identical term sets, so the fg counts are deterministic.
+    * Background stats come from the FULL corpus, undeduped, like ES. */
+  def significantText(
+      df: DataFrame,
+      idCol: String,
+      textField: String,
+      pred: Column,
+      sampleProb: Double,
+      minFgCount: Long,
+      k: Int): DataFrame = {
+    import graft.analysis.Analyzer
+    val fg = df
+      .where(pred && Num.uniformHash48(col(idCol)) < sampleProb)
+      .withColumn("__dup_key", md5(col(textField)))
+      .dropDuplicates("__dup_key")
+    val fgTerms = fg.select(explode(Analyzer.termSet(col(textField))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("fg_count"))
+    val bgTerms = df.select(explode(Analyzer.termSet(col(textField))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("bg_count"))
+    val totals = fg.agg(count(lit(1)).cast("double").as("fg_total"))
+      .crossJoin(df.agg(count(lit(1)).cast("double").as("bg_total")))
+    fgTerms
+      .join(bgTerms, Seq("term"))
+      .where(col("fg_count") >= minFgCount)
+      .crossJoin(broadcast(totals))
+      .select(
+        col("term"), col("fg_count"), col("bg_count"),
+        Num.round((col("fg_count") / col("fg_total")) *
+          log((col("fg_count") / col("fg_total")) /
+            (col("bg_count") / col("bg_total"))), 4).as("score"))
+      .orderBy(col("score").desc, col("term").asc)
+      .limit(k)
+  }
+
   /** `median_absolute_deviation` agg — median(|x - median(x)|), the
     * robust dispersion metric. Two distributed sort-selections (each a
     * range-partitioned sort + boundary pick, no single-reducer

@@ -83,6 +83,29 @@ object Search {
         org.apache.spark.sql.GraftBridge.expression(Analyzer.tokens(field)), q, slop))
   }
 
+  /** `match` with `minimum_should_match` — "2", "75%", or negative
+    * ("-1" = all but one). Percentages round DOWN like ES; the
+    * threshold never drops below 1. One codegen'd matched-term count
+    * against the distinct analyzed query terms. */
+  def matchQueryMsm(field: Column, query: String, minimumShouldMatch: String): Column = {
+    val q = Analyzer.analyze(query).distinct
+    require(q.nonEmpty, s"match query analyzed to zero tokens: $query")
+    val msm = minimumShouldMatch.trim
+    val threshold =
+      if (msm.endsWith("%")) {
+        val pct = msm.dropRight(1).toDouble
+        if (pct >= 0) math.floor(pct / 100.0 * q.size).toInt
+        else q.size - math.floor(-pct / 100.0 * q.size).toInt
+      } else {
+        val n = msm.toInt
+        if (n >= 0) n else q.size + n
+      }
+    val t = math.max(1, math.min(threshold, q.size))
+    val toks = Analyzer.tokens(field)
+    val matched = q.map(term => when(array_contains(toks, term), 1).otherwise(0)).reduce(_ + _)
+    matched >= t
+  }
+
   /** `match_bool_prefix` — every analyzed term must be present, the
     * LAST as a prefix (the "search-as-you-type" bool form: unlike
     * match_phrase_prefix, terms may appear anywhere, any order). All

@@ -83,6 +83,20 @@ class AggsSpec extends SparkSpec {
     assert(st.head._1 == "special")
   }
 
+  test("significant_text: duplicate text counted once in the foreground") {
+    // 5 fg docs share identical text; without filter_duplicate_text
+    // the dup boosts "special" 5x — with it, the fg term count is 1+1
+    val docs = (
+      (1 to 5).map(i => (i.toLong, "en", "common special boiler plate")) ++
+      Seq((6L, "en", "common special unique")) ++
+      (7 to 20).map(i => (i.toLong, "de", "common other text"))).toDF("doc_id", "lang", "text")
+    val st = Aggs.significantText(docs, "doc_id", "text", col("lang") === "en",
+      sampleProb = 1.0, minFgCount = 1, k = 5)
+      .as[(String, Long, Long, Double)].collect()
+    val special = st.find(_._1 == "special").get
+    assert(special._2 == 2L) // deduped: the 5 clones collapse to 1, plus doc 6
+  }
+
   test("median_absolute_deviation: robust to the outlier") {
     // values 1..9 plus outlier 1000: median 5.5 -> |x-5.5| median stays small
     val d = ((1 to 9).map(_.toDouble) :+ 1000.0).map(Tuple1(_)).toDF("v")

@@ -136,6 +136,23 @@ class SearchSpec extends SparkSpec {
     assert(cf == Set(1L, 3L))
   }
 
+  test("matchQueryMsm: absolute, percentage (floor), negative forms") {
+    import graft.search.Search
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d"), (2L, "a b x y"), (3L, "a x y z"), (4L, "x y z w"))
+      .toDF("id", "text")
+    def ids(msm: String) =
+      df.where(Search.matchQueryMsm(col("text"), "a b c d", msm))
+        .select("id").as[Long].collect().toSet
+    assert(ids("3") == Set(1L))
+    assert(ids("50%") == Set(1L, 2L)) // floor(0.5*4)=2 terms
+    assert(ids("-1") == Set(1L))     // all but one = 3
+    assert(ids("1") == Set(1L, 2L, 3L))
+    assert(ids("99%") == Set(1L))    // floor(3.96)=3... never below 1, capped at n
+  }
+
   test("rankEval: precision / MRR / DCG / recall against graded ratings") {
     import graft.search.Search
     import org.apache.spark.sql.functions._
