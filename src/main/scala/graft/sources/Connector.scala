@@ -160,8 +160,44 @@ object Connector {
     }
   }
 
+  /** `_rollover` analog (the ILM write-alias pattern): when the
+    * alias's current target holds >= maxDocs documents, create the
+    * next generation (numeric-suffix increment, zero-padded like ES's
+    * `-000001`) as an empty index with the same schema and repoint
+    * the alias. Returns whether a rollover happened. Writes THROUGH
+    * the alias (see `save`) then land in the new generation while
+    * pattern reads (`idx-*`) keep seeing every generation. */
+  def rollover(spark: SparkSession, aliasPath: String, maxDocs: Long): Boolean = {
+    val (target, _) = resolveAlias(spark, aliasPath).getOrElse(
+      throw new IllegalArgumentException(s"rollover target is not an alias: $aliasPath"))
+    recoverSwap(spark, target)
+    val current = spark.read.parquet(target)
+    if (current.count() < maxDocs) return false
+    val m = "^(.*?)(\\d+)$".r
+    val next = target match {
+      case m(prefix, digits) =>
+        val width = digits.length
+        prefix + s"%0${width}d".format(digits.toLong + 1)
+      case _ => throw new IllegalArgumentException(
+        s"rollover needs a numeric-suffix index name (like idx-000001): $target")
+    }
+    // empty next generation with the same schema, then repoint
+    spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), current.schema)
+      .write.mode("overwrite").parquet(next)
+    putAlias(spark, aliasPath, next)
+    true
+  }
+
   def save(batch: DataFrame, path: String, cfg: Map[String, String]): Unit = {
     implicit val spark: SparkSession = batch.sparkSession
+    // a write addressed at an alias goes to its current target (the
+    // ES write-alias contract that makes rollover transparent);
+    // alias FILTERS gate reads, not writes, so they are ignored here
+    resolveAlias(spark, path) match {
+      case Some((target, _)) => return save(batch, target, cfg)
+      case None => ()
+    }
     val op = cfg.getOrElse("graft.write.operation", "index")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     // crash recovery: a swap that died between "rename live aside" and

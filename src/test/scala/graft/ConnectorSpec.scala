@@ -317,6 +317,26 @@ class ConnectorSpec extends SparkSpec {
       """{"range": {"doc_id": {"gte": 2}}}""").count() == 1L)
   }
 
+  test("rollover: write alias repoints at maxDocs; writes go through the alias") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_roll").toString
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "v")
+      .write.parquet(s"$base/idx-000001")
+    Connector.putAlias(spark, s"$base/w", s"$base/idx-000001")
+    // below threshold: no-op
+    assert(!Connector.rollover(spark, s"$base/w", maxDocs = 10))
+    // at/over threshold: creates -000002 (empty, same schema), repoints
+    assert(Connector.rollover(spark, s"$base/w", maxDocs = 3))
+    assert(spark.graftDF(s"$base/w").count() == 0L)
+    // a write THROUGH the alias lands in the new generation only
+    Seq((4L, "d")).toDF("doc_id", "v")
+      .saveToGraft(s"$base/w", Map("graft.mapping.id" -> "doc_id"))
+    assert(spark.graftDF(s"$base/w").count() == 1L)
+    assert(spark.graftDF(s"$base/idx-000001").count() == 3L)
+    // pattern reads see every generation
+    assert(spark.graftDF(s"$base/idx-*").count() == 4L)
+  }
+
   test("graftCount and fieldCaps") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_caps").toString + "/idx"
