@@ -197,6 +197,14 @@ object SparkEntry {
         Seq("text", "source"), "merge src5", 10)),
     "q_rank_feature" -> ((s, d) =>
       Search.rankFeatureTopK(t(s, d, "documents"), "doc_id", "n_chars", 200.0, 15)),
+    // script_score: Painless subset compiled to codegen'd column math
+    "q_script_score" -> ((s, d) =>
+      Search.scriptScoreTopK(t(s, d, "documents"), "doc_id",
+        query = graft.dsl.QueryDslJson.compile(
+          """{"script_score": {"query": {"range": {"n_chars": {"gte": 100}}},
+             |"script": {"source": "ignored-here"}}}""".stripMargin),
+        script = "saturation(doc['n_chars'].value, 250) * Math.log(2.0 + doc['n_chars'].value) + params.bump",
+        params = Map("bump" -> 0.5), k = 12)),
     // relevance decaying with geo distance from an origin point
     "q_distance_feature" -> ((s, d) =>
       Search.distanceFeatureTopK(withGeo(t(s, d, "customer")), "c_custkey",
@@ -308,6 +316,32 @@ object SparkEntry {
           col("min_lat"), col("max_lat"), col("min_lon"), col("max_lon"),
           -10.0, 10.0, -20.0, 20.0, "intersects"))
         .select(col("c_custkey"), col("min_lat"), col("max_lon"))
+        .orderBy(col("c_custkey"))
+    }),
+    // indexed geo_shape POLYGONS: each doc carries its own vertex
+    // ring; contains = compiled per-row ray cast, within = vertex
+    // extremes vs envelope. The oracle checks the generic kernel
+    // INDEPENDENTLY: test shapes are diamonds, whose containment has
+    // a closed form (|dy|/armY + |dx|/armX <= 1) that shares no code
+    // path with the ray cast.
+    "q_geo_shape_indexed" -> ((s, d) => {
+      val c = withGeo(t(s, d, "customer"))
+        .withColumn("an", (col("c_custkey") % 7 + 2).cast("double"))
+        .withColumn("ae", (col("c_custkey") % 5 + 2).cast("double"))
+        .withColumn("aso", (col("c_custkey") % 3 + 2).cast("double"))
+        .withColumn("aw", (col("c_custkey") % 11 + 2).cast("double"))
+        .withColumn("lats", array(
+          col("lat") + col("an"), col("lat"), col("lat") - col("aso"), col("lat")))
+        .withColumn("lons", array(
+          col("lon"), col("lon") + col("ae"), col("lon"), col("lon") - col("aw")))
+      c.select(
+          col("c_custkey"),
+          Relational.shapeContainsPoint(col("lats"), col("lons"),
+            5.1234567, 10.7654321).cast("int").as("contains_pt"),
+          Relational.shapeWithinEnvelope(col("lats"), col("lons"),
+            top = 29.876, left = -59.43, bottom = -29.954, right = 59.781)
+            .cast("int").as("within_env"))
+        .where(col("contains_pt") === 1 || col("within_env") === 1)
         .orderBy(col("c_custkey"))
     }),
     // ES 8 knn search surface: pre-filter + exact top-k at a
@@ -947,6 +981,18 @@ object SparkEntry {
       "SELECT c_custkey, min_lat, max_lon FROM env " +
       "WHERE max_lat >= -10.0 AND min_lat <= 10.0 AND max_lon >= -20.0 AND min_lon <= 20.0 " +
       "ORDER BY c_custkey"),
+    "q_geo_shape_indexed" -> (GeoCte +
+      ", a AS (SELECT c_custkey, lat, lon, " +
+      "CAST(c_custkey % 7 + 2 AS DOUBLE) AS an, CAST(c_custkey % 5 + 2 AS DOUBLE) AS ae, " +
+      "CAST(c_custkey % 3 + 2 AS DOUBLE) AS aso, CAST(c_custkey % 11 + 2 AS DOUBLE) AS aw FROM g), " +
+      "f AS (SELECT c_custkey, " +
+      "(CASE ((CASE WHEN 5.1234567 >= lat THEN (5.1234567 - lat) / an ELSE (lat - 5.1234567) / aso END) + " +
+      "(CASE WHEN 10.7654321 >= lon THEN (10.7654321 - lon) / ae ELSE (lon - 10.7654321) / aw END)) <= 1.0 " +
+      "WHEN TRUE THEN 1 ELSE 0 END)::INT AS contains_pt, " +
+      "(CASE WHEN lat - aso >= -29.954 AND lat + an <= 29.876 AND lon - aw >= -59.43 AND lon + ae <= 59.781 " +
+      "THEN 1 ELSE 0 END)::INT AS within_env FROM a) " +
+      "SELECT c_custkey, contains_pt, within_env FROM f " +
+      "WHERE contains_pt = 1 OR within_env = 1 ORDER BY c_custkey"),
     "q_knn" -> ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v " +
       "FROM embeddings WHERE label = 3), " +
       "q AS (SELECT list_transform(range(0, 64), i -> (i * 37 % 100) / 100.0 - 0.5) AS qv), " +
@@ -960,6 +1006,10 @@ object SparkEntry {
     "q_rank_feature" -> ("SELECT doc_id AS id, " +
       "round(CAST(n_chars AS DOUBLE) / (CAST(n_chars AS DOUBLE) + 200.0), 4) AS score " +
       "FROM documents ORDER BY score DESC, id LIMIT 15"),
+    "q_script_score" -> ("SELECT doc_id AS id, " +
+      "round((CAST(n_chars AS DOUBLE) / (CAST(n_chars AS DOUBLE) + 250.0)) * " +
+      "ln(2.0 + CAST(n_chars AS DOUBLE)) + 0.5, 4) AS score " +
+      "FROM documents WHERE n_chars >= 100 ORDER BY score DESC, id LIMIT 12"),
     "q_rescore" -> (TokCte + bm25Ctes("", "tok", Seq("fast", "hash", "join")) +
       ", w AS (SELECT id, score FROM sc ORDER BY score DESC, id LIMIT 50) " +
       "SELECT w.id, round(w.score * 1.0 + ln(1.0 + d.n_chars) * 0.5, 4) AS score " +

@@ -1,0 +1,220 @@
+package graft.dsl
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Compiler for the Painless-expression subset that `script_score`
+  * scripts actually use (the reference forwards such scripts verbatim
+  * to ES's scripting engine; here they become codegen'd Column math,
+  * so a script costs the same as a built-in scoring function).
+  *
+  * Supported grammar:
+  *   - literals: `1`, `2.5`
+  *   - refs: `doc['field'].value`, `params.name`, `_score`
+  *   - arithmetic: `+ - * / %`, unary minus, parentheses
+  *   - ternary: `cond ? a : b` with `< <= > >= == !=` comparisons
+  *   - `Math.log/log10/sqrt/abs/exp/floor/ceil/pow/max/min`
+  *   - ES script_score helpers: `saturation(v, pivot)` = v/(v+pivot),
+  *     `sigmoid(v, k, a)` = v^a/(k^a+v^a)
+  *
+  * Everything compiles to deterministic double-typed Column
+  * expressions inside whole-stage codegen — no UDF, no interpreter
+  * at row time.
+  */
+object Painless {
+
+  def compile(
+      src: String,
+      params: Map[String, Any] = Map.empty,
+      score: Column = lit(1.0)): Column =
+    new Parser(lex(src), params, score).parseFull()
+
+  // ---- lexer ----------------------------------------------------------
+
+  private sealed trait Tok
+  private final case class Num(v: Double) extends Tok
+  private final case class DocRef(field: String) extends Tok
+  private final case class ParamRef(name: String) extends Tok
+  private case object ScoreRef extends Tok
+  private final case class Fn(name: String) extends Tok
+  private final case class Op(s: String) extends Tok
+  private case object Open extends Tok
+  private case object Close extends Tok
+  private case object Comma extends Tok
+
+  private val docPat = """doc\[\s*'([^']+)'\s*\]\s*\.\s*value""".r
+  private val fnNames = Set(
+    "Math.log", "Math.log10", "Math.sqrt", "Math.abs", "Math.exp",
+    "Math.floor", "Math.ceil", "Math.pow", "Math.max", "Math.min",
+    "saturation", "sigmoid")
+
+  private def lex(src: String): List[Tok] = {
+    val out = scala.collection.mutable.ListBuffer.empty[Tok]
+    var i = 0
+    val n = src.length
+    while (i < n) {
+      val c = src.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c.isDigit || (c == '.' && i + 1 < n && src.charAt(i + 1).isDigit)) {
+        val j = src.indexWhere(ch => !(ch.isDigit || ch == '.'), i)
+        val end = if (j < 0) n else j
+        out += Num(src.substring(i, end).toDouble); i = end
+      } else if (src.startsWith("doc[", i)) {
+        docPat.findPrefixMatchOf(src.substring(i)) match {
+          case Some(m) => out += DocRef(m.group(1)); i += m.end
+          case None => throw new IllegalArgumentException(
+            s"malformed doc[...] ref at offset $i in: $src")
+        }
+      } else if (src.startsWith("params.", i)) {
+        val start = i + "params.".length
+        val j = src.indexWhere(ch => !(ch.isLetterOrDigit || ch == '_'), start)
+        val end = if (j < 0) n else j
+        out += ParamRef(src.substring(start, end)); i = end
+      } else if (src.startsWith("_score", i)) {
+        out += ScoreRef; i += "_score".length
+      } else if (c.isLetter) {
+        val j = src.indexWhere(ch => !(ch.isLetterOrDigit || ch == '.' || ch == '_'), i)
+        val end = if (j < 0) n else j
+        val word = src.substring(i, end)
+        if (!fnNames.contains(word)) throw new IllegalArgumentException(
+          s"unsupported identifier '$word' in script: $src")
+        out += Fn(word); i = end
+      } else c match {
+        case '(' => out += Open; i += 1
+        case ')' => out += Close; i += 1
+        case ',' => out += Comma; i += 1
+        case '<' | '>' | '=' | '!' if i + 1 < n && src.charAt(i + 1) == '=' =>
+          out += Op(s"$c="); i += 2
+        case '<' | '>' | '+' | '-' | '*' | '/' | '%' | '?' | ':' =>
+          out += Op(c.toString); i += 1
+        case other => throw new IllegalArgumentException(
+          s"unexpected character '$other' in script: $src")
+      }
+    }
+    out.toList
+  }
+
+  // ---- parser ---------------------------------------------------------
+
+  private final class Parser(
+      var toks: List[Tok], params: Map[String, Any], score: Column) {
+
+    def parseFull(): Column = {
+      val c = parseTernary()
+      require(toks.isEmpty, s"trailing tokens in script: $toks")
+      c
+    }
+
+    private def peek: Option[Tok] = toks.headOption
+    private def next(): Tok = {
+      require(toks.nonEmpty, "unexpected end of script")
+      val h = toks.head; toks = toks.tail; h
+    }
+    private def expect(t: Tok): Unit = {
+      val h = next()
+      require(h == t, s"expected $t, got $h")
+    }
+
+    private def parseTernary(): Column = {
+      val cond = parseComparison()
+      peek match {
+        case Some(Op("?")) =>
+          next()
+          val a = parseTernary()
+          expect(Op(":"))
+          val b = parseTernary()
+          when(cond =!= 0.0, a).otherwise(b)
+        case _ => cond
+      }
+    }
+
+    // comparisons produce 1.0 / 0.0 so they compose with arithmetic
+    // (and feed the ternary's cond =!= 0 test)
+    private def parseComparison(): Column = {
+      val left = parseAddSub()
+      peek match {
+        case Some(Op(op @ ("<" | "<=" | ">" | ">=" | "==" | "!="))) =>
+          next()
+          val right = parseAddSub()
+          val b = op match {
+            case "<" => left < right
+            case "<=" => left <= right
+            case ">" => left > right
+            case ">=" => left >= right
+            case "==" => left === right
+            case "!=" => left =!= right
+          }
+          when(b, 1.0).otherwise(0.0)
+        case _ => left
+      }
+    }
+
+    private def parseAddSub(): Column = {
+      var acc = parseMulDiv()
+      var done = false
+      while (!done) peek match {
+        case Some(Op("+")) => next(); acc = acc + parseMulDiv()
+        case Some(Op("-")) => next(); acc = acc - parseMulDiv()
+        case _ => done = true
+      }
+      acc
+    }
+
+    private def parseMulDiv(): Column = {
+      var acc = parseUnary()
+      var done = false
+      while (!done) peek match {
+        case Some(Op("*")) => next(); acc = acc * parseUnary()
+        case Some(Op("/")) => next(); acc = acc / parseUnary()
+        case Some(Op("%")) => next(); acc = acc % parseUnary()
+        case _ => done = true
+      }
+      acc
+    }
+
+    private def parseUnary(): Column = peek match {
+      case Some(Op("-")) => next(); -parseUnary()
+      case _ => parsePrimary()
+    }
+
+    private def parsePrimary(): Column = next() match {
+      case Num(v) => lit(v)
+      case DocRef(f) => col(f).cast("double")
+      case ParamRef(p) => lit(params.getOrElse(p,
+        throw new IllegalArgumentException(s"missing param '$p'")) match {
+        case n: Number => n.doubleValue()
+        case other => throw new IllegalArgumentException(
+          s"param '$p' is not numeric: $other")
+      })
+      case ScoreRef => score
+      case Open =>
+        val c = parseTernary(); expect(Close); c
+      case Fn(name) =>
+        expect(Open)
+        val args = scala.collection.mutable.ListBuffer(parseTernary())
+        while (peek.contains(Comma)) { next(); args += parseTernary() }
+        expect(Close)
+        fn(name, args.toList)
+      case other => throw new IllegalArgumentException(s"unexpected token: $other")
+    }
+
+    private def fn(name: String, args: List[Column]): Column = (name, args) match {
+      case ("Math.log", a :: Nil) => log(a)
+      case ("Math.log10", a :: Nil) => log10(a)
+      case ("Math.sqrt", a :: Nil) => sqrt(a)
+      case ("Math.abs", a :: Nil) => abs(a)
+      case ("Math.exp", a :: Nil) => exp(a)
+      case ("Math.floor", a :: Nil) => floor(a).cast("double")
+      case ("Math.ceil", a :: Nil) => ceil(a).cast("double")
+      case ("Math.pow", a :: b :: Nil) => pow(a, b)
+      case ("Math.max", a :: b :: Nil) => greatest(a, b)
+      case ("Math.min", a :: b :: Nil) => least(a, b)
+      // ES script_score rank-feature helpers
+      case ("saturation", v :: pivot :: Nil) => v / (v + pivot)
+      case ("sigmoid", v :: k :: a :: Nil) =>
+        pow(v, a) / (pow(k, a) + pow(v, a))
+      case _ => throw new IllegalArgumentException(
+        s"bad arity for $name: ${args.size} args")
+    }
+  }
+}

@@ -282,6 +282,15 @@ object QueryDslJson {
             java.util.Base64.getDecoder.decode(b64),
             java.nio.charset.StandardCharsets.UTF_8)), idField)
 
+        // {"script_score": {"query": {...}, "script": {...}}} — in
+        // filter context the script only rescales scores, so the
+        // clause gates on its inner query alone (ES semantics: a
+        // script_score matches exactly the docs its query matches);
+        // the scoring path is Search.scriptScoreTopK
+        case ("script_score", JObject(parts)) =>
+          compileNode(parts.toMap.getOrElse("query",
+            throw new IllegalArgumentException("script_score needs query")), idField)
+
         case ("bool", JObject(parts)) =>
           val m = parts.toMap
           QueryDsl.bool(

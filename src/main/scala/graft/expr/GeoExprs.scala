@@ -45,6 +45,61 @@ object GeoKernels {
   }
 }
 
+/** Even-odd ray cast of a fixed query point against a PER-ROW polygon
+  * (parallel lat/lon vertex arrays, open ring — the closing edge is
+  * implicit). This is the indexed-shape side of `geo_shape`: every
+  * document carries its own geometry, so the polygon test can't be
+  * unrolled into literal column math the way a fixed QUERY polygon can
+  * (Relational.geoPolygon); instead one compiled loop runs per row.
+  * Handles convex and non-convex simple polygons alike.
+  */
+object PolyKernels {
+  def containsPoint(
+      lats: org.apache.spark.sql.catalyst.util.ArrayData,
+      lons: org.apache.spark.sql.catalyst.util.ArrayData,
+      py: Double, px: Double): Boolean = {
+    val n = lats.numElements()
+    var inside = false
+    var i = 0
+    var j = n - 1
+    while (i < n) {
+      val yi = lats.getDouble(i); val xi = lons.getDouble(i)
+      val yj = lats.getDouble(j); val xj = lons.getDouble(j)
+      if ((yi > py) != (yj > py) &&
+          px < (xj - xi) * (py - yi) / (yj - yi) + xi) inside = !inside
+      j = i
+      i += 1
+    }
+    inside
+  }
+}
+
+/** (latArray, lonArray) -> does the row's polygon contain (qLat, qLon)? */
+case class PolygonContainsPoint(
+    left: Expression, right: Expression, qLat: Double, qLon: Double)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "polygon_contains_point"
+
+  override def nullSafeEval(lats: Any, lons: Any): Any =
+    PolyKernels.containsPoint(
+      lats.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      lons.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      qLat, qLon)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (la, lo) =>
+      s"${ev.value} = graft.expr.PolyKernels.containsPoint($la, $lo, $qLat, $qLon);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PolygonContainsPoint =
+    copy(left = newLeft, right = newRight)
+}
+
 /** (lat, lon) -> geohash string at `precision` characters. */
 case class GeoHash(left: Expression, right: Expression, precision: Int)
     extends BinaryExpression with ImplicitCastInputTypes {

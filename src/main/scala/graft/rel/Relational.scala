@@ -286,4 +286,24 @@ object Relational {
       minLat <= qMinLat && maxLat >= qMaxLat && minLon <= qMinLon && maxLon >= qMaxLon
     case other => throw new IllegalArgumentException(s"unknown geo_shape relation: $other")
   }
+
+  /** `geo_shape` over FULL indexed polygons (not just envelopes): each
+    * doc stores a vertex ring as parallel lat/lon double arrays.
+    * `contains` (polygon covers the query point) runs the compiled
+    * even-odd ray-cast kernel once per row — one whole-stage-codegen
+    * loop, no HOF interpretation. */
+  def shapeContainsPoint(
+      latArr: Column, lonArr: Column, qLat: Double, qLon: Double): Column =
+    org.apache.spark.sql.GraftBridge.column(graft.expr.PolygonContainsPoint(
+      org.apache.spark.sql.GraftBridge.expression(latArr),
+      org.apache.spark.sql.GraftBridge.expression(lonArr), qLat, qLon))
+
+  /** `within` against a query envelope is exact on the vertex extremes
+    * (a polygon lies in a box iff all vertices do) — array_min/max are
+    * codegen'd builtins and the comparison stays narrow. */
+  def shapeWithinEnvelope(
+      latArr: Column, lonArr: Column,
+      top: Double, left: Double, bottom: Double, right: Double): Column =
+    array_min(latArr) >= bottom && array_max(latArr) <= top &&
+      array_min(lonArr) >= left && array_max(lonArr) <= right
 }

@@ -590,6 +590,29 @@ object Search {
       .limit(k)
   }
 
+  /** `script_score` query: the inner query gates (filter semantics);
+    * the Painless script REPLACES the score. The script compiles once
+    * on the driver to codegen'd Column math (graft.dsl.Painless), so a
+    * scripted score costs the same as a built-in scoring function —
+    * narrow projection + one TakeOrderedAndProject, no interpreter in
+    * the row loop. `scoreCol` feeds the script's `_score` (pass the
+    * BM25 column when the inner query is a scoring clause; ES gives
+    * filter-only queries _score = 1.0, the default here). */
+  def scriptScoreTopK(
+      docs: DataFrame,
+      idCol: String,
+      query: Column,
+      script: String,
+      params: Map[String, Any],
+      k: Int,
+      scoreCol: Column = lit(1.0)): DataFrame = {
+    val scored = graft.dsl.Painless.compile(script, params, scoreCol)
+    docs.where(query)
+      .select(col(idCol).as("id"), Num.round(scored, 4).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** `distance_feature` query: relevance decays with geo distance from
     * an origin — score = pivot / (pivot + distance_km), ES's reciprocal
     * decay. Same shape as rank_feature: narrow scoring math + one

@@ -1,0 +1,79 @@
+package graft
+
+import graft.dsl.Painless
+import graft.search.Search
+import org.apache.spark.sql.functions._
+
+class PainlessSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    (1L, 100.0, 4L),
+    (2L, 200.0, 9L),
+    (3L, 0.0, 1L)).toDF("id", "x", "n")
+
+  private def eval(script: String, params: Map[String, Any] = Map.empty): Seq[Double] =
+    df.orderBy("id")
+      .select(Painless.compile(script, params).cast("double"))
+      .as[Double].collect().toSeq
+
+  test("arithmetic, precedence, unary minus") {
+    assert(eval("1 + 2 * 3") == Seq(7.0, 7.0, 7.0))
+    assert(eval("(1 + 2) * 3") == Seq(9.0, 9.0, 9.0))
+    assert(eval("-doc['x'].value / 2") == Seq(-50.0, -100.0, 0.0))
+    assert(eval("7 % 4") == Seq(3.0, 3.0, 3.0))
+  }
+
+  test("doc refs, params, Math functions") {
+    assert(eval("Math.sqrt(doc['x'].value)") == Seq(10.0, math.sqrt(200.0), 0.0))
+    assert(eval("Math.max(doc['x'].value, params.floor)", Map("floor" -> 150)) ==
+      Seq(150.0, 200.0, 150.0))
+    assert(eval("Math.pow(doc['n'].value, 2)") == Seq(16.0, 81.0, 1.0))
+    assert(eval("Math.log(Math.exp(1))") == Seq(1.0, 1.0, 1.0))
+    assert(eval("Math.floor(2.7) + Math.ceil(2.2) + Math.abs(-1)") ==
+      Seq(6.0, 6.0, 6.0))
+  }
+
+  test("saturation and sigmoid helpers") {
+    assert(eval("saturation(doc['x'].value, 100)") == Seq(0.5, 2.0 / 3.0, 0.0))
+    // sigmoid(v, k, a) = v^a / (k^a + v^a); at v == k it is 0.5
+    assert(eval("sigmoid(doc['x'].value, 100, 1)")(0) == 0.5)
+  }
+
+  test("ternary with comparisons; comparison yields 1/0") {
+    assert(eval("doc['x'].value >= 150 ? 10 : 20") == Seq(20.0, 10.0, 20.0))
+    assert(eval("doc['x'].value == 0 ? -1 : doc['x'].value") ==
+      Seq(100.0, 200.0, -1.0))
+    // bare comparison composes with arithmetic (painless booleans
+    // don't, but the 1/0 encoding keeps the subset total)
+    assert(eval("(doc['x'].value > 0) + (doc['n'].value > 5)") ==
+      Seq(1.0, 2.0, 0.0))
+  }
+
+  test("_score reference feeds the provided score column") {
+    val out = df.select(
+      Painless.compile("_score * 2 + doc['n'].value", Map.empty, col("x")).as("s"))
+      .orderBy("s").as[Double].collect().toSeq
+    assert(out == Seq(1.0, 204.0, 409.0))
+  }
+
+  test("rejects unknown identifiers, params, malformed input") {
+    intercept[IllegalArgumentException](eval("System.exit(1)"))
+    intercept[IllegalArgumentException](eval("params.nope"))
+    intercept[IllegalArgumentException](eval("doc['x'.value"))
+    intercept[IllegalArgumentException](eval("1 + "))
+    intercept[IllegalArgumentException](eval("Math.pow(1)"))
+  }
+
+  test("scriptScoreTopK: filter gates, script replaces score") {
+    val docs = Seq(
+      (1L, 10L), (2L, 40L), (3L, 90L), (4L, 5L)).toDF("doc_id", "w")
+    val out = Search.scriptScoreTopK(
+      docs, "doc_id",
+      query = col("w") >= 10L,
+      script = "Math.sqrt(doc['w'].value) + params.b",
+      params = Map("b" -> 1.0), k = 2)
+    val rows = out.as[(Long, Double)].collect().toSeq
+    assert(rows == Seq((3L, 10.4868), (2L, 7.3246)))
+  }
+}

@@ -69,4 +69,46 @@ class RelationalSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(in == Set(1L))
   }
+
+  test("shapeContainsPoint: per-row polygons, non-convex, agrees with fixed-query ray cast") {
+    // an L-shaped (non-convex) hexagon and a triangle, one per row
+    val ell = (Seq(0.0, 10.0, 10.0, 4.0, 4.0, 0.0), Seq(0.0, 0.0, 3.0, 3.0, 8.0, 8.0))
+    val tri = (Seq(20.0, 25.0, 20.0), Seq(20.0, 22.0, 24.0))
+    val df = Seq((1L, ell._1, ell._2), (2L, tri._1, tri._2))
+      .toDF("id", "lats", "lons")
+    def containing(qLat: Double, qLon: Double): Set[Long] =
+      df.where(Relational.shapeContainsPoint(col("lats"), col("lons"), qLat, qLon))
+        .select("id").as[Long].collect().toSet
+    assert(containing(2.0, 2.0) == Set(1L)) // in the L's thick arm
+    assert(containing(2.0, 6.0) == Set(1L)) // in the L's thin arm
+    assert(containing(8.0, 6.0) == Set.empty) // in the L's notch
+    assert(containing(21.0, 21.5) == Set(2L)) // inside the triangle
+    assert(containing(24.0, 21.0) == Set.empty) // above the triangle's slope
+    // cross-check kernel vs the fixed-query-polygon ray cast on a grid
+    // (geoPolygon unrolls literal column math; the kernel loops over
+    // ArrayData — independent implementations of the same cast)
+    val grid = for { la <- -1 to 11; lo <- -1 to 9 } yield (la + 0.5, lo + 0.5)
+    val viaFixed = grid.toDF("lat", "lon")
+      .where(Relational.geoPolygon(col("lat"), col("lon"), ell._1.zip(ell._2)))
+      .select("lat", "lon").as[(Double, Double)].collect().toSet
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val latsAd = ArrayData.toArrayData(ell._1.toArray)
+    val lonsAd = ArrayData.toArrayData(ell._2.toArray)
+    val viaKernel = grid.filter { case (la, lo) =>
+      graft.expr.PolyKernels.containsPoint(latsAd, lonsAd, la, lo)
+    }.toSet
+    assert(viaKernel == viaFixed)
+  }
+
+  test("shapeWithinEnvelope: vertex extremes decide exactly") {
+    val df = Seq(
+      (1L, Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 0.5)), // inside [0,5]x[0,5]
+      (2L, Seq(1.0, 6.0, 3.0), Seq(1.0, 2.0, 0.5)), // pokes north
+      (3L, Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, -0.5))) // pokes west
+      .toDF("id", "lats", "lons")
+    val in = df.where(Relational.shapeWithinEnvelope(
+        col("lats"), col("lons"), top = 5.0, left = 0.0, bottom = 0.0, right = 5.0))
+      .select("id").as[Long].collect().toSet
+    assert(in == Set(1L))
+  }
 }
