@@ -344,6 +344,17 @@ object SparkEntry {
         .where(col("contains_pt") === 1 || col("within_env") === 1)
         .orderBy(col("c_custkey"))
     }),
+    // ES 8 hybrid search: BM25 + vector retrievers fused by
+    // reciprocal rank (retriever.rrf) — the RAG retrieval pattern
+    "q_hybrid_rrf" -> ((s, d) => {
+      val lex = Search.bm25Scores(t(s, d, "documents"), "doc_id", "text", "fast hash join")
+      val qv = array((0 until 64).map(i => lit((i * 37 % 100) / 100.0 - 0.5)): _*)
+      val sem = t(s, d, "embeddings").select(
+        col("vec_id").as("id"),
+        graft.util.Num.round(graft.dedup.Vectors.cosine(
+          transform(col("embedding"), x => x.cast("double")), qv), 4).as("score"))
+      Search.rrfTopK(Seq(lex, sem), rankConstant = 60, windowSize = 50, k = 10)
+    }),
     // ES 8 knn search surface: pre-filter + exact top-k at a
     // num_candidates budget that covers the corpus
     "q_knn" -> ((s, d) => {
@@ -582,6 +593,11 @@ object SparkEntry {
       .select(col("doc_id")).orderBy(col("doc_id"))),
     "q_agg_sig_terms" -> ((s, d) =>
       Aggs.significantTerms(t(s, d, "documents"), "text", col("lang") === "en", minFgCount = 5, k = 10)),
+    // categorize_text over log-like event messages: the numeric
+    // variable parts drop out, stable token patterns remain
+    "q_agg_categorize" -> ((s, d) =>
+      Aggs.categorizeText(Tables.events(s, d),
+        concat_ws(" ", col("event_type"), col("props")), maxTokens = 4)),
     "q_agg_global" -> ((s, d) =>
       Aggs.globalWithFilter(t(s, d, "orders"), col("o_orderstatus") === "F", "o_totalprice")),
 
@@ -993,6 +1009,20 @@ object SparkEntry {
       "THEN 1 ELSE 0 END)::INT AS within_env FROM a) " +
       "SELECT c_custkey, contains_pt, within_env FROM f " +
       "WHERE contains_pt = 1 OR within_env = 1 ORDER BY c_custkey"),
+    "q_hybrid_rrf" -> (TokCte + bm25Ctes("", "tok", Seq("fast", "hash", "join")) +
+      ", e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), " +
+      "q AS (SELECT list_transform(range(0, 64), i -> (i * 37 % 100) / 100.0 - 0.5) AS qv), " +
+      "n AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm FROM e), " +
+      "qn AS (SELECT qv, sqrt(list_reduce(list_prepend(0.0, list_transform(qv, x -> x * x)), (a, b) -> a + b)) AS qnrm FROM q), " +
+      "sem AS (SELECT vec_id AS id, " +
+      "round(list_reduce(list_prepend(0.0, list_transform(range(1, len(v) + 1), i -> v[i] * qv[i])), (x, y) -> x + y) / (nrm * qnrm), 4) AS score " +
+      "FROM n CROSS JOIN qn), " +
+      "rl AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rank FROM sc), " +
+      "rs AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rank FROM sem), " +
+      "u AS (SELECT id, 1.0 / (60 + rank) AS c FROM rl WHERE rank <= 50 " +
+      "UNION ALL SELECT id, 1.0 / (60 + rank) AS c FROM rs WHERE rank <= 50) " +
+      "SELECT id, round(sum(c), 4) AS rrf_score, count(*)::INT AS matched FROM u " +
+      "GROUP BY id ORDER BY rrf_score DESC, id LIMIT 10"),
     "q_knn" -> ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v " +
       "FROM embeddings WHERE label = 3), " +
       "q AS (SELECT list_transform(range(0, 64), i -> (i * 37 % 100) / 100.0 - 0.5) AS qv), " +
@@ -1268,6 +1298,11 @@ object SparkEntry {
       "SELECT term, fg_count, bg_count, " +
       "round((fg_count / fg_total) * ln((fg_count / fg_total) / (bg_count / bg_total)), 4) AS score " +
       "FROM g CROSS JOIN tot ORDER BY score DESC, term LIMIT 10"),
+    "q_agg_categorize" -> ("WITH m AS (SELECT list_filter(" +
+      "regexp_split_to_array(lower(concat_ws(' ', event_type, props)), '[^a-z0-9]+'), x -> len(x) > 0) AS toks FROM events), " +
+      "c AS (SELECT array_to_string(list_filter(toks, t -> NOT regexp_matches(t, '^[0-9]+$'))[1:4], ' ') AS category FROM m) " +
+      "SELECT category, count(*)::BIGINT AS doc_count FROM c WHERE len(category) > 0 " +
+      "GROUP BY category ORDER BY doc_count DESC, category"),
     "q_agg_global" -> ("SELECT count(*)::BIGINT AS global_count, round(avg(o_totalprice), 4) AS global_avg, " +
       "count_if(o_orderstatus = 'F')::BIGINT AS filtered_count, " +
       "round(avg(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4) AS filtered_avg FROM orders"),

@@ -788,4 +788,27 @@ object Aggs {
         least(size(col("pts")), lit(maxPoints)).as("n_points"))
       .orderBy(col("key"))
   }
+
+  /** `categorize_text` (ES ML agg): cluster semi-structured messages by
+    * token pattern — variable tokens (pure numbers) are dropped, the
+    * first `maxTokens` surviving tokens form the category key, and
+    * categories aggregate doc counts. One tokenize + partial-agg
+    * groupBy pass; the category key is bounded (maxTokens tokens), so
+    * shuffle rows stay tiny regardless of message length. */
+  def categorizeText(
+      df: DataFrame,
+      text: Column,
+      maxTokens: Int = 4,
+      minDocCount: Long = 1): DataFrame = {
+    import graft.analysis.Analyzer
+    df.select(Analyzer.tokens(text).as("toks"))
+      .select(array_join(slice(
+        filter(col("toks"), t => !t.rlike("^[0-9]+$")), 1, maxTokens), " ")
+        .as("category"))
+      .where(length(col("category")) > 0)
+      .groupBy("category")
+      .agg(count(lit(1)).as("doc_count"))
+      .where(col("doc_count") >= minDocCount)
+      .orderBy(col("doc_count").desc, col("category").asc)
+  }
 }

@@ -590,6 +590,40 @@ object Search {
       .limit(k)
   }
 
+  /** ES 8 hybrid retrieval: reciprocal-rank fusion (`retriever.rrf`).
+    * Each retriever frame is an unranked (id, score); RRF takes each
+    * one's `windowSize` best hits (TakeOrderedAndProject — the only
+    * part that touches the corpus-sized frames), ranks within the tiny
+    * window, and scores docs by sum of 1/(rankConstant + rank).
+    * Fusion itself is union + one partial-aggregating groupBy over
+    * at most retrievers*windowSize rows — no join, no corpus shuffle.
+    * This is the BM25+knn hybrid-search pattern for RAG retrieval. */
+  def rrfTopK(
+      retrievers: Seq[DataFrame],
+      rankConstant: Int = 60,
+      windowSize: Int = 100,
+      k: Int = 10): DataFrame = {
+    require(retrievers.nonEmpty, "rrf needs at least one retriever")
+    // rank within an already-window-limited frame: the single-partition
+    // window here only ever sees windowSize rows
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("id").asc)
+    val contribs = retrievers.map { r =>
+      r.select(col("id"), col("score"))
+        .orderBy(col("score").desc, col("id").asc).limit(windowSize)
+        .withColumn("rank", row_number().over(w))
+        .select(col("id"),
+          (lit(1.0) / (lit(rankConstant.toDouble) + col("rank"))).as("contrib"))
+    }
+    contribs.reduce(_ unionByName _)
+      .groupBy("id")
+      .agg(
+        Num.round(sum(col("contrib")), 4).as("rrf_score"),
+        count(lit(1)).cast("int").as("matched"))
+      .orderBy(col("rrf_score").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** `script_score` query: the inner query gates (filter semantics);
     * the Painless script REPLACES the score. The script compiles once
     * on the driver to codegen'd Column math (graft.dsl.Painless), so a

@@ -145,4 +145,18 @@ class AggsSpec extends SparkSpec {
       ("x", "1.0000,1.0000|1.0000,2.0000", 2),
       ("y", "2.0000,1.0000", 1)))
   }
+
+  test("categorizeText: numeric tokens drop, patterns aggregate") {
+    val logs = Seq(
+      "error code 500 at node 7",
+      "error code 404 at node 12",
+      "user 88 logged in",
+      "user 91 logged in",
+      "user 14 logged in",
+      "12345").toDF("msg")
+    val out = Aggs.categorizeText(logs, col("msg"), maxTokens = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // "12345" analyzes to only numeric tokens -> empty category, dropped
+    assert(out == Seq(("user logged in", 3L), ("error code at", 2L)))
+  }
 }

@@ -168,4 +168,29 @@ class SearchSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("dcg_k") - 2.3928) < 1e-9)
     assert(r.getAs[Double]("recall_k") == 0.6667)    // 2 of 3 rated>0 found
   }
+
+  test("rrfTopK: reciprocal-rank fusion rewards docs both retrievers find") {
+    // retriever A ranks 1,2,3; retriever B ranks 3,4 — doc 3 appears
+    // in both (rank 3 and rank 1) and must outrank single-list docs
+    val a = Seq((1L, 9.0), (2L, 8.0), (3L, 7.0)).toDF("id", "score")
+    val b = Seq((3L, 0.9), (4L, 0.8)).toDF("id", "score")
+    val out = Search.rrfTopK(Seq(a, b), rankConstant = 60, windowSize = 10, k = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    val exp = Seq(
+      (3L, graft.util.Num.roundDouble(1.0 / 63 + 1.0 / 61, 4), 2),
+      (1L, graft.util.Num.roundDouble(1.0 / 61, 4), 1),
+      (4L, graft.util.Num.roundDouble(1.0 / 62, 4), 1),
+      (2L, graft.util.Num.roundDouble(1.0 / 62, 4), 1))
+    // 4 and 2 tie at 1/62: id asc breaks it -> 2 before 4
+    assert(out.head == exp.head)
+    assert(out(1) == exp(1))
+    assert(out(2) == (2L, exp(2)._2, 1))
+    assert(out(3) == (4L, exp(3)._2, 1))
+  }
+
+  test("rrfTopK: windowSize caps each retriever's contribution") {
+    val a = (1L to 100L).map(i => (i, 1000.0 - i)).toDF("id", "score")
+    val out = Search.rrfTopK(Seq(a), rankConstant = 60, windowSize = 5, k = 100)
+    assert(out.count() == 5) // docs ranked past the window contribute nothing
+  }
 }
