@@ -430,6 +430,20 @@ object SparkEntry {
 
     // es.read.metadata with a scored query: the connector read path
     // surfaces _score (BM25 over the match clause) alongside _id.
+    // runtime_mappings: query-time computed fields (Painless emit
+    // scripts), searchable like mapped fields — the predicate below
+    // references one runtime and one mapped field
+    "q_runtime_fields" -> ((s, d) => {
+      import graft.sources.Connector.implicits._
+      s.graftDF(s"$d/documents.parquet",
+        """{"runtime_mappings": {
+             "len_bucket": {"type": "long", "script": {"source": "emit(Math.floor(doc['n_chars'].value / 100))"}},
+             "kchars": {"type": "double", "script": {"source": "emit(doc['n_chars'].value / 1000.0)"}}},
+           "query": {"bool": {"must": [{"range": {"len_bucket": {"gte": 2}}}, {"term": {"lang": "en"}}]}}}""",
+        idField = "doc_id")
+        .select(col("doc_id"), col("len_bucket"), col("kchars"))
+        .orderBy(col("doc_id"))
+    }),
     "q_read_metadata_score" -> ((s, d) => {
       import graft.sources.Connector.implicits._
       s.graftDF(s"$d/documents.parquet", """{"match": {"text": "merge sort"}}""",
@@ -1107,6 +1121,9 @@ object SparkEntry {
       "FROM documents WHERE list_contains(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), " +
       "x -> len(x) > 0), 'merge') ORDER BY id LIMIT 20"),
 
+    "q_runtime_fields" -> ("SELECT doc_id, CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket, " +
+      "n_chars / 1000.0 AS kchars FROM documents " +
+      "WHERE floor(n_chars / 100) >= 2 AND lang = 'en' ORDER BY doc_id"),
     "q_read_metadata_score" -> (TokCte + bm25Ctes("", "tok", Seq("merge", "sort")) +
       " SELECT id, score FROM sc ORDER BY score DESC, id LIMIT 15"),
 

@@ -1,0 +1,74 @@
+package graft.dsl
+
+import org.apache.spark.sql.Column
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Full `_search`-body subset: `runtime_mappings` + `query`.
+  *
+  * ES runtime fields are computed at query time from a Painless
+  * `emit(...)` script and are searchable/aggregatable like mapped
+  * fields. Here each runtime field compiles (via `Painless`) to a
+  * codegen'd projection added BEFORE the query predicate, so the query
+  * can reference runtime fields exactly like ES — and Catalyst
+  * collapses the projection into the scan stage, so an un-referenced
+  * runtime field costs nothing and a referenced one is computed once.
+  *
+  * Numeric emits (`long`/`double`) cover the dominant runtime-field
+  * use (derived measures); `keyword` passes the value through `cast
+  * (string)`.
+  */
+object SearchBody {
+
+  /** (runtime columns in declaration order, inner query JSON if any).
+    * A payload that is NOT a body (a bare query-DSL object) comes back
+    * unchanged as the query. */
+  def parse(json: String): (Seq[(String, Column)], Option[String]) = {
+    val rootFields = JsonMethods.parse(json) match {
+      case JObject(fs) => fs
+      case _ => return (Nil, Some(json))
+    }
+    val root = rootFields.toMap
+    if (!root.contains("runtime_mappings") && !root.contains("query"))
+      return (Nil, Some(json))
+    val runtime = root.get("runtime_mappings").toSeq.flatMap {
+      case JObject(fields) => fields.map {
+        case JField(name, JObject(spec)) =>
+          val m = spec.toMap
+          val src = m.get("script") match {
+            case Some(JObject(s)) => s.toMap.get("source") match {
+              case Some(JString(code)) => code
+              case _ => throw new IllegalArgumentException(
+                s"runtime field '$name' script needs source")
+            }
+            case _ => throw new IllegalArgumentException(
+              s"runtime field '$name' needs a script")
+          }
+          val inner = src.trim match {
+            case e if e.startsWith("emit(") && e.endsWith(")") =>
+              e.substring("emit(".length, e.length - 1)
+            case e if e.startsWith("emit(") && e.endsWith(");") =>
+              e.substring("emit(".length, e.length - 2)
+            case _ => throw new IllegalArgumentException(
+              s"runtime field '$name' script must be emit(<expr>): $src")
+          }
+          val c = Painless.compile(inner)
+          val typed = m.get("type").collect { case JString(t) => t } match {
+            case Some("long") => c.cast("long")
+            case Some("double") | None => c
+            case Some("keyword") => c.cast("string")
+            case Some(other) => throw new IllegalArgumentException(
+              s"unsupported runtime field type '$other' for '$name'")
+          }
+          name -> typed
+        case other => throw new IllegalArgumentException(
+          s"bad runtime field spec: $other")
+      }
+      case other => throw new IllegalArgumentException(
+        s"runtime_mappings must be an object, got: $other")
+    }
+    val innerQ = root.get("query")
+      .map(q => JsonMethods.compact(JsonMethods.render(q)))
+    (runtime, innerQ)
+  }
+}

@@ -73,8 +73,18 @@ object Connector {
         // — returned before query/projection, which could not resolve
         // against it anyway.
         if (parts.isEmpty) return spark.emptyDataFrame
-        val df0 = parts.reduce(_ unionByName _)
-        val df1 = if (query == null) df0 else df0.where(EsQuery.compile(query, idField))
+        val dfU = parts.reduce(_ unionByName _)
+        // search-body form: {"runtime_mappings": {...}, "query": {...}}
+        // — runtime fields project BEFORE the query, so the predicate
+        // can reference them like mapped fields (ES semantics)
+        val (runtimeFields, innerQuery) =
+          if (query != null && query.trim.startsWith("{"))
+            graft.dsl.SearchBody.parse(query)
+          else (Seq.empty[(String, org.apache.spark.sql.Column)], Option(query))
+        val df0 = runtimeFields.foldLeft(dfU) {
+          case (d, (name, c)) => d.withColumn(name, c)
+        }
+        val df1 = innerQuery.fold(df0)(q => df0.where(EsQuery.compile(q, idField)))
         val df2 = if (fieldInclude.nonEmpty) df1.select(fieldInclude.map(col): _*) else df1
         val df3 = fieldExclude.foldLeft(df2)(_ drop _)
         // es.read.metadata analog: surface _id/_index alongside the
@@ -85,7 +95,7 @@ object Connector {
           require(df3.columns.contains(idField),
             s"readMetadata needs id column '$idField' in the result")
           val withMeta = df3.withColumn("_id", col(idField)).withColumn("_index", lit(path))
-          val scoring = Option(query).map(_.trim).filter(_.startsWith("{"))
+          val scoring = innerQuery.map(_.trim).filter(_.startsWith("{"))
             .map(graft.dsl.QueryDslJson.scoringClauses).getOrElse(Nil)
           if (scoring.isEmpty) withMeta
           else {
@@ -198,6 +208,10 @@ object Connector {
       case Some((target, _)) => return save(batch, target, cfg)
       case None => ()
     }
+    // ingest-pipeline analog: the processor chain shapes every doc
+    // before indexing (after alias resolution, so it runs exactly once)
+    val shaped = cfg.get("graft.ingest.pipeline")
+      .map(IngestPipeline.compile(_)(batch)).getOrElse(batch)
     val op = cfg.getOrElse("graft.write.operation", "index")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     // crash recovery: a swap that died between "rename live aside" and
@@ -221,28 +235,28 @@ object Connector {
 
     op match {
       case "append" =>
-        writer(batch).mode("append").save(path)
+        writer(shaped).mode("append").save(path)
       case "overwrite" =>
-        writer(batch).mode("overwrite").save(path)
+        writer(shaped).mode("overwrite").save(path)
       case "create" if exists =>
         // ES `create`: only documents whose id is absent are written
         val idCol = cfg.getOrElse("graft.mapping.id",
           throw new IllegalArgumentException("create write needs graft.mapping.id"))
         val existingIds = reader.load(path).select(col(idCol))
-        val fresh = dedupWithin(batch, idCol, cfg)
+        val fresh = dedupWithin(shaped, idCol, cfg)
           .join(existingIds, Seq(idCol), "left_anti")
         writer(fresh).mode("append").save(path)
       case "create" =>
         val idCol = cfg.getOrElse("graft.mapping.id",
           throw new IllegalArgumentException("create write needs graft.mapping.id"))
-        writer(dedupWithin(batch, idCol, cfg)).mode("overwrite").save(path)
+        writer(dedupWithin(shaped, idCol, cfg)).mode("overwrite").save(path)
       case "update" =>
         // ES `update`: only documents whose id EXISTS are replaced
         val idCol = cfg.getOrElse("graft.mapping.id",
           throw new IllegalArgumentException("update write needs graft.mapping.id"))
         if (exists) {
           val existing = reader.load(path)
-          val updatable = batch.join(
+          val updatable = shaped.join(
             existing.select(col(idCol)), Seq(idCol), "left_semi")
           val unioned = existing.withColumn("_src", lit(0)).unionByName(
             updatable.withColumn("_src", lit(1)))
@@ -258,12 +272,12 @@ object Connector {
           swapIn(fs, livePath, tmp)
         } // no index -> nothing to update (ES would error per-doc)
       case "delete" =>
-        // ES bulk `delete`: remove the batch's ids from the index
+        // ES bulk `delete`: remove the shaped's ids from the index
         val idCol = cfg.getOrElse("graft.mapping.id",
           throw new IllegalArgumentException("delete write needs graft.mapping.id"))
         if (exists) {
           val remaining = reader.load(path)
-            .join(batch.select(col(idCol)), Seq(idCol), "left_anti")
+            .join(shaped.select(col(idCol)), Seq(idCol), "left_anti")
           val tmp = new Path(path + "_graft_tmp")
           if (fs.exists(tmp)) fs.delete(tmp, true)
           writer(remaining).mode("overwrite").save(tmp.toString)
@@ -273,15 +287,15 @@ object Connector {
         val idCol = cfg.getOrElse("graft.mapping.id",
           throw new IllegalArgumentException(s"$op write needs graft.mapping.id"))
         if (!exists) {
-          writer(dedupWithin(batch, idCol, cfg)).mode("overwrite").save(path)
+          writer(dedupWithin(shaped, idCol, cfg)).mode("overwrite").save(path)
         } else {
           val existing = reader.load(path)
           // incoming rows outrank existing on id conflict (bulk order);
           // with a version column, the higher version wins instead
-          // allowMissingColumns = ES dynamic mapping: a batch may add
+          // allowMissingColumns = ES dynamic mapping: a shaped may add
           // fields (or omit existing ones); absent fields become null
           val unioned = existing.withColumn("_src", lit(0)).unionByName(
-            batch.withColumn("_src", lit(1)), allowMissingColumns = true)
+            shaped.withColumn("_src", lit(1)), allowMissingColumns = true)
           val merged = cfg.get("graft.mapping.version") match {
             case Some(v) => resolve(unioned, idCol, col(v), col("_src"))
             case None => resolve(unioned, idCol, col("_src"), col("_src"))

@@ -350,4 +350,53 @@ class ConnectorSpec extends SparkSpec {
     assert(caps.find(_._1 == "vec").exists(c => !c._3)) // arrays not primitive
     assert(caps.find(_._1 == "doc_id").exists(c => c._3 && c._4))
   }
+
+  test("runtime_mappings: query references runtime fields like mapped ones") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_rt").toString + "/idx"
+    Seq((1L, 100L, "en"), (2L, 250L, "en"), (3L, 900L, "de"))
+      .toDF("doc_id", "n", "lang").write.parquet(dir)
+    val out = spark.graftDF(dir,
+      """{"runtime_mappings": {
+           "bucket": {"type": "long", "script": {"source": "emit(Math.floor(doc['n'].value / 100))"}}},
+         "query": {"range": {"bucket": {"gte": 2}}}}""",
+      idField = "doc_id")
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    assert(out.columns.contains("bucket"))
+    // body with only runtime_mappings (no query): all rows, field added
+    val all = spark.graftDF(dir,
+      """{"runtime_mappings": {
+           "kn": {"type": "double", "script": {"source": "emit(doc['n'].value / 1000.0)"}}}}""",
+      idField = "doc_id")
+    assert(all.count() == 3 && all.columns.contains("kn"))
+    // plain query JSON still works unchanged
+    assert(spark.graftDF(dir, """{"term": {"lang": "de"}}""").count() == 1)
+  }
+
+  test("ingest pipeline: processor chain shapes docs at write time") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_ingest").toString + "/idx"
+    val pipeline = """{"processors": [
+      {"set": {"field": "source", "value": "bulk"}},
+      {"lowercase": {"field": "name"}},
+      {"gsub": {"field": "name", "pattern": "[0-9]+", "replacement": "#"}},
+      {"rename": {"field": "name", "target_field": "title"}},
+      {"convert": {"field": "n", "type": "double"}},
+      {"remove": {"field": "tmp"}}]}"""
+    Seq((1L, "Alpha99", 10L, "x"), (2L, "BETA7", 20L, "y"))
+      .toDF("doc_id", "name", "n", "tmp")
+      .saveToGraft(dir, Map("graft.mapping.id" -> "doc_id",
+        "graft.ingest.pipeline" -> pipeline))
+    val out = spark.read.parquet(dir).orderBy("doc_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("title"),
+        r.getAs[Double]("n"), r.getAs[String]("source"))).toSeq
+    assert(out == Seq((1L, "alpha#", 10.0, "bulk"), (2L, "beta#", 20.0, "bulk")))
+    assert(!spark.read.parquet(dir).columns.contains("tmp"))
+    // upsert THROUGH the pipeline into the existing index
+    Seq((2L, "Gamma123", 30L, "z")).toDF("doc_id", "name", "n", "tmp")
+      .saveToGraft(dir, Map("graft.mapping.id" -> "doc_id",
+        "graft.ingest.pipeline" -> pipeline))
+    val r2 = spark.read.parquet(dir).where($"doc_id" === 2L).collect().head
+    assert(r2.getAs[String]("title") == "gamma#")
+  }
 }
