@@ -278,6 +278,16 @@ object SparkEntry {
     "q_esql_dissect" -> ((s, d) => graft.dsl.Esql.run(s, d,
       """from orders | dissect o_orderpriority "%{pr_num}-%{pr_name}"
         | stats n = count(*) by pr_name | sort pr_name""")),
+    // function long tail: SPLIT -> multivalue fold, string functions
+    "q_esql_functions" -> ((s, d) => graft.dsl.Esql.run(s, d,
+      """from documents | eval toks = split(text, " ")
+        | eval n = mv_count(toks) | eval ini = to_upper(left(lang, 1))
+        | where n >= 40 | stats c = count(*), mx = max(n) by ini | sort ini""")),
+    // DATE_TRUNC over ns-long event time (exact integer math)
+    "q_esql_date_trunc" -> ((s, d) => graft.dsl.Esql.run(s, d,
+      """from events | eval day = date_trunc("day", ts_ns)
+        | stats n = count(*), lo = min(value), hi = max(value) by day
+        | sort day | limit 14""")),
     // _search/template: mustache-rendered query -> DSL compile; the
     // min_chars param exercises scalar substitution, the absent
     // boost param exercises the inverted-section default
@@ -444,6 +454,20 @@ object SparkEntry {
         .select(col("doc_id"), col("len_bucket"), col("kchars"))
         .orderBy(col("doc_id"))
     }),
+    // _mget: id-list point lookup in request order with found flags
+    "q_mget" -> ((s, d) => {
+      import graft.sources.Connector.implicits._
+      s.graftMget(s"$d/documents.parquet", Seq(7L, 3L, 99999999L, 42L), "doc_id")
+        .select(col("pos"), col("doc_id"), col("found"), col("lang"), col("n_chars"))
+    }),
+    // _msearch: a batch of queries answered in ONE shared scan
+    "q_msearch" -> ((s, d) =>
+      Search.msearch(t(s, d, "documents"), "doc_id",
+        Seq(
+          "m1" -> QueryDsl.term(col("lang"), "en"),
+          "m2" -> (col("n_chars") >= 400L),
+          "m3" -> Search.matchQueryAnd(col("text"), "hash join")),
+        sortCol = "n_chars", k = 5)),
     "q_read_metadata_score" -> ((s, d) => {
       import graft.sources.Connector.implicits._
       s.graftDF(s"$d/documents.parquet", """{"match": {"text": "merge sort"}}""",
@@ -989,6 +1013,13 @@ object SparkEntry {
       "round(sum(c_acctbal), 2) AS acct FROM customer " +
       "LEFT JOIN nation ON c_nationkey = n_nationkey " +
       "GROUP BY 1 ORDER BY n_name"),
+    "q_esql_functions" -> ("WITH s AS (SELECT len(string_split(text, ' ')) AS n, " +
+      "upper(left(lang, 1)) AS ini FROM documents) " +
+      "SELECT ini, count(*)::BIGINT AS c, max(n)::INT AS mx FROM s WHERE n >= 40 " +
+      "GROUP BY ini ORDER BY ini"),
+    "q_esql_date_trunc" -> ("SELECT epoch_ns(ts) - epoch_ns(ts) % 86400000000000 AS day, " +
+      "count(*)::BIGINT AS n, min(value) AS lo, max(value) AS hi FROM events " +
+      "GROUP BY day ORDER BY day LIMIT 14"),
     "q_esql_dissect" -> ("SELECT regexp_extract(o_orderpriority, '^(.*?)-(.*)$', 2) AS pr_name, " +
       "count(*)::BIGINT AS n FROM orders GROUP BY 1 ORDER BY pr_name"),
     "q_search_template" -> ("SELECT doc_id FROM documents " +
@@ -1121,6 +1152,18 @@ object SparkEntry {
       "FROM documents WHERE list_contains(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), " +
       "x -> len(x) > 0), 'merge') ORDER BY id LIMIT 20"),
 
+    "q_mget" -> ("WITH req(pos, rid) AS (VALUES (1, 7), (2, 3), (3, 99999999), (4, 42)) " +
+      "SELECT pos::BIGINT AS pos, rid::BIGINT AS doc_id, " +
+      "(doc_id IS NOT NULL)::INT AS found, lang, n_chars " +
+      "FROM req LEFT JOIN documents ON doc_id = rid ORDER BY pos"),
+    "q_msearch" -> (TokCte + ", m AS (" +
+      "SELECT 'm1' AS qid, doc_id, n_chars FROM documents WHERE lang = 'en' " +
+      "UNION ALL SELECT 'm2', doc_id, n_chars FROM documents WHERE n_chars >= 400 " +
+      "UNION ALL SELECT 'm3', d.doc_id, d.n_chars FROM documents d JOIN tok ON tok.doc_id = d.doc_id " +
+      "WHERE list_has_all(toks, ['hash', 'join'])), " +
+      "r AS (SELECT qid, doc_id AS id, n_chars, " +
+      "row_number() OVER (PARTITION BY qid ORDER BY n_chars DESC, doc_id) AS rank FROM m) " +
+      "SELECT qid, rank, id, n_chars FROM r WHERE rank <= 5 ORDER BY qid, rank"),
     "q_runtime_fields" -> ("SELECT doc_id, CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket, " +
       "n_chars / 1000.0 AS kchars FROM documents " +
       "WHERE floor(n_chars / 100) >= 2 AND lang = 'en' ORDER BY doc_id"),

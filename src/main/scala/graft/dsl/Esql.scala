@@ -171,6 +171,35 @@ object Esql {
         case ("concat", xs) => concat(xs: _*)
         case ("coalesce", xs) => coalesce(xs: _*)
         case ("starts_with", Seq(x, p)) => x.startsWith(p)
+        case ("ends_with", Seq(x, p)) => x.endsWith(p)
+        case ("floor", Seq(x)) => floor(x)
+        case ("ceil", Seq(x)) => ceil(x)
+        case ("sqrt", Seq(x)) => sqrt(x)
+        case ("pow", Seq(x, p)) => pow(x, p)
+        case ("log10", Seq(x)) => log10(x)
+        case ("log", Seq(x)) => log(x) // natural log, like ES|QL LOG(x)
+        case ("exp", Seq(x)) => exp(x)
+        case ("greatest", xs) if xs.size >= 2 => greatest(xs: _*)
+        case ("least", xs) if xs.size >= 2 => least(xs: _*)
+        case ("trim", Seq(x)) => trim(x)
+        case ("ltrim", Seq(x)) => ltrim(x)
+        case ("rtrim", Seq(x)) => rtrim(x)
+        case ("left", Seq(x, n)) => x.substr(lit(1), n)
+        case ("replace", Seq(x, pat, rep)) => regexp_replace(x, pat, rep)
+        // multivalue family: ES|QL fields can hold arrays (here:
+        // SPLIT output); these fold them back to scalars
+        case ("mv_count", Seq(x)) => size(x)
+        case ("mv_min", Seq(x)) => array_min(x)
+        case ("mv_max", Seq(x)) => array_max(x)
+        case ("mv_sum", Seq(x)) =>
+          aggregate(x, lit(0.0), (acc, v) => acc + v.cast("double"))
+        case ("mv_avg", Seq(x)) =>
+          aggregate(x, lit(0.0), (acc, v) => acc + v.cast("double")) / size(x)
+        // type conversions
+        case ("to_string", Seq(x)) => x.cast("string")
+        case ("to_long", Seq(x)) => x.cast("long")
+        case ("to_int", Seq(x)) => x.cast("int")
+        case ("to_double", Seq(x)) => x.cast("double")
         case (other, _) =>
           throw new IllegalArgumentException(s"unknown ES|QL function: $other")
       }
@@ -193,6 +222,37 @@ object Esql {
       Num.round(e, scale)
     }
 
+    // SPLIT's delimiter is a LITERAL (ES|QL splits on the literal
+    // string, Spark's split takes a regex — quote it at parse time)
+    private def parseSplit(): Column = {
+      expectOp("(")
+      val e = parseExpr()
+      expectOp(",")
+      val delim = str(next())
+      expectOp(")")
+      split(e, java.util.regex.Pattern.quote(delim))
+    }
+
+    // DATE_TRUNC("day"|"hour"|"minute"|"second", nsLong) — exact
+    // integer math over graft's ns-long event time (hour-boundary
+    // safe; the unit resolves at parse time)
+    private def parseDateTrunc(): Column = {
+      expectOp("(")
+      val unit = str(next()).toLowerCase
+      expectOp(",")
+      val e = parseExpr()
+      expectOp(")")
+      val ns = unit match {
+        case "second" => 1000000000L
+        case "minute" => 60L * 1000000000L
+        case "hour" => 3600L * 1000000000L
+        case "day" => 86400L * 1000000000L
+        case other => throw new IllegalArgumentException(
+          s"unsupported DATE_TRUNC unit: $other")
+      }
+      e - (e % lit(ns))
+    }
+
     private def identName(): String = next() match {
       case TId(s) => s
       case other => throw new IllegalArgumentException(s"expected column name, got $other")
@@ -205,6 +265,8 @@ object Esql {
         val e = parseExpr(); expectOp(")"); e
       case TId(name) if peek.contains(TOp("(")) =>
         if (name.equalsIgnoreCase("round")) parseRound()
+        else if (name.equalsIgnoreCase("split")) parseSplit()
+        else if (name.equalsIgnoreCase("date_trunc")) parseDateTrunc()
         else fn(name, parseArgs())
       case TId(name) if name.equalsIgnoreCase("true") => lit(true)
       case TId(name) if name.equalsIgnoreCase("false") => lit(false)
@@ -291,8 +353,13 @@ object Esql {
       "ES|QL query must start with FROM")
     val table = segs.head.drop(4).trim
     require(table.matches("[A-Za-z0-9_]+"), s"bad FROM target: $table")
-    val source = graft.Tables.load(spark, dir, table)
-    val resolve = (t: String) => graft.Tables.load(spark, dir, t)
+    // events carries TIMESTAMP(NANOS) parquet — route through the
+    // ns-long loader like every other operator (ts exposed as ts_ns)
+    def load(t: String) =
+      if (t == "events") graft.Tables.events(spark, dir)
+      else graft.Tables.load(spark, dir, t)
+    val source = load(table)
+    val resolve = (t: String) => load(t)
     segs.tail.foldLeft(source)(applyCommand(_, _, resolve))
   }
 

@@ -590,6 +590,34 @@ object Search {
       .limit(k)
   }
 
+  /** `_msearch`: a BATCH of queries answered in ONE scan. Each doc
+    * evaluates every predicate into an array of matched query ids,
+    * explodes (only matches survive), and a per-query window keeps the
+    * top `k` by `sortCol`. ES runs msearch as independent searches;
+    * at 100 TB one shared scan with N cheap codegen'd predicates beats
+    * N scans by ~N — the window partitions by query id, so state per
+    * partition is k rows. */
+  def msearch(
+      docs: DataFrame,
+      idCol: String,
+      queries: Seq[(String, Column)],
+      sortCol: String,
+      k: Int): DataFrame = {
+    require(queries.nonEmpty, "msearch needs at least one query")
+    val flags = array(queries.map { case (qid, pred) =>
+      when(pred, lit(qid)).otherwise(lit(null))
+    }: _*)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+      .orderBy(col(sortCol).desc, col(idCol).asc)
+    docs
+      .select(col(idCol), col(sortCol), explode(flags).as("qid"))
+      .where(col("qid").isNotNull)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col(idCol).as("id"), col(sortCol))
+      .orderBy(col("qid").asc, col("rank").asc)
+  }
+
   /** ES 8 hybrid retrieval: reciprocal-rank fusion (`retriever.rrf`).
     * Each retriever frame is an unranked (id, score); RRF takes each
     * one's `windowSize` best hits (TakeOrderedAndProject — the only

@@ -142,6 +142,28 @@ object Connector {
       def graftCount(path: String, query: String = null): Long =
         graftDF(path, query).count()
 
+      /** `_mget` analog: docs by id list, in REQUEST ORDER, with a
+        * `found` flag for absent ids (ES returns found=false entries
+        * rather than dropping them). The id list is driver-side tiny,
+        * so it broadcasts and the index side stays a pushdown-filtered
+        * scan (`isin` reaches the parquet reader) — no full-index
+        * shuffle for a point-lookup batch. */
+      def graftMget(path: String, ids: Seq[Long], idField: String): DataFrame = {
+        import spark.implicits._
+        val req = ids.zipWithIndex
+          .map { case (id, i) => (i + 1L, id) }.toDF("pos", "_mget_id")
+        // the hits side is the BROADCAST side (an outer join cannot
+        // broadcast its outer side): at most |ids| rows survive the
+        // pushed-down isin filter
+        val hits = graftDF(path).where(col(idField).isin(ids: _*))
+        req
+          .join(broadcast(hits), col("_mget_id") === col(idField), "left")
+          .withColumn("found", col(idField).isNotNull.cast("int"))
+          .withColumn(idField, col("_mget_id"))
+          .drop("_mget_id")
+          .orderBy(col("pos"))
+      }
+
       /** `_field_caps` analog: one row per field with its type and
         * aggregatable/searchable flags (in graft every primitive
         * column is both — there is no doc_values split). Pure schema

@@ -102,4 +102,33 @@ class EsqlSpec extends SparkSpec {
     // without a resolver, ENRICH fails loudly
     intercept[IllegalArgumentException](run("enrich dims on k == kk"))
   }
+
+  test("function long tail: split/mv family, string fns, math, casts") {
+    val r = run(
+      """eval toks = split(s, "o")""",
+      "eval n = mv_count(toks), up = to_upper(s), l2 = left(s, 2)",
+      "where s is not null",
+      "keep id, n, up, l2",
+      "sort id")
+      .as[(Long, Int, String, String)].collect().toSeq
+    assert(r == Seq(
+      (1L, 3, "XFOO", "xf"), (2L, 1, "BAR", "ba"),
+      (3L, 3, "FOO2", "fo"), (5L, 1, "BAZ", "ba")))
+    val m = run(
+      "eval a = mv_sum(split(\"1;2;3\", \";\")), b = floor(v), c = greatest(v, 25.0)",
+      "where id == 1",
+      "keep a, b, c")
+      .as[(Double, Long, Double)].collect().head
+    assert(m == (6.0, 10L, 25.0))
+    val dt = run(
+      "eval ns = to_long(id * 90000) * 1000000000",
+      "eval bucket = date_trunc(\"minute\", ns)",
+      "keep id, bucket", "sort id", "limit 3")
+      .as[(Long, Long)].collect().toSeq
+    // 90000s*id ns truncated to minutes
+    assert(dt == Seq(
+      (1L, 90000L / 60 * 60 * 1000000000L),
+      (2L, 180000L / 60 * 60 * 1000000000L),
+      (3L, 270000L / 60 * 60 * 1000000000L)))
+  }
 }
