@@ -74,6 +74,14 @@ object SparkEntry {
     "FROM cand JOIN sh sa ON sa.doc_id = id1 JOIN sh sb ON sb.doc_id = id2) " +
     "WHERE round(inter / (n1 + n2 - inter), 4) >= 0.8)"
 
+  // monthly order-total buckets shared by the percentile pipeline aggs
+  private def monthlyOrderSums(orders: DataFrame): DataFrame = orders
+    .groupBy(trunc(col("o_orderdate"), "month").as("m"))
+    .agg(sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("msum"))
+  private val MonthlySumCte =
+    "WITH b AS (SELECT date_trunc('month', o_orderdate) AS m, " +
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS msum FROM orders GROUP BY m)"
+
   // deterministic synthetic geo columns (SURVEY.md §3)
   private def withGeo(c: DataFrame): DataFrame = c
     .withColumn("lat", (col("c_custkey") * 7919 % 18000) / 100.0 - 90.0)
@@ -431,6 +439,8 @@ object SparkEntry {
       Search.collapse(t(s, d, "documents"), "lang", "n_chars", "doc_id")
         .select(col("lang"), col("doc_id"), col("n_chars"))
         .orderBy(col("lang"))),
+    "q_collapse_inner" -> ((s, d) =>
+      Search.collapseInnerHits(t(s, d, "documents"), "lang", "n_chars", "doc_id", 3)),
     "q_search_after" -> ((s, d) =>
       Search.searchAfter(t(s, d, "documents"), "doc_id", "n_chars", 400L, 250L, 10)
         .select(col("doc_id"), col("n_chars"))),
@@ -638,6 +648,18 @@ object SparkEntry {
         concat_ws(" ", col("event_type"), col("props")), maxTokens = 4)),
     "q_agg_global" -> ((s, d) =>
       Aggs.globalWithFilter(t(s, d, "orders"), col("o_orderstatus") === "F", "o_totalprice")),
+    // pipeline-agg percentile family over monthly bucket sums
+    "q_agg_percentiles_bucket" -> ((s, d) =>
+      Aggs.percentilesBucket(monthlyOrderSums(t(s, d, "orders")), "msum")),
+    "q_agg_moving_percentiles" -> ((s, d) =>
+      Aggs.movingPercentiles(monthlyOrderSums(t(s, d, "orders")), "m", "msum", 3)),
+    // frequent_item_sets (pairs): brands co-occurring within an order
+    "q_agg_frequent_items" -> ((s, d) =>
+      Aggs.frequentItemSets(
+        t(s, d, "lineitem").join(
+          broadcast(t(s, d, "part").select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey")),
+        "l_orderkey", "p_brand", minSupport = 50).limit(20)),
 
     // ---- D. Relational / enrich ----
     "q_tpch_q6" -> ((s, d) => t(s, d, "lineitem")
@@ -1141,6 +1163,23 @@ object SparkEntry {
     "q_collapse" -> ("SELECT lang, doc_id, n_chars FROM (SELECT lang, doc_id, n_chars, " +
       "row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn FROM documents) " +
       "WHERE rn = 1 ORDER BY lang"),
+    "q_collapse_inner" -> ("SELECT lang, rank, doc_id, n_chars FROM (SELECT lang, doc_id, n_chars, " +
+      "row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rank FROM documents) " +
+      "WHERE rank <= 3 ORDER BY lang, rank"),
+    "q_agg_percentiles_bucket" -> (MonthlySumCte +
+      " SELECT round(quantile_cont(msum, 0.25), 4) AS p25, " +
+      "round(quantile_cont(msum, 0.50), 4) AS p50, " +
+      "round(quantile_cont(msum, 0.75), 4) AS p75 FROM b"),
+    "q_agg_moving_percentiles" -> (MonthlySumCte +
+      " SELECT m, round(msum, 4) AS msum, " +
+      "round(quantile_cont(msum, 0.5) OVER (ORDER BY m ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_p50 " +
+      "FROM b ORDER BY m"),
+    "q_agg_frequent_items" -> ("WITH items AS (SELECT DISTINCT l_orderkey AS b, p_brand AS item " +
+      "FROM lineitem JOIN part ON p_partkey = l_partkey), " +
+      "p AS (SELECT a.item AS item1, c.item AS item2 FROM items a JOIN items c " +
+      "ON a.b = c.b AND a.item < c.item) " +
+      "SELECT item1, item2, count(*)::BIGINT AS support FROM p GROUP BY item1, item2 " +
+      "HAVING count(*) >= 50 ORDER BY support DESC, item1, item2 LIMIT 20"),
     "q_search_after" -> ("SELECT doc_id, n_chars FROM documents WHERE n_chars < 400 " +
       "OR (n_chars = 400 AND doc_id > 250) ORDER BY n_chars DESC, doc_id LIMIT 10"),
     "q_suggest" -> (TokCte + " SELECT token, count(*)::BIGINT AS freq FROM " +

@@ -789,6 +789,54 @@ object Aggs {
       .orderBy(col("key"))
   }
 
+  /** `percentiles_bucket` pipeline agg: exact percentiles of a sibling
+    * aggregation's bucket values. The bucket frame is one row per
+    * bucket — tiny at any SF — so the exact interpolated percentile
+    * (same math as the oracle's quantile_cont) runs on it directly;
+    * the heavy lifting happened in the partial-aggregating groupBy
+    * that built the buckets. */
+  def percentilesBucket(buckets: DataFrame, valueCol: String): DataFrame =
+    buckets.agg(
+      Num.round(expr(s"percentile($valueCol, 0.25)"), 4).as("p25"),
+      Num.round(expr(s"percentile($valueCol, 0.50)"), 4).as("p50"),
+      Num.round(expr(s"percentile($valueCol, 0.75)"), 4).as("p75"))
+
+  /** `moving_percentiles` pipeline agg: rolling exact median over the
+    * trailing `window` buckets — again bucket-frame-sized work. */
+  def movingPercentiles(
+      buckets: DataFrame, keyCol: String, valueCol: String, window: Int): DataFrame = {
+    val w = Window.orderBy(col(keyCol)).rowsBetween(-(window - 1), 0)
+    buckets
+      .withColumn("mov_p50",
+        Num.round(expr(s"percentile($valueCol, 0.5)").over(w), 4))
+      .withColumn(valueCol, Num.round(col(valueCol), 4))
+      .orderBy(col(keyCol))
+  }
+
+  /** `frequent_item_sets` (ES 8 basket analysis), pairs flavor: for
+    * baskets of items, the size-2 itemsets above a support threshold.
+    * Explode basket items (distinct within basket), self-join ON THE
+    * BASKET KEY with item1 < item2, one partial-agg count. The join is
+    * key-local and quadratic only in basket SIZE (bounded small in
+    * basket data), never in basket count — at 100 TB the shuffle
+    * carries (basket, item) pairs, and AQE handles hot baskets. */
+  def frequentItemSets(
+      baskets: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      minSupport: Long): DataFrame = {
+    val items = baskets
+      .select(col(basketCol).as("b"), col(itemCol).as("item")).distinct()
+    val a = items.select(col("b"), col("item").as("item1"))
+    val bb = items.select(col("b"), col("item").as("item2"))
+    a.join(bb, Seq("b"))
+      .where(col("item1") < col("item2"))
+      .groupBy("item1", "item2")
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= minSupport)
+      .orderBy(col("support").desc, col("item1").asc, col("item2").asc)
+  }
+
   /** `categorize_text` (ES ML agg): cluster semi-structured messages by
     * token pattern — variable tokens (pure numbers) are dropped, the
     * first `maxTokens` surviving tokens form the category key, and

@@ -483,6 +483,25 @@ object Search {
       .limit(k)
   }
 
+  /** `collapse` with `inner_hits`: the group's top-`innerSize` hits
+    * ranked within each collapse key — still ONE window pass (rank
+    * <= n instead of rank == 1). */
+  def collapseInnerHits(
+      docs: DataFrame,
+      groupField: String,
+      sortField: String,
+      idCol: String,
+      innerSize: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupField))
+      .orderBy(col(sortField).desc, col(idCol).asc)
+    docs
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= innerSize)
+      .select(col(groupField), col("rank"), col(idCol), col(sortField))
+      .orderBy(col(groupField).asc, col("rank").asc)
+  }
+
   /** `collapse`: one hit per group key, best by sort — ES field
     * collapsing. Single window pass. */
   def collapse(docs: DataFrame, groupField: String, sortField: String, idCol: String): DataFrame = {
