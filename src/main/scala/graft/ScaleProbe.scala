@@ -91,6 +91,51 @@ object ScaleProbe {
       val ev = times(Tables.events(spark, sfDir), "user_id", 100000L)
       Aggs.cumulativeCardinality(ev, "user_id", expr("ts_ns div 3600000000000")).count()
     }
+    // r4 batch 2: new shuffle shapes.
+    // msearch: one shared scan, N predicates -> explode -> per-qid
+    // window; the window state is k rows per query, so 10x data only
+    // widens the scan+explode (linear)
+    spark.catalog.clearCache()
+    time("msearch_10x") {
+      Search.msearch(docs, "doc_id",
+        Seq(
+          "m1" -> graft.dsl.QueryDsl.term(col("lang"), "en"),
+          "m2" -> (col("n_chars") >= 400L),
+          "m3" -> Search.matchQueryAnd(col("text"), "hash join")),
+        "n_chars", 5).count()
+    }
+    // rrf: two corpus-sized retrievals, fusion itself is windowSize-
+    // bounded — the probe confirms fusion stays invisible at 10x
+    time("hybrid_rrf_10x") {
+      val lex = Search.bm25Scores(docs, "doc_id", "text", "fast hash join")
+      val emb = times(Tables.embeddings(spark, sfDir), "vec_id", 10000000L)
+      val qv = array((0 until 64).map(i => lit((i * 37 % 100) / 100.0 - 0.5)): _*)
+      val sem = emb.select(col("vec_id").as("id"),
+        graft.util.Num.round(graft.dedup.Vectors.cosine(
+          transform(col("embedding"), x => x.cast("double")), qv), 4).as("score"))
+      Search.rrfTopK(Seq(lex, sem), 60, 50, 10).count()
+    }
+    // frequent_item_sets: basket-key-local self-join — quadratic in
+    // basket size (bounded ~7), linear in basket count
+    time("frequent_items_10x") {
+      val part = Tables.part(spark, sfDir).select(col("p_partkey"), col("p_brand"))
+      Aggs.frequentItemSets(
+        li.join(broadcast(part), col("l_partkey") === col("p_partkey")),
+        "l_orderkey", "p_brand", minSupport = 50).count()
+    }
+    // per-row polygon ray cast: map-only compiled loop, no shuffle
+    time("geo_shape_indexed_10x") {
+      val c = times(Tables.customer(spark, sfDir), "c_custkey", 10000000L)
+        .withColumn("lat", (col("c_custkey") % 18000L) / 100.0 - 90.0)
+        .withColumn("lon", (col("c_custkey") % 36000L) / 100.0 - 180.0)
+        .withColumn("an", (col("c_custkey") % 7 + 2).cast("double"))
+        .withColumn("lats", array(col("lat") + col("an"), col("lat"),
+          col("lat") - col("an"), col("lat")))
+        .withColumn("lons", array(col("lon"), col("lon") + col("an"),
+          col("lon"), col("lon") - col("an")))
+      c.where(graft.rel.Relational.shapeContainsPoint(
+        col("lats"), col("lons"), 5.1234567, 10.7654321)).count()
+    }
     spark.stop()
   }
 }

@@ -32,6 +32,40 @@ object Analyzer {
   def analyze(query: String): Seq[String] =
     query.toLowerCase.split(TokenSplit).filter(_.nonEmpty).toSeq
 
+  /** `_analyze` API analog: the token stream of one text with
+    * positions and character offsets — ES's analysis-debugging
+    * endpoint. Single-string diagnostic, computed driver-side. */
+  def analyzeApi(spark: org.apache.spark.sql.SparkSession, text: String)
+      : org.apache.spark.sql.DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = scala.collection.mutable.ListBuffer.empty[org.apache.spark.sql.Row]
+    val lower = text.toLowerCase
+    // the SAME character class as TokenSplit ([a-z0-9]) — non-ascii
+    // letters are separators here exactly as in the column tokenizer
+    def tokenChar(c: Char) = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+    var i = 0
+    var pos = 0
+    while (i < lower.length) {
+      if (tokenChar(lower.charAt(i))) {
+        val start = i
+        while (i < lower.length && tokenChar(lower.charAt(i))) i += 1
+        rows += org.apache.spark.sql.Row(
+          lower.substring(start, i), pos, start, i)
+        pos += 1
+      } else i += 1
+    }
+    spark.createDataFrame(rows.toList.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("token",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("position",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("start_offset",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("end_offset",
+          org.apache.spark.sql.types.IntegerType))))
+  }
+
   /** Token 3-gram shingles over an ordered token array: the unit used by
     * MinHash / n-gram-Jaccard dedup. Narrow per-row transform. */
   def shingles(toks: Column, n: Int = 3): Column = {

@@ -609,6 +609,47 @@ object Search {
       .limit(k)
   }
 
+  /** `scroll` / point-in-time deep export: pages of `pageSize` docs in
+    * (sortCol asc, id asc) order, each page ONE TakeOrderedAndProject
+    * driven by a search_after cursor — no global offset skip (offset N
+    * costs O(N) everywhere; the cursor predicate costs O(page) and
+    * pushes into the scan). The iterator is lazy: each `next()` runs
+    * one bounded job, so a caller can stop after any page without
+    * paying for the rest — the connector-export pattern at 100 TB. */
+  def scrollPages(
+      docs: DataFrame,
+      idCol: String,
+      sortCol: String,
+      pageSize: Int): Iterator[Seq[org.apache.spark.sql.Row]] =
+    new Iterator[Seq[org.apache.spark.sql.Row]] {
+      private var cursor: Option[(Any, Any)] = None
+      private var pending: Option[Seq[org.apache.spark.sql.Row]] = None
+      private var done = false
+      private def fetch(): Unit = if (!done && pending.isEmpty) {
+        val base = cursor match {
+          case None => docs
+          case Some((sv, iv)) => docs.where(
+            col(sortCol) > lit(sv) || (col(sortCol) === lit(sv) && col(idCol) > lit(iv)))
+        }
+        val page = base.orderBy(col(sortCol).asc, col(idCol).asc)
+          .limit(pageSize).collect().toSeq
+        if (page.isEmpty) done = true
+        else {
+          val r = page.last
+          cursor = Some((r.getAs[Any](sortCol), r.getAs[Any](idCol)))
+          if (page.size < pageSize) done = true
+          pending = Some(page)
+        }
+      }
+      def hasNext: Boolean = { fetch(); pending.nonEmpty }
+      def next(): Seq[org.apache.spark.sql.Row] = {
+        fetch()
+        val p = pending.getOrElse(throw new NoSuchElementException("scroll exhausted"))
+        pending = None
+        p
+      }
+    }
+
   /** `_msearch`: a BATCH of queries answered in ONE scan. Each doc
     * evaluates every predicate into an array of matched query ids,
     * explodes (only matches survive), and a per-query window keeps the

@@ -232,8 +232,26 @@ object Connector {
     }
     // ingest-pipeline analog: the processor chain shapes every doc
     // before indexing (after alias resolution, so it runs exactly once)
-    val shaped = cfg.get("graft.ingest.pipeline")
+    val piped = cfg.get("graft.ingest.pipeline")
       .map(IngestPipeline.compile(_)(batch)).getOrElse(batch)
+    // es.mapping.include/exclude analog: field filtering on the WRITE
+    // side (what subset of the row becomes the indexed doc). The id
+    // column always survives — it is metadata here, like ES's _id,
+    // which also outlives _source filtering.
+    val idKeep = cfg.get("graft.mapping.id").toSeq
+    val included = cfg.get("graft.mapping.include") match {
+      case Some(fields) =>
+        val keep = (fields.split(",").map(_.trim).filter(_.nonEmpty) ++ idKeep).distinct
+        piped.select(keep.map(col): _*)
+      case None => piped
+    }
+    val shaped = cfg.get("graft.mapping.exclude") match {
+      case Some(fields) =>
+        val dropCols = fields.split(",").map(_.trim).filter(_.nonEmpty)
+          .filterNot(idKeep.contains)
+        included.drop(dropCols: _*)
+      case None => included
+    }
     val op = cfg.getOrElse("graft.write.operation", "index")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     // crash recovery: a swap that died between "rename live aside" and

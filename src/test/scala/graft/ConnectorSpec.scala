@@ -399,4 +399,41 @@ class ConnectorSpec extends SparkSpec {
     val r2 = spark.read.parquet(dir).where($"doc_id" === 2L).collect().head
     assert(r2.getAs[String]("title") == "gamma#")
   }
+
+  test("write-side mapping include/exclude keep the id column alive") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_wmap").toString
+    val df = Seq((1L, "a", 10, "secret")).toDF("doc_id", "v", "n", "internal")
+    df.saveToGraft(s"$base/inc", Map(
+      "graft.mapping.id" -> "doc_id", "graft.mapping.include" -> "v, n"))
+    assert(spark.read.parquet(s"$base/inc").columns.sorted.toSeq ==
+      Seq("doc_id", "n", "v"))
+    df.saveToGraft(s"$base/exc", Map(
+      "graft.mapping.id" -> "doc_id",
+      "graft.mapping.exclude" -> "internal, doc_id")) // id exclusion ignored
+    assert(spark.read.parquet(s"$base/exc").columns.sorted.toSeq ==
+      Seq("doc_id", "n", "v"))
+  }
+
+  test("scrollPages: cursor pagination partitions the sorted export") {
+    val df = (1L to 23L).map(i => (i, i % 5)).toDF("id", "s")
+    val pages = graft.search.Search.scrollPages(df, "id", "s", 10).toList
+    assert(pages.map(_.size) == Seq(10, 10, 3))
+    val flat = pages.flatten.map(r => (r.getAs[Long]("s"), r.getAs[Long]("id")))
+    assert(flat == flat.sorted && flat.map(_._2).toSet.size == 23)
+    // stopping early costs nothing more: first page only
+    val first = graft.search.Search.scrollPages(df, "id", "s", 7)
+    assert(first.next().size == 7)
+  }
+
+  test("_analyze API: tokens with positions and offsets") {
+    val out = graft.analysis.Analyzer.analyzeApi(spark, "The QUICK-brown fox2!")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSeq
+    assert(out == Seq(
+      ("the", 0, 0, 3), ("quick", 1, 4, 9), ("brown", 2, 10, 15), ("fox2", 3, 16, 20)))
+    // parity with the column tokenizer
+    val colToks = Seq("The QUICK-brown fox2!").toDF("t")
+      .select(graft.analysis.Analyzer.tokens($"t")).as[Seq[String]].collect().head
+    assert(out.map(_._1) == colToks)
+  }
 }
