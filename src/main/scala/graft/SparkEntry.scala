@@ -78,6 +78,14 @@ object SparkEntry {
   private def monthlyOrderSums(orders: DataFrame): DataFrame = orders
     .groupBy(trunc(col("o_orderdate"), "month").as("m"))
     .agg(sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("msum"))
+  // shared by q_downsample AND q_rollup_search: the rollup-search
+  // merge must reproduce exactly the all-raw daily aggregation
+  private val DownsampleOracle =
+    "SELECT epoch_ns(ts) - epoch_ns(ts) % 86400000000000 AS bucket_ts, event_type, " +
+    "count(*)::BIGINT AS doc_count, min(value) AS value_min, max(value) AS value_max, " +
+    "round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS value_sum " +
+    "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+
   private val MonthlySumCte =
     "WITH b AS (SELECT date_trunc('month', o_orderdate) AS m, " +
     "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS msum FROM orders GROUP BY m)"
@@ -927,6 +935,32 @@ object SparkEntry {
 
     // ---- G. Streaming-shaped ----
     "q_stream_window" -> ((s, d) => EventStreams.hourlyTypeCounts(Tables.events(s, d))),
+    // _downsample: the time-series index aggregated to 1-day buckets
+    "q_downsample" -> ((s, d) =>
+      graft.sources.Downsample.downsample(
+        Tables.events(s, d), "ts_ns", 86400L * 1000000000L, Seq("event_type"), "value")
+        .select(col("bucket_ts"), col("event_type"), col("doc_count"),
+          col("value_min"), col("value_max"),
+          graft.util.Num.round(col("value_sum").cast("double"), 4).as("value_sum"))
+        .orderBy(col("bucket_ts"), col("event_type"))),
+    // rollup search: downsampled HISTORIC + raw RECENT merged without
+    // double counting — must equal the all-raw aggregation (the oracle
+    // aggregates raw directly; only the Spark path goes through the
+    // split + associative merge)
+    "q_rollup_search" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val splitNs = 1706745600000000000L // 2024-02-01T00:00:00Z
+      val rolled = graft.sources.Downsample.downsample(
+        ev.where(col("ts_ns") < splitNs), "ts_ns",
+        86400L * 1000000000L, Seq("event_type"), "value")
+      graft.sources.Downsample.rollupSearch(
+        rolled, ev.where(col("ts_ns") >= splitNs), "ts_ns",
+        86400L * 1000000000L, Seq("event_type"), "value")
+        .select(col("bucket_ts"), col("event_type"), col("doc_count"),
+          col("value_min"), col("value_max"),
+          graft.util.Num.round(col("value_sum").cast("double"), 4).as("value_sum"))
+        .orderBy(col("bucket_ts"), col("event_type"))
+    }),
     "q_sessionize" -> ((s, d) => EventStreams.sessionize(Tables.events(s, d), 30)),
     "q_props_json" -> ((s, d) => EventStreams.propsField(Tables.events(s, d), "k"))
   )
@@ -1731,6 +1765,8 @@ object SparkEntry {
       "FROM c CROSS JOIN t ORDER BY source"),
 
     // ---- G ----
+    "q_downsample" -> DownsampleOracle,
+    "q_rollup_search" -> DownsampleOracle,
     "q_stream_window" -> ("SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type, " +
       "count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type"),
     "q_sessionize" -> ("WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tn FROM events), " +

@@ -253,6 +253,34 @@ object Esql {
       e - (e % lit(ns))
     }
 
+    // BUCKET(expr, "day") — calendar form, same ns math as DATE_TRUNC;
+    // BUCKET(expr, width) — numeric form, floor(x / w) * w
+    private def parseBucket(): Column = {
+      expectOp("(")
+      val e = parseExpr()
+      expectOp(",")
+      val out = peek match {
+        case Some(TStr(unit)) =>
+          next()
+          val ns = unit.toLowerCase match {
+            case "second" => 1000000000L
+            case "minute" => 60L * 1000000000L
+            case "hour" => 3600L * 1000000000L
+            case "day" => 86400L * 1000000000L
+            case other => throw new IllegalArgumentException(
+              s"unsupported BUCKET unit: $other")
+          }
+          e - (e % lit(ns))
+        case _ => next() match {
+          case TNum(w, _) => floor(e / lit(w)) * lit(w)
+          case other => throw new IllegalArgumentException(
+            s"BUCKET width must be a literal, got $other")
+        }
+      }
+      expectOp(")")
+      out
+    }
+
     private def identName(): String = next() match {
       case TId(s) => s
       case other => throw new IllegalArgumentException(s"expected column name, got $other")
@@ -267,6 +295,7 @@ object Esql {
         if (name.equalsIgnoreCase("round")) parseRound()
         else if (name.equalsIgnoreCase("split")) parseSplit()
         else if (name.equalsIgnoreCase("date_trunc")) parseDateTrunc()
+        else if (name.equalsIgnoreCase("bucket")) parseBucket()
         else fn(name, parseArgs())
       case TId(name) if name.equalsIgnoreCase("true") => lit(true)
       case TId(name) if name.equalsIgnoreCase("false") => lit(false)

@@ -1,0 +1,61 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** ES `_downsample` analog (the 8.x successor of the rollup API):
+  * aggregate a time-series index into fixed-interval buckets — one row
+  * per (bucket, dims...) carrying count plus min/max/sum of each
+  * metric. ONE partial-aggregating groupBy builds it; the result is
+  * orders of magnitude smaller than the raw index, which is the whole
+  * 100 TB story: historic queries run on the downsampled index while
+  * only the recent window stays raw.
+  *
+  * Event time is graft's ns-long (`ts_ns`); buckets are exact integer
+  * math (`ts - ts % interval`), never double division.
+  */
+object Downsample {
+
+  /** The downsampled frame. Metric sums go through decimal so a later
+    * re-aggregation (rollup search) stays order-independent. */
+  def downsample(
+      events: DataFrame,
+      tsCol: String,
+      intervalNs: Long,
+      dims: Seq[String],
+      metric: String): DataFrame = {
+    val bucket = (col(tsCol) - (col(tsCol) % lit(intervalNs))).as("bucket_ts")
+    events
+      .groupBy(bucket +: dims.map(col): _*)
+      .agg(
+        count(lit(1)).as("doc_count"),
+        min(col(metric)).as(s"${metric}_min"),
+        max(col(metric)).as(s"${metric}_max"),
+        sum(col(metric).cast("decimal(18,4)")).as(s"${metric}_sum"))
+  }
+
+  /** Rollup-search analog: one aggregation over downsampled HISTORIC
+    * buckets plus RAW recent docs, without double counting. The raw
+    * side partial-aggregates into the same bucket shape first, then
+    * both sides merge with the associative combiners (sum of counts,
+    * min of mins, ...). Both inputs arrive pre-split on `splitNs`
+    * (historic < splitNs <= recent), mirroring an ILM setup where the
+    * downsample action replaced the old indices. */
+  def rollupSearch(
+      rolled: DataFrame,
+      rawRecent: DataFrame,
+      tsCol: String,
+      intervalNs: Long,
+      dims: Seq[String],
+      metric: String): DataFrame = {
+    val recentBuckets = downsample(rawRecent, tsCol, intervalNs, dims, metric)
+    val keys = Seq("bucket_ts") ++ dims
+    rolled.unionByName(recentBuckets)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum(col("doc_count")).as("doc_count"),
+        min(col(s"${metric}_min")).as(s"${metric}_min"),
+        max(col(s"${metric}_max")).as(s"${metric}_max"),
+        sum(col(s"${metric}_sum")).as(s"${metric}_sum"))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import graft.sources.Connector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** ES `_transform` analog: a PIVOT (group_by + aggregations) of a
+  * source index materialized into a dest index, with a `continuous`
+  * mode that keeps the dest up to date as the source grows.
+  *
+  * Continuous mode mirrors ES's changed-entities design rather than
+  * trying to merge partial aggregates: each micro-batch identifies the
+  * group keys it touches, re-aggregates ONLY those groups from the
+  * source index, and bulk-upserts them into the dest (checkpointed,
+  * idempotent by group key). Work per batch is proportional to the
+  * CHANGED groups, not the index — the property that lets an ES
+  * transform run forever against a growing index.
+  */
+object Transforms {
+
+  /** The pivot itself (ES transform "preview" / one-shot batch run):
+    * one partial-aggregating groupBy. */
+  def pivot(src: DataFrame, keyCol: String, valueCol: String): DataFrame =
+    src.groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("doc_count"),
+        sum(col(valueCol).cast("decimal(18,4)")).cast("double").as("value_sum"),
+        max(col(valueCol)).as("value_max"))
+
+  /** Continuous mode: stream the source index, and per micro-batch
+    * re-pivot the touched groups against the FULL source, then upsert
+    * into `destPath` keyed by the group column. */
+  def continuousPivot(
+      spark: SparkSession,
+      srcPath: String,
+      destPath: String,
+      keyCol: String,
+      valueCol: String,
+      checkpointDir: String): StreamingQuery = {
+    import Connector.implicits._
+    val stream = spark.graftStream(srcPath)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val touched = batch.select(col(keyCol)).distinct()
+        val src = spark.read.parquet(srcPath)
+        val updated = pivot(
+          src.join(broadcast(touched), Seq(keyCol), "left_semi"), keyCol, valueCol)
+        Connector.save(updated, destPath, Map("graft.mapping.id" -> keyCol))
+      }
+      .start()
+  }
+}

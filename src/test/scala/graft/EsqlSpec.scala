@@ -131,4 +131,18 @@ class EsqlSpec extends SparkSpec {
       (2L, 180000L / 60 * 60 * 1000000000L),
       (3L, 270000L / 60 * 60 * 1000000000L)))
   }
+
+  test("BUCKET: calendar form on ns longs, numeric width form") {
+    val cal = run(
+      "eval ns = to_long(id) * 90000000000000",
+      "eval day = bucket(ns, \"day\")",
+      "keep id, day", "sort id", "limit 2")
+      .as[(Long, Long)].collect().toSeq
+    assert(cal == Seq(
+      (1L, 90000000000000L - 90000000000000L % 86400000000000L),
+      (2L, 180000000000000L - 180000000000000L % 86400000000000L)))
+    val num = run("eval b = bucket(v, 15.0)", "keep id, b", "sort id")
+      .as[(Long, Double)].collect().toSeq
+    assert(num == Seq((1L, 0.0), (2L, 15.0), (3L, 30.0), (4L, 30.0), (5L, 45.0)))
+  }
 }

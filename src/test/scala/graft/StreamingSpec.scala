@@ -200,4 +200,28 @@ class StreamingSpec extends SparkSpec {
       .select("user_id", "event_type").as[(Long, String)].collect().toMap
     assert(r == Map(1L -> "b", 2L -> "c"))
   }
+
+  test("transform continuous pivot: dest index converges to the batch pivot") {
+    val base = Files.createTempDirectory("graft_transform").toString
+    val src = s"$base/src"; val dest = s"$base/dest"; val ckpt = s"$base/ckpt"
+    Seq((1L, "en", 10.0), (2L, "en", 20.0), (3L, "de", 5.0))
+      .toDF("doc_id", "lang", "v").write.parquet(src)
+    val q = graft.streaming.Transforms.continuousPivot(
+      spark, src, dest, "lang", "v", ckpt)
+    try {
+      q.processAllAvailable()
+      // source grows: one existing group changes, one new group appears
+      Seq((4L, "en", 30.0), (5L, "fr", 7.0)).toDF("doc_id", "lang", "v")
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+      val got = spark.read.parquet(dest)
+        .select("lang", "doc_count", "value_sum", "value_max")
+        .as[(String, Long, Double, Double)].collect().toSet
+      val want = graft.streaming.Transforms.pivot(
+          spark.read.parquet(src), "lang", "v")
+        .as[(String, Long, Double, Double)].collect().toSet
+      assert(got == want)
+      assert(got == Set(("en", 3L, 60.0, 30.0), ("de", 1L, 5.0, 5.0), ("fr", 1L, 7.0, 7.0)))
+    } finally q.stop()
+  }
 }
