@@ -51,13 +51,23 @@ object Bench {
     // comma-decimal locale would emit invalid JSON
     def d3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + d3(v) }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // ONE line of JSON — a broken query must be visible as "failed",
-    // not as a suspiciously fast total
-    println(s"""{"queries":$qs,"failed":$failedJson,"sf":"$sfDir","metric":"total","unit":"sec","value":${d3(total)}}""")
+    // Two lines: the full per-query map first (humans / archaeology),
+    // then a COMPACT summary line LAST. The driver records a bounded
+    // tail of the log and parses the JSON it finds there; with 170+
+    // queries the full line is ~4 KB and outgrows the capture window
+    // (r3's BENCH parse came back null for exactly this reason), so
+    // the parseable line carries only the slowest 25 queries.
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + d3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"detail":"full","queries":$fullQs}""")
+    val top = results.sortBy(-_._2).take(25)
+      .map { case (k, v) => "\"" + k + "\":" + d3(v) }
+      .mkString("{", ",", "}")
+    // a broken query must be visible as "failed", not as a
+    // suspiciously fast total
+    println(s"""{"queries":$top,"queries_total_count":${results.size},"queries_shown":"slowest 25","failed":$failedJson,"sf":"$sfDir","metric":"total","unit":"sec","value":${d3(total)}}""")
     spark.stop()
   }
 }
