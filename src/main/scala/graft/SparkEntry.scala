@@ -271,6 +271,25 @@ object SparkEntry {
              {"span_near": {"clauses": [{"span_term": {"text": "join"}},
                {"span_term": {"text": "hash"}}], "slop": 1, "in_order": false}}]}}"""))
       .select(col("doc_id")).orderBy(col("doc_id"))),
+    // span_not: "vector" with no "join" within 3 positions either side
+    "q_span_not" -> ((s, d) => t(s, d, "documents")
+      .where(graft.dsl.QueryDslJson.compile(
+        """{"span_not": {"include": {"span_term": {"text": "vector"}},
+             "exclude": {"span_term": {"text": "join"}}, "pre": 3, "post": 3}}"""))
+      .select(col("doc_id")).orderBy(col("doc_id"))),
+    // _termvectors with term_statistics for one document
+    "q_termvectors" -> ((s, d) =>
+      Search.termVectors(t(s, d, "documents"), "doc_id", "text", docId = 42L)),
+    // ES 8.16 linear retriever: min-max-normalized weighted fusion
+    "q_hybrid_linear" -> ((s, d) => {
+      val lex = Search.bm25Scores(t(s, d, "documents"), "doc_id", "text", "fast hash join")
+      val qv = array((0 until 64).map(i => lit((i * 37 % 100) / 100.0 - 0.5)): _*)
+      val sem = t(s, d, "embeddings").select(
+        col("vec_id").as("id"),
+        graft.util.Num.round(graft.dedup.Vectors.cosine(
+          transform(col("embedding"), x => x.cast("double")), qv), 4).as("score"))
+      Search.linearTopK(Seq((lex, 0.7), (sem, 0.3)), windowSize = 50, k = 10)
+    }),
     // ES|QL piped queries compiled onto the same Catalyst plan
     "q_esql_where" -> ((s, d) => graft.dsl.Esql.run(s, d,
       """from orders | where o_totalprice >= 1000 and o_orderstatus == "O"
@@ -304,6 +323,22 @@ object SparkEntry {
       """from events | eval day = date_trunc("day", ts_ns)
         | stats n = count(*), lo = min(value), hi = max(value) by day
         | sort day | limit 14""")),
+    // INLINESTATS: per-group aggregate appended to every row (the
+    // partial-agg + broadcast-join-back plan), then filtered against
+    "q_esql_inlinestats" -> ((s, d) => graft.dsl.Esql.run(s, d,
+      """from lineitem | inlinestats mx = max(l_quantity) by l_returnflag
+        | where l_quantity >= mx - 1
+        | stats n = count(*) by l_returnflag | sort l_returnflag""")),
+    // LOOKUP JOIN (ES 8.18): broadcast left join on the shared field
+    "q_esql_lookup" -> ((s, d) => graft.dsl.Esql.run(s, d,
+      """from customer | rename c_nationkey as n_nationkey
+        | lookup join nation on n_nationkey
+        | stats n = count(*) by n_name | sort n_name""")),
+    // CHANGE_POINT: step-change detection over the daily value series
+    "q_esql_change_point" -> ((s, d) => graft.dsl.Esql.run(s, d,
+      """from events | eval day = date_trunc("day", ts_ns)
+        | stats v = avg(value) by day | eval v = round(v, 4)
+        | change_point v on day""")),
     // _search/template: mustache-rendered query -> DSL compile; the
     // min_chars param exercises scalar substitution, the absent
     // boost param exercises the inverted-section default
@@ -628,6 +663,14 @@ object SparkEntry {
       col("lat"), col("lon"), 5)),
     "q_agg_rate" -> ((s, d) =>
       Aggs.rateAgg(t(s, d, "orders"), "o_orderdate", "month", "o_totalprice")),
+    // geo_bounds: tightest envelope per market segment
+    "q_agg_geo_bounds" -> ((s, d) =>
+      Aggs.geoBounds(withGeo(t(s, d, "customer")), "c_mktsegment", "lat", "lon")),
+    // scripted_metric: Painless map script compiled to codegen'd
+    // column math, associative combine/reduce -> one partial agg
+    "q_agg_scripted_metric" -> ((s, d) =>
+      Aggs.scriptedMetric(t(s, d, "lineitem"), "l_returnflag",
+        "doc['l_extendedprice'].value * (1 - doc['l_discount'].value)")),
     "q_agg_geo_distance" -> ((s, d) =>
       Aggs.geoDistanceAgg(withGeo(t(s, d, "customer")), "lat", "lon",
         originLat = 10.0, originLon = 20.0, edgesKm = Seq(2000.0, 5000.0, 10000.0))),
@@ -1056,6 +1099,34 @@ object SparkEntry {
       "(len(p1) > 0 AND len(p2) > 0 AND " +
       "len(list_filter(p1, i -> len(list_filter(p2, j -> greatest(i, j) - least(i, j) + 1 - 2 <= 1)) > 0)) > 0) " +
       "ORDER BY doc_id"),
+    "q_span_not" -> (TokCte + ", pos AS (SELECT doc_id, " +
+      "list_filter(range(1, len(toks) + 1), i -> toks[i] = 'vector') AS pinc, " +
+      "list_filter(range(1, len(toks) + 1), i -> toks[i] = 'join') AS pexc FROM tok) " +
+      "SELECT doc_id FROM pos WHERE len(list_filter(pinc, " +
+      "p -> len(list_filter(pexc, q -> q >= p - 3 AND q <= p + 3)) = 0)) > 0 " +
+      "ORDER BY doc_id"),
+    "q_termvectors" -> (TokCte + ", doc AS (SELECT unnest(toks) AS term FROM tok WHERE doc_id = 42), " +
+      "dtf AS (SELECT term, count(*)::BIGINT AS term_freq FROM doc GROUP BY term), " +
+      "corpus AS (SELECT doc_id, unnest(toks) AS term FROM tok), " +
+      "st AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS doc_freq, count(*)::BIGINT AS ttf " +
+      "FROM corpus WHERE term IN (SELECT term FROM dtf) GROUP BY term) " +
+      "SELECT term, term_freq, doc_freq, ttf FROM dtf JOIN st USING (term) ORDER BY term"),
+    "q_hybrid_linear" -> (TokCte + bm25Ctes("", "tok", Seq("fast", "hash", "join")) +
+      ", e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), " +
+      "q AS (SELECT list_transform(range(0, 64), i -> (i * 37 % 100) / 100.0 - 0.5) AS qv), " +
+      "n AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm FROM e), " +
+      "qn AS (SELECT qv, sqrt(list_reduce(list_prepend(0.0, list_transform(qv, x -> x * x)), (a, b) -> a + b)) AS qnrm FROM q), " +
+      "sem AS (SELECT vec_id AS id, " +
+      "round(list_reduce(list_prepend(0.0, list_transform(range(1, len(v) + 1), i -> v[i] * qv[i])), (x, y) -> x + y) / (nrm * qnrm), 4) AS score " +
+      "FROM n CROSS JOIN qn), " +
+      "wl AS (SELECT id, score FROM sc ORDER BY score DESC, id LIMIT 50), " +
+      "ws AS (SELECT id, score FROM sem ORDER BY score DESC, id LIMIT 50), " +
+      "ml AS (SELECT min(score) AS mn, max(score) AS mx FROM wl), " +
+      "ms AS (SELECT min(score) AS mn, max(score) AS mx FROM ws), " +
+      "u AS (SELECT id, (CASE WHEN mx > mn THEN (score - mn) / (mx - mn) ELSE 1.0 END) * 0.7 AS c FROM wl CROSS JOIN ml " +
+      "UNION ALL SELECT id, (CASE WHEN mx > mn THEN (score - mn) / (mx - mn) ELSE 1.0 END) * 0.3 AS c FROM ws CROSS JOIN ms) " +
+      "SELECT id, round(sum(c), 4) AS linear_score, count(*)::INT AS matched FROM u " +
+      "GROUP BY id ORDER BY linear_score DESC, id LIMIT 10"),
     "q_esql_where" -> ("SELECT o_orderkey, round(o_totalprice / 1000.0, 0) AS bucket " +
       "FROM orders WHERE o_totalprice >= 1000 AND o_orderstatus = 'O' " +
       "ORDER BY o_orderkey LIMIT 500"),
@@ -1078,6 +1149,24 @@ object SparkEntry {
       "GROUP BY day ORDER BY day LIMIT 14"),
     "q_esql_dissect" -> ("SELECT regexp_extract(o_orderpriority, '^(.*?)-(.*)$', 2) AS pr_name, " +
       "count(*)::BIGINT AS n FROM orders GROUP BY 1 ORDER BY pr_name"),
+    "q_esql_inlinestats" -> ("WITH s AS (SELECT l_returnflag, max(l_quantity) AS mx " +
+      "FROM lineitem GROUP BY 1) " +
+      "SELECT l.l_returnflag, count(*)::BIGINT AS n FROM lineitem l " +
+      "JOIN s USING (l_returnflag) WHERE l_quantity >= mx - 1 " +
+      "GROUP BY 1 ORDER BY l_returnflag"),
+    "q_esql_lookup" -> ("SELECT n_name, count(*)::BIGINT AS n FROM customer " +
+      "LEFT JOIN nation ON c_nationkey = n_nationkey " +
+      "GROUP BY 1 ORDER BY n_name"),
+    "q_esql_change_point" -> ("WITH b AS (SELECT epoch_ns(ts) - epoch_ns(ts) % 86400000000000 AS day, " +
+      "round(avg(value), 4) AS v FROM events GROUP BY day), " +
+      "t AS (SELECT count(v)::DOUBLE AS n, CAST(sum(CAST(v AS DECIMAL(24,6))) AS DOUBLE) AS s FROM b), " +
+      "c AS (SELECT day, v, " +
+      "(count(v) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE AS n1, " +
+      "sum(v) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s1 FROM b), " +
+      "st AS (SELECT day, v, round(n1 * ((s1/n1) - (s/n)) * ((s1/n1) - (s/n)) + " +
+      "(n - n1) * (((s-s1)/(n-n1)) - (s/n)) * (((s-s1)/(n-n1)) - (s/n)), 4) AS cp_stat " +
+      "FROM c CROSS JOIN t WHERE n1 < n) " +
+      "SELECT day, v, cp_stat FROM st ORDER BY cp_stat DESC, day LIMIT 1"),
     "q_search_template" -> ("SELECT doc_id FROM documents " +
       "WHERE lang = 'en' AND n_chars >= 200 ORDER BY doc_id"),
     "q_rank_eval" -> (TokCte + bm25Ctes("", "tok", Seq("fast", "hash", "join")) +
@@ -1343,6 +1432,15 @@ object SparkEntry {
       "least(count(*), 5)::INT AS n_points " +
       "FROM g JOIN customer c ON c.c_custkey = g.c_custkey " +
       "GROUP BY 1 ORDER BY 1"),
+    "q_agg_geo_bounds" -> ("WITH g AS (SELECT c_mktsegment, " +
+      "(c_custkey * 7919 % 18000) / 100.0 - 90.0 AS lat, " +
+      "(c_custkey * 104729 % 36000) / 100.0 - 180.0 AS lon FROM customer) " +
+      "SELECT c_mktsegment AS key, round(max(lat), 4) AS top, round(min(lon), 4) AS \"left\", " +
+      "round(min(lat), 4) AS bottom, round(max(lon), 4) AS \"right\", count(*)::BIGINT AS doc_count " +
+      "FROM g GROUP BY 1 ORDER BY key"),
+    "q_agg_scripted_metric" -> ("SELECT l_returnflag AS key, " +
+      "round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS DOUBLE), 4) AS value, " +
+      "count(*)::BIGINT AS doc_count FROM lineitem GROUP BY 1 ORDER BY key"),
     "q_agg_rate" -> ("WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS bucket, " +
       "count(*)::BIGINT AS doc_count, " +
       "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_v FROM orders GROUP BY 1) " +

@@ -859,4 +859,34 @@ object Aggs {
       .where(col("doc_count") >= minDocCount)
       .orderBy(col("doc_count").desc, col("category").asc)
   }
+
+  /** `geo_bounds`: the tightest lat/lon envelope per bucket — one
+    * partial-agg pass (min/max combine associatively, so the 100 TB
+    * cost is one map-combined exchange of 4 doubles per group). */
+  def geoBounds(df: DataFrame, groupField: String,
+      latField: String, lonField: String): DataFrame =
+    df.groupBy(col(groupField).as("key"))
+      .agg(
+        Num.round(max(col(latField)), 4).as("top"),
+        Num.round(min(col(lonField)), 4).as("left"),
+        Num.round(min(col(latField)), 4).as("bottom"),
+        Num.round(max(col(lonField)), 4).as("right"),
+        count(lit(1)).as("doc_count"))
+      .orderBy(col("key").asc)
+
+  /** `scripted_metric`: the map script is a Painless expression
+    * compiled ONCE on the driver to codegen'd Column math
+    * (graft.dsl.Painless); combine/reduce is an associative sum, so
+    * the whole agg is one partial-aggregating groupBy — a scripted
+    * metric costs the same as a built-in sum at any scale (no
+    * interpreter runs per row, unlike ES's per-shard script loop).
+    * Decimal accumulation for order-independent determinism. */
+  def scriptedMetric(df: DataFrame, groupField: String,
+      mapScript: String, params: Map[String, Any] = Map.empty): DataFrame =
+    df.groupBy(col(groupField).as("key"))
+      .agg(
+        Num.round(sum(graft.dsl.Painless.compile(mapScript, params)
+          .cast("decimal(28,8)")).cast("double"), 4).as("value"),
+        count(lit(1)).as("doc_count"))
+      .orderBy(col("key").asc)
 }

@@ -515,6 +515,73 @@ object Esql {
             }
           case other => throw new IllegalArgumentException(s"bad GROK: $other")
         }
+      case "inlinestats" =>
+        // INLINESTATS agg [BY keys] — like STATS but the aggregates
+        // are appended to EVERY input row. Two-pass shape: one partial
+        // agg to a tiny per-group frame, broadcast-joined back — the
+        // scalable plan at any input size (a window over the whole
+        // frame would single-partition the global case).
+        val (aggPart, byPart) = body.toLowerCase.lastIndexOf(" by ") match {
+          case -1 => (body, "")
+          case i => (body.substring(0, i), body.substring(i + 4))
+        }
+        val aggs = splitTopLevel(aggPart, ',').map { a =>
+          val (name, c) = parseAggAssign(a)
+          c.as(name)
+        }
+        if (byPart.trim.isEmpty)
+          df.crossJoin(broadcast(df.agg(aggs.head, aggs.tail: _*)))
+        else {
+          val keys = splitTopLevel(byPart, ',').map(_.trim)
+          val stats = df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+          df.join(broadcast(stats), keys, "left")
+        }
+      case "lookup" =>
+        // LOOKUP JOIN table ON field — ES 8.18's lookup-index join:
+        // left join on the shared field name; the lookup index is the
+        // small side by definition, so it broadcasts.
+        val m = "^(?i:join)\\s+([A-Za-z0-9_]+)\\s+(?i:on)\\s+([A-Za-z0-9_]+)$".r
+        body.trim match {
+          case m(table, field) =>
+            df.join(broadcast(resolve(table)), Seq(field), "left")
+          case other => throw new IllegalArgumentException(s"bad LOOKUP JOIN: $other")
+        }
+      case "change_point" =>
+        // CHANGE_POINT value ON key — step-change detection over the
+        // series ordered by key: the split maximizing the between-
+        // segment sum of squares (the k=2 CUSUM statistic). Returns
+        // the argmax row (key, value, cp_stat). Runs AFTER a STATS
+        // bucketing in practice, so the series is small — the ordered
+        // window is bounded by the bucket count, not the raw rows.
+        val m = "^([A-Za-z0-9_]+)\\s+(?i:on)\\s+([A-Za-z0-9_]+)$".r
+        body.trim match {
+          case m(value, key) =>
+            val w = org.apache.spark.sql.expressions.Window
+              .orderBy(col(key)).rowsBetween(
+                org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+            // total sum in decimal: the unordered partial agg must be
+            // order-independent or cp_stat's 4th decimal wobbles
+            val tot = df.agg(
+              count(col(value)).cast("double").as("cp_n"),
+              sum(col(value).cast("decimal(24,6)")).cast("double").as("cp_s"))
+            df.select(col(key), col(value))
+              .withColumn("cp_n1", count(col(value)).over(w).cast("double"))
+              .withColumn("cp_s1", sum(col(value)).over(w))
+              .crossJoin(broadcast(tot))
+              .where(col("cp_n1") < col("cp_n"))
+              .withColumn("cp_stat", {
+                val m1 = col("cp_s1") / col("cp_n1")
+                val m2 = (col("cp_s") - col("cp_s1")) / (col("cp_n") - col("cp_n1"))
+                val mu = col("cp_s") / col("cp_n")
+                Num.round(
+                  col("cp_n1") * (m1 - mu) * (m1 - mu) +
+                    (col("cp_n") - col("cp_n1")) * (m2 - mu) * (m2 - mu), 4)
+              })
+              .orderBy(col("cp_stat").desc, col(key).asc)
+              .limit(1)
+              .select(col(key), col(value), col("cp_stat"))
+          case other => throw new IllegalArgumentException(s"bad CHANGE_POINT: $other")
+        }
       case "enrich" =>
         // ENRICH table ON left == right [WITH f1, f2] — the lookup-
         // join command. The enrich table is the small side by

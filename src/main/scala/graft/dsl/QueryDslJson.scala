@@ -183,6 +183,23 @@ object QueryDslJson {
             case _ => throw new IllegalArgumentException("span_or needs clauses")
           }
 
+        // {"span_not": {"include": {"span_term": {f: w}},
+        //  "exclude": {"span_term": {f: w}}, "pre": n, "post": n}} —
+        // include hit with no exclude hit in the window
+        case ("span_not", JObject(parts)) =>
+          val m = parts.toMap
+          def spanTerm(key: String): (String, String) = m.get(key) match {
+            case Some(JObject(JField("span_term", JObject(JField(f, v) :: Nil)) :: Nil)) =>
+              (f, lits(v).toString)
+            case other => throw new IllegalArgumentException(s"span_not $key: bad clause $other")
+          }
+          val (incF, incT) = spanTerm("include")
+          val (excF, excT) = spanTerm("exclude")
+          require(incF == excF, "span_not include/exclude must target one field")
+          val pre = m.get("pre").map(lits(_).toString.toInt).getOrElse(0)
+          val post = m.get("post").map(lits(_).toString.toInt).getOrElse(0)
+          Search.spanNot(col(incF), incT, excT, pre, post)
+
         // {"match_bool_prefix": {f: "quick bro"}} — terms anywhere,
         // last as prefix (search-as-you-type bool form)
         case ("match_bool_prefix", JObject(JField(f, v) :: Nil)) =>

@@ -211,6 +211,43 @@ object HashKernels {
     false
   }
 
+  /** tokens -> true iff `include` occurs at some position p such that
+    * NO `exclude` occurrence lies in [p - pre, p + post] — the ES
+    * span_not semantics (default pre = post = 0: overlap only, which
+    * for distinct single terms never triggers; the useful form sets a
+    * proximity window). One pass: track the latest exclude position
+    * and peek ahead `post` tokens on each include hit. O(n + hits*post)
+    * per row. */
+  def spanNotKernel(
+      toks: ArrayData,
+      include: UTF8String,
+      exclude: UTF8String,
+      pre: Int,
+      post: Int): Boolean = {
+    val n = toks.numElements()
+    // half-range sentinel: p - Int.MinValue would overflow and
+    // suppress every doc with no exclude occurrence at all
+    var lastExc = Int.MinValue / 2
+    var p = 0
+    while (p < n) {
+      val t = toks.getUTF8String(p)
+      if (exclude.equals(t)) lastExc = p
+      if (include.equals(t) && p - lastExc > pre) {
+        // backward window clear; scan forward up to `post` positions
+        var q = p + 1
+        var clean = true
+        val lim = math.min(n - 1, p + post)
+        while (clean && q <= lim) {
+          if (exclude.equals(toks.getUTF8String(q))) clean = false
+          q += 1
+        }
+        if (clean) return true
+      }
+      p += 1
+    }
+    false
+  }
+
   /** Jaccard similarity of two DISTINCT-element string arrays (shingle
     * sets): |a ∩ b| / (|a| + |b| - |a ∩ b|) in one hash-probe pass —
     * no intersection ARRAY materializes (the size(array_intersect(..))
@@ -558,6 +595,36 @@ case class SpanNearMatch(child: Expression, terms: Seq[String], slop: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): SpanNearMatch =
+    copy(child = newChild)
+}
+
+/** ES `span_not`: include-term occurrence with no exclude-term
+  * occurrence within [pos - pre, pos + post] (see
+  * HashKernels.spanNotKernel). */
+case class SpanNotMatch(
+    child: Expression, include: String, exclude: String, pre: Int, post: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "span_not_match"
+
+  @transient private lazy val inc: UTF8String = UTF8String.fromString(include)
+  @transient private lazy val exc: UTF8String = UTF8String.fromString(exclude)
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Boolean.valueOf(HashKernels.spanNotKernel(
+      input.asInstanceOf[ArrayData], inc, exc, pre, post))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val incRef = ctx.addReferenceObj("inc", inc, "org.apache.spark.unsafe.types.UTF8String")
+    val excRef = ctx.addReferenceObj("exc", exc, "org.apache.spark.unsafe.types.UTF8String")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.HashKernels.spanNotKernel($c, $incRef, $excRef, $pre, $post);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SpanNotMatch =
     copy(child = newChild)
 }
 

@@ -954,4 +954,74 @@ object Search {
           coalesce(col("n_rel"), lit(Long.MaxValue)).cast("double"), 4).as("recall_k"))
       .orderBy(col("query_id"))
   }
+
+  /** `span_not`: the include term occurs at a position with no exclude
+    * term within `pre` positions before / `post` after — one compiled
+    * pass per row (SpanNotMatch kernel), same pattern as span_near. */
+  def spanNot(field: Column, include: String, exclude: String,
+      pre: Int = 0, post: Int = 0): Column = {
+    val inc = Analyzer.analyze(include)
+    val exc = Analyzer.analyze(exclude)
+    require(inc.length == 1 && exc.length == 1,
+      s"span_not takes single include/exclude terms: $include / $exclude")
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expr.SpanNotMatch(
+        org.apache.spark.sql.GraftBridge.expression(Analyzer.tokens(field)),
+        inc.head, exc.head, pre, post))
+  }
+
+  /** `_termvectors` with `term_statistics: true`: per-term stats for
+    * ONE document — term frequency in the doc, plus corpus document
+    * frequency and total term frequency.
+    *
+    * Scale shape: the corpus side is restricted to the single doc's
+    * term set BEFORE aggregating — explode is a narrow map, the
+    * broadcast semi-join prunes every non-query term at the scan, and
+    * only |doc terms| groups shuffle (same postings-restriction shape
+    * as BM25). No driver-side term list: the doc's terms broadcast as
+    * a 1-partition frame. */
+  def termVectors(docs: DataFrame, idCol: String, textCol: String, docId: Long): DataFrame = {
+    val toks = Analyzer.tokens(col(textCol))
+    val docTf = docs.where(col(idCol) === docId)
+      .select(explode(toks).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("term_freq"))
+    val corpus = docs.select(explode(toks).as("term"), col(idCol))
+      .join(broadcast(docTf.select("term")), Seq("term"))
+      .groupBy("term")
+      .agg(
+        countDistinct(col(idCol)).as("doc_freq"),
+        count(lit(1)).as("ttf"))
+    docTf.join(broadcast(corpus), Seq("term"))
+      .orderBy(col("term"))
+  }
+
+  /** ES 8.16 `linear` retriever: per-retriever min-max normalization
+    * over its top-`windowSize` results, then a weighted sum across
+    * retrievers (missing side contributes 0). Same two-retriever
+    * hybrid shape as rrfTopK — each retriever is window-limited FIRST,
+    * so the fusion only ever touches windowSize rows per retriever. */
+  def linearTopK(
+      retrievers: Seq[(DataFrame, Double)],
+      windowSize: Int = 100,
+      k: Int = 10): DataFrame = {
+    require(retrievers.nonEmpty, "linear fusion needs at least one retriever")
+    val contribs = retrievers.map { case (r, weight) =>
+      val top = r.select(col("id"), col("score"))
+        .orderBy(col("score").desc, col("id").asc).limit(windowSize)
+      // min/max over the tiny window: 1-row aggregate, broadcast back
+      val mm = top.agg(min(col("score")).as("mn"), max(col("score")).as("mx"))
+      top.crossJoin(broadcast(mm))
+        .select(col("id"),
+          (when(col("mx") > col("mn"),
+            (col("score") - col("mn")) / (col("mx") - col("mn")))
+            .otherwise(lit(1.0)) * weight).as("contrib"))
+    }
+    contribs.reduce(_ unionByName _)
+      .groupBy("id")
+      .agg(
+        Num.round(sum(col("contrib")), 4).as("linear_score"),
+        count(lit(1)).cast("int").as("matched"))
+      .orderBy(col("linear_score").desc, col("id").asc)
+      .limit(k)
+  }
 }

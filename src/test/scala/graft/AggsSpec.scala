@@ -159,4 +159,23 @@ class AggsSpec extends SparkSpec {
     // "12345" analyzes to only numeric tokens -> empty category, dropped
     assert(out == Seq(("user logged in", 3L), ("error code at", 2L)))
   }
+
+  test("geo_bounds: tightest envelope per bucket") {
+    val pts = Seq(
+      ("a", 10.0, -5.0), ("a", -2.0, 7.0), ("b", 0.0, 0.0)).toDF("g", "lat", "lon")
+    val out = Aggs.geoBounds(pts, "g", "lat", "lon")
+      .as[(String, Double, Double, Double, Double, Long)].collect().toSeq
+    assert(out == Seq(
+      ("a", 10.0, -5.0, -2.0, 7.0, 2L),
+      ("b", 0.0, 0.0, 0.0, 0.0, 1L)))
+  }
+
+  test("scripted_metric: Painless map script, associative reduce") {
+    val rows = Seq(
+      ("x", 10.0, 0.1), ("x", 20.0, 0.5), ("y", 5.0, 0.0)).toDF("g", "price", "disc")
+    val out = Aggs.scriptedMetric(rows, "g",
+      "doc['price'].value * (1 - doc['disc'].value)")
+      .as[(String, Double, Long)].collect().toSeq
+    assert(out == Seq(("x", 19.0, 2L), ("y", 5.0, 1L)))
+  }
 }

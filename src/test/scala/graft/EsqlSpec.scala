@@ -145,4 +145,36 @@ class EsqlSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq
     assert(num == Seq((1L, 0.0), (2L, 15.0), (3L, 30.0), (4L, 30.0), (5L, 45.0)))
   }
+
+  test("INLINESTATS: per-group aggregate appended to every row") {
+    val r = run("inlinestats mx = max(v) by k", "keep id, mx", "sort id")
+      .as[(Long, Double)].collect().toSeq
+    assert(r == Seq((1L, 20.0), (2L, 20.0), (3L, 40.0), (4L, 40.0), (5L, 50.5)))
+    // bare (global) form: one 1-row aggregate cross-joined back
+    val g = run("inlinestats n = count(*)", "keep id, n", "sort id", "limit 1")
+      .as[(Long, Long)].collect().toSeq
+    assert(g == Seq((1L, 5L)))
+  }
+
+  test("LOOKUP JOIN: broadcast left join on the shared field name") {
+    val dims = Seq(("a", "alpha"), ("b", "beta")).toDF("k", "label")
+    val r = Esql.applyCommand(df, "lookup join dims on k", _ => dims)
+      .select("id", "label").as[(Long, Option[String])].collect().toMap
+    assert(r(1L).contains("alpha") && r(4L).contains("beta") && r(5L).isEmpty)
+    intercept[IllegalArgumentException](
+      Esql.applyCommand(df, "lookup garbage", _ => dims))
+  }
+
+  test("CHANGE_POINT: finds the step in a mean-shifted series") {
+    // flat 10s then flat 50s: the split at the boundary maximizes the
+    // between-segment sum of squares
+    val series = Seq(
+      (1L, 10.0), (2L, 10.0), (3L, 10.0), (4L, 10.0),
+      (5L, 50.0), (6L, 50.0), (7L, 50.0), (8L, 50.0)).toDF("t", "x")
+    val r = Esql.applyCommand(series, "change_point x on t")
+      .select("t", "x", "cp_stat").as[(Long, Double, Double)].collect().toSeq
+    assert(r.length == 1)
+    assert(r.head._1 == 4L) // last row of the pre-shift segment
+    assert(r.head._3 == 3200.0) // 4*(10-30)^2 + 4*(50-30)^2
+  }
 }

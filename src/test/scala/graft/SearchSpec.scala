@@ -193,4 +193,35 @@ class SearchSpec extends SparkSpec {
     val out = Search.rrfTopK(Seq(a), rankConstant = 60, windowSize = 5, k = 100)
     assert(out.count() == 5) // docs ranked past the window contribute nothing
   }
+
+  test("span_not: include hit clear of the exclude window") {
+    val d = Seq(
+      (1L, "alpha gamma delta"),          // no exclude at all -> match
+      (2L, "alpha noise beta"),           // exclude 1 after include, post=2 -> blocked
+      (3L, "beta noise noise noise alpha"), // exclude 4 before include, pre=2 -> clear
+      (4L, "alpha beta noise alpha")      // second alpha is 2 after beta but pre=2 blocks; first blocked by post
+    ).toDF("doc_id", "text")
+    val hits = d.where(Search.spanNot(col("text"), "alpha", "beta", pre = 2, post = 2))
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits == Set(1L, 3L))
+  }
+
+  test("termVectors: per-doc tf + corpus df/ttf for that doc's terms") {
+    val d = Seq(
+      (1L, "cat cat dog"),
+      (2L, "dog bird"),
+      (3L, "cat fish")).toDF("doc_id", "text")
+    val tv = Search.termVectors(d, "doc_id", "text", 1L)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(tv == Seq(("cat", 2L, 2L, 3L), ("dog", 1L, 2L, 2L)))
+  }
+
+  test("linearTopK: min-max normalized weighted fusion") {
+    val a = Seq((1L, 10.0), (2L, 5.0), (3L, 0.0)).toDF("id", "score")
+    val b = Seq((2L, 1.0), (3L, 3.0)).toDF("id", "score")
+    val out = Search.linearTopK(Seq((a, 0.5), (b, 0.5)), windowSize = 10, k = 3)
+      .as[(Long, Double, Int)].collect().toSeq
+    // a normalizes to 1/0.5/0, b to 0/1; weighted: id1=0.5, id2=0.25, id3=0.5
+    assert(out == Seq((1L, 0.5, 1), (3L, 0.5, 2), (2L, 0.25, 2)))
+  }
 }
