@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.SizeOfSplitRewrite)
     ext.injectFunction((
       new FunctionIdentifier("token_shingles"),
       new ExpressionInfo(classOf[TokenShingles].getName, "token_shingles"),

@@ -247,9 +247,16 @@ object Dedup {
     * propagation for the large-star/small-star formulation; the
     * output contract is identical. */
   def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
-      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
-      .distinct().cache()
+    // both orientations from ONE scan: a union of two selects over the
+    // same (expensive, uncached) pair pipeline computes it twice —
+    // Spark does no CSE across union branches. No distinct either:
+    // every consumer is a min-aggregate, idempotent to duplicates, so
+    // the dedup shuffle would be pure cost.
+    val edges = pairs.select(explode(array(
+        struct(col("id1").as("a"), col("id2").as("b")),
+        struct(col("id2").as("a"), col("id1").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .cache()
     // eager: every round joins edges TWICE (neighbor-min + the next
     // round's); materialize once before any branch can race the cache
     // and recompute the (expensive) upstream pair pipeline

@@ -188,6 +188,10 @@ object Esql {
         case ("replace", Seq(x, pat, rep)) => regexp_replace(x, pat, rep)
         // multivalue family: ES|QL fields can hold arrays (here:
         // SPLIT output); these fold them back to scalars
+        // count-shaped MV_COUNT(SPLIT(...)) rewrites to allocation-free
+        // string math in the optimizer (plans.SizeOfSplitRewrite) — at
+        // Column level split is still an unresolved function node, so
+        // the rewrite can't happen here
         case ("mv_count", Seq(x)) => size(x)
         case ("mv_min", Seq(x)) => array_min(x)
         case ("mv_max", Seq(x)) => array_max(x)
@@ -377,6 +381,9 @@ object Esql {
   /** Run an ES|QL query against the parquet tables in `dir` (FROM and
     * ENRICH resolve table names through `graft.Tables`). */
   def run(spark: SparkSession, dir: String, query: String): DataFrame = {
+    // sessions built without withExtensions still get the count-shaped
+    // text rewrites (idempotent)
+    graft.plans.SizeOfSplitRewrite.install(spark)
     val segs = segments(query)
     require(segs.nonEmpty && segs.head.toLowerCase.startsWith("from"),
       "ES|QL query must start with FROM")
