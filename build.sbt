@@ -30,4 +30,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // fits 8g storage memory and eviction thrash made dedup runtimes
   // vary 3x (28s vs 71s at the scale probe); the box has 128 GiB
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // JDK 17 reserves 240m of code cache; the 136-query bench suite
+  // generates enough whole-stage-codegen classes to fill it, after
+  // which HotSpot stops JIT-compiling and late-alphabet queries run
+  // interpreted (r3: q_tpch_q1 10.8s in-suite vs 2.0s isolated —
+  // same plan, same data). 1g keeps every query compiled.
+  "-XX:ReservedCodeCacheSize=1g",
 )
