@@ -277,6 +277,22 @@ object SparkEntry {
         """{"span_not": {"include": {"span_term": {"text": "vector"}},
              "exclude": {"span_term": {"text": "join"}}, "pre": 3, "post": 3}}"""))
       .select(col("doc_id")).orderBy(col("doc_id"))),
+    // little term inside a 2-term near-span window (same predicate
+    // powers span_containing — see Search.spanWithin)
+    "q_span_within" -> ((s, d) => t(s, d, "documents")
+      .where(graft.dsl.QueryDslJson.compile(
+        """{"span_within": {"little": {"span_term": {"text": "hash"}},
+             "big": {"span_near": {"clauses": [
+               {"span_term": {"text": "fast"}},
+               {"span_term": {"text": "join"}}], "slop": 6}}}}"""))
+      .select(col("doc_id")).orderBy(col("doc_id"))),
+    "q_span_containing" -> ((s, d) => t(s, d, "documents")
+      .where(graft.dsl.QueryDslJson.compile(
+        """{"span_containing": {"little": {"span_term": {"text": "vector"}},
+             "big": {"span_near": {"clauses": [
+               {"span_term": {"text": "fast"}},
+               {"span_term": {"text": "hash"}}], "slop": 8}}}}"""))
+      .select(col("doc_id")).orderBy(col("doc_id"))),
     // _termvectors with term_statistics for one document
     "q_termvectors" -> ((s, d) =>
       Search.termVectors(t(s, d, "documents"), "doc_id", "text", docId = 42L)),
@@ -318,6 +334,12 @@ object SparkEntry {
       """from documents | eval toks = split(text, " ")
         | eval n = mv_count(toks) | eval ini = to_upper(left(lang, 1))
         | where n >= 40 | stats c = count(*), mx = max(n) by ini | sort ini""")),
+    // multivalue family over SPLIT output: sort/dedupe/first/last
+    "q_esql_mv" -> ((s, d) => graft.dsl.Esql.run(s, d,
+      """from documents | eval toks = split(text, " ")
+        | eval u = mv_count(mv_dedupe(toks)), srt = mv_sort(toks)
+        | eval first = mv_first(srt), last = mv_last(srt)
+        | keep doc_id, u, first, last | sort doc_id | limit 200""")),
     // DATE_TRUNC over ns-long event time (exact integer math)
     "q_esql_date_trunc" -> ((s, d) => graft.dsl.Esql.run(s, d,
       """from events | eval day = date_trunc("day", ts_ns)
@@ -478,6 +500,14 @@ object SparkEntry {
 
     "q_function_score" -> ((s, d) =>
       Search.functionScoreTopK(t(s, d, "documents"), "doc_id", "n_chars", 300.0, 100.0, 15)),
+    // all three decay families over one numeric field, ES closed forms
+    "q_score_decay" -> ((s, d) => t(s, d, "documents")
+      .select(
+        col("doc_id"),
+        Num.round(Search.decayScore(col("n_chars"), "gauss", 300.0, 100.0, 50.0), 4).as("g"),
+        Num.round(Search.decayScore(col("n_chars"), "exp", 300.0, 100.0, 50.0), 4).as("e"),
+        Num.round(Search.decayScore(col("n_chars"), "linear", 300.0, 100.0, 50.0), 4).as("l"))
+      .orderBy(col("doc_id"))),
     "q_collapse" -> ((s, d) =>
       Search.collapse(t(s, d, "documents"), "lang", "n_chars", "doc_id")
         .select(col("lang"), col("doc_id"), col("n_chars"))
@@ -682,6 +712,9 @@ object SparkEntry {
     "q_agg_children" -> ((s, d) =>
       Aggs.childrenAgg(t(s, d, "orders"), t(s, d, "lineitem"),
         "o_orderkey", "l_orderkey", "o_orderstatus", "l_quantity")),
+    // bucket by the nested field, count PARENT docs per bucket
+    "q_agg_reverse_nested" -> ((s, d) =>
+      Aggs.reverseNestedAgg(t(s, d, "lineitem"), "l_orderkey", "l_returnflag")),
     "q_agg_random_sampler" -> ((s, d) =>
       Aggs.randomSamplerAgg(t(s, d, "orders"), "o_orderkey", 0.1, "o_totalprice")),
     "q_suggest_phrase" -> ((s, d) =>
@@ -1105,6 +1138,20 @@ object SparkEntry {
       "SELECT doc_id FROM pos WHERE len(list_filter(pinc, " +
       "p -> len(list_filter(pexc, q -> q >= p - 3 AND q <= p + 3)) = 0)) > 0 " +
       "ORDER BY doc_id"),
+    "q_span_within" -> (TokCte + ", pos AS (SELECT doc_id, " +
+      "list_filter(range(1, len(toks) + 1), i -> toks[i] = 'hash') AS p0, " +
+      "list_filter(range(1, len(toks) + 1), i -> toks[i] = 'fast') AS p1, " +
+      "list_filter(range(1, len(toks) + 1), i -> toks[i] = 'join') AS p2 FROM tok) " +
+      "SELECT doc_id FROM pos WHERE len(list_filter(p1, i -> len(list_filter(p2, " +
+      "j -> greatest(i, j) - least(i, j) - 1 <= 6 AND len(list_filter(p0, " +
+      "k -> k >= least(i, j) AND k <= greatest(i, j))) > 0)) > 0)) > 0 ORDER BY doc_id"),
+    "q_span_containing" -> (TokCte + ", pos AS (SELECT doc_id, " +
+      "list_filter(range(1, len(toks) + 1), i -> toks[i] = 'vector') AS p0, " +
+      "list_filter(range(1, len(toks) + 1), i -> toks[i] = 'fast') AS p1, " +
+      "list_filter(range(1, len(toks) + 1), i -> toks[i] = 'hash') AS p2 FROM tok) " +
+      "SELECT doc_id FROM pos WHERE len(list_filter(p1, i -> len(list_filter(p2, " +
+      "j -> greatest(i, j) - least(i, j) - 1 <= 8 AND len(list_filter(p0, " +
+      "k -> k >= least(i, j) AND k <= greatest(i, j))) > 0)) > 0)) > 0 ORDER BY doc_id"),
     "q_termvectors" -> (TokCte + ", doc AS (SELECT unnest(toks) AS term FROM tok WHERE doc_id = 42), " +
       "dtf AS (SELECT term, count(*)::BIGINT AS term_freq FROM doc GROUP BY term), " +
       "corpus AS (SELECT doc_id, unnest(toks) AS term FROM tok), " +
@@ -1144,6 +1191,10 @@ object SparkEntry {
       "upper(left(lang, 1)) AS ini FROM documents) " +
       "SELECT ini, count(*)::BIGINT AS c, max(n)::INT AS mx FROM s WHERE n >= 40 " +
       "GROUP BY ini ORDER BY ini"),
+    "q_esql_mv" -> ("SELECT doc_id, len(list_distinct(string_split(text, ' ')))::INT AS u, " +
+      "list_sort(string_split(text, ' '))[1] AS first, " +
+      "list_sort(string_split(text, ' '))[-1] AS last " +
+      "FROM documents ORDER BY doc_id LIMIT 200"),
     "q_esql_date_trunc" -> ("SELECT epoch_ns(ts) - epoch_ns(ts) % 86400000000000 AS day, " +
       "count(*)::BIGINT AS n, min(value) AS lo, max(value) AS hi FROM events " +
       "GROUP BY day ORDER BY day LIMIT 14"),
@@ -1283,6 +1334,12 @@ object SparkEntry {
     "q_function_score" -> ("SELECT doc_id AS id, round(ln(1.0 + CAST(n_chars AS DOUBLE)) * " +
       "exp(ln(0.5) * pow(CAST(n_chars AS DOUBLE) - 300.0, 2) / (100.0 * 100.0)), 4) AS score " +
       "FROM documents ORDER BY score DESC, id LIMIT 15"),
+    "q_score_decay" -> ("SELECT doc_id, " +
+      "round(exp(d * d * ln(0.5) / (100.0 * 100.0)), 4) AS g, " +
+      "round(exp(d * ln(0.5) / 100.0), 4) AS e, " +
+      "round(greatest(0.0, (200.0 - d) / 200.0), 4) AS l " +
+      "FROM (SELECT doc_id, greatest(abs(CAST(n_chars AS DOUBLE) - 300.0) - 50.0, 0.0) AS d " +
+      "FROM documents) ORDER BY doc_id"),
     "q_collapse" -> ("SELECT lang, doc_id, n_chars FROM (SELECT lang, doc_id, n_chars, " +
       "row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn FROM documents) " +
       "WHERE rn = 1 ORDER BY lang"),
@@ -1468,6 +1525,8 @@ object SparkEntry {
       "r AS (SELECT row_number() OVER (ORDER BY sum_v DESC, bucket)::INT AS rank, " +
       "bucket, doc_count, sum_v FROM b) " +
       "SELECT rank, bucket, doc_count, sum_v FROM r WHERE rank > 2 AND rank <= 7 ORDER BY rank"),
+    "q_agg_reverse_nested" -> ("SELECT l_returnflag AS key, count(*)::BIGINT AS doc_count, " +
+      "count(DISTINCT l_orderkey)::BIGINT AS parent_count FROM lineitem GROUP BY 1 ORDER BY 1"),
     "q_agg_children" -> ("WITH pp AS (SELECT l_orderkey AS o_orderkey, count(*)::BIGINT AS n_children, " +
       "sum(CAST(l_quantity AS DECIMAL(18,4))) AS m_sum FROM lineitem GROUP BY 1) " +
       "SELECT o_orderstatus AS key, count(*)::BIGINT AS parent_count, " +

@@ -196,6 +196,18 @@ object Aggs {
       .agg(count(lit(1)).as("doc_count"), Num.round(avg(col(metric)), 4).as("avg_metric"))
       .orderBy(col(outer).asc, col(inner).asc)
 
+  /** `reverse_nested` agg: bucket by a NESTED field, then count PARENT
+    * documents per bucket (not nested docs) — "how many orders contain
+    * a line item with this flag", the join-back-to-root step of a
+    * nested agg tree. One partial-aggregating pass; the distinct-parent
+    * count shuffles (key, parent) pairs, never the parent rows. */
+  def reverseNestedAgg(nested: DataFrame, parentKey: String, bucketField: String): DataFrame =
+    nested.groupBy(col(bucketField).as("key"))
+      .agg(
+        count(lit(1)).as("doc_count"),
+        countDistinct(col(parentKey)).as("parent_count"))
+      .orderBy(col("key").asc)
+
   /** `{"global": {}}` + filtered bucket: whole-index metrics next to a
     * filtered subset's metrics in one scan (conditional aggregation). */
   def globalWithFilter(df: DataFrame, pred: Column, field: String): DataFrame =

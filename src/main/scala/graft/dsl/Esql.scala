@@ -10,8 +10,10 @@ import org.apache.spark.sql.functions._
   * lands in the same Catalyst plan (WHERE pushes to the scan, STATS
   * partial-aggregates, SORT+LIMIT fuses to TakeOrderedAndProject).
   *
-  * Supported commands: FROM, WHERE, EVAL, STATS..BY, SORT, LIMIT,
-  * KEEP, DROP. Expressions: arithmetic, comparisons (`==`, `!=`,
+  * Supported commands: FROM, ROW, WHERE, EVAL, STATS..BY, SORT,
+  * LIMIT, KEEP, DROP, RENAME, MV_EXPAND, SAMPLE, DISSECT, GROK,
+  * INLINESTATS, LOOKUP, ENRICH, CHANGE_POINT.
+  * Expressions: arithmetic, comparisons (`==`, `!=`,
   * `>=`, ...), AND/OR/NOT, LIKE/RLIKE, parentheses, `IS [NOT] NULL`,
   * functions (ROUND/ABS/LENGTH/TO_LOWER/TO_UPPER/SUBSTRING/CONCAT/
   * COALESCE/STARTS_WITH), aggregates (COUNT(*)/COUNT/SUM/AVG/MIN/MAX/
@@ -199,6 +201,22 @@ object Esql {
           aggregate(x, lit(0.0), (acc, v) => acc + v.cast("double"))
         case ("mv_avg", Seq(x)) =>
           aggregate(x, lit(0.0), (acc, v) => acc + v.cast("double")) / size(x)
+        case ("mv_sort", Seq(x)) => sort_array(x)
+        case ("mv_sort", Seq(x, ord)) =>
+          // MV_SORT(x, "DESC") — the order arg arrives as a literal col
+          val ordStr = org.apache.spark.sql.GraftBridge.expression(ord) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+              String.valueOf(v).toLowerCase
+            case other =>
+              throw new IllegalArgumentException(s"MV_SORT order must be a literal: $other")
+          }
+          sort_array(x, asc = !ordStr.contains("desc"))
+        case ("mv_dedupe", Seq(x)) => array_distinct(x)
+        // MV_SLICE(x, start[, end]) — 0-based inclusive, like ES|QL
+        case ("mv_slice", Seq(x, s, e)) => slice(x, s + lit(1), e - s + lit(1))
+        case ("mv_slice", Seq(x, s)) => slice(x, s + lit(1), lit(1))
+        case ("mv_first", Seq(x)) => element_at(x, 1)
+        case ("mv_last", Seq(x)) => element_at(x, -1)
         // type conversions
         case ("to_string", Seq(x)) => x.cast("string")
         case ("to_long", Seq(x)) => x.cast("long")
@@ -385,18 +403,32 @@ object Esql {
     // text rewrites (idempotent)
     graft.plans.SizeOfSplitRewrite.install(spark)
     val segs = segments(query)
-    require(segs.nonEmpty && segs.head.toLowerCase.startsWith("from"),
-      "ES|QL query must start with FROM")
-    val table = segs.head.drop(4).trim
-    require(table.matches("[A-Za-z0-9_]+"), s"bad FROM target: $table")
+    require(segs.nonEmpty && (segs.head.toLowerCase.startsWith("from") ||
+        segs.head.toLowerCase.startsWith("row")),
+      "ES|QL query must start with FROM or ROW")
     // events carries TIMESTAMP(NANOS) parquet — route through the
     // ns-long loader like every other operator (ts exposed as ts_ns)
     def load(t: String) =
       if (t == "events") graft.Tables.events(spark, dir)
       else graft.Tables.load(spark, dir, t)
-    val source = load(table)
+    val source =
+      if (segs.head.toLowerCase.startsWith("row")) rowSource(spark, segs.head.drop(3).trim)
+      else {
+        val table = segs.head.drop(4).trim
+        require(table.matches("[A-Za-z0-9_]+"), s"bad FROM target: $table")
+        load(table)
+      }
     val resolve = (t: String) => load(t)
     segs.tail.foldLeft(source)(applyCommand(_, _, resolve))
+  }
+
+  /** `ROW a = 1, b = "x"` — a one-row literal source (the ES|QL
+    * scratchpad form). Built on a 1-row range so the assignments are
+    * ordinary eval expressions. */
+  private def rowSource(spark: SparkSession, body: String): DataFrame = {
+    val base = spark.range(1)
+    val assigns = splitTopLevel(body, ',').map(parseAssign)
+    base.select(assigns.map { case (name, e) => e.as(name) }: _*)
   }
 
   /** Apply one pipe segment to the frame (exposed for testing against
@@ -461,6 +493,16 @@ object Esql {
         // MV_EXPAND col — one row per element of a multi-value field
         val c = body.trim
         df.withColumn(c, explode(col(c)))
+      case "sample" =>
+        // SAMPLE p — Bernoulli row sample. Deterministic content-hash
+        // draw (not rand()): the same rows survive regardless of
+        // partitioning or retry, which is what makes a sampled
+        // pipeline stage reproducible — and oracle-checkable. Same
+        // uniformHash48 construction as the sampler aggs.
+        val p = body.trim.toDouble
+        require(p > 0 && p <= 1, s"SAMPLE probability out of (0,1]: $p")
+        val key = concat_ws(" ", df.columns.map(c => col(c).cast("string")): _*)
+        df.where(Num.uniformHash48(key) < p)
       case "dissect" =>
         // DISSECT field "%{a}-%{b} %{c}" — literal-anchored extraction.
         // The pattern compiles to ONE regex with a lazy group per key

@@ -200,6 +200,37 @@ object QueryDslJson {
           val post = m.get("post").map(lits(_).toString.toInt).getOrElse(0)
           Search.spanNot(col(incF), incT, excT, pre, post)
 
+        // {"span_within": {"little": {"span_term": {f: w}},
+        //  "big": {"span_near": {"clauses": [...], "slop": n}}}} and
+        // {"span_containing": ...} — same doc-level predicate (they
+        // differ only in which span feeds an ENCLOSING span query)
+        case (key @ ("span_within" | "span_containing"), JObject(parts)) =>
+          val m = parts.toMap
+          val little = m.get("little") match {
+            case Some(JObject(JField("span_term", JObject(JField(f, v) :: Nil)) :: Nil)) =>
+              (f, lits(v).toString)
+            case other => throw new IllegalArgumentException(s"$key little: bad clause $other")
+          }
+          val (bigF, bigTerms, slop) = m.get("big") match {
+            case Some(JObject(JField("span_near", JObject(nearParts)) :: Nil)) =>
+              val nm = nearParts.toMap
+              val cls = nm.get("clauses") match {
+                case Some(JArray(xs)) => xs.map {
+                  case JObject(JField("span_term", JObject(JField(f, v) :: Nil)) :: Nil) =>
+                    (f, lits(v).toString)
+                  case other => throw new IllegalArgumentException(s"$key big clause: $other")
+                }
+                case _ => throw new IllegalArgumentException(s"$key big needs clauses")
+              }
+              require(cls.map(_._1).distinct.length == 1,
+                s"$key big clauses must target one field")
+              (cls.head._1, cls.map(_._2),
+                nm.get("slop").map(lits(_).toString.toInt).getOrElse(0))
+            case other => throw new IllegalArgumentException(s"$key big: bad clause $other")
+          }
+          require(little._1 == bigF, s"$key little/big must target one field")
+          Search.spanWithin(col(bigF), little._2, bigTerms.mkString(" "), slop)
+
         // {"match_bool_prefix": {f: "quick bro"}} — terms anywhere,
         // last as prefix (search-as-you-type bool form)
         case ("match_bool_prefix", JObject(JField(f, v) :: Nil)) =>

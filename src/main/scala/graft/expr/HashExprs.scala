@@ -375,6 +375,59 @@ object HashKernels {
     }
     new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
   }
+
+  /** tokens -> true iff some occurrence of `little` lies inside a big
+    * span: positions p1 of `bigA` and p2 of `bigB` whose window slack
+    * (|p1-p2|+1-2) <= slop, with min(p1,p2) <= p0 <= max(p1,p2). In
+    * filter context span_within and span_containing are the same
+    * doc-level predicate — they differ only in WHICH span an enclosing
+    * span query would consume. One pass collects the three (sorted)
+    * position lists; the pair scan is bounded by occurrence counts,
+    * not token count, and the little-position probe is a linear merge
+    * (positions ascend). */
+  def spanWithinKernel(
+      toks: ArrayData,
+      little: UTF8String,
+      bigA: UTF8String,
+      bigB: UTF8String,
+      slop: Int): Boolean = {
+    val n = toks.numElements()
+    var p0 = new Array[Int](4); var n0 = 0
+    var p1 = new Array[Int](4); var n1 = 0
+    var p2 = new Array[Int](4); var n2 = 0
+    def grow(a: Array[Int]): Array[Int] =
+      java.util.Arrays.copyOf(a, a.length * 2)
+    var p = 0
+    while (p < n) {
+      val t = toks.getUTF8String(p)
+      if (little.equals(t)) { if (n0 == p0.length) p0 = grow(p0); p0(n0) = p; n0 += 1 }
+      if (bigA.equals(t)) { if (n1 == p1.length) p1 = grow(p1); p1(n1) = p; n1 += 1 }
+      if (bigB.equals(t)) { if (n2 == p2.length) p2 = grow(p2); p2(n2) = p; n2 += 1 }
+      p += 1
+    }
+    if (n0 == 0 || n1 == 0 || n2 == 0) return false
+    var i = 0
+    while (i < n1) {
+      var j = 0
+      while (j < n2) {
+        val lo = math.min(p1(i), p2(j))
+        val hi = math.max(p1(i), p2(j))
+        if (hi - lo - 1 <= slop) {
+          // any little position in [lo, hi]? p0 ascends — binary probe
+          var a = 0; var b = n0 - 1
+          while (a <= b) {
+            val m = (a + b) >>> 1
+            if (p0(m) < lo) a = m + 1
+            else if (p0(m) > hi) b = m - 1
+            else return true
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    false
+  }
 }
 
 /** One-pass token statistics for quality scoring: (n_tokens,
@@ -625,6 +678,39 @@ case class SpanNotMatch(
   }
 
   override protected def withNewChildInternal(newChild: Expression): SpanNotMatch =
+    copy(child = newChild)
+}
+
+/** span_within / span_containing doc-level predicate: a `little` term
+  * occurrence inside a two-term big span of slack <= slop (see
+  * HashKernels.spanWithinKernel for why both DSL keys share one
+  * predicate in filter context). */
+case class SpanWithinMatch(
+    child: Expression, little: String, bigA: String, bigB: String, slop: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "span_within_match"
+
+  @transient private lazy val lit0: UTF8String = UTF8String.fromString(little)
+  @transient private lazy val big1: UTF8String = UTF8String.fromString(bigA)
+  @transient private lazy val big2: UTF8String = UTF8String.fromString(bigB)
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Boolean.valueOf(HashKernels.spanWithinKernel(
+      input.asInstanceOf[ArrayData], lit0, big1, big2, slop))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = ctx.addReferenceObj("little", lit0, "org.apache.spark.unsafe.types.UTF8String")
+    val a = ctx.addReferenceObj("bigA", big1, "org.apache.spark.unsafe.types.UTF8String")
+    val b = ctx.addReferenceObj("bigB", big2, "org.apache.spark.unsafe.types.UTF8String")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.HashKernels.spanWithinKernel($c, $l, $a, $b, $slop);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SpanWithinMatch =
     copy(child = newChild)
 }
 

@@ -970,6 +970,48 @@ object Search {
         inc.head, exc.head, pre, post))
   }
 
+  /** function_score decay functions — gauss / exp / linear over a
+    * numeric field, ES's closed forms with origin/offset/scale/decay
+    * (distance d = max(0, |x - origin| - offset); score(scale) =
+    * decay). Pure column math, codegen'd:
+    *   gauss:  exp(d^2 * ln(decay) / scale^2)
+    *   exp:    exp(d * ln(decay) / scale)
+    *   linear: max(0, (s - d) / s), s = scale / (1 - decay)
+    */
+  def decayScore(
+      x: Column, kind: String, origin: Double, scale: Double,
+      offset: Double = 0.0, decay: Double = 0.5): Column = {
+    require(scale > 0 && decay > 0 && decay < 1,
+      s"decay needs scale > 0 and 0 < decay < 1: scale=$scale decay=$decay")
+    val d = greatest(abs(x.cast("double") - origin) - offset, lit(0.0))
+    kind match {
+      case "gauss" => exp(d * d * lit(math.log(decay) / (scale * scale)))
+      case "exp" => exp(d * lit(math.log(decay) / scale))
+      case "linear" =>
+        val s = scale / (1.0 - decay)
+        greatest(lit(0.0), (lit(s) - d) / s)
+      case other => throw new IllegalArgumentException(s"unknown decay function: $other")
+    }
+  }
+
+  /** `span_within` / `span_containing`: a `little` span occurrence
+    * enclosed by a `big` span match. Little is a single analyzed term;
+    * big is a two-term unordered near-span with `slop` (the common ES
+    * shape). Both DSL keys compile here: as a doc-level filter the two
+    * differ only in which span would be EMITTED to an enclosing span
+    * query, not in which docs match. Compiled kernel, stays in
+    * whole-stage codegen. */
+  def spanWithin(field: Column, little: String, big: String, slop: Int): Column = {
+    val l = Analyzer.analyze(little)
+    val b = Analyzer.analyze(big).distinct
+    require(l.length == 1, s"span_within little must analyze to one term: $little")
+    require(b.length == 2, s"span_within big must analyze to two distinct terms: $big")
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expr.SpanWithinMatch(
+        org.apache.spark.sql.GraftBridge.expression(Analyzer.tokens(field)),
+        l.head, b(0), b(1), slop))
+  }
+
   /** `_termvectors` with `term_statistics: true`: per-term stats for
     * ONE document — term frequency in the doc, plus corpus document
     * frequency and total term frequency.
