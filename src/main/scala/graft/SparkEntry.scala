@@ -340,6 +340,59 @@ object SparkEntry {
         | eval u = mv_count(mv_dedupe(toks)), srt = mv_sort(toks)
         | eval first = mv_first(srt), last = mv_last(srt)
         | keep doc_id, u, first, last | sort doc_id | limit 200""")),
+    // sparse_vector / text_expansion: weighted term-frequency dot
+    // product (one-pass compiled kernel), score-ordered top-k
+    "q_sparse_vector" -> ((s, d) =>
+      Search.sparseVectorTopK(t(s, d, "documents"), "doc_id", "text",
+        Seq("vector" -> 1.2, "hash" -> 0.8, "merge" -> 0.5), 15)),
+    // script filter clause: boolean Painless compiled to one codegen'd
+    // predicate (params substituted at compile time)
+    "q_script_filter" -> ((s, d) => t(s, d, "documents")
+      .where(graft.dsl.QueryDslJson.compile(
+        """{"script": {"script": {
+             "source": "doc['n_chars'].value * 2 > params.t",
+             "params": {"t": 900}}}}"""))
+      .select(col("doc_id")).orderBy(col("doc_id"))),
+    // ES SQL (`POST /_sql`): plain ANSI SQL routes straight through
+    // spark.sql onto the same Catalyst plan shapes
+    "q_sql_basic" -> ((s, d) => graft.dsl.EsSql.run(s, d,
+      """SELECT lang, count(*) AS n, min(n_chars) AS lo, max(n_chars) AS hi
+         FROM documents WHERE n_chars > 200 GROUP BY lang ORDER BY lang""")),
+    // ES SQL MATCH() — full-text predicate inside the WHERE clause
+    "q_sql_match" -> ((s, d) => graft.dsl.EsSql.run(s, d,
+      """SELECT doc_id, lang FROM documents
+         WHERE MATCH(text, 'vector hash', 'operator=and') AND n_chars > 150
+         ORDER BY doc_id""")),
+    // ES SQL SCORE() — BM25 relevance as a selectable/sortable column
+    "q_sql_score" -> ((s, d) => graft.dsl.EsSql.run(s, d,
+      """SELECT doc_id, SCORE() AS score FROM documents
+         WHERE MATCH(text, 'vector join')
+         ORDER BY score DESC, doc_id LIMIT 10""")),
+    // ES SQL QUERY() — embedded Lucene query-string syntax (bare term
+    // hits the default full-text field)
+    "q_sql_query" -> ((s, d) => graft.dsl.EsSql.run(s, d,
+      """SELECT doc_id FROM documents
+         WHERE QUERY('lang:en AND merge') ORDER BY doc_id""")),
+    // STATS ... WHERE: per-aggregate row filters sharing one agg pass
+    "q_esql_stats_where" -> ((s, d) => graft.dsl.Esql.run(s, d,
+      """from lineitem
+        | stats n = count(*), nret = count(*) where l_returnflag == "R",
+                rqty = sum(l_quantity) where l_returnflag == "R" by l_linestatus
+        | sort l_linestatus""")),
+    // FORK: branch sub-pipelines over one scan, tagged union
+    "q_esql_fork" -> ((s, d) => graft.dsl.Esql.run(s, d,
+      """from documents
+        | fork ( where n_chars > 450 | keep doc_id, n_chars )
+               ( sort n_chars desc, doc_id | limit 5 | keep doc_id, n_chars )
+        | sort _fork, doc_id""")),
+    // date function family over ns-long event time
+    "q_esql_dates" -> ((s, d) => graft.dsl.Esql.run(s, d,
+      """from events
+        | eval day = date_format("yyyy-MM-dd", ts_ns),
+               age_h = date_diff("hour", ts_ns, 1710000000000000000),
+               mo = date_extract("month", ts_ns)
+        | stats n = count(*), mx = max(age_h), mom = max(mo) by day
+        | sort day | limit 10""")),
     // DATE_TRUNC over ns-long event time (exact integer math)
     "q_esql_date_trunc" -> ((s, d) => graft.dsl.Esql.run(s, d,
       """from events | eval day = date_trunc("day", ts_ns)
@@ -715,6 +768,13 @@ object SparkEntry {
     // bucket by the nested field, count PARENT docs per bucket
     "q_agg_reverse_nested" -> ((s, d) =>
       Aggs.reverseNestedAgg(t(s, d, "lineitem"), "l_orderkey", "l_returnflag")),
+    // bucket CHILD docs by a PARENT field (inverse of children agg)
+    "q_agg_parent" -> ((s, d) =>
+      Aggs.parentAgg(t(s, d, "orders"), t(s, d, "lineitem"),
+        "o_orderkey", "l_orderkey", "o_orderstatus", "l_quantity")),
+    // hexagonal grid buckets (axial lattice, H3's role)
+    "q_agg_geohex" -> ((s, d) =>
+      Aggs.geohexGridAgg(withGeo(t(s, d, "customer")), "lat", "lon", size = 5.0, k = 15)),
     "q_agg_random_sampler" -> ((s, d) =>
       Aggs.randomSamplerAgg(t(s, d, "orders"), "o_orderkey", 0.1, "o_totalprice")),
     "q_suggest_phrase" -> ((s, d) =>
@@ -1195,6 +1255,33 @@ object SparkEntry {
       "list_sort(string_split(text, ' '))[1] AS first, " +
       "list_sort(string_split(text, ' '))[-1] AS last " +
       "FROM documents ORDER BY doc_id LIMIT 200"),
+    "q_sparse_vector" -> (TokCte + " SELECT doc_id AS id, round(" +
+      "1.2 * len(list_filter(toks, t -> t = 'vector')) + " +
+      "0.8 * len(list_filter(toks, t -> t = 'hash')) + " +
+      "0.5 * len(list_filter(toks, t -> t = 'merge')), 4) AS score " +
+      "FROM tok WHERE score > 0 ORDER BY score DESC, id LIMIT 15"),
+    "q_script_filter" -> "SELECT doc_id FROM documents WHERE n_chars * 2 > 900 ORDER BY doc_id",
+    "q_sql_basic" -> ("SELECT lang, count(*)::BIGINT AS n, min(n_chars) AS lo, max(n_chars) AS hi " +
+      "FROM documents WHERE n_chars > 200 GROUP BY lang ORDER BY lang"),
+    "q_sql_match" -> ("WITH tok AS (SELECT doc_id, lang, n_chars, " +
+      "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks FROM documents) " +
+      "SELECT doc_id, lang FROM tok WHERE list_contains(toks, 'vector') AND list_contains(toks, 'hash') " +
+      "AND n_chars > 150 ORDER BY doc_id"),
+    "q_sql_score" -> (TokCte + bm25Ctes("", "tok", Seq("vector", "join")) +
+      " SELECT id AS doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 10"),
+    "q_sql_query" -> (TokCte.replace("SELECT doc_id,", "SELECT doc_id, lang,") +
+      " SELECT doc_id FROM tok WHERE lang = 'en' AND list_contains(toks, 'merge') ORDER BY doc_id"),
+    "q_esql_stats_where" -> ("SELECT l_linestatus, count(*)::BIGINT AS n, " +
+      "(count(*) FILTER (l_returnflag = 'R'))::BIGINT AS nret, " +
+      "sum(l_quantity) FILTER (l_returnflag = 'R') AS rqty " +
+      "FROM lineitem GROUP BY 1 ORDER BY 1"),
+    "q_esql_fork" -> ("SELECT doc_id, n_chars, 'fork1' AS _fork FROM documents WHERE n_chars > 450 " +
+      "UNION ALL SELECT doc_id, n_chars, 'fork2' AS _fork FROM " +
+      "(SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 5) " +
+      "ORDER BY _fork, doc_id"),
+    "q_esql_dates" -> ("SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS n, " +
+      "max((1710000000000000000 - epoch_ns(ts)) // 3600000000000)::BIGINT AS mx, " +
+      "max(month(ts))::BIGINT AS mom FROM events GROUP BY 1 ORDER BY day LIMIT 10"),
     "q_esql_date_trunc" -> ("SELECT epoch_ns(ts) - epoch_ns(ts) % 86400000000000 AS day, " +
       "count(*)::BIGINT AS n, min(value) AS lo, max(value) AS hi FROM events " +
       "GROUP BY day ORDER BY day LIMIT 14"),
@@ -1527,6 +1614,19 @@ object SparkEntry {
       "SELECT rank, bucket, doc_count, sum_v FROM r WHERE rank > 2 AND rank <= 7 ORDER BY rank"),
     "q_agg_reverse_nested" -> ("SELECT l_returnflag AS key, count(*)::BIGINT AS doc_count, " +
       "count(DISTINCT l_orderkey)::BIGINT AS parent_count FROM lineitem GROUP BY 1 ORDER BY 1"),
+    "q_agg_parent" -> ("SELECT o_orderstatus AS key, count(*)::BIGINT AS child_count, " +
+      "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS metric_sum " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1 ORDER BY 1"),
+    "q_agg_geohex" -> (GeoCte +
+      s", h AS (SELECT (${graft.agg.Aggs.Sqrt3Over3} * lon - lat / 3.0) / 5.0 AS q, " +
+      s"lat * ${2.0 / 3.0} / 5.0 AS r FROM g), " +
+      "c AS (SELECT q, r, -q - r AS s3, floor(q + 0.5) AS rq0, floor(r + 0.5) AS rr0, " +
+      "floor((-q - r) + 0.5) AS rs0 FROM h), " +
+      "d AS (SELECT *, abs(rq0 - q) AS dq, abs(rr0 - r) AS dr, abs(rs0 - s3) AS ds3 FROM c), " +
+      "e AS (SELECT CASE WHEN dq > dr AND dq > ds3 THEN -rr0 - rs0 ELSE rq0 END AS rq, " +
+      "CASE WHEN NOT (dq > dr AND dq > ds3) AND dr > ds3 THEN -rq0 - rs0 ELSE rr0 END AS rr FROM d) " +
+      "SELECT rq::BIGINT::VARCHAR || ',' || rr::BIGINT::VARCHAR AS key, count(*)::BIGINT AS doc_count " +
+      "FROM e GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 15"),
     "q_agg_children" -> ("WITH pp AS (SELECT l_orderkey AS o_orderkey, count(*)::BIGINT AS n_children, " +
       "sum(CAST(l_quantity AS DECIMAL(18,4))) AS m_sum FROM lineitem GROUP BY 1) " +
       "SELECT o_orderstatus AS key, count(*)::BIGINT AS parent_count, " +

@@ -608,6 +608,61 @@ object Aggs {
     * one row per parent), then the bucket rollup is a second tiny
     * aggregate — two exchanges, both combine-shrunk, vs the naive
     * join-then-group that shuffles every child row. */
+  /** `parent` agg: bucket CHILD docs by a PARENT-side field (the
+    * inverse of `children`). Children partial-aggregate on the join
+    * key FIRST, so the join shuffles one row per parent key, never the
+    * raw child rows; the bucket field then re-aggregates those compact
+    * rows. Same two-exchange shape as childrenAgg at any scale. */
+  def parentAgg(
+      parents: DataFrame, children: DataFrame,
+      parentKey: String, childFk: String,
+      bucketField: String, childMetric: String): DataFrame = {
+    val perParent = children
+      .groupBy(col(childFk).as(parentKey))
+      .agg(
+        count(lit(1)).as("n_children"),
+        sum(col(childMetric).cast("decimal(18,4)")).as("m_sum"))
+    parents.select(col(parentKey), col(bucketField))
+      .join(perParent, Seq(parentKey), "inner")
+      .groupBy(col(bucketField).as("key"))
+      .agg(
+        sum(col("n_children")).as("child_count"),
+        Num.round(sum(col("m_sum")).cast("double"), 4).as("metric_sum"))
+      .orderBy(col("key").asc)
+  }
+
+  /** `geohex_grid`: hexagonal cell bucketing. ES bins into Uber H3
+    * cells; H3's icosahedral projection isn't reproducible in a SQL
+    * oracle, so graft bins into a flat axial hex lattice over lat/lon
+    * (pointy-top, cell size in degrees) — the same operator semantics
+    * (equal-area-ish hex buckets, top-k by count) with public hex
+    * cube-rounding math. All rounding is floor(x + 0.5): `round()`
+    * half-even/half-up behavior differs across engines, floor does
+    * not. One partial-aggregating exchange, like the other grids. */
+  def geohexGridAgg(
+      df: DataFrame, latField: String, lonField: String,
+      size: Double, k: Int): DataFrame = {
+    val x = col(lonField).cast("double")
+    val y = col(latField).cast("double")
+    val q = (lit(Sqrt3Over3) * x - y / 3.0) / size
+    val r = y * lit(2.0 / 3.0) / size
+    val s = -q - r
+    val (rq0, rr0, rs0) = (floor(q + 0.5), floor(r + 0.5), floor(s + 0.5))
+    val (dq, dr, ds) = (abs(rq0 - q), abs(rr0 - r), abs(rs0 - s))
+    val qFix = dq > dr && dq > ds
+    val rq = when(qFix, -rr0 - rs0).otherwise(rq0)
+    val rr = when(!qFix && dr > ds, -rq0 - rs0).otherwise(rr0)
+    val key = concat_ws(",", rq.cast("long"), rr.cast("long"))
+    df.groupBy(key.as("key"))
+      .agg(count(lit(1)).as("doc_count"))
+      .orderBy(col("doc_count").desc, col("key").asc)
+      .limit(k)
+  }
+
+  /** sqrt(3)/3 as ONE shared double so the Spark plan and any oracle
+    * SQL generated from it carry bit-identical constants. */
+  val Sqrt3Over3: Double = math.sqrt(3.0) / 3.0
+
   def childrenAgg(
       parents: DataFrame, children: DataFrame,
       parentKey: String, childFk: String,

@@ -1,0 +1,113 @@
+package graft.dsl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.util.matching.Regex
+
+/** Elasticsearch SQL (`POST /_sql`) surface, Spark-native.
+  *
+  * ES SQL is ANSI SQL over one index plus three search extensions:
+  * `MATCH(field, 'query'[, 'options'])`, `QUERY('lucene syntax')`
+  * and `SCORE()`. Everything that IS plain SQL goes straight to
+  * `spark.sql` — Catalyst plans it like any other query (predicate
+  * pushdown, partial aggregation, TakeOrderedAndProject), which is
+  * the whole point of re-expressing the API Spark-first rather than
+  * interpreting it row-by-row.
+  *
+  * The search extensions can't live inside the SQL text, so `run`
+  * pre-compiles them: each `MATCH`/`QUERY` call becomes a boolean
+  * column on the source frame (compiled through the same
+  * `Search`/`EsQuery` kernels as the Query-DSL paths — codegen'd,
+  * never a UDF), `SCORE()` becomes a BM25 score column joined from
+  * `Search.bm25Scores` (corpus statistics over the FULL index, as ES
+  * computes them, not the filtered subset), and the call sites in
+  * the SQL text are rewritten to those column names before
+  * `spark.sql` runs.
+  *
+  * Scale shape: the augmented view adds narrow boolean/double
+  * columns; the SCORE join is keyed on the table's id and the score
+  * side only contains docs that share a term with the query (bounded
+  * by posting lists, not corpus size).
+  *
+  * Scope (documented, fail-loud): single index in FROM, quoted
+  * single-field MATCH, `operator` as the only MATCH option.
+  */
+object EsSql {
+
+  /** ES `_id` analog per table — SCORE() needs a join key. */
+  private val keyOf = Map(
+    "documents" -> "doc_id", "events" -> "event_id",
+    "embeddings" -> "vec_id", "orders" -> "o_orderkey",
+    "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+    "part" -> "p_partkey", "nation" -> "n_nationkey",
+    "region" -> "r_regionkey")
+
+  private val fromRe: Regex = "(?i)\\bFROM\\s+\"?([A-Za-z0-9_]+)\"?".r
+  private val matchRe: Regex =
+    "(?i)\\bMATCH\\s*\\(\\s*\"?([A-Za-z0-9_]+)\"?\\s*,\\s*'([^']*)'(?:\\s*,\\s*'([^']*)')?\\s*\\)".r
+  private val queryRe: Regex = "(?i)\\bQUERY\\s*\\(\\s*'([^']*)'\\s*\\)".r
+  private val scoreRe: Regex = "(?i)\\bSCORE\\s*\\(\\s*\\)".r
+
+  def run(spark: SparkSession, dir: String, sql: String): DataFrame = {
+    val table = fromRe.findFirstMatchIn(sql).map(_.group(1).toLowerCase)
+      .getOrElse(throw new IllegalArgumentException(s"no FROM clause: $sql"))
+    val base =
+      if (table == "events") graft.Tables.events(spark, dir)
+      else graft.Tables.load(spark, dir, table)
+
+    // compile each MATCH/QUERY call to a boolean column; remember the
+    // first MATCH — SCORE() scores against it, like ES scores against
+    // the query context of the WHERE clause
+    var extra = Vector.empty[(String, Column)]
+    var firstMatch: Option[(String, String)] = None
+    var rewritten = matchRe.replaceAllIn(sql, m => {
+      val (field, q, opts) = (m.group(1), m.group(2), Option(m.group(3)))
+      val and = opts.exists { o =>
+        o.split(';').map(_.trim.toLowerCase).map { kv =>
+          kv.split('=') match {
+            case Array("operator", v) => v == "and"
+            case Array(k, _) =>
+              throw new IllegalArgumentException(s"unsupported MATCH option: $k")
+            case _ => throw new IllegalArgumentException(s"bad MATCH option: $kv")
+          }
+        }.exists(identity)
+      }
+      if (firstMatch.isEmpty) firstMatch = Some((field, q))
+      val name = s"__graft_m${extra.length}"
+      val pred = if (and) graft.search.Search.matchQueryAnd(col(field), q)
+                 else graft.search.Search.matchQuery(col(field), q)
+      extra :+= (name, pred)
+      Regex.quoteReplacement(name)
+    })
+    rewritten = queryRe.replaceAllIn(rewritten, m => {
+      val name = s"__graft_m${extra.length}"
+      extra :+= (name, EsQuery.compile(m.group(1)))
+      Regex.quoteReplacement(name)
+    })
+
+    val needsScore = scoreRe.findFirstIn(rewritten).isDefined
+    rewritten = scoreRe.replaceAllIn(rewritten, _ => "__graft_score")
+
+    var df = extra.foldLeft(base) { case (d, (n, c)) => d.withColumn(n, c) }
+    if (needsScore) {
+      val (field, q) = firstMatch.getOrElse(throw new IllegalArgumentException(
+        "SCORE() requires a MATCH predicate to score against"))
+      val key = keyOf.getOrElse(table, throw new IllegalArgumentException(
+        s"SCORE() needs a known id column for table $table"))
+      val scores = graft.search.Search.bm25Scores(base, key, field, q)
+        .withColumnRenamed("id", key)
+        .withColumnRenamed("score", "__graft_score")
+      df = df.join(scores, Seq(key), "left")
+        .withColumn("__graft_score", coalesce(col("__graft_score"), lit(0.0)))
+    }
+
+    val view = s"__graft_sql_$table"
+    df.createOrReplaceTempView(view)
+    rewritten = ("(?i)(\\bFROM\\s+)\"?" + table + "\"?\\b").r
+      .replaceAllIn(rewritten, m => m.group(1) + view)
+    val out = spark.sql(rewritten)
+    // SELECT * would otherwise leak the compiled helper columns
+    out.drop(out.columns.filter(_.startsWith("__graft_")): _*)
+  }
+}

@@ -156,10 +156,59 @@ object Esql {
       args.toSeq
     }
 
+    /** A function argument that must be a literal string (format
+      * patterns, unit names — they select the expression shape). */
+    private def litStr(c: Column, what: String): String =
+      org.apache.spark.sql.GraftBridge.literalValue(c) match {
+        case Some(v) => String.valueOf(v)
+        case None => throw new IllegalArgumentException(s"$what must be a literal: $c")
+      }
+
+    /** Exact integral division of a long column: Column./ is DOUBLE
+      * division, so strip the remainder first — the quotient of an
+      * exact multiple is exactly representable (< 2^53) and the cast
+      * is lossless. Positive-domain (event time) semantics. */
+    private def longDiv(x: Column, n: Long): Column =
+      ((x - pmod(x, lit(n))) / lit(n)).cast("long")
+
+    /** ns-long event time (graft's ES|QL date type) → µs timestamp for
+      * Spark's calendar functions. Truncating ns→µs never crosses a
+      * calendar-unit boundary for real event data. */
+    private def nsToTs(x: Column): Column = timestamp_micros(longDiv(x.cast("long"), 1000L))
+
+    private val unitNs = Map(
+      "second" -> 1000000000L, "minute" -> 60L * 1000000000L,
+      "hour" -> 3600L * 1000000000L, "day" -> 86400L * 1000000000L)
+
     private def fn(name: String, args: Seq[Column]): Column =
       (name.toLowerCase, args) match {
         case ("round", Seq(x)) => Num.round(x, 0)
         case ("abs", Seq(x)) => abs(x)
+        // DATE_EXTRACT("part", ts_ns) — calendar field as a long
+        case ("date_extract", Seq(part, x)) =>
+          val t = nsToTs(x)
+          (litStr(part, "DATE_EXTRACT part").toLowerCase match {
+            case "year" => year(t)
+            case "month" => month(t)
+            case "day_of_month" | "day" => dayofmonth(t)
+            case "day_of_week" => dayofweek(t)
+            case "hour" => hour(t)
+            case "minute" => minute(t)
+            case "second" => second(t)
+            case other => throw new IllegalArgumentException(s"unknown DATE_EXTRACT part: $other")
+          }).cast("long")
+        // DATE_FORMAT("pattern", ts_ns) — Java datetime pattern
+        case ("date_format", Seq(fmt, x)) =>
+          date_format(nsToTs(x), litStr(fmt, "DATE_FORMAT pattern"))
+        // DATE_DIFF("unit", from, to) — exact ns integer math
+        case ("date_diff", Seq(unit, a, b)) =>
+          val u = litStr(unit, "DATE_DIFF unit").toLowerCase
+          val ns = unitNs.getOrElse(u,
+            throw new IllegalArgumentException(s"unknown DATE_DIFF unit: $u"))
+          longDiv(b.cast("long") - a.cast("long"), ns)
+        // DATE_PARSE("pattern", str) — back to the ns-long domain
+        case ("date_parse", Seq(fmt, x)) =>
+          unix_micros(to_timestamp(x, litStr(fmt, "DATE_PARSE pattern"))) * lit(1000L)
         // CASE(cond1, val1, cond2, val2, ..., default)
         case ("case", xs) if xs.size >= 3 && xs.size % 2 == 1 =>
           val default = xs.last
@@ -204,13 +253,7 @@ object Esql {
         case ("mv_sort", Seq(x)) => sort_array(x)
         case ("mv_sort", Seq(x, ord)) =>
           // MV_SORT(x, "DESC") — the order arg arrives as a literal col
-          val ordStr = org.apache.spark.sql.GraftBridge.expression(ord) match {
-            case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
-              String.valueOf(v).toLowerCase
-            case other =>
-              throw new IllegalArgumentException(s"MV_SORT order must be a literal: $other")
-          }
-          sort_array(x, asc = !ordStr.contains("desc"))
+          sort_array(x, asc = !litStr(ord, "MV_SORT order").toLowerCase.contains("desc"))
         case ("mv_dedupe", Seq(x)) => array_distinct(x)
         // MV_SLICE(x, start[, end]) — 0-based inclusive, like ES|QL
         case ("mv_slice", Seq(x, s, e)) => slice(x, s + lit(1), e - s + lit(1))
@@ -329,28 +372,35 @@ object Esql {
     /** Aggregate call at STATS position; falls back to a plain
       * expression wrapped in an implicit FIRST? No — ES|QL requires an
       * aggregate, so unknown names fail loudly. */
-    def parseAgg(): Column = next() match {
+    def parseAgg(filter: Option[Column] = None): Column = next() match {
       case TId(name) =>
         expectOp("(")
+        // STATS ... WHERE p: only rows passing p feed this aggregate —
+        // realized by null-masking the argument (aggs skip nulls), so
+        // the filtered agg shares the single partial-agg pass with its
+        // unfiltered siblings instead of forcing a separate scan
+        def flt(e: Column): Column = filter.map(f => when(f, e)).getOrElse(e)
         name.toLowerCase match {
           case "count" =>
             val c = peek match {
-              case Some(TOp("*")) => next(); count(lit(1))
-              case _ => count(parseExpr())
+              case Some(TOp("*")) => next(); count(flt(lit(1)))
+              case _ => count(flt(parseExpr()))
             }
             expectOp(")"); c
-          case "count_distinct" => val e = parseExpr(); expectOp(")"); countDistinct(e)
-          case "sum" => val e = parseExpr(); expectOp(")"); sum(e)
-          case "avg" => val e = parseExpr(); expectOp(")"); avg(e)
-          case "min" => val e = parseExpr(); expectOp(")"); min(e)
-          case "max" => val e = parseExpr(); expectOp(")"); max(e)
+          case "count_distinct" => val e = parseExpr(); expectOp(")"); countDistinct(flt(e))
+          case "sum" => val e = parseExpr(); expectOp(")"); sum(flt(e))
+          case "avg" => val e = parseExpr(); expectOp(")"); avg(flt(e))
+          case "min" => val e = parseExpr(); expectOp(")"); min(flt(e))
+          case "max" => val e = parseExpr(); expectOp(")"); max(flt(e))
           // exact interpolated percentile over a named column,
           // matching the oracle's quantile_cont (single-reducer — the
           // approx form is the scale path, as with percentilesAgg)
           case "median" =>
+            require(filter.isEmpty, "STATS..WHERE unsupported on MEDIAN/PERCENTILE")
             val id = identName(); expectOp(")")
             expr(s"percentile($id, 0.5)")
           case "percentile" =>
+            require(filter.isEmpty, "STATS..WHERE unsupported on MEDIAN/PERCENTILE")
             val id = identName(); expectOp(",")
             val p = next() match {
               case TNum(v, _) => v
@@ -367,14 +417,17 @@ object Esql {
 
   // ---- pipe assembly -----------------------------------------------
 
-  /** Split on top-level '|' (quote-aware). */
+  /** Split on top-level '|' (quote- and paren-aware — FORK branches
+    * carry whole sub-pipelines inside parens). */
   private def segments(q: String): Seq[String] = {
     val out = scala.collection.mutable.ListBuffer.empty[String]
     val cur = new StringBuilder
-    var inStr = false
+    var inStr = false; var depth = 0
     q.foreach {
       case '"' => inStr = !inStr; cur += '"'
-      case '|' if !inStr => out += cur.result(); cur.clear()
+      case '(' if !inStr => depth += 1; cur += '('
+      case ')' if !inStr => depth -= 1; cur += ')'
+      case '|' if !inStr && depth == 0 => out += cur.result(); cur.clear()
       case c => cur += c
     }
     out += cur.result()
@@ -493,6 +546,17 @@ object Esql {
         // MV_EXPAND col — one row per element of a multi-value field
         val c = body.trim
         df.withColumn(c, explode(col(c)))
+      case "fork" =>
+        // FORK (pipe | pipe) (pipe) — run each branch on the incoming
+        // frame, union tagged with _fork. Branches are independent
+        // Catalyst subtrees over the SAME scan (Spark reuses the
+        // exchange under AQE); union is a no-shuffle concatenation.
+        val branches = forkBranches(body)
+        require(branches.size >= 2, s"FORK needs >= 2 branches: $body")
+        branches.zipWithIndex.map { case (b, i) =>
+          segments(b).foldLeft(df)(applyCommand(_, _, resolve))
+            .withColumn("_fork", lit(s"fork${i + 1}"))
+        }.reduce(_.unionByName(_, allowMissingColumns = true))
       case "sample" =>
         // SAMPLE p — Bernoulli row sample. Deterministic content-hash
         // draw (not rand()): the same rows survive regardless of
@@ -662,6 +726,52 @@ object Esql {
   private def parseAggAssign(s: String): (String, Column) = {
     val i = s.indexOf('=')
     require(i > 0, s"STATS needs name = AGG(...), got: $s")
-    (s.substring(0, i).trim, new P(lex(s.substring(i + 1))).parseAgg())
+    // `name = AGG(...) WHERE pred` — per-aggregate row filter
+    val rhs = s.substring(i + 1)
+    val (aggSrc, predSrc) = splitAggWhere(rhs)
+    val pred = predSrc.map(p => new P(lex(p)).parseExpr())
+    (s.substring(0, i).trim, new P(lex(aggSrc)).parseAgg(pred))
+  }
+
+  /** Collect FORK's top-level parenthesized branch bodies. */
+  private def forkBranches(body: String): Seq[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var depth = 0; var inStr = false; var start = -1
+    body.zipWithIndex.foreach { case (c, i) =>
+      c match {
+        case '"' => inStr = !inStr
+        case '(' if !inStr =>
+          if (depth == 0) start = i + 1
+          depth += 1
+        case ')' if !inStr =>
+          depth -= 1
+          if (depth == 0) { out += body.substring(start, i).trim; start = -1 }
+        case other if depth == 0 && !other.isWhitespace && !inStr =>
+          throw new IllegalArgumentException(s"FORK expects (branch) (branch): $body")
+        case _ =>
+      }
+    }
+    require(depth == 0, s"unbalanced parens in FORK: $body")
+    out.toSeq
+  }
+
+  /** Split `AGG(...) WHERE pred` at the top-level WHERE (quote- and
+    * paren-aware; WHERE inside the agg's parens never splits). */
+  private def splitAggWhere(s: String): (String, Option[String]) = {
+    var depth = 0; var inStr = false
+    var i = 0
+    val lower = s.toLowerCase
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '"' => inStr = !inStr
+        case '(' if !inStr => depth += 1
+        case ')' if !inStr => depth -= 1
+        case _ =>
+      }
+      if (!inStr && depth == 0 && lower.startsWith(" where ", i))
+        return (s.substring(0, i), Some(s.substring(i + 7)))
+      i += 1
+    }
+    (s, None)
   }
 }

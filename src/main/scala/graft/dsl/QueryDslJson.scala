@@ -339,6 +339,52 @@ object QueryDslJson {
           compileNode(parts.toMap.getOrElse("query",
             throw new IllegalArgumentException("script_score needs query")), idField)
 
+        // {"script": {"script": {"source": "...", "params": {...}}}} —
+        // a boolean Painless filter. The subset compiles comparisons
+        // inside ternaries, so the source is wrapped as
+        // `(src) ? 1 : 0` and gated on != 0: one codegen'd expression,
+        // same cost as a built-in predicate.
+        case ("script", JObject(fields)) =>
+          val inner = fields.toMap.getOrElse("script",
+            throw new IllegalArgumentException("script clause needs script")) match {
+            case JObject(sf) => sf.toMap
+            case other => throw new IllegalArgumentException(s"bad script body: $other")
+          }
+          val src = lits(inner.getOrElse("source",
+            throw new IllegalArgumentException("script needs source"))).toString
+          val params: Map[String, Any] = inner.get("params") match {
+            case Some(JObject(ps)) => ps.map { case JField(k, v) => k -> lits(v) }.toMap
+            case None => Map.empty
+            case other => throw new IllegalArgumentException(s"bad params: $other")
+          }
+          Painless.compile(s"($src) ? 1 : 0", params) =!= lit(0.0)
+
+        // {"sparse_vector": {"field": f, "query_vector": {tok: w}}} —
+        // scoring query (Search.sparseVectorTopK); in filter context a
+        // doc matches iff its dot product is nonzero, i.e. any query
+        // token present
+        case ("sparse_vector", JObject(parts)) =>
+          val m = parts.toMap
+          val f = lits(m.getOrElse("field",
+            throw new IllegalArgumentException("sparse_vector needs field"))).toString
+          val toks = m.get("query_vector") match {
+            case Some(JObject(ps)) => ps.map { case JField(k, _) => k }
+            case other => throw new IllegalArgumentException(s"bad query_vector: $other")
+          }
+          arrays_overlap(graft.analysis.Analyzer.tokens(col(f)), lit(toks.toArray))
+
+        // {"pinned": {"ids": [...], "organic": {...}}} — in filter
+        // context a pinned query matches organic ∪ pinned docs (the
+        // promotion only affects ranking; Search.pinnedTopK is the
+        // scoring path)
+        case ("pinned", JObject(parts)) =>
+          val m = parts.toMap
+          val ids = arr(m.getOrElse("ids",
+            throw new IllegalArgumentException("pinned needs ids")))
+          val organic = compileNode(m.getOrElse("organic",
+            throw new IllegalArgumentException("pinned needs organic")), idField)
+          organic || col(idField).isin(ids: _*)
+
         case ("bool", JObject(parts)) =>
           val m = parts.toMap
           QueryDsl.bool(

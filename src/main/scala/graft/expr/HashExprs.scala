@@ -428,6 +428,64 @@ object HashKernels {
     }
     false
   }
+
+  /** tokens × sparse query vector dot product: Σ weight(t) · tf(t).
+    * One pass over the token array; the query side is a small parallel
+    * (terms, weights) pair scanned linearly per token — O(n·k) with
+    * k = query terms (single digits), zero allocation. The doc-side
+    * "sparse features" are term frequencies from the same analyzer, so
+    * the whole text-expansion score stays inside whole-stage codegen. */
+  def sparseTfDot(
+      toks: ArrayData,
+      terms: Array[UTF8String],
+      weights: Array[Double]): Double = {
+    val n = toks.numElements()
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      var j = 0
+      while (j < terms.length) {
+        if (terms(j).equals(t)) { sum += weights(j); j = terms.length }
+        else j += 1
+      }
+      i += 1
+    }
+    sum
+  }
+}
+
+/** `sparse_vector` / text_expansion scoring: the weighted term-
+  * frequency dot product (see HashKernels.sparseTfDot). */
+case class SparseTfDot(child: Expression, terms: Seq[String], weights: Seq[Double])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(terms.length == weights.length && terms.nonEmpty,
+    "sparse vector needs parallel non-empty terms/weights")
+  require(terms.distinct.size == terms.size, "sparse vector terms must be distinct")
+
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sparse_tf_dot"
+
+  @transient private lazy val termArr: Array[UTF8String] =
+    terms.map(UTF8String.fromString).toArray
+  @transient private lazy val weightArr: Array[Double] = weights.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Double.valueOf(HashKernels.sparseTfDot(
+      input.asInstanceOf[ArrayData], termArr, weightArr))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val termsRef = ctx.addReferenceObj("terms", termArr,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    val weightsRef = ctx.addReferenceObj("weights", weightArr, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.HashKernels.sparseTfDot($c, $termsRef, $weightsRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SparseTfDot =
+    copy(child = newChild)
 }
 
 /** One-pass token statistics for quality scoring: (n_tokens,

@@ -1012,6 +1012,31 @@ object Search {
         l.head, b(0), b(1), slop))
   }
 
+  /** `sparse_vector` / `text_expansion` query (the ELSER-shaped
+    * retrieval surface): score = Σ weight(t) · tf(t, doc) over the
+    * query's (token, weight) pairs. The doc-side sparse features are
+    * term frequencies from the standard analyzer — the model that
+    * would produce learned weights isn't in this container, but the
+    * retrieval plumbing (sparse dot product as a compiled one-pass
+    * kernel, score-ordered top-k) is the real thing. Scale shape: a
+    * narrow map-only projection then one TakeOrderedAndProject; no
+    * join, no shuffle beyond the top-k. */
+  def sparseVectorTopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryVector: Seq[(String, Double)],
+      k: Int): DataFrame = {
+    val score = org.apache.spark.sql.GraftBridge.column(
+      graft.expr.SparseTfDot(
+        org.apache.spark.sql.GraftBridge.expression(Analyzer.tokens(col(textCol))),
+        queryVector.map(_._1), queryVector.map(_._2)))
+    docs.select(col(idCol).as("id"), Num.round(score, 4).as("score"))
+      .where(col("score") > 0.0)
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** `_termvectors` with `term_statistics: true`: per-term stats for
     * ONE document — term frequency in the doc, plus corpus document
     * frequency and total term frequency.

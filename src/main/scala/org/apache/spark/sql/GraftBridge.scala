@@ -11,6 +11,17 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** The literal value of a `lit(...)` column, if it is one. Spark 4's
+    * Column wraps a ColumnNode; a literal arrives as either the node
+    * form or (post-conversion) a catalyst Literal — handle both. */
+  def literalValue(c: Column): Option[Any] = c.node match {
+    case l: org.apache.spark.sql.internal.Literal => Some(l.value)
+    case _ => expression(c) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => Some(v)
+      case _ => None
+    }
+  }
 }
 
 /** `AbstractDataType` (the `inputTypes` element type of

@@ -1,0 +1,55 @@
+package graft
+
+import graft.dsl.EsSql
+
+class EsSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("plain ANSI SQL routes through spark.sql") {
+    val r = EsSql.run(spark, sfDir,
+      "SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY lang")
+      .as[(String, Long)].collect().toSeq
+    assert(r.nonEmpty && r.map(_._1) == r.map(_._1).sorted)
+    assert(r.map(_._2).sum == Tables.documents(spark, sfDir).count())
+  }
+
+  test("MATCH compiles to the analyzed-token predicate") {
+    val or = EsSql.run(spark, sfDir,
+      "SELECT doc_id FROM documents WHERE MATCH(text, 'vector hash')")
+    val and = EsSql.run(spark, sfDir,
+      "SELECT doc_id FROM documents WHERE MATCH(text, 'vector hash', 'operator=and')")
+    assert(and.count() <= or.count() && or.count() > 0)
+    // AND rows are a subset of OR rows
+    assert(and.join(or, Seq("doc_id"), "left_anti").count() == 0)
+  }
+
+  test("SCORE() attaches full-corpus BM25, helper columns never leak") {
+    val r = EsSql.run(spark, sfDir,
+      """SELECT doc_id, SCORE() AS s FROM documents
+         WHERE MATCH(text, 'vector join') ORDER BY s DESC, doc_id LIMIT 5""")
+    assert(r.columns.toSeq == Seq("doc_id", "s"))
+    val scores = r.as[(Long, Double)].collect().map(_._2).toSeq
+    assert(scores == scores.sorted.reverse && scores.forall(_ > 0))
+    val star = EsSql.run(spark, sfDir,
+      "SELECT * FROM documents WHERE MATCH(text, 'vector') LIMIT 1")
+    assert(!star.columns.exists(_.startsWith("__graft_")))
+  }
+
+  test("QUERY() embeds Lucene syntax; SCORE() without MATCH fails loudly") {
+    val r = EsSql.run(spark, sfDir,
+      "SELECT doc_id FROM documents WHERE QUERY('lang:en AND merge')")
+    assert(r.count() > 0)
+    val e = intercept[IllegalArgumentException] {
+      EsSql.run(spark, sfDir, "SELECT doc_id, SCORE() FROM documents")
+    }
+    assert(e.getMessage.contains("SCORE()"))
+  }
+
+  test("unsupported MATCH option fails loudly") {
+    val e = intercept[IllegalArgumentException] {
+      EsSql.run(spark, sfDir,
+        "SELECT doc_id FROM documents WHERE MATCH(text, 'x', 'fuzziness=2')")
+    }
+    assert(e.getMessage.contains("unsupported MATCH option"))
+  }
+}

@@ -165,6 +165,47 @@ class EsqlSpec extends SparkSpec {
       Esql.applyCommand(df, "lookup garbage", _ => dims))
   }
 
+  test("STATS..WHERE: per-aggregate filter, null-masked into one pass") {
+    val r = run(
+      """stats n = count(*), na = count(*) where k == "a",
+              sa = sum(v) where v >= 20 by k""",
+      "sort k")
+      .as[(String, Long, Long, Option[Double])].collect().toSeq
+    assert(r == Seq(
+      ("a", 2L, 2L, Some(20.0)), ("b", 2L, 0L, Some(70.0)), ("c", 1L, 0L, Some(50.5))))
+    // WHERE inside the agg parens must NOT split
+    val g = run("""stats m = max(v) where not (k == "c")""")
+      .as[Double].collect().toSeq
+    assert(g == Seq(40.0))
+  }
+
+  test("FORK: tagged union of branch sub-pipelines") {
+    val r = run(
+      "fork ( where v >= 40 | keep id ) ( sort v | limit 2 | keep id )",
+      "sort _fork, id")
+      .as[(Long, String)].collect().toSeq
+    assert(r == Seq(
+      (4L, "fork1"), (5L, "fork1"), (1L, "fork2"), (2L, "fork2")))
+    intercept[IllegalArgumentException](run("fork ( where v > 1 )"))
+    intercept[IllegalArgumentException](run("fork garbage ( where v > 1 )"))
+  }
+
+  test("date functions: extract/format/diff/parse over ns longs") {
+    // 2024-03-15T12:30:45Z in ns
+    val ns = 1710505845L * 1000000000L
+    val d2 = Seq((1L, ns)).toDF("id", "ts_ns")
+    val r = Esql.applyCommand(d2,
+      """eval y = date_extract("year", ts_ns), mo = date_extract("month", ts_ns),
+             hh = date_extract("hour", ts_ns), day = date_format("yyyy-MM-dd", ts_ns),
+             dh = date_diff("hour", ts_ns - 7200000000000, ts_ns),
+             back = date_parse("yyyy-MM-dd", day)""")
+      .select("y", "mo", "hh", "day", "dh", "back")
+      .as[(Long, Long, Long, String, Long, Long)].collect().head
+    assert(r == ((2024L, 3L, 12L, "2024-03-15", 2L, 1710460800L * 1000000000L)))
+    intercept[IllegalArgumentException](
+      Esql.applyCommand(d2, """eval z = date_extract("century", ts_ns)"""))
+  }
+
   test("CHANGE_POINT: finds the step in a mean-shifted series") {
     // flat 10s then flat 50s: the split at the boundary maximizes the
     // between-segment sum of squares

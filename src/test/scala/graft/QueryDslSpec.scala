@@ -105,6 +105,30 @@ class QueryDslSpec extends SparkSpec {
       "fields": ["text"]}}""") == Set(2L, 3L))
   }
 
+  test("json script / pinned / sparse_vector clauses compile") {
+    val docs = Seq(
+      (1L, "fast hash join wins", 10L),
+      (2L, "vector search db", 25L),
+      (3L, "hash only batch", 40L)).toDF("_id", "text", "n")
+    def ids(json: String) = docs.where(graft.dsl.QueryDslJson.compile(json))
+      .select("_id").as[Long].collect().toSet
+    // boolean Painless filter with params
+    assert(ids("""{"script": {"script": {
+      "source": "doc['n'].value * 2 > params.t", "params": {"t": 49}}}}""") == Set(2L, 3L))
+    // pinned in filter context = organic OR promoted ids
+    assert(ids("""{"pinned": {"ids": [3],
+      "organic": {"term": {"text": "vector search db"}}}}""") == Set(2L, 3L))
+    // sparse_vector filter = any query token present
+    assert(ids("""{"sparse_vector": {"field": "text",
+      "query_vector": {"vector": 1.5, "batch": 0.2}}}""") == Set(2L, 3L))
+    // and the scoring path: tf-weighted dot product, desc
+    val top = graft.search.Search.sparseVectorTopK(
+      docs.toDF("id0", "text", "n"), "id0", "text",
+      Seq("hash" -> 1.0, "vector" -> 0.4), 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(top == Seq((1L, 1.0), (3L, 1.0), (2L, 0.4)))
+  }
+
   test("search template: mustache params, toJson, inverted default") {
     import graft.dsl.SearchTemplate
     val df = Seq((1L, "en", 300L), (2L, "en", 100L), (3L, "de", 400L))
