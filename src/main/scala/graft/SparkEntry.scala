@@ -373,6 +373,19 @@ object SparkEntry {
     "q_sql_query" -> ((s, d) => graft.dsl.EsSql.run(s, d,
       """SELECT doc_id FROM documents
          WHERE QUERY('lang:en AND merge') ORDER BY doc_id""")),
+    // _explain: BM25 term-by-term breakdown for one doc, index-wide stats
+    "q_explain" -> ((s, d) =>
+      Search.explainScore(t(s, d, "documents"), "doc_id", "text",
+        "vector hash join", docId = 42L)),
+    // VALUES / TOP multivalue aggregates (projected to scalars — the
+    // driver's comparator can't sort list cells)
+    "q_esql_values" -> ((s, d) => graft.dsl.Esql.run(s, d,
+      """from documents
+        | stats langs = values(lang), tops = top(n_chars, 3) by source
+        | eval nl = mv_count(langs), l1 = mv_first(langs), ln = mv_last(langs),
+               t1 = mv_first(tops), t3 = mv_last(tops)
+        | keep source, nl, l1, ln, t1, t3
+        | sort source | limit 20""")),
     // STATS ... WHERE: per-aggregate row filters sharing one agg pass
     "q_esql_stats_where" -> ((s, d) => graft.dsl.Esql.run(s, d,
       """from lineitem
@@ -1271,6 +1284,22 @@ object SparkEntry {
       " SELECT id AS doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 10"),
     "q_sql_query" -> (TokCte.replace("SELECT doc_id,", "SELECT doc_id, lang,") +
       " SELECT doc_id FROM tok WHERE lang = 'en' AND list_contains(toks, 'merge') ORDER BY doc_id"),
+    "q_explain" -> (TokCte + ", dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl, toks FROM tok), " +
+      "st AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl), " +
+      "tf AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM " +
+      "(SELECT doc_id, dl, unnest(toks) AS term FROM dl) " +
+      "WHERE term IN ('vector','hash','join') GROUP BY doc_id, dl, term), " +
+      "df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term) " +
+      "SELECT tf.term, tf.tf, df.df, " +
+      "round(ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)), 4) AS idf, " +
+      "round(ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) * tf.tf * (1.2 + 1.0) / " +
+      "(tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / st.avgdl)), 4) AS weight " +
+      "FROM tf JOIN df USING (term) CROSS JOIN st WHERE tf.doc_id = 42 ORDER BY term"),
+    "q_esql_values" -> ("SELECT source, len(ll)::INT AS nl, ll[1] AS l1, ll[-1] AS ln, " +
+      "tt[1] AS t1, tt[-1] AS t3 FROM (SELECT source, " +
+      "list_sort(list_distinct(list(lang))) AS ll, " +
+      "list_sort(list(n_chars), 'DESC')[1:3] AS tt FROM documents GROUP BY source) " +
+      "ORDER BY source LIMIT 20"),
     "q_esql_stats_where" -> ("SELECT l_linestatus, count(*)::BIGINT AS n, " +
       "(count(*) FILTER (l_returnflag = 'R'))::BIGINT AS nret, " +
       "sum(l_quantity) FILTER (l_returnflag = 'R') AS rqty " +

@@ -395,6 +395,24 @@ object Esql {
           // exact interpolated percentile over a named column,
           // matching the oracle's quantile_cont (single-reducer — the
           // approx form is the scale path, as with percentilesAgg)
+          // VALUES(x) — distinct values as a multivalue field (sorted:
+          // ES guarantees no order, sorting makes results stable)
+          case "values" =>
+            val e = parseExpr(); expectOp(")")
+            sort_array(collect_set(flt(e)))
+          // TOP(x, n[, "asc"|"desc"]) — n extreme values with dups
+          case "top" =>
+            val e = parseExpr(); expectOp(",")
+            val n = next() match {
+              case TNum(v, true) => v.toInt
+              case other => throw new IllegalArgumentException(s"TOP needs an int limit: $other")
+            }
+            val asc = peek match {
+              case Some(TOp(",")) => next(); str(next()).toLowerCase == "asc"
+              case _ => false
+            }
+            expectOp(")")
+            slice(sort_array(collect_list(flt(e)), asc), 1, n)
           case "median" =>
             require(filter.isEmpty, "STATS..WHERE unsupported on MEDIAN/PERCENTILE")
             val id = identName(); expectOp(")")

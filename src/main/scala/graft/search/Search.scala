@@ -351,7 +351,21 @@ object Search {
       textCol: String,
       query: String,
       k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75): DataFrame =
+    bm25Components(docs, idCol, textCol, query, k1, b)
+      .groupBy(col("id"))
+      .agg(Num.round(sum(col("term_score")), 4).as("score"))
+
+  /** Per-(doc, term) BM25 components — one frame feeding both the
+    * aggregate score (bm25Scores) and the `_explain` breakdown, so the
+    * formula can't drift between them. */
+  private def bm25Components(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      query: String,
+      k1: Double,
+      b: Double): DataFrame = {
     val q = Analyzer.analyze(query)
     require(q.nonEmpty, s"bm25 query analyzed to zero tokens: $query")
 
@@ -382,10 +396,30 @@ object Search {
 
     tf.join(broadcast(df), "term")
       .crossJoin(broadcast(stats))
-      .withColumn("term_score", idf * tfPart)
-      .groupBy(col("id"))
-      .agg(Num.round(sum(col("term_score")), 4).as("score"))
+      .withColumn("idf", idf)
+      .withColumn("term_score", col("idf") * tfPart)
   }
+
+  /** `_explain` for one document: the BM25 term-by-term breakdown
+    * (tf, df, idf, weight) with INDEX-WIDE statistics, exactly as ES
+    * explains a hit. The doc-id filter pushes below the join on the
+    * postings side; the df/stats branches still see the whole corpus
+    * (that's the semantics, not an accident). */
+  def explainScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      query: String,
+      docId: Long,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame =
+    bm25Components(docs, idCol, textCol, query, k1, b)
+      .where(col("id") === docId)
+      .select(
+        col("term"), col("tf"), col("df"),
+        Num.round(col("idf"), 4).as("idf"),
+        Num.round(col("term_score"), 4).as("weight"))
+      .orderBy(col("term"))
 
   /** `match_phrase` with `slop` (span_near-style): all analyzed terms
     * in order, each consecutive pair within `slop` intervening

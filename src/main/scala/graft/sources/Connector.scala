@@ -429,6 +429,42 @@ object Connector {
     * the result in crash-safely. One read + one conditional projection
     * + one write — no per-doc round trips (the reference's
     * update-by-query is a scroll + bulk loop). */
+  /** `_forcemerge?max_num_segments=N` analog: compact the index to N
+    * files. ES merges Lucene segments to cut per-query open/seek
+    * overhead; the parquet analog is file-count compaction — the
+    * thousands of small files an incremental bulk write accumulates
+    * become N large ones (fewer scan tasks, full-size row groups).
+    * `repartition` (one shuffle) rather than `coalesce`: merged
+    * segments should be evenly sized, and coalesce would chain the
+    * skew of whatever partitions happened to exist. Crash-safe via the
+    * same directory swap as `save`. */
+  def forceMerge(
+      spark: SparkSession, path: String, maxSegments: Int,
+      cfg: Map[String, String] = Map.empty): Unit = {
+    require(maxSegments > 0, s"max segments must be positive: $maxSegments")
+    recoverSwap(spark, path)
+    val fmt = cfg.getOrElse("graft.format", "parquet")
+    val df = spark.read.format(fmt).load(path).repartition(maxSegments)
+    writeSwapped(spark, path, df, cfg)
+  }
+
+  /** `_shrink` / `_split` analog: copy the index to a NEW path (ES
+    * requires a fresh target index) with a different shard (file)
+    * count. Shrinking coalesces — no shuffle, the Spark analog of
+    * shrink's segment-hardlink trick; splitting repartitions — one
+    * even-redistribution shuffle. */
+  def resize(
+      spark: SparkSession, srcPath: String, dstPath: String, shards: Int,
+      cfg: Map[String, String] = Map.empty): Unit = {
+    require(shards > 0, s"shard count must be positive: $shards")
+    recoverSwap(spark, srcPath)
+    val fmt = cfg.getOrElse("graft.format", "parquet")
+    val df = spark.read.format(fmt).load(srcPath)
+    val cur = df.inputFiles.length
+    val out = if (shards <= cur) df.coalesce(shards) else df.repartition(shards)
+    out.write.format(fmt).mode("error").save(dstPath)
+  }
+
   def updateByQuery(
       spark: SparkSession,
       path: String,

@@ -426,6 +426,33 @@ class ConnectorSpec extends SparkSpec {
     assert(first.next().size == 7)
   }
 
+  test("_forcemerge compacts to N files, content and count preserved") {
+    val dir = Files.createTempDirectory("graft_fm").toString + "/idx"
+    val df = (1L to 200L).toDF("id").withColumn("v", col("id") * 3)
+    df.repartition(16).write.parquet(dir)
+    assert(spark.read.parquet(dir).inputFiles.length == 16)
+    Connector.forceMerge(spark, dir, 2)
+    val merged = spark.read.parquet(dir)
+    assert(merged.inputFiles.length == 2)
+    assert(merged.count() == 200)
+    assert(merged.agg(sum("v")).as[Long].head() == (1L to 200L).map(_ * 3).sum)
+    intercept[IllegalArgumentException](Connector.forceMerge(spark, dir, 0))
+  }
+
+  test("_shrink coalesces to fewer shards; _split repartitions to more") {
+    val base = Files.createTempDirectory("graft_resize").toString
+    val src = base + "/src"
+    (1L to 100L).toDF("id").repartition(8).write.parquet(src)
+    Connector.resize(spark, src, base + "/small", 2)
+    assert(spark.read.parquet(base + "/small").inputFiles.length == 2)
+    assert(spark.read.parquet(base + "/small").count() == 100)
+    Connector.resize(spark, src, base + "/big", 16)
+    assert(spark.read.parquet(base + "/big").inputFiles.length == 16)
+    assert(spark.read.parquet(base + "/big").count() == 100)
+    // ES requires a fresh target index
+    intercept[Exception](Connector.resize(spark, src, base + "/small", 2))
+  }
+
   test("_analyze API: tokens with positions and offsets") {
     val out = graft.analysis.Analyzer.analyzeApi(spark, "The QUICK-brown fox2!")
       .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSeq
