@@ -136,6 +136,30 @@ object ScaleProbe {
       c.where(graft.rel.Relational.shapeContainsPoint(
         col("lats"), col("lons"), 5.1234567, 10.7654321)).count()
     }
+    // r4 batch 3 shapes.
+    // sparse_vector: map-only compiled dot product + one top-k — the
+    // probe confirms strictly linear scaling (no shuffle to widen)
+    spark.catalog.clearCache()
+    time("sparse_vector_10x") {
+      Search.sparseVectorTopK(docs, "doc_id", "text",
+        Seq("vector" -> 1.2, "hash" -> 0.8, "merge" -> 0.5), 15).count()
+    }
+    // ES SQL SCORE(): bm25 postings frame joined BACK to the base
+    // relation on the id — the join's left side is corpus-sized, so
+    // this is the one new shape that grows a real shuffle at 10x
+    // (score side stays posting-bounded; AQE should broadcast it)
+    time("essql_score_10x") {
+      val scores = Search.bm25Scores(docs, "doc_id", "text", "vector join")
+        .withColumnRenamed("id", "doc_id")
+      docs.join(scores, Seq("doc_id"), "left")
+        .where(col("score").isNotNull).count()
+    }
+    // parent agg: children partial-agg first, then the compact join
+    time("parent_agg_10x") {
+      val ord = times(Tables.orders(spark, sfDir), "o_orderkey", 100000000L)
+      Aggs.parentAgg(ord, li, "o_orderkey", "l_orderkey",
+        "o_orderstatus", "l_quantity").count()
+    }
     spark.stop()
   }
 }
