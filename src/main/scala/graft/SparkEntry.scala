@@ -101,6 +101,11 @@ object SparkEntry {
     * from the same vertex list (same precomputed edge deltas as
     * Relational.geoPolygon), so the two ray casts are the identical
     * IEEE expression on both engines. */
+  /** Deterministic 64-dim query vector shared by q_script_vector's
+    * Spark side and its oracle SQL (two-decimal doubles: the literal
+    * round-trips exactly through both engines' parsers). */
+  private val ScriptQv: Seq[Double] = (0 until 64).map(i => (i * 37 % 100) / 100.0 - 0.5)
+
   private val GeoPolygonVertices: Seq[(Double, Double)] =
     Seq((0.0, -120.0), (60.0, -30.0), (30.0, 60.0), (-30.0, 90.0), (-60.0, -45.0))
 
@@ -214,6 +219,16 @@ object SparkEntry {
     "q_rank_feature" -> ((s, d) =>
       Search.rankFeatureTopK(t(s, d, "documents"), "doc_id", "n_chars", 200.0, 15)),
     // script_score: Painless subset compiled to codegen'd column math
+    // int8 quantization audit over the embedding corpus (map-only)
+    "q_embed_quant" -> ((s, d) =>
+      graft.dedup.Vectors.quantizeInt8Stats(t(s, d, "embeddings"), "vec_id", "embedding")),
+    // script_score with dense-vector functions (ES semantic-search
+    // scoring: cosineSimilarity over a stored embedding + 1.0)
+    "q_script_vector" -> ((s, d) =>
+      Search.scriptScoreTopK(t(s, d, "embeddings"), "vec_id",
+        query = lit(true),
+        script = "cosineSimilarity(params.qv, 'embedding') + 1.0",
+        params = Map("qv" -> ScriptQv), k = 10)),
     "q_script_score" -> ((s, d) =>
       Search.scriptScoreTopK(t(s, d, "documents"), "doc_id",
         query = graft.dsl.QueryDslJson.compile(
@@ -1393,6 +1408,20 @@ object SparkEntry {
     "q_rank_feature" -> ("SELECT doc_id AS id, " +
       "round(CAST(n_chars AS DOUBLE) / (CAST(n_chars AS DOUBLE) + 200.0), 4) AS score " +
       "FROM documents ORDER BY score DESC, id LIMIT 15"),
+    "q_embed_quant" -> ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), " +
+      "s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e), " +
+      "r AS (SELECT vec_id, scale, CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0) ELSE " +
+      "list_transform(v, x -> abs(least(greatest(floor(x / scale + 0.5), -127.0), 127.0) * scale - x)) END AS errs FROM s) " +
+      "SELECT vec_id AS id, round(scale, 6) AS scale, round(list_max(errs), 6) AS max_err, " +
+      "round(list_reduce(list_prepend(0.0, list_transform(errs, e -> e * e)), (a, b) -> a + b) / len(v), 6) AS mse " +
+      "FROM r JOIN e USING (vec_id) ORDER BY id"),
+    "q_script_vector" -> ("WITH q AS (SELECT " + ScriptQv.mkString("[", ", ", "]") + "::DOUBLE[] AS v), " +
+      "e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), " +
+      "n AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm FROM e), " +
+      "qn AS (SELECT v, sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm FROM q) " +
+      "SELECT vec_id AS id, round(list_reduce(list_prepend(0.0, " +
+      "list_transform(range(1, 65), i -> n.v[i] * qn.v[i])), (x, y) -> x + y) / (n.nrm * qn.nrm) + 1.0, 4) AS score " +
+      "FROM n CROSS JOIN qn ORDER BY score DESC, id LIMIT 10"),
     "q_script_score" -> ("SELECT doc_id AS id, " +
       "round((CAST(n_chars AS DOUBLE) / (CAST(n_chars AS DOUBLE) + 250.0)) * " +
       "ln(2.0 + CAST(n_chars AS DOUBLE)) + 0.5, 4) AS score " +

@@ -379,4 +379,22 @@ object Vectors {
       graft.expr.CosineSim(
         org.apache.spark.sql.GraftBridge.expression(a),
         org.apache.spark.sql.GraftBridge.expression(b)))
+
+  /** int8 scalar quantization audit for an embedding column — the
+    * compression step a 100 TB vector corpus applies before indexing
+    * (4x smaller, ES's `int8_hnsw` storage shape). One compiled pass
+    * per vector computes [scale, max_err, mse]; map-only, no shuffle.
+    * Whole-stage codegen's subexpression elimination runs the kernel
+    * once per row despite the three element_at projections. */
+  def quantizeInt8Stats(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val stats = org.apache.spark.sql.GraftBridge.column(
+      graft.expr.Int8QuantStats(
+        org.apache.spark.sql.GraftBridge.expression(col(vecCol))))
+    df.select(
+      col(idCol).as("id"),
+      graft.util.Num.round(element_at(stats, 1), 6).as("scale"),
+      graft.util.Num.round(element_at(stats, 2), 6).as("max_err"),
+      graft.util.Num.round(element_at(stats, 3), 6).as("mse"))
+      .orderBy(col("id").asc)
+  }
 }

@@ -33,6 +33,7 @@ object Painless {
 
   private sealed trait Tok
   private final case class Num(v: Double) extends Tok
+  private final case class Str(s: String) extends Tok
   private final case class DocRef(field: String) extends Tok
   private final case class ParamRef(name: String) extends Tok
   private case object ScoreRef extends Tok
@@ -46,7 +47,8 @@ object Painless {
   private val fnNames = Set(
     "Math.log", "Math.log10", "Math.sqrt", "Math.abs", "Math.exp",
     "Math.floor", "Math.ceil", "Math.pow", "Math.max", "Math.min",
-    "saturation", "sigmoid")
+    "saturation", "sigmoid",
+    "cosineSimilarity", "dotProduct", "l2norm")
 
   private def lex(src: String): List[Tok] = {
     val out = scala.collection.mutable.ListBuffer.empty[Tok]
@@ -72,6 +74,12 @@ object Painless {
         out += ParamRef(src.substring(start, end)); i = end
       } else if (src.startsWith("_score", i)) {
         out += ScoreRef; i += "_score".length
+      } else if (c == '\'') {
+        // '...' string literal — the field-name argument of the vector
+        // functions (cosineSimilarity(params.qv, 'embedding'))
+        val j = src.indexOf('\'', i + 1)
+        require(j > 0, s"unterminated string at offset $i in: $src")
+        out += Str(src.substring(i + 1, j)); i = j + 1
       } else if (c.isLetter) {
         val j = src.indexWhere(ch => !(ch.isLetterOrDigit || ch == '.' || ch == '_'), i)
         val end = if (j < 0) n else j
@@ -180,15 +188,35 @@ object Painless {
     private def parsePrimary(): Column = next() match {
       case Num(v) => lit(v)
       case DocRef(f) => col(f).cast("double")
-      case ParamRef(p) => lit(params.getOrElse(p,
+      case ParamRef(p) => params.getOrElse(p,
         throw new IllegalArgumentException(s"missing param '$p'")) match {
-        case n: Number => n.doubleValue()
+        case n: Number => lit(n.doubleValue())
+        // vector param (the query_vector of the vector functions)
+        case s: Seq[_] => typedLit(s.map {
+          case n: Number => n.doubleValue()
+          case other => throw new IllegalArgumentException(
+            s"param '$p' has a non-numeric element: $other")
+        })
         case other => throw new IllegalArgumentException(
           s"param '$p' is not numeric: $other")
-      })
+      }
       case ScoreRef => score
       case Open =>
         val c = parseTernary(); expect(Close); c
+      // vector functions take (params.query_vector, 'field') — the
+      // field is a STRING naming a dense-vector column, parsed
+      // structurally rather than as an expression
+      case Fn(name @ ("cosineSimilarity" | "dotProduct" | "l2norm")) =>
+        expect(Open)
+        val qv = parseTernary()
+        expect(Comma)
+        val field = next() match {
+          case Str(s) => s
+          case other => throw new IllegalArgumentException(
+            s"$name needs a 'field' string as its second arg, got $other")
+        }
+        expect(Close)
+        vectorFn(name, qv, field)
       case Fn(name) =>
         expect(Open)
         val args = scala.collection.mutable.ListBuffer(parseTernary())
@@ -196,6 +224,24 @@ object Painless {
         expect(Close)
         fn(name, args.toList)
       case other => throw new IllegalArgumentException(s"unexpected token: $other")
+    }
+
+    /** ES script_score dense-vector functions: the stored vector
+      * column is float[] (cast element-wise); the query side is the
+      * typedLit double array a Seq param produced. All three are
+      * compiled one-pass kernels (HashKernels), same codegen class as
+      * the ANN operators. */
+    private def vectorFn(name: String, qv: Column, field: String): Column = {
+      import org.apache.spark.sql.GraftBridge.{column => gcol, expression => gexpr}
+      // float[] storage casts to double[] via the kernels'
+      // ImplicitCastInputTypes — one codegen'd Cast, not a per-element
+      // transform() HOF (those run interpreted)
+      val v = col(field)
+      name match {
+        case "cosineSimilarity" => graft.dedup.Vectors.cosine(v, qv)
+        case "dotProduct" => gcol(graft.expr.DotProductSim(gexpr(v), gexpr(qv)))
+        case "l2norm" => gcol(graft.expr.L2Norm(gexpr(v), gexpr(qv)))
+      }
     }
 
     private def fn(name: String, args: List[Column]): Column = (name, args) match {

@@ -429,6 +429,62 @@ object HashKernels {
     false
   }
 
+  /** int8 scalar quantization stats in one pass: [scale, max_err,
+    * mse]. Symmetric per-vector quantization (ES's int8 dense-vector
+    * storage shape): scale = max|x|/127, q = clamp(floor(x/scale+0.5),
+    * ±127); errors measured against the dequantized value. floor(x+.5)
+    * instead of round(): identical across engines. */
+  def quantInt8Kernel(v: ArrayData): GenericArrayData = {
+    val n = v.numElements()
+    var amax = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(v.getDouble(i))
+      if (a > amax) amax = a
+      i += 1
+    }
+    val scale = amax / 127.0
+    var maxErr = 0.0
+    var sse = 0.0
+    i = 0
+    while (i < n) {
+      val x = v.getDouble(i)
+      val err = if (scale == 0.0) 0.0 else {
+        var q = math.floor(x / scale + 0.5)
+        if (q > 127.0) q = 127.0
+        if (q < -127.0) q = -127.0
+        math.abs(q * scale - x)
+      }
+      if (err > maxErr) maxErr = err
+      sse += err * err
+      i += 1
+    }
+    new GenericArrayData(Array[Any](scale, maxErr, if (n == 0) 0.0 else sse / n))
+  }
+
+  /** Dense dot product — one fused loop, same shape as cosineKernel
+    * (the script_score `dotProduct` vector function). */
+  def dotKernel(x: ArrayData, y: ArrayData): Double = {
+    val n = x.numElements()
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
+    dot
+  }
+
+  /** Euclidean distance (script_score `l2norm`). */
+  def l2Kernel(x: ArrayData, y: ArrayData): Double = {
+    val n = x.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
   /** tokens × sparse query vector dot product: Σ weight(t) · tf(t).
     * One pass over the token array; the query side is a small parallel
     * (terms, weights) pair scanned linearly per token — O(n·k) with
@@ -834,6 +890,59 @@ case class JaccardSim(left: Expression, right: Expression)
   * (zip_with + two aggregate folds). The accumulation order matches the
   * HOF/oracle formulation exactly (left fold from 0.0), so results are
   * bit-identical to both. */
+/** int8 quantization stats [scale, max_err, mse] — see
+  * HashKernels.quantInt8Kernel. */
+case class Int8QuantStats(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] =
+    Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType)
+  override def prettyName: String = "int8_quant_stats"
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.quantInt8Kernel(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.HashKernels.quantInt8Kernel($c);")
+  override protected def withNewChildInternal(newChild: Expression): Int8QuantStats =
+    copy(child = newChild)
+}
+
+case class DotProductSim(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(HashKernels.dotKernel(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expr.HashKernels.dotKernel($a, $b);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductSim =
+    copy(left = newLeft, right = newRight)
+}
+
+case class L2Norm(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2_norm"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(HashKernels.l2Kernel(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expr.HashKernels.l2Kernel($a, $b);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2Norm =
+    copy(left = newLeft, right = newRight)
+}
+
 case class CosineSim(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
     with ImplicitCastInputTypes {

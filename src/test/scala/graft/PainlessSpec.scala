@@ -65,6 +65,25 @@ class PainlessSpec extends SparkSpec {
     intercept[IllegalArgumentException](eval("Math.pow(1)"))
   }
 
+  test("vector functions: cosineSimilarity / dotProduct / l2norm") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 2.0f)), (3L, Seq(3.0f, 4.0f)))
+      .toDF("id", "embedding")
+    def run(script: String) = vecs.select(
+      $"id",
+      graft.dsl.Painless.compile(script, Map("qv" -> Seq(3.0, 4.0))).as("s"))
+      .as[(Long, Double)].collect().toMap
+    val cos = run("cosineSimilarity(params.qv, 'embedding')")
+    assert(math.abs(cos(1L) - 0.6) < 1e-12 && math.abs(cos(2L) - 0.8) < 1e-12)
+    assert(math.abs(cos(3L) - 1.0) < 1e-12)
+    val dot = run("dotProduct(params.qv, 'embedding') + 1.0")
+    assert(dot == Map(1L -> 4.0, 2L -> 9.0, 3L -> 26.0))
+    val l2 = run("l2norm(params.qv, 'embedding')")
+    assert(l2(3L) == 0.0 && math.abs(l2(1L) - math.sqrt(20.0)) < 1e-12)
+    intercept[IllegalArgumentException](
+      graft.dsl.Painless.compile("cosineSimilarity(params.qv, 7)", Map("qv" -> Seq(1.0))))
+  }
+
   test("scriptScoreTopK: filter gates, script replaces score") {
     val docs = Seq(
       (1L, 10L), (2L, 40L), (3L, 90L), (4L, 5L)).toDF("doc_id", "w")
