@@ -429,6 +429,33 @@ object Connector {
     * the result in crash-safely. One read + one conditional projection
     * + one write — no per-doc round trips (the reference's
     * update-by-query is a scroll + bulk loop). */
+  /** `_reindex`: copy `srcPath` into `dstPath`, optionally filtered by
+    * an ES query (JSON Query DSL or `?q=` URI form) and transformed by
+    * an ingest pipeline. Delegates to `save`, so id extraction /
+    * upsert-vs-create semantics come from the same cfg keys a bulk
+    * write uses (`graft.mapping.id`, `graft.write.operation`, ...) —
+    * exactly how ES reindex reuses the bulk path. Returns the number
+    * of docs indexed. Distributed end to end: the filter pushes into
+    * the source scan; nothing is collected. */
+  def reindex(
+      spark: SparkSession, srcPath: String, dstPath: String,
+      query: String = null,
+      pipeline: String = null,
+      cfg: Map[String, String] = Map.empty): Long = {
+    recoverSwap(spark, srcPath)
+    val fmt = cfg.getOrElse("graft.format", "parquet")
+    val src0 = spark.read.format(fmt).load(srcPath)
+    val idField = cfg.getOrElse("graft.mapping.id", "_id")
+    val filtered =
+      if (query == null) src0
+      else src0.where(graft.dsl.EsQuery.compile(query, idField = idField))
+    val shaped =
+      if (pipeline == null) filtered else IngestPipeline.compile(pipeline)(filtered)
+    val n = shaped.count()
+    save(shaped, dstPath, cfg)
+    n
+  }
+
   /** `_forcemerge?max_num_segments=N` analog: compact the index to N
     * files. ES merges Lucene segments to cut per-query open/seek
     * overhead; the parquet analog is file-count compaction — the

@@ -426,6 +426,31 @@ class ConnectorSpec extends SparkSpec {
     assert(first.next().size == 7)
   }
 
+  test("_reindex: query filter + ingest pipeline + bulk-path id semantics") {
+    val base = Files.createTempDirectory("graft_reindex").toString
+    val src = base + "/src"
+    Seq((1L, "en", 100L), (2L, "de", 300L), (3L, "en", 500L), (4L, "fr", 700L))
+      .toDF("id", "lang", "n").write.parquet(src)
+    val cfg = Map("graft.mapping.id" -> "id", "graft.write.operation" -> "upsert")
+    // filtered + transformed copy
+    val n1 = Connector.reindex(spark, src, base + "/dst",
+      query = """{"range": {"n": {"gte": 300}}}""",
+      pipeline = """{"processors": [{"set": {"field": "tag", "value": "ri"}}]}""",
+      cfg = cfg)
+    assert(n1 == 3)
+    val dst = spark.read.parquet(base + "/dst")
+    assert(dst.count() == 3 && dst.where(col("tag") === "ri").count() == 3)
+    // second reindex upserts by id into the existing dest (no dupes)
+    val n2 = Connector.reindex(spark, src, base + "/dst",
+      query = """{"term": {"lang": "en"}}""",
+      pipeline = """{"processors": [{"set": {"field": "tag", "value": "ri2"}}]}""",
+      cfg = cfg)
+    assert(n2 == 2)
+    val after = spark.read.parquet(base + "/dst")
+    assert(after.count() == 4) // ids 1..4: {2,3,4} ∪ {1,3}
+    assert(after.where(col("tag") === "ri2").select("id").as[Long].collect().toSet == Set(1L, 3L))
+  }
+
   test("_forcemerge compacts to N files, content and count preserved") {
     val dir = Files.createTempDirectory("graft_fm").toString + "/idx"
     val df = (1L to 200L).toDF("id").withColumn("v", col("id") * 3)
