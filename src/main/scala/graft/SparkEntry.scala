@@ -219,6 +219,25 @@ object SparkEntry {
     "q_rank_feature" -> ((s, d) =>
       Search.rankFeatureTopK(t(s, d, "documents"), "doc_id", "n_chars", 200.0, 15)),
     // script_score: Painless subset compiled to codegen'd column math
+    // span_near mixing an exact span_term with a span_multi prefix
+    "q_span_multi" -> ((s, d) => t(s, d, "documents")
+      .where(graft.dsl.QueryDslJson.compile(
+        """{"span_near": {"clauses": [
+             {"span_term": {"text": "join"}},
+             {"span_multi": {"match": {"prefix": {"text": "ha"}}}}],
+           "slop": 3}}"""))
+      .select(col("doc_id")).orderBy(col("doc_id"))),
+    // completion suggester: pushed prefix scan, best weight per entry
+    "q_suggest_completion" -> ((s, d) =>
+      Search.suggestCompletion(t(s, d, "documents"), "source", "n_chars", "src1", 8)),
+    // min_score: absolute relevance floor, not a top-k
+    "q_min_score" -> ((s, d) =>
+      Search.bm25MinScore(t(s, d, "documents"), "doc_id", "text", "vector hash", 2.0)),
+    // WEIGHTED_AVG over STATS
+    "q_esql_weighted_avg" -> ((s, d) => graft.dsl.Esql.run(s, d,
+      """from lineitem
+        | stats w = weighted_avg(l_extendedprice, l_quantity) by l_returnflag
+        | eval w = round(w, 2) | sort l_returnflag""")),
     // int8 quantization audit over the embedding corpus (map-only)
     "q_embed_quant" -> ((s, d) =>
       graft.dedup.Vectors.quantizeInt8Stats(t(s, d, "embeddings"), "vec_id", "embedding")),
@@ -1408,6 +1427,20 @@ object SparkEntry {
     "q_rank_feature" -> ("SELECT doc_id AS id, " +
       "round(CAST(n_chars AS DOUBLE) / (CAST(n_chars AS DOUBLE) + 200.0), 4) AS score " +
       "FROM documents ORDER BY score DESC, id LIMIT 15"),
+    "q_span_multi" -> (TokCte + ", pos AS (SELECT doc_id, " +
+      "list_filter(range(1, len(toks) + 1), i -> toks[i] = 'join') AS p1, " +
+      "list_filter(range(1, len(toks) + 1), i -> starts_with(toks[i], 'ha')) AS p2 FROM tok) " +
+      "SELECT doc_id FROM pos WHERE len(p1) > 0 AND len(p2) > 0 AND " +
+      "len(list_filter(p1, i -> len(list_filter(p2, j -> greatest(i, j) - least(i, j) + 1 - 2 <= 3)) > 0)) > 0 " +
+      "ORDER BY doc_id"),
+    "q_suggest_completion" -> ("SELECT source AS suggestion, max(n_chars) AS weight " +
+      "FROM documents WHERE starts_with(source, 'src1') GROUP BY 1 " +
+      "ORDER BY weight DESC, suggestion LIMIT 8"),
+    "q_min_score" -> (TokCte + bm25Ctes("", "tok", Seq("vector", "hash")) +
+      " SELECT id, score FROM sc WHERE score >= 2.0 ORDER BY score DESC, id"),
+    "q_esql_weighted_avg" -> ("SELECT l_returnflag, " +
+      "round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 2) AS w " +
+      "FROM lineitem GROUP BY 1 ORDER BY 1"),
     "q_embed_quant" -> ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), " +
       "s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e), " +
       "r AS (SELECT vec_id, scale, CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0) ELSE " +

@@ -395,6 +395,11 @@ object Esql {
           // exact interpolated percentile over a named column,
           // matching the oracle's quantile_cont (single-reducer — the
           // approx form is the scale path, as with percentilesAgg)
+          // WEIGHTED_AVG(value, weight)
+          case "weighted_avg" =>
+            val e = parseExpr(); expectOp(",")
+            val w = parseExpr(); expectOp(")")
+            sum(flt(e * w)) / sum(flt(w))
           // VALUES(x) — distinct values as a multivalue field (sorted:
           // ES guarantees no order, sorting makes results stable)
           case "values" =>

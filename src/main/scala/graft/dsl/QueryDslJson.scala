@@ -265,10 +265,22 @@ object QueryDslJson {
 
         case ("span_near", JObject(parts)) =>
           val m = parts.toMap
+          // each clause: span_term (exact) or span_multi with a prefix
+          // match (trailing-* wildcards normalize to prefix) — the
+          // flag rides into the minimal-window kernel per slot
           val clauses = m.get("clauses") match {
             case Some(JArray(xs)) => xs.map {
               case JObject(JField("span_term", JObject(JField(f, v) :: Nil)) :: Nil) =>
-                (f, lits(v).toString)
+                (f, lits(v).toString, false)
+              case JObject(JField("span_multi", JObject(JField("match", JObject(
+                  JField("prefix", JObject(JField(f, v) :: Nil)) :: Nil)) :: Nil)) :: Nil) =>
+                (f, lits(v).toString, true)
+              case JObject(JField("span_multi", JObject(JField("match", JObject(
+                  JField("wildcard", JObject(JField(f, v) :: Nil)) :: Nil)) :: Nil)) :: Nil) =>
+                val pat = lits(v).toString
+                require(pat.endsWith("*") && !pat.dropRight(1).exists("*?".contains(_)),
+                  s"span_multi wildcard must be a prefix pattern (abc*): $pat")
+                (f, pat.dropRight(1), true)
               case other => throw new IllegalArgumentException(s"bad span clause: $other")
             }
             case _ => throw new IllegalArgumentException("span_near needs clauses")
@@ -276,11 +288,15 @@ object QueryDslJson {
           require(clauses.map(_._1).distinct.size == 1,
             "span_near clauses must target a single field")
           val field = clauses.head._1
-          val terms = clauses.map(_._2).mkString(" ")
           val slop = m.get("slop").map(lits(_).toString.toInt).getOrElse(0)
           val inOrder = m.get("in_order").map(lits(_).toString.toBoolean).getOrElse(true)
-          if (inOrder) Search.matchPhraseSlop(col(field), terms, slop)
-          else Search.spanNear(col(field), terms, slop)
+          if (clauses.exists(_._3))
+            Search.spanNearMulti(col(field), clauses.map(c => (c._2, c._3)), slop)
+          else {
+            val terms = clauses.map(_._2).mkString(" ")
+            if (inOrder) Search.matchPhraseSlop(col(field), terms, slop)
+            else Search.spanNear(col(field), terms, slop)
+          }
 
         // {"intervals": {f: {"match": {"query": "...", "max_gaps": n,
         //  "ordered": true|false}}}} — the intervals query's match rule

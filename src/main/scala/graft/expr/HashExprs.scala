@@ -211,6 +211,44 @@ object HashKernels {
     false
   }
 
+  /** spanNearKernel generalized for `span_multi` clauses: slot i
+    * matches token t exactly (prefixFlag false) or as a prefix
+    * (prefixFlag true). Same minimal-window two-pointer, same
+    * O(n·k) bound — prefix comparison is length-bounded by the
+    * pattern, not the token. */
+  def spanNearMultiKernel(
+      toks: ArrayData,
+      terms: Array[UTF8String],
+      prefixFlags: Array[Boolean],
+      slop: Int): Boolean = {
+    val k = terms.length
+    val last = new Array[Int](k)
+    java.util.Arrays.fill(last, -1)
+    var seen = 0
+    val n = toks.numElements()
+    var p = 0
+    while (p < n) {
+      val t = toks.getUTF8String(p)
+      var i = 0
+      while (i < k) {
+        val hit = if (prefixFlags(i)) t.startsWith(terms(i)) else terms(i).equals(t)
+        if (hit) {
+          if (last(i) < 0) seen += 1
+          last(i) = p
+        }
+        i += 1
+      }
+      if (seen == k) {
+        var minLast = Int.MaxValue
+        var j = 0
+        while (j < k) { if (last(j) < minLast) minLast = last(j); j += 1 }
+        if ((p - minLast + 1) - k <= slop) return true
+      }
+      p += 1
+    }
+    false
+  }
+
   /** tokens -> true iff `include` occurs at some position p such that
     * NO `exclude` occurrence lies in [p - pre, p + post] — the ES
     * span_not semantics (default pre = post = 0: overlap only, which
@@ -792,6 +830,40 @@ case class SpanNotMatch(
   }
 
   override protected def withNewChildInternal(newChild: Expression): SpanNotMatch =
+    copy(child = newChild)
+}
+
+/** span_near whose clauses may be `span_multi` prefix matches — see
+  * HashKernels.spanNearMultiKernel. */
+case class SpanNearMultiMatch(
+    child: Expression, terms: Seq[String], prefixes: Seq[Boolean], slop: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(terms.length == prefixes.length && terms.nonEmpty,
+    "span_near needs parallel terms/prefix flags")
+  require(terms.distinct.size == terms.size, "span_near terms must be distinct")
+
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "span_near_multi_match"
+
+  @transient private lazy val termArr: Array[UTF8String] =
+    terms.map(UTF8String.fromString).toArray
+  @transient private lazy val prefixArr: Array[Boolean] = prefixes.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Boolean.valueOf(HashKernels.spanNearMultiKernel(
+      input.asInstanceOf[ArrayData], termArr, prefixArr, slop))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val termsRef = ctx.addReferenceObj("terms", termArr,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    val flagsRef = ctx.addReferenceObj("prefixes", prefixArr, "boolean[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.HashKernels.spanNearMultiKernel($c, $termsRef, $flagsRef, $slop);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SpanNearMultiMatch =
     copy(child = newChild)
 }
 

@@ -83,6 +83,29 @@ object Search {
         org.apache.spark.sql.GraftBridge.expression(Analyzer.tokens(field)), q, slop))
   }
 
+  /** `span_near` whose clauses mix exact `span_term`s with
+    * `span_multi` prefix wrappers — same minimal-window kernel with a
+    * per-slot prefix flag. Unordered (in_order=false) semantics, like
+    * spanNear. */
+  def spanNearMulti(field: Column, clauses: Seq[(String, Boolean)], slop: Int): Column = {
+    require(clauses.nonEmpty, "span_near needs clauses")
+    val norm = clauses.map { case (t, pre) =>
+      val q = Analyzer.analyze(t)
+      require(q.length == 1, s"span clause must analyze to one term: $t")
+      (q.head, pre)
+    }
+    require(norm.map(_._1).distinct.size == norm.size,
+      "span_near clauses must be distinct")
+    if (norm.length == 1) {
+      val (t, pre) = norm.head
+      if (pre) exists(Analyzer.tokens(field), tok => tok.startsWith(t))
+      else array_contains(Analyzer.tokens(field), t)
+    } else org.apache.spark.sql.GraftBridge.column(
+      graft.expr.SpanNearMultiMatch(
+        org.apache.spark.sql.GraftBridge.expression(Analyzer.tokens(field)),
+        norm.map(_._1), norm.map(_._2), slop))
+  }
+
   /** `match` with `minimum_should_match` — "2", "75%", or negative
     * ("-1" = all but one). Percentages round DOWN like ES; the
     * threshold never drops below 1. One codegen'd matched-term count
@@ -572,6 +595,31 @@ object Search {
       .where(col("token") =!= term && levenshtein(col("token"), lit(term)) <= maxEdits)
       .orderBy(col("freq").desc, col("token").asc)
       .limit(k)
+
+  /** `completion` suggester: prefix-matched suggestions from a
+    * weighted suggest field — best weight per suggestion, top-k.
+    * The prefix predicate is a StringStartsWith, so it pushes into
+    * the scan; the groupBy shuffles only matching suggestions. (ES
+    * builds an FST per segment; the pushed prefix scan plays that
+    * role here.) */
+  def suggestCompletion(
+      docs: DataFrame, suggestCol: String, weightCol: String,
+      prefix: String, k: Int): DataFrame =
+    docs.where(col(suggestCol).startsWith(prefix))
+      .groupBy(col(suggestCol).as("suggestion"))
+      .agg(max(col(weightCol)).as("weight"))
+      .orderBy(col("weight").desc, col("suggestion").asc)
+      .limit(k)
+
+  /** search `min_score`: every hit at or above an absolute relevance
+    * floor (not a top-k) — the filter applies after scoring, ordering
+    * stays score-desc. */
+  def bm25MinScore(
+      docs: DataFrame, idCol: String, textCol: String,
+      query: String, minScore: Double): DataFrame =
+    bm25Scores(docs, idCol, textCol, query)
+      .where(col("score") >= minScore)
+      .orderBy(col("score").desc, col("id").asc)
 
   /** `rescore`: re-rank the top `windowSize` first-pass (BM25) hits
     * with a secondary scoring expression — ES's two-phase ranking.

@@ -179,6 +179,16 @@ class EsqlSpec extends SparkSpec {
     assert(g == Seq(40.0))
   }
 
+  test("WEIGHTED_AVG / VALUES / TOP aggregates") {
+    val r = run("stats w = weighted_avg(v, id) by k", "sort k")
+      .as[(String, Double)].collect().toMap
+    // a: (10*1+20*2)/3 ; b: (30*3+40*4)/7
+    assert(math.abs(r("a") - 50.0 / 3) < 1e-12 && math.abs(r("b") - 250.0 / 7) < 1e-12)
+    assert(run("stats l = values(k)").as[Seq[String]].head() == Seq("a", "b", "c"))
+    assert(run("stats t = top(v, 2)").as[Seq[Double]].head() == Seq(50.5, 40.0))
+    assert(run("""stats t = top(v, 2, "asc")""").as[Seq[Double]].head() == Seq(10.0, 20.0))
+  }
+
   test("FORK: tagged union of branch sub-pipelines") {
     val r = run(
       "fork ( where v >= 40 | keep id ) ( sort v | limit 2 | keep id )",

@@ -129,6 +129,26 @@ class QueryDslSpec extends SparkSpec {
     assert(top == Seq((1L, 1.0), (3L, 1.0), (2L, 0.4)))
   }
 
+  test("span_multi prefix clause inside span_near") {
+    val docs = Seq(
+      (1L, "fast hash join wins"),       // hash..join adjacent
+      (2L, "join of a b c d hashing x"), // gap 5 > slop 3
+      (3L, "join with hazy logic"),      // prefix 'ha' via hazy, gap 1
+      (4L, "join only")).toDF("_id", "text")
+    def ids(json: String) = docs.where(graft.dsl.QueryDslJson.compile(json))
+      .select("_id").as[Long].collect().toSet
+    assert(ids("""{"span_near": {"clauses": [
+      {"span_term": {"text": "join"}},
+      {"span_multi": {"match": {"prefix": {"text": "ha"}}}}], "slop": 3}}""") == Set(1L, 3L))
+    // trailing-* wildcard normalizes to the same prefix
+    assert(ids("""{"span_near": {"clauses": [
+      {"span_term": {"text": "join"}},
+      {"span_multi": {"match": {"wildcard": {"text": "ha*"}}}}], "slop": 3}}""") == Set(1L, 3L))
+    intercept[IllegalArgumentException](ids("""{"span_near": {"clauses": [
+      {"span_term": {"text": "join"}},
+      {"span_multi": {"match": {"wildcard": {"text": "h?sh"}}}}], "slop": 3}}"""))
+  }
+
   test("search template: mustache params, toJson, inverted default") {
     import graft.dsl.SearchTemplate
     val df = Seq((1L, "en", 300L), (2L, "en", 100L), (3L, "de", 400L))
