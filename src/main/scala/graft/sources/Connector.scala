@@ -429,6 +429,53 @@ object Connector {
     * the result in crash-safely. One read + one conditional projection
     * + one write — no per-doc round trips (the reference's
     * update-by-query is a scroll + bulk loop). */
+  /** Bucketed index storage — the co-located-join layout. An index
+    * written with `bucketBy(n, key)` records its hash-partitioning in
+    * the catalog; a join or aggregate on that key then reads each
+    * bucket as a pre-shuffled partition and the Exchange disappears
+    * from the plan entirely. This is the 100 TB answer to the
+    * fact-⋈-fact join (routing co-location in ES terms): pay the
+    * shuffle ONCE at write time, amortize it over every subsequent
+    * query. Both sides must agree on bucket count and key. Requires a
+    * table name (bucket metadata lives in the catalog, not parquet). */
+  def saveBucketed(
+      df: DataFrame, table: String, path: String,
+      bucketKey: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketKey)
+      .sortBy(bucketKey)
+      .option("path", path)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** `_cat/indices` analog: one row per index directory under `root`
+    * (docs, size on disk, file count). Listing + footers only — no
+    * data scan. */
+  def catIndices(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new Path(root)).filter(_.isDirectory)
+      .map(_.getPath).filterNot(_.getName.endsWith("_graft_tmp"))
+      .filterNot(_.getName.endsWith("_graft_old"))
+    val rows = dirs.map { p =>
+      val files = fs.listStatus(p).filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      val docs =
+        try spark.read.parquet(p.toString).count()
+        catch { case _: Throwable => -1L }
+      (p.getName, docs, files.map(_.getLen).sum, files.length)
+    }.toSeq.sortBy(_._1)
+    rows.toDF("index", "docs_count", "store_bytes", "file_count")
+  }
+
+  /** `_validate/query`: compile without executing. Returns
+    * (valid, explanation) — the explanation is the compiled Catalyst
+    * predicate, the analog of ES's rewritten Lucene query. */
+  def validateQuery(query: String, idField: String = "_id"): (Boolean, String) =
+    try {
+      val c = graft.dsl.EsQuery.compile(query, idField = idField)
+      (true, c.toString)
+    } catch { case e: Exception => (false, String.valueOf(e.getMessage)) }
+
   /** `_reindex`: copy `srcPath` into `dstPath`, optionally filtered by
     * an ES query (JSON Query DSL or `?q=` URI form) and transformed by
     * an ingest pipeline. Delegates to `save`, so id extraction /

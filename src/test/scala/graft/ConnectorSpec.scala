@@ -426,6 +426,44 @@ class ConnectorSpec extends SparkSpec {
     assert(first.next().size == 7)
   }
 
+  test("bucketed storage: co-located join plans with NO exchange") {
+    val base = Files.createTempDirectory("graft_bucket").toString
+    val facts = (1L to 5000L).toDF("k").withColumn("v", col("k") % 97)
+    val dims = (1L to 5000L).toDF("k").withColumn("w", col("k") % 31)
+    Connector.saveBucketed(facts, "graft_bkt_facts", base + "/facts", "k", 8)
+    Connector.saveBucketed(dims, "graft_bkt_dims", base + "/dims", "k", 8)
+    try {
+      val joined = spark.table("graft_bkt_facts")
+        .join(spark.table("graft_bkt_dims"), "k")
+      assert(joined.count() == 5000)
+      // force the sort-merge path so the bucket layout is what kills
+      // the exchange (a broadcast would hide it)
+      val smjPlan = {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try spark.table("graft_bkt_facts").join(spark.table("graft_bkt_dims"), "k")
+          .queryExecution.executedPlan.toString
+        finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+      assert(!smjPlan.contains("Exchange"), s"bucketed join still shuffles:\n$smjPlan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_facts")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_dims")
+    }
+  }
+
+  test("_cat/indices + _validate/query") {
+    val base = Files.createTempDirectory("graft_cat").toString
+    (1L to 10L).toDF("id").write.parquet(base + "/idx_a")
+    (1L to 25L).toDF("id").write.parquet(base + "/idx_b")
+    val cat = Connector.catIndices(spark, base)
+      .select("index", "docs_count").as[(String, Long)].collect().toSeq
+    assert(cat == Seq(("idx_a", 10L), ("idx_b", 25L)))
+    val (ok, exp) = Connector.validateQuery("""{"term": {"lang": "en"}}""")
+    assert(ok && exp.contains("lang"))
+    val (bad, msg) = Connector.validateQuery("""{"nope": {"x": 1}}""")
+    assert(!bad && msg.contains("unsupported"))
+  }
+
   test("_reindex: query filter + ingest pipeline + bulk-path id semantics") {
     val base = Files.createTempDirectory("graft_reindex").toString
     val src = base + "/src"
