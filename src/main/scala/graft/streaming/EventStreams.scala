@@ -135,6 +135,27 @@ object EventStreams {
       .select(col("w.start").as("w_start"), col("n_events"),
         col("sum_value"), col("p50"), col("p95"))
 
+  /** Stream-stream attribution join: every `view` joined to the same
+    * user's `purchase` within `horizonSec` — the canonical two-stream
+    * funnel shape. The caller watermarks both inputs (streaming) or
+    * passes raw frames (batch; the plan is the same inner join).
+    * State is bounded on BOTH sides: the time-range condition plus
+    * watermarks lets Spark evict view rows older than horizon+delay
+    * and purchase rows behind the watermark — without the range
+    * condition the join state would grow forever, which is the
+    * classic unbounded-state bug this operator exists to avoid. */
+  def attributionJoin(
+      views: DataFrame, purchases: DataFrame, horizonSec: Long): DataFrame =
+    views.alias("v").join(
+      purchases.alias("b"),
+      col("v.user_id") === col("b.user_id") &&
+        col("b.ts") >= col("v.ts") &&
+        col("b.ts") <= col("v.ts") + expr(s"INTERVAL $horizonSec SECONDS"))
+      .select(
+        col("v.user_id").as("user_id"),
+        col("v.event_id").as("view_id"),
+        col("b.event_id").as("purchase_id"))
+
   /** JSON props access — ES documents are JSON; the connector maps
     * fields. Extract a typed field from the raw JSON column. */
   def propsField(events: DataFrame, field: String): DataFrame =

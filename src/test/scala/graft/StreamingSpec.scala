@@ -39,6 +39,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join: identical results on batch and stream") {
+    def withTs(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    def split(df: org.apache.spark.sql.DataFrame) = (
+      withTs(df).where(col("event_type") === "view"),
+      withTs(df).where(col("event_type") === "purchase"))
+
+    val (bv, bb) = split(Tables.events(spark, sfDir))
+    val batch = EventStreams.attributionJoin(bv, bb, horizonSec = 1800)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+
+    val streamIn = spark.readStream.schema(Tables.eventsSchema)
+      .parquet(streamDir).withColumnRenamed("ts", "ts_ns")
+    val (sv, sb) = split(streamIn)
+    val q = EventStreams.attributionJoin(
+      sv.withWatermark("ts", "2 hours"),
+      sb.withWatermark("ts", "2 hours"), horizonSec = 1800)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("attr_out").as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("session_window agg runs on a stream with watermark") {
     val streamIn = spark.readStream
       .schema(Tables.eventsSchema)
