@@ -260,6 +260,36 @@ object Esql {
         case ("mv_slice", Seq(x, s)) => slice(x, s + lit(1), lit(1))
         case ("mv_first", Seq(x)) => element_at(x, 1)
         case ("mv_last", Seq(x)) => element_at(x, -1)
+        // trig + misc math
+        case ("sin", Seq(x)) => sin(x)
+        case ("cos", Seq(x)) => cos(x)
+        case ("tan", Seq(x)) => tan(x)
+        case ("asin", Seq(x)) => asin(x)
+        case ("acos", Seq(x)) => acos(x)
+        case ("atan", Seq(x)) => atan(x)
+        case ("atan2", Seq(y, x)) => atan2(y, x)
+        case ("sinh", Seq(x)) => sinh(x)
+        case ("cosh", Seq(x)) => cosh(x)
+        case ("tanh", Seq(x)) => tanh(x)
+        case ("cbrt", Seq(x)) => cbrt(x)
+        case ("signum", Seq(x)) => signum(x)
+        case ("e", Seq()) => lit(math.E)
+        case ("pi", Seq()) => lit(math.Pi)
+        case ("tau", Seq()) => lit(2.0 * math.Pi)
+        // string long tail
+        case ("locate", Seq(x, sub)) =>
+          // ES|QL LOCATE(string, substring) — Spark's locate wants the
+          // pattern as a literal string
+          locate(litStr(sub, "LOCATE substring"), x)
+        case ("reverse", Seq(x)) => reverse(x)
+        case ("repeat", Seq(x, n)) => repeat(x, n.cast("int"))
+        case ("bit_length", Seq(x)) => bit_length(x)
+        case ("byte_length", Seq(x)) => octet_length(x)
+        case ("right", Seq(x, n)) => substring(x, -n.cast("int"), n.cast("int"))
+        // hash family (ES|QL 8.16)
+        case ("md5", Seq(x)) => md5(x.cast("binary"))
+        case ("sha1", Seq(x)) => sha1(x.cast("binary"))
+        case ("sha256", Seq(x)) => sha2(x.cast("binary"), 256)
         // type conversions
         case ("to_string", Seq(x)) => x.cast("string")
         case ("to_long", Seq(x)) => x.cast("long")

@@ -165,6 +165,24 @@ class EsqlSpec extends SparkSpec {
       Esql.applyCommand(df, "lookup garbage", _ => dims))
   }
 
+  test("math/string/hash function batch") {
+    val r = run(
+      """eval t = round(sin(pi() / 2), 6), c = round(cos(0), 6),
+             a2 = round(atan2(1, 1) * 4, 6), sg = signum(v - 30),
+             cb = round(cbrt(27), 6)""",
+      "keep id, t, c, a2, sg, cb", "sort id", "limit 1")
+      .as[(Long, Double, Double, Double, Double, Double)].collect().head
+    assert(r == ((1L, 1.0, 1.0, math.Pi.formatted("%.6f").toDouble, -1.0, 3.0)))
+    val s = run(
+      """eval loc = locate(s, "foo"), rev = reverse(k), bl = bit_length(k),
+             r2 = right(s, 3), h = md5(k)""",
+      "keep id, loc, rev, bl, r2, h", "sort id", "limit 1")
+      .as[(Long, Int, String, Int, String, String)].collect().head
+    assert(s._2 == 2 && s._3 == "a" && s._4 == 8 && s._5 == "foo")
+    assert(s._6 == java.security.MessageDigest.getInstance("MD5")
+      .digest("a".getBytes).map("%02x".format(_)).mkString)
+  }
+
   test("STATS..WHERE: per-aggregate filter, null-masked into one pass") {
     val r = run(
       """stats n = count(*), na = count(*) where k == "a",
