@@ -349,6 +349,15 @@ object SparkEntry {
       """from lineitem
         | stats sum_qty = sum(l_quantity), n = count(*), max_p = max(l_extendedprice) by l_returnflag
         | sort l_returnflag""")),
+    // full-text functions inside ES|QL WHERE (8.17 surface): MATCH
+    // composes with ordinary predicates in one Catalyst filter
+    "q_esql_match" -> ((s, d) => graft.dsl.Esql.run(s, d,
+      """from documents | where match(text, "spark window") and lang == "en"
+        | keep doc_id, lang | sort doc_id""")),
+    // QSTR embeds the Lucene query-string grammar (field:term, AND)
+    "q_esql_qstr" -> ((s, d) => graft.dsl.Esql.run(s, d,
+      """from documents | where qstr("lang:en AND spark")
+        | stats n = count(*), max_chars = max(n_chars)""")),
     "q_esql_eval_agg" -> ((s, d) => graft.dsl.Esql.run(s, d,
       """from documents | where lang != "xx"
         | eval kchars = n_chars / 100
@@ -1287,6 +1296,14 @@ object SparkEntry {
     "q_esql_stats" -> ("SELECT l_returnflag, sum(l_quantity) AS sum_qty, " +
       "count(*)::BIGINT AS n, max(l_extendedprice) AS max_p " +
       "FROM lineitem GROUP BY 1 ORDER BY l_returnflag"),
+    "q_esql_match" -> (TokCte.replace(
+      "SELECT doc_id, list_filter", "SELECT doc_id, lang, list_filter") +
+      " SELECT doc_id, lang FROM tok " +
+      "WHERE list_has_any(toks, ['spark','window']) AND lang = 'en' ORDER BY doc_id"),
+    "q_esql_qstr" -> (TokCte.replace(
+      "SELECT doc_id, list_filter", "SELECT doc_id, lang, n_chars, list_filter") +
+      " SELECT count(*)::BIGINT AS n, max(n_chars)::BIGINT AS max_chars FROM tok " +
+      "WHERE lang = 'en' AND list_contains(toks, 'spark')"),
     "q_esql_eval_agg" -> ("SELECT lang, count(*)::BIGINT AS n, " +
       "round(avg(n_chars / 100), 4) AS avg_k FROM documents " +
       "WHERE lang <> 'xx' GROUP BY 1 ORDER BY lang"),

@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   * Expressions: arithmetic, comparisons (`==`, `!=`,
   * `>=`, ...), AND/OR/NOT, LIKE/RLIKE, parentheses, `IS [NOT] NULL`,
   * functions (ROUND/ABS/LENGTH/TO_LOWER/TO_UPPER/SUBSTRING/CONCAT/
-  * COALESCE/STARTS_WITH), aggregates (COUNT(*)/COUNT/SUM/AVG/MIN/MAX/
-  * COUNT_DISTINCT/MEDIAN/PERCENTILE).
+  * COALESCE/STARTS_WITH), full-text search functions (MATCH/QSTR/KQL,
+  * the 8.17 WHERE-clause surface), aggregates (COUNT(*)/COUNT/SUM/
+  * AVG/MIN/MAX/COUNT_DISTINCT/MEDIAN/PERCENTILE).
   *
   * The pipe layout makes compilation deliberately simple: split on
   * top-level `|` (quote-aware), dispatch each segment on its leading
@@ -290,6 +291,18 @@ object Esql {
         case ("md5", Seq(x)) => md5(x.cast("binary"))
         case ("sha1", Seq(x)) => sha1(x.cast("binary"))
         case ("sha256", Seq(x)) => sha2(x.cast("binary"), 256)
+        // full-text functions (ES|QL 8.17): the search family reused
+        // inside WHERE — MATCH compiles to the analyzed-token
+        // predicate, QSTR to the Lucene query_string compiler, KQL
+        // through the case-normalizing KQL front end; all of them are
+        // the same Column predicates the Query DSL produces, so they
+        // compose with the rest of the WHERE expression
+        case ("match", Seq(f, q)) =>
+          graft.search.Search.matchQuery(f, litStr(q, "MATCH query"))
+        case ("qstr", Seq(q)) =>
+          UriQuery.compile(litStr(q, "QSTR query"))
+        case ("kql", Seq(q)) =>
+          Kql.compile(litStr(q, "KQL query"))
         // type conversions
         case ("to_string", Seq(x)) => x.cast("string")
         case ("to_long", Seq(x)) => x.cast("long")

@@ -234,6 +234,27 @@ class EsqlSpec extends SparkSpec {
       Esql.applyCommand(d2, """eval z = date_extract("century", ts_ns)"""))
   }
 
+  test("full-text functions in WHERE: MATCH / QSTR / KQL") {
+    val docs = Seq(
+      (1L, "Spark window functions", "en"),
+      (2L, "spark shuffle internals", "en"),
+      (3L, "fenetre coulissante", "fr"),
+      (4L, "window shopping guide", "en")).toDF("id", "text", "lang")
+    def ids(pipe: String): Set[Long] =
+      Esql.applyCommand(docs, pipe).select("id").as[Long].collect().toSet
+    // MATCH: OR over analyzed tokens, composes with other predicates
+    assert(ids("""where match(text, "spark window")""") == Set(1L, 2L, 4L))
+    assert(ids("""where match(text, "spark window") and lang == "fr"""") == Set.empty)
+    // QSTR: Lucene grammar (uppercase operators; bare term = default field)
+    assert(ids("""where qstr("spark AND window")""") == Set(1L))
+    assert(ids("""where qstr("lang:en AND spark")""") == Set(1L, 2L))
+    // KQL: same grammar with case-insensitive keywords
+    assert(ids("""where kql("spark and window")""") == Set(1L))
+    assert(ids("""where kql("lang:fr or window")""") == Set(1L, 3L, 4L))
+    // query text must be a literal (it selects the compiled predicate)
+    intercept[IllegalArgumentException](ids("where match(text, lang)"))
+  }
+
   test("CHANGE_POINT: finds the step in a mean-shifted series") {
     // flat 10s then flat 50s: the split at the boundary maximizes the
     // between-segment sum of squares
