@@ -70,6 +70,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException("geohash(lat, lon[, precision])")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("damerau_levenshtein"),
+      new ExpressionInfo(classOf[graft.expr.DamerauLevenshtein].getName, "damerau_levenshtein"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(a, b) => graft.expr.DamerauLevenshtein(a, b)
+        case _ => throw new IllegalArgumentException("damerau_levenshtein(a, b)")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[graft.expr.CosineSim].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => exprs match {

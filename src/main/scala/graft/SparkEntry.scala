@@ -179,6 +179,17 @@ object SparkEntry {
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id"))),
 
+    // fuzzy with transpositions: true (the ES default): an adjacent
+    // swap is ONE edit — "rsc3" reaches "src3" in 1 (sr swap), every
+    // single-digit srcN in 2; plain levenshtein needs 2 for the swap
+    // alone, so the clause matches 11x the docs here
+    "q_fuzzy_damerau" -> ((s, d) => t(s, d, "documents")
+      .where(graft.dsl.QueryDslJson.compile(
+        """{"fuzzy": {"source": {"value": "rsc3", "fuzziness": 2,
+          |  "transpositions": true}}}""".stripMargin))
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))),
+
     "q_dsl_json" -> ((s, d) => t(s, d, "documents")
       .where(graft.dsl.QueryDslJson.compile(
         """{"bool": {"must": [{"term": {"lang": "en"}}],
@@ -1173,6 +1184,8 @@ object SparkEntry {
       "(CASE WHEN lang = 'en' THEN 1 ELSE 0 END + CASE WHEN source LIKE 'src1%' THEN 1 ELSE 0 END + " +
       "CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) >= 2 ORDER BY doc_id"),
     "q_fuzzy" -> "SELECT doc_id, source FROM documents WHERE levenshtein(source, 'src12') <= 1 ORDER BY doc_id",
+    "q_fuzzy_damerau" -> ("SELECT doc_id, source FROM documents " +
+      "WHERE damerau_levenshtein(source, 'rsc3') <= 2 ORDER BY doc_id"),
 
     "q_dsl_json" -> ("SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en' " +
       "AND (source LIKE 'src1%' OR n_chars > 300) AND NOT (source LIKE 'src_') ORDER BY doc_id"),

@@ -76,6 +76,16 @@ object QueryDsl {
   def fuzzy(field: Column, value: String, maxEdits: Int = 2): Column =
     levenshtein(field, lit(value)) <= maxEdits
 
+  /** fuzzy with `transpositions: true` (the ES default): an adjacent
+    * swap counts as ONE edit (Damerau-Levenshtein), so "sprak" is one
+    * edit from "spark" instead of two. Compiled kernel —
+    * expr.DamerauLevenshtein — since Spark ships only plain
+    * levenshtein. */
+  def fuzzyTranspositions(field: Column, value: String, maxEdits: Int = 2): Column =
+    org.apache.spark.sql.GraftBridge.column(graft.expr.DamerauLevenshtein(
+      org.apache.spark.sql.GraftBridge.expression(field),
+      org.apache.spark.sql.GraftBridge.expression(lit(value)))) <= maxEdits
+
   /** `{"bool": {...}}` — must/filter AND, must_not NOT, should OR (or
     * `minimum_should_match`-of-N when must/filter are also present,
     * matching ES semantics where should becomes optional-scoring).

@@ -105,7 +105,13 @@ object QueryDslJson {
           val m = fields.toMap
           val value = lits(m("value")).toString
           val edits = m.get("fuzziness").map(lits(_).toString.toInt).getOrElse(2)
-          QueryDsl.fuzzy(col(f), value, edits)
+          // ES defaults transpositions to TRUE, but graft's historical
+          // fuzzy semantics (and the plain-levenshtein oracle queries)
+          // count a swap as two edits — so the Damerau kernel engages
+          // only when the clause asks for it explicitly
+          if (m.get("transpositions").exists(lits(_).toString.toBoolean))
+            QueryDsl.fuzzyTranspositions(col(f), value, edits)
+          else QueryDsl.fuzzy(col(f), value, edits)
         case ("fuzzy", JObject(JField(f, v) :: Nil)) =>
           QueryDsl.fuzzy(col(f), lits(v).toString)
 

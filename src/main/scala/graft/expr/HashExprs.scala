@@ -309,6 +309,57 @@ object HashKernels {
     inter.toDouble / ((na + nb) - inter.toDouble)
   }
 
+  /** Unrestricted Damerau-Levenshtein distance — Levenshtein plus
+    * adjacent transposition as one edit, the distance Lucene's fuzzy
+    * automaton counts when `transpositions: true` (the ES default).
+    * The full alphabet-indexed DP (Lowrance-Wagner), not the
+    * restricted optimal-string-alignment variant: OSA("ca","abc")=3
+    * but DL("ca","abc")=2, and DuckDB's damerau_levenshtein (the
+    * oracle) computes the unrestricted form. O(|a|·|b|) ints on the
+    * heap per call; fuzzy query terms are short, so the matrices stay
+    * in L1. */
+  def damerauKernel(aU: UTF8String, bU: UTF8String): Int = {
+    val a = aU.toString
+    val b = bU.toString
+    val m = a.length
+    val n = b.length
+    if (m == 0) return n
+    if (n == 0) return m
+    val inf = m + n
+    // (m+2) x (n+2) matrix with a sentinel border row/col of `inf`
+    val d = Array.ofDim[Int](m + 2, n + 2)
+    d(0)(0) = inf
+    var i = 0
+    while (i <= m) { d(i + 1)(0) = inf; d(i + 1)(1) = i; i += 1 }
+    var j = 0
+    while (j <= n) { d(0)(j + 1) = inf; d(1)(j + 1) = j; j += 1 }
+    // last row index (1-based) where each char occurred in `a`
+    val da = new java.util.HashMap[Character, Integer](m * 2)
+    i = 1
+    while (i <= m) {
+      var db = 0 // last column in this row where a(i-1) matched b
+      j = 1
+      while (j <= n) {
+        val k: Int = { val v = da.get(Character.valueOf(b.charAt(j - 1))); if (v == null) 0 else v.intValue() }
+        val l = db
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) { db = j; 0 } else 1
+        var best = d(i)(j) + cost // substitution / match
+        val ins = d(i + 1)(j) + 1
+        if (ins < best) best = ins
+        val del = d(i)(j + 1) + 1
+        if (del < best) best = del
+        // transposition of a(k-1..i-1) with the chars between deleted
+        val tr = d(k)(l) + (i - k - 1) + 1 + (j - l - 1)
+        if (tr < best) best = tr
+        d(i + 1)(j + 1) = best
+        j += 1
+      }
+      da.put(Character.valueOf(a.charAt(i - 1)), Integer.valueOf(i))
+      i += 1
+    }
+    d(m + 1)(n + 1)
+  }
+
   /** string -> analyzed token array: lowercase, then maximal
     * [a-z0-9] byte runs. Exactly the ES standard-analyzer semantics of
     * `filter(split(lower(x), "[^a-z0-9]+"), len > 0)` — every
@@ -1037,5 +1088,32 @@ case class CosineSim(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Unrestricted Damerau-Levenshtein distance between two strings —
+  * see HashKernels.damerauKernel. Spark ships only plain
+  * `levenshtein`; ES fuzzy queries default to `transpositions: true`,
+  * which counts an adjacent swap as ONE edit (typos are dominated by
+  * swaps, so the default matters). */
+case class DamerauLevenshtein(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] =
+    Seq(StringType, StringType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "damerau_levenshtein"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Integer.valueOf(HashKernels.damerauKernel(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expr.HashKernels.damerauKernel($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DamerauLevenshtein =
     copy(left = newLeft, right = newRight)
 }

@@ -150,6 +150,28 @@ class ExprSpec extends SparkSpec {
     }
   }
 
+  test("DamerauLevenshtein kernel: unrestricted DL, DuckDB-verified values") {
+    // expected values computed with DuckDB's damerau_levenshtein (the
+    // oracle function); 'ca'->'abc' = 2 is the case separating the
+    // unrestricted algorithm from optimal string alignment (OSA = 3)
+    val cases = Seq(
+      ("ca", "abc", 2), ("ab", "ba", 1), ("spark", "sprak", 1),
+      ("kitten", "sitting", 3), ("", "abc", 3), ("abc", "", 3),
+      ("same", "same", 0), ("abcdef", "abcfed", 2))
+    val df = cases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+    val got = df.select(
+      org.apache.spark.sql.GraftBridge.column(graft.expr.DamerauLevenshtein(
+        org.apache.spark.sql.GraftBridge.expression(col("a")),
+        org.apache.spark.sql.GraftBridge.expression(col("b")))).as("d"))
+      .as[Int].collect().toSeq
+    assert(got == cases.map(_._3))
+    // the DSL predicate: one transposition counts as one edit
+    val docs = Seq(("src3", 1L), ("xyz9", 2L)).toDF("source", "id")
+    assert(docs.where(graft.dsl.QueryDsl.fuzzyTranspositions(col("source"), "rsc3", 1))
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+    assert(docs.where(graft.dsl.QueryDsl.fuzzy(col("source"), "rsc3", 1)).count() == 0)
+  }
+
   test("JaccardSim kernel matches the array_intersect column math") {
     val df = Seq(
       (Seq("a b c", "b c d", "c d e"), Seq("b c d", "c d e", "d e f")),
