@@ -4,7 +4,7 @@ import graft.agg.Aggs
 import graft.dedup.Dedup
 import graft.dsl.QueryDsl
 import graft.rel.Relational
-import graft.search.Search
+import graft.search.{Search, Sorting}
 import graft.sim.Ann
 import graft.streaming.EventStreams
 import graft.text.TextAnalysis
@@ -1004,6 +1004,55 @@ object SparkEntry {
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
         .orderBy(col("o_custkey"), col("rn"))),
 
+    // ---- search-body sort surface (graft.search.Sorting) ----
+    // multivalued-field sort mode (ES MultiValueMode): each order's
+    // lineitem quantities fold to ONE sort key (median) — the
+    // array_sort + middle-pick is per-row narrow math, and the ordered
+    // limit still plans as TakeOrderedAndProject
+    "q_sort_mode" -> ((s, d) => {
+      val qty = t(s, d, "lineitem").groupBy(col("l_orderkey"))
+        .agg(collect_list(col("l_quantity")).as("qtys"))
+      t(s, d, "orders").join(qty, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"),
+          Num.round(Sorting.key("""{"qtys": {"mode": "median"}}"""), 4).as("qty_median"))
+        .orderBy(col("qty_median").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+    // _geo_distance sort: haversine km from the query point as the
+    // key; sorted on the ROUNDED value so the limit boundary is
+    // engine-deterministic
+    "q_sort_geo" -> ((s, d) => {
+      val g = withGeo(t(s, d, "customer"))
+        .withColumnRenamed("lat", "loc_lat").withColumnRenamed("lon", "loc_lon")
+      g.select(col("c_custkey"),
+          Num.round(Sorting.key(
+            """{"_geo_distance": {"loc": {"lat": 0.0, "lon": 0.0}, "order": "asc"}}"""), 4)
+            .as("dist_km"))
+        .orderBy(col("dist_km"), col("c_custkey"))
+        .limit(50)
+    }),
+    // _script sort: a Painless sort key compiles to codegen'd column
+    // math — non-monotonic in any mapped field, so it exercises the
+    // script path rather than a field alias
+    "q_sort_script" -> ((s, d) => t(s, d, "orders")
+      .select(col("o_orderkey"),
+        Num.round(Sorting.key(
+          """{"_script": {"script": {"source":
+            |"Math.abs(doc['o_totalprice'].value - params.pivot)",
+            |"params": {"pivot": 150000.0}}, "order": "asc"}}""".stripMargin), 4)
+          .as("sort_key"))
+      .orderBy(col("sort_key"), col("o_orderkey"))
+      .limit(20)),
+    // missing-value placement: ES puts missing keys _last by default
+    // regardless of direction; _first inverts that
+    "q_sort_missing" -> ((s, d) => t(s, d, "orders")
+      .withColumn("pri", when(col("o_orderpriority") === "1-URGENT",
+        lit(null).cast("string")).otherwise(col("o_orderpriority")))
+      .select(col("o_orderkey"), col("pri"))
+      .orderBy(Sorting.compile(
+        """[{"pri": {"order": "asc", "missing": "_first"}}]""") :+ col("o_orderkey"): _*)
+      .limit(100)),
+
     // ---- E. Write path / geo ----
     "q_upsert_id" -> ((s, d) =>
       Relational.upsertLastWriteWins(Tables.events(s, d), Seq("user_id"), col("ts_ns"), col("event_id"))
@@ -1908,6 +1957,22 @@ object SparkEntry {
       "(SELECT o_custkey, o_orderkey, o_totalprice, " +
       "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) " +
       "WHERE rn <= 2 ORDER BY o_custkey, rn"),
+
+    "q_sort_mode" -> ("WITH q AS (SELECT l_orderkey, list_sort(list(l_quantity)) AS ql " +
+      "FROM lineitem GROUP BY 1), " +
+      "m AS (SELECT o_orderkey, (ql[(len(ql)+1)//2] + ql[len(ql)//2+1]) / 2.0 AS med " +
+      "FROM orders JOIN q ON o_orderkey = l_orderkey) " +
+      "SELECT o_orderkey, round(med, 4) AS qty_median FROM m " +
+      "ORDER BY round(med, 4) DESC, o_orderkey LIMIT 100"),
+    "q_sort_geo" -> (GeoCte + " SELECT c_custkey, dist_km FROM (SELECT c_custkey, " +
+      "round(2 * 6371 * asin(sqrt(pow(sin(radians(0.0 - lat) / 2), 2) + " +
+      "cos(radians(lat)) * cos(radians(0.0)) * pow(sin(radians(0.0 - lon) / 2), 2))), 4) AS dist_km " +
+      "FROM g) ORDER BY dist_km, c_custkey LIMIT 50"),
+    "q_sort_script" -> ("SELECT o_orderkey, round(abs(o_totalprice - 150000.0), 4) AS sort_key " +
+      "FROM orders ORDER BY round(abs(o_totalprice - 150000.0), 4), o_orderkey LIMIT 20"),
+    "q_sort_missing" -> ("SELECT o_orderkey, CASE WHEN o_orderpriority = '1-URGENT' " +
+      "THEN NULL ELSE o_orderpriority END AS pri FROM orders " +
+      "ORDER BY pri ASC NULLS FIRST, o_orderkey LIMIT 100"),
 
     "q_has_child" -> ("SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey IN " +
       "(SELECT l_orderkey FROM lineitem WHERE l_quantity > 45 GROUP BY l_orderkey HAVING count(*) >= 3) " +

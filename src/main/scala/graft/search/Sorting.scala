@@ -1,0 +1,136 @@
+package graft.search
+
+import graft.dsl.Painless
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** ES search-body `sort` compiler — the part of the `_search` surface
+  * that orders hits by something other than `_score`.
+  *
+  * Supported forms (each JSON array entry → one Spark sort Column):
+  *   - `"field"` / `{"field": "asc|desc"}` — plain field sort
+  *   - `{"field": {"order", "mode", "missing"}}` — multivalued fields
+  *     (Spark arrays) fold to a scalar sort key per `mode`
+  *     (min/max/sum/avg/median, ES's MultiValueMode); `missing`
+  *     places null keys `_first`/`_last` or substitutes a literal
+  *   - `{"_geo_distance": {field: {lat, lon}, "order"}}` — haversine
+  *     km from the query point; field f reads columns f_lat / f_lon
+  *     (the QueryDslJson geo convention)
+  *   - `{"_script": {"script": {...}, "order"}}` — a Painless sort
+  *     key, compiled (dsl.Painless) to codegen'd column math
+  *
+  * Everything compiles to deterministic Column expressions: a sort
+  * spec costs one TakeOrderedAndProject when paired with a limit, the
+  * same plan shape as any top-k — no new operator, no extra exchange.
+  * Median of an even-cardinality multivalue averages the two middle
+  * values, exactly ES's MultiValueMode.MEDIAN.
+  */
+object Sorting {
+
+  def compile(json: String): Seq[Column] =
+    JsonMethods.parse(json) match {
+      case JArray(entries) => entries.map(e => toOrder(entry(e)))
+      case single => Seq(toOrder(entry(single)))
+    }
+
+  private def toOrder(e: (Column, Boolean, Boolean)): Column =
+    ordered(e._1, e._2, e._3)
+
+  private def lits(v: JValue): Any = v match {
+    case JString(s) => s
+    case JInt(i) => i.toLong
+    case JLong(l) => l
+    case JDouble(d) => d
+    case JDecimal(d) => d.toDouble
+    case JBool(b) => b
+    case other => throw new IllegalArgumentException(s"unsupported literal: $other")
+  }
+
+  /** (sort key, ascending?, missing-last?) for one spec entry. */
+  private def entry(v: JValue): (Column, Boolean, Boolean) = v match {
+    case JString(f) => (col(f), true, true)
+
+    case JObject(JField("_geo_distance", JObject(parts)) :: Nil) =>
+      val m = parts.toMap
+      val asc = !m.get("order").map(lits(_).toString).contains("desc")
+      val (f, point) = m.find(p => p._1 != "order" && p._1 != "unit")
+        .getOrElse(throw new IllegalArgumentException("_geo_distance needs a point field"))
+      val p = point match {
+        case JObject(fs) => fs.toMap
+        case other => throw new IllegalArgumentException(s"bad geo point: $other")
+      }
+      val dist = graft.rel.Relational.haversineKm(
+        col(s"${f}_lat"), col(s"${f}_lon"),
+        lit(lits(p("lat")).toString.toDouble), lit(lits(p("lon")).toString.toDouble))
+      (dist, asc, true)
+
+    case JObject(JField("_script", JObject(parts)) :: Nil) =>
+      val m = parts.toMap
+      val asc = !m.get("order").map(lits(_).toString).contains("desc")
+      val script = m.get("script") match {
+        case Some(JObject(sf)) => sf.toMap
+        case other => throw new IllegalArgumentException(s"_script sort needs script: $other")
+      }
+      val src = lits(script.getOrElse("source",
+        throw new IllegalArgumentException("_script sort needs source"))).toString
+      val params: Map[String, Any] = script.get("params") match {
+        case Some(JObject(ps)) => ps.map { case JField(k, pv) => k -> lits(pv) }.toMap
+        case _ => Map.empty
+      }
+      (Painless.compile(src, params), asc, true)
+
+    case JObject(JField(f, JString(order)) :: Nil) =>
+      (col(f), order != "desc", true)
+
+    case JObject(JField(f, JObject(parts)) :: Nil) =>
+      val m = parts.toMap
+      val asc = !m.get("order").map(lits(_).toString).contains("desc")
+      val key = m.get("mode").map(lits(_).toString) match {
+        case None => col(f)
+        case Some("min") => array_min(col(f))
+        case Some("max") => array_max(col(f))
+        case Some("sum") => aggregate(col(f), lit(0.0), (a, x) => a + x.cast("double"))
+        case Some("avg") =>
+          aggregate(col(f), lit(0.0), (a, x) => a + x.cast("double")) / size(col(f))
+        case Some("median") =>
+          // ES MultiValueMode.MEDIAN: even counts average the two
+          // middle values; odd counts pick the middle (lo == hi)
+          val sorted = sort_array(col(f))
+          val n = size(col(f))
+          val lo = element_at(sorted, ((n + 1) / lit(2)).cast("int"))
+          val hi = element_at(sorted, (n / lit(2) + 1).cast("int"))
+          (lo.cast("double") + hi.cast("double")) / 2.0
+        case Some(other) => throw new IllegalArgumentException(s"unknown sort mode: $other")
+      }
+      m.get("missing") match {
+        case None | Some(JString("_last")) => (key, asc, true)
+        case Some(JString("_first")) => (key, asc, false)
+        // typed literal: a numeric `missing` must stay numeric, or the
+        // coalesce would force the whole key to string ordering
+        case Some(v2) => (coalesce(key, lit(lits(v2))), asc, true)
+      }
+
+    case other => throw new IllegalArgumentException(s"bad sort entry: $other")
+  }
+
+  /** ES places missing values last by default REGARDLESS of order
+    * (Spark's default flips with direction), so direction and null
+    * placement are always explicit here. */
+  private def ordered(c: Column, asc: Boolean, missingLast: Boolean): Column =
+    (asc, missingLast) match {
+      case (true, true) => c.asc_nulls_last
+      case (true, false) => c.asc_nulls_first
+      case (false, true) => c.desc_nulls_last
+      case (false, false) => c.desc_nulls_first
+    }
+
+  /** The computed sort key of a single spec entry (no ordering) — for
+    * callers that also project the key into the output. */
+  def key(json: String): Column =
+    entry(JsonMethods.parse(json) match {
+      case JArray(e :: _) => e
+      case single => single
+    })._1
+}

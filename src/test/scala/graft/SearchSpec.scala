@@ -216,6 +216,41 @@ class SearchSpec extends SparkSpec {
     assert(tv == Seq(("cat", 2L, 2L, 3L), ("dog", 1L, 2L, 2L)))
   }
 
+  test("Sorting: multivalue modes, missing placement, geo and script keys") {
+    import graft.search.Sorting
+    val df = Seq(
+      (1L, Seq(5.0, 1.0, 3.0), Option(2.0)),
+      (2L, Seq(4.0, 4.0), None),
+      (3L, Seq(2.0), Option(9.0))).toDF("id", "vals", "maybe")
+    def order(spec: String): Seq[Long] =
+      df.orderBy(Sorting.compile(spec) :+ col("id").asc: _*).select("id").as[Long]
+        .collect().toSeq
+    // modes fold the array to one key: min 1/4/2, max 5/4/2, avg 3/4/2,
+    // median 3/4/2, sum 9/8/2
+    assert(order("""[{"vals": {"order": "asc", "mode": "min"}}]""") == Seq(1L, 3L, 2L))
+    assert(order("""[{"vals": {"order": "desc", "mode": "max"}}]""") == Seq(1L, 2L, 3L))
+    assert(order("""[{"vals": {"order": "desc", "mode": "sum"}}]""") == Seq(1L, 2L, 3L))
+    assert(order("""[{"vals": {"order": "asc", "mode": "avg"}}]""") == Seq(3L, 1L, 2L))
+    // median of even cardinality averages the middle two (ES semantics)
+    assert(order("""[{"vals": {"order": "asc", "mode": "median"}}]""") == Seq(3L, 1L, 2L))
+    // missing: _last is the ES default in BOTH directions; _first and
+    // literal substitution override
+    assert(order("""[{"maybe": "asc"}]""") == Seq(1L, 3L, 2L))
+    assert(order("""[{"maybe": {"order": "desc"}}]""") == Seq(3L, 1L, 2L))
+    assert(order("""[{"maybe": {"order": "asc", "missing": "_first"}}]""") == Seq(2L, 1L, 3L))
+    assert(order("""[{"maybe": {"order": "asc", "missing": 5.0}}]""") == Seq(1L, 2L, 3L))
+    // geo + script keys compile to plain column math
+    val geo = Seq((1L, 0.0, 1.0), (2L, 0.0, 50.0)).toDF("id", "p_lat", "p_lon")
+    val gOrder = geo.orderBy(Sorting.compile(
+      """[{"_geo_distance": {"p": {"lat": 0.0, "lon": 0.0}, "order": "desc"}}]"""): _*)
+      .select("id").as[Long].collect().toSeq
+    assert(gOrder == Seq(2L, 1L))
+    val sOrder = df.orderBy(Sorting.compile(
+      """[{"_script": {"script": {"source": "10 - doc['id'].value"}, "order": "asc"}}]"""): _*)
+      .select("id").as[Long].collect().toSeq
+    assert(sOrder == Seq(3L, 2L, 1L))
+  }
+
   test("linearTopK: min-max normalized weighted fusion") {
     val a = Seq((1L, 10.0), (2L, 5.0), (3L, 0.0)).toDF("id", "score")
     val b = Seq((2L, 1.0), (3L, 3.0)).toDF("id", "score")
