@@ -698,6 +698,13 @@ object SparkEntry {
 
     // ---- C. Aggregations ----
     "q_agg_terms" -> ((s, d) => Aggs.termsAgg(t(s, d, "orders"), "o_orderpriority", 3)),
+    // bucket order by a sub-aggregation metric, not doc_count
+    "q_agg_terms_order" -> ((s, d) => Aggs.termsAggOrderBy(t(s, d, "orders"),
+      "o_orderpriority", 3, Num.round(avg(col("o_totalprice")), 4), "avg_price")),
+    // include.partition: the deterministic hash-slice pager for
+    // high-cardinality term sets (1 of 4 slices here)
+    "q_agg_terms_partition" -> ((s, d) => Aggs.termsAggPartition(t(s, d, "part"),
+      "p_name", 10, partition = 1, numPartitions = 4)),
     "q_agg_stats" -> ((s, d) => Aggs.statsAgg(t(s, d, "lineitem"), "l_extendedprice")),
     "q_agg_extended_stats" -> ((s, d) => Aggs.extendedStatsAgg(t(s, d, "lineitem"), "l_quantity")),
     // distributed sort-selection, not the single-reducer percentile agg
@@ -1822,6 +1829,12 @@ object SparkEntry {
       "len(list_filter(toks, t -> levenshtein(t, 'spak') <= 1)) > 0 " +
       "OR len(list_filter(toks, t -> levenshtein(t, 'window') <= 1)) > 0 ORDER BY doc_id"),
     "q_agg_terms" -> "SELECT o_orderpriority AS key, count(*)::BIGINT AS doc_count FROM orders GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 3",
+    "q_agg_terms_order" -> ("SELECT o_orderpriority AS key, count(*)::BIGINT AS doc_count, " +
+      "round(avg(o_totalprice), 4) AS avg_price FROM orders GROUP BY 1 " +
+      "ORDER BY avg_price DESC, key LIMIT 3"),
+    "q_agg_terms_partition" -> (s"SELECT p_name AS key, count(*)::BIGINT AS doc_count " +
+      s"FROM part WHERE ${hexFold("p_name", 12)} % 4 = 1 GROUP BY 1 " +
+      "ORDER BY doc_count DESC, key LIMIT 10"),
     "q_agg_stats" -> ("SELECT count(l_extendedprice)::BIGINT AS cnt, round(min(l_extendedprice), 4) AS min_v, " +
       "round(max(l_extendedprice), 4) AS max_v, round(avg(l_extendedprice), 4) AS avg_v, " +
       "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_v FROM lineitem"),

@@ -26,6 +26,42 @@ object Aggs {
       .orderBy(col("doc_count").desc, col("key").asc)
       .limit(size)
 
+  /** terms agg with `order: {<sub-metric>: desc|asc}` — buckets ranked
+    * by a sub-aggregation metric instead of doc_count. Same single
+    * partial-agg pass (the metric is just another aggregate in the
+    * same groupBy); the ordered limit is TakeOrderedAndProject over
+    * the bucket frame. */
+  def termsAggOrderBy(
+      df: DataFrame, field: String, size: Int,
+      metric: org.apache.spark.sql.Column, metricName: String,
+      asc: Boolean = false): DataFrame = {
+    val ranked = df.groupBy(col(field).as("key"))
+      .agg(count(lit(1)).as("doc_count"), metric.as(metricName))
+    ranked
+      .orderBy(if (asc) col(metricName).asc else col(metricName).desc, col("key").asc)
+      .limit(size)
+  }
+
+  /** terms agg with `include: {partition, num_partitions}` — ES's
+    * paging device for high-cardinality term sets: each request sees
+    * the deterministic hash-slice of terms with
+    * hash(term) % num_partitions == partition. The filter applies
+    * AFTER keying but BEFORE the heavy aggregation's exchange, so a
+    * 1-of-N partition request aggregates ~1/N of the groups.
+    * Hash = first 48 md5 bits of the term (the engine-portable hash
+    * used everywhere else in graft). The slice filter applies BEFORE
+    * the groupBy, so the exchange carries only the requested 1/N of
+    * the groups — the point of the feature at high cardinality. */
+  def termsAggPartition(
+      df: DataFrame, field: String, size: Int,
+      partition: Int, numPartitions: Int): DataFrame =
+    df.where(pmod(conv(substring(md5(col(field).cast("binary")), 1, 12), 16, 10)
+        .cast("long"), lit(numPartitions)) === partition)
+      .groupBy(col(field).as("key"))
+      .agg(count(lit(1)).as("doc_count"))
+      .orderBy(col("doc_count").desc, col("key").asc)
+      .limit(size)
+
   /** `{"stats": {"field": f}}` — one pass, one row. The big sum runs in
     * DECIMAL: a double sum over millions of rows is order-dependent
     * (partial-agg order differs run to run and engine to engine);
