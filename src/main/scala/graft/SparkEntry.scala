@@ -582,6 +582,19 @@ object SparkEntry {
         TextAnalysis.cleanText(col("text")).as("clean"),
         length(TextAnalysis.cleanText(col("text"))).as("clean_len"))
       .orderBy(col("doc_id"))),
+    // learning_to_rank rescorer: linear model over (bm25, doc
+    // features) applied to the top-50 window only
+    "q_ltr" -> ((s, d) => Search.ltrRescoreTopK(
+      t(s, d, "documents"), "doc_id", "text", "fast hash join",
+      features = Seq(
+        "len" -> log(lit(1.0) + col("n_chars")),
+        "is_en" -> (col("lang") === "en").cast("double")),
+      weights = Map("_score" -> 0.6, "len" -> 0.2, "is_en" -> 1.5),
+      windowSize = 50, k = 10)),
+    // corpus n-gram heavy hitters (boilerplate mining): top document
+    // frequencies over per-doc-distinct 3-gram shingles
+    "q_ngram_topk" -> ((s, d) =>
+      TextAnalysis.ngramTopK(t(s, d, "documents"), "text", n = 3, k = 20)),
 
     // ---- B. Full-text (query context) ----
     "q_match" -> ((s, d) => t(s, d, "documents")
@@ -1549,6 +1562,16 @@ object SparkEntry {
       ", w AS (SELECT id, score FROM sc ORDER BY score DESC, id LIMIT 50) " +
       "SELECT w.id, round(w.score * 1.0 + ln(1.0 + d.n_chars) * 0.5, 4) AS score " +
       "FROM w JOIN documents d ON d.doc_id = w.id ORDER BY score DESC, id LIMIT 10"),
+    "q_ltr" -> (TokCte + bm25Ctes("", "tok", Seq("fast", "hash", "join")) +
+      ", w AS (SELECT id, score FROM sc ORDER BY score DESC, id LIMIT 50) " +
+      "SELECT w.id, round(w.score * 0.6 + ln(1.0 + d.n_chars) * 0.2 + " +
+      "(CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END) * 1.5, 4) AS ltr_score " +
+      "FROM w JOIN documents d ON d.doc_id = w.id ORDER BY ltr_score DESC, id LIMIT 10"),
+    "q_ngram_topk" -> (TokCte + ", sh AS (SELECT doc_id, " +
+      "unnest(list_distinct(list_transform(range(1, len(toks) - 1), " +
+      "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS ngram FROM tok) " +
+      "SELECT ngram, count(*)::BIGINT AS df FROM sh GROUP BY 1 " +
+      "ORDER BY df DESC, ngram LIMIT 20"),
     "q_text_clean" -> ("SELECT doc_id, " +
       "trim(regexp_replace(regexp_replace(regexp_replace(text, 'https?://[^ \\t\\n\\f\\r]+', ' ', 'g'), " +
       "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', ' ', 'g'), '[ \\t\\n\\f\\r]+', ' ', 'g')) AS clean, " +

@@ -648,6 +648,37 @@ object Search {
       .limit(k)
   }
 
+  /** `learning_to_rank` rescorer (ES 8.13): a trained model re-ranks
+    * the top `windowSize` first-pass hits over per-doc FEATURES. The
+    * model here is the plugin's linear form — weights · features,
+    * with "_score" naming the first-pass BM25 feature. Feature
+    * extraction happens AFTER the broadcast join with the window, so
+    * arbitrary feature columns evaluate on O(window) rows, not the
+    * corpus — at 100 TB the model cost is invisible next to
+    * retrieval, which is the LTR design point. */
+  def ltrRescoreTopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      query: String,
+      features: Seq[(String, Column)],
+      weights: Map[String, Double],
+      windowSize: Int,
+      k: Int): DataFrame = {
+    val window = bm25TopK(docs, idCol, textCol, query, windowSize)
+    val named = features.filter { case (n, _) => weights.contains(n) }
+    // _score first, then features in declaration order: double
+    // addition is order-dependent in the last bits, and the oracle
+    // sums in this exact order
+    val model = (weights.get("_score").map(w => window("score") * lit(w)).toSeq ++
+      named.map { case (n, c) => c.cast("double") * lit(weights(n)) })
+      .reduce(_ + _)
+    docs.join(broadcast(window), col(idCol) === window("id"))
+      .select(window("id"), Num.round(model, 4).as("ltr_score"))
+      .orderBy(col("ltr_score").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** `multi_match`: BM25 over several fields combined per `mode` —
     * `best_fields` (ES default: the best single field wins, max) or
     * `most_fields` (fields reinforce each other, sum). Same union +

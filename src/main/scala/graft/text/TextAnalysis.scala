@@ -348,4 +348,26 @@ object TextAnalysis {
           (col("n_docs") / col("total")), 4).as("weight"))
       .orderBy(col("source"))
   }
+
+  /** Corpus n-gram heavy hitters: document frequency of every
+    * distinct n-gram, top-k. The LLM-pipeline use is boilerplate
+    * mining — the highest-df n-grams ARE the shared templates that
+    * near-dup families repeat (cookie banners, license headers), and
+    * the resulting list feeds stop-shingle filtering upstream of
+    * MinHash.
+    *
+    * Shape: one narrow compiled shingle pass per doc
+    * (expr.TokenShingles — per-doc DISTINCT, so counts are document
+    * frequencies) + explode + ONE partial-aggregating groupBy. The
+    * exchange carries (ngram, partial-count) pairs bounded by
+    * per-partition vocabulary, never token streams; top-k is a
+    * TakeOrderedAndProject over the vocabulary frame. At 100 TB the
+    * vocabulary exchange is the cost — a count-min sketch would cap
+    * it, at the price of the oracle-exact counts this one keeps. */
+  def ngramTopK(docs: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
+    docs.select(explode(Analyzer.shingles(Analyzer.tokens(col(textCol)), n)).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("ngram"))
+      .limit(k)
 }
