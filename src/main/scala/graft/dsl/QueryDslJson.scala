@@ -372,8 +372,10 @@ object QueryDslJson {
             case JObject(sf) => sf.toMap
             case other => throw new IllegalArgumentException(s"bad script body: $other")
           }
-          val src = lits(inner.getOrElse("source",
-            throw new IllegalArgumentException("script needs source"))).toString
+          // inline source or a _scripts-stored script by id
+          val src = inner.get("source").map(lits(_).toString)
+            .orElse(inner.get("id").map(v => ScriptStore.resolve(lits(v).toString)))
+            .getOrElse(throw new IllegalArgumentException("script needs source or id"))
           val params: Map[String, Any] = inner.get("params") match {
             case Some(JObject(ps)) => ps.map { case JField(k, v) => k -> lits(v) }.toMap
             case None => Map.empty

@@ -62,6 +62,11 @@ object SearchTemplate {
     val source = root.get("source") match {
       case Some(JString(s)) => s
       case Some(obj: JObject) => jsonEncode(obj)
+      // {"id": "<stored>"} — a template registered via _scripts
+      case None => root.get("id") match {
+        case Some(JString(id)) => ScriptStore.resolve(id)
+        case _ => throw new IllegalArgumentException("search template needs source or id")
+      }
       case _ => throw new IllegalArgumentException("search template needs source")
     }
     val params = root.get("params") match {

@@ -791,6 +791,22 @@ object Search {
       .orderBy(col("qid").asc, col("rank").asc)
   }
 
+  /** `_msearch/template`: a batch of templated searches — each body
+    * is a full `_search/template` payload (`source` or stored-`id` +
+    * `params`), rendered and compiled driver-side, then answered in
+    * msearch's ONE shared scan. Template rendering never touches the
+    * plan: N templated queries cost the same as N inline ones. */
+  def msearchTemplate(
+      docs: DataFrame,
+      idCol: String,
+      requests: Seq[(String, String)],
+      sortCol: String,
+      k: Int): DataFrame =
+    msearch(docs, idCol,
+      requests.map { case (qid, body) =>
+        qid -> graft.dsl.SearchTemplate.compile(body, idField = idCol)
+      }, sortCol, k)
+
   /** ES 8 hybrid retrieval: reciprocal-rank fusion (`retriever.rrf`).
     * Each retriever frame is an unranked (id, score); RRF takes each
     * one's `windowSize` best hits (TakeOrderedAndProject — the only

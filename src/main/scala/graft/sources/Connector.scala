@@ -371,6 +371,46 @@ object Connector {
     f.close()
   }
 
+  // ---- data streams -----------------------------------------------
+
+  /** ES data streams: append-only time-series storage behind a write
+    * alias over numbered backing indices. `create` provisions backing
+    * generation 000001 plus the stream's write alias; writes through
+    * the stream name APPEND into the current generation only (the
+    * data-stream contract — documents are added, never updated in
+    * place); reads union every backing generation via the pattern
+    * path; rollover is the ordinary alias rollover, so ILM-style
+    * generation cycling needs no new machinery. Appends add files to
+    * the current generation without touching closed generations —
+    * at 100 TB the closed generations are cold, immutable, and
+    * downsample-able (see Downsample), which is the entire point of
+    * the time-series design. */
+  def createDataStream(spark: SparkSession, name: String, schemaOf: DataFrame): Unit = {
+    val first = s"${name}_ds_000001"
+    spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schemaOf.schema)
+      .write.mode("overwrite").parquet(first)
+    putAlias(spark, name, first)
+  }
+
+  /** Append-only write into the stream's current backing generation.
+    * (The generic save would honor upsert ops; a data stream refuses
+    * them, like ES rejecting update ops into a stream.) */
+  def appendToDataStream(df: DataFrame, name: String): Unit = {
+    require(resolveAlias(df.sparkSession, name).isDefined,
+      s"not a data stream (no write alias): $name")
+    save(df, name, Map("graft.write.operation" -> "append"))
+  }
+
+  /** Every backing generation unioned (the `.ds-*` pattern read). */
+  def dataStreamDF(spark: SparkSession, name: String): DataFrame = {
+    import Connector.implicits.GraftSessionOps
+    spark.graftDF(s"${name}_ds_*")
+  }
+
+  def rolloverDataStream(spark: SparkSession, name: String, maxDocs: Long): Boolean =
+    rollover(spark, name, maxDocs)
+
   private[sources] def resolveAlias(
       spark: SparkSession, p: String): Option[(String, Option[String])] = {
     val marker = new Path(p, "_graft_alias.json")
@@ -637,16 +677,142 @@ object Connector {
   private def swapIn(fs: org.apache.hadoop.fs.FileSystem, live: Path, tmp: Path)(
       implicit spark: SparkSession): Unit = {
     val old = new Path(live.toString + "_graft_old")
-    if (fs.exists(old)) fs.delete(old, true)
+    // a leftover from a crash after the new live landed: retire it if
+    // a PIT pins it rather than dropping a pinned generation
+    if (fs.exists(old)) disposeGeneration(fs, live, old)
     if (fs.exists(live) && !fs.rename(live, old))
       throw new java.io.IOException(s"swap: rename $live -> $old failed")
+    // every generation carries an identity marker so open PITs can
+    // pin it across the swap
+    stampGeneration(fs, tmp)
     if (!fs.rename(tmp, live))
       throw new java.io.IOException(s"swap: rename $tmp -> $live failed")
-    fs.delete(old, true)
+    disposeGeneration(fs, live, old)
     // the rename bypassed Spark's writers, so the shared file-status
     // cache still lists the pre-swap files for this path
     spark.catalog.refreshByPath(live.toString)
   }
+
+  // ---- point-in-time reads (`_pit`) -------------------------------
+
+  /** ES PIT semantics on parquet storage: a PIT pins the exact data
+    * files visible at open time — the direct analog of ES holding
+    * segment references, since parquet files are immutable once
+    * written. Appends after the open are invisible (the manifest
+    * lists files, not the directory); a swap (update/delete_by_query,
+    * bulk upsert) RETIRES the pinned generation instead of deleting
+    * it, and `closePit` garbage-collects retired generations nobody
+    * references. At cluster scale this is the manifest-pinning design
+    * every table format uses — no data is copied at open time, the
+    * open cost is one directory listing. `op=overwrite` writes bypass
+    * the swap and therefore invalidate PITs, exactly as deleting an
+    * ES index invalidates its PITs. */
+  def openPit(spark: SparkSession, path: String): String = {
+    recoverSwap(spark, path)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(path)
+    require(fs.exists(live), s"no index at $path")
+    stampGeneration(fs, live)
+    val gen = genOf(fs, live).get
+    val root = fs.makeQualified(live).toString
+    val files = scala.collection.mutable.ListBuffer.empty[String]
+    val it = fs.listFiles(live, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        // store paths RELATIVE to the index root: the generation may
+        // move to a retired directory while the PIT is open
+        val full = st.getPath.toString
+        require(full.startsWith(root), s"file outside index root: $full")
+        files += full.stripPrefix(root).stripPrefix("/")
+      }
+    }
+    val pitId = java.util.UUID.randomUUID.toString
+    val out = fs.create(new Path(pitsDir(live), pitId), false)
+    out.write((gen +: files.toList).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    pitId
+  }
+
+  /** Read through an open PIT: the manifest's file list under the
+    * generation's CURRENT location (live until a swap retires it).
+    * `basePath` keeps routing-partition columns intact. */
+  def pitDF(
+      spark: SparkSession, path: String, pitId: String,
+      format: String = "parquet"): DataFrame = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(path)
+    val manifest = new Path(pitsDir(live), pitId)
+    require(fs.exists(manifest), s"unknown pit: $pitId")
+    val lines = readSmallFile(fs, manifest).split("\n").toList
+    val (gen, files) = (lines.head, lines.tail)
+    val base =
+      if (genOf(fs, live).contains(gen)) fs.makeQualified(live).toString
+      else {
+        val retired = new Path(live.toString + "_graft_retired_" + gen)
+        require(fs.exists(retired), s"pit $pitId: generation $gen is gone")
+        fs.makeQualified(retired).toString
+      }
+    spark.read.option("basePath", base).format(format)
+      .load(files.map(f => s"$base/$f"): _*)
+  }
+
+  /** Close a PIT and sweep retired generations no open PIT pins. */
+  def closePit(spark: SparkSession, path: String, pitId: String): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(path)
+    fs.delete(new Path(pitsDir(live), pitId), false)
+    val pinned = pinnedGens(fs, live)
+    val parent = live.getParent
+    val prefix = live.getName + "_graft_retired_"
+    if (fs.exists(parent)) fs.listStatus(parent).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(prefix) && !pinned.contains(n.stripPrefix(prefix)))
+        fs.delete(st.getPath, true)
+    }
+  }
+
+  private def pitsDir(live: Path) = new Path(live.toString + "_graft_pits")
+
+  /** The generation marker (`_graft_gen_<uuid>`) of a directory. */
+  private def genOf(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Option[String] =
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .find(_.startsWith("_graft_gen_")).map(_.stripPrefix("_graft_gen_"))
+
+  private def stampGeneration(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Unit =
+    if (fs.exists(dir) && genOf(fs, dir).isEmpty)
+      fs.create(new Path(dir,
+        s"_graft_gen_${java.util.UUID.randomUUID.toString}"), false).close()
+
+  private def pinnedGens(fs: org.apache.hadoop.fs.FileSystem, live: Path): Set[String] = {
+    val pd = pitsDir(live)
+    if (!fs.exists(pd)) Set.empty
+    else fs.listStatus(pd).map(st =>
+      readSmallFile(fs, st.getPath).split("\n").head).toSet
+  }
+
+  private def readSmallFile(fs: org.apache.hadoop.fs.FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+      java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  /** The outgoing generation after a swap: retired (renamed aside)
+    * while any open PIT pins it, deleted otherwise. */
+  private def disposeGeneration(
+      fs: org.apache.hadoop.fs.FileSystem, live: Path, old: Path): Unit =
+    genOf(fs, old) match {
+      case Some(gen) if pinnedGens(fs, live).contains(gen) =>
+        val retired = new Path(live.toString + "_graft_retired_" + gen)
+        if (fs.exists(retired)) fs.delete(retired, true)
+        if (!fs.rename(old, retired))
+          throw new java.io.IOException(s"swap: rename $old -> $retired failed")
+      case _ => fs.delete(old, true)
+    }
 
   /** Keep one row per id: highest (primary, tiebreak) wins. max_by
     * instead of a row_number window — partial aggregation shrinks the

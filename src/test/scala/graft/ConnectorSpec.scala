@@ -516,6 +516,88 @@ class ConnectorSpec extends SparkSpec {
     intercept[Exception](Connector.resize(spark, src, base + "/small", 2))
   }
 
+  test("PIT: an open point-in-time pins its generation across swaps") {
+    val dir = Files.createTempDirectory("graft_pit").toString + "/idx"
+    val cfg = Map("graft.mapping.id" -> "id")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").saveToGraft(dir, cfg)
+
+    val pit = Connector.openPit(spark, dir)
+    // bulk upsert rewrites the index through the crash-safe swap:
+    // id 1 updated, id 3 inserted
+    Seq((1L, "a2"), (3L, "c")).toDF("id", "v").saveToGraft(dir, cfg)
+
+    val live = spark.graftDF(dir).as[(Long, String)].collect().toMap
+    assert(live == Map(1L -> "a2", 2L -> "b", 3L -> "c"))
+    // the PIT still reads the open-time generation
+    val pinned = Connector.pitDF(spark, dir, pit).as[(Long, String)].collect().toMap
+    assert(pinned == Map(1L -> "a", 2L -> "b"))
+    // a second swap while the pit stays open: still the same view
+    Connector.updateByQuery(spark, dir,
+      """{"term": {"id": 2}}""", Map("v" -> lit("b9")), cfg)
+    assert(Connector.pitDF(spark, dir, pit).as[(Long, String)].collect().toMap
+      == Map(1L -> "a", 2L -> "b"))
+
+    // close sweeps the retired generation
+    Connector.closePit(spark, dir, pit)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parent = new org.apache.hadoop.fs.Path(dir).getParent
+    assert(!fs.listStatus(parent).exists(_.getPath.getName.contains("_graft_retired_")))
+    intercept[IllegalArgumentException](Connector.pitDF(spark, dir, pit))
+  }
+
+  test("data streams: append-only generations behind a write alias") {
+    val base = Files.createTempDirectory("graft_ds").toString + "/logs"
+    val probe = Seq((1L, "a")).toDF("id", "v")
+    Connector.createDataStream(spark, base, probe)
+    Connector.appendToDataStream(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), base)
+    assert(Connector.dataStreamDF(spark, base).count() == 2)
+    // rollover at maxDocs=2: generation 000002 becomes the write target
+    assert(Connector.rolloverDataStream(spark, base, 2))
+    Connector.appendToDataStream(Seq((3L, "c")).toDF("id", "v"), base)
+    // reads span every generation; gen 1 files were never touched
+    assert(Connector.dataStreamDF(spark, base).as[(Long, String)].collect().toMap
+      == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    assert(spark.read.parquet(s"${base}_ds_000001").count() == 2)
+    assert(spark.read.parquet(s"${base}_ds_000002").count() == 1)
+    intercept[IllegalArgumentException](
+      Connector.appendToDataStream(probe, base + "_nope"))
+  }
+
+  test("stored scripts (_scripts) resolve in script clauses and templates") {
+    import graft.dsl.{ScriptStore, SearchTemplate}
+    val docs = Seq((1L, 10.0), (2L, 25.0), (3L, 40.0)).toDF("id", "price")
+    ScriptStore.put("pricey", "doc['price'].value > params.cut ? 1 : 0")
+    // script filter by stored id
+    val byId = docs.where(QueryDslJson.compile(
+      """{"script": {"script": {"id": "pricey", "params": {"cut": 20}}}}"""))
+      .select("id").as[Long].collect().toSet
+    assert(byId == Set(2L, 3L))
+    // stored search template: {"id": ..., "params": ...}
+    ScriptStore.put("tpl_range",
+      """{"range": {"price": {"gte": {{lo}}, "lt": {{^hi}}100{{/hi}}}}}""")
+    val byTpl = docs.where(SearchTemplate.compile(
+      """{"id": "tpl_range", "params": {"lo": 20}}""", idField = "id"))
+      .select("id").as[Long].collect().toSet
+    assert(byTpl == Set(2L, 3L))
+    ScriptStore.delete("pricey")
+    intercept[IllegalArgumentException](QueryDslJson.compile(
+      """{"script": {"script": {"id": "pricey"}}}"""))
+  }
+
+  test("_msearch/template: templated batch answered in one shared scan") {
+    val docs = Seq(
+      (1L, "en", 100L), (2L, "en", 300L), (3L, "de", 200L), (4L, "de", 400L))
+      .toDF("doc_id", "lang", "n_chars")
+    val out = graft.search.Search.msearchTemplate(docs, "doc_id",
+      Seq(
+        "a" -> """{"source": "{\"term\": {\"lang\": \"{{l}}\"}}", "params": {"l": "en"}}""",
+        "b" -> """{"source": "{\"range\": {\"n_chars\": {\"gte\": {{min}}}}}", "params": {"min": 200}}"""),
+      sortCol = "n_chars", k = 1)
+      .select("qid", "id").as[(String, Long)].collect().toSeq
+    assert(out == Seq(("a", 2L), ("b", 4L)))
+  }
+
   test("_analyze API: tokens with positions and offsets") {
     val out = graft.analysis.Analyzer.analyzeApi(spark, "The QUICK-brown fox2!")
       .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSeq
