@@ -268,8 +268,8 @@ object Connector {
     // es.mapping.routing analog: co-locate docs by the routing column
     // (directory partitioning, so routed reads prune whole partitions)
     def writer(df: DataFrame) = cfg.get("graft.mapping.routing") match {
-      case Some(r) => df.write.format(fmt).partitionBy(r)
-      case None => df.write.format(fmt)
+      case Some(r) => applyIndexSort(df, cfg).write.format(fmt).partitionBy(r)
+      case None => applyIndexSort(df, cfg).write.format(fmt)
     }
     def reader = spark.read.format(fmt)
 
@@ -644,12 +644,41 @@ object Connector {
     val tmp = new Path(path + "_graft_tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     val w = cfg.get("graft.mapping.routing") match {
-      case Some(r) => df.write.format(fmt).partitionBy(r)
-      case None => df.write.format(fmt)
+      case Some(r) => applyIndexSort(df, cfg).write.format(fmt).partitionBy(r)
+      case None => applyIndexSort(df, cfg).write.format(fmt)
     }
     w.mode("overwrite").save(tmp.toString)
     swapIn(fs, new Path(path), tmp)(spark)
   }
+
+  /** `index.sort.field` analog (`graft.index.sort` = "col[,col...]",
+    * each with an optional `:desc` suffix): range-repartition on the
+    * sort key, then sort within partitions, before every write of the
+    * index — so each parquet file covers a DISJOINT key range and
+    * row-group min/max stats carry real information. A range query on
+    * the sort key then prunes to the few files that overlap it at
+    * FOOTER level (Spark's parquet reader applies the pushed filter to
+    * row-group stats), which at 100 TB is the difference between
+    * scanning an index and scanning a shard's worth of files. The
+    * shuffle this costs happens once, at write time — ES makes the
+    * same trade in its index-sorting segment merge. */
+  private def applyIndexSort(df: DataFrame, cfg: Map[String, String]): DataFrame =
+    cfg.get("graft.index.sort") match {
+      case Some(spec) =>
+        val orders = spec.split(",").map(_.trim).filter(_.nonEmpty).map {
+          case c if c.endsWith(":desc") => col(c.stripSuffix(":desc")).desc
+          case c => col(c.stripSuffix(":asc")).asc
+        }.toIndexedSeq
+        require(orders.nonEmpty, "graft.index.sort needs at least one column")
+        // graft.index.sort.partitions pins the segment count (AQE
+        // otherwise coalesces the range shuffle; at scale you size
+        // this so each sorted file lands near the rowgroup target)
+        cfg.get("graft.index.sort.partitions").map(_.toInt) match {
+          case Some(n) => df.repartitionByRange(n, orders: _*).sortWithinPartitions(orders: _*)
+          case None => df.repartitionByRange(orders: _*).sortWithinPartitions(orders: _*)
+        }
+      case None => df
+    }
 
   /** Restore a crash-interrupted swap: live directory missing but
     * `_graft_old` present means the writer died between "rename live

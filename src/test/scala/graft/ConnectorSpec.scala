@@ -598,6 +598,34 @@ class ConnectorSpec extends SparkSpec {
     assert(out == Seq(("a", 2L), ("b", 4L)))
   }
 
+  test("index sorting: sorted writes produce disjoint per-file key ranges") {
+    val dir = Files.createTempDirectory("graft_sort").toString + "/idx"
+    val rows = (1L to 400L).map(i => ((i * 131) % 400, s"v$i"))
+    rows.toDF("k", "v").repartition(8) // deliberately scrambled input
+      .saveToGraft(dir, Map("graft.index.sort" -> "k", "graft.mapping.id" -> "k",
+        "graft.index.sort.partitions" -> "4"))
+    // roundtrip intact
+    assert(spark.read.parquet(dir).count() == 400)
+    // every data file covers a disjoint k-range — the property that
+    // makes parquet row-group stats prunable for range queries
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.toString)
+      .filter(p => p.endsWith(".parquet") && !p.contains("/_"))
+    assert(files.length > 1)
+    val ranges = files.map { f =>
+      val a = spark.read.parquet(f).agg(min("k"), max("k")).collect().head
+      (a.getLong(0), a.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2)
+      case _ => ()
+    }
+    // the pushed range filter reads correctly against the sorted index
+    assert(spark.read.parquet(dir).where(col("k") >= 390).count() == 10)
+  }
+
   test("_analyze API: tokens with positions and offsets") {
     val out = graft.analysis.Analyzer.analyzeApi(spark, "The QUICK-brown fox2!")
       .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSeq
