@@ -566,6 +566,14 @@ object SparkEntry {
         s"""{"knn": {"field": "embedding", "query_vector": [${vec.mkString(",")}],
             "k": 5, "num_candidates": 100000, "filter": {"term": {"label": 3}}}}""")
     }),
+    // knn with a similarity cutoff (ES 8.8): only hits at cosine >=
+    // s survive the top-k window
+    "q_knn_similarity" -> ((s, d) => {
+      val vec = (0 until 64).map(i => (i * 37 % 100) / 100.0 - 0.5)
+      Ann.knnSearch(t(s, d, "embeddings"), "vec_id",
+        s"""{"knn": {"field": "embedding", "query_vector": [${vec.mkString(",")}],
+            "k": 20, "num_candidates": 100000, "similarity": 0.15}}""")
+    }),
     // point-in-polygon geo filter (even-odd ray cast)
     "q_geo_polygon" -> ((s, d) =>
       withGeo(t(s, d, "customer"))
@@ -732,6 +740,24 @@ object SparkEntry {
       "high_value" -> (col("value") > 75),
       "clicks" -> (col("event_type") === "click"),
       "errors" -> (col("event_type") === "error")))),
+    // TSDS time_series agg: one bucket per dimension tuple, keyed by
+    // the deterministic _tsid
+    "q_time_series" -> ((s, d) => graft.sources.Downsample.timeSeriesAgg(
+      Tables.events(s, d)
+        .withColumn("shard", pmod(col("user_id"), lit(3)).cast("string")),
+      tsCol = "ts_ns", dims = Seq("event_type", "shard"), metric = "value")),
+    // composite missing_bucket: docs with a null source key get a
+    // null-key bucket ordered first (asc nulls-first on both engines)
+    "q_agg_composite_missing" -> ((s, d) => Aggs.compositeAgg(
+      t(s, d, "documents").withColumn("maybe_lang",
+        when(col("lang") === "xx", lit(null).cast("string")).otherwise(col("lang"))),
+      keys = Seq("maybe_lang", "source"), afterKey = None, size = 15,
+      missingBucket = true)),
+    // other_bucket: docs matching NO named filter get their own count
+    "q_agg_filters_other" -> ((s, d) => Aggs.filtersAggOther(Tables.events(s, d), Seq(
+      "high_value" -> (col("value") > 75),
+      "clicks" -> (col("event_type") === "click"),
+      "errors" -> (col("event_type") === "error")), otherName = "other_docs")),
     "q_agg_top_hits" -> ((s, d) =>
       Aggs.topHitsAgg(t(s, d, "orders"), "o_orderpriority", "o_totalprice", "o_orderkey", 3)
         .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"), col("rn"))
@@ -1523,6 +1549,16 @@ object SparkEntry {
       "FROM n CROSS JOIN qn) " +
       "SELECT id, cosine, rank FROM (SELECT *, row_number() OVER (ORDER BY cosine DESC, id) AS rank FROM p) " +
       "WHERE rank <= 5 ORDER BY rank"),
+    "q_knn_similarity" -> ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v " +
+      "FROM embeddings), " +
+      "q AS (SELECT list_transform(range(0, 64), i -> (i * 37 % 100) / 100.0 - 0.5) AS qv), " +
+      "n AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm FROM e), " +
+      "qn AS (SELECT qv, sqrt(list_reduce(list_prepend(0.0, list_transform(qv, x -> x * x)), (a, b) -> a + b)) AS qnrm FROM q), " +
+      "p AS (SELECT vec_id AS id, " +
+      "round(list_reduce(list_prepend(0.0, list_transform(range(1, len(v) + 1), i -> v[i] * qv[i])), (x, y) -> x + y) / (nrm * qnrm), 4) AS cosine " +
+      "FROM n CROSS JOIN qn) " +
+      "SELECT id, cosine, rank FROM (SELECT *, row_number() OVER (ORDER BY cosine DESC, id) AS rank FROM p) " +
+      "WHERE rank <= 20 AND cosine >= 0.15 ORDER BY rank"),
     "q_rank_feature" -> ("SELECT doc_id AS id, " +
       "round(CAST(n_chars AS DOUBLE) / (CAST(n_chars AS DOUBLE) + 200.0), 4) AS score " +
       "FROM documents ORDER BY score DESC, id LIMIT 15"),
@@ -1879,6 +1915,23 @@ object SparkEntry {
       "FROM orders GROUP BY 1 ORDER BY bucket"),
     "q_agg_filters" -> ("SELECT count_if(value > 75)::BIGINT AS high_value, " +
       "count_if(event_type = 'click')::BIGINT AS clicks, count_if(event_type = 'error')::BIGINT AS errors FROM events"),
+    "q_time_series" -> ("WITH s AS (SELECT event_type, (user_id % 3)::VARCHAR AS shard, " +
+      "epoch_ns(ts) AS tsn, value FROM events), " +
+      s"t AS (SELECT ${hexFold("event_type || '|' || shard", 12)} AS _tsid, event_type, shard, " +
+      "tsn, value FROM s) " +
+      "SELECT _tsid, event_type, shard, count(*)::BIGINT AS doc_count, " +
+      "min(tsn) // 1000000 AS ts_min, max(tsn) // 1000000 AS ts_max, " +
+      "round(min(value), 4) AS value_min, round(max(value), 4) AS value_max, " +
+      "round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS value_sum " +
+      "FROM t GROUP BY 1, 2, 3 ORDER BY _tsid"),
+    "q_agg_composite_missing" -> ("SELECT CASE WHEN lang = 'xx' THEN NULL ELSE lang END " +
+      "AS maybe_lang, source, count(*)::BIGINT AS doc_count FROM documents GROUP BY 1, 2 " +
+      "ORDER BY maybe_lang ASC NULLS FIRST, source ASC LIMIT 15"),
+    "q_agg_filters_other" -> ("SELECT count_if(value > 75)::BIGINT AS high_value, " +
+      "count_if(event_type = 'click')::BIGINT AS clicks, " +
+      "count_if(event_type = 'error')::BIGINT AS errors, " +
+      "count_if(NOT (coalesce(value > 75, false) OR coalesce(event_type = 'click', false) " +
+      "OR coalesce(event_type = 'error', false)))::BIGINT AS other_docs FROM events"),
     "q_agg_top_hits" -> ("SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM " +
       "(SELECT o_orderpriority, o_orderkey, o_totalprice, " +
       "row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) " +

@@ -188,6 +188,20 @@ object Aggs {
     df.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** filters agg with `other_bucket: true` — an extra count of the
+    * docs no named filter matched (NULL predicates count as
+    * non-matching, like ES). Still the same single pass. */
+  def filtersAggOther(
+      df: DataFrame, buckets: Seq[(String, Column)],
+      otherName: String = "_other_"): DataFrame = {
+    val matchedAny = buckets.map(b => coalesce(b._2, lit(false)))
+      .reduce(_ || _)
+    val aggs = buckets.map { case (name, pred) =>
+      sum(when(pred, 1L).otherwise(0L)).as(name)
+    } :+ sum(when(!matchedAny, 1L).otherwise(0L)).as(otherName)
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
   /** `{"terms": {...}, "aggs": {"top": {"top_hits": {...}}}}` — per-
     * bucket top-k rows by sort column: one window pass, no per-bucket
     * queries. */
@@ -207,8 +221,15 @@ object Aggs {
       df: DataFrame,
       keys: Seq[String],
       afterKey: Option[Seq[String]],
-      size: Int): DataFrame = {
-    val grouped = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("doc_count"))
+      size: Int,
+      missingBucket: Boolean = false): DataFrame = {
+    // ES composite default DROPS docs with a missing source key;
+    // missing_bucket: true gives them a null-key bucket that sorts
+    // FIRST (Spark's asc is nulls-first, matching ES here)
+    val base =
+      if (missingBucket) df
+      else df.where(keys.map(col(_).isNotNull).reduce(_ && _))
+    val grouped = base.groupBy(keys.map(col): _*).agg(count(lit(1)).as("doc_count"))
     val paged = afterKey match {
       case Some(after) =>
         require(after.length == keys.length)

@@ -165,12 +165,16 @@ object Esql {
         case None => throw new IllegalArgumentException(s"$what must be a literal: $c")
       }
 
-    /** Exact integral division of a long column: Column./ is DOUBLE
-      * division, so strip the remainder first — the quotient of an
-      * exact multiple is exactly representable (< 2^53) and the cast
-      * is lossless. Positive-domain (event time) semantics. */
+    /** Exact integral division of a long column. Column./ is DOUBLE
+      * division, and an epoch-ns DIVIDEND already exceeds double's
+      * exact-integer range (2^53) — the rounding error can shift the
+      * quotient by one unit at representation boundaries. Strip the
+      * remainder (long math, exact), then divide in DECIMAL: the
+      * quotient of the exact multiple is integral, so any result
+      * scale represents it exactly. Positive-domain (event time)
+      * semantics. */
     private def longDiv(x: Column, n: Long): Column =
-      ((x - pmod(x, lit(n))) / lit(n)).cast("long")
+      ((x - pmod(x, lit(n))).cast("decimal(38,0)") / lit(n)).cast("long")
 
     /** ns-long event time (graft's ES|QL date type) → µs timestamp for
       * Spark's calendar functions. Truncating ns→µs never crosses a

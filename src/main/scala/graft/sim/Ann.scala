@@ -305,6 +305,15 @@ object Ann {
           .select(col("cent_src_id").as("cent_id"), col("cv"))
         ivfTopKWith(filtered, queries, idCol, field, cents, nprobe = nprobe, k = k)
       }
-    result.select(col("id"), col("cosine"), col("rank"))
+    // ES 8.8 `similarity`: a minimum-cosine cutoff applied to the
+    // top-k window (never a corpus-wide score — the window is already
+    // k rows, so the cutoff costs nothing)
+    val cut = root.get("similarity").collect {
+      case JDouble(d) => d
+      case JInt(i) => i.toDouble
+      case JDecimal(d) => d.toDouble
+    }
+    val out = result.select(col("id"), col("cosine"), col("rank"))
+    cut.fold(out)(s => out.where(col("cosine") >= s))
   }
 }

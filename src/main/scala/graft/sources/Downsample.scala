@@ -58,4 +58,44 @@ object Downsample {
         max(col(s"${metric}_max")).as(s"${metric}_max"),
         sum(col(s"${metric}_sum")).as(s"${metric}_sum"))
   }
+
+  /** TSDS `_tsid`: the deterministic identity ES computes for every
+    * time-series document from its dimension tuple — the routing and
+    * dedup key of time-series mode. 48-bit md5 of the
+    * `|`-joined dimension values (graft's engine-portable hash), so
+    * the oracle reproduces it exactly. */
+  def tsid(dims: Seq[Column]): Column =
+    conv(substring(md5(concat_ws("|", dims.map(_.cast("string")): _*)
+      .cast("binary")), 1, 12), 16, 10).cast("long")
+
+  /** The TSDS `time_series` aggregation: one bucket per series
+    * (dimension tuple), carrying the series' doc count, time span and
+    * metric profile. One partial-aggregating groupBy on the
+    * dimensions; `_tsid` is projected per row (narrow). At 100 TB the
+    * exchange carries one partial row per (series x task) — series
+    * cardinality, not event count. */
+  def timeSeriesAgg(
+      events: DataFrame,
+      tsCol: String,
+      dims: Seq[String],
+      metric: String): DataFrame =
+    events
+      .withColumn("_tsid", tsid(dims.map(col)))
+      .groupBy(col("_tsid") +: dims.map(col): _*)
+      .agg(
+        count(lit(1)).as("doc_count"),
+        // series spans in epoch MILLIS (ES date semantics; also the
+        // precision every engine reproduces — ns survives parquet but
+        // not every reader). DECIMAL division: epoch-ns exceeds
+        // double's exact-integer range (2^53), so Column./ would be
+        // off by a unit near representation boundaries
+        ((min(col(tsCol)) - pmod(min(col(tsCol)), lit(1000000L))).cast("decimal(38,0)")
+          / lit(1000000L)).cast("long").as("ts_min"),
+        ((max(col(tsCol)) - pmod(max(col(tsCol)), lit(1000000L))).cast("decimal(38,0)")
+          / lit(1000000L)).cast("long").as("ts_max"),
+        graft.util.Num.round(min(col(metric)), 4).as(s"${metric}_min"),
+        graft.util.Num.round(max(col(metric)), 4).as(s"${metric}_max"),
+        graft.util.Num.round(sum(col(metric).cast("decimal(18,4)")).cast("double"), 4)
+          .as(s"${metric}_sum"))
+      .orderBy(col("_tsid"))
 }
