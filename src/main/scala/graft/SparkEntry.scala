@@ -179,6 +179,18 @@ object SparkEntry {
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id"))),
 
+    // case_insensitive term-level queries (ES 7.10 option)
+    "q_term_ci" -> ((s, d) => t(s, d, "documents")
+      .where(graft.dsl.QueryDslJson.compile(
+        """{"bool": {"must": [
+          |  {"term": {"lang": {"value": "EN", "case_insensitive": true}}},
+          |  {"wildcard": {"source": {"value": "SRC1*", "case_insensitive": true}}}]}}"""
+          .stripMargin))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))),
+    // _terms_enum: sorted keyword-term discovery under a prefix
+    "q_terms_enum" -> ((s, d) =>
+      Search.termsEnum(t(s, d, "part"), "p_name", prefix = "b", size = 12)),
     // fuzzy with transpositions: true (the ES default): an adjacent
     // swap is ONE edit — "rsc3" reaches "src3" in 1 (sr swap), every
     // single-digit srcN in 2; plain levenshtein needs 2 for the swap
@@ -565,6 +577,15 @@ object SparkEntry {
       Ann.knnSearch(t(s, d, "embeddings"), "vec_id",
         s"""{"knn": {"field": "embedding", "query_vector": [${vec.mkString(",")}],
             "k": 5, "num_candidates": 100000, "filter": {"term": {"label": 3}}}}""")
+    }),
+    // rank_vectors maxSim (ES 8.17 late interaction): multi-vector
+    // docs scored by sum-of-best dot products against 2 query vectors
+    "q_rank_vectors" -> ((s, d) => {
+      val q1 = (0 until 64).map(i => (i * 37 % 100) / 100.0 - 0.5)
+      val q2 = (0 until 64).map(i => (i * 53 % 100) / 100.0 - 0.5)
+      Ann.maxSimTopK(
+        t(s, d, "embeddings").withColumn("doc_id", pmod(col("vec_id"), lit(50))),
+        "doc_id", "embedding", Seq(q1, q2), k = 10)
     }),
     // knn with a similarity cutoff (ES 8.8): only hits at cosine >=
     // s survive the top-k window
@@ -1281,6 +1302,10 @@ object SparkEntry {
     "q_fuzzy" -> "SELECT doc_id, source FROM documents WHERE levenshtein(source, 'src12') <= 1 ORDER BY doc_id",
     "q_fuzzy_damerau" -> ("SELECT doc_id, source FROM documents " +
       "WHERE damerau_levenshtein(source, 'rsc3') <= 2 ORDER BY doc_id"),
+    "q_term_ci" -> ("SELECT doc_id, lang, source FROM documents " +
+      "WHERE lower(lang) = 'en' AND lower(source) LIKE 'src1%' ORDER BY doc_id"),
+    "q_terms_enum" -> ("SELECT DISTINCT p_name AS term FROM part " +
+      "WHERE p_name LIKE 'b%' ORDER BY term LIMIT 12"),
 
     "q_dsl_json" -> ("SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en' " +
       "AND (source LIKE 'src1%' OR n_chars > 300) AND NOT (source LIKE 'src_') ORDER BY doc_id"),
@@ -1549,6 +1574,16 @@ object SparkEntry {
       "FROM n CROSS JOIN qn) " +
       "SELECT id, cosine, rank FROM (SELECT *, row_number() OVER (ORDER BY cosine DESC, id) AS rank FROM p) " +
       "WHERE rank <= 5 ORDER BY rank"),
+    "q_rank_vectors" -> ("WITH e AS (SELECT vec_id % 50 AS doc_id, " +
+      "list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), " +
+      "q AS (SELECT list_transform(range(0, 64), i -> (i * 37 % 100) / 100.0 - 0.5) AS q1, " +
+      "list_transform(range(0, 64), i -> (i * 53 % 100) / 100.0 - 0.5) AS q2), " +
+      "p AS (SELECT doc_id, " +
+      "list_reduce(list_prepend(0.0, list_transform(range(1, len(v) + 1), i -> v[i] * q1[i])), (x, y) -> x + y) AS d1, " +
+      "list_reduce(list_prepend(0.0, list_transform(range(1, len(v) + 1), i -> v[i] * q2[i])), (x, y) -> x + y) AS d2 " +
+      "FROM e CROSS JOIN q) " +
+      "SELECT doc_id AS id, round(max(d1) + max(d2), 4) AS maxsim FROM p " +
+      "GROUP BY 1 ORDER BY maxsim DESC, id LIMIT 10"),
     "q_knn_similarity" -> ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v " +
       "FROM embeddings), " +
       "q AS (SELECT list_transform(range(0, 64), i -> (i * 37 % 100) / 100.0 - 0.5) AS qv), " +

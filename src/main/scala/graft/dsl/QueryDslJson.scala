@@ -57,6 +57,9 @@ object QueryDslJson {
     case other => throw new IllegalArgumentException(s"unsupported literal: $other")
   }
 
+  private def caseInsensitive(m: Map[String, JValue]): Boolean =
+    m.get("case_insensitive").exists(v => lits(v).toString.toBoolean)
+
   private def arr(v: JValue): Seq[Any] = v match {
     case JArray(xs) => xs.map(lits)
     case single => Seq(lits(single))
@@ -75,7 +78,12 @@ object QueryDslJson {
 
         case ("term", JObject(JField(f, JObject(fields)) :: Nil))
             if fields.exists(_._1 == "value") =>
-          QueryDsl.term(col(f), lits(fields.find(_._1 == "value").get._2))
+          val m = fields.toMap
+          val v = lits(m("value"))
+          // case_insensitive (ES 7.10): normalize both sides — the
+          // predicate stays a plain comparison, still codegen'd
+          if (caseInsensitive(m)) lower(col(f)) === lit(v.toString.toLowerCase)
+          else QueryDsl.term(col(f), v)
         case ("term", JObject(JField(f, v) :: Nil)) => QueryDsl.term(col(f), lits(v))
 
         case ("terms", JObject(JField(f, v) :: Nil)) => QueryDsl.terms(col(f), arr(v))
@@ -94,10 +102,29 @@ object QueryDslJson {
           QueryDsl.exists(col(fields.find(_._1 == "field").map(x => lits(x._2).toString)
             .getOrElse(throw new IllegalArgumentException("exists needs field"))))
 
+        case ("prefix", JObject(JField(f, JObject(fields)) :: Nil))
+            if fields.exists(_._1 == "value") =>
+          val m = fields.toMap
+          val p = lits(m("value")).toString
+          if (caseInsensitive(m)) lower(col(f)).startsWith(p.toLowerCase)
+          else QueryDsl.prefix(col(f), p)
         case ("prefix", JObject(JField(f, v) :: Nil)) =>
           QueryDsl.prefix(col(f), lits(v).toString)
+        case ("wildcard", JObject(JField(f, JObject(fields)) :: Nil))
+            if fields.exists(_._1 == "value") =>
+          val m = fields.toMap
+          val p = lits(m("value")).toString
+          if (caseInsensitive(m)) QueryDsl.wildcard(lower(col(f)), p.toLowerCase)
+          else QueryDsl.wildcard(col(f), p)
         case ("wildcard", JObject(JField(f, v) :: Nil)) =>
           QueryDsl.wildcard(col(f), lits(v).toString)
+        case ("regexp", JObject(JField(f, JObject(fields)) :: Nil))
+            if fields.exists(_._1 == "value") =>
+          val m = fields.toMap
+          val re = lits(m("value")).toString
+          // ES case_insensitive maps to the regex engine's (?i) flag
+          if (caseInsensitive(m)) QueryDsl.regexp(col(f), "(?i)" + re)
+          else QueryDsl.regexp(col(f), re)
         case ("regexp", JObject(JField(f, v) :: Nil)) =>
           QueryDsl.regexp(col(f), lits(v).toString)
 

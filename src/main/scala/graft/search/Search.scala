@@ -791,6 +791,28 @@ object Search {
       .orderBy(col("qid").asc, col("rank").asc)
   }
 
+  /** `_terms_enum`: sorted discovery of a keyword field's distinct
+    * values under a prefix (the auto-complete-on-keyword API, ES
+    * 7.14). The prefix predicate pushes to the scan, the distinct is
+    * a partial aggregation over only the matching terms, and the
+    * ordered limit is a TakeOrderedAndProject on the (tiny) term
+    * frame — at 100 TB cost tracks the matching-term cardinality,
+    * not the corpus. */
+  def termsEnum(
+      docs: DataFrame,
+      field: String,
+      prefix: String,
+      size: Int,
+      caseInsensitive: Boolean = false): DataFrame = {
+    val (key, p) =
+      if (caseInsensitive) (lower(col(field)), prefix.toLowerCase)
+      else (col(field), prefix)
+    docs.where(key.startsWith(p))
+      .select(key.as("term")).distinct()
+      .orderBy(col("term").asc)
+      .limit(size)
+  }
+
   /** `_msearch/template`: a batch of templated searches — each body
     * is a full `_search/template` payload (`source` or stored-`id` +
     * `params`), rendered and compiled driver-side, then answered in

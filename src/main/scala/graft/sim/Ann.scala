@@ -235,6 +235,40 @@ object Ann {
       .orderBy(col("query_id").asc, col("rank").asc)
   }
 
+  /** ES 8.17 `rank_vectors` / maxSimDotProduct: late-interaction
+    * (ColBERT-style) scoring. A query is SEVERAL vectors (per-token
+    * embeddings); a doc is SEVERAL vectors; the score sums, over
+    * query vectors, the best dot product against any of the doc's
+    * vectors. Input is the exploded storage shape — one row per
+    * (doc, vector) — which is also the 100 TB shape: per-row compiled
+    * dot kernels (narrow), then ONE partial-aggregating groupBy per
+    * doc carrying |queryVecs| running maxima; the exchange moves a
+    * handful of doubles per doc, never vectors. */
+  def maxSimTopK(
+      docVectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryVecs: Seq[Seq[Double]],
+      k: Int): DataFrame = {
+    require(queryVecs.nonEmpty, "maxSimTopK needs at least one query vector")
+    import org.apache.spark.sql.GraftBridge
+    val dots = queryVecs.zipWithIndex.map { case (q, i) =>
+      GraftBridge.column(graft.expr.DotProductSim(
+        GraftBridge.expression(col(vecCol)),
+        GraftBridge.expression(array(q.map(lit): _*)))).as(s"_d$i")
+    }
+    val maxes = queryVecs.indices.map(i => max(col(s"_d$i")).as(s"_m$i"))
+    docVectors
+      .select(col(idCol).as("id") +: dots: _*)
+      .groupBy(col("id"))
+      .agg(maxes.head, maxes.tail: _*)
+      .select(col("id"),
+        Num.round(queryVecs.indices.map(i => col(s"_m$i")).reduce(_ + _), 4)
+          .as("maxsim"))
+      .orderBy(col("maxsim").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** The ES 8 `knn` search surface:
     * `{"knn": {"field": f, "query_vector": [...], "k": n,
     *   "num_candidates": m, "filter": {<query-dsl>}}}`.
