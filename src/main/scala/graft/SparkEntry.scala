@@ -179,6 +179,16 @@ object SparkEntry {
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id"))),
 
+    // intervals rule tree: any_of alternatives inside an ordered
+    // all_of proximity — expands to OR of compiled span passes
+    "q_intervals" -> ((s, d) => t(s, d, "documents")
+      .where(graft.dsl.QueryDslJson.compile(
+        """{"intervals": {"text": {"all_of": {"intervals": [
+          |  {"any_of": {"intervals": [{"match": {"query": "hash"}},
+          |                            {"match": {"query": "merge"}}]}},
+          |  {"match": {"query": "join"}}],
+          |  "max_gaps": 2, "ordered": true}}}}""".stripMargin))
+      .select(col("doc_id")).orderBy(col("doc_id"))),
     // case_insensitive term-level queries (ES 7.10 option)
     "q_term_ci" -> ((s, d) => t(s, d, "documents")
       .where(graft.dsl.QueryDslJson.compile(
@@ -1302,6 +1312,14 @@ object SparkEntry {
     "q_fuzzy" -> "SELECT doc_id, source FROM documents WHERE levenshtein(source, 'src12') <= 1 ORDER BY doc_id",
     "q_fuzzy_damerau" -> ("SELECT doc_id, source FROM documents " +
       "WHERE damerau_levenshtein(source, 'rsc3') <= 2 ORDER BY doc_id"),
+    "q_intervals" -> (TokCte + ", p AS (SELECT doc_id, " +
+      "list_filter(range(1, len(toks) + 1), i -> toks[i] = 'hash') AS ph, " +
+      "list_filter(range(1, len(toks) + 1), i -> toks[i] = 'merge') AS pm, " +
+      "list_filter(range(1, len(toks) + 1), i -> toks[i] = 'join') AS pj FROM tok) " +
+      "SELECT doc_id FROM p WHERE " +
+      "len(list_filter(ph, a -> len(list_filter(pj, b -> b > a AND b - a <= 3)) > 0)) > 0 OR " +
+      "len(list_filter(pm, a -> len(list_filter(pj, b -> b > a AND b - a <= 3)) > 0)) > 0 " +
+      "ORDER BY doc_id"),
     "q_term_ci" -> ("SELECT doc_id, lang, source FROM documents " +
       "WHERE lower(lang) = 'en' AND lower(source) LIKE 'src1%' ORDER BY doc_id"),
     "q_terms_enum" -> ("SELECT DISTINCT p_name AS term FROM part " +

@@ -57,6 +57,90 @@ object QueryDslJson {
     case other => throw new IllegalArgumentException(s"unsupported literal: $other")
   }
 
+  /** The intervals query's rule tree.
+    *
+    *   - `{"match": {"query", "max_gaps", "ordered"}}` — positional
+    *     proximity: ordered routes to the phrase-slop kernel,
+    *     unordered to the minimal-window kernel; no gap bound = plain
+    *     all-terms AND (max_gaps = 0 means adjacent, like ES)
+    *   - `{"prefix": {"prefix": p}}` — any analyzed token starts
+    *     with p (one compiled prefix-slot pass)
+    *   - `{"any_of": {"intervals": [...]}}` — disjunction of sub-rules
+    *   - `{"all_of": {"intervals": [...], "max_gaps", "ordered"}}` —
+    *     proximity over slots, where each slot is a single-term match,
+    *     a prefix, or an any_of of those: alternative sets expand to
+    *     the (bounded) cartesian product of slot assignments, each a
+    *     compiled span pass, OR-ed — the same expansion ES's automata
+    *     perform. Subset constraint (kernel): a slot assignment with
+    *     duplicate terms is rejected.
+    */
+  private def compileInterval(c: Column, rule: JValue): Column = rule match {
+    case JObject(JField("match", JObject(parts)) :: Nil) =>
+      val m = parts.toMap
+      val q = lits(m.getOrElse("query",
+        throw new IllegalArgumentException("intervals match needs query"))).toString
+      val maxGaps = m.get("max_gaps").map(lits(_).toString.toInt).getOrElse(-1)
+      val ordered = m.get("ordered").map(lits(_).toString.toBoolean).getOrElse(false)
+      if (maxGaps < 0) Search.matchQueryAnd(c, q)
+      else if (ordered) Search.matchPhraseSlop(c, q, maxGaps)
+      else Search.spanNear(c, q, maxGaps)
+
+    case JObject(JField("prefix", JObject(parts)) :: Nil) =>
+      val p = lits(parts.toMap.getOrElse("prefix",
+        throw new IllegalArgumentException("intervals prefix needs prefix"))).toString
+      Search.spanNearMulti(c, Seq((p, true)), 0)
+
+    case JObject(JField("any_of", JObject(parts)) :: Nil) =>
+      intervalList(parts.toMap).map(compileInterval(c, _)).reduce(_ || _)
+
+    case JObject(JField("all_of", JObject(parts)) :: Nil) =>
+      val m = parts.toMap
+      val maxGaps = m.get("max_gaps").map(lits(_).toString.toInt).getOrElse(-1)
+      val ordered = m.get("ordered").map(lits(_).toString.toBoolean).getOrElse(false)
+      // each sub-rule yields the slot's alternative (term, prefix?) set
+      val slots: Seq[Seq[(String, Boolean)]] = intervalList(m).map(slotAlternatives)
+      val combos = slots.foldLeft(Seq(Seq.empty[(String, Boolean)])) { (acc, alts) =>
+        for (prefix <- acc; a <- alts) yield prefix :+ a
+      }
+      require(combos.size <= 64,
+        s"intervals all_of expands to ${combos.size} slot assignments (cap 64)")
+      combos.map { combo =>
+        require(combo.map(_._1).distinct.size == combo.size,
+          "intervals all_of: a slot assignment repeats a term (unsupported)")
+        if (maxGaps < 0 && combo.forall(!_._2))
+          Search.matchQueryAnd(c, combo.map(_._1).mkString(" "))
+        else if (ordered && combo.forall(!_._2))
+          Search.matchPhraseSlop(c, combo.map(_._1).mkString(" "),
+            math.max(0, maxGaps))
+        else Search.spanNearMulti(c, combo, math.max(0, maxGaps))
+      }.reduce(_ || _)
+
+    case other => throw new IllegalArgumentException(s"unsupported intervals rule: $other")
+  }
+
+  private def intervalList(m: Map[String, JValue]): Seq[JValue] = m.get("intervals") match {
+    case Some(JArray(xs)) if xs.nonEmpty => xs
+    case _ => throw new IllegalArgumentException("intervals rule needs a non-empty intervals list")
+  }
+
+  /** A slot inside all_of: single-term match, prefix, or any_of of
+    * those (alternatives for this position). */
+  private def slotAlternatives(rule: JValue): Seq[(String, Boolean)] = rule match {
+    case JObject(JField("match", JObject(parts)) :: Nil) =>
+      val q = lits(parts.toMap.getOrElse("query",
+        throw new IllegalArgumentException("intervals match needs query"))).toString
+      val terms = graft.analysis.Analyzer.analyze(q)
+      require(terms.length == 1,
+        s"all_of slots take single-term matches (got: $q); nest multi-term rules via any_of")
+      Seq((terms.head, false))
+    case JObject(JField("prefix", JObject(parts)) :: Nil) =>
+      Seq((lits(parts.toMap.getOrElse("prefix",
+        throw new IllegalArgumentException("intervals prefix needs prefix"))).toString, true))
+    case JObject(JField("any_of", JObject(parts)) :: Nil) =>
+      intervalList(parts.toMap).flatMap(slotAlternatives)
+    case other => throw new IllegalArgumentException(s"unsupported all_of slot: $other")
+  }
+
   private def caseInsensitive(m: Map[String, JValue]): Boolean =
     m.get("case_insensitive").exists(v => lits(v).toString.toBoolean)
 
@@ -331,23 +415,11 @@ object QueryDslJson {
             else Search.spanNear(col(field), terms, slop)
           }
 
-        // {"intervals": {f: {"match": {"query": "...", "max_gaps": n,
-        //  "ordered": true|false}}}} — the intervals query's match rule
-        // is positional proximity: ordered routes to the phrase-slop
-        // kernel, unordered to the minimal-window kernel (max_gaps = 0
-        // means adjacent, like ES)
-        case ("intervals", JObject(JField(f, JObject(
-            JField("match", JObject(parts)) :: Nil)) :: Nil)) =>
-          val m = parts.toMap
-          val q = lits(m.getOrElse("query",
-            throw new IllegalArgumentException("intervals match needs query"))).toString
-          val maxGaps = m.get("max_gaps").map(lits(_).toString.toInt).getOrElse(-1)
-          val ordered = m.get("ordered").map(lits(_).toString.toBoolean).getOrElse(false)
-          if (maxGaps < 0) {
-            // no gap bound: plain all-terms match (AND semantics)
-            Search.matchQueryAnd(col(f), q)
-          } else if (ordered) Search.matchPhraseSlop(col(f), q, maxGaps)
-          else Search.spanNear(col(f), q, maxGaps)
+        // {"intervals": {f: <rule>}} — the intervals query's rule tree:
+        // match / prefix leaves, any_of disjunction, all_of proximity
+        // composition (see compileInterval)
+        case ("intervals", JObject(JField(f, rule) :: Nil)) =>
+          compileInterval(col(f), rule)
 
         // {"terms_set": {f: {"terms": [...], "minimum_should_match": n}}}
         case ("terms_set", JObject(JField(f, JObject(parts)) :: Nil)) =>

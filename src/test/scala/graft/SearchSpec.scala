@@ -216,6 +216,40 @@ class SearchSpec extends SparkSpec {
     assert(tv == Seq(("cat", 2L, 2L, 3L), ("dog", 1L, 2L, 2L)))
   }
 
+  test("intervals rule tree: prefix leaves, any_of, unordered all_of") {
+    import graft.dsl.QueryDslJson
+    val docs = Seq(
+      (1L, "fast hash join wins"),
+      (2L, "join the hash set"),
+      (3L, "merge sort only"),
+      (4L, "hashing join")).toDF("id", "text")
+    def ids(q: String): Set[Long] =
+      docs.where(QueryDslJson.compile(q)).select("id").as[Long].collect().toSet
+    // prefix leaf: any token starting with "hash"
+    assert(ids("""{"intervals": {"text": {"prefix": {"prefix": "hash"}}}}""")
+      == Set(1L, 2L, 4L))
+    // unordered all_of with a prefix slot: hash* near join, any order
+    assert(ids(
+      """{"intervals": {"text": {"all_of": {"intervals": [
+           {"prefix": {"prefix": "hash"}}, {"match": {"query": "join"}}],
+           "max_gaps": 1, "ordered": false}}}}""") == Set(1L, 2L, 4L))
+    // ordered all_of: hash must PRECEDE join within the gap bound
+    assert(ids(
+      """{"intervals": {"text": {"all_of": {"intervals": [
+           {"match": {"query": "hash"}}, {"match": {"query": "join"}}],
+           "max_gaps": 0, "ordered": true}}}}""") == Set(1L))
+    // any_of at the top level
+    assert(ids(
+      """{"intervals": {"text": {"any_of": {"intervals": [
+           {"match": {"query": "merge"}}, {"match": {"query": "wins"}}]}}}}""")
+      == Set(1L, 3L))
+    // multi-term match inside all_of is rejected toward any_of nesting
+    intercept[IllegalArgumentException](ids(
+      """{"intervals": {"text": {"all_of": {"intervals": [
+           {"match": {"query": "hash join"}}, {"match": {"query": "wins"}}],
+           "max_gaps": 1}}}}"""))
+  }
+
   test("Sorting: multivalue modes, missing placement, geo and script keys") {
     import graft.search.Sorting
     val df = Seq(
