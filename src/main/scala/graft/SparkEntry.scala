@@ -263,6 +263,12 @@ object SparkEntry {
     // completion suggester: pushed prefix scan, best weight per entry
     "q_suggest_completion" -> ((s, d) =>
       Search.suggestCompletion(t(s, d, "documents"), "source", "n_chars", "src1", 8)),
+    // completion suggester with contexts: suggestions gated to docs
+    // in the requested categories, weights boosted per context value
+    "q_suggest_context" -> ((s, d) =>
+      Search.suggestCompletionContexts(t(s, d, "documents"), "source", "n_chars",
+        prefix = "src", contextCol = "lang",
+        contexts = Seq("en" -> 2.0, "fr" -> 1.0), k = 8)),
     // min_score: absolute relevance floor, not a top-k
     "q_min_score" -> ((s, d) =>
       Search.bm25MinScore(t(s, d, "documents"), "doc_id", "text", "vector hash", 2.0)),
@@ -363,6 +369,9 @@ object SparkEntry {
     // _termvectors with term_statistics for one document
     "q_termvectors" -> ((s, d) =>
       Search.termVectors(t(s, d, "documents"), "doc_id", "text", docId = 42L)),
+    // _mtermvectors: a batch of docs through ONE corpus pass
+    "q_mtermvectors" -> ((s, d) =>
+      Search.mtermVectors(t(s, d, "documents"), "doc_id", "text", Seq(7L, 42L))),
     // ES 8.16 linear retriever: min-max-normalized weighted fusion
     "q_hybrid_linear" -> ((s, d) => {
       val lex = Search.bm25Scores(t(s, d, "documents"), "doc_id", "text", "fast hash join")
@@ -1419,6 +1428,12 @@ object SparkEntry {
       "SELECT doc_id FROM pos WHERE len(list_filter(p1, i -> len(list_filter(p2, " +
       "j -> greatest(i, j) - least(i, j) - 1 <= 8 AND len(list_filter(p0, " +
       "k -> k >= least(i, j) AND k <= greatest(i, j))) > 0)) > 0)) > 0 ORDER BY doc_id"),
+    "q_mtermvectors" -> (TokCte + ", doc AS (SELECT doc_id AS id, unnest(toks) AS term FROM tok WHERE doc_id IN (7, 42)), " +
+      "dtf AS (SELECT id, term, count(*)::BIGINT AS term_freq FROM doc GROUP BY id, term), " +
+      "corpus AS (SELECT doc_id, unnest(toks) AS term FROM tok), " +
+      "st AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS doc_freq, count(*)::BIGINT AS ttf " +
+      "FROM corpus WHERE term IN (SELECT DISTINCT term FROM dtf) GROUP BY term) " +
+      "SELECT id, term, term_freq, doc_freq, ttf FROM dtf JOIN st USING (term) ORDER BY id, term"),
     "q_termvectors" -> (TokCte + ", doc AS (SELECT unnest(toks) AS term FROM tok WHERE doc_id = 42), " +
       "dtf AS (SELECT term, count(*)::BIGINT AS term_freq FROM doc GROUP BY term), " +
       "corpus AS (SELECT doc_id, unnest(toks) AS term FROM tok), " +
@@ -1624,6 +1639,10 @@ object SparkEntry {
     "q_suggest_completion" -> ("SELECT source AS suggestion, max(n_chars) AS weight " +
       "FROM documents WHERE starts_with(source, 'src1') GROUP BY 1 " +
       "ORDER BY weight DESC, suggestion LIMIT 8"),
+    "q_suggest_context" -> ("SELECT source AS suggestion, " +
+      "round(max(n_chars * (CASE lang WHEN 'en' THEN 2.0 WHEN 'fr' THEN 1.0 ELSE 0.0 END)), 4) AS weight " +
+      "FROM documents WHERE starts_with(source, 'src') AND lang IN ('en', 'fr') " +
+      "GROUP BY 1 ORDER BY weight DESC, suggestion LIMIT 8"),
     "q_min_score" -> (TokCte + bm25Ctes("", "tok", Seq("vector", "hash")) +
       " SELECT id, score FROM sc WHERE score >= 2.0 ORDER BY score DESC, id"),
     "q_esql_weighted_avg" -> ("SELECT l_returnflag, " +

@@ -611,6 +611,29 @@ object Search {
       .orderBy(col("weight").desc, col("suggestion").asc)
       .limit(k)
 
+  /** Completion suggester with `contexts` (the category-filtered
+    * form): suggestions come only from docs whose context field
+    * matches one of the requested values, with an optional per-value
+    * boost multiplying the weight (ES context boosting). The context
+    * predicate is a plain isin that pushes to the scan; everything
+    * else is the ordinary completion shape. */
+  def suggestCompletionContexts(
+      docs: DataFrame, suggestCol: String, weightCol: String,
+      prefix: String, contextCol: String, contexts: Seq[(String, Double)],
+      k: Int): DataFrame = {
+    require(contexts.nonEmpty, "context suggester needs at least one context")
+    val boost = contexts.tail.foldLeft(
+      when(col(contextCol) === contexts.head._1, lit(contexts.head._2))) {
+      case (acc, (v, b)) => acc.when(col(contextCol) === v, lit(b))
+    }.otherwise(lit(0.0))
+    docs.where(col(suggestCol).startsWith(prefix) &&
+        col(contextCol).isin(contexts.map(_._1): _*))
+      .groupBy(col(suggestCol).as("suggestion"))
+      .agg(Num.round(max(col(weightCol) * boost), 4).as("weight"))
+      .orderBy(col("weight").desc, col("suggestion").asc)
+      .limit(k)
+  }
+
   /** search `min_score`: every hit at or above an absolute relevance
     * floor (not a top-k) — the filter applies after scoring, ordering
     * stays score-desc. */
@@ -1211,6 +1234,28 @@ object Search {
         count(lit(1)).as("ttf"))
     docTf.join(broadcast(corpus), Seq("term"))
       .orderBy(col("term"))
+  }
+
+  /** `_mtermvectors`: term vectors for a BATCH of docs in one pass.
+    * Per-doc tf from one explode restricted to the id set (pushed to
+    * the scan); corpus df/ttf computed ONCE over the union of the
+    * batch's terms via the same broadcast semi-join restriction as
+    * termVectors — N docs cost one corpus pass, not N. */
+  def mtermVectors(
+      docs: DataFrame, idCol: String, textCol: String,
+      docIds: Seq[Long]): DataFrame = {
+    val toks = Analyzer.tokens(col(textCol))
+    val docTf = docs.where(col(idCol).isin(docIds: _*))
+      .select(col(idCol).as("id"), explode(toks).as("term"))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("term_freq"))
+    val terms = docTf.select("term").distinct()
+    val corpus = docs.select(explode(toks).as("term"), col(idCol))
+      .join(broadcast(terms), Seq("term"))
+      .groupBy("term")
+      .agg(countDistinct(col(idCol)).as("doc_freq"), count(lit(1)).as("ttf"))
+    docTf.join(broadcast(corpus), Seq("term"))
+      .select(col("id"), col("term"), col("term_freq"), col("doc_freq"), col("ttf"))
+      .orderBy(col("id"), col("term"))
   }
 
   /** ES 8.16 `linear` retriever: per-retriever min-max normalization
