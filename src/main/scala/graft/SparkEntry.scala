@@ -759,6 +759,11 @@ object SparkEntry {
 
     // ---- C. Aggregations ----
     "q_agg_terms" -> ((s, d) => Aggs.termsAgg(t(s, d, "orders"), "o_orderpriority", 3)),
+    // terms `missing`: null keys count under a substitute bucket
+    "q_agg_terms_missing" -> ((s, d) => Aggs.termsAggMissing(
+      t(s, d, "documents").withColumn("maybe_lang",
+        when(col("lang") === "xx", lit(null).cast("string")).otherwise(col("lang"))),
+      "maybe_lang", 10, missing = "N/A")),
     // bucket order by a sub-aggregation metric, not doc_count
     "q_agg_terms_order" -> ((s, d) => Aggs.termsAggOrderBy(t(s, d, "orders"),
       "o_orderpriority", 3, Num.round(avg(col("o_totalprice")), 4), "avg_price")),
@@ -1960,6 +1965,9 @@ object SparkEntry {
       "len(list_filter(toks, t -> levenshtein(t, 'spak') <= 1)) > 0 " +
       "OR len(list_filter(toks, t -> levenshtein(t, 'window') <= 1)) > 0 ORDER BY doc_id"),
     "q_agg_terms" -> "SELECT o_orderpriority AS key, count(*)::BIGINT AS doc_count FROM orders GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 3",
+    "q_agg_terms_missing" -> ("SELECT coalesce(CASE WHEN lang = 'xx' THEN NULL ELSE lang END, " +
+      "'N/A') AS key, count(*)::BIGINT AS doc_count FROM documents GROUP BY 1 " +
+      "ORDER BY doc_count DESC, key LIMIT 10"),
     "q_agg_terms_order" -> ("SELECT o_orderpriority AS key, count(*)::BIGINT AS doc_count, " +
       "round(avg(o_totalprice), 4) AS avg_price FROM orders GROUP BY 1 " +
       "ORDER BY avg_price DESC, key LIMIT 3"),

@@ -26,6 +26,16 @@ object Aggs {
       .orderBy(col("doc_count").desc, col("key").asc)
       .limit(size)
 
+  /** terms agg with `missing` — docs without the field count under a
+    * substitute bucket value instead of being dropped (one coalesce,
+    * same single pass). */
+  def termsAggMissing(
+      df: DataFrame, field: String, size: Int, missing: String): DataFrame =
+    df.groupBy(coalesce(col(field), lit(missing)).as("key"))
+      .agg(count(lit(1)).as("doc_count"))
+      .orderBy(col("doc_count").desc, col("key").asc)
+      .limit(size)
+
   /** terms agg with `order: {<sub-metric>: desc|asc}` — buckets ranked
     * by a sub-aggregation metric instead of doc_count. Same single
     * partial-agg pass (the metric is just another aggregate in the

@@ -577,9 +577,15 @@ object Esql {
         val orders = splitTopLevel(body, ',').map { part =>
           val ps = part.trim.split("\\s+")
           val c = col(ps.head)
+          // ES|QL null placement: default LAST on ASC, FIRST on DESC
+          // (nulls sort as largest) — overridable with NULLS FIRST/LAST
           ps.map(_.toLowerCase) match {
-            case Array(_, "desc") => c.desc
-            case Array(_, "asc") | Array(_) => c.asc
+            case Array(_, "desc") => c.desc_nulls_first
+            case Array(_, "asc") | Array(_) => c.asc_nulls_last
+            case Array(_, "desc", "nulls", "first") => c.desc_nulls_first
+            case Array(_, "desc", "nulls", "last") => c.desc_nulls_last
+            case Array(_, "asc", "nulls", "first") | Array(_, "nulls", "first") => c.asc_nulls_first
+            case Array(_, "asc", "nulls", "last") | Array(_, "nulls", "last") => c.asc_nulls_last
             case _ => throw new IllegalArgumentException(s"bad SORT clause: $part")
           }
         }

@@ -234,6 +234,16 @@ class EsqlSpec extends SparkSpec {
       Esql.applyCommand(d2, """eval z = date_extract("century", ts_ns)"""))
   }
 
+  test("SORT null placement: ES|QL nulls-are-largest default + overrides") {
+    val ids = (pipe: String) =>
+      Esql.applyCommand(df, pipe).select("id").as[Long].collect().toSeq
+    // s is null for id 4; default: nulls last ascending, first descending
+    assert(ids("sort s") == Seq(2L, 5L, 3L, 1L, 4L))
+    assert(ids("sort s desc") == Seq(4L, 1L, 3L, 5L, 2L))
+    assert(ids("sort s desc nulls last") == Seq(1L, 3L, 5L, 2L, 4L))
+    assert(ids("sort s nulls first") == Seq(4L, 2L, 5L, 3L, 1L))
+  }
+
   test("full-text functions in WHERE: MATCH / QSTR / KQL") {
     val docs = Seq(
       (1L, "Spark window functions", "en"),
