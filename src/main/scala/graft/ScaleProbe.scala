@@ -160,6 +160,48 @@ object ScaleProbe {
       Aggs.parentAgg(ord, li, "o_orderkey", "l_orderkey",
         "o_orderstatus", "l_quantity").count()
     }
+    // r6 shapes.
+    // corpus n-gram heavy hitters: the exchange carries (ngram,
+    // partial-count) pairs — vocabulary-bounded per partition, so the
+    // replicated corpus (identical vocab) should grow runtime with
+    // the SCAN, not the exchange
+    spark.catalog.clearCache()
+    time("ngram_topk_10x") {
+      graft.text.TextAnalysis.ngramTopK(docs, "text", 3, 20).count()
+    }
+    // rank_vectors maxSim: per-row compiled dot kernels + one
+    // partial agg of per-query maxima per doc (a few doubles per doc
+    // across the exchange)
+    time("maxsim_10x") {
+      val emb = times(Tables.embeddings(spark, sfDir), "vec_id", 10000000L)
+      val q1 = (0 until 64).map(i => (i * 37 % 100) / 100.0 - 0.5)
+      val q2 = (0 until 64).map(i => (i * 53 % 100) / 100.0 - 0.5)
+      graft.sim.Ann.maxSimTopK(
+        emb.withColumn("doc_id", pmod(col("vec_id"), lit(500L))),
+        "doc_id", "embedding", Seq(q1, q2), 10).count()
+    }
+    // TSDS time_series: one partial agg per dimension tuple — series
+    // cardinality is fixed while events grow 10x, so the exchange is
+    // constant-size and the probe should scale with the scan
+    time("time_series_10x") {
+      val ev = times(Tables.events(spark, sfDir), "user_id", 100000L)
+      graft.sources.Downsample.timeSeriesAgg(
+        ev.withColumn("shard", pmod(col("user_id"), lit(3)).cast("string")),
+        "ts_ns", Seq("event_type", "shard"), "value").count()
+    }
+    // multivalue sort mode: group-local collect + narrow fold, one
+    // ordered limit — the collect_list shuffle carries quantities
+    // only (no wide rows)
+    time("sort_mode_10x") {
+      val qty = li.groupBy(col("l_orderkey"))
+        .agg(collect_list(col("l_quantity")).as("qtys"))
+      val ord = times(Tables.orders(spark, sfDir), "o_orderkey", 100000000L)
+      ord.join(qty, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"),
+          graft.search.Sorting.key("""{"qtys": {"mode": "median"}}""").as("qty_median"))
+        .orderBy(col("qty_median").desc, col("o_orderkey"))
+        .limit(100).count()
+    }
     spark.stop()
   }
 }

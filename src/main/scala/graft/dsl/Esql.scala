@@ -168,13 +168,15 @@ object Esql {
     /** Exact integral division of a long column. Column./ is DOUBLE
       * division, and an epoch-ns DIVIDEND already exceeds double's
       * exact-integer range (2^53) — the rounding error can shift the
-      * quotient by one unit at representation boundaries. Strip the
-      * remainder (long math, exact), then divide in DECIMAL: the
-      * quotient of the exact multiple is integral, so any result
-      * scale represents it exactly. Positive-domain (event time)
-      * semantics. */
-    private def longDiv(x: Column, n: Long): Column =
-      ((x - pmod(x, lit(n))).cast("decimal(38,0)") / lit(n)).cast("long")
+      * quotient by one unit at representation boundaries. Catalyst's
+      * IntegralDivide is the SQL `div` operator: exact long division
+      * in codegen (truncating, which equals floor on the positive
+      * event-time domain). */
+    private def longDiv(x: Column, n: Long): Column = {
+      import org.apache.spark.sql.GraftBridge
+      GraftBridge.column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        GraftBridge.expression(x.cast("long")), GraftBridge.expression(lit(n))))
+    }
 
     /** ns-long event time (graft's ES|QL date type) → µs timestamp for
       * Spark's calendar functions. Truncating ns→µs never crosses a

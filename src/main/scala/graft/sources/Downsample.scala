@@ -59,6 +59,13 @@ object Downsample {
         sum(col(s"${metric}_sum")).as(s"${metric}_sum"))
   }
 
+  private def nsToMs(c: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      GraftBridge.expression(c.cast("long")),
+      GraftBridge.expression(lit(1000000L))))
+  }
+
   /** TSDS `_tsid`: the deterministic identity ES computes for every
     * time-series document from its dimension tuple — the routing and
     * dedup key of time-series mode. 48-bit md5 of the
@@ -86,13 +93,11 @@ object Downsample {
         count(lit(1)).as("doc_count"),
         // series spans in epoch MILLIS (ES date semantics; also the
         // precision every engine reproduces — ns survives parquet but
-        // not every reader). DECIMAL division: epoch-ns exceeds
-        // double's exact-integer range (2^53), so Column./ would be
-        // off by a unit near representation boundaries
-        ((min(col(tsCol)) - pmod(min(col(tsCol)), lit(1000000L))).cast("decimal(38,0)")
-          / lit(1000000L)).cast("long").as("ts_min"),
-        ((max(col(tsCol)) - pmod(max(col(tsCol)), lit(1000000L))).cast("decimal(38,0)")
-          / lit(1000000L)).cast("long").as("ts_max"),
+        // not every reader). IntegralDivide (SQL `div`): epoch-ns
+        // exceeds double's exact-integer range (2^53), so Column./
+        // would be off by a unit near representation boundaries
+        nsToMs(min(col(tsCol))).as("ts_min"),
+        nsToMs(max(col(tsCol))).as("ts_max"),
         graft.util.Num.round(min(col(metric)), 4).as(s"${metric}_min"),
         graft.util.Num.round(max(col(metric)), 4).as(s"${metric}_max"),
         graft.util.Num.round(sum(col(metric).cast("decimal(18,4)")).cast("double"), 4)
