@@ -249,6 +249,11 @@ object SparkEntry {
     "q_multi_match" -> ((s, d) =>
       Search.multiMatchTopK(t(s, d, "documents"), "doc_id",
         Seq("text", "source"), "merge src5", 10)),
+    // multi_match type: phrase — per-field BM25 gated on the phrase
+    // matching in THAT field, best-fields combine
+    "q_multi_match_phrase" -> ((s, d) =>
+      Search.multiMatchPhraseTopK(t(s, d, "documents"), "doc_id",
+        Seq("text", "source"), "table scan", 10)),
     "q_rank_feature" -> ((s, d) =>
       Search.rankFeatureTopK(t(s, d, "documents"), "doc_id", "n_chars", 200.0, 15)),
     // script_score: Painless subset compiled to codegen'd column math
@@ -1109,6 +1114,22 @@ object SparkEntry {
         .orderBy(col("qty_median").desc, col("o_orderkey"))
         .limit(100)
     }),
+    // nested sort: mode fold over inner docs RESTRICTED by a filter —
+    // orders ranked by their min returned-item quantity; orders with
+    // no matching inner doc sort as missing (last)
+    "q_sort_nested" -> ((s, d) => {
+      val items = t(s, d, "lineitem").groupBy(col("l_orderkey"))
+        .agg(collect_list(struct(col("l_quantity"), col("l_returnflag"))).as("items"))
+      t(s, d, "orders").join(items, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"),
+          Num.round(Sorting.key(
+            """{"items.l_quantity": {"order": "asc", "mode": "min",
+              |  "nested": {"path": "items",
+              |             "filter": {"term": {"l_returnflag": "R"}}}}}"""
+              .stripMargin), 4).as("min_r_qty"))
+        .orderBy(col("min_r_qty").asc_nulls_last, col("o_orderkey"))
+        .limit(100)
+    }),
     // _geo_distance sort: haversine km from the query point as the
     // key; sorted on the ROUNDED value so the limit boundary is
     // engine-deterministic
@@ -1359,6 +1380,14 @@ object SparkEntry {
       bm25Ctes("1", "tok", Seq("merge", "src5")) +
       bm25Ctes("2", "stok", Seq("merge", "src5")) +
       ", u AS (SELECT id, score AS s FROM sc1 UNION ALL SELECT id, score FROM sc2) " +
+      "SELECT id, round(max(s), 4) AS score FROM u GROUP BY id ORDER BY score DESC, id LIMIT 10"),
+    "q_multi_match_phrase" -> (TokCte + STokCte +
+      bm25Ctes("1", "tok", Seq("table", "scan")) +
+      bm25Ctes("2", "stok", Seq("table", "scan")) +
+      ", g1 AS (SELECT doc_id FROM tok WHERE contains(' ' || array_to_string(toks, ' ') || ' ', ' table scan ')), " +
+      "g2 AS (SELECT doc_id FROM stok WHERE contains(' ' || array_to_string(toks, ' ') || ' ', ' table scan ')), " +
+      "u AS (SELECT id, score AS s FROM sc1 WHERE id IN (SELECT doc_id FROM g1) " +
+      "UNION ALL SELECT id, score FROM sc2 WHERE id IN (SELECT doc_id FROM g2)) " +
       "SELECT id, round(max(s), 4) AS score FROM u GROUP BY id ORDER BY score DESC, id LIMIT 10"),
     "q_distance_feature" -> (GeoCte + " SELECT c_custkey AS id, " +
       "round(1000.0 / (1000.0 + 2 * 6371 * asin(sqrt(pow(sin(radians(10.0 - lat) / 2), 2) + " +
@@ -2133,6 +2162,10 @@ object SparkEntry {
       "FROM orders JOIN q ON o_orderkey = l_orderkey) " +
       "SELECT o_orderkey, round(med, 4) AS qty_median FROM m " +
       "ORDER BY round(med, 4) DESC, o_orderkey LIMIT 100"),
+    "q_sort_nested" -> ("WITH m AS (SELECT l_orderkey, " +
+      "min(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS k FROM lineitem GROUP BY 1) " +
+      "SELECT o_orderkey, round(k, 4) AS min_r_qty FROM orders JOIN m ON o_orderkey = l_orderkey " +
+      "ORDER BY min_r_qty ASC NULLS LAST, o_orderkey LIMIT 100"),
     "q_sort_geo" -> (GeoCte + " SELECT c_custkey, dist_km FROM (SELECT c_custkey, " +
       "round(2 * 6371 * asin(sqrt(pow(sin(radians(0.0 - lat) / 2), 2) + " +
       "cos(radians(lat)) * cos(radians(0.0)) * pow(sin(radians(0.0 - lon) / 2), 2))), 4) AS dist_km " +

@@ -728,6 +728,33 @@ object Search {
       .limit(k)
   }
 
+  /** `multi_match` with `type: phrase` / `phrase_prefix`: each field
+    * contributes its BM25 score only for docs where the PHRASE
+    * matches in that field (prefix variant leaves the trailing term
+    * open), combined best-fields. The phrase gate is the codegen'd
+    * substring/boundary predicate; index-wide df statistics are kept
+    * (ES semantics) by scoring first and semi-joining the gate. */
+  def multiMatchPhraseTopK(
+      docs: DataFrame,
+      idCol: String,
+      fields: Seq[String],
+      query: String,
+      k: Int,
+      prefix: Boolean = false): DataFrame = {
+    require(fields.nonEmpty, "multiMatchPhraseTopK needs at least one field")
+    fields.map { f =>
+      val gate =
+        if (prefix) matchPhrasePrefix(col(f), query) else matchPhrase(col(f), query)
+      bm25Scores(docs, idCol, f, query)
+        .join(docs.where(gate).select(col(idCol).as("id")), Seq("id"), "left_semi")
+        .select(col("id"), col("score").as("s"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("id"))
+      .agg(Num.round(max(col("s")), 4).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** `rank_feature` query (saturation function): score = x / (x +
     * pivot) — the sub-linear boost ES applies to numeric feature
     * fields (pagerank, url_length...). Pure codegen'd column math. */

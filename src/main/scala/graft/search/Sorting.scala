@@ -87,18 +87,37 @@ object Sorting {
     case JObject(JField(f, JObject(parts)) :: Nil) =>
       val m = parts.toMap
       val asc = !m.get("order").map(lits(_).toString).contains("desc")
-      val key = m.get("mode").map(lits(_).toString) match {
+      // nested sort: `f` is "path.sub" over an array-of-structs
+      // column; the optional filter (term/range on struct fields)
+      // restricts which inner docs feed the mode fold — evaluated
+      // per row on the array, no unnest/join
+      val source: Column = m.get("nested") match {
+        case Some(JObject(nparts)) =>
+          val nm = nparts.toMap
+          val path = lits(nm.getOrElse("path",
+            throw new IllegalArgumentException("nested sort needs path"))).toString
+          require(f.startsWith(path + "."), s"nested sort field $f must sit under $path")
+          val sub = f.stripPrefix(path + ".")
+          val base = nm.get("filter") match {
+            case Some(fq) => filter(col(path), x => nestedPred(x, fq))
+            case None => col(path)
+          }
+          transform(base, x => x.getField(sub))
+        case Some(other) => throw new IllegalArgumentException(s"bad nested spec: $other")
         case None => col(f)
-        case Some("min") => array_min(col(f))
-        case Some("max") => array_max(col(f))
-        case Some("sum") => aggregate(col(f), lit(0.0), (a, x) => a + x.cast("double"))
+      }
+      val key = m.get("mode").map(lits(_).toString) match {
+        case None => source
+        case Some("min") => array_min(source)
+        case Some("max") => array_max(source)
+        case Some("sum") => aggregate(source, lit(0.0), (a, x) => a + x.cast("double"))
         case Some("avg") =>
-          aggregate(col(f), lit(0.0), (a, x) => a + x.cast("double")) / size(col(f))
+          aggregate(source, lit(0.0), (a, x) => a + x.cast("double")) / size(source)
         case Some("median") =>
           // ES MultiValueMode.MEDIAN: even counts average the two
           // middle values; odd counts pick the middle (lo == hi)
-          val sorted = sort_array(col(f))
-          val n = size(col(f))
+          val sorted = sort_array(source)
+          val n = size(source)
           val lo = element_at(sorted, ((n + 1) / lit(2)).cast("int"))
           val hi = element_at(sorted, (n / lit(2) + 1).cast("int"))
           (lo.cast("double") + hi.cast("double")) / 2.0
@@ -113,6 +132,33 @@ object Sorting {
       }
 
     case other => throw new IllegalArgumentException(s"bad sort entry: $other")
+  }
+
+  /** The nested-sort filter against one struct element: term and
+    * range clauses on the struct's fields (the common nested-sort
+    * filters; full Query-DSL recursion would need per-element column
+    * resolution). */
+  private def nestedPred(x: Column, q: JValue): Column = q match {
+    case JObject(JField("term", JObject(JField(sf, v) :: Nil)) :: Nil) =>
+      x.getField(sf) === lit(lits(v))
+    case JObject(JField("range", JObject(JField(sf, JObject(bounds)) :: Nil)) :: Nil) =>
+      val b = bounds.toMap
+      Seq(
+        b.get("gte").map(v => x.getField(sf) >= lit(lits(v))),
+        b.get("gt").map(v => x.getField(sf) > lit(lits(v))),
+        b.get("lte").map(v => x.getField(sf) <= lit(lits(v))),
+        b.get("lt").map(v => x.getField(sf) < lit(lits(v)))).flatten
+        .reduceOption(_ && _)
+        .getOrElse(throw new IllegalArgumentException("nested range filter needs a bound"))
+    case JObject(JField("bool", JObject(parts)) :: Nil) =>
+      val m = parts.toMap
+      def list(key: String): Seq[Column] = m.get(key).toSeq.flatMap {
+        case JArray(xs) => xs.map(nestedPred(x, _))
+        case single => Seq(nestedPred(x, single))
+      }
+      (list("must") ++ list("filter")).reduceOption(_ && _).getOrElse(lit(true)) &&
+        list("must_not").map(!_).reduceOption(_ && _).getOrElse(lit(true))
+    case other => throw new IllegalArgumentException(s"unsupported nested sort filter: $other")
   }
 
   /** ES places missing values last by default REGARDLESS of order

@@ -273,6 +273,27 @@ class SearchSpec extends SparkSpec {
     assert(order("""[{"maybe": {"order": "desc"}}]""") == Seq(3L, 1L, 2L))
     assert(order("""[{"maybe": {"order": "asc", "missing": "_first"}}]""") == Seq(2L, 1L, 3L))
     assert(order("""[{"maybe": {"order": "asc", "missing": 5.0}}]""") == Seq(1L, 2L, 3L))
+    // nested sort: filtered struct-array fold; empty match = missing
+    val nested = Seq(
+      (1L, Seq((5.0, "R"), (2.0, "N"))),
+      (2L, Seq((9.0, "R"), (1.0, "R"))),
+      (3L, Seq((4.0, "N")))).toDF("id", "items")
+      .select(col("id"), col("items").cast(
+        "array<struct<qty:double,flag:string>>"))
+    val nOrder = nested.orderBy(Sorting.compile(
+      """[{"items.qty": {"order": "asc", "mode": "min",
+           "nested": {"path": "items", "filter": {"term": {"flag": "R"}}}}}]""")
+      :+ col("id").asc: _*).select("id").as[Long].collect().toSeq
+    // id2 min R-qty 1.0, id1 5.0, id3 no R items -> missing, last
+    assert(nOrder == Seq(2L, 1L, 3L))
+    val nBool = nested.orderBy(Sorting.compile(
+      """[{"items.qty": {"order": "desc", "mode": "max",
+           "nested": {"path": "items", "filter": {"bool": {
+             "must": [{"range": {"qty": {"lt": 9.0}}}],
+             "must_not": [{"term": {"flag": "N"}}]}}}}}]""")
+      :+ col("id").asc: _*).select("id").as[Long].collect().toSeq
+    // id1 max 5.0 (R only), id2 max 1.0 (9.0 excluded by lt), id3 missing
+    assert(nBool == Seq(1L, 2L, 3L))
     // geo + script keys compile to plain column math
     val geo = Seq((1L, 0.0, 1.0), (2L, 0.0, 50.0)).toDF("id", "p_lat", "p_lon")
     val gOrder = geo.orderBy(Sorting.compile(
