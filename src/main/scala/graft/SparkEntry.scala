@@ -821,6 +821,19 @@ object SparkEntry {
         max_by(col("n_chars"), col("doc_id")).as("latest_n_chars"),
         max(col("doc_id")).as("latest_doc"))
       .orderBy(col("lang"))),
+    // top_metrics with SEVERAL metrics from the same top document
+    // (one max_by struct — atomically the same row's values, which
+    // separate max_by calls would not guarantee under ties)
+    "q_agg_top_metrics_multi" -> ((s, d) => t(s, d, "documents")
+      .groupBy(col("lang"))
+      .agg(max_by(struct(col("n_chars"), col("source")), col("doc_id")).as("m"),
+        max(col("doc_id")).as("latest_doc"))
+      .select(col("lang"), col("m.n_chars").as("latest_n_chars"),
+        col("m.source").as("latest_source"), col("latest_doc"))
+      .orderBy(col("lang"))),
+    // date_histogram with offset: +10 days shifts bucket boundaries
+    "q_agg_date_histogram_offset" -> ((s, d) =>
+      Aggs.dateHistogramOffsetAgg(t(s, d, "orders"), "o_orderdate", "month", "10 days")),
     "q_agg_string_stats" -> ((s, d) => t(s, d, "documents")
       .agg(
         count(col("text")).as("cnt"),
@@ -2067,6 +2080,12 @@ object SparkEntry {
 
     "q_agg_top_metrics" -> ("SELECT lang, max_by(n_chars, doc_id) AS latest_n_chars, " +
       "max(doc_id) AS latest_doc FROM documents GROUP BY lang ORDER BY lang"),
+    "q_agg_top_metrics_multi" -> ("SELECT lang, max_by(n_chars, doc_id) AS latest_n_chars, " +
+      "max_by(source, doc_id) AS latest_source, max(doc_id) AS latest_doc " +
+      "FROM documents GROUP BY lang ORDER BY lang"),
+    "q_agg_date_histogram_offset" -> ("SELECT date_trunc('month', o_orderdate - INTERVAL 10 DAY) " +
+      "+ INTERVAL 10 DAY AS bucket, count(*)::BIGINT AS doc_count FROM orders " +
+      "GROUP BY 1 ORDER BY bucket"),
     "q_agg_string_stats" -> ("SELECT count(text)::BIGINT AS cnt, min(length(text))::INT AS min_length, " +
       "max(length(text))::INT AS max_length, round(avg(length(text)), 4) AS avg_length FROM documents"),
     "q_agg_sampler" -> ("WITH h AS (SELECT *, list_reduce(list_prepend(0::BIGINT, " +

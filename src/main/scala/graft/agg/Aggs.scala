@@ -171,6 +171,17 @@ object Aggs {
       .agg(count(lit(1)).as("doc_count"))
       .orderBy(col("bucket").asc)
 
+  /** date_histogram with `offset` — bucket boundaries shifted by a
+    * fixed amount (ES's "+6h"-style offset): shift, truncate, shift
+    * back. Still one truncation per row, one partial-agg pass. */
+  def dateHistogramOffsetAgg(
+      df: DataFrame, tsField: String, interval: String, offset: String): DataFrame =
+    df.groupBy((date_trunc(interval,
+        col(tsField) - expr(s"interval $offset")) + expr(s"interval $offset"))
+        .as("bucket"))
+      .agg(count(lit(1)).as("doc_count"))
+      .orderBy(col("bucket").asc)
+
   /** `{"range": {"field": f, "ranges": [...]}}` — half-open [from, to)
     * buckets like ES; one pass via a CASE bucket key. */
   def rangeAgg(df: DataFrame, field: String, edges: Seq[Double]): DataFrame = {
