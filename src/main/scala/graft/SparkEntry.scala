@@ -287,6 +287,12 @@ object SparkEntry {
       graft.dedup.Vectors.quantizeInt8Stats(t(s, d, "embeddings"), "vec_id", "embedding")),
     // script_score with dense-vector functions (ES semantic-search
     // scoring: cosineSimilarity over a stored embedding + 1.0)
+    // Painless statement subset: a for-loop over the stored vector
+    // compiles to ONE aggregate fold (no per-row interpreter)
+    "q_script_loop" -> ((s, d) => Search.scriptScoreTopK(
+      t(s, d, "embeddings"), "vec_id", query = lit(true),
+      script = "def s = 0.0; for (x in doc['embedding']) { s += x * x } return Math.sqrt(s)",
+      params = Map.empty, k = 15)),
     "q_script_vector" -> ((s, d) =>
       Search.scriptScoreTopK(t(s, d, "embeddings"), "vec_id",
         query = lit(true),
@@ -1702,6 +1708,9 @@ object SparkEntry {
       "SELECT vec_id AS id, round(scale, 6) AS scale, round(list_max(errs), 6) AS max_err, " +
       "round(list_reduce(list_prepend(0.0, list_transform(errs, e -> e * e)), (a, b) -> a + b) / len(v), 6) AS mse " +
       "FROM r JOIN e USING (vec_id) ORDER BY id"),
+    "q_script_loop" -> ("SELECT vec_id AS id, round(sqrt(list_reduce(list_prepend(0.0, " +
+      "list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)), (a, b) -> a + b)), 4) AS score " +
+      "FROM embeddings ORDER BY score DESC, id LIMIT 15"),
     "q_script_vector" -> ("WITH q AS (SELECT " + ScriptQv.mkString("[", ", ", "]") + "::DOUBLE[] AS v), " +
       "e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), " +
       "n AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm FROM e), " +

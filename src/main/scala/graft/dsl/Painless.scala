@@ -27,7 +27,96 @@ object Painless {
       src: String,
       params: Map[String, Any] = Map.empty,
       score: Column = lit(1.0)): Column =
-    new Parser(lex(src), params, score).parseFull()
+    if (src.contains(";") || src.trim.startsWith("def "))
+      compileScript(src, params, score)
+    else new Parser(lex(src, Set.empty), params, score, Map.empty).parseFull()
+
+  /** The statement subset: `def` locals, `for` loops over doc
+    * arrays, assignment, `return`.
+    *
+    * {{{
+    * def s = 0.0;
+    * for (x in doc['embedding']) { s += x * x }
+    * return Math.sqrt(s)
+    * }}}
+    *
+    * `def` binds a compiled sub-expression; a `for` over an array
+    * column compiles the whole loop to ONE `aggregate` fold whose
+    * lambda is the compiled body (the loop variable and accumulator
+    * become the lambda's bound columns). The fold is a Spark HOF —
+    * interpreted, not codegen'd — so a scripted loop costs more per
+    * row than the expression subset; fine for doc-array sizes
+    * (10s-100s of elements), and the honest alternative to rejecting
+    * loops outright. Loops must accumulate into exactly one `def`
+    * variable; `return` ends the script. */
+  private def compileScript(
+      src: String, params: Map[String, Any], score: Column): Column = {
+    val stmts = splitStmts(src).map(_.trim).filter(_.nonEmpty)
+    var env = Map.empty[String, Column]
+    def exprC(s0: String, extra: Map[String, Column] = Map.empty): Column =
+      new Parser(lex(s0, env.keySet ++ extra.keySet), params, score, env ++ extra)
+        .parseFull()
+    var ret: Option[Column] = None
+    val forPat = """(?s)for\s*\(\s*(\w+)\s+in\s+doc\[\s*'([^']+)'\s*\]\s*\)\s*\{(.+)\}""".r
+    val accPat = """(?s)\s*(\w+)\s*(\+=|=)\s*(.+)""".r
+    stmts.foreach {
+      case st if ret.isDefined =>
+        throw new IllegalArgumentException(s"statement after return: $st")
+      case st if st.startsWith("def ") =>
+        val eq = st.indexOf('=')
+        require(eq > 0, s"def needs an initializer: $st")
+        val name = st.substring(4, eq).trim
+        require(name.matches("[A-Za-z_][A-Za-z0-9_]*"), s"bad def name: $name")
+        env += name -> exprC(st.substring(eq + 1))
+      case forPat(v, field, body) =>
+        val (accName, op, rhs) = body.trim match {
+          case accPat(a, o, r) => (a, o, r)
+          case other => throw new IllegalArgumentException(
+            s"for body must be one accumulation statement: $other")
+        }
+        require(env.contains(accName),
+          s"loop accumulator '$accName' must be a def-ed local")
+        val init = env(accName).cast("double")
+        env += accName -> aggregate(col(field), init, (a, x) => {
+          val bodyC = exprC(rhs, Map(accName -> a, v -> x.cast("double")))
+          if (op == "+=") a + bodyC else bodyC
+        })
+      case st if st.startsWith("return") =>
+        ret = Some(exprC(st.stripPrefix("return")))
+      case accPat(name, "=", rhs) if env.contains(name) =>
+        env += name -> exprC(rhs)
+      case other => throw new IllegalArgumentException(s"unsupported statement: $other")
+    }
+    ret.getOrElse(throw new IllegalArgumentException("script needs a return statement"))
+  }
+
+  /** Split on `;` outside parens/braces/quotes; a `for (...) {...}`
+    * block counts as one statement even without a trailing `;`. */
+  private def splitStmts(src: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inStr = false
+    var i = 0
+    while (i < src.length) {
+      val c = src.charAt(i)
+      if (inStr) { cur += c; if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true; cur += c
+        case '(' | '{' | '[' => depth += 1; cur += c
+        case '}' =>
+          depth -= 1; cur += c
+          // a closed top-level block ends its statement
+          if (depth == 0) { out += cur.result(); cur.clear() }
+        case ')' | ']' => depth -= 1; cur += c
+        case ';' if depth == 0 => out += cur.result(); cur.clear()
+        case _ => cur += c
+      }
+      i += 1
+    }
+    if (cur.nonEmpty) out += cur.result()
+    out.toList
+  }
 
   // ---- lexer ----------------------------------------------------------
 
@@ -38,6 +127,7 @@ object Painless {
   private final case class ParamRef(name: String) extends Tok
   private case object ScoreRef extends Tok
   private final case class Fn(name: String) extends Tok
+  private final case class Ident(name: String) extends Tok
   private final case class Op(s: String) extends Tok
   private case object Open extends Tok
   private case object Close extends Tok
@@ -50,7 +140,7 @@ object Painless {
     "saturation", "sigmoid",
     "cosineSimilarity", "dotProduct", "l2norm")
 
-  private def lex(src: String): List[Tok] = {
+  private def lex(src: String, idents: Set[String]): List[Tok] = {
     val out = scala.collection.mutable.ListBuffer.empty[Tok]
     var i = 0
     val n = src.length
@@ -84,9 +174,11 @@ object Painless {
         val j = src.indexWhere(ch => !(ch.isLetterOrDigit || ch == '.' || ch == '_'), i)
         val end = if (j < 0) n else j
         val word = src.substring(i, end)
-        if (!fnNames.contains(word)) throw new IllegalArgumentException(
+        if (fnNames.contains(word)) out += Fn(word)
+        else if (idents.contains(word)) out += Ident(word)
+        else throw new IllegalArgumentException(
           s"unsupported identifier '$word' in script: $src")
-        out += Fn(word); i = end
+        i = end
       } else c match {
         case '(' => out += Open; i += 1
         case ')' => out += Close; i += 1
@@ -105,7 +197,8 @@ object Painless {
   // ---- parser ---------------------------------------------------------
 
   private final class Parser(
-      var toks: List[Tok], params: Map[String, Any], score: Column) {
+      var toks: List[Tok], params: Map[String, Any], score: Column,
+      env: Map[String, Column]) {
 
     def parseFull(): Column = {
       val c = parseTernary()
@@ -187,6 +280,8 @@ object Painless {
 
     private def parsePrimary(): Column = next() match {
       case Num(v) => lit(v)
+      case Ident(n) => env.getOrElse(n,
+        throw new IllegalArgumentException(s"unbound local '$n'"))
       case DocRef(f) => col(f).cast("double")
       case ParamRef(p) => params.getOrElse(p,
         throw new IllegalArgumentException(s"missing param '$p'")) match {

@@ -84,6 +84,31 @@ class PainlessSpec extends SparkSpec {
       graft.dsl.Painless.compile("cosineSimilarity(params.qv, 7)", Map("qv" -> Seq(1.0))))
   }
 
+  test("statement subset: defs, for loops over doc arrays, return") {
+    import graft.dsl.Painless
+    val docs = Seq(
+      (1L, Seq(3.0, 4.0)), (2L, Seq(1.0, 1.0, 1.0)), (3L, Seq.empty[Double]))
+      .toDF("id", "vals")
+    def run(src: String, params: Map[String, Any] = Map.empty): Map[Long, Double] =
+      docs.select(col("id"), Painless.compile(src, params).as("v"))
+        .as[(Long, Double)].collect().toMap
+    // loop folds to one aggregate; empty array returns the init
+    val sumsq = run(
+      "def s = 0.0; for (x in doc['vals']) { s += x * x } return Math.sqrt(s)")
+    assert(sumsq == Map(1L -> 5.0, 2L -> math.sqrt(3.0), 3L -> 0.0))
+    // locals compose; reassignment; params inside loop bodies
+    val scaled = run(
+      """def s = 0.0;
+        |def bias = params.b;
+        |for (x in doc['vals']) { s += x }
+        |s = s * 2.0;
+        |return s + bias""".stripMargin, Map("b" -> 10.0))
+    assert(scaled == Map(1L -> 24.0, 2L -> 16.0, 3L -> 10.0))
+    intercept[IllegalArgumentException](
+      run("def s = 0.0; for (x in doc['vals']) { t += x } return s"))
+    intercept[IllegalArgumentException](run("def s = 1.0; s + 1.0"))
+  }
+
   test("scriptScoreTopK: filter gates, script replaces score") {
     val docs = Seq(
       (1L, 10L), (2L, 40L), (3L, 90L), (4L, 5L)).toDF("doc_id", "w")
