@@ -547,6 +547,16 @@ object Esql {
     segs.tail.foldLeft(source)(applyCommand(_, _, resolve))
   }
 
+  private def expandColumnPattern(df: DataFrame, p: String): Seq[String] =
+    if (!p.contains("*")) Seq(p)
+    else {
+      val re = ("^" + p.split("\\*", -1).map(java.util.regex.Pattern.quote)
+        .mkString(".*") + "$").r
+      val hits = df.columns.filter(c => re.findFirstIn(c).isDefined).toSeq
+      require(hits.nonEmpty, s"no columns match pattern: $p")
+      hits
+    }
+
   /** `ROW a = 1, b = "x"` — a one-row literal source (the ES|QL
     * scratchpad form). Built on a 1-row range so the assignments are
     * ordinary eval expressions. */
@@ -568,8 +578,17 @@ object Esql {
     kw.toLowerCase match {
       case "where" => df.where(new P(lex(body)).parseExpr())
       case "limit" => df.limit(body.trim.toInt)
-      case "keep" => df.select(splitTopLevel(body, ',').map(c => col(c.trim)): _*)
-      case "drop" => splitTopLevel(body, ',').map(_.trim).foldLeft(df)(_ drop _)
+      // KEEP/DROP accept `*` wildcards (ES|QL qualified-name
+      // patterns); KEEP preserves the pattern-list order with each
+      // pattern's matches in schema order, like ES|QL
+      case "keep" =>
+        val picked = splitTopLevel(body, ',').map(_.trim)
+          .flatMap(p => expandColumnPattern(df, p)).distinct
+        df.select(picked.map(col): _*)
+      case "drop" =>
+        val dropped = splitTopLevel(body, ',').map(_.trim)
+          .flatMap(p => expandColumnPattern(df, p)).distinct
+        df.drop(dropped: _*)
       case "eval" =>
         splitTopLevel(body, ',').foldLeft(df) { (acc, assign) =>
           val (name, e) = parseAssign(assign)

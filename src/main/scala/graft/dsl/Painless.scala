@@ -81,6 +81,33 @@ object Painless {
           val bodyC = exprC(rhs, Map(accName -> a, v -> x.cast("double")))
           if (op == "+=") a + bodyC else bodyC
         })
+      // if (cond) { x = a } [else { x = b }] — both branches assign
+      // the SAME def-ed local; compiles to when/otherwise (no else =
+      // keep the current value)
+      case st if st.startsWith("if") =>
+        val ifPat =
+          """(?s)if\s*\((.+?)\)\s*\{(.+?)\}(?:\s*else\s*\{(.+?)\})?\s*""".r
+        st match {
+          case ifPat(cond, thenB, elseB) =>
+            val condC = exprC(cond)
+            val (name, thenC) = thenB.trim match {
+              case accPat(n, o, r) =>
+                require(env.contains(n), s"if-branch target '$n' must be a def-ed local")
+                (n, if (o == "+=") env(n) + exprC(r) else exprC(r))
+              case other => throw new IllegalArgumentException(
+                s"if branch must be one assignment: $other")
+            }
+            val elseC = Option(elseB).map(_.trim) match {
+              case Some(accPat(n2, o2, r2)) =>
+                require(n2 == name, s"if/else branches must assign the same local ($name vs $n2)")
+                if (o2 == "+=") env(name) + exprC(r2) else exprC(r2)
+              case Some(other) => throw new IllegalArgumentException(
+                s"else branch must be one assignment: $other")
+              case None => env(name)
+            }
+            env += name -> when(condC =!= 0.0, thenC).otherwise(elseC)
+          case other => throw new IllegalArgumentException(s"unsupported if statement: $other")
+        }
       case st if st.startsWith("return") =>
         ret = Some(exprC(st.stripPrefix("return")))
       case accPat(name, "=", rhs) if env.contains(name) =>
@@ -106,8 +133,12 @@ object Painless {
         case '(' | '{' | '[' => depth += 1; cur += c
         case '}' =>
           depth -= 1; cur += c
-          // a closed top-level block ends its statement
-          if (depth == 0) { out += cur.result(); cur.clear() }
+          // a closed top-level block ends its statement — unless an
+          // `else` continues it
+          if (depth == 0 &&
+              !src.substring(i + 1).dropWhile(_.isWhitespace).startsWith("else")) {
+            out += cur.result(); cur.clear()
+          }
         case ')' | ']' => depth -= 1; cur += c
         case ';' if depth == 0 => out += cur.result(); cur.clear()
         case _ => cur += c

@@ -234,6 +234,16 @@ class EsqlSpec extends SparkSpec {
       Esql.applyCommand(d2, """eval z = date_extract("century", ts_ns)"""))
   }
 
+  test("KEEP / DROP wildcards expand against the schema") {
+    val wide = Seq((1L, "a", 2.0, 3.0)).toDF("id", "k", "v_min", "v_max")
+    assert(Esql.applyCommand(wide, "keep id, v_*").columns.toSeq
+      == Seq("id", "v_min", "v_max"))
+    assert(Esql.applyCommand(wide, "drop v_*").columns.toSeq == Seq("id", "k"))
+    assert(Esql.applyCommand(wide, "keep *max, id").columns.toSeq
+      == Seq("v_max", "id"))
+    intercept[IllegalArgumentException](Esql.applyCommand(wide, "keep z_*"))
+  }
+
   test("SORT null placement: ES|QL nulls-are-largest default + overrides") {
     val ids = (pipe: String) =>
       Esql.applyCommand(df, pipe).select("id").as[Long].collect().toSeq

@@ -107,6 +107,19 @@ class PainlessSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       run("def s = 0.0; for (x in doc['vals']) { t += x } return s"))
     intercept[IllegalArgumentException](run("def s = 1.0; s + 1.0"))
+    // if/else compiles to when/otherwise over def-ed locals
+    val gated = run(
+      """def s = 0.0;
+        |for (x in doc['vals']) { s += x }
+        |if (s > 4.0) { s = s * 10.0 } else { s = s + 0.5 }
+        |return s""".stripMargin)
+    assert(gated == Map(1L -> 70.0, 2L -> 3.5, 3L -> 0.5))
+    // if without else keeps the current value
+    val keep = run(
+      "def s = 2.0; if (doc['id'].value > 2.0) { s = 9.0 } return s")
+    assert(keep == Map(1L -> 2.0, 2L -> 2.0, 3L -> 9.0))
+    intercept[IllegalArgumentException](
+      run("def a = 1.0; def b = 2.0; if (a > 0.0) { a = 3.0 } else { b = 4.0 } return a"))
   }
 
   test("scriptScoreTopK: filter gates, script replaces score") {
