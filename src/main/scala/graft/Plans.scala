@@ -19,7 +19,10 @@ object Plans {
         "q_sample_strat", "q_agg_rate", "q_agg_auto_date_histogram",
         // r4 flagships
         "q_knn", "q_dedup_paragraph", "q_lm_score", "q_agg_cum_card",
-        "q_simple_query_string", "q_agg_variable_width")
+        "q_simple_query_string", "q_agg_variable_width",
+        // r6 flagships
+        "q_sort_mode", "q_ngram_topk", "q_agg_terms_partition",
+        "q_rank_vectors", "q_time_series", "q_ltr", "q_mtermvectors")
       case names => names
     }) {
       println(s"========= $name")
