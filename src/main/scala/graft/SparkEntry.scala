@@ -189,6 +189,15 @@ object SparkEntry {
           |  {"match": {"query": "join"}}],
           |  "max_gaps": 2, "ordered": true}}}}""".stripMargin))
       .select(col("doc_id")).orderBy(col("doc_id"))),
+    // intervals filter: ordered "hash .. join" windows (gaps <= 3)
+    // with NO "table" strictly inside — compiled position-list kernel
+    "q_intervals_filter" -> ((s, d) => t(s, d, "documents")
+      .where(graft.dsl.QueryDslJson.compile(
+        """{"intervals": {"text": {"match": {"query": "hash join",
+          |  "max_gaps": 3, "ordered": true,
+          |  "filter": {"not_containing": {"match": {"query": "table"}}}}}}}"""
+          .stripMargin))
+      .select(col("doc_id")).orderBy(col("doc_id"))),
     // case_insensitive term-level queries (ES 7.10 option)
     "q_term_ci" -> ((s, d) => t(s, d, "documents")
       .where(graft.dsl.QueryDslJson.compile(
@@ -1366,6 +1375,13 @@ object SparkEntry {
     "q_fuzzy" -> "SELECT doc_id, source FROM documents WHERE levenshtein(source, 'src12') <= 1 ORDER BY doc_id",
     "q_fuzzy_damerau" -> ("SELECT doc_id, source FROM documents " +
       "WHERE damerau_levenshtein(source, 'rsc3') <= 2 ORDER BY doc_id"),
+    "q_intervals_filter" -> (TokCte + ", p AS (SELECT doc_id, " +
+      "list_filter(range(1, len(toks) + 1), i -> toks[i] = 'hash') AS ph, " +
+      "list_filter(range(1, len(toks) + 1), i -> toks[i] = 'join') AS pj, " +
+      "list_filter(range(1, len(toks) + 1), i -> toks[i] = 'table') AS pt FROM tok) " +
+      "SELECT doc_id FROM p WHERE len(list_filter(ph, a -> len(list_filter(pj, " +
+      "b -> b > a AND b - a <= 4 AND len(list_filter(pt, t -> t > a AND t < b)) = 0)) > 0)) > 0 " +
+      "ORDER BY doc_id"),
     "q_intervals" -> (TokCte + ", p AS (SELECT doc_id, " +
       "list_filter(range(1, len(toks) + 1), i -> toks[i] = 'hash') AS ph, " +
       "list_filter(range(1, len(toks) + 1), i -> toks[i] = 'merge') AS pm, " +

@@ -81,9 +81,37 @@ object QueryDslJson {
         throw new IllegalArgumentException("intervals match needs query"))).toString
       val maxGaps = m.get("max_gaps").map(lits(_).toString.toInt).getOrElse(-1)
       val ordered = m.get("ordered").map(lits(_).toString.toBoolean).getOrElse(false)
-      if (maxGaps < 0) Search.matchQueryAnd(c, q)
-      else if (ordered) Search.matchPhraseSlop(c, q, maxGaps)
-      else Search.spanNear(c, q, maxGaps)
+      m.get("filter") match {
+        // {"filter": {"not_containing"|"containing": {"match":
+        //  {"query": t}}}} — some qualifying source window must
+        // (not) contain t STRICTLY inside. Compiled kernel over the
+        // position lists; subset: two-term source, single-term filter
+        case Some(JObject(JField(mode @ ("not_containing" | "containing"),
+            inner) :: Nil)) =>
+          val terms = graft.analysis.Analyzer.analyze(q)
+          require(terms.length == 2 && maxGaps >= 0,
+            s"intervals filter needs a two-term bounded source match (got: $q)")
+          val fTerm = inner match {
+            case JObject(JField("match", JObject(fp)) :: Nil) =>
+              val ft = graft.analysis.Analyzer.analyze(
+                lits(fp.toMap.getOrElse("query",
+                  throw new IllegalArgumentException("filter match needs query"))).toString)
+              require(ft.length == 1, "intervals filter takes a single-term match")
+              ft.head
+            case other => throw new IllegalArgumentException(s"bad filter rule: $other")
+          }
+          org.apache.spark.sql.GraftBridge.column(graft.expr.IntervalFilterMatch(
+            org.apache.spark.sql.GraftBridge.expression(
+              graft.analysis.Analyzer.tokens(c)),
+            terms.head, terms(1), fTerm, maxGaps, ordered,
+            wantContained = mode == "containing"))
+        case Some(other) =>
+          throw new IllegalArgumentException(s"unsupported intervals filter: $other")
+        case None =>
+          if (maxGaps < 0) Search.matchQueryAnd(c, q)
+          else if (ordered) Search.matchPhraseSlop(c, q, maxGaps)
+          else Search.spanNear(c, q, maxGaps)
+      }
 
     case JObject(JField("prefix", JObject(parts)) :: Nil) =>
       val p = lits(parts.toMap.getOrElse("prefix",

@@ -360,6 +360,55 @@ object HashKernels {
     d(m + 1)(n + 1)
   }
 
+  /** The intervals query's `filter` rules over a TWO-term source
+    * match: does some qualifying (a..b) window contain / not contain
+    * the filter term strictly inside? Windows are a-then-b
+    * occurrences with gap <= maxGaps (ordered) or either order
+    * (unordered). One pass collects the three position lists; the
+    * pair scan is bounded by occurrence counts, not doc length. */
+  def intervalFilterKernel(
+      toks: ArrayData,
+      a: UTF8String, b: UTF8String, exclude: UTF8String,
+      maxGaps: Int, ordered: Boolean, wantContained: Boolean): Boolean = {
+    val n = toks.numElements()
+    val pa = new java.util.ArrayList[Integer]()
+    val pb = new java.util.ArrayList[Integer]()
+    val pe = new java.util.ArrayList[Integer]()
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      if (a.equals(t)) pa.add(i)
+      if (b.equals(t)) pb.add(i)
+      if (exclude.equals(t)) pe.add(i)
+      i += 1
+    }
+    def containsBetween(lo: Int, hi: Int): Boolean = {
+      var k = 0
+      while (k < pe.size()) {
+        val p = pe.get(k).intValue()
+        if (p > lo && p < hi) return true
+        k += 1
+      }
+      false
+    }
+    var ia = 0
+    while (ia < pa.size()) {
+      val x = pa.get(ia).intValue()
+      var ib = 0
+      while (ib < pb.size()) {
+        val y = pb.get(ib).intValue()
+        val (lo, hi) = if (x < y) (x, y) else (y, x)
+        val windowOk =
+          if (ordered) y > x && y - x <= maxGaps + 1
+          else lo != hi && hi - lo <= maxGaps + 1
+        if (windowOk && containsBetween(lo, hi) == wantContained) return true
+        ib += 1
+      }
+      ia += 1
+    }
+    false
+  }
+
   /** string -> analyzed token array: lowercase, then maximal
     * [a-z0-9] byte runs. Exactly the ES standard-analyzer semantics of
     * `filter(split(lower(x), "[^a-z0-9]+"), len > 0)` — every
@@ -1116,4 +1165,37 @@ case class DamerauLevenshtein(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DamerauLevenshtein =
     copy(left = newLeft, right = newRight)
+}
+
+/** intervals `filter` (containing / not_containing) over a two-term
+  * source match — see HashKernels.intervalFilterKernel. */
+case class IntervalFilterMatch(
+    child: Expression, a: String, b: String, exclude: String,
+    maxGaps: Int, ordered: Boolean, wantContained: Boolean)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "interval_filter_match"
+
+  @transient private lazy val aU: UTF8String = UTF8String.fromString(a)
+  @transient private lazy val bU: UTF8String = UTF8String.fromString(b)
+  @transient private lazy val eU: UTF8String = UTF8String.fromString(exclude)
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Boolean.valueOf(HashKernels.intervalFilterKernel(
+      input.asInstanceOf[ArrayData], aU, bU, eU, maxGaps, ordered, wantContained))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("a", aU, "org.apache.spark.unsafe.types.UTF8String")
+    val bRef = ctx.addReferenceObj("b", bU, "org.apache.spark.unsafe.types.UTF8String")
+    val eRef = ctx.addReferenceObj("e", eU, "org.apache.spark.unsafe.types.UTF8String")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.HashKernels.intervalFilterKernel(" +
+        s"$c, $aRef, $bRef, $eRef, $maxGaps, $ordered, $wantContained);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IntervalFilterMatch =
+    copy(child = newChild)
 }

@@ -243,6 +243,28 @@ class SearchSpec extends SparkSpec {
       """{"intervals": {"text": {"any_of": {"intervals": [
            {"match": {"query": "merge"}}, {"match": {"query": "wins"}}]}}}}""")
       == Set(1L, 3L))
+    // filter rules: (not_)containing over the source windows
+    val fdocs = Seq(
+      (10L, "hash quick join"), (11L, "hash table join"),
+      (12L, "join then hash")).toDF("id", "text")
+    def fids(q: String): Set[Long] =
+      fdocs.where(QueryDslJson.compile(q)).select("id").as[Long].collect().toSet
+    assert(fids(
+      """{"intervals": {"text": {"match": {"query": "hash join",
+           "max_gaps": 2, "ordered": true,
+           "filter": {"not_containing": {"match": {"query": "table"}}}}}}}""")
+      == Set(10L))
+    assert(fids(
+      """{"intervals": {"text": {"match": {"query": "hash join",
+           "max_gaps": 2, "ordered": true,
+           "filter": {"containing": {"match": {"query": "table"}}}}}}}""")
+      == Set(11L))
+    // unordered windows accept either term order
+    assert(fids(
+      """{"intervals": {"text": {"match": {"query": "hash join",
+           "max_gaps": 2, "ordered": false,
+           "filter": {"not_containing": {"match": {"query": "table"}}}}}}}""")
+      == Set(10L, 12L))
     // multi-term match inside all_of is rejected toward any_of nesting
     intercept[IllegalArgumentException](ids(
       """{"intervals": {"text": {"all_of": {"intervals": [
