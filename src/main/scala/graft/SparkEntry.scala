@@ -811,6 +811,13 @@ object SparkEntry {
       Tables.events(s, d)
         .withColumn("shard", pmod(col("user_id"), lit(3)).cast("string")),
       tsCol = "ts_ns", dims = Seq("event_type", "shard"), metric = "value")),
+    // composite with a date_histogram source: month bucket + terms
+    // key, after-key paging across the pair
+    "q_agg_composite_date" -> ((s, d) => Aggs.compositeAgg(
+      t(s, d, "orders").withColumn("month_key",
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")),
+      keys = Seq("month_key", "o_orderpriority"),
+      afterKey = Some(Seq("1995-06-01", "3-MEDIUM")), size = 12)),
     // composite missing_bucket: docs with a null source key get a
     // null-key bucket ordered first (asc nulls-first on both engines)
     "q_agg_composite_missing" -> ((s, d) => Aggs.compositeAgg(
@@ -2071,6 +2078,12 @@ object SparkEntry {
       "round(min(value), 4) AS value_min, round(max(value), 4) AS value_max, " +
       "round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS value_sum " +
       "FROM t GROUP BY 1, 2, 3 ORDER BY _tsid"),
+    "q_agg_composite_date" -> ("WITH b AS (SELECT strftime(date_trunc('month', o_orderdate), " +
+      "'%Y-%m-%d') AS month_key, o_orderpriority, count(*)::BIGINT AS doc_count " +
+      "FROM orders GROUP BY 1, 2) " +
+      "SELECT month_key, o_orderpriority, doc_count FROM b " +
+      "WHERE month_key > '1995-06-01' OR (month_key = '1995-06-01' AND o_orderpriority > '3-MEDIUM') " +
+      "ORDER BY month_key, o_orderpriority LIMIT 12"),
     "q_agg_composite_missing" -> ("SELECT CASE WHEN lang = 'xx' THEN NULL ELSE lang END " +
       "AS maybe_lang, source, count(*)::BIGINT AS doc_count FROM documents GROUP BY 1, 2 " +
       "ORDER BY maybe_lang ASC NULLS FIRST, source ASC LIMIT 15"),
