@@ -609,6 +609,18 @@ object SparkEntry {
           transform(col("embedding"), x => x.cast("double")), qv), 4).as("score"))
       Search.rrfTopK(Seq(lex, sem), rankConstant = 60, windowSize = 50, k = 10)
     }),
+    // the ES 8.16 retriever TREE (same fusion params as q_hybrid_rrf,
+    // declared as the JSON retriever body instead of hand-wiring)
+    "q_retriever_rrf" -> ((s, d) => {
+      val vec = (0 until 64).map(i => (i * 37 % 100) / 100.0 - 0.5)
+      graft.dsl.Retrievers.topK(
+        t(s, d, "documents"), "doc_id", t(s, d, "embeddings"), "vec_id",
+        s"""{"retriever": {"rrf": {"retrievers": [
+            |  {"standard": {"query": {"match": {"text": "fast hash join"}}}},
+            |  {"knn": {"field": "embedding", "query_vector": [${vec.mkString(",")}]}}],
+            |  "rank_window_size": 50, "rank_constant": 60}}}""".stripMargin,
+        k = 10)
+    }),
     // ES 8 knn search surface: pre-filter + exact top-k at a
     // num_candidates budget that covers the corpus
     "q_knn" -> ((s, d) => {
@@ -1659,6 +1671,22 @@ object SparkEntry {
       "THEN 1 ELSE 0 END)::INT AS within_env FROM a) " +
       "SELECT c_custkey, contains_pt, within_env FROM f " +
       "WHERE contains_pt = 1 OR within_env = 1 ORDER BY c_custkey"),
+    // identical fusion as q_hybrid_rrf: the retriever-tree body must
+    // reproduce the hand-wired pipeline bit-for-bit
+    "q_retriever_rrf" -> (TokCte + bm25Ctes("", "tok", Seq("fast", "hash", "join")) +
+      ", e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), " +
+      "q AS (SELECT list_transform(range(0, 64), i -> (i * 37 % 100) / 100.0 - 0.5) AS qv), " +
+      "n AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm FROM e), " +
+      "qn AS (SELECT qv, sqrt(list_reduce(list_prepend(0.0, list_transform(qv, x -> x * x)), (a, b) -> a + b)) AS qnrm FROM q), " +
+      "sem AS (SELECT vec_id AS id, " +
+      "round(list_reduce(list_prepend(0.0, list_transform(range(1, len(v) + 1), i -> v[i] * qv[i])), (x, y) -> x + y) / (nrm * qnrm), 4) AS score " +
+      "FROM n CROSS JOIN qn), " +
+      "rl AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rank FROM sc), " +
+      "rs AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rank FROM sem), " +
+      "u AS (SELECT id, 1.0 / (60 + rank) AS c FROM rl WHERE rank <= 50 " +
+      "UNION ALL SELECT id, 1.0 / (60 + rank) AS c FROM rs WHERE rank <= 50) " +
+      "SELECT id, round(sum(c), 4) AS rrf_score, count(*)::INT AS matched FROM u " +
+      "GROUP BY id ORDER BY rrf_score DESC, id LIMIT 10"),
     "q_hybrid_rrf" -> (TokCte + bm25Ctes("", "tok", Seq("fast", "hash", "join")) +
       ", e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), " +
       "q AS (SELECT list_transform(range(0, 64), i -> (i * 37 % 100) / 100.0 - 0.5) AS qv), " +

@@ -328,6 +328,30 @@ class SearchSpec extends SparkSpec {
     assert(sOrder == Seq(3L, 2L, 1L))
   }
 
+  test("Retrievers: linear tree body composes leaves with weights") {
+    import graft.dsl.Retrievers
+    val docs = Seq(
+      (1L, "fast hash join"), (2L, "hash set"), (3L, "sort merge")).toDF("doc_id", "text")
+    val vecs = Seq(
+      (1L, Seq(0.0f, 1.0f)), (2L, Seq(1.0f, 0.0f)), (3L, Seq(0.7f, 0.7f)))
+      .toDF("vec_id", "embedding")
+    val out = Retrievers.topK(docs, "doc_id", vecs, "vec_id",
+      """{"retriever": {"linear": {"retrievers": [
+           {"retriever": {"standard": {"query": {"match": {"text": "hash"}}}}, "weight": 0.5},
+           {"retriever": {"knn": {"field": "embedding", "query_vector": [1.0, 0.0]}}, "weight": 0.5}],
+           "rank_window_size": 10}}}""", k = 3)
+    val ids = out.select("id").as[Long].collect().toSeq
+    // doc 2 tops both retrievers (matches "hash", vector aligned)
+    assert(ids.head == 2L && ids.toSet == Set(1L, 2L, 3L))
+    // a bare leaf retriever is just its own ordered top-k
+    val leafIds = Retrievers.topK(docs, "doc_id", vecs, "vec_id",
+      """{"retriever": {"knn": {"field": "embedding", "query_vector": [0.0, 1.0]}}}""",
+      k = 2).select("id").as[Long].collect().toSeq
+    assert(leafIds == Seq(1L, 3L))
+    intercept[IllegalArgumentException](Retrievers.topK(docs, "doc_id", vecs, "vec_id",
+      """{"retriever": {"rrf": {"retrievers": []}}}""", 5))
+  }
+
   test("linearTopK: min-max normalized weighted fusion") {
     val a = Seq((1L, 10.0), (2L, 5.0), (3L, 0.0)).toDF("id", "score")
     val b = Seq((2L, 1.0), (3L, 3.0)).toDF("id", "score")
