@@ -609,6 +609,11 @@ object SparkEntry {
           transform(col("embedding"), x => x.cast("double")), qv), 4).as("score"))
       Search.rrfTopK(Seq(lex, sem), rankConstant = 60, windowSize = 50, k = 10)
     }),
+    // semantic query (8.15): model-free text-expansion degenerate —
+    // unit-weight query tokens through the sparse-dot kernel
+    "q_semantic" -> ((s, d) =>
+      Search.semanticTopK(t(s, d, "documents"), "doc_id", "text",
+        "vector hash merge", 15)),
     // the ES 8.16 retriever TREE (same fusion params as q_hybrid_rrf,
     // declared as the JSON retriever body instead of hand-wiring)
     "q_retriever_rrf" -> ((s, d) => {
@@ -1573,6 +1578,11 @@ object SparkEntry {
       "list_sort(string_split(text, ' '))[1] AS first, " +
       "list_sort(string_split(text, ' '))[-1] AS last " +
       "FROM documents ORDER BY doc_id LIMIT 200"),
+    "q_semantic" -> (TokCte + " SELECT doc_id AS id, round(" +
+      "1.0 * len(list_filter(toks, t -> t = 'vector')) + " +
+      "1.0 * len(list_filter(toks, t -> t = 'hash')) + " +
+      "1.0 * len(list_filter(toks, t -> t = 'merge')), 4) AS score " +
+      "FROM tok WHERE score > 0 ORDER BY score DESC, id LIMIT 15"),
     "q_sparse_vector" -> (TokCte + " SELECT doc_id AS id, round(" +
       "1.2 * len(list_filter(toks, t -> t = 'vector')) + " +
       "0.8 * len(list_filter(toks, t -> t = 'hash')) + " +

@@ -1222,6 +1222,23 @@ object Search {
     * kernel, score-ordered top-k) is the real thing. Scale shape: a
     * narrow map-only projection then one TakeOrderedAndProject; no
     * join, no shuffle beyond the top-k. */
+  /** ES 8.15 `semantic` query over a semantic_text-shaped field. The
+    * real feature runs an inference model; with no model in this
+    * environment the honest stand-in is the model-free text-expansion
+    * degenerate: the query's analyzed tokens with unit weights
+    * through the SAME sparse-dot kernel the sparse_vector query uses
+    * (an ELSER expansion is exactly such a term-weight map — the
+    * plumbing, plan shape and scale behavior are identical; only the
+    * weights differ). */
+  def semanticTopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      query: String,
+      k: Int): DataFrame =
+    sparseVectorTopK(docs, idCol, textCol,
+      Analyzer.analyze(query).distinct.map(_ -> 1.0), k)
+
   def sparseVectorTopK(
       docs: DataFrame,
       idCol: String,
