@@ -609,6 +609,11 @@ object SparkEntry {
           transform(col("embedding"), x => x.cast("double")), qv), 4).as("score"))
       Search.rrfTopK(Seq(lex, sem), rankConstant = 60, windowSize = 50, k = 10)
     }),
+    // search_as_you_type: bool_prefix candidates ranked by the
+    // 2/3-gram shingle-subfield signals
+    "q_sayt" -> ((s, d) =>
+      Search.searchAsYouTypeTopK(t(s, d, "documents"), "doc_id", "text",
+        "fast hash jo", 10)),
     // semantic query (8.15): model-free text-expansion degenerate —
     // unit-weight query tokens through the sparse-dot kernel
     "q_semantic" -> ((s, d) =>
@@ -1578,6 +1583,18 @@ object SparkEntry {
       "list_sort(string_split(text, ' '))[1] AS first, " +
       "list_sort(string_split(text, ' '))[-1] AS last " +
       "FROM documents ORDER BY doc_id LIMIT 200"),
+    "q_sayt" -> (TokCte + ", g AS (SELECT doc_id, toks, " +
+      "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS sh2, " +
+      "list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh3 FROM tok) " +
+      "SELECT doc_id AS id, (" +
+      "list_contains(toks, 'fast')::INT + list_contains(toks, 'hash')::INT + list_contains(toks, 'jo')::INT + " +
+      "(CASE WHEN list_contains(sh2, 'fast hash') THEN 2 ELSE 0 END) + " +
+      "(CASE WHEN list_contains(sh2, 'hash jo') THEN 2 ELSE 0 END) + " +
+      "(CASE WHEN list_contains(sh3, 'fast hash jo') THEN 3 ELSE 0 END) + " +
+      "(len(list_filter(toks, t -> starts_with(t, 'jo'))) > 0)::INT) AS score FROM g " +
+      "WHERE list_contains(toks, 'fast') AND list_contains(toks, 'hash') " +
+      "AND len(list_filter(toks, t -> starts_with(t, 'jo'))) > 0 " +
+      "ORDER BY score DESC, id LIMIT 10"),
     "q_semantic" -> (TokCte + " SELECT doc_id AS id, round(" +
       "1.0 * len(list_filter(toks, t -> t = 'vector')) + " +
       "1.0 * len(list_filter(toks, t -> t = 'hash')) + " +

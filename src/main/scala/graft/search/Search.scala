@@ -1222,6 +1222,42 @@ object Search {
     * kernel, score-ordered top-k) is the real thing. Scale shape: a
     * narrow map-only projection then one TakeOrderedAndProject; no
     * join, no shuffle beyond the top-k. */
+  /** The `search_as_you_type` FIELD TYPE's query-time behavior: the
+    * mapping materializes `_2gram` / `_3gram` shingle subfields and
+    * an `_index_prefix` field; a `multi_match type: bool_prefix`
+    * query then sums the subfield signals. Here the subfields are the
+    * compiled shingle kernel applied at query time (same values the
+    * mapping would store): candidates come from the bool_prefix
+    * predicate; the score sums full-term hits, 2/3-gram phrase hits
+    * (weighted by shingle width, rewarding in-order adjacency) and a
+    * final-partial-term prefix hit — all integer-valued codegen'd
+    * counts, deterministic for the oracle. */
+  def searchAsYouTypeTopK(
+      docs: DataFrame,
+      idCol: String,
+      field: String,
+      query: String,
+      k: Int): DataFrame = {
+    val terms = Analyzer.analyze(query)
+    require(terms.nonEmpty, "empty search_as_you_type query")
+    val toks = Analyzer.tokens(col(field))
+    def gramHits(n: Int): Column = {
+      val grams = terms.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+      if (grams.isEmpty) lit(0)
+      else grams.map(g => when(array_contains(
+        Analyzer.shingles(toks, n), g), lit(n)).otherwise(lit(0))).reduce(_ + _)
+    }
+    val fullHits = terms.map(t =>
+      when(array_contains(toks, t), lit(1)).otherwise(lit(0))).reduce(_ + _)
+    val prefixHit =
+      when(exists(toks, t => t.startsWith(terms.last)), lit(1)).otherwise(lit(0))
+    docs.where(matchBoolPrefix(col(field), query))
+      .select(col(idCol).as("id"),
+        (fullHits + gramHits(2) + gramHits(3) + prefixHit).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** ES 8.15 `semantic` query over a semantic_text-shaped field. The
     * real feature runs an inference model; with no model in this
     * environment the honest stand-in is the model-free text-expansion
