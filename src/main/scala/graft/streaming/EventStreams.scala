@@ -81,6 +81,28 @@ object EventStreams {
       .select(col("w.start").as("w_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Watcher-style alerting: a windowed per-type threshold trigger —
+    * alert rows fire when a window's event count reaches the
+    * threshold (e.g. error spikes). Just a windowed partial agg +
+    * filter; under a watermark the window state is bounded and the
+    * alert stream appends as windows close, which is the whole
+    * _watcher/transform "alerting on an index" use case expressed as
+    * a streaming query. */
+  def alertOnThreshold(
+      events: DataFrame,
+      eventType: String,
+      threshold: Long,
+      width: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withWatermark("ts", watermark)
+      .where(col("event_type") === eventType)
+      .groupBy(window(col("ts"), width).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .where(col("n_events") >= threshold)
+      .select(col("w.start").as("w_start"), col("n_events"))
+
   /** Streaming exact dedup: drop events whose content hash was already
     * seen within the watermark horizon — the streaming analog of
     * `Dedup.exactDuplicates` for an ingest pipeline. State is bounded

@@ -147,6 +147,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("threshold alerting: stream fires the same alerts as batch") {
+    val batch = EventStreams.alertOnThreshold(
+      Tables.events(spark, sfDir), "error", threshold = 3)
+      .as[(java.sql.Timestamp, Long)].collect().toSet
+    val streamIn = spark.readStream
+      .schema(Tables.eventsSchema)
+      .parquet(streamDir)
+      .withColumnRenamed("ts", "ts_ns")
+    val q = EventStreams.alertOnThreshold(streamIn, "error", threshold = 3)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("alert_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("alert_out")
+        .as[(java.sql.Timestamp, Long)].collect().toSet
+      assert(streamed == batch && batch.nonEmpty)
+      // every alert is at or above the threshold; quiet windows absent
+      assert(batch.forall(_._2 >= 3))
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark matches batch distinct-content count") {
     val streamIn = spark.readStream
       .schema(Tables.eventsSchema)
