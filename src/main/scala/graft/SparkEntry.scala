@@ -801,6 +801,11 @@ object SparkEntry {
 
     // ---- C. Aggregations ----
     "q_agg_terms" -> ((s, d) => Aggs.termsAgg(t(s, d, "orders"), "o_orderpriority", 3)),
+    // histogram offset + min_doc_count: shifted boundaries, sparse
+    // buckets dropped
+    "q_agg_histogram_offset" -> ((s, d) => Aggs.histogramOffsetAgg(
+      t(s, d, "lineitem"), "l_extendedprice",
+      interval = 5000.0, offset = 2500.0, minDocCount = 100L)),
     // terms `missing`: null keys count under a substitute bucket
     "q_agg_terms_missing" -> ((s, d) => Aggs.termsAggMissing(
       t(s, d, "documents").withColumn("maybe_lang",
@@ -1105,6 +1110,25 @@ object SparkEntry {
         t(s, d, "orders"), nested, "o_orderkey", "l_orderkey", "lines",
         ln => ln.getField("l_quantity") > 48 && ln.getField("l_returnflag") === "A")
         .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+    // nested query with inner_hits: the matching INNER docs come
+    // back per parent (filter over the struct array — no unnest join)
+    "q_nested_inner" -> ((s, d) => {
+      val nested = Relational.nest(
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_quantity"), col("l_returnflag")),
+        "l_orderkey", "lines")
+      Relational.nestedExists(
+        t(s, d, "orders"), nested, "o_orderkey", "l_orderkey", "lines",
+        ln => ln.getField("l_quantity") > 48 && ln.getField("l_returnflag") === "A")
+        .select(col("o_orderkey"),
+          size(filter(col("lines"), ln =>
+            ln.getField("l_quantity") > 48 && ln.getField("l_returnflag") === "A"))
+            .as("n_inner"),
+          Num.round(aggregate(
+            filter(col("lines"), ln =>
+              ln.getField("l_quantity") > 48 && ln.getField("l_returnflag") === "A"),
+            lit(0.0), (a, ln) => a + ln.getField("l_quantity")), 4).as("inner_qty"))
         .orderBy(col("o_orderkey"))
     }),
     // ES join-field parent/child: has_child with min_children, has_parent
@@ -2094,6 +2118,9 @@ object SparkEntry {
       "len(list_filter(toks, t -> levenshtein(t, 'spak') <= 1)) > 0 " +
       "OR len(list_filter(toks, t -> levenshtein(t, 'window') <= 1)) > 0 ORDER BY doc_id"),
     "q_agg_terms" -> "SELECT o_orderpriority AS key, count(*)::BIGINT AS doc_count FROM orders GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 3",
+    "q_agg_histogram_offset" -> ("SELECT floor((l_extendedprice - 2500.0) / 5000.0) * 5000.0 " +
+      "+ 2500.0 AS bucket, count(*)::BIGINT AS doc_count FROM lineitem " +
+      "GROUP BY 1 HAVING count(*) >= 100 ORDER BY bucket"),
     "q_agg_terms_missing" -> ("SELECT coalesce(CASE WHEN lang = 'xx' THEN NULL ELSE lang END, " +
       "'N/A') AS key, count(*)::BIGINT AS doc_count FROM documents GROUP BY 1 " +
       "ORDER BY doc_count DESC, key LIMIT 10"),
@@ -2297,6 +2324,9 @@ object SparkEntry {
     "q_nested" -> ("SELECT o_orderkey, o_totalprice FROM orders WHERE EXISTS " +
       "(SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 48 " +
       "AND l_returnflag = 'A') ORDER BY o_orderkey"),
+    "q_nested_inner" -> ("SELECT o_orderkey, count(*)::INT AS n_inner, " +
+      "round(sum(l_quantity), 4) AS inner_qty FROM orders JOIN lineitem ON l_orderkey = o_orderkey " +
+      "WHERE l_quantity > 48 AND l_returnflag = 'A' GROUP BY 1 ORDER BY o_orderkey"),
 
     // ---- E ----
     "q_upsert_id" -> ("SELECT user_id, event_type AS last_type, value AS last_value FROM events " +

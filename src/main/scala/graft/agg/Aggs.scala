@@ -165,6 +165,18 @@ object Aggs {
       .agg(count(lit(1)).as("doc_count"))
       .orderBy(col("bucket").asc)
 
+  /** histogram with `offset` and `min_doc_count`: bucket boundaries
+    * shift by the offset; buckets under the count floor drop (the
+    * ES sparse-bucket control). Same single pass. */
+  def histogramOffsetAgg(
+      df: DataFrame, field: String, interval: Double,
+      offset: Double, minDocCount: Long = 1L): DataFrame =
+    df.groupBy((floor((col(field) - offset) / interval) * interval + offset)
+        .cast("double").as("bucket"))
+      .agg(count(lit(1)).as("doc_count"))
+      .where(col("doc_count") >= minDocCount)
+      .orderBy(col("bucket").asc)
+
   /** `{"date_histogram": {"calendar_interval": "month"}}`. */
   def dateHistogramAgg(df: DataFrame, tsField: String, interval: String): DataFrame =
     df.groupBy(to_date(date_trunc(interval, col(tsField))).as("bucket"))

@@ -259,7 +259,12 @@ object QueryDslJson {
           val m = fields.toMap
           val query = lits(m("query")).toString
           val andOp = m.get("operator").map(lits(_).toString.toLowerCase).contains("and")
-          m.get("fuzziness").map(lits(_).toString) match {
+          // zero_terms_query: what an all-stopword query matches once
+          // analysis strips every term (none = nothing, all = all)
+          val zeroTerms = m.get("zero_terms_query").map(lits(_).toString.toLowerCase)
+          if (graft.analysis.Analyzer.analyze(query).isEmpty)
+            Search.matchQueryZeroTerms(col(f), query, zeroTerms.getOrElse("none"))
+          else m.get("fuzziness").map(lits(_).toString) match {
             case Some(s) if s.equalsIgnoreCase("auto") =>
               // length-scaled like ES: 0 edits (<3 chars), 1 (<6), 2
               Search.matchQueryFuzzyAuto(col(f), query, andOp)

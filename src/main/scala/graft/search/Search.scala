@@ -26,6 +26,21 @@ object Search {
     arrays_overlap(Analyzer.tokens(field), lit(q.toArray))
   }
 
+  /** match with `zero_terms_query` (ES: what an all-stopword query
+    * matches once the analyzer strips every term): "none" (the
+    * default) matches nothing, "all" degrades to match_all. With
+    * surviving terms it is the ordinary match. */
+  def matchQueryZeroTerms(
+      field: Column, query: String, zeroTerms: String = "none"): Column = {
+    val q = Analyzer.analyze(query)
+    if (q.nonEmpty) arrays_overlap(Analyzer.tokens(field), lit(q.toArray))
+    else zeroTerms match {
+      case "all" => lit(true)
+      case "none" => lit(false)
+      case other => throw new IllegalArgumentException(s"bad zero_terms_query: $other")
+    }
+  }
+
   /** `{"match": {field: {query: q, operator: "and"}}}` — all tokens
     * present. Unrolled to a conjunction of array_contains (codegen'd;
     * no per-row set construction). */

@@ -328,6 +328,18 @@ class SearchSpec extends SparkSpec {
     assert(sOrder == Seq(3L, 2L, 1L))
   }
 
+  test("zero_terms_query: all-stopword queries match none or all") {
+    import graft.dsl.QueryDslJson
+    val docs = Seq((1L, "spark core"), (2L, "flink")).toDF("id", "text")
+    def n(q: String): Long = docs.where(QueryDslJson.compile(q)).count()
+    // "!!!" analyzes to zero tokens
+    assert(n("""{"match": {"text": {"query": "!!!", "zero_terms_query": "none"}}}""") == 0)
+    assert(n("""{"match": {"text": {"query": "!!!"}}}""") == 0) // none is the default
+    assert(n("""{"match": {"text": {"query": "!!!", "zero_terms_query": "all"}}}""") == 2)
+    // with surviving terms the option is inert
+    assert(n("""{"match": {"text": {"query": "spark", "zero_terms_query": "all"}}}""") == 1)
+  }
+
   test("Retrievers: linear tree body composes leaves with weights") {
     import graft.dsl.Retrievers
     val docs = Seq(
