@@ -411,6 +411,11 @@ object SparkEntry {
       """from lineitem
         | stats sum_qty = sum(l_quantity), n = count(*), max_p = max(l_extendedprice) by l_returnflag
         | sort l_returnflag""")),
+    // ES|QL BUCKET in STATS..BY: calendar buckets by exact ns math,
+    // numeric buckets by floor-width
+    "q_esql_bucket" -> ((s, d) => graft.dsl.Esql.run(s, d,
+      """from events | stats n = count(*), mx = max(value) by day = bucket(ts_ns, "day")
+        | eval mx = round(mx, 4) | sort day""")),
     // full-text functions inside ES|QL WHERE (8.17 surface): MATCH
     // composes with ordinary predicates in one Catalyst filter
     "q_esql_match" -> ((s, d) => graft.dsl.Esql.run(s, d,
@@ -1584,6 +1589,9 @@ object SparkEntry {
     "q_esql_stats" -> ("SELECT l_returnflag, sum(l_quantity) AS sum_qty, " +
       "count(*)::BIGINT AS n, max(l_extendedprice) AS max_p " +
       "FROM lineitem GROUP BY 1 ORDER BY l_returnflag"),
+    "q_esql_bucket" -> ("SELECT epoch_ns(ts) - epoch_ns(ts) % 86400000000000 AS day, " +
+      "count(*)::BIGINT AS n, round(max(value), 4) AS mx FROM events " +
+      "GROUP BY 1 ORDER BY day"),
     "q_esql_match" -> (TokCte.replace(
       "SELECT doc_id, list_filter", "SELECT doc_id, lang, list_filter") +
       " SELECT doc_id, lang FROM tok " +
