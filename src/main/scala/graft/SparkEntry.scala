@@ -265,6 +265,18 @@ object SparkEntry {
         Seq("text", "source"), "table scan", 10)),
     "q_rank_feature" -> ((s, d) =>
       Search.rankFeatureTopK(t(s, d, "documents"), "doc_id", "n_chars", 200.0, 15)),
+    // rank_feature log + sigmoid function variants
+    "q_rank_feature_log" -> ((s, d) =>
+      Search.rankFeatureLogTopK(t(s, d, "documents"), "doc_id", "n_chars", 2.5, 15)),
+    "q_rank_feature_sigmoid" -> ((s, d) =>
+      Search.rankFeatureSigmoidTopK(t(s, d, "documents"), "doc_id", "n_chars",
+        pivot = 300.0, exponent = 2.0, k = 15)),
+    // dis_max with tie_breaker: best field's BM25 + 0.3x the other's
+    "q_dis_max" -> ((s, d) => Search.disMaxTopK(
+      Seq(
+        Search.bm25Scores(t(s, d, "documents"), "doc_id", "text", "merge src5"),
+        Search.bm25Scores(t(s, d, "documents"), "doc_id", "source", "merge src5")),
+      tieBreaker = 0.3, k = 10)),
     // script_score: Painless subset compiled to codegen'd column math
     // span_near mixing an exact span_term with a span_multi prefix
     "q_span_multi" -> ((s, d) => t(s, d, "documents")
@@ -1474,6 +1486,17 @@ object SparkEntry {
       bm25Ctes("2", "stok", Seq("merge", "src5")) +
       ", u AS (SELECT id, score AS s FROM sc1 UNION ALL SELECT id, score FROM sc2) " +
       "SELECT id, round(max(s), 4) AS score FROM u GROUP BY id ORDER BY score DESC, id LIMIT 10"),
+    "q_rank_feature_log" -> ("SELECT doc_id AS id, round(2.5 * ln(1.0 + n_chars), 4) AS score " +
+      "FROM documents ORDER BY score DESC, id LIMIT 15"),
+    "q_rank_feature_sigmoid" -> ("SELECT doc_id AS id, " +
+      "round(pow(n_chars, 2.0) / (pow(n_chars, 2.0) + pow(300.0, 2.0)), 4) AS score " +
+      "FROM documents ORDER BY score DESC, id LIMIT 15"),
+    "q_dis_max" -> (TokCte + STokCte +
+      bm25Ctes("1", "tok", Seq("merge", "src5")) +
+      bm25Ctes("2", "stok", Seq("merge", "src5")) +
+      ", u AS (SELECT id, score AS s FROM sc1 UNION ALL SELECT id, score FROM sc2) " +
+      "SELECT id, round(max(s) + 0.3 * (sum(s) - max(s)), 4) AS score FROM u " +
+      "GROUP BY id ORDER BY score DESC, id LIMIT 10"),
     "q_multi_match_phrase" -> (TokCte + STokCte +
       bm25Ctes("1", "tok", Seq("table", "scan")) +
       bm25Ctes("2", "stok", Seq("table", "scan")) +

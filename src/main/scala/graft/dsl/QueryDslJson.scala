@@ -187,6 +187,17 @@ object QueryDslJson {
     case JObject(JField(op, body) :: Nil) =>
       (op, body) match {
         case ("match_all", _) => lit(true)
+        case ("match_none", _) => lit(false)
+
+        // {"dis_max": {"queries": [...]}} — in filter context a doc
+        // matches if ANY subquery matches (tie_breaker only shapes
+        // scores; Search.disMaxTopK is the scoring path)
+        case ("dis_max", JObject(parts)) =>
+          parts.toMap.get("queries") match {
+            case Some(JArray(xs)) if xs.nonEmpty =>
+              xs.map(compileNode(_, idField)).reduce(_ || _)
+            case _ => throw new IllegalArgumentException("dis_max needs queries")
+          }
 
         case ("term", JObject(JField(f, JObject(fields)) :: Nil))
             if fields.exists(_._1 == "value") =>

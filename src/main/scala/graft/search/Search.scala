@@ -787,6 +787,52 @@ object Search {
       .limit(k)
   }
 
+  /** rank_feature's other functions: `log` (scaling_factor *
+    * ln(1 + x)) and `sigmoid` (x^exp / (x^exp + pivot^exp)) — the
+    * same closed-form codegen'd column math as saturation. */
+  def rankFeatureLogTopK(
+      docs: DataFrame, idCol: String, featureField: String,
+      scalingFactor: Double, k: Int): DataFrame = {
+    val x = col(featureField).cast("double")
+    docs.select(col(idCol).as("id"),
+      Num.round(lit(scalingFactor) * log(lit(1.0) + x), 4).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
+  def rankFeatureSigmoidTopK(
+      docs: DataFrame, idCol: String, featureField: String,
+      pivot: Double, exponent: Double, k: Int): DataFrame = {
+    val x = col(featureField).cast("double")
+    docs.select(col(idCol).as("id"),
+      Num.round(pow(x, exponent) / (pow(x, exponent) + lit(math.pow(pivot, exponent))),
+        4).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** `dis_max` with `tie_breaker`: the best subquery's score plus
+    * tie_breaker times the others' — ES's disjunction-max scoring
+    * (multi_match best_fields is this with tie_breaker 0). Each
+    * subquery contributes an unranked (id, score) frame; fusion is
+    * union + ONE partial-aggregating groupBy computing max and sum
+    * (best + tie * (sum - best)), no join. */
+  def disMaxTopK(
+      subqueries: Seq[DataFrame],
+      tieBreaker: Double,
+      k: Int): DataFrame = {
+    require(subqueries.nonEmpty, "dis_max needs at least one subquery")
+    subqueries.map(_.select(col("id"), col("score").as("s")))
+      .reduce(_ unionByName _)
+      .groupBy(col("id"))
+      .agg(max(col("s")).as("best"), sum(col("s")).as("total"))
+      .select(col("id"),
+        Num.round(col("best") + lit(tieBreaker) * (col("total") - col("best")), 4)
+          .as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** `scroll` / point-in-time deep export: pages of `pageSize` docs in
     * (sortCol asc, id asc) order, each page ONE TakeOrderedAndProject
     * driven by a search_after cursor — no global offset skip (offset N
