@@ -737,6 +737,11 @@ object SparkEntry {
       Search.bm25TopK(t(s, d, "documents"), "doc_id", "text", "fast hash join", 10)),
     "q_more_like_this" -> ((s, d) =>
       Search.moreLikeThis(t(s, d, "documents"), "doc_id", "text", seedId = 7L, m = 5, minMatch = 2)),
+    // more_like_this with `unlike`: the negative example's terms are
+    // excluded from the seed's interesting-term selection
+    "q_mlt_unlike" -> ((s, d) =>
+      Search.moreLikeThis(t(s, d, "documents"), "doc_id", "text", seedId = 7L,
+        m = 5, minMatch = 2, unlikeId = Some(11L))),
 
     "q_function_score" -> ((s, d) =>
       Search.functionScoreTopK(t(s, d, "documents"), "doc_id", "n_chars", 300.0, 100.0, 15)),
@@ -818,6 +823,11 @@ object SparkEntry {
 
     // ---- C. Aggregations ----
     "q_agg_terms" -> ((s, d) => Aggs.termsAgg(t(s, d, "orders"), "o_orderpriority", 3)),
+    // terms agg keyed by a Painless script (price-band buckets)
+    "q_agg_terms_script" -> ((s, d) => Aggs.termsAggScript(
+      t(s, d, "orders"),
+      "Math.floor(doc['o_totalprice'].value / params.band)",
+      Map("band" -> 50000.0), size = 8)),
     // histogram offset + min_doc_count: shifted boundaries, sparse
     // buckets dropped
     "q_agg_histogram_offset" -> ((s, d) => Aggs.histogramOffsetAgg(
@@ -1915,6 +1925,13 @@ object SparkEntry {
       "SELECT doc_id AS id, len(list_intersect(list_distinct(toks), st.terms))::INT AS overlap FROM tok, st " +
       "WHERE doc_id <> 7 AND len(list_intersect(list_distinct(toks), st.terms)) >= 2 ORDER BY overlap DESC, id"),
 
+    "q_mlt_unlike" -> (TokCte + ", " +
+      "neg AS (SELECT DISTINCT unnest(toks) AS term FROM tok WHERE doc_id = 11), " +
+      "seed AS (SELECT term FROM (SELECT unnest(toks) AS term FROM tok WHERE doc_id = 7) " +
+      "WHERE term NOT IN (SELECT term FROM neg) GROUP BY term ORDER BY count(*) DESC, term LIMIT 5), " +
+      "st AS (SELECT list(term) AS terms FROM seed) " +
+      "SELECT doc_id AS id, len(list_intersect(list_distinct(toks), st.terms))::INT AS overlap FROM tok, st " +
+      "WHERE doc_id <> 7 AND len(list_intersect(list_distinct(toks), st.terms)) >= 2 ORDER BY overlap DESC, id"),
     "q_function_score" -> ("SELECT doc_id AS id, round(ln(1.0 + CAST(n_chars AS DOUBLE)) * " +
       "exp(ln(0.5) * pow(CAST(n_chars AS DOUBLE) - 300.0, 2) / (100.0 * 100.0)), 4) AS score " +
       "FROM documents ORDER BY score DESC, id LIMIT 15"),
@@ -2149,6 +2166,9 @@ object SparkEntry {
       "len(list_filter(toks, t -> levenshtein(t, 'spak') <= 1)) > 0 " +
       "OR len(list_filter(toks, t -> levenshtein(t, 'window') <= 1)) > 0 ORDER BY doc_id"),
     "q_agg_terms" -> "SELECT o_orderpriority AS key, count(*)::BIGINT AS doc_count FROM orders GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 3",
+    "q_agg_terms_script" -> ("SELECT floor(o_totalprice / 50000.0) AS key, " +
+      "count(*)::BIGINT AS doc_count FROM orders GROUP BY 1 " +
+      "ORDER BY doc_count DESC, key LIMIT 8"),
     "q_agg_histogram_offset" -> ("SELECT floor((l_extendedprice - 2500.0) / 5000.0) * 5000.0 " +
       "+ 2500.0 AS bucket, count(*)::BIGINT AS doc_count FROM lineitem " +
       "GROUP BY 1 HAVING count(*) >= 100 ORDER BY bucket"),

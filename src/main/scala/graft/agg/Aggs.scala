@@ -36,6 +36,18 @@ object Aggs {
       .orderBy(col("doc_count").desc, col("key").asc)
       .limit(size)
 
+  /** terms agg keyed by a Painless `script` instead of a field — the
+    * script compiles (dsl.Painless) to a codegen'd grouping
+    * expression, so a scripted key costs the same as a mapped one
+    * (ES evaluates the script per doc per shard). */
+  def termsAggScript(
+      df: DataFrame, script: String, params: Map[String, Any],
+      size: Int): DataFrame =
+    df.groupBy(graft.dsl.Painless.compile(script, params).as("key"))
+      .agg(count(lit(1)).as("doc_count"))
+      .orderBy(col("doc_count").desc, col("key").asc)
+      .limit(size)
+
   /** terms agg with `order: {<sub-metric>: desc|asc}` — buckets ranked
     * by a sub-aggregation metric instead of doc_count. Same single
     * partial-agg pass (the metric is just another aggregate in the

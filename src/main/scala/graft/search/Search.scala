@@ -1161,11 +1161,25 @@ object Search {
       textCol: String,
       seedId: Long,
       m: Int = 5,
-      minMatch: Int = 2): DataFrame = {
-    val seedTerms = docs
+      minMatch: Int = 2,
+      unlikeId: Option[Long] = None): DataFrame = {
+    // `unlike`: terms of the negative example are EXCLUDED from the
+    // seed's interesting-term selection (ES's unlike semantics) —
+    // the exclusion happens before the top-m cut, so the selection
+    // backfills with the next-most-frequent seed terms
+    val rawSeed = docs
       .where(col(idCol) === seedId)
       .select(explode(Analyzer.tokens(col(textCol))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("tf"))
+    val filteredSeed = unlikeId match {
+      case Some(uid) =>
+        rawSeed.join(
+          docs.where(col(idCol) === uid)
+            .select(explode(Analyzer.termSet(col(textCol))).as("term")),
+          Seq("term"), "left_anti")
+      case None => rawSeed
+    }
+    val seedTerms = filteredSeed
       .orderBy(col("tf").desc, col("term").asc)
       .limit(m)
 
