@@ -823,6 +823,12 @@ object SparkEntry {
 
     // ---- C. Aggregations ----
     "q_agg_terms" -> ((s, d) => Aggs.termsAgg(t(s, d, "orders"), "o_orderpriority", 3)),
+    // bucket_correlation: monthly doc counts vs a deterministic
+    // indicator curve, corr on the tiny bucket frame
+    "q_agg_bucket_corr" -> ((s, d) => Aggs.bucketCorrelation(
+      Aggs.dateHistogramAgg(t(s, d, "orders"), "o_orderdate", "month"),
+      "bucket", "doc_count",
+      (0 until 80).map(i => (i * 37 % 100) / 100.0))),
     // terms agg keyed by a Painless script (price-band buckets)
     "q_agg_terms_script" -> ((s, d) => Aggs.termsAggScript(
       t(s, d, "orders"),
@@ -2166,6 +2172,13 @@ object SparkEntry {
       "len(list_filter(toks, t -> levenshtein(t, 'spak') <= 1)) > 0 " +
       "OR len(list_filter(toks, t -> levenshtein(t, 'window') <= 1)) > 0 ORDER BY doc_id"),
     "q_agg_terms" -> "SELECT o_orderpriority AS key, count(*)::BIGINT AS doc_count FROM orders GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 3",
+    "q_agg_bucket_corr" -> ("WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS bucket, " +
+      "count(*)::BIGINT AS doc_count FROM orders GROUP BY 1), " +
+      "r AS (SELECT doc_count, row_number() OVER (ORDER BY bucket) AS rn FROM b), " +
+      "c AS (SELECT unnest(range(1, 81)) AS rn, unnest(list_transform(range(0, 80), " +
+      "i -> (i * 37 % 100) / 100.0)) AS ind) " +
+      "SELECT round(corr(doc_count::DOUBLE, ind), 4) AS correlation, " +
+      "count(*)::BIGINT AS n_buckets FROM r JOIN c USING (rn)"),
     "q_agg_terms_script" -> ("SELECT floor(o_totalprice / 50000.0) AS key, " +
       "count(*)::BIGINT AS doc_count FROM orders GROUP BY 1 " +
       "ORDER BY doc_count DESC, key LIMIT 8"),

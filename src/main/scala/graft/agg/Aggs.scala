@@ -36,6 +36,28 @@ object Aggs {
       .orderBy(col("doc_count").desc, col("key").asc)
       .limit(size)
 
+  /** `bucket_correlation` pipeline agg (the ES ML module's
+    * change-detection helper): Pearson correlation of the sibling
+    * buckets' metric against a caller-provided indicator curve.
+    * Buckets pair with the curve BY ORDER (row_number over the
+    * ordered bucket frame vs the curve index); everything runs on the
+    * tiny bucket frame — the heavy work stays in the partial agg
+    * that built the buckets. */
+  def bucketCorrelation(
+      buckets: DataFrame, orderCol: String, metricCol: String,
+      series: Seq[Double]): DataFrame = {
+    val spark = buckets.sparkSession
+    import spark.implicits._
+    val w = Window.orderBy(col(orderCol))
+    val indexed = buckets.withColumn("_rn", row_number().over(w))
+    val curve = series.zipWithIndex
+      .map { case (v, i) => (i + 1, v) }.toDF("_rn", "_indicator")
+    indexed.join(broadcast(curve), Seq("_rn"))
+      .agg(Num.round(corr(col(metricCol).cast("double"), col("_indicator")), 4)
+        .as("correlation"),
+        count(lit(1)).as("n_buckets"))
+  }
+
   /** terms agg keyed by a Painless `script` instead of a field — the
     * script compiles (dsl.Painless) to a codegen'd grouping
     * expression, so a scripted key costs the same as a mapped one
