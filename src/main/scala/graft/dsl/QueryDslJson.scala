@@ -82,12 +82,15 @@ object QueryDslJson {
       val maxGaps = m.get("max_gaps").map(lits(_).toString.toInt).getOrElse(-1)
       val ordered = m.get("ordered").map(lits(_).toString.toBoolean).getOrElse(false)
       m.get("filter") match {
-        // {"filter": {"not_containing"|"containing": {"match":
-        //  {"query": t}}}} — some qualifying source window must
-        // (not) contain t STRICTLY inside. Compiled kernel over the
-        // position lists; subset: two-term source, single-term filter
-        case Some(JObject(JField(mode @ ("not_containing" | "containing"),
-            inner) :: Nil)) =>
+        // {"filter": {"not_containing"|"containing"|"not_overlapping"
+        //  |"overlapping": {"match": {"query": t}}}} — some
+        // qualifying source window must (not) contain t strictly
+        // inside (containing family) or touch it anywhere in the
+        // closed window (overlapping family). Compiled kernel over
+        // the position lists; subset: two-term source, single-term
+        // filter
+        case Some(JObject(JField(mode @ ("not_containing" | "containing" |
+            "not_overlapping" | "overlapping"), inner) :: Nil)) =>
           val terms = graft.analysis.Analyzer.analyze(q)
           require(terms.length == 2 && maxGaps >= 0,
             s"intervals filter needs a two-term bounded source match (got: $q)")
@@ -104,7 +107,8 @@ object QueryDslJson {
             org.apache.spark.sql.GraftBridge.expression(
               graft.analysis.Analyzer.tokens(c)),
             terms.head, terms(1), fTerm, maxGaps, ordered,
-            wantContained = mode == "containing"))
+            wantContained = !mode.startsWith("not_"),
+            strictInside = mode.endsWith("containing")))
         case Some(other) =>
           throw new IllegalArgumentException(s"unsupported intervals filter: $other")
         case None =>

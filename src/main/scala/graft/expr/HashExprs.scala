@@ -366,10 +366,16 @@ object HashKernels {
     * occurrences with gap <= maxGaps (ordered) or either order
     * (unordered). One pass collects the three position lists; the
     * pair scan is bounded by occurrence counts, not doc length. */
+  /** `strictInside` selects the relation: containing/not_containing
+    * test the OPEN window (lo, hi) — the filter term strictly between
+    * the endpoints; overlapping/not_overlapping test the CLOSED
+    * window [lo, hi] — an endpoint hit counts as overlap (the filter
+    * term equal to `a` or `b` at the matched positions). */
   def intervalFilterKernel(
       toks: ArrayData,
       a: UTF8String, b: UTF8String, exclude: UTF8String,
-      maxGaps: Int, ordered: Boolean, wantContained: Boolean): Boolean = {
+      maxGaps: Int, ordered: Boolean, wantContained: Boolean,
+      strictInside: Boolean): Boolean = {
     val n = toks.numElements()
     val pa = new java.util.ArrayList[Integer]()
     val pb = new java.util.ArrayList[Integer]()
@@ -386,7 +392,8 @@ object HashKernels {
       var k = 0
       while (k < pe.size()) {
         val p = pe.get(k).intValue()
-        if (p > lo && p < hi) return true
+        val in = if (strictInside) p > lo && p < hi else p >= lo && p <= hi
+        if (in) return true
         k += 1
       }
       false
@@ -1171,7 +1178,8 @@ case class DamerauLevenshtein(left: Expression, right: Expression)
   * source match — see HashKernels.intervalFilterKernel. */
 case class IntervalFilterMatch(
     child: Expression, a: String, b: String, exclude: String,
-    maxGaps: Int, ordered: Boolean, wantContained: Boolean)
+    maxGaps: Int, ordered: Boolean, wantContained: Boolean,
+    strictInside: Boolean = true)
     extends UnaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] =
@@ -1185,7 +1193,8 @@ case class IntervalFilterMatch(
 
   override def nullSafeEval(input: Any): Any =
     java.lang.Boolean.valueOf(HashKernels.intervalFilterKernel(
-      input.asInstanceOf[ArrayData], aU, bU, eU, maxGaps, ordered, wantContained))
+      input.asInstanceOf[ArrayData], aU, bU, eU, maxGaps, ordered, wantContained,
+      strictInside))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val aRef = ctx.addReferenceObj("a", aU, "org.apache.spark.unsafe.types.UTF8String")
@@ -1193,7 +1202,7 @@ case class IntervalFilterMatch(
     val eRef = ctx.addReferenceObj("e", eU, "org.apache.spark.unsafe.types.UTF8String")
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.expr.HashKernels.intervalFilterKernel(" +
-        s"$c, $aRef, $bRef, $eRef, $maxGaps, $ordered, $wantContained);")
+        s"$c, $aRef, $bRef, $eRef, $maxGaps, $ordered, $wantContained, $strictInside);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): IntervalFilterMatch =

@@ -85,8 +85,21 @@ object Connector {
           case (d, (name, c)) => d.withColumn(name, c)
         }
         val df1 = innerQuery.fold(df0)(q => df0.where(EsQuery.compile(q, idField)))
-        val df2 = if (fieldInclude.nonEmpty) df1.select(fieldInclude.map(col): _*) else df1
-        val df3 = fieldExclude.foldLeft(df2)(_ drop _)
+        // es.read.field.include/exclude accept `*` patterns (the
+        // `fields`-API wildcard retrieval); expand against the schema
+        def expand(specs: Seq[String], df: DataFrame): Seq[String] =
+          specs.flatMap { p =>
+            if (!p.contains("*")) Seq(p)
+            else {
+              val re = ("^" + p.split("\\*", -1)
+                .map(java.util.regex.Pattern.quote).mkString(".*") + "$").r
+              df.columns.filter(c => re.findFirstIn(c).isDefined).toSeq
+            }
+          }.distinct
+        val df2 =
+          if (fieldInclude.nonEmpty) df1.select(expand(fieldInclude, df1).map(col): _*)
+          else df1
+        val df3 = expand(fieldExclude, df2).foldLeft(df2)(_ drop _)
         // es.read.metadata analog: surface _id/_index alongside the
         // source fields, plus _score when the query carries scoring
         // (match) clauses — mirroring the reference, where a scored
@@ -505,6 +518,35 @@ object Connector {
       (p.getName, docs, files.map(_.getLen).sum, files.length)
     }.toSeq.sortBy(_._1)
     rows.toDF("index", "docs_count", "store_bytes", "file_count")
+  }
+
+  /** `_cat/count` analog: doc count per index directory under
+    * `root` — parquet footer metadata only, no row scan. */
+  def catCount(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new Path(root)).filter(_.isDirectory)
+      .map(_.getPath).filterNot(p => p.getName.contains("_graft_"))
+      .map { p =>
+        val docs =
+          try spark.read.parquet(p.toString).count()
+          catch { case _: Throwable => -1L }
+        (p.getName, docs)
+      }.toSeq.sortBy(_._1).toDF("index", "count")
+  }
+
+  /** `_cat/aliases` analog: every alias descriptor under `root` with
+    * its target and filter. Listing + descriptor reads only. */
+  def catAliases(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new Path(root)).filter(_.isDirectory)
+      .map(_.getPath)
+      .flatMap { p =>
+        resolveAlias(spark, p.toString).map { case (target, filter) =>
+          (p.getName, new Path(target).getName, filter.getOrElse(""))
+        }
+      }.toSeq.sortBy(_._1).toDF("alias", "index", "filter")
   }
 
   /** `_validate/query`: compile without executing. Returns

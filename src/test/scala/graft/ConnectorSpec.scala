@@ -626,6 +626,28 @@ class ConnectorSpec extends SparkSpec {
     assert(spark.read.parquet(dir).where(col("k") >= 390).count() == 10)
   }
 
+  test("field include/exclude wildcards; _cat/count and _cat/aliases") {
+    val root = Files.createTempDirectory("graft_cat").toString
+    val dir = root + "/widx"
+    Seq((1L, 2.0, 3.0, "x"), (2L, 4.0, 5.0, "y"))
+      .toDF("id", "v_min", "v_max", "k")
+      .saveToGraft(dir, Map("graft.mapping.id" -> "id"))
+    // include pattern expands against the schema
+    assert(spark.graftDF(dir, fieldInclude = Seq("id", "v_*")).columns.toSeq
+      == Seq("id", "v_min", "v_max"))
+    assert(spark.graftDF(dir, fieldExclude = Seq("v_*")).columns.toSeq
+      == Seq("id", "k"))
+    // cat APIs: footer metadata + descriptor reads only
+    Connector.putAlias(spark, root + "/walias", dir, filter = """{"term": {"k": "x"}}""")
+    val counts = Connector.catCount(spark, root)
+      .as[(String, Long)].collect().toMap
+    assert(counts("widx") == 2L)
+    val aliases = Connector.catAliases(spark, root)
+      .as[(String, String, String)].collect().toSeq
+    assert(aliases.map(a => (a._1, a._2)) == Seq(("walias", "widx")))
+    assert(aliases.head._3.contains("term"))
+  }
+
   test("_analyze API: tokens with positions and offsets") {
     val out = graft.analysis.Analyzer.analyzeApi(spark, "The QUICK-brown fox2!")
       .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSeq

@@ -259,6 +259,18 @@ class SearchSpec extends SparkSpec {
            "max_gaps": 2, "ordered": true,
            "filter": {"containing": {"match": {"query": "table"}}}}}}}""")
       == Set(11L))
+    // overlapping tests the CLOSED window: a filter term equal to an
+    // endpoint token counts (here "hash" itself)
+    assert(fids(
+      """{"intervals": {"text": {"match": {"query": "hash join",
+           "max_gaps": 2, "ordered": true,
+           "filter": {"overlapping": {"match": {"query": "hash"}}}}}}}""")
+      == Set(10L, 11L))
+    assert(fids(
+      """{"intervals": {"text": {"match": {"query": "hash join",
+           "max_gaps": 2, "ordered": true,
+           "filter": {"not_overlapping": {"match": {"query": "table"}}}}}}}""")
+      == Set(10L))
     // unordered windows accept either term order
     assert(fids(
       """{"intervals": {"text": {"match": {"query": "hash join",
