@@ -14,7 +14,10 @@ import org.json4s.jackson.JsonMethods
   * over the data (Catalyst collapses consecutive projections into one).
   *
   * Supported processors (the common document-shaping subset):
-  * set, rename, remove, convert, lowercase, uppercase, trim, gsub.
+  * set, rename, remove, convert, lowercase, uppercase, trim, gsub,
+  * dissect, grok (via the ES|QL compilers — one anchored regex
+  * each), date, kv, json (flat string maps), script (Painless
+  * computed value).
   */
 object IngestPipeline {
 
@@ -74,6 +77,63 @@ object IngestPipeline {
             val replacement = m.get("replacement").collect { case JString(s) => s }
               .getOrElse(throw new IllegalArgumentException("gsub needs replacement"))
             df => df.withColumn(field, regexp_replace(col(field), pattern, replacement))
+          // structured extraction: delegate to the SAME compilers the
+          // ES|QL DISSECT/GROK commands use — one anchored regex,
+          // narrow codegen'd columns
+          case "dissect" =>
+            val pattern = m.get("pattern").collect { case JString(s) => s }
+              .getOrElse(throw new IllegalArgumentException("dissect needs pattern"))
+            df => graft.dsl.Esql.applyCommand(df, s"""dissect $field "$pattern"""")
+          case "grok" =>
+            val pattern = m.get("patterns") match {
+              case Some(JArray(JString(p) :: _)) => p
+              case Some(JString(p)) => p
+              case _ => throw new IllegalArgumentException("grok needs patterns")
+            }
+            df => graft.dsl.Esql.applyCommand(df, s"""grok $field "$pattern"""")
+          case "date" =>
+            val fmt = m.get("formats") match {
+              case Some(JArray(JString(f) :: _)) => f
+              case Some(JString(f)) => f
+              case _ => throw new IllegalArgumentException("date needs formats")
+            }
+            val target = m.get("target_field").collect { case JString(s) => s }
+              .getOrElse("@timestamp")
+            df => df.withColumn(target, to_timestamp(col(field), fmt))
+          case "kv" =>
+            val fs = m.get("field_split").collect { case JString(s) => s }
+              .getOrElse(throw new IllegalArgumentException("kv needs field_split"))
+            val vs = m.get("value_split").collect { case JString(s) => s }
+              .getOrElse(throw new IllegalArgumentException("kv needs value_split"))
+            val target = m.get("target_field").collect { case JString(s) => s }
+              .getOrElse(field)
+            df => df.withColumn(target, str_to_map(col(field), lit(fs), lit(vs)))
+          case "json" =>
+            // schema-free subset: flat string-valued objects (the
+            // common log-enrichment shape) land as map<string,string>
+            val target = m.get("target_field").collect { case JString(s) => s }
+              .getOrElse(field)
+            df => df.withColumn(target,
+              from_json(col(field), org.apache.spark.sql.types.MapType(
+                org.apache.spark.sql.types.StringType,
+                org.apache.spark.sql.types.StringType)))
+          case "script" =>
+            // Painless subset (incl. statements) computing ONE value
+            // into target_field — the dominant script-processor use
+            val src = m.get("source").collect { case JString(s) => s }
+              .getOrElse(throw new IllegalArgumentException("script needs source"))
+            val target = m.get("target_field").collect { case JString(s) => s }
+              .getOrElse(throw new IllegalArgumentException(
+                "script needs target_field (the computed-value subset)"))
+            val params: Map[String, Any] = m.get("params") match {
+              case Some(JObject(ps)) => ps.collect {
+                case JField(k, JInt(i)) => k -> i.toLong
+                case JField(k, JDouble(d)) => k -> d
+                case JField(k, JString(s)) => k -> s
+              }.toMap
+              case _ => Map.empty
+            }
+            df => df.withColumn(target, graft.dsl.Painless.compile(src, params))
           case other => throw new IllegalArgumentException(
             s"unsupported ingest processor: $other")
         }

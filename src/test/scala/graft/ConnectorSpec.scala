@@ -400,6 +400,34 @@ class ConnectorSpec extends SparkSpec {
     assert(r2.getAs[String]("title") == "gamma#")
   }
 
+  test("ingest pipeline: dissect/grok/date/kv/json/script processors") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_ingest2").toString + "/idx"
+    val pipeline = """{"processors": [
+      {"dissect": {"field": "line", "pattern": "%{lvl} %{msg}"}},
+      {"grok": {"field": "msg", "patterns": ["%{WORD:verb} %{NUMBER:ms:int}"]}},
+      {"date": {"field": "day", "formats": ["yyyy-MM-dd"], "target_field": "ts"}},
+      {"kv": {"field": "tags", "field_split": ",", "value_split": "="}},
+      {"json": {"field": "props", "target_field": "pm"}},
+      {"script": {"source": "doc['ms'].value * params.f", "params": {"f": 2.0},
+                  "target_field": "ms2"}}]}"""
+    Seq(
+      (1L, "INFO start 15", "2024-03-01", "a=1,b=2", """{"k": "v"}"""),
+      (2L, "WARN stop 40", "2024-03-02", "c=3", """{"x": "y"}"""))
+      .toDF("doc_id", "line", "day", "tags", "props")
+      .saveToGraft(dir, Map("graft.mapping.id" -> "doc_id",
+        "graft.ingest.pipeline" -> pipeline))
+    val out = spark.read.parquet(dir).orderBy("doc_id")
+    val r = out.collect().map(x => (
+      x.getAs[String]("lvl"), x.getAs[String]("verb"), x.getAs[Int]("ms"),
+      x.getAs[java.sql.Timestamp]("ts") != null,
+      x.getAs[Map[String, String]]("tags"), x.getAs[Map[String, String]]("pm"),
+      x.getAs[Double]("ms2"))).toSeq
+    assert(r == Seq(
+      ("INFO", "start", 15, true, Map("a" -> "1", "b" -> "2"), Map("k" -> "v"), 30.0),
+      ("WARN", "stop", 40, true, Map("c" -> "3"), Map("x" -> "y"), 80.0)))
+  }
+
   test("write-side mapping include/exclude keep the id column alive") {
     import java.nio.file.Files
     val base = Files.createTempDirectory("graft_wmap").toString
