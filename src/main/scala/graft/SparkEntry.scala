@@ -289,6 +289,11 @@ object SparkEntry {
     // completion suggester: pushed prefix scan, best weight per entry
     "q_suggest_completion" -> ((s, d) =>
       Search.suggestCompletion(t(s, d, "documents"), "source", "n_chars", "src1", 8)),
+    // suggest_mode popular: only corrections MORE frequent than the
+    // input term survive
+    "q_suggest_popular" -> ((s, d) =>
+      Search.suggestMode(t(s, d, "documents"), "text", "joins", "popular",
+        maxEdits = 1, k = 5)),
     // completion suggester with contexts: suggestions gated to docs
     // in the requested categories, weights boosted per context value
     "q_suggest_context" -> ((s, d) =>
@@ -1969,6 +1974,12 @@ object SparkEntry {
       "HAVING count(*) >= 50 ORDER BY support DESC, item1, item2 LIMIT 20"),
     "q_search_after" -> ("SELECT doc_id, n_chars FROM documents WHERE n_chars < 400 " +
       "OR (n_chars = 400 AND doc_id > 250) ORDER BY n_chars DESC, doc_id LIMIT 10"),
+    "q_suggest_popular" -> (TokCte + ", v AS (SELECT token, count(*)::BIGINT AS freq FROM " +
+      "(SELECT unnest(toks) AS token FROM tok) GROUP BY token), " +
+      "inp AS (SELECT coalesce(max(freq), 0) AS input_freq FROM v WHERE token = 'joins') " +
+      "SELECT token, freq FROM v CROSS JOIN inp " +
+      "WHERE token <> 'joins' AND levenshtein(token, 'joins') <= 1 AND freq > input_freq " +
+      "ORDER BY freq DESC, token LIMIT 5"),
     "q_suggest" -> (TokCte + " SELECT token, count(*)::BIGINT AS freq FROM " +
       "(SELECT unnest(toks) AS token FROM tok) GROUP BY token " +
       "HAVING token <> 'spak' AND levenshtein(token, 'spak') <= 2 " +

@@ -611,6 +611,39 @@ object Search {
       .orderBy(col("freq").desc, col("token").asc)
       .limit(k)
 
+  /** term suggester with `suggest_mode` (ES: when to suggest at
+    * all): `popular` keeps only corrections MORE frequent than the
+    * input term — the "did you mean" gate that stops suggesting rarer
+    * words for a common, correctly-spelled input. (`missing`, the ES
+    * default, is a per-REQUEST gate — no suggestions when the input
+    * term exists — expressed here by the caller checking the input's
+    * frequency row, which this frame includes at edit distance 0 when
+    * present.) Same vocab-agg shape as `suggest`. */
+  def suggestMode(
+      docs: DataFrame, textCol: String, term: String,
+      mode: String, maxEdits: Int = 2, k: Int = 5): DataFrame = {
+    val vocab = docs
+      .select(explode(graft.analysis.Analyzer.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    mode match {
+      case "always" =>
+        vocab.where(col("token") =!= term &&
+            levenshtein(col("token"), lit(term)) <= maxEdits)
+          .orderBy(col("freq").desc, col("token").asc).limit(k)
+      case "popular" =>
+        // the input's own frequency (0 when absent) as a 1-row frame
+        val inputFreq = vocab.where(col("token") === term)
+          .agg(coalesce(max(col("freq")), lit(0L)).as("input_freq"))
+        vocab.where(col("token") =!= term &&
+            levenshtein(col("token"), lit(term)) <= maxEdits)
+          .crossJoin(broadcast(inputFreq))
+          .where(col("freq") > col("input_freq"))
+          .select(col("token"), col("freq"))
+          .orderBy(col("freq").desc, col("token").asc).limit(k)
+      case other => throw new IllegalArgumentException(s"bad suggest_mode: $other")
+    }
+  }
+
   /** `completion` suggester: prefix-matched suggestions from a
     * weighted suggest field — best weight per suggestion, top-k.
     * The prefix predicate is a StringStartsWith, so it pushes into
