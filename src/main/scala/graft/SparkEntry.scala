@@ -97,6 +97,19 @@ object SparkEntry {
   private val GeoCte =
     "WITH g AS (SELECT c_custkey, (c_custkey * 7919 % 18000) / 100.0 - 90.0 AS lat, (c_custkey * 104729 % 36000) / 100.0 - 180.0 AS lon FROM customer)"
 
+  // deterministic synthetic IPv4 column over events (no ip field in
+  // the testdata — same spirit as withGeo), + its DuckDB mirror with
+  // the dotted-quad re-parsed to the numeric value like Aggs.ipValue
+  private def withIp(e: DataFrame): DataFrame = e.withColumn("ip",
+    concat_ws(".", lit(10L),
+      pmod(col("user_id") * 7L, lit(256L)),
+      pmod(col("user_id") * 13L, lit(256L)),
+      pmod(col("user_id"), lit(256L))))
+  private val IpCte =
+    "WITH ips AS (SELECT *, 10 || '.' || (user_id * 7 % 256) || '.' || (user_id * 13 % 256) || '.' || (user_id % 256) AS ip FROM events), " +
+    "ipv AS (SELECT *, string_split(ip, '.')[1]::BIGINT * 16777216 + string_split(ip, '.')[2]::BIGINT * 65536 + " +
+    "string_split(ip, '.')[3]::BIGINT * 256 + string_split(ip, '.')[4]::BIGINT AS ipn FROM ips)"
+
   /** Shared polygon for q_geo_polygon — the ORACLE SQL is generated
     * from the same vertex list (same precomputed edge deltas as
     * Relational.geoPolygon), so the two ray casts are the identical
@@ -1445,7 +1458,92 @@ object SparkEntry {
         .orderBy(col("bucket_ts"), col("event_type"))
     }),
     "q_sessionize" -> ((s, d) => EventStreams.sessionize(Tables.events(s, d), 30)),
-    "q_props_json" -> ((s, d) => EventStreams.propsField(Tables.events(s, d), "k"))
+    "q_props_json" -> ((s, d) => EventStreams.propsField(Tables.events(s, d), "k")),
+
+    // ---- r7 additions ----
+    // Painless while: data-independent trip count (6 Newton sqrt
+    // steps) unrolls at compile time — whole-stage codegen, no
+    // interpreter, no recursion in the plan
+    "q_script_while" -> ((s, d) => Search.scriptScoreTopK(
+      t(s, d, "documents"), "doc_id", query = lit(true),
+      script = "def x = doc['n_chars'].value; def g = 100.0; def i = 0; " +
+        "while (i < 6) { g = (g + x / g) / 2.0; i = i + 1 } return g",
+      params = Map.empty, k = 12)),
+    // function_score random_score: seeded reproducible shuffle
+    "q_function_random" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id").as("id"),
+        Num.round(Search.randomScore(col("doc_id"), 42L), 6).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(20)),
+    // full function_score: filtered functions combined per score_mode
+    // (max), folded into the base per boost_mode (multiply), max_boost
+    // cap — inline predicates, zero joins
+    "q_function_modes" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id").as("id"),
+        Num.round(Search.functionScoreModes(
+          base = lit(1.0),
+          functions = Seq(
+            (col("lang") === "en", log(lit(1.0) + col("n_chars") * lit(0.01)), 2.0),
+            (col("source") === "src3", lit(1.0), 3.0),
+            (col("n_chars") > 400, sqrt(col("n_chars").cast("double")), 0.1)),
+          scoreMode = "max", boostMode = "multiply", maxBoost = 5.0), 4).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(25)),
+    // post_filter: aggregations see the QUERY hits; the hit list is
+    // additionally narrowed — bucket counts computed BEFORE the
+    // narrowing ride back in on a broadcast join
+    "q_post_filter" -> ((s, d) => {
+      val hits = t(s, d, "documents").where(col("n_chars") >= 200)
+      val langCounts = hits.groupBy(col("lang")).agg(count(lit(1)).as("lang_hits"))
+      hits.where(col("source") === "src1")
+        .join(broadcast(langCounts), "lang")
+        .select(col("doc_id"), col("lang"), col("lang_hits"))
+        .orderBy(col("doc_id"))
+    }),
+    // sliced scroll: slice {id: 1, max: 4} — disjoint deterministic
+    // hash partitions; each export worker scans only its slice and the
+    // union of slices is exactly the full export
+    "q_slice" -> ((s, d) => t(s, d, "documents")
+      .where(pmod(conv(substring(md5(concat(lit("slice:"), col("doc_id"))), 1, 12), 16, 10)
+        .cast("long"), lit(4L)) === 1L)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))),
+    // chained rescorers (ES takes a LIST): stage 2 re-ranks only
+    // stage 1's window — each stage is a broadcast join, the corpus
+    // is scanned once by the first-pass BM25
+    "q_rescore_multi" -> ((s, d) => Search.rescoreChainTopK(
+      t(s, d, "documents"), "doc_id", "text", "fast hash join",
+      stages = Seq(
+        (log(lit(1.0) + col("n_chars")), 50, 1.0, 0.5),
+        ((col("lang") === "en").cast("double"), 20, 1.0, 2.0)),
+      k = 10)),
+    // two-phase quantized knn (ES 8.18 rescore_vector.oversample):
+    // the int8 index ranks a coarse 4x window, raw vectors rescore
+    "q_knn_rescore" -> ((s, d) =>
+      graft.sim.Ann.knnRescoreTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        ScriptQv, k = 10, oversample = 4)),
+    // ip_range agg over the synthetic ip column (from-inclusive,
+    // to-exclusive, unbounded sides open; one scan, N count_ifs)
+    "q_agg_ip_range" -> ((s, d) => Aggs.ipRange(withIp(Tables.events(s, d)), "ip",
+      Seq(("low", None, Some("10.64.0.0")),
+        ("mid", Some("10.64.0.0"), Some("10.192.0.0")),
+        ("high", Some("10.192.0.0"), None)))),
+    // ip_prefix agg: /12 network buckets via integer mask math
+    "q_agg_ip_prefix" -> ((s, d) => Aggs.ipPrefix(withIp(Tables.events(s, d)), "ip", 12)),
+    // _transform pivot (one-shot): group_by + aggs, flat dest table
+    "q_transform_pivot" -> ((s, d) =>
+      graft.streaming.Transforms.pivot(Tables.events(s, d), "event_type", "value")
+        .select(col("event_type"), col("doc_count"),
+          Num.round(col("value_sum"), 4).as("value_sum"), col("value_max"))
+        .orderBy(col("event_type"))),
+    // _transform latest: newest doc per user — ONE max_by groupBy, no
+    // window/sort; ordered on µs-truncated time so the oracle (whose
+    // parquet reader truncates ns to µs) sees identical sort keys
+    "q_transform_latest" -> ((s, d) =>
+      graft.streaming.Transforms.latest(
+        Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000")),
+        "user_id", "ts_us", "event_id", Seq("event_id", "event_type", "value"))
+        .orderBy(col("user_id")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2638,6 +2736,70 @@ object SparkEntry {
       "SELECT user_id, session_id, count(*)::BIGINT AS n_events, round((max(tn) - min(tn)) / 1e9, 3) AS duration_sec " +
       "FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"),
     "q_props_json" -> ("SELECT event_type, count(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS n, " +
-      "round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k FROM events GROUP BY event_type ORDER BY event_type")
+      "round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k FROM events GROUP BY event_type ORDER BY event_type"),
+
+    // ---- r7 additions ----
+    // fold over range(6) with a prepended seed == the unrolled Newton
+    // iteration, identical double op order
+    "q_script_while" -> ("SELECT doc_id AS id, round(list_reduce(" +
+      "list_prepend(100.0::DOUBLE, list_transform(range(6), i -> 0.0::DOUBLE)), " +
+      "(g, e) -> (g + CAST(n_chars AS DOUBLE) / g) / 2.0::DOUBLE), 4) AS score " +
+      "FROM documents ORDER BY score DESC, id LIMIT 12"),
+    "q_function_random" -> (s"SELECT doc_id AS id, round(${hexFold("'42:' || doc_id", 12)} / 281474976710656.0, 6) AS score " +
+      "FROM documents ORDER BY score DESC, id LIMIT 20"),
+    "q_function_modes" -> ("WITH f AS (SELECT doc_id, " +
+      "CASE WHEN lang = 'en' THEN ln(1.0 + n_chars * 0.01) * 2.0 END AS f1, " +
+      "CASE WHEN source = 'src3' THEN 1.0 * 3.0 END AS f2, " +
+      "CASE WHEN n_chars > 400 THEN sqrt(CAST(n_chars AS DOUBLE)) * 0.1 END AS f3 " +
+      "FROM documents) " +
+      "SELECT doc_id AS id, round(1.0 * least(CASE WHEN f1 IS NULL AND f2 IS NULL AND f3 IS NULL THEN 1.0 " +
+      "ELSE greatest(coalesce(f1, -1.7976931348623157e308), coalesce(f2, -1.7976931348623157e308), " +
+      "coalesce(f3, -1.7976931348623157e308)) END, 5.0), 4) AS score " +
+      "FROM f ORDER BY score DESC, id LIMIT 25"),
+    "q_post_filter" -> ("WITH h AS (SELECT * FROM documents WHERE n_chars >= 200), " +
+      "lc AS (SELECT lang, count(*)::BIGINT AS lang_hits FROM h GROUP BY lang) " +
+      "SELECT doc_id, lang, lang_hits FROM h JOIN lc USING (lang) " +
+      "WHERE source = 'src1' ORDER BY doc_id"),
+    "q_slice" -> (s"SELECT doc_id, lang FROM documents " +
+      s"WHERE ${hexFold("'slice:' || doc_id", 12)} % 4 = 1 ORDER BY doc_id"),
+    "q_rescore_multi" -> (TokCte + bm25Ctes("", "tok", Seq("fast", "hash", "join")) +
+      ", w1 AS (SELECT id, score FROM sc ORDER BY score DESC, id LIMIT 50), " +
+      "r1 AS (SELECT id, round(score * 1.0 + ln(1.0 + n_chars) * 0.5, 4) AS score " +
+      "FROM w1 JOIN documents ON doc_id = id), " +
+      "w2 AS (SELECT id, score FROM r1 ORDER BY score DESC, id LIMIT 20), " +
+      "r2 AS (SELECT id, round(score * 1.0 + (CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END) * 2.0, 4) AS score " +
+      "FROM w2 JOIN documents ON doc_id = id) " +
+      "SELECT id, score FROM r2 ORDER BY score DESC, id LIMIT 10"),
+    "q_knn_rescore" -> ("WITH q AS (SELECT " + ScriptQv.mkString("[", ", ", "]") + "::DOUBLE[] AS w), " +
+      "e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), " +
+      "s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e), " +
+      "dq AS (SELECT vec_id, v, CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0) ELSE " +
+      "list_transform(v, x -> least(greatest(floor(x / scale + 0.5), -127.0), 127.0) * scale) END AS qv FROM s), " +
+      "coarse AS (SELECT vec_id, list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> qv[i] * w[i])), (a, b) -> a + b) / " +
+      "(sqrt(list_reduce(list_prepend(0.0, list_transform(qv, x -> x * x)), (a, b) -> a + b)) * " +
+      "sqrt(list_reduce(list_prepend(0.0, list_transform(w, x -> x * x)), (a, b) -> a + b))) AS qscore " +
+      "FROM dq CROSS JOIN q ORDER BY qscore DESC, vec_id LIMIT 40), " +
+      "ex AS (SELECT c.vec_id AS id, round(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> e.v[i] * w[i])), (a, b) -> a + b) / " +
+      "(sqrt(list_reduce(list_prepend(0.0, list_transform(e.v, x -> x * x)), (a, b) -> a + b)) * " +
+      "sqrt(list_reduce(list_prepend(0.0, list_transform(w, x -> x * x)), (a, b) -> a + b))), 4) AS cosine, " +
+      "round(c.qscore, 4) AS quantized FROM coarse c JOIN e ON e.vec_id = c.vec_id CROSS JOIN q) " +
+      "SELECT id, cosine, quantized FROM ex ORDER BY cosine DESC, id LIMIT 10"),
+    "q_agg_ip_range" -> (IpCte +
+      " SELECT key, doc_count FROM (" +
+      "SELECT 0 AS o, 'low' AS key, count(*) FILTER (WHERE ipn < 10 * 16777216 + 64 * 65536)::BIGINT AS doc_count FROM ipv " +
+      "UNION ALL SELECT 1, 'mid', count(*) FILTER (WHERE ipn >= 10 * 16777216 + 64 * 65536 AND ipn < 10 * 16777216 + 192 * 65536)::BIGINT FROM ipv " +
+      "UNION ALL SELECT 2, 'high', count(*) FILTER (WHERE ipn >= 10 * 16777216 + 192 * 65536)::BIGINT FROM ipv) " +
+      "ORDER BY o"),
+    "q_agg_ip_prefix" -> (IpCte +
+      ", n AS (SELECT (ipn // 1048576) * 1048576 AS net FROM ipv) " +
+      "SELECT (net // 16777216 % 256) || '.' || (net // 65536 % 256) || '.' || (net // 256 % 256) || '.' || (net % 256) || '/12' AS key, " +
+      "count(*)::BIGINT AS doc_count FROM n GROUP BY key ORDER BY key"),
+    "q_transform_pivot" -> ("SELECT event_type, count(*)::BIGINT AS doc_count, " +
+      "round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS value_sum, max(value) AS value_max " +
+      "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q_transform_latest" -> ("SELECT user_id, event_id, event_type, value FROM (" +
+      "SELECT user_id, event_id, event_type, value, " +
+      "row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events) " +
+      "WHERE rn = 1 ORDER BY user_id")
   )
 }

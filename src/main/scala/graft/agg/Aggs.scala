@@ -1080,4 +1080,58 @@ object Aggs {
           .cast("decimal(28,8)")).cast("double"), 4).as("value"),
         count(lit(1)).as("doc_count"))
       .orderBy(col("key").asc)
+
+  /** Dotted-quad IPv4 -> numeric value — ES's `ip` field stores and
+    * compares IPs numerically; split + element_at casts stay inside
+    * whole-stage codegen (no HOF). */
+  def ipValue(ip: Column): Column = {
+    val o = split(ip, "\\.")
+    element_at(o, 1).cast("long") * 16777216L +
+      element_at(o, 2).cast("long") * 65536L +
+      element_at(o, 3).cast("long") * 256L +
+      element_at(o, 4).cast("long")
+  }
+
+  /** `ip_range` agg: ES bucket rule is from-inclusive / to-EXCLUSIVE
+    * (same as its numeric `range`), unbounded sides open. One scan, N
+    * conditional counts — no per-range passes and no shuffle beyond
+    * the single 1-row aggregate, like the `filters` agg. */
+  def ipRange(df: DataFrame, ipCol: String,
+      ranges: Seq[(String, Option[String], Option[String])]): DataFrame = {
+    def ipLit(s: String): Long = {
+      val o = s.split('.')
+      require(o.length == 4, s"bad ipv4 literal: $s")
+      o(0).toLong * 16777216L + o(1).toLong * 65536L + o(2).toLong * 256L + o(3).toLong
+    }
+    val v = ipValue(col(ipCol))
+    val counts = ranges.map { case (key, from, to) =>
+      val pred = (from.map(f => v >= ipLit(f)) ++ to.map(t => v < ipLit(t)))
+        .reduceOption(_ && _).getOrElse(lit(true))
+      sum(when(pred, 1L).otherwise(0L)).as(key)
+    }
+    val row = df.agg(counts.head, counts.tail: _*)
+    // unpivot the 1-row frame to ES's (key, doc_count) bucket list —
+    // stack on one already-aggregated row, zero extra scans
+    row.select(expr(
+      s"stack(${ranges.size}, " +
+        ranges.map { case (k, _, _) => s"'$k', `$k`" }.mkString(", ") +
+        ") as (key, doc_count)"))
+  }
+
+  /** `ip_prefix` agg (ES 8.2): buckets keyed by the /n network of each
+    * address. The mask is integer math on the numeric value; the key
+    * renders back to dotted-quad + "/n". One hash aggregation. */
+  def ipPrefix(df: DataFrame, ipCol: String, prefixLength: Int): DataFrame = {
+    require(prefixLength >= 0 && prefixLength <= 32, s"bad prefix_length: $prefixLength")
+    val block = 1L << (32 - prefixLength)
+    val net = (ipValue(col(ipCol)) / block).cast("long") * block
+    val key = concat_ws(".",
+      (net / 16777216L % 256L).cast("long"),
+      (net / 65536L % 256L).cast("long"),
+      (net / 256L % 256L).cast("long"),
+      (net % 256L).cast("long"))
+    df.groupBy(concat(key, lit(s"/$prefixLength")).as("key"))
+      .agg(count(lit(1)).as("doc_count"))
+      .orderBy(col("key").asc)
+  }
 }

@@ -57,8 +57,16 @@ object Painless {
       new Parser(lex(s0, env.keySet ++ extra.keySet), params, score, env ++ extra)
         .parseFull()
     var ret: Option[Column] = None
+    // defs whose initializer is a bare numeric literal also carry a
+    // driver-side value, so `while` trip counts can resolve at compile
+    // time (see the while case below)
+    var litEnv = Map.empty[String, Double]
     val forPat = """(?s)for\s*\(\s*(\w+)\s+in\s+doc\[\s*'([^']+)'\s*\]\s*\)\s*\{(.+)\}""".r
     val accPat = """(?s)\s*(\w+)\s*(\+=|=)\s*(.+)""".r
+    val numLit = """\s*-?\d+(?:\.\d+)?\s*""".r
+    val whilePat = """(?s)while\s*\(\s*(\w+)\s*(<=|<|>=|>|!=)\s*(-?\d+(?:\.\d+)?)\s*\)\s*\{(.+)\}""".r
+    // counter-step forms a while body may apply driver-side
+    val stepPat = """\s*(\w+)\s*(?:\+=\s*(-?\d+(?:\.\d+)?)|=\s*\1\s*\+\s*(-?\d+(?:\.\d+)?)|=\s*\1\s*-\s*(-?\d+(?:\.\d+)?))\s*""".r
     stmts.foreach {
       case st if ret.isDefined =>
         throw new IllegalArgumentException(s"statement after return: $st")
@@ -67,7 +75,12 @@ object Painless {
         require(eq > 0, s"def needs an initializer: $st")
         val name = st.substring(4, eq).trim
         require(name.matches("[A-Za-z_][A-Za-z0-9_]*"), s"bad def name: $name")
-        env += name -> exprC(st.substring(eq + 1))
+        val init = st.substring(eq + 1)
+        init match {
+          case numLit() => litEnv += name -> init.trim.toDouble
+          case _ => ()
+        }
+        env += name -> exprC(init)
       case forPat(v, field, body) =>
         val (accName, op, rhs) = body.trim match {
           case accPat(a, o, r) => (a, o, r)
@@ -77,6 +90,7 @@ object Painless {
         require(env.contains(accName),
           s"loop accumulator '$accName' must be a def-ed local")
         val init = env(accName).cast("double")
+        litEnv -= accName
         env += accName -> aggregate(col(field), init, (a, x) => {
           val bodyC = exprC(rhs, Map(accName -> a, v -> x.cast("double")))
           if (op == "+=") a + bodyC else bodyC
@@ -105,12 +119,53 @@ object Painless {
                 s"else branch must be one assignment: $other")
               case None => env(name)
             }
+            litEnv -= name
             env += name -> when(condC =!= 0.0, thenC).otherwise(elseC)
           case other => throw new IllegalArgumentException(s"unsupported if statement: $other")
+        }
+      // while (i < N) { ... } — Catalyst's expression algebra has no
+      // recursion, so only DATA-INDEPENDENT trip counts compile: the
+      // condition variable must be a literal-initialized def stepped by
+      // a literal inside the body. The loop then UNROLLS at compile
+      // time — each iteration rebinds the column-valued locals in
+      // statement order, exactly like Painless's own interpreter, and
+      // the unrolled expression stays inside whole-stage codegen.
+      // Data-dependent conditions (doc values / params in the test)
+      // are rejected with a clear error rather than silently mis-run.
+      case whilePat(cv, cop, climRaw, body) =>
+        require(litEnv.contains(cv),
+          s"while condition variable '$cv' must be a def with a literal initializer " +
+            "(data-dependent trip counts cannot compile to a static plan)")
+        val clim = climRaw.toDouble
+        def holds: Boolean = cop match {
+          case "<" => litEnv(cv) < clim
+          case "<=" => litEnv(cv) <= clim
+          case ">" => litEnv(cv) > clim
+          case ">=" => litEnv(cv) >= clim
+          case "!=" => litEnv(cv) != clim
+        }
+        val bodyStmts = splitStmts(body).map(_.trim).filter(_.nonEmpty)
+        var guard = 0
+        while (holds) {
+          guard += 1
+          require(guard <= 1000, "while loop exceeds 1000 unrolled iterations")
+          bodyStmts.foreach {
+            case stepPat(v, s1, s2, s3) if v == cv || litEnv.contains(v) =>
+              val step = Option(s1).orElse(Option(s2)).map(_.toDouble)
+                .getOrElse(-s3.toDouble)
+              litEnv += v -> (litEnv(v) + step)
+              env += v -> lit(litEnv(v))
+            case accPat(name, op, rhs) if env.contains(name) =>
+              litEnv -= name // now column-valued; no longer a driver literal
+              env += name -> (if (op == "+=") env(name) + exprC(rhs) else exprC(rhs))
+            case other => throw new IllegalArgumentException(
+              s"unsupported while-body statement: $other")
+          }
         }
       case st if st.startsWith("return") =>
         ret = Some(exprC(st.stripPrefix("return")))
       case accPat(name, "=", rhs) if env.contains(name) =>
+        litEnv -= name
         env += name -> exprC(rhs)
       case other => throw new IllegalArgumentException(s"unsupported statement: $other")
     }

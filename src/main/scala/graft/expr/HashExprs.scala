@@ -159,6 +159,42 @@ object HashKernels {
 
   /** cosine over two double arrays; fold order identical to the HOF
     * formulation (init 0.0, ascending index) for bit parity. */
+  /** Cosine of (int8-quantized-then-dequantized x) vs raw y — the
+    * score an ES `int8_hnsw` index computes during the APPROXIMATE
+    * stage of a knn search with `rescore_vector`: the stored vector
+    * lost precision to quantization (same clamp-round as
+    * quantInt8Kernel), the query did not. One pass, no allocation. */
+  def quantCosineKernel(x: ArrayData, y: ArrayData): Double = {
+    val n = x.numElements()
+    var amax = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(x.getDouble(i))
+      if (a > amax) amax = a
+      i += 1
+    }
+    val scale = amax / 127.0
+    var dot = 0.0
+    var nx = 0.0
+    var ny = 0.0
+    i = 0
+    while (i < n) {
+      val raw = x.getDouble(i)
+      val a = if (scale == 0.0) 0.0 else {
+        var q = math.floor(raw / scale + 0.5)
+        if (q > 127.0) q = 127.0
+        if (q < -127.0) q = -127.0
+        q * scale
+      }
+      val b = y.getDouble(i)
+      dot += a * b
+      nx += a * a
+      ny += b * b
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
   def cosineKernel(x: ArrayData, y: ArrayData): Double = {
     val n = x.numElements()
     var dot = 0.0
@@ -1119,6 +1155,26 @@ case class L2Norm(left: Expression, right: Expression)
       s"${ev.value} = graft.expr.HashKernels.l2Kernel($a, $b);")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): L2Norm =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Quantized-index cosine (see HashKernels.quantCosineKernel) — the
+  * coarse score of a two-phase knn `rescore_vector` search. */
+case class QuantizedCosine(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "quantized_cosine"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(HashKernels.quantCosineKernel(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expr.HashKernels.quantCosineKernel($a, $b);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): QuantizedCosine =
     copy(left = newLeft, right = newRight)
 }
 

@@ -1475,4 +1475,83 @@ object Search {
       .orderBy(col("linear_score").desc, col("id").asc)
       .limit(k)
   }
+
+  /** `function_score` `random_score` with a `seed` + `field`
+    * (reproducible shuffle — ES hashes seed:fieldValue per doc).
+    * Deterministic stand-in for Lucene's hash: the repo-wide 48-bit
+    * md5 fold of "seed:value" (Num.uniformHash48 — the same draw every
+    * sampling operator uses), normalized to [0, 1). Pure codegen'd
+    * column math, mirrored in oracles via hexFold / 2^48. */
+  def randomScore(idValue: Column, seed: Long): Column =
+    Num.uniformHash48(concat_ws(":", lit(seed), idValue))
+
+  /** The full `function_score` surface: per-function `filter` +
+    * `weight`, combined per `score_mode` (sum | multiply | max | min |
+    * avg), capped at `max_boost`, then folded into the base query
+    * score per `boost_mode` (multiply | sum | replace | max | min |
+    * avg). A non-matching function contributes NOTHING (ES skips it —
+    * it does not contribute an identity element), so each mode folds
+    * over the matched subset only; no matches at all -> function score
+    * 1.0 (ES's documented default). One narrow projection per row —
+    * no join, no shuffle: the filters are plain predicates evaluated
+    * inline, which is exactly how ES runs them per-shard. */
+  def functionScoreModes(
+      base: Column,
+      functions: Seq[(Column, Column, Double)], // (filter, function, weight)
+      scoreMode: String,
+      boostMode: String,
+      maxBoost: Double = Double.MaxValue): Column = {
+    require(functions.nonEmpty, "function_score needs at least one function")
+    val vals = functions.map { case (f, fn, w) =>
+      when(f, fn.cast("double") * lit(w)) // null when the filter misses
+    }
+    val matched = functions.map { case (f, _, _) => when(f, 1).otherwise(0) }
+      .reduce(_ + _)
+    // null-skipping folds: Spark's +/greatest/least propagate null, so
+    // route through coalesce(v, identity-for-this-doc) guarded by the
+    // matched count
+    def sumMatched = vals.map(v => coalesce(v, lit(0.0))).reduce(_ + _)
+    val combined = scoreMode match {
+      case "sum" => sumMatched
+      case "avg" => sumMatched / matched.cast("double")
+      case "multiply" => vals.map(v => coalesce(v, lit(1.0))).reduce(_ * _)
+      case "max" => greatest(vals.map(v => coalesce(v, lit(Double.MinValue))): _*)
+      case "min" => least(vals.map(v => coalesce(v, lit(Double.MaxValue))): _*)
+      case other => throw new IllegalArgumentException(s"bad score_mode: $other")
+    }
+    val fnScore = least(
+      when(matched === 0, lit(1.0)).otherwise(combined), lit(maxBoost))
+    boostMode match {
+      case "multiply" => base * fnScore
+      case "sum" => base + fnScore
+      case "replace" => fnScore
+      case "max" => greatest(base, fnScore)
+      case "min" => least(base, fnScore)
+      case "avg" => (base + fnScore) / lit(2.0)
+      case other => throw new IllegalArgumentException(s"bad boost_mode: $other")
+    }
+  }
+
+  /** Chained `rescore` (ES accepts a LIST of rescorers): each stage
+    * re-ranks only the previous stage's top `windowSize` hits with
+    * `query_weight * prev + rescore_weight * secondary`. Every stage
+    * is one broadcast join against an already-limited window — the
+    * corpus is scanned once by the first-pass BM25 and never again;
+    * later stages touch O(window) rows. */
+  def rescoreChainTopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      query: String,
+      stages: Seq[(Column, Int, Double, Double)], // (secondary, window, qw, rw)
+      k: Int): DataFrame = {
+    var cur = bm25Scores(docs, idCol, textCol, query)
+    stages.foreach { case (secondary, windowSize, qw, rw) =>
+      val window = cur.orderBy(col("score").desc, col("id").asc).limit(windowSize)
+      cur = docs.join(broadcast(window), col(idCol) === window("id"))
+        .select(window("id"),
+          Num.round(window("score") * qw + secondary * rw, 4).as("score"))
+    }
+    cur.orderBy(col("score").desc, col("id").asc).limit(k)
+  }
 }

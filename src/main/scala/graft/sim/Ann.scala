@@ -350,4 +350,39 @@ object Ann {
     val out = result.select(col("id"), col("cosine"), col("rank"))
     cut.fold(out)(s => out.where(col("cosine") >= s))
   }
+
+  /** ES 8.18 knn `rescore_vector.oversample`: the quantized index
+    * (int8 storage) ranks a COARSE top-(k * oversample) window with
+    * its lossy score, then the raw vectors rescore exactly and keep
+    * the true top-k. At 100 TB this is the whole point of quantized
+    * storage — the corpus-wide pass touches only int8-compressed data
+    * (4x less IO, here modeled by the one-pass QuantizedCosine
+    * kernel), and full-precision vectors are read for O(k *
+    * oversample) rows via a broadcast semi-join, never streamed. */
+  def knnRescoreTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryVec: Seq[Double],
+      k: Int,
+      oversample: Int): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val q = array(queryVec.map(lit): _*)
+    def score(fn: (org.apache.spark.sql.catalyst.expressions.Expression,
+                   org.apache.spark.sql.catalyst.expressions.Expression) =>
+                  org.apache.spark.sql.catalyst.expressions.Expression) =
+      GraftBridge.column(fn(
+        GraftBridge.expression(col(vecCol)), GraftBridge.expression(q)))
+    val coarse = corpus
+      .select(col(idCol).as("id"),
+        score(graft.expr.QuantizedCosine(_, _)).as("qscore"))
+      .orderBy(col("qscore").desc, col("id").asc)
+      .limit(k * oversample)
+    corpus.join(broadcast(coarse), col(idCol) === coarse("id"))
+      .select(coarse("id"),
+        graft.util.Num.round(score(graft.expr.CosineSim(_, _)), 4).as("cosine"),
+        graft.util.Num.round(coarse("qscore"), 4).as("quantized"))
+      .orderBy(col("cosine").desc, col("id").asc)
+      .limit(k)
+  }
 }

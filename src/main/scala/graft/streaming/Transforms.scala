@@ -28,6 +28,22 @@ object Transforms {
         sum(col(valueCol).cast("decimal(18,4)")).cast("double").as("value_sum"),
         max(col(valueCol)).as("value_max"))
 
+  /** ES `latest` transform: the newest document per `uniqueKey`,
+    * ordered by `sortCol` (ties broken by `tieCol` — ES breaks them
+    * by internal doc order, which is not reproducible; an explicit
+    * tiebreaker is). ONE partial-aggregating max_by groupBy — no
+    * window, no sort: at 100 TB the map side reduces each partition
+    * to one candidate row per key before the shuffle, so the exchange
+    * carries |keys| rows, not |docs|. */
+  def latest(src: DataFrame, uniqueKey: String, sortCol: String,
+      tieCol: String, payload: Seq[String]): DataFrame = {
+    val doc = struct(payload.map(col): _*)
+    val ord = struct(col(sortCol), col(tieCol))
+    src.groupBy(col(uniqueKey))
+      .agg(max_by(doc, ord).as("_latest"))
+      .select(col(uniqueKey) +: payload.map(f => col(s"_latest.$f").as(f)): _*)
+  }
+
   /** Continuous mode: stream the source index, and per micro-batch
     * re-pivot the touched groups against the FULL source, then upsert
     * into `destPath` keyed by the group column. */

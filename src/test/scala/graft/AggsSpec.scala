@@ -178,4 +178,20 @@ class AggsSpec extends SparkSpec {
       .as[(String, Double, Long)].collect().toSeq
     assert(out == Seq(("x", 19.0, 2L), ("y", 5.0, 1L)))
   }
+
+  test("ip_range: from-inclusive / to-exclusive, open sides; ip_prefix masks") {
+    val ips = Seq("10.0.0.1", "10.64.0.0", "10.64.0.1", "10.200.3.4", "192.168.0.1")
+      .toDF("ip")
+    val r = Aggs.ipRange(ips, "ip", Seq(
+      ("a", None, Some("10.64.0.0")),       // strictly below the boundary
+      ("b", Some("10.64.0.0"), Some("10.192.0.0")), // boundary lands here
+      ("c", Some("10.192.0.0"), None)))
+      .as[(String, Long)].collect().toSeq
+    assert(r == Seq(("a", 1L), ("b", 2L), ("c", 2L)))
+    val p = Aggs.ipPrefix(ips, "ip", 12)
+      .as[(String, Long)].collect().toMap
+    // /12 keeps the top 4 bits of octet 2: 64->64, 200->192, 168->160
+    assert(p == Map("10.0.0.0/12" -> 1L, "10.64.0.0/12" -> 2L,
+      "10.192.0.0/12" -> 1L, "192.160.0.0/12" -> 1L))
+  }
 }

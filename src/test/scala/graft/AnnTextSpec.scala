@@ -183,4 +183,22 @@ class AnnTextSpec extends SparkSpec {
     // shares 2/3 and 1/3; uniform target 1/2 -> weights 0.75 and 1.5
     assert(byS("a")._4 == 0.75 && byS("b")._4 == 1.5)
   }
+
+  test("knnRescoreTopK: quantized coarse pass, exact rescore wins") {
+    import spark.implicits._
+    // doc 1 is the exact best; docs 2..40 fill the oversample window
+    val corpus = (1 to 60).map { i =>
+      val v = if (i == 1) Seq(1.0f, 0.0f, 0.0f, 0.0f)
+      else Seq(1.0f / i, 1.0f, 0.1f * (i % 7), 0.0f)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val out = graft.sim.Ann.knnRescoreTopK(
+      corpus, "vec_id", "embedding", Seq(1.0, 0.0, 0.0, 0.0),
+      k = 3, oversample = 5)
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(out.head._1 == 1L && out.head._2 == 1.0)
+    assert(out.size == 3)
+    // quantized score is within int8 error of the exact score
+    out.foreach { case (_, exact, quant) => assert(math.abs(exact - quant) < 0.02) }
+  }
 }

@@ -133,4 +133,26 @@ class PainlessSpec extends SparkSpec {
     val rows = out.as[(Long, Double)].collect().toSeq
     assert(rows == Seq((3L, 10.4868), (2L, 7.3246)))
   }
+
+  test("while loops: literal trip counts unroll; data-dependent rejected") {
+    // 6 Newton steps from g=100 converge to sqrt(x)
+    val newton = "def g = 100.0; def i = 0; " +
+      "while (i < 6) { g = (g + doc['x'].value / g) / 2.0; i = i + 1 } return g"
+    val got = eval(newton)
+    assert(math.abs(got(0) - 10.0) < 1e-3)
+    assert(math.abs(got(1) - math.sqrt(200.0)) < 1e-3)
+    // decrementing counter form
+    assert(eval("def s = 0.0; def i = 3; while (i > 0) { s = s + 2.0; i = i - 1 } return s")
+      == Seq(6.0, 6.0, 6.0))
+    // a counter that is NOT a literal def cannot resolve a trip count
+    val e = intercept[IllegalArgumentException] {
+      eval("def i = doc['n'].value; while (i < 6) { i = i + 1 } return i")
+    }
+    assert(e.getMessage.contains("literal initializer"))
+    // runaway guard
+    val e2 = intercept[IllegalArgumentException] {
+      eval("def i = 0; def s = 0.0; while (i < 5000) { s = s + 1.0; i = i + 1 } return s")
+    }
+    assert(e2.getMessage.contains("1000"))
+  }
 }

@@ -384,4 +384,56 @@ class SearchSpec extends SparkSpec {
     // a normalizes to 1/0.5/0, b to 0/1; weighted: id1=0.5, id2=0.25, id3=0.5
     assert(out == Seq((1L, 0.5, 1), (3L, 0.5, 2), (2L, 0.25, 2)))
   }
+
+  test("functionScoreModes: ES skips non-matching functions per mode") {
+    val docs = Seq(
+      (1L, "en", 10.0), // matches both functions
+      (2L, "de", 10.0), // matches f2 only
+      (3L, "en", 99.0), // matches f1 only
+      (4L, "fr", 1.0)   // matches none -> function score 1.0
+    ).toDF("id", "lang", "v")
+    def score(sm: String, bm: String, maxBoost: Double = Double.MaxValue) =
+      docs.select(col("id"), Search.functionScoreModes(
+        base = lit(2.0),
+        functions = Seq(
+          (col("lang") === "en", lit(4.0), 1.0),
+          (col("v") === 10.0, lit(6.0), 0.5)),
+        scoreMode = sm, boostMode = bm, maxBoost = maxBoost).as("s"))
+        .orderBy("id").select("s").as[Double].collect().toSeq
+    // weighted function values: f1 -> 4.0, f2 -> 3.0; folds skip
+    // non-matching functions entirely (no identity padding)
+    assert(score("avg", "replace") == Seq(3.5, 3.0, 4.0, 1.0))
+    assert(score("sum", "replace") == Seq(7.0, 3.0, 4.0, 1.0))
+    assert(score("max", "replace") == Seq(4.0, 3.0, 4.0, 1.0))
+    assert(score("min", "replace") == Seq(3.0, 3.0, 4.0, 1.0))
+    assert(score("multiply", "replace") == Seq(12.0, 3.0, 4.0, 1.0))
+    // boost modes fold the capped function score into the base (2.0)
+    assert(score("sum", "multiply", maxBoost = 5.0) == Seq(10.0, 6.0, 8.0, 2.0))
+    assert(score("sum", "sum") == Seq(9.0, 5.0, 6.0, 3.0))
+    assert(score("sum", "max") == Seq(7.0, 3.0, 4.0, 2.0))
+    assert(score("sum", "avg") == Seq(4.5, 2.5, 3.0, 1.5))
+  }
+
+  test("randomScore: deterministic in [0,1), seed changes the order") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val s1 = docs.select(Search.randomScore(col("id"), 1L)).as[Double].collect()
+    val s1b = docs.select(Search.randomScore(col("id"), 1L)).as[Double].collect()
+    val s2 = docs.select(Search.randomScore(col("id"), 2L)).as[Double].collect()
+    assert(s1.toSeq == s1b.toSeq)
+    assert(s1.forall(v => v >= 0.0 && v < 1.0))
+    assert(s1.toSeq != s2.toSeq)
+  }
+
+  test("rescoreChainTopK: each stage re-ranks only the prior window") {
+    val docs = Seq(
+      (1L, "alpha beta", 100.0), (2L, "alpha beta", 1.0),
+      (3L, "alpha", 50.0), (4L, "gamma", 999.0)).toDF("doc_id", "text", "aux")
+    // stage window 2 keeps the two best bm25 docs; the aux rescore can
+    // then only reorder within {those two} — doc 4 never enters
+    val out = Search.rescoreChainTopK(docs, "doc_id", "text", "alpha beta",
+      stages = Seq((col("aux"), 2, 1.0, 1.0)), k = 3)
+      .as[(Long, Double)].collect().toSeq
+    assert(out.map(_._1).toSet.subsetOf(Set(1L, 2L, 3L)))
+    assert(out.head._1 == 1L) // aux 100 dominates inside the window
+  }
 }

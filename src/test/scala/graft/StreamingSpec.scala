@@ -272,4 +272,18 @@ class StreamingSpec extends SparkSpec {
       assert(got == Set(("en", 3L, 60.0, 30.0), ("de", 1L, 5.0, 5.0), ("fr", 1L, 7.0, 7.0)))
     } finally q.stop()
   }
+
+  test("transform latest: newest doc per key, explicit tiebreak") {
+    val src = Seq(
+      (1L, 10L, 100L, "a", 1.0),
+      (2L, 10L, 200L, "b", 2.0), // newest for user 10
+      (3L, 20L, 300L, "c", 3.0),
+      (4L, 20L, 300L, "d", 4.0)  // same ts as 3 -> higher event_id wins
+    ).toDF("event_id", "user_id", "ts_us", "event_type", "value")
+    val out = graft.streaming.Transforms.latest(
+      src, "user_id", "ts_us", "event_id", Seq("event_id", "event_type", "value"))
+      .orderBy("user_id")
+      .as[(Long, Long, String, Double)].collect().toSeq
+    assert(out == Seq((10L, 2L, "b", 2.0), (20L, 4L, "d", 4.0)))
+  }
 }
