@@ -1543,7 +1543,46 @@ object SparkEntry {
       graft.streaming.Transforms.latest(
         Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000")),
         "user_id", "ts_us", "event_id", Seq("event_id", "event_type", "value"))
-        .orderBy(col("user_id")))
+        .orderBy(col("user_id"))),
+    // search-body script_fields: per-hit computed outputs evaluated
+    // AFTER the query predicate (ES's evaluation point), Painless →
+    // codegen'd projections
+    "q_script_fields" -> ((s, d) => {
+      val body = """{"query": {"range": {"n_chars": {"gt": 400}}},
+        "script_fields": {
+          "hundreds": {"script": {"source": "doc['n_chars'].value / params.div",
+                                  "params": {"div": 100.0}}},
+          "mod7": {"script": {"source": "doc['n_chars'].value % 7"}}}}"""
+      val sf = graft.dsl.SearchBody.scriptFields(body)
+      t(s, d, "documents")
+        .where(graft.dsl.QueryDslJson.compile("""{"range": {"n_chars": {"gt": 400}}}"""))
+        .select(col("doc_id") +: sf.map { case (n, c) => Num.round(c, 4).as(n) }: _*)
+        .orderBy(col("doc_id"))
+    }),
+    // fields API with a date `format`: pattern render + epoch_millis
+    "q_fields_format" -> ((s, d) => t(s, d, "orders")
+      .where(col("o_totalprice") > 5000)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy/MM/dd").as("od_fmt"),
+        // NTZ -> instant is identity under the UTC session zone
+        unix_millis(col("o_orderdate").cast("timestamp")).as("od_ms"))
+      .orderBy(col("o_orderkey"))),
+    // indices_boost: per-index score multiplier — the lang partitions
+    // act as the boosted indices; broadcast of the scored postings
+    "q_indices_boost" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val scored = Search.bm25Scores(docs, "doc_id", "text", "fast hash join")
+      docs.join(broadcast(scored), col("doc_id") === scored("id"))
+        .select(scored("id"),
+          Num.round(scored("score") *
+            when(col("lang") === "en", 2.0).otherwise(1.0), 4).as("score"))
+        .orderBy(col("score").desc, col("id").asc)
+        .limit(15)
+    }),
+    // multi-term highlight with number_of_fragments
+    "q_highlight_fragments" -> ((s, d) =>
+      Search.highlightFragments(t(s, d, "documents"), "doc_id", "text",
+        "fast hash", numFragments = 2))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2800,6 +2839,20 @@ object SparkEntry {
     "q_transform_latest" -> ("SELECT user_id, event_id, event_type, value FROM (" +
       "SELECT user_id, event_id, event_type, value, " +
       "row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events) " +
-      "WHERE rn = 1 ORDER BY user_id")
+      "WHERE rn = 1 ORDER BY user_id"),
+    "q_script_fields" -> ("SELECT doc_id, round(CAST(n_chars AS DOUBLE) / 100.0, 4) AS hundreds, " +
+      "round(CAST(n_chars AS DOUBLE) % 7, 4) AS mod7 FROM documents WHERE n_chars > 400 ORDER BY doc_id"),
+    "q_fields_format" -> ("SELECT o_orderkey, strftime(o_orderdate, '%Y/%m/%d') AS od_fmt, " +
+      "epoch_ms(o_orderdate) AS od_ms FROM orders WHERE o_totalprice > 5000 ORDER BY o_orderkey"),
+    "q_indices_boost" -> (TokCte + bm25Ctes("", "tok", Seq("fast", "hash", "join")) +
+      " SELECT sc.id, round(sc.score * (CASE WHEN lang = 'en' THEN 2.0 ELSE 1.0 END), 4) AS score " +
+      "FROM sc JOIN documents ON doc_id = sc.id ORDER BY score DESC, id LIMIT 15"),
+    "q_highlight_fragments" -> (TokCte +
+      ", h AS (SELECT doc_id, " +
+      "replace(regexp_extract(lower(text), '([a-z0-9]+ ){0,3}fast( [a-z0-9]+){0,3}'), 'fast', '<em>fast</em>') AS f1, " +
+      "replace(regexp_extract(lower(text), '([a-z0-9]+ ){0,3}hash( [a-z0-9]+){0,3}'), 'hash', '<em>hash</em>') AS f2 " +
+      "FROM documents JOIN tok USING (doc_id) WHERE list_has_any(toks, ['fast','hash'])) " +
+      "SELECT doc_id AS id, array_to_string(list_filter([f1, f2], x -> x != '')[1:2], ' ... ') AS snippet " +
+      "FROM h ORDER BY id")
   )
 }

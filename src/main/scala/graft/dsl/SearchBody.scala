@@ -71,4 +71,44 @@ object SearchBody {
       .map(q => JsonMethods.compact(JsonMethods.render(q)))
     (runtime, innerQ)
   }
+
+  /** `script_fields`: per-HIT computed outputs (unlike runtime fields
+    * they are not searchable — they project AFTER the query predicate,
+    * exactly ES's evaluation point). Each compiles via Painless to a
+    * codegen'd column; params supported. */
+  def scriptFields(json: String): Seq[(String, Column)] =
+    JsonMethods.parse(json) match {
+      case JObject(root) => root.toMap.get("script_fields").toSeq.flatMap {
+        case JObject(fields) => fields.map {
+          case JField(name, JObject(spec)) =>
+            val m = spec.toMap
+            val (src, params) = m.get("script") match {
+              case Some(JObject(s)) =>
+                val sm = s.toMap
+                val code = sm.get("source") match {
+                  case Some(JString(c)) => c
+                  case _ => throw new IllegalArgumentException(
+                    s"script_field '$name' needs script.source")
+                }
+                val ps: Map[String, Any] = sm.get("params") match {
+                  case Some(JObject(pp)) => pp.collect {
+                    case JField(k, JInt(i)) => k -> i.toLong
+                    case JField(k, JDouble(d)) => k -> d
+                    case JField(k, JString(v)) => k -> v
+                  }.toMap
+                  case _ => Map.empty
+                }
+                (code, ps)
+              case _ => throw new IllegalArgumentException(
+                s"script_field '$name' needs a script")
+            }
+            name -> Painless.compile(src, params)
+          case other => throw new IllegalArgumentException(
+            s"bad script_field spec: $other")
+        }
+        case other => throw new IllegalArgumentException(
+          s"script_fields must be an object, got: $other")
+      }
+      case _ => Nil
+    }
 }

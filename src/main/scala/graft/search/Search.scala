@@ -1131,6 +1131,34 @@ object Search {
       .orderBy(col("id").asc)
   }
 
+  /** Multi-term `highlight` with `number_of_fragments`: one ±3-word
+    * context window per distinct query term (ES's fragment-per-match
+    * shape), empty misses dropped, capped at `numFragments`, joined
+    * with the fragment separator. All codegen'd string/array builtins
+    * — per-term regexes are compiled once per task, no HOF. */
+  def highlightFragments(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      query: String,
+      numFragments: Int): DataFrame = {
+    val terms = Analyzer.analyze(query).distinct
+    require(terms.nonEmpty, s"highlight needs at least one analyzed term: $query")
+    val frags = terms.map { t =>
+      val quoted = java.util.regex.Pattern.quote(t)
+      val repl = java.util.regex.Matcher.quoteReplacement(s"<em>$t</em>")
+      regexp_replace(
+        regexp_extract(lower(col(textCol)),
+          s"([a-z0-9]+ ){0,3}$quoted( [a-z0-9]+){0,3}", 0),
+        quoted, repl)
+    }
+    docs.where(matchQuery(col(textCol), query))
+      .select(col(idCol).as("id"),
+        concat_ws(" ... ",
+          slice(array_remove(array(frags: _*), ""), 1, numFragments)).as("snippet"))
+      .orderBy(col("id").asc)
+  }
+
   /** `percolate`: reverse search — a registry of stored queries is
     * matched AGAINST each document. Queries are compiled once on the
     * driver (they're Query-DSL strings); per document, the matched

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
@@ -17,7 +17,9 @@ import org.json4s.jackson.JsonMethods
   * set, rename, remove, convert, lowercase, uppercase, trim, gsub,
   * dissect, grok (via the ES|QL compilers — one anchored regex
   * each), date, kv, json (flat string maps), script (Painless
-  * computed value).
+  * computed value), csv, split, join, append, urldecode, bytes,
+  * fingerprint, drop (Painless `if`), foreach (per-element
+  * lowercase/uppercase/trim/gsub over an array field).
   */
 object IngestPipeline {
 
@@ -134,6 +136,96 @@ object IngestPipeline {
               case _ => Map.empty
             }
             df => df.withColumn(target, graft.dsl.Painless.compile(src, params))
+          case "csv" =>
+            val targets = m.get("target_fields") match {
+              case Some(JArray(xs)) => xs.collect { case JString(s) => s }
+              case _ => throw new IllegalArgumentException("csv needs target_fields")
+            }
+            val sep = m.get("separator").collect { case JString(s) => s }.getOrElse(",")
+            df => {
+              val parts = split(col(field), java.util.regex.Pattern.quote(sep))
+              targets.zipWithIndex.foldLeft(df) { case (d, (t, i)) =>
+                d.withColumn(t, element_at(parts, i + 1))
+              }
+            }
+          case "split" =>
+            val sep = m.get("separator").collect { case JString(s) => s }
+              .getOrElse(throw new IllegalArgumentException("split needs separator"))
+            df => df.withColumn(field, split(col(field), sep)) // regex, like ES
+          case "join" =>
+            val sep = m.get("separator").collect { case JString(s) => s }
+              .getOrElse(throw new IllegalArgumentException("join needs separator"))
+            df => df.withColumn(field, array_join(col(field), sep))
+          case "append" =>
+            // appends to an array field, creating it from a missing /
+            // null value like ES (scalar fields are the caller's bug)
+            val v = m.getOrElse("value",
+              throw new IllegalArgumentException("append needs value")) match {
+              case JString(s) => lit(s)
+              case JInt(i) => lit(i.toLong)
+              case JDouble(d) => lit(d)
+              case other => throw new IllegalArgumentException(
+                s"unsupported append value: $other")
+            }
+            df => df.withColumn(field,
+              if (df.columns.contains(field))
+                concat(coalesce(col(field), array()), array(v))
+              else array(v))
+          case "urldecode" =>
+            df => df.withColumn(field, url_decode(col(field)))
+          case "bytes" =>
+            // "1kb" -> 1024; case-insensitive units b..pb, ES semantics
+            val t = m.get("target_field").collect { case JString(s) => s }.getOrElse(field)
+            df => {
+              val s = lower(trim(col(field)))
+              val num = regexp_extract(s, "^(\\d+(?:\\.\\d+)?)", 1).cast("double")
+              val unit = regexp_extract(s, "([a-z]+)$", 1)
+              val mult = when(unit === "b" || unit === "", 1L)
+                .when(unit === "kb", 1L << 10).when(unit === "mb", 1L << 20)
+                .when(unit === "gb", 1L << 30).when(unit === "tb", 1L << 40)
+                .when(unit === "pb", 1L << 50)
+              df.withColumn(t, (num * mult).cast("long"))
+            }
+          case "fingerprint" =>
+            val fields = m.get("fields") match {
+              case Some(JArray(xs)) => xs.collect { case JString(s) => s }
+              case _ => throw new IllegalArgumentException("fingerprint needs fields")
+            }
+            val t = m.get("target_field").collect { case JString(s) => s }
+              .getOrElse("fingerprint")
+            // ES hashes the ordered (field, value) sequence; the
+            // separator keeps ("ab","c") distinct from ("a","bc")
+            df => df.withColumn(t,
+              md5(concat_ws("|", fields.map(f => col(f).cast("string")): _*)))
+          case "drop" =>
+            // drop the DOCUMENT when the Painless `if` holds — the only
+            // row-removing processor; compiles to one filter predicate
+            val cond = m.get("if").collect { case JString(s) => s }
+              .getOrElse(throw new IllegalArgumentException("drop needs if"))
+            df => df.where(graft.dsl.Painless.compile(cond, Map.empty) === 0.0)
+          case "foreach" =>
+            // per-element transform over an array field; the inner
+            // processor references ES's _ingest._value cursor. The
+            // lambda is a Spark HOF (interpreted) — fine on the write
+            // path where the array is the unit of work anyway.
+            val (subOp, subSpec) = m.get("processor") match {
+              case Some(JObject(JField(o, JObject(sp)) :: Nil)) => (o, sp.toMap)
+              case _ => throw new IllegalArgumentException("foreach needs processor")
+            }
+            val elemFn: Column => Column = subOp match {
+              case "lowercase" => lower
+              case "uppercase" => upper
+              case "trim" => trim(_)
+              case "gsub" =>
+                val p = subSpec.get("pattern").collect { case JString(s) => s }
+                  .getOrElse(throw new IllegalArgumentException("gsub needs pattern"))
+                val r = subSpec.get("replacement").collect { case JString(s) => s }
+                  .getOrElse(throw new IllegalArgumentException("gsub needs replacement"))
+                x => regexp_replace(x, p, r)
+              case other => throw new IllegalArgumentException(
+                s"unsupported foreach sub-processor: $other")
+            }
+            df => df.withColumn(field, transform(col(field), elemFn))
           case other => throw new IllegalArgumentException(
             s"unsupported ingest processor: $other")
         }

@@ -44,6 +44,34 @@ object Transforms {
       .select(col(uniqueKey) +: payload.map(f => col(s"_latest.$f").as(f)): _*)
   }
 
+  /** Continuous `latest` (the ES latest transform runs continuously by
+    * design): per micro-batch, re-resolve the newest doc for only the
+    * TOUCHED keys and upsert them — same changed-entities contract as
+    * continuousPivot. */
+  def continuousLatest(
+      spark: SparkSession,
+      srcPath: String,
+      destPath: String,
+      uniqueKey: String,
+      sortCol: String,
+      tieCol: String,
+      payload: Seq[String],
+      checkpointDir: String): StreamingQuery = {
+    import Connector.implicits._
+    val stream = spark.graftStream(srcPath)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val touched = batch.select(col(uniqueKey)).distinct()
+        val src = spark.read.parquet(srcPath)
+        val updated = latest(
+          src.join(broadcast(touched), Seq(uniqueKey), "left_semi"),
+          uniqueKey, sortCol, tieCol, payload)
+        Connector.save(updated, destPath, Map("graft.mapping.id" -> uniqueKey))
+      }
+      .start()
+  }
+
   /** Continuous mode: stream the source index, and per micro-batch
     * re-pivot the touched groups against the FULL source, then upsert
     * into `destPath` keyed by the group column. */

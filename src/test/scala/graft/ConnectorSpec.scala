@@ -428,6 +428,39 @@ class ConnectorSpec extends SparkSpec {
       ("WARN", "stop", 40, true, Map("c" -> "3"), Map("x" -> "y"), 80.0)))
   }
 
+  test("ingest pipeline: csv/split/join/append/urldecode/bytes/fingerprint/foreach/drop") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_ingest3").toString + "/idx"
+    val pipeline = """{"processors": [
+      {"csv": {"field": "row", "target_fields": ["city", "pop"], "separator": ";"}},
+      {"split": {"field": "path", "separator": "/"}},
+      {"foreach": {"field": "path", "processor": {"uppercase": {"field": "_ingest._value"}}}},
+      {"join": {"field": "path", "separator": "."}},
+      {"append": {"field": "tags", "value": "indexed"}},
+      {"urldecode": {"field": "q"}},
+      {"bytes": {"field": "sz", "target_field": "sz_bytes"}},
+      {"fingerprint": {"fields": ["city", "pop"], "target_field": "fp"}},
+      {"drop": {"if": "doc['keep'].value == 0"}}]}"""
+    Seq(
+      (1L, "paris;210", "a/b/c", "x%20y", "2kb", 1L),
+      (2L, "oslo;70", "d/e", "p%2Fq", "512b", 0L)) // dropped
+      .toDF("doc_id", "row", "path", "q", "sz", "keep")
+      .saveToGraft(dir, Map("graft.mapping.id" -> "doc_id",
+        "graft.ingest.pipeline" -> pipeline))
+    val out = spark.read.parquet(dir)
+    assert(out.count() == 1)
+    val x = out.collect().head
+    assert(x.getAs[String]("city") == "paris" && x.getAs[String]("pop") == "210")
+    assert(x.getAs[String]("path") == "A.B.C")
+    assert(x.getAs[scala.collection.Seq[String]]("tags").toSeq == Seq("indexed"))
+    assert(x.getAs[String]("q") == "x y")
+    assert(x.getAs[Long]("sz_bytes") == 2048L)
+    // fingerprint matches the documented construction
+    val want = java.security.MessageDigest.getInstance("MD5")
+      .digest("paris|210".getBytes).map("%02x".format(_)).mkString
+    assert(x.getAs[String]("fp") == want)
+  }
+
   test("write-side mapping include/exclude keep the id column alive") {
     import java.nio.file.Files
     val base = Files.createTempDirectory("graft_wmap").toString

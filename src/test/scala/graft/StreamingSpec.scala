@@ -273,6 +273,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transform continuous latest: dest upserts converge to batch latest") {
+    val base = Files.createTempDirectory("graft_tlatest").toString
+    val src = s"$base/src"; val dest = s"$base/dest"; val ckpt = s"$base/ckpt"
+    Seq((1L, 10L, 100L, "a", 1.0), (2L, 20L, 150L, "b", 2.0))
+      .toDF("event_id", "user_id", "ts_us", "event_type", "value")
+      .write.parquet(src)
+    val q = graft.streaming.Transforms.continuousLatest(
+      spark, src, dest, "user_id", "ts_us", "event_id",
+      Seq("event_id", "event_type", "value"), ckpt)
+    try {
+      q.processAllAvailable()
+      // user 10 gets a NEWER event; user 30 appears
+      Seq((3L, 10L, 200L, "c", 3.0), (4L, 30L, 50L, "d", 4.0))
+        .toDF("event_id", "user_id", "ts_us", "event_type", "value")
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+      val got = spark.read.parquet(dest)
+        .select("user_id", "event_id", "event_type", "value")
+        .as[(Long, Long, String, Double)].collect().toSet
+      assert(got == Set((10L, 3L, "c", 3.0), (20L, 2L, "b", 2.0), (30L, 4L, "d", 4.0)))
+    } finally q.stop()
+  }
+
   test("transform latest: newest doc per key, explicit tiebreak") {
     val src = Seq(
       (1L, 10L, 100L, "a", 1.0),
