@@ -28,6 +28,10 @@ object Bench {
       if (args.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
       else SparkEntry.queries.toSeq.sortBy(_._1).filter(q => args.contains(q._1))
     val results = selected.map { case (name, fn) =>
+      // stderr progress line per query: when a run stalls (codegen
+      // storms, storage-pool contention) the log shows WHICH query,
+      // not just frozen executor warnings
+      System.err.println(s"[bench] $name")
       val t0 = System.nanoTime()
       // noop sink: every projected column is fully computed and
       // serialized (a bare count() lets Spark prune per-row compute in

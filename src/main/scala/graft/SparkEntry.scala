@@ -118,6 +118,7 @@ object SparkEntry {
     * Spark side and its oracle SQL (two-decimal doubles: the literal
     * round-trips exactly through both engines' parsers). */
   private val ScriptQv: Seq[Double] = (0 until 64).map(i => (i * 37 % 100) / 100.0 - 0.5)
+  private val ScriptQv2: Seq[Double] = (0 until 64).map(i => (i * 53 % 100) / 100.0 - 0.5)
 
   private val GeoPolygonVertices: Seq[(Double, Double)] =
     Seq((0.0, -120.0), (60.0, -30.0), (30.0, 60.0), (-30.0, 90.0), (-60.0, -45.0))
@@ -1582,7 +1583,17 @@ object SparkEntry {
     // multi-term highlight with number_of_fragments
     "q_highlight_fragments" -> ((s, d) =>
       Search.highlightFragments(t(s, d, "documents"), "doc_id", "text",
-        "fast hash", numFragments = 2))
+        "fast hash", numFragments = 2)),
+    // fuzzy completion suggester: typed prefix within 1 DL edit
+    // ("rsc1" reaches "src1..." via one transposition)
+    "q_suggest_fuzzy" -> ((s, d) =>
+      Search.suggestCompletionFuzzy(t(s, d, "documents"), "source", "n_chars",
+        prefix = "rsc1", fuzziness = 1, k = 5)),
+    // multiple knn clauses in one search: per-clause windows, summed
+    // similarities on the merged hits
+    "q_knn_multi" -> ((s, d) =>
+      graft.sim.Ann.knnMultiTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        Seq((ScriptQv, 20), (ScriptQv2, 20)), k = 10))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2847,6 +2858,25 @@ object SparkEntry {
     "q_indices_boost" -> (TokCte + bm25Ctes("", "tok", Seq("fast", "hash", "join")) +
       " SELECT sc.id, round(sc.score * (CASE WHEN lang = 'en' THEN 2.0 ELSE 1.0 END), 4) AS score " +
       "FROM sc JOIN documents ON doc_id = sc.id ORDER BY score DESC, id LIMIT 15"),
+    "q_suggest_fuzzy" -> ("SELECT source AS suggestion, " +
+      "max(CASE WHEN starts_with(source, 'rsc1') THEN 1 ELSE 0 END)::INT AS exact_prefix, " +
+      "max(n_chars) AS weight FROM documents " +
+      "WHERE damerau_levenshtein(left(source, 4), 'rsc1') <= 1 " +
+      "GROUP BY source ORDER BY exact_prefix DESC, weight DESC, suggestion LIMIT 5"),
+    "q_knn_multi" -> ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), " +
+      "q1 AS (SELECT " + ScriptQv.mkString("[", ", ", "]") + "::DOUBLE[] AS w), " +
+      "q2 AS (SELECT " + ScriptQv2.mkString("[", ", ", "]") + "::DOUBLE[] AS w), " +
+      "c1 AS (SELECT vec_id, list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> v[i] * w[i])), (a, b) -> a + b) / " +
+      "(sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) * " +
+      "sqrt(list_reduce(list_prepend(0.0, list_transform(w, x -> x * x)), (a, b) -> a + b))) AS cosine " +
+      "FROM e CROSS JOIN q1 ORDER BY cosine DESC, vec_id LIMIT 20), " +
+      "c2 AS (SELECT vec_id, list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> v[i] * w[i])), (a, b) -> a + b) / " +
+      "(sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) * " +
+      "sqrt(list_reduce(list_prepend(0.0, list_transform(w, x -> x * x)), (a, b) -> a + b))) AS cosine " +
+      "FROM e CROSS JOIN q2 ORDER BY cosine DESC, vec_id LIMIT 20), " +
+      "u AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2) " +
+      "SELECT vec_id AS id, round(sum(cosine), 4) AS score, count(*)::INT AS matched_clauses " +
+      "FROM u GROUP BY vec_id ORDER BY score DESC, id LIMIT 10"),
     "q_highlight_fragments" -> (TokCte +
       ", h AS (SELECT doc_id, " +
       "replace(regexp_extract(lower(text), '([a-z0-9]+ ){0,3}fast( [a-z0-9]+){0,3}'), 'fast', '<em>fast</em>') AS f1, " +

@@ -682,6 +682,28 @@ object Search {
       .limit(k)
   }
 
+  /** Completion suggester with `fuzzy` (ES `fuzziness` on the typed
+    * prefix): a suggestion qualifies when its same-length head is
+    * within `fuzziness` Damerau-Levenshtein edits of the prefix.
+    * Exact-prefix hits rank first (ES scores exact prefixes higher),
+    * then weight. The edit distance runs on a |prefix|-length head —
+    * O(|p|²) per row via the compiled kernel, not O(|s|²). */
+  def suggestCompletionFuzzy(
+      docs: DataFrame, suggestCol: String, weightCol: String,
+      prefix: String, fuzziness: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val head = substring(col(suggestCol), 1, prefix.length)
+    val dist = GraftBridge.column(graft.expr.DamerauLevenshtein(
+      GraftBridge.expression(head), GraftBridge.expression(lit(prefix))))
+    docs.where(dist <= fuzziness)
+      .groupBy(col(suggestCol).as("suggestion"))
+      .agg(
+        max(when(col(suggestCol).startsWith(prefix), 1).otherwise(0)).as("exact_prefix"),
+        max(col(weightCol)).as("weight"))
+      .orderBy(col("exact_prefix").desc, col("weight").desc, col("suggestion").asc)
+      .limit(k)
+  }
+
   /** search `min_score`: every hit at or above an absolute relevance
     * floor (not a top-k) — the filter applies after scoring, ordering
     * stays score-desc. */

@@ -351,6 +351,37 @@ object Ann {
     cut.fold(out)(s => out.where(col("cosine") >= s))
   }
 
+  /** Multiple `knn` clauses in one search (ES 8.12 accepts a LIST):
+    * each clause retrieves its own top-`kc` window and a doc's final
+    * score SUMS the clause similarities it appears in (ES's combined
+    * knn scoring). Per-clause windows are TakeOrderedAndProject over
+    * one corpus stream each; the merge touches only window rows. */
+  def knnMultiTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      clauses: Seq[(Seq[Double], Int)], // (query_vector, k_per_clause)
+      k: Int): DataFrame = {
+    require(clauses.nonEmpty, "multi-knn needs at least one clause")
+    import org.apache.spark.sql.GraftBridge
+    val windows = clauses.map { case (qv, kc) =>
+      val q = array(qv.map(lit): _*)
+      corpus.select(col(idCol).as("id"),
+        GraftBridge.column(graft.expr.CosineSim(
+          GraftBridge.expression(col(vecCol)),
+          GraftBridge.expression(q))).as("cosine"))
+        .orderBy(col("cosine").desc, col("id").asc)
+        .limit(kc)
+    }
+    windows.reduce(_ unionByName _)
+      .groupBy(col("id"))
+      .agg(
+        graft.util.Num.round(sum(col("cosine")), 4).as("score"),
+        count(lit(1)).cast("int").as("matched_clauses"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** ES 8.18 knn `rescore_vector.oversample`: the quantized index
     * (int8 storage) ranks a COARSE top-(k * oversample) window with
     * its lossy score, then the raw vectors rescore exactly and keep

@@ -658,6 +658,31 @@ object Connector {
     writeSwapped(spark, path, updated, cfg)
   }
 
+  /** Scripted `_update_by_query` (the `script.source` form): a chain
+    * of `ctx._source.<field> = <painless expr>;` assignments. Each
+    * right-hand side compiles ONCE via Painless — `ctx._source.x`
+    * references rewrite to the doc-value form the compiler already
+    * knows — and the whole script lands in updateByQuery's one-select
+    * snapshot application (all assignments see the ORIGINAL doc, like
+    * ES, which runs the script per-doc against the fetched source). */
+  def updateByQueryScript(
+      spark: SparkSession,
+      path: String,
+      query: String,
+      script: String,
+      params: Map[String, Any] = Map.empty,
+      cfg: Map[String, String] = Map.empty): Unit = {
+    val assignPat = """\s*ctx\._source\.(\w+)\s*=\s*(.+)""".r
+    val set = script.split(";").map(_.trim).filter(_.nonEmpty).map {
+      case assignPat(field, rhs) =>
+        val rewritten = rhs.replaceAll("""ctx\._source\.(\w+)""", "doc['$1'].value")
+        field -> graft.dsl.Painless.compile(rewritten, params)
+      case other => throw new IllegalArgumentException(
+        s"update script statements must be ctx._source.<field> = <expr>: $other")
+    }.toMap
+    updateByQuery(spark, path, query, set, cfg)
+  }
+
   /** `_delete_by_query` analog: drop every document matching the ES
     * query. Same one-pass swap shape as updateByQuery. */
   def deleteByQuery(

@@ -249,6 +249,30 @@ class ConnectorSpec extends SparkSpec {
     assert(afterDelete == Set(1L, 2L))
   }
 
+  test("updateByQueryScript: ctx._source assignments compile and see the snapshot") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_ubqs").toString + "/idx"
+    Seq((1L, 10.0, 2.0), (2L, 20.0, 3.0), (3L, 5.0, 4.0))
+      .toDF("doc_id", "price", "factor")
+      .write.parquet(dir)
+    // both assignments read the ORIGINAL price (second references the
+    // column the first just rewrote — ES evaluates against the fetched
+    // source, not the partial update)
+    Connector.updateByQueryScript(spark, dir,
+      """{"range": {"price": {"gte": 10}}}""",
+      "ctx._source.price = ctx._source.price * params.m; " +
+        "ctx._source.markup = ctx._source.price + ctx._source.factor",
+      params = Map("m" -> 2.0))
+    val got = spark.read.parquet(dir)
+      .select("doc_id", "price", "markup")
+      .as[(Long, Double, Option[Double])].collect()
+      .map { case (id, p, m) => id -> ((p, m)) }.toMap
+    assert(got == Map(
+      1L -> (20.0, Some(12.0)), // markup from ORIGINAL price 10 + 2
+      2L -> (40.0, Some(23.0)),
+      3L -> (5.0, None)))       // unmatched: untouched, new field null
+  }
+
   test("updateByQuery: multi-column set sees the ORIGINAL snapshot") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_ubq2").toString + "/idx"
