@@ -123,6 +123,14 @@ object SparkEntry {
   private val GeoPolygonVertices: Seq[(Double, Double)] =
     Seq((0.0, -120.0), (60.0, -30.0), (30.0, 60.0), (-30.0, 90.0), (-60.0, -45.0))
 
+  // geohash cell (precision 2) of customer 1's synthetic location —
+  // computed through the SAME kernel the query column uses
+  private lazy val GeoGridQueryCell: String = {
+    val lat = (1L * 7919 % 18000) / 100.0 - 90.0
+    val lon = (1L * 104729 % 36000) / 100.0 - 180.0
+    graft.expr.GeoKernels.geohashKernel(lat, lon, 2).toString
+  }
+
   private def geoPolygonOracleSql(vertices: Seq[(Double, Double)]): String = {
     val terms = vertices.indices.map { i =>
       val (lat1, lon1) = vertices(i)
@@ -1593,7 +1601,37 @@ object SparkEntry {
     // similarities on the merged hits
     "q_knn_multi" -> ((s, d) =>
       graft.sim.Ann.knnMultiTopK(t(s, d, "embeddings"), "vec_id", "embedding",
-        Seq((ScriptQv, 20), (ScriptQv2, 20)), k = 10))
+        Seq((ScriptQv, 20), (ScriptQv2, 20)), k = 10)),
+    // nested query with score_mode: parent relevance folds matching
+    // child scores (integral l_quantity keeps the fold order-exact)
+    "q_nested_score" -> ((s, d) =>
+      Relational.nestedScore(t(s, d, "orders"), t(s, d, "lineitem"),
+        "o_orderkey", "l_orderkey", col("l_quantity") > 45,
+        col("l_quantity"), "avg")
+        .select(col("o_orderkey"), col("score"))
+        .orderBy(col("o_orderkey"))),
+    // query rules (8.15 rule retriever): pinned + excluded ids over an
+    // organic BM25 retriever
+    "q_retriever_rule" -> ((s, d) =>
+      Search.ruleTopK(t(s, d, "documents"), "doc_id", "text", "fast hash join",
+        pinned = Seq(42L, 7L), excluded = Seq(11L, 13L), k = 10)),
+    // geo_grid QUERY (not the agg): docs inside one geohash cell —
+    // the cell of customer 1's location, precision 2
+    "q_geo_grid_query" -> ((s, d) => {
+      val g = withGeo(t(s, d, "customer"))
+      val key = org.apache.spark.sql.GraftBridge.column(graft.expr.GeoHash(
+        org.apache.spark.sql.GraftBridge.expression(col("lat").cast("double")),
+        org.apache.spark.sql.GraftBridge.expression(col("lon").cast("double")), 2))
+      g.where(key === lit(GeoGridQueryCell))
+        .select(col("c_custkey"), col("lat"), col("lon"))
+        .orderBy(col("c_custkey"))
+    }),
+    // METRICS command (8.16 TSDS sugar): desugars to FROM + STATS
+    "q_esql_metrics" -> ((s, d) => graft.dsl.Esql.run(s, d,
+      "metrics events mx = max(value), n = count(*) by event_type | sort event_type")),
+    // STATS BY CATEGORIZE(f) (8.18): log-pattern grouping key
+    "q_esql_categorize" -> ((s, d) => graft.dsl.Esql.run(s, d,
+      "from events | stats n = count(*) by cat = categorize(event_type) | sort cat"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2877,6 +2915,31 @@ object SparkEntry {
       "u AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2) " +
       "SELECT vec_id AS id, round(sum(cosine), 4) AS score, count(*)::INT AS matched_clauses " +
       "FROM u GROUP BY vec_id ORDER BY score DESC, id LIMIT 10"),
+    "q_nested_score" -> ("SELECT o_orderkey, round(avg(l_quantity), 4) AS score " +
+      "FROM lineitem JOIN orders ON o_orderkey = l_orderkey WHERE l_quantity > 45 " +
+      "GROUP BY o_orderkey ORDER BY o_orderkey"),
+    "q_retriever_rule" -> (TokCte + bm25Ctes("", "tok", Seq("fast", "hash", "join")) +
+      ", r AS (SELECT id, score, " +
+      "CASE WHEN id = 42 THEN 0 WHEN id = 7 THEN 1 ELSE 2147483647 END AS pin_rank " +
+      "FROM sc WHERE id NOT IN (11, 13)) " +
+      "SELECT id, score, pin_rank < 2147483647 AS pinned FROM r " +
+      "ORDER BY pin_rank, score DESC, id LIMIT 10"),
+    "q_geo_grid_query" -> (GeoCte + ", b AS (SELECT c_custkey, lat, lon, " +
+      "least(CAST(floor((lon + 180.0) / 360.0 * 32) AS BIGINT), 31) AS loni, " +
+      "least(CAST(floor((lat + 90.0) / 180.0 * 32) AS BIGINT), 31) AS lati FROM g), " +
+      "v AS (SELECT c_custkey, lat, lon, list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 10), k -> " +
+      "CASE WHEN k % 2 = 0 THEN (loni >> (4 - k // 2)::INT) & 1 ELSE (lati >> (4 - k // 2)::INT) & 1 END)), " +
+      "(a, b) -> a * 2 + b) AS v FROM b), " +
+      "h AS (SELECT c_custkey, lat, lon, " +
+      "substr('0123456789bcdefghjkmnpqrstuvwxyz', (((v >> 5) & 31))::INT + 1, 1) || " +
+      "substr('0123456789bcdefghjkmnpqrstuvwxyz', ((v & 31))::INT + 1, 1) AS key FROM v) " +
+      s"SELECT c_custkey, lat, lon FROM h WHERE key = '$GeoGridQueryCell' ORDER BY c_custkey"),
+    "q_esql_metrics" -> ("SELECT event_type, max(value) AS mx, count(*)::BIGINT AS n " +
+      "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q_esql_categorize" -> ("WITH c AS (SELECT array_to_string(list_filter(list_filter(" +
+      "regexp_split_to_array(lower(event_type), '[^a-z0-9]+'), x -> len(x) > 0), " +
+      "t -> NOT regexp_matches(t, '^[0-9]+$'))[1:4], ' ') AS cat FROM events) " +
+      "SELECT cat, count(*)::BIGINT AS n FROM c GROUP BY cat ORDER BY cat"),
     "q_highlight_fragments" -> (TokCte +
       ", h AS (SELECT doc_id, " +
       "replace(regexp_extract(lower(text), '([a-z0-9]+ ){0,3}fast( [a-z0-9]+){0,3}'), 'fast', '<em>fast</em>') AS f1, " +

@@ -527,10 +527,23 @@ object Esql {
     // sessions built without withExtensions still get the count-shaped
     // text rewrites (idempotent)
     graft.plans.SizeOfSplitRewrite.install(spark)
-    val segs = segments(query)
-    require(segs.nonEmpty && (segs.head.toLowerCase.startsWith("from") ||
-        segs.head.toLowerCase.startsWith("row")),
-      "ES|QL query must start with FROM or ROW")
+    val rawSegs = segments(query)
+    require(rawSegs.nonEmpty && (rawSegs.head.toLowerCase.startsWith("from") ||
+        rawSegs.head.toLowerCase.startsWith("row") ||
+        rawSegs.head.toLowerCase.startsWith("metrics")),
+      "ES|QL query must start with FROM, ROW or METRICS")
+    // METRICS <index> [<aggs> [BY <keys>]] (8.16 TSDS sugar): desugars
+    // to FROM + STATS — the aggregation semantics are identical, the
+    // command just declares time-series intent
+    val segs = rawSegs.head.toLowerCase match {
+      case h if h.startsWith("metrics") =>
+        val body = rawSegs.head.drop(7).trim
+        val (table, aggPart) = body.span(!_.isWhitespace)
+        val head = s"from $table"
+        if (aggPart.trim.isEmpty) head +: rawSegs.tail
+        else head +: s"stats ${aggPart.trim}" +: rawSegs.tail
+      case _ => rawSegs
+    }
     // events carries TIMESTAMP(NANOS) parquet — route through the
     // ns-long loader like every other operator (ts exposed as ts_ns)
     def load(t: String) =
@@ -623,10 +636,22 @@ object Esql {
         if (byPart.trim.isEmpty) df.agg(aggs.head, aggs.tail: _*)
         else {
           // BY keys are column names or inline aliases (BY b = expr);
-          // (?!=) keeps `==` inside an alias expression from matching
+          // (?!=) keeps `==` inside an alias expression from matching.
+          // CATEGORIZE(f) (8.18) groups by the log-pattern category —
+          // the same head-token construction as the categorize_text
+          // agg, inlined as a grouping expression.
           val aliasRe = "^([A-Za-z0-9_]+)\\s*=(?!=)(.*)$".r
+          val catRe = "(?i)^categorize\\s*\\((.+)\\)$".r
+          def keyExpr(e: String): Column = e.trim match {
+            case catRe(inner) =>
+              val c = new P(lex(inner)).parseExpr()
+              array_join(slice(filter(graft.analysis.Analyzer.tokens(c),
+                t => !t.rlike("^[0-9]+$")), 1, 4), " ")
+            case other => new P(lex(other)).parseExpr()
+          }
           val keys = splitTopLevel(byPart, ',').map(_.trim).map {
-            case aliasRe(name, e) => new P(lex(e)).parseExpr().as(name)
+            case aliasRe(name, e) => keyExpr(e).as(name)
+            case k @ catRe(_) => keyExpr(k).as("category")
             case k => col(k)
           }
           df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)

@@ -100,6 +100,34 @@ object Relational {
           .select(col(parentKey)),
         Seq(parentKey), "left_semi")
 
+  /** `nested` query with `score_mode` (avg | sum | max | min |
+    * none→count): the parent's relevance folds the scores of its
+    * MATCHING nested docs. One partial-aggregating groupBy over the
+    * filtered children (map-side combine ships one partial per
+    * (partition, parent)) + a broadcast-eligible join back to the
+    * parents — no window, no per-parent subquery. */
+  def nestedScore(
+      parents: DataFrame,
+      children: DataFrame,
+      parentKey: String,
+      childFk: String,
+      pred: Column,
+      childScore: Column,
+      scoreMode: String): DataFrame = {
+    val folded = scoreMode match {
+      case "avg" => avg(childScore)
+      case "sum" => sum(childScore)
+      case "max" => max(childScore)
+      case "min" => min(childScore)
+      case "none" => count(lit(1)).cast("double") // match count, ES none=1.0/child
+      case other => throw new IllegalArgumentException(s"bad nested score_mode: $other")
+    }
+    val childAgg = children.where(pred)
+      .groupBy(col(childFk).as(parentKey))
+      .agg(graft.util.Num.round(folded, 4).as("score"))
+    parents.join(childAgg, Seq(parentKey))
+  }
+
   /** AS-OF join (point-in-time lookup): each left row picks up the
     * right-side `valueCol` from the LATEST right row with
     * rightTs <= leftTs for the same key — the feature-store /

@@ -501,6 +501,31 @@ object Search {
       .select(col("id"), col("score"), (col("pin_rank") < Int.MaxValue).as("pinned"))
   }
 
+  /** ES 8.15 query rules (`rule` retriever / ruleset): `pinned` ids
+    * promote to the top in rule order, `excluded` ids drop entirely,
+    * everything else ranks organically. The rule application is one
+    * CASE sort key + one NOT-IN predicate over the scored frame —
+    * rules never touch the corpus scan. */
+  def ruleTopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      query: String,
+      pinned: Seq[Long],
+      excluded: Seq[Long],
+      k: Int): DataFrame = {
+    val scored = bm25Scores(docs, idCol, textCol, query)
+    val pinRank = pinned.zipWithIndex.foldLeft(when(lit(false), 0)) {
+      case (acc, (id, i)) => acc.when(col("id") === id, i)
+    }.otherwise(Int.MaxValue)
+    scored
+      .where(if (excluded.isEmpty) lit(true) else !col("id").isin(excluded: _*))
+      .withColumn("pin_rank", pinRank)
+      .orderBy(col("pin_rank").asc, col("score").desc, col("id").asc)
+      .limit(k)
+      .select(col("id"), col("score"), (col("pin_rank") < Int.MaxValue).as("pinned"))
+  }
+
   /** `boosting`: positive relevance, demoted (not excluded) when the
     * negative clause matches — score x negativeBoost. */
   def boostingTopK(

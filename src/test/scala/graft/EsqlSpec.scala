@@ -287,4 +287,13 @@ class EsqlSpec extends SparkSpec {
     assert(r.head._1 == 4L) // last row of the pre-shift segment
     assert(r.head._3 == 3200.0) // 4*(10-30)^2 + 4*(50-30)^2
   }
+
+  test("CATEGORIZE grouping key: head tokens, numerics dropped") {
+    val logs = Seq(
+      "Connected to 10.1.0.1", "Connected to 10.1.0.2",
+      "Disconnected abruptly").toDF("msg")
+    val r = Esql.applyCommand(logs, "stats n = count(*) by cat = categorize(msg)")
+      .orderBy("cat").as[(String, Long)].collect().toSeq
+    assert(r == Seq(("connected to", 2L), ("disconnected abruptly", 1L)))
+  }
 }

@@ -111,4 +111,20 @@ class RelationalSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(in == Set(1L))
   }
+
+  test("nestedScore: score_mode folds matching children; none counts") {
+    val parents = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("pk", "name")
+    val children = Seq(
+      (1L, 10.0), (1L, 30.0), // parent 1: two matches
+      (2L, 2.0),              // parent 2: below the pred
+      (3L, 8.0)).toDF("fk", "w")
+    def run(mode: String) = Relational.nestedScore(
+      parents, children, "pk", "fk", col("w") >= 5.0, col("w"), mode)
+      .select("pk", "score").as[(Long, Double)].collect().toMap
+    assert(run("avg") == Map(1L -> 20.0, 3L -> 8.0))
+    assert(run("sum") == Map(1L -> 40.0, 3L -> 8.0))
+    assert(run("max") == Map(1L -> 30.0, 3L -> 8.0))
+    assert(run("min") == Map(1L -> 10.0, 3L -> 8.0))
+    assert(run("none") == Map(1L -> 2.0, 3L -> 1.0)) // match counts
+  }
 }
