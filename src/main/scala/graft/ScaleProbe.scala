@@ -202,6 +202,31 @@ object ScaleProbe {
         .orderBy(col("qty_median").desc, col("o_orderkey"))
         .limit(100).count()
     }
+    // r7 shapes ------------------------------------------------------
+    val emb = times(Tables.embeddings(spark, sfDir), "vec_id", 10000000L)
+    time("knn_rescore_10x") {
+      // coarse quantized pass over the full corpus + exact rescore on
+      // the 40-row window — the cost curve must track the corpus scan
+      graft.sim.Ann.knnRescoreTopK(emb, "vec_id", "embedding",
+        (0 until 64).map(i => (i * 37 % 100) / 100.0 - 0.5),
+        k = 10, oversample = 4).count()
+    }
+    time("knn_multi_10x") {
+      graft.sim.Ann.knnMultiTopK(emb, "vec_id", "embedding",
+        Seq(((0 until 64).map(i => (i * 37 % 100) / 100.0 - 0.5), 20),
+          ((0 until 64).map(i => (i * 53 % 100) / 100.0 - 0.5), 20)), k = 10).count()
+    }
+    time("transform_latest_10x") {
+      // max_by partial agg: the exchange must carry |keys| rows
+      val ev = times(Tables.events(spark, sfDir), "event_id", 100000000L)
+      graft.streaming.Transforms.latest(ev, "user_id", "ts_ns", "event_id",
+        Seq("event_id", "event_type", "value")).count()
+    }
+    time("nested_score_10x") {
+      val ord = times(Tables.orders(spark, sfDir), "o_orderkey", 100000000L)
+      graft.rel.Relational.nestedScore(ord, li, "o_orderkey", "l_orderkey",
+        col("l_quantity") > 45, col("l_quantity"), "avg").count()
+    }
     spark.stop()
   }
 }
