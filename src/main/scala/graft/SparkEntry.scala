@@ -1631,7 +1631,15 @@ object SparkEntry {
       "metrics events mx = max(value), n = count(*) by event_type | sort event_type")),
     // STATS BY CATEGORIZE(f) (8.18): log-pattern grouping key
     "q_esql_categorize" -> ((s, d) => graft.dsl.Esql.run(s, d,
-      "from events | stats n = count(*) by cat = categorize(event_type) | sort cat"))
+      "from events | stats n = count(*) by cat = categorize(event_type) | sort cat")),
+    // ES|QL IP family: CIDR_MATCH compiles to numeric range
+    // predicates (one per block, OR-folded) over the dotted-quad
+    "q_esql_cidr" -> ((s, d) => graft.dsl.Esql.run(s, d,
+      "from events " +
+        "| eval ip = concat(to_string(10), \".\", to_string(user_id * 7 % 256), " +
+        "\".\", to_string(user_id * 13 % 256), \".\", to_string(user_id % 256)) " +
+        "| where cidr_match(ip, \"10.64.0.0/10\", \"10.192.0.0/12\") " +
+        "| stats n = count(*)"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2936,6 +2944,10 @@ object SparkEntry {
       s"SELECT c_custkey, lat, lon FROM h WHERE key = '$GeoGridQueryCell' ORDER BY c_custkey"),
     "q_esql_metrics" -> ("SELECT event_type, max(value) AS mx, count(*)::BIGINT AS n " +
       "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q_esql_cidr" -> (IpCte +
+      " SELECT count(*)::BIGINT AS n FROM ipv WHERE " +
+      "(ipn >= 10 * 16777216 + 64 * 65536 AND ipn < 10 * 16777216 + 64 * 65536 + 4194304) OR " +
+      "(ipn >= 10 * 16777216 + 192 * 65536 AND ipn < 10 * 16777216 + 192 * 65536 + 1048576)"),
     "q_esql_categorize" -> ("WITH c AS (SELECT array_to_string(list_filter(list_filter(" +
       "regexp_split_to_array(lower(event_type), '[^a-z0-9]+'), x -> len(x) > 0), " +
       "t -> NOT regexp_matches(t, '^[0-9]+$'))[1:4], ' ') AS cat FROM events) " +

@@ -225,6 +225,30 @@ object Esql {
         case ("length", Seq(x)) => length(x)
         case ("to_lower", Seq(x)) => lower(x)
         case ("to_upper", Seq(x)) => upper(x)
+        // IP family over dotted-quad strings (the graft `ip` model —
+        // SURVEY §3): TO_IP normalizes/validates, CIDR_MATCH is one
+        // numeric range predicate per block (codegen'd, pushdown-safe)
+        case ("to_ip", Seq(x)) =>
+          when(x.rlike("^([0-9]{1,3}\\.){3}[0-9]{1,3}$"), x)
+        case ("cidr_match", x +: blocks) if blocks.nonEmpty =>
+          blocks.map { b =>
+            // each block arg is a 'a.b.c.d/n' string literal column;
+            // extract the literal at compile time
+            val lit = org.apache.spark.sql.GraftBridge.literalValue(b) match {
+              case Some(v) => v.toString
+              case None => throw new IllegalArgumentException(
+                s"cidr_match blocks must be string literals, got: $b")
+            }
+            val Array(base, bits) = lit.split("/")
+            val o = base.split("\\.").map(_.toLong)
+            require(o.length == 4 && bits.toInt >= 0 && bits.toInt <= 32,
+              s"bad CIDR block: $lit")
+            val ipn = o(0) * 16777216L + o(1) * 65536L + o(2) * 256L + o(3)
+            val block = 1L << (32 - bits.toInt)
+            val net = ipn / block * block
+            val v = graft.agg.Aggs.ipValue(x)
+            v >= net && v < net + block
+          }.reduce(_ || _)
         case ("substring", Seq(x, a, b)) => x.substr(a, b)
         case ("concat", xs) => concat(xs: _*)
         case ("coalesce", xs) => coalesce(xs: _*)

@@ -621,6 +621,64 @@ object Connector {
     out.write.format(fmt).mode("error").save(dstPath)
   }
 
+  /** `_clone` analog: byte-identical copy of an index to a fresh
+    * target (ES clones by segment hardlink; here a filesystem copy —
+    * no read/rewrite of the data, no Spark job at all). Refuses an
+    * existing target like ES's "index already exists". */
+  def cloneIndex(spark: SparkSession, srcPath: String, dstPath: String): Unit = {
+    recoverSwap(spark, srcPath)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(srcPath).getFileSystem(conf)
+    require(fs.exists(new Path(srcPath)), s"clone source missing: $srcPath")
+    require(!fs.exists(new Path(dstPath)), s"clone target exists: $dstPath")
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new Path(srcPath), fs, new Path(dstPath), false, conf)
+  }
+
+  /** `_snapshot` create/restore analog: a snapshot is a copy of the
+    * index directory under `repoPath/<snapshot>/<indexName>` plus a
+    * tiny manifest. Restore copies it back to a (fresh) live path —
+    * the crash-safe swap never sees partially-restored state because
+    * restore writes to `path_graft_tmp` and swaps in. */
+  def snapshotCreate(spark: SparkSession, indexPath: String,
+      repoPath: String, snapshot: String): Unit = {
+    recoverSwap(spark, indexPath)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(indexPath).getFileSystem(conf)
+    val name = new Path(indexPath).getName
+    val dst = new Path(s"$repoPath/$snapshot/$name")
+    require(!fs.exists(dst), s"snapshot already holds $name: $dst")
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new Path(indexPath), fs, dst, false, conf)
+    val manifest = new Path(s"$repoPath/$snapshot/_graft_snapshot.json")
+    if (!fs.exists(manifest)) {
+      val out = fs.create(manifest)
+      out.write(s"""{"snapshot": "$snapshot"}""".getBytes("UTF-8"))
+      out.close()
+    }
+  }
+
+  def snapshotRestore(spark: SparkSession, repoPath: String,
+      snapshot: String, indexName: String, targetPath: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(targetPath).getFileSystem(conf)
+    val src = new Path(s"$repoPath/$snapshot/$indexName")
+    require(fs.exists(src), s"snapshot missing $indexName: $src")
+    // restore into tmp then swap — a crash mid-copy leaves the live
+    // path untouched (or recoverable via the standard swap recovery)
+    val tmp = new Path(targetPath + "_graft_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, tmp, false, conf)
+    val live = new Path(targetPath)
+    if (fs.exists(live)) {
+      val old = new Path(targetPath + "_graft_old")
+      if (fs.exists(old)) fs.delete(old, true)
+      fs.rename(live, old)
+      fs.rename(tmp, live)
+      fs.delete(old, true)
+    } else fs.rename(tmp, live)
+  }
+
   def updateByQuery(
       spark: SparkSession,
       path: String,

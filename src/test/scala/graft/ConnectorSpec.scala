@@ -249,6 +249,29 @@ class ConnectorSpec extends SparkSpec {
     assert(afterDelete == Set(1L, 2L))
   }
 
+  test("_clone and _snapshot/_restore: copies, manifests, crash-safe restore") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_snap").toString
+    val idx = s"$base/logs"
+    Seq((1L, "a"), (2L, "b")).toDF("doc_id", "v").write.parquet(idx)
+    // clone: byte copy, refuses existing targets
+    Connector.cloneIndex(spark, idx, s"$base/logs_clone")
+    assert(spark.read.parquet(s"$base/logs_clone").count() == 2)
+    intercept[IllegalArgumentException] {
+      Connector.cloneIndex(spark, idx, s"$base/logs_clone")
+    }
+    // snapshot, mutate the live index, restore -> original content back
+    Connector.snapshotCreate(spark, idx, s"$base/repo", "snap1")
+    Connector.deleteByQuery(spark, idx, """{"term": {"doc_id": 1}}""")
+    assert(spark.read.parquet(idx).count() == 1)
+    Connector.snapshotRestore(spark, s"$base/repo", "snap1", "logs", idx)
+    assert(spark.read.parquet(idx)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    // restore can also materialize a NEW index from the snapshot
+    Connector.snapshotRestore(spark, s"$base/repo", "snap1", "logs", s"$base/logs2")
+    assert(spark.read.parquet(s"$base/logs2").count() == 2)
+  }
+
   test("updateByQueryScript: ctx._source assignments compile and see the snapshot") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_ubqs").toString + "/idx"
