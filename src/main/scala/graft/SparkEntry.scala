@@ -1639,7 +1639,14 @@ object SparkEntry {
         "| eval ip = concat(to_string(10), \".\", to_string(user_id * 7 % 256), " +
         "\".\", to_string(user_id * 13 % 256), \".\", to_string(user_id % 256)) " +
         "| where cidr_match(ip, \"10.64.0.0/10\", \"10.192.0.0/12\") " +
-        "| stats n = count(*)"))
+        "| stats n = count(*)")),
+    // EQL simple event query
+    "q_eql_simple" -> ((s, d) => graft.dsl.Eql.run(s, d,
+      "error where value > 300")),
+    // EQL sequence correlation: the view -> click -> purchase funnel
+    // within 24h per user (as-of-join shape, no self-join)
+    "q_eql_sequence" -> ((s, d) => graft.dsl.Eql.run(s, d,
+      "sequence by user_id with maxspan=24h [view] [click where value > 50] [purchase]"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2948,6 +2955,34 @@ object SparkEntry {
       " SELECT count(*)::BIGINT AS n FROM ipv WHERE " +
       "(ipn >= 10 * 16777216 + 64 * 65536 AND ipn < 10 * 16777216 + 64 * 65536 + 4194304) OR " +
       "(ipn >= 10 * 16777216 + 192 * 65536 AND ipn < 10 * 16777216 + 192 * 65536 + 1048576)"),
+    "q_eql_simple" -> ("SELECT event_id, user_id, value FROM events " +
+      "WHERE event_type = 'error' AND value > 300 ORDER BY event_id"),
+    // mirror of Eql.sequence: µs timestamps, latest-predecessor carry
+    // via last_value IGNORE NULLS over UNBOUNDED..1 PRECEDING
+    "q_eql_sequence" -> ("WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS tu FROM events " +
+      "WHERE event_type IN ('view', 'click', 'purchase')), " +
+      "t AS (SELECT *, CASE WHEN event_type = 'view' THEN 0 " +
+      "WHEN event_type = 'click' AND value > 50 THEN 1 " +
+      "WHEN event_type = 'purchase' THEN 2 END AS step FROM e), " +
+      "s AS (SELECT * FROM t WHERE step IS NOT NULL), " +
+      "l0 AS (SELECT *, CASE WHEN step = 0 THEN tu END AS c0_t0, " +
+      "CASE WHEN step = 0 THEN event_id END AS c0_i0 FROM s), " +
+      "l1p AS (SELECT *, last_value(c0_t0 IGNORE NULLS) OVER w AS p_t0, " +
+      "last_value(c0_i0 IGNORE NULLS) OVER w AS p_i0 FROM l0 " +
+      "WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), " +
+      "l1 AS (SELECT *, CASE WHEN step = 1 AND p_t0 IS NOT NULL AND tu - p_t0 <= 86400000000 THEN p_t0 END AS c1_t0, " +
+      "CASE WHEN step = 1 AND p_t0 IS NOT NULL AND tu - p_t0 <= 86400000000 THEN p_i0 END AS c1_i0, " +
+      "CASE WHEN step = 1 AND p_t0 IS NOT NULL AND tu - p_t0 <= 86400000000 THEN tu END AS c1_t1, " +
+      "CASE WHEN step = 1 AND p_t0 IS NOT NULL AND tu - p_t0 <= 86400000000 THEN event_id END AS c1_i1 FROM l1p), " +
+      "l2p AS (SELECT *, last_value(c1_t0 IGNORE NULLS) OVER w AS q_t0, " +
+      "last_value(c1_i0 IGNORE NULLS) OVER w AS q_i0, " +
+      "last_value(c1_t1 IGNORE NULLS) OVER w AS q_t1, " +
+      "last_value(c1_i1 IGNORE NULLS) OVER w AS q_i1 FROM l1 " +
+      "WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) " +
+      "SELECT user_id, q_i0 AS e1_id, q_i1 AS e2_id, event_id AS e3_id, " +
+      "(tu - q_t0) // 1000 AS span_ms FROM l2p " +
+      "WHERE step = 2 AND q_t0 IS NOT NULL AND tu - q_t0 <= 86400000000 " +
+      "ORDER BY user_id, e3_id"),
     "q_esql_categorize" -> ("WITH c AS (SELECT array_to_string(list_filter(list_filter(" +
       "regexp_split_to_array(lower(event_type), '[^a-z0-9]+'), x -> len(x) > 0), " +
       "t -> NOT regexp_matches(t, '^[0-9]+$'))[1:4], ' ') AS cat FROM events) " +

@@ -1,0 +1,137 @@
+package graft.dsl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Mini-EQL — the ES Event Query Language surface (`_eql/search`,
+  * the security/correlation API).
+  *
+  * Grammar subset:
+  * {{{
+  *   <type> where <predicate>
+  *   sequence by <field> [with maxspan=<n><ms|s|m|h>]
+  *     [ <type> [where <pred>] ] [ <type> [where <pred>] ] ...
+  * }}}
+  *
+  * Predicates are the comparison subset (`==`/`!=` normalize to SQL);
+  * step event types must be distinct (the common funnel shape).
+  *
+  * Sequence semantics — deterministic subset: a match is reported per
+  * FINAL-step event, each step pairing with the LATEST qualifying
+  * earlier-step event of the same key, whole-sequence span bounded by
+  * `maxspan`. (Full EQL enumerates overlapping candidate sequences;
+  * the latest-predecessor rule is the deterministic subset an oracle
+  * can mirror, and the one funnel analytics actually uses.)
+  *
+  * Plan shape — the as-of-join shape, NOT a self-join: tag step rows
+  * in one narrow projection, ONE shuffle on the sequence key, then
+  * k-1 key-partitioned window passes over the SAME partitioning
+  * (Catalyst reuses the exchange), each carrying the latest completed
+  * prefix chain forward with `last(_, ignoreNulls)` over
+  * UNBOUNDED PRECEDING .. 1 PRECEDING (strict precedence). Per-key
+  * cost is linear in events; there is no candidate-pair explosion at
+  * any scale, and keys parallelize across executors.
+  *
+  * Timestamps run in µs (`ts_ns div 1000`): exact integer math that
+  * the DuckDB oracle (whose parquet reader truncates ns to µs)
+  * reproduces bit-for-bit.
+  */
+object Eql {
+
+  private val seqRe =
+    """(?s)^sequence\s+by\s+(\w+)(?:\s+with\s+maxspan=(\d+)(ms|s|m|h))?\s*(.+)$""".r
+  private val stepRe = """\[\s*(\w+)(?:\s+where\s+([^\]]+))?\s*\]""".r
+  private val simpleRe = """(?s)^(\w+)\s+where\s+(.+)$""".r
+
+  private def pred(src: String): Column =
+    expr(src.replace("==", "=").trim)
+
+  private def unitNs(n: Long, u: String): Long = u match {
+    case "ms" => n * 1000000L
+    case "s" => n * 1000000000L
+    case "m" => n * 60L * 1000000000L
+    case "h" => n * 3600L * 1000000000L
+  }
+
+  /** Run an EQL query against the events table in `dir`. */
+  def run(spark: SparkSession, dir: String, query: String): DataFrame = {
+    val events = graft.Tables.events(spark, dir)
+    query.trim match {
+      case seqRe(key, n, u, stepsSrc) =>
+        val steps = stepRe.findAllMatchIn(stepsSrc).map { m =>
+          (m.group(1), Option(m.group(2)).map(pred).getOrElse(lit(true)))
+        }.toSeq
+        require(steps.size >= 2, s"sequence needs >= 2 steps: $query")
+        val maxspanNs =
+          if (n == null) Long.MaxValue else unitNs(n.toLong, u)
+        sequence(events, key, "ts_ns", "event_id", steps, maxspanNs)
+      case simpleRe(tpe, p) =>
+        events.where(col("event_type") === tpe && pred(p))
+          .select(col("event_id"), col("user_id"), col("value"))
+          .orderBy(col("event_id"))
+      case other => throw new IllegalArgumentException(s"unsupported EQL: $other")
+    }
+  }
+
+  /** Sequence correlation over arbitrary frames (exposed for specs).
+    * `steps` = (event_type, extra predicate); types must be distinct. */
+  def sequence(
+      events: DataFrame,
+      keyCol: String,
+      tsNsCol: String,
+      idCol: String,
+      steps: Seq[(String, Column)],
+      maxspanNs: Long): DataFrame = {
+    require(steps.map(_._1).distinct.size == steps.size,
+      "sequence step event types must be distinct")
+    val k = steps.size
+    val maxspanUs = if (maxspanNs == Long.MaxValue) Long.MaxValue else maxspanNs / 1000L
+    val w = Window.partitionBy(keyCol).orderBy(col("_ts"), col(idCol))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+
+    val step = steps.zipWithIndex.reverse.foldLeft(lit(-1)) {
+      case (acc, ((tpe, p), i)) => when(col("event_type") === tpe && p, i).otherwise(acc)
+    }
+    var df = events
+      .withColumn("_ts", org.apache.spark.sql.functions.expr(s"$tsNsCol div 1000"))
+      .withColumn("_step", step)
+      .where(col("_step") >= 0)
+      .withColumn("c0_t0", when(col("_step") === 0, col("_ts")))
+      .withColumn("c0_i0", when(col("_step") === 0, col(idCol)))
+
+    for (i <- 1 until k) {
+      // latest completed prefix chain strictly before this row; the
+      // carried columns are non-null only together, so independent
+      // last() calls all read the same chain row
+      val carried = (0 until i).flatMap { j =>
+        Seq(
+          last(col(s"c${i - 1}_t$j"), ignoreNulls = true).over(wPrev).as(s"p_t$j"),
+          last(col(s"c${i - 1}_i$j"), ignoreNulls = true).over(wPrev).as(s"p_i$j"))
+      }
+      df = df.select(col("*") +: carried: _*)
+      val valid = col("_step") === i && col("p_t0").isNotNull &&
+        (if (maxspanUs == Long.MaxValue) lit(true)
+         else col("_ts") - col("p_t0") <= maxspanUs)
+      for (j <- 0 until i) {
+        df = df
+          .withColumn(s"c${i}_t$j", when(valid, col(s"p_t$j")))
+          .withColumn(s"c${i}_i$j", when(valid, col(s"p_i$j")))
+      }
+      df = df
+        .withColumn(s"c${i}_t$i", when(valid, col("_ts")))
+        .withColumn(s"c${i}_i$i", when(valid, col(idCol)))
+        .drop((0 until i).flatMap(j => Seq(s"p_t$j", s"p_i$j")): _*)
+    }
+    val last_ = k - 1
+    val ids = (0 until k).map(j => col(s"c${last_}_i$j").as(s"e${j + 1}_id"))
+    df.where(col(s"c${last_}_t$last_").isNotNull)
+      .select(col(keyCol) +: ids :+
+        // integer div, not `/`: double division rounds to the nearest
+        // representable value and a truncating cast on that can cross
+        // an integer boundary the exact quotient does not
+        org.apache.spark.sql.functions
+          .expr(s"(c${last_}_t$last_ - c${last_}_t0) div 1000").as("span_ms"): _*)
+      .orderBy(col(keyCol), col(s"e${k}_id"))
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.dsl.Eql
+import org.apache.spark.sql.functions._
+
+class EqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (event_id, user_id, ts_ns, event_type, value)
+  private def ev(rows: (Long, Long, Long, String, Double)*) =
+    rows.toDF("event_id", "user_id", "ts_ns", "event_type", "value")
+
+  test("sequence: ordered within key, latest predecessor wins") {
+    val us = 1000L // ns per µs
+    val df = ev(
+      (1L, 7L, 100L * us, "a", 0.0),
+      (2L, 7L, 200L * us, "a", 0.0),   // later `a` — the one that pairs
+      (3L, 7L, 300L * us, "b", 0.0),
+      (4L, 8L, 100L * us, "b", 0.0),   // b BEFORE any a: no match
+      (5L, 8L, 200L * us, "a", 0.0))
+    val out = Eql.sequence(df, "user_id", "ts_ns", "event_id",
+      Seq(("a", lit(true)), ("b", lit(true))), maxspanNs = Long.MaxValue)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((7L, 2L, 3L, 0L))) // latest a (id 2), span (300-200)µs -> 0 ms
+  }
+
+  test("sequence: maxspan bounds the WHOLE span; 3 steps chain") {
+    val ms = 1000000L // ns per ms
+    val df = ev(
+      (1L, 1L, 0L * ms, "a", 0.0),
+      (2L, 1L, 40L * ms, "b", 0.0),
+      (3L, 1L, 90L * ms, "c", 0.0),   // a..c span 90ms
+      (4L, 2L, 0L * ms, "a", 0.0),
+      (5L, 2L, 40L * ms, "b", 0.0),
+      (6L, 2L, 200L * ms, "c", 0.0))  // span 200ms: over budget
+    val out = Eql.sequence(df, "user_id", "ts_ns", "event_id",
+      Seq(("a", lit(true)), ("b", lit(true)), ("c", lit(true))),
+      maxspanNs = 100L * ms)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L, 2L, 3L, 90L)))
+  }
+
+  test("sequence: step predicates filter; distinct types required") {
+    val df = ev(
+      (1L, 1L, 1000L, "a", 5.0),
+      (2L, 1L, 2000L, "a", 50.0), // only this `a` passes the predicate
+      (3L, 1L, 3000L, "b", 0.0))
+    val out = Eql.sequence(df, "user_id", "ts_ns", "event_id",
+      Seq(("a", col("value") > 10.0), ("b", lit(true))), Long.MaxValue)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out.map(r => (r._1, r._2, r._3)) == Seq((1L, 2L, 3L)))
+    intercept[IllegalArgumentException] {
+      Eql.sequence(df, "user_id", "ts_ns", "event_id",
+        Seq(("a", lit(true)), ("a", lit(true))), Long.MaxValue)
+    }
+  }
+
+  test("run: simple query and sequence parse against the test tables") {
+    val simple = Eql.run(spark, sfDir, "error where value > 0")
+    assert(simple.columns.toSeq == Seq("event_id", "user_id", "value"))
+    assert(simple.count() > 0)
+    val seq2 = Eql.run(spark, sfDir,
+      "sequence by user_id with maxspan=24h [view] [purchase]")
+    assert(seq2.columns.toSeq == Seq("user_id", "e1_id", "e2_id", "span_ms"))
+  }
+}
