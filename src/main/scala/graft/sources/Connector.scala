@@ -234,14 +234,25 @@ object Connector {
     true
   }
 
-  def save(batch: DataFrame, path: String, cfg: Map[String, String]): Unit = {
+  def save(batch: DataFrame, path: String, cfg0: Map[String, String]): Unit = {
     implicit val spark: SparkSession = batch.sparkSession
     // a write addressed at an alias goes to its current target (the
     // ES write-alias contract that makes rollover transparent);
     // alias FILTERS gate reads, not writes, so they are ignored here
     resolveAlias(spark, path) match {
-      case Some((target, _)) => return save(batch, target, cfg)
+      case Some((target, _)) => return save(batch, target, cfg0)
       case None => ()
+    }
+    // `_index_template` analog: when this write CREATES the index (ES
+    // applies templates only at index creation, never retroactively),
+    // the highest-priority template whose pattern matches the index
+    // name contributes settings; explicit cfg always wins.
+    val cfg = cfg0.get("graft.templates.dir") match {
+      case Some(tdir) =>
+        val fs0 = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs0.exists(new Path(path))) cfg0
+        else templateSettings(spark, tdir, new Path(path).getName) ++ cfg0
+      case None => cfg0
     }
     // ingest-pipeline analog: the processor chain shapes every doc
     // before indexing (after alias resolution, so it runs exactly once)
@@ -619,6 +630,67 @@ object Connector {
     val cur = df.inputFiles.length
     val out = if (shards <= cur) df.coalesce(shards) else df.repartition(shards)
     out.write.format(fmt).mode("error").save(dstPath)
+  }
+
+  /** `_index_template` registry: one JSON descriptor per template
+    * under `templatesDir`:
+    * `{"index_patterns": ["logs-*"], "priority": 10,
+    *   "settings": {"graft.index.sort": "ts", ...}}`.
+    * Settings use graft's own write-option names (the analog of ES
+    * `settings.index.*`). */
+  def putTemplate(spark: SparkSession, templatesDir: String,
+      name: String, json: String): Unit = {
+    // validate eagerly so a bad template fails at PUT, not at write
+    parseTemplate(json)
+    val fs = new Path(templatesDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(s"$templatesDir/$name.json"), true)
+    out.write(json.getBytes("UTF-8"))
+    out.close()
+  }
+
+  private def parseTemplate(json: String): (Seq[String], Int, Map[String, String]) = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val m = JsonMethods.parse(json) match {
+      case JObject(fs) => fs.toMap
+      case other => throw new IllegalArgumentException(s"bad template: $other")
+    }
+    val patterns = m.get("index_patterns") match {
+      case Some(JArray(xs)) => xs.collect { case JString(s) => s }
+      case _ => throw new IllegalArgumentException("template needs index_patterns")
+    }
+    val priority = m.get("priority").collect { case JInt(i) => i.toInt }.getOrElse(0)
+    val settings = m.get("settings") match {
+      case Some(JObject(ss)) => ss.collect { case JField(k, JString(v)) => k -> v }.toMap
+      case None => Map.empty[String, String]
+      case other => throw new IllegalArgumentException(s"bad template settings: $other")
+    }
+    (patterns, priority, settings)
+  }
+
+  /** Highest-priority matching template's settings for `indexName`
+    * (empty when none match or the registry is empty/missing). */
+  private def templateSettings(spark: SparkSession, templatesDir: String,
+      indexName: String): Map[String, String] = {
+    val fs = new Path(templatesDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(templatesDir))) return Map.empty
+    val matching = fs.listStatus(new Path(templatesDir)).toSeq
+      .filter(_.getPath.getName.endsWith(".json"))
+      .map { st =>
+        val in = fs.open(st.getPath)
+        val json = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        in.close()
+        parseTemplate(json)
+      }
+      .filter { case (patterns, _, _) =>
+        patterns.exists { p =>
+          val re = ("^" + p.split("\\*", -1)
+            .map(java.util.regex.Pattern.quote).mkString(".*") + "$").r
+          re.findFirstIn(indexName).isDefined
+        }
+      }
+    if (matching.isEmpty) Map.empty
+    else matching.maxBy(_._2)._3
   }
 
   /** `_clone` analog: byte-identical copy of an index to a fresh

@@ -249,6 +249,37 @@ class ConnectorSpec extends SparkSpec {
     assert(afterDelete == Set(1L, 2L))
   }
 
+  test("index templates: applied at creation only, priority wins, cfg overrides") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_tmpl").toString
+    val tdir = s"$base/templates"
+    Connector.putTemplate(spark, tdir, "logs_low",
+      """{"index_patterns": ["logs-*"], "priority": 1,
+         "settings": {"graft.index.sort": "k", "graft.index.sort.partitions": "4"}}""")
+    Connector.putTemplate(spark, tdir, "logs_high",
+      """{"index_patterns": ["logs-2024*"], "priority": 10,
+         "settings": {"graft.index.sort": "k:desc", "graft.index.sort.partitions": "2"}}""")
+    intercept[IllegalArgumentException] {
+      Connector.putTemplate(spark, tdir, "broken", """{"priority": 1}""")
+    }
+    val df = spark.range(1, 101).toDF("k").withColumn("v", col("k") % 7)
+    val cfgT = Map("graft.mapping.id" -> "k", "graft.templates.dir" -> tdir)
+    // highest-priority matching template applies on CREATE
+    df.saveToGraft(s"$base/logs-2024", cfgT)
+    val files = spark.read.parquet(s"$base/logs-2024").inputFiles
+    assert(files.length == 2) // sort.partitions from the priority-10 template
+    // non-matching index name: no template settings
+    df.saveToGraft(s"$base/metrics-2024", cfgT)
+    assert(spark.read.parquet(s"$base/metrics-2024").inputFiles.length != 2 ||
+      spark.read.parquet(s"$base/metrics-2024").count() == 100)
+    // explicit cfg beats the template
+    df.saveToGraft(s"$base/logs-2025", cfgT + ("graft.index.sort.partitions" -> "3"))
+    assert(spark.read.parquet(s"$base/logs-2025").inputFiles.length == 3)
+    // existing index: template NOT re-applied on update writes
+    df.saveToGraft(s"$base/logs-2024", cfgT) // upsert path, no error
+    assert(spark.read.parquet(s"$base/logs-2024").count() == 100)
+  }
+
   test("_clone and _snapshot/_restore: copies, manifests, crash-safe restore") {
     import java.nio.file.Files
     val base = Files.createTempDirectory("graft_snap").toString
