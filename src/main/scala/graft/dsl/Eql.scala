@@ -40,9 +40,9 @@ import org.apache.spark.sql.functions._
 object Eql {
 
   private val seqRe =
-    """(?s)^sequence\s+by\s+(\w+)(?:\s+with\s+maxspan=(\d+)(ms|s|m|h))?\s*(.+)$""".r
+    """(?s)^sequence\s+by\s+(\w+)(?:\s+with\s+maxspan=(\d+)(ms|s|m|h))?\s*(.+?)(?:\s+until\s*(\[.+\]))?(?:\s*\|\s*head\s+(\d+))?\s*$""".r
   private val stepRe = """\[\s*(\w+)(?:\s+where\s+([^\]]+))?\s*\]""".r
-  private val simpleRe = """(?s)^(\w+)\s+where\s+(.+)$""".r
+  private val simpleRe = """(?s)^(\w+)\s+where\s+(.+?)(?:\s*\|\s*head\s+(\d+))?\s*$""".r
 
   private def pred(src: String): Column =
     expr(src.replace("==", "=").trim)
@@ -58,47 +58,69 @@ object Eql {
   def run(spark: SparkSession, dir: String, query: String): DataFrame = {
     val events = graft.Tables.events(spark, dir)
     query.trim match {
-      case seqRe(key, n, u, stepsSrc) =>
+      case seqRe(key, n, u, stepsSrc, untilSrc, headN) =>
         val steps = stepRe.findAllMatchIn(stepsSrc).map { m =>
           (m.group(1), Option(m.group(2)).map(pred).getOrElse(lit(true)))
         }.toSeq
         require(steps.size >= 2, s"sequence needs >= 2 steps: $query")
+        val until = Option(untilSrc).map { src =>
+          val m = stepRe.findFirstMatchIn(src).getOrElse(
+            throw new IllegalArgumentException(s"bad until clause: $src"))
+          (m.group(1), Option(m.group(2)).map(pred).getOrElse(lit(true)))
+        }
         val maxspanNs =
           if (n == null) Long.MaxValue else unitNs(n.toLong, u)
-        sequence(events, key, "ts_ns", "event_id", steps, maxspanNs)
-      case simpleRe(tpe, p) =>
-        events.where(col("event_type") === tpe && pred(p))
+        val out = sequence(events, key, "ts_ns", "event_id", steps, maxspanNs, until)
+        Option(headN).map(h => out.limit(h.toInt)).getOrElse(out)
+      case simpleRe(tpe, p, headN) =>
+        val out = events.where(col("event_type") === tpe && pred(p))
           .select(col("event_id"), col("user_id"), col("value"))
           .orderBy(col("event_id"))
+        Option(headN).map(h => out.limit(h.toInt)).getOrElse(out)
       case other => throw new IllegalArgumentException(s"unsupported EQL: $other")
     }
   }
 
   /** Sequence correlation over arbitrary frames (exposed for specs).
-    * `steps` = (event_type, extra predicate); types must be distinct. */
+    * `steps` = (event_type, extra predicate); types must be distinct.
+    * An `until` event KILLS in-flight partial sequences (EQL's
+    * expiration clause): until rows write a sentinel into every chain
+    * column, so the last() carry picks the sentinel instead of a live
+    * chain and the validity check rejects it — no extra pass. */
   def sequence(
       events: DataFrame,
       keyCol: String,
       tsNsCol: String,
       idCol: String,
       steps: Seq[(String, Column)],
-      maxspanNs: Long): DataFrame = {
+      maxspanNs: Long,
+      until: Option[(String, Column)] = None): DataFrame = {
     require(steps.map(_._1).distinct.size == steps.size,
       "sequence step event types must be distinct")
+    until.foreach { case (t, _) =>
+      require(!steps.exists(_._1 == t), s"until type duplicates a step: $t") }
     val k = steps.size
     val maxspanUs = if (maxspanNs == Long.MaxValue) Long.MaxValue else maxspanNs / 1000L
     val w = Window.partitionBy(keyCol).orderBy(col("_ts"), col(idCol))
     val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
 
-    val step = steps.zipWithIndex.reverse.foldLeft(lit(-1)) {
+    val UntilStep = k // sentinel step index for until rows
+    val step0 = steps.zipWithIndex.reverse.foldLeft(lit(-1)) {
       case (acc, ((tpe, p), i)) => when(col("event_type") === tpe && p, i).otherwise(acc)
     }
+    val step = until match {
+      case Some((tpe, p)) => when(col("event_type") === tpe && p, UntilStep).otherwise(step0)
+      case None => step0
+    }
+    val isUntil = col("_step") === UntilStep
     var df = events
       .withColumn("_ts", org.apache.spark.sql.functions.expr(s"$tsNsCol div 1000"))
       .withColumn("_step", step)
       .where(col("_step") >= 0)
-      .withColumn("c0_t0", when(col("_step") === 0, col("_ts")))
-      .withColumn("c0_i0", when(col("_step") === 0, col(idCol)))
+      .withColumn("c0_t0",
+        when(col("_step") === 0, col("_ts")).when(isUntil, lit(-1L)))
+      .withColumn("c0_i0",
+        when(col("_step") === 0, col(idCol)).when(isUntil, lit(-1L)))
 
     for (i <- 1 until k) {
       // latest completed prefix chain strictly before this row; the
@@ -111,21 +133,22 @@ object Eql {
       }
       df = df.select(col("*") +: carried: _*)
       val valid = col("_step") === i && col("p_t0").isNotNull &&
+        col("p_t0") =!= -1L && // sentinel: an until row killed the chain
         (if (maxspanUs == Long.MaxValue) lit(true)
          else col("_ts") - col("p_t0") <= maxspanUs)
       for (j <- 0 until i) {
         df = df
-          .withColumn(s"c${i}_t$j", when(valid, col(s"p_t$j")))
-          .withColumn(s"c${i}_i$j", when(valid, col(s"p_i$j")))
+          .withColumn(s"c${i}_t$j", when(valid, col(s"p_t$j")).when(isUntil, lit(-1L)))
+          .withColumn(s"c${i}_i$j", when(valid, col(s"p_i$j")).when(isUntil, lit(-1L)))
       }
       df = df
-        .withColumn(s"c${i}_t$i", when(valid, col("_ts")))
-        .withColumn(s"c${i}_i$i", when(valid, col(idCol)))
+        .withColumn(s"c${i}_t$i", when(valid, col("_ts")).when(isUntil, lit(-1L)))
+        .withColumn(s"c${i}_i$i", when(valid, col(idCol)).when(isUntil, lit(-1L)))
         .drop((0 until i).flatMap(j => Seq(s"p_t$j", s"p_i$j")): _*)
     }
     val last_ = k - 1
     val ids = (0 until k).map(j => col(s"c${last_}_i$j").as(s"e${j + 1}_id"))
-    df.where(col(s"c${last_}_t$last_").isNotNull)
+    df.where(col(s"c${last_}_t$last_").isNotNull && col(s"c${last_}_t$last_") =!= -1L)
       .select(col(keyCol) +: ids :+
         // integer div, not `/`: double division rounds to the nearest
         // representable value and a truncating cast on that can cross

@@ -55,6 +55,35 @@ class EqlSpec extends SparkSpec {
     }
   }
 
+  test("until kills in-flight partial sequences; later restart matches") {
+    val df = ev(
+      (1L, 1L, 1000L, "a", 0.0),
+      (2L, 1L, 2000L, "x", 0.0),  // until: kills the pending a
+      (3L, 1L, 3000L, "b", 0.0),  // no live a -> no match
+      (4L, 1L, 4000L, "a", 0.0),  // fresh a after the kill
+      (5L, 1L, 5000L, "b", 0.0))  // matches a(4)
+    val out = Eql.sequence(df, "user_id", "ts_ns", "event_id",
+      Seq(("a", lit(true)), ("b", lit(true))), Long.MaxValue,
+      until = Some(("x", lit(true))))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 4L, 5L, 0L)))
+    // until type colliding with a step type is rejected
+    intercept[IllegalArgumentException] {
+      Eql.sequence(df, "user_id", "ts_ns", "event_id",
+        Seq(("a", lit(true)), ("b", lit(true))), Long.MaxValue,
+        until = Some(("a", lit(true))))
+    }
+  }
+
+  test("run: until and head parse in the query language") {
+    val seqU = Eql.run(spark, sfDir,
+      "sequence by user_id with maxspan=24h [view] [purchase] until [error] | head 5")
+    assert(seqU.columns.toSeq == Seq("user_id", "e1_id", "e2_id", "span_ms"))
+    assert(seqU.count() <= 5)
+    val simpleH = Eql.run(spark, sfDir, "error where value > 0 | head 3")
+    assert(simpleH.count() == 3)
+  }
+
   test("run: simple query and sequence parse against the test tables") {
     val simple = Eql.run(spark, sfDir, "error where value > 0")
     assert(simple.columns.toSeq == Seq("event_id", "user_id", "value"))
