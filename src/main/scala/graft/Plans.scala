@@ -22,7 +22,11 @@ object Plans {
         "q_simple_query_string", "q_agg_variable_width",
         // r6 flagships
         "q_sort_mode", "q_ngram_topk", "q_agg_terms_partition",
-        "q_rank_vectors", "q_time_series", "q_ltr", "q_mtermvectors")
+        "q_rank_vectors", "q_time_series", "q_ltr", "q_mtermvectors",
+        // r7 flagships
+        "q_eql_sequence", "q_knn_rescore", "q_transform_latest",
+        "q_function_modes", "q_agg_ip_prefix", "q_nested_score",
+        "q_rescore_multi", "q_esql_cidr")
       case names => names
     }) {
       println(s"========= $name")

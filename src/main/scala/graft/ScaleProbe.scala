@@ -227,6 +227,15 @@ object ScaleProbe {
       graft.rel.Relational.nestedScore(ord, li, "o_orderkey", "l_orderkey",
         col("l_quantity") > 45, col("l_quantity"), "avg").count()
     }
+    time("eql_sequence_10x") {
+      // 1M events, 3-step funnel + until: one key shuffle, 3 window
+      // passes — per-key linear, must stay flat at any multiple
+      val ev = times(Tables.events(spark, sfDir), "event_id", 100000000L)
+      graft.dsl.Eql.sequence(ev, "user_id", "ts_ns", "event_id",
+        Seq(("view", lit(true)), ("click", lit(true)), ("purchase", lit(true))),
+        maxspanNs = 86400L * 1000000000L,
+        until = Some(("error", lit(true)))).count()
+    }
     spark.stop()
   }
 }
