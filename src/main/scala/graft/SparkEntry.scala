@@ -1646,7 +1646,19 @@ object SparkEntry {
     // EQL sequence correlation: the view -> click -> purchase funnel
     // within 24h per user (as-of-join shape, no self-join)
     "q_eql_sequence" -> ((s, d) => graft.dsl.Eql.run(s, d,
-      "sequence by user_id with maxspan=24h [view] [click where value > 50] [purchase]"))
+      "sequence by user_id with maxspan=24h [view] [click where value > 50] [purchase]")),
+    // EQL sample: unordered correlation, one partial-agg groupBy
+    "q_eql_sample" -> ((s, d) => graft.dsl.Eql.run(s, d,
+      "sample by user_id [error where value > 200] [purchase where value > 200]")),
+    // has_parent with score: true — children inherit the parent's
+    // relevance through one broadcast-eligible join
+    "q_has_parent_score" -> ((s, d) =>
+      Relational.hasParentScore(t(s, d, "lineitem"), t(s, d, "orders"),
+        "o_orderkey", "l_orderkey",
+        col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 5000,
+        log(lit(1.0) + col("o_totalprice")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("score"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2957,6 +2969,16 @@ object SparkEntry {
       "(ipn >= 10 * 16777216 + 192 * 65536 AND ipn < 10 * 16777216 + 192 * 65536 + 1048576)"),
     "q_eql_simple" -> ("SELECT event_id, user_id, value FROM events " +
       "WHERE event_type = 'error' AND value > 300 ORDER BY event_id"),
+    "q_eql_sample" -> ("SELECT user_id, " +
+      "min(CASE WHEN event_type = 'error' AND value > 200 THEN event_id END) AS e1_id, " +
+      "min(CASE WHEN event_type = 'purchase' AND value > 200 THEN event_id END) AS e2_id " +
+      "FROM events GROUP BY user_id " +
+      "HAVING e1_id IS NOT NULL AND e2_id IS NOT NULL ORDER BY user_id"),
+    "q_has_parent_score" -> ("SELECT l_orderkey, l_linenumber, " +
+      "round(ln(1.0 + o_totalprice), 4) AS score FROM lineitem " +
+      "JOIN orders ON o_orderkey = l_orderkey " +
+      "WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 5000 " +
+      "ORDER BY l_orderkey, l_linenumber"),
     // mirror of Eql.sequence: µs timestamps, latest-predecessor carry
     // via last_value IGNORE NULLS over UNBOUNDED..1 PRECEDING
     "q_eql_sequence" -> ("WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS tu FROM events " +

@@ -54,10 +54,19 @@ object Eql {
     case "h" => n * 3600L * 1000000000L
   }
 
+  private val sampleRe =
+    """(?s)^sample\s+by\s+(\w+)\s*(.+)$""".r
+
   /** Run an EQL query against the events table in `dir`. */
   def run(spark: SparkSession, dir: String, query: String): DataFrame = {
     val events = graft.Tables.events(spark, dir)
     query.trim match {
+      case sampleRe(key, stepsSrc) =>
+        val steps = stepRe.findAllMatchIn(stepsSrc).map { m =>
+          (m.group(1), Option(m.group(2)).map(pred).getOrElse(lit(true)))
+        }.toSeq
+        require(steps.size >= 2, s"sample needs >= 2 filters: $query")
+        sample(events, key, "event_id", steps)
       case seqRe(key, n, u, stepsSrc, untilSrc, headN) =>
         val steps = stepRe.findAllMatchIn(stepsSrc).map { m =>
           (m.group(1), Option(m.group(2)).map(pred).getOrElse(lit(true)))
@@ -79,6 +88,28 @@ object Eql {
         Option(headN).map(h => out.limit(h.toInt)).getOrElse(out)
       case other => throw new IllegalArgumentException(s"unsupported EQL: $other")
     }
+  }
+
+  /** EQL `sample` (8.6): UNORDERED correlation — keys where every
+    * filter matched at least once, regardless of event order. One
+    * partial-aggregating groupBy: per filter, the min-id example
+    * event (ES returns an arbitrary example; min is the
+    * deterministic choice an oracle can mirror). No window, no join —
+    * the exchange carries |keys| rows. */
+  def sample(
+      events: DataFrame,
+      keyCol: String,
+      idCol: String,
+      filters: Seq[(String, Column)]): DataFrame = {
+    require(filters.map(_._1).distinct.size == filters.size,
+      "sample filter event types must be distinct")
+    val examples = filters.zipWithIndex.map { case ((tpe, p), i) =>
+      min(when(col("event_type") === tpe && p, col(idCol))).as(s"e${i + 1}_id")
+    }
+    events.groupBy(col(keyCol))
+      .agg(examples.head, examples.tail: _*)
+      .where(filters.indices.map(i => col(s"e${i + 1}_id").isNotNull).reduce(_ && _))
+      .orderBy(col(keyCol))
   }
 
   /** Sequence correlation over arbitrary frames (exposed for specs).

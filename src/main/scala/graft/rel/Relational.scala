@@ -100,6 +100,24 @@ object Relational {
           .select(col(parentKey)),
         Seq(parentKey), "left_semi")
 
+  /** `has_parent` with `score: true` — each matching child inherits
+    * its parent's relevance (ES propagates the parent score down).
+    * One join against the FILTERED parent side (broadcast-eligible
+    * when the parent query is selective), score computed on parent
+    * rows before the join so it evaluates |matching parents| times. */
+  def hasParentScore(
+      children: DataFrame,
+      parents: DataFrame,
+      parentKey: String,
+      childFk: String,
+      pred: Column,
+      parentScore: Column): DataFrame = {
+    val scored = parents.where(pred)
+      .select(col(parentKey).as(childFk),
+        graft.util.Num.round(parentScore, 4).as("score"))
+    children.join(scored, Seq(childFk))
+  }
+
   /** `nested` query with `score_mode` (avg | sum | max | min |
     * none→count): the parent's relevance folds the scores of its
     * MATCHING nested docs. One partial-aggregating groupBy over the

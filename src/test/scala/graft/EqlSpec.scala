@@ -84,6 +84,18 @@ class EqlSpec extends SparkSpec {
     assert(simpleH.count() == 3)
   }
 
+  test("sample: unordered correlation, deterministic min-id examples") {
+    val df = ev(
+      (5L, 1L, 5000L, "b", 0.0), // b BEFORE a still correlates (unordered)
+      (2L, 1L, 2000L, "a", 9.0),
+      (3L, 1L, 3000L, "a", 1.0), // min id among matching a's: 2 (value>5 kills 3)
+      (4L, 2L, 4000L, "a", 9.0)) // no b for user 2
+    val out = Eql.sample(df, "user_id", "event_id",
+      Seq(("a", col("value") > 5.0), ("b", lit(true))))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 5L)))
+  }
+
   test("run: simple query and sequence parse against the test tables") {
     val simple = Eql.run(spark, sfDir, "error where value > 0")
     assert(simple.columns.toSeq == Seq("event_id", "user_id", "value"))
