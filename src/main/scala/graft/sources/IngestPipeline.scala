@@ -226,6 +226,50 @@ object IngestPipeline {
                 s"unsupported foreach sub-processor: $other")
             }
             df => df.withColumn(field, transform(col(field), elemFn))
+          case "uri_parts" =>
+            // URL decomposition (scheme/host/port/path/query/fragment)
+            // as one struct — regexp_extract groups over RFC 3986's
+            // own reference regex, all codegen'd
+            val t = m.get("target_field").collect { case JString(s) => s }
+              .getOrElse("url")
+            df => {
+              val u = col(field)
+              df.withColumn(t, struct(
+                regexp_extract(u, "^([a-z][a-z0-9+.-]*):", 1).as("scheme"),
+                regexp_extract(u, "^[a-z][a-z0-9+.-]*://(?:[^@/]*@)?([^:/?#]+)", 1).as("host"),
+                regexp_extract(u, "^[a-z][a-z0-9+.-]*://[^:/?#]+:(\\d+)", 1).as("port"),
+                regexp_extract(u, "^(?:[a-z][a-z0-9+.-]*://[^/?#]*)?([^?#]*)", 1).as("path"),
+                regexp_extract(u, "\\?([^#]*)", 1).as("query"),
+                regexp_extract(u, "#(.*)$", 1).as("fragment")))
+            }
+          case "user_agent" =>
+            // the common-browser heuristic subset of ES's UA parser
+            // (the full processor ships a regex database; the fields
+            // and shape match, the taxonomy is the big-five browsers)
+            val t = m.get("target_field").collect { case JString(s) => s }
+              .getOrElse("user_agent")
+            df => {
+              val ua = col(field)
+              val name = when(ua.rlike("(?i)edg(e|a|ios)?/"), "Edge")
+                .when(ua.rlike("(?i)opr/|opera"), "Opera")
+                .when(ua.rlike("(?i)chrome/"), "Chrome")
+                .when(ua.rlike("(?i)firefox/"), "Firefox")
+                .when(ua.rlike("(?i)safari/") && !ua.rlike("(?i)chrome/"), "Safari")
+                .otherwise("Other")
+              val os = when(ua.rlike("(?i)windows"), "Windows")
+                .when(ua.rlike("(?i)android"), "Android")
+                .when(ua.rlike("(?i)iphone|ipad|ios"), "iOS")
+                .when(ua.rlike("(?i)mac os"), "Mac OS X")
+                .when(ua.rlike("(?i)linux"), "Linux")
+                .otherwise("Other")
+              val version = coalesce(
+                regexp_extract(ua, "(?i)(?:edg[ea]?|opr|chrome|firefox|version)/(\\d+[\\d.]*)", 1),
+                lit(""))
+              df.withColumn(t, struct(
+                name.as("name"), version.as("version"), os.as("os"),
+                when(ua.rlike("(?i)mobile|iphone|android"), "Mobile Device")
+                  .otherwise("Other").as("device")))
+            }
           case other => throw new IllegalArgumentException(
             s"unsupported ingest processor: $other")
         }

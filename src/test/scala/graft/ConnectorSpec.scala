@@ -249,6 +249,32 @@ class ConnectorSpec extends SparkSpec {
     assert(afterDelete == Set(1L, 2L))
   }
 
+  test("ingest pipeline: uri_parts and user_agent structured extraction") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_ingest4").toString + "/idx"
+    val pipeline = """{"processors": [
+      {"uri_parts": {"field": "u", "target_field": "url"}},
+      {"user_agent": {"field": "ua", "target_field": "agent"}}]}"""
+    Seq(
+      (1L, "https://api.example.com:8443/v1/search?q=fast#frag",
+        "Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 Chrome/120.0.0.0 Safari/537.36"),
+      (2L, "http://example.org/plain",
+        "Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X) Version/17.0 Mobile/15E148 Safari/604.1"))
+      .toDF("doc_id", "u", "ua")
+      .saveToGraft(dir, Map("graft.mapping.id" -> "doc_id",
+        "graft.ingest.pipeline" -> pipeline))
+    val out = spark.read.parquet(dir).orderBy("doc_id")
+      .select("url.scheme", "url.host", "url.port", "url.path", "url.query",
+        "agent.name", "agent.os", "agent.device")
+      .as[(String, String, String, String, String, String, String, String)]
+      .collect().toSeq
+    assert(out == Seq(
+      ("https", "api.example.com", "8443", "/v1/search", "q=fast",
+        "Chrome", "Windows", "Other"),
+      ("http", "example.org", "", "/plain", "",
+        "Safari", "iOS", "Mobile Device")))
+  }
+
   test("index templates: applied at creation only, priority wins, cfg overrides") {
     import java.nio.file.Files
     val base = Files.createTempDirectory("graft_tmpl").toString
