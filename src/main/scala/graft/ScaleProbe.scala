@@ -110,9 +110,13 @@ object ScaleProbe {
       val lex = Search.bm25Scores(docs, "doc_id", "text", "fast hash join")
       val emb = times(Tables.embeddings(spark, sfDir), "vec_id", 10000000L)
       val qv = array((0 until 64).map(i => lit((i * 37 % 100) / 100.0 - 0.5)): _*)
+      // no transform() HOF for float->double: CosineSim declares
+      // double-array inputs, so Catalyst inserts ONE native array
+      // cast — the interpreted lambda was the probe's own 6x
+      // super-linear factor at 30x (the library never had it)
       val sem = emb.select(col("vec_id").as("id"),
-        graft.util.Num.round(graft.dedup.Vectors.cosine(
-          transform(col("embedding"), x => x.cast("double")), qv), 4).as("score"))
+        graft.util.Num.round(
+          graft.dedup.Vectors.cosine(col("embedding"), qv), 4).as("score"))
       Search.rrfTopK(Seq(lex, sem), 60, 50, 10).count()
     }
     // frequent_item_sets: basket-key-local self-join — quadratic in

@@ -437,8 +437,11 @@ object SparkEntry {
       val qv = array((0 until 64).map(i => lit((i * 37 % 100) / 100.0 - 0.5)): _*)
       val sem = t(s, d, "embeddings").select(
         col("vec_id").as("id"),
-        graft.util.Num.round(graft.dedup.Vectors.cosine(
-          transform(col("embedding"), x => x.cast("double")), qv), 4).as("score"))
+        // CosineSim declares double-array inputs: Catalyst casts the
+        // float array natively (a transform() HOF here is interpreted
+        // and was 6x super-linear in the 30x probe)
+        graft.util.Num.round(
+          graft.dedup.Vectors.cosine(col("embedding"), qv), 4).as("score"))
       Search.linearTopK(Seq((lex, 0.7), (sem, 0.3)), windowSize = 50, k = 10)
     }),
     // ES|QL piped queries compiled onto the same Catalyst plan
@@ -649,8 +652,11 @@ object SparkEntry {
       val qv = array((0 until 64).map(i => lit((i * 37 % 100) / 100.0 - 0.5)): _*)
       val sem = t(s, d, "embeddings").select(
         col("vec_id").as("id"),
-        graft.util.Num.round(graft.dedup.Vectors.cosine(
-          transform(col("embedding"), x => x.cast("double")), qv), 4).as("score"))
+        // CosineSim declares double-array inputs: Catalyst casts the
+        // float array natively (a transform() HOF here is interpreted
+        // and was 6x super-linear in the 30x probe)
+        graft.util.Num.round(
+          graft.dedup.Vectors.cosine(col("embedding"), qv), 4).as("score"))
       Search.rrfTopK(Seq(lex, sem), rankConstant = 60, windowSize = 50, k = 10)
     }),
     // search_as_you_type: bool_prefix candidates ranked by the
