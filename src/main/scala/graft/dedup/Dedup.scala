@@ -354,7 +354,7 @@ object Dedup {
       k: Int): DataFrame = {
     val e = emb.select(
       col(idCol).as("id"), col(blockCol).as("blk"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
+      col(vecCol).cast("array<double>").as("v"))
     e.as("a").join(e.as("b"), col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .select(
         col("a.id").as("id1"), col("b.id").as("id2"),

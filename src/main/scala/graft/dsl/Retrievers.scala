@@ -109,7 +109,7 @@ object Retrievers {
       }
       vectors.select(col(vecId).as("id"),
         graft.util.Num.round(graft.dedup.Vectors.cosine(
-          transform(col(field), x => x.cast("double")), qv), 4).as("score"))
+          col(field).cast("array<double>"), qv), 4).as("score"))
     case other => throw new IllegalArgumentException(s"unsupported retriever: $other")
   }
 }

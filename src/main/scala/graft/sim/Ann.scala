@@ -31,10 +31,10 @@ object Ann {
       k: Int): DataFrame = {
     val c = corpus.select(
       col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
+      col(vecCol).cast("array<double>").as("v"))
     val q = queries.select(
       col(idCol).as("query_id"),
-      transform(col(vecCol), x => x.cast("double")).as("qv"))
+      col(vecCol).cast("array<double>").as("qv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("id").asc)
     c.crossJoin(broadcast(q))
@@ -91,7 +91,7 @@ object Ann {
       k: Int): DataFrame = {
     val c = corpus.select(
       col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
+      col(vecCol).cast("array<double>").as("v"))
     val cents = c.where(col("id") < nCentroids)
       .select(col("id").as("cent_id"), col("v").as("cv"))
     ivfTopKWith(corpus, queries, idCol, vecCol, cents, nprobe, k)
@@ -114,7 +114,7 @@ object Ann {
     import spark.implicits._
     val c = corpus.select(
       col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
+      col(vecCol).cast("array<double>").as("v"))
     var cents: Seq[(Long, Seq[Double])] = c.orderBy(col("id")).limit(k)
       .as[(Long, Seq[Double])].collect().toSeq
       .zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
@@ -154,7 +154,7 @@ object Ann {
       k: Int): DataFrame = {
     val c = corpus.select(
       col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
+      col(vecCol).cast("array<double>").as("v"))
     val wAssign = Window.partitionBy(col("id"))
       .orderBy(col("ccos").desc, col("cent_id").asc)
     val assign = c.crossJoin(broadcast(cents))
@@ -165,7 +165,7 @@ object Ann {
       .select(col("id"), col("cent_id"))
     val q = queries.select(
       col(idCol).as("query_id"),
-      transform(col(vecCol), x => x.cast("double")).as("qv"))
+      col(vecCol).cast("array<double>").as("qv"))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("qcos").desc, col("cent_id").asc)
     val probes = q.crossJoin(broadcast(cents))
@@ -212,10 +212,10 @@ object Ann {
       k: Int): DataFrame = {
     val c = corpus.select(
       col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
+      col(vecCol).cast("array<double>").as("v"))
     val q = queries.select(
       col(idCol).as("query_id"),
-      transform(col(vecCol), x => x.cast("double")).as("qv"))
+      col(vecCol).cast("array<double>").as("qv"))
     val cb = c.select(col("id"), explode(tableBuckets(col("v"), dim)).as("bucket"))
     val qb = q.select(col("query_id"), explode(tableBuckets(col("qv"), dim)).as("bucket"))
     val candidates = cb.join(broadcast(qb), "bucket")
@@ -334,7 +334,7 @@ object Ann {
         val nprobe = math.max(1, math.min(16, numCandidates / math.max(1, 4 * k)))
         val cents = filtered
           .select(col(idCol).as("cent_src_id"),
-            transform(col(field), x => x.cast("double")).as("cv"))
+            col(field).cast("array<double>").as("cv"))
           .orderBy(col("cent_src_id")).limit(16)
           .select(col("cent_src_id").as("cent_id"), col("cv"))
         ivfTopKWith(filtered, queries, idCol, field, cents, nprobe = nprobe, k = k)
