@@ -64,10 +64,15 @@ object Ann {
   }
 
   /** Sign-random-projection bucket id (one hash table): bit p =
-    * (v . plane_p) >= 0. Narrow per-row math, no shuffle. */
+    * (v . plane_p) >= 0. Narrow per-row math, no shuffle. Each dot
+    * runs the compiled DotProductSim kernel — `planes` kernel calls
+    * per row, not `planes` interpreted aggregate() folds. */
   def srpBucket(vec: Column, dim: Int, table: Int, planes: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
     val bits = (0 until planes).map { p =>
-      val dotp = Vectors.dot(vec, lit(planeVec(table, p, dim)))
+      val dotp = GraftBridge.column(graft.expr.DotProductSim(
+        GraftBridge.expression(vec),
+        GraftBridge.expression(lit(planeVec(table, p, dim)))))
       when(dotp >= 0, lit(1L << (planes - 1 - p))).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
