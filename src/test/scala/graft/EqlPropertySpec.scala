@@ -1,0 +1,94 @@
+package graft
+
+import graft.dsl.Eql
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property test: Eql.sequence (the windowed chain-carry plan) vs an
+  * obviously-correct in-memory reference over randomized event
+  * streams. The reference replays each key's ordered events and, per
+  * final-step event, walks the latest-predecessor chain exactly as
+  * the documented deterministic subset prescribes (until-events kill
+  * in-flight chains; the whole span obeys maxspan). Randomization
+  * covers duplicate timestamps, interleaved keys, missing steps and
+  * kill placement — the corners a handful of fixed fixtures miss. */
+class EqlPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private case class Ev(id: Long, key: Long, ts: Long, tpe: String)
+
+  // reference: per key, ordered by (ts, id); maintain latest completed
+  // chain per prefix length with the same latest-predecessor rule
+  private def reference(
+      events: Seq[Ev], steps: Seq[String], maxspanUs: Long,
+      until: Option[String]): Seq[(Long, Seq[Long], Long)] = {
+    val k = steps.size
+    events.groupBy(_.key).toSeq.flatMap { case (key, evs) =>
+      val ordered = evs.sortBy(e => (e.ts, e.id))
+      // chains(i) = the latest completed chain of steps 0..i, as the
+      // list of (ts, id) per step — None when killed / not yet seen
+      val chains = Array.fill[Option[Vector[(Long, Long)]]](k)(None)
+      val out = scala.collection.mutable.ListBuffer.empty[(Long, Seq[Long], Long)]
+      ordered.foreach { e =>
+        if (until.contains(e.tpe)) {
+          chains.indices.foreach(chains(_) = None)
+        } else {
+          val si = steps.indexOf(e.tpe)
+          if (si >= 0) {
+            // the carry reads chains as they were BEFORE this event
+            // (strict precedence): compute the update, then apply
+            val upd: Option[Vector[(Long, Long)]] =
+              if (si == 0) Some(Vector((e.ts, e.id)))
+              else chains(si - 1) match {
+                case Some(prefix) if e.ts - prefix.head._1 <= maxspanUs =>
+                  Some(prefix :+ ((e.ts, e.id)))
+                case _ => None
+              }
+            upd.foreach { chain =>
+              chains(si) = Some(chain)
+              if (si == k - 1)
+                out += ((key, chain.map(_._2), (chain.last._1 - chain.head._1) / 1000))
+            }
+          }
+        }
+      }
+      out.toSeq
+    }.sortBy(r => (r._1, r._2.last))
+  }
+
+  private val evGen: Gen[List[Ev]] = for {
+    n <- Gen.choose(0, 60)
+    evs <- Gen.listOfN(n, for {
+      key <- Gen.choose(1L, 4L)
+      ts <- Gen.choose(0L, 40L)
+      tpe <- Gen.oneOf("a", "b", "c", "x", "z") // z = never referenced
+    } yield (key, ts, tpe))
+  } yield evs.zipWithIndex.map { case ((key, ts, tpe), i) =>
+    Ev(i + 1L, key, ts * 1000L, tpe) // µs-scale ts, ns handled below
+  }
+
+  test("sequence == reference replay over randomized streams") {
+    val seed0 = Seed(20260813L)
+    var seed = seed0
+    for (round <- 1 to 40) {
+      val evs = evGen.apply(Gen.Parameters.default, seed).get
+      seed = seed.next
+      val maxspanUs = if (round % 3 == 0) 15000L else Long.MaxValue / 1000
+      val until = if (round % 2 == 0) Some("x") else None
+      val steps = if (round % 5 == 0) Seq("a", "b") else Seq("a", "b", "c")
+      val df = evs.map(e => (e.id, e.key, e.ts * 1000L, e.tpe))
+        .toDF("event_id", "user_id", "ts_ns", "event_type")
+      val got = Eql.sequence(df, "user_id", "ts_ns", "event_id",
+        steps.map(s => (s, lit(true))), maxspanNs = maxspanUs * 1000L,
+        until = until.map(u => (u, lit(true))))
+        .collect().map { r =>
+          (r.getLong(0), (1 to steps.size).map(r.getLong), r.getLong(steps.size + 1))
+        }.toSeq
+      val want = reference(evs, steps, maxspanUs, until)
+      assert(got == want,
+        s"round $round (steps=$steps maxspanUs=$maxspanUs until=$until): " +
+          s"got $got\nwant $want\nevents: $evs")
+    }
+  }
+}
