@@ -1656,6 +1656,14 @@ object SparkEntry {
     // EQL sample: unordered correlation, one partial-agg groupBy
     "q_eql_sample" -> ((s, d) => graft.dsl.Eql.run(s, d,
       "sample by user_id [error where value > 200] [purchase where value > 200]")),
+    // significant_terms with background_filter: uplift measured
+    // against a RESTRICTED comparison set (fg kept inside bg so no
+    // zero-background terms arise)
+    "q_agg_sig_bg" -> ((s, d) =>
+      Aggs.significantTerms(t(s, d, "documents"), "text",
+        pred = col("lang") === "de" && col("n_chars") > 100,
+        minFgCount = 5, k = 10,
+        backgroundFilter = col("n_chars") > 100)),
     // has_parent with score: true — children inherit the parent's
     // relevance through one broadcast-eligible join
     "q_has_parent_score" -> ((s, d) =>
@@ -2480,6 +2488,13 @@ object SparkEntry {
       "unnest(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0))) AS term FROM documents), " +
       "tot AS (SELECT count_if(lang = 'en')::DOUBLE AS fg_total, count(*)::DOUBLE AS bg_total FROM documents), " +
       "g AS (SELECT term, count_if(fg)::BIGINT AS fg_count, count(*)::BIGINT AS bg_count FROM terms GROUP BY term HAVING count_if(fg) >= 5) " +
+      "SELECT term, fg_count, bg_count, " +
+      "round((fg_count / fg_total) * ln((fg_count / fg_total) / (bg_count / bg_total)), 4) AS score " +
+      "FROM g CROSS JOIN tot ORDER BY score DESC, term LIMIT 10"),
+    "q_agg_sig_bg" -> ("WITH terms AS (SELECT (lang = 'de' AND n_chars > 100) AS fg, n_chars > 100 AS bg, " +
+      "unnest(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0))) AS term FROM documents), " +
+      "tot AS (SELECT count_if(lang = 'de' AND n_chars > 100)::DOUBLE AS fg_total, count_if(n_chars > 100)::DOUBLE AS bg_total FROM documents), " +
+      "g AS (SELECT term, count_if(fg)::BIGINT AS fg_count, count_if(bg)::BIGINT AS bg_count FROM terms GROUP BY term HAVING count_if(fg) >= 5) " +
       "SELECT term, fg_count, bg_count, " +
       "round((fg_count / fg_total) * ln((fg_count / fg_total) / (bg_count / bg_total)), 4) AS score " +
       "FROM g CROSS JOIN tot ORDER BY score DESC, term LIMIT 10"),

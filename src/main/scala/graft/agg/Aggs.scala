@@ -659,19 +659,23 @@ object Aggs {
       textField: String,
       pred: Column,
       minFgCount: Long = 5,
-      k: Int = 10): DataFrame = {
+      k: Int = 10,
+      backgroundFilter: Column = lit(true)): DataFrame = {
     import graft.analysis.Analyzer
     val terms = df
-      .select(pred.as("fg"), explode(Analyzer.termSet(col(textField))).as("term"))
-    // ES rates are over DOC counts (fg docs / all docs), not term totals.
+      .select(pred.as("fg"), backgroundFilter.as("bg"),
+        explode(Analyzer.termSet(col(textField))).as("term"))
+    // ES rates are over DOC counts (fg docs / all docs), not term
+    // totals. `background_filter` restricts the comparison set the
+    // uplift is measured against (default: the whole index).
     val totals = df.agg(
       sum(when(pred, 1L).otherwise(0L)).cast("double").as("fg_total"),
-      count(lit(1)).cast("double").as("bg_total"))
+      sum(when(backgroundFilter, 1L).otherwise(0L)).cast("double").as("bg_total"))
     terms
       .groupBy(col("term"))
       .agg(
         sum(when(col("fg"), 1L).otherwise(0L)).as("fg_count"),
-        count(lit(1)).as("bg_count"))
+        sum(when(col("bg"), 1L).otherwise(0L)).as("bg_count"))
       .where(col("fg_count") >= minFgCount)
       .crossJoin(broadcast(totals))
       .withColumn("fg_rate", col("fg_count") / col("fg_total"))
