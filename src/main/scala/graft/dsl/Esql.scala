@@ -849,11 +849,18 @@ object Esql {
         val m = "^([A-Za-z0-9_]+)\\s+(?i:on)\\s+([A-Za-z0-9_]+)\\s*==\\s*([A-Za-z0-9_]+)(?:\\s+(?i:with)\\s+(.*))?$".r
         body.trim match {
           case m(table, left, right, withCols) =>
-            val cols = Option(withCols)
+            // WITH entries are `field` or `new_name = field` (the
+            // ES|QL enrich rename form)
+            val aliasRe = "^([A-Za-z0-9_]+)\\s*=\\s*([A-Za-z0-9_]+)$".r
+            val cols: Seq[Column] = Option(withCols)
               .map(splitTopLevel(_, ',').map(_.trim)).getOrElse(Nil)
+              .map {
+                case aliasRe(alias, src) => col(src).as(alias)
+                case c => col(c)
+              }
             val enrichSide = {
               val t = resolve(table)
-              if (cols.isEmpty) t else t.select((right +: cols).map(col): _*)
+              if (cols.isEmpty) t else t.select(col(right) +: cols: _*)
             }
             df.join(broadcast(enrichSide), df(left) === enrichSide(right), "left")
               .drop(enrichSide(right))

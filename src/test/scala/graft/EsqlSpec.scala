@@ -101,6 +101,11 @@ class EsqlSpec extends SparkSpec {
     assert(r(1L).contains("alpha") && r(3L).contains("beta") && r(5L).isEmpty)
     // without a resolver, ENRICH fails loudly
     intercept[IllegalArgumentException](run("enrich dims on k == kk"))
+    // WITH new_name = field renames at join time
+    val r2 = Esql.applyCommand(df,
+      "enrich dims on k == kk with tag = label", _ => dims)
+      .select("id", "tag").as[(Long, Option[String])].collect().toMap
+    assert(r2(1L).contains("alpha") && r2(5L).isEmpty)
   }
 
   test("function long tail: split/mv family, string fns, math, casts") {
