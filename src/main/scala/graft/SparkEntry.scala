@@ -1285,7 +1285,7 @@ object SparkEntry {
         .withColumnRenamed("lat", "loc_lat").withColumnRenamed("lon", "loc_lon")
       g.select(col("c_custkey"),
           Num.round(Sorting.key(
-            """{"_geo_distance": {"loc": {"lat": 0.0, "lon": 0.0}, "order": "asc"}}"""), 4)
+            """{"_geo_distance": {"loc": {"lat": 0.0, "lon": 0.0}, "order": "asc", "unit": "km"}}"""), 4)
             .as("dist_km"))
         .orderBy(col("dist_km"), col("c_custkey"))
         .limit(50)
@@ -2202,7 +2202,7 @@ object SparkEntry {
     "q_search_after" -> ("SELECT doc_id, n_chars FROM documents WHERE n_chars < 400 " +
       "OR (n_chars = 400 AND doc_id > 250) ORDER BY n_chars DESC, doc_id LIMIT 10"),
     "q_suggest_popular" -> (TokCte + ", v AS (SELECT token, count(*)::BIGINT AS freq FROM " +
-      "(SELECT unnest(toks) AS token FROM tok) GROUP BY token), " +
+      "(SELECT unnest(list_distinct(toks)) AS token FROM tok) GROUP BY token), " +
       "inp AS (SELECT coalesce(max(freq), 0) AS input_freq FROM v WHERE token = 'joins') " +
       "SELECT token, freq FROM v CROSS JOIN inp " +
       "WHERE token <> 'joins' AND levenshtein(token, 'joins') <= 1 AND freq > input_freq " +
@@ -2929,7 +2929,7 @@ object SparkEntry {
     "q_agg_ip_prefix" -> (IpCte +
       ", n AS (SELECT (ipn // 1048576) * 1048576 AS net FROM ipv) " +
       "SELECT (net // 16777216 % 256) || '.' || (net // 65536 % 256) || '.' || (net // 256 % 256) || '.' || (net % 256) || '/12' AS key, " +
-      "count(*)::BIGINT AS doc_count FROM n GROUP BY key ORDER BY key"),
+      "count(*)::BIGINT AS doc_count FROM n GROUP BY net ORDER BY net"),
     "q_transform_pivot" -> ("SELECT event_type, count(*)::BIGINT AS doc_count, " +
       "round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS value_sum, max(value) AS value_max " +
       "FROM events GROUP BY event_type ORDER BY event_type"),

@@ -1134,8 +1134,20 @@ object Aggs {
       (net / 65536L % 256L).cast("long"),
       (net / 256L % 256L).cast("long"),
       (net % 256L).cast("long"))
-    df.groupBy(concat(key, lit(s"/$prefixLength")).as("key"))
+    // ES orders ip_prefix buckets by NUMERIC network value — the
+    // dotted-quad string is only the rendered key (10.2/16 sorts
+    // before 10.10/16, the lexical order would not)
+    df.groupBy(net.as("net"))
       .agg(count(lit(1)).as("doc_count"))
-      .orderBy(col("key").asc)
+      .orderBy(col("net").asc)
+      .select(
+        concat(
+          concat_ws(".",
+            (col("net") / 16777216L % 256L).cast("long"),
+            (col("net") / 65536L % 256L).cast("long"),
+            (col("net") / 256L % 256L).cast("long"),
+            (col("net") % 256L).cast("long")),
+          lit(s"/$prefixLength")).as("key"),
+        col("doc_count"))
   }
 }

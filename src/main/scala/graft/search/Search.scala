@@ -647,8 +647,12 @@ object Search {
   def suggestMode(
       docs: DataFrame, textCol: String, term: String,
       mode: String, maxEdits: Int = 2, k: Int = 5): DataFrame = {
+    // ES term-suggester frequencies are DOCUMENT frequencies (the
+    // term's doc freq in the shard), not total occurrences — a term
+    // repeated many times in few docs must not out-rank a widespread
+    // one. Per-doc distinct tokens (termSet) before the count.
     val vocab = docs
-      .select(explode(graft.analysis.Analyzer.tokens(col(textCol))).as("token"))
+      .select(explode(graft.analysis.Analyzer.termSet(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
     mode match {
       case "always" =>

@@ -55,15 +55,35 @@ object Sorting {
     case JObject(JField("_geo_distance", JObject(parts)) :: Nil) =>
       val m = parts.toMap
       val asc = !m.get("order").map(lits(_).toString).contains("desc")
-      val (f, point) = m.find(p => p._1 != "order" && p._1 != "unit")
-        .getOrElse(throw new IllegalArgumentException("_geo_distance needs a point field"))
+      // every key that is NOT a known option is the point field — ES
+      // accepts order/unit/mode/distance_type/ignore_unmapped options
+      // alongside it, which must not be mistaken for the field
+      val optionKeys = Set("order", "unit", "mode", "distance_type", "ignore_unmapped")
+      val pointFields = parts.filterNot(p => optionKeys.contains(p._1))
+      require(pointFields.size == 1,
+        s"_geo_distance needs exactly one point field, got: ${pointFields.map(_._1).mkString(", ")}")
+      val (f, point) = pointFields.head
+      // distance_type plane (fast-but-approximate) is not offered —
+      // reject loudly rather than silently sorting by a different metric
+      m.get("distance_type").map(lits(_).toString).foreach { dt =>
+        require(dt == "arc", s"unsupported distance_type: $dt (only arc)")
+      }
       val p = point match {
         case JObject(fs) => fs.toMap
         case other => throw new IllegalArgumentException(s"bad geo point: $other")
       }
+      // unit scales the sort VALUE (observable via sort keys); km is
+      // the computed base, ES's default is meters
+      val unitScale = m.get("unit").map(lits(_).toString).getOrElse("m") match {
+        case "m"  => 1000.0
+        case "km" => 1.0
+        case "mi" => 1.0 / 1.609344
+        case "ft" => 3280.839895013123
+        case u    => throw new IllegalArgumentException(s"unsupported _geo_distance unit: $u")
+      }
       val dist = graft.rel.Relational.haversineKm(
         col(s"${f}_lat"), col(s"${f}_lon"),
-        lit(lits(p("lat")).toString.toDouble), lit(lits(p("lon")).toString.toDouble))
+        lit(lits(p("lat")).toString.toDouble), lit(lits(p("lon")).toString.toDouble)) * unitScale
       (dist, asc, true)
 
     case JObject(JField("_script", JObject(parts)) :: Nil) =>

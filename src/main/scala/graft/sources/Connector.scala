@@ -87,17 +87,25 @@ object Connector {
         val df1 = innerQuery.fold(df0)(q => df0.where(EsQuery.compile(q, idField)))
         // es.read.field.include/exclude accept `*` patterns (the
         // `fields`-API wildcard retrieval); expand against the schema
-        def expand(specs: Seq[String], df: DataFrame): Seq[String] =
+        // includes fail loudly on a no-match pattern (a typo'd include
+        // would otherwise silently yield a zero-column frame); excludes
+        // stay permissive — excluding nothing is a no-op, not an error
+        def expand(specs: Seq[String], df: DataFrame,
+            requireMatch: Boolean = false): Seq[String] =
           specs.flatMap { p =>
             if (!p.contains("*")) Seq(p)
             else {
               val re = ("^" + p.split("\\*", -1)
                 .map(java.util.regex.Pattern.quote).mkString(".*") + "$").r
-              df.columns.filter(c => re.findFirstIn(c).isDefined).toSeq
+              val hits = df.columns.filter(c => re.findFirstIn(c).isDefined).toSeq
+              require(!requireMatch || hits.nonEmpty,
+                s"es.read.field.include pattern '$p' matches no columns of [${df.columns.mkString(", ")}]")
+              hits
             }
           }.distinct
         val df2 =
-          if (fieldInclude.nonEmpty) df1.select(expand(fieldInclude, df1).map(col): _*)
+          if (fieldInclude.nonEmpty)
+            df1.select(expand(fieldInclude, df1, requireMatch = true).map(col): _*)
           else df1
         val df3 = expand(fieldExclude, df2).foldLeft(df2)(_ drop _)
         // es.read.metadata analog: surface _id/_index alongside the
@@ -789,12 +797,17 @@ object Connector {
   }
 
   /** Scripted `_update_by_query` (the `script.source` form): a chain
-    * of `ctx._source.<field> = <painless expr>;` assignments. Each
-    * right-hand side compiles ONCE via Painless — `ctx._source.x`
-    * references rewrite to the doc-value form the compiler already
-    * knows — and the whole script lands in updateByQuery's one-select
-    * snapshot application (all assignments see the ORIGINAL doc, like
-    * ES, which runs the script per-doc against the fetched source). */
+    * of `ctx._source.<field> = <painless expr>;` assignments.
+    * Painless executes statements SEQUENTIALLY per doc: a later RHS
+    * reading an earlier-assigned field sees the NEW value
+    * (`ctx._source.a = 1; ctx._source.b = ctx._source.a + 1` → b=2).
+    * We thread that textually: before compiling statement i, the
+    * already-threaded RHS of every previously assigned field is
+    * substituted for its doc-value reference, so each field's FINAL
+    * expression is closed over the original snapshot — which is what
+    * updateByQuery's one-select application needs. A field assigned
+    * twice keeps its last (threaded) assignment; a self-reference
+    * (`a = a + 1`) correctly reads the prior value. */
   def updateByQueryScript(
       spark: SparkSession,
       path: String,
@@ -803,12 +816,20 @@ object Connector {
       params: Map[String, Any] = Map.empty,
       cfg: Map[String, String] = Map.empty): Unit = {
     val assignPat = """\s*ctx\._source\.(\w+)\s*=\s*(.+)""".r
-    val set = script.split(";").map(_.trim).filter(_.nonEmpty).map {
+    val stmts = script.split(";").map(_.trim).filter(_.nonEmpty).map {
       case assignPat(field, rhs) =>
-        val rewritten = rhs.replaceAll("""ctx\._source\.(\w+)""", "doc['$1'].value")
-        field -> graft.dsl.Painless.compile(rewritten, params)
+        field -> rhs.replaceAll("""ctx\._source\.(\w+)""", "doc['$1'].value")
       case other => throw new IllegalArgumentException(
         s"update script statements must be ctx._source.<field> = <expr>: $other")
+    }
+    val threaded = scala.collection.mutable.LinkedHashMap[String, String]()
+    for ((field, rhs) <- stmts) {
+      var s = rhs
+      for ((f, prior) <- threaded) s = s.replace(s"doc['$f'].value", s"($prior)")
+      threaded(field) = s
+    }
+    val set = threaded.map { case (f, s) =>
+      f -> graft.dsl.Painless.compile(s, params)
     }.toMap
     updateByQuery(spark, path, query, set, cfg)
   }

@@ -189,9 +189,21 @@ class AggsSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(r == Seq(("a", 1L), ("b", 2L), ("c", 2L)))
     val p = Aggs.ipPrefix(ips, "ip", 12)
-      .as[(String, Long)].collect().toMap
+      .as[(String, Long)].collect()
     // /12 keeps the top 4 bits of octet 2: 64->64, 200->192, 168->160
-    assert(p == Map("10.0.0.0/12" -> 1L, "10.64.0.0/12" -> 2L,
+    assert(p.toMap == Map("10.0.0.0/12" -> 1L, "10.64.0.0/12" -> 2L,
       "10.192.0.0/12" -> 1L, "192.160.0.0/12" -> 1L))
+    // buckets come back in NUMERIC network order (ES ip_prefix),
+    // not lexical key order — 10.64 before 10.192 before 192.160
+    assert(p.map(_._1).toSeq == Seq(
+      "10.0.0.0/12", "10.64.0.0/12", "10.192.0.0/12", "192.160.0.0/12"))
+  }
+
+  test("ip_prefix: numeric order where lexical would differ") {
+    import spark.implicits._
+    val ips = Seq("10.2.0.1", "10.10.0.1").toDF("ip")
+    val keys = Aggs.ipPrefix(ips, "ip", 16).as[(String, Long)].collect().map(_._1).toSeq
+    // lexical string order would put 10.10 first; ES orders by IP value
+    assert(keys == Seq("10.2.0.0/16", "10.10.0.0/16"))
   }
 }

@@ -335,9 +335,9 @@ class ConnectorSpec extends SparkSpec {
     Seq((1L, 10.0, 2.0), (2L, 20.0, 3.0), (3L, 5.0, 4.0))
       .toDF("doc_id", "price", "factor")
       .write.parquet(dir)
-    // both assignments read the ORIGINAL price (second references the
-    // column the first just rewrote — ES evaluates against the fetched
-    // source, not the partial update)
+    // Painless runs statements SEQUENTIALLY: the second assignment
+    // reads the price the first one just rewrote (new value), while
+    // the query still matches against the ORIGINAL snapshot
     Connector.updateByQueryScript(spark, dir,
       """{"range": {"price": {"gte": 10}}}""",
       "ctx._source.price = ctx._source.price * params.m; " +
@@ -348,9 +348,22 @@ class ConnectorSpec extends SparkSpec {
       .as[(Long, Double, Option[Double])].collect()
       .map { case (id, p, m) => id -> ((p, m)) }.toMap
     assert(got == Map(
-      1L -> (20.0, Some(12.0)), // markup from ORIGINAL price 10 + 2
-      2L -> (40.0, Some(23.0)),
+      1L -> (20.0, Some(22.0)), // markup from UPDATED price 20 + 2
+      2L -> (40.0, Some(43.0)),
       3L -> (5.0, None)))       // unmatched: untouched, new field null
+  }
+
+  test("updateByQueryScript: self-reference and re-assignment thread sequentially") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_ubqs2").toString + "/idx"
+    Seq((1L, 3.0)).toDF("doc_id", "v").write.parquet(dir)
+    // v = v + 1 (→4); v = v * 10 (reads NEW v → 40); w = v - 2 (→38)
+    Connector.updateByQueryScript(spark, dir, """{"term": {"doc_id": 1}}""",
+      "ctx._source.v = ctx._source.v + 1; " +
+        "ctx._source.v = ctx._source.v * 10; " +
+        "ctx._source.w = ctx._source.v - 2")
+    val row = spark.read.parquet(dir).select("v", "w").as[(Double, Double)].head()
+    assert(row == (40.0, 38.0))
   }
 
   test("updateByQuery: multi-column set sees the ORIGINAL snapshot") {
@@ -802,6 +815,13 @@ class ConnectorSpec extends SparkSpec {
       == Seq("id", "v_min", "v_max"))
     assert(spark.graftDF(dir, fieldExclude = Seq("v_*")).columns.toSeq
       == Seq("id", "k"))
+    // a typo'd include pattern fails loudly instead of silently
+    // projecting zero columns; a no-match EXCLUDE stays a no-op
+    intercept[IllegalArgumentException] {
+      spark.graftDF(dir, fieldInclude = Seq("w_*")).columns
+    }
+    assert(spark.graftDF(dir, fieldExclude = Seq("w_*")).columns.toSeq
+      == Seq("id", "v_min", "v_max", "k"))
     // cat APIs: footer metadata + descriptor reads only
     Connector.putAlias(spark, root + "/walias", dir, filter = """{"term": {"k": "x"}}""")
     val counts = Connector.catCount(spark, root)

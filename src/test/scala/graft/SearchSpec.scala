@@ -334,6 +334,19 @@ class SearchSpec extends SparkSpec {
       """[{"_geo_distance": {"p": {"lat": 0.0, "lon": 0.0}, "order": "desc"}}]"""): _*)
       .select("id").as[Long].collect().toSeq
     assert(gOrder == Seq(2L, 1L))
+    // option keys (unit, mode, distance_type, ignore_unmapped) must
+    // not be mistaken for the point field, regardless of map order
+    val gOpts = geo.orderBy(Sorting.compile(
+      """[{"_geo_distance": {"unit": "mi", "mode": "min", "distance_type": "arc",
+           "ignore_unmapped": true, "p": {"lat": 0.0, "lon": 0.0}, "order": "desc"}}]"""): _*)
+      .select("id").as[Long].collect().toSeq
+    assert(gOpts == Seq(2L, 1L))
+    intercept[IllegalArgumentException] {
+      Sorting.compile("""[{"_geo_distance": {"p": {"lat": 0.0, "lon": 0.0}, "unit": "fathoms"}}]""")
+    }
+    intercept[IllegalArgumentException] {
+      Sorting.compile("""[{"_geo_distance": {"p": {"lat": 0.0, "lon": 0.0}, "distance_type": "plane"}}]""")
+    }
     val sOrder = df.orderBy(Sorting.compile(
       """[{"_script": {"script": {"source": "10 - doc['id'].value"}, "order": "asc"}}]"""): _*)
       .select("id").as[Long].collect().toSeq
@@ -435,5 +448,18 @@ class SearchSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq
     assert(out.map(_._1).toSet.subsetOf(Set(1L, 2L, 3L)))
     assert(out.head._1 == 1L) // aux 100 dominates inside the window
+  }
+
+  test("suggest_mode popular compares DOCUMENT frequencies") {
+    // "spark" appears in 3 docs; "spork" is hammered 5x inside ONE doc
+    // and typed once more; the input "spork" has doc freq 2, "spark"
+    // doc freq 3 → popular mode suggests spark. Total-occurrence
+    // counting would see spork 6 > spark 3 and wrongly stay silent.
+    val docs = Seq(
+      (1L, "spark rdd"), (2L, "spark sql"), (3L, "spark core"),
+      (4L, "spork spork spork spork spork"), (5L, "spork time")).toDF("id", "text")
+    val got = Search.suggestMode(docs, "text", "spork", "popular", maxEdits = 1, k = 5)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("spark", 3L)))
   }
 }
