@@ -550,6 +550,34 @@ object SparkEntry {
         | fork ( where n_chars > 450 | keep doc_id, n_chars )
                ( sort n_chars desc, doc_id | limit 5 | keep doc_id, n_chars )
         | sort _fork, doc_id""")),
+    // FUSE (ES|QL 9.x): RRF merge of FORK branches — per-branch rank
+    // window over the LIMIT-ed fork outputs, one partial-agg groupBy
+    "q_esql_fuse" -> ((s, d) => graft.dsl.Esql.run(s, d,
+      """from documents
+        | fork ( where n_chars > 450 | eval _score = n_chars + 0.0 | sort _score desc, doc_id | limit 20 | keep doc_id, _score )
+               ( where source == "src3" | eval _score = doc_id + 0.0 | sort _score desc, doc_id | limit 20 | keep doc_id, _score )
+        | fuse rrf key by doc_id with rank_constant = 60
+        | eval _score = round(_score, 6)
+        | sort _score desc, doc_id
+        | limit 15""")),
+    // GROK: named-pattern extraction (the log-pipeline sibling of
+    // DISSECT) — one regexp_extract per capture, narrow codegen
+    "q_esql_grok" -> ((s, d) => graft.dsl.Esql.run(s, d,
+      """from events
+        | grok props "{"k": %{INT:kval:long}}"
+        | stats n = count(*), ktot = sum(kval), kmax = max(kval) by event_type
+        | sort event_type""")),
+    // spatial family: ST_POINT/ST_X/ST_Y structs, ST_DISTANCE in
+    // meters (great-circle) — pure codegen'd column math
+    "q_esql_spatial" -> ((s, d) => graft.dsl.Esql.run(s, d,
+      """from customer
+        | eval lat = (c_custkey * 7919 % 18000) / 100.0 - 90.0,
+               lon = (c_custkey * 104729 % 36000) / 100.0 - 180.0
+        | eval p = st_point(lon, lat)
+        | eval d_m = round(st_distance(p, st_point(0.0, 0.0)), 2), x = st_x(p), y = st_y(p)
+        | where d_m < 2000000.0
+        | keep c_custkey, d_m, x, y
+        | sort c_custkey""")),
     // date function family over ns-long event time
     "q_esql_dates" -> ((s, d) => graft.dsl.Esql.run(s, d,
       """from events
@@ -1656,6 +1684,14 @@ object SparkEntry {
     // EQL sample: unordered correlation, one partial-agg groupBy
     "q_eql_sample" -> ((s, d) => graft.dsl.Eql.run(s, d,
       "sample by user_id [error where value > 200] [purchase where value > 200]")),
+    // EQL tail: LAST n matches in sort order (ordered limit over the
+    // reversed sort, re-sorted — never a global collect)
+    "q_eql_tail" -> ((s, d) => graft.dsl.Eql.run(s, d,
+      "purchase where value > 100 | tail 5")),
+    // EQL `any` type wildcard + EQL-spelled functions (wildcard →
+    // LIKE, stringContains → contains) compiled into the one scan
+    "q_eql_funcs" -> ((s, d) => graft.dsl.Eql.run(s, d,
+      """any where (wildcard(event_type, "c*", "s?gnup") or stringContains(event_type, "rror")) and value > 300""")),
     // significant_terms with background_filter: uplift measured
     // against a RESTRICTED comparison set (fg kept inside bg so no
     // zero-background terms arise)
@@ -1943,6 +1979,23 @@ object SparkEntry {
       "UNION ALL SELECT doc_id, n_chars, 'fork2' AS _fork FROM " +
       "(SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 5) " +
       "ORDER BY _fork, doc_id"),
+    "q_esql_fuse" -> ("WITH f1 AS (SELECT doc_id, n_chars + 0.0 AS _score FROM documents " +
+      "WHERE n_chars > 450 ORDER BY _score DESC, doc_id LIMIT 20), " +
+      "f2 AS (SELECT doc_id, doc_id + 0.0 AS _score FROM documents " +
+      "WHERE source = 'src3' ORDER BY _score DESC, doc_id LIMIT 20), " +
+      "r AS (SELECT doc_id, row_number() OVER (ORDER BY _score DESC, doc_id) AS rnk FROM f1 " +
+      "UNION ALL SELECT doc_id, row_number() OVER (ORDER BY _score DESC, doc_id) AS rnk FROM f2) " +
+      "SELECT doc_id, round(sum(1.0 / (60.0 + rnk)), 6) AS _score FROM r GROUP BY doc_id " +
+      "ORDER BY _score DESC, doc_id LIMIT 15"),
+    "q_esql_grok" -> ("SELECT event_type, count(*)::BIGINT AS n, " +
+      "sum(CAST(regexp_extract(props, '\\{\"k\": (-?\\d+)\\}', 1) AS BIGINT))::BIGINT AS ktot, " +
+      "max(CAST(regexp_extract(props, '\\{\"k\": (-?\\d+)\\}', 1) AS BIGINT))::BIGINT AS kmax " +
+      "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q_esql_spatial" -> (GeoCte +
+      " SELECT c_custkey, d_m, x, y FROM (SELECT c_custkey, " +
+      "round((2 * 6371 * asin(sqrt(pow(sin(radians(0.0 - lat) / 2), 2) + " +
+      "cos(radians(lat)) * cos(radians(0.0)) * pow(sin(radians(0.0 - lon) / 2), 2)))) * 1000, 2) AS d_m, " +
+      "lon AS x, lat AS y FROM g) WHERE d_m < 2000000.0 ORDER BY c_custkey"),
     "q_esql_dates" -> ("SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS n, " +
       "max((1710000000000000000 - epoch_ns(ts)) // 3600000000000)::BIGINT AS mx, " +
       "max(month(ts))::BIGINT AS mom FROM events GROUP BY 1 ORDER BY day LIMIT 10"),
@@ -2995,6 +3048,13 @@ object SparkEntry {
       "min(CASE WHEN event_type = 'purchase' AND value > 200 THEN event_id END) AS e2_id " +
       "FROM events GROUP BY user_id " +
       "HAVING e1_id IS NOT NULL AND e2_id IS NOT NULL ORDER BY user_id"),
+    "q_eql_tail" -> ("SELECT event_id, user_id, value FROM " +
+      "(SELECT event_id, user_id, value FROM events " +
+      "WHERE event_type = 'purchase' AND value > 100 " +
+      "ORDER BY event_id DESC LIMIT 5) ORDER BY event_id"),
+    "q_eql_funcs" -> ("SELECT event_id, user_id, value FROM events " +
+      "WHERE (event_type LIKE 'c%' OR event_type LIKE 's_gnup' " +
+      "OR contains(event_type, 'rror')) AND value > 300 ORDER BY event_id"),
     "q_has_parent_score" -> ("SELECT l_orderkey, l_linenumber, " +
       "round(ln(1.0 + o_totalprice), 4) AS score FROM lineitem " +
       "JOIN orders ON o_orderkey = l_orderkey " +

@@ -40,12 +40,63 @@ import org.apache.spark.sql.functions._
 object Eql {
 
   private val seqRe =
-    """(?s)^sequence\s+by\s+(\w+)(?:\s+with\s+maxspan=(\d+)(ms|s|m|h))?\s*(.+?)(?:\s+until\s*(\[.+\]))?(?:\s*\|\s*head\s+(\d+))?\s*$""".r
+    """(?s)^sequence\s+by\s+(\w+)(?:\s+with\s+maxspan=(\d+)(ms|s|m|h))?\s*(.+?)(?:\s+until\s*(\[.+\]))?(?:\s*\|\s*(head|tail)\s+(\d+))?\s*$""".r
   private val stepRe = """\[\s*(\w+)(?:\s+where\s+([^\]]+))?\s*\]""".r
-  private val simpleRe = """(?s)^(\w+)\s+where\s+(.+?)(?:\s*\|\s*head\s+(\d+))?\s*$""".r
+  private val simpleRe = """(?s)^(\w+)\s+where\s+(.+?)(?:\s*\|\s*(head|tail)\s+(\d+))?\s*$""".r
 
-  private def pred(src: String): Column =
-    expr(src.replace("==", "=").trim)
+  /** EQL predicate → Column. The comparison subset rides on Spark
+    * SQL's parser; EQL-named functions that Spark spells differently
+    * rewrite first:
+    *  - `wildcard(f, "a*b", ...)` → LIKE per pattern (`*`→`%`, `?`→`_`)
+    *  - `cidrmatch(f, "a.b.c.d/n", ...)` → numeric range per block
+    *    (the codegen'd ipValue math, same as the CIDR_MATCH ES|QL fn)
+    *  - `stringContains(a, b)` → `contains(a, b)`
+    * Spark already spells `length`, `substring`, `concat`,
+    * `startswith`, `endswith` the way EQL does (case-insensitive). */
+  private def pred(src: String): Column = {
+    var s = src.replace("==", "=").trim
+    val wildRe = """(?i)wildcard\s*\(\s*(\w+)\s*,\s*([^)]+)\)""".r
+    s = wildRe.replaceAllIn(s, m => {
+      val f = m.group(1)
+      val pats = m.group(2).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      java.util.regex.Matcher.quoteReplacement(
+        pats.map(p => s"$f LIKE '${p.replace("%", "\\%").replace("_", "\\_")
+          .replace('*', '%').replace('?', '_')}'").mkString("(", " OR ", ")"))
+    })
+    val cidrRe = """(?i)cidrmatch\s*\(\s*(\w+)\s*,\s*([^)]+)\)""".r
+    s = cidrRe.replaceAllIn(s, m => {
+      val f = m.group(1)
+      val q = "'\\\\.'"
+      val ipn = s"(CAST(split($f, $q)[0] AS BIGINT) * 16777216 + " +
+        s"CAST(split($f, $q)[1] AS BIGINT) * 65536 + " +
+        s"CAST(split($f, $q)[2] AS BIGINT) * 256 + CAST(split($f, $q)[3] AS BIGINT))"
+      val blocks = m.group(2).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      java.util.regex.Matcher.quoteReplacement(
+        blocks.map { b =>
+          val Array(base, bits) = b.split("/")
+          val o = base.split("\\.").map(_.toLong)
+          require(o.length == 4 && bits.toInt >= 0 && bits.toInt <= 32, s"bad CIDR block: $b")
+          val net = (o(0) * 16777216L + o(1) * 65536L + o(2) * 256L + o(3)) /
+            (1L << (32 - bits.toInt)) * (1L << (32 - bits.toInt))
+          s"($ipn >= ${net}L AND $ipn < ${net + (1L << (32 - bits.toInt))}L)"
+        }.mkString("(", " OR ", ")"))
+    })
+    s = """(?i)stringContains\s*\(""".r.replaceAllIn(s, "contains(")
+    expr(s)
+  }
+
+  /** Exposed for specs: the EQL predicate compiler. */
+  private[graft] def predicate(src: String): Column = pred(src)
+
+  /** `head` keeps the FIRST n results in sort order, `tail` the LAST
+    * n (still returned ascending, like EQL): ordered limit over the
+    * reversed sort, then a re-sort of the tiny window. */
+  private def headTail(out: DataFrame, op: String, n: Int, sortCols: Seq[Column]): DataFrame =
+    op match {
+      case "head" => out.limit(n)
+      case "tail" =>
+        out.orderBy(sortCols.map(_.desc): _*).limit(n).orderBy(sortCols: _*)
+    }
 
   private def unitNs(n: Long, u: String): Long = u match {
     case "ms" => n * 1000000L
@@ -67,7 +118,7 @@ object Eql {
         }.toSeq
         require(steps.size >= 2, s"sample needs >= 2 filters: $query")
         sample(events, key, "event_id", steps)
-      case seqRe(key, n, u, stepsSrc, untilSrc, headN) =>
+      case seqRe(key, n, u, stepsSrc, untilSrc, htOp, htN) =>
         val steps = stepRe.findAllMatchIn(stepsSrc).map { m =>
           (m.group(1), Option(m.group(2)).map(pred).getOrElse(lit(true)))
         }.toSeq
@@ -80,12 +131,17 @@ object Eql {
         val maxspanNs =
           if (n == null) Long.MaxValue else unitNs(n.toLong, u)
         val out = sequence(events, key, "ts_ns", "event_id", steps, maxspanNs, until)
-        Option(headN).map(h => out.limit(h.toInt)).getOrElse(out)
-      case simpleRe(tpe, p, headN) =>
-        val out = events.where(col("event_type") === tpe && pred(p))
+        Option(htOp).map(op => headTail(out, op, htN.toInt,
+          Seq(col(key), col(s"e${steps.size}_id")))).getOrElse(out)
+      case simpleRe(tpe, p, htOp, htN) =>
+        // `any` is EQL's type wildcard — no event_type narrowing
+        val typed = if (tpe == "any") pred(p)
+                    else col("event_type") === tpe && pred(p)
+        val out = events.where(typed)
           .select(col("event_id"), col("user_id"), col("value"))
           .orderBy(col("event_id"))
-        Option(headN).map(h => out.limit(h.toInt)).getOrElse(out)
+        Option(htOp).map(op => headTail(out, op, htN.toInt,
+          Seq(col("event_id")))).getOrElse(out)
       case other => throw new IllegalArgumentException(s"unsupported EQL: $other")
     }
   }

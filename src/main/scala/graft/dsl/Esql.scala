@@ -2,6 +2,7 @@ package graft.dsl
 
 import graft.util.Num
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** A compiler for the piped query language the reference ecosystem
@@ -317,6 +318,21 @@ object Esql {
         case ("bit_length", Seq(x)) => bit_length(x)
         case ("byte_length", Seq(x)) => octet_length(x)
         case ("right", Seq(x, n)) => substring(x, -n.cast("int"), n.cast("int"))
+        // ROUND(x, n) — decimal-scale rounding (Num.round: binary-
+        // exact, matching DuckDB's round)
+        case ("round", Seq(x, n)) =>
+          Num.round(x, litStr(n, "ROUND scale").toDouble.toInt)
+        // spatial family (ES|QL 8.12+): a point is an (x=lon, y=lat)
+        // struct — ST_DISTANCE over geo points returns METERS (great-
+        // circle, like ES); all pure codegen'd column math
+        case ("st_point", Seq(x, y)) =>
+          struct(x.cast("double").as("x"), y.cast("double").as("y"))
+        case ("st_x", Seq(p)) => p.getField("x")
+        case ("st_y", Seq(p)) => p.getField("y")
+        case ("st_distance", Seq(a, b)) =>
+          graft.rel.Relational.haversineKm(
+            a.getField("y"), a.getField("x"),
+            b.getField("y"), b.getField("x")) * lit(1000.0)
         // hash family (ES|QL 8.16)
         case ("md5", Seq(x)) => md5(x.cast("binary"))
         case ("sha1", Seq(x)) => sha1(x.cast("binary"))
@@ -703,6 +719,47 @@ object Esql {
           segments(b).foldLeft(df)(applyCommand(_, _, resolve))
             .withColumn("_fork", lit(s"fork${i + 1}"))
         }.reduce(_.unionByName(_, allowMissingColumns = true))
+      case "fuse" =>
+        // FUSE [rrf|linear] [KEY BY c1, c2] [WITH rank_constant = N]
+        // (ES|QL 9.x) — merges FORK branches into one ranked result.
+        // Rank within each branch comes from _score (desc, key-broken
+        // ties); rrf: score = Σ 1/(k + rank); linear: min-max
+        // normalized _score summed across branches. The window
+        // partitions on _fork (a handful of branches, each already
+        // LIMIT-ed by its fork pipe — never the corpus), and the merge
+        // is one partial-aggregating groupBy on the keys.
+        require(df.columns.contains("_fork") && df.columns.contains("_score"),
+          "FUSE needs FORK output carrying a _score column")
+        val fuseRe =
+          "(?is)^\\s*(rrf|linear)?\\s*(?:key\\s+by\\s+([\\w\\s,]+?))?\\s*(?:with\\s+rank_constant\\s*=\\s*(\\d+))?\\s*$".r
+        val (method, keys, kConst) = body match {
+          case fuseRe(m, kp, kc) =>
+            val ks = Option(kp).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+              .getOrElse(df.columns.filterNot(c => c == "_fork" || c == "_score").toSeq)
+            (Option(m).map(_.toLowerCase).getOrElse("rrf"), ks,
+              Option(kc).map(_.toInt).getOrElse(60))
+          case other => throw new IllegalArgumentException(s"bad FUSE: $other")
+        }
+        require(keys.nonEmpty, "FUSE needs at least one key column")
+        val keyCols = keys.map(col)
+        val w = Window.partitionBy(col("_fork"))
+          .orderBy(col("_score").desc +: keyCols.map(_.asc): _*)
+        val ranked = df.withColumn("_rank", row_number().over(w))
+        method match {
+          case "rrf" =>
+            ranked.groupBy(keyCols: _*)
+              .agg(sum(lit(1.0) / (lit(kConst.toDouble) + col("_rank"))).as("_score"))
+          case "linear" =>
+            // per-branch min-max normalization: a 1-row-per-branch
+            // frame broadcast back, zero extra scans of the windows
+            val mm = ranked.groupBy(col("_fork"))
+              .agg(min(col("_score")).as("_mn"), max(col("_score")).as("_mx"))
+            ranked.join(broadcast(mm), "_fork")
+              .withColumn("_norm",
+                when(col("_mx") === col("_mn"), lit(1.0))
+                  .otherwise((col("_score") - col("_mn")) / (col("_mx") - col("_mn"))))
+              .groupBy(keyCols: _*).agg(sum(col("_norm")).as("_score"))
+        }
       case "sample" =>
         // SAMPLE p — Bernoulli row sample. Deterministic content-hash
         // draw (not rand()): the same rows survive regardless of
@@ -769,7 +826,10 @@ object Esql {
             if (caps.size < parts.length) regex ++= parts.last
             regex ++= "$"
             caps.zipWithIndex.foldLeft(df) { case (acc, ((name, cast), i)) =>
-              val raw = regexp_extract(col(field), regex.result(), i + 1)
+              // a row the pattern does NOT match gets null captures
+              // (ES grok skips it), never a cast failure on ''
+              val raw0 = regexp_extract(col(field), regex.result(), i + 1)
+              val raw = when(raw0 =!= "", raw0)
               acc.withColumn(name, cast.fold(raw)(t => raw.cast(t)))
             }
           case other => throw new IllegalArgumentException(s"bad GROK: $other")

@@ -104,4 +104,32 @@ class EqlSpec extends SparkSpec {
       "sequence by user_id with maxspan=24h [view] [purchase]")
     assert(seq2.columns.toSeq == Seq("user_id", "e1_id", "e2_id", "span_ms"))
   }
+
+  test("tail keeps the LAST n matches, returned ascending") {
+    val all = Eql.run(spark, sfDir, "error where value > 0")
+      .as[(Long, Long, Double)].collect().toSeq
+    val tail3 = Eql.run(spark, sfDir, "error where value > 0 | tail 3")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(tail3 == all.takeRight(3))
+    // `any` matches every event type
+    val anyN = Eql.run(spark, sfDir, "any where value > 300").count()
+    val sum = Seq("click", "signup", "purchase", "error", "view")
+      .map(t => Eql.run(spark, sfDir, s"$t where value > 300").count()).sum
+    assert(anyN == sum && anyN > 0)
+  }
+
+  test("EQL functions: wildcard, stringContains, cidrmatch") {
+    val df = Seq(
+      (1L, "powershell.exe", "10.0.5.9"),
+      (2L, "cmd.exe", "10.64.0.1"),
+      (3L, "bash", "192.168.1.5")).toDF("id", "proc", "ip")
+    def ids(p: String): Seq[Long] =
+      df.where(Eql.predicate(p)).select("id").as[Long].collect().toSeq.sorted
+    assert(ids("""wildcard(proc, "power*", "c?d.exe")""") == Seq(1L, 2L))
+    assert(ids("""stringContains(proc, "shell")""") == Seq(1L))
+    assert(ids("""cidrmatch(ip, "10.0.0.0/10")""") == Seq(1L))
+    assert(ids("""cidrmatch(ip, "10.0.0.0/8", "192.168.0.0/16")""") == Seq(1L, 2L, 3L))
+    // composes with the comparison subset
+    assert(ids("""wildcard(proc, "*.exe") and id > 1""") == Seq(2L))
+  }
 }

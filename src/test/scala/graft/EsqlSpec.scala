@@ -301,4 +301,48 @@ class EsqlSpec extends SparkSpec {
       .orderBy("cat").as[(String, Long)].collect().toSeq
     assert(r == Seq(("connected to", 2L), ("disconnected abruptly", 1L)))
   }
+
+  test("FUSE rrf: rank-reciprocal merge of FORK branches") {
+    val df = Seq(
+      (1L, "fork1", 10.0), (2L, "fork1", 5.0), (3L, "fork1", 1.0),
+      (2L, "fork2", 9.0), (1L, "fork2", 2.0)).toDF("id", "_fork", "_score")
+    val r = Esql.applyCommand(df, "fuse rrf key by id with rank_constant = 10")
+      .orderBy(col("_score").desc, col("id"))
+      .as[(Long, Double)].collect().toSeq
+    // id1: rank1+rank2 -> 1/11 + 1/12; id2: rank2+rank1 -> same sum;
+    // tie breaks by id; id3: rank3 only
+    assert(r.map(_._1) == Seq(1L, 2L, 3L))
+    assert(math.abs(r(0)._2 - (1.0 / 11 + 1.0 / 12)) < 1e-12)
+    assert(r(0)._2 == r(1)._2)
+    assert(math.abs(r(2)._2 - 1.0 / 13) < 1e-12)
+  }
+
+  test("FUSE linear: per-branch min-max normalized sum") {
+    val df = Seq(
+      (1L, "fork1", 10.0), (2L, "fork1", 0.0),
+      (2L, "fork2", 100.0), (1L, "fork2", 50.0)).toDF("id", "_fork", "_score")
+    val r = Esql.applyCommand(df, "fuse linear")
+      .orderBy("id").as[(Long, Double)].collect().toMap
+    assert(r(1L) == 1.0 + 0.0) // best in fork1, worst in fork2
+    assert(r(2L) == 0.0 + 1.0)
+  }
+
+  test("GROK: non-matching rows yield null captures, not cast errors") {
+    val df = Seq("user=bob bytes=42", "garbage").toDF("line")
+    val r = Esql.applyCommand(df,
+      """grok line "user=%{WORD:user} bytes=%{INT:bytes:long}"""")
+      .select("user", "bytes").as[(Option[String], Option[Long])].collect().toSeq
+    assert(r == Seq((Some("bob"), Some(42L)), (None, None)))
+  }
+
+  test("spatial: ST_DISTANCE meters, ST_X/ST_Y accessors") {
+    val df = Seq((0.0, 0.0), (90.0, 0.0)).toDF("lon", "lat")
+    val r = Esql.applyCommand(df,
+      "eval d = st_distance(st_point(lon, lat), st_point(0.0, 0.0)), x = st_x(st_point(lon, lat))")
+      .select("d", "x").as[(Double, Double)].collect().toSeq
+    assert(r(0)._1 == 0.0)
+    // a quarter of the equator: pi/2 * 6371 km
+    assert(math.abs(r(1)._1 - math.Pi / 2 * 6371000.0) < 1.0)
+    assert(r(1)._2 == 90.0)
+  }
 }
