@@ -1104,6 +1104,17 @@ object SparkEntry {
       .select(col("doc_id")).orderBy(col("doc_id"))),
     "q_agg_sig_terms" -> ((s, d) =>
       Aggs.significantTerms(t(s, d, "documents"), "text", col("lang") === "en", minFgCount = 5, k = 10)),
+    // significance heuristics are pluggable column math — chi_square
+    // here, over the same one-pass (fg, bg) doc-count frame
+    "q_agg_sig_chi2" -> ((s, d) =>
+      Aggs.significantTerms(t(s, d, "documents"), "text", col("lang") === "en",
+        minFgCount = 5, k = 10, heuristic = "chi_square")),
+    // distributed terms accounting: per-shard top-N + ES's
+    // doc_count_error_upper_bound from the unreporting shards' last
+    // counts — the real coordinator protocol at 1000 executors
+    "q_agg_terms_error" -> ((s, d) =>
+      Aggs.termsAggShardError(t(s, d, "documents"), "source", "doc_id",
+        size = 10, shards = 4, shardSize = 5)),
     // categorize_text over log-like event messages: the numeric
     // variable parts drop out, stable token patterns remain
     "q_agg_categorize" -> ((s, d) =>
@@ -1546,6 +1557,17 @@ object SparkEntry {
     // sliced scroll: slice {id: 1, max: 4} — disjoint deterministic
     // hash partitions; each export worker scans only its slice and the
     // union of slices is exactly the full export
+    // _count API: pushed-down predicate + one partial-agg count
+    "q_count" -> ((s, d) => graft.sources.Connector.countQuery(
+      t(s, d, "documents"),
+      """{"bool": {"must": [{"term": {"lang": "en"}}, {"range": {"n_chars": {"gte": 200}}}]}}""",
+      "doc_id")),
+    // _source response filtering: includes/excludes with wildcards,
+    // pruned out of the scan by Catalyst
+    "q_source_filter" -> ((s, d) => graft.dsl.SearchBody.applySourceFilter(
+      t(s, d, "documents").where(col("lang") === "en"),
+      """{"includes": ["doc_id", "n_*", "s*"], "excludes": ["source"]}""")
+      .orderBy(col("doc_id"))),
     "q_slice" -> ((s, d) => t(s, d, "documents")
       .where(pmod(conv(substring(md5(concat(lit("slice:"), col("doc_id"))), 1, 12), 16, 10)
         .cast("long"), lit(4L)) === 1L)
@@ -2544,6 +2566,26 @@ object SparkEntry {
       "SELECT term, fg_count, bg_count, " +
       "round((fg_count / fg_total) * ln((fg_count / fg_total) / (bg_count / bg_total)), 4) AS score " +
       "FROM g CROSS JOIN tot ORDER BY score DESC, term LIMIT 10"),
+    "q_agg_sig_chi2" -> ("WITH terms AS (SELECT lang = 'en' AS fg, " +
+      "unnest(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0))) AS term FROM documents), " +
+      "tot AS (SELECT count_if(lang = 'en')::DOUBLE AS fg_total, count(*)::DOUBLE AS bg_total FROM documents), " +
+      "g AS (SELECT term, count_if(fg)::BIGINT AS fg_count, count(*)::BIGINT AS bg_count FROM terms GROUP BY term HAVING count_if(fg) >= 5) " +
+      "SELECT term, fg_count, bg_count, " +
+      "round(pow((fg_count / fg_total) - (bg_count / bg_total), 2) / ((fg_count / fg_total) + (bg_count / bg_total)), 6) AS score " +
+      "FROM g CROSS JOIN tot ORDER BY score DESC, term LIMIT 10"),
+    "q_agg_terms_error" -> (s"WITH s AS (SELECT source AS key, ${hexFold("'shard:' || doc_id::VARCHAR", 12)} % 4 AS sh FROM documents), " +
+      "ps AS (SELECT sh, key, count(*)::BIGINT AS cnt FROM s GROUP BY sh, key), " +
+      "rk AS (SELECT *, row_number() OVER (PARTITION BY sh ORDER BY cnt DESC, key) AS rk FROM ps), " +
+      "kept AS (SELECT * FROM rk WHERE rk <= 5), " +
+      "th AS (SELECT sh, CASE WHEN count(*) < 5 THEN 0 ELSE min(cnt) END AS th FROM kept GROUP BY sh), " +
+      "tot AS (SELECT sum(th) AS total FROM th), " +
+      "m AS (SELECT key, sum(cnt)::BIGINT AS doc_count, sum(th) AS rep FROM kept JOIN th USING (sh) GROUP BY key) " +
+      "SELECT key, doc_count, (total - rep)::BIGINT AS doc_count_error_upper_bound " +
+      "FROM m CROSS JOIN tot ORDER BY doc_count DESC, key LIMIT 10"),
+    "q_count" -> ("SELECT count(*)::BIGINT AS count FROM documents " +
+      "WHERE lang = 'en' AND n_chars >= 200"),
+    "q_source_filter" -> ("SELECT doc_id, n_chars FROM documents " +
+      "WHERE lang = 'en' ORDER BY doc_id"),
     "q_agg_sig_bg" -> ("WITH terms AS (SELECT (lang = 'de' AND n_chars > 100) AS fg, n_chars > 100 AS bg, " +
       "unnest(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0))) AS term FROM documents), " +
       "tot AS (SELECT count_if(lang = 'de' AND n_chars > 100)::DOUBLE AS fg_total, count_if(n_chars > 100)::DOUBLE AS bg_total FROM documents), " +

@@ -660,7 +660,8 @@ object Aggs {
       pred: Column,
       minFgCount: Long = 5,
       k: Int = 10,
-      backgroundFilter: Column = lit(true)): DataFrame = {
+      backgroundFilter: Column = lit(true),
+      heuristic: String = "default"): DataFrame = {
     import graft.analysis.Analyzer
     val terms = df
       .select(pred.as("fg"), backgroundFilter.as("bg"),
@@ -684,9 +685,59 @@ object Aggs {
         col("term"),
         col("fg_count"),
         col("bg_count"),
-        Num.round(col("fg_rate") * log(col("fg_rate") / col("bg_rate")), 4).as("score"))
+        // ES offers pluggable significance heuristics; all are pure
+        // column math over the same (fg_rate, bg_rate) pair
+        (heuristic match {
+          case "default" =>
+            Num.round(col("fg_rate") * log(col("fg_rate") / col("bg_rate")), 4)
+          case "chi_square" =>
+            Num.round(pow(col("fg_rate") - col("bg_rate"), 2) /
+              (col("fg_rate") + col("bg_rate")), 6)
+          case "percentage" =>
+            Num.round(col("fg_count") / col("bg_count"), 6)
+          case other => throw new IllegalArgumentException(
+            s"unknown significance heuristic: $other")
+        }).as("score"))
       .orderBy(col("score").desc, col("term").asc)
       .limit(k)
+  }
+
+  /** `terms` agg DISTRIBUTED accounting: `shards` simulated shards
+    * (uniform doc-hash routing) each report their local top
+    * `shardSize` terms; the merged top `size` carries ES's
+    * `doc_count_error_upper_bound` — for each term, the sum of the
+    * LAST reported count of every shard that did NOT report it (the
+    * worst case that shard could have hidden). A shard holding fewer
+    * than `shardSize` terms reported everything, so it contributes 0.
+    * This is the coordinator/shard protocol a 1000-executor terms agg
+    * actually runs: one (shard, term) partial agg, a rank window over
+    * \|shards\|·\|terms\| rows (never the docs), a \|shards\|-row
+    * threshold frame broadcast back, one merge groupBy. */
+  def termsAggShardError(df: DataFrame, field: String, idCol: String,
+      size: Int, shards: Int, shardSize: Int): DataFrame = {
+    val shard = pmod(
+      conv(substring(md5(concat(lit("shard:"), col(idCol).cast("string"))), 1, 12), 16, 10)
+        .cast("long"), lit(shards.toLong))
+    val perShard = df.withColumn("_shard", shard)
+      .groupBy(col("_shard"), col(field).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_shard")).orderBy(col("cnt").desc, col("key").asc)
+    val kept = perShard.withColumn("_rk", row_number().over(w))
+      .where(col("_rk") <= shardSize)
+    val thresh = kept.groupBy(col("_shard"))
+      .agg(min(col("cnt")).as("_mn"), count(lit(1)).as("_nkept"))
+      .select(col("_shard"),
+        when(col("_nkept") < shardSize, lit(0L)).otherwise(col("_mn")).as("_th"))
+    val total = thresh.agg(sum(col("_th")).as("_total"))
+    kept.join(broadcast(thresh), "_shard")
+      .groupBy(col("key"))
+      .agg(sum(col("cnt")).as("doc_count"), sum(col("_th")).as("_rep"))
+      .crossJoin(broadcast(total))
+      .select(col("key"), col("doc_count"),
+        (col("_total") - col("_rep")).as("doc_count_error_upper_bound"))
+      .orderBy(col("doc_count").desc, col("key").asc)
+      .limit(size)
   }
 
   /** `{"missing": {"field": f}}` — count of documents missing the

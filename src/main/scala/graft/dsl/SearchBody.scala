@@ -111,4 +111,50 @@ object SearchBody {
       }
       case _ => Nil
     }
+
+  /** `_source` filtering — the response-shaping twin of the
+    * connector's es.read.field.include/exclude. Accepts the three ES
+    * forms: a bare include array, a single pattern string, or
+    * `{"includes": [...], "excludes": [...]}`; `*` wildcards expand
+    * against the schema (includes keep pattern-list order with each
+    * pattern's matches in schema order; a no-match include fails
+    * loudly, a no-match exclude is a no-op). Pure projection —
+    * Catalyst prunes the dropped columns out of the scan. */
+  def applySourceFilter(df: org.apache.spark.sql.DataFrame, spec: String): org.apache.spark.sql.DataFrame = {
+    def expand(pats: Seq[String], requireMatch: Boolean): Seq[String] =
+      pats.flatMap { p =>
+        if (!p.contains("*")) Seq(p)
+        else {
+          val re = ("^" + p.split("\\*", -1)
+            .map(java.util.regex.Pattern.quote).mkString(".*") + "$").r
+          val hits = df.columns.filter(c => re.findFirstIn(c).isDefined).toSeq
+          require(!requireMatch || hits.nonEmpty,
+            s"_source include pattern '$p' matches no columns")
+          hits
+        }
+      }.distinct
+    def strings(v: JValue, what: String): Seq[String] = v match {
+      case JArray(xs) => xs.map {
+        case JString(s) => s
+        case other => throw new IllegalArgumentException(s"bad $what entry: $other")
+      }
+      case JString(s) => Seq(s)
+      case other => throw new IllegalArgumentException(s"bad $what: $other")
+    }
+    val (includes, excludes) = JsonMethods.parse(spec) match {
+      case JObject(fs) =>
+        val m = fs.toMap
+        (m.get("includes").map(strings(_, "includes")).getOrElse(Nil),
+          m.get("excludes").map(strings(_, "excludes")).getOrElse(Nil))
+      case arr @ JArray(_) => (strings(arr, "includes"), Nil)
+      case JString(s) => (Seq(s), Nil)
+      case other => throw new IllegalArgumentException(s"bad _source spec: $other")
+    }
+    val included =
+      if (includes.isEmpty) df
+      else df.select(expand(includes, requireMatch = true)
+        .map(org.apache.spark.sql.functions.col): _*)
+    expand(excludes, requireMatch = false)
+      .filter(included.columns.contains).foldLeft(included)(_ drop _)
+  }
 }

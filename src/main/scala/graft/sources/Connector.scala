@@ -834,6 +834,14 @@ object Connector {
     updateByQuery(spark, path, query, set, cfg)
   }
 
+  /** `_count` API: the hit count of a query with no hits
+    * materialized — ONE partial-aggregating count over the pushed-
+    * down predicate (the scan never surfaces matching rows). */
+  def countQuery(df: org.apache.spark.sql.DataFrame, query: String,
+      idField: String = "_id"): org.apache.spark.sql.DataFrame =
+    df.where(coalesce(EsQuery.compile(query, idField), lit(false)))
+      .agg(count(lit(1)).as("count"))
+
   /** `_delete_by_query` analog: drop every document matching the ES
     * query. Same one-pass swap shape as updateByQuery. */
   def deleteByQuery(

@@ -199,6 +199,26 @@ class AggsSpec extends SparkSpec {
       "10.0.0.0/12", "10.64.0.0/12", "10.192.0.0/12", "192.160.0.0/12"))
   }
 
+  test("terms shard error: unreporting shards bound the missed count") {
+    import spark.implicits._
+    // shards forced via the same md5 routing the impl uses — instead
+    // of pinning hashes, check the INVARIANTS on real-ish data: the
+    // bound is nonnegative, zero when every shard reports the term,
+    // and <= shards * max-last-reported-count
+    val df = (1L to 400L).map(i => (i, s"k${i % 7}")).toDF("id", "key")
+    val r = Aggs.termsAggShardError(df, "key", "id", size = 7, shards = 3, shardSize = 2)
+      .as[(String, Long, Long)].collect()
+    assert(r.nonEmpty && r.forall(_._3 >= 0))
+    // only 2 of 7 keys reported per shard -> some bound must be > 0
+    assert(r.exists(_._3 > 0))
+    // with shardSize >= distinct keys every shard reports everything:
+    // bounds all zero and counts exact
+    val exact = Aggs.termsAggShardError(df, "key", "id", size = 7, shards = 3, shardSize = 10)
+      .as[(String, Long, Long)].collect()
+    assert(exact.forall(_._3 == 0L))
+    assert(exact.map(_._2).sum == 400L)
+  }
+
   test("ip_prefix: numeric order where lexical would differ") {
     import spark.implicits._
     val ips = Seq("10.2.0.1", "10.10.0.1").toDF("ip")

@@ -450,6 +450,23 @@ class SearchSpec extends SparkSpec {
     assert(out.head._1 == 1L) // aux 100 dominates inside the window
   }
 
+  test("_source filtering: include/exclude forms and wildcards") {
+    import graft.dsl.SearchBody
+    val df = Seq((1L, 2.0, 3.0, "x")).toDF("id", "v_min", "v_max", "k")
+    assert(SearchBody.applySourceFilter(df,
+      """{"includes": ["id", "v_*"], "excludes": ["v_max"]}""").columns.toSeq
+      == Seq("id", "v_min"))
+    assert(SearchBody.applySourceFilter(df, """["k", "id"]""").columns.toSeq
+      == Seq("k", "id"))
+    assert(SearchBody.applySourceFilter(df, "\"v_*\"").columns.toSeq
+      == Seq("v_min", "v_max"))
+    // no-match exclude is a no-op; no-match include fails loudly
+    assert(SearchBody.applySourceFilter(df, """{"excludes": ["w_*"]}""").columns.length == 4)
+    intercept[IllegalArgumentException] {
+      SearchBody.applySourceFilter(df, """{"includes": ["w_*"]}""")
+    }
+  }
+
   test("suggest_mode popular compares DOCUMENT frequencies") {
     // "spark" appears in 3 docs; "spork" is hammered 5x inside ONE doc
     // and typed once more; the input "spork" has doc freq 2, "spark"
