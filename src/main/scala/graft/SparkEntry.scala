@@ -256,6 +256,17 @@ object SparkEntry {
       .where(graft.dsl.EsQuery.compile("?q=lang:en AND (n_chars:>300 OR source:src1*) AND NOT source:src19"))
       .select(col("doc_id"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))),
+    // Lucene /regex/ clauses: anchored value regex on keyword fields,
+    // per-token regex on the analyzed default field
+    "q_uri_regex" -> ((s, d) => t(s, d, "documents")
+      .where(graft.dsl.EsQuery.compile("?q=lang:/e[nl]/ AND /m.rge/"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))),
+    // multi_match cross_fields: terms match in DIFFERENT fields (one
+    // blended field), operator=and satisfiable across fields
+    "q_multi_match_cross" -> ((s, d) =>
+      Search.multiMatchCrossTopK(t(s, d, "documents"), "doc_id",
+        Seq("text", "source"), "merge src3", k = 10, operator = "and")),
     // Lucene +/- clause modifiers: +required -prohibited, plain clause
     // becomes optional (scoring-only, no filter effect)
     "q_uri_plusminus" -> ((s, d) => t(s, d, "documents")
@@ -1400,6 +1411,28 @@ object SparkEntry {
       Ann.ivfTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
         nCentroids = 16, nprobe = 4, k = 10)
     }),
+    // ingest kv processor at read time: str_to_map split, map lookups
+    // feed a normal agg — all inside one codegen'd projection
+    "q_ingest_kv" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("kvs",
+        concat(lit("t="), col("event_type"), lit(";u="), pmod(col("user_id"), lit(7L))))
+      graft.sources.IngestPipeline.compile(
+        """{"processors": [{"kv": {"field": "kvs", "field_split": ";", "value_split": "="}}]}""")(ev)
+        .select(element_at(col("kvs"), "t").as("t"),
+          element_at(col("kvs"), "u").cast("long").as("u"))
+        .groupBy(col("t"), col("u")).agg(count(lit(1)).as("n"))
+        .orderBy(col("t"), col("u"))
+    }),
+    // ingest json processor: schema-free props -> map<string,string>,
+    // typed downstream by the consumer
+    "q_ingest_json" -> ((s, d) =>
+      graft.sources.IngestPipeline.compile(
+        """{"processors": [{"json": {"field": "props", "target_field": "pj"}}]}""")(
+        Tables.events(s, d))
+        .select(col("event_type"), element_at(col("pj"), "k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(min(col("k")).as("kmin"), max(col("k")).as("kmax"))
+        .orderBy(col("event_type"))),
     "q_pipeline_clean" -> ((s, d) => {
       // composed cleaning pipeline: quality gate + near-dup removal
       // (drop the higher id of each verified near-dup pair)
@@ -1778,6 +1811,17 @@ object SparkEntry {
       "AND (n_chars > 300 OR source LIKE 'src1%') AND NOT source = 'src19' ORDER BY doc_id"),
     "q_uri_plusminus" -> ("SELECT doc_id, source, n_chars FROM documents " +
       "WHERE lang = 'en' AND NOT source = 'src19' ORDER BY doc_id"),
+    "q_uri_regex" -> (TokCte + " SELECT d.doc_id, d.lang FROM documents d " +
+      "JOIN tok ON tok.doc_id = d.doc_id " +
+      "WHERE regexp_full_match(d.lang, '(?:e[nl])') " +
+      "AND len(list_filter(tok.toks, t -> regexp_full_match(t, '(?:m.rge)'))) > 0 " +
+      "ORDER BY d.doc_id"),
+    "q_multi_match_cross" -> (TokCte +
+      ", xtok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text || ' ' || source), '[^a-z0-9]+'), x -> len(x) > 0) AS toks FROM documents)" +
+      bm25Ctes("x", "xtok", Seq("merge", "src3")) +
+      " SELECT id, score FROM scx JOIN xtok ON xtok.doc_id = scx.id " +
+      "WHERE list_has_all(xtok.toks, ['merge', 'src3']) " +
+      "ORDER BY score DESC, id LIMIT 10"),
     "q_uri_fuzzy" -> (TokCte.replace("FROM documents", "FROM documents WHERE lang = 'en'") +
       " SELECT doc_id FROM tok WHERE len(list_filter(toks, t -> levenshtein(t, 'spak') <= 1)) > 0 ORDER BY doc_id"),
     "q_uri_default_and" -> (TokCte +
@@ -2828,6 +2872,12 @@ object SparkEntry {
         "SELECT query_id, id, cosine, rank FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rank FROM p) " +
         "WHERE rank <= 10 ORDER BY query_id, rank"
     },
+    "q_ingest_kv" -> ("SELECT event_type AS t, (user_id % 7)::BIGINT AS u, count(*)::BIGINT AS n " +
+      "FROM events GROUP BY t, u ORDER BY t, u"),
+    "q_ingest_json" -> ("SELECT event_type, " +
+      "min(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS kmin, " +
+      "max(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS kmax " +
+      "FROM events GROUP BY event_type ORDER BY event_type"),
     "q_pipeline_clean" -> {
       val en = TextAnalysis.stopwords.toMap.apply("en").map(w => s"'$w'").mkString(", ")
       TokCte + MinhashCtes + ", " +

@@ -230,6 +230,14 @@ object UriQuery {
           case v if v.startsWith("<=") => c <= lit(typed(v.drop(2)))
           case v if v.startsWith(">") => c > lit(typed(v.drop(1)))
           case v if v.startsWith("<") => c < lit(typed(v.drop(1)))
+          case v if v.length >= 2 && v.startsWith("/") && v.endsWith("/") =>
+            // Lucene regex syntax `/re/` — anchored whole-value match
+            // (ES regexp semantics); on the analyzed default field the
+            // regex applies per token, like the fuzzy clause below
+            val re = v.substring(1, v.length - 1)
+            if (cl.field.isEmpty || field == defaultField)
+              exists(Analyzer.tokens(c), t => t.rlike("^(?:" + re + ")$"))
+            else QueryDsl.regexp(c, re)
           case v if v.contains('*') || v.contains('?') => QueryDsl.wildcard(c, v)
           case FuzzPat(v, n) =>
             val edits = if (n.isEmpty) 2 else n.toInt

@@ -827,6 +827,36 @@ object Search {
       .limit(k)
   }
 
+  /** `multi_match` type `cross_fields`: query terms may match in
+    * DIFFERENT fields — ES blends the fields' term statistics as if
+    * they were one big field. Realized literally: BM25 over the
+    * analyzed CONCATENATION of the fields (one derived column, one
+    * scoring pass — Catalyst folds the concat into the scan
+    * projection). With `operator: "and"` the gate is every query term
+    * appearing somewhere in the blended field — satisfiable across
+    * fields, which best_fields/most_fields AND could never be. */
+  def multiMatchCrossTopK(
+      docs: DataFrame,
+      idCol: String,
+      fields: Seq[String],
+      query: String,
+      k: Int,
+      operator: String = "or"): DataFrame = {
+    require(fields.nonEmpty, "multiMatchCrossTopK needs at least one field")
+    val blended = docs.withColumn("_xfield", concat_ws(" ", fields.map(col): _*))
+    val scored = bm25Scores(blended, idCol, "_xfield", query)
+    val gated = operator match {
+      case "or" => scored
+      case "and" =>
+        val q = Analyzer.analyze(query)
+        val gate = q.map(t => array_contains(Analyzer.tokens(col("_xfield")), t))
+          .reduce(_ && _)
+        scored.join(blended.where(gate).select(col(idCol).as("id")), Seq("id"), "left_semi")
+      case other => throw new IllegalArgumentException(s"unknown operator: $other")
+    }
+    gated.orderBy(col("score").desc, col("id").asc).limit(k)
+  }
+
   /** `multi_match` with `type: phrase` / `phrase_prefix`: each field
     * contributes its BM25 score only for docs where the PHRASE
     * matches in that field (prefix variant leaves the trailing term

@@ -450,6 +450,34 @@ class SearchSpec extends SparkSpec {
     assert(out.head._1 == 1L) // aux 100 dominates inside the window
   }
 
+  test("multi_match cross_fields: AND satisfied ACROSS fields") {
+    val docs = Seq(
+      (1L, "alpha beta", "gamma"), // alpha in f1, gamma in f2
+      (2L, "alpha gamma", "x"),    // both in f1
+      (3L, "alpha", "y")).toDF("id", "f1", "f2")
+    val cross = Search.multiMatchCrossTopK(docs, "id", Seq("f1", "f2"),
+      "alpha gamma", k = 10, operator = "and")
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(cross == Set(1L, 2L)) // doc 1 only matches across fields
+    // best_fields could never admit doc 1 under AND: no single field
+    // holds both terms
+    val best = Search.multiMatchTopK(docs, "id", Seq("f1", "f2"), "alpha gamma", 10)
+      .as[(Long, Double)].collect()
+    assert(best.nonEmpty) // or-mode scoring unaffected
+  }
+
+  test("query_string /regex/: keyword anchored, default field per token") {
+    import graft.dsl.EsQuery
+    val docs = Seq(
+      (1L, "the merge path", "en"), (2L, "no match here", "enx"),
+      (3L, "marge barge", "el")).toDF("id", "text", "lang")
+    val r = docs.where(EsQuery.compile("?q=lang:/e[nl]/ AND /m.rge/"))
+      .select("id").as[Long].collect().toSet
+    // id1: lang en + token merge; id2: lang enx fails the ANCHORED
+    // regex; id3: lang el + token marge
+    assert(r == Set(1L, 3L))
+  }
+
   test("_source filtering: include/exclude forms and wildcards") {
     import graft.dsl.SearchBody
     val df = Seq((1L, 2.0, 3.0, "x")).toDF("id", "v_min", "v_max", "k")
