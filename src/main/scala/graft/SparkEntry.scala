@@ -1120,6 +1120,16 @@ object SparkEntry {
     "q_agg_sig_chi2" -> ((s, d) =>
       Aggs.significantTerms(t(s, d, "documents"), "text", col("lang") === "en",
         minFgCount = 5, k = 10, heuristic = "chi_square")),
+    // significant_terms over a KEYWORD field: uplift math on field
+    // values — one groupBy, no token explode
+    "q_agg_sig_keyword" -> ((s, d) =>
+      Aggs.significantTermsKeyword(t(s, d, "documents"), "source",
+        col("lang") === "de", minFgCount = 2, k = 10)),
+    // TSDS _downsample: time-series index rolled to fixed buckets in
+    // one partial-aggregating pass; output is itself a TS index
+    "q_downsample" -> ((s, d) => graft.sources.Connector.downsample(
+      Tables.events(s, d), "ts_ns", Seq("event_type"), "value",
+      86400L * 1000000000L)),
     // distributed terms accounting: per-shard top-N + ES's
     // doc_count_error_upper_bound from the unreporting shards' last
     // counts — the real coordinator protocol at 1000 executors
@@ -2617,6 +2627,18 @@ object SparkEntry {
       "SELECT term, fg_count, bg_count, " +
       "round(pow((fg_count / fg_total) - (bg_count / bg_total), 2) / ((fg_count / fg_total) + (bg_count / bg_total)), 6) AS score " +
       "FROM g CROSS JOIN tot ORDER BY score DESC, term LIMIT 10"),
+    "q_agg_sig_keyword" -> ("WITH tot AS (SELECT count_if(lang = 'de')::DOUBLE AS fg_total, count(*)::DOUBLE AS bg_total FROM documents), " +
+      "g AS (SELECT source AS term, count_if(lang = 'de')::BIGINT AS fg_count, count(*)::BIGINT AS bg_count " +
+      "FROM documents GROUP BY source HAVING count_if(lang = 'de') >= 2) " +
+      "SELECT term, fg_count, bg_count, " +
+      "round((fg_count / fg_total) * ln((fg_count / fg_total) / (bg_count / bg_total)), 4) AS score " +
+      "FROM g CROSS JOIN tot ORDER BY score DESC, term LIMIT 10"),
+    "q_downsample" -> ("SELECT event_type, " +
+      "(epoch_ns(ts) // 86400000000000) * 86400000 AS bucket_ms, " +
+      "min(value) AS vmin, max(value) AS vmax, " +
+      "round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS vsum, " +
+      "count(value)::BIGINT AS vcount " +
+      "FROM events GROUP BY event_type, bucket_ms ORDER BY event_type, bucket_ms"),
     "q_agg_terms_error" -> (s"WITH s AS (SELECT source AS key, ${hexFold("'shard:' || doc_id::VARCHAR", 12)} % 4 AS sh FROM documents), " +
       "ps AS (SELECT sh, key, count(*)::BIGINT AS cnt FROM s GROUP BY sh, key), " +
       "rk AS (SELECT *, row_number() OVER (PARTITION BY sh ORDER BY cnt DESC, key) AS rk FROM ps), " +

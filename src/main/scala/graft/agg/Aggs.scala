@@ -702,6 +702,43 @@ object Aggs {
       .limit(k)
   }
 
+  /** `significant_terms` over a KEYWORD field: the same uplift math
+    * as the text form with field VALUES as the terms — one partial-
+    * aggregating groupBy, no token explode at all. */
+  def significantTermsKeyword(
+      df: DataFrame,
+      field: String,
+      pred: Column,
+      minFgCount: Long = 5,
+      k: Int = 10,
+      heuristic: String = "default"): DataFrame = {
+    val totals = df.agg(
+      sum(when(pred, 1L).otherwise(0L)).cast("double").as("fg_total"),
+      count(lit(1)).cast("double").as("bg_total"))
+    df.groupBy(col(field).as("term"))
+      .agg(
+        sum(when(pred, 1L).otherwise(0L)).as("fg_count"),
+        count(lit(1)).as("bg_count"))
+      .where(col("fg_count") >= minFgCount)
+      .crossJoin(broadcast(totals))
+      .withColumn("fg_rate", col("fg_count") / col("fg_total"))
+      .withColumn("bg_rate", col("bg_count") / col("bg_total"))
+      .select(col("term"), col("fg_count"), col("bg_count"),
+        (heuristic match {
+          case "default" =>
+            Num.round(col("fg_rate") * log(col("fg_rate") / col("bg_rate")), 4)
+          case "chi_square" =>
+            Num.round(pow(col("fg_rate") - col("bg_rate"), 2) /
+              (col("fg_rate") + col("bg_rate")), 6)
+          case "percentage" =>
+            Num.round(col("fg_count") / col("bg_count"), 6)
+          case other => throw new IllegalArgumentException(
+            s"unknown significance heuristic: $other")
+        }).as("score"))
+      .orderBy(col("score").desc, col("term").asc)
+      .limit(k)
+  }
+
   /** `terms` agg DISTRIBUTED accounting: `shards` simulated shards
     * (uniform doc-hash routing) each report their local top
     * `shardSize` terms; the merged top `size` carries ES's

@@ -40,7 +40,7 @@ import org.apache.spark.sql.functions._
 object Eql {
 
   private val seqRe =
-    """(?s)^sequence\s+by\s+(\w+)(?:\s+with\s+maxspan=(\d+)(ms|s|m|h))?\s*(.+?)(?:\s+until\s*(\[.+\]))?(?:\s*\|\s*(head|tail)\s+(\d+))?\s*$""".r
+    """(?s)^sequence\s+by\s+(\w+(?:\s*,\s*\w+)*)(?:\s+with\s+maxspan=(\d+)(ms|s|m|h))?\s*(.+?)(?:\s+until\s*(\[.+\]))?(?:\s*\|\s*(head|tail)\s+(\d+))?\s*$""".r
   private val stepRe = """\[\s*(\w+)(?:\s+where\s+([^\]]+))?\s*\]""".r
   private val simpleRe = """(?s)^(\w+)\s+where\s+(.+?)(?:\s*\|\s*(head|tail)\s+(\d+))?\s*$""".r
 
@@ -130,9 +130,10 @@ object Eql {
         }
         val maxspanNs =
           if (n == null) Long.MaxValue else unitNs(n.toLong, u)
-        val out = sequence(events, key, "ts_ns", "event_id", steps, maxspanNs, until)
+        val keys = key.split(",").map(_.trim).toSeq
+        val out = sequenceKeys(events, keys, "ts_ns", "event_id", steps, maxspanNs, until)
         Option(htOp).map(op => headTail(out, op, htN.toInt,
-          Seq(col(key), col(s"e${steps.size}_id")))).getOrElse(out)
+          keys.map(col) :+ col(s"e${steps.size}_id"))).getOrElse(out)
       case simpleRe(tpe, p, htOp, htN) =>
         // `any` is EQL's type wildcard — no event_type narrowing
         val typed = if (tpe == "any") pred(p)
@@ -181,6 +182,19 @@ object Eql {
       idCol: String,
       steps: Seq[(String, Column)],
       maxspanNs: Long,
+      until: Option[(String, Column)] = None): DataFrame =
+    sequenceKeys(events, Seq(keyCol), tsNsCol, idCol, steps, maxspanNs, until)
+
+  /** Multi-key form — EQL's `sequence by host, user`: the join key is
+    * the TUPLE. Identical plan shape; the one shuffle and every window
+    * pass partition on all keys together. */
+  def sequenceKeys(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsNsCol: String,
+      idCol: String,
+      steps: Seq[(String, Column)],
+      maxspanNs: Long,
       until: Option[(String, Column)] = None): DataFrame = {
     require(steps.map(_._1).distinct.size == steps.size,
       "sequence step event types must be distinct")
@@ -188,7 +202,7 @@ object Eql {
       require(!steps.exists(_._1 == t), s"until type duplicates a step: $t") }
     val k = steps.size
     val maxspanUs = if (maxspanNs == Long.MaxValue) Long.MaxValue else maxspanNs / 1000L
-    val w = Window.partitionBy(keyCol).orderBy(col("_ts"), col(idCol))
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("_ts"), col(idCol))
     val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
 
     val UntilStep = k // sentinel step index for until rows
@@ -236,12 +250,12 @@ object Eql {
     val last_ = k - 1
     val ids = (0 until k).map(j => col(s"c${last_}_i$j").as(s"e${j + 1}_id"))
     df.where(col(s"c${last_}_t$last_").isNotNull && col(s"c${last_}_t$last_") =!= -1L)
-      .select(col(keyCol) +: ids :+
+      .select(keyCols.map(col) ++ ids :+
         // integer div, not `/`: double division rounds to the nearest
         // representable value and a truncating cast on that can cross
         // an integer boundary the exact quotient does not
         org.apache.spark.sql.functions
           .expr(s"(c${last_}_t$last_ - c${last_}_t0) div 1000").as("span_ms"): _*)
-      .orderBy(col(keyCol), col(s"e${k}_id"))
+      .orderBy(keyCols.map(col) :+ col(s"e${k}_id"): _*)
   }
 }

@@ -118,6 +118,25 @@ class EqlSpec extends SparkSpec {
     assert(anyN == sum && anyN > 0)
   }
 
+  test("sequence by MULTIPLE keys: the tuple is the join key") {
+    // same user on two hosts: steps on different hosts must NOT chain
+    val df = Seq(
+      (1L, "h1", 7L, 1000L, "a", 0.0),
+      (2L, "h2", 7L, 2000L, "b", 0.0), // b on the OTHER host
+      (3L, "h1", 7L, 3000L, "b", 0.0)) // b on the same host -> match
+      .toDF("event_id", "host", "user_id", "ts0", "event_type", "value")
+      .withColumn("ts_ns", col("ts0") * 1000000L).drop("ts0")
+    val out = Eql.sequenceKeys(df, Seq("host", "user_id"), "ts_ns", "event_id",
+      Seq(("a", lit(true)), ("b", lit(true))), Long.MaxValue)
+      .select("host", "user_id", "e1_id", "e2_id")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("h1", 7L, 1L, 3L)))
+    // the run() grammar accepts the comma form
+    val parsed = Eql.run(spark, sfDir,
+      "sequence by user_id , user_id [view] [purchase] | head 3")
+    assert(parsed.columns.take(2).toSeq == Seq("user_id", "user_id"))
+  }
+
   test("EQL functions: wildcard, stringContains, cidrmatch") {
     val df = Seq(
       (1L, "powershell.exe", "10.0.5.9"),
