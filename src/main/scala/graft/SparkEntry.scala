@@ -578,6 +578,16 @@ object SparkEntry {
         | grok props "{"k": %{INT:kval:long}}"
         | stats n = count(*), ktot = sum(kval), kmax = max(kval) by event_type
         | sort event_type""")),
+    // RERANK (inference stubbed to the deterministic term-overlap
+    // scorer): _score recompute + re-sort on the narrowed window
+    "q_esql_rerank" -> ((s, d) => graft.dsl.Esql.run(s, d,
+      """from documents
+        | where match(text, "merge")
+        | rerank "fast hash merge" on text
+        | eval _score = round(_score, 4)
+        | sort _score desc, doc_id
+        | limit 10
+        | keep doc_id, _score""")),
     // spatial family: ST_POINT/ST_X/ST_Y structs, ST_DISTANCE in
     // meters (great-circle) — pure codegen'd column math
     "q_esql_spatial" -> ((s, d) => graft.dsl.Esql.run(s, d,
@@ -1125,11 +1135,6 @@ object SparkEntry {
     "q_agg_sig_keyword" -> ((s, d) =>
       Aggs.significantTermsKeyword(t(s, d, "documents"), "source",
         col("lang") === "de", minFgCount = 2, k = 10)),
-    // TSDS _downsample: time-series index rolled to fixed buckets in
-    // one partial-aggregating pass; output is itself a TS index
-    "q_downsample" -> ((s, d) => graft.sources.Connector.downsample(
-      Tables.events(s, d), "ts_ns", Seq("event_type"), "value",
-      86400L * 1000000000L)),
     // distributed terms accounting: per-shard top-N + ES's
     // doc_count_error_upper_bound from the unreporting shards' last
     // counts — the real coordinator protocol at 1000 executors
@@ -1403,6 +1408,23 @@ object SparkEntry {
     // cluster-level dedup: connected components over the verified pairs
     "q_dedup_cluster" -> ((s, d) =>
       Dedup.dedupClusters(Dedup.minhashLshUnsorted(t(s, d, "documents"), "doc_id", "text", 0.8))),
+    // canonical selection: per cluster keep the BEST member by quality
+    // (one max_by partial agg over the tiny cluster frame)
+    "q_dedup_canonical" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.canonicalPerCluster(
+        Dedup.dedupClusters(Dedup.minhashLshUnsorted(docs, "doc_id", "text", 0.8)),
+        docs, "doc_id", "n_chars")
+    }),
+    // incremental dedup: new docs (odd ids) dropped when near-dupping
+    // an existing (even-id) doc — the daily-ingestion keep set
+    "q_dedup_incremental" -> ((s, d) =>
+      Dedup.dedupIncrementalNewIds(t(s, d, "documents"), "doc_id", "text",
+        pmod(col("doc_id"), lit(2L)) === 1L, 0.8)),
+    // temperature-2 mix flattening: deterministic per-source keep
+    // rates sqrt(n_min/n_s), content-hash draws
+    "q_mix_sample" -> ((s, d) =>
+      graft.text.TextAnalysis.mixSample(t(s, d, "documents"), "source", "doc_id")),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", 3)),
     "q_dedup_ngram" -> ((s, d) =>
       Dedup.ngramJaccardTopK(t(s, d, "documents").where(col("source") === "src0"), "doc_id", "text", 20)),
@@ -2633,12 +2655,6 @@ object SparkEntry {
       "SELECT term, fg_count, bg_count, " +
       "round((fg_count / fg_total) * ln((fg_count / fg_total) / (bg_count / bg_total)), 4) AS score " +
       "FROM g CROSS JOIN tot ORDER BY score DESC, term LIMIT 10"),
-    "q_downsample" -> ("SELECT event_type, " +
-      "(epoch_ns(ts) // 86400000000000) * 86400000 AS bucket_ms, " +
-      "min(value) AS vmin, max(value) AS vmax, " +
-      "round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS vsum, " +
-      "count(value)::BIGINT AS vcount " +
-      "FROM events GROUP BY event_type, bucket_ms ORDER BY event_type, bucket_ms"),
     "q_agg_terms_error" -> (s"WITH s AS (SELECT source AS key, ${hexFold("'shard:' || doc_id::VARCHAR", 12)} % 4 AS sh FROM documents), " +
       "ps AS (SELECT sh, key, count(*)::BIGINT AS cnt FROM s GROUP BY sh, key), " +
       "rk AS (SELECT *, row_number() OVER (PARTITION BY sh ORDER BY cnt DESC, key) AS rk FROM ps), " +
@@ -2842,6 +2858,34 @@ object SparkEntry {
       "n AS (SELECT DISTINCT a AS id FROM e), " +
       "r AS (SELECT id, id AS m FROM n UNION SELECT e.a, r.m FROM e JOIN r ON e.b = r.id) " +
       "SELECT id AS doc_id, min(m) AS cluster_id FROM r GROUP BY id ORDER BY doc_id"),
+    "q_dedup_canonical" -> (TokCte.replace("WITH ", "WITH RECURSIVE ") + MinhashCtes + ", " +
+      "e AS (SELECT id1 AS a, id2 AS b FROM vp UNION SELECT id2, id1 FROM vp), " +
+      "n AS (SELECT DISTINCT a AS id FROM e), " +
+      "r AS (SELECT id, id AS m FROM n UNION SELECT e.a, r.m FROM e JOIN r ON e.b = r.id), " +
+      "cl AS (SELECT id AS doc_id, min(m) AS cluster_id FROM r GROUP BY id), " +
+      "j AS (SELECT cl.cluster_id, cl.doc_id, d.n_chars::DOUBLE AS q, " +
+      "count(*) OVER (PARTITION BY cl.cluster_id) AS members, " +
+      "row_number() OVER (PARTITION BY cl.cluster_id ORDER BY d.n_chars DESC, cl.doc_id) AS rn " +
+      "FROM cl JOIN documents d ON d.doc_id = cl.doc_id) " +
+      "SELECT cluster_id, members::BIGINT AS members, doc_id AS canonical_id, q AS best_quality " +
+      "FROM j WHERE rn = 1 ORDER BY cluster_id"),
+    "q_dedup_incremental" -> (TokCte + MinhashCtes + ", " +
+      "dup AS (SELECT CASE WHEN id1 % 2 = 1 THEN id1 ELSE id2 END AS doc_id " +
+      "FROM vp WHERE id1 % 2 <> id2 % 2) " +
+      "SELECT doc_id FROM documents WHERE doc_id % 2 = 1 " +
+      "AND doc_id NOT IN (SELECT doc_id FROM dup) ORDER BY doc_id"),
+    "q_mix_sample" -> ("WITH c AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source), " +
+      "mn AS (SELECT min(n_docs) AS n_min FROM c), " +
+      "rt AS (SELECT source, sqrt(n_min::DOUBLE / n_docs::DOUBLE) AS rate FROM c CROSS JOIN mn) " +
+      s"SELECT rt.source, count(*)::BIGINT AS n_kept FROM documents d JOIN rt ON d.source = rt.source " +
+      s"WHERE ${hexFold("'mix:' || d.doc_id::VARCHAR", 12)} / 281474976710656.0 < rt.rate " +
+      "GROUP BY rt.source ORDER BY rt.source"),
+    "q_esql_rerank" -> (TokCte + " SELECT doc_id, round(" +
+      "1.0 * len(list_filter(toks, t -> t = 'fast')) + " +
+      "1.0 * len(list_filter(toks, t -> t = 'hash')) + " +
+      "1.0 * len(list_filter(toks, t -> t = 'merge')), 4) AS _score " +
+      "FROM tok WHERE list_contains(toks, 'merge') " +
+      "ORDER BY _score DESC, doc_id LIMIT 10"),
     // 64-bit simhash as TWO 32-bit halves (hi = bits 1..32, lo = bits
     // 33..64): folding all 64 into one BIGINT overflows DuckDB, but
     // each half stays < 2^32 and hamming is the sum of half-hammings.

@@ -323,6 +323,45 @@ object Dedup {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Canonical selection after clustering: per near-dup cluster keep
+    * the BEST member by a quality column (ties -> lowest id) — the
+    * keep-rule production pipelines want instead of "lowest id wins".
+    * The cluster frame is tiny next to the corpus, so the join back to
+    * the docs is broadcast-eligible; selection is ONE max_by partial
+    * agg (no window over the corpus). */
+  def canonicalPerCluster(clusters: DataFrame, docs: DataFrame,
+      idCol: String, qualityCol: String): DataFrame =
+    clusters
+      .join(docs.select(col(idCol).as("doc_id"),
+        col(qualityCol).cast("double").as("_q")), "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(
+        count(lit(1)).as("members"),
+        max_by(col("doc_id"), struct(col("_q"), -col("doc_id"))).as("canonical_id"),
+        max(col("_q")).as("best_quality"))
+      .orderBy(col("cluster_id"))
+
+  /** Incremental dedup — the daily-ingestion shape: NEW docs are
+    * dropped when they near-duplicate an EXISTING doc (old docs always
+    * survive; new-vs-new survivors are left to the next full pass).
+    * Returns the surviving new ids. Same banded-LSH candidate
+    * generation as minhashLsh; the old/new boundary is a flag test on
+    * the verified pairs, and removal is one broadcast-able anti-join
+    * against the (tiny) duplicate-id frame. */
+  def dedupIncrementalNewIds(docs: DataFrame, idCol: String, textCol: String,
+      isNew: Column, threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashLshUnsorted(docs, idCol, textCol, threshold)
+    val flags = docs.select(col(idCol).as("_fid"), isNew.as("_fnew"))
+    val dupNew = pairs
+      .join(flags.select(col("_fid").as("id1"), col("_fnew").as("_new1")), "id1")
+      .join(flags.select(col("_fid").as("id2"), col("_fnew").as("_new2")), "id2")
+      .where(col("_new1") =!= col("_new2"))
+      .select(when(col("_new1"), col("id1")).otherwise(col("id2")).as("doc_id"))
+    docs.where(isNew).select(col(idCol).as("doc_id"))
+      .join(dupNew, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact n-gram (shingle) Jaccard over all pairs of a (pre-filtered)
     * subset — the brute-force ground-truth variant; use LSH above when
     * the subset isn't small. Returns top-k pairs by similarity. */

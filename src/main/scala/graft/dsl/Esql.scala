@@ -719,6 +719,25 @@ object Esql {
           segments(b).foldLeft(df)(applyCommand(_, _, resolve))
             .withColumn("_fork", lit(s"fork${i + 1}"))
         }.reduce(_.unionByName(_, allowMissingColumns = true))
+      case "rerank" =>
+        // RERANK "query" ON field (ES|QL 8.18 inference operator).
+        // The inference call is STUBBED deterministically with the
+        // semantic term-overlap scorer (the SparseTfDot kernel): real
+        // plumbing — _score column + descending re-sort — fake model,
+        // the same stance as the multimodal decode stubs. Narrow
+        // compiled pass, no shuffle; RERANK is meant to run on an
+        // already-LIMIT-ed window.
+        val rr = "^\"([^\"]+)\"\\s+(?i:on)\\s+([A-Za-z0-9_]+)$".r
+        body.trim match {
+          case rr(q, field) =>
+            val terms = graft.analysis.Analyzer.analyze(q).distinct
+            val score = org.apache.spark.sql.GraftBridge.column(graft.expr.SparseTfDot(
+              org.apache.spark.sql.GraftBridge.expression(
+                graft.analysis.Analyzer.tokens(col(field))),
+              terms, terms.map(_ => 1.0)))
+            df.withColumn("_score", score).orderBy(col("_score").desc)
+          case other => throw new IllegalArgumentException(s"bad RERANK: $other")
+        }
       case "fuse" =>
         // FUSE [rrf|linear] [KEY BY c1, c2] [WITH rank_constant = N]
         // (ES|QL 9.x) — merges FORK branches into one ranked result.

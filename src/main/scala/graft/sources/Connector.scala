@@ -834,29 +834,6 @@ object Connector {
     updateByQuery(spark, path, query, set, cfg)
   }
 
-  /** TSDS `_downsample`: roll a time-series index down to fixed
-    * `intervalNs` buckets — per (dimensions, bucket) the standard
-    * downsample metrics (min/max/sum/value_count; avg derivable).
-    * ONE partial-aggregating groupBy over the source (map-side
-    * combine shrinks each partition to its bucket set before the
-    * exchange), and the output is itself a valid, much smaller
-    * time-series index. Bucket rendered as epoch millis (exact
-    * integer div — ns exceeds double's 2^53). */
-  def downsample(events: org.apache.spark.sql.DataFrame, tsNsCol: String,
-      dims: Seq[String], metric: String, intervalNs: Long): org.apache.spark.sql.DataFrame = {
-    require(intervalNs % 1000000L == 0, "interval must be whole milliseconds")
-    val bucketMs = org.apache.spark.sql.functions
-      .expr(s"($tsNsCol div $intervalNs) * ${intervalNs / 1000000L}")
-    events.groupBy((dims.map(col) :+ bucketMs.as("bucket_ms")): _*)
-      .agg(
-        min(col(metric)).as("vmin"),
-        max(col(metric)).as("vmax"),
-        graft.util.Num.round(
-          sum(col(metric).cast("decimal(18,4)")).cast("double"), 4).as("vsum"),
-        count(col(metric)).as("vcount"))
-      .orderBy((dims.map(col(_).asc) :+ col("bucket_ms").asc): _*)
-  }
-
   /** `_count` API: the hit count of a query with no hits
     * materialized — ONE partial-aggregating count over the pushed-
     * down predicate (the scan never surfaces matching rows). */

@@ -349,6 +349,30 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Temperature-flattened mix sampling (T = 2): per-source keep rate
+    * `sqrt(n_min / n_s)` — the T=2 case of "target share ∝ share^(1/T)"
+    * with the rarest source kept whole, i.e. the standard flattening
+    * used to rebalance a skewed source mix. The draw is the repo-wide
+    * deterministic content hash (reproducible across retries and
+    * partitionings, oracle-mirrorable); sqrt and the power-of-two
+    * hash division are both IEEE-exact, so the keep decision is
+    * bit-deterministic. The per-source rate frame is \|sources\| rows
+    * broadcast back; the filter is a narrow codegen'd pass. */
+  def mixSample(docs: DataFrame, sourceCol: String, idCol: String): DataFrame = {
+    val counts = docs.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val nMin = counts.agg(min(col("n_docs")).as("n_min"))
+    val rates = counts.crossJoin(broadcast(nMin))
+      .select(col("source").as("_msrc"),
+        sqrt(col("n_min").cast("double") / col("n_docs").cast("double")).as("rate"))
+    docs
+      .join(broadcast(rates), col(sourceCol) === col("_msrc"))
+      .where(Num.uniformHash48(concat(lit("mix:"), col(idCol))) < col("rate"))
+      .groupBy(col("_msrc").as("source"))
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
   /** Corpus n-gram heavy hitters: document frequency of every
     * distinct n-gram, top-k. The LLM-pipeline use is boilerplate
     * mining — the highest-df n-grams ARE the shared templates that

@@ -353,21 +353,6 @@ class ConnectorSpec extends SparkSpec {
       3L -> (5.0, None)))       // unmatched: untouched, new field null
   }
 
-  test("downsample: fixed buckets, standard metrics, exact ms bucketing") {
-    val day = 86400L * 1000000000L
-    val df = Seq(
-      ("cpu", 0L, 1.0), ("cpu", day - 1L, 3.0), // same day bucket
-      ("cpu", day, 5.0),                        // next bucket
-      ("mem", 10L, 2.0))
-      .toDF("metric_name", "ts_ns", "value")
-    val r = Connector.downsample(df, "ts_ns", Seq("metric_name"), "value", day)
-      .as[(String, Long, Double, Double, Double, Long)].collect().toSeq
-    assert(r == Seq(
-      ("cpu", 0L, 1.0, 3.0, 4.0, 2L),
-      ("cpu", 86400000L, 5.0, 5.0, 5.0, 1L),
-      ("mem", 0L, 2.0, 2.0, 2.0, 1L)))
-  }
-
   test("updateByQueryScript: self-reference and re-assignment thread sequentially") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_ubqs2").toString + "/idx"

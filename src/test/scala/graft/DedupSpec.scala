@@ -83,4 +83,34 @@ class DedupSpec extends SparkSpec {
     val (b, r) = Dedup.tuneBands(128, 0.5)
     assert(b * r == 128)
   }
+
+  test("canonicalPerCluster keeps the best-quality member, ties to lowest id") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("doc_id", "cluster_id")
+    val docs = Seq((1L, 10L), (2L, 50L), (3L, 50L), (7L, 5L), (8L, 5L))
+      .toDF("doc_id", "quality")
+    val r = Dedup.canonicalPerCluster(clusters, docs, "doc_id", "quality")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // cluster 1: quality tie 50 between 2 and 3 -> lowest id 2;
+    // cluster 7: tie 5 -> id 7
+    assert(r == Seq((1L, 3L, 2L, 50.0), (7L, 2L, 7L, 5.0)))
+  }
+
+  test("incremental dedup: new docs drop only against OLD near-dups") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (2L, base),                 // old
+      (3L, base),                 // new: dup of old 2 -> dropped
+      (5L, base + " extra"),      // new: near-dup of old 2 -> dropped
+      (7L, "completely different content about distributed query engines and shuffles"),
+      (4L, "another old document speaking of unrelated things entirely here"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupIncrementalNewIds(docs, "doc_id", "text",
+      pmod(col("doc_id"), lit(2L)) === 1L, 0.8)
+      .as[Long].collect().toSeq
+    // 7 survives (no old partner); 3 and 5 drop (old 2 matches)
+    assert(kept == Seq(7L))
+  }
 }

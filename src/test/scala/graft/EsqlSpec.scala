@@ -335,6 +335,16 @@ class EsqlSpec extends SparkSpec {
     assert(r == Seq((Some("bob"), Some(42L)), (None, None)))
   }
 
+  test("RERANK: deterministic stub scorer recomputes _score and re-sorts") {
+    val df = Seq(
+      (1L, "alpha beta alpha"), (2L, "alpha"), (3L, "gamma")).toDF("id", "txt")
+    val r = Esql.applyCommand(df, """rerank "alpha beta" on txt""")
+      .select("id", "_score").as[(Long, Double)].collect().toSeq
+    assert(r.head == ((1L, 3.0))) // 2x alpha + 1x beta
+    assert(r.map(_._1).take(2) == Seq(1L, 2L))
+    assert(r.find(_._1 == 3L).get._2 == 0.0)
+  }
+
   test("spatial: ST_DISTANCE meters, ST_X/ST_Y accessors") {
     val df = Seq((0.0, 0.0), (90.0, 0.0)).toDF("lon", "lat")
     val r = Esql.applyCommand(df,
