@@ -240,6 +240,29 @@ object ScaleProbe {
         maxspanNs = 86400L * 1000000000L,
         until = Some(("error", lit(true)))).count()
     }
+    time("terms_shard_error_10x") {
+      // the rank window runs over |shards|*|terms| rows, never docs —
+      // must stay flat as docs multiply
+      Aggs.termsAggShardError(docs, "source", "doc_id",
+        size = 10, shards = 16, shardSize = 5).count()
+    }
+    time("dedup_incremental_10x") {
+      // worst case: the replicas are exact clone groups spanning the
+      // old/new boundary, so EVERY new doc has an old partner
+      Dedup.dedupIncrementalNewIds(docs, "doc_id", "text",
+        pmod(col("doc_id"), lit(2L)) === 1L, 0.8).count()
+    }
+    time("mix_sample_10x") {
+      graft.text.TextAnalysis.mixSample(docs, "source", "doc_id").count()
+    }
+    time("esql_fuse_10x") {
+      // FUSE cost is bounded by the fork windows (LIMIT-ed), not the
+      // corpus — the two branch scans dominate
+      val forked = graft.dsl.Esql.applyCommand(docs,
+        "fork ( where n_chars > 450 | eval _score = n_chars + 0.0 | sort _score desc, doc_id | limit 100 | keep doc_id, _score ) " +
+          "( eval _score = doc_id % 1000 + 0.0 | sort _score desc, doc_id | limit 100 | keep doc_id, _score )")
+      graft.dsl.Esql.applyCommand(forked, "fuse rrf key by doc_id").count()
+    }
     spark.stop()
   }
 }

@@ -357,6 +357,15 @@ object Dedup {
       .join(flags.select(col("_fid").as("id2"), col("_fnew").as("_new2")), "id2")
       .where(col("_new1") =!= col("_new2"))
       .select(when(col("_new1"), col("id1")).otherwise(col("id2")).as("doc_id"))
+      // distinct first: clone groups repeat each new id once per old
+      // partner. Then MATERIALIZE: Catalyst pushes a left-anti join
+      // through a Union-shaped left side (PushdownLeftSemiOrAntiJoin),
+      // duplicating the RIGHT side per branch — uncached, a 10-branch
+      // corpus recomputes the whole LSH pipeline 10x (observed 16 s →
+      // 195 s at the 10x probe). Cached + eager, every copy is a scan
+      // of this small id frame.
+      .distinct().cache()
+    dupNew.count()
     docs.where(isNew).select(col(idCol).as("doc_id"))
       .join(dupNew, Seq("doc_id"), "left_anti")
       .orderBy(col("doc_id"))

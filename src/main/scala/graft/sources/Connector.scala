@@ -839,7 +839,11 @@ object Connector {
     * down predicate (the scan never surfaces matching rows). */
   def countQuery(df: org.apache.spark.sql.DataFrame, query: String,
       idField: String = "_id"): org.apache.spark.sql.DataFrame =
-    df.where(coalesce(EsQuery.compile(query, idField), lit(false)))
+    // plain where(pred): a null-evaluating predicate drops the row
+    // (exactly the ES non-match), and UNLIKE coalesce(pred, false)
+    // the bare predicate stays pushdown-eligible — wrapping in
+    // coalesce leaves PushedFilters empty and scans the whole index
+    df.where(EsQuery.compile(query, idField))
       .agg(count(lit(1)).as("count"))
 
   /** `_delete_by_query` analog: drop every document matching the ES

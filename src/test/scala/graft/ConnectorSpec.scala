@@ -629,6 +629,21 @@ class ConnectorSpec extends SparkSpec {
     }
   }
 
+  test("_source filter prunes the scan; _count pushes its predicate") {
+    val dir = Files.createTempDirectory("graft_srcf").toString + "/idx"
+    Seq((1L, "en", 2.0, 3.0)).toDF("id", "lang", "v1", "v2").write.parquet(dir)
+    val pruned = graft.dsl.SearchBody
+      .applySourceFilter(spark.read.parquet(dir), """["id", "v1"]""")
+      .queryExecution.executedPlan.toString
+    assert(pruned.contains("ReadSchema") && !pruned.contains("v2"),
+      s"_source filter did not prune the scan:\n$pruned")
+    val counted = Connector.countQuery(spark.read.parquet(dir),
+      """{"term": {"lang": "en"}}""", "id")
+      .queryExecution.executedPlan.toString
+    assert(counted.contains("EqualTo(lang,en)"),
+      s"_count predicate not pushed:\n$counted")
+  }
+
   test("_cat/indices + _validate/query") {
     val base = Files.createTempDirectory("graft_cat").toString
     (1L to 10L).toDF("id").write.parquet(base + "/idx_a")
