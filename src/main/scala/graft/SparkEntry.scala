@@ -599,6 +599,23 @@ object SparkEntry {
         | where d_m < 2000000.0
         | keep c_custkey, d_m, x, y
         | sort c_custkey""")),
+    // STD_DEV aggregate (8.15): per-group population stddev
+    "q_esql_stddev" -> ((s, d) => graft.dsl.Esql.run(s, d,
+      """from lineitem
+        | stats sd = std_dev(l_quantity), n = count(*) by l_returnflag
+        | eval sd = round(sd, 4)
+        | sort l_returnflag""")),
+    // function long tail: base64, angle conversions, 2-arg LOG, MV_ZIP
+    "q_esql_functions2" -> ((s, d) => graft.dsl.Esql.run(s, d,
+      """from documents
+        | where doc_id <= 20
+        | eval b64 = to_base64(lang), rt = from_base64(b64),
+               deg = round(to_degrees(1.0), 4), rad = round(to_radians(180.0), 4),
+               lg = round(log(2.0, 8.0), 4),
+               z = mv_zip(split(lang, "n"), split(source, "rc"))
+        | eval zn = mv_count(z), zl = mv_last(z)
+        | keep doc_id, b64, rt, deg, rad, lg, zn, zl
+        | sort doc_id""")),
     // date function family over ns-long event time
     "q_esql_dates" -> ((s, d) => graft.dsl.Esql.run(s, d,
       """from events
@@ -2094,6 +2111,16 @@ object SparkEntry {
       "round((2 * 6371 * asin(sqrt(pow(sin(radians(0.0 - lat) / 2), 2) + " +
       "cos(radians(lat)) * cos(radians(0.0)) * pow(sin(radians(0.0 - lon) / 2), 2)))) * 1000, 2) AS d_m, " +
       "lon AS x, lat AS y FROM g) WHERE d_m < 2000000.0 ORDER BY c_custkey"),
+    "q_esql_stddev" -> ("SELECT l_returnflag, round(stddev_pop(l_quantity), 4) AS sd, " +
+      "count(*)::BIGINT AS n FROM lineitem GROUP BY 1 ORDER BY 1"),
+    "q_esql_functions2" -> ("SELECT doc_id, to_base64(encode(lang)) AS b64, " +
+      "decode(from_base64(to_base64(encode(lang)))) AS rt, " +
+      "round(degrees(1.0), 4) AS deg, round(radians(180.0), 4) AS rad, " +
+      "round(ln(8.0) / ln(2.0), 4) AS lg, " +
+      "greatest(len(string_split(lang, 'n')), len(string_split(source, 'rc')))::INT AS zn, " +
+      "list_last(list_transform(range(1, greatest(len(string_split(lang, 'n')), len(string_split(source, 'rc'))) + 1), " +
+      "i -> concat_ws(',', string_split(lang, 'n')[i], string_split(source, 'rc')[i]))) AS zl " +
+      "FROM documents WHERE doc_id <= 20 ORDER BY doc_id"),
     "q_esql_dates" -> ("SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS n, " +
       "max((1710000000000000000 - epoch_ns(ts)) // 3600000000000)::BIGINT AS mx, " +
       "max(month(ts))::BIGINT AS mom FROM events GROUP BY 1 ORDER BY day LIMIT 10"),

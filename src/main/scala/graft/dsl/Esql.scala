@@ -333,6 +333,19 @@ object Esql {
           graft.rel.Relational.haversineKm(
             a.getField("y"), a.getField("x"),
             b.getField("y"), b.getField("x")) * lit(1000.0)
+        // base64 + angle conversions + 2-arg log (ES|QL long tail)
+        case ("to_base64", Seq(x)) => base64(x.cast("binary"))
+        case ("from_base64", Seq(x)) => unbase64(x).cast("string")
+        case ("to_degrees", Seq(x)) => degrees(x)
+        case ("to_radians", Seq(x)) => radians(x)
+        case ("log", Seq(b, x)) => log(x) / log(b) // LOG(base, value)
+        // MV_APPEND / MV_ZIP (8.15): array concat and element-wise
+        // string join with a delimiter
+        case ("mv_append", Seq(a, b)) => concat(a, b)
+        case ("mv_zip", Seq(a, b)) => zip_with(a, b, (x, y) => concat_ws(",", x, y))
+        case ("mv_zip", Seq(a, b, d)) =>
+          val delim = litStr(d, "MV_ZIP delimiter")
+          zip_with(a, b, (x, y) => concat_ws(delim, x, y))
         // hash family (ES|QL 8.16)
         case ("md5", Seq(x)) => md5(x.cast("binary"))
         case ("sha1", Seq(x)) => sha1(x.cast("binary"))
@@ -507,6 +520,8 @@ object Esql {
             }
             expectOp(")")
             slice(sort_array(collect_list(flt(e)), asc), 1, n)
+          // STD_DEV (8.15): population stddev, like ES|QL
+          case "std_dev" => val e = parseExpr(); expectOp(")"); stddev_pop(flt(e))
           case "median" =>
             require(filter.isEmpty, "STATS..WHERE unsupported on MEDIAN/PERCENTILE")
             val id = identName(); expectOp(")")
