@@ -33,6 +33,38 @@ object SparkEntry {
   private val TokCte =
     "WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks FROM documents)"
 
+  // Deterministic plural-morphed token stream (SURVEY §3 synthetic-
+  // column pattern, like withGeo/withIp): the testdata vocabulary has
+  // no inflected forms, so stemmer coverage derives one — token i
+  // (0-based) gains an "s" when (doc_id + i) % 3 == 0. The DuckDB
+  // mirror is MTokCte below.
+  private def morphedToks(): org.apache.spark.sql.Column =
+    transform(graft.analysis.Analyzer.tokens(col("text")), (t, i) =>
+      when(pmod(col("doc_id") + i, lit(3)) === 0 &&
+          length(t) >= 3 && !t.endsWith("s"),
+        concat(t, lit("s"))).otherwise(t))
+  private val MTokCte =
+    ", mtok AS (SELECT doc_id, list_transform(range(1, len(toks) + 1), i -> " +
+    "CASE WHEN (doc_id + i - 1) % 3 = 0 AND len(toks[i]) >= 3 AND substr(toks[i], len(toks[i]), 1) != 's' " +
+    "THEN toks[i] || 's' ELSE toks[i] END) AS toks FROM tok)"
+
+  /** DuckDB mirror of Stemmers.minimalEnglish over a token expression
+    * `x` — the same ordered rule CASE, so stemmed-match oracles are
+    * hash-exact. */
+  private def mstem(x: String): String =
+    s"(CASE WHEN len($x) < 3 OR substr($x, len($x), 1) != 's' THEN $x " +
+    s"WHEN substr($x, len($x) - 1, 2) IN ('us', 'ss') THEN $x " +
+    s"WHEN substr($x, len($x) - 1, 2) = 'es' THEN " +
+    s"(CASE WHEN len($x) > 3 AND substr($x, len($x) - 2, 1) = 'i' " +
+    s"AND substr($x, len($x) - 3, 1) NOT IN ('a', 'e') THEN substr($x, 1, len($x) - 3) || 'y' " +
+    s"WHEN substr($x, len($x) - 2, 1) IN ('i', 'a', 'o', 'e') THEN $x " +
+    s"ELSE substr($x, 1, len($x) - 1) END) " +
+    s"ELSE substr($x, 1, len($x) - 1) END)"
+
+  // the English stop set as a SQL IN-list (mirror of Analyzer.EnglishStop)
+  private val StopSql: String =
+    graft.analysis.Analyzer.EnglishStop.map(w => s"'$w'").mkString(", ")
+
   // DuckDB mirror of Dedup.baseHash: fold 12 hex chars of md5 to BIGINT
   private def hexFold(expr: String, n: Int): String =
     s"list_reduce(list_prepend(0::BIGINT, list_transform(regexp_extract_all(substr(md5($expr), 1, $n), '.'), " +
@@ -824,6 +856,73 @@ object SparkEntry {
     "q_match_phrase_slop" -> ((s, d) => t(s, d, "documents")
       .where(Search.matchPhraseSlop(col("text"), "table scan", slop = 1))
       .select(col("doc_id")).orderBy(col("doc_id"))),
+    // analyzer chain: minimal_english stemmer — query "tables windows"
+    // matches singular occurrences; raw_hit shows what a stemmerless
+    // match would have seen on the same (morphed) stream
+    "q_match_stemmed" -> ((s, d) => {
+      import graft.analysis.Analyzer
+      val m = morphedToks()
+      val st = Analyzer.chain(m, stemmer = "minimal_english")
+      t(s, d, "documents")
+        .select(col("doc_id"), m.as("mt"), st.as("st"))
+        .where(Search.matchChain(col("mt"), "tables windows",
+          stemmer = "minimal_english"))
+        .select(col("doc_id"),
+          size(array_intersect(array_distinct(col("st")),
+            lit(Array("table", "window")))).cast("long").as("n_terms"),
+          arrays_overlap(col("mt"), lit(Array("tables", "windows"))).as("raw_hit"))
+        .orderBy(col("doc_id"))
+    }),
+    // analyzer chain: stop filter — "the" drops out of the AND query,
+    // so docs lacking it still match (has_the marks them)
+    "q_match_stopwords" -> ((s, d) => {
+      import graft.analysis.Analyzer
+      val toks = Analyzer.tokens(col("text"))
+      t(s, d, "documents")
+        .where(Search.matchChain(toks, "the fast table",
+          stop = Analyzer.EnglishStop, operator = "and"))
+        .select(col("doc_id"), array_contains(toks, "the").as("has_the"))
+        .orderBy(col("doc_id"))
+    }),
+    // query-time synonym expansion: neither "rapid" nor "tbl" occurs in
+    // the corpus; their synonym groups (fast/quick, table) do
+    "q_match_synonyms" -> ((s, d) => {
+      import graft.analysis.Analyzer
+      val toks = Analyzer.tokens(col("text"))
+      t(s, d, "documents")
+        .where(Search.matchSynonyms(toks, "rapid tbl",
+          Map("rapid" -> Seq("fast", "quick"), "tbl" -> Seq("table")),
+          operator = "and"))
+        .select(col("doc_id"),
+          size(array_intersect(array_distinct(toks),
+            lit(Array("rapid", "fast", "quick")))).cast("long").as("n_syn"))
+        .orderBy(col("doc_id"))
+    }),
+    // BM25 over the full analyzed chain (stop + minimal_english): dl,
+    // tf and df all change under the chain — the oracle recomputes the
+    // whole scoring pipeline over the chained token stream
+    "q_bm25_stemmed" -> ((s, d) => {
+      import graft.analysis.Analyzer
+      val toksDf = t(s, d, "documents").select(
+        col("doc_id").as("id"),
+        Analyzer.chain(morphedToks(),
+          stop = Analyzer.EnglishStop, stemmer = "minimal_english").as("toks"))
+      Search.bm25ScoresFromToks(toksDf,
+        Analyzer.analyzeChain("tables fast", Analyzer.EnglishStop, "minimal_english"))
+        .orderBy(col("score").desc, col("id").asc).limit(10)
+    }),
+    // index-time edge_ngram (2..4) — the sayt/completion index shape:
+    // tf counts ngram tokens, showing the expansion is real
+    "q_edge_ngram" -> ((s, d) => {
+      import graft.analysis.Analyzer
+      val eg = Analyzer.chain(Analyzer.tokens(col("text")), edge = Some((2, 4)))
+      t(s, d, "documents")
+        .select(col("doc_id"), eg.as("egs"))
+        .where(array_contains(col("egs"), "tab"))
+        .select(col("doc_id"),
+          size(filter(col("egs"), g => g === "tab")).cast("long").as("tf"))
+        .orderBy(col("doc_id"))
+    }),
     "q_constant_score" -> ((s, d) =>
       Search.constantScore(t(s, d, "documents"), "doc_id",
         QueryDsl.term(col("lang"), "fr") && col("n_chars") > 300, 1.2)),
@@ -2325,6 +2424,28 @@ object SparkEntry {
       "list_filter(range(1, len(toks) + 1), i -> toks[i] = 'table') AS p0, " +
       "list_filter(range(1, len(toks) + 1), i -> toks[i] = 'scan') AS p1 FROM tok) " +
       "SELECT doc_id FROM p WHERE len(list_filter(p0, a -> len(list_filter(p1, b -> b > a AND b - a <= 2)) > 0)) > 0 ORDER BY doc_id"),
+    "q_match_stemmed" -> (TokCte + MTokCte +
+      ", mst AS (SELECT doc_id, toks, list_transform(toks, x -> " + mstem("x") + ") AS st FROM mtok) " +
+      "SELECT doc_id, len(list_intersect(list_distinct(st), ['table', 'window']))::BIGINT AS n_terms, " +
+      "list_has_any(toks, ['tables', 'windows']) AS raw_hit " +
+      "FROM mst WHERE list_has_any(st, ['table', 'window']) ORDER BY doc_id"),
+    "q_match_stopwords" -> (TokCte +
+      " SELECT doc_id, list_contains(toks, 'the') AS has_the FROM tok " +
+      "WHERE list_contains(toks, 'fast') AND list_contains(toks, 'table') ORDER BY doc_id"),
+    "q_match_synonyms" -> (TokCte +
+      " SELECT doc_id, len(list_intersect(list_distinct(toks), ['rapid', 'fast', 'quick']))::BIGINT AS n_syn " +
+      "FROM tok WHERE list_has_any(toks, ['rapid', 'fast', 'quick']) " +
+      "AND list_has_any(toks, ['tbl', 'table']) ORDER BY doc_id"),
+    "q_bm25_stemmed" -> (TokCte + MTokCte +
+      ", cst AS (SELECT doc_id, list_transform(list_filter(toks, t2 -> t2 NOT IN (" + StopSql + ")), x -> " +
+      mstem("x") + ") AS toks FROM mtok)" +
+      bm25Ctes("m", "cst", Seq("table", "fast")) +
+      " SELECT id, score FROM scm ORDER BY score DESC, id LIMIT 10"),
+    "q_edge_ngram" -> (TokCte +
+      ", eg AS (SELECT doc_id, flatten(list_transform(toks, t2 -> " +
+      "list_transform(range(2, least(len(t2), 4) + 1), i -> substr(t2, 1, i)))) AS egs FROM tok) " +
+      "SELECT doc_id, len(list_filter(egs, g -> g = 'tab'))::BIGINT AS tf " +
+      "FROM eg WHERE list_contains(egs, 'tab') ORDER BY doc_id"),
     "q_constant_score" -> ("SELECT doc_id AS id, 1.2 AS score FROM documents " +
       "WHERE lang = 'fr' AND n_chars > 300 ORDER BY id"),
     "q_pinned" -> (TokCte + bm25Ctes("", "tok", Seq("fast", "hash", "join")) +

@@ -66,6 +66,49 @@ object Analyzer {
           org.apache.spark.sql.types.IntegerType))))
   }
 
+  /** The classic English stopword set (the 33-word list shipped as the
+    * default of Lucene/ES `stop` filter — public knowledge). */
+  val EnglishStop: Seq[String] = Seq(
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such",
+    "that", "the", "their", "then", "there", "these", "they", "this",
+    "to", "was", "will", "with")
+
+  /** Configurable analysis chain over an already-tokenized column:
+    * stop filter -> stemmer -> edge_ngram, each optional, one compiled
+    * pass (AnalyzeChain kernel). `stemmer` is "" (none),
+    * "minimal_english" or "porter". */
+  def chain(
+      toks: Column,
+      stop: Seq[String] = Nil,
+      stemmer: String = "",
+      edge: Option[(Int, Int)] = None): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expr.AnalyzeChain(
+        org.apache.spark.sql.GraftBridge.expression(toks),
+        stop, stemmer, edge.map(_._1).getOrElse(0), edge.map(_._2).getOrElse(0)))
+
+  /** Full chain from a raw text column: tokenize + chain. */
+  def chainText(
+      text: Column,
+      stop: Seq[String] = Nil,
+      stemmer: String = "",
+      edge: Option[(Int, Int)] = None): Column =
+    chain(tokens(text), stop, stemmer, edge)
+
+  /** Driver-side query analysis through the same chain (no edge_ngram:
+    * query terms match against the expanded index, ES
+    * search_analyzer-style). */
+  def analyzeChain(
+      query: String,
+      stop: Seq[String] = Nil,
+      stemmer: String = ""): Seq[String] = {
+    val stopSet = stop.toSet
+    val stem: String => String =
+      if (stemmer.isEmpty) identity else Stemmers(stemmer)
+    analyze(query).filterNot(stopSet).map(stem)
+  }
+
   /** Token 3-gram shingles over an ordered token array: the unit used by
     * MinHash / n-gram-Jaccard dedup. Narrow per-row transform. */
   def shingles(toks: Column, n: Int = 3): Column = {

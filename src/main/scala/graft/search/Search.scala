@@ -144,6 +144,52 @@ object Search {
     matched >= t
   }
 
+  /** `match` through a configurable analysis chain (ES analyzer with
+    * `stop` and/or `stemmer` filters): the SAME chain runs over the
+    * document tokens (compiled AnalyzeChain kernel, narrow) and the
+    * query string (driver-side), so "tables" matches "table" under a
+    * stemmer and stopword query terms simply drop out. `operator` is
+    * "or" (any surviving term) or "and" (all). */
+  def matchChain(
+      toks: Column,
+      query: String,
+      stop: Seq[String] = Nil,
+      stemmer: String = "",
+      operator: String = "or"): Column = {
+    val q = Analyzer.analyzeChain(query, stop, stemmer).distinct
+    require(q.nonEmpty, s"match query analyzed to zero tokens through chain: $query")
+    val analyzed = Analyzer.chain(toks, stop, stemmer)
+    operator match {
+      case "or" => arrays_overlap(analyzed, lit(q.toArray))
+      case "and" => q.map(t => array_contains(analyzed, t)).reduce(_ && _)
+      case other => throw new IllegalArgumentException(s"bad operator: $other")
+    }
+  }
+
+  /** Query-time synonym expansion (ES `synonym_graph` in the search
+    * analyzer): each analyzed query term expands to itself plus its
+    * synonym group; a group matches when ANY of its variants appears.
+    * `operator` "and" requires every group matched (the match query's
+    * AND over positions), "or" any group. The document side stays the
+    * plain token stream — expansion is query-time only, the
+    * recommended ES deployment (index-time synonyms freeze the
+    * dictionary into the index). */
+  def matchSynonyms(
+      toks: Column,
+      query: String,
+      synonyms: Map[String, Seq[String]],
+      operator: String = "and"): Column = {
+    val groups = Analyzer.analyze(query).distinct
+      .map(t => (t +: synonyms.getOrElse(t, Nil)).distinct)
+    require(groups.nonEmpty, s"synonym match analyzed to zero tokens: $query")
+    val hits = groups.map(g => arrays_overlap(toks, lit(g.toArray)))
+    operator match {
+      case "and" => hits.reduce(_ && _)
+      case "or" => hits.reduce(_ || _)
+      case other => throw new IllegalArgumentException(s"bad operator: $other")
+    }
+  }
+
   /** `match_bool_prefix` — every analyzed term must be present, the
     * LAST as a prefix (the "search-as-you-type" bool form: unlike
     * match_phrase_prefix, terms may appear anywhere, any order). All
@@ -406,11 +452,32 @@ object Search {
       b: Double): DataFrame = {
     val q = Analyzer.analyze(query)
     require(q.nonEmpty, s"bm25 query analyzed to zero tokens: $query")
+    bm25ComponentsFromToks(
+      docs.select(col(idCol).as("id"), Analyzer.tokens(col(textCol)).as("toks")),
+      q, k1, b)
+  }
 
-    val toks = docs.select(
-      col(idCol).as("id"),
-      Analyzer.tokens(col(textCol)).as("toks"))
-      .withColumn("dl", size(col("toks")).cast("double"))
+  /** BM25 (id, score) over a PREPARED (id, toks) frame — the hook for
+    * custom analyzer chains (stop/stemmer/edge_ngram): document length,
+    * tf and df are all computed over the ANALYZED token stream, exactly
+    * as an ES index built with that analyzer would score. `terms` must
+    * already be analyzed with the matching search chain. */
+  def bm25ScoresFromToks(
+      toksDf: DataFrame,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame =
+    bm25ComponentsFromToks(toksDf, terms, k1, b)
+      .groupBy(col("id"))
+      .agg(Num.round(sum(col("term_score")), 4).as("score"))
+
+  private def bm25ComponentsFromToks(
+      toksDf: DataFrame,
+      q: Seq[String],
+      k1: Double,
+      b: Double): DataFrame = {
+    require(q.nonEmpty, "bm25 needs at least one analyzed term")
+    val toks = toksDf.withColumn("dl", size(col("toks")).cast("double"))
 
     // 1-row corpus stats; cross-joined (broadcast of a single row).
     val stats = toks.agg(

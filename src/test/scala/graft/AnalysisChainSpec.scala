@@ -1,0 +1,126 @@
+package graft
+
+import graft.analysis.{Analyzer, Stemmers}
+import org.apache.spark.sql.functions._
+
+class AnalysisChainSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("porter: the published worked examples (Porter 1980)") {
+    // every (input, output) pair below appears verbatim as a worked
+    // example in the paper's step-by-step rule listing
+    val vectors = Seq(
+      // step 1a
+      "caresses" -> "caress", "ponies" -> "poni", "ties" -> "ti",
+      "caress" -> "caress", "cats" -> "cat",
+      // step 1b (+ cleanup)
+      "feed" -> "feed", "agreed" -> "agre", "plastered" -> "plaster",
+      "bled" -> "bled", "motoring" -> "motor", "sing" -> "sing",
+      "conflated" -> "conflat", "troubled" -> "troubl", "sized" -> "size",
+      "hopping" -> "hop", "tanned" -> "tan", "falling" -> "fall",
+      "hissing" -> "hiss", "fizzed" -> "fizz", "failing" -> "fail",
+      "filing" -> "file",
+      // step 1c
+      "happy" -> "happi", "sky" -> "sky",
+      // step 2
+      "relational" -> "relat", "conditional" -> "condit",
+      "rational" -> "ration", "valenci" -> "valenc",
+      "hesitanci" -> "hesit", "digitizer" -> "digit",
+      "conformabli" -> "conform", "radicalli" -> "radic",
+      "differentli" -> "differ", "vileli" -> "vile",
+      "analogousli" -> "analog", "vietnamization" -> "vietnam",
+      "predication" -> "predic", "operator" -> "oper",
+      "feudalism" -> "feudal", "decisiveness" -> "decis",
+      "hopefulness" -> "hope", "callousness" -> "callous",
+      "formaliti" -> "formal", "sensitiviti" -> "sensit",
+      "sensibiliti" -> "sensibl",
+      // step 3
+      "triplicate" -> "triplic", "formative" -> "form",
+      "formalize" -> "formal", "electriciti" -> "electr",
+      "electrical" -> "electr", "hopeful" -> "hope",
+      "goodness" -> "good",
+      // step 4
+      "revival" -> "reviv", "allowance" -> "allow",
+      "inference" -> "infer", "airliner" -> "airlin",
+      "gyroscopic" -> "gyroscop", "adjustable" -> "adjust",
+      "defensible" -> "defens", "irritant" -> "irrit",
+      "replacement" -> "replac", "adjustment" -> "adjust",
+      "dependent" -> "depend", "adoption" -> "adopt",
+      "homologou" -> "homolog", "communism" -> "commun",
+      "activate" -> "activ", "angulariti" -> "angular",
+      "homologous" -> "homolog", "effective" -> "effect",
+      "bowdlerize" -> "bowdler",
+      // step 5
+      "probate" -> "probat", "rate" -> "rate", "cease" -> "ceas",
+      "controll" -> "control", "roll" -> "roll")
+    val failures = vectors.collect {
+      case (in, want) if Stemmers.porter(in) != want =>
+        s"$in -> ${Stemmers.porter(in)} (want $want)"
+    }
+    assert(failures.isEmpty, failures.mkString("; "))
+  }
+
+  test("porter: inflection families conflate") {
+    assert(Stemmers.porter("running") == "run")
+    assert(Stemmers.porter("runs") == "run")
+    assert(Stemmers.porter("generalizations") == "gener")
+    assert(Stemmers.porter("oscillators") == "oscil")
+    assert(Stemmers.porter("as") == "as") // <= 2 chars untouched
+  }
+
+  test("minimal_english: plural rules") {
+    assert(Stemmers.minimalEnglish("tables") == "table")
+    assert(Stemmers.minimalEnglish("queries") == "query")
+    assert(Stemmers.minimalEnglish("class") == "class") // -ss kept
+    assert(Stemmers.minimalEnglish("corpus") == "corpus") // -us kept
+    assert(Stemmers.minimalEnglish("goes") == "goes") // vowel+es kept
+    assert(Stemmers.minimalEnglish("as") == "as") // too short
+    assert(Stemmers.minimalEnglish("windows") == "window")
+    assert(Stemmers.minimalEnglish("ties") == "ty") // -ies -> -y
+    assert(Stemmers.minimalEnglish("aies") == "aies") // a/e before -ies kept
+  }
+
+  test("chain kernel: stop -> stem -> edge order, eval == codegen") {
+    val df = Seq(
+      (1L, "the tables are fast"),
+      (2L, "a window scans queries")).toDF("id", "text")
+    val chained = df.select(col("id"),
+      Analyzer.chainText(col("text"),
+        stop = Analyzer.EnglishStop, stemmer = "minimal_english").as("toks"))
+      .orderBy("id").as[(Long, Seq[String])].collect()
+    assert(chained(0)._2 == Seq("table", "fast"))
+    assert(chained(1)._2 == Seq("window", "scan", "query"))
+
+    // edge_ngram expansion (2..4), no stop/stem
+    val eg = df.where(col("id") === 2)
+      .select(Analyzer.chainText(col("text"), edge = Some((2, 4))).as("egs"))
+      .as[Seq[String]].collect().head
+    assert(eg.contains("wi") && eg.contains("win") && eg.contains("wind"))
+    assert(!eg.contains("windo")) // beyond max
+    assert(!eg.contains("a")) // below min emits nothing
+    assert(eg.count(_ == "sc") == 1)
+
+    // interpreted eval path agrees with codegen (the driver-side
+    // analyzeChain is a third independent implementation)
+    assert(Analyzer.analyzeChain("the tables are fast",
+      Analyzer.EnglishStop, "minimal_english") == Seq("table", "fast"))
+  }
+
+  test("matchChain + matchSynonyms semantics") {
+    import graft.search.Search
+    val df = Seq(
+      (1L, "the table is fast"),
+      (2L, "windows sort rows"),
+      (3L, "quick merge path")).toDF("id", "text")
+    val toks = Analyzer.tokens(col("text"))
+    // stemmed OR-match: "tables windows" hits 1 (table) and 2 (windows)
+    val hits = df.where(Search.matchChain(toks, "tables windows",
+      stemmer = "minimal_english")).select("id").as[Long].collect().toSet
+    assert(hits == Set(1L, 2L))
+    // synonym AND: (rapid|fast|quick) AND (path|table)
+    val syn = df.where(Search.matchSynonyms(toks, "rapid path",
+      Map("rapid" -> Seq("fast", "quick"), "path" -> Seq("table"))))
+      .select("id").as[Long].collect().toSet
+    assert(syn == Set(1L, 3L))
+  }
+}
