@@ -255,6 +255,59 @@ object ScaleProbe {
     time("mix_sample_10x") {
       graft.text.TextAnalysis.mixSample(docs, "source", "doc_id").count()
     }
+    // r8 shapes ------------------------------------------------------
+    time("embed_dedup_lsh_10x") {
+      // SRP-blocked embedding dedup on the UNLABELED replicated
+      // corpus: replicas are exact vector clones, so every clone
+      // group shares all table buckets (the worst case, like the
+      // minhash probe). The candidate count below is the
+      // bucket-boundedness evidence: ~sum over buckets of C(n_b, 2),
+      // NOT C(N, 2).
+      Dedup.embeddingPairsLshUnsorted(
+        emb, "vec_id", "embedding", dim = 64, tables = 4).count()
+    }
+    time("percolate_dsl_500k") {
+      // registry-as-data DSL percolation with a 500k-query registry:
+      // the registry is never inlined into the plan — the probe
+      // measures the exploded-registry exchange at millions-of-terms
+      // scale. 1-in-500 queries use real vocabulary (+ range); the
+      // rest carry a never-matching term, keeping the OUTPUT bounded
+      // while the join machinery sees the full registry.
+      val vocab = Array("key", "agg", "row", "scan", "slow",
+        "fast", "table", "value", "part", "hash")
+      val reg = spark.range(500000).select(
+        concat(lit("q"), col("id")).as("query_id"),
+        when(col("id") % 500 === 0,
+          array(element_at(lit(vocab), (pmod(col("id"), lit(10)) + 1).cast("int")), lit("merge")))
+          .otherwise(array(concat(lit("zz"), col("id")), lit("table"))).as("terms"),
+        when(col("id") % 500 === 0, lit("n_chars"))
+          .otherwise(lit(null).cast("string")).as("range_field"),
+        lit(100.0).as("range_min"), lit(450.0).as("range_max"),
+        lit(null).cast("string").as("phrase"))
+      Search.percolateDsl(docs, "doc_id", "text", reg, Seq("n_chars")).count()
+    }
+    // ANN recall probe: lsh/ivf top-10 vs brute-force ground truth
+    // over the replicated corpus; the number printed is mean
+    // recall@10 across the 5 probe queries — the honest accuracy
+    // figure for "IVF/LSH as the HNSW stand-in" (SURVEY §4).
+    locally {
+      val queries = emb.where(col("vec_id") < 5)
+      val truth = graft.sim.Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("id"))
+      def recall(name: String, approx: DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        val hit = truth.join(approx.select(col("query_id"), col("id")),
+          Seq("query_id", "id")).groupBy("query_id")
+          .agg(count(lit(1)).as("hits"))
+        val r = hit.agg(avg(col("hits") / 10.0)).head().getDouble(0)
+        println(f"[scaleprobe] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  (recall@10 = $r%.3f)")
+      }
+      recall("ann_lsh_recall_10x",
+        graft.sim.Ann.lshTopK(emb, queries, "vec_id", "embedding", dim = 64, k = 10))
+      recall("ann_ivf_recall_10x",
+        graft.sim.Ann.ivfTopK(emb, queries, "vec_id", "embedding",
+          nCentroids = 16, nprobe = 4, k = 10))
+    }
     time("esql_fuse_10x") {
       // FUSE cost is bounded by the fork windows (LIMIT-ed), not the
       // corpus — the two branch scans dominate

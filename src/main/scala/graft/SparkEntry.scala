@@ -1018,6 +1018,23 @@ object SparkEntry {
         ("merge_heavy", Seq("merge", "sort", "hash"))).toDF("query_id", "terms")
       Search.percolateTerms(t(s, d, "documents"), "doc_id", "text", registry)
     }),
+    // registry-as-data percolation over the bounded DSL subset:
+    // terms + numeric range + phrase per stored query (r8)
+    "q_percolate_dsl" -> ((s, d) => {
+      import s.implicits._
+      val registry = Seq(
+        ("r_spark_long", Seq("spark", "join"), Some("n_chars"),
+          Some(300.0), Some(10000.0), None: Option[String]),
+        ("r_table_phrase", Seq("table"), None: Option[String],
+          None: Option[Double], None: Option[Double], Some("table scan")),
+        ("r_merge", Seq("merge", "sort"), None: Option[String],
+          None: Option[Double], None: Option[Double], None: Option[String]),
+        ("r_fast_short", Seq("fast"), Some("n_chars"),
+          Some(0.0), Some(350.0), None: Option[String]))
+        .toDF("query_id", "terms", "range_field", "range_min", "range_max", "phrase")
+      Search.percolateDsl(t(s, d, "documents"), "doc_id", "text",
+        registry, Seq("n_chars"))
+    }),
 
     // ---- C. Aggregations ----
     "q_agg_terms" -> ((s, d) => Aggs.termsAgg(t(s, d, "orders"), "o_orderpriority", 3)),
@@ -1544,7 +1561,13 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", 3)),
     "q_dedup_ngram" -> ((s, d) =>
       Dedup.ngramJaccardTopK(t(s, d, "documents").where(col("source") === "src0"), "doc_id", "text", 20)),
+    // blocking key COMPUTED from the vector (SRP buckets), not assumed
+    // from a label column — the unlabeled-corpus scale path (r8)
     "q_dedup_embed" -> ((s, d) =>
+      Dedup.embeddingTopKPairsLsh(t(s, d, "embeddings"), "vec_id", "embedding",
+        dim = 64, k = 20)),
+    // the labeled-block variant stays covered under its own key
+    "q_dedup_embed_block" -> ((s, d) =>
       Dedup.embeddingTopKPairs(t(s, d, "embeddings"), "vec_id", "embedding", "label", 20)),
     "q_ann_brute" -> ((s, d) => {
       val e = t(s, d, "embeddings")
@@ -2540,6 +2563,25 @@ object SparkEntry {
       "dx AS (SELECT doc_id AS id, unnest(list_distinct(toks)) AS term FROM tok) " +
       "SELECT id, query_id FROM dx JOIN qx USING (term) " +
       "GROUP BY id, query_id, n_terms HAVING count(*) = n_terms ORDER BY id, query_id"),
+    "q_percolate_dsl" -> (TokCte + ", " +
+      "reg AS (SELECT * FROM (VALUES " +
+      "('r_spark_long', ['spark','join'], 'n_chars', 300.0, 10000.0, NULL), " +
+      "('r_table_phrase', ['table'], NULL, NULL, NULL, 'table scan'), " +
+      "('r_merge', ['merge','sort'], NULL, NULL, NULL, NULL), " +
+      "('r_fast_short', ['fast'], 'n_chars', 0.0, 350.0, NULL)) " +
+      "AS t(query_id, terms, range_field, range_min, range_max, phrase)), " +
+      "qx AS (SELECT query_id, unnest(terms) AS term, len(terms) AS n_terms FROM reg), " +
+      "dx AS (SELECT doc_id AS id, unnest(list_distinct(toks)) AS term FROM tok), " +
+      "cand AS (SELECT id, query_id FROM dx JOIN qx USING (term) " +
+      "GROUP BY id, query_id, n_terms HAVING count(*) = n_terms), " +
+      "j AS (SELECT doc_id AS id, ' ' || array_to_string(toks, ' ') || ' ' AS joined, n_chars " +
+      "FROM tok JOIN documents USING (doc_id)) " +
+      "SELECT cand.id AS id, cand.query_id AS query_id FROM cand JOIN j ON j.id = cand.id JOIN reg USING (query_id) " +
+      "WHERE (range_field IS NULL OR " +
+      "((CASE WHEN range_field = 'n_chars' THEN n_chars::DOUBLE END) >= range_min AND " +
+      "(CASE WHEN range_field = 'n_chars' THEN n_chars::DOUBLE END) < range_max)) " +
+      "AND (phrase IS NULL OR contains(joined, ' ' || phrase || ' ')) " +
+      "ORDER BY cand.id, cand.query_id"),
     "q_percolate" -> (TokCte.replace("SELECT doc_id,", "SELECT doc_id, lang, source, n_chars,") +
       ", m AS (SELECT doc_id, " +
       "CASE WHEN list_has_all(toks, ['spark','join']) THEN 'wants_spark' END AS q1, " +
@@ -3055,7 +3097,23 @@ object SparkEntry {
       "SELECT a.doc_id AS id1, b.doc_id AS id2, " +
       "round(len(list_intersect(a.sh, b.sh))::DOUBLE / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard " +
       "FROM sh a JOIN sh b ON a.doc_id < b.doc_id ORDER BY jaccard DESC, id1, id2 LIMIT 20"),
-    "q_dedup_embed" -> ("WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), " +
+    "q_dedup_embed" -> {
+      // identical SRP bucket generation to the q_ann_lsh oracle
+      val comp = "((" + hexFold("'h:' || t::VARCHAR || ':' || p::VARCHAR || ':' || d::VARCHAR", 8) +
+        ") / 4294967296.0 - 0.5)"
+      val dotp = s"list_reduce(list_transform(range(0, 64), d -> v[d + 1] * $comp), (x, y) -> x + y)"
+      val bucketT = "list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 8), p -> " +
+        s"CASE WHEN $dotp >= 0 THEN (1::BIGINT << (7 - p)) ELSE 0::BIGINT END)), (a, b) -> a + b)"
+      val buckets = s"list_transform(range(0, 4), t -> t::VARCHAR || '|' || ($bucketT)::VARCHAR)"
+      "WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), " +
+        "n AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm FROM e), " +
+        s"b AS (SELECT vec_id, unnest($buckets) AS bucket FROM e), " +
+        "cand AS (SELECT DISTINCT a.vec_id AS cid1, b2.vec_id AS cid2 FROM b a JOIN b b2 USING (bucket) WHERE a.vec_id < b2.vec_id) " +
+        "SELECT cid1 AS id1, cid2 AS id2, " +
+        "round(list_reduce(list_prepend(0.0, list_transform(range(1, len(x.v) + 1), i -> x.v[i] * y.v[i])), (p, q) -> p + q) / (x.nrm * y.nrm), 4) AS cosine " +
+        "FROM cand JOIN n x ON x.vec_id = cid1 JOIN n y ON y.vec_id = cid2 ORDER BY cosine DESC, id1, id2 LIMIT 20"
+    },
+    "q_dedup_embed_block" -> ("WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), " +
       "n AS (SELECT vec_id, label, v, sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm FROM e) " +
       "SELECT a.vec_id AS id1, b.vec_id AS id2, " +
       "round(list_reduce(list_prepend(0.0, list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])), (x, y) -> x + y) / (a.nrm * b.nrm), 4) AS cosine " +

@@ -390,10 +390,64 @@ object Dedup {
       .limit(k)
   }
 
+  /** Embedding near-dup with a COMPUTED blocking key: SRP-LSH buckets
+    * (sign bits of md5-derived hyperplane dots — Ann.tableBuckets, the
+    * same machinery as lshTopK), `tables` tables OR'd like MinHash
+    * bands: a pair is a candidate when it shares ANY table's bucket.
+    * Exact cosine verifies candidates only.
+    *
+    * This is the unlabeled-corpus form of embeddingTopKPairs: no
+    * grouping column is assumed. At 100 TB the exchange carries
+    * (bucket, id) pairs, the pair join is bucket-local, and candidate
+    * count is bounded by per-bucket occupancy (2^planes buckets per
+    * table drive the expected bucket size; raise `planes` with corpus
+    * size). Near-identical vectors agree on all sign bits, so recall
+    * for the near-dup range (cosine -> 1) approaches 1 while distant
+    * pairs land in disjoint buckets. */
+  def embeddingTopKPairsLsh(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      tables: Int = 4,
+      planes: Int = 8): DataFrame =
+    embeddingPairsLshUnsorted(emb, idCol, vecCol, dim, tables, planes)
+      .orderBy(col("cosine").desc, col("id1").asc, col("id2").asc)
+      .limit(k)
+
+  /** The unsorted (id1, id2, cosine) candidate-pair frame behind
+    * embeddingTopKPairsLsh — for thresholded dedup / cluster feeds and
+    * for probing candidate counts, where a global sort would be
+    * wasted. */
+  def embeddingPairsLshUnsorted(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      tables: Int = 4,
+      planes: Int = 8): DataFrame = {
+    val e = emb.select(
+      col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val buckets = e.select(col("id"),
+      explode(graft.sim.Ann.tableBuckets(col("v"), dim, tables, planes)).as("bucket"))
+    val cand = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    cand
+      .join(e.select(col("id").as("id1"), col("v").as("v1")), "id1")
+      .join(e.select(col("id").as("id2"), col("v").as("v2")), "id2")
+      .select(
+        col("id1"), col("id2"),
+        Num.round(Vectors.cosine(col("v1"), col("v2")), 4).as("cosine"))
+  }
+
   /** Embedding near-dup: top-k most-similar pairs by exact cosine,
-    * blocked on a grouping column (e.g. a cluster/label id) so the
-    * pair join is bucket-local — the blocking column is what bounds
-    * candidate count at scale. */
+    * blocked on a grouping column (a KNOWN cluster/label id) so the
+    * pair join is bucket-local. Use embeddingTopKPairsLsh when no such
+    * column exists — the usual case on a raw corpus. */
   def embeddingTopKPairs(
       emb: DataFrame,
       idCol: String,

@@ -1358,6 +1358,65 @@ object Search {
       .orderBy(col("id").asc, col("query_id").asc)
   }
 
+  /** Percolation for LARGE registries over a bounded DSL subset:
+    * each stored query is a DATA row
+    * `(query_id, terms, range_field, range_min, range_max, phrase)` —
+    * a conjunctive term set, an optional numeric range
+    * (`field in [min, max)`, null range_field = no range clause) and
+    * an optional phrase (consecutive analyzed tokens, null = none).
+    * That covers the `bool{ filter: terms + range + match_phrase }`
+    * class of percolator queries, evaluated entirely as data:
+    *
+    *  1. candidate (doc, query) pairs from the SAME exploded-token
+    *     join as percolateTerms (terms are the required clause — the
+    *     selective leg, exactly how ES's percolator uses its
+    *     extracted-term index to prefilter candidates);
+    *  2. range + phrase verified on the candidate pairs only, as
+    *     data-driven column predicates (range_field dispatches over
+    *     `numericFields` via one CASE; the phrase check is a
+    *     substring scan of the space-joined token stream).
+    *
+    * Registry scales to millions of rows (it is never inlined into
+    * the plan); the corpus shuffles only (token, id) pairs for tokens
+    * that appear in some query's term set. */
+  def percolateDsl(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      registry: DataFrame,
+      numericFields: Seq[String]): DataFrame = {
+    val q = registry.select(
+      col("query_id"),
+      explode(col("terms")).as("term"),
+      size(col("terms")).as("n_terms"))
+    val cand = docs
+      .select(col(idCol).as("id"), explode(Analyzer.termSet(col(textCol))).as("term"))
+      .join(q, "term")
+      .groupBy(col("id"), col("query_id"))
+      .agg(count(lit(1)).as("matched"), first(col("n_terms")).as("n_terms"))
+      .where(col("matched") === col("n_terms"))
+      .select(col("id"), col("query_id"))
+    val docSide = docs.select(
+      (col(idCol).as("id") +:
+        concat(lit(" "), concat_ws(" ", Analyzer.tokens(col(textCol))), lit(" "))
+          .as("_joined") +:
+        numericFields.map(f => col(f))): _*)
+    val fieldVal = numericFields.foldRight(lit(null).cast("double")) {
+      case (f, other) => when(col("range_field") === f, col(f).cast("double")).otherwise(other)
+    }
+    cand
+      .join(docSide, "id")
+      .join(registry.select(col("query_id"), col("range_field"),
+        col("range_min"), col("range_max"), col("phrase")), "query_id")
+      .where(
+        (col("range_field").isNull ||
+          (fieldVal >= col("range_min") && fieldVal < col("range_max"))) &&
+        (col("phrase").isNull ||
+          col("_joined").contains(concat(lit(" "), col("phrase"), lit(" ")))))
+      .select(col("id"), col("query_id"))
+      .orderBy(col("id").asc, col("query_id").asc)
+  }
+
   /** `more_like_this`: take the seed document's top-`m` terms by term
     * frequency (tie-broken by term asc), then find other documents
     * containing at least `minMatch` of them. Seed term extraction is a
