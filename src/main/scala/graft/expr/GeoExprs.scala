@@ -72,6 +72,67 @@ object PolyKernels {
     }
     inside
   }
+
+  /** Open linestring (vertex path, NOT closed) vs axis-aligned box:
+    * true when any segment intersects the box — bbox reject, then the
+    * separating-line test (all four box corners strictly on one side
+    * of the segment's supporting line = no hit). The same closed-form
+    * comparisons the DuckDB oracle mirrors (boolean output — no
+    * rounding concerns). */
+  def linestringIntersectsBox(
+      lats: org.apache.spark.sql.catalyst.util.ArrayData,
+      lons: org.apache.spark.sql.catalyst.util.ArrayData,
+      top: Double, left: Double, bottom: Double, right: Double): Boolean = {
+    val n = lats.numElements()
+    var i = 0
+    while (i < n - 1) {
+      val y1 = lats.getDouble(i); val x1 = lons.getDouble(i)
+      val y2 = lats.getDouble(i + 1); val x2 = lons.getDouble(i + 1)
+      val bboxMiss =
+        math.max(x1, x2) < left || math.min(x1, x2) > right ||
+        math.max(y1, y2) < bottom || math.min(y1, y2) > top
+      if (!bboxMiss) {
+        def cross(cx: Double, cy: Double): Double =
+          (x2 - x1) * (cy - y1) - (y2 - y1) * (cx - x1)
+        val d1 = cross(left, bottom); val d2 = cross(left, top)
+        val d3 = cross(right, bottom); val d4 = cross(right, top)
+        val sameSide = (d1 > 0 && d2 > 0 && d3 > 0 && d4 > 0) ||
+          (d1 < 0 && d2 < 0 && d3 < 0 && d4 < 0)
+        if (!sameSide) return true
+      }
+      i += 1
+    }
+    false
+  }
+}
+
+/** (latArray, lonArray) -> does the row's linestring intersect the
+  * query envelope? One compiled segment loop per row. */
+case class LinestringIntersectsBox(
+    left: Expression, right: Expression,
+    top: Double, boxLeft: Double, bottom: Double, boxRight: Double)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "linestring_intersects_box"
+
+  override def nullSafeEval(lats: Any, lons: Any): Any =
+    PolyKernels.linestringIntersectsBox(
+      lats.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      lons.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      top, boxLeft, bottom, boxRight)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (la, lo) =>
+      s"${ev.value} = graft.expr.PolyKernels.linestringIntersectsBox(" +
+        s"$la, $lo, $top, $boxLeft, $bottom, $boxRight);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LinestringIntersectsBox =
+    copy(left = newLeft, right = newRight)
 }
 
 /** (latArray, lonArray) -> does the row's polygon contain (qLat, qLon)? */
