@@ -57,6 +57,14 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // host 1/5/15-min loadavg: r4's headline (584 s vs a quiet 184 s on the
+    // same code) was host CPU starvation outside the container's visibility;
+    // recording load next to the timing lets the reader adjudicate that
+    // without a re-run
+    val loadavg = try {
+      scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+").take(3).mkString(",")
+    } catch { case _: Throwable => "" }
     // Two lines: the full per-query map first (humans / archaeology),
     // then a COMPACT summary line LAST. The driver records a bounded
     // tail of the log and parses the JSON it finds there; with 170+
@@ -71,7 +79,7 @@ object Bench {
       .mkString("{", ",", "}")
     // a broken query must be visible as "failed", not as a
     // suspiciously fast total
-    println(s"""{"queries":$top,"queries_total_count":${results.size},"queries_shown":"slowest 25","failed":$failedJson,"sf":"$sfDir","metric":"total","unit":"sec","value":${d3(total)}}""")
+    println(s"""{"queries":$top,"queries_total_count":${results.size},"queries_shown":"slowest 25","failed":$failedJson,"host_loadavg":"$loadavg","sf":"$sfDir","metric":"total","unit":"sec","value":${d3(total)}}""")
     spark.stop()
   }
 }

@@ -163,6 +163,32 @@ object SparkEntry {
     graft.expr.GeoKernels.geohashKernel(lat, lon, 2).toString
   }
 
+  /** Closed-form diamond containment term for the geo_shape oracles:
+    * |dy|/arm_y + |dx|/arm_x of the fixed query point, with the arm
+    * picked by which side of the centre the point falls. Shares no
+    * code path with the ray-cast kernel the Spark side runs. */
+  private def diamondTSql(
+      latC: String, lonC: String, n: String, s: String, e: String, w: String): String =
+    s"((CASE WHEN 5.1234567 >= $latC THEN (5.1234567 - $latC) / $n ELSE ($latC - 5.1234567) / $s END) + " +
+      s"(CASE WHEN 10.7654321 >= $lonC THEN (10.7654321 - $lonC) / $e ELSE ($lonC - 10.7654321) / $w END))"
+
+  /** Segment-vs-box intersects (SQL): bbox reject, then the
+    * separating-line corner test — the identical comparisons
+    * PolyKernels.linestringIntersectsBox compiles, so the boolean
+    * agrees bitwise with the kernel. */
+  private def segBoxSql(
+      y1: String, x1: String, y2: String, x2: String,
+      top: Double, left: Double, bottom: Double, right: Double): String = {
+    def cross(cx: Double, cy: Double): String =
+      s"(($x2 - $x1) * ($cy - $y1) - ($y2 - $y1) * ($cx - $x1))"
+    val d1 = cross(left, bottom); val d2 = cross(left, top)
+    val d3 = cross(right, bottom); val d4 = cross(right, top)
+    s"(NOT (GREATEST($x1, $x2) < $left OR LEAST($x1, $x2) > $right OR " +
+      s"GREATEST($y1, $y2) < $bottom OR LEAST($y1, $y2) > $top) AND NOT " +
+      s"(($d1 > 0 AND $d2 > 0 AND $d3 > 0 AND $d4 > 0) OR " +
+      s"($d1 < 0 AND $d2 < 0 AND $d3 < 0 AND $d4 < 0)))"
+  }
+
   private def geoPolygonOracleSql(vertices: Seq[(Double, Double)]): String = {
     val terms = vertices.indices.map { i =>
       val (lat1, lon1) = vertices(i)
@@ -741,6 +767,83 @@ object SparkEntry {
             top = 29.876, left = -59.43, bottom = -29.954, right = 59.781)
             .cast("int").as("within_env"))
         .where(col("contains_pt") === 1 || col("within_env") === 1)
+        .orderBy(col("c_custkey"))
+    }),
+    // geo_shape full topology 1: polygon WITH A HOLE. The shape is a
+    // diamond with a concentric 1/3-scale diamond hole; containment is
+    // even-odd parity across both rings (one compiled loop). The
+    // oracle checks the generic kernel independently via the diamond
+    // closed form: in_shape = outer <= 1 AND NOT hole <= 1.
+    "q_geo_shape_holes" -> ((s, d) => {
+      val c = withGeo(t(s, d, "customer"))
+        .withColumn("an", (col("c_custkey") % 7 + 2).cast("double") * 8.0)
+        .withColumn("ae", (col("c_custkey") % 5 + 2).cast("double") * 8.0)
+        .withColumn("aso", (col("c_custkey") % 3 + 2).cast("double") * 8.0)
+        .withColumn("aw", (col("c_custkey") % 11 + 2).cast("double") * 8.0)
+        .withColumn("hn", col("an") / 3.0).withColumn("he", col("ae") / 3.0)
+        .withColumn("hs", col("aso") / 3.0).withColumn("hw", col("aw") / 3.0)
+      val outerLats = array(
+        col("lat") + col("an"), col("lat"), col("lat") - col("aso"), col("lat"))
+      val outerLons = array(
+        col("lon"), col("lon") + col("ae"), col("lon"), col("lon") - col("aw"))
+      val latRings = array(outerLats, array(
+        col("lat") + col("hn"), col("lat"), col("lat") - col("hs"), col("lat")))
+      val lonRings = array(outerLons, array(
+        col("lon"), col("lon") + col("he"), col("lon"), col("lon") - col("hw")))
+      c.select(
+          col("c_custkey"),
+          Relational.shapeContainsPoint(outerLats, outerLons,
+            5.1234567, 10.7654321).cast("int").as("in_outer"),
+          Relational.shapeRingsContainPoint(latRings, lonRings,
+            5.1234567, 10.7654321).cast("int").as("in_shape"))
+        .where(col("in_outer") === 1)
+        .orderBy(col("c_custkey"))
+    }),
+    // geo_shape full topology 2: MULTIPOLYGON — two disjoint-by-
+    // construction diamond parts (second centered at the negated
+    // coordinates with rotated arms); even-odd across parts = union.
+    "q_geo_shape_multi" -> ((s, d) => {
+      val c = withGeo(t(s, d, "customer"))
+        .withColumn("an", (col("c_custkey") % 7 + 2).cast("double") * 8.0)
+        .withColumn("ae", (col("c_custkey") % 5 + 2).cast("double") * 8.0)
+        .withColumn("aso", (col("c_custkey") % 3 + 2).cast("double") * 8.0)
+        .withColumn("aw", (col("c_custkey") % 11 + 2).cast("double") * 8.0)
+        .withColumn("lat2", -col("lat")).withColumn("lon2", -col("lon"))
+      val latRings = array(
+        array(col("lat") + col("an"), col("lat"), col("lat") - col("aso"), col("lat")),
+        array(col("lat2") + col("ae"), col("lat2"), col("lat2") - col("aw"), col("lat2")))
+      val lonRings = array(
+        array(col("lon"), col("lon") + col("ae"), col("lon"), col("lon") - col("aw")),
+        array(col("lon2"), col("lon2") + col("an"), col("lon2"), col("lon2") - col("aso")))
+      c.select(
+          col("c_custkey"),
+          Relational.shapeRingsContainPoint(latRings, lonRings,
+            5.1234567, 10.7654321).cast("int").as("in_shape"))
+        .where(col("in_shape") === 1)
+        .orderBy(col("c_custkey"))
+    }),
+    // geo_shape full topology 3: LINESTRING intersects envelope — a
+    // 4-vertex per-row polyline vs a fixed query box; per segment,
+    // bbox reject then the separating-axis corner test (compiled).
+    // Oracle mirrors the identical closed-form comparisons.
+    "q_geo_shape_line" -> ((s, d) => {
+      val c = withGeo(t(s, d, "customer"))
+        .withColumn("an", (col("c_custkey") % 7 + 2).cast("double") * 4.0)
+        .withColumn("ae", (col("c_custkey") % 5 + 2).cast("double") * 4.0)
+        .withColumn("aso", (col("c_custkey") % 3 + 2).cast("double") * 4.0)
+        .withColumn("aw", (col("c_custkey") % 11 + 2).cast("double") * 4.0)
+      val lats = array(
+        col("lat"), col("lat") + col("an"),
+        col("lat") - col("aso"), col("lat") + col("an") / 2.0)
+      val lons = array(
+        col("lon"), col("lon") + col("ae"),
+        col("lon") + lit(2.0) * col("ae"), col("lon") - col("aw"))
+      c.select(
+          col("c_custkey"),
+          Relational.linestringIntersectsEnvelope(lats, lons,
+            top = 20.0, left = -30.0, bottom = -20.0, right = 30.0)
+            .cast("int").as("hits"))
+        .where(col("hits") === 1)
         .orderBy(col("c_custkey"))
     }),
     // ES 8 hybrid search: BM25 + vector retrievers fused by
@@ -1914,6 +2017,12 @@ object SparkEntry {
     // reversed sort, re-sorted — never a global collect)
     "q_eql_tail" -> ((s, d) => graft.dsl.Eql.run(s, d,
       "purchase where value > 100 | tail 5")),
+    // EQL `with runs=2`: the step repeats — two successive qualifying
+    // clicks must follow the view. Expansion to duplicate-type steps
+    // rides on the per-level match flags (one event can extend a
+    // different chain per level, never two slots of one chain).
+    "q_eql_runs" -> ((s, d) => graft.dsl.Eql.run(s, d,
+      "sequence by user_id with maxspan=24h [view] [click where value > 100] with runs=2")),
     // EQL `any` type wildcard + EQL-spelled functions (wildcard →
     // LIKE, stringContains → contains) compiled into the one scan
     "q_eql_funcs" -> ((s, d) => graft.dsl.Eql.run(s, d,
@@ -2301,6 +2410,36 @@ object SparkEntry {
       "THEN 1 ELSE 0 END)::INT AS within_env FROM a) " +
       "SELECT c_custkey, contains_pt, within_env FROM f " +
       "WHERE contains_pt = 1 OR within_env = 1 ORDER BY c_custkey"),
+    "q_geo_shape_holes" -> (GeoCte +
+      ", a AS (SELECT c_custkey, lat, lon, " +
+      "CAST(c_custkey % 7 + 2 AS DOUBLE) * 8.0 AS an, CAST(c_custkey % 5 + 2 AS DOUBLE) * 8.0 AS ae, " +
+      "CAST(c_custkey % 3 + 2 AS DOUBLE) * 8.0 AS aso, CAST(c_custkey % 11 + 2 AS DOUBLE) * 8.0 AS aw FROM g), " +
+      "h AS (SELECT *, an / 3.0 AS hn, ae / 3.0 AS he, aso / 3.0 AS hs, aw / 3.0 AS hw FROM a), " +
+      "f AS (SELECT c_custkey, " +
+      s"(CASE WHEN ${diamondTSql("lat", "lon", "an", "aso", "ae", "aw")} <= 1.0 THEN 1 ELSE 0 END)::INT AS in_outer, " +
+      s"(CASE WHEN ${diamondTSql("lat", "lon", "an", "aso", "ae", "aw")} <= 1.0 AND " +
+      s"NOT (${diamondTSql("lat", "lon", "hn", "hs", "he", "hw")} <= 1.0) THEN 1 ELSE 0 END)::INT AS in_shape FROM h) " +
+      "SELECT c_custkey, in_outer, in_shape FROM f WHERE in_outer = 1 ORDER BY c_custkey"),
+    "q_geo_shape_multi" -> (GeoCte +
+      ", a AS (SELECT c_custkey, lat, lon, -lat AS lat2, -lon AS lon2, " +
+      "CAST(c_custkey % 7 + 2 AS DOUBLE) * 8.0 AS an, CAST(c_custkey % 5 + 2 AS DOUBLE) * 8.0 AS ae, " +
+      "CAST(c_custkey % 3 + 2 AS DOUBLE) * 8.0 AS aso, CAST(c_custkey % 11 + 2 AS DOUBLE) * 8.0 AS aw FROM g), " +
+      "f AS (SELECT c_custkey, " +
+      s"(CASE WHEN (${diamondTSql("lat", "lon", "an", "aso", "ae", "aw")} <= 1.0) != " +
+      s"(${diamondTSql("lat2", "lon2", "ae", "aw", "an", "aso")} <= 1.0) THEN 1 ELSE 0 END)::INT AS in_shape FROM a) " +
+      "SELECT c_custkey, in_shape FROM f WHERE in_shape = 1 ORDER BY c_custkey"),
+    "q_geo_shape_line" -> (GeoCte +
+      ", a AS (SELECT c_custkey, lat, lon, " +
+      "CAST(c_custkey % 7 + 2 AS DOUBLE) * 4.0 AS an, CAST(c_custkey % 5 + 2 AS DOUBLE) * 4.0 AS ae, " +
+      "CAST(c_custkey % 3 + 2 AS DOUBLE) * 4.0 AS aso, CAST(c_custkey % 11 + 2 AS DOUBLE) * 4.0 AS aw FROM g), " +
+      "v AS (SELECT c_custkey, lat AS y1, lon AS x1, lat + an AS y2, lon + ae AS x2, " +
+      "lat - aso AS y3, lon + 2.0 * ae AS x3, lat + an / 2.0 AS y4, lon - aw AS x4 FROM a), " +
+      "f AS (SELECT c_custkey, (CASE WHEN " +
+      s"${segBoxSql("y1", "x1", "y2", "x2", 20.0, -30.0, -20.0, 30.0)} OR " +
+      s"${segBoxSql("y2", "x2", "y3", "x3", 20.0, -30.0, -20.0, 30.0)} OR " +
+      s"${segBoxSql("y3", "x3", "y4", "x4", 20.0, -30.0, -20.0, 30.0)} " +
+      "THEN 1 ELSE 0 END)::INT AS hits FROM v) " +
+      "SELECT c_custkey, hits FROM f WHERE hits = 1 ORDER BY c_custkey"),
     // identical fusion as q_hybrid_rrf: the retriever-tree body must
     // reproduce the hand-wired pipeline bit-for-bit
     "q_retriever_rrf" -> (TokCte + bm25Ctes("", "tok", Seq("fast", "hash", "join")) +
@@ -3449,6 +3588,27 @@ object SparkEntry {
       "SELECT user_id, q_i0 AS e1_id, q_i1 AS e2_id, event_id AS e3_id, " +
       "(tu - q_t0) // 1000 AS span_ms FROM l2p " +
       "WHERE step = 2 AND q_t0 IS NOT NULL AND tu - q_t0 <= 86400000000 " +
+      "ORDER BY user_id, e3_id"),
+    "q_eql_runs" -> ("WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS tu FROM events " +
+      "WHERE event_type = 'view' OR (event_type = 'click' AND value > 100)), " +
+      "s AS (SELECT *, (event_type = 'view') AS m0, (event_type = 'click' AND value > 100) AS m1 FROM e), " +
+      "l0 AS (SELECT *, CASE WHEN m0 THEN tu END AS c0_t0, " +
+      "CASE WHEN m0 THEN event_id END AS c0_i0 FROM s), " +
+      "l1p AS (SELECT *, last_value(c0_t0 IGNORE NULLS) OVER w AS p_t0, " +
+      "last_value(c0_i0 IGNORE NULLS) OVER w AS p_i0 FROM l0 " +
+      "WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), " +
+      "l1 AS (SELECT *, CASE WHEN m1 AND p_t0 IS NOT NULL AND tu - p_t0 <= 86400000000 THEN p_t0 END AS c1_t0, " +
+      "CASE WHEN m1 AND p_t0 IS NOT NULL AND tu - p_t0 <= 86400000000 THEN p_i0 END AS c1_i0, " +
+      "CASE WHEN m1 AND p_t0 IS NOT NULL AND tu - p_t0 <= 86400000000 THEN tu END AS c1_t1, " +
+      "CASE WHEN m1 AND p_t0 IS NOT NULL AND tu - p_t0 <= 86400000000 THEN event_id END AS c1_i1 FROM l1p), " +
+      "l2p AS (SELECT *, last_value(c1_t0 IGNORE NULLS) OVER w AS q_t0, " +
+      "last_value(c1_i0 IGNORE NULLS) OVER w AS q_i0, " +
+      "last_value(c1_t1 IGNORE NULLS) OVER w AS q_t1, " +
+      "last_value(c1_i1 IGNORE NULLS) OVER w AS q_i1 FROM l1 " +
+      "WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) " +
+      "SELECT user_id, q_i0 AS e1_id, q_i1 AS e2_id, event_id AS e3_id, " +
+      "(tu - q_t0) // 1000 AS span_ms FROM l2p " +
+      "WHERE m1 AND q_t0 IS NOT NULL AND tu - q_t0 <= 86400000000 " +
       "ORDER BY user_id, e3_id"),
     "q_esql_categorize" -> ("WITH c AS (SELECT array_to_string(list_filter(list_filter(" +
       "regexp_split_to_array(lower(event_type), '[^a-z0-9]+'), x -> len(x) > 0), " +

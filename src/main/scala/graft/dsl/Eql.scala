@@ -14,15 +14,25 @@ import org.apache.spark.sql.functions._
   *     [ <type> [where <pred>] ] [ <type> [where <pred>] ] ...
   * }}}
   *
-  * Predicates are the comparison subset (`==`/`!=` normalize to SQL);
-  * step event types must be distinct (the common funnel shape).
+  * Predicates are the comparison subset (`==`/`!=` normalize to SQL).
+  * Steps may repeat a type (`[ b ] with runs=N` expands to N copies);
+  * an event satisfying several levels extends a different chain at
+  * each level, never two slots of one chain (strict row precedence).
   *
-  * Sequence semantics — deterministic subset: a match is reported per
-  * FINAL-step event, each step pairing with the LATEST qualifying
-  * earlier-step event of the same key, whole-sequence span bounded by
-  * `maxspan`. (Full EQL enumerates overlapping candidate sequences;
-  * the latest-predecessor rule is the deterministic subset an oracle
-  * can mirror, and the one funnel analytics actually uses.)
+  * Sequence semantics: a match is reported per FINAL-step event, each
+  * step pairing with the LATEST qualifying earlier-step event of the
+  * same key, whole-sequence span bounded by `maxspan`. This is NOT a
+  * lossy subset of ES's any-predecessor matching for match existence:
+  * chain start times are monotone over completion order, so the
+  * latest carried chain always has maximal slack — if ANY in-window
+  * predecessor chain completes at a final event, the latest carry
+  * completes one too (property-tested against brute-force
+  * enumeration, incl. runs-steps and until kills —
+  * EqlPropertySpec "latest-predecessor == any-predecessor"). What
+  * differs from ES is enumeration, not existence: ES can emit several
+  * overlapping sequences ending at different events consuming the
+  * same predecessors; graft reports the deterministic one per final
+  * event — the form an oracle can mirror.
   *
   * Plan shape — the as-of-join shape, NOT a self-join: tag step rows
   * in one narrow projection, ONE shuffle on the sequence key, then
@@ -41,7 +51,8 @@ object Eql {
 
   private val seqRe =
     """(?s)^sequence\s+by\s+(\w+(?:\s*,\s*\w+)*)(?:\s+with\s+maxspan=(\d+)(ms|s|m|h))?\s*(.+?)(?:\s+until\s*(\[.+\]))?(?:\s*\|\s*(head|tail)\s+(\d+))?\s*$""".r
-  private val stepRe = """\[\s*(\w+)(?:\s+where\s+([^\]]+))?\s*\]""".r
+  private val stepRe =
+    """\[\s*(\w+)(?:\s+where\s+([^\]]+))?\s*\](?:\s+with\s+runs=(\d+))?""".r
   private val simpleRe = """(?s)^(\w+)\s+where\s+(.+?)(?:\s*\|\s*(head|tail)\s+(\d+))?\s*$""".r
 
   /** EQL predicate → Column. The comparison subset rides on Spark
@@ -119,8 +130,11 @@ object Eql {
         require(steps.size >= 2, s"sample needs >= 2 filters: $query")
         sample(events, key, "event_id", steps)
       case seqRe(key, n, u, stepsSrc, untilSrc, htOp, htN) =>
-        val steps = stepRe.findAllMatchIn(stepsSrc).map { m =>
-          (m.group(1), Option(m.group(2)).map(pred).getOrElse(lit(true)))
+        // `[ b where p ] with runs=N` is EQL shorthand for repeating
+        // the step N times (N distinct successive events must match)
+        val steps = stepRe.findAllMatchIn(stepsSrc).flatMap { m =>
+          val step = (m.group(1), Option(m.group(2)).map(pred).getOrElse(lit(true)))
+          Seq.fill(Option(m.group(3)).map(_.toInt).getOrElse(1))(step)
         }.toSeq
         require(steps.size >= 2, s"sequence needs >= 2 steps: $query")
         val until = Option(untilSrc).map { src =>
@@ -196,8 +210,6 @@ object Eql {
       steps: Seq[(String, Column)],
       maxspanNs: Long,
       until: Option[(String, Column)] = None): DataFrame = {
-    require(steps.map(_._1).distinct.size == steps.size,
-      "sequence step event types must be distinct")
     until.foreach { case (t, _) =>
       require(!steps.exists(_._1 == t), s"until type duplicates a step: $t") }
     val k = steps.size
@@ -205,23 +217,26 @@ object Eql {
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("_ts"), col(idCol))
     val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
 
-    val UntilStep = k // sentinel step index for until rows
-    val step0 = steps.zipWithIndex.reverse.foldLeft(lit(-1)) {
-      case (acc, ((tpe, p), i)) => when(col("event_type") === tpe && p, i).otherwise(acc)
-    }
-    val step = until match {
-      case Some((tpe, p)) => when(col("event_type") === tpe && p, UntilStep).otherwise(step0)
-      case None => step0
-    }
-    val isUntil = col("_step") === UntilStep
+    // Per-LEVEL match flags, not a single step index: duplicate step
+    // types (the `with runs=N` expansion) mean one event can satisfy
+    // several levels and extend a different chain at each — strict
+    // row precedence in the carries still prevents one event filling
+    // two slots of the SAME chain. An until row matches no level.
+    val isUntil = col("_until")
     var df = events
       .withColumn("_ts", org.apache.spark.sql.functions.expr(s"$tsNsCol div 1000"))
-      .withColumn("_step", step)
-      .where(col("_step") >= 0)
+      .withColumn("_until", until match {
+        case Some((tpe, p)) => col("event_type") === tpe && p
+        case None => lit(false)
+      })
+    for (((tpe, p), i) <- steps.zipWithIndex)
+      df = df.withColumn(s"_m$i", !isUntil && col("event_type") === tpe && p)
+    df = df
+      .where((0 until k).map(i => col(s"_m$i")).reduce(_ || _) || isUntil)
       .withColumn("c0_t0",
-        when(col("_step") === 0, col("_ts")).when(isUntil, lit(-1L)))
+        when(isUntil, lit(-1L)).when(col("_m0"), col("_ts")))
       .withColumn("c0_i0",
-        when(col("_step") === 0, col(idCol)).when(isUntil, lit(-1L)))
+        when(isUntil, lit(-1L)).when(col("_m0"), col(idCol)))
 
     for (i <- 1 until k) {
       // latest completed prefix chain strictly before this row; the
@@ -233,18 +248,18 @@ object Eql {
           last(col(s"c${i - 1}_i$j"), ignoreNulls = true).over(wPrev).as(s"p_i$j"))
       }
       df = df.select(col("*") +: carried: _*)
-      val valid = col("_step") === i && col("p_t0").isNotNull &&
+      val valid = col(s"_m$i") && col("p_t0").isNotNull &&
         col("p_t0") =!= -1L && // sentinel: an until row killed the chain
         (if (maxspanUs == Long.MaxValue) lit(true)
          else col("_ts") - col("p_t0") <= maxspanUs)
       for (j <- 0 until i) {
         df = df
-          .withColumn(s"c${i}_t$j", when(valid, col(s"p_t$j")).when(isUntil, lit(-1L)))
-          .withColumn(s"c${i}_i$j", when(valid, col(s"p_i$j")).when(isUntil, lit(-1L)))
+          .withColumn(s"c${i}_t$j", when(isUntil, lit(-1L)).when(valid, col(s"p_t$j")))
+          .withColumn(s"c${i}_i$j", when(isUntil, lit(-1L)).when(valid, col(s"p_i$j")))
       }
       df = df
-        .withColumn(s"c${i}_t$i", when(valid, col("_ts")).when(isUntil, lit(-1L)))
-        .withColumn(s"c${i}_i$i", when(valid, col(idCol)).when(isUntil, lit(-1L)))
+        .withColumn(s"c${i}_t$i", when(isUntil, lit(-1L)).when(valid, col("_ts")))
+        .withColumn(s"c${i}_i$i", when(isUntil, lit(-1L)).when(valid, col(idCol)))
         .drop((0 until i).flatMap(j => Seq(s"p_t$j", s"p_i$j")): _*)
     }
     val last_ = k - 1

@@ -73,6 +73,27 @@ object PolyKernels {
     inside
   }
 
+  /** Even-odd parity across a LIST of rings (array<array<double>>):
+    * GeoJSON-style polygon-with-holes and multipolygon both reduce to
+    * this one rule — a point inside an outer ring and inside one of
+    * its holes crosses both boundaries (even parity = outside), and
+    * disjoint multipolygon parts OR together because a point can lie
+    * in at most one part. One compiled loop over rings per row. */
+  def multiRingContainsPoint(
+      latRings: org.apache.spark.sql.catalyst.util.ArrayData,
+      lonRings: org.apache.spark.sql.catalyst.util.ArrayData,
+      py: Double, px: Double): Boolean = {
+    val nr = latRings.numElements()
+    var inside = false
+    var r = 0
+    while (r < nr) {
+      if (containsPoint(latRings.getArray(r), lonRings.getArray(r), py, px))
+        inside = !inside
+      r += 1
+    }
+    inside
+  }
+
   /** Open linestring (vertex path, NOT closed) vs axis-aligned box:
     * true when any segment intersects the box — bbox reject, then the
     * separating-line test (all four box corners strictly on one side
@@ -132,6 +153,34 @@ case class LinestringIntersectsBox(
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): LinestringIntersectsBox =
+    copy(left = newLeft, right = newRight)
+}
+
+/** (array<array<double>> lat rings, same-shaped lon rings) -> even-odd
+  * containment of a fixed query point across all rings. Covers
+  * polygon-with-holes and multipolygon in one kernel. */
+case class MultiRingContainsPoint(
+    left: Expression, right: Expression, qLat: Double, qLon: Double)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] =
+    Seq(ArrayType(ArrayType(DoubleType)), ArrayType(ArrayType(DoubleType)))
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "multi_ring_contains_point"
+
+  override def nullSafeEval(lats: Any, lons: Any): Any =
+    PolyKernels.multiRingContainsPoint(
+      lats.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      lons.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      qLat, qLon)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (la, lo) =>
+      s"${ev.value} = graft.expr.PolyKernels.multiRingContainsPoint($la, $lo, $qLat, $qLon);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MultiRingContainsPoint =
     copy(left = newLeft, right = newRight)
 }
 

@@ -344,6 +344,28 @@ object Relational {
       org.apache.spark.sql.GraftBridge.expression(latArr),
       org.apache.spark.sql.GraftBridge.expression(lonArr), qLat, qLon))
 
+  /** Full-topology `geo_shape` containment: the doc stores a LIST of
+    * vertex rings (array<array<double>> lat + lon). Even-odd parity
+    * across rings — so outer+hole subtracts the hole and disjoint
+    * multipolygon parts union — one compiled loop per row. Overlapping
+    * parts follow even-odd (overlap = outside), the same rule GeoJSON
+    * validators require disjointness to avoid. */
+  def shapeRingsContainPoint(
+      latRings: Column, lonRings: Column, qLat: Double, qLon: Double): Column =
+    org.apache.spark.sql.GraftBridge.column(graft.expr.MultiRingContainsPoint(
+      org.apache.spark.sql.GraftBridge.expression(latRings),
+      org.apache.spark.sql.GraftBridge.expression(lonRings), qLat, qLon))
+
+  /** `geo_shape` linestring-vs-envelope `intersects`: bbox reject then
+    * the separating-axis corner test per segment, compiled (see
+    * PolyKernels.linestringIntersectsBox). */
+  def linestringIntersectsEnvelope(
+      latArr: Column, lonArr: Column,
+      top: Double, left: Double, bottom: Double, right: Double): Column =
+    org.apache.spark.sql.GraftBridge.column(graft.expr.LinestringIntersectsBox(
+      org.apache.spark.sql.GraftBridge.expression(latArr),
+      org.apache.spark.sql.GraftBridge.expression(lonArr), top, left, bottom, right))
+
   /** `within` against a query envelope is exact on the vertex extremes
     * (a polygon lies in a box iff all vertices do) — array_min/max are
     * codegen'd builtins and the comparison stays narrow. */

@@ -34,17 +34,22 @@ class EqlPropertySpec extends SparkSpec {
         if (until.contains(e.tpe)) {
           chains.indices.foreach(chains(_) = None)
         } else {
-          val si = steps.indexOf(e.tpe)
-          if (si >= 0) {
-            // the carry reads chains as they were BEFORE this event
-            // (strict precedence): compute the update, then apply
-            val upd: Option[Vector[(Long, Long)]] =
-              if (si == 0) Some(Vector((e.ts, e.id)))
-              else chains(si - 1) match {
-                case Some(prefix) if e.ts - prefix.head._1 <= maxspanUs =>
-                  Some(prefix :+ ((e.ts, e.id)))
-                case _ => None
-              }
+          // duplicate step types: the event may match several levels;
+          // every carry reads chains as they were BEFORE this event
+          // (strict precedence) — compute ALL updates from that
+          // snapshot, then apply them together
+          val upds = steps.zipWithIndex.collect {
+            case (tpe, si) if tpe == e.tpe =>
+              val upd: Option[Vector[(Long, Long)]] =
+                if (si == 0) Some(Vector((e.ts, e.id)))
+                else chains(si - 1) match {
+                  case Some(prefix) if e.ts - prefix.head._1 <= maxspanUs =>
+                    Some(prefix :+ ((e.ts, e.id)))
+                  case _ => None
+                }
+              (si, upd)
+          }
+          upds.foreach { case (si, upd) =>
             upd.foreach { chain =>
               chains(si) = Some(chain)
               if (si == k - 1)
@@ -68,6 +73,67 @@ class EqlPropertySpec extends SparkSpec {
     Ev(i + 1L, key, ts * 1000L, tpe) // µs-scale ts, ns handled below
   }
 
+  /** ES-style ANY-predecessor semantics by brute force: a final-step
+    * event matches iff SOME strictly-ordered chain of matching events
+    * completes there within maxspan, with no until-kill inside the
+    * chain's span. Exponential enumeration — fine at spec scale. */
+  private def anyPredecessorFinals(
+      events: Seq[Ev], steps: Seq[String], maxspanUs: Long,
+      until: Option[String]): Set[(Long, Long)] = {
+    val k = steps.size
+    events.groupBy(_.key).toSeq.flatMap { case (key, evs) =>
+      val ordered = evs.sortBy(e => (e.ts, e.id)).toVector
+      val untilPos = ordered.zipWithIndex.collect {
+        case (e, i) if until.contains(e.tpe) => i
+      }.toSet
+      val out = scala.collection.mutable.Set.empty[Long]
+      def rec(level: Int, pos: Int, t0: Long): Unit = {
+        if (level == k - 1) out += ordered(pos).id
+        else for (j <- pos + 1 until ordered.size
+                  if ordered(j).tpe == steps(level + 1)
+                  && ordered(j).ts - t0 <= maxspanUs
+                  && ((pos + 1) until j).forall(p => !untilPos(p)))
+          rec(level + 1, j, t0)
+      }
+      for (i <- ordered.indices if ordered(i).tpe == steps.head)
+        rec(0, i, ordered(i).ts)
+      out.toSeq.map(id => (key, id))
+    }.toSet
+  }
+
+  test("final-event existence: latest-predecessor == any-predecessor enumeration") {
+    // The deterministic latest-predecessor plan is NOT a lossy subset
+    // for match existence: chain starts are monotone over completion
+    // order, so the latest carried chain always has maximal slack —
+    // if ANY in-window predecessor chain completes at a final event,
+    // the latest-predecessor carry completes one too. This test
+    // enforces that argument against brute-force enumeration of ES's
+    // any-predecessor semantics, including duplicate-type (runs)
+    // steps and until kills.
+    val seed0 = Seed(420260813L)
+    var seed = seed0
+    for (round <- 1 to 30) {
+      val evs = evGen.apply(Gen.Parameters.default, seed).get
+      seed = seed.next
+      val maxspanUs = if (round % 3 == 0) 15000L else Long.MaxValue / 1000
+      val until = if (round % 2 == 0) Some("x") else None
+      val steps =
+        if (round % 7 == 0) Seq("a", "b", "b")
+        else if (round % 5 == 0) Seq("a", "b")
+        else Seq("a", "b", "c")
+      val df = evs.map(e => (e.id, e.key, e.ts * 1000L, e.tpe))
+        .toDF("event_id", "user_id", "ts_ns", "event_type")
+      val got = Eql.sequence(df, "user_id", "ts_ns", "event_id",
+        steps.map(s => (s, lit(true))), maxspanNs = maxspanUs * 1000L,
+        until = until.map(u => (u, lit(true))))
+        .collect().map(r => (r.getLong(0), r.getLong(steps.size))).toSet
+      val want = anyPredecessorFinals(evs, steps, maxspanUs, until)
+      assert(got == want,
+        s"round $round (steps=$steps maxspanUs=$maxspanUs until=$until): " +
+          s"got $got\nwant $want\nevents: $evs")
+    }
+  }
+
   test("sequence == reference replay over randomized streams") {
     val seed0 = Seed(20260813L)
     var seed = seed0
@@ -76,7 +142,10 @@ class EqlPropertySpec extends SparkSpec {
       seed = seed.next
       val maxspanUs = if (round % 3 == 0) 15000L else Long.MaxValue / 1000
       val until = if (round % 2 == 0) Some("x") else None
-      val steps = if (round % 5 == 0) Seq("a", "b") else Seq("a", "b", "c")
+      val steps =
+        if (round % 7 == 0) Seq("a", "b", "b") // `with runs=2` shape
+        else if (round % 5 == 0) Seq("a", "b")
+        else Seq("a", "b", "c")
       val df = evs.map(e => (e.id, e.key, e.ts * 1000L, e.tpe))
         .toDF("event_id", "user_id", "ts_ns", "event_type")
       val got = Eql.sequence(df, "user_id", "ts_ns", "event_id",

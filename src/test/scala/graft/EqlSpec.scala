@@ -40,7 +40,7 @@ class EqlSpec extends SparkSpec {
     assert(out == Seq((1L, 1L, 2L, 3L, 90L)))
   }
 
-  test("sequence: step predicates filter; distinct types required") {
+  test("sequence: step predicates filter; duplicate types chain distinct events") {
     val df = ev(
       (1L, 1L, 1000L, "a", 5.0),
       (2L, 1L, 2000L, "a", 50.0), // only this `a` passes the predicate
@@ -49,10 +49,12 @@ class EqlSpec extends SparkSpec {
       Seq(("a", col("value") > 10.0), ("b", lit(true))), Long.MaxValue)
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(out.map(r => (r._1, r._2, r._3)) == Seq((1L, 2L, 3L)))
-    intercept[IllegalArgumentException] {
-      Eql.sequence(df, "user_id", "ts_ns", "event_id",
-        Seq(("a", lit(true)), ("a", lit(true))), Long.MaxValue)
-    }
+    // `with runs` expansion: [a][a] needs TWO distinct a-events; one
+    // event never fills both slots of the same chain
+    val runs = Eql.sequence(df, "user_id", "ts_ns", "event_id",
+      Seq(("a", lit(true)), ("a", lit(true))), Long.MaxValue)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(runs.map(r => (r._1, r._2, r._3)) == Seq((1L, 1L, 2L)))
   }
 
   test("until kills in-flight partial sequences; later restart matches") {

@@ -100,6 +100,43 @@ class RelationalSpec extends SparkSpec {
     assert(viaKernel == viaFixed)
   }
 
+  test("shapeRingsContainPoint: hole subtracts, multipolygon unions, even-odd on overlap") {
+    val sq = (y0: Double, x0: Double, s: Double) =>
+      (Seq(y0, y0 + s, y0 + s, y0), Seq(x0, x0, x0 + s, x0 + s))
+    val outer = sq(0.0, 0.0, 10.0)
+    val hole = sq(3.0, 3.0, 4.0)
+    val far = sq(20.0, 20.0, 2.0)
+    // (id, latRings, lonRings)
+    val df = Seq(
+      (1L, Seq(outer._1, hole._1), Seq(outer._2, hole._2)), // donut
+      (2L, Seq(outer._1, far._1), Seq(outer._2, far._2)))   // two parts
+      .toDF("id", "latRings", "lonRings")
+    def containing(qLat: Double, qLon: Double): Set[Long] =
+      df.where(Relational.shapeRingsContainPoint(
+          col("latRings"), col("lonRings"), qLat, qLon))
+        .select("id").as[Long].collect().toSet
+    assert(containing(1.0, 1.0) == Set(1L, 2L))  // in outer, not in hole
+    assert(containing(5.0, 5.0) == Set(2L))      // in the donut hole
+    assert(containing(21.0, 21.0) == Set(2L))    // second part only
+    assert(containing(-1.0, 5.0) == Set.empty)   // outside everything
+  }
+
+  test("linestringIntersectsEnvelope: segment SAT vs box") {
+    val df = Seq(
+      (1L, Seq(0.0, 10.0), Seq(0.0, 10.0)),     // diagonal through box
+      (2L, Seq(20.0, 30.0), Seq(20.0, 30.0)),   // far away
+      (3L, Seq(-5.0, 15.0), Seq(4.0, 4.0)),     // vertical line crossing
+      // bbox overlaps the box but the segment's supporting line
+      // separates it (cuts across outside the corner) — SAT branch
+      (4L, Seq(4.5, 6.0), Seq(6.0, 4.5)),
+      (5L, Seq(-2.0, 3.0, -2.0), Seq(-2.0, 3.0, 9.0))) // enters via middle vertex
+      .toDF("id", "lats", "lons")
+    val in = df.where(Relational.linestringIntersectsEnvelope(
+        col("lats"), col("lons"), top = 5.0, left = 0.0, bottom = 0.0, right = 5.0))
+      .select("id").as[Long].collect().toSet
+    assert(in == Set(1L, 3L, 5L))
+  }
+
   test("shapeWithinEnvelope: vertex extremes decide exactly") {
     val df = Seq(
       (1L, Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 0.5)), // inside [0,5]x[0,5]

@@ -26,7 +26,7 @@ class StreamingSpec extends SparkSpec {
     val streamIn = spark.readStream
       .schema(Tables.eventsSchema)
       .parquet(streamDir)
-      .withColumnRenamed("ts", "ts_ns")
+      .transform(Tables.normalizeEvents)
     val q = EventStreams.hourlyTypeCounts(streamIn)
       .writeStream.outputMode("complete")
       .format("memory").queryName("hourly_out").start()
@@ -52,7 +52,8 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
 
     val streamIn = spark.readStream.schema(Tables.eventsSchema)
-      .parquet(streamDir).withColumnRenamed("ts", "ts_ns")
+      .parquet(streamDir)
+      .transform(Tables.normalizeEvents)
     val (sv, sb) = split(streamIn)
     val q = EventStreams.attributionJoin(
       sv.withWatermark("ts", "2 hours"),
@@ -70,7 +71,7 @@ class StreamingSpec extends SparkSpec {
     val streamIn = spark.readStream
       .schema(Tables.eventsSchema)
       .parquet(streamDir)
-      .withColumnRenamed("ts", "ts_ns")
+      .transform(Tables.normalizeEvents)
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
       .withWatermark("ts", "1 hour")
     val sessions = streamIn
@@ -103,7 +104,7 @@ class StreamingSpec extends SparkSpec {
     val streamIn = spark.readStream
       .schema(Tables.eventsSchema)
       .parquet(streamDir)
-      .withColumnRenamed("ts", "ts_ns")
+      .transform(Tables.normalizeEvents)
       .select("user_id").as[Long]
     val counts = streamIn
       .groupByKey(identity)
@@ -132,7 +133,7 @@ class StreamingSpec extends SparkSpec {
     val streamIn = spark.readStream
       .schema(Tables.eventsSchema)
       .parquet(streamDir)
-      .withColumnRenamed("ts", "ts_ns")
+      .transform(Tables.normalizeEvents)
     val q = EventStreams.slidingTypeCounts(streamIn)
       .writeStream.outputMode("complete")
       .format("memory").queryName("sliding_out").start()
@@ -154,7 +155,7 @@ class StreamingSpec extends SparkSpec {
     val streamIn = spark.readStream
       .schema(Tables.eventsSchema)
       .parquet(streamDir)
-      .withColumnRenamed("ts", "ts_ns")
+      .transform(Tables.normalizeEvents)
     val q = EventStreams.alertOnThreshold(streamIn, "error", threshold = 3)
       .writeStream.outputMode("complete")
       .format("memory").queryName("alert_out").start()
@@ -172,7 +173,7 @@ class StreamingSpec extends SparkSpec {
     val streamIn = spark.readStream
       .schema(Tables.eventsSchema)
       .parquet(streamDir)
-      .withColumnRenamed("ts", "ts_ns")
+      .transform(Tables.normalizeEvents)
     val q = EventStreams.streamingDedupByContent(streamIn)
       .select("event_id", "content_hash")
       .writeStream.outputMode("append")
@@ -198,7 +199,7 @@ class StreamingSpec extends SparkSpec {
     val streamIn = spark.readStream
       .schema(Tables.eventsSchema)
       .parquet(streamDir)
-      .withColumnRenamed("ts", "ts_ns")
+      .transform(Tables.normalizeEvents)
     val q1 = EventStreams.windowedUserCardinality(streamIn)
       .writeStream.outputMode("complete")
       .format("memory").queryName("card_out").start()

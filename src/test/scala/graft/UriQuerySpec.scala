@@ -127,7 +127,7 @@ class UriQuerySpec extends SparkSpec {
     val ckpt = Files.createTempDirectory("graft_sink_ckpt").toString
 
     val stream = spark.readStream.schema(Tables.eventsSchema).parquet(stage)
-      .withColumnRenamed("ts", "ts_ns")
+      .transform(Tables.normalizeEvents)
     val q = GraftSink.startUpsert(stream, idxDir,
       Map("graft.mapping.id" -> "user_id", "graft.mapping.version" -> "ts_ns"), ckpt)
     try q.processAllAvailable() finally q.stop()
