@@ -163,6 +163,31 @@ object SparkEntry {
     graft.expr.GeoKernels.geohashKernel(lat, lon, 2).toString
   }
 
+  /** Mirror of Search.highlightFragmentsByScore: same per-term window
+    * regexes, same idf formula, same fixed-order score fold, struct
+    * sort on (-score, frag). */
+  private def highlightOrderOracleSql(terms: Seq[String], n: Int): String = {
+    val dfCols = terms.map(t =>
+      s"sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END)::DOUBLE AS df_$t").mkString(", ")
+    def idf(u: String) = s"ln(1.0 + (n_docs - df_$u + 0.5) / (df_$u + 0.5))"
+    val fragCols = terms.map(t =>
+      s"replace(regexp_extract(lower(text), '([a-z0-9]+ ){0,3}$t( [a-z0-9]+){0,3}'), " +
+        s"'$t', '<em>$t</em>') AS f_$t").mkString(", ")
+    def score(t: String) = terms.map(u =>
+      s"(CASE WHEN list_contains(string_split(regexp_replace(f_$t, '</?em>', '', 'g'), ' '), '$u') " +
+        s"THEN ${idf(u)} ELSE 0.0 END)").mkString(" + ")
+    val structs = terms.map(t => s"{'ns': -(${score(t)}), 'frag': f_$t}").mkString("[", ", ", "]")
+    val anyTerm = terms.map(t => s"'$t'").mkString("[", ", ", "]")
+    TokCte +
+      s", hdf AS (SELECT count(*)::DOUBLE AS n_docs, $dfCols FROM tok), " +
+      s"fr AS (SELECT doc_id, $fragCols FROM documents JOIN tok USING (doc_id) " +
+      s"WHERE list_has_any(toks, $anyTerm)), " +
+      s"sc AS (SELECT doc_id, $structs AS frs FROM fr CROSS JOIN hdf) " +
+      s"SELECT doc_id AS id, array_to_string(list_transform(" +
+      s"list_sort(list_filter(frs, s -> struct_extract(s, 'frag') != ''))[1:$n], " +
+      s"s -> struct_extract(s, 'frag')), ' ... ') AS snippet FROM sc ORDER BY id"
+  }
+
   /** Closed-form diamond containment term for the geo_shape oracles:
     * |dy|/arm_y + |dx|/arm_x of the fixed query point, with the arm
     * picked by which side of the centre the point falls. Shares no
@@ -594,6 +619,26 @@ object SparkEntry {
     "q_sql_query" -> ((s, d) => graft.dsl.EsSql.run(s, d,
       """SELECT doc_id FROM documents
          WHERE QUERY('lang:en AND merge') ORDER BY doc_id""")),
+    // ES SQL PIVOT — rides Spark SQL's native PIVOT through the same
+    // rewrite path (implicit GROUP BY on the non-pivot columns);
+    // decimal cast keeps the cell sums order-independent exact
+    "q_sql_pivot" -> ((s, d) => graft.dsl.EsSql.run(s, d,
+      """SELECT * FROM (SELECT o_custkey % 10 AS bucket, o_orderstatus,
+           CAST(o_totalprice AS DECIMAL(18,4)) AS price FROM orders)
+         PIVOT (SUM(price) FOR o_orderstatus IN ('O' AS s_o, 'F' AS s_f, 'P' AS s_p))
+         ORDER BY bucket""")),
+    // ES SQL scalar-function spellings Spark lacks: IIF,
+    // DATE_DIFF('unit',..)/DATE_ADD('unit',..) — text-rewritten to
+    // IF/timestampdiff/timestampadd before spark.sql
+    "q_sql_funcs" -> ((s, d) => graft.dsl.EsSql.run(s, d,
+      """SELECT o_orderkey AS id,
+           IIF(o_totalprice > 200000, 'big', 'small') AS sz,
+           DATE_DIFF('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS dd,
+           DATE_ADD('day', 30, o_orderdate) AS due
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1995-02-01 00:00:00'
+         ORDER BY id""")),
     // _explain: BM25 term-by-term breakdown for one doc, index-wide stats
     "q_explain" -> ((s, d) =>
       Search.explainScore(t(s, d, "documents"), "doc_id", "text",
@@ -1707,6 +1752,21 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(min(col("k")).as("kmin"), max(col("k")).as("kmax"))
         .orderBy(col("event_type"))),
+    // ingest on_failure: mixed clean/failing values — failures tag
+    // `err` via the handler chain, clean rows convert; one aggregate
+    // proves the per-row routing at scale
+    "q_ingest_fail" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("mn",
+        when(pmod(col("user_id"), lit(3L)) === 0, col("value").cast("string"))
+          .otherwise(col("event_type")))
+      graft.sources.IngestPipeline.compile(
+        """{"processors": [{"convert": {"field": "mn", "type": "double",
+           "on_failure": [{"set": {"field": "err", "value": "parse_error"}}]}}]}""")(ev)
+        .groupBy(coalesce(col("err"), lit("ok")).as("err"))
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("mn"), lit(0.0)).cast("decimal(18,4)")).as("total"))
+        .orderBy(col("err"))
+    }),
     "q_pipeline_clean" -> ((s, d) => {
       // composed cleaning pipeline: quality gate + near-dup removal
       // (drop the higher id of each verified near-dup pair)
@@ -1955,6 +2015,11 @@ object SparkEntry {
     "q_highlight_fragments" -> ((s, d) =>
       Search.highlightFragments(t(s, d, "documents"), "doc_id", "text",
         "fast hash", numFragments = 2)),
+    // highlight order:score — fragments ranked by contained-term idf
+    // sum (FVH mode), not term order
+    "q_highlight_order" -> ((s, d) =>
+      Search.highlightFragmentsByScore(t(s, d, "documents"), "doc_id", "text",
+        "fast hash join", numFragments = 2)),
     // fuzzy completion suggester: typed prefix within 1 DL edit
     // ("rsc1" reaches "src1..." via one transposition)
     "q_suggest_fuzzy" -> ((s, d) =>
@@ -2301,6 +2366,17 @@ object SparkEntry {
       " SELECT id AS doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 10"),
     "q_sql_query" -> (TokCte.replace("SELECT doc_id,", "SELECT doc_id, lang,") +
       " SELECT doc_id FROM tok WHERE lang = 'en' AND list_contains(toks, 'merge') ORDER BY doc_id"),
+    "q_sql_pivot" -> ("SELECT o_custkey % 10 AS bucket, " +
+      "sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS s_o, " +
+      "sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS s_f, " +
+      "sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS s_p " +
+      "FROM orders GROUP BY 1 ORDER BY bucket"),
+    "q_sql_funcs" -> ("SELECT o_orderkey AS id, " +
+      "CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS sz, " +
+      "date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS dd, " +
+      "o_orderdate + INTERVAL 30 DAY AS due FROM orders " +
+      "WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' " +
+      "AND o_orderdate < TIMESTAMP '1995-02-01 00:00:00' ORDER BY id"),
     "q_explain" -> (TokCte + ", dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl, toks FROM tok), " +
       "st AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl), " +
       "tf AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM " +
@@ -3285,6 +3361,12 @@ object SparkEntry {
     },
     "q_ingest_kv" -> ("SELECT event_type AS t, (user_id % 7)::BIGINT AS u, count(*)::BIGINT AS n " +
       "FROM events GROUP BY t, u ORDER BY t, u"),
+    "q_ingest_fail" -> ("WITH m AS (SELECT CASE WHEN user_id % 3 = 0 THEN value::VARCHAR " +
+      "ELSE event_type END AS mn FROM events), " +
+      "c AS (SELECT TRY_CAST(mn AS DOUBLE) AS mnd, " +
+      "CASE WHEN mn IS NOT NULL AND TRY_CAST(mn AS DOUBLE) IS NULL THEN 'parse_error' END AS err FROM m) " +
+      "SELECT coalesce(err, 'ok') AS err, count(*)::BIGINT AS n, " +
+      "sum(CAST(coalesce(mnd, 0.0) AS DECIMAL(18,4))) AS total FROM c GROUP BY 1 ORDER BY err"),
     "q_ingest_json" -> ("SELECT event_type, " +
       "min(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS kmin, " +
       "max(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS kmax " +
@@ -3614,6 +3696,7 @@ object SparkEntry {
       "regexp_split_to_array(lower(event_type), '[^a-z0-9]+'), x -> len(x) > 0), " +
       "t -> NOT regexp_matches(t, '^[0-9]+$'))[1:4], ' ') AS cat FROM events) " +
       "SELECT cat, count(*)::BIGINT AS n FROM c GROUP BY cat ORDER BY cat"),
+    "q_highlight_order" -> highlightOrderOracleSql(Seq("fast", "hash", "join"), 2),
     "q_highlight_fragments" -> (TokCte +
       ", h AS (SELECT doc_id, " +
       "replace(regexp_extract(lower(text), '([a-z0-9]+ ){0,3}fast( [a-z0-9]+){0,3}'), 'fast', '<em>fast</em>') AS f1, " +

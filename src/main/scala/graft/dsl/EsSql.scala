@@ -49,6 +49,24 @@ object EsSql {
   private val queryRe: Regex = "(?i)\\bQUERY\\s*\\(\\s*'([^']*)'\\s*\\)".r
   private val scoreRe: Regex = "(?i)\\bSCORE\\s*\\(\\s*\\)".r
 
+  /** ES SQL spells a few scalar functions differently from Spark;
+    * rewrite the ES spelling onto Spark's (text-level, before
+    * spark.sql). Only the ES-specific forms are touched: a plain
+    * two-arg DATE_ADD(date, n) is already Spark's own and passes
+    * through untouched.
+    *  - `IIF(c, a, b)`            → `IF(c, a, b)`
+    *  - `DATE_DIFF('unit', a, b)` → `timestampdiff(unit, a, b)`
+    *  - `DATE_ADD('unit', n, ts)` → `timestampadd(unit, n, ts)`
+    */
+  private def rewriteFunctions(sql: String): String = {
+    var s = "(?i)\\bIIF\\s*\\(".r.replaceAllIn(sql, "IF(")
+    s = "(?i)\\bDATE_DIFF\\s*\\(\\s*'(\\w+)'\\s*,".r
+      .replaceAllIn(s, m => s"timestampdiff(${m.group(1)},")
+    s = "(?i)\\bDATE_ADD\\s*\\(\\s*'(\\w+)'\\s*,".r
+      .replaceAllIn(s, m => s"timestampadd(${m.group(1)},")
+    s
+  }
+
   def run(spark: SparkSession, dir: String, sql: String): DataFrame = {
     val table = fromRe.findFirstMatchIn(sql).map(_.group(1).toLowerCase)
       .getOrElse(throw new IllegalArgumentException(s"no FROM clause: $sql"))
@@ -61,7 +79,7 @@ object EsSql {
     // the query context of the WHERE clause
     var extra = Vector.empty[(String, Column)]
     var firstMatch: Option[(String, String)] = None
-    var rewritten = matchRe.replaceAllIn(sql, m => {
+    var rewritten = matchRe.replaceAllIn(rewriteFunctions(sql), m => {
       val (field, q, opts) = (m.group(1), m.group(2), Option(m.group(3)))
       val and = opts.exists { o =>
         o.split(';').map(_.trim.toLowerCase).map { kv =>

@@ -1307,6 +1307,54 @@ object Search {
       .orderBy(col("id").asc)
   }
 
+  /** Highlighter `order: "score"` (the FVH fragment-ranking mode):
+    * fragments are ranked by the sum of BM25 idf weights of the query
+    * terms they CONTAIN — a context window around one term can swallow
+    * a second, rarer term and outrank that term's own window — and the
+    * top `numFragments` survive, highest-scored first. Windows come
+    * from the same per-term regexes as highlightFragments; (N, df per
+    * term) come from ONE corpus aggregate broadcast as a 1-row frame,
+    * so the per-row work stays a narrow projection. */
+  def highlightFragmentsByScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      query: String,
+      numFragments: Int): DataFrame = {
+    val terms = Analyzer.analyze(query).distinct
+    require(terms.nonEmpty, s"highlight needs at least one analyzed term: $query")
+    val toks = Analyzer.tokens(col(textCol))
+    val statAggs = count(lit(1)).cast("double").as("n_docs") +:
+      terms.map(t => sum(when(array_contains(toks, t), 1).otherwise(0))
+        .cast("double").as(s"df_$t"))
+    val stats = docs.agg(statAggs.head, statAggs.tail: _*)
+    def idf(u: String): Column =
+      log(lit(1.0) + (col("n_docs") - col(s"df_$u") + lit(0.5)) / (col(s"df_$u") + lit(0.5)))
+    val fragStructs = terms.map { t =>
+      val quoted = java.util.regex.Pattern.quote(t)
+      val repl = java.util.regex.Matcher.quoteReplacement(s"<em>$t</em>")
+      val frag = regexp_replace(
+        regexp_extract(lower(col(textCol)),
+          s"([a-z0-9]+ ){0,3}$quoted( [a-z0-9]+){0,3}", 0),
+        quoted, repl)
+      val ftoks = split(regexp_replace(frag, "</?em>", ""), " ")
+      // fixed fold order (the analyzed term order) so the float sum
+      // is reproducible on both engines
+      val score = terms.map(u =>
+        when(array_contains(ftoks, u), idf(u)).otherwise(lit(0.0))).reduce(_ + _)
+      struct((-score).as("ns"), frag.as("frag"))
+    }
+    docs.where(matchQuery(col(textCol), query))
+      .crossJoin(broadcast(stats))
+      .select(
+        col(idCol).as("id"),
+        concat_ws(" ... ", transform(
+          slice(sort_array(filter(array(fragStructs: _*),
+            s => s.getField("frag") =!= "")), 1, numFragments),
+          s => s.getField("frag"))).as("snippet"))
+      .orderBy(col("id").asc)
+  }
+
   /** `percolate`: reverse search — a registry of stored queries is
     * matched AGAINST each document. Queries are compiled once on the
     * driver (they're Query-DSL strings); per document, the matched

@@ -263,9 +263,15 @@ object Connector {
       case None => cfg0
     }
     // ingest-pipeline analog: the processor chain shapes every doc
-    // before indexing (after alias resolution, so it runs exactly once)
+    // before indexing (after alias resolution, so it runs exactly
+    // once). graft.ingest.pipeline.<name> options form the registry
+    // the nested `pipeline` processor resolves against.
+    val pipelineRegistry = cfg.collect {
+      case (k, v) if k.startsWith("graft.ingest.pipeline.") =>
+        k.stripPrefix("graft.ingest.pipeline.") -> v
+    }
     val piped = cfg.get("graft.ingest.pipeline")
-      .map(IngestPipeline.compile(_)(batch)).getOrElse(batch)
+      .map(IngestPipeline.compile(_, pipelineRegistry)(batch)).getOrElse(batch)
     // es.mapping.include/exclude analog: field filtering on the WRITE
     // side (what subset of the row becomes the indexed doc). The id
     // column always survives — it is metadata here, like ES's _id,

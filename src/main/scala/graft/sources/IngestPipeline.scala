@@ -19,11 +19,77 @@ import org.json4s.jackson.JsonMethods
   * each), date, kv, json (flat string maps), script (Painless
   * computed value), csv, split, join, append, urldecode, bytes,
   * fingerprint, drop (Painless `if`), foreach (per-element
-  * lowercase/uppercase/trim/gsub over an array field).
+  * lowercase/uppercase/trim/gsub over an array field), pipeline
+  * (nested named pipeline, inlined), geoip (synthetic prefix table,
+  * real output shape).
+  *
+  * Per-processor `on_failure` (convert/date/json/bytes): the primary
+  * transform switches to its try_* form, rows where a present value
+  * nulled out get the handler `set`s applied. Without `on_failure`
+  * a bad value fails the job — ES likewise fails the request.
   */
 object IngestPipeline {
 
-  def compile(json: String): DataFrame => DataFrame = {
+  private def litOf(v: JValue, what: String): Column = v match {
+    case JString(s) => lit(s)
+    case JInt(i) => lit(i.toLong)
+    case JLong(l) => lit(l)
+    case JDouble(d) => lit(d)
+    case JBool(b) => lit(b)
+    case other => throw new IllegalArgumentException(
+      s"unsupported $what value: $other")
+  }
+
+  /** Per-processor `on_failure` handlers (the `set` subset — the
+    * error-tagging / fallback-value shape). ES runs the handler chain
+    * when the processor throws; compiled columns can't throw per-row,
+    * so "failed" = the try-form produced null from non-null input,
+    * and each handler `set` merges conditionally on that flag. */
+  private def failureHandlers(
+      m: Map[String, JValue], op: String): Seq[(String, Column)] =
+    m.get("on_failure") match {
+      case Some(JArray(hs)) => hs.map {
+        case JObject(JField("set", JObject(hspec)) :: Nil) =>
+          val hm = hspec.toMap
+          val hf = hm.get("field").collect { case JString(s) => s }
+            .getOrElse(throw new IllegalArgumentException("on_failure set needs field"))
+          (hf, litOf(hm.getOrElse("value",
+            throw new IllegalArgumentException("on_failure set needs value")),
+            "on_failure set"))
+        case other => throw new IllegalArgumentException(
+          s"unsupported on_failure handler under $op (set only): $other")
+      }
+      case Some(other) => throw new IllegalArgumentException(
+        s"on_failure must be an array: $other")
+      case None => Seq.empty
+    }
+
+  private def try_cast_double(c: Column): Column = c.try_cast("double")
+
+  /** Write `tried` into `target`; when handlers exist, flag rows where
+    * the source was present but the try-form nulled out, and merge
+    * each handler's set under that flag. */
+  private def withTried(
+      df: DataFrame, srcField: String, target: String, tried: Column,
+      handlers: Seq[(String, Column)]): DataFrame =
+    if (handlers.isEmpty) df.withColumn(target, tried)
+    else {
+      val flagged = df
+        .withColumn("_graft_failed", col(srcField).isNotNull && tried.isNull)
+        .withColumn(target, tried)
+      handlers.foldLeft(flagged) { case (d, (hf, hv)) =>
+        val prev = if (d.columns.contains(hf)) col(hf) else lit(null)
+        d.withColumn(hf, when(col("_graft_failed"), hv).otherwise(prev))
+      }.drop("_graft_failed")
+    }
+
+  def compile(json: String): DataFrame => DataFrame = compile(json, Map.empty)
+
+  def compile(
+      json: String,
+      registry: Map[String, String],
+      depth: Int = 0): DataFrame => DataFrame = {
+    require(depth <= 5, "ingest pipeline nesting deeper than 5 (cycle?)")
     val procs = JsonMethods.parse(json) match {
       case JObject(fields) => fields.toMap.get("processors") match {
         case Some(JArray(xs)) => xs
@@ -69,7 +135,13 @@ object IngestPipeline {
               case other => throw new IllegalArgumentException(
                 s"unsupported convert type: $other")
             }
-            df => df.withColumn(field, col(field).cast(sparkType))
+            val handlers = failureHandlers(m, op)
+            // without on_failure a bad value fails the job (ANSI cast
+            // throws — ES likewise fails the doc); with it, try_cast
+            // nulls out and the handlers tag/fallback per row
+            if (handlers.isEmpty) df => df.withColumn(field, col(field).cast(sparkType))
+            else df => withTried(df, field, field,
+              expr(s"try_cast(`$field` AS $sparkType)"), handlers)
           case "lowercase" => df => df.withColumn(field, lower(col(field)))
           case "uppercase" => df => df.withColumn(field, upper(col(field)))
           case "trim" => df => df.withColumn(field, trim(col(field)))
@@ -101,7 +173,10 @@ object IngestPipeline {
             }
             val target = m.get("target_field").collect { case JString(s) => s }
               .getOrElse("@timestamp")
-            df => df.withColumn(target, to_timestamp(col(field), fmt))
+            val handlers = failureHandlers(m, op)
+            if (handlers.isEmpty) df => df.withColumn(target, to_timestamp(col(field), fmt))
+            else df => withTried(df, field, target,
+              try_to_timestamp(col(field), lit(fmt)), handlers)
           case "kv" =>
             val fs = m.get("field_split").collect { case JString(s) => s }
               .getOrElse(throw new IllegalArgumentException("kv needs field_split"))
@@ -115,10 +190,11 @@ object IngestPipeline {
             // common log-enrichment shape) land as map<string,string>
             val target = m.get("target_field").collect { case JString(s) => s }
               .getOrElse(field)
-            df => df.withColumn(target,
-              from_json(col(field), org.apache.spark.sql.types.MapType(
-                org.apache.spark.sql.types.StringType,
-                org.apache.spark.sql.types.StringType)))
+            val handlers = failureHandlers(m, op)
+            val parsed = from_json(col(field), org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.StringType))
+            df => withTried(df, field, target, parsed, handlers)
           case "script" =>
             // Painless subset (incl. statements) computing ONE value
             // into target_field — the dominant script-processor use
@@ -176,15 +252,19 @@ object IngestPipeline {
           case "bytes" =>
             // "1kb" -> 1024; case-insensitive units b..pb, ES semantics
             val t = m.get("target_field").collect { case JString(s) => s }.getOrElse(field)
+            val handlers = failureHandlers(m, op)
             df => {
               val s = lower(trim(col(field)))
-              val num = regexp_extract(s, "^(\\d+(?:\\.\\d+)?)", 1).cast("double")
+              val numStr = regexp_extract(s, "^(\\d+(?:\\.\\d+)?)", 1)
+              val num =
+                if (handlers.isEmpty) numStr.cast("double")
+                else try_cast_double(numStr)
               val unit = regexp_extract(s, "([a-z]+)$", 1)
               val mult = when(unit === "b" || unit === "", 1L)
                 .when(unit === "kb", 1L << 10).when(unit === "mb", 1L << 20)
                 .when(unit === "gb", 1L << 30).when(unit === "tb", 1L << 40)
                 .when(unit === "pb", 1L << 50)
-              df.withColumn(t, (num * mult).cast("long"))
+              withTried(df, field, t, (num * mult).cast("long"), handlers)
             }
           case "fingerprint" =>
             val fields = m.get("fields") match {
@@ -269,6 +349,45 @@ object IngestPipeline {
                 name.as("name"), version.as("version"), os.as("os"),
                 when(ua.rlike("(?i)mobile|iphone|android"), "Mobile Device")
                   .otherwise("Other").as("device")))
+            }
+          case "pipeline" =>
+            // nested pipeline: processor-list inlining — the named
+            // pipeline's compiled steps splice into this chain, so
+            // Catalyst still collapses everything into one projection
+            val name = m.get("name").collect { case JString(s) => s }
+              .getOrElse(throw new IllegalArgumentException("pipeline needs name"))
+            val sub = registry.getOrElse(name, throw new IllegalArgumentException(
+              s"unknown pipeline '$name' (register named pipelines via " +
+                "graft.ingest.pipeline.<name> options / the registry argument)"))
+            compile(sub, registry, depth + 1)
+          case "geoip" =>
+            // geoip with the processor's REAL output shape (struct of
+            // continent_name / country_iso_code / location{lat,lon})
+            // over a SYNTHETIC deterministic prefix table — no GeoLite
+            // database ships in this environment, so first-octet class
+            // ranges stand in. Swapping a real prefix table in reuses
+            // the same compiled range-match plumbing unchanged;
+            // private ranges yield null like ES's no-match.
+            val t = m.get("target_field").collect { case JString(s) => s }
+              .getOrElse("geoip")
+            df => {
+              val o1 = split(col(field), "\\.").getItem(0).cast("long")
+              val o2 = split(col(field), "\\.").getItem(1).cast("long")
+              val isPrivate = o1 === 10L ||
+                (o1 === 192L && o2 === 168L) ||
+                (o1 === 172L && o2 >= 16L && o2 <= 31L) ||
+                o1 === 127L
+              def entry(cont: String, iso: String, la: Double, lo: Double) =
+                struct(lit(cont).as("continent_name"),
+                  lit(iso).as("country_iso_code"),
+                  struct(lit(la).as("lat"), lit(lo).as("lon")).as("location"))
+              df.withColumn(t,
+                when(isPrivate, lit(null))
+                  .when(o1 <= 63L, entry("North America", "US", 38.0, -97.0))
+                  .when(o1 <= 126L, entry("Europe", "DE", 51.0, 9.0))
+                  .when(o1 <= 191L, entry("Asia", "JP", 36.0, 138.0))
+                  .when(o1 <= 223L, entry("Oceania", "AU", -25.0, 133.0))
+                  .otherwise(entry("South America", "BR", -14.0, -51.0)))
             }
           case other => throw new IllegalArgumentException(
             s"unsupported ingest processor: $other")

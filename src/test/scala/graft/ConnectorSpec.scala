@@ -275,6 +275,74 @@ class ConnectorSpec extends SparkSpec {
         "Safari", "iOS", "Mobile Device")))
   }
 
+  test("ingest on_failure: failing docs route to handler sets, clean docs untouched") {
+    import graft.sources.IngestPipeline
+    val pipeline = """{"processors": [
+      {"convert": {"field": "n", "type": "long", "on_failure": [
+        {"set": {"field": "err", "value": "parse_error"}},
+        {"set": {"field": "n_src", "value": "fallback"}}]}},
+      {"date": {"field": "d", "formats": ["yyyy-MM-dd"], "target_field": "ts",
+        "on_failure": [{"set": {"field": "err", "value": "date_error"}}]}}]}"""
+    val df = Seq(
+      (1L, "42", "2024-01-02"),     // both clean
+      (2L, "oops", "2024-01-03"),   // convert fails
+      (3L, "7", "not-a-date"),      // date fails
+      (4L, null, "2024-01-04"))     // null input is NOT a failure
+      .toDF("id", "n", "d")
+    val out = IngestPipeline.compile(pipeline)(df)
+      .select(col("id"), col("n"), col("err"), col("n_src"),
+        col("ts").isNotNull.as("has_ts"))
+      .as[(Long, Option[Long], Option[String], Option[String], Boolean)]
+      .collect().toSeq.sortBy(_._1)
+    assert(out == Seq(
+      (1L, Some(42L), None, None, true),
+      (2L, None, Some("parse_error"), Some("fallback"), true),
+      (3L, Some(7L), Some("date_error"), None, false),
+      (4L, None, None, None, true)))
+  }
+
+  test("ingest nested pipeline processor inlines the named chain") {
+    import graft.sources.IngestPipeline
+    val registry = Map(
+      "clean" -> """{"processors": [
+        {"lowercase": {"field": "s"}},
+        {"pipeline": {"name": "tagging"}}]}""",
+      "tagging" -> """{"processors": [{"set": {"field": "tag", "value": "t1"}}]}""")
+    val out = IngestPipeline.compile(
+      """{"processors": [{"pipeline": {"name": "clean"}},
+                         {"trim": {"field": "s"}}]}""", registry)(
+      Seq((1L, " MiXeD ")).toDF("id", "s"))
+      .select("s", "tag").as[(String, String)].collect().toSeq
+    assert(out == Seq(("mixed", "t1")))
+    intercept[IllegalArgumentException] {
+      IngestPipeline.compile(
+        """{"processors": [{"pipeline": {"name": "nope"}}]}""", registry)(
+        Seq((1L, "x")).toDF("id", "s"))
+    }
+    // cycle guard
+    val loop = Map("a" -> """{"processors": [{"pipeline": {"name": "a"}}]}""")
+    intercept[IllegalArgumentException] {
+      IngestPipeline.compile("""{"processors": [{"pipeline": {"name": "a"}}]}""", loop)(
+        Seq((1L, "x")).toDF("id", "s"))
+    }
+  }
+
+  test("ingest geoip: prefix-table lookup shape, private ranges null") {
+    import graft.sources.IngestPipeline
+    val out = IngestPipeline.compile(
+      """{"processors": [{"geoip": {"field": "ip", "target_field": "geo"}}]}""")(
+      Seq((1L, "8.8.8.8"), (2L, "95.44.1.2"), (3L, "150.1.2.3"),
+        (4L, "10.0.0.1"), (5L, "192.168.3.4"), (6L, "172.20.1.1"))
+        .toDF("id", "ip"))
+      .select(col("id"), col("geo.continent_name"), col("geo.country_iso_code"))
+      .as[(Long, Option[String], Option[String])].collect().toSeq.sortBy(_._1)
+    assert(out == Seq(
+      (1L, Some("North America"), Some("US")),
+      (2L, Some("Europe"), Some("DE")),
+      (3L, Some("Asia"), Some("JP")),
+      (4L, None, None), (5L, None, None), (6L, None, None)))
+  }
+
   test("index templates: applied at creation only, priority wins, cfg overrides") {
     import java.nio.file.Files
     val base = Files.createTempDirectory("graft_tmpl").toString
