@@ -326,6 +326,23 @@ object SparkEntry {
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id"))),
 
+    // runtime_mappings: a Painless-computed field projected BEFORE the
+    // query so the range predicate targets it like a mapped field;
+    // Catalyst folds the projection into the scan stage
+    "q_runtime_fields" -> ((s, d) => {
+      val (rf, inner) = graft.dsl.SearchBody.parse(
+        """{"runtime_mappings": {
+             "chars_per_100": {"type": "long",
+               "script": {"source": "emit(doc['n_chars'].value / 100)"}}},
+           "query": {"range": {"chars_per_100": {"gte": 2}}}}""")
+      val df0 = rf.foldLeft(t(s, d, "documents")) {
+        case (dd, (n, c)) => dd.withColumn(n, c)
+      }
+      val df1 = inner.fold(df0)(q => df0.where(graft.dsl.EsQuery.compile(q)))
+      df1.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("chars_per_100")).as("s"))
+        .orderBy(col("lang"))
+    }),
     "q_dsl_json" -> ((s, d) => t(s, d, "documents")
       .where(graft.dsl.QueryDslJson.compile(
         """{"bool": {"must": [{"term": {"lang": "en"}}],
@@ -1706,6 +1723,17 @@ object SparkEntry {
     // rates sqrt(n_min/n_s), content-hash draws
     "q_mix_sample" -> ((s, d) =>
       graft.text.TextAnalysis.mixSample(t(s, d, "documents"), "source", "doc_id")),
+    // CCNet-style line-level boilerplate dedup: per-source header + a
+    // corpus-wide footer wrapped around each body; lines shared by > 4
+    // docs are machinery and get stripped, bodies survive in order
+    "q_dedup_lines" -> ((s, d) => {
+      val docs = t(s, d, "documents").withColumn("page",
+        concat(lit("home | about | "), col("source"), lit("\n"),
+          col("text"), lit("\ncopyright 2024 example.com")))
+      Dedup.dedupLines(docs, "doc_id", "page", maxDocs = 4)
+        .select(col("doc_id"), col("n_lines"), md5(col("text_clean")).as("h"))
+        .orderBy(col("doc_id"))
+    }),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", 3)),
     "q_dedup_ngram" -> ((s, d) =>
       Dedup.ngramJaccardTopK(t(s, d, "documents").where(col("source") === "src0"), "doc_id", "text", 20)),
@@ -2149,6 +2177,9 @@ object SparkEntry {
     "q_terms_enum" -> ("SELECT DISTINCT p_name AS term FROM part " +
       "WHERE p_name LIKE 'b%' ORDER BY term LIMIT 12"),
 
+    "q_runtime_fields" -> ("WITH r AS (SELECT lang, CAST(trunc(n_chars / 100.0) AS BIGINT) AS cp " +
+      "FROM documents) SELECT lang, count(*)::BIGINT AS n, sum(cp)::BIGINT AS s " +
+      "FROM r WHERE cp >= 2 GROUP BY lang ORDER BY lang"),
     "q_dsl_json" -> ("SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en' " +
       "AND (source LIKE 'src1%' OR n_chars > 300) AND NOT (source LIKE 'src_') ORDER BY doc_id"),
 
@@ -3294,6 +3325,17 @@ object SparkEntry {
     // 64-bit simhash as TWO 32-bit halves (hi = bits 1..32, lo = bits
     // 33..64): folding all 64 into one BIGINT overflows DuckDB, but
     // each half stays < 2^32 and hamming is the sum of half-hammings.
+    "q_dedup_lines" -> ("WITH p AS (SELECT doc_id, 'home | about | ' || source || chr(10) || text || " +
+      "chr(10) || 'copyright 2024 example.com' AS page FROM documents), " +
+      "l AS (SELECT doc_id, string_split(page, chr(10)) AS ls FROM p), " +
+      "x AS (SELECT doc_id, unnest(ls) AS line FROM l), " +
+      "bp AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS nd FROM x " +
+      "WHERE len(trim(line)) > 0 GROUP BY line) WHERE nd > 4), " +
+      "bpl AS (SELECT coalesce(list(line), []) AS bl FROM bp), " +
+      "cl AS (SELECT doc_id, list_filter(ls, y -> NOT list_contains(bl, y)) AS kept " +
+      "FROM l CROSS JOIN bpl) " +
+      "SELECT doc_id, len(kept)::BIGINT AS n_lines, md5(array_to_string(kept, chr(10))) AS h " +
+      "FROM cl WHERE len(kept) > 0 ORDER BY doc_id"),
     "q_dedup_simhash" -> ("WITH tok AS (SELECT doc_id, list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS toks FROM documents), " +
       "md AS (SELECT doc_id, list_transform(toks, t -> md5(t)) AS md5s FROM tok), " +
       "bits AS (SELECT doc_id, list_transform(range(0, 64), j -> CASE WHEN " +

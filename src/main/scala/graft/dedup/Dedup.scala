@@ -464,6 +464,41 @@ object Dedup {
       .orderBy(col("cosine").desc, col("id1").asc, col("id2").asc)
       .limit(k)
   }
+  /** Line-level boilerplate dedup (the CCNet/RefinedWeb move): a line
+    * occurring in MORE than `maxDocs` distinct documents is machinery
+    * (header, nav, cookie banner), not content — drop it from every
+    * document and reassemble the rest in order.
+    *
+    * Scale shape: the exploded (id, pos, line) frame shuffles on the
+    * LINE for the occurrence count, but only lines crossing the
+    * threshold survive into the boilerplate frame — which is tiny by
+    * construction (shared lines) and BROADCASTS into the anti-join, so
+    * the corpus itself never reshuffles for the removal. Reassembly is
+    * one groupBy(id) carrying (pos, line) pairs.
+    *
+    * Output: (id, n_lines kept, text_clean). Blank lines are never
+    * counted as boilerplate but are preserved in the reassembly. */
+  def dedupLines(
+      docs: DataFrame, idCol: String, textCol: String, maxDocs: Int): DataFrame = {
+    val lines = docs.select(
+      col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val boilerplate = lines
+      .where(length(trim(col("line"))) > 0)
+      .groupBy(col("line"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .where(col("nd") > maxDocs)
+      .select(col("line"))
+    lines
+      .join(broadcast(boilerplate), Seq("line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            s => s.getField("line")), "\n").as("text_clean"))
+  }
+
 }
 
 /** Dense-vector column math over array<double>. `cosine` routes to the

@@ -1020,7 +1020,15 @@ object Search {
     * costs O(N) everywhere; the cursor predicate costs O(page) and
     * pushes into the scan). The iterator is lazy: each `next()` runs
     * one bounded job, so a caller can stop after any page without
-    * paying for the rest — the connector-export pattern at 100 TB. */
+    * paying for the rest — the stop-anytime sampling pattern.
+    *
+    * NOT the tool for a FULL export: every page re-scans the remaining
+    * corpus, so draining N docs costs O(pages × scan). Exporting
+    * everything is what SLICED scroll is for (the q_slice shape:
+    * disjoint deterministic md5-hash slices, each worker scans its
+    * slice exactly once, embarrassingly parallel). Rule of thumb:
+    * pages for "first k / peek / cursor UI", slices for "drain the
+    * index". */
   def scrollPages(
       docs: DataFrame,
       idCol: String,

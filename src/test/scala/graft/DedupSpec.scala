@@ -97,6 +97,26 @@ class DedupSpec extends SparkSpec {
     assert(r == Seq((1L, 3L, 2L, 50.0), (7L, 2L, 7L, 5.0)))
   }
 
+  test("line dedup: boilerplate lines stripped, order kept, blanks preserved") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "nav bar\nunique one\n\nmore one\nfooter"),
+      (2L, "nav bar\nunique two\nfooter"),
+      (3L, "nav bar\nunique three\nfooter"),
+      (4L, "all alone here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupLines(docs, "doc_id", "text", maxDocs = 2)
+      .select("doc_id", "n_lines", "text_clean")
+      .as[(Long, Long, String)].collect().toSeq.sortBy(_._1)
+    // "nav bar"/"footer" occur in 3 docs > 2 -> stripped everywhere;
+    // the blank line in doc 1 is preserved (never counted)
+    assert(out == Seq(
+      (1L, 3L, "unique one\n\nmore one"),
+      (2L, 1L, "unique two"),
+      (3L, 1L, "unique three"),
+      (4L, 1L, "all alone here")))
+  }
+
   test("incremental dedup: new docs drop only against OLD near-dups") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again today"
