@@ -163,6 +163,31 @@ object SparkEntry {
     graft.expr.GeoKernels.geohashKernel(lat, lon, 2).toString
   }
 
+  /** Mirror of Ann.bbqTopK: identical bit packing (two 32-bit halves
+    * as BIGINTs), identical ascending-dim fold for the asymmetric
+    * estimate, same cosine formulation as the other vector oracles. */
+  private def bbqOracleSql(qv: Seq[Double], k: Int, ov: Int): String = {
+    val loExpr = (0 until 32).map(i =>
+      s"(CASE WHEN v[${i + 1}] > 0.0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    val hiExpr = (32 until 64).map(i =>
+      s"(CASE WHEN v[${i + 1}] > 0.0 THEN ${1L << (i - 32)} ELSE 0 END)").mkString(" + ")
+    val est = (0 until 64).map { i =>
+      val bits = if (i < 32) "b_lo" else "b_hi"
+      val mask = 1L << (if (i < 32) i else i - 32)
+      s"(CASE WHEN ($bits & $mask) != 0 THEN ${qv(i)} ELSE ${-qv(i)} END)"
+    }.mkString(" + ")
+    "WITH q AS (SELECT " + qv.mkString("[", ", ", "]") + "::DOUBLE[] AS w), " +
+      "e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), " +
+      s"b AS (SELECT vec_id, $loExpr AS b_lo, $hiExpr AS b_hi FROM e), " +
+      s"c AS (SELECT vec_id, $est AS bscore FROM b ORDER BY bscore DESC, vec_id LIMIT ${k * ov}), " +
+      "ex AS (SELECT c.vec_id AS id, round(list_reduce(list_prepend(0.0, " +
+      "list_transform(range(1, 65), i -> e.v[i] * w[i])), (a, b) -> a + b) / " +
+      "(sqrt(list_reduce(list_prepend(0.0, list_transform(e.v, x -> x * x)), (a, b) -> a + b)) * " +
+      "sqrt(list_reduce(list_prepend(0.0, list_transform(w, x -> x * x)), (a, b) -> a + b))), 4) AS cosine, " +
+      "round(c.bscore, 4) AS bscore FROM c JOIN e ON e.vec_id = c.vec_id CROSS JOIN q) " +
+      s"SELECT id, cosine, bscore FROM ex ORDER BY cosine DESC, id LIMIT $k"
+  }
+
   /** Mirror of Search.highlightFragmentsByScore: same per-term window
     * regexes, same idf formula, same fixed-order score fold, struct
     * sort on (-score, frag). */
@@ -1982,6 +2007,13 @@ object SparkEntry {
     "q_knn_rescore" -> ((s, d) =>
       graft.sim.Ann.knnRescoreTopK(t(s, d, "embeddings"), "vec_id", "embedding",
         ScriptQv, k = 10, oversample = 4)),
+    // ES 8.16 BBQ (1-bit binary quantization): coarse asymmetric
+    // dot(q, sign(v)) from TWO PACKED LONGS per doc, oversampled
+    // window rescored with exact cosine — the 32x-compressed storage
+    // path beyond int8
+    "q_knn_bbq" -> ((s, d) =>
+      graft.sim.Ann.bbqTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        ScriptQv, k = 10, oversample = 4)),
     // ip_range agg over the synthetic ip column (from-inclusive,
     // to-exclusive, unbounded sides open; one scan, N count_ifs)
     "q_agg_ip_range" -> ((s, d) => Aggs.ipRange(withIp(Tables.events(s, d)), "ip",
@@ -3600,6 +3632,7 @@ object SparkEntry {
       "sqrt(list_reduce(list_prepend(0.0, list_transform(w, x -> x * x)), (a, b) -> a + b))), 4) AS cosine, " +
       "round(c.qscore, 4) AS quantized FROM coarse c JOIN e ON e.vec_id = c.vec_id CROSS JOIN q) " +
       "SELECT id, cosine, quantized FROM ex ORDER BY cosine DESC, id LIMIT 10"),
+    "q_knn_bbq" -> bbqOracleSql(ScriptQv, 10, 4),
     "q_agg_ip_range" -> (IpCte +
       " SELECT key, doc_count FROM (" +
       "SELECT 0 AS o, 'low' AS key, count(*) FILTER (WHERE ipn < 10 * 16777216 + 64 * 65536)::BIGINT AS doc_count FROM ipv " +

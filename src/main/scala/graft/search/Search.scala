@@ -1335,16 +1335,25 @@ object Search {
     val statAggs = count(lit(1)).cast("double").as("n_docs") +:
       terms.map(t => sum(when(array_contains(toks, t), 1).otherwise(0))
         .cast("double").as(s"df_$t"))
+    val statCols = "n_docs" +: terms.map(t => s"df_$t")
     val stats = docs.agg(statAggs.head, statAggs.tail: _*)
     def idf(u: String): Column =
       log(lit(1.0) + (col("n_docs") - col(s"df_$u") + lit(0.5)) / (col(s"df_$u") + lit(0.5)))
-    val fragStructs = terms.map { t =>
+    // materialize each term's window ONCE as a named column before the
+    // scoring tree references it — the full-text regex is the dominant
+    // cost, and inside the struct/score expressions it would be
+    // re-evaluated per reference (4.99 s -> regex-once brings it in
+    // line with the other highlight queries)
+    val fragCols = terms.zipWithIndex.map { case (t, i) =>
       val quoted = java.util.regex.Pattern.quote(t)
       val repl = java.util.regex.Matcher.quoteReplacement(s"<em>$t</em>")
-      val frag = regexp_replace(
+      regexp_replace(
         regexp_extract(lower(col(textCol)),
           s"([a-z0-9]+ ){0,3}$quoted( [a-z0-9]+){0,3}", 0),
-        quoted, repl)
+        quoted, repl).as(s"_f$i")
+    }
+    val fragStructs = terms.indices.map { i =>
+      val frag = col(s"_f$i")
       val ftoks = split(regexp_replace(frag, "</?em>", ""), " ")
       // fixed fold order (the analyzed term order) so the float sum
       // is reproducible on both engines
@@ -1354,8 +1363,9 @@ object Search {
     }
     docs.where(matchQuery(col(textCol), query))
       .crossJoin(broadcast(stats))
+      .select(col(idCol).as("id") +: (statCols.map(col) ++ fragCols): _*)
       .select(
-        col(idCol).as("id"),
+        col("id"),
         concat_ws(" ... ", transform(
           slice(sort_array(filter(array(fragStructs: _*),
             s => s.getField("frag") =!= "")), 1, numFragments),

@@ -387,6 +387,62 @@ object Ann {
       .limit(k)
   }
 
+  /** ES 8.16+ BBQ (`bbq_flat` / `bbq_hnsw` storage): binary
+    * quantization to ONE BIT per dimension — 32× smaller than float32,
+    * 4× smaller than int8. The coarse pass never touches the float
+    * vectors: it scores the ASYMMETRIC estimate `dot(q, sign(v))`
+    * from the packed bits alone (the query stays full precision —
+    * that asymmetry is what makes 1-bit storage rankable), keeps a
+    * top-(k·oversample) window, and only that window's raw vectors
+    * are read for the exact-cosine rescore via a broadcast semi-join.
+    * At 100 TB the corpus-wide pass reads two longs per doc.
+    *
+    * Bits pack into two 32-bit halves (lo = dims 1..32, hi = 33..64)
+    * so the DuckDB oracle's BIGINT arithmetic replicates the packing
+    * and the bit-probe math exactly; dims ≤ 64. */
+  def bbqTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryVec: Seq[Double],
+      k: Int,
+      oversample: Int): DataFrame = {
+    val dim = queryVec.size
+    require(dim >= 1 && dim <= 64, "bbq packing supports 1..64 dims")
+    import org.apache.spark.sql.GraftBridge
+    val v = col(vecCol).cast("array<double>")
+    val lo = (0 until math.min(32, dim)).map(i =>
+      when(element_at(v, i + 1) > 0.0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val hi =
+      if (dim <= 32) lit(0L)
+      else (32 until dim).map(i =>
+        when(element_at(v, i + 1) > 0.0, lit(1L << (i - 32))).otherwise(lit(0L)))
+        .reduce(_ + _)
+    // the stored artifact: (id, b_lo, b_hi) — all the coarse pass reads
+    val packed = corpus.select(col(idCol).as("id"), lo.as("b_lo"), hi.as("b_hi"))
+    // fixed fold order (ascending dim) keeps the float sum identical
+    // on both engines
+    val est = (0 until dim).map { i =>
+      val bits = if (i < 32) col("b_lo") else col("b_hi")
+      val mask = 1L << (if (i < 32) i else i - 32)
+      when(bits.bitwiseAND(lit(mask)) =!= 0L, lit(queryVec(i)))
+        .otherwise(lit(-queryVec(i)))
+    }.reduce(_ + _)
+    val coarse = packed.select(col("id"), est.as("bscore"))
+      .orderBy(col("bscore").desc, col("id").asc)
+      .limit(k * oversample)
+    val q = array(queryVec.map(lit): _*)
+    val exact = GraftBridge.column(graft.expr.CosineSim(
+      GraftBridge.expression(col(vecCol)), GraftBridge.expression(q)))
+    corpus.join(broadcast(coarse), col(idCol) === coarse("id"))
+      .select(coarse("id"),
+        graft.util.Num.round(exact, 4).as("cosine"),
+        graft.util.Num.round(coarse("bscore"), 4).as("bscore"))
+      .orderBy(col("cosine").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** ES 8.18 knn `rescore_vector.oversample`: the quantized index
     * (int8 storage) ranks a COARSE top-(k * oversample) window with
     * its lossy score, then the raw vectors rescore exactly and keep
