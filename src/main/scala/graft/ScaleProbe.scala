@@ -308,6 +308,44 @@ object ScaleProbe {
         graft.sim.Ann.ivfTopK(emb, queries, "vec_id", "embedding",
           nCentroids = 16, nprobe = 4, k = 10))
     }
+    time("dedup_lines_10x") {
+      // boilerplate line removal: line-count shuffle + broadcast anti;
+      // worst case here — every clone group shares its body lines, so
+      // the boilerplate frame includes BODIES too (10 copies > k) and
+      // most docs collapse to just their unique header variation
+      val pages = docs.withColumn("page",
+        concat(lit("home | about | "), col("source"), lit("\n"),
+          col("text"), lit("\ncopyright 2024 example.com")))
+      Dedup.dedupLines(pages, "doc_id", "page", maxDocs = 2 * n).count()
+    }
+    time("bbq_topk_10x") {
+      // corpus-wide pass reads two packed longs per doc; rescore is
+      // broadcast-bounded at k*oversample rows
+      val emb10 = times(Tables.embeddings(spark, sfDir), "vec_id", 10000000L)
+      val qv = (0 until 64).map(i => (i * 37 % 100) / 100.0 - 0.5)
+      graft.sim.Ann.bbqTopK(emb10, "vec_id", "embedding", qv, 10, 4).count()
+    }
+    time("highlight_order_10x") {
+      // per-term window regex once per doc (materialized columns),
+      // (N, df) one corpus agg broadcast
+      Search.highlightFragmentsByScore(docs, "doc_id", "text",
+        "fast hash join", 2).count()
+    }
+    time("geo_rings_10x") {
+      // map-only compiled ray cast over per-row ring lists
+      val c = times(Tables.customer(spark, sfDir), "c_custkey", 10000000L)
+        .withColumn("lat", (col("c_custkey") * 7919 % 18000) / 100.0 - 90.0)
+        .withColumn("lon", (col("c_custkey") * 104729 % 36000) / 100.0 - 180.0)
+        .withColumn("an", (col("c_custkey") % 7 + 2).cast("double") * 8.0)
+      val latRings = array(
+        array(col("lat") + col("an"), col("lat"), col("lat") - col("an"), col("lat")),
+        array(col("lat") + col("an") / 3.0, col("lat"), col("lat") - col("an") / 3.0, col("lat")))
+      val lonRings = array(
+        array(col("lon"), col("lon") + col("an"), col("lon"), col("lon") - col("an")),
+        array(col("lon"), col("lon") + col("an") / 3.0, col("lon"), col("lon") - col("an") / 3.0))
+      c.where(graft.rel.Relational.shapeRingsContainPoint(
+          latRings, lonRings, 5.1234567, 10.7654321)).count()
+    }
     time("esql_fuse_10x") {
       // FUSE cost is bounded by the fork windows (LIMIT-ed), not the
       // corpus — the two branch scans dominate

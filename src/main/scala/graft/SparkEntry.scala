@@ -1063,6 +1063,35 @@ object SparkEntry {
           arrays_overlap(col("mt"), lit(Array("tables", "windows"))).as("raw_hit"))
         .orderBy(col("doc_id"))
     }),
+    // asciifolding: de docs get accented variants (a->ä, e->é), the
+    // folded index matches 'merge' anyway; raw_hit shows the unfolded
+    // tokenizer splitting 'mérgé' apart (accents are separators)
+    "q_match_folded" -> ((s, d) => {
+      import graft.analysis.Analyzer
+      val raw = when(col("lang") === "de",
+        translate(col("text"), "ae", "äé")).otherwise(col("text"))
+      val folded = Analyzer.tokens(Analyzer.asciiFold(raw))
+      t(s, d, "documents")
+        .where(array_contains(folded, "merge") && col("lang").isin("de", "en"))
+        .select(col("doc_id"), col("lang"),
+          array_contains(Analyzer.tokens(raw), "merge").as("raw_hit"))
+        .orderBy(col("doc_id"))
+    }),
+    // html_strip char filter: tags out, entities decoded (&amp; last),
+    // then the standard chain — 'amp' must NOT surface as a token
+    "q_analyze_html" -> ((s, d) => {
+      import graft.analysis.Analyzer
+      val html = concat(lit("<div class=\"x\"><p>"),
+        substring(col("text"), 1, 60), lit(" &amp; more</p></div>"))
+      val toks = Analyzer.tokens(Analyzer.htmlStrip(html))
+      t(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(sum(size(toks)).as("n_toks"),
+          sum(array_contains(toks, "more").cast("long")).as("n_more"),
+          sum(array_contains(toks, "amp").cast("long")).as("n_amp"),
+          sum(array_contains(toks, "div").cast("long")).as("n_div"))
+        .orderBy(col("lang"))
+    }),
     // analyzer chain: stop filter — "the" drops out of the AND query,
     // so docs lacking it still match (has_the marks them)
     "q_match_stopwords" -> ((s, d) => {
@@ -1353,6 +1382,42 @@ object SparkEntry {
     "q_geo_centroid" -> ((s, d) => {
       val g = withGeo(t(s, d, "customer"))
       Aggs.geoCentroid(g.where(col("c_mktsegment") === "BUILDING"), "lat", "lon")
+    }),
+    // moving_fn MovingFunctions.ewma: exponentially-weighted moving
+    // average over a 6-bucket trailing window of the date_histogram —
+    // the fold recurrence (acc*0.7 + x*0.3, seeded by the window's
+    // first value) runs as one array fold per bucket, mirrored by
+    // DuckDB's list_reduce bit-for-bit
+    "q_agg_ewma" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val buckets = Tables.events(s, d)
+        .groupBy(expr("ts_ns div 3600000000000").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("bucket")).rowsBetween(-5, 0)
+      val windowArr = collect_list(col("n").cast("double")).over(w)
+      buckets
+        .select(col("bucket"), col("n"),
+          aggregate(windowArr, lit(null).cast("double"),
+            (acc, x) => when(acc.isNull, x).otherwise(x * 0.3 + acc * 0.7))
+            .as("raw_ewma"))
+        .select(col("bucket"), col("n"),
+          graft.util.Num.round(col("raw_ewma"), 4).as("ewma"))
+        .orderBy(col("bucket"))
+    }),
+    // ES `histogram` FIELD type: per-user pre-aggregated (values[],
+    // counts[]) histograms built once, then stats aggregate the
+    // histograms — raw observations never re-aggregate (the rollup/
+    // TSDB read path). Decimal partials make the sums order-free.
+    "q_agg_histogram_field" -> ((s, d) => {
+      val hist = Tables.events(s, d)
+        .groupBy(col("user_id"), (floor(col("value") / 100.0) * 100.0).as("bv"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(col("bv"), col("c")))).as("h"))
+        .select(col("user_id"),
+          transform(col("h"), x => x.getField("bv")).as("values"),
+          transform(col("h"), x => x.getField("c")).as("counts"))
+      Aggs.histogramFieldStats(hist, "values", "counts")
     }),
     "q_geo_grid" -> ((s, d) =>
       Aggs.geohashGridAgg(withGeo(t(s, d, "customer")), "lat", "lon", precision = 4, k = 15)),
@@ -2730,6 +2795,25 @@ object SparkEntry {
       "SELECT doc_id, len(list_intersect(list_distinct(st), ['table', 'window']))::BIGINT AS n_terms, " +
       "list_has_any(toks, ['tables', 'windows']) AS raw_hit " +
       "FROM mst WHERE list_has_any(st, ['table', 'window']) ORDER BY doc_id"),
+    "q_match_folded" -> ("WITH r AS (SELECT doc_id, lang, CASE WHEN lang = 'de' " +
+      "THEN translate(text, 'ae', 'äé') ELSE text END AS raw FROM documents), " +
+      s"f AS (SELECT doc_id, lang, raw, list_filter(regexp_split_to_array(" +
+      s"translate(raw, '${graft.analysis.Analyzer.FoldFrom}', '${graft.analysis.Analyzer.FoldTo}'), " +
+      "'[^a-z0-9]+'), x -> len(x) > 0) AS ftoks FROM r) " +
+      "SELECT doc_id, lang, list_contains(list_filter(regexp_split_to_array(raw, '[^a-z0-9]+'), " +
+      "x -> len(x) > 0), 'merge') AS raw_hit " +
+      "FROM f WHERE list_contains(ftoks, 'merge') AND lang IN ('de', 'en') ORDER BY doc_id"),
+    "q_analyze_html" -> ("WITH h AS (SELECT lang, '<div class=\"x\"><p>' || substring(text, 1, 60) || " +
+      "' &amp; more</p></div>' AS html FROM documents), " +
+      "s AS (SELECT lang, replace(replace(replace(replace(replace(replace(" +
+      "regexp_replace(html, '<[^>]*>', ' ', 'g'), " +
+      "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS txt FROM h), " +
+      "t AS (SELECT lang, list_filter(regexp_split_to_array(lower(txt), '[^a-z0-9]+'), x -> len(x) > 0) AS toks FROM s) " +
+      "SELECT lang, sum(len(toks))::BIGINT AS n_toks, " +
+      "sum(CASE WHEN list_contains(toks, 'more') THEN 1 ELSE 0 END)::BIGINT AS n_more, " +
+      "sum(CASE WHEN list_contains(toks, 'amp') THEN 1 ELSE 0 END)::BIGINT AS n_amp, " +
+      "sum(CASE WHEN list_contains(toks, 'div') THEN 1 ELSE 0 END)::BIGINT AS n_div " +
+      "FROM t GROUP BY lang ORDER BY lang"),
     "q_match_stopwords" -> (TokCte +
       " SELECT doc_id, list_contains(toks, 'the') AS has_the FROM tok " +
       "WHERE list_contains(toks, 'fast') AND list_contains(toks, 'table') ORDER BY doc_id"),
@@ -3185,6 +3269,16 @@ object SparkEntry {
     "q_agg_matrix_stats" -> ("SELECT count(*)::BIGINT AS cnt, " +
       "round(covar_pop(l_quantity, l_extendedprice), 4) AS covariance, " +
       "round(corr(l_quantity, l_extendedprice), 4) AS correlation FROM lineitem"),
+    "q_agg_ewma" -> ("WITH b AS (SELECT epoch_us(ts) // 3600000000 AS bucket, count(*)::BIGINT AS n " +
+      "FROM events GROUP BY 1), " +
+      "w AS (SELECT bucket, n, list(n::DOUBLE) OVER " +
+      "(ORDER BY bucket ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS arr FROM b) " +
+      "SELECT bucket, n, round(list_reduce(arr, (a, x) -> x * 0.3 + a * 0.7), 4) AS ewma " +
+      "FROM w ORDER BY bucket"),
+    "q_agg_histogram_field" -> ("WITH b AS (SELECT user_id, floor(value / 100.0) * 100.0 AS bv, " +
+      "count(*)::BIGINT AS c FROM events GROUP BY 1, 2) " +
+      "SELECT sum(c)::BIGINT AS value_count, sum(CAST(bv * c AS DECIMAL(18,4))) AS total, " +
+      "min(bv) AS lo, max(bv) AS hi FROM b"),
     "q_geo_centroid" -> (GeoCte.replace("FROM customer", "FROM customer WHERE c_mktsegment = 'BUILDING'") +
       " SELECT round(avg(lat), 4) AS centroid_lat, round(avg(lon), 4) AS centroid_lon, " +
       "count(*)::BIGINT AS doc_count FROM g"),

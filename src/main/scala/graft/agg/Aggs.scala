@@ -465,6 +465,34 @@ object Aggs {
         Num.round(avg(col(metricField)), 4).as("avg_metric"))
   }
 
+  /** ES `histogram` mapped FIELD type: each doc stores a
+    * PRE-AGGREGATED histogram as parallel (values[], counts[]) arrays
+    * — the TSDB/rollup storage shape, where raw observations never
+    * reach the index. Stats aggregate over histogram fields by
+    * weighting each value by its count. Per-row partial sums
+    * accumulate in DECIMAL (order-free exact addition — array order
+    * inside a row and row order across the shuffle both stop
+    * mattering), then ONE global aggregate; the exchange carries a
+    * decimal + three scalars per row, never the arrays. */
+  def histogramFieldStats(
+      df: DataFrame, valuesCol: String, countsCol: String): DataFrame = {
+    val rowSum = aggregate(
+      zip_with(col(valuesCol), col(countsCol), (v, c) => v * c),
+      lit(0).cast("decimal(18,4)"),
+      // re-cast per step: decimal + widens to (19,4), and the HOF
+      // accumulator type must stay fixed
+      (acc, x) => (acc + x.cast("decimal(18,4)")).cast("decimal(18,4)"))
+    val rowN = aggregate(col(countsCol), lit(0L), (acc, c) => acc + c)
+    df.select(
+        rowSum.as("_s"), rowN.as("_n"),
+        array_min(col(valuesCol)).as("_lo"), array_max(col(valuesCol)).as("_hi"))
+      .agg(
+        sum(col("_n")).as("value_count"),
+        sum(col("_s")).as("total"),
+        min(col("_lo")).as("lo"),
+        max(col("_hi")).as("hi"))
+  }
+
   /** `geo_centroid`: mean point of a geo field (column-pair model). */
   def geoCentroid(df: DataFrame, latField: String, lonField: String): DataFrame =
     df.agg(

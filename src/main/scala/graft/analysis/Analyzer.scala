@@ -109,6 +109,25 @@ object Analyzer {
     analyze(query).filterNot(stopSet).map(stem)
   }
 
+  /** `asciifolding` filter (the high-frequency Latin-1 accent subset):
+    * one translate pass, applied BEFORE tokenization — the standard
+    * tokenizer treats accented letters as separators, so folding must
+    * come first to keep 'mérgé' one token. The map is data; ES's full
+    * filter covers more planes, extend in place. */
+  val FoldFrom = "àáâãäåçèéêëìíîïñòóôõöùúûüýÿ"
+  val FoldTo = "aaaaaaceeeeiiiinooooouuuuyy"
+  def asciiFold(text: Column): Column = translate(text, FoldFrom, FoldTo)
+
+  /** `html_strip` char filter: tags become spaces, then the five
+    * common entities decode — `&amp;` LAST so `&amp;lt;` ends as the
+    * literal `&lt;`, not a spurious `<` (the double-unescape bug). */
+  def htmlStrip(text: Column): Column = {
+    val noTags = regexp_replace(text, "<[^>]*>", " ")
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+  }
+
   /** Token 3-gram shingles over an ordered token array: the unit used by
     * MinHash / n-gram-Jaccard dedup. Narrow per-row transform. */
   def shingles(toks: Column, n: Int = 3): Column = {

@@ -1433,31 +1433,54 @@ object Search {
     * That covers the `bool{ filter: terms + range + match_phrase }`
     * class of percolator queries, evaluated entirely as data:
     *
-    *  1. candidate (doc, query) pairs from the SAME exploded-token
-    *     join as percolateTerms (terms are the required clause — the
-    *     selective leg, exactly how ES's percolator uses its
-    *     extracted-term index to prefilter candidates);
-    *  2. range + phrase verified on the candidate pairs only, as
+    *  1. per query, ONE SELECTOR TERM — the corpus-rarest of its
+    *     conjunctive terms (df from one corpus aggregate; a term
+    *     absent from the corpus has df 0 and kills the query's
+    *     candidates outright). A doc can only match a conjunction if
+    *     it contains the rarest term, so joining doc-tokens against
+    *     selectors alone yields a complete candidate superset — this
+    *     is ES's percolator candidate-selection trick, and it is
+    *     load-bearing: joining on ALL terms explodes when a stopword-
+    *     grade term appears in a large fraction of stored queries
+    *     (500k-query probe: ~10^10 joined rows, disk-full spill);
+    *     the selector join is bounded by the rarest term's postings;
+    *  2. the full conjunction verified on candidates only, keyed on
+    *     (id, term) — output bounded by candidates × terms-per-query;
+    *  3. range + phrase verified on the surviving pairs, as
     *     data-driven column predicates (range_field dispatches over
     *     `numericFields` via one CASE; the phrase check is a
     *     substring scan of the space-joined token stream).
     *
     * Registry scales to millions of rows (it is never inlined into
-    * the plan); the corpus shuffles only (token, id) pairs for tokens
-    * that appear in some query's term set. */
+    * the plan); the corpus shuffles only (token, id) pairs. */
   def percolateDsl(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       registry: DataFrame,
       numericFields: Seq[String]): DataFrame = {
+    val docTerms = docs
+      .select(col(idCol).as("id"), explode(Analyzer.termSet(col(textCol))).as("term"))
+      .cache()
+    docTerms.count() // eager: three consumers (df, candidates, verify)
+    val dfStats = docTerms.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val q = registry.select(
       col("query_id"),
       explode(col("terms")).as("term"),
       size(col("terms")).as("n_terms"))
-    val cand = docs
-      .select(col(idCol).as("id"), explode(Analyzer.termSet(col(textCol))).as("term"))
-      .join(q, "term")
+    val selW = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+      .orderBy(col("df").asc, col("term").asc)
+    val selector = q
+      .join(dfStats, Seq("term"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .withColumn("_rn", row_number().over(selW))
+      .where(col("_rn") === 1)
+      .select(col("term"), col("query_id"))
+    val cand = docTerms.join(selector, "term")
+      .select(col("id"), col("query_id"))
+    val matched = cand
+      .join(q.select(col("query_id"), col("term"), col("n_terms")), "query_id")
+      .join(docTerms, Seq("id", "term"), "left_semi")
       .groupBy(col("id"), col("query_id"))
       .agg(count(lit(1)).as("matched"), first(col("n_terms")).as("n_terms"))
       .where(col("matched") === col("n_terms"))
@@ -1470,7 +1493,7 @@ object Search {
     val fieldVal = numericFields.foldRight(lit(null).cast("double")) {
       case (f, other) => when(col("range_field") === f, col(f).cast("double")).otherwise(other)
     }
-    cand
+    matched
       .join(docSide, "id")
       .join(registry.select(col("query_id"), col("range_field"),
         col("range_min"), col("range_max"), col("phrase")), "query_id")
