@@ -1423,6 +1423,29 @@ object SparkEntry {
       Aggs.geohashGridAgg(withGeo(t(s, d, "customer")), "lat", "lon", precision = 4, k = 15)),
     "q_geo_tile" -> ((s, d) =>
       Aggs.geotileGridAgg(withGeo(t(s, d, "customer")), "lat", "lon", zoom = 6, k = 15)),
+    // the _search body "aggs" JSON compiler: a nested bucket tree
+    // (terms > terms > metrics) compiles to ONE flat groupBy
+    "q_aggs_json" -> ((s, d) => graft.dsl.AggsJson.compile(t(s, d, "documents"),
+      """{"aggs": {"by_lang": {"terms": {"field": "lang"}, "aggs": {
+           "by_src": {"terms": {"field": "source"}, "aggs": {
+             "avg_chars": {"avg": {"field": "n_chars"}},
+             "n_vals": {"value_count": {"field": "n_chars"}}}}}}}}""")),
+    // aggs JSON: date_histogram bucket + cardinality/sum metrics over
+    // the event stream (the dashboard-panel request shape)
+    "q_aggs_json_date" -> ((s, d) => graft.dsl.AggsJson.compile(Tables.events(s, d),
+      """{"aggs": {"by_day": {"date_histogram": {"field": "ts_ns", "fixed_interval": "1d"},
+           "aggs": {"users": {"cardinality": {"field": "user_id"}},
+                    "total": {"sum": {"field": "value"}}}}}}""")),
+    // aggs JSON: range buckets with ES's */from/to key labels;
+    // out-of-range rows drop like ES
+    "q_aggs_json_range" -> ((s, d) => graft.dsl.AggsJson.compile(Tables.events(s, d),
+      """{"aggs": {"vr": {"range": {"field": "value", "ranges": [
+           {"to": 100}, {"from": 100, "to": 300}, {"from": 300}]},
+           "aggs": {"hi": {"max": {"field": "value"}}}}}}""")),
+    // _mvt vector-tile search: per-tile features (count, centroid,
+    // closed-form tile envelope) — the map-rendering read path
+    "q_mvt" -> ((s, d) =>
+      Aggs.mvtTiles(withGeo(t(s, d, "customer")), "lat", "lon", zoom = 5, k = 12)),
     "q_autocomplete" -> ((s, d) => t(s, d, "documents")
       .select(explode(graft.analysis.Analyzer.tokens(col("text"))).as("token"))
       .where(col("token").startsWith("s"))
@@ -3302,6 +3325,26 @@ object SparkEntry {
       "CAST(greatest(least(floor(round((1.0 - ln(tan(radians(latc)) + 1.0 / cos(radians(latc))) / pi()) / 2.0 * 64.0, 9)), 63.0), 0.0) AS BIGINT) AS y FROM c) " +
       "SELECT '6/' || x::VARCHAR || '/' || y::VARCHAR AS key, count(*)::BIGINT AS doc_count " +
       "FROM t GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 15"),
+    "q_aggs_json" -> ("SELECT lang AS by_lang, source AS by_src, count(*)::BIGINT AS doc_count, " +
+      "round(avg(n_chars), 4) AS avg_chars, count(n_chars)::BIGINT AS n_vals " +
+      "FROM documents GROUP BY 1, 2 ORDER BY by_lang, by_src"),
+    "q_aggs_json_date" -> ("SELECT (epoch_us(ts) // 86400000000) * 86400000000000 AS by_day, " +
+      "count(*)::BIGINT AS doc_count, count(DISTINCT user_id)::BIGINT AS users, " +
+      "sum(CAST(value AS DECIMAL(18,4))) AS total FROM events GROUP BY 1 ORDER BY by_day"),
+    "q_aggs_json_range" -> ("WITH r AS (SELECT value, CASE WHEN value < 100 THEN '*-100.0' " +
+      "WHEN value >= 100 AND value < 300 THEN '100.0-300.0' " +
+      "WHEN value >= 300 THEN '300.0-*' END AS vr FROM events) " +
+      "SELECT vr, count(*)::BIGINT AS doc_count, max(value) AS hi FROM r " +
+      "WHERE vr IS NOT NULL GROUP BY vr ORDER BY vr"),
+    "q_mvt" -> (GeoCte + ", c AS (SELECT lat, lon, greatest(least(lat, 85.05112878), -85.05112878) AS latc FROM g), " +
+      "t AS (SELECT lat, lon, CAST(least(floor((lon + 180.0) / 360.0 * 32.0), 31.0) AS BIGINT) AS x, " +
+      "CAST(greatest(least(floor(round((1.0 - ln(tan(radians(latc)) + 1.0 / cos(radians(latc))) / pi()) / 2.0 * 32.0, 9)), 31.0), 0.0) AS BIGINT) AS y FROM c), " +
+      "a AS (SELECT x, y, count(*)::BIGINT AS doc_count, round(avg(lat), 4) AS centroid_lat, round(avg(lon), 4) AS centroid_lon FROM t GROUP BY x, y) " +
+      "SELECT '5/' || x::VARCHAR || '/' || y::VARCHAR AS key, doc_count, centroid_lat, centroid_lon, " +
+      "round(x / 32.0 * 360.0 - 180.0, 6) AS west, round((x + 1) / 32.0 * 360.0 - 180.0, 6) AS east, " +
+      "round(degrees(atan((exp(pi() * (1.0 - 2.0 * y / 32.0)) - exp(-(pi() * (1.0 - 2.0 * y / 32.0)))) / 2.0)), 6) AS north, " +
+      "round(degrees(atan((exp(pi() * (1.0 - 2.0 * (y + 1) / 32.0)) - exp(-(pi() * (1.0 - 2.0 * (y + 1) / 32.0)))) / 2.0)), 6) AS south " +
+      "FROM a ORDER BY doc_count DESC, key LIMIT 12"),
     "q_autocomplete" -> (TokCte + " SELECT token, count(*)::BIGINT AS freq FROM " +
       "(SELECT unnest(toks) AS token FROM tok) WHERE token LIKE 's%' " +
       "GROUP BY token ORDER BY freq DESC, token LIMIT 8"),

@@ -549,6 +549,45 @@ object Aggs {
       .limit(k)
   }
 
+  /** `_mvt` (vector tile search API): per (zoom, x, y) web-mercator
+    * tile — hit count, point centroid, and the tile's WGS84 envelope
+    * recomputed from the tile coordinates in closed form. Same tile
+    * math (and ulp guard) as geotile_grid; ONE grid groupBy is the
+    * only exchange. Output is the per-tile FEATURE data the MVT
+    * encoder serializes — the protobuf wrapper is presentation, not
+    * analytics. The inverse-mercator north/south edges spell sinh via
+    * exp (DuckDB has no sinh) so both engines run the identical
+    * formula; 6-decimal rounding absorbs libm ulp drift. */
+  def mvtTiles(
+      df: DataFrame, latField: String, lonField: String,
+      zoom: Int, k: Int): DataFrame = {
+    val n = (1 << zoom).toDouble
+    val latC = greatest(least(col(latField).cast("double"), lit(85.05112878)), lit(-85.05112878))
+    val r = radians(latC)
+    val x = least(floor((col(lonField).cast("double") + 180.0) / 360.0 * n), lit(n - 1.0))
+      .cast("long")
+    val yRaw = (lit(1.0) - log(tan(r) + lit(1.0) / cos(r)) / math.Pi) / 2.0 * n
+    val y = greatest(least(floor(Num.round(yRaw, 9)), lit(n - 1.0)), lit(0.0)).cast("long")
+    def mercLat(yEdge: Column): Column = {
+      val z = lit(math.Pi) * (lit(1.0) - lit(2.0) * yEdge / n)
+      Num.round(degrees(atan((exp(z) - exp(-z)) / 2.0)), 6)
+    }
+    df.groupBy(x.as("x"), y.as("y"))
+      .agg(
+        count(lit(1)).as("doc_count"),
+        Num.round(avg(col(latField)), 4).as("centroid_lat"),
+        Num.round(avg(col(lonField)), 4).as("centroid_lon"))
+      .select(
+        concat_ws("/", lit(zoom), col("x"), col("y")).as("key"),
+        col("doc_count"), col("centroid_lat"), col("centroid_lon"),
+        Num.round(col("x") / n * 360.0 - 180.0, 6).as("west"),
+        Num.round((col("x") + 1) / n * 360.0 - 180.0, 6).as("east"),
+        mercLat(col("y").cast("double")).as("north"),
+        mercLat((col("y") + 1).cast("double")).as("south"))
+      .orderBy(col("doc_count").desc, col("key").asc)
+      .limit(k)
+  }
+
   /** ES PIPELINE aggregations over a date_histogram parent:
     * cumulative_sum, derivative, moving_avg — one window pass over the
     * bucket frame. The frame is #buckets rows (tiny at any corpus

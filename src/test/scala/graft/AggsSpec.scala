@@ -15,6 +15,37 @@ class AggsSpec extends SparkSpec {
     assert(r == Seq(("b", 3L), ("a", 2L)))
   }
 
+  test("aggs JSON compiler: terms size top-k, nesting, range labels, metric-only") {
+    import graft.dsl.AggsJson
+    // terms with size: top-k by doc_count desc, key asc
+    val topk = AggsJson.compile(df,
+      """{"aggs": {"byk": {"terms": {"field": "k", "size": 2}}}}""")
+      .select("byk", "doc_count").as[(String, Long)].collect().toSeq
+    assert(topk == Seq(("b", 3L), ("a", 2L)))
+    // nested bucket > metrics
+    val nested = AggsJson.compile(df,
+      """{"aggs": {"byk": {"terms": {"field": "k"},
+           "aggs": {"hi": {"max": {"field": "v"}}}}}}""")
+      .select("byk", "doc_count", "hi").as[(String, Long, Double)].collect().toSeq
+    assert(nested == Seq(("a", 2L, 3.0), ("b", 3L, 6.0), ("c", 1L, 10.0)))
+    // range buckets: ES key labels, out-of-range drops
+    val ranges = AggsJson.compile(df,
+      """{"aggs": {"vr": {"range": {"field": "v", "ranges": [
+           {"to": 3}, {"from": 3, "to": 100}]}}}}""")
+      .select("vr", "doc_count").as[(String, Long)].collect().toSeq
+    assert(ranges == Seq(("*-3.0", 2L), ("3.0-100.0", 4L)))
+    // metric-only body: one global row
+    val m = AggsJson.compile(df,
+      """{"aggs": {"n": {"value_count": {"field": "v"}},
+                   "u": {"cardinality": {"field": "k"}}}}""")
+      .select("n", "u").as[(Long, Long)].collect().head
+    assert(m == ((6L, 3L)))
+    intercept[IllegalArgumentException] {
+      AggsJson.compile(df, """{"aggs": {"a": {"terms": {"field": "k"}},
+        "b": {"terms": {"field": "v"}}}}""")
+    }
+  }
+
   test("stats / extended_stats") {
     val s = Aggs.statsAgg(df, "v").collect().head
     assert(s.getAs[Long]("cnt") == 6L)
