@@ -1423,6 +1423,23 @@ object SparkEntry {
       Aggs.geohashGridAgg(withGeo(t(s, d, "customer")), "lat", "lon", precision = 4, k = 15)),
     "q_geo_tile" -> ((s, d) =>
       Aggs.geotileGridAgg(withGeo(t(s, d, "customer")), "lat", "lon", zoom = 6, k = 15)),
+    // the FULL _search body lifecycle in one JSON: runtime field ->
+    // query on it -> aggs tree (ES's evaluation order)
+    "q_search_body" -> ((s, d) => graft.dsl.SearchBody.search(t(s, d, "documents"),
+      """{"runtime_mappings": {
+           "kchars": {"type": "long", "script": {"source": "emit(doc['n_chars'].value / 100)"}}},
+         "query": {"bool": {"filter": [
+           {"range": {"kchars": {"gte": 1}}}, {"term": {"lang": "en"}}]}},
+         "aggs": {"by_k": {"terms": {"field": "kchars"},
+           "aggs": {"srcs": {"cardinality": {"field": "source"}}}}}}""",
+      idField = "doc_id")),
+    // _search body hit path: sort objects + from/size paging (ordered
+    // offset+limit, never a collect)
+    "q_search_paging" -> ((s, d) => graft.dsl.SearchBody.search(t(s, d, "documents"),
+      """{"query": {"term": {"lang": "de"}},
+         "sort": [{"n_chars": {"order": "desc"}}, {"doc_id": {"order": "asc"}}],
+         "from": 5, "size": 10}""",
+      idField = "doc_id")),
     // the _search body "aggs" JSON compiler: a nested bucket tree
     // (terms > terms > metrics) compiles to ONE flat groupBy
     "q_aggs_json" -> ((s, d) => graft.dsl.AggsJson.compile(t(s, d, "documents"),
@@ -3325,6 +3342,13 @@ object SparkEntry {
       "CAST(greatest(least(floor(round((1.0 - ln(tan(radians(latc)) + 1.0 / cos(radians(latc))) / pi()) / 2.0 * 64.0, 9)), 63.0), 0.0) AS BIGINT) AS y FROM c) " +
       "SELECT '6/' || x::VARCHAR || '/' || y::VARCHAR AS key, count(*)::BIGINT AS doc_count " +
       "FROM t GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 15"),
+    "q_search_body" -> ("WITH r AS (SELECT source, CAST(trunc(n_chars / 100.0) AS BIGINT) AS kchars " +
+      "FROM documents WHERE lang = 'en') " +
+      "SELECT kchars AS by_k, count(*)::BIGINT AS doc_count, " +
+      "count(DISTINCT source)::BIGINT AS srcs FROM r WHERE kchars >= 1 " +
+      "GROUP BY 1 ORDER BY by_k"),
+    "q_search_paging" -> ("SELECT * FROM documents WHERE lang = 'de' " +
+      "ORDER BY n_chars DESC, doc_id ASC LIMIT 10 OFFSET 5"),
     "q_aggs_json" -> ("SELECT lang AS by_lang, source AS by_src, count(*)::BIGINT AS doc_count, " +
       "round(avg(n_chars), 4) AS avg_chars, count(n_chars)::BIGINT AS n_vals " +
       "FROM documents GROUP BY 1, 2 ORDER BY by_lang, by_src"),

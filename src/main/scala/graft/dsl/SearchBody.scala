@@ -72,6 +72,50 @@ object SearchBody {
     (runtime, innerQ)
   }
 
+  /** The full `_search` request lifecycle over one frame, in ES's
+    * evaluation order: `runtime_mappings` project first (searchable),
+    * `query` filters, then EITHER the `aggs` tree (via AggsJson — an
+    * aggregation request returns buckets, not hits) or the hit path:
+    * `sort` (field/order objects, missing treated as ES's
+    * default-last via nulls placement) + `from`/`size` paging
+    * (ordered offset+limit — never a global collect). */
+  def search(df: org.apache.spark.sql.DataFrame, body: String,
+      idField: String = "_id"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val root = JsonMethods.parse(body) match {
+      case JObject(fs) => fs.toMap
+      case _ => throw new IllegalArgumentException(s"bad search body: $body")
+    }
+    val (runtime, innerQ) = parse(body)
+    val projected = runtime.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+    val filtered = innerQ
+      // parse() echoes the whole body back as "the query" when it sees
+      // neither runtime_mappings nor query — only filter on a real one
+      .filter(_ => root.contains("query"))
+      .fold(projected)(q => projected.where(EsQuery.compile(q, idField)))
+    if (root.contains("aggs") || root.contains("aggregations"))
+      return AggsJson.compile(filtered, body)
+    val sorted = root.get("sort") match {
+      case Some(JArray(specs)) =>
+        val orders = specs.map {
+          case JObject(JField(f, JObject(o)) :: Nil) =>
+            o.toMap.get("order") match {
+              case Some(JString("desc")) => col(f).desc_nulls_last
+              case _ => col(f).asc_nulls_last // ES: missing defaults last
+            }
+          case JString(f) => col(f).asc_nulls_last
+          case other => throw new IllegalArgumentException(s"bad sort spec: $other")
+        }
+        filtered.orderBy(orders: _*)
+      case None => filtered
+      case other => throw new IllegalArgumentException(s"sort must be an array: $other")
+    }
+    val from = root.get("from").collect { case JInt(i) => i.toInt }.getOrElse(0)
+    val size = root.get("size").collect { case JInt(i) => i.toInt }
+    val paged = if (from > 0) sorted.offset(from) else sorted
+    size.fold(paged)(paged.limit)
+  }
+
   /** `script_fields`: per-HIT computed outputs (unlike runtime fields
     * they are not searchable — they project AFTER the query predicate,
     * exactly ES's evaluation point). Each compiles via Painless to a
