@@ -628,6 +628,11 @@ object SparkEntry {
         | eval u = mv_count(mv_dedupe(toks)), srt = mv_sort(toks)
         | eval first = mv_first(srt), last = mv_last(srt)
         | keep doc_id, u, first, last | sort doc_id | limit 200""")),
+    // MV_MEDIAN (sorted middle; even counts average the two middles)
+    // over the 64-dim embedding multivalue
+    "q_esql_mv_median" -> ((s, d) => graft.dsl.Esql.run(s, d,
+      """from embeddings | eval med = mv_median(embedding)
+        | keep vec_id, med | sort vec_id | limit 100""")),
     // sparse_vector / text_expansion: weighted term-frequency dot
     // product (one-pass compiled kernel), score-ordered top-k
     "q_sparse_vector" -> ((s, d) =>
@@ -2501,6 +2506,9 @@ object SparkEntry {
       "list_sort(string_split(text, ' '))[1] AS first, " +
       "list_sort(string_split(text, ' '))[-1] AS last " +
       "FROM documents ORDER BY doc_id LIMIT 200"),
+    "q_esql_mv_median" -> ("SELECT vec_id, " +
+      "(list_sort(embedding)[32]::DOUBLE + list_sort(embedding)[33]::DOUBLE) / 2.0 AS med " +
+      "FROM embeddings ORDER BY vec_id LIMIT 100"),
     "q_sayt" -> (TokCte + ", g AS (SELECT doc_id, toks, " +
       "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS sh2, " +
       "list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh3 FROM tok) " +

@@ -282,6 +282,17 @@ object Esql {
           aggregate(x, lit(0.0), (acc, v) => acc + v.cast("double"))
         case ("mv_avg", Seq(x)) =>
           aggregate(x, lit(0.0), (acc, v) => acc + v.cast("double")) / size(x)
+        // MV_MEDIAN: sorted middle; even counts average the two
+        // middles (ES|QL's rule)
+        case ("mv_median", Seq(x)) =>
+          val sorted = sort_array(x)
+          val n = size(x)
+          // Column./ is double division — truncate back to the index
+          val loIdx = ((n + lit(1)) / lit(2)).cast("int")
+          val lo = element_at(sorted, loIdx).cast("double")
+          val hi = element_at(sorted, loIdx + pmod(n + lit(1), lit(2)).cast("int"))
+            .cast("double")
+          (lo + hi) / 2.0
         case ("mv_sort", Seq(x)) => sort_array(x)
         case ("mv_sort", Seq(x, ord)) =>
           // MV_SORT(x, "DESC") — the order arg arrives as a literal col

@@ -350,6 +350,29 @@ object IngestPipeline {
                 when(ua.rlike("(?i)mobile|iphone|android"), "Mobile Device")
                   .otherwise("Other").as("device")))
             }
+          case "registered_domain" =>
+            // eTLD+1 extraction with a built-in public-suffix SUBSET
+            // (the common one- and two-label suffixes); ES ships the
+            // full PSL — swap the list, the label logic is identical.
+            // A bare suffix or single label yields null like ES.
+            val t = m.get("target_field").collect { case JString(s) => s }
+              .getOrElse("registered_domain")
+            val twoLabel = Seq("co.uk", "org.uk", "ac.uk", "com.au",
+              "net.au", "co.jp", "com.br", "co.in", "com.cn", "co.nz")
+            df => {
+              val parts = split(lower(trim(col(field))), "\\.")
+              val nParts = size(parts)
+              // try_element_at: ANSI element_at THROWS on short hosts
+              val last2 = concat_ws(".",
+                try_element_at(parts, lit(-2)), try_element_at(parts, lit(-1)))
+              val isTwoLabelSuffix = twoLabel
+                .map(sfx => last2 === sfx).reduce(_ || _)
+              df.withColumn(t,
+                when(isTwoLabelSuffix && nParts >= 3,
+                  concat_ws(".", try_element_at(parts, lit(-3)),
+                    try_element_at(parts, lit(-2)), try_element_at(parts, lit(-1))))
+                  .when(!isTwoLabelSuffix && nParts >= 2, last2))
+            }
           case "pipeline" =>
             // nested pipeline: processor-list inlining — the named
             // pipeline's compiled steps splice into this chain, so

@@ -327,6 +327,22 @@ class ConnectorSpec extends SparkSpec {
     }
   }
 
+  test("ingest registered_domain: eTLD+1 with two-label suffixes") {
+    import graft.sources.IngestPipeline
+    val out = IngestPipeline.compile(
+      """{"processors": [{"registered_domain": {"field": "host", "target_field": "rd"}}]}""")(
+      Seq((1L, "www.example.com"), (2L, "a.b.news.co.uk"), (3L, "example.org"),
+        (4L, "deep.sub.site.com.au"), (5L, "localhost"))
+        .toDF("id", "host"))
+      .select("id", "rd").as[(Long, Option[String])].collect().toSeq.sortBy(_._1)
+    assert(out == Seq(
+      (1L, Some("example.com")),
+      (2L, Some("news.co.uk")),
+      (3L, Some("example.org")),
+      (4L, Some("site.com.au")),
+      (5L, None)))
+  }
+
   test("ingest geoip: prefix-table lookup shape, private ranges null") {
     import graft.sources.IngestPipeline
     val out = IngestPipeline.compile(
