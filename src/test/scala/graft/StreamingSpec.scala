@@ -127,6 +127,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming EQL sequence: matches agree with the batch plan") {
+    import graft.streaming.EqlStream
+    // single-batch file stream: within-batch (ts, id) ordering makes
+    // the stream fold identical to the batch window-carry
+    val streamIn = spark.readStream
+      .schema(Tables.eventsSchema)
+      .parquet(streamDir)
+      .transform(Tables.normalizeEvents)
+    val steps = Seq(
+      ("view", lit(true)),
+      ("click", col("value") > 50),
+      ("purchase", lit(true)))
+    val maxspanNs = 24L * 3600 * 1000000000L
+    val q = EqlStream.sequence(streamIn, "user_id", steps, maxspanNs)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("eql_stream_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("eql_stream_out")
+        .select(col("key"), col("eventIds").getItem(2).as("e3"), col("spanMs"))
+        .as[(Long, Long, Long)].collect().toSet
+      val want = graft.dsl.Eql.sequence(
+          Tables.events(spark, sfDir), "user_id", "ts_ns", "event_id",
+          steps, maxspanNs)
+        .select(col("user_id"), col("e3_id"), col("span_ms"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == want)
+      assert(want.nonEmpty)
+    } finally q.stop()
+  }
+
   test("sliding window agg: identical results on batch and stream") {
     val batch = EventStreams.slidingTypeCounts(Tables.events(spark, sfDir))
       .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
