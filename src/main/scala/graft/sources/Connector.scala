@@ -4,6 +4,8 @@ import graft.dsl.EsQuery
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
 
 /** The connector facade — graft's equivalent of the reference's
   * `org.elasticsearch.spark.sql` implicits (`spark.esDF(index, query)`
@@ -543,6 +545,61 @@ object Connector {
       (p.getName, docs, files.map(_.getLen).sum, files.length)
     }.toSeq.sortBy(_._1)
     rows.toDF("index", "docs_count", "store_bytes", "file_count")
+  }
+
+  /** `_cat/shards` analog: one row per data FILE per index under
+    * `root` — the file is graft's shard unit (scan parallelism splits
+    * on it, index sorting writes disjoint key ranges per file). Pure
+    * file-system metadata, no data read. */
+  def catShards(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new Path(root)).filter(_.isDirectory)
+      .map(_.getPath).filterNot(_.getName.endsWith("_graft_tmp"))
+      .filterNot(_.getName.endsWith("_graft_old"))
+    dirs.flatMap { p =>
+      fs.listStatus(p)
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+        .zipWithIndex
+        .map { case (f, i) => (p.getName, i, f.getPath.getName, f.getLen) }
+    }.toSeq.sortBy(r => (r._1, r._3))
+      .toDF("index", "shard", "file", "store_bytes")
+  }
+
+  /** `GET index/_mapping` analog: the parquet schema rendered as an ES
+    * mapping JSON — ES's own dynamic-mapping conventions: strings map
+    * to `text` with a `keyword` subfield, integral types to `long`,
+    * floating point to `double`/`float`, timestamps to `date`,
+    * float/double arrays to `dense_vector`, other arrays to their
+    * element type (ES has no array type), structs to `properties`
+    * objects, maps to `flattened`. */
+  def mappingJson(spark: SparkSession, path: String): String = {
+    import org.apache.spark.sql.types._
+    recoverSwap(spark, path)
+    def field(dt: DataType): JObject = dt match {
+      case StringType => JObject(
+        "type" -> JString("text"),
+        "fields" -> JObject("keyword" -> JObject("type" -> JString("keyword"))))
+      case LongType | IntegerType | ShortType | ByteType =>
+        JObject("type" -> JString("long"))
+      case DoubleType => JObject("type" -> JString("double"))
+      case FloatType => JObject("type" -> JString("float"))
+      case BooleanType => JObject("type" -> JString("boolean"))
+      case TimestampType | DateType => JObject("type" -> JString("date"))
+      case BinaryType => JObject("type" -> JString("binary"))
+      case _: DecimalType => JObject("type" -> JString("scaled_float"))
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        JObject("type" -> JString("dense_vector"))
+      case ArrayType(elem, _) => field(elem) // ES: arrays are implicit
+      case st: StructType => JObject("properties" -> props(st))
+      case _: MapType => JObject("type" -> JString("flattened"))
+      case other => JObject("type" -> JString(other.typeName))
+    }
+    def props(st: StructType): JObject =
+      JObject(st.fields.map(f => f.name -> (field(f.dataType): JValue)).toList)
+    val schema = spark.read.parquet(path).schema
+    JsonMethods.compact(JsonMethods.render(
+      JObject("mappings" -> JObject("properties" -> props(schema)))))
   }
 
   /** `_cat/count` analog: doc count per index directory under

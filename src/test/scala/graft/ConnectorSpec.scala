@@ -327,6 +327,32 @@ class ConnectorSpec extends SparkSpec {
     }
   }
 
+  test("_mapping renders ES dynamic-mapping JSON; _cat/shards lists files") {
+    import java.nio.file.Files
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val base = Files.createTempDirectory("graft_map").toString
+    val dir = s"$base/idx"
+    Seq((1L, "t", 1.5, Array(0.1f, 0.2f), Seq("a", "b")))
+      .toDF("id", "name", "score", "vec", "tags")
+      .saveToGraft(dir, Map("graft.mapping.id" -> "id"))
+    val m = JsonMethods.parse(Connector.mappingJson(spark, dir))
+    def tpe(f: String): String =
+      (m \ "mappings" \ "properties" \ f \ "type") match {
+        case JString(s) => s; case other => fail(s"no type for $f: $other")
+      }
+    assert(tpe("id") == "long")
+    assert(tpe("name") == "text")
+    assert((m \ "mappings" \ "properties" \ "name" \ "fields" \ "keyword" \ "type")
+      == JString("keyword"))
+    assert(tpe("score") == "double")
+    assert(tpe("vec") == "dense_vector")
+    assert(tpe("tags") == "text") // arrays are implicit in ES
+    val shards = Connector.catShards(spark, base)
+      .select("index", "store_bytes").as[(String, Long)].collect()
+    assert(shards.nonEmpty && shards.forall(s => s._1 == "idx" && s._2 > 0))
+  }
+
   test("ingest registered_domain: eTLD+1 with two-label suffixes") {
     import graft.sources.IngestPipeline
     val out = IngestPipeline.compile(
