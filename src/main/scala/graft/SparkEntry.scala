@@ -633,6 +633,10 @@ object SparkEntry {
     "q_esql_mv_median" -> ((s, d) => graft.dsl.Esql.run(s, d,
       """from embeddings | eval med = mv_median(embedding)
         | keep vec_id, med | sort vec_id | limit 100""")),
+    // MV_PERCENTILE: linear interpolation at rank p/100*(n-1)
+    "q_esql_mv_pctl" -> ((s, d) => graft.dsl.Esql.run(s, d,
+      """from embeddings | eval p75 = mv_percentile(embedding, 75)
+        | keep vec_id, p75 | sort vec_id | limit 100""")),
     // sparse_vector / text_expansion: weighted term-frequency dot
     // product (one-pass compiled kernel), score-ordered top-k
     "q_sparse_vector" -> ((s, d) =>
@@ -2508,6 +2512,11 @@ object SparkEntry {
       "FROM documents ORDER BY doc_id LIMIT 200"),
     "q_esql_mv_median" -> ("SELECT vec_id, " +
       "(list_sort(embedding)[32]::DOUBLE + list_sort(embedding)[33]::DOUBLE) / 2.0 AS med " +
+      "FROM embeddings ORDER BY vec_id LIMIT 100"),
+    // rank 0.75*(64-1) = 47.25 exactly: lo index 48 (1-based), frac .25
+    "q_esql_mv_pctl" -> ("SELECT vec_id, " +
+      "list_sort(embedding)[48]::DOUBLE + " +
+      "(list_sort(embedding)[49]::DOUBLE - list_sort(embedding)[48]::DOUBLE) * 0.25 AS p75 " +
       "FROM embeddings ORDER BY vec_id LIMIT 100"),
     "q_sayt" -> (TokCte + ", g AS (SELECT doc_id, toks, " +
       "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS sh2, " +

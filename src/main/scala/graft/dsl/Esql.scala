@@ -293,6 +293,17 @@ object Esql {
           val hi = element_at(sorted, loIdx + pmod(n + lit(1), lit(2)).cast("int"))
             .cast("double")
           (lo + hi) / 2.0
+        // MV_PERCENTILE(x, p): linear interpolation at rank
+        // p/100·(n-1) over the sorted values (ES|QL's rule)
+        case ("mv_percentile", Seq(x, p)) =>
+          val sorted = sort_array(x)
+          val n = size(x)
+          val pos = (p.cast("double") / 100.0) * (n - lit(1)).cast("double")
+          val lo = floor(pos).cast("int")
+          val frac = pos - floor(pos)
+          val vlo = element_at(sorted, lo + lit(1)).cast("double")
+          val vhi = element_at(sorted, least(lo + lit(2), n)).cast("double")
+          vlo + (vhi - vlo) * frac
         case ("mv_sort", Seq(x)) => sort_array(x)
         case ("mv_sort", Seq(x, ord)) =>
           // MV_SORT(x, "DESC") — the order arg arrives as a literal col
