@@ -33,6 +33,27 @@ for name in sorted(os.listdir(out)):
         print(f"{name:24s} SCHEMA MISMATCH: {list(got.columns)} vs {list(exp.columns)}")
         fail += 1
         continue
+    # type-strict: the driver's hash is type-sensitive where the
+    # rows/schema checks are not (r6 shipped 4 "values identical,
+    # DECIMAL(28,4) vs DECIMAL(38,4)" hash fails) — compare the
+    # DuckDB-declared type of every column, modulo widenings that
+    # stringify identically and hash identically in practice.
+    def coltypes(rel):
+        return {r[0]: r[1] for r in con.sql(f"DESCRIBE {rel}").fetchall()}
+    gt = coltypes(f"SELECT * FROM '{d}/*.parquet'")
+    et = coltypes(f"({oracle[name]})")
+    WIDEN_OK = [("INTEGER", "BIGINT"), ("FLOAT", "DOUBLE"),
+                ("TIMESTAMP_NS", "TIMESTAMP")]
+    tbad = None
+    for c in got.columns:
+        a, b = gt.get(c), et.get(c)
+        if a != b and (a, b) not in WIDEN_OK and (b, a) not in WIDEN_OK:
+            tbad = (c, a, b)
+            break
+    if tbad:
+        print(f"{name:24s} TYPE MISMATCH col={tbad[0]}: spark={tbad[1]} vs oracle={tbad[2]}")
+        fail += 1
+        continue
     if len(got) != len(exp):
         print(f"{name:24s} ROWCOUNT {len(got)} vs {len(exp)}")
         fail += 1

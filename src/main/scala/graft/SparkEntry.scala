@@ -184,7 +184,7 @@ object SparkEntry {
       "list_transform(range(1, 65), i -> e.v[i] * w[i])), (a, b) -> a + b) / " +
       "(sqrt(list_reduce(list_prepend(0.0, list_transform(e.v, x -> x * x)), (a, b) -> a + b)) * " +
       "sqrt(list_reduce(list_prepend(0.0, list_transform(w, x -> x * x)), (a, b) -> a + b))), 4) AS cosine, " +
-      "round(c.bscore, 4) AS bscore FROM c JOIN e ON e.vec_id = c.vec_id CROSS JOIN q) " +
+      "CAST(round(c.bscore, 4) AS DOUBLE) AS bscore FROM c JOIN e ON e.vec_id = c.vec_id CROSS JOIN q) " +
       s"SELECT id, cosine, bscore FROM ex ORDER BY cosine DESC, id LIMIT $k"
   }
 
@@ -674,7 +674,9 @@ object SparkEntry {
     // rewrite path (implicit GROUP BY on the non-pivot columns);
     // decimal cast keeps the cell sums order-independent exact
     "q_sql_pivot" -> ((s, d) => graft.dsl.EsSql.run(s, d,
-      """SELECT * FROM (SELECT o_custkey % 10 AS bucket, o_orderstatus,
+      """SELECT bucket, CAST(s_o AS DOUBLE) AS s_o, CAST(s_f AS DOUBLE) AS s_f,
+           CAST(s_p AS DOUBLE) AS s_p
+         FROM (SELECT o_custkey % 10 AS bucket, o_orderstatus,
            CAST(o_totalprice AS DECIMAL(18,4)) AS price FROM orders)
          PIVOT (SUM(price) FOR o_orderstatus IN ('O' AS s_o, 'F' AS s_f, 'P' AS s_p))
          ORDER BY bucket""")),
@@ -1171,6 +1173,11 @@ object SparkEntry {
 
     "q_function_score" -> ((s, d) =>
       Search.functionScoreTopK(t(s, d, "documents"), "doc_id", "n_chars", 300.0, 100.0, 15)),
+    // _explain for a function_score hit: per-component breakdown
+    // (field_value_factor, gauss, product) for one document
+    "q_explain_function" -> ((s, d) =>
+      Search.explainFunctionScore(t(s, d, "documents"), "doc_id", "n_chars",
+        300.0, 100.0, docId = 42L)),
     // all three decay families over one numeric field, ES closed forms
     "q_score_decay" -> ((s, d) => t(s, d, "documents")
       .select(
@@ -1300,6 +1307,14 @@ object SparkEntry {
     "q_agg_percentiles" -> ((s, d) => Aggs.percentilesExactDistributed(
       t(s, d, "lineitem"), "l_extendedprice",
       Seq("p25" -> 0.25, "p50" -> 0.50, "p95" -> 0.95))),
+    // percentiles via t-digest (ES's actual sketch, compression knob
+    // and all) — probe shape: sketch estimate, then re-rank against
+    // the real data and assert the published rank-error bound, so the
+    // exact oracle stays value-stable despite sketch nondeterminism
+    "q_agg_percentiles_tdigest" -> ((s, d) => graft.agg.TDigest.percentilesProbe(
+      t(s, d, "lineitem"), "l_extendedprice",
+      Seq("p25" -> 0.25, "p50" -> 0.50, "p95" -> 0.95),
+      compression = 100.0, epsRank = 0.015)),
     "q_agg_cardinality" -> ((s, d) => Aggs.cardinalityAgg(t(s, d, "lineitem"), "l_partkey")),
     "q_agg_histogram" -> ((s, d) => Aggs.histogramAgg(t(s, d, "lineitem"), "l_extendedprice", 5000.0)),
     "q_agg_date_histogram" -> ((s, d) => Aggs.dateHistogramAgg(t(s, d, "orders"), "o_orderdate", "month")),
@@ -1931,7 +1946,8 @@ object SparkEntry {
            "on_failure": [{"set": {"field": "err", "value": "parse_error"}}]}}]}""")(ev)
         .groupBy(coalesce(col("err"), lit("ok")).as("err"))
         .agg(count(lit(1)).as("n"),
-          sum(coalesce(col("mn"), lit(0.0)).cast("decimal(18,4)")).as("total"))
+          sum(coalesce(col("mn"), lit(0.0)).cast("decimal(18,4)"))
+            .cast("double").as("total"))
         .orderBy(col("err"))
     }),
     "q_pipeline_clean" -> ((s, d) => {
@@ -2530,15 +2546,15 @@ object SparkEntry {
       "WHERE list_contains(toks, 'fast') AND list_contains(toks, 'hash') " +
       "AND len(list_filter(toks, t -> starts_with(t, 'jo'))) > 0 " +
       "ORDER BY score DESC, id LIMIT 10"),
-    "q_semantic" -> (TokCte + " SELECT doc_id AS id, round(" +
+    "q_semantic" -> (TokCte + " SELECT doc_id AS id, CAST(round(" +
       "1.0 * len(list_filter(toks, t -> t = 'vector')) + " +
       "1.0 * len(list_filter(toks, t -> t = 'hash')) + " +
-      "1.0 * len(list_filter(toks, t -> t = 'merge')), 4) AS score " +
+      "1.0 * len(list_filter(toks, t -> t = 'merge')), 4) AS DOUBLE) AS score " +
       "FROM tok WHERE score > 0 ORDER BY score DESC, id LIMIT 15"),
-    "q_sparse_vector" -> (TokCte + " SELECT doc_id AS id, round(" +
+    "q_sparse_vector" -> (TokCte + " SELECT doc_id AS id, CAST(round(" +
       "1.2 * len(list_filter(toks, t -> t = 'vector')) + " +
       "0.8 * len(list_filter(toks, t -> t = 'hash')) + " +
-      "0.5 * len(list_filter(toks, t -> t = 'merge')), 4) AS score " +
+      "0.5 * len(list_filter(toks, t -> t = 'merge')), 4) AS DOUBLE) AS score " +
       "FROM tok WHERE score > 0 ORDER BY score DESC, id LIMIT 15"),
     "q_script_filter" -> "SELECT doc_id FROM documents WHERE n_chars * 2 > 900 ORDER BY doc_id",
     "q_sql_basic" -> ("SELECT lang, count(*)::BIGINT AS n, min(n_chars) AS lo, max(n_chars) AS hi " +
@@ -2552,9 +2568,9 @@ object SparkEntry {
     "q_sql_query" -> (TokCte.replace("SELECT doc_id,", "SELECT doc_id, lang,") +
       " SELECT doc_id FROM tok WHERE lang = 'en' AND list_contains(toks, 'merge') ORDER BY doc_id"),
     "q_sql_pivot" -> ("SELECT o_custkey % 10 AS bucket, " +
-      "sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS s_o, " +
-      "sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS s_f, " +
-      "sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS s_p " +
+      "CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS s_o, " +
+      "CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS s_f, " +
+      "CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS s_p " +
       "FROM orders GROUP BY 1 ORDER BY bucket"),
     "q_sql_funcs" -> ("SELECT o_orderkey AS id, " +
       "CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS sz, " +
@@ -2774,7 +2790,7 @@ object SparkEntry {
       "FROM documents WHERE starts_with(source, 'src1') GROUP BY 1 " +
       "ORDER BY weight DESC, suggestion LIMIT 8"),
     "q_suggest_context" -> ("SELECT source AS suggestion, " +
-      "round(max(n_chars * (CASE lang WHEN 'en' THEN 2.0 WHEN 'fr' THEN 1.0 ELSE 0.0 END)), 4) AS weight " +
+      "CAST(round(max(n_chars * (CASE lang WHEN 'en' THEN 2.0 WHEN 'fr' THEN 1.0 ELSE 0.0 END)), 4) AS DOUBLE) AS weight " +
       "FROM documents WHERE starts_with(source, 'src') AND lang IN ('en', 'fr') " +
       "GROUP BY 1 ORDER BY weight DESC, suggestion LIMIT 8"),
     "q_min_score" -> (TokCte + bm25Ctes("", "tok", Seq("vector", "hash")) +
@@ -2888,7 +2904,7 @@ object SparkEntry {
       "list_transform(range(2, least(len(t2), 4) + 1), i -> substr(t2, 1, i)))) AS egs FROM tok) " +
       "SELECT doc_id, len(list_filter(egs, g -> g = 'tab'))::BIGINT AS tf " +
       "FROM eg WHERE list_contains(egs, 'tab') ORDER BY doc_id"),
-    "q_constant_score" -> ("SELECT doc_id AS id, 1.2 AS score FROM documents " +
+    "q_constant_score" -> ("SELECT doc_id AS id, CAST(1.2 AS DOUBLE) AS score FROM documents " +
       "WHERE lang = 'fr' AND n_chars > 300 ORDER BY id"),
     "q_pinned" -> (TokCte + bm25Ctes("", "tok", Seq("fast", "hash", "join")) +
       " SELECT id, score, (CASE WHEN id = 7 THEN 0 WHEN id = 11 THEN 1 ELSE 2147483647 END) < 2147483647 AS pinned " +
@@ -2911,6 +2927,13 @@ object SparkEntry {
       "st AS (SELECT list(term) AS terms FROM seed) " +
       "SELECT doc_id AS id, len(list_intersect(list_distinct(toks), st.terms))::INT AS overlap FROM tok, st " +
       "WHERE doc_id <> 7 AND len(list_intersect(list_distinct(toks), st.terms)) >= 2 ORDER BY overlap DESC, id"),
+    "q_explain_function" -> ("WITH d AS (SELECT CAST(n_chars AS DOUBLE) AS x " +
+      "FROM documents WHERE doc_id = 42) " +
+      "SELECT component, value FROM (" +
+      "SELECT 'field_value_factor' AS component, round(ln(1.0 + x), 4) AS value FROM d " +
+      "UNION ALL SELECT 'gauss', round(exp(ln(0.5) * pow(x - 300.0, 2) / (100.0 * 100.0)), 4) FROM d " +
+      "UNION ALL SELECT 'score', round(ln(1.0 + x) * " +
+      "exp(ln(0.5) * pow(x - 300.0, 2) / (100.0 * 100.0)), 4) FROM d) ORDER BY component"),
     "q_function_score" -> ("SELECT doc_id AS id, round(ln(1.0 + CAST(n_chars AS DOUBLE)) * " +
       "exp(ln(0.5) * pow(CAST(n_chars AS DOUBLE) - 300.0, 2) / (100.0 * 100.0)), 4) AS score " +
       "FROM documents ORDER BY score DESC, id LIMIT 15"),
@@ -3200,6 +3223,8 @@ object SparkEntry {
       "round(stddev_pop(l_quantity), 4) AS std_dev FROM lineitem"),
     "q_agg_percentiles" -> ("SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS p25, " +
       "round(quantile_cont(l_extendedprice, 0.50), 4) AS p50, round(quantile_cont(l_extendedprice, 0.95), 4) AS p95 FROM lineitem"),
+    "q_agg_percentiles_tdigest" -> ("SELECT true AS p25_ok, true AS p50_ok, " +
+      "true AS p95_ok, count(*)::BIGINT AS n FROM lineitem"),
     "q_agg_cardinality" -> "SELECT count(DISTINCT l_partkey)::BIGINT AS cardinality FROM lineitem",
     "q_agg_histogram" -> ("SELECT CAST(floor(l_extendedprice / 5000.0) * 5000.0 AS DOUBLE) AS bucket, " +
       "count(*)::BIGINT AS doc_count FROM lineitem GROUP BY 1 ORDER BY bucket"),
@@ -3334,7 +3359,8 @@ object SparkEntry {
       "FROM w ORDER BY bucket"),
     "q_agg_histogram_field" -> ("WITH b AS (SELECT user_id, floor(value / 100.0) * 100.0 AS bv, " +
       "count(*)::BIGINT AS c FROM events GROUP BY 1, 2) " +
-      "SELECT sum(c)::BIGINT AS value_count, sum(CAST(bv * c AS DECIMAL(18,4))) AS total, " +
+      "SELECT sum(c)::BIGINT AS value_count, " +
+      "CAST(sum(CAST(bv * c AS DECIMAL(18,4))) AS DOUBLE) AS total, " +
       "min(bv) AS lo, max(bv) AS hi FROM b"),
     "q_geo_centroid" -> (GeoCte.replace("FROM customer", "FROM customer WHERE c_mktsegment = 'BUILDING'") +
       " SELECT round(avg(lat), 4) AS centroid_lat, round(avg(lon), 4) AS centroid_lon, " +
@@ -3371,7 +3397,7 @@ object SparkEntry {
       "FROM documents GROUP BY 1, 2 ORDER BY by_lang, by_src"),
     "q_aggs_json_date" -> ("SELECT (epoch_us(ts) // 86400000000) * 86400000000000 AS by_day, " +
       "count(*)::BIGINT AS doc_count, count(DISTINCT user_id)::BIGINT AS users, " +
-      "sum(CAST(value AS DECIMAL(18,4))) AS total FROM events GROUP BY 1 ORDER BY by_day"),
+      "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total FROM events GROUP BY 1 ORDER BY by_day"),
     "q_aggs_json_range" -> ("WITH r AS (SELECT value, CASE WHEN value < 100 THEN '*-100.0' " +
       "WHEN value >= 100 AND value < 300 THEN '100.0-300.0' " +
       "WHEN value >= 300 THEN '300.0-*' END AS vr FROM events) " +
@@ -3526,10 +3552,10 @@ object SparkEntry {
       s"SELECT rt.source, count(*)::BIGINT AS n_kept FROM documents d JOIN rt ON d.source = rt.source " +
       s"WHERE ${hexFold("'mix:' || d.doc_id::VARCHAR", 12)} / 281474976710656.0 < rt.rate " +
       "GROUP BY rt.source ORDER BY rt.source"),
-    "q_esql_rerank" -> (TokCte + " SELECT doc_id, round(" +
+    "q_esql_rerank" -> (TokCte + " SELECT doc_id, CAST(round(" +
       "1.0 * len(list_filter(toks, t -> t = 'fast')) + " +
       "1.0 * len(list_filter(toks, t -> t = 'hash')) + " +
-      "1.0 * len(list_filter(toks, t -> t = 'merge')), 4) AS _score " +
+      "1.0 * len(list_filter(toks, t -> t = 'merge')), 4) AS DOUBLE) AS _score " +
       "FROM tok WHERE list_contains(toks, 'merge') " +
       "ORDER BY _score DESC, doc_id LIMIT 10"),
     // 64-bit simhash as TWO 32-bit halves (hi = bits 1..32, lo = bits
@@ -3618,7 +3644,7 @@ object SparkEntry {
       "c AS (SELECT TRY_CAST(mn AS DOUBLE) AS mnd, " +
       "CASE WHEN mn IS NOT NULL AND TRY_CAST(mn AS DOUBLE) IS NULL THEN 'parse_error' END AS err FROM m) " +
       "SELECT coalesce(err, 'ok') AS err, count(*)::BIGINT AS n, " +
-      "sum(CAST(coalesce(mnd, 0.0) AS DECIMAL(18,4))) AS total FROM c GROUP BY 1 ORDER BY err"),
+      "CAST(sum(CAST(coalesce(mnd, 0.0) AS DECIMAL(18,4))) AS DOUBLE) AS total FROM c GROUP BY 1 ORDER BY err"),
     "q_ingest_json" -> ("SELECT event_type, " +
       "min(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS kmin, " +
       "max(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS kmax " +

@@ -488,7 +488,10 @@ object Aggs {
         array_min(col(valuesCol)).as("_lo"), array_max(col(valuesCol)).as("_hi"))
       .agg(
         sum(col("_n")).as("value_count"),
-        sum(col("_s")).as("total"),
+        // decimal partials, double out: Spark's sum(decimal) widens to
+        // decimal(28,4) vs DuckDB's (38,4) — same digits, different
+        // declared type, and the correctness hash is type-sensitive
+        sum(col("_s")).cast("double").as("total"),
         min(col("_lo")).as("lo"),
         max(col("_hi")).as("hi"))
   }

@@ -27,11 +27,15 @@ import graft.util.Num
   *    (exact distinct — documented superior to ES's HLL sketch)
   *  - nesting: bucket > bucket > ... > metrics, any depth
   *
-  * Flat-table semantics (documented delta vs ES): metrics siblings of
-  * a bucket agg at non-leaf levels are not re-aggregated per level —
-  * the flat result carries each full key path once; `size` applies
-  * only when the tree is a SINGLE terms level (top-k by doc_count,
-  * ES's order), otherwise buckets order by their key path. */
+  * Flat-table semantics (documented delta vs ES): metric aggs may
+  * appear ONLY at the deepest level — a metric declared as a sibling
+  * of a bucket agg at a non-leaf level throws (ES re-aggregates per
+  * level; silently dropping it would return a result with columns
+  * missing). `terms` honors `size` only when the tree is a SINGLE
+  * terms level (top-k by doc_count, ES's order, ES default size 10);
+  * an explicit `size` on a nested tree throws because the flat
+  * groupBy cannot page per level, and an omitted nested size returns
+  * all bucket paths ordered by key. */
 object AggsJson {
 
   def compile(df: DataFrame, json: String): DataFrame = {
@@ -47,6 +51,7 @@ object AggsJson {
     val keys = scala.collection.mutable.ListBuffer.empty[(String, Column)]
     var metrics = Seq.empty[(String, Column)]
     var topSize: Option[Int] = None
+    var topSizeExplicit = false
     var level = 0
 
     def walk(aggs: List[JField]): Unit = {
@@ -56,6 +61,11 @@ object AggsJson {
             Set("terms", "histogram", "date_histogram", "range").contains(k) }
         case _ => false
       }
+      if (buckets.nonEmpty && leafMetrics.nonEmpty)
+        throw new IllegalArgumentException(
+          "metric aggs must sit at the deepest level; found metric(s) " +
+            leafMetrics.map(_._1).mkString(",") +
+            " beside bucket agg " + buckets.head._1)
       metrics = leafMetrics.map {
         case JField(name, JObject(spec)) => name -> metricCol(name, spec.toMap)
         case other => throw new IllegalArgumentException(s"bad metric agg: $other")
@@ -66,9 +76,19 @@ object AggsJson {
           val m = spec.toMap
           val sub = m.get("aggs").orElse(m.get("aggregations"))
           keys += name -> bucketKey(name, m - "aggs" - "aggregations")
-          if (level == 0) topSize = m.get("terms").collect {
+          val explicitSize = m.get("terms").collect {
             case JObject(s) => s.toMap.get("size") }.flatten.collect {
               case JInt(i) => i.toInt }
+          if (level == 0) {
+            // ES defaults terms to top 10; honored when this stays the
+            // only bucket level (checked after the walk)
+            topSize = explicitSize.orElse(
+              if (m.contains("terms")) Some(10) else None)
+            topSizeExplicit = explicitSize.isDefined
+          } else if (explicitSize.isDefined)
+            throw new IllegalArgumentException(
+              s"terms size on nested level '$name' is not honored by the " +
+                "flat groupBy compile; page per level with composite instead")
           level += 1
           sub match {
             case Some(JObject(inner)) => walk(inner)
@@ -98,6 +118,10 @@ object AggsJson {
       topSize match {
         case Some(k) if keys.size == 1 =>
           grouped.orderBy(col("doc_count").desc, col(keys.head._1).asc).limit(k)
+        case Some(_) if topSizeExplicit =>
+          throw new IllegalArgumentException(
+            "terms size on a nested tree is not honored by the flat " +
+              "groupBy compile; page per level with composite instead")
         case _ =>
           grouped.orderBy(keys.map { case (n, _) => col(n).asc }.toSeq: _*)
       }
@@ -130,14 +154,18 @@ object AggsJson {
         val m = s.toMap
         val f = str(m, "field", "date_histogram")
         val iv = str(m, "fixed_interval", "date_histogram")
-        val unitNs = iv.last match {
-          case 's' => 1000000000L
-          case 'm' => 60L * 1000000000L
-          case 'h' => 3600L * 1000000000L
-          case 'd' => 86400L * 1000000000L
-          case other => throw new IllegalArgumentException(s"bad interval unit: $other")
+        val IntervalRe = """(\d+)(ms|s|m|h|d)""".r
+        val ns = iv match {
+          case IntervalRe(n, unit) => n.toLong * (unit match {
+            case "ms" => 1000000L
+            case "s" => 1000000000L
+            case "m" => 60L * 1000000000L
+            case "h" => 3600L * 1000000000L
+            case "d" => 86400L * 1000000000L
+          })
+          case other => throw new IllegalArgumentException(
+            s"bad fixed_interval '$other' (want <n>ms|s|m|h|d)")
         }
-        val ns = iv.dropRight(1).toLong * unitNs
         // bucket START in ns (integer math — the ES epoch-aligned key)
         expr(s"($f div ${ns}L) * ${ns}L")
       case ("range", JArrayOrRanges(ranges)) =>
@@ -182,7 +210,11 @@ object AggsJson {
       case ("avg", JObject(s)) =>
         Num.round(avg(col(str(s.toMap, "field", "avg"))), 4)
       case ("sum", JObject(s)) =>
-        sum(col(str(s.toMap, "field", "sum")).cast("decimal(18,4)"))
+        // decimal partials keep the sum order-free exact; the FINAL
+        // value goes out as double — Spark's sum(decimal(18,4)) would
+        // declare decimal(28,4) where DuckDB declares decimal(38,4),
+        // and the driver's hash is type-sensitive (r10)
+        sum(col(str(s.toMap, "field", "sum")).cast("decimal(18,4)")).cast("double")
       case ("min", JObject(s)) => min(col(str(s.toMap, "field", "min")))
       case ("max", JObject(s)) => max(col(str(s.toMap, "field", "max")))
       case ("value_count", JObject(s)) =>

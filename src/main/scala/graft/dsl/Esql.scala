@@ -824,7 +824,7 @@ object Esql {
         // uniformHash48 construction as the sampler aggs.
         val p = body.trim.toDouble
         require(p > 0 && p <= 1, s"SAMPLE probability out of (0,1]: $p")
-        val key = concat_ws(" ", df.columns.map(c => col(c).cast("string")): _*)
+        val key = concat_ws("\u0000", df.columns.map(c => col(c).cast("string")): _*)
         df.where(Num.uniformHash48(key) < p)
       case "dissect" =>
         // DISSECT field "%{a}-%{b} %{c}" — literal-anchored extraction.

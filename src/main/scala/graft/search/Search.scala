@@ -647,6 +647,31 @@ object Search {
       .limit(k)
   }
 
+  /** `_explain` for a `function_score` hit: one row per scoring
+    * component (field_value_factor, gauss decay, final product) for
+    * the requested document — the non-BM25 counterpart of
+    * `explainScore`. One pushed-id scan; the breakdown inlines as an
+    * array-of-struct, no union of scans. */
+  def explainFunctionScore(
+      docs: DataFrame,
+      idCol: String,
+      numField: String,
+      origin: Double,
+      scale: Double,
+      docId: Long): DataFrame = {
+    val x = col(numField).cast("double")
+    val fvf = log(lit(1.0) + x)
+    val decay = exp(lit(math.log(0.5)) * pow(x - origin, 2) / lit(scale * scale))
+    docs.where(col(idCol) === docId)
+      .select(inline(array(
+        struct(lit("field_value_factor").as("component"),
+          Num.round(fvf, 4).as("value")),
+        struct(lit("gauss").as("component"), Num.round(decay, 4).as("value")),
+        struct(lit("score").as("component"),
+          Num.round(fvf * decay, 4).as("value")))))
+      .orderBy(col("component"))
+  }
+
   /** `collapse` with `inner_hits`: the group's top-`innerSize` hits
     * ranked within each collapse key — still ONE window pass (rank
     * <= n instead of rank == 1). */
@@ -1493,7 +1518,7 @@ object Search {
     val fieldVal = numericFields.foldRight(lit(null).cast("double")) {
       case (f, other) => when(col("range_field") === f, col(f).cast("double")).otherwise(other)
     }
-    matched
+    val out = matched
       .join(docSide, "id")
       .join(registry.select(col("query_id"), col("range_field"),
         col("range_min"), col("range_max"), col("phrase")), "query_id")
@@ -1504,6 +1529,12 @@ object Search {
           col("_joined").contains(concat(lit(" "), col("phrase"), lit(" ")))))
       .select(col("id"), col("query_id"))
       .orderBy(col("id").asc, col("query_id").asc)
+      // materialize the (small, verified) match set so docTerms'
+      // cached blocks can be released now instead of leaking into
+      // executor storage for the session's lifetime
+      .localCheckpoint(true)
+    docTerms.unpersist(false)
+    out
   }
 
   /** `more_like_this`: take the seed document's top-`m` terms by term

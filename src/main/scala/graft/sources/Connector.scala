@@ -560,6 +560,10 @@ object Connector {
     dirs.flatMap { p =>
       fs.listStatus(p)
         .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+        // listStatus order is not guaranteed by the Hadoop API — sort
+        // by name so shard numbering is deterministic across
+        // filesystems and runs
+        .sortBy(_.getPath.getName)
         .zipWithIndex
         .map { case (f, i) => (p.getName, i, f.getPath.getName, f.getLen) }
     }.toSeq.sortBy(r => (r._1, r._3))

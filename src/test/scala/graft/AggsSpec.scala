@@ -22,12 +22,35 @@ class AggsSpec extends SparkSpec {
       """{"aggs": {"byk": {"terms": {"field": "k", "size": 2}}}}""")
       .select("byk", "doc_count").as[(String, Long)].collect().toSeq
     assert(topk == Seq(("b", 3L), ("a", 2L)))
-    // nested bucket > metrics
+    // bucket > metrics: single terms level keeps ES's default size 10
+    // and ordering (doc_count desc, key asc)
     val nested = AggsJson.compile(df,
       """{"aggs": {"byk": {"terms": {"field": "k"},
            "aggs": {"hi": {"max": {"field": "v"}}}}}}""")
       .select("byk", "doc_count", "hi").as[(String, Long, Double)].collect().toSeq
-    assert(nested == Seq(("a", 2L, 3.0), ("b", 3L, 6.0), ("c", 1L, 10.0)))
+    assert(nested == Seq(("b", 3L, 6.0), ("a", 2L, 3.0), ("c", 1L, 10.0)))
+    // ES default size=10 cuts an 11-key single-level terms to 10
+    val wide = (1 to 11).flatMap(i => Seq.fill(i)((s"k$i", 1.0))).toDF("k", "v")
+    assert(AggsJson.compile(wide,
+      """{"aggs": {"byk": {"terms": {"field": "k"}}}}""").count() == 10L)
+    // metric beside a bucket at a non-leaf level: loud error, not a
+    // silently-dropped column
+    intercept[IllegalArgumentException] {
+      AggsJson.compile(df, """{"aggs": {"byk": {"terms": {"field": "k"},
+        "aggs": {"inner": {"terms": {"field": "v"}},
+                 "hi": {"max": {"field": "v"}}}}}}""")
+    }
+    // explicit size on a nested tree: loud error (flat groupBy cannot
+    // page per level)
+    intercept[IllegalArgumentException] {
+      AggsJson.compile(df, """{"aggs": {"byk": {"terms": {"field": "k", "size": 5},
+        "aggs": {"inner": {"terms": {"field": "v"}}}}}}""")
+    }
+    // ms fixed_interval parses via the unit regex (the '100m' trap)
+    val tsDf = Seq((0L, 1L), (150000000L, 2L)).toDF("t", "x")
+    assert(AggsJson.compile(tsDf,
+      """{"aggs": {"b": {"date_histogram": {"field": "t", "fixed_interval": "100ms"}}}}""")
+      .count() == 2L)
     // range buckets: ES key labels, out-of-range drops
     val ranges = AggsJson.compile(df,
       """{"aggs": {"vr": {"range": {"field": "v", "ranges": [
@@ -58,6 +81,31 @@ class AggsSpec extends SparkSpec {
   test("percentiles exact") {
     val p = Aggs.percentilesAgg(df, "v").collect().head
     assert(p.getAs[Double]("p50") == 3.5)
+  }
+
+  test("t-digest percentiles: rank-error bound + small-n exactness") {
+    import graft.agg.TDigest
+    // small n (< one centroid buffer): digest is exact-interpolated,
+    // so mid quantiles land within one value gap
+    val small = df.agg(TDigest.percentilesCol("v", Seq(0.5)).as("e"))
+      .select(element_at(col("e"), 1)).as[Double].collect().head
+    assert(small >= 3.0 && small <= 4.0, s"p50 estimate $small out of [3,4]")
+    // 10k skewed values (x^2 over a uniform grid): every estimated
+    // quantile must sit within the published rank epsilon
+    val big = (1 to 10000).map(i => (i.toDouble / 100) * (i.toDouble / 100))
+      .toDF("x").repartition(16)
+    val probe = TDigest.percentilesProbe(big, "x",
+      Seq("p25" -> 0.25, "p50" -> 0.50, "p95" -> 0.95),
+      compression = 100.0, epsRank = 0.015).collect().head
+    assert(probe.getAs[Boolean]("p25_ok") && probe.getAs[Boolean]("p50_ok") &&
+      probe.getAs[Boolean]("p95_ok"), s"rank epsilon violated: $probe")
+    assert(probe.getAs[Long]("n") == 10000L)
+    // compress honors the size bound: 100k raw points -> O(compression)
+    // centroids
+    val (m, _) = TDigest.compress(
+      Array.tabulate(4096)(i => i.toDouble), Array.fill(4096)(25L), 4096, 100.0)
+    assert(m.length < 200, s"${m.length} centroids for compression=100")
+    assert(m.sorted.sameElements(m), "centroids must come out sorted")
   }
 
   test("histogram buckets") {

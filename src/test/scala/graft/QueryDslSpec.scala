@@ -12,6 +12,35 @@ class QueryDslSpec extends SparkSpec {
     (3L, "alpha", 30, "src10"),
     (4L, "gamma", 40, "other")).toDF("id", "kind", "v", "src")
 
+  test("_validate/query: analysis-only compile, no execution") {
+    import graft.dsl.Validate
+    // valid body: resolves against the schema, explanation carries the
+    // rewritten predicate (what PushedFilters will see)
+    val (ok, expl) = Validate.validateQuery(df,
+      """{"bool": {"filter": [{"term": {"kind": "alpha"}}, {"range": {"v": {"gte": 20}}}]}}""")
+    assert(ok, expl)
+    assert(expl.toLowerCase.contains("kind"), expl)
+    // unknown field: analysis (not execution) rejects it
+    val (bad, why) = Validate.validateQuery(df,
+      """{"term": {"nope": "x"}}""")
+    assert(!bad)
+    assert(why.toLowerCase.contains("nope"), why)
+    // malformed DSL: compiler rejects it
+    val (bad2, _) = Validate.validateQuery(df, """{"not_a_query": {}}""")
+    assert(!bad2)
+  }
+
+  test("_explain function_score: per-component breakdown") {
+    val r = graft.search.Search.explainFunctionScore(
+      df, "id", "v", origin = 30.0, scale = 10.0, docId = 3L)
+      .as[(String, Double)].collect().toSeq
+    assert(r.map(_._1) == Seq("field_value_factor", "gauss", "score"))
+    val m = r.toMap
+    assert(math.abs(m("field_value_factor") - math.log1p(30.0)) < 1e-3)
+    assert(m("gauss") == 1.0) // x == origin
+    assert(math.abs(m("score") - m("field_value_factor") * m("gauss")) < 1e-3)
+  }
+
   test("term / terms / ids") {
     assert(df.where(QueryDsl.term(col("kind"), "alpha")).count() == 2)
     assert(df.where(QueryDsl.terms(col("kind"), Seq("beta", "gamma"))).count() == 2)
