@@ -48,6 +48,38 @@ object SparkEntry {
     "CASE WHEN (doc_id + i - 1) % 3 = 0 AND len(toks[i]) >= 3 AND substr(toks[i], len(toks[i]), 1) != 's' " +
     "THEN toks[i] || 's' ELSE toks[i] END) AS toks FROM tok)"
 
+  // German-morphed token stream (same synthetic-column pattern as
+  // morphedToks): token i gains "en" when (doc_id + i) % 3 == 0 —
+  // light_german's dominant suffix. DuckDB mirror is MTokDeCte.
+  private def germanMorphToks(): org.apache.spark.sql.Column =
+    transform(graft.analysis.Analyzer.tokens(col("text")), (t, i) =>
+      when(pmod(col("doc_id") + i, lit(3)) === 0 &&
+          length(t) >= 3 && !t.endsWith("n"),
+        concat(t, lit("en"))).otherwise(t))
+  private val MTokDeCte =
+    ", mtokde AS (SELECT doc_id, list_transform(range(1, len(toks) + 1), i -> " +
+    "CASE WHEN (doc_id + i - 1) % 3 = 0 AND len(toks[i]) >= 3 AND substr(toks[i], len(toks[i]), 1) != 'n' " +
+    "THEN toks[i] || 'en' ELSE toks[i] END) AS toks FROM tok)"
+
+  /** DuckDB mirrors of Stemmers.lightGerman's two steps over a token
+    * expression `x` — same ordered rule CASEs (umlaut folding is a
+    * no-op on the [a-z0-9] token alphabet, so it is omitted). */
+  private def gstem1(x: String): String = {
+    val st = "('b', 'd', 'f', 'g', 'h', 'k', 'l', 'm', 'n', 't')"
+    s"(CASE WHEN len($x) > 5 AND substr($x, len($x) - 2, 3) = 'ern' THEN substr($x, 1, len($x) - 3) " +
+    s"WHEN len($x) > 4 AND substr($x, len($x) - 1, 1) = 'e' AND substr($x, len($x), 1) IN ('m', 'n', 'r', 's') THEN substr($x, 1, len($x) - 2) " +
+    s"WHEN len($x) > 3 AND substr($x, len($x), 1) = 'e' THEN substr($x, 1, len($x) - 1) " +
+    s"WHEN len($x) > 3 AND substr($x, len($x), 1) = 's' AND substr($x, len($x) - 1, 1) IN $st THEN substr($x, 1, len($x) - 1) " +
+    s"ELSE $x END)"
+  }
+  private def gstem2(x: String): String = {
+    val st = "('b', 'd', 'f', 'g', 'h', 'k', 'l', 'm', 'n', 't')"
+    s"(CASE WHEN len($x) > 5 AND substr($x, len($x) - 2, 3) = 'est' THEN substr($x, 1, len($x) - 3) " +
+    s"WHEN len($x) > 4 AND substr($x, len($x) - 1, 2) IN ('er', 'en') THEN substr($x, 1, len($x) - 2) " +
+    s"WHEN len($x) > 4 AND substr($x, len($x) - 1, 2) = 'st' AND substr($x, len($x) - 2, 1) IN $st THEN substr($x, 1, len($x) - 2) " +
+    s"ELSE $x END)"
+  }
+
   /** DuckDB mirror of Stemmers.minimalEnglish over a token expression
     * `x` — the same ordered rule CASE, so stemmed-match oracles are
     * hash-exact. */
@@ -1074,6 +1106,23 @@ object SparkEntry {
           arrays_overlap(col("mt"), lit(Array("tables", "windows"))).as("raw_hit"))
         .orderBy(col("doc_id"))
     }),
+    // light_german stemming over the German-morphed stream: the query
+    // terms 'vectoren hashen' and the morphed index forms both stem to
+    // 'vector'/'hash'; raw_hit marks docs that held a morphed form
+    "q_match_stemmed_de" -> ((s, d) => {
+      import graft.analysis.Analyzer
+      val m = germanMorphToks()
+      val st = Analyzer.chain(m, stemmer = "light_german")
+      t(s, d, "documents")
+        .select(col("doc_id"), m.as("mt"), st.as("st"))
+        .where(Search.matchChain(col("mt"), "vectoren hashen",
+          stemmer = "light_german"))
+        .select(col("doc_id"),
+          size(array_intersect(array_distinct(col("st")),
+            lit(Array("vector", "hash")))).cast("long").as("n_terms"),
+          arrays_overlap(col("mt"), lit(Array("vectoren", "hashen"))).as("raw_hit"))
+        .orderBy(col("doc_id"))
+    }),
     // asciifolding: de docs get accented variants (a->ä, e->é), the
     // folded index matches 'merge' anyway; raw_hit shows the unfolded
     // tokenizer splitting 'mérgé' apart (accents are separators)
@@ -1354,6 +1403,14 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"), col("rn"))),
     "q_agg_composite" -> ((s, d) =>
       Aggs.compositeAgg(t(s, d, "documents"), Seq("lang", "source"), Some(Seq("de", "src3")), 10)),
+    // composite with a geotile_grid SOURCE (+ a terms source) and
+    // after-key paging — the TSDB map-dashboard page shape; the grid
+    // key is computed once, the after predicate pushes below the agg
+    "q_agg_composite_geo" -> ((s, d) =>
+      Aggs.compositeAggSources(withGeo(t(s, d, "customer")),
+        Seq("tile" -> Aggs.geotileKey("lat", "lon", zoom = 4),
+          "seg" -> col("c_mktsegment")),
+        afterKey = Some(Seq("4/11/7", "BUILDING")), size = 12)),
     "q_agg_nested" -> ((s, d) => Aggs.nestedAgg(t(s, d, "documents"), "lang", "source", "n_chars")),
     "q_agg_top_metrics" -> ((s, d) => t(s, d, "documents")
       .groupBy(col("lang"))
@@ -2868,6 +2925,12 @@ object SparkEntry {
       "SELECT doc_id, len(list_intersect(list_distinct(st), ['table', 'window']))::BIGINT AS n_terms, " +
       "list_has_any(toks, ['tables', 'windows']) AS raw_hit " +
       "FROM mst WHERE list_has_any(st, ['table', 'window']) ORDER BY doc_id"),
+    "q_match_stemmed_de" -> (TokCte + MTokDeCte +
+      ", g1 AS (SELECT doc_id, toks, list_transform(toks, x -> " + gstem1("x") + ") AS s1 FROM mtokde) " +
+      ", gst AS (SELECT doc_id, toks, list_transform(s1, x -> " + gstem2("x") + ") AS st FROM g1) " +
+      "SELECT doc_id, len(list_intersect(list_distinct(st), ['vector', 'hash']))::BIGINT AS n_terms, " +
+      "list_has_any(toks, ['vectoren', 'hashen']) AS raw_hit " +
+      "FROM gst WHERE list_has_any(st, ['vector', 'hash']) ORDER BY doc_id"),
     "q_match_folded" -> ("WITH r AS (SELECT doc_id, lang, CASE WHEN lang = 'de' " +
       "THEN translate(text, 'ae', 'äé') ELSE text END AS raw FROM documents), " +
       s"f AS (SELECT doc_id, lang, raw, list_filter(regexp_split_to_array(" +
@@ -3380,6 +3443,13 @@ object SparkEntry {
       "substr('0123456789bcdefghjkmnpqrstuvwxyz', ((v & 31))::INT + 1, 1) AS key FROM v) " +
       "SELECT key, count(*)::BIGINT AS doc_count FROM h GROUP BY key " +
       "ORDER BY doc_count DESC, key LIMIT 15"),
+    "q_agg_composite_geo" -> (GeoCte.replace("SELECT c_custkey,", "SELECT c_custkey, c_mktsegment AS seg,")
+      + ", c AS (SELECT seg, greatest(least(lat, 85.05112878), -85.05112878) AS latc, lon FROM g), " +
+      "tt AS (SELECT seg, '4/' || CAST(least(floor((lon + 180.0) / 360.0 * 16.0), 15.0) AS BIGINT)::VARCHAR || '/' || " +
+      "CAST(greatest(least(floor(round((1.0 - ln(tan(radians(latc)) + 1.0 / cos(radians(latc))) / pi()) / 2.0 * 16.0, 9)), 15.0), 0.0) AS BIGINT)::VARCHAR AS tile FROM c), " +
+      "b AS (SELECT tile, seg, count(*)::BIGINT AS doc_count FROM tt GROUP BY 1, 2) " +
+      "SELECT tile, seg, doc_count FROM b WHERE tile > '4/11/7' OR (tile = '4/11/7' AND seg > 'BUILDING') " +
+      "ORDER BY tile, seg LIMIT 12"),
     "q_geo_tile" -> (GeoCte + ", c AS (SELECT greatest(least(lat, 85.05112878), -85.05112878) AS latc, lon FROM g), " +
       "t AS (SELECT CAST(least(floor((lon + 180.0) / 360.0 * 64.0), 63.0) AS BIGINT) AS x, " +
       "CAST(greatest(least(floor(round((1.0 - ln(tan(radians(latc)) + 1.0 / cos(radians(latc))) / pi()) / 2.0 * 64.0, 9)), 63.0), 0.0) AS BIGINT) AS y FROM c) " +

@@ -313,6 +313,37 @@ object Aggs {
     paged.orderBy(keys.map(col(_).asc): _*).limit(size)
   }
 
+  /** Composite agg over COMPUTED sources — the `geotile_grid` /
+    * `geohash_grid` composite sources (TSDB dashboards page the map
+    * grid this way). Each source is (name, key expression); the key
+    * columns materialize once, then the same lexicographic after-key
+    * paging as `compositeAgg` applies. The after predicate still
+    * references only grouping keys, so Catalyst pushes it below the
+    * aggregation — a page deep in the grid doesn't aggregate the
+    * whole grid. */
+  def compositeAggSources(
+      df: DataFrame,
+      sources: Seq[(String, Column)],
+      afterKey: Option[Seq[String]],
+      size: Int): DataFrame = {
+    val keyed = sources.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+    compositeAgg(keyed.select(sources.map { case (n, _) => col(n) }: _*),
+      sources.map(_._1), afterKey, size)
+  }
+
+  /** The `geotile_grid` "z/x/y" cell key as a reusable Column (same
+    * math + ulp guard as geotileGridAgg). */
+  def geotileKey(latField: String, lonField: String, zoom: Int): Column = {
+    val n = (1 << zoom).toDouble
+    val latC = greatest(least(col(latField).cast("double"), lit(85.05112878)), lit(-85.05112878))
+    val r = radians(latC)
+    val x = least(floor((col(lonField).cast("double") + 180.0) / 360.0 * n), lit(n - 1.0))
+      .cast("long")
+    val yRaw = (lit(1.0) - log(tan(r) + lit(1.0) / cos(r)) / math.Pi) / 2.0 * n
+    val y = greatest(least(floor(Num.round(yRaw, 9)), lit(n - 1.0)), lit(0.0)).cast("long")
+    concat_ws("/", lit(zoom), x, y)
+  }
+
   /** Nested sub-aggregation: outer terms bucket with an inner metric —
     * a single two-key groupBy (ONE shuffle), not a per-bucket re-agg. */
   def nestedAgg(df: DataFrame, outer: String, inner: String, metric: String): DataFrame =
@@ -503,6 +534,16 @@ object Aggs {
       Num.round(avg(col(lonField)), 4).as("centroid_lon"),
       count(lit(1)).as("doc_count"))
 
+  /** The `geohash_grid` cell key as a reusable Column (the compiled
+    * graft.expr.GeoHash kernel) — shared by the grid agg and the
+    * composite geohash source. */
+  def geohashKey(latField: String, lonField: String, precision: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expr.GeoHash(
+        org.apache.spark.sql.GraftBridge.expression(col(latField).cast("double")),
+        org.apache.spark.sql.GraftBridge.expression(col(lonField).cast("double")),
+        precision))
+
   /** `geohash_grid`: bucket points by geohash cell at `precision`,
     * top-k cells by count (the map-visualization workhorse). The key
     * is a compiled kernel (graft.expr.GeoHash); one groupBy shuffle of
@@ -511,17 +552,11 @@ object Aggs {
     * cells. */
   def geohashGridAgg(
       df: DataFrame, latField: String, lonField: String,
-      precision: Int, k: Int): DataFrame = {
-    val cell = org.apache.spark.sql.GraftBridge.column(
-      graft.expr.GeoHash(
-        org.apache.spark.sql.GraftBridge.expression(col(latField).cast("double")),
-        org.apache.spark.sql.GraftBridge.expression(col(lonField).cast("double")),
-        precision))
-    df.groupBy(cell.as("key"))
+      precision: Int, k: Int): DataFrame =
+    df.groupBy(geohashKey(latField, lonField, precision).as("key"))
       .agg(count(lit(1)).as("doc_count"))
       .orderBy(col("doc_count").desc, col("key").asc)
       .limit(k)
-  }
 
   /** `geotile_grid`: web-mercator slippy-tile buckets ("z/x/y") at
     * `zoom`. Same single-exchange shape as geohash_grid. The y formula
@@ -536,21 +571,11 @@ object Aggs {
     * +,-,*,/ arithmetic). */
   def geotileGridAgg(
       df: DataFrame, latField: String, lonField: String,
-      zoom: Int, k: Int): DataFrame = {
-    val n = (1 << zoom).toDouble
-    val latC = greatest(least(col(latField).cast("double"), lit(85.05112878)), lit(-85.05112878))
-    val r = radians(latC)
-    val x = least(floor((col(lonField).cast("double") + 180.0) / 360.0 * n), lit(n - 1.0))
-      .cast("long")
-    val yRaw = (lit(1.0) - log(tan(r) + lit(1.0) / cos(r)) / math.Pi) / 2.0 * n
-    val y = greatest(
-      least(floor(Num.round(yRaw, 9)), lit(n - 1.0)),
-      lit(0.0)).cast("long")
-    df.groupBy(concat_ws("/", lit(zoom), x, y).as("key"))
+      zoom: Int, k: Int): DataFrame =
+    df.groupBy(geotileKey(latField, lonField, zoom).as("key"))
       .agg(count(lit(1)).as("doc_count"))
       .orderBy(col("doc_count").desc, col("key").asc)
       .limit(k)
-  }
 
   /** `_mvt` (vector tile search API): per (zoom, x, y) web-mercator
     * tile — hit count, point centroid, and the tile's WGS84 envelope

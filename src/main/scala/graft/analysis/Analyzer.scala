@@ -128,6 +128,38 @@ object Analyzer {
       .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
   }
 
+  /** ES `shingle` token filter: unigrams (when `outputUnigrams`) plus
+    * word n-grams for every n in `minN..maxN`, space-joined. Uses the
+    * compiled TokenShingles kernel per n — static n keeps the loop in
+    * whole-stage codegen. Delta vs ES (documented): shingles emit
+    * DISTINCT per n and grouped by size, not interleaved in position
+    * order — downstream term/overlap semantics are unaffected. */
+  def shingleFilter(
+      toks: Column, minN: Int = 2, maxN: Int = 2,
+      outputUnigrams: Boolean = true): Column = {
+    require(minN >= 2 && maxN >= minN, s"bad shingle bounds: $minN..$maxN")
+    val grams = (minN to maxN).map(n => shingles(toks, n))
+    val all = if (outputUnigrams) toks +: grams else grams
+    concat(all: _*)
+  }
+
+  /** ES `length` token filter: keep tokens with `min <= len <= max`. */
+  def lengthFilter(toks: Column, min: Int, max: Int): Column =
+    filter(toks, t => length(t) >= min && length(t) <= max)
+
+  /** ES `truncate` token filter: cap every token at `len` chars. */
+  def truncateFilter(toks: Column, len: Int): Column =
+    transform(toks, t => substring(t, 1, len))
+
+  /** ES `unique` token filter: order-preserving dedup of the stream. */
+  def uniqueFilter(toks: Column): Column = array_distinct(toks)
+
+  /** ES `pattern_replace` CHAR filter: regex rewrite of the raw text
+    * before tokenization (Java regex on both engines' [a-z0-9]
+    * streams). */
+  def patternReplace(text: Column, pattern: String, replacement: String): Column =
+    regexp_replace(text, pattern, replacement)
+
   /** Token 3-gram shingles over an ordered token array: the unit used by
     * MinHash / n-gram-Jaccard dedup. Narrow per-row transform. */
   def shingles(toks: Column, n: Int = 3): Column = {

@@ -168,9 +168,80 @@ object Stemmers {
     w
   }
 
+  /** `light_german` — the Savoy-style light German stemmer (the shape
+    * of ES's `light_german` option): fold umlauts, then two ordered
+    * suffix-strip steps. Rules (each step applies at most one):
+    *   fold: ä→a ö→o ü→u (other accents are tokenizer separators here)
+    *   step1: len>5 `-ern`→drop3 | len>4 `-em/-en/-er/-es`→drop2 |
+    *          len>3 `-e`→drop1 | len>3 `-s` after b,d,f,g,h,k,l,m,n,t→drop1
+    *   step2: len>5 `-est`→drop3 | len>4 `-er/-en`→drop2 |
+    *          len>4 `-st` after b,d,f,g,h,k,l,m,n,t→drop2
+    */
+  def lightGerman(word: String): String = {
+    val w = word.map {
+      case 'ä' => 'a'; case 'ö' => 'o'; case 'ü' => 'u'; case c => c
+    }
+    def stEnding(c: Char): Boolean = "bdfghklmnt".indexOf(c) >= 0
+    val s1 = {
+      val n = w.length
+      if (n > 5 && w.endsWith("ern")) w.dropRight(3)
+      else if (n > 4 && n >= 2 && w.charAt(n - 2) == 'e' &&
+        "mnrs".indexOf(w.charAt(n - 1)) >= 0) w.dropRight(2)
+      else if (n > 3 && w.endsWith("e")) w.dropRight(1)
+      else if (n > 3 && w.endsWith("s") && stEnding(w.charAt(n - 2))) w.dropRight(1)
+      else w
+    }
+    val n = s1.length
+    if (n > 5 && s1.endsWith("est")) s1.dropRight(3)
+    else if (n > 4 && (s1.endsWith("er") || s1.endsWith("en"))) s1.dropRight(2)
+    else if (n > 4 && s1.endsWith("st") && stEnding(s1.charAt(n - 3))) s1.dropRight(2)
+    else s1
+  }
+
+  /** `minimal_french` — the minimal French stemmer (the shape of ES's
+    * `minimal_french` option). Rules, applied to words of length ≥ 6:
+    *   `-aux`→`-al` | other `-x`→drop1 | otherwise strip the ordered
+    *   optional tail `s`, then `r`, then `e`, then `é` (equivalently:
+    *   longest end-match of é?e?r?s?), then collapse a doubled final
+    *   letter. */
+  def minimalFrench(word: String): String = {
+    if (word.length < 6) return word
+    if (word.endsWith("aux")) return word.dropRight(3) + "al"
+    if (word.endsWith("x")) return word.dropRight(1)
+    var w = word
+    if (w.endsWith("s")) w = w.dropRight(1)
+    if (w.endsWith("r")) w = w.dropRight(1)
+    if (w.endsWith("e")) w = w.dropRight(1)
+    if (w.endsWith("é")) w = w.dropRight(1)
+    if (w.length >= 2 && w.charAt(w.length - 1) == w.charAt(w.length - 2) &&
+      w.charAt(w.length - 1).isLetter) w = w.dropRight(1)
+    w
+  }
+
+  /** `light_spanish` — light Spanish plural/gender stripping (the
+    * shape of ES's `light_spanish` option). Rules, applied to words
+    * of length ≥ 5 after accent folding (á→a é→e í→i ó→o ú→u):
+    *   `-ces`→`-z` | `-os/-as/-es`→drop2 | `-s`→drop1 |
+    *   `-o/-a/-e`→drop1. Ordered, at most one applies. */
+  def lightSpanish(word: String): String = {
+    val w = word.map {
+      case 'á' => 'a'; case 'é' => 'e'; case 'í' => 'i'
+      case 'ó' => 'o'; case 'ú' => 'u'; case c => c
+    }
+    if (w.length < 5) w
+    else if (w.endsWith("ces")) w.dropRight(3) + "z"
+    else if (w.endsWith("os") || w.endsWith("as") || w.endsWith("es")) w.dropRight(2)
+    else if (w.endsWith("s")) w.dropRight(1)
+    else if (w.endsWith("o") || w.endsWith("a") || w.endsWith("e")) w.dropRight(1)
+    else w
+  }
+
   def apply(variant: String): String => String = variant match {
     case "minimal_english" => minimalEnglish
     case "porter" => porter
+    case "light_german" => lightGerman
+    case "minimal_french" => minimalFrench
+    case "light_spanish" => lightSpanish
     case other => throw new IllegalArgumentException(s"unknown stemmer: $other")
   }
 }

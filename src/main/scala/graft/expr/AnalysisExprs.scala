@@ -21,7 +21,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object AnalysisKernels {
 
-  /** stemCode: 0 = none, 1 = minimal_english, 2 = porter. */
+  /** stemCode: 0 = none, 1 = minimal_english, 2 = porter,
+    * 3 = light_german, 4 = minimal_french, 5 = light_spanish. */
   def chainKernel(
       arr: ArrayData,
       stop: java.util.HashSet[UTF8String],
@@ -38,9 +39,13 @@ object AnalysisKernels {
           if (stemCode == 0) tok
           else {
             val s = tok.toString
-            val r =
-              if (stemCode == 1) graft.analysis.Stemmers.minimalEnglish(s)
-              else graft.analysis.Stemmers.porter(s)
+            val r = stemCode match {
+              case 1 => graft.analysis.Stemmers.minimalEnglish(s)
+              case 2 => graft.analysis.Stemmers.porter(s)
+              case 3 => graft.analysis.Stemmers.lightGerman(s)
+              case 4 => graft.analysis.Stemmers.minimalFrench(s)
+              case 5 => graft.analysis.Stemmers.lightSpanish(s)
+            }
             if (r eq s) tok else UTF8String.fromString(r)
           }
         if (edgeMax <= 0) out.add(stemmed)
@@ -75,7 +80,8 @@ case class AnalyzeChain(
     edgeMax: Int)
     extends UnaryExpression with ImplicitCastInputTypes {
 
-  require(stemmer == "" || stemmer == "minimal_english" || stemmer == "porter",
+  require(Set("", "minimal_english", "porter", "light_german",
+    "minimal_french", "light_spanish").contains(stemmer),
     s"unknown stemmer: $stemmer")
   require(edgeMax <= 0 || (edgeMin >= 1 && edgeMin <= edgeMax),
     s"bad edge_ngram bounds: $edgeMin..$edgeMax")
@@ -89,6 +95,9 @@ case class AnalyzeChain(
     case "" => 0
     case "minimal_english" => 1
     case "porter" => 2
+    case "light_german" => 3
+    case "minimal_french" => 4
+    case "light_spanish" => 5
   }
 
   @transient private lazy val stopSet: java.util.HashSet[UTF8String] =

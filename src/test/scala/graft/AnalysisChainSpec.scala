@@ -106,6 +106,63 @@ class AnalysisChainSpec extends SparkSpec {
       Analyzer.EnglishStop, "minimal_english") == Seq("table", "fast"))
   }
 
+  test("light_german / minimal_french / light_spanish rules") {
+    import graft.analysis.Stemmers
+    // german: both steps fire in order; umlauts fold first
+    assert(Stemmers.lightGerman("häusern") == "haus")   // fold + -ern
+    assert(Stemmers.lightGerman("vectoren") == "vector") // -en (step1)
+    assert(Stemmers.lightGerman("kleinste") == "klein") // -e (step1) then -st (step2)
+    assert(Stemmers.lightGerman("hashen") == "hash")
+    assert(Stemmers.lightGerman("tages") == "tag")       // -es
+    assert(Stemmers.lightGerman("vector") == "vector")   // untouched
+    assert(Stemmers.lightGerman("hash") == "hash")       // -s only after st-consonant
+    // french: len<6 guard, -aux, ordered tail strip + doubled letter
+    assert(Stemmers.minimalFrench("chevaux") == "cheval")
+    assert(Stemmers.minimalFrench("belles") == "bel")    // s, e, doubled l
+    assert(Stemmers.minimalFrench("tables") == "tabl")   // s then e
+    assert(Stemmers.minimalFrench("table") == "table")   // len 5 < 6
+    assert(Stemmers.minimalFrench("prix") == "prix")     // len < 6 beats -x
+    // spanish: accent fold + ordered plural/gender rules
+    assert(Stemmers.lightSpanish("luces") == "luz")
+    assert(Stemmers.lightSpanish("libros") == "libr")
+    assert(Stemmers.lightSpanish("casas") == "cas")
+    assert(Stemmers.lightSpanish("café") == "cafe")      // len<5: fold only
+    assert(Stemmers.lightSpanish("rápido") == "rapid")
+    // the chain kernel resolves all three by name (codegen path)
+    val df2 = Seq((1L, "vectoren hashen tables")).toDF("id", "text")
+    val de = df2.select(Analyzer.chainText(col("text"), stemmer = "light_german"))
+      .as[Seq[String]].collect().head
+    assert(de == Seq("vector", "hash", "tabl")) // 'tables' drops -es too
+  }
+
+  test("shingle / length / truncate / unique / pattern_replace filters") {
+    val df3 = Seq((1L, "fast hash join path fast hash")).toDF("id", "text")
+    val toks = Analyzer.tokens(col("text"))
+    val sh = df3.select(Analyzer.shingleFilter(toks, 2, 3))
+      .as[Seq[String]].collect().head
+    // unigrams first, then distinct 2-grams, then distinct 3-grams
+    assert(sh.take(6) == Seq("fast", "hash", "join", "path", "fast", "hash"))
+    assert(sh.contains("fast hash") && sh.contains("hash join") &&
+      sh.contains("fast hash join"))
+    assert(sh.count(_ == "fast hash") == 1) // distinct within the 2-gram block
+    val ln = df3.select(Analyzer.lengthFilter(toks, 5, 10))
+      .as[Seq[String]].collect().head
+    assert(ln == Seq()) // all tokens are length 4
+    val ln2 = df3.select(Analyzer.lengthFilter(toks, 1, 4))
+      .as[Seq[String]].collect().head
+    assert(ln2.size == 6)
+    val tr = df3.select(Analyzer.truncateFilter(toks, 3))
+      .as[Seq[String]].collect().head
+    assert(tr == Seq("fas", "has", "joi", "pat", "fas", "has"))
+    val un = df3.select(Analyzer.uniqueFilter(toks))
+      .as[Seq[String]].collect().head
+    assert(un == Seq("fast", "hash", "join", "path"))
+    val pr = df3.select(Analyzer.tokens(
+      Analyzer.patternReplace(col("text"), "ha(sh)", "mar$1")))
+      .as[Seq[String]].collect().head
+    assert(pr == Seq("fast", "marsh", "join", "path", "fast", "marsh"))
+  }
+
   test("matchChain + matchSynonyms semantics") {
     import graft.search.Search
     val df = Seq(
