@@ -307,6 +307,18 @@ object ScaleProbe {
       recall("ann_ivf_recall_10x",
         graft.sim.Ann.ivfTopK(emb, queries, "vec_id", "embedding",
           nCentroids = 16, nprobe = 4, k = 10))
+      // graph ANN: per-partition NSW build dominates (corpus streams
+      // once through mapPartitions); recall floor is the r10 contract
+      recall("ann_hnsw_recall_10x",
+        graft.sim.Ann.hnswTopK(emb, queries, "vec_id", "embedding", k = 10))
+    }
+    // t-digest percentiles vs the exact sort-selection above
+    // (percentiles_10x): the sketch exchange carries O(compression)
+    // centroids per partition instead of sort-selecting the corpus —
+    // this is the 100 TB percentile plan, and its probe point
+    time("tdigest_pctl_10x") {
+      li.agg(graft.agg.TDigest.percentilesCol(
+        "l_extendedprice", Seq(0.25, 0.5, 0.95)).as("p")).count()
     }
     time("dedup_lines_10x") {
       // boilerplate line removal: line-count shuffle + broadcast anti;

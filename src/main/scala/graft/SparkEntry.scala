@@ -1969,6 +1969,19 @@ object SparkEntry {
       Ann.ivfTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
         nCentroids = 16, nprobe = 4, k = 10)
     }),
+    // _explain for a knn hit: dot / norms / cosine breakdown for one
+    // (query vector, document) pair
+    "q_explain_knn" -> ((s, d) =>
+      Ann.explainKnn(t(s, d, "embeddings"), "vec_id", "embedding",
+        ScriptQv, docId = 42L)),
+    // graph ANN (the HNSW family, ES's actual knn index): one NSW
+    // graph per partition (= per Lucene segment), beam-searched per
+    // query, merged top-k; recall@10 asserted in-plan vs brute force
+    "q_ann_hnsw" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Ann.hnswRecallProbe(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, minRecall = 0.9)
+    }),
     // ingest kv processor at read time: str_to_map split, map lookups
     // feed a normal agg — all inside one codegen'd projection
     "q_ingest_kv" -> ((s, d) => {
@@ -3681,6 +3694,23 @@ object SparkEntry {
       "SELECT a.vec_id AS id1, b.vec_id AS id2, " +
       "round(list_reduce(list_prepend(0.0, list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])), (x, y) -> x + y) / (a.nrm * b.nrm), 4) AS cosine " +
       "FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id ORDER BY cosine DESC, id1, id2 LIMIT 20"),
+    "q_ann_hnsw" -> ("SELECT vec_id AS query_id, true AS recall_ok " +
+      "FROM embeddings WHERE vec_id < 5 ORDER BY query_id"),
+    "q_explain_knn" -> {
+      val qv = (0 until 64).map(i => (i * 37 % 100) / 100.0 - 0.5)
+      val qlist = qv.mkString("[", ", ", "]")
+      val nq = math.sqrt(qv.map(x => x * x).sum)
+      "WITH e AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS v " +
+        "FROM embeddings WHERE vec_id = 42), " +
+        s"q AS (SELECT $qlist::DOUBLE[] AS w), " +
+        "c AS (SELECT list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> e.v[i] * w[i])), (a, b) -> a + b) AS d, " +
+        "sqrt(list_reduce(list_prepend(0.0, list_transform(e.v, x -> x * x)), (a, b) -> a + b)) AS nv FROM e CROSS JOIN q) " +
+        "SELECT component, value FROM (" +
+        "SELECT 'dot' AS component, round(d, 4) AS value FROM c " +
+        "UNION ALL SELECT 'norm_doc', round(nv, 4) FROM c " +
+        s"UNION ALL SELECT 'norm_query', round($nq, 4) FROM c " +
+        s"UNION ALL SELECT 'cosine', round(d / (nv * $nq), 4) FROM c) ORDER BY component"
+    },
     "q_ann_brute" -> ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), " +
       "n AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm FROM e), " +
       "p AS (SELECT q.vec_id AS query_id, c.vec_id AS id, " +

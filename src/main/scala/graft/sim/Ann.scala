@@ -240,6 +240,190 @@ object Ann {
       .orderBy(col("query_id").asc, col("rank").asc)
   }
 
+  // ---- graph ANN (the HNSW family) ----
+
+  /** Normalize to unit length (cosine becomes dot product). */
+  private def unitVec(v: Array[Double]): Array[Double] = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0) v else v.map(_ / n)
+  }
+
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Best-first beam search over an adjacency list: returns up to `ef`
+    * (nodeIdx, sim) pairs, highest-sim first. Deterministic: every
+    * heap orders (sim, then node index) so ties never depend on
+    * insertion order. */
+  private def beamSearch(
+      q: Array[Double], vecs: scala.collection.IndexedSeq[Array[Double]],
+      nbrs: scala.collection.IndexedSeq[scala.collection.Seq[Int]],
+      entry: Int, ef: Int): Array[(Int, Double)] = {
+    val simOrd = Ordering.by[(Int, Double), (Double, Int)] { case (i, s) => (s, -i) }
+    val visited = new java.util.HashSet[Integer]()
+    // candidates: best first; results: worst first (bounded at ef)
+    val cand = scala.collection.mutable.PriorityQueue.empty[(Int, Double)](simOrd)
+    val res = scala.collection.mutable.PriorityQueue.empty[(Int, Double)](simOrd.reverse)
+    val eSim = dot(q, vecs(entry))
+    visited.add(entry); cand.enqueue((entry, eSim)); res.enqueue((entry, eSim))
+    while (cand.nonEmpty) {
+      val (c, cSim) = cand.dequeue()
+      if (res.size >= ef && cSim < res.head._2) {
+        cand.clear() // nothing closer can be reached
+      } else {
+        for (nb <- nbrs(c) if !visited.contains(nb)) {
+          visited.add(nb)
+          val s = dot(q, vecs(nb))
+          if (res.size < ef || s > res.head._2) {
+            cand.enqueue((nb, s))
+            res.enqueue((nb, s))
+            if (res.size > ef) res.dequeue()
+          }
+        }
+      }
+    }
+    res.dequeueAll.reverse.toArray
+  }
+
+  /** HNSW-family graph ANN, Spark-shaped exactly as ES/Lucene shard it:
+    * ONE small-world graph per PARTITION (ES builds one HNSW graph per
+    * Lucene segment and merges per-segment top-k — the partition is
+    * graft's segment), so build is map-only, queries broadcast, and
+    * the merge is the standard per-query top-k. Per partition this
+    * builds a single-layer NSW (the HNSW ground layer: insert via beam
+    * search, connect to the `m` nearest, prune back-links at 2m); the
+    * level hierarchy only pays off when one graph holds ~10^8+ nodes,
+    * which partition sizing (`maxPartitionBytes`) prevents by
+    * construction.
+    *
+    * Scale shape at 100 TB: corpus streams once through mapPartitions
+    * (graph lives only within a task), the exchange carries
+    * |queries|·ef candidate rows per partition, and the final top-k is
+    * a window over per-query candidates. No corpus shuffle, no model
+    * fit. Recall is probed, not assumed: `hnswRecallProbe` asserts
+    * recall@k against the brute-force oracle in-plan. */
+  def hnswTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      m: Int = 8,
+      efConstruction: Int = 64,
+      ef: Int = 48): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qs = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+      .map { case (qid, v) => (qid, unitVec(v)) }
+    require(qs.nonEmpty, "hnswTopK needs at least one query vector")
+    val qb = spark.sparkContext.broadcast(qs)
+    val searchEf = math.max(ef, k + 1) // +1 absorbs the self-hit
+    val hits = corpus
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+        val nbrs = scala.collection.mutable.ArrayBuffer
+          .empty[scala.collection.mutable.ArrayBuffer[Int]]
+        val mMax = 2 * m
+        // NSW insert: beam-search the current graph for the new node's
+        // neighborhood, link both ways, prune back-links to the best 2m
+        for ((id, raw) <- it) {
+          val v = unitVec(raw)
+          val i = ids.length
+          ids += id; vecs += v
+          if (i == 0) nbrs += scala.collection.mutable.ArrayBuffer.empty[Int]
+          else {
+            val found = beamSearch(v, vecs, nbrs, 0, efConstruction)
+            val links = found.take(m).map(_._1)
+            nbrs += scala.collection.mutable.ArrayBuffer(links: _*)
+            for (nb <- links) {
+              nbrs(nb) += i
+              if (nbrs(nb).length > mMax) {
+                val pruned = nbrs(nb)
+                  .map(x => (x, dot(vecs(nb), vecs(x))))
+                  .sortBy { case (x, s) => (-s, x) }
+                  .take(mMax).map(_._1)
+                nbrs(nb) = scala.collection.mutable.ArrayBuffer(pruned.toSeq: _*)
+              }
+            }
+          }
+        }
+        if (ids.isEmpty) Iterator.empty
+        else qb.value.iterator.flatMap { case (qid, qv) =>
+          beamSearch(qv, vecs, nbrs, 0, searchEf).iterator.collect {
+            case (idx, sim) if ids(idx) != qid => (qid, ids(idx), sim)
+          }
+        }
+      }
+      .toDF("query_id", "id", "cosine")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    hits
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("id"),
+        Num.round(col("cosine"), 4).as("cosine"), col("rank"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
+  /** `_explain` for a knn hit: the similarity breakdown (dot product,
+    * both norms, cosine) for one (query vector, document) pair — the
+    * knn counterpart of Search.explainScore/explainFunctionScore. One
+    * pushed-id scan, components inlined as array-of-struct. */
+  def explainKnn(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryVec: Seq[Double],
+      docId: Long): DataFrame = {
+    val qv = array(queryVec.map(lit): _*)
+    val v = col(vecCol).cast("array<double>")
+    val d = Vectors.dot(v, qv)
+    val nv = Vectors.norm(v)
+    val nq = math.sqrt(queryVec.map(x => x * x).sum)
+    corpus.where(col(idCol) === docId)
+      .select(inline(array(
+        struct(lit("dot").as("component"), Num.round(d, 4).as("value")),
+        struct(lit("norm_doc").as("component"), Num.round(nv, 4).as("value")),
+        struct(lit("norm_query").as("component"),
+          Num.round(lit(nq), 4).as("value")),
+        struct(lit("cosine").as("component"),
+          Num.round(d / (nv * lit(nq)), 4).as("value")))))
+      .orderBy(col("component"))
+  }
+
+  /** Recall probe for the graph index: recall@k of hnswTopK against
+    * bruteForceTopK, one boolean row per query — the oracle-stable
+    * assertion shape (graph layout is build-order-dependent, id sets
+    * above the recall floor are what's guaranteed). */
+  def hnswRecallProbe(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      minRecall: Double): DataFrame = {
+    val approx = hnswTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("id"))
+    val exact = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("id"))
+    exact.join(approx, Seq("query_id", "id"), "left_semi")
+      .groupBy(col("query_id"))
+      .agg((count(lit(1)).cast("double") / k >= minRecall).as("recall_ok"))
+      .orderBy(col("query_id"))
+  }
+
   /** ES 8.17 `rank_vectors` / maxSimDotProduct: late-interaction
     * (ColBERT-style) scoring. A query is SEVERAL vectors (per-token
     * embeddings); a doc is SEVERAL vectors; the score sums, over

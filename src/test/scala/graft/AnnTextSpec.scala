@@ -48,6 +48,40 @@ class AnnTextSpec extends SparkSpec {
     }
   }
 
+  test("graph ANN (NSW per partition): exact on one partition, recall probe green") {
+    // single partition, tiny graph: beam search with ef >= n is
+    // exhaustive, so the result must MATCH brute force exactly
+    val one = vecs.repartition(1)
+    val g = Ann.hnswTopK(one, one.where(col("vec_id") === 1), "vec_id", "embedding", 3)
+      .as[(Long, Long, Double, Int)].collect()
+    val b = Ann.bruteForceTopK(one, one.where(col("vec_id") === 1), "vec_id", "embedding", 3)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(g.map(r => (r._2, r._3)).toSeq == b.map(r => (r._2, r._3)).toSeq)
+    // a bigger clustered corpus across several partitions: recall@5
+    // floor holds per query
+    val big = (0 until 200).map { i =>
+      val base = Array.fill(8)(0.0f)
+      base(i % 4) = 1.0f
+      base((i + 1) % 8) = 0.3f + (i % 7) * 0.05f
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding").repartition(8)
+    val probe = Ann.hnswRecallProbe(big, big.where(col("vec_id") < 3),
+      "vec_id", "embedding", k = 5, minRecall = 0.8)
+      .as[(Long, Boolean)].collect().toSeq
+    assert(probe.map(_._1) == Seq(0L, 1L, 2L))
+    assert(probe.forall(_._2), s"recall floor violated: $probe")
+  }
+
+  test("knn _explain: dot/norms/cosine breakdown consistent") {
+    val r = Ann.explainKnn(vecs, "vec_id", "embedding",
+      Seq(1.0, 1.0, 0.0, 0.0), docId = 2L)
+      .as[(String, Double)].collect().toMap
+    assert(r.keySet == Set("cosine", "dot", "norm_doc", "norm_query"))
+    assert(math.abs(r("dot") - 1.09) < 1e-9)
+    assert(math.abs(r("norm_query") - math.sqrt(2.0)) < 1e-4)
+    assert(math.abs(r("cosine") - r("dot") / (r("norm_doc") * r("norm_query"))) < 1e-3)
+  }
+
   test("language id: stopword-heavy english text detected") {
     val df = Seq((1L, "the cat and the dog is in the house for a while")).toDF("id", "text")
     val (pl, ps) = TextAnalysis.languageId(col("text"))

@@ -507,4 +507,37 @@ class SearchSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(got == Seq(("spark", 3L)))
   }
+
+  test("_async_search: submit / partial get / await / cancel") {
+    import graft.search.AsyncSearch
+    // slow scan: 8 partitions, each sleeps — partitions complete one
+    // by one, so a mid-flight GET sees genuine partial hits
+    val slow = spark.range(0, 8, 1, 8)
+      .mapPartitions { it => Thread.sleep(400); it }
+      .toDF("id")
+    AsyncSearch.submit(spark, "s1", slow)
+    val stillRunning = AsyncSearch.await("s1", 1200)
+    val (_, _, someRows) = AsyncSearch.get("s1")
+    // after ~1.2s of a ~3.2s sequential pull: started but not done
+    assert(stillRunning || someRows.size == 8)
+    AsyncSearch.await("s1", 30000)
+    val (running, partial, all) = AsyncSearch.get("s1")
+    assert(!running && !partial && all.size == 8)
+    assert(AsyncSearch.error("s1").isEmpty)
+    AsyncSearch.delete("s1")
+
+    // cancel mid-flight: job group dies, response stays partial
+    val slow2 = spark.range(0, 8, 1, 8)
+      .mapPartitions { it => Thread.sleep(2000); it }
+      .toDF("id")
+    AsyncSearch.submit(spark, "s2", slow2)
+    Thread.sleep(300)
+    AsyncSearch.cancel(spark, "s2")
+    AsyncSearch.await("s2", 30000)
+    val (running2, partial2, rows2) = AsyncSearch.get("s2")
+    assert(!running2 && partial2)
+    assert(rows2.size < 8)
+    AsyncSearch.delete("s2")
+    intercept[IllegalArgumentException] { AsyncSearch.get("s2") }
+  }
 }
