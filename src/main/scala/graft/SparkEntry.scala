@@ -715,6 +715,18 @@ object SparkEntry {
     // ES SQL scalar-function spellings Spark lacks: IIF,
     // DATE_DIFF('unit',..)/DATE_ADD('unit',..) — text-rewritten to
     // IF/timestampdiff/timestampadd before spark.sql
+    // ES SQL HISTOGRAM() grouping function -> bucket-start expression
+    "q_sql_histogram" -> ((s, d) => graft.dsl.EsSql.run(s, d,
+      """SELECT HISTOGRAM(o_totalprice, 50000) AS bucket, COUNT(*) AS n
+         FROM orders GROUP BY bucket ORDER BY bucket""")),
+    // ES|QL COMPLETION (9.x LLM operator): stubbed deterministic
+    // inference — named output column, expression prompt, WITH ignored
+    "q_esql_completion" -> ((s, d) => graft.dsl.Esql.run(s, d,
+      """from documents
+        | where doc_id < 20
+        | completion summary = text with { "inference_id" : "stub" }
+        | keep doc_id, summary
+        | sort doc_id""")),
     "q_sql_funcs" -> ((s, d) => graft.dsl.EsSql.run(s, d,
       """SELECT o_orderkey AS id,
            IIF(o_totalprice > 200000, 'big', 'small') AS sz,
@@ -2642,6 +2654,11 @@ object SparkEntry {
       "CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS s_f, " +
       "CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS s_p " +
       "FROM orders GROUP BY 1 ORDER BY bucket"),
+    "q_sql_histogram" -> ("SELECT CAST(floor(o_totalprice / 50000) AS DOUBLE) * 50000 AS bucket, " +
+      "count(*)::BIGINT AS n FROM orders GROUP BY 1 ORDER BY bucket"),
+    "q_esql_completion" -> (TokCte +
+      " SELECT doc_id, 'stub: ' || array_to_string(list_reverse(toks[1:8]), ' ') AS summary " +
+      "FROM tok WHERE doc_id < 20 ORDER BY doc_id"),
     "q_sql_funcs" -> ("SELECT o_orderkey AS id, " +
       "CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS sz, " +
       "date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS dd, " +

@@ -64,6 +64,13 @@ object EsSql {
       .replaceAllIn(s, m => s"timestampdiff(${m.group(1)},")
     s = "(?i)\\bDATE_ADD\\s*\\(\\s*'(\\w+)'\\s*,".r
       .replaceAllIn(s, m => s"timestampadd(${m.group(1)},")
+    // ES SQL's HISTOGRAM(col, interval) grouping function (numeric
+    // form) -> the bucket-start expression. CAST keeps the output
+    // DOUBLE on both engines (Spark's floor(double) is BIGINT,
+    // DuckDB's is DOUBLE).
+    s = "(?i)\\bHISTOGRAM\\s*\\(\\s*([A-Za-z0-9_]+)\\s*,\\s*([0-9.]+)\\s*\\)".r
+      .replaceAllIn(s, m =>
+        s"(CAST(floor(${m.group(1)} / ${m.group(2)}) AS DOUBLE) * ${m.group(2)})")
     s
   }
 

@@ -775,6 +775,25 @@ object Esql {
             df.withColumn("_score", score).orderBy(col("_score").desc)
           case other => throw new IllegalArgumentException(s"bad RERANK: $other")
         }
+      case "completion" =>
+        // COMPLETION col = <prompt expr> [WITH ...] (ES|QL 9.x LLM
+        // operator). The inference call is STUBBED deterministically —
+        // completion = "stub: " + the prompt's first 8 analyzed tokens
+        // in reverse order — real plumbing (named output column,
+        // arbitrary prompt EXPRESSION, WITH clause accepted and
+        // ignored), fake model; the RERANK / multimodal-decode stance.
+        // Narrow map-only pass; COMPLETION is meant to run on an
+        // already-LIMIT-ed window.
+        val cr = "(?is)^([A-Za-z0-9_]+)\\s*=\\s*(.+?)(?:\\s+with\\s+.*)?$".r
+        body.trim match {
+          case cr(outCol, promptSrc) =>
+            val prompt = new P(lex(promptSrc)).parseExpr()
+            val toks = graft.analysis.Analyzer.tokens(prompt.cast("string"))
+            df.withColumn(outCol,
+              concat(lit("stub: "),
+                concat_ws(" ", reverse(slice(toks, 1, 8)))))
+          case other => throw new IllegalArgumentException(s"bad COMPLETION: $other")
+        }
       case "fuse" =>
         // FUSE [rrf|linear] [KEY BY c1, c2] [WITH rank_constant = N]
         // (ES|QL 9.x) — merges FORK branches into one ranked result.

@@ -45,6 +45,15 @@ class EsSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("SCORE()"))
   }
 
+  test("HISTOGRAM grouping function: bucket starts, DOUBLE type") {
+    val r = EsSql.run(spark, sfDir,
+      "SELECT HISTOGRAM(n_chars, 100) AS b, COUNT(*) AS n FROM documents GROUP BY b ORDER BY b")
+    assert(r.schema("b").dataType == org.apache.spark.sql.types.DoubleType)
+    val buckets = r.select("b").as[Double].collect()
+    assert(buckets.forall(b => b % 100 == 0.0))
+    assert(buckets.sameElements(buckets.sorted))
+  }
+
   test("unsupported MATCH option fails loudly") {
     val e = intercept[IllegalArgumentException] {
       EsSql.run(spark, sfDir,

@@ -345,6 +345,18 @@ class EsqlSpec extends SparkSpec {
     assert(r.find(_._1 == 3L).get._2 == 0.0)
   }
 
+  test("COMPLETION: stubbed inference, named column, WITH ignored") {
+    val df = Seq((1L, "Alpha, beta gamma!"), (2L, "one")).toDF("id", "txt")
+    val r = Esql.applyCommand(df,
+      """completion out = txt with { "inference_id" : "x" }""")
+      .select("id", "out").as[(Long, String)].collect().toMap
+    assert(r(1L) == "stub: gamma beta alpha") // first 8 tokens, reversed
+    assert(r(2L) == "stub: one")
+    intercept[IllegalArgumentException] {
+      Esql.applyCommand(df, "completion = missing-name")
+    }
+  }
+
   test("spatial: ST_DISTANCE meters, ST_X/ST_Y accessors") {
     val df = Seq((0.0, 0.0), (90.0, 0.0)).toDF("lon", "lat")
     val r = Esql.applyCommand(df,
