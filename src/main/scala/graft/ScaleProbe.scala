@@ -21,6 +21,13 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(10)
+    // optional 2nd arg: comma-separated substring filters — only
+    // probes whose name contains one of them run (local iteration on
+    // a single shape without paying for the dedup family at 30x)
+    val only: Option[Seq[String]] =
+      if (args.length > 1) Some(args(1).split(",").map(_.trim).toSeq) else None
+    def selected(name: String): Boolean =
+      only.forall(_.exists(name.contains))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
@@ -39,7 +46,7 @@ object ScaleProbe {
     val docs = times(Tables.documents(spark, sfDir), "doc_id", 10000000L)
     val li = times(Tables.lineitem(spark, sfDir), "l_orderkey", 100000000L)
 
-    def time(name: String)(thunk: => Long): Unit = {
+    def time(name: String)(thunk: => Long): Unit = if (selected(name)) {
       val t0 = System.nanoTime()
       val rows = thunk
       println(f"[scaleprobe] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($rows rows)")
@@ -292,9 +299,9 @@ object ScaleProbe {
     // figure for "IVF/LSH as the HNSW stand-in" (SURVEY §4).
     locally {
       val queries = emb.where(col("vec_id") < 5)
-      val truth = graft.sim.Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      lazy val truth = graft.sim.Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
         .select(col("query_id"), col("id"))
-      def recall(name: String, approx: DataFrame): Unit = {
+      def recall(name: String, approx: => DataFrame): Unit = if (selected(name)) {
         val t0 = System.nanoTime()
         val hit = truth.join(approx.select(col("query_id"), col("id")),
           Seq("query_id", "id")).groupBy("query_id")
