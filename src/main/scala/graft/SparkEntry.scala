@@ -1376,6 +1376,11 @@ object SparkEntry {
       t(s, d, "lineitem"), "l_extendedprice",
       Seq("p25" -> 0.25, "p50" -> 0.50, "p95" -> 0.95),
       compression = 100.0, epsRank = 0.015)),
+    // percentiles, hdr method: deterministic significant-digit
+    // buckets — the sketch itself is oracle-mirrored hash-exact
+    "q_agg_percentiles_hdr" -> ((s, d) => Aggs.percentilesHdr(
+      t(s, d, "lineitem"), "l_extendedprice",
+      Seq("p25" -> 0.25, "p50" -> 0.50, "p95" -> 0.95), sigDigits = 3)),
     "q_agg_cardinality" -> ((s, d) => Aggs.cardinalityAgg(t(s, d, "lineitem"), "l_partkey")),
     "q_agg_histogram" -> ((s, d) => Aggs.histogramAgg(t(s, d, "lineitem"), "l_extendedprice", 5000.0)),
     "q_agg_date_histogram" -> ((s, d) => Aggs.dateHistogramAgg(t(s, d, "orders"), "o_orderdate", "month")),
@@ -3318,6 +3323,15 @@ object SparkEntry {
       "round(quantile_cont(l_extendedprice, 0.50), 4) AS p50, round(quantile_cont(l_extendedprice, 0.95), 4) AS p95 FROM lineitem"),
     "q_agg_percentiles_tdigest" -> ("SELECT true AS p25_ok, true AS p50_ok, " +
       "true AS p95_ok, count(*)::BIGINT AS n FROM lineitem"),
+    "q_agg_percentiles_hdr" -> ("WITH b AS (SELECT " +
+      "floor(round(l_extendedprice / pow(10, floor(round(log10(l_extendedprice), 9)) - 2), 9)) * " +
+      "pow(10, floor(round(log10(l_extendedprice), 9)) - 2) AS bucket " +
+      "FROM lineitem WHERE l_extendedprice > 0), " +
+      "c AS (SELECT bucket, count(*)::BIGINT AS c FROM b GROUP BY 1), " +
+      "s AS (SELECT bucket, sum(c) OVER (ORDER BY bucket) AS cum, sum(c) OVER () AS n FROM c) " +
+      "SELECT min(CASE WHEN cum >= n * 0.25 THEN bucket END) AS p25, " +
+      "min(CASE WHEN cum >= n * 0.50 THEN bucket END) AS p50, " +
+      "min(CASE WHEN cum >= n * 0.95 THEN bucket END) AS p95 FROM s"),
     "q_agg_cardinality" -> "SELECT count(DISTINCT l_partkey)::BIGINT AS cardinality FROM lineitem",
     "q_agg_histogram" -> ("SELECT CAST(floor(l_extendedprice / 5000.0) * 5000.0 AS DOUBLE) AS bucket, " +
       "count(*)::BIGINT AS doc_count FROM lineitem GROUP BY 1 ORDER BY bucket"),

@@ -138,6 +138,47 @@ object Aggs {
       Num.round(expr(s"percentile($field, 0.50)"), 4).as("p50"),
       Num.round(expr(s"percentile($field, 0.95)"), 4).as("p95"))
 
+  /** `percentiles` with the `hdr` method (ES's HDR-histogram option,
+    * `number_of_significant_value_digits`): values quantize to
+    * `sigDigits` significant decimal digits (the HDR bucket), counts
+    * aggregate per bucket, and each percentile reads the first bucket
+    * whose cumulative count reaches rank q·n. Unlike t-digest the
+    * bucket function is DETERMINISTIC COLUMN MATH (log10/floor with
+    * the geotile-style ulp guard), so results are bit-stable across
+    * partitionings and the oracle mirrors them hash-exact.
+    *
+    * Scale shape: one partial-aggregated exchange over at most
+    * 9·10^(sigDigits-1)·decades buckets (~thousands), a window cumsum
+    * over that tiny bucket frame, one final 1-row aggregate. No sort
+    * of the corpus. Positive values only (the HDR domain; ES records
+    * negatives in a separate histogram). */
+  def percentilesHdr(
+      df: DataFrame, field: String, qs: Seq[(String, Double)],
+      sigDigits: Int = 3): DataFrame = {
+    require(sigDigits >= 1 && sigDigits <= 5, s"bad sigDigits: $sigDigits")
+    val v = col(field).cast("double")
+    // magnitude via log10 with ulp quantization (log10 may differ by
+    // 1 ulp across libm builds; floor would amplify it a full decade)
+    val mag = floor(Num.round(log10(v), 9))
+    val unit = pow(lit(10.0), mag - (sigDigits - 1))
+    val bucket = floor(Num.round(v / unit, 9)) * unit
+    val counts = df.where(v > 0)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    // the bucket frame is sketch-sized — a single-partition window
+    // cumsum over it is deliberate, not a scale hazard
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val aggCols = qs.map { case (name, q) =>
+      min(when(col("cum") >= col("n") * q, col("bucket"))).as(name)
+    }
+    cum.agg(aggCols.head, aggCols.tail: _*)
+  }
+
   def percentilesApprox(df: DataFrame, field: String): DataFrame =
     df.agg(
       percentile_approx(col(field), lit(0.5), lit(10000)).as("p50_approx"))

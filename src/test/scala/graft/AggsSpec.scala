@@ -108,6 +108,22 @@ class AggsSpec extends SparkSpec {
     assert(m.sorted.sameElements(m), "centroids must come out sorted")
   }
 
+  test("hdr percentiles: significant-digit buckets, rank read") {
+    // values spanning decades; 3 sig digits keeps each value its own
+    // bucket here, so percentiles land on exact bucket lower bounds
+    val big = (1 to 1000).map(i => i * 7.0).toDF("x").repartition(8)
+    val p = Aggs.percentilesHdr(big, "x",
+      Seq("p25" -> 0.25, "p50" -> 0.50, "p95" -> 0.95)).collect().head
+    // rank 250 -> 250*7=1750; 3 sig digits -> bucket 1750
+    assert(p.getAs[Double]("p25") == 1750.0)
+    assert(p.getAs[Double]("p50") == 3500.0)
+    assert(p.getAs[Double]("p95") == 6650.0)
+    // quantization: 4-digit values collapse to 3 significant digits
+    val q = Aggs.percentilesHdr(Seq(1234.0, 1234.0, 5678.0).toDF("x"), "x",
+      Seq("p50" -> 0.5)).collect().head
+    assert(q.getAs[Double]("p50") == 1230.0)
+  }
+
   test("histogram buckets") {
     val h = Aggs.histogramAgg(df, "v", 5.0).as[(Double, Long)].collect().toSeq
     assert(h == Seq((0.0, 4L), (5.0, 1L), (10.0, 1L)))
