@@ -1656,6 +1656,10 @@ object SparkEntry {
     "q_agg_sig_chi2" -> ((s, d) =>
       Aggs.significantTerms(t(s, d, "documents"), "text", col("lang") === "en",
         minFgCount = 5, k = 10, heuristic = "chi_square")),
+    // significant_terms, jlh heuristic (absolute x relative uplift)
+    "q_agg_sig_jlh" -> ((s, d) =>
+      Aggs.significantTerms(t(s, d, "documents"), "text", col("lang") === "en",
+        minFgCount = 5, k = 10, heuristic = "jlh")),
     // significant_terms over a KEYWORD field: uplift math on field
     // values — one groupBy, no token explode
     "q_agg_sig_keyword" -> ((s, d) =>
@@ -3389,6 +3393,13 @@ object SparkEntry {
       "g AS (SELECT term, count_if(fg)::BIGINT AS fg_count, count(*)::BIGINT AS bg_count FROM terms GROUP BY term HAVING count_if(fg) >= 5) " +
       "SELECT term, fg_count, bg_count, " +
       "round(pow((fg_count / fg_total) - (bg_count / bg_total), 2) / ((fg_count / fg_total) + (bg_count / bg_total)), 6) AS score " +
+      "FROM g CROSS JOIN tot ORDER BY score DESC, term LIMIT 10"),
+    "q_agg_sig_jlh" -> ("WITH terms AS (SELECT lang = 'en' AS fg, " +
+      "unnest(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0))) AS term FROM documents), " +
+      "tot AS (SELECT count_if(lang = 'en')::DOUBLE AS fg_total, count(*)::DOUBLE AS bg_total FROM documents), " +
+      "g AS (SELECT term, count_if(fg)::BIGINT AS fg_count, count(*)::BIGINT AS bg_count FROM terms GROUP BY term HAVING count_if(fg) >= 5) " +
+      "SELECT term, fg_count, bg_count, " +
+      "round(((fg_count / fg_total) - (bg_count / bg_total)) * ((fg_count / fg_total) / (bg_count / bg_total)), 6) AS score " +
       "FROM g CROSS JOIN tot ORDER BY score DESC, term LIMIT 10"),
     "q_agg_sig_keyword" -> ("WITH tot AS (SELECT count_if(lang = 'de')::DOUBLE AS fg_total, count(*)::DOUBLE AS bg_total FROM documents), " +
       "g AS (SELECT source AS term, count_if(lang = 'de')::BIGINT AS fg_count, count(*)::BIGINT AS bg_count " +

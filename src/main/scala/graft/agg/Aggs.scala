@@ -790,6 +790,25 @@ object Aggs {
     * core of ES's JLH/mutual-information heuristics). Single explode +
     * one conditional groupBy — fg and bg counts in the same pass.
     */
+  /** ES's pluggable significance heuristics — pure column math over
+    * the shared (fg_rate, bg_rate, fg_count, bg_count) columns. */
+  private def sigScore(heuristic: String): Column = heuristic match {
+    case "default" =>
+      Num.round(col("fg_rate") * log(col("fg_rate") / col("bg_rate")), 4)
+    case "chi_square" =>
+      Num.round(pow(col("fg_rate") - col("bg_rate"), 2) /
+        (col("fg_rate") + col("bg_rate")), 6)
+    case "percentage" =>
+      Num.round(col("fg_count") / col("bg_count"), 6)
+    case "jlh" =>
+      // JLH: absolute uplift x relative uplift — balances common and
+      // rare terms
+      Num.round((col("fg_rate") - col("bg_rate")) *
+        (col("fg_rate") / col("bg_rate")), 6)
+    case other => throw new IllegalArgumentException(
+      s"unknown significance heuristic: $other")
+  }
+
   def significantTerms(
       df: DataFrame,
       textField: String,
@@ -823,17 +842,7 @@ object Aggs {
         col("bg_count"),
         // ES offers pluggable significance heuristics; all are pure
         // column math over the same (fg_rate, bg_rate) pair
-        (heuristic match {
-          case "default" =>
-            Num.round(col("fg_rate") * log(col("fg_rate") / col("bg_rate")), 4)
-          case "chi_square" =>
-            Num.round(pow(col("fg_rate") - col("bg_rate"), 2) /
-              (col("fg_rate") + col("bg_rate")), 6)
-          case "percentage" =>
-            Num.round(col("fg_count") / col("bg_count"), 6)
-          case other => throw new IllegalArgumentException(
-            s"unknown significance heuristic: $other")
-        }).as("score"))
+        sigScore(heuristic).as("score"))
       .orderBy(col("score").desc, col("term").asc)
       .limit(k)
   }
@@ -860,17 +869,7 @@ object Aggs {
       .withColumn("fg_rate", col("fg_count") / col("fg_total"))
       .withColumn("bg_rate", col("bg_count") / col("bg_total"))
       .select(col("term"), col("fg_count"), col("bg_count"),
-        (heuristic match {
-          case "default" =>
-            Num.round(col("fg_rate") * log(col("fg_rate") / col("bg_rate")), 4)
-          case "chi_square" =>
-            Num.round(pow(col("fg_rate") - col("bg_rate"), 2) /
-              (col("fg_rate") + col("bg_rate")), 6)
-          case "percentage" =>
-            Num.round(col("fg_count") / col("bg_count"), 6)
-          case other => throw new IllegalArgumentException(
-            s"unknown significance heuristic: $other")
-        }).as("score"))
+        sigScore(heuristic).as("score"))
       .orderBy(col("score").desc, col("term").asc)
       .limit(k)
   }
