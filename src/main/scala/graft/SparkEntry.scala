@@ -1951,6 +1951,17 @@ object SparkEntry {
     "q_dedup_incremental" -> ((s, d) =>
       Dedup.dedupIncrementalNewIds(t(s, d, "documents"), "doc_id", "text",
         pmod(col("doc_id"), lit(2L)) === 1L, 0.8)),
+    // bloom-screened membership dedup: seen-side filter broadcast
+    // (MB at 10^10 docs), map-side prune, exact verify — output is
+    // exactly batch ANTI JOIN seen, so the oracle is hash-exact;
+    // overlapping id ranges make the screen drop real rows
+    "q_dedup_bloom" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.bloomScreenNew(
+        docs.where(col("doc_id") >= 200),
+        docs.where(col("doc_id") < 300),
+        "doc_id", "text", expectedSeen = 1000L, fpp = 0.01)
+    }),
     // temperature-2 mix flattening: deterministic per-source keep
     // rates sqrt(n_min/n_s), content-hash draws
     "q_mix_sample" -> ((s, d) =>
@@ -3671,6 +3682,10 @@ object SparkEntry {
       "FROM vp WHERE id1 % 2 <> id2 % 2) " +
       "SELECT doc_id FROM documents WHERE doc_id % 2 = 1 " +
       "AND doc_id NOT IN (SELECT doc_id FROM dup) ORDER BY doc_id"),
+    "q_dedup_bloom" -> ("WITH seen AS (SELECT DISTINCT substring(md5(text), 1, 15) AS h " +
+      "FROM documents WHERE doc_id < 300), " +
+      "b AS (SELECT doc_id, substring(md5(text), 1, 15) AS h FROM documents WHERE doc_id >= 200) " +
+      "SELECT doc_id FROM b WHERE h NOT IN (SELECT h FROM seen) ORDER BY doc_id"),
     "q_mix_sample" -> ("WITH c AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source), " +
       "mn AS (SELECT min(n_docs) AS n_min FROM c), " +
       "rt AS (SELECT source, sqrt(n_min::DOUBLE / n_docs::DOUBLE) AS rate FROM c CROSS JOIN mn) " +

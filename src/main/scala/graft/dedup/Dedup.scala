@@ -371,6 +371,39 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Bloom-screened membership dedup — the 100 TB incremental shape
+    * when the SEEN corpus is huge but its FILTER is megabytes: build a
+    * Bloom filter over the seen side's content hashes (one distributed
+    * aggregation; only the bit array reaches the driver), broadcast it
+    * into a map-side might-contain prune of the batch, then confirm
+    * the survivors of the prune with an EXACT anti-join that only the
+    * bloom-positive candidates enter. False positives cost one join
+    * row each (verified away); false negatives don't exist, so the
+    * OUTPUT IS EXACT — identical to `batch ANTI JOIN seen` — and the
+    * oracle checks it hash-exact. `fpp` trades bloom size for
+    * candidate-join width.
+    *
+    * Returns batch rows whose `textCol` content was NOT seen. */
+  def bloomScreenNew(batch: DataFrame, seen: DataFrame,
+      idCol: String, textCol: String,
+      expectedSeen: Long = 1000000L, fpp: Double = 0.03): DataFrame = {
+    val hash = conv(substring(md5(col(textCol)), 1, 15), 16, 10).cast("long")
+    val seenH = seen.select(hash.as("h"))
+    val filter = seenH.stat.bloomFilter("h", math.max(expectedSeen, 1000L), fpp)
+    val might = GraftBridge.column(graft.expr.BloomMightContain(
+      GraftBridge.expression(hash), filter))
+    val candidates = batch.where(might)
+    // exact confirmation: only bloom-positive rows reach the join;
+    // the seen side shrinks to its hash column
+    val confirmed = candidates
+      .join(seenH.distinct().withColumnRenamed("h", "_sh"),
+        hash === col("_sh"), "left_semi")
+      .select(col(idCol).as("doc_id"))
+    batch.select(col(idCol).as("doc_id"))
+      .join(confirmed, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact n-gram (shingle) Jaccard over all pairs of a (pre-filtered)
     * subset — the brute-force ground-truth variant; use LSH above when
     * the subset isn't small. Returns top-k pairs by similarity. */

@@ -1264,3 +1264,31 @@ case class IntervalFilterMatch(
   override protected def withNewChildInternal(newChild: Expression): IntervalFilterMatch =
     copy(child = newChild)
 }
+
+/** long content-hash -> bloom might-contain, with the Bloom filter
+  * carried as a plan reference object (the AnalyzeChain stop-set
+  * pattern): one broadcast-sized bit array serves every task, the
+  * check participates in whole-stage codegen, and a false positive
+  * only costs a row in the downstream verification join. */
+case class BloomMightContain(
+    child: Expression,
+    filter: org.apache.spark.util.sketch.BloomFilter)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] =
+    Seq(LongType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Boolean.valueOf(filter.mightContainLong(input.asInstanceOf[Long]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloom", filter,
+      "org.apache.spark.util.sketch.BloomFilter")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.mightContainLong($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+}

@@ -14,6 +14,19 @@ class DedupSpec extends SparkSpec {
     assert(r.length == 1 && r.head._2 == 3L && r.head._3 == 1L)
   }
 
+  test("bloom screen: seen content dropped, unseen kept, output exact") {
+    val seen = Seq((1L, "aaa"), (2L, "bbb"), (3L, "ccc")).toDF("id", "text")
+    val batch = Seq((10L, "aaa"), (11L, "new one"), (12L, "ccc"), (13L, "fresh"))
+      .toDF("id", "text")
+    val survivors = Dedup.bloomScreenNew(batch, seen, "id", "text",
+      expectedSeen = 1000L, fpp = 0.01).as[Long].collect().toSeq
+    assert(survivors == Seq(11L, 13L))
+    // empty overlap: everything survives (bloom FPs are verified away)
+    val none = Dedup.bloomScreenNew(batch, Seq((1L, "zzz")).toDF("id", "text"),
+      "id", "text").as[Long].collect().toSeq
+    assert(none == Seq(10L, 11L, 12L, 13L))
+  }
+
   test("minhash LSH finds the planted near-dup and skips unrelated") {
     val docs = Seq(
       (1L, base),
