@@ -327,6 +327,21 @@ object ScaleProbe {
       li.agg(graft.agg.TDigest.percentilesCol(
         "l_extendedprice", Seq(0.25, 0.5, 0.95)).as("p")).count()
     }
+    // bloom membership screen: seen-side bloom build is the one
+    // aggregation; the batch pass is map-side might-contain + a
+    // candidate-bounded semi join. Texts are made UNIQUE per row
+    // (content || id) so the verify join sees only bloom false
+    // positives (~fpp of the batch) — the realistic screen shape; the
+    // replicated corpus's identical texts would instead make every
+    // row a duplicate and rehearse the all-dup worst case, which the
+    // exact verify handles but which measures the join, not the bloom
+    time("dedup_bloom_10x") {
+      val uniq = docs.withColumn("utext",
+        concat(col("text"), lit(" #"), col("doc_id")))
+      Dedup.bloomScreenNew(
+        uniq.where(col("doc_id") % 3 =!= 0), uniq.where(col("doc_id") % 3 === 0),
+        "doc_id", "utext", expectedSeen = 200000L * n, fpp = 0.01).count()
+    }
     time("dedup_lines_10x") {
       // boilerplate line removal: line-count shuffle + broadcast anti;
       // worst case here — every clone group shares its body lines, so

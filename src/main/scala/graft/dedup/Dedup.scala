@@ -390,15 +390,26 @@ object Dedup {
     val hash = conv(substring(md5(col(textCol)), 1, 15), 16, 10).cast("long")
     val seenH = seen.select(hash.as("h"))
     val filter = seenH.stat.bloomFilter("h", math.max(expectedSeen, 1000L), fpp)
+    // broadcast, not a plan literal: the bit array is MBs and a plan
+    // reference object would re-ship it with every task
+    val bc = batch.sparkSession.sparkContext.broadcast(filter)
     val might = GraftBridge.column(graft.expr.BloomMightContain(
-      GraftBridge.expression(hash), filter))
+      GraftBridge.expression(hash), bc))
     val candidates = batch.where(might)
     // exact confirmation: only bloom-positive rows reach the join;
-    // the seen side shrinks to its hash column
+    // the seen side shrinks to its hash column. MATERIALIZE the (dup
+    // ids only, small) confirmed frame before the anti join — Catalyst
+    // pushes left-anti through a Union-shaped left side, duplicating
+    // the right side per branch, and an uncached `confirmed` would
+    // recompute the whole bloom+verify pipeline once per union branch
+    // (the dedupIncrementalNewIds r8 trap; measured 9x super-linear
+    // at the 30x probe before this cache)
     val confirmed = candidates
       .join(seenH.distinct().withColumnRenamed("h", "_sh"),
         hash === col("_sh"), "left_semi")
       .select(col(idCol).as("doc_id"))
+      .cache()
+    confirmed.count()
     batch.select(col(idCol).as("doc_id"))
       .join(confirmed, Seq("doc_id"), "left_anti")
       .orderBy(col("doc_id"))
