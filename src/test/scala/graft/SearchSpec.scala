@@ -508,6 +508,17 @@ class SearchSpec extends SparkSpec {
     assert(got == Seq(("spark", 3L)))
   }
 
+  test("profile: executed-plan metrics, scan output rows visible") {
+    import graft.search.Profile
+    val q = docs.where(Search.matchQuery(col("text"), "quick"))
+      .groupBy(col("doc_id")).count()
+    val p = Profile.profile(q).collect()
+    assert(p.nonEmpty)
+    val outRows = p.filter(r => r.getAs[String]("metric") == "numOutputRows")
+    assert(outRows.nonEmpty && outRows.exists(_.getAs[Long]("value") > 0))
+    assert(p.exists(_.getAs[String]("operator").toLowerCase.contains("aggregate")))
+  }
+
   test("_async_search: submit / partial get / await / cancel") {
     import graft.search.AsyncSearch
     // slow scan: 8 partitions, each sleeps — partitions complete one
