@@ -2,7 +2,7 @@ package graft.sources
 
 import graft.dsl.EsQuery
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
@@ -242,6 +242,50 @@ object Connector {
       .write.mode("overwrite").parquet(next)
     putAlias(spark, aliasPath, next)
     true
+  }
+
+  /** Dynamic per-document write resources — elasticsearch-hadoop's
+    * `es.resource.write = "media-{media_type}"` (and the date form
+    * `"logs-{ts|yyyy.MM.dd}"`): each row routes to the index named by
+    * its own field values. `pattern` is resolved under `root`; every
+    * distinct resolved name becomes one `save` with full bulk
+    * semantics (id/upsert/version options apply per target).
+    *
+    * Scale shape: the index-name column computes narrowly, ONE
+    * distinct over it reaches the driver (index count, not rows), and
+    * each target writes its filtered slice — the same per-target
+    * pruning a partitionBy write would do, but through the bulk path
+    * so ids/versions keep working. Index count is expected to be
+    * small (daily indices, media types); a 10^6-target pattern is the
+    * caller's bug, and the distinct makes it visible before any write
+    * happens. */
+  def saveDynamic(
+      batch: DataFrame, root: String, pattern: String,
+      cfg: Map[String, String] = Map.empty): Unit = {
+    val spark = batch.sparkSession
+    val FieldRe = """\{([A-Za-z0-9_]+)(?:\|([^}]+))?\}""".r
+    // build the resolved-name column by stitching literals and fields
+    var cols = Vector.empty[Column]
+    var last = 0
+    for (m <- FieldRe.findAllMatchIn(pattern)) {
+      if (m.start > last) cols :+= lit(pattern.substring(last, m.start))
+      val f = col(m.group(1))
+      cols :+= (Option(m.group(2)) match {
+        case Some(fmt) => date_format(f, fmt)
+        case None => f.cast("string")
+      })
+      last = m.end
+    }
+    if (last < pattern.length) cols :+= lit(pattern.substring(last))
+    require(cols.exists(_ != null), s"empty resource pattern: $pattern")
+    val idx = concat(cols: _*)
+    val named = batch.withColumn("__graft_idx", idx)
+    val targets = named.select(col("__graft_idx")).distinct()
+      .collect().map(_.getString(0)).sorted
+    for (t <- targets) {
+      save(named.where(col("__graft_idx") === t).drop("__graft_idx"),
+        s"$root/$t", cfg)
+    }
   }
 
   def save(batch: DataFrame, path: String, cfg0: Map[String, String]): Unit = {

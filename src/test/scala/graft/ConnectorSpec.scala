@@ -526,6 +526,36 @@ class ConnectorSpec extends SparkSpec {
     intercept[Exception] { spark.graftDF(s"$base/definitely-missing").count() }
   }
 
+  test("dynamic write resources: media-{type} and logs-{ts|date} patterns") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_dyn").toString
+    val batch = Seq(
+      (1L, "image", "2026-03-01 10:00:00"),
+      (2L, "audio", "2026-03-01 11:00:00"),
+      (3L, "image", "2026-03-02 09:00:00")).toDF("id", "media_type", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    // field pattern: one index per media_type, bulk semantics per target
+    Connector.saveDynamic(batch, base, "media-{media_type}",
+      Map("graft.mapping.id" -> "id"))
+    assert(spark.graftDF(s"$base/media-image").select("id").as[Long].collect().toSet
+      == Set(1L, 3L))
+    assert(spark.graftDF(s"$base/media-audio").count() == 1L)
+    // upsert through the same pattern: id 1 routes back to media-image
+    // and replaces, id 4 lands in a NEW index
+    val more = Seq((1L, "image", "2026-03-05 00:00:00"), (4L, "video", "2026-03-05 00:00:00"))
+      .toDF("id", "media_type", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    Connector.saveDynamic(more, base, "media-{media_type}",
+      Map("graft.mapping.id" -> "id"))
+    assert(spark.graftDF(s"$base/media-image").count() == 2L)
+    assert(spark.graftDF(s"$base/media-video").count() == 1L)
+    // date-math form: {ts|yyyy.MM.dd} makes daily indices (id-less
+    // append, the log-shipping shape)
+    Connector.saveDynamic(batch, base, "logs-{ts|yyyy.MM.dd}",
+      Map("graft.write.operation" -> "append"))
+    assert(spark.graftDF(s"$base/logs-2026.03.01").count() == 2L)
+    assert(spark.graftDF(s"$base/logs-*").count() == 3L)
+  }
+
   test("filtered aliases resolve transparently through graftDF") {
     import java.nio.file.Files
     val base = Files.createTempDirectory("graft_alias").toString
