@@ -49,12 +49,21 @@ object Connector {
           fieldInclude: Seq[String] = Nil,
           fieldExclude: Seq[String] = Nil,
           readMetadata: Boolean = false,
-          format: String = "parquet"): DataFrame = {
+          format: String = "parquet",
+          missingAsEmpty: Boolean = false): DataFrame = {
         // ES multi-index syntax: "idx1,idx2" reads several indices.
         // Loaded separately and unioned by name: each index may carry
         // its own (routing) partitioning scheme.
+        // `missingAsEmpty` = es.index.read.missing.as.empty: a missing
+        // LITERAL index reads as zero hits instead of the 404 error
         val parts = path.split(",").map(_.trim).filter(_.nonEmpty)
           .flatMap(Connector.expandPattern(spark, _))
+          .filter { p =>
+            !missingAsEmpty || {
+              val fs = new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+              fs.exists(new Path(p)) || fs.exists(new Path(p + "_graft_old"))
+            }
+          }
           .map { p =>
             // a crash mid-swap may have left the index at _graft_old;
             // restore it here too, or a read issued between the crash

@@ -524,6 +524,12 @@ class ConnectorSpec extends SparkSpec {
     assert(spark.graftDF(s"$base/nope-*").count() == 0L)
     // ...while a missing LITERAL name still fails (ES 404)
     intercept[Exception] { spark.graftDF(s"$base/definitely-missing").count() }
+    // es.index.read.missing.as.empty: opt into zero hits instead
+    assert(spark.graftDF(s"$base/definitely-missing", missingAsEmpty = true)
+      .count() == 0L)
+    // and a multi-index read keeps the PRESENT parts
+    assert(spark.graftDF(s"$base/logs-2026-01,$base/definitely-missing",
+      missingAsEmpty = true).count() == 1L)
   }
 
   test("dynamic write resources: media-{type} and logs-{ts|date} patterns") {
