@@ -205,23 +205,30 @@ object AggsJson {
       }
   }
 
-  private def metricCol(name: String, spec: Map[String, JValue]): Column =
+  private def metricCol(name: String, spec: Map[String, JValue]): Column = {
+    // ES metric aggs accept `missing`: docs without the field count as
+    // that substitute value instead of being skipped
+    def fld(s: Map[String, JValue], agg: String): Column = {
+      val c = col(str(s, "field", agg))
+      s.get("missing").map(m => coalesce(c, lit(num(m)))).getOrElse(c)
+    }
     spec.head match {
       case ("avg", JObject(s)) =>
-        Num.round(avg(col(str(s.toMap, "field", "avg"))), 4)
+        Num.round(avg(fld(s.toMap, "avg")), 4)
       case ("sum", JObject(s)) =>
         // decimal partials keep the sum order-free exact; the FINAL
         // value goes out as double — Spark's sum(decimal(18,4)) would
         // declare decimal(28,4) where DuckDB declares decimal(38,4),
         // and the driver's hash is type-sensitive (r10)
-        sum(col(str(s.toMap, "field", "sum")).cast("decimal(18,4)")).cast("double")
-      case ("min", JObject(s)) => min(col(str(s.toMap, "field", "min")))
-      case ("max", JObject(s)) => max(col(str(s.toMap, "field", "max")))
+        sum(fld(s.toMap, "sum").cast("decimal(18,4)")).cast("double")
+      case ("min", JObject(s)) => min(fld(s.toMap, "min"))
+      case ("max", JObject(s)) => max(fld(s.toMap, "max"))
       case ("value_count", JObject(s)) =>
-        count(col(str(s.toMap, "field", "value_count")))
+        count(fld(s.toMap, "value_count"))
       case ("cardinality", JObject(s)) =>
-        count_distinct(col(str(s.toMap, "field", "cardinality")))
+        count_distinct(fld(s.toMap, "cardinality"))
       case (other, _) => throw new IllegalArgumentException(
         s"unsupported metric agg under '$name': $other")
     }
+  }
 }

@@ -46,6 +46,14 @@ class AggsSpec extends SparkSpec {
       AggsJson.compile(df, """{"aggs": {"byk": {"terms": {"field": "k", "size": 5},
         "aggs": {"inner": {"terms": {"field": "v"}}}}}}""")
     }
+    // metric `missing`: null field values count as the substitute
+    val withNulls = Seq(("a", Some(2.0)), ("a", None), ("b", Some(4.0)))
+      .toDF("k", "v")
+    val miss = AggsJson.compile(withNulls,
+      """{"aggs": {"byk": {"terms": {"field": "k"},
+           "aggs": {"m": {"avg": {"field": "v", "missing": 10}}}}}}""")
+      .select("byk", "m").as[(String, Double)].collect().toMap
+    assert(miss("a") == 6.0 && miss("b") == 4.0)
     // ms fixed_interval parses via the unit regex (the '100m' trap)
     val tsDf = Seq((0L, 1L), (150000000L, 2L)).toDF("t", "x")
     assert(AggsJson.compile(tsDf,
