@@ -157,6 +157,26 @@ object EventStreams {
       .select(col("w.start").as("w_start"), col("n_events"),
         col("sum_value"), col("p50"), col("p95"))
 
+  /** Windowed t-digest percentiles on an unbounded stream — the
+    * sketch is MERGEABLE (partial buffers combine associatively), so
+    * the same Aggregator that serves the batch `percentiles` agg runs
+    * unchanged inside a streaming window: per-window state is
+    * O(compression) centroids, never the values. The batch/stream
+    * agreement spec is rank-epsilon (centroid layout is merge-order
+    * dependent), same contract as the batch probe. */
+  def windowedPercentiles(
+      events: DataFrame, qs: Seq[Double], width: String = "1 hour",
+      watermark: String = "2 hours", compression: Double = 100.0): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w"))
+      .agg(graft.agg.TDigest.percentilesCol("value", qs, compression).as("est"),
+        count(lit(1)).as("n_events"))
+      .select((col("w.start").as("w_start") +: col("n_events") +:
+        qs.zipWithIndex.map { case (q, i) =>
+          element_at(col("est"), i + 1).as(s"p${(q * 100).toInt}") }): _*)
+
   /** Stream-stream attribution join: every `view` joined to the same
     * user's `purchase` within `horizonSec` — the canonical two-stream
     * funnel shape. The caller watermarks both inputs (streaming) or

@@ -255,6 +255,48 @@ class StreamingSpec extends SparkSpec {
     } finally { q1.stop(); q2.stop() }
   }
 
+  test("windowed t-digest percentiles run on a stream within rank epsilon") {
+    val ev = Tables.events(spark, sfDir)
+    val streamIn = spark.readStream
+      .schema(Tables.eventsSchema)
+      .parquet(streamDir)
+      .transform(Tables.normalizeEvents)
+    // 1000 fixture events spread thin at hourly grain — weekly
+    // windows concentrate enough mass for a meaningful rank check
+    val q = EventStreams.windowedPercentiles(streamIn, Seq(0.5),
+      width = "7 days", watermark = "14 days")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("pctl_out").start()
+    try {
+      q.processAllAvailable()
+      val est = spark.table("pctl_out")
+        .select("w_start", "p50").as[(java.sql.Timestamp, Double)].collect().toMap
+      assert(est.nonEmpty)
+      // per-window rank check against the REAL window data: the
+      // estimate's rank must be within epsilon of 0.5
+      val byWindow = ev
+        .withColumn("w", window(timestamp_micros(expr("ts_ns div 1000")), "7 days")
+          .getField("start"))
+        .select(col("w"), col("value")).as[(java.sql.Timestamp, Double)]
+        .collect().groupBy(_._1)
+      var checked = 0
+      for ((w, e) <- est) {
+        val vals = byWindow(w).map(_._2)
+        if (vals.length >= 50) {
+          // rank epsilon only means something with mass in the window
+          val rank = vals.count(_ <= e).toDouble / vals.length
+          assert(math.abs(rank - 0.5) <= 0.05,
+            s"window $w: rank $rank for estimate $e over ${vals.length} values")
+          checked += 1
+        } else {
+          assert(e >= vals.min && e <= vals.max,
+            s"window $w: estimate $e outside [${vals.min}, ${vals.max}]")
+        }
+      }
+      assert(checked > 0, "no window was big enough to rank-check")
+    } finally { q.stop() }
+  }
+
   test("graftStream: streaming read of an index with an ES query applied") {
     import graft.sources.Connector.implicits._
     val dir = Files.createTempDirectory("graft_rstream").toString + "/idx"
