@@ -138,4 +138,40 @@ class KernelPropertySpec extends AnyFunSuite {
       HashKernels.fingerprintKernel(arr(toks)) == naive(toks)
     })
   }
+
+  test("t-digest compress: weight conserved, means sorted and bounded") {
+    import graft.agg.TDigest
+    val values = Gen.nonEmptyListOf(Gen.chooseNum(-1e6, 1e6))
+    check(Prop.forAll(values) { vs =>
+      val m = vs.toArray
+      val w = Array.fill(m.length)(1L)
+      val (cm, cw) = TDigest.compress(m, w, m.length, 100.0)
+      val conserved = cw.sum == m.length
+      val sorted = cm.sorted.sameElements(cm)
+      val bounded = cm.forall(c => c >= m.min - 1e-9 && c <= m.max + 1e-9)
+      val compact = cm.length <= math.max(2, 110) // ~delta centroids max
+      conserved && sorted && bounded && compact
+    })
+  }
+
+  test("t-digest quantile: rank error within the published bound") {
+    import graft.agg.TDigest
+    // random mixed-scale data, n up to 5000: the mid-quantile rank of
+    // the estimate must stay within 1.5% (the q_agg_percentiles probe
+    // bound) after a single-pass build with delta=100
+    val data = for {
+      n <- Gen.chooseNum(200, 5000)
+      skew <- Gen.oneOf(1.0, 2.0, 3.0)
+    } yield (0 until n).map(i => math.pow(i.toDouble / n, skew) * 1000.0)
+    check(Prop.forAll(data) { vs =>
+      val agg = new TDigest.Agg(100.0, Seq(0.25, 0.5, 0.95))
+      var buf = agg.zero
+      vs.foreach { v => buf = agg.reduce(buf, v) }
+      val est = agg.finish(buf)
+      Seq(0.25, 0.5, 0.95).zip(est).forall { case (q, e) =>
+        val rank = vs.count(_ <= e).toDouble / vs.size
+        math.abs(rank - q) <= 0.015
+      }
+    })
+  }
 }
