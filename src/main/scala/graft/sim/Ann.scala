@@ -366,14 +366,17 @@ object Ann {
           }
         }
       }
-      .toDF("query_id", "id", "cosine")
+      .toDF("query_id", "id", "_rawCosine")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("id").asc)
     hits
+      // round BEFORE ranking — bruteForceTopK ranks on the 4-decimal
+      // cosine, so near-tied neighbors must tie here too or the id
+      // tie-break diverges between the exact and graph paths
+      .withColumn("cosine", Num.round(col("_rawCosine"), 4))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-      .select(col("query_id"), col("id"),
-        Num.round(col("cosine"), 4).as("cosine"), col("rank"))
+      .select(col("query_id"), col("id"), col("cosine"), col("rank"))
       .orderBy(col("query_id").asc, col("rank").asc)
   }
 

@@ -70,6 +70,25 @@ class AnnTextSpec extends SparkSpec {
       .as[(Long, Boolean)].collect().toSeq
     assert(probe.map(_._1) == Seq(0L, 1L, 2L))
     assert(probe.forall(_._2), s"recall floor violated: $probe")
+    // single-partition exactness holds across distribution shapes:
+    // uniform-ish grid, two tight clusters, near-duplicates
+    for (shape <- 0 until 3) {
+      val data = (0 until 60).map { i =>
+        val v = shape match {
+          case 0 => Array.tabulate(6)(d => ((i * (d + 3) * 2654435761L) % 1000L) / 1000.0f)
+          case 1 => Array.tabulate(6)(d =>
+            (if (i % 2 == 0) 1.0f else -1.0f) * (1.0f + 0.001f * ((i * (d + 1)) % 7)))
+          case 2 => Array.tabulate(6)(d => 0.5f + 0.0001f * ((i + d) % 5))
+        }
+        (i.toLong, v)
+      }.toDF("vec_id", "embedding").repartition(1)
+      val g = Ann.hnswTopK(data, data.where(col("vec_id") === 7), "vec_id", "embedding",
+        k = 8, ef = 64)
+        .select("id").as[Long].collect().toSeq
+      val b = Ann.bruteForceTopK(data, data.where(col("vec_id") === 7), "vec_id", "embedding", 8)
+        .select("id").as[Long].collect().toSeq
+      assert(g == b, s"shape $shape: $g vs $b")
+    }
   }
 
   test("knn _explain: dot/norms/cosine breakdown consistent") {
