@@ -715,6 +715,17 @@ object SparkEntry {
     // ES SQL scalar-function spellings Spark lacks: IIF,
     // DATE_DIFF('unit',..)/DATE_ADD('unit',..) — text-rewritten to
     // IF/timestampdiff/timestampadd before spark.sql
+    // ES SQL PERCENTILE (0-100 scale) / PERCENTILE_RANK aggregates;
+    // rounding happens OUTSIDE the SQL via Num.round (Spark's SQL
+    // ROUND diverges from DuckDB's on binary doubles)
+    "q_sql_percentile" -> ((s, d) => graft.dsl.EsSql.run(s, d,
+      """SELECT o_orderstatus, PERCENTILE(o_totalprice, 50) AS p50,
+           PERCENTILE_RANK(o_totalprice, 100000) AS pr
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+      .select(col("o_orderstatus"),
+        graft.util.Num.round(col("p50"), 4).as("p50"),
+        graft.util.Num.round(col("pr"), 4).as("pr"))
+      .orderBy(col("o_orderstatus"))),
     // ES SQL HISTOGRAM() grouping function -> bucket-start expression
     "q_sql_histogram" -> ((s, d) => graft.dsl.EsSql.run(s, d,
       """SELECT HISTOGRAM(o_totalprice, 50000) AS bucket, COUNT(*) AS n
@@ -2674,6 +2685,10 @@ object SparkEntry {
       "CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS s_f, " +
       "CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS s_p " +
       "FROM orders GROUP BY 1 ORDER BY bucket"),
+    "q_sql_percentile" -> ("SELECT o_orderstatus, " +
+      "round(quantile_cont(o_totalprice, 0.50), 4) AS p50, " +
+      "round(100.0 * avg(CASE WHEN o_totalprice <= 100000 THEN 1.0 ELSE 0.0 END), 4) AS pr " +
+      "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "q_sql_histogram" -> ("SELECT CAST(floor(o_totalprice / 50000) AS DOUBLE) * 50000 AS bucket, " +
       "count(*)::BIGINT AS n FROM orders GROUP BY 1 ORDER BY bucket"),
     "q_esql_completion" -> (TokCte +

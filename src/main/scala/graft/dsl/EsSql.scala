@@ -71,6 +71,18 @@ object EsSql {
     s = "(?i)\\bHISTOGRAM\\s*\\(\\s*([A-Za-z0-9_]+)\\s*,\\s*([0-9.]+)\\s*\\)".r
       .replaceAllIn(s, m =>
         s"(CAST(floor(${m.group(1)} / ${m.group(2)}) AS DOUBLE) * ${m.group(2)})")
+    // ES SQL aggregates PERCENTILE(f, p) / PERCENTILE_RANK(f, v):
+    // p is 0-100 (ES) where Spark's percentile takes 0-1; the rank
+    // form is the inverse — share of rows at or below v, as a percent
+    s = "(?i)\\bPERCENTILE\\s*\\(\\s*([A-Za-z0-9_]+)\\s*,\\s*([0-9.]+)\\s*\\)".r
+      .replaceAllIn(s, m =>
+        s"percentile(${m.group(1)}, ${m.group(2).toDouble / 100.0})")
+    // double literals, not 1.0/0.0: Spark parses bare decimals as
+    // DECIMAL and avg(decimal) truncates the rate at 5 digits
+    s = "(?i)\\bPERCENTILE_RANK\\s*\\(\\s*([A-Za-z0-9_]+)\\s*,\\s*([0-9.]+)\\s*\\)".r
+      .replaceAllIn(s, m =>
+        s"(CAST(100.0 AS DOUBLE) * avg(IF(${m.group(1)} <= ${m.group(2)}, " +
+          "CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE))))")
     s
   }
 
