@@ -361,8 +361,8 @@ object Connector {
     // es.mapping.routing analog: co-locate docs by the routing column
     // (directory partitioning, so routed reads prune whole partitions)
     def writer(df: DataFrame) = cfg.get("graft.mapping.routing") match {
-      case Some(r) => applyIndexSort(df, cfg).write.format(fmt).partitionBy(r)
-      case None => applyIndexSort(df, cfg).write.format(fmt)
+      case Some(r) => applyIndexSort(applyZOrder(df, cfg), cfg).write.format(fmt).partitionBy(r)
+      case None => applyIndexSort(applyZOrder(df, cfg), cfg).write.format(fmt)
     }
     def reader = spark.read.format(fmt)
 
@@ -994,8 +994,8 @@ object Connector {
     val tmp = new Path(path + "_graft_tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     val w = cfg.get("graft.mapping.routing") match {
-      case Some(r) => applyIndexSort(df, cfg).write.format(fmt).partitionBy(r)
-      case None => applyIndexSort(df, cfg).write.format(fmt)
+      case Some(r) => applyIndexSort(applyZOrder(df, cfg), cfg).write.format(fmt).partitionBy(r)
+      case None => applyIndexSort(applyZOrder(df, cfg), cfg).write.format(fmt)
     }
     w.mode("overwrite").save(tmp.toString)
     swapIn(fs, new Path(path), tmp)(spark)
@@ -1027,6 +1027,61 @@ object Connector {
           case Some(n) => df.repartitionByRange(n, orders: _*).sortWithinPartitions(orders: _*)
           case None => df.repartitionByRange(orders: _*).sortWithinPartitions(orders: _*)
         }
+      case None => df
+    }
+
+  /** Z-ORDER clustering (`graft.index.zorder` = "colA,colB[,colC]"):
+    * multi-dimensional file clustering where linear index sorting
+    * cannot help — a sort on (a, b) prunes on `a` alone, every file
+    * still spans the full `b` range. Here each numeric column
+    * rank-normalizes to a `bits`-wide integer via a broadcast 1-row
+    * min/max frame, the bit-INTERLEAVED key (a Morton/Z curve)
+    * range-repartitions and sorts the write, and each parquet file
+    * then covers a compact hyper-rectangle of the key space — so
+    * footer-level min/max stats prune point/range queries on EVERY
+    * participating column, not just the leading one. The write-side
+    * shuffle is the one cost, paid once (the same trade Delta/Iceberg
+    * OPTIMIZE ZORDER makes).
+    *
+    * Column math only: 2·bits shift/mask terms per column stay inside
+    * whole-stage codegen; no kernel needed. */
+  private[sources] def zOrderKey(df: DataFrame, cols: Seq[String], bits: Int): Column = {
+    require(cols.size >= 2, "z-order needs at least two columns")
+    require(bits * cols.size <= 60, s"bits=$bits x ${cols.size} columns overflows a long")
+    val aggCols = cols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"_mn_$c"),
+      max(col(c).cast("double")).as(s"_mx_$c")))
+    val maxRank = (1L << bits) - 1
+    // one 1-row stats pass; only 2·|cols| doubles reach the driver
+    val row = df.agg(aggCols.head, aggCols.tail: _*).collect()(0)
+    val ranks = cols.zipWithIndex.map { case (c, _) =>
+      val mn = row.getAs[Double](s"_mn_$c")
+      val mx = row.getAs[Double](s"_mx_$c")
+      val span = if (mx > mn) mx - mn else 1.0
+      least(floor((col(c).cast("double") - mn) / span * maxRank), lit(maxRank))
+        .cast("long")
+    }
+    // interleave: output bit (i*nCols + d) takes bit i of column d
+    val terms = for {
+      i <- 0 until bits
+      (r, d) <- ranks.zipWithIndex
+    } yield shiftleft(shiftright(r, i).bitwiseAND(1L), i * cols.size + d)
+    terms.reduce(_ + _)
+  }
+
+  private def applyZOrder(df: DataFrame, cfg: Map[String, String]): DataFrame =
+    cfg.get("graft.index.zorder") match {
+      case Some(spec) =>
+        val cols = spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val bits = cfg.get("graft.index.zorder.bits").map(_.toInt).getOrElse(16)
+        val z = zOrderKey(df, cols, bits)
+        val keyed = df.withColumn("__graft_z", z)
+        val parts = cfg.get("graft.index.sort.partitions").map(_.toInt)
+        val ranged = parts match {
+          case Some(n) => keyed.repartitionByRange(n, col("__graft_z").asc)
+          case None => keyed.repartitionByRange(col("__graft_z").asc)
+        }
+        ranged.sortWithinPartitions(col("__graft_z").asc).drop("__graft_z")
       case None => df
     }
 

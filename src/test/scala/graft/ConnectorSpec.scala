@@ -532,6 +532,53 @@ class ConnectorSpec extends SparkSpec {
       missingAsEmpty = true).count() == 1L)
   }
 
+  test("z-order write: per-file ranges narrow on BOTH dimensions") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_z").toString
+    // a 64x64 grid: linear sort on x leaves every file spanning the
+    // full y range; the z curve gives compact rectangles
+    val grid = (for { x <- 0 until 64; y <- 0 until 64 }
+      yield (x.toLong * 64 + y, x.toDouble, y.toDouble))
+      .toDF("id", "x", "y")
+    def fileRanges(path: String): Seq[(Double, Double, Double, Double)] = {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet")).toSeq
+        .map { f =>
+          val r = spark.read.parquet(f.getPath.toString)
+            .agg(min("x"), max("x"), min("y"), max("y")).collect()(0)
+          (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+        }
+    }
+    Connector.save(grid, s"$base/zorder", Map(
+      "graft.write.operation" -> "append",
+      "graft.index.zorder" -> "x,y",
+      "graft.index.zorder.bits" -> "6",
+      "graft.index.sort.partitions" -> "16"))
+    Connector.save(grid, s"$base/linear", Map(
+      "graft.write.operation" -> "append",
+      "graft.index.sort" -> "x,y",
+      "graft.index.sort.partitions" -> "16"))
+    val zr = fileRanges(s"$base/zorder")
+    val lr = fileRanges(s"$base/linear")
+    assert(zr.size > 4 && lr.size > 4)
+    // per-file y-WIDTH (the non-leading dimension): linear files are
+    // full-height slivers (width 64), z files are compact rectangles
+    def meanYWidth(rs: Seq[(Double, Double, Double, Double)]): Double =
+      rs.map { case (_, _, y0, y1) => y1 - y0 + 1 }.sum / rs.size
+    assert(meanYWidth(zr) < meanYWidth(lr) / 2,
+      s"z mean y-width ${meanYWidth(zr)} !< half of linear ${meanYWidth(lr)}")
+    // pruning on the NON-leading column: a point query on y overlaps
+    // fewer z files than linear files (which all span y fully)
+    def overlapping(rs: Seq[(Double, Double, Double, Double)], yv: Double): Int =
+      rs.count { case (_, _, y0, y1) => y0 <= yv && yv <= y1 }
+    assert(overlapping(zr, 7.0) < overlapping(lr, 7.0),
+      s"y=7 overlaps z=${overlapping(zr, 7.0)} vs linear=${overlapping(lr, 7.0)}")
+    // content unchanged by the clustering
+    assert(spark.read.parquet(s"$base/zorder").count() == 64L * 64)
+  }
+
   test("dynamic write resources: media-{type} and logs-{ts|date} patterns") {
     import java.nio.file.Files
     val base = Files.createTempDirectory("graft_dyn").toString
