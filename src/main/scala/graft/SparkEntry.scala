@@ -1962,6 +1962,12 @@ object SparkEntry {
     "q_dedup_incremental" -> ((s, d) =>
       Dedup.dedupIncrementalNewIds(t(s, d, "documents"), "doc_id", "text",
         pmod(col("doc_id"), lit(2L)) === 1L, 0.8)),
+    // exact substring-duplication screen (the published stride-1
+    // window form): any 20-token span appearing >1x in the corpus
+    // marks its positions; per-doc duplicated-span ratio
+    "q_dedup_substring" -> ((s, d) =>
+      graft.text.TextAnalysis.substringDupSpans(
+        t(s, d, "documents"), "doc_id", "text", k = 20)),
     // bloom-screened membership dedup: seen-side filter broadcast
     // (MB at 10^10 docs), map-side prune, exact verify — output is
     // exactly batch ANTI JOIN seen, so the oracle is hash-exact;
@@ -3697,6 +3703,15 @@ object SparkEntry {
       "FROM vp WHERE id1 % 2 <> id2 % 2) " +
       "SELECT doc_id FROM documents WHERE doc_id % 2 = 1 " +
       "AND doc_id NOT IN (SELECT doc_id FROM dup) ORDER BY doc_id"),
+    "q_dedup_substring" -> (TokCte +
+      s", th AS (SELECT doc_id, list_transform(toks, t -> ${hexFold("t", 12)} % 1000000007) AS hs FROM tok WHERE len(toks) >= 20)" +
+      ", w AS (SELECT doc_id, unnest(list_transform(range(1, len(hs) - 18), i -> " +
+      "list_reduce(list_prepend(0::BIGINT, hs[i:i+19]), (a, v) -> (a * 31 + v) % 1000000007))) AS h FROM th)" +
+      ", f AS (SELECT h, count(*)::BIGINT AS n FROM w GROUP BY h) " +
+      "SELECT doc_id AS id, count(*)::BIGINT AS n_spans, " +
+      "sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_spans, " +
+      "round(CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_ratio " +
+      "FROM w JOIN f USING (h) GROUP BY doc_id ORDER BY id"),
     "q_dedup_bloom" -> ("WITH seen AS (SELECT DISTINCT substring(md5(text), 1, 15) AS h " +
       "FROM documents WHERE doc_id < 300), " +
       "b AS (SELECT doc_id, substring(md5(text), 1, 15) AS h FROM documents WHERE doc_id >= 200) " +

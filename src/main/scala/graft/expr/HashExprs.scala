@@ -157,6 +157,40 @@ object HashKernels {
     acc
   }
 
+  /** Stride-1 window fingerprints: position i gets the polynomial
+    * fingerprint of tokens[i..i+k-1] (same per-token md5_48 % M +
+    * Horner fold as fingerprintKernel, so the DuckDB mirror is the
+    * windowed list_reduce of the same terms). O(n·k) on purpose —
+    * the O(n) rolling-removal form needs a modular inverse the SQL
+    * mirror can't express cheaply, and k is small (20-50). Token
+    * hashes are computed once (O(n) md5 calls), only the fold is
+    * per-window. */
+  def windowFingerprintsKernel(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val md = MessageDigest.getInstance("MD5")
+    val M = 1000000007L
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      th(i) = hash48(md, arr.getUTF8String(i).getBytes) % M
+      i += 1
+    }
+    val out = new Array[Any](n - k + 1)
+    i = 0
+    while (i <= n - k) {
+      var acc = 0L
+      var j = 0
+      while (j < k) {
+        acc = (acc * 31L + th(i + j)) % M
+        j += 1
+      }
+      out(i) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** cosine over two double arrays; fold order identical to the HOF
     * formulation (init 0.0, ascending index) for bit parity. */
   /** Cosine of (int8-quantized-then-dequantized x) vs raw y — the
@@ -796,6 +830,28 @@ case class RollingFingerprint(child: Expression)
       s"${ev.value} = graft.expr.HashKernels.fingerprintKernel($c);")
 
   override protected def withNewChildInternal(newChild: Expression): RollingFingerprint =
+    copy(child = newChild)
+}
+
+/** array<string> ordered tokens -> array<long> of stride-1 window
+  * fingerprints (windows of `k` tokens). */
+case class WindowFingerprints(child: Expression, k: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(k >= 2, s"window must cover at least 2 tokens, got $k")
+
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "window_fingerprints"
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.windowFingerprintsKernel(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.HashKernels.windowFingerprintsKernel($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): WindowFingerprints =
     copy(child = newChild)
 }
 

@@ -301,6 +301,39 @@ object TextAnalysis {
       .orderBy(col("id"))
   }
 
+  /** Exact substring-duplication screen — the published
+    * stride-1-window shape (find any `k`-token span appearing more
+    * than once in the corpus; the suffix-array exact-substring dedup
+    * result, reached with hashes instead of a suffix array). Every
+    * position contributes a window fingerprint (compiled
+    * WindowFingerprints kernel — token md5s computed once, Horner
+    * fold per window), the ONE shuffle carries (hash, partial count)
+    * pairs — 8-byte keys, corpus-token cardinality, the same exchange
+    * class as dedupLines — and docs re-join their own window hashes
+    * to count duplicated spans. Overlapping windows mean `dup_spans`
+    * counts positions, not maximal spans (the standard form of the
+    * published metric). */
+  def substringDupSpans(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val wf = org.apache.spark.sql.GraftBridge.column(
+      graft.expr.WindowFingerprints(
+        org.apache.spark.sql.GraftBridge.expression(
+          Analyzer.tokens(col(textCol))), k))
+    val wins = docs
+      .select(col(idCol).as("id"), explode(wf).as("h"))
+    val freq = wins.groupBy(col("h")).agg(count(lit(1)).as("n"))
+    wins
+      .join(freq, Seq("h"))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("n") > 1L, 1L).otherwise(0L)).as("dup_spans"))
+      .select(col("id"), col("n_spans"), col("dup_spans"),
+        Num.round(col("dup_spans").cast("double") / col("n_spans"), 4)
+          .as("dup_ratio"))
+      .orderBy(col("id"))
+  }
+
   /** Unigram-LM quality score — mean token surprisal -ln p(t) under
     * the corpus's own unigram distribution (the cheap, trainable-
     * nowhere stand-in for perplexity filtering; high = rare-token

@@ -14,6 +14,22 @@ class DedupSpec extends SparkSpec {
     assert(r.length == 1 && r.head._2 == 3L && r.head._3 == 1L)
   }
 
+  test("substring dup spans: planted shared span found, unique docs clean") {
+    import graft.text.TextAnalysis
+    val shared = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"zeta eta $shared theta iota"),
+      (3L, "completely different words " + (100 to 111).map(i => s"w$i").mkString(" ")))
+      .toDF("id", "text")
+    val r = TextAnalysis.substringDupSpans(docs, "id", "text", k = 10)
+      .as[(Long, Long, Long, Double)].collect().map(t => t._1 -> t).toMap
+    // the 12-token shared run yields 3 shared 10-windows per doc
+    assert(r(1L)._3 == 3L, r(1L).toString)
+    assert(r(2L)._3 == 3L)
+    assert(r(3L)._3 == 0L && r(3L)._4 == 0.0)
+  }
+
   test("bloom screen: seen content dropped, unseen kept, output exact") {
     val seen = Seq((1L, "aaa"), (2L, "bbb"), (3L, "ccc")).toDF("id", "text")
     val batch = Seq((10L, "aaa"), (11L, "new one"), (12L, "ccc"), (13L, "fresh"))
