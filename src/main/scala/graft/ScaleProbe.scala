@@ -342,6 +342,13 @@ object ScaleProbe {
         uniq.where(col("doc_id") % 3 =!= 0), uniq.where(col("doc_id") % 3 === 0),
         "doc_id", "utext", expectedSeen = 200000L * n, fpp = 0.01).count()
     }
+    // substring screen: the widest text exchange in the family —
+    // one (hash, count) pair PER TOKEN POSITION; replicated docs make
+    // every span a clone-group duplicate (worst case for the count
+    // join), so this bounds the shape from above
+    time("dedup_substring_10x") {
+      graft.text.TextAnalysis.substringDupSpans(docs, "doc_id", "text", 20).count()
+    }
     time("dedup_lines_10x") {
       // boilerplate line removal: line-count shuffle + broadcast anti;
       // worst case here — every clone group shares its body lines, so
