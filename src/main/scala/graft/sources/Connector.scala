@@ -1030,6 +1030,43 @@ object Connector {
       case None => df
     }
 
+  /** `_analyze_disk_usage` analog: per-FIELD storage accounting read
+    * straight from the parquet footers (column-chunk metadata — no
+    * data pages touched, the same metadata-only cost class as the
+    * _cat family). Returns one row per leaf column: on-disk compressed
+    * bytes, uncompressed bytes, and value count, summed across every
+    * file of the index. The ES API answers "which field is eating my
+    * disk"; so does this. */
+  def diskUsage(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    recoverSwap(spark, path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(path).getFileSystem(conf)
+    val files = fs.listStatus(new Path(path))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val acc = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Long, Long, Long)]
+    for (f <- files) {
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
+      try {
+        val meta = reader.getFooter.getBlocks
+        meta.forEach { block =>
+          block.getColumns.forEach { c =>
+            val key = c.getPath.toDotString
+            val (cb, ub, n) = acc.getOrElse(key, (0L, 0L, 0L))
+            acc(key) = (cb + c.getTotalSize, ub + c.getTotalUncompressedSize,
+              n + c.getValueCount)
+          }
+        }
+      } finally reader.close()
+    }
+    acc.toSeq.map { case (c, (cb, ub, n)) => (c, cb, ub, n) }
+      .toDF("field", "store_bytes", "uncompressed_bytes", "value_count")
+      .orderBy(col("store_bytes").desc, col("field"))
+  }
+
   /** Z-ORDER clustering (`graft.index.zorder` = "colA,colB[,colC]"):
     * multi-dimensional file clustering where linear index sorting
     * cannot help — a sort on (a, b) prunes on `a` alone, every file

@@ -532,6 +532,20 @@ class ConnectorSpec extends SparkSpec {
       missingAsEmpty = true).count() == 1L)
   }
 
+  test("_analyze_disk_usage: per-field bytes from parquet footers") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_du").toString
+    val docs = (1 to 200).map(i => (i.toLong, "body text " * 50 + i, i % 7))
+      .toDF("id", "body", "small")
+    Connector.save(docs, s"$base/idx", Map("graft.write.operation" -> "append"))
+    val du = Connector.diskUsage(spark, s"$base/idx")
+      .as[(String, Long, Long, Long)].collect()
+    assert(du.map(_._1).toSet == Set("id", "body", "small"))
+    assert(du.forall(r => r._2 > 0 && r._3 >= r._2 - 64 && r._4 == 200L))
+    // the fat text column dominates, and the API says so first
+    assert(du.head._1 == "body")
+  }
+
   test("z-order write: per-file ranges narrow on BOTH dimensions") {
     import java.nio.file.Files
     val base = Files.createTempDirectory("graft_z").toString
