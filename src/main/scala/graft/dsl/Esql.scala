@@ -607,8 +607,17 @@ object Esql {
     val rawSegs = segments(query)
     require(rawSegs.nonEmpty && (rawSegs.head.toLowerCase.startsWith("from") ||
         rawSegs.head.toLowerCase.startsWith("row") ||
-        rawSegs.head.toLowerCase.startsWith("metrics")),
-      "ES|QL query must start with FROM, ROW or METRICS")
+        rawSegs.head.toLowerCase.startsWith("metrics") ||
+        rawSegs.head.toLowerCase.startsWith("show")),
+      "ES|QL query must start with FROM, ROW, METRICS or SHOW")
+    // SHOW INFO: the one-row deployment descriptor (piped commands
+    // compose after it like any other source)
+    if (rawSegs.head.toLowerCase.trim == "show info") {
+      import spark.implicits._
+      val info = Seq(("graft", org.apache.spark.SPARK_VERSION, "spark-native"))
+        .toDF("name", "version", "build")
+      return rawSegs.tail.foldLeft(info)((d, seg) => applyCommand(d, seg))
+    }
     // METRICS <index> [<aggs> [BY <keys>]] (8.16 TSDS sugar): desugars
     // to FROM + STATS — the aggregation semantics are identical, the
     // command just declares time-series intent

@@ -1092,8 +1092,12 @@ object Connector {
     // one 1-row stats pass; only 2·|cols| doubles reach the driver
     val row = df.agg(aggCols.head, aggCols.tail: _*).collect()(0)
     val ranks = cols.zipWithIndex.map { case (c, _) =>
-      val mn = row.getAs[Double](s"_mn_$c")
-      val mx = row.getAs[Double](s"_mx_$c")
+      // an empty (or all-null) batch has null stats: any constant key
+      // is a valid z-order of nothing
+      def stat(n: String): Double =
+        if (row.isNullAt(row.fieldIndex(n))) 0.0 else row.getAs[Double](n)
+      val mn = stat(s"_mn_$c")
+      val mx = stat(s"_mx_$c")
       val span = if (mx > mn) mx - mn else 1.0
       least(floor((col(c).cast("double") - mn) / span * maxRank), lit(maxRank))
         .cast("long")

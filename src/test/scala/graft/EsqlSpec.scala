@@ -345,6 +345,14 @@ class EsqlSpec extends SparkSpec {
     assert(r.find(_._1 == 3L).get._2 == 0.0)
   }
 
+  test("SHOW INFO: one-row descriptor, composes with pipes") {
+    val r = Esql.run(spark, "/root/testdata/sf0.001",
+      "show info | keep name, version")
+      .collect().head
+    assert(r.getString(0) == "graft")
+    assert(r.getString(1).nonEmpty)
+  }
+
   test("COMPLETION: stubbed inference, named column, WITH ignored") {
     val df = Seq((1L, "Alpha, beta gamma!"), (2L, "one")).toDF("id", "txt")
     val r = Esql.applyCommand(df,
