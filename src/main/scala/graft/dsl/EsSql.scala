@@ -87,6 +87,32 @@ object EsSql {
   }
 
   def run(spark: SparkSession, dir: String, sql: String): DataFrame = {
+    import spark.implicits._
+    val trimmed = sql.trim
+    // ES SQL metadata statements: SHOW TABLES lists the indices (the
+    // parquet directories under the data root), DESCRIBE/DESC renders
+    // the index schema as (column, type) rows — catalog metadata, no
+    // data read in either case.
+    if (trimmed.toUpperCase(java.util.Locale.ROOT).matches("SHOW\\s+TABLES")) {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val names = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .filter(_.isFile).map(_.getPath.getName)
+        .filter(_.endsWith(".parquet")).map(_.stripSuffix(".parquet"))
+        .sorted.toSeq
+      return names.toDF("name").withColumn("type", lit("TABLE"))
+    }
+    val descRe = "(?i)^DESC(?:RIBE)?\\s+\"?([A-Za-z0-9_]+)\"?$".r
+    trimmed match {
+      case descRe(t) =>
+        val base =
+          if (t.toLowerCase == "events") graft.Tables.events(spark, dir)
+          else graft.Tables.load(spark, dir, t.toLowerCase)
+        return base.schema.fields.toSeq
+          .map(f => (f.name, f.dataType.simpleString))
+          .toDF("column", "type")
+      case _ => ()
+    }
     val table = fromRe.findFirstMatchIn(sql).map(_.group(1).toLowerCase)
       .getOrElse(throw new IllegalArgumentException(s"no FROM clause: $sql"))
     val base =

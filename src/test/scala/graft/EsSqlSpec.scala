@@ -45,6 +45,19 @@ class EsSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("SCORE()"))
   }
 
+  test("SHOW TABLES / DESCRIBE metadata statements") {
+    val tables = EsSql.run(spark, sfDir, "SHOW TABLES")
+      .select("name").as[String].collect().toSet
+    assert(tables.contains("documents") && tables.contains("lineitem"))
+    val desc = EsSql.run(spark, sfDir, "DESCRIBE documents")
+      .as[(String, String)].collect().toMap
+    assert(desc("doc_id") == "bigint" && desc("text") == "string")
+    // events routes through the ns-normalizing loader
+    val ev = EsSql.run(spark, sfDir, "DESC events")
+      .as[(String, String)].collect().toMap
+    assert(ev("ts_ns") == "bigint")
+  }
+
   test("HISTOGRAM grouping function: bucket starts, DOUBLE type") {
     val r = EsSql.run(spark, sfDir,
       "SELECT HISTOGRAM(n_chars, 100) AS b, COUNT(*) AS n FROM documents GROUP BY b ORDER BY b")
