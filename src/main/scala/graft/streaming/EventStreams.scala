@@ -157,6 +157,30 @@ object EventStreams {
       .select(col("w.start").as("w_start"), col("n_events"),
         col("sum_value"), col("p50"), col("p95"))
 
+  /** CONTINUOUS downsampling — ES's downsample/rollup as a streaming
+    * transform instead of a batch ILM action: the same per-series
+    * bucket shape as `Downsample.downsample` (count/min/max/decimal
+    * sum per (bucket, dims)) under an event-time window + watermark,
+    * so late data folds in until the watermark closes the bucket and
+    * the associative combiners keep every partial mergeable. State
+    * per open bucket is a handful of scalars per series — dashboard
+    * retention at stream speed, no reprocessing job. */
+  def streamingDownsample(
+      events: DataFrame, dims: Seq[String], metric: String,
+      width: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w") +: dims.map(col): _*)
+      .agg(
+        count(lit(1)).as("doc_count"),
+        min(col(metric)).as(s"${metric}_min"),
+        max(col(metric)).as(s"${metric}_max"),
+        sum(col(metric).cast("decimal(18,4)")).cast("double").as(s"${metric}_sum"))
+      .select(col("w.start").as("bucket_start") +: dims.map(col) :+
+        col("doc_count") :+ col(s"${metric}_min") :+
+        col(s"${metric}_max") :+ col(s"${metric}_sum"): _*)
+
   /** Windowed t-digest percentiles on an unbounded stream — the
     * sketch is MERGEABLE (partial buffers combine associatively), so
     * the same Aggregator that serves the batch `percentiles` agg runs

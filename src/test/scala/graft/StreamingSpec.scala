@@ -255,6 +255,27 @@ class StreamingSpec extends SparkSpec {
     } finally { q1.stop(); q2.stop() }
   }
 
+  test("continuous downsample: stream buckets equal the batch rollup") {
+    val ev = Tables.events(spark, sfDir)
+    val batch = EventStreams.streamingDownsample(ev, Seq("event_type"), "value")
+      .as[(java.sql.Timestamp, String, Long, Double, Double, Double)]
+      .collect().toSet
+    val streamIn = spark.readStream
+      .schema(Tables.eventsSchema)
+      .parquet(streamDir)
+      .transform(Tables.normalizeEvents)
+    val q = EventStreams.streamingDownsample(streamIn, Seq("event_type"), "value")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("ds_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ds_out")
+        .as[(java.sql.Timestamp, String, Long, Double, Double, Double)]
+        .collect().toSet
+      assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("windowed t-digest percentiles run on a stream within rank epsilon") {
     val ev = Tables.events(spark, sfDir)
     val streamIn = spark.readStream
