@@ -102,7 +102,8 @@ object EsSql {
         .sorted.toSeq
       return names.toDF("name").withColumn("type", lit("TABLE"))
     }
-    val descRe = "(?i)^DESC(?:RIBE)?\\s+\"?([A-Za-z0-9_]+)\"?$".r
+    val descRe =
+      "(?i)^(?:DESC(?:RIBE)?|SHOW\\s+COLUMNS\\s+FROM)\\s+\"?([A-Za-z0-9_]+)\"?$".r
     trimmed match {
       case descRe(t) =>
         val base =

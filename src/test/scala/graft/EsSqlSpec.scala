@@ -56,6 +56,10 @@ class EsSqlSpec extends SparkSpec {
     val ev = EsSql.run(spark, sfDir, "DESC events")
       .as[(String, String)].collect().toMap
     assert(ev("ts_ns") == "bigint")
+    // SHOW COLUMNS FROM is the same statement in ES SQL
+    val sc = EsSql.run(spark, sfDir, "SHOW COLUMNS FROM documents")
+      .as[(String, String)].collect().toMap
+    assert(sc == desc)
   }
 
   test("HISTOGRAM grouping function: bucket starts, DOUBLE type") {
