@@ -20,6 +20,16 @@ import org.json4s.jackson.JsonMethods
   */
 object QueryDslJson {
 
+  /** ES multi-field addressing: `f.keyword` is the exact-match
+    * subfield of a text field — on graft's flat model the parent
+    * column already holds the raw value, so the suffix strips to the
+    * parent (term/sort semantics on `.keyword` are exactly Spark's
+    * string equality/ordering). A real struct field literally named
+    * `keyword` would be shadowed; name it anything else. */
+  private def fieldRef(f: String): org.apache.spark.sql.Column =
+    col(if (f.endsWith(".keyword")) f.dropRight(".keyword".length) else f)
+
+
   def compile(json: String, idField: String = "_id"): Column =
     compileNode(JsonMethods.parse(json), idField)
 
@@ -209,11 +219,11 @@ object QueryDslJson {
           val v = lits(m("value"))
           // case_insensitive (ES 7.10): normalize both sides — the
           // predicate stays a plain comparison, still codegen'd
-          if (caseInsensitive(m)) lower(col(f)) === lit(v.toString.toLowerCase)
-          else QueryDsl.term(col(f), v)
-        case ("term", JObject(JField(f, v) :: Nil)) => QueryDsl.term(col(f), lits(v))
+          if (caseInsensitive(m)) lower(fieldRef(f)) === lit(v.toString.toLowerCase)
+          else QueryDsl.term(fieldRef(f), v)
+        case ("term", JObject(JField(f, v) :: Nil)) => QueryDsl.term(fieldRef(f), lits(v))
 
-        case ("terms", JObject(JField(f, v) :: Nil)) => QueryDsl.terms(col(f), arr(v))
+        case ("terms", JObject(JField(f, v) :: Nil)) => QueryDsl.terms(fieldRef(f), arr(v))
 
         case ("ids", JObject(fields)) =>
           QueryDsl.ids(col(idField), arr(fields.find(_._1 == "values")
@@ -221,7 +231,7 @@ object QueryDslJson {
 
         case ("range", JObject(JField(f, JObject(bounds)) :: Nil)) =>
           val b = bounds.toMap
-          QueryDsl.range(col(f),
+          QueryDsl.range(fieldRef(f),
             gte = b.get("gte").map(lits), gt = b.get("gt").map(lits),
             lte = b.get("lte").map(lits), lt = b.get("lt").map(lits))
 
@@ -233,27 +243,27 @@ object QueryDslJson {
             if fields.exists(_._1 == "value") =>
           val m = fields.toMap
           val p = lits(m("value")).toString
-          if (caseInsensitive(m)) lower(col(f)).startsWith(p.toLowerCase)
-          else QueryDsl.prefix(col(f), p)
+          if (caseInsensitive(m)) lower(fieldRef(f)).startsWith(p.toLowerCase)
+          else QueryDsl.prefix(fieldRef(f), p)
         case ("prefix", JObject(JField(f, v) :: Nil)) =>
-          QueryDsl.prefix(col(f), lits(v).toString)
+          QueryDsl.prefix(fieldRef(f), lits(v).toString)
         case ("wildcard", JObject(JField(f, JObject(fields)) :: Nil))
             if fields.exists(_._1 == "value") =>
           val m = fields.toMap
           val p = lits(m("value")).toString
-          if (caseInsensitive(m)) QueryDsl.wildcard(lower(col(f)), p.toLowerCase)
-          else QueryDsl.wildcard(col(f), p)
+          if (caseInsensitive(m)) QueryDsl.wildcard(lower(fieldRef(f)), p.toLowerCase)
+          else QueryDsl.wildcard(fieldRef(f), p)
         case ("wildcard", JObject(JField(f, v) :: Nil)) =>
-          QueryDsl.wildcard(col(f), lits(v).toString)
+          QueryDsl.wildcard(fieldRef(f), lits(v).toString)
         case ("regexp", JObject(JField(f, JObject(fields)) :: Nil))
             if fields.exists(_._1 == "value") =>
           val m = fields.toMap
           val re = lits(m("value")).toString
           // ES case_insensitive maps to the regex engine's (?i) flag
-          if (caseInsensitive(m)) QueryDsl.regexp(col(f), "(?i)" + re)
-          else QueryDsl.regexp(col(f), re)
+          if (caseInsensitive(m)) QueryDsl.regexp(fieldRef(f), "(?i)" + re)
+          else QueryDsl.regexp(fieldRef(f), re)
         case ("regexp", JObject(JField(f, v) :: Nil)) =>
-          QueryDsl.regexp(col(f), lits(v).toString)
+          QueryDsl.regexp(fieldRef(f), lits(v).toString)
 
         case ("fuzzy", JObject(JField(f, JObject(fields)) :: Nil)) =>
           val m = fields.toMap
@@ -264,10 +274,10 @@ object QueryDslJson {
           // count a swap as two edits — so the Damerau kernel engages
           // only when the clause asks for it explicitly
           if (m.get("transpositions").exists(lits(_).toString.toBoolean))
-            QueryDsl.fuzzyTranspositions(col(f), value, edits)
-          else QueryDsl.fuzzy(col(f), value, edits)
+            QueryDsl.fuzzyTranspositions(fieldRef(f), value, edits)
+          else QueryDsl.fuzzy(fieldRef(f), value, edits)
         case ("fuzzy", JObject(JField(f, v) :: Nil)) =>
-          QueryDsl.fuzzy(col(f), lits(v).toString)
+          QueryDsl.fuzzy(fieldRef(f), lits(v).toString)
 
         case ("match", JObject(JField(f, JObject(fields)) :: Nil))
             if fields.exists(_._1 == "query") =>
@@ -278,23 +288,23 @@ object QueryDslJson {
           // analysis strips every term (none = nothing, all = all)
           val zeroTerms = m.get("zero_terms_query").map(lits(_).toString.toLowerCase)
           if (graft.analysis.Analyzer.analyze(query).isEmpty)
-            Search.matchQueryZeroTerms(col(f), query, zeroTerms.getOrElse("none"))
+            Search.matchQueryZeroTerms(fieldRef(f), query, zeroTerms.getOrElse("none"))
           else m.get("fuzziness").map(lits(_).toString) match {
             case Some(s) if s.equalsIgnoreCase("auto") =>
               // length-scaled like ES: 0 edits (<3 chars), 1 (<6), 2
-              Search.matchQueryFuzzyAuto(col(f), query, andOp)
-            case Some(s) => Search.matchQueryFuzzy(col(f), query, s.toInt, andOp)
-            case None if andOp => Search.matchQueryAnd(col(f), query)
-            case None => Search.matchQuery(col(f), query)
+              Search.matchQueryFuzzyAuto(fieldRef(f), query, andOp)
+            case Some(s) => Search.matchQueryFuzzy(fieldRef(f), query, s.toInt, andOp)
+            case None if andOp => Search.matchQueryAnd(fieldRef(f), query)
+            case None => Search.matchQuery(fieldRef(f), query)
           }
         case ("match", JObject(JField(f, v) :: Nil)) =>
-          Search.matchQuery(col(f), lits(v).toString)
+          Search.matchQuery(fieldRef(f), lits(v).toString)
 
         case ("match_phrase", JObject(JField(f, JObject(fields)) :: Nil))
             if fields.exists(_._1 == "query") =>
-          Search.matchPhrase(col(f), lits(fields.toMap.apply("query")).toString)
+          Search.matchPhrase(fieldRef(f), lits(fields.toMap.apply("query")).toString)
         case ("match_phrase", JObject(JField(f, v) :: Nil)) =>
-          Search.matchPhrase(col(f), lits(v).toString)
+          Search.matchPhrase(fieldRef(f), lits(v).toString)
 
         case ("query_string", JObject(fields)) =>
           val m = fields.toMap
@@ -338,7 +348,7 @@ object QueryDslJson {
         // {"span_term": {f: "term"}} — single-term span leaf (token
         // containment; spans only differ from terms once combined)
         case ("span_term", JObject(JField(f, v) :: Nil)) =>
-          Search.matchQueryAnd(col(f), lits(v).toString)
+          Search.matchQueryAnd(fieldRef(f), lits(v).toString)
 
         // {"span_or": {"clauses": [<span_term|span_near>...]}}
         case ("span_or", JObject(parts)) =>
@@ -399,7 +409,7 @@ object QueryDslJson {
         // {"match_bool_prefix": {f: "quick bro"}} — terms anywhere,
         // last as prefix (search-as-you-type bool form)
         case ("match_bool_prefix", JObject(JField(f, v) :: Nil)) =>
-          Search.matchBoolPrefix(col(f), lits(v).toString)
+          Search.matchBoolPrefix(fieldRef(f), lits(v).toString)
 
         // {"combined_fields": {"query": "...", "fields": [...]}} —
         // term-centric AND across fields
@@ -467,7 +477,7 @@ object QueryDslJson {
         // match / prefix leaves, any_of disjunction, all_of proximity
         // composition (see compileInterval)
         case ("intervals", JObject(JField(f, rule) :: Nil)) =>
-          compileInterval(col(f), rule)
+          compileInterval(fieldRef(f), rule)
 
         // {"terms_set": {f: {"terms": [...], "minimum_should_match": n}}}
         case ("terms_set", JObject(JField(f, JObject(parts)) :: Nil)) =>
@@ -476,7 +486,7 @@ object QueryDslJson {
             throw new IllegalArgumentException("terms_set needs terms"))).map(_.toString)
           val msm = m.get("minimum_should_match").map(lits(_).toString.toInt)
             .getOrElse(terms.size)
-          Search.termsSet(col(f), terms, lit(msm))
+          Search.termsSet(fieldRef(f), terms, lit(msm))
 
         case ("geo_polygon", JObject(JField(f, JObject(parts)) :: Nil)) =>
           val pts = parts.toMap.getOrElse("points",
@@ -542,7 +552,7 @@ object QueryDslJson {
             case Some(JObject(ps)) => ps.map { case JField(k, _) => k }
             case other => throw new IllegalArgumentException(s"bad query_vector: $other")
           }
-          arrays_overlap(graft.analysis.Analyzer.tokens(col(f)), lit(toks.toArray))
+          arrays_overlap(graft.analysis.Analyzer.tokens(fieldRef(f)), lit(toks.toArray))
 
         // {"pinned": {"ids": [...], "organic": {...}}} — in filter
         // context a pinned query matches organic ∪ pinned docs (the

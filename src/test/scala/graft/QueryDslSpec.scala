@@ -12,6 +12,20 @@ class QueryDslSpec extends SparkSpec {
     (3L, "alpha", 30, "src10"),
     (4L, "gamma", 40, "other")).toDF("id", "kind", "v", "src")
 
+  test(".keyword subfield addressing maps to the parent column") {
+    val hits = df.where(graft.dsl.QueryDslJson.compile(
+      """{"bool": {"filter": [
+           {"term": {"kind.keyword": "alpha"}},
+           {"range": {"v": {"lte": 30}}}]}}"""))
+      .select("id").as[Long].collect().toSet
+    assert(hits == Set(1L, 3L))
+    // terms and prefix too
+    assert(df.where(graft.dsl.QueryDslJson.compile(
+      """{"terms": {"src.keyword": ["src1", "other"]}}""")).count() == 2L)
+    assert(df.where(graft.dsl.QueryDslJson.compile(
+      """{"prefix": {"src.keyword": "src1"}}""")).count() == 2L)
+  }
+
   test("_validate/query: analysis-only compile, no execution") {
     import graft.dsl.Validate
     // valid body: resolves against the schema, explanation carries the
