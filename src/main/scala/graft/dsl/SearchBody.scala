@@ -97,13 +97,17 @@ object SearchBody {
       return AggsJson.compile(filtered, body)
     val sorted = root.get("sort") match {
       case Some(JArray(specs)) =>
+        // `.keyword` multi-field suffix maps to the parent column,
+        // same as in the query clauses (QueryDslJson.fieldRef)
+        def sortCol(f: String) =
+          col(if (f.endsWith(".keyword")) f.dropRight(".keyword".length) else f)
         val orders = specs.map {
           case JObject(JField(f, JObject(o)) :: Nil) =>
             o.toMap.get("order") match {
-              case Some(JString("desc")) => col(f).desc_nulls_last
-              case _ => col(f).asc_nulls_last // ES: missing defaults last
+              case Some(JString("desc")) => sortCol(f).desc_nulls_last
+              case _ => sortCol(f).asc_nulls_last // ES: missing defaults last
             }
-          case JString(f) => col(f).asc_nulls_last
+          case JString(f) => sortCol(f).asc_nulls_last
           case other => throw new IllegalArgumentException(s"bad sort spec: $other")
         }
         filtered.orderBy(orders: _*)
