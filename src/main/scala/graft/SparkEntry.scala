@@ -2384,6 +2384,13 @@ object SparkEntry {
     // within 24h per user (as-of-join shape, no self-join)
     "q_eql_sequence" -> ((s, d) => graft.dsl.Eql.run(s, d,
       "sequence by user_id with maxspan=24h [view] [click where value > 50] [purchase]")),
+    // EQL missing events (8.x): ![error] between the steps — a
+    // view->purchase chain only matches when NO error intervened
+    "q_eql_missing" -> ((s, d) => graft.dsl.Eql.sequence(
+      Tables.events(s, d), "user_id", "ts_ns", "event_id",
+      Seq(("view", lit(true)), ("purchase", lit(true))),
+      maxspanNs = 24L * 3600 * 1000000000L,
+      missing = Seq((0, "error", lit(true))))),
     // EQL sample: unordered correlation, one partial-agg groupBy
     "q_eql_sample" -> ((s, d) => graft.dsl.Eql.run(s, d,
       "sample by user_id [error where value > 200] [purchase where value > 200]")),
@@ -4113,6 +4120,26 @@ object SparkEntry {
       "ORDER BY l_orderkey, l_linenumber"),
     // mirror of Eql.sequence: µs timestamps, latest-predecessor carry
     // via last_value IGNORE NULLS over UNBOUNDED..1 PRECEDING
+    // mirror of the Spark window-carry with the kill sentinel: an
+    // error row writes -1 into the level-0 chain columns, and the
+    // level-1 extension requires the carried t0 to be a live chain
+    "q_eql_missing" -> ("WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tu FROM events " +
+      "WHERE event_type IN ('view', 'purchase', 'error')), " +
+      "t AS (SELECT *, CASE WHEN event_type = 'view' THEN 0 " +
+      "WHEN event_type = 'purchase' THEN 1 END AS step, " +
+      "event_type = 'error' AS kill0 FROM e), " +
+      "s AS (SELECT * FROM t WHERE step IS NOT NULL OR kill0), " +
+      "l0 AS (SELECT *, CASE WHEN kill0 THEN -1 WHEN step = 0 THEN tu END AS c0_t0, " +
+      "CASE WHEN kill0 THEN -1 WHEN step = 0 THEN event_id END AS c0_i0 FROM s), " +
+      "l1p AS (SELECT *, last_value(c0_t0 IGNORE NULLS) OVER w AS p_t0, " +
+      "last_value(c0_i0 IGNORE NULLS) OVER w AS p_i0 FROM l0 " +
+      "WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), " +
+      "l1 AS (SELECT *, CASE WHEN step = 1 AND p_t0 IS NOT NULL AND p_t0 <> -1 AND tu - p_t0 <= 86400000000 THEN p_t0 END AS c1_t0, " +
+      "CASE WHEN step = 1 AND p_t0 IS NOT NULL AND p_t0 <> -1 AND tu - p_t0 <= 86400000000 THEN p_i0 END AS c1_i0, " +
+      "CASE WHEN step = 1 AND p_t0 IS NOT NULL AND p_t0 <> -1 AND tu - p_t0 <= 86400000000 THEN tu END AS c1_t1, " +
+      "CASE WHEN step = 1 AND p_t0 IS NOT NULL AND p_t0 <> -1 AND tu - p_t0 <= 86400000000 THEN event_id END AS c1_i1 FROM l1p) " +
+      "SELECT user_id, c1_i0 AS e1_id, c1_i1 AS e2_id, (c1_t1 - c1_t0) // 1000 AS span_ms " +
+      "FROM l1 WHERE c1_t1 IS NOT NULL ORDER BY user_id, e2_id"),
     "q_eql_sequence" -> ("WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS tu FROM events " +
       "WHERE event_type IN ('view', 'click', 'purchase')), " +
       "t AS (SELECT *, CASE WHEN event_type = 'view' THEN 0 " +

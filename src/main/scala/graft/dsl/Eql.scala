@@ -196,12 +196,21 @@ object Eql {
       idCol: String,
       steps: Seq[(String, Column)],
       maxspanNs: Long,
-      until: Option[(String, Column)] = None): DataFrame =
-    sequenceKeys(events, Seq(keyCol), tsNsCol, idCol, steps, maxspanNs, until)
+      until: Option[(String, Column)] = None,
+      missing: Seq[(Int, String, Column)] = Nil): DataFrame =
+    sequenceKeys(events, Seq(keyCol), tsNsCol, idCol, steps, maxspanNs, until,
+      missing)
 
   /** Multi-key form — EQL's `sequence by host, user`: the join key is
     * the TUPLE. Identical plan shape; the one shuffle and every window
     * pass partition on all keys together. */
+  /** `missing` — EQL 8.x missing-events steps (`![type, pred]`): entry
+    * (L, type, pred) means an event of that type matching pred KILLS
+    * every chain whose completed prefix currently ends at level L —
+    * the sequence only matches when the negative event does NOT occur
+    * between step L and step L+1. Mechanically a per-LEVEL `until`:
+    * the kill row writes the dead-chain sentinel into level L's carry
+    * columns only, so prefixes completed after the kill still extend. */
   def sequenceKeys(
       events: DataFrame,
       keyCols: Seq[String],
@@ -209,9 +218,14 @@ object Eql {
       idCol: String,
       steps: Seq[(String, Column)],
       maxspanNs: Long,
-      until: Option[(String, Column)] = None): DataFrame = {
+      until: Option[(String, Column)] = None,
+      missing: Seq[(Int, String, Column)] = Nil): DataFrame = {
     until.foreach { case (t, _) =>
       require(!steps.exists(_._1 == t), s"until type duplicates a step: $t") }
+    missing.foreach { case (lvl, t, _) =>
+      require(lvl >= 0 && lvl < steps.size - 1,
+        s"missing-step level $lvl out of gaps 0..${steps.size - 2}")
+      require(!steps.exists(_._1 == t), s"missing type duplicates a step: $t") }
     val k = steps.size
     val maxspanUs = if (maxspanNs == Long.MaxValue) Long.MaxValue else maxspanNs / 1000L
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("_ts"), col(idCol))
@@ -231,12 +245,21 @@ object Eql {
       })
     for (((tpe, p), i) <- steps.zipWithIndex)
       df = df.withColumn(s"_m$i", !isUntil && col("event_type") === tpe && p)
+    def killAt(lvl: Int): Column =
+      missing.filter(_._1 == lvl)
+        .map { case (_, tpe, p) => col("event_type") === tpe && p }
+        .reduceOption(_ || _).getOrElse(lit(false))
+    for (lvl <- missing.map(_._1).distinct)
+      df = df.withColumn(s"_kill$lvl", killAt(lvl))
+    def killCol(lvl: Int): Column =
+      if (missing.exists(_._1 == lvl)) col(s"_kill$lvl") else lit(false)
     df = df
-      .where((0 until k).map(i => col(s"_m$i")).reduce(_ || _) || isUntil)
+      .where((0 until k).map(i => col(s"_m$i")).reduce(_ || _) || isUntil ||
+        missing.map(_._1).distinct.map(killCol).reduceOption(_ || _).getOrElse(lit(false)))
       .withColumn("c0_t0",
-        when(isUntil, lit(-1L)).when(col("_m0"), col("_ts")))
+        when(isUntil || killCol(0), lit(-1L)).when(col("_m0"), col("_ts")))
       .withColumn("c0_i0",
-        when(isUntil, lit(-1L)).when(col("_m0"), col(idCol)))
+        when(isUntil || killCol(0), lit(-1L)).when(col("_m0"), col(idCol)))
 
     for (i <- 1 until k) {
       // latest completed prefix chain strictly before this row; the
@@ -252,14 +275,15 @@ object Eql {
         col("p_t0") =!= -1L && // sentinel: an until row killed the chain
         (if (maxspanUs == Long.MaxValue) lit(true)
          else col("_ts") - col("p_t0") <= maxspanUs)
+      val dead = isUntil || killCol(i)
       for (j <- 0 until i) {
         df = df
-          .withColumn(s"c${i}_t$j", when(isUntil, lit(-1L)).when(valid, col(s"p_t$j")))
-          .withColumn(s"c${i}_i$j", when(isUntil, lit(-1L)).when(valid, col(s"p_i$j")))
+          .withColumn(s"c${i}_t$j", when(dead, lit(-1L)).when(valid, col(s"p_t$j")))
+          .withColumn(s"c${i}_i$j", when(dead, lit(-1L)).when(valid, col(s"p_i$j")))
       }
       df = df
-        .withColumn(s"c${i}_t$i", when(isUntil, lit(-1L)).when(valid, col("_ts")))
-        .withColumn(s"c${i}_i$i", when(isUntil, lit(-1L)).when(valid, col(idCol)))
+        .withColumn(s"c${i}_t$i", when(dead, lit(-1L)).when(valid, col("_ts")))
+        .withColumn(s"c${i}_i$i", when(dead, lit(-1L)).when(valid, col(idCol)))
         .drop((0 until i).flatMap(j => Seq(s"p_t$j", s"p_i$j")): _*)
     }
     val last_ = k - 1

@@ -77,6 +77,41 @@ class EqlSpec extends SparkSpec {
     }
   }
 
+  test("missing events: a negative step between levels kills the chain") {
+    val us = 1000L
+    val df = ev(
+      (1L, 7L, 100L * us, "a", 0.0),
+      (2L, 7L, 200L * us, "x", 0.0),   // kill between a and b -> dead
+      (3L, 7L, 300L * us, "b", 0.0),
+      (4L, 7L, 400L * us, "a", 0.0),   // fresh a after the kill
+      (5L, 7L, 500L * us, "b", 0.0),   // pairs with 4
+      (6L, 8L, 100L * us, "x", 0.0),   // kill BEFORE any a: harmless
+      (7L, 8L, 200L * us, "a", 0.0),
+      (8L, 8L, 300L * us, "b", 0.0),
+      (9L, 9L, 100L * us, "a", 0.0),
+      (10L, 9L, 200L * us, "x", 5.0)) // predicate false -> no kill
+    val out = Eql.sequence(df, "user_id", "ts_ns", "event_id",
+      Seq(("a", lit(true)), ("b", lit(true))), maxspanNs = Long.MaxValue,
+      missing = Seq((0, "x", col("value") < 1.0)))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((7L, 4L, 5L, 0L), (8L, 7L, 8L, 0L)))
+    // 3-step form: kill at the SECOND gap only
+    val df3 = ev(
+      (1L, 7L, 100L * us, "a", 0.0),
+      (2L, 7L, 200L * us, "b", 0.0),
+      (3L, 7L, 250L * us, "x", 0.0),  // between b and c -> dead
+      (4L, 7L, 300L * us, "c", 0.0),
+      (5L, 8L, 100L * us, "a", 0.0),
+      (6L, 8L, 150L * us, "x", 0.0),  // between a and b: gap 1 ignores it
+      (7L, 8L, 200L * us, "b", 0.0),
+      (8L, 8L, 300L * us, "c", 0.0))
+    val out3 = Eql.sequence(df3, "user_id", "ts_ns", "event_id",
+      Seq(("a", lit(true)), ("b", lit(true)), ("c", lit(true))),
+      maxspanNs = Long.MaxValue, missing = Seq((1, "x", lit(true))))
+      .select("user_id").as[Long].collect().toSeq
+    assert(out3 == Seq(8L))
+  }
+
   test("run: until and head parse in the query language") {
     val seqU = Eql.run(spark, sfDir,
       "sequence by user_id with maxspan=24h [view] [purchase] until [error] | head 5")
