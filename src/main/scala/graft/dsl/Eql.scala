@@ -52,7 +52,7 @@ object Eql {
   private val seqRe =
     """(?s)^sequence\s+by\s+(\w+(?:\s*,\s*\w+)*)(?:\s+with\s+maxspan=(\d+)(ms|s|m|h))?\s*(.+?)(?:\s+until\s*(\[.+\]))?(?:\s*\|\s*(head|tail)\s+(\d+))?\s*$""".r
   private val stepRe =
-    """\[\s*(\w+)(?:\s+where\s+([^\]]+))?\s*\](?:\s+with\s+runs=(\d+))?""".r
+    """(!?)\[\s*(\w+)(?:\s+where\s+([^\]]+))?\s*\](?:\s+with\s+runs=(\d+))?""".r
   private val simpleRe = """(?s)^(\w+)\s+where\s+(.+?)(?:\s*\|\s*(head|tail)\s+(\d+))?\s*$""".r
 
   /** EQL predicate → Column. The comparison subset rides on Spark
@@ -125,27 +125,38 @@ object Eql {
     query.trim match {
       case sampleRe(key, stepsSrc) =>
         val steps = stepRe.findAllMatchIn(stepsSrc).map { m =>
-          (m.group(1), Option(m.group(2)).map(pred).getOrElse(lit(true)))
+          require(m.group(1).isEmpty, "sample takes no negative steps")
+          (m.group(2), Option(m.group(3)).map(pred).getOrElse(lit(true)))
         }.toSeq
         require(steps.size >= 2, s"sample needs >= 2 filters: $query")
         sample(events, key, "event_id", steps)
       case seqRe(key, n, u, stepsSrc, untilSrc, htOp, htN) =>
         // `[ b where p ] with runs=N` is EQL shorthand for repeating
-        // the step N times (N distinct successive events must match)
-        val steps = stepRe.findAllMatchIn(stepsSrc).flatMap { m =>
-          val step = (m.group(1), Option(m.group(2)).map(pred).getOrElse(lit(true)))
-          Seq.fill(Option(m.group(3)).map(_.toInt).getOrElse(1))(step)
-        }.toSeq
+        // the step N times (N distinct successive events must match);
+        // `![ x where p ]` is a MISSING-events step killing chains at
+        // the gap it sits in
+        val steps = scala.collection.mutable.ArrayBuffer.empty[(String, Column)]
+        val missing = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Column)]
+        for (m <- stepRe.findAllMatchIn(stepsSrc)) {
+          val entry = (m.group(2), Option(m.group(3)).map(pred).getOrElse(lit(true)))
+          if (m.group(1) == "!") {
+            require(m.group(4) == null, "a negative step takes no runs=N")
+            require(steps.nonEmpty, "![...] cannot precede the first step")
+            missing += ((steps.size - 1, entry._1, entry._2))
+          } else
+            steps ++= Seq.fill(Option(m.group(4)).map(_.toInt).getOrElse(1))(entry)
+        }
         require(steps.size >= 2, s"sequence needs >= 2 steps: $query")
         val until = Option(untilSrc).map { src =>
           val m = stepRe.findFirstMatchIn(src).getOrElse(
             throw new IllegalArgumentException(s"bad until clause: $src"))
-          (m.group(1), Option(m.group(2)).map(pred).getOrElse(lit(true)))
+          (m.group(2), Option(m.group(3)).map(pred).getOrElse(lit(true)))
         }
         val maxspanNs =
           if (n == null) Long.MaxValue else unitNs(n.toLong, u)
         val keys = key.split(",").map(_.trim).toSeq
-        val out = sequenceKeys(events, keys, "ts_ns", "event_id", steps, maxspanNs, until)
+        val out = sequenceKeys(events, keys, "ts_ns", "event_id",
+          steps.toSeq, maxspanNs, until, missing.toSeq)
         Option(htOp).map(op => headTail(out, op, htN.toInt,
           keys.map(col) :+ col(s"e${steps.size}_id"))).getOrElse(out)
       case simpleRe(tpe, p, htOp, htN) =>

@@ -112,6 +112,30 @@ class EqlSpec extends SparkSpec {
     assert(out3 == Seq(8L))
   }
 
+  test("run: ![...] negative steps parse in the query language") {
+    val us = 1000L
+    val df = ev(
+      (1L, 7L, 100L * us, "a", 0.0),
+      (2L, 7L, 200L * us, "x", 0.0),
+      (3L, 7L, 300L * us, "b", 0.0),
+      (4L, 8L, 100L * us, "a", 0.0),
+      (5L, 8L, 300L * us, "b", 0.0))
+    // route through run() with a temp parquet dir shaped like events
+    val dir = java.nio.file.Files.createTempDirectory("eqlm").toString
+    // ts as a raw µs long — one of the two magnitudes
+    // Tables.normalizeEvents accepts
+    df.withColumn("ts", expr("ts_ns div 1000"))
+      .withColumn("props", lit("""{"k":1}"""))
+      .drop("ts_ns")
+      .write.parquet(s"$dir/events.parquet")
+    val out = Eql.run(spark, dir, "sequence by user_id [a] ![x] [b]")
+      .select("user_id").as[Long].collect().toSeq
+    assert(out == Seq(8L))
+    intercept[IllegalArgumentException] {
+      Eql.run(spark, dir, "sequence by user_id ![x] [a] [b]")
+    }
+  }
+
   test("run: until and head parse in the query language") {
     val seqU = Eql.run(spark, sfDir,
       "sequence by user_id with maxspan=24h [view] [purchase] until [error] | head 5")
