@@ -79,20 +79,32 @@ class EqlPropertySpec extends SparkSpec {
     * chain's span. Exponential enumeration — fine at spec scale. */
   private def anyPredecessorFinals(
       events: Seq[Ev], steps: Seq[String], maxspanUs: Long,
-      until: Option[String]): Set[(Long, Long)] = {
+      until: Option[String],
+      missing: Seq[(Int, String)] = Nil): Set[(Long, Long)] = {
     val k = steps.size
     events.groupBy(_.key).toSeq.flatMap { case (key, evs) =>
       val ordered = evs.sortBy(e => (e.ts, e.id)).toVector
       val untilPos = ordered.zipWithIndex.collect {
         case (e, i) if until.contains(e.tpe) => i
       }.toSet
+      // gap L -> positions of its kill events; a chain is valid only
+      // if no gap-L kill sits strictly between its level-L and
+      // level-L+1 events
+      val killPos: Map[Int, Set[Int]] = missing.groupBy(_._1).map {
+        case (lvl, specs) =>
+          lvl -> ordered.zipWithIndex.collect {
+            case (e, i) if specs.exists(_._2 == e.tpe) => i
+          }.toSet
+      }
       val out = scala.collection.mutable.Set.empty[Long]
       def rec(level: Int, pos: Int, t0: Long): Unit = {
         if (level == k - 1) out += ordered(pos).id
         else for (j <- pos + 1 until ordered.size
                   if ordered(j).tpe == steps(level + 1)
                   && ordered(j).ts - t0 <= maxspanUs
-                  && ((pos + 1) until j).forall(p => !untilPos(p)))
+                  && ((pos + 1) until j).forall(p => !untilPos(p))
+                  && ((pos + 1) until j).forall(p =>
+                    !killPos.getOrElse(level, Set.empty)(p)))
           rec(level + 1, j, t0)
       }
       for (i <- ordered.indices if ordered(i).tpe == steps.head)
@@ -130,6 +142,35 @@ class EqlPropertySpec extends SparkSpec {
       val want = anyPredecessorFinals(evs, steps, maxspanUs, until)
       assert(got == want,
         s"round $round (steps=$steps maxspanUs=$maxspanUs until=$until): " +
+          s"got $got\nwant $want\nevents: $evs")
+    }
+  }
+
+  test("missing events: latest-predecessor == any-predecessor with gap kills") {
+    // the monotone-slack argument extends to missing events: the
+    // latest-started carried chain minimizes both the span AND the
+    // window in which a gap kill can strike, so if ANY chain survives
+    // the kills, the carried one does too
+    val seed0 = Seed(720260814L)
+    var seed = seed0
+    for (round <- 1 to 30) {
+      val evs = evGen.apply(Gen.Parameters.default, seed).get
+      seed = seed.next
+      val maxspanUs = if (round % 3 == 0) 15000L else Long.MaxValue / 1000
+      val steps = if (round % 2 == 0) Seq("a", "b") else Seq("a", "b", "c")
+      val missing =
+        if (steps.size == 2) Seq((0, "x"))
+        else if (round % 5 == 0) Seq((0, "x"), (1, "z"))
+        else Seq((1, "x"))
+      val df = evs.map(e => (e.id, e.key, e.ts * 1000L, e.tpe))
+        .toDF("event_id", "user_id", "ts_ns", "event_type")
+      val got = Eql.sequence(df, "user_id", "ts_ns", "event_id",
+        steps.map(s => (s, lit(true))), maxspanNs = maxspanUs * 1000L,
+        missing = missing.map { case (l, t) => (l, t, lit(true)) })
+        .collect().map(r => (r.getLong(0), r.getLong(steps.size))).toSet
+      val want = anyPredecessorFinals(evs, steps, maxspanUs, None, missing)
+      assert(got == want,
+        s"round $round (steps=$steps missing=$missing maxspanUs=$maxspanUs): " +
           s"got $got\nwant $want\nevents: $evs")
     }
   }
