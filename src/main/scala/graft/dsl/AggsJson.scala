@@ -52,6 +52,8 @@ object AggsJson {
     var metrics = Seq.empty[(String, Column)]
     var topSize: Option[Int] = None
     var topSizeExplicit = false
+    // ES terms `order`: {"_key"|"_count"|<metric name>: "asc"|"desc"}
+    var topOrder: Option[(String, Boolean)] = None
     var level = 0
 
     def walk(aggs: List[JField]): Unit = {
@@ -85,6 +87,11 @@ object AggsJson {
             topSize = explicitSize.orElse(
               if (m.contains("terms")) Some(10) else None)
             topSizeExplicit = explicitSize.isDefined
+            topOrder = m.get("terms").collect {
+              case JObject(s) => s.toMap.get("order") }.flatten.collect {
+                case JObject(List(JField(by, JString(dir)))) =>
+                  (by, dir.toLowerCase == "asc")
+              }
           } else if (explicitSize.isDefined)
             throw new IllegalArgumentException(
               s"terms size on nested level '$name' is not honored by the " +
@@ -117,7 +124,24 @@ object AggsJson {
         .where(keys.map { case (n, _) => col(n).isNotNull }.reduce(_ && _))
       topSize match {
         case Some(k) if keys.size == 1 =>
-          grouped.orderBy(col("doc_count").desc, col(keys.head._1).asc).limit(k)
+          val keyCol = col(keys.head._1)
+          // order target: _key / _count / a declared metric name;
+          // key-asc tie-break everywhere (ES's determinism rule)
+          val ordered = topOrder match {
+            case Some(("_key", asc)) =>
+              grouped.orderBy(if (asc) keyCol.asc else keyCol.desc)
+            case Some((by, asc)) =>
+              val target =
+                if (by == "_count") col("doc_count")
+                else if (metrics.exists(_._1 == by)) col(by)
+                else throw new IllegalArgumentException(
+                  s"terms order references unknown target: $by")
+              grouped.orderBy(
+                (if (asc) target.asc else target.desc), keyCol.asc)
+            case None =>
+              grouped.orderBy(col("doc_count").desc, keyCol.asc)
+          }
+          ordered.limit(k)
         case Some(_) if topSizeExplicit =>
           throw new IllegalArgumentException(
             "terms size on a nested tree is not honored by the flat " +

@@ -46,6 +46,20 @@ class AggsSpec extends SparkSpec {
       AggsJson.compile(df, """{"aggs": {"byk": {"terms": {"field": "k", "size": 5},
         "aggs": {"inner": {"terms": {"field": "v"}}}}}}""")
     }
+    // terms `order`: by _key, by _count asc, by a declared metric
+    val byKey = AggsJson.compile(df,
+      """{"aggs": {"byk": {"terms": {"field": "k", "order": {"_key": "desc"}}}}}""")
+      .select("byk").as[String].collect().toSeq
+    assert(byKey == Seq("c", "b", "a"))
+    val byMetric = AggsJson.compile(df,
+      """{"aggs": {"byk": {"terms": {"field": "k", "order": {"hi": "desc"}},
+           "aggs": {"hi": {"max": {"field": "v"}}}}}}""")
+      .select("byk").as[String].collect().toSeq
+    assert(byMetric == Seq("c", "b", "a")) // max v: 10, 6, 3
+    intercept[IllegalArgumentException] {
+      AggsJson.compile(df,
+        """{"aggs": {"byk": {"terms": {"field": "k", "order": {"nope": "desc"}}}}}""")
+    }
     // metric `missing`: null field values count as the substitute
     val withNulls = Seq(("a", Some(2.0)), ("a", None), ("b", Some(4.0)))
       .toDF("k", "v")
