@@ -669,6 +669,19 @@ object SparkEntry {
     "q_esql_mv_pctl" -> ((s, d) => graft.dsl.Esql.run(s, d,
       """from embeddings | eval p75 = mv_percentile(embedding, 75)
         | keep vec_id, p75 | sort vec_id | limit 100""")),
+    // MV_EXPAND with ES|QL null semantics: a null multivalue stays as
+    // ONE row with null (explode_outer), never a dropped row — the
+    // non-en docs here keep exactly their doc count
+    "q_esql_mv_expand" -> ((s, d) => graft.dsl.Esql.run(s, d,
+      """from documents | eval toks = case(lang == "en", split(text, " "))
+        | mv_expand toks | stats n = count(*) by lang | sort lang""")),
+    // CASE with and without a default (absent default = null, which
+    // STATS BY groups as its own bucket)
+    "q_esql_case" -> ((s, d) => graft.dsl.Esql.run(s, d,
+      """from orders | eval band = case(o_totalprice < 50000.0, "low",
+            o_totalprice < 150000.0, "mid", "high")
+        | eval urgent = case(o_orderpriority == "1-URGENT", 1)
+        | stats n = count(*), u = count(urgent) by band | sort band""")),
     // sparse_vector / text_expansion: weighted term-frequency dot
     // product (one-pass compiled kernel), score-ordered top-k
     "q_sparse_vector" -> ((s, d) =>
@@ -1671,6 +1684,16 @@ object SparkEntry {
     "q_agg_sig_jlh" -> ((s, d) =>
       Aggs.significantTerms(t(s, d, "documents"), "text", col("lang") === "en",
         minFgCount = 5, k = 10, heuristic = "jlh")),
+    // significant_terms, mutual_information: textbook 2x2 MI over
+    // term-presence x fg-membership doc counts (log2, bg superset)
+    "q_agg_sig_mi" -> ((s, d) =>
+      Aggs.significantTerms(t(s, d, "documents"), "text", col("lang") === "en",
+        minFgCount = 5, k = 10, heuristic = "mutual_information")),
+    // significant_terms, gnd: 1 - Google Normalized Distance between
+    // the term and the foreground set (Cilibrasi & Vitanyi 2007)
+    "q_agg_sig_gnd" -> ((s, d) =>
+      Aggs.significantTerms(t(s, d, "documents"), "text", col("lang") === "en",
+        minFgCount = 5, k = 10, heuristic = "gnd")),
     // significant_terms over a KEYWORD field: uplift math on field
     // values — one groupBy, no token explode
     "q_agg_sig_keyword" -> ((s, d) =>
@@ -2363,6 +2386,16 @@ object SparkEntry {
         .select(col("c_custkey"), col("lat"), col("lon"))
         .orderBy(col("c_custkey"))
     }),
+    // _graph/explore analog: seeded significance-ranked co-occurrence
+    // expansion, 2 hops, 5 vertices/hop — one persisted (doc, term)
+    // edge frame reused per hop; only top-N vertex lists hit the driver
+    "q_graph_explore" -> ((s, d) => graft.search.GraphExplore.explore(
+      t(s, d, "documents"), "doc_id", "text", Seq("spark"),
+      hops = 2, verticesPerHop = 5, minDocCount = 3)),
+    // the `connections` half: doc co-occurrence between vertex pairs
+    "q_graph_connections" -> ((s, d) => graft.search.GraphExplore.connections(
+      t(s, d, "documents"), "doc_id", "text",
+      Seq("spark", "agg", "scan", "merge", "window"), minDocCount = 3)),
     // METRICS command (8.16 TSDS sugar): desugars to FROM + STATS
     "q_esql_metrics" -> ((s, d) => graft.dsl.Esql.run(s, d,
       "metrics events mx = max(value), n = count(*) by event_type | sort event_type")),
@@ -2772,6 +2805,16 @@ object SparkEntry {
       "GROUP BY day ORDER BY day LIMIT 14"),
     "q_esql_dissect" -> ("SELECT regexp_extract(o_orderpriority, '^(.*?)-(.*)$', 2) AS pr_name, " +
       "count(*)::BIGINT AS n FROM orders GROUP BY 1 ORDER BY pr_name"),
+    "q_esql_mv_expand" -> ("WITH t AS (SELECT lang, CASE WHEN lang = 'en' " +
+      "THEN regexp_split_to_array(text, ' ') END AS toks FROM documents), " +
+      "e AS (SELECT lang, unnest(toks) FROM t WHERE toks IS NOT NULL " +
+      "UNION ALL SELECT lang, NULL FROM t WHERE toks IS NULL) " +
+      "SELECT lang, count(*)::BIGINT AS n FROM e GROUP BY lang ORDER BY lang"),
+    "q_esql_case" -> ("WITH t AS (SELECT CASE WHEN o_totalprice < 50000.0 THEN 'low' " +
+      "WHEN o_totalprice < 150000.0 THEN 'mid' ELSE 'high' END AS band, " +
+      "CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END AS urgent FROM orders) " +
+      "SELECT band, count(*)::BIGINT AS n, count(urgent)::BIGINT AS u " +
+      "FROM t GROUP BY band ORDER BY band"),
     "q_esql_inlinestats" -> ("WITH s AS (SELECT l_returnflag, max(l_quantity) AS mx " +
       "FROM lineitem GROUP BY 1) " +
       "SELECT l.l_returnflag, count(*)::BIGINT AS n FROM lineitem l " +
@@ -3440,6 +3483,29 @@ object SparkEntry {
       "SELECT term, fg_count, bg_count, " +
       "round(((fg_count / fg_total) - (bg_count / bg_total)) * ((fg_count / fg_total) / (bg_count / bg_total)), 6) AS score " +
       "FROM g CROSS JOIN tot ORDER BY score DESC, term LIMIT 10"),
+    "q_agg_sig_mi" -> ("WITH terms AS (SELECT lang = 'en' AS fg, " +
+      "unnest(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0))) AS term FROM documents), " +
+      "tot AS (SELECT count_if(lang = 'en')::DOUBLE AS fg_total, count(*)::DOUBLE AS bg_total FROM documents), " +
+      "g AS (SELECT term, count_if(fg)::BIGINT AS fg_count, count(*)::BIGINT AS bg_count FROM terms GROUP BY term HAVING count_if(fg) >= 5), " +
+      "c AS (SELECT term, fg_count, bg_count, bg_total AS n, fg_count::DOUBLE AS n11, " +
+      "(bg_count - fg_count)::DOUBLE AS n10, (fg_total - fg_count)::DOUBLE AS n01, " +
+      "(bg_total - bg_count - fg_total + fg_count)::DOUBLE AS n00, " +
+      "bg_count::DOUBLE AS r1, (bg_total - bg_count)::DOUBLE AS r0, " +
+      "fg_total AS c1, (bg_total - fg_total) AS c0 FROM g CROSS JOIN tot) " +
+      "SELECT term, fg_count, bg_count, round(" +
+      "(CASE WHEN n11 > 0 THEN (n11/n) * log2(n*n11/(r1*c1)) ELSE 0 END) + " +
+      "(CASE WHEN n10 > 0 THEN (n10/n) * log2(n*n10/(r1*c0)) ELSE 0 END) + " +
+      "(CASE WHEN n01 > 0 THEN (n01/n) * log2(n*n01/(r0*c1)) ELSE 0 END) + " +
+      "(CASE WHEN n00 > 0 THEN (n00/n) * log2(n*n00/(r0*c0)) ELSE 0 END), 6) AS score " +
+      "FROM c ORDER BY score DESC, term LIMIT 10"),
+    "q_agg_sig_gnd" -> ("WITH terms AS (SELECT lang = 'en' AS fg, " +
+      "unnest(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0))) AS term FROM documents), " +
+      "tot AS (SELECT count_if(lang = 'en')::DOUBLE AS fg_total, count(*)::DOUBLE AS bg_total FROM documents), " +
+      "g AS (SELECT term, count_if(fg)::BIGINT AS fg_count, count(*)::BIGINT AS bg_count FROM terms GROUP BY term HAVING count_if(fg) >= 5) " +
+      "SELECT term, fg_count, bg_count, " +
+      "round(1 - (greatest(ln(bg_count::DOUBLE), ln(fg_total)) - ln(fg_count::DOUBLE)) / " +
+      "(ln(bg_total) - least(ln(bg_count::DOUBLE), ln(fg_total))), 6) AS score " +
+      "FROM g CROSS JOIN tot ORDER BY score DESC, term LIMIT 10"),
     "q_agg_sig_keyword" -> ("WITH tot AS (SELECT count_if(lang = 'de')::DOUBLE AS fg_total, count(*)::DOUBLE AS bg_total FROM documents), " +
       "g AS (SELECT source AS term, count_if(lang = 'de')::BIGINT AS fg_count, count(*)::BIGINT AS bg_count " +
       "FROM documents GROUP BY source HAVING count_if(lang = 'de') >= 2) " +
@@ -3653,6 +3719,15 @@ object SparkEntry {
     // ---- E ----
     "q_upsert_id" -> ("SELECT user_id, event_type AS last_type, value AS last_value FROM events " +
       "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) DESC, event_id DESC) = 1 ORDER BY user_id"),
+    // the write-path oracle reads the parquet the query itself WROTE
+    // (Verify runs the query before the checker runs the oracle), so
+    // rows+schema+hash all verify the on-disk bytes, not a re-derive
+    // Spark URL-escapes partition-dir values (mime=image%2Fpng) and
+    // unescapes them on read; DuckDB's hive_partitioning reads the
+    // raw dir name, so the oracle undoes the one escape mime can hit
+    "q_write_roundtrip" -> ("SELECT replace(mime, '%2F', '/') AS mime, count(*) AS n " +
+      s"FROM read_parquet('/tmp/graft_roundtrip_${System.getProperty("user.name")}/*/*.parquet', " +
+      "hive_partitioning=true) GROUP BY 1 ORDER BY 1"),
     "q_geo_distance" -> (GeoCte + " SELECT * FROM (SELECT c_custkey, " +
       "round(2 * 6371 * asin(sqrt(pow(sin(radians(0.0 - lat) / 2), 2) + " +
       "cos(radians(lat)) * cos(radians(0.0)) * pow(sin(radians(0.0 - lon) / 2), 2))), 4) AS dist_km " +
@@ -4077,6 +4152,34 @@ object SparkEntry {
     "q_nested_score" -> ("SELECT o_orderkey, round(avg(l_quantity), 4) AS score " +
       "FROM lineitem JOIN orders ON o_orderkey = l_orderkey WHERE l_quantity > 45 " +
       "GROUP BY o_orderkey ORDER BY o_orderkey"),
+    "q_graph_explore" -> ("WITH toks AS (SELECT doc_id, " +
+      "unnest(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0))) AS term FROM documents), " +
+      "bg AS (SELECT term, count(*)::BIGINT AS bg_count FROM toks GROUP BY term), " +
+      "tot AS (SELECT count(*)::DOUBLE AS n FROM documents), " +
+      "f1 AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'), " +
+      "f1t AS (SELECT count(*)::DOUBLE AS fg FROM f1), " +
+      "s1 AS (SELECT term, fg_count, bg_count, round((fg_count/fg)*ln((fg_count/fg)/(bg_count/n)), 6) AS score " +
+      "FROM (SELECT term, count(*)::BIGINT AS fg_count FROM toks JOIN f1 USING (doc_id) " +
+      "WHERE term <> 'spark' GROUP BY term HAVING count(*) >= 3) h " +
+      "JOIN bg USING (term) CROSS JOIN f1t CROSS JOIN tot ORDER BY score DESC, term LIMIT 5), " +
+      "f2 AS (SELECT DISTINCT doc_id FROM toks WHERE term IN (SELECT term FROM s1)), " +
+      "f2t AS (SELECT count(*)::DOUBLE AS fg FROM f2), " +
+      "s2 AS (SELECT term, fg_count, bg_count, round((fg_count/fg)*ln((fg_count/fg)/(bg_count/n)), 6) AS score " +
+      "FROM (SELECT term, count(*)::BIGINT AS fg_count FROM toks JOIN f2 USING (doc_id) " +
+      "WHERE term <> 'spark' AND term NOT IN (SELECT term FROM s1) GROUP BY term HAVING count(*) >= 3) h " +
+      "JOIN bg USING (term) CROSS JOIN f2t CROSS JOIN tot ORDER BY score DESC, term LIMIT 5) " +
+      "SELECT term, hop, fg_count, bg_count, score FROM (" +
+      "SELECT term, 0 AS hop, bg_count AS fg_count, bg_count, 1.0::DOUBLE AS score FROM bg WHERE term = 'spark' " +
+      "UNION ALL SELECT term, 1, fg_count, bg_count, score FROM s1 " +
+      "UNION ALL SELECT term, 2, fg_count, bg_count, score FROM s2) " +
+      "ORDER BY hop, score DESC, term"),
+    "q_graph_connections" -> ("WITH toks AS (SELECT doc_id, term FROM (SELECT doc_id, " +
+      "unnest(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0))) AS term FROM documents) " +
+      "WHERE term IN ('spark', 'agg', 'scan', 'merge', 'window')) " +
+      "SELECT a.term AS source, b.term AS target, count(*)::BIGINT AS doc_count " +
+      "FROM toks a JOIN toks b USING (doc_id) WHERE a.term < b.term " +
+      "GROUP BY 1, 2 HAVING count(*) >= 3 " +
+      "ORDER BY doc_count DESC, source, target"),
     "q_retriever_rule" -> (TokCte + bm25Ctes("", "tok", Seq("fast", "hash", "join")) +
       ", r AS (SELECT id, score, " +
       "CASE WHEN id = 42 THEN 0 WHEN id = 7 THEN 1 ELSE 2147483647 END AS pin_rank " +

@@ -805,6 +805,35 @@ object Aggs {
       // rare terms
       Num.round((col("fg_rate") - col("bg_rate")) *
         (col("fg_rate") / col("bg_rate")), 6)
+    case "mutual_information" =>
+      // textbook 2x2 mutual information (Manning & Schuetze 13.5.1)
+      // over term-presence x fg-membership DOC counts, log base 2,
+      // background as superset; empty cells contribute 0 (0*log0=0)
+      val n = col("bg_total")
+      val n11 = col("fg_count").cast("double")
+      val n10 = col("bg_count") - col("fg_count")
+      val n01 = col("fg_total") - col("fg_count")
+      val n00 = n - col("bg_count") - col("fg_total") + col("fg_count")
+      val r1 = col("bg_count").cast("double") // term-present row total
+      val r0 = n - col("bg_count")
+      val c1 = col("fg_total")
+      val c0 = n - col("fg_total")
+      def mi(nij: Column, ni: Column, nj: Column): Column =
+        when(nij > 0, (nij / n) * log(2.0, n * nij / (ni * nj)))
+          .otherwise(lit(0.0))
+      Num.round(mi(n11, r1, c1) + mi(n10, r1, c0) +
+        mi(n01, r0, c1) + mi(n00, r0, c0), 6)
+    case "gnd" =>
+      // Google Normalized Distance (Cilibrasi & Vitanyi 2007) between
+      // the term and the foreground set, reported as 1 - NGD so larger
+      // = more significant: fx = term docs, fy = fg docs, fxy = co-occ
+      val fx = col("bg_count").cast("double")
+      val fy = col("fg_total")
+      val fxy = col("fg_count").cast("double")
+      val n = col("bg_total")
+      Num.round(lit(1.0) -
+        (greatest(log(fx), log(fy)) - log(fxy)) /
+          (log(n) - least(log(fx), log(fy))), 6)
     case other => throw new IllegalArgumentException(
       s"unknown significance heuristic: $other")
   }
@@ -1233,20 +1262,39 @@ object Aggs {
 
   /** `frequent_item_sets` (ES 8 basket analysis), pairs flavor: for
     * baskets of items, the size-2 itemsets above a support threshold.
-    * Explode basket items (distinct within basket), self-join ON THE
-    * BASKET KEY with item1 < item2, one partial-agg count. The join is
-    * key-local and quadratic only in basket SIZE (bounded small in
-    * basket data), never in basket count — at 100 TB the shuffle
-    * carries (basket, item) pairs, and AQE handles hot baskets. */
+    *
+    * A-Priori screen FIRST (exact, no result change): a pair with
+    * support >= minSupport requires BOTH items to individually appear
+    * in >= minSupport baskets, so items below that bar are pruned
+    * before the self-join ever sees them — the same downward-closure
+    * prune every A-Priori/FP-growth implementation opens with. Then
+    * explode (distinct within basket), self-join ON THE BASKET KEY
+    * with item1 < item2, one partial-agg count. The join is key-local
+    * and quadratic only in the post-prune basket size; `maxBasketItems`
+    * caps that hazard deterministically (keep the globally most
+    * frequent items per basket, frequency desc / item asc — a
+    * pathological 10^5-item basket contributes cap^2 pairs, not
+    * 10^10). At 100 TB the shuffle carries (basket, item) pairs and
+    * AQE handles hot baskets. */
   def frequentItemSets(
       baskets: DataFrame,
       basketCol: String,
       itemCol: String,
-      minSupport: Long): DataFrame = {
+      minSupport: Long,
+      maxBasketItems: Int = 10000): DataFrame = {
     val items = baskets
       .select(col(basketCol).as("b"), col(itemCol).as("item")).distinct()
-    val a = items.select(col("b"), col("item").as("item1"))
-    val bb = items.select(col("b"), col("item").as("item2"))
+    val freq = items.groupBy(col("item"))
+      .agg(count(lit(1)).as("item_freq"))
+      .where(col("item_freq") >= minSupport)
+    val wCap = Window.partitionBy(col("b"))
+      .orderBy(col("item_freq").desc, col("item").asc)
+    val pruned = items.join(freq, Seq("item"))
+      .withColumn("_bi", row_number().over(wCap))
+      .where(col("_bi") <= maxBasketItems)
+      .select(col("b"), col("item"))
+    val a = pruned.select(col("b"), col("item").as("item1"))
+    val bb = pruned.select(col("b"), col("item").as("item2"))
     a.join(bb, Seq("b"))
       .where(col("item1") < col("item2"))
       .groupBy("item1", "item2")

@@ -383,7 +383,8 @@ object Dedup {
     * oracle checks it hash-exact. `fpp` trades bloom size for
     * candidate-join width.
     *
-    * Returns batch rows whose `textCol` content was NOT seen. */
+    * Returns the `doc_id` (renamed `idCol`) of batch rows whose
+    * `textCol` content was NOT seen. */
   def bloomScreenNew(batch: DataFrame, seen: DataFrame,
       idCol: String, textCol: String,
       expectedSeen: Long = 1000000L, fpp: Double = 0.03): DataFrame = {
@@ -403,13 +404,14 @@ object Dedup {
     // the right side per branch, and an uncached `confirmed` would
     // recompute the whole bloom+verify pipeline once per union branch
     // (the dedupIncrementalNewIds r8 trap; measured 9x super-linear
-    // at the 30x probe before this cache)
+    // at the 30x probe before this cache). Eager localCheckpoint, not
+    // cache(): it materializes once AND releases with the plan — a
+    // cache() here leaked executor storage for the session lifetime.
     val confirmed = candidates
       .join(seenH.distinct().withColumnRenamed("h", "_sh"),
         hash === col("_sh"), "left_semi")
       .select(col(idCol).as("doc_id"))
-      .cache()
-    confirmed.count()
+      .localCheckpoint(true)
     batch.select(col(idCol).as("doc_id"))
       .join(confirmed, Seq("doc_id"), "left_anti")
       .orderBy(col("doc_id"))

@@ -52,8 +52,9 @@ object AggsJson {
     var metrics = Seq.empty[(String, Column)]
     var topSize: Option[Int] = None
     var topSizeExplicit = false
-    // ES terms `order`: {"_key"|"_count"|<metric name>: "asc"|"desc"}
-    var topOrder: Option[(String, Boolean)] = None
+    // ES terms `order`: {"_key"|"_count"|<metric name>: "asc"|"desc"},
+    // or the array form [{...},{...}] for multi-criteria ordering
+    var topOrder: List[(String, Boolean)] = Nil
     var level = 0
 
     def walk(aggs: List[JField]): Unit = {
@@ -87,10 +88,19 @@ object AggsJson {
             topSize = explicitSize.orElse(
               if (m.contains("terms")) Some(10) else None)
             topSizeExplicit = explicitSize.isDefined
+            def oneOrder(v: JValue): (String, Boolean) = v match {
+              case JObject(List(JField(by, JString(dir))))
+                  if Set("asc", "desc")(dir.toLowerCase) =>
+                (by, dir.toLowerCase == "asc")
+              case other => throw new IllegalArgumentException(
+                "unsupported terms order entry (want a single-entry " +
+                  s"""{"target": "asc"|"desc"} object): $other""")
+            }
             topOrder = m.get("terms").collect {
-              case JObject(s) => s.toMap.get("order") }.flatten.collect {
-                case JObject(List(JField(by, JString(dir)))) =>
-                  (by, dir.toLowerCase == "asc")
+              case JObject(s) => s.toMap.get("order") }.flatten match {
+                case None => Nil
+                case Some(JArray(entries)) => entries.map(oneOrder)
+                case Some(v) => List(oneOrder(v))
               }
           } else if (explicitSize.isDefined)
             throw new IllegalArgumentException(
@@ -128,18 +138,19 @@ object AggsJson {
           // order target: _key / _count / a declared metric name;
           // key-asc tie-break everywhere (ES's determinism rule)
           val ordered = topOrder match {
-            case Some(("_key", asc)) =>
-              grouped.orderBy(if (asc) keyCol.asc else keyCol.desc)
-            case Some((by, asc)) =>
-              val target =
-                if (by == "_count") col("doc_count")
+            case Nil =>
+              grouped.orderBy(col("doc_count").desc, keyCol.asc)
+            case specs =>
+              def target(by: String): Column =
+                if (by == "_key") keyCol
+                else if (by == "_count") col("doc_count")
                 else if (metrics.exists(_._1 == by)) col(by)
                 else throw new IllegalArgumentException(
                   s"terms order references unknown target: $by")
-              grouped.orderBy(
-                (if (asc) target.asc else target.desc), keyCol.asc)
-            case None =>
-              grouped.orderBy(col("doc_count").desc, keyCol.asc)
+              val sortCols = specs.map { case (by, asc) =>
+                if (asc) target(by).asc else target(by).desc }
+              // key-asc as the final tie-break (ES's determinism rule)
+              grouped.orderBy((sortCols :+ keyCol.asc): _*)
           }
           ordered.limit(k)
         case Some(_) if topSizeExplicit =>

@@ -217,10 +217,13 @@ object Esql {
         // DATE_PARSE("pattern", str) — back to the ns-long domain
         case ("date_parse", Seq(fmt, x)) =>
           unix_micros(to_timestamp(x, litStr(fmt, "DATE_PARSE pattern"))) * lit(1000L)
-        // CASE(cond1, val1, cond2, val2, ..., default)
-        case ("case", xs) if xs.size >= 3 && xs.size % 2 == 1 =>
-          val default = xs.last
-          xs.dropRight(1).grouped(2).toSeq.foldRight(default) {
+        // CASE(cond1, val1, cond2, val2, ..., default?) — ES|QL allows
+        // omitting the default, which is then null
+        case ("case", xs) if xs.size >= 2 =>
+          val (pairs, default) =
+            if (xs.size % 2 == 1) (xs.dropRight(1), xs.last)
+            else (xs, lit(null))
+          pairs.grouped(2).toSeq.foldRight(default) {
             case (Seq(c, v), acc) => when(c, v).otherwise(acc)
           }
         case ("length", Seq(x)) => length(x)
@@ -751,9 +754,12 @@ object Esql {
           }
         }
       case "mv_expand" =>
-        // MV_EXPAND col — one row per element of a multi-value field
+        // MV_EXPAND col — one row per element of a multi-value field.
+        // ES|QL keeps a null multivalue as ONE row with null (a field
+        // with zero values IS null in ES), so explode_outer, not
+        // explode (which would silently drop those rows)
         val c = body.trim
-        df.withColumn(c, explode(col(c)))
+        df.withColumn(c, explode_outer(col(c)))
       case "fork" =>
         // FORK (pipe | pipe) (pipe) — run each branch on the incoming
         // frame, union tagged with _fork. Branches are independent

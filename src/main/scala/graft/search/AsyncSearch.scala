@@ -30,7 +30,13 @@ object AsyncSearch {
       val rows: java.util.concurrent.ConcurrentLinkedQueue[Row],
       val running: AtomicBoolean,
       val cancelled: AtomicBoolean,
-      @volatile var error: Option[String])
+      @volatile var error: Option[String]) {
+    // counted down AFTER the worker thread has set its job group, so
+    // cancel() can't fire cancelJobGroup before the group exists (the
+    // submit/cancel race: an early cancel would otherwise let the
+    // already-running first partition job finish uncancelled)
+    val groupSet = new java.util.concurrent.CountDownLatch(1)
+  }
 
   private val registry = new ConcurrentHashMap[String, Handle]()
 
@@ -44,14 +50,20 @@ object AsyncSearch {
     val t = new Thread(() => {
       try {
         sc.setJobGroup(id, s"_async_search $id", interruptOnCancel = true)
-        val it = df.toLocalIterator()
-        while (it.hasNext && !h.cancelled.get()) h.rows.add(it.next())
+        h.groupSet.countDown()
+        // an early cancel (before the latch) is honored here, before
+        // any job is submitted under the group
+        if (!h.cancelled.get()) {
+          val it = df.toLocalIterator()
+          while (it.hasNext && !h.cancelled.get()) h.rows.add(it.next())
+        }
       } catch {
         case e: Throwable =>
           // a cancelled job group surfaces as SparkException — that is
           // the expected cancel path, not an error
           if (!h.cancelled.get()) h.error = Some(String.valueOf(e.getMessage))
       } finally {
+        h.groupSet.countDown()
         sc.clearJobGroup()
         h.running.set(false)
       }
@@ -80,6 +92,10 @@ object AsyncSearch {
     val h = registry.get(id)
     require(h != null, s"unknown async search: $id")
     h.cancelled.set(true)
+    // wait for the worker to have SET the group before cancelling it —
+    // otherwise the cancel is a no-op and in-flight cluster work
+    // survives (rows stop via the flag, but stages run to completion)
+    h.groupSet.await(10, java.util.concurrent.TimeUnit.SECONDS)
     spark.sparkContext.cancelJobGroup(id)
   }
 

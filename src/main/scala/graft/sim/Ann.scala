@@ -21,6 +21,26 @@ import graft.util.Num
   */
 object Ann {
 
+  /** Hard cap on the query-frame rows any ANN entry point will collect
+    * or broadcast. The ANN contract is MLlib-shaped — a bounded query
+    * set against an unbounded corpus — and this makes the contract
+    * LOUD: an unbounded query frame fails with a clear message instead
+    * of a silent driver/executor OOM. 100k queries × 1 KB vector ≈
+    * 100 MB broadcast, the sane ceiling for a 4 GB driver. */
+  val MaxQueryRows = 100000
+
+  /** Enforce [[MaxQueryRows]] cheaply: `limit(cap+1).count()` stops
+    * scanning as soon as cap+1 rows exist — it never counts an
+    * unbounded frame. */
+  private def requireBoundedQueries(queries: DataFrame, op: String): Unit = {
+    val n = queries.limit(MaxQueryRows + 1).count()
+    require(n <= MaxQueryRows,
+      s"$op: query frame exceeds the $MaxQueryRows-row broadcast cap " +
+        "(ANN queries are collected/broadcast to every task; split the " +
+        "query set into batches, or swap corpus and queries if the " +
+        "'queries' side is actually the big one)")
+  }
+
   /** Exact top-k neighbors for each query vector (cosine), via
     * crossJoin(broadcast(queries)) + per-query window top-k. */
   def bruteForceTopK(
@@ -32,6 +52,7 @@ object Ann {
     val c = corpus.select(
       col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
+    requireBoundedQueries(queries, "bruteForceTopK")
     val q = queries.select(
       col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
@@ -157,6 +178,7 @@ object Ann {
       cents: DataFrame,
       nprobe: Int,
       k: Int): DataFrame = {
+    requireBoundedQueries(queries, "ivfTopKWith")
     val c = corpus.select(
       col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
@@ -215,6 +237,7 @@ object Ann {
       vecCol: String,
       dim: Int,
       k: Int): DataFrame = {
+    requireBoundedQueries(queries, "lshTopK")
     val c = corpus.select(
       col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
@@ -320,6 +343,7 @@ object Ann {
       ef: Int = 48): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    requireBoundedQueries(queries, "hnswTopK")
     val qs = queries
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])].collect()
@@ -421,9 +445,12 @@ object Ann {
       .select(col("query_id"), col("id"))
     val exact = bruteForceTopK(corpus, queries, idCol, vecCol, k)
       .select(col("query_id"), col("id"))
-    exact.join(approx, Seq("query_id", "id"), "left_semi")
+    // Left join (not left_semi) so a query whose approx set shares ZERO
+    // ids with the exact top-k still yields a row, with recall_ok=false,
+    // instead of being silently absent from the probe output.
+    exact.join(approx.withColumn("hit", lit(1)), Seq("query_id", "id"), "left")
       .groupBy(col("query_id"))
-      .agg((count(lit(1)).cast("double") / k >= minRecall).as("recall_ok"))
+      .agg((count(col("hit")).cast("double") / k >= minRecall).as("recall_ok"))
       .orderBy(col("query_id"))
   }
 

@@ -286,15 +286,21 @@ object Connector {
       last = m.end
     }
     if (last < pattern.length) cols :+= lit(pattern.substring(last))
-    require(cols.exists(_ != null), s"empty resource pattern: $pattern")
+    require(cols.nonEmpty, s"empty resource pattern: $pattern")
     val idx = concat(cols: _*)
+    // persist once: the upstream plan would otherwise recompute per
+    // distinct target plus once for the distinct itself — O(targets+1)
+    // runs of a possibly-expensive batch pipeline
     val named = batch.withColumn("__graft_idx", idx)
-    val targets = named.select(col("__graft_idx")).distinct()
-      .collect().map(_.getString(0)).sorted
-    for (t <- targets) {
-      save(named.where(col("__graft_idx") === t).drop("__graft_idx"),
-        s"$root/$t", cfg)
-    }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val targets = named.select(col("__graft_idx")).distinct()
+        .collect().map(_.getString(0)).sorted
+      for (t <- targets) {
+        save(named.where(col("__graft_idx") === t).drop("__graft_idx"),
+          s"$root/$t", cfg)
+      }
+    } finally named.unpersist()
   }
 
   def save(batch: DataFrame, path: String, cfg0: Map[String, String]): Unit = {

@@ -15,6 +15,25 @@ class AggsSpec extends SparkSpec {
     assert(r == Seq(("b", 3L), ("a", 2L)))
   }
 
+  test("frequent_item_sets: A-Priori prune exact, basket cap bounds pairs") {
+    val baskets = Seq(
+      (1L, "milk"), (1L, "bread"), (1L, "rare"),
+      (2L, "milk"), (2L, "bread"),
+      (3L, "milk"), (3L, "bread"), (3L, "eggs"),
+      (4L, "milk"), (4L, "eggs")).toDF("basket", "item")
+    val r = Aggs.frequentItemSets(baskets, "basket", "item", minSupport = 2L)
+      .as[(String, String, Long)].collect().toSeq
+    // prune drops "rare" (freq 1) pre-join; pair results are EXACT
+    assert(r == Seq(("bread", "milk", 3L), ("eggs", "milk", 2L)))
+    // cap=1 keeps only the most frequent item per basket: no pairs
+    assert(Aggs.frequentItemSets(baskets, "basket", "item", 2L,
+      maxBasketItems = 1).count() == 0L)
+    // cap=2 keeps (milk, bread) per basket (freq desc): eggs pair gone
+    val capped = Aggs.frequentItemSets(baskets, "basket", "item", 2L,
+      maxBasketItems = 2).as[(String, String, Long)].collect().toSeq
+    assert(capped == Seq(("bread", "milk", 3L)))
+  }
+
   test("aggs JSON compiler: terms size top-k, nesting, range labels, metric-only") {
     import graft.dsl.AggsJson
     // terms with size: top-k by doc_count desc, key asc
@@ -59,6 +78,24 @@ class AggsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       AggsJson.compile(df,
         """{"aggs": {"byk": {"terms": {"field": "k", "order": {"nope": "desc"}}}}}""")
+    }
+    // array order form: multi-criteria, later entries break earlier ties
+    val tied = Seq(("a", 1.0), ("b", 2.0), ("c", 3.0), ("c", 4.0)).toDF("k", "v")
+    val multi = AggsJson.compile(tied,
+      """{"aggs": {"byk": {"terms": {"field": "k",
+           "order": [{"_count": "desc"}, {"_key": "desc"}]}}}}""")
+      .select("byk").as[String].collect().toSeq
+    assert(multi == Seq("c", "b", "a"))
+    // order present but not a supported shape: loud error, not a
+    // silent fall-back to the default doc_count ordering
+    intercept[IllegalArgumentException] {
+      AggsJson.compile(df,
+        """{"aggs": {"byk": {"terms": {"field": "k",
+             "order": {"_key": "desc", "_count": "asc"}}}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      AggsJson.compile(df,
+        """{"aggs": {"byk": {"terms": {"field": "k", "order": "desc"}}}}""")
     }
     // metric `missing`: null field values count as the substitute
     val withNulls = Seq(("a", Some(2.0)), ("a", None), ("b", Some(4.0)))

@@ -91,6 +91,34 @@ class AnnTextSpec extends SparkSpec {
     }
   }
 
+  test("ANN query-frame cap: an unbounded query frame fails LOUDLY") {
+    // the broadcast contract is bounded queries vs unbounded corpus;
+    // exceeding MaxQueryRows must be an IllegalArgumentException with
+    // a clear message, never a silent driver OOM
+    val huge = spark.range(Ann.MaxQueryRows + 1L)
+      .select(col("id").as("vec_id"),
+        array(lit(1.0f), lit(0.0f)).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Ann.bruteForceTopK(vecs, huge, "vec_id", "embedding", 3)
+    }
+    assert(e.getMessage.contains("broadcast cap"))
+    intercept[IllegalArgumentException] {
+      Ann.hnswTopK(vecs, huge, "vec_id", "embedding", 3)
+    }
+    intercept[IllegalArgumentException] {
+      Ann.lshTopK(vecs, huge, "vec_id", "embedding", 2, 3)
+    }
+  }
+
+  test("recall probe: one row per query even under a failing floor") {
+    val probe = Ann.hnswRecallProbe(vecs.repartition(1),
+      vecs.where(col("vec_id") <= 2), "vec_id", "embedding",
+      k = 3, minRecall = 1.01) // impossible floor: every verdict false
+      .as[(Long, Boolean)].collect().toSeq
+    assert(probe.map(_._1) == Seq(1L, 2L))
+    assert(probe.forall(!_._2))
+  }
+
   test("knn _explain: dot/norms/cosine breakdown consistent") {
     val r = Ann.explainKnn(vecs, "vec_id", "embedding",
       Seq(1.0, 1.0, 0.0, 0.0), docId = 2L)
