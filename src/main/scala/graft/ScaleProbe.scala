@@ -46,10 +46,20 @@ object ScaleProbe {
     val docs = times(Tables.documents(spark, sfDir), "doc_id", 10000000L)
     val li = times(Tables.lineitem(spark, sfDir), "l_orderkey", 100000000L)
 
+    // host load next to every number (the same starvation adjudication
+    // BENCH carries since r6): loadavg plus the noise index
+    // loadavg/nproc — a probe time at noise > ~0.5 is host-polluted
+    def load(): (String, String) = try {
+      val l = scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+").head
+      (l, f"${l.toDouble / Runtime.getRuntime.availableProcessors()}%.2f")
+    } catch { case _: Throwable => ("?", "?") }
+
     def time(name: String)(thunk: => Long): Unit = if (selected(name)) {
       val t0 = System.nanoTime()
       val rows = thunk
-      println(f"[scaleprobe] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($rows rows)")
+      val (l, ni) = load()
+      println(f"[scaleprobe] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($rows rows, loadavg=$l noise=$ni)")
     }
 
     time("tpch_q1_10x") {
@@ -126,8 +136,10 @@ object ScaleProbe {
           graft.dedup.Vectors.cosine(col("embedding"), qv), 4).as("score"))
       Search.rrfTopK(Seq(lex, sem), 60, 50, 10).count()
     }
-    // frequent_item_sets: basket-key-local self-join — quadratic in
-    // basket size (bounded ~7), linear in basket count
+    // frequent_item_sets: A-Priori pre-prune + degenerate-basket drop
+    // guard + basket-key-local self-join — quadratic only in the
+    // post-prune capped basket size (bounded ~7 here), linear in
+    // basket count (r11 measured 10x 15.3 s -> 30x 34.9 s = 2.3x)
     time("frequent_items_10x") {
       val part = Tables.part(spark, sfDir).select(col("p_partkey"), col("p_brand"))
       Aggs.frequentItemSets(
@@ -307,7 +319,8 @@ object ScaleProbe {
           Seq("query_id", "id")).groupBy("query_id")
           .agg(count(lit(1)).as("hits"))
         val r = hit.agg(avg(col("hits") / 10.0)).head().getDouble(0)
-        println(f"[scaleprobe] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  (recall@10 = $r%.3f)")
+        val (l, ni) = load()
+        println(f"[scaleprobe] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  (recall@10 = $r%.3f, loadavg=$l noise=$ni)")
       }
       recall("ann_lsh_recall_10x",
         graft.sim.Ann.lshTopK(emb, queries, "vec_id", "embedding", dim = 64, k = 10))

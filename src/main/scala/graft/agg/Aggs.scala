@@ -1271,11 +1271,13 @@ object Aggs {
     * explode (distinct within basket), self-join ON THE BASKET KEY
     * with item1 < item2, one partial-agg count. The join is key-local
     * and quadratic only in the post-prune basket size; `maxBasketItems`
-    * caps that hazard deterministically (keep the globally most
-    * frequent items per basket, frequency desc / item asc — a
-    * pathological 10^5-item basket contributes cap^2 pairs, not
-    * 10^10). At 100 TB the shuffle carries (basket, item) pairs and
-    * AQE handles hot baskets. */
+    * bounds that hazard by DROPPING baskets whose post-prune size
+    * exceeds the cap (a 10^5-item "basket" is degenerate input, and
+    * dropping it whole is deterministic where truncation would need an
+    * arbitrary keep-rule) — the size check is one partial-agg count
+    * and a left_anti against a frame that is EMPTY on sane data, so
+    * the guard costs ~nothing until it fires. At 100 TB the shuffle
+    * carries (basket, item) pairs and AQE handles hot baskets. */
   def frequentItemSets(
       baskets: DataFrame,
       basketCol: String,
@@ -1284,15 +1286,19 @@ object Aggs {
       maxBasketItems: Int = 10000): DataFrame = {
     val items = baskets
       .select(col(basketCol).as("b"), col(itemCol).as("item")).distinct()
+    // A-Priori screen: frequent-item frame is tiny post-filter, so AQE
+    // turns the prune join into a broadcast
     val freq = items.groupBy(col("item"))
       .agg(count(lit(1)).as("item_freq"))
       .where(col("item_freq") >= minSupport)
-    val wCap = Window.partitionBy(col("b"))
-      .orderBy(col("item_freq").desc, col("item").asc)
-    val pruned = items.join(freq, Seq("item"))
-      .withColumn("_bi", row_number().over(wCap))
-      .where(col("_bi") <= maxBasketItems)
-      .select(col("b"), col("item"))
+    val prunedAll = items.join(freq.select(col("item")), Seq("item"), "left_semi")
+    // degenerate-basket guard: post-prune sizes over the cap drop the
+    // basket; `oversized` is empty on sane data and AQE broadcasts it
+    val oversized = prunedAll.groupBy(col("b"))
+      .agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") > maxBasketItems)
+      .select(col("b"))
+    val pruned = prunedAll.join(oversized, Seq("b"), "left_anti")
     val a = pruned.select(col("b"), col("item").as("item1"))
     val bb = pruned.select(col("b"), col("item").as("item2"))
     a.join(bb, Seq("b"))

