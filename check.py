@@ -88,5 +88,22 @@ for name in sorted(manifest):
         print(f"{name:24s} MISSING RESULT (query failed in Verify?)")
         fail += 1
 
+# SURVEY §2 <-> registry invariant: every q_* row in the §2 tables must
+# be a declared query, and every declared query key must have a §2 row
+# (spec-only rows have non-q_* keys, so they are exempt by shape). Only
+# meaningful on a full (unfiltered) Verify run — detected by manifest
+# size, so local single-query iteration stays usable.
+survey = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SURVEY.md")
+if os.path.exists(survey) and len(manifest) > 100:
+    import re
+    s2 = open(survey).read().split("## §2", 1)[-1].split("\n## ", 1)[0]
+    rows = set(re.findall(r"^\|\s*(q_[a-z0-9_]+)\s*\|", s2, re.M))
+    for k in sorted(rows - manifest):
+        print(f"{k:24s} SURVEY ROW WITHOUT A DECLARED QUERY")
+        fail += 1
+    for k in sorted(manifest - rows):
+        print(f"{k:24s} DECLARED QUERY WITHOUT A SURVEY §2 ROW")
+        fail += 1
+
 print(f"\n{ok} ok, {fail} fail")
 sys.exit(1 if fail else 0)

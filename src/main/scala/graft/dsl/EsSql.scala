@@ -174,4 +174,68 @@ object EsSql {
     // SELECT * would otherwise leak the compiled helper columns
     out.drop(out.columns.filter(_.startsWith("__graft_")): _*)
   }
+
+  // --- cursor paging (`fetch_size` + cursor continuation) ---------------
+  //
+  // ES SQL with `fetch_size` returns one page plus a cursor; POSTing the
+  // cursor returns the next page until a short/empty page closes it.
+  // Spark shape: the cursor captures the COMPILED frame (the Catalyst
+  // plan, not materialized rows) plus the next-row offset; each fetch is
+  // `offset(n).limit(fetch)` over that plan. Determinism requires the
+  // query's ORDER BY to be total (ES makes the same demand of
+  // search_after). Stability under concurrent writes comes from what the
+  // plan READS: a frame built through `Connector.pitDF` pins its
+  // generation, so pages keep serving the open-time snapshot while
+  // writers swap generations underneath — the cursor analog of ES
+  // keeping the scroll context alive on the old segments.
+  //
+  // Driver state is one (plan, offset) pair per open cursor — no rows.
+
+  private val cursors =
+    new java.util.concurrent.ConcurrentHashMap[String, (() => DataFrame, Int, Long)]()
+
+  /** `POST /_sql {query, fetch_size}`: first page + cursor (None when
+    * the result fits one page). */
+  def openCursor(spark: SparkSession, dir: String, sql: String,
+      fetchSize: Int): (DataFrame, Option[String]) =
+    openCursorBy(() => run(spark, dir, sql), fetchSize)
+
+  /** Cursor over an already-compiled static frame. */
+  def openCursorOn(df: DataFrame, fetchSize: Int): (DataFrame, Option[String]) =
+    openCursorBy(() => df, fetchSize)
+
+  /** Cursor over a frame THUNK, re-invoked per page: required for
+    * sources whose file lists re-resolve on read — `Connector.pitDF`
+    * in particular, where a concurrent write retires the pinned
+    * generation's files to a new directory and a captured plan would
+    * hold the stale paths. */
+  def openCursorBy(mk: () => DataFrame, fetchSize: Int): (DataFrame, Option[String]) = {
+    require(fetchSize > 0, s"fetch_size must be positive: $fetchSize")
+    page(java.util.UUID.randomUUID().toString, mk, fetchSize, 0L)
+  }
+
+  /** `POST /_sql {cursor}`: the next page. A full page returns the same
+    * cursor id; a short page is the last and closes the cursor. */
+  def fetchCursor(cursorId: String): (DataFrame, Option[String]) = {
+    val st = cursors.get(cursorId)
+    require(st != null, s"unknown or closed SQL cursor: $cursorId")
+    page(cursorId, st._1, st._2, st._3)
+  }
+
+  /** `POST /_sql/close` — drop the cursor state. */
+  def closeCursor(cursorId: String): Unit = cursors.remove(cursorId)
+
+  private def page(id: String, mk: () => DataFrame, fetchSize: Int,
+      offset: Long): (DataFrame, Option[String]) = {
+    val p = mk().offset(offset.toInt).limit(fetchSize)
+    // a full page means there may be more: keep the cursor open.
+    // ES behaves the same way (the last page can be empty).
+    if (p.count() == fetchSize) {
+      cursors.put(id, (mk, fetchSize, offset + fetchSize))
+      (p, Some(id))
+    } else {
+      cursors.remove(id)
+      (p, None)
+    }
+  }
 }

@@ -78,4 +78,48 @@ class EsSqlSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("unsupported MATCH option"))
   }
+
+  test("cursor paging: pages partition the ordered result exactly") {
+    val full = EsSql.run(spark, sfDir,
+      "SELECT doc_id, lang FROM documents ORDER BY doc_id")
+      .as[(Long, String)].collect().toSeq
+    var (page, cur) = EsSql.openCursor(spark, sfDir,
+      "SELECT doc_id, lang FROM documents ORDER BY doc_id", 150)
+    var got = page.as[(Long, String)].collect().toSeq
+    assert(got.size == 150)
+    var fetches = 0
+    while (cur.isDefined && fetches < 20) {
+      val (p, c) = EsSql.fetchCursor(cur.get)
+      got ++= p.as[(Long, String)].collect().toSeq
+      cur = c; fetches += 1
+    }
+    // 500 docs / 150 per page: 3 full pages + one 50-row page
+    assert(got == full && fetches == 3)
+    // a closed/unknown cursor fails loudly
+    intercept[IllegalArgumentException] { EsSql.fetchCursor("nope") }
+  }
+
+  test("cursor over a PIT-pinned read stays stable under concurrent writes") {
+    import graft.sources.Connector
+    import graft.sources.Connector.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sqlcur")
+      .toString + "/idx"
+    val cfg = Map("graft.mapping.id" -> "id")
+    (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v").saveToGraft(dir, cfg)
+    val pit = Connector.openPit(spark, dir)
+    val (p1, c1) = EsSql.openCursorBy(
+      () => Connector.pitDF(spark, dir, pit).orderBy("id"), 4)
+    var got = p1.as[(Long, String)].collect().toSeq
+    // a writer swaps the generation mid-scroll: update id 1, insert 11
+    Seq((1L, "CHANGED"), (11L, "NEW")).toDF("id", "v").saveToGraft(dir, cfg)
+    var cur = c1
+    while (cur.isDefined) {
+      val (p, c) = EsSql.fetchCursor(cur.get)
+      got ++= p.as[(Long, String)].collect().toSeq
+      cur = c
+    }
+    // every page served the open-time snapshot: original values, no id 11
+    assert(got == (1L to 10L).map(i => (i, s"v$i")))
+    Connector.closePit(spark, dir, pit)
+  }
 }
