@@ -1,0 +1,520 @@
+package graft
+
+import graft.agg.Aggs
+import graft.dedup.Dedup
+import graft.dsl.QueryDsl
+import graft.rel.Relational
+import graft.search.{Search, Sorting}
+import graft.sim.Ann
+import graft.streaming.EventStreams
+import graft.text.TextAnalysis
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Num
+import graft.EntryShared._
+
+/** SparkEntry registrations: r7+ additions (cross-section) + their oracles.
+  * Split from SparkEntry.scala in r11 (registration-only; the
+  * implementing operators live in the modules named in SURVEY §2). */
+private[graft] object EntriesLate {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- r7 additions ----
+    // Painless while: data-independent trip count (6 Newton sqrt
+    // steps) unrolls at compile time — whole-stage codegen, no
+    // interpreter, no recursion in the plan
+    "q_script_while" -> ((s, d) => Search.scriptScoreTopK(
+      t(s, d, "documents"), "doc_id", query = lit(true),
+      script = "def x = doc['n_chars'].value; def g = 100.0; def i = 0; " +
+        "while (i < 6) { g = (g + x / g) / 2.0; i = i + 1 } return g",
+      params = Map.empty, k = 12)),
+    // function_score random_score: seeded reproducible shuffle
+    "q_function_random" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id").as("id"),
+        Num.round(Search.randomScore(col("doc_id"), 42L), 6).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(20)),
+    // full function_score: filtered functions combined per score_mode
+    // (max), folded into the base per boost_mode (multiply), max_boost
+    // cap — inline predicates, zero joins
+    "q_function_modes" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id").as("id"),
+        Num.round(Search.functionScoreModes(
+          base = lit(1.0),
+          functions = Seq(
+            (col("lang") === "en", log(lit(1.0) + col("n_chars") * lit(0.01)), 2.0),
+            (col("source") === "src3", lit(1.0), 3.0),
+            (col("n_chars") > 400, sqrt(col("n_chars").cast("double")), 0.1)),
+          scoreMode = "max", boostMode = "multiply", maxBoost = 5.0), 4).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(25)),
+    // post_filter: aggregations see the QUERY hits; the hit list is
+    // additionally narrowed — bucket counts computed BEFORE the
+    // narrowing ride back in on a broadcast join
+    "q_post_filter" -> ((s, d) => {
+      val hits = t(s, d, "documents").where(col("n_chars") >= 200)
+      val langCounts = hits.groupBy(col("lang")).agg(count(lit(1)).as("lang_hits"))
+      hits.where(col("source") === "src1")
+        .join(broadcast(langCounts), "lang")
+        .select(col("doc_id"), col("lang"), col("lang_hits"))
+        .orderBy(col("doc_id"))
+    }),
+    // sliced scroll: slice {id: 1, max: 4} — disjoint deterministic
+    // hash partitions; each export worker scans only its slice and the
+    // union of slices is exactly the full export
+    // _count API: pushed-down predicate + one partial-agg count
+    "q_count" -> ((s, d) => graft.sources.Connector.countQuery(
+      t(s, d, "documents"),
+      """{"bool": {"must": [{"term": {"lang": "en"}}, {"range": {"n_chars": {"gte": 200}}}]}}""",
+      "doc_id")),
+    // _source response filtering: includes/excludes with wildcards,
+    // pruned out of the scan by Catalyst
+    "q_source_filter" -> ((s, d) => graft.dsl.SearchBody.applySourceFilter(
+      t(s, d, "documents").where(col("lang") === "en"),
+      """{"includes": ["doc_id", "n_*", "s*"], "excludes": ["source"]}""")
+      .orderBy(col("doc_id"))),
+    "q_slice" -> ((s, d) => t(s, d, "documents")
+      .where(pmod(conv(substring(md5(concat(lit("slice:"), col("doc_id"))), 1, 12), 16, 10)
+        .cast("long"), lit(4L)) === 1L)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))),
+    // chained rescorers (ES takes a LIST): stage 2 re-ranks only
+    // stage 1's window — each stage is a broadcast join, the corpus
+    // is scanned once by the first-pass BM25
+    "q_rescore_multi" -> ((s, d) => Search.rescoreChainTopK(
+      t(s, d, "documents"), "doc_id", "text", "fast hash join",
+      stages = Seq(
+        (log(lit(1.0) + col("n_chars")), 50, 1.0, 0.5),
+        ((col("lang") === "en").cast("double"), 20, 1.0, 2.0)),
+      k = 10)),
+    // two-phase quantized knn (ES 8.18 rescore_vector.oversample):
+    // the int8 index ranks a coarse 4x window, raw vectors rescore
+    "q_knn_rescore" -> ((s, d) =>
+      graft.sim.Ann.knnRescoreTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        ScriptQv, k = 10, oversample = 4)),
+    // ES 8.16 BBQ (1-bit binary quantization): coarse asymmetric
+    // dot(q, sign(v)) from TWO PACKED LONGS per doc, oversampled
+    // window rescored with exact cosine — the 32x-compressed storage
+    // path beyond int8
+    "q_knn_bbq" -> ((s, d) =>
+      graft.sim.Ann.bbqTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        ScriptQv, k = 10, oversample = 4)),
+    // ip_range agg over the synthetic ip column (from-inclusive,
+    // to-exclusive, unbounded sides open; one scan, N count_ifs)
+    "q_agg_ip_range" -> ((s, d) => Aggs.ipRange(withIp(Tables.events(s, d)), "ip",
+      Seq(("low", None, Some("10.64.0.0")),
+        ("mid", Some("10.64.0.0"), Some("10.192.0.0")),
+        ("high", Some("10.192.0.0"), None)))),
+    // ip_prefix agg: /12 network buckets via integer mask math
+    "q_agg_ip_prefix" -> ((s, d) => Aggs.ipPrefix(withIp(Tables.events(s, d)), "ip", 12)),
+    // _transform pivot (one-shot): group_by + aggs, flat dest table
+    "q_transform_pivot" -> ((s, d) =>
+      graft.streaming.Transforms.pivot(Tables.events(s, d), "event_type", "value")
+        .select(col("event_type"), col("doc_count"),
+          Num.round(col("value_sum"), 4).as("value_sum"), col("value_max"))
+        .orderBy(col("event_type"))),
+    // _transform latest: newest doc per user — ONE max_by groupBy, no
+    // window/sort; ordered on µs-truncated time so the oracle (whose
+    // parquet reader truncates ns to µs) sees identical sort keys
+    "q_transform_latest" -> ((s, d) =>
+      graft.streaming.Transforms.latest(
+        Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000")),
+        "user_id", "ts_us", "event_id", Seq("event_id", "event_type", "value"))
+        .orderBy(col("user_id"))),
+    // search-body script_fields: per-hit computed outputs evaluated
+    // AFTER the query predicate (ES's evaluation point), Painless →
+    // codegen'd projections
+    "q_script_fields" -> ((s, d) => {
+      val body = """{"query": {"range": {"n_chars": {"gt": 400}}},
+        "script_fields": {
+          "hundreds": {"script": {"source": "doc['n_chars'].value / params.div",
+                                  "params": {"div": 100.0}}},
+          "mod7": {"script": {"source": "doc['n_chars'].value % 7"}}}}"""
+      val sf = graft.dsl.SearchBody.scriptFields(body)
+      t(s, d, "documents")
+        .where(graft.dsl.QueryDslJson.compile("""{"range": {"n_chars": {"gt": 400}}}"""))
+        .select(col("doc_id") +: sf.map { case (n, c) => Num.round(c, 4).as(n) }: _*)
+        .orderBy(col("doc_id"))
+    }),
+    // fields API with a date `format`: pattern render + epoch_millis
+    "q_fields_format" -> ((s, d) => t(s, d, "orders")
+      .where(col("o_totalprice") > 5000)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy/MM/dd").as("od_fmt"),
+        // NTZ -> instant is identity under the UTC session zone
+        unix_millis(col("o_orderdate").cast("timestamp")).as("od_ms"))
+      .orderBy(col("o_orderkey"))),
+    // indices_boost: per-index score multiplier — the lang partitions
+    // act as the boosted indices; broadcast of the scored postings
+    "q_indices_boost" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val scored = Search.bm25Scores(docs, "doc_id", "text", "fast hash join")
+      docs.join(broadcast(scored), col("doc_id") === scored("id"))
+        .select(scored("id"),
+          Num.round(scored("score") *
+            when(col("lang") === "en", 2.0).otherwise(1.0), 4).as("score"))
+        .orderBy(col("score").desc, col("id").asc)
+        .limit(15)
+    }),
+    // multi-term highlight with number_of_fragments
+    "q_highlight_fragments" -> ((s, d) =>
+      Search.highlightFragments(t(s, d, "documents"), "doc_id", "text",
+        "fast hash", numFragments = 2)),
+    // highlight order:score — fragments ranked by contained-term idf
+    // sum (FVH mode), not term order
+    "q_highlight_order" -> ((s, d) =>
+      Search.highlightFragmentsByScore(t(s, d, "documents"), "doc_id", "text",
+        "fast hash join", numFragments = 2)),
+    // fuzzy completion suggester: typed prefix within 1 DL edit
+    // ("rsc1" reaches "src1..." via one transposition)
+    "q_suggest_fuzzy" -> ((s, d) =>
+      Search.suggestCompletionFuzzy(t(s, d, "documents"), "source", "n_chars",
+        prefix = "rsc1", fuzziness = 1, k = 5)),
+    // multiple knn clauses in one search: per-clause windows, summed
+    // similarities on the merged hits
+    "q_knn_multi" -> ((s, d) =>
+      graft.sim.Ann.knnMultiTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        Seq((ScriptQv, 20), (ScriptQv2, 20)), k = 10)),
+    // nested query with score_mode: parent relevance folds matching
+    // child scores (integral l_quantity keeps the fold order-exact)
+    "q_nested_score" -> ((s, d) =>
+      Relational.nestedScore(t(s, d, "orders"), t(s, d, "lineitem"),
+        "o_orderkey", "l_orderkey", col("l_quantity") > 45,
+        col("l_quantity"), "avg")
+        .select(col("o_orderkey"), col("score"))
+        .orderBy(col("o_orderkey"))),
+    // query rules (8.15 rule retriever): pinned + excluded ids over an
+    // organic BM25 retriever
+    "q_retriever_rule" -> ((s, d) =>
+      Search.ruleTopK(t(s, d, "documents"), "doc_id", "text", "fast hash join",
+        pinned = Seq(42L, 7L), excluded = Seq(11L, 13L), k = 10)),
+    // geo_grid QUERY (not the agg): docs inside one geohash cell —
+    // the cell of customer 1's location, precision 2
+    "q_geo_grid_query" -> ((s, d) => {
+      val g = withGeo(t(s, d, "customer"))
+      val key = org.apache.spark.sql.GraftBridge.column(graft.expr.GeoHash(
+        org.apache.spark.sql.GraftBridge.expression(col("lat").cast("double")),
+        org.apache.spark.sql.GraftBridge.expression(col("lon").cast("double")), 2))
+      g.where(key === lit(GeoGridQueryCell))
+        .select(col("c_custkey"), col("lat"), col("lon"))
+        .orderBy(col("c_custkey"))
+    }),
+    // _graph/explore analog: seeded significance-ranked co-occurrence
+    // expansion, 2 hops, 5 vertices/hop — one persisted (doc, term)
+    // edge frame reused per hop; only top-N vertex lists hit the driver
+    "q_graph_explore" -> ((s, d) => graft.search.GraphExplore.explore(
+      t(s, d, "documents"), "doc_id", "text", Seq("spark"),
+      hops = 2, verticesPerHop = 5, minDocCount = 3)),
+    // the `connections` half: doc co-occurrence between vertex pairs
+    "q_graph_connections" -> ((s, d) => graft.search.GraphExplore.connections(
+      t(s, d, "documents"), "doc_id", "text",
+      Seq("spark", "agg", "scan", "merge", "window"), minDocCount = 3)),
+    // METRICS command (8.16 TSDS sugar): desugars to FROM + STATS
+    "q_esql_metrics" -> ((s, d) => graft.dsl.Esql.run(s, d,
+      "metrics events mx = max(value), n = count(*) by event_type | sort event_type")),
+    // STATS BY CATEGORIZE(f) (8.18): log-pattern grouping key
+    "q_esql_categorize" -> ((s, d) => graft.dsl.Esql.run(s, d,
+      "from events | stats n = count(*) by cat = categorize(event_type) | sort cat")),
+    // ES|QL IP family: CIDR_MATCH compiles to numeric range
+    // predicates (one per block, OR-folded) over the dotted-quad
+    "q_esql_cidr" -> ((s, d) => graft.dsl.Esql.run(s, d,
+      "from events " +
+        "| eval ip = concat(to_string(10), \".\", to_string(user_id * 7 % 256), " +
+        "\".\", to_string(user_id * 13 % 256), \".\", to_string(user_id % 256)) " +
+        "| where cidr_match(ip, \"10.64.0.0/10\", \"10.192.0.0/12\") " +
+        "| stats n = count(*)")),
+    // EQL simple event query
+    "q_eql_simple" -> ((s, d) => graft.dsl.Eql.run(s, d,
+      "error where value > 300")),
+    // EQL sequence correlation: the view -> click -> purchase funnel
+    // within 24h per user (as-of-join shape, no self-join)
+    "q_eql_sequence" -> ((s, d) => graft.dsl.Eql.run(s, d,
+      "sequence by user_id with maxspan=24h [view] [click where value > 50] [purchase]")),
+    // EQL missing events (8.x): ![error] between the steps — a
+    // view->purchase chain only matches when NO error intervened
+    "q_eql_missing" -> ((s, d) => graft.dsl.Eql.sequence(
+      Tables.events(s, d), "user_id", "ts_ns", "event_id",
+      Seq(("view", lit(true)), ("purchase", lit(true))),
+      maxspanNs = 24L * 3600 * 1000000000L,
+      missing = Seq((0, "error", lit(true))))),
+    // EQL sample: unordered correlation, one partial-agg groupBy
+    "q_eql_sample" -> ((s, d) => graft.dsl.Eql.run(s, d,
+      "sample by user_id [error where value > 200] [purchase where value > 200]")),
+    // EQL tail: LAST n matches in sort order (ordered limit over the
+    // reversed sort, re-sorted — never a global collect)
+    "q_eql_tail" -> ((s, d) => graft.dsl.Eql.run(s, d,
+      "purchase where value > 100 | tail 5")),
+    // EQL `with runs=2`: the step repeats — two successive qualifying
+    // clicks must follow the view. Expansion to duplicate-type steps
+    // rides on the per-level match flags (one event can extend a
+    // different chain per level, never two slots of one chain).
+    "q_eql_runs" -> ((s, d) => graft.dsl.Eql.run(s, d,
+      "sequence by user_id with maxspan=24h [view] [click where value > 100] with runs=2")),
+    // EQL `any` type wildcard + EQL-spelled functions (wildcard →
+    // LIKE, stringContains → contains) compiled into the one scan
+    "q_eql_funcs" -> ((s, d) => graft.dsl.Eql.run(s, d,
+      """any where (wildcard(event_type, "c*", "s?gnup") or stringContains(event_type, "rror")) and value > 300""")),
+    // significant_terms with background_filter: uplift measured
+    // against a RESTRICTED comparison set (fg kept inside bg so no
+    // zero-background terms arise)
+    "q_agg_sig_bg" -> ((s, d) =>
+      Aggs.significantTerms(t(s, d, "documents"), "text",
+        pred = col("lang") === "de" && col("n_chars") > 100,
+        minFgCount = 5, k = 10,
+        backgroundFilter = col("n_chars") > 100)),
+    // has_parent with score: true — children inherit the parent's
+    // relevance through one broadcast-eligible join
+    "q_has_parent_score" -> ((s, d) =>
+      Relational.hasParentScore(t(s, d, "lineitem"), t(s, d, "orders"),
+        "o_orderkey", "l_orderkey",
+        col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 5000,
+        log(lit(1.0) + col("o_totalprice")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("score"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // ---- r7 additions ----
+    // fold over range(6) with a prepended seed == the unrolled Newton
+    // iteration, identical double op order
+    "q_script_while" -> ("SELECT doc_id AS id, round(list_reduce(" +
+      "list_prepend(100.0::DOUBLE, list_transform(range(6), i -> 0.0::DOUBLE)), " +
+      "(g, e) -> (g + CAST(n_chars AS DOUBLE) / g) / 2.0::DOUBLE), 4) AS score " +
+      "FROM documents ORDER BY score DESC, id LIMIT 12"),
+    "q_function_random" -> (s"SELECT doc_id AS id, round(${hexFold("'42:' || doc_id", 12)} / 281474976710656.0, 6) AS score " +
+      "FROM documents ORDER BY score DESC, id LIMIT 20"),
+    "q_function_modes" -> ("WITH f AS (SELECT doc_id, " +
+      "CASE WHEN lang = 'en' THEN ln(1.0 + n_chars * 0.01) * 2.0 END AS f1, " +
+      "CASE WHEN source = 'src3' THEN 1.0 * 3.0 END AS f2, " +
+      "CASE WHEN n_chars > 400 THEN sqrt(CAST(n_chars AS DOUBLE)) * 0.1 END AS f3 " +
+      "FROM documents) " +
+      "SELECT doc_id AS id, round(1.0 * least(CASE WHEN f1 IS NULL AND f2 IS NULL AND f3 IS NULL THEN 1.0 " +
+      "ELSE greatest(coalesce(f1, -1.7976931348623157e308), coalesce(f2, -1.7976931348623157e308), " +
+      "coalesce(f3, -1.7976931348623157e308)) END, 5.0), 4) AS score " +
+      "FROM f ORDER BY score DESC, id LIMIT 25"),
+    "q_post_filter" -> ("WITH h AS (SELECT * FROM documents WHERE n_chars >= 200), " +
+      "lc AS (SELECT lang, count(*)::BIGINT AS lang_hits FROM h GROUP BY lang) " +
+      "SELECT doc_id, lang, lang_hits FROM h JOIN lc USING (lang) " +
+      "WHERE source = 'src1' ORDER BY doc_id"),
+    "q_slice" -> (s"SELECT doc_id, lang FROM documents " +
+      s"WHERE ${hexFold("'slice:' || doc_id", 12)} % 4 = 1 ORDER BY doc_id"),
+    "q_rescore_multi" -> (TokCte + bm25Ctes("", "tok", Seq("fast", "hash", "join")) +
+      ", w1 AS (SELECT id, score FROM sc ORDER BY score DESC, id LIMIT 50), " +
+      "r1 AS (SELECT id, round(score * 1.0 + ln(1.0 + n_chars) * 0.5, 4) AS score " +
+      "FROM w1 JOIN documents ON doc_id = id), " +
+      "w2 AS (SELECT id, score FROM r1 ORDER BY score DESC, id LIMIT 20), " +
+      "r2 AS (SELECT id, round(score * 1.0 + (CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END) * 2.0, 4) AS score " +
+      "FROM w2 JOIN documents ON doc_id = id) " +
+      "SELECT id, score FROM r2 ORDER BY score DESC, id LIMIT 10"),
+    "q_knn_rescore" -> ("WITH q AS (SELECT " + ScriptQv.mkString("[", ", ", "]") + "::DOUBLE[] AS w), " +
+      "e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), " +
+      "s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e), " +
+      "dq AS (SELECT vec_id, v, CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0) ELSE " +
+      "list_transform(v, x -> least(greatest(floor(x / scale + 0.5), -127.0), 127.0) * scale) END AS qv FROM s), " +
+      "coarse AS (SELECT vec_id, list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> qv[i] * w[i])), (a, b) -> a + b) / " +
+      "(sqrt(list_reduce(list_prepend(0.0, list_transform(qv, x -> x * x)), (a, b) -> a + b)) * " +
+      "sqrt(list_reduce(list_prepend(0.0, list_transform(w, x -> x * x)), (a, b) -> a + b))) AS qscore " +
+      "FROM dq CROSS JOIN q ORDER BY qscore DESC, vec_id LIMIT 40), " +
+      "ex AS (SELECT c.vec_id AS id, round(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> e.v[i] * w[i])), (a, b) -> a + b) / " +
+      "(sqrt(list_reduce(list_prepend(0.0, list_transform(e.v, x -> x * x)), (a, b) -> a + b)) * " +
+      "sqrt(list_reduce(list_prepend(0.0, list_transform(w, x -> x * x)), (a, b) -> a + b))), 4) AS cosine, " +
+      "round(c.qscore, 4) AS quantized FROM coarse c JOIN e ON e.vec_id = c.vec_id CROSS JOIN q) " +
+      "SELECT id, cosine, quantized FROM ex ORDER BY cosine DESC, id LIMIT 10"),
+    "q_knn_bbq" -> bbqOracleSql(ScriptQv, 10, 4),
+    "q_agg_ip_range" -> (IpCte +
+      " SELECT key, doc_count FROM (" +
+      "SELECT 0 AS o, 'low' AS key, count(*) FILTER (WHERE ipn < 10 * 16777216 + 64 * 65536)::BIGINT AS doc_count FROM ipv " +
+      "UNION ALL SELECT 1, 'mid', count(*) FILTER (WHERE ipn >= 10 * 16777216 + 64 * 65536 AND ipn < 10 * 16777216 + 192 * 65536)::BIGINT FROM ipv " +
+      "UNION ALL SELECT 2, 'high', count(*) FILTER (WHERE ipn >= 10 * 16777216 + 192 * 65536)::BIGINT FROM ipv) " +
+      "ORDER BY o"),
+    "q_agg_ip_prefix" -> (IpCte +
+      ", n AS (SELECT (ipn // 1048576) * 1048576 AS net FROM ipv) " +
+      "SELECT (net // 16777216 % 256) || '.' || (net // 65536 % 256) || '.' || (net // 256 % 256) || '.' || (net % 256) || '/12' AS key, " +
+      "count(*)::BIGINT AS doc_count FROM n GROUP BY net ORDER BY net"),
+    "q_transform_pivot" -> ("SELECT event_type, count(*)::BIGINT AS doc_count, " +
+      "round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS value_sum, max(value) AS value_max " +
+      "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q_transform_latest" -> ("SELECT user_id, event_id, event_type, value FROM (" +
+      "SELECT user_id, event_id, event_type, value, " +
+      "row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events) " +
+      "WHERE rn = 1 ORDER BY user_id"),
+    "q_script_fields" -> ("SELECT doc_id, round(CAST(n_chars AS DOUBLE) / 100.0, 4) AS hundreds, " +
+      "round(CAST(n_chars AS DOUBLE) % 7, 4) AS mod7 FROM documents WHERE n_chars > 400 ORDER BY doc_id"),
+    "q_fields_format" -> ("SELECT o_orderkey, strftime(o_orderdate, '%Y/%m/%d') AS od_fmt, " +
+      "epoch_ms(o_orderdate) AS od_ms FROM orders WHERE o_totalprice > 5000 ORDER BY o_orderkey"),
+    "q_indices_boost" -> (TokCte + bm25Ctes("", "tok", Seq("fast", "hash", "join")) +
+      " SELECT sc.id, round(sc.score * (CASE WHEN lang = 'en' THEN 2.0 ELSE 1.0 END), 4) AS score " +
+      "FROM sc JOIN documents ON doc_id = sc.id ORDER BY score DESC, id LIMIT 15"),
+    "q_suggest_fuzzy" -> ("SELECT source AS suggestion, " +
+      "max(CASE WHEN starts_with(source, 'rsc1') THEN 1 ELSE 0 END)::INT AS exact_prefix, " +
+      "max(n_chars) AS weight FROM documents " +
+      "WHERE damerau_levenshtein(left(source, 4), 'rsc1') <= 1 " +
+      "GROUP BY source ORDER BY exact_prefix DESC, weight DESC, suggestion LIMIT 5"),
+    "q_knn_multi" -> ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), " +
+      "q1 AS (SELECT " + ScriptQv.mkString("[", ", ", "]") + "::DOUBLE[] AS w), " +
+      "q2 AS (SELECT " + ScriptQv2.mkString("[", ", ", "]") + "::DOUBLE[] AS w), " +
+      "c1 AS (SELECT vec_id, list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> v[i] * w[i])), (a, b) -> a + b) / " +
+      "(sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) * " +
+      "sqrt(list_reduce(list_prepend(0.0, list_transform(w, x -> x * x)), (a, b) -> a + b))) AS cosine " +
+      "FROM e CROSS JOIN q1 ORDER BY cosine DESC, vec_id LIMIT 20), " +
+      "c2 AS (SELECT vec_id, list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> v[i] * w[i])), (a, b) -> a + b) / " +
+      "(sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) * " +
+      "sqrt(list_reduce(list_prepend(0.0, list_transform(w, x -> x * x)), (a, b) -> a + b))) AS cosine " +
+      "FROM e CROSS JOIN q2 ORDER BY cosine DESC, vec_id LIMIT 20), " +
+      "u AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2) " +
+      "SELECT vec_id AS id, round(sum(cosine), 4) AS score, count(*)::INT AS matched_clauses " +
+      "FROM u GROUP BY vec_id ORDER BY score DESC, id LIMIT 10"),
+    "q_nested_score" -> ("SELECT o_orderkey, round(avg(l_quantity), 4) AS score " +
+      "FROM lineitem JOIN orders ON o_orderkey = l_orderkey WHERE l_quantity > 45 " +
+      "GROUP BY o_orderkey ORDER BY o_orderkey"),
+    "q_graph_explore" -> ("WITH toks AS (SELECT doc_id, " +
+      "unnest(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0))) AS term FROM documents), " +
+      "bg AS (SELECT term, count(*)::BIGINT AS bg_count FROM toks GROUP BY term), " +
+      "tot AS (SELECT count(*)::DOUBLE AS n FROM documents), " +
+      "f1 AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'), " +
+      "f1t AS (SELECT count(*)::DOUBLE AS fg FROM f1), " +
+      "s1 AS (SELECT term, fg_count, bg_count, round((fg_count/fg)*ln((fg_count/fg)/(bg_count/n)), 6) AS score " +
+      "FROM (SELECT term, count(*)::BIGINT AS fg_count FROM toks JOIN f1 USING (doc_id) " +
+      "WHERE term <> 'spark' GROUP BY term HAVING count(*) >= 3) h " +
+      "JOIN bg USING (term) CROSS JOIN f1t CROSS JOIN tot ORDER BY score DESC, term LIMIT 5), " +
+      "f2 AS (SELECT DISTINCT doc_id FROM toks WHERE term IN (SELECT term FROM s1)), " +
+      "f2t AS (SELECT count(*)::DOUBLE AS fg FROM f2), " +
+      "s2 AS (SELECT term, fg_count, bg_count, round((fg_count/fg)*ln((fg_count/fg)/(bg_count/n)), 6) AS score " +
+      "FROM (SELECT term, count(*)::BIGINT AS fg_count FROM toks JOIN f2 USING (doc_id) " +
+      "WHERE term <> 'spark' AND term NOT IN (SELECT term FROM s1) GROUP BY term HAVING count(*) >= 3) h " +
+      "JOIN bg USING (term) CROSS JOIN f2t CROSS JOIN tot ORDER BY score DESC, term LIMIT 5) " +
+      "SELECT term, hop, fg_count, bg_count, score FROM (" +
+      "SELECT term, 0 AS hop, bg_count AS fg_count, bg_count, 1.0::DOUBLE AS score FROM bg WHERE term = 'spark' " +
+      "UNION ALL SELECT term, 1, fg_count, bg_count, score FROM s1 " +
+      "UNION ALL SELECT term, 2, fg_count, bg_count, score FROM s2) " +
+      "ORDER BY hop, score DESC, term"),
+    "q_graph_connections" -> ("WITH toks AS (SELECT doc_id, term FROM (SELECT doc_id, " +
+      "unnest(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0))) AS term FROM documents) " +
+      "WHERE term IN ('spark', 'agg', 'scan', 'merge', 'window')) " +
+      "SELECT a.term AS source, b.term AS target, count(*)::BIGINT AS doc_count " +
+      "FROM toks a JOIN toks b USING (doc_id) WHERE a.term < b.term " +
+      "GROUP BY 1, 2 HAVING count(*) >= 3 " +
+      "ORDER BY doc_count DESC, source, target"),
+    "q_retriever_rule" -> (TokCte + bm25Ctes("", "tok", Seq("fast", "hash", "join")) +
+      ", r AS (SELECT id, score, " +
+      "CASE WHEN id = 42 THEN 0 WHEN id = 7 THEN 1 ELSE 2147483647 END AS pin_rank " +
+      "FROM sc WHERE id NOT IN (11, 13)) " +
+      "SELECT id, score, pin_rank < 2147483647 AS pinned FROM r " +
+      "ORDER BY pin_rank, score DESC, id LIMIT 10"),
+    "q_geo_grid_query" -> (GeoCte + ", b AS (SELECT c_custkey, lat, lon, " +
+      "least(CAST(floor((lon + 180.0) / 360.0 * 32) AS BIGINT), 31) AS loni, " +
+      "least(CAST(floor((lat + 90.0) / 180.0 * 32) AS BIGINT), 31) AS lati FROM g), " +
+      "v AS (SELECT c_custkey, lat, lon, list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 10), k -> " +
+      "CASE WHEN k % 2 = 0 THEN (loni >> (4 - k // 2)::INT) & 1 ELSE (lati >> (4 - k // 2)::INT) & 1 END)), " +
+      "(a, b) -> a * 2 + b) AS v FROM b), " +
+      "h AS (SELECT c_custkey, lat, lon, " +
+      "substr('0123456789bcdefghjkmnpqrstuvwxyz', (((v >> 5) & 31))::INT + 1, 1) || " +
+      "substr('0123456789bcdefghjkmnpqrstuvwxyz', ((v & 31))::INT + 1, 1) AS key FROM v) " +
+      s"SELECT c_custkey, lat, lon FROM h WHERE key = '$GeoGridQueryCell' ORDER BY c_custkey"),
+    "q_esql_metrics" -> ("SELECT event_type, max(value) AS mx, count(*)::BIGINT AS n " +
+      "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q_esql_cidr" -> (IpCte +
+      " SELECT count(*)::BIGINT AS n FROM ipv WHERE " +
+      "(ipn >= 10 * 16777216 + 64 * 65536 AND ipn < 10 * 16777216 + 64 * 65536 + 4194304) OR " +
+      "(ipn >= 10 * 16777216 + 192 * 65536 AND ipn < 10 * 16777216 + 192 * 65536 + 1048576)"),
+    "q_eql_simple" -> ("SELECT event_id, user_id, value FROM events " +
+      "WHERE event_type = 'error' AND value > 300 ORDER BY event_id"),
+    "q_eql_sample" -> ("SELECT user_id, " +
+      "min(CASE WHEN event_type = 'error' AND value > 200 THEN event_id END) AS e1_id, " +
+      "min(CASE WHEN event_type = 'purchase' AND value > 200 THEN event_id END) AS e2_id " +
+      "FROM events GROUP BY user_id " +
+      "HAVING e1_id IS NOT NULL AND e2_id IS NOT NULL ORDER BY user_id"),
+    "q_eql_tail" -> ("SELECT event_id, user_id, value FROM " +
+      "(SELECT event_id, user_id, value FROM events " +
+      "WHERE event_type = 'purchase' AND value > 100 " +
+      "ORDER BY event_id DESC LIMIT 5) ORDER BY event_id"),
+    "q_eql_funcs" -> ("SELECT event_id, user_id, value FROM events " +
+      "WHERE (event_type LIKE 'c%' OR event_type LIKE 's_gnup' " +
+      "OR contains(event_type, 'rror')) AND value > 300 ORDER BY event_id"),
+    "q_has_parent_score" -> ("SELECT l_orderkey, l_linenumber, " +
+      "round(ln(1.0 + o_totalprice), 4) AS score FROM lineitem " +
+      "JOIN orders ON o_orderkey = l_orderkey " +
+      "WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 5000 " +
+      "ORDER BY l_orderkey, l_linenumber"),
+    // mirror of Eql.sequence: µs timestamps, latest-predecessor carry
+    // via last_value IGNORE NULLS over UNBOUNDED..1 PRECEDING
+    // mirror of the Spark window-carry with the kill sentinel: an
+    // error row writes -1 into the level-0 chain columns, and the
+    // level-1 extension requires the carried t0 to be a live chain
+    "q_eql_missing" -> ("WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tu FROM events " +
+      "WHERE event_type IN ('view', 'purchase', 'error')), " +
+      "t AS (SELECT *, CASE WHEN event_type = 'view' THEN 0 " +
+      "WHEN event_type = 'purchase' THEN 1 END AS step, " +
+      "event_type = 'error' AS kill0 FROM e), " +
+      "s AS (SELECT * FROM t WHERE step IS NOT NULL OR kill0), " +
+      "l0 AS (SELECT *, CASE WHEN kill0 THEN -1 WHEN step = 0 THEN tu END AS c0_t0, " +
+      "CASE WHEN kill0 THEN -1 WHEN step = 0 THEN event_id END AS c0_i0 FROM s), " +
+      "l1p AS (SELECT *, last_value(c0_t0 IGNORE NULLS) OVER w AS p_t0, " +
+      "last_value(c0_i0 IGNORE NULLS) OVER w AS p_i0 FROM l0 " +
+      "WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), " +
+      "l1 AS (SELECT *, CASE WHEN step = 1 AND p_t0 IS NOT NULL AND p_t0 <> -1 AND tu - p_t0 <= 86400000000 THEN p_t0 END AS c1_t0, " +
+      "CASE WHEN step = 1 AND p_t0 IS NOT NULL AND p_t0 <> -1 AND tu - p_t0 <= 86400000000 THEN p_i0 END AS c1_i0, " +
+      "CASE WHEN step = 1 AND p_t0 IS NOT NULL AND p_t0 <> -1 AND tu - p_t0 <= 86400000000 THEN tu END AS c1_t1, " +
+      "CASE WHEN step = 1 AND p_t0 IS NOT NULL AND p_t0 <> -1 AND tu - p_t0 <= 86400000000 THEN event_id END AS c1_i1 FROM l1p) " +
+      "SELECT user_id, c1_i0 AS e1_id, c1_i1 AS e2_id, (c1_t1 - c1_t0) // 1000 AS span_ms " +
+      "FROM l1 WHERE c1_t1 IS NOT NULL ORDER BY user_id, e2_id"),
+    "q_eql_sequence" -> ("WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS tu FROM events " +
+      "WHERE event_type IN ('view', 'click', 'purchase')), " +
+      "t AS (SELECT *, CASE WHEN event_type = 'view' THEN 0 " +
+      "WHEN event_type = 'click' AND value > 50 THEN 1 " +
+      "WHEN event_type = 'purchase' THEN 2 END AS step FROM e), " +
+      "s AS (SELECT * FROM t WHERE step IS NOT NULL), " +
+      "l0 AS (SELECT *, CASE WHEN step = 0 THEN tu END AS c0_t0, " +
+      "CASE WHEN step = 0 THEN event_id END AS c0_i0 FROM s), " +
+      "l1p AS (SELECT *, last_value(c0_t0 IGNORE NULLS) OVER w AS p_t0, " +
+      "last_value(c0_i0 IGNORE NULLS) OVER w AS p_i0 FROM l0 " +
+      "WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), " +
+      "l1 AS (SELECT *, CASE WHEN step = 1 AND p_t0 IS NOT NULL AND tu - p_t0 <= 86400000000 THEN p_t0 END AS c1_t0, " +
+      "CASE WHEN step = 1 AND p_t0 IS NOT NULL AND tu - p_t0 <= 86400000000 THEN p_i0 END AS c1_i0, " +
+      "CASE WHEN step = 1 AND p_t0 IS NOT NULL AND tu - p_t0 <= 86400000000 THEN tu END AS c1_t1, " +
+      "CASE WHEN step = 1 AND p_t0 IS NOT NULL AND tu - p_t0 <= 86400000000 THEN event_id END AS c1_i1 FROM l1p), " +
+      "l2p AS (SELECT *, last_value(c1_t0 IGNORE NULLS) OVER w AS q_t0, " +
+      "last_value(c1_i0 IGNORE NULLS) OVER w AS q_i0, " +
+      "last_value(c1_t1 IGNORE NULLS) OVER w AS q_t1, " +
+      "last_value(c1_i1 IGNORE NULLS) OVER w AS q_i1 FROM l1 " +
+      "WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) " +
+      "SELECT user_id, q_i0 AS e1_id, q_i1 AS e2_id, event_id AS e3_id, " +
+      "(tu - q_t0) // 1000 AS span_ms FROM l2p " +
+      "WHERE step = 2 AND q_t0 IS NOT NULL AND tu - q_t0 <= 86400000000 " +
+      "ORDER BY user_id, e3_id"),
+    "q_eql_runs" -> ("WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS tu FROM events " +
+      "WHERE event_type = 'view' OR (event_type = 'click' AND value > 100)), " +
+      "s AS (SELECT *, (event_type = 'view') AS m0, (event_type = 'click' AND value > 100) AS m1 FROM e), " +
+      "l0 AS (SELECT *, CASE WHEN m0 THEN tu END AS c0_t0, " +
+      "CASE WHEN m0 THEN event_id END AS c0_i0 FROM s), " +
+      "l1p AS (SELECT *, last_value(c0_t0 IGNORE NULLS) OVER w AS p_t0, " +
+      "last_value(c0_i0 IGNORE NULLS) OVER w AS p_i0 FROM l0 " +
+      "WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), " +
+      "l1 AS (SELECT *, CASE WHEN m1 AND p_t0 IS NOT NULL AND tu - p_t0 <= 86400000000 THEN p_t0 END AS c1_t0, " +
+      "CASE WHEN m1 AND p_t0 IS NOT NULL AND tu - p_t0 <= 86400000000 THEN p_i0 END AS c1_i0, " +
+      "CASE WHEN m1 AND p_t0 IS NOT NULL AND tu - p_t0 <= 86400000000 THEN tu END AS c1_t1, " +
+      "CASE WHEN m1 AND p_t0 IS NOT NULL AND tu - p_t0 <= 86400000000 THEN event_id END AS c1_i1 FROM l1p), " +
+      "l2p AS (SELECT *, last_value(c1_t0 IGNORE NULLS) OVER w AS q_t0, " +
+      "last_value(c1_i0 IGNORE NULLS) OVER w AS q_i0, " +
+      "last_value(c1_t1 IGNORE NULLS) OVER w AS q_t1, " +
+      "last_value(c1_i1 IGNORE NULLS) OVER w AS q_i1 FROM l1 " +
+      "WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) " +
+      "SELECT user_id, q_i0 AS e1_id, q_i1 AS e2_id, event_id AS e3_id, " +
+      "(tu - q_t0) // 1000 AS span_ms FROM l2p " +
+      "WHERE m1 AND q_t0 IS NOT NULL AND tu - q_t0 <= 86400000000 " +
+      "ORDER BY user_id, e3_id"),
+    "q_esql_categorize" -> ("WITH c AS (SELECT array_to_string(list_filter(list_filter(" +
+      "regexp_split_to_array(lower(event_type), '[^a-z0-9]+'), x -> len(x) > 0), " +
+      "t -> NOT regexp_matches(t, '^[0-9]+$'))[1:4], ' ') AS cat FROM events) " +
+      "SELECT cat, count(*)::BIGINT AS n FROM c GROUP BY cat ORDER BY cat"),
+    "q_highlight_order" -> highlightOrderOracleSql(Seq("fast", "hash", "join"), 2),
+    "q_highlight_fragments" -> (TokCte +
+      ", h AS (SELECT doc_id, " +
+      "replace(regexp_extract(lower(text), '([a-z0-9]+ ){0,3}fast( [a-z0-9]+){0,3}'), 'fast', '<em>fast</em>') AS f1, " +
+      "replace(regexp_extract(lower(text), '([a-z0-9]+ ){0,3}hash( [a-z0-9]+){0,3}'), 'hash', '<em>hash</em>') AS f2 " +
+      "FROM documents JOIN tok USING (doc_id) WHERE list_has_any(toks, ['fast','hash'])) " +
+      "SELECT doc_id AS id, array_to_string(list_filter([f1, f2], x -> x != '')[1:2], ' ... ') AS snippet " +
+      "FROM h ORDER BY id")
+  )
+}

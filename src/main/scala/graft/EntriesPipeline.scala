@@ -1,0 +1,521 @@
+package graft
+
+import graft.agg.Aggs
+import graft.dedup.Dedup
+import graft.dsl.QueryDsl
+import graft.rel.Relational
+import graft.search.{Search, Sorting}
+import graft.sim.Ann
+import graft.streaming.EventStreams
+import graft.text.TextAnalysis
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Num
+import graft.EntryShared._
+
+/** SparkEntry registrations: LLM-data-pipeline + their oracles.
+  * Split from SparkEntry.scala in r11 (registration-only; the
+  * implementing operators live in the modules named in SURVEY §2). */
+private[graft] object EntriesPipeline {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- F. LLM-data-pipeline ----
+    "q_dedup_exact" -> ((s, d) => Dedup.exactDuplicates(Tables.events(s, d), "event_id", "props")),
+    "q_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(t(s, d, "documents"), "doc_id", "text", 0.8)),
+    // cluster-level dedup: connected components over the verified pairs
+    "q_dedup_cluster" -> ((s, d) =>
+      Dedup.dedupClusters(Dedup.minhashLshUnsorted(t(s, d, "documents"), "doc_id", "text", 0.8))),
+    // canonical selection: per cluster keep the BEST member by quality
+    // (one max_by partial agg over the tiny cluster frame)
+    "q_dedup_canonical" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.canonicalPerCluster(
+        Dedup.dedupClusters(Dedup.minhashLshUnsorted(docs, "doc_id", "text", 0.8)),
+        docs, "doc_id", "n_chars")
+    }),
+    // incremental dedup: new docs (odd ids) dropped when near-dupping
+    // an existing (even-id) doc — the daily-ingestion keep set
+    "q_dedup_incremental" -> ((s, d) =>
+      Dedup.dedupIncrementalNewIds(t(s, d, "documents"), "doc_id", "text",
+        pmod(col("doc_id"), lit(2L)) === 1L, 0.8)),
+    // exact substring-duplication screen (the published stride-1
+    // window form): any 20-token span appearing >1x in the corpus
+    // marks its positions; per-doc duplicated-span ratio
+    "q_dedup_substring" -> ((s, d) =>
+      graft.text.TextAnalysis.substringDupSpans(
+        t(s, d, "documents"), "doc_id", "text", k = 20)),
+    // bloom-screened membership dedup: seen-side filter broadcast
+    // (MB at 10^10 docs), map-side prune, exact verify — output is
+    // exactly batch ANTI JOIN seen, so the oracle is hash-exact;
+    // overlapping id ranges make the screen drop real rows
+    "q_dedup_bloom" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.bloomScreenNew(
+        docs.where(col("doc_id") >= 200),
+        docs.where(col("doc_id") < 300),
+        "doc_id", "text", expectedSeen = 1000L, fpp = 0.01)
+    }),
+    // temperature-2 mix flattening: deterministic per-source keep
+    // rates sqrt(n_min/n_s), content-hash draws
+    "q_mix_sample" -> ((s, d) =>
+      graft.text.TextAnalysis.mixSample(t(s, d, "documents"), "source", "doc_id")),
+    // CCNet-style line-level boilerplate dedup: per-source header + a
+    // corpus-wide footer wrapped around each body; lines shared by > 4
+    // docs are machinery and get stripped, bodies survive in order
+    "q_dedup_lines" -> ((s, d) => {
+      val docs = t(s, d, "documents").withColumn("page",
+        concat(lit("home | about | "), col("source"), lit("\n"),
+          col("text"), lit("\ncopyright 2024 example.com")))
+      Dedup.dedupLines(docs, "doc_id", "page", maxDocs = 4)
+        .select(col("doc_id"), col("n_lines"), md5(col("text_clean")).as("h"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", 3)),
+    "q_dedup_ngram" -> ((s, d) =>
+      Dedup.ngramJaccardTopK(t(s, d, "documents").where(col("source") === "src0"), "doc_id", "text", 20)),
+    // blocking key COMPUTED from the vector (SRP buckets), not assumed
+    // from a label column — the unlabeled-corpus scale path (r8)
+    "q_dedup_embed" -> ((s, d) =>
+      Dedup.embeddingTopKPairsLsh(t(s, d, "embeddings"), "vec_id", "embedding",
+        dim = 64, k = 20)),
+    // the labeled-block variant stays covered under its own key
+    "q_dedup_embed_block" -> ((s, d) =>
+      Dedup.embeddingTopKPairs(t(s, d, "embeddings"), "vec_id", "embedding", "label", 20)),
+    "q_ann_brute" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Ann.bruteForceTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding", 10)
+    }),
+    "q_ann_lsh" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Ann.lshTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding", dim = 64, k = 10)
+    }),
+    "q_ann_ivf" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Ann.ivfTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
+        nCentroids = 16, nprobe = 4, k = 10)
+    }),
+    // _explain for a knn hit: dot / norms / cosine breakdown for one
+    // (query vector, document) pair
+    "q_explain_knn" -> ((s, d) =>
+      Ann.explainKnn(t(s, d, "embeddings"), "vec_id", "embedding",
+        ScriptQv, docId = 42L)),
+    // graph ANN (the HNSW family, ES's actual knn index): one NSW
+    // graph per partition (= per Lucene segment), beam-searched per
+    // query, merged top-k; recall@10 asserted in-plan vs brute force
+    "q_ann_hnsw" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Ann.hnswRecallProbe(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, minRecall = 0.9)
+    }),
+    // ingest kv processor at read time: str_to_map split, map lookups
+    // feed a normal agg — all inside one codegen'd projection
+    "q_ingest_kv" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("kvs",
+        concat(lit("t="), col("event_type"), lit(";u="), pmod(col("user_id"), lit(7L))))
+      graft.sources.IngestPipeline.compile(
+        """{"processors": [{"kv": {"field": "kvs", "field_split": ";", "value_split": "="}}]}""")(ev)
+        .select(element_at(col("kvs"), "t").as("t"),
+          element_at(col("kvs"), "u").cast("long").as("u"))
+        .groupBy(col("t"), col("u")).agg(count(lit(1)).as("n"))
+        .orderBy(col("t"), col("u"))
+    }),
+    // ingest json processor: schema-free props -> map<string,string>,
+    // typed downstream by the consumer
+    "q_ingest_json" -> ((s, d) =>
+      graft.sources.IngestPipeline.compile(
+        """{"processors": [{"json": {"field": "props", "target_field": "pj"}}]}""")(
+        Tables.events(s, d))
+        .select(col("event_type"), element_at(col("pj"), "k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(min(col("k")).as("kmin"), max(col("k")).as("kmax"))
+        .orderBy(col("event_type"))),
+    // ingest on_failure: mixed clean/failing values — failures tag
+    // `err` via the handler chain, clean rows convert; one aggregate
+    // proves the per-row routing at scale
+    "q_ingest_fail" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("mn",
+        when(pmod(col("user_id"), lit(3L)) === 0, col("value").cast("string"))
+          .otherwise(col("event_type")))
+      graft.sources.IngestPipeline.compile(
+        """{"processors": [{"convert": {"field": "mn", "type": "double",
+           "on_failure": [{"set": {"field": "err", "value": "parse_error"}}]}}]}""")(ev)
+        .groupBy(coalesce(col("err"), lit("ok")).as("err"))
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("mn"), lit(0.0)).cast("decimal(18,4)"))
+            .cast("double").as("total"))
+        .orderBy(col("err"))
+    }),
+    "q_pipeline_clean" -> ((s, d) => {
+      // composed cleaning pipeline: quality gate + near-dup removal
+      // (drop the higher id of each verified near-dup pair)
+      val docs = t(s, d, "documents")
+      // unsorted pair core: the anti-join reshuffles anyway
+      val dups = Dedup.minhashLshUnsorted(docs, "doc_id", "text", 0.8)
+        .select(col("id2").as("doc_id"))
+      TextAnalysis.qualityScore(col("text"))(docs)
+        .where(col("quality") >= 0.45 && col("n_chars") >= 100)
+        .join(dups, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_lang_id" -> ((s, d) => {
+      val (pl, ps) = TextAnalysis.languageId(col("text"))
+      t(s, d, "documents")
+        .select(col("doc_id"), pl.as("pred_lang"), ps.as("lang_score"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_quality" -> ((s, d) =>
+      TextAnalysis.qualityScore(col("text"))(t(s, d, "documents"))
+        .select(col("doc_id"), col("n_tokens"), col("punct_ratio"),
+          col("stopword_ratio"), col("ttr"), col("quality"))
+        .orderBy(col("doc_id"))),
+    "q_tokens" -> ((s, d) => {
+      val cs = TextAnalysis.tokenCounts(col("text"))
+      t(s, d, "documents")
+        .select(col("doc_id") +: cs.map { case (n, c) => c.as(n) }: _*)
+        .orderBy(col("doc_id"))
+    }),
+    "q_fingerprint" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))),
+    "q_keywords" -> ((s, d) =>
+      TextAnalysis.keywordsTopK(t(s, d, "documents"), "doc_id", "text", 3)),
+    "q_pii" -> ((s, d) => {
+      val sig = TextAnalysis.piiSignals(col("text"))
+      t(s, d, "documents")
+        .select(col("doc_id") +: sig.map { case (n, c) => c.as(n) }: _*)
+        .orderBy(col("doc_id"))
+    }),
+    // training-batch sequence packing, group-local (parallel) windows
+    "q_pack" -> ((s, d) =>
+      TextAnalysis.packSequences(t(s, d, "documents"), "doc_id", col("n_chars"), "source", 5000L)
+        .groupBy(col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("size")).as("pack_chars"))
+        .orderBy(col("pack_id"))),
+    "q_multimodal_meta" -> ((s, d) =>
+      Multimodal.metadata(Multimodal.mediaTable(t(s, d, "documents")))),
+    // context-window chunking: 64-token windows, 16-token overlap
+    "q_chunk" -> ((s, d) =>
+      TextAnalysis.chunkTokens(t(s, d, "documents"), "doc_id", "text", 64, 16)
+        .orderBy(col("id"), col("chunk_idx"))),
+    // deterministic data-mixing sample: per-language keep rates
+    "q_sample_strat" -> ((s, d) =>
+      TextAnalysis.stratifiedSample(t(s, d, "documents"), "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 0.2), defaultRate = 0.1)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+    // benchmark-contamination screen: corpus (id >= 25) vs eval set (id < 25)
+    "q_contamination" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.contaminationScreen(
+        docs.where(col("doc_id") >= 25), "doc_id", "text",
+        docs.where(col("doc_id") < 25), "text")
+    }),
+    "q_pii_redact" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"), TextAnalysis.redactPii(col("text")).as("redacted"))
+      .orderBy(col("doc_id"))),
+    "q_repetition" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"), TextAnalysis.repetitionRatio(col("text")).as("rep_ratio"))
+      .orderBy(col("doc_id"))),
+    // sub-document duplication: share of 32-token chunks repeated
+    // anywhere in the corpus (C4/RefinedWeb-style signal)
+    "q_dedup_paragraph" -> ((s, d) =>
+      TextAnalysis.paragraphDupRatio(t(s, d, "documents"), "doc_id", "text", 32)),
+    // unigram-LM mean surprisal (cheap perplexity-filter stand-in)
+    "q_lm_score" -> ((s, d) =>
+      TextAnalysis.unigramSurprisal(t(s, d, "documents"), "doc_id", "text")),
+    // domain-mix rebalancing weights toward a uniform source mix
+    "q_domain_mix" -> ((s, d) =>
+      TextAnalysis.domainMixWeights(t(s, d, "documents"), "source")),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // ---- F ----
+    "q_dedup_exact" -> ("SELECT md5(props) AS content_hash, count(*)::BIGINT AS n_dups, min(event_id) AS keep_id " +
+      "FROM events GROUP BY 1 HAVING count(*) >= 2 ORDER BY keep_id"),
+    "q_dedup_minhash" -> (TokCte + MinhashCtes +
+      " SELECT id1, id2, jaccard FROM vp ORDER BY id1, id2"),
+    // connected components over vp: recursive reachable-min label
+    "q_dedup_cluster" -> (TokCte.replace("WITH ", "WITH RECURSIVE ") + MinhashCtes + ", " +
+      "e AS (SELECT id1 AS a, id2 AS b FROM vp UNION SELECT id2, id1 FROM vp), " +
+      "n AS (SELECT DISTINCT a AS id FROM e), " +
+      "r AS (SELECT id, id AS m FROM n UNION SELECT e.a, r.m FROM e JOIN r ON e.b = r.id) " +
+      "SELECT id AS doc_id, min(m) AS cluster_id FROM r GROUP BY id ORDER BY doc_id"),
+    "q_dedup_canonical" -> (TokCte.replace("WITH ", "WITH RECURSIVE ") + MinhashCtes + ", " +
+      "e AS (SELECT id1 AS a, id2 AS b FROM vp UNION SELECT id2, id1 FROM vp), " +
+      "n AS (SELECT DISTINCT a AS id FROM e), " +
+      "r AS (SELECT id, id AS m FROM n UNION SELECT e.a, r.m FROM e JOIN r ON e.b = r.id), " +
+      "cl AS (SELECT id AS doc_id, min(m) AS cluster_id FROM r GROUP BY id), " +
+      "j AS (SELECT cl.cluster_id, cl.doc_id, d.n_chars::DOUBLE AS q, " +
+      "count(*) OVER (PARTITION BY cl.cluster_id) AS members, " +
+      "row_number() OVER (PARTITION BY cl.cluster_id ORDER BY d.n_chars DESC, cl.doc_id) AS rn " +
+      "FROM cl JOIN documents d ON d.doc_id = cl.doc_id) " +
+      "SELECT cluster_id, members::BIGINT AS members, doc_id AS canonical_id, q AS best_quality " +
+      "FROM j WHERE rn = 1 ORDER BY cluster_id"),
+    "q_dedup_incremental" -> (TokCte + MinhashCtes + ", " +
+      "dup AS (SELECT CASE WHEN id1 % 2 = 1 THEN id1 ELSE id2 END AS doc_id " +
+      "FROM vp WHERE id1 % 2 <> id2 % 2) " +
+      "SELECT doc_id FROM documents WHERE doc_id % 2 = 1 " +
+      "AND doc_id NOT IN (SELECT doc_id FROM dup) ORDER BY doc_id"),
+    "q_dedup_substring" -> (TokCte +
+      s", th AS (SELECT doc_id, list_transform(toks, t -> ${hexFold("t", 12)} % 1000000007) AS hs FROM tok WHERE len(toks) >= 20)" +
+      ", w AS (SELECT doc_id, unnest(list_transform(range(1, len(hs) - 18), i -> " +
+      "list_reduce(list_prepend(0::BIGINT, hs[i:i+19]), (a, v) -> (a * 31 + v) % 1000000007))) AS h FROM th)" +
+      ", f AS (SELECT h, count(*)::BIGINT AS n FROM w GROUP BY h) " +
+      "SELECT doc_id AS id, count(*)::BIGINT AS n_spans, " +
+      "sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_spans, " +
+      "round(CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_ratio " +
+      "FROM w JOIN f USING (h) GROUP BY doc_id ORDER BY id"),
+    "q_dedup_bloom" -> ("WITH seen AS (SELECT DISTINCT substring(md5(text), 1, 15) AS h " +
+      "FROM documents WHERE doc_id < 300), " +
+      "b AS (SELECT doc_id, substring(md5(text), 1, 15) AS h FROM documents WHERE doc_id >= 200) " +
+      "SELECT doc_id FROM b WHERE h NOT IN (SELECT h FROM seen) ORDER BY doc_id"),
+    "q_mix_sample" -> ("WITH c AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source), " +
+      "mn AS (SELECT min(n_docs) AS n_min FROM c), " +
+      "rt AS (SELECT source, sqrt(n_min::DOUBLE / n_docs::DOUBLE) AS rate FROM c CROSS JOIN mn) " +
+      s"SELECT rt.source, count(*)::BIGINT AS n_kept FROM documents d JOIN rt ON d.source = rt.source " +
+      s"WHERE ${hexFold("'mix:' || d.doc_id::VARCHAR", 12)} / 281474976710656.0 < rt.rate " +
+      "GROUP BY rt.source ORDER BY rt.source"),
+    "q_esql_rerank" -> (TokCte + " SELECT doc_id, CAST(round(" +
+      "1.0 * len(list_filter(toks, t -> t = 'fast')) + " +
+      "1.0 * len(list_filter(toks, t -> t = 'hash')) + " +
+      "1.0 * len(list_filter(toks, t -> t = 'merge')), 4) AS DOUBLE) AS _score " +
+      "FROM tok WHERE list_contains(toks, 'merge') " +
+      "ORDER BY _score DESC, doc_id LIMIT 10"),
+    // 64-bit simhash as TWO 32-bit halves (hi = bits 1..32, lo = bits
+    // 33..64): folding all 64 into one BIGINT overflows DuckDB, but
+    // each half stays < 2^32 and hamming is the sum of half-hammings.
+    "q_dedup_lines" -> ("WITH p AS (SELECT doc_id, 'home | about | ' || source || chr(10) || text || " +
+      "chr(10) || 'copyright 2024 example.com' AS page FROM documents), " +
+      "l AS (SELECT doc_id, string_split(page, chr(10)) AS ls FROM p), " +
+      "x AS (SELECT doc_id, unnest(ls) AS line FROM l), " +
+      "bp AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS nd FROM x " +
+      "WHERE len(trim(line)) > 0 GROUP BY line) WHERE nd > 4), " +
+      "bpl AS (SELECT coalesce(list(line), []) AS bl FROM bp), " +
+      "cl AS (SELECT doc_id, list_filter(ls, y -> NOT list_contains(bl, y)) AS kept " +
+      "FROM l CROSS JOIN bpl) " +
+      "SELECT doc_id, len(kept)::BIGINT AS n_lines, md5(array_to_string(kept, chr(10))) AS h " +
+      "FROM cl WHERE len(kept) > 0 ORDER BY doc_id"),
+    "q_dedup_simhash" -> ("WITH tok AS (SELECT doc_id, list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS toks FROM documents), " +
+      "md AS (SELECT doc_id, list_transform(toks, t -> md5(t)) AS md5s FROM tok), " +
+      "bits AS (SELECT doc_id, list_transform(range(0, 64), j -> CASE WHEN " +
+      "list_reduce(list_prepend(0, list_transform(md5s, m -> CASE WHEN " +
+      "(((CASE WHEN ascii(substr(m, (j // 4)::INT + 1, 1)) <= 57 THEN ascii(substr(m, (j // 4)::INT + 1, 1)) - 48 " +
+      "ELSE ascii(substr(m, (j // 4)::INT + 1, 1)) - 87 END) // (2 ** (3 - j % 4))::INT) % 2) = 1 THEN 1 ELSE -1 END)), (a, v) -> a + v) > 0 " +
+      "THEN 1::BIGINT ELSE 0::BIGINT END) AS bs FROM md), " +
+      "sig AS (SELECT doc_id, list_reduce(list_prepend(0::BIGINT, bs[1:32]), (a, b) -> a * 2 + b) AS hi, " +
+      "list_reduce(list_prepend(0::BIGINT, bs[33:64]), (a, b) -> a * 2 + b) AS lo FROM bits) " +
+      "SELECT a.doc_id AS id1, b.doc_id AS id2, " +
+      "(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)))::INT AS hamming " +
+      "FROM sig a JOIN sig b ON a.doc_id < b.doc_id " +
+      "WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3 ORDER BY id1, id2"),
+    "q_dedup_ngram" -> ("WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks FROM documents WHERE source = 'src0'), " +
+      "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM tok WHERE len(toks) >= 3) " +
+      "SELECT a.doc_id AS id1, b.doc_id AS id2, " +
+      "round(len(list_intersect(a.sh, b.sh))::DOUBLE / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard " +
+      "FROM sh a JOIN sh b ON a.doc_id < b.doc_id ORDER BY jaccard DESC, id1, id2 LIMIT 20"),
+    "q_dedup_embed" -> {
+      // identical SRP bucket generation to the q_ann_lsh oracle
+      val comp = "((" + hexFold("'h:' || t::VARCHAR || ':' || p::VARCHAR || ':' || d::VARCHAR", 8) +
+        ") / 4294967296.0 - 0.5)"
+      val dotp = s"list_reduce(list_transform(range(0, 64), d -> v[d + 1] * $comp), (x, y) -> x + y)"
+      val bucketT = "list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 8), p -> " +
+        s"CASE WHEN $dotp >= 0 THEN (1::BIGINT << (7 - p)) ELSE 0::BIGINT END)), (a, b) -> a + b)"
+      val buckets = s"list_transform(range(0, 4), t -> t::VARCHAR || '|' || ($bucketT)::VARCHAR)"
+      "WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), " +
+        "n AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm FROM e), " +
+        s"b AS (SELECT vec_id, unnest($buckets) AS bucket FROM e), " +
+        "cand AS (SELECT DISTINCT a.vec_id AS cid1, b2.vec_id AS cid2 FROM b a JOIN b b2 USING (bucket) WHERE a.vec_id < b2.vec_id) " +
+        "SELECT cid1 AS id1, cid2 AS id2, " +
+        "round(list_reduce(list_prepend(0.0, list_transform(range(1, len(x.v) + 1), i -> x.v[i] * y.v[i])), (p, q) -> p + q) / (x.nrm * y.nrm), 4) AS cosine " +
+        "FROM cand JOIN n x ON x.vec_id = cid1 JOIN n y ON y.vec_id = cid2 ORDER BY cosine DESC, id1, id2 LIMIT 20"
+    },
+    "q_dedup_embed_block" -> ("WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), " +
+      "n AS (SELECT vec_id, label, v, sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm FROM e) " +
+      "SELECT a.vec_id AS id1, b.vec_id AS id2, " +
+      "round(list_reduce(list_prepend(0.0, list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])), (x, y) -> x + y) / (a.nrm * b.nrm), 4) AS cosine " +
+      "FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id ORDER BY cosine DESC, id1, id2 LIMIT 20"),
+    "q_ann_hnsw" -> ("SELECT vec_id AS query_id, true AS recall_ok " +
+      "FROM embeddings WHERE vec_id < 5 ORDER BY query_id"),
+    "q_explain_knn" -> {
+      val qv = (0 until 64).map(i => (i * 37 % 100) / 100.0 - 0.5)
+      val qlist = qv.mkString("[", ", ", "]")
+      val nq = math.sqrt(qv.map(x => x * x).sum)
+      "WITH e AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS v " +
+        "FROM embeddings WHERE vec_id = 42), " +
+        s"q AS (SELECT $qlist::DOUBLE[] AS w), " +
+        "c AS (SELECT list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> e.v[i] * w[i])), (a, b) -> a + b) AS d, " +
+        "sqrt(list_reduce(list_prepend(0.0, list_transform(e.v, x -> x * x)), (a, b) -> a + b)) AS nv FROM e CROSS JOIN q) " +
+        "SELECT component, value FROM (" +
+        "SELECT 'dot' AS component, round(d, 4) AS value FROM c " +
+        "UNION ALL SELECT 'norm_doc', round(nv, 4) FROM c " +
+        s"UNION ALL SELECT 'norm_query', round($nq, 4) FROM c " +
+        s"UNION ALL SELECT 'cosine', round(d / (nv * $nq), 4) FROM c) ORDER BY component"
+    },
+    "q_ann_brute" -> ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), " +
+      "n AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm FROM e), " +
+      "p AS (SELECT q.vec_id AS query_id, c.vec_id AS id, " +
+      "round(list_reduce(list_prepend(0.0, list_transform(range(1, len(c.v) + 1), i -> c.v[i] * q.v[i])), (x, y) -> x + y) / (c.nrm * q.nrm), 4) AS cosine " +
+      "FROM n c CROSS JOIN (SELECT * FROM n WHERE vec_id < 5) q WHERE c.vec_id <> q.vec_id) " +
+      "SELECT query_id, id, cosine, rank FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rank FROM p) " +
+      "WHERE rank <= 10 ORDER BY query_id, rank"),
+    "q_ann_lsh" -> {
+      // mirror of Ann.tableBuckets / planeComponent: 4 tables x 8 planes,
+      // components from md5("h:t:p:d") folded to a 32-bit uniform
+      val comp = "((" + hexFold("'h:' || t::VARCHAR || ':' || p::VARCHAR || ':' || d::VARCHAR", 8) +
+        ") / 4294967296.0 - 0.5)"
+      val dotp = s"list_reduce(list_transform(range(0, 64), d -> v[d + 1] * $comp), (x, y) -> x + y)"
+      val bucketT = "list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 8), p -> " +
+        s"CASE WHEN $dotp >= 0 THEN (1::BIGINT << (7 - p)) ELSE 0::BIGINT END)), (a, b) -> a + b)"
+      val buckets = s"list_transform(range(0, 4), t -> t::VARCHAR || '|' || ($bucketT)::VARCHAR)"
+      "WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), " +
+        "n AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm FROM e), " +
+        s"b AS (SELECT vec_id, unnest($buckets) AS bucket FROM e), " +
+        "qb AS (SELECT vec_id AS query_id, bucket FROM b WHERE vec_id < 5), " +
+        "cand AS (SELECT DISTINCT qb.query_id, b2.vec_id AS id FROM b b2 JOIN qb USING (bucket) WHERE b2.vec_id <> qb.query_id), " +
+        "p AS (SELECT query_id, id, round(list_reduce(list_prepend(0.0, list_transform(range(1, len(c.v) + 1), i -> c.v[i] * q.v[i])), (x, y) -> x + y) / (c.nrm * q.nrm), 4) AS cosine " +
+        "FROM cand JOIN n c ON c.vec_id = cand.id JOIN n q ON q.vec_id = cand.query_id) " +
+        "SELECT query_id, id, cosine, rank FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rank FROM p) " +
+        "WHERE rank <= 10 ORDER BY query_id, rank"
+    },
+    "q_ingest_kv" -> ("SELECT event_type AS t, (user_id % 7)::BIGINT AS u, count(*)::BIGINT AS n " +
+      "FROM events GROUP BY t, u ORDER BY t, u"),
+    "q_ingest_fail" -> ("WITH m AS (SELECT CASE WHEN user_id % 3 = 0 THEN value::VARCHAR " +
+      "ELSE event_type END AS mn FROM events), " +
+      "c AS (SELECT TRY_CAST(mn AS DOUBLE) AS mnd, " +
+      "CASE WHEN mn IS NOT NULL AND TRY_CAST(mn AS DOUBLE) IS NULL THEN 'parse_error' END AS err FROM m) " +
+      "SELECT coalesce(err, 'ok') AS err, count(*)::BIGINT AS n, " +
+      "CAST(sum(CAST(coalesce(mnd, 0.0) AS DECIMAL(18,4))) AS DOUBLE) AS total FROM c GROUP BY 1 ORDER BY err"),
+    "q_ingest_json" -> ("SELECT event_type, " +
+      "min(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS kmin, " +
+      "max(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS kmax " +
+      "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q_pipeline_clean" -> {
+      val en = TextAnalysis.stopwords.toMap.apply("en").map(w => s"'$w'").mkString(", ")
+      TokCte + MinhashCtes + ", " +
+      "dups AS (SELECT DISTINCT id2 FROM vp), " +
+      "m AS (SELECT d.doc_id, len(b.toks)::BIGINT AS n_tokens, d.n_chars, " +
+      "round(len(regexp_replace(lower(d.text), '[a-z0-9 ]', '', 'g'))::DOUBLE / greatest(len(d.text), 1)::DOUBLE, 4) AS punct_ratio, " +
+      s"round(len(list_filter(b.toks, t -> list_contains([$en], t)))::DOUBLE / greatest(len(b.toks), 1)::DOUBLE, 4) AS stopword_ratio, " +
+      "round(len(list_distinct(b.toks))::DOUBLE / greatest(len(b.toks), 1)::DOUBLE, 4) AS ttr " +
+      "FROM documents d JOIN tok b USING (doc_id)), " +
+      "scored AS (SELECT doc_id, n_chars, " +
+      "round(least(n_tokens / 100.0, 1.0) * 0.3 + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2 + " +
+      "least(stopword_ratio * 5.0, 1.0) * 0.2 + ttr * 0.3, 4) AS quality FROM m) " +
+      "SELECT doc_id, quality FROM scored WHERE quality >= 0.45 AND n_chars >= 100 " +
+      "AND doc_id NOT IN (SELECT id2 FROM dups) ORDER BY doc_id"
+    },
+    "q_lang_id" -> {
+      val langs = TextAnalysis.stopwords
+      val ratios = langs.map { case (l, ws) =>
+        val wl = ws.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(toks, t -> list_contains([$wl], t)))::DOUBLE / greatest(len(toks), 1)::DOUBLE AS r_$l"
+      }.mkString(", ")
+      // mirror of the fold in TextAnalysis.languageId: later lang wins only on strict >
+      TokCte + s", r AS (SELECT doc_id, $ratios FROM tok) " +
+        "SELECT doc_id, CASE " +
+        "WHEN r_zh > greatest(r_de, r_en, r_es, r_fr) THEN 'zh' " +
+        "WHEN r_fr > greatest(r_de, r_en, r_es) THEN 'fr' " +
+        "WHEN r_es > greatest(r_de, r_en) THEN 'es' " +
+        "WHEN r_en > r_de THEN 'en' ELSE 'de' END AS pred_lang, " +
+        "round(greatest(r_de, r_en, r_es, r_fr, r_zh), 4) AS lang_score FROM r ORDER BY doc_id"
+    },
+    "q_quality" -> {
+      val en = TextAnalysis.stopwords.toMap.apply("en").map(w => s"'$w'").mkString(", ")
+      "WITH b AS (SELECT doc_id, text, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks FROM documents), " +
+        "m AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens, " +
+        "round(len(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE / greatest(len(text), 1)::DOUBLE, 4) AS punct_ratio, " +
+        s"round(len(list_filter(toks, t -> list_contains([$en], t)))::DOUBLE / greatest(len(toks), 1)::DOUBLE, 4) AS stopword_ratio, " +
+        "round(len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1)::DOUBLE, 4) AS ttr FROM b) " +
+        "SELECT doc_id, n_tokens, punct_ratio, stopword_ratio, ttr, " +
+        "round(least(n_tokens / 100.0, 1.0) * 0.3 + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2 + " +
+        "least(stopword_ratio * 5.0, 1.0) * 0.2 + ttr * 0.3, 4) AS quality FROM m ORDER BY doc_id"
+    },
+    "q_tokens" -> ("SELECT doc_id, " +
+      "len(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0))::BIGINT AS ws_tokens, " +
+      "len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]'))::BIGINT AS bpe_tokens " +
+      "FROM documents ORDER BY doc_id"),
+    "q_keywords" -> (TokCte + ", " +
+      "tf AS (SELECT doc_id AS id, term, count(*)::DOUBLE AS tf FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY 1, 2), " +
+      "nd AS (SELECT count(*)::DOUBLE AS n_docs FROM documents), " +
+      "dfreq AS (SELECT term, count(*)::DOUBLE AS dfreq FROM tf GROUP BY term), " +
+      "sc AS (SELECT id, term, round(tf * ln(nd.n_docs / dfreq.dfreq), 4) AS score FROM tf JOIN dfreq USING (term) CROSS JOIN nd), " +
+      "r AS (SELECT id, term, score, row_number() OVER (PARTITION BY id ORDER BY score DESC, term) AS rank FROM sc) " +
+      "SELECT id, rank, term, score FROM r WHERE rank <= 3 ORDER BY id, rank"),
+    "q_pii" -> ("SELECT doc_id, " +
+      "regexp_matches(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}') AS has_email, " +
+      "regexp_matches(text, 'https?://') AS has_url, " +
+      "len(regexp_extract_all(text, '[0-9]+'))::BIGINT AS n_digit_runs, " +
+      "len(regexp_extract_all(text, '[0-9]{6,}'))::BIGINT AS n_long_numbers " +
+      "FROM documents ORDER BY doc_id"),
+    "q_fingerprint" -> (TokCte + " SELECT doc_id, " +
+      s"list_reduce(list_prepend(0::BIGINT, list_transform(toks, t -> ${hexFold("t", 12)} % 1000000007)), " +
+      "(a, v) -> (a * 31 + v) % 1000000007) AS fp FROM tok ORDER BY doc_id"),
+    "q_pack" -> ("WITH p AS (SELECT doc_id, source, n_chars, " +
+      "source || '/' || CAST(floor(CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_chars AS DOUBLE) / 5000) AS BIGINT)::VARCHAR AS pack_id " +
+      "FROM documents) " +
+      "SELECT pack_id, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS pack_chars " +
+      "FROM p GROUP BY pack_id ORDER BY pack_id"),
+    "q_multimodal_meta" -> ("SELECT doc_id AS media_id, " +
+      "CASE WHEN doc_id % 3 = 0 THEN 'image/png' WHEN doc_id % 3 = 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime, " +
+      "octet_length(encode(text))::BIGINT AS n_bytes, " +
+      "(doc_id % 640 + 32)::INT AS width, (doc_id % 480 + 32)::INT AS height, " +
+      "(doc_id % 640 + 32)::BIGINT * (doc_id % 480 + 32)::BIGINT AS pixels, " +
+      "md5(text) AS content_hash FROM documents ORDER BY media_id"),
+    "q_chunk" -> (TokCte +
+      ", c AS (SELECT doc_id, unnest(range(0, greatest((len(toks) - 1) // 48, 0) + 1)) AS s, toks " +
+      "FROM tok WHERE len(toks) > 0) " +
+      "SELECT doc_id AS id, s::INT AS chunk_idx, " +
+      "len(toks[s*48 + 1 : s*48 + 64])::BIGINT AS n_tokens, " +
+      "array_to_string(toks[s*48 + 1 : s*48 + 64], ' ') AS chunk_text " +
+      "FROM c ORDER BY id, chunk_idx"),
+    "q_sample_strat" -> ("SELECT doc_id, lang FROM documents " +
+      s"WHERE ${hexFold("doc_id::VARCHAR", 12)} / 281474976710656.0 < " +
+      "(CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'de' THEN 0.2 ELSE 0.1 END) " +
+      "ORDER BY doc_id"),
+    "q_contamination" -> (TokCte +
+      ", shd AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), " +
+      "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM tok WHERE len(toks) >= 3), " +
+      "bench AS (SELECT DISTINCT unnest(sh) AS s FROM shd WHERE doc_id < 25), " +
+      "ds AS (SELECT doc_id, unnest(sh) AS s FROM shd WHERE doc_id >= 25) " +
+      "SELECT doc_id AS id, count(*)::BIGINT AS n_shared FROM ds JOIN bench USING (s) " +
+      "GROUP BY 1 HAVING count(*) >= 1 ORDER BY id"),
+    "q_pii_redact" -> ("SELECT doc_id, " +
+      "regexp_replace(regexp_replace(regexp_replace(text, " +
+      "'https?://[^ \\t\\n\\f\\r]+', '[URL]', 'g'), " +
+      "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'), " +
+      "'[0-9]{6,}', '[NUM]', 'g') AS redacted FROM documents ORDER BY doc_id"),
+    "q_repetition" -> (TokCte + " SELECT doc_id, " +
+      "round(CASE WHEN greatest(len(toks) - 2, 0) > 0 THEN " +
+      "(greatest(len(toks) - 2, 0)::DOUBLE - len(list_distinct(list_transform(range(1, len(toks) - 1), " +
+      "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))::DOUBLE) / greatest(len(toks) - 2, 0)::DOUBLE " +
+      "ELSE 0.0 END, 4) AS rep_ratio FROM tok ORDER BY doc_id"),
+    // non-overlapping 32-token chunks; share of chunks repeated
+    // corpus-wide (mirror of TextAnalysis.paragraphDupRatio; grouping
+    // by chunk text == grouping by its md5)
+    "q_dedup_paragraph" -> (TokCte +
+      ", c AS (SELECT doc_id, array_to_string(toks[s*32 + 1 : s*32 + 32], ' ') AS chunk " +
+      "FROM (SELECT doc_id, unnest(range(0, greatest((len(toks) - 1) // 32, 0) + 1)) AS s, toks " +
+      "FROM tok WHERE len(toks) > 0)), " +
+      "f AS (SELECT chunk, count(*)::BIGINT AS n FROM c GROUP BY 1) " +
+      "SELECT doc_id AS id, count(*)::BIGINT AS n_chunks, " +
+      "sum(CASE WHEN f.n > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_chunks, " +
+      "round(sum(CASE WHEN f.n > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS dup_ratio " +
+      "FROM c JOIN f USING (chunk) GROUP BY 1 ORDER BY 1"),
+    // corpus-unigram mean surprisal per doc (decimal per-token sums)
+    "q_lm_score" -> (TokCte +
+      ", tk AS (SELECT doc_id, unnest(toks) AS term FROM tok), " +
+      "ct AS (SELECT term, count(*)::BIGINT AS ct FROM tk GROUP BY 1), " +
+      "tt AS (SELECT sum(ct)::DOUBLE AS tt FROM ct) " +
+      "SELECT doc_id AS id, " +
+      "round(sum((-ln(ct::DOUBLE / tt))::DECIMAL(28,12))::DOUBLE / count(*), 4) AS surprisal " +
+      "FROM tk JOIN ct USING (term) CROSS JOIN tt GROUP BY 1 ORDER BY 1"),
+    "q_domain_mix" -> ("WITH c AS (SELECT source, count(*)::BIGINT AS n_docs " +
+      "FROM documents GROUP BY 1), " +
+      "t AS (SELECT sum(n_docs)::DOUBLE AS total, count(*)::DOUBLE AS n_sources FROM c) " +
+      "SELECT source, n_docs, round(n_docs / total, 4) AS share, " +
+      "round((1.0 / n_sources) / (n_docs / total), 4) AS weight " +
+      "FROM c CROSS JOIN t ORDER BY source"),
+  )
+}

@@ -1,0 +1,70 @@
+package graft
+
+import graft.agg.Aggs
+import graft.dedup.Dedup
+import graft.dsl.QueryDsl
+import graft.rel.Relational
+import graft.search.{Search, Sorting}
+import graft.sim.Ann
+import graft.streaming.EventStreams
+import graft.text.TextAnalysis
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Num
+import graft.EntryShared._
+
+/** SparkEntry registrations: Streaming-shaped + their oracles.
+  * Split from SparkEntry.scala in r11 (registration-only; the
+  * implementing operators live in the modules named in SURVEY §2). */
+private[graft] object EntriesStream {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- G. Streaming-shaped ----
+    "q_stream_window" -> ((s, d) => EventStreams.hourlyTypeCounts(Tables.events(s, d))),
+    // _downsample: the time-series index aggregated to 1-day buckets
+    "q_downsample" -> ((s, d) =>
+      graft.sources.Downsample.downsample(
+        Tables.events(s, d), "ts_ns", 86400L * 1000000000L, Seq("event_type"), "value")
+        .select(col("bucket_ts"), col("event_type"), col("doc_count"),
+          col("value_min"), col("value_max"),
+          graft.util.Num.round(col("value_sum").cast("double"), 4).as("value_sum"))
+        .orderBy(col("bucket_ts"), col("event_type"))),
+    // rollup search: downsampled HISTORIC + raw RECENT merged without
+    // double counting — must equal the all-raw aggregation (the oracle
+    // aggregates raw directly; only the Spark path goes through the
+    // split + associative merge)
+    "q_rollup_search" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val splitNs = 1706745600000000000L // 2024-02-01T00:00:00Z
+      val rolled = graft.sources.Downsample.downsample(
+        ev.where(col("ts_ns") < splitNs), "ts_ns",
+        86400L * 1000000000L, Seq("event_type"), "value")
+      graft.sources.Downsample.rollupSearch(
+        rolled, ev.where(col("ts_ns") >= splitNs), "ts_ns",
+        86400L * 1000000000L, Seq("event_type"), "value")
+        .select(col("bucket_ts"), col("event_type"), col("doc_count"),
+          col("value_min"), col("value_max"),
+          graft.util.Num.round(col("value_sum").cast("double"), 4).as("value_sum"))
+        .orderBy(col("bucket_ts"), col("event_type"))
+    }),
+    "q_sessionize" -> ((s, d) => EventStreams.sessionize(Tables.events(s, d), 30)),
+    "q_props_json" -> ((s, d) => EventStreams.propsField(Tables.events(s, d), "k")),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // ---- G ----
+    "q_downsample" -> DownsampleOracle,
+    "q_rollup_search" -> DownsampleOracle,
+    "q_stream_window" -> ("SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type, " +
+      "count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type"),
+    "q_sessionize" -> ("WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tn FROM events), " +
+      "l AS (SELECT *, lag(tn) OVER (PARTITION BY user_id ORDER BY tn, event_id) AS prev FROM e), " +
+      "n AS (SELECT *, CASE WHEN prev IS NULL OR tn - prev > 1800000000000 THEN 1 ELSE 0 END AS ns FROM l), " +
+      "s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY tn, event_id ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id FROM n) " +
+      "SELECT user_id, session_id, count(*)::BIGINT AS n_events, round((max(tn) - min(tn)) / 1e9, 3) AS duration_sec " +
+      "FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"),
+    "q_props_json" -> ("SELECT event_type, count(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS n, " +
+      "round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k FROM events GROUP BY event_type ORDER BY event_type"),
+  )
+}

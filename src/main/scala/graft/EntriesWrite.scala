@@ -1,0 +1,93 @@
+package graft
+
+import graft.agg.Aggs
+import graft.dedup.Dedup
+import graft.dsl.QueryDsl
+import graft.rel.Relational
+import graft.search.{Search, Sorting}
+import graft.sim.Ann
+import graft.streaming.EventStreams
+import graft.text.TextAnalysis
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Num
+import graft.EntryShared._
+
+/** SparkEntry registrations: Write path / geo + their oracles.
+  * Split from SparkEntry.scala in r11 (registration-only; the
+  * implementing operators live in the modules named in SURVEY §2). */
+private[graft] object EntriesWrite {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- E. Write path / geo ----
+    "q_upsert_id" -> ((s, d) =>
+      Relational.upsertLastWriteWins(Tables.events(s, d), Seq("user_id"), col("ts_ns"), col("event_id"))
+        .select(col("user_id"), col("event_type").as("last_type"), col("value").as("last_value"))
+        .orderBy(col("user_id"))),
+    "q_write_roundtrip" -> ((s, d) => {
+      val out = s"/tmp/graft_roundtrip_${System.getProperty("user.name")}"
+      Multimodal.mediaTable(t(s, d, "documents"))
+        .write.mode("overwrite").partitionBy("mime").parquet(out)
+      s.read.parquet(out).groupBy(col("mime")).agg(count(lit(1)).as("n"))
+        .orderBy(col("mime"))
+    }),
+    "q_geo_distance" -> ((s, d) => {
+      val g = withGeo(t(s, d, "customer"))
+      g.withColumn("dist_km",
+        Num.round(Relational.haversineKm(col("lat"), col("lon"), lit(0.0), lit(0.0)), 4))
+        .where(col("dist_km") <= 3000.0)
+        .select(col("c_custkey"), col("dist_km"))
+        .orderBy(col("c_custkey"))
+    }),
+    "q_geo_bbox" -> ((s, d) => withGeo(t(s, d, "customer"))
+      .where(Relational.geoBoundingBox(col("lat"), col("lon"), 40.0, -60.0, -30.0, 90.0))
+      .select(col("c_custkey"), col("lat"), col("lon"))
+      .orderBy(col("c_custkey"))),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // ---- E ----
+    "q_upsert_id" -> ("SELECT user_id, event_type AS last_type, value AS last_value FROM events " +
+      "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) DESC, event_id DESC) = 1 ORDER BY user_id"),
+    // the write-path oracle reads the parquet the query itself WROTE
+    // (Verify runs the query before the checker runs the oracle), so
+    // rows+schema+hash all verify the on-disk bytes, not a re-derive
+    // Spark URL-escapes partition-dir values (mime=image%2Fpng) and
+    // unescapes them on read; DuckDB's hive_partitioning reads the
+    // raw dir name, so the oracle undoes the one escape mime can hit
+    "q_write_roundtrip" -> ("SELECT replace(mime, '%2F', '/') AS mime, count(*) AS n " +
+      s"FROM read_parquet('/tmp/graft_roundtrip_${System.getProperty("user.name")}/*/*.parquet', " +
+      "hive_partitioning=true) GROUP BY 1 ORDER BY 1"),
+    "q_geo_distance" -> (GeoCte + " SELECT * FROM (SELECT c_custkey, " +
+      "round(2 * 6371 * asin(sqrt(pow(sin(radians(0.0 - lat) / 2), 2) + " +
+      "cos(radians(lat)) * cos(radians(0.0)) * pow(sin(radians(0.0 - lon) / 2), 2))), 4) AS dist_km " +
+      "FROM g) WHERE dist_km <= 3000.0 ORDER BY c_custkey"),
+    "q_geo_bbox" -> (GeoCte + " SELECT c_custkey, lat, lon FROM g " +
+      "WHERE lat <= 40.0 AND lat >= -30.0 AND lon >= -60.0 AND lon <= 90.0 ORDER BY c_custkey"),
+
+"q_ann_ivf" -> ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), " +
+      "n AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm FROM e), " +
+      "cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16), " +
+      "asg AS (SELECT id, cent_id FROM (SELECT c.vec_id AS id, cents.cent_id, " +
+      "row_number() OVER (PARTITION BY c.vec_id ORDER BY round(list_reduce(list_prepend(0.0, list_transform(range(1, len(c.v) + 1), i -> c.v[i] * cv[i])), (x, y) -> x + y) / (c.nrm * cnrm), 4) DESC, cents.cent_id) AS rn " +
+      "FROM n c CROSS JOIN cents) WHERE rn = 1), " +
+      "qp AS (SELECT query_id, cent_id FROM (SELECT q.vec_id AS query_id, cents.cent_id, " +
+      "row_number() OVER (PARTITION BY q.vec_id ORDER BY round(list_reduce(list_prepend(0.0, list_transform(range(1, len(q.v) + 1), i -> q.v[i] * cv[i])), (x, y) -> x + y) / (q.nrm * cnrm), 4) DESC, cents.cent_id) AS rn " +
+      "FROM n q CROSS JOIN cents WHERE q.vec_id < 5) WHERE rn <= 4), " +
+      "cand AS (SELECT DISTINCT query_id, id FROM qp JOIN asg USING (cent_id) WHERE id <> query_id), " +
+      "p AS (SELECT query_id, id, round(list_reduce(list_prepend(0.0, list_transform(range(1, len(c.v) + 1), i -> c.v[i] * q.v[i])), (x, y) -> x + y) / (c.nrm * q.nrm), 4) AS cosine " +
+      "FROM cand JOIN n c ON c.vec_id = cand.id JOIN n q ON q.vec_id = cand.query_id) " +
+      "SELECT query_id, id, cosine, rank FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rank FROM p) " +
+      "WHERE rank <= 10 ORDER BY query_id, rank"),
+"q_tpch_q1" -> ("SELECT l_returnflag, l_linestatus, " +
+      "round(CAST(sum(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE), 4) AS sum_qty, " +
+      "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE), 4) AS sum_base_price, " +
+      "round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,8))) AS DOUBLE), 4) AS sum_disc_price, " +
+      "round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(28,8))) AS DOUBLE), 4) AS sum_charge, " +
+      "round(avg(l_quantity), 4) AS avg_qty, round(avg(l_extendedprice), 4) AS avg_price, " +
+      "round(avg(l_discount), 4) AS avg_disc, count(*)::BIGINT AS count_order " +
+      "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' " +
+      "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+  )
+}

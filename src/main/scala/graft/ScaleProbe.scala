@@ -372,6 +372,12 @@ object ScaleProbe {
           col("text"), lit("\ncopyright 2024 example.com")))
       Dedup.dedupLines(pages, "doc_id", "page", maxDocs = 2 * n).count()
     }
+    time("graph_explore_10x") {
+      // per-hop cost = one semi-join + partial-agg over the persisted
+      // (doc, term) edge frame; only top-N vertex lists hit the driver
+      graft.search.GraphExplore.explore(docs, "doc_id", "text",
+        Seq("spark"), hops = 2, verticesPerHop = 5, minDocCount = 3).count()
+    }
     time("bbq_topk_10x") {
       // corpus-wide pass reads two packed longs per doc; rescore is
       // broadcast-bounded at k*oversample rows

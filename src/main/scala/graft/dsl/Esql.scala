@@ -110,13 +110,31 @@ object Esql {
           if (isKw("not")) { next(); require(isKw("null")); next(); l.isNotNull }
           else { require(isKw("null")); next(); l.isNull }
         case Some(TId(k)) if k.equalsIgnoreCase("in") =>
-          next(); expectOp("(")
-          val vals = scala.collection.mutable.ListBuffer(parseAdd())
-          while (peek.contains(TOp(","))) { next(); vals += parseAdd() }
-          expectOp(")")
-          vals.map(l === _).reduce(_ || _)
+          next(); inList(l)
+        case Some(TId(k)) if k.equalsIgnoreCase("not") =>
+          // postfix negated membership/pattern: x NOT IN (...), NOT LIKE,
+          // NOT RLIKE — prefix NOT is handled by the boolean layer above
+          next()
+          peek match {
+            case Some(TId(k2)) if k2.equalsIgnoreCase("in") =>
+              next(); !inList(l)
+            case Some(TId(k2)) if k2.equalsIgnoreCase("like") =>
+              next(); !l.like(str(next()))
+            case Some(TId(k2)) if k2.equalsIgnoreCase("rlike") =>
+              next(); !l.rlike(str(next()))
+            case other => throw new IllegalArgumentException(
+              s"expected IN/LIKE/RLIKE after NOT, got $other")
+          }
         case _ => l
       }
+    }
+
+    private def inList(l: Column): Column = {
+      expectOp("(")
+      val vals = scala.collection.mutable.ListBuffer(parseAdd())
+      while (peek.contains(TOp(","))) { next(); vals += parseAdd() }
+      expectOp(")")
+      vals.map(l === _).reduce(_ || _)
     }
     private def str(t: Tok): String = t match {
       case TStr(s) => s
