@@ -137,9 +137,10 @@ object ScaleProbe {
       Search.rrfTopK(Seq(lex, sem), 60, 50, 10).count()
     }
     // frequent_item_sets: A-Priori pre-prune + degenerate-basket drop
-    // guard + basket-key-local self-join — quadratic only in the
-    // post-prune capped basket size (bounded ~7 here), linear in
-    // basket count (r11 measured 10x 15.3 s -> 30x 34.9 s = 2.3x)
+    // guard (window count on the join's own exchange) + basket-key-
+    // local self-join — quadratic only in the post-prune capped basket
+    // size (bounded ~7 here), linear in basket count (r11 measured
+    // 10x 16.9 s -> 30x 39.4 s = 2.3x for 3x data, noise 0.27/0.56)
     time("frequent_items_10x") {
       val part = Tables.part(spark, sfDir).select(col("p_partkey"), col("p_brand"))
       Aggs.frequentItemSets(
