@@ -56,6 +56,16 @@ private[graft] object EntriesPipeline {
         docs.where(col("doc_id") < 300),
         "doc_id", "text", expectedSeen = 1000L, fpp = 0.01)
     }),
+    // benchmark-contamination screen (n-gram collision decontamination):
+    // every 97th doc plays the benchmark set; n=3 because the synthetic
+    // vocab is ~30 words (real corpora use the 13-gram recipe)
+    "q_contamination" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.contaminationScreen(
+        docs.where(col("doc_id") % 97 =!= 0),
+        docs.where(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 3)
+    }),
     // temperature-2 mix flattening: deterministic per-source keep
     // rates sqrt(n_min/n_s), content-hash draws
     "q_mix_sample" -> ((s, d) =>
@@ -267,6 +277,16 @@ private[graft] object EntriesPipeline {
       "sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_spans, " +
       "round(CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_ratio " +
       "FROM w JOIN f USING (h) GROUP BY doc_id ORDER BY id"),
+    "q_contamination" -> (TokCte +
+      ", sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s " +
+      "FROM tok, unnest(range(1, len(toks) - 1)) AS u(i) WHERE len(toks) >= 3), " +
+      "bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0), " +
+      "hits AS (SELECT sh.doc_id, count(b.s)::BIGINT AS matched_ngrams, count(*)::BIGINT AS total_ngrams " +
+      "FROM sh LEFT JOIN bench b ON sh.s = b.s WHERE sh.doc_id % 97 <> 0 GROUP BY 1) " +
+      "SELECT doc_id, matched_ngrams, total_ngrams, " +
+      "round(matched_ngrams / total_ngrams::DOUBLE, 6) AS contamination_rate " +
+      "FROM hits WHERE matched_ngrams > 0 " +
+      "ORDER BY contamination_rate DESC, doc_id"),
     "q_dedup_bloom" -> ("WITH seen AS (SELECT DISTINCT substring(md5(text), 1, 15) AS h " +
       "FROM documents WHERE doc_id < 300), " +
       "b AS (SELECT doc_id, substring(md5(text), 1, 15) AS h FROM documents WHERE doc_id >= 200) " +

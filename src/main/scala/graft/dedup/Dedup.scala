@@ -545,6 +545,43 @@ object Dedup {
             s => s.getField("line")), "\n").as("text_clean"))
   }
 
+  /** Benchmark-contamination screen (training-data decontamination, the
+    * GPT-3/Llama n-gram collision recipe): a corpus document is
+    * contaminated when it shares any length-`n` token shingle with the
+    * benchmark set. Returns (doc_id, matched_ngrams, total_ngrams,
+    * contamination_rate) for contaminated docs.
+    *
+    * Scale shape: the BENCHMARK side is small by definition (eval sets
+    * are thousands of docs, the corpus is the 100 TB side), so its
+    * distinct shingle set broadcasts and the corpus pass is one
+    * explode + broadcast-semi-join + partial-agg groupBy — the corpus
+    * is never shuffled by shingle. Real decontamination uses n=13;
+    * the knob exists because tiny-vocab corpora need smaller n for any
+    * collision to exist at all. */
+  def contaminationScreen(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 13): DataFrame = {
+    import graft.analysis.Analyzer
+    def sh(df: DataFrame) = df.select(
+      col(idCol).as("doc_id"),
+      explode(Analyzer.shingles(Analyzer.tokens(col(textCol)), n)).as("s"))
+    val benchShingles = broadcast(sh(benchmark).select(col("s")).distinct())
+    sh(corpus)
+      .join(benchShingles.withColumn("_hit", lit(1)), Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(col("_hit")).as("matched_ngrams"),
+        count(lit(1)).as("total_ngrams"))
+      .where(col("matched_ngrams") > 0)
+      .withColumn("contamination_rate",
+        graft.util.Num.round(
+          col("matched_ngrams") / col("total_ngrams").cast("double"), 6))
+      .orderBy(col("contamination_rate").desc, col("doc_id").asc)
+  }
+
 }
 
 /** Dense-vector column math over array<double>. `cosine` routes to the

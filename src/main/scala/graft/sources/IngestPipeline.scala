@@ -83,6 +83,25 @@ object IngestPipeline {
       }.drop("_graft_failed")
     }
 
+  /** `POST _ingest/pipeline/_simulate` analog: run the pipeline over
+    * the supplied sample docs (a JSON array of `_source` objects) and
+    * return the transformed docs — the preview API, never a write.
+    * The samples parse to one tiny local frame (simulate is bounded by
+    * construction: it previews a handful of docs), then the SAME
+    * compiled chain the write path uses applies, so what simulate
+    * shows is exactly what indexing would store. */
+  def simulate(
+      spark: org.apache.spark.sql.SparkSession,
+      pipelineJson: String,
+      docsJson: String,
+      registry: Map[String, String] = Map.empty): DataFrame = {
+    import spark.implicits._
+    val docs = spark.read.json(Seq(docsJson).toDS)
+    require(!docs.columns.contains("_corrupt_record"),
+      s"_simulate docs must be a JSON array of objects: $docsJson")
+    compile(pipelineJson, registry)(docs)
+  }
+
   def compile(json: String): DataFrame => DataFrame = compile(json, Map.empty)
 
   def compile(

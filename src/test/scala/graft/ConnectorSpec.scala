@@ -327,6 +327,24 @@ class ConnectorSpec extends SparkSpec {
     }
   }
 
+  test("_simulate previews the pipeline on sample docs without a write") {
+    import graft.sources.IngestPipeline
+    val out = IngestPipeline.simulate(spark,
+      """{"processors": [
+           {"lowercase": {"field": "name"}},
+           {"convert": {"field": "qty", "type": "double"}},
+           {"set": {"field": "src", "value": "sim"}}]}""",
+      """[{"name": "ALPHA", "qty": "3"}, {"name": "Beta", "qty": "7"}]""")
+      .select("name", "qty", "src")
+      .as[(String, Double, String)].collect().toSeq.sortBy(_._1)
+    assert(out == Seq(("alpha", 3.0, "sim"), ("beta", 7.0, "sim")))
+    // malformed samples fail loudly instead of returning a corrupt row
+    intercept[IllegalArgumentException] {
+      IngestPipeline.simulate(spark,
+        """{"processors": [{"trim": {"field": "s"}}]}""", """not json""")
+    }
+  }
+
   test("_mapping renders ES dynamic-mapping JSON; _cat/shards lists files") {
     import java.nio.file.Files
     import org.json4s._
