@@ -373,6 +373,14 @@ object ScaleProbe {
           col("text"), lit("\ncopyright 2024 example.com")))
       Dedup.dedupLines(pages, "doc_id", "page", maxDocs = 2 * n).count()
     }
+    time("contamination_10x") {
+      // benchmark shingles broadcast; corpus pass is explode + bcast
+      // join + partial agg — no corpus shuffle by shingle
+      Dedup.contaminationScreen(
+        docs.where(col("doc_id") % 97 =!= 0),
+        docs.where(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 3).count()
+    }
     time("graph_explore_10x") {
       // per-hop cost = one semi-join + partial-agg over the persisted
       // (doc, term) edge frame; only top-N vertex lists hit the driver
