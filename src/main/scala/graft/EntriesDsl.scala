@@ -823,6 +823,16 @@ private[graft] object EntriesDsl {
         .where(graft.rel.Relational.geoPolygon(col("lat"), col("lon"), GeoPolygonVertices))
         .select(col("c_custkey"), col("lat"), col("lon"))
         .orderBy(col("c_custkey"))),
+    // cartesian `shape` query (ES point/shape field types over an x/y
+    // plane, not lat/lon): graft's ray cast was always PLANAR (no
+    // spherical math), so the cartesian surface is the identical
+    // even-odd kernel over unprojected coordinates
+    "q_shape_query" -> ((s, d) => t(s, d, "customer")
+      .withColumn("x", (col("c_custkey") % 2000).cast("double") - 1000.0)
+      .withColumn("y", ((col("c_custkey") * 7) % 2000).cast("double") - 1000.0)
+      .where(graft.rel.Relational.geoPolygon(col("y"), col("x"), ShapeQueryVertices))
+      .select(col("c_custkey"), col("x"), col("y"))
+      .orderBy(col("c_custkey"))),
     // two-phase ranking: BM25 window, re-ranked by a secondary signal
     "q_rescore" -> ((s, d) =>
       Search.rescoreTopK(t(s, d, "documents"), "doc_id", "text", "fast hash join",
@@ -947,6 +957,7 @@ private[graft] object EntriesDsl {
     "q_wrapper" -> ("SELECT doc_id, n_chars FROM documents " +
       "WHERE lang = 'en' AND n_chars >= 200 ORDER BY doc_id"),
     "q_geo_polygon" -> geoPolygonOracleSql(GeoPolygonVertices),
+    "q_shape_query" -> shapeQueryOracleSql(ShapeQueryVertices),
     "q_span_near" -> (TokCte + ", pos AS (SELECT doc_id, " +
       "list_filter(range(1, len(toks) + 1), i -> toks[i] = 'join') AS p1, " +
       "list_filter(range(1, len(toks) + 1), i -> toks[i] = 'hash') AS p2 FROM tok) " +

@@ -265,6 +265,27 @@ private[graft] object EntryShared {
       s"($d1 < 0 AND $d2 < 0 AND $d3 < 0 AND $d4 < 0)))"
   }
 
+  /** Cartesian `shape`-query fixture: (y, x) diamond vertices. */
+  val ShapeQueryVertices: Seq[(Double, Double)] =
+    Seq((0.0, -500.0), (600.0, 0.0), (0.0, 500.0), (-600.0, 0.0))
+
+  /** Oracle for the cartesian shape query: the same even-odd ray cast
+    * as geoPolygonOracleSql over the synthetic x/y plane. */
+  def shapeQueryOracleSql(vertices: Seq[(Double, Double)]): String = {
+    val terms = vertices.indices.map { i =>
+      val (y1, x1) = vertices(i)
+      val (y2, x2) = vertices((i + 1) % vertices.size)
+      val dX = x2 - x1
+      val dY = y2 - y1
+      s"(CASE WHEN (($y1 > y) != ($y2 > y)) AND " +
+        s"(x < $dX * (y - $y1) / $dY + $x1) THEN 1 ELSE 0 END)"
+    }
+    "WITH g AS (SELECT c_custkey, (c_custkey % 2000)::DOUBLE - 1000.0 AS x, " +
+      "((c_custkey * 7) % 2000)::DOUBLE - 1000.0 AS y FROM customer) " +
+      s"SELECT c_custkey, x, y FROM g WHERE (${terms.mkString(" + ")}) % 2 = 1 " +
+      "ORDER BY c_custkey"
+  }
+
   def geoPolygonOracleSql(vertices: Seq[(Double, Double)]): String = {
     val terms = vertices.indices.map { i =>
       val (lat1, lon1) = vertices(i)

@@ -551,4 +551,31 @@ class SearchSpec extends SparkSpec {
     AsyncSearch.delete("s2")
     intercept[IllegalArgumentException] { AsyncSearch.get("s2") }
   }
+
+  test("graph explore: seed at hop 0, bounded frontiers, consistent counts") {
+    import graft.search.GraphExplore
+    val docs = Tables.documents(spark, sfDir)
+    val v = GraphExplore.explore(docs, "doc_id", "text", Seq("spark"),
+      hops = 2, verticesPerHop = 4, minDocCount = 2)
+      .as[(String, Int, Long, Long, Double)].collect().toSeq
+    // hop 0 is exactly the seed, score 1.0, fg==bg==its doc count
+    val seeds = v.filter(_._2 == 0)
+    assert(seeds.map(_._1) == Seq("spark") && seeds.head._5 == 1.0)
+    assert(seeds.head._3 == seeds.head._4)
+    // per-hop bound holds; vertices never repeat across hops
+    assert(v.count(_._2 == 1) <= 4 && v.count(_._2 == 2) <= 4)
+    assert(v.map(_._1).distinct.size == v.size)
+    // every expanded vertex cleared the min doc-count bar in fg and
+    // appears at least that often in the background
+    assert(v.filter(_._2 > 0).forall(r => r._3 >= 2 && r._4 >= r._3))
+    // connections: pairs ordered, co-occurrence at least the floor
+    val conn = GraphExplore.connections(docs, "doc_id", "text",
+      v.map(_._1), minDocCount = 2)
+      .as[(String, String, Long)].collect().toSeq
+    assert(conn.nonEmpty && conn.forall(c => c._1 < c._2 && c._3 >= 2))
+    // seeds must exist
+    intercept[IllegalArgumentException] {
+      GraphExplore.explore(docs, "doc_id", "text", Nil)
+    }
+  }
 }
