@@ -239,6 +239,58 @@ class AggsSpec extends SparkSpec {
     assert(st.head._1 == "special")
   }
 
+  test("mutual_information and gnd heuristics match the reference formulas") {
+    // synthetic keyword field with controlled contingency counts:
+    // 60 docs, 20 fg; term 'a' in 15 docs (10 fg), 'b' in 30 (10 fg),
+    // 'c' in 15 (0 fg)
+    val docs = (
+      (1 to 10).map(i => (i.toLong, true, "a")) ++
+      (11 to 15).map(i => (i.toLong, false, "a")) ++
+      (16 to 25).map(i => (i.toLong, true, "b")) ++
+      (26 to 45).map(i => (i.toLong, false, "b")) ++
+      (46 to 60).map(i => (i.toLong, false, "c"))).toDF("id", "fg", "k")
+    def refMi(n11: Double, termTot: Double, fgTot: Double, n: Double): Double = {
+      val (n10, n01) = (termTot - n11, fgTot - n11)
+      val n00 = n - termTot - n01
+      def t(nij: Double, ni: Double, nj: Double) =
+        if (nij > 0) (nij / n) * (math.log(n * nij / (ni * nj)) / math.log(2)) else 0.0
+      t(n11, termTot, fgTot) + t(n10, termTot, n - fgTot) +
+        t(n01, n - termTot, fgTot) + t(n00, n - termTot, n - fgTot)
+    }
+    def refGnd(fxy: Double, fx: Double, fy: Double, n: Double): Double =
+      1.0 - (math.max(math.log(fx), math.log(fy)) - math.log(fxy)) /
+        (math.log(n) - math.min(math.log(fx), math.log(fy)))
+    val mi = Aggs.significantTermsKeyword(docs, "k", col("fg"),
+      minFgCount = 1, k = 10, heuristic = "mutual_information")
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(math.abs(mi("a")._4 - refMi(10, 15, 20, 60)) < 1e-6 + 1e-9)
+    assert(math.abs(mi("b")._4 - refMi(10, 30, 20, 60)) < 1e-6 + 1e-9)
+    // 'a' is the most fg-skewed: highest MI among terms with fg presence
+    assert(mi("a")._4 > mi("b")._4)
+    val gnd = Aggs.significantTermsKeyword(docs, "k", col("fg"),
+      minFgCount = 1, k = 10, heuristic = "gnd")
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r._4).toMap
+    assert(math.abs(gnd("a") - refGnd(10, 15, 20, 60)) < 1e-6 + 1e-9)
+    assert(math.abs(gnd("b") - refGnd(10, 30, 20, 60)) < 1e-6 + 1e-9)
+    assert(gnd("a") > gnd("b"))
+  }
+
+  test("contamination screen: counts shared distinct n-grams only") {
+    import graft.dedup.Dedup
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),      // shares "alpha beta gamma" path
+      (2L, "zeta eta theta iota"),         // no overlap
+      (3L, "beta gamma delta beta gamma delta")) // repeated shingle counts once
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val r = Dedup.contaminationScreen(corpus, bench, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // doc 1: shingles {abg, bgd} both in bench -> 2/2; doc 3: distinct
+    // shingles {bgd, gdb, dbg} -> only bgd matches -> 1/3; doc 2 absent
+    assert(r.map(x => (x._1, x._2, x._3)).toSet == Set((1L, 2L, 2L), (3L, 1L, 3L)))
+    assert(r.find(_._1 == 1L).get._4 == 1.0)
+  }
+
   test("significant_text: duplicate text counted once in the foreground") {
     // 5 fg docs share identical text; without filter_duplicate_text
     // the dup boosts "special" 5x — with it, the fg term count is 1+1
