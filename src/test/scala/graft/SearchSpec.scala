@@ -550,6 +550,75 @@ class SearchSpec extends SparkSpec {
     assert(rows2.size < 8)
     AsyncSearch.delete("s2")
     intercept[IllegalArgumentException] { AsyncSearch.get("s2") }
+
+    // cancel IMMEDIATELY after submit: the group-set latch makes the
+    // cancel wait for the worker's job group instead of firing into
+    // the void (the submit/cancel race) — the search must still end,
+    // partial, without running to completion
+    val slow3 = spark.range(0, 8, 1, 8)
+      .mapPartitions { it => Thread.sleep(1500); it }
+      .toDF("id")
+    AsyncSearch.submit(spark, "s3", slow3)
+    AsyncSearch.cancel(spark, "s3")
+    AsyncSearch.await("s3", 30000)
+    val (running3, partial3, rows3) = AsyncSearch.get("s3")
+    assert(!running3 && partial3 && rows3.size < 8)
+    AsyncSearch.delete("s3")
+  }
+
+  test("graph explore matches a brute-force reference on randomized corpora") {
+    import graft.search.GraphExplore
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    for (round <- 1 to 8) {
+      val nDocs = 20 + rnd.nextInt(30)
+      val corpus = (1 to nDocs).map { i =>
+        (i.toLong, (1 to (4 + rnd.nextInt(12)))
+          .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val seed = vocab(rnd.nextInt(vocab.size))
+      val minDc = 1 + rnd.nextInt(3)
+      // reference: plain-Scala hop expansion with the same uplift math;
+      // verticesPerHop >= |vocab| so selection never truncates and
+      // floating tie-breaks can't flip membership
+      val tokSets = corpus.map { case (id, t) =>
+        id -> t.split(" ").toSet }.toMap
+      val bgCount = vocab.map(w =>
+        w -> tokSets.values.count(_.contains(w)).toLong).toMap
+      val n = nDocs.toDouble
+      var known = Set(seed)
+      var frontier = Seq(seed)
+      var expect = if (bgCount(seed) > 0)
+        Vector((seed, 0, bgCount(seed), bgCount(seed))) else Vector.empty
+      for (hop <- 1 to 2 if frontier.nonEmpty) {
+        val fgDocs = tokSets.filter(_._2.intersect(frontier.toSet).nonEmpty).keySet
+        val cand = vocab.filterNot(known)
+          .map { w => (w, fgDocs.count(tokSets(_).contains(w)).toLong) }
+          .filter(_._2 >= minDc)
+          .map { case (w, fc) => (w, hop, fc, bgCount(w)) }
+        expect ++= cand.sortBy(_._1)
+        known ++= cand.map(_._1)
+        frontier = cand.map(_._1)
+      }
+      val got = GraphExplore.explore(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", Seq(seed), hops = 2,
+        verticesPerHop = vocab.size, minDocCount = minDc)
+        .as[(String, Int, Long, Long, Double)].collect().toSeq
+      assert(got.map(r => (r._1, r._2, r._3, r._4)).sortBy(r => (r._2, r._1)) ==
+        expect.sortBy(r => (r._2, r._1)).toSeq,
+        s"round $round seed=$seed minDc=$minDc")
+      // scores match the uplift formula on the reference counts
+      for ((term, hop, fc, bc, score) <- got if hop > 0) {
+        val fgTotal = {
+          // frontier at this hop = previous hop's terms in the ref walk
+          val prev = expect.filter(_._2 == hop - 1).map(_._1).toSet
+          tokSets.count(_._2.intersect(prev).nonEmpty).toDouble
+        }
+        val ref = (fc / fgTotal) * math.log((fc / fgTotal) / (bc / n))
+        assert(math.abs(score - ref) < 2e-6, s"round $round term=$term")
+      }
+    }
   }
 
   test("graph explore: seed at hop 0, bounded frontiers, consistent counts") {
