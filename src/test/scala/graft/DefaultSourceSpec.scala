@@ -121,4 +121,30 @@ class DefaultSourceSpec extends SparkSpec {
       .select("source").distinct().as[String].collect()
     assert(rows.forall(_.endsWith("1")))
   }
+
+  test("SQL catalog tables over an index (the Hive-integration analog)") {
+    // es-hadoop's Hive surface (EsStorageHandler external tables) maps
+    // Spark-first onto catalog tables USING graft: plain SQL queries an
+    // index through the same provider, with a server-side graft.query
+    // option and pushdown intact
+    spark.sql("DROP TABLE IF EXISTS graft_cat_idx")
+    spark.sql("DROP TABLE IF EXISTS graft_cat_en")
+    spark.sql(
+      s"CREATE TABLE graft_cat_idx USING graft OPTIONS (path '$idx')")
+    val viaSql = spark.sql(
+      "SELECT lang, count(*) AS n FROM graft_cat_idx GROUP BY lang")
+      .as[(String, Long)].collect().toMap
+    val direct = Tables.documents(spark, sfDir).groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    assert(viaSql == direct)
+    // graft.query option = the external-table query the Hive DDL carries
+    spark.sql(
+      s"""CREATE TABLE graft_cat_en USING graft
+          OPTIONS (path '$idx', `graft.query` '{"term": {"lang": "en"}}')""")
+    val en = spark.sql("SELECT count(*) AS n FROM graft_cat_en")
+      .as[Long].collect().head
+    assert(en == direct("en"))
+    spark.sql("DROP TABLE graft_cat_idx")
+    spark.sql("DROP TABLE graft_cat_en")
+  }
 }
