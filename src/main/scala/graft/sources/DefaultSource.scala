@@ -110,7 +110,16 @@ case class GraftRelation(
     idField: String,
     fieldInclude: Seq[String] = Nil,
     fieldExclude: Seq[String] = Nil)
-  extends BaseRelation with PrunedFilteredScan {
+  extends BaseRelation with PrunedFilteredScan with InsertableRelation {
+
+  /** SQL `INSERT INTO` / `INSERT OVERWRITE` over a catalog table
+    * (the Hive-surface write half: Hive can INSERT into an ES external
+    * table). Routes through the connector's bulk path so id mapping
+    * and upsert semantics keep working from plain SQL. */
+  override def insert(data: DataFrame, overwrite: Boolean): Unit =
+    Connector.save(data, path,
+      Map("graft.write.operation" -> (if (overwrite) "overwrite" else "append")) ++
+        (if (idField != "_id") Map("graft.mapping.id" -> idField) else Map.empty))
 
   private def base: DataFrame = {
     val df0 = sqlContext.sparkSession.read.parquet(path)

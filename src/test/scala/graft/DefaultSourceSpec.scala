@@ -147,4 +147,21 @@ class DefaultSourceSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_cat_idx")
     spark.sql("DROP TABLE graft_cat_en")
   }
+
+  test("INSERT INTO a graft catalog table routes through the bulk path") {
+    val dir = Files.createTempDirectory("graft_sqlins").toString + "/idx"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.format("graft")
+      .option("graft.mapping.id", "id").save(dir)
+    spark.sql("DROP TABLE IF EXISTS graft_ins")
+    spark.sql(s"""CREATE TABLE graft_ins USING graft
+      OPTIONS (path '$dir', `graft.mapping.id` 'id')""")
+    spark.sql("INSERT INTO graft_ins VALUES (3, 'c')")
+    val rows = spark.read.format("graft").load(dir)
+      .as[(Long, String)].collect().toMap
+    assert(rows == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    spark.sql("INSERT OVERWRITE graft_ins VALUES (9, 'z')")
+    assert(spark.read.format("graft").load(dir)
+      .as[(Long, String)].collect().toMap == Map(9L -> "z"))
+    spark.sql("DROP TABLE graft_ins")
+  }
 }
