@@ -625,12 +625,20 @@ object Esql {
     // sessions built without withExtensions still get the count-shaped
     // text rewrites (idempotent)
     graft.plans.SizeOfSplitRewrite.install(spark)
-    val rawSegs = segments(query)
+    // `TS` (the 9.x spelling of the time-series source command) is a
+    // strict alias of METRICS here: both declare time-series intent
+    // and desugar to FROM [+ STATS]
+    val rawSegs0 = segments(query)
+    val rawSegs =
+      if (rawSegs0.nonEmpty && (rawSegs0.head.toLowerCase.startsWith("ts ") ||
+          rawSegs0.head.toLowerCase == "ts"))
+        ("metrics" + rawSegs0.head.drop(2)) +: rawSegs0.tail
+      else rawSegs0
     require(rawSegs.nonEmpty && (rawSegs.head.toLowerCase.startsWith("from") ||
         rawSegs.head.toLowerCase.startsWith("row") ||
         rawSegs.head.toLowerCase.startsWith("metrics") ||
         rawSegs.head.toLowerCase.startsWith("show")),
-      "ES|QL query must start with FROM, ROW, METRICS or SHOW")
+      "ES|QL query must start with FROM, ROW, TS, METRICS or SHOW")
     // SHOW INFO: the one-row deployment descriptor (piped commands
     // compose after it like any other source)
     if (rawSegs.head.toLowerCase.trim == "show info") {

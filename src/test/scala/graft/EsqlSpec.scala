@@ -375,4 +375,14 @@ class EsqlSpec extends SparkSpec {
     assert(math.abs(r(1)._1 - math.Pi / 2 * 6371000.0) < 1.0)
     assert(r(1)._2 == 90.0)
   }
+
+  test("TS is the 9.x alias of METRICS: identical result") {
+    val viaTs = Esql.run(spark, sfDir,
+      "ts events mx = max(value), n = count(*) by event_type | sort event_type")
+      .collect().toSeq
+    val viaMetrics = Esql.run(spark, sfDir,
+      "metrics events mx = max(value), n = count(*) by event_type | sort event_type")
+      .collect().toSeq
+    assert(viaTs == viaMetrics && viaTs.nonEmpty)
+  }
 }
