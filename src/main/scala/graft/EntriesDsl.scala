@@ -370,6 +370,11 @@ private[graft] object EntriesDsl {
     "q_esql_qstr" -> ((s, d) => graft.dsl.Esql.run(s, d,
       """from documents | where qstr("lang:en AND spark")
         | stats n = count(*), max_chars = max(n_chars)""")),
+    // 9.x family additions: MATCH_PHRASE (adjacency) + TERM (exact
+    // keyword equality) composing in one WHERE
+    "q_esql_match_phrase" -> ((s, d) => graft.dsl.Esql.run(s, d,
+      """from documents | where match_phrase(text, "table scan") and term(lang, "en")
+        | keep doc_id | sort doc_id""")),
     "q_esql_eval_agg" -> ((s, d) => graft.dsl.Esql.run(s, d,
       """from documents | where lang != "xx"
         | eval kchars = n_chars / 100
@@ -1069,6 +1074,10 @@ private[graft] object EntriesDsl {
       "SELECT doc_id, list_filter", "SELECT doc_id, lang, n_chars, list_filter") +
       " SELECT count(*)::BIGINT AS n, max(n_chars)::BIGINT AS max_chars FROM tok " +
       "WHERE lang = 'en' AND list_contains(toks, 'spark')"),
+    "q_esql_match_phrase" -> (TokCte.replace(
+      "SELECT doc_id, list_filter", "SELECT doc_id, lang, list_filter") +
+      " SELECT doc_id FROM tok WHERE contains(' ' || array_to_string(toks, ' ') || ' ', " +
+      "' table scan ') AND lang = 'en' ORDER BY doc_id"),
     "q_esql_eval_agg" -> ("SELECT lang, count(*)::BIGINT AS n, " +
       "round(avg(n_chars / 100), 4) AS avg_k FROM documents " +
       "WHERE lang <> 'xx' GROUP BY 1 ORDER BY lang"),

@@ -405,6 +405,12 @@ object Esql {
           UriQuery.compile(litStr(q, "QSTR query"))
         case ("kql", Seq(q)) =>
           Kql.compile(litStr(q, "KQL query"))
+        // 9.x additions to the family: MATCH_PHRASE (positional
+        // adjacency, the match_phrase query as a WHERE function) and
+        // TERM (exact un-analyzed equality on a keyword field)
+        case ("match_phrase", Seq(f, q)) =>
+          graft.search.Search.matchPhrase(f, litStr(q, "MATCH_PHRASE query"))
+        case ("term", Seq(f, q)) => f === q
         // type conversions
         case ("to_string", Seq(x)) => x.cast("string")
         case ("to_long", Seq(x)) => x.cast("long")
