@@ -375,6 +375,10 @@ private[graft] object EntriesDsl {
     "q_esql_match_phrase" -> ((s, d) => graft.dsl.Esql.run(s, d,
       """from documents | where match_phrase(text, "table scan") and term(lang, "en")
         | keep doc_id | sort doc_id""")),
+    // METADATA clause: _id (stringified key), _index, _version
+    "q_esql_metadata" -> ((s, d) => graft.dsl.Esql.run(s, d,
+      """from documents metadata _id, _index, _version | where lang == "en"
+        | keep _id, _index, _version | sort _id | limit 50""")),
     "q_esql_eval_agg" -> ((s, d) => graft.dsl.Esql.run(s, d,
       """from documents | where lang != "xx"
         | eval kchars = n_chars / 100
@@ -1074,6 +1078,8 @@ private[graft] object EntriesDsl {
       "SELECT doc_id, list_filter", "SELECT doc_id, lang, n_chars, list_filter") +
       " SELECT count(*)::BIGINT AS n, max(n_chars)::BIGINT AS max_chars FROM tok " +
       "WHERE lang = 'en' AND list_contains(toks, 'spark')"),
+    "q_esql_metadata" -> ("SELECT doc_id::VARCHAR AS _id, 'documents' AS _index, " +
+      "1::BIGINT AS _version FROM documents WHERE lang = 'en' ORDER BY _id LIMIT 50"),
     "q_esql_match_phrase" -> (TokCte.replace(
       "SELECT doc_id, list_filter", "SELECT doc_id, lang, list_filter") +
       " SELECT doc_id FROM tok WHERE contains(' ' || array_to_string(toks, ' ') || ' ', " +

@@ -35,8 +35,9 @@ import scala.util.matching.Regex
   */
 object EsSql {
 
-  /** ES `_id` analog per table — SCORE() needs a join key. */
-  private val keyOf = Map(
+  /** ES `_id` analog per table — SCORE() needs a join key (also used
+    * by the ES|QL METADATA clause). */
+  private[dsl] val keyOf = Map(
     "documents" -> "doc_id", "events" -> "event_id",
     "embeddings" -> "vec_id", "orders" -> "o_orderkey",
     "customer" -> "c_custkey", "supplier" -> "s_suppkey",

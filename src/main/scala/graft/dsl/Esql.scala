@@ -673,9 +673,34 @@ object Esql {
     val source =
       if (segs.head.toLowerCase.startsWith("row")) rowSource(spark, segs.head.drop(3).trim)
       else {
-        val table = segs.head.drop(4).trim
-        require(table.matches("[A-Za-z0-9_]+"), s"bad FROM target: $table")
-        load(table)
+        // FROM <t> [METADATA _id, _index, _version]: ES|QL's metadata
+        // columns. _id = the table's key (stringified, as ES ids are
+        // strings), _index = the source name, _version = 1 (parquet
+        // storage has no per-doc versions unless the connector's
+        // external-versioning column is used). _score needs a scoring
+        // context (full-text WHERE) — loud error, not a silent 0.
+        val FromRe = "(?i)^([A-Za-z0-9_]+)(?:\\s+metadata\\s+(.+))?$".r
+        segs.head.drop(4).trim match {
+          case FromRe(table, meta) =>
+            val base = load(table)
+            Option(meta).map(_.split(",").map(_.trim.toLowerCase).toSeq)
+              .getOrElse(Nil).foldLeft(base) { (d, m) => m match {
+                case "_id" =>
+                  val key = EsSql.keyOf.getOrElse(table,
+                    throw new IllegalArgumentException(
+                      s"METADATA _id: no known key column for $table"))
+                  d.withColumn("_id", col(key).cast("string"))
+                case "_index" => d.withColumn("_index", lit(table))
+                case "_version" => d.withColumn("_version", lit(1L))
+                case "_score" => throw new IllegalArgumentException(
+                  "METADATA _score needs a scoring query context; use " +
+                    "FORK/RERANK/FUSE which materialize _score explicitly")
+                case other => throw new IllegalArgumentException(
+                  s"unknown METADATA field: $other")
+              }}
+          case other =>
+            throw new IllegalArgumentException(s"bad FROM target: $other")
+        }
       }
     val resolve = (t: String) => load(t)
     segs.tail.foldLeft(source)(applyCommand(_, _, resolve))
