@@ -56,10 +56,12 @@ private[graft] object EntriesPipeline {
         docs.where(col("doc_id") < 300),
         "doc_id", "text", expectedSeen = 1000L, fpp = 0.01)
     }),
-    // benchmark-contamination screen (n-gram collision decontamination):
-    // every 97th doc plays the benchmark set; n=3 because the synthetic
-    // vocab is ~30 words (real corpora use the 13-gram recipe)
-    "q_contamination" -> ((s, d) => {
+    // contamination RATE variant (q_contamination reports the overlap
+    // count; this one adds matched/total + rate with a configurable
+    // n-gram size — n=3 because the synthetic vocab is ~30 words, real
+    // corpora use the 13-gram recipe): every 97th doc plays the
+    // benchmark set
+    "q_contamination_rate" -> ((s, d) => {
       val docs = t(s, d, "documents")
       Dedup.contaminationScreen(
         docs.where(col("doc_id") % 97 =!= 0),
@@ -277,7 +279,7 @@ private[graft] object EntriesPipeline {
       "sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_spans, " +
       "round(CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_ratio " +
       "FROM w JOIN f USING (h) GROUP BY doc_id ORDER BY id"),
-    "q_contamination" -> (TokCte +
+    "q_contamination_rate" -> (TokCte +
       ", sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s " +
       "FROM tok, unnest(range(1, len(toks) - 1)) AS u(i) WHERE len(toks) >= 3), " +
       "bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0), " +
