@@ -28,6 +28,13 @@ private[graft] object EntriesAggs {
       Aggs.dateHistogramAgg(t(s, d, "orders"), "o_orderdate", "month"),
       "bucket", "doc_count",
       (0 until 80).map(i => (i * 37 % 100) / 100.0))),
+    // bucket_count_ks_test: K-S of the clamped width-10 value
+    // histogram (10 buckets) against uniform expected fractions
+    "q_agg_ks_test" -> ((s, d) => Aggs.bucketCountKsTest(
+      Tables.events(s, d)
+        .groupBy(least(floor(col("value") / 10), lit(9.0)).as("bucket"))
+        .agg(count(lit(1)).as("doc_count")),
+      "bucket", "doc_count", Seq.fill(10)(0.1))),
     // terms agg keyed by a Painless script (price-band buckets)
     "q_agg_terms_script" -> ((s, d) => Aggs.termsAggScript(
       t(s, d, "orders"),
@@ -313,6 +320,11 @@ private[graft] object EntriesAggs {
         originLat = 10.0, originLon = 20.0, edgesKm = Seq(2000.0, 5000.0, 10000.0))),
     "q_agg_moving_fn" -> ((s, d) =>
       Aggs.dateHistogramMovingFn(t(s, d, "orders"), "o_orderdate", "month", "o_totalprice", 3)),
+    // the rest of the moving_fn model whitelist: unweightedAvg /
+    // linearWeightedAvg / stdDev / holt over monthly windows
+    "q_agg_moving_models" -> ((s, d) =>
+      Aggs.dateHistogramMovingModels(t(s, d, "orders"), "o_orderdate", "month",
+        "o_totalprice", window = 3, alpha = 0.3, beta = 0.1)),
     "q_agg_bucket_sort" -> ((s, d) =>
       Aggs.bucketSortAgg(t(s, d, "orders"), "o_orderdate", "month", "o_totalprice",
         from = 2, sz = 5)),
@@ -505,6 +517,25 @@ private[graft] object EntriesAggs {
       "round(CAST(sum(CAST(sum_v AS DECIMAL(18,4))) OVER w AS DOUBLE), 4) AS moving_sum " +
       "FROM b WINDOW w AS (ORDER BY bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) " +
       "ORDER BY bucket"),
+    // every model folds the ordered window list left-to-right via
+    // list_reduce — the same FP op order as the Scala aggregate()
+    "q_agg_moving_models" -> ("WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS bucket, " +
+      "count(*)::BIGINT AS doc_count, " +
+      "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_v FROM orders GROUP BY 1), " +
+      "w AS (SELECT bucket, doc_count, sum_v, " +
+      "list(sum_v) OVER (ORDER BY bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS vals FROM b), " +
+      "m AS (SELECT bucket, doc_count, sum_v, vals, len(vals)::DOUBLE AS n, " +
+      "list_reduce(list_prepend(0.0::DOUBLE, vals), (a, x) -> a + x) / len(vals)::DOUBLE AS mean FROM w) " +
+      "SELECT bucket, doc_count, sum_v, round(mean, 4) AS unweighted_avg, " +
+      "round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(vals) + 1), i -> vals[i] * i::DOUBLE)), (a, x) -> a + x) " +
+      "/ (n * (n + 1.0) / 2.0), 4) AS linear_wavg, " +
+      "round(sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(vals, x -> (x - mean) * (x - mean))), (a, x) -> a + x) / n), 4) AS moving_stddev, " +
+      // 1-alpha / 1-beta are SUBTRACTED IN DOUBLE like the Scala
+      // side (1-0.3 != the double literal 0.7; DECIMAL 0.7 differs)
+      "round(list_reduce(list_transform(vals, x -> {'s': x::DOUBLE, 'b': 0.0::DOUBLE}), " +
+      "(a, e) -> {'s': 0.3 * e.s + (1.0::DOUBLE - 0.3::DOUBLE) * (a.s + a.b), " +
+      "'b': 0.1 * ((0.3 * e.s + (1.0::DOUBLE - 0.3::DOUBLE) * (a.s + a.b)) - a.s) + (1.0::DOUBLE - 0.1::DOUBLE) * a.b}).s, 4) AS holt " +
+      "FROM m ORDER BY bucket"),
     "q_agg_bucket_sort" -> ("WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS bucket, " +
       "count(*)::BIGINT AS doc_count, " +
       "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_v FROM orders GROUP BY 1), " +
@@ -558,6 +589,25 @@ private[graft] object EntriesAggs {
       "i -> (i * 37 % 100) / 100.0)) AS ind) " +
       "SELECT round(corr(doc_count::DOUBLE, ind), 4) AS correlation, " +
       "count(*)::BIGINT AS n_buckets FROM r JOIN c USING (rn)"),
+    // mirrors bucketCountKsTest bit-for-bit: expected CDF accumulates
+    // 0.1 REPEATEDLY (window sum), matching the Scala scanLeft's
+    // addition order, so round(·,4) can't straddle an FP knife edge
+    "q_agg_ks_test" -> ("WITH b AS (SELECT least(floor(value / 10), 9) AS bucket, " +
+      "count(*)::DOUBLE AS cnt FROM events GROUP BY 1), " +
+      "o AS (SELECT bucket, cnt, row_number() OVER (ORDER BY bucket) AS rn, " +
+      "sum(cnt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS oc, " +
+      "sum(cnt) OVER () AS n FROM b), " +
+      "f AS (SELECT rn, sum(fr) OVER (ORDER BY rn ROWS UNBOUNDED PRECEDING) AS ecum " +
+      "FROM (SELECT unnest(range(1, 11)) AS rn, 0.1::DOUBLE AS fr)), " +
+      "dd AS (SELECT o.oc / o.n - f.ecum AS diff, o.n AS n FROM o JOIN f USING (rn)), " +
+      "a AS (SELECT max(-diff) AS dl, max(diff) AS dg, max(abs(diff)) AS dt, " +
+      "any_value(n) AS n, count(*)::BIGINT AS n_buckets FROM dd) " +
+      "SELECT round(greatest(dl, 0.0), 4) AS d_less, round(greatest(dg, 0.0), 4) AS d_greater, " +
+      "round(dt, 4) AS d_two_sided, " +
+      "round(least(exp(-2.0 * n * dl * dl), 1.0), 4) AS p_less, " +
+      "round(least(exp(-2.0 * n * dg * dg), 1.0), 4) AS p_greater, " +
+      "round(least(2.0 * exp(-2.0 * n * dt * dt), 1.0), 4) AS p_two_sided, " +
+      "n_buckets FROM a"),
     "q_agg_terms_script" -> ("SELECT floor(o_totalprice / 50000.0) AS key, " +
       "count(*)::BIGINT AS doc_count FROM orders GROUP BY 1 " +
       "ORDER BY doc_count DESC, key LIMIT 8"),

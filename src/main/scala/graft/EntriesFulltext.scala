@@ -76,6 +76,19 @@ private[graft] object EntriesFulltext {
           arrays_overlap(col("mt"), lit(Array("vectoren", "hashen"))).as("raw_hit"))
         .orderBy(col("doc_id"))
     }),
+    // span_field_masking: a span_near combining a raw-stream clause
+    // ("fast" in the morphed tokens) with a clause on the STEMMED
+    // subfield ("table", matching tables too) masked back to the raw
+    // field — legal because the stemmer preserves positions 1:1
+    "q_span_masked" -> ((s, d) => {
+      import graft.analysis.Analyzer
+      val m = morphedToks()
+      val st = Analyzer.chain(m, stemmer = "minimal_english")
+      t(s, d, "documents")
+        .select(col("doc_id"), m.as("mt"), st.as("st"))
+        .where(Search.spanNearMasked(col("mt"), col("st"), "fast", "table", slop = 3))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
     // asciifolding: de docs get accented variants (a->ä, e->é), the
     // folded index matches 'merge' anyway; raw_hit shows the unfolded
     // tokenizer splitting 'mérgé' apart (accents are separators)
@@ -301,6 +314,13 @@ private[graft] object EntriesFulltext {
       "SELECT doc_id, len(list_intersect(list_distinct(st), ['vector', 'hash']))::BIGINT AS n_terms, " +
       "list_has_any(toks, ['vectoren', 'hashen']) AS raw_hit " +
       "FROM gst WHERE list_has_any(st, ['vector', 'hash']) ORDER BY doc_id"),
+    "q_span_masked" -> (TokCte + MTokCte +
+      ", mst AS (SELECT doc_id, toks, list_transform(toks, x -> " + mstem("x") + ") AS st FROM mtok), " +
+      "p AS (SELECT doc_id, " +
+      "list_filter(range(1, len(toks) + 1), i -> toks[i] = 'fast') AS p1, " +
+      "list_filter(range(1, len(st) + 1), i -> st[i] = 'table') AS p2 FROM mst) " +
+      "SELECT doc_id FROM p WHERE len(list_filter(p1, a -> " +
+      "len(list_filter(p2, b -> a != b AND abs(a - b) - 1 <= 3)) > 0)) > 0 ORDER BY doc_id"),
     "q_match_folded" -> ("WITH r AS (SELECT doc_id, lang, CASE WHEN lang = 'de' " +
       "THEN translate(text, 'ae', 'äé') ELSE text END AS raw FROM documents), " +
       s"f AS (SELECT doc_id, lang, raw, list_filter(regexp_split_to_array(" +

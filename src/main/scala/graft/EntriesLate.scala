@@ -137,6 +137,21 @@ private[graft] object EntriesLate {
         .select(col("doc_id") +: sf.map { case (n, c) => Num.round(c, 4).as(n) }: _*)
         .orderBy(col("doc_id"))
     }),
+    // docvalue_fields: the columnar response shaping, compiled from
+    // the JSON spec list to a projection Catalyst pushes to the scan
+    "q_docvalue_fields" -> ((s, d) => {
+      val dv = graft.dsl.SearchBody.docvalueFields(
+        """[{"field": "o_orderdate", "format": "yyyy/MM"}, "o_orderkey",
+            {"field": "o_totalprice"}]""")
+      t(s, d, "orders").where(col("o_totalprice") > 15000)
+        .select(dv.map { case (n, c) => c.as(n) }: _*)
+        .orderBy(col("o_orderkey"))
+    }),
+    // terminate_after: per-shard early termination — deterministic
+    // prefix of each routing shard's hit stream + terminated_early
+    "q_terminate_after" -> ((s, d) => Search.terminateAfter(
+      t(s, d, "documents"), col("lang") === "en" && col("n_chars") >= 100,
+      "doc_id", shards = 4, n = 5)),
     // fields API with a date `format`: pattern render + epoch_millis
     "q_fields_format" -> ((s, d) => t(s, d, "orders")
       .where(col("o_totalprice") > 5000)
@@ -341,6 +356,13 @@ private[graft] object EntriesLate {
       "WHERE rn = 1 ORDER BY user_id"),
     "q_script_fields" -> ("SELECT doc_id, round(CAST(n_chars AS DOUBLE) / 100.0, 4) AS hundreds, " +
       "round(CAST(n_chars AS DOUBLE) % 7, 4) AS mod7 FROM documents WHERE n_chars > 400 ORDER BY doc_id"),
+    "q_docvalue_fields" -> ("SELECT strftime(o_orderdate, '%Y/%m') AS o_orderdate, " +
+      "o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 15000 ORDER BY o_orderkey"),
+    "q_terminate_after" -> (s"WITH m AS (SELECT doc_id, ${hexFold("doc_id::VARCHAR", 12)} % 4 AS shard " +
+      "FROM documents WHERE lang = 'en' AND n_chars >= 100), " +
+      "r AS (SELECT doc_id, shard, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn, " +
+      "count(*) OVER (PARTITION BY shard) AS sh FROM m) " +
+      "SELECT doc_id, shard, sh > 5 AS terminated_early FROM r WHERE rn <= 5 ORDER BY shard, doc_id"),
     "q_fields_format" -> ("SELECT o_orderkey, strftime(o_orderdate, '%Y/%m/%d') AS od_fmt, " +
       "epoch_ms(o_orderdate) AS od_ms FROM orders WHERE o_totalprice > 5000 ORDER BY o_orderkey"),
     "q_indices_boost" -> (TokCte + bm25Ctes("", "tok", Seq("fast", "hash", "join")) +

@@ -182,6 +182,15 @@ private[graft] object EntriesPipeline {
         .select(col("doc_id"), col("n_tokens"), col("punct_ratio"),
           col("stopword_ratio"), col("ttr"), col("quality"))
         .orderBy(col("doc_id"))),
+    // C4/FineWeb heuristic filter battery: line/sentence/boilerplate
+    // signals + the keep decision, all map-only string math
+    "q_quality_c4" -> ((s, d) => {
+      val sig = TextAnalysis.c4Filters(col("text"))
+      val keep = TextAnalysis.c4Keep(sig.toMap)
+      t(s, d, "documents")
+        .select(col("doc_id") +: sig.map { case (n, c) => c.as(n) } :+ keep.as("keep"): _*)
+        .orderBy(col("doc_id"))
+    }),
     "q_tokens" -> ((s, d) => {
       val cs = TextAnalysis.tokenCounts(col("text"))
       t(s, d, "documents")
@@ -454,6 +463,17 @@ private[graft] object EntriesPipeline {
         "round(least(n_tokens / 100.0, 1.0) * 0.3 + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2 + " +
         "least(stopword_ratio * 5.0, 1.0) * 0.2 + ttr * 0.3, 4) AS quality FROM m ORDER BY doc_id"
     },
+    "q_quality_c4" -> ("WITH l AS (SELECT doc_id, text, lower(text) AS low, " +
+      "list_filter(string_split(text, chr(10)), x -> len(x) > 0) AS lines FROM documents), " +
+      "s AS (SELECT doc_id, len(lines)::BIGINT AS n_lines, " +
+      "len(list_filter(lines, x -> regexp_matches(x, '[.!?\"][ \\t\\r]*$')))::BIGINT AS n_kept_lines, " +
+      "len(list_filter(regexp_split_to_array(text, '[.!?]+'), x -> len(trim(x)) > 0))::BIGINT AS n_sentences, " +
+      "contains(low, 'lorem ipsum') AS has_lorem, contains(text, '{') AS has_brace, " +
+      "(contains(low, 'privacy policy') OR contains(low, 'terms of use') OR " +
+      "contains(low, 'cookie policy') OR contains(low, 'uses cookies')) AS has_policy FROM l) " +
+      "SELECT doc_id, n_lines, n_kept_lines, n_sentences, has_lorem, has_brace, has_policy, " +
+      "(NOT has_lorem AND NOT has_brace AND NOT has_policy AND n_sentences >= 3) AS keep " +
+      "FROM s ORDER BY doc_id"),
     "q_tokens" -> ("SELECT doc_id, " +
       "len(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0))::BIGINT AS ws_tokens, " +
       "len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]'))::BIGINT AS bpe_tokens " +

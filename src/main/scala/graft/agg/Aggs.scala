@@ -58,6 +58,51 @@ object Aggs {
         count(lit(1)).as("n_buckets"))
   }
 
+  /** `bucket_count_ks_test` pipeline agg (ES ML module): a
+    * Kolmogorov–Smirnov test of the sibling buckets' doc-count
+    * distribution against caller-provided expected `fractions`
+    * (paired with the ordered bucket frame BY ORDER, like
+    * bucket_correlation). Emits the D statistic for ES's three
+    * `alternative`s — `less` (observed CDF below expected),
+    * `greater`, `two_sided` — plus the deterministic asymptotic
+    * p-value exp(-2·n·D²) (doubled for two_sided, capped at 1; ES
+    * samples p by Monte Carlo, which no oracle could replay — the
+    * closed form is declared in SURVEY §2). All math runs on the
+    * already-aggregated bucket frame: one window cumsum over
+    * |fractions| rows, nothing touches the raw data again. */
+  def bucketCountKsTest(
+      buckets: DataFrame, orderCol: String, countCol: String,
+      fractions: Seq[Double]): DataFrame = {
+    val spark = buckets.sparkSession
+    import spark.implicits._
+    require(fractions.nonEmpty, "bucket_count_ks_test needs fractions")
+    require(math.abs(fractions.sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${fractions.sum}")
+    val w = Window.orderBy(col(orderCol))
+    val indexed = buckets
+      .select(col(orderCol), col(countCol).cast("double").as("_cnt"))
+      .withColumn("_rn", row_number().over(w))
+    val expCum = fractions.scanLeft(0.0)(_ + _).drop(1)
+      .zipWithIndex.map { case (c, i) => (i + 1, c) }.toDF("_rn", "_ecum")
+    val diff = indexed.join(broadcast(expCum), Seq("_rn"))
+      .withColumn("_n", sum(col("_cnt")).over(Window.partitionBy()))
+      .withColumn("_ocum", sum(col("_cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) / col("_n"))
+      .withColumn("_d", col("_ocum") - col("_ecum"))
+    diff.agg(
+        max(-col("_d")).as("dl"), max(col("_d")).as("dg"),
+        max(abs(col("_d"))).as("dt"), first(col("_n")).as("n"),
+        count(lit(1)).as("n_buckets"))
+      .select(
+        Num.round(greatest(col("dl"), lit(0.0)), 4).as("d_less"),
+        Num.round(greatest(col("dg"), lit(0.0)), 4).as("d_greater"),
+        Num.round(col("dt"), 4).as("d_two_sided"),
+        Num.round(least(exp(lit(-2.0) * col("n") * col("dl") * col("dl")), lit(1.0)), 4).as("p_less"),
+        Num.round(least(exp(lit(-2.0) * col("n") * col("dg") * col("dg")), lit(1.0)), 4).as("p_greater"),
+        Num.round(least(lit(2.0) * exp(lit(-2.0) * col("n") * col("dt") * col("dt")), lit(1.0)), 4).as("p_two_sided"),
+        col("n_buckets"))
+  }
+
   /** terms agg keyed by a Painless `script` instead of a field — the
     * script compiles (dsl.Painless) to a codegen'd grouping
     * expression, so a scripted key costs the same as a mapped one
@@ -671,6 +716,47 @@ object Aggs {
       .agg(
         count(lit(1)).as("doc_count"),
         Num.round(sum(col(metric).cast("decimal(18,4)")).cast("double"), 4).as("sum_v"))
+
+  /** The remaining `moving_fn` whitelist models over a date_histogram
+    * parent: `unweightedAvg`, `linearWeightedAvg` (weights 1..n),
+    * `stdDev` (population, around the window's unweighted avg — ES's
+    * MovingFunctions.stdDev contract) and `holt` (double exponential
+    * smoothing; declared recursion: level starts at the window's
+    * first value with trend 0, then s' = α·x + (1-α)(s+b),
+    * b' = β(s'-s) + (1-β)b, the window's final level is emitted).
+    * Every model folds LEFT-TO-RIGHT over the ordered window array so
+    * the DuckDB oracle's list_reduce replays the identical FP op
+    * order. Window math runs on the tiny bucket frame; the heavy
+    * partial agg below it is the only real exchange. */
+  def dateHistogramMovingModels(
+      df: DataFrame, tsField: String, interval: String, metric: String,
+      window: Int, alpha: Double, beta: Double): DataFrame = {
+    val buckets = bucketFrame(df, tsField, interval, metric)
+    val w = Window.orderBy(col("bucket")).rowsBetween(-(window - 1), 0)
+    def foldSum(arr: Column) = aggregate(arr, lit(0.0), (a, x) => a + x)
+    val vals = col("_vals")
+    val n = size(vals).cast("double")
+    val mean = foldSum(vals) / n
+    val linW = foldSum(transform(vals, (x, i) => x * (i + 1).cast("double"))) /
+      (n * (n + lit(1.0)) / lit(2.0))
+    val sd = sqrt(foldSum(transform(vals, x => (x - mean) * (x - mean))) / n)
+    val holtState = aggregate(
+      slice(vals, lit(2), greatest(size(vals) - 1, lit(0))),
+      struct(element_at(vals, 1).as("s"), lit(0.0).as("b")),
+      (acc, x) => {
+        val sN = lit(alpha) * x + lit(1 - alpha) * (acc.getField("s") + acc.getField("b"))
+        struct(sN.as("s"),
+          (lit(beta) * (sN - acc.getField("s")) + lit(1 - beta) * acc.getField("b")).as("b"))
+      })
+    buckets
+      .withColumn("_vals", collect_list(col("sum_v")).over(w))
+      .withColumn("unweighted_avg", Num.round(mean, 4))
+      .withColumn("linear_wavg", Num.round(linW, 4))
+      .withColumn("moving_stddev", Num.round(sd, 4))
+      .withColumn("holt", Num.round(holtState.getField("s"), 4))
+      .drop("_vals")
+      .orderBy(col("bucket"))
+  }
 
   def dateHistogramPipeline(
       df: DataFrame, tsField: String, interval: String, metric: String): DataFrame = {

@@ -160,6 +160,43 @@ object SearchBody {
       case _ => Nil
     }
 
+  /** `docvalue_fields` — the columnar-read response shaping (ES reads
+    * these from doc values, never from `_source`; graft's scan IS
+    * columnar, so this compiles to a pure projection Catalyst pushes
+    * into the parquet read — exactly the optimization docvalue_fields
+    * exists to buy). Accepts ES's two spellings per entry: a bare
+    * field string, or `{"field": f, "format": p}` where `format` is a
+    * date pattern (ES date-format syntax is Java's) or
+    * `epoch_millis`. Formatted values keep the field's name, like the
+    * ES response's `fields` map. */
+  def docvalueFields(json: String): Seq[(String, Column)] = {
+    import org.apache.spark.sql.functions.{col, date_format, unix_millis}
+    JsonMethods.parse(json) match {
+      case JArray(specs) => specs.map {
+        case JString(f) => f -> col(f)
+        case JObject(spec) =>
+          val m = spec.toMap
+          val f = m.get("field") match {
+            case Some(JString(n)) => n
+            case _ => throw new IllegalArgumentException(
+              s"docvalue_fields entry needs a field: $spec")
+          }
+          m.get("format") match {
+            case Some(JString("epoch_millis")) =>
+              f -> unix_millis(col(f).cast("timestamp"))
+            case Some(JString(p)) => f -> date_format(col(f), p)
+            case None => f -> col(f)
+            case other => throw new IllegalArgumentException(
+              s"bad docvalue format for '$f': $other")
+          }
+        case other => throw new IllegalArgumentException(
+          s"bad docvalue_fields entry: $other")
+      }
+      case other => throw new IllegalArgumentException(
+        s"docvalue_fields must be an array, got: $other")
+    }
+  }
+
   /** `_source` filtering — the response-shaping twin of the
     * connector's es.read.field.include/exclude. Accepts the three ES
     * forms: a bare include array, a single pattern string, or

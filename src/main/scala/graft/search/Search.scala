@@ -1909,4 +1909,54 @@ object Search {
     }
     cur.orderBy(col("score").desc, col("id").asc).limit(k)
   }
+
+  /** `span_field_masking` inside an unordered two-clause `span_near`:
+    * one clause matches `rawTerm` in the primary analyzed stream, the
+    * other matches `maskedTerm` in a DIFFERENT analyzer's stream
+    * (e.g. a stemmed subfield) *masked* to the primary field so the
+    * two position spaces combine — ES's canonical use, legal exactly
+    * because token FILTERS (stemmers, stopword-keepers with
+    * positions) preserve positions 1:1. Spans must not overlap
+    * (distinct positions) and at most `slop` positions may intervene.
+    * Pure per-row HOF math over two small position lists — narrow,
+    * no shuffle, no join. */
+  def spanNearMasked(
+      rawToks: Column, maskedToks: Column,
+      rawTerm: String, maskedTerm: String, slop: Int): Column = {
+    def positions(toks: Column, term: String): Column =
+      filter(
+        transform(toks, (t, i) => when(t === lit(term), i).otherwise(lit(-1))),
+        x => x >= 0)
+    val p1 = positions(rawToks, rawTerm)
+    val p2 = positions(maskedToks, maskedTerm)
+    exists(p1, a => exists(p2, b =>
+      a =!= b && abs(a - b) - lit(1) <= lit(slop)))
+  }
+
+  /** `terminate_after`: each shard stops collecting once it has seen
+    * `n` matching docs — results become a deterministic prefix of
+    * every shard's hit stream (by index order = `idCol`), with
+    * `terminated_early` marking shards that actually hit the cap.
+    * The shard key mirrors ES routing (`hash(_id) % shards`). Scale
+    * shape: filter pushes to the scan, then ONE hash exchange on the
+    * shard key with a rank cut — at 1000 executors this is a bounded
+    * per-shard top-n (shards × n rows survive), never a global sort. */
+  def terminateAfter(
+      docs: DataFrame, query: Column, idCol: String,
+      shards: Int, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shards > 0 && n > 0, s"need shards > 0 and n > 0: $shards/$n")
+    val shard = pmod(
+      conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10).cast("long"),
+      lit(shards.toLong)).as("shard")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+    docs.where(query)
+      .select(col(idCol), shard)
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_shard_hits", count(lit(1)).over(Window.partitionBy(col("shard"))))
+      .where(col("_rn") <= n)
+      .withColumn("terminated_early", col("_shard_hits") > n)
+      .select(col(idCol), col("shard"), col("terminated_early"))
+      .orderBy(col("shard"), col(idCol))
+  }
 }

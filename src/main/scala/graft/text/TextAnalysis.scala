@@ -78,6 +78,42 @@ object TextAnalysis {
           4))
   }
 
+  /** The C4 heuristic filter battery (Raffel et al. 2020, the public
+    * recipe; FineWeb keeps the same core rules): per-doc signals plus
+    * the keep decision. Rules over the raw text, all deterministic
+    * regex/string column math (map-only, codegen'd, no shuffle):
+    *  - `n_lines` / `n_kept_lines`: lines ending in terminal
+    *    punctuation (. ! ? ") survive C4's line filter;
+    *  - `n_sentences`: terminal-punctuation runs — C4 drops docs with
+    *    fewer than 3 sentences;
+    *  - `has_lorem` / `has_brace` / `has_policy`: the "lorem ipsum",
+    *    curly-brace (code), and cookie/privacy-boilerplate doc drops;
+    *  - `keep`: none of the drop signals fired and >= 3 sentences.
+    * (C4's bad-words list and FineWeb's duplicate-line fraction are
+    * covered by the stopword machinery and q_dedup_lines.) */
+  def c4Filters(text: Column): Seq[(String, Column)] = {
+    val lines = filter(split(text, "\n"), l => length(l) > 0)
+    // explicit whitespace class — Java \s vs RE2 \s differ on \x0B
+    val kept = filter(lines, l => l.rlike("[.!?\"][ \\t\\r]*$"))
+    val low = lower(text)
+    Seq(
+      "n_lines" -> size(lines).cast("long"),
+      "n_kept_lines" -> size(kept).cast("long"),
+      "n_sentences" -> size(filter(split(text, "[.!?]+"),
+        s => length(trim(s)) > 0)).cast("long"),
+      "has_lorem" -> low.contains("lorem ipsum"),
+      "has_brace" -> text.contains("{"),
+      "has_policy" -> (low.contains("privacy policy") ||
+        low.contains("terms of use") || low.contains("cookie policy") ||
+        low.contains("uses cookies")))
+  }
+
+  /** The keep decision over [[c4Filters]] signals (split out so the
+    * caller can audit signals and decision in one projection). */
+  def c4Keep(sig: Map[String, Column]): Column =
+    !sig("has_lorem") && !sig("has_brace") && !sig("has_policy") &&
+      sig("n_sentences") >= 3
+
   /** Cheap text normalization — the standard pre-tokenization cleanup
     * in data pipelines: strip URLs and emails, collapse whitespace
     * runs, trim. Pure regex column math (narrow, codegen'd).

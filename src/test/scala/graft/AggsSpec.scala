@@ -434,4 +434,48 @@ class AggsSpec extends SparkSpec {
     // lexical string order would put 10.10 first; ES orders by IP value
     assert(keys == Seq("10.2.0.0/16", "10.10.0.0/16"))
   }
+
+  test("bucket_count_ks_test: D per alternative, asymptotic p, fractions guard") {
+    def run(counts: Seq[Long], fr: Seq[Double]) =
+      Aggs.bucketCountKsTest(
+        counts.zipWithIndex.map { case (c, i) => (i, c) }.toDF("bucket", "doc_count"),
+        "bucket", "doc_count", fr)
+        .as[(Double, Double, Double, Double, Double, Double, Long)]
+        .collect().head
+    // perfect fit: every D is 0, every p saturates at 1
+    val fit = run(Seq(50L, 50L), Seq(0.5, 0.5))
+    assert(fit == ((0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 2L)))
+    // front-loaded observed mass: greater alternative fires
+    val skew = run(Seq(80L, 20L), Seq(0.5, 0.5))
+    assert(skew._1 == 0.0 && skew._2 == 0.3 && skew._3 == 0.3)
+    assert(skew._4 == 1.0 && skew._5 < 0.001 && skew._6 < 0.001)
+    assert(skew._7 == 2L)
+    // back-loaded mass mirrors into the less alternative
+    val back = run(Seq(20L, 80L), Seq(0.5, 0.5))
+    assert(back._1 == 0.3 && back._2 == 0.0)
+    intercept[IllegalArgumentException] {
+      run(Seq(1L, 1L), Seq(0.5, 0.4))
+    }
+  }
+
+  test("moving_fn models: linear weights, population stddev, holt recursion") {
+    val rows = Seq(
+      ("2024-01-05 00:00:00", 10.0), ("2024-02-05 00:00:00", 20.0),
+      ("2024-03-05 00:00:00", 30.0), ("2024-04-05 00:00:00", 40.0))
+      .toDF("ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+    val r = Aggs.dateHistogramMovingModels(rows, "ts", "month", "v",
+        window = 3, alpha = 0.5, beta = 0.5)
+      .select("unweighted_avg", "linear_wavg", "moving_stddev", "holt")
+      .as[(Double, Double, Double, Double)].collect().toSeq
+    // single-value window: every model degrades to the value itself
+    assert(r.head == ((10.0, 10.0, 0.0, 10.0)))
+    // window [10,20]: lwavg = (10*1+20*2)/3; stddev = 5 (population)
+    assert(r(1)._1 == 15.0 && r(1)._2 == 16.6667 && r(1)._3 == 5.0)
+    // holt over [10,20]: s=0.5*20+0.5*(10+0)=15
+    assert(r(1)._4 == 15.0)
+    // window [10,20,30]: s1=15,b1=2.5 -> s2=0.5*30+0.5*17.5=23.75
+    assert(r(2)._4 == 23.75)
+    // full window [20,30,40]: lwavg=(20+60+120)/6
+    assert(r(3)._2 == 33.3333 && r(3)._1 == 30.0)
+  }
 }

@@ -282,4 +282,30 @@ class AnnTextSpec extends SparkSpec {
     // quantized score is within int8 error of the exact score
     out.foreach { case (_, exact, quant) => assert(math.abs(exact - quant) < 0.02) }
   }
+
+  test("c4 filter battery: line keep, sentence floor, boilerplate drops") {
+    import graft.text.TextAnalysis
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "Good text here. It has sentences! Three of them, right?"),
+      (2L, "First line ends well.\nsecond line does not\nThird \"quoted.\"  \nShort. Yes. Ok."),
+      (3L, "Lorem Ipsum dolor sit. More words. And more."),
+      (4L, "function f() { return 1; }. Sentence two. Sentence three."),
+      (5L, "We value you. This site uses cookies. Accept our privacy policy."),
+      (6L, "Too short. Just two.")).toDF("doc_id", "text")
+    val sig = TextAnalysis.c4Filters(col("text"))
+    val keep = TextAnalysis.c4Keep(sig.toMap)
+    val r = docs
+      .select(col("doc_id") +: sig.map { case (n, c) => c.as(n) } :+ keep.as("keep"): _*)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    // doc 2: 4 non-empty lines, line 2 fails terminal punctuation,
+    // line 3 passes via the quote (+ trailing spaces)
+    assert(r(2L).getLong(1) == 4 && r(2L).getLong(2) == 3)
+    assert(r(1L).getLong(3) == 3) // three sentences
+    assert(r(3L).getBoolean(4) && !r(3L).getBoolean(7)) // lorem drops
+    assert(r(4L).getBoolean(5) && !r(4L).getBoolean(7)) // brace drops
+    assert(r(5L).getBoolean(6) && !r(5L).getBoolean(7)) // policy drops
+    assert(!r(6L).getBoolean(7)) // < 3 sentences
+    assert(r(1L).getBoolean(7) && r(2L).getBoolean(7))
+  }
 }

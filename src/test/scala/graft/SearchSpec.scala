@@ -495,6 +495,29 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("docvalue_fields: bare/object specs, date format, epoch_millis") {
+    import graft.dsl.SearchBody
+    val df = Seq((1L, java.sql.Date.valueOf("2024-03-05"), 9.5))
+      .toDF("id", "d", "v")
+    val dv = SearchBody.docvalueFields(
+      """["id", {"field": "d", "format": "yyyy/MM"}, {"field": "v"}]""")
+    assert(dv.map(_._1) == Seq("id", "d", "v"))
+    val row = df.select(dv.map { case (n, c) => c.as(n) }: _*).collect().head
+    assert(row.getLong(0) == 1L && row.getString(1) == "2024/03" && row.getDouble(2) == 9.5)
+    // epoch_millis renders the UTC instant of the date's midnight
+    val ms = df.select(SearchBody.docvalueFields(
+      """[{"field": "d", "format": "epoch_millis"}]""").head._2.as("ms"))
+      .collect().head.getLong(0)
+    assert(ms == java.time.LocalDate.of(2024, 3, 5)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
+    intercept[IllegalArgumentException] {
+      SearchBody.docvalueFields("""[{"format": "yyyy"}]""")
+    }
+    intercept[IllegalArgumentException] {
+      SearchBody.docvalueFields("""{"field": "d"}""")
+    }
+  }
+
   test("suggest_mode popular compares DOCUMENT frequencies") {
     // "spark" appears in 3 docs; "spork" is hammered 5x inside ONE doc
     // and typed once more; the input "spork" has doc freq 2, "spark"
@@ -645,6 +668,50 @@ class SearchSpec extends SparkSpec {
     // seeds must exist
     intercept[IllegalArgumentException] {
       GraphExplore.explore(docs, "doc_id", "text", Nil)
+    }
+  }
+
+  test("span_field_masking: masked stemmed clause combines with raw positions") {
+    import graft.analysis.Analyzer
+    val d = Seq(
+      (1L, "quick fox eats tables daily"),   // fast absent
+      (2L, "fast turtle likes tables a lot"), // fast@0, tables@3 -> stem table: slop 2 ok
+      (3L, "fast code and far away from the table zone"), // distance 7-1=6 > 2
+      (4L, "fast tables")).toDF("doc_id", "text")
+    val raw = Analyzer.tokens(col("text"))
+    val st = Analyzer.chain(raw, stemmer = "minimal_english")
+    def hits(slop: Int) =
+      d.where(Search.spanNearMasked(raw, st, "fast", "table", slop))
+        .select("doc_id").as[Long].collect().toSet
+    assert(hits(2) == Set(2L, 4L))
+    assert(hits(6) == Set(2L, 3L, 4L))
+    // spans may not overlap: the same token can't serve both clauses
+    val one = Seq((9L, "fast")).toDF("doc_id", "text")
+    val rawToks = Analyzer.tokens(col("text"))
+    assert(one.where(Search.spanNearMasked(
+      rawToks, rawToks, "fast", "fast", 5)).count() == 0)
+  }
+
+  test("terminate_after: per-shard prefix with terminated_early flags") {
+    val d = (1L to 100L).map(i => (i, i % 7)).toDF("id", "v")
+    val r = Search.terminateAfter(d, col("v") < 6, "id", shards = 3, n = 4)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    // every shard capped at n, flags on (85 matching docs over 3 shards
+    // means every shard overflows its cap of 4)
+    assert(r.groupBy(_._2).forall(_._2.size <= 4))
+    assert(r.forall(_._3))
+    // deterministic prefix: per shard, the collected ids are the
+    // smallest matching ids routed to it
+    val full = Search.terminateAfter(d, col("v") < 6, "id", shards = 3, n = 1000)
+    val byShard = full.as[(Long, Long, Boolean)].collect().toSeq.groupBy(_._2)
+    r.groupBy(_._2).foreach { case (sh, got) =>
+      assert(got.map(_._1).sorted == byShard(sh).map(_._1).sorted.take(got.size))
+    }
+    // a query with no terminated shard reports false
+    assert(Search.terminateAfter(d, col("v") === 0, "id", shards = 3, n = 50)
+      .as[(Long, Long, Boolean)].collect().forall(!_._3))
+    intercept[IllegalArgumentException] {
+      Search.terminateAfter(d, lit(true), "id", shards = 0, n = 4)
     }
   }
 }
