@@ -142,6 +142,23 @@ private[graft] object EntriesPipeline {
         .groupBy(col("event_type"))
         .agg(min(col("k")).as("kmin"), max(col("k")).as("kmax"))
         .orderBy(col("event_type"))),
+    // redact processor: grok-named captures masked in place
+    "q_ingest_redact" -> ((s, d) =>
+      graft.sources.IngestPipeline.compile(
+        """{"processors": [{"redact": {"field": "text", "patterns":
+            ["%{EMAILADDRESS:email}", "%{IP:client}", "%{NUMBER:num}"]}}]}""")(
+        t(s, d, "documents"))
+        .select(col("doc_id"), col("text").as("redacted"))
+        .orderBy(col("doc_id"))),
+    // date_index_name: time-based _index routing value + count per
+    // target index (the saveDynamic feed shape)
+    "q_ingest_date_index" -> ((s, d) =>
+      graft.sources.IngestPipeline.compile(
+        """{"processors": [{"date_index_name": {"field": "o_orderdate",
+            "index_name_prefix": "orders-", "date_rounding": "M",
+            "index_name_format": "yyyy-MM"}}]}""")(t(s, d, "orders"))
+        .groupBy(col("_index")).agg(count(lit(1)).as("n"))
+        .orderBy(col("_index"))),
     // ingest on_failure: mixed clean/failing values — failures tag
     // `err` via the handler chain, clean rows convert; one aggregate
     // proves the per-row routing at scale
@@ -412,6 +429,12 @@ private[graft] object EntriesPipeline {
     },
     "q_ingest_kv" -> ("SELECT event_type AS t, (user_id % 7)::BIGINT AS u, count(*)::BIGINT AS n " +
       "FROM events GROUP BY t, u ORDER BY t, u"),
+    "q_ingest_redact" -> ("SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text, " +
+      "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<email>', 'g'), " +
+      "'\\d{1,3}(?:\\.\\d{1,3}){3}', '<client>', 'g'), " +
+      "'-?\\d+(?:\\.\\d+)?', '<num>', 'g') AS redacted FROM documents ORDER BY doc_id"),
+    "q_ingest_date_index" -> ("SELECT 'orders-' || strftime(date_trunc('month', o_orderdate), '%Y-%m') AS _index, " +
+      "count(*)::BIGINT AS n FROM orders GROUP BY 1 ORDER BY _index"),
     "q_ingest_fail" -> ("WITH m AS (SELECT CASE WHEN user_id % 3 = 0 THEN value::VARCHAR " +
       "ELSE event_type END AS mn FROM events), " +
       "c AS (SELECT TRY_CAST(mn AS DOUBLE) AS mnd, " +

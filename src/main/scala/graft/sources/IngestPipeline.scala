@@ -431,6 +431,85 @@ object IngestPipeline {
                   .when(o1 <= 223L, entry("Oceania", "AU", -25.0, 133.0))
                   .otherwise(entry("South America", "BR", -14.0, -51.0)))
             }
+          case "html_strip" =>
+            // same char-filter semantics as the analyzer chain: tags
+            // out, five common entities decoded (&amp; last)
+            df => df.withColumn(field, graft.analysis.Analyzer.htmlStrip(col(field)))
+          case "sort" =>
+            val asc = m.get("order").collect { case JString(s) => s }
+              .getOrElse("asc") match {
+                case "asc" => true
+                case "desc" => false
+                case other => throw new IllegalArgumentException(
+                  s"bad sort order: $other")
+              }
+            df => df.withColumn(field, sort_array(col(field), asc))
+          case "dot_expander" =>
+            // "a.b.c" -> nested object a{b{c}}, dotted source dropped.
+            // ES merges into an existing root object; only the
+            // create-new path compiles — a pre-existing root column
+            // fails loudly rather than silently clobbering it.
+            val parts = field.split("\\.")
+            require(parts.length >= 2, s"dot_expander needs a dotted field: $field")
+            df => {
+              require(!df.columns.contains(parts.head),
+                s"dot_expander: root '${parts.head}' already exists (merge unsupported)")
+              val nested = parts.drop(1).reverse
+                .foldLeft(col(s"`$field`"))((c, n) => struct(c.as(n)))
+              df.withColumn(parts.head, nested).drop(field)
+            }
+          case "date_index_name" =>
+            // computes the time-based routing index `_index` =
+            // prefix + rounded date — feeds saveDynamic's {field}
+            // pattern for time-partitioned writes
+            val prefix = m.get("index_name_prefix")
+              .collect { case JString(s) => s }.getOrElse("")
+            val unit = m.get("date_rounding")
+              .collect { case JString(s) => s }
+              .getOrElse(throw new IllegalArgumentException(
+                "date_index_name needs date_rounding")) match {
+                case "y" => "year"; case "M" => "month"; case "w" => "week"
+                case "d" => "day"; case "h" => "hour"; case "m" => "minute"
+                case "s" => "second"
+                case other => throw new IllegalArgumentException(
+                  s"bad date_rounding: $other")
+              }
+            val fmt = m.get("index_name_format")
+              .collect { case JString(s) => s }.getOrElse("yyyy-MM-dd")
+            df => df.withColumn("_index", concat(lit(prefix),
+              date_format(date_trunc(unit, col(field).cast("timestamp")), fmt)))
+          case "redact" =>
+            // ES 8.7 redact: each grok-named capture is masked as
+            // <name> in place (same public base patterns as the GROK
+            // compilers, plus EMAILADDRESS). Sequential regexp_replace
+            // per pattern — narrow, codegen'd.
+            val pats = m.get("patterns") match {
+              case Some(JArray(xs)) => xs.map {
+                case JString(s) => s
+                case other => throw new IllegalArgumentException(
+                  s"bad redact pattern: $other")
+              }
+              case _ => throw new IllegalArgumentException("redact needs patterns")
+            }
+            val pre = m.get("prefix").collect { case JString(s) => s }.getOrElse("<")
+            val suf = m.get("suffix").collect { case JString(s) => s }.getOrElse(">")
+            val lib = Map(
+              "WORD" -> "\\w+", "NUMBER" -> "-?\\d+(?:\\.\\d+)?",
+              "INT" -> "-?\\d+", "NOTSPACE" -> "\\S+",
+              "IP" -> "\\d{1,3}(?:\\.\\d{1,3}){3}",
+              "EMAILADDRESS" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+              "LOGLEVEL" -> "TRACE|DEBUG|INFO|WARN|ERROR|FATAL")
+            val key = "%\\{([A-Z]+):([A-Za-z0-9_]+)\\}".r
+            val compiled = pats.map {
+              case key(pat, name) => (lib.getOrElse(pat,
+                throw new IllegalArgumentException(s"unknown redact pattern: %{$pat}")),
+                pre + name + suf)
+              case other => throw new IllegalArgumentException(
+                s"bad redact pattern: $other")
+            }
+            df => df.withColumn(field, compiled.foldLeft(col(field)) {
+              case (c, (rx, mask)) => regexp_replace(c, rx, mask)
+            })
           case other => throw new IllegalArgumentException(
             s"unsupported ingest processor: $other")
         }

@@ -387,6 +387,54 @@ class ConnectorSpec extends SparkSpec {
       (5L, None)))
   }
 
+  test("ingest html_strip/sort/dot_expander/date_index_name/redact processors") {
+    import graft.sources.IngestPipeline
+    // html_strip + redact in one chain: tags drop, then captures mask
+    val r1 = IngestPipeline.compile(
+      """{"processors": [
+           {"html_strip": {"field": "t"}},
+           {"redact": {"field": "t", "patterns": ["%{EMAILADDRESS:email}", "%{IP:ip}"]}}]}""")(
+      Seq((1L, "<p>mail a@b.com from 10.1.2.3 &amp; more</p>")).toDF("id", "t"))
+      .select("t").as[String].collect().head
+    assert(r1.contains("<email>") && r1.contains("<ip>") && r1.contains("&") &&
+      !r1.contains("<p>") && !r1.contains("a@b.com"))
+    // custom mask delimiters
+    val r1b = IngestPipeline.compile(
+      """{"processors": [{"redact": {"field": "t", "patterns": ["%{NUMBER:n}"],
+           "prefix": "[", "suffix": "]"}}]}""")(
+      Seq((1L, "x 42 y")).toDF("id", "t")).select("t").as[String].collect().head
+    assert(r1b == "x [n] y")
+    // sort: asc and desc over an array field
+    val r2 = IngestPipeline.compile(
+      """{"processors": [{"sort": {"field": "a", "order": "desc"}}]}""")(
+      Seq((1L, Seq(2, 9, 4))).toDF("id", "a"))
+      .select("a").as[Seq[Int]].collect().head
+    assert(r2 == Seq(9, 4, 2))
+    // dot_expander: dotted name becomes a nested object, source drops
+    val r3 = IngestPipeline.compile(
+      """{"processors": [{"dot_expander": {"field": "geo.city.name"}}]}""")(
+      Seq((1L, "berlin")).toDF("id", "geo.city.name"))
+    assert(r3.columns.toSeq == Seq("id", "geo"))
+    assert(r3.select("geo.city.name").as[String].collect().head == "berlin")
+    intercept[IllegalArgumentException] {
+      IngestPipeline.compile(
+        """{"processors": [{"dot_expander": {"field": "id.x"}}]}""")(
+        Seq((1L, "v")).toDF("id", "id.x")).collect()
+    }
+    // date_index_name: rounded routing value with prefix + format
+    val r4 = IngestPipeline.compile(
+      """{"processors": [{"date_index_name": {"field": "ts",
+           "index_name_prefix": "logs-", "date_rounding": "M",
+           "index_name_format": "yyyy-MM"}}]}""")(
+      Seq((1L, "2024-03-17 10:30:00")).toDF("id", "ts"))
+      .select("_index").as[String].collect().head
+    assert(r4 == "logs-2024-03")
+    intercept[IllegalArgumentException] {
+      IngestPipeline.compile(
+        """{"processors": [{"date_index_name": {"field": "ts", "date_rounding": "x"}}]}""")
+    }
+  }
+
   test("ingest geoip: prefix-table lookup shape, private ranges null") {
     import graft.sources.IngestPipeline
     val out = IngestPipeline.compile(
