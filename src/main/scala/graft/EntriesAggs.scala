@@ -287,6 +287,10 @@ private[graft] object EntriesAggs {
       Aggs.bucketStatsAgg(t(s, d, "orders"), "o_orderdate", "month", "o_totalprice")),
     "q_agg_normalize" -> ((s, d) =>
       Aggs.normalizeAgg(t(s, d, "orders"), "o_orderdate", "month", "o_totalprice")),
+    // the remaining normalize methods: min-max rescales, mean
+    // deviation, z-score (percent_of_sum is q_agg_normalize)
+    "q_agg_normalize_methods" -> ((s, d) =>
+      Aggs.normalizeAggMethods(t(s, d, "orders"), "o_orderdate", "month", "o_totalprice")),
     "q_agg_boxplot" -> ((s, d) => Aggs.boxplotAgg(t(s, d, "lineitem"), "l_extendedprice")),
     "q_agg_mad" -> ((s, d) =>
       Aggs.medianAbsoluteDeviation(t(s, d, "lineitem"), "l_extendedprice")),
@@ -320,6 +324,12 @@ private[graft] object EntriesAggs {
         originLat = 10.0, originLon = 20.0, edgesKm = Seq(2000.0, 5000.0, 10000.0))),
     "q_agg_moving_fn" -> ((s, d) =>
       Aggs.dateHistogramMovingFn(t(s, d, "orders"), "o_orderdate", "month", "o_totalprice", 3)),
+    // holtWinters: seasonal triple smoothing, quarterly period over
+    // monthly buckets, 8-bucket windows
+    "q_agg_holt_winters" -> ((s, d) =>
+      Aggs.dateHistogramHoltWinters(t(s, d, "orders"), "o_orderdate", "month",
+        "o_totalprice", window = 8, alpha = 0.5, beta = 0.3, gamma = 0.2,
+        period = 4)),
     // the rest of the moving_fn model whitelist: unweightedAvg /
     // linearWeightedAvg / stdDev / holt over monthly windows
     "q_agg_moving_models" -> ((s, d) =>
@@ -448,6 +458,17 @@ private[graft] object EntriesAggs {
       "SELECT bucket, doc_count, sum_v, " +
       "round(sum_v / CAST(sum(CAST(sum_v AS DECIMAL(18,4))) OVER () AS DOUBLE) * 100.0, 4) AS pct_of_sum " +
       "FROM b ORDER BY bucket"),
+    "q_agg_normalize_methods" -> ("WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS bucket, " +
+      "count(*)::BIGINT AS doc_count, " +
+      "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_v FROM orders GROUP BY 1), " +
+      "m AS (SELECT bucket, doc_count, sum_v, min(sum_v) OVER () AS mn, max(sum_v) OVER () AS mx, " +
+      "CAST(sum(CAST(sum_v AS DECIMAL(18,4))) OVER () AS DOUBLE) / count(*) OVER () AS mean, " +
+      "stddev_pop(sum_v) OVER () AS sd FROM b) " +
+      "SELECT bucket, doc_count, sum_v, " +
+      "round((sum_v - mn) / (mx - mn), 4) AS rescale_0_1, " +
+      "round((sum_v - mn) / (mx - mn) * 100.0, 4) AS rescale_0_100, " +
+      "round(sum_v - mean, 4) AS dev_from_mean, " +
+      "round((sum_v - mean) / sd, 4) AS zscore FROM m ORDER BY bucket"),
     "q_agg_boxplot" -> ("SELECT round(quantile_cont(l_extendedprice, 0.0), 4) AS min_v, " +
       "round(quantile_cont(l_extendedprice, 0.25), 4) AS q1, " +
       "round(quantile_cont(l_extendedprice, 0.5), 4) AS q2, " +
@@ -530,11 +551,15 @@ private[graft] object EntriesAggs {
       "round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(vals) + 1), i -> vals[i] * i::DOUBLE)), (a, x) -> a + x) " +
       "/ (n * (n + 1.0) / 2.0), 4) AS linear_wavg, " +
       "round(sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(vals, x -> (x - mean) * (x - mean))), (a, x) -> a + x) / n), 4) AS moving_stddev, " +
-      // 1-alpha / 1-beta are SUBTRACTED IN DOUBLE like the Scala
-      // side (1-0.3 != the double literal 0.7; DECIMAL 0.7 differs)
-      "round(list_reduce(list_transform(vals, x -> {'s': x::DOUBLE, 'b': 0.0::DOUBLE}), " +
-      "(a, e) -> {'s': 0.3 * e.s + (1.0::DOUBLE - 0.3::DOUBLE) * (a.s + a.b), " +
-      "'b': 0.1 * ((0.3 * e.s + (1.0::DOUBLE - 0.3::DOUBLE) * (a.s + a.b)) - a.s) + (1.0::DOUBLE - 0.1::DOUBLE) * a.b}).s, 4) AS holt " +
+      // 1-alpha / 1-beta are SUBTRACTED IN DOUBLE like the Scala side
+      // (DECIMAL literals would promote differently). State is a
+      // LIST [s, b], NOT a struct: DuckDB's list_reduce rebinds a
+      // struct accumulator's fields mid-construction from the second
+      // fold step on (a.s read while computing 'b' sees the NEW s),
+      // while list construction reads the old accumulator throughout.
+      "round(list_reduce(list_transform(vals, x -> [x::DOUBLE, 0.0::DOUBLE]), " +
+      "(a, e) -> [0.3 * e[1] + (1.0::DOUBLE - 0.3::DOUBLE) * (a[1] + a[2]), " +
+      "0.1 * ((0.3 * e[1] + (1.0::DOUBLE - 0.3::DOUBLE) * (a[1] + a[2])) - a[1]) + (1.0::DOUBLE - 0.1::DOUBLE) * a[2]])[1], 4) AS holt " +
       "FROM m ORDER BY bucket"),
     "q_agg_bucket_sort" -> ("WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS bucket, " +
       "count(*)::BIGINT AS doc_count, " +
@@ -589,6 +614,33 @@ private[graft] object EntriesAggs {
       "i -> (i * 37 % 100) / 100.0)) AS ind) " +
       "SELECT round(corr(doc_count::DOUBLE, ind), 4) AS correlation, " +
       "count(*)::BIGINT AS n_buckets FROM r JOIN c USING (rn)"),
+    "q_agg_holt_winters" -> {
+      // State is a flat LIST [s, b, se1..se4, t] — see the q_agg_
+      // moving_models holt note: a struct accumulator's fields rebind
+      // mid-construction in DuckDB's list_reduce, lists don't. The
+      // level update s' is inlined at each use so the recomputed
+      // value is bit-identical to the Spark side's reuse; the
+      // seasonal slot for step t sits at list position (t%4)+3.
+      val seasAt = "a[(CAST(a[7] AS INTEGER) % 4) + 3]"
+      val sN = s"(0.5 * (e[1] - $seasAt) + (1.0::DOUBLE - 0.5::DOUBLE) * (a[1] + a[2]))"
+      def seasSlot(k: Int) =
+        s"CASE WHEN (CAST(a[7] AS INTEGER) % 4) + 3 = ${k + 2} " +
+        s"THEN 0.2 * (e[1] - $sN) + (1.0::DOUBLE - 0.2::DOUBLE) * a[${k + 2}] ELSE a[${k + 2}] END"
+      "WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS bucket, " +
+        "count(*)::BIGINT AS doc_count, " +
+        "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_v FROM orders GROUP BY 1), " +
+        "w AS (SELECT bucket, doc_count, sum_v, " +
+        "list(sum_v) OVER (ORDER BY bucket ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS vals FROM b), " +
+        "r AS (SELECT bucket, doc_count, sum_v, " +
+        "list_reduce(list_transform(vals, x -> [x::DOUBLE, 0.0::DOUBLE, " +
+        "0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 1.0::DOUBLE]), " +
+        s"(a, e) -> [$sN, " +
+        s"0.3 * ($sN - a[1]) + (1.0::DOUBLE - 0.3::DOUBLE) * a[2], " +
+        s"${seasSlot(1)}, ${seasSlot(2)}, ${seasSlot(3)}, ${seasSlot(4)}, " +
+        "a[7] + 1.0]) AS st FROM w) " +
+        "SELECT bucket, doc_count, sum_v, " +
+        "round(st[1] + st[2] + st[(CAST(st[7] AS INTEGER) % 4) + 3], 4) AS holt_winters FROM r ORDER BY bucket"
+    },
     // mirrors bucketCountKsTest bit-for-bit: expected CDF accumulates
     // 0.1 REPEATEDLY (window sum), matching the Scala scanLeft's
     // addition order, so round(·,4) can't straddle an FP knife edge

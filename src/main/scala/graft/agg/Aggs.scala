@@ -758,6 +758,51 @@ object Aggs {
       .orderBy(col("bucket"))
   }
 
+  /** moving_fn `holtWinters` (additive triple exponential smoothing)
+    * — the seasonal member of the whitelist. Declared recursion
+    * (ES's padding/multiplicative options are not replicated): state
+    * starts at (level = first window value, trend 0, seasonal[period]
+    * all 0); each further value x at step t updates
+    *   s' = α(x − seas[t mod p]) + (1−α)(s + b)
+    *   b' = β(s' − s) + (1−β)b
+    *   seas[t mod p] = γ(x − s') + (1−γ)seas[t mod p]
+    * and the bucket emits the one-step-ahead seasonal forecast
+    * s + b + seas[t mod p]. Left-to-right fold over the ordered
+    * window array, mirrored by the oracle's struct-state list_reduce
+    * — identical FP op order. Tiny bucket frame, heavy work below. */
+  def dateHistogramHoltWinters(
+      df: DataFrame, tsField: String, interval: String, metric: String,
+      window: Int, alpha: Double, beta: Double, gamma: Double,
+      period: Int): DataFrame = {
+    require(period >= 2 && window >= period,
+      s"holt_winters needs period >= 2 and window >= period: $window/$period")
+    val buckets = bucketFrame(df, tsField, interval, metric)
+    val w = Window.orderBy(col("bucket")).rowsBetween(-(window - 1), 0)
+    val vals = col("_vals")
+    val zero = struct(element_at(vals, 1).as("s"), lit(0.0).as("b"),
+      array_repeat(lit(0.0), period).as("seas"), lit(1).as("t"))
+    val st = aggregate(
+      slice(vals, lit(2), greatest(size(vals) - 1, lit(0))), zero,
+      (a, x) => {
+        val idx = pmod(a.getField("t"), lit(period))
+        val seasAt = element_at(a.getField("seas"), idx + 1)
+        val sN = lit(alpha) * (x - seasAt) +
+          lit(1 - alpha) * (a.getField("s") + a.getField("b"))
+        val bN = lit(beta) * (sN - a.getField("s")) + lit(1 - beta) * a.getField("b")
+        val seasN = transform(a.getField("seas"), (v, j) =>
+          when(j === idx, lit(gamma) * (x - sN) + lit(1 - gamma) * v).otherwise(v))
+        struct(sN.as("s"), bN.as("b"), seasN.as("seas"),
+          (a.getField("t") + 1).as("t"))
+      })
+    val fc = st.getField("s") + st.getField("b") +
+      element_at(st.getField("seas"), pmod(st.getField("t"), lit(period)) + 1)
+    buckets
+      .withColumn("_vals", collect_list(col("sum_v")).over(w))
+      .withColumn("holt_winters", Num.round(fc, 4))
+      .drop("_vals")
+      .orderBy(col("bucket"))
+  }
+
   def dateHistogramPipeline(
       df: DataFrame, tsField: String, interval: String, metric: String): DataFrame = {
     val buckets = bucketFrame(df, tsField, interval, metric)
@@ -848,6 +893,40 @@ object Aggs {
       .withColumn("pct_of_sum",
         Num.round(col("sum_v") / total.cast("double") * 100.0, 4))
       .orderBy(col("bucket"))
+  }
+
+  /** The remaining `normalize` pipeline-agg methods beside
+    * percent_of_sum ([[normalizeAgg]]): `rescale_0_1` /
+    * `rescale_0_100` (min-max), `mean` (deviation from the bucket
+    * mean) and `z-score`. Same shape: window math OVER the tiny
+    * bucket frame (the mean from a decimal sum — order-independent;
+    * stddev_pop at round-4 like extended_stats), heavy work in the
+    * partial agg underneath. `softmax` is supported for bounded
+    * inputs via [[softmaxCol]] (exp overflows at |x| ≳ 709 — ES
+    * inherits the same hazard). */
+  def normalizeAggMethods(
+      df: DataFrame, tsField: String, interval: String, metric: String): DataFrame = {
+    val buckets = bucketFrame(df, tsField, interval, metric)
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val mn = min(col("sum_v")).over(w)
+    val mx = max(col("sum_v")).over(w)
+    val n = count(lit(1)).over(w).cast("double")
+    val mean = sum(col("sum_v").cast("decimal(18,4)")).over(w).cast("double") / n
+    val sd = stddev_pop(col("sum_v")).over(w)
+    buckets
+      .withColumn("rescale_0_1", Num.round((col("sum_v") - mn) / (mx - mn), 4))
+      .withColumn("rescale_0_100", Num.round((col("sum_v") - mn) / (mx - mn) * 100.0, 4))
+      .withColumn("dev_from_mean", Num.round(col("sum_v") - mean, 4))
+      .withColumn("zscore", Num.round((col("sum_v") - mean) / sd, 4))
+      .orderBy(col("bucket"))
+  }
+
+  /** normalize `softmax` over a bucket column: exp(x) / Σexp(x), the
+    * exps summed in decimal for order independence. Caller guarantees
+    * bounded magnitudes (exp overflow, as in ES). */
+  def softmaxCol(x: Column): Column = {
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Num.round(exp(x) / sum(exp(x).cast("decimal(30,10)")).over(w).cast("double"), 4)
   }
 
   /** `avg_bucket` / `max_bucket` / `min_bucket` / `sum_bucket` /

@@ -458,6 +458,36 @@ class AggsSpec extends SparkSpec {
     }
   }
 
+  test("holt_winters: seasonal recursion matches a plain-Scala replay") {
+    val n = 12
+    val rows = (0 until n).map { i =>
+      (f"2024-${i % 12 + 1}%02d-05 00:00:00", 100.0 + 10 * (i % 4) + i)
+    }.toDF("ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+    val got = Aggs.dateHistogramHoltWinters(rows, "ts", "month", "v",
+        window = 8, alpha = 0.5, beta = 0.3, gamma = 0.2, period = 4)
+      .select("sum_v", "holt_winters").as[(Double, Double)].collect().toSeq
+    // plain-Scala reference of the declared recursion
+    def ref(vs: Seq[Double]): Double = {
+      var s = vs.head; var b = 0.0; val seas = Array.fill(4)(0.0); var t = 1
+      vs.tail.foreach { x =>
+        val i = t % 4
+        val sN = 0.5 * (x - seas(i)) + 0.5 * (s + b)
+        val bN = 0.3 * (sN - s) + 0.7 * b
+        seas(i) = 0.2 * (x - sN) + 0.8 * seas(i)
+        s = sN; b = bN; t += 1
+      }
+      s + b + seas(t % 4)
+    }
+    val vals = got.map(_._1)
+    got.indices.foreach { i =>
+      val w = vals.slice(math.max(0, i - 7), i + 1)
+      assert(math.abs(got(i)._2 - ref(w)) < 1e-3, s"bucket $i")
+    }
+    intercept[IllegalArgumentException] {
+      Aggs.dateHistogramHoltWinters(rows, "ts", "month", "v", 3, 0.5, 0.3, 0.2, 4)
+    }
+  }
+
   test("moving_fn models: linear weights, population stddev, holt recursion") {
     val rows = Seq(
       ("2024-01-05 00:00:00", 10.0), ("2024-02-05 00:00:00", 20.0),
