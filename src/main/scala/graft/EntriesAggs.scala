@@ -300,6 +300,12 @@ private[graft] object EntriesAggs {
       sampleProb = 0.5, minFgCount = 5, k = 10)),
     "q_agg_t_test" -> ((s, d) => Aggs.tTestAgg(Tables.events(s, d), "value",
       col("event_type") === "click", col("event_type") === "view")),
+    // the other two t_test types: Student pooled-variance and paired
+    // (per-user min click vs min view)
+    "q_agg_t_test_homo" -> ((s, d) => Aggs.tTestHomoAgg(Tables.events(s, d), "value",
+      col("event_type") === "click", col("event_type") === "view")),
+    "q_agg_t_test_paired" -> ((s, d) => Aggs.tTestPairedAgg(Tables.events(s, d),
+      "user_id", "value", col("event_type") === "click", col("event_type") === "view")),
     // cumulative_cardinality over integer hour buckets (exact ns math)
     "q_agg_cum_card" -> ((s, d) => Aggs.cumulativeCardinality(
       Tables.events(s, d), "user_id", expr("ts_ns div 3600000000000"))),
@@ -488,6 +494,25 @@ private[graft] object EntriesAggs {
       "round(s1 / n1, 4) AS mean1, round(s2 / n2, 4) AS mean2, " +
       "round((s1 / n1 - s2 / n2) / sqrt(((q1 - s1 * s1 / n1) / (n1 - 1)) / n1 + " +
       "((q2 - s2 * s2 / n2) / (n2 - 1)) / n2), 4) AS t_stat FROM m"),
+    "q_agg_t_test_homo" -> ("WITH m AS (SELECT " +
+      "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::DOUBLE AS n1, " +
+      "sum(CASE WHEN event_type = 'click' THEN value::DECIMAL(28,8) ELSE 0::DECIMAL(28,8) END)::DOUBLE AS s1, " +
+      "sum(CASE WHEN event_type = 'click' THEN value * value ELSE 0.0 END) AS q1, " +
+      "sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::DOUBLE AS n2, " +
+      "sum(CASE WHEN event_type = 'view' THEN value::DECIMAL(28,8) ELSE 0::DECIMAL(28,8) END)::DOUBLE AS s2, " +
+      "sum(CASE WHEN event_type = 'view' THEN value * value ELSE 0.0 END) AS q2 FROM events) " +
+      "SELECT n1::BIGINT AS n1, n2::BIGINT AS n2, " +
+      "round(s1 / n1, 4) AS mean1, round(s2 / n2, 4) AS mean2, " +
+      "round((s1 / n1 - s2 / n2) / sqrt((((q1 - s1 * s1 / n1) + (q2 - s2 * s2 / n2)) / (n1 + n2 - 2)) " +
+      "* (1.0 / n1 + 1.0 / n2)), 4) AS t_stat FROM m"),
+    "q_agg_t_test_paired" -> ("WITH p AS (SELECT user_id, " +
+      "min(CASE WHEN event_type = 'click' THEN value END) AS va, " +
+      "min(CASE WHEN event_type = 'view' THEN value END) AS vb FROM events GROUP BY 1), " +
+      "d AS (SELECT va - vb AS d FROM p WHERE va IS NOT NULL AND vb IS NOT NULL), " +
+      "m AS (SELECT count(*)::DOUBLE AS n, sum(d::DECIMAL(28,8))::DOUBLE AS sd_sum, " +
+      "sum(d * d) AS qd FROM d) " +
+      "SELECT n::BIGINT AS n_pairs, round(sd_sum / n, 4) AS mean_diff, " +
+      "round((sd_sum / n) / sqrt(((qd - sd_sum * sd_sum / n) / (n - 1)) / n), 4) AS t_stat FROM m"),
     "q_agg_cum_card" -> ("WITH fs AS (SELECT user_id, " +
       "min(epoch_ns(ts) // 3600000000000) AS bucket FROM events GROUP BY 1), " +
       "pb AS (SELECT bucket, count(*)::BIGINT AS new_users FROM fs GROUP BY 1) " +

@@ -1328,6 +1328,60 @@ object Aggs {
         4).as("t_stat"))
   }
 
+  /** t_test `type: homoscedastic` (Student, pooled variance): same
+    * one-pass conditional moment sums as [[tTestAgg]], but
+    * t = (m1 − m2) / sqrt(sp²(1/n1 + 1/n2)) with the pooled
+    * sp² = ((n1−1)v1 + (n2−1)v2) / (n1+n2−2). */
+  def tTestHomoAgg(
+      df: DataFrame, field: String, groupA: Column, groupB: Column): DataFrame = {
+    val x = col(field).cast("decimal(28,8)")
+    def side(p: Column, tag: String) = Seq(
+      sum(when(p, 1L).otherwise(0L)).cast("double").as(s"n$tag"),
+      sum(when(p, x).otherwise(lit(0).cast("decimal(28,8)"))).cast("double").as(s"s$tag"),
+      sum(when(p, col(field) * col(field)).otherwise(lit(0.0))).as(s"q$tag"))
+    val aggs = side(groupA, "1") ++ side(groupB, "2")
+    val raw = df.agg(aggs.head, aggs.tail: _*)
+    def mean(tag: String) = col(s"s$tag") / col(s"n$tag")
+    def ss(tag: String) =
+      col(s"q$tag") - col(s"s$tag") * col(s"s$tag") / col(s"n$tag")
+    val sp2 = (ss("1") + ss("2")) / (col("n1") + col("n2") - 2)
+    raw.select(
+      col("n1").cast("long").as("n1"),
+      col("n2").cast("long").as("n2"),
+      Num.round(mean("1"), 4).as("mean1"),
+      Num.round(mean("2"), 4).as("mean2"),
+      Num.round((mean("1") - mean("2")) /
+        sqrt(sp2 * (lit(1.0) / col("n1") + lit(1.0) / col("n2"))), 4).as("t_stat"))
+  }
+
+  /** t_test `type: paired` — ES pairs the two fields within one
+    * document; the relational analog pairs per `keyField` (each key's
+    * deterministic min value per side), keys missing either side
+    * drop. One groupBy(key) exchange builds the difference column,
+    * then the one-sample t over d: t = mean(d)/(sd(d)/√n), linear
+    * sums in decimal / squares in double like the unpaired form. */
+  def tTestPairedAgg(
+      df: DataFrame, keyField: String, field: String,
+      groupA: Column, groupB: Column): DataFrame = {
+    val pairs = df
+      .groupBy(col(keyField))
+      .agg(
+        min(when(groupA, col(field))).as("va"),
+        min(when(groupB, col(field))).as("vb"))
+      .where(col("va").isNotNull && col("vb").isNotNull)
+      .withColumn("d", col("va") - col("vb"))
+    val raw = pairs.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("d").cast("decimal(28,8)")).cast("double").as("sd_sum"),
+      sum(col("d") * col("d")).as("qd"))
+    raw.select(
+      col("n").cast("long").as("n_pairs"),
+      Num.round(col("sd_sum") / col("n"), 4).as("mean_diff"),
+      Num.round((col("sd_sum") / col("n")) /
+        sqrt(((col("qd") - col("sd_sum") * col("sd_sum") / col("n")) / (col("n") - 1)) / col("n")),
+        4).as("t_stat"))
+  }
+
   /** `cumulative_cardinality` pipeline agg: distinct users seen UP TO
     * each date_histogram bucket. Not a windowed count-distinct (that
     * re-scans every prefix): each user contributes once at their

@@ -458,6 +458,26 @@ class AggsSpec extends SparkSpec {
     }
   }
 
+  test("t_test homoscedastic and paired match textbook formulas") {
+    val d = Seq(
+      (1L, "a", 10.0), (2L, "a", 12.0), (3L, "a", 14.0),
+      (1L, "b", 9.0), (2L, "b", 10.5), (3L, "b", 12.0), (4L, "b", 20.0))
+      .toDF("k", "g", "v")
+    val homo = Aggs.tTestHomoAgg(d, "v", col("g") === "a", col("g") === "b")
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    // pooled: m1=12, m2=12.875; ss1=8, ss2=72.1875; sp2=(8+72.1875)/5
+    val sp2 = (8.0 + 72.1875) / 5
+    val tRef = (12.0 - 12.875) / math.sqrt(sp2 * (1.0 / 3 + 1.0 / 4))
+    assert(homo._1 == 3L && homo._2 == 4L && homo._3 == 12.0 && homo._4 == 12.875)
+    assert(math.abs(homo._5 - tRef) < 1e-3)
+    // paired: keys 1..3 have both sides, diffs [1.0, 1.5, 2.0]
+    val paired = Aggs.tTestPairedAgg(d, "k", "v", col("g") === "a", col("g") === "b")
+      .as[(Long, Double, Double)].collect().head
+    assert(paired._1 == 3L && paired._2 == 1.5)
+    val dRef = 1.5 / (0.5 / math.sqrt(3.0)) // sd of [1,1.5,2] = 0.5
+    assert(math.abs(paired._3 - dRef) < 1e-3)
+  }
+
   test("holt_winters: seasonal recursion matches a plain-Scala replay") {
     val n = 12
     val rows = (0 until n).map { i =>
