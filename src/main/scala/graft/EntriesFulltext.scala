@@ -105,6 +105,16 @@ private[graft] object EntriesFulltext {
     }),
     // html_strip char filter: tags out, entities decoded (&amp; last),
     // then the standard chain — 'amp' must NOT surface as a token
+    // _analyze API: the token stream itself as rows — (position,
+    // token) per doc through the standard chain, the response shape
+    // the analyze endpoint returns (start/end offsets are a tokenizer
+    // detail the split-based chain does not track; declared)
+    "q_analyze_api" -> ((s, d) => {
+      import graft.analysis.Analyzer
+      t(s, d, "documents").where(col("doc_id") < 20)
+        .select(col("doc_id"), posexplode(Analyzer.tokens(col("text"))).as(Seq("position", "token")))
+        .orderBy(col("doc_id"), col("position"))
+    }),
     "q_analyze_html" -> ((s, d) => {
       import graft.analysis.Analyzer
       val html = concat(lit("<div class=\"x\"><p>"),
@@ -329,6 +339,11 @@ private[graft] object EntriesFulltext {
       "SELECT doc_id, lang, list_contains(list_filter(regexp_split_to_array(raw, '[^a-z0-9]+'), " +
       "x -> len(x) > 0), 'merge') AS raw_hit " +
       "FROM f WHERE list_contains(ftoks, 'merge') AND lang IN ('de', 'en') ORDER BY doc_id"),
+    "q_analyze_api" -> (TokCte +
+      ", px AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS p, toks " +
+      "FROM tok WHERE doc_id < 20) " +
+      "SELECT doc_id, (p - 1)::INT AS position, toks[p] AS token " +
+      "FROM px ORDER BY doc_id, position"),
     "q_analyze_html" -> ("WITH h AS (SELECT lang, '<div class=\"x\"><p>' || substring(text, 1, 60) || " +
       "' &amp; more</p></div>' AS html FROM documents), " +
       "s AS (SELECT lang, replace(replace(replace(replace(replace(replace(" +
