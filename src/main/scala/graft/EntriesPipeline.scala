@@ -188,6 +188,32 @@ private[graft] object EntriesPipeline {
         .select(col("doc_id"), col("quality"))
         .orderBy(col("doc_id"))
     }),
+    // the composed end-to-end training-data pipeline: C4 boilerplate
+    // gate -> language filter -> quality gate -> exact dedup by
+    // content fingerprint (first doc_id survives) -> sequence packing
+    // -> per-pack stats. Every stage is the already-oracle-checked
+    // operator; only narrow passes plus ONE fingerprint exchange and
+    // the pack window — the flagship "what a 100 TB corpus build
+    // actually runs" shape
+    "q_pipeline_full" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      // the C4 boilerplate drops apply; the sentence-count gate is
+      // omitted — the synthetic corpus carries no punctuation, so it
+      // would zero the pipeline (production corpora keep it)
+      val sig = TextAnalysis.c4Filters(col("text")).toMap
+      val keep = !sig("has_lorem") && !sig("has_brace") && !sig("has_policy")
+      val filtered = TextAnalysis.qualityScore(col("text"))(docs)
+        .where(keep && col("lang") === "en" && col("quality") >= 0.4)
+      val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      val deduped = filtered
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+        .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      TextAnalysis.packSequences(deduped, "doc_id", col("n_chars"), "source", 5000L)
+        .groupBy(col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("size")).as("pack_chars"))
+        .orderBy(col("pack_id"))
+    }),
     "q_lang_id" -> ((s, d) => {
       val (pl, ps) = TextAnalysis.languageId(col("text"))
       t(s, d, "documents")
@@ -474,6 +500,31 @@ private[graft] object EntriesPipeline {
         "WHEN r_es > greatest(r_de, r_en) THEN 'es' " +
         "WHEN r_en > r_de THEN 'en' ELSE 'de' END AS pred_lang, " +
         "round(greatest(r_de, r_en, r_es, r_fr, r_zh), 4) AS lang_score FROM r ORDER BY doc_id"
+    },
+    "q_pipeline_full" -> {
+      val en = TextAnalysis.stopwords.toMap.apply("en").map(w => s"'$w'").mkString(", ")
+      val fp = s"list_reduce(list_prepend(0::BIGINT, list_transform(toks, t -> ${hexFold("t", 12)} % 1000000007)), " +
+        "(a, v) -> (a * 31 + v) % 1000000007)"
+      "WITH b AS (SELECT doc_id, text, source, n_chars, lang, " +
+        "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks FROM documents), " +
+        "q AS (SELECT *, len(toks)::BIGINT AS n_tokens, " +
+        "round(len(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE / greatest(len(text), 1)::DOUBLE, 4) AS punct_ratio, " +
+        s"round(len(list_filter(toks, t -> list_contains([$en], t)))::DOUBLE / greatest(len(toks), 1)::DOUBLE, 4) AS stopword_ratio, " +
+        "round(len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1)::DOUBLE, 4) AS ttr FROM b), " +
+        "qq AS (SELECT *, round(least(n_tokens / 100.0, 1.0) * 0.3 + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2 + " +
+        "least(stopword_ratio * 5.0, 1.0) * 0.2 + ttr * 0.3, 4) AS quality FROM q), " +
+        "c4 AS (SELECT *, " +
+        "len(list_filter(regexp_split_to_array(text, '[.!?]+'), x -> len(trim(x)) > 0))::BIGINT AS n_sent, " +
+        "contains(lower(text), 'lorem ipsum') AS hl, contains(text, '{') AS hb, " +
+        "(contains(lower(text), 'privacy policy') OR contains(lower(text), 'terms of use') OR " +
+        "contains(lower(text), 'cookie policy') OR contains(lower(text), 'uses cookies')) AS hp FROM qq), " +
+        "f AS (SELECT * FROM c4 WHERE NOT hl AND NOT hb AND NOT hp AND lang = 'en' AND quality >= 0.4), " +
+        s"fpt AS (SELECT *, $fp AS fp FROM f), " +
+        "dd AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM fpt) WHERE rn = 1), " +
+        "p AS (SELECT doc_id, source, n_chars, " +
+        "source || '/' || CAST(floor(CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_chars AS DOUBLE) / 5000) AS BIGINT)::VARCHAR AS pack_id FROM dd) " +
+        "SELECT pack_id, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS pack_chars " +
+        "FROM p GROUP BY pack_id ORDER BY pack_id"
     },
     "q_quality" -> {
       val en = TextAnalysis.stopwords.toMap.apply("en").map(w => s"'$w'").mkString(", ")
