@@ -423,6 +423,28 @@ object ScaleProbe {
           "( eval _score = doc_id % 1000 + 0.0 | sort _score desc, doc_id | limit 100 | keep doc_id, _score )")
       graft.dsl.Esql.applyCommand(forked, "fuse rrf key by doc_id").count()
     }
+    time("pipeline_full_10x") {
+      // the composed corpus build (q_pipeline_full): C4 drops ->
+      // lang -> quality -> exact dedup by fingerprint -> pack. Cost
+      // model: map-only scoring, ONE hash exchange on the 61-bit
+      // fingerprint, one window per source group — the replicated
+      // docs are exact clones, so every fingerprint group is an
+      // n-clique (worst case for the dedup window)
+      import graft.text.TextAnalysis
+      import org.apache.spark.sql.expressions.Window
+      val sig = TextAnalysis.c4Filters(col("text")).toMap
+      val keep = !sig("has_lorem") && !sig("has_brace") && !sig("has_policy")
+      val filtered = TextAnalysis.qualityScore(col("text"))(docs)
+        .where(keep && col("lang") === "en" && col("quality") >= 0.4)
+      val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      val deduped = filtered
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+        .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      TextAnalysis.packSequences(deduped, "doc_id", col("n_chars"), "source", 5000L)
+        .groupBy(col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("size")).as("pack_chars"))
+        .count()
+    }
     spark.stop()
   }
 }
