@@ -458,6 +458,41 @@ class AggsSpec extends SparkSpec {
     }
   }
 
+  test("moving models properties: holt(beta=0) == EWMA; KS stats bounded") {
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { trial =>
+      val n = 6 + rnd.nextInt(18)
+      val vals = Seq.fill(n)(10.0 + rnd.nextInt(500) / 7.0)
+      val rows = vals.zipWithIndex.map { case (v, i) =>
+        (f"${2000 + i / 12}-${i % 12 + 1}%02d-10 00:00:00", v)
+      }.toDF("ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+      val got = Aggs.dateHistogramMovingModels(rows, "ts", "month", "v",
+          window = 5, alpha = 0.4, beta = 0.0)
+        .select("sum_v", "holt").as[(Double, Double)].collect().toSeq
+      // with beta = 0 the trend stays 0 and holt degrades to EWMA
+      def ewma(w: Seq[Double]) = w.tail.foldLeft(w.head)((s, x) => 0.4 * x + 0.6 * s)
+      val sv = got.map(_._1)
+      got.indices.foreach { i =>
+        val w = sv.slice(math.max(0, i - 4), i + 1)
+        // holt output is round-4; the reference is unrounded
+        assert(math.abs(got(i)._2 - ewma(w)) < 1e-3, s"trial $trial bucket $i")
+      }
+    }
+    // KS statistics and p-values stay in [0,1] for arbitrary counts
+    (1 to 5).foreach { trial =>
+      val counts = Seq.fill(6)(1L + rnd.nextInt(1000))
+      val fr = Seq.fill(6)(1.0 / 6)
+      val r = Aggs.bucketCountKsTest(
+        counts.zipWithIndex.map { case (c, i) => (i, c) }.toDF("b", "c"),
+        "b", "c", fr)
+        .as[(Double, Double, Double, Double, Double, Double, Long)].collect().head
+      Seq(r._1, r._2, r._3, r._4, r._5, r._6).foreach { v =>
+        assert(v >= 0.0 && v <= 1.0, s"trial $trial: $r")
+      }
+      assert(r._3 >= math.max(r._1, r._2) - 1e-9) // two-sided dominates
+    }
+  }
+
   test("t_test homoscedastic and paired match textbook formulas") {
     val d = Seq(
       (1L, "a", 10.0), (2L, "a", 12.0), (3L, "a", 14.0),
