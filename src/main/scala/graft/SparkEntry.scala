@@ -26,23 +26,26 @@ object SparkEntry {
       Tables.documents(spark, "/root/testdata/sf0.001"),
       "doc_id", "text", "fast hash join", 10)
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    EntriesDsl.queries ++
-    EntriesFulltext.queries ++
-    EntriesAggs.queries ++
-    EntriesRel.queries ++
-    EntriesWrite.queries ++
-    EntriesPipeline.queries ++
-    EntriesStream.queries ++
-    EntriesLate.queries
+  // a key registered twice across Entries files would silently
+  // overwrite under ++ (the r11 q_contamination bug class) — fail
+  // loudly at first access instead
+  private def merged[T](parts: Seq[Map[String, T]]): Map[String, T] = {
+    val dups = parts.flatMap(_.keys).groupBy(identity)
+      .collect { case (k, vs) if vs.size > 1 => k }
+    require(dups.isEmpty,
+      s"duplicate SparkEntry keys across Entries files: ${dups.mkString(", ")}")
+    parts.reduce(_ ++ _)
+  }
 
-  def oracleSql: Map[String, String] =
-    EntriesDsl.oracleSql ++
-    EntriesFulltext.oracleSql ++
-    EntriesAggs.oracleSql ++
-    EntriesRel.oracleSql ++
-    EntriesWrite.oracleSql ++
-    EntriesPipeline.oracleSql ++
-    EntriesStream.oracleSql ++
-    EntriesLate.oracleSql
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
+    merged(Seq(
+      EntriesDsl.queries, EntriesFulltext.queries, EntriesAggs.queries,
+      EntriesRel.queries, EntriesWrite.queries, EntriesPipeline.queries,
+      EntriesStream.queries, EntriesLate.queries))
+
+  lazy val oracleSql: Map[String, String] =
+    merged(Seq(
+      EntriesDsl.oracleSql, EntriesFulltext.oracleSql, EntriesAggs.oracleSql,
+      EntriesRel.oracleSql, EntriesWrite.oracleSql, EntriesPipeline.oracleSql,
+      EntriesStream.oracleSql, EntriesLate.oracleSql))
 }
