@@ -121,7 +121,7 @@ private[graft] object EntriesDsl {
     // runtime_mappings: a Painless-computed field projected BEFORE the
     // query so the range predicate targets it like a mapped field;
     // Catalyst folds the projection into the scan stage
-    "q_runtime_fields" -> ((s, d) => {
+    "q_runtime_fields_agg" -> ((s, d) => {
       val (rf, inner) = graft.dsl.SearchBody.parse(
         """{"runtime_mappings": {
              "chars_per_100": {"type": "long",
@@ -905,7 +905,7 @@ private[graft] object EntriesDsl {
     "q_terms_enum" -> ("SELECT DISTINCT p_name AS term FROM part " +
       "WHERE p_name LIKE 'b%' ORDER BY term LIMIT 12"),
 
-    "q_runtime_fields" -> ("WITH r AS (SELECT lang, CAST(trunc(n_chars / 100.0) AS BIGINT) AS cp " +
+    "q_runtime_fields_agg" -> ("WITH r AS (SELECT lang, CAST(trunc(n_chars / 100.0) AS BIGINT) AS cp " +
       "FROM documents) SELECT lang, count(*)::BIGINT AS n, sum(cp)::BIGINT AS s " +
       "FROM r WHERE cp >= 2 GROUP BY lang ORDER BY lang"),
     "q_dsl_json" -> ("SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en' " +
