@@ -918,29 +918,49 @@ object Esql {
         val key = concat_ws("\u0000", df.columns.map(c => col(c).cast("string")): _*)
         df.where(Num.uniformHash48(key) < p)
       case "dissect" =>
-        // DISSECT field "%{a}-%{b} %{c}" — literal-anchored extraction.
-        // The pattern compiles to ONE regex with a lazy group per key
-        // (greedy for the last), evaluated once per key via
-        // regexp_extract — narrow codegen'd column math, the log-
-        // pipeline workhorse.
-        val m = "^([A-Za-z0-9_]+)\\s+\"(.*)\"$".r
+        // DISSECT field "%{a}-%{b} %{c}" [APPEND_SEPARATOR="s"] —
+        // literal-anchored extraction with the full modifier set:
+        // %{+k} appends to a prior k (joined by the separator),
+        // %{?k} / %{} match-and-discard, %{k->} lets the delimiter
+        // that FOLLOWS the key repeat (right padding). The pattern
+        // compiles to ONE regex with a lazy group per key (greedy for
+        // the last), evaluated per output via regexp_extract — narrow
+        // codegen'd column math, the log-pipeline workhorse.
+        val m = "(?is)^([A-Za-z0-9_]+)\\s+\"(.*?)\"(?:\\s+append_separator\\s*=\\s*\"(.*)\")?$".r
         body.trim match {
-          case m(field, pattern) =>
-            val key = "%\\{([A-Za-z0-9_]+)\\}".r
-            val keys = key.findAllMatchIn(pattern).map(_.group(1)).toSeq
-            require(keys.nonEmpty, s"DISSECT pattern has no keys: $pattern")
-            // literals between keys are regex-escaped; every group is
-            // lazy except the final one
+          case m(field, pattern, sepOrNull) =>
+            val sep = Option(sepOrNull).getOrElse("")
+            val key = "%\\{([+?]?)([A-Za-z0-9_]*)(->)?\\}".r
+            // (modifier, name, padded) per key, in pattern order
+            val specs = key.findAllMatchIn(pattern)
+              .map(k => (k.group(1), k.group(2), k.group(3) != null)).toSeq
+            require(specs.exists { case (mod, name, _) => name.nonEmpty && mod != "?" },
+              s"DISSECT pattern has no output keys: $pattern")
             val parts = key.split(pattern).map(java.util.regex.Pattern.quote)
             val regex = new StringBuilder("^")
-            keys.indices.foreach { i =>
-              regex ++= (if (i < parts.length) parts(i) else "")
-              regex ++= (if (i == keys.size - 1) "(.*)" else "(.*?)")
+            specs.indices.foreach { i =>
+              val lit0 = if (i < parts.length) parts(i) else ""
+              // a `->` on the PREVIOUS key lets this delimiter repeat
+              regex ++= (if (i > 0 && specs(i - 1)._3 && lit0.nonEmpty)
+                s"(?:$lit0)+" else lit0)
+              regex ++= (if (i == specs.size - 1) "(.*)" else "(.*?)")
             }
-            if (keys.size < parts.length) regex ++= parts.last
+            if (specs.size < parts.length) {
+              val last = parts.last
+              regex ++= (if (specs.last._3 && last.nonEmpty) s"(?:$last)+" else last)
+            }
             regex ++= "$"
-            keys.zipWithIndex.foldLeft(df) { case (acc, (k, i)) =>
-              acc.withColumn(k, regexp_extract(col(field), regex.result(), i + 1))
+            // output columns: first-occurrence order; '+' occurrences
+            // append to their base name with the separator
+            val named = specs.zipWithIndex.collect {
+              case ((mod, name, _), i) if name.nonEmpty && mod != "?" => (name, i + 1)
+            }
+            val outNames = named.map(_._1).distinct
+            outNames.foldLeft(df) { case (acc, n) =>
+              val gs = named.filter(_._1 == n).map(_._2)
+              val cols = gs.map(g => regexp_extract(col(field), regex.result(), g))
+              acc.withColumn(n,
+                if (cols.size == 1) cols.head else concat_ws(sep, cols: _*))
             }
           case other => throw new IllegalArgumentException(s"bad DISSECT: $other")
         }

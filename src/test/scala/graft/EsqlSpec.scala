@@ -77,6 +77,30 @@ class EsqlSpec extends SparkSpec {
     assert(d == Set(("1", "URGENT", "done"), ("5", "LOW", "waiting")))
   }
 
+  test("DISSECT modifiers: append, skip, right padding, separator") {
+    // %{+t} appends with APPEND_SEPARATOR; %{?x} matches and discards
+    val logs = Seq("svc1 WARN:disk full", "svc2 INFO:boot ok").toDF("line")
+    val d = Esql.applyCommand(logs,
+      """dissect line "%{?svc} %{t}:%{+t} %{state}" append_separator="-"""")
+      .select("t", "state").as[(String, String)].collect().toSet
+    assert(d == Set(("WARN-disk", "full"), ("INFO-boot", "ok")))
+    assert(!Esql.applyCommand(logs,
+      """dissect line "%{?svc} %{t}:%{+t} %{state}"""").columns.contains("svc"))
+    // default separator is empty
+    val d2 = Esql.applyCommand(logs,
+      """dissect line "%{?svc} %{t}:%{+t} %{state}"""")
+      .select("t").as[String].collect().toSet
+    assert(d2 == Set("WARNdisk", "INFOboot"))
+    // %{a->}: the delimiter after a may repeat (column-aligned logs)
+    val padded = Seq("a      b", "cc  d").toDF("line")
+    val p = Esql.applyCommand(padded, """dissect line "%{l->} %{r}"""")
+      .select("l", "r").as[(String, String)].collect().toSet
+    assert(p == Set(("a", "b"), ("cc", "d")))
+    // a pattern with only skips fails loudly
+    intercept[IllegalArgumentException](
+      Esql.applyCommand(logs, """dissect line "%{?a} %{}""""))
+  }
+
   test("IN, CASE, GROK") {
     assert(run("""where k in ("a", "c")""").select("id").as[Long].collect().toSet
       == Set(1L, 2L, 5L))
