@@ -972,12 +972,8 @@ object Esql {
         val m = "^([A-Za-z0-9_]+)\\s+\"(.*)\"$".r
         body.trim match {
           case m(field, pattern) =>
-            val lib = Map(
-              "WORD" -> "\\w+", "NUMBER" -> "-?\\d+(?:\\.\\d+)?",
-              "INT" -> "-?\\d+", "NOTSPACE" -> "\\S+", "DATA" -> ".*?",
-              "GREEDYDATA" -> ".*", "IP" -> "\\d{1,3}(?:\\.\\d{1,3}){3}",
-              "LOGLEVEL" -> "TRACE|DEBUG|INFO|WARN|ERROR|FATAL")
-            val key = "%\\{([A-Z]+):([A-Za-z0-9_]+)(?::(int|long|double))?\\}".r
+            val lib = GrokPatterns.base
+            val key = "%\\{([A-Z0-9_]+):([A-Za-z0-9_]+)(?::(int|long|double))?\\}".r
             val caps = key.findAllMatchIn(pattern)
               .map(k => (k.group(2), Option(k.group(3)))).toSeq
             require(caps.nonEmpty, s"GROK pattern has no captures: $pattern")

@@ -21,7 +21,9 @@ import org.json4s.jackson.JsonMethods
   * fingerprint, drop (Painless `if`), foreach (per-element
   * lowercase/uppercase/trim/gsub over an array field), pipeline
   * (nested named pipeline, inlined), geoip (synthetic prefix table,
-  * real output shape).
+  * real output shape), html_strip, sort, dot_expander,
+  * date_index_name, redact (grok-named capture masking, the shared
+  * GrokPatterns library).
   *
   * Per-processor `on_failure` (convert/date/json/bytes): the primary
   * transform switches to its try_* form, rows where a present value
@@ -493,13 +495,8 @@ object IngestPipeline {
             }
             val pre = m.get("prefix").collect { case JString(s) => s }.getOrElse("<")
             val suf = m.get("suffix").collect { case JString(s) => s }.getOrElse(">")
-            val lib = Map(
-              "WORD" -> "\\w+", "NUMBER" -> "-?\\d+(?:\\.\\d+)?",
-              "INT" -> "-?\\d+", "NOTSPACE" -> "\\S+",
-              "IP" -> "\\d{1,3}(?:\\.\\d{1,3}){3}",
-              "EMAILADDRESS" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
-              "LOGLEVEL" -> "TRACE|DEBUG|INFO|WARN|ERROR|FATAL")
-            val key = "%\\{([A-Z]+):([A-Za-z0-9_]+)\\}".r
+            val lib = graft.dsl.GrokPatterns.base
+            val key = "%\\{([A-Z0-9_]+):([A-Za-z0-9_]+)\\}".r
             val compiled = pats.map {
               case key(pat, name) => (lib.getOrElse(pat,
                 throw new IllegalArgumentException(s"unknown redact pattern: %{$pat}")),

@@ -116,6 +116,16 @@ class EsqlSpec extends SparkSpec {
     assert(g == (("alice", 404, "ERROR", "10.0.0.1")))
     intercept[IllegalArgumentException](
       Esql.applyCommand(logs, """grok line "%{NOPE:x}""""))
+
+    // the extended base-pattern library (shared with ingest redact)
+    val rich = Seq("2024-03-05T10:30:00Z 3f2a8a5e-0000-4000-8000-1234567890ab " +
+      "aa:bb:cc:dd:ee:11 api.example.com /var/log/app a@b.io").toDF("line")
+    val r = Esql.applyCommand(rich,
+      """grok line "%{TIMESTAMP_ISO8601:ts} %{UUID:uid} %{MAC:mac} %{HOSTNAME:host} %{PATH:path} %{EMAILADDRESS:mail}"""")
+      .select("ts", "uid", "mac", "host", "path", "mail")
+      .as[(String, String, String, String, String, String)].collect().head
+    assert(r == (("2024-03-05T10:30:00Z", "3f2a8a5e-0000-4000-8000-1234567890ab",
+      "aa:bb:cc:dd:ee:11", "api.example.com", "/var/log/app", "a@b.io")))
   }
 
   test("ENRICH: broadcast lookup join with column selection") {
