@@ -148,6 +148,13 @@ private[graft] object EntriesDsl {
       .where(graft.dsl.EsQuery.compile("?q=lang:en AND (n_chars:>300 OR source:src1*) AND NOT source:src19"))
       .select(col("doc_id"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))),
+    // KQL (Kibana) spelling: case-insensitive and/or/not keywords,
+    // SPACED range operators — same predicate as q_uri_query
+    "q_kql" -> ((s, d) => t(s, d, "documents")
+      .where(graft.dsl.Kql.compile(
+        "lang:en and (n_chars > 300 or source:src1*) and not source:src19"))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))),
     // Lucene /regex/ clauses: anchored value regex on keyword fields,
     // per-token regex on the analyzed default field
     "q_uri_regex" -> ((s, d) => t(s, d, "documents")
@@ -911,6 +918,8 @@ private[graft] object EntriesDsl {
     "q_dsl_json" -> ("SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en' " +
       "AND (source LIKE 'src1%' OR n_chars > 300) AND NOT (source LIKE 'src_') ORDER BY doc_id"),
 
+    "q_kql" -> ("SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en' " +
+      "AND (n_chars > 300 OR source LIKE 'src1%') AND NOT source = 'src19' ORDER BY doc_id"),
     "q_uri_query" -> ("SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en' " +
       "AND (n_chars > 300 OR source LIKE 'src1%') AND NOT source = 'src19' ORDER BY doc_id"),
     "q_uri_plusminus" -> ("SELECT doc_id, source, n_chars FROM documents " +

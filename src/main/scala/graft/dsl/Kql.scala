@@ -21,11 +21,18 @@ import org.apache.spark.sql.Column
 object Kql {
 
   private val kw = "(?i)(?<![\\w:])(and|or|not)(?![\\w])".r
+  // KQL spells ranges with spaces (`n_chars >= 300`); Lucene wants
+  // `n_chars:>=300` — rewrite outside quotes
+  private val range = "(\\w+)\\s*(>=|<=|>|<)\\s*".r
 
   def compile(q: String, defaultField: String = "text"): Column = {
     // quote-aware: even split segments are outside double quotes
     val normalized = q.split("\"", -1).zipWithIndex.map { case (seg, i) =>
-      if (i % 2 == 0) kw.replaceAllIn(seg, m => m.group(1).toUpperCase) else seg
+      if (i % 2 == 0)
+        range.replaceAllIn(
+          kw.replaceAllIn(seg, m => m.group(1).toUpperCase),
+          m => s"${m.group(1)}:${m.group(2)}")
+      else seg
     }.mkString("\"")
     UriQuery.compile(normalized, defaultField)
   }
