@@ -300,6 +300,10 @@ private[graft] object EntriesAggs {
       sampleProb = 0.5, minFgCount = 5, k = 10)),
     "q_agg_t_test" -> ((s, d) => Aggs.tTestAgg(Tables.events(s, d), "value",
       col("event_type") === "click", col("event_type") === "view")),
+    // change_point pipeline agg (the aggs-framework spelling of the
+    // ES|QL command): monthly revenue series, k=2 CUSUM argmax
+    "q_agg_change_point" -> ((s, d) =>
+      Aggs.changePointAgg(t(s, d, "orders"), "o_orderdate", "month", "o_totalprice")),
     // the other two t_test types: Student pooled-variance and paired
     // (per-user min click vs min view)
     "q_agg_t_test_homo" -> ((s, d) => Aggs.tTestHomoAgg(Tables.events(s, d), "value",
@@ -494,6 +498,18 @@ private[graft] object EntriesAggs {
       "round(s1 / n1, 4) AS mean1, round(s2 / n2, 4) AS mean2, " +
       "round((s1 / n1 - s2 / n2) / sqrt(((q1 - s1 * s1 / n1) / (n1 - 1)) / n1 + " +
       "((q2 - s2 * s2 / n2) / (n2 - 1)) / n2), 4) AS t_stat FROM m"),
+    "q_agg_change_point" -> ("WITH b0 AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS bucket, " +
+      "count(*)::BIGINT AS doc_count, " +
+      "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_v FROM orders GROUP BY 1), " +
+      "b AS (SELECT bucket, round(sum_v / doc_count / 1000.0, 4) AS avg_k FROM b0), " +
+      "t AS (SELECT count(avg_k)::DOUBLE AS n, CAST(sum(CAST(avg_k AS DECIMAL(24,6))) AS DOUBLE) AS s FROM b), " +
+      "c AS (SELECT bucket, avg_k, " +
+      "(count(avg_k) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE AS n1, " +
+      "sum(avg_k) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s1 FROM b), " +
+      "st AS (SELECT bucket, avg_k, round(n1 * ((s1/n1) - (s/n)) * ((s1/n1) - (s/n)) + " +
+      "(n - n1) * (((s-s1)/(n-n1)) - (s/n)) * (((s-s1)/(n-n1)) - (s/n)), 4) AS cp_stat " +
+      "FROM c CROSS JOIN t WHERE n1 < n) " +
+      "SELECT bucket, avg_k, cp_stat FROM st ORDER BY cp_stat DESC, bucket LIMIT 1"),
     "q_agg_t_test_homo" -> ("WITH m AS (SELECT " +
       "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::DOUBLE AS n1, " +
       "sum(CASE WHEN event_type = 'click' THEN value::DECIMAL(28,8) ELSE 0::DECIMAL(28,8) END)::DOUBLE AS s1, " +

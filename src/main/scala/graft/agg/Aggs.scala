@@ -1328,6 +1328,25 @@ object Aggs {
         4).as("t_stat"))
   }
 
+  /** `change_point` pipeline agg (ES ML, 8.x): step-change detection
+    * over the parent date_histogram's metric — the same k=2 CUSUM
+    * kernel the ES|QL CHANGE_POINT command compiles, run over the
+    * tiny bucket frame (heavy work in the partial agg below). */
+  def changePointAgg(
+      df: DataFrame, tsField: String, interval: String, metric: String): DataFrame =
+    graft.dsl.Esql.applyCommand(
+      // per-bucket AVG, not the raw sum: cp_stat is n * deviation^2 of
+      // the series, and a summed metric at 1e7 magnitudes pushes that
+      // past Num.round's long range (the esql command's daily-avg
+      // series has the same shape)
+      // kilounit scale keeps cp_stat = n * deviation^2 at O(1e4),
+      // where round-4 is far inside cross-engine double agreement
+      // (the argmax is invariant under uniform scaling)
+      bucketFrame(df, tsField, interval, metric)
+        .select(col("bucket"),
+          Num.round(col("sum_v") / col("doc_count") / 1000.0, 4).as("avg_k")),
+      "change_point avg_k on bucket")
+
   /** t_test `type: homoscedastic` (Student, pooled variance): same
     * one-pass conditional moment sums as [[tTestAgg]], but
     * t = (m1 − m2) / sqrt(sp²(1/n1 + 1/n2)) with the pooled
