@@ -105,6 +105,21 @@ private[graft] object EntriesFulltext {
     }),
     // html_strip char filter: tags out, entities decoded (&amp; last),
     // then the standard chain — 'amp' must NOT surface as a token
+    // shingle token filter, oracle-keyed (upgraded from spec): stream
+    // sizes per width + the full unigram+2..3-gram stream length
+    "q_analyze_shingle" -> ((s, d) => {
+      import graft.analysis.Analyzer
+      val toks = Analyzer.tokens(col("text"))
+      t(s, d, "documents").where(col("doc_id") < 50)
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_uni"),
+          size(Analyzer.shingleFilter(toks, 2, 2, outputUnigrams = false))
+            .cast("long").as("n_2g"),
+          size(Analyzer.shingleFilter(toks, 3, 3, outputUnigrams = false))
+            .cast("long").as("n_3g"),
+          size(Analyzer.shingleFilter(toks, 2, 3)).cast("long").as("n_stream"))
+        .orderBy(col("doc_id"))
+    }),
     // _analyze API: the token stream itself as rows — (position,
     // token) per doc through the standard chain, the response shape
     // the analyze endpoint returns (start/end offsets are a tokenizer
@@ -339,6 +354,13 @@ private[graft] object EntriesFulltext {
       "SELECT doc_id, lang, list_contains(list_filter(regexp_split_to_array(raw, '[^a-z0-9]+'), " +
       "x -> len(x) > 0), 'merge') AS raw_hit " +
       "FROM f WHERE list_contains(ftoks, 'merge') AND lang IN ('de', 'en') ORDER BY doc_id"),
+    "q_analyze_shingle" -> (TokCte +
+      ", sh AS (SELECT doc_id, len(toks)::BIGINT AS n_uni, " +
+      "len(list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])))::BIGINT AS n_2g, " +
+      "len(list_distinct(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))::BIGINT AS n_3g " +
+      "FROM tok WHERE doc_id < 50) " +
+      "SELECT doc_id, n_uni, n_2g, n_3g, (n_uni + n_2g + n_3g)::BIGINT AS n_stream " +
+      "FROM sh ORDER BY doc_id"),
     "q_analyze_api" -> (TokCte +
       ", px AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS p, toks " +
       "FROM tok WHERE doc_id < 20) " +
