@@ -142,6 +142,35 @@ private[graft] object EntriesPipeline {
         .groupBy(col("event_type"))
         .agg(min(col("k")).as("kmin"), max(col("k")).as("kmax"))
         .orderBy(col("event_type"))),
+    // geoip processor, oracle-keyed (upgraded from spec): synthetic
+    // ips spread across the prefix-table classes, private ranges null
+    "q_ingest_geoip" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("ip",
+        concat_ws(".", pmod(col("user_id") * 31L, lit(223L)) + 1L,
+          pmod(col("user_id") * 7L, lit(256L)),
+          pmod(col("user_id") * 13L, lit(256L)),
+          pmod(col("user_id"), lit(256L))))
+      graft.sources.IngestPipeline.compile(
+        """{"processors": [{"geoip": {"field": "ip", "target_field": "geo"}}]}""")(ev)
+        .groupBy(col("geo.continent_name").as("continent"),
+          col("geo.country_iso_code").as("iso"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("continent"), col("iso"))
+    }),
+    // length+truncate+unique filter chain, oracle-keyed: stream sizes
+    // plus the first five surviving tokens (order-preserving dedup)
+    "q_analyze_filters" -> ((s, d) => {
+      import graft.analysis.Analyzer
+      val toks = Analyzer.tokens(col("text"))
+      val chain = Analyzer.uniqueFilter(
+        Analyzer.truncateFilter(Analyzer.lengthFilter(toks, 3, 8), 5))
+      t(s, d, "documents").where(col("doc_id") < 50)
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_raw"),
+          size(chain).cast("long").as("n_chain"),
+          array_join(slice(chain, 1, 5), " ").as("head5"))
+        .orderBy(col("doc_id"))
+    }),
     // redact processor: grok-named captures masked in place
     "q_ingest_redact" -> ((s, d) =>
       graft.sources.IngestPipeline.compile(
@@ -455,6 +484,24 @@ private[graft] object EntriesPipeline {
     },
     "q_ingest_kv" -> ("SELECT event_type AS t, (user_id % 7)::BIGINT AS u, count(*)::BIGINT AS n " +
       "FROM events GROUP BY t, u ORDER BY t, u"),
+    "q_ingest_geoip" -> {
+      def clas(na: String, eu: String, as_ : String, oc: String) =
+        "CASE WHEN o1 = 10 OR (o1 = 192 AND o2 = 168) OR (o1 = 172 AND o2 BETWEEN 16 AND 31) OR o1 = 127 THEN NULL " +
+          s"WHEN o1 <= 63 THEN $na WHEN o1 <= 126 THEN $eu WHEN o1 <= 191 THEN $as_ ELSE $oc END"
+      "WITH ips AS (SELECT (user_id * 31 % 223) + 1 AS o1, (user_id * 7 % 256) AS o2 FROM events), " +
+        s"g AS (SELECT ${clas("'North America'", "'Europe'", "'Asia'", "'Oceania'")} AS continent, " +
+        s"${clas("'US'", "'DE'", "'JP'", "'AU'")} AS iso FROM ips) " +
+        "SELECT continent, iso, count(*)::BIGINT AS n FROM g GROUP BY 1, 2 " +
+        "ORDER BY continent NULLS FIRST, iso NULLS FIRST"
+    },
+    "q_analyze_filters" -> (TokCte +
+      ", c AS (SELECT doc_id, toks, " +
+      "list_transform(list_filter(toks, t -> len(t) >= 3 AND len(t) <= 8), t -> substr(t, 1, 5)) AS tr FROM tok WHERE doc_id < 50), " +
+      // order-preserving dedup: keep positions that are their token's
+      // FIRST occurrence (DuckDB list_distinct does not pin order)
+      "u AS (SELECT doc_id, toks, list_filter(tr, (x, i) -> list_position(tr, x) = i) AS uq FROM c) " +
+      "SELECT doc_id, len(toks)::BIGINT AS n_raw, len(uq)::BIGINT AS n_chain, " +
+      "array_to_string(uq[1:5], ' ') AS head5 FROM u ORDER BY doc_id"),
     "q_ingest_redact" -> ("SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text, " +
       "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<email>', 'g'), " +
       "'\\d{1,3}(?:\\.\\d{1,3}){3}', '<client>', 'g'), " +
