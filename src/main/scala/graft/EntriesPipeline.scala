@@ -171,6 +171,25 @@ private[graft] object EntriesPipeline {
           array_join(slice(chain, 1, 5), " ").as("head5"))
         .orderBy(col("doc_id"))
     }),
+    // uri_parts processor, oracle-keyed (upgraded from spec): three
+    // URL shapes exercise scheme/host/port/path/query/fragment +
+    // userinfo stripping and the missing-component empty strings
+    "q_ingest_uri_parts" -> ((s, d) => {
+      val docs = t(s, d, "documents").withColumn("u",
+        when(pmod(col("doc_id"), lit(3L)) === 0L,
+          concat(lit("https://"), col("source"), lit(".example.com:8443/docs/"),
+            col("doc_id"), lit("?lang="), col("lang"), lit("#top")))
+          .when(pmod(col("doc_id"), lit(3L)) === 1L,
+            concat(lit("http://"), col("source"), lit(".example.org/d/"), col("doc_id")))
+          .otherwise(concat(lit("ftp://user@"), col("source"), lit(".example.net/file"))))
+      graft.sources.IngestPipeline.compile(
+        """{"processors": [{"uri_parts": {"field": "u", "target_field": "url"}}]}""")(docs)
+        .select(col("doc_id"), col("url.scheme").as("scheme"),
+          col("url.host").as("host"), col("url.port").as("port"),
+          col("url.path").as("path"), col("url.query").as("query"),
+          col("url.fragment").as("fragment"))
+        .orderBy(col("doc_id"))
+    }),
     // redact processor: grok-named captures masked in place
     "q_ingest_redact" -> ((s, d) =>
       graft.sources.IngestPipeline.compile(
@@ -484,6 +503,18 @@ private[graft] object EntriesPipeline {
     },
     "q_ingest_kv" -> ("SELECT event_type AS t, (user_id % 7)::BIGINT AS u, count(*)::BIGINT AS n " +
       "FROM events GROUP BY t, u ORDER BY t, u"),
+    "q_ingest_uri_parts" -> ("WITH uu AS (SELECT doc_id, CASE " +
+      "WHEN doc_id % 3 = 0 THEN 'https://' || source || '.example.com:8443/docs/' || doc_id || '?lang=' || lang || '#top' " +
+      "WHEN doc_id % 3 = 1 THEN 'http://' || source || '.example.org/d/' || doc_id " +
+      "ELSE 'ftp://user@' || source || '.example.net/file' END AS u FROM documents) " +
+      "SELECT doc_id, " +
+      "regexp_extract(u, '^([a-z][a-z0-9+.-]*):', 1) AS scheme, " +
+      "regexp_extract(u, '^[a-z][a-z0-9+.-]*://(?:[^@/]*@)?([^:/?#]+)', 1) AS host, " +
+      "regexp_extract(u, '^[a-z][a-z0-9+.-]*://[^:/?#]+:(\\d+)', 1) AS port, " +
+      "regexp_extract(u, '^(?:[a-z][a-z0-9+.-]*://[^/?#]*)?([^?#]*)', 1) AS path, " +
+      "regexp_extract(u, '\\?([^#]*)', 1) AS query, " +
+      "regexp_extract(u, '#(.*)$', 1) AS fragment " +
+      "FROM uu ORDER BY doc_id"),
     "q_ingest_geoip" -> {
       def clas(na: String, eu: String, as_ : String, oc: String) =
         "CASE WHEN o1 = 10 OR (o1 = 192 AND o2 = 168) OR (o1 = 172 AND o2 BETWEEN 16 AND 31) OR o1 = 127 THEN NULL " +
