@@ -190,6 +190,26 @@ private[graft] object EntriesPipeline {
           col("url.fragment").as("fragment"))
         .orderBy(col("doc_id"))
     }),
+    // user_agent processor, oracle-keyed (upgraded from spec): six
+    // rotating UA strings exercise every browser/os/device branch of
+    // the heuristic taxonomy
+    "q_ingest_user_agent" -> ((s, d) => {
+      val uas = array(
+        lit("Mozilla/5.0 (Windows NT 10.0) Chrome/120.0.0.0 Safari/537.36"),
+        lit("Mozilla/5.0 (Macintosh; Mac OS X) Version/17.1 Safari/605.1.15"),
+        lit("Mozilla/5.0 (X11; Linux x86_64) Firefox/121.0"),
+        lit("Mozilla/5.0 (iPhone; iOS 17) Version/17.0 Mobile Safari/604.1"),
+        lit("Mozilla/5.0 (Windows NT 10.0) Edg/120.0.2210.91"),
+        lit("Wget/1.21 (linux-gnu)"))
+      val docs = t(s, d, "documents")
+        .withColumn("ua_raw", element_at(uas, pmod(col("doc_id"), lit(6L)).cast("int") + 1))
+      graft.sources.IngestPipeline.compile(
+        """{"processors": [{"user_agent": {"field": "ua_raw", "target_field": "ua"}}]}""")(docs)
+        .groupBy(col("ua.name").as("name"), col("ua.version").as("version"),
+          col("ua.os").as("os"), col("ua.device").as("device"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("name"), col("version"), col("os"))
+    }),
     // redact processor: grok-named captures masked in place
     "q_ingest_redact" -> ((s, d) =>
       graft.sources.IngestPipeline.compile(
@@ -503,6 +523,30 @@ private[graft] object EntriesPipeline {
     },
     "q_ingest_kv" -> ("SELECT event_type AS t, (user_id % 7)::BIGINT AS u, count(*)::BIGINT AS n " +
       "FROM events GROUP BY t, u ORDER BY t, u"),
+    "q_ingest_user_agent" -> ("WITH u0 AS (SELECT doc_id, CASE doc_id % 6 " +
+      "WHEN 0 THEN 'Mozilla/5.0 (Windows NT 10.0) Chrome/120.0.0.0 Safari/537.36' " +
+      "WHEN 1 THEN 'Mozilla/5.0 (Macintosh; Mac OS X) Version/17.1 Safari/605.1.15' " +
+      "WHEN 2 THEN 'Mozilla/5.0 (X11; Linux x86_64) Firefox/121.0' " +
+      "WHEN 3 THEN 'Mozilla/5.0 (iPhone; iOS 17) Version/17.0 Mobile Safari/604.1' " +
+      "WHEN 4 THEN 'Mozilla/5.0 (Windows NT 10.0) Edg/120.0.2210.91' " +
+      "ELSE 'Wget/1.21 (linux-gnu)' END AS u FROM documents), " +
+      "p AS (SELECT doc_id, " +
+      "CASE WHEN regexp_matches(u, '(?i)edg(e|a|ios)?/') THEN 'Edge' " +
+      "WHEN regexp_matches(u, '(?i)opr/|opera') THEN 'Opera' " +
+      "WHEN regexp_matches(u, '(?i)chrome/') THEN 'Chrome' " +
+      "WHEN regexp_matches(u, '(?i)firefox/') THEN 'Firefox' " +
+      "WHEN regexp_matches(u, '(?i)safari/') AND NOT regexp_matches(u, '(?i)chrome/') THEN 'Safari' " +
+      "ELSE 'Other' END AS name, " +
+      "regexp_extract(u, '(?i)(?:edg[ea]?|opr|chrome|firefox|version)/(\\d+[\\d.]*)', 1) AS version, " +
+      "CASE WHEN regexp_matches(u, '(?i)windows') THEN 'Windows' " +
+      "WHEN regexp_matches(u, '(?i)android') THEN 'Android' " +
+      "WHEN regexp_matches(u, '(?i)iphone|ipad|ios') THEN 'iOS' " +
+      "WHEN regexp_matches(u, '(?i)mac os') THEN 'Mac OS X' " +
+      "WHEN regexp_matches(u, '(?i)linux') THEN 'Linux' ELSE 'Other' END AS os, " +
+      "CASE WHEN regexp_matches(u, '(?i)mobile|iphone|android') THEN 'Mobile Device' " +
+      "ELSE 'Other' END AS device FROM u0) " +
+      "SELECT name, version, os, device, count(*)::BIGINT AS n FROM p " +
+      "GROUP BY 1, 2, 3, 4 ORDER BY name, version, os"),
     "q_ingest_uri_parts" -> ("WITH uu AS (SELECT doc_id, CASE " +
       "WHEN doc_id % 3 = 0 THEN 'https://' || source || '.example.com:8443/docs/' || doc_id || '?lang=' || lang || '#top' " +
       "WHEN doc_id % 3 = 1 THEN 'http://' || source || '.example.org/d/' || doc_id " +
