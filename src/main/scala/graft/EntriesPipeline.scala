@@ -210,6 +210,20 @@ private[graft] object EntriesPipeline {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("name"), col("version"), col("os"))
     }),
+    // registered_domain processor, oracle-keyed (upgraded from spec):
+    // one-label suffixes, two-label suffixes, deep subdomains and the
+    // single-label null case
+    "q_ingest_registered_domain" -> ((s, d) => {
+      val hosts = array(
+        lit("www.example.com"), lit("a.b.news.co.uk"), lit("example.org"),
+        lit("deep.sub.site.com.au"), lit("localhost"), lit("cdn.shop.co.jp"))
+      val docs = t(s, d, "documents").where(col("doc_id") < 60)
+        .withColumn("host", element_at(hosts, pmod(col("doc_id"), lit(6L)).cast("int") + 1))
+      graft.sources.IngestPipeline.compile(
+        """{"processors": [{"registered_domain": {"field": "host", "target_field": "rd"}}]}""")(docs)
+        .select(col("doc_id"), col("host"), col("rd"))
+        .orderBy(col("doc_id"))
+    }),
     // redact processor: grok-named captures masked in place
     "q_ingest_redact" -> ((s, d) =>
       graft.sources.IngestPipeline.compile(
@@ -523,6 +537,20 @@ private[graft] object EntriesPipeline {
     },
     "q_ingest_kv" -> ("SELECT event_type AS t, (user_id % 7)::BIGINT AS u, count(*)::BIGINT AS n " +
       "FROM events GROUP BY t, u ORDER BY t, u"),
+    "q_ingest_registered_domain" -> ("WITH h AS (SELECT doc_id, CASE doc_id % 6 " +
+      "WHEN 0 THEN 'www.example.com' WHEN 1 THEN 'a.b.news.co.uk' " +
+      "WHEN 2 THEN 'example.org' WHEN 3 THEN 'deep.sub.site.com.au' " +
+      "WHEN 4 THEN 'localhost' ELSE 'cdn.shop.co.jp' END AS host " +
+      "FROM documents WHERE doc_id < 60), " +
+      "p AS (SELECT doc_id, host, string_split(host, '.') AS parts, " +
+      "len(string_split(host, '.')) AS np FROM h), " +
+      "l AS (SELECT doc_id, host, parts, np, " +
+      "CASE WHEN np >= 2 THEN parts[np-1] || '.' || parts[np] END AS last2 FROM p) " +
+      "SELECT doc_id, host, CASE " +
+      "WHEN np >= 3 AND last2 IN ('co.uk','org.uk','ac.uk','com.au','net.au','co.jp','com.br','co.in','com.cn','co.nz') " +
+      "THEN parts[np-2] || '.' || last2 " +
+      "WHEN np >= 2 AND last2 NOT IN ('co.uk','org.uk','ac.uk','com.au','net.au','co.jp','com.br','co.in','com.cn','co.nz') " +
+      "THEN last2 END AS rd FROM l ORDER BY doc_id"),
     "q_ingest_user_agent" -> ("WITH u0 AS (SELECT doc_id, CASE doc_id % 6 " +
       "WHEN 0 THEN 'Mozilla/5.0 (Windows NT 10.0) Chrome/120.0.0.0 Safari/537.36' " +
       "WHEN 1 THEN 'Mozilla/5.0 (Macintosh; Mac OS X) Version/17.1 Safari/605.1.15' " +
