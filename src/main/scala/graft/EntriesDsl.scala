@@ -148,6 +148,23 @@ private[graft] object EntriesDsl {
       .where(graft.dsl.EsQuery.compile("?q=lang:en AND (n_chars:>300 OR source:src1*) AND NOT source:src19"))
       .select(col("doc_id"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))),
+    // .keyword subfield addressing, oracle-keyed (upgraded from
+    // spec): exact-match term + sort on the keyword twin
+    "q_keyword_subfield" -> ((s, d) => t(s, d, "documents")
+      .where(graft.dsl.QueryDslJson.compile(
+        """{"bool": {"must": [{"term": {"lang.keyword": "en"}},
+            {"range": {"n_chars": {"gte": 400}}}]}}"""))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))),
+    // zero_terms_query, oracle-keyed: a query the analyzer strips to
+    // NOTHING (punctuation only) under "all" degrades to match_all;
+    // under the default "none" it matches nothing
+    "q_zero_terms" -> ((s, d) => t(s, d, "documents")
+      .agg(
+        sum(Search.matchQueryZeroTerms(col("text"), "?! -- !!", "all")
+          .cast("long")).as("n_all"),
+        sum(Search.matchQueryZeroTerms(col("text"), "?! -- !!", "none")
+          .cast("long")).as("n_none"))),
     // KQL (Kibana) spelling: case-insensitive and/or/not keywords,
     // SPACED range operators — same predicate as q_uri_query
     "q_kql" -> ((s, d) => t(s, d, "documents")
@@ -918,6 +935,9 @@ private[graft] object EntriesDsl {
     "q_dsl_json" -> ("SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en' " +
       "AND (source LIKE 'src1%' OR n_chars > 300) AND NOT (source LIKE 'src_') ORDER BY doc_id"),
 
+    "q_keyword_subfield" -> ("SELECT doc_id, lang, n_chars FROM documents " +
+      "WHERE lang = 'en' AND n_chars >= 400 ORDER BY doc_id"),
+    "q_zero_terms" -> ("SELECT count(*)::BIGINT AS n_all, 0::BIGINT AS n_none FROM documents"),
     "q_kql" -> ("SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en' " +
       "AND (n_chars > 300 OR source LIKE 'src1%') AND NOT source = 'src19' ORDER BY doc_id"),
     "q_uri_query" -> ("SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en' " +
