@@ -95,6 +95,16 @@ private[graft] object EntriesDsl {
           |  "filter": {"not_containing": {"match": {"query": "table"}}}}}}}"""
           .stripMargin))
       .select(col("doc_id")).orderBy(col("doc_id"))),
+    // the overlapping side of the intervals filter family, oracle-
+    // keyed (containing/not_containing ride on q_intervals_filter):
+    // a qualifying window must touch 'table' in the CLOSED window
+    "q_intervals_overlap" -> ((s, d) => t(s, d, "documents")
+      .where(graft.dsl.QueryDslJson.compile(
+        """{"intervals": {"text": {"match": {"query": "hash join",
+          |  "max_gaps": 3, "ordered": true,
+          |  "filter": {"overlapping": {"match": {"query": "table"}}}}}}}"""
+          .stripMargin))
+      .select(col("doc_id")).orderBy(col("doc_id"))),
     // case_insensitive term-level queries (ES 7.10 option)
     "q_term_ci" -> ((s, d) => t(s, d, "documents")
       .where(graft.dsl.QueryDslJson.compile(
@@ -915,6 +925,13 @@ private[graft] object EntriesDsl {
       "list_filter(range(1, len(toks) + 1), i -> toks[i] = 'table') AS pt FROM tok) " +
       "SELECT doc_id FROM p WHERE len(list_filter(ph, a -> len(list_filter(pj, " +
       "b -> b > a AND b - a <= 4 AND len(list_filter(pt, t -> t > a AND t < b)) = 0)) > 0)) > 0 " +
+      "ORDER BY doc_id"),
+    "q_intervals_overlap" -> (TokCte + ", p AS (SELECT doc_id, " +
+      "list_filter(range(1, len(toks) + 1), i -> toks[i] = 'hash') AS ph, " +
+      "list_filter(range(1, len(toks) + 1), i -> toks[i] = 'join') AS pj, " +
+      "list_filter(range(1, len(toks) + 1), i -> toks[i] = 'table') AS pt FROM tok) " +
+      "SELECT doc_id FROM p WHERE len(list_filter(ph, a -> len(list_filter(pj, " +
+      "b -> b > a AND b - a <= 4 AND len(list_filter(pt, t -> t >= a AND t <= b)) > 0)) > 0)) > 0 " +
       "ORDER BY doc_id"),
     "q_intervals" -> (TokCte + ", p AS (SELECT doc_id, " +
       "list_filter(range(1, len(toks) + 1), i -> toks[i] = 'hash') AS ph, " +
