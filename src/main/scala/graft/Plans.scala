@@ -26,7 +26,10 @@ object Plans {
         // r7 flagships
         "q_eql_sequence", "q_knn_rescore", "q_transform_latest",
         "q_function_modes", "q_agg_ip_prefix", "q_nested_score",
-        "q_rescore_multi", "q_esql_cidr")
+        "q_rescore_multi", "q_esql_cidr",
+        // r12 flagships
+        "q_pipeline_full", "q_terminate_after", "q_agg_ks_test",
+        "q_agg_holt_winters", "q_docvalue_fields", "q_span_masked")
       case names => names
     }) {
       println(s"========= $name")
