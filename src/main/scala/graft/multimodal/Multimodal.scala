@@ -81,7 +81,9 @@ object Multimodal {
         // real impl: val codec = VideoCodec.init()  // once per partition
         rows.flatMap { case (id, payload) =>
           (0 until n).iterator.map { i =>
-            FrameSample(id, i, fakeDecode(payload :+ i.toByte))
+            // ASCII digit salt (not a raw control byte): the declared
+            // fake decode stays oracle-mirrorable as md5(text || i)
+            FrameSample(id, i, fakeDecode(payload :+ (48 + i).toByte))
           }
         }
       }
