@@ -341,6 +341,13 @@ private[graft] object EntriesPipeline {
         .orderBy(col("pack_id"))),
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.metadata(Multimodal.mediaTable(t(s, d, "documents")))),
+    // resize, oracle-keyed: dims rewritten, content hash over
+    // (payload, target dims) — the stub salt was already ASCII
+    "q_multimodal_resize" -> ((s, d) =>
+      Multimodal.resize(s,
+        Multimodal.mediaTable(t(s, d, "documents").where(col("doc_id") < 40)),
+        224, 224)
+        .toDF().orderBy(col("media_id"))),
     // frame sampling, oracle-keyed (upgraded from spec): the 1->n
     // iterator fan-out with the DECLARED stub decode — real plumbing,
     // mirrorable hashes (md5 of payload + ASCII frame salt)
@@ -730,6 +737,11 @@ private[graft] object EntriesPipeline {
       "FROM documents) " +
       "SELECT pack_id, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS pack_chars " +
       "FROM p GROUP BY pack_id ORDER BY pack_id"),
+    "q_multimodal_resize" -> ("SELECT doc_id AS media_id, " +
+      "CASE WHEN doc_id % 3 = 0 THEN 'image/png' WHEN doc_id % 3 = 1 THEN 'audio/wav' " +
+      "ELSE 'video/mp4' END AS mime, octet_length(encode(text))::BIGINT AS n_bytes, " +
+      "224::INT AS width, 224::INT AS height, " +
+      "md5(text || ':224:224') AS feat_hash FROM documents WHERE doc_id < 40 ORDER BY media_id"),
     "q_multimodal_frames" -> ("WITH f AS (SELECT doc_id AS media_id, text, " +
       "unnest(range(0, 4)) AS fi FROM documents WHERE doc_id < 40) " +
       "SELECT media_id, fi::INT AS frame_idx, md5(text || fi::VARCHAR) AS frame_hash " +
