@@ -341,6 +341,12 @@ private[graft] object EntriesPipeline {
         .orderBy(col("pack_id"))),
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.metadata(Multimodal.mediaTable(t(s, d, "documents")))),
+    // decode-features, oracle-keyed: the codec-init-once mapPartitions
+    // pass with the declared stub (feat_hash = md5(payload))
+    "q_multimodal_decode" -> ((s, d) =>
+      Multimodal.decodeFeatures(s,
+        Multimodal.mediaTable(t(s, d, "documents").where(col("doc_id") < 40)))
+        .toDF().orderBy(col("media_id"))),
     // resize, oracle-keyed: dims rewritten, content hash over
     // (payload, target dims) — the stub salt was already ASCII
     "q_multimodal_resize" -> ((s, d) =>
@@ -737,6 +743,11 @@ private[graft] object EntriesPipeline {
       "FROM documents) " +
       "SELECT pack_id, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS pack_chars " +
       "FROM p GROUP BY pack_id ORDER BY pack_id"),
+    "q_multimodal_decode" -> ("SELECT doc_id AS media_id, " +
+      "CASE WHEN doc_id % 3 = 0 THEN 'image/png' WHEN doc_id % 3 = 1 THEN 'audio/wav' " +
+      "ELSE 'video/mp4' END AS mime, octet_length(encode(text))::BIGINT AS n_bytes, " +
+      "(doc_id % 640 + 32)::INT AS width, (doc_id % 480 + 32)::INT AS height, " +
+      "md5(text) AS feat_hash FROM documents WHERE doc_id < 40 ORDER BY media_id"),
     "q_multimodal_resize" -> ("SELECT doc_id AS media_id, " +
       "CASE WHEN doc_id % 3 = 0 THEN 'image/png' WHEN doc_id % 3 = 1 THEN 'audio/wav' " +
       "ELSE 'video/mp4' END AS mime, octet_length(encode(text))::BIGINT AS n_bytes, " +
