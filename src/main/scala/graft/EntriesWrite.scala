@@ -32,6 +32,37 @@ private[graft] object EntriesWrite {
       s.read.parquet(out).groupBy(col("mime")).agg(count(lit(1)).as("n"))
         .orderBy(col("mime"))
     }),
+    // routed write round-trip, oracle-keyed (upgraded from spec):
+    // es.mapping.routing partitions the index dir; the oracle reads
+    // the WRITTEN files back with hive partitioning
+    "q_write_routing" -> ((s, d) => {
+      import graft.sources.Connector.implicits._
+      val out = s"/tmp/graft_routed_${System.getProperty("user.name")}"
+      t(s, d, "documents").saveToGraft(out, Map(
+        "graft.mapping.id" -> "doc_id",
+        "graft.write.operation" -> "overwrite",
+        "graft.mapping.routing" -> "lang"))
+      s.read.parquet(out)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("lang"))
+    }),
+    // ingest-pipeline-at-write round-trip, oracle-keyed: the chain
+    // shapes every doc before indexing; the oracle RECOMPUTES the
+    // transformation from the source table, so write+read+pipeline
+    // all hash-check against an independent derivation
+    "q_write_pipeline" -> ((s, d) => {
+      val out = s"/tmp/graft_piped_${System.getProperty("user.name")}"
+      graft.sources.Connector.save(t(s, d, "documents"), out, Map(
+        "graft.write.operation" -> "overwrite",
+        "graft.ingest.pipeline" -> """{"processors": [
+            {"set": {"field": "pipe_tag", "value": "r12"}},
+            {"uppercase": {"field": "lang"}},
+            {"fingerprint": {"fields": ["doc_id", "lang"], "target_field": "fp"}}]}"""))
+      s.read.parquet(out)
+        .select(col("doc_id"), col("lang"), col("pipe_tag"), col("fp"))
+        .orderBy(col("doc_id"))
+    }),
     "q_geo_distance" -> ((s, d) => {
       val g = withGeo(t(s, d, "customer"))
       g.withColumn("dist_km",
@@ -59,6 +90,15 @@ private[graft] object EntriesWrite {
     "q_write_roundtrip" -> ("SELECT replace(mime, '%2F', '/') AS mime, count(*) AS n " +
       s"FROM read_parquet('/tmp/graft_roundtrip_${System.getProperty("user.name")}/*/*.parquet', " +
       "hive_partitioning=true) GROUP BY 1 ORDER BY 1"),
+    "q_write_routing" -> ("SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars " +
+      s"FROM read_parquet('/tmp/graft_routed_${System.getProperty("user.name")}/*/*.parquet', " +
+      "hive_partitioning=true) GROUP BY 1 ORDER BY lang"),
+    // recomputed from the source table, NOT read back — stronger than
+    // the roundtrip stance: write + pipeline + read must all agree
+    // with an independent derivation
+    "q_write_pipeline" -> ("SELECT doc_id, upper(lang) AS lang, 'r12' AS pipe_tag, " +
+      "md5(doc_id::VARCHAR || '|' || upper(lang)) AS fp " +
+      "FROM documents ORDER BY doc_id"),
     "q_geo_distance" -> (GeoCte + " SELECT * FROM (SELECT c_custkey, " +
       "round(2 * 6371 * asin(sqrt(pow(sin(radians(0.0 - lat) / 2), 2) + " +
       "cos(radians(lat)) * cos(radians(0.0)) * pow(sin(radians(0.0 - lon) / 2), 2))), 4) AS dist_km " +
