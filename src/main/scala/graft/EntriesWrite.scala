@@ -63,6 +63,17 @@ private[graft] object EntriesWrite {
         .select(col("doc_id"), col("lang"), col("pipe_tag"), col("fp"))
         .orderBy(col("doc_id"))
     }),
+    // write-side field filtering, oracle-keyed: es.mapping.include
+    // projects the indexed doc; the read back shows only the kept
+    // fields (id survives like ES's _id)
+    "q_write_fields" -> ((s, d) => {
+      val out = s"/tmp/graft_fields_${System.getProperty("user.name")}"
+      graft.sources.Connector.save(t(s, d, "documents"), out, Map(
+        "graft.write.operation" -> "overwrite",
+        "graft.mapping.id" -> "doc_id",
+        "graft.mapping.include" -> "lang,n_chars"))
+      s.read.parquet(out).orderBy(col("doc_id"))
+    }),
     "q_geo_distance" -> ((s, d) => {
       val g = withGeo(t(s, d, "customer"))
       g.withColumn("dist_km",
@@ -99,6 +110,7 @@ private[graft] object EntriesWrite {
     "q_write_pipeline" -> ("SELECT doc_id, upper(lang) AS lang, 'r12' AS pipe_tag, " +
       "md5(doc_id::VARCHAR || '|' || upper(lang)) AS fp " +
       "FROM documents ORDER BY doc_id"),
+    "q_write_fields" -> ("SELECT lang, n_chars, doc_id FROM documents ORDER BY doc_id"),
     "q_geo_distance" -> (GeoCte + " SELECT * FROM (SELECT c_custkey, " +
       "round(2 * 6371 * asin(sqrt(pow(sin(radians(0.0 - lat) / 2), 2) + " +
       "cos(radians(lat)) * cos(radians(0.0)) * pow(sin(radians(0.0 - lon) / 2), 2))), 4) AS dist_km " +
