@@ -74,6 +74,24 @@ private[graft] object EntriesWrite {
         "graft.mapping.include" -> "lang,n_chars"))
       s.read.parquet(out).orderBy(col("doc_id"))
     }),
+    // _update_by_query + _delete_by_query round-trip, oracle-keyed
+    // (upgraded from spec): seed an index, mutate DE docs, delete the
+    // short ones, read the surviving index back; the oracle
+    // recomputes the whole mutation sequence from the source table
+    "q_write_mutations" -> ((s, d) => {
+      val out = s"/tmp/graft_mut_${System.getProperty("user.name")}"
+      val cfg = Map("graft.mapping.id" -> "doc_id")
+      graft.sources.Connector.save(t(s, d, "documents"), out,
+        cfg + ("graft.write.operation" -> "overwrite"))
+      graft.sources.Connector.updateByQuery(s, out,
+        """{"term": {"lang": "de"}}""",
+        Map("source" -> concat(col("source"), lit("-ubq"))), cfg)
+      graft.sources.Connector.deleteByQuery(s, out,
+        """{"range": {"n_chars": {"lt": 150}}}""", cfg)
+      s.read.parquet(out)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
     "q_geo_distance" -> ((s, d) => {
       val g = withGeo(t(s, d, "customer"))
       g.withColumn("dist_km",
@@ -111,6 +129,9 @@ private[graft] object EntriesWrite {
       "md5(doc_id::VARCHAR || '|' || upper(lang)) AS fp " +
       "FROM documents ORDER BY doc_id"),
     "q_write_fields" -> ("SELECT lang, n_chars, doc_id FROM documents ORDER BY doc_id"),
+    "q_write_mutations" -> ("SELECT doc_id, lang, " +
+      "CASE WHEN lang = 'de' THEN source || '-ubq' ELSE source END AS source, n_chars " +
+      "FROM documents WHERE n_chars >= 150 ORDER BY doc_id"),
     "q_geo_distance" -> (GeoCte + " SELECT * FROM (SELECT c_custkey, " +
       "round(2 * 6371 * asin(sqrt(pow(sin(radians(0.0 - lat) / 2), 2) + " +
       "cos(radians(lat)) * cos(radians(0.0)) * pow(sin(radians(0.0 - lon) / 2), 2))), 4) AS dist_km " +
