@@ -92,6 +92,24 @@ private[graft] object EntriesWrite {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
+    // _reindex round-trip, oracle-keyed (upgraded from spec): source
+    // index -> query-filtered, pipeline-shaped copy -> read the
+    // DESTINATION back; the oracle recomputes filter+pipeline
+    "q_write_reindex" -> ((s, d) => {
+      val u = System.getProperty("user.name")
+      val src = s"/tmp/graft_reix_src_$u"; val dst = s"/tmp/graft_reix_dst_$u"
+      val cfg = Map("graft.mapping.id" -> "doc_id",
+        "graft.write.operation" -> "overwrite")
+      graft.sources.Connector.save(t(s, d, "documents"), src, cfg)
+      graft.sources.Connector.reindex(s, src, dst,
+        query = """{"range": {"n_chars": {"gte": 200}}}""",
+        pipeline = """{"processors": [{"set": {"field": "reindexed", "value": true}},
+            {"uppercase": {"field": "source"}}]}""",
+        cfg = cfg)
+      s.read.parquet(dst)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("reindexed"))
+        .orderBy(col("doc_id"))
+    }),
     "q_geo_distance" -> ((s, d) => {
       val g = withGeo(t(s, d, "customer"))
       g.withColumn("dist_km",
@@ -129,6 +147,8 @@ private[graft] object EntriesWrite {
       "md5(doc_id::VARCHAR || '|' || upper(lang)) AS fp " +
       "FROM documents ORDER BY doc_id"),
     "q_write_fields" -> ("SELECT lang, n_chars, doc_id FROM documents ORDER BY doc_id"),
+    "q_write_reindex" -> ("SELECT doc_id, upper(source) AS source, n_chars, true AS reindexed " +
+      "FROM documents WHERE n_chars >= 200 ORDER BY doc_id"),
     "q_write_mutations" -> ("SELECT doc_id, lang, " +
       "CASE WHEN lang = 'de' THEN source || '-ubq' ELSE source END AS source, n_chars " +
       "FROM documents WHERE n_chars >= 150 ORDER BY doc_id"),
