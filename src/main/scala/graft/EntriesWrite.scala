@@ -92,6 +92,27 @@ private[graft] object EntriesWrite {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
+    // bulk create/update operation semantics, oracle-keyed: update
+    // touches only EXISTING ids, create only NEW ids — the ES bulk
+    // op contract verified on the read-back index
+    "q_write_ops" -> ((s, d) => {
+      val out = s"/tmp/graft_ops_${System.getProperty("user.name")}"
+      val docs = t(s, d, "documents")
+      val cfg = Map("graft.mapping.id" -> "doc_id")
+      graft.sources.Connector.save(docs.where(col("doc_id") < 300), out,
+        cfg + ("graft.write.operation" -> "overwrite"))
+      graft.sources.Connector.save(
+        docs.where(col("doc_id") >= 200 && col("doc_id") < 400)
+          .withColumn("source", concat(col("source"), lit("-upd"))),
+        out, cfg + ("graft.write.operation" -> "update"))
+      graft.sources.Connector.save(
+        docs.where(col("doc_id") >= 250 && col("doc_id") < 450)
+          .withColumn("source", concat(col("source"), lit("-new"))),
+        out, cfg + ("graft.write.operation" -> "create"))
+      s.read.parquet(out)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
     // _reindex round-trip, oracle-keyed (upgraded from spec): source
     // index -> query-filtered, pipeline-shaped copy -> read the
     // DESTINATION back; the oracle recomputes filter+pipeline
@@ -147,6 +168,11 @@ private[graft] object EntriesWrite {
       "md5(doc_id::VARCHAR || '|' || upper(lang)) AS fp " +
       "FROM documents ORDER BY doc_id"),
     "q_write_fields" -> ("SELECT lang, n_chars, doc_id FROM documents ORDER BY doc_id"),
+    "q_write_ops" -> ("SELECT doc_id, CASE " +
+      "WHEN doc_id >= 200 AND doc_id < 300 THEN source || '-upd' " +
+      "WHEN doc_id >= 300 AND doc_id < 450 THEN source || '-new' " +
+      "ELSE source END AS source, n_chars FROM documents " +
+      "WHERE doc_id < 450 ORDER BY doc_id"),
     "q_write_reindex" -> ("SELECT doc_id, upper(source) AS source, n_chars, true AS reindexed " +
       "FROM documents WHERE n_chars >= 200 ORDER BY doc_id"),
     "q_write_mutations" -> ("SELECT doc_id, lang, " +
