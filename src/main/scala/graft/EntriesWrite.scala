@@ -92,6 +92,15 @@ private[graft] object EntriesWrite {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
+    // _cat/count, oracle-keyed (upgraded from spec): footer-metadata
+    // doc counts per index under a root
+    "q_cat_count" -> ((s, d) => {
+      val root = s"/tmp/graft_cat_${System.getProperty("user.name")}"
+      t(s, d, "documents").write.mode("overwrite").parquet(s"$root/idx_docs")
+      t(s, d, "orders").where(col("o_totalprice") > 10000)
+        .write.mode("overwrite").parquet(s"$root/idx_orders")
+      graft.sources.Connector.catCount(s, root)
+    }),
     // bulk create/update operation semantics, oracle-keyed: update
     // touches only EXISTING ids, create only NEW ids — the ES bulk
     // op contract verified on the read-back index
@@ -168,6 +177,9 @@ private[graft] object EntriesWrite {
       "md5(doc_id::VARCHAR || '|' || upper(lang)) AS fp " +
       "FROM documents ORDER BY doc_id"),
     "q_write_fields" -> ("SELECT lang, n_chars, doc_id FROM documents ORDER BY doc_id"),
+    "q_cat_count" -> ("SELECT 'idx_docs' AS \"index\", (SELECT count(*) FROM documents) AS count " +
+      "UNION ALL SELECT 'idx_orders', (SELECT count(*) FROM orders WHERE o_totalprice > 10000) " +
+      "ORDER BY \"index\""),
     "q_write_ops" -> ("SELECT doc_id, CASE " +
       "WHEN doc_id >= 200 AND doc_id < 300 THEN source || '-upd' " +
       "WHEN doc_id >= 300 AND doc_id < 450 THEN source || '-new' " +
