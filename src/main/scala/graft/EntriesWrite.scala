@@ -92,6 +92,18 @@ private[graft] object EntriesWrite {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
+    // _mapping, oracle-keyed (upgraded from spec): the dynamic-mapping
+    // render flattened to (field, es_type) rows — the oracle derives
+    // the same rows INDEPENDENTLY from DuckDB's DESCRIBE of the table
+    "q_mapping" -> ((s, d) => {
+      import s.implicits._
+      import org.json4s._
+      val json = graft.sources.Connector.mappingJson(s, s"$d/orders.parquet")
+      val props = org.json4s.jackson.JsonMethods.parse(json) \ "mappings" \ "properties"
+      props.asInstanceOf[JObject].obj.map { case (f, v) =>
+        (f, (v \ "type").asInstanceOf[JString].s)
+      }.sortBy(_._1).toDF("field", "es_type")
+    }),
     // _cat/count, oracle-keyed (upgraded from spec): footer-metadata
     // doc counts per index under a root
     "q_cat_count" -> ((s, d) => {
@@ -177,6 +189,13 @@ private[graft] object EntriesWrite {
       "md5(doc_id::VARCHAR || '|' || upper(lang)) AS fp " +
       "FROM documents ORDER BY doc_id"),
     "q_write_fields" -> ("SELECT lang, n_chars, doc_id FROM documents ORDER BY doc_id"),
+    "q_mapping" -> ("SELECT column_name AS field, CASE " +
+      "WHEN column_type IN ('BIGINT', 'INTEGER', 'SMALLINT', 'TINYINT') THEN 'long' " +
+      "WHEN column_type = 'DOUBLE' THEN 'double' WHEN column_type = 'FLOAT' THEN 'float' " +
+      "WHEN column_type = 'VARCHAR' THEN 'text' WHEN column_type = 'BOOLEAN' THEN 'boolean' " +
+      "WHEN column_type LIKE 'TIMESTAMP%' OR column_type = 'DATE' THEN 'date' " +
+      "ELSE lower(column_type) END AS es_type " +
+      "FROM (DESCRIBE SELECT * FROM orders) ORDER BY field"),
     "q_cat_count" -> ("SELECT 'idx_docs' AS \"index\", (SELECT count(*) FROM documents) AS count " +
       "UNION ALL SELECT 'idx_orders', (SELECT count(*) FROM orders WHERE o_totalprice > 10000) " +
       "ORDER BY \"index\""),

@@ -648,7 +648,8 @@ object Connector {
       case DoubleType => JObject("type" -> JString("double"))
       case FloatType => JObject("type" -> JString("float"))
       case BooleanType => JObject("type" -> JString("boolean"))
-      case TimestampType | DateType => JObject("type" -> JString("date"))
+      case TimestampType | TimestampNTZType | DateType =>
+        JObject("type" -> JString("date"))
       case BinaryType => JObject("type" -> JString("binary"))
       case _: DecimalType => JObject("type" -> JString("scaled_float"))
       case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
