@@ -104,6 +104,17 @@ private[graft] object EntriesWrite {
         (f, (v \ "type").asInstanceOf[JString].s)
       }.sortBy(_._1).toDF("field", "es_type")
     }),
+    // _field_caps, oracle-keyed (upgraded from spec): per-field type +
+    // searchable/aggregatable flags, DESCRIBE-derived on the oracle
+    "q_field_caps" -> ((s, d) => {
+      import graft.sources.Connector.implicits._
+      s.fieldCaps(s"$d/documents.parquet")
+    }),
+    // _analyze_disk_usage, oracle-keyed (upgraded from spec): the
+    // per-field footer byte accounting, independently derived by the
+    // oracle from parquet_metadata() over the SAME file
+    "q_disk_usage" -> ((s, d) =>
+      graft.sources.Connector.diskUsage(s, s"$d/documents.parquet")),
     // _cat/count, oracle-keyed (upgraded from spec): footer-metadata
     // doc counts per index under a root
     "q_cat_count" -> ((s, d) => {
@@ -189,6 +200,18 @@ private[graft] object EntriesWrite {
       "md5(doc_id::VARCHAR || '|' || upper(lang)) AS fp " +
       "FROM documents ORDER BY doc_id"),
     "q_write_fields" -> ("SELECT lang, n_chars, doc_id FROM documents ORDER BY doc_id"),
+    "q_field_caps" -> ("SELECT column_name AS field, CASE " +
+      "WHEN column_type IN ('BIGINT', 'INTEGER') THEN 'long' " +
+      "WHEN column_type = 'DOUBLE' THEN 'double' WHEN column_type = 'VARCHAR' THEN 'string' " +
+      "WHEN column_type LIKE 'TIMESTAMP%' THEN 'timestamp' ELSE lower(column_type) END AS type, " +
+      "true AS searchable, true AS aggregatable " +
+      "FROM (DESCRIBE SELECT * FROM documents) ORDER BY field"),
+    "q_disk_usage" -> ("SELECT path_in_schema AS field, " +
+      "sum(total_compressed_size)::BIGINT AS store_bytes, " +
+      "sum(total_uncompressed_size)::BIGINT AS uncompressed_bytes, " +
+      "sum(num_values)::BIGINT AS value_count " +
+      "FROM parquet_metadata('/root/testdata/sf0.01/documents.parquet') " +
+      "GROUP BY 1 ORDER BY store_bytes DESC, field"),
     "q_mapping" -> ("SELECT column_name AS field, CASE " +
       "WHEN column_type IN ('BIGINT', 'INTEGER', 'SMALLINT', 'TINYINT') THEN 'long' " +
       "WHEN column_type = 'DOUBLE' THEN 'double' WHEN column_type = 'FLOAT' THEN 'float' " +
