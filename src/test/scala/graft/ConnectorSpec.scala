@@ -273,6 +273,20 @@ class ConnectorSpec extends SparkSpec {
         "Chrome", "Windows", "Other"),
       ("http", "example.org", "", "/plain", "",
         "Safari", "iOS", "Mobile Device")))
+    // schemeless input: scheme/host empty, everything lands in path
+    import graft.sources.IngestPipeline
+    val bare = IngestPipeline.compile(
+      """{"processors": [{"uri_parts": {"field": "u", "target_field": "url"}}]}""")(
+      Seq((1L, "example.com/p?x=1")).toDF("id", "u"))
+      .select("url.scheme", "url.host", "url.path", "url.query")
+      .as[(String, String, String, String)].collect().head
+    assert(bare == (("", "", "example.com/p", "x=1")))
+    // redact masks EVERY occurrence, left to right
+    val multi = IngestPipeline.compile(
+      """{"processors": [{"redact": {"field": "t", "patterns": ["%{IP:ip}"]}}]}""")(
+      Seq((1L, "from 1.2.3.4 to 5.6.7.8")).toDF("id", "t"))
+      .select("t").as[String].collect().head
+    assert(multi == "from <ip> to <ip>")
   }
 
   test("ingest on_failure: failing docs route to handler sets, clean docs untouched") {
