@@ -127,6 +127,12 @@ private[graft] object EntriesRel {
         "o_orderkey", "l_orderkey", col("l_quantity") > 45, minChildren = 3)
         .select(col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("o_orderkey"))),
+    // parent_id query: all children of one parent — FK equality
+    // pushed to the scan, no join
+    "q_parent_id" -> ((s, d) =>
+      Relational.parentId(t(s, d, "lineitem"), "l_orderkey", 7L)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_linenumber"))),
     "q_has_parent" -> ((s, d) =>
       Relational.hasParent(t(s, d, "lineitem"), t(s, d, "orders"),
         "o_orderkey", "l_orderkey", col("o_orderpriority") === "1-URGENT")
@@ -295,6 +301,8 @@ private[graft] object EntriesRel {
       "THEN NULL ELSE o_orderpriority END AS pri FROM orders " +
       "ORDER BY pri ASC NULLS FIRST, o_orderkey LIMIT 100"),
 
+    "q_parent_id" -> ("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
+      "WHERE l_orderkey = 7 ORDER BY l_linenumber"),
     "q_has_child" -> ("SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey IN " +
       "(SELECT l_orderkey FROM lineitem WHERE l_quantity > 45 GROUP BY l_orderkey HAVING count(*) >= 3) " +
       "ORDER BY o_orderkey"),

@@ -73,6 +73,13 @@ object Relational {
       .join(nested, col(parentKey) === col(nestedKey))
       .where(exists(col(as), pred))
 
+  /** ES `parent_id` query: every child of ONE parent — in ES a
+    * term lookup on the join field's parent value; here a pushed-down
+    * equality on the child FK (partition pruning / row-group stats do
+    * the work, no join at all). */
+  def parentId(children: DataFrame, childFk: String, id: Any): DataFrame =
+    children.where(col(childFk) === lit(id))
+
   /** ES `join`-field `has_child`: parents with between `minChildren`
     * and `maxChildren` children matching the predicate. The common
     * min=1/unbounded case is a pure left_semi join (no child counts
