@@ -119,6 +119,10 @@ private[graft] object EntriesWrite {
     // doc counts per index under a root
     "q_cat_count" -> ((s, d) => {
       val root = s"/tmp/graft_cat_${System.getProperty("user.name")}"
+      // start from a clean root: _cat/count lists EVERY index dir, so
+      // a stray subdir from an older session would add a row
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       t(s, d, "documents").write.mode("overwrite").parquet(s"$root/idx_docs")
       t(s, d, "orders").where(col("o_totalprice") > 10000)
         .write.mode("overwrite").parquet(s"$root/idx_orders")
