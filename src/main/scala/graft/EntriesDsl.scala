@@ -261,7 +261,7 @@ private[graft] object EntriesDsl {
         contexts = Seq("en" -> 2.0, "fr" -> 1.0), k = 8)),
     // min_score: absolute relevance floor, not a top-k
     "q_min_score" -> ((s, d) =>
-      Search.bm25MinScore(t(s, d, "documents"), "doc_id", "text", "vector hash", 2.0)),
+      Search.bm25MinScore(t(s, d, "documents"), "doc_id", "text", "vector hash", 0.8)),
     // WEIGHTED_AVG over STATS
     "q_esql_weighted_avg" -> ((s, d) => graft.dsl.Esql.run(s, d,
       """from lineitem
@@ -1437,7 +1437,7 @@ private[graft] object EntriesDsl {
       "FROM documents WHERE starts_with(source, 'src') AND lang IN ('en', 'fr') " +
       "GROUP BY 1 ORDER BY weight DESC, suggestion LIMIT 8"),
     "q_min_score" -> (TokCte + bm25Ctes("", "tok", Seq("vector", "hash")) +
-      " SELECT id, score FROM sc WHERE score >= 2.0 ORDER BY score DESC, id"),
+      " SELECT id, score FROM sc WHERE score >= 0.8 ORDER BY score DESC, id"),
     "q_esql_weighted_avg" -> ("SELECT l_returnflag, " +
       "round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 2) AS w " +
       "FROM lineitem GROUP BY 1 ORDER BY 1"),

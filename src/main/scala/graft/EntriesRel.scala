@@ -87,7 +87,7 @@ private[graft] object EntriesRel {
         .select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_semi")
       .select(col("c_custkey"), col("c_name")).orderBy(col("c_custkey"))),
     "q_anti_join" -> ((s, d) => t(s, d, "customer")
-      .join(t(s, d, "orders").where(col("o_totalprice") > 24000)
+      .join(t(s, d, "orders").where(col("o_totalprice") > 300000)
         .select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name")).orderBy(col("c_custkey"))),
     "q_nested" -> ((s, d) => {
@@ -261,7 +261,7 @@ private[graft] object EntriesRel {
     "q_semi_join" -> ("SELECT c_custkey, c_name FROM customer WHERE EXISTS " +
       "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 10000) ORDER BY c_custkey"),
     "q_anti_join" -> ("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +
-      "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 24000) ORDER BY c_custkey"),
+      "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000) ORDER BY c_custkey"),
     "q_range_field" -> ("SELECT " +
       "count_if(o_orderdate <= TIMESTAMP '1997-08-01' AND o_orderdate + INTERVAL 90 DAY >= TIMESTAMP '1997-06-01')::BIGINT AS n_intersects, " +
       "count_if(o_orderdate >= TIMESTAMP '1997-06-01' AND o_orderdate + INTERVAL 90 DAY <= TIMESTAMP '1997-08-01')::BIGINT AS n_within, " +

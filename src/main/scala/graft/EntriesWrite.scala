@@ -205,7 +205,7 @@ private[graft] object EntriesWrite {
       "FROM documents ORDER BY doc_id"),
     "q_write_fields" -> ("SELECT lang, n_chars, doc_id FROM documents ORDER BY doc_id"),
     "q_field_caps" -> ("SELECT column_name AS field, CASE " +
-      "WHEN column_type IN ('BIGINT', 'INTEGER') THEN 'long' " +
+      "WHEN column_type IN ('BIGINT', 'INTEGER', 'SMALLINT', 'TINYINT') THEN 'long' " +
       "WHEN column_type = 'DOUBLE' THEN 'double' WHEN column_type = 'VARCHAR' THEN 'string' " +
       "WHEN column_type LIKE 'TIMESTAMP%' THEN 'timestamp' ELSE lower(column_type) END AS type, " +
       "true AS searchable, true AS aggregatable " +
@@ -214,7 +214,7 @@ private[graft] object EntriesWrite {
       "sum(total_compressed_size)::BIGINT AS store_bytes, " +
       "sum(total_uncompressed_size)::BIGINT AS uncompressed_bytes, " +
       "sum(num_values)::BIGINT AS value_count " +
-      "FROM parquet_metadata('/root/testdata/sf0.01/documents.parquet') " +
+      "FROM parquet_metadata('__SFDIR__/documents.parquet') " +
       "GROUP BY 1 ORDER BY store_bytes DESC, field"),
     "q_mapping" -> ("SELECT column_name AS field, CASE " +
       "WHEN column_type IN ('BIGINT', 'INTEGER', 'SMALLINT', 'TINYINT') THEN 'long' " +

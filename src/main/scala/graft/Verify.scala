@@ -44,9 +44,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // __SFDIR__ placeholder: oracles that address a dataset file by
+    // PATH (parquet_metadata footprints) must follow the run's sfDir
+    // rather than pinning one scale factor — a hardcoded path would
+    // silently compare against the wrong file at any other sf
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__SFDIR__", sfDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // full query-name manifest: lets the checker flag a ROWS-ONLY
     // query that crashed (no oracle entry, no result dir — otherwise

@@ -79,13 +79,17 @@ object Aggs {
     require(math.abs(fractions.sum - 1.0) < 1e-9,
       s"fractions must sum to 1, got ${fractions.sum}")
     val w = Window.orderBy(col(orderCol))
+    // _n over the PRE-join frame: the oracle computes n across ALL
+    // buckets before pairing with fractions, so an out-of-range bucket
+    // (more buckets than fractions) must inflate n here too rather
+    // than being silently dropped by the inner join on _rn
     val indexed = buckets
       .select(col(orderCol), col(countCol).cast("double").as("_cnt"))
       .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", sum(col("_cnt")).over(Window.partitionBy()))
     val expCum = fractions.scanLeft(0.0)(_ + _).drop(1)
       .zipWithIndex.map { case (c, i) => (i + 1, c) }.toDF("_rn", "_ecum")
     val diff = indexed.join(broadcast(expCum), Seq("_rn"))
-      .withColumn("_n", sum(col("_cnt")).over(Window.partitionBy()))
       .withColumn("_ocum", sum(col("_cnt")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) / col("_n"))
       .withColumn("_d", col("_ocum") - col("_ecum"))

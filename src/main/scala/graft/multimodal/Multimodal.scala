@@ -81,9 +81,10 @@ object Multimodal {
         // real impl: val codec = VideoCodec.init()  // once per partition
         rows.flatMap { case (id, payload) =>
           (0 until n).iterator.map { i =>
-            // ASCII digit salt (not a raw control byte): the declared
-            // fake decode stays oracle-mirrorable as md5(text || i)
-            FrameSample(id, i, fakeDecode(payload :+ (48 + i).toByte))
+            // full decimal-string salt (all digits of i, not one byte):
+            // the declared fake decode stays oracle-mirrorable as
+            // md5(text || i) for ANY n, including frame index >= 10
+            FrameSample(id, i, fakeDecode(payload ++ i.toString.getBytes("UTF-8")))
           }
         }
       }

@@ -723,6 +723,12 @@ object Search {
       maxEdits: Int = 2, k: Int = 5): DataFrame =
     docs
       .select(explode(graft.analysis.Analyzer.tokens(col(textCol))).as("token"))
+      // length-band prune BELOW the vocabulary aggregation: an edit
+      // distance <= maxEdits forces |len(token) - len(term)| <= maxEdits,
+      // so both the partial-agg hash table and the exchange shrink from
+      // |vocab| to the levenshtein-feasible band (cheap length() vs the
+      // O(len^2) levenshtein, which still runs only on the tiny band)
+      .where(abs(length(col("token")) - lit(term.length)) <= maxEdits)
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
       .where(col("token") =!= term && levenshtein(col("token"), lit(term)) <= maxEdits)
       .orderBy(col("freq").desc, col("token").asc)
@@ -743,8 +749,12 @@ object Search {
     // term's doc freq in the shard), not total occurrences — a term
     // repeated many times in few docs must not out-rank a widespread
     // one. Per-doc distinct tokens (termSet) before the count.
+    // same length-band prune as `suggest`, pushed below the partial
+    // agg. The band includes the input term itself (length diff 0),
+    // so the `popular` mode's input-frequency probe still finds it.
     val vocab = docs
       .select(explode(graft.analysis.Analyzer.termSet(col(textCol))).as("token"))
+      .where(abs(length(col("token")) - lit(term.length)) <= maxEdits)
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
     mode match {
       case "always" =>
@@ -1278,9 +1288,16 @@ object Search {
     val joined = terms.mkString(" ")
     docs
       .select(explode(Analyzer.shingles(Analyzer.tokens(col(textCol)), 2)).as("bigram"))
-      .groupBy(col("bigram")).agg(count(lit(1)).as("freq"))
-      .withColumn("w1", element_at(split(col("bigram"), " "), 1))
-      .withColumn("w2", element_at(split(col("bigram"), " "), 2))
+      // length-band prune BELOW the vocabulary aggregation: each word
+      // of a candidate bigram must sit within maxEdits of its input
+      // term's length, so the partial-agg hash table and the exchange
+      // carry the feasible band, not the full corpus bigram vocabulary.
+      // substring_index (codegen'd) splits without building an array.
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+      .where(abs(length(col("w1")) - lit(terms.head.length)) <= maxEdits &&
+        abs(length(col("w2")) - lit(terms(1).length)) <= maxEdits)
+      .groupBy(col("bigram"), col("w1"), col("w2")).agg(count(lit(1)).as("freq"))
       .where(col("bigram") =!= joined &&
         levenshtein(col("w1"), lit(terms.head)) <= maxEdits &&
         levenshtein(col("w2"), lit(terms(1))) <= maxEdits)

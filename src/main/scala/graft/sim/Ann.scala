@@ -138,9 +138,15 @@ object Ann {
       iters: Int = 3): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // persist for the fit's duration: the loop below runs one action
+    // per Lloyd iteration plus the seed collect — without the cache
+    // that is (iters + 1) full corpus scans (checkpoint instead at
+    // real cluster scale, where the projected frame outgrows storage)
     val c = corpus.select(
       col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     var cents: Seq[(Long, Seq[Double])] = c.orderBy(col("id")).limit(k)
       .as[(Long, Seq[Double])].collect().toSeq
       .zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
@@ -165,6 +171,7 @@ object Ann {
       cents = cents.map { case (cid, old) => (cid, byCent.getOrElse(cid, old)) }
     }
     cents.toDF("cent_id", "cv")
+    } finally c.unpersist()
   }
 
   /** IVF-flat over a supplied centroid frame (seed or k-means-fitted):

@@ -209,7 +209,15 @@ object Connector {
             case _: StructType | _: ArrayType | _: MapType => false
             case _ => true
           }
-          (f.name, f.dataType.typeName, primitive, primitive)
+          // integral widths collapse to "long", same as mappingJson's
+          // LongType|IntegerType|ShortType|ByteType fold — field caps
+          // report the ES type, and ES has one integral doc_values
+          // representation regardless of the parquet physical width
+          val esType = f.dataType match {
+            case LongType | IntegerType | ShortType | ByteType => "long"
+            case other => other.typeName
+          }
+          (f.name, esType, primitive, primitive)
         }.toSeq
         import spark.implicits._
         rows.toDF("field", "type", "searchable", "aggregatable")
