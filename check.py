@@ -88,6 +88,14 @@ for name in sorted(manifest):
         print(f"{name:24s} MISSING RESULT (query failed in Verify?)")
         fail += 1
 
+# no-rows-only ratchet: every declared q_* query must carry an oracle.
+# A key silently dropping its oracle_sql entry would downgrade the
+# driver's check from hash-compare to rows>0 without anyone noticing.
+for name in sorted(manifest - set(oracle)):
+    if name.startswith("q_"):
+        print(f"{name:24s} DECLARED QUERY WITHOUT AN ORACLE (rows-only regression)")
+        fail += 1
+
 # SURVEY §2 <-> registry invariant: every q_* row in the §2 tables must
 # be a declared query, and every declared query key must have a §2 row
 # (spec-only rows have non-q_* keys, so they are exempt by shape). Only

@@ -445,6 +445,38 @@ object ScaleProbe {
         .agg(count(lit(1)).as("n_docs"), sum(col("size")).as("pack_chars"))
         .count()
     }
+    time("suggest_term_10x") {
+      // post-r9 shape: length-band prune below the vocab partial agg —
+      // the exchange carries only the levenshtein-feasible token band
+      Search.suggest(docs, "text", "spak", 2, 5).count()
+    }
+    time("suggest_popular_10x") {
+      // same banded vocab; the input-frequency probe rides the band
+      // (length diff 0) as a broadcast 1-row frame
+      Search.suggestMode(docs, "text", "joins", "popular",
+        maxEdits = 1, k = 5).count()
+    }
+    time("suggest_phrase_10x") {
+      // bigram vocabulary agg with BOTH words length-banded pre-agg
+      Search.phraseSuggest(docs, "text", "table scin",
+        maxEdits = 1, k = 5).count()
+    }
+    time("graph_connections_10x") {
+      // one persisted term-filtered edge frame serves both legs of the
+      // doc-key-local pair self-join (was: tokenize per join side)
+      graft.search.GraphExplore.connections(docs, "doc_id", "text",
+        Seq("spark", "agg", "scan", "merge", "window"), minDocCount = 3).count()
+    }
+    time("esql_cidr_10x") {
+      // CIDR blocks fold to compile-time numeric range predicates over
+      // the dotted-quad; cost is the scan + narrow string assembly
+      val ev = times(Tables.events(spark, sfDir), "event_id", 1000000000L)
+      val withIp = graft.dsl.Esql.applyCommand(ev,
+        "eval ip = concat(to_string(10), \".\", to_string(user_id * 7 % 256), " +
+          "\".\", to_string(user_id * 13 % 256), \".\", to_string(user_id % 256))")
+      graft.dsl.Esql.applyCommand(withIp,
+        "where cidr_match(ip, \"10.64.0.0/10\", \"10.192.0.0/12\")").count()
+    }
     spark.stop()
   }
 }

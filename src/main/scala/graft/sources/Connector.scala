@@ -268,14 +268,16 @@ object Connector {
     * distinct resolved name becomes one `save` with full bulk
     * semantics (id/upsert/version options apply per target).
     *
-    * Scale shape: the index-name column computes narrowly, ONE
-    * distinct over it reaches the driver (index count, not rows), and
-    * each target writes its filtered slice — the same per-target
-    * pruning a partitionBy write would do, but through the bulk path
-    * so ids/versions keep working. Index count is expected to be
-    * small (daily indices, media types); a 10^6-target pattern is the
-    * caller's bug, and the distinct makes it visible before any write
-    * happens. */
+    * Scale shape: ONE pass over the batch — a `partitionBy` spool
+    * write splits the rows by resolved index name in a single job, so
+    * the (possibly expensive) upstream pipeline computes exactly once
+    * no matter how many targets the pattern resolves to. Each target
+    * then goes through the bulk `save` path reading ONLY its spooled
+    * slice (directory-pruned), so ids/versions/pipelines keep full
+    * semantics at per-slice cost. A `{field}` routing with thousands
+    * of targets (daily x tenant) therefore costs one batch scan plus
+    * one slice-sized read per target — not O(targets) re-reads of a
+    * disk-spilled cache like the r8 filtered-loop shape. */
   def saveDynamic(
       batch: DataFrame, root: String, pattern: String,
       cfg: Map[String, String] = Map.empty): Unit = {
@@ -296,19 +298,49 @@ object Connector {
     if (last < pattern.length) cols :+= lit(pattern.substring(last))
     require(cols.nonEmpty, s"empty resource pattern: $pattern")
     val idx = concat(cols: _*)
-    // persist once: the upstream plan would otherwise recompute per
-    // distinct target plus once for the distinct itself — O(targets+1)
-    // runs of a possibly-expensive batch pipeline
     val named = batch.withColumn("__graft_idx", idx)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spool = new Path(root, "_graft_dynspool")
+    val fs = spool.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(spool)) fs.delete(spool, true)
     try {
-      val targets = named.select(col("__graft_idx")).distinct()
-        .collect().map(_.getString(0)).sorted
-      for (t <- targets) {
-        save(named.where(col("__graft_idx") === t).drop("__graft_idx"),
-          s"$root/$t", cfg)
+      // the single batch pass: split by target via partitionBy
+      named.write.partitionBy("__graft_idx").mode("overwrite")
+        .parquet(spool.toString)
+      // targets from the spool LISTING (O(targets) driver-side names,
+      // no row data) — dir names carry Hive %XX escaping for the few
+      // path-unsafe chars, undone here so `$root/$t` matches the name
+      // the caller's pattern resolved to
+      val dirs = fs.listStatus(spool).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("__graft_idx=")).sorted
+      for (dir <- dirs) {
+        val t = unescapePathName(dir.stripPrefix("__graft_idx="))
+        require(t != "__HIVE_DEFAULT_PARTITION__",
+          s"dynamic index pattern '$pattern' resolved to NULL for some rows")
+        // partition values are not stored in the slice files, so the
+        // slice reads back with exactly the original columns
+        save(spark.read.parquet(new Path(spool, dir).toString), s"$root/$t", cfg)
       }
-    } finally named.unpersist()
+    } finally fs.delete(spool, true)
+  }
+
+  /** Undo Hive-style %XX partition-dir escaping (the inverse of what
+    * `partitionBy` applies to path-unsafe characters). Plain chars
+    * pass through — index names are path-safe by contract, so this is
+    * usually the identity. */
+  private def unescapePathName(s: String): String = {
+    if (!s.contains('%')) s
+    else {
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 2 < s.length) {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
   }
 
   def save(batch: DataFrame, path: String, cfg0: Map[String, String]): Unit = {

@@ -703,6 +703,28 @@ class ConnectorSpec extends SparkSpec {
     assert(spark.graftDF(s"$base/logs-*").count() == 3L)
   }
 
+  test("saveDynamic computes the batch exactly once regardless of target count") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_dyn1p").toString
+    // 200 rows over 20 distinct targets; an accumulator in a narrow
+    // stage counts how many times each source partition is COMPUTED —
+    // the high-cardinality-dynamic-write guard: a per-target filtered
+    // loop over an evicted cache would re-run the lineage per target
+    val src = (1L to 200L).map(i => (i, s"t${i % 20}")).toDF("id", "tenant")
+    val acc = spark.sparkContext.longAccumulator("batchPartitionPasses")
+    val np = src.rdd.getNumPartitions
+    val counted = spark.createDataFrame(
+      src.rdd.mapPartitions { it => acc.add(1); it }, src.schema)
+    Connector.saveDynamic(counted, base, "tenant-{tenant}",
+      Map("graft.write.operation" -> "append"))
+    assert(acc.value == np,
+      s"batch computed ${acc.value} partition-tasks, expected $np (one pass)")
+    // every target got exactly its slice, spool cleaned up
+    assert(spark.graftDF(s"$base/tenant-*").count() == 200L)
+    assert(spark.graftDF(s"$base/tenant-t7").count() == 10L)
+    assert(!new java.io.File(s"$base/_graft_dynspool").exists())
+  }
+
   test("filtered aliases resolve transparently through graftDF") {
     import java.nio.file.Files
     val base = Files.createTempDirectory("graft_alias").toString
