@@ -236,6 +236,11 @@ private[graft] object EntriesFulltext {
       Search.searchAfter(t(s, d, "documents"), "doc_id", "n_chars", 400L, 250L, 10)
         .select(col("doc_id"), col("n_chars"))),
     "q_suggest" -> ((s, d) => Search.suggest(t(s, d, "documents"), "text", "spak", 2, 5)),
+    // suggest_mode missing (the ES default): corrections emitted ONLY
+    // when the input term itself is absent from the index
+    "q_suggest_missing" -> ((s, d) =>
+      Search.suggestMode(t(s, d, "documents"), "text", "spar", "missing",
+        maxEdits = 1, k = 5)),
     "q_highlight" -> ((s, d) =>
       Search.highlight(t(s, d, "documents"), "doc_id", "text", "merge").limit(20)),
 
@@ -464,6 +469,12 @@ private[graft] object EntriesFulltext {
     "q_suggest" -> (TokCte + " SELECT token, count(*)::BIGINT AS freq FROM " +
       "(SELECT unnest(toks) AS token FROM tok) GROUP BY token " +
       "HAVING token <> 'spak' AND levenshtein(token, 'spak') <= 2 " +
+      "ORDER BY freq DESC, token LIMIT 5"),
+    "q_suggest_missing" -> (TokCte + ", v AS (SELECT token, count(*)::BIGINT AS freq FROM " +
+      "(SELECT unnest(list_distinct(toks)) AS token FROM tok) GROUP BY token), " +
+      "inp AS (SELECT coalesce(max(freq), 0) AS input_freq FROM v WHERE token = 'spar') " +
+      "SELECT token, freq FROM v CROSS JOIN inp " +
+      "WHERE token <> 'spar' AND levenshtein(token, 'spar') <= 1 AND input_freq = 0 " +
       "ORDER BY freq DESC, token LIMIT 5"),
     "q_highlight" -> ("SELECT doc_id AS id, replace(regexp_extract(lower(text), " +
       "'([a-z0-9]+ ){0,3}merge( [a-z0-9]+){0,3}'), 'merge', '<em>merge</em>') AS snippet " +

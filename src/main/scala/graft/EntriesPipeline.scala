@@ -307,6 +307,40 @@ private[graft] object EntriesPipeline {
         .select(col("doc_id"), col("n_tokens"), col("punct_ratio"),
           col("stopword_ratio"), col("ttr"), col("quality"))
         .orderBy(col("doc_id"))),
+    // Gopher rule battery (Rae et al. 2021): word-count / mean-word-
+    // length / symbol / alpha / stopword gates, one TokenStats kernel
+    // pass + char arithmetic, map-only
+    "q_quality_gopher" -> ((s, d) => {
+      val sig = TextAnalysis.gopherSignals(col("text"))
+      val keep = TextAnalysis.gopherKeep(sig.toMap)
+      t(s, d, "documents")
+        .select(col("doc_id") +: sig.map { case (n, c) => c.as(n) } :+ keep.as("keep"): _*)
+        .orderBy(col("doc_id"))
+    }),
+    // URL-keyed dedup: canonicalize away case/port/fragment/utm/slash
+    // noise, then ONE group-by on the canonical key (the CommonCrawl
+    // pipeline's cheapest dedup pass). URLs are assembled
+    // deterministically from doc fields (same device as q_esql_cidr's
+    // IPs) with noise dims coprime to the key dims, so raw URLs
+    // within a group genuinely differ.
+    "q_dedup_url" -> ((s, d) => {
+      val id = col("doc_id")
+      val url = concat(
+        when(id % 7 < 3, lit("HTTP://WWW.Example.COM")).otherwise(lit("http://www.example.com")),
+        when(id % 11 === 0, lit(":80")).otherwise(lit("")),
+        lit("/"), col("source"), lit("/page"), (id % 60).cast("string"),
+        when(id % 13 === 0, lit("/")).otherwise(lit("")),
+        lit("?"),
+        when(id % 7 === 0, lit("utm_source=feed&")).otherwise(lit("")),
+        lit("ref="), (id % 4).cast("string"),
+        when(id % 17 === 0, lit("#frag")).otherwise(lit("")))
+      t(s, d, "documents")
+        .select(id, TextAnalysis.canonicalizeUrl(url).as("canonical_url"))
+        .groupBy(col("canonical_url"))
+        .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keeper_doc"))
+        .where(col("n_dups") > 1)
+        .orderBy(col("n_dups").desc, col("canonical_url"))
+    }),
     // C4/FineWeb heuristic filter battery: line/sentence/boilerplate
     // signals + the keep decision, all map-only string math
     "q_quality_c4" -> ((s, d) => {
@@ -707,6 +741,31 @@ private[graft] object EntriesPipeline {
         "round(least(n_tokens / 100.0, 1.0) * 0.3 + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2 + " +
         "least(stopword_ratio * 5.0, 1.0) * 0.2 + ttr * 0.3, 4) AS quality FROM m ORDER BY doc_id"
     },
+    "q_quality_gopher" -> {
+      val en = TextAnalysis.stopwords.toMap.apply("en").map(w => s"'$w'").mkString(", ")
+      "WITH b AS (SELECT doc_id, text, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks FROM documents), " +
+        "m AS (SELECT doc_id, len(toks)::BIGINT AS n_words, " +
+        "round(len(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::DOUBLE / greatest(len(toks), 1)::DOUBLE, 4) AS mean_word_len, " +
+        "round(len(regexp_extract_all(text, '#|\\.\\.\\.'))::DOUBLE / greatest(len(toks), 1)::DOUBLE, 4) AS symbol_ratio, " +
+        "round(len(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE / greatest(len(replace(text, ' ', '')), 1)::DOUBLE, 4) AS alpha_ratio, " +
+        s"len(list_filter(toks, t -> list_contains([$en], t)))::BIGINT AS stop_hits FROM b) " +
+        "SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_ratio, stop_hits, " +
+        "(n_words BETWEEN 25 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0 " +
+        "AND symbol_ratio < 0.1 AND alpha_ratio >= 0.7 AND stop_hits >= 2) AS keep " +
+        "FROM m ORDER BY doc_id"
+    },
+    "q_dedup_url" -> ("WITH u AS (SELECT doc_id, " +
+      "(CASE WHEN doc_id % 7 < 3 THEN 'HTTP://WWW.Example.COM' ELSE 'http://www.example.com' END) || " +
+      "(CASE WHEN doc_id % 11 = 0 THEN ':80' ELSE '' END) || '/' || source || '/page' || (doc_id % 60)::VARCHAR || " +
+      "(CASE WHEN doc_id % 13 = 0 THEN '/' ELSE '' END) || '?' || " +
+      "(CASE WHEN doc_id % 7 = 0 THEN 'utm_source=feed&' ELSE '' END) || 'ref=' || (doc_id % 4)::VARCHAR || " +
+      "(CASE WHEN doc_id % 17 = 0 THEN '#frag' ELSE '' END) AS url FROM documents), " +
+      "c AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+      "lower(regexp_extract(url, '^[^/]*//[^/]*')) || regexp_replace(url, '^[^/]*//[^/]*', ''), " +
+      "'#.*', '', 'g'), ':(80|443)/', '/', 'g'), 'utm_[a-z]+=[^&#]*&?', '', 'g'), " +
+      "'[?&]+$', '', 'g'), '\\?&', '?', 'g'), '/\\?', '?', 'g'), '/$', '', 'g') AS canonical_url FROM u) " +
+      "SELECT canonical_url, count(*)::BIGINT AS n_dups, min(doc_id) AS keeper_doc FROM c " +
+      "GROUP BY 1 HAVING count(*) > 1 ORDER BY n_dups DESC, canonical_url"),
     "q_quality_c4" -> ("WITH l AS (SELECT doc_id, text, lower(text) AS low, " +
       "list_filter(string_split(text, chr(10)), x -> len(x) > 0) AS lines FROM documents), " +
       "s AS (SELECT doc_id, len(lines)::BIGINT AS n_lines, " +

@@ -62,6 +62,44 @@ private[graft] object EntriesRel {
             .cast("double"), 4).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
+    // TPC-H Q10: returned-item reporting — quarter-windowed fact join,
+    // nation dim broadcast, customer-grain agg, top-20 by revenue. The
+    // orders window prunes at the scan; the two fact joins shuffle on
+    // their keys and AQE sizes the exchanges.
+    "q_tpch_q10" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders")
+          .where(col("o_orderdate") >= "1997-10-01" && col("o_orderdate") < "1998-01-01"),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, d, "lineitem").where(col("l_returnflag") === "R"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(Num.round(
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(28,8)"))
+            .cast("double"), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)),
+    // TPC-H Q18: large-volume customers — the agg-driven semi-join
+    // shape (orders qualified by a HAVING over their OWN lineitems).
+    // The qualifying-order frame is one partial-agg pass and tiny
+    // (>300 qty), so it broadcasts into the left-semi prune.
+    "q_tpch_q18" -> ((s, d) => {
+      val l = t(s, d, "lineitem")
+      val big = l.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("_qty"))
+        .where(col("_qty") > 300).select(col("l_orderkey"))
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(l.join(big, Seq("l_orderkey"), "left_semi"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .agg(Num.round(sum(col("l_quantity").cast("decimal(28,8)")).cast("double"), 4)
+          .as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+        .limit(100)
+    }),
     "q_join_enrich" -> ((s, d) =>
       Relational.enrich(
         Relational.enrich(
@@ -258,6 +296,19 @@ private[graft] object EntriesRel {
       "JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
       "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' " +
       "GROUP BY n_name ORDER BY revenue DESC, n_name"),
+    "q_tpch_q10" -> ("SELECT c_custkey, c_name, c_acctbal, n_name, " +
+      "round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,8))) AS DOUBLE), 4) AS revenue " +
+      "FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey " +
+      "JOIN nation ON c_nationkey = n_nationkey " +
+      "WHERE o_orderdate >= TIMESTAMP '1997-10-01' AND o_orderdate < TIMESTAMP '1998-01-01' " +
+      "AND l_returnflag = 'R' " +
+      "GROUP BY c_custkey, c_name, c_acctbal, n_name ORDER BY revenue DESC, c_custkey LIMIT 20"),
+    "q_tpch_q18" -> ("SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, " +
+      "round(CAST(sum(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE), 4) AS sum_qty " +
+      "FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey " +
+      "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300) " +
+      "GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice " +
+      "ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100"),
     "q_semi_join" -> ("SELECT c_custkey, c_name FROM customer WHERE EXISTS " +
       "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 10000) ORDER BY c_custkey"),
     "q_anti_join" -> ("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +

@@ -737,11 +737,9 @@ object Search {
   /** term suggester with `suggest_mode` (ES: when to suggest at
     * all): `popular` keeps only corrections MORE frequent than the
     * input term — the "did you mean" gate that stops suggesting rarer
-    * words for a common, correctly-spelled input. (`missing`, the ES
-    * default, is a per-REQUEST gate — no suggestions when the input
-    * term exists — expressed here by the caller checking the input's
-    * frequency row, which this frame includes at edit distance 0 when
-    * present.) Same vocab-agg shape as `suggest`. */
+    * words for a common, correctly-spelled input; `missing` (the ES
+    * default) emits suggestions only when the input term itself is
+    * absent from the index. Same vocab-agg shape as `suggest`. */
   def suggestMode(
       docs: DataFrame, textCol: String, term: String,
       mode: String, maxEdits: Int = 2, k: Int = 5): DataFrame = {
@@ -769,6 +767,18 @@ object Search {
             levenshtein(col("token"), lit(term)) <= maxEdits)
           .crossJoin(broadcast(inputFreq))
           .where(col("freq") > col("input_freq"))
+          .select(col("token"), col("freq"))
+          .orderBy(col("freq").desc, col("token").asc).limit(k)
+      case "missing" =>
+        // ES's default gate: suggest ONLY when the input term itself
+        // is absent from the index — same broadcast 1-row probe as
+        // `popular`, gating on presence instead of relative frequency
+        val inputFreq = vocab.where(col("token") === term)
+          .agg(coalesce(max(col("freq")), lit(0L)).as("input_freq"))
+        vocab.where(col("token") =!= term &&
+            levenshtein(col("token"), lit(term)) <= maxEdits)
+          .crossJoin(broadcast(inputFreq))
+          .where(col("input_freq") === 0L)
           .select(col("token"), col("freq"))
           .orderBy(col("freq").desc, col("token").asc).limit(k)
       case other => throw new IllegalArgumentException(s"bad suggest_mode: $other")

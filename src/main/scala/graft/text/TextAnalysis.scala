@@ -114,6 +114,71 @@ object TextAnalysis {
     !sig("has_lorem") && !sig("has_brace") && !sig("has_policy") &&
       sig("n_sentences") >= 3
 
+  /** Gopher-style quality rule battery (Rae et al. 2021 appendix A1.1,
+    * the public recipe; thresholds are parameters of the analog, tuned
+    * to this corpus's scale): per-doc signals the rules gate on, all
+    * map-only column math off ONE TokenStats kernel pass plus char
+    * arithmetic — no HOF re-walks, no shuffle.
+    *  - `n_words`: analyzer token count;
+    *  - `mean_word_len`: total token chars / words (Gopher keeps
+    *    docs whose mean word length sits in a sane band);
+    *  - `symbol_ratio`: '#' and ellipsis occurrences per word
+    *    (Gopher drops symbol-heavy scraped pages);
+    *  - `alpha_ratio`: alphabetic chars / non-space chars (Gopher:
+    *    >= 80% of WORDS must contain an alphabetic char; chars are
+    *    the same signal one kernel cheaper);
+    *  - `stop_hits`: english stopword occurrences (Gopher's "has at
+    *    least 2 of a small stopword set" rule). */
+  def gopherSignals(text: Column): Seq[(String, Column)] = {
+    val ts = org.apache.spark.sql.GraftBridge.column(
+      graft.expr.TokenStats(
+        org.apache.spark.sql.GraftBridge.expression(Analyzer.tokens(text)),
+        stopwords.toMap.apply("en")))
+    val nWords = ts.getField("n_tokens")
+    val nW = greatest(nWords, lit(1L)).cast("double")
+    val tokChars = length(regexp_replace(lower(text), "[^a-z0-9]", "")).cast("double")
+    val alphaChars = length(regexp_replace(lower(text), "[^a-z]", "")).cast("double")
+    val nonSpace = greatest(length(regexp_replace(text, " ", "")), lit(1)).cast("double")
+    val symbols = regexp_count(text, lit("#|\\.\\.\\."))
+    Seq(
+      "n_words" -> nWords,
+      "mean_word_len" -> Num.round(tokChars / nW, 4),
+      "symbol_ratio" -> Num.round(symbols.cast("double") / nW, 4),
+      "alpha_ratio" -> Num.round(alphaChars / nonSpace, 4),
+      "stop_hits" -> ts.getField("stop_hits"))
+  }
+
+  /** The Gopher keep decision over `gopherSignals` (thresholds scaled
+    * to this corpus: >= 25 words where the paper uses 50 for web
+    * pages; the rule STRUCTURE is the published one). */
+  def gopherKeep(sig: Map[String, Column]): Column =
+    sig("n_words").between(25L, 100000L) &&
+      sig("mean_word_len").between(3.0, 10.0) &&
+      sig("symbol_ratio") < 0.1 &&
+      sig("alpha_ratio") >= 0.7 &&
+      sig("stop_hits") >= 2L
+
+  /** URL canonicalization — the normalization pass URL-keyed dedup
+    * runs before grouping (mirrors the public CommonCrawl-pipeline
+    * recipe): lowercase scheme+host, strip default ports (:80/:443),
+    * drop fragments, drop utm_* tracking params, collapse the
+    * dangling separators that leaves, strip one trailing slash.
+    * Chained regex/string builtins — map-only, codegen'd; the DuckDB
+    * oracle mirrors each step with the 'g' flag (Spark's
+    * regexp_replace is always global). */
+  def canonicalizeUrl(url: Column): Column = {
+    // scheme://host[:port] = everything before the first path slash;
+    // lowercase it, leave the path/query case alone
+    val head = lower(regexp_extract(url, "^[^/]*//[^/]*", 0))
+    val tail = regexp_replace(url, "^[^/]*//[^/]*", "")
+    val u0 = concat(head, tail)
+    val noFrag = regexp_replace(u0, "#.*", "")
+    val noPort = regexp_replace(noFrag, ":(80|443)/", "/")
+    val noUtm = regexp_replace(noPort, "utm_[a-z]+=[^&#]*&?", "")
+    val noDangle = regexp_replace(regexp_replace(noUtm, "[?&]+$", ""), "\\?&", "?")
+    regexp_replace(regexp_replace(noDangle, "/\\?", "?"), "/$", "")
+  }
+
   /** Cheap text normalization — the standard pre-tokenization cleanup
     * in data pipelines: strip URLs and emails, collapse whitespace
     * runs, trim. Pure regex column math (narrow, codegen'd).
