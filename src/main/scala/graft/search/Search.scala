@@ -749,11 +749,16 @@ object Search {
     // one. Per-doc distinct tokens (termSet) before the count.
     // same length-band prune as `suggest`, pushed below the partial
     // agg. The band includes the input term itself (length diff 0),
-    // so the `popular` mode's input-frequency probe still finds it.
+    // so the `popular`/`missing` input probe still finds it. The
+    // banded vocab (tiny) is PERSISTED: the correction leg and the
+    // broadcast input-frequency probe both read it, so the corpus
+    // tokenize pass runs once, not once per leg. Released by the
+    // harness clearCache like the other cached intermediates.
     val vocab = docs
       .select(explode(graft.analysis.Analyzer.termSet(col(textCol))).as("token"))
       .where(abs(length(col("token")) - lit(term.length)) <= maxEdits)
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     mode match {
       case "always" =>
         vocab.where(col("token") =!= term &&

@@ -308,4 +308,44 @@ class AnnTextSpec extends SparkSpec {
     assert(!r(6L).getBoolean(7)) // < 3 sentences
     assert(r(1L).getBoolean(7) && r(2L).getBoolean(7))
   }
+
+  test("canonicalizeUrl: case/port/fragment/utm/slash noise collapses, rest survives") {
+    val urls = Seq(
+      (1L, "HTTP://WWW.Site.COM:80/a/b/?utm_source=x&ref=1#frag"),
+      (2L, "http://www.site.com/a/b?ref=1"),
+      (3L, "https://Site.ORG:443/p?utm_campaign=c&utm_medium=m&q=2"),
+      (4L, "https://site.org/p?q=2"),
+      // no query, trailing slash only
+      (5L, "http://h.io/x/"), (6L, "http://h.io/x"),
+      // utm-only query collapses to none; path case preserved
+      (7L, "http://h.io/X?utm_source=only"), (8L, "http://h.io/X"))
+      .toDF("id", "url")
+    val c = urls.select(col("id"),
+      TextAnalysis.canonicalizeUrl(col("url")).as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(c(1L) == c(2L) && c(1L) == "http://www.site.com/a/b?ref=1")
+    assert(c(3L) == c(4L) && c(3L) == "https://site.org/p?q=2")
+    assert(c(5L) == c(6L) && c(5L) == "http://h.io/x")
+    assert(c(7L) == c(8L) && c(7L) == "http://h.io/X")
+  }
+
+  test("gopher battery: signals + keep gates fire on the designed violations") {
+    val good = (("the quick value of a scan is that the merge is fast and " * 3) +
+      "the table row finds a key in the hash").trim
+    val docs = Seq(
+      (1L, good),                                    // passes every gate
+      (2L, "short text the a"),                      // < 25 words
+      (3L, ("#### " * 30) + good),                   // symbol-heavy
+      (4L, good.replace(" ", " 123456 ")))           // digit flood drops alpha ratio
+      .toDF("doc_id", "text")
+    val sig = TextAnalysis.gopherSignals(col("text"))
+    val keep = TextAnalysis.gopherKeep(sig.toMap)
+    val r = docs
+      .select(col("doc_id") +: sig.map { case (n, c) => c.as(n) } :+ keep.as("keep"): _*)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getBoolean(6), s"good doc must keep: ${r(1L)}")
+    assert(!r(2L).getBoolean(6) && r(2L).getLong(1) < 25)
+    assert(!r(3L).getBoolean(6) && r(3L).getDouble(3) >= 0.1) // symbol_ratio
+    assert(!r(4L).getBoolean(6) && r(4L).getDouble(4) < 0.7)  // alpha_ratio
+  }
 }
