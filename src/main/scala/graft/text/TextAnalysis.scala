@@ -169,8 +169,12 @@ object TextAnalysis {
   def canonicalizeUrl(url: Column): Column = {
     // scheme://host[:port] = everything before the first path slash;
     // lowercase it, leave the path/query case alone
-    val head = lower(regexp_extract(url, "^[^/]*//[^/]*", 0))
-    val tail = regexp_replace(url, "^[^/]*//[^/]*", "")
+    // the head stops at '/' OR '?': a root-slash-stripped canonical
+    // form (host?query) must not re-enter the lowercase pass with its
+    // query swallowed into the "host" — canonicalization is a FIXED
+    // POINT (idempotence property-tested)
+    val head = lower(regexp_extract(url, "^[^/?]*//[^/?]*", 0))
+    val tail = regexp_replace(url, "^[^/?]*//[^/?]*", "")
     val u0 = concat(head, tail)
     val noFrag = regexp_replace(u0, "#.*", "")
     val noPort = regexp_replace(noFrag, ":(80|443)/", "/")

@@ -329,6 +329,32 @@ class AnnTextSpec extends SparkSpec {
     assert(c(7L) == c(8L) && c(7L) == "http://h.io/X")
   }
 
+  test("canonicalizeUrl is idempotent over randomized noise combinations") {
+    // exhaustive small cross-product of the noise dimensions: a
+    // canonical form must be a FIXED POINT (canon(canon(u)) ==
+    // canon(u)) or grouping keys drift between pipeline stages
+    val urls = (for {
+      scheme <- Seq("http://", "HTTPS://")
+      host <- Seq("A.Example.com", "b.org")
+      port <- Seq("", ":80", ":443", ":8080")
+      path <- Seq("/x", "/x/y/", "/")
+      query <- Seq("", "?utm_source=a", "?utm_source=a&ref=2",
+        "?ref=2&utm_medium=m&utm_campaign=c", "?q=1", "?q=UP")
+      frag <- Seq("", "#top")
+    } yield scheme + host + port + path + query + frag).zipWithIndex
+      .map { case (u, i) => (i.toLong, u) }
+    val df = urls.toDF("id", "url")
+    val once = df.select(col("id"), TextAnalysis.canonicalizeUrl(col("url")).as("c"))
+    val twice = once.select(col("id"), TextAnalysis.canonicalizeUrl(col("c")).as("c2"))
+    val joined = once.join(twice, "id")
+      .where(col("c") =!= col("c2"))
+      .collect()
+    assert(joined.isEmpty, s"non-idempotent canonicalization: ${joined.take(3).mkString(", ")}")
+    // non-default port survives canonicalization
+    val kept = once.as[(Long, String)].collect().map(_._2)
+    assert(kept.exists(_.contains(":8080")), "a non-default port must survive")
+  }
+
   test("gopher battery: signals + keep gates fire on the designed violations") {
     val good = (("the quick value of a scan is that the merge is fast and " * 3) +
       "the table row finds a key in the hash").trim
