@@ -95,7 +95,10 @@ object Bench {
         System.err.println(s"[bench] retry $name (first pass ${d3(t1)}s)")
         val (t2, la2) = run1(name, byName(name))
         retried += name -> (((t1, la1), (t2, la2)))
-        (name, math.min(t1, t2), la1)
+        // the reported time carries ITS OWN attempt's loadavg — the
+        // whole point of the per-query load is adjudicating that
+        // exact measurement, not the first attempt's burst
+        if (t2 <= t1) (name, t2, la2) else (name, t1, la1)
       } else (name, t1, la1)
     }
 

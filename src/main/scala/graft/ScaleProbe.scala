@@ -60,6 +60,11 @@ object ScaleProbe {
       val rows = thunk
       val (l, ni) = load()
       println(f"[scaleprobe] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($rows rows, loadavg=$l noise=$ni)")
+      // probes are billed standalone, same convention as Bench: drop
+      // operator-cached intermediates (edge frames, shingle caches)
+      // AFTER the timing so one probe's storage-pool residue can't
+      // skew the next probe's measurement
+      spark.catalog.clearCache()
     }
 
     time("tpch_q1_10x") {

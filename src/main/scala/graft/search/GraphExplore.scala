@@ -105,7 +105,7 @@ object GraphExplore {
         explode(Analyzer.termSet(col(textField))).as("term"))
       .where(col("term").isin(vertexTerms: _*))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    connectionsFromEdges(toks, vertexTerms, minDocCount)
+    pairJoin(toks, minDocCount)
   }
 
   /** `connections` over a pre-built (doc_id, term) edge frame — the
@@ -115,8 +115,13 @@ object GraphExplore {
   def connectionsFromEdges(
       edges: DataFrame,
       vertexTerms: Seq[String],
-      minDocCount: Long = 3): DataFrame = {
-    val toks = edges.where(col("term").isin(vertexTerms: _*))
+      minDocCount: Long = 3): DataFrame =
+    pairJoin(edges.where(col("term").isin(vertexTerms: _*)), minDocCount)
+
+  /** The doc-key-local pair self-join over an ALREADY term-filtered
+    * edge frame (both legs read the same — usually persisted —
+    * frame, so the tokenize pass is never repeated). */
+  private def pairJoin(toks: DataFrame, minDocCount: Long): DataFrame =
     toks.select(col("doc_id"), col("term").as("source"))
       .join(toks.select(col("doc_id"), col("term").as("target")), Seq("doc_id"))
       .where(col("source") < col("target"))
@@ -124,5 +129,4 @@ object GraphExplore {
       .agg(count(lit(1)).as("doc_count"))
       .where(col("doc_count") >= minDocCount)
       .orderBy(col("doc_count").desc, col("source").asc, col("target").asc)
-  }
 }

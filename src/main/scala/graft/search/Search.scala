@@ -750,42 +750,34 @@ object Search {
     // same length-band prune as `suggest`, pushed below the partial
     // agg. The band includes the input term itself (length diff 0),
     // so the `popular`/`missing` input probe still finds it. The
-    // banded vocab (tiny) is PERSISTED: the correction leg and the
-    // broadcast input-frequency probe both read it, so the corpus
-    // tokenize pass runs once, not once per leg. Released by the
-    // harness clearCache like the other cached intermediates.
+    // input frequency is derived ON the banded vocab frame via a
+    // whole-frame window — the frame is band-bounded tiny, so the
+    // single-partition window is free, and the corpus tokenize pass
+    // runs exactly once with NO persist (nothing to leak for callers
+    // outside the harness's clearCache).
+    import org.apache.spark.sql.expressions.Window
     val vocab = docs
       .select(explode(graft.analysis.Analyzer.termSet(col(textCol))).as("token"))
       .where(abs(length(col("token")) - lit(term.length)) <= maxEdits)
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def corrections(v: DataFrame): DataFrame =
+      v.where(col("token") =!= term &&
+        levenshtein(col("token"), lit(term)) <= maxEdits)
+    def top(v: DataFrame): DataFrame =
+      v.select(col("token"), col("freq"))
+        .orderBy(col("freq").desc, col("token").asc).limit(k)
+    lazy val withInput = vocab.withColumn("input_freq",
+      coalesce(max(when(col("token") === term, col("freq")))
+        .over(Window.partitionBy()), lit(0L)))
     mode match {
-      case "always" =>
-        vocab.where(col("token") =!= term &&
-            levenshtein(col("token"), lit(term)) <= maxEdits)
-          .orderBy(col("freq").desc, col("token").asc).limit(k)
+      case "always" => top(corrections(vocab))
       case "popular" =>
-        // the input's own frequency (0 when absent) as a 1-row frame
-        val inputFreq = vocab.where(col("token") === term)
-          .agg(coalesce(max(col("freq")), lit(0L)).as("input_freq"))
-        vocab.where(col("token") =!= term &&
-            levenshtein(col("token"), lit(term)) <= maxEdits)
-          .crossJoin(broadcast(inputFreq))
-          .where(col("freq") > col("input_freq"))
-          .select(col("token"), col("freq"))
-          .orderBy(col("freq").desc, col("token").asc).limit(k)
+        // only corrections MORE frequent than the input survive
+        top(corrections(withInput).where(col("freq") > col("input_freq")))
       case "missing" =>
         // ES's default gate: suggest ONLY when the input term itself
-        // is absent from the index — same broadcast 1-row probe as
-        // `popular`, gating on presence instead of relative frequency
-        val inputFreq = vocab.where(col("token") === term)
-          .agg(coalesce(max(col("freq")), lit(0L)).as("input_freq"))
-        vocab.where(col("token") =!= term &&
-            levenshtein(col("token"), lit(term)) <= maxEdits)
-          .crossJoin(broadcast(inputFreq))
-          .where(col("input_freq") === 0L)
-          .select(col("token"), col("freq"))
-          .orderBy(col("freq").desc, col("token").asc).limit(k)
+        // is absent from the index
+        top(corrections(withInput).where(col("input_freq") === 0L))
       case other => throw new IllegalArgumentException(s"bad suggest_mode: $other")
     }
   }

@@ -312,10 +312,17 @@ object Connector {
       // the caller's pattern resolved to
       val dirs = fs.listStatus(spool).toSeq.map(_.getPath.getName)
         .filter(_.startsWith("__graft_idx=")).sorted
-      for (dir <- dirs) {
-        val t = unescapePathName(dir.stripPrefix("__graft_idx="))
+      val targets = dirs.map(d => d -> unescapePathName(d.stripPrefix("__graft_idx=")))
+      // validate EVERY target before the first save: a NULL/empty
+      // resolved name must fail with zero targets written, or a retry
+      // after the exception re-appends the already-saved slices
+      for ((_, t) <- targets) {
         require(t != "__HIVE_DEFAULT_PARTITION__",
           s"dynamic index pattern '$pattern' resolved to NULL for some rows")
+        require(t.nonEmpty,
+          s"dynamic index pattern '$pattern' resolved to an EMPTY name for some rows")
+      }
+      for ((dir, t) <- targets) {
         // partition values are not stored in the slice files, so the
         // slice reads back with exactly the original columns
         save(spark.read.parquet(new Path(spool, dir).toString), s"$root/$t", cfg)

@@ -177,9 +177,20 @@ object TextAnalysis {
     val tail = regexp_replace(url, "^[^/?]*//[^/?]*", "")
     val u0 = concat(head, tail)
     val noFrag = regexp_replace(u0, "#.*", "")
-    val noPort = regexp_replace(noFrag, ":(80|443)/", "/")
-    val noUtm = regexp_replace(noPort, "utm_[a-z]+=[^&#]*&?", "")
-    val noDangle = regexp_replace(regexp_replace(noUtm, "[?&]+$", ""), "\\?&", "?")
+    // default port dies before '/', '?' OR end-of-string — ':80' on a
+    // path-less or query-only URL must collapse too, or the same
+    // resource gets two canonical keys
+    val noPort = regexp_replace(noFrag, ":(80|443)(/|\\?|$)", "$2")
+    // utm params are matched WITH their leading separator ('?' or
+    // '&') so a path segment that merely contains "utm_..." is never
+    // touched; consecutive params each carry their own anchor, so one
+    // global pass removes them all
+    val noUtm = regexp_replace(noPort, "[?&]utm_[a-z]+=[^&#]*", "")
+    // a query that lost its leading '?' to the utm strip gets it back
+    // from the first surviving '&' — only when that '&' introduces a
+    // param-shaped token, so a literal '&' in a query-less path stays
+    val fixSep = regexp_replace(noUtm, "^([^?]*)&([A-Za-z0-9_]+=)", "$1?$2")
+    val noDangle = regexp_replace(regexp_replace(fixSep, "[?&]+$", ""), "\\?&", "?")
     regexp_replace(regexp_replace(noDangle, "/\\?", "?"), "/$", "")
   }
 

@@ -318,7 +318,17 @@ class AnnTextSpec extends SparkSpec {
       // no query, trailing slash only
       (5L, "http://h.io/x/"), (6L, "http://h.io/x"),
       // utm-only query collapses to none; path case preserved
-      (7L, "http://h.io/X?utm_source=only"), (8L, "http://h.io/X"))
+      (7L, "http://h.io/X?utm_source=only"), (8L, "http://h.io/X"),
+      // default port directly before '?' or end-of-string dies too
+      (9L, "http://h.io:80?q=1"), (10L, "http://h.io/?q=1"),
+      (11L, "http://h.io:80"), (12L, "http://h.io"),
+      // "utm_" in a PATH segment is data, not a tracking param
+      (13L, "http://h.io/blog/utm_source=abc/post?q=1"),
+      // consecutive utm params each carry their own separator anchor;
+      // a non-utm param stranded behind them gets its '?' back
+      (14L, "http://h.io/p?utm_a=1&utm_b=2&ref=3"), (15L, "http://h.io/p?ref=3"),
+      // a non-separator prefix keeps its param ('xutm_' is not utm)
+      (16L, "http://h.io/p?xutm_source=1"))
       .toDF("id", "url")
     val c = urls.select(col("id"),
       TextAnalysis.canonicalizeUrl(col("url")).as("c"))
@@ -327,6 +337,11 @@ class AnnTextSpec extends SparkSpec {
     assert(c(3L) == c(4L) && c(3L) == "https://site.org/p?q=2")
     assert(c(5L) == c(6L) && c(5L) == "http://h.io/x")
     assert(c(7L) == c(8L) && c(7L) == "http://h.io/X")
+    assert(c(9L) == c(10L) && c(9L) == "http://h.io?q=1")
+    assert(c(11L) == c(12L) && c(11L) == "http://h.io")
+    assert(c(13L) == "http://h.io/blog/utm_source=abc/post?q=1")
+    assert(c(14L) == c(15L) && c(14L) == "http://h.io/p?ref=3")
+    assert(c(16L) == "http://h.io/p?xutm_source=1")
   }
 
   test("canonicalizeUrl is idempotent over randomized noise combinations") {
