@@ -472,6 +472,45 @@ object ScaleProbe {
       graft.search.GraphExplore.connections(docs, "doc_id", "text",
         Seq("spark", "agg", "scan", "merge", "window"), minDocCount = 3).count()
     }
+    time("tpch_q18_10x") {
+      // the agg-driven semi-join: qualifying orders from one
+      // partial-agg HAVING pass over lineitem, broadcast into the
+      // left-semi prune; customer/orders replicated in lockstep so
+      // join keys align across the union branches
+      val o = times(Tables.load(spark, sfDir, "orders"), "o_orderkey", 100000000L)
+      val big = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("_qty"))
+        .where(col("_qty") > 300).select(col("l_orderkey"))
+      Tables.load(spark, sfDir, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"))
+        .join(li.join(big, Seq("l_orderkey"), "left_semi"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .count()
+    }
+    time("dedup_url_10x") {
+      // map-only codegen'd regex canonicalization + ONE exchange on
+      // the canonical key; URLs assembled from doc fields like the
+      // oracle-keyed entry (noise dims coprime to the key dims)
+      import graft.text.TextAnalysis
+      val id = col("doc_id")
+      val url = concat(
+        when(id % 7 < 3, lit("HTTP://WWW.Example.COM")).otherwise(lit("http://www.example.com")),
+        when(id % 11 === 0, lit(":80")).otherwise(lit("")),
+        lit("/"), col("source"), lit("/page"), (id % 60).cast("string"),
+        when(id % 13 === 0, lit("/")).otherwise(lit("")),
+        lit("?"),
+        when(id % 7 === 0, lit("utm_source=feed&")).otherwise(lit("")),
+        lit("ref="), (id % 4).cast("string"),
+        when(id % 17 === 0, lit("#frag")).otherwise(lit("")))
+      docs.select(id, TextAnalysis.canonicalizeUrl(url).as("u"))
+        .groupBy(col("u"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
+        .where(col("n") > 1)
+        .count()
+    }
     time("esql_cidr_10x") {
       // CIDR blocks fold to compile-time numeric range predicates over
       // the dotted-quad; cost is the scan + narrow string assembly
