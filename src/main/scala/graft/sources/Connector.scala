@@ -69,13 +69,19 @@ object Connector {
             // restore it here too, or a read issued between the crash
             // and the next write fails on a missing directory
             Connector.recoverSwap(spark, p)
-            Connector.resolveAlias(spark, p) match {
+            val (frame, concrete) = Connector.resolveAlias(spark, p) match {
               case Some((target, filter)) =>
                 Connector.recoverSwap(spark, target)
                 val t = spark.read.format(format).load(target)
-                filter.fold(t)(f => t.where(EsQuery.compile(f, idField)))
-              case None => spark.read.format(format).load(p)
+                (filter.fold(t)(f => t.where(EsQuery.compile(f, idField))), target)
+              case None => (spark.read.format(format).load(p), p)
             }
+            // per-part concrete index tag: ES metadata reports each
+            // hit's ACTUAL index (alias resolved), not the comma-list
+            // or pattern string the request was addressed at — the
+            // reindex-per-source-index pattern depends on that
+            if (readMetadata) frame.withColumn("__graft_src_index", lit(concrete))
+            else frame
           }
         // allow_no_indices=true (the ES default for wildcard
         // expressions): a pattern matching nothing yields zero hits,
@@ -84,7 +90,11 @@ object Connector {
         // — returned before query/projection, which could not resolve
         // against it anyway.
         if (parts.isEmpty) return spark.emptyDataFrame
-        val dfU = parts.reduce(_ unionByName _)
+        // allowMissingColumns: the WRITE path supports dynamic mapping
+        // (an upsert may add fields), so generations of one stream /
+        // indices under one pattern legitimately drift — ES serves
+        // such a search with nulls for the absent fields, so must we
+        val dfU = parts.reduce(_.unionByName(_, allowMissingColumns = true))
         // search-body form: {"runtime_mappings": {...}, "query": {...}}
         // — runtime fields project BEFORE the query, so the predicate
         // can reference them like mapped fields (ES semantics)
@@ -116,7 +126,11 @@ object Connector {
           }.distinct
         val df2 =
           if (fieldInclude.nonEmpty)
-            df1.select(expand(fieldInclude, df1, requireMatch = true).map(col): _*)
+            // the source-index tag is metadata, not _source: it rides
+            // through source filtering like ES's hit metadata does
+            df1.select((expand(fieldInclude, df1, requireMatch = true) ++
+              (if (readMetadata) Seq("__graft_src_index") else Nil))
+              .distinct.map(col): _*)
           else df1
         val df3 = expand(fieldExclude, df2).foldLeft(df2)(_ drop _)
         // es.read.metadata analog: surface _id/_index alongside the
@@ -126,7 +140,9 @@ object Connector {
         if (readMetadata) {
           require(df3.columns.contains(idField),
             s"readMetadata needs id column '$idField' in the result")
-          val withMeta = df3.withColumn("_id", col(idField)).withColumn("_index", lit(path))
+          val withMeta = df3.withColumn("_id", col(idField))
+            .withColumn("_index", col("__graft_src_index"))
+            .drop("__graft_src_index")
           val scoring = innerQuery.map(_.trim).filter(_.startsWith("{"))
             .map(graft.dsl.QueryDslJson.scoringClauses).getOrElse(Nil)
           if (scoring.isEmpty) withMeta
@@ -240,7 +256,7 @@ object Connector {
     * the alias (see `save`) then land in the new generation while
     * pattern reads (`idx-*`) keep seeing every generation. */
   def rollover(spark: SparkSession, aliasPath: String, maxDocs: Long): Boolean = {
-    val (target, _) = resolveAlias(spark, aliasPath).getOrElse(
+    val (target, aliasFilter) = resolveAlias(spark, aliasPath).getOrElse(
       throw new IllegalArgumentException(s"rollover target is not an alias: $aliasPath"))
     recoverSwap(spark, target)
     val current = spark.read.parquet(target)
@@ -257,7 +273,10 @@ object Connector {
     spark.createDataFrame(
       java.util.Collections.emptyList[org.apache.spark.sql.Row](), current.schema)
       .write.mode("overwrite").parquet(next)
-    putAlias(spark, aliasPath, next)
+    // the repoint must CARRY the alias's filter — a filtered alias
+    // that silently widens to all-rows after its first rollover is
+    // the wrong-results bug class, not an ergonomic nit
+    putAlias(spark, aliasPath, next, aliasFilter.orNull)
     true
   }
 
@@ -321,6 +340,11 @@ object Connector {
           s"dynamic index pattern '$pattern' resolved to NULL for some rows")
         require(t.nonEmpty,
           s"dynamic index pattern '$pattern' resolved to an EMPTY name for some rows")
+        // an unescaped field value can carry path syntax ("video/mp4",
+        // "../x") — a resolved name must stay a SINGLE dir under root,
+        // the same character discipline ES imposes on index names
+        require(!t.contains("/") && !t.contains("\\") && t != "." && t != "..",
+          s"dynamic index pattern '$pattern' resolved to path-unsafe name '$t'")
       }
       for ((dir, t) <- targets) {
         // partition values are not stored in the slice files, so the
@@ -442,10 +466,12 @@ object Connector {
           throw new IllegalArgumentException("update write needs graft.mapping.id"))
         if (exists) {
           val existing = reader.load(path)
-          val updatable = shaped.join(
+          val updatable = dedupWithin(shaped, idCol, cfg).join(
             existing.select(col(idCol)), Seq(idCol), "left_semi")
+          // allowMissingColumns, same as the index op: an update batch
+          // may add fields (dynamic mapping) or omit index columns
           val unioned = existing.withColumn("_src", lit(0)).unionByName(
-            updatable.withColumn("_src", lit(1)))
+            updatable.withColumn("_src", lit(1)), allowMissingColumns = true)
           // external versioning applies to update exactly as to index:
           // a stale-versioned update must not clobber a newer document
           val merged = cfg.get("graft.mapping.version") match {
@@ -477,11 +503,16 @@ object Connector {
         } else {
           val existing = reader.load(path)
           // incoming rows outrank existing on id conflict (bulk order);
-          // with a version column, the higher version wins instead
+          // with a version column, the higher version wins instead.
+          // In-batch duplicates resolve FIRST via dedupWithin (arrival
+          // order / version) — resolving them through the merge's
+          // (_src) key would tie two incoming rows on the identical
+          // key and let max_by keep an arbitrary one per run.
           // allowMissingColumns = ES dynamic mapping: a shaped may add
           // fields (or omit existing ones); absent fields become null
           val unioned = existing.withColumn("_src", lit(0)).unionByName(
-            shaped.withColumn("_src", lit(1)), allowMissingColumns = true)
+            dedupWithin(shaped, idCol, cfg).withColumn("_src", lit(1)),
+            allowMissingColumns = true)
           val merged = cfg.get("graft.mapping.version") match {
             case Some(v) => resolve(unioned, idCol, col(v), col("_src"))
             case None => resolve(unioned, idCol, col("_src"), col("_src"))
@@ -601,9 +632,13 @@ object Connector {
       recoverSwap(spark, live)
     }
     val hits = glob(p)
-      // swap machinery leftovers are not indices
-      .filterNot(pp => pp.getName.endsWith("_graft_old") ||
-        pp.getName.endsWith("_graft_tmp"))
+      // "_graft_" is the reserved machinery infix (same rule as
+      // catCount): _graft_old/_graft_tmp swap leftovers, but ALSO
+      // _graft_pits manifests, _graft_retired_<uuid> generations
+      // pinned by open PITs, and a crash-leaked _graft_dynspool —
+      // a pattern read that unions a retired generation returns
+      // every pre-swap doc twice, and the pits dir isn't parquet
+      .filterNot(_.getName.contains("_graft_"))
       .map(_.toString).sorted
     // allow_no_indices: unmatched wildcard = empty expansion (only
     // literal names 404, and those never reach the glob branch)
@@ -641,8 +676,9 @@ object Connector {
     import spark.implicits._
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dirs = fs.listStatus(new Path(root)).filter(_.isDirectory)
-      .map(_.getPath).filterNot(_.getName.endsWith("_graft_tmp"))
-      .filterNot(_.getName.endsWith("_graft_old"))
+      // the full "_graft_" machinery rule (same as catCount): pits
+      // manifests, retired generations and spool dirs are not indices
+      .map(_.getPath).filterNot(_.getName.contains("_graft_"))
     val rows = dirs.map { p =>
       val files = fs.listStatus(p).filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
       val docs =
@@ -661,8 +697,8 @@ object Connector {
     import spark.implicits._
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dirs = fs.listStatus(new Path(root)).filter(_.isDirectory)
-      .map(_.getPath).filterNot(_.getName.endsWith("_graft_tmp"))
-      .filterNot(_.getName.endsWith("_graft_old"))
+      // same "_graft_" machinery rule as catCount/catIndices
+      .map(_.getPath).filterNot(_.getName.contains("_graft_"))
     dirs.flatMap { p =>
       fs.listStatus(p)
         .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
@@ -787,10 +823,26 @@ object Connector {
     * segments should be evenly sized, and coalesce would chain the
     * skew of whatever partitions happened to exist. Crash-safe via the
     * same directory swap as `save`. */
+  /** Alias transparency for by-query/maintenance ops, mirroring ES:
+    * an op addressed at an alias runs against its current target, and
+    * the alias FILTER (when present) bounds which documents the op
+    * may touch — a delete_by_query through a tenant-filtered alias
+    * must never delete another tenant's docs. */
+  private def resolveOpTarget(
+      spark: SparkSession, path: String,
+      idField: String): (String, Option[Column]) =
+    resolveAlias(spark, path) match {
+      case Some((target, f)) => (target, f.map(EsQuery.compile(_, idField)))
+      case None => (path, None)
+    }
+
   def forceMerge(
-      spark: SparkSession, path: String, maxSegments: Int,
+      spark: SparkSession, rawPath: String, maxSegments: Int,
       cfg: Map[String, String] = Map.empty): Unit = {
     require(maxSegments > 0, s"max segments must be positive: $maxSegments")
+    // a merge addressed at an alias compacts its current target
+    // (alias filters gate queries, not segment maintenance)
+    val (path, _) = resolveOpTarget(spark, rawPath, "_id")
     recoverSwap(spark, path)
     val fmt = cfg.getOrElse("graft.format", "parquet")
     val df = spark.read.format(fmt).load(path).repartition(maxSegments)
@@ -923,27 +975,30 @@ object Connector {
     val tmp = new Path(targetPath + "_graft_tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, tmp, false, conf)
-    val live = new Path(targetPath)
-    if (fs.exists(live)) {
-      val old = new Path(targetPath + "_graft_old")
-      if (fs.exists(old)) fs.delete(old, true)
-      fs.rename(live, old)
-      fs.rename(tmp, live)
-      fs.delete(old, true)
-    } else fs.rename(tmp, live)
+    // the STANDARD swap, not a hand-rolled rename dance: swapIn
+    // retires (not deletes) a displaced generation an open PIT still
+    // pins, stamps the restored generation's identity marker, and
+    // refreshes Spark's file-status cache for the target path — the
+    // hand-rolled version silently broke all three
+    implicit val s: SparkSession = spark
+    swapIn(fs, new Path(targetPath), tmp)
   }
 
   def updateByQuery(
       spark: SparkSession,
-      path: String,
+      rawPath: String,
       query: String,
       set: Map[String, org.apache.spark.sql.Column],
       cfg: Map[String, String] = Map.empty): Unit = {
     val fmt = cfg.getOrElse("graft.format", "parquet")
     val idField = cfg.getOrElse("graft.mapping.id", "_id")
+    // alias transparency: run against the target, and AND the alias
+    // filter into the match predicate so only the alias's view updates
+    val (path, aliasPred) = resolveOpTarget(spark, rawPath, idField)
     recoverSwap(spark, path)
     val existing = spark.read.format(fmt).load(path)
-    val pred = EsQuery.compile(query, idField)
+    val basePred = EsQuery.compile(query, idField)
+    val pred = aliasPred.fold(basePred)(a => a && basePred)
     // ES update_by_query evaluates the query ONCE against the original
     // docs. Sequential withColumn folds would re-resolve the predicate
     // (and later set expressions) against already-updated columns —
@@ -1024,16 +1079,21 @@ object Connector {
     * query. Same one-pass swap shape as updateByQuery. */
   def deleteByQuery(
       spark: SparkSession,
-      path: String,
+      rawPath: String,
       query: String,
       cfg: Map[String, String] = Map.empty): Unit = {
     val fmt = cfg.getOrElse("graft.format", "parquet")
     val idField = cfg.getOrElse("graft.mapping.id", "_id")
+    // alias transparency: only docs INSIDE the alias's filtered view
+    // are deletable — another tenant's docs must survive untouched
+    val (path, aliasPred) = resolveOpTarget(spark, rawPath, idField)
     recoverSwap(spark, path)
     // NULL-safe negation: a predicate that evaluates NULL (e.g. a term
     // over a null field) must KEEP the doc, not delete it
+    val basePred = EsQuery.compile(query, idField)
+    val delPred = aliasPred.fold(basePred)(a => a && basePred)
     val remaining = spark.read.format(fmt).load(path)
-      .where(!coalesce(EsQuery.compile(query, idField), lit(false)))
+      .where(!coalesce(delPred, lit(false)))
     writeSwapped(spark, path, remaining, cfg)
   }
 
@@ -1365,7 +1425,11 @@ object Connector {
     * delivers first). */
   private def dedupWithin(df: DataFrame, idCol: String, cfg: Map[String, String]): DataFrame =
     cfg.get("graft.mapping.version") match {
-      case Some(v) => resolve(df, idCol, col(v), col(v))
+      // arrival order breaks version TIES too — two in-batch rows with
+      // the same id and version must resolve the same way on every run
+      case Some(v) =>
+        resolve(df.withColumn("_ord", monotonically_increasing_id()),
+          idCol, col(v), col("_ord")).drop("_ord")
       case None =>
         resolve(df.withColumn("_ord", monotonically_increasing_id()),
           idCol, col("_ord"), col("_ord")).drop("_ord")
