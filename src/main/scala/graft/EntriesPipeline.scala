@@ -433,7 +433,7 @@ private[graft] object EntriesPipeline {
   val oracleSql: Map[String, String] = Map(
     // ---- F ----
     "q_dedup_exact" -> ("SELECT md5(props) AS content_hash, count(*)::BIGINT AS n_dups, min(event_id) AS keep_id " +
-      "FROM events GROUP BY 1 HAVING count(*) >= 2 ORDER BY keep_id"),
+      "FROM events WHERE props IS NOT NULL GROUP BY 1 HAVING count(*) >= 2 ORDER BY keep_id"),
     "q_dedup_minhash" -> (TokCte + MinhashCtes +
       " SELECT id1, id2, jaccard FROM vp ORDER BY id1, id2"),
     // connected components over vp: recursive reachable-min label
@@ -477,9 +477,9 @@ private[graft] object EntriesPipeline {
       "round(matched_ngrams / total_ngrams::DOUBLE, 6) AS contamination_rate " +
       "FROM hits WHERE matched_ngrams > 0 " +
       "ORDER BY contamination_rate DESC, doc_id"),
-    "q_dedup_bloom" -> ("WITH seen AS (SELECT DISTINCT substring(md5(text), 1, 15) AS h " +
+    "q_dedup_bloom" -> ("WITH seen AS (SELECT DISTINCT md5(text) AS h " +
       "FROM documents WHERE doc_id < 300), " +
-      "b AS (SELECT doc_id, substring(md5(text), 1, 15) AS h FROM documents WHERE doc_id >= 200) " +
+      "b AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 200) " +
       "SELECT doc_id FROM b WHERE h NOT IN (SELECT h FROM seen) ORDER BY doc_id"),
     "q_mix_sample" -> ("WITH c AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source), " +
       "mn AS (SELECT min(n_docs) AS n_min FROM c), " +
@@ -506,7 +506,7 @@ private[graft] object EntriesPipeline {
       "cl AS (SELECT doc_id, list_filter(ls, y -> NOT list_contains(bl, y)) AS kept " +
       "FROM l CROSS JOIN bpl) " +
       "SELECT doc_id, len(kept)::BIGINT AS n_lines, md5(array_to_string(kept, chr(10))) AS h " +
-      "FROM cl WHERE len(kept) > 0 ORDER BY doc_id"),
+      "FROM cl ORDER BY doc_id"),
     "q_dedup_simhash" -> ("WITH tok AS (SELECT doc_id, list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS toks FROM documents), " +
       "md AS (SELECT doc_id, list_transform(toks, t -> md5(t)) AS md5s FROM tok), " +
       "bits AS (SELECT doc_id, list_transform(range(0, 64), j -> CASE WHEN " +

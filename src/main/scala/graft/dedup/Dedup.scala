@@ -36,15 +36,16 @@ object Dedup {
     * (n_dups >= 2). */
   def exactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
+      // null texts are UNKNOWN content, not mutually identical — a
+      // null-keyed group would report them as one duplicate set
+      .where(col(textCol).isNotNull)
       .groupBy(md5(col(textCol)).as("content_hash"))
       .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keep_id"))
       .where(col("n_dups") >= 2)
       .orderBy(col("keep_id").asc)
 
-  /** 2^61-1 (Mersenne prime) — the minhash modulus. Base hashes are
-    * 48-bit and multipliers < 2^14, so a*h + b stays under 2^63: no
-    * overflow in either engine. */
-  private val P = 2305843009213693951L
+  // The minhash modulus (2^61-1) lives with the kernel that uses it:
+  // graft.expr.HashKernels.P — one constant, one owner, no drift.
 
   /** Per-seed min-hash signature: h_i = (a_i*h + b_i) mod P minima over
     * shingles — computed by the native MinHashSig Catalyst expression
@@ -112,14 +113,21 @@ object Dedup {
       threshold: Double = 0.8,
       numHashes: Int = 32,
       bands: Int = 8): DataFrame = {
+    require(bands >= 1 && numHashes % bands == 0,
+      s"bands must divide numHashes evenly: numHashes=$numHashes bands=$bands " +
+        "(a non-divisor silently truncates the signature; bands > numHashes " +
+        "degenerates every band key to the band index = all-pairs cross join)")
     val rowsPerBand = numHashes / bands
     // A single small parquet file arrives as ONE partition; shingling is
     // the expensive narrow stage, so spread it across the cluster first
-    // (the text is tiny relative to the compute). Cache the result: it
-    // feeds three branches (banding + both verify sides). At 100 TB:
+    // (the text is tiny relative to the compute) — but ONLY when the
+    // input is under-partitioned: re-shuffling an already-wide 100 TB
+    // corpus's text would itself be the bottleneck. Cache the result:
+    // it feeds three branches (banding + both verify sides). At 100 TB:
     // checkpoint to parquet instead of memory cache.
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    val sh = docs.repartition(par).select(
+    val spread = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    val sh = spread.select(
       col(idCol).as("id"),
       Analyzer.shingles(Analyzer.tokens(col(textCol))).as("sh"))
       .where(size(col("sh")) > 0)
@@ -206,7 +214,8 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4x16-bit bands only guarantee recall for hamming <= 3")
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    val sig = docs.repartition(par)
+    val spread = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    val sig = spread
       .select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
 
     // cache + eager: both self-join sides read the banded frame; left
@@ -337,7 +346,11 @@ object Dedup {
       .groupBy(col("cluster_id"))
       .agg(
         count(lit(1)).as("members"),
-        max_by(col("doc_id"), struct(col("_q"), -col("doc_id"))).as("canonical_id"),
+        // min_by over (-quality, id): highest quality wins, ties go to
+        // the LOWEST id — and the id rides in the ORDER struct, so the
+        // rule stays deterministic for STRING ids too (a unary minus
+        // on a string id casts to null and let max_by pick arbitrarily)
+        min_by(col("doc_id"), struct(-col("_q"), col("doc_id"))).as("canonical_id"),
         max(col("_q")).as("best_quality"))
       .orderBy(col("cluster_id"))
 
@@ -388,7 +401,13 @@ object Dedup {
   def bloomScreenNew(batch: DataFrame, seen: DataFrame,
       idCol: String, textCol: String,
       expectedSeen: Long = 1000000L, fpp: Double = 0.03): DataFrame = {
-    val hash = conv(substring(md5(col(textCol)), 1, 15), 16, 10).cast("long")
+    // the BLOOM keys on a 60-bit truncation (the filter wants a long);
+    // the CONFIRMING join uses the FULL md5 — at billions of docs the
+    // expected 60-bit cross-text collisions are non-negligible, and a
+    // collision at the confirm step would silently drop a genuinely
+    // new document, breaking the OUTPUT IS EXACT contract
+    val fullHash = md5(col(textCol))
+    val hash = conv(substring(fullHash, 1, 15), 16, 10).cast("long")
     val seenH = seen.select(hash.as("h"))
     val filter = seenH.stat.bloomFilter("h", math.max(expectedSeen, 1000L), fpp)
     // broadcast, not a plan literal: the bit array is MBs and a plan
@@ -408,8 +427,8 @@ object Dedup {
     // cache(): it materializes once AND releases with the plan — a
     // cache() here leaked executor storage for the session lifetime.
     val confirmed = candidates
-      .join(seenH.distinct().withColumnRenamed("h", "_sh"),
-        hash === col("_sh"), "left_semi")
+      .join(seen.select(fullHash.as("_sh")).distinct(),
+        fullHash === col("_sh"), "left_semi")
       .select(col(idCol).as("doc_id"))
       .localCheckpoint(true)
     batch.select(col(idCol).as("doc_id"))
@@ -422,7 +441,8 @@ object Dedup {
     * the subset isn't small. Returns top-k pairs by similarity. */
   def ngramJaccardTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    val sh = docs.repartition(par).select(
+    val spread = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    val sh = spread.select(
       col(idCol).as("id"),
       Analyzer.shingles(Analyzer.tokens(col(textCol))).as("sh"))
       .where(size(col("sh")) > 0)
@@ -473,10 +493,17 @@ object Dedup {
       dim: Int,
       tables: Int = 4,
       planes: Int = 8): DataFrame = {
+    // cache + eager, same discipline as minhash/simhash banding: the
+    // bucket self-join's two sides would otherwise EACH re-run the
+    // tables*planes SRP kernel, and the two verify joins would each
+    // rescan + recast the embedding column
     val e = emb.select(
       col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .cache()
     val buckets = e.select(col("id"),
       explode(graft.sim.Ann.tableBuckets(col("v"), dim, tables, planes)).as("bucket"))
+      .cache()
+    buckets.count()
     val cand = buckets.as("a")
       .join(buckets.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
@@ -522,8 +549,10 @@ object Dedup {
     * the corpus itself never reshuffles for the removal. Reassembly is
     * one groupBy(id) carrying (pos, line) pairs.
     *
-    * Output: (id, n_lines kept, text_clean). Blank lines are never
-    * counted as boilerplate but are preserved in the reassembly. */
+    * Output: (id, n_lines kept, text_clean) — ONE row per input doc;
+    * a doc whose every line was boilerplate comes back as (id, 0, "")
+    * rather than vanishing. Blank lines are never counted as
+    * boilerplate but are preserved in the reassembly. */
   def dedupLines(
       docs: DataFrame, idCol: String, textCol: String, maxDocs: Int): DataFrame = {
     val lines = docs.select(
@@ -535,7 +564,7 @@ object Dedup {
       .agg(countDistinct(col(idCol)).as("nd"))
       .where(col("nd") > maxDocs)
       .select(col("line"))
-    lines
+    val kept = lines
       .join(broadcast(boilerplate), Seq("line"), "left_anti")
       .groupBy(col(idCol))
       .agg(
@@ -543,6 +572,13 @@ object Dedup {
         array_join(
           transform(array_sort(collect_list(struct(col("pos"), col("line")))),
             s => s.getField("line")), "\n").as("text_clean"))
+    // a document whose EVERY line was boilerplate must still come back
+    // — as (id, 0, "") — or downstream joins silently lose it (or keep
+    // its original dirty text); the anti-join left it with no rows
+    docs.select(col(idCol)).join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 
   /** Benchmark-contamination screen (training-data decontamination, the
@@ -564,7 +600,6 @@ object Dedup {
       idCol: String,
       textCol: String,
       n: Int = 13): DataFrame = {
-    import graft.analysis.Analyzer
     def sh(df: DataFrame) = df.select(
       col(idCol).as("doc_id"),
       explode(Analyzer.shingles(Analyzer.tokens(col(textCol)), n)).as("s"))
