@@ -1024,9 +1024,9 @@ private[graft] object EntriesDsl {
       "ORDER BY doc_id"),
     // (hash AND join) OR (phrase("merge batch") AND NOT slow)
     "q_simple_query_string" -> (TokCte + " SELECT doc_id FROM tok WHERE " +
-      "(list_contains(toks, 'hash') AND list_contains(toks, 'join')) OR " +
-      "(contains(' ' || array_to_string(toks, ' ') || ' ', ' merge batch ') " +
-      "AND NOT list_contains(toks, 'slow')) ORDER BY doc_id"),
+      "((list_contains(toks, 'hash') AND list_contains(toks, 'join')) OR " +
+      "contains(' ' || array_to_string(toks, ' ') || ' ', ' merge batch ')) " +
+      "AND NOT list_contains(toks, 'slow') ORDER BY doc_id"),
     "q_match_bool_prefix" -> (TokCte + " SELECT doc_id FROM tok WHERE " +
       "list_contains(toks, 'merge') AND " +
       "contains(' ' || array_to_string(toks, ' ') || ' ', ' bat') ORDER BY doc_id"),
@@ -1306,7 +1306,7 @@ private[graft] object EntriesDsl {
       "FROM tok WHERE (list_contains(toks, 'fast')::INT + list_contains(toks, 'hash')::INT + list_contains(toks, 'join')::INT) - 1 > 0), " +
       "j AS (SELECT rk.rank, rt.rating FROM rk LEFT JOIN rt USING (id)) " +
       "SELECT 1::BIGINT AS query_id, " +
-      "round(sum(CASE WHEN rating > 0 THEN 1.0 ELSE 0.0 END) / 10, 4) AS precision_k, " +
+      "round(sum(CASE WHEN rating > 0 THEN 1.0 ELSE 0.0 END) / count(*), 4) AS precision_k, " +
       "round(coalesce(1.0 / min(CASE WHEN rating > 0 THEN rank END), 0.0), 4) AS mrr, " +
       "round(sum(CASE WHEN rating > 0 THEN (pow(2.0, rating) - 1.0) / (ln(rank + 1.0) / ln(2.0)) ELSE 0.0 END), 4) AS dcg_k, " +
       "round(sum(CASE WHEN rating > 0 THEN 1 ELSE 0 END)::DOUBLE / (SELECT count(*) FROM rt), 4) AS recall_k " +

@@ -402,8 +402,11 @@ private[graft] object EntriesFulltext {
     "q_constant_score" -> ("SELECT doc_id AS id, CAST(1.2 AS DOUBLE) AS score FROM documents " +
       "WHERE lang = 'fr' AND n_chars > 300 ORDER BY id"),
     "q_pinned" -> (TokCte + bm25Ctes("", "tok", Seq("fast", "hash", "join")) +
+      ", au AS (SELECT id, score FROM sc UNION ALL " +
+      "SELECT doc_id AS id, 0.0 AS score FROM documents " +
+      "WHERE doc_id IN (7, 11) AND doc_id NOT IN (SELECT id FROM sc)) " +
       " SELECT id, score, (CASE WHEN id = 7 THEN 0 WHEN id = 11 THEN 1 ELSE 2147483647 END) < 2147483647 AS pinned " +
-      "FROM sc ORDER BY CASE WHEN id = 7 THEN 0 WHEN id = 11 THEN 1 ELSE 2147483647 END, score DESC, id LIMIT 10"),
+      "FROM au ORDER BY CASE WHEN id = 7 THEN 0 WHEN id = 11 THEN 1 ELSE 2147483647 END, score DESC, id LIMIT 10"),
     "q_boosting" -> (TokCte + bm25Ctes("", "tok", Seq("fast", "hash", "join")) +
       " SELECT sc.id, round(sc.score * CASE WHEN d.lang = 'de' THEN 0.5 ELSE 1.0 END, 4) AS score " +
       "FROM sc JOIN documents d ON d.doc_id = sc.id ORDER BY score DESC, id LIMIT 10"),
@@ -467,7 +470,7 @@ private[graft] object EntriesFulltext {
       "WHERE token <> 'joins' AND levenshtein(token, 'joins') <= 1 AND freq > input_freq " +
       "ORDER BY freq DESC, token LIMIT 5"),
     "q_suggest" -> (TokCte + " SELECT token, count(*)::BIGINT AS freq FROM " +
-      "(SELECT unnest(toks) AS token FROM tok) GROUP BY token " +
+      "(SELECT unnest(list_distinct(toks)) AS token FROM tok) GROUP BY token " +
       "HAVING token <> 'spak' AND levenshtein(token, 'spak') <= 2 " +
       "ORDER BY freq DESC, token LIMIT 5"),
     "q_suggest_missing" -> (TokCte + ", v AS (SELECT token, count(*)::BIGINT AS freq FROM " +
@@ -476,8 +479,8 @@ private[graft] object EntriesFulltext {
       "SELECT token, freq FROM v CROSS JOIN inp " +
       "WHERE token <> 'spar' AND levenshtein(token, 'spar') <= 1 AND input_freq = 0 " +
       "ORDER BY freq DESC, token LIMIT 5"),
-    "q_highlight" -> ("SELECT doc_id AS id, replace(regexp_extract(lower(text), " +
-      "'([a-z0-9]+ ){0,3}merge( [a-z0-9]+){0,3}'), 'merge', '<em>merge</em>') AS snippet " +
+    "q_highlight" -> ("SELECT doc_id AS id, regexp_replace(regexp_extract(lower(text), " +
+      "'([a-z0-9]+ ){0,3}\\bmerge\\b( [a-z0-9]+){0,3}'), '\\bmerge\\b', '<em>merge</em>', 'g') AS snippet " +
       "FROM documents WHERE list_contains(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), " +
       "x -> len(x) > 0), 'merge') ORDER BY id LIMIT 20"),
 

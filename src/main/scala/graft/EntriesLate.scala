@@ -419,9 +419,12 @@ private[graft] object EntriesLate {
       "GROUP BY 1, 2 HAVING count(*) >= 3 " +
       "ORDER BY doc_count DESC, source, target"),
     "q_retriever_rule" -> (TokCte + bm25Ctes("", "tok", Seq("fast", "hash", "join")) +
-      ", r AS (SELECT id, score, " +
+      ", au AS (SELECT id, score FROM sc UNION ALL " +
+      "SELECT doc_id AS id, 0.0 AS score FROM documents " +
+      "WHERE doc_id IN (42, 7) AND doc_id NOT IN (SELECT id FROM sc)), " +
+      "r AS (SELECT id, score, " +
       "CASE WHEN id = 42 THEN 0 WHEN id = 7 THEN 1 ELSE 2147483647 END AS pin_rank " +
-      "FROM sc WHERE id NOT IN (11, 13)) " +
+      "FROM au WHERE id NOT IN (11, 13)) " +
       "SELECT id, score, pin_rank < 2147483647 AS pinned FROM r " +
       "ORDER BY pin_rank, score DESC, id LIMIT 10"),
     "q_geo_grid_query" -> (GeoCte + ", b AS (SELECT c_custkey, lat, lon, " +
@@ -533,8 +536,8 @@ private[graft] object EntriesLate {
     "q_highlight_order" -> highlightOrderOracleSql(Seq("fast", "hash", "join"), 2),
     "q_highlight_fragments" -> (TokCte +
       ", h AS (SELECT doc_id, " +
-      "replace(regexp_extract(lower(text), '([a-z0-9]+ ){0,3}fast( [a-z0-9]+){0,3}'), 'fast', '<em>fast</em>') AS f1, " +
-      "replace(regexp_extract(lower(text), '([a-z0-9]+ ){0,3}hash( [a-z0-9]+){0,3}'), 'hash', '<em>hash</em>') AS f2 " +
+      "regexp_replace(regexp_extract(lower(text), '([a-z0-9]+ ){0,3}\\bfast\\b( [a-z0-9]+){0,3}'), '\\bfast\\b', '<em>fast</em>', 'g') AS f1, " +
+      "regexp_replace(regexp_extract(lower(text), '([a-z0-9]+ ){0,3}\\bhash\\b( [a-z0-9]+){0,3}'), '\\bhash\\b', '<em>hash</em>', 'g') AS f2 " +
       "FROM documents JOIN tok USING (doc_id) WHERE list_has_any(toks, ['fast','hash'])) " +
       "SELECT doc_id AS id, array_to_string(list_filter([f1, f2], x -> x != '')[1:2], ' ... ') AS snippet " +
       "FROM h ORDER BY id")

@@ -222,8 +222,8 @@ private[graft] object EntryShared {
       s"sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END)::DOUBLE AS df_$t").mkString(", ")
     def idf(u: String) = s"ln(1.0 + (n_docs - df_$u + 0.5) / (df_$u + 0.5))"
     val fragCols = terms.map(t =>
-      s"replace(regexp_extract(lower(text), '([a-z0-9]+ ){0,3}$t( [a-z0-9]+){0,3}'), " +
-        s"'$t', '<em>$t</em>') AS f_$t").mkString(", ")
+      s"regexp_replace(regexp_extract(lower(text), '([a-z0-9]+ ){0,3}\\b$t\\b( [a-z0-9]+){0,3}'), " +
+        s"'\\b$t\\b', '<em>$t</em>', 'g') AS f_$t").mkString(", ")
     def score(t: String) = terms.map(u =>
       s"(CASE WHEN list_contains(string_split(regexp_replace(f_$t, '</?em>', '', 'g'), ' '), '$u') " +
         s"THEN ${idf(u)} ELSE 0.0 END)").mkString(" + ")

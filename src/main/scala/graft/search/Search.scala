@@ -138,10 +138,16 @@ object Search {
         val n = msm.toInt
         if (n >= 0) n else q.size + n
       }
-    val t = math.max(1, math.min(threshold, q.size))
-    val toks = Analyzer.tokens(field)
-    val matched = q.map(term => when(array_contains(toks, term), 1).otherwise(0)).reduce(_ + _)
-    matched >= t
+    // an msm larger than the optional-clause count is UNSATISFIABLE:
+    // Lucene matches zero docs, so must we (the old clamp silently
+    // rewrote "3 of 2 terms" into "2 of 2")
+    if (threshold > q.size) lit(false)
+    else {
+      val t = math.max(1, threshold)
+      val toks = Analyzer.tokens(field)
+      val matched = q.map(term => when(array_contains(toks, term), 1).otherwise(0)).reduce(_ + _)
+      matched >= t
+    }
   }
 
   /** `match` through a configurable analysis chain (ES analyzer with
@@ -306,12 +312,21 @@ object Search {
         Analyzer.analyze(w) match {
           case Seq() => lit(false)
           case terms =>
-            val term = terms.head // a word lexes to one token
+            // a punctuated word ("hash-join", "v1.2*") analyzes to
+            // SEVERAL tokens — the doc must contain ALL of them (the
+            // analyzer-expansion form of the word), with only the LAST
+            // carrying the prefix semantics when the word ends in '*'.
+            // Keeping terms.head alone silently dropped requirements.
             fields.map { f =>
-              if (pfx)
-                concat(lit(" "), concat_ws(" ", Analyzer.tokens(f)), lit(" "))
-                  .contains(" " + term)
-              else array_contains(Analyzer.tokens(f), term)
+              val fToks = Analyzer.tokens(f)
+              val exact = (if (pfx) terms.init else terms)
+                .map(t => array_contains(fToks, t))
+              val prefixed =
+                if (pfx)
+                  Seq(concat(lit(" "), concat_ws(" ", fToks), lit(" "))
+                    .contains(" " + terms.last))
+                else Nil
+              (exact ++ prefixed).reduce(_ && _)
             }.reduce(_ || _)
         }
       case _ => lit(false)
@@ -320,39 +335,59 @@ object Search {
     def peek: Option[SqsTok] = toks.headOption
     def next(): SqsTok = { val h = toks.head; toks = toks.tail; h }
 
-    def parseUnary(): Column = peek match {
+    // Lucene's SimpleQueryParser builds ONE BooleanQuery per paren
+    // level: '-' clauses are MUST_NOT on that level, conjoined over
+    // the level's positive structure REGARDLESS of the surrounding
+    // AND/OR — and a level with only MUST_NOT clauses matches
+    // NOTHING. Carrying negatives as ordinary operands compiled
+    // "a | -b" to a || !b (nearly the whole corpus) instead of
+    // a AND NOT b, and bare "-b" to the complement of b.
+    case class Lvl(pos: Option[Column], negs: List[Column])
+    def finish(l: Lvl): Column = l.pos match {
+      case Some(p) => l.negs.foldLeft(p)((e, n) => e && !coalesce(n, lit(false)))
+      case None => lit(false) // pure-negative (or empty) level: no hits
+    }
+    def comb(x: Lvl, y: Lvl, f: (Column, Column) => Column): Lvl =
+      Lvl((x.pos, y.pos) match {
+        case (Some(a), Some(b)) => Some(f(a, b))
+        case (a, b) => a.orElse(b)
+      }, x.negs ++ y.negs)
+
+    def parseUnary(): Lvl = peek match {
       case Some(SqsNot) =>
         next()
         peek match {
-          // negation needs a real operand; a dangling '-' is a no-op
-          // leaf (false), NOT the negation of nothing (all docs)
+          // negation needs a real operand; a dangling '-' is a no-op,
+          // NOT the negation of nothing (all docs)
           case Some(_: SqsWord) | Some(_: SqsPhrase) | Some(SqsOpen) =>
-            !coalesce(parseUnary(), lit(false))
-          case _ => lit(false)
+            Lvl(None, List(finish(parseUnary())))
+          case _ => Lvl(None, Nil)
         }
       case Some(SqsOpen) =>
         next()
         val e = parseOr()
         if (peek.contains(SqsClose)) next()
-        e
-      case Some(_: SqsWord) | Some(_: SqsPhrase) => leaf(next())
-      // dangling operator / close: lenient no-op leaf
-      case _ => if (toks.nonEmpty) next(); lit(false)
+        // a group resolves ITS negatives inside, then joins the outer
+        // level as one positive operand (its own boolean-query level)
+        Lvl(Some(finish(e)), Nil)
+      case Some(_: SqsWord) | Some(_: SqsPhrase) => Lvl(Some(leaf(next())), Nil)
+      // dangling operator / close: lenient no-op
+      case _ => if (toks.nonEmpty) next(); Lvl(None, Nil)
     }
 
-    def parseAnd(): Column = {
+    def parseAnd(): Lvl = {
       var e = parseUnary()
-      while (peek.contains(SqsAnd)) { next(); e = e && parseUnary() }
+      while (peek.contains(SqsAnd)) { next(); e = comb(e, parseUnary(), _ && _) }
       e
     }
 
-    def parseOr(): Column = {
+    def parseOr(): Lvl = {
       var e = parseAnd()
-      while (peek.contains(SqsOr)) { next(); e = e || parseAnd() }
+      while (peek.contains(SqsOr)) { next(); e = comb(e, parseAnd(), _ || _) }
       e
     }
 
-    val compiled = parseOr()
+    val compiled = finish(parseOr())
     // drain any trailing garbage (unbalanced closes) — leniency again
     while (toks.nonEmpty) next()
     compiled
@@ -365,7 +400,16 @@ object Search {
     * codegen'd. */
   def termsSet(field: Column, terms: Seq[String], minimumShouldMatch: Column): Column =
     size(array_intersect(Analyzer.termSet(field),
-      array(terms.map(t => lit(Analyzer.analyze(t).head)): _*))) >= minimumShouldMatch
+      array(terms.map { t =>
+        // loud single-token contract: a zero-token term would crash
+        // with a bare NoSuchElementException, and a multi-token term
+        // ("hash-join") would silently drop its tail while msm still
+        // counts the full term — shifting the threshold semantics
+        val analyzed = Analyzer.analyze(t)
+        require(analyzed.length == 1,
+          s"terms_set terms must analyze to exactly one token: '$t' -> $analyzed")
+        lit(analyzed.head)
+      }: _*))) >= minimumShouldMatch
 
   /** `{"query_string": {"query": q, "fields": [...]}}` (simplified: the
     * analyzed-OR semantics across multiple fields). */
@@ -556,12 +600,31 @@ object Search {
       textCol: String,
       query: String,
       pinned: Seq[Long],
-      k: Int): DataFrame = {
-    val scored = bm25Scores(docs, idCol, textCol, query)
+      k: Int): DataFrame =
+    pinnedRanked(docs, idCol, bm25Scores(docs, idCol, textCol, query),
+      pinned, Nil, k)
+
+  /** Shared pin/exclude ranking over a scored frame — the body of
+    * `pinnedTopK` and `ruleTopK` (one implementation, two ES
+    * surfaces). ES promotes pinned docs EVEN when they match no query
+    * term: ids absent from the scored frame come back as zero-scored
+    * rows (a tiny isin corpus probe + anti join against the scored
+    * ids — never a corpus shuffle). */
+  private def pinnedRanked(
+      docs: DataFrame, idCol: String, scored: DataFrame,
+      pinned: Seq[Long], excluded: Seq[Long], k: Int): DataFrame = {
     val pinRank = pinned.zipWithIndex.foldLeft(when(lit(false), 0)) {
       case (acc, (id, i)) => acc.when(col("id") === id, i)
     }.otherwise(Int.MaxValue)
-    scored
+    val base = scored.select(col("id"), col("score"))
+    val all =
+      if (pinned.isEmpty) base
+      else base.unionByName(
+        docs.select(col(idCol).as("id")).where(col("id").isin(pinned: _*))
+          .join(base.select(col("id")), Seq("id"), "left_anti")
+          .withColumn("score", lit(0.0)))
+    all
+      .where(if (excluded.isEmpty) lit(true) else !col("id").isin(excluded: _*))
       .withColumn("pin_rank", pinRank)
       .orderBy(col("pin_rank").asc, col("score").desc, col("id").asc)
       .limit(k)
@@ -580,18 +643,9 @@ object Search {
       query: String,
       pinned: Seq[Long],
       excluded: Seq[Long],
-      k: Int): DataFrame = {
-    val scored = bm25Scores(docs, idCol, textCol, query)
-    val pinRank = pinned.zipWithIndex.foldLeft(when(lit(false), 0)) {
-      case (acc, (id, i)) => acc.when(col("id") === id, i)
-    }.otherwise(Int.MaxValue)
-    scored
-      .where(if (excluded.isEmpty) lit(true) else !col("id").isin(excluded: _*))
-      .withColumn("pin_rank", pinRank)
-      .orderBy(col("pin_rank").asc, col("score").desc, col("id").asc)
-      .limit(k)
-      .select(col("id"), col("score"), (col("pin_rank") < Int.MaxValue).as("pinned"))
-  }
+      k: Int): DataFrame =
+    pinnedRanked(docs, idCol, bm25Scores(docs, idCol, textCol, query),
+      pinned, excluded, k)
 
   /** `boosting`: positive relevance, demoted (not excluded) when the
     * negative clause matches — score x negativeBoost. */
@@ -722,7 +776,11 @@ object Search {
       docs: DataFrame, textCol: String, term: String,
       maxEdits: Int = 2, k: Int = 5): DataFrame =
     docs
-      .select(explode(graft.analysis.Analyzer.tokens(col(textCol))).as("token"))
+      // DOCUMENT frequencies (termSet = per-doc distinct tokens), the
+      // ES term-suggester ranking — total occurrences let a word
+      // repeated many times in ONE doc out-rank a widespread word
+      // (the rationale suggestMode already documents; same rule here)
+      .select(explode(graft.analysis.Analyzer.termSet(col(textCol))).as("token"))
       // length-band prune BELOW the vocabulary aggregation: an edit
       // distance <= maxEdits forces |len(token) - len(term)| <= maxEdits,
       // so both the partial-agg hash table and the exchange shrink from
@@ -1331,8 +1389,8 @@ object Search {
       .select(
         col(idCol).as("id"),
         regexp_replace(
-          regexp_extract(lower(col(textCol)), s"([a-z0-9]+ ){0,3}$quoted( [a-z0-9]+){0,3}", 0),
-          quoted, replacement).as("snippet"))
+          regexp_extract(lower(col(textCol)), s"([a-z0-9]+ ){0,3}\\b$quoted\\b( [a-z0-9]+){0,3}", 0),
+          s"\\b$quoted\\b", replacement).as("snippet"))
       .orderBy(col("id").asc)
   }
 
@@ -1354,8 +1412,8 @@ object Search {
       val repl = java.util.regex.Matcher.quoteReplacement(s"<em>$t</em>")
       regexp_replace(
         regexp_extract(lower(col(textCol)),
-          s"([a-z0-9]+ ){0,3}$quoted( [a-z0-9]+){0,3}", 0),
-        quoted, repl)
+          s"([a-z0-9]+ ){0,3}\\b$quoted\\b( [a-z0-9]+){0,3}", 0),
+        s"\\b$quoted\\b", repl)
     }
     docs.where(matchQuery(col(textCol), query))
       .select(col(idCol).as("id"),
@@ -1398,8 +1456,8 @@ object Search {
       val repl = java.util.regex.Matcher.quoteReplacement(s"<em>$t</em>")
       regexp_replace(
         regexp_extract(lower(col(textCol)),
-          s"([a-z0-9]+ ){0,3}$quoted( [a-z0-9]+){0,3}", 0),
-        quoted, repl).as(s"_f$i")
+          s"([a-z0-9]+ ){0,3}\\b$quoted\\b( [a-z0-9]+){0,3}", 0),
+        s"\\b$quoted\\b", repl).as(s"_f$i")
     }
     val fragStructs = terms.indices.map { i =>
       val frag = col(s"_f$i")
@@ -1626,7 +1684,11 @@ object Search {
     topK
       .groupBy(col("query_id"))
       .agg(
-        Num.round(sum(when(col("rel"), 1.0).otherwise(0.0)) / k, 4).as("precision_k"),
+        // precision = relevant_retrieved / RETRIEVED (ES divides by the
+        // rows actually in the top k, not by the constant k — a query
+        // returning fewer than k hits is not penalized for the gap)
+        Num.round(sum(when(col("rel"), 1.0).otherwise(0.0)) /
+          count(lit(1)).cast("double"), 4).as("precision_k"),
         // MRR: reciprocal of the FIRST relevant rank (0 when none)
         Num.round(coalesce(lit(1.0) /
           min(when(col("rel"), col("rank"))), lit(0.0)), 4).as("mrr"),

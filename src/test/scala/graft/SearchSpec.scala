@@ -114,6 +114,13 @@ class SearchSpec extends SparkSpec {
     assert(ids("(join | stream) + merge") == Set(2L))
     // lenient on dangling operators — no throw, no match explosion
     assert(ids("+ | -") == Set.empty)
+    // Lucene MUST_NOT semantics: a pure-negative query matches
+    // NOTHING (not the complement), and a negative clause conjoins
+    // over the whole level even under OR
+    assert(ids("-slow") == Set.empty)
+    assert(ids("join | -slow") == Set(1L))
+    // a punctuated word analyzes to several tokens — ALL required
+    assert(ids("hash-join") == Set(1L))
   }
 
   test("match_bool_prefix and combined_fields") {
