@@ -432,9 +432,9 @@ private[graft] object EntriesAggs {
       "SELECT bucket, doc_count, sum_v, avg_per_doc, serial_diff FROM p " +
       "WHERE avg_per_doc >= 250000.0 ORDER BY bucket"),
     "q_agg_percentile_ranks" -> ("SELECT " +
-      "round(count_if(l_extendedprice <= 1000.0)::DOUBLE / count(*)::DOUBLE * 100.0, 4) AS rank_1000_0, " +
-      "round(count_if(l_extendedprice <= 10000.0)::DOUBLE / count(*)::DOUBLE * 100.0, 4) AS rank_10000_0, " +
-      "round(count_if(l_extendedprice <= 50000.0)::DOUBLE / count(*)::DOUBLE * 100.0, 4) AS rank_50000_0 " +
+      "round(count_if(l_extendedprice <= 1000.0)::DOUBLE / count(l_extendedprice)::DOUBLE * 100.0, 4) AS rank_1000_0, " +
+      "round(count_if(l_extendedprice <= 10000.0)::DOUBLE / count(l_extendedprice)::DOUBLE * 100.0, 4) AS rank_10000_0, " +
+      "round(count_if(l_extendedprice <= 50000.0)::DOUBLE / count(l_extendedprice)::DOUBLE * 100.0, 4) AS rank_50000_0 " +
       "FROM lineitem"),
     "q_agg_multi_terms" -> ("SELECT lang, source, count(*)::BIGINT AS doc_count FROM documents " +
       "GROUP BY lang, source ORDER BY doc_count DESC, lang, source LIMIT 10"),
@@ -445,9 +445,12 @@ private[graft] object EntriesAggs {
       "SELECT spine.bucket, coalesce(c.n, 0)::BIGINT AS doc_count FROM spine LEFT JOIN c USING (bucket) ORDER BY bucket"),
     "q_terms_lookup" -> ("SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey IN " +
       "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY') ORDER BY o_orderkey"),
-    "q_agg_auto_date_histogram" -> ("WITH sp AS (SELECT date_diff('day', min(o_orderdate), max(o_orderdate)) AS days FROM orders), " +
-      "st AS (SELECT CASE WHEN days * 24 <= 20 THEN 'hour' WHEN days <= 20 THEN 'day' " +
-      "WHEN days / 31.0 <= 20 THEN 'month' ELSE 'year' END AS iv FROM sp), " +
+    "q_agg_auto_date_histogram" -> ("WITH sp AS (SELECT min(o_orderdate) AS mn, max(o_orderdate) AS mx FROM orders), " +
+      "st AS (SELECT CASE " +
+      "WHEN date_diff('hour', date_trunc('hour', mn), date_trunc('hour', mx)) + 1 <= 20 THEN 'hour' " +
+      "WHEN date_diff('day', date_trunc('day', mn), date_trunc('day', mx)) + 1 <= 20 THEN 'day' " +
+      "WHEN date_diff('month', date_trunc('month', mn), date_trunc('month', mx)) + 1 <= 20 THEN 'month' " +
+      "ELSE 'year' END AS iv FROM sp), " +
       "b AS (SELECT iv, CASE iv WHEN 'hour' THEN strftime(date_trunc('hour', o_orderdate), '%Y-%m-%d %H:%M:%S') " +
       "WHEN 'day' THEN strftime(date_trunc('day', o_orderdate), '%Y-%m-%d %H:%M:%S') " +
       "WHEN 'month' THEN strftime(date_trunc('month', o_orderdate), '%Y-%m-%d %H:%M:%S') " +
@@ -697,8 +700,8 @@ private[graft] object EntriesAggs {
       "any_value(n) AS n, count(*)::BIGINT AS n_buckets FROM dd) " +
       "SELECT round(greatest(dl, 0.0), 4) AS d_less, round(greatest(dg, 0.0), 4) AS d_greater, " +
       "round(dt, 4) AS d_two_sided, " +
-      "round(least(exp(-2.0 * n * dl * dl), 1.0), 4) AS p_less, " +
-      "round(least(exp(-2.0 * n * dg * dg), 1.0), 4) AS p_greater, " +
+      "round(least(exp(-2.0 * n * greatest(dl, 0.0) * greatest(dl, 0.0)), 1.0), 4) AS p_less, " +
+      "round(least(exp(-2.0 * n * greatest(dg, 0.0) * greatest(dg, 0.0)), 1.0), 4) AS p_greater, " +
       "round(least(2.0 * exp(-2.0 * n * dt * dt), 1.0), 4) AS p_two_sided, " +
       "n_buckets FROM a"),
     "q_agg_terms_script" -> ("SELECT floor(o_totalprice / 50000.0) AS key, " +
@@ -887,7 +890,7 @@ private[graft] object EntriesAggs {
     "q_agg_rare_terms" -> ("SELECT source AS key, count(*)::BIGINT AS doc_count FROM documents " +
       "GROUP BY source HAVING count(*) <= 30 ORDER BY doc_count, key LIMIT 10"),
     "q_agg_weighted_avg" -> ("SELECT round(CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(28,8))) AS DOUBLE) / " +
-      "CAST(sum(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE), 4) AS weighted_avg FROM lineitem"),
+      "CAST(sum(CAST(CASE WHEN l_extendedprice IS NOT NULL THEN l_quantity END AS DECIMAL(28,8))) AS DOUBLE), 4) AS weighted_avg FROM lineitem"),
     "q_agg_matrix_stats" -> ("SELECT count(*)::BIGINT AS cnt, " +
       "round(covar_pop(l_quantity, l_extendedprice), 4) AS covariance, " +
       "round(corr(l_quantity, l_extendedprice), 4) AS correlation FROM lineitem"),

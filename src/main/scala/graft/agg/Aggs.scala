@@ -21,7 +21,11 @@ object Aggs {
   /** `{"terms": {"field": f, "size": n}}` — bucket counts, ES ordering
     * (doc_count desc, key asc). */
   def termsAgg(df: DataFrame, field: String, size: Int): DataFrame =
-    df.groupBy(col(field).as("key"))
+    // ES terms aggs DROP docs missing the field (the `missing` knob is
+    // termsAggMissing); a null-key bucket could win a top-k slot and
+    // displace a real term
+    df.where(col(field).isNotNull)
+      .groupBy(col(field).as("key"))
       .agg(count(lit(1)).as("doc_count"))
       .orderBy(col("doc_count").desc, col("key").asc)
       .limit(size)
@@ -50,9 +54,18 @@ object Aggs {
     import spark.implicits._
     val w = Window.orderBy(col(orderCol))
     val indexed = buckets.withColumn("_rn", row_number().over(w))
+      .withColumn("_nb", count(lit(1)).over(Window.partitionBy()))
     val curve = series.zipWithIndex
       .map { case (v, i) => (i + 1, v) }.toDF("_rn", "_indicator")
     indexed.join(broadcast(curve), Seq("_rn"))
+      // LOUD length contract: the inner join would silently truncate
+      // to the shorter of (buckets, series) and report a correlation
+      // over a partial pairing; ES errors on the mismatch, so do we
+      .where(coalesce(
+        assert_true(col("_nb") === lit(series.size),
+          lit(s"bucket_correlation: bucket count must equal the " +
+            s"indicator length ${series.size}")).cast("boolean"),
+        lit(true)))
       .agg(Num.round(corr(col(metricCol).cast("double"), col("_indicator")), 4)
         .as("correlation"),
         count(lit(1)).as("n_buckets"))
@@ -101,8 +114,13 @@ object Aggs {
         Num.round(greatest(col("dl"), lit(0.0)), 4).as("d_less"),
         Num.round(greatest(col("dg"), lit(0.0)), 4).as("d_greater"),
         Num.round(col("dt"), 4).as("d_two_sided"),
-        Num.round(least(exp(lit(-2.0) * col("n") * col("dl") * col("dl")), lit(1.0)), 4).as("p_less"),
-        Num.round(least(exp(lit(-2.0) * col("n") * col("dg") * col("dg")), lit(1.0)), 4).as("p_greater"),
+        // p from the CLAMPED statistic: a negative one-sided max means
+        // D = 0, whose p must be 1.0 — exp(-2n*dl^2) of a negative dl
+        // would smuggle the non-statistic's square into the p-value
+        Num.round(least(exp(lit(-2.0) * col("n") *
+          greatest(col("dl"), lit(0.0)) * greatest(col("dl"), lit(0.0))), lit(1.0)), 4).as("p_less"),
+        Num.round(least(exp(lit(-2.0) * col("n") *
+          greatest(col("dg"), lit(0.0)) * greatest(col("dg"), lit(0.0))), lit(1.0)), 4).as("p_greater"),
         Num.round(least(lit(2.0) * exp(lit(-2.0) * col("n") * col("dt") * col("dt")), lit(1.0)), 4).as("p_two_sided"),
         col("n_buckets"))
   }
@@ -128,7 +146,8 @@ object Aggs {
       df: DataFrame, field: String, size: Int,
       metric: org.apache.spark.sql.Column, metricName: String,
       asc: Boolean = false): DataFrame = {
-    val ranked = df.groupBy(col(field).as("key"))
+    val ranked = df.where(col(field).isNotNull)
+      .groupBy(col(field).as("key"))
       .agg(count(lit(1)).as("doc_count"), metric.as(metricName))
     ranked
       .orderBy(if (asc) col(metricName).asc else col(metricName).desc, col("key").asc)
@@ -285,7 +304,8 @@ object Aggs {
 
   /** `{"histogram": {"field": f, "interval": i}}`. */
   def histogramAgg(df: DataFrame, field: String, interval: Double): DataFrame =
-    df.groupBy((floor(col(field) / interval) * interval).cast("double").as("bucket"))
+    df.where(col(field).isNotNull)
+      .groupBy((floor(col(field) / interval) * interval).cast("double").as("bucket"))
       .agg(count(lit(1)).as("doc_count"))
       .orderBy(col("bucket").asc)
 
@@ -328,12 +348,20 @@ object Aggs {
         acc.when(f >= lo && f < hi, lit(s"$lo-$hi"))
       case (acc, _) => acc
     }.otherwise(lit(s"${edges.last}-*"))
-    df.groupBy(bucket.as("bucket"))
+    // order by the numeric FROM edge (request order), not the label
+    // string — lexically, "20000.0-*" sorts before "5000.0-20000.0"
+    val fromEdge = edges.sliding(2).foldLeft(
+      when(f < edges.head, lit(Double.NegativeInfinity))) {
+      case (acc, Seq(lo, hi)) => acc.when(f >= lo && f < hi, lit(lo))
+      case (acc, _) => acc
+    }.otherwise(lit(edges.last))
+    df.groupBy(bucket.as("bucket"), fromEdge.as("_from"))
       .agg(
         count(lit(1)).as("doc_count"),
         // decimal sum: deterministic under any aggregation order
         Num.round(sum(f.cast("decimal(18,4)")).cast("double"), 4).as("sum_v"))
-      .orderBy(col("bucket").asc)
+      .orderBy(col("_from").asc)
+      .drop("_from")
   }
 
   /** `{"filters": {"filters": {name: query...}}}` — N named predicate
@@ -487,7 +515,11 @@ object Aggs {
     df.agg(
       Num.round(
         sum((col(valueField) * col(weightField)).cast("decimal(28,8)")).cast("double") /
-          sum(col(weightField).cast("decimal(28,8)")).cast("double"),
+          // a doc missing the VALUE contributes to neither side (ES
+          // ignores it); an unconditional sum(w) would keep its weight
+          // in the denominator and deflate the average
+          sum(when(col(valueField).isNotNull, col(weightField))
+            .cast("decimal(28,8)")).cast("double"),
         4).as("weighted_avg"))
 
   /** `matrix_stats`: correlation/covariance between two numeric fields
@@ -527,8 +559,10 @@ object Aggs {
     * needs the quantile). */
   def percentileRanksAgg(df: DataFrame, field: String, values: Seq[Double]): DataFrame = {
     def rank(v: Double) =
+      // denominator = docs that HAVE the field (ES metric aggs ignore
+      // missing docs); count(*) would deflate every rank under nulls
       Num.round(count(when(col(field) <= v, 1)).cast("double") /
-        count(lit(1)).cast("double") * 100.0, 4)
+        count(col(field)).cast("double") * 100.0, 4)
         .as(s"rank_$v".replace('.', '_'))
     df.agg(rank(values.head), values.tail.map(rank): _*)
   }
@@ -536,7 +570,9 @@ object Aggs {
   /** `multi_terms`: terms agg over a composite key — top-k (field
     * tuple) buckets by count. Same one-exchange shape as terms. */
   def multiTermsAgg(df: DataFrame, fields: Seq[String], k: Int): DataFrame =
-    df.groupBy(fields.map(col): _*)
+    // ES multi_terms drops docs missing ANY of the key fields
+    df.where(fields.map(f => col(f).isNotNull).reduce(_ && _))
+      .groupBy(fields.map(col): _*)
       .agg(count(lit(1)).as("doc_count"))
       .orderBy(col("doc_count").desc +: fields.map(f => col(f).asc): _*)
       .limit(k)
@@ -551,14 +587,31 @@ object Aggs {
     * partial-agg groupBy. Buckets are formatted strings so sub-day
     * intervals keep a uniform schema. */
   def autoDateHistogramAgg(df: DataFrame, tsField: String, targetBuckets: Int): DataFrame = {
-    val row = df.agg(
-      datediff(max(col(tsField)), min(col(tsField))).as("span_days")).head()
+    val row = df.agg(min(col(tsField)).as("mn"), max(col(tsField)).as("mx")).head()
     require(!row.isNullAt(0), s"auto_date_histogram over empty/all-null $tsField")
-    val days = row.getInt(0)
+    // EXACT bucket counts per candidate interval (truncated boundary
+    // diff + 1, both endpoints inclusive) — the old truncated-day
+    // arithmetic could overshoot targetBuckets by up to a day's worth
+    // of hours, breaking the <= targetBuckets contract ES keeps
+    def ldt(v: Any): java.time.LocalDateTime = v match {
+      case t: java.sql.Timestamp => t.toLocalDateTime
+      case d: java.time.LocalDateTime => d
+      case i: java.time.Instant => java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)
+      case d: java.sql.Date => d.toLocalDate.atStartOfDay
+      case other => throw new IllegalArgumentException(s"not a timestamp: $other")
+    }
+    val (mn, mx) = (ldt(row.get(0)), ldt(row.get(1)))
+    val zo = java.time.ZoneOffset.UTC
+    val hourBuckets =
+      mx.truncatedTo(java.time.temporal.ChronoUnit.HOURS).toEpochSecond(zo) / 3600 -
+        mn.truncatedTo(java.time.temporal.ChronoUnit.HOURS).toEpochSecond(zo) / 3600 + 1
+    val dayBuckets = mx.toLocalDate.toEpochDay - mn.toLocalDate.toEpochDay + 1
+    val monthBuckets =
+      (mx.getYear - mn.getYear) * 12L + (mx.getMonthValue - mn.getMonthValue) + 1
     val interval =
-      if (days * 24L <= targetBuckets) "hour"
-      else if (days <= targetBuckets) "day"
-      else if (days / 31.0 <= targetBuckets) "month"
+      if (hourBuckets <= targetBuckets) "hour"
+      else if (dayBuckets <= targetBuckets) "day"
+      else if (monthBuckets <= targetBuckets) "month"
       else "year"
     val fmt = "yyyy-MM-dd HH:mm:ss"
     df.groupBy(
@@ -879,9 +932,15 @@ object Aggs {
       case (acc, Seq(lo, hi)) => acc.when(d >= lo && d < hi, lit(s"$lo-$hi"))
       case (acc, _) => acc
     }.otherwise(lit(s"${edgesKm.last}-*"))
-    df.groupBy(ring.as("ring"))
+    val fromEdge = edgesKm.sliding(2).foldLeft(
+      when(d < edgesKm.head, lit(Double.NegativeInfinity))) {
+      case (acc, Seq(lo, hi)) => acc.when(d >= lo && d < hi, lit(lo))
+      case (acc, _) => acc
+    }.otherwise(lit(edgesKm.last))
+    df.groupBy(ring.as("ring"), fromEdge.as("_from"))
       .agg(count(lit(1)).as("doc_count"))
-      .orderBy(col("ring").asc)
+      .orderBy(col("_from").asc)
+      .drop("_from")
   }
 
   /** `normalize` pipeline agg (percent_of_sum): each bucket's share of
@@ -1651,11 +1710,6 @@ object Aggs {
     require(prefixLength >= 0 && prefixLength <= 32, s"bad prefix_length: $prefixLength")
     val block = 1L << (32 - prefixLength)
     val net = (ipValue(col(ipCol)) / block).cast("long") * block
-    val key = concat_ws(".",
-      (net / 16777216L % 256L).cast("long"),
-      (net / 65536L % 256L).cast("long"),
-      (net / 256L % 256L).cast("long"),
-      (net % 256L).cast("long"))
     // ES orders ip_prefix buckets by NUMERIC network value — the
     // dotted-quad string is only the rendered key (10.2/16 sorts
     // before 10.10/16, the lexical order would not)
