@@ -32,7 +32,10 @@ object Esql {
 
   private sealed trait Tok
   private final case class TId(s: String) extends Tok
-  private final case class TNum(v: Double, isInt: Boolean) extends Tok
+  // `exact` carries the integer literal's full 64-bit value: the
+  // Double round-trip loses precision above 2^53, which is fatal in
+  // this engine's epoch-NANOSECOND timestamp domain
+  private final case class TNum(v: Double, isInt: Boolean, exact: Long = 0L) extends Tok
   private final case class TStr(s: String) extends Tok
   private final case class TOp(s: String) extends Tok
 
@@ -51,7 +54,9 @@ object Esql {
         val start = i
         while (i < s.length && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
         val raw = s.substring(start, i)
-        out += TNum(raw.toDouble, !raw.contains('.'))
+        val isInt = !raw.contains('.')
+        val exact = if (isInt) (try raw.toLong catch { case _: NumberFormatException => raw.toDouble.toLong }) else 0L
+        out += TNum(raw.toDouble, isInt, exact)
       } else if (c.isLetter || c == '_') {
         val start = i
         while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
@@ -79,6 +84,14 @@ object Esql {
 
     def parseExpr(): Column = parseOr()
 
+    /** parseExpr + a LOUD leftover-token check: "a == 1 b == 2" (a
+      * forgotten AND) must error, not silently drop "b == 2". */
+    def parseExprAll(): Column = {
+      val e = parseOr()
+      require(toks.isEmpty, s"trailing tokens after expression: $toks")
+      e
+    }
+
     private def parseOr(): Column = {
       var e = parseAnd()
       while (isKw("or")) { next(); e = e || parseAnd() }
@@ -102,7 +115,15 @@ object Esql {
         case Some(TOp(">")) => next(); l > parseAdd()
         case Some(TOp("<")) => next(); l < parseAdd()
         case Some(TId(k)) if k.equalsIgnoreCase("like") =>
-          next(); l.like(str(next()))
+          // ES|QL LIKE wildcards are * and ? (Lucene style), NOT SQL's
+          // % and _ — translate, escaping literal SQL metachars
+          next(); l.like(str(next()).flatMap {
+            case '*' => "%"
+            case '?' => "_"
+            case '%' => "\\%"
+            case '_' => "\\_"
+            case c => c.toString
+          })
         case Some(TId(k)) if k.equalsIgnoreCase("rlike") =>
           next(); l.rlike(str(next()))
         case Some(TId(k)) if k.equalsIgnoreCase("is") =>
@@ -427,11 +448,19 @@ object Esql {
       expectOp("(")
       val e = parseExpr()
       val scale = peek match {
-        case Some(TOp(",")) => next(); next() match {
-          case TNum(v, true) => v.toInt
-          case other =>
-            throw new IllegalArgumentException(s"ROUND scale must be an int literal, got $other")
-        }
+        case Some(TOp(",")) =>
+          next()
+          // ROUND(x, -2) is valid ES|QL (round to hundreds): '-2'
+          // lexes as TOp("-") + TNum(2)
+          val neg = peek match {
+            case Some(TOp("-")) => next(); true
+            case _ => false
+          }
+          next() match {
+            case TNum(v, true, _) => if (neg) -v.toInt else v.toInt
+            case other =>
+              throw new IllegalArgumentException(s"ROUND scale must be an int literal, got $other")
+          }
         case _ => 0
       }
       expectOp(")")
@@ -488,7 +517,7 @@ object Esql {
           }
           e - (e % lit(ns))
         case _ => next() match {
-          case TNum(w, _) => floor(e / lit(w)) * lit(w)
+          case TNum(w, _, _) => floor(e / lit(w)) * lit(w)
           case other => throw new IllegalArgumentException(
             s"BUCKET width must be a literal, got $other")
         }
@@ -503,7 +532,7 @@ object Esql {
     }
 
     private def parsePrimary(): Column = next() match {
-      case TNum(v, isInt) => if (isInt) lit(v.toLong) else lit(v)
+      case TNum(v, isInt, exact) => if (isInt) lit(exact) else lit(v)
       case TStr(s) => lit(s)
       case TOp("(") =>
         val e = parseExpr(); expectOp(")"); e
@@ -560,7 +589,7 @@ object Esql {
           case "top" =>
             val e = parseExpr(); expectOp(",")
             val n = next() match {
-              case TNum(v, true) => v.toInt
+              case TNum(v, true, _) => v.toInt
               case other => throw new IllegalArgumentException(s"TOP needs an int limit: $other")
             }
             val asc = peek match {
@@ -579,12 +608,15 @@ object Esql {
             require(filter.isEmpty, "STATS..WHERE unsupported on MEDIAN/PERCENTILE")
             val id = identName(); expectOp(",")
             val p = next() match {
-              case TNum(v, _) => v
+              case TNum(v, _, _) => v
               case other =>
                 throw new IllegalArgumentException(s"PERCENTILE needs a numeric literal, got $other")
             }
             expectOp(")")
-            expr(s"percentile($id, $p)")
+            require(p >= 0 && p <= 100, s"PERCENTILE takes 0-100, got $p")
+            // ES|QL percentile is 0-100; Spark's takes a 0-1 fraction
+            // (MEDIAN above hard-codes 0.5 — same convention)
+            expr(s"percentile($id, ${p / 100.0})")
           case other => throw new IllegalArgumentException(s"unknown aggregate: $other")
         }
       case other => throw new IllegalArgumentException(s"expected aggregate, got $other")
@@ -595,19 +627,25 @@ object Esql {
 
   /** Split on top-level '|' (quote- and paren-aware — FORK branches
     * carry whole sub-pipelines inside parens). */
-  private def segments(q: String): Seq[String] = {
-    val out = scala.collection.mutable.ListBuffer.empty[String]
-    val cur = new StringBuilder
-    var inStr = false; var depth = 0
-    q.foreach {
-      case '"' => inStr = !inStr; cur += '"'
-      case '(' if !inStr => depth += 1; cur += '('
-      case ')' if !inStr => depth -= 1; cur += ')'
-      case '|' if !inStr && depth == 0 => out += cur.result(); cur.clear()
-      case c => cur += c
+  private def segments(q: String): Seq[String] = splitTopLevel(q, '|')
+
+  /** Index of the LAST top-level (outside quotes/parens) ` by `
+    * keyword, case-insensitive — a ' by ' INSIDE a string literal
+    * ("fix by tuesday") must not split a STATS/INLINESTATS body. */
+  private def lastTopLevelBy(s: String): Int = {
+    var inStr = false; var depth = 0; var found = -1; var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '"' => inStr = !inStr
+        case '(' if !inStr => depth += 1
+        case ')' if !inStr => depth -= 1
+        case _ => ()
+      }
+      if (!inStr && depth == 0 && i + 4 <= s.length &&
+        s.regionMatches(true, i, " by ", 0, 4)) found = i
+      i += 1
     }
-    out += cur.result()
-    out.toSeq.map(_.trim).filter(_.nonEmpty)
+    found
   }
 
   private def splitTopLevel(s: String, sep: Char): Seq[String] = {
@@ -735,7 +773,7 @@ object Esql {
     val (kw, rest) = seg.span(!_.isWhitespace)
     val body = rest.trim
     kw.toLowerCase match {
-      case "where" => df.where(new P(lex(body)).parseExpr())
+      case "where" => df.where(new P(lex(body)).parseExprAll())
       case "limit" => df.limit(body.trim.toInt)
       // KEEP/DROP accept `*` wildcards (ES|QL qualified-name
       // patterns); KEEP preserves the pattern-list order with each
@@ -771,7 +809,7 @@ object Esql {
         }
         df.orderBy(orders: _*)
       case "stats" =>
-        val (aggPart, byPart) = body.toLowerCase.lastIndexOf(" by ") match {
+        val (aggPart, byPart) = lastTopLevelBy(body) match {
           case -1 => (body, "")
           case i => (body.substring(0, i), body.substring(i + 4))
         }
@@ -973,25 +1011,42 @@ object Esql {
         body.trim match {
           case m(field, pattern) =>
             val lib = GrokPatterns.base
-            val key = "%\\{([A-Z0-9_]+):([A-Za-z0-9_]+)(?::(int|long|double))?\\}".r
-            val caps = key.findAllMatchIn(pattern)
-              .map(k => (k.group(2), Option(k.group(3)))).toSeq
-            require(caps.nonEmpty, s"GROK pattern has no captures: $pattern")
-            val parts = key.split(pattern).map(java.util.regex.Pattern.quote)
-            val pats = key.findAllMatchIn(pattern).map(k =>
-              lib.getOrElse(k.group(1),
-                throw new IllegalArgumentException(s"unknown grok pattern: %{${k.group(1)}}"))).toSeq
+            // the capture NAME is optional: %{IP} is a valid grok
+            // reference that must MATCH without capturing (it compiles
+            // to a non-capturing group), not survive as literal text
+            val key = "%\\{([A-Z0-9_]+)(?::([A-Za-z0-9_]+)(?::(int|long|double))?)?\\}".r
+            val ms = key.findAllMatchIn(pattern).toSeq
+            require(ms.nonEmpty, s"GROK pattern has no %{...} references: $pattern")
+            // literal segments keep their quoted (plain-text) graft
+            // semantics, but the standard grok escape idiom unwraps
+            // first: \[ in the pattern means a literal '[' — quoting
+            // the backslash itself would demand one in the DATA
+            def quoteLit(seg: String): String =
+              if (seg.isEmpty) seg
+              else java.util.regex.Pattern.quote(seg.replaceAll("\\\\(.)", "$1"))
+            val parts = key.split(pattern).map(quoteLit)
             val regex = new StringBuilder("^")
-            caps.indices.foreach { i =>
+            var groupIdx = 0
+            val caps = scala.collection.mutable.ListBuffer.empty[(String, Option[String], Int)]
+            ms.zipWithIndex.foreach { case (k, i) =>
               regex ++= (if (i < parts.length) parts(i) else "")
-              regex ++= s"(${pats(i)})"
+              val pat = lib.getOrElse(k.group(1),
+                throw new IllegalArgumentException(s"unknown grok pattern: %{${k.group(1)}}"))
+              Option(k.group(2)) match {
+                case Some(name) =>
+                  groupIdx += 1
+                  caps += ((name, Option(k.group(3)), groupIdx))
+                  regex ++= s"($pat)"
+                case None => regex ++= s"(?:$pat)"
+              }
             }
-            if (caps.size < parts.length) regex ++= parts.last
+            if (ms.size < parts.length) regex ++= parts.last
             regex ++= "$"
-            caps.zipWithIndex.foldLeft(df) { case (acc, ((name, cast), i)) =>
+            require(caps.nonEmpty, s"GROK pattern has no named captures: $pattern")
+            caps.foldLeft(df) { case (acc, (name, cast, g)) =>
               // a row the pattern does NOT match gets null captures
               // (ES grok skips it), never a cast failure on ''
-              val raw0 = regexp_extract(col(field), regex.result(), i + 1)
+              val raw0 = regexp_extract(col(field), regex.result(), g)
               val raw = when(raw0 =!= "", raw0)
               acc.withColumn(name, cast.fold(raw)(t => raw.cast(t)))
             }
@@ -1003,7 +1058,7 @@ object Esql {
         // agg to a tiny per-group frame, broadcast-joined back — the
         // scalable plan at any input size (a window over the whole
         // frame would single-partition the global case).
-        val (aggPart, byPart) = body.toLowerCase.lastIndexOf(" by ") match {
+        val (aggPart, byPart) = lastTopLevelBy(body) match {
           case -1 => (body, "")
           case i => (body.substring(0, i), body.substring(i + 4))
         }
@@ -1025,7 +1080,12 @@ object Esql {
         val m = "^(?i:join)\\s+([A-Za-z0-9_]+)\\s+(?i:on)\\s+([A-Za-z0-9_]+)$".r
         body.trim match {
           case m(table, field) =>
-            df.join(broadcast(resolve(table)), Seq(field), "left")
+            // same overwrite rule as ENRICH: the lookup side's non-key
+            // columns replace same-named input columns (ES semantics)
+            val lk = resolve(table)
+            val cleaned = lk.columns.filter(c => c != field && df.columns.contains(c))
+              .foldLeft(df)(_ drop _)
+            cleaned.join(broadcast(lk), Seq(field), "left")
           case other => throw new IllegalArgumentException(s"bad LOOKUP JOIN: $other")
         }
       case "change_point" =>
@@ -1085,7 +1145,13 @@ object Esql {
               val t = resolve(table)
               if (cols.isEmpty) t else t.select(col(right) +: cols: _*)
             }
-            df.join(broadcast(enrichSide), df(left) === enrichSide(right), "left")
+            // ES ENRICH OVERWRITES a same-named existing field; keeping
+            // both would leave an ambiguous duplicate that the next
+            // KEEP/EVAL referencing the name trips over
+            val added = enrichSide.columns.filterNot(_ == right)
+            val cleaned = added.filter(c => df.columns.contains(c) && c != left)
+              .foldLeft(df)(_ drop _)
+            cleaned.join(broadcast(enrichSide), cleaned(left) === enrichSide(right), "left")
               .drop(enrichSide(right))
           case other => throw new IllegalArgumentException(s"bad ENRICH: $other")
         }

@@ -18,8 +18,12 @@ class EsqlSpec extends SparkSpec {
   test("WHERE: comparisons, boolean ops, LIKE, IS NULL") {
     assert(run("""where v >= 20 and k != "c"""").select("id").as[Long].collect().toSet
       == Set(2L, 3L, 4L))
-    assert(run("""where s like "%foo%" or s is null""").select("id").as[Long]
+    // ES|QL LIKE wildcards are * and ? (Lucene style), not SQL % _
+    assert(run("""where s like "*foo*" or s is null""").select("id").as[Long]
       .collect().toSet == Set(1L, 3L, 4L))
+    // a literal % in the pattern is NOT a wildcard in ES|QL
+    assert(run("""where s like "%foo%"""").select("id").as[Long]
+      .collect().isEmpty)
     assert(run("""where not (k == "a") and v < 45""").select("id").as[Long]
       .collect().toSet == Set(3L, 4L))
   }
@@ -418,5 +422,39 @@ class EsqlSpec extends SparkSpec {
       "metrics events mx = max(value), n = count(*) by event_type | sort event_type")
       .collect().toSeq
     assert(viaTs == viaMetrics && viaTs.nonEmpty)
+  }
+
+  test("r13 hardening: exact long literals, trailing-token guard, ROUND -n, quoted BY, grok unnamed refs, enrich overwrite") {
+    // 64-bit integer literals survive exactly (no Double round-trip):
+    // 2^53 + 1 is NOT representable as a double
+    val big = Seq((9007199254740993L, 1L), (9007199254740992L, 2L)).toDF("ts", "id")
+    assert(Esql.applyCommand(big, "where ts == 9007199254740993")
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+    // a forgotten AND fails loudly instead of silently dropping terms
+    intercept[IllegalArgumentException] {
+      Esql.applyCommand(df, """where v > 10 k == "a"""")
+    }
+    // negative ROUND scale (round to tens)
+    assert(Esql.applyCommand(df, "eval r = round(v + 14.0, -1)")
+      .where(col("id") === 1L).select("r").as[Double].collect().head == 20.0)
+    // ' by ' inside a string literal must not split the STATS body
+    val withS = df.withColumn("s2", coalesce(col("s"), lit("none")))
+    val r = Esql.applyCommand(withS,
+      """stats n = count(*) where s2 == "fix by tuesday"""")
+    assert(r.select("n").as[Long].collect().head == 0L)
+    // grok: unnamed %{PATTERN} matches without capturing; escaped
+    // literal idiom \[ means a literal bracket
+    val logs = Seq((1L, "[INFO] alice 42"), (2L, "nope")).toDF("id", "line")
+    val g = Esql.applyCommand(logs,
+      """grok line "\[%{LOGLEVEL:lvl}\] %{WORD} %{INT:n:long}"""")
+    val row = g.where(col("id") === 1L).select("lvl", "n").collect().head
+    assert(row.getString(0) == "INFO" && row.getLong(1) == 42L)
+    assert(g.where(col("id") === 2L).select("lvl").collect().head.isNullAt(0))
+    // enrich overwrites a same-named input column (no ambiguous dup)
+    val enr = Seq(("a", "alpha"), ("b", "beta")).toDF("kk", "s")
+    val e = Esql.applyCommand(df.withColumnRenamed("k", "kk"),
+      "enrich __mem on kk == kk", _ => enr)
+    assert(e.columns.count(_ == "s") == 1)
+    assert(e.where(col("id") === 1L).select("s").as[String].collect().head == "alpha")
   }
 }
