@@ -1245,7 +1245,7 @@ object Connector {
     * aside" and "rename tmp in" — the old generation IS the index.
     * Shared by the write path and both read paths (graftDF /
     * graftStream), so any access after the crash heals it. */
-  private[sources] def recoverSwap(spark: SparkSession, path: String): Unit = {
+  private[graft] def recoverSwap(spark: SparkSession, path: String): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live = new Path(path)
     val old = new Path(path + "_graft_old")

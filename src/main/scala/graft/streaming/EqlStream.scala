@@ -112,7 +112,13 @@ object EqlStream {
               }
             }
           }
-          state.update(EqlState(chains.map(_.fold(Seq.empty[Long])(
+          // EVICT empty state instead of re-storing k empty Seqs: a
+          // key whose chains were all cleared (until, or never started)
+          // would otherwise hold a state-store entry FOREVER — on a
+          // live stream keyed by session/process ids the store grows
+          // monotonically until checkpoint bloat / executor OOM
+          if (chains.forall(_.isEmpty)) state.remove()
+          else state.update(EqlState(chains.map(_.fold(Seq.empty[Long])(
             _.flatMap(p => Seq(p._1, p._2)))).toSeq))
           out.iterator
         })

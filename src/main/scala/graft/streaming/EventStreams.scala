@@ -22,6 +22,10 @@ object EventStreams {
     * Group key = exact integer hour bucket; state size O(windows x
     * types) under a watermark. */
   def hourlyTypeCounts(events: DataFrame): DataFrame =
+    // BATCH shape (the q_stream_window oracle): the raw long bucket
+    // key and the final orderBy are batch conveniences — a streaming
+    // caller wants slidingTypeCounts/alertOnThreshold, whose window()
+    // keys accept a watermark and emit in append mode
     events
       .groupBy(
         expr(s"ts_ns div $HourNs").as("hour_bucket"),
@@ -59,27 +63,39 @@ object EventStreams {
     * streaming-ready form of `sessionize` (same gap semantics, usable
     * under `readStream` + watermark where the manual lag/running-sum
     * windowing isn't). State per (user, open session) only. */
-  def sessionWindows(events: DataFrame, gapMinutes: Int): DataFrame =
-    events
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  def sessionWindows(events: DataFrame, gapMinutes: Int,
+      watermark: String = ""): DataFrame = {
+    // the watermark attaches AFTER the internal ts derivation (the
+    // caller cannot pre-watermark a column this function overwrites);
+    // streaming append mode REQUIRES it — pass e.g. "30 minutes".
+    // Empty = batch mode, no-op.
+    val ts = events.withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val wm = if (watermark.isEmpty) ts else ts.withWatermark("ts", watermark)
+    wm
       .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes").as("w"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+  }
 
   /** Sliding-window aggregate (width/slide) — the overlapping-window
     * date_histogram variant. Streaming-ready: under a watermark the
     * state is O(open windows x types) and closed windows emit in
     * append mode. Runs identically on a batch frame. */
   def slidingTypeCounts(
-      events: DataFrame, width: String = "2 hours", slide: String = "1 hour"): DataFrame =
-    events
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      events: DataFrame, width: String = "2 hours", slide: String = "1 hour",
+      watermark: String = ""): DataFrame = {
+    // same watermark-after-derivation contract as sessionWindows:
+    // append-mode streaming needs it, batch callers omit it
+    val ts = events.withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val wm = if (watermark.isEmpty) ts else ts.withWatermark("ts", watermark)
+    wm
       .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
         Num.round(sum(col("value")), 4).as("sum_value"))
       .select(col("w.start").as("w_start"), col("event_type"),
         col("n_events"), col("sum_value"))
+  }
 
   /** Watcher-style alerting: a windowed per-type threshold trigger —
     * alert rows fire when a window's event count reaches the
@@ -199,7 +215,14 @@ object EventStreams {
         count(lit(1)).as("n_events"))
       .select((col("w.start").as("w_start") +: col("n_events") +:
         qs.zipWithIndex.map { case (q, i) =>
-          element_at(col("est"), i + 1).as(s"p${(q * 100).toInt}") }): _*)
+          // rounded + fraction-aware label: (0.29*100).toInt is 28
+          // (double truncation), and 0.99/0.999 would BOTH label p99
+          // — an ambiguous duplicate column downstream
+          val scaled = math.round(q * 1000.0) / 10.0
+          val name =
+            if (scaled == math.rint(scaled)) s"p${scaled.toLong}"
+            else s"p${scaled.toString.replace('.', '_')}"
+          element_at(col("est"), i + 1).as(name) }): _*)
 
   /** Stream-stream attribution join: every `view` joined to the same
     * user's `purchase` within `horizonSec` — the canonical two-stream

@@ -62,10 +62,19 @@ object Transforms {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val touched = batch.select(col(uniqueKey)).distinct()
+        // self-heal per batch like every Connector read: a concurrent
+        // writer's crashed swap leaves the index at srcPath_graft_old
+        // and a raw read would kill the streaming query
+        Connector.recoverSwap(spark, srcPath)
+        val touched = batch.select(col(uniqueKey).as("_touched_key")).distinct()
         val src = spark.read.parquet(srcPath)
+        // no FORCED broadcast: batch 0 of a file-source stream is the
+        // ENTIRE existing index, so `touched` can be every key — let
+        // AQE broadcast when it fits and shuffle when it doesn't.
+        // Null-safe (<=>) join: the batch latest() emits a null-key
+        // group, so continuous mode must keep updating it too.
         val updated = latest(
-          src.join(broadcast(touched), Seq(uniqueKey), "left_semi"),
+          src.join(touched, src(uniqueKey) <=> touched("_touched_key"), "left_semi"),
           uniqueKey, sortCol, tieCol, payload)
         Connector.save(updated, destPath, Map("graft.mapping.id" -> uniqueKey))
       }
@@ -87,10 +96,14 @@ object Transforms {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val touched = batch.select(col(keyCol)).distinct()
+        // same per-batch self-heal + unforced null-safe join as
+        // continuousLatest (see there for the rationale)
+        Connector.recoverSwap(spark, srcPath)
+        val touched = batch.select(col(keyCol).as("_touched_key")).distinct()
         val src = spark.read.parquet(srcPath)
         val updated = pivot(
-          src.join(broadcast(touched), Seq(keyCol), "left_semi"), keyCol, valueCol)
+          src.join(touched, src(keyCol) <=> touched("_touched_key"), "left_semi"),
+          keyCol, valueCol)
         Connector.save(updated, destPath, Map("graft.mapping.id" -> keyCol))
       }
       .start()
