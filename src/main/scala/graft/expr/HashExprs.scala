@@ -226,7 +226,11 @@ object HashKernels {
       ny += b * b
       i += 1
     }
-    dot / (math.sqrt(nx) * math.sqrt(ny))
+    // zero-norm convention: similarity 0.0, not NaN — NaN sorts ABOVE
+    // every real score under desc ordering, so a single zero vector
+    // would otherwise occupy rank 1 of every query's top-k
+    if (nx == 0.0 || ny == 0.0) 0.0
+    else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
   def cosineKernel(x: ArrayData, y: ArrayData): Double = {
@@ -243,7 +247,11 @@ object HashKernels {
       ny += b * b
       i += 1
     }
-    dot / (math.sqrt(nx) * math.sqrt(ny))
+    // zero-norm convention: similarity 0.0, not NaN — NaN sorts ABOVE
+    // every real score under desc ordering, so a single zero vector
+    // would otherwise occupy rank 1 of every query's top-k
+    if (nx == 0.0 || ny == 0.0) 0.0
+    else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
   /** tokens -> true iff ALL `terms` occur within some window whose

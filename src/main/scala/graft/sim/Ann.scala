@@ -118,7 +118,11 @@ object Ann {
     val c = corpus.select(
       col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val cents = c.where(col("id") < nCentroids)
+    // seed = the LOWEST nCentroids ids, whatever the id space: the
+    // old `id < nCentroids` predicate silently yielded zero centroids
+    // (and an empty result for every query) on offset/sparse id
+    // spaces — the knnSearch comment's trap, now fixed at the source
+    val cents = c.orderBy(col("id").asc).limit(nCentroids)
       .select(col("id").as("cent_id"), col("v").as("cv"))
     ivfTopKWith(corpus, queries, idCol, vecCol, cents, nprobe, k)
   }
@@ -156,7 +160,11 @@ object Ann {
         .orderBy(col("ccos").desc, col("cent_id").asc)
       val assigned = c.crossJoin(broadcast(centsDf))
         .select(col("id"), col("cent_id"), col("v"),
-          Vectors.cosine(col("v"), col("cv")).as("ccos"))
+          // ROUNDED like ivfTopKWith's probe ranking: a near-tied
+          // vector must land in the same list at fit time and at
+          // query time, or the fitted means describe a different
+          // membership than the one probed
+          Num.round(Vectors.cosine(col("v"), col("cv")), 4).as("ccos"))
         .withColumn("rn", row_number().over(wAssign))
         .where(col("rn") === 1)
       val means = assigned
@@ -245,6 +253,16 @@ object Ann {
       dim: Int,
       k: Int): DataFrame = {
     requireBoundedQueries(queries, "lshTopK")
+    // LOUD dim contract: a dim smaller than the real vector length
+    // would die with an opaque AIOOBE deep inside the compiled dot
+    // kernel (the hyperplane literal has only `dim` elements); larger
+    // silently hashes on truncated planes. One tiny probe row checks
+    // it at the API boundary.
+    queries.select(size(col(vecCol)).as("_d")).limit(1).collect()
+      .headOption.foreach { r =>
+        require(r.getInt(0) == dim,
+          s"lshTopK: dim=$dim but vectors have ${r.getInt(0)} elements")
+      }
     val c = corpus.select(
       col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
@@ -352,6 +370,7 @@ object Ann {
     import spark.implicits._
     requireBoundedQueries(queries, "hnswTopK")
     val qs = queries
+      .where(col(vecCol).isNotNull)
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])].collect()
       .map { case (qid, v) => (qid, unitVec(v)) }
@@ -359,6 +378,10 @@ object Ann {
     val qb = spark.sparkContext.broadcast(qs)
     val searchEf = math.max(ef, k + 1) // +1 absorbs the self-hit
     val hits = corpus
+      // null embeddings are tolerated DATA in every other ANN path
+      // (null-safe kernels -> null cosine); the graph path must skip
+      // them rather than NPE inside a task
+      .where(col(vecCol).isNotNull)
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
@@ -457,7 +480,12 @@ object Ann {
     // instead of being silently absent from the probe output.
     exact.join(approx.withColumn("hit", lit(1)), Seq("query_id", "id"), "left")
       .groupBy(col("query_id"))
-      .agg((count(col("hit")).cast("double") / k >= minRecall).as("recall_ok"))
+      // denominator = the EXACT set's size for this query, not the
+      // constant k: a corpus smaller than k+1 caps the exact set at
+      // corpus-1 rows (self excluded), and dividing by k would flunk
+      // a perfect retrieval
+      .agg((count(col("hit")).cast("double") /
+        count(lit(1)).cast("double") >= minRecall).as("recall_ok"))
       .orderBy(col("query_id"))
   }
 
@@ -530,9 +558,19 @@ object Ann {
       }
       case _ => throw new IllegalArgumentException("knn needs query_vector")
     }
-    val k = root.get("k").collect { case JInt(i) => i.toInt }.getOrElse(10)
+    // all numeric JSON shapes, like query_vector below — a client
+    // serializing k as 2.0 must not silently fall back to the default
+    val k = root.get("k").collect {
+      case JInt(i) => i.toInt
+      case JDouble(d) => d.toInt
+      case JDecimal(d) => d.toInt
+    }.getOrElse(10)
     val numCandidates =
-      root.get("num_candidates").collect { case JInt(i) => i.toInt }.getOrElse(10 * k)
+      root.get("num_candidates").collect {
+        case JInt(i) => i.toInt
+        case JDouble(d) => d.toInt
+        case JDecimal(d) => d.toInt
+      }.getOrElse(10 * k)
     val filtered = root.get("filter") match {
       case Some(f) => corpus.where(graft.dsl.QueryDslJson.compile(
         JsonMethods.compact(JsonMethods.render(f)), idField))
@@ -640,8 +678,12 @@ object Ann {
       else (32 until dim).map(i =>
         when(element_at(v, i + 1) > 0.0, lit(1L << (i - 32))).otherwise(lit(0L)))
         .reduce(_ + _)
+    // null vectors pack as all-zero bits, whose estimate -sum(q) can
+    // OUTRANK every real doc when the query sums negative — they'd
+    // flood the k*oversample coarse window and evict real candidates
+    val live = corpus.where(col(vecCol).isNotNull)
     // the stored artifact: (id, b_lo, b_hi) — all the coarse pass reads
-    val packed = corpus.select(col(idCol).as("id"), lo.as("b_lo"), hi.as("b_hi"))
+    val packed = live.select(col(idCol).as("id"), lo.as("b_lo"), hi.as("b_hi"))
     // fixed fold order (ascending dim) keeps the float sum identical
     // on both engines
     val est = (0 until dim).map { i =>
@@ -656,7 +698,9 @@ object Ann {
     val q = array(queryVec.map(lit): _*)
     val exact = GraftBridge.column(graft.expr.CosineSim(
       GraftBridge.expression(col(vecCol)), GraftBridge.expression(q)))
-    corpus.join(broadcast(coarse), col(idCol) === coarse("id"))
+    // DATAFRAME-qualified join key: the unqualified col(idCol) is
+    // ambiguous when the caller's id column is literally named "id"
+    live.join(broadcast(coarse), live(idCol) === coarse("id"))
       .select(coarse("id"),
         graft.util.Num.round(exact, 4).as("cosine"),
         graft.util.Num.round(coarse("bscore"), 4).as("bscore"))
@@ -691,7 +735,7 @@ object Ann {
         score(graft.expr.QuantizedCosine(_, _)).as("qscore"))
       .orderBy(col("qscore").desc, col("id").asc)
       .limit(k * oversample)
-    corpus.join(broadcast(coarse), col(idCol) === coarse("id"))
+    corpus.join(broadcast(coarse), corpus(idCol) === coarse("id"))
       .select(coarse("id"),
         graft.util.Num.round(score(graft.expr.CosineSim(_, _)), 4).as("cosine"),
         graft.util.Num.round(coarse("qscore"), 4).as("quantized"))
