@@ -196,6 +196,9 @@ private[graft] object EntriesRel {
         (col("doc_id") * 7 % 500 + 9).cast("double").as("hi"))
       Relational.intervalOverlapJoin(
         iv("src0"), iv("src1"), "doc_id", "lo", "hi", "doc_id", "lo", "hi", cellWidth = 8.0)
+        // the presentation sort lives HERE: the operator no longer
+        // embeds a global orderBy (wasted exchange for library callers)
+        .orderBy(col("a_id").asc, col("b_id").asc)
     }),
     // as-of join: each click picks up the latest prior view's value
     "q_asof" -> ((s, d) => {

@@ -23,6 +23,11 @@ object Relational {
       orderCol: Column,
       tieBreak: Column,
       n: Int): DataFrame = {
+    // the rank column is part of the OUTPUT contract ("rn"), so a
+    // caller column of that name would be silently clobbered — the
+    // asofLookup r2 bug class; fail loudly instead
+    require(!df.columns.contains("rn"),
+      "topNPerGroup writes its rank to 'rn'; rename the existing 'rn' column first")
     val w = Window.partitionBy(partCols.map(col): _*).orderBy(orderCol, tieBreak)
     df.withColumn("rn", row_number().over(w)).where(col("rn") <= n)
   }
@@ -70,7 +75,10 @@ object Relational {
       as: String,
       pred: Column => Column): DataFrame =
     parents
-      .join(nested, col(parentKey) === col(nestedKey))
+      // dataframe-qualified keys: `nest` names its key after the child
+      // FK, so a SHARED key name (parent order_id / child order_id)
+      // made the unqualified condition ambiguous
+      .join(nested, parents(parentKey) === nested(nestedKey))
       .where(exists(col(as), pred))
 
   /** ES `parent_id` query: every child of ONE parent — in ES a
@@ -93,7 +101,12 @@ object Relational {
       childFk: String,
       pred: Column,
       minChildren: Int = 1,
-      maxChildren: Int = Int.MaxValue): DataFrame =
+      maxChildren: Int = Int.MaxValue): DataFrame = {
+    // the left_semi shapes below can only return parents WITH matching
+    // children; a zero lower bound would need a different (anti-join)
+    // plan and silently behaved as 1 — make the contract loud
+    require(minChildren >= 1,
+      s"has_child needs minChildren >= 1 (got $minChildren); use an anti-join for the zero-children case")
     if (minChildren <= 1 && maxChildren == Int.MaxValue)
       parents.join(
         children.where(pred).select(col(childFk).as(parentKey)),
@@ -106,6 +119,7 @@ object Relational {
           .where(col("_nc") >= minChildren && col("_nc") <= maxChildren)
           .select(col(parentKey)),
         Seq(parentKey), "left_semi")
+  }
 
   /** `has_parent` with `score: true` — each matching child inherits
     * its parent's relevance (ES propagates the parent score down).
@@ -144,7 +158,10 @@ object Relational {
       case "sum" => sum(childScore)
       case "max" => max(childScore)
       case "min" => min(childScore)
-      case "none" => count(lit(1)).cast("double") // match count, ES none=1.0/child
+      // ES score_mode none: matching parents get score 0 (the child
+      // scores contribute NOTHING) — the old match-count fold reordered
+      // any relevance-sorted comparison against real ES
+      case "none" => max(lit(0.0))
       case other => throw new IllegalArgumentException(s"bad nested score_mode: $other")
     }
     val childAgg = children.where(pred)
@@ -264,6 +281,9 @@ object Relational {
       aId: String, aLo: String, aHi: String,
       bId: String, bLo: String, bHi: String,
       cellWidth: Double): DataFrame = {
+    // a zero/negative width degenerates to Infinity cell ids — either
+    // a runtime sequence() blowup or a silent cartesian product
+    require(cellWidth > 0, s"interval join cellWidth must be positive: $cellWidth")
     def cells(df: DataFrame, id: String, lo: String, hi: String, p: String) = df.select(
       col(id).as(s"${p}_id"), col(lo).cast("double").as(s"${p}_lo"),
       col(hi).cast("double").as(s"${p}_hi"),
@@ -275,7 +295,6 @@ object Relational {
       .where(col("a_lo") <= col("b_hi") && col("a_hi") >= col("b_lo"))
       .select(col("a_id"), col("b_id"))
       .distinct()
-      .orderBy(col("a_id").asc, col("b_id").asc)
   }
 
   /** Haversine distance in km (the core of `geo_distance`). Pure
@@ -315,8 +334,15 @@ object Relational {
     * prefilter is cheap; graft gets the same from parquet min/max). */
   def geoBoundingBox(
       lat: Column, lon: Column,
-      top: Double, left: Double, bottom: Double, right: Double): Column =
-    lat <= top && lat >= bottom && lon >= left && lon <= right
+      top: Double, left: Double, bottom: Double, right: Double): Column = {
+    // left > right = an ANTIMERIDIAN-crossing box (ES supports it):
+    // the lon band wraps, so the predicate is a disjunction — the
+    // conjunctive form was unsatisfiable and silently matched nothing
+    val lonPred =
+      if (left <= right) lon >= left && lon <= right
+      else lon >= left || lon <= right
+    lat <= top && lat >= bottom && lonPred
+  }
 
   /** `geo_shape` with envelope geometry — the indexed-shape case where
     * each DOCUMENT carries a shape (here its bounding envelope:
@@ -328,7 +354,8 @@ object Relational {
   def envelopeRelation(
       minLat: Column, maxLat: Column, minLon: Column, maxLon: Column,
       qMinLat: Double, qMaxLat: Double, qMinLon: Double, qMaxLon: Double,
-      relation: String = "intersects"): Column = relation match {
+      relation: String = "intersects"): Column =
+    relation.toLowerCase(java.util.Locale.ROOT) match {
     case "intersects" =>
       maxLat >= qMinLat && minLat <= qMaxLat && maxLon >= qMinLon && minLon <= qMaxLon
     case "disjoint" =>

@@ -162,6 +162,7 @@ class RelationalSpec extends SparkSpec {
     assert(run("sum") == Map(1L -> 40.0, 3L -> 8.0))
     assert(run("max") == Map(1L -> 30.0, 3L -> 8.0))
     assert(run("min") == Map(1L -> 10.0, 3L -> 8.0))
-    assert(run("none") == Map(1L -> 2.0, 3L -> 1.0)) // match counts
+    // ES score_mode none: matching parents score 0 (no child fold)
+    assert(run("none") == Map(1L -> 0.0, 3L -> 0.0))
   }
 }
