@@ -50,7 +50,7 @@ import org.apache.spark.sql.functions._
 object Eql {
 
   private val seqRe =
-    """(?s)^sequence\s+by\s+(\w+(?:\s*,\s*\w+)*)(?:\s+with\s+maxspan=(\d+)(ms|s|m|h))?\s*(.+?)(?:\s+until\s*(\[.+\]))?(?:\s*\|\s*(head|tail)\s+(\d+))?\s*$""".r
+    """(?s)^sequence\s+by\s+(\w+(?:\s*,\s*\w+)*)(?:\s+with\s+maxspan=(\d+)((?i:ms|s|m|h|d)))?\s*(.+?)(?:\s+until\s*(\[.+\]))?(?:\s*\|\s*(head|tail)\s+(\d+))?\s*$""".r
   private val stepRe =
     """(!?)\[\s*(\w+)(?:\s+where\s+([^\]]+))?\s*\](?:\s+with\s+runs=(\d+))?""".r
   private val simpleRe = """(?s)^(\w+)\s+where\s+(.+?)(?:\s*\|\s*(head|tail)\s+(\d+))?\s*$""".r
@@ -64,15 +64,64 @@ object Eql {
     *  - `stringContains(a, b)` → `contains(a, b)`
     * Spark already spells `length`, `substring`, `concat`,
     * `startswith`, `endswith` the way EQL does (case-insensitive). */
+  /** Collapse `==` to `=` OUTSIDE string literals only — a compared
+    * value containing "==" (command lines, key=value blobs) must
+    * survive verbatim. */
+  private def rewriteEq(src: String): String = {
+    val sb = new StringBuilder(src.length)
+    var inStr = false
+    var i = 0
+    while (i < src.length) {
+      val c = src.charAt(i)
+      if (c == '"') { inStr = !inStr; sb += c; i += 1 }
+      else if (!inStr && c == '=' && i + 1 < src.length && src.charAt(i + 1) == '=') {
+        sb += '='; i += 2
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Split a function-argument blob on top-level commas (quote-aware):
+    * a comma INSIDE a quoted pattern is part of the pattern. */
+  private def splitArgs(blob: String): Seq[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    val cur = new StringBuilder
+    var inStr = false
+    blob.foreach {
+      case '"' => inStr = !inStr; cur += '"'
+      case ',' if !inStr => out += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    out += cur.result()
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** EQL wildcard pattern -> SQL LIKE literal text: backslashes first
+    * (a literal \ must reach LIKE as an escaped backslash, or Spark
+    * either throws on the dangling escape or silently literalizes the
+    * following wildcard), then literal %/_ escapes, then *->% ?->_,
+    * then SQL single-quote doubling. */
+  private def likeText(p: String): String = {
+    // EQL strings spell ONE literal backslash as "\\" — unescape to a
+    // marker first (stray singles count as literal too), LIKE-escape
+    // the metachars, then render each marker as the 4-char SQL text
+    // '\\\\' (literal-parses to '\\' = one LIKE-escaped backslash)
+    val mark = "\u0001"
+    p.replace("\\\\", mark).replace("\\", mark)
+      .replace("%", "\\%").replace("_", "\\_")
+      .replace('*', '%').replace('?', '_')
+      .replace(mark, "\\\\\\\\")
+      .replace("'", "''")
+  }
+
   private def pred(src: String): Column = {
-    var s = src.replace("==", "=").trim
+    var s = rewriteEq(src).trim
     val wildRe = """(?i)wildcard\s*\(\s*(\w+)\s*,\s*([^)]+)\)""".r
     s = wildRe.replaceAllIn(s, m => {
       val f = m.group(1)
-      val pats = m.group(2).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      val pats = splitArgs(m.group(2)).map(_.stripPrefix("\"").stripSuffix("\""))
       java.util.regex.Matcher.quoteReplacement(
-        pats.map(p => s"$f LIKE '${p.replace("%", "\\%").replace("_", "\\_")
-          .replace('*', '%').replace('?', '_')}'").mkString("(", " OR ", ")"))
+        pats.map(p => s"$f LIKE '${likeText(p)}'").mkString("(", " OR ", ")"))
     })
     val cidrRe = """(?i)cidrmatch\s*\(\s*(\w+)\s*,\s*([^)]+)\)""".r
     s = cidrRe.replaceAllIn(s, m => {
@@ -81,7 +130,7 @@ object Eql {
       val ipn = s"(CAST(split($f, $q)[0] AS BIGINT) * 16777216 + " +
         s"CAST(split($f, $q)[1] AS BIGINT) * 65536 + " +
         s"CAST(split($f, $q)[2] AS BIGINT) * 256 + CAST(split($f, $q)[3] AS BIGINT))"
-      val blocks = m.group(2).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      val blocks = splitArgs(m.group(2)).map(_.stripPrefix("\"").stripSuffix("\""))
       java.util.regex.Matcher.quoteReplacement(
         blocks.map { b =>
           val Array(base, bits) = b.split("/")
@@ -109,27 +158,45 @@ object Eql {
         out.orderBy(sortCols.map(_.desc): _*).limit(n).orderBy(sortCols: _*)
     }
 
-  private def unitNs(n: Long, u: String): Long = u match {
+  private def unitNs(n: Long, u: String): Long = u.toLowerCase(java.util.Locale.ROOT) match {
     case "ms" => n * 1000000L
     case "s" => n * 1000000000L
     case "m" => n * 60L * 1000000000L
     case "h" => n * 3600L * 1000000000L
+    case "d" => n * 86400L * 1000000000L
+    case other => throw new IllegalArgumentException(s"bad maxspan unit: $other")
   }
 
   private val sampleRe =
-    """(?s)^sample\s+by\s+(\w+)\s*(.+)$""".r
+    """(?s)^sample\s+by\s+(\w+(?:\s*,\s*\w+)*)\s*(.+?)(?:\s*\|\s*(head|tail)\s+(\d+))?\s*$""".r
+
+  /** The step source must parse COMPLETELY: stepRe.findAllMatchIn
+    * silently skips junk, so a typo'd `whree`, a misspelled `runs`,
+    * an unsupported pipe, or a maxspan with a bad unit would be
+    * dropped and the query would run with a silently different shape.
+    * Stripping every matched step must leave only whitespace. */
+  private def requireNoResidue(stepsSrc: String, what: String): Unit = {
+    val residue = stepRe.replaceAllIn(stepsSrc, " ").trim
+    require(residue.isEmpty,
+      s"unparsed EQL $what text (typo or unsupported clause): '$residue'")
+  }
 
   /** Run an EQL query against the events table in `dir`. */
   def run(spark: SparkSession, dir: String, query: String): DataFrame = {
     val events = graft.Tables.events(spark, dir)
     query.trim match {
-      case sampleRe(key, stepsSrc) =>
+      case sampleRe(key, stepsSrc, htOp, htN) =>
         val steps = stepRe.findAllMatchIn(stepsSrc).map { m =>
           require(m.group(1).isEmpty, "sample takes no negative steps")
+          require(m.group(4) == null, "sample filters take no runs=N")
           (m.group(2), Option(m.group(3)).map(pred).getOrElse(lit(true)))
         }.toSeq
         require(steps.size >= 2, s"sample needs >= 2 filters: $query")
-        sample(events, key, "event_id", steps)
+        requireNoResidue(stepsSrc, "sample")
+        val keys = key.split(",").map(_.trim).toSeq
+        val out = sample(events, keys, "event_id", steps)
+        Option(htOp).map(op => headTail(out, op, htN.toInt,
+          keys.map(col))).getOrElse(out)
       case seqRe(key, n, u, stepsSrc, untilSrc, htOp, htN) =>
         // `[ b where p ] with runs=N` is EQL shorthand for repeating
         // the step N times (N distinct successive events must match);
@@ -143,10 +210,16 @@ object Eql {
             require(m.group(4) == null, "a negative step takes no runs=N")
             require(steps.nonEmpty, "![...] cannot precede the first step")
             missing += ((steps.size - 1, entry._1, entry._2))
-          } else
-            steps ++= Seq.fill(Option(m.group(4)).map(_.toInt).getOrElse(1))(entry)
+          } else {
+            val runs = Option(m.group(4)).map(_.toInt).getOrElse(1)
+            // ES rejects runs < 1; Seq.fill(0) would silently DELETE
+            // the step and run a different sequence
+            require(runs >= 1, s"runs=N must be >= 1, got $runs")
+            steps ++= Seq.fill(runs)(entry)
+          }
         }
         require(steps.size >= 2, s"sequence needs >= 2 steps: $query")
+        requireNoResidue(stepsSrc, "sequence")
         val until = Option(untilSrc).map { src =>
           val m = stepRe.findFirstMatchIn(src).getOrElse(
             throw new IllegalArgumentException(s"bad until clause: $src"))
@@ -180,19 +253,31 @@ object Eql {
     * the exchange carries |keys| rows. */
   def sample(
       events: DataFrame,
-      keyCol: String,
+      keyCols: Seq[String],
       idCol: String,
       filters: Seq[(String, Column)]): DataFrame = {
     require(filters.map(_._1).distinct.size == filters.size,
       "sample filter event types must be distinct")
+    require(keyCols.nonEmpty, "sample needs at least one by-key")
     val examples = filters.zipWithIndex.map { case ((tpe, p), i) =>
       min(when(col("event_type") === tpe && p, col(idCol))).as(s"e${i + 1}_id")
     }
-    events.groupBy(col(keyCol))
+    // the full key TUPLE groups (EQL 8.6 sample-by semantics): keys
+    // matching only under different secondary-key values must not
+    // correlate
+    events.groupBy(keyCols.map(col): _*)
       .agg(examples.head, examples.tail: _*)
       .where(filters.indices.map(i => col(s"e${i + 1}_id").isNotNull).reduce(_ && _))
-      .orderBy(col(keyCol))
+      .orderBy(keyCols.map(c => col(c).asc): _*)
   }
+
+  /** Single-key convenience overload. */
+  def sample(
+      events: DataFrame,
+      keyCol: String,
+      idCol: String,
+      filters: Seq[(String, Column)]): DataFrame =
+    sample(events, Seq(keyCol), idCol, filters)
 
   /** Sequence correlation over arbitrary frames (exposed for specs).
     * `steps` = (event_type, extra predicate); types must be distinct.
@@ -268,9 +353,9 @@ object Eql {
       .where((0 until k).map(i => col(s"_m$i")).reduce(_ || _) || isUntil ||
         missing.map(_._1).distinct.map(killCol).reduceOption(_ || _).getOrElse(lit(false)))
       .withColumn("c0_t0",
-        when(isUntil || killCol(0), lit(-1L)).when(col("_m0"), col("_ts")))
+        when(isUntil || killCol(0), lit(Long.MinValue)).when(col("_m0"), col("_ts")))
       .withColumn("c0_i0",
-        when(isUntil || killCol(0), lit(-1L)).when(col("_m0"), col(idCol)))
+        when(isUntil || killCol(0), lit(Long.MinValue)).when(col("_m0"), col(idCol)))
 
     for (i <- 1 until k) {
       // latest completed prefix chain strictly before this row; the
@@ -283,23 +368,23 @@ object Eql {
       }
       df = df.select(col("*") +: carried: _*)
       val valid = col(s"_m$i") && col("p_t0").isNotNull &&
-        col("p_t0") =!= -1L && // sentinel: an until row killed the chain
+        col("p_t0") =!= Long.MinValue && // sentinel: an until row killed the chain (MinValue cannot collide with a real microsecond ts or id, unlike -1)
         (if (maxspanUs == Long.MaxValue) lit(true)
          else col("_ts") - col("p_t0") <= maxspanUs)
       val dead = isUntil || killCol(i)
       for (j <- 0 until i) {
         df = df
-          .withColumn(s"c${i}_t$j", when(dead, lit(-1L)).when(valid, col(s"p_t$j")))
-          .withColumn(s"c${i}_i$j", when(dead, lit(-1L)).when(valid, col(s"p_i$j")))
+          .withColumn(s"c${i}_t$j", when(dead, lit(Long.MinValue)).when(valid, col(s"p_t$j")))
+          .withColumn(s"c${i}_i$j", when(dead, lit(Long.MinValue)).when(valid, col(s"p_i$j")))
       }
       df = df
-        .withColumn(s"c${i}_t$i", when(dead, lit(-1L)).when(valid, col("_ts")))
-        .withColumn(s"c${i}_i$i", when(dead, lit(-1L)).when(valid, col(idCol)))
+        .withColumn(s"c${i}_t$i", when(dead, lit(Long.MinValue)).when(valid, col("_ts")))
+        .withColumn(s"c${i}_i$i", when(dead, lit(Long.MinValue)).when(valid, col(idCol)))
         .drop((0 until i).flatMap(j => Seq(s"p_t$j", s"p_i$j")): _*)
     }
     val last_ = k - 1
     val ids = (0 until k).map(j => col(s"c${last_}_i$j").as(s"e${j + 1}_id"))
-    df.where(col(s"c${last_}_t$last_").isNotNull && col(s"c${last_}_t$last_") =!= -1L)
+    df.where(col(s"c${last_}_t$last_").isNotNull && col(s"c${last_}_t$last_") =!= Long.MinValue)
       .select(keyCols.map(col) ++ ids :+
         // integer div, not `/`: double division rounds to the nearest
         // representable value and a truncating cast on that can cross

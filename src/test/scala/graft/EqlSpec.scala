@@ -212,4 +212,40 @@ class EqlSpec extends SparkSpec {
     // composes with the comparison subset
     assert(ids("""wildcard(proc, "*.exe") and id > 1""") == Seq(2L))
   }
+
+  test("r13 hardening: loud residue/runs/maxspan contracts, quoted ==, wildcard escapes, sample tuple keys") {
+    // a typo'd step is a LOUD error, not a silently different funnel
+    intercept[IllegalArgumentException] {
+      Eql.run(spark, sfDir, "sequence by user_id [view] [click whree value > 50] [purchase]")
+    }
+    // runs=0 would silently delete the step
+    intercept[IllegalArgumentException] {
+      Eql.run(spark, sfDir, "sequence by user_id [view] with runs=0 [purchase]")
+    }
+    // maxspan day unit is supported (it used to silently UNBOUND the span)
+    assert(Eql.run(spark, sfDir,
+      "sequence by user_id with maxspan=1d [view] [purchase]").columns.nonEmpty)
+    // '==' inside a string literal survives verbatim
+    val df = ev((1L, 1L, 1000L, "a", 1.0)).withColumn("s", lit("x==y"))
+    assert(df.where(Eql.predicate("""s == "x==y"""")).count() == 1)
+    assert(df.where(Eql.predicate("""s == "x=y"""")).count() == 0)
+    // wildcard: literal backslash + comma survive inside a quoted pattern
+    val win = ev((1L, 1L, 1000L, "a", 1.0))
+      .withColumn("p", lit("C:\\Users\\alice"))
+    assert(win.where(Eql.predicate("""wildcard(p, "C:\\Users\\*")""")).count() == 1)
+    val comma = ev((1L, 1L, 1000L, "a", 1.0)).withColumn("p", lit("a,b!"))
+    assert(comma.where(Eql.predicate("""wildcard(p, "a,b*")""")).count() == 1)
+    // sample by TUPLE: a pair matching only under different secondary
+    // keys must NOT correlate
+    val sdf = ev(
+      (1L, 1L, 1000L, "a", 9.0),
+      (2L, 1L, 2000L, "b", 0.0))
+      .withColumn("grp", when(col("event_id") === 1L, "g1").otherwise("g2"))
+    assert(Eql.sample(sdf, Seq("user_id", "grp"), "event_id",
+      Seq(("a", lit(true)), ("b", lit(true)))).count() == 0)
+    assert(Eql.sample(sdf, Seq("user_id"), "event_id",
+      Seq(("a", lit(true)), ("b", lit(true)))).count() == 1)
+    // sample honors head
+    assert(Eql.run(spark, sfDir, "sample by user_id [view] [purchase] | head 2").count() <= 2)
+  }
 }
