@@ -79,9 +79,16 @@ object Connector {
             // per-part concrete index tag: ES metadata reports each
             // hit's ACTUAL index (alias resolved), not the comma-list
             // or pattern string the request was addressed at — the
-            // reindex-per-source-index pattern depends on that
-            if (readMetadata) frame.withColumn("__graft_src_index", lit(concrete))
-            else frame
+            // reindex-per-source-index pattern depends on that.
+            // fs-QUALIFIED so a literal part and a glob-expanded part
+            // (whose globStatus paths carry the scheme) agree on the
+            // same index's name
+            if (readMetadata) {
+              val cp = new Path(concrete)
+              val qualified = cp.getFileSystem(
+                spark.sparkContext.hadoopConfiguration).makeQualified(cp).toString
+              frame.withColumn("__graft_src_index", lit(qualified))
+            } else frame
           }
         // allow_no_indices=true (the ES default for wildcard
         // expressions): a pattern matching nothing yields zero hits,
@@ -132,7 +139,11 @@ object Connector {
               (if (readMetadata) Seq("__graft_src_index") else Nil))
               .distinct.map(col): _*)
           else df1
-        val df3 = expand(fieldExclude, df2).foldLeft(df2)(_ drop _)
+        // the source-index tag is hit METADATA: a wildcard exclude
+        // (e.g. "*_index") must not strip it out from under the
+        // readMetadata projection below
+        val df3 = expand(fieldExclude, df2)
+          .filterNot(_ == "__graft_src_index").foldLeft(df2)(_ drop _)
         // es.read.metadata analog: surface _id/_index alongside the
         // source fields, plus _score when the query carries scoring
         // (match) clauses — mirroring the reference, where a scored
@@ -345,6 +356,11 @@ object Connector {
         // the same character discipline ES imposes on index names
         require(!t.contains("/") && !t.contains("\\") && t != "." && t != "..",
           s"dynamic index pattern '$pattern' resolved to path-unsafe name '$t'")
+        // "_graft_" is the reserved machinery infix: every read/list
+        // path EXCLUDES such names, so a write there would be silently
+        // invisible — and "_graft_dynspool" is deleted by our finally
+        require(!t.contains("_graft_"),
+          s"dynamic index pattern '$pattern' resolved to reserved name '$t'")
       }
       for ((dir, t) <- targets) {
         // partition values are not stored in the slice files, so the
@@ -461,26 +477,38 @@ object Connector {
           throw new IllegalArgumentException("create write needs graft.mapping.id"))
         writer(dedupWithin(shaped, idCol, cfg)).mode("overwrite").save(path)
       case "update" =>
-        // ES `update`: only documents whose id EXISTS are replaced
+        // ES `_update` is a PARTIAL-document merge: fields present in
+        // the batch schema overwrite, fields ABSENT from it keep their
+        // stored values (a whole-row replace silently wiped omitted
+        // fields); only documents whose id EXISTS update.
         val idCol = cfg.getOrElse("graft.mapping.id",
           throw new IllegalArgumentException("update write needs graft.mapping.id"))
         if (exists) {
           val existing = reader.load(path)
-          val updatable = dedupWithin(shaped, idCol, cfg).join(
-            existing.select(col(idCol)), Seq(idCol), "left_semi")
-          // allowMissingColumns, same as the index op: an update batch
-          // may add fields (dynamic mapping) or omit index columns
-          val unioned = existing.withColumn("_src", lit(0)).unionByName(
-            updatable.withColumn("_src", lit(1)), allowMissingColumns = true)
-          // external versioning applies to update exactly as to index:
-          // a stale-versioned update must not clobber a newer document
-          val merged = cfg.get("graft.mapping.version") match {
-            case Some(v) => resolve(unioned, idCol, col(v), col("_src"))
-            case None => resolve(unioned, idCol, col("_src"), col("_src"))
+          val incoming = dedupWithin(shaped, idCol, cfg)
+          val inCols = incoming.columns.toSet
+          val joined = existing.join(
+            incoming, existing(idCol) === incoming(idCol), "left")
+          // external versioning: ES demands a STRICTLY greater version
+          // (stale or equal -> noop for that doc)
+          val applies = cfg.get("graft.mapping.version") match {
+            case Some(v) if inCols.contains(v) =>
+              incoming(idCol).isNotNull && incoming(v) > existing(v)
+            case _ => incoming(idCol).isNotNull
           }
+          val mergedCols = existing.columns.map { c =>
+            if (inCols.contains(c) && c != idCol)
+              when(applies, incoming(c)).otherwise(existing(c)).as(c)
+            else existing(c).as(c)
+          }
+          val newCols = incoming.columns
+            .filterNot(existing.columns.contains).map { c =>
+              when(applies, incoming(c)).otherwise(lit(null)).as(c)
+            }
+          val merged = joined.select((mergedCols ++ newCols).toIndexedSeq: _*)
           val tmp = new Path(path + "_graft_tmp")
           if (fs.exists(tmp)) fs.delete(tmp, true)
-          writer(merged.drop("_src")).mode("overwrite").save(tmp.toString)
+          writer(merged).mode("overwrite").save(tmp.toString)
           swapIn(fs, livePath, tmp)
         } // no index -> nothing to update (ES would error per-doc)
       case "delete" =>
@@ -614,6 +642,12 @@ object Connector {
     * characters expands to every matching index directory, sorted for
     * determinism. A literal path passes through untouched (missing
     * literals surface as the usual read error, matching ES's 404). */
+  /** The reserved machinery-name rule, single-sourced: swap leftovers
+    * (_graft_old/_graft_tmp), pits manifests, retired generations and
+    * the dynamic-write spool all carry the "_graft_" infix and are
+    * excluded from every read/list surface. */
+  private def isMachineryName(name: String): Boolean = name.contains("_graft_")
+
   private[sources] def expandPattern(spark: SparkSession, pattern: String): Seq[String] = {
     if (!pattern.exists("*?[{".contains(_))) return Seq(pattern)
     val p = new Path(pattern)
@@ -638,7 +672,7 @@ object Connector {
       // pinned by open PITs, and a crash-leaked _graft_dynspool —
       // a pattern read that unions a retired generation returns
       // every pre-swap doc twice, and the pits dir isn't parquet
-      .filterNot(_.getName.contains("_graft_"))
+      .filterNot(p => isMachineryName(p.getName))
       .map(_.toString).sorted
     // allow_no_indices: unmatched wildcard = empty expansion (only
     // literal names 404, and those never reach the glob branch)
@@ -678,7 +712,7 @@ object Connector {
     val dirs = fs.listStatus(new Path(root)).filter(_.isDirectory)
       // the full "_graft_" machinery rule (same as catCount): pits
       // manifests, retired generations and spool dirs are not indices
-      .map(_.getPath).filterNot(_.getName.contains("_graft_"))
+      .map(_.getPath).filterNot(p => isMachineryName(p.getName))
     val rows = dirs.map { p =>
       val files = fs.listStatus(p).filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
       val docs =
@@ -698,7 +732,7 @@ object Connector {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dirs = fs.listStatus(new Path(root)).filter(_.isDirectory)
       // same "_graft_" machinery rule as catCount/catIndices
-      .map(_.getPath).filterNot(_.getName.contains("_graft_"))
+      .map(_.getPath).filterNot(p => isMachineryName(p.getName))
     dirs.flatMap { p =>
       fs.listStatus(p)
         .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
@@ -755,7 +789,7 @@ object Connector {
     import spark.implicits._
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.listStatus(new Path(root)).filter(_.isDirectory)
-      .map(_.getPath).filterNot(p => p.getName.contains("_graft_"))
+      .map(_.getPath).filterNot(p => isMachineryName(p.getName))
       .map { p =>
         val docs =
           try spark.read.parquet(p.toString).count()
@@ -975,6 +1009,13 @@ object Connector {
     val tmp = new Path(targetPath + "_graft_tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, tmp, false, conf)
+    // the snapshot copy carries the SOURCE's _graft_gen_* marker, and
+    // stampGeneration is a no-op when one exists — the restored
+    // generation must get a FRESH identity or it can collide with a
+    // PIT-pinned retired generation of the same id
+    fs.listStatus(tmp).map(_.getPath)
+      .filter(_.getName.startsWith("_graft_gen_"))
+      .foreach(p => fs.delete(p, false))
     // the STANDARD swap, not a hand-rolled rename dance: swapIn
     // retires (not deletes) a displaced generation an open PIT still
     // pins, stamps the restored generation's identity marker, and
@@ -1423,15 +1464,20 @@ object Connector {
     * at this boundary — deterministic for a given input partitioning,
     * unlike dropDuplicates (which keeps whichever row a partition race
     * delivers first). */
-  private def dedupWithin(df: DataFrame, idCol: String, cfg: Map[String, String]): DataFrame =
+  private def dedupWithin(df: DataFrame, idCol: String, cfg: Map[String, String]): DataFrame = {
+    // collision-free internal name: a user column literally named
+    // "_ord" must survive (the updateByQuery fresh-name pattern)
+    val ord = Iterator.from(0).map(i => s"__graft_ord_$i")
+      .find(c => !df.columns.contains(c)).get
     cfg.get("graft.mapping.version") match {
       // arrival order breaks version TIES too — two in-batch rows with
       // the same id and version must resolve the same way on every run
       case Some(v) =>
-        resolve(df.withColumn("_ord", monotonically_increasing_id()),
-          idCol, col(v), col("_ord")).drop("_ord")
+        resolve(df.withColumn(ord, monotonically_increasing_id()),
+          idCol, col(v), col(ord)).drop(ord)
       case None =>
-        resolve(df.withColumn("_ord", monotonically_increasing_id()),
-          idCol, col("_ord"), col("_ord")).drop("_ord")
+        resolve(df.withColumn(ord, monotonically_increasing_id()),
+          idCol, col(ord), col(ord)).drop(ord)
     }
+  }
 }

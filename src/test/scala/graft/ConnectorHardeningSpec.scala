@@ -103,6 +103,23 @@ class ConnectorHardeningSpec extends SparkSpec {
     Connector.closePit(spark, idx, pit)
   }
 
+  test("op=update is a PARTIAL merge: omitted columns keep their stored values") {
+    val dir = Files.createTempDirectory("graft_hard_upd").toString + "/idx"
+    val cfg = Map("graft.mapping.id" -> "id")
+    Seq((1L, "alice", "a@x.io"), (2L, "bob", "b@x.io"))
+      .toDF("id", "name", "email").saveToGraft(dir, cfg)
+    // the batch omits `email` and adds `age`: ES _update merges the
+    // partial doc — email must SURVIVE, not be nulled by a row replace
+    Seq((1L, "alice2", 30L)).toDF("id", "name", "age")
+      .saveToGraft(dir, cfg + ("graft.write.operation" -> "update"))
+    val rows = spark.read.parquet(dir).orderBy("id")
+      .select("id", "name", "email", "age")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(rows.toSeq == Seq((1L, "alice2", "a@x.io", 30L), (2L, "bob", "b@x.io", -1L)),
+      s"partial merge broken: ${rows.toSeq}")
+  }
+
   test("pattern reads tolerate schema drift between indices (nulls, like ES)") {
     val base = Files.createTempDirectory("graft_hard_drift").toString
     Seq((1L, "x")).toDF("id", "a").write.parquet(s"$base/d-1")
