@@ -374,7 +374,8 @@ private[graft] object EntriesPipeline {
         .agg(count(lit(1)).as("n_docs"), sum(col("size")).as("pack_chars"))
         .orderBy(col("pack_id"))),
     "q_multimodal_meta" -> ((s, d) =>
-      Multimodal.metadata(Multimodal.mediaTable(t(s, d, "documents")))),
+      Multimodal.metadata(Multimodal.mediaTable(t(s, d, "documents")))
+        .orderBy(col("media_id"))),
     // decode-features, oracle-keyed: the codec-init-once mapPartitions
     // pass with the declared stub (feat_hash = md5(payload))
     "q_multimodal_decode" -> ((s, d) =>

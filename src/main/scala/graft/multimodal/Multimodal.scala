@@ -48,7 +48,8 @@ object Multimodal {
       col("width"), col("height"),
       (col("width").cast("long") * col("height")).as("pixels"),
       md5(col("payload")).as("content_hash"))
-      .orderBy(col("media_id").asc)
+    // no embedded sort: metadata is the advertised MAP-ONLY pass —
+    // presentation order belongs to the call site
 
   /** "Decode" each asset per partition. The ??? decode is replaced by a
     * deterministic fake (md5 of payload) — swap `fakeDecode` for a real
@@ -57,12 +58,17 @@ object Multimodal {
   def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeature] = {
     import spark.implicits._
     media
+      // null payloads are tolerated DATA on the column-side metadata
+      // path (null hash); the typed decode path must skip them, not
+      // NPE the whole job inside a task
+      .where(col("payload").isNotNull)
       .select("media_id", "mime", "payload", "width", "height")
       .as[(Long, String, Array[Byte], Int, Int)]
       .mapPartitions { rows =>
         // real impl: val codec = HeavyCodec.init()  // once per partition
+        val digest = java.security.MessageDigest.getInstance("MD5")
         rows.map { case (id, mime, payload, w, h) =>
-          val feat = fakeDecode(payload)
+          val feat = fakeDecode(digest, payload)
           MediaFeature(id, mime, payload.length.toLong, w, h, feat)
         }
       }
@@ -75,16 +81,21 @@ object Multimodal {
     * shuffle) is the real plumbing. */
   def sampleFrames(spark: SparkSession, media: DataFrame, n: Int): Dataset[FrameSample] = {
     import spark.implicits._
+    // n <= 0 is a caller bug (a miscomputed frames-per-second), not
+    // "no videos" — an empty result would be indistinguishable
+    require(n > 0, s"sampleFrames needs n > 0 frames, got $n")
     media.select("media_id", "payload")
+      .where(col("payload").isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         // real impl: val codec = VideoCodec.init()  // once per partition
+        val digest = java.security.MessageDigest.getInstance("MD5")
         rows.flatMap { case (id, payload) =>
           (0 until n).iterator.map { i =>
             // full decimal-string salt (all digits of i, not one byte):
             // the declared fake decode stays oracle-mirrorable as
             // md5(text || i) for ANY n, including frame index >= 10
-            FrameSample(id, i, fakeDecode(payload ++ i.toString.getBytes("UTF-8")))
+            FrameSample(id, i, fakeDecode(digest, payload ++ i.toString.getBytes("UTF-8")))
           }
         }
       }
@@ -95,22 +106,25 @@ object Multimodal {
     * deterministic content hash of (payload, dims). */
   def resize(spark: SparkSession, media: DataFrame, w: Int, h: Int): Dataset[MediaFeature] = {
     import spark.implicits._
+    require(w > 0 && h > 0, s"resize needs positive target dims, got ${w}x$h")
     media.select("media_id", "mime", "payload")
+      .where(col("payload").isNotNull)
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
         rows.map { case (id, mime, payload) =>
-          val hash = fakeDecode(payload ++ s":$w:$h".getBytes("UTF-8"))
+          val hash = fakeDecode(digest, payload ++ s":$w:$h".getBytes("UTF-8"))
           MediaFeature(id, mime, payload.length.toLong, w, h, hash)
         }
       }
   }
 
-  /** Deterministic stand-in for the media decoder (STUB — container has
-    * no image/audio codecs). */
-  private def fakeDecode(payload: Array[Byte]): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
+  /** The declared stub "decode": md5 of the payload via a digest the
+    * CALLER allocates once per partition (modelling the amortized
+    * codec-init shape the mapPartitions plumbing exists for); digest()
+    * resets the instance after each use, so reuse is safe. */
+  private def fakeDecode(d: java.security.MessageDigest, payload: Array[Byte]): String =
     d.digest(payload).map("%02x".format(_)).mkString
-  }
 }
 
 /** One sampled frame of a media asset. */

@@ -16,13 +16,20 @@ object GraftSink {
       stream: DataFrame,
       path: String,
       cfg: Map[String, String],
-      checkpoint: String): StreamingQuery =
+      checkpoint: String): StreamingQuery = {
+    // eager contract check: a missing id mapping would otherwise only
+    // surface as an ASYNC stream failure at the first micro-batch,
+    // after start() returned a live-looking query
+    require(cfg.contains("graft.mapping.id") ||
+      cfg.get("graft.write.operation").exists(Set("append", "overwrite")),
+      "startUpsert needs graft.mapping.id (or an id-less append/overwrite operation)")
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         Connector.save(batch, path, cfg)
       }
       .start()
+  }
 
   /** Append-mode streaming sink (the time-series shape: every event is
     * a new document, no id resolution). Replays after a crash can
