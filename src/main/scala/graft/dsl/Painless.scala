@@ -26,10 +26,17 @@ object Painless {
   def compile(
       src: String,
       params: Map[String, Any] = Map.empty,
-      score: Column = lit(1.0)): Column =
-    if (src.contains(";") || src.trim.startsWith("def "))
+      score: Column = lit(1.0)): Column = {
+    // `_score * 2;` — a plain expression with a trailing semicolon is
+    // valid Painless (the last expression statement is the implicit
+    // return); don't let the stray ';' route it to the statement
+    // compiler, which would reject it
+    val t = src.trim
+    val body = if (t.endsWith(";")) t.dropRight(1).trim else t
+    if (body.contains(";") || body.startsWith("def "))
       compileScript(src, params, score)
-    else new Parser(lex(src, Set.empty), params, score, Map.empty).parseFull()
+    else new Parser(lex(body, Set.empty), params, score, Map.empty).parseFull()
+  }
 
   /** The statement subset: `def` locals, `for` loops over doc
     * arrays, assignment, `return`.
@@ -98,7 +105,7 @@ object Painless {
       // if (cond) { x = a } [else { x = b }] — both branches assign
       // the SAME def-ed local; compiles to when/otherwise (no else =
       // keep the current value)
-      case st if st.startsWith("if") =>
+      case st if st.matches("(?s)if\\b.*") =>
         val ifPat =
           """(?s)if\s*\((.+?)\)\s*\{(.+?)\}(?:\s*else\s*\{(.+?)\})?\s*""".r
         st match {
@@ -137,12 +144,17 @@ object Painless {
           s"while condition variable '$cv' must be a def with a literal initializer " +
             "(data-dependent trip counts cannot compile to a static plan)")
         val clim = climRaw.toDouble
+        def cvVal: Double = litEnv.getOrElse(cv,
+          throw new IllegalArgumentException(
+            s"while condition variable '$cv' was reassigned non-literally " +
+              "inside the body — the trip count became data-dependent, " +
+              "which cannot compile to a static plan"))
         def holds: Boolean = cop match {
-          case "<" => litEnv(cv) < clim
-          case "<=" => litEnv(cv) <= clim
-          case ">" => litEnv(cv) > clim
-          case ">=" => litEnv(cv) >= clim
-          case "!=" => litEnv(cv) != clim
+          case "<" => cvVal < clim
+          case "<=" => cvVal <= clim
+          case ">" => cvVal > clim
+          case ">=" => cvVal >= clim
+          case "!=" => cvVal != clim
         }
         val bodyStmts = splitStmts(body).map(_.trim).filter(_.nonEmpty)
         var guard = 0
@@ -162,11 +174,19 @@ object Painless {
               s"unsupported while-body statement: $other")
           }
         }
-      case st if st.startsWith("return") =>
+      // \b word boundary: a local named "returnx"/"ifx" must not be
+      // mis-routed into the keyword branches (silently returning the
+      // wrong local, or throwing "unsupported if")
+      case st if st.matches("(?s)return\\b.*") =>
         ret = Some(exprC(st.stripPrefix("return")))
       case accPat(name, "=", rhs) if env.contains(name) =>
         litEnv -= name
         env += name -> exprC(rhs)
+      // top-level compound assignment, same spelling the for/if/while
+      // bodies already accept
+      case accPat(name, "+=", rhs) if env.contains(name) =>
+        litEnv -= name
+        env += name -> (env(name) + exprC(rhs))
       case other => throw new IllegalArgumentException(s"unsupported statement: $other")
     }
     ret.getOrElse(throw new IllegalArgumentException("script needs a return statement"))
@@ -248,7 +268,8 @@ object Painless {
         val j = src.indexWhere(ch => !(ch.isLetterOrDigit || ch == '_'), start)
         val end = if (j < 0) n else j
         out += ParamRef(src.substring(start, end)); i = end
-      } else if (src.startsWith("_score", i)) {
+      } else if (src.startsWith("_score", i) &&
+          (i + 6 >= n || !(src.charAt(i + 6).isLetterOrDigit || src.charAt(i + 6) == '_'))) {
         out += ScoreRef; i += "_score".length
       } else if (c == '\'') {
         // '...' string literal — the field-name argument of the vector
@@ -256,7 +277,10 @@ object Painless {
         val j = src.indexOf('\'', i + 1)
         require(j > 0, s"unterminated string at offset $i in: $src")
         out += Str(src.substring(i + 1, j)); i = j + 1
-      } else if (c.isLetter) {
+      } else if (c.isLetter || c == '_') {
+        // leading underscore: def-name validation accepts _x, so the
+        // lexer must read it back (it previously fell to the operator
+        // match and threw "unexpected character")
         val j = src.indexWhere(ch => !(ch.isLetterOrDigit || ch == '.' || ch == '_'), i)
         val end = if (j < 0) n else j
         val word = src.substring(i, end)

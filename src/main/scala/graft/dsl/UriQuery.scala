@@ -65,6 +65,9 @@ object UriQuery {
       val sb = new StringBuilder
       i += 1 // opening quote
       while (i < s.length && s(i) != '"') { sb += s(i); i += 1 }
+      // a run-to-end "phrase" is a TYPO (missing close quote), not a
+      // phrase — Lucene rejects unbalanced quotes and so do we
+      require(i < s.length, s"unterminated quote in query: $q")
       i += 1 // closing quote
       sb.toString
     }
@@ -80,6 +83,14 @@ object UriQuery {
         if (s(i) == '[' || s(i) == '{') { // range literal: read through the close
           val close = if (s(i) == '[') ']' else '}'
           while (i < s.length && s(i) != close) { sb += s(i); i += 1 }
+          if (i < s.length) { sb += s(i); i += 1 }
+        } else if (s(i) == '/') {
+          // Lucene regex literal `/re/`: spaces, parens and
+          // alternation are LEGAL inside — read through the closing
+          // slash or the tokenizer shreds the pattern into nonsense
+          // clauses with no error
+          sb += s(i); i += 1
+          while (i < s.length && s(i) != '/') { sb += s(i); i += 1 }
           if (i < s.length) { sb += s(i); i += 1 }
         } else { sb += s(i); i += 1 }
       }
@@ -209,13 +220,17 @@ object UriQuery {
       val c = col(field)
       if (cl.quoted) {
         // `"a b"~N` = phrase with proximity slop (span_near)
-        val slop = cl.suffix match {
+        // `~N`, optionally followed by a scoring-only `^boost`
+        // ("a b"~2^3 is legal Lucene order) — the boost strips here,
+        // filter semantics unchanged
+        val slopPart = cl.suffix.takeWhile(_ != '^')
+        val slop = slopPart match {
           case s if s.startsWith("~") && s.drop(1).forall(_.isDigit) =>
             if (s.length == 1) 2 else s.drop(1).toInt
           case _ => 0
         }
-        val terms = Analyzer.analyze(cl.value)
-        if (slop > 0 && terms.length >= 2) Search.matchPhraseSlop(c, cl.value, slop)
+        if (slop > 0 && Analyzer.analyze(cl.value).length >= 2)
+          Search.matchPhraseSlop(c, cl.value, slop)
         else Search.matchPhrase(c, cl.value)
       } else {
         // `^boost` is scoring-only: strip it, filter semantics unchanged
@@ -238,6 +253,13 @@ object UriQuery {
             if (cl.field.isEmpty || field == defaultField)
               exists(Analyzer.tokens(c), t => t.rlike("^(?:" + re + ")$"))
             else QueryDsl.regexp(c, re)
+          case v if (v.contains('*') || v.contains('?')) &&
+              FuzzPat.findFirstIn(v).isDefined =>
+            // Lucene forbids combining wildcard and fuzzy on one term;
+            // folding `~N` into the wildcard pattern would demand a
+            // literal tilde in the data and silently match nothing
+            throw new IllegalArgumentException(
+              s"cannot combine wildcard and fuzzy (~N) in one term: $v")
           case v if v.contains('*') || v.contains('?') => QueryDsl.wildcard(c, v)
           case FuzzPat(v, n) =>
             val edits = if (n.isEmpty) 2 else n.toInt

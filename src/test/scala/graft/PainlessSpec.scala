@@ -155,4 +155,27 @@ class PainlessSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("1000"))
   }
+
+  test("r13 hardening: keyword boundaries, underscore locals, top-level +=, trailing semicolon, loud while contract") {
+    val df = Seq((1L, 10.0)).toDF("id", "n")
+    def v(script: String) =
+      df.select(graft.dsl.Painless.compile(script).cast("double")).as[Double].collect().head
+    // a local whose name STARTS with a keyword is just a local
+    assert(v("def ifx = 1; ifx = 2; return ifx") == 2.0)
+    assert(v("def returns = 3; return returns") == 3.0)
+    // underscore-prefixed locals are definable AND usable
+    assert(v("def _x = 4; return _x") == 4.0)
+    // top-level compound assignment, same as in loop bodies
+    assert(v("def s = 1; s += 2; return s") == 3.0)
+    // a plain expression with a trailing semicolon is implicit-return
+    assert(df.select(graft.dsl.Painless.compile("doc['n'].value * 2;")
+      .cast("double")).as[Double].collect().head == 20.0)
+    // a while whose condition variable goes data-dependent errors
+    // CLEARLY instead of crashing with a bare key-not-found
+    val e = intercept[IllegalArgumentException] {
+      graft.dsl.Painless.compile(
+        "def i = 0; def s = 0; while (i < 3) { i = i + doc['n'].value; s += 1 } return s")
+    }
+    assert(e.getMessage.contains("data-dependent"))
+  }
 }

@@ -143,4 +143,22 @@ class UriQuerySpec extends SparkSpec {
     assert(got.keySet == expect.keySet)
     assert(got.forall { case (u, t) => expect(u) == t })
   }
+
+  test("r13 hardening: regex literals survive the tokenizer, loud typo contracts, slop+boost") {
+    val df = Seq(
+      (1L, "abc merge sort xyz"),
+      (2L, "abd quick brown fox"),
+      (3L, "plain text here")).toDF("id", "text")
+    def ids(q: String) =
+      df.where(graft.dsl.UriQuery.compile(q, defaultField = "text"))
+        .select("id").as[Long].collect().toSet
+    // alternation + parens inside /re/ reach the regex engine intact
+    assert(ids("text:/ab(c|d)/") == Set(1L, 2L))
+    // phrase slop AND boost together: slop must not be dropped
+    assert(ids("\"quick fox\"~2^3") == Set(2L))
+    // unterminated quote is a loud error, not a silent phrase
+    intercept[IllegalArgumentException](ids("lang:en AND \"merge sort"))
+    // wildcard + fuzzy on one term is a loud error, not a literal ~
+    intercept[IllegalArgumentException](ids("text:te?t~1"))
+  }
 }
