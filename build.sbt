@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output passes straight through to sbt's stdout with NO
+// "[info] " log prefix — the driver's bench parser reads the summary
+// JSON line from a bounded stdout tail, and the r9 artifact shows the
+// prefixed line defeated it (BENCH_r09 "parsed": null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

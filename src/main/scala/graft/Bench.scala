@@ -129,6 +129,14 @@ object Bench {
     spark.stop()
     // a broken query must be visible as "failed", not as a
     // suspiciously fast total
-    println(s"""{"queries":$top,"queries_total_count":${results.size},"queries_shown":"slowest 15","retried":$retriedJson,"failed":$failedJson,"host_loadavg":"$loadavg","sf":"$sfDir","metric":"total","unit":"sec","value":${d3(total)}}""")
+    val summary = s"""{"queries":$top,"queries_total_count":${results.size},"queries_shown":"slowest 15","retried":$retriedJson,"failed":$failedJson,"host_loadavg":"$loadavg","sf":"$sfDir","metric":"total","unit":"sec","value":${d3(total)}}"""
+    // belt-and-braces vs the driver's bounded stdout tail: the same
+    // summary lands in a file, so a prefixed/crowded stdout can never
+    // lose the run's numbers again (r8/r9 both parsed null)
+    try {
+      val w = new java.io.PrintWriter("bench_summary.json")
+      try w.println(summary) finally w.close()
+    } catch { case _: Throwable => () }
+    println(summary)
   }
 }

@@ -761,9 +761,9 @@ private[graft] object EntriesPipeline {
       "(CASE WHEN doc_id % 13 = 0 THEN '/' ELSE '' END) || '?' || " +
       "(CASE WHEN doc_id % 7 = 0 THEN 'utm_source=feed&' ELSE '' END) || 'ref=' || (doc_id % 4)::VARCHAR || " +
       "(CASE WHEN doc_id % 17 = 0 THEN '#frag' ELSE '' END) AS url FROM documents), " +
-      "c AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
-      "lower(regexp_extract(url, '^[^/?]*//[^/?]*')) || regexp_replace(url, '^[^/?]*//[^/?]*', ''), " +
-      "'#.*', '', 'g'), ':(80|443)(/|\\?|$)', '\\2', 'g'), '[?&]utm_[a-z]+=[^&#]*', '', 'g'), " +
+      "c AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+      "regexp_replace(lower(regexp_extract(url, '^[^/?]*//[^/?]*')), ':(80|443)$', '') || regexp_replace(url, '^[^/?]*//[^/?]*', ''), " +
+      "'#.*', '', 'g'), '[?&]utm_[a-z]+=[^&#]*', '', 'g'), " +
       "'^([^?]*)&([A-Za-z0-9_]+=)', '\\1?\\2', 'g'), " +
       "'[?&]+$', '', 'g'), '\\?&', '?', 'g'), '/\\?', '?', 'g'), '/$', '', 'g') AS canonical_url FROM u) " +
       "SELECT canonical_url, count(*)::BIGINT AS n_dups, min(doc_id) AS keeper_doc FROM c " +

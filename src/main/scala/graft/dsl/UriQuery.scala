@@ -84,14 +84,20 @@ object UriQuery {
           val close = if (s(i) == '[') ']' else '}'
           while (i < s.length && s(i) != close) { sb += s(i); i += 1 }
           if (i < s.length) { sb += s(i); i += 1 }
-        } else if (s(i) == '/') {
+        } else if (s(i) == '/' && (sb.isEmpty || sb.last == ':')) {
           // Lucene regex literal `/re/`: spaces, parens and
           // alternation are LEGAL inside — read through the closing
           // slash or the tokenizer shreds the pattern into nonsense
-          // clauses with no error
+          // clauses with no error. A regex literal can only OPEN a
+          // term (`/re/` or `field:/re/`); a mid-term '/' is plain
+          // value text (mime:video/mp4, URL paths) — treating it as
+          // an opener would silently swallow the following clauses.
           sb += s(i); i += 1
           while (i < s.length && s(i) != '/') { sb += s(i); i += 1 }
-          if (i < s.length) { sb += s(i); i += 1 }
+          // run-to-end means a missing close slash, the regex twin of
+          // the unterminated-quote contract: fail loudly, don't guess
+          require(i < s.length, s"unterminated regex literal in query: $q")
+          sb += s(i); i += 1
         } else { sb += s(i); i += 1 }
       }
       sb.toString

@@ -98,14 +98,25 @@ object GraphExplore {
     // persist the term-FILTERED edge frame (vertex set is hop-bounded
     // small, so this is tiny): both sides of the pair self-join read
     // the cached frame, so the corpus tokenize pass runs ONCE instead
-    // of once per join side. Released by the harness's clearCache
-    // between queries, like the other operators' cached intermediates.
+    // of once per join side. The result is |vertexTerms|^2-bounded
+    // (same bound explore relies on for its per-hop collects), so it
+    // materializes eagerly here and the cache is RELEASED before
+    // returning — library callers no longer leak executor storage
+    // per call. Callers who already hold an edge frame should use
+    // connectionsFromEdges and manage its lifetime themselves.
+    val spark = docs.sparkSession
+    import spark.implicits._
     val toks = docs
       .select(col(idCol).as("doc_id"),
         explode(Analyzer.termSet(col(textField))).as("term"))
       .where(col("term").isin(vertexTerms: _*))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    pairJoin(toks, minDocCount)
+    try {
+      val rows = pairJoin(toks, minDocCount)
+        .as[(String, String, Long)].collect()
+      rows.toSeq.toDF("source", "target", "doc_count")
+        .orderBy(col("doc_count").desc, col("source").asc, col("target").asc)
+    } finally toks.unpersist()
   }
 
   /** `connections` over a pre-built (doc_id, term) edge frame — the

@@ -258,8 +258,13 @@ object Ann {
     // kernel (the hyperplane literal has only `dim` elements); larger
     // silently hashes on truncated planes. One tiny probe row checks
     // it at the API boundary.
-    queries.select(size(col(vecCol)).as("_d")).limit(1).collect()
-      .headOption.foreach { r =>
+    // probe on a NON-NULL vector (a null first row made size() null
+    // and getInt threw an opaque NPE — the exact opaque failure this
+    // loud contract exists to avoid), and guard the null slot anyway
+    // in case every query vector is null
+    queries.where(col(vecCol).isNotNull)
+      .select(size(col(vecCol)).as("_d")).limit(1).collect()
+      .headOption.filterNot(_.isNullAt(0)).foreach { r =>
         require(r.getInt(0) == dim,
           s"lshTopK: dim=$dim but vectors have ${r.getInt(0)} elements")
       }

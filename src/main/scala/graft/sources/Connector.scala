@@ -490,11 +490,17 @@ object Connector {
           val joined = existing.join(
             incoming, existing(idCol) === incoming(idCol), "left")
           // external versioning: ES demands a STRICTLY greater version
-          // (stale or equal -> noop for that doc)
+          // (stale or equal -> noop for that doc). A configured version
+          // column MISSING from the batch is a loud error — silently
+          // applying the update unversioned would let a stale batch
+          // clobber newer documents.
           val applies = cfg.get("graft.mapping.version") match {
-            case Some(v) if inCols.contains(v) =>
+            case Some(v) =>
+              require(inCols.contains(v),
+                s"graft.mapping.version='$v' is configured but the update batch " +
+                  s"has no such column (batch columns: ${incoming.columns.mkString(",")})")
               incoming(idCol).isNotNull && incoming(v) > existing(v)
-            case _ => incoming(idCol).isNotNull
+            case None => incoming(idCol).isNotNull
           }
           val mergedCols = existing.columns.map { c =>
             if (inCols.contains(c) && c != idCol)

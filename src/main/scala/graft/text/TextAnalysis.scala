@@ -173,14 +173,16 @@ object TextAnalysis {
     // form (host?query) must not re-enter the lowercase pass with its
     // query swallowed into the "host" — canonicalization is a FIXED
     // POINT (idempotence property-tested)
-    val head = lower(regexp_extract(url, "^[^/?]*//[^/?]*", 0))
+    // the default port is stripped on the HEAD alone — the head ends
+    // exactly at the port position, so a plain `:(80|443)$` anchor
+    // suffices and the path/query tail can never be touched (a
+    // whole-URL global pass also matched '...?t=12:443' at end of
+    // string, collapsing genuinely distinct URLs onto one key)
+    val head = regexp_replace(
+      lower(regexp_extract(url, "^[^/?]*//[^/?]*", 0)), ":(80|443)$", "")
     val tail = regexp_replace(url, "^[^/?]*//[^/?]*", "")
     val u0 = concat(head, tail)
-    val noFrag = regexp_replace(u0, "#.*", "")
-    // default port dies before '/', '?' OR end-of-string — ':80' on a
-    // path-less or query-only URL must collapse too, or the same
-    // resource gets two canonical keys
-    val noPort = regexp_replace(noFrag, ":(80|443)(/|\\?|$)", "$2")
+    val noPort = regexp_replace(u0, "#.*", "")
     // utm params are matched WITH their leading separator ('?' or
     // '&') so a path segment that merely contains "utm_..." is never
     // touched; consecutive params each carry their own anchor, so one
