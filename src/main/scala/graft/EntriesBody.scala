@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import EntryShared._
+
+/** §2.B rider: the widened `_search`-body JSON front door (r10) — each
+  * key feeds ONE JSON request through SearchBody.search and composes
+  * operators that were previously reachable only through the Scala
+  * API: top-level `knn` (ES 8.4 hybrid score sum), `collapse`,
+  * `rescore`, `post_filter`, `min_score`, `search_after`,
+  * `highlight`, `_source`, `script_fields`/`docvalue_fields`.
+  * Oracles mirror the composed pipeline step by step in DuckDB SQL.
+  */
+private[graft] object EntriesBody {
+
+  // deterministic 64-dim query vector (same recipe as q_knn)
+  private val KnnVec = (0 until 64).map(i => (i * 37 % 100) / 100.0 - 0.5)
+  private val KnnVecSql =
+    "list_transform(range(0, 64), i -> (i * 37 % 100) / 100.0 - 0.5)"
+
+  // documents ⋈ embeddings on doc_id = vec_id: the text+vector corpus
+  // the hybrid (query + knn) request searches — one row per document,
+  // BM25 over `text`, cosine over `embedding`
+  private def hybridCorpus(s: org.apache.spark.sql.SparkSession, d: String) =
+    t(s, d, "documents").join(
+      t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+      col("doc_id") === col("vec_id")).drop("vec_id")
+
+  val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    // ES 8.4 hybrid: BM25 match leg + knn leg, scores summed for docs
+    // retrieved by both, single-leg docs keep that leg's score; knn
+    // boost weights the vector leg
+    "q_search_body_knn" -> ((s, d) => graft.dsl.SearchBody.search(
+      hybridCorpus(s, d),
+      s"""{"query": {"match": {"text": "vector hash"}},
+          "knn": {"field": "embedding", "query_vector": [${KnnVec.mkString(",")}],
+                  "k": 20, "num_candidates": 100000, "boost": 0.5},
+          "size": 15}""",
+      idField = "doc_id")
+      .select(col("doc_id"), col("_score"))),
+    // field collapsing through the body: one hit per source, best by
+    // the request's sort
+    "q_search_body_collapse" -> ((s, d) => graft.dsl.SearchBody.search(
+      t(s, d, "documents"),
+      """{"query": {"term": {"lang": "en"}},
+          "collapse": {"field": "source"},
+          "sort": [{"n_chars": {"order": "desc"}}, {"doc_id": {"order": "asc"}}],
+          "size": 10}""",
+      idField = "doc_id")),
+    // two-phase ranking through the body: BM25 first pass, top-50
+    // window re-scored by a Painless script_score
+    "q_search_body_rescore" -> ((s, d) => graft.dsl.SearchBody.search(
+      t(s, d, "documents"),
+      """{"query": {"match": {"text": "fast hash join"}},
+          "rescore": {"window_size": 50, "query": {
+            "rescore_query": {"script_score": {"script": {
+              "source": "Math.log(1.0 + doc['n_chars'].value)"}}},
+            "query_weight": 1.0, "rescore_query_weight": 0.5}},
+          "size": 10}""",
+      idField = "doc_id")
+      .select(col("doc_id"), col("_score"))),
+    // absolute relevance floor through the body (scored match query)
+    "q_search_body_min_score" -> ((s, d) => graft.dsl.SearchBody.search(
+      t(s, d, "documents"),
+      """{"query": {"match": {"text": "vector hash"}}, "min_score": 0.85}""",
+      idField = "doc_id")
+      .select(col("doc_id"), col("_score"))),
+    // post_filter: applied to hits AFTER scoring — the BM25 scores are
+    // computed over the full match set, the lang filter only prunes
+    // which hits return
+    "q_search_body_post_filter" -> ((s, d) => graft.dsl.SearchBody.search(
+      t(s, d, "documents"),
+      """{"query": {"match": {"text": "fast hash"}},
+          "post_filter": {"term": {"lang": "en"}}, "min_score": 0.5}""",
+      idField = "doc_id")
+      .select(col("doc_id"), col("lang"), col("_score"))),
+    // search_after cursor through the body: strictly-after predicate
+    // over the (n_chars desc, doc_id asc) sort — one pushed-down scan
+    "q_search_body_search_after" -> ((s, d) => graft.dsl.SearchBody.search(
+      t(s, d, "documents"),
+      """{"query": {"term": {"lang": "de"}},
+          "sort": [{"n_chars": {"order": "desc"}}, {"doc_id": {"order": "asc"}}],
+          "search_after": [400, 120], "size": 10}""",
+      idField = "doc_id")
+      .select(col("doc_id"), col("n_chars"))),
+    // highlight through the body: snippet column next to the hit
+    "q_search_body_highlight" -> ((s, d) => graft.dsl.SearchBody.search(
+      t(s, d, "documents"),
+      """{"query": {"match": {"text": "vector"}},
+          "highlight": {"fields": {"text": {}}},
+          "sort": [{"doc_id": {"order": "asc"}}], "size": 20}""",
+      idField = "doc_id")
+      .select(col("doc_id"), col("snippet"))),
+    // _source response shaping: wildcard includes + excludes compile
+    // to a pure projection Catalyst prunes out of the scan
+    "q_search_body_source" -> ((s, d) => graft.dsl.SearchBody.search(
+      t(s, d, "documents"),
+      """{"query": {"term": {"lang": "en"}},
+          "_source": {"includes": ["doc_id", "n_*", "lang"], "excludes": ["lang"]}}""",
+      idField = "doc_id")),
+    // script_fields (per-hit Painless projections, evaluated AFTER the
+    // query like ES) + docvalue_fields + _source in one request
+    "q_search_body_fields" -> ((s, d) => graft.dsl.SearchBody.search(
+      t(s, d, "documents"),
+      """{"query": {"term": {"lang": "fr"}},
+          "script_fields": {"kchars": {"script": {"source": "doc['n_chars'].value / 100.0"}}},
+          "docvalue_fields": [{"field": "source"}],
+          "_source": ["doc_id"]}""",
+      idField = "doc_id")))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_search_body_knn" -> (TokCte + bm25Ctes("", "tok", Seq("vector", "hash")) +
+      ", e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), " +
+      s"q AS (SELECT $KnnVecSql AS qv), " +
+      "n AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm FROM e), " +
+      "qn AS (SELECT qv, sqrt(list_reduce(list_prepend(0.0, list_transform(qv, x -> x * x)), (a, b) -> a + b)) AS qnrm FROM q), " +
+      "p AS (SELECT vec_id AS id, " +
+      "round(list_reduce(list_prepend(0.0, list_transform(range(1, len(v) + 1), i -> v[i] * qv[i])), (x, y) -> x + y) / (nrm * qnrm), 4) AS cosine " +
+      "FROM n CROSS JOIN qn), " +
+      "kk AS (SELECT id, cosine FROM (SELECT *, row_number() OVER (ORDER BY cosine DESC, id) AS rnk FROM p) WHERE rnk <= 20), " +
+      "u AS (SELECT coalesce(sc.id, kk.id) AS doc_id, " +
+      "round(coalesce(sc.score, 0) + coalesce(kk.cosine, 0) * 0.5, 4) AS _score " +
+      "FROM sc FULL OUTER JOIN kk ON sc.id = kk.id) " +
+      "SELECT doc_id, _score FROM u ORDER BY _score DESC, doc_id LIMIT 15"),
+    "q_search_body_collapse" -> ("SELECT doc_id, text, lang, source, n_chars FROM (" +
+      "SELECT *, row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rn " +
+      "FROM documents WHERE lang = 'en') WHERE rn = 1 " +
+      "ORDER BY n_chars DESC, doc_id ASC LIMIT 10"),
+    "q_search_body_rescore" -> (TokCte + bm25Ctes("", "tok", Seq("fast", "hash", "join")) +
+      ", w AS (SELECT id, score FROM sc ORDER BY score DESC, id LIMIT 50) " +
+      "SELECT w.id AS doc_id, round(w.score * 1.0 + ln(1.0 + d.n_chars) * 0.5, 4) AS _score " +
+      "FROM w JOIN documents d ON d.doc_id = w.id ORDER BY _score DESC, doc_id LIMIT 10"),
+    "q_search_body_min_score" -> (TokCte + bm25Ctes("", "tok", Seq("vector", "hash")) +
+      " SELECT id AS doc_id, score AS _score FROM sc WHERE score >= 0.85 " +
+      "ORDER BY _score DESC, doc_id"),
+    "q_search_body_post_filter" -> (TokCte + bm25Ctes("", "tok", Seq("fast", "hash")) +
+      " SELECT d.doc_id, d.lang, sc.score AS _score FROM sc JOIN documents d ON d.doc_id = sc.id " +
+      "WHERE sc.score >= 0.5 AND d.lang = 'en' ORDER BY _score DESC, doc_id"),
+    "q_search_body_search_after" -> ("SELECT doc_id, n_chars FROM documents " +
+      "WHERE lang = 'de' AND (n_chars < 400 OR (n_chars = 400 AND doc_id > 120)) " +
+      "ORDER BY n_chars DESC, doc_id ASC LIMIT 10"),
+    "q_search_body_highlight" -> ("SELECT doc_id, regexp_replace(regexp_extract(lower(text), " +
+      "'([a-z0-9]+ ){0,3}\\bvector\\b( [a-z0-9]+){0,3}'), '\\bvector\\b', '<em>vector</em>', 'g') AS snippet " +
+      "FROM documents WHERE list_contains(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), " +
+      "x -> len(x) > 0), 'vector') ORDER BY doc_id LIMIT 20"),
+    "q_search_body_source" -> ("SELECT doc_id, n_chars FROM documents WHERE lang = 'en'"),
+    "q_search_body_fields" -> ("SELECT doc_id, n_chars / 100.0 AS kchars, source " +
+      "FROM documents WHERE lang = 'fr'"))
+}

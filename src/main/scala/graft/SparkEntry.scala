@@ -41,11 +41,11 @@ object SparkEntry {
     merged(Seq(
       EntriesDsl.queries, EntriesFulltext.queries, EntriesAggs.queries,
       EntriesRel.queries, EntriesWrite.queries, EntriesPipeline.queries,
-      EntriesStream.queries, EntriesLate.queries))
+      EntriesStream.queries, EntriesLate.queries, EntriesBody.queries))
 
   lazy val oracleSql: Map[String, String] =
     merged(Seq(
       EntriesDsl.oracleSql, EntriesFulltext.oracleSql, EntriesAggs.oracleSql,
       EntriesRel.oracleSql, EntriesWrite.oracleSql, EntriesPipeline.oracleSql,
-      EntriesStream.oracleSql, EntriesLate.oracleSql))
+      EntriesStream.oracleSql, EntriesLate.oracleSql, EntriesBody.oracleSql))
 }

@@ -72,52 +72,318 @@ object SearchBody {
     (runtime, innerQ)
   }
 
-  /** The full `_search` request lifecycle over one frame, in ES's
-    * evaluation order: `runtime_mappings` project first (searchable),
-    * `query` filters, then EITHER the `aggs` tree (via AggsJson — an
-    * aggregation request returns buckets, not hits) or the hit path:
-    * `sort` (field/order objects, missing treated as ES's
-    * default-last via nulls placement) + `from`/`size` paging
-    * (ordered offset+limit — never a global collect). */
+  /** Top-level `_search` body keys the front door composes. Anything
+    * else fails LOUDLY — a silently-ignored body key would return
+    * plausible-but-wrong results (ES likewise rejects unknown body
+    * keys at parse time). */
+  val SupportedKeys: Set[String] = Set(
+    "runtime_mappings", "query", "aggs", "aggregations", "sort",
+    "from", "size", "knn", "collapse", "highlight", "rescore",
+    "post_filter", "min_score", "search_after", "_source",
+    "script_fields", "docvalue_fields")
+
+  private def jnum(v: JValue): Double = v match {
+    case JInt(i) => i.toDouble
+    case JLong(l) => l.toDouble
+    case JDouble(d) => d
+    case JDecimal(d) => d.toDouble
+    case other => throw new IllegalArgumentException(s"bad number: $other")
+  }
+
+  /** The single-field `match` shape — the query form that carries BM25
+    * scores through the body front door (both ES spellings:
+    * `{"match": {f: "text"}}` and `{"match": {f: {"query": "text"}}}`). */
+  private def matchSpec(q: String): Option[(String, String)] =
+    JsonMethods.parse(q) match {
+      case JObject(JField("match", JObject(JField(f, body) :: Nil)) :: Nil) =>
+        body match {
+          case JString(text) => Some(f -> text)
+          case JObject(parts) =>
+            parts.toMap.get("query").collect { case JString(t) => f -> t }
+          case _ => None
+        }
+      case _ => None
+    }
+
+  /** The full `_search` request lifecycle over one frame, composed in
+    * ES's evaluation order into ONE Catalyst plan:
+    *
+    *  1. `runtime_mappings` project (searchable like mapped fields)
+    *  2. `query` — a single-field `match` carries real BM25 `_score`s
+    *     when the body needs scoring (knn / min_score / rescore /
+    *     sort-on-_score); any other query shape evaluates in filter
+    *     context and scores the constant 1.0 (ES's `constant_score`
+    *     wrapping, documented delta from per-clause query-context
+    *     scoring)
+    *  3. `knn` — ES 8.4 hybrid: the knn leg retrieves its top-k by
+    *     cosine (times optional `boost`) and a doc retrieved by BOTH
+    *     legs sums its scores; by one leg, keeps that leg's score
+    *  4. `post_filter` — hits-only filter AFTER scoring (scores and
+    *     aggs never see it)
+    *  5. `min_score` — absolute relevance floor
+    *  6. `rescore` — top-`window_size` two-phase re-rank;
+    *     `rescore_query` supports `script_score` (Painless over doc
+    *     fields, `_score` bound to the first pass); hits beyond the
+    *     window are dropped (standard usage keeps size <= window)
+    *  7. `collapse` — one hit per field value, best by the search sort
+    *  8. `sort` + `search_after` (lexicographic cursor predicate —
+    *     deep paging costs one scan, never a global offset) +
+    *     `from`/`size` paging
+    *  9. `highlight` — snippet column next to the hit (single-term
+    *     match queries)
+    * 10. `script_fields` / `docvalue_fields` / `_source` response
+    *     shaping (`_score` and `snippet` survive `_source` filtering,
+    *     like the ES response's separate hit metadata)
+    *
+    * An aggregation request (`aggs` present) returns the bucket frame
+    * via AggsJson instead of hits; combining it with a hit-path-only
+    * key throws (this front door returns ONE frame — issue separate
+    * requests, like es-hadoop's own one-result-per-read contract). */
   def search(df: org.apache.spark.sql.DataFrame, body: String,
       idField: String = "_id"): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.util.Num
     val root = JsonMethods.parse(body) match {
       case JObject(fs) => fs.toMap
       case _ => throw new IllegalArgumentException(s"bad search body: $body")
     }
+    val unknown = root.keySet -- SupportedKeys
+    require(unknown.isEmpty,
+      s"unsupported _search body key(s): ${unknown.toSeq.sorted.mkString(", ")} " +
+        s"(supported: ${SupportedKeys.toSeq.sorted.mkString(", ")})")
     val (runtime, innerQ) = parse(body)
     val projected = runtime.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
-    val filtered = innerQ
-      // parse() echoes the whole body back as "the query" when it sees
-      // neither runtime_mappings nor query — only filter on a real one
-      .filter(_ => root.contains("query"))
-      .fold(projected)(q => projected.where(EsQuery.compile(q, idField)))
-    if (root.contains("aggs") || root.contains("aggregations"))
+    // parse() echoes the whole body back as "the query" when it sees
+    // neither runtime_mappings nor query — only use a real one
+    val queryJson = innerQ.filter(_ => root.contains("query"))
+
+    if (root.contains("aggs") || root.contains("aggregations")) {
+      val hitOnly = Seq("knn", "collapse", "highlight", "rescore", "min_score",
+        "search_after", "post_filter", "_source", "script_fields",
+        "docvalue_fields").filter(root.contains)
+      require(hitOnly.isEmpty,
+        s"an aggs request returns buckets, not hits — hit-path key(s) " +
+          s"${hitOnly.mkString(", ")} would be silently dead; issue a separate request")
+      val filtered = queryJson.fold(projected)(q =>
+        projected.where(EsQuery.compile(q, idField)))
       return AggsJson.compile(filtered, body)
-    val sorted = root.get("sort") match {
-      case Some(JArray(specs)) =>
-        // `.keyword` multi-field suffix maps to the parent column,
-        // same as in the query clauses (QueryDslJson.fieldRef)
-        def sortCol(f: String) =
-          col(if (f.endsWith(".keyword")) f.dropRight(".keyword".length) else f)
-        val orders = specs.map {
-          case JObject(JField(f, JObject(o)) :: Nil) =>
-            o.toMap.get("order") match {
-              case Some(JString("desc")) => sortCol(f).desc_nulls_last
-              case _ => sortCol(f).asc_nulls_last // ES: missing defaults last
-            }
-          case JString(f) => sortCol(f).asc_nulls_last
-          case other => throw new IllegalArgumentException(s"bad sort spec: $other")
-        }
-        filtered.orderBy(orders: _*)
-      case None => filtered
-      case other => throw new IllegalArgumentException(s"sort must be an array: $other")
     }
+
+    // ---- hit path ----
+    val knnJson = root.get("knn")
+    val sortSpecs: Seq[(String, Boolean)] = root.get("sort") match {
+      case Some(JArray(specs)) => specs.map {
+        case JObject(JField(f, JObject(o)) :: Nil) =>
+          f -> (o.toMap.get("order") match {
+            case Some(JString("desc")) => false
+            case _ => true
+          })
+        case JString(f) => f -> true
+        case other => throw new IllegalArgumentException(s"bad sort spec: $other")
+      }
+      case None => Nil
+      case Some(other) => throw new IllegalArgumentException(s"sort must be an array: $other")
+    }
+    val scoring = knnJson.isDefined || root.contains("min_score") ||
+      root.contains("rescore") || sortSpecs.exists(_._1 == "_score")
+    // `.keyword` multi-field suffix maps to the parent column, same as
+    // in the query clauses (QueryDslJson.fieldRef); `_score` maps to
+    // the computed score column
+    def sortCol(f: String): org.apache.spark.sql.Column =
+      if (f == "_score") col("_score")
+      else col(if (f.endsWith(".keyword")) f.dropRight(".keyword".length) else f)
+
+    // 1-2. query phase (scores only when the body needs them)
+    val mSpec = queryJson.flatMap(matchSpec)
+    val matched = (queryJson, scoring) match {
+      case (Some(q), true) => mSpec match {
+        case Some((f, text)) =>
+          val scored = graft.search.Search.bm25Scores(projected, idField, f, text)
+            .select(col("id").as("__qid"), col("score").as("_score"))
+          projected.join(scored, col(idField) === col("__qid")).drop("__qid")
+        case None =>
+          projected.where(EsQuery.compile(q, idField)).withColumn("_score", lit(1.0))
+      }
+      case (Some(q), false) => projected.where(EsQuery.compile(q, idField))
+      case (None, true) => projected.withColumn("_score", lit(1.0))
+      case (None, false) => projected
+    }
+
+    // 3. knn leg + hybrid combine
+    val afterKnn = knnJson match {
+      case Some(kv) =>
+        val kjson = JsonMethods.compact(JsonMethods.render(kv))
+        val boost = kv match {
+          case JObject(fs) => fs.toMap.get("boost").map(jnum).getOrElse(1.0)
+          case _ => 1.0
+        }
+        val knn = graft.sim.Ann.knnSearch(projected, idField, kjson, idField)
+          .select(col("id").as("__kid"),
+            (col("cosine") * boost).as("__kscore"))
+        if (queryJson.isDefined) {
+          val q = matched.select(col(idField).as("__hid"), col("_score").as("__qscore"))
+          val union = q.join(knn, col("__hid") === col("__kid"), "full_outer")
+            .select(coalesce(col("__hid"), col("__kid")).as("__uid"),
+              Num.round(coalesce(col("__qscore"), lit(0.0)) +
+                coalesce(col("__kscore"), lit(0.0)), 4).as("_score"))
+          projected.join(union, col(idField) === col("__uid")).drop("__uid")
+        } else {
+          projected.join(knn, col(idField) === col("__kid")).drop("__kid")
+            .withColumnRenamed("__kscore", "_score")
+        }
+      case None => matched
+    }
+
+    // 4. post_filter: hits-only, after scoring — scores are unchanged
+    val postFiltered = root.get("post_filter")
+      .map(pf => JsonMethods.compact(JsonMethods.render(pf)))
+      .fold(afterKnn)(pf => afterKnn.where(EsQuery.compile(pf, idField)))
+
+    // 5. min_score
+    val floored = root.get("min_score").map(jnum)
+      .fold(postFiltered)(m => postFiltered.where(col("_score") >= m))
+
+    // 6. rescore: top-window two-phase re-rank
+    val rescored = root.get("rescore") match {
+      case None => floored
+      case Some(JObject(rs)) =>
+        val incompat = Seq("collapse", "search_after").filter(root.contains)
+        require(incompat.isEmpty,
+          s"rescore cannot be combined with ${incompat.mkString(", ")} (ES rejects this too)")
+        val m = rs.toMap
+        val w = m.get("window_size").map(jnum(_).toInt).getOrElse(10)
+        val rq = m.get("query") match {
+          case Some(JObject(q)) => q.toMap
+          case _ => throw new IllegalArgumentException("rescore needs a query object")
+        }
+        val qw = rq.get("query_weight").map(jnum).getOrElse(1.0)
+        val rw = rq.get("rescore_query_weight").map(jnum).getOrElse(1.0)
+        val secondary = rq.get("rescore_query") match {
+          case Some(JObject(JField("script_score", JObject(ss)) :: Nil)) =>
+            ss.toMap.get("script") match {
+              case Some(JObject(s)) => s.toMap.get("source") match {
+                case Some(JString(src)) => Painless.compile(src, score = col("_score"))
+                case _ => throw new IllegalArgumentException(
+                  "rescore script_score needs script.source")
+              }
+              case _ => throw new IllegalArgumentException(
+                "rescore script_score needs a script")
+            }
+          case other => throw new IllegalArgumentException(
+            s"rescore_query supports script_score; got: $other")
+        }
+        // the window is a bounded TakeOrderedAndProject; the secondary
+        // expression evaluates on O(window) rows only
+        floored.orderBy(col("_score").desc, col(idField).asc).limit(w)
+          .withColumn("_score", Num.round(col("_score") * qw + secondary * rw, 4))
+      case Some(other) =>
+        throw new IllegalArgumentException(s"bad rescore: $other")
+    }
+
+    // order columns shared by collapse / sort / search_after
+    val orderCols: Seq[org.apache.spark.sql.Column] =
+      if (sortSpecs.nonEmpty) sortSpecs.map { case (f, asc) =>
+        if (asc) sortCol(f).asc_nulls_last else sortCol(f).desc_nulls_last
+      }
+      else if (scoring) Seq(col("_score").desc, col(idField).asc)
+      else Nil
+
+    // 7. collapse: one hit per group, best by the search sort
+    val collapsed = root.get("collapse") match {
+      case None => rescored
+      case Some(JObject(cs)) =>
+        val f = cs.toMap.get("field") match {
+          case Some(JString(x)) => x
+          case _ => throw new IllegalArgumentException("collapse needs a field")
+        }
+        require(orderCols.nonEmpty,
+          "collapse needs a sort (or a scored query) to pick the top hit per group")
+        // id tiebreak makes the per-group pick deterministic on sort ties
+        val win = Window.partitionBy(sortCol(f))
+          .orderBy(orderCols :+ col(idField).asc: _*)
+        rescored.withColumn("__cr", row_number().over(win))
+          .where(col("__cr") === 1).drop("__cr")
+      case Some(other) => throw new IllegalArgumentException(s"bad collapse: $other")
+    }
+
+    // 8. search_after cursor + sort + from/size
+    val cursored = root.get("search_after") match {
+      case None => collapsed
+      case Some(JArray(vals)) =>
+        require(sortSpecs.nonEmpty, "search_after needs an explicit sort")
+        require(vals.length == sortSpecs.length,
+          s"search_after has ${vals.length} values for ${sortSpecs.length} sort keys")
+        def after(f: String, asc: Boolean, v: JValue) = {
+          val l = v match {
+            case JString(s) => lit(s)
+            case n => lit(jnum(n))
+          }
+          if (asc) sortCol(f) > l else sortCol(f) < l
+        }
+        def eq(f: String, v: JValue) = v match {
+          case JString(s) => sortCol(f) === lit(s)
+          case n => sortCol(f) === lit(jnum(n))
+        }
+        // strictly-after in the sort's lexicographic order: plain
+        // comparisons, so deep paging stays one pushed-down scan
+        val pred = sortSpecs.zip(vals).zipWithIndex.map { case (((f, asc), v), i) =>
+          val prefix = sortSpecs.zip(vals).take(i)
+            .map { case ((pf, _), pv) => eq(pf, pv) }
+          (prefix :+ after(f, asc, v)).reduce(_ && _)
+        }.reduce(_ || _)
+        collapsed.where(pred)
+      case Some(other) => throw new IllegalArgumentException(s"bad search_after: $other")
+    }
+    val sorted = if (orderCols.nonEmpty) cursored.orderBy(orderCols: _*) else cursored
     val from = root.get("from").collect { case JInt(i) => i.toInt }.getOrElse(0)
     val size = root.get("size").collect { case JInt(i) => i.toInt }
-    val paged = if (from > 0) sorted.offset(from) else sorted
-    size.fold(paged)(paged.limit)
+    val paged = size.fold(if (from > 0) sorted.offset(from) else sorted)(
+      (if (from > 0) sorted.offset(from) else sorted).limit)
+
+    // 9. highlight: snippet next to the hit's own columns
+    val highlighted = root.get("highlight") match {
+      case None => paged
+      case Some(JObject(hs)) =>
+        val fields = hs.toMap.get("fields") match {
+          case Some(JObject(fs)) => fs.map(_._1)
+          case _ => throw new IllegalArgumentException("highlight needs a fields object")
+        }
+        require(fields.size == 1, s"highlight supports one field, got: $fields")
+        val term = mSpec match {
+          case Some((_, text)) => text
+          case None => throw new IllegalArgumentException(
+            "highlight needs a single-field match query to take its term from")
+        }
+        paged.withColumn("snippet",
+          graft.search.Search.highlightCol(col(fields.head), term))
+      case Some(other) => throw new IllegalArgumentException(s"bad highlight: $other")
+    }
+
+    // 10. response shaping: script_fields / docvalue_fields project
+    // extra columns; _source prunes the doc columns (hit metadata —
+    // _score, snippet, computed fields — survives the prune)
+    val withScripts = scriptFields(body)
+      .foldLeft(highlighted) { case (d, (n, c)) => d.withColumn(n, c) }
+    val withDocvalues = root.get("docvalue_fields")
+      .map(v => docvalueFields(JsonMethods.compact(JsonMethods.render(v))))
+      .getOrElse(Nil)
+      .foldLeft(withScripts) { case (d, (n, c)) => d.withColumn(n, c) }
+    root.get("_source") match {
+      case None => withDocvalues
+      case Some(v) =>
+        val extras = (Seq("_score", "snippet") ++
+          scriptFields(body).map(_._1) ++
+          root.get("docvalue_fields").map(_ =>
+            docvalueFields(JsonMethods.compact(JsonMethods.render(root("docvalue_fields"))))
+              .map(_._1)).getOrElse(Nil))
+          .filter(withDocvalues.columns.contains).distinct
+        val base = applySourceFilter(withDocvalues.drop(extras: _*),
+          JsonMethods.compact(JsonMethods.render(v)))
+        // pure projection on the SAME frame — kept doc columns + hit
+        // metadata, no join
+        withDocvalues.select((base.columns.toSeq ++ extras).map(col): _*)
+    }
   }
 
   /** `script_fields`: per-HIT computed outputs (unlike runtime fields

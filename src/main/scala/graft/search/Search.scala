@@ -1375,23 +1375,34 @@ object Search {
     * each side) with the hit wrapped in <em> tags. Narrow per-row
     * regex; only matching docs are scanned thanks to the pushdown-able
     * match predicate. */
-  def highlight(docs: DataFrame, idCol: String, textCol: String, term: String): DataFrame = {
+  def highlight(docs: DataFrame, idCol: String, textCol: String, term: String): DataFrame =
+    docs
+      .where(matchQuery(col(textCol), analyzedHighlightTerm(term)))
+      .select(col(idCol).as("id"), highlightCol(col(textCol), term).as("snippet"))
+      .orderBy(col("id").asc)
+
+  /** The analyzed single token behind a highlight request — shared by
+    * the operator and the `_search`-body front door so the guard and
+    * the snippet regex can't diverge. */
+  def analyzedHighlightTerm(term: String): String = {
     // analyze first (mirrors the guarding matchQuery: "Merge" and
     // "c++" become their analyzed token), then quote — the raw input
     // must never reach the regex engine as pattern syntax.
     val analyzed = Analyzer.analyze(term)
     require(analyzed.length == 1, s"highlight takes a single term: $term")
-    val t = analyzed.head
+    analyzed.head
+  }
+
+  /** The `highlight` snippet as a bare column (±3-word context window,
+    * `<em>` wrapping) — lets the `_search` body attach a snippet next
+    * to the hit's own columns instead of returning a separate frame. */
+  def highlightCol(textCol: Column, term: String): Column = {
+    val t = analyzedHighlightTerm(term)
     val quoted = java.util.regex.Pattern.quote(t)
     val replacement = java.util.regex.Matcher.quoteReplacement(s"<em>$t</em>")
-    docs
-      .where(matchQuery(col(textCol), t))
-      .select(
-        col(idCol).as("id"),
-        regexp_replace(
-          regexp_extract(lower(col(textCol)), s"([a-z0-9]+ ){0,3}\\b$quoted\\b( [a-z0-9]+){0,3}", 0),
-          s"\\b$quoted\\b", replacement).as("snippet"))
-      .orderBy(col("id").asc)
+    regexp_replace(
+      regexp_extract(lower(textCol), s"([a-z0-9]+ ){0,3}\\b$quoted\\b( [a-z0-9]+){0,3}", 0),
+      s"\\b$quoted\\b", replacement)
   }
 
   /** Multi-term `highlight` with `number_of_fragments`: one ±3-word

@@ -1,0 +1,136 @@
+package graft
+
+import graft.dsl.SearchBody
+import org.apache.spark.sql.functions._
+
+/** The widened `_search`-body front door (r10): loud contracts for
+  * unsupported/incompatible body keys, and the composition semantics
+  * of the new top-level sections (knn hybrid sum, collapse, rescore,
+  * post_filter, min_score, search_after, highlight, _source). */
+class SearchBodySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, sfDir)
+
+  test("unknown body keys fail loudly, listing the supported set") {
+    val e = intercept[IllegalArgumentException] {
+      SearchBody.search(docs, """{"query": {"term": {"lang": "en"}}, "suggest": {}}""",
+        idField = "doc_id")
+    }
+    assert(e.getMessage.contains("suggest"))
+    assert(e.getMessage.contains("supported"))
+  }
+
+  test("aggs request rejects hit-path-only keys instead of silently dropping them") {
+    val e = intercept[IllegalArgumentException] {
+      SearchBody.search(docs,
+        """{"aggs": {"l": {"terms": {"field": "lang"}}}, "collapse": {"field": "source"}}""",
+        idField = "doc_id")
+    }
+    assert(e.getMessage.contains("collapse"))
+    // but the size:0 idiom (from/size/sort next to aggs) stays legal
+    val buckets = SearchBody.search(docs,
+      """{"aggs": {"l": {"terms": {"field": "lang"}}}, "size": 0}""",
+      idField = "doc_id")
+    assert(buckets.count() > 0)
+  }
+
+  test("rescore rejects collapse and search_after combos (ES does too)") {
+    val e = intercept[IllegalArgumentException] {
+      SearchBody.search(docs,
+        """{"query": {"match": {"text": "vector"}},
+            "rescore": {"query": {"rescore_query": {"script_score": {"script": {"source": "1.0"}}}}},
+            "collapse": {"field": "lang"}}""",
+        idField = "doc_id")
+    }
+    assert(e.getMessage.contains("collapse"))
+  }
+
+  test("hybrid query+knn sums the two legs' scores; single-leg docs keep one score") {
+    val corpus = docs.join(
+      Tables.load(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding")),
+      col("doc_id") === col("vec_id")).drop("vec_id")
+    val vec = (0 until 64).map(i => (i * 37 % 100) / 100.0 - 0.5)
+    val hybrid = SearchBody.search(corpus,
+      s"""{"query": {"match": {"text": "vector hash"}},
+           "knn": {"field": "embedding", "query_vector": [${vec.mkString(",")}],
+                   "k": 10, "num_candidates": 100000},
+           "size": 500}""",
+      idField = "doc_id")
+      .select(col("doc_id").as[Long], col("_score").as[Double]).collect().toMap
+    val bm25 = graft.search.Search.bm25Scores(corpus, "doc_id", "text", "vector hash")
+      .select(col("id").as[Long], col("score").as[Double]).collect().toMap
+    val knn = graft.sim.Ann.knnSearch(corpus, "doc_id",
+      s"""{"knn": {"field": "embedding", "query_vector": [${vec.mkString(",")}],
+           "k": 10, "num_candidates": 100000}}""")
+      .select(col("id").as[Long], col("cosine").as[Double]).collect().toMap
+    assert(hybrid.nonEmpty)
+    hybrid.foreach { case (id, s) =>
+      val want = bm25.getOrElse(id, 0.0) + knn.getOrElse(id, 0.0)
+      assert(math.abs(s - want) < 1e-9, s"doc $id: $s vs $want")
+    }
+    // the union really is both legs
+    assert(hybrid.keySet == bm25.keySet ++ knn.keySet)
+  }
+
+  test("collapse picks one hit per group by the request sort, deterministically") {
+    val out = SearchBody.search(docs,
+      """{"collapse": {"field": "lang"},
+          "sort": [{"n_chars": {"order": "desc"}}, {"doc_id": {"order": "asc"}}]}""",
+      idField = "doc_id")
+    val rows = out.select($"lang", $"n_chars", $"doc_id").as[(String, Long, Long)].collect()
+    assert(rows.map(_._1).distinct.length == rows.length) // one per lang
+    val best = docs.groupBy("lang").agg(max("n_chars").as("m"))
+      .select($"lang", $"m").as[(String, Long)].collect().toMap
+    rows.foreach { case (l, n, _) => assert(n == best(l)) }
+  }
+
+  test("post_filter prunes hits without changing their scores") {
+    val body = """{"query": {"match": {"text": "vector"}}, "min_score": 0.0,
+                   "post_filter": {"term": {"lang": "en"}}}"""
+    val filtered = SearchBody.search(docs, body, idField = "doc_id")
+    val open = SearchBody.search(docs,
+      """{"query": {"match": {"text": "vector"}}, "min_score": 0.0}""", idField = "doc_id")
+    val f = filtered.select($"doc_id".as[Long], $"_score".as[Double]).collect().toMap
+    val o = open.select($"doc_id".as[Long], $"_score".as[Double]).collect().toMap
+    assert(f.nonEmpty && f.size < o.size)
+    f.foreach { case (id, s) => assert(o(id) == s) }
+  }
+
+  test("search_after continues exactly where the previous page ended") {
+    val page1 = SearchBody.search(docs,
+      """{"sort": [{"n_chars": {"order": "desc"}}, {"doc_id": {"order": "asc"}}],
+          "size": 5}""", idField = "doc_id")
+      .select($"n_chars".as[Long], $"doc_id".as[Long]).collect()
+    val (ln, lid) = page1.last
+    val page2 = SearchBody.search(docs,
+      s"""{"sort": [{"n_chars": {"order": "desc"}}, {"doc_id": {"order": "asc"}}],
+           "search_after": [$ln, $lid], "size": 5}""", idField = "doc_id")
+      .select($"n_chars".as[Long], $"doc_id".as[Long]).collect()
+    val both = SearchBody.search(docs,
+      """{"sort": [{"n_chars": {"order": "desc"}}, {"doc_id": {"order": "asc"}}],
+          "size": 10}""", idField = "doc_id")
+      .select($"n_chars".as[Long], $"doc_id".as[Long]).collect()
+    assert((page1 ++ page2).toSeq == both.toSeq)
+  }
+
+  test("_source keeps hit metadata (_score, snippet, script fields) through the prune") {
+    val out = SearchBody.search(docs,
+      """{"query": {"match": {"text": "vector"}}, "min_score": 0.0,
+          "highlight": {"fields": {"text": {}}},
+          "script_fields": {"k": {"script": {"source": "doc['n_chars'].value / 100.0"}}},
+          "_source": ["doc_id"]}""",
+      idField = "doc_id")
+    assert(out.columns.toSet == Set("doc_id", "_score", "snippet", "k"))
+    assert(out.count() > 0)
+  }
+
+  test("highlight without a match query to take the term from is a loud error") {
+    val e = intercept[IllegalArgumentException] {
+      SearchBody.search(docs,
+        """{"query": {"term": {"lang": "en"}}, "highlight": {"fields": {"text": {}}}}""",
+        idField = "doc_id")
+    }
+    assert(e.getMessage.contains("match"))
+  }
+}
