@@ -106,7 +106,33 @@ private[graft] object EntriesBody {
           "script_fields": {"kchars": {"script": {"source": "doc['n_chars'].value / 100.0"}}},
           "docvalue_fields": [{"field": "source"}],
           "_source": ["doc_id"]}""",
-      idField = "doc_id")))
+      idField = "doc_id")),
+    // composite as a JSON tree node: terms sources + after-key paging
+    // (pushed below the partial agg) + a metric sub-agg per bucket
+    "q_aggs_json_composite" -> ((s, d) => graft.dsl.AggsJson.compile(
+      t(s, d, "documents"),
+      """{"aggs": {"page": {"composite": {
+           "size": 10,
+           "sources": [{"lang": {"terms": {"field": "lang"}}},
+                       {"source": {"terms": {"field": "source"}}}],
+           "after": {"lang": "de", "source": "src3"}},
+           "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}}}}}""")),
+    // significant_terms as a JSON tree node through the FULL search
+    // body: the query is the foreground, the index the background
+    "q_aggs_json_sig_terms" -> ((s, d) => graft.dsl.SearchBody.search(
+      t(s, d, "documents"),
+      """{"query": {"term": {"lang": "en"}},
+          "aggs": {"sig": {"significant_terms": {
+            "field": "text", "min_doc_count": 5, "size": 10}}}}""",
+      idField = "doc_id")),
+    // terms > top_hits as a JSON tree: per-bucket best documents by a
+    // total sort, _source-selected columns
+    "q_aggs_json_top_hits" -> ((s, d) => graft.dsl.AggsJson.compile(
+      t(s, d, "orders"),
+      """{"aggs": {"pri": {"terms": {"field": "o_orderpriority"}, "aggs": {
+           "top": {"top_hits": {"size": 3,
+             "sort": [{"o_totalprice": {"order": "desc"}}, {"o_orderkey": {"order": "asc"}}],
+             "_source": ["o_orderkey", "o_totalprice"]}}}}}}""")))
 
   val oracleSql: Map[String, String] = Map(
     "q_search_body_knn" -> (TokCte + bm25Ctes("", "tok", Seq("vector", "hash")) +
@@ -145,5 +171,20 @@ private[graft] object EntriesBody {
       "x -> len(x) > 0), 'vector') ORDER BY doc_id LIMIT 20"),
     "q_search_body_source" -> ("SELECT doc_id, n_chars FROM documents WHERE lang = 'en'"),
     "q_search_body_fields" -> ("SELECT doc_id, n_chars / 100.0 AS kchars, source " +
-      "FROM documents WHERE lang = 'fr'"))
+      "FROM documents WHERE lang = 'fr'"),
+    "q_aggs_json_composite" -> ("SELECT lang, source, count(*)::BIGINT AS doc_count, " +
+      "round(avg(n_chars), 4) AS avg_chars FROM documents " +
+      "WHERE lang > 'de' OR (lang = 'de' AND source > 'src3') " +
+      "GROUP BY lang, source ORDER BY lang, source LIMIT 10"),
+    "q_aggs_json_sig_terms" -> ("WITH terms AS (SELECT lang = 'en' AS fg, " +
+      "unnest(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0))) AS term FROM documents), " +
+      "tot AS (SELECT count_if(lang = 'en')::DOUBLE AS fg_total, count(*)::DOUBLE AS bg_total FROM documents), " +
+      "g AS (SELECT term, count_if(fg)::BIGINT AS fg_count, count(*)::BIGINT AS bg_count FROM terms GROUP BY term HAVING count_if(fg) >= 5) " +
+      "SELECT term, fg_count, bg_count, " +
+      "round((fg_count / fg_total) * ln((fg_count / fg_total) / (bg_count / bg_total)), 4) AS score " +
+      "FROM g CROSS JOIN tot ORDER BY score DESC, term LIMIT 10"),
+    "q_aggs_json_top_hits" -> ("SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM " +
+      "(SELECT o_orderpriority, o_orderkey, o_totalprice, " +
+      "row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) " +
+      "WHERE rn <= 3 ORDER BY o_orderpriority, rn"))
 }

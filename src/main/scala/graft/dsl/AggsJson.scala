@@ -38,13 +38,36 @@ import graft.util.Num
   * all bucket paths ordered by key. */
 object AggsJson {
 
-  def compile(df: DataFrame, json: String): DataFrame = {
+  def compile(df: DataFrame, json: String): DataFrame =
+    compile(df, json, fgPred = None, background = None)
+
+  /** Full compile surface: `fgPred`/`background` carry the request's
+    * query predicate and the PRE-query frame so `significant_terms`
+    * can measure foreground uplift against the whole index (the
+    * filtered frame alone cannot see the background rates). The
+    * SearchBody front door passes both; direct callers without a
+    * query context get fg == bg (defined, degenerate uplift 0). */
+  def compile(df: DataFrame, json: String,
+      fgPred: Option[Column], background: Option[DataFrame]): DataFrame = {
     val root = JsonMethods.parse(json) match {
       case JObject(fs) => fs.toMap.get("aggs").orElse(fs.toMap.get("aggregations")) match {
         case Some(JObject(aggs)) => aggs
         case _ => throw new IllegalArgumentException("body needs an aggs object")
       }
       case _ => throw new IllegalArgumentException(s"bad aggs body: $json")
+    }
+    // dedicated tree shapes first: composite (its own paging protocol),
+    // significant_terms (needs the background frame), and a
+    // terms>top_hits tree (returns DOCS per bucket, not metrics)
+    root match {
+      case JField(name, JObject(spec)) :: Nil if spec.exists(_._1 == "composite") =>
+        return compileComposite(df, name, spec.toMap)
+      case JField(name, JObject(spec)) :: Nil if spec.exists(_._1 == "significant_terms") =>
+        return compileSigTerms(df, name, spec.toMap, fgPred, background)
+      case JField(name, JObject(spec)) :: Nil
+          if spec.exists(_._1 == "terms") && topHitsChild(spec.toMap).isDefined =>
+        return compileTopHits(df, name, spec.toMap)
+      case _ => ()
     }
     // walk the tree: collect (name, keyColumn) per bucket level and the
     // leaf metric set
@@ -238,6 +261,169 @@ object AggsJson {
           }
         case _ => None
       }
+  }
+
+  /** `{"composite": {"sources": [...], "size": N, "after": {...}}}` —
+    * multi-source bucket pagination as a JSON tree node. Sources are
+    * `terms` / `histogram` / `date_histogram` (each reuses bucketKey,
+    * so the key math cannot diverge from the flat tree's); `after` is
+    * ES's object keyed by source name, compiled to a lexicographic
+    * strictly-greater predicate that references only grouping keys —
+    * Catalyst pushes it BELOW the partial aggregation, so a deep page
+    * never aggregates the skipped prefix. Sub-aggs may be metrics
+    * (evaluated per composite bucket); nested bucket aggs throw.
+    * Per ES, a source with `missing_bucket: true` keeps null keys
+    * (sorted first); default drops them. */
+  private def compileComposite(
+      df: DataFrame, name: String, spec: Map[String, JValue]): DataFrame = {
+    val cm = spec.get("composite") match {
+      case Some(JObject(c)) => c.toMap
+      case _ => throw new IllegalArgumentException(s"bad composite spec under '$name'")
+    }
+    val size = cm.get("size").map(num(_).toInt).getOrElse(10)
+    val sources: Seq[(String, Column, Boolean)] = cm.get("sources") match {
+      case Some(JArray(srcs)) => srcs.map {
+        case JObject(JField(sname, JObject(sspec)) :: Nil) =>
+          val m = sspec.toMap
+          val inner = m.head match {
+            case (kind, JObject(ks)) if Set("terms", "histogram", "date_histogram")(kind) =>
+              bucketKey(sname, Map(kind -> JObject(ks)))
+            case (other, _) => throw new IllegalArgumentException(
+              s"unsupported composite source type '$other' under '$sname'")
+          }
+          val missing = m.head._2 match {
+            case JObject(ks) => ks.toMap.get("missing_bucket")
+              .collect { case JBool(b) => b }.getOrElse(false)
+            case _ => false
+          }
+          (sname, inner, missing)
+        case other => throw new IllegalArgumentException(s"bad composite source: $other")
+      }
+      case _ => throw new IllegalArgumentException("composite needs a sources array")
+    }
+    val metrics = (spec.get("aggs").orElse(spec.get("aggregations")) match {
+      case Some(JObject(subs)) => subs.map {
+        case JField(mn, JObject(ms)) =>
+          require(!ms.exists { case JField(k, _) =>
+            Set("terms", "histogram", "date_histogram", "range", "composite",
+              "significant_terms", "top_hits").contains(k) },
+            s"composite sub-agg '$mn' must be a metric (bucket aggs don't nest under composite)")
+          mn -> metricCol(mn, ms.toMap)
+        case other => throw new IllegalArgumentException(s"bad composite sub-agg: $other")
+      }
+      case None => Nil
+      case Some(other) => throw new IllegalArgumentException(s"bad sub-aggs: $other")
+    })
+    val keyed = sources.foldLeft(df) { case (d, (n, c, _)) => d.withColumn(n, c) }
+    val base = sources.filterNot(_._3).map(_._1) match {
+      case Nil => keyed
+      case drop => keyed.where(drop.map(col(_).isNotNull).reduce(_ && _))
+    }
+    val aggCols = count(lit(1)).as("doc_count") +: metrics.map { case (n, c) => c.as(n) }
+    val grouped = base.groupBy(sources.map(s => col(s._1)): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+    val afterLit: Map[String, Column] = cm.get("after") match {
+      case Some(JObject(af)) => af.map {
+        case JField(k, JString(s)) => k -> lit(s)
+        case JField(k, v) => k -> lit(num(v))
+      }.toMap
+      case None => Map.empty
+      case Some(other) => throw new IllegalArgumentException(s"bad composite after: $other")
+    }
+    val paged =
+      if (afterLit.isEmpty) grouped
+      else {
+        val names = sources.map(_._1)
+        require(afterLit.keySet == names.toSet,
+          s"composite after keys ${afterLit.keySet.toSeq.sorted.mkString(",")} must match " +
+            s"sources ${names.mkString(",")}")
+        val gt = names.zipWithIndex.map { case (k, i) =>
+          names.take(i).map(p => col(p) === afterLit(p))
+            .foldLeft(col(k) > afterLit(k))(_ && _)
+        }.reduce(_ || _)
+        grouped.where(gt)
+      }
+    paged.orderBy(sources.map(s => col(s._1).asc): _*).limit(size)
+  }
+
+  /** `{"significant_terms": {"field": f, "min_doc_count": n, "size": k,
+    * "heuristic": h}}` — foreground-vs-background uplift as a JSON
+    * node. The foreground is the request's query (fgPred), the
+    * background is the PRE-query frame; a `.keyword` field suffix
+    * routes to the keyword variant (field VALUES as terms, no token
+    * explode), anything else tokenizes like ES's text mapping. */
+  private def compileSigTerms(
+      df: DataFrame, name: String, spec: Map[String, JValue],
+      fgPred: Option[Column], background: Option[DataFrame]): DataFrame = {
+    require(spec.size == 1,
+      s"significant_terms must be the only agg under '$name' (its result is a term table)")
+    val m = spec.get("significant_terms") match {
+      case Some(JObject(s)) => s.toMap
+      case _ => throw new IllegalArgumentException(s"bad significant_terms under '$name'")
+    }
+    val field = str(m, "field", "significant_terms")
+    val minDoc = m.get("min_doc_count").map(num(_).toLong).getOrElse(5L)
+    val size = m.get("size").map(num(_).toInt).getOrElse(10)
+    val heuristic = m.get("heuristic").collect { case JString(h) => h }.getOrElse("default")
+    val base = background.getOrElse(df)
+    val pred = fgPred.getOrElse(lit(true))
+    if (field.endsWith(".keyword"))
+      graft.agg.Aggs.significantTermsKeyword(
+        base, field.dropRight(".keyword".length), pred, minDoc, size)
+    else
+      graft.agg.Aggs.significantTerms(base, field, pred, minDoc, size,
+        heuristic = heuristic)
+  }
+
+  /** terms > top_hits: the per-bucket DOCUMENT window (`size` best
+    * hits per bucket by the node's `sort`, `_source`-selected
+    * columns + `rn`). Returns docs, not metrics — hence its own
+    * compile path; the tree must be exactly terms > top_hits. */
+  private def topHitsChild(spec: Map[String, JValue]): Option[Map[String, JValue]] =
+    spec.get("aggs").orElse(spec.get("aggregations")) match {
+      case Some(JObject(JField(_, JObject(th)) :: Nil)) =>
+        th.toMap.get("top_hits") match {
+          case Some(JObject(t)) => Some(t.toMap)
+          case _ => None
+        }
+      case _ => None
+    }
+
+  private def compileTopHits(
+      df: DataFrame, name: String, spec: Map[String, JValue]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketField = spec.get("terms") match {
+      case Some(JObject(t)) => str(t.toMap, "field", "terms")
+      case _ => throw new IllegalArgumentException(s"bad terms under '$name'")
+    }
+    val th = topHitsChild(spec).get
+    val k = th.get("size").map(num(_).toInt).getOrElse(3)
+    val sortCols = th.get("sort") match {
+      case Some(JArray(specs)) if specs.nonEmpty => specs.map {
+        case JObject(JField(f, JObject(o)) :: Nil) =>
+          o.toMap.get("order") match {
+            case Some(JString("desc")) => col(f).desc
+            case _ => col(f).asc
+          }
+        case JString(f) => col(f).asc
+        case other => throw new IllegalArgumentException(s"bad top_hits sort: $other")
+      }
+      case _ => throw new IllegalArgumentException(
+        "top_hits needs an explicit sort (make it total for deterministic hits)")
+    }
+    val sourceCols = th.get("_source") match {
+      case Some(JArray(fs)) => fs.map {
+        case JString(f) => f
+        case other => throw new IllegalArgumentException(s"bad _source entry: $other")
+      }
+      case None => df.columns.toSeq.filterNot(_ == bucketField)
+      case Some(other) => throw new IllegalArgumentException(s"bad top_hits _source: $other")
+    }
+    val w = Window.partitionBy(col(bucketField)).orderBy(sortCols: _*)
+    df.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select((bucketField +: sourceCols :+ "rn").map(col): _*)
+      .orderBy(col(bucketField).asc, col("rn").asc)
   }
 
   private def metricCol(name: String, spec: Map[String, JValue]): Column = {

@@ -165,9 +165,11 @@ object SearchBody {
       require(hitOnly.isEmpty,
         s"an aggs request returns buckets, not hits — hit-path key(s) " +
           s"${hitOnly.mkString(", ")} would be silently dead; issue a separate request")
-      val filtered = queryJson.fold(projected)(q =>
-        projected.where(EsQuery.compile(q, idField)))
-      return AggsJson.compile(filtered, body)
+      val pred = queryJson.map(q => EsQuery.compile(q, idField))
+      val filtered = pred.fold(projected)(projected.where)
+      // fgPred + the pre-query frame let significant_terms measure
+      // uplift against the index background, like ES
+      return AggsJson.compile(filtered, body, pred, Some(projected))
     }
 
     // ---- hit path ----

@@ -1,0 +1,98 @@
+package graft
+
+import graft.dsl.AggsJson
+import org.apache.spark.sql.functions._
+
+/** r10 aggs-JSON tree nodes: composite / significant_terms / top_hits
+  * — paging equivalence and the loud contracts for shapes the flat
+  * compile cannot honor. */
+class AggsJsonNodesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, sfDir)
+
+  test("composite pages are a partition of the full key-ordered bucket list") {
+    def page(after: Option[(String, String)]) = {
+      val af = after.map { case (l, s) =>
+        s""", "after": {"l": "$l", "s": "$s"}""" }.getOrElse("")
+      AggsJson.compile(docs,
+        s"""{"aggs": {"p": {"composite": {"size": 5,
+             "sources": [{"l": {"terms": {"field": "lang"}}},
+                         {"s": {"terms": {"field": "source"}}}]$af}}}}""")
+        .select($"l".as[String], $"s".as[String], $"doc_count".as[Long]).collect().toSeq
+    }
+    val all = docs.groupBy($"lang".as("l"), $"source".as("s"))
+      .agg(count(lit(1)).as("doc_count"))
+      .orderBy($"l", $"s")
+      .select($"l".as[String], $"s".as[String], $"doc_count".as[Long]).collect().toSeq
+    var got = Seq.empty[(String, String, Long)]
+    var after: Option[(String, String)] = None
+    var p = page(after)
+    while (p.nonEmpty) {
+      got ++= p
+      after = Some((p.last._1, p.last._2))
+      p = page(after)
+    }
+    assert(got == all)
+  }
+
+  test("composite metric sub-aggs evaluate per bucket; bucket sub-aggs throw") {
+    val out = AggsJson.compile(docs,
+      """{"aggs": {"p": {"composite": {"size": 3,
+           "sources": [{"l": {"terms": {"field": "lang"}}}]},
+           "aggs": {"mx": {"max": {"field": "n_chars"}}}}}}""")
+    assert(out.columns.toSet == Set("l", "doc_count", "mx"))
+    val e = intercept[IllegalArgumentException] {
+      AggsJson.compile(docs,
+        """{"aggs": {"p": {"composite": {"size": 3,
+             "sources": [{"l": {"terms": {"field": "lang"}}}]},
+             "aggs": {"inner": {"terms": {"field": "source"}}}}}}""")
+    }
+    assert(e.getMessage.contains("metric"))
+  }
+
+  test("composite after keys must match the sources, loudly") {
+    val e = intercept[IllegalArgumentException] {
+      AggsJson.compile(docs,
+        """{"aggs": {"p": {"composite": {"size": 3,
+             "sources": [{"l": {"terms": {"field": "lang"}}}],
+             "after": {"wrong": "de"}}}}}""")
+    }
+    assert(e.getMessage.contains("sources"))
+  }
+
+  test("significant_terms keyword variant matches the Scala operator") {
+    val json = AggsJson.compile(docs,
+      """{"aggs": {"sig": {"significant_terms": {
+           "field": "source.keyword", "min_doc_count": 2, "size": 5}}}}""",
+      fgPred = Some(col("lang") === "en"), background = Some(docs))
+    val direct = graft.agg.Aggs.significantTermsKeyword(
+      docs, "source", col("lang") === "en", 2, 5)
+    assert(json.collect().toSeq == direct.collect().toSeq)
+  }
+
+  test("top_hits without a sort is a loud error (nondeterministic hits)") {
+    val e = intercept[IllegalArgumentException] {
+      AggsJson.compile(docs,
+        """{"aggs": {"b": {"terms": {"field": "lang"}, "aggs": {
+             "t": {"top_hits": {"size": 2}}}}}}""")
+    }
+    assert(e.getMessage.contains("sort"))
+  }
+
+  test("top_hits returns size best docs per bucket with rn") {
+    val out = AggsJson.compile(docs,
+      """{"aggs": {"b": {"terms": {"field": "lang"}, "aggs": {
+           "t": {"top_hits": {"size": 2,
+             "sort": [{"n_chars": {"order": "desc"}}, {"doc_id": {"order": "asc"}}],
+             "_source": ["doc_id", "n_chars"]}}}}}}""")
+    assert(out.columns.toSeq == Seq("lang", "doc_id", "n_chars", "rn"))
+    val perBucket = out.groupBy("lang").count()
+      .select($"count".as[Long]).collect()
+    assert(perBucket.forall(_ <= 2))
+    val best = docs.groupBy("lang").agg(max("n_chars").as("m"))
+      .select($"lang".as[String], $"m".as[Long]).collect().toMap
+    out.where($"rn" === 1).select($"lang".as[String], $"n_chars".as[Long])
+      .collect().foreach { case (l, n) => assert(n == best(l)) }
+  }
+}
