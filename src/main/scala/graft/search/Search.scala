@@ -426,11 +426,69 @@ object Search {
       }
     }
 
+  /** Per-(doc, field) BM25 over SEVERAL fields in ONE corpus tokenize
+    * pass — the shared kernel behind queryStringTopK / multiMatchTopK /
+    * multiMatchPhraseTopK. The old shape ran a full bm25Scores pass
+    * PER FIELD (scan count linear in |fields|); here one scan emits
+    * (id, field, toks) via an exploded struct array, and per-field
+    * df/avgdl/n_docs all derive from that stream, so the scan count is
+    * CONSTANT in the field count. Per-field statistics are exactly the
+    * single-field ones (the explode keeps every doc for every field),
+    * so scores are bit-identical to the per-field bm25Scores path.
+    *
+    * `gates`: an optional per-field predicate (phrase match) carried
+    * NEXT TO the score — df/idf stay index-wide (ES semantics: the
+    * gate selects hits, it does not reshape term statistics); callers
+    * filter on `gate` after scoring. Output: (id, field, gate, score),
+    * score rounded 4 like bm25Scores. */
+  private def bm25PerFieldScores(
+      docs: DataFrame,
+      idCol: String,
+      fields: Seq[(String, Column)],
+      query: String,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val q = Analyzer.analyze(query)
+    require(q.nonEmpty, s"bm25 query analyzed to zero tokens: $query")
+    val perFieldToks = docs
+      .select(col(idCol).as("id"),
+        explode(array(fields.map { case (f, gate) =>
+          struct(lit(f).as("field"), Analyzer.tokens(col(f)).as("toks"),
+            gate.as("gate"))
+        }: _*)).as("ft"))
+      .select(col("id"), col("ft.field").as("field"),
+        col("ft.toks").as("toks"), col("ft.gate").as("gate"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    // per-field corpus stats: |fields| rows -> broadcast
+    val stats = perFieldToks.groupBy(col("field"))
+      .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+    // (doc, field, term) postings for query terms only — the explode
+    // is filtered before the shuffle, so only matching postings move
+    val tf = perFieldToks
+      .select(col("id"), col("field"), col("gate"), col("dl"),
+        explode(col("toks")).as("term"))
+      .where(col("term").isin(q: _*))
+      .groupBy(col("id"), col("field"), col("gate"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    // per-(field, term) document frequency: <= |fields|*|q| rows -> broadcast
+    val dfreq = tf.groupBy(col("field"), col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfPart = col("tf") * (k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl")))
+    tf.join(broadcast(dfreq), Seq("field", "term"))
+      .join(broadcast(stats), Seq("field"))
+      .withColumn("term_score", idf * tfPart)
+      .groupBy(col("id"), col("field"), col("gate"))
+      .agg(Num.round(sum(col("term_score")), 4).as("score"))
+  }
+
   /** Scored `query_string` over boosted fields — `fields:
     * ["text^2", "source"]` semantics: per-field BM25, weighted sum,
-    * one ordered limit. Each per-field score frame holds only docs
-    * containing query terms in that field, so the union + re-agg moves
-    * O(matching docs), not the corpus. */
+    * one ordered limit. One corpus tokenize pass for ALL fields
+    * (bm25PerFieldScores); only (doc, field) pairs containing query
+    * terms reach the combine, so the re-agg moves O(matching docs),
+    * not the corpus. */
   def queryStringTopK(
       docs: DataFrame,
       idCol: String,
@@ -438,12 +496,14 @@ object Search {
       query: String,
       k: Int): DataFrame = {
     require(fields.nonEmpty, "queryStringTopK needs at least one field")
-    val perField = fields.map { case (f, b) =>
-      bm25Scores(docs, idCol, f, query).select(col("id"), (col("score") * b).as("s"))
+    // per-field boost as a literal CASE chain (|fields| branches,
+    // codegen'd — no join for the weight lookup)
+    val boost = fields.foldLeft(lit(1.0)) { case (acc, (f, w)) =>
+      when(col("field") === f, lit(w)).otherwise(acc)
     }
-    perField.reduce(_ unionByName _)
+    bm25PerFieldScores(docs, idCol, fields.map { case (f, _) => f -> lit(true) }, query)
       .groupBy(col("id"))
-      .agg(Num.round(sum(col("s")), 4).as("score"))
+      .agg(Num.round(sum(col("score") * boost), 4).as("score"))
       .orderBy(col("score").desc, col("id").asc)
       .limit(k)
   }
@@ -970,9 +1030,9 @@ object Search {
 
   /** `multi_match`: BM25 over several fields combined per `mode` —
     * `best_fields` (ES default: the best single field wins, max) or
-    * `most_fields` (fields reinforce each other, sum). Same union +
-    * re-agg shape as queryStringTopK: only docs containing query terms
-    * move. */
+    * `most_fields` (fields reinforce each other, sum). One corpus
+    * tokenize pass for ALL fields (bm25PerFieldScores); only
+    * (doc, field) pairs containing query terms reach the combine. */
   def multiMatchTopK(
       docs: DataFrame,
       idCol: String,
@@ -982,12 +1042,11 @@ object Search {
       mode: String = "best_fields"): DataFrame = {
     require(fields.nonEmpty, "multiMatchTopK needs at least one field")
     val combine = mode match {
-      case "best_fields" => max(col("s"))
-      case "most_fields" => sum(col("s"))
+      case "best_fields" => max(col("score"))
+      case "most_fields" => sum(col("score"))
       case other => throw new IllegalArgumentException(s"unknown multi_match mode: $other")
     }
-    fields.map(f => bm25Scores(docs, idCol, f, query).select(col("id"), col("score").as("s")))
-      .reduce(_ unionByName _)
+    bm25PerFieldScores(docs, idCol, fields.map(_ -> lit(true)), query)
       .groupBy(col("id"))
       .agg(Num.round(combine, 4).as("score"))
       .orderBy(col("score").desc, col("id").asc)
@@ -1038,15 +1097,17 @@ object Search {
       k: Int,
       prefix: Boolean = false): DataFrame = {
     require(fields.nonEmpty, "multiMatchPhraseTopK needs at least one field")
-    fields.map { f =>
-      val gate =
-        if (prefix) matchPhrasePrefix(col(f), query) else matchPhrase(col(f), query)
-      bm25Scores(docs, idCol, f, query)
-        .join(docs.where(gate).select(col(idCol).as("id")), Seq("id"), "left_semi")
-        .select(col("id"), col("score").as("s"))
-    }.reduce(_ unionByName _)
+    // the phrase gate rides NEXT TO the score through the one-pass
+    // kernel (df/avgdl stay index-wide — the gate selects hits, it
+    // does not reshape term statistics) and filters after scoring,
+    // replacing the old per-field corpus re-scan + semi-join
+    val gated = fields.map { f =>
+      f -> (if (prefix) matchPhrasePrefix(col(f), query) else matchPhrase(col(f), query))
+    }
+    bm25PerFieldScores(docs, idCol, gated, query)
+      .where(col("gate"))
       .groupBy(col("id"))
-      .agg(Num.round(max(col("s")), 4).as("score"))
+      .agg(Num.round(max(col("score")), 4).as("score"))
       .orderBy(col("score").desc, col("id").asc)
       .limit(k)
   }
