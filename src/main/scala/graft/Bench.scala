@@ -20,6 +20,31 @@ object Bench {
     // comma-decimal locale would emit invalid JSON
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
+  /** The r10 artifact ratchet: the summary line must parse as JSON,
+    * carry value/queries, and every retried query must record BOTH
+    * attempts as [time, loadavg] pairs — the adjudication record the
+    * r8/r9 measurement disputes were settled with. */
+  private def validateSummary(summary: String): Unit = {
+    import org.json4s._
+    val root = org.json4s.jackson.JsonMethods.parse(summary) match {
+      case JObject(fs) => fs.toMap
+      case other => sys.error(s"bench summary is not a JSON object: $other")
+    }
+    require(root.get("value").exists(_.isInstanceOf[JDouble]), "summary missing value")
+    require(root.get("queries").exists(_.isInstanceOf[JObject]), "summary missing queries")
+    root.get("retried") match {
+      case Some(JObject(rs)) => rs.foreach {
+        case JField(k, JArray(attempts)) =>
+          require(attempts.length == 2 && attempts.forall {
+            case JArray(List(JDouble(_), JDouble(_))) => true
+            case _ => false
+          }, s"retried entry '$k' must carry two [time, loadavg] attempts")
+        case JField(k, other) => sys.error(s"bad retried entry '$k': $other")
+      }
+      case other => sys.error(s"summary missing retried map: $other")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -130,6 +155,10 @@ object Bench {
     // a broken query must be visible as "failed", not as a
     // suspiciously fast total
     val summary = s"""{"queries":$top,"queries_total_count":${results.size},"queries_shown":"slowest 15","retried":$retriedJson,"failed":$failedJson,"host_loadavg":"$loadavg","sf":"$sfDir","metric":"total","unit":"sec","value":${d3(total)}}"""
+    // self-ratchet (r10): the string-assembled summary must PARSE and
+    // carry the adjudication invariants — a malformed artifact fails
+    // the run loudly instead of shipping "parsed": null to the driver
+    validateSummary(summary)
     // belt-and-braces vs the driver's bounded stdout tail: the same
     // summary lands in a file, so a prefixed/crowded stdout can never
     // lose the run's numbers again (r8/r9 both parsed null)

@@ -125,6 +125,12 @@ private[graft] object EntriesBody {
           "aggs": {"sig": {"significant_terms": {
             "field": "text", "min_doc_count": 5, "size": 10}}}}""",
       idField = "doc_id")),
+    // ES|QL 9.1 SAMPLE: deterministic content-hash Bernoulli row
+    // sample (not rand() — same rows survive any partitioning/retry),
+    // composed mid-pipeline; the r9 verdict's named ES|QL-9.x gap
+    "q_esql_sample" -> ((s, d) => graft.dsl.Esql.run(s, d,
+      """from orders | keep o_orderkey, o_orderstatus | sample 0.25
+        | stats n = count(*) by o_orderstatus | sort o_orderstatus""")),
     // terms > top_hits as a JSON tree: per-bucket best documents by a
     // total sort, _source-selected columns
     "q_aggs_json_top_hits" -> ((s, d) => graft.dsl.AggsJson.compile(
@@ -183,6 +189,9 @@ private[graft] object EntriesBody {
       "SELECT term, fg_count, bg_count, " +
       "round((fg_count / fg_total) * ln((fg_count / fg_total) / (bg_count / bg_total)), 4) AS score " +
       "FROM g CROSS JOIN tot ORDER BY score DESC, term LIMIT 10"),
+    "q_esql_sample" -> ("SELECT count(*)::BIGINT AS n, o_orderstatus FROM orders " +
+      s"WHERE ${hexFold("o_orderkey::VARCHAR || chr(0) || o_orderstatus", 12)} / 281474976710656.0 < 0.25 " +
+      "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "q_aggs_json_top_hits" -> ("SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM " +
       "(SELECT o_orderpriority, o_orderkey, o_totalprice, " +
       "row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) " +
