@@ -868,40 +868,33 @@ object Esql {
         }.reduce(_.unionByName(_, allowMissingColumns = true))
       case "rerank" =>
         // RERANK "query" ON field (ES|QL 8.18 inference operator).
-        // The inference call is STUBBED deterministically with the
-        // semantic term-overlap scorer (the SparseTfDot kernel): real
-        // plumbing — _score column + descending re-sort — fake model,
-        // the same stance as the multimodal decode stubs. Narrow
-        // compiled pass, no shuffle; RERANK is meant to run on an
-        // already-LIMIT-ed window.
+        // The model call routes through the Inference seam (default:
+        // the deterministic SparseTfDot term-overlap stub): real
+        // plumbing — _score column + descending re-sort — swappable
+        // model, the same stance as the multimodal decode stubs.
+        // Narrow compiled pass, no shuffle; RERANK is meant to run on
+        // an already-LIMIT-ed window.
         val rr = "^\"([^\"]+)\"\\s+(?i:on)\\s+([A-Za-z0-9_]+)$".r
         body.trim match {
           case rr(q, field) =>
-            val terms = graft.analysis.Analyzer.analyze(q).distinct
-            val score = org.apache.spark.sql.GraftBridge.column(graft.expr.SparseTfDot(
-              org.apache.spark.sql.GraftBridge.expression(
-                graft.analysis.Analyzer.tokens(col(field))),
-              terms, terms.map(_ => 1.0)))
-            df.withColumn("_score", score).orderBy(col("_score").desc)
+            df.withColumn("_score",
+              graft.inference.Inference.service.rerankScore(q, col(field)))
+              .orderBy(col("_score").desc)
           case other => throw new IllegalArgumentException(s"bad RERANK: $other")
         }
       case "completion" =>
         // COMPLETION col = <prompt expr> [WITH ...] (ES|QL 9.x LLM
-        // operator). The inference call is STUBBED deterministically —
-        // completion = "stub: " + the prompt's first 8 analyzed tokens
-        // in reverse order — real plumbing (named output column,
+        // operator). The model call routes through the Inference seam
+        // (default stub: "stub: " + the prompt's first 8 analyzed
+        // tokens reversed) — real plumbing (named output column,
         // arbitrary prompt EXPRESSION, WITH clause accepted and
-        // ignored), fake model; the RERANK / multimodal-decode stance.
-        // Narrow map-only pass; COMPLETION is meant to run on an
-        // already-LIMIT-ed window.
+        // ignored), swappable model. Narrow map-only pass; COMPLETION
+        // is meant to run on an already-LIMIT-ed window.
         val cr = "(?is)^([A-Za-z0-9_]+)\\s*=\\s*(.+?)(?:\\s+with\\s+.*)?$".r
         body.trim match {
           case cr(outCol, promptSrc) =>
             val prompt = new P(lex(promptSrc)).parseExpr()
-            val toks = graft.analysis.Analyzer.tokens(prompt.cast("string"))
-            df.withColumn(outCol,
-              concat(lit("stub: "),
-                concat_ws(" ", reverse(slice(toks, 1, 8)))))
+            df.withColumn(outCol, graft.inference.Inference.service.complete(prompt))
           case other => throw new IllegalArgumentException(s"bad COMPLETION: $other")
         }
       case "fuse" =>

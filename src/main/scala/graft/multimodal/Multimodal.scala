@@ -51,12 +51,17 @@ object Multimodal {
     // no embedded sort: metadata is the advertised MAP-ONLY pass —
     // presentation order belongs to the call site
 
-  /** "Decode" each asset per partition. The ??? decode is replaced by a
-    * deterministic fake (md5 of payload) — swap `fakeDecode` for a real
-    * codec; the iterator shape (init once, stream batches) is what a
-    * GPU/codec-backed decoder needs. */
+  /** "Decode" each asset per partition. The decode routes through the
+    * Inference seam (default: deterministic md5 stub) — swap
+    * `Inference.service` for a real codec; the iterator shape (the
+    * seam's `decoder()` initializes once per partition, then streams
+    * rows) is what a GPU/codec-backed decoder needs. */
   def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeature] = {
     import spark.implicits._
+    // capture the service BEFORE the closure: the executor must decode
+    // with the service that built this plan, not whatever is installed
+    // when the task happens to run
+    val svc = graft.inference.Inference.service
     media
       // null payloads are tolerated DATA on the column-side metadata
       // path (null hash); the typed decode path must skip them, not
@@ -65,11 +70,9 @@ object Multimodal {
       .select("media_id", "mime", "payload", "width", "height")
       .as[(Long, String, Array[Byte], Int, Int)]
       .mapPartitions { rows =>
-        // real impl: val codec = HeavyCodec.init()  // once per partition
-        val digest = java.security.MessageDigest.getInstance("MD5")
+        val decode = svc.decoder() // codec init, once per partition
         rows.map { case (id, mime, payload, w, h) =>
-          val feat = fakeDecode(digest, payload)
-          MediaFeature(id, mime, payload.length.toLong, w, h, feat)
+          MediaFeature(id, mime, payload.length.toLong, w, h, decode(payload))
         }
       }
   }
@@ -84,18 +87,18 @@ object Multimodal {
     // n <= 0 is a caller bug (a miscomputed frames-per-second), not
     // "no videos" — an empty result would be indistinguishable
     require(n > 0, s"sampleFrames needs n > 0 frames, got $n")
+    val svc = graft.inference.Inference.service
     media.select("media_id", "payload")
       .where(col("payload").isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // real impl: val codec = VideoCodec.init()  // once per partition
-        val digest = java.security.MessageDigest.getInstance("MD5")
+        val decode = svc.decoder() // codec init, once per partition
         rows.flatMap { case (id, payload) =>
           (0 until n).iterator.map { i =>
             // full decimal-string salt (all digits of i, not one byte):
             // the declared fake decode stays oracle-mirrorable as
             // md5(text || i) for ANY n, including frame index >= 10
-            FrameSample(id, i, fakeDecode(digest, payload ++ i.toString.getBytes("UTF-8")))
+            FrameSample(id, i, decode(payload ++ i.toString.getBytes("UTF-8")))
           }
         }
       }
@@ -107,24 +110,18 @@ object Multimodal {
   def resize(spark: SparkSession, media: DataFrame, w: Int, h: Int): Dataset[MediaFeature] = {
     import spark.implicits._
     require(w > 0 && h > 0, s"resize needs positive target dims, got ${w}x$h")
+    val svc = graft.inference.Inference.service
     media.select("media_id", "mime", "payload")
       .where(col("payload").isNotNull)
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
-        val digest = java.security.MessageDigest.getInstance("MD5")
+        val decode = svc.decoder() // codec init, once per partition
         rows.map { case (id, mime, payload) =>
-          val hash = fakeDecode(digest, payload ++ s":$w:$h".getBytes("UTF-8"))
+          val hash = decode(payload ++ s":$w:$h".getBytes("UTF-8"))
           MediaFeature(id, mime, payload.length.toLong, w, h, hash)
         }
       }
   }
-
-  /** The declared stub "decode": md5 of the payload via a digest the
-    * CALLER allocates once per partition (modelling the amortized
-    * codec-init shape the mapPartitions plumbing exists for); digest()
-    * resets the instance after each use, so reuse is safe. */
-  private def fakeDecode(d: java.security.MessageDigest, payload: Array[Byte]): String =
-    d.digest(payload).map("%02x".format(_)).mkString
 }
 
 /** One sampled frame of a media asset. */

@@ -1893,8 +1893,11 @@ object Search {
       textCol: String,
       query: String,
       k: Int): DataFrame =
+    // query expansion routes through the Inference seam — the default
+    // stub is unit-weight analyzed terms (the model-free degenerate);
+    // a real ELSER endpoint drops in via Inference.service
     sparseVectorTopK(docs, idCol, textCol,
-      Analyzer.analyze(query).distinct.map(_ -> 1.0), k)
+      graft.inference.Inference.service.expandQuery(query), k)
 
   def sparseVectorTopK(
       docs: DataFrame,

@@ -1,0 +1,102 @@
+package graft
+
+import graft.inference.{DeterministicStub, Inference, InferenceService}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The r10 inference seam: the default service reproduces the
+  * pre-seam operator outputs exactly (invariance), and a swapped
+  * service actually takes effect in every routed operator (liveness)
+  * — together these prove a real endpoint drops in without touching
+  * operator code. */
+class InferenceSeamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, sfDir)
+
+  // a visibly-different fake endpoint: constant completions, length
+  // scoring, single-term expansion, constant decode
+  private object FakeEndpoint extends InferenceService {
+    def expandQuery(query: String): Seq[(String, Double)] = Seq("vector" -> 2.0)
+    def rerankScore(query: String, text: Column): Column = length(text).cast("double")
+    def complete(prompt: Column): Column = lit("MODEL")
+    def decoder(): Array[Byte] => String = _ => "decoded"
+  }
+
+  private def withService[T](svc: InferenceService)(f: => T): T = {
+    val prev = Inference.service
+    Inference.service = svc
+    try f finally Inference.service = prev
+  }
+
+  test("default service IS the deterministic stub (invariance anchor)") {
+    assert(Inference.service eq DeterministicStub)
+    // the stub's contract, spelled out: unit-weight analyzed expansion,
+    // reversed-8-token completion prefix, md5 decode
+    assert(DeterministicStub.expandQuery("Fast HASH fast") ==
+      Seq("fast" -> 1.0, "hash" -> 1.0))
+    val d = DeterministicStub.decoder()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    assert(d("abc".getBytes) == md.digest("abc".getBytes).map("%02x".format(_)).mkString)
+    // per-partition decoder instances are independent (amortized-init
+    // shape): two decoders never share mutable state
+    val d2 = DeterministicStub.decoder()
+    assert(d("xy".getBytes) == d2("xy".getBytes))
+  }
+
+  test("semanticTopK: stub result == explicit unit-weight sparseVectorTopK; swap takes effect") {
+    val viaSeam = graft.search.Search.semanticTopK(docs, "doc_id", "text", "fast hash", 10)
+      .collect().toSeq
+    val explicit = graft.search.Search.sparseVectorTopK(docs, "doc_id", "text",
+      Seq("fast" -> 1.0, "hash" -> 1.0), 10).collect().toSeq
+    assert(viaSeam == explicit && viaSeam.nonEmpty)
+    val swapped = withService(FakeEndpoint) {
+      graft.search.Search.semanticTopK(docs, "doc_id", "text", "fast hash", 10).collect().toSeq
+    }
+    val expanded = graft.search.Search.sparseVectorTopK(docs, "doc_id", "text",
+      Seq("vector" -> 2.0), 10).collect().toSeq
+    assert(swapped == expanded && swapped != viaSeam)
+  }
+
+  test("ES|QL RERANK and COMPLETION route through the seam") {
+    def rerank() = graft.dsl.Esql.run(spark, sfDir,
+      """from documents | keep doc_id, text | limit 20
+        | rerank "fast hash" on text | keep doc_id, _score""").collect().toSeq
+    def complete() = graft.dsl.Esql.run(spark, sfDir,
+      """from documents | keep doc_id, text | limit 5
+        | completion summary = text | keep doc_id, summary""").collect().toSeq
+    val (r0, c0) = (rerank(), complete())
+    assert(c0.forall(_.getString(1).startsWith("stub: ")))
+    withService(FakeEndpoint) {
+      val r1 = rerank()
+      // length-scoring endpoint: _score == length(text)
+      assert(r1.nonEmpty && r1 != r0)
+      assert(complete().forall(_.getString(1) == "MODEL"))
+    }
+    // restored after the swap scope
+    assert(rerank() == r0 && complete() == c0)
+  }
+
+  test("multimodal decode routes through the seam; plan captures the builder's service") {
+    val media = graft.multimodal.Multimodal.mediaTable(docs.limit(10))
+    val stubbed = graft.multimodal.Multimodal.decodeFeatures(spark, media)
+      .collect().toSeq.sortBy(_.media_id)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    stubbed.foreach { f =>
+      assert(f.feat_hash.length == 32) // md5 hex
+    }
+    val swapped = withService(FakeEndpoint) {
+      graft.multimodal.Multimodal.decodeFeatures(spark, media).collect().toSeq
+    }
+    assert(swapped.nonEmpty && swapped.forall(_.feat_hash == "decoded"))
+    // frames + resize too
+    val frames = withService(FakeEndpoint) {
+      graft.multimodal.Multimodal.sampleFrames(spark, media, 2).collect().toSeq
+    }
+    assert(frames.nonEmpty && frames.forall(_.frame_hash == "decoded"))
+    val resized = withService(FakeEndpoint) {
+      graft.multimodal.Multimodal.resize(spark, media, 64, 64).collect().toSeq
+    }
+    assert(resized.nonEmpty && resized.forall(_.feat_hash == "decoded"))
+  }
+}
