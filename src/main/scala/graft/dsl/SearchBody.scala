@@ -80,7 +80,11 @@ object SearchBody {
     "runtime_mappings", "query", "aggs", "aggregations", "sort",
     "from", "size", "knn", "collapse", "highlight", "rescore",
     "post_filter", "min_score", "search_after", "_source",
-    "script_fields", "docvalue_fields")
+    "script_fields", "docvalue_fields",
+    // accepted with no effect: ES's accuracy knob for the hit-count
+    // METADATA (clients send it by default); graft's counts are always
+    // exact, so there is nothing to relax
+    "track_total_hits")
 
   private def jnum(v: JValue): Double = v match {
     case JInt(i) => i.toDouble
