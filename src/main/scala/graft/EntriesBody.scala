@@ -125,12 +125,31 @@ private[graft] object EntriesBody {
           "aggs": {"sig": {"significant_terms": {
             "field": "text", "min_doc_count": 5, "size": 10}}}}""",
       idField = "doc_id")),
+    // the body `suggest` section: a term suggester through the JSON
+    // front door (suggest_mode always — every in-band correction by
+    // descending document frequency)
+    "q_search_body_suggest" -> ((s, d) => graft.dsl.SearchBody.search(
+      t(s, d, "documents"),
+      """{"suggest": {"fix": {"text": "spak",
+           "term": {"field": "text", "suggest_mode": "always",
+                    "max_edits": 2, "size": 5}}}}""",
+      idField = "doc_id")),
     // ES|QL 9.1 SAMPLE: deterministic content-hash Bernoulli row
     // sample (not rand() — same rows survive any partitioning/retry),
     // composed mid-pipeline; the r9 verdict's named ES|QL-9.x gap
     "q_esql_sample" -> ((s, d) => graft.dsl.Esql.run(s, d,
       """from orders | keep o_orderkey, o_orderstatus | sample 0.25
         | stats n = count(*) by o_orderstatus | sort o_orderstatus""")),
+    // filters as a JSON node: each named bucket is a FULL Query-DSL
+    // object (bool/range/term compose), counts in one scan +
+    // other_bucket for the unmatched remainder
+    "q_aggs_json_filters" -> ((s, d) => graft.dsl.AggsJson.compile(
+      t(s, d, "documents"),
+      """{"aggs": {"f": {"filters": {"filters": {
+           "long_en": {"bool": {"filter": [{"term": {"lang": "en"}},
+                                           {"range": {"n_chars": {"gte": 400}}}]}},
+           "short": {"range": {"n_chars": {"lt": 150}}}},
+           "other_bucket": true}}}}""")),
     // terms > top_hits as a JSON tree: per-bucket best documents by a
     // total sort, _source-selected columns
     "q_aggs_json_top_hits" -> ((s, d) => graft.dsl.AggsJson.compile(
@@ -189,9 +208,19 @@ private[graft] object EntriesBody {
       "SELECT term, fg_count, bg_count, " +
       "round((fg_count / fg_total) * ln((fg_count / fg_total) / (bg_count / bg_total)), 4) AS score " +
       "FROM g CROSS JOIN tot ORDER BY score DESC, term LIMIT 10"),
+    "q_search_body_suggest" -> (TokCte + ", v AS (SELECT token, count(*)::BIGINT AS freq FROM " +
+      "(SELECT unnest(list_distinct(toks)) AS token FROM tok) GROUP BY token) " +
+      "SELECT token, freq FROM v " +
+      "WHERE token <> 'spak' AND levenshtein(token, 'spak') <= 2 " +
+      "ORDER BY freq DESC, token LIMIT 5"),
     "q_esql_sample" -> ("SELECT count(*)::BIGINT AS n, o_orderstatus FROM orders " +
       s"WHERE ${hexFold("o_orderkey::VARCHAR || chr(0) || o_orderstatus", 12)} / 281474976710656.0 < 0.25 " +
       "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "q_aggs_json_filters" -> ("SELECT " +
+      "sum(CASE WHEN lang = 'en' AND n_chars >= 400 THEN 1 ELSE 0 END)::BIGINT AS long_en, " +
+      "sum(CASE WHEN n_chars < 150 THEN 1 ELSE 0 END)::BIGINT AS short, " +
+      "sum(CASE WHEN NOT ((lang = 'en' AND n_chars >= 400) OR n_chars < 150) THEN 1 ELSE 0 END)::BIGINT AS _other_ " +
+      "FROM documents"),
     "q_aggs_json_top_hits" -> ("SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM " +
       "(SELECT o_orderpriority, o_orderkey, o_totalprice, " +
       "row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) " +

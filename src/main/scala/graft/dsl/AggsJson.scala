@@ -64,6 +64,8 @@ object AggsJson {
         return compileComposite(df, name, spec.toMap)
       case JField(name, JObject(spec)) :: Nil if spec.exists(_._1 == "significant_terms") =>
         return compileSigTerms(df, name, spec.toMap, fgPred, background)
+      case JField(name, JObject(spec)) :: Nil if spec.exists(_._1 == "filters") =>
+        return compileFilters(df, name, spec.toMap)
       case JField(name, JObject(spec)) :: Nil
           if spec.exists(_._1 == "terms") && topHitsChild(spec.toMap).isDefined =>
         return compileTopHits(df, name, spec.toMap)
@@ -373,6 +375,34 @@ object AggsJson {
     else
       graft.agg.Aggs.significantTerms(base, field, pred, minDoc, size,
         heuristic = heuristic)
+  }
+
+  /** `{"filters": {"filters": {name: <query-dsl>, ...},
+    * "other_bucket": bool}}` — named-filter counts as a JSON node.
+    * Each named filter is a FULL Query-DSL object compiled through
+    * QueryDslJson (so bool/range/match/term all work); the counts are
+    * conditional sums in ONE scan, `other_bucket: true` adds ES's
+    * `_other_` count of docs no named filter matched. */
+  private def compileFilters(
+      df: DataFrame, name: String, spec: Map[String, JValue]): DataFrame = {
+    require(spec.size == 1,
+      s"filters must be the only agg under '$name' (its result is one count row)")
+    val m = spec.get("filters") match {
+      case Some(JObject(s)) => s.toMap
+      case _ => throw new IllegalArgumentException(s"bad filters spec under '$name'")
+    }
+    val buckets = m.get("filters") match {
+      case Some(JObject(fs)) => fs.map {
+        case JField(n, q) =>
+          n -> QueryDslJson.compile(JsonMethods.compact(JsonMethods.render(q)))
+      }
+      case _ => throw new IllegalArgumentException(
+        s"filters under '$name' needs a named filters object")
+    }
+    require(buckets.nonEmpty, s"filters under '$name' is empty")
+    val other = m.get("other_bucket").collect { case JBool(b) => b }.getOrElse(false)
+    if (other) graft.agg.Aggs.filtersAggOther(df, buckets)
+    else graft.agg.Aggs.filtersAgg(df, buckets)
   }
 
   /** terms > top_hits: the per-bucket DOCUMENT window (`size` best

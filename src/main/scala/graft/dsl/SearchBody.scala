@@ -84,7 +84,8 @@ object SearchBody {
     // accepted with no effect: ES's accuracy knob for the hit-count
     // METADATA (clients send it by default); graft's counts are always
     // exact, so there is nothing to relax
-    "track_total_hits")
+    "track_total_hits",
+    "suggest")
 
   private def jnum(v: JValue): Double = v match {
     case JInt(i) => i.toDouble
@@ -161,6 +162,18 @@ object SearchBody {
     // parse() echoes the whole body back as "the query" when it sees
     // neither runtime_mappings nor query — only use a real one
     val queryJson = innerQ.filter(_ => root.contains("query"))
+
+    // suggest section: returns the SUGGESTION frame (one-frame
+    // contract — a suggester riding a hit/aggs request would be
+    // silently dead, so it must stand alone)
+    if (root.contains("suggest")) {
+      val others = root.keySet -- Set("suggest", "runtime_mappings")
+      require(others.isEmpty,
+        s"a suggest request returns suggestions, not hits — key(s) " +
+          s"${others.toSeq.sorted.mkString(", ")} would be silently dead; " +
+          "issue a separate request")
+      return compileSuggest(projected, root("suggest"))
+    }
 
     if (root.contains("aggs") || root.contains("aggregations")) {
       val hitOnly = Seq("knn", "collapse", "highlight", "rescore", "min_score",
@@ -390,6 +403,72 @@ object SearchBody {
         // metadata, no join
         withDocvalues.select((base.columns.toSeq ++ extras).map(col): _*)
     }
+  }
+
+  /** The body `suggest` section: ONE named suggester (the one-frame
+    * contract), dispatching on its type object — `term` (with
+    * `suggest_mode` always/popular/missing, ES default missing),
+    * `phrase` (two-term bigram correction), or `completion` (prefix
+    * FST analog; the index-time weight lives in a column, named via
+    * the graft extension key `weight_field` — loud when absent). */
+  private def compileSuggest(df: org.apache.spark.sql.DataFrame,
+      spec: JValue): org.apache.spark.sql.DataFrame = spec match {
+    case JObject(JField(name, JObject(s)) :: Nil) =>
+      val m = s.toMap
+      def text = m.get("text") match {
+        case Some(JString(t)) => t
+        case _ => throw new IllegalArgumentException(
+          s"suggester '$name' needs a text field")
+      }
+      def size(sm: Map[String, JValue]) =
+        sm.get("size").map(jnum(_).toInt).getOrElse(5)
+      (m.get("term"), m.get("phrase"), m.get("completion")) match {
+        case (Some(JObject(t)), None, None) =>
+          val tm = t.toMap
+          val field = tm.get("field") match {
+            case Some(JString(f)) => f
+            case _ => throw new IllegalArgumentException(
+              s"term suggester '$name' needs a field")
+          }
+          val mode = tm.get("suggest_mode")
+            .collect { case JString(x) => x }.getOrElse("missing") // ES default
+          val maxEdits = tm.get("max_edits").map(jnum(_).toInt).getOrElse(2)
+          graft.search.Search.suggestMode(df, field, text, mode, maxEdits, size(tm))
+        case (None, Some(JObject(p)), None) =>
+          val pm = p.toMap
+          val field = pm.get("field") match {
+            case Some(JString(f)) => f
+            case _ => throw new IllegalArgumentException(
+              s"phrase suggester '$name' needs a field")
+          }
+          val maxEdits = pm.get("max_edits").map(jnum(_).toInt).getOrElse(1)
+          graft.search.Search.phraseSuggest(df, field, text, maxEdits, size(pm))
+        case (None, None, Some(JObject(c))) =>
+          val cm = c.toMap
+          val field = cm.get("field") match {
+            case Some(JString(f)) => f
+            case _ => throw new IllegalArgumentException(
+              s"completion suggester '$name' needs a field")
+          }
+          val weight = cm.get("weight_field") match {
+            case Some(JString(w)) => w
+            case _ => throw new IllegalArgumentException(
+              s"completion suggester '$name' needs weight_field (the column " +
+                "carrying ES's index-time suggestion weight)")
+          }
+          val prefix = m.get("prefix") match {
+            case Some(JString(px)) => px
+            case _ => throw new IllegalArgumentException(
+              s"completion suggester '$name' needs a prefix")
+          }
+          graft.search.Search.suggestCompletion(df, field, weight, prefix, size(cm))
+        case _ => throw new IllegalArgumentException(
+          s"suggester '$name' needs exactly one of term/phrase/completion")
+      }
+    case JObject(many) => throw new IllegalArgumentException(
+      "one named suggester per request (the front door returns ONE frame); got: " +
+        many.map(_._1).mkString(", "))
+    case other => throw new IllegalArgumentException(s"bad suggest section: $other")
   }
 
   /** `script_fields`: per-HIT computed outputs (unlike runtime fields

@@ -71,6 +71,27 @@ class AggsJsonNodesSpec extends SparkSpec {
     assert(json.collect().toSeq == direct.collect().toSeq)
   }
 
+  test("filters node: named Query-DSL buckets count in one scan; other_bucket partitions") {
+    val out = AggsJson.compile(docs,
+      """{"aggs": {"f": {"filters": {"filters": {
+           "en": {"term": {"lang": "en"}},
+           "long": {"range": {"n_chars": {"gte": 400}}}},
+           "other_bucket": true}}}}""").collect().head
+    val en = docs.where($"lang" === "en").count()
+    val long = docs.where($"n_chars" >= 400).count()
+    val other = docs.where(!($"lang" === "en" || $"n_chars" >= 400)).count()
+    assert(out.getLong(out.fieldIndex("en")) == en)
+    assert(out.getLong(out.fieldIndex("long")) == long)
+    assert(out.getLong(out.fieldIndex("_other_")) == other)
+    // a sibling agg next to filters is loud (one count row)
+    val e = intercept[IllegalArgumentException] {
+      AggsJson.compile(docs,
+        """{"aggs": {"f": {"filters": {"filters": {"en": {"term": {"lang": "en"}}}},
+             "aggs": {"m": {"max": {"field": "n_chars"}}}}}}""")
+    }
+    assert(e.getMessage.contains("only agg"))
+  }
+
   test("top_hits without a sort is a loud error (nondeterministic hits)") {
     val e = intercept[IllegalArgumentException] {
       AggsJson.compile(docs,

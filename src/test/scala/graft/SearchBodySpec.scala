@@ -14,10 +14,10 @@ class SearchBodySpec extends SparkSpec {
 
   test("unknown body keys fail loudly, listing the supported set") {
     val e = intercept[IllegalArgumentException] {
-      SearchBody.search(docs, """{"query": {"term": {"lang": "en"}}, "suggest": {}}""",
+      SearchBody.search(docs, """{"query": {"term": {"lang": "en"}}, "pit": {}}""",
         idField = "doc_id")
     }
-    assert(e.getMessage.contains("suggest"))
+    assert(e.getMessage.contains("pit"))
     assert(e.getMessage.contains("supported"))
   }
 
@@ -123,6 +123,39 @@ class SearchBodySpec extends SparkSpec {
       idField = "doc_id")
     assert(out.columns.toSet == Set("doc_id", "_score", "snippet", "k"))
     assert(out.count() > 0)
+  }
+
+  test("suggest section: term suggester through the body; one-frame contracts are loud") {
+    val viaBody = SearchBody.search(docs,
+      """{"suggest": {"fix": {"text": "spak",
+           "term": {"field": "text", "suggest_mode": "always", "max_edits": 2, "size": 5}}}}""",
+      idField = "doc_id").collect().toSeq
+    val direct = graft.search.Search.suggestMode(docs, "text", "spak", "always", 2, 5)
+      .collect().toSeq
+    assert(viaBody == direct && viaBody.nonEmpty)
+    // suggest + query = dead hit path → loud
+    val e1 = intercept[IllegalArgumentException] {
+      SearchBody.search(docs,
+        """{"query": {"term": {"lang": "en"}},
+            "suggest": {"fix": {"text": "spak", "term": {"field": "text"}}}}""",
+        idField = "doc_id")
+    }
+    assert(e1.getMessage.contains("query"))
+    // two named suggesters = two frames → loud
+    val e2 = intercept[IllegalArgumentException] {
+      SearchBody.search(docs,
+        """{"suggest": {"a": {"text": "spak", "term": {"field": "text"}},
+                        "b": {"text": "spar", "term": {"field": "text"}}}}""",
+        idField = "doc_id")
+    }
+    assert(e2.getMessage.contains("one named suggester"))
+    // completion without weight_field names the mapping-time weight gap
+    val e3 = intercept[IllegalArgumentException] {
+      SearchBody.search(docs,
+        """{"suggest": {"c": {"prefix": "sp", "completion": {"field": "text"}}}}""",
+        idField = "doc_id")
+    }
+    assert(e3.getMessage.contains("weight_field"))
   }
 
   test("highlight without a match query to take the term from is a loud error") {
