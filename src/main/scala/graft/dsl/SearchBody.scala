@@ -229,17 +229,30 @@ object SearchBody {
       case (None, false) => projected
     }
 
-    // 3. knn leg + hybrid combine
+    // 3. knn leg + hybrid combine. ES 8.12 accepts a LIST of knn
+    // clauses: each retrieves its own top-k and a doc's knn score
+    // SUMS the clause similarities it appears in (ES's combined
+    // semantics) — realized as a union + one groupBy, so N clauses
+    // never multiply the combine cost.
+    def knnLeg(kv: JValue): org.apache.spark.sql.DataFrame = {
+      val kjson = JsonMethods.compact(JsonMethods.render(kv))
+      val boost = kv match {
+        case JObject(fs) => fs.toMap.get("boost").map(jnum).getOrElse(1.0)
+        case _ => 1.0
+      }
+      graft.sim.Ann.knnSearch(projected, idField, kjson, idField)
+        .select(col("id").as("__kid"), (col("cosine") * boost).as("__kscore"))
+    }
     val afterKnn = knnJson match {
       case Some(kv) =>
-        val kjson = JsonMethods.compact(JsonMethods.render(kv))
-        val boost = kv match {
-          case JObject(fs) => fs.toMap.get("boost").map(jnum).getOrElse(1.0)
-          case _ => 1.0
+        val knn = kv match {
+          case JArray(clauses) =>
+            require(clauses.nonEmpty, "knn list must not be empty")
+            clauses.map(knnLeg).reduce(_ unionByName _)
+              .groupBy(col("__kid"))
+              .agg(Num.round(sum(col("__kscore")), 4).as("__kscore"))
+          case single => knnLeg(single)
         }
-        val knn = graft.sim.Ann.knnSearch(projected, idField, kjson, idField)
-          .select(col("id").as("__kid"),
-            (col("cosine") * boost).as("__kscore"))
         if (queryJson.isDefined) {
           val q = matched.select(col(idField).as("__hid"), col("_score").as("__qscore"))
           val union = q.join(knn, col("__hid") === col("__kid"), "full_outer")

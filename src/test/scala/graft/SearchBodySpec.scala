@@ -73,6 +73,28 @@ class SearchBodySpec extends SparkSpec {
     assert(hybrid.keySet == bm25.keySet ++ knn.keySet)
   }
 
+  test("knn LIST form (ES 8.12): clause similarities sum per doc") {
+    val corpus = Tables.load(spark, sfDir, "embeddings")
+    val v1 = (0 until 64).map(i => (i * 37 % 100) / 100.0 - 0.5)
+    val v2 = (0 until 64).map(i => (i * 53 % 100) / 100.0 - 0.5)
+    def clause(v: Seq[Double], boost: Double) =
+      s"""{"field": "embedding", "query_vector": [${v.mkString(",")}],
+           "k": 10, "num_candidates": 100000, "boost": $boost}"""
+    val listed = SearchBody.search(corpus,
+      s"""{"knn": [${clause(v1, 1.0)}, ${clause(v2, 0.5)}], "size": 500}""",
+      idField = "vec_id")
+      .select($"vec_id".as[Long], $"_score".as[Double]).collect().toMap
+    def leg(v: Seq[Double]) = graft.sim.Ann.knnSearch(corpus, "vec_id",
+      s"""{"knn": ${clause(v, 1.0)}}""")
+      .select($"id".as[Long], $"cosine".as[Double]).collect().toMap
+    val (l1, l2) = (leg(v1), leg(v2))
+    assert(listed.nonEmpty && listed.keySet == l1.keySet ++ l2.keySet)
+    listed.foreach { case (id, s) =>
+      val want = l1.getOrElse(id, 0.0) + 0.5 * l2.getOrElse(id, 0.0)
+      assert(math.abs(s - want) < 1e-4, s"doc $id: $s vs $want")
+    }
+  }
+
   test("collapse picks one hit per group by the request sort, deterministically") {
     val out = SearchBody.search(docs,
       """{"collapse": {"field": "lang"},
