@@ -511,6 +511,29 @@ object ScaleProbe {
         .where(col("n") > 1)
         .count()
     }
+    // r10 shapes -----------------------------------------------------
+    time("multi_match_10x") {
+      // the one-pass multi-field BM25 kernel: ONE corpus tokenize for
+      // both fields (scan count constant in |fields| — was linear)
+      Search.multiMatchTopK(docs, "doc_id", Seq("text", "source"),
+        "fast hash join", 10).count()
+    }
+    time("search_body_hybrid_10x") {
+      // the composed _search-body hybrid: BM25 match leg + brute knn
+      // leg + full-outer score sum, all one Catalyst plan through the
+      // JSON front door; embeddings replicate with the SAME shift so
+      // doc_id == vec_id alignment holds across union branches
+      val embH = times(Tables.embeddings(spark, sfDir), "vec_id", 10000000L)
+      val corpus = docs.join(embH.select(col("vec_id"), col("embedding")),
+        col("doc_id") === col("vec_id")).drop("vec_id")
+      val vec = (0 until 64).map(i => (i * 37 % 100) / 100.0 - 0.5)
+      graft.dsl.SearchBody.search(corpus,
+        s"""{"query": {"match": {"text": "vector hash"}},
+             "knn": {"field": "embedding", "query_vector": [${vec.mkString(",")}],
+                     "k": 20, "num_candidates": 100000, "boost": 0.5},
+             "size": 15}""",
+        idField = "doc_id").count()
+    }
     time("esql_cidr_10x") {
       // CIDR blocks fold to compile-time numeric range predicates over
       // the dotted-quad; cost is the scan + narrow string assembly

@@ -344,6 +344,8 @@ object SearchBody {
       case None => collapsed
       case Some(JArray(vals)) =>
         require(sortSpecs.nonEmpty, "search_after needs an explicit sort")
+        require(!root.contains("from") || root.get("from").contains(JInt(0)),
+          "search_after cannot be combined with from (ES rejects this too)")
         require(vals.length == sortSpecs.length,
           s"search_after has ${vals.length} values for ${sortSpecs.length} sort keys")
         def after(f: String, asc: Boolean, v: JValue) = {
