@@ -125,6 +125,19 @@ private[graft] object EntriesBody {
           "aggs": {"sig": {"significant_terms": {
             "field": "text", "min_doc_count": 5, "size": 10}}}}""",
       idField = "doc_id")),
+    // the ES 8.14+ retriever tree through the BODY front door: a
+    // linear (min-max normalized, weighted) fusion of a standard
+    // BM25 leaf and a knn cosine leaf, both over the hybrid corpus
+    "q_search_body_retriever" -> ((s, d) => graft.dsl.SearchBody.search(
+      hybridCorpus(s, d),
+      s"""{"retriever": {"linear": {"retrievers": [
+            {"retriever": {"standard": {"query": {"match": {"text": "fast hash join"}}}},
+             "weight": 0.7},
+            {"retriever": {"knn": {"field": "embedding",
+              "query_vector": [${KnnVec.mkString(",")}]}}, "weight": 0.3}],
+            "rank_window_size": 50}},
+          "size": 10}""",
+      idField = "doc_id")),
     // the body `suggest` section: a term suggester through the JSON
     // front door (suggest_mode always — every in-band correction by
     // descending document frequency)
@@ -208,6 +221,22 @@ private[graft] object EntriesBody {
       "SELECT term, fg_count, bg_count, " +
       "round((fg_count / fg_total) * ln((fg_count / fg_total) / (bg_count / bg_total)), 4) AS score " +
       "FROM g CROSS JOIN tot ORDER BY score DESC, term LIMIT 10"),
+    "q_search_body_retriever" -> (TokCte + bm25Ctes("", "tok", Seq("fast", "hash", "join")) +
+      ", e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), " +
+      s"q AS (SELECT $KnnVecSql AS qv), " +
+      "n AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm FROM e), " +
+      "qn AS (SELECT qv, sqrt(list_reduce(list_prepend(0.0, list_transform(qv, x -> x * x)), (a, b) -> a + b)) AS qnrm FROM q), " +
+      "sem AS (SELECT vec_id AS id, " +
+      "round(list_reduce(list_prepend(0.0, list_transform(range(1, len(v) + 1), i -> v[i] * qv[i])), (x, y) -> x + y) / (nrm * qnrm), 4) AS score " +
+      "FROM n CROSS JOIN qn), " +
+      "wl AS (SELECT id, score FROM sc ORDER BY score DESC, id LIMIT 50), " +
+      "ws AS (SELECT id, score FROM sem ORDER BY score DESC, id LIMIT 50), " +
+      "ml AS (SELECT min(score) AS mn, max(score) AS mx FROM wl), " +
+      "ms AS (SELECT min(score) AS mn, max(score) AS mx FROM ws), " +
+      "u AS (SELECT id, (CASE WHEN mx > mn THEN (score - mn) / (mx - mn) ELSE 1.0 END) * 0.7 AS c FROM wl CROSS JOIN ml " +
+      "UNION ALL SELECT id, (CASE WHEN mx > mn THEN (score - mn) / (mx - mn) ELSE 1.0 END) * 0.3 AS c FROM ws CROSS JOIN ms) " +
+      "SELECT id, round(sum(c), 4) AS linear_score, count(*)::INT AS matched FROM u " +
+      "GROUP BY id ORDER BY linear_score DESC, id LIMIT 10"),
     "q_search_body_suggest" -> (TokCte + ", v AS (SELECT token, count(*)::BIGINT AS freq FROM " +
       "(SELECT unnest(list_distinct(toks)) AS token FROM tok) GROUP BY token) " +
       "SELECT token, freq FROM v " +

@@ -85,7 +85,7 @@ object SearchBody {
     // METADATA (clients send it by default); graft's counts are always
     // exact, so there is nothing to relax
     "track_total_hits",
-    "suggest")
+    "suggest", "retriever")
 
   private def jnum(v: JValue): Double = v match {
     case JInt(i) => i.toDouble
@@ -162,6 +162,23 @@ object SearchBody {
     // parse() echoes the whole body back as "the query" when it sees
     // neither runtime_mappings nor query — only use a real one
     val queryJson = innerQ.filter(_ => root.contains("query"))
+
+    // retriever tree (ES 8.14+): the composable replacement for the
+    // flat query+knn body — standard/knn leaves fused by rrf/linear.
+    // Both leaf kinds read THIS frame (a hybrid corpus carries both
+    // the text and the vector column); `size` caps the fused top-k.
+    root.get("retriever") match {
+      case Some(r) =>
+        val others = root.keySet -- Set("retriever", "runtime_mappings",
+          "size", "track_total_hits")
+        require(others.isEmpty,
+          s"retriever replaces the query/knn hit path — key(s) " +
+            s"${others.toSeq.sorted.mkString(", ")} are not composable with it here")
+        val k = root.get("size").collect { case JInt(i) => i.toInt }.getOrElse(10)
+        return Retrievers.topK(projected, idField, projected, idField,
+          JsonMethods.compact(JsonMethods.render(JObject(List(JField("retriever", r))))), k)
+      case None => ()
+    }
 
     // suggest section: returns the SUGGESTION frame (one-frame
     // contract — a suggester riding a hit/aggs request would be
