@@ -153,6 +153,15 @@ private[graft] object EntriesBody {
     "q_esql_sample" -> ((s, d) => graft.dsl.Esql.run(s, d,
       """from orders | keep o_orderkey, o_orderstatus | sample 0.25
         | stats n = count(*) by o_orderstatus | sort o_orderstatus""")),
+    // multi-column JSON metrics in a grouped tree: stats +
+    // exact-interpolated percentiles + weighted_avg per terms bucket
+    "q_aggs_json_metrics" -> ((s, d) => graft.dsl.AggsJson.compile(
+      t(s, d, "lineitem"),
+      """{"aggs": {"by_flag": {"terms": {"field": "l_returnflag", "size": 10}, "aggs": {
+           "price": {"stats": {"field": "l_extendedprice"}},
+           "qty": {"percentiles": {"field": "l_quantity", "percents": [25, 50, 95]}},
+           "wavg": {"weighted_avg": {"value": {"field": "l_extendedprice"},
+                                     "weight": {"field": "l_quantity"}}}}}}}""")),
     // filters as a JSON node: each named bucket is a FULL Query-DSL
     // object (bool/range/term compose), counts in one scan +
     // other_bucket for the unmatched remainder
@@ -245,6 +254,16 @@ private[graft] object EntriesBody {
     "q_esql_sample" -> ("SELECT count(*)::BIGINT AS n, o_orderstatus FROM orders " +
       s"WHERE ${hexFold("o_orderkey::VARCHAR || chr(0) || o_orderstatus", 12)} / 281474976710656.0 < 0.25 " +
       "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "q_aggs_json_metrics" -> ("SELECT l_returnflag AS by_flag, count(*)::BIGINT AS doc_count, " +
+      "count(l_extendedprice)::BIGINT AS price_count, round(min(l_extendedprice), 4) AS price_min, " +
+      "round(max(l_extendedprice), 4) AS price_max, round(avg(l_extendedprice), 4) AS price_avg, " +
+      "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS price_sum, " +
+      "round(quantile_cont(l_quantity, 0.25), 4) AS qty_p25, " +
+      "round(quantile_cont(l_quantity, 0.50), 4) AS qty_p50, " +
+      "round(quantile_cont(l_quantity, 0.95), 4) AS qty_p95, " +
+      "round(CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE) / " +
+      "CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS wavg " +
+      "FROM lineitem GROUP BY l_returnflag ORDER BY by_flag LIMIT 10"),
     "q_aggs_json_filters" -> ("SELECT " +
       "sum(CASE WHEN lang = 'en' AND n_chars >= 400 THEN 1 ELSE 0 END)::BIGINT AS long_en, " +
       "sum(CASE WHEN n_chars < 150 THEN 1 ELSE 0 END)::BIGINT AS short, " +

@@ -94,8 +94,8 @@ object AggsJson {
           "metric aggs must sit at the deepest level; found metric(s) " +
             leafMetrics.map(_._1).mkString(",") +
             " beside bucket agg " + buckets.head._1)
-      metrics = leafMetrics.map {
-        case JField(name, JObject(spec)) => name -> metricCol(name, spec.toMap)
+      metrics = leafMetrics.flatMap {
+        case JField(name, JObject(spec)) => metricCols(name, spec.toMap)
         case other => throw new IllegalArgumentException(s"bad metric agg: $other")
       }
       buckets match {
@@ -454,6 +454,68 @@ object AggsJson {
       .where(col("rn") <= k)
       .select((bucketField +: sourceCols :+ "rn").map(col): _*)
       .orderBy(col(bucketField).asc, col("rn").asc)
+  }
+
+  /** Multi-column metric nodes (flat-frame naming, documented delta
+    * from ES's nested response paths: `<agg>.<part>` becomes
+    * `<agg>_<part>` columns):
+    *  - `stats` → _count/_min/_max/_avg/_sum
+    *  - `extended_stats` → _count/_avg/_variance/_std_dev (population,
+    *    like ES's default)
+    *  - `percentiles` → one `_p<n>` column per requested percent
+    *    (`percents`, default ES's [1,5,25,50,75,95,99]); exact linear
+    *    interpolation, group-local (the scale-out note on the GLOBAL
+    *    exact percentile — distributed sort-selection — does not apply
+    *    to grouped percentiles, which partition by bucket key)
+    *  - `weighted_avg` → sum(v*w)/sum(w), ES's value/weight objects
+    * Single-valued nodes fall through to metricCol unchanged. */
+  private def metricCols(name: String, spec: Map[String, JValue]): Seq[(String, Column)] = {
+    import graft.util.Num
+    def fieldOf(s: Map[String, JValue], agg: String): Column =
+      col(str(s, "field", agg))
+    spec.head match {
+      case ("stats", JObject(s)) =>
+        val c = fieldOf(s.toMap, "stats")
+        Seq(
+          s"${name}_count" -> count(c),
+          s"${name}_min" -> Num.round(min(c), 4),
+          s"${name}_max" -> Num.round(max(c), 4),
+          s"${name}_avg" -> Num.round(avg(c), 4),
+          s"${name}_sum" -> Num.round(sum(c.cast("decimal(18,4)")).cast("double"), 4))
+      case ("extended_stats", JObject(s)) =>
+        val c = fieldOf(s.toMap, "extended_stats")
+        Seq(
+          s"${name}_count" -> count(c),
+          s"${name}_avg" -> Num.round(avg(c), 4),
+          s"${name}_variance" -> Num.round(var_pop(c), 4),
+          s"${name}_std_dev" -> Num.round(stddev_pop(c), 4))
+      case ("percentiles", JObject(s)) =>
+        val m = s.toMap
+        val c = fieldOf(m, "percentiles")
+        val percents = m.get("percents") match {
+          case Some(JArray(xs)) => xs.map(num)
+          case None => Seq(1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0) // ES default
+          case Some(other) => throw new IllegalArgumentException(s"bad percents: $other")
+        }
+        percents.map { p =>
+          val label = (if (p == p.floor) p.toLong.toString else p.toString)
+            .replace('.', '_')
+          // EXACT percentile (linear interpolation — the same
+          // definition as DuckDB's quantile_cont), group-local
+          s"${name}_p$label" -> Num.round(percentile(c, lit(p / 100.0)), 4)
+        }
+      case ("weighted_avg", JObject(s)) =>
+        val m = s.toMap
+        def part(key: String): Column = m.get(key) match {
+          case Some(JObject(p)) => col(str(p.toMap, "field", s"weighted_avg.$key"))
+          case _ => throw new IllegalArgumentException(s"weighted_avg needs $key.field")
+        }
+        val (v, w) = (part("value"), part("weight"))
+        Seq(name -> Num.round(
+          sum((v * w).cast("decimal(18,4)")).cast("double") /
+            sum(w.cast("decimal(18,4)")).cast("double"), 4))
+      case _ => Seq(name -> metricCol(name, spec))
+    }
   }
 
   private def metricCol(name: String, spec: Map[String, JValue]): Column = {
