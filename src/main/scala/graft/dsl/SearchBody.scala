@@ -97,13 +97,18 @@ object SearchBody {
 
   /** The single-field `match` shape — the query form that carries BM25
     * scores through the body front door (both ES spellings:
-    * `{"match": {f: "text"}}` and `{"match": {f: {"query": "text"}}}`). */
+    * `{"match": {f: "text"}}` and `{"match": {f: {"query": "text"}}}`).
+    * A match carrying semantics-CHANGING options (operator, fuzziness,
+    * minimum_should_match, ...) returns None so the body falls back to
+    * the filter-context path — the hit SET stays correct (the options
+    * compile through QueryDslJson) at the documented constant-score
+    * delta, instead of silently scoring the wrong OR hit set. */
   private def matchSpec(q: String): Option[(String, String)] =
     JsonMethods.parse(q) match {
       case JObject(JField("match", JObject(JField(f, body) :: Nil)) :: Nil) =>
         body match {
           case JString(text) => Some(f -> text)
-          case JObject(parts) =>
+          case JObject(parts) if parts.toMap.keySet == Set("query") =>
             parts.toMap.get("query").collect { case JString(t) => f -> t }
           case _ => None
         }

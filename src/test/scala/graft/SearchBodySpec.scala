@@ -147,6 +147,19 @@ class SearchBodySpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("scored match with semantics-changing options falls back to the correct AND hit set") {
+    // operator:and changes the hit set; BM25-scoring the OR set would
+    // be silently wrong — the body must filter with AND semantics
+    // (constant score) instead
+    val out = SearchBody.search(docs,
+      """{"query": {"match": {"text": {"query": "fast hash", "operator": "and"}}},
+          "min_score": 0.5}""", idField = "doc_id")
+    val want = docs.where(graft.dsl.QueryDslJson.compile(
+      """{"match": {"text": {"query": "fast hash", "operator": "and"}}}"""))
+    assert(out.count() == want.count() && out.count() > 0)
+    assert(out.select($"_score".as[Double]).collect().forall(_ == 1.0))
+  }
+
   test("suggest section: term suggester through the body; one-frame contracts are loud") {
     val viaBody = SearchBody.search(docs,
       """{"suggest": {"fix": {"text": "spak",
