@@ -87,6 +87,22 @@ object SearchBody {
     "track_total_hits",
     "suggest", "retriever")
 
+  /** True when the payload is a search BODY carrying sections beyond
+    * `runtime_mappings`+`query` — the connector routes such payloads
+    * through `search()` so the extra sections compose (or fail
+    * loudly on unknown keys) instead of being silently dropped by
+    * the parse()-only path. A bare query-DSL object and a
+    * runtime+query-only body keep the legacy predicate path. */
+  def hasBodySections(json: String): Boolean =
+    try JsonMethods.parse(json) match {
+      case JObject(fs) =>
+        val ks = fs.map(_._1).toSet
+        (ks.contains("query") || ks.contains("runtime_mappings") ||
+          ks.exists(SupportedKeys)) &&
+          (ks -- Set("runtime_mappings", "query")).nonEmpty
+      case _ => false
+    } catch { case _: Throwable => false }
+
   private def jnum(v: JValue): Double = v match {
     case JInt(i) => i.toDouble
     case JLong(l) => l.toDouble

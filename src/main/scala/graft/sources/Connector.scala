@@ -112,7 +112,16 @@ object Connector {
         val df0 = runtimeFields.foldLeft(dfU) {
           case (d, (name, c)) => d.withColumn(name, c)
         }
-        val df1 = innerQuery.fold(df0)(q => df0.where(EsQuery.compile(q, idField)))
+        // a FULL body (sort/size/knn/collapse/... beyond
+        // runtime+query) routes through the composed search front
+        // door — previously those sections were silently dropped here,
+        // the exact failure mode SearchBody's loud-key contract exists
+        // to prevent
+        val df1 =
+          if (query != null && query.trim.startsWith("{") &&
+              graft.dsl.SearchBody.hasBodySections(query))
+            graft.dsl.SearchBody.search(dfU, query, idField)
+          else innerQuery.fold(df0)(q => df0.where(EsQuery.compile(q, idField)))
         // es.read.field.include/exclude accept `*` patterns (the
         // `fields`-API wildcard retrieval); expand against the schema
         // includes fail loudly on a no-match pattern (a typo'd include

@@ -147,6 +147,29 @@ class SearchBodySpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("connector es.query with a FULL body routes through the composed front door") {
+    import graft.sources.Connector.implicits._
+    val body = """{"query": {"term": {"lang": "de"}},
+                   "sort": [{"n_chars": {"order": "desc"}}, {"doc_id": {"order": "asc"}}],
+                   "size": 5}"""
+    val viaConnector = spark.graftDF(s"$sfDir/documents.parquet", body, idField = "doc_id")
+      .select($"doc_id".as[Long]).collect().toSeq
+    val direct = SearchBody.search(docs, body, idField = "doc_id")
+      .select($"doc_id".as[Long]).collect().toSeq
+    assert(viaConnector == direct && viaConnector.length == 5)
+    // a runtime+query-only body keeps the legacy predicate path (same
+    // result, no behavior change), and a bare DSL object still works
+    val legacy = spark.graftDF(s"$sfDir/documents.parquet",
+      """{"query": {"term": {"lang": "de"}}}""", idField = "doc_id")
+    assert(legacy.count() == docs.where($"lang" === "de").count())
+    // an unknown body key is now LOUD through the connector too
+    val e = intercept[IllegalArgumentException] {
+      spark.graftDF(s"$sfDir/documents.parquet",
+        """{"query": {"term": {"lang": "de"}}, "pit": {}}""", idField = "doc_id").count()
+    }
+    assert(e.getMessage.contains("pit"))
+  }
+
   test("scored match with semantics-changing options falls back to the correct AND hit set") {
     // operator:and changes the hit set; BM25-scoring the OR set would
     // be silently wrong — the body must filter with AND semantics
