@@ -103,6 +103,16 @@ object SearchBody {
       case _ => false
     } catch { case _: Throwable => false }
 
+  /** True for any body-shaped payload (a `query`/`runtime_mappings`
+    * wrapper or any other body section) as opposed to a bare
+    * query-DSL object — for surfaces that can only evaluate a
+    * predicate and must refuse bodies loudly (the DSv2 scan). */
+  def isBody(json: String): Boolean =
+    try JsonMethods.parse(json) match {
+      case JObject(fs) => fs.map(_._1).exists(SupportedKeys)
+      case _ => false
+    } catch { case _: Throwable => false }
+
   private def jnum(v: JValue): Double = v match {
     case JInt(i) => i.toDouble
     case JLong(l) => l.toDouble

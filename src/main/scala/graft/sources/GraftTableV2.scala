@@ -65,7 +65,16 @@ case class GraftTable(
   override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder = {
     def opt(k: String) = Option(scanOptions.get(k)).orElse(Option(options.get(k)))
     val idField = opt("graft.mapping.id").getOrElse("_id")
-    val query = opt("graft.query").map(q => EsQuery.compile(q, idField))
+    val query = opt("graft.query").map { q =>
+      // a V2 scan is an unordered row source — body sections like
+      // sort/size/knn cannot apply here. Name the right door instead
+      // of dying inside the DSL compiler with an unknown-node error.
+      require(!(q.trim.startsWith("{") && graft.dsl.SearchBody.isBody(q)),
+        "graft.query on the DSv2 scan takes a Query-DSL object; full " +
+          "search bodies (sort/size/knn/...) compose through " +
+          "spark.graftDF(path, body) / SearchBody.search instead")
+      EsQuery.compile(q, idField)
+    }
     new GraftScanBuilder(
       spark,
       delegate.newScanBuilder(scanOptions),
