@@ -491,18 +491,37 @@ object AggsJson {
           s"${name}_std_dev" -> Num.round(stddev_pop(c), 4))
       case ("percentiles", JObject(s)) =>
         val m = s.toMap
-        val c = fieldOf(m, "percentiles")
+        val f = str(m, "field", "percentiles")
         val percents = m.get("percents") match {
           case Some(JArray(xs)) => xs.map(num)
           case None => Seq(1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0) // ES default
           case Some(other) => throw new IllegalArgumentException(s"bad percents: $other")
         }
-        percents.map { p =>
-          val label = (if (p == p.floor) p.toLong.toString else p.toString)
-            .replace('.', '_')
-          // EXACT percentile (linear interpolation — the same
-          // definition as DuckDB's quantile_cont), group-local
-          s"${name}_p$label" -> Num.round(percentile(c, lit(p / 100.0)), 4)
+        def label(p: Double) =
+          (if (p == p.floor) p.toLong.toString else p.toString).replace('.', '_')
+        m.get("tdigest") match {
+          case Some(JBool(true)) =>
+            // ES's OWN percentiles implementation is the t-digest
+            // sketch; this is the 100 TB route — the agg state is
+            // O(compression) centroids per group, not the group's
+            // value multiset. Sketch layout is not bit-deterministic,
+            // so tdigest percentiles are spec-checked via rank-error
+            // bounds (TDigest.percentilesProbe), never hash-compared.
+            val sketch = graft.agg.TDigest.percentilesCol(f, percents.map(_ / 100.0))
+            percents.zipWithIndex.map { case (p, i) =>
+              s"${name}_p${label(p)}" ->
+                element_at(sketch, i + 1)
+            }
+          case _ =>
+            // EXACT percentile (linear interpolation — the same
+            // definition as DuckDB's quantile_cont). Group-local: the
+            // agg state is the GROUP's value multiset, so this is for
+            // bounded groups; at corpus-scale groups use
+            // `"tdigest": true` (ES's own default engine)
+            percents.map { p =>
+              s"${name}_p${label(p)}" ->
+                Num.round(percentile(col(f), lit(p / 100.0)), 4)
+            }
         }
       case ("weighted_avg", JObject(s)) =>
         val m = s.toMap

@@ -92,6 +92,29 @@ class AggsJsonNodesSpec extends SparkSpec {
     assert(e.getMessage.contains("only agg"))
   }
 
+  test("percentiles metric: tdigest route stays within rank-error of exact, per group") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    def run(tdigest: Boolean) = AggsJson.compile(li,
+      s"""{"aggs": {"g": {"terms": {"field": "l_returnflag", "size": 10}, "aggs": {
+           "q": {"percentiles": {"field": "l_quantity", "percents": [50, 95]
+                 ${if (tdigest) ", \"tdigest\": true" else ""}}}}}}}""")
+      .select($"g".as[String], $"q_p50".as[Double], $"q_p95".as[Double])
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val exact = run(false)
+    val sketch = run(true)
+    assert(sketch.keySet == exact.keySet && sketch.nonEmpty)
+    // rank-error check per group: the sketch estimate's rank in the
+    // group must sit within 2% of the requested percentile
+    val groups = li.select($"l_returnflag".as[String], $"l_quantity".as[Double])
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    sketch.foreach { case (g, (p50, p95)) =>
+      val vs = groups(g)
+      def rank(v: Double) = vs.count(_ <= v).toDouble / vs.length
+      assert(math.abs(rank(p50) - 0.50) <= 0.02, s"$g p50 rank ${rank(p50)}")
+      assert(math.abs(rank(p95) - 0.95) <= 0.02, s"$g p95 rank ${rank(p95)}")
+    }
+  }
+
   test("top_hits without a sort is a loud error (nondeterministic hits)") {
     val e = intercept[IllegalArgumentException] {
       AggsJson.compile(docs,
