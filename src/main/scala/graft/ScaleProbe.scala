@@ -534,6 +534,23 @@ object ScaleProbe {
              "size": 15}""",
         idField = "doc_id").count()
     }
+    time("grouped_pctl_exact_10x") {
+      // the aggs-JSON percentiles metric, exact route: per-group value
+      // multiset state — the bounded-group path
+      graft.dsl.AggsJson.compile(li,
+        """{"aggs": {"g": {"terms": {"field": "l_returnflag", "size": 10}, "aggs": {
+             "q": {"percentiles": {"field": "l_quantity", "percents": [25, 50, 95]}}}}}}""")
+        .count()
+    }
+    time("grouped_pctl_tdigest_10x") {
+      // same request, tdigest route: O(compression) centroids per
+      // group — the corpus-scale path (ES's own engine)
+      graft.dsl.AggsJson.compile(li,
+        """{"aggs": {"g": {"terms": {"field": "l_returnflag", "size": 10}, "aggs": {
+             "q": {"percentiles": {"field": "l_quantity", "percents": [25, 50, 95],
+                   "tdigest": true}}}}}}""")
+        .count()
+    }
     time("esql_cidr_10x") {
       // CIDR blocks fold to compile-time numeric range predicates over
       // the dotted-quad; cost is the scan + narrow string assembly
