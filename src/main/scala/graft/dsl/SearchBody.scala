@@ -423,22 +423,34 @@ object SearchBody {
     val paged = size.fold(if (from > 0) sorted.offset(from) else sorted)(
       (if (from > 0) sorted.offset(from) else sorted).limit)
 
-    // 9. highlight: snippet next to the hit's own columns
+    // 9. highlight: snippet next to the hit's own columns — one-term
+    // matches keep the single-window shape, multi-term matches get
+    // the per-term fragment shape (number_of_fragments honored,
+    // ES default 5)
     val highlighted = root.get("highlight") match {
       case None => paged
       case Some(JObject(hs)) =>
         val fields = hs.toMap.get("fields") match {
-          case Some(JObject(fs)) => fs.map(_._1)
+          case Some(JObject(fs)) => fs
           case _ => throw new IllegalArgumentException("highlight needs a fields object")
         }
-        require(fields.size == 1, s"highlight supports one field, got: $fields")
-        val term = mSpec match {
-          case Some((_, text)) => text
-          case None => throw new IllegalArgumentException(
-            "highlight needs a single-field match query to take its term from")
+        require(fields.size == 1, s"highlight supports one field, got: ${fields.map(_._1)}")
+        val (fieldName, fieldOpts) = fields.head match {
+          case JField(f, JObject(o)) => (f, o.toMap)
+          case JField(f, _) => (f, Map.empty[String, JValue])
         }
-        paged.withColumn("snippet",
-          graft.search.Search.highlightCol(col(fields.head), term))
+        val text = mSpec match {
+          case Some((_, t)) => t
+          case None => throw new IllegalArgumentException(
+            "highlight needs a single-field match query to take its terms from")
+        }
+        val nFrags = fieldOpts.get("number_of_fragments").map(jnum(_).toInt).getOrElse(5)
+        val snippet =
+          if (graft.analysis.Analyzer.analyze(text).distinct.length == 1)
+            graft.search.Search.highlightCol(col(fieldName), text)
+          else
+            graft.search.Search.highlightFragmentsCol(col(fieldName), text, nFrags)
+        paged.withColumn("snippet", snippet)
       case Some(other) => throw new IllegalArgumentException(s"bad highlight: $other")
     }
 

@@ -1476,22 +1476,29 @@ object Search {
       idCol: String,
       textCol: String,
       query: String,
-      numFragments: Int): DataFrame = {
+      numFragments: Int): DataFrame =
+    docs.where(matchQuery(col(textCol), query))
+      .select(col(idCol).as("id"),
+        highlightFragmentsCol(col(textCol), query, numFragments).as("snippet"))
+      .orderBy(col("id").asc)
+
+  /** The multi-term fragment snippet as a bare column (one ±3-word
+    * window per distinct query term, empty misses dropped, capped at
+    * `numFragments`, " ... " separator) — shared by the operator and
+    * the `_search`-body highlight so the fragment shape can't
+    * diverge. */
+  def highlightFragmentsCol(textCol: Column, query: String, numFragments: Int): Column = {
     val terms = Analyzer.analyze(query).distinct
     require(terms.nonEmpty, s"highlight needs at least one analyzed term: $query")
     val frags = terms.map { t =>
       val quoted = java.util.regex.Pattern.quote(t)
       val repl = java.util.regex.Matcher.quoteReplacement(s"<em>$t</em>")
       regexp_replace(
-        regexp_extract(lower(col(textCol)),
+        regexp_extract(lower(textCol),
           s"([a-z0-9]+ ){0,3}\\b$quoted\\b( [a-z0-9]+){0,3}", 0),
         s"\\b$quoted\\b", repl)
     }
-    docs.where(matchQuery(col(textCol), query))
-      .select(col(idCol).as("id"),
-        concat_ws(" ... ",
-          slice(array_remove(array(frags: _*), ""), 1, numFragments)).as("snippet"))
-      .orderBy(col("id").asc)
+    concat_ws(" ... ", slice(array_remove(array(frags: _*), ""), 1, numFragments))
   }
 
   /** Highlighter `order: "score"` (the FVH fragment-ranking mode):

@@ -216,6 +216,19 @@ class SearchBodySpec extends SparkSpec {
     assert(e3.getMessage.contains("weight_field"))
   }
 
+  test("multi-term highlight through the body matches the fragments operator") {
+    val viaBody = SearchBody.search(docs,
+      """{"query": {"match": {"text": "fast hash join"}},
+          "highlight": {"fields": {"text": {"number_of_fragments": 2}}},
+          "sort": [{"doc_id": {"order": "asc"}}]}""",
+      idField = "doc_id")
+      .select($"doc_id".as[Long], $"snippet".as[String]).collect().toMap
+    val direct = graft.search.Search.highlightFragments(docs, "doc_id", "text",
+      "fast hash join", 2)
+      .select($"id".as[Long], $"snippet".as[String]).collect().toMap
+    assert(viaBody.nonEmpty && viaBody == direct)
+  }
+
   test("highlight without a match query to take the term from is a loud error") {
     val e = intercept[IllegalArgumentException] {
       SearchBody.search(docs,
