@@ -125,6 +125,16 @@ private[graft] object EntriesBody {
           "aggs": {"sig": {"significant_terms": {
             "field": "text", "min_doc_count": 5, "size": 10}}}}""",
       idField = "doc_id")),
+    // scored multi_match through the body: per-field BM25 via the
+    // one-pass kernel, ^boost weights, most_fields sum, min_score
+    // floor — all composed in one plan
+    "q_search_body_multi_match" -> ((s, d) => graft.dsl.SearchBody.search(
+      t(s, d, "documents"),
+      """{"query": {"multi_match": {"query": "merge src5",
+           "fields": ["text", "source^2"], "type": "most_fields"}},
+          "min_score": 0.3}""",
+      idField = "doc_id")
+      .select(col("doc_id"), col("_score"))),
     // the ES 8.14+ retriever tree through the BODY front door: a
     // linear (min-max normalized, weighted) fusion of a standard
     // BM25 leaf and a knn cosine leaf, both over the hybrid corpus
@@ -230,6 +240,12 @@ private[graft] object EntriesBody {
       "SELECT term, fg_count, bg_count, " +
       "round((fg_count / fg_total) * ln((fg_count / fg_total) / (bg_count / bg_total)), 4) AS score " +
       "FROM g CROSS JOIN tot ORDER BY score DESC, term LIMIT 10"),
+    "q_search_body_multi_match" -> (TokCte + STokCte +
+      bm25Ctes("1", "tok", Seq("merge", "src5")) +
+      bm25Ctes("2", "stok", Seq("merge", "src5")) +
+      ", u AS (SELECT id, score * 1.0 AS s FROM sc1 UNION ALL SELECT id, score * 2.0 FROM sc2) " +
+      "SELECT id AS doc_id, _score FROM (SELECT id, round(sum(s), 4) AS _score FROM u GROUP BY id) " +
+      "WHERE _score >= 0.3 ORDER BY _score DESC, doc_id"),
     "q_search_body_retriever" -> (TokCte + bm25Ctes("", "tok", Seq("fast", "hash", "join")) +
       ", e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), " +
       s"q AS (SELECT $KnnVecSql AS qv), " +

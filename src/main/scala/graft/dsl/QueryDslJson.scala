@@ -300,6 +300,38 @@ object QueryDslJson {
         case ("match", JObject(JField(f, v) :: Nil)) =>
           Search.matchQuery(fieldRef(f), lits(v).toString)
 
+        // multi_match in FILTER context: a doc matches when ANY listed
+        // field matches (best/most_fields differ only in scoring);
+        // `operator: and` gates per field; `cross_fields` blends the
+        // fields into one derived column so AND is satisfiable ACROSS
+        // fields; `phrase` gates on the phrase per field. Boost
+        // suffixes (`title^2`) are scoring-only and ignored here.
+        case ("multi_match", JObject(parts)) =>
+          val m = parts.toMap
+          val q = lits(m.getOrElse("query",
+            throw new IllegalArgumentException("multi_match needs query"))).toString
+          val fields = m.get("fields") match {
+            case Some(JArray(xs)) if xs.nonEmpty =>
+              Search.parseBoostFields(xs.map(lits(_).toString)).map(_._1)
+            case _ => throw new IllegalArgumentException("multi_match needs fields")
+          }
+          val andOp = m.get("operator").map(lits(_).toString.toLowerCase).contains("and")
+          m.get("type").map(lits(_).toString) match {
+            case Some("cross_fields") =>
+              val blended = org.apache.spark.sql.functions.concat_ws(
+                " ", fields.map(fieldRef): _*)
+              if (andOp) Search.matchQueryAnd(blended, q) else Search.matchQuery(blended, q)
+            case Some("phrase") =>
+              fields.map(f => Search.matchPhrase(fieldRef(f), q)).reduce(_ || _)
+            case None | Some("best_fields") | Some("most_fields") =>
+              fields.map { f =>
+                if (andOp) Search.matchQueryAnd(fieldRef(f), q)
+                else Search.matchQuery(fieldRef(f), q)
+              }.reduce(_ || _)
+            case Some(other) => throw new IllegalArgumentException(
+              s"unsupported multi_match type in filter context: $other")
+          }
+
         case ("match_phrase", JObject(JField(f, JObject(fields)) :: Nil))
             if fields.exists(_._1 == "query") =>
           Search.matchPhrase(fieldRef(f), lits(fields.toMap.apply("query")).toString)

@@ -141,6 +141,32 @@ object SearchBody {
       case _ => None
     }
 
+  /** The scored `multi_match` shape: query + fields (with `^boost`
+    * suffixes) + best/most_fields type. Options beyond
+    * query/fields/type (fuzziness, operator, ...) return None so the
+    * body falls back to filter context — same stance as matchSpec. */
+  private def multiMatchSpec(q: String): Option[(Seq[(String, Double)], String, String)] =
+    JsonMethods.parse(q) match {
+      case JObject(JField("multi_match", JObject(parts)) :: Nil) =>
+        val m = parts.toMap
+        if ((m.keySet -- Set("query", "fields", "type")).nonEmpty) None
+        else {
+          val mode = m.get("type").collect { case JString(t) => t }.getOrElse("best_fields")
+          if (!Set("best_fields", "most_fields")(mode)) None
+          else for {
+            text <- m.get("query").collect { case JString(t) => t }
+            fs <- m.get("fields").collect {
+              case JArray(xs) => graft.search.Search.parseBoostFields(
+                xs.map {
+                  case JString(s) => s
+                  case other => throw new IllegalArgumentException(s"bad field spec: $other")
+                })
+            }
+          } yield (fs, text, mode)
+        }
+      case _ => None
+    }
+
   /** The full `_search` request lifecycle over one frame, composed in
     * ES's evaluation order into ONE Catalyst plan:
     *
@@ -264,14 +290,23 @@ object SearchBody {
     // 1-2. query phase (scores only when the body needs them)
     val mSpec = queryJson.flatMap(matchSpec)
     val matched = (queryJson, scoring) match {
-      case (Some(q), true) => mSpec match {
-        case Some((f, text)) =>
-          val scored = graft.search.Search.bm25Scores(projected, idField, f, text)
-            .select(col("id").as("__qid"), col("score").as("_score"))
-          projected.join(scored, col(idField) === col("__qid")).drop("__qid")
-        case None =>
-          projected.where(EsQuery.compile(q, idField)).withColumn("_score", lit(1.0))
-      }
+      case (Some(q), true) =>
+        // scored query forms: match (single-field BM25) and
+        // multi_match (per-field BM25 via the one-pass kernel,
+        // best/most_fields + ^boosts); anything else evaluates in
+        // filter context at the constant score
+        val scoreFrame = mSpec
+          .map { case (f, text) =>
+            graft.search.Search.bm25Scores(projected, idField, f, text) }
+          .orElse(multiMatchSpec(q).map { case (fs, text, mode) =>
+            graft.search.Search.multiMatchScores(projected, idField, fs, text, mode) })
+        scoreFrame match {
+          case Some(sf) =>
+            val scored = sf.select(col("id").as("__qid"), col("score").as("_score"))
+            projected.join(scored, col(idField) === col("__qid")).drop("__qid")
+          case None =>
+            projected.where(EsQuery.compile(q, idField)).withColumn("_score", lit(1.0))
+        }
       case (Some(q), false) => projected.where(EsQuery.compile(q, idField))
       case (None, true) => projected.withColumn("_score", lit(1.0))
       case (None, false) => projected

@@ -1039,18 +1039,35 @@ object Search {
       fields: Seq[String],
       query: String,
       k: Int,
-      mode: String = "best_fields"): DataFrame = {
-    require(fields.nonEmpty, "multiMatchTopK needs at least one field")
-    val combine = mode match {
-      case "best_fields" => max(col("score"))
-      case "most_fields" => sum(col("score"))
-      case other => throw new IllegalArgumentException(s"unknown multi_match mode: $other")
-    }
-    bm25PerFieldScores(docs, idCol, fields.map(_ -> lit(true)), query)
-      .groupBy(col("id"))
-      .agg(Num.round(combine, 4).as("score"))
+      mode: String = "best_fields"): DataFrame =
+    multiMatchScores(docs, idCol, fields.map(_ -> 1.0), query, mode)
       .orderBy(col("score").desc, col("id").asc)
       .limit(k)
+
+  /** Unranked multi_match (id, score) — per-field boosts (`title^2`
+    * semantics: the boost scales that field's score before the
+    * combine) over the one-pass kernel. The building block for the
+    * ranked multiMatchTopK AND the `_search`-body scored multi_match
+    * (the body needs the full score frame for min_score/rescore/knn
+    * composition, not a top-k). */
+  def multiMatchScores(
+      docs: DataFrame,
+      idCol: String,
+      fields: Seq[(String, Double)],
+      query: String,
+      mode: String = "best_fields"): DataFrame = {
+    require(fields.nonEmpty, "multiMatchScores needs at least one field")
+    val boost = fields.foldLeft(lit(1.0)) { case (acc, (f, w)) =>
+      when(col("field") === f, lit(w)).otherwise(acc)
+    }
+    val combine = mode match {
+      case "best_fields" => max(col("score") * boost)
+      case "most_fields" => sum(col("score") * boost)
+      case other => throw new IllegalArgumentException(s"unknown multi_match mode: $other")
+    }
+    bm25PerFieldScores(docs, idCol, fields.map(_._1 -> lit(true)), query)
+      .groupBy(col("id"))
+      .agg(Num.round(combine, 4).as("score"))
   }
 
   /** `multi_match` type `cross_fields`: query terms may match in
