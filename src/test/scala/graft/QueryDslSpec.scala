@@ -12,6 +12,31 @@ class QueryDslSpec extends SparkSpec {
     (3L, "alpha", 30, "src10"),
     (4L, "gamma", 40, "other")).toDF("id", "kind", "v", "src")
 
+  test("multi_match filter node: or/and per field, cross_fields AND across fields, phrase") {
+    val docs = Tables.documents(spark, sfDir)
+    def ids(json: String) = docs.where(graft.dsl.QueryDslJson.compile(json))
+      .select($"doc_id".as[Long]).collect().toSet
+    val s = graft.search.Search
+    import org.apache.spark.sql.functions._
+    // best_fields filter = any field matches (boosts scoring-only)
+    assert(ids("""{"multi_match": {"query": "merge src5", "fields": ["text", "source^2"]}}""") ==
+      docs.where(s.matchQuery(col("text"), "merge src5") ||
+        s.matchQuery(col("source"), "merge src5"))
+        .select($"doc_id".as[Long]).collect().toSet)
+    // operator and gates per field; cross_fields satisfies AND across fields
+    val perField = ids("""{"multi_match": {"query": "merge src5",
+      "fields": ["text", "source"], "operator": "and"}}""")
+    val cross = ids("""{"multi_match": {"query": "merge src5",
+      "fields": ["text", "source"], "type": "cross_fields", "operator": "and"}}""")
+    assert(perField.subsetOf(cross) && cross.nonEmpty)
+    // phrase type gates on the phrase per field
+    assert(ids("""{"multi_match": {"query": "table scan",
+      "fields": ["text", "source"], "type": "phrase"}}""") ==
+      docs.where(s.matchPhrase(col("text"), "table scan") ||
+        s.matchPhrase(col("source"), "table scan"))
+        .select($"doc_id".as[Long]).collect().toSet)
+  }
+
   test(".keyword subfield addressing maps to the parent column") {
     val hits = df.where(graft.dsl.QueryDslJson.compile(
       """{"bool": {"filter": [
