@@ -125,6 +125,13 @@ private[graft] object EntriesBody {
           "aggs": {"sig": {"significant_terms": {
             "field": "text", "min_doc_count": 5, "size": 10}}}}""",
       idField = "doc_id")),
+    // scored match_phrase through the body: phrase-gated BM25 (the
+    // phrase is a positional gate; df stays index-wide)
+    "q_search_body_phrase" -> ((s, d) => graft.dsl.SearchBody.search(
+      t(s, d, "documents"),
+      """{"query": {"match_phrase": {"text": "table scan"}}, "min_score": 0.0}""",
+      idField = "doc_id")
+      .select(col("doc_id"), col("_score"))),
     // scored multi_match through the body: per-field BM25 via the
     // one-pass kernel, ^boost weights, most_fields sum, min_score
     // floor — all composed in one plan
@@ -240,6 +247,10 @@ private[graft] object EntriesBody {
       "SELECT term, fg_count, bg_count, " +
       "round((fg_count / fg_total) * ln((fg_count / fg_total) / (bg_count / bg_total)), 4) AS score " +
       "FROM g CROSS JOIN tot ORDER BY score DESC, term LIMIT 10"),
+    "q_search_body_phrase" -> (TokCte + bm25Ctes("", "tok", Seq("table", "scan")) +
+      ", g AS (SELECT doc_id FROM tok WHERE contains(' ' || array_to_string(toks, ' ') || ' ', ' table scan ')) " +
+      "SELECT id AS doc_id, score AS _score FROM sc WHERE id IN (SELECT doc_id FROM g) " +
+      "ORDER BY _score DESC, doc_id"),
     "q_search_body_multi_match" -> (TokCte + STokCte +
       bm25Ctes("1", "tok", Seq("merge", "src5")) +
       bm25Ctes("2", "stok", Seq("merge", "src5")) +

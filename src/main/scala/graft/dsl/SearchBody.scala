@@ -167,16 +167,32 @@ object SearchBody {
       case _ => None
     }
 
+  /** The scored `match_phrase` shape (options beyond `query` — slop —
+    * fall back to filter context, same stance as matchSpec). */
+  private def phraseSpec(q: String): Option[(String, String)] =
+    JsonMethods.parse(q) match {
+      case JObject(JField("match_phrase", JObject(JField(f, body) :: Nil)) :: Nil) =>
+        body match {
+          case JString(text) => Some(f -> text)
+          case JObject(parts) if parts.toMap.keySet == Set("query") =>
+            parts.toMap.get("query").collect { case JString(t) => f -> t }
+          case _ => None
+        }
+      case _ => None
+    }
+
   /** The full `_search` request lifecycle over one frame, composed in
     * ES's evaluation order into ONE Catalyst plan:
     *
     *  1. `runtime_mappings` project (searchable like mapped fields)
-    *  2. `query` — a single-field `match` carries real BM25 `_score`s
-    *     when the body needs scoring (knn / min_score / rescore /
-    *     sort-on-_score); any other query shape evaluates in filter
-    *     context and scores the constant 1.0 (ES's `constant_score`
-    *     wrapping, documented delta from per-clause query-context
-    *     scoring)
+    *  2. `query` — `match` (single-field BM25), `multi_match`
+    *     (per-field BM25 via the one-pass kernel, `^boost` weights,
+    *     best/most_fields) and `match_phrase` (phrase-gated BM25)
+    *     carry real `_score`s when the body needs scoring (knn /
+    *     min_score / rescore / sort-on-_score); any other query shape
+    *     evaluates in filter context and scores the constant 1.0
+    *     (ES's `constant_score` wrapping, documented delta from
+    *     per-clause query-context scoring)
     *  3. `knn` — ES 8.4 hybrid: the knn leg retrieves its top-k by
     *     cosine (times optional `boost`) and a doc retrieved by BOTH
     *     legs sums its scores; by one leg, keeps that leg's score
@@ -300,6 +316,8 @@ object SearchBody {
             graft.search.Search.bm25Scores(projected, idField, f, text) }
           .orElse(multiMatchSpec(q).map { case (fs, text, mode) =>
             graft.search.Search.multiMatchScores(projected, idField, fs, text, mode) })
+          .orElse(phraseSpec(q).map { case (f, text) =>
+            graft.search.Search.matchPhraseScores(projected, idField, f, text) })
         scoreFrame match {
           case Some(sf) =>
             val scored = sf.select(col("id").as("__qid"), col("score").as("_score"))

@@ -1044,6 +1044,17 @@ object Search {
       .orderBy(col("score").desc, col("id").asc)
       .limit(k)
 
+  /** Scored `match_phrase` (id, score): BM25 of the phrase's terms,
+    * restricted to docs where the PHRASE matches — ES's semantics
+    * (the phrase is a positional gate; scoring stays term-frequency
+    * BM25 with index-wide df). Unranked, for the `_search`-body
+    * composition (min_score/rescore/knn need the full frame). */
+  def matchPhraseScores(
+      docs: DataFrame, idCol: String, textCol: String, phrase: String): DataFrame =
+    bm25Scores(docs, idCol, textCol, phrase)
+      .join(docs.where(matchPhrase(col(textCol), phrase))
+        .select(col(idCol).as("id")), Seq("id"), "left_semi")
+
   /** Unranked multi_match (id, score) — per-field boosts (`title^2`
     * semantics: the boost scales that field's score before the
     * combine) over the one-pass kernel. The building block for the
