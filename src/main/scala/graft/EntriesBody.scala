@@ -125,6 +125,17 @@ private[graft] object EntriesBody {
           "aggs": {"sig": {"significant_terms": {
             "field": "text", "min_doc_count": 5, "size": 10}}}}""",
       idField = "doc_id")),
+    // scored bool through the body: must-match BM25 summed per
+    // clause, filter clauses gate without scoring (the connector
+    // readMetadata formula, now reachable via the search body)
+    "q_search_body_bool" -> ((s, d) => graft.dsl.SearchBody.search(
+      t(s, d, "documents"),
+      """{"query": {"bool": {
+            "must": [{"match": {"text": "vector hash"}}],
+            "filter": [{"term": {"lang": "en"}}]}},
+          "min_score": 0.0}""",
+      idField = "doc_id")
+      .select(col("doc_id"), col("_score"))),
     // scored match_phrase through the body: phrase-gated BM25 (the
     // phrase is a positional gate; df stays index-wide)
     "q_search_body_phrase" -> ((s, d) => graft.dsl.SearchBody.search(
@@ -247,6 +258,9 @@ private[graft] object EntriesBody {
       "SELECT term, fg_count, bg_count, " +
       "round((fg_count / fg_total) * ln((fg_count / fg_total) / (bg_count / bg_total)), 4) AS score " +
       "FROM g CROSS JOIN tot ORDER BY score DESC, term LIMIT 10"),
+    "q_search_body_bool" -> (TokCte + bm25Ctes("", "tok", Seq("vector", "hash")) +
+      " SELECT d.doc_id, sc.score AS _score FROM sc JOIN documents d ON d.doc_id = sc.id " +
+      "WHERE d.lang = 'en' ORDER BY _score DESC, doc_id"),
     "q_search_body_phrase" -> (TokCte + bm25Ctes("", "tok", Seq("table", "scan")) +
       ", g AS (SELECT doc_id FROM tok WHERE contains(' ' || array_to_string(toks, ' ') || ' ', ' table scan ')) " +
       "SELECT id AS doc_id, score AS _score FROM sc WHERE id IN (SELECT doc_id FROM g) " +

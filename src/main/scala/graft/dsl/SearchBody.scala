@@ -189,10 +189,12 @@ object SearchBody {
     *     (per-field BM25 via the one-pass kernel, `^boost` weights,
     *     best/most_fields) and `match_phrase` (phrase-gated BM25)
     *     carry real `_score`s when the body needs scoring (knn /
-    *     min_score / rescore / sort-on-_score); any other query shape
-    *     evaluates in filter context and scores the constant 1.0
-    *     (ES's `constant_score` wrapping, documented delta from
-    *     per-clause query-context scoring)
+    *     min_score / rescore / sort-on-_score); other shapes filter
+    *     with the FULL predicate and score the SUM of their match
+    *     scoring clauses (top-level / bool must / should — the
+    *     connector readMetadata formula; filter/must_not contribute
+    *     0), falling back to the constant 1.0 only when no scoring
+    *     clause exists (pure filter trees)
     *  3. `knn` — ES 8.4 hybrid: the knn leg retrieves its top-k by
     *     cosine (times optional `boost`) and a doc retrieved by BOTH
     *     legs sums its scores; by one leg, keeps that leg's score
@@ -323,7 +325,28 @@ object SearchBody {
             val scored = sf.select(col("id").as("__qid"), col("score").as("_score"))
             projected.join(scored, col(idField) === col("__qid")).drop("__qid")
           case None =>
-            projected.where(EsQuery.compile(q, idField)).withColumn("_score", lit(1.0))
+            // a `bool` tree with scoring clauses (match at top / under
+            // must / should): hits = the bool predicate; _score = the
+            // SUM of matched scoring clauses' BM25 (filter/must_not
+            // contribute 0) — the same per-clause formula the
+            // connector's readMetadata `_score` uses, so the two
+            // front doors can't diverge. A doc matching via filters
+            // alone scores 0 (ES's filter-context rule).
+            val clauses = QueryDslJson.scoringClauses(q)
+            val hits = projected.where(EsQuery.compile(q, idField))
+            if (clauses.isEmpty) hits.withColumn("_score", lit(1.0))
+            else {
+              val scores = clauses.map { case (f, text) =>
+                graft.search.Search.bm25Scores(projected, idField, f, text)
+              }.reduce(_ unionByName _)
+                .groupBy(col("id"))
+                .agg(graft.util.Num.round(sum(col("score")), 4).as("__bscore"))
+                .select(col("id").as("__qid"), col("__bscore"))
+              hits.join(scores, col(idField) === col("__qid"), "left")
+                .drop("__qid")
+                .withColumn("_score", coalesce(col("__bscore"), lit(0.0)))
+                .drop("__bscore")
+            }
         }
       case (Some(q), false) => projected.where(EsQuery.compile(q, idField))
       case (None, true) => projected.withColumn("_score", lit(1.0))

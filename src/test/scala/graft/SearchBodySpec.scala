@@ -170,17 +170,35 @@ class SearchBodySpec extends SparkSpec {
     assert(e.getMessage.contains("pit"))
   }
 
-  test("scored match with semantics-changing options falls back to the correct AND hit set") {
-    // operator:and changes the hit set; BM25-scoring the OR set would
-    // be silently wrong — the body must filter with AND semantics
-    // (constant score) instead
+  test("scored match with semantics-changing options keeps the AND hit set, BM25-scored") {
+    // operator:and changes the hit set; the body must never BM25-score
+    // the OR set. The fallback path filters with the AND predicate and
+    // scores via the clause-sum formula (scoringClauses) — correct hit
+    // set AND real scores.
     val out = SearchBody.search(docs,
       """{"query": {"match": {"text": {"query": "fast hash", "operator": "and"}}},
-          "min_score": 0.5}""", idField = "doc_id")
+          "min_score": 0.0}""", idField = "doc_id")
     val want = docs.where(graft.dsl.QueryDslJson.compile(
       """{"match": {"text": {"query": "fast hash", "operator": "and"}}}"""))
     assert(out.count() == want.count() && out.count() > 0)
-    assert(out.select($"_score".as[Double]).collect().forall(_ == 1.0))
+    val bm25 = graft.search.Search.bm25Scores(docs, "doc_id", "text", "fast hash")
+      .select($"id".as[Long], $"score".as[Double]).collect().toMap
+    out.select($"doc_id".as[Long], $"_score".as[Double]).collect().foreach {
+      case (id, s) => assert(s == bm25(id), s"doc $id")
+    }
+  }
+
+  test("scored bool body: must BM25 sums, filter gates without scoring") {
+    val out = SearchBody.search(docs,
+      """{"query": {"bool": {"must": [{"match": {"text": "vector hash"}}],
+                              "filter": [{"term": {"lang": "en"}}]}},
+          "min_score": 0.0}""", idField = "doc_id")
+      .select($"doc_id".as[Long], $"_score".as[Double]).collect().toMap
+    val bm25 = graft.search.Search.bm25Scores(docs, "doc_id", "text", "vector hash")
+      .select($"id".as[Long], $"score".as[Double]).collect().toMap
+    val en = docs.where($"lang" === "en").select($"doc_id".as[Long]).collect().toSet
+    assert(out.nonEmpty && out.keySet == bm25.keySet.intersect(en))
+    out.foreach { case (id, s) => assert(s == bm25(id)) }
   }
 
   test("suggest section: term suggester through the body; one-frame contracts are loud") {
