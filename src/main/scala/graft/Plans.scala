@@ -29,7 +29,10 @@ object Plans {
         "q_rescore_multi", "q_esql_cidr",
         // r12 flagships
         "q_pipeline_full", "q_terminate_after", "q_agg_ks_test",
-        "q_agg_holt_winters", "q_docvalue_fields", "q_span_masked")
+        "q_agg_holt_winters", "q_docvalue_fields", "q_span_masked",
+        // r10 front-door flagships
+        "q_search_body_knn", "q_search_body_rescore", "q_search_body_bool",
+        "q_aggs_json_composite", "q_aggs_json_metrics", "q_search_body_retriever")
       case names => names
     }) {
       println(s"========= $name")

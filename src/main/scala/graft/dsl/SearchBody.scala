@@ -290,6 +290,9 @@ object SearchBody {
             case Some(JString("desc")) => false
             case _ => true
           })
+        // ES: a bare "_score" sort string defaults DESC (relevance
+        // order); bare field strings default ASC
+        case JString("_score") => "_score" -> false
         case JString(f) => f -> true
         case other => throw new IllegalArgumentException(s"bad sort spec: $other")
       }
