@@ -403,13 +403,12 @@ object SearchBody {
     val floored = root.get("min_score").map(jnum)
       .fold(postFiltered)(m => postFiltered.where(col("_score") >= m))
 
-    // 6. rescore: top-window two-phase re-rank
-    val rescored = root.get("rescore") match {
-      case None => floored
-      case Some(JObject(rs)) =>
-        val incompat = Seq("collapse", "search_after").filter(root.contains)
-        require(incompat.isEmpty,
-          s"rescore cannot be combined with ${incompat.mkString(", ")} (ES rejects this too)")
+    // 6. rescore: top-window two-phase re-rank; ES accepts a single
+    // stage OR an ARRAY of stages (each re-ranks the previous stage's
+    // window — windows are non-increasing in practice, every stage is
+    // a bounded TakeOrderedAndProject)
+    def applyRescore(d: org.apache.spark.sql.DataFrame, stage: JValue) = stage match {
+      case JObject(rs) =>
         val m = rs.toMap
         val w = m.get("window_size").map(jnum(_).toInt).getOrElse(10)
         val rq = m.get("query") match {
@@ -434,10 +433,22 @@ object SearchBody {
         }
         // the window is a bounded TakeOrderedAndProject; the secondary
         // expression evaluates on O(window) rows only
-        floored.orderBy(col("_score").desc, col(idField).asc).limit(w)
+        d.orderBy(col("_score").desc, col(idField).asc).limit(w)
           .withColumn("_score", Num.round(col("_score") * qw + secondary * rw, 4))
-      case Some(other) =>
-        throw new IllegalArgumentException(s"bad rescore: $other")
+      case other => throw new IllegalArgumentException(s"bad rescore stage: $other")
+    }
+    val rescored = root.get("rescore") match {
+      case None => floored
+      case Some(stage) =>
+        val incompat = Seq("collapse", "search_after").filter(root.contains)
+        require(incompat.isEmpty,
+          s"rescore cannot be combined with ${incompat.mkString(", ")} (ES rejects this too)")
+        stage match {
+          case JArray(stages) =>
+            require(stages.nonEmpty, "rescore array must not be empty")
+            stages.foldLeft(floored)(applyRescore)
+          case single => applyRescore(floored, single)
+        }
     }
 
     // order columns shared by collapse / sort / search_after

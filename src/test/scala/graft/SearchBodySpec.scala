@@ -188,6 +188,31 @@ class SearchBodySpec extends SparkSpec {
     }
   }
 
+  test("rescore ARRAY: stages chain, each re-ranking the previous window") {
+    def stage(w: Int, src: String, rw: Double) =
+      s"""{"window_size": $w, "query": {
+            "rescore_query": {"script_score": {"script": {"source": "$src"}}},
+            "rescore_query_weight": $rw}}"""
+    val chained = SearchBody.search(docs,
+      s"""{"query": {"match": {"text": "fast hash join"}},
+           "rescore": [${stage(50, "Math.log(1.0 + doc['n_chars'].value)", 0.5)},
+                       ${stage(20, "doc['n_chars'].value / 1000.0", 1.0)}],
+           "size": 10}""", idField = "doc_id")
+      .select($"doc_id".as[Long], $"_score".as[Double]).collect().toSeq
+    // hand-chain: stage 1 == the single-stage body, stage 2 on its top-20
+    val s1 = SearchBody.search(docs,
+      s"""{"query": {"match": {"text": "fast hash join"}},
+           "rescore": ${stage(50, "Math.log(1.0 + doc['n_chars'].value)", 0.5)},
+           "size": 50}""", idField = "doc_id")
+    val nchars = docs.select($"doc_id".as[Long], $"n_chars".as[Long]).collect().toMap
+    val want = s1.select($"doc_id".as[Long], $"_score".as[Double]).collect().toSeq
+      .sortBy { case (id, s) => (-s, id) }.take(20)
+      .map { case (id, s) =>
+        id -> BigDecimal(s + nchars(id) / 1000.0).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble }
+      .sortBy { case (id, s) => (-s, id) }.take(10)
+    assert(chained.sortBy { case (id, s) => (-s, id) } == want)
+  }
+
   test("scored bool body: must BM25 sums, filter gates without scoring") {
     val out = SearchBody.search(docs,
       """{"query": {"bool": {"must": [{"match": {"text": "vector hash"}}],
