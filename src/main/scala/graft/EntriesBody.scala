@@ -175,6 +175,12 @@ private[graft] object EntriesBody {
            "term": {"field": "text", "suggest_mode": "always",
                     "max_edits": 2, "size": 5}}}}""",
       idField = "doc_id")),
+    // SemDeDup (Abbas et al. 2023): cluster-then-compare semantic
+    // dedup — assignment blocks the cosine screen to within-cluster
+    // pairs (sum of C(n_c, 2), never C(N, 2))
+    "q_dedup_semantic" -> ((s, d) => graft.dedup.Dedup.semanticDedupPairs(
+      t(s, d, "embeddings"), "vec_id", "embedding",
+      nCentroids = 16, minCosine = 0.35)),
     // ES|QL 9.1 SAMPLE: deterministic content-hash Bernoulli row
     // sample (not rand() — same rows survive any partitioning/retry),
     // composed mid-pipeline; the r9 verdict's named ES|QL-9.x gap
@@ -292,6 +298,18 @@ private[graft] object EntriesBody {
       "SELECT token, freq FROM v " +
       "WHERE token <> 'spak' AND levenshtein(token, 'spak') <= 2 " +
       "ORDER BY freq DESC, token LIMIT 5"),
+    "q_dedup_semantic" -> ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), " +
+      "n AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm FROM e), " +
+      "cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16), " +
+      "asg AS (SELECT id, cent_id FROM (SELECT c.vec_id AS id, cents.cent_id, " +
+      "row_number() OVER (PARTITION BY c.vec_id ORDER BY round(list_reduce(list_prepend(0.0, list_transform(range(1, len(c.v) + 1), i -> c.v[i] * cv[i])), (x, y) -> x + y) / (c.nrm * cnrm), 4) DESC, cents.cent_id) AS rn " +
+      "FROM n c CROSS JOIN cents) WHERE rn = 1), " +
+      "wc AS (SELECT asg.cent_id, n.vec_id AS id, n.v, n.nrm FROM asg JOIN n ON n.vec_id = asg.id), " +
+      "p AS (SELECT a.cent_id AS cluster_id, a.id AS id1, b.id AS id2, " +
+      "round(list_reduce(list_prepend(0.0, list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])), (x, y) -> x + y) / (a.nrm * b.nrm), 4) AS cosine " +
+      "FROM wc a JOIN wc b ON a.cent_id = b.cent_id AND a.id < b.id) " +
+      "SELECT cluster_id, id1, id2, cosine FROM p WHERE cosine >= 0.35 " +
+      "ORDER BY cluster_id, id1, id2"),
     "q_esql_sample" -> ("SELECT count(*)::BIGINT AS n, o_orderstatus FROM orders " +
       s"WHERE ${hexFold("o_orderkey::VARCHAR || chr(0) || o_orderstatus", 12)} / 281474976710656.0 < 0.25 " +
       "GROUP BY o_orderstatus ORDER BY o_orderstatus"),

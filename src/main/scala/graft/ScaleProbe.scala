@@ -534,6 +534,14 @@ object ScaleProbe {
              "size": 15}""",
         idField = "doc_id").count()
     }
+    time("dedup_semantic_10x") {
+      // SemDeDup: replicated embeddings are EXACT vector clones, so
+      // every clone group shares a cluster — within-cluster pairs
+      // rehearse the C(n,2)-per-group worst case, like the minhash
+      // probe; real corpora spread over clusters
+      Dedup.semanticDedupPairs(emb, "vec_id", "embedding",
+        nCentroids = 16, minCosine = 0.35).count()
+    }
     time("grouped_pctl_exact_10x") {
       // the aggs-JSON percentiles metric, exact route: per-group value
       // multiset state — the bounded-group path

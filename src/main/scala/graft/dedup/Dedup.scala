@@ -617,6 +617,52 @@ object Dedup {
       .orderBy(col("contamination_rate").desc, col("doc_id").asc)
   }
 
+  /** SemDeDup (Abbas et al. 2023, public): semantic dedup by
+    * CLUSTER-then-compare — k-means-style cluster assignment blocks
+    * the pairwise cosine screen to WITHIN-cluster candidates, so the
+    * cost is sum over clusters of C(n_c, 2), never C(N, 2). This is
+    * the published recipe for dedup at web-corpus scale where even
+    * LSH candidate sets are too wide.
+    *
+    * Deterministic variant: centroids are the first `nCentroids`
+    * vectors (one assignment pass, no Lloyd iterations — iterations
+    * refine quality, not the shape; the seeded choice keeps the
+    * DuckDB oracle exact), assignment = max cosine (round 4, cent-id
+    * tie-break). Output: the verified near-dup PAIRS
+    * (cluster_id, id1, id2, cosine >= tau) — the decision set a
+    * keeper policy (keep-farthest-from-centroid, keep-min-id) folds
+    * over; feed them to dedupClusters for connected groups.
+    *
+    * Scale shape: centroids broadcast (nCentroids rows); ONE exchange
+    * on cluster_id for the key-local self-join; the compiled
+    * CosineSim kernel runs per candidate pair only. */
+  def semanticDedupPairs(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int,
+      minCosine: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val cents = v.where(col("id") < nCentroids)
+      .select(col("id").as("cent_id"), col("v").as("cv"))
+    val asg = v.crossJoin(broadcast(cents))
+      .withColumn("cos", graft.util.Num.round(Vectors.cosine(col("v"), col("cv")), 4))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("cos").desc, col("cent_id").asc)))
+      .where(col("rn") === 1)
+      .select(col("id"), col("cent_id"))
+    val withC = v.join(asg, "id")
+    val a = withC.select(col("cent_id"), col("id").as("id1"), col("v").as("v1"))
+    val b = withC.select(col("cent_id"), col("id").as("id2"), col("v").as("v2"))
+    a.join(b, Seq("cent_id"))
+      .where(col("id1") < col("id2"))
+      .withColumn("cosine", graft.util.Num.round(Vectors.cosine(col("v1"), col("v2")), 4))
+      .where(col("cosine") >= minCosine)
+      .select(col("cent_id").as("cluster_id"), col("id1"), col("id2"), col("cosine"))
+      .orderBy(col("cluster_id").asc, col("id1").asc, col("id2").asc)
+  }
+
 }
 
 /** Dense-vector column math over array<double>. `cosine` routes to the
