@@ -4,7 +4,12 @@ import org.apache.spark.sql.Column
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
-/** Full `_search`-body subset: `runtime_mappings` + `query`.
+/** The `_search` request-body front door (see `search` for the full
+  * composed lifecycle): runtime_mappings, scored/filter queries,
+  * top-level knn (single + list), retriever trees, collapse, rescore
+  * chains, post_filter, min_score, search_after, highlight, suggest,
+  * aggs, and response shaping — one JSON in, ONE Catalyst plan out,
+  * unknown keys loud (`SupportedKeys`).
   *
   * ES runtime fields are computed at query time from a Painless
   * `emit(...)` script and are searchable/aggregatable like mapped
@@ -201,16 +206,17 @@ object SearchBody {
     *  4. `post_filter` — hits-only filter AFTER scoring (scores and
     *     aggs never see it)
     *  5. `min_score` — absolute relevance floor
-    *  6. `rescore` — top-`window_size` two-phase re-rank;
-    *     `rescore_query` supports `script_score` (Painless over doc
-    *     fields, `_score` bound to the first pass); hits beyond the
-    *     window are dropped (standard usage keeps size <= window)
+    *  6. `rescore` — top-`window_size` two-phase re-rank (a single
+    *     stage or an ARRAY of chained stages); `rescore_query`
+    *     supports `script_score` (Painless over doc fields, `_score`
+    *     bound to the previous pass); hits beyond the window are
+    *     dropped (standard usage keeps size <= window)
     *  7. `collapse` — one hit per field value, best by the search sort
     *  8. `sort` + `search_after` (lexicographic cursor predicate —
     *     deep paging costs one scan, never a global offset) +
     *     `from`/`size` paging
     *  9. `highlight` — snippet column next to the hit (single-term
-    *     match queries)
+    *     window or multi-term fragments, from the match query's terms)
     * 10. `script_fields` / `docvalue_fields` / `_source` response
     *     shaping (`_score` and `snippet` survive `_source` filtering,
     *     like the ES response's separate hit metadata)
