@@ -175,6 +175,13 @@ private[graft] object EntriesBody {
            "term": {"field": "text", "suggest_mode": "always",
                     "max_edits": 2, "size": 5}}}}""",
       idField = "doc_id")),
+    // terms include/exclude bucket-key regex filters (full-match, ES
+    // semantics) — pushed below the partial agg as row predicates
+    "q_aggs_json_terms_filter" -> ((s, d) => graft.dsl.AggsJson.compile(
+      t(s, d, "documents"),
+      """{"aggs": {"src": {"terms": {"field": "source", "size": 20,
+           "include": "src[0-9]", "exclude": "src[47]"},
+           "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}}}}}""")),
     // SemDeDup (Abbas et al. 2023): cluster-then-compare semantic
     // dedup — assignment blocks the cosine screen to within-cluster
     // pairs (sum of C(n_c, 2), never C(N, 2))
@@ -298,6 +305,10 @@ private[graft] object EntriesBody {
       "SELECT token, freq FROM v " +
       "WHERE token <> 'spak' AND levenshtein(token, 'spak') <= 2 " +
       "ORDER BY freq DESC, token LIMIT 5"),
+    "q_aggs_json_terms_filter" -> ("SELECT source AS src, count(*)::BIGINT AS doc_count, " +
+      "round(avg(n_chars), 4) AS avg_chars FROM documents " +
+      "WHERE regexp_full_match(source, 'src[0-9]') AND NOT regexp_full_match(source, 'src[47]') " +
+      "GROUP BY source ORDER BY doc_count DESC, src LIMIT 20"),
     "q_dedup_semantic" -> ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), " +
       "n AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm FROM e), " +
       "cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16), " +

@@ -74,6 +74,10 @@ object AggsJson {
     // walk the tree: collect (name, keyColumn) per bucket level and the
     // leaf metric set
     val keys = scala.collection.mutable.ListBuffer.empty[(String, Column)]
+    // terms include/exclude bucket-key regex filters (full-match, like
+    // ES's Java matches() semantics) — applied as row predicates BELOW
+    // the partial aggregation, so excluded buckets never aggregate
+    val rowFilters = scala.collection.mutable.ListBuffer.empty[Column]
     var metrics = Seq.empty[(String, Column)]
     var topSize: Option[Int] = None
     var topSizeExplicit = false
@@ -103,7 +107,21 @@ object AggsJson {
         case JField(name, JObject(spec)) :: Nil =>
           val m = spec.toMap
           val sub = m.get("aggs").orElse(m.get("aggregations"))
-          keys += name -> bucketKey(name, m - "aggs" - "aggregations")
+          val keyCol = bucketKey(name, m - "aggs" - "aggregations")
+          keys += name -> keyCol
+          m.get("terms").foreach {
+            case JObject(ts) =>
+              val tm = ts.toMap
+              tm.get("include").foreach {
+                case JString(re) => rowFilters += keyCol.rlike(s"^(?:$re)$$")
+                case other => throw new IllegalArgumentException(s"bad include: $other")
+              }
+              tm.get("exclude").foreach {
+                case JString(re) => rowFilters += !keyCol.rlike(s"^(?:$re)$$")
+                case other => throw new IllegalArgumentException(s"bad exclude: $other")
+              }
+            case _ => ()
+          }
           val explicitSize = m.get("terms").collect {
             case JObject(s) => s.toMap.get("size") }.flatten.collect {
               case JInt(i) => i.toInt }
@@ -152,7 +170,8 @@ object AggsJson {
     } else {
       val aggCols = (count(lit(1)).as("doc_count") +:
         metrics.map { case (n, c) => c.as(n) })
-      val grouped = df
+      val base = rowFilters.foldLeft(df)(_ where _)
+      val grouped = base
         .groupBy(keys.map { case (n, c) => c.as(n) }.toSeq: _*)
         .agg(aggCols.head, aggCols.tail: _*)
         // range buckets: rows outside every range fold to null — drop
@@ -203,7 +222,15 @@ object AggsJson {
   private def bucketKey(name: String, spec: Map[String, JValue]): Column =
     spec.head match {
       case ("terms", JObject(s)) =>
-        col(str(s.toMap, "field", "terms"))
+        val m = s.toMap
+        val c = col(str(m, "field", "terms"))
+        // ES terms `missing`: docs without the field land in the
+        // substitute's bucket instead of being dropped
+        m.get("missing") match {
+          case Some(JString(v)) => coalesce(c, lit(v))
+          case Some(n) => coalesce(c, lit(num(n)))
+          case None => c
+        }
       case ("histogram", JObject(s)) =>
         val m = s.toMap
         val f = str(m, "field", "histogram")
