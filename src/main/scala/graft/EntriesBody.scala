@@ -175,6 +175,13 @@ private[graft] object EntriesBody {
            "term": {"field": "text", "suggest_mode": "always",
                     "max_edits": 2, "size": 5}}}}""",
       idField = "doc_id")),
+    // calendar_interval date_histogram (variable-width month buckets
+    // fixed_interval cannot express) + a metric, per bucket
+    "q_aggs_json_calendar" -> ((s, d) => graft.dsl.AggsJson.compile(
+      t(s, d, "orders"),
+      """{"aggs": {"by_month": {"date_histogram": {"field": "o_orderdate",
+           "calendar_interval": "month"},
+           "aggs": {"revenue": {"sum": {"field": "o_totalprice"}}}}}}""")),
     // terms include/exclude bucket-key regex filters (full-match, ES
     // semantics) — pushed below the partial agg as row predicates
     "q_aggs_json_terms_filter" -> ((s, d) => graft.dsl.AggsJson.compile(
@@ -305,6 +312,10 @@ private[graft] object EntriesBody {
       "SELECT token, freq FROM v " +
       "WHERE token <> 'spak' AND levenshtein(token, 'spak') <= 2 " +
       "ORDER BY freq DESC, token LIMIT 5"),
+    "q_aggs_json_calendar" -> ("SELECT date_trunc('month', o_orderdate) AS by_month, " +
+      "count(*)::BIGINT AS doc_count, " +
+      "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue " +
+      "FROM orders GROUP BY 1 ORDER BY by_month"),
     "q_aggs_json_terms_filter" -> ("SELECT source AS src, count(*)::BIGINT AS doc_count, " +
       "round(avg(n_chars), 4) AS avg_chars FROM documents " +
       "WHERE regexp_full_match(source, 'src[0-9]') AND NOT regexp_full_match(source, 'src[47]') " +

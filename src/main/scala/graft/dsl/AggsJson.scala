@@ -240,21 +240,32 @@ object AggsJson {
       case ("date_histogram", JObject(s)) =>
         val m = s.toMap
         val f = str(m, "field", "date_histogram")
-        val iv = str(m, "fixed_interval", "date_histogram")
-        val IntervalRe = """(\d+)(ms|s|m|h|d)""".r
-        val ns = iv match {
-          case IntervalRe(n, unit) => n.toLong * (unit match {
-            case "ms" => 1000000L
-            case "s" => 1000000000L
-            case "m" => 60L * 1000000000L
-            case "h" => 3600L * 1000000000L
-            case "d" => 86400L * 1000000000L
-          })
-          case other => throw new IllegalArgumentException(
-            s"bad fixed_interval '$other' (want <n>ms|s|m|h|d)")
+        (m.get("fixed_interval"), m.get("calendar_interval")) match {
+          case (Some(JString(iv)), None) =>
+            val IntervalRe = """(\d+)(ms|s|m|h|d)""".r
+            val ns = iv match {
+              case IntervalRe(n, unit) => n.toLong * (unit match {
+                case "ms" => 1000000L
+                case "s" => 1000000000L
+                case "m" => 60L * 1000000000L
+                case "h" => 3600L * 1000000000L
+                case "d" => 86400L * 1000000000L
+              })
+              case other => throw new IllegalArgumentException(
+                s"bad fixed_interval '$other' (want <n>ms|s|m|h|d)")
+            }
+            // bucket START in ns (integer math — the ES epoch-aligned key)
+            expr(s"($f div ${ns}L) * ${ns}L")
+          case (None, Some(JString(unit))) =>
+            // calendar units over DATE/TIMESTAMP fields — variable-width
+            // buckets fixed_interval cannot express (months differ in
+            // days); date_trunc is the epoch-free calendar alignment
+            require(Set("day", "week", "month", "quarter", "year")(unit),
+              s"bad calendar_interval '$unit' (want day|week|month|quarter|year)")
+            date_trunc(unit, col(f)).cast("date")
+          case _ => throw new IllegalArgumentException(
+            "date_histogram needs exactly one of fixed_interval | calendar_interval")
         }
-        // bucket START in ns (integer math — the ES epoch-aligned key)
-        expr(s"($f div ${ns}L) * ${ns}L")
       case ("range", JArrayOrRanges(ranges)) =>
         ranges.foldRight(lit(null).cast("string")) { case ((from, to, _), acc) =>
           val label =
