@@ -175,6 +175,14 @@ private[graft] object EntriesBody {
            "term": {"field": "text", "suggest_mode": "always",
                     "max_edits": 2, "size": 5}}}}""",
       idField = "doc_id")),
+    // geotile_grid as a JSON bucket node (+ a metric): the geo_point
+    // field maps to the <field>_lat/<field>_lon column pair; grid key
+    // math is the same Aggs.geotileKey as the Scala operator
+    "q_aggs_json_geotile" -> ((s, d) => graft.dsl.AggsJson.compile(
+      withGeo(t(s, d, "customer"))
+        .withColumnRenamed("lat", "loc_lat").withColumnRenamed("lon", "loc_lon"),
+      """{"aggs": {"cells": {"geotile_grid": {"field": "loc", "precision": 6},
+           "aggs": {"acct": {"avg": {"field": "c_acctbal"}}}}}}""")),
     // calendar_interval date_histogram (variable-width month buckets
     // fixed_interval cannot express) + a metric, per bucket
     "q_aggs_json_calendar" -> ((s, d) => graft.dsl.AggsJson.compile(
@@ -312,6 +320,13 @@ private[graft] object EntriesBody {
       "SELECT token, freq FROM v " +
       "WHERE token <> 'spak' AND levenshtein(token, 'spak') <= 2 " +
       "ORDER BY freq DESC, token LIMIT 5"),
+    "q_aggs_json_geotile" -> ("WITH g AS (SELECT c_acctbal, (c_custkey * 7919 % 18000) / 100.0 - 90.0 AS lat, " +
+      "(c_custkey * 104729 % 36000) / 100.0 - 180.0 AS lon FROM customer), " +
+      "c AS (SELECT c_acctbal, greatest(least(lat, 85.05112878), -85.05112878) AS latc, lon FROM g), " +
+      "t AS (SELECT c_acctbal, CAST(least(floor((lon + 180.0) / 360.0 * 64.0), 63.0) AS BIGINT) AS x, " +
+      "CAST(greatest(least(floor(round((1.0 - ln(tan(radians(latc)) + 1.0 / cos(radians(latc))) / pi()) / 2.0 * 64.0, 9)), 63.0), 0.0) AS BIGINT) AS y FROM c) " +
+      "SELECT '6/' || x::VARCHAR || '/' || y::VARCHAR AS cells, count(*)::BIGINT AS doc_count, " +
+      "round(avg(c_acctbal), 4) AS acct FROM t GROUP BY 1 ORDER BY cells"),
     "q_aggs_json_calendar" -> ("SELECT date_trunc('month', o_orderdate) AS by_month, " +
       "count(*)::BIGINT AS doc_count, " +
       "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue " +

@@ -90,7 +90,8 @@ object AggsJson {
       val (buckets, leafMetrics) = aggs.partition {
         case JField(_, JObject(spec)) =>
           spec.exists { case JField(k, _) =>
-            Set("terms", "histogram", "date_histogram", "range").contains(k) }
+            Set("terms", "histogram", "date_histogram", "range",
+              "geotile_grid", "geohash_grid").contains(k) }
         case _ => false
       }
       if (buckets.nonEmpty && leafMetrics.nonEmpty)
@@ -266,6 +267,21 @@ object AggsJson {
           case _ => throw new IllegalArgumentException(
             "date_histogram needs exactly one of fixed_interval | calendar_interval")
         }
+      // geo grid buckets: ES's geo_point `field` maps onto the flat
+      // schema's `<field>_lat`/`<field>_lon` column pair (the same
+      // convention the geo query clauses use); the cell key math is
+      // Aggs.geotileKey / geohashKey — identical to the Scala
+      // operators, so the grid keys cannot diverge
+      case ("geotile_grid", JObject(s)) =>
+        val m = s.toMap
+        val f = str(m, "field", "geotile_grid")
+        val z = m.get("precision").map(num(_).toInt).getOrElse(7)
+        graft.agg.Aggs.geotileKey(s"${f}_lat", s"${f}_lon", z)
+      case ("geohash_grid", JObject(s)) =>
+        val m = s.toMap
+        val f = str(m, "field", "geohash_grid")
+        val p = m.get("precision").map(num(_).toInt).getOrElse(5)
+        graft.agg.Aggs.geohashKey(s"${f}_lat", s"${f}_lon", p)
       case ("range", JArrayOrRanges(ranges)) =>
         ranges.foldRight(lit(null).cast("string")) { case ((from, to, _), acc) =>
           val label =
@@ -346,7 +362,8 @@ object AggsJson {
         case JField(mn, JObject(ms)) =>
           require(!ms.exists { case JField(k, _) =>
             Set("terms", "histogram", "date_histogram", "range", "composite",
-              "significant_terms", "top_hits").contains(k) },
+              "significant_terms", "top_hits", "geotile_grid",
+              "geohash_grid").contains(k) },
             s"composite sub-agg '$mn' must be a metric (bucket aggs don't nest under composite)")
           mn -> metricCol(mn, ms.toMap)
         case other => throw new IllegalArgumentException(s"bad composite sub-agg: $other")
