@@ -175,6 +175,19 @@ private[graft] object EntriesBody {
            "term": {"field": "text", "suggest_mode": "always",
                     "max_edits": 2, "size": 5}}}}""",
       idField = "doc_id")),
+    // random_sampler as a JSON wrapper: the terms+metric sub-tree
+    // evaluates on a deterministic 10% hash sample — one scan
+    "q_aggs_json_sampler" -> ((s, d) => graft.dsl.AggsJson.compile(
+      t(s, d, "orders"),
+      """{"aggs": {"sample": {"random_sampler": {"probability": 0.1, "key_field": "o_orderkey"},
+           "aggs": {"by_status": {"terms": {"field": "o_orderstatus", "size": 10},
+             "aggs": {"avg_price": {"avg": {"field": "o_totalprice"}}}}}}}}""")),
+    // `missing` JSON node: null-bucket count (null keys synthesized —
+    // the testdata has no nulls, same pattern as composite_missing)
+    "q_aggs_json_missing" -> ((s, d) => graft.dsl.AggsJson.compile(
+      t(s, d, "documents").withColumn("maybe_lang",
+        when(col("lang") === "en", lit(null).cast("string")).otherwise(col("lang"))),
+      """{"aggs": {"no_lang": {"missing": {"field": "maybe_lang"}}}}""")),
     // geotile_grid as a JSON bucket node (+ a metric): the geo_point
     // field maps to the <field>_lat/<field>_lon column pair; grid key
     // math is the same Aggs.geotileKey as the Scala operator
@@ -320,6 +333,11 @@ private[graft] object EntriesBody {
       "SELECT token, freq FROM v " +
       "WHERE token <> 'spak' AND levenshtein(token, 'spak') <= 2 " +
       "ORDER BY freq DESC, token LIMIT 5"),
+    "q_aggs_json_sampler" -> ("SELECT o_orderstatus AS by_status, count(*)::BIGINT AS doc_count, " +
+      "round(avg(o_totalprice), 4) AS avg_price FROM orders " +
+      s"WHERE ${hexFold("o_orderkey::VARCHAR", 12)} / 281474976710656.0 < 0.1 " +
+      "GROUP BY o_orderstatus ORDER BY doc_count DESC, by_status LIMIT 10"),
+    "q_aggs_json_missing" -> ("SELECT count(*)::BIGINT AS doc_count FROM documents WHERE lang = 'en'"),
     "q_aggs_json_geotile" -> ("WITH g AS (SELECT c_acctbal, (c_custkey * 7919 % 18000) / 100.0 - 90.0 AS lat, " +
       "(c_custkey * 104729 % 36000) / 100.0 - 180.0 AS lon FROM customer), " +
       "c AS (SELECT c_acctbal, greatest(least(lat, 85.05112878), -85.05112878) AS latc, lon FROM g), " +

@@ -66,6 +66,42 @@ object AggsJson {
         return compileSigTerms(df, name, spec.toMap, fgPred, background)
       case JField(name, JObject(spec)) :: Nil if spec.exists(_._1 == "filters") =>
         return compileFilters(df, name, spec.toMap)
+      // random_sampler (ES 8.2): the sub-agg tree evaluates on a
+      // probability sample. The draw is the DETERMINISTIC 48-bit
+      // content-hash (same construction as every sampling operator —
+      // rand() would be irreproducible across retries and engines),
+      // keyed by the graft extension `key_field` (ES seeds a shard-
+      // local RNG; a row key is the portable equivalent). The filter
+      // sits BELOW the whole sub-tree: one scan of the sample.
+      case JField(name, JObject(spec)) :: Nil if spec.exists(_._1 == "random_sampler") =>
+        val m = spec.toMap
+        val rs = m.get("random_sampler") match {
+          case Some(JObject(r)) => r.toMap
+          case _ => throw new IllegalArgumentException(s"bad random_sampler under '$name'")
+        }
+        val p = rs.get("probability").map(num).getOrElse(
+          throw new IllegalArgumentException("random_sampler needs probability"))
+        val keyField = rs.get("key_field") match {
+          case Some(JString(k)) => k
+          case _ => throw new IllegalArgumentException(
+            "random_sampler needs key_field (the row key the deterministic " +
+              "hash draw replaces ES's shard-local RNG with)")
+        }
+        val sub = m.get("aggs").orElse(m.get("aggregations")) match {
+          case Some(s: JObject) => s
+          case _ => throw new IllegalArgumentException(
+            s"random_sampler under '$name' needs sub-aggs (it is a sampling wrapper)")
+        }
+        val sampled = df.where(Num.uniformHash48(col(keyField)) < p)
+        return compile(sampled,
+          JsonMethods.compact(JsonMethods.render(JObject(List(JField("aggs", sub))))),
+          fgPred, background)
+      // `missing` (the null-bucket count): one-row doc_count of docs
+      // lacking the field
+      case JField(name, JObject(JField("missing", JObject(ms)) :: Nil)) :: Nil =>
+        val f = str(ms.toMap, "field", "missing")
+        return df.where(col(f).isNull)
+          .agg(count(lit(1)).as("doc_count"))
       case JField(name, JObject(spec)) :: Nil
           if spec.exists(_._1 == "terms") && topHitsChild(spec.toMap).isDefined =>
         return compileTopHits(df, name, spec.toMap)
