@@ -92,6 +92,27 @@ class AggsJsonNodesSpec extends SparkSpec {
     assert(e.getMessage.contains("only agg"))
   }
 
+  test("r10 node contracts: sampler needs key_field, date_histogram one-of, include full-match") {
+    val e1 = intercept[IllegalArgumentException] {
+      AggsJson.compile(docs,
+        """{"aggs": {"s": {"random_sampler": {"probability": 0.5},
+             "aggs": {"n": {"value_count": {"field": "doc_id"}}}}}}""")
+    }
+    assert(e1.getMessage.contains("key_field"))
+    val e2 = intercept[IllegalArgumentException] {
+      AggsJson.compile(docs,
+        """{"aggs": {"d": {"date_histogram": {"field": "doc_id",
+             "fixed_interval": "1d", "calendar_interval": "month"}}}}""")
+    }
+    assert(e2.getMessage.contains("exactly one"))
+    // include is FULL-match (Java matches()), not find: 'src1' must
+    // not admit 'src10'
+    val buckets = AggsJson.compile(docs,
+      """{"aggs": {"s": {"terms": {"field": "source", "size": 30, "include": "src1"}}}}""")
+      .select($"s".as[String]).collect().toSet
+    assert(buckets == Set("src1"))
+  }
+
   test("percentiles metric: tdigest route stays within rank-error of exact, per group") {
     val li = Tables.load(spark, sfDir, "lineitem")
     def run(tdigest: Boolean) = AggsJson.compile(li,
