@@ -649,7 +649,17 @@ object AggsJson {
       case ("value_count", JObject(s)) =>
         count(fld(s.toMap, "value_count"))
       case ("cardinality", JObject(s)) =>
-        count_distinct(fld(s.toMap, "cardinality"))
+        val m = s.toMap
+        // default: EXACT distinct (documented superior to ES's HLL).
+        // `precision_threshold` present = the caller accepted sketch
+        // accuracy — route to HLL++ (approx_count_distinct), whose agg
+        // state is O(sketch) instead of the distinct value set: the
+        // 100 TB path for high-cardinality fields. Spec-checked by
+        // relative error, never hash-compared (cross-engine sketches
+        // differ bit-wise).
+        if (m.contains("precision_threshold"))
+          approx_count_distinct(fld(m, "cardinality"))
+        else count_distinct(fld(m, "cardinality"))
       case (other, _) => throw new IllegalArgumentException(
         s"unsupported metric agg under '$name': $other")
     }

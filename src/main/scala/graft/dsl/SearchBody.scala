@@ -561,6 +561,17 @@ object SearchBody {
       .foldLeft(withScripts) { case (d, (n, c)) => d.withColumn(n, c) }
     root.get("_source") match {
       case None => withDocvalues
+      case Some(JBool(true)) => withDocvalues // explicit default
+      case Some(JBool(false)) =>
+        // `_source: false`: the hit id + metadata only, no doc fields
+        // (the common fetch-ids / scores-only request shape)
+        val keep = (Seq(idField, "_score", "snippet") ++
+          scriptFields(body).map(_._1) ++
+          root.get("docvalue_fields").map(_ =>
+            docvalueFields(JsonMethods.compact(JsonMethods.render(root("docvalue_fields"))))
+              .map(_._1)).getOrElse(Nil))
+          .filter(withDocvalues.columns.contains).distinct
+        withDocvalues.select(keep.map(col): _*)
       case Some(v) =>
         val extras = (Seq("_score", "snippet") ++
           scriptFields(body).map(_._1) ++

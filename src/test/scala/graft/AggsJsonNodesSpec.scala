@@ -113,6 +113,22 @@ class AggsJsonNodesSpec extends SparkSpec {
     assert(buckets == Set("src1"))
   }
 
+  test("cardinality precision_threshold routes to HLL within 5% of exact") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    def run(sketch: Boolean) = AggsJson.compile(li,
+      s"""{"aggs": {"g": {"terms": {"field": "l_returnflag", "size": 10}, "aggs": {
+           "parts": {"cardinality": {"field": "l_partkey"
+             ${if (sketch) ", \"precision_threshold\": 1000" else ""}}}}}}}""")
+      .select($"g".as[String], $"parts".as[Long]).collect().toMap
+    val exact = run(false)
+    val hll = run(true)
+    assert(hll.keySet == exact.keySet && exact.nonEmpty)
+    hll.foreach { case (g, est) =>
+      val e = exact(g).toDouble
+      assert(math.abs(est - e) / e <= 0.05, s"$g: $est vs $e")
+    }
+  }
+
   test("percentiles metric: tdigest route stays within rank-error of exact, per group") {
     val li = Tables.load(spark, sfDir, "lineitem")
     def run(tdigest: Boolean) = AggsJson.compile(li,

@@ -272,6 +272,18 @@ class SearchBodySpec extends SparkSpec {
     assert(viaBody.nonEmpty && viaBody == direct)
   }
 
+  test("_source: false returns id + hit metadata only") {
+    val out = SearchBody.search(docs,
+      """{"query": {"match": {"text": "vector"}}, "min_score": 0.0, "_source": false}""",
+      idField = "doc_id")
+    assert(out.columns.toSet == Set("doc_id", "_score"))
+    assert(out.count() > 0)
+    // _source: true is the explicit default (all doc columns)
+    val full = SearchBody.search(docs,
+      """{"query": {"term": {"lang": "en"}}, "_source": true}""", idField = "doc_id")
+    assert(full.columns.toSet == docs.columns.toSet)
+  }
+
   test("highlight without a match query to take the term from is a loud error") {
     val e = intercept[IllegalArgumentException] {
       SearchBody.search(docs,
