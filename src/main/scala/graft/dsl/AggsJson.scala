@@ -16,15 +16,30 @@ import graft.util.Num
   * shape of ES's per-shard bucket tree + reduce.
   *
   * Supported (the high-frequency subset):
-  *  - bucket: `terms` (field, size), `histogram` (field, interval),
-  *    `date_histogram` (field, fixed_interval of s/m/h/d over the
-  *    ns-long event-time column), `range` (field, ranges with ES's
-  *    `*-to` / `from-to` / `from-*` key labels; from-inclusive,
-  *    to-exclusive, non-matching rows drop like ES; declared-order
-  *    first-match-wins — ES additionally duplicates a doc into every
-  *    OVERLAPPING range, so keep ranges disjoint here)
+  *  - bucket: `terms` (field, size, include/exclude full-match regex
+  *    filters pushed below the partial agg, `missing` substitute
+  *    bucket), `histogram` (field, interval), `date_histogram`
+  *    (fixed_interval s/m/h/d over ns-long event time, OR
+  *    calendar_interval day/week/month/quarter/year via date_trunc),
+  *    `range` (ES's `*-to` / `from-to` / `from-*` key labels;
+  *    from-inclusive, to-exclusive, non-matching rows drop like ES;
+  *    declared-order first-match-wins — ES additionally duplicates a
+  *    doc into every OVERLAPPING range, so keep ranges disjoint
+  *    here), `geotile_grid` / `geohash_grid` (geo_point field →
+  *    `<f>_lat`/`<f>_lon` columns, shared cell-key math with the
+  *    Scala operators)
   *  - metric: `avg` `sum` `min` `max` `value_count` `cardinality`
-  *    (exact distinct — documented superior to ES's HLL sketch)
+  *    (exact distinct by default — documented superior to ES's HLL;
+  *    `precision_threshold` routes to HLL++, the O(sketch)-state
+  *    100 TB path), `stats` / `extended_stats` / `percentiles`
+  *    (exact interpolation, or `"tdigest": true` for ES's own sketch
+  *    engine) / `weighted_avg` as flat `<agg>_<part>` columns
+  *  - dedicated tree shapes: `composite` (after-key paging below the
+  *    agg), `significant_terms` (query foreground vs index
+  *    background), terms > `top_hits` (per-bucket document windows),
+  *    `filters` (named Query-DSL buckets + other_bucket),
+  *    `random_sampler` (deterministic hash draw below the sub-tree),
+  *    `missing` (null-bucket count)
   *  - nesting: bucket > bucket > ... > metrics, any depth
   *
   * Flat-table semantics (documented delta vs ES): metric aggs may
