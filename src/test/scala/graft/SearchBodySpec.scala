@@ -136,6 +136,30 @@ class SearchBodySpec extends SparkSpec {
     assert((page1 ++ page2).toSeq == both.toSeq)
   }
 
+  test("search_after cursor: 3-key mixed-direction sort chains losslessly at several page sizes") {
+    val sort = """[{"lang": {"order": "asc"}}, {"n_chars": {"order": "desc"}},
+                   {"doc_id": {"order": "asc"}}]"""
+    val full = SearchBody.search(docs, s"""{"sort": $sort}""", idField = "doc_id")
+      .select($"lang".as[String], $"n_chars".as[Long], $"doc_id".as[Long])
+      .collect().toSeq
+    for (pageSize <- Seq(3, 7, 50)) {
+      var got = Seq.empty[(String, Long, Long)]
+      var after: Option[(String, Long, Long)] = None
+      var done = false
+      while (!done) {
+        val cursor = after.map { case (l, n, id) =>
+          s""", "search_after": ["$l", $n, $id]""" }.getOrElse("")
+        val page = SearchBody.search(docs,
+          s"""{"sort": $sort, "size": $pageSize$cursor}""", idField = "doc_id")
+          .select($"lang".as[String], $"n_chars".as[Long], $"doc_id".as[Long])
+          .collect().toSeq
+        got ++= page
+        if (page.isEmpty) done = true else after = Some(page.last)
+      }
+      assert(got == full, s"pageSize=$pageSize")
+    }
+  }
+
   test("_source keeps hit metadata (_score, snippet, script fields) through the prune") {
     val out = SearchBody.search(docs,
       """{"query": {"match": {"text": "vector"}}, "min_score": 0.0,
