@@ -38,6 +38,14 @@ private[graft] object EntriesBody {
           "size": 15}""",
       idField = "doc_id")
       .select(col("doc_id"), col("_score"))),
+    // knn-only body WITH the pre-filter (restricts the searched
+    // corpus, like ES) — the filter path through the front door
+    "q_search_body_knn_filter" -> ((s, d) => graft.dsl.SearchBody.search(
+      t(s, d, "embeddings"),
+      s"""{"knn": {"field": "embedding", "query_vector": [${KnnVec.mkString(",")}],
+            "k": 5, "num_candidates": 100000, "filter": {"term": {"label": 3}}}}""",
+      idField = "vec_id")
+      .select(col("vec_id"), col("_score"))),
     // field collapsing through the body: one hit per source, best by
     // the request's sort
     "q_search_body_collapse" -> ((s, d) => graft.dsl.SearchBody.search(
@@ -264,6 +272,16 @@ private[graft] object EntriesBody {
       "round(coalesce(sc.score, 0) + coalesce(kk.cosine, 0) * 0.5, 4) AS _score " +
       "FROM sc FULL OUTER JOIN kk ON sc.id = kk.id) " +
       "SELECT doc_id, _score FROM u ORDER BY _score DESC, doc_id LIMIT 15"),
+    "q_search_body_knn_filter" -> ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v " +
+      "FROM embeddings WHERE label = 3), " +
+      s"q AS (SELECT $KnnVecSql AS qv), " +
+      "n AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm FROM e), " +
+      "qn AS (SELECT qv, sqrt(list_reduce(list_prepend(0.0, list_transform(qv, x -> x * x)), (a, b) -> a + b)) AS qnrm FROM q), " +
+      "p AS (SELECT vec_id, " +
+      "round(list_reduce(list_prepend(0.0, list_transform(range(1, len(v) + 1), i -> v[i] * qv[i])), (x, y) -> x + y) / (nrm * qnrm), 4) AS _score " +
+      "FROM n CROSS JOIN qn) " +
+      "SELECT vec_id, _score FROM (SELECT *, row_number() OVER (ORDER BY _score DESC, vec_id) AS rnk FROM p) " +
+      "WHERE rnk <= 5 ORDER BY _score DESC, vec_id"),
     "q_search_body_collapse" -> ("SELECT doc_id, text, lang, source, n_chars FROM (" +
       "SELECT *, row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rn " +
       "FROM documents WHERE lang = 'en') WHERE rn = 1 " +
