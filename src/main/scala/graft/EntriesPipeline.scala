@@ -94,6 +94,11 @@ private[graft] object EntriesPipeline {
     // the labeled-block variant stays covered under its own key
     "q_dedup_embed_block" -> ((s, d) =>
       Dedup.embeddingTopKPairs(t(s, d, "embeddings"), "vec_id", "embedding", "label", 20)),
+    // SemDeDup keeper policy: per connected dup group keep the member
+    // FARTHEST from its centroid (published keep rule), drop the rest
+    "q_dedup_semantic_keep" -> ((s, d) => Dedup.semanticDedupKeep(
+      t(s, d, "embeddings"), "vec_id", "embedding",
+      nCentroids = 16, minCosine = 0.35)),
     "q_ann_brute" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       Ann.bruteForceTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding", 10)
@@ -459,6 +464,30 @@ private[graft] object EntriesPipeline {
       "FROM vp WHERE id1 % 2 <> id2 % 2) " +
       "SELECT doc_id FROM documents WHERE doc_id % 2 = 1 " +
       "AND doc_id NOT IN (SELECT doc_id FROM dup) ORDER BY doc_id"),
+    // SemDeDup keeper: pairs as in q_dedup_semantic, connected
+    // components by recursive reachable-min, keep = lowest
+    // cosine-to-centroid per group (ties -> lowest id)
+    "q_dedup_semantic_keep" -> ("WITH RECURSIVE e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), " +
+      "n AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm FROM e), " +
+      "cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n ORDER BY vec_id LIMIT 16), " +
+      "a0 AS (SELECT c.vec_id AS id, cents.cent_id, " +
+      "round(list_reduce(list_prepend(0.0, list_transform(range(1, len(c.v) + 1), i -> c.v[i] * cv[i])), (x, y) -> x + y) / (c.nrm * cnrm), 4) AS ccos " +
+      "FROM n c CROSS JOIN cents), " +
+      "asg AS (SELECT id, cent_id, ccos FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY ccos DESC, cent_id) AS rn FROM a0) WHERE rn = 1), " +
+      "wc AS (SELECT asg.cent_id, n.vec_id AS id, n.v, n.nrm FROM asg JOIN n ON n.vec_id = asg.id), " +
+      "p AS (SELECT a.id AS id1, b.id AS id2, " +
+      "round(list_reduce(list_prepend(0.0, list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])), (x, y) -> x + y) / (a.nrm * b.nrm), 4) AS cosine " +
+      "FROM wc a JOIN wc b ON a.cent_id = b.cent_id AND a.id < b.id), " +
+      "vp AS (SELECT id1, id2 FROM p WHERE cosine >= 0.35), " +
+      "ed AS (SELECT id1 AS a, id2 AS b FROM vp UNION SELECT id2, id1 FROM vp), " +
+      "nd AS (SELECT DISTINCT a AS id FROM ed), " +
+      "r AS (SELECT id, id AS m FROM nd UNION SELECT ed.a, r.m FROM ed JOIN r ON ed.b = r.id), " +
+      "cl AS (SELECT id, min(m) AS grp FROM r GROUP BY id), " +
+      "j AS (SELECT cl.grp, cl.id, asg.ccos, " +
+      "row_number() OVER (PARTITION BY cl.grp ORDER BY asg.ccos, cl.id) AS rn, " +
+      "count(*) OVER (PARTITION BY cl.grp) AS members FROM cl JOIN asg ON asg.id = cl.id) " +
+      "SELECT grp AS group_id, members::BIGINT AS members, id AS keep_id, ccos AS keep_cent_cos " +
+      "FROM j WHERE rn = 1 ORDER BY group_id"),
     "q_dedup_substring" -> (TokCte +
       s", th AS (SELECT doc_id, list_transform(toks, t -> ${hexFold("t", 12)} % 1000000007) AS hs FROM tok WHERE len(toks) >= 20)" +
       ", w AS (SELECT doc_id, unnest(list_transform(range(1, len(hs) - 18), i -> " +

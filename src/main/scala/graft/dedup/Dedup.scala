@@ -642,17 +642,39 @@ object Dedup {
       vecCol: String,
       nCentroids: Int,
       minCosine: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val v = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-    val cents = v.where(col("id") < nCentroids)
+    semanticPairsFrom(v, semanticAssign(v, nCentroids), minCosine)
+      .orderBy(col("cluster_id").asc, col("id1").asc, col("id2").asc)
+  }
+
+  /** Centroid seeding + cluster assignment for SemDeDup.
+    * Returns (id, cent_id, cent_cos).
+    *
+    * Seed = the LOWEST nCentroids ids, whatever the id space: an
+    * `id < nCentroids` predicate silently yields zero centroids (and
+    * an empty pair frame — "no duplicates" on a corpus full of them)
+    * on offset/sparse id spaces. Same trap, same fix as ivfTopK.
+    *
+    * Assignment = argmax cosine (cent_id tie-break) as a max_by
+    * PARTIAL aggregation: the exchange carries ~N pre-combined rows,
+    * not the N x |centroids| cross frame a row_number window would
+    * hash-shuffle — at 1e9 docs x 1e4 centroids that is the
+    * difference between a 1e13-row shuffle and a 1e9-row one. */
+  private def semanticAssign(v: DataFrame, nCentroids: Int): DataFrame = {
+    val cents = v.orderBy(col("id").asc).limit(nCentroids)
       .select(col("id").as("cent_id"), col("v").as("cv"))
-    val asg = v.crossJoin(broadcast(cents))
+    v.crossJoin(broadcast(cents))
       .withColumn("cos", graft.util.Num.round(Vectors.cosine(col("v"), col("cv")), 4))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("cos").desc, col("cent_id").asc)))
-      .where(col("rn") === 1)
-      .select(col("id"), col("cent_id"))
-    val withC = v.join(asg, "id")
+      .groupBy(col("id"))
+      .agg(
+        max_by(col("cent_id"), struct(col("cos"), negate(col("cent_id")))).as("cent_id"),
+        // the argmax's own cosine rides along — max(cos) IS the cos of
+        // the max_by winner — so the keeper policy costs no extra pass
+        max(col("cos")).as("cent_cos"))
+  }
+
+  private def semanticPairsFrom(v: DataFrame, asg: DataFrame, minCosine: Double): DataFrame = {
+    val withC = v.join(asg.select(col("id"), col("cent_id")), "id")
     val a = withC.select(col("cent_id"), col("id").as("id1"), col("v").as("v1"))
     val b = withC.select(col("cent_id"), col("id").as("id2"), col("v").as("v2"))
     a.join(b, Seq("cent_id"))
@@ -660,7 +682,40 @@ object Dedup {
       .withColumn("cosine", graft.util.Num.round(Vectors.cosine(col("v1"), col("v2")), 4))
       .where(col("cosine") >= minCosine)
       .select(col("cent_id").as("cluster_id"), col("id1"), col("id2"), col("cosine"))
-      .orderBy(col("cluster_id").asc, col("id1").asc, col("id2").asc)
+  }
+
+  /** SemDeDup keeper policy (Abbas et al. 2023 §3): within each
+    * connected duplicate GROUP, keep the member FARTHEST from its
+    * cluster centroid (lowest cosine to centroid — the most atypical
+    * example survives; ties break to the lowest id) and drop the rest.
+    * Groups are connected components over the verified pair frame, so
+    * a chain a~b~c collapses to one keeper even when a~c was never
+    * directly compared. Docs in no group are implicitly all kept —
+    * the output lists only the contested groups and their survivor.
+    *
+    * Scale shape: pairs/components as in semanticDedupPairs +
+    * dedupClusters (the edge frame is cached there, so the expensive
+    * pair pipeline runs once); the keeper fold is one min_by partial
+    * agg over the (small) membership frame joined to the narrow
+    * (id, cent_cos) assignment — which recomputes as one map-only
+    * broadcast pass, no shuffle. */
+  def semanticDedupKeep(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int,
+      minCosine: Double): DataFrame = {
+    val v = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val asg = semanticAssign(v, nCentroids)
+    val pairs = semanticPairsFrom(v, asg, minCosine)
+    dedupClusters(pairs)
+      .join(asg.select(col("id").as("doc_id"), col("cent_cos")), "doc_id")
+      .groupBy(col("cluster_id").as("group_id"))
+      .agg(
+        count(lit(1)).as("members"),
+        min_by(col("doc_id"), struct(col("cent_cos"), col("doc_id"))).as("keep_id"),
+        min(col("cent_cos")).as("keep_cent_cos"))
+      .orderBy(col("group_id").asc)
   }
 
 }

@@ -156,8 +156,9 @@ object Ann {
       .zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
     for (_ <- 1 to iters) {
       val centsDf = cents.toDF("cent_id", "cv")
-      val wAssign = Window.partitionBy(col("id"))
-        .orderBy(col("ccos").desc, col("cent_id").asc)
+      // argmax as max_by partial agg (v rides along in the struct;
+      // it is constant per id) — same no-N-x-C-shuffle shape as
+      // ivfTopKWith's assignment
       val assigned = c.crossJoin(broadcast(centsDf))
         .select(col("id"), col("cent_id"), col("v"),
           // ROUNDED like ivfTopKWith's probe ranking: a near-tied
@@ -165,8 +166,10 @@ object Ann {
           // query time, or the fitted means describe a different
           // membership than the one probed
           Num.round(Vectors.cosine(col("v"), col("cv")), 4).as("ccos"))
-        .withColumn("rn", row_number().over(wAssign))
-        .where(col("rn") === 1)
+        .groupBy(col("id"))
+        .agg(max_by(struct(col("cent_id"), col("v")),
+          struct(col("ccos"), negate(col("cent_id")))).as("w"))
+        .select(col("id"), col("w.cent_id").as("cent_id"), col("w.v").as("v"))
       val means = assigned
         .select(col("cent_id"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cent_id"), col("pos"))
@@ -197,14 +200,15 @@ object Ann {
     val c = corpus.select(
       col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val wAssign = Window.partitionBy(col("id"))
-      .orderBy(col("ccos").desc, col("cent_id").asc)
+    // assignment = argmax cosine (cent_id tie-break) as a max_by
+    // PARTIAL aggregation: the exchange carries ~N pre-combined rows
+    // instead of the N x |centroids| cross frame a row_number window
+    // would hash-shuffle — the corpus-side pass is the 100 TB cost
     val assign = c.crossJoin(broadcast(cents))
       .select(col("id"), col("cent_id"),
         Num.round(Vectors.cosine(col("v"), col("cv")), 4).as("ccos"))
-      .withColumn("rn", row_number().over(wAssign))
-      .where(col("rn") === 1)
-      .select(col("id"), col("cent_id"))
+      .groupBy(col("id"))
+      .agg(max_by(col("cent_id"), struct(col("ccos"), negate(col("cent_id")))).as("cent_id"))
     val q = queries.select(
       col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))

@@ -55,6 +55,44 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("semanticDedupPairs: OFFSET id space (ids from 1e6) still seeds centroids and finds pairs") {
+    // the old `id < nCentroids` seeding silently yielded ZERO centroids
+    // here — an empty pair frame on a corpus full of duplicates
+    val emb = Seq(
+      (1000000L, Seq(1.0, 0.0, 0.0, 0.0)),   // centroid 0
+      (1000001L, Seq(0.0, 1.0, 0.0, 0.0)),   // centroid 1
+      (1000002L, Seq(0.99, 0.1, 0.0, 0.0)),  // near-dup of 1000000
+      (1000003L, Seq(0.98, 0.15, 0.0, 0.0)), // near-dup of 1000000/1000002
+      (1000004L, Seq(0.0, 1.0, 0.05, 0.0))   // near-dup of 1000001
+    ).toDF("id", "v")
+    val pairs = Dedup.semanticDedupPairs(emb, "id", "v", nCentroids = 2, minCosine = 0.9)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.exists(p => p._2 == 1000002L && p._3 == 1000003L && p._4 > 0.99))
+    assert(pairs.exists(p => p._2 == 1000001L && p._3 == 1000004L && p._4 > 0.99))
+    // assignment plan: partial-agg argmax, no Window over the N x C frame
+    val plan = Dedup.semanticDedupPairs(emb, "id", "v", 2, 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "assignment must not shuffle the N x C frame through a window")
+  }
+
+  test("semanticDedupKeep: keeps the member farthest from its centroid per group") {
+    val emb = Seq(
+      (1000000L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1000001L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (1000002L, Seq(0.99, 0.1, 0.0, 0.0)),
+      (1000003L, Seq(0.98, 0.15, 0.0, 0.0)),
+      (1000004L, Seq(0.0, 1.0, 0.05, 0.0))
+    ).toDF("id", "v")
+    val kept = Dedup.semanticDedupKeep(emb, "id", "v", nCentroids = 2, minCosine = 0.9)
+      .as[(Long, Long, Long, Double)].collect()
+    // group {1000000,1000002,1000003}: farthest from centroid [1,0,0,0] is 1000003
+    // group {1000001,1000004}: farthest from centroid [0,1,0,0] is 1000004
+    assert(kept.map(k => (k._1, k._2, k._3)).toSeq.sorted ==
+      Seq((1000000L, 3L, 1000003L), (1000001L, 2L, 1000004L)))
+    assert(kept.forall(_._4 < 1.0)) // the keeper is never the centroid-identical member
+  }
+
   test("dedupClusters: transitive pairs collapse to one cluster (min id label)") {
     // chain 1~2, 2~3 plus isolated pair 10~11: 2 clusters
     val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (10L, 11L, 0.85))
