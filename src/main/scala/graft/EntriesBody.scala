@@ -174,6 +174,67 @@ private[graft] object EntriesBody {
             "rank_window_size": 50}},
           "size": 10}""",
       idField = "doc_id")),
+    // the ES 8 `fields` retrieval section (the modern `_source`
+    // replacement): wildcard expansion + per-entry date format, hits
+    // shaped as id + retrieved fields only (`_source: false`)
+    "q_search_body_fields_api" -> ((s, d) => graft.dsl.SearchBody.search(
+      t(s, d, "orders"),
+      """{"query": {"term": {"o_orderstatus": "F"}},
+          "sort": [{"o_orderkey": {"order": "asc"}}],
+          "size": 15, "_source": false,
+          "fields": ["o_order*", {"field": "o_orderdate", "format": "yyyy-MM"}]}""",
+      idField = "o_orderkey")),
+    // multivalue sort `mode` through the body: each order's lineitem
+    // quantities fold to ONE median sort key (ES MultiValueMode) —
+    // the same computed key the search_after cursor would compare
+    "q_search_body_sort_mode" -> ((s, d) => {
+      val qty = t(s, d, "lineitem").groupBy(col("l_orderkey"))
+        .agg(collect_list(col("l_quantity")).as("qtys"))
+      graft.dsl.SearchBody.search(
+        t(s, d, "orders").join(qty, col("o_orderkey") === col("l_orderkey")),
+        """{"sort": [{"qtys": {"order": "desc", "mode": "median"}},
+                     {"o_orderkey": {"order": "asc"}}],
+            "size": 100, "_source": ["o_orderkey"]}""",
+        idField = "o_orderkey")
+    }),
+    // _geo_distance sort through the body, COMPOSED with search_after:
+    // the cursor predicate compares the same computed haversine key
+    // the ordering uses (dist > 3000 km, ties broken by c_custkey)
+    "q_search_body_sort_geo" -> ((s, d) => graft.dsl.SearchBody.search(
+      withGeo(t(s, d, "customer"))
+        .withColumnRenamed("lat", "loc_lat").withColumnRenamed("lon", "loc_lon"),
+      """{"sort": [{"_geo_distance": {"loc": {"lat": 0.0, "lon": 0.0},
+                     "order": "asc", "unit": "km"}},
+                   {"c_custkey": {"order": "asc"}}],
+          "search_after": [3000.0, 0],
+          "size": 50, "_source": ["c_custkey"]}""",
+      idField = "c_custkey")),
+    // multi-FIELD highlight with terms from a scored BOOL query: each
+    // highlight field takes the terms of the clauses targeting it
+    // (text <- the must match, source <- the should match), one
+    // snippet column per field (ES response shape)
+    "q_search_body_highlight_multi" -> ((s, d) => graft.dsl.SearchBody.search(
+      t(s, d, "documents"),
+      """{"query": {"bool": {
+            "must": [{"match": {"text": "fast hash join"}}],
+            "should": [{"match": {"source": "src1"}}]}},
+          "sort": ["_score", {"doc_id": {"order": "asc"}}],
+          "size": 10,
+          "highlight": {"fields": {"text": {"number_of_fragments": 3}, "source": {}}},
+          "_source": ["doc_id"]}""",
+      idField = "doc_id")),
+    // the ES 8.18 text_similarity_reranker retriever: the child
+    // standard retriever's top-20 re-scored by the inference seam's
+    // rerank (deterministic term-overlap stub — swap Inference.service
+    // for a real endpoint)
+    "q_retriever_rerank" -> ((s, d) => graft.dsl.SearchBody.search(
+      t(s, d, "documents"),
+      """{"retriever": {"text_similarity_reranker": {
+            "retriever": {"standard": {"query": {"match": {"text": "fast hash join"}}}},
+            "field": "text", "inference_text": "fast hash merge",
+            "rank_window_size": 20}},
+          "size": 10}""",
+      idField = "doc_id")),
     // the body `suggest` section: a term suggester through the JSON
     // front door (suggest_mode always — every in-band correction by
     // descending document frequency)
@@ -346,6 +407,42 @@ private[graft] object EntriesBody {
       "UNION ALL SELECT id, (CASE WHEN mx > mn THEN (score - mn) / (mx - mn) ELSE 1.0 END) * 0.3 AS c FROM ws CROSS JOIN ms) " +
       "SELECT id, round(sum(c), 4) AS linear_score, count(*)::INT AS matched FROM u " +
       "GROUP BY id ORDER BY linear_score DESC, id LIMIT 10"),
+    "q_search_body_fields_api" -> ("SELECT o_orderkey, o_orderstatus, " +
+      "strftime(o_orderdate, '%Y-%m') AS o_orderdate, o_orderpriority " +
+      "FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey LIMIT 15"),
+    "q_search_body_sort_mode" -> ("WITH q AS (SELECT l_orderkey, list_sort(list(l_quantity)) AS ql " +
+      "FROM lineitem GROUP BY 1), " +
+      "m AS (SELECT o_orderkey, (ql[(len(ql)+1)//2] + ql[len(ql)//2+1]) / 2.0 AS med " +
+      "FROM orders JOIN q ON o_orderkey = l_orderkey) " +
+      "SELECT o_orderkey FROM m ORDER BY med DESC, o_orderkey LIMIT 100"),
+    "q_search_body_sort_geo" -> (GeoCte + ", d AS (SELECT c_custkey, " +
+      "2 * 6371 * asin(sqrt(pow(sin(radians(0.0 - lat) / 2), 2) + " +
+      "cos(radians(lat)) * cos(radians(0.0)) * pow(sin(radians(0.0 - lon) / 2), 2))) AS dist FROM g) " +
+      "SELECT c_custkey FROM d WHERE dist > 3000.0 OR (dist = 3000.0 AND c_custkey > 0) " +
+      "ORDER BY dist, c_custkey LIMIT 50"),
+    "q_search_body_highlight_multi" -> (TokCte + STokCte +
+      bm25Ctes("1", "tok", Seq("fast", "hash", "join")) +
+      bm25Ctes("2", "stok", Seq("src1")) +
+      ", u AS (SELECT id, score FROM sc1 UNION ALL SELECT id, score FROM sc2), " +
+      "b AS (SELECT id, round(sum(score), 4) AS _score FROM u GROUP BY id), " +
+      "h AS (SELECT d.doc_id, d.text, d.source, b._score FROM documents d " +
+      "JOIN tok USING (doc_id) JOIN b ON b.id = d.doc_id " +
+      "WHERE list_has_any(toks, ['fast','hash','join']) " +
+      "ORDER BY b._score DESC, d.doc_id LIMIT 10) " +
+      "SELECT doc_id, _score, array_to_string(list_filter([" +
+      "regexp_replace(regexp_extract(lower(text), '([a-z0-9]+ ){0,3}\\bfast\\b( [a-z0-9]+){0,3}'), '\\bfast\\b', '<em>fast</em>', 'g'), " +
+      "regexp_replace(regexp_extract(lower(text), '([a-z0-9]+ ){0,3}\\bhash\\b( [a-z0-9]+){0,3}'), '\\bhash\\b', '<em>hash</em>', 'g'), " +
+      "regexp_replace(regexp_extract(lower(text), '([a-z0-9]+ ){0,3}\\bjoin\\b( [a-z0-9]+){0,3}'), '\\bjoin\\b', '<em>join</em>', 'g')" +
+      "], x -> x != '')[1:3], ' ... ') AS snippet_text, " +
+      "regexp_replace(regexp_extract(lower(source), '([a-z0-9]+ ){0,3}\\bsrc1\\b( [a-z0-9]+){0,3}'), '\\bsrc1\\b', '<em>src1</em>', 'g') AS snippet_source " +
+      "FROM h ORDER BY _score DESC, doc_id"),
+    "q_retriever_rerank" -> (TokCte + bm25Ctes("", "tok", Seq("fast", "hash", "join")) +
+      ", w AS (SELECT id FROM sc ORDER BY score DESC, id LIMIT 20) " +
+      "SELECT w.id, CAST(round(" +
+      "1.0 * len(list_filter(toks, t -> t = 'fast')) + " +
+      "1.0 * len(list_filter(toks, t -> t = 'hash')) + " +
+      "1.0 * len(list_filter(toks, t -> t = 'merge')), 4) AS DOUBLE) AS score " +
+      "FROM w JOIN tok ON tok.doc_id = w.id ORDER BY score DESC, id LIMIT 10"),
     "q_search_body_suggest" -> (TokCte + ", v AS (SELECT token, count(*)::BIGINT AS freq FROM " +
       "(SELECT unnest(list_distinct(toks)) AS token FROM tok) GROUP BY token) " +
       "SELECT token, freq FROM v " +

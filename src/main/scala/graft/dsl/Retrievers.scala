@@ -14,17 +14,25 @@ import org.json4s.jackson.JsonMethods
   *     over the docs frame's analyzed field
   *   - `{"knn": {"field": f, "query_vector": [...]}}` — cosine
   *     scores over the vectors frame
-  * Composites (children must be leaves — one fusion level, like the
-  * common production layouts; ES allows deeper trees):
+  * Composites (children may be leaves OR composites — ES 8.14+ nested
+  * trees, e.g. rrf over linear-fused legs):
   *   - `{"rrf": {"retrievers": [...], "rank_window_size",
   *     "rank_constant"}}` — reciprocal-rank fusion
   *   - `{"linear": {"retrievers": [{"retriever": r, "weight": w},
   *     ...], "rank_window_size"}}` — min-max-normalized weighted sum
+  *   - `{"text_similarity_reranker": {"retriever": r, "field",
+  *     "inference_text", "rank_window_size"}}` — the ES 8.18 semantic
+  *     reranker: the child's top rank_window_size hits are re-scored
+  *     by `InferenceService.rerankScore` (deterministic term-overlap
+  *     stub here; a production deployment swaps `Inference.service`)
   *
   * Each leaf yields an UNRANKED (id, score) frame; fusion windows it
   * (TakeOrderedAndProject) before any cross-retriever work, so the
   * fusion cost is rank_window_size-bounded regardless of corpus size
-  * — identical plans to the hand-written hybrid operators.
+  * — identical plans to the hand-written hybrid operators. A nested
+  * composite contributes its fused top-rank_window_size as an
+  * ordinary (id, score) leg, so nesting multiplies only the bounded
+  * window work, never corpus passes.
   */
 object Retrievers {
 
@@ -41,27 +49,75 @@ object Retrievers {
       case JObject(JField("rrf", JObject(parts)) :: Nil) =>
         val m = parts.toMap
         Search.rrfTopK(
-          children(m).map(leaf(docs, docId, vectors, vecId, _)),
+          children(m).map(eval(docs, docId, vectors, vecId, _)),
           rankConstant = num(m, "rank_constant", 60),
           windowSize = num(m, "rank_window_size", 100), k = k)
       case JObject(JField("linear", JObject(parts)) :: Nil) =>
         val m = parts.toMap
-        val weighted = children(m).map {
-          case JObject(fields) =>
-            val wm = fields.toMap
-            val r = wm.getOrElse("retriever",
-              throw new IllegalArgumentException("linear child needs retriever"))
-            val w = wm.get("weight").map(numVal).getOrElse(1.0)
-            (leaf(docs, docId, vectors, vecId, r), w)
-          case other => throw new IllegalArgumentException(s"bad linear child: $other")
-        }
-        Search.linearTopK(weighted,
+        Search.linearTopK(weightedChildren(docs, docId, vectors, vecId, m),
           windowSize = num(m, "rank_window_size", 100), k = k)
       case l =>
-        leaf(docs, docId, vectors, vecId, l)
+        eval(docs, docId, vectors, vecId, l)
           .orderBy(col("score").desc, col("id").asc).limit(k)
     }
   }
+
+  /** A retriever node as an (id, score) leg: leaves score directly;
+    * composites fuse their children and contribute their top
+    * rank_window_size under the standard column names. */
+  private def eval(
+      docs: DataFrame, docId: String,
+      vectors: DataFrame, vecId: String, rule: JValue): DataFrame = rule match {
+    case JObject(JField("rrf", JObject(parts)) :: Nil) =>
+      val m = parts.toMap
+      val w = num(m, "rank_window_size", 100)
+      Search.rrfTopK(
+        children(m).map(eval(docs, docId, vectors, vecId, _)),
+        rankConstant = num(m, "rank_constant", 60), windowSize = w, k = w)
+        .select(col("id"), col("rrf_score").as("score"))
+    case JObject(JField("linear", JObject(parts)) :: Nil) =>
+      val m = parts.toMap
+      val w = num(m, "rank_window_size", 100)
+      Search.linearTopK(weightedChildren(docs, docId, vectors, vecId, m),
+        windowSize = w, k = w)
+        .select(col("id"), col("linear_score").as("score"))
+    case JObject(JField("text_similarity_reranker", JObject(parts)) :: Nil) =>
+      val m = parts.toMap
+      val child = m.getOrElse("retriever",
+        throw new IllegalArgumentException("text_similarity_reranker needs a retriever"))
+      val field = m.get("field") match {
+        case Some(JString(f)) => f
+        case _ => throw new IllegalArgumentException("text_similarity_reranker needs field")
+      }
+      val itext = m.get("inference_text") match {
+        case Some(JString(t)) => t
+        case _ => throw new IllegalArgumentException(
+          "text_similarity_reranker needs inference_text")
+      }
+      val w = num(m, "rank_window_size", 10) // ES default 10
+      // the child's top-w ids fetch their text and are re-scored by
+      // the inference seam — the model call touches w rows, bounded
+      val top = eval(docs, docId, vectors, vecId, child)
+        .orderBy(col("score").desc, col("id").asc).limit(w)
+        .select(col("id"))
+      top.join(docs.select(col(docId).as("id"), col(field).as("__rr_text")), "id")
+        .select(col("id"), graft.util.Num.round(
+          graft.inference.Inference.service
+            .rerankScore(itext, col("__rr_text")).cast("double"), 4).as("score"))
+    case l => leaf(docs, docId, vectors, vecId, l)
+  }
+
+  private def weightedChildren(
+      docs: DataFrame, docId: String,
+      vectors: DataFrame, vecId: String,
+      m: Map[String, JValue]): Seq[(DataFrame, Double)] =
+    children(m).map {
+      case JObject(fields) if fields.toMap.contains("retriever") =>
+        val wm = fields.toMap
+        (eval(docs, docId, vectors, vecId, wm("retriever")),
+          wm.get("weight").map(numVal).getOrElse(1.0))
+      case other => throw new IllegalArgumentException(s"bad linear child: $other")
+    }
 
   private def children(m: Map[String, JValue]): Seq[JValue] = m.get("retrievers") match {
     case Some(JArray(xs)) if xs.nonEmpty => xs

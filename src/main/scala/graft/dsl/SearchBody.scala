@@ -85,7 +85,7 @@ object SearchBody {
     "runtime_mappings", "query", "aggs", "aggregations", "sort",
     "from", "size", "knn", "collapse", "highlight", "rescore",
     "post_filter", "min_score", "search_after", "_source",
-    "script_fields", "docvalue_fields",
+    "script_fields", "docvalue_fields", "fields",
     // accepted with no effect: ES's accuracy knob for the hit-count
     // METADATA (clients send it by default); graft's counts are always
     // exact, so there is nothing to relax
@@ -106,7 +106,7 @@ object SearchBody {
           ks.exists(SupportedKeys)) &&
           (ks -- Set("runtime_mappings", "query")).nonEmpty
       case _ => false
-    } catch { case _: Throwable => false }
+    } catch { case scala.util.control.NonFatal(_) => false }
 
   /** True for any body-shaped payload (a `query`/`runtime_mappings`
     * wrapper or any other body section) as opposed to a bare
@@ -116,7 +116,7 @@ object SearchBody {
     try JsonMethods.parse(json) match {
       case JObject(fs) => fs.map(_._1).exists(SupportedKeys)
       case _ => false
-    } catch { case _: Throwable => false }
+    } catch { case scala.util.control.NonFatal(_) => false }
 
   private def jnum(v: JValue): Double = v match {
     case JInt(i) => i.toDouble
@@ -289,30 +289,46 @@ object SearchBody {
 
     // ---- hit path ----
     val knnJson = root.get("knn")
-    val sortSpecs: Seq[(String, Boolean)] = root.get("sort") match {
-      case Some(JArray(specs)) => specs.map {
-        case JObject(JField(f, JObject(o)) :: Nil) =>
-          f -> (o.toMap.get("order") match {
-            case Some(JString("desc")) => false
-            case _ => true
-          })
-        // ES: a bare "_score" sort string defaults DESC (relevance
-        // order); bare field strings default ASC
-        case JString("_score") => "_score" -> false
-        case JString(f) => f -> true
-        case other => throw new IllegalArgumentException(s"bad sort spec: $other")
-      }
-      case None => Nil
-      case Some(other) => throw new IllegalArgumentException(s"sort must be an array: $other")
-    }
-    val scoring = knnJson.isDefined || root.contains("min_score") ||
-      root.contains("rescore") || sortSpecs.exists(_._1 == "_score")
     // `.keyword` multi-field suffix maps to the parent column, same as
     // in the query clauses (QueryDslJson.fieldRef); `_score` maps to
     // the computed score column
     def sortCol(f: String): org.apache.spark.sql.Column =
       if (f == "_score") col("_score")
       else col(if (f.endsWith(".keyword")) f.dropRight(".keyword".length) else f)
+    // sort section — the FULL ES sort surface. Plain fields (incl. the
+    // `.keyword` mapping and `_score`) compile here; rich entries
+    // (multivalue `mode`, nested sort + filter, `_geo_distance`,
+    // `_script`, `missing` placement) dispatch to search.Sorting so
+    // the SAME computed key expression feeds the ordering AND the
+    // search_after cursor predicate. (name, key, asc?, missing-last?)
+    val sortSpecs: Seq[(String, org.apache.spark.sql.Column, Boolean, Boolean)] =
+      root.get("sort") match {
+        case Some(JArray(specs)) => specs.map {
+          // ES: a bare "_score" sort string defaults DESC (relevance
+          // order); bare field strings default ASC
+          case JString("_score") => ("_score", col("_score"), false, true)
+          case JString(f) => (f, sortCol(f), true, true)
+          case JObject(JField(f, JString(order)) :: Nil)
+              if f != "_geo_distance" && f != "_script" =>
+            (f, sortCol(f), order != "desc", true)
+          case JObject(JField(f, JObject(o)) :: Nil)
+              if f != "_geo_distance" && f != "_script" &&
+                (o.toMap.keySet -- Set("order")).isEmpty =>
+            (f, sortCol(f), o.toMap.get("order") match {
+              case Some(JString("desc")) => false
+              case _ => true
+            }, true)
+          case rich =>
+            val (k, asc, ml) = graft.search.Sorting.spec(rich)
+            // synthetic name: never collides with the `_score`
+            // scoring detection below
+            ("__computed", k, asc, ml)
+        }
+        case None => Nil
+        case Some(other) => throw new IllegalArgumentException(s"sort must be an array: $other")
+      }
+    val scoring = knnJson.isDefined || root.contains("min_score") ||
+      root.contains("rescore") || sortSpecs.exists(_._1 == "_score")
 
     // 1-2. query phase (scores only when the body needs them)
     val mSpec = queryJson.flatMap(matchSpec)
@@ -345,12 +361,11 @@ object SearchBody {
             val hits = projected.where(EsQuery.compile(q, idField))
             if (clauses.isEmpty) hits.withColumn("_score", lit(1.0))
             else {
-              val scores = clauses.map { case (f, text) =>
-                graft.search.Search.bm25Scores(projected, idField, f, text)
-              }.reduce(_ unionByName _)
-                .groupBy(col("id"))
-                .agg(graft.util.Num.round(sum(col("score")), 4).as("__bscore"))
-                .select(col("id").as("__qid"), col("__bscore"))
+              // ONE corpus pass for all scoring clauses (the one-pass
+              // clause kernel) — N clauses no longer cost N scans
+              val scores = graft.search.Search
+                .bm25BoolClausesScores(projected, idField, clauses)
+                .select(col("id").as("__qid"), col("score").as("__bscore"))
               hits.join(scores, col(idField) === col("__qid"), "left")
                 .drop("__qid")
                 .withColumn("_score", coalesce(col("__bscore"), lit(0.0)))
@@ -457,10 +472,17 @@ object SearchBody {
         }
     }
 
-    // order columns shared by collapse / sort / search_after
+    // order columns shared by collapse / sort / search_after — ES
+    // places missing values LAST by default regardless of direction
+    // (Sorting's `missing: _first` flips it)
     val orderCols: Seq[org.apache.spark.sql.Column] =
-      if (sortSpecs.nonEmpty) sortSpecs.map { case (f, asc) =>
-        if (asc) sortCol(f).asc_nulls_last else sortCol(f).desc_nulls_last
+      if (sortSpecs.nonEmpty) sortSpecs.map { case (_, k, asc, ml) =>
+        (asc, ml) match {
+          case (true, true) => k.asc_nulls_last
+          case (true, false) => k.asc_nulls_first
+          case (false, true) => k.desc_nulls_last
+          case (false, false) => k.desc_nulls_first
+        }
       }
       else if (scoring) Seq(col("_score").desc, col(idField).asc)
       else Nil
@@ -492,23 +514,26 @@ object SearchBody {
           "search_after cannot be combined with from (ES rejects this too)")
         require(vals.length == sortSpecs.length,
           s"search_after has ${vals.length} values for ${sortSpecs.length} sort keys")
-        def after(f: String, asc: Boolean, v: JValue) = {
+        def after(k: org.apache.spark.sql.Column, asc: Boolean, v: JValue) = {
           val l = v match {
             case JString(s) => lit(s)
             case n => lit(jnum(n))
           }
-          if (asc) sortCol(f) > l else sortCol(f) < l
+          if (asc) k > l else k < l
         }
-        def eq(f: String, v: JValue) = v match {
-          case JString(s) => sortCol(f) === lit(s)
-          case n => sortCol(f) === lit(jnum(n))
+        def eq(k: org.apache.spark.sql.Column, v: JValue) = v match {
+          case JString(s) => k === lit(s)
+          case n => k === lit(jnum(n))
         }
         // strictly-after in the sort's lexicographic order: plain
-        // comparisons, so deep paging stays one pushed-down scan
-        val pred = sortSpecs.zip(vals).zipWithIndex.map { case (((f, asc), v), i) =>
+        // comparisons against the SAME computed key expressions the
+        // ordering uses (a rich sort's cursor compares the geo
+        // distance / script value / mode fold, not a raw column), so
+        // deep paging stays one pushed-down scan
+        val pred = sortSpecs.zip(vals).zipWithIndex.map { case (((_, k, asc, _), v), i) =>
           val prefix = sortSpecs.zip(vals).take(i)
-            .map { case ((pf, _), pv) => eq(pf, pv) }
-          (prefix :+ after(f, asc, v)).reduce(_ && _)
+            .map { case ((_, pk, _, _), pv) => eq(pk, pv) }
+          (prefix :+ after(k, asc, v)).reduce(_ && _)
         }.reduce(_ || _)
         collapsed.where(pred)
       case Some(other) => throw new IllegalArgumentException(s"bad search_after: $other")
@@ -519,71 +544,134 @@ object SearchBody {
     val paged = size.fold(if (from > 0) sorted.offset(from) else sorted)(
       (if (from > 0) sorted.offset(from) else sorted).limit)
 
-    // 9. highlight: snippet next to the hit's own columns — one-term
-    // matches keep the single-window shape, multi-term matches get
-    // the per-term fragment shape (number_of_fragments honored,
-    // ES default 5)
-    val highlighted = root.get("highlight") match {
-      case None => paged
+    // 9. highlight: one snippet column per requested field (ES
+    // response shape — `snippet` when one field, `snippet_<field>`
+    // each when several). Terms come from ANY scoring clause
+    // targeting that field — match, match_phrase, multi_match (all
+    // its fields), or a bool tree's scoring clauses — one-term
+    // matches keep the single-window shape, multi-term matches the
+    // per-term fragment shape (number_of_fragments honored, ES
+    // default 5).
+    val (highlighted, snippetCols) = root.get("highlight") match {
+      case None => (paged, Seq.empty[String])
       case Some(JObject(hs)) =>
         val fields = hs.toMap.get("fields") match {
-          case Some(JObject(fs)) => fs
+          case Some(JObject(fs)) => fs.map {
+            case JField(f, JObject(o)) => (f, o.toMap)
+            case JField(f, _) => (f, Map.empty[String, JValue])
+          }
           case _ => throw new IllegalArgumentException("highlight needs a fields object")
         }
-        require(fields.size == 1, s"highlight supports one field, got: ${fields.map(_._1)}")
-        val (fieldName, fieldOpts) = fields.head match {
-          case JField(f, JObject(o)) => (f, o.toMap)
-          case JField(f, _) => (f, Map.empty[String, JValue])
+        // (field -> query text) from every scored query shape
+        val clauseTexts: Seq[(String, String)] = queryJson.toSeq.flatMap { q =>
+          mSpec.map(Seq(_))
+            .orElse(multiMatchSpec(q).map { case (fs, text, _) => fs.map(_._1 -> text) })
+            .orElse(phraseSpec(q).map(Seq(_)))
+            .getOrElse(QueryDslJson.scoringClauses(q))
         }
-        val text = mSpec match {
-          case Some((_, t)) => t
-          case None => throw new IllegalArgumentException(
-            "highlight needs a single-field match query to take its terms from")
+        require(clauseTexts.nonEmpty,
+          "highlight needs a scored query (match / match_phrase / multi_match / " +
+            "bool with scoring clauses) to take its terms from")
+        val cols = fields.map { case (f, opts) =>
+          val texts = clauseTexts.collect { case (cf, t) if cf == f => t }
+          require(texts.nonEmpty,
+            s"highlight field '$f' is targeted by no scoring clause — no terms to highlight")
+          val text = texts.mkString(" ")
+          val nFrags = opts.get("number_of_fragments").map(jnum(_).toInt).getOrElse(5)
+          val snippet =
+            if (graft.analysis.Analyzer.analyze(text).distinct.length == 1)
+              graft.search.Search.highlightCol(col(f), text)
+            else
+              graft.search.Search.highlightFragmentsCol(col(f), text, nFrags)
+          (if (fields.size == 1) "snippet" else s"snippet_$f") -> snippet
         }
-        val nFrags = fieldOpts.get("number_of_fragments").map(jnum(_).toInt).getOrElse(5)
-        val snippet =
-          if (graft.analysis.Analyzer.analyze(text).distinct.length == 1)
-            graft.search.Search.highlightCol(col(fieldName), text)
-          else
-            graft.search.Search.highlightFragmentsCol(col(fieldName), text, nFrags)
-        paged.withColumn("snippet", snippet)
+        (cols.foldLeft(paged) { case (d, (n, c)) => d.withColumn(n, c) },
+          cols.map(_._1))
       case Some(other) => throw new IllegalArgumentException(s"bad highlight: $other")
     }
 
-    // 10. response shaping: script_fields / docvalue_fields project
-    // extra columns; _source prunes the doc columns (hit metadata —
-    // _score, snippet, computed fields — survives the prune)
-    val withScripts = scriptFields(body)
-      .foldLeft(highlighted) { case (d, (n, c)) => d.withColumn(n, c) }
-    val withDocvalues = root.get("docvalue_fields")
+    // 10. response shaping: script_fields / docvalue_fields / fields
+    // project extra columns; _source prunes the doc columns. Hit
+    // METADATA — _score, snippets, computed/retrieved fields, the
+    // connector's __graft_src_index tag — survives the prune, like
+    // the ES response's separate hit metadata.
+    val scriptCols = scriptFields(body)
+    val docvalueCols = root.get("docvalue_fields")
       .map(v => docvalueFields(JsonMethods.compact(JsonMethods.render(v))))
       .getOrElse(Nil)
-      .foldLeft(withScripts) { case (d, (n, c)) => d.withColumn(n, c) }
+    val fieldsCols = root.get("fields")
+      .map(v => fieldsApi(projected.columns.toSeq,
+        JsonMethods.compact(JsonMethods.render(v))))
+      .getOrElse(Nil)
+    val withExtras = (scriptCols ++ docvalueCols ++ fieldsCols)
+      .foldLeft(highlighted) { case (d, (n, c)) => d.withColumn(n, c) }
+    val metaCols = (Seq("_score") ++ snippetCols ++ scriptCols.map(_._1) ++
+      docvalueCols.map(_._1) ++ fieldsCols.map(_._1) ++
+      Seq("__graft_src_index")).distinct
     root.get("_source") match {
-      case None => withDocvalues
-      case Some(JBool(true)) => withDocvalues // explicit default
+      case None => withExtras
+      case Some(JBool(true)) => withExtras // explicit default
       case Some(JBool(false)) =>
         // `_source: false`: the hit id + metadata only, no doc fields
-        // (the common fetch-ids / scores-only request shape)
-        val keep = (Seq(idField, "_score", "snippet") ++
-          scriptFields(body).map(_._1) ++
-          root.get("docvalue_fields").map(_ =>
-            docvalueFields(JsonMethods.compact(JsonMethods.render(root("docvalue_fields"))))
-              .map(_._1)).getOrElse(Nil))
-          .filter(withDocvalues.columns.contains).distinct
-        withDocvalues.select(keep.map(col): _*)
+        // (with `fields`, the modern default request shape)
+        val keep = ((idField +: metaCols))
+          .filter(withExtras.columns.contains).distinct
+        withExtras.select(keep.map(col): _*)
       case Some(v) =>
-        val extras = (Seq("_score", "snippet") ++
-          scriptFields(body).map(_._1) ++
-          root.get("docvalue_fields").map(_ =>
-            docvalueFields(JsonMethods.compact(JsonMethods.render(root("docvalue_fields"))))
-              .map(_._1)).getOrElse(Nil))
-          .filter(withDocvalues.columns.contains).distinct
-        val base = applySourceFilter(withDocvalues.drop(extras: _*),
+        val extras = metaCols.filter(withExtras.columns.contains)
+        val base = applySourceFilter(withExtras.drop(extras: _*),
           JsonMethods.compact(JsonMethods.render(v)))
         // pure projection on the SAME frame — kept doc columns + hit
         // metadata, no join
-        withDocvalues.select((base.columns.toSeq ++ extras).map(col): _*)
+        withExtras.select((base.columns.toSeq ++ extras).map(col): _*)
+    }
+  }
+
+  /** The body `fields` retrieval section — ES 8's recommended
+    * replacement for `_source` retrieval (clients send it by
+    * default). Entries are bare field names or `{"field": f,
+    * "format": p}` (date pattern or `epoch_millis`, like
+    * docvalue_fields); `*` wildcards expand against the doc schema in
+    * schema order. A no-match name or pattern fails LOUDLY (a typo'd
+    * field would otherwise silently vanish from every hit). Retrieved
+    * values keep the field's name — they ride as hit metadata through
+    * `_source` filtering, so `"_source": false, "fields": [...]` is
+    * the zero-copy projection it is in ES. */
+  def fieldsApi(columns: Seq[String], json: String): Seq[(String, Column)] = {
+    import org.apache.spark.sql.functions.{col, date_format, unix_millis}
+    def expand(p: String): Seq[String] =
+      if (!p.contains("*")) {
+        require(columns.contains(p), s"fields entry '$p' matches no column")
+        Seq(p)
+      } else {
+        val re = ("^" + p.split("\\*", -1)
+          .map(java.util.regex.Pattern.quote).mkString(".*") + "$").r
+        val hits = columns.filter(c => re.findFirstIn(c).isDefined)
+        require(hits.nonEmpty, s"fields pattern '$p' matches no columns")
+        hits
+      }
+    JsonMethods.parse(json) match {
+      case JArray(specs) => specs.flatMap {
+        case JString(f) => expand(f).map(n => n -> col(n))
+        case JObject(spec) =>
+          val m = spec.toMap
+          val f = m.get("field") match {
+            case Some(JString(n)) => n
+            case _ => throw new IllegalArgumentException(
+              s"fields entry needs a field: $spec")
+          }
+          m.get("format") match {
+            case Some(JString("epoch_millis")) =>
+              expand(f).map(n => n -> unix_millis(col(n).cast("timestamp")))
+            case Some(JString(p)) => expand(f).map(n => n -> date_format(col(n), p))
+            case None => expand(f).map(n => n -> col(n))
+            case other => throw new IllegalArgumentException(
+              s"bad fields format for '$f': $other")
+          }
+        case other => throw new IllegalArgumentException(s"bad fields entry: $other")
+      }
+      case other => throw new IllegalArgumentException(
+        s"fields must be an array, got: $other")
     }
   }
 

@@ -417,14 +417,20 @@ object Search {
     fields.map(f => matchQuery(f, query)).reduce(_ || _)
 
   /** `"title^2"`-style field spec -> (field, boost). */
-  def parseBoostFields(specs: Seq[String]): Seq[(String, Double)] =
-    specs.map { s =>
+  def parseBoostFields(specs: Seq[String]): Seq[(String, Double)] = {
+    val fs = specs.map { s =>
       s.split("\\^") match {
         case Array(f) => f -> 1.0
         case Array(f, b) => f -> b.toDouble
         case _ => throw new IllegalArgumentException(s"bad field spec: $s")
       }
     }
+    // ["text", "text^2"] would double text's df/n_docs in the one-pass
+    // kernel and last-wins the boost CASE chain — refuse loudly
+    require(fs.map(_._1).distinct.size == fs.size,
+      s"duplicate fields in ${specs.mkString("[", ", ", "]")}")
+    fs
+  }
 
   /** Per-(doc, field) BM25 over SEVERAL fields in ONE corpus tokenize
     * pass — the shared kernel behind queryStringTopK / multiMatchTopK /
@@ -448,6 +454,12 @@ object Search {
       query: String,
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
+    // a duplicate field entry (fields: ["text", "text^2"]) would emit
+    // two struct rows per doc for the same field name — doubling that
+    // field's n_docs and merging tf rows, silently wrong scores. Loud
+    // beats wrong; callers dedupe/boost-fold upstream if they mean it.
+    require(fields.map(_._1).distinct.size == fields.size,
+      s"duplicate field entries: ${fields.map(_._1).mkString(", ")}")
     val q = Analyzer.analyze(query)
     require(q.nonEmpty, s"bm25 query analyzed to zero tokens: $query")
     val perFieldToks = docs
@@ -481,6 +493,64 @@ object Search {
       .withColumn("term_score", idf * tfPart)
       .groupBy(col("id"), col("field"), col("gate"))
       .agg(Num.round(sum(col("term_score")), 4).as("score"))
+  }
+
+  /** Per-CLAUSE BM25 for a bool query's scoring clauses in ONE corpus
+    * tokenize pass — the `_search`-body / readMetadata `_score`
+    * formula (sum of each clause's single-field BM25, each rounded to
+    * 4 like bm25Scores) without the old one-corpus-pass-per-clause
+    * union. Clauses are keyed by INDEX, not field name: two clauses on
+    * the same field (must match f:t1 + should match f:t2) keep
+    * independent term statistics and per-clause rounding, exactly like
+    * the per-clause bm25Scores union they replace. Per-clause
+    * df/avgdl/n_docs equal the single-field ones (the explode keeps
+    * every doc for every clause), so the result is bit-identical.
+    * Returns (id, score) for docs with a nonzero clause score. */
+  def bm25BoolClausesScores(
+      docs: DataFrame,
+      idCol: String,
+      clauses: Seq[(String, String)],
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(clauses.nonEmpty, "bm25BoolClausesScores needs at least one clause")
+    val terms: Seq[(Int, Seq[String])] = clauses.zipWithIndex.map { case ((_, q), i) =>
+      val ts = Analyzer.analyze(q)
+      require(ts.nonEmpty, s"bm25 clause analyzed to zero tokens: $q")
+      i -> ts
+    }
+    val perClauseToks = docs
+      .select(col(idCol).as("id"),
+        explode(array(clauses.zipWithIndex.map { case ((f, _), i) =>
+          struct(lit(i).as("clause"), Analyzer.tokens(col(f)).as("toks"))
+        }: _*)).as("ct"))
+      .select(col("id"), col("ct.clause").as("clause"), col("ct.toks").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val stats = perClauseToks.groupBy(col("clause"))
+      .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+    // each clause admits ONLY its own query terms — the posting stream
+    // is filtered before any shuffle, so only matching postings move
+    val allowed = terms.map { case (i, ts) =>
+      col("clause") === i && col("term").isin(ts: _*)
+    }.reduce(_ || _)
+    val tf = perClauseToks
+      .select(col("id"), col("clause"), col("dl"), explode(col("toks")).as("term"))
+      .where(allowed)
+      .groupBy(col("id"), col("clause"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy(col("clause"), col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfPart = col("tf") * (k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl")))
+    tf.join(broadcast(dfreq), Seq("clause", "term"))
+      .join(broadcast(stats), Seq("clause"))
+      .withColumn("term_score", idf * tfPart)
+      // two-level fold: per-clause rounding FIRST (bit-compat with the
+      // per-clause bm25Scores path and its oracles), then the doc sum
+      .groupBy(col("id"), col("clause"))
+      .agg(Num.round(sum(col("term_score")), 4).as("cscore"))
+      .groupBy(col("id"))
+      .agg(Num.round(sum(col("cscore")), 4).as("score"))
   }
 
   /** Scored `query_string` over boosted fields — `fields:

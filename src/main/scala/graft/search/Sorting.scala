@@ -192,6 +192,12 @@ object Sorting {
       case (false, false) => c.desc_nulls_first
     }
 
+  /** One spec entry as (sort key, ascending?, missing-last?) — the
+    * SearchBody front door dispatches its rich sort entries (mode /
+    * nested / _geo_distance / _script / missing) here so the SAME
+    * computed key feeds the ordering AND the search_after cursor. */
+  def spec(v: JValue): (Column, Boolean, Boolean) = entry(v)
+
   /** The computed sort key of a single spec entry (no ordering) — for
     * callers that also project the key into the output. */
   def key(json: String): Column =

@@ -316,4 +316,171 @@ class SearchBodySpec extends SparkSpec {
     }
     assert(e.getMessage.contains("match"))
   }
+
+  test("fields retrieval: wildcards expand, formats apply, unknown fields loud") {
+    val orders = Tables.load(spark, sfDir, "orders")
+    val out = SearchBody.search(orders,
+      """{"query": {"term": {"o_orderstatus": "F"}}, "size": 5, "_source": false,
+          "fields": ["o_order*", {"field": "o_orderdate", "format": "yyyy-MM"}],
+          "sort": [{"o_orderkey": {"order": "asc"}}]}""",
+      idField = "o_orderkey")
+    assert(out.columns.toSet ==
+      Set("o_orderkey", "o_orderstatus", "o_orderdate", "o_orderpriority"))
+    // the formatted value replaces the field under its own name
+    assert(out.select($"o_orderdate".as[String]).head().matches("\\d{4}-\\d{2}"))
+    val e = intercept[IllegalArgumentException] {
+      SearchBody.search(orders,
+        """{"query": {"term": {"o_orderstatus": "F"}}, "fields": ["o_nope"]}""",
+        idField = "o_orderkey")
+    }
+    assert(e.getMessage.contains("o_nope"))
+    val e2 = intercept[IllegalArgumentException] {
+      SearchBody.search(orders,
+        """{"query": {"term": {"o_orderstatus": "F"}}, "fields": ["z_*"]}""",
+        idField = "o_orderkey")
+    }
+    assert(e2.getMessage.contains("z_*"))
+  }
+
+  test("rich body sort: _script key orders and feeds the search_after cursor") {
+    val orders = Tables.load(spark, sfDir, "orders")
+    val page1 = SearchBody.search(orders,
+      s"""{"sort": [{"_script": {"script": {"source":
+           "Math.abs(doc['o_totalprice'].value - params.pivot)",
+           "params": {"pivot": 150000.0}}, "order": "asc"}},
+           {"o_orderkey": {"order": "asc"}}],
+           "size": 10, "_source": ["o_orderkey", "o_totalprice"]}""",
+      idField = "o_orderkey")
+      .select($"o_orderkey".as[Long], $"o_totalprice".as[Double]).collect()
+    val (lastKey, lastId) = (math.abs(page1.last._2 - 150000.0), page1.last._1)
+    val page2 = SearchBody.search(orders,
+      s"""{"sort": [{"_script": {"script": {"source":
+           "Math.abs(doc['o_totalprice'].value - params.pivot)",
+           "params": {"pivot": 150000.0}}, "order": "asc"}},
+           {"o_orderkey": {"order": "asc"}}],
+           "search_after": [$lastKey, $lastId],
+           "size": 10, "_source": ["o_orderkey", "o_totalprice"]}""",
+      idField = "o_orderkey")
+      .select($"o_orderkey".as[Long], $"o_totalprice".as[Double]).collect()
+    // pages chain losslessly: page2 == rows 10-19 of the unpaged run
+    val all = SearchBody.search(orders,
+      s"""{"sort": [{"_script": {"script": {"source":
+           "Math.abs(doc['o_totalprice'].value - params.pivot)",
+           "params": {"pivot": 150000.0}}, "order": "asc"}},
+           {"o_orderkey": {"order": "asc"}}],
+           "size": 20, "_source": ["o_orderkey", "o_totalprice"]}""",
+      idField = "o_orderkey")
+      .select($"o_orderkey".as[Long], $"o_totalprice".as[Double]).collect()
+    assert(page1.toSeq == all.take(10).toSeq)
+    assert(page2.toSeq == all.drop(10).toSeq)
+  }
+
+  test("multivalue sort mode through the body matches the Sorting operator") {
+    val qty = Tables.load(spark, sfDir, "lineitem").groupBy(col("l_orderkey"))
+      .agg(collect_list(col("l_quantity")).as("qtys"))
+    val frame = Tables.load(spark, sfDir, "orders")
+      .join(qty, col("o_orderkey") === col("l_orderkey"))
+    val viaBody = SearchBody.search(frame,
+      """{"sort": [{"qtys": {"order": "desc", "mode": "min"}},
+                   {"o_orderkey": {"order": "asc"}}],
+          "size": 20, "_source": ["o_orderkey"]}""",
+      idField = "o_orderkey").select($"o_orderkey".as[Long]).collect().toSeq
+    val direct = frame
+      .orderBy(graft.search.Sorting.compile(
+        """[{"qtys": {"order": "desc", "mode": "min"}}]""") :+ col("o_orderkey").asc: _*)
+      .limit(20).select($"o_orderkey".as[Long]).collect().toSeq
+    assert(viaBody == direct && viaBody.size == 20)
+  }
+
+  test("multi-field highlight: per-field snippet columns, terms from the matching clause") {
+    val out = SearchBody.search(docs,
+      """{"query": {"bool": {
+            "must": [{"match": {"text": "vector"}}],
+            "should": [{"match": {"source": "src1"}}]}},
+          "sort": ["_score", {"doc_id": {"order": "asc"}}], "size": 20,
+          "highlight": {"fields": {"text": {}, "source": {}}}}""",
+      idField = "doc_id")
+    assert(out.columns.contains("snippet_text") && out.columns.contains("snippet_source"))
+    val rows = out.select($"snippet_text".as[String], $"snippet_source".as[String],
+      $"source".as[String]).collect()
+    assert(rows.forall(_._1.contains("<em>vector</em>")))
+    // only src1 docs highlight in source; others get the empty miss
+    assert(rows.forall(r => if (r._3 == "src1") r._2.contains("<em>src1</em>") else r._2 == ""))
+    // a highlight field no scoring clause targets is loud
+    val e = intercept[IllegalArgumentException] {
+      SearchBody.search(docs,
+        """{"query": {"match": {"text": "vector"}},
+            "highlight": {"fields": {"lang": {}}}}""",
+        idField = "doc_id")
+    }
+    assert(e.getMessage.contains("lang"))
+  }
+
+  test("scored bool: corpus scan count is CONSTANT in the clause count (one-pass kernel)") {
+    def scans(body: String): Int =
+      "FileScan".r.findAllIn(
+        SearchBody.search(docs, body, idField = "doc_id")
+          .queryExecution.executedPlan.toString).length
+    val one = scans(
+      """{"query": {"bool": {"must": [{"match": {"text": "vector"}}]}}, "min_score": 0.0}""")
+    val three = scans(
+      """{"query": {"bool": {"must": [{"match": {"text": "vector"}}],
+          "should": [{"match": {"text": "hash"}}, {"match": {"source": "src1"}}]}},
+          "min_score": 0.0}""")
+    assert(three == one, s"3-clause body scans $three vs 1-clause $one")
+  }
+
+  test("nested retriever tree: rrf over a linear composite leg matches the hand-wired fusion") {
+    val corpus = docs.join(
+      Tables.load(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding")),
+      col("doc_id") === col("vec_id")).drop("vec_id")
+    val vec = (0 until 64).map(i => (i * 37 % 100) / 100.0 - 0.5)
+    val viaTree = graft.dsl.Retrievers.topK(corpus, "doc_id", corpus, "doc_id",
+      s"""{"retriever": {"rrf": {"retrievers": [
+            {"linear": {"retrievers": [
+              {"retriever": {"standard": {"query": {"match": {"text": "fast hash join"}}}}, "weight": 0.7},
+              {"retriever": {"knn": {"field": "embedding", "query_vector": [${vec.mkString(",")}]}}, "weight": 0.3}],
+              "rank_window_size": 50}},
+            {"standard": {"query": {"match": {"text": "vector hash"}}}}],
+            "rank_window_size": 40, "rank_constant": 60}}}""", k = 10)
+      .select($"id".as[Long], $"rrf_score".as[Double]).collect().toSeq
+    val linearLeg = graft.search.Search.linearTopK(Seq(
+      (graft.search.Search.bm25Scores(corpus, "doc_id", "text", "fast hash join"), 0.7),
+      (corpus.select(col("doc_id").as("id"),
+        graft.util.Num.round(graft.dedup.Vectors.cosine(
+          col("embedding").cast("array<double>"),
+          array(vec.map(lit(_)): _*)), 4).as("score")), 0.3)),
+      windowSize = 50, k = 50)
+      .select(col("id"), col("linear_score").as("score"))
+    val handWired = graft.search.Search.rrfTopK(Seq(
+      linearLeg,
+      graft.search.Search.bm25Scores(corpus, "doc_id", "text", "vector hash")),
+      rankConstant = 60, windowSize = 40, k = 10)
+      .select($"id".as[Long], $"rrf_score".as[Double]).collect().toSeq
+    assert(viaTree == handWired && viaTree.size == 10)
+  }
+
+  test("text_similarity_reranker: swapped inference service takes effect") {
+    import graft.inference.{Inference, InferenceService}
+    val body =
+      """{"retriever": {"text_similarity_reranker": {
+            "retriever": {"standard": {"query": {"match": {"text": "fast hash join"}}}},
+            "field": "text", "inference_text": "fast hash merge",
+            "rank_window_size": 15}}, "size": 5}"""
+    val stubbed = SearchBody.search(docs, body, idField = "doc_id")
+      .select($"id".as[Long], $"score".as[Double]).collect().toSeq
+    assert(stubbed.size == 5 && stubbed.map(_._2) == stubbed.map(_._2).sorted.reverse)
+    val prev = Inference.service
+    try {
+      Inference.service = new InferenceService {
+        def expandQuery(q: String) = prev.expandQuery(q)
+        def rerankScore(q: String, text: org.apache.spark.sql.Column) = lit(42.0)
+        def complete(p: org.apache.spark.sql.Column) = prev.complete(p)
+        def decoder() = prev.decoder()
+      }
+      val swapped = SearchBody.search(docs, body, idField = "doc_id")
+        .select($"score".as[Double]).collect().toSeq
+      assert(swapped.forall(_ == 42.0))
+    } finally Inference.service = prev
+  }
 }
