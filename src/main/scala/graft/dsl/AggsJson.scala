@@ -107,6 +107,14 @@ object AggsJson {
           case _ => throw new IllegalArgumentException(
             s"random_sampler under '$name' needs sub-aggs (it is a sampling wrapper)")
         }
+        // DOCUMENTED DELTA: outputs are the RAW sample's values — ES
+        // additionally scales doc_count (and sum-type sub-aggs) back
+        // up by 1/probability. Raw counts keep every sub-agg shape
+        // consistent (an avg must NOT scale, a percentile must not —
+        // ES special-cases per metric); callers wanting the estimate
+        // multiply count columns by 1/probability themselves. The
+        // other deltas at this node: key_field replaces ES's
+        // shard-local RNG with the deterministic content-hash draw.
         val sampled = df.where(Num.uniformHash48(col(keyField)) < p)
         return compile(sampled,
           JsonMethods.compact(JsonMethods.render(JObject(List(JField("aggs", sub))))),
@@ -432,8 +440,18 @@ object AggsJson {
       .agg(aggCols.head, aggCols.tail: _*)
     val afterLit: Map[String, Column] = cm.get("after") match {
       case Some(JObject(af)) => af.map {
-        case JField(k, JString(s)) => k -> lit(s)
-        case JField(k, v) => k -> lit(num(v))
+        case JField(k, v) =>
+          val raw = v match {
+            case JString(s) => lit(s)
+            case other => lit(num(other))
+          }
+          // typed to the SOURCE KEY's type: a calendar date_histogram
+          // key is DATE-typed, so its cursor literal must compare as a
+          // date (an untyped string literal throws a lexicographic
+          // type-mismatch on any page after the first); numeric keys
+          // compare at their own width
+          k -> grouped.schema.find(_.name == k)
+            .map(f => raw.cast(f.dataType)).getOrElse(raw)
       }.toMap
       case None => Map.empty
       case Some(other) => throw new IllegalArgumentException(s"bad composite after: $other")

@@ -108,6 +108,18 @@ object SearchBody {
       case _ => false
     } catch { case scala.util.control.NonFatal(_) => false }
 
+  /** Which non-hit sections (aggs/aggregations/suggest) a body
+    * carries — such a request returns buckets/suggestions, not hits,
+    * so hit-decorating features (the connector's es.read.metadata)
+    * must refuse it loudly instead of failing on a missing id. */
+  def nonHitSections(json: String): Seq[String] =
+    try JsonMethods.parse(json) match {
+      case JObject(fs) =>
+        val ks = fs.map(_._1).toSet
+        Seq("aggs", "aggregations", "suggest").filter(ks)
+      case _ => Nil
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+
   /** True for any body-shaped payload (a `query`/`runtime_mappings`
     * wrapper or any other body section) as opposed to a bare
     * query-DSL object — for surfaces that can only evaluate a

@@ -117,10 +117,10 @@ object Connector {
         // door — previously those sections were silently dropped here,
         // the exact failure mode SearchBody's loud-key contract exists
         // to prevent
+        val fullBody = query != null && query.trim.startsWith("{") &&
+          graft.dsl.SearchBody.hasBodySections(query)
         val df1 =
-          if (query != null && query.trim.startsWith("{") &&
-              graft.dsl.SearchBody.hasBodySections(query))
-            graft.dsl.SearchBody.search(dfU, query, idField)
+          if (fullBody) graft.dsl.SearchBody.search(dfU, query, idField)
           else innerQuery.fold(df0)(q => df0.where(EsQuery.compile(q, idField)))
         // es.read.field.include/exclude accept `*` patterns (the
         // `fields`-API wildcard retrieval); expand against the schema
@@ -158,6 +158,16 @@ object Connector {
         // (match) clauses — mirroring the reference, where a scored
         // query exposes its relevance via the metadata map.
         if (readMetadata) {
+          // a body returning buckets/suggestions has no hits to
+          // decorate — fail with the feature's name, not a missing-id
+          if (fullBody) {
+            val nonHit = graft.dsl.SearchBody.nonHitSections(query)
+            require(nonHit.isEmpty,
+              s"es.read.metadata is a hit-path feature: a body with " +
+                s"${nonHit.mkString("/")} returns buckets/suggestions with no " +
+                "_id/_index to attach — disable es.read.metadata or issue a " +
+                "separate request")
+          }
           require(df3.columns.contains(idField),
             s"readMetadata needs id column '$idField' in the result")
           val withMeta = df3.withColumn("_id", col(idField))
@@ -165,19 +175,18 @@ object Connector {
             .drop("__graft_src_index")
           val scoring = innerQuery.map(_.trim).filter(_.startsWith("{"))
             .map(graft.dsl.QueryDslJson.scoringClauses).getOrElse(Nil)
-          if (scoring.isEmpty) withMeta
+          // a full body with a scoring section already computed its
+          // composed `_score` (knn/min_score/rescore folded in) — the
+          // metadata bm25 would be both redundant and ambiguous
+          if (scoring.isEmpty || df3.columns.contains("_score")) withMeta
           else {
-            // per-clause BM25 over the whole index (corpus stats come
-            // from the index, not the filtered hits), summed per doc.
-            // The scores frame is small (only docs containing query
-            // terms) and joins back on id.
-            val perClause = scoring.map { case (f, q) =>
-              graft.search.Search.bm25Scores(df0, idField, f, q)
-            }
-            val scores = perClause.reduce(_ unionByName _)
-              .groupBy(col("id"))
-              .agg(graft.util.Num.round(sum(col("score")), 4).as("_score"))
-              .withColumnRenamed("id", "_graft_score_id")
+            // ONE corpus pass for all scoring clauses over the whole
+            // index (corpus stats come from the index, not the
+            // filtered hits). The scores frame is small (only docs
+            // containing query terms) and joins back on id.
+            val scores = graft.search.Search
+              .bm25BoolClausesScores(df0, idField, scoring)
+              .select(col("id").as("_graft_score_id"), col("score").as("_score"))
             withMeta
               .join(scores, col(idField) === col("_graft_score_id"), "left")
               .drop("_graft_score_id")

@@ -51,6 +51,30 @@ class AggsJsonNodesSpec extends SparkSpec {
     assert(e.getMessage.contains("metric"))
   }
 
+  test("composite after pages a DATE-keyed calendar date_histogram source") {
+    val orders = Tables.load(spark, sfDir, "orders")
+    def page(after: Option[String]) = {
+      val af = after.map(a => s""", "after": {"m": "$a"}""").getOrElse("")
+      AggsJson.compile(orders,
+        s"""{"aggs": {"p": {"composite": {"size": 4,
+             "sources": [{"m": {"date_histogram": {"field": "o_orderdate",
+                                "calendar_interval": "month"}}}]$af}}}}""")
+        .select($"m".cast("string").as[String], $"doc_count".as[Long]).collect().toSeq
+    }
+    val p1 = page(None)
+    assert(p1.size == 4)
+    // the cursor literal casts to the key's DATE type — page 2 starts
+    // strictly after page 1's last bucket and the pages partition the
+    // full ordered list (the old string literal threw a type mismatch)
+    val p2 = page(Some(p1.last._1))
+    val all = AggsJson.compile(orders,
+      """{"aggs": {"p": {"composite": {"size": 8,
+           "sources": [{"m": {"date_histogram": {"field": "o_orderdate",
+                              "calendar_interval": "month"}}}]}}}}""")
+      .select($"m".cast("string").as[String], $"doc_count".as[Long]).collect().toSeq
+    assert(p1 ++ p2 == all)
+  }
+
   test("composite after keys must match the sources, loudly") {
     val e = intercept[IllegalArgumentException] {
       AggsJson.compile(docs,

@@ -164,4 +164,40 @@ class ConnectorHardeningSpec extends SparkSpec {
       fieldInclude = Seq("id"), readMetadata = true)
     assert(inc.columns.contains("_index"))
   }
+
+  test("readMetadata composes with a FULL scoring body: one _score, body's value wins") {
+    val base = Files.createTempDirectory("graft_hard_bodymeta").toString
+    Seq((1L, "fast hash join plan"), (2L, "slow nested loop"), (3L, "fast merge"))
+      .toDF("id", "text").write.parquet(s"$base/idx")
+    // a body carrying a scoring section (min_score) plus a match query:
+    // SearchBody emits the composed _score; the metadata path must NOT
+    // join a second bm25 _score on top (was: ambiguous-reference crash)
+    val out = spark.graftDF(s"$base/idx",
+      query = """{"query": {"match": {"text": "fast"}}, "min_score": 0.0}""",
+      idField = "id", readMetadata = true)
+    assert(out.columns.count(_ == "_score") == 1)
+    val rows = out.select(col("id"), col("_score"), col("_index"))
+      .as[(Long, Double, String)].collect()
+    assert(rows.map(_._1).toSet == Set(1L, 3L))
+    assert(rows.forall(_._2 > 0.0))
+    assert(rows.forall(_._3.endsWith("/idx")))
+    // a body that prunes _source still carries _id/_index metadata
+    val pruned = spark.graftDF(s"$base/idx",
+      query = """{"query": {"match": {"text": "fast"}}, "min_score": 0.0,
+                  "_source": false}""",
+      idField = "id", readMetadata = true)
+    assert(pruned.columns.contains("_index") && pruned.columns.contains("_id"))
+    assert(pruned.count() == 2)
+  }
+
+  test("readMetadata + aggs/suggest body fails with a named error, not a missing id") {
+    val base = Files.createTempDirectory("graft_hard_aggmeta").toString
+    Seq((1L, "en"), (2L, "de")).toDF("id", "lang").write.parquet(s"$base/idx")
+    val e = intercept[IllegalArgumentException] {
+      spark.graftDF(s"$base/idx",
+        query = """{"aggs": {"l": {"terms": {"field": "lang"}}}, "size": 0}""",
+        idField = "id", readMetadata = true).collect()
+    }
+    assert(e.getMessage.contains("es.read.metadata"), e.getMessage)
+  }
 }
