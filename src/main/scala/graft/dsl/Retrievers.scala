@@ -140,18 +140,15 @@ object Retrievers {
       vectors: DataFrame, vecId: String, rule: JValue): DataFrame = rule match {
     case JObject(JField("standard", JObject(parts)) :: Nil) =>
       parts.toMap.get("query") match {
-        case Some(JObject(JField("match", JObject(JField(f, qv) :: Nil)) :: Nil)) =>
-          val q = qv match {
-            case JString(s) => s
-            case JObject(fields) => fields.toMap.get("query") match {
-              case Some(JString(s)) => s
-              case _ => throw new IllegalArgumentException("standard match needs query")
-            }
-            case other => throw new IllegalArgumentException(s"bad match body: $other")
-          }
-          Search.bm25Scores(docs, docId, f, q)
-        case other => throw new IllegalArgumentException(
-          s"standard retriever supports a match query, got: $other")
+        case Some(q) =>
+          // the FULL scored query phase (shared with the body front
+          // door): match / multi_match / match_phrase score BM25,
+          // bool trees sum their scoring clauses, filter shapes gate
+          // at the constant score
+          SearchBody.scoredQueryFrame(docs, docId,
+            JsonMethods.compact(JsonMethods.render(q)))
+        case None => throw new IllegalArgumentException(
+          "standard retriever needs a query")
       }
     case JObject(JField("knn", JObject(parts)) :: Nil) =>
       val m = parts.toMap
@@ -163,7 +160,13 @@ object Retrievers {
         case Some(JArray(xs)) => array(xs.map(x => lit(numVal(x))): _*)
         case _ => throw new IllegalArgumentException("knn retriever needs query_vector")
       }
-      vectors.select(col(vecId).as("id"),
+      // `filter` PRE-filters the searched corpus (ES knn semantics) —
+      // the predicate pushes into the vector scan
+      val base = m.get("filter")
+        .map(f => vectors.where(EsQuery.compile(
+          JsonMethods.compact(JsonMethods.render(f)), vecId)))
+        .getOrElse(vectors)
+      base.select(col(vecId).as("id"),
         graft.util.Num.round(graft.dedup.Vectors.cosine(
           col(field).cast("array<double>"), qv), 4).as("score"))
     case other => throw new IllegalArgumentException(s"unsupported retriever: $other")

@@ -198,6 +198,34 @@ object SearchBody {
       case _ => None
     }
 
+  /** A query-DSL object as an UNRANKED (id, score) frame — the scored
+    * query phase shared by the body front door and the `standard`
+    * retriever leaf: `match` (single-field BM25), `multi_match`
+    * (one-pass per-field kernel, ^boosts, best/most_fields),
+    * `match_phrase` (phrase-gated BM25), `bool` trees (hit set = the
+    * full predicate; score = the SUM of matched scoring clauses'
+    * BM25 via the one-pass clause kernel, filter/must_not contribute
+    * 0), and pure filter shapes at the constant 1.0. */
+  def scoredQueryFrame(df: org.apache.spark.sql.DataFrame, idField: String,
+      q: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    matchSpec(q)
+      .map { case (f, text) => graft.search.Search.bm25Scores(df, idField, f, text) }
+      .orElse(multiMatchSpec(q).map { case (fs, text, mode) =>
+        graft.search.Search.multiMatchScores(df, idField, fs, text, mode) })
+      .orElse(phraseSpec(q).map { case (f, text) =>
+        graft.search.Search.matchPhraseScores(df, idField, f, text) })
+      .getOrElse {
+        val clauses = QueryDslJson.scoringClauses(q)
+        val hits = df.where(EsQuery.compile(q, idField)).select(col(idField).as("id"))
+        if (clauses.isEmpty) hits.withColumn("score", lit(1.0))
+        else hits
+          .join(graft.search.Search.bm25BoolClausesScores(df, idField, clauses),
+            Seq("id"), "left")
+          .withColumn("score", coalesce(col("score"), lit(0.0)))
+      }
+  }
+
   /** The full `_search` request lifecycle over one frame, composed in
     * ES's evaluation order into ONE Catalyst plan:
     *
@@ -346,44 +374,17 @@ object SearchBody {
     val mSpec = queryJson.flatMap(matchSpec)
     val matched = (queryJson, scoring) match {
       case (Some(q), true) =>
-        // scored query forms: match (single-field BM25) and
-        // multi_match (per-field BM25 via the one-pass kernel,
-        // best/most_fields + ^boosts); anything else evaluates in
-        // filter context at the constant score
-        val scoreFrame = mSpec
-          .map { case (f, text) =>
-            graft.search.Search.bm25Scores(projected, idField, f, text) }
-          .orElse(multiMatchSpec(q).map { case (fs, text, mode) =>
-            graft.search.Search.multiMatchScores(projected, idField, fs, text, mode) })
-          .orElse(phraseSpec(q).map { case (f, text) =>
-            graft.search.Search.matchPhraseScores(projected, idField, f, text) })
-        scoreFrame match {
-          case Some(sf) =>
-            val scored = sf.select(col("id").as("__qid"), col("score").as("_score"))
-            projected.join(scored, col(idField) === col("__qid")).drop("__qid")
-          case None =>
-            // a `bool` tree with scoring clauses (match at top / under
-            // must / should): hits = the bool predicate; _score = the
-            // SUM of matched scoring clauses' BM25 (filter/must_not
-            // contribute 0) — the same per-clause formula the
-            // connector's readMetadata `_score` uses, so the two
-            // front doors can't diverge. A doc matching via filters
-            // alone scores 0 (ES's filter-context rule).
-            val clauses = QueryDslJson.scoringClauses(q)
-            val hits = projected.where(EsQuery.compile(q, idField))
-            if (clauses.isEmpty) hits.withColumn("_score", lit(1.0))
-            else {
-              // ONE corpus pass for all scoring clauses (the one-pass
-              // clause kernel) — N clauses no longer cost N scans
-              val scores = graft.search.Search
-                .bm25BoolClausesScores(projected, idField, clauses)
-                .select(col("id").as("__qid"), col("score").as("__bscore"))
-              hits.join(scores, col(idField) === col("__qid"), "left")
-                .drop("__qid")
-                .withColumn("_score", coalesce(col("__bscore"), lit(0.0)))
-                .drop("__bscore")
-            }
-        }
+        // the shared scored query phase (scoredQueryFrame): match /
+        // multi_match / match_phrase carry real BM25; `bool` trees
+        // score the SUM of their matched scoring clauses through the
+        // one-pass clause kernel (the same per-clause formula the
+        // connector's readMetadata `_score` uses, so the two front
+        // doors can't diverge — a doc matching via filters alone
+        // scores 0, ES's filter-context rule); pure filter shapes
+        // evaluate at the constant 1.0
+        val scored = scoredQueryFrame(projected, idField, q)
+          .select(col("id").as("__qid"), col("score").as("_score"))
+        projected.join(scored, col(idField) === col("__qid")).drop("__qid")
       case (Some(q), false) => projected.where(EsQuery.compile(q, idField))
       case (None, true) => projected.withColumn("_score", lit(1.0))
       case (None, false) => projected

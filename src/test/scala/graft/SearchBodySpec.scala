@@ -460,6 +460,33 @@ class SearchBodySpec extends SparkSpec {
     assert(viaTree == handWired && viaTree.size == 10)
   }
 
+  test("standard retriever leaf accepts any scored query shape; knn leaf honors filter") {
+    val corpus = docs.join(
+      Tables.load(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"), col("label")),
+      col("doc_id") === col("vec_id")).drop("vec_id")
+    val vec = (0 until 64).map(i => (i * 37 % 100) / 100.0 - 0.5)
+    // bool standard leaf: scoring clauses sum, filter clause gates
+    val viaTree = graft.dsl.Retrievers.topK(corpus, "doc_id", corpus, "doc_id",
+      """{"retriever": {"standard": {"query": {"bool": {
+           "must": [{"match": {"text": "vector hash"}}],
+           "filter": [{"term": {"lang": "en"}}]}}}}}""", k = 10)
+      .select($"id".as[Long], $"score".as[Double]).collect().toSeq
+    val direct = graft.dsl.SearchBody.search(docs,
+      """{"query": {"bool": {"must": [{"match": {"text": "vector hash"}}],
+          "filter": [{"term": {"lang": "en"}}]}}, "min_score": 0.0, "size": 10}""",
+      idField = "doc_id")
+      .select($"doc_id".as[Long], $"_score".as[Double]).collect().toSeq
+    assert(viaTree == direct && viaTree.size == 10)
+    // knn leaf pre-filter restricts the searched corpus
+    val filtered = graft.dsl.Retrievers.topK(corpus, "doc_id", corpus, "doc_id",
+      s"""{"retriever": {"knn": {"field": "embedding",
+           "query_vector": [${vec.mkString(",")}],
+           "filter": {"term": {"label": 3}}}}}""", k = 5)
+      .select($"id".as[Long]).collect().toSet
+    val labels = corpus.where($"label" === 3).select($"doc_id".as[Long]).collect().toSet
+    assert(filtered.nonEmpty && filtered.subsetOf(labels))
+  }
+
   test("text_similarity_reranker: swapped inference service takes effect") {
     import graft.inference.{Inference, InferenceService}
     val body =
