@@ -223,6 +223,44 @@ private[graft] object EntriesBody {
           "highlight": {"fields": {"text": {"number_of_fragments": 3}, "source": {}}},
           "_source": ["doc_id"]}""",
       idField = "doc_id")),
+    // nested sort through the body: mode fold over inner docs
+    // restricted by the nested filter (orders by min returned-item
+    // quantity; no matching inner doc -> missing, sorted last)
+    "q_search_body_sort_nested" -> ((s, d) => {
+      val items = t(s, d, "lineitem").groupBy(col("l_orderkey"))
+        .agg(collect_list(struct(col("l_quantity"), col("l_returnflag"))).as("items"))
+      graft.dsl.SearchBody.search(
+        t(s, d, "orders").join(items, col("o_orderkey") === col("l_orderkey")),
+        """{"sort": [{"items.l_quantity": {"order": "asc", "mode": "min",
+              "nested": {"path": "items",
+                         "filter": {"term": {"l_returnflag": "R"}}}}},
+                     {"o_orderkey": {"order": "asc"}}],
+            "size": 100, "_source": ["o_orderkey"]}""",
+        idField = "o_orderkey")
+    }),
+    // missing-value placement through the body: _first inverts ES's
+    // missing-last default
+    "q_search_body_sort_missing" -> ((s, d) => graft.dsl.SearchBody.search(
+      t(s, d, "orders").withColumn("pri",
+        when(col("o_orderpriority") === "1-URGENT", lit(null).cast("string"))
+          .otherwise(col("o_orderpriority"))),
+      """{"sort": [{"pri": {"order": "asc", "missing": "_first"}},
+                   {"o_orderkey": {"order": "asc"}}],
+          "size": 100, "_source": ["o_orderkey", "pri"]}""",
+      idField = "o_orderkey")),
+    // the ES 8.18 rescorer retriever: a rescore block over the child's
+    // top window — same two-phase math as the body rescore section
+    "q_retriever_rescorer" -> ((s, d) => graft.dsl.SearchBody.search(
+      t(s, d, "documents"),
+      """{"retriever": {"rescorer": {
+            "retriever": {"standard": {"query": {"match": {"text": "fast hash join"}}}},
+            "rank_window_size": 50,
+            "rescore": {"query": {
+              "rescore_query": {"script_score": {"script":
+                {"source": "Math.log(1 + doc['n_chars'].value) * 0.5"}}},
+              "query_weight": 1.0, "rescore_query_weight": 1.0}}}},
+          "size": 10}""",
+      idField = "doc_id")),
     // the ES 8.18 text_similarity_reranker retriever: the child
     // standard retriever's top-20 re-scored by the inference seam's
     // rerank (deterministic term-overlap stub — swap Inference.service
@@ -436,6 +474,17 @@ private[graft] object EntriesBody {
       "], x -> x != '')[1:3], ' ... ') AS snippet_text, " +
       "regexp_replace(regexp_extract(lower(source), '([a-z0-9]+ ){0,3}\\bsrc1\\b( [a-z0-9]+){0,3}'), '\\bsrc1\\b', '<em>src1</em>', 'g') AS snippet_source " +
       "FROM h ORDER BY _score DESC, doc_id"),
+    "q_search_body_sort_nested" -> ("WITH m AS (SELECT l_orderkey, " +
+      "min(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS k FROM lineitem GROUP BY 1) " +
+      "SELECT o_orderkey FROM orders JOIN m ON o_orderkey = l_orderkey " +
+      "ORDER BY k ASC NULLS LAST, o_orderkey LIMIT 100"),
+    "q_search_body_sort_missing" -> ("SELECT o_orderkey, CASE WHEN o_orderpriority = '1-URGENT' " +
+      "THEN NULL ELSE o_orderpriority END AS pri FROM orders " +
+      "ORDER BY pri ASC NULLS FIRST, o_orderkey LIMIT 100"),
+    "q_retriever_rescorer" -> (TokCte + bm25Ctes("", "tok", Seq("fast", "hash", "join")) +
+      ", w AS (SELECT id, score FROM sc ORDER BY score DESC, id LIMIT 50) " +
+      "SELECT w.id, round(w.score * 1.0 + ln(1.0 + d.n_chars) * 0.5 * 1.0, 4) AS score " +
+      "FROM w JOIN documents d ON d.doc_id = w.id ORDER BY score DESC, id LIMIT 10"),
     "q_retriever_rerank" -> (TokCte + bm25Ctes("", "tok", Seq("fast", "hash", "join")) +
       ", w AS (SELECT id FROM sc ORDER BY score DESC, id LIMIT 20) " +
       "SELECT w.id, CAST(round(" +

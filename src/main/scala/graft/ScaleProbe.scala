@@ -559,6 +559,40 @@ object ScaleProbe {
                    "tdigest": true}}}}}}""")
         .count()
     }
+    // r11 shapes ----------------------------------------------------
+    time("scored_bool_3clause_10x") {
+      // the one-pass clause kernel: 3 scoring clauses on one corpus
+      // tokenize pass (was one bm25 pipeline per clause — scan count
+      // linear in clauses); hit set = the bool predicate
+      graft.dsl.SearchBody.search(docs,
+        """{"query": {"bool": {
+             "must": [{"match": {"text": "vector hash"}}],
+             "should": [{"match": {"text": "merge join"}},
+                        {"match": {"source": "src1"}}]}},
+            "min_score": 0.0}""",
+        idField = "doc_id").count()
+    }
+    time("sort_geo_after_10x") {
+      // rich body sort + cursor: the computed haversine key feeds the
+      // ordering AND the search_after predicate — deep geo paging is
+      // one scan + one TakeOrderedAndProject, never an offset
+      val cust = times(Tables.load(spark, sfDir, "customer"), "c_custkey", 1000000000L)
+        .withColumn("loc_lat", (col("c_custkey") * 7919 % 18000) / 100.0 - 90.0)
+        .withColumn("loc_lon", (col("c_custkey") * 104729 % 36000) / 100.0 - 180.0)
+      graft.dsl.SearchBody.search(cust,
+        """{"sort": [{"_geo_distance": {"loc": {"lat": 0.0, "lon": 0.0},
+               "order": "asc", "unit": "km"}},
+             {"c_custkey": {"order": "asc"}}],
+            "search_after": [3000.0, 0], "size": 50,
+            "_source": ["c_custkey"]}""",
+        idField = "c_custkey").count()
+    }
+    time("dedup_semantic_keep_10x") {
+      // the SemDeDup keeper fold: pairs + connected components +
+      // ONE min_by partial agg over the membership frame
+      Dedup.semanticDedupKeep(emb, "vec_id", "embedding",
+        nCentroids = 16, minCosine = 0.35).count()
+    }
     time("esql_cidr_10x") {
       // CIDR blocks fold to compile-time numeric range predicates over
       // the dotted-quad; cost is the scan + narrow string assembly

@@ -270,20 +270,32 @@ object Dedup {
     // round's); materialize once before any branch can race the cache
     // and recompute the (expensive) upstream pair pipeline
     edges.count()
-    // cache (NOT localCheckpoint): caching keeps the lineage, so an
-    // executor loss recomputes instead of failing on missing local
-    // checkpoint blocks; superseded generations are unpersisted
-    // explicitly each round. Pointer jumping keeps the round count —
-    // and therefore the nested-plan depth — logarithmic.
+    // Per-round PLAN-LINEAGE TRUNCATION (eager checkpoint): each
+    // round's frame references the previous round's THREE times
+    // (labels feeds nbrMin, lblOfLbl and the carry), so a cached-only
+    // loop re-analyzes a logical tree that expands ~4x per round —
+    // Catalyst walks shared subtrees once per PATH, and the
+    // execution-start plan description expands them too. Measured:
+    // round times 1.3 s -> 5.6 -> 27 -> 177 s -> driver OOM (a 2 GB
+    // plan string) on any graph needing 6+ rounds; minhash clone
+    // cliques converge in <= 3 rounds, which is why the hazard stayed
+    // latent until SemDeDup's keeper ran on sf0.1. Checkpointing per
+    // iteration is the GraphX/GraphFrames CC recipe: reliable
+    // checkpoint when a checkpoint dir is configured (cluster
+    // resilience — blocks survive executor loss), localCheckpoint
+    // otherwise (single-JVM local mode, where executor loss is
+    // process death anyway). Both are EAGER, doubling as the round's
+    // materialization barrier; superseded blocks are dropped by the
+    // ContextCleaner when the frame goes out of scope.
+    def truncate(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
     // seed with the neighborhood minimum directly (min of self and all
     // neighbors) — one round cheaper than the identity seeding
-    var cached = edges
+    var labels = truncate(edges
       .groupBy(col("a").as("id"))
       .agg(min(col("b")).as("nmin"))
-      .select(col("id"), least(col("id"), col("nmin")).as("lbl"), col("id").as("old"))
-      .cache()
-    cached.count() // eager: read by two branches (labels + lblOfLbl) per round
-    var labels = cached.select(col("id"), col("lbl"))
+      .select(col("id"), least(col("id"), col("nmin")).as("lbl")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -295,31 +307,22 @@ object Dedup {
       // OF the current label — doubles the propagation horizon per
       // round, so convergence is O(log diameter), not O(diameter)
       val lblOfLbl = labels.select(col("id").as("lbl"), col("lbl").as("llbl"))
+      val t0 = System.nanoTime()
       // carry the previous label alongside the new one so the
-      // convergence check is a count over THIS frame — the same action
-      // that materializes the cache, not a second join-shaped job
-      val next = labels
+      // convergence check is a count over the checkpointed frame —
+      // the truncate() already materialized every partition
+      val next = truncate(labels
         .join(nbrMin, Seq("id"), "left")
         .join(lblOfLbl, Seq("lbl"), "left")
         .select(col("id"), least(
           col("lbl"),
           coalesce(col("nmin"), col("lbl")),
           coalesce(col("llbl"), col("lbl"))).as("lbl"),
-          col("lbl").as("old"))
-        .cache()
-      val t0 = System.nanoTime()
-      // count(), not isEmpty: take(1) would stop at the first changed
-      // row on a non-converged round, leaving next's cache partially
-      // filled — and the prior generation is about to be unpersisted,
-      // so later rounds would recompute the missing partitions through
-      // the full uncached multi-round lineage. count() scans every
-      // partition, fully materializing the cache in the same action.
+          col("lbl").as("old")))
       converged = next.where(col("lbl") =!= col("old")).count() == 0
       if (sys.env.contains("GRAFT_CC_VERBOSE"))
         System.err.println(
           f"[cc] round $iter: ${(System.nanoTime() - t0) / 1e9}%.2f s converged=$converged")
-      cached.unpersist()
-      cached = next
       labels = next.select(col("id"), col("lbl"))
       iter += 1
     }

@@ -81,6 +81,43 @@ object Retrievers {
       Search.linearTopK(weightedChildren(docs, docId, vectors, vecId, m),
         windowSize = w, k = w)
         .select(col("id"), col("linear_score").as("score"))
+    case JObject(JField("rescorer", JObject(parts)) :: Nil) =>
+      // the ES 8.18 rescorer retriever: a rescore block applied over
+      // the child's top rank_window_size — score' = score * qw +
+      // script_score(_score=score) * rw, same math as the body's
+      // rescore section (bounded TakeOrderedAndProject window)
+      val m = parts.toMap
+      val child = m.getOrElse("retriever",
+        throw new IllegalArgumentException("rescorer needs a retriever"))
+      val w = num(m, "rank_window_size", 10)
+      val rq = m.get("rescore") match {
+        case Some(JObject(r)) => r.toMap.get("query") match {
+          case Some(JObject(q)) => q.toMap
+          case _ => throw new IllegalArgumentException("rescorer rescore needs a query object")
+        }
+        case _ => throw new IllegalArgumentException("rescorer needs a rescore block")
+      }
+      val qw = rq.get("query_weight").map(numVal).getOrElse(1.0)
+      val rw = rq.get("rescore_query_weight").map(numVal).getOrElse(1.0)
+      val secondary = rq.get("rescore_query") match {
+        case Some(JObject(JField("script_score", JObject(ss)) :: Nil)) =>
+          ss.toMap.get("script") match {
+            case Some(JObject(s)) => s.toMap.get("source") match {
+              case Some(JString(src)) => src
+              case _ => throw new IllegalArgumentException(
+                "rescorer script_score needs script.source")
+            }
+            case _ => throw new IllegalArgumentException("rescorer script_score needs a script")
+          }
+        case other => throw new IllegalArgumentException(
+          s"rescorer rescore_query supports script_score; got: $other")
+      }
+      val top = eval(docs, docId, vectors, vecId, child)
+        .orderBy(col("score").desc, col("id").asc).limit(w)
+      top.join(docs, top("id") === docs(docId))
+        .select(top("id"),
+          graft.util.Num.round(top("score") * qw +
+            Painless.compile(secondary, score = top("score")) * rw, 4).as("score"))
     case JObject(JField("text_similarity_reranker", JObject(parts)) :: Nil) =>
       val m = parts.toMap
       val child = m.getOrElse("retriever",
