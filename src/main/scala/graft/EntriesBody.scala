@@ -282,6 +282,35 @@ private[graft] object EntriesBody {
            "term": {"field": "text", "suggest_mode": "always",
                     "max_edits": 2, "size": 5}}}}""",
       idField = "doc_id")),
+    // multi_terms as a JSON node: compound-key terms, one exchange,
+    // a metric per bucket
+    "q_aggs_json_multi_terms" -> ((s, d) => graft.dsl.AggsJson.compile(
+      t(s, d, "documents"),
+      """{"aggs": {"combo": {"multi_terms": {
+           "terms": [{"field": "lang"}, {"field": "source"}], "size": 10},
+           "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}}}}}""")),
+    // date_range as a JSON node: date-string bounds (from inclusive,
+    // to exclusive), "from-to" bucket keys, metric per bucket
+    "q_aggs_json_date_range" -> ((s, d) => graft.dsl.AggsJson.compile(
+      t(s, d, "orders"),
+      """{"aggs": {"era": {"date_range": {"field": "o_orderdate", "ranges": [
+           {"to": "1997-01-01"},
+           {"from": "1997-01-01", "to": "1999-01-01"},
+           {"from": "1999-01-01"}]},
+           "aggs": {"revenue": {"sum": {"field": "o_totalprice"}}}}}}""")),
+    // rare_terms as a JSON node: the long-tail buckets (doc_count <=
+    // max_doc_count), rarest first
+    "q_aggs_json_rare_terms" -> ((s, d) => graft.dsl.AggsJson.compile(
+      t(s, d, "documents"),
+      """{"aggs": {"rare_src": {"rare_terms": {"field": "source",
+           "max_doc_count": 30}}}}""")),
+    // percentile_ranks as a grouped JSON metric: percent of each
+    // bucket's values at or below the requested values
+    "q_aggs_json_pctl_ranks" -> ((s, d) => graft.dsl.AggsJson.compile(
+      t(s, d, "lineitem"),
+      """{"aggs": {"by_flag": {"terms": {"field": "l_returnflag", "size": 10}, "aggs": {
+           "pr": {"percentile_ranks": {"field": "l_extendedprice",
+                  "values": [1000, 10000, 50000]}}}}}}""")),
     // random_sampler as a JSON wrapper: the terms+metric sub-tree
     // evaluates on a deterministic 10% hash sample — one scan
     "q_aggs_json_sampler" -> ((s, d) => graft.dsl.AggsJson.compile(
@@ -497,6 +526,23 @@ private[graft] object EntriesBody {
       "SELECT token, freq FROM v " +
       "WHERE token <> 'spak' AND levenshtein(token, 'spak') <= 2 " +
       "ORDER BY freq DESC, token LIMIT 5"),
+    "q_aggs_json_multi_terms" -> ("SELECT lang, source, count(*)::BIGINT AS doc_count, " +
+      "round(avg(n_chars), 4) AS avg_chars FROM documents " +
+      "GROUP BY lang, source ORDER BY doc_count DESC, lang, source LIMIT 10"),
+    "q_aggs_json_date_range" -> ("WITH r AS (SELECT o_totalprice, " +
+      "CASE WHEN o_orderdate < DATE '1997-01-01' THEN '*-1997-01-01' " +
+      "WHEN o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1999-01-01' THEN '1997-01-01-1999-01-01' " +
+      "WHEN o_orderdate >= DATE '1999-01-01' THEN '1999-01-01-*' END AS era FROM orders) " +
+      "SELECT era, count(*)::BIGINT AS doc_count, " +
+      "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue " +
+      "FROM r WHERE era IS NOT NULL GROUP BY era ORDER BY era"),
+    "q_aggs_json_rare_terms" -> ("SELECT source AS key, count(*)::BIGINT AS doc_count " +
+      "FROM documents GROUP BY source HAVING count(*) <= 30 ORDER BY doc_count, key"),
+    "q_aggs_json_pctl_ranks" -> ("SELECT l_returnflag AS by_flag, count(*)::BIGINT AS doc_count, " +
+      "round(count_if(l_extendedprice <= 1000)::DOUBLE / count(l_extendedprice)::DOUBLE * 100.0, 4) AS pr_rank_1000, " +
+      "round(count_if(l_extendedprice <= 10000)::DOUBLE / count(l_extendedprice)::DOUBLE * 100.0, 4) AS pr_rank_10000, " +
+      "round(count_if(l_extendedprice <= 50000)::DOUBLE / count(l_extendedprice)::DOUBLE * 100.0, 4) AS pr_rank_50000 " +
+      "FROM lineitem GROUP BY l_returnflag ORDER BY by_flag LIMIT 10"),
     "q_aggs_json_sampler" -> ("SELECT o_orderstatus AS by_status, count(*)::BIGINT AS doc_count, " +
       "round(avg(o_totalprice), 4) AS avg_price FROM orders " +
       s"WHERE ${hexFold("o_orderkey::VARCHAR", 12)} / 281474976710656.0 < 0.1 " +

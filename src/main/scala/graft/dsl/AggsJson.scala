@@ -125,6 +125,23 @@ object AggsJson {
         val f = str(ms.toMap, "field", "missing")
         return df.where(col(f).isNull)
           .agg(count(lit(1)).as("doc_count"))
+      // `multi_terms`: compound-key terms — ONE groupBy over all key
+      // fields (one exchange), top-N by doc_count (ES's default
+      // order, key-asc tie-break), metric sub-aggs per bucket
+      case JField(name, JObject(spec)) :: Nil if spec.exists(_._1 == "multi_terms") =>
+        return compileMultiTerms(df, name, spec.toMap)
+      // `rare_terms`: the long-tail inverse of terms — buckets with
+      // doc_count <= max_doc_count, rarest first. One partial-agged
+      // groupBy + a HAVING predicate; never a global sort of the
+      // full key space
+      case JField(name, JObject(JField("rare_terms", JObject(rs)) :: Nil)) :: Nil =>
+        val m = rs.toMap
+        val f = str(m, "field", "rare_terms")
+        val maxDoc = m.get("max_doc_count").map(num(_).toLong).getOrElse(1L)
+        return df.groupBy(col(f).as("key"))
+          .agg(count(lit(1)).as("doc_count"))
+          .where(col("doc_count") <= maxDoc)
+          .orderBy(col("doc_count").asc, col("key").asc)
       case JField(name, JObject(spec)) :: Nil
           if spec.exists(_._1 == "terms") && topHitsChild(spec.toMap).isDefined =>
         return compileTopHits(df, name, spec.toMap)
@@ -149,7 +166,7 @@ object AggsJson {
       val (buckets, leafMetrics) = aggs.partition {
         case JField(_, JObject(spec)) =>
           spec.exists { case JField(k, _) =>
-            Set("terms", "histogram", "date_histogram", "range",
+            Set("terms", "histogram", "date_histogram", "range", "date_range",
               "geotile_grid", "geohash_grid").contains(k) }
         case _ => false
       }
@@ -341,6 +358,38 @@ object AggsJson {
         val f = str(m, "field", "geohash_grid")
         val p = m.get("precision").map(num(_).toInt).getOrElse(5)
         graft.agg.Aggs.geohashKey(s"${f}_lat", s"${f}_lon", p)
+      case ("date_range", JObject(s)) =>
+        // like `range` but with date-string bounds (from inclusive, to
+        // exclusive, ES semantics); bucket key = "from-to" with the
+        // request's strings, missing side = "*"
+        val m = s.toMap
+        val f = str(m, "field", "date_range")
+        val ranges: Seq[(Option[String], Option[String])] = m.get("ranges") match {
+          case Some(JArray(rs)) => rs.map {
+            case JObject(r) =>
+              val rm = r.toMap
+              def side(k: String) = rm.get(k).map {
+                case JString(x) => x
+                case other => throw new IllegalArgumentException(
+                  s"date_range $k must be a date string: $other")
+              }
+              (side("from"), side("to"))
+            case other => throw new IllegalArgumentException(s"bad date range: $other")
+          }
+          case _ => throw new IllegalArgumentException("date_range needs ranges")
+        }
+        ranges.foldRight(lit(null).cast("string")) { case ((from, to), acc) =>
+          val label = s"${from.getOrElse("*")}-${to.getOrElse("*")}"
+          val c = col(f)
+          val cond = (from.map(x => c >= to_date(lit(x))),
+            to.map(x => c < to_date(lit(x)))) match {
+            case (Some(a), Some(b)) => a && b
+            case (Some(a), None) => a
+            case (None, Some(b)) => b
+            case _ => throw new IllegalArgumentException("date range needs from or to")
+          }
+          when(cond, lit(label)).otherwise(acc)
+        }
       case ("range", JArrayOrRanges(ranges)) =>
         ranges.foldRight(lit(null).cast("string")) { case ((from, to, _), acc) =>
           val label =
@@ -357,6 +406,41 @@ object AggsJson {
       case (other, _) => throw new IllegalArgumentException(
         s"unsupported bucket agg under '$name': $other")
     }
+
+  /** `{"multi_terms": {"terms": [{"field": a}, {"field": b}],
+    * "size": N}}` — compound-key terms. One groupBy over every key
+    * field (one exchange with map-side partial aggregation), top-N
+    * buckets by doc_count desc (ES's default order; key-asc
+    * tie-break), optional metric sub-aggs evaluated per bucket. */
+  private def compileMultiTerms(
+      df: DataFrame, name: String, spec: Map[String, JValue]): DataFrame = {
+    val mt = spec("multi_terms") match {
+      case JObject(m) => m.toMap
+      case other => throw new IllegalArgumentException(s"bad multi_terms under '$name': $other")
+    }
+    val fields: Seq[String] = mt.get("terms") match {
+      case Some(JArray(ts)) => ts.map {
+        case JObject(t) => str(t.toMap, "field", "multi_terms.terms")
+        case other => throw new IllegalArgumentException(s"bad multi_terms term: $other")
+      }
+      case _ => throw new IllegalArgumentException("multi_terms needs a terms array")
+    }
+    require(fields.size >= 2, "multi_terms needs at least two fields (use terms for one)")
+    val size = mt.get("size").map(num(_).toInt).getOrElse(10)
+    val metrics = spec.get("aggs").orElse(spec.get("aggregations")) match {
+      case Some(JObject(subs)) => subs.flatMap {
+        case JField(mn, JObject(ms)) => metricCols(mn, ms.toMap)
+        case other => throw new IllegalArgumentException(s"bad multi_terms sub-agg: $other")
+      }
+      case None => Nil
+      case Some(other) => throw new IllegalArgumentException(s"bad sub-aggs: $other")
+    }
+    val aggCols = count(lit(1)).as("doc_count") +: metrics.map { case (n, c) => c.as(n) }
+    df.groupBy(fields.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+      .orderBy(col("doc_count").desc +: fields.map(col(_).asc): _*)
+      .limit(size)
+  }
 
   /** range spec extractor: (from, to, field) triples. */
   private object JArrayOrRanges {
@@ -657,6 +741,23 @@ object AggsJson {
         Seq(name -> Num.round(
           sum((v * w).cast("decimal(18,4)")).cast("double") /
             sum(w.cast("decimal(18,4)")).cast("double"), 4))
+      case ("percentile_ranks", JObject(s)) =>
+        // inverse percentiles: the PERCENT of the group's values at or
+        // below each requested value — one conditional count per
+        // value, all in the same partial aggregation (no extra pass)
+        val m = s.toMap
+        val f = col(str(m, "field", "percentile_ranks"))
+        val values = m.get("values") match {
+          case Some(JArray(xs)) => xs.map(num)
+          case _ => throw new IllegalArgumentException("percentile_ranks needs values")
+        }
+        def label(v: Double) =
+          (if (v == v.floor) v.toLong.toString else v.toString).replace('.', '_')
+        values.map { v =>
+          s"${name}_rank_${label(v)}" -> Num.round(
+            count(when(f <= v, lit(1))).cast("double") /
+              count(f).cast("double") * 100.0, 4)
+        }
       case _ => Seq(name -> metricCol(name, spec))
     }
   }
