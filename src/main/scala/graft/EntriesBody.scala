@@ -311,6 +311,31 @@ private[graft] object EntriesBody {
       """{"aggs": {"by_flag": {"terms": {"field": "l_returnflag", "size": 10}, "aggs": {
            "pr": {"percentile_ranks": {"field": "l_extendedprice",
                   "values": [1000, 10000, 50000]}}}}}}""")),
+    // auto_date_histogram as a JSON node: delegates to the Scala
+    // kernel (shared interval election — same params as
+    // q_agg_auto_date_histogram, so the oracle is shared too)
+    "q_aggs_json_auto_date" -> ((s, d) => graft.dsl.AggsJson.compile(
+      t(s, d, "orders"),
+      """{"aggs": {"auto": {"auto_date_histogram": {"field": "o_orderdate",
+           "buckets": 20}}}}""")),
+    // string_stats as a grouped JSON metric (the Scala key is global;
+    // the JSON route composes it per terms bucket)
+    "q_aggs_json_string_stats" -> ((s, d) => graft.dsl.AggsJson.compile(
+      t(s, d, "documents"),
+      """{"aggs": {"by_lang": {"terms": {"field": "lang", "size": 10}, "aggs": {
+           "len": {"string_stats": {"field": "text"}}}}}}""")),
+    // boxplot as a grouped JSON metric: per-bucket five-number summary
+    "q_aggs_json_boxplot" -> ((s, d) => graft.dsl.AggsJson.compile(
+      t(s, d, "lineitem"),
+      """{"aggs": {"by_flag": {"terms": {"field": "l_returnflag", "size": 10}, "aggs": {
+           "bp": {"boxplot": {"field": "l_extendedprice"}}}}}}""")),
+    // top_metrics as a grouped JSON metric: the metric value AT the
+    // best sort key per bucket (one max_by partial agg, no window)
+    "q_aggs_json_top_metrics" -> ((s, d) => graft.dsl.AggsJson.compile(
+      t(s, d, "documents"),
+      """{"aggs": {"by_lang": {"terms": {"field": "lang", "size": 10}, "aggs": {
+           "latest": {"top_metrics": {"metrics": {"field": "n_chars"},
+                      "sort": {"field": "doc_id", "order": "desc"}}}}}}}""")),
     // random_sampler as a JSON wrapper: the terms+metric sub-tree
     // evaluates on a deterministic 10% hash sample — one scan
     "q_aggs_json_sampler" -> ((s, d) => graft.dsl.AggsJson.compile(
@@ -526,6 +551,23 @@ private[graft] object EntriesBody {
       "SELECT token, freq FROM v " +
       "WHERE token <> 'spak' AND levenshtein(token, 'spak') <= 2 " +
       "ORDER BY freq DESC, token LIMIT 5"),
+    // shared oracle: the JSON node delegates to the same kernel with
+    // the same params as the Scala key
+    "q_aggs_json_auto_date" -> EntriesAggs.oracleSql("q_agg_auto_date_histogram"),
+    "q_aggs_json_string_stats" -> ("SELECT lang AS by_lang, count(*)::BIGINT AS doc_count, " +
+      "count(text)::BIGINT AS len_count, min(length(text))::INT AS len_min_length, " +
+      "max(length(text))::INT AS len_max_length, round(avg(length(text)), 4) AS len_avg_length " +
+      "FROM documents GROUP BY lang ORDER BY by_lang LIMIT 10"),
+    "q_aggs_json_boxplot" -> ("SELECT l_returnflag AS by_flag, count(*)::BIGINT AS doc_count, " +
+      "round(quantile_cont(l_extendedprice, 0.0), 4) AS bp_min, " +
+      "round(quantile_cont(l_extendedprice, 0.25), 4) AS bp_q1, " +
+      "round(quantile_cont(l_extendedprice, 0.5), 4) AS bp_q2, " +
+      "round(quantile_cont(l_extendedprice, 0.75), 4) AS bp_q3, " +
+      "round(quantile_cont(l_extendedprice, 1.0), 4) AS bp_max " +
+      "FROM lineitem GROUP BY l_returnflag ORDER BY by_flag LIMIT 10"),
+    "q_aggs_json_top_metrics" -> ("SELECT lang AS by_lang, count(*)::BIGINT AS doc_count, " +
+      "max_by(n_chars, doc_id) AS latest_n_chars, max(doc_id) AS latest_sort " +
+      "FROM documents GROUP BY lang ORDER BY by_lang LIMIT 10"),
     "q_aggs_json_multi_terms" -> ("SELECT lang, source, count(*)::BIGINT AS doc_count, " +
       "round(avg(n_chars), 4) AS avg_chars FROM documents " +
       "GROUP BY lang, source ORDER BY doc_count DESC, lang, source LIMIT 10"),

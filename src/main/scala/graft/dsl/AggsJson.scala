@@ -125,6 +125,15 @@ object AggsJson {
         val f = str(ms.toMap, "field", "missing")
         return df.where(col(f).isNull)
           .agg(count(lit(1)).as("doc_count"))
+      // `auto_date_histogram`: delegate to the Scala kernel (the
+      // interval election needs a min/max pre-pass; the JSON node and
+      // the Scala operator share one implementation, so the bucket
+      // election cannot diverge)
+      case JField(name, JObject(JField("auto_date_histogram", JObject(as)) :: Nil)) :: Nil =>
+        val m = as.toMap
+        return graft.agg.Aggs.autoDateHistogramAgg(df,
+          str(m, "field", "auto_date_histogram"),
+          m.get("buckets").map(num(_).toInt).getOrElse(10))
       // `multi_terms`: compound-key terms — ONE groupBy over all key
       // fields (one exchange), top-N by doc_count (ES's default
       // order, key-asc tie-break), metric sub-aggs per bucket
@@ -741,6 +750,46 @@ object AggsJson {
         Seq(name -> Num.round(
           sum((v * w).cast("decimal(18,4)")).cast("double") /
             sum(w.cast("decimal(18,4)")).cast("double"), 4))
+      case ("string_stats", JObject(s)) =>
+        // per-group length statistics over a string field — the
+        // lengths fold in the SAME partial aggregation, no extra pass
+        val c = fieldOf(s.toMap, "string_stats")
+        Seq(
+          s"${name}_count" -> count(c),
+          s"${name}_min_length" -> min(length(c)),
+          s"${name}_max_length" -> max(length(c)),
+          s"${name}_avg_length" -> Num.round(avg(length(c)), 4))
+      case ("boxplot", JObject(s)) =>
+        // grouped five-number summary (exact interpolation, like the
+        // percentiles metric's exact route: group-local value-multiset
+        // state — corpus-scale groups use percentiles+tdigest instead)
+        val c = fieldOf(s.toMap, "boxplot")
+        Seq("min" -> 0.0, "q1" -> 0.25, "q2" -> 0.5, "q3" -> 0.75, "max" -> 1.0)
+          .map { case (part, p) =>
+            s"${name}_$part" -> Num.round(percentile(c, lit(p)), 4)
+          }
+      case ("top_metrics", JObject(s)) =>
+        // per-bucket metric value AT the best sort key (ES's size-1
+        // default): ONE max_by/min_by partial agg, never a window
+        val m = s.toMap
+        val metricField = m.get("metrics") match {
+          case Some(JObject(mm)) => str(mm.toMap, "field", "top_metrics.metrics")
+          case _ => throw new IllegalArgumentException("top_metrics needs metrics.field")
+        }
+        val (sortField, asc) = m.get("sort") match {
+          case Some(JObject(sm)) =>
+            val smm = sm.toMap
+            (str(smm, "field", "top_metrics.sort"),
+              !smm.get("order").collect { case JString(o) => o }.contains("desc"))
+          case _ => throw new IllegalArgumentException("top_metrics needs a sort object")
+        }
+        val (mcol, scol) = (col(metricField), col(sortField))
+        if (asc) Seq(
+          s"${name}_$metricField" -> min_by(mcol, scol),
+          s"${name}_sort" -> min(scol))
+        else Seq(
+          s"${name}_$metricField" -> max_by(mcol, scol),
+          s"${name}_sort" -> max(scol))
       case ("percentile_ranks", JObject(s)) =>
         // inverse percentiles: the PERCENT of the group's values at or
         // below each requested value — one conditional count per
