@@ -348,6 +348,25 @@ private[graft] object EntriesPipeline {
     }),
     // C4/FineWeb heuristic filter battery: line/sentence/boilerplate
     // signals + the keep decision, all map-only string math
+    // FineWeb line battery over a synthesized multi-line page (the
+    // testdata text is single-line): menu header + body + a SECOND
+    // long line (keeps clean docs under the 0.67 short-line bound)
+    // (+ a planted DUPLICATE body on every third doc) + bullet/
+    // ellipsis/footer lines — the planted dup pushes
+    // dup_line_char_frac past the 0.3 keep threshold, so the rule
+    // DISCRIMINATES: clean docs keep, dup docs drop
+    "q_quality_fineweb" -> ((s, d) => {
+      val page = concat(lit("menu | home\n"), col("text"), lit("\n"),
+        col("text"), lit(" and a distinct continuation line\n"),
+        when(pmod(col("doc_id"), lit(3L)) === 0,
+          concat(col("text"), lit("\n"))).otherwise(lit("")),
+        lit("- item one\nread more ...\ncopyright 2024 example.com"))
+      val sig = TextAnalysis.fineWebSignals(col("page"))
+      t(s, d, "documents").withColumn("page", page)
+        .select(col("doc_id") +: sig.map { case (n, c) => c.as(n) } :+
+          TextAnalysis.fineWebKeep(sig.toMap).as("keep"): _*)
+        .orderBy(col("doc_id"))
+    }),
     "q_quality_c4" -> ((s, d) => {
       val sig = TextAnalysis.c4Filters(col("text"))
       val keep = TextAnalysis.c4Keep(sig.toMap)
@@ -797,6 +816,27 @@ private[graft] object EntriesPipeline {
       "'[?&]+$', '', 'g'), '\\?&', '?', 'g'), '/\\?', '?', 'g'), '/$', '', 'g') AS canonical_url FROM u) " +
       "SELECT canonical_url, count(*)::BIGINT AS n_dups, min(doc_id) AS keeper_doc FROM c " +
       "GROUP BY 1 HAVING count(*) > 1 ORDER BY n_dups DESC, canonical_url"),
+    "q_quality_fineweb" -> ("WITH p AS (SELECT doc_id, 'menu | home' || chr(10) || text || chr(10) || " +
+      "text || ' and a distinct continuation line' || chr(10) || " +
+      "CASE WHEN doc_id % 3 = 0 THEN text || chr(10) ELSE '' END || " +
+      "'- item one' || chr(10) || 'read more ...' || chr(10) || 'copyright 2024 example.com' AS page FROM documents), " +
+      "l AS (SELECT doc_id, list_filter(string_split(page, chr(10)), x -> len(x) > 0) AS lines FROM p), " +
+      "u AS (SELECT doc_id, unnest(lines) AS line FROM l), " +
+      "st AS (SELECT doc_id, count(*)::BIGINT AS n_lines, " +
+      "count_if(len(line) < 30)::DOUBLE AS n_short, " +
+      "count_if(starts_with(line, '- ') OR starts_with(line, '* '))::DOUBLE AS n_bullet, " +
+      "count_if(ends_with(line, '...'))::DOUBLE AS n_ellipsis, " +
+      "sum(len(line))::DOUBLE AS tot_chars FROM u GROUP BY doc_id), " +
+      "d AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN chars ELSE 0 END)::DOUBLE AS dup_chars FROM " +
+      "(SELECT doc_id, line, count(*) OVER (PARTITION BY doc_id, line) AS c, len(line) AS chars FROM u) GROUP BY doc_id), " +
+      "m AS (SELECT st.doc_id, n_lines, " +
+      "round(n_short / n_lines, 4) AS short_line_frac, " +
+      "round(coalesce(dup_chars, 0) / greatest(tot_chars, 1), 4) AS dup_line_char_frac, " +
+      "round(n_bullet / n_lines, 4) AS bullet_frac, " +
+      "round(n_ellipsis / n_lines, 4) AS ellipsis_frac " +
+      "FROM st JOIN d USING (doc_id)) " +
+      "SELECT *, (short_line_frac <= 0.67 AND dup_line_char_frac <= 0.3 AND " +
+      "bullet_frac <= 0.9 AND ellipsis_frac <= 0.3) AS keep FROM m ORDER BY doc_id"),
     "q_quality_c4" -> ("WITH l AS (SELECT doc_id, text, lower(text) AS low, " +
       "list_filter(string_split(text, chr(10)), x -> len(x) > 0) AS lines FROM documents), " +
       "s AS (SELECT doc_id, len(lines)::BIGINT AS n_lines, " +

@@ -359,6 +359,38 @@ object TextAnalysis {
     * same document — near-1 for template/boilerplate spam, near-0 for
     * prose. total 3-grams = n_tokens - 2; distinct come from the
     * compiled shingle kernel. Narrow map-only column math. */
+  /** FineWeb line-quality battery (Penedo et al. 2024, public): the
+    * LINE-shape filters FineWeb applies on top of the Gopher/C4
+    * batteries — short-line fraction, the fraction of CHARACTERS
+    * sitting in intra-document duplicated lines (every occurrence of
+    * a duplicated line counts), bullet-start and ellipsis-end line
+    * fractions. Pure narrow array math per row — no shuffle, no UDF;
+    * the duplicate scan is O(lines^2) per document (web pages carry
+    * dozens of lines, never corpus-scale cardinality). */
+  def fineWebSignals(page: Column): Seq[(String, Column)] = {
+    val lines = filter(split(page, "\n"), l => length(l) > 0)
+    val n = size(lines).cast("double")
+    val short = size(filter(lines, l => length(l) < 30)).cast("double")
+    val bullets = size(filter(lines,
+      l => l.startsWith("- ") || l.startsWith("* "))).cast("double")
+    val ellipsis = size(filter(lines, l => l.endsWith("..."))).cast("double")
+    val totChars = aggregate(lines, lit(0), (a, x) => a + length(x)).cast("double")
+    val dupChars = aggregate(lines, lit(0), (a, x) =>
+      a + when(size(filter(lines, y => y === x)) > 1, length(x))
+        .otherwise(lit(0))).cast("double")
+    Seq(
+      "n_lines" -> size(lines).cast("long"),
+      "short_line_frac" -> Num.round(short / greatest(n, lit(1.0)), 4),
+      "dup_line_char_frac" -> Num.round(dupChars / greatest(totChars, lit(1.0)), 4),
+      "bullet_frac" -> Num.round(bullets / greatest(n, lit(1.0)), 4),
+      "ellipsis_frac" -> Num.round(ellipsis / greatest(n, lit(1.0)), 4))
+  }
+
+  /** The published FineWeb keep rule over those signals. */
+  def fineWebKeep(sig: Map[String, Column]): Column =
+    sig("short_line_frac") <= 0.67 && sig("dup_line_char_frac") <= 0.3 &&
+      sig("bullet_frac") <= 0.9 && sig("ellipsis_frac") <= 0.3
+
   def repetitionRatio(text: Column): Column = {
     val toks = Analyzer.tokens(text)
     val total = greatest(size(toks) - 2, lit(0)).cast("double")

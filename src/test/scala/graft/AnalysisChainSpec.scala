@@ -180,4 +180,22 @@ class AnalysisChainSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(syn == Set(1L, 3L))
   }
+
+  test("fineWeb line battery: planted duplicate line flips the keep rule") {
+    import graft.text.TextAnalysis
+    val body = "this is a long enough body line for the fineweb battery to measure"
+    val docs = Seq(
+      (1L, s"menu | home\n$body\n$body tail\n- item one\ncopyright 2024"),        // clean
+      (2L, s"menu | home\n$body\n$body tail\n$body\n- item one\ncopyright 2024"), // dup body
+      (3L, "- a\n- b\n- c\n- d")                                                  // all bullets
+    ).toDF("id", "page")
+    val sig = TextAnalysis.fineWebSignals(col("page"))
+    val out = docs.select(col("id") +: sig.map { case (n, c) => c.as(n) } :+
+        TextAnalysis.fineWebKeep(sig.toMap).as("keep"): _*)
+      .as[(Long, Long, Double, Double, Double, Double, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._4 == 0.0 && out(1L)._7)           // no dup chars -> keep
+    assert(out(2L)._4 > 0.3 && !out(2L)._7)           // both body copies count -> drop
+    assert(out(3L)._5 == 1.0 && !out(3L)._7)          // bullet_frac 1.0 > 0.9 -> drop
+  }
 }
