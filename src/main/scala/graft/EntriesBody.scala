@@ -311,6 +311,37 @@ private[graft] object EntriesBody {
       """{"aggs": {"by_flag": {"terms": {"field": "l_returnflag", "size": 10}, "aggs": {
            "pr": {"percentile_ranks": {"field": "l_extendedprice",
                   "values": [1000, 10000, 50000]}}}}}}""")),
+    // adjacency_matrix as a JSON node: named Query-DSL filters,
+    // singles + pairwise intersections in one scan (same kernel and
+    // params as q_agg_adjacency, so the oracle is shared)
+    "q_aggs_json_adjacency" -> ((s, d) => graft.dsl.AggsJson.compile(
+      t(s, d, "orders"),
+      """{"aggs": {"m": {"adjacency_matrix": {"filters": {
+           "urgent": {"term": {"o_orderpriority": "1-URGENT"}},
+           "big": {"range": {"o_totalprice": {"gt": 20000}}},
+           "open": {"term": {"o_orderstatus": "O"}}}}}}}""")),
+    // geo_distance rings as a JSON node: contiguous ES ranges chain
+    // to the kernel's ring edges (same params as q_agg_geo_distance)
+    "q_aggs_json_geo_distance" -> ((s, d) => graft.dsl.AggsJson.compile(
+      withGeo(t(s, d, "customer"))
+        .withColumnRenamed("lat", "loc_lat").withColumnRenamed("lon", "loc_lon"),
+      """{"aggs": {"rings": {"geo_distance": {"field": "loc",
+           "origin": {"lat": 10.0, "lon": 20.0},
+           "ranges": [{"to": 2000.0}, {"from": 2000.0, "to": 5000.0},
+                      {"from": 5000.0, "to": 10000.0}, {"from": 10000.0}]}}}}""")),
+    // collapse + inner_hits through the body: the collapsed hit
+    // carries its group's top-3 ids (search-sort order) as an array
+    "q_search_body_collapse_inner" -> ((s, d) => graft.dsl.SearchBody.search(
+      t(s, d, "documents"),
+      """{"query": {"term": {"lang": "en"}},
+          "collapse": {"field": "source", "inner_hits": {"size": 3}},
+          "sort": [{"n_chars": {"order": "desc"}}, {"doc_id": {"order": "asc"}}],
+          "size": 10}""",
+      idField = "doc_id")
+      // the API carries inner_hits as an ARRAY; the gate stringifies
+      // it (the driver's row hash needs scalar cells)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        concat_ws(",", col("inner_hits")).as("inner_hits"))),
     // auto_date_histogram as a JSON node: delegates to the Scala
     // kernel (shared interval election — same params as
     // q_agg_auto_date_histogram, so the oracle is shared too)
@@ -551,9 +582,18 @@ private[graft] object EntriesBody {
       "SELECT token, freq FROM v " +
       "WHERE token <> 'spak' AND levenshtein(token, 'spak') <= 2 " +
       "ORDER BY freq DESC, token LIMIT 5"),
-    // shared oracle: the JSON node delegates to the same kernel with
-    // the same params as the Scala key
+    // shared oracles: these JSON nodes delegate to the same kernels
+    // with the same params as their Scala keys
     "q_aggs_json_auto_date" -> EntriesAggs.oracleSql("q_agg_auto_date_histogram"),
+    "q_aggs_json_adjacency" -> EntriesAggs.oracleSql("q_agg_adjacency"),
+    "q_aggs_json_geo_distance" -> EntriesAggs.oracleSql("q_agg_geo_distance"),
+    "q_search_body_collapse_inner" -> ("WITH r AS (SELECT *, " +
+      "row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn " +
+      "FROM documents WHERE lang = 'en'), " +
+      "ih AS (SELECT source, array_to_string((list(doc_id ORDER BY n_chars DESC, doc_id))[1:3], ',') AS inner_hits " +
+      "FROM r GROUP BY source) " +
+      "SELECT r.doc_id, r.source, r.n_chars, ih.inner_hits FROM r JOIN ih USING (source) " +
+      "WHERE rn = 1 ORDER BY n_chars DESC, doc_id LIMIT 10"),
     "q_aggs_json_string_stats" -> ("SELECT lang AS by_lang, count(*)::BIGINT AS doc_count, " +
       "count(text)::BIGINT AS len_count, min(length(text))::INT AS len_min_length, " +
       "max(length(text))::INT AS len_max_length, round(avg(length(text)), 4) AS len_avg_length " +

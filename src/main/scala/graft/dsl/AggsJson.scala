@@ -125,6 +125,61 @@ object AggsJson {
         val f = str(ms.toMap, "field", "missing")
         return df.where(col(f).isNull)
           .agg(count(lit(1)).as("doc_count"))
+      // `adjacency_matrix`: each named filter is a FULL Query-DSL
+      // object; singles + pairwise intersections count in ONE scan
+      // (delegates to the Scala kernel — row predicates, no joins)
+      case JField(name, JObject(JField("adjacency_matrix", JObject(am)) :: Nil)) :: Nil =>
+        val filters = am.toMap.get("filters") match {
+          case Some(JObject(fs)) => fs.map { case JField(n, q) =>
+            n -> EsQuery.compile(JsonMethods.compact(JsonMethods.render(q)), "_id")
+          }
+          case _ => throw new IllegalArgumentException(
+            s"adjacency_matrix under '$name' needs a filters object")
+        }
+        return graft.agg.Aggs.adjacencyMatrix(df, filters)
+      // `geo_distance`: rings around an origin — ES's ranges must form
+      // a contiguous chain (*-a, a-b, ..., z-*), which is exactly the
+      // edge list the Scala kernel rings on; unit is km
+      case JField(name, JObject(spec)) :: Nil if spec.exists(_._1 == "geo_distance") =>
+        val m = spec.toMap
+        require(!m.contains("aggs") && !m.contains("aggregations"),
+          s"geo_distance under '$name' supports no sub-aggs here")
+        val gm = m("geo_distance") match {
+          case JObject(g) => g.toMap
+          case other => throw new IllegalArgumentException(s"bad geo_distance: $other")
+        }
+        val f = str(gm, "field", "geo_distance")
+        val (olat, olon) = gm.get("origin") match {
+          case Some(JObject(o)) =>
+            val om = o.toMap
+            (num(om.getOrElse("lat", throw new IllegalArgumentException("origin needs lat"))),
+              num(om.getOrElse("lon", throw new IllegalArgumentException("origin needs lon"))))
+          case _ => throw new IllegalArgumentException("geo_distance needs an origin object")
+        }
+        val ranges: Seq[(Option[Double], Option[Double])] = gm.get("ranges") match {
+          case Some(JArray(rs)) => rs.map {
+            case JObject(r) =>
+              val rm = r.toMap
+              (rm.get("from").map(num), rm.get("to").map(num))
+            case other => throw new IllegalArgumentException(s"bad geo range: $other")
+          }
+          case _ => throw new IllegalArgumentException("geo_distance needs ranges")
+        }
+        // contiguity check: the chain's interior boundaries ARE the
+        // kernel's ring edges — [*-a, a-b, b-*] rings on [a, b]
+        require(ranges.size >= 2, "geo_distance needs at least two ranges")
+        require(ranges.head._1.isEmpty,
+          "first geo_distance range must be open below (*-a)")
+        require(ranges.last._2.isEmpty,
+          "last geo_distance range must be open above (z-*)")
+        ranges.sliding(2).zipWithIndex.foreach {
+          case (Seq((_, to), (from, _)), i) =>
+            require(to.isDefined && from == to,
+              s"geo_distance ranges must chain contiguously at index ${i + 1}")
+          case _ => ()
+        }
+        return graft.agg.Aggs.geoDistanceAgg(df, s"${f}_lat", s"${f}_lon",
+          olat, olon, ranges.init.map(_._2.get))
       // `auto_date_histogram`: delegate to the Scala kernel (the
       // interval election needs a min/max pre-pass; the JSON node and
       // the Scala operator share one implementation, so the bucket

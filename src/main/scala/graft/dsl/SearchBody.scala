@@ -500,11 +500,18 @@ object SearchBody {
       else if (scoring) Seq(col("_score").desc, col(idField).asc)
       else Nil
 
-    // 7. collapse: one hit per group, best by the search sort
+    // 7. collapse: one hit per group, best by the search sort.
+    // `inner_hits` attaches the group's top-`size` ids (search-sort
+    // order) as an array next to the collapsed hit — the ES response's
+    // nested inner hits flattened to the one-frame shape.
     val collapsed = root.get("collapse") match {
       case None => rescored
       case Some(JObject(cs)) =>
-        val f = cs.toMap.get("field") match {
+        val cm = cs.toMap
+        val unknownC = cm.keySet -- Set("field", "inner_hits")
+        require(unknownC.isEmpty,
+          s"unsupported collapse key(s): ${unknownC.toSeq.sorted.mkString(", ")}")
+        val f = cm.get("field") match {
           case Some(JString(x)) => x
           case _ => throw new IllegalArgumentException("collapse needs a field")
         }
@@ -513,8 +520,19 @@ object SearchBody {
         // id tiebreak makes the per-group pick deterministic on sort ties
         val win = Window.partitionBy(sortCol(f))
           .orderBy(orderCols :+ col(idField).asc: _*)
-        rescored.withColumn("__cr", row_number().over(win))
-          .where(col("__cr") === 1).drop("__cr")
+        val ranked = rescored.withColumn("__cr", row_number().over(win))
+        cm.get("inner_hits") match {
+          case None => ranked.where(col("__cr") === 1).drop("__cr")
+          case Some(JObject(ih)) =>
+            val k = ih.toMap.get("size").map(jnum(_).toInt).getOrElse(3)
+            // full-frame window: rows arrive in the window's sort
+            // order, so the collected list IS the group's ranking
+            val full = win.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ranked
+              .withColumn("inner_hits", slice(collect_list(col(idField)).over(full), 1, k))
+              .where(col("__cr") === 1).drop("__cr")
+          case Some(other) => throw new IllegalArgumentException(s"bad inner_hits: $other")
+        }
       case Some(other) => throw new IllegalArgumentException(s"bad collapse: $other")
     }
 
@@ -618,7 +636,7 @@ object SearchBody {
       .getOrElse(Nil)
     val withExtras = (scriptCols ++ docvalueCols ++ fieldsCols)
       .foldLeft(highlighted) { case (d, (n, c)) => d.withColumn(n, c) }
-    val metaCols = (Seq("_score") ++ snippetCols ++ scriptCols.map(_._1) ++
+    val metaCols = (Seq("_score", "inner_hits") ++ snippetCols ++ scriptCols.map(_._1) ++
       docvalueCols.map(_._1) ++ fieldsCols.map(_._1) ++
       Seq("__graft_src_index")).distinct
     root.get("_source") match {
