@@ -273,6 +273,19 @@ private[graft] object EntriesBody {
             "rank_window_size": 20}},
           "size": 10}""",
       idField = "doc_id")),
+    // indices_boost through the body: per-index score multiplier over
+    // the connector's __graft_src_index tag (synthesized here from
+    // lang partitions, like the Scala key's boosted-index stand-in);
+    // first matching name-or-pattern wins, unmatched keep 1.0
+    "q_search_body_indices_boost" -> ((s, d) => graft.dsl.SearchBody.search(
+      t(s, d, "documents").withColumn("__graft_src_index",
+        concat(lit("/data/idx_"), col("lang"))),
+      """{"query": {"match": {"text": "fast hash join"}},
+          "indices_boost": [{"idx_en": 2.0}, {"idx_*": 1.0}],
+          "sort": ["_score", {"doc_id": {"order": "asc"}}], "size": 15,
+          "_source": ["doc_id"]}""",
+      idField = "doc_id")
+      .select(col("doc_id"), col("_score"))),
     // the body `suggest` section: a term suggester through the JSON
     // front door (suggest_mode always — every in-band correction by
     // descending document frequency)
@@ -577,6 +590,9 @@ private[graft] object EntriesBody {
       "1.0 * len(list_filter(toks, t -> t = 'hash')) + " +
       "1.0 * len(list_filter(toks, t -> t = 'merge')), 4) AS DOUBLE) AS score " +
       "FROM w JOIN tok ON tok.doc_id = w.id ORDER BY score DESC, id LIMIT 10"),
+    "q_search_body_indices_boost" -> (TokCte + bm25Ctes("", "tok", Seq("fast", "hash", "join")) +
+      " SELECT d.doc_id, round(sc.score * (CASE WHEN d.lang = 'en' THEN 2.0 ELSE 1.0 END), 4) AS _score " +
+      "FROM sc JOIN documents d ON d.doc_id = sc.id ORDER BY _score DESC, doc_id LIMIT 15"),
     "q_search_body_suggest" -> (TokCte + ", v AS (SELECT token, count(*)::BIGINT AS freq FROM " +
       "(SELECT unnest(list_distinct(toks)) AS token FROM tok) GROUP BY token) " +
       "SELECT token, freq FROM v " +

@@ -90,7 +90,7 @@ object SearchBody {
     // METADATA (clients send it by default); graft's counts are always
     // exact, so there is nothing to relax
     "track_total_hits",
-    "suggest", "retriever")
+    "suggest", "retriever", "indices_boost")
 
   /** True when the payload is a search BODY carrying sections beyond
     * `runtime_mappings`+`query` — the connector routes such payloads
@@ -368,7 +368,8 @@ object SearchBody {
         case Some(other) => throw new IllegalArgumentException(s"sort must be an array: $other")
       }
     val scoring = knnJson.isDefined || root.contains("min_score") ||
-      root.contains("rescore") || sortSpecs.exists(_._1 == "_score")
+      root.contains("rescore") || root.contains("indices_boost") ||
+      sortSpecs.exists(_._1 == "_score")
 
     // 1-2. query phase (scores only when the body needs them)
     val mSpec = queryJson.flatMap(matchSpec)
@@ -428,10 +429,37 @@ object SearchBody {
       case None => matched
     }
 
+    // 3.5. indices_boost: per-index score multiplier — the hit's index
+    // is the connector's __graft_src_index tag (last path segment);
+    // entries match name-or-`*`-pattern, FIRST match wins, unmatched
+    // indices keep factor 1.0 (ES semantics)
+    val ibBoosted = root.get("indices_boost") match {
+      case None => afterKnn
+      case Some(JArray(entries)) =>
+        require(afterKnn.columns.contains("__graft_src_index"),
+          "indices_boost needs per-hit index metadata (__graft_src_index) — " +
+            "read through the connector's multi-index request, or attach the column")
+        val idxName = element_at(split(col("__graft_src_index"), "/"), -1)
+        val factor = entries.foldLeft(lit(null).cast("double")) { (acc, e) =>
+          e match {
+            case JObject(JField(pat, b) :: Nil) =>
+              val re = "^" + pat.split("\\*", -1)
+                .map(java.util.regex.Pattern.quote).mkString(".*") + "$"
+              when(acc.isNull && idxName.rlike(re), lit(jnum(b))).otherwise(acc)
+            case other => throw new IllegalArgumentException(
+              s"bad indices_boost entry (want one {index-or-pattern: boost}): $other")
+          }
+        }
+        afterKnn.withColumn("_score",
+          Num.round(col("_score") * coalesce(factor, lit(1.0)), 4))
+      case Some(other) => throw new IllegalArgumentException(
+        s"indices_boost must be an array: $other")
+    }
+
     // 4. post_filter: hits-only, after scoring — scores are unchanged
     val postFiltered = root.get("post_filter")
       .map(pf => JsonMethods.compact(JsonMethods.render(pf)))
-      .fold(afterKnn)(pf => afterKnn.where(EsQuery.compile(pf, idField)))
+      .fold(ibBoosted)(pf => ibBoosted.where(EsQuery.compile(pf, idField)))
 
     // 5. min_score
     val floored = root.get("min_score").map(jnum)
