@@ -18,6 +18,14 @@ private[graft] object EntriesBody {
   private val KnnVecSql =
     "list_transform(range(0, 64), i -> (i * 37 % 100) / 100.0 - 0.5)"
 
+  // the shared monthly bucket frame every pipeline-agg oracle reduces:
+  // the DuckDB mirror of {"date_histogram": month, "aggs": {"sales": sum}}
+  private val MonthlyCte =
+    "WITH b AS (SELECT date_trunc('month', o_orderdate) AS m, " +
+      "count(*)::BIGINT AS doc_count, " +
+      "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sales " +
+      "FROM orders GROUP BY 1) "
+
   // documents ⋈ embeddings on doc_id = vec_id: the text+vector corpus
   // the hybrid (query + knn) request searches — one row per document,
   // BM25 over `text`, cosine over `embedding`
@@ -453,7 +461,84 @@ private[graft] object EntriesBody {
       """{"aggs": {"pri": {"terms": {"field": "o_orderpriority"}, "aggs": {
            "top": {"top_hits": {"size": 3,
              "sort": [{"o_totalprice": {"order": "desc"}}, {"o_orderkey": {"order": "asc"}}],
-             "_source": ["o_orderkey", "o_totalprice"]}}}}}}""")))
+             "_source": ["o_orderkey", "o_totalprice"]}}}}}}""")),
+    // ES 8.8 `rank` body section: reciprocal-rank fusion REPLACES the
+    // hybrid score-sum — query leg + knn leg each contribute their top
+    // rank_window_size ranks, fused 1/(rank_constant + rank)
+    "q_search_body_rank" -> ((s, d) => graft.dsl.SearchBody.search(
+      hybridCorpus(s, d),
+      s"""{"query": {"match": {"text": "vector hash"}},
+          "knn": {"field": "embedding", "query_vector": [${KnnVec.mkString(",")}],
+                  "k": 50, "num_candidates": 100000},
+          "rank": {"rrf": {"rank_window_size": 50, "rank_constant": 60}},
+          "size": 10}""",
+      idField = "doc_id")
+      .select(col("doc_id"), col("_score"))),
+    // PARENT pipelines through the JSON door: derivative +
+    // cumulative_sum beside the sum metric they reference — window
+    // math over the tiny monthly bucket frame, the heavy exchange
+    // stays in the partial-aggregated groupBy below it
+    "q_aggs_json_derivative" -> ((s, d) => graft.dsl.AggsJson.compile(
+      t(s, d, "orders"),
+      """{"aggs": {"m": {"date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
+           "aggs": {"sales": {"sum": {"field": "o_totalprice"}},
+                    "deriv": {"derivative": {"buckets_path": "sales"}},
+                    "cum": {"cumulative_sum": {"buckets_path": "sales"}}}}}}""")),
+    // moving_fn (MovingFunctions whitelist; include-current window —
+    // the Scala kernels' shared convention) + serial_diff (lag-12 =
+    // year-over-year differencing on monthly buckets)
+    "q_aggs_json_moving_fn" -> ((s, d) => graft.dsl.AggsJson.compile(
+      t(s, d, "orders"),
+      """{"aggs": {"m": {"date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
+           "aggs": {"sales": {"sum": {"field": "o_totalprice"}},
+                    "mavg3": {"moving_fn": {"buckets_path": "sales", "window": 3,
+                                            "script": "MovingFunctions.unweightedAvg"}},
+                    "yoy": {"serial_diff": {"buckets_path": "sales", "lag": 12}}}}}}""")),
+    // bucket_script: per-bucket Painless column math over sibling
+    // metric paths (avg order value from sum / _count)
+    "q_aggs_json_bucket_script" -> ((s, d) => graft.dsl.AggsJson.compile(
+      t(s, d, "lineitem"),
+      """{"aggs": {"flag": {"terms": {"field": "l_returnflag", "size": 10},
+           "aggs": {"rev": {"sum": {"field": "l_extendedprice"}},
+                    "per_doc": {"bucket_script": {
+                      "buckets_path": {"r": "rev", "n": "_count"},
+                      "script": "params.r / params.n"}}}}}}""")),
+    // bucket_selector: the HAVING of the aggs world — buckets whose
+    // doc_count misses the threshold drop after the reduce
+    "q_aggs_json_bucket_selector" -> ((s, d) => graft.dsl.AggsJson.compile(
+      t(s, d, "orders"),
+      """{"aggs": {"m": {"date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
+           "aggs": {"sales": {"sum": {"field": "o_totalprice"}},
+                    "keep": {"bucket_selector": {
+                      "buckets_path": {"n": "_count"},
+                      "script": "params.n >= 180"}}}}}}""")),
+    // bucket_sort: reorder + page the parent's buckets (sort by the
+    // referenced metric, from-offset + size truncation, key tie-break)
+    "q_aggs_json_bucket_sort" -> ((s, d) => graft.dsl.AggsJson.compile(
+      t(s, d, "orders"),
+      """{"aggs": {"m": {"date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
+           "aggs": {"sales": {"sum": {"field": "o_totalprice"}},
+                    "page": {"bucket_sort": {"sort": [{"sales": {"order": "desc"}}],
+                                             "from": 2, "size": 5}}}}}}""")),
+    // SIBLING pipelines: avg/min/max/sum_bucket beside the monthly
+    // parent — the one-row reduce over the bucket frame
+    "q_aggs_json_sibling" -> ((s, d) => graft.dsl.AggsJson.compile(
+      t(s, d, "orders"),
+      """{"aggs": {"m": {"date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
+             "aggs": {"sales": {"sum": {"field": "o_totalprice"}}}},
+           "avg_monthly": {"avg_bucket": {"buckets_path": "m>sales"}},
+           "best_month": {"max_bucket": {"buckets_path": "m>sales"}},
+           "worst_month": {"min_bucket": {"buckets_path": "m>sales"}},
+           "total": {"sum_bucket": {"buckets_path": "m>sales"}}}}""")),
+    // stats_bucket + percentiles_bucket over the monthly doc_count —
+    // the _count buckets_path form
+    "q_aggs_json_stats_bucket" -> ((s, d) => graft.dsl.AggsJson.compile(
+      t(s, d, "orders"),
+      """{"aggs": {"m": {"date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
+             "aggs": {"sales": {"sum": {"field": "o_totalprice"}}}},
+           "st": {"stats_bucket": {"buckets_path": "m>sales"}},
+           "pct": {"percentiles_bucket": {"buckets_path": "m>_count",
+                                          "percents": [25, 50, 75]}}}}""")))
 
   val oracleSql: Map[String, String] = Map(
     "q_search_body_knn" -> (TokCte + bm25Ctes("", "tok", Seq("vector", "hash")) +
@@ -694,5 +779,51 @@ private[graft] object EntriesBody {
     "q_aggs_json_top_hits" -> ("SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM " +
       "(SELECT o_orderpriority, o_orderkey, o_totalprice, " +
       "row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) " +
-      "WHERE rn <= 3 ORDER BY o_orderpriority, rn"))
+      "WHERE rn <= 3 ORDER BY o_orderpriority, rn"),
+    "q_search_body_rank" -> (TokCte + bm25Ctes("", "tok", Seq("vector", "hash")) +
+      ", e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), " +
+      s"q AS (SELECT $KnnVecSql AS qv), " +
+      "n AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm FROM e), " +
+      "qn AS (SELECT qv, sqrt(list_reduce(list_prepend(0.0, list_transform(qv, x -> x * x)), (a, b) -> a + b)) AS qnrm FROM q), " +
+      "sem AS (SELECT vec_id AS id, " +
+      "round(list_reduce(list_prepend(0.0, list_transform(range(1, len(v) + 1), i -> v[i] * qv[i])), (x, y) -> x + y) / (nrm * qnrm), 4) AS cosine " +
+      "FROM n CROSS JOIN qn), " +
+      "kk AS (SELECT id, cosine FROM (SELECT *, row_number() OVER (ORDER BY cosine DESC, id) AS rnk FROM sem) WHERE rnk <= 50), " +
+      "rl AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rank FROM sc), " +
+      "rs AS (SELECT id, row_number() OVER (ORDER BY cosine DESC, id) AS rank FROM kk), " +
+      "u AS (SELECT id, 1.0 / (60 + rank) AS c FROM rl WHERE rank <= 50 " +
+      "UNION ALL SELECT id, 1.0 / (60 + rank) AS c FROM rs WHERE rank <= 50) " +
+      "SELECT id AS doc_id, round(sum(c), 4) AS _score FROM u " +
+      "GROUP BY id ORDER BY _score DESC, doc_id LIMIT 10"),
+    "q_aggs_json_derivative" -> (MonthlyCte +
+      "SELECT m, doc_count, sales, " +
+      "round(sales - lag(sales) OVER (ORDER BY m), 4) AS deriv, " +
+      "round(sum(sales) OVER (ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum " +
+      "FROM b ORDER BY m"),
+    "q_aggs_json_moving_fn" -> (MonthlyCte +
+      "SELECT m, doc_count, sales, " +
+      "round(avg(sales) OVER (ORDER BY m ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg3, " +
+      "round(sales - lag(sales, 12) OVER (ORDER BY m), 4) AS yoy " +
+      "FROM b ORDER BY m"),
+    "q_aggs_json_bucket_script" -> ("WITH b AS (SELECT l_returnflag AS flag, " +
+      "count(*)::BIGINT AS doc_count, " +
+      "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS rev " +
+      "FROM lineitem GROUP BY 1) " +
+      "SELECT flag, doc_count, rev, round(rev / doc_count, 4) AS per_doc " +
+      "FROM b ORDER BY doc_count DESC, flag LIMIT 10"),
+    "q_aggs_json_bucket_selector" -> (MonthlyCte +
+      "SELECT m, doc_count, sales FROM b WHERE doc_count >= 180 ORDER BY m"),
+    "q_aggs_json_bucket_sort" -> (MonthlyCte +
+      "SELECT m, doc_count, sales FROM b ORDER BY sales DESC, m ASC LIMIT 5 OFFSET 2"),
+    "q_aggs_json_sibling" -> (MonthlyCte +
+      "SELECT round(avg(sales), 4) AS avg_monthly, max(sales) AS best_month, " +
+      "min(sales) AS worst_month, " +
+      "round(CAST(sum(CAST(sales AS DECIMAL(18,4))) AS DOUBLE), 4) AS total FROM b"),
+    "q_aggs_json_stats_bucket" -> (MonthlyCte +
+      "SELECT count(sales)::BIGINT AS st_count, round(min(sales), 4) AS st_min, " +
+      "round(max(sales), 4) AS st_max, round(avg(sales), 4) AS st_avg, " +
+      "round(CAST(sum(CAST(sales AS DECIMAL(18,4))) AS DOUBLE), 4) AS st_sum, " +
+      "round(quantile_cont(doc_count, 0.25), 4) AS pct_p25, " +
+      "round(quantile_cont(doc_count, 0.50), 4) AS pct_p50, " +
+      "round(quantile_cont(doc_count, 0.75), 4) AS pct_p75 FROM b"))
 }

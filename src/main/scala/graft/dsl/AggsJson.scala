@@ -41,6 +41,23 @@ import graft.util.Num
   *    `random_sampler` (deterministic hash draw below the sub-tree),
   *    `missing` (null-bucket count)
   *  - nesting: bucket > bucket > ... > metrics, any depth
+  *  - PIPELINE aggs (the Kibana staples). Parent pipelines —
+  *    `derivative`, `cumulative_sum`, `serial_diff`, `moving_fn`
+  *    (MovingFunctions whitelist), `bucket_script`,
+  *    `bucket_selector`, `bucket_sort` — are declared beside the leaf
+  *    metrics and compile to window math / Painless column math OVER
+  *    the compiled bucket frame: the frame is #buckets rows (tiny at
+  *    any corpus size — the heavy exchange is the partial-aggregated
+  *    groupBy below it), so the single-partition ordered window is
+  *    free, exactly like the Scala pipeline kernels
+  *    (Aggs.dateHistogramPipeline). Sibling pipelines — `avg_bucket`
+  *    `sum_bucket` `min_bucket` `max_bucket` `stats_bucket`
+  *    `extended_stats_bucket` `percentiles_bucket` beside ONE
+  *    multi-bucket parent at the root — compile the parent tree, then
+  *    reduce the referenced metric column to ONE row (documented
+  *    delta: ES's response carries buckets AND the sibling value; the
+  *    flat frame returns the sibling REDUCE row — re-issue without
+  *    the sibling for the buckets).
   *
   * Flat-table semantics (documented delta vs ES): metric aggs may
   * appear ONLY at the deepest level — a metric declared as a sibling
@@ -75,6 +92,10 @@ object AggsJson {
     // significant_terms (needs the background frame), and a
     // terms>top_hits tree (returns DOCS per bucket, not metrics)
     root match {
+      // SIBLING pipelines: `*_bucket` nodes beside one multi-bucket
+      // parent — reduce the parent's bucket frame to one row
+      case fields if fields.size >= 2 && fields.exists(isSiblingPipe) =>
+        return compileSiblings(df, fields, fgPred, background)
       case JField(name, JObject(spec)) :: Nil if spec.exists(_._1 == "composite") =>
         return compileComposite(df, name, spec.toMap)
       case JField(name, JObject(spec)) :: Nil if spec.exists(_._1 == "significant_terms") =>
@@ -219,6 +240,12 @@ object AggsJson {
     // the partial aggregation, so excluded buckets never aggregate
     val rowFilters = scala.collection.mutable.ListBuffer.empty[Column]
     var metrics = Seq.empty[(String, Column)]
+    // PARENT pipeline nodes (declared beside the leaf metrics in ES);
+    // they evaluate over the compiled bucket frame after the groupBy
+    val pipeNodes = scala.collection.mutable.ListBuffer.empty[(String, Map[String, JValue])]
+    // the bucket node types per level (pipeline sequencing rules need
+    // to know whether the single level is histogram-family)
+    val bucketTypes = scala.collection.mutable.ListBuffer.empty[String]
     var topSize: Option[Int] = None
     var topSizeExplicit = false
     // ES terms `order`: {"_key"|"_count"|<metric name>: "asc"|"desc"},
@@ -226,7 +253,15 @@ object AggsJson {
     var topOrder: List[(String, Boolean)] = Nil
     var level = 0
 
-    def walk(aggs: List[JField]): Unit = {
+    def walk(aggs0: List[JField]): Unit = {
+      // parent pipelines ride beside the leaf metrics; lift them out
+      // before the metric partition (they are frame transforms, not
+      // aggregation expressions)
+      val (pipes, aggs) = aggs0.partition {
+        case JField(_, JObject(spec)) => spec.exists(f => ParentPipeKeys(f._1))
+        case _ => false
+      }
+      pipeNodes ++= pipes.collect { case JField(n, JObject(spec)) => n -> spec.toMap }
       val (buckets, leafMetrics) = aggs.partition {
         case JField(_, JObject(spec)) =>
           spec.exists { case JField(k, _) =>
@@ -250,6 +285,9 @@ object AggsJson {
           val sub = m.get("aggs").orElse(m.get("aggregations"))
           val keyCol = bucketKey(name, m - "aggs" - "aggregations")
           keys += name -> keyCol
+          bucketTypes += (m - "aggs" - "aggregations").keysIterator
+            .find(Set("terms", "histogram", "date_histogram", "range",
+              "date_range", "geotile_grid", "geohash_grid")).getOrElse("?")
           m.get("terms").foreach {
             case JObject(ts) =>
               val tm = ts.toMap
@@ -302,9 +340,13 @@ object AggsJson {
       }
     }
     walk(root)
-    require(keys.nonEmpty || metrics.nonEmpty, "empty aggs body")
+    require(keys.nonEmpty || metrics.nonEmpty || pipeNodes.nonEmpty, "empty aggs body")
+    if (pipeNodes.nonEmpty)
+      require(keys.size == 1,
+        "pipeline aggs need exactly one bucket level (the parent whose " +
+          "buckets they transform); got " + keys.map(_._1).mkString(","))
 
-    if (keys.isEmpty) {
+    val unpiped = if (keys.isEmpty) {
       // metric-only body: one global row
       val cols = metrics.map { case (n, c) => c.as(n) }
       df.agg(cols.head, cols.tail: _*)
@@ -346,6 +388,202 @@ object AggsJson {
           grouped.orderBy(keys.map { case (n, _) => col(n).asc }.toSeq: _*)
       }
     }
+    if (pipeNodes.isEmpty) unpiped
+    else applyPipelines(unpiped, keys.head._1, bucketTypes.head, pipeNodes.toList)
+  }
+
+  /** Parent pipeline aggs over the compiled bucket frame, in
+    * declaration order (later pipes may reference earlier pipes'
+    * columns, like ES). The frame is #buckets rows, so the
+    * single-partition `Window.orderBy(key)` is free — the heavy
+    * exchange is the partial-aggregated groupBy that BUILT the frame
+    * (the same argument as Aggs.dateHistogramPipeline). Sequencing
+    * pipes (derivative / cumulative_sum / serial_diff / moving_fn)
+    * require a histogram-family parent whose key order is the bucket
+    * order, like ES; bucket_script / bucket_selector / bucket_sort
+    * work on any parent and — matching ES's reduce-phase contract —
+    * see the buckets AFTER terms-size pruning. Documented delta:
+    * `moving_fn`'s window INCLUDES the current bucket (the Scala
+    * kernels' shared convention, = ES `shift: 1`; ES's default
+    * shift 0 excludes it). */
+  private def applyPipelines(frame: DataFrame, keyName: String,
+      bucketType: String, pipes: List[(String, Map[String, JValue])]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val histogramFamily = Set("histogram", "date_histogram")
+    val ordered = Window.orderBy(col(keyName).asc)
+    def resolve(df: DataFrame, path: String): Column = {
+      // `_count` = the bucket's doc_count; dotted ES response paths
+      // (`price.avg`) map onto the flat frame's `price_avg` columns
+      val c = if (path == "_count") "doc_count" else path.replace('.', '_')
+      require(df.columns.contains(c),
+        s"buckets_path '$path' resolves to no column (have: ${df.columns.mkString(", ")})")
+      col(c)
+    }
+    pipes.foldLeft(frame) { case (df, (name, spec)) =>
+      val (kind, body) = spec.find(f => ParentPipeKeys(f._1)) match {
+        case Some((k, JObject(b))) => (k, b.toMap)
+        case other => throw new IllegalArgumentException(s"bad pipeline agg '$name': $other")
+      }
+      if (Set("derivative", "cumulative_sum", "serial_diff", "moving_fn")(kind))
+        require(histogramFamily(bucketType),
+          s"$kind needs a histogram-family parent whose key order is the " +
+            s"bucket order (got $bucketType)")
+      kind match {
+        case "cumulative_sum" =>
+          val p = resolve(df, str(body, "buckets_path", kind))
+          df.withColumn(name, Num.round(sum(p).over(
+            ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4))
+        case "derivative" =>
+          val p = resolve(df, str(body, "buckets_path", kind))
+          df.withColumn(name, Num.round(p - lag(p, 1).over(ordered), 4))
+        case "serial_diff" =>
+          val p = resolve(df, str(body, "buckets_path", kind))
+          val lagN = body.get("lag").map(num(_).toInt).getOrElse(1)
+          df.withColumn(name, Num.round(p - lag(p, lagN).over(ordered), 4))
+        case "moving_fn" =>
+          val p = resolve(df, str(body, "buckets_path", kind))
+          val n = body.get("window").map(num(_).toInt).getOrElse(
+            throw new IllegalArgumentException("moving_fn needs window"))
+          val w = ordered.rowsBetween(-(n - 1), 0)
+          val c = str(body, "script", kind).stripPrefix("MovingFunctions.") match {
+            case "unweightedAvg" => avg(p).over(w)
+            case "sum" => sum(p).over(w)
+            case "max" => max(p).over(w)
+            case "min" => min(p).over(w)
+            // ES's MovingFunctions.stdDev contract: population, around
+            // the window's unweighted avg
+            case "stdDev" => stddev_pop(p).over(w)
+            case other => throw new IllegalArgumentException(
+              "unsupported moving_fn script (want MovingFunctions." +
+                s"unweightedAvg|sum|max|min|stdDev; the exotic models — holt, " +
+                s"holtWinters, linearWeightedAvg — live on the Scala kernels): $other")
+          }
+          df.withColumn(name, Num.round(c, 4))
+        case "bucket_script" | "bucket_selector" =>
+          val params: Map[String, Any] = body.get("buckets_path") match {
+            case Some(JObject(ps)) => ps.map {
+              case JField(alias, JString(path)) => alias -> (resolve(df, path): Any)
+              case other => throw new IllegalArgumentException(s"bad buckets_path entry: $other")
+            }.toMap
+            case _ => throw new IllegalArgumentException(
+              s"$kind needs a buckets_path object of alias -> path")
+          }
+          val script = body.get("script") match {
+            case Some(JString(s)) => s
+            case Some(JObject(s)) => str(s.toMap, "source", kind)
+            case _ => throw new IllegalArgumentException(s"$kind needs a script")
+          }
+          val compiled = Painless.compile(script, params)
+          if (kind == "bucket_script") df.withColumn(name, Num.round(compiled, 4))
+          // Painless comparisons compile to 1.0/0.0 doubles (its
+          // numeric-boolean convention); nonzero keeps the bucket
+          else df.where(compiled.cast("double") =!= 0.0)
+        case "bucket_sort" =>
+          val sorts: Seq[Column] = body.get("sort") match {
+            case Some(JArray(es)) => es.map {
+              case JObject(List(JField(f, JObject(o)))) =>
+                val asc = !o.toMap.get("order")
+                  .collect { case JString(x) => x }.contains("desc")
+                if (asc) resolve(df, f).asc else resolve(df, f).desc
+              case JString(f) => resolve(df, f).asc
+              case other => throw new IllegalArgumentException(s"bad bucket_sort entry: $other")
+            }
+            case None => Nil
+            case Some(other) => throw new IllegalArgumentException(s"bad bucket_sort sort: $other")
+          }
+          val from = body.get("from").map(num(_).toInt).getOrElse(0)
+          val size = body.get("size").map(num(_).toInt)
+          // key-asc tie-break keeps truncation deterministic (ES's rule)
+          val sorted =
+            if (sorts.nonEmpty) df.orderBy(sorts :+ col(keyName).asc: _*) else df
+          val shifted = if (from > 0) sorted.offset(from) else sorted
+          size.map(shifted.limit).getOrElse(shifted)
+      }
+    }
+  }
+
+  private val ParentPipeKeys = Set("derivative", "cumulative_sum", "serial_diff",
+    "moving_fn", "bucket_script", "bucket_selector", "bucket_sort")
+  private val SiblingPipeKeys = Set("avg_bucket", "sum_bucket", "min_bucket",
+    "max_bucket", "stats_bucket", "extended_stats_bucket", "percentiles_bucket")
+  private def isSiblingPipe(f: JField): Boolean = f match {
+    case JField(_, JObject(spec)) => spec.exists(x => SiblingPipeKeys(x._1))
+    case _ => false
+  }
+
+  /** Sibling pipeline aggs: `*_bucket` nodes at the root beside ONE
+    * multi-bucket parent. The parent tree compiles through the normal
+    * path; each sibling reduces the buckets_path metric column over
+    * the (tiny) bucket frame into named one-row columns. Documented
+    * delta: ES's response carries the parent's buckets AND the sibling
+    * value; the flat frame returns the sibling REDUCE row only (the
+    * buckets are the same request without the sibling). min/max_bucket
+    * return the value (ES additionally lists the keys holding it). */
+  private def compileSiblings(df: DataFrame, fields: List[JField],
+      fgPred: Option[Column], background: Option[DataFrame]): DataFrame = {
+    val (sibs, parents) = fields.partition(isSiblingPipe)
+    require(parents.size == 1,
+      "sibling pipeline aggs need exactly ONE multi-bucket parent beside " +
+        s"them; got ${parents.size} (${parents.map(_._1).mkString(", ")})")
+    val JField(parentName, parentSpec) = parents.head
+    val parentFrame = compile(df,
+      JsonMethods.compact(JsonMethods.render(
+        JObject(List(JField("aggs", JObject(List(JField(parentName, parentSpec)))))))),
+      fgPred, background)
+    def label(p: Double) =
+      (if (p == p.floor) p.toLong.toString else p.toString).replace('.', '_')
+    val aggCols: Seq[Column] = sibs.flatMap {
+      case JField(name, JObject(spec)) =>
+        val (kind, bodyJ) = spec.find(x => SiblingPipeKeys(x._1)).get
+        val body = bodyJ match {
+          case JObject(b) => b.toMap
+          case other => throw new IllegalArgumentException(s"bad $kind under '$name': $other")
+        }
+        val path = str(body, "buckets_path", kind)
+        val (pfx, metricPath) = path.split(">") match {
+          case Array(a, b) => (a, b)
+          case _ => throw new IllegalArgumentException(
+            s"sibling buckets_path must be parent>metric: $path")
+        }
+        require(pfx == parentName,
+          s"buckets_path '$path' references '$pfx' but the parent agg is '$parentName'")
+        val cname =
+          if (metricPath == "_count") "doc_count" else metricPath.replace('.', '_')
+        require(parentFrame.columns.contains(cname),
+          s"buckets_path '$path' resolves to no column " +
+            s"(have: ${parentFrame.columns.mkString(", ")})")
+        val c = col(cname)
+        kind match {
+          case "avg_bucket" => Seq(Num.round(avg(c), 4).as(name))
+          // decimal partials: bucket values are 4-dp-rounded doubles, so
+          // decimal(18,4) sums them exactly and order-free
+          case "sum_bucket" =>
+            Seq(Num.round(sum(c.cast("decimal(18,4)")).cast("double"), 4).as(name))
+          case "min_bucket" => Seq(min(c).as(name))
+          case "max_bucket" => Seq(max(c).as(name))
+          case "stats_bucket" => Seq(
+            count(c).as(s"${name}_count"),
+            Num.round(min(c), 4).as(s"${name}_min"),
+            Num.round(max(c), 4).as(s"${name}_max"),
+            Num.round(avg(c), 4).as(s"${name}_avg"),
+            Num.round(sum(c.cast("decimal(18,4)")).cast("double"), 4).as(s"${name}_sum"))
+          case "extended_stats_bucket" => Seq(
+            count(c).as(s"${name}_count"),
+            Num.round(avg(c), 4).as(s"${name}_avg"),
+            Num.round(var_pop(c), 4).as(s"${name}_variance"),
+            Num.round(stddev_pop(c), 4).as(s"${name}_std_dev"))
+          case "percentiles_bucket" =>
+            val percents = body.get("percents") match {
+              case Some(JArray(xs)) => xs.map(num)
+              case None => Seq(1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
+              case Some(other) => throw new IllegalArgumentException(s"bad percents: $other")
+            }
+            percents.map(p =>
+              Num.round(percentile(c, lit(p / 100.0)), 4).as(s"${name}_p${label(p)}"))
+        }
+      case other => throw new IllegalArgumentException(s"bad sibling pipeline agg: $other")
+    }
+    parentFrame.agg(aggCols.head, aggCols.tail: _*)
   }
 
   private def str(m: Map[String, JValue], k: String, agg: String): String =

@@ -395,6 +395,10 @@ object Painless {
       case DocRef(f) => col(f).cast("double")
       case ParamRef(p) => params.getOrElse(p,
         throw new IllegalArgumentException(s"missing param '$p'")) match {
+        // a Column param binds the reference to caller-provided frame
+        // math — how bucket_script/bucket_selector alias their
+        // buckets_path entries onto the compiled bucket frame
+        case c: Column => c
         case n: Number => lit(n.doubleValue())
         // vector param (the query_vector of the vector functions)
         case s: Seq[_] => typedLit(s.map {

@@ -90,7 +90,7 @@ object SearchBody {
     // METADATA (clients send it by default); graft's counts are always
     // exact, so there is nothing to relax
     "track_total_hits",
-    "suggest", "retriever", "indices_boost")
+    "suggest", "retriever", "indices_boost", "rank")
 
   /** True when the payload is a search BODY carrying sections beyond
     * `runtime_mappings`+`query` — the connector routes such payloads
@@ -405,8 +405,46 @@ object SearchBody {
       graft.sim.Ann.knnSearch(projected, idField, kjson, idField)
         .select(col("id").as("__kid"), (col("cosine") * boost).as("__kscore"))
     }
-    val afterKnn = knnJson match {
-      case Some(kv) =>
+    // `rank` (ES 8.8): REPLACE the hybrid score-sum combine with
+    // reciprocal-rank fusion of the legs — the query leg and each knn
+    // clause contribute their top rank_window_size ranks, a doc scores
+    // sum of 1/(rank_constant + rank). Delegates to Search.rrfTopK:
+    // fusion is union + one partial-agged groupBy over bounded
+    // windows, never a corpus shuffle.
+    val rankSpec: Option[(Int, Int)] = root.get("rank").map {
+      case JObject(JField("rrf", JObject(ps)) :: Nil) =>
+        val m = ps.toMap
+        def intOr(key: String, d: Int) = m.get(key).map(jnum(_).toInt).getOrElse(d)
+        val unknown = m.keySet -- Set("rank_constant", "rank_window_size")
+        require(unknown.isEmpty, s"unknown rank.rrf key(s): ${unknown.mkString(", ")}")
+        (intOr("rank_constant", 60), intOr("rank_window_size", 100))
+      case other => throw new IllegalArgumentException(
+        s"rank supports the rrf method: $other")
+    }
+
+    val afterKnn = (knnJson, rankSpec) match {
+      case (None, Some(_)) => throw new IllegalArgumentException(
+        "rank needs a knn section beside the query — the legs to fuse")
+      case (Some(kv), Some((rankConst, rankWindow))) =>
+        val knnLegs = kv match {
+          case JArray(clauses) =>
+            require(clauses.nonEmpty, "knn list must not be empty")
+            clauses.map(knnLeg)
+          case single => Seq(knnLeg(single))
+        }
+        val legs = (if (queryJson.isDefined)
+          Seq(matched.select(col(idField).as("id"), col("_score").as("score")))
+        else Seq.empty) ++
+          knnLegs.map(_.select(col("__kid").as("id"), col("__kscore").as("score")))
+        require(legs.size >= 2,
+          "rank.rrf fuses at least two legs (query + knn, or several knn clauses)")
+        val fused = graft.search.Search
+          .rrfTopK(legs, rankConstant = rankConst, windowSize = rankWindow, k = rankWindow)
+          .select(col("id").as("__rid"), col("rrf_score").as("_score"))
+        // fused is window-bounded (≤ legs·rank_window_size rows) — the
+        // join back to the hit frame broadcasts under AQE
+        projected.join(fused, col(idField) === col("__rid")).drop("__rid")
+      case (Some(kv), None) =>
         val knn = kv match {
           case JArray(clauses) =>
             require(clauses.nonEmpty, "knn list must not be empty")
@@ -426,7 +464,7 @@ object SearchBody {
           projected.join(knn, col(idField) === col("__kid")).drop("__kid")
             .withColumnRenamed("__kscore", "_score")
         }
-      case None => matched
+      case (None, None) => matched
     }
 
     // 3.5. indices_boost: per-index score multiplier — the hit's index

@@ -200,4 +200,85 @@ class AggsJsonNodesSpec extends SparkSpec {
     out.where($"rn" === 1).select($"lang".as[String], $"n_chars".as[Long])
       .collect().foreach { case (l, n) => assert(n == best(l)) }
   }
+
+  // ---- pipeline nodes (r11) ----
+
+  private def orders = Tables.orders(spark, sfDir)
+
+  test("pipeline chaining: derivative of a cumulative_sum sees the earlier pipe's column") {
+    val out = AggsJson.compile(orders,
+      """{"aggs": {"m": {"date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
+           "aggs": {"sales": {"sum": {"field": "o_totalprice"}},
+                    "cum": {"cumulative_sum": {"buckets_path": "sales"}},
+                    "back": {"derivative": {"buckets_path": "cum"}}}}}}""")
+    // d(cumsum)/dt = the original series (round-trip, modulo 4-dp rounding)
+    val rows = out.orderBy($"m")
+      .select($"sales".as[Double], $"back".as[Option[Double]]).collect()
+    assert(rows.head._2.isEmpty) // first bucket has no predecessor
+    rows.tail.foreach { case (s, b) =>
+      assert(math.abs(b.get - math.rint(s * 10000) / 10000) < 1e-6) }
+  }
+
+  test("sequencing pipes refuse a terms parent (bucket order is not key order)") {
+    val e = intercept[IllegalArgumentException] {
+      AggsJson.compile(docs,
+        """{"aggs": {"l": {"terms": {"field": "lang"},
+             "aggs": {"n": {"value_count": {"field": "doc_id"}},
+                      "d": {"derivative": {"buckets_path": "n"}}}}}}""")
+    }
+    assert(e.getMessage.contains("histogram-family"))
+  }
+
+  test("unknown buckets_path and unknown moving_fn script are loud") {
+    val e1 = intercept[IllegalArgumentException] {
+      AggsJson.compile(orders,
+        """{"aggs": {"m": {"date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
+             "aggs": {"sales": {"sum": {"field": "o_totalprice"}},
+                      "d": {"derivative": {"buckets_path": "nope"}}}}}}""").collect()
+    }
+    assert(e1.getMessage.contains("resolves to no column"))
+    val e2 = intercept[IllegalArgumentException] {
+      AggsJson.compile(orders,
+        """{"aggs": {"m": {"date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
+             "aggs": {"sales": {"sum": {"field": "o_totalprice"}},
+                      "f": {"moving_fn": {"buckets_path": "sales", "window": 3,
+                                          "script": "MovingFunctions.ewma"}}}}}}""").collect()
+    }
+    assert(e2.getMessage.contains("unsupported moving_fn script"))
+  }
+
+  test("sibling pipelines need exactly one parent; dotted paths resolve to flat columns") {
+    val e = intercept[IllegalArgumentException] {
+      AggsJson.compile(orders,
+        """{"aggs": {"a": {"terms": {"field": "o_orderpriority"}},
+             "b": {"terms": {"field": "o_orderstatus"}},
+             "s": {"avg_bucket": {"buckets_path": "a>_count"}}}}""")
+    }
+    assert(e.getMessage.contains("exactly ONE multi-bucket parent"))
+    // stats metric under the parent: path `m>price.avg` -> column price_avg
+    val out = AggsJson.compile(orders,
+      """{"aggs": {"m": {"date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
+             "aggs": {"price": {"stats": {"field": "o_totalprice"}}}},
+           "avg_of_avgs": {"avg_bucket": {"buckets_path": "m>price.avg"}}}}""")
+    assert(out.columns.toSeq == Seq("avg_of_avgs") && out.count() == 1)
+  }
+
+  test("bucket_selector filters like HAVING; bucket_sort pages the bucket frame") {
+    val months = orders.select(date_trunc("month", $"o_orderdate").cast("date").as("m"))
+      .groupBy($"m").count()
+    val expectKept = months.where($"count" >= 180).count()
+    val kept = AggsJson.compile(orders,
+      """{"aggs": {"m": {"date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
+           "aggs": {"keep": {"bucket_selector": {"buckets_path": {"n": "_count"},
+                                                 "script": "params.n >= 180"}}}}}}""")
+    assert(kept.count() == expectKept)
+    val paged = AggsJson.compile(orders,
+      """{"aggs": {"m": {"date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
+           "aggs": {"p": {"bucket_sort": {"sort": [{"_count": {"order": "desc"}}],
+                                          "from": 1, "size": 3}}}}}}""")
+      .select($"doc_count".as[Long]).collect()
+    val top = months.orderBy($"count".desc, $"m".asc)
+      .select($"count".as[Long]).collect().slice(1, 4)
+    assert(paged.sorted.toSeq == top.sorted.toSeq)
+  }
 }

@@ -510,4 +510,27 @@ class SearchBodySpec extends SparkSpec {
       assert(swapped.forall(_ == 42.0))
     } finally Inference.service = prev
   }
+
+  test("rank.rrf contracts: needs knn legs, rejects unknown methods and knobs") {
+    val e1 = intercept[IllegalArgumentException] {
+      SearchBody.search(docs,
+        """{"query": {"match": {"text": "hash"}},
+            "rank": {"rrf": {}}, "size": 5}""", idField = "doc_id")
+    }
+    assert(e1.getMessage.contains("knn"))
+    val e2 = intercept[IllegalArgumentException] {
+      SearchBody.search(docs,
+        """{"query": {"match": {"text": "hash"}},
+            "knn": {"field": "embedding", "query_vector": [0.1], "k": 5},
+            "rank": {"linear": {}}, "size": 5}""", idField = "doc_id")
+    }
+    assert(e2.getMessage.contains("rrf"))
+    val e3 = intercept[IllegalArgumentException] {
+      SearchBody.search(docs,
+        """{"query": {"match": {"text": "hash"}},
+            "knn": {"field": "embedding", "query_vector": [0.1], "k": 5},
+            "rank": {"rrf": {"window": 9}}, "size": 5}""", idField = "doc_id")
+    }
+    assert(e3.getMessage.contains("unknown rank.rrf key"))
+  }
 }
