@@ -19,6 +19,24 @@ import graft.EntryShared._
   * implementing operators live in the modules named in SURVEY §2). */
 private[graft] object EntriesPipeline {
 
+  // DuckDB mirror of Dsir.importanceWeights: unigram+bigram features
+  // hashed to 4096 buckets (md5-48 fold), Laplace-smoothed target/raw
+  // models, 4-dp-decimal log-ratio summed per doc
+  private val DsirLwCtes: String = TokCte +
+    ", ng AS (SELECT doc_id, list_concat(toks, list_transform(range(1, len(toks)), " +
+    "i -> toks[i] || ' ' || toks[i+1])) AS ngs FROM tok)" +
+    s", fx AS (SELECT doc_id, ${hexFold("g", 12)} % 4096 AS b " +
+    "FROM (SELECT doc_id, unnest(ngs) AS g FROM ng))" +
+    ", tf AS (SELECT fx.doc_id, b FROM fx JOIN documents USING (doc_id) WHERE source = 'src1')" +
+    ", tcnt AS (SELECT b, count(*)::BIGINT AS tc FROM tf GROUP BY b)" +
+    ", rcnt AS (SELECT b, count(*)::BIGINT AS rc FROM fx GROUP BY b)" +
+    ", tot AS (SELECT (SELECT sum(tc) FROM tcnt) AS tt, (SELECT sum(rc) FROM rcnt) AS tr)" +
+    ", ratio AS (SELECT b, CAST(round(ln((coalesce(tc, 0) + 1) / (tt + 4096.0)) - " +
+    "ln((coalesce(rc, 0) + 1) / (tr + 4096.0)), 4) AS DECIMAL(18,4)) AS logr " +
+    "FROM rcnt FULL OUTER JOIN tcnt USING (b) CROSS JOIN tot)" +
+    ", lw AS (SELECT fx.doc_id, CAST(sum(logr) AS DOUBLE) AS log_weight " +
+    "FROM fx JOIN ratio USING (b) GROUP BY fx.doc_id) "
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- F. LLM-data-pipeline ----
     "q_dedup_exact" -> ((s, d) => Dedup.exactDuplicates(Tables.events(s, d), "event_id", "props")),
@@ -453,6 +471,24 @@ private[graft] object EntriesPipeline {
     // domain-mix rebalancing weights toward a uniform source mix
     "q_domain_mix" -> ((s, d) =>
       TextAnalysis.domainMixWeights(t(s, d, "documents"), "source")),
+    // DSIR (Xie et al. 2023): hashed-ngram importance weights of the
+    // whole corpus against the src1 target slice — the docs that look
+    // most like the target rank first
+    "q_dsir_weights" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.text.Dsir.importanceWeights(
+        docs, docs.where(col("source") === "src1"), "doc_id", "text")
+        .orderBy(col("log_weight").desc, col("doc_id").asc).limit(50)
+    }),
+    // DSIR resampling: Gumbel top-k over the importance weights with
+    // the deterministic md5-48 draw
+    "q_dsir_resample" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.text.Dsir.resampleTopK(
+        graft.text.Dsir.importanceWeights(
+          docs, docs.where(col("source") === "src1"), "doc_id", "text"),
+        "doc_id", k = 200)
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -947,5 +983,12 @@ private[graft] object EntriesPipeline {
       "SELECT source, n_docs, round(n_docs / total, 4) AS share, " +
       "round((1.0 / n_sources) / (n_docs / total), 4) AS weight " +
       "FROM c CROSS JOIN t ORDER BY source"),
+    "q_dsir_weights" -> (DsirLwCtes +
+      "SELECT doc_id, log_weight FROM lw ORDER BY log_weight DESC, doc_id LIMIT 50"),
+    "q_dsir_resample" -> (DsirLwCtes +
+      ", gk AS (SELECT doc_id, log_weight, round(log_weight - ln(-ln(greatest(" +
+      hexFold("'dsir:' || doc_id::VARCHAR", 12) +
+      " / 281474976710656.0, 1e-12))), 4) AS g_key FROM lw) " +
+      "SELECT doc_id, log_weight, g_key FROM gk ORDER BY g_key DESC, doc_id LIMIT 200"),
   )
 }

@@ -200,4 +200,28 @@ class DedupSpec extends SparkSpec {
     // 7 survives (no old partner); 3 and 5 drop (old 2 matches)
     assert(kept == Seq(7L))
   }
+
+  test("DSIR: target-slice docs outrank the rest; the ratio table broadcasts") {
+    import spark.implicits._
+    import graft.text.Dsir
+    val docs = Tables.documents(spark, sfDir)
+    val target = docs.where(col("source") === "src1")
+    val w = Dsir.importanceWeights(docs, target, "doc_id", "text", buckets = 1024)
+    // docs FROM the target slice must look more like the target than
+    // the corpus average: compare mean weights
+    val joined = w.join(docs.select($"doc_id", $"source"), "doc_id")
+    val means = joined.groupBy($"source" === "src1")
+      .agg(avg($"log_weight")).as[(Boolean, Double)].collect().toMap
+    assert(means(true) > means(false),
+      s"target-mean ${means(true)} should beat non-target ${means(false)}")
+    // scale shape: the per-doc scoring join must broadcast the
+    // B-bounded ratio table, never shuffle the exploded feature stream
+    // for a sort-merge join
+    val plan = w.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // resampling is deterministic and k-bounded
+    val r1 = Dsir.resampleTopK(w, "doc_id", 20).as[(Long, Double, Double)].collect()
+    val r2 = Dsir.resampleTopK(w, "doc_id", 20).as[(Long, Double, Double)].collect()
+    assert(r1.toSeq == r2.toSeq && r1.length == 20)
+  }
 }
