@@ -462,6 +462,25 @@ private[graft] object EntriesBody {
            "top": {"top_hits": {"size": 3,
              "sort": [{"o_totalprice": {"order": "desc"}}, {"o_orderkey": {"order": "asc"}}],
              "_source": ["o_orderkey", "o_totalprice"]}}}}}}""")),
+    // explain: true — per-hit _explanation (the BM25 term breakdown
+    // string) riding through _source pruning as hit metadata
+    "q_search_body_explain" -> ((s, d) => graft.dsl.SearchBody.search(
+      t(s, d, "documents"),
+      """{"query": {"match": {"text": "vector hash"}},
+          "explain": true,
+          "sort": ["_score", {"doc_id": {"order": "asc"}}],
+          "size": 10, "_source": ["doc_id"]}""",
+      idField = "doc_id")),
+    // terminate_after: the collected hit set caps at n (deterministic
+    // id-order prefix) BEFORE sort/size see it — top-50 by length
+    // among the first 100 matching docs, not the corpus top-50
+    "q_search_body_terminate" -> ((s, d) => graft.dsl.SearchBody.search(
+      t(s, d, "documents"),
+      """{"query": {"term": {"lang": "en"}},
+          "terminate_after": 100,
+          "sort": [{"n_chars": {"order": "desc"}}, {"doc_id": {"order": "asc"}}],
+          "size": 50, "_source": ["doc_id", "n_chars"]}""",
+      idField = "doc_id")),
     // ES 8.8 `rank` body section: reciprocal-rank fusion REPLACES the
     // hybrid score-sum — query leg + knn leg each contribute their top
     // rank_window_size ranks, fused 1/(rank_constant + rank)
@@ -780,6 +799,17 @@ private[graft] object EntriesBody {
       "(SELECT o_orderpriority, o_orderkey, o_totalprice, " +
       "row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) " +
       "WHERE rn <= 3 ORDER BY o_orderpriority, rn"),
+    "q_search_body_explain" -> (TokCte + bm25Ctes("", "tok", Seq("vector", "hash")) +
+      ", ex AS (SELECT tf.doc_id AS id, string_agg('weight(' || term || ')=' || " +
+      "CAST(CAST(round(ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) * " +
+      "tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / st.avgdl)), 4) " +
+      "AS DECIMAL(18,4)) AS VARCHAR), ' + ' ORDER BY term) AS _explanation " +
+      "FROM tf JOIN df USING (term) CROSS JOIN st GROUP BY tf.doc_id) " +
+      "SELECT sc.id AS doc_id, sc.score AS _score, ex._explanation " +
+      "FROM sc JOIN ex ON sc.id = ex.id ORDER BY _score DESC, doc_id LIMIT 10"),
+    "q_search_body_terminate" -> ("WITH c AS (SELECT doc_id, n_chars FROM documents " +
+      "WHERE lang = 'en' ORDER BY doc_id LIMIT 100) " +
+      "SELECT doc_id, n_chars FROM c ORDER BY n_chars DESC, doc_id LIMIT 50"),
     "q_search_body_rank" -> (TokCte + bm25Ctes("", "tok", Seq("vector", "hash")) +
       ", e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), " +
       s"q AS (SELECT $KnnVecSql AS qv), " +

@@ -90,7 +90,8 @@ object SearchBody {
     // METADATA (clients send it by default); graft's counts are always
     // exact, so there is nothing to relax
     "track_total_hits",
-    "suggest", "retriever", "indices_boost", "rank")
+    "suggest", "retriever", "indices_boost", "rank",
+    "explain", "terminate_after")
 
   /** True when the payload is a search BODY carrying sections beyond
     * `runtime_mappings`+`query` — the connector routes such payloads
@@ -373,7 +374,7 @@ object SearchBody {
 
     // 1-2. query phase (scores only when the body needs them)
     val mSpec = queryJson.flatMap(matchSpec)
-    val matched = (queryJson, scoring) match {
+    val matched0 = (queryJson, scoring) match {
       case (Some(q), true) =>
         // the shared scored query phase (scoredQueryFrame): match /
         // multi_match / match_phrase carry real BM25; `bool` trees
@@ -389,6 +390,19 @@ object SearchBody {
       case (Some(q), false) => projected.where(EsQuery.compile(q, idField))
       case (None, true) => projected.withColumn("_score", lit(1.0))
       case (None, false) => projected
+    }
+
+    // 2.5. terminate_after: cap the COLLECTED hit set at n before any
+    // later phase sees it. ES stops each shard's collector after n
+    // arbitrary docs; the deterministic single-frame reading is the
+    // first n matches in id order (a TakeOrderedAndProject — top-n
+    // selection, not a full sort). Documented delta: ES's per-shard
+    // arbitrary subset becomes the id-ordered prefix.
+    val matched = root.get("terminate_after").map(jnum(_).toInt) match {
+      case Some(n) =>
+        require(n > 0, s"terminate_after must be positive: $n")
+        matched0.orderBy(col(idField).asc).limit(n)
+      case None => matched0
     }
 
     // 3. knn leg + hybrid combine. ES 8.12 accepts a LIST of knn
@@ -687,6 +701,24 @@ object SearchBody {
       case Some(other) => throw new IllegalArgumentException(s"bad highlight: $other")
     }
 
+    // 9.5. explain: true — per-hit `_explanation` (the BM25 term
+    // breakdown as one string, from the SAME component frame as the
+    // score). Supported for the single-field match shape, which has a
+    // well-defined term decomposition; other query shapes fail loudly
+    // rather than attach a fake explanation. The join runs against
+    // the already-sized hit frame, so it is hit-bounded.
+    val explained = root.get("explain") match {
+      case None | Some(JBool(false)) => highlighted
+      case Some(JBool(true)) =>
+        val (f, qtext) = mSpec.getOrElse(throw new IllegalArgumentException(
+          "explain: true is supported for single-field match bodies (the BM25 " +
+            "term breakdown); other query shapes have no term decomposition here"))
+        val expl = graft.search.Search.explainStrings(projected, idField, f, qtext)
+          .withColumnRenamed("id", "__eid")
+        highlighted.join(expl, col(idField) === col("__eid"), "left").drop("__eid")
+      case Some(other) => throw new IllegalArgumentException(s"bad explain: $other")
+    }
+
     // 10. response shaping: script_fields / docvalue_fields / fields
     // project extra columns; _source prunes the doc columns. Hit
     // METADATA — _score, snippets, computed/retrieved fields, the
@@ -701,9 +733,9 @@ object SearchBody {
         JsonMethods.compact(JsonMethods.render(v))))
       .getOrElse(Nil)
     val withExtras = (scriptCols ++ docvalueCols ++ fieldsCols)
-      .foldLeft(highlighted) { case (d, (n, c)) => d.withColumn(n, c) }
-    val metaCols = (Seq("_score", "inner_hits") ++ snippetCols ++ scriptCols.map(_._1) ++
-      docvalueCols.map(_._1) ++ fieldsCols.map(_._1) ++
+      .foldLeft(explained) { case (d, (n, c)) => d.withColumn(n, c) }
+    val metaCols = (Seq("_score", "inner_hits", "_explanation") ++ snippetCols ++
+      scriptCols.map(_._1) ++ docvalueCols.map(_._1) ++ fieldsCols.map(_._1) ++
       Seq("__graft_src_index")).distinct
     root.get("_source") match {
       case None => withExtras

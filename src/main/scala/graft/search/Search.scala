@@ -614,6 +614,30 @@ object Search {
       .groupBy(col("id"))
       .agg(Num.round(sum(col("term_score")), 4).as("score"))
 
+  /** Body `explain: true`: per-hit `_explanation` — the BM25 term
+    * breakdown folded to ONE string per doc
+    * (`weight(t1)=w1 + weight(t2)=w2`, terms ascending), built from
+    * the SAME component frame as the aggregate score so the numbers
+    * cannot disagree with `_score`. Weights print through
+    * decimal(18,4) so both engines render identically (double
+    * stringification would go scientific on small weights). */
+  def explainStrings(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      query: String,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame =
+    bm25Components(docs, idCol, textCol, query, k1, b)
+      .groupBy(col("id"))
+      .agg(concat_ws(" + ",
+        transform(
+          array_sort(collect_list(struct(col("term"), col("term_score")))),
+          x => concat(lit("weight("), x.getField("term"), lit(")="),
+            Num.round(x.getField("term_score"), 4)
+              .cast("decimal(18,4)").cast("string"))))
+        .as("_explanation"))
+
   /** Per-(doc, term) BM25 components — one frame feeding both the
     * aggregate score (bm25Scores) and the `_explain` breakdown, so the
     * formula can't drift between them. */

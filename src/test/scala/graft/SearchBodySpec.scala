@@ -533,4 +533,37 @@ class SearchBodySpec extends SparkSpec {
     }
     assert(e3.getMessage.contains("unknown rank.rrf key"))
   }
+
+  test("explain: true needs a match query; _explanation survives _source: false") {
+    val e = intercept[IllegalArgumentException] {
+      SearchBody.search(docs,
+        """{"query": {"term": {"lang": "en"}}, "explain": true, "size": 5}""",
+        idField = "doc_id")
+    }
+    assert(e.getMessage.contains("single-field match"))
+    val out = SearchBody.search(docs,
+      """{"query": {"match": {"text": "vector hash"}}, "explain": true,
+          "sort": ["_score", {"doc_id": {"order": "asc"}}],
+          "size": 5, "_source": false}""", idField = "doc_id")
+    assert(out.columns.contains("_explanation"))
+    val ex = out.select($"_explanation".as[String]).collect()
+    assert(ex.nonEmpty && ex.forall(_.startsWith("weight(")))
+  }
+
+  test("terminate_after caps the collected set before sort/size") {
+    val body = (n: String) =>
+      s"""{"query": {"term": {"lang": "en"}}$n,
+          "sort": [{"n_chars": {"order": "desc"}}, {"doc_id": {"order": "asc"}}],
+          "size": 5, "_source": ["doc_id", "n_chars"]}"""
+    val capped = SearchBody.search(docs, body(""", "terminate_after": 20"""),
+      idField = "doc_id").select($"doc_id".as[Long]).collect().toSet
+    val first20 = docs.where($"lang" === "en").orderBy($"doc_id").limit(20)
+    val expect = first20.orderBy($"n_chars".desc, $"doc_id".asc).limit(5)
+      .select($"doc_id".as[Long]).collect().toSet
+    assert(capped == expect)
+    // and the uncapped request CAN see docs beyond the first 20 matches
+    val uncapped = SearchBody.search(docs, body(""),
+      idField = "doc_id").select($"doc_id".as[Long]).collect().toSet
+    assert(uncapped != capped)
+  }
 }
