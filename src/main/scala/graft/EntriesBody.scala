@@ -493,6 +493,40 @@ private[graft] object EntriesBody {
           "size": 10}""",
       idField = "doc_id")
       .select(col("doc_id"), col("_score"))),
+    // `global` scope wrapper: sub-aggs over the WHOLE index while the
+    // request frame is query-filtered (background passes explicitly)
+    "q_aggs_json_global" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.dsl.AggsJson.compile(docs.where(col("lang") === "en"),
+        """{"aggs": {"all_docs": {"global": {}, "aggs": {
+             "cnt": {"value_count": {"field": "doc_id"}},
+             "avg_chars": {"avg": {"field": "n_chars"}}}}}}""",
+        fgPred = None, background = Some(docs))
+    }),
+    // ip_range JSON node: same kernel (and oracle) as the Scala key
+    "q_aggs_json_ip_range" -> ((s, d) => graft.dsl.AggsJson.compile(
+      withIp(Tables.events(s, d)),
+      """{"aggs": {"r": {"ip_range": {"field": "ip", "ranges": [
+           {"key": "low", "to": "10.64.0.0"},
+           {"key": "mid", "from": "10.64.0.0", "to": "10.192.0.0"},
+           {"key": "high", "from": "10.192.0.0"}]}}}}""")),
+    // date_histogram `offset` through the JSON walk (billing months
+    // starting on the 10th) — same formula as the Scala kernel
+    "q_aggs_json_dh_offset" -> ((s, d) => graft.dsl.AggsJson.compile(
+      t(s, d, "orders"),
+      """{"aggs": {"bucket": {"date_histogram": {"field": "o_orderdate",
+           "calendar_interval": "month", "offset": "10 days"}}}}""")),
+    // date_histogram min_doc_count: 0 — gap buckets materialize
+    // (delegates to the sequence()-spine kernel)
+    "q_aggs_json_dh_empty" -> ((s, d) => graft.dsl.AggsJson.compile(
+      t(s, d, "orders"),
+      """{"aggs": {"m": {"date_histogram": {"field": "o_orderdate",
+           "calendar_interval": "month", "min_doc_count": 0}}}}""")),
+    // terms min_doc_count: the HAVING form (rare languages drop)
+    "q_aggs_json_min_doc_count" -> ((s, d) => graft.dsl.AggsJson.compile(
+      t(s, d, "documents"),
+      """{"aggs": {"l": {"terms": {"field": "lang", "size": 10, "min_doc_count": 70},
+           "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}}}}}""")),
     // PARENT pipelines through the JSON door: derivative +
     // cumulative_sum beside the sum metric they reference — window
     // math over the tiny monthly bucket frame, the heavy exchange
@@ -705,6 +739,16 @@ private[graft] object EntriesBody {
     // shared oracles: these JSON nodes delegate to the same kernels
     // with the same params as their Scala keys
     "q_aggs_json_auto_date" -> EntriesAggs.oracleSql("q_agg_auto_date_histogram"),
+    // the JSON nodes delegating to (or reproducing) Scala kernels
+    // share those kernels' oracles — one definition per formula
+    "q_aggs_json_ip_range" -> EntriesLate.oracleSql("q_agg_ip_range"),
+    "q_aggs_json_dh_offset" -> EntriesAggs.oracleSql("q_agg_date_histogram_offset"),
+    "q_aggs_json_dh_empty" -> EntriesAggs.oracleSql("q_agg_histogram_empty"),
+    "q_aggs_json_global" -> ("SELECT count(doc_id)::BIGINT AS cnt, " +
+      "round(avg(n_chars), 4) AS avg_chars FROM documents"),
+    "q_aggs_json_min_doc_count" -> ("SELECT lang AS l, count(*)::BIGINT AS doc_count, " +
+      "round(avg(n_chars), 4) AS avg_chars FROM documents GROUP BY lang " +
+      "HAVING count(*) >= 70 ORDER BY doc_count DESC, l LIMIT 10"),
     "q_aggs_json_adjacency" -> EntriesAggs.oracleSql("q_agg_adjacency"),
     "q_aggs_json_geo_distance" -> EntriesAggs.oracleSql("q_agg_geo_distance"),
     "q_search_body_collapse_inner" -> ("WITH r AS (SELECT *, " +

@@ -215,6 +215,52 @@ object AggsJson {
       // order, key-asc tie-break), metric sub-aggs per bucket
       case JField(name, JObject(spec)) :: Nil if spec.exists(_._1 == "multi_terms") =>
         return compileMultiTerms(df, name, spec.toMap)
+      // `global`: the sub-tree evaluates over the WHOLE index,
+      // ignoring the request's query — exactly the background frame
+      // the front door passes for significant_terms; a direct caller
+      // without one gets df itself (already un-filtered)
+      case JField(name, JObject(spec)) :: Nil if spec.exists(_._1 == "global") =>
+        val m = spec.toMap
+        val sub = m.get("aggs").orElse(m.get("aggregations")) match {
+          case Some(s: JObject) => s
+          case _ => throw new IllegalArgumentException(
+            s"global under '$name' needs sub-aggs (it is a scope wrapper)")
+        }
+        return compile(background.getOrElse(df),
+          JsonMethods.compact(JsonMethods.render(JObject(List(JField("aggs", sub))))),
+          fgPred, background)
+      // `ip_range`: from-inclusive / to-exclusive dotted-quad bounds,
+      // ES's "from-to" auto keys or explicit `key` — delegates to the
+      // Scala kernel (one scan, N conditional counts)
+      case JField(name, JObject(JField("ip_range", JObject(irs)) :: Nil)) :: Nil =>
+        val m = irs.toMap
+        val f = str(m, "field", "ip_range")
+        val ranges: Seq[(String, Option[String], Option[String])] = m.get("ranges") match {
+          case Some(JArray(rs)) => rs.map {
+            case JObject(r) =>
+              val rm = r.toMap
+              def side(k: String) = rm.get(k).collect { case JString(x) => x }
+              val (from, to) = (side("from"), side("to"))
+              require(from.isDefined || to.isDefined, "ip_range range needs from or to")
+              val key = rm.get("key").collect { case JString(x) => x }
+                .getOrElse(s"${from.getOrElse("*")}-${to.getOrElse("*")}")
+              (key, from, to)
+            case other => throw new IllegalArgumentException(s"bad ip range: $other")
+          }
+          case _ => throw new IllegalArgumentException("ip_range needs ranges")
+        }
+        return graft.agg.Aggs.ipRange(df, f, ranges)
+      // `date_histogram` with `min_doc_count: 0`: gap buckets
+      // materialize (the chart-consumer contract) — the Scala kernel's
+      // sequence() spine + broadcast left join, month granularity
+      case JField(name, JObject(JField("date_histogram", JObject(ds)) :: Nil)) :: Nil
+          if ds.toMap.get("min_doc_count").exists(num(_) == 0) =>
+        val m = ds.toMap
+        require(m.get("calendar_interval").contains(JString("month")),
+          "min_doc_count: 0 gap filling supports calendar_interval month " +
+            "(the kernel's spine granularity)")
+        return graft.agg.Aggs.dateHistogramEmptyBuckets(
+          df, str(m, "field", "date_histogram"))
       // `rare_terms`: the long-tail inverse of terms — buckets with
       // doc_count <= max_doc_count, rarest first. One partial-agged
       // groupBy + a HAVING predicate; never a global sort of the
@@ -248,6 +294,9 @@ object AggsJson {
     val bucketTypes = scala.collection.mutable.ListBuffer.empty[String]
     var topSize: Option[Int] = None
     var topSizeExplicit = false
+    // bucket min_doc_count (> 0): a HAVING on the grouped frame; ES
+    // applies it before size truncation
+    var topMinDoc: Option[Long] = None
     // ES terms `order`: {"_key"|"_count"|<metric name>: "asc"|"desc"},
     // or the array form [{...},{...}] for multi-criteria ordering
     var topOrder: List[(String, Boolean)] = Nil
@@ -288,9 +337,27 @@ object AggsJson {
           bucketTypes += (m - "aggs" - "aggregations").keysIterator
             .find(Set("terms", "histogram", "date_histogram", "range",
               "date_range", "geotile_grid", "geohash_grid")).getOrElse("?")
+          // min_doc_count (terms / histogram / date_histogram): only
+          // meaningful at the single level the flat compile can HAVING
+          val nodeOpts: Map[String, JValue] =
+            (m - "aggs" - "aggregations").collectFirst {
+              case (k, JObject(o)) if BucketNodeKeys(k) => o.toMap
+            }.getOrElse(Map.empty)
+          nodeOpts.get("min_doc_count").map(num(_).toLong).foreach { n =>
+            require(n > 0,
+              s"min_doc_count: 0 under '$name' (gap filling) is the dedicated " +
+                "single-node date_histogram shape; it cannot combine with sub-aggs here")
+            if (level == 0) topMinDoc = Some(n)
+            else throw new IllegalArgumentException(
+              s"min_doc_count on nested level '$name' is not honored by the flat compile")
+          }
           m.get("terms").foreach {
             case JObject(ts) =>
               val tm = ts.toMap
+              val unknownOpt = tm.keySet -- Set("field", "size", "order",
+                "include", "exclude", "missing", "min_doc_count")
+              require(unknownOpt.isEmpty,
+                s"unsupported terms option(s) under '$name': ${unknownOpt.mkString(", ")}")
               tm.get("include").foreach {
                 case JString(re) => rowFilters += keyCol.rlike(s"^(?:$re)$$")
                 case other => throw new IllegalArgumentException(s"bad include: $other")
@@ -354,11 +421,13 @@ object AggsJson {
       val aggCols = (count(lit(1)).as("doc_count") +:
         metrics.map { case (n, c) => c.as(n) })
       val base = rowFilters.foldLeft(df)(_ where _)
-      val grouped = base
+      val grouped0 = base
         .groupBy(keys.map { case (n, c) => c.as(n) }.toSeq: _*)
         .agg(aggCols.head, aggCols.tail: _*)
         // range buckets: rows outside every range fold to null — drop
         .where(keys.map { case (n, _) => col(n).isNotNull }.reduce(_ && _))
+      // min_doc_count > 0: HAVING before size truncation (ES's order)
+      val grouped = topMinDoc.fold(grouped0)(n => grouped0.where(col("doc_count") >= n))
       topSize match {
         case Some(k) if keys.size == 1 =>
           val keyCol = col(keys.head._1)
@@ -598,8 +667,14 @@ object AggsJson {
     case other => throw new IllegalArgumentException(s"bad number: $other")
   }
 
+  private val BucketNodeKeys = Set("terms", "histogram", "date_histogram",
+    "range", "date_range", "geotile_grid", "geohash_grid")
+
   private def bucketKey(name: String, spec: Map[String, JValue]): Column =
-    spec.head match {
+    // dispatch on the RECOGNIZED bucket key, not map order — a spec
+    // carrying an unsupported option key must not shadow the node type
+    // in the error
+    spec.find(kv => BucketNodeKeys(kv._1)).getOrElse(spec.head) match {
       case ("terms", JObject(s)) =>
         val m = s.toMap
         val c = col(str(m, "field", "terms"))
@@ -619,6 +694,22 @@ object AggsJson {
       case ("date_histogram", JObject(s)) =>
         val m = s.toMap
         val f = str(m, "field", "date_histogram")
+        val unknown = m.keySet -- Set("field", "fixed_interval",
+          "calendar_interval", "offset", "min_doc_count")
+        require(unknown.isEmpty,
+          s"unsupported date_histogram option(s) under '$name': ${unknown.mkString(", ")}")
+        // `offset` shifts the bucket boundaries (ES: billing months
+        // starting on the 10th) — truncate in offset-space, shift
+        // back; validated shape so the interval literal stays a
+        // literal. Offset keys are TIMESTAMPs (a shifted boundary is
+        // no longer a pure date at every granularity).
+        val offset = m.get("offset").map {
+          case JString(o) =>
+            require(o.matches("\\d+ (day|days|hour|hours|minute|minutes|week|weeks)"),
+              s"bad date_histogram offset '$o' (want '<n> day[s]|hour[s]|minute[s]|week[s]')")
+            o
+          case other => throw new IllegalArgumentException(s"bad offset: $other")
+        }
         (m.get("fixed_interval"), m.get("calendar_interval")) match {
           case (Some(JString(iv)), None) =>
             val IntervalRe = """(\d+)(ms|s|m|h|d)""".r
@@ -634,6 +725,8 @@ object AggsJson {
                 s"bad fixed_interval '$other' (want <n>ms|s|m|h|d)")
             }
             // bucket START in ns (integer math — the ES epoch-aligned key)
+            require(offset.isEmpty,
+              "date_histogram offset supports calendar_interval only here")
             expr(s"($f div ${ns}L) * ${ns}L")
           case (None, Some(JString(unit))) =>
             // calendar units over DATE/TIMESTAMP fields — variable-width
@@ -641,7 +734,11 @@ object AggsJson {
             // days); date_trunc is the epoch-free calendar alignment
             require(Set("day", "week", "month", "quarter", "year")(unit),
               s"bad calendar_interval '$unit' (want day|week|month|quarter|year)")
-            date_trunc(unit, col(f)).cast("date")
+            offset match {
+              case Some(o) =>
+                date_trunc(unit, col(f) - expr(s"interval $o")) + expr(s"interval $o")
+              case None => date_trunc(unit, col(f)).cast("date")
+            }
           case _ => throw new IllegalArgumentException(
             "date_histogram needs exactly one of fixed_interval | calendar_interval")
         }

@@ -281,4 +281,28 @@ class AggsJsonNodesSpec extends SparkSpec {
       .select($"count".as[Long]).collect().slice(1, 4)
     assert(paged.sorted.toSeq == top.sorted.toSeq)
   }
+
+  test("global without sub-aggs, unknown terms options, nested min_doc_count: all loud") {
+    val e1 = intercept[IllegalArgumentException] {
+      AggsJson.compile(docs, """{"aggs": {"g": {"global": {}}}}""")
+    }
+    assert(e1.getMessage.contains("sub-aggs"))
+    val e2 = intercept[IllegalArgumentException] {
+      AggsJson.compile(docs,
+        """{"aggs": {"l": {"terms": {"field": "lang", "shard_size": 50}}}}""")
+    }
+    assert(e2.getMessage.contains("unsupported terms option"))
+    val e3 = intercept[IllegalArgumentException] {
+      AggsJson.compile(docs,
+        """{"aggs": {"l": {"terms": {"field": "lang"}, "aggs": {
+             "s": {"terms": {"field": "source", "min_doc_count": 2}}}}}}""")
+    }
+    assert(e3.getMessage.contains("min_doc_count on nested level"))
+    val e4 = intercept[IllegalArgumentException] {
+      AggsJson.compile(orders,
+        """{"aggs": {"m": {"date_histogram": {"field": "o_orderdate",
+             "calendar_interval": "month", "offset": "10 days; DROP TABLE x"}}}}""")
+    }
+    assert(e4.getMessage.contains("bad date_histogram offset"))
+  }
 }
