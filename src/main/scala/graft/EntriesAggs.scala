@@ -324,6 +324,12 @@ private[graft] object EntriesAggs {
     // geo_bounds: tightest envelope per market segment
     "q_agg_geo_bounds" -> ((s, d) =>
       Aggs.geoBounds(withGeo(t(s, d, "customer")), "c_mktsegment", "lat", "lon")),
+    // cartesian_bounds + cartesian_centroid (ES 8.6): the planar
+    // twins over point x/y — the synthetic coordinates read as an
+    // unprojected plane
+    "q_agg_cartesian" -> ((s, d) =>
+      Aggs.cartesianBoundsCentroid(withGeo(t(s, d, "customer")),
+        "c_mktsegment", "lon", "lat")),
     // scripted_metric: Painless map script compiled to codegen'd
     // column math, associative combine/reduce -> one partial agg
     "q_agg_scripted_metric" -> ((s, d) =>
@@ -558,6 +564,13 @@ private[graft] object EntriesAggs {
       "SELECT c_mktsegment AS key, round(max(lat), 4) AS top, round(min(lon), 4) AS \"left\", " +
       "round(min(lat), 4) AS bottom, round(max(lon), 4) AS \"right\", count(*)::BIGINT AS doc_count " +
       "FROM g GROUP BY 1 ORDER BY key"),
+    "q_agg_cartesian" -> ("WITH g AS (SELECT c_mktsegment, " +
+      "(c_custkey * 7919 % 18000) / 100.0 - 90.0 AS lat, " +
+      "(c_custkey * 104729 % 36000) / 100.0 - 180.0 AS lon FROM customer) " +
+      "SELECT c_mktsegment AS key, round(min(lon), 4) AS min_x, round(max(lon), 4) AS max_x, " +
+      "round(min(lat), 4) AS min_y, round(max(lat), 4) AS max_y, " +
+      "round(avg(lon), 4) AS centroid_x, round(avg(lat), 4) AS centroid_y, " +
+      "count(*)::BIGINT AS doc_count FROM g GROUP BY 1 ORDER BY key"),
     "q_agg_scripted_metric" -> ("SELECT l_returnflag AS key, " +
       "round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS DOUBLE), 4) AS value, " +
       "count(*)::BIGINT AS doc_count FROM lineitem GROUP BY 1 ORDER BY key"),

@@ -50,6 +50,29 @@ private[graft] object EntriesStream {
     }),
     "q_sessionize" -> ((s, d) => EventStreams.sessionize(Tables.events(s, d), 30)),
     "q_props_json" -> ((s, d) => EventStreams.propsField(Tables.events(s, d), "k")),
+    // REAL streaming execution, oracle-keyed: the same hourly agg as
+    // q_stream_window but run through readStream + a complete-mode
+    // memory sink (processAllAvailable drains the file source), then
+    // read back — the DuckDB oracle checks the STREAMING engine's
+    // output, not a batch stand-in. Shares q_stream_window's oracle.
+    "q_stream_exec" -> ((s, d) => {
+      // file stream sources read DIRECTORIES — stage the events file
+      // into a temp dir (same staging the streaming specs use)
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_exec")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        dir.resolve("events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val in = s.readStream.schema(Tables.eventsSchema)
+        .parquet(dir.toString)
+        .transform(Tables.normalizeEvents)
+      val q = EventStreams.hourlyTypeCounts(in)
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("q_stream_exec_sink").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("q_stream_exec_sink")
+        .orderBy(col("hour_bucket").asc, col("event_type").asc)
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -57,6 +80,9 @@ private[graft] object EntriesStream {
     "q_downsample" -> DownsampleOracle,
     "q_rollup_search" -> DownsampleOracle,
     "q_stream_window" -> ("SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type, " +
+      "count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type"),
+    // identical formula — the streaming-engine run must agree with it
+    "q_stream_exec" -> ("SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type, " +
       "count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type"),
     "q_sessionize" -> ("WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tn FROM events), " +
       "l AS (SELECT *, lag(tn) OVER (PARTITION BY user_id ORDER BY tn, event_id) AS prev FROM e), " +

@@ -1650,6 +1650,25 @@ object Aggs {
         count(lit(1)).as("doc_count"))
       .orderBy(col("key").asc)
 
+  /** `cartesian_bounds` + `cartesian_centroid` (ES 8.6): the planar
+    * twins of geo_bounds/geo_centroid over `point`/`shape` x/y
+    * fields — pure min/max/avg per group, ONE partial-aggregated
+    * exchange (graft's geo casts never used spherical math for
+    * bounds either, so this is the same shape on unprojected
+    * coordinates). */
+  def cartesianBoundsCentroid(df: DataFrame, groupField: String,
+      xField: String, yField: String): DataFrame =
+    df.groupBy(col(groupField).as("key"))
+      .agg(
+        Num.round(min(col(xField)), 4).as("min_x"),
+        Num.round(max(col(xField)), 4).as("max_x"),
+        Num.round(min(col(yField)), 4).as("min_y"),
+        Num.round(max(col(yField)), 4).as("max_y"),
+        Num.round(avg(col(xField)), 4).as("centroid_x"),
+        Num.round(avg(col(yField)), 4).as("centroid_y"),
+        count(lit(1)).as("doc_count"))
+      .orderBy(col("key").asc)
+
   /** `scripted_metric`: the map script is a Painless expression
     * compiled ONCE on the driver to codegen'd Column math
     * (graft.dsl.Painless); combine/reduce is an associative sum, so
