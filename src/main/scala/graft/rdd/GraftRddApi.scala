@@ -42,6 +42,49 @@ object GraftRddApi extends Serializable {
       }
     }
 
+    implicit class GraftJsonSessionOps(val spark: SparkSession) {
+      /** `sc.esJsonRDD(resource, query)` analog: (id, rawJson) pairs —
+        * the document travels as its JSON source string (the
+        * reference's form for consumers that re-parse downstream).
+        * Rendering is Spark's toJSON (a narrow projection stage);
+        * null fields are omitted, like ES `_source`. */
+      def graftJsonRDD(
+          path: String,
+          query: String = null,
+          idField: String = "_id"): RDD[(Any, String)] = {
+        import Connector.implicits._
+        val df = spark.graftDF(path, query, idField)
+        require(df.schema.fieldNames.contains(idField),
+          s"graftJsonRDD needs id column '$idField' in the index")
+        df.select(org.apache.spark.sql.functions.col(idField).as("__gid"),
+            org.apache.spark.sql.functions.to_json(
+              org.apache.spark.sql.functions.struct(
+                df.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*))
+              .as("__gjson"))
+          .rdd.map(r => (r.get(0), r.getString(1)))
+      }
+    }
+
+    implicit class GraftJsonRddOps(val rdd: RDD[String]) {
+      /** `rdd.saveJsonToEs(resource, cfg)` analog: each element is one
+        * JSON document string. Schema comes from Spark's JSON
+        * inference (the dynamic-mapping step for the JSON form),
+        * then the write goes through the SAME Connector.save bulk
+        * path as the map form — id resolution (`graft.mapping.id`),
+        * versioning, routing all apply. Malformed documents fail
+        * loudly (FAILFAST), never silently drop. */
+      def saveJsonToGraft(path: String, cfg: Map[String, String] = Map.empty): Unit = {
+        val spark = SparkSession.active
+        import spark.implicits._
+        val ds = spark.read
+          .option("mode", "FAILFAST")
+          .json(spark.createDataset(rdd))
+        require(!ds.columns.contains("_corrupt_record"),
+          "saveJsonToGraft: malformed JSON document(s) in the input")
+        Connector.save(ds, path, cfg)
+      }
+    }
+
     implicit class GraftMapRddOps(val rdd: RDD[Map[String, Any]]) {
       /** `rdd.saveToEs(resource, cfg)` analog: infer the mapping from
         * the data (one pass — the union of keys with their first

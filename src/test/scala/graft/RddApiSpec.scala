@@ -65,4 +65,31 @@ class RddApiSpec extends SparkSpec {
       if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
     assert(msgs(err).contains("dynamic-mapping conflict for field 'v'"))
   }
+
+  test("JSON RDD forms: saveJsonToGraft roundtrips through graftJsonRDD; malformed loud") {
+    val dir = Files.createTempDirectory("graft_rdd_json").toString + "/idx"
+    val docs = Seq(
+      """{"id": 1, "name": "alpha", "score": 0.5}""",
+      """{"id": 2, "name": "beta"}""")
+    spark.sparkContext.parallelize(docs)
+      .saveJsonToGraft(dir, Map("graft.mapping.id" -> "id"))
+    val back = spark.graftJsonRDD(dir, idField = "id").collect().toMap
+    assert(back.keySet == Set(1L, 2L))
+    // re-parse: the JSON string carries the document (null fields absent)
+    val one = back(1L)
+    assert(one.contains("\"name\":\"alpha\"") && one.contains("\"score\":0.5"))
+    assert(!back(2L).contains("score"))
+    // id resolution goes through the same bulk path: re-writing id 1
+    // upserts, not duplicates
+    spark.sparkContext.parallelize(Seq("""{"id": 1, "name": "ALPHA"}"""))
+      .saveJsonToGraft(dir, Map("graft.mapping.id" -> "id"))
+    val after = spark.graftJsonRDD(dir, idField = "id").collect().toMap
+    assert(after.size == 2 && after(1L).contains("ALPHA"))
+    // malformed document: loud, never a silent drop
+    val err = intercept[Exception] {
+      spark.sparkContext.parallelize(Seq("""{"id": 3, "name": """))
+        .saveJsonToGraft(dir + "_bad", Map("graft.mapping.id" -> "id"))
+    }
+    assert(err != null)
+  }
 }
