@@ -107,6 +107,17 @@ private[graft] object EntriesBody {
           "sort": [{"doc_id": {"order": "asc"}}], "size": 20}""",
       idField = "doc_id")
       .select(col("doc_id"), col("snippet"))),
+    // highlight custom tags: request-level pre/post_tags with a
+    // per-field override (ES's precedence rule)
+    "q_search_body_highlight_tags" -> ((s, d) => graft.dsl.SearchBody.search(
+      t(s, d, "documents"),
+      """{"query": {"match": {"text": "vector"}},
+          "highlight": {"pre_tags": ["<b>"], "post_tags": ["</b>"],
+                        "fields": {"text": {"pre_tags": ["<mark>"],
+                                            "post_tags": ["</mark>"]}}},
+          "sort": [{"doc_id": {"order": "asc"}}], "size": 20}""",
+      idField = "doc_id")
+      .select(col("doc_id"), col("snippet"))),
     // _source response shaping: wildcard includes + excludes compile
     // to a pure projection Catalyst prunes out of the scan
     "q_search_body_source" -> ((s, d) => graft.dsl.SearchBody.search(
@@ -636,6 +647,10 @@ private[graft] object EntriesBody {
       "ORDER BY n_chars DESC, doc_id ASC LIMIT 10"),
     "q_search_body_highlight" -> ("SELECT doc_id, regexp_replace(regexp_extract(lower(text), " +
       "'([a-z0-9]+ ){0,3}\\bvector\\b( [a-z0-9]+){0,3}'), '\\bvector\\b', '<em>vector</em>', 'g') AS snippet " +
+      "FROM documents WHERE list_contains(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), " +
+      "x -> len(x) > 0), 'vector') ORDER BY doc_id LIMIT 20"),
+    "q_search_body_highlight_tags" -> ("SELECT doc_id, regexp_replace(regexp_extract(lower(text), " +
+      "'([a-z0-9]+ ){0,3}\\bvector\\b( [a-z0-9]+){0,3}'), '\\bvector\\b', '<mark>vector</mark>', 'g') AS snippet " +
       "FROM documents WHERE list_contains(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), " +
       "x -> len(x) > 0), 'vector') ORDER BY doc_id LIMIT 20"),
     "q_search_body_source" -> ("SELECT doc_id, n_chars FROM documents WHERE lang = 'en'"),

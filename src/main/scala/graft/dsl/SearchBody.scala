@@ -666,7 +666,23 @@ object SearchBody {
     val (highlighted, snippetCols) = root.get("highlight") match {
       case None => (paged, Seq.empty[String])
       case Some(JObject(hs)) =>
-        val fields = hs.toMap.get("fields") match {
+        val hm = hs.toMap
+        val unknownH = hm.keySet -- Set("fields", "pre_tags", "post_tags")
+        require(unknownH.isEmpty,
+          s"unsupported highlight key(s): ${unknownH.toSeq.sorted.mkString(", ")} " +
+            "(supported: fields, pre_tags, post_tags)")
+        // ES accepts tag ARRAYS (per-term cycling, an FVH feature);
+        // one pair is the portable subset — more is a loud error, not
+        // a silently-collapsed one
+        def oneTag(key: String, default: String): String = hm.get(key) match {
+          case None => default
+          case Some(JArray(List(JString(t)))) => t
+          case Some(JString(t)) => t
+          case Some(other) => throw new IllegalArgumentException(
+            s"highlight $key supports exactly one tag: $other")
+        }
+        val (preTag, postTag) = (oneTag("pre_tags", "<em>"), oneTag("post_tags", "</em>"))
+        val fields = hm.get("fields") match {
           case Some(JObject(fs)) => fs.map {
             case JField(f, JObject(o)) => (f, o.toMap)
             case JField(f, _) => (f, Map.empty[String, JValue])
@@ -684,16 +700,29 @@ object SearchBody {
           "highlight needs a scored query (match / match_phrase / multi_match / " +
             "bool with scoring clauses) to take its terms from")
         val cols = fields.map { case (f, opts) =>
+          val unknownO = opts.keySet -- Set("number_of_fragments", "pre_tags", "post_tags")
+          require(unknownO.isEmpty,
+            s"unsupported highlight option(s) for field '$f': " +
+              unknownO.toSeq.sorted.mkString(", "))
           val texts = clauseTexts.collect { case (cf, t) if cf == f => t }
           require(texts.nonEmpty,
             s"highlight field '$f' is targeted by no scoring clause — no terms to highlight")
           val text = texts.mkString(" ")
           val nFrags = opts.get("number_of_fragments").map(jnum(_).toInt).getOrElse(5)
+          // per-field tags override the request-level pair (ES's rule)
+          def fieldTag(key: String, default: String): String = opts.get(key) match {
+            case None => default
+            case Some(JArray(List(JString(t)))) => t
+            case Some(JString(t)) => t
+            case Some(other) => throw new IllegalArgumentException(
+              s"highlight $key supports exactly one tag: $other")
+          }
+          val (pre, post) = (fieldTag("pre_tags", preTag), fieldTag("post_tags", postTag))
           val snippet =
             if (graft.analysis.Analyzer.analyze(text).distinct.length == 1)
-              graft.search.Search.highlightCol(col(f), text)
+              graft.search.Search.highlightCol(col(f), text, pre, post)
             else
-              graft.search.Search.highlightFragmentsCol(col(f), text, nFrags)
+              graft.search.Search.highlightFragmentsCol(col(f), text, nFrags, pre, post)
           (if (fields.size == 1) "snippet" else s"snippet_$f") -> snippet
         }
         (cols.foldLeft(paged) { case (d, (n, c)) => d.withColumn(n, c) },

@@ -1579,10 +1579,11 @@ object Search {
   /** The `highlight` snippet as a bare column (±3-word context window,
     * `<em>` wrapping) — lets the `_search` body attach a snippet next
     * to the hit's own columns instead of returning a separate frame. */
-  def highlightCol(textCol: Column, term: String): Column = {
+  def highlightCol(textCol: Column, term: String,
+      preTag: String = "<em>", postTag: String = "</em>"): Column = {
     val t = analyzedHighlightTerm(term)
     val quoted = java.util.regex.Pattern.quote(t)
-    val replacement = java.util.regex.Matcher.quoteReplacement(s"<em>$t</em>")
+    val replacement = java.util.regex.Matcher.quoteReplacement(s"$preTag$t$postTag")
     regexp_replace(
       regexp_extract(lower(textCol), s"([a-z0-9]+ ){0,3}\\b$quoted\\b( [a-z0-9]+){0,3}", 0),
       s"\\b$quoted\\b", replacement)
@@ -1609,12 +1610,13 @@ object Search {
     * `numFragments`, " ... " separator) — shared by the operator and
     * the `_search`-body highlight so the fragment shape can't
     * diverge. */
-  def highlightFragmentsCol(textCol: Column, query: String, numFragments: Int): Column = {
+  def highlightFragmentsCol(textCol: Column, query: String, numFragments: Int,
+      preTag: String = "<em>", postTag: String = "</em>"): Column = {
     val terms = Analyzer.analyze(query).distinct
     require(terms.nonEmpty, s"highlight needs at least one analyzed term: $query")
     val frags = terms.map { t =>
       val quoted = java.util.regex.Pattern.quote(t)
-      val repl = java.util.regex.Matcher.quoteReplacement(s"<em>$t</em>")
+      val repl = java.util.regex.Matcher.quoteReplacement(s"$preTag$t$postTag")
       regexp_replace(
         regexp_extract(lower(textCol),
           s"([a-z0-9]+ ){0,3}\\b$quoted\\b( [a-z0-9]+){0,3}", 0),
