@@ -106,6 +106,12 @@ object Sorting {
 
     case JObject(JField(f, JObject(parts)) :: Nil) =>
       val m = parts.toMap
+      // unknown sort options (unmapped_type, format, typos) must not
+      // be silently ignored — a dropped `mode` would sort by a
+      // different key than the caller asked for
+      val unknownS = m.keySet -- Set("order", "nested", "mode", "missing")
+      require(unknownS.isEmpty,
+        s"unsupported sort option(s) for '$f': ${unknownS.toSeq.sorted.mkString(", ")}")
       val asc = !m.get("order").map(lits(_).toString).contains("desc")
       // nested sort: `f` is "path.sub" over an array-of-structs
       // column; the optional filter (term/range on struct fields)

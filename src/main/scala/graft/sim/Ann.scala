@@ -554,6 +554,12 @@ object Ann {
       case JObject(parts) => parts.toMap // bare body accepted too
       case other => throw new IllegalArgumentException(s"bad knn query: $other")
     }
+    // unknown knn options must not be silently ignored (a dropped
+    // `similarity` would return hits the caller asked to cut)
+    val unknownK = root.keySet -- Set("field", "query_vector", "k",
+      "num_candidates", "filter", "similarity", "boost")
+    require(unknownK.isEmpty,
+      s"unsupported knn option(s): ${unknownK.toSeq.sorted.mkString(", ")}")
     val field = root.get("field") match {
       case Some(JString(f)) => f
       case _ => throw new IllegalArgumentException("knn needs field")
