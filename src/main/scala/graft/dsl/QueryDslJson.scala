@@ -231,6 +231,12 @@ object QueryDslJson {
 
         case ("range", JObject(JField(f, JObject(bounds)) :: Nil)) =>
           val b = bounds.toMap
+          // boost is a legal no-op in filter context (like ES); keys
+          // that would CHANGE semantics (format, time_zone, relation)
+          // must not be silently dropped
+          val unknownB = b.keySet -- Set("gte", "gt", "lte", "lt", "boost")
+          require(unknownB.isEmpty,
+            s"unsupported range option(s) on '$f': ${unknownB.toSeq.sorted.mkString(", ")}")
           QueryDsl.range(fieldRef(f),
             gte = b.get("gte").map(lits), gt = b.get("gt").map(lits),
             lte = b.get("lte").map(lits), lt = b.get("lt").map(lits))
