@@ -200,11 +200,15 @@ object Aggs {
   /** `{"percentiles": {...}}` — exact interpolated percentiles (the
     * oracle-checkable form; ES itself uses TDigest approximation, and
     * `percentilesApprox` below is the matching 100 TB path). */
-  def percentilesAgg(df: DataFrame, field: String): DataFrame =
+  def percentilesAgg(df: DataFrame, field: String): DataFrame = {
+    // ONE array-form aggregate: three scalar percentile() calls would
+    // each hold their own copy of the value multiset (3x agg state)
+    val shared = expr(s"percentile($field, array(0.25D, 0.50D, 0.95D))")
     df.agg(
-      Num.round(expr(s"percentile($field, 0.25)"), 4).as("p25"),
-      Num.round(expr(s"percentile($field, 0.50)"), 4).as("p50"),
-      Num.round(expr(s"percentile($field, 0.95)"), 4).as("p95"))
+      Num.round(element_at(shared, 1), 4).as("p25"),
+      Num.round(element_at(shared, 2), 4).as("p50"),
+      Num.round(element_at(shared, 3), 4).as("p95"))
+  }
 
   /** `percentiles` with the `hdr` method (ES's HDR-histogram option,
     * `number_of_significant_value_digits`): values quantize to

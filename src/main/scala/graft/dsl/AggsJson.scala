@@ -1124,10 +1124,15 @@ object AggsJson {
             // definition as DuckDB's quantile_cont). Group-local: the
             // agg state is the GROUP's value multiset, so this is for
             // bounded groups; at corpus-scale groups use
-            // `"tdigest": true` (ES's own default engine)
-            percents.map { p =>
+            // `"tdigest": true` (ES's own default engine).
+            // ONE array-form aggregate shared by every output column —
+            // N scalar percentile(...) calls would each keep their OWN
+            // copy of the group's value multiset (N× the agg state)
+            val shared = percentile(col(f),
+              typedLit(percents.map(_ / 100.0)))
+            percents.zipWithIndex.map { case (p, i) =>
               s"${name}_p${label(p)}" ->
-                Num.round(percentile(col(f), lit(p / 100.0)), 4)
+                Num.round(element_at(shared, i + 1), 4)
             }
         }
       case ("weighted_avg", JObject(s)) =>
@@ -1152,12 +1157,15 @@ object AggsJson {
       case ("boxplot", JObject(s)) =>
         // grouped five-number summary (exact interpolation, like the
         // percentiles metric's exact route: group-local value-multiset
-        // state — corpus-scale groups use percentiles+tdigest instead)
+        // state — corpus-scale groups use percentiles+tdigest instead).
+        // One shared array-form aggregate: five scalar percentiles
+        // would keep five copies of the group's value multiset
         val c = fieldOf(s.toMap, "boxplot")
-        Seq("min" -> 0.0, "q1" -> 0.25, "q2" -> 0.5, "q3" -> 0.75, "max" -> 1.0)
-          .map { case (part, p) =>
-            s"${name}_$part" -> Num.round(percentile(c, lit(p)), 4)
-          }
+        val parts = Seq("min" -> 0.0, "q1" -> 0.25, "q2" -> 0.5, "q3" -> 0.75, "max" -> 1.0)
+        val shared = percentile(c, typedLit(parts.map(_._2)))
+        parts.zipWithIndex.map { case ((part, _), i) =>
+          s"${name}_$part" -> Num.round(element_at(shared, i + 1), 4)
+        }
       case ("top_metrics", JObject(s)) =>
         // per-bucket metric value AT the best sort key (ES's size-1
         // default): ONE max_by/min_by partial agg, never a window
