@@ -477,7 +477,7 @@ private[graft] object EntriesPipeline {
     "q_dsir_weights" -> ((s, d) => {
       val docs = t(s, d, "documents")
       graft.text.Dsir.importanceWeights(
-        docs, docs.where(col("source") === "src1"), "doc_id", "text")
+        docs, col("source") === "src1", "doc_id", "text", buckets = 4096)
         .orderBy(col("log_weight").desc, col("doc_id").asc).limit(50)
     }),
     // DSIR resampling: Gumbel top-k over the importance weights with
@@ -486,7 +486,7 @@ private[graft] object EntriesPipeline {
       val docs = t(s, d, "documents")
       graft.text.Dsir.resampleTopK(
         graft.text.Dsir.importanceWeights(
-          docs, docs.where(col("source") === "src1"), "doc_id", "text"),
+          docs, col("source") === "src1", "doc_id", "text", buckets = 4096),
         "doc_id", k = 200)
     }),
   )

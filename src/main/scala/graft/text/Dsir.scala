@@ -56,6 +56,42 @@ object Dsir {
     val rawF = features(raw)
     val tgtC = features(target).groupBy("b").agg(count(lit(1)).as("tc"))
     val rawC = rawF.groupBy("b").agg(count(lit(1)).as("rc"))
+    weightsFrom(rawF, rawC, tgtC, idCol, buckets)
+  }
+
+  /** The common in-corpus form: the target IS a predicate over the
+    * raw corpus (docs.where(looksLikeWikipedia)). Both models then fit
+    * in ONE explode pass — a conditional count beside the raw count in
+    * the same partial aggregation — instead of a second scan+explode
+    * of the target slice. Identical math to the two-frame overload. */
+  def importanceWeights(raw: DataFrame, targetPred: Column,
+      idCol: String, textCol: String, buckets: Int): DataFrame = {
+    val rawF = raw
+      .select(col(idCol).as("id"), targetPred.as("__tgt"),
+        explode(ngrams(col(textCol))).as("g"))
+      .select(col("id"), col("__tgt"), featureBucket(col("g"), buckets).as("b"))
+    // BOTH models in one partial-aggregated pass; persist the
+    // ≤`buckets`-row result so totals + log-ratios derive from the
+    // cached model instead of re-exploding the corpus per reference
+    // (each un-cached reference would be another full explode pass)
+    val both = rawF.groupBy("b").agg(
+      count(lit(1)).as("rc"),
+      count(when(col("__tgt"), lit(1))).as("tc")).persist()
+    val totals = both.agg(sum("rc").as("tr"), sum("tc").as("tt"))
+    val ratio = both.crossJoin(broadcast(totals))
+      .select(col("b"),
+        Num.round(
+          log((col("tc") + 1).cast("double") / (col("tt") + buckets).cast("double")) -
+            log((col("rc") + 1).cast("double") / (col("tr") + buckets).cast("double")), 4)
+          .cast("decimal(18,4)").as("logr"))
+    rawF.drop("__tgt").join(broadcast(ratio), Seq("b"))
+      .groupBy(col("id"))
+      .agg(sum(col("logr")).cast("double").as("log_weight"))
+      .withColumnRenamed("id", idCol)
+  }
+
+  private def weightsFrom(rawF: DataFrame, rawC: DataFrame, tgtC: DataFrame,
+      idCol: String, buckets: Int): DataFrame = {
     // feature-count totals as a 1-row frame (plan-only — no collect)
     val totals = tgtC.agg(sum("tc").as("tt")).crossJoin(rawC.agg(sum("rc").as("tr")))
     // 4-dp-decimal log-ratios keep the per-doc sum order-free exact
