@@ -504,6 +504,16 @@ private[graft] object EntriesBody {
           "size": 10}""",
       idField = "doc_id")
       .select(col("doc_id"), col("_score"))),
+    // composite with a geotile_grid SOURCE through the JSON door —
+    // the map-dashboard page shape (shared kernel + oracle with the
+    // Scala key)
+    "q_aggs_json_composite_tile" -> ((s, d) => graft.dsl.AggsJson.compile(
+      withGeo(t(s, d, "customer"))
+        .withColumnRenamed("lat", "loc_lat").withColumnRenamed("lon", "loc_lon"),
+      """{"aggs": {"p": {"composite": {"size": 12,
+           "sources": [{"tile": {"geotile_grid": {"field": "loc", "precision": 4}}},
+                       {"seg": {"terms": {"field": "c_mktsegment"}}}],
+           "after": {"tile": "4/11/7", "seg": "BUILDING"}}}}}""")),
     // `global` scope wrapper: sub-aggs over the WHOLE index while the
     // request frame is query-filtered (background passes explicitly)
     "q_aggs_json_global" -> ((s, d) => {
@@ -757,6 +767,7 @@ private[graft] object EntriesBody {
     // the JSON nodes delegating to (or reproducing) Scala kernels
     // share those kernels' oracles — one definition per formula
     "q_aggs_json_ip_range" -> EntriesLate.oracleSql("q_agg_ip_range"),
+    "q_aggs_json_composite_tile" -> EntriesAggs.oracleSql("q_agg_composite_geo"),
     "q_aggs_json_dh_offset" -> EntriesAggs.oracleSql("q_agg_date_histogram_offset"),
     "q_aggs_json_dh_empty" -> EntriesAggs.oracleSql("q_agg_histogram_empty"),
     "q_aggs_json_global" -> ("SELECT count(doc_id)::BIGINT AS cnt, " +

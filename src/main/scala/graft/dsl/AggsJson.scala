@@ -884,8 +884,29 @@ object AggsJson {
         case JObject(JField(sname, JObject(sspec)) :: Nil) =>
           val m = sspec.toMap
           val inner = m.head match {
-            case (kind, JObject(ks)) if Set("terms", "histogram", "date_histogram")(kind) =>
-              bucketKey(sname, Map(kind -> JObject(ks)))
+            case (kind, JObject(ks))
+                if Set("terms", "histogram", "date_histogram", "geotile_grid")(kind) =>
+              val km = ks.toMap
+              val allowed = Set("field", "missing_bucket", "order") ++ (kind match {
+                case "histogram" => Set("interval")
+                case "date_histogram" => Set("fixed_interval", "calendar_interval")
+                case "geotile_grid" => Set("precision")
+                case _ => Set.empty[String]
+              })
+              val extra = km.keySet -- allowed
+              require(extra.isEmpty,
+                s"unsupported composite source option(s) under '$sname': " +
+                  extra.toSeq.sorted.mkString(", "))
+              // the after cursor pages key-ASCENDING; a desc source
+              // would need the predicate inverted per source — reject
+              // rather than silently paging the wrong way
+              km.get("order").foreach {
+                case JString("asc") => ()
+                case o => throw new IllegalArgumentException(
+                  s"composite source order supports asc (got $o)")
+              }
+              bucketKey(sname,
+                Map(kind -> JObject((km - "missing_bucket" - "order").toList)))
             case (other, _) => throw new IllegalArgumentException(
               s"unsupported composite source type '$other' under '$sname'")
           }

@@ -85,6 +85,25 @@ class AggsJsonNodesSpec extends SparkSpec {
     assert(e.getMessage.contains("sources"))
   }
 
+  test("composite source options: unknown keys and desc order are loud") {
+    val unknown = intercept[IllegalArgumentException] {
+      AggsJson.compile(docs,
+        """{"aggs": {"p": {"composite": {"size": 3,
+             "sources": [{"l": {"terms": {"field": "lang",
+                                          "script": "doc.lang"}}}]}}}}""")
+    }
+    assert(unknown.getMessage.contains("script"))
+    // the after cursor pages key-ascending; a desc source would page
+    // the wrong way silently — rejected by name
+    val desc = intercept[IllegalArgumentException] {
+      AggsJson.compile(docs,
+        """{"aggs": {"p": {"composite": {"size": 3,
+             "sources": [{"l": {"terms": {"field": "lang",
+                                          "order": "desc"}}}]}}}}""")
+    }
+    assert(desc.getMessage.contains("asc"))
+  }
+
   test("significant_terms keyword variant matches the Scala operator") {
     val json = AggsJson.compile(docs,
       """{"aggs": {"sig": {"significant_terms": {
