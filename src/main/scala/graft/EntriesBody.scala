@@ -514,6 +514,86 @@ private[graft] object EntriesBody {
            "sources": [{"tile": {"geotile_grid": {"field": "loc", "precision": 4}}},
                        {"seg": {"terms": {"field": "c_mktsegment"}}}],
            "after": {"tile": "4/11/7", "seg": "BUILDING"}}}}}""")),
+    // ---- aggs-JSON batch 4: metric/bucket parity with the Scala
+    // kernels (each node delegates to or reproduces the Scala twin,
+    // so the formulas cannot diverge; oracles shared where columns
+    // align, adapted where the JSON naming differs) ----
+    // geo_bounds + geo_centroid as per-bucket METRICS under terms
+    // (the map-widget shape: envelope + mean point per segment)
+    "q_aggs_json_geo_bounds" -> ((s, d) => graft.dsl.AggsJson.compile(
+      withGeo(t(s, d, "customer"))
+        .withColumnRenamed("lat", "loc_lat").withColumnRenamed("lon", "loc_lon"),
+      """{"aggs": {"seg": {"terms": {"field": "c_mktsegment", "size": 10},
+           "aggs": {"vp": {"geo_bounds": {"field": "loc"}},
+                    "cc": {"geo_centroid": {"field": "loc"}}}}}}""")),
+    // the planar twins over point x/y (ES 8.6)
+    "q_aggs_json_cartesian" -> ((s, d) => graft.dsl.AggsJson.compile(
+      withGeo(t(s, d, "customer"))
+        .withColumnRenamed("lon", "pt_x").withColumnRenamed("lat", "pt_y"),
+      """{"aggs": {"seg": {"terms": {"field": "c_mktsegment", "size": 10},
+           "aggs": {"cb": {"cartesian_bounds": {"field": "pt"}},
+                    "cn": {"cartesian_centroid": {"field": "pt"}}}}}}""")),
+    "q_aggs_json_mad" -> ((s, d) => graft.dsl.AggsJson.compile(
+      t(s, d, "lineitem"),
+      """{"aggs": {"mad": {"median_absolute_deviation":
+           {"field": "l_extendedprice"}}}}""")),
+    "q_aggs_json_t_test" -> ((s, d) => graft.dsl.AggsJson.compile(
+      Tables.events(s, d),
+      """{"aggs": {"tt": {"t_test": {
+           "a": {"field": "value", "filter": {"term": {"event_type": "click"}}},
+           "b": {"field": "value", "filter": {"term": {"event_type": "view"}}},
+           "type": "heteroscedastic"}}}}""")),
+    "q_aggs_json_matrix_stats" -> ((s, d) => graft.dsl.AggsJson.compile(
+      t(s, d, "lineitem"),
+      """{"aggs": {"mx": {"matrix_stats":
+           {"fields": ["l_quantity", "l_extendedprice"]}}}}""")),
+    "q_aggs_json_vwh" -> ((s, d) => graft.dsl.AggsJson.compile(
+      t(s, d, "lineitem"),
+      """{"aggs": {"q": {"variable_width_histogram":
+           {"field": "l_quantity", "buckets": 4}}}}""")),
+    "q_aggs_json_ip_prefix" -> ((s, d) => graft.dsl.AggsJson.compile(
+      withIp(Tables.events(s, d)),
+      """{"aggs": {"nets": {"ip_prefix":
+           {"field": "ip", "prefix_length": 12, "is_ipv6": false}}}}""")),
+    // categorize_text over the pre-concatenated message column (the
+    // Scala twin's exact input, so the oracle is shared verbatim)
+    "q_aggs_json_categorize" -> ((s, d) => graft.dsl.AggsJson.compile(
+      Tables.events(s, d)
+        .withColumn("msg", concat_ws(" ", col("event_type"), col("props"))),
+      """{"aggs": {"cats": {"categorize_text":
+           {"field": "msg", "max_matched_tokens": 4}}}}""")),
+    "q_aggs_json_frequent_items" -> ((s, d) => graft.dsl.AggsJson.compile(
+      t(s, d, "lineitem").join(
+        broadcast(t(s, d, "part").select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey")),
+      """{"aggs": {"fi": {"frequent_item_sets": {
+           "fields": [{"field": "p_brand"}],
+           "transaction_field": "l_orderkey",
+           "minimum_support_count": 50, "size": 20}}}}""")),
+    // diversified_sampler as a GENERIC sub-tree wrapper (per-lang cap
+    // of 40 via the deterministic md5 order on doc_id)
+    "q_aggs_json_diversified" -> ((s, d) => graft.dsl.AggsJson.compile(
+      t(s, d, "documents"),
+      """{"aggs": {"div": {
+           "diversified_sampler": {"field": "lang", "key_field": "doc_id",
+                                   "max_docs_per_value": 40},
+           "aggs": {"sample_size": {"value_count": {"field": "doc_id"}},
+                    "avg_metric": {"avg": {"field": "n_chars"}}}}}}""")),
+    // date_histogram > rate: per-day revenue rate from each month's
+    // true day count
+    "q_aggs_json_rate" -> ((s, d) => graft.dsl.AggsJson.compile(
+      t(s, d, "orders"),
+      """{"aggs": {"m": {"date_histogram": {"field": "o_orderdate",
+                           "calendar_interval": "month"},
+           "aggs": {"r": {"rate": {"field": "o_totalprice", "unit": "day"}}}}}}""")),
+    // scripted_metric under terms: the Painless map script compiles to
+    // codegen'd column math summed in the same partial agg
+    "q_aggs_json_scripted" -> ((s, d) => graft.dsl.AggsJson.compile(
+      t(s, d, "lineitem"),
+      """{"aggs": {"key": {"terms": {"field": "l_returnflag", "size": 10},
+           "aggs": {"value": {"scripted_metric": {
+             "map_script": "doc['l_extendedprice'].value * (1 - doc['l_discount'].value)",
+             "combine_script": "state.sum", "reduce_script": "states.sum"}}}}}}""")),
     // `global` scope wrapper: sub-aggs over the WHOLE index while the
     // request frame is query-filtered (background passes explicitly)
     "q_aggs_json_global" -> ((s, d) => {
@@ -768,6 +848,32 @@ private[graft] object EntriesBody {
     // share those kernels' oracles — one definition per formula
     "q_aggs_json_ip_range" -> EntriesLate.oracleSql("q_agg_ip_range"),
     "q_aggs_json_composite_tile" -> EntriesAggs.oracleSql("q_agg_composite_geo"),
+    // batch 4: shared with the Scala twins where columns align,
+    // adapted (same CTE, JSON column names) where they differ
+    "q_aggs_json_geo_bounds" -> (GeoCte.replace(
+      "SELECT c_custkey,", "SELECT c_custkey, c_mktsegment,") +
+      " SELECT c_mktsegment AS seg, count(*)::BIGINT AS doc_count, " +
+      "round(max(lat), 4) AS vp_top, round(min(lon), 4) AS vp_left, " +
+      "round(min(lat), 4) AS vp_bottom, round(max(lon), 4) AS vp_right, " +
+      "round(avg(lat), 4) AS cc_lat, round(avg(lon), 4) AS cc_lon " +
+      "FROM g GROUP BY 1 ORDER BY doc_count DESC, seg LIMIT 10"),
+    "q_aggs_json_cartesian" -> (GeoCte.replace(
+      "SELECT c_custkey,", "SELECT c_custkey, c_mktsegment,") +
+      " SELECT c_mktsegment AS seg, count(*)::BIGINT AS doc_count, " +
+      "round(min(lon), 4) AS cb_min_x, round(max(lon), 4) AS cb_max_x, " +
+      "round(min(lat), 4) AS cb_min_y, round(max(lat), 4) AS cb_max_y, " +
+      "round(avg(lon), 4) AS cn_x, round(avg(lat), 4) AS cn_y " +
+      "FROM g GROUP BY 1 ORDER BY doc_count DESC, seg LIMIT 10"),
+    "q_aggs_json_mad" -> EntriesAggs.oracleSql("q_agg_mad"),
+    "q_aggs_json_t_test" -> EntriesAggs.oracleSql("q_agg_t_test"),
+    "q_aggs_json_matrix_stats" -> EntriesAggs.oracleSql("q_agg_matrix_stats"),
+    "q_aggs_json_vwh" -> EntriesAggs.oracleSql("q_agg_variable_width"),
+    "q_aggs_json_ip_prefix" -> EntriesLate.oracleSql("q_agg_ip_prefix"),
+    "q_aggs_json_categorize" -> EntriesAggs.oracleSql("q_agg_categorize"),
+    "q_aggs_json_frequent_items" -> EntriesFulltext.oracleSql("q_agg_frequent_items"),
+    "q_aggs_json_diversified" -> EntriesAggs.oracleSql("q_agg_diversified"),
+    "q_aggs_json_rate" -> EntriesAggs.oracleSql("q_agg_rate"),
+    "q_aggs_json_scripted" -> EntriesAggs.oracleSql("q_agg_scripted_metric"),
     "q_aggs_json_dh_offset" -> EntriesAggs.oracleSql("q_agg_date_histogram_offset"),
     "q_aggs_json_dh_empty" -> EntriesAggs.oracleSql("q_agg_histogram_empty"),
     "q_aggs_json_global" -> ("SELECT count(doc_id)::BIGINT AS cnt, " +

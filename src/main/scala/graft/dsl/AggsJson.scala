@@ -276,6 +276,162 @@ object AggsJson {
       case JField(name, JObject(spec)) :: Nil
           if spec.exists(_._1 == "terms") && topHitsChild(spec.toMap).isDefined =>
         return compileTopHits(df, name, spec.toMap)
+      // `median_absolute_deviation` at the top level: the kernel's
+      // two-pass distributed-exact shape (global median, then median
+      // of deviations). The GROUPED form would need a per-group median
+      // joined back — route through the Scala operator for that.
+      case JField(name, JObject(
+          JField("median_absolute_deviation", JObject(ms)) :: Nil)) :: Nil =>
+        return graft.agg.Aggs.medianAbsoluteDeviation(
+          df, str(ms.toMap, "field", "median_absolute_deviation"))
+      // `t_test`: a/b are filter-defined groups over ONE shared field
+      // (ES's same-field form; `filter` is a full Query-DSL object).
+      // heteroscedastic = Welch (ES's default), homoscedastic =
+      // pooled-variance Student. `paired` needs the pairing key ES
+      // derives from doc identity — unsupported here, loud.
+      case JField(name, JObject(JField("t_test", JObject(ts)) :: Nil)) :: Nil =>
+        val m = ts.toMap
+        def side(k: String): (String, Column) = m.get(k) match {
+          case Some(JObject(s)) =>
+            val sm = s.toMap
+            val f = str(sm, "field", s"t_test.$k")
+            val pred = sm.get("filter") match {
+              case Some(fv) => EsQuery.compile(
+                JsonMethods.compact(JsonMethods.render(fv)), "_id")
+              case None => lit(true)
+            }
+            (f, pred)
+          case _ => throw new IllegalArgumentException(s"t_test needs $k.field")
+        }
+        val ((fa, pa), (fb, pb)) = (side("a"), side("b"))
+        require(fa == fb,
+          "t_test through the JSON door supports one shared field " +
+            s"(a.field == b.field; got $fa vs $fb)")
+        m.get("type") match {
+          case None | Some(JString("heteroscedastic")) =>
+            return graft.agg.Aggs.tTestAgg(df, fa, pa, pb)
+          case Some(JString("homoscedastic")) =>
+            return graft.agg.Aggs.tTestHomoAgg(df, fa, pa, pb)
+          case Some(other) => throw new IllegalArgumentException(
+            s"unsupported t_test type: $other (paired needs a pairing " +
+              "key — use the Scala operator Aggs.tTestPairedAgg)")
+        }
+      // `matrix_stats`: pairwise moment matrix — the kernel computes
+      // the two-field form (count / means / variances / covariance /
+      // correlation in one partial-aggregated pass)
+      case JField(name, JObject(JField("matrix_stats", JObject(ms)) :: Nil)) :: Nil =>
+        val fields = ms.toMap.get("fields") match {
+          case Some(JArray(fs)) => fs.map {
+            case JString(f) => f
+            case o => throw new IllegalArgumentException(s"bad matrix_stats field: $o")
+          }
+          case _ => throw new IllegalArgumentException("matrix_stats needs fields")
+        }
+        require(fields.size == 2,
+          s"matrix_stats supports exactly two fields (got ${fields.size})")
+        return graft.agg.Aggs.matrixStats(df, fields(0), fields(1))
+      // `variable_width_histogram`: equal-depth buckets on quantile
+      // edges (one edge pre-pass + one bucketed agg pass, the kernel)
+      case JField(name, JObject(
+          JField("variable_width_histogram", JObject(vs)) :: Nil)) :: Nil =>
+        val m = vs.toMap
+        return graft.agg.Aggs.variableWidthHistogram(df,
+          str(m, "field", "variable_width_histogram"),
+          m.get("buckets").map(num(_).toInt).getOrElse(10))
+      // `ip_prefix`: /N network buckets via integer mask math, buckets
+      // ordered by NUMERIC network value like ES
+      case JField(name, JObject(JField("ip_prefix", JObject(ps)) :: Nil)) :: Nil =>
+        val m = ps.toMap
+        m.get("is_ipv6").foreach {
+          case JBool(false) => ()
+          case o => throw new IllegalArgumentException(
+            s"ip_prefix supports IPv4 (is_ipv6: $o unsupported)")
+        }
+        return graft.agg.Aggs.ipPrefix(df, str(m, "field", "ip_prefix"),
+          num(m.getOrElse("prefix_length",
+            throw new IllegalArgumentException("ip_prefix needs prefix_length"))).toInt)
+      // `categorize_text` (ES ML): cluster semi-structured messages by
+      // token pattern — variable (numeric) tokens drop, the first
+      // max_matched_tokens surviving tokens form the category key
+      case JField(name, JObject(JField("categorize_text", JObject(cs)) :: Nil)) :: Nil =>
+        val m = cs.toMap
+        return graft.agg.Aggs.categorizeText(df,
+          col(str(m, "field", "categorize_text")),
+          m.get("max_matched_tokens").map(num(_).toInt).getOrElse(4))
+      // `frequent_item_sets` (ES ML): pairwise co-occurrence with the
+      // A-Priori support prune. Documented deltas: ES derives a
+      // transaction from each DOCUMENT's array fields — on graft's
+      // row-per-item tables `transaction_field` names the basket key
+      // instead; `minimum_support_count` is the absolute-count form of
+      // ES's minimum_support fraction (a fraction would need a count
+      // pre-pass); set size is fixed at 2 (the kernel's pair shape).
+      case JField(name, JObject(
+          JField("frequent_item_sets", JObject(fs)) :: Nil)) :: Nil =>
+        val m = fs.toMap
+        val item = m.get("fields") match {
+          case Some(JArray(List(JObject(f)))) => str(f.toMap, "field", "frequent_item_sets")
+          case _ => throw new IllegalArgumentException(
+            "frequent_item_sets needs fields: [{field: <item>}] (one item field)")
+        }
+        val basket = str(m, "transaction_field", "frequent_item_sets")
+        val minSupport = m.get("minimum_support_count").map(num(_).toLong).getOrElse(
+          throw new IllegalArgumentException(
+            "frequent_item_sets needs minimum_support_count (the absolute-count " +
+              "form of ES's minimum_support fraction)"))
+        val out = graft.agg.Aggs.frequentItemSets(df, basket, item, minSupport)
+        return m.get("size").map(num(_).toInt).fold(out)(out.limit)
+      // `diversified_sampler`: the sub-tree evaluates on a sample
+      // capped at max_docs_per_value docs per diversity-field value.
+      // The per-value pick is the DETERMINISTIC md5 order on
+      // `key_field` (the graft extension random_sampler also uses —
+      // ES's shard-local collection order is not portable). The
+      // row_number window partitions by the diversity field: a
+      // per-value-bounded local pass, never a global sort.
+      case JField(name, JObject(spec)) :: Nil
+          if spec.exists(_._1 == "diversified_sampler") =>
+        val m = spec.toMap
+        val ds = m("diversified_sampler") match {
+          case JObject(d) => d.toMap
+          case o => throw new IllegalArgumentException(s"bad diversified_sampler: $o")
+        }
+        val f = str(ds, "field", "diversified_sampler")
+        val keyField = str(ds, "key_field", "diversified_sampler")
+        val maxPer = ds.get("max_docs_per_value").map(num(_).toInt).getOrElse(1)
+        val sub = m.get("aggs").orElse(m.get("aggregations")) match {
+          case Some(s: JObject) => s
+          case _ => throw new IllegalArgumentException(
+            s"diversified_sampler under '$name' needs sub-aggs (it is a sampling wrapper)")
+        }
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(f))
+          .orderBy(md5(col(keyField).cast("string")).asc, col(keyField).asc)
+        val sampled = df.withColumn("_graft_dsamp_rn", row_number().over(w))
+          .where(col("_graft_dsamp_rn") <= maxPer).drop("_graft_dsamp_rn")
+        return compile(sampled,
+          JsonMethods.compact(JsonMethods.render(JObject(List(JField("aggs", sub))))),
+          fgPred, background)
+      // date_histogram > rate: the kernel computes the whole shape
+      // (monthly buckets + per-day rate from each bucket's true day
+      // count) — ES infers the rate's date context from the parent,
+      // which the flat metric compile cannot see, hence the dedicated
+      // tree shape
+      case JField(name, JObject(spec)) :: Nil
+          if spec.exists(_._1 == "date_histogram") && rateChild(spec.toMap).isDefined =>
+        val m = spec.toMap
+        val dh = m("date_histogram") match {
+          case JObject(d) => d.toMap
+          case o => throw new IllegalArgumentException(s"bad date_histogram: $o")
+        }
+        require(dh.get("calendar_interval").contains(JString("month")),
+          "rate under date_histogram supports calendar_interval month " +
+            "(the kernel's bucket granularity)")
+        val rm = rateChild(m).get
+        rm.get("unit").foreach {
+          case JString("day") => ()
+          case o => throw new IllegalArgumentException(s"rate unit supports day (got $o)")
+        }
+        return graft.agg.Aggs.rateAgg(df,
+          str(dh, "field", "date_histogram"), "month", str(rm, "field", "rate"))
       case _ => ()
     }
     // walk the tree: collect (name, keyColumn) per bucket level and the
@@ -1037,6 +1193,18 @@ object AggsJson {
     * hits per bucket by the node's `sort`, `_source`-selected
     * columns + `rn`). Returns docs, not metrics — hence its own
     * compile path; the tree must be exactly terms > top_hits. */
+  /** date_histogram > rate: Some(rate spec) when the single sub-agg is
+    * a `rate` node (the dedicated tree shape above). */
+  private def rateChild(spec: Map[String, JValue]): Option[Map[String, JValue]] =
+    spec.get("aggs").orElse(spec.get("aggregations")) match {
+      case Some(JObject(JField(_, JObject(r)) :: Nil)) =>
+        r.toMap.get("rate") match {
+          case Some(JObject(t)) => Some(t.toMap)
+          case _ => None
+        }
+      case _ => None
+    }
+
   private def topHitsChild(spec: Map[String, JValue]): Option[Map[String, JValue]] =
     spec.get("aggs").orElse(spec.get("aggregations")) match {
       case Some(JObject(JField(_, JObject(th)) :: Nil)) =>
@@ -1209,6 +1377,55 @@ object AggsJson {
         else Seq(
           s"${name}_$metricField" -> max_by(mcol, scol),
           s"${name}_sort" -> max(scol))
+      case ("geo_bounds", JObject(s)) =>
+        // tightest lat/lon envelope per bucket — min/max combine
+        // associatively, so the cost is 4 doubles per group in the
+        // same partial aggregation (geo_point field convention:
+        // `<f>_lat` / `<f>_lon` columns, like the grid nodes)
+        val f = str(s.toMap, "field", "geo_bounds")
+        Seq(
+          s"${name}_top" -> Num.round(max(col(s"${f}_lat")), 4),
+          s"${name}_left" -> Num.round(min(col(s"${f}_lon")), 4),
+          s"${name}_bottom" -> Num.round(min(col(s"${f}_lat")), 4),
+          s"${name}_right" -> Num.round(max(col(s"${f}_lon")), 4))
+      case ("geo_centroid", JObject(s)) =>
+        // mean point per bucket (column-pair model, same pass)
+        val f = str(s.toMap, "field", "geo_centroid")
+        Seq(
+          s"${name}_lat" -> Num.round(avg(col(s"${f}_lat")), 4),
+          s"${name}_lon" -> Num.round(avg(col(s"${f}_lon")), 4))
+      case ("cartesian_bounds", JObject(s)) =>
+        // the planar twin (ES 8.6): point field convention
+        // `<f>_x` / `<f>_y`
+        val f = str(s.toMap, "field", "cartesian_bounds")
+        Seq(
+          s"${name}_min_x" -> Num.round(min(col(s"${f}_x")), 4),
+          s"${name}_max_x" -> Num.round(max(col(s"${f}_x")), 4),
+          s"${name}_min_y" -> Num.round(min(col(s"${f}_y")), 4),
+          s"${name}_max_y" -> Num.round(max(col(s"${f}_y")), 4))
+      case ("cartesian_centroid", JObject(s)) =>
+        val f = str(s.toMap, "field", "cartesian_centroid")
+        Seq(
+          s"${name}_x" -> Num.round(avg(col(s"${f}_x")), 4),
+          s"${name}_y" -> Num.round(avg(col(s"${f}_y")), 4))
+      case ("scripted_metric", JObject(s)) =>
+        // the map script compiles ONCE (driver-side) to codegen'd
+        // column math; combine/reduce must be the associative sum —
+        // the only shape a partial aggregation can honor (and the
+        // shape ES's own docs use) — so a scripted metric costs the
+        // same as a built-in sum at any scale
+        val m = s.toMap
+        val mapScript = str(m, "map_script", "scripted_metric")
+        for (k <- Seq("init_script", "combine_script", "reduce_script"); v <- m.get(k))
+          v match {
+            case JString(x) if k == "init_script" || x.contains("sum") => ()
+            case o => throw new IllegalArgumentException(
+              s"scripted_metric $k must be an associative sum (got $o); " +
+                "other reduce shapes need the Scala operator")
+          }
+        Seq(name -> Num.round(
+          sum(Painless.compile(mapScript, Map.empty).cast("decimal(28,8)"))
+            .cast("double"), 4))
       case ("percentile_ranks", JObject(s)) =>
         // inverse percentiles: the PERCENT of the group's values at or
         // below each requested value — one conditional count per

@@ -104,6 +104,38 @@ class AggsJsonNodesSpec extends SparkSpec {
     assert(desc.getMessage.contains("asc"))
   }
 
+  test("batch-4 loud contracts: t_test paired, matrix_stats arity, " +
+      "frequent_item_sets support, scripted_metric non-sum reduce") {
+    val paired = intercept[IllegalArgumentException] {
+      AggsJson.compile(docs,
+        """{"aggs": {"tt": {"t_test": {
+             "a": {"field": "n_chars"}, "b": {"field": "n_chars"},
+             "type": "paired"}}}}""")
+    }
+    assert(paired.getMessage.contains("paired"))
+    val arity = intercept[IllegalArgumentException] {
+      AggsJson.compile(docs,
+        """{"aggs": {"mx": {"matrix_stats":
+             {"fields": ["n_chars", "n_chars", "n_chars"]}}}}""")
+    }
+    assert(arity.getMessage.contains("two fields"))
+    val support = intercept[IllegalArgumentException] {
+      AggsJson.compile(docs,
+        """{"aggs": {"fi": {"frequent_item_sets": {
+             "fields": [{"field": "source"}],
+             "transaction_field": "lang"}}}}""")
+    }
+    assert(support.getMessage.contains("minimum_support_count"))
+    val reduce = intercept[IllegalArgumentException] {
+      AggsJson.compile(docs,
+        """{"aggs": {"l": {"terms": {"field": "lang"}, "aggs": {
+             "v": {"scripted_metric": {
+               "map_script": "doc['n_chars'].value",
+               "reduce_script": "max(states)"}}}}}}""")
+    }
+    assert(reduce.getMessage.contains("associative sum"))
+  }
+
   test("significant_terms keyword variant matches the Scala operator") {
     val json = AggsJson.compile(docs,
       """{"aggs": {"sig": {"significant_terms": {
