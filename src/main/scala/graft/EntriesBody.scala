@@ -514,6 +514,29 @@ private[graft] object EntriesBody {
            "sources": [{"tile": {"geotile_grid": {"field": "loc", "precision": 4}}},
                        {"seg": {"terms": {"field": "c_mktsegment"}}}],
            "after": {"tile": "4/11/7", "seg": "BUILDING"}}}}}""")),
+    // sliced scroll through the body: slice 1 of 4 as a plain
+    // pushable predicate (same md5-48 draw as the Scala operator, so
+    // the oracle is shared verbatim)
+    "q_search_body_slice" -> ((s, d) => graft.dsl.SearchBody.search(
+      t(s, d, "documents"),
+      """{"slice": {"id": 1, "max": 4},
+          "sort": [{"doc_id": "asc"}], "_source": ["doc_id", "lang"]}""",
+      idField = "doc_id")),
+    // track_scores: field-sorted hits still carry the BM25 _score
+    "q_search_body_track_scores" -> ((s, d) => graft.dsl.SearchBody.search(
+      t(s, d, "documents"),
+      """{"query": {"match": {"text": "vector hash"}},
+          "track_scores": true,
+          "sort": [{"n_chars": {"order": "desc"}}, {"doc_id": "asc"}],
+          "size": 20, "_source": ["doc_id", "n_chars"]}""",
+      idField = "doc_id")),
+    // stored_fields keep-list (the legacy retrieval section)
+    "q_search_body_stored_fields" -> ((s, d) => graft.dsl.SearchBody.search(
+      t(s, d, "documents"),
+      """{"query": {"term": {"lang": "de"}},
+          "stored_fields": ["source"],
+          "sort": [{"doc_id": "asc"}], "size": 50}""",
+      idField = "doc_id")),
     // ---- aggs-JSON batch 4: metric/bucket parity with the Scala
     // kernels (each node delegates to or reproduces the Scala twin,
     // so the formulas cannot diverge; oracles shared where columns
@@ -848,6 +871,14 @@ private[graft] object EntriesBody {
     // share those kernels' oracles — one definition per formula
     "q_aggs_json_ip_range" -> EntriesLate.oracleSql("q_agg_ip_range"),
     "q_aggs_json_composite_tile" -> EntriesAggs.oracleSql("q_agg_composite_geo"),
+    "q_search_body_slice" -> EntriesLate.oracleSql("q_slice"),
+    "q_search_body_track_scores" -> (TokCte +
+      bm25Ctes("", "tok", Seq("vector", "hash")) +
+      " SELECT d.doc_id, d.n_chars, sc.score AS _score " +
+      "FROM sc JOIN documents d ON d.doc_id = sc.id " +
+      "ORDER BY d.n_chars DESC, d.doc_id LIMIT 20"),
+    "q_search_body_stored_fields" -> ("SELECT doc_id, source FROM documents " +
+      "WHERE lang = 'de' ORDER BY doc_id LIMIT 50"),
     // batch 4: shared with the Scala twins where columns align,
     // adapted (same CTE, JSON column names) where they differ
     "q_aggs_json_geo_bounds" -> (GeoCte.replace(

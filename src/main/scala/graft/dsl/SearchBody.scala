@@ -88,10 +88,13 @@ object SearchBody {
     "script_fields", "docvalue_fields", "fields",
     // accepted with no effect: ES's accuracy knob for the hit-count
     // METADATA (clients send it by default); graft's counts are always
-    // exact, so there is nothing to relax
-    "track_total_hits",
+    // exact, so there is nothing to relax. `timeout` caps ES's
+    // partial-results collection — graft results are always complete,
+    // so there is no partial mode to bound.
+    "track_total_hits", "timeout",
     "suggest", "retriever", "indices_boost", "rank",
-    "explain", "terminate_after")
+    "explain", "terminate_after", "slice", "track_scores",
+    "stored_fields")
 
   /** True when the payload is a search BODY carrying sections beyond
     * `runtime_mappings`+`query` — the connector routes such payloads
@@ -280,7 +283,36 @@ object SearchBody {
       s"unsupported _search body key(s): ${unknown.toSeq.sorted.mkString(", ")} " +
         s"(supported: ${SupportedKeys.toSeq.sorted.mkString(", ")})")
     val (runtime, innerQ) = parse(body)
-    val projected = runtime.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+    val projected0 = runtime.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+    // slice (sliced scroll / PIT search): slice i of max n keeps the
+    // docs whose hash lands in partition i — a plain pushable filter,
+    // so N slice workers each scan with their own predicate and the
+    // union is exactly the corpus. The draw is the deterministic
+    // md5-48 content hash on the slice field (ES hashes _id per
+    // shard; a content hash is the portable, rerun-stable equivalent).
+    val projected = root.get("slice") match {
+      case None => projected0
+      case Some(JObject(ss)) =>
+        val sm = ss.toMap
+        val unknownS = sm.keySet -- Set("id", "max", "field")
+        require(unknownS.isEmpty,
+          s"unsupported slice key(s): ${unknownS.toSeq.sorted.mkString(", ")}")
+        val sid = jnum(sm.getOrElse("id",
+          throw new IllegalArgumentException("slice needs id"))).toLong
+        val smax = jnum(sm.getOrElse("max",
+          throw new IllegalArgumentException("slice needs max"))).toLong
+        require(smax >= 2 && sid >= 0 && sid < smax,
+          s"slice needs 0 <= id < max with max >= 2 (got id=$sid max=$smax)")
+        val f = sm.get("field") match {
+          case Some(JString(x)) => x
+          case None => idField
+          case Some(o) => throw new IllegalArgumentException(s"bad slice field: $o")
+        }
+        projected0.where(pmod(
+          conv(substring(md5(concat(lit("slice:"), col(f))), 1, 12), 16, 10)
+            .cast("long"), lit(smax)) === sid)
+      case Some(other) => throw new IllegalArgumentException(s"bad slice: $other")
+    }
     // parse() echoes the whole body back as "the query" when it sees
     // neither runtime_mappings nor query — only use a real one
     val queryJson = innerQ.filter(_ => root.contains("query"))
@@ -368,9 +400,16 @@ object SearchBody {
         case None => Nil
         case Some(other) => throw new IllegalArgumentException(s"sort must be an array: $other")
       }
+    // track_scores: compute `_score` even when the request sorts by a
+    // field (ES's knob for "field-sorted hits still want relevance")
+    val trackScores = root.get("track_scores") match {
+      case None => false
+      case Some(JBool(b)) => b
+      case Some(other) => throw new IllegalArgumentException(s"bad track_scores: $other")
+    }
     val scoring = knnJson.isDefined || root.contains("min_score") ||
       root.contains("rescore") || root.contains("indices_boost") ||
-      sortSpecs.exists(_._1 == "_score")
+      sortSpecs.exists(_._1 == "_score") || trackScores
 
     // 1-2. query phase (scores only when the body needs them)
     val mSpec = queryJson.flatMap(matchSpec)
@@ -766,6 +805,29 @@ object SearchBody {
     val metaCols = (Seq("_score", "inner_hits", "_explanation") ++ snippetCols ++
       scriptCols.map(_._1) ++ docvalueCols.map(_._1) ++ fieldsCols.map(_._1) ++
       Seq("__graft_src_index")).distinct
+    // stored_fields (the legacy retrieval section): a keep-list of doc
+    // columns, or `"_none_"` for id + hit metadata only. It REPLACES
+    // the retrieval sections — combining with `_source`/`fields` is
+    // ambiguous (ES's own interplay rules are version-dependent), so
+    // the combination is loud.
+    if (root.contains("stored_fields")) {
+      require(!root.contains("_source") && !root.contains("fields"),
+        "stored_fields replaces the retrieval sections — combining it with " +
+          "_source/fields is ambiguous; pick one")
+      val keep = root("stored_fields") match {
+        case JString("_none_") => Seq.empty[String]
+        case JArray(names) => names.map {
+          case JString(n) => n
+          case o => throw new IllegalArgumentException(s"bad stored_fields entry: $o")
+        }
+        case other => throw new IllegalArgumentException(s"bad stored_fields: $other")
+      }
+      keep.foreach(n => require(withExtras.columns.contains(n),
+        s"stored_fields entry '$n' matches no column"))
+      val cols = ((idField +: keep) ++ metaCols)
+        .filter(withExtras.columns.contains).distinct
+      return withExtras.select(cols.map(col): _*)
+    }
     root.get("_source") match {
       case None => withExtras
       case Some(JBool(true)) => withExtras // explicit default

@@ -566,4 +566,56 @@ class SearchBodySpec extends SparkSpec {
       idField = "doc_id").select($"doc_id".as[Long]).collect().toSet
     assert(uncapped != capped)
   }
+
+  test("slice: the max slices partition the corpus exactly; bad ranges loud") {
+    def slice(i: Int) = SearchBody.search(docs,
+      s"""{"slice": {"id": $i, "max": 3}, "_source": ["doc_id"]}""",
+      idField = "doc_id").select($"doc_id".as[Long]).collect().toSet
+    val parts = (0 until 3).map(slice)
+    assert(parts.map(_.size).sum == docs.count())
+    assert(parts.reduce(_ ++ _).size == docs.count()) // disjoint union
+    val bad = intercept[IllegalArgumentException] {
+      SearchBody.search(docs, """{"slice": {"id": 4, "max": 3}}""", idField = "doc_id")
+    }
+    assert(bad.getMessage.contains("0 <= id < max"))
+    val unknown = intercept[IllegalArgumentException] {
+      SearchBody.search(docs,
+        """{"slice": {"id": 0, "max": 3, "routing": "x"}}""", idField = "doc_id")
+    }
+    assert(unknown.getMessage.contains("routing"))
+  }
+
+  test("track_scores attaches _score to field-sorted hits; absent stays scoreless") {
+    val body = (ts: String) =>
+      s"""{"query": {"match": {"text": "vector hash"}}$ts,
+          "sort": [{"n_chars": {"order": "desc"}}, {"doc_id": "asc"}],
+          "size": 5, "_source": ["doc_id"]}"""
+    val tracked = SearchBody.search(docs, body(""", "track_scores": true"""),
+      idField = "doc_id")
+    assert(tracked.columns.contains("_score"))
+    assert(tracked.where($"_score" > 0.0).count() == 5)
+    val plain = SearchBody.search(docs, body(""), idField = "doc_id")
+    assert(!plain.columns.contains("_score"))
+  }
+
+  test("stored_fields: keep-list and _none_; combining with _source loud") {
+    val kept = SearchBody.search(docs,
+      """{"query": {"term": {"lang": "de"}}, "stored_fields": ["source"],
+          "sort": [{"doc_id": "asc"}], "size": 5}""", idField = "doc_id")
+    assert(kept.columns.toSet == Set("doc_id", "source"))
+    val none = SearchBody.search(docs,
+      """{"query": {"term": {"lang": "de"}}, "stored_fields": "_none_",
+          "sort": [{"doc_id": "asc"}], "size": 5}""", idField = "doc_id")
+    assert(none.columns.toSet == Set("doc_id"))
+    val combo = intercept[IllegalArgumentException] {
+      SearchBody.search(docs,
+        """{"stored_fields": ["source"], "_source": ["doc_id"]}""", idField = "doc_id")
+    }
+    assert(combo.getMessage.contains("ambiguous"))
+    val typo = intercept[IllegalArgumentException] {
+      SearchBody.search(docs,
+        """{"stored_fields": ["sourcex"]}""", idField = "doc_id")
+    }
+    assert(typo.getMessage.contains("sourcex"))
+  }
 }
