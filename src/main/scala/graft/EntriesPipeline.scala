@@ -468,6 +468,18 @@ private[graft] object EntriesPipeline {
     // unigram-LM mean surprisal (cheap perplexity-filter stand-in)
     "q_lm_score" -> ((s, d) =>
       TextAnalysis.unigramSurprisal(t(s, d, "documents"), "doc_id", "text")),
+    // deterministic shard assignment: md5(id) % 8 as the writer's
+    // partitionBy column; the key reports the n-row balance table
+    "q_shard_assign" -> ((s, d) =>
+      TextAnalysis.shardAssign(t(s, d, "documents"), "doc_id", "text", 8)),
+    // tokenizer fertility per language: the table a mixing policy
+    // reads before setting per-language token budgets
+    "q_token_stats" -> ((s, d) =>
+      TextAnalysis.tokenStatsByLang(t(s, d, "documents"), "lang", "text")),
+    // CCNet head/middle/tail perplexity terciles (Wenzek et al. 2020)
+    // over the unigram-surprisal LM score
+    "q_ccnet_buckets" -> ((s, d) =>
+      TextAnalysis.ccnetBuckets(t(s, d, "documents"), "doc_id", "text")),
     // domain-mix rebalancing weights toward a uniform source mix
     "q_domain_mix" -> ((s, d) =>
       TextAnalysis.domainMixWeights(t(s, d, "documents"), "source")),
@@ -977,6 +989,29 @@ private[graft] object EntriesPipeline {
       "SELECT doc_id AS id, " +
       "round(sum((-ln(ct::DOUBLE / tt))::DECIMAL(28,12))::DOUBLE / count(*), 4) AS surprisal " +
       "FROM tk JOIN ct USING (term) CROSS JOIN tt GROUP BY 1 ORDER BY 1"),
+    "q_shard_assign" -> (s"SELECT ${hexFold("doc_id::VARCHAR", 12)} % 8 AS shard, " +
+      "count(*)::BIGINT AS n_docs, " +
+      "sum(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)))::BIGINT AS tokens, " +
+      "sum(len(text))::BIGINT AS chars FROM documents GROUP BY 1 ORDER BY shard"),
+    "q_token_stats" -> ("WITH c AS (SELECT lang, count(*)::BIGINT AS n_docs, " +
+      "sum(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)))::BIGINT AS ws_tokens, " +
+      "sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')))::BIGINT AS bpe_tokens, " +
+      "sum(len(text))::BIGINT AS chars FROM documents GROUP BY 1) " +
+      "SELECT lang, n_docs, ws_tokens, bpe_tokens, chars, " +
+      "round(bpe_tokens::DOUBLE / chars::DOUBLE * 1000.0, 4) AS bpe_per_kchar " +
+      "FROM c ORDER BY lang"),
+    "q_ccnet_buckets" -> (TokCte +
+      ", tk AS (SELECT doc_id, unnest(toks) AS term FROM tok), " +
+      "ct AS (SELECT term, count(*)::BIGINT AS ct FROM tk GROUP BY 1), " +
+      "tt AS (SELECT sum(ct)::DOUBLE AS tt FROM ct), " +
+      "sc AS (SELECT doc_id, " +
+      "round(sum((-ln(ct::DOUBLE / tt))::DECIMAL(28,12))::DOUBLE / count(*), 4) AS s " +
+      "FROM tk JOIN ct USING (term) CROSS JOIN tt GROUP BY 1), " +
+      "e AS (SELECT round(quantile_cont(s, 1.0/3), 4) AS e1, " +
+      "round(quantile_cont(s, 2.0/3), 4) AS e2 FROM sc) " +
+      "SELECT CASE WHEN s < e1 THEN 'head' WHEN s < e2 THEN 'middle' ELSE 'tail' END AS bucket, " +
+      "count(*)::BIGINT AS n_docs, round(avg(s), 4) AS avg_surprisal " +
+      "FROM sc CROSS JOIN e GROUP BY 1 ORDER BY bucket"),
     "q_domain_mix" -> ("WITH c AS (SELECT source, count(*)::BIGINT AS n_docs " +
       "FROM documents GROUP BY 1), " +
       "t AS (SELECT sum(n_docs)::DOUBLE AS total, count(*)::DOUBLE AS n_sources FROM c) " +

@@ -577,4 +577,75 @@ object TextAnalysis {
       .agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("ngram"))
       .limit(k)
+
+  /** Deterministic training-data sharding: doc -> shard
+    * md5-48(id) % n. The assignment is PURE map-side column math (the
+    * writer's partitionBy column — 1000 executors write n directories
+    * with zero coordination, and a rerun lands every doc in the same
+    * shard, so downstream dataloader state stays valid). The returned
+    * balance report is one partial-aggregated groupBy of n rows:
+    * per-shard docs, whitespace-token sum, char sum. */
+  def shardAssign(docs: DataFrame, idCol: String, textCol: String,
+      nShards: Int): DataFrame = {
+    require(nShards >= 2, s"shardAssign needs >= 2 shards (got $nShards)")
+    val shard = pmod(
+      conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10).cast("long"),
+      lit(nShards.toLong))
+    docs
+      .groupBy(shard.as("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(filter(split(col(textCol), "\\s+"), t => length(t) > 0))
+          .cast("long")).as("tokens"),
+        sum(length(col(textCol)).cast("long")).as("chars"))
+      .orderBy(col("shard"))
+  }
+
+  /** Tokenizer fertility report per language: docs, whitespace-token
+    * and BPE-ish-token sums, chars, and tokens-per-1k-chars — the
+    * "how expensive is this language to tokenize" table a mixing
+    * policy reads before setting per-language budgets. One map-only
+    * token count folded into a single partial-aggregated groupBy. */
+  def tokenStatsByLang(docs: DataFrame, langCol: String, textCol: String): DataFrame = {
+    val counts = tokenCounts(col(textCol)).toMap
+    docs
+      .groupBy(col(langCol).as("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(counts("ws_tokens")).as("ws_tokens"),
+        sum(counts("bpe_tokens")).as("bpe_tokens"),
+        sum(length(col(textCol)).cast("long")).as("chars"))
+      .withColumn("bpe_per_kchar",
+        Num.round(col("bpe_tokens").cast("double") /
+          col("chars").cast("double") * 1000.0, 4))
+      .orderBy(col("lang"))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): per-doc
+    * LM score (here the unigram surprisal this module already
+    * computes), split into head/middle/tail THIRDS by the corpus-wide
+    * score terciles — the published recipe keeps `head` (lowest
+    * perplexity) and drops or down-weights `tail`. Tercile edges come
+    * from the distributed-exact percentile (one sort-selection over
+    * the N-row score frame, never a single-reducer merge); the bucket
+    * key is then map-side math, and the report is one n-bucket
+    * groupBy. Edges round to 4 dp so the cut is engine-portable. */
+  def ccnetBuckets(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // the score frame computes twice (edge pass + bucket pass) — kept
+    // persist-free so no cache entry outlives the call; a caller
+    // running both passes at corpus scale persists `scored` itself
+    val scored = unigramSurprisal(docs, idCol, textCol)
+    val edges = graft.agg.Aggs.percentilesExactDistributed(
+      scored, "surprisal", Seq("e1" -> (1.0 / 3), "e2" -> (2.0 / 3))).head()
+    val (e1, e2) = (Num.roundDouble(edges.getDouble(0), 4),
+      Num.roundDouble(edges.getDouble(1), 4))
+    val s = col("surprisal")
+    scored
+      .groupBy(when(s < e1, "head").when(s < e2, "middle").otherwise("tail")
+        .as("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        Num.round(avg(s), 4).as("avg_surprisal"))
+      .orderBy(col("bucket"))
+  }
 }
