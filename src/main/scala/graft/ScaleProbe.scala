@@ -610,6 +610,22 @@ object ScaleProbe {
       graft.text.Dsir.importanceWeights(
         docs, docs.where(col("source") === "src1"), "doc_id", "text").count()
     }
+    // r11 batch: CCNet terciles = 2 surprisal passes (explode +
+    // vocab join) + ONE distributed-exact sort-selection over the
+    // N-row score frame — the curve must stay ~linear in tokens
+    time("ccnet_buckets_10x") {
+      graft.text.TextAnalysis.ccnetBuckets(docs, "doc_id", "text").count()
+    }
+    // diversified_sampler wrapper: row_number window PARTITIONED by
+    // the diversity field (per-value local pass, never a global sort)
+    time("diversified_json_10x") {
+      graft.dsl.AggsJson.compile(docs,
+        """{"aggs": {"div": {
+             "diversified_sampler": {"field": "lang", "key_field": "doc_id",
+                                     "max_docs_per_value": 40},
+             "aggs": {"sample_size": {"value_count": {"field": "doc_id"}},
+                      "avg_metric": {"avg": {"field": "n_chars"}}}}}}""").count()
+    }
     spark.stop()
   }
 }
