@@ -630,18 +630,31 @@ object Aggs {
     * the metrics over the de-biased sample. One window shuffle on the
     * diversity key; the capped sample is what flows to the final
     * single-row agg. */
-  def diversifiedSamplerAgg(
-      df: DataFrame, idCol: String, diversityField: String,
-      metricField: String, maxPerKey: Int): DataFrame = {
+  /** The diversified_sampler draw, shared by the Scala agg and the
+    * aggs-JSON wrapper (ONE definition — the JSON node's reused
+    * oracle depends on the two draws staying bit-identical): at most
+    * `maxPerKey` docs per diversity-field value, picked in the
+    * deterministic md5 order on the id. The row_number window
+    * partitions by the diversity field — a per-value-bounded local
+    * pass, never a global sort. */
+  def diversifiedSampleFrame(
+      df: DataFrame, diversityField: String, idCol: String,
+      maxPerKey: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(diversityField))
       .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
-    df.withColumn("_rn", row_number().over(w))
-      .where(col("_rn") <= maxPerKey)
+    df.withColumn("_graft_dsamp_rn", row_number().over(w))
+      .where(col("_graft_dsamp_rn") <= maxPerKey)
+      .drop("_graft_dsamp_rn")
+  }
+
+  def diversifiedSamplerAgg(
+      df: DataFrame, idCol: String, diversityField: String,
+      metricField: String, maxPerKey: Int): DataFrame =
+    diversifiedSampleFrame(df, diversityField, idCol, maxPerKey)
       .agg(
         count(lit(1)).as("sample_size"),
         Num.round(avg(col(metricField)), 4).as("avg_metric"))
-  }
 
   /** ES `histogram` mapped FIELD type: each doc stores a
     * PRE-AGGREGATED histogram as parallel (values[], counts[]) arrays

@@ -282,6 +282,10 @@ object AggsJson {
       // joined back — route through the Scala operator for that.
       case JField(name, JObject(
           JField("median_absolute_deviation", JObject(ms)) :: Nil)) :: Nil =>
+        val madUnknown = ms.toMap.keySet -- Set("field")
+        require(madUnknown.isEmpty,
+          s"unsupported median_absolute_deviation option(s): " +
+            madUnknown.toSeq.sorted.mkString(", "))
         return graft.agg.Aggs.medianAbsoluteDeviation(
           df, str(ms.toMap, "field", "median_absolute_deviation"))
       // `t_test`: a/b are filter-defined groups over ONE shared field
@@ -291,9 +295,15 @@ object AggsJson {
       // derives from doc identity — unsupported here, loud.
       case JField(name, JObject(JField("t_test", JObject(ts)) :: Nil)) :: Nil =>
         val m = ts.toMap
+        val ttUnknown = m.keySet -- Set("a", "b", "type")
+        require(ttUnknown.isEmpty,
+          s"unsupported t_test option(s): ${ttUnknown.toSeq.sorted.mkString(", ")}")
         def side(k: String): (String, Column) = m.get(k) match {
           case Some(JObject(s)) =>
             val sm = s.toMap
+            val sideUnknown = sm.keySet -- Set("field", "filter")
+            require(sideUnknown.isEmpty,
+              s"unsupported t_test.$k option(s): ${sideUnknown.toSeq.sorted.mkString(", ")}")
             val f = str(sm, "field", s"t_test.$k")
             val pred = sm.get("filter") match {
               case Some(fv) => EsQuery.compile(
@@ -320,6 +330,9 @@ object AggsJson {
       // the two-field form (count / means / variances / covariance /
       // correlation in one partial-aggregated pass)
       case JField(name, JObject(JField("matrix_stats", JObject(ms)) :: Nil)) :: Nil =>
+        val mxUnknown = ms.toMap.keySet -- Set("fields")
+        require(mxUnknown.isEmpty,
+          s"unsupported matrix_stats option(s): ${mxUnknown.toSeq.sorted.mkString(", ")}")
         val fields = ms.toMap.get("fields") match {
           case Some(JArray(fs)) => fs.map {
             case JString(f) => f
@@ -335,6 +348,10 @@ object AggsJson {
       case JField(name, JObject(
           JField("variable_width_histogram", JObject(vs)) :: Nil)) :: Nil =>
         val m = vs.toMap
+        val vwUnknown = m.keySet -- Set("field", "buckets")
+        require(vwUnknown.isEmpty,
+          s"unsupported variable_width_histogram option(s): " +
+            vwUnknown.toSeq.sorted.mkString(", "))
         return graft.agg.Aggs.variableWidthHistogram(df,
           str(m, "field", "variable_width_histogram"),
           m.get("buckets").map(num(_).toInt).getOrElse(10))
@@ -342,6 +359,9 @@ object AggsJson {
       // ordered by NUMERIC network value like ES
       case JField(name, JObject(JField("ip_prefix", JObject(ps)) :: Nil)) :: Nil =>
         val m = ps.toMap
+        val ipUnknown = m.keySet -- Set("field", "prefix_length", "is_ipv6")
+        require(ipUnknown.isEmpty,
+          s"unsupported ip_prefix option(s): ${ipUnknown.toSeq.sorted.mkString(", ")}")
         m.get("is_ipv6").foreach {
           case JBool(false) => ()
           case o => throw new IllegalArgumentException(
@@ -355,6 +375,9 @@ object AggsJson {
       // max_matched_tokens surviving tokens form the category key
       case JField(name, JObject(JField("categorize_text", JObject(cs)) :: Nil)) :: Nil =>
         val m = cs.toMap
+        val ctUnknown = m.keySet -- Set("field", "max_matched_tokens")
+        require(ctUnknown.isEmpty,
+          s"unsupported categorize_text option(s): ${ctUnknown.toSeq.sorted.mkString(", ")}")
         return graft.agg.Aggs.categorizeText(df,
           col(str(m, "field", "categorize_text")),
           m.get("max_matched_tokens").map(num(_).toInt).getOrElse(4))
@@ -368,6 +391,11 @@ object AggsJson {
       case JField(name, JObject(
           JField("frequent_item_sets", JObject(fs)) :: Nil)) :: Nil =>
         val m = fs.toMap
+        val fiUnknown = m.keySet --
+          Set("fields", "transaction_field", "minimum_support_count", "size")
+        require(fiUnknown.isEmpty,
+          s"unsupported frequent_item_sets option(s): " +
+            fiUnknown.toSeq.sorted.mkString(", "))
         val item = m.get("fields") match {
           case Some(JArray(List(JObject(f)))) => str(f.toMap, "field", "frequent_item_sets")
           case _ => throw new IllegalArgumentException(
@@ -394,6 +422,10 @@ object AggsJson {
           case JObject(d) => d.toMap
           case o => throw new IllegalArgumentException(s"bad diversified_sampler: $o")
         }
+        val dsUnknown = ds.keySet -- Set("field", "key_field", "max_docs_per_value")
+        require(dsUnknown.isEmpty,
+          s"unsupported diversified_sampler option(s): " +
+            dsUnknown.toSeq.sorted.mkString(", "))
         val f = str(ds, "field", "diversified_sampler")
         val keyField = str(ds, "key_field", "diversified_sampler")
         val maxPer = ds.get("max_docs_per_value").map(num(_).toInt).getOrElse(1)
@@ -402,11 +434,8 @@ object AggsJson {
           case _ => throw new IllegalArgumentException(
             s"diversified_sampler under '$name' needs sub-aggs (it is a sampling wrapper)")
         }
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col(f))
-          .orderBy(md5(col(keyField).cast("string")).asc, col(keyField).asc)
-        val sampled = df.withColumn("_graft_dsamp_rn", row_number().over(w))
-          .where(col("_graft_dsamp_rn") <= maxPer).drop("_graft_dsamp_rn")
+        // ONE draw definition, shared with the Scala operator
+        val sampled = graft.agg.Aggs.diversifiedSampleFrame(df, f, keyField, maxPer)
         return compile(sampled,
           JsonMethods.compact(JsonMethods.render(JObject(List(JField("aggs", sub))))),
           fgPred, background)
@@ -426,9 +455,18 @@ object AggsJson {
           "rate under date_histogram supports calendar_interval month " +
             "(the kernel's bucket granularity)")
         val rm = rateChild(m).get
-        rm.get("unit").foreach {
-          case JString("day") => ()
-          case o => throw new IllegalArgumentException(s"rate unit supports day (got $o)")
+        val unknownR = rm.keySet -- Set("field", "unit")
+        require(unknownR.isEmpty,
+          s"unsupported rate option(s): ${unknownR.toSeq.sorted.mkString(", ")}")
+        // unit is REQUIRED here: ES's default unit is the parent
+        // interval, i.e. the plain bucket sum — silently dividing by
+        // days would return a ~30x-smaller number on that request
+        // (use a sum metric for the bucket-sum form)
+        rm.get("unit") match {
+          case Some(JString("day")) => ()
+          case other => throw new IllegalArgumentException(
+            s"rate needs unit: day (got $other); ES's default unit (the parent " +
+              "interval) is the plain bucket sum — use a sum metric for that")
         }
         return graft.agg.Aggs.rateAgg(df,
           str(dh, "field", "date_histogram"), "month", str(rm, "field", "rate"))
@@ -1382,6 +1420,8 @@ object AggsJson {
         // associatively, so the cost is 4 doubles per group in the
         // same partial aggregation (geo_point field convention:
         // `<f>_lat` / `<f>_lon` columns, like the grid nodes)
+        require((s.toMap.keySet -- Set("field")).isEmpty,
+          s"unsupported geo_bounds option(s): ${(s.toMap.keySet - "field").toSeq.sorted.mkString(", ")}")
         val f = str(s.toMap, "field", "geo_bounds")
         Seq(
           s"${name}_top" -> Num.round(max(col(s"${f}_lat")), 4),
@@ -1390,6 +1430,8 @@ object AggsJson {
           s"${name}_right" -> Num.round(max(col(s"${f}_lon")), 4))
       case ("geo_centroid", JObject(s)) =>
         // mean point per bucket (column-pair model, same pass)
+        require((s.toMap.keySet -- Set("field")).isEmpty,
+          s"unsupported geo_centroid option(s): ${(s.toMap.keySet - "field").toSeq.sorted.mkString(", ")}")
         val f = str(s.toMap, "field", "geo_centroid")
         Seq(
           s"${name}_lat" -> Num.round(avg(col(s"${f}_lat")), 4),
@@ -1397,6 +1439,8 @@ object AggsJson {
       case ("cartesian_bounds", JObject(s)) =>
         // the planar twin (ES 8.6): point field convention
         // `<f>_x` / `<f>_y`
+        require((s.toMap.keySet -- Set("field")).isEmpty,
+          s"unsupported cartesian_bounds option(s): ${(s.toMap.keySet - "field").toSeq.sorted.mkString(", ")}")
         val f = str(s.toMap, "field", "cartesian_bounds")
         Seq(
           s"${name}_min_x" -> Num.round(min(col(s"${f}_x")), 4),
@@ -1404,6 +1448,8 @@ object AggsJson {
           s"${name}_min_y" -> Num.round(min(col(s"${f}_y")), 4),
           s"${name}_max_y" -> Num.round(max(col(s"${f}_y")), 4))
       case ("cartesian_centroid", JObject(s)) =>
+        require((s.toMap.keySet -- Set("field")).isEmpty,
+          s"unsupported cartesian_centroid option(s): ${(s.toMap.keySet - "field").toSeq.sorted.mkString(", ")}")
         val f = str(s.toMap, "field", "cartesian_centroid")
         Seq(
           s"${name}_x" -> Num.round(avg(col(s"${f}_x")), 4),
@@ -1413,14 +1459,28 @@ object AggsJson {
         // column math; combine/reduce must be the associative sum —
         // the only shape a partial aggregation can honor (and the
         // shape ES's own docs use) — so a scripted metric costs the
-        // same as a built-in sum at any scale
+        // same as a built-in sum at any scale. init_script is LOUDLY
+        // rejected (a seed value would be silently dropped, skewing
+        // the sum by seed×shards vs ES); combine/reduce accept only
+        // the canonical sum spellings, not any string containing
+        // "sum" (e.g. "consume(states)" is not an associative sum).
         val m = s.toMap
+        val unknownSm = m.keySet -- Set("map_script", "combine_script", "reduce_script")
+        require(unknownSm.isEmpty,
+          s"unsupported scripted_metric option(s): ${unknownSm.toSeq.sorted.mkString(", ")}" +
+            (if (m.contains("init_script"))
+              " (an init seed cannot ride a partial-aggregated sum — fold it " +
+                "into the map script or use the Scala operator)" else ""))
         val mapScript = str(m, "map_script", "scripted_metric")
-        for (k <- Seq("init_script", "combine_script", "reduce_script"); v <- m.get(k))
+        val SumForms = Set("state.sum", "states.sum", "sum(states)", "returnstates.sum",
+          "returnstate.sum")
+        for (k <- Seq("combine_script", "reduce_script"); v <- m.get(k))
           v match {
-            case JString(x) if k == "init_script" || x.contains("sum") => ()
+            case JString(x)
+                if SumForms(x.toLowerCase.replaceAll("[\\s;]", "")) => ()
             case o => throw new IllegalArgumentException(
-              s"scripted_metric $k must be an associative sum (got $o); " +
+              s"scripted_metric $k must be the associative sum " +
+                s"(state.sum / states.sum / sum(states)); got $o — " +
                 "other reduce shapes need the Scala operator")
           }
         Seq(name -> Num.round(

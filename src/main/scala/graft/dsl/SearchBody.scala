@@ -283,16 +283,21 @@ object SearchBody {
       s"unsupported _search body key(s): ${unknown.toSeq.sorted.mkString(", ")} " +
         s"(supported: ${SupportedKeys.toSeq.sorted.mkString(", ")})")
     val (runtime, innerQ) = parse(body)
-    val projected0 = runtime.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+    val projected = runtime.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
     // slice (sliced scroll / PIT search): slice i of max n keeps the
-    // docs whose hash lands in partition i — a plain pushable filter,
-    // so N slice workers each scan with their own predicate and the
-    // union is exactly the corpus. The draw is the deterministic
-    // md5-48 content hash on the slice field (ES hashes _id per
-    // shard; a content hash is the portable, rerun-stable equivalent).
-    val projected = root.get("slice") match {
-      case None => projected0
-      case Some(JObject(ss)) =>
+    // hits whose hash lands in partition i — a plain pushable
+    // predicate, so N slice workers each scan with their own filter.
+    // The draw is the deterministic md5-48 content hash on the slice
+    // field (ES hashes _id per shard; a content hash is the portable,
+    // rerun-stable equivalent; a NULL slice-field value hashes the
+    // empty string, so every doc lands in exactly one slice).
+    // The predicate applies to the HIT SET, never the scoring frame:
+    // BM25 statistics (df, n_docs, avgdl) come from the WHOLE index,
+    // so the slices' union equals the unsliced request exactly —
+    // per-slice IDF would make scores (and any min_score/rescore cut)
+    // disagree across slices.
+    val slicePred: Option[org.apache.spark.sql.Column] = root.get("slice").map {
+      case JObject(ss) =>
         val sm = ss.toMap
         val unknownS = sm.keySet -- Set("id", "max", "field")
         require(unknownS.isEmpty,
@@ -308,10 +313,11 @@ object SearchBody {
           case None => idField
           case Some(o) => throw new IllegalArgumentException(s"bad slice field: $o")
         }
-        projected0.where(pmod(
-          conv(substring(md5(concat(lit("slice:"), col(f))), 1, 12), 16, 10)
-            .cast("long"), lit(smax)) === sid)
-      case Some(other) => throw new IllegalArgumentException(s"bad slice: $other")
+        pmod(
+          conv(substring(md5(concat(lit("slice:"),
+            coalesce(col(f).cast("string"), lit("")))), 1, 12), 16, 10)
+            .cast("long"), lit(smax)) === sid
+      case other => throw new IllegalArgumentException(s"bad slice: $other")
     }
     // parse() echoes the whole body back as "the query" when it sees
     // neither runtime_mappings nor query — only use a real one
@@ -349,7 +355,7 @@ object SearchBody {
     if (root.contains("aggs") || root.contains("aggregations")) {
       val hitOnly = Seq("knn", "collapse", "highlight", "rescore", "min_score",
         "search_after", "post_filter", "_source", "script_fields",
-        "docvalue_fields").filter(root.contains)
+        "docvalue_fields", "slice").filter(root.contains)
       require(hitOnly.isEmpty,
         s"an aggs request returns buckets, not hits — hit-path key(s) " +
           s"${hitOnly.mkString(", ")} would be silently dead; issue a separate request")
@@ -519,15 +525,18 @@ object SearchBody {
         }
       case (None, None) => matched
     }
+    // slice partitions the HIT SET (scores above came from full-index
+    // stats), so union-over-slices == the unsliced request, hit for hit
+    val slicedHits = slicePred.fold(afterKnn)(afterKnn.where)
 
     // 3.5. indices_boost: per-index score multiplier — the hit's index
     // is the connector's __graft_src_index tag (last path segment);
     // entries match name-or-`*`-pattern, FIRST match wins, unmatched
     // indices keep factor 1.0 (ES semantics)
     val ibBoosted = root.get("indices_boost") match {
-      case None => afterKnn
+      case None => slicedHits
       case Some(JArray(entries)) =>
-        require(afterKnn.columns.contains("__graft_src_index"),
+        require(slicedHits.columns.contains("__graft_src_index"),
           "indices_boost needs per-hit index metadata (__graft_src_index) — " +
             "read through the connector's multi-index request, or attach the column")
         val idxName = element_at(split(col("__graft_src_index"), "/"), -1)
@@ -541,7 +550,7 @@ object SearchBody {
               s"bad indices_boost entry (want one {index-or-pattern: boost}): $other")
           }
         }
-        afterKnn.withColumn("_score",
+        slicedHits.withColumn("_score",
           Num.round(col("_score") * coalesce(factor, lit(1.0)), 4))
       case Some(other) => throw new IllegalArgumentException(
         s"indices_boost must be an array: $other")

@@ -134,6 +134,42 @@ class AggsJsonNodesSpec extends SparkSpec {
                "reduce_script": "max(states)"}}}}}}""")
     }
     assert(reduce.getMessage.contains("associative sum"))
+    // "consume(states)" merely CONTAINS "sum" — not an associative sum
+    val consume = intercept[IllegalArgumentException] {
+      AggsJson.compile(docs,
+        """{"aggs": {"l": {"terms": {"field": "lang"}, "aggs": {
+             "v": {"scripted_metric": {
+               "map_script": "doc['n_chars'].value",
+               "combine_script": "consume(states)"}}}}}}""")
+    }
+    assert(consume.getMessage.contains("associative sum"))
+    // an init seed would be silently dropped by the partial agg — loud
+    val init = intercept[IllegalArgumentException] {
+      AggsJson.compile(docs,
+        """{"aggs": {"l": {"terms": {"field": "lang"}, "aggs": {
+             "v": {"scripted_metric": {
+               "init_script": "state.sum = 100",
+               "map_script": "doc['n_chars'].value"}}}}}}""")
+    }
+    assert(init.getMessage.contains("init"))
+    // rate without unit: ES's default (parent-interval rate) is the
+    // plain bucket sum — silently dividing by days would be ~30x off
+    val rate = intercept[IllegalArgumentException] {
+      AggsJson.compile(docs,
+        """{"aggs": {"m": {"date_histogram": {"field": "ts",
+             "calendar_interval": "month"},
+             "aggs": {"r": {"rate": {"field": "n_chars"}}}}}}""")
+    }
+    assert(rate.getMessage.contains("unit"))
+    // a typo'd max_docs_per_value would silently collapse the cap to 1
+    val typo = intercept[IllegalArgumentException] {
+      AggsJson.compile(docs,
+        """{"aggs": {"div": {
+             "diversified_sampler": {"field": "lang", "key_field": "doc_id",
+                                     "max_docs_per_val": 40},
+             "aggs": {"n": {"value_count": {"field": "doc_id"}}}}}}""")
+    }
+    assert(typo.getMessage.contains("max_docs_per_val"))
   }
 
   test("significant_terms keyword variant matches the Scala operator") {

@@ -585,6 +585,30 @@ class SearchBodySpec extends SparkSpec {
     assert(unknown.getMessage.contains("routing"))
   }
 
+  test("slice scores from FULL-index stats; null slice-field docs land in one slice") {
+    // a doc's _score must be identical in the sliced and unsliced
+    // request (per-slice IDF would disagree across slices)
+    def scores(slice: String) = SearchBody.search(docs,
+      s"""{"query": {"match": {"text": "vector hash"}}$slice,
+          "sort": ["_score", {"doc_id": "asc"}], "_source": ["doc_id"]}""",
+      idField = "doc_id")
+      .select($"doc_id".as[Long], $"_score".as[Double]).collect().toMap
+    val full = scores("")
+    val sliced = (0 until 2).map(i => scores(s""", "slice": {"id": $i, "max": 2}"""))
+    assert(sliced.map(_.size).sum == full.size)
+    sliced.flatten.foreach { case (id, s) => assert(full(id) == s) }
+    // null slice-field values hash as "" — every doc appears in
+    // EXACTLY one slice, so the union is still the corpus
+    val nulled = docs.withColumn("maybe",
+      when($"doc_id" % 7 === 0, lit(null).cast("string")).otherwise($"lang"))
+    def bySlice(i: Int) = SearchBody.search(nulled,
+      s"""{"slice": {"id": $i, "max": 3, "field": "maybe"}, "_source": ["doc_id"]}""",
+      idField = "doc_id").select($"doc_id".as[Long]).collect().toSeq
+    val parts = (0 until 3).map(bySlice)
+    assert(parts.map(_.size).sum == nulled.count())
+    assert(parts.flatten.distinct.size == nulled.count())
+  }
+
   test("track_scores attaches _score to field-sorted hits; absent stays scoreless") {
     val body = (ts: String) =>
       s"""{"query": {"match": {"text": "vector hash"}}$ts,
