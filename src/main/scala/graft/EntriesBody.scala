@@ -537,6 +537,46 @@ private[graft] object EntriesBody {
           "stored_fields": ["source"],
           "sort": [{"doc_id": "asc"}], "size": 50}""",
       idField = "doc_id")),
+    // `nested` wrapper over a REAL array-of-structs column: metrics
+    // over the exploded inner docs (ES refs `items.*` resolve as
+    // flat columns after the explode)
+    "q_aggs_json_nested" -> ((s, d) => {
+      val items = t(s, d, "lineitem").groupBy(col("l_orderkey"))
+        .agg(collect_list(struct(col("l_quantity"), col("l_returnflag"))).as("items"))
+      graft.dsl.AggsJson.compile(
+        t(s, d, "orders").join(items, col("o_orderkey") === col("l_orderkey")),
+        """{"aggs": {"n": {"nested": {"path": "items"},
+             "aggs": {"qty_sum": {"sum": {"field": "items.l_quantity"}},
+                      "qty_avg": {"avg": {"field": "items.l_quantity"}}}}}}""")
+    }),
+    // nested > terms > reverse_nested: inner-doc buckets carrying the
+    // PARENT doc count (one partial-agged groupBy, both counts)
+    "q_aggs_json_reverse_nested" -> ((s, d) => {
+      val items = t(s, d, "lineitem").groupBy(col("l_orderkey"))
+        .agg(collect_list(struct(col("l_quantity"), col("l_returnflag"))).as("items"))
+      graft.dsl.AggsJson.compile(
+        t(s, d, "orders").join(items, col("o_orderkey") === col("l_orderkey")),
+        """{"aggs": {"n": {"nested": {"path": "items",
+                             "parent_id_field": "o_orderkey"},
+             "aggs": {"key": {"terms": {"field": "items.l_returnflag"},
+               "aggs": {"parent_count": {"reverse_nested": {}}}}}}}}""")
+    }),
+    // significant_text through the JSON door (foreground = the
+    // request's query predicate, background = the pre-query frame)
+    "q_aggs_json_sig_text" -> ((s, d) => graft.dsl.AggsJson.compile(
+      t(s, d, "documents"),
+      """{"aggs": {"st": {"significant_text": {
+           "field": "text", "key_field": "doc_id",
+           "sample_probability": 0.5, "min_doc_count": 5, "size": 10}}}}""",
+      fgPred = Some(col("lang") === "en"),
+      background = Some(t(s, d, "documents")))),
+    // terms > geo_line (the vessel-track shape), shared kernel
+    "q_aggs_json_geo_line" -> ((s, d) => graft.dsl.AggsJson.compile(
+      withGeo(t(s, d, "customer"))
+        .withColumnRenamed("lat", "loc_lat").withColumnRenamed("lon", "loc_lon"),
+      """{"aggs": {"k": {"terms": {"field": "c_nationkey"},
+           "aggs": {"line": {"geo_line": {"point": {"field": "loc"},
+             "sort": {"field": "c_custkey"}, "size": 5}}}}}}""")),
     // ---- aggs-JSON batch 4: metric/bucket parity with the Scala
     // kernels (each node delegates to or reproduces the Scala twin,
     // so the formulas cannot diverge; oracles shared where columns
@@ -895,6 +935,11 @@ private[graft] object EntriesBody {
       "round(min(lat), 4) AS cb_min_y, round(max(lat), 4) AS cb_max_y, " +
       "round(avg(lon), 4) AS cn_x, round(avg(lat), 4) AS cn_y " +
       "FROM g GROUP BY 1 ORDER BY doc_count DESC, seg LIMIT 10"),
+    "q_aggs_json_nested" -> ("SELECT CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty_sum, " +
+      "round(avg(l_quantity), 4) AS qty_avg FROM lineitem"),
+    "q_aggs_json_reverse_nested" -> EntriesAggs.oracleSql("q_agg_reverse_nested"),
+    "q_aggs_json_sig_text" -> EntriesDsl.oracleSql("q_agg_sig_text"),
+    "q_aggs_json_geo_line" -> EntriesAggs.oracleSql("q_agg_geo_line"),
     "q_aggs_json_mad" -> EntriesAggs.oracleSql("q_agg_mad"),
     "q_aggs_json_t_test" -> EntriesAggs.oracleSql("q_agg_t_test"),
     "q_aggs_json_matrix_stats" -> EntriesAggs.oracleSql("q_agg_matrix_stats"),

@@ -41,6 +41,16 @@ private[graft] object EntriesPipeline {
     // ---- F. LLM-data-pipeline ----
     "q_dedup_exact" -> ((s, d) => Dedup.exactDuplicates(Tables.events(s, d), "event_id", "props")),
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(t(s, d, "documents"), "doc_id", "text", 0.8)),
+    // CROSS-corpus screen: which docs of the "new crawl" (odd ids)
+    // near-duplicate the "existing training set" (even ids) — the
+    // incremental-ingest dedup; new×new / ref×ref pairs never form
+    "q_dedup_cross" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.minhashLshCross(
+        docs.where(pmod(col("doc_id"), lit(2)) === 1),
+        docs.where(pmod(col("doc_id"), lit(2)) === 0),
+        "doc_id", "text", 0.8)
+    }),
     // cluster-level dedup: connected components over the verified pairs
     "q_dedup_cluster" -> ((s, d) =>
       Dedup.dedupClusters(Dedup.minhashLshUnsorted(t(s, d, "documents"), "doc_id", "text", 0.8))),
@@ -509,6 +519,17 @@ private[graft] object EntriesPipeline {
       "FROM events WHERE props IS NOT NULL GROUP BY 1 HAVING count(*) >= 2 ORDER BY keep_id"),
     "q_dedup_minhash" -> (TokCte + MinhashCtes +
       " SELECT id1, id2, jaccard FROM vp ORDER BY id1, id2"),
+    // cross screen: same shingle/signature/band CTEs, candidates
+    // joined odd-side x even-side only
+    "q_dedup_cross" -> (TokCte + MinhashCtes +
+      ", candx AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS ref_id " +
+      "FROM banded a JOIN banded b ON a.band = b.band " +
+      "AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0) " +
+      "SELECT new_id, ref_id, round(inter / (n1 + n2 - inter), 4) AS jaccard FROM " +
+      "(SELECT new_id, ref_id, len(list_intersect(sa.sh, sb.sh))::DOUBLE AS inter, " +
+      "len(sa.sh) AS n1, len(sb.sh) AS n2 " +
+      "FROM candx JOIN sh sa ON sa.doc_id = new_id JOIN sh sb ON sb.doc_id = ref_id) " +
+      "WHERE round(inter / (n1 + n2 - inter), 4) >= 0.8 ORDER BY new_id, ref_id"),
     // connected components over vp: recursive reachable-min label
     "q_dedup_cluster" -> (TokCte.replace("WITH ", "WITH RECURSIVE ") + MinhashCtes + ", " +
       "e AS (SELECT id1 AS a, id2 AS b FROM vp UNION SELECT id2, id1 FROM vp), " +

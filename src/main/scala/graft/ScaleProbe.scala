@@ -616,6 +616,15 @@ object ScaleProbe {
     time("ccnet_buckets_10x") {
       graft.text.TextAnalysis.ccnetBuckets(docs, "doc_id", "text").count()
     }
+    // cross-corpus LSH: the replicated clone groups split across the
+    // parity sides, so cross candidates are the constructed worst
+    // case — the curve must track CROSS pair output, never side sizes
+    time("dedup_cross_10x") {
+      Dedup.minhashLshCross(
+        docs.where(col("doc_id") % 2 === 1),
+        docs.where(col("doc_id") % 2 === 0),
+        "doc_id", "text", 0.8).count()
+    }
     // diversified_sampler wrapper: row_number window PARTITIONED by
     // the diversity field (per-value local pass, never a global sort)
     time("diversified_json_10x") {

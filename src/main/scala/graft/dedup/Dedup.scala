@@ -103,6 +103,55 @@ object Dedup {
     minhashLshUnsorted(docs, idCol, textCol, threshold, numHashes, bands)
       .orderBy(col("id1").asc, col("id2").asc)
 
+  /** CROSS-corpus near-dup screen: which docs of a NEW corpus
+    * near-duplicate ANY doc of a REFERENCE corpus (dedup a fresh crawl
+    * against the existing training set — the incremental-ingest
+    * staple). Same banded-LSH shape as `minhashLsh`, but candidates
+    * join NEW bands against REF bands only: new×new and ref×ref pairs
+    * never materialize, so the candidate volume is bounded by the
+    * cross collision rate however dense each corpus's internal
+    * duplication is. Ids stay side-tagged columns (they may collide
+    * across corpora), and the verify reads each side's own shingle
+    * cache. Returns (new_id, ref_id, jaccard) pairs ≥ threshold. */
+  def minhashLshCross(
+      newDocs: DataFrame,
+      refDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      numHashes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    require(bands >= 1 && numHashes % bands == 0,
+      s"bands must divide numHashes evenly: numHashes=$numHashes bands=$bands")
+    val rowsPerBand = numHashes / bands
+    def side(docs: DataFrame, tag: String): (DataFrame, DataFrame) = {
+      val par = docs.sparkSession.sparkContext.defaultParallelism
+      val spread = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+      val sh = spread.select(
+        col(idCol).as(s"${tag}_id"),
+        Analyzer.shingles(Analyzer.tokens(col(textCol))).as(s"${tag}_sh"))
+        .where(size(col(s"${tag}_sh")) > 0)
+        .cache()
+      sh.count() // eager: banding + verify both read it (see minhashLsh)
+      val banded = sh.select(
+        col(s"${tag}_id"),
+        explode(bandKeys(minhashSig(col(s"${tag}_sh"), numHashes),
+          bands, rowsPerBand)).as("band"))
+      (sh, banded)
+    }
+    val (shNew, bandNew) = side(newDocs, "new")
+    val (shRef, bandRef) = side(refDocs, "ref")
+    val candidates = bandNew.join(bandRef, "band")
+      .select(col("new_id"), col("ref_id")).distinct()
+    candidates
+      .join(shNew, "new_id").join(shRef, "ref_id")
+      .withColumn("jaccard", Num.round(GraftBridge.column(graft.expr.JaccardSim(
+        GraftBridge.expression(col("new_sh")), GraftBridge.expression(col("ref_sh")))), 4))
+      .where(col("jaccard") >= threshold)
+      .select(col("new_id"), col("ref_id"), col("jaccard"))
+      .orderBy(col("new_id").asc, col("ref_id").asc)
+  }
+
   /** `minhashLsh` without the final presentation sort — the input shape
     * for consumers that immediately reshuffle (e.g. `dedupClusters`),
     * where a global sort would be pure wasted work. */

@@ -470,6 +470,121 @@ object AggsJson {
         }
         return graft.agg.Aggs.rateAgg(df,
           str(dh, "field", "date_histogram"), "month", str(rm, "field", "rate"))
+      // `nested`: sub-aggs evaluate over the EXPLODED inner docs of an
+      // array-of-structs column. Inner fields keep their ES refs
+      // (`path.field`) — the explode flattens each struct field to a
+      // literal `path.field` column, so the sub-tree compiles through
+      // the normal path unchanged. A single terms > reverse_nested
+      // sub-tree additionally counts PARENT docs per inner bucket —
+      // that needs the graft `parent_id_field` extension (ES derives
+      // parent identity from the index layout; a frame needs it named).
+      case JField(name, JObject(spec)) :: Nil if spec.exists(_._1 == "nested") =>
+        val m = spec.toMap
+        val ns = m("nested") match {
+          case JObject(n) => n.toMap
+          case o => throw new IllegalArgumentException(s"bad nested: $o")
+        }
+        val nUnknown = ns.keySet -- Set("path", "parent_id_field")
+        require(nUnknown.isEmpty,
+          s"unsupported nested option(s): ${nUnknown.toSeq.sorted.mkString(", ")}")
+        val path = str(ns, "path", "nested")
+        val sub = m.get("aggs").orElse(m.get("aggregations")) match {
+          case Some(s: JObject) => s
+          case _ => throw new IllegalArgumentException(
+            s"nested under '$name' needs sub-aggs (it is a scope wrapper)")
+        }
+        val structFields = df.schema(path).dataType match {
+          case org.apache.spark.sql.types.ArrayType(
+            st: org.apache.spark.sql.types.StructType, _) => st.fieldNames.toSeq
+          case other => throw new IllegalArgumentException(
+            s"nested path '$path' must be an array of structs (got $other)")
+        }
+        val exploded = df.withColumn("__graft_nested", explode(col(path))).drop(path)
+        // flatten to `path__field` (a dotted column name would need
+        // backticks at every ref site — Spark splits bare `a.b` into
+        // struct access) and rewrite the sub-tree's `path.field` refs
+        // to match, so the ES spelling keeps working
+        val flat = structFields.foldLeft(exploded)((d, f) =>
+          d.withColumn(s"${path}__$f", col(s"__graft_nested.$f")))
+          .drop("__graft_nested")
+        def rewriteRefs(v: JValue): JValue = v match {
+          case JString(x) if x.startsWith(path + ".") =>
+            JString(path + "__" + x.stripPrefix(path + "."))
+          case JObject(fs) => JObject(fs.map { case JField(k, vv) =>
+            JField(k, rewriteRefs(vv)) })
+          case JArray(xs) => JArray(xs.map(rewriteRefs))
+          case other => other
+        }
+        val subRw = rewriteRefs(sub).asInstanceOf[JObject]
+        // terms > reverse_nested: one partial-agged groupBy carrying
+        // BOTH the inner doc count and the distinct-parent count
+        subRw match {
+          case JObject(List(JField(tname, JObject(tspec)))) =>
+            val tm = tspec.toMap
+            (tm.get("terms"), tm.get("aggs").orElse(tm.get("aggregations"))) match {
+              case (Some(JObject(ts)), Some(JObject(List(JField(rname, JObject(rspec))))))
+                  if rspec.toMap.contains("reverse_nested") =>
+                require(rspec.toMap.get("reverse_nested").contains(JObject(Nil)),
+                  "reverse_nested here is the bare parent-count form " +
+                    "(sub-aggs over parents need the Scala operator)")
+                val parentId = str(ns, "parent_id_field", "nested")
+                val tf = str(ts.toMap, "field", "terms")
+                return flat.groupBy(col(tf).as(tname))
+                  .agg(count(lit(1)).as("doc_count"),
+                    count_distinct(col(parentId)).as(rname))
+                  .orderBy(col(tname).asc)
+              case _ => ()
+            }
+          case _ => ()
+        }
+        return compile(flat,
+          JsonMethods.compact(JsonMethods.render(JObject(List(JField("aggs", subRw))))),
+          fgPred, background)
+      // `significant_text`: the free-text twin of significant_terms —
+      // sampled, duplicate-text-filtered foreground vs the index
+      // background (the shared Scala kernel). `key_field` is the
+      // dedup/sampling key (graft determinism extension, like
+      // random_sampler); the foreground predicate is the request's
+      // query, threaded through fgPred.
+      case JField(name, JObject(JField("significant_text", JObject(st)) :: Nil)) :: Nil =>
+        val m = st.toMap
+        val stUnknown = m.keySet --
+          Set("field", "key_field", "sample_probability", "min_doc_count", "size")
+        require(stUnknown.isEmpty,
+          s"unsupported significant_text option(s): ${stUnknown.toSeq.sorted.mkString(", ")}")
+        val pred = fgPred.getOrElse(throw new IllegalArgumentException(
+          "significant_text needs the request's query as the foreground — " +
+            "send it through the _search body (or pass fgPred)"))
+        return graft.agg.Aggs.significantText(
+          background.getOrElse(df),
+          str(m, "key_field", "significant_text"),
+          str(m, "field", "significant_text"),
+          pred,
+          m.get("sample_probability").map(num).getOrElse(1.0),
+          m.get("min_doc_count").map(num(_).toLong).getOrElse(3L),
+          m.get("size").map(num(_).toInt).getOrElse(10))
+      // terms > geo_line: per-bucket polyline (the "vessel track"
+      // shape) — delegates to the Scala kernel so the point ordering
+      // and truncation cannot diverge
+      case JField(name, JObject(spec)) :: Nil
+          if spec.exists(_._1 == "terms") && geoLineChild(spec.toMap).isDefined =>
+        val m = spec.toMap
+        val tf = m("terms") match {
+          case JObject(ts) => str(ts.toMap, "field", "terms")
+          case o => throw new IllegalArgumentException(s"bad terms: $o")
+        }
+        val gl = geoLineChild(m).get
+        val glUnknown = gl.keySet -- Set("point", "sort", "size")
+        require(glUnknown.isEmpty,
+          s"unsupported geo_line option(s): ${glUnknown.toSeq.sorted.mkString(", ")}")
+        def fieldOfObj(k: String): String = gl.get(k) match {
+          case Some(JObject(o)) => str(o.toMap, "field", s"geo_line.$k")
+          case _ => throw new IllegalArgumentException(s"geo_line needs $k.field")
+        }
+        val (pt, sortF) = (fieldOfObj("point"), fieldOfObj("sort"))
+        return graft.agg.Aggs.geoLineAgg(df, tf, sortF,
+          col(s"${pt}_lat"), col(s"${pt}_lon"),
+          gl.get("size").map(num(_).toInt).getOrElse(10000))
       case _ => ()
     }
     // walk the tree: collect (name, keyColumn) per bucket level and the
@@ -1231,6 +1346,18 @@ object AggsJson {
     * hits per bucket by the node's `sort`, `_source`-selected
     * columns + `rn`). Returns docs, not metrics — hence its own
     * compile path; the tree must be exactly terms > top_hits. */
+  /** terms > geo_line: Some(geo_line spec) when the single sub-agg is
+    * a `geo_line` node (the dedicated tree shape above). */
+  private def geoLineChild(spec: Map[String, JValue]): Option[Map[String, JValue]] =
+    spec.get("aggs").orElse(spec.get("aggregations")) match {
+      case Some(JObject(JField(_, JObject(g)) :: Nil)) =>
+        g.toMap.get("geo_line") match {
+          case Some(JObject(t)) => Some(t.toMap)
+          case _ => None
+        }
+      case _ => None
+    }
+
   /** date_histogram > rate: Some(rate spec) when the single sub-agg is
     * a `rate` node (the dedicated tree shape above). */
   private def rateChild(spec: Map[String, JValue]): Option[Map[String, JValue]] =

@@ -172,6 +172,21 @@ class AggsJsonNodesSpec extends SparkSpec {
     assert(typo.getMessage.contains("max_docs_per_val"))
   }
 
+  test("nested wrapper: non-array path and unknown options are loud") {
+    val notArray = intercept[IllegalArgumentException] {
+      AggsJson.compile(docs,
+        """{"aggs": {"n": {"nested": {"path": "lang"},
+             "aggs": {"c": {"value_count": {"field": "lang.x"}}}}}}""")
+    }
+    assert(notArray.getMessage.contains("array of structs"))
+    val unknown = intercept[IllegalArgumentException] {
+      AggsJson.compile(docs,
+        """{"aggs": {"n": {"nested": {"path": "lang", "ignore_unmapped": true},
+             "aggs": {"c": {"value_count": {"field": "lang.x"}}}}}}""")
+    }
+    assert(unknown.getMessage.contains("ignore_unmapped"))
+  }
+
   test("significant_terms keyword variant matches the Scala operator") {
     val json = AggsJson.compile(docs,
       """{"aggs": {"sig": {"significant_terms": {
