@@ -537,6 +537,49 @@ private[graft] object EntriesBody {
           "stored_fields": ["source"],
           "sort": [{"doc_id": "asc"}], "size": 50}""",
       idField = "doc_id")),
+    // normalize parent pipe: percent_of_sum + z-score columns over
+    // the monthly bucket frame
+    "q_aggs_json_normalize" -> ((s, d) => graft.dsl.AggsJson.compile(
+      t(s, d, "orders"),
+      """{"aggs": {"m": {"date_histogram": {"field": "o_orderdate",
+                           "calendar_interval": "month"},
+           "aggs": {"sales": {"sum": {"field": "o_totalprice"}},
+                    "pct": {"normalize": {"buckets_path": "sales",
+                                          "method": "percent_of_sum"}},
+                    "z": {"normalize": {"buckets_path": "sales",
+                                        "method": "z-score"}}}}}}""")),
+    // moving_percentiles parent pipe: sliding median over 3 buckets
+    "q_aggs_json_moving_pctl" -> ((s, d) => graft.dsl.AggsJson.compile(
+      t(s, d, "orders"),
+      """{"aggs": {"m": {"date_histogram": {"field": "o_orderdate",
+                           "calendar_interval": "month"},
+           "aggs": {"sales": {"sum": {"field": "o_totalprice"}},
+                    "mp": {"moving_percentiles": {"buckets_path": "sales",
+                                                  "window": 3}}}}}}""")),
+    // date_histogram > cumulative_cardinality (first-seen counting on
+    // the raw rows — the dedicated tree shape)
+    "q_aggs_json_cum_card" -> ((s, d) => graft.dsl.AggsJson.compile(
+      Tables.events(s, d),
+      """{"aggs": {"h": {"date_histogram": {"field": "ts_ns",
+                           "fixed_interval": "1h"},
+           "aggs": {"cc": {"cumulative_cardinality": {"field": "user_id"}}}}}}""")),
+    // bucket_correlation sibling: monthly doc counts vs the
+    // deterministic indicator curve (ES count_correlation shape)
+    "q_aggs_json_bucket_corr" -> ((s, d) => graft.dsl.AggsJson.compile(
+      t(s, d, "orders"),
+      s"""{"aggs": {"m": {"date_histogram": {"field": "o_orderdate",
+                            "calendar_interval": "month"}},
+           "corr": {"bucket_correlation": {"buckets_path": "m>_count",
+             "function": {"count_correlation": {"indicator":
+               {"expectations": [${(0 until 80).map(i => (i * 37 % 100) / 100.0).mkString(",")}]}}}}}}}""")),
+    // bucket_count_ks_test sibling over the clamped width-10 value
+    // histogram vs uniform fractions
+    "q_aggs_json_ks_test" -> ((s, d) => graft.dsl.AggsJson.compile(
+      Tables.events(s, d).withColumn("vclamp", least(col("value"), lit(99.0))),
+      """{"aggs": {"b": {"histogram": {"field": "vclamp", "interval": 10}},
+           "ks": {"bucket_count_ks_test": {"buckets_path": "b>_count",
+             "alternative": ["less", "greater", "two_sided"],
+             "fractions": [0.1,0.1,0.1,0.1,0.1,0.1,0.1,0.1,0.1,0.1]}}}}""")),
     // `nested` wrapper over a REAL array-of-structs column: metrics
     // over the exploded inner docs (ES refs `items.*` resolve as
     // flat columns after the explode)
@@ -935,6 +978,27 @@ private[graft] object EntriesBody {
       "round(min(lat), 4) AS cb_min_y, round(max(lat), 4) AS cb_max_y, " +
       "round(avg(lon), 4) AS cn_x, round(avg(lat), 4) AS cn_y " +
       "FROM g GROUP BY 1 ORDER BY doc_count DESC, seg LIMIT 10"),
+    "q_aggs_json_normalize" -> ("WITH b AS (SELECT date_trunc('month', o_orderdate) AS m, " +
+      "count(*)::BIGINT AS doc_count, " +
+      "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sales FROM orders GROUP BY 1) " +
+      "SELECT m, doc_count, sales, " +
+      "round(sales / CAST(sum(CAST(sales AS DECIMAL(18,4))) OVER () AS DOUBLE) * 100.0, 4) AS pct, " +
+      "round((sales - CAST(sum(CAST(sales AS DECIMAL(18,4))) OVER () AS DOUBLE) / count(*) OVER ()) " +
+      "/ stddev_pop(sales) OVER (), 4) AS z " +
+      "FROM b ORDER BY m"),
+    "q_aggs_json_moving_pctl" -> ("WITH b AS (SELECT date_trunc('month', o_orderdate) AS m, " +
+      "count(*)::BIGINT AS doc_count, " +
+      "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sales FROM orders GROUP BY 1) " +
+      "SELECT m, doc_count, sales, " +
+      "round(quantile_cont(sales, 0.5) OVER (ORDER BY m ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mp " +
+      "FROM b ORDER BY m"),
+    "q_aggs_json_cum_card" -> ("WITH fs AS (SELECT user_id, " +
+      "min((epoch_ns(ts) // 3600000000000) * 3600000000000) AS bucket FROM events GROUP BY 1), " +
+      "pb AS (SELECT bucket, count(*)::BIGINT AS new_users FROM fs GROUP BY 1) " +
+      "SELECT bucket, new_users, (sum(new_users) OVER (ORDER BY bucket))::BIGINT AS cum_users " +
+      "FROM pb ORDER BY bucket"),
+    "q_aggs_json_bucket_corr" -> EntriesAggs.oracleSql("q_agg_bucket_corr"),
+    "q_aggs_json_ks_test" -> EntriesAggs.oracleSql("q_agg_ks_test"),
     "q_aggs_json_nested" -> ("SELECT CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty_sum, " +
       "round(avg(l_quantity), 4) AS qty_avg FROM lineitem"),
     "q_aggs_json_reverse_nested" -> EntriesAggs.oracleSql("q_agg_reverse_nested"),

@@ -96,6 +96,12 @@ object AggsJson {
       // parent — reduce the parent's bucket frame to one row
       case fields if fields.size >= 2 && fields.exists(isSiblingPipe) =>
         return compileSiblings(df, fields, fgPred, background)
+      // bucket_correlation / bucket_count_ks_test: one-row reduces of
+      // the parent's ORDERED bucket frame against a caller-provided
+      // series (delegating to the Scala kernels, which carry the loud
+      // length contracts and the pre-join n fix)
+      case fields if fields.size == 2 && fields.exists(isCorrKs) =>
+        return compileCorrKs(df, fields, fgPred, background)
       case JField(name, JObject(spec)) :: Nil if spec.exists(_._1 == "composite") =>
         return compileComposite(df, name, spec.toMap)
       case JField(name, JObject(spec)) :: Nil if spec.exists(_._1 == "significant_terms") =>
@@ -470,6 +476,24 @@ object AggsJson {
         }
         return graft.agg.Aggs.rateAgg(df,
           str(dh, "field", "date_histogram"), "month", str(rm, "field", "rate"))
+      // date_histogram > cumulative_cardinality: first-seen counting
+      // needs the RAW rows (a per-bucket cardinality cannot merge into
+      // a running distinct count on the bucket frame — ES merges HLL
+      // sketches; the exact first-seen groupBy is the oracle-checkable
+      // equivalent and ONE extra narrow exchange), hence the dedicated
+      // tree shape delegating to the Scala kernel
+      case JField(name, JObject(spec)) :: Nil
+          if spec.exists(_._1 == "date_histogram") && cumCardChild(spec.toMap).isDefined =>
+        val m = spec.toMap
+        val cc = cumCardChild(m).get
+        val unknownCc = cc.keySet -- Set("field")
+        require(unknownCc.isEmpty,
+          s"unsupported cumulative_cardinality option(s): " +
+            unknownCc.toSeq.sorted.mkString(", "))
+        val bucketCol = bucketKey(name,
+          Map("date_histogram" -> m("date_histogram")))
+        return graft.agg.Aggs.cumulativeCardinality(
+          df, str(cc, "field", "cumulative_cardinality"), bucketCol)
       // `nested`: sub-aggs evaluate over the EXPLODED inner docs of an
       // array-of-structs column. Inner fields keep their ES refs
       // (`path.field`) — the explode flattens each struct field to a
@@ -802,7 +826,8 @@ object AggsJson {
         case Some((k, JObject(b))) => (k, b.toMap)
         case other => throw new IllegalArgumentException(s"bad pipeline agg '$name': $other")
       }
-      if (Set("derivative", "cumulative_sum", "serial_diff", "moving_fn")(kind))
+      if (Set("derivative", "cumulative_sum", "serial_diff", "moving_fn",
+        "moving_percentiles")(kind))
         require(histogramFamily(bucketType),
           s"$kind needs a histogram-family parent whose key order is the " +
             s"bucket order (got $bucketType)")
@@ -856,6 +881,40 @@ object AggsJson {
           // Painless comparisons compile to 1.0/0.0 doubles (its
           // numeric-boolean convention); nonzero keeps the bucket
           else df.where(compiled.cast("double") =!= 0.0)
+        case "normalize" =>
+          // window math over the tiny bucket frame (#buckets rows —
+          // the heavy exchange is the partial-agged groupBy below);
+          // works on ANY multi-bucket parent like ES
+          val p = resolve(df, str(body, "buckets_path", kind))
+          val method = str(body, "method", "normalize")
+          val w = Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)
+          val mn = min(p).over(w)
+          val mx = max(p).over(w)
+          val total = sum(p.cast("decimal(18,4)")).over(w).cast("double")
+          val mean = total / count(lit(1)).over(w).cast("double")
+          val c = method match {
+            case "percent_of_sum" => Num.round(p / total * 100.0, 4)
+            case "rescale_0_1" => Num.round((p - mn) / (mx - mn), 4)
+            case "rescale_0_100" => Num.round((p - mn) / (mx - mn) * 100.0, 4)
+            case "mean" => Num.round(p - mean, 4)
+            case "z-score" => Num.round((p - mean) / stddev_pop(p).over(w), 4)
+            case "softmax" => graft.agg.Aggs.softmaxCol(p)
+            case other => throw new IllegalArgumentException(
+              s"unsupported normalize method: $other")
+          }
+          df.withColumn(name, c)
+        case "moving_percentiles" =>
+          // sliding median over the bucket frame; documented delta
+          // (shared with the Scala kernel): the window INCLUDES the
+          // current bucket (= ES shift 1) and emits p50 — ES mirrors
+          // the whole percentile set of a percentiles parent
+          val p = resolve(df, str(body, "buckets_path", kind))
+          val window = body.get("window").map(num(_).toInt).getOrElse(
+            throw new IllegalArgumentException("moving_percentiles needs window"))
+          require(window >= 1, s"bad moving_percentiles window: $window")
+          val w = ordered.rowsBetween(-(window - 1), 0)
+          df.withColumn(name, Num.round(percentile(p, lit(0.5)).over(w), 4))
         case "bucket_sort" =>
           val sorts: Seq[Column] = body.get("sort") match {
             case Some(JArray(es)) => es.map {
@@ -881,12 +940,95 @@ object AggsJson {
   }
 
   private val ParentPipeKeys = Set("derivative", "cumulative_sum", "serial_diff",
-    "moving_fn", "bucket_script", "bucket_selector", "bucket_sort")
+    "moving_fn", "bucket_script", "bucket_selector", "bucket_sort",
+    "normalize", "moving_percentiles")
   private val SiblingPipeKeys = Set("avg_bucket", "sum_bucket", "min_bucket",
     "max_bucket", "stats_bucket", "extended_stats_bucket", "percentiles_bucket")
   private def isSiblingPipe(f: JField): Boolean = f match {
     case JField(_, JObject(spec)) => spec.exists(x => SiblingPipeKeys(x._1))
     case _ => false
+  }
+
+  private def isCorrKs(f: JField): Boolean = f match {
+    case JField(_, JObject(spec)) =>
+      spec.exists(x => x._1 == "bucket_correlation" || x._1 == "bucket_count_ks_test")
+    case _ => false
+  }
+
+  /** `bucket_correlation` (count_correlation indicator) and
+    * `bucket_count_ks_test` beside ONE multi-bucket parent: compile
+    * the parent, pair its ordered buckets with the provided series,
+    * reduce to one row via the Scala kernels. */
+  private def compileCorrKs(df: DataFrame, fields: List[JField],
+      fgPred: Option[Column], background: Option[DataFrame]): DataFrame = {
+    val (pipes, parents) = fields.partition(isCorrKs)
+    require(parents.size == 1 && pipes.size == 1,
+      "bucket_correlation/bucket_count_ks_test need exactly ONE multi-bucket " +
+        "parent beside ONE pipe node")
+    val JField(parentName, parentSpec) = parents.head
+    val parentFrame = compile(df,
+      JsonMethods.compact(JsonMethods.render(
+        JObject(List(JField("aggs", JObject(List(JField(parentName, parentSpec)))))))),
+      fgPred, background)
+    val JField(_, JObject(pspec)) = pipes.head: @unchecked
+    val (kind, body) = pspec.toMap.head match {
+      case (k, JObject(b)) => (k, b.toMap)
+      case other => throw new IllegalArgumentException(s"bad $other")
+    }
+    val path = str(body, "buckets_path", kind)
+    val (pfx, metricPath) = path.split(">") match {
+      case Array(a, b) => (a, b)
+      case _ => throw new IllegalArgumentException(
+        s"buckets_path must be parent>metric: $path")
+    }
+    require(pfx == parentName,
+      s"buckets_path '$path' references '$pfx' but the parent agg is '$parentName'")
+    val cname = if (metricPath == "_count") "doc_count" else metricPath.replace('.', '_')
+    require(parentFrame.columns.contains(cname),
+      s"buckets_path '$path' resolves to no column " +
+        s"(have: ${parentFrame.columns.mkString(", ")})")
+    kind match {
+      case "bucket_correlation" =>
+        val unknownC = body.keySet -- Set("buckets_path", "function")
+        require(unknownC.isEmpty,
+          s"unsupported bucket_correlation option(s): ${unknownC.toSeq.sorted.mkString(", ")}")
+        val expectations = body.get("function") match {
+          case Some(JObject(List(JField("count_correlation", JObject(cc))))) =>
+            cc.toMap.get("indicator") match {
+              case Some(JObject(ind)) => ind.toMap.get("expectations") match {
+                case Some(JArray(xs)) => xs.map(num)
+                case _ => throw new IllegalArgumentException(
+                  "count_correlation needs indicator.expectations")
+              }
+              case _ => throw new IllegalArgumentException(
+                "count_correlation needs an indicator object")
+            }
+          case _ => throw new IllegalArgumentException(
+            "bucket_correlation needs function.count_correlation")
+        }
+        graft.agg.Aggs.bucketCorrelation(parentFrame, parentName, cname, expectations)
+      case "bucket_count_ks_test" =>
+        val unknownK = body.keySet -- Set("buckets_path", "fractions", "alternative")
+        require(unknownK.isEmpty,
+          s"unsupported bucket_count_ks_test option(s): ${unknownK.toSeq.sorted.mkString(", ")}")
+        val fractions = body.get("fractions") match {
+          case Some(JArray(xs)) => xs.map(num)
+          case _ => throw new IllegalArgumentException(
+            "bucket_count_ks_test needs fractions")
+        }
+        // the kernel emits ALL THREE alternatives (less/greater/
+        // two_sided) — an `alternative` list is accepted when it names
+        // a subset of those (the columns ride along regardless)
+        body.get("alternative").foreach {
+          case JArray(alts) => alts.foreach {
+            case JString(a) => require(
+              Set("less", "greater", "two_sided")(a), s"bad alternative: $a")
+            case o => throw new IllegalArgumentException(s"bad alternative: $o")
+          }
+          case o => throw new IllegalArgumentException(s"bad alternative: $o")
+        }
+        graft.agg.Aggs.bucketCountKsTest(parentFrame, parentName, cname, fractions)
+    }
   }
 
   /** Sibling pipeline aggs: `*_bucket` nodes at the root beside ONE
@@ -1346,6 +1488,18 @@ object AggsJson {
     * hits per bucket by the node's `sort`, `_source`-selected
     * columns + `rn`). Returns docs, not metrics — hence its own
     * compile path; the tree must be exactly terms > top_hits. */
+  /** date_histogram > cumulative_cardinality: Some(spec) when the
+    * single sub-agg is a `cumulative_cardinality` node. */
+  private def cumCardChild(spec: Map[String, JValue]): Option[Map[String, JValue]] =
+    spec.get("aggs").orElse(spec.get("aggregations")) match {
+      case Some(JObject(JField(_, JObject(c)) :: Nil)) =>
+        c.toMap.get("cumulative_cardinality") match {
+          case Some(JObject(t)) => Some(t.toMap)
+          case _ => None
+        }
+      case _ => None
+    }
+
   /** terms > geo_line: Some(geo_line spec) when the single sub-agg is
     * a `geo_line` node (the dedicated tree shape above). */
   private def geoLineChild(spec: Map[String, JValue]): Option[Map[String, JValue]] =

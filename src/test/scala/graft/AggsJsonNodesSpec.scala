@@ -172,6 +172,33 @@ class AggsJsonNodesSpec extends SparkSpec {
     assert(typo.getMessage.contains("max_docs_per_val"))
   }
 
+  test("pipeline parity loud contracts: normalize method, moving_percentiles " +
+      "window, corr/ks buckets_path") {
+    val method = intercept[IllegalArgumentException] {
+      AggsJson.compile(docs,
+        """{"aggs": {"l": {"histogram": {"field": "n_chars", "interval": 500},
+             "aggs": {"s": {"sum": {"field": "n_chars"}},
+                      "n": {"normalize": {"buckets_path": "s",
+                                          "method": "minmax"}}}}}}""")
+    }
+    assert(method.getMessage.contains("minmax"))
+    val window = intercept[IllegalArgumentException] {
+      AggsJson.compile(docs,
+        """{"aggs": {"l": {"histogram": {"field": "n_chars", "interval": 500},
+             "aggs": {"s": {"sum": {"field": "n_chars"}},
+                      "mp": {"moving_percentiles": {"buckets_path": "s"}}}}}}""")
+    }
+    assert(window.getMessage.contains("window"))
+    val path = intercept[IllegalArgumentException] {
+      AggsJson.compile(docs,
+        """{"aggs": {"l": {"histogram": {"field": "n_chars", "interval": 500}},
+             "corr": {"bucket_correlation": {"buckets_path": "wrong>_count",
+               "function": {"count_correlation": {"indicator":
+                 {"expectations": [0.1, 0.2]}}}}}}}""")
+    }
+    assert(path.getMessage.contains("wrong"))
+  }
+
   test("nested wrapper: non-array path and unknown options are loud") {
     val notArray = intercept[IllegalArgumentException] {
       AggsJson.compile(docs,
