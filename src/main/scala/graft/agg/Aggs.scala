@@ -636,9 +636,11 @@ object Aggs {
     * `maxPerKey` docs per diversity-field value, picked in the
     * deterministic md5 order on the id. The row_number window
     * partitions by the diversity field — a per-value-bounded local
-    * pass, never a global sort. */
+    * pass, never a global sort. Parameter order matches
+    * [[diversifiedSamplerAgg]] (id first) — two String params in
+    * swapped order would compile and silently sample the wrong way. */
   def diversifiedSampleFrame(
-      df: DataFrame, diversityField: String, idCol: String,
+      df: DataFrame, idCol: String, diversityField: String,
       maxPerKey: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(diversityField))
@@ -648,10 +650,12 @@ object Aggs {
       .drop("_graft_dsamp_rn")
   }
 
+  /** diversified_sampler agg form: the de-duplicated sample's size and
+    * mean metric (the Scala operator's one-row report). */
   def diversifiedSamplerAgg(
       df: DataFrame, idCol: String, diversityField: String,
       metricField: String, maxPerKey: Int): DataFrame =
-    diversifiedSampleFrame(df, diversityField, idCol, maxPerKey)
+    diversifiedSampleFrame(df, idCol, diversityField, maxPerKey)
       .agg(
         count(lit(1)).as("sample_size"),
         Num.round(avg(col(metricField)), 4).as("avg_metric"))
@@ -964,16 +968,43 @@ object Aggs {
     * the total metric. The total is a window sum OVER the tiny bucket
     * frame (decimal — exact, order-independent); the corpus-sized work
     * stays in the partial-aggregating groupBy underneath. */
-  def normalizeAgg(
-      df: DataFrame, tsField: String, interval: String, metric: String): DataFrame = {
-    val buckets = bucketFrame(df, tsField, interval, metric)
-    val total = sum(col("sum_v").cast("decimal(18,4)"))
-      .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
-    buckets
-      .withColumn("pct_of_sum",
-        Num.round(col("sum_v") / total.cast("double") * 100.0, 4))
-      .orderBy(col("bucket"))
+  /** ONE definition of every `normalize` method's column math, shared
+    * by the Scala pipeline kernels and the aggs-JSON `normalize`
+    * parent pipe (whose reused oracles depend on the formulas staying
+    * bit-identical): window math over the tiny bucket frame, decimal
+    * sums for order independence, round-4 like the kernels. */
+  def normalizeMethodCol(p: Column, method: String): Column = {
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val total = sum(p.cast("decimal(18,4)")).over(w).cast("double")
+    val mean = total / count(lit(1)).over(w).cast("double")
+    method match {
+      case "percent_of_sum" => Num.round(p / total * 100.0, 4)
+      case "rescale_0_1" =>
+        Num.round((p - min(p).over(w)) / (max(p).over(w) - min(p).over(w)), 4)
+      case "rescale_0_100" =>
+        Num.round((p - min(p).over(w)) / (max(p).over(w) - min(p).over(w)) * 100.0, 4)
+      case "mean" => Num.round(p - mean, 4)
+      case "z-score" => Num.round((p - mean) / stddev_pop(p).over(w), 4)
+      case "softmax" => softmaxCol(p)
+      case other => throw new IllegalArgumentException(
+        s"unsupported normalize method: $other")
+    }
   }
+
+  /** `moving_percentiles`' sliding exact median (include-current
+    * window = ES shift 1, the kernels' shared convention) — shared by
+    * the Scala kernel and the aggs-JSON parent pipe. */
+  def movingMedianCol(p: Column, keyCol: Column, window: Int): Column = {
+    require(window >= 1, s"bad moving_percentiles window: $window")
+    val w = Window.orderBy(keyCol).rowsBetween(-(window - 1), 0)
+    Num.round(percentile(p, lit(0.5)).over(w), 4)
+  }
+
+  def normalizeAgg(
+      df: DataFrame, tsField: String, interval: String, metric: String): DataFrame =
+    bucketFrame(df, tsField, interval, metric)
+      .withColumn("pct_of_sum", normalizeMethodCol(col("sum_v"), "percent_of_sum"))
+      .orderBy(col("bucket"))
 
   /** The remaining `normalize` pipeline-agg methods beside
     * percent_of_sum ([[normalizeAgg]]): `rescale_0_1` /
@@ -985,21 +1016,13 @@ object Aggs {
     * inputs via [[softmaxCol]] (exp overflows at |x| ≳ 709 — ES
     * inherits the same hazard). */
   def normalizeAggMethods(
-      df: DataFrame, tsField: String, interval: String, metric: String): DataFrame = {
-    val buckets = bucketFrame(df, tsField, interval, metric)
-    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val mn = min(col("sum_v")).over(w)
-    val mx = max(col("sum_v")).over(w)
-    val n = count(lit(1)).over(w).cast("double")
-    val mean = sum(col("sum_v").cast("decimal(18,4)")).over(w).cast("double") / n
-    val sd = stddev_pop(col("sum_v")).over(w)
-    buckets
-      .withColumn("rescale_0_1", Num.round((col("sum_v") - mn) / (mx - mn), 4))
-      .withColumn("rescale_0_100", Num.round((col("sum_v") - mn) / (mx - mn) * 100.0, 4))
-      .withColumn("dev_from_mean", Num.round(col("sum_v") - mean, 4))
-      .withColumn("zscore", Num.round((col("sum_v") - mean) / sd, 4))
+      df: DataFrame, tsField: String, interval: String, metric: String): DataFrame =
+    bucketFrame(df, tsField, interval, metric)
+      .withColumn("rescale_0_1", normalizeMethodCol(col("sum_v"), "rescale_0_1"))
+      .withColumn("rescale_0_100", normalizeMethodCol(col("sum_v"), "rescale_0_100"))
+      .withColumn("dev_from_mean", normalizeMethodCol(col("sum_v"), "mean"))
+      .withColumn("zscore", normalizeMethodCol(col("sum_v"), "z-score"))
       .orderBy(col("bucket"))
-  }
 
   /** normalize `softmax` over a bucket column: exp(x) / Σexp(x), the
     * exps summed in decimal for order independence. Caller guarantees
@@ -1569,14 +1592,11 @@ object Aggs {
   /** `moving_percentiles` pipeline agg: rolling exact median over the
     * trailing `window` buckets — again bucket-frame-sized work. */
   def movingPercentiles(
-      buckets: DataFrame, keyCol: String, valueCol: String, window: Int): DataFrame = {
-    val w = Window.orderBy(col(keyCol)).rowsBetween(-(window - 1), 0)
+      buckets: DataFrame, keyCol: String, valueCol: String, window: Int): DataFrame =
     buckets
-      .withColumn("mov_p50",
-        Num.round(expr(s"percentile($valueCol, 0.5)").over(w), 4))
+      .withColumn("mov_p50", movingMedianCol(col(valueCol), col(keyCol), window))
       .withColumn(valueCol, Num.round(col(valueCol), 4))
       .orderBy(col(keyCol))
-  }
 
   /** `frequent_item_sets` (ES 8 basket analysis), pairs flavor: for
     * baskets of items, the size-2 itemsets above a support threshold.

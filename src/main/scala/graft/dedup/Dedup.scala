@@ -113,6 +113,36 @@ object Dedup {
     * duplication is. Ids stay side-tagged columns (they may collide
     * across corpora), and the verify reads each side's own shingle
     * cache. Returns (new_id, ref_id, jaccard) pairs ≥ threshold. */
+  /** One corpus side of a banded-LSH screen, shared by the self-join
+    * (`minhashLshUnsorted`) and cross-corpus (`minhashLshCross`)
+    * flavors so the spread heuristic / shingle projection /
+    * eager-cache contract / band construction cannot drift between
+    * them: (cached shingle frame `idAlias`/`shAlias`, band frame
+    * `idAlias`/`band`). The shingle cache is EAGER — banding and the
+    * verify join both read it, and a lazy cache would race both
+    * branches into recomputing the shingle stage (see minhashLsh). */
+  private def shingleBandSide(
+      docs: DataFrame, idCol: String, textCol: String,
+      idAlias: String, shAlias: String,
+      numHashes: Int, bands: Int): (DataFrame, DataFrame) = {
+    val rowsPerBand = numHashes / bands
+    // spread ONLY under-partitioned input (see the minhashLsh note:
+    // re-shuffling an already-wide 100 TB corpus would be the cost)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val spread = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    val sh = spread.select(
+      col(idCol).as(idAlias),
+      Analyzer.shingles(Analyzer.tokens(col(textCol))).as(shAlias))
+      .where(size(col(shAlias)) > 0)
+      .cache()
+    sh.count()
+    val banded = sh.select(
+      col(idAlias),
+      explode(bandKeys(minhashSig(col(shAlias), numHashes),
+        bands, rowsPerBand)).as("band"))
+    (sh, banded)
+  }
+
   def minhashLshCross(
       newDocs: DataFrame,
       refDocs: DataFrame,
@@ -123,24 +153,10 @@ object Dedup {
       bands: Int = 8): DataFrame = {
     require(bands >= 1 && numHashes % bands == 0,
       s"bands must divide numHashes evenly: numHashes=$numHashes bands=$bands")
-    val rowsPerBand = numHashes / bands
-    def side(docs: DataFrame, tag: String): (DataFrame, DataFrame) = {
-      val par = docs.sparkSession.sparkContext.defaultParallelism
-      val spread = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
-      val sh = spread.select(
-        col(idCol).as(s"${tag}_id"),
-        Analyzer.shingles(Analyzer.tokens(col(textCol))).as(s"${tag}_sh"))
-        .where(size(col(s"${tag}_sh")) > 0)
-        .cache()
-      sh.count() // eager: banding + verify both read it (see minhashLsh)
-      val banded = sh.select(
-        col(s"${tag}_id"),
-        explode(bandKeys(minhashSig(col(s"${tag}_sh"), numHashes),
-          bands, rowsPerBand)).as("band"))
-      (sh, banded)
-    }
-    val (shNew, bandNew) = side(newDocs, "new")
-    val (shRef, bandRef) = side(refDocs, "ref")
+    val (shNew, bandNew) =
+      shingleBandSide(newDocs, idCol, textCol, "new_id", "new_sh", numHashes, bands)
+    val (shRef, bandRef) =
+      shingleBandSide(refDocs, idCol, textCol, "ref_id", "ref_sh", numHashes, bands)
     val candidates = bandNew.join(bandRef, "band")
       .select(col("new_id"), col("ref_id")).distinct()
     candidates
@@ -166,38 +182,14 @@ object Dedup {
       s"bands must divide numHashes evenly: numHashes=$numHashes bands=$bands " +
         "(a non-divisor silently truncates the signature; bands > numHashes " +
         "degenerates every band key to the band index = all-pairs cross join)")
-    val rowsPerBand = numHashes / bands
-    // A single small parquet file arrives as ONE partition; shingling is
-    // the expensive narrow stage, so spread it across the cluster first
-    // (the text is tiny relative to the compute) — but ONLY when the
-    // input is under-partitioned: re-shuffling an already-wide 100 TB
-    // corpus's text would itself be the bottleneck. Cache the result:
-    // it feeds three branches (banding + both verify sides). At 100 TB:
-    // checkpoint to parquet instead of memory cache.
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    val spread = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
-    val sh = spread.select(
-      col(idCol).as("id"),
-      Analyzer.shingles(Analyzer.tokens(col(textCol))).as("sh"))
-      .where(size(col("sh")) > 0)
-      .cache()
-    // EAGER materialization: the banded join + both verify sides all
-    // read `sh`; left lazy, the first action computes those branches
-    // concurrently and each races to fill the cache — recomputing the
-    // expensive shingle stage per branch instead of once (observed 3x+
-    // at 10x scale). One count pins the cache before any consumer runs.
-    sh.count()
-
-    val sig = sh.select(
-      col("id"), col("sh"),
-      minhashSig(col("sh"), numHashes).as("sig"))
-
+    // the shared side pipeline (spread heuristic, eager shingle cache,
+    // band construction — one definition with minhashLshCross). At
+    // 100 TB: checkpoint to parquet instead of memory cache.
+    val (sh, banded0) =
+      shingleBandSide(docs, idCol, textCol, "id", "sh", numHashes, bands)
     // cache + eager: the self-join's two sides would otherwise EACH
     // recompute the 32-seed signature kernel from the shingle cache
-    val banded = sig.select(
-      col("id"),
-      explode(bandKeys(col("sig"), bands, rowsPerBand)).as("band"))
-      .cache()
+    val banded = banded0.cache()
     banded.count()
 
     val candidates = banded.as("a")

@@ -441,7 +441,7 @@ object AggsJson {
             s"diversified_sampler under '$name' needs sub-aggs (it is a sampling wrapper)")
         }
         // ONE draw definition, shared with the Scala operator
-        val sampled = graft.agg.Aggs.diversifiedSampleFrame(df, f, keyField, maxPer)
+        val sampled = graft.agg.Aggs.diversifiedSampleFrame(df, keyField, f, maxPer)
         return compile(sampled,
           JsonMethods.compact(JsonMethods.render(JObject(List(JField("aggs", sub))))),
           fgPred, background)
@@ -490,6 +490,19 @@ object AggsJson {
         require(unknownCc.isEmpty,
           s"unsupported cumulative_cardinality option(s): " +
             unknownCc.toSeq.sorted.mkString(", "))
+        // the kernel path never HAVINGs by doc_count, so a
+        // min_doc_count/offset bucketKey would otherwise accept and
+        // silently ignore must be loud here
+        m("date_histogram") match {
+          case JObject(dh) =>
+            val dhUnknown = dh.toMap.keySet --
+              Set("field", "fixed_interval", "calendar_interval")
+            require(dhUnknown.isEmpty,
+              "unsupported date_histogram option(s) under the " +
+                "cumulative_cardinality tree: " +
+                dhUnknown.toSeq.sorted.mkString(", "))
+          case _ => ()
+        }
         val bucketCol = bucketKey(name,
           Map("date_histogram" -> m("date_histogram")))
         return graft.agg.Aggs.cumulativeCardinality(
@@ -551,9 +564,17 @@ object AggsJson {
                 require(rspec.toMap.get("reverse_nested").contains(JObject(Nil)),
                   "reverse_nested here is the bare parent-count form " +
                     "(sub-aggs over parents need the Scala operator)")
+                // this dedicated path returns ALL buckets key-asc; a
+                // terms option it cannot honor (size/order/include/...)
+                // must be loud, not silently dropped
+                val tUnknown = ts.toMap.keySet -- Set("field")
+                require(tUnknown.isEmpty,
+                  "unsupported terms option(s) under the reverse_nested tree " +
+                    s"(all buckets, key-asc here): ${tUnknown.toSeq.sorted.mkString(", ")}")
                 val parentId = str(ns, "parent_id_field", "nested")
                 val tf = str(ts.toMap, "field", "terms")
-                return flat.groupBy(col(tf).as(tname))
+                return flat.where(col(tf).isNotNull) // ES drops null-key docs
+                  .groupBy(col(tf).as(tname))
                   .agg(count(lit(1)).as("doc_count"),
                     count_distinct(col(parentId)).as(rname))
                   .orderBy(col(tname).asc)
@@ -594,7 +615,14 @@ object AggsJson {
           if spec.exists(_._1 == "terms") && geoLineChild(spec.toMap).isDefined =>
         val m = spec.toMap
         val tf = m("terms") match {
-          case JObject(ts) => str(ts.toMap, "field", "terms")
+          case JObject(ts) =>
+            // the kernel returns a polyline for EVERY key, key-asc — a
+            // terms option it cannot honor is loud, never dropped
+            val tUnknown = ts.toMap.keySet -- Set("field")
+            require(tUnknown.isEmpty,
+              "unsupported terms option(s) under the geo_line tree " +
+                s"(all buckets, key-asc here): ${tUnknown.toSeq.sorted.mkString(", ")}")
+            str(ts.toMap, "field", "terms")
           case o => throw new IllegalArgumentException(s"bad terms: $o")
         }
         val gl = geoLineChild(m).get
@@ -882,39 +910,21 @@ object AggsJson {
           // numeric-boolean convention); nonzero keeps the bucket
           else df.where(compiled.cast("double") =!= 0.0)
         case "normalize" =>
-          // window math over the tiny bucket frame (#buckets rows —
-          // the heavy exchange is the partial-agged groupBy below);
-          // works on ANY multi-bucket parent like ES
+          // ONE formula definition shared with the Scala kernels
+          // (Aggs.normalizeMethodCol): window math over the tiny
+          // bucket frame; works on ANY multi-bucket parent like ES
           val p = resolve(df, str(body, "buckets_path", kind))
-          val method = str(body, "method", "normalize")
-          val w = Window.rowsBetween(Window.unboundedPreceding,
-            Window.unboundedFollowing)
-          val mn = min(p).over(w)
-          val mx = max(p).over(w)
-          val total = sum(p.cast("decimal(18,4)")).over(w).cast("double")
-          val mean = total / count(lit(1)).over(w).cast("double")
-          val c = method match {
-            case "percent_of_sum" => Num.round(p / total * 100.0, 4)
-            case "rescale_0_1" => Num.round((p - mn) / (mx - mn), 4)
-            case "rescale_0_100" => Num.round((p - mn) / (mx - mn) * 100.0, 4)
-            case "mean" => Num.round(p - mean, 4)
-            case "z-score" => Num.round((p - mean) / stddev_pop(p).over(w), 4)
-            case "softmax" => graft.agg.Aggs.softmaxCol(p)
-            case other => throw new IllegalArgumentException(
-              s"unsupported normalize method: $other")
-          }
-          df.withColumn(name, c)
+          df.withColumn(name,
+            graft.agg.Aggs.normalizeMethodCol(p, str(body, "method", "normalize")))
         case "moving_percentiles" =>
-          // sliding median over the bucket frame; documented delta
-          // (shared with the Scala kernel): the window INCLUDES the
-          // current bucket (= ES shift 1) and emits p50 — ES mirrors
-          // the whole percentile set of a percentiles parent
+          // sliding median over the bucket frame (shared kernel:
+          // include-current window = ES shift 1, emits p50 — ES
+          // mirrors the whole percentile set of a percentiles parent)
           val p = resolve(df, str(body, "buckets_path", kind))
           val window = body.get("window").map(num(_).toInt).getOrElse(
             throw new IllegalArgumentException("moving_percentiles needs window"))
-          require(window >= 1, s"bad moving_percentiles window: $window")
-          val w = ordered.rowsBetween(-(window - 1), 0)
-          df.withColumn(name, Num.round(percentile(p, lit(0.5)).over(w), 4))
+          df.withColumn(name,
+            graft.agg.Aggs.movingMedianCol(p, col(keyName), window))
         case "bucket_sort" =>
           val sorts: Seq[Column] = body.get("sort") match {
             case Some(JArray(es)) => es.map {
@@ -1754,7 +1764,7 @@ object AggsJson {
                 "into the map script or use the Scala operator)" else ""))
         val mapScript = str(m, "map_script", "scripted_metric")
         val SumForms = Set("state.sum", "states.sum", "sum(states)", "returnstates.sum",
-          "returnstate.sum")
+          "returnstate.sum", "returnsum(states)")
         for (k <- Seq("combine_script", "reduce_script"); v <- m.get(k))
           v match {
             case JString(x)

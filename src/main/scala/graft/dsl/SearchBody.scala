@@ -298,6 +298,16 @@ object SearchBody {
     // disagree across slices.
     val slicePred: Option[org.apache.spark.sql.Column] = root.get("slice").map {
       case JObject(ss) =>
+        // rescore windows and collapse groups are GLOBAL constructs: a
+        // per-slice top-window rescores docs outside the global window,
+        // and a collapse group spanning slices yields one winner PER
+        // slice — either silently breaks the union-over-slices
+        // invariant, so the combinations are loud (ES likewise keeps
+        // slicing to plain scroll hits)
+        val incompatS = Seq("rescore", "collapse").filter(root.contains)
+        require(incompatS.isEmpty,
+          s"slice cannot be combined with ${incompatS.mkString(", ")} — " +
+            "per-slice windows/groups would disagree with the unsliced request")
         val sm = ss.toMap
         val unknownS = sm.keySet -- Set("id", "max", "field")
         require(unknownS.isEmpty,

@@ -583,6 +583,17 @@ class SearchBodySpec extends SparkSpec {
         """{"slice": {"id": 0, "max": 3, "routing": "x"}}""", idField = "doc_id")
     }
     assert(unknown.getMessage.contains("routing"))
+    // rescore windows / collapse groups are GLOBAL — a per-slice
+    // window would disagree with the unsliced request, so loud
+    val withRescore = intercept[IllegalArgumentException] {
+      SearchBody.search(docs,
+        """{"query": {"match": {"text": "vector hash"}},
+            "slice": {"id": 0, "max": 2},
+            "rescore": {"window_size": 5, "query": {"rescore_query":
+              {"script_score": {"script": {"source": "_score * 2"}}}}}}""",
+        idField = "doc_id")
+    }
+    assert(withRescore.getMessage.contains("rescore"))
   }
 
   test("slice scores from FULL-index stats; null slice-field docs land in one slice") {
