@@ -478,6 +478,18 @@ private[graft] object EntriesPipeline {
     // unigram-LM mean surprisal (cheap perplexity-filter stand-in)
     "q_lm_score" -> ((s, d) =>
       TextAnalysis.unigramSurprisal(t(s, d, "documents"), "doc_id", "text")),
+    // distributed PCA: one moment-sum pass (state d+d² doubles,
+    // constant in N) + driver Jacobi eigen + compiled-dot projection.
+    // The 2-D form is oracle-exact against the closed-form major axis
+    // (0.5·atan2(2cxy, cxx−cyy)); the 64-D path is property-spec'd
+    // (PcaSpec: orthonormal components, descending eigenvalues,
+    // per-component score variance == eigenvalue).
+    "q_embed_pca" -> ((s, d) => {
+      val v = t(s, d, "embeddings").withColumn("xy",
+        array(element_at(col("embedding"), 1).cast("double"),
+          element_at(col("embedding"), 2).cast("double")))
+      graft.sim.Pca.fitTransform(v, "vec_id", "xy", dim = 2, k = 1)
+    }),
     // deterministic shard assignment: md5(id) % 8 as the writer's
     // partitionBy column; the key reports the n-row balance table
     "q_shard_assign" -> ((s, d) =>
@@ -1010,6 +1022,13 @@ private[graft] object EntriesPipeline {
       "SELECT doc_id AS id, " +
       "round(sum((-ln(ct::DOUBLE / tt))::DECIMAL(28,12))::DOUBLE / count(*), 4) AS surprisal " +
       "FROM tk JOIN ct USING (term) CROSS JOIN tt GROUP BY 1 ORDER BY 1"),
+    "q_embed_pca" -> ("WITH v AS (SELECT vec_id, embedding[1]::DOUBLE AS x, " +
+      "embedding[2]::DOUBLE AS y FROM embeddings), " +
+      "st AS (SELECT avg(x) AS mx, avg(y) AS my, var_pop(x) AS cxx, " +
+      "var_pop(y) AS cyy, covar_pop(x, y) AS cxy FROM v), " +
+      "th AS (SELECT mx, my, 0.5 * atan2(2 * cxy, cxx - cyy) AS t FROM st) " +
+      "SELECT vec_id, round((x - mx) * cos(t) + (y - my) * sin(t), 4) AS pc0 " +
+      "FROM v CROSS JOIN th ORDER BY vec_id"),
     "q_shard_assign" -> (s"SELECT ${hexFold("doc_id::VARCHAR", 12)} % 8 AS shard, " +
       "count(*)::BIGINT AS n_docs, " +
       "sum(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)))::BIGINT AS tokens, " +
