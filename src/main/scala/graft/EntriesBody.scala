@@ -580,6 +580,12 @@ private[graft] object EntriesBody {
            "ks": {"bucket_count_ks_test": {"buckets_path": "b>_count",
              "alternative": ["less", "greater", "two_sided"],
              "fractions": [0.1,0.1,0.1,0.1,0.1,0.1,0.1,0.1,0.1,0.1]}}}}""")),
+    // geohex_grid JSON node (shared axial-lattice kernel)
+    "q_aggs_json_geohex" -> ((s, d) => graft.dsl.AggsJson.compile(
+      withGeo(t(s, d, "customer"))
+        .withColumnRenamed("lat", "loc_lat").withColumnRenamed("lon", "loc_lon"),
+      """{"aggs": {"hex": {"geohex_grid":
+           {"field": "loc", "size": 5.0, "k": 15}}}}""")),
     // `nested` wrapper over a REAL array-of-structs column: metrics
     // over the exploded inner docs (ES refs `items.*` resolve as
     // flat columns after the explode)
@@ -999,6 +1005,7 @@ private[graft] object EntriesBody {
       "FROM pb ORDER BY bucket"),
     "q_aggs_json_bucket_corr" -> EntriesAggs.oracleSql("q_agg_bucket_corr"),
     "q_aggs_json_ks_test" -> EntriesAggs.oracleSql("q_agg_ks_test"),
+    "q_aggs_json_geohex" -> EntriesAggs.oracleSql("q_agg_geohex"),
     "q_aggs_json_nested" -> ("SELECT CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty_sum, " +
       "round(avg(l_quantity), 4) AS qty_avg FROM lineitem"),
     "q_aggs_json_reverse_nested" -> EntriesAggs.oracleSql("q_agg_reverse_nested"),

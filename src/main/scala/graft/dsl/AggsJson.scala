@@ -476,6 +476,24 @@ object AggsJson {
         }
         return graft.agg.Aggs.rateAgg(df,
           str(dh, "field", "date_histogram"), "month", str(rm, "field", "rate"))
+      // `geohex_grid` (ES's H3 hex buckets): delegates to the axial-
+      // lattice kernel. Graft deltas, documented at the Scala row:
+      // `size` (hex size in degrees) + `k` stand in for H3's
+      // `precision`/`size` pair — the axial lattice is the
+      // closed-form, oracle-checkable hex partition where H3's
+      // icosahedral cells are not.
+      case JField(name, JObject(JField("geohex_grid", JObject(gh)) :: Nil)) :: Nil =>
+        val m = gh.toMap
+        val ghUnknown = m.keySet -- Set("field", "size", "k")
+        require(ghUnknown.isEmpty,
+          s"unsupported geohex_grid option(s): ${ghUnknown.toSeq.sorted.mkString(", ")}" +
+            (if (m.contains("precision"))
+              " (H3 precision has no closed-form analog here — use size/k)" else ""))
+        val f = str(m, "field", "geohex_grid")
+        return graft.agg.Aggs.geohexGridAgg(df, s"${f}_lat", s"${f}_lon",
+          m.get("size").map(num).getOrElse(
+            throw new IllegalArgumentException("geohex_grid needs size (degrees)")),
+          m.get("k").map(num(_).toInt).getOrElse(10))
       // date_histogram > cumulative_cardinality: first-seen counting
       // needs the RAW rows (a per-bucket cardinality cannot merge into
       // a running distinct count on the bucket frame — ES merges HLL
