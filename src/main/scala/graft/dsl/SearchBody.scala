@@ -365,12 +365,32 @@ object SearchBody {
     if (root.contains("aggs") || root.contains("aggregations")) {
       val hitOnly = Seq("knn", "collapse", "highlight", "rescore", "min_score",
         "search_after", "post_filter", "_source", "script_fields",
-        "docvalue_fields", "slice").filter(root.contains)
+        "docvalue_fields", "slice", "sort", "from", "fields", "stored_fields",
+        "rank", "indices_boost", "track_scores", "explain").filter(root.contains)
       require(hitOnly.isEmpty,
         s"an aggs request returns buckets, not hits — hit-path key(s) " +
           s"${hitOnly.mkString(", ")} would be silently dead; issue a separate request")
+      // `"size": 0` is THE canonical aggs-request idiom (suppress the
+      // hits ES would otherwise attach) — accepted as a no-op here; a
+      // POSITIVE size asks for hits the one-frame contract cannot
+      // carry beside buckets, so it is loud, never silently dropped
+      root.get("size").foreach { s =>
+        require(jnum(s) == 0.0,
+          "an aggs request returns buckets, not hits — size > 0 asks for " +
+            "hits this one-frame response cannot carry; use size: 0 (or " +
+            "issue a separate hits request)")
+      }
       val pred = queryJson.map(q => EsQuery.compile(q, idField))
-      val filtered = pred.fold(projected)(projected.where)
+      val filtered0 = pred.fold(projected)(projected.where)
+      // terminate_after caps the COLLECTED set feeding the aggs, same
+      // deterministic id-order-prefix reading as the hit path (ES's
+      // per-shard arbitrary subset, documented delta)
+      val filtered = root.get("terminate_after").map(jnum(_).toInt) match {
+        case Some(n) =>
+          require(n > 0, s"terminate_after must be positive: $n")
+          filtered0.orderBy(col(idField).asc).limit(n)
+        case None => filtered0
+      }
       // fgPred + the pre-query frame let significant_terms measure
       // uplift against the index background, like ES
       return AggsJson.compile(filtered, body, pred, Some(projected))

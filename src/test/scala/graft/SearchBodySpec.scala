@@ -567,6 +567,35 @@ class SearchBodySpec extends SparkSpec {
     assert(uncapped != capped)
   }
 
+  test("aggs bodies: size 0 is the canonical no-op, size > 0 / sort are loud, " +
+      "terminate_after caps the collected set") {
+    // size: 0 — the standard aggs idiom — compiles
+    val ok = SearchBody.search(docs,
+      """{"query": {"term": {"lang": "en"}}, "size": 0,
+          "aggs": {"n": {"value_count": {"field": "doc_id"}}}}""",
+      idField = "doc_id")
+    assert(ok.head().getLong(0) > 0)
+    val sized = intercept[IllegalArgumentException] {
+      SearchBody.search(docs,
+        """{"size": 5, "aggs": {"n": {"value_count": {"field": "doc_id"}}}}""",
+        idField = "doc_id")
+    }
+    assert(sized.getMessage.contains("size"))
+    val sorted = intercept[IllegalArgumentException] {
+      SearchBody.search(docs,
+        """{"sort": [{"doc_id": "asc"}],
+            "aggs": {"n": {"value_count": {"field": "doc_id"}}}}""",
+        idField = "doc_id")
+    }
+    assert(sorted.getMessage.contains("sort"))
+    // terminate_after feeds the aggs the first-n-matches prefix
+    val capped = SearchBody.search(docs,
+      """{"query": {"term": {"lang": "en"}}, "terminate_after": 20,
+          "aggs": {"n": {"value_count": {"field": "doc_id"}}}}""",
+      idField = "doc_id").head().getLong(0)
+    assert(capped == 20)
+  }
+
   test("slice: the max slices partition the corpus exactly; bad ranges loud") {
     def slice(i: Int) = SearchBody.search(docs,
       s"""{"slice": {"id": $i, "max": 3}, "_source": ["doc_id"]}""",
