@@ -585,7 +585,7 @@ private[graft] object EntriesBody {
       withGeo(t(s, d, "customer"))
         .withColumnRenamed("lat", "loc_lat").withColumnRenamed("lon", "loc_lon"),
       """{"aggs": {"hex": {"geohex_grid":
-           {"field": "loc", "size": 5.0, "k": 15}}}}""")),
+           {"field": "loc", "cell_degrees": 5.0, "k": 15}}}}""")),
     // `nested` wrapper over a REAL array-of-structs column: metrics
     // over the exploded inner docs (ES refs `items.*` resolve as
     // flat columns after the explode)

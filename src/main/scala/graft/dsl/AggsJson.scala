@@ -478,22 +478,35 @@ object AggsJson {
           str(dh, "field", "date_histogram"), "month", str(rm, "field", "rate"))
       // `geohex_grid` (ES's H3 hex buckets): delegates to the axial-
       // lattice kernel. Graft deltas, documented at the Scala row:
-      // `size` (hex size in degrees) + `k` stand in for H3's
+      // `cell_degrees` (hex size) + `k` stand in for H3's
       // `precision`/`size` pair — the axial lattice is the
       // closed-form, oracle-checkable hex partition where H3's
-      // icosahedral cells are not.
-      case JField(name, JObject(JField("geohex_grid", JObject(gh)) :: Nil)) :: Nil =>
-        val m = gh.toMap
-        val ghUnknown = m.keySet -- Set("field", "size", "k")
+      // icosahedral cells are not. ES's own option NAMES are rejected
+      // by name (silently reinterpreting `size` as a cell width would
+      // turn a valid ES request into different buckets), and the
+      // single-node shape is explicit: sub-aggs route to geotile_grid.
+      case JField(name, JObject(spec)) :: Nil if spec.exists(_._1 == "geohex_grid") =>
+        val m0 = spec.toMap
+        require(!m0.contains("aggs") && !m0.contains("aggregations"),
+          s"geohex_grid under '$name' supports no sub-aggs here " +
+            "(geotile_grid buckets compose with sub-aggs)")
+        val m = m0("geohex_grid") match {
+          case JObject(g) => g.toMap
+          case o => throw new IllegalArgumentException(s"bad geohex_grid: $o")
+        }
+        val ghUnknown = m.keySet -- Set("field", "cell_degrees", "k")
         require(ghUnknown.isEmpty,
           s"unsupported geohex_grid option(s): ${ghUnknown.toSeq.sorted.mkString(", ")}" +
-            (if (m.contains("precision"))
-              " (H3 precision has no closed-form analog here — use size/k)" else ""))
+            (if (m.contains("precision") || m.contains("size"))
+              " (H3 precision/size have no closed-form analog here — " +
+                "use cell_degrees + k)" else ""))
         val f = str(m, "field", "geohex_grid")
-        return graft.agg.Aggs.geohexGridAgg(df, s"${f}_lat", s"${f}_lon",
-          m.get("size").map(num).getOrElse(
-            throw new IllegalArgumentException("geohex_grid needs size (degrees)")),
-          m.get("k").map(num(_).toInt).getOrElse(10))
+        val cell = m.get("cell_degrees").map(num).getOrElse(
+          throw new IllegalArgumentException("geohex_grid needs cell_degrees"))
+        require(cell > 0.0, s"geohex_grid cell_degrees must be positive: $cell")
+        val k = m.get("k").map(num(_).toInt).getOrElse(10)
+        require(k >= 1, s"geohex_grid k must be >= 1: $k")
+        return graft.agg.Aggs.geohexGridAgg(df, s"${f}_lat", s"${f}_lon", cell, k)
       // date_histogram > cumulative_cardinality: first-seen counting
       // needs the RAW rows (a per-bucket cardinality cannot merge into
       // a running distinct count on the bucket frame — ES merges HLL

@@ -134,6 +134,24 @@ object SearchBody {
       case _ => false
     } catch { case scala.util.control.NonFatal(_) => false }
 
+  /** ES's collector cap, ONE definition for the hit and aggs paths.
+    * ES stops each shard's collector after n arbitrary docs; the
+    * deterministic single-frame reading is the first n matches in id
+    * order (a TakeOrderedAndProject — top-n selection, not a full
+    * sort). Documented delta: ES's per-shard arbitrary subset becomes
+    * the id-ordered prefix. `terminate_after: 0` is ES's documented
+    * "do not terminate early" default — a no-op, like `size: 0` on
+    * an aggs request. */
+  private def capTerminateAfter(df: org.apache.spark.sql.DataFrame,
+      root: Map[String, JValue], idField: String): org.apache.spark.sql.DataFrame =
+    root.get("terminate_after").map(jnum(_).toInt) match {
+      case None | Some(0) => df
+      case Some(n) =>
+        require(n > 0, s"terminate_after must be non-negative: $n")
+        import org.apache.spark.sql.functions.col
+        df.orderBy(col(idField).asc).limit(n)
+    }
+
   private def jnum(v: JValue): Double = v match {
     case JInt(i) => i.toDouble
     case JLong(l) => l.toDouble
@@ -382,14 +400,20 @@ object SearchBody {
       }
       val pred = queryJson.map(q => EsQuery.compile(q, idField))
       val filtered0 = pred.fold(projected)(projected.where)
-      // terminate_after caps the COLLECTED set feeding the aggs, same
-      // deterministic id-order-prefix reading as the hit path (ES's
-      // per-shard arbitrary subset, documented delta)
-      val filtered = root.get("terminate_after").map(jnum(_).toInt) match {
-        case Some(n) =>
-          require(n > 0, s"terminate_after must be positive: $n")
-          filtered0.orderBy(col(idField).asc).limit(n)
-        case None => filtered0
+      // terminate_after caps the COLLECTED set feeding the aggs (the
+      // shared id-order-prefix reading). The background-frame nodes
+      // (significant_terms/_text, global) recompute their foreground
+      // from fgPred + the UNCAPPED background, so a cap over them
+      // would be silently dead — loud instead.
+      val filtered = capTerminateAfter(filtered0, root, idField)
+      if (root.get("terminate_after").exists(jnum(_) != 0.0)) {
+        val bgNodes = Seq("significant_terms", "significant_text", "global")
+          .filter(JsonMethods.compact(JsonMethods.render(
+            root.getOrElse("aggs", root("aggregations")))).contains)
+        require(bgNodes.isEmpty,
+          s"terminate_after cannot cap ${bgNodes.mkString(", ")} — those nodes " +
+            "measure against the UNCAPPED background frame, so the cap would be " +
+            "silently dead; issue the capped request without them")
       }
       // fgPred + the pre-query frame let significant_terms measure
       // uplift against the index background, like ES
@@ -468,17 +492,9 @@ object SearchBody {
     }
 
     // 2.5. terminate_after: cap the COLLECTED hit set at n before any
-    // later phase sees it. ES stops each shard's collector after n
-    // arbitrary docs; the deterministic single-frame reading is the
-    // first n matches in id order (a TakeOrderedAndProject — top-n
-    // selection, not a full sort). Documented delta: ES's per-shard
-    // arbitrary subset becomes the id-ordered prefix.
-    val matched = root.get("terminate_after").map(jnum(_).toInt) match {
-      case Some(n) =>
-        require(n > 0, s"terminate_after must be positive: $n")
-        matched0.orderBy(col(idField).asc).limit(n)
-      case None => matched0
-    }
+    // later phase sees it (shared helper — the aggs path applies the
+    // same cap to the frame feeding the agg tree).
+    val matched = capTerminateAfter(matched0, root, idField)
 
     // 3. knn leg + hybrid combine. ES 8.12 accepts a LIST of knn
     // clauses: each retrieves its own top-k and a doc's knn score

@@ -12,15 +12,17 @@ import graft.util.Num
   * clustering, IVF coarse quantization, or semantic dedup (whitened
   * cosine is the similarity the SemDeDup paper's ablations prefer).
   *
-  * Scale shape (the whole point): the FIT is ONE partial-aggregated
-  * pass whose state is the (d, d²) moment sums — a few KB per
-  * executor, CONSTANT in corpus size; the d×d eigendecomposition runs
-  * on the DRIVER (d ≤ a few thousand — microseconds for embedding
-  * dims); the TRANSFORM broadcasts k component vectors as literals
-  * into compiled dot-product kernels (expr.DotProductSim), a map-only
-  * stage fused into the scan. Nothing about the corpus is ever
-  * collected, sorted, or shuffled: 100 TB of embeddings costs one
-  * scan + one (d+d²)-double reduce for the fit and one scan for the
+  * Scale shape (the whole point): the FIT is TWO partial-aggregated
+  * passes — a d-column mean pass, then the (d, d²) CENTERED moment
+  * sums (centering first avoids the catastrophic cancellation of the
+  * one-pass E[vvᵀ]−μμᵀ form on offset-heavy data) — each a few KB of
+  * state per executor, CONSTANT in corpus size; the d×d
+  * eigendecomposition runs on the DRIVER (d ≤ a few thousand —
+  * microseconds for embedding dims); the TRANSFORM broadcasts k
+  * component vectors as literals into compiled dot-product kernels
+  * (expr.DotProductSim), a map-only stage fused into the scan.
+  * Nothing about the corpus is ever collected, sorted, or shuffled:
+  * 100 TB of embeddings costs two scans for the fit and one for the
   * transform.
   *
   * Determinism: moment sums are double adds (order-dependent at
@@ -39,13 +41,16 @@ object Pca {
     def reduce(b: Moments, v: Seq[Double]): Moments = {
       require(v != null && v.length == d,
         s"PCA: vector length ${if (v == null) "null" else v.length} != declared dim $d")
-      val a = v.toArray
+      // arrays accumulate in place; the per-row copy() only re-wraps
+      // them with the bumped count (the same idiom as TDigest.Agg —
+      // the heavy state never reallocates)
       var i = 0
       while (i < d) {
-        b.sums(i) += a(i)
+        val vi = v(i)
+        b.sums(i) += vi
         var j = 0
         val row = i * d
-        while (j < d) { b.cross(row + j) += a(i) * a(j); j += 1 }
+        while (j < d) { b.cross(row + j) += vi * v(j); j += 1 }
         i += 1
       }
       b.copy(n = b.n + 1)
@@ -72,16 +77,42 @@ object Pca {
 
   def fit(df: DataFrame, vecCol: String, dim: Int): Model = {
     require(dim >= 2, s"PCA needs dim >= 2 (got $dim)")
-    val row = df.where(col(vecCol).isNotNull)
-      .select(udaf(new MomentAgg(dim)).apply(col(vecCol).cast("array<double>")).as("m"))
+    val vecs = df.where(col(vecCol).isNotNull)
+      .select(col(vecCol).cast("array<double>").as("__v"))
+    // name the common misconfiguration up front (a uniform wrong
+    // length would otherwise die inside element_at with an index
+    // message); mixed lengths still fail loudly in the moment pass
+    vecs.limit(1).select(size(col("__v"))).collect().headOption.foreach { r =>
+      require(r.getInt(0) == dim,
+        s"PCA: vector length ${r.getInt(0)} != declared dim $dim")
+    }
+    // TWO passes, deliberately: the one-pass E[vvᵀ]−μμᵀ form
+    // catastrophically cancels when the mean magnitude dwarfs the
+    // std (offset-heavy embeddings) — centering first keeps every
+    // cross-product at the residual scale, same stability class as
+    // the oracle's var_pop/covar_pop. Pass 1 is d codegen'd avg
+    // columns; pass 2 is the (d+d²)-state moment aggregate over the
+    // centered vectors. Both passes are one scan each, state
+    // constant in N.
+    val meanRow = vecs.select((0 until dim).map(i =>
+      avg(element_at(col("__v"), i + 1)).as(s"m$i")): _*).head()
+    val mean = Array.tabulate(dim)(meanRow.getDouble)
+    val centered = vecs.select(zip_with(
+      col("__v"), typedLit(mean.toSeq).cast("array<double>"),
+      (a, b) => a - b).as("__c"))
+    val row = centered
+      .select(udaf(new MomentAgg(dim)).apply(col("__c")).as("m"))
       .select(col("m.n"), col("m.sums"), col("m.cross"))
       .head()
     val n = row.getLong(0)
     require(n >= 2, s"PCA needs >= 2 vectors (got $n)")
-    val sums = row.getSeq[Double](1).toArray
+    val rsums = row.getSeq[Double](1).toArray
     val cross = row.getSeq[Double](2).toArray
-    val mean = sums.map(_ / n)
-    val cov = Array.tabulate(dim, dim)((i, j) => cross(i * dim + j) / n - mean(i) * mean(j))
+    // the residual mean is ~0 but EXACT subtraction makes the
+    // covariance exact regardless
+    val rmean = rsums.map(_ / n)
+    val cov = Array.tabulate(dim, dim)((i, j) =>
+      cross(i * dim + j) / n - rmean(i) * rmean(j))
     val (values, vectors) = jacobiEigen(cov)
     val order = values.indices.sortBy(i => -values(i))
     val comps = order.map { i =>
@@ -89,7 +120,10 @@ object Pca {
       val pivot = v.indexWhere(x => math.abs(x) > 1e-12)
       if (pivot >= 0 && v(pivot) < 0) v.map(-_) else v
     }.toArray
-    Model(dim, n, mean, order.map(values).toArray, comps)
+    // the model's mean is the TRUE mean: the pass-1 estimate plus the
+    // (tiny, exactly measured) residual mean of the centered pass
+    Model(dim, n, mean.zip(rmean).map { case (a, b) => a + b },
+      order.map(values).toArray, comps)
   }
 
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix
@@ -108,8 +142,18 @@ object Pca {
       while (i < d) { var j = i + 1; while (j < d) { s += m(i)(j) * m(i)(j); j += 1 }; i += 1 }
       s
     }
+    // RELATIVE convergence: an absolute threshold would skip
+    // diagonalization entirely on tiny-variance data (silently
+    // returning coordinate axes) and never trigger on large-variance
+    // data (burning every sweep) — scale by the trace, the invariant
+    // total variance
+    val tol = {
+      val tr = (0 until d).map(i => math.abs(a(i)(i))).sum
+      val t = 1e-14 * math.max(tr, java.lang.Double.MIN_NORMAL)
+      t * t
+    }
     var sweep = 0
-    while (sweep < 100 && off() > 1e-20) {
+    while (sweep < 100 && off() > tol) {
       var p = 0
       while (p < d) {
         var q = p + 1

@@ -18,10 +18,9 @@ class PcaSpec extends SparkSpec {
     model.eigenvalues.sliding(2).foreach { case Array(a, b) => assert(a >= b - 1e-12) }
     // trace preservation: Σ eigenvalues == Σ per-coordinate variances
     val trace = model.eigenvalues.sum
-    val varSum = (0 until 64).map { i =>
-      emb.select(var_pop(element_at($"embedding", i + 1).cast("double")))
-        .head().getDouble(0)
-    }.sum
+    val varRow = emb.select((0 until 64).map(i =>
+      var_pop(element_at($"embedding", i + 1).cast("double")).as(s"v$i")): _*).head()
+    val varSum = (0 until 64).map(varRow.getDouble).sum
     assert(math.abs(trace - varSum) / varSum < 1e-9)
     // orthonormal components
     for (i <- 0 until 4; j <- 0 until 4) {
