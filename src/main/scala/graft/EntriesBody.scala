@@ -537,6 +537,14 @@ private[graft] object EntriesBody {
           "stored_fields": ["source"],
           "sort": [{"doc_id": "asc"}], "size": 50}""",
       idField = "doc_id")),
+    // aggs + terminate_after through the body: the agg tree reads the
+    // id-ordered first-n-matches prefix (the shared collector cap)
+    "q_search_body_terminate_aggs" -> ((s, d) => graft.dsl.SearchBody.search(
+      t(s, d, "documents"),
+      """{"query": {"term": {"lang": "en"}}, "terminate_after": 50, "size": 0,
+          "aggs": {"src": {"terms": {"field": "source", "size": 10},
+            "aggs": {"chars": {"sum": {"field": "n_chars"}}}}}}""",
+      idField = "doc_id")),
     // normalize parent pipe: percent_of_sum + z-score columns over
     // the monthly bucket frame
     "q_aggs_json_normalize" -> ((s, d) => graft.dsl.AggsJson.compile(
@@ -984,6 +992,11 @@ private[graft] object EntriesBody {
       "round(min(lat), 4) AS cb_min_y, round(max(lat), 4) AS cb_max_y, " +
       "round(avg(lon), 4) AS cn_x, round(avg(lat), 4) AS cn_y " +
       "FROM g GROUP BY 1 ORDER BY doc_count DESC, seg LIMIT 10"),
+    "q_search_body_terminate_aggs" -> ("WITH capped AS (SELECT * FROM documents " +
+      "WHERE lang = 'en' ORDER BY doc_id LIMIT 50) " +
+      "SELECT source AS src, count(*)::BIGINT AS doc_count, " +
+      "CAST(sum(CAST(n_chars AS DECIMAL(18,4))) AS DOUBLE) AS chars " +
+      "FROM capped GROUP BY 1 ORDER BY doc_count DESC, src LIMIT 10"),
     "q_aggs_json_normalize" -> ("WITH b AS (SELECT date_trunc('month', o_orderdate) AS m, " +
       "count(*)::BIGINT AS doc_count, " +
       "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sales FROM orders GROUP BY 1) " +
