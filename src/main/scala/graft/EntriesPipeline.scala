@@ -258,6 +258,31 @@ private[graft] object EntriesPipeline {
         .orderBy(col("doc_id"))
     }),
     // redact processor: grok-named captures masked in place
+    // ingest `enrich` processor: broadcast left join against the
+    // policy's lookup table, enriched values as flat <target>_<col>
+    // columns (the frame spelling of ES's target object)
+    "q_ingest_enrich" -> ((s, d) => {
+      val lookup = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+      val chain = graft.sources.IngestPipeline.compile(
+        """{"processors": [{"enrich": {"policy_name": "cust",
+             "field": "o_custkey", "target_field": "cust"}}]}""",
+        Map.empty, 0, Map("cust" -> ((lookup, "c_custkey"))))
+      chain(t(s, d, "orders"))
+        .where(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"), col("cust_c_mktsegment"), col("cust_c_nationkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+    // ingest `inference` processor through the InferenceService seam
+    // (deterministic stub — the same one the ES|QL COMPLETION oracle
+    // mirrors; a deployment swaps Inference.service)
+    "q_ingest_inference" -> ((s, d) => {
+      val chain = graft.sources.IngestPipeline.compile(
+        """{"processors": [{"inference": {"model_id": "stub-llm",
+             "field": "text", "target_field": "summary"}}]}""")
+      chain(t(s, d, "documents").where(col("doc_id") < 20))
+        .select(col("doc_id"), col("summary")).orderBy(col("doc_id"))
+    }),
     "q_ingest_redact" -> ((s, d) =>
       graft.sources.IngestPipeline.compile(
         """{"processors": [{"redact": {"field": "text", "patterns":
@@ -1022,6 +1047,10 @@ private[graft] object EntriesPipeline {
       "SELECT doc_id AS id, " +
       "round(sum((-ln(ct::DOUBLE / tt))::DECIMAL(28,12))::DOUBLE / count(*), 4) AS surprisal " +
       "FROM tk JOIN ct USING (term) CROSS JOIN tt GROUP BY 1 ORDER BY 1"),
+    "q_ingest_enrich" -> ("SELECT o_orderkey, c_mktsegment AS cust_c_mktsegment, " +
+      "c_nationkey AS cust_c_nationkey FROM orders LEFT JOIN customer " +
+      "ON o_custkey = c_custkey WHERE o_orderkey <= 2000 ORDER BY o_orderkey"),
+    "q_ingest_inference" -> EntriesDsl.oracleSql("q_esql_completion"),
     "q_embed_pca" -> ("WITH v AS (SELECT vec_id, embedding[1]::DOUBLE AS x, " +
       "embedding[2]::DOUBLE AS y FROM embeddings), " +
       "st AS (SELECT avg(x) AS mx, avg(y) AS my, var_pop(x) AS cxx, " +

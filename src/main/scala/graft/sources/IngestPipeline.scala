@@ -109,7 +109,14 @@ object IngestPipeline {
   def compile(
       json: String,
       registry: Map[String, String],
-      depth: Int = 0): DataFrame => DataFrame = {
+      depth: Int = 0,
+      // named enrich policies: name -> (lookup frame, match-key column)
+      // — the frame analog of ES's enrich index (an enrich POLICY
+      // materializes a lookup table; here the caller hands it over
+      // directly). Enriched values land as FLAT `<target>_<col>`
+      // columns — the frame spelling of ES's target-field object,
+      // same convention as the geo column pairs.
+      enrich: Map[String, (DataFrame, String)] = Map.empty): DataFrame => DataFrame = {
     require(depth <= 5, "ingest pipeline nesting deeper than 5 (cycle?)")
     val procs = JsonMethods.parse(json) match {
       case JObject(fields) => fields.toMap.get("processors") match {
@@ -163,6 +170,50 @@ object IngestPipeline {
             if (handlers.isEmpty) df => df.withColumn(field, col(field).cast(sparkType))
             else df => withTried(df, field, field,
               expr(s"try_cast(`$field` AS $sparkType)"), handlers)
+          // ES `enrich` processor: look the doc's field up in the
+          // policy's table and attach the matched row's columns. A
+          // BROADCAST left join — enrich tables are dimension-sized
+          // by construction (ES materializes them into a single-shard
+          // enrich index), so 100 TB of docs never shuffles.
+          case "enrich" =>
+            val policy = m.get("policy_name").collect { case JString(s) => s }
+              .getOrElse(throw new IllegalArgumentException("enrich needs policy_name"))
+            val target = m.get("target_field").collect { case JString(s) => s }
+              .getOrElse(throw new IllegalArgumentException("enrich needs target_field"))
+            val unknownE = m.keySet -- Set("policy_name", "field", "target_field")
+            require(unknownE.isEmpty,
+              s"unsupported enrich option(s): ${unknownE.toSeq.sorted.mkString(", ")}")
+            val (table, matchKey) = enrich.getOrElse(policy,
+              throw new IllegalArgumentException(
+                s"unknown enrich policy '$policy' (registered: " +
+                  s"${enrich.keys.toSeq.sorted.mkString(", ")})"))
+            val f = field
+            df => {
+              val renamed = table.columns.foldLeft(table) { (t, c) =>
+                t.withColumnRenamed(c,
+                  if (c == matchKey) "__graft_enrich_key" else s"${target}_$c")
+              }
+              df.join(broadcast(renamed),
+                col(f) === col("__graft_enrich_key"), "left")
+                .drop("__graft_enrich_key")
+            }
+          // ES `inference` processor: run the configured model on the
+          // doc's field, write the prediction to target_field — routed
+          // through the InferenceService seam (the deterministic stub
+          // here; a deployment swaps Inference.service). model_id
+          // names the deployment like ES; WHICH model actually runs is
+          // the seam's concern, exactly as in the ES|QL COMPLETION row.
+          case "inference" =>
+            m.get("model_id").collect { case JString(s) => s }
+              .getOrElse(throw new IllegalArgumentException("inference needs model_id"))
+            val target = m.get("target_field").collect { case JString(s) => s }
+              .getOrElse(throw new IllegalArgumentException("inference needs target_field"))
+            val unknownI = m.keySet -- Set("model_id", "field", "target_field")
+            require(unknownI.isEmpty,
+              s"unsupported inference option(s): ${unknownI.toSeq.sorted.mkString(", ")}")
+            val svc = graft.inference.Inference.service
+            val f = field
+            df => df.withColumn(target, svc.complete(col(f)))
           case "lowercase" => df => df.withColumn(field, lower(col(field)))
           case "uppercase" => df => df.withColumn(field, upper(col(field)))
           case "trim" => df => df.withColumn(field, trim(col(field)))
