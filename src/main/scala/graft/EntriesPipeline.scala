@@ -354,6 +354,29 @@ private[graft] object EntriesPipeline {
         .agg(count(lit(1)).as("n_docs"), sum(col("size")).as("pack_chars"))
         .orderBy(col("pack_id"))
     }),
+    // the r11 composed TRAINING-DATA build: exact-dedup keep ->
+    // quality gate -> CCNet tail-tercile drop (surprisal terciles of
+    // the KEPT set) -> deterministic shard balance report. Every
+    // stage is a kernel this suite oracle-checks standalone; this key
+    // proves they COMPOSE (one plan per stage boundary, the tercile
+    // edge the only driver scalar).
+    "q_pipeline_train" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      val deduped = docs.withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1).drop("_rn")
+      val kept = TextAnalysis.qualityScore(col("text"))(deduped)
+        .where(col("quality") >= 0.4)
+      val srp = TextAnalysis.unigramSurprisal(kept, "doc_id", "text")
+      val e2 = graft.util.Num.roundDouble(
+        graft.agg.Aggs.percentilesExactDistributed(
+          srp, "surprisal", Seq("e2" -> (2.0 / 3))).head().getDouble(0), 4)
+      val headMid = kept.join(
+        srp.where(col("surprisal") < e2).select(col("id").as("__kid")),
+        col("doc_id") === col("__kid")).drop("__kid")
+      TextAnalysis.shardAssign(headMid, "doc_id", "text", 8)
+    }),
     "q_lang_id" -> ((s, d) => {
       val (pl, ps) = TextAnalysis.languageId(col("text"))
       t(s, d, "documents")
@@ -1047,6 +1070,28 @@ private[graft] object EntriesPipeline {
       "SELECT doc_id AS id, " +
       "round(sum((-ln(ct::DOUBLE / tt))::DECIMAL(28,12))::DOUBLE / count(*), 4) AS surprisal " +
       "FROM tk JOIN ct USING (term) CROSS JOIN tt GROUP BY 1 ORDER BY 1"),
+    "q_pipeline_train" -> ("WITH dd AS (SELECT * FROM documents " +
+      "QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1), " +
+      "b AS (SELECT doc_id, text, " +
+      "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks FROM dd), " +
+      "q AS (SELECT *, len(toks)::BIGINT AS n_tokens, " +
+      "round(len(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE / greatest(len(text), 1)::DOUBLE, 4) AS punct_ratio, " +
+      "round(len(list_filter(toks, t -> list_contains(['the', 'and', 'of', 'to', 'in', 'is', 'was', 'for', 'with', 'a'], t)))::DOUBLE / greatest(len(toks), 1)::DOUBLE, 4) AS stopword_ratio, " +
+      "round(len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1)::DOUBLE, 4) AS ttr FROM b), " +
+      "qq AS (SELECT *, round(least(n_tokens / 100.0, 1.0) * 0.3 + " +
+      "(1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2 + least(stopword_ratio * 5.0, 1.0) * 0.2 + " +
+      "ttr * 0.3, 4) AS quality FROM q), " +
+      "k AS (SELECT doc_id, text, toks FROM qq WHERE quality >= 0.4), " +
+      "tk AS (SELECT doc_id, unnest(toks) AS term FROM k), " +
+      "ct AS (SELECT term, count(*)::BIGINT AS ct FROM tk GROUP BY 1), " +
+      "tt AS (SELECT sum(ct)::DOUBLE AS tt FROM ct), " +
+      "sc AS (SELECT doc_id, round(sum((-ln(ct::DOUBLE / tt))::DECIMAL(28,12))::DOUBLE / count(*), 4) AS srp " +
+      "FROM tk JOIN ct USING (term) CROSS JOIN tt GROUP BY 1), " +
+      "e AS (SELECT round(quantile_cont(srp, 2.0/3), 4) AS e2 FROM sc), " +
+      "hm AS (SELECT k.doc_id, k.text FROM k JOIN sc USING (doc_id) CROSS JOIN e WHERE sc.srp < e.e2) " +
+      s"SELECT ${hexFold("doc_id::VARCHAR", 12)} % 8 AS shard, count(*)::BIGINT AS n_docs, " +
+      "sum(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)))::BIGINT AS tokens, " +
+      "sum(len(text))::BIGINT AS chars FROM hm GROUP BY 1 ORDER BY shard"),
     "q_ingest_enrich" -> ("SELECT o_orderkey, c_mktsegment AS cust_c_mktsegment, " +
       "c_nationkey AS cust_c_nationkey FROM orders LEFT JOIN customer " +
       "ON o_custkey = c_custkey WHERE o_orderkey <= 2000 ORDER BY o_orderkey"),
