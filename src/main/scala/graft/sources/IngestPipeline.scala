@@ -187,6 +187,16 @@ object IngestPipeline {
               throw new IllegalArgumentException(
                 s"unknown enrich policy '$policy' (registered: " +
                   s"${enrich.keys.toSeq.sorted.mkString(", ")})"))
+            // ES's enrich default is max_matches = 1; a duplicate
+            // match key here would silently DUPLICATE every matching
+            // document through the join — loud instead (one tiny job
+            // over the dimension-sized policy table, once per compile)
+            val dupKeys = table.groupBy(col(matchKey))
+              .count().where(col("count") > 1).limit(1).count()
+            require(dupKeys == 0,
+              s"enrich policy '$policy' has duplicate '$matchKey' values — " +
+                "a join would duplicate matching documents (ES max_matches=1); " +
+                "de-duplicate the policy table first")
             val f = field
             df => {
               val renamed = table.columns.foldLeft(table) { (t, c) =>

@@ -315,6 +315,48 @@ class ConnectorSpec extends SparkSpec {
       (4L, None, None, None, true)))
   }
 
+  test("ingest enrich: policy lookup attaches flat target columns; " +
+      "duplicate match keys and unknown policies are loud") {
+    import graft.sources.IngestPipeline
+    val policy = Seq((1L, "gold", 7L), (2L, "silver", 9L))
+      .toDF("cust", "tier", "region")
+    val chain = IngestPipeline.compile(
+      """{"processors": [{"enrich": {"policy_name": "tiers",
+           "field": "buyer", "target_field": "t"}}]}""",
+      Map.empty, 0, Map("tiers" -> ((policy, "cust"))))
+    val out = chain(Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("id", "buyer"))
+      .orderBy($"id")
+      .select($"id", $"t_tier", $"t_region").as[(Long, String, Option[Long])]
+      .collect().toSeq
+    assert(out == Seq((10L, "gold", Some(7L)), (11L, "silver", Some(9L)),
+      (12L, null, None)))
+    // duplicate match keys would duplicate documents (ES max_matches=1)
+    val dup = intercept[IllegalArgumentException] {
+      IngestPipeline.compile(
+        """{"processors": [{"enrich": {"policy_name": "tiers",
+             "field": "buyer", "target_field": "t"}}]}""",
+        Map.empty, 0,
+        Map("tiers" -> ((policy.unionByName(policy), "cust"))))
+    }
+    assert(dup.getMessage.contains("duplicate"))
+    val missing = intercept[IllegalArgumentException] {
+      IngestPipeline.compile(
+        """{"processors": [{"enrich": {"policy_name": "nope",
+             "field": "buyer", "target_field": "t"}}]}""")
+    }
+    assert(missing.getMessage.contains("nope"))
+  }
+
+  test("ingest inference routes through the swappable InferenceService seam") {
+    import graft.sources.IngestPipeline
+    val chain = IngestPipeline.compile(
+      """{"processors": [{"inference": {"model_id": "stub-llm",
+           "field": "s", "target_field": "out"}}]}""")
+    val out = chain(Seq((1L, "alpha beta gamma")).toDF("id", "s"))
+      .select($"out").as[String].head()
+    assert(out == "stub: gamma beta alpha")
+  }
+
   test("ingest nested pipeline processor inlines the named chain") {
     import graft.sources.IngestPipeline
     val registry = Map(
