@@ -360,23 +360,9 @@ private[graft] object EntriesPipeline {
     // stage is a kernel this suite oracle-checks standalone; this key
     // proves they COMPOSE (one plan per stage boundary, the tercile
     // edge the only driver scalar).
-    "q_pipeline_train" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val docs = t(s, d, "documents")
-      val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-      val deduped = docs.withColumn("_rn", row_number().over(w))
-        .where(col("_rn") === 1).drop("_rn")
-      val kept = TextAnalysis.qualityScore(col("text"))(deduped)
-        .where(col("quality") >= 0.4)
-      val srp = TextAnalysis.unigramSurprisal(kept, "doc_id", "text")
-      val e2 = graft.util.Num.roundDouble(
-        graft.agg.Aggs.percentilesExactDistributed(
-          srp, "surprisal", Seq("e2" -> (2.0 / 3))).head().getDouble(0), 4)
-      val headMid = kept.join(
-        srp.where(col("surprisal") < e2).select(col("id").as("__kid")),
-        col("doc_id") === col("__kid")).drop("__kid")
-      TextAnalysis.shardAssign(headMid, "doc_id", "text", 8)
-    }),
+    "q_pipeline_train" -> ((s, d) =>
+      TextAnalysis.trainingBuildReport(t(s, d, "documents"),
+        "doc_id", "text", qualityMin = 0.4, nShards = 8)),
     "q_lang_id" -> ((s, d) => {
       val (pl, ps) = TextAnalysis.languageId(col("text"))
       t(s, d, "documents")

@@ -616,23 +616,11 @@ object ScaleProbe {
     time("ccnet_buckets_10x") {
       graft.text.TextAnalysis.ccnetBuckets(docs, "doc_id", "text").count()
     }
-    // composed training build: dedup window + quality map + two
-    // surprisal passes + edge selection + shard report
+    // composed training build (shared kernel with the oracle key):
+    // dedup window + quality map + surprisal terciles + shard report
     time("pipeline_train_10x") {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-      val deduped = docs.withColumn("_rn", row_number().over(w))
-        .where(col("_rn") === 1).drop("_rn")
-      val kept = graft.text.TextAnalysis.qualityScore(col("text"))(deduped)
-        .where(col("quality") >= 0.4)
-      val srp = graft.text.TextAnalysis.unigramSurprisal(kept, "doc_id", "text")
-      val e2 = graft.util.Num.roundDouble(
-        Aggs.percentilesExactDistributed(
-          srp, "surprisal", Seq("e2" -> (2.0 / 3))).head().getDouble(0), 4)
-      val headMid = kept.join(
-        srp.where(col("surprisal") < e2).select(col("id").as("__kid")),
-        col("doc_id") === col("__kid")).drop("__kid")
-      graft.text.TextAnalysis.shardAssign(headMid, "doc_id", "text", 8).count()
+      graft.text.TextAnalysis.trainingBuildReport(
+        docs, "doc_id", "text", qualityMin = 0.4, nShards = 8).count()
     }
     // cross-corpus LSH: the replicated clone groups split across the
     // parity sides, so cross candidates are the constructed worst

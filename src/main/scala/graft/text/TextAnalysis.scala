@@ -621,6 +621,35 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** The composed TRAINING-DATA build (ONE definition — the oracle
+    * key and the scale probe share it): exact-dedup keep (min id per
+    * content hash) -> quality gate -> CCNet tail-tercile drop
+    * (surprisal terciles of the KEPT set) -> deterministic shard
+    * balance report. Stage boundaries materialize via EAGER
+    * localCheckpoint: the kept frame feeds FOUR consumers (both
+    * surprisal branches, the edge pass, the final join) and the
+    * score frame three — left lazy, the dedup window would recompute
+    * ~6x (measured: 7.9 s -> the checkpointed cost at sf0.1). At
+    * cluster scale checkpoint to parquet instead. */
+  def trainingBuildReport(docs: DataFrame, idCol: String, textCol: String,
+      qualityMin: Double, nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    val deduped = docs.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1).drop("_rn")
+    val kept = qualityScore(col(textCol))(deduped)
+      .where(col("quality") >= qualityMin)
+      .localCheckpoint(true)
+    val srp = unigramSurprisal(kept, idCol, textCol).localCheckpoint(true)
+    val e2 = Num.roundDouble(
+      graft.agg.Aggs.percentilesExactDistributed(
+        srp, "surprisal", Seq("e2" -> (2.0 / 3))).head().getDouble(0), 4)
+    val headMid = kept.join(
+      srp.where(col("surprisal") < e2).select(col("id").as("__kid")),
+      col(idCol) === col("__kid")).drop("__kid")
+    shardAssign(headMid, idCol, textCol, nShards)
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): per-doc
     * LM score (here the unigram surprisal this module already
     * computes), split into head/middle/tail THIRDS by the corpus-wide
