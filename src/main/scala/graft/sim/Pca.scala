@@ -131,7 +131,7 @@ object Pca {
     * library dependency — the classic rotation sweep, quadratically
     * convergent; 100 sweeps is far beyond what any PSD covariance
     * needs. */
-  private[sim] def jacobiEigen(
+  private[graft] def jacobiEigen(
       a: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
     val d = a.length
     val m = a.map(_.clone())

@@ -39,6 +39,26 @@ class PcaSpec extends SparkSpec {
     assert(math.abs(whiteVar - 1.0) < 1e-6)
   }
 
+  test("Jacobi matches the independent closed-form 2x2 eigensolution") {
+    // an asymmetric-variance correlated matrix with known answers
+    val cov = Array(Array(3.0, 1.2), Array(1.2, 1.0))
+    val (values, vectors) = graft.sim.Pca.jacobiEigen(cov)
+    // closed form: eigenvalues of [[a,b],[b,c]] are
+    // (a+c)/2 ± sqrt(((a-c)/2)² + b²)
+    val mid = (3.0 + 1.0) / 2
+    val rad = math.sqrt(math.pow((3.0 - 1.0) / 2, 2) + 1.2 * 1.2)
+    val expect = Seq(mid + rad, mid - rad)
+    val got = values.sorted.reverse.toSeq
+    expect.zip(got).foreach { case (e, g) => assert(math.abs(e - g) < 1e-12) }
+    // major-axis angle: 0.5·atan2(2b, a−c) — the q_embed_pca oracle's
+    // formula; the Jacobi eigenvector must agree (modulo sign)
+    val th = 0.5 * math.atan2(2 * 1.2, 3.0 - 1.0)
+    val majorIdx = values.indexOf(values.max)
+    val v = Array(vectors(0)(majorIdx), vectors(1)(majorIdx))
+    val dot = math.abs(v(0) * math.cos(th) + v(1) * math.sin(th))
+    assert(math.abs(dot - 1.0) < 1e-12, s"major axis off: $dot")
+  }
+
   test("loud contracts: wrong-length vectors, degenerate whitening, bad k") {
     val short = emb.withColumn("v3",
       slice($"embedding".cast("array<double>"), 1, 3))
