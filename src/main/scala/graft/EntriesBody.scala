@@ -400,7 +400,9 @@ private[graft] object EntriesBody {
            "latest": {"top_metrics": {"metrics": {"field": "n_chars"},
                       "sort": {"field": "doc_id", "order": "desc"}}}}}}}""")),
     // random_sampler as a JSON wrapper: the terms+metric sub-tree
-    // evaluates on a deterministic 10% hash sample — one scan
+    // evaluates on a deterministic 10% hash sample — one scan;
+    // doc_count scales back by 1/probability (ES parity), avg stays
+    // unscaled (ES's per-metric special-casing)
     "q_aggs_json_sampler" -> ((s, d) => graft.dsl.AggsJson.compile(
       t(s, d, "orders"),
       """{"aggs": {"sample": {"random_sampler": {"probability": 0.1, "key_field": "o_orderkey"},
@@ -758,9 +760,10 @@ private[graft] object EntriesBody {
            "aggs": {"sales": {"sum": {"field": "o_totalprice"}},
                     "deriv": {"derivative": {"buckets_path": "sales"}},
                     "cum": {"cumulative_sum": {"buckets_path": "sales"}}}}}}""")),
-    // moving_fn (MovingFunctions whitelist; include-current window —
-    // the Scala kernels' shared convention) + serial_diff (lag-12 =
-    // year-over-year differencing on monthly buckets)
+    // moving_fn (MovingFunctions whitelist; ES default shift:0 —
+    // window ends BEFORE the current bucket; shift:1 recovers the
+    // Scala kernels' include-current convention) + serial_diff
+    // (lag-12 = year-over-year differencing on monthly buckets)
     "q_aggs_json_moving_fn" -> ((s, d) => graft.dsl.AggsJson.compile(
       t(s, d, "orders"),
       """{"aggs": {"m": {"date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
@@ -1081,7 +1084,8 @@ private[graft] object EntriesBody {
       "round(count_if(l_extendedprice <= 10000)::DOUBLE / count(l_extendedprice)::DOUBLE * 100.0, 4) AS pr_rank_10000, " +
       "round(count_if(l_extendedprice <= 50000)::DOUBLE / count(l_extendedprice)::DOUBLE * 100.0, 4) AS pr_rank_50000 " +
       "FROM lineitem GROUP BY l_returnflag ORDER BY by_flag LIMIT 10"),
-    "q_aggs_json_sampler" -> ("SELECT o_orderstatus AS by_status, count(*)::BIGINT AS doc_count, " +
+    "q_aggs_json_sampler" -> ("SELECT o_orderstatus AS by_status, " +
+      "floor(count(*)::DOUBLE / 0.1)::BIGINT AS doc_count, " +
       "round(avg(o_totalprice), 4) AS avg_price FROM orders " +
       s"WHERE ${hexFold("o_orderkey::VARCHAR", 12)} / 281474976710656.0 < 0.1 " +
       "GROUP BY o_orderstatus ORDER BY doc_count DESC, by_status LIMIT 10"),
@@ -1168,7 +1172,7 @@ private[graft] object EntriesBody {
       "FROM b ORDER BY m"),
     "q_aggs_json_moving_fn" -> (MonthlyCte +
       "SELECT m, doc_count, sales, " +
-      "round(avg(sales) OVER (ORDER BY m ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg3, " +
+      "round(avg(sales) OVER (ORDER BY m ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 4) AS mavg3, " +
       "round(sales - lag(sales, 12) OVER (ORDER BY m), 4) AS yoy " +
       "FROM b ORDER BY m"),
     "q_aggs_json_bucket_script" -> ("WITH b AS (SELECT l_returnflag AS flag, " +

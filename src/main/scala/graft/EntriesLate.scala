@@ -287,6 +287,82 @@ private[graft] object EntriesLate {
         log(lit(1.0) + col("o_totalprice")))
         .select(col("l_orderkey"), col("l_linenumber"), col("score"))
         .orderBy(col("l_orderkey"), col("l_linenumber")))
+,
+    // ---- r12 additions ----
+    // ES 8.12 knn as a QUERY-context clause: rewrites to the top-k id
+    // set (Ann.knnSearch at compile time), composable under bool —
+    // here intersected with a sibling label filter, like a user
+    // narrowing vector hits by metadata
+    "q_dsl_knn" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val vec = (0 until 64).map(i => (i * 41 % 100) / 100.0 - 0.5)
+      emb.where(graft.dsl.QueryDslJson.compile(
+        s"""{"bool": {"must": [{"knn": {"field": "embedding",
+            "query_vector": [${vec.mkString(",")}],
+            "k": 25, "num_candidates": 100000}}],
+            "filter": [{"term": {"label": 2}}]}}""", "vec_id", emb))
+        .select(col("vec_id"), col("label")).orderBy(col("vec_id"))
+    }),
+    // ES 8.15 semantic query node: expansion through the
+    // InferenceService seam (deterministic stub = unit-weight analyzed
+    // terms); filter context matches any expanded term
+    "q_semantic_query" -> ((s, d) => t(s, d, "documents")
+      .where(graft.dsl.QueryDslJson.compile(
+        """{"semantic": {"field": "text", "query": "vector hash merge"}}"""))
+      .select(col("doc_id")).orderBy(col("doc_id"))),
+    // ES 8.13 weighted_tokens: the client-side-expansion form of
+    // sparse_vector — pre-computed token weights, no model call
+    "q_weighted_tokens" -> ((s, d) => t(s, d, "documents")
+      .where(graft.dsl.QueryDslJson.compile(
+        """{"weighted_tokens": {"text": {"tokens":
+            {"vector": 1.2, "quantile": 0.5}}}}"""))
+      .select(col("doc_id")).orderBy(col("doc_id"))),
+    // ES 8.10 query rules, filter-context `rule` query: criteria-gated
+    // pinning/exclusion — the exact-match rule pins 42/7, the
+    // contains rule excludes 11/13, and the third rule's criteria do
+    // NOT match the request so its ids must stay un-pinned
+    "q_rule_query" -> ((s, d) => {
+      graft.dsl.RuleStore.put("promo", """{"rules": [
+        {"rule_id": "r1", "type": "pinned",
+         "criteria": [{"type": "exact", "metadata": "user_query",
+                       "values": ["hash join"]}],
+         "actions": {"ids": [42, 7]}},
+        {"rule_id": "r2", "type": "exclude",
+         "criteria": [{"type": "contains", "metadata": "user_query",
+                       "values": ["join"]}],
+         "actions": {"ids": [11, 13]}},
+        {"rule_id": "r3", "type": "pinned",
+         "criteria": [{"type": "exact", "metadata": "user_query",
+                       "values": ["unrelated request"]}],
+         "actions": {"ids": [3, 4]}}]}""")
+      t(s, d, "documents").where(graft.dsl.QueryDslJson.compile(
+        """{"rule": {"organic": {"match": {"text":
+             {"query": "hash join", "operator": "and"}}},
+            "ruleset_ids": ["promo"],
+            "match_criteria": {"user_query": "hash join"}}}""", "doc_id"))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+    // the stored-ruleset SCORING path (rule retriever over BM25):
+    // fired rules pin 23/5 and exclude 2; the no-fire rule's id 99
+    // must rank organically or not at all
+    "q_rule_ruleset" -> ((s, d) => {
+      graft.dsl.RuleStore.put("promo-score", """{"rules": [
+        {"rule_id": "p", "type": "pinned",
+         "criteria": [{"type": "prefix", "metadata": "user_query",
+                       "values": ["fast"]}],
+         "actions": {"ids": [23, 5]}},
+        {"rule_id": "x", "type": "exclude",
+         "criteria": [{"type": "suffix", "metadata": "user_query",
+                       "values": ["join"]}],
+         "actions": {"ids": [2]}},
+        {"rule_id": "n", "type": "pinned",
+         "criteria": [{"type": "exact", "metadata": "user_query",
+                       "values": ["something else"]}],
+         "actions": {"ids": [99]}}]}""")
+      Search.ruleQueryTopK(t(s, d, "documents"), "doc_id", "text",
+        "fast hash join", Seq("promo-score"),
+        Map("user_query" -> "fast hash join"), k = 10)
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -418,6 +494,45 @@ private[graft] object EntriesLate {
       "FROM toks a JOIN toks b USING (doc_id) WHERE a.term < b.term " +
       "GROUP BY 1, 2 HAVING count(*) >= 3 " +
       "ORDER BY doc_count DESC, source, target"),
+    // ---- r12 additions ----
+    // knn query clause: exact top-25 by 4-dp cosine (num_candidates
+    // covers the corpus), then the sibling bool filter intersects
+    "q_dsl_knn" -> ("WITH e AS (SELECT vec_id, label, " +
+      "list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), " +
+      "q AS (SELECT list_transform(range(0, 64), i -> (i * 41 % 100) / 100.0 - 0.5) AS qv), " +
+      "n AS (SELECT vec_id, label, v, sqrt(list_reduce(list_prepend(0.0, " +
+      "list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm FROM e), " +
+      "qn AS (SELECT qv, sqrt(list_reduce(list_prepend(0.0, " +
+      "list_transform(qv, x -> x * x)), (a, b) -> a + b)) AS qnrm FROM q), " +
+      "p AS (SELECT vec_id, label, " +
+      "round(list_reduce(list_prepend(0.0, list_transform(range(1, len(v) + 1), " +
+      "i -> v[i] * qv[i])), (x, y) -> x + y) / (nrm * qnrm), 4) AS cosine " +
+      "FROM n CROSS JOIN qn), " +
+      "topk AS (SELECT vec_id, label FROM (SELECT *, " +
+      "row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank FROM p) " +
+      "WHERE rank <= 25) " +
+      "SELECT vec_id, label FROM topk WHERE label = 2 ORDER BY vec_id"),
+    "q_semantic_query" -> (TokCte + " SELECT doc_id FROM tok " +
+      "WHERE len(list_filter(toks, t -> t IN ('vector', 'hash', 'merge'))) > 0 " +
+      "ORDER BY doc_id"),
+    "q_weighted_tokens" -> (TokCte + " SELECT doc_id FROM tok " +
+      "WHERE len(list_filter(toks, t -> t IN ('vector', 'quantile'))) > 0 " +
+      "ORDER BY doc_id"),
+    // fired rules only: r1 pins 42/7, r2 excludes 11/13; r3's ids
+    // (3, 4) appear ONLY if they match the organic AND query
+    "q_rule_query" -> (TokCte + " SELECT doc_id FROM tok " +
+      "WHERE ((len(list_filter(toks, t -> t = 'hash')) > 0 " +
+      "AND len(list_filter(toks, t -> t = 'join')) > 0) " +
+      "OR doc_id IN (42, 7)) AND doc_id NOT IN (11, 13) ORDER BY doc_id"),
+    "q_rule_ruleset" -> (TokCte + bm25Ctes("", "tok", Seq("fast", "hash", "join")) +
+      ", au AS (SELECT id, score FROM sc UNION ALL " +
+      "SELECT doc_id AS id, 0.0 AS score FROM documents " +
+      "WHERE doc_id IN (23, 5) AND doc_id NOT IN (SELECT id FROM sc)), " +
+      "r AS (SELECT id, score, " +
+      "CASE WHEN id = 23 THEN 0 WHEN id = 5 THEN 1 ELSE 2147483647 END AS pin_rank " +
+      "FROM au WHERE id NOT IN (2)) " +
+      "SELECT id, score, pin_rank < 2147483647 AS pinned FROM r " +
+      "ORDER BY pin_rank, score DESC, id LIMIT 10"),
     "q_retriever_rule" -> (TokCte + bm25Ctes("", "tok", Seq("fast", "hash", "join")) +
       ", au AS (SELECT id, score FROM sc UNION ALL " +
       "SELECT doc_id AS id, 0.0 AS score FROM documents " +

@@ -603,9 +603,10 @@ object ScaleProbe {
       graft.dsl.Esql.applyCommand(withIp,
         "where cidr_match(ip, \"10.64.0.0/10\", \"10.192.0.0/12\")").count()
     }
-    // r11 continuation: DSIR — the fit exchanges are bucket-bounded
-    // (2×4096 rows), scoring is broadcast-join + per-doc partial agg,
-    // so the curve must stay ~linear in the exploded feature stream
+    // r11 continuation: DSIR — the fit exchange is bucket-bounded
+    // (≤4096 rows collected as the model), scoring is the map-only
+    // compiled kernel, so the curve must stay ~linear in the fit
+    // pass's exploded feature stream
     time("dsir_weights_10x") {
       graft.text.Dsir.importanceWeights(
         docs, docs.where(col("source") === "src1"), "doc_id", "text").count()

@@ -328,9 +328,7 @@ object Dedup {
     // process death anyway). Both are EAGER, doubling as the round's
     // materialization barrier; superseded blocks are dropped by the
     // ContextCleaner when the frame goes out of scope.
-    def truncate(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint()
+    def truncate(df: DataFrame): DataFrame = graft.util.Stages.truncate(df)
     // seed with the neighborhood minimum directly (min of self and all
     // neighbors) — one round cheaper than the identity seeding
     var labels = truncate(edges

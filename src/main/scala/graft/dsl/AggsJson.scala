@@ -134,18 +134,25 @@ object AggsJson {
           case _ => throw new IllegalArgumentException(
             s"random_sampler under '$name' needs sub-aggs (it is a sampling wrapper)")
         }
-        // DOCUMENTED DELTA: outputs are the RAW sample's values — ES
-        // additionally scales doc_count (and sum-type sub-aggs) back
-        // up by 1/probability. Raw counts keep every sub-agg shape
-        // consistent (an avg must NOT scale, a percentile must not —
-        // ES special-cases per metric); callers wanting the estimate
-        // multiply count columns by 1/probability themselves. The
-        // other deltas at this node: key_field replaces ES's
-        // shard-local RNG with the deterministic content-hash draw.
+        // ES parity: doc_count and sum-type metrics (sum, value_count)
+        // scale back up by 1/probability — the per-metric special-
+        // casing ES does (an avg must NOT scale, a percentile must
+        // not). doc_count floor-casts to long like the Scala kernel's
+        // est_total. The remaining delta at this node: key_field
+        // replaces ES's shard-local RNG with the deterministic
+        // content-hash draw (oracle-reproducible).
         val sampled = df.where(Num.uniformHash48(col(keyField)) < p)
-        return compile(sampled,
+        val raw = compile(sampled,
           JsonMethods.compact(JsonMethods.render(JObject(List(JField("aggs", sub))))),
           fgPred, background)
+        val sumCols = sumTypeAggNames(sub)
+        return raw.columns.foldLeft(raw) { (f, c) =>
+          if (c == "doc_count")
+            f.withColumn(c, floor(col(c).cast("double") / p).cast("long"))
+          else if (sumCols(c))
+            f.withColumn(c, Num.round(col(c).cast("double") / p, 4))
+          else f
+        }
       // `missing` (the null-bucket count): one-row doc_count of docs
       // lacking the field
       case JField(name, JObject(JField("missing", JObject(ms)) :: Nil)) :: Nil =>
@@ -275,7 +282,9 @@ object AggsJson {
         val m = rs.toMap
         val f = str(m, "field", "rare_terms")
         val maxDoc = m.get("max_doc_count").map(num(_).toLong).getOrElse(1L)
-        return df.groupBy(col(f).as("key"))
+        // ES terms-family semantics: docs missing the field join no
+        // bucket — without the filter they'd form a null-key bucket
+        return df.where(col(f).isNotNull).groupBy(col(f).as("key"))
           .agg(count(lit(1)).as("doc_count"))
           .where(col("doc_count") <= maxDoc)
           .orderBy(col("doc_count").asc, col("key").asc)
@@ -906,7 +915,13 @@ object AggsJson {
           val p = resolve(df, str(body, "buckets_path", kind))
           val n = body.get("window").map(num(_).toInt).getOrElse(
             throw new IllegalArgumentException("moving_fn needs window"))
-          val w = ordered.rowsBetween(-(n - 1), 0)
+          // ES's window is [current - window + shift, current + shift):
+          // the DEFAULT shift:0 EXCLUDES the current bucket, shift:1
+          // ends the window on it, larger shifts look ahead — all
+          // compile to the same rowsBetween frame (an empty frame
+          // yields null, like ES's gap policy)
+          val shift = body.get("shift").map(num(_).toInt).getOrElse(0)
+          val w = ordered.rowsBetween(shift - n, shift - 1)
           val c = str(body, "script", kind).stripPrefix("MovingFunctions.") match {
             case "unweightedAvg" => avg(p).over(w)
             case "sum" => sum(p).over(w)
@@ -1150,6 +1165,21 @@ object AggsJson {
   private def str(m: Map[String, JValue], k: String, agg: String): String =
     m.get(k).collect { case JString(s) => s }
       .getOrElse(throw new IllegalArgumentException(s"$agg needs $k"))
+
+  /** Names of sum-type metric aggs (sum, value_count) anywhere in an
+    * aggs subtree — the outputs ES scales by 1/probability under
+    * random_sampler (mean/percentile-type metrics stay unscaled). */
+  private def sumTypeAggNames(aggs: JValue): Set[String] = aggs match {
+    case JObject(named) => named.iterator.flatMap {
+      case JField(n, JObject(body)) => body.flatMap {
+        case JField("aggs" | "aggregations", sub) => sumTypeAggNames(sub)
+        case JField("sum" | "value_count", _) => Seq(n)
+        case _ => Nil
+      }
+      case _ => Nil
+    }.toSet
+    case _ => Set.empty
+  }
 
   private def num(v: JValue): Double = v match {
     case JInt(i) => i.toDouble

@@ -6,9 +6,12 @@ import org.apache.spark.sql.Column
   * query (`?q=...` Lucene syntax) or a full Query-DSL JSON object —
   * dispatch on the payload shape, exactly like the connector does. */
 object EsQuery {
-  def compile(q: String, idField: String = "_id", defaultField: String = "text"): Column = {
+  def compile(q: String, idField: String = "_id", defaultField: String = "text",
+      corpus: Option[org.apache.spark.sql.DataFrame] = None): Column = {
     val t = q.trim
-    if (t.startsWith("{")) QueryDslJson.compile(t, idField)
+    if (t.startsWith("{"))
+      corpus.fold(QueryDslJson.compile(t, idField))(
+        f => QueryDslJson.compile(t, idField, f))
     else {
       val body =
         if (t.startsWith("?q=")) t.substring(3)

@@ -31,7 +31,15 @@ object QueryDslJson {
 
 
   def compile(json: String, idField: String = "_id"): Column =
-    compileNode(JsonMethods.parse(json), idField)
+    compileNode(JsonMethods.parse(json), idField, None)
+
+  /** Frame-aware form: clauses that must consult the CORPUS at
+    * compile time — the ES 8.12 `knn` query's rewrite-to-id-set, the
+    * ES 8.15 `semantic` query — need the frame being searched. The
+    * pure-Column form rejects them loudly instead of guessing. */
+  def compile(json: String, idField: String,
+      corpus: org.apache.spark.sql.DataFrame): Column =
+    compileNode(JsonMethods.parse(json), idField, Some(corpus))
 
   /** The (field, query-text) of every SCORING clause in the query tree
     * — `match` clauses at the top level or under bool must/should.
@@ -191,13 +199,15 @@ object QueryDslJson {
     case single => Seq(lits(single))
   }
 
-  private def clauses(v: JValue, idField: String): Seq[Column] = v match {
-    case JArray(xs) => xs.map(compileNode(_, idField))
+  private def clauses(v: JValue, idField: String,
+      corpus: Option[org.apache.spark.sql.DataFrame]): Seq[Column] = v match {
+    case JArray(xs) => xs.map(compileNode(_, idField, corpus))
     case JNothing | JNull => Nil
-    case single => Seq(compileNode(single, idField))
+    case single => Seq(compileNode(single, idField, corpus))
   }
 
-  private def compileNode(q: JValue, idField: String): Column = q match {
+  private def compileNode(q: JValue, idField: String,
+      corpus: Option[org.apache.spark.sql.DataFrame]): Column = q match {
     case JObject(JField(op, body) :: Nil) =>
       (op, body) match {
         case ("match_all", _) => lit(true)
@@ -209,7 +219,7 @@ object QueryDslJson {
         case ("dis_max", JObject(parts)) =>
           parts.toMap.get("queries") match {
             case Some(JArray(xs)) if xs.nonEmpty =>
-              xs.map(compileNode(_, idField)).reduce(_ || _)
+              xs.map(compileNode(_, idField, corpus)).reduce(_ || _)
             case _ => throw new IllegalArgumentException("dis_max needs queries")
           }
 
@@ -392,7 +402,7 @@ object QueryDslJson {
         case ("span_or", JObject(parts)) =>
           parts.toMap.get("clauses") match {
             case Some(JArray(xs)) =>
-              Search.spanOr(xs.map(compileNode(_, idField)))
+              Search.spanOr(xs.map(compileNode(_, idField, corpus)))
             case _ => throw new IllegalArgumentException("span_or needs clauses")
           }
 
@@ -545,7 +555,7 @@ object QueryDslJson {
             throw new IllegalArgumentException("wrapper needs query"))).toString
           compileNode(JsonMethods.parse(new String(
             java.util.Base64.getDecoder.decode(b64),
-            java.nio.charset.StandardCharsets.UTF_8)), idField)
+            java.nio.charset.StandardCharsets.UTF_8)), idField, corpus)
 
         // {"script_score": {"query": {...}, "script": {...}}} — in
         // filter context the script only rescales scores, so the
@@ -554,7 +564,7 @@ object QueryDslJson {
         // the scoring path is Search.scriptScoreTopK
         case ("script_score", JObject(parts)) =>
           compileNode(parts.toMap.getOrElse("query",
-            throw new IllegalArgumentException("script_score needs query")), idField)
+            throw new IllegalArgumentException("script_score needs query")), idField, corpus)
 
         // {"script": {"script": {"source": "...", "params": {...}}}} —
         // a boolean Painless filter. The subset compiles comparisons
@@ -601,16 +611,105 @@ object QueryDslJson {
           val ids = arr(m.getOrElse("ids",
             throw new IllegalArgumentException("pinned needs ids")))
           val organic = compileNode(m.getOrElse("organic",
-            throw new IllegalArgumentException("pinned needs organic")), idField)
+            throw new IllegalArgumentException("pinned needs organic")), idField, corpus)
           organic || col(idField).isin(ids: _*)
+
+        // {"knn": {"field", "query_vector", "k", "num_candidates",
+        //  "filter", "similarity"}} — the ES 8.12 QUERY-context knn
+        // clause, composable under bool must/filter/should (distinct
+        // from the top-level body `knn`, which SearchBody routes). ES
+        // implements it as a REWRITE: the approximate search runs
+        // first and the clause becomes a doc-id-set query — mirrored
+        // here by running the body knn kernel (Ann.knnSearch) at
+        // compile time and gating on the k-bounded id set (ES caps
+        // k/num_candidates at 10^4, so the collect is bounded, like
+        // search_after paging). The node's own `filter` is its
+        // PRE-filter, exactly like the body form; sibling bool clauses
+        // intersect afterwards, like ES.
+        case ("knn", JObject(parts)) =>
+          val frame = corpus.getOrElse(throw new IllegalArgumentException(
+            "knn in query context rewrites against the searched corpus — " +
+              "compile through the frame-aware overload (or the SearchBody " +
+              "front door)"))
+          val ids = graft.sim.Ann.knnSearch(frame, idField,
+            JsonMethods.compact(JsonMethods.render(
+              JObject(List(JField("knn", JObject(parts)))))), idField)
+            .select(col("id")).collect().map(_.get(0))
+          if (ids.isEmpty) lit(false)
+          else col(idField).isin(ids.toSeq: _*)
+
+        // {"semantic": {"field": f, "query": q}} — the ES 8.15
+        // semantic_text query. Expansion routes through the
+        // InferenceService seam (Inference.service.expandQuery —
+        // ELSER's sparse (term, weight) output shape; the default
+        // deterministic stub expands to unit-weight analyzed terms).
+        // Filter-context semantics mirror sparse_vector: a doc matches
+        // iff its expansion dot product is nonzero, i.e. any expanded
+        // term present; Search.semanticTopK is the scoring path.
+        case ("semantic", JObject(parts)) =>
+          val m = parts.toMap
+          val f = lits(m.getOrElse("field",
+            throw new IllegalArgumentException("semantic needs field"))).toString
+          val q = lits(m.getOrElse("query",
+            throw new IllegalArgumentException("semantic needs query"))).toString
+          val toks = graft.inference.Inference.service.expandQuery(q).map(_._1)
+          require(toks.nonEmpty, s"semantic expansion produced no terms: $q")
+          arrays_overlap(graft.analysis.Analyzer.tokens(fieldRef(f)),
+            lit(toks.toArray))
+
+        // {"weighted_tokens": {f: {"tokens": {tok: w, ...}}}} — the ES
+        // 8.13 pre-computed token-weight form of sparse_vector (the
+        // client ran the expansion model itself). Filter context: any
+        // query token present (dot > 0); Search.sparseVectorTopK is
+        // the scoring path. pruning_config drops low-signal tokens and
+        // would CHANGE the matched set — loud, never silently ignored.
+        case ("weighted_tokens", JObject(JField(f, JObject(wparts)) :: Nil)) =>
+          val m = wparts.toMap
+          val unknownW = m.keySet -- Set("tokens", "boost")
+          require(unknownW.isEmpty,
+            s"unsupported weighted_tokens option(s): ${unknownW.toSeq.sorted.mkString(", ")}")
+          val toks = m.get("tokens") match {
+            case Some(JObject(ps)) if ps.nonEmpty => ps.map { case JField(tk, _) => tk }
+            case _ => throw new IllegalArgumentException(
+              "weighted_tokens needs a non-empty tokens object")
+          }
+          arrays_overlap(graft.analysis.Analyzer.tokens(fieldRef(f)),
+            lit(toks.toArray))
+
+        // {"rule": {"organic": {...}, "ruleset_ids": [...],
+        //  "match_criteria": {...}}} — ES 8.10 query rules. Criteria
+        // match the REQUEST, so rules evaluate at compile time
+        // (QueryRules.firedActions); filter-context semantics follow
+        // pinned: organic ∪ fired-pinned ids, minus fired-excluded ids
+        // (Search.ruleQueryTopK is the scoring path).
+        case ("rule", JObject(parts)) =>
+          val m = parts.toMap
+          val organic = compileNode(m.getOrElse("organic",
+            throw new IllegalArgumentException("rule needs organic")), idField, corpus)
+          val rulesets = m.get("ruleset_ids") match {
+            case Some(JArray(xs)) if xs.nonEmpty =>
+              xs.map(x => RuleStore.resolve(lits(x).toString))
+            case _ => throw new IllegalArgumentException("rule needs ruleset_ids")
+          }
+          val crit = m.get("match_criteria") match {
+            case Some(JObject(ps)) =>
+              ps.map { case JField(k2, v2) => k2 -> lits(v2).toString }.toMap
+            case _ => throw new IllegalArgumentException("rule needs match_criteria")
+          }
+          val (pinnedIds, excludedIds) = QueryRules.firedActions(rulesets, crit)
+          val base =
+            if (pinnedIds.isEmpty) organic
+            else organic || col(idField).isin(pinnedIds: _*)
+          if (excludedIds.isEmpty) base
+          else base && !col(idField).isin(excludedIds: _*)
 
         case ("bool", JObject(parts)) =>
           val m = parts.toMap
           QueryDsl.bool(
-            must = clauses(m.getOrElse("must", JNothing), idField),
-            filter = clauses(m.getOrElse("filter", JNothing), idField),
-            should = clauses(m.getOrElse("should", JNothing), idField),
-            mustNot = clauses(m.getOrElse("must_not", JNothing), idField),
+            must = clauses(m.getOrElse("must", JNothing), idField, corpus),
+            filter = clauses(m.getOrElse("filter", JNothing), idField, corpus),
+            should = clauses(m.getOrElse("should", JNothing), idField, corpus),
+            mustNot = clauses(m.getOrElse("must_not", JNothing), idField, corpus),
             minimumShouldMatch = m.get("minimum_should_match")
               .map(lits(_).toString.toInt).getOrElse(0))
 

@@ -152,6 +152,24 @@ object SearchBody {
         df.orderBy(col(idField).asc).limit(n)
     }
 
+  /** The agg-TYPE keys present anywhere in an aggs tree: the keys of
+    * each NAMED agg's body object, minus the nesting/meta keys,
+    * recursing through sub-aggs. Substring-matching the rendered JSON
+    * would false-positive on field names, agg names, or string values
+    * that merely contain a type word (a terms agg on field
+    * "global_region" is not a `global` agg). */
+  private def aggTypeKeys(aggs: JValue): Set[String] = aggs match {
+    case JObject(named) => named.iterator.flatMap {
+      case JField(_, JObject(body)) => body.flatMap {
+        case JField("aggs" | "aggregations", sub) => aggTypeKeys(sub)
+        case JField("meta", _) => Nil
+        case JField(t, _) => Seq(t)
+      }
+      case _ => Nil
+    }.toSet
+    case _ => Set.empty
+  }
+
   private def jnum(v: JValue): Double = v match {
     case JInt(i) => i.toDouble
     case JLong(l) => l.toDouble
@@ -239,7 +257,8 @@ object SearchBody {
         graft.search.Search.matchPhraseScores(df, idField, f, text) })
       .getOrElse {
         val clauses = QueryDslJson.scoringClauses(q)
-        val hits = df.where(EsQuery.compile(q, idField)).select(col(idField).as("id"))
+        val hits = df.where(EsQuery.compile(q, idField, corpus = Some(df)))
+          .select(col(idField).as("id"))
         if (clauses.isEmpty) hits.withColumn("score", lit(1.0))
         else hits
           .join(graft.search.Search.bm25BoolClausesScores(df, idField, clauses),
@@ -398,7 +417,8 @@ object SearchBody {
             "hits this one-frame response cannot carry; use size: 0 (or " +
             "issue a separate hits request)")
       }
-      val pred = queryJson.map(q => EsQuery.compile(q, idField))
+      val pred = queryJson.map(q =>
+        EsQuery.compile(q, idField, corpus = Some(projected)))
       val filtered0 = pred.fold(projected)(projected.where)
       // terminate_after caps the COLLECTED set feeding the aggs (the
       // shared id-order-prefix reading). The background-frame nodes
@@ -408,8 +428,7 @@ object SearchBody {
       val filtered = capTerminateAfter(filtered0, root, idField)
       if (root.get("terminate_after").exists(jnum(_) != 0.0)) {
         val bgNodes = Seq("significant_terms", "significant_text", "global")
-          .filter(JsonMethods.compact(JsonMethods.render(
-            root.getOrElse("aggs", root("aggregations")))).contains)
+          .filter(aggTypeKeys(root.getOrElse("aggs", root("aggregations"))))
         require(bgNodes.isEmpty,
           s"terminate_after cannot cap ${bgNodes.mkString(", ")} — those nodes " +
             "measure against the UNCAPPED background frame, so the cap would be " +
@@ -486,7 +505,8 @@ object SearchBody {
         val scored = scoredQueryFrame(projected, idField, q)
           .select(col("id").as("__qid"), col("score").as("_score"))
         projected.join(scored, col(idField) === col("__qid")).drop("__qid")
-      case (Some(q), false) => projected.where(EsQuery.compile(q, idField))
+      case (Some(q), false) =>
+        projected.where(EsQuery.compile(q, idField, corpus = Some(projected)))
       case (None, true) => projected.withColumn("_score", lit(1.0))
       case (None, false) => projected
     }

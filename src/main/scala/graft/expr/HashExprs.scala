@@ -120,6 +120,26 @@ object HashKernels {
     sig
   }
 
+  /** DSIR per-doc importance sum: Σ model[hash48(md5(g)) mod B] over
+    * an ngram array, where `model` is the DENSE bucket table of
+    * 4-dp-SCALED log-ratios (longs — the decimal(18,4) unscaled
+    * values, so the fold is exact integer math in one compiled loop;
+    * the caller divides the sum by 10^4). Replaces the
+    * explode -> broadcast-join -> re-agg pipeline for scoring: same
+    * values, but map-only — no exchange at all. */
+  def dsirScoreKernel(arr: ArrayData, model: Array[Long]): Long = {
+    val md = MessageDigest.getInstance("MD5")
+    val b = model.length
+    var sum = 0L
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      sum += model((hash48(md, arr.getUTF8String(i).getBytes) % b).toInt)
+      i += 1
+    }
+    sum
+  }
+
   /** one-pass (n_tokens, n_distinct, stop_hits) over a token array. */
   def tokenStatsKernel(
       arr: ArrayData,
@@ -764,6 +784,35 @@ case class SparseTfDot(child: Expression, terms: Seq[String], weights: Seq[Doubl
   }
 
   override protected def withNewChildInternal(newChild: Expression): SparseTfDot =
+    copy(child = newChild)
+}
+
+/** DSIR importance-weight sum over an ngram array against a dense
+  * 4-dp-scaled log-ratio bucket model (see HashKernels.dsirScoreKernel).
+  * The model rides into codegen as a reference object — 4096 longs,
+  * broadcast with the task closure, never a join side. */
+case class DsirScoreSum(child: Expression, model: Seq[Long])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(model.nonEmpty, "DSIR bucket model must be non-empty")
+
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dsir_score_sum"
+
+  @transient private lazy val modelArr: Array[Long] = model.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(
+      HashKernels.dsirScoreKernel(input.asInstanceOf[ArrayData], modelArr))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val modelRef = ctx.addReferenceObj("dsirModel", modelArr, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.HashKernels.dsirScoreKernel($c, $modelRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DsirScoreSum =
     copy(child = newChild)
 }
 

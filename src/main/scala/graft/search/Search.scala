@@ -801,6 +801,27 @@ object Search {
     pinnedRanked(docs, idCol, bm25Scores(docs, idCol, textCol, query),
       pinned, excluded, k)
 
+  /** The STORED-ruleset form of query rules (ES `_query_rules` + the
+    * `rule` retriever/query): resolve ruleset ids, evaluate each
+    * rule's criteria against the request's match_criteria on the
+    * driver (criteria describe the REQUEST, not documents — this is
+    * plan-construction work, exactly like ES's rewrite phase), and
+    * apply the fired rules' pinned/excluded ids through the shared
+    * pinned kernel. A rule whose criteria don't match contributes
+    * nothing — criteria-gated pinning, not unconditional. */
+  def ruleQueryTopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      query: String,
+      rulesetIds: Seq[String],
+      matchCriteria: Map[String, String],
+      k: Int): DataFrame = {
+    val (pinned, excluded) = graft.dsl.QueryRules.firedActions(
+      rulesetIds.map(graft.dsl.RuleStore.resolve), matchCriteria)
+    ruleTopK(docs, idCol, textCol, query, pinned, excluded, k)
+  }
+
   /** `boosting`: positive relevance, demoted (not excluded) when the
     * negative clause matches — score x negativeBoost. */
   def boostingTopK(

@@ -1,9 +1,11 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.functions._
 
 import graft.analysis.Analyzer
+import graft.expr.DsirScoreSum
 import graft.util.Num
 
 /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
@@ -13,18 +15,23 @@ import graft.util.Num
   * generalized).
   *
   * Shape at scale: features are unigram+bigram hashes bucketed to
-  * `buckets` (the paper's hashed feature map), so the two model
-  * frames are ≤ `buckets` rows each — one partial-aggregated
-  * exchange over the exploded feature stream builds them, the
-  * log-ratio table BROADCASTS to the per-doc scoring join, and the
-  * per-doc sum partial-aggregates to an exchange of ~N rows. Nothing
-  * ever shuffles the raw N×features stream unaggregated, and there
-  * is no driver-side model state at all — both "fit" and "score"
-  * stay declarative.
+  * `buckets` (the paper's hashed feature map), so the fitted model is
+  * ≤ `buckets` rows — ONE partial-aggregated exchange over the
+  * exploded feature stream builds it, and the ≤4096-long dense
+  * log-ratio table collects to the driver (`fitBucketModel`, a
+  * bounded collect like the IVF centroids). Scoring is then MAP-ONLY:
+  * the table rides into a compiled DsirScoreSum kernel as a codegen
+  * reference object, so the per-doc weight is one narrow pass — no
+  * explode, no join, no exchange (the fit-and-score-in-one-call form
+  * used to pay a second full corpus explode for scoring). A fitted
+  * model reuses across scoring and resampling calls for free
+  * (`weightsWithModel`), the fix for the fit-per-query cost when
+  * several keys share one target.
   *
   * Determinism: bucket hashing and the resampling Gumbel draw use
   * the shared md5-48 construction (Num.uniformHash48), and the
-  * per-doc sum folds 4-dp decimals, so the DuckDB oracle replays the
+  * per-doc sum folds 4-dp-scaled longs (the decimal(18,4) unscaled
+  * values — exact integer math), so the DuckDB oracle replays the
   * whole pipeline bit-for-bit. */
 object Dsir {
 
@@ -44,70 +51,98 @@ object Dsir {
     concat(toks, bis)
   }
 
-  /** Per-doc log importance weight
-    * λ(x) = Σ_features log(p̂_target(b)/p̂_raw(b)) with Laplace-smoothed
-    * bucket unigram models fit on the target and raw corpora.
-    * Output: (idCol, log_weight). */
-  def importanceWeights(raw: DataFrame, target: DataFrame,
-      idCol: String, textCol: String, buckets: Int = 4096): DataFrame = {
-    def features(df: DataFrame) =
-      df.select(col(idCol).as("id"), explode(ngrams(col(textCol))).as("g"))
-        .select(col("id"), featureBucket(col("g"), buckets).as("b"))
-    val rawF = features(raw)
-    val tgtC = features(target).groupBy("b").agg(count(lit(1)).as("tc"))
-    val rawC = rawF.groupBy("b").agg(count(lit(1)).as("rc"))
-    weightsFrom(rawF, rawC, tgtC, idCol, buckets)
+  /** Fit the hashed-ngram bucket model for the in-corpus form (the
+    * target IS a predicate over the raw corpus): BOTH Laplace models
+    * in ONE explode pass — a conditional count beside the raw count in
+    * the same partial aggregation — then the dense 4-dp-SCALED
+    * log-ratio table
+    *   logr(b) = log((tc_b+1)/(tt+B)) - log((rc_b+1)/(tr+B))
+    * as `buckets` longs (decimal(18,4) unscaled values; unseen buckets
+    * get the both-zero smoothed ratio, which in-corpus scoring never
+    * probes). The collect is bounded by `buckets` (≤4096 rows) — the
+    * IVF-centroid pattern, not a corpus materialization — and the
+    * driver math mirrors the column expressions exactly
+    * (Num.roundDouble = Num.round; BigDecimal.valueOf = the
+    * double->decimal(18,4) cast). */
+  def fitBucketModel(raw: DataFrame, targetPred: Column,
+      idCol: String, textCol: String, buckets: Int): Array[Long] = {
+    val counts = raw
+      .select(targetPred.as("__tgt"), explode(ngrams(col(textCol))).as("g"))
+      .select(col("__tgt"), featureBucket(col("g"), buckets).as("b"))
+      .groupBy("b").agg(
+        count(lit(1)).as("rc"),
+        count(when(col("__tgt"), lit(1))).as("tc"))
+      .collect()
+    modelFromCounts(counts.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))), buckets)
   }
+
+  /** The two-corpus form of the fit: separate raw/target frames, each
+    * one explode + one bounded collect. */
+  def fitBucketModel(raw: DataFrame, target: DataFrame,
+      idCol: String, textCol: String, buckets: Int): Array[Long] = {
+    def counts(df: DataFrame) = df
+      .select(explode(ngrams(col(textCol))).as("g"))
+      .select(featureBucket(col("g"), buckets).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val rc = counts(raw)
+    val tc = counts(target)
+    val merged = (rc.keySet ++ tc.keySet).toArray.map(b =>
+      (b, rc.getOrElse(b, 0L), tc.getOrElse(b, 0L)))
+    modelFromCounts(merged, buckets)
+  }
+
+  private def modelFromCounts(
+      counts: Array[(Long, Long, Long)], buckets: Int): Array[Long] = {
+    val tr = counts.iterator.map(_._2).sum
+    val tt = counts.iterator.map(_._3).sum
+    // exact mirror of the column pipeline the model replaces:
+    // Num.round(log(..) - log(..), 4).cast("decimal(18,4)") — the cast
+    // is BigDecimal.valueOf(double).setScale(4, HALF_UP)
+    def scaled(rc: Long, tc: Long): Long = java.math.BigDecimal
+      .valueOf(Num.roundDouble(
+        math.log((tc + 1).toDouble / (tt + buckets).toDouble) -
+          math.log((rc + 1).toDouble / (tr + buckets).toDouble), 4))
+      .setScale(4, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+    val model = Array.fill(buckets)(scaled(0L, 0L))
+    counts.foreach { case (b, rc, tc) => model(b.toInt) = scaled(rc, tc) }
+    model
+  }
+
+  /** Score against a fitted model: per-doc
+    * λ(x) = Σ_features logr(bucket(g)) via the compiled DsirScoreSum
+    * kernel — one narrow pass, no exchange. Docs with an empty feature
+    * stream produce no row (the explode form's semantics). Output:
+    * (idCol, log_weight). */
+  def weightsWithModel(raw: DataFrame, model: Seq[Long],
+      idCol: String, textCol: String): DataFrame = {
+    val ng = ngrams(col(textCol))
+    val sumScaled = GraftBridge.column(
+      DsirScoreSum(GraftBridge.expression(ng), model))
+    raw
+      .where(size(ng) > 0)
+      .select(col(idCol),
+        (sumScaled.cast("double") / 10000.0).as("log_weight"))
+  }
+
+  /** Per-doc log importance weight, two-corpus form: fit on target +
+    * raw, then the map-only scoring pass. Output: (idCol, log_weight). */
+  def importanceWeights(raw: DataFrame, target: DataFrame,
+      idCol: String, textCol: String, buckets: Int = 4096): DataFrame =
+    weightsWithModel(
+      raw, fitBucketModel(raw, target, idCol, textCol, buckets),
+      idCol, textCol)
 
   /** The common in-corpus form: the target IS a predicate over the
-    * raw corpus (docs.where(looksLikeWikipedia)). Both models then fit
-    * in ONE explode pass — a conditional count beside the raw count in
-    * the same partial aggregation — instead of a second scan+explode
-    * of the target slice. Identical math to the two-frame overload. */
+    * raw corpus (docs.where(looksLikeWikipedia)). One fit explode +
+    * one map-only scoring pass; identical math to the two-frame
+    * overload. */
   def importanceWeights(raw: DataFrame, targetPred: Column,
-      idCol: String, textCol: String, buckets: Int): DataFrame = {
-    val rawF = raw
-      .select(col(idCol).as("id"), targetPred.as("__tgt"),
-        explode(ngrams(col(textCol))).as("g"))
-      .select(col("id"), col("__tgt"), featureBucket(col("g"), buckets).as("b"))
-    // BOTH models in one partial-aggregated pass; persist the
-    // ≤`buckets`-row result so totals + log-ratios derive from the
-    // cached model instead of re-exploding the corpus per reference
-    // (each un-cached reference would be another full explode pass)
-    val both = rawF.groupBy("b").agg(
-      count(lit(1)).as("rc"),
-      count(when(col("__tgt"), lit(1))).as("tc")).persist()
-    val totals = both.agg(sum("rc").as("tr"), sum("tc").as("tt"))
-    val ratio = both.crossJoin(broadcast(totals))
-      .select(col("b"),
-        Num.round(
-          log((col("tc") + 1).cast("double") / (col("tt") + buckets).cast("double")) -
-            log((col("rc") + 1).cast("double") / (col("tr") + buckets).cast("double")), 4)
-          .cast("decimal(18,4)").as("logr"))
-    rawF.drop("__tgt").join(broadcast(ratio), Seq("b"))
-      .groupBy(col("id"))
-      .agg(sum(col("logr")).cast("double").as("log_weight"))
-      .withColumnRenamed("id", idCol)
-  }
-
-  private def weightsFrom(rawF: DataFrame, rawC: DataFrame, tgtC: DataFrame,
-      idCol: String, buckets: Int): DataFrame = {
-    // feature-count totals as a 1-row frame (plan-only — no collect)
-    val totals = tgtC.agg(sum("tc").as("tt")).crossJoin(rawC.agg(sum("rc").as("tr")))
-    // 4-dp-decimal log-ratios keep the per-doc sum order-free exact
-    val ratio = rawC.join(tgtC, Seq("b"), "full_outer")
-      .na.fill(0L, Seq("tc", "rc"))
-      .crossJoin(broadcast(totals))
-      .select(col("b"),
-        Num.round(
-          log((col("tc") + 1).cast("double") / (col("tt") + buckets).cast("double")) -
-            log((col("rc") + 1).cast("double") / (col("tr") + buckets).cast("double")), 4)
-          .cast("decimal(18,4)").as("logr"))
-    rawF.join(broadcast(ratio), Seq("b"))
-      .groupBy(col("id"))
-      .agg(sum(col("logr")).cast("double").as("log_weight"))
-      .withColumnRenamed("id", idCol)
-  }
+      idCol: String, textCol: String, buckets: Int): DataFrame =
+    weightsWithModel(
+      raw, fitBucketModel(raw, targetPred, idCol, textCol, buckets),
+      idCol, textCol)
 
   /** Gumbel top-k — the paper's sampling-without-replacement trick:
     * key = λ(x) + Gumbel(u), keep the k largest. The uniform u is the

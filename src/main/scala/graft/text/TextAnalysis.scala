@@ -625,22 +625,45 @@ object TextAnalysis {
     * key and the scale probe share it): exact-dedup keep (min id per
     * content hash) -> quality gate -> CCNet tail-tercile drop
     * (surprisal terciles of the KEPT set) -> deterministic shard
-    * balance report. Stage boundaries materialize via EAGER
-    * localCheckpoint: the kept frame feeds FOUR consumers (both
-    * surprisal branches, the edge pass, the final join) and the
-    * score frame three — left lazy, the dedup window would recompute
-    * ~6x (measured: 7.9 s -> the checkpointed cost at sf0.1). At
-    * cluster scale checkpoint to parquet instead. */
+    * balance report.
+    *
+    * Scale shape of stage 1: the dedup decision travels as 24-byte
+    * (hash, id) rows — md5 + id project out BEFORE any exchange, the
+    * keep window runs over that narrow frame, and only the DROP ids
+    * (the duplicate fraction of the corpus, ~0.2% on a typical web
+    * crawl) come back, broadcast into a left_anti join against the
+    * full rows. Document text never enters an exchange. The naive
+    * alternative — a row_number window partitioned by md5(text) over
+    * the full frame — shuffles the whole corpus once: at 100 TB that
+    * is a ~100 TB exchange vs this plan's ~0.2% one. At extreme
+    * duplication rates the drop set outgrows a broadcast; drop the
+    * hint and the anti-join still only shuffles 8-byte ids on the
+    * drops side (the full-row side co-partitions by id). Null texts
+    * are UNKNOWN content, not mutually identical — they skip the
+    * dedup key and fall to the quality gate, like Dedup.exactDuplicates.
+    *
+    * Stage boundaries materialize through Stages.truncate (reliable
+    * checkpoint when a checkpoint dir is configured, eager
+    * localCheckpoint otherwise — the dedupClusters recipe): the kept
+    * frame feeds FOUR consumers (both surprisal branches, the edge
+    * pass, the final join) and the score frame three — left lazy, the
+    * dedup stage would recompute ~6x (measured: 7.9 s -> 2.5 s at
+    * sf0.1). */
   def trainingBuildReport(docs: DataFrame, idCol: String, textCol: String,
       qualityMin: Double, nShards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
-    val deduped = docs.withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1).drop("_rn")
-    val kept = qualityScore(col(textCol))(deduped)
-      .where(col("quality") >= qualityMin)
-      .localCheckpoint(true)
-    val srp = unigramSurprisal(kept, idCol, textCol).localCheckpoint(true)
+    import graft.util.Stages
+    val w = Window.partitionBy(col("__h")).orderBy(col("__i"))
+    val drops = docs
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).as("__i"), md5(col(textCol)).as("__h"))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") > 1)
+      .select(col("__i"))
+    val deduped = docs.join(broadcast(drops), col(idCol) === col("__i"), "left_anti")
+    val kept = Stages.truncate(
+      qualityScore(col(textCol))(deduped).where(col("quality") >= qualityMin))
+    val srp = Stages.truncate(unigramSurprisal(kept, idCol, textCol))
     val e2 = Num.roundDouble(
       graft.agg.Aggs.percentilesExactDistributed(
         srp, "surprisal", Seq("e2" -> (2.0 / 3))).head().getDouble(0), 4)
@@ -659,11 +682,19 @@ object TextAnalysis {
     * the N-row score frame, never a single-reducer merge); the bucket
     * key is then map-side math, and the report is one n-bucket
     * groupBy. Edges round to 4 dp so the cut is engine-portable. */
-  def ccnetBuckets(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def ccnetBuckets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     // the score frame computes twice (edge pass + bucket pass) — kept
     // persist-free so no cache entry outlives the call; a caller
-    // running both passes at corpus scale persists `scored` itself
-    val scored = unigramSurprisal(docs, idCol, textCol)
+    // running both passes at corpus scale truncates/persists `scored`
+    // itself and uses the scored-frame form below
+    ccnetBucketsScored(unigramSurprisal(docs, idCol, textCol))
+
+  /** The scored-frame form: callers that already hold the surprisal
+    * frame — composed pipelines, or a standalone caller that
+    * Stages.truncate'd it — pay ONE corpus scan instead of the
+    * standalone form's two (the edge pass and the bucket pass both
+    * read `scored`, so a materialized frame serves both). */
+  def ccnetBucketsScored(scored: DataFrame): DataFrame = {
     val edges = graft.agg.Aggs.percentilesExactDistributed(
       scored, "surprisal", Seq("e1" -> (1.0 / 3), "e2" -> (2.0 / 3))).head()
     val (e1, e2) = (Num.roundDouble(edges.getDouble(0), 4),

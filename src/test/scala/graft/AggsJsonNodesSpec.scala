@@ -434,4 +434,47 @@ class AggsJsonNodesSpec extends SparkSpec {
     }
     assert(e4.getMessage.contains("bad date_histogram offset"))
   }
+
+  test("moving_fn shift: default 0 excludes the current bucket, shift 1 includes it") {
+    def frame(shift: String) = AggsJson.compile(orders,
+      s"""{"aggs": {"m": {"date_histogram": {"field": "o_orderdate",
+           "calendar_interval": "month"},
+           "aggs": {"sales": {"sum": {"field": "o_totalprice"}},
+                    "ma": {"moving_fn": {"buckets_path": "sales", "window": 2$shift,
+                                         "script": "MovingFunctions.sum"}}}}}}""")
+      .select($"sales".as[Double], $"ma".as[Option[Double]]).collect()
+    val d0 = frame("")
+    // shift 0 (ES default), window 2: ma_i = sales_{i-2} + sales_{i-1};
+    // the first bucket's frame is empty -> null (ES's gap value)
+    assert(d0.head._2.isEmpty)
+    assert(math.abs(d0(2)._2.get - (d0(0)._1 + d0(1)._1)) < 1e-3)
+    // shift 1: the window ends ON the current bucket
+    val d1 = frame(""", "shift": 1""")
+    assert(math.abs(d1(2)._2.get - (d1(1)._1 + d1(2)._1)) < 1e-3)
+    assert(math.abs(d1.head._2.get - d1.head._1) < 1e-3)
+  }
+
+  test("random_sampler scales doc_count and sum-type metrics by 1/p, not avg") {
+    import graft.util.Num
+    val out = AggsJson.compile(docs,
+      """{"aggs": {"s": {"random_sampler": {"probability": 0.5, "key_field": "doc_id"},
+           "aggs": {"n": {"value_count": {"field": "doc_id"}},
+                    "m": {"avg": {"field": "n_chars"}}}}}}""")
+      .select($"n".as[Double], $"m".as[Double]).head()
+    val sample = docs.where(Num.uniformHash48(col("doc_id")) < 0.5)
+    val sc = sample.count()
+    assert(out._1 == sc / 0.5, s"value_count must scale by 1/p: ${out._1} vs $sc")
+    val rawAvg = sample.agg(avg($"n_chars")).head().getDouble(0)
+    assert(math.abs(out._2 - rawAvg) < 1e-3, "avg must NOT scale")
+  }
+
+  test("rare_terms drops null keys like the ES terms family") {
+    val withNulls = docs.withColumn("maybe",
+      when($"lang" === "en", lit(null).cast("string")).otherwise($"lang"))
+    val keys = AggsJson.compile(withNulls,
+      """{"aggs": {"r": {"rare_terms": {"field": "maybe", "max_doc_count": 100000}}}}""")
+      .select($"key".as[String]).collect()
+    assert(keys.nonEmpty && !keys.contains(null),
+      s"null-key bucket must not materialize: ${keys.mkString(",")}")
+  }
 }

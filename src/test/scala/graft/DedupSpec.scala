@@ -214,14 +214,38 @@ class DedupSpec extends SparkSpec {
       .agg(avg($"log_weight")).as[(Boolean, Double)].collect().toMap
     assert(means(true) > means(false),
       s"target-mean ${means(true)} should beat non-target ${means(false)}")
-    // scale shape: the per-doc scoring join must broadcast the
-    // B-bounded ratio table, never shuffle the exploded feature stream
-    // for a sort-merge join
+    // scale shape: scoring against the fitted model is MAP-ONLY — the
+    // dense log-ratio table rides into the compiled kernel as a
+    // codegen reference, so the plan has no exchange, no join, and no
+    // explode (the fit pass pays the one bucket-bounded exchange)
     val plan = w.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("Exchange") && !plan.contains("Generate"), plan.take(2000))
     // resampling is deterministic and k-bounded
     val r1 = Dsir.resampleTopK(w, "doc_id", 20).as[(Long, Double, Double)].collect()
     val r2 = Dsir.resampleTopK(w, "doc_id", 20).as[(Long, Double, Double)].collect()
     assert(r1.toSeq == r2.toSeq && r1.length == 20)
+  }
+
+  test("DSIR fitted-model kernel equals the declarative explode-join-sum pipeline") {
+    import spark.implicits._
+    import graft.text.Dsir
+    val docs = Tables.documents(spark, sfDir)
+    val model = Dsir.fitBucketModel(
+      docs, col("source") === "src1", "doc_id", "text", 1024).toSeq
+    val fast = Dsir.weightsWithModel(docs, model, "doc_id", "text")
+    // declarative reference: explode -> bucket -> broadcast ratio join
+    // -> decimal(18,4) sum -> double (the pre-kernel pipeline). The
+    // kernel must reproduce it BIT-FOR-BIT — same rounding, same
+    // decimal fold — or the oracle hash would drift.
+    val ratio = model.zipWithIndex
+      .map { case (v, b) => (b.toLong, v / 10000.0) }.toDF("b", "lr")
+      .select($"b", $"lr".cast("decimal(18,4)").as("logr"))
+    val ref = docs
+      .select($"doc_id", explode(Dsir.ngrams($"text")).as("g"))
+      .select($"doc_id", Dsir.featureBucket($"g", 1024).as("b"))
+      .join(broadcast(ratio), Seq("b"))
+      .groupBy($"doc_id").agg(sum($"logr").cast("double").as("lw"))
+    assert(fast.count() == ref.count())
+    assert(fast.join(ref, "doc_id").where($"log_weight" =!= $"lw").count() == 0)
   }
 }

@@ -257,4 +257,96 @@ class QueryDslSpec extends SparkSpec {
     assert(ids("within") == Set(1L))
     assert(ids("contains") == Set(2L))
   }
+
+  test("knn query clause composes under bool; pure-Column compile rejects it loudly") {
+    import graft.dsl.QueryDslJson
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val vec = (0 until 64).map(i => (i * 41 % 100) / 100.0 - 0.5)
+    val knn = s"""{"knn": {"field": "embedding",
+      "query_vector": [${vec.mkString(",")}], "k": 10, "num_candidates": 100000}}"""
+    // standalone: exactly the kernel's top-10 id set
+    val expect = graft.sim.Ann.knnSearch(emb, "vec_id", knn, "vec_id")
+      .select($"id".as[Long]).collect().toSet
+    val got = emb.where(QueryDslJson.compile(knn, "vec_id", emb))
+      .select($"vec_id".as[Long]).collect().toSet
+    assert(got == expect && got.size == 10)
+    // under bool: the sibling filter INTERSECTS the knn id set
+    val filtered = emb.where(QueryDslJson.compile(
+      s"""{"bool": {"must": [$knn], "filter": [{"term": {"label": 1}}]}}""",
+      "vec_id", emb)).select($"vec_id".as[Long], $"label".as[Int]).collect()
+    assert(filtered.forall(r => expect(r._1) && r._2 == 1))
+    // the frame-less overload cannot rewrite knn — loud, never wrong
+    val e = intercept[IllegalArgumentException] {
+      QueryDslJson.compile(knn, "vec_id")
+    }
+    assert(e.getMessage.contains("corpus"))
+  }
+
+  test("query rules: criteria gate which rules fire; unsupported criterion loud") {
+    import graft.dsl.{QueryRules, RuleStore}
+    val rs = """{"rules": [
+      {"rule_id": "a", "type": "pinned",
+       "criteria": [{"type": "exact", "metadata": "q", "values": ["red shoes"]}],
+       "actions": {"ids": [1, 2]}},
+      {"rule_id": "b", "type": "pinned",
+       "criteria": [{"type": "prefix", "metadata": "q", "values": ["red"]},
+                     {"type": "suffix", "metadata": "q", "values": ["boots"]}],
+       "actions": {"ids": [3]}},
+      {"rule_id": "c", "type": "exclude",
+       "criteria": [{"type": "contains", "metadata": "q", "values": ["shoes"]}],
+       "actions": {"ids": [9]}},
+      {"rule_id": "d", "type": "pinned",
+       "criteria": [{"type": "always"}],
+       "actions": {"ids": [4]}}]}"""
+    // "red shoes": a fires, b does NOT (suffix criterion fails — ALL
+    // criteria must match), c fires, d always fires
+    assert(QueryRules.firedActions(Seq(rs), Map("q" -> "red shoes")) ==
+      (Seq(1L, 2L, 4L), Seq(9L)))
+    // "red boots": b and d fire only
+    assert(QueryRules.firedActions(Seq(rs), Map("q" -> "red boots")) ==
+      (Seq(3L, 4L), Seq.empty[Long]))
+    // no metadata at all: only the always rule
+    assert(QueryRules.firedActions(Seq(rs), Map.empty) ==
+      (Seq(4L), Seq.empty[Long]))
+    val bad = intercept[IllegalArgumentException] {
+      QueryRules.firedActions(Seq("""{"rules": [{"rule_id": "z", "type": "pinned",
+        "criteria": [{"type": "fuzzy", "metadata": "q", "values": ["x"]}],
+        "actions": {"ids": [1]}}]}"""), Map("q" -> "x"))
+    }
+    assert(bad.getMessage.contains("criterion type"))
+    val missing = intercept[IllegalArgumentException] {
+      RuleStore.resolve("never-registered")
+    }
+    assert(missing.getMessage.contains("never-registered"))
+  }
+
+  test("semantic routes through the inference seam; weighted_tokens pruning is loud") {
+    import graft.dsl.QueryDslJson
+    import graft.inference.{Inference, InferenceService, DeterministicStub}
+    val docs = Tables.documents(spark, sfDir)
+    val stubHits = docs.where(QueryDslJson.compile(
+      """{"semantic": {"field": "text", "query": "vector hash"}}"""))
+      .count()
+    // a swapped service changes the expansion — proof the clause
+    // reads the seam, not a hardcoded analyzer call
+    val swapped: InferenceService = new InferenceService {
+      def expandQuery(q: String) = Seq("zzz-not-a-token" -> 1.0)
+      def rerankScore(q: String, t: org.apache.spark.sql.Column) =
+        DeterministicStub.rerankScore(q, t)
+      def complete(p: org.apache.spark.sql.Column) = DeterministicStub.complete(p)
+      def decoder() = DeterministicStub.decoder()
+    }
+    Inference.service = swapped
+    try {
+      val none = docs.where(QueryDslJson.compile(
+        """{"semantic": {"field": "text", "query": "vector hash"}}""")).count()
+      assert(none == 0 && stubHits > 0)
+    } finally Inference.service = DeterministicStub
+    val loud = intercept[IllegalArgumentException] {
+      QueryDslJson.compile("""{"weighted_tokens": {"text": {
+        "tokens": {"a": 1.0},
+        "pruning_config": {"tokens_freq_ratio_threshold": 5}}}}""")
+    }
+    assert(loud.getMessage.contains("pruning_config"))
+  }
 }

@@ -682,4 +682,26 @@ class SearchBodySpec extends SparkSpec {
     }
     assert(typo.getMessage.contains("sourcex"))
   }
+
+  test("terminate_after background-agg guard matches agg-node KEYS, not substrings") {
+    // a terms agg on a field merely NAMED like a background agg node
+    // must pass — substring matching on the rendered JSON would
+    // spuriously reject it
+    val ok = SearchBody.search(
+      docs.withColumn("global_region", $"lang"),
+      """{"query": {"term": {"lang": "en"}}, "terminate_after": 20,
+          "aggs": {"g": {"terms": {"field": "global_region", "size": 3}}}}""",
+      idField = "doc_id")
+    assert(ok.count() > 0)
+    // ...and a real background node stays loud even NESTED under a
+    // capped-compatible parent (the tree walk recurses through sub-aggs)
+    val bad = intercept[IllegalArgumentException] {
+      SearchBody.search(docs,
+        """{"query": {"term": {"lang": "en"}}, "terminate_after": 20,
+            "aggs": {"a": {"terms": {"field": "lang", "size": 3},
+                           "aggs": {"g": {"global": {}}}}}}""",
+        idField = "doc_id")
+    }
+    assert(bad.getMessage.contains("global"))
+  }
 }
