@@ -524,6 +524,17 @@ private[graft] object EntriesPipeline {
           element_at(col("embedding"), 2).cast("double")))
       graft.sim.Pca.fitTransform(v, "vec_id", "xy", dim = 2, k = 1)
     }),
+    // SemDeDup x PCA composition: whitened-cosine screen over the
+    // 2-D slice (the closed-form eigensolution the q_embed_pca oracle
+    // already mirrors) — whitening changes WHICH pairs clear tau
+    // vs the raw-space screen (spec-asserted)
+    "q_dedup_semantic_white" -> ((s, d) => {
+      val xy = t(s, d, "embeddings").select(col("vec_id"),
+        array(element_at(col("embedding"), 1).cast("double"),
+          element_at(col("embedding"), 2).cast("double")).as("xy"))
+      Dedup.semanticDedupPairsWhitened(
+        xy, "vec_id", "xy", dim = 2, nCentroids = 8, minCosine = 0.9999)
+    }),
     // deterministic shard assignment: md5(id) % 8 as the writer's
     // partitionBy column; the key reports the n-row balance table
     "q_shard_assign" -> ((s, d) =>
@@ -1100,6 +1111,35 @@ private[graft] object EntriesPipeline {
       "th AS (SELECT mx, my, 0.5 * atan2(2 * cxy, cxx - cyy) AS t FROM st) " +
       "SELECT vec_id, round((x - mx) * cos(t) + (y - my) * sin(t), 4) AS pc0 " +
       "FROM v CROSS JOIN th ORDER BY vec_id"),
+    // closed-form 2x2 eigensolution (angle + eigenvalues), whitened
+    // 4-dp coordinates, then the standard SemDeDup CTE chain; the
+    // second component's sign convention is free — cosine is
+    // invariant to per-axis flips applied to both pair members
+    "q_dedup_semantic_white" -> ("WITH v AS (SELECT vec_id, embedding[1]::DOUBLE AS x, " +
+      "embedding[2]::DOUBLE AS y FROM embeddings), " +
+      "st AS (SELECT avg(x) AS mx, avg(y) AS my, var_pop(x) AS cxx, " +
+      "var_pop(y) AS cyy, covar_pop(x, y) AS cxy FROM v), " +
+      "th AS (SELECT mx, my, 0.5 * atan2(2 * cxy, cxx - cyy) AS t, " +
+      "(cxx + cyy) / 2 + sqrt(((cxx - cyy) / 2) * ((cxx - cyy) / 2) + cxy * cxy) AS l0, " +
+      "(cxx + cyy) / 2 - sqrt(((cxx - cyy) / 2) * ((cxx - cyy) / 2) + cxy * cxy) AS l1 FROM st), " +
+      "w AS (SELECT vec_id, [round(((x - mx) * cos(t) + (y - my) * sin(t)) / sqrt(l0), 4), " +
+      "round((-(x - mx) * sin(t) + (y - my) * cos(t)) / sqrt(l1), 4)] AS wv " +
+      "FROM v CROSS JOIN th), " +
+      "n AS (SELECT vec_id, wv, sqrt(list_reduce(list_prepend(0.0, " +
+      "list_transform(wv, q -> q * q)), (a, b) -> a + b)) AS nrm FROM w), " +
+      "cents AS (SELECT vec_id AS cent_id, wv AS cv, nrm AS cnrm FROM n ORDER BY vec_id LIMIT 8), " +
+      "asg AS (SELECT id, cent_id FROM (SELECT c.vec_id AS id, cents.cent_id, " +
+      "row_number() OVER (PARTITION BY c.vec_id ORDER BY " +
+      "round(list_reduce(list_prepend(0.0, list_transform(range(1, len(c.wv) + 1), " +
+      "i -> c.wv[i] * cv[i])), (a, b) -> a + b) / (c.nrm * cnrm), 4) DESC, cents.cent_id) AS rn " +
+      "FROM n c CROSS JOIN cents) WHERE rn = 1), " +
+      "wc AS (SELECT asg.cent_id, n.vec_id AS id, n.wv, n.nrm FROM asg JOIN n ON n.vec_id = asg.id), " +
+      "p AS (SELECT a.cent_id AS cluster_id, a.id AS id1, b.id AS id2, " +
+      "round(list_reduce(list_prepend(0.0, list_transform(range(1, len(a.wv) + 1), " +
+      "i -> a.wv[i] * b.wv[i])), (a2, b2) -> a2 + b2) / (a.nrm * b.nrm), 4) AS cosine " +
+      "FROM wc a JOIN wc b ON a.cent_id = b.cent_id AND a.id < b.id) " +
+      "SELECT cluster_id, id1, id2, cosine FROM p WHERE cosine >= 0.9999 " +
+      "ORDER BY cluster_id, id1, id2"),
     "q_shard_assign" -> (s"SELECT ${hexFold("doc_id::VARCHAR", 12)} % 8 AS shard, " +
       "count(*)::BIGINT AS n_docs, " +
       "sum(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)))::BIGINT AS tokens, " +

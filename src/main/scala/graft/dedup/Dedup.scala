@@ -44,6 +44,36 @@ object Dedup {
       .where(col("n_dups") >= 2)
       .orderBy(col("keep_id").asc)
 
+  /** Exact-dedup KEEP: the corpus minus every duplicate row that is
+    * not its group's min-id keeper — the filter form of
+    * exactDuplicates, and the stage-1 shape of composed builds.
+    *
+    * Scale shape: the dedup decision travels as 24-byte (hash, id)
+    * rows — md5 + id project out BEFORE any exchange, the keep window
+    * runs over that narrow frame, and only the DROP ids (the
+    * duplicate fraction of the corpus, ~0.2% on a typical web crawl)
+    * come back, broadcast into a left_anti join against the full
+    * rows. Document text never enters an exchange. The naive
+    * alternative — a row_number window partitioned by md5(text) over
+    * the full frame — shuffles the whole corpus once: at 100 TB that
+    * is a ~100 TB exchange vs this plan's ~0.2% one. At extreme
+    * duplication rates the drop set outgrows a broadcast; drop the
+    * hint and the anti-join still only shuffles 8-byte ids on the
+    * drops side. Null texts are UNKNOWN content, not mutually
+    * identical — they skip the dedup key entirely and all survive
+    * (exactDuplicates' convention). */
+  def exactDedupKeep(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__h")).orderBy(col("__i"))
+    val drops = docs
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).as("__i"), md5(col(textCol)).as("__h"))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") > 1)
+      .select(col("__i"))
+    docs.join(broadcast(drops), col(idCol) === col("__i"), "left_anti")
+  }
+
   // The minhash modulus (2^61-1) lives with the kernel that uses it:
   // graft.expr.HashKernels.P — one constant, one owner, no drift.
 
@@ -758,6 +788,35 @@ object Dedup {
         min_by(col("doc_id"), struct(col("cent_cos"), col("doc_id"))).as("keep_id"),
         min(col("cent_cos")).as("keep_cent_cos"))
       .orderBy(col("group_id").asc)
+  }
+
+  /** SemDeDup over the WHITENED embedding space — the Abbas et al.
+    * 2023 ablation that decorrelates components before the cosine
+    * screen, so similarity stops being dominated by the corpus's
+    * highest-variance direction (raw-space cosine calls two vectors
+    * "duplicates" merely for sharing the dominant axis). Fit = the
+    * two bounded PCA passes (d + d² constant state, driver Jacobi on
+    * the d×d covariance only); the projection is d compiled dot
+    * kernels, map-only, with coordinates rounded to 4 dp so the
+    * DuckDB oracle replays them; the screen is semanticDedupPairs
+    * unchanged over the whitened vectors. Component sign and order
+    * conventions cancel inside cosine (a coordinate flip applies to
+    * both sides of every pair), so the pair set is eigenbasis-stable
+    * — the property that makes the closed-form 2-D oracle valid
+    * against the Jacobi fit. */
+  def semanticDedupPairsWhitened(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nCentroids: Int,
+      minCosine: Double): DataFrame = {
+    val model = graft.sim.Pca.fit(emb, vecCol, dim)
+    val w = array((0 until dim).map(j =>
+      Num.round(graft.sim.Pca.whitenedCol(model, col(vecCol), j), 4)): _*)
+    semanticDedupPairs(
+      emb.where(col(vecCol).isNotNull).select(col(idCol), w.as("__w")),
+      idCol, "__w", nCentroids, minCosine)
   }
 
 }

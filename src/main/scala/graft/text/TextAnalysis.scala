@@ -627,20 +627,9 @@ object TextAnalysis {
     * (surprisal terciles of the KEPT set) -> deterministic shard
     * balance report.
     *
-    * Scale shape of stage 1: the dedup decision travels as 24-byte
-    * (hash, id) rows — md5 + id project out BEFORE any exchange, the
-    * keep window runs over that narrow frame, and only the DROP ids
-    * (the duplicate fraction of the corpus, ~0.2% on a typical web
-    * crawl) come back, broadcast into a left_anti join against the
-    * full rows. Document text never enters an exchange. The naive
-    * alternative — a row_number window partitioned by md5(text) over
-    * the full frame — shuffles the whole corpus once: at 100 TB that
-    * is a ~100 TB exchange vs this plan's ~0.2% one. At extreme
-    * duplication rates the drop set outgrows a broadcast; drop the
-    * hint and the anti-join still only shuffles 8-byte ids on the
-    * drops side (the full-row side co-partitions by id). Null texts
-    * are UNKNOWN content, not mutually identical — they skip the
-    * dedup key and fall to the quality gate, like Dedup.exactDuplicates.
+    * Stage 1 is Dedup.exactDedupKeep — (hash, id) rows on the
+    * exchange, drop ids broadcast into a left_anti join, text never
+    * shuffled (see its scaladoc for the 100 TB arithmetic).
     *
     * Stage boundaries materialize through Stages.truncate (reliable
     * checkpoint when a checkpoint dir is configured, eager
@@ -651,16 +640,8 @@ object TextAnalysis {
     * sf0.1). */
   def trainingBuildReport(docs: DataFrame, idCol: String, textCol: String,
       qualityMin: Double, nShards: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import graft.util.Stages
-    val w = Window.partitionBy(col("__h")).orderBy(col("__i"))
-    val drops = docs
-      .where(col(textCol).isNotNull)
-      .select(col(idCol).as("__i"), md5(col(textCol)).as("__h"))
-      .withColumn("_rn", row_number().over(w))
-      .where(col("_rn") > 1)
-      .select(col("__i"))
-    val deduped = docs.join(broadcast(drops), col(idCol) === col("__i"), "left_anti")
+    val deduped = graft.dedup.Dedup.exactDedupKeep(docs, idCol, textCol)
     val kept = Stages.truncate(
       qualityScore(col(textCol))(deduped).where(col("quality") >= qualityMin))
     val srp = Stages.truncate(unigramSurprisal(kept, idCol, textCol))

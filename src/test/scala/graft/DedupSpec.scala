@@ -226,6 +226,52 @@ class DedupSpec extends SparkSpec {
     assert(r1.toSeq == r2.toSeq && r1.length == 20)
   }
 
+  test("exactDedupKeep: min-id keeper per hash; no text-carrying exchange") {
+    import graft.dedup.Dedup
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "ccc"), (5L, "aaa"),
+      (6L, null.asInstanceOf[String]), (7L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val kept = Dedup.exactDedupKeep(docs, "doc_id", "text")
+      .select($"doc_id".as[Long]).collect().toSet
+    // min-id keeper per duplicate group; null texts are unknown
+    // content — ALL survive (never grouped as mutually identical)
+    assert(kept == Set(1L, 2L, 4L, 6L, 7L))
+    // plan shape: the drop set broadcasts into a LeftAnti hash join
+    // (text never shuffles) and the keep window's exchange partitions
+    // on the 24-byte hash projection, not the full row
+    val plan = Dedup.exactDedupKeep(
+      Tables.documents(spark, sfDir), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.take(2000))
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(_.contains("__h")),
+      s"dedup exchanges must key on the narrow hash frame:\n${exchanges.mkString("\n")}")
+    assert(!exchanges.exists(_.contains("text#")),
+      s"no exchange may carry document text:\n${exchanges.mkString("\n")}")
+  }
+
+  test("whitened-cosine SemDeDup changes the pair set vs the raw-space screen") {
+    import graft.dedup.Dedup
+    val xy = Tables.load(spark, sfDir, "embeddings").select(col("vec_id"),
+      array(element_at(col("embedding"), 1).cast("double"),
+        element_at(col("embedding"), 2).cast("double")).as("xy"))
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id1"), col("id2")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val raw = pairSet(Dedup.semanticDedupPairs(xy, "vec_id", "xy", 8, 0.9999))
+    val white = pairSet(Dedup.semanticDedupPairsWhitened(xy, "vec_id", "xy",
+      dim = 2, nCentroids = 8, minCosine = 0.9999))
+    // decorrelating the components must change WHICH pairs clear tau
+    // (raw cosine is dominated by the highest-variance axis) — the
+    // ablation is pointless if the screens coincide
+    assert(raw != white,
+      s"whitening must change the screen (raw ${raw.size}, white ${white.size})")
+    assert(raw.nonEmpty && white.nonEmpty)
+  }
+
   test("DSIR fitted-model kernel equals the declarative explode-join-sum pipeline") {
     import spark.implicits._
     import graft.text.Dsir
