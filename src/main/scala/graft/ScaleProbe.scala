@@ -623,6 +623,25 @@ object ScaleProbe {
       graft.text.TextAnalysis.trainingBuildReport(
         docs, "doc_id", "text", qualityMin = 0.4, nShards = 8).count()
     }
+    // r12: exactDedupKeep standalone — the replicated corpus is the
+    // dedup WORST case (every doc is an n-clone group, so the drop
+    // set is (n-1)/n of the corpus, far beyond the ~0.2% real-world
+    // shape); the exchange still carries only (hash, id) rows and the
+    // curve must track the narrow frame, never the text bytes
+    time("exact_dedup_keep_10x") {
+      Dedup.exactDedupKeep(docs, "doc_id", "text").count()
+    }
+    // r12: whitened-cosine SemDeDup — PCA fit (2 bounded passes) +
+    // map-only projection + the cluster-blocked screen; the curve
+    // must track within-cluster pairs like the raw-space screen
+    time("dedup_semantic_white_10x") {
+      val embN = times(Tables.embeddings(spark, sfDir), "vec_id", 10000000L)
+      val xy = embN.select(col("vec_id"),
+        array(element_at(col("embedding"), 1).cast("double"),
+          element_at(col("embedding"), 2).cast("double")).as("xy"))
+      Dedup.semanticDedupPairsWhitened(
+        xy, "vec_id", "xy", dim = 2, nCentroids = 16, minCosine = 0.9999).count()
+    }
     // cross-corpus LSH: the replicated clone groups split across the
     // parity sides, so cross candidates are the constructed worst
     // case — the curve must track CROSS pair output, never side sizes
