@@ -524,6 +524,22 @@ private[graft] object EntriesPipeline {
           element_at(col("embedding"), 2).cast("double")))
       graft.sim.Pca.fitTransform(v, "vec_id", "xy", dim = 2, k = 1)
     }),
+    // embedding-space eval-set DECONTAMINATION: corpus docs whose
+    // embedding lands too close to ANY benchmark vector (label 7 =
+    // the held-out set) — the semantic screen that catches
+    // paraphrased benchmark leakage n-gram overlap misses
+    "q_contamination_embed" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Dedup.embeddingContamination(
+        e.where(col("label") =!= 7), e.where(col("label") === 7),
+        "vec_id", "embedding", minCosine = 0.35)
+    }),
+    // cluster-balanced DIVERSE sampling: nearest-centroid assignment
+    // + a deterministic per-cluster cap — the curation subset that
+    // spans the embedding space instead of oversampling dense modes
+    "q_sample_diverse" -> ((s, d) =>
+      Dedup.diverseSample(t(s, d, "embeddings"), "vec_id", "embedding",
+        nCentroids = 16, perCluster = 10)),
     // SemDeDup x PCA composition: whitened-cosine screen over the
     // 2-D slice (the closed-form eigensolution the q_embed_pca oracle
     // already mirrors) — whitening changes WHICH pairs clear tau
@@ -1111,6 +1127,34 @@ private[graft] object EntriesPipeline {
       "th AS (SELECT mx, my, 0.5 * atan2(2 * cxy, cxx - cyy) AS t FROM st) " +
       "SELECT vec_id, round((x - mx) * cos(t) + (y - my) * sin(t), 4) AS pc0 " +
       "FROM v CROSS JOIN th ORDER BY vec_id"),
+    "q_contamination_embed" -> ("WITH e AS (SELECT vec_id, label, " +
+      "list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), " +
+      "n AS (SELECT vec_id, label, v, sqrt(list_reduce(list_prepend(0.0, " +
+      "list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm FROM e), " +
+      "b AS (SELECT vec_id AS bench_id, v AS bv, nrm AS bnrm FROM n WHERE label = 7), " +
+      "c AS (SELECT vec_id AS doc_id, v, nrm FROM n WHERE label <> 7), " +
+      "p AS (SELECT doc_id, bench_id, " +
+      "round(list_reduce(list_prepend(0.0, list_transform(range(1, len(v) + 1), " +
+      "i -> v[i] * bv[i])), (x, y) -> x + y) / (nrm * bnrm), 4) AS cos " +
+      "FROM c CROSS JOIN b), " +
+      "f AS (SELECT * FROM p WHERE cos >= 0.35) " +
+      "SELECT doc_id, bench_id, best_cosine FROM (SELECT doc_id, bench_id, " +
+      "cos AS best_cosine, row_number() OVER (PARTITION BY doc_id " +
+      "ORDER BY cos DESC, bench_id) AS rn FROM f) WHERE rn = 1 ORDER BY doc_id"),
+    "q_sample_diverse" -> ("WITH e AS (SELECT vec_id, " +
+      "list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), " +
+      "n AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0, " +
+      "list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm FROM e), " +
+      "cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n ORDER BY vec_id LIMIT 16), " +
+      "asg AS (SELECT id, cent_id FROM (SELECT c.vec_id AS id, cents.cent_id, " +
+      "row_number() OVER (PARTITION BY c.vec_id ORDER BY " +
+      "round(list_reduce(list_prepend(0.0, list_transform(range(1, len(c.v) + 1), " +
+      "i -> c.v[i] * cv[i])), (a, b) -> a + b) / (c.nrm * cnrm), 4) DESC, cents.cent_id) AS rn " +
+      "FROM n c CROSS JOIN cents) WHERE rn = 1), " +
+      s"dr AS (SELECT id, cent_id, round(${hexFold("'diverse:' || id::VARCHAR", 12)} / 281474976710656.0, 6) AS draw FROM asg) " +
+      "SELECT cent_id AS cluster_id, id AS doc_id, draw FROM (SELECT *, " +
+      "row_number() OVER (PARTITION BY cent_id ORDER BY draw, id) AS rn FROM dr) " +
+      "WHERE rn <= 10 ORDER BY cluster_id, doc_id"),
     // closed-form 2x2 eigensolution (angle + eigenvalues), whitened
     // 4-dp coordinates, then the standard SemDeDup CTE chain; the
     // second component's sign convention is free — cosine is

@@ -790,6 +790,73 @@ object Dedup {
       .orderBy(col("group_id").asc)
   }
 
+  /** Embedding-space eval-set DECONTAMINATION: flag corpus docs whose
+    * embedding lands within `minCosine` of ANY benchmark embedding —
+    * the semantic sibling of the shingle contaminationScreen, and the
+    * screen that catches paraphrased/reformatted benchmark leakage
+    * n-gram overlap misses.
+    *
+    * Scale shape: the benchmark side is an EVAL SET — thousands of
+    * rows, megabytes of vectors — so it broadcasts whole (loudly
+    * bounded like Ann's query frames) and the corpus streams ONCE
+    * through the compiled cosine kernel; sub-threshold pairs drop
+    * BEFORE the aggregation, so the exchange carries only the flagged
+    * hits (contamination is rare by construction). Corpus never
+    * shuffles. For a benchmark too big to broadcast, SRP-block both
+    * sides first (embeddingTopKPairsLsh's device) — not needed for
+    * any real eval suite. Output: (doc id, best-matching benchmark
+    * id, best cosine), contaminated docs only. */
+  def embeddingContamination(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double): DataFrame = {
+    val c = corpus.select(col(idCol).as("doc_id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val b = benchmark.select(col(idCol).as("bench_id"),
+      col(vecCol).cast("array<double>").as("bv"))
+    c.crossJoin(broadcast(b))
+      .withColumn("cos", Num.round(Vectors.cosine(col("v"), col("bv")), 4))
+      .where(col("cos") >= minCosine)
+      .groupBy(col("doc_id"))
+      .agg(
+        max_by(col("bench_id"), struct(col("cos"), negate(col("bench_id")))).as("bench_id"),
+        max(col("cos")).as("best_cosine"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Cluster-balanced DIVERSE sampling (the SemDeDup-family curation
+    * step): assign every embedding to its nearest seed centroid, then
+    * keep `perCluster` docs per cluster by a deterministic md5 draw —
+    * a subset that spans the embedding space instead of oversampling
+    * its dense modes (uniform sampling reproduces the corpus's mode
+    * imbalance; this caps every mode at the same budget).
+    *
+    * Scale shape: assignment is the broadcast-centroid max_by partial
+    * agg (semanticAssign — ~N-row exchange, never N x C); the cap is
+    * a row_number window PARTITIONED by cluster (cluster-local pass,
+    * no global sort); the draw is the shared md5-48 uniform, so the
+    * sample is reproducible across retries and engines. */
+  def diverseSample(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int,
+      perCluster: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val asg = semanticAssign(v, nCentroids)
+      .select(col("id"), col("cent_id"),
+        Num.round(Num.uniformHash48(concat(lit("diverse:"), col("id").cast("string"))), 6)
+          .as("draw"))
+    val w = Window.partitionBy(col("cent_id")).orderBy(col("draw").asc, col("id").asc)
+    asg.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= perCluster)
+      .select(col("cent_id").as("cluster_id"), col("id").as("doc_id"), col("draw"))
+      .orderBy(col("cluster_id"), col("doc_id"))
+  }
+
   /** SemDeDup over the WHITENED embedding space — the Abbas et al.
     * 2023 ablation that decorrelates components before the cosine
     * screen, so similarity stops being dominated by the corpus's

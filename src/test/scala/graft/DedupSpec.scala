@@ -272,6 +272,42 @@ class DedupSpec extends SparkSpec {
     assert(raw.nonEmpty && white.nonEmpty)
   }
 
+  test("embedding decontamination: benchmark broadcasts, corpus never shuffles pre-filter") {
+    import graft.dedup.Dedup
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val out = Dedup.embeddingContamination(
+      e.where(col("label") =!= 7), e.where(col("label") === 7),
+      "vec_id", "embedding", minCosine = 0.35)
+    val rows = out.collect()
+    assert(rows.nonEmpty && rows.forall(_.getDouble(2) >= 0.35))
+    // flagged docs are unique (one best match each) and none is a
+    // benchmark member
+    val ids = rows.map(_.getLong(0))
+    assert(ids.distinct.length == ids.length)
+    val bench = e.where(col("label") === 7)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(!ids.exists(bench))
+    // scale shape: the benchmark side is a BroadcastExchange; the only
+    // hash exchange is the post-filter flagged-hits aggregation
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      plan.take(2000))
+  }
+
+  test("diverse sample: per-cluster cap holds, sample is deterministic") {
+    import graft.dedup.Dedup
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val s1 = Dedup.diverseSample(e, "vec_id", "embedding", 16, 3).collect()
+    val s2 = Dedup.diverseSample(e, "vec_id", "embedding", 16, 3).collect()
+    assert(s1.toSeq == s2.toSeq)
+    val perCluster = s1.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(perCluster.values.forall(_ <= 3) && perCluster.nonEmpty)
+    // a larger cap keeps a SUPERSET (the draw order is stable)
+    val s3 = Dedup.diverseSample(e, "vec_id", "embedding", 16, 5)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(s1.map(_.getLong(1)).forall(s3))
+  }
+
   test("DSIR fitted-model kernel equals the declarative explode-join-sum pipeline") {
     import spark.implicits._
     import graft.text.Dsir
