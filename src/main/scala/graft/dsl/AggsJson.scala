@@ -141,6 +141,15 @@ object AggsJson {
         // est_total. The remaining delta at this node: key_field
         // replaces ES's shard-local RNG with the deterministic
         // content-hash draw (oracle-reproducible).
+        // pipeline aggs under the sampler would compute on RAW sample
+        // values while doc_count/sums scale afterwards — their outputs
+        // would silently disagree with the scaled columns beside them
+        // (ES reduces first, so its pipelines see scaled inputs). Loud.
+        val pipeKeys = aggTypeKeysOf(sub).intersect(ParentPipeKeys ++ SiblingPipeKeys)
+        require(pipeKeys.isEmpty,
+          s"pipeline agg(s) under random_sampler would read pre-scaled " +
+            s"values: ${pipeKeys.toSeq.sorted.mkString(", ")}; compute them " +
+            "over the scaled response instead")
         val sampled = df.where(Num.uniformHash48(col(keyField)) < p)
         val raw = compile(sampled,
           JsonMethods.compact(JsonMethods.render(JObject(List(JField("aggs", sub))))),
@@ -1165,6 +1174,20 @@ object AggsJson {
   private def str(m: Map[String, JValue], k: String, agg: String): String =
     m.get(k).collect { case JString(s) => s }
       .getOrElse(throw new IllegalArgumentException(s"$agg needs $k"))
+
+  /** Every agg-TYPE key in an aggs subtree (the keys of each named
+    * agg's body, minus nesting/meta), for structural guards. */
+  private def aggTypeKeysOf(aggs: JValue): Set[String] = aggs match {
+    case JObject(named) => named.iterator.flatMap {
+      case JField(_, JObject(body)) => body.flatMap {
+        case JField("aggs" | "aggregations", sub) => aggTypeKeysOf(sub)
+        case JField("meta", _) => Nil
+        case JField(t, _) => Seq(t)
+      }
+      case _ => Nil
+    }.toSet
+    case _ => Set.empty
+  }
 
   /** Names of sum-type metric aggs (sum, value_count) anywhere in an
     * aggs subtree — the outputs ES scales by 1/probability under

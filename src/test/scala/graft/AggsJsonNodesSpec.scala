@@ -468,6 +468,16 @@ class AggsJsonNodesSpec extends SparkSpec {
     assert(math.abs(out._2 - rawAvg) < 1e-3, "avg must NOT scale")
   }
 
+  test("pipeline aggs under random_sampler are loud (pre-scaled inputs)") {
+    val e = intercept[IllegalArgumentException] {
+      AggsJson.compile(orders,
+        """{"aggs": {"s": {"random_sampler": {"probability": 0.5, "key_field": "o_orderkey"},
+             "aggs": {"m": {"date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
+               "aggs": {"c": {"cumulative_sum": {"buckets_path": "_count"}}}}}}}}""")
+    }
+    assert(e.getMessage.contains("pre-scaled"))
+  }
+
   test("rare_terms drops null keys like the ES terms family") {
     val withNulls = docs.withColumn("maybe",
       when($"lang" === "en", lit(null).cast("string")).otherwise($"lang"))
