@@ -310,6 +310,13 @@ private[graft] object EntriesLate {
       .where(graft.dsl.QueryDslJson.compile(
         """{"semantic": {"field": "text", "query": "vector hash merge"}}"""))
       .select(col("doc_id")).orderBy(col("doc_id"))),
+    // pre-8.13 text_expansion spelling (deprecated for sparse_vector,
+    // still in the wild): model_text through the same inference seam
+    "q_text_expansion" -> ((s, d) => t(s, d, "documents")
+      .where(graft.dsl.QueryDslJson.compile(
+        """{"text_expansion": {"text": {"model_id": ".elser_model_2",
+            "model_text": "stream window"}}}"""))
+      .select(col("doc_id")).orderBy(col("doc_id"))),
     // ES 8.13 weighted_tokens: the client-side-expansion form of
     // sparse_vector — pre-computed token weights, no model call
     "q_weighted_tokens" -> ((s, d) => t(s, d, "documents")
@@ -514,6 +521,9 @@ private[graft] object EntriesLate {
       "SELECT vec_id, label FROM topk WHERE label = 2 ORDER BY vec_id"),
     "q_semantic_query" -> (TokCte + " SELECT doc_id FROM tok " +
       "WHERE len(list_filter(toks, t -> t IN ('vector', 'hash', 'merge'))) > 0 " +
+      "ORDER BY doc_id"),
+    "q_text_expansion" -> (TokCte + " SELECT doc_id FROM tok " +
+      "WHERE len(list_filter(toks, t -> t IN ('stream', 'window'))) > 0 " +
       "ORDER BY doc_id"),
     "q_weighted_tokens" -> (TokCte + " SELECT doc_id FROM tok " +
       "WHERE len(list_filter(toks, t -> t IN ('vector', 'quantile'))) > 0 " +

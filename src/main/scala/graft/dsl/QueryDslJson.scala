@@ -657,6 +657,25 @@ object QueryDslJson {
           arrays_overlap(graft.analysis.Analyzer.tokens(fieldRef(f)),
             lit(toks.toArray))
 
+        // {"text_expansion": {f: {"model_id": ..., "model_text": q}}}
+        // — the pre-8.13 spelling of the ELSER query (deprecated for
+        // sparse_vector but still in the wild). model_text expands
+        // through the SAME InferenceService seam as `semantic`;
+        // model_id names the endpoint a production service would
+        // route on (the seam's single-service default ignores it —
+        // deterministic stub or the swapped-in real endpoint).
+        case ("text_expansion", JObject(JField(f, JObject(tparts)) :: Nil)) =>
+          val m = tparts.toMap
+          val unknownT = m.keySet -- Set("model_id", "model_text", "boost")
+          require(unknownT.isEmpty,
+            s"unsupported text_expansion option(s): ${unknownT.toSeq.sorted.mkString(", ")}")
+          val q = lits(m.getOrElse("model_text",
+            throw new IllegalArgumentException("text_expansion needs model_text"))).toString
+          val toks = graft.inference.Inference.service.expandQuery(q).map(_._1)
+          require(toks.nonEmpty, s"text_expansion produced no terms: $q")
+          arrays_overlap(graft.analysis.Analyzer.tokens(fieldRef(f)),
+            lit(toks.toArray))
+
         // {"weighted_tokens": {f: {"tokens": {tok: w, ...}}}} — the ES
         // 8.13 pre-computed token-weight form of sparse_vector (the
         // client ran the expansion model itself). Filter context: any
