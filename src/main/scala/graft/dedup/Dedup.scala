@@ -365,40 +365,35 @@ object Dedup {
       .groupBy(col("a").as("id"))
       .agg(min(col("b")).as("nmin"))
       .select(col("id"), least(col("id"), col("nmin")).as("lbl")))
-    // one min-label propagation hop (neighbor minimum + pointer
-    // jumping — the label OF the current label — which doubles the
-    // horizon per hop, so convergence is O(log diameter)) as a LAZY
-    // frame; `carry` columns pass through untouched
-    def hop(lbls: DataFrame, carry: Seq[String]): DataFrame = {
-      val nbrMin = edges
-        .join(lbls.select(col("id").as("b"), col("lbl").as("blbl")), "b")
-        .groupBy(col("a").as("id"))
-        .agg(min(col("blbl")).as("nmin"))
-      val lblOfLbl = lbls.select(col("id").as("lbl"), col("lbl").as("llbl"))
-      lbls
-        .join(nbrMin, Seq("id"), "left")
-        .join(lblOfLbl, Seq("lbl"), "left")
-        .select(col("id") +: least(
-          col("lbl"),
-          coalesce(col("nmin"), col("lbl")),
-          coalesce(col("llbl"), col("lbl"))).as("lbl") +: carry.map(col): _*)
-    }
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("b"), col("lbl").as("blbl")), "b")
+        .groupBy(col("a").as("id"))
+        .agg(min(col("blbl")).as("nmin"))
+      // pointer jumping: besides the neighbor minimum, adopt the label
+      // OF the current label — doubles the propagation horizon per
+      // round, so convergence is O(log diameter), not O(diameter).
+      // ONE hop per truncate, deliberately: a second lazy hop in the
+      // same plan consumes the first hop's subtree from THREE branches
+      // (its nbrMin, its lblOfLbl, the carry), so the un-materialized
+      // hop-1 work executes 3x — measured: the "halve the barriers"
+      // batching made the sf0.1 keeper 34% SLOWER (3.3 -> 4.5 s).
+      // Same recompute hazard the edges cache above exists for.
+      val lblOfLbl = labels.select(col("id").as("lbl"), col("lbl").as("llbl"))
       val t0 = System.nanoTime()
-      // TWO hops per materialization barrier: the hops' shuffle volume
-      // is unchanged, but each round used to pay its own truncate +
-      // convergence-count job — at 9 single-hop rounds that fixed cost
-      // dominated the sf0.1 keeper. The doubled plan is still a
-      // BOUNDED tree (the r11 lineage fix caps growth per truncate),
-      // and labels only ever DECREASE, so lbl == old across the
-      // double hop iff the single hop was already at the fixpoint —
-      // the convergence test is exact, not delayed. The carried `old`
-      // rides through both hops; the count runs over the checkpointed
-      // frame (truncate already materialized every partition).
-      val next = truncate(
-        hop(hop(labels.withColumn("old", col("lbl")), Seq("old")), Seq("old")))
+      // carry the previous label alongside the new one so the
+      // convergence check is a count over the checkpointed frame —
+      // the truncate() already materialized every partition
+      val next = truncate(labels
+        .join(nbrMin, Seq("id"), "left")
+        .join(lblOfLbl, Seq("lbl"), "left")
+        .select(col("id"), least(
+          col("lbl"),
+          coalesce(col("nmin"), col("lbl")),
+          coalesce(col("llbl"), col("lbl"))).as("lbl"),
+          col("lbl").as("old")))
       converged = next.where(col("lbl") =!= col("old")).count() == 0
       if (sys.env.contains("GRAFT_CC_VERBOSE"))
         System.err.println(
@@ -410,8 +405,7 @@ object Dedup {
     // silent truncation would return NON-minimal labels that diverge
     // from the oracle's exact transitive closure — refuse instead
     if (!converged) throw new IllegalStateException(
-      s"dedupClusters did not converge in $maxIters double-hop rounds " +
-        "(pathological component diameter?)")
+      s"dedupClusters did not converge in $maxIters rounds (component diameter > 2^$maxIters?)")
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
       .orderBy(col("doc_id").asc)
   }
