@@ -568,6 +568,11 @@ private[graft] object EntriesPipeline {
     // domain-mix rebalancing weights toward a uniform source mix
     "q_domain_mix" -> ((s, d) =>
       TextAnalysis.domainMixWeights(t(s, d, "documents"), "source")),
+    // GENERAL temperature mixing (mT5/XLM-R alpha sampling): target
+    // share ∝ share^0.3 — upweights rare sources without going all
+    // the way to uniform
+    "q_domain_mix_alpha" -> ((s, d) =>
+      TextAnalysis.domainMixWeightsAlpha(t(s, d, "documents"), "source", 0.3)),
     // DSIR (Xie et al. 2023): hashed-ngram importance weights of the
     // whole corpus against the src1 target slice — the docs that look
     // most like the target rank first. Both DSIR keys share ONE
@@ -1213,6 +1218,15 @@ private[graft] object EntriesPipeline {
       "SELECT source, n_docs, round(n_docs / total, 4) AS share, " +
       "round((1.0 / n_sources) / (n_docs / total), 4) AS weight " +
       "FROM c CROSS JOIN t ORDER BY source"),
+    "q_domain_mix_alpha" -> ("WITH c AS (SELECT source, count(*)::BIGINT AS n_docs " +
+      "FROM documents GROUP BY 1), " +
+      "t AS (SELECT sum(n_docs)::DOUBLE AS total FROM c), " +
+      "s AS (SELECT source, n_docs, n_docs / total AS share FROM c CROSS JOIN t), " +
+      "z AS (SELECT sum(pow(share, 0.3)) AS z FROM s) " +
+      "SELECT source, n_docs, round(share, 4) AS share, " +
+      "round(pow(share, 0.3) / z, 4) AS target_share, " +
+      "round(pow(share, 0.3) / z / share, 4) AS weight " +
+      "FROM s CROSS JOIN z ORDER BY source"),
     "q_dsir_weights" -> (DsirLwCtes +
       "SELECT doc_id, log_weight FROM lw ORDER BY log_weight DESC, doc_id LIMIT 50"),
     "q_dsir_resample" -> (DsirLwCtes +

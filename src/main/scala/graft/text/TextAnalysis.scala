@@ -532,6 +532,34 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Temperature-mix weights, the GENERAL alpha form (the mT5/XLM-R
+    * multilingual sampling recipe: target share ∝ share^alpha,
+    * alpha ∈ (0, 1] — alpha 1 keeps the natural mix, alpha → 0
+    * approaches uniform; mixSample below is the alpha = 0.5 special
+    * case in keep-rate form). Per-doc sampling weight =
+    * target_share / natural_share. One partial-aggregated pass over
+    * the corpus; the power/normalization math runs on the
+    * |sources|-row frame, broadcast back — nothing corpus-sized
+    * shuffles twice. */
+  def domainMixWeightsAlpha(docs: DataFrame, sourceCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"temperature exponent alpha must be in (0, 1]: $alpha")
+    val counts = docs.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = counts.agg(sum(col("n_docs")).cast("double").as("total"))
+    val shared = counts.crossJoin(broadcast(totals))
+      .withColumn("share", col("n_docs") / col("total"))
+    val z = shared.agg(sum(pow(col("share"), alpha)).as("z"))
+    shared.crossJoin(broadcast(z))
+      .select(
+        col("source"), col("n_docs"),
+        Num.round(col("share"), 4).as("share"),
+        Num.round(pow(col("share"), alpha) / col("z"), 4).as("target_share"),
+        Num.round(pow(col("share"), alpha) / col("z") / col("share"), 4).as("weight"))
+      .orderBy(col("source"))
+  }
+
   /** Temperature-flattened mix sampling (T = 2): per-source keep rate
     * `sqrt(n_min / n_s)` — the T=2 case of "target share ∝ share^(1/T)"
     * with the rarest source kept whole, i.e. the standard flattening
