@@ -336,7 +336,6 @@ private[graft] object EntriesPipeline {
     // the pack window — the flagship "what a 100 TB corpus build
     // actually runs" shape
     "q_pipeline_full" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val docs = t(s, d, "documents")
       // the C4 boilerplate drops apply; the sentence-count gate is
       // omitted — the synthetic corpus carries no punctuation, so it
@@ -345,10 +344,11 @@ private[graft] object EntriesPipeline {
       val keep = !sig("has_lorem") && !sig("has_brace") && !sig("has_policy")
       val filtered = TextAnalysis.qualityScore(col("text"))(docs)
         .where(keep && col("lang") === "en" && col("quality") >= 0.4)
-      val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
-      val deduped = filtered
-        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
-        .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      // fingerprint dedup through the narrow keep kernel — the old
+      // row_number window here shuffled the filtered rows TEXT
+      // included; keepFirstByKey moves (fingerprint, id) rows only
+      val deduped = Dedup.keepFirstByKey(
+        filtered, "doc_id", TextAnalysis.fingerprint(col("text")))
       TextAnalysis.packSequences(deduped, "doc_id", col("n_chars"), "source", 5000L)
         .groupBy(col("pack_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("size")).as("pack_chars"))

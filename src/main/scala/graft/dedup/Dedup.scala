@@ -62,12 +62,21 @@ object Dedup {
     * drops side. Null texts are UNKNOWN content, not mutually
     * identical — they skip the dedup key entirely and all survive
     * (exactDuplicates' convention). */
-  def exactDedupKeep(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def exactDedupKeep(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    keepFirstByKey(docs, idCol, md5(col(textCol)))
+
+  /** The generic form of exactDedupKeep: min-id keeper per arbitrary
+    * dedup KEY expression (content md5, rolling fingerprint, canonical
+    * URL, ...). Same scale shape — the key computes in a narrow
+    * projection, the keep window sees (key, id) rows only, drop ids
+    * broadcast into a left_anti join; rows with a NULL key are
+    * unknown content and all survive. */
+  def keepFirstByKey(docs: DataFrame, idCol: String, key: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("__h")).orderBy(col("__i"))
     val drops = docs
-      .where(col(textCol).isNotNull)
-      .select(col(idCol).as("__i"), md5(col(textCol)).as("__h"))
+      .where(key.isNotNull)
+      .select(col(idCol).as("__i"), key.as("__h"))
       .withColumn("_rn", row_number().over(w))
       .where(col("_rn") > 1)
       .select(col("__i"))
