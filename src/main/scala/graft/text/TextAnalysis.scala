@@ -517,8 +517,10 @@ object TextAnalysis {
     * partial-aggregating pass + scalar math on the tiny per-source
     * frame. */
   def domainMixWeights(docs: DataFrame, sourceCol: String): DataFrame = {
-    val counts = docs.groupBy(col(sourceCol).as("source"))
-      .agg(count(lit(1)).as("n_docs"))
+    // truncated for the same two-consumer reason as the alpha form
+    val counts = graft.util.Stages.truncate(
+      docs.groupBy(col(sourceCol).as("source"))
+        .agg(count(lit(1)).as("n_docs")))
     val totals = counts.agg(
       sum(col("n_docs")).cast("double").as("total"),
       count(lit(1)).cast("double").as("n_sources"))
@@ -545,8 +547,12 @@ object TextAnalysis {
       alpha: Double): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0,
       s"temperature exponent alpha must be in (0, 1]: $alpha")
-    val counts = docs.groupBy(col(sourceCol).as("source"))
-      .agg(count(lit(1)).as("n_docs"))
+    // the |sources|-row count frame feeds THREE consumers (share,
+    // Z-normalizer, final projection) — truncated so the corpus scans
+    // ONCE, not once per consumer (PlanCount 4 -> 1)
+    val counts = graft.util.Stages.truncate(
+      docs.groupBy(col(sourceCol).as("source"))
+        .agg(count(lit(1)).as("n_docs")))
     val totals = counts.agg(sum(col("n_docs")).cast("double").as("total"))
     val shared = counts.crossJoin(broadcast(totals))
       .withColumn("share", col("n_docs") / col("total"))
