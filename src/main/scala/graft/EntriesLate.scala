@@ -349,6 +349,14 @@ private[graft] object EntriesLate {
             "match_criteria": {"user_query": "hash join"}}}""", "doc_id"))
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
+    // pinned RETRIEVER (8.18 tree node): fixed promotion over a
+    // standard BM25 leg — pins rank first via max-region scores
+    "q_retriever_pinned" -> ((s, d) =>
+      graft.dsl.Retrievers.topK(
+        t(s, d, "documents"), "doc_id", t(s, d, "embeddings"), "vec_id",
+        """{"retriever": {"pinned": {
+             "retriever": {"standard": {"query": {"match": {"text": "fast hash join"}}}},
+             "ids": [42, 7]}}}""", k = 10)),
     // the stored-ruleset SCORING path (rule retriever over BM25):
     // fired rules pin 23/5 and exclude 2; the no-fire rule's id 99
     // must rank organically or not at all
@@ -534,6 +542,13 @@ private[graft] object EntriesLate {
       "WHERE ((len(list_filter(toks, t -> t = 'hash')) > 0 " +
       "AND len(list_filter(toks, t -> t = 'join')) > 0) " +
       "OR doc_id IN (42, 7)) AND doc_id NOT IN (11, 13) ORDER BY doc_id"),
+    "q_retriever_pinned" -> (TokCte + bm25Ctes("", "tok", Seq("fast", "hash", "join")) +
+      ", au AS (SELECT id, score FROM sc UNION ALL " +
+      "SELECT doc_id AS id, 0.0 AS score FROM documents " +
+      "WHERE doc_id IN (42, 7) AND doc_id NOT IN (SELECT id FROM sc)), " +
+      "pp AS (SELECT id, CASE WHEN id = 42 THEN 1000000000.0 " +
+      "WHEN id = 7 THEN 999999999.0 ELSE score END AS score FROM au) " +
+      "SELECT id, score FROM pp ORDER BY score DESC, id LIMIT 10"),
     "q_rule_ruleset" -> (TokCte + bm25Ctes("", "tok", Seq("fast", "hash", "join")) +
       ", au AS (SELECT id, score FROM sc UNION ALL " +
       "SELECT doc_id AS id, 0.0 AS score FROM documents " +

@@ -25,6 +25,12 @@ import org.json4s.jackson.JsonMethods
   *     reranker: the child's top rank_window_size hits are re-scored
   *     by `InferenceService.rerankScore` (deterministic term-overlap
   *     stub here; a production deployment swaps `Inference.service`)
+  *   - `{"rule": {"retriever": r, "ruleset_ids", "match_criteria"}}`
+  *     — ES 8.15 query rules over a child leg (criteria evaluated at
+  *     plan time via QueryRules; promotion encoded as max-region
+  *     scores so parent fusion reproduces the order)
+  *   - `{"pinned": {"retriever": r, "ids": [...]}}` — ES 8.18 pinned
+  *     retriever (fixed promotion, same encoding)
   *
   * Each leaf yields an UNRANKED (id, score) frame; fusion windows it
   * (TakeOrderedAndProject) before any cross-retriever work, so the
@@ -141,7 +147,75 @@ object Retrievers {
         .select(col("id"), graft.util.Num.round(
           graft.inference.Inference.service
             .rerankScore(itext, col("__rr_text")).cast("double"), 4).as("score"))
+    // {"rule": {"retriever": r, "ruleset_ids": [...],
+    //  "match_criteria": {...}}} — the ES 8.15 rule retriever:
+    // criteria-gated pins/excludes over the child's scored frame.
+    // The tree contract is (id, score), so promotion is encoded as
+    // score = 1e9 - pin_index — above any organic BM25/cosine score,
+    // the same device ES's pinned query uses (float-max-region
+    // scores) — and a parent's rank-by-score reproduces the promoted
+    // order; exclusion is one NOT-IN predicate. Pinned ids the child
+    // never scored still promote (ES pins docs the organic query
+    // doesn't match): a bounded isin probe unions them in at the
+    // pin score.
+    case JObject(JField("rule", JObject(parts)) :: Nil) =>
+      val m = parts.toMap
+      val child = m.getOrElse("retriever",
+        throw new IllegalArgumentException("rule retriever needs a retriever"))
+      val rulesets = m.get("ruleset_ids") match {
+        case Some(JArray(xs)) if xs.nonEmpty =>
+          xs.map(x => RuleStore.resolve(x match {
+            case JString(s) => s
+            case other => throw new IllegalArgumentException(s"bad ruleset id: $other")
+          }))
+        case _ => throw new IllegalArgumentException("rule retriever needs ruleset_ids")
+      }
+      val crit = m.get("match_criteria") match {
+        case Some(JObject(ps)) => ps.map {
+          case JField(k, JString(v)) => k -> v
+          case JField(k, v) => k -> JsonMethods.compact(JsonMethods.render(v))
+        }.toMap
+        case _ => throw new IllegalArgumentException("rule retriever needs match_criteria")
+      }
+      val (pins, excl) = QueryRules.firedActions(rulesets, crit)
+      pinnedOverChild(docs, docId, vectors, vecId, child, pins, excl)
+
+    // {"pinned": {"retriever": r, "ids": [...]}} — the ES 8.18 pinned
+    // RETRIEVER (the retriever-tree form of the pinned query): fixed
+    // promotion, no criteria. Same score encoding as `rule`.
+    case JObject(JField("pinned", JObject(parts)) :: Nil) =>
+      val m = parts.toMap
+      val child = m.getOrElse("retriever",
+        throw new IllegalArgumentException("pinned retriever needs a retriever"))
+      val pins = m.get("ids") match {
+        case Some(JArray(xs)) if xs.nonEmpty => xs.map(numVal(_).toLong)
+        case _ => throw new IllegalArgumentException("pinned retriever needs ids")
+      }
+      pinnedOverChild(docs, docId, vectors, vecId, child, pins, Nil)
+
     case l => leaf(docs, docId, vectors, vecId, l)
+  }
+
+  /** Shared pin/exclude application over a child retriever's scored
+    * frame (rule + pinned retrievers). */
+  private def pinnedOverChild(
+      docs: DataFrame, docId: String,
+      vectors: DataFrame, vecId: String,
+      child: JValue, pins: Seq[Long], excl: Seq[Long]): DataFrame = {
+    val base = eval(docs, docId, vectors, vecId, child)
+    val kept = if (excl.isEmpty) base else base.where(!col("id").isin(excl: _*))
+    if (pins.isEmpty) kept
+    else {
+      val pinScore = pins.zipWithIndex.foldLeft(
+        when(lit(false), 0.0)) { case (acc, (id, i)) =>
+          acc.when(col("id") === id, lit(1e9 - i)) }
+      val missing = docs.select(col(docId).as("id"))
+        .where(col("id").isin(pins: _*))
+        .join(kept.select(col("id")), Seq("id"), "left_anti")
+        .withColumn("score", lit(0.0))
+      kept.unionByName(missing)
+        .select(col("id"), coalesce(pinScore, col("score")).as("score"))
+    }
   }
 
   private def weightedChildren(

@@ -320,6 +320,48 @@ class QueryDslSpec extends SparkSpec {
     assert(missing.getMessage.contains("never-registered"))
   }
 
+  test("rule/pinned retriever tree nodes: criteria gate, promotion survives fusion") {
+    import graft.dsl.{Retrievers, RuleStore}
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    RuleStore.put("tree-rules", """{"rules": [
+      {"rule_id": "p", "type": "pinned",
+       "criteria": [{"type": "exact", "metadata": "q", "values": ["fast hash join"]}],
+       "actions": {"ids": [42]}},
+      {"rule_id": "n", "type": "pinned",
+       "criteria": [{"type": "exact", "metadata": "q", "values": ["other"]}],
+       "actions": {"ids": [3]}}]}""")
+    def run(criteria: String) = Retrievers.topK(docs, "doc_id", emb, "vec_id",
+      s"""{"retriever": {"rule": {
+           "retriever": {"standard": {"query": {"match": {"text": "fast hash join"}}}},
+           "ruleset_ids": ["tree-rules"],
+           "match_criteria": {"q": "$criteria"}}}}""", k = 5)
+      .select($"id".as[Long]).collect().toSeq
+    // matching criteria: 42 promoted to rank 1; the non-matching
+    // rule's id 3 gets NO promotion
+    val fired = run("fast hash join")
+    assert(fired.head == 42L, s"pinned id must rank first: $fired")
+    val unfired = run("nothing matches")
+    assert(unfired.headOption != Some(42L) || !fired.tail.contains(3L))
+    // promotion survives FUSION: the rule leg under rrf keeps the
+    // pinned doc at the top of that leg's contribution
+    val fused = Retrievers.topK(docs, "doc_id", emb, "vec_id",
+      """{"retriever": {"rrf": {"rank_window_size": 20, "retrievers": [
+           {"rule": {"retriever": {"standard": {"query": {"match": {"text": "fast hash join"}}}},
+                     "ruleset_ids": ["tree-rules"], "match_criteria": {"q": "fast hash join"}}},
+           {"standard": {"query": {"match": {"text": "vector merge"}}}}]}}}""", k = 10)
+      .select($"id".as[Long]).collect().toSeq
+    assert(fused.contains(42L))
+    // pinned retriever: fixed promotion, no criteria
+    val pinned = Retrievers.topK(docs, "doc_id", emb, "vec_id",
+      """{"retriever": {"pinned": {
+           "retriever": {"standard": {"query": {"match": {"text": "fast hash join"}}}},
+           "ids": [99, 42]}}}""", k = 5)
+      .select($"id".as[Long]).collect().toSeq
+    assert(pinned.take(2) == Seq(99L, 42L),
+      s"pinned order is rule order, unmatched docs included: $pinned")
+  }
+
   test("semantic routes through the inference seam; weighted_tokens pruning is loud") {
     import graft.dsl.QueryDslJson
     import graft.inference.{Inference, InferenceService, DeterministicStub}
