@@ -631,6 +631,16 @@ object ScaleProbe {
     time("exact_dedup_keep_10x") {
       Dedup.exactDedupKeep(docs, "doc_id", "text").count()
     }
+    // r13: the SHUFFLE regime of the size-adaptive anti-join — the
+    // same (n-1)/n-clone worst case (>=50% drops at every n >= 2) with
+    // the broadcast limit forced to 0, so the drop ids travel a plain
+    // left_anti (AQE-chosen) instead of a corpus-fraction broadcast.
+    // This is the path a 100 TB crawl with 10^9+ drop ids takes.
+    time("exact_dedup_keep_shuffle_10x") {
+      spark.conf.set("graft.dedup.broadcastDropLimit", "0")
+      try Dedup.exactDedupKeep(docs, "doc_id", "text").count()
+      finally spark.conf.unset("graft.dedup.broadcastDropLimit")
+    }
     // r12: whitened-cosine SemDeDup — PCA fit (2 bounded passes) +
     // map-only projection + the cluster-blocked screen; the curve
     // must track within-cluster pairs like the raw-space screen

@@ -52,35 +52,65 @@ object Dedup {
     * rows — md5 + id project out BEFORE any exchange, the keep window
     * runs over that narrow frame, and only the DROP ids (the
     * duplicate fraction of the corpus, ~0.2% on a typical web crawl)
-    * come back, broadcast into a left_anti join against the full
-    * rows. Document text never enters an exchange. The naive
+    * come back into a left_anti join against the full rows —
+    * broadcast when the measured drop count fits the budget, plain
+    * (AQE-chosen) when it doesn't; see keepFirstByKey. Document text
+    * never enters an exchange in the broadcast regime. The naive
     * alternative — a row_number window partitioned by md5(text) over
     * the full frame — shuffles the whole corpus once: at 100 TB that
     * is a ~100 TB exchange vs this plan's ~0.2% one. At extreme
-    * duplication rates the drop set outgrows a broadcast; drop the
-    * hint and the anti-join still only shuffles 8-byte ids on the
-    * drops side. Null texts are UNKNOWN content, not mutually
+    * duplication rates the drop set outgrows a broadcast; the size
+    * gate drops the hint and the anti-join still only shuffles 8-byte
+    * ids on the drops side. Null texts are UNKNOWN content, not mutually
     * identical — they skip the dedup key entirely and all survive
     * (exactDuplicates' convention). */
   def exactDedupKeep(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     keepFirstByKey(docs, idCol, md5(col(textCol)))
 
+  /** Row-count ceiling under which keepFirstByKey broadcasts the
+    * drop-id frame. 4M long ids ≈ 32 MB — comfortably inside an
+    * executor broadcast budget; above it a forced broadcast hint is a
+    * 100 TB hazard (a realistic 10–30% crawl dup rate yields 10^9+
+    * drop ids = tens of GB, and the hint removes AQE's ability to
+    * degrade to a shuffle, so executors OOM instead). Override per
+    * session with spark conf `graft.dedup.broadcastDropLimit`. */
+  val DefaultBroadcastDropLimit: Long = 4000000L
+
   /** The generic form of exactDedupKeep: min-id keeper per arbitrary
     * dedup KEY expression (content md5, rolling fingerprint, canonical
     * URL, ...). Same scale shape — the key computes in a narrow
-    * projection, the keep window sees (key, id) rows only, drop ids
-    * broadcast into a left_anti join; rows with a NULL key are
-    * unknown content and all survive. */
+    * projection, the keep window sees (key, id) rows only, and rows
+    * with a NULL key are unknown content and all survive.
+    *
+    * The anti-join strategy is SIZE-ADAPTIVE: the drop-id frame is
+    * pinned (MEMORY_AND_DISK — ids only, spills cleanly) and counted
+    * with one narrow agg. Below `graft.dedup.broadcastDropLimit`
+    * (default 4M rows) it broadcasts into the left_anti join — the
+    * corpus text never enters an exchange. Above it the hint is
+    * OMITTED: the plain left_anti lets AQE pick the strategy, and the
+    * drops side still only shuffles 8-byte ids. Forcing the broadcast
+    * unconditionally (the pre-r13 form) was correct at every measured
+    * scale but had a cliff: past the broadcast budget the job OOMs
+    * executors rather than degrading to a shuffle. The count makes
+    * this operator EAGER (it runs the keep window once, into the
+    * cache, at call time); the pinned id frame follows the file-level
+    * caching contract above. */
   def keepFirstByKey(docs: DataFrame, idCol: String, key: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
     val w = Window.partitionBy(col("__h")).orderBy(col("__i"))
+    val limit = docs.sparkSession.conf
+      .get("graft.dedup.broadcastDropLimit", DefaultBroadcastDropLimit.toString)
+      .toLong
     val drops = docs
       .where(key.isNotNull)
       .select(col(idCol).as("__i"), key.as("__h"))
       .withColumn("_rn", row_number().over(w))
       .where(col("_rn") > 1)
       .select(col("__i"))
-    docs.join(broadcast(drops), col(idCol) === col("__i"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dropSide = if (drops.count() <= limit) broadcast(drops) else drops
+    docs.join(dropSide, col(idCol) === col("__i"), "left_anti")
   }
 
   // The minhash modulus (2^61-1) lives with the kernel that uses it:

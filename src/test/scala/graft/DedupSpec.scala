@@ -253,6 +253,47 @@ class DedupSpec extends SparkSpec {
       s"no exchange may carry document text:\n${exchanges.mkString("\n")}")
   }
 
+  test("keepFirstByKey: anti-join is size-adaptive — broadcast below the drop limit, plain left_anti above") {
+    import graft.dedup.Dedup
+    import spark.implicits._
+    // a frame with REAL duplicates: the drop count must be nonzero for
+    // the limit-0 regime to trip (an sf0.001 corpus with no exact dups
+    // has 0 drops, and 0 <= limit broadcasts in every regime)
+    val docs = (1L to 50L).map(i => (i, s"text-${i % 10}")).toDF("doc_id", "text")
+    def planOf(limit: String): String = {
+      spark.conf.set("graft.dedup.broadcastDropLimit", limit)
+      try Dedup.exactDedupKeep(docs, "doc_id", "text")
+        .queryExecution.executedPlan.toString
+      finally spark.conf.unset("graft.dedup.broadcastDropLimit")
+    }
+    // below-threshold regime: the hint is present — drop ids broadcast,
+    // the corpus side never shuffles for the join
+    val below = planOf(Dedup.DefaultBroadcastDropLimit.toString)
+    assert(below.contains("BroadcastHashJoin") && below.contains("LeftAnti"),
+      below.take(2000))
+    // above-threshold regime (limit forced to 0): the hint is ABSENT —
+    // the plain left_anti lets AQE pick the strategy instead of
+    // force-broadcasting a corpus-fraction-sized id frame. Stats-based
+    // broadcast is disabled for the observation (at test SF the drop
+    // frame is tiny, so Catalyst would broadcast it on stats alone and
+    // mask the hint's absence — at the scale this regime exists for,
+    // those stats are past any broadcast budget).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val above = try planOf("0")
+      finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert(!above.contains("BroadcastHashJoin"), above.take(2000))
+    assert(above.contains("LeftAnti"), above.take(2000))
+    // both regimes keep the same answer
+    spark.conf.set("graft.dedup.broadcastDropLimit", "0")
+    val shuffled =
+      try Dedup.exactDedupKeep(docs, "doc_id", "text")
+        .select($"doc_id".as[Long]).collect().toSet
+      finally spark.conf.unset("graft.dedup.broadcastDropLimit")
+    val bcast = Dedup.exactDedupKeep(docs, "doc_id", "text")
+      .select($"doc_id".as[Long]).collect().toSet
+    assert(shuffled == bcast && bcast.nonEmpty)
+  }
+
   test("whitened-cosine SemDeDup changes the pair set vs the raw-space screen") {
     import graft.dedup.Dedup
     val xy = Tables.load(spark, sfDir, "embeddings").select(col("vec_id"),
