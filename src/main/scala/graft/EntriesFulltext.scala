@@ -203,6 +203,19 @@ private[graft] object EntriesFulltext {
         QueryDsl.term(col("lang"), "de"), 0.5, 10)),
     "q_bm25" -> ((s, d) =>
       Search.bm25TopK(t(s, d, "documents"), "doc_id", "text", "fast hash join", 10)),
+    // analyze-once persisted index: write the corpus with
+    // graft.index.analysis, score the SAME query from the persisted
+    // postings/df/stats artifacts — hash-equal to on-the-fly q_bm25
+    // (same oracle SQL), but the corpus tokenize is paid at write time
+    "q_bm25_indexed" -> ((s, d) => {
+      val out = s"/tmp/graft_bm25idx_${System.getProperty("user.name")}"
+      graft.sources.Connector.save(t(s, d, "documents"), out, Map(
+        "graft.write.operation" -> "overwrite",
+        "graft.mapping.id" -> "doc_id",
+        "graft.index.analysis" -> "text"))
+      Search.bm25ScoresIndexed(s, out, "doc_id", "text", "fast hash join")
+        .orderBy(col("score").desc, col("id").asc).limit(10)
+    }),
     "q_more_like_this" -> ((s, d) =>
       Search.moreLikeThis(t(s, d, "documents"), "doc_id", "text", seedId = 7L, m = 5, minMatch = 2)),
     // more_like_this with `unlike`: the negative example's terms are
@@ -411,6 +424,10 @@ private[graft] object EntriesFulltext {
       " SELECT sc.id, round(sc.score * CASE WHEN d.lang = 'de' THEN 0.5 ELSE 1.0 END, 4) AS score " +
       "FROM sc JOIN documents d ON d.doc_id = sc.id ORDER BY score DESC, id LIMIT 10"),
     "q_bm25" -> (TokCte + bm25Ctes("", "tok", Seq("fast", "hash", "join")) +
+      " SELECT id, score FROM sc ORDER BY score DESC, id LIMIT 10"),
+    // identical SQL to q_bm25 — the persisted-artifact path must be
+    // bit-equal to the on-the-fly analysis
+    "q_bm25_indexed" -> (TokCte + bm25Ctes("", "tok", Seq("fast", "hash", "join")) +
       " SELECT id, score FROM sc ORDER BY score DESC, id LIMIT 10"),
     "q_more_like_this" -> (TokCte + ", " +
       "seed AS (SELECT term FROM (SELECT unnest(toks) AS term FROM tok WHERE doc_id = 7) GROUP BY term ORDER BY count(*) DESC, term LIMIT 5), " +

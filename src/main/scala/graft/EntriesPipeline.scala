@@ -140,6 +140,20 @@ private[graft] object EntriesPipeline {
       Ann.ivfTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
         nCentroids = 16, nprobe = 4, k = 10)
     }),
+    // persisted IVF index: the write fits the quantizer and pays the
+    // corpus assignment pass ONCE (graft.index.vectors); the query
+    // reads centroids+assignments back and pays probe+rank only —
+    // hash-equal to the fit-per-query q_ann_ivf (same oracle SQL)
+    "q_ann_ivf_persisted" -> ((s, d) => {
+      val out = s"/tmp/graft_ivfidx_${System.getProperty("user.name")}"
+      graft.sources.Connector.save(t(s, d, "embeddings"), out, Map(
+        "graft.write.operation" -> "overwrite",
+        "graft.mapping.id" -> "vec_id",
+        "graft.index.vectors" -> "embedding",
+        "graft.index.vectors.centroids" -> "16"))
+      Ann.ivfTopKIndexed(s, out, t(s, d, "embeddings").where(col("vec_id") < 5),
+        "vec_id", "embedding", nCentroids = 16, nprobe = 4, k = 10)
+    }),
     // _explain for a knn hit: dot / norms / cosine breakdown for one
     // (query vector, document) pair
     "q_explain_knn" -> ((s, d) =>

@@ -1,0 +1,235 @@
+package graft.index
+
+import graft.analysis.Analyzer
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Analyze-once persisted index artifacts — the Spark-native analog of
+  * what an ES server amortizes across queries by maintaining a Lucene
+  * index (elasticsearch-hadoop delegates all of this to the server;
+  * graft re-expresses it as columnar side tables beside the index
+  * directory).
+  *
+  * Layout (inside the index directory — every name is underscore-
+  * prefixed, so Spark's hidden-path filter keeps artifact files out of
+  * ordinary reads of the index, and the `_graft_` infix keeps the dir
+  * out of pattern/cat listings like all machinery paths):
+  *
+  * {{{
+  * <index>/_graft_analysis/<textCol>/postings/   (term, id, tf, dl) — inverted index
+  * <index>/_graft_analysis/<textCol>/df/         (term, df)         — document frequency
+  * <index>/_graft_analysis/<textCol>/stats/      (n_docs, avgdl)    — 1 row
+  * <index>/_graft_analysis/<textCol>/_graft_meta.json  fingerprint   — commit point
+  * }}}
+  *
+  * Scale shape: the build pays ONE corpus tokenize + one (term,id)
+  * exchange — the same work every single BM25 query pays today — and
+  * every subsequent query reads only the postings of ITS OWN terms:
+  * postings are range-partitioned and sorted by term, so a
+  * `term IN (...)` predicate prunes whole files and row groups via
+  * parquet min/max stats. Query-time cost becomes proportional to the
+  * matched postings, not the corpus (at 100 TB, the difference between
+  * re-reading 100 TB of text per query and reading a few MB of posting
+  * rows).
+  *
+  * Freshness: `_graft_meta.json` records an md5 fingerprint of the
+  * live data files (relative path, length, mtime of every non-hidden
+  * file) and is written LAST, making it the commit point. A stale
+  * artifact — data appended or swapped after the build — fingerprint-
+  * mismatches and readers fall back to on-the-fly analysis; a build
+  * that crashed before the meta write is simply absent. The crash-safe
+  * index swap (Connector.save's `_graft_tmp` rename) replaces the
+  * whole index directory, artifacts included, so a swap can never
+  * leave new data paired with old artifacts.
+  */
+object IndexArtifacts {
+
+  val AnalysisDirName = "_graft_analysis"
+
+  def analysisDir(indexPath: String, textCol: String): String =
+    s"$indexPath/$AnalysisDirName/$textCol"
+
+  /** md5 over the sorted (relative path, length, mtime) of every
+    * non-hidden file under the index dir — changes on any append,
+    * overwrite or swap; ignores artifact/machinery paths themselves
+    * (underscore-prefixed), so building artifacts does not invalidate
+    * the fingerprint they record. */
+  def dataFingerprint(spark: SparkSession, indexPath: String): String = {
+    val root = new Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walk(d: Path): Unit =
+      fs.listStatus(d).foreach { st =>
+        val n = st.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) {
+          if (st.isDirectory) walk(st.getPath)
+          else lines += s"${st.getPath.toString.stripPrefix(root.toString)}:${st.getLen}:${st.getModificationTime}"
+        }
+      }
+    walk(root)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(lines.sorted.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** Build (or rebuild) the analysis artifacts for one text column.
+    * One corpus tokenize; postings land range-partitioned + sorted by
+    * term for query-time row-group pruning. The df table derives from
+    * the PERSISTED postings (not a second tokenize), and the meta
+    * fingerprint is written last as the commit point. */
+  def buildAnalysis(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      textCol: String,
+      fmt: String = "parquet"): Unit = {
+    val dir = analysisDir(indexPath, textCol)
+    val docs = spark.read.format(fmt).load(indexPath)
+    val toks = docs.select(
+      col(idCol).as("id"), Analyzer.tokens(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    toks
+      .select(col("id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("id"), col("dl"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions(col("term"))
+      .write.mode("overwrite").parquet(s"$dir/postings")
+    // one row per (term, doc) -> count per term IS the document freq
+    spark.read.parquet(s"$dir/postings")
+      .groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+      .write.mode("overwrite").parquet(s"$dir/df")
+    // the exact stats frame bm25ComponentsFromToks computes on the fly:
+    // n_docs counts EVERY doc (null text included), avgdl skips nulls
+    toks.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+    val fp = dataFingerprint(spark, indexPath)
+    val metaPath = new Path(s"$dir/_graft_meta.json")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(metaPath, true)
+    out.write(
+      s"""{"fingerprint":"$fp","id_col":"$idCol","text_col":"$textCol"}"""
+        .getBytes("UTF-8"))
+    out.close()
+  }
+
+  // ---- persisted vector index (IVF) --------------------------------
+
+  val VectorsDirName = "_graft_vectors"
+
+  def vectorsDir(indexPath: String, vecCol: String): String =
+    s"$indexPath/$VectorsDirName/$vecCol"
+
+  /** Build the IVF vector-index artifact: persist the coarse
+    * quantizer's centroids and the per-doc inverted-list assignments.
+    * `cents` is any (cent_id, cv) frame — Ann.seedCentroids for the
+    * deterministic default, Ann.kmeansCentroids for the fitted
+    * quantizer. The assignment pass (the corpus-sized cost) runs ONCE
+    * here; queries pay only probe+rank (Ann.ivfTopKIndexed). */
+  def buildIvf(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      vecCol: String,
+      cents: DataFrame,
+      fmt: String = "parquet"): Unit = {
+    val dir = vectorsDir(indexPath, vecCol)
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    val stored = spark.read.parquet(s"$dir/centroids")
+    val corpus = spark.read.format(fmt).load(indexPath)
+    graft.sim.Ann.assignToCentroids(corpus, idCol, vecCol, stored)
+      // cluster the lists on disk: a probe of one list reads
+      // contiguous files instead of scattering over the corpus order
+      .repartitionByRange(col("cent_id"))
+      .sortWithinPartitions(col("cent_id"))
+      .write.mode("overwrite").parquet(s"$dir/assignments")
+    writeIvfMeta(spark, indexPath, idCol, vecCol)
+  }
+
+  /** Incremental add — the daily-ingest shape: route ONLY documents
+    * absent from the stored assignments to the EXISTING centroid
+    * lists, append, and re-stamp the fingerprint. The quantizer never
+    * refits, so ingest cost is proportional to the new documents, not
+    * the corpus. */
+  def refreshIvf(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      vecCol: String,
+      fmt: String = "parquet"): Unit = {
+    val dir = vectorsDir(indexPath, vecCol)
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val known = spark.read.parquet(s"$dir/assignments").select(col("id"))
+    val fresh = spark.read.format(fmt).load(indexPath)
+      .join(known, col(idCol) === col("id"), "left_anti")
+    graft.sim.Ann.assignToCentroids(fresh, idCol, vecCol, cents)
+      .write.mode("append").parquet(s"$dir/assignments")
+    writeIvfMeta(spark, indexPath, idCol, vecCol)
+  }
+
+  private def writeIvfMeta(
+      spark: SparkSession, indexPath: String, idCol: String, vecCol: String): Unit = {
+    val fp = dataFingerprint(spark, indexPath)
+    val metaPath = new Path(s"${vectorsDir(indexPath, vecCol)}/_graft_meta.json")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(metaPath, true)
+    out.write(
+      s"""{"fingerprint":"$fp","id_col":"$idCol","vec_col":"$vecCol"}"""
+        .getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** Fresh (centroids, assignments) or None — same freshness contract
+    * as loadAnalysis. */
+  def loadIvf(
+      spark: SparkSession,
+      indexPath: String,
+      vecCol: String): Option[(DataFrame, DataFrame)] = {
+    val dir = vectorsDir(indexPath, vecCol)
+    readMetaFingerprint(spark, s"$dir/_graft_meta.json") match {
+      case Some(fp) if fp == dataFingerprint(spark, indexPath) =>
+        Some((
+          spark.read.parquet(s"$dir/centroids"),
+          spark.read.parquet(s"$dir/assignments")))
+      case _ => None
+    }
+  }
+
+  private def readMetaFingerprint(
+      spark: SparkSession, metaFile: String): Option[String] = {
+    val metaPath = new Path(metaFile)
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(metaPath)) return None
+    val meta = {
+      val in = fs.open(metaPath)
+      try org.json4s.jackson.JsonMethods.parse(
+        scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
+    meta \ "fingerprint" match {
+      case org.json4s.JString(s) => Some(s)
+      case _ => None
+    }
+  }
+
+  /** Load the artifacts if present AND fresh (meta fingerprint matches
+    * the live data files); None means missing or stale — callers fall
+    * back to on-the-fly analysis. Returns (postings, df, stats). */
+  def loadAnalysis(
+      spark: SparkSession,
+      indexPath: String,
+      textCol: String): Option[(DataFrame, DataFrame, DataFrame)] = {
+    val dir = analysisDir(indexPath, textCol)
+    readMetaFingerprint(spark, s"$dir/_graft_meta.json") match {
+      case Some(fp) if fp == dataFingerprint(spark, indexPath) =>
+        Some((
+          spark.read.parquet(s"$dir/postings"),
+          spark.read.parquet(s"$dir/df"),
+          spark.read.parquet(s"$dir/stats")))
+      case _ => None
+    }
+  }
+}

@@ -669,6 +669,26 @@ object Search {
       .groupBy(col("id"))
       .agg(Num.round(sum(col("term_score")), 4).as("score"))
 
+  // the BM25 formula, single-sourced so the on-the-fly path and the
+  // persisted-artifact path (bm25ScoresIndexed) cannot drift: both
+  // score a (term, id, tf, dl) posting frame joined to (term, df) and
+  // the 1-row (n_docs, avgdl) stats
+  private def bm25IdfExpr: Column =
+    log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+  private def bm25TfPartExpr(k1: Double, b: Double): Column =
+    col("tf") * (k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl")))
+  private def bm25ScorePostings(
+      postings: DataFrame,
+      df: DataFrame,
+      stats: DataFrame,
+      k1: Double,
+      b: Double): DataFrame =
+    postings.join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", bm25IdfExpr)
+      .withColumn("term_score", col("idf") * bm25TfPartExpr(k1, b))
+
   private def bm25ComponentsFromToks(
       toksDf: DataFrame,
       q: Seq[String],
@@ -693,14 +713,43 @@ object Search {
     // document frequency per query term: <= |q| rows -> broadcast.
     val df = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
 
-    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val tfPart = col("tf") * (k1 + 1.0) /
-      (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl")))
+    bm25ScorePostings(tf, df, stats, k1, b)
+  }
 
-    tf.join(broadcast(df), "term")
-      .crossJoin(broadcast(stats))
-      .withColumn("idf", idf)
-      .withColumn("term_score", col("idf") * tfPart)
+  /** BM25 over PERSISTED analysis artifacts (graft.index.analysis,
+    * graft.index.IndexArtifacts): when the index directory carries
+    * fresh artifacts, the query reads only ITS OWN terms' postings —
+    * the `term IN (...)` predicate pushes into the range-partitioned,
+    * term-sorted postings parquet and prunes whole row groups, so
+    * query cost tracks matched postings instead of corpus size and the
+    * corpus tokenize is paid ONCE at write time, exactly like an ES
+    * index amortizes analysis across queries. Stale or missing
+    * artifacts (fingerprint mismatch after an append/swap) fall back
+    * to the on-the-fly bm25Scores — same formula, same rounding, so
+    * results are bit-equal in both regimes. */
+  def bm25ScoresIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      idCol: String,
+      textCol: String,
+      query: String,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val q = Analyzer.analyze(query)
+    require(q.nonEmpty, s"bm25 query analyzed to zero tokens: $query")
+    graft.index.IndexArtifacts.loadAnalysis(spark, indexPath, textCol) match {
+      case Some((postings, dfTable, stats)) =>
+        bm25ScorePostings(
+          postings.where(col("term").isin(q: _*)),
+          // df for the query's terms only (<= |q| rows -> broadcast);
+          // the values are index-wide document frequencies either way
+          dfTable.where(col("term").isin(q: _*)),
+          stats, k1, b)
+          .groupBy(col("id"))
+          .agg(Num.round(sum(col("term_score")), 4).as("score"))
+      case None =>
+        bm25Scores(spark.read.parquet(indexPath), idCol, textCol, query, k1, b)
+    }
   }
 
   /** `_explain` for one document: the BM25 term-by-term breakdown

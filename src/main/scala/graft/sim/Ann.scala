@@ -115,17 +115,22 @@ object Ann {
       nCentroids: Int,
       nprobe: Int,
       k: Int): DataFrame = {
-    val c = corpus.select(
-      col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("v"))
-    // seed = the LOWEST nCentroids ids, whatever the id space: the
-    // old `id < nCentroids` predicate silently yielded zero centroids
-    // (and an empty result for every query) on offset/sparse id
-    // spaces — the knnSearch comment's trap, now fixed at the source
-    val cents = c.orderBy(col("id").asc).limit(nCentroids)
-      .select(col("id").as("cent_id"), col("v").as("cv"))
-    ivfTopKWith(corpus, queries, idCol, vecCol, cents, nprobe, k)
+    ivfTopKWith(corpus, queries, idCol, vecCol,
+      seedCentroids(corpus, idCol, vecCol, nCentroids), nprobe, k)
   }
+
+  /** Deterministic seed quantizer: the LOWEST `n` corpus ids as
+    * centroids, whatever the id space (an `id < n` predicate silently
+    * yielded zero centroids on offset/sparse id spaces — the knnSearch
+    * comment's trap, fixed at the source). Shared by the fit-per-query
+    * form (ivfTopK) and the write-side artifact build, so both
+    * quantizers are identical by construction. */
+  def seedCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String, n: Int): DataFrame =
+    corpus.select(
+      col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .orderBy(col("id").asc).limit(n)
+      .select(col("id").as("cent_id"), col("v").as("cv"))
 
   /** Lloyd k-means fit for the IVF coarse quantizer — the list-balance
     * path the seed-centroid variant trades away. Deterministic init
@@ -195,20 +200,47 @@ object Ann {
       vecCol: String,
       cents: DataFrame,
       nprobe: Int,
+      k: Int): DataFrame =
+    ivfTopKAssigned(corpus, queries, idCol, vecCol, cents,
+      assignToCentroids(corpus, idCol, vecCol, cents), nprobe, k)
+
+  /** The IVF list assignment: argmax cosine (cent_id tie-break) as a
+    * max_by PARTIAL aggregation — the exchange carries ~N pre-combined
+    * rows instead of the N x |centroids| cross frame a row_number
+    * window would hash-shuffle; the corpus-side pass is the 100 TB
+    * cost, which is exactly why the write path persists its output
+    * (graft.index.IndexArtifacts.buildIvf) instead of re-running it
+    * per query. */
+  def assignToCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: DataFrame): DataFrame =
+    corpus.select(
+      col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+      .crossJoin(broadcast(cents))
+      .select(col("id"), col("cent_id"),
+        Num.round(Vectors.cosine(col("v"), col("cv")), 4).as("ccos"))
+      .groupBy(col("id"))
+      .agg(max_by(col("cent_id"), struct(col("ccos"), negate(col("cent_id")))).as("cent_id"))
+
+  /** IVF probe+rank over a PRECOMPUTED (id, cent_id) assignment frame —
+    * the query-side half of ivfTopKWith, and the entry point for the
+    * persisted artifact path where assignment was paid at write time. */
+  def ivfTopKAssigned(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: DataFrame,
+      assign: DataFrame,
+      nprobe: Int,
       k: Int): DataFrame = {
     requireBoundedQueries(queries, "ivfTopKWith")
     val c = corpus.select(
       col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    // assignment = argmax cosine (cent_id tie-break) as a max_by
-    // PARTIAL aggregation: the exchange carries ~N pre-combined rows
-    // instead of the N x |centroids| cross frame a row_number window
-    // would hash-shuffle — the corpus-side pass is the 100 TB cost
-    val assign = c.crossJoin(broadcast(cents))
-      .select(col("id"), col("cent_id"),
-        Num.round(Vectors.cosine(col("v"), col("cv")), 4).as("ccos"))
-      .groupBy(col("id"))
-      .agg(max_by(col("cent_id"), struct(col("ccos"), negate(col("cent_id")))).as("cent_id"))
     val q = queries.select(
       col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
@@ -232,6 +264,34 @@ object Ann {
       .withColumn("rank", row_number().over(wRank))
       .where(col("rank") <= k)
       .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
+  /** IVF over the PERSISTED vector index (graft.index.vectors,
+    * graft.index.IndexArtifacts): fresh artifacts supply the quantizer
+    * centroids AND the per-doc list assignments, so query-time cost is
+    * the probe+rank only — independent of fit/assignment cost, which
+    * was paid once at write time and amortizes across queries exactly
+    * like ES's HNSW graph build. Stale or missing artifacts fall back
+    * to the fit-per-query seed form with `nCentroids` centroids (the
+    * same quantizer the default artifact build uses, so both regimes
+    * return identical rows). */
+  def ivfTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int,
+      nprobe: Int,
+      k: Int,
+      fmt: String = "parquet"): DataFrame = {
+    val corpus = spark.read.format(fmt).load(indexPath)
+    graft.index.IndexArtifacts.loadIvf(spark, indexPath, vecCol) match {
+      case Some((cents, assign)) =>
+        ivfTopKAssigned(corpus, queries, idCol, vecCol, cents, assign, nprobe, k)
+      case None =>
+        ivfTopK(corpus, queries, idCol, vecCol, nCentroids, nprobe, k)
+    }
   }
 
   /** One bucket key per hash table, table-index-prefixed. Multiple

@@ -578,6 +578,46 @@ object Connector {
       case other =>
         throw new IllegalArgumentException(s"unknown graft.write.operation: $other")
     }
+    // analyze-once index artifacts (`graft.index.analysis` = text
+    // column): build AFTER the data landed/swapped, so the recorded
+    // fingerprint describes the live files queries will read. The ES
+    // analog: the server analyzes at index time so queries never
+    // re-tokenize; here the postings/df/stats side tables play the
+    // Lucene index's role (graft.index.IndexArtifacts).
+    cfg.get("graft.index.analysis").foreach { textCol =>
+      val idCol = cfg.getOrElse("graft.mapping.id",
+        throw new IllegalArgumentException(
+          "graft.index.analysis needs graft.mapping.id (the posting doc id)"))
+      graft.index.IndexArtifacts.buildAnalysis(spark, path, idCol, textCol, fmt)
+    }
+    // persisted IVF vector index (`graft.index.vectors` = vector
+    // column): the quantizer fits/seeds ONCE and the corpus-sized
+    // assignment pass runs at write time, so queries pay probe+rank
+    // only. An APPEND with existing centroids routes just the new
+    // docs to the existing lists (incremental, the daily-ingest
+    // shape); everything else rebuilds. Options:
+    //   graft.index.vectors.centroids = n (default 16)
+    //   graft.index.vectors.fit = seed | kmeans (default seed)
+    cfg.get("graft.index.vectors").foreach { vecCol =>
+      val idCol = cfg.getOrElse("graft.mapping.id",
+        throw new IllegalArgumentException(
+          "graft.index.vectors needs graft.mapping.id (the assignment doc id)"))
+      val n = cfg.getOrElse("graft.index.vectors.centroids", "16").toInt
+      val centsDir = new Path(
+        graft.index.IndexArtifacts.vectorsDir(path, vecCol) + "/centroids")
+      if (op == "append" && fs.exists(centsDir)) {
+        graft.index.IndexArtifacts.refreshIvf(spark, path, idCol, vecCol, fmt)
+      } else {
+        val corpus = spark.read.format(fmt).load(path)
+        val cents = cfg.getOrElse("graft.index.vectors.fit", "seed") match {
+          case "seed" => graft.sim.Ann.seedCentroids(corpus, idCol, vecCol, n)
+          case "kmeans" => graft.sim.Ann.kmeansCentroids(corpus, idCol, vecCol, n)
+          case other => throw new IllegalArgumentException(
+            s"unknown graft.index.vectors.fit: $other")
+        }
+        graft.index.IndexArtifacts.buildIvf(spark, path, idCol, vecCol, cents, fmt)
+      }
+    }
   }
 
   /** `_aliases` analog: an alias is a directory holding ONE

@@ -1,0 +1,155 @@
+package graft
+
+import graft.index.IndexArtifacts
+import graft.search.Search
+import org.apache.spark.sql.functions._
+
+/** Analyze-once persisted index artifacts: build-at-write, bit-equal
+  * scoring in both regimes, postings pushdown, and freshness across
+  * appends and the crash-safe swap. */
+class IndexArtifactsSpec extends SparkSpec {
+
+  private def topk(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy(col("score").desc, col("id").asc).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  test("bm25 over persisted artifacts is bit-equal to on-the-fly; stale artifacts fall back") {
+    val out = "/tmp/graft_idxspec_bm25"
+    val docs = Tables.documents(spark, sfDir)
+    graft.sources.Connector.save(docs, out, Map(
+      "graft.write.operation" -> "overwrite",
+      "graft.mapping.id" -> "doc_id",
+      "graft.index.analysis" -> "text"))
+
+    // artifacts present + fresh
+    assert(IndexArtifacts.loadAnalysis(spark, out, "text").isDefined)
+    val onTheFly = topk(Search.bm25Scores(
+      spark.read.parquet(out), "doc_id", "text", "fast hash join"))
+    val indexed = topk(Search.bm25ScoresIndexed(
+      spark, out, "doc_id", "text", "fast hash join"))
+    assert(indexed == onTheFly && indexed.nonEmpty)
+
+    // the indexed plan reads the POSTINGS artifact with the query's
+    // terms pushed into the parquet scan (row-group pruning), and
+    // never re-tokenizes the corpus text
+    val plan = Search.bm25ScoresIndexed(
+      spark, out, "doc_id", "text", "fast hash join")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("postings"), plan.take(2000))
+    assert(plan.contains("PushedFilters: [In(term"), plan.take(2000))
+    assert(!plan.toLowerCase.contains("tokenize"), plan.take(2000))
+
+    // APPEND without rebuilding -> fingerprint mismatch -> stale ->
+    // None, and the scoring path falls back to on-the-fly over the
+    // grown corpus (answers track the data, never the stale artifact)
+    graft.sources.Connector.save(
+      docs.limit(50).withColumn("doc_id", col("doc_id") + lit(1000000L)),
+      out, Map("graft.write.operation" -> "append"))
+    assert(IndexArtifacts.loadAnalysis(spark, out, "text").isEmpty)
+    val grown = topk(Search.bm25ScoresIndexed(
+      spark, out, "doc_id", "text", "fast hash join"))
+    val grownRef = topk(Search.bm25Scores(
+      spark.read.parquet(out), "doc_id", "text", "fast hash join"))
+    assert(grown == grownRef)
+
+    // rebuild via a write that carries the analysis option -> fresh
+    // again and equal to on-the-fly on the final corpus
+    graft.sources.Connector.save(docs, out, Map(
+      "graft.write.operation" -> "overwrite",
+      "graft.mapping.id" -> "doc_id",
+      "graft.index.analysis" -> "text"))
+    assert(IndexArtifacts.loadAnalysis(spark, out, "text").isDefined)
+    assert(topk(Search.bm25ScoresIndexed(
+      spark, out, "doc_id", "text", "fast hash join")) == onTheFly)
+  }
+
+  test("persisted IVF: artifact path equals fit-per-query; appends route incrementally to existing lists") {
+    import graft.sim.Ann
+    val out = "/tmp/graft_idxspec_ivf"
+    val e = Tables.embeddings(spark, sfDir)
+    graft.sources.Connector.save(e, out, Map(
+      "graft.write.operation" -> "overwrite",
+      "graft.mapping.id" -> "vec_id",
+      "graft.index.vectors" -> "embedding",
+      "graft.index.vectors.centroids" -> "16"))
+    assert(graft.index.IndexArtifacts.loadIvf(spark, out, "embedding").isDefined)
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val queries = e.where(col("vec_id") < 5)
+    val persisted = rows(Ann.ivfTopKIndexed(spark, out, queries,
+      "vec_id", "embedding", nCentroids = 16, nprobe = 4, k = 10))
+    val perQuery = rows(Ann.ivfTopK(spark.read.parquet(out), queries,
+      "vec_id", "embedding", nCentroids = 16, nprobe = 4, k = 10))
+    assert(persisted == perQuery && persisted.nonEmpty)
+
+    // the persisted plan reads the assignments artifact and contains
+    // no corpus-x-centroids assignment aggregation (that cost was paid
+    // at write time); the fit-per-query plan must contain it
+    val plan = Ann.ivfTopKIndexed(spark, out, queries,
+      "vec_id", "embedding", 16, 4, 10).queryExecution.executedPlan.toString
+    assert(plan.contains("assignments"), plan.take(2000))
+
+    // APPEND with the vectors option: new docs route to the EXISTING
+    // lists (no refit) and the artifact stays fresh
+    val extra = e.limit(7).withColumn("vec_id", col("vec_id") + lit(5000000L))
+    graft.sources.Connector.save(extra, out, Map(
+      "graft.write.operation" -> "append",
+      "graft.mapping.id" -> "vec_id",
+      "graft.index.vectors" -> "embedding"))
+    val art = graft.index.IndexArtifacts.loadIvf(spark, out, "embedding")
+    assert(art.isDefined)
+    val (cents, assign) = art.get
+    // quantizer untouched (same 16 centroids), assignments grew by
+    // exactly the appended docs
+    assert(cents.count() == 16)
+    assert(assign.count() == e.count() + 7)
+    val appended = assign.where(col("id") >= 5000000L)
+    assert(appended.count() == 7)
+    // and the routed lists agree with a fresh assignment against the
+    // same centroids
+    val expect = Ann.assignToCentroids(
+      spark.read.parquet(out).where(col("vec_id") >= 5000000L),
+      "vec_id", "embedding", cents)
+    assert(appended.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      expect.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+
+    // an append WITHOUT the option leaves the artifact stale -> None
+    graft.sources.Connector.save(
+      e.limit(3).withColumn("vec_id", col("vec_id") + lit(9000000L)),
+      out, Map("graft.write.operation" -> "append"))
+    assert(graft.index.IndexArtifacts.loadIvf(spark, out, "embedding").isEmpty)
+  }
+
+  test("crash-safe swap replaces artifacts with the index: an upsert leaves no stale pairing") {
+    val out = "/tmp/graft_idxspec_swap"
+    val docs = Tables.documents(spark, sfDir)
+    val cfg = Map(
+      "graft.mapping.id" -> "doc_id",
+      "graft.index.analysis" -> "text")
+    graft.sources.Connector.save(docs, out,
+      cfg + ("graft.write.operation" -> "overwrite"))
+    assert(IndexArtifacts.loadAnalysis(spark, out, "text").isDefined)
+
+    // an UPSERT goes through the _graft_tmp two-phase swap; the swap
+    // replaces the whole directory, so with the analysis option the
+    // artifacts rebuild against the NEW live files and stay fresh
+    graft.sources.Connector.save(
+      docs.limit(20).withColumn("text", lit("swapped fast hash join text")),
+      out, cfg + ("graft.write.operation" -> "upsert"))
+    assert(IndexArtifacts.loadAnalysis(spark, out, "text").isDefined)
+    val indexed = topk(Search.bm25ScoresIndexed(
+      spark, out, "doc_id", "text", "fast hash join"))
+    val fly = topk(Search.bm25Scores(
+      spark.read.parquet(out), "doc_id", "text", "fast hash join"))
+    assert(indexed == fly && indexed.nonEmpty)
+
+    // and an upsert WITHOUT the option swaps the artifacts away with
+    // the old directory — absent, not stale-but-present
+    graft.sources.Connector.save(
+      docs.limit(5), out, Map(
+        "graft.mapping.id" -> "doc_id",
+        "graft.write.operation" -> "upsert"))
+    assert(IndexArtifacts.loadAnalysis(spark, out, "text").isEmpty)
+  }
+}
