@@ -99,4 +99,70 @@ class InferenceSeamSpec extends SparkSpec {
     }
     assert(resized.nonEmpty && resized.forall(_.feat_hash == "decoded"))
   }
+
+  test("corpus-fitted REAL model drives q_semantic_query's plumbing with identical plan shape") {
+    import graft.inference.CorpusFittedService
+    val fitted = CorpusFittedService.fit(docs, "text")
+    // a real model, not a rename of the stub: IDF weights are fitted
+    // (non-unit, rarer term weighs more) and the bigram table adds
+    // related terms beyond the literal query tokens
+    val exp = fitted.expandQuery("vector hash merge")
+    assert(exp.nonEmpty && exp.exists(t => t._2 != 1.0))
+    val literal = graft.analysis.Analyzer.analyze("vector hash merge").distinct.toSet
+    assert(exp.map(_._1).toSet.size > literal.size,
+      s"expected related-term expansion beyond $literal, got ${exp.map(_._1)}")
+
+    // the q_semantic_query plumbing under both services: same
+    // operator tree (the swap changes WEIGHTS/terms, never the plan)
+    def semantic() = docs
+      .where(graft.dsl.QueryDslJson.compile(
+        """{"semantic": {"field": "text", "query": "vector hash merge"}}"""))
+      .select(col("doc_id")).orderBy(col("doc_id"))
+    def shape(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collect { case n => n.getClass.getSimpleName }
+    val stubShape = shape(semantic())
+    val stubIds = semantic().as[Long].collect().toSet
+    val (fittedShape, fittedIds) = withService(fitted) {
+      (shape(semantic()), semantic().as[Long].collect().toSet)
+    }
+    assert(fittedShape == stubShape,
+      s"plan shape must be service-invariant:\n$stubShape\nvs\n$fittedShape")
+    // fitted expansion is a superset of the literal terms -> matches
+    // can only grow
+    assert(stubIds.subsetOf(fittedIds))
+
+    // rerank is a fitted TF-IDF model: text containing the (rare)
+    // query terms outranks unrelated text
+    val scored = withService(fitted) {
+      Seq("vector hash merge join", "the of and").toDF("t")
+        .select(graft.inference.Inference.service
+          .rerankScore("vector hash merge", col("t")).as("s"))
+        .as[Double].collect()
+    }
+    assert(scored(0) > scored(1))
+
+    // completion = greedy decode over FITTED transitions: each emitted
+    // token is the argmax successor of its predecessor
+    val gen = withService(fitted) {
+      Seq("the fast").toDF("p")
+        .select(graft.inference.Inference.service.complete(col("p")).as("c"))
+        .as[String].collect().head
+    }
+    val genToks = gen.split(" ").filter(_.nonEmpty)
+    assert(genToks.nonEmpty)
+    var prev = "fast"
+    genToks.foreach { g =>
+      assert(fitted.nextTok(prev) == g, s"decode must follow the fitted argmax at '$prev'")
+      prev = g
+    }
+
+    // the decoder PARSES real container bytes (png header -> WxH)
+    val png = Array[Int](
+      0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a, // signature
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',             // IHDR chunk
+      0, 0, 0, 3, 0, 0, 0, 5).map(_.toByte)        // width=3 height=5
+    assert(fitted.decoder()(png) == "png 3x5")
+    val gif = ("GIF89a".getBytes("US-ASCII") ++ Array[Byte](7, 0, 2, 0, 0, 0))
+    assert(fitted.decoder()(gif) == "gif 7x2")
+  }
 }
