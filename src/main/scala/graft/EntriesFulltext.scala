@@ -328,6 +328,48 @@ private[graft] object EntriesFulltext {
       Search.percolateDsl(t(s, d, "documents"), "doc_id", "text",
         registry, Seq("n_chars"))
     }),
+    // registry-as-data percolation over ARBITRARY nested bool trees
+    // (r13): clause rows with tree paths; exercises nested should
+    // under must, explicit root msm (the no-required-term fallback
+    // class), a bool under must_not, phrase+range conjunction, and a
+    // two-level nesting — all folded bottom-up as data
+    "q_percolate_bool" -> ((s, d) => {
+      import s.implicits._
+      val n = None: Option[String]
+      val nd = None: Option[Double]
+      val ni = None: Option[Int]
+      val registry = Seq(
+        // fast AND (join OR scan)
+        ("b_nested_should", "must.0", "term", Some("fast"), n, nd, nd, n, ni),
+        ("b_nested_should", "must.1", "bool", n, n, nd, nd, n, ni),
+        ("b_nested_should", "must.1/should.0", "term", Some("join"), n, nd, nd, n, ni),
+        ("b_nested_should", "must.1/should.1", "term", Some("scan"), n, nd, nd, n, ni),
+        // at least 2 of {merge, hash, sort} — no required term, so
+        // this query exercises the match-all-candidates fallback
+        ("b_msm2", "", "bool", n, n, nd, nd, n, Some(2)),
+        ("b_msm2", "should.0", "term", Some("merge"), n, nd, nd, n, ni),
+        ("b_msm2", "should.1", "term", Some("hash"), n, nd, nd, n, ni),
+        ("b_msm2", "should.2", "term", Some("sort"), n, nd, nd, n, ni),
+        // table AND NOT (scan AND n_chars in [300, 600))
+        ("b_not_range", "must.0", "term", Some("table"), n, nd, nd, n, ni),
+        ("b_not_range", "must_not.0", "bool", n, n, nd, nd, n, ni),
+        ("b_not_range", "must_not.0/must.0", "term", Some("scan"), n, nd, nd, n, ni),
+        ("b_not_range", "must_not.0/must.1", "range", n, Some("n_chars"),
+          Some(300.0), Some(600.0), n, ni),
+        // phrase "hash join" AND n_chars in [200, 10000)
+        ("b_phrase_range", "must.0", "phrase", n, n, nd, nd, Some("hash join"), ni),
+        ("b_phrase_range", "must.1", "range", n, Some("n_chars"),
+          Some(200.0), Some(10000.0), n, ni),
+        // vector AND (quantile OR stream)
+        ("b_deep", "must.0", "term", Some("vector"), n, nd, nd, n, ni),
+        ("b_deep", "must.1", "bool", n, n, nd, nd, n, ni),
+        ("b_deep", "must.1/should.0", "term", Some("quantile"), n, nd, nd, n, ni),
+        ("b_deep", "must.1/should.1", "term", Some("stream"), n, nd, nd, n, ni))
+        .toDF("query_id", "path", "kind", "term",
+          "range_field", "range_min", "range_max", "phrase", "msm")
+      Search.percolateBool(t(s, d, "documents"), "doc_id", "text",
+        registry, Seq("n_chars"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -545,6 +587,26 @@ private[graft] object EntriesFulltext {
       "(CASE WHEN range_field = 'n_chars' THEN n_chars::DOUBLE END) < range_max)) " +
       "AND (phrase IS NULL OR contains(joined, ' ' || phrase || ' ')) " +
       "ORDER BY cand.id, cand.query_id"),
+    // each stored bool tree hand-translated to its predicate — the
+    // oracle derives the same matches with no tree machinery at all
+    "q_percolate_bool" -> (TokCte + ", " +
+      "j AS (SELECT doc_id AS id, toks, ' ' || array_to_string(toks, ' ') || ' ' AS joined, n_chars " +
+      "FROM tok JOIN documents USING (doc_id)) " +
+      "SELECT id, query_id FROM (" +
+      "SELECT id, 'b_nested_should' AS query_id FROM j " +
+      "WHERE list_contains(toks, 'fast') AND (list_contains(toks, 'join') OR list_contains(toks, 'scan')) " +
+      "UNION ALL SELECT id, 'b_msm2' FROM j " +
+      "WHERE (CASE WHEN list_contains(toks, 'merge') THEN 1 ELSE 0 END + " +
+      "CASE WHEN list_contains(toks, 'hash') THEN 1 ELSE 0 END + " +
+      "CASE WHEN list_contains(toks, 'sort') THEN 1 ELSE 0 END) >= 2 " +
+      "UNION ALL SELECT id, 'b_not_range' FROM j " +
+      "WHERE list_contains(toks, 'table') AND NOT (list_contains(toks, 'scan') " +
+      "AND n_chars::DOUBLE >= 300.0 AND n_chars::DOUBLE < 600.0) " +
+      "UNION ALL SELECT id, 'b_phrase_range' FROM j " +
+      "WHERE contains(joined, ' hash join ') AND n_chars::DOUBLE >= 200.0 AND n_chars::DOUBLE < 10000.0 " +
+      "UNION ALL SELECT id, 'b_deep' FROM j " +
+      "WHERE list_contains(toks, 'vector') AND (list_contains(toks, 'quantile') OR list_contains(toks, 'stream'))" +
+      ") ORDER BY id, query_id"),
     "q_percolate" -> (TokCte.replace("SELECT doc_id,", "SELECT doc_id, lang, source, n_chars,") +
       ", m AS (SELECT doc_id, " +
       "CASE WHEN list_has_all(toks, ['spark','join']) THEN 'wants_spark' END AS q1, " +

@@ -327,6 +327,35 @@ object ScaleProbe {
         lit(null).cast("string").as("phrase"))
       Search.percolateDsl(docs, "doc_id", "text", reg, Seq("n_chars")).count()
     }
+    time("percolate_bool_500k") {
+      // r13: nested-bool registry percolation at 500k stored trees
+      // (2M clause rows) — every query is must[selector] AND
+      // should(merge|sort), so candidates stay bounded by the
+      // selector term's postings exactly like the flat DSL path;
+      // 1-in-500 queries carry real vocabulary, the rest a
+      // never-matching selector (df=0 kills their candidates).
+      val vocab = Array("key", "agg", "row", "scan", "slow",
+        "fast", "table", "value", "part", "hash")
+      val ns = lit(null).cast("string")
+      val nd = lit(null).cast("double")
+      val ni = lit(null).cast("int")
+      def clause(path: String, kind: String, term: org.apache.spark.sql.Column) = struct(
+        lit(path).as("path"), lit(kind).as("kind"), term.as("term"),
+        ns.as("range_field"), nd.as("range_min"), nd.as("range_max"),
+        ns.as("phrase"), ni.as("msm"))
+      val reg = spark.range(500000).select(
+        concat(lit("q"), col("id")).as("query_id"),
+        explode(array(
+          clause("must.0", "term",
+            when(col("id") % 500 === 0,
+              element_at(lit(vocab), (pmod(col("id"), lit(10)) + 1).cast("int")))
+              .otherwise(concat(lit("zz"), col("id")))),
+          clause("must.1", "bool", ns),
+          clause("must.1/should.0", "term", lit("merge")),
+          clause("must.1/should.1", "term", lit("sort")))).as("c"))
+        .select(col("query_id"), col("c.*"))
+      Search.percolateBool(docs, "doc_id", "text", reg, Seq("n_chars")).count()
+    }
     // ANN recall probe: lsh/ivf top-10 vs brute-force ground truth
     // over the replicated corpus; the number printed is mean
     // recall@10 across the 5 probe queries — the honest accuracy

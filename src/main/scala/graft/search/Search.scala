@@ -1892,6 +1892,145 @@ object Search {
     out
   }
 
+  /** Percolation for LARGE registries of ARBITRARY nested bool trees —
+    * the generalization of percolateDsl's flat conjunction class. Each
+    * stored query is a SET of clause rows
+    * `(query_id, path, kind, term, range_field, range_min, range_max,
+    * phrase, msm)`:
+    *
+    *  - `path` encodes the tree position as `occ.idx` segments joined
+    *    by `/` — e.g. `must.0`, `must.1/should.0`, `""` = the root
+    *    bool node. The occurrence (`must` / `filter` / `should` /
+    *    `must_not`) lives IN the child's path, so inner bool rows
+    *    (`kind = 'bool'`) exist only to carry `minimum_should_match`.
+    *  - leaf kinds: `term` (analyzed token present), `range`
+    *    (`range_field` in `[range_min, range_max)`, dispatched over
+    *    `numericFields`), `phrase` (consecutive analyzed tokens).
+    *
+    * Candidate selection keeps the percolator's rarest-term trick,
+    * generalized: a leaf whose path contains no `should`/`must_not`
+    * edge is REQUIRED (the root can only match if it does), so per
+    * query the corpus-rarest required term (phrase tokens included)
+    * is the selector, and the selector join bounds candidates by that
+    * term's postings. Queries with NO required leaf (pure-should /
+    * pure-negation roots) cannot be term-selected and fall back to
+    * match-all candidates — loudly the expensive class, kept correct;
+    * ES's percolator verifies the same class against every doc.
+    *
+    * Evaluation is data-driven bottom-up: every leaf evaluates once
+    * per candidate pair, then one groupBy per tree LEVEL folds
+    * children into their parent (must = all, should = >= msm with the
+    * ES default — explicit msm, else 1 when the node has no must
+    * children, else 0 — must_not = none). Shuffle count is bounded by
+    * the registry's max depth, never by its row count; the registry is
+    * never inlined into the plan, so it scales to millions of clause
+    * rows. */
+  def percolateBool(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      registry: DataFrame,
+      numericFields: Seq[String]): DataFrame = {
+    val leaves = registry.where(col("kind") =!= "bool")
+    val bools = registry.where(col("kind") === "bool")
+      .select(col("query_id"), col("path").as("_bpath"), col("msm"))
+
+    val docTerms = docs
+      .select(col(idCol).as("id"), explode(Analyzer.termSet(col(textCol))).as("term"))
+      .cache()
+    docTerms.count() // eager: df stats + candidate join + term verify
+    val dfStats = docTerms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+    // required terms: term leaves (and phrase tokens) on pure-must
+    // paths — every edge above them is must/filter
+    val pureMust = !col("path").contains("should") && !col("path").contains("must_not")
+    val required = leaves.where(col("kind") === "term" && pureMust)
+      .select(col("query_id"), col("term"))
+      .unionByName(leaves.where(col("kind") === "phrase" && pureMust)
+        .select(col("query_id"), explode(split(col("phrase"), " ")).as("term")))
+    val selW = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+      .orderBy(col("df").asc, col("term").asc)
+    val selector = required
+      .join(dfStats, Seq("term"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .withColumn("_rn", row_number().over(selW))
+      .where(col("_rn") === 1)
+      .select(col("term"), col("query_id"))
+    val unselective = registry.select(col("query_id")).distinct()
+      .join(selector.select(col("query_id")), Seq("query_id"), "left_anti")
+    val cand = docTerms.join(selector, "term").select(col("id"), col("query_id"))
+      .unionByName(docs.select(col(idCol).as("id")).crossJoin(unselective))
+
+    // one evaluated row per (candidate pair, leaf) — absent matches
+    // surface as ok=false rows, never as missing rows (must_not and
+    // should folds need the full child set)
+    val candLeaf = cand.join(leaves, "query_id")
+    val termEval = candLeaf.where(col("kind") === "term")
+      .join(docTerms.withColumn("_present", lit(true)), Seq("id", "term"), "left")
+      .select(col("id"), col("query_id"), col("path"),
+        coalesce(col("_present"), lit(false)).as("ok"))
+    val docSide = docs.select(
+      (col(idCol).as("id") +:
+        concat(lit(" "), concat_ws(" ", Analyzer.tokens(col(textCol))), lit(" "))
+          .as("_joined") +:
+        numericFields.map(f => col(f))): _*)
+    val fieldVal = numericFields.foldRight(lit(null).cast("double")) {
+      case (f, other) => when(col("range_field") === f, col(f).cast("double")).otherwise(other)
+    }
+    val rpEval = candLeaf.where(col("kind").isin("range", "phrase"))
+      .join(docSide, "id")
+      .select(col("id"), col("query_id"), col("path"),
+        when(col("kind") === "range",
+          fieldVal >= col("range_min") && fieldVal < col("range_max"))
+          .otherwise(col("_joined").contains(concat(lit(" "), col("phrase"), lit(" "))))
+          .as("ok"))
+
+    // bottom-up fold: one level at a time, deepest first; depth is a
+    // property of the stored tree shape (collected as one scalar),
+    // so the loop — and the shuffle count — is bounded by structure,
+    // not data
+    val depthOf = when(col("path") === "", lit(0))
+      .otherwise(size(split(col("path"), "/")))
+    val maxDepth = registry.agg(max(depthOf).as("d")).head().getInt(0)
+    val parentExpr = expr("CASE WHEN instr(path, '/') = 0 THEN '' " +
+      "ELSE substr(path, 1, length(path) - instr(reverse(path), '/')) END")
+    val occExpr = element_at(
+      split(element_at(split(col("path"), "/"), -1), "\\."), 1)
+    // NOT cached, deliberately: each fold level filters `results` by
+    // depth, and the path predicate pushes BELOW the candidate × leaf
+    // joins, so level d only joins depth-d leaves — re-deriving that
+    // slice is cheaper than materializing the full candidate × leaf
+    // frame (measured at the 500k probe: pinning it was ~1.6x slower)
+    var results = termEval.unionByName(rpEval)
+    for (d <- maxDepth to 1 by -1) {
+      val isMust = col("occ") === "must" || col("occ") === "filter"
+      val folded = results.where(depthOf === d)
+        .withColumn("parent", parentExpr)
+        .withColumn("occ", occExpr)
+        .groupBy(col("id"), col("query_id"), col("parent"))
+        .agg(
+          sum(when(isMust, 1).otherwise(0)).as("n_must"),
+          sum(when(isMust && col("ok"), 1).otherwise(0)).as("must_ok"),
+          sum(when(col("occ") === "should", 1).otherwise(0)).as("n_should"),
+          sum(when(col("occ") === "should" && col("ok"), 1).otherwise(0)).as("should_ok"),
+          sum(when(col("occ") === "must_not" && col("ok"), 1).otherwise(0)).as("mustnot_hits"))
+        .join(bools.withColumnRenamed("_bpath", "parent"),
+          Seq("query_id", "parent"), "left")
+        .withColumn("msm_eff",
+          coalesce(col("msm"), when(col("n_must") > 0, 0).otherwise(1)))
+        .select(col("id"), col("query_id"), col("parent").as("path"),
+          (col("must_ok") === col("n_must") && col("mustnot_hits") === 0 &&
+            (col("n_should") === 0 || col("should_ok") >= col("msm_eff"))).as("ok"))
+      results = results.unionByName(folded)
+    }
+    val out = results.where(col("path") === "" && col("ok"))
+      .select(col("id"), col("query_id"))
+      .orderBy(col("id").asc, col("query_id").asc)
+      .localCheckpoint(true)
+    docTerms.unpersist(false)
+    out
+  }
+
   /** `more_like_this`: take the seed document's top-`m` terms by term
     * frequency (tie-broken by term asc), then find other documents
     * containing at least `minMatch` of them. Seed term extraction is a

@@ -39,6 +39,40 @@ class SearchSpec extends SparkSpec {
     assert(r.map(_._2).toSeq == r.map(_._2).sortBy(-_).toSeq)
   }
 
+  test("percolateBool: nested trees as data — ES msm defaults, must_not, required-term selection") {
+    import graft.search.Search
+    val pdocs = Seq(
+      (1L, "fast join table", 150L),
+      (2L, "fast scan", 400L),
+      (3L, "join scan", 120L),
+      (4L, "merge hash", 500L),
+      (5L, "table alone", 500L)).toDF("doc_id", "text", "n_chars")
+    val n = None: Option[String]
+    val nd = None: Option[Double]
+    val ni = None: Option[Int]
+    val registry = Seq(
+      // must[fast] + top-level should[join]: must present and no msm
+      // -> ES default msm 0, the should is OPTIONAL
+      ("qA", "must.0", "term", Some("fast"), n, nd, nd, n, ni),
+      ("qA", "should.0", "term", Some("join"), n, nd, nd, n, ni),
+      // should-only {join, scan}: default msm 1 — either matches;
+      // also the no-required-term fallback (candidates = all docs)
+      ("qB", "should.0", "term", Some("join"), n, nd, nd, n, ni),
+      ("qB", "should.1", "term", Some("scan"), n, nd, nd, n, ni),
+      // table AND NOT n_chars in [100, 200)
+      ("qC", "must.0", "term", Some("table"), n, nd, nd, n, ni),
+      ("qC", "must_not.0", "range", n, Some("n_chars"), Some(100.0), Some(200.0), n, ni))
+      .toDF("query_id", "path", "kind", "term",
+        "range_field", "range_min", "range_max", "phrase", "msm")
+    val got = Search.percolateBool(pdocs, "doc_id", "text", registry, Seq("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set(
+      (1L, "qA"), (2L, "qA"),             // fast docs; the should is optional
+      (1L, "qB"), (2L, "qB"), (3L, "qB"), // any of join/scan (fallback class)
+      (5L, "qC")),                        // table doc OUTSIDE the negated range
+      s"unexpected: $got")
+  }
+
   test("percolate over a JSON query registry (percolator-index form)") {
     val r = graft.search.Search.percolateJson(docs, "doc_id", Seq(
       "q_quick" -> """{"match": {"text": "quick"}}""",
