@@ -73,6 +73,49 @@ private[graft] object EntriesStream {
       s.table("q_stream_exec_sink")
         .orderBy(col("hour_bucket").asc, col("event_type").asc)
     }),
+    // native session_window through the STREAMING engine (r13): the
+    // memory-sink readback is what the oracle hash-checks, so gap
+    // sessionization is verified against the streaming operator, not
+    // the batch lag/running-sum stand-in. Complete mode: bounded test
+    // input — append+watermark would hold back the tail sessions.
+    "q_stream_sessionize" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_sess")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        dir.resolve("events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val in = s.readStream.schema(Tables.eventsSchema)
+        .parquet(dir.toString)
+        .transform(Tables.normalizeEvents)
+      val q = EventStreams.sessionWindows(in, 30)
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("q_stream_sessionize_sink").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("q_stream_sessionize_sink")
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("session_start_us"),
+          col("n_events"))
+        .orderBy(col("user_id").asc, col("session_start_us").asc)
+    }),
+    // windowed cardinality through the streaming engine (r13): exact
+    // per-bucket distinct users via one collect_set aggregation (the
+    // streaming-legal form), memory-sink readback oracle-checked
+    "q_stream_cardinality" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_card")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        dir.resolve("events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val in = s.readStream.schema(Tables.eventsSchema)
+        .parquet(dir.toString)
+        .transform(Tables.normalizeEvents)
+      val q = EventStreams.hourlyUserCardinality(in)
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("q_stream_cardinality_sink").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("q_stream_cardinality_sink")
+        .orderBy(col("hour_bucket").asc, col("event_type").asc)
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -92,5 +135,17 @@ private[graft] object EntriesStream {
       "FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"),
     "q_props_json" -> ("SELECT event_type, count(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS n, " +
       "round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k FROM events GROUP BY event_type ORDER BY event_type"),
+    // session_window gap semantics: a gap of EXACTLY the window size
+    // starts a new session (Spark merges only when next < prev + gap),
+    // hence >= in the break condition — the lag-derivation q_sessionize
+    // uses > (its own documented batch semantics)
+    "q_stream_sessionize" -> ("WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tn FROM events), " +
+      "l AS (SELECT *, lag(tn) OVER (PARTITION BY user_id ORDER BY tn, event_id) AS prev FROM e), " +
+      "n AS (SELECT *, CASE WHEN prev IS NULL OR tn - prev >= 1800000000000 THEN 1 ELSE 0 END AS ns FROM l), " +
+      "s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY tn, event_id ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id FROM n) " +
+      "SELECT user_id, (min(tn) // 1000)::BIGINT AS session_start_us, count(*)::BIGINT AS n_events " +
+      "FROM s GROUP BY user_id, session_id ORDER BY user_id, session_start_us"),
+    "q_stream_cardinality" -> ("SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type, " +
+      "count(DISTINCT user_id)::BIGINT AS n_users FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type"),
   )
 }

@@ -77,6 +77,21 @@ object EventStreams {
       .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
   }
 
+  /** Windowed cardinality — ES's `cardinality` agg under a
+    * date_histogram, as ONE streaming-legal aggregation (streaming
+    * forbids count(distinct) and chained aggs; collect_set folds
+    * per-group state exactly like the batch answer). Exact by design
+    * so the DuckDB oracle can check the STREAMING engine's output; at
+    * 100 TB swap `size(collect_set(...))` for
+    * `approx_count_distinct` — the same HLL trade ES's cardinality
+    * agg makes, with O(1) state per group instead of the user set. */
+  def hourlyUserCardinality(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        expr(s"ts_ns div $HourNs").as("hour_bucket"),
+        col("event_type"))
+      .agg(size(collect_set(col("user_id"))).cast("long").as("n_users"))
+
   /** Sliding-window aggregate (width/slide) — the overlapping-window
     * date_histogram variant. Streaming-ready: under a watermark the
     * state is O(open windows x types) and closed windows emit in
