@@ -565,6 +565,18 @@ private[graft] object EntriesPipeline {
       Dedup.semanticDedupPairsWhitened(
         xy, "vec_id", "xy", dim = 2, nCentroids = 8, minCosine = 0.9999)
     }),
+    // SemDeDup over a FITTED Lloyd quantizer (r13): 2 iterations of
+    // oracle-grade k-means (decimal-sum means, round-6; assignment
+    // cosine round-4) — the oracle replicates the entire fit in SQL,
+    // so the screened pair set is checked against an independent
+    // derivation of the same deterministic fit
+    "q_dedup_semantic_kmeans" -> ((s, d) => {
+      val xy = t(s, d, "embeddings").select(col("vec_id"),
+        array(element_at(col("embedding"), 1).cast("double"),
+          element_at(col("embedding"), 2).cast("double")).as("xy"))
+      Dedup.semanticDedupPairsKmeans(
+        xy, "vec_id", "xy", nCentroids = 8, iters = 2, minCosine = 0.9999)
+    }),
     // deterministic shard assignment: md5(id) % 8 as the writer's
     // partitionBy column; the key reports the n-row balance table
     "q_shard_assign" -> ((s, d) =>
@@ -1200,6 +1212,41 @@ private[graft] object EntriesPipeline {
       "p AS (SELECT a.cent_id AS cluster_id, a.id AS id1, b.id AS id2, " +
       "round(list_reduce(list_prepend(0.0, list_transform(range(1, len(a.wv) + 1), " +
       "i -> a.wv[i] * b.wv[i])), (a2, b2) -> a2 + b2) / (a.nrm * b.nrm), 4) AS cosine " +
+      "FROM wc a JOIN wc b ON a.cent_id = b.cent_id AND a.id < b.id) " +
+      "SELECT cluster_id, id1, id2, cosine FROM p WHERE cosine >= 0.9999 " +
+      "ORDER BY cluster_id, id1, id2"),
+    // the full 2-iteration Lloyd fit re-derived in SQL: decimal-sum
+    // means (order-independent on both engines) rounded to 6, cosine
+    // rounded to 4 with cent-id tie-break — then the cluster-blocked
+    // pair screen exactly as q_dedup_semantic
+    "q_dedup_semantic_kmeans" -> ("WITH v0 AS (SELECT vec_id AS id, " +
+      "[embedding[1]::DOUBLE, embedding[2]::DOUBLE] AS v FROM embeddings), " +
+      "n0 AS (SELECT id, v, sqrt(v[1]*v[1] + v[2]*v[2]) AS nrm FROM v0), " +
+      "c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cent_id, v AS cv " +
+      "FROM (SELECT id, v FROM v0 ORDER BY id LIMIT 8)), " +
+      "m1 AS (SELECT cent_id, round(sum(v[1]::DECIMAL(38,18))::DOUBLE / count(*), 6) AS x, " +
+      "round(sum(v[2]::DECIMAL(38,18))::DOUBLE / count(*), 6) AS y " +
+      "FROM (SELECT id, cent_id, v FROM (SELECT n0.id, c.cent_id, n0.v, " +
+      "row_number() OVER (PARTITION BY n0.id ORDER BY " +
+      "round((n0.v[1]*c.cv[1] + n0.v[2]*c.cv[2]) / (n0.nrm * sqrt(c.cv[1]*c.cv[1] + c.cv[2]*c.cv[2])), 4) DESC, c.cent_id ASC) AS rn " +
+      "FROM n0 CROSS JOIN c0 c) t2 WHERE rn = 1) GROUP BY cent_id), " +
+      "c1 AS (SELECT c.cent_id, [coalesce(m.x, c.cv[1]), coalesce(m.y, c.cv[2])] AS cv " +
+      "FROM c0 c LEFT JOIN m1 m USING (cent_id)), " +
+      "m2 AS (SELECT cent_id, round(sum(v[1]::DECIMAL(38,18))::DOUBLE / count(*), 6) AS x, " +
+      "round(sum(v[2]::DECIMAL(38,18))::DOUBLE / count(*), 6) AS y " +
+      "FROM (SELECT id, cent_id, v FROM (SELECT n0.id, c.cent_id, n0.v, " +
+      "row_number() OVER (PARTITION BY n0.id ORDER BY " +
+      "round((n0.v[1]*c.cv[1] + n0.v[2]*c.cv[2]) / (n0.nrm * sqrt(c.cv[1]*c.cv[1] + c.cv[2]*c.cv[2])), 4) DESC, c.cent_id ASC) AS rn " +
+      "FROM n0 CROSS JOIN c1 c) t3 WHERE rn = 1) GROUP BY cent_id), " +
+      "c2 AS (SELECT c.cent_id, [coalesce(m.x, c.cv[1]), coalesce(m.y, c.cv[2])] AS cv " +
+      "FROM c1 c LEFT JOIN m2 m USING (cent_id)), " +
+      "asg AS (SELECT id, cent_id FROM (SELECT n0.id, c.cent_id, " +
+      "row_number() OVER (PARTITION BY n0.id ORDER BY " +
+      "round((n0.v[1]*c.cv[1] + n0.v[2]*c.cv[2]) / (n0.nrm * sqrt(c.cv[1]*c.cv[1] + c.cv[2]*c.cv[2])), 4) DESC, c.cent_id ASC) AS rn " +
+      "FROM n0 CROSS JOIN c2 c) t4 WHERE rn = 1), " +
+      "wc AS (SELECT asg.cent_id, n0.id, n0.v, n0.nrm FROM asg JOIN n0 USING (id)), " +
+      "p AS (SELECT a.cent_id::VARCHAR AS cluster_id, a.id AS id1, b.id AS id2, " +
+      "round((a.v[1]*b.v[1] + a.v[2]*b.v[2]) / (a.nrm * b.nrm), 4) AS cosine " +
       "FROM wc a JOIN wc b ON a.cent_id = b.cent_id AND a.id < b.id) " +
       "SELECT cluster_id, id1, id2, cosine FROM p WHERE cosine >= 0.9999 " +
       "ORDER BY cluster_id, id1, id2"),

@@ -713,6 +713,21 @@ object ScaleProbe {
       Dedup.semanticDedupPairsWhitened(
         xy, "vec_id", "xy", dim = 2, nCentroids = 16, minCosine = 0.9999).count()
     }
+    // r13: kmeans SemDeDup under constructed skew — replicated clones
+    // pile every group into one coarse cluster (~n× base size), the
+    // exact shape where an unguarded screen degenerates toward
+    // C(N,2). The ring cap bounds every block at 500 members
+    // (C(500,2) pairs/block); without it this probe would be ~10^10
+    // within-cluster pairs and unrunnable.
+    time("dedup_semantic_kmeans_skew_10x") {
+      val embN = times(Tables.embeddings(spark, sfDir), "vec_id", 10000000L)
+      val xy = embN.select(col("vec_id"),
+        array(element_at(col("embedding"), 1).cast("double"),
+          element_at(col("embedding"), 2).cast("double")).as("xy"))
+      Dedup.semanticDedupPairsKmeans(xy, "vec_id", "xy",
+        nCentroids = 16, iters = 1, minCosine = 0.9999,
+        maxClusterSize = 500).count()
+    }
     // cross-corpus LSH: the replicated clone groups split across the
     // parity sides, so cross candidates are the constructed worst
     // case — the curve must track CROSS pair output, never side sizes

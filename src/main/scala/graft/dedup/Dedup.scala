@@ -764,6 +764,100 @@ object Dedup {
       .orderBy(col("cluster_id").asc, col("id1").asc, col("id2").asc)
   }
 
+  /** SemDeDup over a FITTED Lloyd quantizer — the list-balance path
+    * the seeded draw trades away (Abbas et al. 2023 fit k-means too).
+    * Fit determinism is ORACLE-GRADE, engine- and partitioning-
+    * independent: assignment rounds cosine to 4 (cent-id tie-break,
+    * as everywhere), and iteration means are computed from EXACT
+    * decimal(38,18) sums cast to double, divided, and rounded to 6 —
+    * a plain double `avg` is addition-order-dependent and would make
+    * the fitted centroids (and therefore WHICH pairs get screened)
+    * nondeterministic across runs. Empty clusters keep their previous
+    * centroid. Only the k×dim model reaches the driver per iteration.
+    *
+    * Mega-cluster guard (`maxClusterSize`): skew is the screen's
+    * failure mode — one cluster holding a corpus fraction makes
+    * Σ C(n_c, 2) ≈ C(N, 2), the all-pairs cost the blocking exists to
+    * avoid. A cluster over the cap RE-SPLITS into similarity RINGS:
+    * members rank by (cosine-to-centroid desc, id) and block
+    * `cent#(rank div cap)` — one window over the mega cluster's
+    * members, HARD ≤cap blocks by construction. Ranking by centroid
+    * similarity keeps near-identical members (equal cosine → adjacent
+    * ranks) in the same ring except at boundaries; a sub-k-means
+    * re-route was tried and rejected — near-identical members TIE at
+    * the rounded cosine and all collapse into one sub-block, which is
+    * exactly the case the cap exists for. Pairs across rings are
+    * skipped — the same approximation the cluster boundary already
+    * makes everywhere else (and exact clones are stage-1 exact
+    * dedup's job in every composed pipeline). */
+  def semanticDedupPairsKmeans(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int,
+      iters: Int,
+      minCosine: Double,
+      maxClusterSize: Int = Int.MaxValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val v = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cents: Seq[(Long, Seq[Double])] = v.orderBy(col("id").asc).limit(nCentroids)
+        .as[(Long, Seq[Double])].collect().toSeq
+        .zipWithIndex.map { case ((_, vv), i) => (i.toLong, vv) }
+      for (_ <- 1 to iters) {
+        val centsDf = cents.toDF("cent_id", "cv")
+        val assigned = v.crossJoin(broadcast(centsDf))
+          .withColumn("cos", Num.round(Vectors.cosine(col("v"), col("cv")), 4))
+          .groupBy(col("id"))
+          .agg(max_by(struct(col("cent_id"), col("v")),
+            struct(col("cos"), negate(col("cent_id")))).as("w"))
+          .select(col("w.cent_id").as("cent_id"), col("w.v").as("v"))
+        val means = assigned
+          .select(col("cent_id"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy(col("cent_id"), col("pos"))
+          .agg(Num.round(
+            sum(col("x").cast("decimal(38,18)")).cast("double") / count(lit(1)), 6)
+            .as("m"))
+          .as[(Long, Int, Double)].collect()
+        val byCent = means.groupBy(_._1).map { case (cid, xs) =>
+          cid -> xs.sortBy(_._2).map(_._3).toSeq
+        }
+        cents = cents.map { case (cid, old) => (cid, byCent.getOrElse(cid, old)) }
+      }
+      val centsDf = cents.toDF("cent_id", "cv")
+      val asg = v.crossJoin(broadcast(centsDf))
+        .withColumn("cos", Num.round(Vectors.cosine(col("v"), col("cv")), 4))
+        .groupBy(col("id"))
+        .agg(
+          max_by(col("cent_id"), struct(col("cos"), negate(col("cent_id")))).as("k0"),
+          max(col("cos")).as("ccos"))
+      val guarded =
+        if (maxClusterSize == Int.MaxValue)
+          asg.select(col("id"), col("k0").cast("string").as("cent_id"))
+        else {
+          val sizes = asg.groupBy(col("k0")).agg(count(lit(1)).as("n_c"))
+          val withN = asg.join(broadcast(sizes), "k0")
+          val small = withN.where(col("n_c") <= maxClusterSize)
+            .select(col("id"), col("k0").cast("string").as("cent_id"))
+          val w = Window.partitionBy(col("k0"))
+            .orderBy(col("ccos").desc, col("id").asc)
+          val rings = withN.where(col("n_c") > maxClusterSize)
+            .withColumn("_rn", row_number().over(w))
+            .select(col("id"), concat_ws("#", col("k0"),
+              floor((col("_rn") - 1) / lit(maxClusterSize.toLong))).as("cent_id"))
+          small.unionByName(rings)
+        }
+      semanticPairsFrom(v, guarded, minCosine)
+        .orderBy(col("cluster_id").asc, col("id1").asc, col("id2").asc)
+        // materialize before the fit frame unpersists (lazy callers
+        // would otherwise re-run the whole fit per action)
+        .localCheckpoint(true)
+    } finally v.unpersist(false)
+  }
+
   /** Centroid seeding + cluster assignment for SemDeDup.
     * Returns (id, cent_id, cent_cos).
     *

@@ -294,6 +294,33 @@ class DedupSpec extends SparkSpec {
     assert(shuffled == bcast && bcast.nonEmpty)
   }
 
+  test("kmeans SemDeDup: fitted screen non-empty; mega-cluster guard hard-caps every block") {
+    import graft.dedup.Dedup
+    import spark.implicits._
+    // a 60-member near-clone cluster (the tie-heavy worst case a
+    // cosine sub-route collapses on) + a 10-member orthogonal cluster
+    val rows = (1L to 60L).map(i => (i, Seq(1.0, 0.00001 * i))) ++
+      (101L to 110L).map(i => (i, Seq(0.00001 * i, 1.0)))
+    val df = rows.toDF("vec_id", "xy")
+    val capped = Dedup.semanticDedupPairsKmeans(df, "vec_id", "xy",
+      nCentroids = 2, iters = 1, minCosine = 0.0, maxClusterSize = 25).collect()
+    assert(capped.nonEmpty)
+    // the mega cluster re-split into composite ring keys, and NO block
+    // holds more members than the cap — C(cap,2) bounds every block's
+    // pair count by construction
+    val keys = capped.map(_.getString(0)).distinct
+    assert(keys.exists(_.contains("#")), keys.mkString(","))
+    val blockSizes = capped.groupBy(_.getString(0)).map { case (k, ps) =>
+      k -> ps.flatMap(p => Seq(p.getLong(1), p.getLong(2))).distinct.length
+    }
+    assert(blockSizes.values.forall(_ <= 25), blockSizes.toString)
+    // uncapped: same fit, one block per cluster, strictly more pairs
+    val open = Dedup.semanticDedupPairsKmeans(df, "vec_id", "xy",
+      nCentroids = 2, iters = 1, minCosine = 0.0).collect()
+    assert(open.length > capped.length)
+    assert(open.map(_.getString(0)).distinct.forall(!_.contains("#")))
+  }
+
   test("whitened-cosine SemDeDup changes the pair set vs the raw-space screen") {
     import graft.dedup.Dedup
     val xy = Tables.load(spark, sfDir, "embeddings").select(col("vec_id"),
