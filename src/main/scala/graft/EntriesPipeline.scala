@@ -585,6 +585,28 @@ private[graft] object EntriesPipeline {
     // reads before setting per-language token budgets
     "q_token_stats" -> ((s, d) =>
       TextAnalysis.tokenStatsByLang(t(s, d, "documents"), "lang", "text")),
+    // REAL BPE token counting (r13): per-doc counts under the frozen
+    // merge table — the budget a BPE-tokenized trainer actually pays,
+    // replacing the q_tokens "BPE-ish regex" approximation
+    "q_tokens_bpe" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        graft.text.Bpe.tokenCount(col("text"), graft.text.Bpe.PretrainedMerges)
+          .as("n_bpe"))
+      .orderBy(col("doc_id"))),
+    // fertility RE-KEYED on the real BPE (r13): per-language tokens /
+    // chars under the same frozen merges — what a mixing policy's
+    // per-language token budget should actually read
+    "q_token_stats_bpe" -> ((s, d) => {
+      val bpe = graft.text.Bpe.tokenCount(col("text"), graft.text.Bpe.PretrainedMerges)
+      t(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(bpe).as("bpe_tokens"),
+          sum(length(col("text"))).as("chars"))
+        .withColumn("bpe_per_kchar",
+          Num.round(col("bpe_tokens").cast("double") / col("chars") * 1000.0, 4))
+        .orderBy(col("lang"))
+    }),
     // CCNet head/middle/tail perplexity terciles (Wenzek et al. 2020)
     // over the unigram-surprisal LM score; the scored frame truncates
     // once so the edge pass and the bucket pass share ONE corpus scan
@@ -1254,6 +1276,22 @@ private[graft] object EntriesPipeline {
       "count(*)::BIGINT AS n_docs, " +
       "sum(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)))::BIGINT AS tokens, " +
       "sum(len(text))::BIGINT AS chars FROM documents GROUP BY 1 ORDER BY shard"),
+    // both BPE oracles are BUILT from Bpe.PretrainedMerges — one
+    // constant feeds the Spark replace chain and the SQL mirror, so
+    // the engines cannot count under different tables
+    "q_tokens_bpe" -> (TokCte + " SELECT doc_id, " +
+      "list_reduce(list_prepend(0::BIGINT, list_transform(toks, w -> " +
+      graft.text.Bpe.tokenCountSql("w", graft.text.Bpe.PretrainedMerges) +
+      ")), (a, b) -> a + b)::BIGINT AS n_bpe FROM tok ORDER BY doc_id"),
+    "q_token_stats_bpe" -> (TokCte + ", b AS (SELECT d.lang, " +
+      "list_reduce(list_prepend(0::BIGINT, list_transform(toks, w -> " +
+      graft.text.Bpe.tokenCountSql("w", graft.text.Bpe.PretrainedMerges) +
+      ")), (a, b) -> a + b) AS n_bpe, len(d.text) AS ch " +
+      "FROM tok JOIN documents d USING (doc_id)) " +
+      "SELECT lang, count(*)::BIGINT AS n_docs, sum(n_bpe)::BIGINT AS bpe_tokens, " +
+      "sum(ch)::BIGINT AS chars, " +
+      "round(sum(n_bpe)::DOUBLE / sum(ch) * 1000.0, 4) AS bpe_per_kchar " +
+      "FROM b GROUP BY lang ORDER BY lang"),
     "q_token_stats" -> ("WITH c AS (SELECT lang, count(*)::BIGINT AS n_docs, " +
       "sum(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)))::BIGINT AS ws_tokens, " +
       "sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')))::BIGINT AS bpe_tokens, " +

@@ -198,4 +198,40 @@ class AnalysisChainSpec extends SparkSpec {
     assert(out(2L)._4 > 0.3 && !out(2L)._7)           // both body copies count -> drop
     assert(out(3L)._5 == 1.0 && !out(3L)._7)          // bullet_frac 1.0 > 0.9 -> drop
   }
+
+  test("BPE: greedy fit learns the frequent pair first; apply counts match the merge chain") {
+    import graft.text.Bpe
+    // Sennrich's canonical toy corpus shape: 'low' dominates, so the
+    // first merges build it up
+    val docs = Seq(
+      (1L, "low low low low low"),
+      (2L, "lower lower newest newest"),
+      (3L, "low lowest")).toDF("doc_id", "text")
+    val m1 = Bpe.fit(docs, "text", 6)
+    val m2 = Bpe.fit(docs, "text", 6)
+    assert(m1 == m2, "fit must be deterministic")
+    // 'l o' (or 'o w') is the most frequent adjacent pair — the first
+    // merge must come from 'low'
+    assert(Seq(("l", "o"), ("o", "w")).contains(m1.head), m1.toString)
+    // after 2 merges the whole word 'low' is one symbol
+    assert(m1.take(2).map(p => p._1 + p._2).contains("low"), m1.toString)
+
+    // apply: counts under an explicit table, hand-checked
+    val merges = Seq(("l", "o"), ("lo", "w"))
+    val counts = Seq((1L, "low lower xy"), (2L, "wool"))
+      .toDF("id", "t")
+      .select(col("id"), Bpe.tokenCount(col("t"), merges).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // low -> [low] = 1; lower -> [low, e, r] = 3; xy -> [x, y] = 2
+    assert(counts(1L) == 6L, counts.toString)
+    // wool -> [w, o, o, l] (no 'lo'/'low' adjacency) = 4
+    assert(counts(2L) == 4L)
+    // documented run semantics: shared-delimiter consumption merges a
+    // same-pair run alternately — 'aaaa' under (a,a) is 3 symbols,
+    // not canonical BPE's 2; pinned so both engines stay identical
+    val run = Seq((1L, "aaaa")).toDF("id", "t")
+      .select(Bpe.tokenCount(col("t"), Seq(("a", "a"))).as("n"))
+      .head().getLong(0)
+    assert(run == 3L)
+  }
 }
