@@ -208,11 +208,18 @@ private[graft] object EntriesFulltext {
     // postings/df/stats artifacts — hash-equal to on-the-fly q_bm25
     // (same oracle SQL), but the corpus tokenize is paid at write time
     "q_bm25_indexed" -> ((s, d) => {
-      val out = s"/tmp/graft_bm25idx_${System.getProperty("user.name")}"
-      graft.sources.Connector.save(t(s, d, "documents"), out, Map(
-        "graft.write.operation" -> "overwrite",
-        "graft.mapping.id" -> "doc_id",
-        "graft.index.analysis" -> "text"))
+      // index dir keyed by the SOURCE file's fingerprint: repeated
+      // runs (bench, verify) reuse the fresh artifacts — the whole
+      // point of analyze-once — while a regenerated testdata file
+      // changes the key and forces a rebuild
+      val srcFp = graft.index.IndexArtifacts
+        .dataFingerprint(s, s"$d/documents.parquet").take(12)
+      val out = s"/tmp/graft_bm25idx_${System.getProperty("user.name")}_$srcFp"
+      if (graft.index.IndexArtifacts.loadAnalysis(s, out, "text").isEmpty)
+        graft.sources.Connector.save(t(s, d, "documents"), out, Map(
+          "graft.write.operation" -> "overwrite",
+          "graft.mapping.id" -> "doc_id",
+          "graft.index.analysis" -> "text"))
       Search.bm25ScoresIndexed(s, out, "doc_id", "text", "fast hash join")
         .orderBy(col("score").desc, col("id").asc).limit(10)
     }),

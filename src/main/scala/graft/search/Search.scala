@@ -553,6 +553,49 @@ object Search {
       .agg(Num.round(sum(col("cscore")), 4).as("score"))
   }
 
+  /** Artifact-aware bm25BoolClausesScores for the connector's
+    * readMetadata `_score` path: a clause whose field carries FRESH
+    * persisted analysis (graft.index.analysis) scores from the
+    * postings side table — no corpus tokenize for that clause — while
+    * the remaining clauses share one on-the-fly pass. Per-clause
+    * round(4) then the doc sum keeps the result bit-identical to the
+    * all-on-the-fly form in any mix (same stats, same fold order).
+    * `excludeFields` (runtime-mapped names that shadow stored columns)
+    * always score on the fly — their values are not what the write
+    * path analyzed. */
+  def bm25BoolClausesScoresAuto(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      docs: DataFrame,
+      idCol: String,
+      clauses: Seq[(String, String)],
+      excludeFields: Set[String] = Set.empty,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(clauses.nonEmpty, "bm25BoolClausesScoresAuto needs at least one clause")
+    val art = clauses.map(_._1).distinct.filterNot(excludeFields)
+      .map(f => f -> graft.index.IndexArtifacts.loadAnalysis(spark, indexPath, f))
+      .toMap
+    val (indexed, fly) = clauses.partition(c => art.get(c._1).exists(_.isDefined))
+    val idxFrames = indexed.map { case (f, q) =>
+      val (postings, dfTable, stats) = art(f).get
+      val ts = Analyzer.analyze(q)
+      require(ts.nonEmpty, s"bm25 clause analyzed to zero tokens: $q")
+      bm25ScorePostings(
+        postings.where(col("term").isin(ts: _*)),
+        dfTable.where(col("term").isin(ts: _*)), stats, k1, b)
+        .groupBy(col("id"))
+        .agg(Num.round(sum(col("term_score")), 4).as("cscore"))
+    }
+    val flyFrames =
+      if (fly.isEmpty) Nil
+      else Seq(bm25BoolClausesScores(docs, idCol, fly, k1, b)
+        .withColumnRenamed("score", "cscore"))
+    (idxFrames ++ flyFrames).reduce(_ unionByName _)
+      .groupBy(col("id"))
+      .agg(Num.round(sum(col("cscore")), 4).as("score"))
+  }
+
   /** Scored `query_string` over boosted fields — `fields:
     * ["text^2", "source"]` semantics: per-field BM25, weighted sum,
     * one ordered limit. One corpus tokenize pass for ALL fields

@@ -69,12 +69,13 @@ object Connector {
             // restore it here too, or a read issued between the crash
             // and the next write fails on a missing directory
             Connector.recoverSwap(spark, p)
-            val (frame, concrete) = Connector.resolveAlias(spark, p) match {
+            val (frame, concrete, plain) = Connector.resolveAlias(spark, p) match {
               case Some((target, filter)) =>
                 Connector.recoverSwap(spark, target)
                 val t = spark.read.format(format).load(target)
-                (filter.fold(t)(f => t.where(EsQuery.compile(f, idField))), target)
-              case None => (spark.read.format(format).load(p), p)
+                (filter.fold(t)(f => t.where(EsQuery.compile(f, idField))),
+                  target, filter.isEmpty)
+              case None => (spark.read.format(format).load(p), p, true)
             }
             // per-part concrete index tag: ES metadata reports each
             // hit's ACTUAL index (alias resolved), not the comma-list
@@ -83,13 +84,22 @@ object Connector {
             // fs-QUALIFIED so a literal part and a glob-expanded part
             // (whose globStatus paths carry the scheme) agree on the
             // same index's name
-            if (readMetadata) {
+            val tagged = if (readMetadata) {
               val cp = new Path(concrete)
               val qualified = cp.getFileSystem(
                 spark.sparkContext.hadoopConfiguration).makeQualified(cp).toString
               frame.withColumn("__graft_src_index", lit(qualified))
             } else frame
+            (tagged, concrete, plain)
           }
+        // the `_score` path can read persisted analysis artifacts only
+        // when the read resolved to exactly ONE unfiltered index —
+        // artifacts carry that index's full corpus stats, which a
+        // union or an alias filter would silently misstate
+        val artifactIndexPath: Option[String] = parts match {
+          case Array((_, concrete, true)) => Some(concrete)
+          case _ => None
+        }
         // allow_no_indices=true (the ES default for wildcard
         // expressions): a pattern matching nothing yields zero hits,
         // not an error. With no matched index there is no schema, so
@@ -101,7 +111,8 @@ object Connector {
         // (an upsert may add fields), so generations of one stream /
         // indices under one pattern legitimately drift — ES serves
         // such a search with nulls for the absent fields, so must we
-        val dfU = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+        val dfU = parts.map(_._1)
+          .reduce(_.unionByName(_, allowMissingColumns = true))
         // search-body form: {"runtime_mappings": {...}, "query": {...}}
         // — runtime fields project BEFORE the query, so the predicate
         // can reference them like mapped fields (ES semantics)
@@ -183,9 +194,19 @@ object Connector {
             // ONE corpus pass for all scoring clauses over the whole
             // index (corpus stats come from the index, not the
             // filtered hits). The scores frame is small (only docs
-            // containing query terms) and joins back on id.
-            val scores = graft.search.Search
-              .bm25BoolClausesScores(df0, idField, scoring)
+            // containing query terms) and joins back on id. A
+            // single-index read with fresh analysis artifacts scores
+            // from the persisted postings instead of re-tokenizing
+            // (bit-identical; runtime fields that shadow a stored
+            // column are excluded from the artifact path).
+            val scored = artifactIndexPath match {
+              case Some(p) => graft.search.Search.bm25BoolClausesScoresAuto(
+                spark, p, df0, idField, scoring,
+                excludeFields = runtimeFields.map(_._1).toSet)
+              case None => graft.search.Search
+                .bm25BoolClausesScores(df0, idField, scoring)
+            }
+            val scores = scored
               .select(col("id").as("_graft_score_id"), col("score").as("_score"))
             withMeta
               .join(scores, col(idField) === col("_graft_score_id"), "left")

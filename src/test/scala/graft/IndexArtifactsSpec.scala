@@ -121,6 +121,34 @@ class IndexArtifactsSpec extends SparkSpec {
     assert(graft.index.IndexArtifacts.loadIvf(spark, out, "embedding").isEmpty)
   }
 
+  test("connector readMetadata _score reads persisted postings on a single fresh index") {
+    import graft.sources.Connector.implicits._
+    val withArt = "/tmp/graft_idxspec_conn_art"
+    val without = "/tmp/graft_idxspec_conn_raw"
+    val docs = Tables.documents(spark, sfDir)
+    graft.sources.Connector.save(docs, withArt, Map(
+      "graft.write.operation" -> "overwrite",
+      "graft.mapping.id" -> "doc_id",
+      "graft.index.analysis" -> "text"))
+    graft.sources.Connector.save(docs, without, Map(
+      "graft.write.operation" -> "overwrite",
+      "graft.mapping.id" -> "doc_id"))
+    def scoresOf(path: String) = spark
+      .graftDF(path, """{"match": {"text": "merge sort"}}""",
+        idField = "doc_id", readMetadata = true)
+      .select(col("_id"), col("_score"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val viaArtifacts = scoresOf(withArt)
+    val onTheFly = scoresOf(without)
+    assert(viaArtifacts == onTheFly && viaArtifacts.exists(_._2 > 0))
+    // the artifact-backed read's plan scans the postings side table
+    val plan = spark
+      .graftDF(withArt, """{"match": {"text": "merge sort"}}""",
+        idField = "doc_id", readMetadata = true)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("postings"), plan.take(2000))
+  }
+
   test("crash-safe swap replaces artifacts with the index: an upsert leaves no stale pairing") {
     val out = "/tmp/graft_idxspec_swap"
     val docs = Tables.documents(spark, sfDir)
