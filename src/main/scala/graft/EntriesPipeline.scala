@@ -482,6 +482,14 @@ private[graft] object EntriesPipeline {
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.metadata(Multimodal.mediaTable(t(s, d, "documents")))
         .orderBy(col("media_id"))),
+    // REAL container decode (r13): payloads are genuine PNG/GIF bytes
+    // assembled in-plan; the mapPartitions pass parses the headers
+    // back — actual byte decoding, and the oracle checks the full
+    // encode -> parse round trip against the source dimensions
+    "q_multimodal_container" -> ((s, d) =>
+      Multimodal.decodeContainerMeta(s,
+        Multimodal.containerMediaTable(t(s, d, "documents")))
+        .toDF().orderBy(col("media_id"))),
     // decode-features, oracle-keyed: the codec-init-once mapPartitions
     // pass with the declared stub (feat_hash = md5(payload))
     "q_multimodal_decode" -> ((s, d) =>
@@ -1085,6 +1093,11 @@ private[graft] object EntriesPipeline {
       "FROM documents) " +
       "SELECT pack_id, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS pack_chars " +
       "FROM p GROUP BY pack_id ORDER BY pack_id"),
+    "q_multimodal_container" -> ("SELECT doc_id AS media_id, " +
+      "CASE WHEN doc_id % 2 = 0 " +
+      "THEN 'png ' || (n_chars % 100 + 1) || 'x' || (doc_id % 50 + 1) " +
+      "ELSE 'gif ' || (n_chars % 100 + 1) || 'x' || (doc_id % 50 + 1) END AS meta " +
+      "FROM documents ORDER BY media_id"),
     "q_multimodal_decode" -> ("SELECT doc_id AS media_id, " +
       "CASE WHEN doc_id % 3 = 0 THEN 'image/png' WHEN doc_id % 3 = 1 THEN 'audio/wav' " +
       "ELSE 'video/mp4' END AS mime, octet_length(encode(text))::BIGINT AS n_bytes, " +

@@ -398,6 +398,20 @@ object ScaleProbe {
           queries, "vec_id", "embedding",
           nCentroids = 16, nprobe = 4, k = 10).count()
       }
+      // r13: persisted HNSW — graph build frozen at write time; the
+      // indexed query reloads stored graphs and beam-searches only.
+      // Compare against ann_hnsw_recall_10x, which rebuilds the
+      // graphs inside every query.
+      time("hnsw_index_build_10x") {
+        val idx = "/tmp/graft_probe_hnswidx"
+        emb.write.mode("overwrite").parquet(idx)
+        graft.sim.Ann.buildHnsw(spark, idx, "vec_id", "embedding")
+        1L
+      }
+      time("hnsw_indexed_query_10x") {
+        graft.sim.Ann.hnswTopKIndexed(spark, "/tmp/graft_probe_hnswidx",
+          queries, "vec_id", "embedding", k = 10).count()
+      }
     }
     // t-digest percentiles vs the exact sort-selection above
     // (percentiles_10x): the sketch exchange carries O(compression)

@@ -171,16 +171,30 @@ object IndexArtifacts {
   }
 
   private def writeIvfMeta(
-      spark: SparkSession, indexPath: String, idCol: String, vecCol: String): Unit = {
+      spark: SparkSession, indexPath: String, idCol: String, vecCol: String): Unit =
+    writeVectorsMeta(spark, indexPath, vecCol, idCol)
+
+  /** Stamp a vector-artifact dir (IVF lists, HNSW graphs) with the
+    * live-data fingerprint — the artifact's commit point. */
+  def writeVectorsMeta(
+      spark: SparkSession, indexPath: String, vecKey: String, idCol: String): Unit = {
     val fp = dataFingerprint(spark, indexPath)
-    val metaPath = new Path(s"${vectorsDir(indexPath, vecCol)}/_graft_meta.json")
+    val metaPath = new Path(s"${vectorsDir(indexPath, vecKey)}/_graft_meta.json")
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(metaPath, true)
     out.write(
-      s"""{"fingerprint":"$fp","id_col":"$idCol","vec_col":"$vecCol"}"""
+      s"""{"fingerprint":"$fp","id_col":"$idCol","vec_col":"$vecKey"}"""
         .getBytes("UTF-8"))
     out.close()
   }
+
+  /** Freshness check alone (for artifacts whose payload loads inside
+    * tasks rather than as frames, e.g. the HNSW graph table). */
+  def vectorsMetaFresh(
+      spark: SparkSession, indexPath: String, vecKey: String): Boolean =
+    readMetaFingerprint(spark,
+      s"${vectorsDir(indexPath, vecKey)}/_graft_meta.json")
+      .contains(dataFingerprint(spark, indexPath))
 
   /** Fresh (centroids, assignments) or None — same freshness contract
     * as loadAnalysis. */

@@ -121,8 +121,10 @@ object CorpusFittedService {
   }
 
   /** Real media-container metadata decode: PNG / GIF / JPEG header
-    * parse to "fmt WxH"; anything else reports its byte length. */
-  private[inference] def parseMedia(bytes: Array[Byte]): String = {
+    * parse to "fmt WxH"; anything else reports its byte length.
+    * Public — Multimodal.decodeContainerMeta runs it as the honest
+    * (non-stub) half of multimodal decode. */
+  def parseMedia(bytes: Array[Byte]): String = {
     def u8(i: Int): Int = bytes(i) & 0xff
     def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
     def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)

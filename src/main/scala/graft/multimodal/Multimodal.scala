@@ -122,7 +122,53 @@ object Multimodal {
         }
       }
   }
+
+  /** Build a media table whose payloads are REAL container bytes:
+    * PNG and GIF headers assembled in-plan (signature + IHDR /
+    * logical-screen descriptor with the row's dimensions encoded
+    * big-/little-endian as the formats specify) — codegen'd binary
+    * concat, no UDF. This is the honest counterpart of `mediaTable`'s
+    * stand-in payloads: what the decoder reads back is genuinely
+    * parsed from bytes. */
+  def containerMediaTable(docs: DataFrame): DataFrame = {
+    val w = (col("n_chars") % 100 + 1).cast("int")
+    val h = (col("doc_id") % 50 + 1).cast("int")
+    def be32(c: org.apache.spark.sql.Column) =
+      unhex(lpad(hex(c), 8, "0"))
+    def le16(c: org.apache.spark.sql.Column) =
+      unhex(concat(lpad(hex(c.bitwiseAND(lit(255))), 2, "0"),
+        lpad(hex(shiftright(c, 8)), 2, "0")))
+    val pngHead = lit(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R'))
+    val gifHead = lit("GIF89a".getBytes("US-ASCII"))
+    docs.select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 2 === 0,
+        concat(pngHead, be32(w), be32(h)))
+        .otherwise(concat(gifHead, le16(w), le16(h), lit(Array[Byte](0, 0))))
+        .as("payload"),
+      w.as("width"), h.as("height"))
+  }
+
+  /** REAL container decode: per-partition header parsing of the binary
+    * payload (PNG/GIF/JPEG via CorpusFittedService.parseMedia) — this
+    * half of multimodal decode is honest byte decoding, no media lib
+    * required; only pixel decode remains a declared stub behind the
+    * inference seam. Same mapPartitions shape as decodeFeatures, so a
+    * full codec swaps into identical plumbing. */
+  def decodeContainerMeta(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    media.select("media_id", "payload")
+      .where(col("payload").isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        MediaMeta(id, graft.inference.CorpusFittedService.parseMedia(payload))
+      })
+  }
 }
+
+/** Parsed container metadata of one media asset. */
+case class MediaMeta(media_id: Long, meta: String)
 
 /** One sampled frame of a media asset. */
 case class FrameSample(media_id: Long, frame_idx: Int, frame_hash: String)

@@ -454,34 +454,7 @@ object Ann {
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
-        val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
-        val vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
-        val nbrs = scala.collection.mutable.ArrayBuffer
-          .empty[scala.collection.mutable.ArrayBuffer[Int]]
-        val mMax = 2 * m
-        // NSW insert: beam-search the current graph for the new node's
-        // neighborhood, link both ways, prune back-links to the best 2m
-        for ((id, raw) <- it) {
-          val v = unitVec(raw)
-          val i = ids.length
-          ids += id; vecs += v
-          if (i == 0) nbrs += scala.collection.mutable.ArrayBuffer.empty[Int]
-          else {
-            val found = beamSearch(v, vecs, nbrs, 0, efConstruction)
-            val links = found.take(m).map(_._1)
-            nbrs += scala.collection.mutable.ArrayBuffer(links: _*)
-            for (nb <- links) {
-              nbrs(nb) += i
-              if (nbrs(nb).length > mMax) {
-                val pruned = nbrs(nb)
-                  .map(x => (x, dot(vecs(nb), vecs(x))))
-                  .sortBy { case (x, s) => (-s, x) }
-                  .take(mMax).map(_._1)
-                nbrs(nb) = scala.collection.mutable.ArrayBuffer(pruned.toSeq: _*)
-              }
-            }
-          }
-        }
+        val (ids, vecs, nbrs) = buildNsw(it, m, efConstruction)
         if (ids.isEmpty) Iterator.empty
         else qb.value.iterator.flatMap { case (qid, qv) =>
           beamSearch(qv, vecs, nbrs, 0, searchEf).iterator.collect {
@@ -490,6 +463,49 @@ object Ann {
         }
       }
       .toDF("query_id", "id", "_rawCosine")
+    rankHnswHits(hits, k)
+  }
+
+  /** The NSW ground-layer build: insert via beam search, connect to
+    * the `m` nearest, prune back-links at 2m — shared by the
+    * per-query hnswTopK and the write-side persisted build. */
+  private def buildNsw(
+      it: Iterator[(Long, Array[Double])],
+      m: Int,
+      efConstruction: Int): (
+      scala.collection.mutable.ArrayBuffer[Long],
+      scala.collection.mutable.ArrayBuffer[Array[Double]],
+      scala.collection.mutable.ArrayBuffer[scala.collection.mutable.ArrayBuffer[Int]]) = {
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val nbrs = scala.collection.mutable.ArrayBuffer
+      .empty[scala.collection.mutable.ArrayBuffer[Int]]
+    val mMax = 2 * m
+    for ((id, raw) <- it) {
+      val v = unitVec(raw)
+      val i = ids.length
+      ids += id; vecs += v
+      if (i == 0) nbrs += scala.collection.mutable.ArrayBuffer.empty[Int]
+      else {
+        val found = beamSearch(v, vecs, nbrs, 0, efConstruction)
+        val links = found.take(m).map(_._1)
+        nbrs += scala.collection.mutable.ArrayBuffer(links: _*)
+        for (nb <- links) {
+          nbrs(nb) += i
+          if (nbrs(nb).length > mMax) {
+            val pruned = nbrs(nb)
+              .map(x => (x, dot(vecs(nb), vecs(x))))
+              .sortBy { case (x, s) => (-s, x) }
+              .take(mMax).map(_._1)
+            nbrs(nb) = scala.collection.mutable.ArrayBuffer(pruned.toSeq: _*)
+          }
+        }
+      }
+    }
+    (ids, vecs, nbrs)
+  }
+
+  private def rankHnswHits(hits: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("id").asc)
     hits
@@ -501,6 +517,95 @@ object Ann {
       .where(col("rank") <= k)
       .select(col("query_id"), col("id"), col("cosine"), col("rank"))
       .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
+  /** Persist the per-partition NSW graphs as an index artifact:
+    * (graph_id, idx, id, vec, neighbors) rows under
+    * `_graft_vectors/<vecCol>_hnsw/graph`, the write-side twin of
+    * hnswTopK's in-task build — ES builds its HNSW at index time for
+    * exactly this reason. Vectors store UNIT-normalized (what beam
+    * search dots against). One corpus pass; the graph layout freezes,
+    * so indexed queries are deterministic across runs (the per-query
+    * build's layout depends on partition order instead). */
+  def buildHnsw(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      idCol: String,
+      vecCol: String,
+      m: Int = 8,
+      efConstruction: Int = 64,
+      fmt: String = "parquet"): Unit = {
+    import spark.implicits._
+    val dir = graft.index.IndexArtifacts.vectorsDir(indexPath, vecCol + "_hnsw")
+    spark.read.format(fmt).load(indexPath)
+      .where(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val part = org.apache.spark.TaskContext.getPartitionId()
+        val (ids, vecs, nbrs) = buildNsw(it, m, efConstruction)
+        ids.indices.iterator.map { i =>
+          (part, i, ids(i), vecs(i), nbrs(i).toArray)
+        }
+      }
+      .toDF("graph_id", "idx", "id", "vec", "neighbors")
+      .write.mode("overwrite").parquet(s"$dir/graph")
+    graft.index.IndexArtifacts.writeVectorsMeta(
+      spark, indexPath, vecCol + "_hnsw", idCol)
+  }
+
+  /** Query the PERSISTED graphs: each stored graph reloads inside one
+    * task (repartition on graph_id; several graphs per task group by
+    * key) and is beam-searched for every query — query-time cost is
+    * independent of build cost, and results are stable across runs
+    * because the layout is frozen in the artifact. Stale or missing
+    * artifacts fall back to the build-per-query hnswTopK. */
+  def hnswTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      ef: Int = 48,
+      fmt: String = "parquet"): DataFrame = {
+    import spark.implicits._
+    requireBoundedQueries(queries, "hnswTopKIndexed")
+    val dir = graft.index.IndexArtifacts.vectorsDir(indexPath, vecCol + "_hnsw")
+    if (!graft.index.IndexArtifacts.vectorsMetaFresh(spark, indexPath, vecCol + "_hnsw"))
+      return hnswTopK(spark.read.format(fmt).load(indexPath),
+        queries, idCol, vecCol, k)
+    val qs = queries
+      .where(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+      .map { case (qid, v) => (qid, unitVec(v)) }
+    require(qs.nonEmpty, "hnswTopKIndexed needs at least one query vector")
+    val qb = spark.sparkContext.broadcast(qs)
+    val searchEf = math.max(ef, k + 1)
+    val hits = spark.read.parquet(s"$dir/graph")
+      .repartition(col("graph_id"))
+      .sortWithinPartitions(col("graph_id"), col("idx"))
+      .as[(Int, Int, Long, Array[Double], Array[Int])]
+      .mapPartitions { rows =>
+        // a task may hold several stored graphs after the hash
+        // repartition — group consecutive rows by graph_id
+        val grouped = rows.toSeq.groupBy(_._1).valuesIterator
+        grouped.flatMap { g =>
+          val sorted = g.sortBy(_._2)
+          val ids = sorted.map(_._3).toArray
+          val vecs = scala.collection.mutable.ArrayBuffer(sorted.map(_._4): _*)
+          val nbrs = scala.collection.mutable.ArrayBuffer(
+            sorted.map(r => scala.collection.mutable.ArrayBuffer(r._5.toSeq: _*)): _*)
+          qb.value.iterator.flatMap { case (qid, qv) =>
+            beamSearch(qv, vecs, nbrs, 0, searchEf).iterator.collect {
+              case (idx, sim) if ids(idx) != qid => (qid, ids(idx), sim)
+            }
+          }
+        }
+      }
+      .toDF("query_id", "id", "_rawCosine")
+    rankHnswHits(hits, k)
   }
 
   /** `_explain` for a knn hit: the similarity breakdown (dot product,

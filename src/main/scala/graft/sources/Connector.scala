@@ -624,19 +624,25 @@ object Connector {
         throw new IllegalArgumentException(
           "graft.index.vectors needs graft.mapping.id (the assignment doc id)"))
       val n = cfg.getOrElse("graft.index.vectors.centroids", "16").toInt
+      val fit = cfg.getOrElse("graft.index.vectors.fit", "seed")
       val centsDir = new Path(
         graft.index.IndexArtifacts.vectorsDir(path, vecCol) + "/centroids")
-      if (op == "append" && fs.exists(centsDir)) {
-        graft.index.IndexArtifacts.refreshIvf(spark, path, idCol, vecCol, fmt)
-      } else {
-        val corpus = spark.read.format(fmt).load(path)
-        val cents = cfg.getOrElse("graft.index.vectors.fit", "seed") match {
-          case "seed" => graft.sim.Ann.seedCentroids(corpus, idCol, vecCol, n)
-          case "kmeans" => graft.sim.Ann.kmeansCentroids(corpus, idCol, vecCol, n)
-          case other => throw new IllegalArgumentException(
-            s"unknown graft.index.vectors.fit: $other")
-        }
-        graft.index.IndexArtifacts.buildIvf(spark, path, idCol, vecCol, cents, fmt)
+      fit match {
+        case "hnsw" =>
+          // graph inserts are order-dependent; an append rebuilds the
+          // artifact (per-partition build = one corpus pass, the same
+          // cost a segment merge pays in ES)
+          graft.sim.Ann.buildHnsw(spark, path, idCol, vecCol, fmt = fmt)
+        case _ if op == "append" && fs.exists(centsDir) =>
+          graft.index.IndexArtifacts.refreshIvf(spark, path, idCol, vecCol, fmt)
+        case "seed" | "kmeans" =>
+          val corpus = spark.read.format(fmt).load(path)
+          val cents =
+            if (fit == "seed") graft.sim.Ann.seedCentroids(corpus, idCol, vecCol, n)
+            else graft.sim.Ann.kmeansCentroids(corpus, idCol, vecCol, n)
+          graft.index.IndexArtifacts.buildIvf(spark, path, idCol, vecCol, cents, fmt)
+        case other => throw new IllegalArgumentException(
+          s"unknown graft.index.vectors.fit: $other")
       }
     }
   }

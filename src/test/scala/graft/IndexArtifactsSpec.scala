@@ -121,6 +121,41 @@ class IndexArtifactsSpec extends SparkSpec {
     assert(graft.index.IndexArtifacts.loadIvf(spark, out, "embedding").isEmpty)
   }
 
+  test("persisted HNSW: frozen graphs answer deterministically with brute-force-grade recall; stale falls back") {
+    import graft.sim.Ann
+    val out = "/tmp/graft_idxspec_hnsw"
+    val e = Tables.embeddings(spark, sfDir)
+    graft.sources.Connector.save(e, out, Map(
+      "graft.write.operation" -> "overwrite",
+      "graft.mapping.id" -> "vec_id",
+      "graft.index.vectors" -> "embedding",
+      "graft.index.vectors.fit" -> "hnsw"))
+    assert(graft.index.IndexArtifacts.vectorsMetaFresh(spark, out, "embedding_hnsw"))
+
+    val queries = e.where(col("vec_id") < 5)
+    def run() = Ann.hnswTopKIndexed(spark, out, queries, "vec_id", "embedding", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val r1 = run()
+    // frozen layout -> identical answers across runs (the per-query
+    // build's layout depends on partition order instead)
+    assert(r1 == run() && r1.nonEmpty)
+    // recall@10 vs brute force holds the same floor as the live path
+    val exact = Ann.bruteForceTopK(spark.read.parquet(out), queries,
+      "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = r1.map(t => (t._1, t._2)).toSet
+    val recall = got.count(exact).toDouble / exact.size
+    assert(recall >= 0.9, s"recall@10 = $recall")
+
+    // stale artifact (append without rebuild) -> fallback still works
+    graft.sources.Connector.save(
+      e.limit(3).withColumn("vec_id", col("vec_id") + lit(7000000L)),
+      out, Map("graft.write.operation" -> "append"))
+    assert(!graft.index.IndexArtifacts.vectorsMetaFresh(spark, out, "embedding_hnsw"))
+    assert(Ann.hnswTopKIndexed(spark, out, queries, "vec_id", "embedding", k = 10)
+      .collect().nonEmpty)
+  }
+
   test("connector readMetadata _score reads persisted postings on a single fresh index") {
     import graft.sources.Connector.implicits._
     val withArt = "/tmp/graft_idxspec_conn_art"
