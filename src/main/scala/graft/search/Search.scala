@@ -1991,13 +1991,13 @@ object Search {
       .select(col("query_id"), col("term"))
       .unionByName(leaves.where(col("kind") === "phrase" && pureMust)
         .select(col("query_id"), explode(split(col("phrase"), " ")).as("term")))
-    val selW = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
-      .orderBy(col("df").asc, col("term").asc)
+    // rarest required term as a min_by PARTIAL agg — no sort+window
+    // (one combiner-side exchange instead of a per-query sort)
     val selector = required
       .join(dfStats, Seq("term"), "left")
       .withColumn("df", coalesce(col("df"), lit(0L)))
-      .withColumn("_rn", row_number().over(selW))
-      .where(col("_rn") === 1)
+      .groupBy(col("query_id"))
+      .agg(min_by(col("term"), struct(col("df"), col("term"))).as("term"))
       .select(col("term"), col("query_id"))
     val unselective = registry.select(col("query_id")).distinct()
       .join(selector.select(col("query_id")), Seq("query_id"), "left_anti")
@@ -2007,11 +2007,6 @@ object Search {
     // one evaluated row per (candidate pair, leaf) — absent matches
     // surface as ok=false rows, never as missing rows (must_not and
     // should folds need the full child set)
-    val candLeaf = cand.join(leaves, "query_id")
-    val termEval = candLeaf.where(col("kind") === "term")
-      .join(docTerms.withColumn("_present", lit(true)), Seq("id", "term"), "left")
-      .select(col("id"), col("query_id"), col("path"),
-        coalesce(col("_present"), lit(false)).as("ok"))
     val docSide = docs.select(
       (col(idCol).as("id") +:
         concat(lit(" "), concat_ws(" ", Analyzer.tokens(col(textCol))), lit(" "))
@@ -2020,18 +2015,32 @@ object Search {
     val fieldVal = numericFields.foldRight(lit(null).cast("double")) {
       case (f, other) => when(col("range_field") === f, col(f).cast("double")).otherwise(other)
     }
-    val rpEval = candLeaf.where(col("kind").isin("range", "phrase"))
-      .join(docSide, "id")
-      .select(col("id"), col("query_id"), col("path"),
-        when(col("kind") === "range",
-          fieldVal >= col("range_min") && fieldVal < col("range_max"))
-          .otherwise(col("_joined").contains(concat(lit(" "), col("phrase"), lit(" "))))
-          .as("ok"))
+    def evalLeaves(lv: DataFrame): DataFrame = {
+      val candLeaf = cand.join(lv, "query_id")
+      val termEval = candLeaf.where(col("kind") === "term")
+        .join(docTerms.withColumn("_present", lit(true)), Seq("id", "term"), "left")
+        .select(col("id"), col("query_id"), col("path"),
+          coalesce(col("_present"), lit(false)).as("ok"))
+      val rpEval = candLeaf.where(col("kind").isin("range", "phrase"))
+        .join(docSide, "id")
+        .select(col("id"), col("query_id"), col("path"),
+          when(col("kind") === "range",
+            fieldVal >= col("range_min") && fieldVal < col("range_max"))
+            .otherwise(col("_joined").contains(concat(lit(" "), col("phrase"), lit(" "))))
+            .as("ok"))
+      termEval.unionByName(rpEval)
+    }
 
     // bottom-up fold: one level at a time, deepest first; depth is a
     // property of the stored tree shape (collected as one scalar),
     // so the loop — and the shuffle count — is bounded by structure,
-    // not data
+    // not data. Each level's LEAF SLICE is its own frame (the depth
+    // filter applies on the small registry side, before the candidate
+    // joins), and the fold carry chains LINEARLY: every candidate ×
+    // leaf join appears exactly once in the final plan. The first cut
+    // carried the whole union forward and re-filtered it per level —
+    // union branches execute regardless of runtime filters, so leaf
+    // evaluation ran ~2^depth times.
     val depthOf = when(col("path") === "", lit(0))
       .otherwise(size(split(col("path"), "/")))
     val maxDepth = registry.agg(max(depthOf).as("d")).head().getInt(0)
@@ -2039,15 +2048,12 @@ object Search {
       "ELSE substr(path, 1, length(path) - instr(reverse(path), '/')) END")
     val occExpr = element_at(
       split(element_at(split(col("path"), "/"), -1), "\\."), 1)
-    // NOT cached, deliberately: each fold level filters `results` by
-    // depth, and the path predicate pushes BELOW the candidate × leaf
-    // joins, so level d only joins depth-d leaves — re-deriving that
-    // slice is cheaper than materializing the full candidate × leaf
-    // frame (measured at the 500k probe: pinning it was ~1.6x slower)
-    var results = termEval.unionByName(rpEval)
+    var carry: Option[DataFrame] = None
     for (d <- maxDepth to 1 by -1) {
       val isMust = col("occ") === "must" || col("occ") === "filter"
-      val folded = results.where(depthOf === d)
+      val levelIn = carry.foldLeft(
+        evalLeaves(leaves.where(depthOf === d)))(_ unionByName _)
+      val folded = levelIn
         .withColumn("parent", parentExpr)
         .withColumn("occ", occExpr)
         .groupBy(col("id"), col("query_id"), col("parent"))
@@ -2064,9 +2070,10 @@ object Search {
         .select(col("id"), col("query_id"), col("parent").as("path"),
           (col("must_ok") === col("n_must") && col("mustnot_hits") === 0 &&
             (col("n_should") === 0 || col("should_ok") >= col("msm_eff"))).as("ok"))
-      results = results.unionByName(folded)
+      carry = Some(folded)
     }
-    val out = results.where(col("path") === "" && col("ok"))
+    // after the last fold every surviving row sits at the root
+    val out = carry.get.where(col("ok"))
       .select(col("id"), col("query_id"))
       .orderBy(col("id").asc, col("query_id").asc)
       .localCheckpoint(true)

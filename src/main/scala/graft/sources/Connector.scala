@@ -605,11 +605,15 @@ object Connector {
     // analog: the server analyzes at index time so queries never
     // re-tokenize; here the postings/df/stats side tables play the
     // Lucene index's role (graft.index.IndexArtifacts).
-    cfg.get("graft.index.analysis").foreach { textCol =>
+    cfg.get("graft.index.analysis").foreach { spec =>
       val idCol = cfg.getOrElse("graft.mapping.id",
         throw new IllegalArgumentException(
           "graft.index.analysis needs graft.mapping.id (the posting doc id)"))
-      graft.index.IndexArtifacts.buildAnalysis(spark, path, idCol, textCol, fmt)
+      // comma list = several analyzed fields, one artifact dir each
+      // (ES analyzes every mapped text field at index time)
+      spec.split(",").map(_.trim).filter(_.nonEmpty).foreach { textCol =>
+        graft.index.IndexArtifacts.buildAnalysis(spark, path, idCol, textCol, fmt)
+      }
     }
     // persisted IVF vector index (`graft.index.vectors` = vector
     // column): the quantizer fits/seeds ONCE and the corpus-sized
