@@ -130,9 +130,34 @@ object Connector {
         // to prevent
         val fullBody = query != null && query.trim.startsWith("{") &&
           graft.dsl.SearchBody.hasBodySections(query)
+        // FILTER-context analyze-once: a plain OR-semantics `match` on
+        // a single-index read whose field carries fresh analysis
+        // artifacts rewrites to a postings semi-join — "any analyzed
+        // term present" IS the set of ids in the query terms'
+        // postings, so the row set is identical and the corpus is
+        // never re-tokenized at query time. Anything beyond the plain
+        // form (operator/fuzziness/zero_terms, bool composition, a
+        // runtime-shadowed field) keeps the predicate path.
+        val matchRewritten: Option[DataFrame] =
+          if (fullBody) None
+          else for {
+            q <- innerQuery.map(_.trim).filter(_.startsWith("{"))
+            (f, text) <- Connector.simpleMatchClause(q)
+            if !runtimeFields.exists(_._1 == f)
+            p <- artifactIndexPath
+            (postings, _, _) <- graft.index.IndexArtifacts.loadAnalysis(spark, p, f)
+          } yield {
+            val terms = graft.analysis.Analyzer.analyze(text)
+            if (terms.isEmpty) df0.where(lit(false)) // zero_terms_query: none
+            else df0.join(
+              postings.where(col("term").isin(terms: _*))
+                .select(col("id").as("__graft_mid")),
+              col(idField) === col("__graft_mid"), "left_semi")
+          }
         val df1 =
           if (fullBody) graft.dsl.SearchBody.search(dfU, query, idField)
-          else innerQuery.fold(df0)(q => df0.where(EsQuery.compile(q, idField)))
+          else matchRewritten.getOrElse(
+            innerQuery.fold(df0)(q => df0.where(EsQuery.compile(q, idField))))
         // es.read.field.include/exclude accept `*` patterns (the
         // `fields`-API wildcard retrieval); expand against the schema
         // includes fail loudly on a no-match pattern (a typo'd include
@@ -710,6 +735,31 @@ object Connector {
 
   def rolloverDataStream(spark: SparkSession, name: String, maxDocs: Long): Boolean =
     rollover(spark, name, maxDocs)
+
+  /** A query body that is EXACTLY a plain OR-semantics match —
+    * `{"match": {f: "q"}}` or `{"match": {f: {"query": "q"}}}` with
+    * no other options — the only form the postings semi-join rewrite
+    * models (graftDF's filter-context analyze-once path). */
+  private[sources] def simpleMatchClause(json: String): Option[(String, String)] = {
+    import org.json4s._
+    scala.util.Try(jackson.JsonMethods.parse(json)).toOption.flatMap {
+      case JObject(JField("match", JObject(JField(f, v) :: Nil)) :: Nil) =>
+        v match {
+          case JString(s) => Some(f -> s)
+          case JObject(fields) =>
+            fields.toMap match {
+              case m if m.keySet == Set("query") =>
+                m("query") match {
+                  case JString(s) => Some(f -> s)
+                  case _ => None
+                }
+              case _ => None
+            }
+          case _ => None
+        }
+      case _ => None
+    }
+  }
 
   private[sources] def resolveAlias(
       spark: SparkSession, p: String): Option[(String, Option[String])] = {

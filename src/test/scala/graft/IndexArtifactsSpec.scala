@@ -182,6 +182,27 @@ class IndexArtifactsSpec extends SparkSpec {
         idField = "doc_id", readMetadata = true)
       .queryExecution.executedPlan.toString
     assert(plan.contains("postings"), plan.take(2000))
+
+    // FILTER-context match (no metadata): the plain OR-match rewrites
+    // to a postings LEFT-SEMI join — identical row set, no corpus
+    // tokenize in the plan
+    def ids(path: String) = spark
+      .graftDF(path, """{"match": {"text": "merge sort"}}""", idField = "doc_id")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(ids(withArt) == ids(without) && ids(withArt).nonEmpty)
+    val fplan = spark
+      .graftDF(withArt, """{"match": {"text": "merge sort"}}""", idField = "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(fplan.contains("postings") && fplan.contains("LeftSemi"), fplan.take(2000))
+    assert(!fplan.toLowerCase.contains("tokenize"), fplan.take(2000))
+    // options beyond the plain form keep the predicate path (AND
+    // operator is NOT the postings semantics)
+    val andPlan = spark
+      .graftDF(withArt,
+        """{"match": {"text": {"query": "merge sort", "operator": "and"}}}""",
+        idField = "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!andPlan.contains("LeftSemi"), andPlan.take(2000))
   }
 
   test("crash-safe swap replaces artifacts with the index: an upsert leaves no stale pairing") {
