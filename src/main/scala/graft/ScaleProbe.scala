@@ -85,6 +85,17 @@ object ScaleProbe {
     // indexed query then reads only its own terms' postings — the
     // repeated-query win the probe pair quantifies against
     // bm25_topk_10x, which re-tokenizes the corpus per query.
+    // r13: trainer-sized BPE — fit 512 merges (driver loop over the
+    // word-count dictionary, like subword-nmt) and count the
+    // replicated corpus through the compiled kernel; the 32-merge
+    // oracle chain would be a 1024-deep expression tree here, the
+    // kernel is one loop per row
+    time("bpe_count_512merges_10x") {
+      val merges = graft.text.Bpe.fit(
+        Tables.documents(spark, sfDir), "text", 512)
+      docs.select(graft.text.Bpe.tokenCount(col("text"), merges).as("n"))
+        .agg(sum(col("n"))).count()
+    }
     time("bm25_index_build_10x") {
       val idx = "/tmp/graft_probe_bm25idx"
       docs.write.mode("overwrite").parquet(idx)

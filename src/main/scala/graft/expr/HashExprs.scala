@@ -541,6 +541,43 @@ object HashKernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** The BpeTokenCount kernel: tokenize, then per word apply every
+    * merge in rank order (left-to-right, non-overlapping, with the
+    * consumed-delimiter rule matching the literal-replace chain), and
+    * sum the resulting symbol counts. */
+  def bpeCountKernel(s: UTF8String, ma: Array[String], mb: Array[String]): Long = {
+    val toks = tokenizeKernel(s)
+    var total = 0L
+    var t = 0
+    val nTok = toks.numElements()
+    while (t < nTok) {
+      val w = toks.getUTF8String(t).toString
+      var syms = new Array[String](w.length)
+      var i = 0
+      while (i < w.length) { syms(i) = String.valueOf(w.charAt(i)); i += 1 }
+      var r = 0
+      while (r < ma.length && syms.length > 1) {
+        val a = ma(r); val b = mb(r)
+        val out = new java.util.ArrayList[String](syms.length)
+        var j = 0
+        while (j < syms.length) {
+          if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
+            out.add(a + b); j += 2
+            // consumed delimiter: the element right after a merged
+            // pair cannot start the next match in this pass
+            if (j < syms.length) { out.add(syms(j)); j += 1 }
+          } else { out.add(syms(j)); j += 1 }
+        }
+        if (out.size() != syms.length)
+          syms = out.toArray(new Array[String](out.size()))
+        r += 1
+      }
+      total += syms.length
+      t += 1
+    }
+    total
+  }
+
   /** tokens -> true iff `terms` occur in order with every consecutive
     * pair within `slop` intervening positions (gap <= slop+1) — the
     * span_near in_order=true semantics of match_phrase with slop.
@@ -997,6 +1034,42 @@ case class Tokenize(child: Expression)
       s"${ev.value} = graft.expr.HashKernels.tokenizeKernel($c);")
 
   override protected def withNewChildInternal(newChild: Expression): Tokenize =
+    copy(child = newChild)
+}
+
+/** Real-BPE token count of a text under a ranked merge table — one
+  * compiled pass (tokenize + per-word merge loop), replacing the
+  * 2·|merges|-deep literal-replace Column chain so the table can be
+  * trainer-sized (hundreds/thousands of merges, the merges.txt
+  * shape) without exploding the plan. Semantics are EXACTLY the
+  * replace chain's, including the consumed-delimiter rule: within one
+  * merge's pass, the element right after a merged pair cannot START
+  * the next match (its shared delimiter was consumed by the previous
+  * replacement) — graft.text.Bpe documents the delta vs canonical
+  * BPE, and the spec pins kernel == chain. */
+case class BpeTokenCount(child: Expression, mergesA: Seq[String], mergesB: Seq[String])
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] = Seq(StringType)
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bpe_token_count"
+
+  @transient private lazy val maArr: Array[String] = mergesA.toArray
+  @transient private lazy val mbArr: Array[String] = mergesB.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(
+      HashKernels.bpeCountKernel(input.asInstanceOf[UTF8String], maArr, mbArr))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val maRef = ctx.addReferenceObj("bpeMa", maArr, "java.lang.String[]")
+    val mbRef = ctx.addReferenceObj("bpeMb", mbArr, "java.lang.String[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.HashKernels.bpeCountKernel($c, $maRef, $mbRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
     copy(child = newChild)
 }
 

@@ -104,10 +104,23 @@ object Bpe {
     out.toArray
   }
 
-  /** BPE token count of a text column under `merges` — analyzed words
-    * to symbol strings, the ranked replace chain, then
-    * symbols-per-word summed. Codegen'd end to end. */
-  def tokenCount(text: Column, merges: Seq[(String, String)]): Column = {
+  /** BPE token count of a text column under `merges` — the compiled
+    * BpeTokenCount kernel: one pass per row, merge table shipped as a
+    * codegen reference, so trainer-sized tables (hundreds/thousands
+    * of merges) cost a loop, not a 2·|merges|-deep expression tree.
+    * Bit-identical to `tokenCountChain` (spec-pinned), which is what
+    * the DuckDB oracle mirrors. */
+  def tokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.GraftBridge.column(graft.expr.BpeTokenCount(
+      org.apache.spark.sql.GraftBridge.expression(text),
+      merges.map(_._1), merges.map(_._2)))
+
+  /** The declarative form of `tokenCount`: analyzed words to
+    * comma-delimited symbol strings, the ranked literal-replace chain,
+    * symbols-per-word summed. Kept as the kernel's reference
+    * semantics (and the shape the oracle SQL mirrors); the kernel
+    * must stay bit-equal to it. */
+  private[graft] def tokenCountChain(text: Column, merges: Seq[(String, String)]): Column = {
     def rep(s: Column, find: String, to: String): Column =
       call_function("replace", s, lit(find), lit(to))
     val counts = transform(Analyzer.tokens(text), w => {

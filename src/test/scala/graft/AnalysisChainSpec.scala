@@ -233,5 +233,23 @@ class AnalysisChainSpec extends SparkSpec {
       .select(Bpe.tokenCount(col("t"), Seq(("a", "a"))).as("n"))
       .head().getLong(0)
     assert(run == 3L)
+
+    // the compiled kernel must stay bit-equal to the declarative
+    // replace chain (the oracle's reference semantics) on real text,
+    // chained merges, and the run edge cases
+    val sample = Tables.documents(spark, sfDir).limit(100)
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq(
+        (900001L, "aaaa aaa lower low lowest"),
+        (900002L, "abab ababab xyzzy")).toDF("doc_id", "text"))
+    val tables = Seq(Bpe.PretrainedMerges,
+      Seq(("a", "a")), Seq(("a", "b"), ("ab", "ab")), Seq(("l", "o"), ("lo", "w")))
+    tables.foreach { tbl =>
+      val diff = sample.select(
+        Bpe.tokenCount(col("text"), tbl).as("k"),
+        Bpe.tokenCountChain(col("text"), tbl).as("c"))
+        .where(col("k") =!= col("c")).count()
+      assert(diff == 0, s"kernel != chain under $tbl")
+    }
   }
 }
