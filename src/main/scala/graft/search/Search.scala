@@ -777,7 +777,8 @@ object Search {
       textCol: String,
       query: String,
       k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75,
+      fmt: String = "parquet"): DataFrame = {
     val q = Analyzer.analyze(query)
     require(q.nonEmpty, s"bm25 query analyzed to zero tokens: $query")
     graft.index.IndexArtifacts.loadAnalysis(spark, indexPath, textCol) match {
@@ -791,7 +792,10 @@ object Search {
           .groupBy(col("id"))
           .agg(Num.round(sum(col("term_score")), 4).as("score"))
       case None =>
-        bm25Scores(spark.read.parquet(indexPath), idCol, textCol, query, k1, b)
+        // fmt matters on the FALLBACK only (artifacts are always
+        // parquet; the index itself may be json/orc)
+        bm25Scores(spark.read.format(fmt).load(indexPath),
+          idCol, textCol, query, k1, b)
     }
   }
 
@@ -2043,7 +2047,10 @@ object Search {
     // evaluation ran ~2^depth times.
     val depthOf = when(col("path") === "", lit(0))
       .otherwise(size(split(col("path"), "/")))
-    val maxDepth = registry.agg(max(depthOf).as("d")).head().getInt(0)
+    val maxDepthRow = registry.agg(max(depthOf).as("d")).head()
+    require(!maxDepthRow.isNullAt(0) && maxDepthRow.getInt(0) >= 1,
+      "percolateBool needs a non-empty registry with at least one leaf clause")
+    val maxDepth = maxDepthRow.getInt(0)
     val parentExpr = expr("CASE WHEN instr(path, '/') = 0 THEN '' " +
       "ELSE substr(path, 1, length(path) - instr(reverse(path), '/')) END")
     val occExpr = element_at(
