@@ -93,8 +93,11 @@ object ScaleProbe {
     time("bpe_count_512merges_10x") {
       val merges = graft.text.Bpe.fit(
         Tables.documents(spark, sfDir), "text", 512)
+      // head(), not count(): count over a global agg lets column
+      // pruning drop the sum and the kernel below it — the probe
+      // would then time only the driver-side fit
       docs.select(graft.text.Bpe.tokenCount(col("text"), merges).as("n"))
-        .agg(sum(col("n"))).count()
+        .agg(sum(col("n"))).head().getLong(0)
     }
     time("bm25_index_build_10x") {
       val idx = "/tmp/graft_probe_bm25idx"

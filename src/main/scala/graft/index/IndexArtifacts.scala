@@ -56,8 +56,14 @@ object IndexArtifacts {
     * (underscore-prefixed), so building artifacts does not invalidate
     * the fingerprint they record. */
   def dataFingerprint(spark: SparkSession, indexPath: String): String = {
-    val root = new Path(indexPath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = new Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // qualify BEFORE stripping: listStatus returns scheme-qualified
+    // child paths, so stripping the raw input string would be a no-op
+    // and the fingerprint would embed absolute addresses — the same
+    // directory addressed two ways ("/idx" vs "file:///idx") would
+    // then mismatch forever and silently disable analyze-once
+    val root = fs.makeQualified(new Path(indexPath))
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
     def walk(d: Path): Unit =
       fs.listStatus(d).foreach { st =>
@@ -162,9 +168,12 @@ object IndexArtifacts {
       fmt: String = "parquet"): Unit = {
     val dir = vectorsDir(indexPath, vecCol)
     val cents = spark.read.parquet(s"$dir/centroids")
-    val known = spark.read.parquet(s"$dir/assignments").select(col("id"))
+    // rename before the join: a corpus whose own id column is named
+    // "id" would otherwise make the condition ambiguous
+    val known = spark.read.parquet(s"$dir/assignments")
+      .select(col("id").as("__known_id"))
     val fresh = spark.read.format(fmt).load(indexPath)
-      .join(known, col(idCol) === col("id"), "left_anti")
+      .join(known, col(idCol) === col("__known_id"), "left_anti")
     graft.sim.Ann.assignToCentroids(fresh, idCol, vecCol, cents)
       .write.mode("append").parquet(s"$dir/assignments")
     writeIvfMeta(spark, indexPath, idCol, vecCol)
@@ -191,20 +200,24 @@ object IndexArtifacts {
   /** Freshness check alone (for artifacts whose payload loads inside
     * tasks rather than as frames, e.g. the HNSW graph table). */
   def vectorsMetaFresh(
-      spark: SparkSession, indexPath: String, vecKey: String): Boolean =
-    readMetaFingerprint(spark,
-      s"${vectorsDir(indexPath, vecKey)}/_graft_meta.json")
-      .contains(dataFingerprint(spark, indexPath))
+      spark: SparkSession, indexPath: String, vecKey: String,
+      expectIdCol: Option[String] = None): Boolean =
+    readMeta(spark, s"${vectorsDir(indexPath, vecKey)}/_graft_meta.json")
+      .exists { case (fp, idc) =>
+        fp == dataFingerprint(spark, indexPath) && expectIdCol.forall(_ == idc)
+      }
 
   /** Fresh (centroids, assignments) or None — same freshness contract
-    * as loadAnalysis. */
+    * as loadAnalysis, including the id-column check. */
   def loadIvf(
       spark: SparkSession,
       indexPath: String,
-      vecCol: String): Option[(DataFrame, DataFrame)] = {
+      vecCol: String,
+      expectIdCol: Option[String] = None): Option[(DataFrame, DataFrame)] = {
     val dir = vectorsDir(indexPath, vecCol)
-    readMetaFingerprint(spark, s"$dir/_graft_meta.json") match {
-      case Some(fp) if fp == dataFingerprint(spark, indexPath) =>
+    readMeta(spark, s"$dir/_graft_meta.json") match {
+      case Some((fp, idc)) if fp == dataFingerprint(spark, indexPath)
+          && expectIdCol.forall(_ == idc) =>
         Some((
           spark.read.parquet(s"$dir/centroids"),
           spark.read.parquet(s"$dir/assignments")))
@@ -212,8 +225,9 @@ object IndexArtifacts {
     }
   }
 
-  private def readMetaFingerprint(
-      spark: SparkSession, metaFile: String): Option[String] = {
+  /** (fingerprint, id_col) from an artifact meta file, or None. */
+  private def readMeta(
+      spark: SparkSession, metaFile: String): Option[(String, String)] = {
     val metaPath = new Path(metaFile)
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(metaPath)) return None
@@ -223,8 +237,8 @@ object IndexArtifacts {
         scala.io.Source.fromInputStream(in, "UTF-8").mkString)
       finally in.close()
     }
-    meta \ "fingerprint" match {
-      case org.json4s.JString(s) => Some(s)
+    (meta \ "fingerprint", meta \ "id_col") match {
+      case (org.json4s.JString(fp), org.json4s.JString(idc)) => Some((fp, idc))
       case _ => None
     }
   }
@@ -232,13 +246,25 @@ object IndexArtifacts {
   /** Load the artifacts if present AND fresh (meta fingerprint matches
     * the live data files); None means missing or stale — callers fall
     * back to on-the-fly analysis. Returns (postings, df, stats). */
+  /** `expectIdCol`: the posting ids are the WRITER's graft.mapping.id
+    * values — a reader joining them against a different id column
+    * would get silently wrong rows, so a mismatch reads as
+    * no-artifact and the caller's on-the-fly path (which scores by
+    * the reader's own column) takes over. `knownFp`: callers that
+    * consult several artifacts in one request pass the fingerprint
+    * they already computed instead of re-walking the index dir per
+    * lookup. */
   def loadAnalysis(
       spark: SparkSession,
       indexPath: String,
-      textCol: String): Option[(DataFrame, DataFrame, DataFrame)] = {
+      textCol: String,
+      expectIdCol: Option[String] = None,
+      knownFp: Option[String] = None): Option[(DataFrame, DataFrame, DataFrame)] = {
     val dir = analysisDir(indexPath, textCol)
-    readMetaFingerprint(spark, s"$dir/_graft_meta.json") match {
-      case Some(fp) if fp == dataFingerprint(spark, indexPath) =>
+    readMeta(spark, s"$dir/_graft_meta.json") match {
+      case Some((fp, idc))
+          if fp == knownFp.getOrElse(dataFingerprint(spark, indexPath))
+            && expectIdCol.forall(_ == idc) =>
         Some((
           spark.read.parquet(s"$dir/postings"),
           spark.read.parquet(s"$dir/df"),

@@ -105,6 +105,7 @@ object CorpusFittedService {
     // in-document bigrams: pair every token with its successor, count,
     // keep each head's argmax successor, rank heads by total mass
     val trans = toks
+      .where(size(col("toks")) >= 2)
       .select(explode(expr(
         "transform(slice(toks, 1, size(toks) - 1), (w, i) -> " +
           "struct(w AS w1, toks[i + 1] AS w2))")).as("p"))

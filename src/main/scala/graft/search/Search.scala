@@ -571,10 +571,14 @@ object Search {
       clauses: Seq[(String, String)],
       excludeFields: Set[String] = Set.empty,
       k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75,
+      knownFp: Option[String] = None): DataFrame = {
     require(clauses.nonEmpty, "bm25BoolClausesScoresAuto needs at least one clause")
+    val fp = knownFp.orElse(Some(
+      graft.index.IndexArtifacts.dataFingerprint(spark, indexPath)))
     val art = clauses.map(_._1).distinct.filterNot(excludeFields)
-      .map(f => f -> graft.index.IndexArtifacts.loadAnalysis(spark, indexPath, f))
+      .map(f => f -> graft.index.IndexArtifacts.loadAnalysis(
+        spark, indexPath, f, expectIdCol = Some(idCol), knownFp = fp))
       .toMap
     val (indexed, fly) = clauses.partition(c => art.get(c._1).exists(_.isDefined))
     val idxFrames = indexed.map { case (f, q) =>
@@ -781,7 +785,8 @@ object Search {
       fmt: String = "parquet"): DataFrame = {
     val q = Analyzer.analyze(query)
     require(q.nonEmpty, s"bm25 query analyzed to zero tokens: $query")
-    graft.index.IndexArtifacts.loadAnalysis(spark, indexPath, textCol) match {
+    graft.index.IndexArtifacts.loadAnalysis(
+      spark, indexPath, textCol, expectIdCol = Some(idCol)) match {
       case Some((postings, dfTable, stats)) =>
         bm25ScorePostings(
           postings.where(col("term").isin(q: _*)),

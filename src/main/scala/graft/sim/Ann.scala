@@ -286,7 +286,8 @@ object Ann {
       k: Int,
       fmt: String = "parquet"): DataFrame = {
     val corpus = spark.read.format(fmt).load(indexPath)
-    graft.index.IndexArtifacts.loadIvf(spark, indexPath, vecCol) match {
+    graft.index.IndexArtifacts.loadIvf(
+      spark, indexPath, vecCol, expectIdCol = Some(idCol)) match {
       case Some((cents, assign)) =>
         ivfTopKAssigned(corpus, queries, idCol, vecCol, cents, assign, nprobe, k)
       case None =>
@@ -572,7 +573,8 @@ object Ann {
     import spark.implicits._
     requireBoundedQueries(queries, "hnswTopKIndexed")
     val dir = graft.index.IndexArtifacts.vectorsDir(indexPath, vecCol + "_hnsw")
-    if (!graft.index.IndexArtifacts.vectorsMetaFresh(spark, indexPath, vecCol + "_hnsw"))
+    if (!graft.index.IndexArtifacts.vectorsMetaFresh(
+        spark, indexPath, vecCol + "_hnsw", expectIdCol = Some(idCol)))
       return hnswTopK(spark.read.format(fmt).load(indexPath),
         queries, idCol, vecCol, k)
     val qs = queries
@@ -583,9 +585,11 @@ object Ann {
     require(qs.nonEmpty, "hnswTopKIndexed needs at least one query vector")
     val qb = spark.sparkContext.broadcast(qs)
     val searchEf = math.max(ef, k + 1)
+    // no exchange-side sort: the per-graph rebuild below sorts by idx
+    // in memory anyway, so a sortWithinPartitions here would be pure
+    // wasted shuffle work
     val hits = spark.read.parquet(s"$dir/graph")
       .repartition(col("graph_id"))
-      .sortWithinPartitions(col("graph_id"), col("idx"))
       .as[(Int, Int, Long, Array[Double], Array[Int])]
       .mapPartitions { rows =>
         // a task may hold several stored graphs after the hash

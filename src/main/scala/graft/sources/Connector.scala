@@ -100,6 +100,12 @@ object Connector {
           case Array((_, concrete, true)) => Some(concrete)
           case _ => None
         }
+        // one dir walk per read: every artifact lookup below (match
+        // rewrite + one per scoring field) reuses this fingerprint
+        // instead of re-listing and re-hashing the index files
+        lazy val artifactFp: Option[String] =
+          artifactIndexPath.map(p =>
+            graft.index.IndexArtifacts.dataFingerprint(spark, p))
         // allow_no_indices=true (the ES default for wildcard
         // expressions): a pattern matching nothing yields zero hits,
         // not an error. With no matched index there is no schema, so
@@ -145,7 +151,8 @@ object Connector {
             (f, text) <- Connector.simpleMatchClause(q)
             if !runtimeFields.exists(_._1 == f)
             p <- artifactIndexPath
-            (postings, _, _) <- graft.index.IndexArtifacts.loadAnalysis(spark, p, f)
+            (postings, _, _) <- graft.index.IndexArtifacts.loadAnalysis(
+              spark, p, f, expectIdCol = Some(idField), knownFp = artifactFp)
           } yield {
             val terms = graft.analysis.Analyzer.analyze(text)
             if (terms.isEmpty) df0.where(lit(false)) // zero_terms_query: none
@@ -227,7 +234,8 @@ object Connector {
             val scored = artifactIndexPath match {
               case Some(p) => graft.search.Search.bm25BoolClausesScoresAuto(
                 spark, p, df0, idField, scoring,
-                excludeFields = runtimeFields.map(_._1).toSet)
+                excludeFields = runtimeFields.map(_._1).toSet,
+                knownFp = artifactFp)
               case None => graft.search.Search
                 .bm25BoolClausesScores(df0, idField, scoring)
             }
