@@ -63,6 +63,31 @@ class IndexArtifactsSpec extends SparkSpec {
       spark, out, "doc_id", "text", "fast hash join")) == onTheFly)
   }
 
+  test("multi-field graft.index.analysis builds one artifact dir per field") {
+    val out = "/tmp/graft_idxspec_multi"
+    val docs = Tables.documents(spark, sfDir)
+    graft.sources.Connector.save(docs, out, Map(
+      "graft.write.operation" -> "overwrite",
+      "graft.mapping.id" -> "doc_id",
+      "graft.index.analysis" -> "text, source"))
+    assert(IndexArtifacts.loadAnalysis(spark, out, "text").isDefined)
+    assert(IndexArtifacts.loadAnalysis(spark, out, "source").isDefined)
+    // each field's postings reflect ITS OWN analyzed tokens
+    val srcTerms = IndexArtifacts.loadAnalysis(spark, out, "source").get._1
+      .select(col("term")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val expected = docs.select(
+      explode(graft.analysis.Analyzer.termSet(col("source"))).as("t"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(srcTerms == expected)
+    // id-col validation: asking for artifacts keyed by a different
+    // reader id reads as absent (the silent-wrong-join guard)
+    assert(IndexArtifacts.loadAnalysis(
+      spark, out, "text", expectIdCol = Some("event_id")).isEmpty)
+    assert(IndexArtifacts.loadAnalysis(
+      spark, out, "text", expectIdCol = Some("doc_id")).isDefined)
+  }
+
   test("persisted IVF: artifact path equals fit-per-query; appends route incrementally to existing lists") {
     import graft.sim.Ann
     val out = "/tmp/graft_idxspec_ivf"
