@@ -19,6 +19,34 @@ import graft.EntryShared._
   * implementing operators live in the modules named in SURVEY §2). */
 private[graft] object EntriesStream {
 
+  /** The streaming-engine execution harness every oracle-keyed
+    * streaming key shares: stage the events file into a temp dir
+    * (file sources read DIRECTORIES), run the transform through
+    * readStream -> complete-mode memory sink, drain, read the sink
+    * back, and clean the staging dir up. */
+  private def runEventsStream(
+      s: SparkSession, d: String, sink: String)(
+      transform: DataFrame => DataFrame): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_$sink")
+    try {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        dir.resolve("events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val in = s.readStream.schema(Tables.eventsSchema)
+        .parquet(dir.toString)
+        .transform(Tables.normalizeEvents)
+      val q = transform(in)
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(sink).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+    } finally {
+      java.nio.file.Files.deleteIfExists(dir.resolve("events.parquet"))
+      java.nio.file.Files.deleteIfExists(dir)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- G. Streaming-shaped ----
     "q_stream_window" -> ((s, d) => EventStreams.hourlyTypeCounts(Tables.events(s, d))),
@@ -55,67 +83,28 @@ private[graft] object EntriesStream {
     // memory sink (processAllAvailable drains the file source), then
     // read back — the DuckDB oracle checks the STREAMING engine's
     // output, not a batch stand-in. Shares q_stream_window's oracle.
-    "q_stream_exec" -> ((s, d) => {
-      // file stream sources read DIRECTORIES — stage the events file
-      // into a temp dir (same staging the streaming specs use)
-      val dir = java.nio.file.Files.createTempDirectory("graft_stream_exec")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$d/events.parquet"),
-        dir.resolve("events.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      val in = s.readStream.schema(Tables.eventsSchema)
-        .parquet(dir.toString)
-        .transform(Tables.normalizeEvents)
-      val q = EventStreams.hourlyTypeCounts(in)
-        .writeStream.outputMode("complete")
-        .format("memory").queryName("q_stream_exec_sink").start()
-      try q.processAllAvailable() finally q.stop()
-      s.table("q_stream_exec_sink")
-        .orderBy(col("hour_bucket").asc, col("event_type").asc)
-    }),
+    "q_stream_exec" -> ((s, d) =>
+      runEventsStream(s, d, "q_stream_exec_sink")(EventStreams.hourlyTypeCounts)
+        .orderBy(col("hour_bucket").asc, col("event_type").asc)),
     // native session_window through the STREAMING engine (r13): the
     // memory-sink readback is what the oracle hash-checks, so gap
     // sessionization is verified against the streaming operator, not
     // the batch lag/running-sum stand-in. Complete mode: bounded test
     // input — append+watermark would hold back the tail sessions.
-    "q_stream_sessionize" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_stream_sess")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$d/events.parquet"),
-        dir.resolve("events.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      val in = s.readStream.schema(Tables.eventsSchema)
-        .parquet(dir.toString)
-        .transform(Tables.normalizeEvents)
-      val q = EventStreams.sessionWindows(in, 30)
-        .writeStream.outputMode("complete")
-        .format("memory").queryName("q_stream_sessionize_sink").start()
-      try q.processAllAvailable() finally q.stop()
-      s.table("q_stream_sessionize_sink")
+    "q_stream_sessionize" -> ((s, d) =>
+      runEventsStream(s, d, "q_stream_sessionize_sink")(
+        EventStreams.sessionWindows(_, 30))
         .select(col("user_id"),
           unix_micros(col("session_start")).as("session_start_us"),
           col("n_events"))
-        .orderBy(col("user_id").asc, col("session_start_us").asc)
-    }),
+        .orderBy(col("user_id").asc, col("session_start_us").asc)),
     // windowed cardinality through the streaming engine (r13): exact
     // per-bucket distinct users via one collect_set aggregation (the
     // streaming-legal form), memory-sink readback oracle-checked
-    "q_stream_cardinality" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_stream_card")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$d/events.parquet"),
-        dir.resolve("events.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      val in = s.readStream.schema(Tables.eventsSchema)
-        .parquet(dir.toString)
-        .transform(Tables.normalizeEvents)
-      val q = EventStreams.hourlyUserCardinality(in)
-        .writeStream.outputMode("complete")
-        .format("memory").queryName("q_stream_cardinality_sink").start()
-      try q.processAllAvailable() finally q.stop()
-      s.table("q_stream_cardinality_sink")
-        .orderBy(col("hour_bucket").asc, col("event_type").asc)
-    }),
+    "q_stream_cardinality" -> ((s, d) =>
+      runEventsStream(s, d, "q_stream_cardinality_sink")(
+        EventStreams.hourlyUserCardinality)
+        .orderBy(col("hour_bucket").asc, col("event_type").asc)),
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -92,34 +92,53 @@ object IndexArtifacts {
       fmt: String = "parquet"): Unit = {
     val dir = analysisDir(indexPath, textCol)
     val docs = spark.read.format(fmt).load(indexPath)
+    // pinned for the build: postings, stats and the id-cleanliness
+    // audit are three actions over the tokenized frame — unpinned,
+    // each would re-scan and re-tokenize the corpus (at cluster scale
+    // prefer checkpointing the projected frame if it outgrows storage)
     val toks = docs.select(
       col(idCol).as("id"), Analyzer.tokens(col(textCol)).as("toks"))
       .withColumn("dl", size(col("toks")).cast("double"))
-    toks
-      .select(col("id"), col("dl"), explode(col("toks")).as("term"))
-      .groupBy(col("term"), col("id"), col("dl"))
-      .agg(count(lit(1)).cast("double").as("tf"))
-      .repartitionByRange(col("term"))
-      .sortWithinPartitions(col("term"))
-      .write.mode("overwrite").parquet(s"$dir/postings")
-    // one row per (term, doc) -> count per term IS the document freq
-    spark.read.parquet(s"$dir/postings")
-      .groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
-      .write.mode("overwrite").parquet(s"$dir/df")
-    // the exact stats frame bm25ComponentsFromToks computes on the fly:
-    // n_docs counts EVERY doc (null text included), avgdl skips nulls
-    toks.agg(
-      count(lit(1)).cast("double").as("n_docs"),
-      avg(col("dl")).as("avgdl"))
-      .write.mode("overwrite").parquet(s"$dir/stats")
-    val fp = dataFingerprint(spark, indexPath)
-    val metaPath = new Path(s"$dir/_graft_meta.json")
-    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(metaPath, true)
-    out.write(
-      s"""{"fingerprint":"$fp","id_col":"$idCol","text_col":"$textCol"}"""
-        .getBytes("UTF-8"))
-    out.close()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      toks
+        .select(col("id"), col("dl"), explode(col("toks")).as("term"))
+        .groupBy(col("term"), col("id"), col("dl"))
+        .agg(count(lit(1)).cast("double").as("tf"))
+        .repartitionByRange(col("term"))
+        .sortWithinPartitions(col("term"))
+        .write.mode("overwrite").parquet(s"$dir/postings")
+      // one row per (term, doc) -> count per term IS the document freq
+      spark.read.parquet(s"$dir/postings")
+        .groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+        .write.mode("overwrite").parquet(s"$dir/df")
+      // the exact stats frame bm25ComponentsFromToks computes on the
+      // fly: n_docs counts EVERY doc (null text incl), avgdl skips nulls
+      toks.agg(
+        count(lit(1)).cast("double").as("n_docs"),
+        avg(col("dl")).as("avgdl"))
+        .write.mode("overwrite").parquet(s"$dir/stats")
+      // id-cleanliness audit, recorded in the meta: the filter-context
+      // postings SEMI-JOIN rewrite is row-set-equal to the predicate
+      // path only when ids are unique and non-null (a null id never
+      // joins; a duplicated id over-matches its sibling rows) — score
+      // paths tolerate both, so they check freshness only
+      val audit = toks.agg(
+        count(lit(1)).as("n"),
+        count(col("id")).as("n_nonnull"),
+        countDistinct(col("id")).as("n_distinct")).head()
+      val idsClean = !audit.isNullAt(0) &&
+        audit.getLong(0) == audit.getLong(1) &&
+        audit.getLong(0) == audit.getLong(2)
+      val fp = dataFingerprint(spark, indexPath)
+      val metaPath = new Path(s"$dir/_graft_meta.json")
+      val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(metaPath, true)
+      out.write(
+        (s"""{"fingerprint":"$fp","id_col":"$idCol","text_col":"$textCol",""" +
+          s""""ids_clean":$idsClean}""").getBytes("UTF-8"))
+      out.close()
+    } finally toks.unpersist(false)
   }
 
   // ---- persisted vector index (IVF) --------------------------------
@@ -203,7 +222,7 @@ object IndexArtifacts {
       spark: SparkSession, indexPath: String, vecKey: String,
       expectIdCol: Option[String] = None): Boolean =
     readMeta(spark, s"${vectorsDir(indexPath, vecKey)}/_graft_meta.json")
-      .exists { case (fp, idc) =>
+      .exists { case (fp, idc, _) =>
         fp == dataFingerprint(spark, indexPath) && expectIdCol.forall(_ == idc)
       }
 
@@ -216,7 +235,7 @@ object IndexArtifacts {
       expectIdCol: Option[String] = None): Option[(DataFrame, DataFrame)] = {
     val dir = vectorsDir(indexPath, vecCol)
     readMeta(spark, s"$dir/_graft_meta.json") match {
-      case Some((fp, idc)) if fp == dataFingerprint(spark, indexPath)
+      case Some((fp, idc, _)) if fp == dataFingerprint(spark, indexPath)
           && expectIdCol.forall(_ == idc) =>
         Some((
           spark.read.parquet(s"$dir/centroids"),
@@ -225,9 +244,11 @@ object IndexArtifacts {
     }
   }
 
-  /** (fingerprint, id_col) from an artifact meta file, or None. */
+  /** (fingerprint, id_col, ids_clean) from an artifact meta file, or
+    * None. ids_clean defaults false when absent (vector metas never
+    * record it; only the analysis build audits ids). */
   private def readMeta(
-      spark: SparkSession, metaFile: String): Option[(String, String)] = {
+      spark: SparkSession, metaFile: String): Option[(String, String, Boolean)] = {
     val metaPath = new Path(metaFile)
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(metaPath)) return None
@@ -238,7 +259,12 @@ object IndexArtifacts {
       finally in.close()
     }
     (meta \ "fingerprint", meta \ "id_col") match {
-      case (org.json4s.JString(fp), org.json4s.JString(idc)) => Some((fp, idc))
+      case (org.json4s.JString(fp), org.json4s.JString(idc)) =>
+        val clean = meta \ "ids_clean" match {
+          case org.json4s.JBool(b) => b
+          case _ => false
+        }
+        Some((fp, idc, clean))
       case _ => None
     }
   }
@@ -259,12 +285,14 @@ object IndexArtifacts {
       indexPath: String,
       textCol: String,
       expectIdCol: Option[String] = None,
-      knownFp: Option[String] = None): Option[(DataFrame, DataFrame, DataFrame)] = {
+      knownFp: => Option[String] = None,
+      requireCleanIds: Boolean = false): Option[(DataFrame, DataFrame, DataFrame)] = {
     val dir = analysisDir(indexPath, textCol)
     readMeta(spark, s"$dir/_graft_meta.json") match {
-      case Some((fp, idc))
+      case Some((fp, idc, idsClean))
           if fp == knownFp.getOrElse(dataFingerprint(spark, indexPath))
-            && expectIdCol.forall(_ == idc) =>
+            && expectIdCol.forall(_ == idc)
+            && (!requireCleanIds || idsClean) =>
         Some((
           spark.read.parquet(s"$dir/postings"),
           spark.read.parquet(s"$dir/df"),

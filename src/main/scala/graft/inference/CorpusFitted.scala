@@ -140,14 +140,28 @@ object CorpusFittedService {
       u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == '8')
       s"gif ${le16(6)}x${le16(8)}"
     else if (bytes.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
-      // walk JPEG segments to the first SOFn frame header
+      // walk JPEG segments to the first SOFn frame header; the spec
+      // allows 0xFF fill bytes between segments, and standalone
+      // markers (TEM, RSTn) carry NO length field — treating either
+      // as a length-prefixed segment reads payload bytes as a length
+      // and jumps to garbage
       var i = 2
-      while (i + 9 < bytes.length && u8(i) == 0xff) {
-        val marker = u8(i + 1)
-        val isSof = marker >= 0xc0 && marker <= 0xcf &&
-          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
-        if (isSof) return s"jpeg ${be16(i + 7)}x${be16(i + 5)}"
-        i += 2 + be16(i + 2)
+      while (i + 1 < bytes.length && u8(i) == 0xff) {
+        if (u8(i + 1) == 0xff) i += 1 // fill byte
+        else {
+          val marker = u8(i + 1)
+          if (marker == 0xd9 || marker == 0xda) {
+            // EOI / start-of-scan without a prior SOF: no dims to read
+            return s"jpeg ${bytes.length}B"
+          } else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+            i += 2 // standalone marker, no length field
+          } else if (i + 9 < bytes.length) {
+            val isSof = marker >= 0xc0 && marker <= 0xcf &&
+              marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+            if (isSof) return s"jpeg ${be16(i + 7)}x${be16(i + 5)}"
+            i += 2 + be16(i + 2)
+          } else return s"jpeg ${bytes.length}B"
+        }
       }
       s"jpeg ${bytes.length}B"
     } else s"bin ${bytes.length}B"

@@ -511,7 +511,22 @@ object Search {
       idCol: String,
       clauses: Seq[(String, String)],
       k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75): DataFrame =
+    bm25BoolClausesCScores(docs, idCol, clauses, k1, b)
+      .groupBy(col("id"))
+      .agg(Num.round(sum(col("cscore")), 4).as("score"))
+
+  /** The per-clause half of bm25BoolClausesScores: one on-the-fly
+    * corpus pass, rows (id, cscore) per clause BEFORE the doc sum —
+    * the shape the mixed artifact/on-the-fly fold unions with, so a
+    * mix has exactly one final rounding layer (a rounded fly SUBTOTAL
+    * would flip 4th decimals near ties vs the pure path). */
+  private def bm25BoolClausesCScores(
+      docs: DataFrame,
+      idCol: String,
+      clauses: Seq[(String, String)],
+      k1: Double,
+      b: Double): DataFrame = {
     require(clauses.nonEmpty, "bm25BoolClausesScores needs at least one clause")
     val terms: Seq[(Int, Seq[String])] = clauses.zipWithIndex.map { case ((_, q), i) =>
       val ts = Analyzer.analyze(q)
@@ -545,13 +560,16 @@ object Search {
     tf.join(broadcast(dfreq), Seq("clause", "term"))
       .join(broadcast(stats), Seq("clause"))
       .withColumn("term_score", idf * tfPart)
-      // two-level fold: per-clause rounding FIRST (bit-compat with the
-      // per-clause bm25Scores path and its oracles), then the doc sum
+      // per-clause rounding FIRST (bit-compat with the per-clause
+      // bm25Scores path and its oracles); the doc sum happens in
+      // bm25BoolClausesScores / the Auto mixed fold — ONE final
+      // rounding layer wherever the clauses came from
       .groupBy(col("id"), col("clause"))
       .agg(Num.round(sum(col("term_score")), 4).as("cscore"))
-      .groupBy(col("id"))
-      .agg(Num.round(sum(col("cscore")), 4).as("score"))
+      .select(col("id"), col("cscore"))
   }
+
+
 
   /** Artifact-aware bm25BoolClausesScores for the connector's
     * readMetadata `_score` path: a clause whose field carries FRESH
@@ -572,9 +590,12 @@ object Search {
       excludeFields: Set[String] = Set.empty,
       k1: Double = 1.2,
       b: Double = 0.75,
-      knownFp: Option[String] = None): DataFrame = {
+      knownFp: => Option[String] = None): DataFrame = {
     require(clauses.nonEmpty, "bm25BoolClausesScoresAuto needs at least one clause")
-    val fp = knownFp.orElse(Some(
+    // forced only if some field's meta EXISTS (loadAnalysis consults
+    // the fingerprint after the cheap meta check) — an index with no
+    // artifacts never pays the dir walk
+    lazy val fp: Option[String] = knownFp.orElse(Some(
       graft.index.IndexArtifacts.dataFingerprint(spark, indexPath)))
     val art = clauses.map(_._1).distinct.filterNot(excludeFields)
       .map(f => f -> graft.index.IndexArtifacts.loadAnalysis(
@@ -593,8 +614,7 @@ object Search {
     }
     val flyFrames =
       if (fly.isEmpty) Nil
-      else Seq(bm25BoolClausesScores(docs, idCol, fly, k1, b)
-        .withColumnRenamed("score", "cscore"))
+      else Seq(bm25BoolClausesCScores(docs, idCol, fly, k1, b))
     (idxFrames ++ flyFrames).reduce(_ unionByName _)
       .groupBy(col("id"))
       .agg(Num.round(sum(col("cscore")), 4).as("score"))
@@ -1987,6 +2007,16 @@ object Search {
     val bools = registry.where(col("kind") === "bool")
       .select(col("query_id"), col("path").as("_bpath"), col("msm"))
 
+    // validate the (small) registry BEFORE caching the corpus terms:
+    // a thrown require after the cache+count would leak the pinned
+    // corpus-term frame into executor storage for the session
+    val depthOf = when(col("path") === "", lit(0))
+      .otherwise(size(split(col("path"), "/")))
+    val maxDepthRow = registry.agg(max(depthOf).as("d")).head()
+    require(!maxDepthRow.isNullAt(0) && maxDepthRow.getInt(0) >= 1,
+      "percolateBool needs a non-empty registry with at least one leaf clause")
+    val maxDepth = maxDepthRow.getInt(0)
+
     val docTerms = docs
       .select(col(idCol).as("id"), explode(Analyzer.termSet(col(textCol))).as("term"))
       .cache()
@@ -2050,12 +2080,6 @@ object Search {
     // carried the whole union forward and re-filtered it per level —
     // union branches execute regardless of runtime filters, so leaf
     // evaluation ran ~2^depth times.
-    val depthOf = when(col("path") === "", lit(0))
-      .otherwise(size(split(col("path"), "/")))
-    val maxDepthRow = registry.agg(max(depthOf).as("d")).head()
-    require(!maxDepthRow.isNullAt(0) && maxDepthRow.getInt(0) >= 1,
-      "percolateBool needs a non-empty registry with at least one leaf clause")
-    val maxDepth = maxDepthRow.getInt(0)
     val parentExpr = expr("CASE WHEN instr(path, '/') = 0 THEN '' " +
       "ELSE substr(path, 1, length(path) - instr(reverse(path), '/')) END")
     val occExpr = element_at(

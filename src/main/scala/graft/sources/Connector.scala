@@ -150,17 +150,24 @@ object Connector {
             q <- innerQuery.map(_.trim).filter(_.startsWith("{"))
             (f, text) <- Connector.simpleMatchClause(q)
             if !runtimeFields.exists(_._1 == f)
+            // zero-token queries keep the predicate path so the loud
+            // analyzed-to-nothing error fires identically in both
+            // regimes (a silent empty result here would make the same
+            // request's behavior depend on artifact freshness)
+            terms = graft.analysis.Analyzer.analyze(text)
+            if terms.nonEmpty
             p <- artifactIndexPath
+            // requireCleanIds: the semi-join is row-set-equal to the
+            // predicate only when the build audited ids as unique and
+            // non-null (a null id never joins; a duplicate id
+            // over-matches sibling rows)
             (postings, _, _) <- graft.index.IndexArtifacts.loadAnalysis(
-              spark, p, f, expectIdCol = Some(idField), knownFp = artifactFp)
-          } yield {
-            val terms = graft.analysis.Analyzer.analyze(text)
-            if (terms.isEmpty) df0.where(lit(false)) // zero_terms_query: none
-            else df0.join(
-              postings.where(col("term").isin(terms: _*))
-                .select(col("id").as("__graft_mid")),
-              col(idField) === col("__graft_mid"), "left_semi")
-          }
+              spark, p, f, expectIdCol = Some(idField), knownFp = artifactFp,
+              requireCleanIds = true)
+          } yield df0.join(
+            postings.where(col("term").isin(terms: _*))
+              .select(col("id").as("__graft_mid")),
+            col(idField) === col("__graft_mid"), "left_semi")
         val df1 =
           if (fullBody) graft.dsl.SearchBody.search(dfU, query, idField)
           else matchRewritten.getOrElse(

@@ -164,5 +164,15 @@ class InferenceSeamSpec extends SparkSpec {
     assert(fitted.decoder()(png) == "png 3x5")
     val gif = ("GIF89a".getBytes("US-ASCII") ++ Array[Byte](7, 0, 2, 0, 0, 0))
     assert(fitted.decoder()(gif) == "gif 7x2")
+    // a spec-legal JPEG with FILL BYTES between segments (and an APP0
+    // before the SOF0 frame header): the walker must skip fills and
+    // still land on width=9, height=7
+    val jpeg = Array(0xff, 0xd8, 0xff, 0xff, 0xe0, 0x00, 0x04, 0x01, 0x02,
+      0xff, 0xff, 0xff, 0xc0, 0x00, 0x0b, 8, 0x00, 0x07, 0x00, 0x09,
+      3, 1, 0x11, 0).map(_.toByte)
+    assert(fitted.decoder()(jpeg) == "jpeg 9x7")
+    // a scan-only JPEG (no SOF before SOS) reports length, not garbage
+    val sosOnly = Array(0xff, 0xd8, 0xff, 0xda, 0x00, 0x02, 0x01).map(_.toByte)
+    assert(fitted.decoder()(sosOnly) == s"jpeg ${sosOnly.length}B")
   }
 }
