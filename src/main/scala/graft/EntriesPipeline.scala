@@ -51,6 +51,29 @@ private[graft] object EntriesPipeline {
         docs.where(pmod(col("doc_id"), lit(2)) === 0),
         "doc_id", "text", 0.8)
     }),
+    // dedup-once (r13b): the "existing training set" half persists its
+    // shingles + band keys as an index artifact at write time; the
+    // "new crawl" half dedups against it WITHOUT the ref corpus ever
+    // re-tokenizing — hash-equal to on-the-fly q_dedup_cross (same
+    // oracle SQL), the incremental-ingest steady state
+    "q_dedup_cross_indexed" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      // source-fingerprint-keyed dir: repeated runs reuse the fresh
+      // artifact (the dedup-once contract); regenerated testdata
+      // changes the key and rebuilds
+      val srcFp = graft.index.IndexArtifacts
+        .dataFingerprint(s, s"$d/documents.parquet").take(12)
+      val out = s"/tmp/graft_mhidx_${System.getProperty("user.name")}_$srcFp"
+      if (graft.index.IndexArtifacts.loadMinhash(s, out, "text", Some("doc_id")).isEmpty)
+        graft.sources.Connector.save(
+          docs.where(pmod(col("doc_id"), lit(2)) === 0), out, Map(
+            "graft.write.operation" -> "overwrite",
+            "graft.mapping.id" -> "doc_id",
+            "graft.index.minhash" -> "text"))
+      Dedup.minhashLshCrossIndexed(s,
+        docs.where(pmod(col("doc_id"), lit(2)) === 1), out, "doc_id", "text", 0.8)
+        .getOrElse(sys.error("minhash artifact missing right after build"))
+    }),
     // cluster-level dedup: connected components over the verified pairs
     "q_dedup_cluster" -> ((s, d) =>
       Dedup.dedupClusters(Dedup.minhashLshUnsorted(t(s, d, "documents"), "doc_id", "text", 0.8))),
@@ -510,6 +533,39 @@ private[graft] object EntriesPipeline {
       Multimodal.sampleFrames(s,
         Multimodal.mediaTable(t(s, d, "documents").where(col("doc_id") < 40)), 4)
         .toDF().orderBy(col("media_id"), col("frame_idx"))),
+    // REAL pixel decode (r13b — no stub anywhere in this path): the
+    // payloads are complete PNG files (zlib IDAT, filtered scanlines)
+    // generated in-task; the stats come from inflate + unfilter of
+    // those bytes. The oracle re-derives them from the deterministic
+    // pixel function — a codec bug anywhere breaks the hash.
+    "q_multimodal_pixels" -> ((s, d) =>
+      Multimodal.decodePixelStats(s,
+        Multimodal.pixelMediaTable(s, t(s, d, "documents").where(col("doc_id") % 2 === 0)))
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"), col("n_values"),
+          col("v_sum"), col("v_min"), col("v_max"),
+          Num.round(col("v_sum").cast("double") / col("n_values"), 4).as("mean_v"))
+        .orderBy(col("media_id"))),
+    // REAL audio decode: complete RIFF/WAVE PCM16 payloads, chunk-walk
+    // parsed back; sample stats integer-exact
+    "q_multimodal_audio" -> ((s, d) =>
+      Multimodal.decodePixelStats(s,
+        Multimodal.pixelMediaTable(s, t(s, d, "documents").where(col("doc_id") % 2 === 1)))
+        .toDF()
+        .select(col("media_id"), col("n_values").as("n_samples"),
+          col("v_sum").as("s_sum"), col("v_min").as("s_min"), col("v_max").as("s_max"),
+          Num.round(col("v_sum").cast("double") / col("n_values"), 4).as("mean_s"))
+        .orderBy(col("media_id"))),
+    // REAL resize: decode -> nearest-neighbor -> re-encode -> re-decode
+    // -> stats; the oracle mirrors the integer source-index resample
+    "q_multimodal_resize_px" -> ((s, d) =>
+      Multimodal.resizePixelStats(s,
+        Multimodal.pixelMediaTable(s, t(s, d, "documents").where(col("doc_id") % 2 === 0)),
+        8, 6)
+        .toDF()
+        .select(col("media_id"), col("v_sum"), col("v_min"), col("v_max"),
+          Num.round(col("v_sum").cast("double") / col("n_values"), 4).as("mean_v"))
+        .orderBy(col("media_id"))),
     // context-window chunking: 64-token windows, 16-token overlap
     "q_chunk" -> ((s, d) =>
       TextAnalysis.chunkTokens(t(s, d, "documents"), "doc_id", "text", 64, 16)
@@ -673,6 +729,17 @@ private[graft] object EntriesPipeline {
     // cross screen: same shingle/signature/band CTEs, candidates
     // joined odd-side x even-side only
     "q_dedup_cross" -> (TokCte + MinhashCtes +
+      ", candx AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS ref_id " +
+      "FROM banded a JOIN banded b ON a.band = b.band " +
+      "AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0) " +
+      "SELECT new_id, ref_id, round(inter / (n1 + n2 - inter), 4) AS jaccard FROM " +
+      "(SELECT new_id, ref_id, len(list_intersect(sa.sh, sb.sh))::DOUBLE AS inter, " +
+      "len(sa.sh) AS n1, len(sb.sh) AS n2 " +
+      "FROM candx JOIN sh sa ON sa.doc_id = new_id JOIN sh sb ON sb.doc_id = ref_id) " +
+      "WHERE round(inter / (n1 + n2 - inter), 4) >= 0.8 ORDER BY new_id, ref_id"),
+    // the indexed screen must produce the identical pair set — the
+    // artifact only changes WHEN the ref side's work happens
+    "q_dedup_cross_indexed" -> (TokCte + MinhashCtes +
       ", candx AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS ref_id " +
       "FROM banded a JOIN banded b ON a.band = b.band " +
       "AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0) " +
@@ -1112,6 +1179,38 @@ private[graft] object EntriesPipeline {
       "unnest(range(0, 4)) AS fi FROM documents WHERE doc_id < 40) " +
       "SELECT media_id, fi::INT AS frame_idx, md5(text || fi::VARCHAR) AS frame_hash " +
       "FROM f ORDER BY media_id, frame_idx"),
+    // the decoded-pixel stats re-derived from the generator formula:
+    // px(x,y) = (id*31 + x*7 + y*13) % 256 over a w x h grid — the
+    // Spark side reads these values back out of real zlib'd PNG bytes
+    "q_multimodal_pixels" -> ("WITH d AS (SELECT doc_id, doc_id % 48 + 8 AS w, " +
+      "doc_id % 32 + 8 AS h FROM documents WHERE doc_id % 2 = 0), " +
+      "g AS (SELECT d.doc_id, d.w, d.h, (d.doc_id*31 + xs.x*7 + ys.y*13) % 256 AS px " +
+      "FROM d CROSS JOIN generate_series(0, 55) AS xs(x) " +
+      "CROSS JOIN generate_series(0, 39) AS ys(y) WHERE xs.x < d.w AND ys.y < d.h) " +
+      "SELECT doc_id AS media_id, w::INT AS width, h::INT AS height, " +
+      "count(*)::BIGINT AS n_values, sum(px)::BIGINT AS v_sum, " +
+      "min(px)::BIGINT AS v_min, max(px)::BIGINT AS v_max, " +
+      "round(sum(px)::DOUBLE / count(*), 4) AS mean_v " +
+      "FROM g GROUP BY doc_id, w, h ORDER BY media_id"),
+    "q_multimodal_audio" -> ("WITH d AS (SELECT doc_id, doc_id % 256 + 16 AS n " +
+      "FROM documents WHERE doc_id % 2 = 1), " +
+      "g AS (SELECT d.doc_id, (d.doc_id*17 + i.i*29) % 4096 - 2048 AS s " +
+      "FROM d CROSS JOIN generate_series(0, 271) AS i(i) WHERE i.i < d.n) " +
+      "SELECT doc_id AS media_id, count(*)::BIGINT AS n_samples, " +
+      "sum(s)::BIGINT AS s_sum, min(s)::BIGINT AS s_min, max(s)::BIGINT AS s_max, " +
+      "round(sum(s)::DOUBLE / count(*), 4) AS mean_s " +
+      "FROM g GROUP BY doc_id ORDER BY media_id"),
+    // nearest-neighbor to 8x6: out(x,y) = in((x*w)//8, (y*h)//6)
+    "q_multimodal_resize_px" -> ("WITH d AS (SELECT doc_id, doc_id % 48 + 8 AS w, " +
+      "doc_id % 32 + 8 AS h FROM documents WHERE doc_id % 2 = 0), " +
+      "g AS (SELECT d.doc_id, " +
+      "(d.doc_id*31 + ((xs.x * d.w) // 8)*7 + ((ys.y * d.h) // 6)*13) % 256 AS px " +
+      "FROM d CROSS JOIN generate_series(0, 7) AS xs(x) " +
+      "CROSS JOIN generate_series(0, 5) AS ys(y)) " +
+      "SELECT doc_id AS media_id, sum(px)::BIGINT AS v_sum, " +
+      "min(px)::BIGINT AS v_min, max(px)::BIGINT AS v_max, " +
+      "round(sum(px)::DOUBLE / 48, 4) AS mean_v " +
+      "FROM g GROUP BY doc_id ORDER BY media_id"),
     "q_multimodal_meta" -> ("SELECT doc_id AS media_id, " +
       "CASE WHEN doc_id % 3 = 0 THEN 'image/png' WHEN doc_id % 3 = 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime, " +
       "octet_length(encode(text))::BIGINT AS n_bytes, " +

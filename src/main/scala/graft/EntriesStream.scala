@@ -25,7 +25,7 @@ private[graft] object EntriesStream {
     * readStream -> complete-mode memory sink, drain, read the sink
     * back, and clean the staging dir up. */
   private def runEventsStream(
-      s: SparkSession, d: String, sink: String)(
+      s: SparkSession, d: String, sink: String, mode: String = "complete")(
       transform: DataFrame => DataFrame): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory(s"graft_$sink")
     try {
@@ -37,7 +37,7 @@ private[graft] object EntriesStream {
         .parquet(dir.toString)
         .transform(Tables.normalizeEvents)
       val q = transform(in)
-        .writeStream.outputMode("complete")
+        .writeStream.outputMode(mode)
         .format("memory").queryName(sink).start()
       try q.processAllAvailable() finally q.stop()
       s.table(sink)
@@ -105,6 +105,31 @@ private[graft] object EntriesStream {
       runEventsStream(s, d, "q_stream_cardinality_sink")(
         EventStreams.hourlyUserCardinality)
         .orderBy(col("hour_bucket").asc, col("event_type").asc)),
+    // streaming exact dedup THROUGH the engine (r13b): append-mode sink
+    // (dedup emits rows, not aggregates), keyed per (event_type, hash)
+    // so surviving rows are key-determined. The horizon is set past the
+    // data span: within it streaming dedup equals GLOBAL dedup, the
+    // oracle-checkable configuration (production runs a short horizon
+    // so state ages out — same operator, bounded memory). The sink is
+    // aggregated in batch; the dedup itself is the streaming engine's.
+    "q_stream_dedup" -> ((s, d) =>
+      runEventsStream(s, d, "q_stream_dedup_sink", "append")(
+        EventStreams.streamingDedupByContent(_, "3650 days", Seq("event_type")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n_unique"))
+        .orderBy(col("event_type").asc)),
+    // CONTINUOUS downsample through the engine: the same 1-day bucket
+    // shape as q_downsample (count/min/max/decimal sum per series),
+    // complete-mode readback so the oracle checks the streaming
+    // window() aggregation, not the batch Downsample operator
+    "q_stream_downsample" -> ((s, d) =>
+      runEventsStream(s, d, "q_stream_downsample_sink")(
+        EventStreams.streamingDownsample(_, Seq("event_type"), "value", "1 day"))
+        .select((unix_micros(col("bucket_start")) * 1000).as("bucket_ts"),
+          col("event_type"), col("doc_count"),
+          col("value_min"), col("value_max"),
+          Num.round(col("value_sum"), 4).as("value_sum"))
+        .orderBy(col("bucket_ts"), col("event_type"))),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -136,5 +161,12 @@ private[graft] object EntriesStream {
       "FROM s GROUP BY user_id, session_id ORDER BY user_id, session_start_us"),
     "q_stream_cardinality" -> ("SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type, " +
       "count(DISTINCT user_id)::BIGINT AS n_users FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type"),
+    // distinct props per type (+ null-props rows, which pass through on
+    // unique synthetic keys) — md5 is injective here, so distinct
+    // hashes = distinct props and the oracle needs no cross-engine md5
+    "q_stream_dedup" -> ("SELECT event_type, (count(DISTINCT props) + " +
+      "sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END))::BIGINT AS n_unique " +
+      "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q_stream_downsample" -> DownsampleOracle,
   )
 }

@@ -190,6 +190,18 @@ object Dedup {
     * `idAlias`/`band`). The shingle cache is EAGER — banding and the
     * verify join both read it, and a lazy cache would race both
     * branches into recomputing the shingle stage (see minhashLsh). */
+  /** The (shingles, bands) frames of one corpus under the artifact's
+    * canonical aliases — what `IndexArtifacts.buildMinhash` persists.
+    * The shingle frame comes back CACHED (same contract as the query
+    * path); the builder unpersists after writing. */
+  def minhashArtifactFrames(
+      docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int): (DataFrame, DataFrame) = {
+    require(bands >= 1 && numHashes % bands == 0,
+      s"bands must divide numHashes evenly: numHashes=$numHashes bands=$bands")
+    shingleBandSide(docs, idCol, textCol, "id", "sh", numHashes, bands)
+  }
+
   private def shingleBandSide(
       docs: DataFrame, idCol: String, textCol: String,
       idAlias: String, shAlias: String,
@@ -236,6 +248,47 @@ object Dedup {
       .select(col("new_id"), col("ref_id"), col("jaccard"))
       .orderBy(col("new_id").asc, col("ref_id").asc)
   }
+
+  /** Cross-corpus near-dup screen against a PERSISTED minhash artifact
+    * (IndexArtifacts.buildMinhash) — dedup-once: the historical corpus
+    * is never re-tokenized or re-minhashed; its shingle sets and band
+    * keys read back as narrow columnar tables. Only the NEW side (the
+    * daily crawl) pays shingle+signature compute, and with a small new
+    * side AQE broadcasts its bands so the reference table streams
+    * map-side — the 100 TB corpus neither shuffles nor recomputes. No
+    * forced broadcast hint: a bulk backfill's new side can be huge,
+    * and AQE picks the join strategy per run (the keepFirstByKey
+    * lesson). Answer-equal to `minhashLshCross` by construction (the
+    * artifact persists exactly the frames `shingleBandSide` computes).
+    * Returns None when the artifact is missing, stale, or was built
+    * with different (idCol, numHashes, bands) — callers fall back to
+    * the on-the-fly cross screen. */
+  def minhashLshCrossIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame,
+      indexPath: String,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      numHashes: Int = 32,
+      bands: Int = 8): Option[DataFrame] =
+    graft.index.IndexArtifacts
+      .loadMinhash(spark, indexPath, textCol, Some(idCol), numHashes, bands)
+      .map { case (refSh, refBands) =>
+        val (shNew, bandNew) =
+          shingleBandSide(newDocs, idCol, textCol, "new_id", "new_sh", numHashes, bands)
+        val candidates = bandNew
+          .join(refBands.select(col("id").as("ref_id"), col("band")), "band")
+          .select(col("new_id"), col("ref_id")).distinct()
+        candidates
+          .join(shNew, "new_id")
+          .join(refSh.select(col("id").as("ref_id"), col("sh").as("ref_sh")), "ref_id")
+          .withColumn("jaccard", Num.round(GraftBridge.column(graft.expr.JaccardSim(
+            GraftBridge.expression(col("new_sh")), GraftBridge.expression(col("ref_sh")))), 4))
+          .where(col("jaccard") >= threshold)
+          .select(col("new_id"), col("ref_id"), col("jaccard"))
+          .orderBy(col("new_id").asc, col("ref_id").asc)
+      }
 
   /** `minhashLsh` without the final presentation sort — the input shape
     * for consumers that immediately reshuffle (e.g. `dedupClusters`),

@@ -141,6 +141,118 @@ object IndexArtifacts {
     } finally toks.unpersist(false)
   }
 
+  // ---- persisted near-dup dedup artifact (MinHash/LSH) -------------
+
+  val MinhashDirName = "_graft_minhash"
+
+  def minhashDir(indexPath: String, textCol: String): String =
+    s"$indexPath/$MinhashDirName/$textCol"
+
+  /** Build the dedup-once artifact: per-doc shingle sets and LSH band
+    * keys persisted beside the index, so deduping every future crawl
+    * against this corpus never re-tokenizes or re-minhashes it
+    * (Dedup.minhashLshCrossIndexed). The shingle table is the exact
+    * verify's price — corpus-token-scale on disk, the same trade a
+    * Lucene index makes storing positions; the band table is 8 short
+    * strings per doc. Both land sorted for locality; the meta records
+    * (numHashes, bands) because band keys from a DIFFERENT banding
+    * would join garbage — loads param-check before trusting them. */
+  def buildMinhash(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      fmt: String = "parquet"): Unit = {
+    val dir = minhashDir(indexPath, textCol)
+    val docs = spark.read.format(fmt).load(indexPath)
+    val (sh, banded) =
+      graft.dedup.Dedup.minhashArtifactFrames(docs, idCol, textCol, numHashes, bands)
+    try {
+      sh.write.mode("overwrite").parquet(s"$dir/shingles")
+      banded.repartitionByRange(col("band")).sortWithinPartitions(col("band"))
+        .write.mode("overwrite").parquet(s"$dir/bands")
+    } finally sh.unpersist(false)
+    writeMinhashMeta(spark, indexPath, idCol, textCol, numHashes, bands)
+  }
+
+  /** Incremental add (the daily-ingest shape): shingle+band ONLY the
+    * docs absent from the stored artifact, append, re-stamp. Banding
+    * params come from the stored meta — an append can't change them. */
+  def refreshMinhash(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      textCol: String,
+      fmt: String = "parquet"): Unit = {
+    val dir = minhashDir(indexPath, textCol)
+    val (numHashes, bands) = readMinhashMeta(spark, s"$dir/_graft_meta.json") match {
+      case Some((_, idc, nh, nb)) =>
+        require(idc == idCol,
+          s"minhash artifact was built on id '$idc', refresh asked for '$idCol'")
+        (nh, nb)
+      case None => sys.error(s"refreshMinhash: no artifact meta under $dir")
+    }
+    val known = spark.read.parquet(s"$dir/shingles")
+      .select(col("id").as("__known_id"))
+    val fresh = spark.read.format(fmt).load(indexPath)
+      .join(known, col(idCol) === col("__known_id"), "left_anti")
+    val (sh, banded) =
+      graft.dedup.Dedup.minhashArtifactFrames(fresh, idCol, textCol, numHashes, bands)
+    try {
+      sh.write.mode("append").parquet(s"$dir/shingles")
+      banded.write.mode("append").parquet(s"$dir/bands")
+    } finally sh.unpersist(false)
+    writeMinhashMeta(spark, indexPath, idCol, textCol, numHashes, bands)
+  }
+
+  private def writeMinhashMeta(
+      spark: SparkSession, indexPath: String, idCol: String, textCol: String,
+      numHashes: Int, bands: Int): Unit = {
+    val fp = dataFingerprint(spark, indexPath)
+    val metaPath = new Path(s"${minhashDir(indexPath, textCol)}/_graft_meta.json")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(metaPath, true)
+    out.write(
+      (s"""{"fingerprint":"$fp","id_col":"$idCol","text_col":"$textCol",""" +
+        s""""num_hashes":$numHashes,"bands":$bands}""").getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** (fingerprint, id_col, num_hashes, bands) or None. */
+  private def readMinhashMeta(
+      spark: SparkSession, metaFile: String): Option[(String, String, Int, Int)] =
+    readMetaJson(spark, metaFile).flatMap { meta =>
+      (meta \ "fingerprint", meta \ "id_col", meta \ "num_hashes", meta \ "bands") match {
+        case (org.json4s.JString(fp), org.json4s.JString(idc),
+            org.json4s.JInt(nh), org.json4s.JInt(nb)) =>
+          Some((fp, idc, nh.toInt, nb.toInt))
+        case _ => None
+      }
+    }
+
+  /** Fresh (shingles, bands) frames, or None when missing, stale, or
+    * built under different (idCol, numHashes, bands). */
+  def loadMinhash(
+      spark: SparkSession,
+      indexPath: String,
+      textCol: String,
+      expectIdCol: Option[String] = None,
+      numHashes: Int = 32,
+      bands: Int = 8): Option[(DataFrame, DataFrame)] = {
+    val dir = minhashDir(indexPath, textCol)
+    readMinhashMeta(spark, s"$dir/_graft_meta.json") match {
+      case Some((fp, idc, nh, nb))
+          if fp == dataFingerprint(spark, indexPath)
+            && expectIdCol.forall(_ == idc) && nh == numHashes && nb == bands =>
+        Some((
+          spark.read.parquet(s"$dir/shingles"),
+          spark.read.parquet(s"$dir/bands")))
+      case _ => None
+    }
+  }
+
   // ---- persisted vector index (IVF) --------------------------------
 
   val VectorsDirName = "_graft_vectors"
@@ -248,25 +360,29 @@ object IndexArtifacts {
     * None. ids_clean defaults false when absent (vector metas never
     * record it; only the analysis build audits ids). */
   private def readMeta(
-      spark: SparkSession, metaFile: String): Option[(String, String, Boolean)] = {
+      spark: SparkSession, metaFile: String): Option[(String, String, Boolean)] =
+    readMetaJson(spark, metaFile).flatMap { meta =>
+      (meta \ "fingerprint", meta \ "id_col") match {
+        case (org.json4s.JString(fp), org.json4s.JString(idc)) =>
+          val clean = meta \ "ids_clean" match {
+            case org.json4s.JBool(b) => b
+            case _ => false
+          }
+          Some((fp, idc, clean))
+        case _ => None
+      }
+    }
+
+  /** The parsed meta JSON of any artifact dir, or None when absent. */
+  private def readMetaJson(
+      spark: SparkSession, metaFile: String): Option[org.json4s.JValue] = {
     val metaPath = new Path(metaFile)
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(metaPath)) return None
-    val meta = {
-      val in = fs.open(metaPath)
-      try org.json4s.jackson.JsonMethods.parse(
-        scala.io.Source.fromInputStream(in, "UTF-8").mkString)
-      finally in.close()
-    }
-    (meta \ "fingerprint", meta \ "id_col") match {
-      case (org.json4s.JString(fp), org.json4s.JString(idc)) =>
-        val clean = meta \ "ids_clean" match {
-          case org.json4s.JBool(b) => b
-          case _ => false
-        }
-        Some((fp, idc, clean))
-      case _ => None
-    }
+    val in = fs.open(metaPath)
+    try Some(org.json4s.jackson.JsonMethods.parse(
+      scala.io.Source.fromInputStream(in, "UTF-8").mkString))
+    finally in.close()
   }
 
   /** Load the artifacts if present AND fresh (meta fingerprint matches

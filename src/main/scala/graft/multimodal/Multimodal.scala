@@ -165,10 +165,95 @@ object Multimodal {
         MediaMeta(id, graft.inference.CorpusFittedService.parseMedia(payload))
       })
   }
+
+  // ---- REAL pixel/sample decode (r13: no stub anywhere in this path) --
+
+  /** The deterministic pixel function both the encoder and the DuckDB
+    * oracle evaluate: what makes decoded-stats oracle-checkable without
+    * a media library on the oracle side. */
+  private[multimodal] def pxOf(id: Long, x: Int, y: Int): Int =
+    ((id * 31 + x.toLong * 7 + y.toLong * 13) % 256).toInt
+  private[multimodal] def sampleOf(id: Long, i: Int): Short =
+    ((id * 17 + i.toLong * 29) % 4096 - 2048).toShort
+
+  /** Media table whose payloads are COMPLETE media files: even doc_ids
+    * become real PNGs (zlib-deflated, filtered scanlines), odd ones
+    * real 16-bit PCM WAVs — generated per partition, never on the
+    * driver. Dims/lengths derive from doc_id; pixel values from
+    * `pxOf`/`sampleOf`, so the decode side is verifiable end-to-end. */
+  def pixelMediaTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      if (id % 2 == 0) {
+        val w = (id % 48 + 8).toInt; val h = (id % 32 + 8).toInt
+        val px = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { px(y * w + x) = pxOf(id, x, y).toByte; x += 1 }
+          y += 1
+        }
+        (id, "image/png", Png.encodeGray(w, h, px))
+      } else {
+        val n = (id % 256 + 16).toInt
+        (id, "audio/wav", Wav.encodePcm16(Array.tabulate(n)(i => sampleOf(id, i))))
+      }
+    }).toDF("media_id", "mime", "payload")
+  }
+
+  /** Decode REAL payload bytes (PNG inflate+unfilter, or WAV PCM chunk
+    * walk) and fold pixel/sample statistics — the honest successor of
+    * `decodeFeatures`' hash stub. Map-only; the binary never shuffles;
+    * stats are integer-exact so the oracle can re-derive them. */
+  def decodePixelStats(spark: SparkSession, media: DataFrame): Dataset[PixelStats] = {
+    import spark.implicits._
+    media.select("media_id", "payload")
+      .where(col("payload").isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        if (payload.length > 0 && (payload(0) & 0xff) == 0x89)
+          statsOf(id, Png.decode(payload))
+        else {
+          val a = Wav.decodePcm16(payload)
+          var s = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+          a.samples.foreach { v => s += v; if (v < mn) mn = v; if (v > mx) mx = v }
+          PixelStats(id, "wav", 1, a.samples.length, a.samples.length.toLong, s, mn, mx)
+        }
+      })
+  }
+
+  private def statsOf(id: Long, img: Png.Image): PixelStats = {
+    var s = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+    img.pixels.foreach { b => val v = (b & 0xff).toLong; s += v; if (v < mn) mn = v; if (v > mx) mx = v }
+    PixelStats(id, "png", img.width, img.height, img.pixels.length.toLong, s, mn, mx)
+  }
+
+  /** Real resize: decode -> nearest-neighbor resample -> RE-ENCODE ->
+    * RE-DECODE -> stats. The second encode/decode round trip is
+    * deliberate: the stats prove the codec reproduces the resampled
+    * pixels bit-exactly, not just that the resampler ran. */
+  def resizePixelStats(
+      spark: SparkSession, media: DataFrame, w2: Int, h2: Int): Dataset[PixelStats] = {
+    import spark.implicits._
+    require(w2 > 0 && h2 > 0, s"bad target dims ${w2}x$h2")
+    media.select("media_id", "payload")
+      .where(col("payload").isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val resized = Png.resizeNearest(Png.decode(payload), w2, h2)
+        statsOf(id, Png.decode(Png.encodeGray(resized.width, resized.height, resized.pixels)))
+      })
+  }
 }
 
 /** Parsed container metadata of one media asset. */
 case class MediaMeta(media_id: Long, meta: String)
+
+/** Integer-exact decoded pixel/sample statistics of one media asset
+  * (width/height = 1/n_samples for audio). */
+case class PixelStats(
+    media_id: Long, kind: String, width: Int, height: Int,
+    n_values: Long, v_sum: Long, v_min: Long, v_max: Long)
 
 /** One sampled frame of a media asset. */
 case class FrameSample(media_id: Long, frame_idx: Int, frame_hash: String)

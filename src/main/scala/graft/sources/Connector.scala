@@ -655,6 +655,26 @@ object Connector {
         graft.index.IndexArtifacts.buildAnalysis(spark, path, idCol, textCol, fmt)
       }
     }
+    // persisted near-dup dedup artifact (`graft.index.minhash` = text
+    // column): shingle sets + LSH band keys computed once at write
+    // time, so every future crawl dedups against this corpus without
+    // re-tokenizing it (Dedup.minhashLshCrossIndexed). APPEND routes
+    // only the new docs through shingle+signature compute. Options:
+    //   graft.index.minhash.hashes = n (default 32)
+    //   graft.index.minhash.bands  = b (default 8)
+    cfg.get("graft.index.minhash").foreach { textCol =>
+      val idCol = cfg.getOrElse("graft.mapping.id",
+        throw new IllegalArgumentException(
+          "graft.index.minhash needs graft.mapping.id (the shingle doc id)"))
+      val nh = cfg.getOrElse("graft.index.minhash.hashes", "32").toInt
+      val nb = cfg.getOrElse("graft.index.minhash.bands", "8").toInt
+      val shDir = new Path(
+        graft.index.IndexArtifacts.minhashDir(path, textCol) + "/shingles")
+      if (op == "append" && fs.exists(shDir))
+        graft.index.IndexArtifacts.refreshMinhash(spark, path, idCol, textCol, fmt)
+      else
+        graft.index.IndexArtifacts.buildMinhash(spark, path, idCol, textCol, nh, nb, fmt)
+    }
     // persisted IVF vector index (`graft.index.vectors` = vector
     // column): the quantizer fits/seeds ONCE and the corpus-sized
     // assignment pass runs at write time, so queries pay probe+rank

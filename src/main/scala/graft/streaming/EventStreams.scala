@@ -140,7 +140,8 @@ object EventStreams {
     * by the watermark (old hashes age out), so it runs forever at a
     * fixed memory budget — the property a naive dropDuplicates (which
     * keeps ALL keys) lacks. */
-  def streamingDedupByContent(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+  def streamingDedupByContent(events: DataFrame, watermark: String = "1 hour",
+      extraKeys: Seq[String] = Nil): DataFrame =
     events
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
       // null content must PASS THROUGH, not be dropped (they are legal
@@ -149,7 +150,11 @@ object EventStreams {
       .withColumn("content_hash",
         coalesce(md5(col("props")), concat(lit("_null_"), col("event_id").cast("string"))))
       .withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark("content_hash")
+      // extraKeys scope the dedup (e.g. per event_type): which extra
+      // columns ride along on the surviving row is then key-determined,
+      // not arrival-order-determined — what makes the output
+      // oracle-checkable
+      .dropDuplicatesWithinWatermark("content_hash" +: extraKeys)
 
   /** Windowed distinct-user cardinality — the streaming form of the
     * `cardinality` agg inside a `date_histogram`. HLL sketch state

@@ -1,0 +1,164 @@
+package graft
+
+import graft.multimodal.{Multimodal, Png, Wav}
+import org.apache.spark.sql.functions._
+
+/** The pure-JDK media codecs (real zlib PNG, real RIFF PCM) and the
+  * Spark pixel-decode path built on them. */
+class CodecsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // test-side chunk writer: lets the spec craft PNGs the encoder never
+  // emits (RGB, per-row filter types) so DECODE is exercised beyond
+  // round-trip
+  private def chunk(typeName: String, data: Array[Byte]): Array[Byte] = {
+    val t = typeName.getBytes("US-ASCII")
+    val c = new java.util.zip.CRC32(); c.update(t); c.update(data)
+    java.nio.ByteBuffer.allocate(12 + data.length)
+      .putInt(data.length).put(t).put(data).putInt(c.getValue.toInt).array()
+  }
+  private def pngOf(w: Int, h: Int, colorType: Int, raw: Array[Byte]): Array[Byte] = {
+    val def1 = new java.util.zip.Deflater()
+    def1.setInput(raw); def1.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!def1.finished()) out.write(tmp, 0, def1.deflate(tmp))
+    def1.end()
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(colorType.toByte).put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val f = new java.io.ByteArrayOutputStream()
+    f.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+    f.write(chunk("IHDR", ihdr)); f.write(chunk("IDAT", out.toByteArray))
+    f.write(chunk("IEND", Array.emptyByteArray))
+    f.toByteArray
+  }
+
+  test("PNG round trip: encodeGray -> decode recovers every pixel") {
+    for ((w, h) <- Seq((1, 1), (7, 3), (64, 48))) {
+      val px = Array.tabulate(w * h)(i => ((i * 37 + 11) % 256).toByte)
+      val img = Png.decode(Png.encodeGray(w, h, px))
+      assert(img.width == w && img.height == h && img.channels == 1)
+      assert(img.pixels.toSeq == px.toSeq)
+    }
+  }
+
+  test("PNG decode unfilters all five filter types") {
+    // 4x5 gray image; rows filtered with types 0..4 applied FORWARD,
+    // decode must invert each
+    val w = 4; val h = 5
+    val px = Array.tabulate(h, w)((y, x) => ((x * 19 + y * 53) % 256))
+    def p(y: Int, x: Int) = if (y < 0 || x < 0) 0 else px(y)(x)
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val pr = a + b - c
+      val pa = math.abs(pr - a); val pb = math.abs(pr - b); val pc = math.abs(pr - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val raw = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until h) {
+      val ft = y % 5
+      raw.write(ft)
+      for (x <- 0 until w) {
+        val v = ft match {
+          case 0 => p(y, x)
+          case 1 => p(y, x) - p(y, x - 1)
+          case 2 => p(y, x) - p(y - 1, x)
+          case 3 => p(y, x) - (p(y, x - 1) + p(y - 1, x)) / 2
+          case 4 => p(y, x) - paeth(p(y, x - 1), p(y - 1, x), p(y - 1, x - 1))
+        }
+        raw.write(v & 0xff)
+      }
+    }
+    val img = Png.decode(pngOf(w, h, 0, raw.toByteArray))
+    for (y <- 0 until h; x <- 0 until w)
+      assert((img.pixels(y * w + x) & 0xff) == px(y)(x), s"pixel ($x,$y), filter ${y % 5}")
+  }
+
+  test("PNG decode reads RGB (color type 2) with interleaved channels") {
+    val w = 3; val h = 2
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 41 + 5) % 256))
+    val raw = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until h) { raw.write(0); for (x <- 0 until w * 3) raw.write(rgb(y * w * 3 + x)) }
+    val img = Png.decode(pngOf(w, h, 2, raw.toByteArray))
+    assert(img.channels == 3)
+    assert(img.pixels.map(_ & 0xff).toSeq == rgb.toSeq)
+  }
+
+  test("PNG decode rejects corrupted CRC and truncated streams") {
+    val good = Png.encodeGray(8, 8, Array.fill(64)(7.toByte))
+    val bad = good.clone(); bad(bad.length - 5) = (bad(bad.length - 5) ^ 0xff).toByte
+    intercept[Exception](Png.decode(bad))
+    intercept[Exception](Png.decode(good.take(good.length / 2)))
+    intercept[Exception](Png.decode("not a png".getBytes))
+  }
+
+  test("WAV round trip + chunk walk skips foreign chunks and pads odd lengths") {
+    val samples = Array.tabulate(37)(i => ((i * 211 - 900) % 3000).toShort)
+    val a = Wav.decodePcm16(Wav.encodePcm16(samples, 8000))
+    assert(a.sampleRate == 8000 && a.samples.toSeq == samples.toSeq)
+    // splice an odd-length LIST chunk between fmt and data: the walker
+    // must pad past it, not misalign
+    val enc = Wav.encodePcm16(samples, 8000)
+    val head = enc.take(36) // RIFF..fmt chunk end
+    val tail = enc.drop(36) // data chunk
+    val foreign = "LIST".getBytes("US-ASCII") ++
+      java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(3).array() ++
+      Array[Byte]('a', 'b', 'c', 0) // 3 bytes + pad
+    val spliced = head ++ foreign ++ tail
+    // patch the RIFF size (bytes 4..7) to cover the splice
+    val bb = java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, spliced.length - 8)
+    val b = Wav.decodePcm16(spliced)
+    assert(b.samples.toSeq == samples.toSeq)
+    intercept[Exception](Wav.decodePcm16("RIFFxxxxJUNK".getBytes))
+  }
+
+  test("resizeNearest picks integer source indices") {
+    // 4x2 -> 2x1: out(x,0) = in(x*4/2, 0*2/1) = in(2x, 0)
+    val img = Png.Image(4, 2, 1, Array[Byte](10, 20, 30, 40, 50, 60, 70, 80))
+    val r = Png.resizeNearest(img, 2, 1)
+    assert(r.pixels.toSeq == Seq[Byte](10, 30))
+    // upscale 2x1 -> 4x1 repeats source pixels
+    val up = Png.resizeNearest(Png.Image(2, 1, 1, Array[Byte](1, 2)), 4, 1)
+    assert(up.pixels.toSeq == Seq[Byte](1, 1, 2, 2))
+  }
+
+  test("Spark pixel path: decoded stats equal the generator formula") {
+    val docs = Tables.documents(spark, sfDir).where(col("doc_id") < 20)
+    val stats = Multimodal.decodePixelStats(
+      spark, Multimodal.pixelMediaTable(spark, docs)).collect()
+    assert(stats.length == 20)
+    stats.foreach { st =>
+      val id = st.media_id
+      if (id % 2 == 0) {
+        val w = (id % 48 + 8).toInt; val h = (id % 32 + 8).toInt
+        val vals = for (y <- 0 until h; x <- 0 until w)
+          yield ((id * 31 + x * 7 + y * 13) % 256)
+        assert(st.kind == "png" && st.width == w && st.height == h)
+        assert(st.n_values == vals.length.toLong)
+        assert(st.v_sum == vals.map(_.toLong).sum)
+        assert(st.v_min == vals.min && st.v_max == vals.max)
+      } else {
+        val n = (id % 256 + 16).toInt
+        val vals = (0 until n).map(i => (id * 17 + i * 29) % 4096 - 2048)
+        assert(st.kind == "wav" && st.n_values == n.toLong)
+        assert(st.v_sum == vals.map(_.toLong).sum)
+        assert(st.v_min == vals.min && st.v_max == vals.max)
+      }
+    }
+  }
+
+  test("Spark resize path: re-encoded resample matches the index formula") {
+    val docs = Tables.documents(spark, sfDir).where(col("doc_id") % 2 === 0 && col("doc_id") < 20)
+    val stats = Multimodal.resizePixelStats(
+      spark, Multimodal.pixelMediaTable(spark, docs), 8, 6).collect()
+    stats.foreach { st =>
+      val id = st.media_id
+      val w = (id % 48 + 8).toInt; val h = (id % 32 + 8).toInt
+      val vals = for (y <- 0 until 6; x <- 0 until 8)
+        yield ((id * 31 + (x * w / 8) * 7 + (y * h / 6) * 13) % 256)
+      assert(st.width == 8 && st.height == 6 && st.n_values == 48L)
+      assert(st.v_sum == vals.map(_.toLong).sum)
+      assert(st.v_min == vals.min && st.v_max == vals.max)
+    }
+  }
+}
