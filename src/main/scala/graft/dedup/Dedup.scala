@@ -202,6 +202,31 @@ object Dedup {
     shingleBandSide(docs, idCol, textCol, "id", "sh", numHashes, bands)
   }
 
+  /** Artifact-REFRESH variant: the shingle frame is LOCALCHECKPOINTED
+    * (data, not lineage). The caller appends into a path this frame's
+    * lineage reads (the stored shingles, via the new-docs anti-join) —
+    * with a mere cache, Spark's recacheByPath recomputes the plan
+    * against the just-grown table after the first write, the anti-join
+    * then excludes everything, and the bands append writes EMPTY rows
+    * (observed; spec-pinned). A checkpoint carries rows, so later
+    * writes can't invalidate it. */
+  def minhashArtifactFramesCut(
+      docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int): (DataFrame, DataFrame) = {
+    require(bands >= 1 && numHashes % bands == 0,
+      s"bands must divide numHashes evenly: numHashes=$numHashes bands=$bands")
+    val rowsPerBand = numHashes / bands
+    val sh = docs.select(
+      col(idCol).as("id"),
+      Analyzer.shingles(Analyzer.tokens(col(textCol))).as("sh"))
+      .where(size(col("sh")) > 0)
+      .localCheckpoint(true)
+    val banded = sh.select(
+      col("id"),
+      explode(bandKeys(minhashSig(col("sh"), numHashes), bands, rowsPerBand)).as("band"))
+    (sh, banded)
+  }
+
   private def shingleBandSide(
       docs: DataFrame, idCol: String, textCol: String,
       idAlias: String, shAlias: String,

@@ -198,8 +198,11 @@ object IndexArtifacts {
       .select(col("id").as("__known_id"))
     val fresh = spark.read.format(fmt).load(indexPath)
       .join(known, col(idCol) === col("__known_id"), "left_anti")
+    // the Cut variant checkpoints: this method writes into the very
+    // path the anti-join reads, and a lineage-carrying frame would be
+    // recomputed (empty) by recacheByPath after the first write
     val (sh, banded) =
-      graft.dedup.Dedup.minhashArtifactFrames(fresh, idCol, textCol, numHashes, bands)
+      graft.dedup.Dedup.minhashArtifactFramesCut(fresh, idCol, textCol, numHashes, bands)
     try {
       sh.write.mode("append").parquet(s"$dir/shingles")
       banded.write.mode("append").parquet(s"$dir/bands")

@@ -261,4 +261,62 @@ class IndexArtifactsSpec extends SparkSpec {
         "graft.write.operation" -> "upsert"))
     assert(IndexArtifacts.loadAnalysis(spark, out, "text").isEmpty)
   }
+
+  test("persisted minhash: indexed cross screen equals on-the-fly; appends route only new docs") {
+    import graft.dedup.Dedup
+    val out = "/tmp/graft_idxspec_minhash"
+    val docs = Tables.documents(spark, sfDir)
+    val ref = docs.where(col("doc_id") % 2 === 0)
+    // new side carries guaranteed near-dups: clones of ref docs under
+    // fresh odd-offset ids (jaccard 1.0 pairs must surface)
+    val nu = docs.where(col("doc_id") % 2 === 1)
+      .unionByName(ref.limit(3).withColumn("doc_id", col("doc_id") + lit(1000001L)))
+    graft.sources.Connector.save(ref, out, Map(
+      "graft.write.operation" -> "overwrite",
+      "graft.mapping.id" -> "doc_id",
+      "graft.index.minhash" -> "text"))
+    assert(IndexArtifacts.loadMinhash(spark, out, "text", Some("doc_id")).isDefined)
+    // a different banding or id column must read as absent — band keys
+    // from another banding would join garbage
+    assert(IndexArtifacts.loadMinhash(spark, out, "text", Some("doc_id"), 32, 4).isEmpty)
+    assert(IndexArtifacts.loadMinhash(spark, out, "text", Some("other")).isEmpty)
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val indexedDf = Dedup.minhashLshCrossIndexed(
+      spark, nu, out, "doc_id", "text", 0.8).get
+    val indexed = rows(indexedDf)
+    val fly = rows(Dedup.minhashLshCross(
+      nu, spark.read.parquet(out), "doc_id", "text", 0.8))
+    assert(indexed == fly && indexed.nonEmpty)
+    // the indexed plan reads the persisted frames — the ref corpus
+    // itself (its text column) appears nowhere in the scan set
+    val scans = indexedDf.queryExecution.executedPlan.toString
+    assert(scans.contains("shingles") && scans.contains("bands"), scans.take(2000))
+
+    // APPEND with the option: only the new docs pay shingle compute;
+    // the artifact grows by exactly them and stays fresh
+    val before = IndexArtifacts.loadMinhash(spark, out, "text").get._1.count()
+    val extra = ref.limit(5).withColumn("doc_id", col("doc_id") + lit(5000000L))
+    graft.sources.Connector.save(extra, out, Map(
+      "graft.write.operation" -> "append",
+      "graft.mapping.id" -> "doc_id",
+      "graft.index.minhash" -> "text"))
+    val (sh2, bands2) = IndexArtifacts.loadMinhash(spark, out, "text", Some("doc_id")).get
+    assert(sh2.count() == before + 5)
+    assert(sh2.where(col("id") >= 5000000L).count() == 5)
+    assert(bands2.where(col("id") >= 5000000L).count() == 5 * 8)
+    // the refreshed artifact answers: a clone of an appended doc must
+    // match it at jaccard 1.0
+    val probe = ref.limit(1).withColumn("doc_id", lit(7000001L))
+    val hits = rows(Dedup.minhashLshCrossIndexed(
+      spark, probe, out, "doc_id", "text", 0.99).get)
+    assert(hits.exists { case (n, r, j) => n == 7000001L && r >= 5000000L && j == 1.0 })
+
+    // an append WITHOUT the option leaves the artifact stale -> None
+    graft.sources.Connector.save(
+      ref.limit(2).withColumn("doc_id", col("doc_id") + lit(9000000L)),
+      out, Map("graft.write.operation" -> "append"))
+    assert(IndexArtifacts.loadMinhash(spark, out, "text").isEmpty)
+  }
 }
