@@ -96,6 +96,13 @@ private[graft] object EntriesPipeline {
     "q_dedup_substring" -> ((s, d) =>
       graft.text.TextAnalysis.substringDupSpans(
         t(s, d, "documents"), "doc_id", "text", k = 20)),
+    // the CUT step (r13b): keep the globally-first occurrence of each
+    // duplicated 20-token span, remove every other occurrence from its
+    // doc — span-granularity dedup (Lee et al. 2022), fingerprint of
+    // each doc's surviving token stream oracle-checked
+    "q_dedup_spans" -> ((s, d) =>
+      graft.text.TextAnalysis.removeDupSpans(
+        t(s, d, "documents"), "doc_id", "text", k = 20)),
     // bloom-screened membership dedup: seen-side filter broadcast
     // (MB at 10^10 docs), map-side prune, exact verify — output is
     // exactly batch ANTI JOIN seen, so the oracle is hash-exact;
@@ -803,6 +810,29 @@ private[graft] object EntriesPipeline {
       "sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_spans, " +
       "round(CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_ratio " +
       "FROM w JOIN f USING (h) GROUP BY doc_id ORDER BY id"),
+    // span removal: windows ranked keep-first over (doc, pos); cut
+    // positions cover tokens [pos, pos+20); survivors re-fingerprinted
+    // with the same Horner fold the Spark kernel computes
+    "q_dedup_spans" -> (TokCte +
+      s", th AS (SELECT doc_id, list_transform(toks, t -> ${hexFold("t", 12)} % 1000000007) AS hs FROM tok WHERE len(toks) >= 20)" +
+      ", w AS (SELECT doc_id, i::BIGINT - 1 AS pos, " +
+      "list_reduce(list_prepend(0::BIGINT, hs[i:i+19]), (a, v) -> (a * 31 + v) % 1000000007) AS h " +
+      "FROM (SELECT doc_id, hs, unnest(range(1, len(hs) - 18)) AS i FROM th))" +
+      ", c AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS n, " +
+      "row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn FROM w)" +
+      ", cut AS (SELECT doc_id, pos FROM c WHERE n > 1 AND rn > 1)" +
+      ", tokp AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS i, toks FROM tok)" +
+      ", cov AS (SELECT p.doc_id, p.i, any_value(p.toks[p.i]) AS t, " +
+      "bool_or(k.pos IS NOT NULL) AS rm FROM tokp p LEFT JOIN cut k " +
+      "ON k.doc_id = p.doc_id AND k.pos <= p.i - 1 AND p.i - 1 < k.pos + 20 " +
+      "GROUP BY p.doc_id, p.i)" +
+      ", kept AS (SELECT doc_id, list(t ORDER BY i) FILTER (WHERE NOT rm) AS kt " +
+      "FROM cov GROUP BY doc_id) " +
+      "SELECT t.doc_id AS id, len(t.toks)::BIGINT AS n_tokens, " +
+      "(len(t.toks) - len(coalesce(k.kt, [])))::BIGINT AS n_removed, " +
+      s"list_reduce(list_prepend(0::BIGINT, list_transform(coalesce(k.kt, []), t -> ${hexFold("t", 12)} % 1000000007)), " +
+      "(a, v) -> (a * 31 + v) % 1000000007)::BIGINT AS kept_fp " +
+      "FROM tok t LEFT JOIN kept k USING (doc_id) ORDER BY id"),
     "q_contamination_rate" -> (TokCte +
       ", sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s " +
       "FROM tok, unnest(range(1, len(toks) - 1)) AS u(i) WHERE len(toks) >= 3), " +

@@ -484,6 +484,61 @@ object TextAnalysis {
       .orderBy(col("id"))
   }
 
+  /** Exact-substring SPAN REMOVAL — the cut step of the published
+    * exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better"): whenever a `k`-token window
+    * repeats anywhere in the corpus, every occurrence EXCEPT the
+    * globally first (ordered by (doc, position) — deterministic, so
+    * exactly one copy of each duplicated span survives) is cut, and a
+    * doc's surviving text is its tokens not covered by any cut window.
+    * `substringDupSpans` measures duplication; this operator performs
+    * the dedup itself at span granularity — the form that saves the
+    * unique prose around a boilerplate block instead of dropping or
+    * keeping whole documents.
+    *
+    * Shape: ONE exchange keyed on the 8-byte window hash computes both
+    * the occurrence count and the keep-first rank (both window specs
+    * share the hash partitioning, so they plan onto a single shuffle);
+    * the cut list rides back to its doc as (id, pos) pairs — sized by
+    * the duplication, never the corpus — and coverage is a per-doc
+    * map-only lambda. Returns (id, n_tokens, n_removed, kept_fp) where
+    * kept_fp fingerprints the surviving token stream (the
+    * oracle-checkable stand-in for emitting the cleaned text column;
+    * compose with `filter`/`transform` to materialize it). */
+  def removeDupSpans(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(
+      col(idCol).as("id"), Analyzer.tokens(col(textCol)).as("toks"))
+    val wf = GraftBridge.column(graft.expr.WindowFingerprints(
+      GraftBridge.expression(col("toks")), k))
+    val wins = toks.select(col("id"), posexplode(wf).as(Seq("pos", "h")))
+    val byH = Window.partitionBy(col("h"))
+    val keepFirst = Window.partitionBy(col("h")).orderBy(col("id").asc, col("pos").asc)
+    val cuts = wins
+      .withColumn("n", count(lit(1)).over(byH))
+      .withColumn("rn", row_number().over(keepFirst))
+      .where(col("n") > 1L && col("rn") > 1)
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("pos"))).as("cuts"))
+    toks
+      .join(cuts, Seq("id"), "left")
+      // coverage: token i survives unless some cut window starts in
+      // (i-k, i]. O(tokens x cuts-per-doc) — cuts are per-doc few; a
+      // 100 TB corpus with pathological per-doc duplication would
+      // merge the sorted cut list into maximal intervals first
+      .withColumn("kept", expr(
+        s"CASE WHEN cuts IS NULL THEN toks " +
+          s"ELSE filter(toks, (t, i) -> NOT exists(cuts, c -> c <= i AND i < c + $k)) END"))
+      .select(col("id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
+        GraftBridge.column(graft.expr.RollingFingerprint(
+          GraftBridge.expression(col("kept")))).as("kept_fp"))
+      .orderBy(col("id"))
+  }
+
   /** Unigram-LM quality score — mean token surprisal -ln p(t) under
     * the corpus's own unigram distribution (the cheap, trainable-
     * nowhere stand-in for perplexity filtering; high = rare-token

@@ -30,6 +30,32 @@ class DedupSpec extends SparkSpec {
     assert(r(3L)._3 == 0L && r(3L)._4 == 0.0)
   }
 
+  test("span removal keeps the globally-first occurrence, cuts covered tokens only") {
+    import graft.text.TextAnalysis
+    val shared = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta"),          // first occurrence: untouched
+      (2L, s"zeta eta $shared theta iota"),             // later occurrence: span cut
+      (3L, "completely different words " + (100 to 111).map(i => s"w$i").mkString(" ")))
+      .toDF("id", "text")
+    val r = TextAnalysis.removeDupSpans(docs, "id", "text", k = 10)
+      .as[(Long, Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+    // doc 1 holds the first occurrence of every shared window -> clean
+    assert(r(1L)._3 == 0L, r(1L).toString)
+    // doc 2's 3 cut windows (positions 2..4) cover tokens [2, 14) = 12
+    // tokens — exactly the shared run; "zeta eta ... theta iota" survive
+    assert(r(2L)._2 == 16L && r(2L)._3 == 12L, r(2L).toString)
+    assert(r(3L)._3 == 0L)
+    // the survivor fingerprint is the fingerprint of the uncovered text
+    val expect = TextAnalysis.fingerprint(col("text"))
+    val fp = Seq((9L, "zeta eta theta iota")).toDF("id", "text")
+      .select(expect).as[Long].head()
+    assert(r(2L)._4 == fp)
+    // idempotence: running removal on already-clean docs changes nothing
+    assert(r(1L)._4 == Seq((1L, s"alpha beta $shared gamma delta")).toDF("id", "text")
+      .select(expect).as[Long].head())
+  }
+
   test("bloom screen: seen content dropped, unseen kept, output exact") {
     val seen = Seq((1L, "aaa"), (2L, "bbb"), (3L, "ccc")).toDF("id", "text")
     val batch = Seq((10L, "aaa"), (11L, "new one"), (12L, "ccc"), (13L, "fresh"))
