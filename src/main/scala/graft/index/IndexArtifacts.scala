@@ -118,6 +118,10 @@ object IndexArtifacts {
         count(lit(1)).cast("double").as("n_docs"),
         avg(col("dl")).as("avgdl"))
         .write.mode("overwrite").parquet(s"$dir/stats")
+      // per-doc lengths, every doc (dl null for null text): the
+      // known-id set + stats merge base an incremental append reads
+      toks.select(col("id"), col("dl"))
+        .write.mode("overwrite").parquet(s"$dir/doclen")
       // id-cleanliness audit, recorded in the meta: the filter-context
       // postings SEMI-JOIN rewrite is row-set-equal to the predicate
       // path only when ids are unique and non-null (a null id never
@@ -126,18 +130,129 @@ object IndexArtifacts {
       val audit = toks.agg(
         count(lit(1)).as("n"),
         count(col("id")).as("n_nonnull"),
-        countDistinct(col("id")).as("n_distinct")).head()
+        countDistinct(col("id")).as("n_distinct"),
+        count(col("dl")).as("n_dl"),
+        sum(col("dl")).as("dl_sum")).head()
       val idsClean = !audit.isNullAt(0) &&
         audit.getLong(0) == audit.getLong(1) &&
         audit.getLong(0) == audit.getLong(2)
-      val fp = dataFingerprint(spark, indexPath)
-      val metaPath = new Path(s"$dir/_graft_meta.json")
-      val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val out = fs.create(metaPath, true)
-      out.write(
-        (s"""{"fingerprint":"$fp","id_col":"$idCol","text_col":"$textCol",""" +
-          s""""ids_clean":$idsClean}""").getBytes("UTF-8"))
-      out.close()
+      writeAnalysisMeta(spark, indexPath, dir, idCol, textCol, idsClean,
+        audit.getLong(0), audit.getLong(3),
+        if (audit.isNullAt(4)) 0.0 else audit.getDouble(4))
+    } finally toks.unpersist(false)
+  }
+
+  /** dl values are integer token counts, so the double sums here are
+    * EXACT below 2^53 total tokens — the merged avgdl an append
+    * produces is bit-equal to a full rebuild's avg(). */
+  private def writeAnalysisMeta(
+      spark: SparkSession, indexPath: String, dir: String,
+      idCol: String, textCol: String, idsClean: Boolean,
+      nDocs: Long, nDl: Long, dlSum: Double): Unit = {
+    val fp = dataFingerprint(spark, indexPath)
+    val metaPath = new Path(s"$dir/_graft_meta.json")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(metaPath, true)
+    out.write(
+      (s"""{"fingerprint":"$fp","id_col":"$idCol","text_col":"$textCol",""" +
+        s""""ids_clean":$idsClean,"n_docs":$nDocs,"n_dl":$nDl,""" +
+        s""""dl_sum":${String.format(java.util.Locale.ROOT, "%.1f", Double.box(dlSum))}}""")
+        .getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** Incremental analysis append — the daily-ingest shape for the BM25
+    * artifact (an ES index analyzes only the new documents; a full
+    * rebuild per append would pay the whole-corpus tokenize ES never
+    * pays). Only docs absent from the stored doclen table tokenize;
+    * their postings/doclen rows append, the df table merges
+    * (vocabulary-sized work), and the stats scalars merge EXACTLY
+    * (integer-valued doubles). Falls back to a full `buildAnalysis`
+    * when the increment cannot be proven safe: an appended id that
+    * already exists would leave its new row invisible to the postings
+    * (silently wrong scores), null ids cannot be anti-joined away on
+    * the next refresh, and a pre-incremental meta lacks the merge
+    * scalars. */
+  def refreshAnalysis(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      textCol: String,
+      fmt: String = "parquet"): Unit = {
+    val dir = analysisDir(indexPath, textCol)
+    val metaJ = readMetaJson(spark, s"$dir/_graft_meta.json")
+    val merge = metaJ.flatMap { m =>
+      (m \ "id_col", m \ "ids_clean", m \ "n_docs", m \ "n_dl", m \ "dl_sum") match {
+        case (org.json4s.JString(idc), org.json4s.JBool(clean),
+            org.json4s.JInt(nd), org.json4s.JInt(ndl), org.json4s.JDouble(ds))
+            if idc == idCol =>
+          Some((clean, nd.toLong, ndl.toLong, ds))
+        case _ => None
+      }
+    }
+    if (merge.isEmpty) return buildAnalysis(spark, indexPath, idCol, textCol, fmt)
+    val (oldClean, oldNDocs, oldNDl, oldDlSum) = merge.get
+
+    val known = spark.read.parquet(s"$dir/doclen").select(col("id").as("__known_id"))
+    val data = spark.read.format(fmt).load(indexPath)
+    val fresh = data.join(known, col(idCol) === col("__known_id"), "left_anti")
+    val toks = fresh.select(
+      col(idCol).as("id"), Analyzer.tokens(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val audit = toks.agg(
+        count(lit(1)).as("n"),
+        count(col("id")).as("n_nonnull"),
+        countDistinct(col("id")).as("n_distinct"),
+        count(col("dl")).as("n_dl"),
+        sum(col("dl")).as("dl_sum")).head()
+      val nFresh = audit.getLong(0)
+      // overlap check: every data row must be either known or fresh —
+      // a shortfall means an appended id collides with a stored one,
+      // and its row would be missing from the postings
+      val overlap = data.count() != oldNDocs + nFresh
+      if (overlap || nFresh != audit.getLong(1)) {
+        toks.unpersist(false)
+        return buildAnalysis(spark, indexPath, idCol, textCol, fmt)
+      }
+      if (nFresh > 0) {
+        // checkpointed (rows, not lineage): the appends below write
+        // into paths this lineage reads via the anti-join — the
+        // minhash-refresh recache lesson
+        val freshPost = toks
+          .select(col("id"), col("dl"), explode(col("toks")).as("term"))
+          .groupBy(col("term"), col("id"), col("dl"))
+          .agg(count(lit(1)).cast("double").as("tf"))
+          .localCheckpoint(true)
+        val freshDl = toks.select(col("id"), col("dl")).localCheckpoint(true)
+        freshPost.write.mode("append").parquet(s"$dir/postings")
+        freshDl.write.mode("append").parquet(s"$dir/doclen")
+        // vocabulary-sized df merge, checkpointed before overwriting
+        // the table it reads
+        val mergedDf = spark.read.parquet(s"$dir/df")
+          .unionByName(freshPost.groupBy(col("term"))
+            .agg(count(lit(1)).cast("double").as("df")))
+          .groupBy(col("term")).agg(sum(col("df")).as("df"))
+          .localCheckpoint(true)
+        mergedDf.write.mode("overwrite").parquet(s"$dir/df")
+        freshPost.unpersist(false); freshDl.unpersist(false); mergedDf.unpersist(false)
+      }
+      val nDocs = oldNDocs + nFresh
+      val nDl = oldNDl + audit.getLong(3)
+      val dlSum = oldDlSum + (if (audit.isNullAt(4)) 0.0 else audit.getDouble(4))
+      import spark.implicits._
+      Seq((nDocs.toDouble, if (nDl > 0) dlSum / nDl else Double.NaN))
+        .toDF("n_docs", "avgdl")
+        .select(col("n_docs"),
+          when(isnan(col("avgdl")), lit(null).cast("double"))
+            .otherwise(col("avgdl")).as("avgdl"))
+        .write.mode("overwrite").parquet(s"$dir/stats")
+      // merged cleanliness: no cross overlap (checked), fresh batch
+      // internally distinct, old batch was clean
+      val idsClean = oldClean && nFresh == audit.getLong(2)
+      writeAnalysisMeta(spark, indexPath, dir, idCol, textCol, idsClean,
+        nDocs, nDl, dlSum)
     } finally toks.unpersist(false)
   }
 

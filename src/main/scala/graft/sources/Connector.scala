@@ -650,9 +650,16 @@ object Connector {
         throw new IllegalArgumentException(
           "graft.index.analysis needs graft.mapping.id (the posting doc id)"))
       // comma list = several analyzed fields, one artifact dir each
-      // (ES analyzes every mapped text field at index time)
+      // (ES analyzes every mapped text field at index time). APPEND
+      // analyzes only the new documents (refreshAnalysis merges
+      // postings/df/stats incrementally and falls back to a full
+      // rebuild when the increment isn't provably safe) — the same
+      // incremental indexing an ES server does per bulk request.
       spec.split(",").map(_.trim).filter(_.nonEmpty).foreach { textCol =>
-        graft.index.IndexArtifacts.buildAnalysis(spark, path, idCol, textCol, fmt)
+        if (op == "append")
+          graft.index.IndexArtifacts.refreshAnalysis(spark, path, idCol, textCol, fmt)
+        else
+          graft.index.IndexArtifacts.buildAnalysis(spark, path, idCol, textCol, fmt)
       }
     }
     // persisted near-dup dedup artifact (`graft.index.minhash` = text

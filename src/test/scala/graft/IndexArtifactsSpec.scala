@@ -262,6 +262,52 @@ class IndexArtifactsSpec extends SparkSpec {
     assert(IndexArtifacts.loadAnalysis(spark, out, "text").isEmpty)
   }
 
+  test("incremental analysis append: merged artifacts bit-equal a full rebuild; unsafe appends fall back") {
+    val out = "/tmp/graft_idxspec_bm25inc"
+    val docs = Tables.documents(spark, sfDir)
+    val half1 = docs.where(col("doc_id") % 2 === 0)
+    val half2 = docs.where(col("doc_id") % 2 === 1)
+    val cfg = Map("graft.mapping.id" -> "doc_id", "graft.index.analysis" -> "text")
+    graft.sources.Connector.save(half1, out, cfg + ("graft.write.operation" -> "overwrite"))
+    val dir = IndexArtifacts.analysisDir(out, "text")
+    val postBefore = spark.read.parquet(s"$dir/postings").count()
+
+    // append the other half: only IT tokenizes; postings grow by its rows
+    graft.sources.Connector.save(half2, out, cfg + ("graft.write.operation" -> "append"))
+    assert(IndexArtifacts.loadAnalysis(spark, out, "text", Some("doc_id")).isDefined)
+    val postAfter = spark.read.parquet(s"$dir/postings").count()
+    assert(postAfter > postBefore)
+
+    // scores from the MERGED artifacts == on-the-fly over the full data
+    val indexed = topk(Search.bm25ScoresIndexed(spark, out, "doc_id", "text", "fast hash join"))
+    val fly = topk(Search.bm25Scores(spark.read.parquet(out), "doc_id", "text", "fast hash join"))
+    assert(indexed == fly && indexed.nonEmpty)
+
+    // and bit-equal to a FULL REBUILD's artifacts: stats + df identical
+    val mergedStats = spark.read.parquet(s"$dir/stats").head()
+    val mergedDf = spark.read.parquet(s"$dir/df")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    IndexArtifacts.buildAnalysis(spark, out, "doc_id", "text")
+    val rebuiltStats = spark.read.parquet(s"$dir/stats").head()
+    val rebuiltDf = spark.read.parquet(s"$dir/df")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(mergedStats.getDouble(0) == rebuiltStats.getDouble(0))
+    assert(mergedStats.getDouble(1) == rebuiltStats.getDouble(1)) // avgdl EXACT
+    assert(mergedDf == rebuiltDf)
+
+    // an append whose ids collide with stored ones cannot be merged —
+    // the refresh must fall back to a full rebuild and stay correct
+    graft.sources.Connector.save(
+      half1.limit(5).withColumn("text", lit("collision fast hash join doc")),
+      out, cfg + ("graft.write.operation" -> "append"))
+    val afterDup = topk(Search.bm25ScoresIndexed(spark, out, "doc_id", "text", "fast hash join"))
+    val flyDup = topk(Search.bm25Scores(spark.read.parquet(out), "doc_id", "text", "fast hash join"))
+    assert(afterDup == flyDup && afterDup.nonEmpty)
+    // duplicated ids -> the strict semi-join rewrite must see unclean ids
+    assert(IndexArtifacts.loadAnalysis(
+      spark, out, "text", Some("doc_id"), requireCleanIds = true).isEmpty)
+  }
+
   test("persisted minhash: indexed cross screen equals on-the-fly; appends route only new docs") {
     import graft.dedup.Dedup
     val out = "/tmp/graft_idxspec_minhash"
