@@ -509,6 +509,17 @@ private[graft] object EntriesPipeline {
         .groupBy(col("pack_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("size")).as("pack_chars"))
         .orderBy(col("pack_id"))),
+    // packing under REAL BPE token budgets (r13b): the same group-local
+    // pack windows, but the size column is the compiled BPE kernel's
+    // count under the frozen merge table — sequence budgets counted in
+    // the unit a trainer's packer actually packs
+    "q_pack_bpe" -> ((s, d) => {
+      val bpe = graft.text.Bpe.tokenCount(col("text"), graft.text.Bpe.PretrainedMerges)
+      TextAnalysis.packSequences(t(s, d, "documents"), "doc_id", bpe, "source", 2000L)
+        .groupBy(col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("size")).as("pack_tokens"))
+        .orderBy(col("pack_id"))
+    }),
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.metadata(Multimodal.mediaTable(t(s, d, "documents")))
         .orderBy(col("media_id"))),
@@ -1431,6 +1442,15 @@ private[graft] object EntriesPipeline {
       "list_reduce(list_prepend(0::BIGINT, list_transform(toks, w -> " +
       graft.text.Bpe.tokenCountSql("w", graft.text.Bpe.PretrainedMerges) +
       ")), (a, b) -> a + b)::BIGINT AS n_bpe FROM tok ORDER BY doc_id"),
+    "q_pack_bpe" -> (TokCte + ", b AS (SELECT d.doc_id, d.source, " +
+      "list_reduce(list_prepend(0::BIGINT, list_transform(toks, w -> " +
+      graft.text.Bpe.tokenCountSql("w", graft.text.Bpe.PretrainedMerges) +
+      ")), (a, v) -> a + v) AS n_bpe FROM tok JOIN documents d USING (doc_id)), " +
+      "p AS (SELECT doc_id, source, n_bpe, " +
+      "source || '/' || CAST(floor(CAST(sum(n_bpe) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_bpe AS DOUBLE) / 2000) AS BIGINT)::VARCHAR AS pack_id " +
+      "FROM b) " +
+      "SELECT pack_id, count(*)::BIGINT AS n_docs, sum(n_bpe)::BIGINT AS pack_tokens " +
+      "FROM p GROUP BY pack_id ORDER BY pack_id"),
     "q_token_stats_bpe" -> (TokCte + ", b AS (SELECT d.lang, " +
       "list_reduce(list_prepend(0::BIGINT, list_transform(toks, w -> " +
       graft.text.Bpe.tokenCountSql("w", graft.text.Bpe.PretrainedMerges) +

@@ -113,6 +113,55 @@ object ScaleProbe {
     time("minhash_pairs_10x") {
       Dedup.minhashLshUnsorted(docs, "doc_id", "text", 0.8).count()
     }
+    // r13b: dedup-once — the artifact build pays the ref-side shingle
+    // work ONCE; the indexed query tokenizes only the "new crawl"
+    // (here: one replica) vs the on-the-fly cross screen that pays
+    // both sides per run
+    time("minhash_index_build_10x") {
+      val idx = "/tmp/graft_probe_mhidx"
+      docs.write.mode("overwrite").parquet(idx)
+      graft.index.IndexArtifacts.buildMinhash(spark, idx, "doc_id", "text")
+      1L
+    }
+    spark.catalog.clearCache()
+    time("minhash_indexed_query_10x") {
+      Dedup.minhashLshCrossIndexed(spark,
+        Tables.documents(spark, sfDir)
+          .withColumn("doc_id", col("doc_id") + lit(900000000L)),
+        "/tmp/graft_probe_mhidx", "doc_id", "text", 0.8)
+        .get.count()
+    }
+    spark.catalog.clearCache()
+    time("minhash_cross_fly_10x") {
+      Dedup.minhashLshCross(
+        Tables.documents(spark, sfDir)
+          .withColumn("doc_id", col("doc_id") + lit(900000000L)),
+        docs, "doc_id", "text", 0.8).count()
+    }
+    spark.catalog.clearCache()
+    // r13b: span removal under the clone worst case — EVERY window of
+    // every non-first replica is cut, so the interval merge must
+    // collapse per-doc cut lists to one span (the O(tokens x cuts)
+    // hazard this probe exists to catch)
+    time("dedup_spans_10x") {
+      graft.text.TextAnalysis.removeDupSpans(docs, "doc_id", "text", 20).count()
+    }
+    spark.catalog.clearCache()
+    // r13b: incremental analysis append — refresh cost must track the
+    // increment (one replica), not the stored corpus (n replicas)
+    time("analysis_refresh_1of10x") {
+      val idx = "/tmp/graft_probe_bm25inc"
+      docs.write.mode("overwrite").parquet(idx)
+      graft.index.IndexArtifacts.buildAnalysis(spark, idx, "doc_id", "text")
+      val t0 = System.nanoTime()
+      Tables.documents(spark, sfDir)
+        .withColumn("doc_id", col("doc_id") + lit(900000000L))
+        .write.mode("append").parquet(idx)
+      graft.index.IndexArtifacts.refreshAnalysis(spark, idx, "doc_id", "text")
+      println(f"[scaleprobe]   refresh alone ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
+        " (build above included corpus write + full analysis)")
+      1L
+    }
     // isolate: the pairs run leaves its shingle/band caches resident;
     // without a clear, the clusters run rebuilds its own copies under
     // storage-pool pressure and eviction thrash moves the number 3x

@@ -524,13 +524,21 @@ object TextAnalysis {
       .agg(sort_array(collect_list(col("pos"))).as("cuts"))
     toks
       .join(cuts, Seq("id"), "left")
-      // coverage: token i survives unless some cut window starts in
-      // (i-k, i]. O(tokens x cuts-per-doc) — cuts are per-doc few; a
-      // 100 TB corpus with pathological per-doc duplication would
-      // merge the sorted cut list into maximal intervals first
+      // the sorted cut list folds into MAXIMAL intervals first: a
+      // heavily duplicated doc (the clone worst case — every window
+      // cut) collapses to one interval, so coverage is O(tokens x
+      // merged-intervals), not O(tokens x cuts). Merging never changes
+      // the covered set — the oracle mirrors raw-cut coverage.
+      .withColumn("spans", expr(
+        "aggregate(coalesce(cuts, array()), " +
+          "cast(array() as array<struct<s: int, e: int>>), (acc, c) -> " +
+          "CASE WHEN size(acc) > 0 AND c <= element_at(acc, -1).e " +
+          s"THEN concat(slice(acc, 1, size(acc) - 1), " +
+          s"array(named_struct('s', element_at(acc, -1).s, 'e', greatest(element_at(acc, -1).e, c + $k)))) " +
+          s"ELSE concat(acc, array(named_struct('s', c, 'e', c + $k))) END)"))
       .withColumn("kept", expr(
-        s"CASE WHEN cuts IS NULL THEN toks " +
-          s"ELSE filter(toks, (t, i) -> NOT exists(cuts, c -> c <= i AND i < c + $k)) END"))
+        "CASE WHEN cuts IS NULL THEN toks " +
+          "ELSE filter(toks, (t, i) -> NOT exists(spans, m -> m.s <= i AND i < m.e)) END"))
       .select(col("id"),
         size(col("toks")).cast("long").as("n_tokens"),
         (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),

@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
+import graft.search.Search
 import graft.streaming.EventStreams
 import org.apache.spark.sql.functions._
 
@@ -198,6 +199,48 @@ class StreamingSpec extends SparkSpec {
       // every alert is at or above the threshold; quiet windows absent
       assert(batch.forall(_._2 >= 3))
     } finally q.stop()
+  }
+
+  test("continuous indexing: streaming appends keep analysis artifacts fresh incrementally") {
+    import graft.streaming.GraftSink
+    // two micro-batches (one file each) streaming into an index whose
+    // writes carry the analysis option: every batch routes through
+    // Connector.save's append -> refreshAnalysis, so the BM25
+    // artifacts stay fresh CONTINUOUSLY — the ES behavior (documents
+    // analyzed per bulk request), not rebuild-per-batch
+    val srcDir = Files.createTempDirectory("graft_cidx_src").toString
+    val docs = Tables.documents(spark, sfDir).limit(60)
+    docs.where(col("doc_id") % 2 === 0).coalesce(1).write.parquet(s"$srcDir/b1")
+    docs.where(col("doc_id") % 2 === 1).coalesce(1).write.parquet(s"$srcDir/b2")
+    // flat staging dir with one parquet file per batch
+    val stage = Files.createTempDirectory("graft_cidx_stage").toString
+    Seq("b1", "b2").foreach { b =>
+      val f = new java.io.File(s"$srcDir/$b").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(f.toPath, Paths.get(s"$stage/$b.parquet"))
+    }
+    val idx = Files.createTempDirectory("graft_cidx").toString + "/idx"
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage)
+    val q = GraftSink.startAppend(stream, idx, Map(
+      "graft.mapping.id" -> "doc_id",
+      "graft.index.analysis" -> "text"),
+      Files.createTempDirectory("graft_cidx_ck").toString)
+    try q.processAllAvailable() finally q.stop()
+
+    // artifacts fresh after the last batch, ids clean across batches
+    assert(graft.index.IndexArtifacts.loadAnalysis(
+      spark, idx, "text", Some("doc_id"), requireCleanIds = true).isDefined)
+    val indexed = Search.bm25ScoresIndexed(spark, idx, "doc_id", "text", "fast hash join")
+      .orderBy(col("score").desc, col("id").asc).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val fly = Search.bm25Scores(spark.read.parquet(idx), "doc_id", "text", "fast hash join")
+      .orderBy(col("score").desc, col("id").asc).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(indexed == fly && indexed.nonEmpty)
+    assert(spark.read.parquet(idx).count() == 60)
   }
 
   test("streaming dedup within watermark matches batch distinct-content count") {
