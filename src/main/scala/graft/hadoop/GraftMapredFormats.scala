@@ -42,15 +42,17 @@ class GraftInputFormat extends FileInputFormat[Text, MapWritable] {
     val idField = ctx.getConfiguration.get("graft.mapping.id", "id")
     val inner = new ParquetRecordReader[Group](new GroupReadSupport())
     new RecordReader[Text, MapWritable] {
+      // resolved from the first record's schema (constant per file)
+      private var idIdx = -2
       override def initialize(s: InputSplit, c: TaskAttemptContext): Unit =
         inner.initialize(s, c)
       override def nextKeyValue(): Boolean = inner.nextKeyValue()
       override def getCurrentKey: Text = {
         val g = inner.getCurrentValue
-        val i = g.getType.asInstanceOf[MessageType].getFields.asScala
+        if (idIdx == -2) idIdx = g.getType.asInstanceOf[MessageType].getFields.asScala
           .indexWhere(_.getName == idField)
-        if (i < 0 || g.getFieldRepetitionCount(i) == 0) new Text()
-        else new Text(g.getValueToString(i, 0))
+        if (idIdx < 0 || g.getFieldRepetitionCount(idIdx) == 0) new Text()
+        else new Text(g.getValueToString(idIdx, 0))
       }
       override def getCurrentValue: MapWritable =
         GraftMapredFormats.toMapWritable(inner.getCurrentValue)

@@ -224,6 +224,11 @@ object IndexArtifacts {
           .select(col("id"), col("dl"), explode(col("toks")).as("term"))
           .groupBy(col("term"), col("id"), col("dl"))
           .agg(count(lit(1)).cast("double").as("tf"))
+          // term-sorted like the base build: appended segments keep
+          // the row-group pruning property (term IN skips their row
+          // groups too — the Lucene new-segment analogy)
+          .repartitionByRange(col("term"))
+          .sortWithinPartitions(col("term"))
           .localCheckpoint(true)
         val freshDl = toks.select(col("id"), col("dl")).localCheckpoint(true)
         freshPost.write.mode("append").parquet(s"$dir/postings")

@@ -231,7 +231,9 @@ object Multimodal {
   /** Real resize: decode -> nearest-neighbor resample -> RE-ENCODE ->
     * RE-DECODE -> stats. The second encode/decode round trip is
     * deliberate: the stats prove the codec reproduces the resampled
-    * pixels bit-exactly, not just that the resampler ran. */
+    * pixels bit-exactly, not just that the resampler ran. PNG
+    * payloads only (resampling PCM is a different op) — feed it the
+    * image half of `pixelMediaTable`. */
   def resizePixelStats(
       spark: SparkSession, media: DataFrame, w2: Int, h2: Int): Dataset[PixelStats] = {
     import spark.implicits._
