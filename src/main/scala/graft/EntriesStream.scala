@@ -118,6 +118,20 @@ private[graft] object EntriesStream {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).cast("long").as("n_unique"))
         .orderBy(col("event_type").asc)),
+    // Watcher registry (r13b): ES _watcher stored watches as DATA —
+    // four watches with their own filters/windows/thresholds evaluate
+    // in one pass; the fired-alert table is oracle-checked
+    "q_watch_registry" -> ((s, d) => {
+      import s.implicits._
+      val hourNs = 3600L * 1000 * 1000 * 1000
+      val watches = Seq(
+        ("w_err_h6", "error", hourNs, 6L),
+        ("w_click_h7", "click", hourNs, 7L),
+        ("w_purch_d8", "purchase", 24 * hourNs, 8L),
+        ("w_view_d9", "view", 24 * hourNs, 9L))
+        .toDF("watch_id", "w_type", "w_window_ns", "w_threshold")
+      EventStreams.watchRegistry(Tables.events(s, d), watches)
+    }),
     // CONTINUOUS downsample through the engine: the same 1-day bucket
     // shape as q_downsample (count/min/max/decimal sum per series),
     // complete-mode readback so the oracle checks the streaming
@@ -168,5 +182,16 @@ private[graft] object EntriesStream {
       "sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END))::BIGINT AS n_unique " +
       "FROM events GROUP BY event_type ORDER BY event_type"),
     "q_stream_downsample" -> DownsampleOracle,
+    "q_watch_registry" -> ("WITH w(watch_id, w_type, w_window_ns, w_threshold) AS (VALUES " +
+      "('w_err_h6', 'error', 3600000000000, 6), " +
+      "('w_click_h7', 'click', 3600000000000, 7), " +
+      "('w_purch_d8', 'purchase', 86400000000000, 8), " +
+      "('w_view_d9', 'view', 86400000000000, 9)), " +
+      "m AS (SELECT w.watch_id, epoch_ns(e.ts) // w.w_window_ns AS bucket, " +
+      "w.w_window_ns, w.w_threshold FROM events e JOIN w ON e.event_type = w.w_type) " +
+      "SELECT watch_id, (bucket * w_window_ns)::BIGINT AS window_start_ns, " +
+      "count(*)::BIGINT AS n_events FROM m " +
+      "GROUP BY watch_id, bucket, w_window_ns, w_threshold " +
+      "HAVING count(*) >= w_threshold ORDER BY watch_id, window_start_ns"),
   )
 }

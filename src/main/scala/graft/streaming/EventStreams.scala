@@ -134,6 +134,28 @@ object EventStreams {
       .where(col("n_events") >= threshold)
       .select(col("w.start").as("w_start"), col("n_events"))
 
+  /** Watcher REGISTRY — ES's _watcher stored watches evaluated as
+    * data, the same stored-queries-as-rows move as the percolator:
+    * every watch is a row (watch_id, type filter, its OWN window
+    * size, threshold), and the whole registry evaluates in ONE pass
+    * over the event log — broadcast the (small) registry, bucket each
+    * matching event by the watch's own window, one partial-agged
+    * count per (watch, window), fire rows where the count clears the
+    * watch's threshold. At 100 TB the events never self-join and the
+    * exchange is keyed (watch_id, bucket) — alert-table-sized, not
+    * log-sized. The streaming form is the same plan under a window()
+    * + watermark per distinct window size. */
+  def watchRegistry(events: DataFrame, watches: DataFrame): DataFrame =
+    events.join(broadcast(watches), events("event_type") === watches("w_type"))
+      .withColumn("bucket", expr("ts_ns div w_window_ns"))
+      .groupBy(col("watch_id"), col("bucket"), col("w_window_ns"), col("w_threshold"))
+      .agg(count(lit(1)).as("n_events"))
+      .where(col("n_events") >= col("w_threshold"))
+      .select(col("watch_id"),
+        (col("bucket") * col("w_window_ns")).as("window_start_ns"),
+        col("n_events"))
+      .orderBy(col("watch_id").asc, col("window_start_ns").asc)
+
   /** Streaming exact dedup: drop events whose content hash was already
     * seen within the watermark horizon — the streaming analog of
     * `Dedup.exactDuplicates` for an ingest pipeline. State is bounded

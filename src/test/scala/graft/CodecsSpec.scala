@@ -33,6 +33,31 @@ class CodecsSpec extends SparkSpec {
     f.toByteArray
   }
 
+  test("property: PNG and WAV round trips recover arbitrary payloads") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val png = for {
+      w <- Gen.choose(1, 40); h <- Gen.choose(1, 30)
+      px <- Gen.listOfN(w * h, Gen.choose(0, 255))
+    } yield (w, h, px.map(_.toByte).toArray)
+    val pngProp = Prop.forAll(png) { case (w, h, px) =>
+      val img = Png.decode(Png.encodeGray(w, h, px))
+      img.width == w && img.height == h && img.pixels.toSeq == px.toSeq
+    }
+    val wav = for {
+      n <- Gen.choose(0, 500)
+      s <- Gen.listOfN(n, Gen.choose(Short.MinValue.toInt, Short.MaxValue.toInt))
+      rate <- Gen.choose(1, 192000)
+    } yield (s.map(_.toShort).toArray, rate)
+    val wavProp = Prop.forAll(wav) { case (s, rate) =>
+      val a = Wav.decodePcm16(Wav.encodePcm16(s, rate))
+      a.sampleRate == rate && a.samples.toSeq == s.toSeq
+    }
+    Seq(pngProp, wavProp).foreach { p =>
+      val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+      assert(res.passed, res.status.toString)
+    }
+  }
+
   test("PNG round trip: encodeGray -> decode recovers every pixel") {
     for ((w, h) <- Seq((1, 1), (7, 3), (64, 48))) {
       val px = Array.tabulate(w * h)(i => ((i * 37 + 11) % 256).toByte)
