@@ -132,6 +132,23 @@ private[graft] object EntriesStream {
         .toDF("watch_id", "w_type", "w_window_ns", "w_threshold")
       EventStreams.watchRegistry(Tables.events(s, d), watches)
     }),
+    // the same registry evaluated BY THE STREAMING ENGINE (r13b): a
+    // stream-static broadcast join (streaming-legal) + one windowed
+    // count per watch; hourly watches only — a streaming agg groups by
+    // the watch's bucket column, and mixing window sizes in one
+    // aggregation is exactly what the batch form's per-watch bucketing
+    // does, so the engine run pins the hour-window subset
+    "q_stream_watch" -> ((s, d) => {
+      import s.implicits._
+      val hourNs = 3600L * 1000 * 1000 * 1000
+      val watches = Seq(
+        ("w_err_h6", "error", hourNs, 6L),
+        ("w_click_h7", "click", hourNs, 7L))
+        .toDF("watch_id", "w_type", "w_window_ns", "w_threshold")
+      runEventsStream(s, d, "q_stream_watch_sink")(
+        EventStreams.watchRegistry(_, watches))
+        .orderBy(col("watch_id").asc, col("window_start_ns").asc)
+    }),
     // CONTINUOUS downsample through the engine: the same 1-day bucket
     // shape as q_downsample (count/min/max/decimal sum per series),
     // complete-mode readback so the oracle checks the streaming
@@ -187,6 +204,15 @@ private[graft] object EntriesStream {
       "('w_click_h7', 'click', 3600000000000, 7), " +
       "('w_purch_d8', 'purchase', 86400000000000, 8), " +
       "('w_view_d9', 'view', 86400000000000, 9)), " +
+      "m AS (SELECT w.watch_id, epoch_ns(e.ts) // w.w_window_ns AS bucket, " +
+      "w.w_window_ns, w.w_threshold FROM events e JOIN w ON e.event_type = w.w_type) " +
+      "SELECT watch_id, (bucket * w_window_ns)::BIGINT AS window_start_ns, " +
+      "count(*)::BIGINT AS n_events FROM m " +
+      "GROUP BY watch_id, bucket, w_window_ns, w_threshold " +
+      "HAVING count(*) >= w_threshold ORDER BY watch_id, window_start_ns"),
+    "q_stream_watch" -> ("WITH w(watch_id, w_type, w_window_ns, w_threshold) AS (VALUES " +
+      "('w_err_h6', 'error', 3600000000000, 6), " +
+      "('w_click_h7', 'click', 3600000000000, 7)), " +
       "m AS (SELECT w.watch_id, epoch_ns(e.ts) // w.w_window_ns AS bucket, " +
       "w.w_window_ns, w.w_threshold FROM events e JOIN w ON e.event_type = w.w_type) " +
       "SELECT watch_id, (bucket * w_window_ns)::BIGINT AS window_start_ns, " +
