@@ -377,6 +377,29 @@ private[graft] object EntriesFulltext {
       Search.percolateBool(t(s, d, "documents"), "doc_id", "text",
         registry, Seq("n_chars"))
     }),
+    // prefix/wildcard leaf kinds in the stored bool trees (r13): the
+    // leaf evaluates against the analyzed token stream (prefix = any
+    // token starts-with; wildcard = ES *-? glob over tokens, escaped
+    // into SQL LIKE). Not term-selectable, so wildcard-only queries
+    // exercise the loud match-all-candidates class; the combo query
+    // stays selector-bounded by its term sibling.
+    "q_percolate_wild" -> ((s, d) => {
+      import s.implicits._
+      val n = None: Option[String]
+      val nd = None: Option[Double]
+      val ni = None: Option[Int]
+      val registry = Seq(
+        ("w_prefix", "must.0", "prefix", Some("ha"), n, nd, nd, n, ni),
+        ("w_wild", "must.0", "wildcard", Some("j*n"), n, nd, nd, n, ni),
+        ("w_combo", "must.0", "term", Some("fast"), n, nd, nd, n, ni),
+        ("w_combo", "must.1", "wildcard", Some("sc?n"), n, nd, nd, n, ni),
+        ("w_pref_not", "must.0", "prefix", Some("dat"), n, nd, nd, n, ni),
+        ("w_pref_not", "must_not.0", "term", Some("join"), n, nd, nd, n, ni))
+        .toDF("query_id", "path", "kind", "term",
+          "range_field", "range_min", "range_max", "phrase", "msm")
+      Search.percolateBool(t(s, d, "documents"), "doc_id", "text",
+        registry, Seq("n_chars"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -613,6 +636,18 @@ private[graft] object EntriesFulltext {
       "WHERE contains(joined, ' hash join ') AND n_chars::DOUBLE >= 200.0 AND n_chars::DOUBLE < 10000.0 " +
       "UNION ALL SELECT id, 'b_deep' FROM j " +
       "WHERE list_contains(toks, 'vector') AND (list_contains(toks, 'quantile') OR list_contains(toks, 'stream'))" +
+      ") ORDER BY id, query_id"),
+    "q_percolate_wild" -> (TokCte + ", " +
+      "j AS (SELECT doc_id AS id, toks, ' ' || array_to_string(toks, ' ') || ' ' AS joined " +
+      "FROM tok) " +
+      "SELECT id, query_id FROM (" +
+      "SELECT id, 'w_prefix' AS query_id FROM j WHERE contains(joined, ' ha') " +
+      "UNION ALL SELECT id, 'w_wild' FROM j " +
+      "WHERE len(list_filter(toks, t -> t LIKE 'j%n')) > 0 " +
+      "UNION ALL SELECT id, 'w_combo' FROM j " +
+      "WHERE list_contains(toks, 'fast') AND len(list_filter(toks, t -> t LIKE 'sc_n')) > 0 " +
+      "UNION ALL SELECT id, 'w_pref_not' FROM j " +
+      "WHERE contains(joined, ' dat') AND NOT list_contains(toks, 'join')" +
       ") ORDER BY id, query_id"),
     "q_percolate" -> (TokCte.replace("SELECT doc_id,", "SELECT doc_id, lang, source, n_chars,") +
       ", m AS (SELECT doc_id, " +

@@ -2006,6 +2006,13 @@ object Search {
     val leaves = registry.where(col("kind") =!= "bool")
     val bools = registry.where(col("kind") === "bool")
       .select(col("query_id"), col("path").as("_bpath"), col("msm"))
+    // unknown kinds evaluate as NOTHING in the leaf union — the query
+    // would silently lose clauses; reject them up front
+    val knownKinds = Set("bool", "term", "range", "phrase", "prefix", "wildcard")
+    val badKinds = registry.select(col("kind")).distinct()
+      .collect().map(_.getString(0)).filterNot(knownKinds)
+    require(badKinds.isEmpty,
+      s"percolateBool: unknown clause kind(s) ${badKinds.mkString(", ")}")
 
     // validate the (small) registry BEFORE caching the corpus terms:
     // a thrown require after the cache+count would leak the pinned
@@ -2048,6 +2055,7 @@ object Search {
     // should folds need the full child set)
     val docSide = docs.select(
       (col(idCol).as("id") +:
+        Analyzer.tokens(col(textCol)).as("_toks") +:
         concat(lit(" "), concat_ws(" ", Analyzer.tokens(col(textCol))), lit(" "))
           .as("_joined") +:
         numericFields.map(f => col(f))): _*)
@@ -2060,12 +2068,23 @@ object Search {
         .join(docTerms.withColumn("_present", lit(true)), Seq("id", "term"), "left")
         .select(col("id"), col("query_id"), col("path"),
           coalesce(col("_present"), lit(false)).as("ok"))
-      val rpEval = candLeaf.where(col("kind").isin("range", "phrase"))
+      val rpEval = candLeaf.where(col("kind").isin("range", "phrase", "prefix", "wildcard"))
         .join(docSide, "id")
+        // ES wildcard -> SQL LIKE: escape LIKE's own metachars, then
+        // * -> % and ? -> _ (stored in the `term` column, like prefix)
+        .withColumn("_wpat",
+          replace(replace(replace(replace(replace(col("term"),
+            lit("\\"), lit("\\\\")), lit("%"), lit("\\%")), lit("_"), lit("\\_")),
+            lit("*"), lit("%")), lit("?"), lit("_")))
         .select(col("id"), col("query_id"), col("path"),
           when(col("kind") === "range",
             fieldVal >= col("range_min") && fieldVal < col("range_max"))
-            .otherwise(col("_joined").contains(concat(lit(" "), col("phrase"), lit(" "))))
+            .when(col("kind") === "phrase",
+              col("_joined").contains(concat(lit(" "), col("phrase"), lit(" "))))
+            // a token starts with the prefix iff " <prefix>" occurs
+            .when(col("kind") === "prefix",
+              col("_joined").contains(concat(lit(" "), col("term"))))
+            .otherwise(expr("exists(_toks, t -> t LIKE _wpat)"))
             .as("ok"))
       termEval.unionByName(rpEval)
     }
