@@ -188,11 +188,30 @@ class GraftScanBuilder(
   * -columnar) parquet reader costs vectorization ONLY when a query
   * option is present — plan-level predicates keep the columnar path. */
 case class GraftFilteredScan(delegate: Scan, cond: Expression)
-  extends Scan with Batch with SupportsReportStatistics {
+  extends Scan with Batch with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   override def readSchema(): StructType = delegate.readSchema()
   override def description(): String = s"GraftFiltered(${delegate.description()})"
   override def toBatch: Batch = this
+
+  // forward runtime filtering (dynamic partition pruning) to the
+  // parquet scan: the wrapper previously hid the capability, so any
+  // read that used graft.query lost DPP on joins — at 100 TB that is
+  // the difference between scanning one routing partition and all of
+  // them. planInputPartitions() runs AFTER filter(), so the pruned
+  // partition list flows through the delegate untouched.
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    delegate match {
+      case f: org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering =>
+        f.filterAttributes()
+      case _ => Array.empty
+    }
+  override def filter(filters: Array[V2Predicate]): Unit = delegate match {
+    case f: org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering =>
+      f.filter(filters)
+    case _ => ()
+  }
 
   /** Forward the parquet scan's size/row statistics so join planning
     * (broadcast decisions) still sees them — the wrapper previously
