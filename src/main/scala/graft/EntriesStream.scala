@@ -28,6 +28,15 @@ private[graft] object EntriesStream {
       s: SparkSession, d: String, sink: String, mode: String = "complete")(
       transform: DataFrame => DataFrame): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory(s"graft_$sink")
+    // a stateful streaming operator materializes ONE STATE STORE PER
+    // SHUFFLE PARTITION per micro-batch — at the session's 32 that is
+    // pure fixed setup cost against a bounded test input. 4 keeps the
+    // drain parallel enough while cutting store bring-up 8x; results
+    // are partitioning-independent (restored after the drain; the
+    // harness runs queries sequentially, same assumption the bench's
+    // clearCache makes)
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$d/events.parquet"),
@@ -42,6 +51,7 @@ private[graft] object EntriesStream {
       try q.processAllAvailable() finally q.stop()
       s.table(sink)
     } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       java.nio.file.Files.deleteIfExists(dir.resolve("events.parquet"))
       java.nio.file.Files.deleteIfExists(dir)
     }
