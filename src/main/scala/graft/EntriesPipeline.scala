@@ -103,6 +103,15 @@ private[graft] object EntriesPipeline {
     "q_dedup_spans" -> ((s, d) =>
       graft.text.TextAnalysis.removeDupSpans(
         t(s, d, "documents"), "doc_id", "text", k = 20)),
+    // span-level decontamination (r13b): every corpus span appearing
+    // anywhere in the benchmark half is cut (ALL occurrences), the
+    // prose around it survives — same split as q_contamination
+    "q_contamination_spans" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.text.TextAnalysis.decontaminateSpans(
+        docs.where(col("doc_id") >= 25), "doc_id", "text",
+        docs.where(col("doc_id") < 25), "text", k = 10)
+    }),
     // bloom-screened membership dedup: seen-side filter broadcast
     // (MB at 10^10 docs), map-side prune, exact verify — output is
     // exactly batch ANTI JOIN seen, so the oracle is hash-exact;
@@ -821,6 +830,27 @@ private[graft] object EntriesPipeline {
       "sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_spans, " +
       "round(CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_ratio " +
       "FROM w JOIN f USING (h) GROUP BY doc_id ORDER BY id"),
+    // span decontamination: corpus windows whose hash appears in the
+    // benchmark half's window set are cut (all occurrences)
+    "q_contamination_spans" -> (TokCte +
+      s", th AS (SELECT doc_id, list_transform(toks, t -> ${hexFold("t", 12)} % 1000000007) AS hs FROM tok WHERE len(toks) >= 10)" +
+      ", aw AS (SELECT doc_id, i::BIGINT - 1 AS pos, " +
+      "list_reduce(list_prepend(0::BIGINT, hs[i:i+9]), (a, v) -> (a * 31 + v) % 1000000007) AS h " +
+      "FROM (SELECT doc_id, hs, unnest(range(1, len(hs) - 8)) AS i FROM th))" +
+      ", bwh AS (SELECT DISTINCT h FROM aw WHERE doc_id < 25)" +
+      ", cut AS (SELECT doc_id, pos FROM aw JOIN bwh USING (h) WHERE doc_id >= 25)" +
+      ", tokp AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS i, toks FROM tok WHERE doc_id >= 25)" +
+      ", cov AS (SELECT p.doc_id, p.i, any_value(p.toks[p.i]) AS t, " +
+      "bool_or(k.pos IS NOT NULL) AS rm FROM tokp p LEFT JOIN cut k " +
+      "ON k.doc_id = p.doc_id AND k.pos <= p.i - 1 AND p.i - 1 < k.pos + 10 " +
+      "GROUP BY p.doc_id, p.i)" +
+      ", kept AS (SELECT doc_id, list(t ORDER BY i) FILTER (WHERE NOT rm) AS kt " +
+      "FROM cov GROUP BY doc_id) " +
+      "SELECT t.doc_id AS id, len(t.toks)::BIGINT AS n_tokens, " +
+      "(len(t.toks) - len(coalesce(k.kt, [])))::BIGINT AS n_removed, " +
+      s"list_reduce(list_prepend(0::BIGINT, list_transform(coalesce(k.kt, []), t -> ${hexFold("t", 12)} % 1000000007)), " +
+      "(a, v) -> (a * 31 + v) % 1000000007)::BIGINT AS kept_fp " +
+      "FROM tok t LEFT JOIN kept k USING (doc_id) WHERE t.doc_id >= 25 ORDER BY id"),
     // span removal: windows ranked keep-first over (doc, pos); cut
     // positions cover tokens [pos, pos+20); survivors re-fingerprinted
     // with the same Horner fold the Spark kernel computes

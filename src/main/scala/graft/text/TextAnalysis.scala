@@ -547,6 +547,49 @@ object TextAnalysis {
       .orderBy(col("id"))
   }
 
+  /** Span-level eval-set DECONTAMINATION — the cut form of
+    * `contaminationScreen`: every `k`-token window of the corpus that
+    * appears ANYWHERE in the benchmark set is removed from its doc
+    * (all occurrences — a leaked test item must not survive in any
+    * copy), keeping the surrounding unique prose instead of dropping
+    * whole documents. The benchmark side reduces to a DISTINCT window-
+    * hash set (benchmark-sized, broadcast by AQE); the corpus pays one
+    * window pass and a hash semi-join — it never self-joins and its
+    * text never shuffles. Same interval-merged coverage and survivor
+    * fingerprint as `removeDupSpans`. */
+  def decontaminateSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    def wf(c: Column) = GraftBridge.column(graft.expr.WindowFingerprints(
+      GraftBridge.expression(Analyzer.tokens(c)), k))
+    val toks = docs.select(
+      col(idCol).as("id"), Analyzer.tokens(col(textCol)).as("toks"))
+    val benchH = benchmark.select(explode(wf(col(benchTextCol))).as("h")).distinct()
+    val cuts = docs.select(col(idCol).as("id"), posexplode(wf(col(textCol))).as(Seq("pos", "h")))
+      .join(benchH, Seq("h"), "left_semi")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("pos"))).as("cuts"))
+    toks
+      .join(cuts, Seq("id"), "left")
+      .withColumn("spans", expr(
+        "aggregate(coalesce(cuts, array()), " +
+          "cast(array() as array<struct<s: int, e: int>>), (acc, c) -> " +
+          "CASE WHEN size(acc) > 0 AND c <= element_at(acc, -1).e " +
+          s"THEN concat(slice(acc, 1, size(acc) - 1), " +
+          s"array(named_struct('s', element_at(acc, -1).s, 'e', greatest(element_at(acc, -1).e, c + $k)))) " +
+          s"ELSE concat(acc, array(named_struct('s', c, 'e', c + $k))) END)"))
+      .withColumn("kept", expr(
+        "CASE WHEN cuts IS NULL THEN toks " +
+          "ELSE filter(toks, (t, i) -> NOT exists(spans, m -> m.s <= i AND i < m.e)) END"))
+      .select(col("id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
+        GraftBridge.column(graft.expr.RollingFingerprint(
+          GraftBridge.expression(col("kept")))).as("kept_fp"))
+      .orderBy(col("id"))
+  }
+
   /** Unigram-LM quality score — mean token surprisal -ln p(t) under
     * the corpus's own unigram distribution (the cheap, trainable-
     * nowhere stand-in for perplexity filtering; high = rare-token

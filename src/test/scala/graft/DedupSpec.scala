@@ -56,6 +56,29 @@ class DedupSpec extends SparkSpec {
       .select(expect).as[Long].head())
   }
 
+  test("span decontamination cuts EVERY occurrence of a benchmark span") {
+    import graft.text.TextAnalysis
+    val leak = (1 to 10).map(i => s"ev$i").mkString(" ")
+    val bench = Seq((100L, s"question prefix $leak answer suffix")).toDF("id", "text")
+    val corpus = Seq(
+      (1L, s"alpha beta $leak gamma delta"),   // leaked span mid-doc
+      (2L, s"zeta $leak eta"),                 // second occurrence: ALSO cut
+      (3L, "totally clean document " + (200 to 211).map(i => s"c$i").mkString(" ")))
+      .toDF("id", "text")
+    val r = TextAnalysis.decontaminateSpans(corpus, "id", "text", bench, "text", k = 10)
+      .as[(Long, Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+    // both occurrences cut (no keep-first here — a leaked test item
+    // must not survive anywhere); surrounding prose survives
+    assert(r(1L)._3 == 10L, r(1L).toString)
+    assert(r(2L)._3 == 10L, r(2L).toString)
+    assert(r(3L)._3 == 0L)
+    val fp = TextAnalysis.fingerprint(col("text"))
+    assert(r(1L)._4 == Seq((9L, "alpha beta gamma delta")).toDF("id", "text")
+      .select(fp).as[Long].head())
+    assert(r(2L)._4 == Seq((9L, "zeta eta")).toDF("id", "text")
+      .select(fp).as[Long].head())
+  }
+
   test("bloom screen: seen content dropped, unseen kept, output exact") {
     val seen = Seq((1L, "aaa"), (2L, "bbb"), (3L, "ccc")).toDF("id", "text")
     val batch = Seq((10L, "aaa"), (11L, "new one"), (12L, "ccc"), (13L, "fresh"))
