@@ -618,6 +618,22 @@ private[graft] object EntriesDsl {
         | eval zn = mv_count(z), zl = mv_last(z)
         | keep doc_id, b64, rt, deg, rad, lg, zn, zl
         | sort doc_id""")),
+    // the 8.15-9.x scalar tail: HASH dispatch, SPACE, HYPOT, SCALB,
+    // TO_BOOLEAN, and the scalar IP_PREFIX (the agg twin is
+    // q_agg_ip_prefix)
+    "q_esql_functions3" -> ((s, d) => graft.dsl.Esql.run(s, d,
+      """from events
+        | where event_id <= 40
+        | eval ip = concat(to_string(10), ".", to_string(user_id * 7 % 256),
+               ".", to_string(user_id * 13 % 256), ".", to_string(user_id % 256))
+        | eval net = ip_prefix(ip, 20, 64),
+               h = hash("sha256", event_type),
+               sp = concat("[", space(3), "]"),
+               hy = round(hypot(3.0, 4.0), 4),
+               sc = scalb(1.5, 4),
+               ti = case(to_boolean(value > 100), 1, 0)
+        | keep event_id, net, h, sp, hy, sc, ti
+        | sort event_id""")),
     // date function family over ns-long event time
     "q_esql_dates" -> ((s, d) => graft.dsl.Esql.run(s, d,
       """from events
@@ -1249,6 +1265,15 @@ private[graft] object EntriesDsl {
       "lon AS x, lat AS y FROM g) WHERE d_m < 2000000.0 ORDER BY c_custkey"),
     "q_esql_stddev" -> ("SELECT l_returnflag, round(stddev_pop(l_quantity), 4) AS sd, " +
       "count(*)::BIGINT AS n FROM lineitem GROUP BY 1 ORDER BY 1"),
+    "q_esql_functions3" -> (IpCte +
+      ", p AS (SELECT event_id, (ipn // 4096) * 4096 AS net_n, event_type, value " +
+      "FROM ipv WHERE event_id <= 40) " +
+      "SELECT event_id, " +
+      "(net_n // 16777216 % 256) || '.' || (net_n // 65536 % 256) || '.' || " +
+      "(net_n // 256 % 256) || '.' || (net_n % 256) AS net, " +
+      "sha256(event_type) AS h, '[   ]' AS sp, 5.0::DOUBLE AS hy, 24.0::DOUBLE AS sc, " +
+      "(CASE WHEN value > 100 THEN 1 ELSE 0 END)::INT AS ti " +
+      "FROM p ORDER BY event_id"),
     "q_esql_functions2" -> ("SELECT doc_id, to_base64(encode(lang)) AS b64, " +
       "decode(from_base64(to_base64(encode(lang)))) AS rt, " +
       "round(degrees(1.0), 4) AS deg, round(radians(180.0), 4) AS rad, " +

@@ -410,10 +410,37 @@ object Esql {
         case ("mv_zip", Seq(a, b, d)) =>
           val delim = litStr(d, "MV_ZIP delimiter")
           zip_with(a, b, (x, y) => concat_ws(delim, x, y))
-        // hash family (ES|QL 8.16)
+        // hash family (ES|QL 8.16); HASH(alg, input) dispatches on the
+        // algorithm name — unknown algorithms fail loudly
         case ("md5", Seq(x)) => md5(x.cast("binary"))
         case ("sha1", Seq(x)) => sha1(x.cast("binary"))
         case ("sha256", Seq(x)) => sha2(x.cast("binary"), 256)
+        case ("hash", Seq(alg, x)) => litStr(alg, "HASH algorithm") match {
+          case "md5" => md5(x.cast("binary"))
+          case "sha1" => sha1(x.cast("binary"))
+          case "sha256" => sha2(x.cast("binary"), 256)
+          case "sha512" => sha2(x.cast("binary"), 512)
+          case other => throw new IllegalArgumentException(
+            s"HASH: unsupported algorithm '$other'")
+        }
+        // 8.15/9.x scalar tail: SPACE, HYPOT, SCALB, TO_BOOLEAN, and
+        // the scalar IP_PREFIX (the agg bucketing twin lives in
+        // Aggs.ipPrefix). v4 only, like the rest of the ip surface;
+        // the v6 length argument is accepted and unused on v4 inputs.
+        case ("space", Seq(n)) => call_function("repeat", lit(" "), n.cast("int"))
+        case ("hypot", Seq(a, b)) => sqrt(a * a + b * b)
+        case ("scalb", Seq(d, i)) => d * pow(lit(2.0), i.cast("double"))
+        case ("to_boolean", Seq(x)) => x.cast("boolean")
+        case ("to_bool", Seq(x)) => x.cast("boolean")
+        case ("ip_prefix", Seq(ip, l4, _)) =>
+          // 2^(32-len) fits a double exactly, so the block math is int-exact
+          val block = pow(lit(2.0), lit(32.0) - l4.cast("double")).cast("long")
+          val net = (graft.agg.Aggs.ipValue(ip) / block).cast("long") * block
+          concat_ws(".",
+            (net / 16777216L % 256L).cast("long"),
+            (net / 65536L % 256L).cast("long"),
+            (net / 256L % 256L).cast("long"),
+            (net % 256L).cast("long"))
         // full-text functions (ES|QL 8.17): the search family reused
         // inside WHERE — MATCH compiles to the analyzed-token
         // predicate, QSTR to the Lucene query_string compiler, KQL
