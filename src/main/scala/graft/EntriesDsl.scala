@@ -618,6 +618,15 @@ private[graft] object EntriesDsl {
         | eval zn = mv_count(z), zl = mv_last(z)
         | keep doc_id, b64, rt, deg, rad, lg, zn, zl
         | sort doc_id""")),
+    // KNN as an ES|QL WHERE function (9.x tech preview): keeps the k
+    // nearest rows — rewrites to score + TakeOrderedAndProject, the
+    // same distributed-top-k shape as the Query-DSL knn clause
+    "q_esql_knn" -> ((s, d) => {
+      val vec = (0 until 64).map(i => (i * 37 % 100) / 100.0 - 0.5)
+      graft.dsl.Esql.run(s, d,
+        s"from embeddings | where knn(embedding, [${vec.mkString(", ")}], 10) " +
+          "| eval lbl = label | keep vec_id, lbl | sort vec_id")
+    }),
     // the 8.15-9.x scalar tail: HASH dispatch, SPACE, HYPOT, SCALB,
     // TO_BOOLEAN, and the scalar IP_PREFIX (the agg twin is
     // q_agg_ip_prefix)
@@ -1265,6 +1274,17 @@ private[graft] object EntriesDsl {
       "lon AS x, lat AS y FROM g) WHERE d_m < 2000000.0 ORDER BY c_custkey"),
     "q_esql_stddev" -> ("SELECT l_returnflag, round(stddev_pop(l_quantity), 4) AS sd, " +
       "count(*)::BIGINT AS n FROM lineitem GROUP BY 1 ORDER BY 1"),
+    // the oracle ranks by the SAME rounded cosine with the vec_id
+    // tie-break the rewrite pins
+    "q_esql_knn" -> ("WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), " +
+      "q AS (SELECT list_transform(range(0, 64), i -> (i * 37 % 100) / 100.0 - 0.5) AS qv), " +
+      "n AS (SELECT vec_id, label, v, sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm FROM e), " +
+      "qn AS (SELECT qv, sqrt(list_reduce(list_prepend(0.0, list_transform(qv, x -> x * x)), (a, b) -> a + b)) AS qnrm FROM q), " +
+      "p AS (SELECT vec_id, label, " +
+      "round(list_reduce(list_prepend(0.0, list_transform(range(1, len(v) + 1), i -> v[i] * qv[i])), (x, y) -> x + y) / (nrm * qnrm), 4) AS c " +
+      "FROM n, qn), " +
+      "t AS (SELECT vec_id, label FROM p ORDER BY c DESC, vec_id ASC LIMIT 10) " +
+      "SELECT vec_id, label AS lbl FROM t ORDER BY vec_id"),
     "q_esql_functions3" -> (IpCte +
       ", p AS (SELECT event_id, (ipn // 4096) * 4096 AS net_n, event_type, value " +
       "FROM ipv WHERE event_id <= 40) " +

@@ -39,6 +39,10 @@ object Esql {
   private final case class TStr(s: String) extends Tok
   private final case class TOp(s: String) extends Tok
 
+  /** `knn(field, [v, ...], k)` as the whole WHERE body. */
+  private val KnnWhere =
+    """(?is)^knn\(\s*([A-Za-z_][\w.]*)\s*,\s*\[([^\]]*)\]\s*,\s*(\d+)\s*\)$""".r
+
   private def lex(s: String): List[Tok] = {
     val out = scala.collection.mutable.ListBuffer.empty[Tok]
     var i = 0
@@ -800,6 +804,31 @@ object Esql {
     val (kw, rest) = seg.span(!_.isWhitespace)
     val body = rest.trim
     kw.toLowerCase match {
+      // KNN as a WHERE function (ES|QL 9.x, tech preview): keeps the k
+      // rows nearest the query vector. Not a row-local predicate — it
+      // rewrites to score + TakeOrderedAndProject (the distributed
+      // top-k; never a global sort materialization), exactly how the
+      // Query-DSL knn clause rewrites. ES leaves ties arbitrary;
+      // pinned here to (rounded score desc, first column asc) so runs
+      // reproduce. Must be the ENTIRE where body — compose extra
+      // predicates as their own WHERE stages before/after.
+      case "where" if KnnWhere.findFirstMatchIn(body.trim).isDefined =>
+        val m = KnnWhere.findFirstMatchIn(body.trim).get
+        val field = m.group(1)
+        val vec = m.group(2).split(",").map(_.trim.toDouble)
+        val k = m.group(3).toInt
+        val q = array(vec.map(v => lit(v)): _*)
+        val score = org.apache.spark.sql.GraftBridge.column(graft.expr.CosineSim(
+          org.apache.spark.sql.GraftBridge.expression(col(field)),
+          org.apache.spark.sql.GraftBridge.expression(q)))
+        df.withColumn("__knn_s", graft.util.Num.round(score, 4))
+          .orderBy(col("__knn_s").desc, col(df.columns.head).asc)
+          .limit(k)
+          .drop("__knn_s")
+      case "where" if body.trim.toLowerCase.startsWith("knn(") =>
+        throw new IllegalArgumentException(
+          "KNN must be the entire WHERE body: knn(field, [v, ...], k) — " +
+            "compose other predicates as separate WHERE stages")
       case "where" => df.where(new P(lex(body)).parseExprAll())
       case "limit" => df.limit(body.trim.toInt)
       // KEEP/DROP accept `*` wildcards (ES|QL qualified-name
