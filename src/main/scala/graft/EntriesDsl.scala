@@ -618,6 +618,24 @@ private[graft] object EntriesDsl {
         | eval zn = mv_count(z), zl = mv_last(z)
         | keep doc_id, b64, rt, deg, rad, lg, zn, zl
         | sort doc_id""")),
+    // spatial predicates (8.14): ST_CONTAINS/ST_WITHIN/ST_DISJOINT
+    // over a WKT polygon — the Spark plan AND the oracle SQL generate
+    // from the same vertex list (GeoPolygonVertices), so the ray-cast
+    // can't drift between them
+    "q_esql_st" -> ((s, d) => {
+      val wkt = "POLYGON((" + (GeoPolygonVertices :+ GeoPolygonVertices.head)
+        .map { case (lat, lon) => s"$lon $lat" }.mkString(", ") + "))"
+      graft.dsl.Esql.run(s, d,
+        s"""from customer
+           | eval lat = (c_custkey * 7919 % 18000) / 100.0 - 90.0,
+                  lon = (c_custkey * 104729 % 36000) / 100.0 - 180.0
+           | eval p = st_point(lon, lat)
+           | where st_contains(to_geoshape("$wkt"), p)
+           | where case(st_within(p, to_geoshape("$wkt")), 1, 0) == 1
+           | where case(st_disjoint(to_geoshape("$wkt"), p), 0, 1) == 1
+           | keep c_custkey, lat, lon
+           | sort c_custkey""")
+    }),
     // KNN as an ES|QL WHERE function (9.x tech preview): keeps the k
     // nearest rows — rewrites to score + TakeOrderedAndProject, the
     // same distributed-top-k shape as the Query-DSL knn clause
@@ -1274,6 +1292,8 @@ private[graft] object EntriesDsl {
       "lon AS x, lat AS y FROM g) WHERE d_m < 2000000.0 ORDER BY c_custkey"),
     "q_esql_stddev" -> ("SELECT l_returnflag, round(stddev_pop(l_quantity), 4) AS sd, " +
       "count(*)::BIGINT AS n FROM lineitem GROUP BY 1 ORDER BY 1"),
+    // identical ray-cast formula, generated from the same vertices
+    "q_esql_st" -> geoPolygonOracleSql(GeoPolygonVertices),
     // the oracle ranks by the SAME rounded cosine with the vec_id
     // tie-break the rewrite pins
     "q_esql_knn" -> ("WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), " +

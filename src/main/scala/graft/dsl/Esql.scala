@@ -43,6 +43,21 @@ object Esql {
   private val KnnWhere =
     """(?is)^knn\(\s*([A-Za-z_][\w.]*)\s*,\s*\[([^\]]*)\]\s*,\s*(\d+)\s*\)$""".r
 
+  /** "POLYGON((lon lat, lon lat, ...))" -> (lat, lon) vertices; the
+    * closing duplicate vertex (WKT rings repeat the first point) is
+    * dropped — geoPolygon closes the ring itself. */
+  private[dsl] def parseWktPolygon(wkt: String): Seq[(Double, Double)] = {
+    val m = """(?is)^\s*POLYGON\s*\(\(\s*(.+?)\s*\)\)\s*$""".r.findFirstMatchIn(wkt)
+      .getOrElse(throw new IllegalArgumentException(
+        s"expected a WKT POLYGON (point-vs-polygon is the supported class), got: $wkt"))
+    val pts = m.group(1).split(",").map(_.trim).map { p =>
+      val xy = p.split("\\s+")
+      require(xy.length == 2, s"bad WKT vertex '$p'")
+      (xy(1).toDouble, xy(0).toDouble) // WKT order is lon lat
+    }.toSeq
+    if (pts.length >= 2 && pts.head == pts.last) pts.dropRight(1) else pts
+  }
+
   private def lex(s: String): List[Tok] = {
     val out = scala.collection.mutable.ListBuffer.empty[Tok]
     var i = 0
@@ -401,6 +416,30 @@ object Esql {
           graft.rel.Relational.haversineKm(
             a.getField("y"), a.getField("x"),
             b.getField("y"), b.getField("x")) * lit(1000.0)
+        // spatial predicates (8.14): the shape side must be a literal
+        // TO_GEOSHAPE WKT polygon (it selects the expression shape —
+        // the same literal-argument contract as date formats); points
+        // are st_point structs. Point-vs-polygon only, the shape class
+        // the synthetic geo columns exercise; polygon-polygon raises.
+        case ("to_geoshape", Seq(w)) =>
+          lit(litStr(w, "TO_GEOSHAPE wkt")) // carried as a literal, parsed by the predicate
+        case ("st_contains", Seq(shape, p)) =>
+          graft.rel.Relational.geoPolygon(
+            p.getField("y"), p.getField("x"),
+            parseWktPolygon(litStr(shape, "ST_CONTAINS shape")))
+        case ("st_within", Seq(p, shape)) =>
+          graft.rel.Relational.geoPolygon(
+            p.getField("y"), p.getField("x"),
+            parseWktPolygon(litStr(shape, "ST_WITHIN shape")))
+        case ("st_intersects", Seq(shape, p)) =>
+          // a point intersects a polygon iff the polygon contains it
+          graft.rel.Relational.geoPolygon(
+            p.getField("y"), p.getField("x"),
+            parseWktPolygon(litStr(shape, "ST_INTERSECTS shape")))
+        case ("st_disjoint", Seq(shape, p)) =>
+          !graft.rel.Relational.geoPolygon(
+            p.getField("y"), p.getField("x"),
+            parseWktPolygon(litStr(shape, "ST_DISJOINT shape")))
         // base64 + angle conversions + 2-arg log (ES|QL long tail)
         case ("to_base64", Seq(x)) => base64(x.cast("binary"))
         case ("from_base64", Seq(x)) => unbase64(x).cast("string")
