@@ -218,6 +218,14 @@ object Esql {
 
     /** A function argument that must be a literal string (format
       * patterns, unit names — they select the expression shape). */
+    /** (wkt, point) for the symmetric spatial predicates: whichever
+      * argument is the literal is the shape. */
+    private def stShapePoint(a: Column, b: Column, what: String): (String, Column) =
+      org.apache.spark.sql.GraftBridge.literalValue(a) match {
+        case Some(w) => (String.valueOf(w), b)
+        case None => (litStr(b, s"$what shape"), a)
+      }
+
     private def litStr(c: Column, what: String): String =
       org.apache.spark.sql.GraftBridge.literalValue(c) match {
         case Some(v) => String.valueOf(v)
@@ -431,15 +439,16 @@ object Esql {
           graft.rel.Relational.geoPolygon(
             p.getField("y"), p.getField("x"),
             parseWktPolygon(litStr(shape, "ST_WITHIN shape")))
-        case ("st_intersects", Seq(shape, p)) =>
-          // a point intersects a polygon iff the polygon contains it
+        case ("st_intersects", Seq(a, b)) =>
+          // a point intersects a polygon iff the polygon contains it;
+          // INTERSECTS is symmetric in ES|QL, so accept either order
+          val (shape, p) = stShapePoint(a, b, "ST_INTERSECTS")
           graft.rel.Relational.geoPolygon(
-            p.getField("y"), p.getField("x"),
-            parseWktPolygon(litStr(shape, "ST_INTERSECTS shape")))
-        case ("st_disjoint", Seq(shape, p)) =>
+            p.getField("y"), p.getField("x"), parseWktPolygon(shape))
+        case ("st_disjoint", Seq(a, b)) =>
+          val (shape, p) = stShapePoint(a, b, "ST_DISJOINT")
           !graft.rel.Relational.geoPolygon(
-            p.getField("y"), p.getField("x"),
-            parseWktPolygon(litStr(shape, "ST_DISJOINT shape")))
+            p.getField("y"), p.getField("x"), parseWktPolygon(shape))
         // base64 + angle conversions + 2-arg log (ES|QL long tail)
         case ("to_base64", Seq(x)) => base64(x.cast("binary"))
         case ("from_base64", Seq(x)) => unbase64(x).cast("string")

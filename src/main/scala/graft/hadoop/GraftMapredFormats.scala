@@ -136,7 +136,9 @@ object GraftMapredFormats {
     }
 
   /** MapWritable -> parquet Group under the declared schema; fields
-    * absent from the map stay unset (parquet optional). */
+    * absent from the map stay unset (parquet optional). BINARY fields
+    * are written as UTF8 strings (the document-text shape) — raw
+    * byte payloads need a BytesWritable-aware extension. */
   def toGroup(factory: SimpleGroupFactory, schema: MessageType, m: MapWritable): Group = {
     val g = factory.newGroup()
     var i = 0

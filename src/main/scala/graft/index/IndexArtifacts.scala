@@ -164,7 +164,12 @@ object IndexArtifacts {
   /** Incremental analysis append — the daily-ingest shape for the BM25
     * artifact (an ES index analyzes only the new documents; a full
     * rebuild per append would pay the whole-corpus tokenize ES never
-    * pays). Only docs absent from the stored doclen table tokenize;
+    * pays). Trust contract: index mutations flow through
+    * Connector.save (the same contract an ES index has with its API) —
+    * an out-of-band file replacement that preserves ids and row count
+    * is indistinguishable from "nothing changed" here; any mutation
+    * that changes counts or ids is caught by the overlap check and
+    * rebuilt. Only docs absent from the stored doclen table tokenize;
     * their postings/doclen rows append, the df table merges
     * (vocabulary-sized work), and the stats scalars merge EXACTLY
     * (integer-valued doubles). Falls back to a full `buildAnalysis`
