@@ -147,6 +147,17 @@ object ScaleProbe {
       graft.text.TextAnalysis.removeDupSpans(docs, "doc_id", "text", 20).count()
     }
     spark.catalog.clearCache()
+    // r13b: span decontamination at corpus scale — the benchmark side
+    // is FIXED (one un-replicated set), so cost must track the corpus
+    // window pass; every replica of a benchmark doc is fully covered
+    // (the all-occurrences-cut worst case)
+    time("contamination_spans_10x") {
+      graft.text.TextAnalysis.decontaminateSpans(
+        docs, "doc_id", "text",
+        Tables.documents(spark, sfDir).where(col("doc_id") < 25), "text", 10)
+        .count()
+    }
+    spark.catalog.clearCache()
     // r13b: incremental analysis append — refresh cost must track the
     // increment (one replica), not the stored corpus (n replicas)
     time("analysis_refresh_1of10x") {

@@ -56,6 +56,48 @@ class DedupSpec extends SparkSpec {
       .select(expect).as[Long].head())
   }
 
+  test("property: span removal equals the naive keep-first reference on random corpora") {
+    import graft.text.TextAnalysis
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val k = 3
+    // tiny vocabulary forces dense window duplication — the regime
+    // where an off-by-one in coverage or rank order would surface
+    val word = Gen.oneOf("ape", "bee", "cat", "dog", "elk", "fox")
+    val docGen = Gen.choose(k, 14).flatMap(Gen.listOfN(_, word))
+    val corpusGen = Gen.choose(2, 10).flatMap(Gen.listOfN(_, docGen))
+    def reference(corpus: List[List[String]]): Seq[(Long, Seq[String])] = {
+      val wins = for {
+        (doc, id) <- corpus.zipWithIndex
+        pos <- 0 to doc.length - k
+      } yield (id.toLong, pos, doc.slice(pos, pos + k))
+      val byWin = wins.groupBy(_._3)
+      val cuts = byWin.values.filter(_.size > 1)
+        .flatMap(_.sortBy(w => (w._1, w._2)).drop(1)).map(w => (w._1, w._2)).toSet
+      corpus.zipWithIndex.map { case (doc, id) =>
+        val kept = doc.indices.filterNot(i =>
+          (math.max(0, i - k + 1) to i).exists(p => cuts((id.toLong, p))))
+        (id.toLong, kept.map(doc))
+      }
+    }
+    val prop = Prop.forAll(corpusGen) { corpus =>
+      val df = corpus.zipWithIndex
+        .map { case (doc, id) => (id.toLong, doc.mkString(" ")) }
+        .toDF("id", "text")
+      val got = TextAnalysis.removeDupSpans(df, "id", "text", k)
+        .as[(Long, Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+      val expectFp = reference(corpus).map { case (id, kept) =>
+        id -> Seq((id, kept.mkString(" "))).toDF("id", "text")
+          .select(TextAnalysis.fingerprint(col("text"))).as[Long].head()
+      }.toMap
+      reference(corpus).forall { case (id, kept) =>
+        got(id)._3 == (corpus(id.toInt).length - kept.length).toLong &&
+          got(id)._4 == expectFp(id)
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("span decontamination cuts EVERY occurrence of a benchmark span") {
     import graft.text.TextAnalysis
     val leak = (1 to 10).map(i => s"ev$i").mkString(" ")
