@@ -518,6 +518,11 @@ private[graft] object EntriesPipeline {
         .groupBy(col("pack_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("size")).as("pack_chars"))
         .orderBy(col("pack_id"))),
+    // pack LAYOUT (r13b): per doc its pack and offset inside the pack —
+    // the slice table a concatenating dataloader reads
+    "q_pack_layout" -> ((s, d) =>
+      TextAnalysis.packLayout(t(s, d, "documents"), "doc_id", col("n_chars"), "source", 5000L)
+        .orderBy(col("doc_id"))),
     // packing under REAL BPE token budgets (r13b): the same group-local
     // pack windows, but the size column is the compiled BPE kernel's
     // count under the frozen merge table — sequence budgets counted in
@@ -1472,6 +1477,13 @@ private[graft] object EntriesPipeline {
       "list_reduce(list_prepend(0::BIGINT, list_transform(toks, w -> " +
       graft.text.Bpe.tokenCountSql("w", graft.text.Bpe.PretrainedMerges) +
       ")), (a, b) -> a + b)::BIGINT AS n_bpe FROM tok ORDER BY doc_id"),
+    "q_pack_layout" -> ("WITH p AS (SELECT doc_id, source, n_chars, " +
+      "sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_chars AS st " +
+      "FROM documents) " +
+      "SELECT doc_id, source, n_chars::BIGINT AS size, " +
+      "source || '/' || CAST(floor(st::DOUBLE / 5000) AS BIGINT)::VARCHAR AS pack_id, " +
+      "(st - CAST(floor(st::DOUBLE / 5000) AS BIGINT) * 5000)::BIGINT AS offset " +
+      "FROM p ORDER BY doc_id"),
     "q_pack_bpe" -> (TokCte + ", b AS (SELECT d.doc_id, d.source, " +
       "list_reduce(list_prepend(0::BIGINT, list_transform(toks, w -> " +
       graft.text.Bpe.tokenCountSql("w", graft.text.Bpe.PretrainedMerges) +

@@ -276,6 +276,33 @@ object TextAnalysis {
         floor((cum - sizeCol).cast("double") / budget).cast("long")).as("pack_id"))
   }
 
+  /** The dataloader's view of a packing: per document, its pack and
+    * its BYTE/TOKEN OFFSET inside that pack — what a concatenating
+    * loader needs to slice sequences back out without re-scanning
+    * text. Same group-local windows as `packSequences` (one shuffle on
+    * the group column); the offset is the doc's cumulative start minus
+    * its pack's budget origin, so a straddling last doc (the greedy
+    * binning's documented form) reports an offset near the budget. */
+  def packLayout(
+      docs: DataFrame,
+      idCol: String,
+      sizeCol: Column,
+      groupCol: String,
+      budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val start = sum(sizeCol).over(w) - sizeCol
+    val packIdx = floor(start.cast("double") / budget).cast("long")
+    docs.select(
+      col(idCol),
+      col(groupCol),
+      sizeCol.cast("long").as("size"),
+      concat_ws("/", col(groupCol), packIdx).as("pack_id"),
+      (start - packIdx * budget).cast("long").as("offset"))
+  }
+
   /** Token-window chunking for context-window preparation: split each
     * document's token stream into windows of `chunkSize` tokens with
     * `overlap` tokens carried between consecutive chunks — THE
