@@ -147,6 +147,31 @@ object ScaleProbe {
       graft.text.TextAnalysis.removeDupSpans(docs, "doc_id", "text", 20).count()
     }
     spark.catalog.clearCache()
+    // r13b: the wildcard-percolation EXPENSIVE class, quantified — 16
+    // wildcard-only stored queries take match-all candidates by
+    // construction (nothing to term-select), 16 term-anchored combos
+    // stay selector-bounded; the gap is the documented cost of the
+    // class, not a regression
+    time("percolate_wild_10x") {
+      import spark.implicits._
+      val n = None: Option[String]
+      val nd = None: Option[Double]
+      val ni = None: Option[Int]
+      val pats = Seq("*ash*", "f?st", "jo*", "*ble", "sc?n", "*erge*", "s?rt", "*ndex")
+      val wildOnly = (0 until 16).map { i =>
+        (s"wo$i", "must.0", "wildcard", Some(pats(i % pats.length)), n, nd, nd, n, ni)
+      }
+      val anchored = (0 until 16).flatMap { i =>
+        Seq(
+          (s"an$i", "must.0", "term", Some(Seq("fast", "hash", "join", "table")(i % 4)), n, nd, nd, n, ni),
+          (s"an$i", "must.1", "wildcard", Some(pats(i % pats.length)), n, nd, nd, n, ni))
+      }
+      val registry = (wildOnly ++ anchored)
+        .toDF("query_id", "path", "kind", "term",
+          "range_field", "range_min", "range_max", "phrase", "msm")
+      graft.search.Search.percolateBool(docs, "doc_id", "text", registry, Nil).count()
+    }
+    spark.catalog.clearCache()
     // r13b: span decontamination at corpus scale — the benchmark side
     // is FIXED (one un-replicated set), so cost must track the corpus
     // window pass; every replica of a benchmark doc is fully covered
