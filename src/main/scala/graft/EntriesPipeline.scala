@@ -588,6 +588,15 @@ private[graft] object EntriesPipeline {
           col("v_sum").as("s_sum"), col("v_min").as("s_min"), col("v_max").as("s_max"),
           Num.round(col("v_sum").cast("double") / col("n_values"), 4).as("mean_s"))
         .orderBy(col("media_id"))),
+    // REAL 3-channel decode (r13b): interleaved RGB through the same
+    // codec; per-channel sums oracle-checked independently — a
+    // channel-order bug breaks exactly one channel's hash
+    "q_multimodal_rgb" -> ((s, d) =>
+      Multimodal.decodeRgbStats(s,
+        Multimodal.rgbMediaTable(s, t(s, d, "documents")))
+        .select(col("media_id"), col("width"), col("height"),
+          col("r_sum"), col("g_sum"), col("b_sum"))
+        .orderBy(col("media_id"))),
     // REAL resize: decode -> nearest-neighbor -> re-encode -> re-decode
     // -> stats; the oracle mirrors the integer source-index resample
     "q_multimodal_resize_px" -> ((s, d) =>
@@ -1276,6 +1285,18 @@ private[graft] object EntriesPipeline {
       "sum(s)::BIGINT AS s_sum, min(s)::BIGINT AS s_min, max(s)::BIGINT AS s_max, " +
       "round(sum(s)::DOUBLE / count(*), 4) AS mean_s " +
       "FROM g GROUP BY doc_id ORDER BY media_id"),
+    // per-channel formulas re-derived over the grid, summed per channel
+    "q_multimodal_rgb" -> ("WITH d AS (SELECT doc_id, doc_id % 24 + 4 AS w, " +
+      "doc_id % 16 + 4 AS h FROM documents), " +
+      "g AS (SELECT d.doc_id, d.w, d.h, " +
+      "(d.doc_id*31 + xs.x*7 + ys.y*13) % 256 AS r, " +
+      "(d.doc_id*17 + xs.x*11 + ys.y*5) % 256 AS gr, " +
+      "(d.doc_id*23 + xs.x*3 + ys.y*19) % 256 AS b " +
+      "FROM d CROSS JOIN generate_series(0, 27) AS xs(x) " +
+      "CROSS JOIN generate_series(0, 19) AS ys(y) WHERE xs.x < d.w AND ys.y < d.h) " +
+      "SELECT doc_id AS media_id, w::INT AS width, h::INT AS height, " +
+      "sum(r)::BIGINT AS r_sum, sum(gr)::BIGINT AS g_sum, sum(b)::BIGINT AS b_sum " +
+      "FROM g GROUP BY doc_id, w, h ORDER BY media_id"),
     // nearest-neighbor to 8x6: out(x,y) = in((x*w)//8, (y*h)//6)
     "q_multimodal_resize_px" -> ("WITH d AS (SELECT doc_id, doc_id % 48 + 8 AS w, " +
       "doc_id % 32 + 8 AS h FROM documents WHERE doc_id % 2 = 0), " +

@@ -73,6 +73,40 @@ object Png {
     out.toByteArray
   }
 
+  /** Encode an 8-bit RGB image (color type 2), interleaved pixels. */
+  def encodeRgb(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    require(rgb.length == width * height * 3,
+      s"rgb buffer ${rgb.length} != ${width}x${height}x3")
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte).put(2.toByte) // bit depth 8, color type 2 (RGB)
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+      .array()
+    val stride = width * 3
+    val raw = new Array[Byte](height * (1 + stride))
+    var y = 0
+    while (y < height) {
+      val base = y * (1 + stride)
+      raw(base) = 0
+      System.arraycopy(rgb, y * stride, raw, base + 1, stride)
+      y += 1
+    }
+    val deflater = new Deflater()
+    deflater.setInput(raw)
+    deflater.finish()
+    val buf = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) buf.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Signature)
+    out.write(chunk("IHDR", ihdr))
+    out.write(chunk("IDAT", buf.toByteArray))
+    out.write(chunk("IEND", Array.emptyByteArray))
+    out.toByteArray
+  }
+
   /** Paeth predictor (PNG spec §6.6). */
   private def paeth(a: Int, b: Int, c: Int): Int = {
     val p = a + b - c

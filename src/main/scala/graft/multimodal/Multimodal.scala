@@ -228,6 +228,53 @@ object Multimodal {
     PixelStats(id, "png", img.width, img.height, img.pixels.length.toLong, s, mn, mx)
   }
 
+  /** RGB media table + per-channel decode stats: real 3-channel PNGs
+    * (color type 2, interleaved) generated in-task with a per-channel
+    * deterministic formula; decode folds channel-separated sums so the
+    * oracle can re-derive each channel independently — a channel-order
+    * or interleave bug anywhere breaks exactly one channel's hash. */
+  def rgbMediaTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val w = (id % 24 + 4).toInt; val h = (id % 16 + 4).toInt
+      val px = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val base = (y * w + x) * 3
+          px(base) = pxOf(id, x, y).toByte                    // R: the gray formula
+          px(base + 1) = ((id * 17 + x * 11 + y * 5) % 256).toByte  // G
+          px(base + 2) = ((id * 23 + x * 3 + y * 19) % 256).toByte  // B
+          x += 1
+        }
+        y += 1
+      }
+      (id, Png.encodeRgb(w, h, px))
+    }).toDF("media_id", "payload")
+  }
+
+  /** Decode RGB payloads and fold PER-CHANNEL sums. */
+  def decodeRgbStats(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("media_id", "payload")
+      .where(col("payload").isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val img = Png.decode(payload)
+        require(img.channels == 3, s"expected RGB, got ${img.channels} channel(s)")
+        var r = 0L; var g = 0L; var b = 0L
+        var i = 0
+        while (i < img.pixels.length) {
+          r += img.pixels(i) & 0xff
+          g += img.pixels(i + 1) & 0xff
+          b += img.pixels(i + 2) & 0xff
+          i += 3
+        }
+        (id, img.width, img.height, r, g, b)
+      }).toDF("media_id", "width", "height", "r_sum", "g_sum", "b_sum")
+  }
+
   /** Real resize: decode -> nearest-neighbor resample -> RE-ENCODE ->
     * RE-DECODE -> stats. The second encode/decode round trip is
     * deliberate: the stats prove the codec reproduces the resampled

@@ -98,6 +98,15 @@ class CodecsSpec extends SparkSpec {
       assert((img.pixels(y * w + x) & 0xff) == px(y)(x), s"pixel ($x,$y), filter ${y % 5}")
   }
 
+  test("PNG RGB round trip: encodeRgb -> decode recovers interleaved channels") {
+    for ((w, h) <- Seq((1, 1), (5, 4), (24, 16))) {
+      val rgb = Array.tabulate(w * h * 3)(i => ((i * 29 + 3) % 256).toByte)
+      val img = Png.decode(Png.encodeRgb(w, h, rgb))
+      assert(img.width == w && img.height == h && img.channels == 3)
+      assert(img.pixels.toSeq == rgb.toSeq)
+    }
+  }
+
   test("PNG decode reads RGB (color type 2) with interleaved channels") {
     val w = 3; val h = 2
     val rgb = Array.tabulate(w * h * 3)(i => ((i * 41 + 5) % 256))
