@@ -214,12 +214,14 @@ private[graft] object EntriesFulltext {
       // changes the key and forces a rebuild
       val srcFp = graft.index.IndexArtifacts
         .dataFingerprint(s, s"$d/documents.parquet").take(12)
-      val out = s"/tmp/graft_bm25idx_${System.getProperty("user.name")}_$srcFp"
-      if (graft.index.IndexArtifacts.loadAnalysis(s, out, "text").isEmpty)
-        graft.sources.Connector.save(t(s, d, "documents"), out, Map(
+      // staged build + atomic rename: concurrent runs can't read a
+      // half-written artifact, stale generations get swept
+      val out = graft.index.IndexArtifacts.ensureArtifact("bm25idx", srcFp)(
+        p => graft.index.IndexArtifacts.loadAnalysis(s, p, "text").nonEmpty)(
+        stage => graft.sources.Connector.save(t(s, d, "documents"), stage, Map(
           "graft.write.operation" -> "overwrite",
           "graft.mapping.id" -> "doc_id",
-          "graft.index.analysis" -> "text"))
+          "graft.index.analysis" -> "text")))
       Search.bm25ScoresIndexed(s, out, "doc_id", "text", "fast hash join")
         .orderBy(col("score").desc, col("id").asc).limit(10)
     }),

@@ -63,13 +63,15 @@ private[graft] object EntriesPipeline {
       // changes the key and rebuilds
       val srcFp = graft.index.IndexArtifacts
         .dataFingerprint(s, s"$d/documents.parquet").take(12)
-      val out = s"/tmp/graft_mhidx_${System.getProperty("user.name")}_$srcFp"
-      if (graft.index.IndexArtifacts.loadMinhash(s, out, "text", Some("doc_id")).isEmpty)
-        graft.sources.Connector.save(
-          docs.where(pmod(col("doc_id"), lit(2)) === 0), out, Map(
+      // staged build + atomic rename: concurrent runs can't read a
+      // half-written artifact, stale generations get swept
+      val out = graft.index.IndexArtifacts.ensureArtifact("mhidx", srcFp)(
+        p => graft.index.IndexArtifacts.loadMinhash(s, p, "text", Some("doc_id")).nonEmpty)(
+        stage => graft.sources.Connector.save(
+          docs.where(pmod(col("doc_id"), lit(2)) === 0), stage, Map(
             "graft.write.operation" -> "overwrite",
             "graft.mapping.id" -> "doc_id",
-            "graft.index.minhash" -> "text"))
+            "graft.index.minhash" -> "text")))
       Dedup.minhashLshCrossIndexed(s,
         docs.where(pmod(col("doc_id"), lit(2)) === 1), out, "doc_id", "text", 0.8)
         .getOrElse(sys.error("minhash artifact missing right after build"))
@@ -189,13 +191,15 @@ private[graft] object EntriesPipeline {
       // changes the key and rebuilds
       val srcFp = graft.index.IndexArtifacts
         .dataFingerprint(s, s"$d/embeddings.parquet").take(12)
-      val out = s"/tmp/graft_ivfidx_${System.getProperty("user.name")}_$srcFp"
-      if (graft.index.IndexArtifacts.loadIvf(s, out, "embedding").isEmpty)
-        graft.sources.Connector.save(t(s, d, "embeddings"), out, Map(
+      // staged build + atomic rename: concurrent runs can't read a
+      // half-written artifact, stale generations get swept
+      val out = graft.index.IndexArtifacts.ensureArtifact("ivfidx", srcFp)(
+        p => graft.index.IndexArtifacts.loadIvf(s, p, "embedding").nonEmpty)(
+        stage => graft.sources.Connector.save(t(s, d, "embeddings"), stage, Map(
           "graft.write.operation" -> "overwrite",
           "graft.mapping.id" -> "vec_id",
           "graft.index.vectors" -> "embedding",
-          "graft.index.vectors.centroids" -> "16"))
+          "graft.index.vectors.centroids" -> "16")))
       Ann.ivfTopKIndexed(s, out, t(s, d, "embeddings").where(col("vec_id") < 5),
         "vec_id", "embedding", nCentroids = 16, nprobe = 4, k = 10)
     }),

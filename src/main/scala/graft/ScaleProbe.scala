@@ -208,6 +208,27 @@ object ScaleProbe {
         Dedup.minhashLshUnsorted(docs, "doc_id", "text", 0.8)).count()
     }
     spark.catalog.clearCache()
+    // chain-graph CC A/B (r14): a synthetic 200k-node path graph —
+    // diameter 2*10^5, the adversarial shape for label propagation —
+    // run through BOTH distributed CC formulations (the local regime
+    // is forced off). minlabel needs O(log d) pointer-jumping rounds;
+    // lss flattens stars and should converge in fewer, cheaper rounds.
+    // Either way the exact min-label contract holds (count + spot
+    // assert here; the full three-regime equality is spec-pinned).
+    val chainN = 200000L * math.max(1, n / 10)
+    val chainPairs = spark.range(1, chainN)
+      .select(col("id").as("id1"), (col("id") + 1).as("id2"), lit(1.0).as("jaccard"))
+    for (algo <- Seq("lss", "minlabel")) {
+      spark.conf.set("graft.dedup.ccAlgorithm", algo)
+      time(s"cc_chain_${algo}_${chainN / 1000}k") {
+        val r = Dedup.dedupClusters(chainPairs, maxIters = 40)
+        val bad = r.where(col("cluster_id") =!= lit(1L)).count()
+        require(bad == 0, s"$algo mislabeled $bad chain nodes")
+        r.count()
+      }
+      spark.conf.unset("graft.dedup.ccAlgorithm")
+      spark.catalog.clearCache()
+    }
     time("simhash_pairs_10x") {
       Dedup.simhashPairs(docs, "doc_id", "text", 3).count()
     }

@@ -427,29 +427,230 @@ object Dedup {
       .orderBy(col("id1").asc, col("id2").asc)
   }
 
+  /** Pair-count ceiling under which dedupClusters solves the component
+    * labeling with a driver union-find instead of the distributed
+    * loop. 4M (id1, id2) pairs of longs ≈ 64 MB on the wire —
+    * comfortably inside any driver heap that also runs a broadcast
+    * join — and path-compressed union-find labels them in well under
+    * a second, where EVERY distributed round costs a fixed several
+    * hundred ms of job/plan/barrier overhead regardless of data size
+    * (a 9-round convergence on a long-chain pair graph is ~3 s of
+    * pure per-round overhead at ANY input size below millions of
+    * edges). The count is free: the edge cache is materialized
+    * eagerly anyway. Same size-adaptive shape as
+    * `graft.dedup.broadcastDropLimit` — the regime switch is counted,
+    * not guessed, and above the ceiling the published distributed
+    * recipe runs. Override with spark conf
+    * `graft.dedup.ccLocalEdgeLimit` (0 disables the local regime). */
+  val DefaultCcLocalEdgeLimit: Long = 4000000L
+
   /** Near-duplicate CLUSTERS from a verified pair list: connected
-    * components by iterative min-label propagation — every document
-    * ends up labeled with the smallest doc id reachable through the
-    * near-dup relation, which is the cluster id a pipeline keeps /
-    * drops against (pairs alone under-delete: a~b, b~c must collapse
-    * to ONE survivor).
+    * components — every document ends up labeled with the smallest
+    * doc id reachable through the near-dup relation, which is the
+    * cluster id a pipeline keeps / drops against (pairs alone
+    * under-delete: a~b, b~c must collapse to ONE survivor).
     *
-    * Each iteration is one edge join + min-aggregate plus a
-    * pointer-jumping self-join (all partial-aggregating), so
-    * convergence is O(log component-diameter) rounds — 20 rounds
-    * covers any realistic component. The per-round isEmpty is the
-    * convergence check, an O(nodes) action, same pattern as any
-    * iterative fit; non-convergence throws rather than silently
-    * returning non-minimal labels. At extreme scale swap the
-    * propagation for the large-star/small-star formulation; the
-    * output contract is identical. */
+    * Three regimes behind one contract, chosen by the COUNTED pair
+    * cardinality (spark conf `graft.dedup.ccAlgorithm` pins one
+    * explicitly: `local` | `minlabel` | `lss`; default `auto`):
+    *
+    *   - `local` (pairs <= `graft.dedup.ccLocalEdgeLimit`, default
+    *     4M): collect the verified pairs — already a blocked/banded
+    *     candidate set orders of magnitude smaller than the corpus —
+    *     and run path-compressed union-find on the driver. Exact,
+    *     and immune to the per-round fixed cost that dominates the
+    *     distributed loops at small edge counts.
+    *   - `minlabel` (above the limit): min-label + pointer-jumping
+    *     propagation — O(log diameter) rounds, each one edge join +
+    *     min-agg + label self-join. The measured winner of the r14
+    *     chain A/B (200k-node path, diameter 2*10^5: 19 rounds /
+    *     20.0 s vs lss's 19 rounds / 31.5 s — pointer jumping matches
+    *     lss's round count at about half the per-round cost, because
+    *     lss pays two star ops + the fixpoint check per round).
+    *   - `lss`: alternating large-star/small-star (Kiveris et al.
+    *     2014, "Connected Components in MapReduce and Beyond"; also
+    *     what GraphFrames ships). Kept selectable for the regime it
+    *     is published for — edge sets that DWARF the node set (heavy
+    *     LSH banding fan-out, skewed mega-components): its edge set
+    *     monotonically contracts toward the |V|-sized star forest,
+    *     while minlabel re-joins the FULL edge set every round. On
+    *     path graphs it shows its O(log^2) worst case (the A/B
+    *     above), so it is not the default.
+    *
+    * All regimes return the identical exact labeling (the specs pin
+    * all three on the same graphs, including a diameter-1000 chain);
+    * non-convergence of the iterative forms throws rather than
+    * silently returning non-minimal labels. */
   def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    val algo = spark.conf.get("graft.dedup.ccAlgorithm", "auto")
+    val limit = spark.conf
+      .get("graft.dedup.ccLocalEdgeLimit", DefaultCcLocalEdgeLimit.toString).toLong
+    // ONE materialization of the (expensive) upstream pair pipeline,
+    // shared by every regime; the count doubles as the regime switch
+    val pr = pairs.select(col("id1"), col("id2")).cache()
+    val nPairs = pr.count()
+    require(Set("auto", "local", "minlabel", "lss").contains(algo),
+      s"graft.dedup.ccAlgorithm must be auto|local|minlabel|lss, got '$algo'")
+    val out =
+      if (algo == "local" || (algo == "auto" && nPairs <= limit)) ccLocal(pr)
+      else if (algo == "lss") ccLargeSmallStar(pr, maxIters)
+      else ccMinLabel(pr, maxIters)
+    pr.unpersist()
+    out
+  }
+
+  /** Spark-SQL-consistent ordering for the id types the pair
+    * producers emit (integral, string) — the local regime's "smallest
+    * reachable id" must mean exactly what the distributed min()
+    * aggregates mean. */
+  private def ccCompare(x: Any, y: Any): Int = (x, y) match {
+    case (a: java.lang.Long, b: java.lang.Long) => java.lang.Long.compare(a, b)
+    case (a: java.lang.Integer, b: java.lang.Integer) => Integer.compare(a, b)
+    case (a: String, b: String) => a.compareTo(b)
+    case (a: java.lang.Number, b: java.lang.Number) =>
+      java.lang.Double.compare(a.doubleValue, b.doubleValue)
+    case (a: Comparable[_], _) => a.asInstanceOf[Comparable[Any]].compareTo(y)
+    case _ => x.toString.compareTo(y.toString)
+  }
+
+  /** Driver union-find regime: exact min-reachable-id labels over a
+    * COUNTED, bounded pair list (see DefaultCcLocalEdgeLimit). Path
+    * compression + union by size; the component minimum rides on the
+    * root, so labeling is one find() per node after the union pass. */
+  private def ccLocal(pr: DataFrame): DataFrame = {
+    val spark = pr.sparkSession
+    val idType = pr.schema("id1").dataType
+    val rows = pr.collect()
+    // boxed Integer values: a primitive-Int map would unbox a missing
+    // key's null to 0 and silently alias every new node onto node 0
+    val index = new java.util.HashMap[Any, java.lang.Integer]()
+    val ids = new scala.collection.mutable.ArrayBuffer[Any]()
+    def nodeOf(v: Any): Int = {
+      val got = index.get(v)
+      if (got != null) got.intValue
+      else { val i = ids.length; index.put(v, i); ids += v; i }
+    }
+    val parent = new scala.collection.mutable.ArrayBuffer[Int]()
+    val size = new scala.collection.mutable.ArrayBuffer[Int]()
+    val minOf = new scala.collection.mutable.ArrayBuffer[Any]()
+    def ensure(i: Int): Unit =
+      while (parent.length <= i) {
+        parent += parent.length; size += 1; minOf += ids(parent.length - 1)
+      }
+    def find(i0: Int): Int = {
+      var i = i0
+      while (parent(i) != i) { parent(i) = parent(parent(i)); i = parent(i) }
+      i
+    }
+    rows.foreach { r =>
+      val a = nodeOf(r.get(0)); val b = nodeOf(r.get(1))
+      ensure(math.max(a, b))
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        val (big, small) = if (size(ra) >= size(rb)) (ra, rb) else (rb, ra)
+        parent(small) = big
+        size(big) += size(small)
+        if (ccCompare(minOf(small), minOf(big)) < 0) minOf(big) = minOf(small)
+      }
+    }
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val labeled = ids.indices.map(i => Row(ids(i), minOf(find(i))))
+    val schema = StructType(Seq(
+      StructField("doc_id", idType, nullable = true),
+      StructField("cluster_id", idType, nullable = true)))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(labeled.toSeq,
+          math.max(1, math.min(32, labeled.size / 50000 + 1))), schema)
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Alternating large-star/small-star (Kiveris et al. 2014): the
+    * distributed at-scale regime. Edges live canonically as
+    * (child > parent) pointer pairs; large-star hangs every
+    * strictly-larger neighbor of a node onto the minimum of its
+    * closed neighborhood, small-star does the same for the
+    * smaller-or-equal neighbors. Both operators only ever REPLACE a
+    * node's parents with smaller ones, so the edge set monotonically
+    * descends to the star forest rooted at component minima — which
+    * is exactly the (doc, min reachable id) labeling. Convergence is
+    * detected by an exact consecutive-round fixpoint (anti-joins both
+    * ways on the checkpointed edge frames — edge-set-sized, tiny next
+    * to a corpus); a fixpoint of BOTH operators is provably the star
+    * forest, so the check is exact, not probabilistic. */
+  private def ccLargeSmallStar(pr: DataFrame, maxIters: Int): DataFrame = {
+    def truncate(df: DataFrame): DataFrame = graft.util.Stages.truncate(df)
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(explode(array(
+          struct(col("a"), col("b")),
+          struct(col("b").as("a"), col("a").as("b")))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+      val mins = sym.groupBy(col("a"))
+        .agg(min(col("b")).as("nmin"))
+        .select(col("a"), least(col("a"), col("nmin")).as("m"))
+      sym.where(col("b") > col("a"))
+        .join(mins, "a")
+        .select(col("b").as("a"), col("m").as("b"))
+        .where(col("a") =!= col("b"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(
+        greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+        .where(col("a") =!= col("b"))
+      val mins = dir.groupBy(col("a")).agg(min(col("b")).as("m"))
+      dir.join(mins, "a")
+        .select(explode(array(col("b"), col("a"))).as("x"), col("m"))
+        .where(col("x") =!= col("m"))
+        .select(col("x").as("a"), col("m").as("b"))
+        .distinct()
+    }
+    // canonical start: dedup + drop self-loops once, then iterate
+    var edges = truncate(
+      pr.select(col("id1").as("a"), col("id2").as("b"))
+        .where(col("a") =!= col("b")).distinct())
+    var iter = 0
+    var converged = false
+    var prevCount = edges.count()
+    while (!converged && iter < maxIters) {
+      val t0 = System.nanoTime()
+      val next = truncate(smallStar(largeStar(edges)))
+      // exact fixpoint: both diffs empty <=> identical edge sets. The
+      // anti-joins only run once the cheap necessary condition (equal
+      // edge counts on the already-materialized frames) holds — while
+      // the star forest is still contracting, the count gate skips
+      // the two heavy passes
+      val nextCount = next.count()
+      converged = nextCount == prevCount &&
+        next.join(edges, Seq("a", "b"), "left_anti").isEmpty &&
+        edges.join(next, Seq("a", "b"), "left_anti").isEmpty
+      prevCount = nextCount
+      if (sys.env.contains("GRAFT_CC_VERBOSE"))
+        System.err.println(
+          f"[cc-lss] round $iter: ${(System.nanoTime() - t0) / 1e9}%.2f s converged=$converged")
+      edges = next
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"dedupClusters(lss) did not converge in $maxIters rounds")
+    // at the fixpoint `edges` IS the star forest (child -> component
+    // min); roots label themselves
+    edges.select(col("a").as("doc_id"), col("b").as("cluster_id"))
+      .union(edges.select(col("b").as("doc_id"), col("b").as("cluster_id")).distinct())
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Min-label propagation + pointer jumping — the pre-r14 formulation,
+    * kept selectable (`graft.dedup.ccAlgorithm` = minlabel) for A/B
+    * probes against lss on high-diameter graphs. */
+  private def ccMinLabel(pr: DataFrame, maxIters: Int): DataFrame = {
     // both orientations from ONE scan: a union of two selects over the
     // same (expensive, uncached) pair pipeline computes it twice —
     // Spark does no CSE across union branches. No distinct either:
     // every consumer is a min-aggregate, idempotent to duplicates, so
     // the dedup shuffle would be pure cost.
-    val edges = pairs.select(explode(array(
+    val edges = pr.select(explode(array(
         struct(col("id1").as("a"), col("id2").as("b")),
         struct(col("id2").as("a"), col("id1").as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
@@ -983,11 +1184,13 @@ object Dedup {
     * the output lists only the contested groups and their survivor.
     *
     * Scale shape: pairs/components as in semanticDedupPairs +
-    * dedupClusters (the edge frame is cached there, so the expensive
-    * pair pipeline runs once); the keeper fold is one min_by partial
-    * agg over the (small) membership frame joined to the narrow
-    * (id, cent_cos) assignment — which recomputes as one map-only
-    * broadcast pass, no shuffle. */
+    * dedupClusters (the pair frame is cached there, so the expensive
+    * pair pipeline runs once); the narrow (id, cent_id, cent_cos)
+    * assignment is stage-truncated ONCE up front, so both its
+    * consumers (the pair screen's centroid-block join and the final
+    * keeper fold) read materialized blocks instead of each re-running
+    * the corpus×centroids assignment pass — the r13 keeper paid that
+    * broadcast scan twice. */
   def semanticDedupKeep(
       emb: DataFrame,
       idCol: String,
@@ -995,7 +1198,7 @@ object Dedup {
       nCentroids: Int,
       minCosine: Double): DataFrame = {
     val v = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-    val asg = semanticAssign(v, nCentroids)
+    val asg = graft.util.Stages.truncate(semanticAssign(v, nCentroids))
     val pairs = semanticPairsFrom(v, asg, minCosine)
     dedupClusters(pairs)
       .join(asg.select(col("id").as("doc_id"), col("cent_cos")), "doc_id")

@@ -95,6 +95,22 @@ class GraftOutputFormat extends FileOutputFormat[Text, MapWritable] {
   }
 }
 
+/** Concrete ArrayWritable subclasses, one per element type. TWO
+  * requirements force these (both hit only when a job serializes the
+  * values, i.e. anything beyond map-only): MapWritable re-creates each
+  * value via ReflectionUtils.newInstance, so the value class needs a
+  * NO-ARG constructor — raw ArrayWritable has none; and
+  * ArrayWritable.readFields re-creates each ELEMENT reflectively, so
+  * the element class must be concrete — classOf[Writable] is an
+  * interface. es-hadoop ships WritableArrayWritable for the same
+  * reason; these are its typed analogs. */
+class LongArrayWritable extends ArrayWritable(classOf[LongWritable])
+class IntArrayWritable extends ArrayWritable(classOf[IntWritable])
+class DoubleArrayWritable extends ArrayWritable(classOf[DoubleWritable])
+class FloatArrayWritable extends ArrayWritable(classOf[FloatWritable])
+class BooleanArrayWritable extends ArrayWritable(classOf[BooleanWritable])
+class TextArrayWritable extends ArrayWritable(classOf[Text])
+
 object GraftMapredFormats {
 
   /** parquet Group -> MapWritable, primitive fields + LIST-of-primitive
@@ -113,7 +129,11 @@ object GraftMapredFormats {
           if (f.isPrimitive && !f.isRepetition(Type.Repetition.REPEATED)) primitive(g, f, i, 0)
           else if (f.isPrimitive) {
             val arr = Array.tabulate[Writable](n)(j => primitive(g, f, i, j))
-            new ArrayWritable(classOf[Writable], arr)
+            // a typed concrete wrapper, never raw ArrayWritable with
+            // classOf[Writable] (the pre-r14 form): see the subclass
+            // scaladoc above. Pinned by the round-trip-through-
+            // serialization test in HadoopFormatsSpec.
+            arrayWritable(f, arr)
           } else sys.error(
             s"GraftInputFormat: nested group field '${f.getName}' is not " +
               "representable as MapWritable — project it out or flatten upstream")
@@ -122,6 +142,21 @@ object GraftMapredFormats {
       i += 1
     }
     out
+  }
+
+  /** The typed concrete wrapper matching the element class `primitive`
+    * emits for this field — serialization-safe (see subclass scaladoc). */
+  private def arrayWritable(f: Type, arr: Array[Writable]): ArrayWritable = {
+    val w = f.asPrimitiveType().getPrimitiveTypeName match {
+      case INT64 => new LongArrayWritable
+      case INT32 => new IntArrayWritable
+      case DOUBLE => new DoubleArrayWritable
+      case FLOAT => new FloatArrayWritable
+      case BOOLEAN => new BooleanArrayWritable
+      case _ => new TextArrayWritable
+    }
+    w.set(arr)
+    w
   }
 
   private def primitive(g: Group, f: Type, i: Int, j: Int): Writable =

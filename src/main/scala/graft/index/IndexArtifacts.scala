@@ -45,6 +45,50 @@ import org.apache.spark.sql.functions._
   */
 object IndexArtifacts {
 
+  /** Build-once artifact directory keyed by source fingerprint, safe
+    * against CONCURRENT builders and stale generations (the r13
+    * advice): `loaded(finalDir)` probes for a fresh artifact; when
+    * absent, `build(stagingDir)` runs into a process-unique sibling
+    * path and the result is ATOMICALLY renamed into place — two
+    * concurrent harness runs over the same testdata can never observe
+    * a partially-written artifact at the final path, and the rename
+    * loser just deletes its staging copy and reads the winner's.
+    * Sibling dirs from EARLIER testdata generations (same kind+user
+    * prefix, different fingerprint) are best-effort swept, so /tmp
+    * stops accumulating one artifact tree per regeneration. */
+  def ensureArtifact(kind: String, srcFp: String)
+      (loaded: String => Boolean)(build: String => Unit): String = {
+    val user = System.getProperty("user.name")
+    val prefix = s"graft_${kind}_${user}_"
+    val finalDir = s"/tmp/$prefix$srcFp"
+    if (!loaded(finalDir)) {
+      val tmpRoot = new java.io.File("/tmp")
+      tmpRoot.listFiles().foreach { f =>
+        if (f.getName.startsWith(prefix) && f.getName != s"$prefix$srcFp")
+          try deleteRecursively(f) catch { case _: Throwable => () }
+      }
+      val staging = new java.io.File(tmpRoot,
+        s".$prefix${srcFp}_stage_${ProcessHandle.current().pid()}_${System.nanoTime()}")
+      build(staging.getAbsolutePath)
+      try {
+        java.nio.file.Files.move(staging.toPath, new java.io.File(finalDir).toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.AccessDeniedException |
+             _: java.nio.file.FileSystemException =>
+          // a concurrent builder won the rename — use theirs
+          try deleteRecursively(staging) catch { case _: Throwable => () }
+      }
+    }
+    finalDir
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
   val AnalysisDirName = "_graft_analysis"
 
   def analysisDir(indexPath: String, textCol: String): String =
@@ -321,17 +365,40 @@ object IndexArtifacts {
     }
     val known = spark.read.parquet(s"$dir/shingles")
       .select(col("id").as("__known_id"))
-    val fresh = spark.read.format(fmt).load(indexPath)
-      .join(known, col(idCol) === col("__known_id"), "left_anti")
-    // the Cut variant checkpoints: this method writes into the very
-    // path the anti-join reads, and a lineage-carrying frame would be
-    // recomputed (empty) by recacheByPath after the first write
-    val (sh, banded) =
-      graft.dedup.Dedup.minhashArtifactFramesCut(fresh, idCol, textCol, numHashes, bands)
-    try {
-      sh.write.mode("append").parquet(s"$dir/shingles")
-      banded.write.mode("append").parquet(s"$dir/bands")
-    } finally sh.unpersist(false)
+    val data = spark.read.format(fmt).load(indexPath)
+    val fresh = data.join(known, col(idCol) === col("__known_id"), "left_anti")
+    // Append audit (mirrors refreshAnalysis — the r13 advice gap): the
+    // anti-join SILENTLY drops an appended row whose id collides with
+    // a stored one (absent from the artifact, meta stamped fresh) and
+    // KEEPS null-id rows (null never equals, so they'd append as
+    // id-null artifact rows); either breaks minhashLshCrossIndexed's
+    // "answer-equal to the on-the-fly screen by construction"
+    // contract. The fresh batch must be non-null, internally
+    // distinct, and account for every non-stored data row — on any
+    // mismatch fall back to a full rebuild. Old EMPTY-SHINGLE docs
+    // are never stored (both build paths filter size(sh)>0), so they
+    // legitimately reappear in `fresh` each refresh and are filtered
+    // again — the coverage identity counts them on the fresh side,
+    // consistently.
+    val audit = fresh.agg(
+      count(lit(1)).as("n"),
+      count(col(idCol)).as("n_nonnull"),
+      countDistinct(col(idCol)).as("n_distinct")).head()
+    val nFresh = audit.getLong(0)
+    if (nFresh != audit.getLong(1) || nFresh != audit.getLong(2) ||
+        data.count() != known.count() + nFresh)
+      return buildMinhash(spark, indexPath, idCol, textCol, numHashes, bands, fmt)
+    if (nFresh > 0) {
+      // the Cut variant checkpoints: this method writes into the very
+      // path the anti-join reads, and a lineage-carrying frame would be
+      // recomputed (empty) by recacheByPath after the first write
+      val (sh, banded) =
+        graft.dedup.Dedup.minhashArtifactFramesCut(fresh, idCol, textCol, numHashes, bands)
+      try {
+        sh.write.mode("append").parquet(s"$dir/shingles")
+        banded.write.mode("append").parquet(s"$dir/bands")
+      } finally sh.unpersist(false)
+    }
     writeMinhashMeta(spark, indexPath, idCol, textCol, numHashes, bands)
   }
 

@@ -130,4 +130,33 @@ class HadoopFormatsSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet
     assert(a == b && a.size == 10)
   }
+
+  test("repeated fields survive Writable SERIALIZATION (the shuffle path)") {
+    // a map-only test never serializes the values; anything beyond it
+    // (shuffle, SequenceFile spill) round-trips every Writable through
+    // write()/readFields(), and ArrayWritable instantiates its element
+    // class REFLECTIVELY there — an interface element class
+    // (classOf[Writable], the pre-r14 form) crashes at deserialization
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.schema.MessageTypeParser
+    val schema = MessageTypeParser.parseMessageType(
+      "message doc { optional int64 doc_id; repeated int64 refs; repeated binary tag (UTF8); }")
+    val g = new SimpleGroupFactory(schema).newGroup()
+    g.add("doc_id", 7L); g.add("refs", 11L); g.add("refs", 12L); g.add("tag", "a")
+    val m = graft.hadoop.GraftMapredFormats.toMapWritable(g)
+
+    val bytes = new java.io.ByteArrayOutputStream()
+    m.write(new java.io.DataOutputStream(bytes))
+    val back = new MapWritable()
+    back.readFields(new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes.toByteArray)))
+
+    val refs = back.get(new Text("refs"))
+      .asInstanceOf[org.apache.hadoop.io.ArrayWritable].get()
+    assert(refs.map(_.asInstanceOf[LongWritable].get()).toSeq == Seq(11L, 12L))
+    val tags = back.get(new Text("tag"))
+      .asInstanceOf[org.apache.hadoop.io.ArrayWritable].get()
+    assert(tags.map(_.toString).toSeq == Seq("a"))
+    assert(back.get(new Text("doc_id")).asInstanceOf[LongWritable].get() == 7L)
+  }
 }
