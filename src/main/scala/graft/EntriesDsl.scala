@@ -270,6 +270,10 @@ private[graft] object EntriesDsl {
     // int8 quantization audit over the embedding corpus (map-only)
     "q_embed_quant" -> ((s, d) =>
       graft.dedup.Vectors.quantizeInt8Stats(t(s, d, "embeddings"), "vec_id", "embedding")),
+    // int4 twin (ES 8.18 int4_hnsw): same audit at 7 levels — run
+    // both to price the extra error against 2x less storage/IO
+    "q_embed_quant_int4" -> ((s, d) =>
+      graft.dedup.Vectors.quantizeInt4Stats(t(s, d, "embeddings"), "vec_id", "embedding")),
     // script_score with dense-vector functions (ES semantic-search
     // scoring: cosineSimilarity over a stored embedding + 1.0)
     // Painless statement subset: a for-loop over the stored vector
@@ -1510,6 +1514,13 @@ private[graft] object EntriesDsl {
       "s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e), " +
       "r AS (SELECT vec_id, scale, CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0) ELSE " +
       "list_transform(v, x -> abs(least(greatest(floor(x / scale + 0.5), -127.0), 127.0) * scale - x)) END AS errs FROM s) " +
+      "SELECT vec_id AS id, round(scale, 6) AS scale, round(list_max(errs), 6) AS max_err, " +
+      "round(list_reduce(list_prepend(0.0, list_transform(errs, e -> e * e)), (a, b) -> a + b) / len(v), 6) AS mse " +
+      "FROM r JOIN e USING (vec_id) ORDER BY id"),
+    "q_embed_quant_int4" -> ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), " +
+      "s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 7.0 AS scale FROM e), " +
+      "r AS (SELECT vec_id, scale, CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0) ELSE " +
+      "list_transform(v, x -> abs(least(greatest(floor(x / scale + 0.5), -7.0), 7.0) * scale - x)) END AS errs FROM s) " +
       "SELECT vec_id AS id, round(scale, 6) AS scale, round(list_max(errs), 6) AS max_err, " +
       "round(list_reduce(list_prepend(0.0, list_transform(errs, e -> e * e)), (a, b) -> a + b) / len(v), 6) AS mse " +
       "FROM r JOIN e USING (vec_id) ORDER BY id"),

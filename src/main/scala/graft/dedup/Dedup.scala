@@ -1341,4 +1341,20 @@ object Vectors {
       graft.util.Num.round(element_at(stats, 3), 6).as("mse"))
       .orderBy(col("id").asc)
   }
+
+  /** int4 twin of the audit above (ES 8.18 `int4_hnsw`, 8x smaller):
+    * same one-pass [scale, max_err, mse] kernel at 7 levels — run both
+    * audits to price the extra quantization error against the 2x
+    * storage/IO saving over int8. */
+  def quantizeInt4Stats(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val stats = org.apache.spark.sql.GraftBridge.column(
+      graft.expr.Int4QuantStats(
+        org.apache.spark.sql.GraftBridge.expression(col(vecCol))))
+    df.select(
+      col(idCol).as("id"),
+      graft.util.Num.round(element_at(stats, 1), 6).as("scale"),
+      graft.util.Num.round(element_at(stats, 2), 6).as("max_err"),
+      graft.util.Num.round(element_at(stats, 3), 6).as("mse"))
+      .orderBy(col("id").asc)
+  }
 }

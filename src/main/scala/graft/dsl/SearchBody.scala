@@ -321,9 +321,14 @@ object SearchBody {
         s"(supported: ${SupportedKeys.toSeq.sorted.mkString(", ")})")
     val (runtime, innerQ) = parse(body)
     val projected = runtime.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
-    // slice (sliced scroll / PIT search): slice i of max n keeps the
-    // hits whose hash lands in partition i — a plain pushable
-    // predicate, so N slice workers each scan with their own filter.
+    // slice (sliced scroll): slice i of max n keeps the hits whose
+    // hash lands in partition i — a plain pushable predicate, so N
+    // slice workers each scan with their own filter. This partitions
+    // the LIVE view only; ES-faithful snapshot consistency (pages
+    // immune to concurrent appends/swaps — "slice inside a PIT")
+    // comes from running the same predicate over an open PIT's pinned
+    // manifest: Connector.openPit + pitSlice/pitScrollPages/
+    // pitSearchAfter (PagingPitSpec proves page-union invariance).
     // The draw is the deterministic md5-48 content hash on the slice
     // field (ES hashes _id per shard; a content hash is the portable,
     // rerun-stable equivalent; a NULL slice-field value hashes the

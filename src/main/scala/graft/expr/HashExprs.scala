@@ -742,6 +742,136 @@ object HashKernels {
     new GenericArrayData(Array[Any](scale, maxErr, if (n == 0) 0.0 else sse / n))
   }
 
+  /** int4 twin of quantInt4Kernel's stats (ES 8.18 `int4_hnsw` — the
+    * 8x-compressed middle point between int8 and 1-bit BBQ): scale =
+    * max|x|/7, q = clamp(floor(x/scale+0.5), ±7). Same floor(x+.5)
+    * rounding convention as int8 for cross-engine parity. */
+  def quantInt4Kernel(v: ArrayData): GenericArrayData = {
+    val n = v.numElements()
+    var amax = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(v.getDouble(i))
+      if (a > amax) amax = a
+      i += 1
+    }
+    val scale = amax / 7.0
+    var maxErr = 0.0
+    var sse = 0.0
+    i = 0
+    while (i < n) {
+      val x = v.getDouble(i)
+      val err = if (scale == 0.0) 0.0 else {
+        var q = math.floor(x / scale + 0.5)
+        if (q > 7.0) q = 7.0
+        if (q < -7.0) q = -7.0
+        math.abs(q * scale - x)
+      }
+      if (err > maxErr) maxErr = err
+      sse += err * err
+      i += 1
+    }
+    new GenericArrayData(Array[Any](scale, maxErr, if (n == 0) 0.0 else sse / n))
+  }
+
+  /** Cosine of (int4-quantized-then-dequantized x) vs raw y — the
+    * coarse score of an int4 index (quantCosineKernel with 7 levels).
+    * One pass, no allocation. */
+  def int4CosineKernel(x: ArrayData, y: ArrayData): Double = {
+    val n = x.numElements()
+    var amax = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(x.getDouble(i))
+      if (a > amax) amax = a
+      i += 1
+    }
+    val scale = amax / 7.0
+    var dot = 0.0
+    var nx = 0.0
+    var ny = 0.0
+    i = 0
+    while (i < n) {
+      val raw = x.getDouble(i)
+      val a = if (scale == 0.0) 0.0 else {
+        var q = math.floor(raw / scale + 0.5)
+        if (q > 7.0) q = 7.0
+        if (q < -7.0) q = -7.0
+        q * scale
+      }
+      val b = y.getDouble(i)
+      dot += a * b
+      nx += a * a
+      ny += b * b
+      i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0
+    else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  /** Pack a vector's int4 codes TWO PER BYTE (the half-byte storage
+    * that makes int4 8x smaller than float32): code biased +7 into an
+    * unsigned nibble 0..14, even index -> low nibble, odd -> high.
+    * Layout: 8 bytes of IEEE-754 scale (big-endian), then
+    * ceil(dim/2) code bytes — self-contained, so a packed column IS
+    * the stored index artifact. */
+  def int4PackKernel(v: ArrayData): Array[Byte] = {
+    val n = v.numElements()
+    var amax = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(v.getDouble(i))
+      if (a > amax) amax = a
+      i += 1
+    }
+    val scale = amax / 7.0
+    val out = new Array[Byte](8 + (n + 1) / 2)
+    val bits = java.lang.Double.doubleToLongBits(scale)
+    i = 0
+    while (i < 8) { out(i) = ((bits >>> ((7 - i) * 8)) & 0xff).toByte; i += 1 }
+    i = 0
+    while (i < n) {
+      val x = v.getDouble(i)
+      var q = if (scale == 0.0) 0.0 else math.floor(x / scale + 0.5)
+      if (q > 7.0) q = 7.0
+      if (q < -7.0) q = -7.0
+      val nib = (q.toInt + 7) & 0xf
+      val at = 8 + i / 2
+      if ((i & 1) == 0) out(at) = (out(at) | nib).toByte
+      else out(at) = (out(at) | (nib << 4)).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Score a PACKED int4 vector against a raw query — reads only the
+    * half-byte codes + the 8-byte scale header; must agree exactly
+    * with int4CosineKernel on the unpacked vector (spec-pinned). */
+  def int4PackedCosineKernel(packed: Array[Byte], y: ArrayData): Double = {
+    if (packed.length < 8) return 0.0
+    var bits = 0L
+    var i = 0
+    while (i < 8) { bits = (bits << 8) | (packed(i) & 0xffL); i += 1 }
+    val scale = java.lang.Double.longBitsToDouble(bits)
+    val n = math.min((packed.length - 8) * 2, y.numElements())
+    var dot = 0.0
+    var nx = 0.0
+    var ny = 0.0
+    i = 0
+    while (i < n) {
+      val b8 = packed(8 + i / 2) & 0xff
+      val nib = if ((i & 1) == 0) b8 & 0xf else (b8 >>> 4) & 0xf
+      val a = (nib - 7) * scale
+      val b = y.getDouble(i)
+      dot += a * b
+      nx += a * a
+      ny += b * b
+      i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0
+    else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
   /** Dense dot product — one fused loop, same shape as cosineKernel
     * (the script_score `dotProduct` vector function). */
   def dotKernel(x: ArrayData, y: ArrayData): Double = {
@@ -1306,6 +1436,81 @@ case class Int8QuantStats(child: Expression)
       s"${ev.value} = graft.expr.HashKernels.quantInt8Kernel($c);")
   override protected def withNewChildInternal(newChild: Expression): Int8QuantStats =
     copy(child = newChild)
+}
+
+/** int4 quantization stats [scale, max_err, mse] — see
+  * HashKernels.quantInt4Kernel (ES 8.18 int4_hnsw). */
+case class Int4QuantStats(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] =
+    Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType)
+  override def prettyName: String = "int4_quant_stats"
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.quantInt4Kernel(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.HashKernels.quantInt4Kernel($c);")
+  override protected def withNewChildInternal(newChild: Expression): Int4QuantStats =
+    copy(child = newChild)
+}
+
+/** Cosine of int4-dequantized left vs raw right — the int4 index's
+  * coarse score (QuantizedCosine with 7 levels). */
+case class Int4Cosine(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "int4_cosine"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(HashKernels.int4CosineKernel(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expr.HashKernels.int4CosineKernel($a, $b);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Int4Cosine =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Half-byte packing of a vector's int4 codes (scale header + two
+  * codes per byte) — see HashKernels.int4PackKernel. */
+case class Int4Pack(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] =
+    Seq(ArrayType(DoubleType))
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "int4_pack"
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.int4PackKernel(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.HashKernels.int4PackKernel($c);")
+  override protected def withNewChildInternal(newChild: Expression): Int4Pack =
+    copy(child = newChild)
+}
+
+/** Cosine straight off the PACKED half-byte codes vs a raw query —
+  * the scan an int4 index actually runs (8 bytes scale + dim/2 code
+  * bytes per doc read, never the float vector). */
+case class Int4PackedCosine(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] =
+    Seq(BinaryType, ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "int4_packed_cosine"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(HashKernels.int4PackedCosineKernel(
+      a.asInstanceOf[Array[Byte]], b.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expr.HashKernels.int4PackedCosineKernel($a, $b);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Int4PackedCosine =
+    copy(left = newLeft, right = newRight)
 }
 
 case class DotProductSim(left: Expression, right: Expression)

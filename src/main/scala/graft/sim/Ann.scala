@@ -892,6 +892,46 @@ object Ann {
       .limit(k)
   }
 
+  /** ES 8.18 `int4_hnsw`: the half-byte middle point between int8
+    * (4x) and 1-bit BBQ (32x) — 8x-compressed storage with an
+    * oversampled exact rescore. The coarse pass reads ONLY the packed
+    * artifact (8 bytes of scale + dim/2 code bytes per doc, two int4
+    * codes per byte — Int4Pack/Int4PackedCosine kernels); the
+    * oversampled window's raw vectors rescore exactly via a broadcast
+    * semi-join, the bbqTopK shape. The packed score is EXACTLY the
+    * dequantized-cosine (Int4Cosine) of the unpacked vector —
+    * spec-pinned — which is what makes the DuckDB oracle (which
+    * replays the dequant math, not the bytes) valid. */
+  def knnRescoreInt4TopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryVec: Seq[Double],
+      k: Int,
+      oversample: Int): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val q = array(queryVec.map(lit): _*)
+    // null vectors: same flood hazard bbqTopK documents
+    val live = corpus.where(col(vecCol).isNotNull)
+    // the stored artifact: (id, packed half-byte codes)
+    val packed = live.select(col(idCol).as("id"),
+      GraftBridge.column(graft.expr.Int4Pack(
+        GraftBridge.expression(col(vecCol).cast("array<double>")))).as("pk"))
+    val coarseScore = GraftBridge.column(graft.expr.Int4PackedCosine(
+      GraftBridge.expression(col("pk")), GraftBridge.expression(q)))
+    val coarse = packed.select(col("id"), coarseScore.as("qscore"))
+      .orderBy(col("qscore").desc, col("id").asc)
+      .limit(k * oversample)
+    val exact = GraftBridge.column(graft.expr.CosineSim(
+      GraftBridge.expression(col(vecCol)), GraftBridge.expression(q)))
+    live.join(broadcast(coarse), live(idCol) === coarse("id"))
+      .select(coarse("id"),
+        graft.util.Num.round(exact, 4).as("cosine"),
+        graft.util.Num.round(coarse("qscore"), 4).as("quantized"))
+      .orderBy(col("cosine").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** ES 8.18 knn `rescore_vector.oversample`: the quantized index
     * (int8 storage) ranks a COARSE top-(k * oversample) window with
     * its lossy score, then the raw vectors rescore exactly and keep

@@ -1591,6 +1591,50 @@ object Connector {
     }
   }
 
+  // ---- PIT-pinned paging sessions ---------------------------------
+
+  /** Scroll/search_after paging THROUGH an open PIT — ES's
+    * "search_after with a point in time" (the only ES-supported way
+    * to page consistently). Every page plans against the PIT's pinned
+    * file manifest, so a concurrent append or crash-safe swap between
+    * pages can neither surface new rows mid-cursor nor drop pinned
+    * ones — the union of pages is exactly the snapshot at open time.
+    * Un-pinned pages (planning against the live directory) re-list
+    * files per page and CAN drift; PagingPitSpec documents that drift
+    * and proves the invariance with the pin. Cost shape is unchanged:
+    * each page is one cursor-predicate scan of the pinned files. */
+  def pitScrollPages(
+      spark: SparkSession, path: String, pitId: String,
+      idCol: String, sortCol: String, pageSize: Int)
+      : Iterator[Seq[org.apache.spark.sql.Row]] =
+    graft.search.Search.scrollPages(pitDF(spark, path, pitId), idCol, sortCol, pageSize)
+
+  /** One search_after page through an open PIT (the from/size-free
+    * deep-paging primitive, pinned). */
+  def pitSearchAfter(
+      spark: SparkSession, path: String, pitId: String,
+      idCol: String, sortField: String,
+      afterSort: Any, afterId: Any, size: Int): DataFrame =
+    graft.search.Search.searchAfter(
+      pitDF(spark, path, pitId), idCol, sortField, afterSort, afterId, size)
+
+  /** One slice of a PIT-pinned sliced scroll: the same deterministic
+    * md5-48 slice predicate as the live q_slice operator, planned over
+    * the pinned manifest — disjoint slices drained by parallel workers
+    * union to exactly the snapshot even while the live index keeps
+    * ingesting. */
+  def pitSlice(
+      spark: SparkSession, path: String, pitId: String,
+      idCol: String, sliceId: Int, maxSlices: Int): DataFrame = {
+    require(maxSlices > 0 && sliceId >= 0 && sliceId < maxSlices,
+      s"slice id $sliceId out of range for max $maxSlices")
+    import org.apache.spark.sql.functions.{concat, conv, lit, md5, pmod, substring}
+    pitDF(spark, path, pitId).where(
+      pmod(conv(substring(md5(concat(lit("slice:"),
+        org.apache.spark.sql.functions.col(idCol).cast("string"))), 1, 12), 16, 10)
+        .cast("long"), lit(maxSlices.toLong)) === sliceId.toLong)
+  }
+
   private def pitsDir(live: Path) = new Path(live.toString + "_graft_pits")
 
   /** The generation marker (`_graft_gen_<uuid>`) of a directory. */

@@ -119,6 +119,44 @@ class AnnTextSpec extends SparkSpec {
     assert(probe.forall(!_._2))
   }
 
+  test("int4: packed half-byte scores equal the dequantized cosine; two codes per byte; top-k sane") {
+    import org.apache.spark.sql.GraftBridge
+    val vecs = Seq(
+      (1L, Array(0.9, -0.3, 0.05, 0.0, 1.4)),          // odd dim
+      (2L, Array(-1.0, 1.0, 0.5, -0.5, 0.25)),
+      (3L, Array(0.0, 0.0, 0.0, 0.0, 0.0)),            // zero vector
+      (4L, Array(2.0, 1.999, -2.0, 0.001, 1.0)))
+      .toDF("id", "v").withColumn("v", col("v").cast("array<double>"))
+    val q = Seq(0.7, -0.1, 0.4, 0.2, 0.9)
+    val qc = array(q.map(lit): _*)
+    val r = vecs.select(
+      col("id"),
+      GraftBridge.column(graft.expr.Int4Pack(GraftBridge.expression(col("v")))).as("pk"),
+      GraftBridge.column(graft.expr.Int4Cosine(
+        GraftBridge.expression(col("v")), GraftBridge.expression(qc))).as("direct"))
+      .withColumn("packed", GraftBridge.column(graft.expr.Int4PackedCosine(
+        GraftBridge.expression(col("pk")), GraftBridge.expression(qc))))
+      .as[(Long, Array[Byte], Double, Double)].collect()
+    // the packed scan and the dequantized cosine agree BIT-exactly
+    r.foreach { case (id, pk, direct, packed) =>
+      assert(direct == packed, s"id $id: packed $packed != direct $direct")
+      assert(pk.length == 8 + 3, s"id $id: 5 dims must pack into 8+ceil(5/2) bytes, got ${pk.length}")
+    }
+    // zero vector scores 0, never NaN
+    assert(r.find(_._1 == 3L).get._3 == 0.0)
+
+    // end-to-end: int4 rescore top-k over the testdata embeddings
+    // returns exact cosines in the same order as the full-precision
+    // brute force (oversample wide enough at this scale)
+    val emb = Tables.embeddings(spark, sfDir)
+    val qv = (1 to 64).map(i => math.sin(i * 0.37))
+    val int4 = Ann.knnRescoreInt4TopK(emb, "vec_id", "embedding", qv, k = 5, oversample = 8)
+      .select("id", "cosine").as[(Long, Double)].collect().toSeq
+    val brute = Ann.knnRescoreTopK(emb, "vec_id", "embedding", qv, k = 5, oversample = 8)
+      .select("id", "cosine").as[(Long, Double)].collect().toSeq
+    assert(int4 == brute, s"int4 window missed the true top-k: $int4 vs $brute")
+  }
+
   test("knn _explain: dot/norms/cosine breakdown consistent") {
     val r = Ann.explainKnn(vecs, "vec_id", "embedding",
       Seq(1.0, 1.0, 0.0, 0.0), docId = 2L)
