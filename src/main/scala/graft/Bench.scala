@@ -32,6 +32,15 @@ object Bench {
     }
     require(root.get("value").exists(_.isInstanceOf[JDouble]), "summary missing value")
     require(root.get("queries").exists(_.isInstanceOf[JObject]), "summary missing queries")
+    // r14 ratchet: the adjudication fields must ship — every diag
+    // entry is [gc_ms (int), storage_mb (double)]
+    root.get("diag") match {
+      case Some(JObject(ds)) => ds.foreach {
+        case JField(k, JArray(List(JInt(_) | JLong(_), JDouble(_)))) => ()
+        case JField(k, other) => sys.error(s"bad diag entry '$k': $other")
+      }
+      case other => sys.error(s"summary missing diag map: $other")
+    }
     root.get("retried") match {
       case Some(JObject(rs)) => rs.foreach {
         case JField(k, JArray(attempts)) =>
@@ -65,9 +74,28 @@ object Bench {
     Tables.events(spark, sfDir).count()
     val failed = scala.collection.mutable.ListBuffer.empty[String]
 
+    // r14 adjudication fields (the r13 verdict's bench-hygiene ask):
+    // per-query JVM GC time and the post-query storage-memory
+    // watermark make a "slow twice at quiet load" outlier
+    // self-diagnosing — r13's q_dedup_semantic_keep dispute needed a
+    // manual fresh-JVM bisect that these two numbers would have
+    // settled from the artifact alone.
+    def gcMillis(): Long = {
+      var s = 0L
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .forEach(b => if (b.getCollectionTime > 0) s += b.getCollectionTime)
+      s
+    }
+    def storageUsedMb(): Double = {
+      val st = spark.sparkContext.getExecutorMemoryStatus.values
+        .map { case (max, remaining) => max - remaining }.sum
+      st / 1048576.0
+    }
+
     def run1(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Double, Double) = {
+        : (Double, Double, Long, Double) = {
       val la = load1()
+      val gc0 = gcMillis()
       val t0 = System.nanoTime()
       // noop sink: every projected column is fully computed and
       // serialized (a bare count() lets Spark prune per-row compute in
@@ -75,13 +103,17 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => failed += name }
       val dt = (System.nanoTime() - t0) / 1e9
+      val gcMs = gcMillis() - gc0
+      // watermark BEFORE the cache clear: what this query left pinned
+      // is exactly the pressure the next query inherits
+      val stMb = storageUsedMb()
       // operators cache intermediates (LSH shingles, CC labels) that
       // stay referenced after the action; dropping them between queries
       // keeps the suite from accumulating heap pressure that inflates
       // later queries (each query is billed standalone, same as the
       // oracle runs them)
       spark.catalog.clearCache()
-      (dt, la)
+      (dt, la, gcMs, stMb)
     }
 
     // optional args: run only the named queries (local iteration aid);
@@ -94,8 +126,8 @@ object Bench {
       // storms, storage-pool contention) the log shows WHICH query,
       // not just frozen executor warnings
       System.err.println(s"[bench] $name")
-      val (dt, la) = run1(name, fn)
-      (name, dt, la)
+      val (dt, la, gc, st) = run1(name, fn)
+      (name, dt, la, gc, st)
     }
 
     // Outlier-retry pass (the r8 lesson): a time-localized host
@@ -115,16 +147,16 @@ object Bench {
     val outliers = firstPass.filter(_._2 > threshold)
       .sortBy(-_._2).take(12).map(_._1).toSet
     val retried = scala.collection.mutable.LinkedHashMap.empty[String, ((Double, Double), (Double, Double))]
-    val results = firstPass.map { case (name, t1, la1) =>
+    val results = firstPass.map { case (name, t1, la1, gc1, st1) =>
       if (outliers.contains(name)) {
         System.err.println(s"[bench] retry $name (first pass ${d3(t1)}s)")
-        val (t2, la2) = run1(name, byName(name))
+        val (t2, la2, gc2, st2) = run1(name, byName(name))
         retried += name -> (((t1, la1), (t2, la2)))
         // the reported time carries ITS OWN attempt's loadavg — the
         // whole point of the per-query load is adjudicating that
         // exact measurement, not the first attempt's burst
-        if (t2 <= t1) (name, t2, la2) else (name, t1, la1)
-      } else (name, t1, la1)
+        if (t2 <= t1) (name, t2, la2, gc2, st2) else (name, t1, la1, gc1, st1)
+      } else (name, t1, la1, gc1, st1)
     }
 
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
@@ -133,18 +165,26 @@ object Bench {
       scala.io.Source.fromFile("/proc/loadavg").mkString.trim
         .split("\\s+").take(3).mkString(",")
     } catch { case _: Throwable => "" }
-    // Full per-query detail (time + loadavg-at-start) goes to STDERR:
-    // the driver records a bounded tail of stdout and parses the JSON
-    // it finds there, and r8's parse came back null because the ~8 KB
-    // full-map line crowded the window. stdout carries EXACTLY ONE
-    // JSON line — the compact summary — emitted LAST, after
-    // spark.stop(), so nothing can print after it.
-    val fullQs = results.map { case (k, v, la) =>
-      "\"" + k + "\":[" + d3(v) + "," + d3(la) + "]"
+    // Full per-query detail (time, loadavg-at-start, gc ms, storage
+    // MB watermark) goes to STDERR: the driver records a bounded tail
+    // of stdout and parses the JSON it finds there, and r8's parse
+    // came back null because the ~8 KB full-map line crowded the
+    // window. stdout carries EXACTLY ONE JSON line — the compact
+    // summary — emitted LAST, after spark.stop(), so nothing can
+    // print after it.
+    val fullQs = results.map { case (k, v, la, gc, st) =>
+      "\"" + k + "\":[" + d3(v) + "," + d3(la) + "," + gc + "," + d3(st) + "]"
     }.mkString("{", ",", "}")
-    System.err.println(s"""{"detail":"full_time_load","queries":$fullQs}""")
+    System.err.println(s"""{"detail":"full_time_load_gc_storage","queries":$fullQs}""")
     val top = results.sortBy(-_._2).take(15)
-      .map { case (k, v, _) => "\"" + k + "\":" + d3(v) }
+      .map { case (k, v, _, _, _) => "\"" + k + "\":" + d3(v) }
+      .mkString("{", ",", "}")
+    // the same slowest-15, with the r14 adjudication fields: per key
+    // [gc ms during the reported attempt, storage-MB watermark after
+    // it] — a slow key with high gc or a fat inherited watermark is
+    // session-state, not a plan regression (the r13 dispute)
+    val diag = results.sortBy(-_._2).take(15)
+      .map { case (k, _, _, gc, st) => "\"" + k + "\":[" + gc + "," + d3(st) + "]" }
       .mkString("{", ",", "}")
     // retried map: per attempt [time, loadavg] — the adjudication
     // record for every outlier (bounded at 12 entries, stays compact)
@@ -154,7 +194,7 @@ object Bench {
     spark.stop()
     // a broken query must be visible as "failed", not as a
     // suspiciously fast total
-    val summary = s"""{"queries":$top,"queries_total_count":${results.size},"queries_shown":"slowest 15","retried":$retriedJson,"failed":$failedJson,"host_loadavg":"$loadavg","sf":"$sfDir","metric":"total","unit":"sec","value":${d3(total)}}"""
+    val summary = s"""{"queries":$top,"queries_total_count":${results.size},"queries_shown":"slowest 15","diag":$diag,"diag_fields":"[gc_ms,storage_mb]","retried":$retriedJson,"failed":$failedJson,"host_loadavg":"$loadavg","sf":"$sfDir","metric":"total","unit":"sec","value":${d3(total)}}"""
     // self-ratchet (r10): the string-assembled summary must PARSE and
     // carry the adjudication invariants — a malformed artifact fails
     // the run loudly instead of shipping "parsed": null to the driver
