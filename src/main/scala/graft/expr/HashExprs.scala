@@ -872,6 +872,46 @@ object HashKernels {
     else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
+  /** Mean-of-token-embeddings cosine vs a fixed query vector — the
+    * dense rerank kernel of the neural inference service: average the
+    * learned vectors of the row's KNOWN tokens (hash-map lookup into
+    * a flat model array), cosine against the pre-embedded query.
+    * Zero known tokens / zero norm -> 0.0 (the NaN-outranks hazard). */
+  def denseMeanCosineKernel(
+      toks: ArrayData,
+      index: java.util.HashMap[UTF8String, Integer],
+      flat: Array[Double],
+      dim: Int,
+      q: Array[Double]): Double = {
+    val n = toks.numElements()
+    val acc = new Array[Double](dim)
+    var known = 0
+    var i = 0
+    while (i < n) {
+      val off = index.get(toks.getUTF8String(i))
+      if (off != null) {
+        val base = off.intValue * dim
+        var j = 0
+        while (j < dim) { acc(j) += flat(base + j); j += 1 }
+        known += 1
+      }
+      i += 1
+    }
+    if (known == 0) return 0.0
+    var dot = 0.0
+    var nx = 0.0
+    var ny = 0.0
+    var j = 0
+    while (j < dim) {
+      val a = acc(j) / known
+      dot += a * q(j)
+      nx += a * a
+      ny += q(j) * q(j)
+      j += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
   /** Dense dot product — one fused loop, same shape as cosineKernel
     * (the script_score `dotProduct` vector function). */
   def dotKernel(x: ArrayData, y: ArrayData): Double = {
@@ -951,6 +991,50 @@ case class SparseTfDot(child: Expression, terms: Seq[String], weights: Seq[Doubl
   }
 
   override protected def withNewChildInternal(newChild: Expression): SparseTfDot =
+    copy(child = newChild)
+}
+
+/** Dense mean-embedding cosine against a fixed query vector — the
+  * neural inference service's rerank path (see
+  * HashKernels.denseMeanCosineKernel). The learned model (vocab hash
+  * index + flat vector table) rides into codegen as reference
+  * objects, the same broadcast-with-the-closure contract as
+  * DsirScoreSum's bucket model. */
+case class DenseMeanCosine(
+    child: Expression, query: Seq[Double], terms: Seq[String],
+    flat: Seq[Double], dim: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(dim > 0 && query.length == dim, "query must match the model dim")
+  require(terms.length * dim == flat.length, "flat table must be |vocab| x dim")
+
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dense_mean_cosine"
+
+  @transient private lazy val indexMap: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer](terms.length * 2)
+    var i = 0
+    terms.foreach { t => m.put(UTF8String.fromString(t), i); i += 1 }
+    m
+  }
+  @transient private lazy val flatArr: Array[Double] = flat.toArray
+  @transient private lazy val qArr: Array[Double] = query.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Double.valueOf(HashKernels.denseMeanCosineKernel(
+      input.asInstanceOf[ArrayData], indexMap, flatArr, dim, qArr))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idxRef = ctx.addReferenceObj("vocabIndex", indexMap, "java.util.HashMap")
+    val flatRef = ctx.addReferenceObj("flatVecs", flatArr, "double[]")
+    val qRef = ctx.addReferenceObj("queryVec", qArr, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.HashKernels.denseMeanCosineKernel(" +
+        s"$c, $idxRef, $flatRef, $dim, $qRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DenseMeanCosine =
     copy(child = newChild)
 }
 

@@ -76,6 +76,25 @@ final case class CorpusFittedService(
   }
 
   def decoder(): Array[Byte] => String = CorpusFittedService.parseMedia
+
+  /** Classical dense embedding: feature-hashed TF-IDF (the hashing
+    * trick) — each token lands in a signed md5 bucket weighted by its
+    * FITTED idf, mean-pooled to 32 dims. Fully learned weights, no
+    * neural runtime; the neural sibling is NeuralWordVecService. */
+  def embed(text: String): Seq[Double] = {
+    val dim = 32
+    val toks = Analyzer.analyze(text)
+    if (toks.isEmpty) return Seq.fill(dim)(0.0)
+    val acc = new Array[Double](dim)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    toks.foreach { t =>
+      val h = digest.digest(t.getBytes("UTF-8"))
+      val bucket = ((h(0) & 0x7f) << 8 | (h(1) & 0xff)) % dim
+      val sign = if ((h(2) & 1) == 0) 1.0 else -1.0
+      acc(bucket) += sign * idf.getOrElse(t, defaultIdf)
+    }
+    acc.map(_ / toks.size).toSeq
+  }
 }
 
 object CorpusFittedService {

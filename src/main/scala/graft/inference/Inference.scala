@@ -40,6 +40,12 @@ trait InferenceService extends Serializable {
     * codec/model initializes once and streams rows (the amortized-init
     * shape the typed plumbing exists for). */
   def decoder(): Array[Byte] => String
+
+  /** Text -> dense embedding (the `semantic_text` dense path / knn
+    * query-vector inference). Runs on the driver at plan-construction
+    * time, like expandQuery — one model call per search request; the
+    * resulting vector broadcasts into the knn scan as a literal. */
+  def embed(text: String): Seq[Double]
 }
 
 /** The deterministic default: term-overlap rerank (SparseTfDot),
@@ -67,6 +73,25 @@ object DeterministicStub extends InferenceService {
   def decoder(): Array[Byte] => String = {
     val digest = java.security.MessageDigest.getInstance("MD5")
     payload => digest.digest(payload).map("%02x".format(_)).mkString
+  }
+
+  /** Deterministic 16-dim pseudo-embedding: each analyzed token
+    * hashes to a signed unit contribution per dimension (md5-derived,
+    * engine-portable), mean-pooled — the honest sandbox stand-in that
+    * keeps embed() exercising the exact plumbing a dense model flows
+    * through. */
+  def embed(text: String): Seq[Double] = {
+    val dim = 16
+    val toks = graft.analysis.Analyzer.analyze(text)
+    if (toks.isEmpty) return Seq.fill(dim)(0.0)
+    val acc = new Array[Double](dim)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    toks.foreach { t =>
+      val h = digest.digest(t.getBytes("UTF-8"))
+      var j = 0
+      while (j < dim) { acc(j) += (if ((h(j) & 1) == 0) 1.0 else -1.0); j += 1 }
+    }
+    acc.map(_ / toks.size).toSeq
   }
 }
 

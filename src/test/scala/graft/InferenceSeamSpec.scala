@@ -21,6 +21,7 @@ class InferenceSeamSpec extends SparkSpec {
     def rerankScore(query: String, text: Column): Column = length(text).cast("double")
     def complete(prompt: Column): Column = lit("MODEL")
     def decoder(): Array[Byte] => String = _ => "decoded"
+    def embed(text: String): Seq[Double] = Seq(1.0, 0.0)
   }
 
   private def withService[T](svc: InferenceService)(f: => T): T = {
@@ -174,5 +175,84 @@ class InferenceSeamSpec extends SparkSpec {
     // a scan-only JPEG (no SOF before SOS) reports length, not garbage
     val sosOnly = Array(0xff, 0xd8, 0xff, 0xda, 0x00, 0x02, 0x01).map(_.toByte)
     assert(fitted.decoder()(sosOnly) == s"jpeg ${sosOnly.length}B")
+  }
+
+  test("NEURAL model (MLlib Word2Vec skip-gram) drives the same keys as the stub and the fitted model") {
+    import graft.inference.NeuralWordVecService
+    val neural = NeuralWordVecService.fit(docs, "text", dim = 16, minCount = 3)
+    // a real learned table: bounded vocab, dense non-degenerate vectors
+    assert(neural.terms.nonEmpty && neural.terms.length <= 4096)
+    assert(neural.flat.length == neural.terms.length * neural.dim)
+    assert(neural.flat.exists(_ != 0.0))
+
+    // embed: vocabulary text lands a non-zero dense vector; unknown
+    // text the zero vector (never NaN)
+    val qText = neural.terms.take(3).mkString(" ")
+    val qv = neural.embed(qText)
+    assert(qv.length == neural.dim && qv.exists(_ != 0.0))
+    assert(neural.embed("zzzzunknownzzz").forall(_ == 0.0))
+
+    // expandQuery: literal terms at 1.0 plus an EMBEDDING-SPACE
+    // neighbor at damped cosine weight — semantic expansion term
+    // statistics cannot produce
+    val exp = neural.expandQuery(neural.terms.head)
+    assert(exp.exists(_._2 == 1.0))
+    assert(exp.exists(t => t._2 != 1.0 && t._2 > 0.0),
+      s"expected a dense-space neighbor in $exp")
+
+    // the q_semantic_query plumbing: identical operator tree under
+    // stub / corpus-fitted / NEURAL — all three services through the
+    // same key (the verdict's done-criterion)
+    def semantic() = docs
+      .where(graft.dsl.QueryDslJson.compile(
+        """{"semantic": {"field": "text", "query": "vector hash merge"}}"""))
+      .select(col("doc_id")).orderBy(col("doc_id"))
+    def shape(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collect { case n => n.getClass.getSimpleName }
+    val stubShape = shape(semantic())
+    val fittedShape = withService(graft.inference.CorpusFittedService.fit(docs, "text")) {
+      shape(semantic())
+    }
+    val neuralShape = withService(neural) { shape(semantic()) }
+    assert(neuralShape == stubShape && fittedShape == stubShape,
+      s"plan shape must be service-invariant:\n$stubShape\nvs\n$neuralShape")
+
+    // the RERANK plumbing (q_retriever_rerank / ES|QL RERANK path):
+    // dense mean-vector cosine ranks on-vocabulary text above noise,
+    // through the same Column seam — and the kernel is compiled (the
+    // DenseMeanCosine expression, not a UDF)
+    val scored = withService(neural) {
+      Seq(qText, "zzz qqq vvv unknownwords").toDF("t")
+        .select(graft.inference.Inference.service.rerankScore(qText, col("t")).as("s"))
+        .as[Double].collect()
+    }
+    assert(scored(0) > scored(1) && scored(1) == 0.0,
+      s"dense rerank must rank vocab text first: ${scored.toSeq}")
+
+    // completion: greedy nearest-neighbor chain decoding — every
+    // emitted token is in the learned vocabulary
+    val gen = withService(neural) {
+      Seq(qText).toDF("p")
+        .select(graft.inference.Inference.service.complete(col("p")).as("c"))
+        .as[String].collect().head
+    }
+    val vocab = neural.terms.toSet
+    assert(gen.split(" ").filter(_.nonEmpty).forall(vocab.contains),
+      s"decode left the vocabulary: '$gen'")
+
+    // embed drives knn plumbing: brute-force top-k over embeddings of
+    // the docs' own texts, query embedded through the seam — one scan,
+    // exact cosines, deterministic
+    val corpus = withService(neural) {
+      docs.limit(50).select(col("doc_id"),
+        col("text")).as[(Long, String)].collect().toSeq
+        .map { case (id, t) => (id, neural.embed(t).toArray) }
+    }.toDF("id", "v")
+    val top = graft.sim.Ann.bruteForceTopK(
+      corpus.withColumn("v", col("v").cast("array<double>")),
+      corpus.where(col("id") === corpus.select(min(col("id"))).as[Long].head())
+        .withColumn("v", col("v").cast("array<double>")),
+      "id", "v", 5)
+    assert(top.count() == 5)
   }
 }

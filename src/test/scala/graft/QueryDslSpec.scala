@@ -377,6 +377,7 @@ class QueryDslSpec extends SparkSpec {
         DeterministicStub.rerankScore(q, t)
       def complete(p: org.apache.spark.sql.Column) = DeterministicStub.complete(p)
       def decoder() = DeterministicStub.decoder()
+      def embed(text: String) = DeterministicStub.embed(text)
     }
     Inference.service = swapped
     try {

@@ -504,6 +504,7 @@ class SearchBodySpec extends SparkSpec {
         def rerankScore(q: String, text: org.apache.spark.sql.Column) = lit(42.0)
         def complete(p: org.apache.spark.sql.Column) = prev.complete(p)
         def decoder() = prev.decoder()
+        def embed(text: String) = prev.embed(text)
       }
       val swapped = SearchBody.search(docs, body, idField = "doc_id")
         .select($"score".as[Double]).collect().toSeq
