@@ -665,6 +665,22 @@ private[graft] object EntriesDsl {
                ti = case(to_boolean(value > 100), 1, 0)
         | keep event_id, net, h, sp, hy, sc, ti
         | sort event_id""")),
+    // 9.x sweep tail (r14): ROUND_TO point-list bucketing, COPY_SIGN,
+    // TO_DATE_NANOS (string -> the ns-long domain), the mv tail
+    // (median absolute deviation, p-series weighted sum), and a
+    // multi-key LOOKUP JOIN is spec-covered in EsqlSpec
+    "q_esql_functions4" -> ((s, d) => graft.dsl.Esql.run(s, d,
+      """from lineitem
+        | where l_orderkey <= 160
+        | eval qb = round_to(l_quantity, 10.0, 20.0, 30.0, 40.0),
+               cs = round(copy_sign(l_tax, l_discount - 0.04), 2),
+               dn = to_date_nanos("2024-03-05 06:30:00"),
+               mv = split(concat(to_string(l_linenumber), ",", to_string(l_quantity),
+                 ",", to_string(l_orderkey % 7)), ","),
+               mad = mv_median_absolute_deviation(mv),
+               pw = round(mv_pseries_weighted_sum(mv, 1.5), 4)
+        | keep l_orderkey, l_linenumber, qb, cs, dn, mad, pw
+        | sort l_orderkey, l_linenumber""")),
     // date function family over ns-long event time
     "q_esql_dates" -> ((s, d) => graft.dsl.Esql.run(s, d,
       """from events
@@ -1318,6 +1334,23 @@ private[graft] object EntriesDsl {
       "sha256(event_type) AS h, '[   ]' AS sp, 5.0::DOUBLE AS hy, 24.0::DOUBLE AS sc, " +
       "(CASE WHEN value > 100 THEN 1 ELSE 0 END)::INT AS ti " +
       "FROM p ORDER BY event_id"),
+    "q_esql_functions4" -> ("WITH b AS (SELECT l_orderkey, l_linenumber, " +
+      "l_quantity::DOUBLE AS q, l_tax::DOUBLE AS tax, l_discount::DOUBLE AS disc, " +
+      "string_split(l_linenumber::VARCHAR || ',' || l_quantity::VARCHAR || ',' || (l_orderkey % 7)::VARCHAR, ',') AS mv " +
+      "FROM lineitem WHERE l_orderkey <= 160), " +
+      "m AS (SELECT *, list_sort(mv) AS sv, len(mv) AS n FROM b), " +
+      "m2 AS (SELECT *, (sv[(n + 1) // 2]::DOUBLE + sv[(n + 1) // 2 + (n + 1) % 2]::DOUBLE) / 2.0 AS med FROM m), " +
+      "m3 AS (SELECT *, list_sort(list_transform(mv, v -> abs(v::DOUBLE - med))) AS dv FROM m2) " +
+      "SELECT l_orderkey, l_linenumber, " +
+      "(CASE WHEN q >= 40.0 THEN 40.0 WHEN q >= 30.0 THEN 30.0 WHEN q >= 20.0 THEN 20.0 ELSE 10.0 END)::DOUBLE AS qb, " +
+      // + 0.0 folds IEEE -0.0 (a zero tax under a negative sign) back
+      // to 0.0, matching the Spark side's Num.round convention
+      "(round(CASE WHEN disc - 0.04 < 0 THEN -abs(tax) ELSE abs(tax) END, 2) + 0.0) AS cs, " +
+      "epoch_ns(TIMESTAMP '2024-03-05 06:30:00')::BIGINT AS dn, " +
+      "(dv[(n + 1) // 2] + dv[(n + 1) // 2 + (n + 1) % 2]) / 2.0 AS mad, " +
+      "round(list_reduce(list_prepend(0.0, list_transform(list_reverse_sort(mv), " +
+      "(v, i) -> v::DOUBLE / power(i::DOUBLE, 1.5))), (a, x) -> a + x), 4) AS pw " +
+      "FROM m3 ORDER BY l_orderkey, l_linenumber"),
     "q_esql_functions2" -> ("SELECT doc_id, to_base64(encode(lang)) AS b64, " +
       "decode(from_base64(to_base64(encode(lang)))) AS rt, " +
       "round(degrees(1.0), 4) AS deg, round(radians(180.0), 4) AS rad, " +

@@ -254,6 +254,19 @@ object Esql {
       "second" -> 1000000000L, "minute" -> 60L * 1000000000L,
       "hour" -> 3600L * 1000000000L, "day" -> 86400L * 1000000000L)
 
+    /** MV_MEDIAN's fold (shared with MAD): sorted middle, even counts
+      * average the two middles. */
+    private def mvMedian(x: Column): Column = {
+      val sorted = sort_array(x)
+      val n = size(x)
+      // Column./ is double division — truncate back to the index
+      val loIdx = ((n + lit(1)) / lit(2)).cast("int")
+      val lo = element_at(sorted, loIdx).cast("double")
+      val hi = element_at(sorted, loIdx + pmod(n + lit(1), lit(2)).cast("int"))
+        .cast("double")
+      (lo + hi) / 2.0
+    }
+
     private def fn(name: String, args: Seq[Column]): Column =
       (name.toLowerCase, args) match {
         case ("round", Seq(x)) => Num.round(x, 0)
@@ -353,15 +366,19 @@ object Esql {
           aggregate(x, lit(0.0), (acc, v) => acc + v.cast("double")) / size(x)
         // MV_MEDIAN: sorted middle; even counts average the two
         // middles (ES|QL's rule)
-        case ("mv_median", Seq(x)) =>
-          val sorted = sort_array(x)
-          val n = size(x)
-          // Column./ is double division — truncate back to the index
-          val loIdx = ((n + lit(1)) / lit(2)).cast("int")
-          val lo = element_at(sorted, loIdx).cast("double")
-          val hi = element_at(sorted, loIdx + pmod(n + lit(1), lit(2)).cast("int"))
-            .cast("double")
-          (lo + hi) / 2.0
+        case ("mv_median", Seq(x)) => mvMedian(x)
+        // MV_MEDIAN_ABSOLUTE_DEVIATION (8.15): median(|v - median|)
+        case ("mv_median_absolute_deviation", Seq(x)) =>
+          mvMedian(transform(x, v => abs(v.cast("double") - mvMedian(x))))
+        // MV_PSERIES_WEIGHTED_SUM(x, p) (8.16): values sorted DESC,
+        // the i-th (1-based) weighted 1/i^p, summed — the relevance-
+        // decay fold ES uses for rank-aware multivalue scoring
+        case ("mv_pseries_weighted_sum", Seq(x, p)) =>
+          val sorted = sort_array(x, asc = false)
+          aggregate(
+            zip_with(sorted, sequence(lit(1), size(x)),
+              (v, i) => v.cast("double") / pow(i.cast("double"), p.cast("double"))),
+            lit(0.0), (acc, v) => acc + v)
         // MV_PERCENTILE(x, p): linear interpolation at rank
         // p/100·(n-1) over the sorted values (ES|QL's rule)
         case ("mv_percentile", Seq(x, p)) =>
@@ -511,6 +528,23 @@ object Esql {
         case ("match_phrase", Seq(f, q)) =>
           graft.search.Search.matchPhrase(f, litStr(q, "MATCH_PHRASE query"))
         case ("term", Seq(f, q)) => f === q
+        // 9.1 math tail: ROUND_TO rounds DOWN to the nearest of a
+        // fixed ascending point list (values below the first point
+        // clamp to it — ES's bucketing-helper rule); COPY_SIGN carries
+        // the second argument's sign onto the first's magnitude
+        case ("round_to", x +: points) if points.nonEmpty =>
+          points.tail.foldLeft(points.head) { (acc, p) =>
+            when(x >= p, p).otherwise(acc)
+          }
+        case ("copy_sign", Seq(mag, sign)) =>
+          when(sign.cast("double") < 0.0, -abs(mag)).otherwise(abs(mag))
+        // 9.0 date-nanos support: graft's timestamp domain is ALREADY
+        // ns longs (SURVEY §3), so TO_DATE_NANOS is the string->ns
+        // parse; ns values flow through DATE_TRUNC/BUCKET/DATE_DIFF
+        // unchanged — the rest of the date-nanos surface is the
+        // existing ns-domain function set
+        case ("to_date_nanos", Seq(x)) =>
+          unix_micros(to_timestamp(x.cast("string"))) * lit(1000L)
         // type conversions
         case ("to_string", Seq(x)) => x.cast("string")
         case ("to_long", Seq(x)) => x.cast("long")
@@ -1171,18 +1205,22 @@ object Esql {
           df.join(broadcast(stats), keys, "left")
         }
       case "lookup" =>
-        // LOOKUP JOIN table ON field — ES 8.18's lookup-index join:
-        // left join on the shared field name; the lookup index is the
-        // small side by definition, so it broadcasts.
-        val m = "^(?i:join)\\s+([A-Za-z0-9_]+)\\s+(?i:on)\\s+([A-Za-z0-9_]+)$".r
+        // LOOKUP JOIN table ON f1[, f2...] — ES 8.18's lookup-index
+        // join (multi-key ON since 9.x): left join on the shared
+        // field names; the lookup index is the small side by
+        // definition, so it broadcasts.
+        val m = "^(?i:join)\\s+([A-Za-z0-9_]+)\\s+(?i:on)\\s+([A-Za-z0-9_,\\s]+)$".r
         body.trim match {
-          case m(table, field) =>
+          case m(table, fieldList) =>
+            val fields = fieldList.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            require(fields.nonEmpty, s"LOOKUP JOIN needs at least one ON field")
             // same overwrite rule as ENRICH: the lookup side's non-key
             // columns replace same-named input columns (ES semantics)
             val lk = resolve(table)
-            val cleaned = lk.columns.filter(c => c != field && df.columns.contains(c))
+            val cleaned = lk.columns
+              .filter(c => !fields.contains(c) && df.columns.contains(c))
               .foldLeft(df)(_ drop _)
-            cleaned.join(broadcast(lk), Seq(field), "left")
+            cleaned.join(broadcast(lk), fields, "left")
           case other => throw new IllegalArgumentException(s"bad LOOKUP JOIN: $other")
         }
       case "change_point" =>

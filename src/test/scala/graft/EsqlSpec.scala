@@ -208,6 +208,27 @@ class EsqlSpec extends SparkSpec {
       Esql.applyCommand(df, "lookup garbage", _ => dims))
   }
 
+  test("LOOKUP JOIN: multi-key ON f1, f2 (the 9.x option surface)") {
+    // composite key: only the (k, v-band) pair that matches BOTH
+    // fields joins — a single-field join would over-match
+    val withBand = df.withColumn("band", (col("v") / 20).cast("long"))
+    val dims = Seq(("a", 0L, "a-low"), ("a", 1L, "a-mid"), ("b", 2L, "b-high"))
+      .toDF("k", "band", "label")
+    val r = Esql.applyCommand(withBand, "lookup join dims on k, band", _ => dims)
+      .select("id", "label").as[(Long, Option[String])].collect().toMap
+    // df rows: (1,a,v=10->band0), (2,a,v=20->band1), (3,b,v=30->band1),
+    // (4,b,v=40->band2), (5,c,...): composite matching only
+    assert(r(1L).contains("a-low") && r(2L).contains("a-mid"))
+    assert(r(3L).isEmpty) // b/band1 has no dim row — single-key would over-match
+    assert(r(4L).contains("b-high"))
+    assert(r(5L).isEmpty)
+    // lookup-side non-key columns overwrite same-named input columns
+    val clash = withBand.withColumn("label", lit("old"))
+    val r2 = Esql.applyCommand(clash, "lookup join dims on k, band", _ => dims)
+      .select("id", "label").as[(Long, Option[String])].collect().toMap
+    assert(r2(1L).contains("a-low") && r2(3L).isEmpty)
+  }
+
   test("math/string/hash function batch") {
     val r = run(
       """eval t = round(sin(pi() / 2), 6), c = round(cos(0), 6),
