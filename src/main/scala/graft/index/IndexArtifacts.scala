@@ -498,10 +498,27 @@ object IndexArtifacts {
     // "id" would otherwise make the condition ambiguous
     val known = spark.read.parquet(s"$dir/assignments")
       .select(col("id").as("__known_id"))
-    val fresh = spark.read.format(fmt).load(indexPath)
-      .join(known, col(idCol) === col("__known_id"), "left_anti")
-    graft.sim.Ann.assignToCentroids(fresh, idCol, vecCol, cents)
-      .write.mode("append").parquet(s"$dir/assignments")
+    val data = spark.read.format(fmt).load(indexPath)
+    val fresh = data.join(known, col(idCol) === col("__known_id"), "left_anti")
+    // same append audit as refreshMinhash/refreshAnalysis (the r13
+    // advice class): an id colliding with a stored one silently
+    // vanishes from the artifact behind a fresh meta stamp, and
+    // null-id rows pass the anti-join; verify the fresh batch and the
+    // coverage identity, rebuild on any mismatch
+    val audit = fresh.agg(
+      count(lit(1)).as("n"),
+      count(col(idCol)).as("n_nonnull"),
+      countDistinct(col(idCol)).as("n_distinct")).head()
+    val nFresh = audit.getLong(0)
+    if (nFresh != audit.getLong(1) || nFresh != audit.getLong(2) ||
+        data.count() != known.count() + nFresh)
+      // checkpoint the centroid frame first: buildIvf OVERWRITES the
+      // very path this frame's lineage reads
+      return buildIvf(spark, indexPath, idCol, vecCol,
+        graft.util.Stages.truncate(cents), fmt)
+    if (nFresh > 0)
+      graft.sim.Ann.assignToCentroids(fresh, idCol, vecCol, cents)
+        .write.mode("append").parquet(s"$dir/assignments")
     writeIvfMeta(spark, indexPath, idCol, vecCol)
   }
 

@@ -365,4 +365,63 @@ class IndexArtifactsSpec extends SparkSpec {
       out, Map("graft.write.operation" -> "append"))
     assert(IndexArtifacts.loadMinhash(spark, out, "text").isEmpty)
   }
+
+  test("refresh audits: id collisions and null ids force a FULL rebuild, never a silent gap (r14)") {
+    // -- minhash: a colliding append is invisible to the anti-join
+    // (its row would be missing from the artifact behind a fresh
+    // stamp); the audit's coverage identity catches it
+    val out = "/tmp/graft_idxspec_audit_mh"
+    val docs = Tables.documents(spark, sfDir).limit(60)
+    graft.sources.Connector.save(docs, out, Map(
+      "graft.write.operation" -> "overwrite",
+      "graft.mapping.id" -> "doc_id",
+      "graft.index.minhash" -> "text"))
+    val dataCount0 = spark.read.parquet(out).count()
+    // raw parquet append REUSING an existing id with different text
+    docs.limit(1).withColumn("text", lit("colliding fresh text payload"))
+      .write.mode("append").parquet(out)
+    spark.catalog.refreshByPath(out)
+    IndexArtifacts.refreshMinhash(spark, out, "doc_id", "text")
+    val (sh, _) = IndexArtifacts.loadMinhash(spark, out, "text", Some("doc_id")).get
+    // full rebuild: the artifact covers EVERY data row again (both
+    // rows of the collided id), not old + nothing
+    assert(sh.count() == dataCount0 + 1, s"expected rebuild to cover all rows")
+    // answer-equality contract survives: indexed == on-the-fly
+    val probe = docs.limit(2).withColumn("doc_id", col("doc_id") + lit(8000000L))
+    val idx = graft.dedup.Dedup.minhashLshCrossIndexed(
+      spark, probe, out, "doc_id", "text", 0.9).get.collect().toSeq
+    val fly = graft.dedup.Dedup.minhashLshCross(
+      probe, spark.read.parquet(out), "doc_id", "text", 0.9).collect().toSeq
+    assert(idx == fly && idx.nonEmpty)
+
+    // -- null-id append: the anti-join KEEPS null ids (null never
+    // equals) — without the audit they'd land as id-null artifact rows
+    docs.limit(1).withColumn("doc_id", lit(null).cast("long"))
+      .withColumn("text", lit("null id doc"))
+      .write.mode("append").parquet(out)
+    spark.catalog.refreshByPath(out)
+    IndexArtifacts.refreshMinhash(spark, out, "doc_id", "text")
+    assert(IndexArtifacts.loadMinhash(spark, out, "text", Some("doc_id")).isDefined)
+
+    // -- IVF: same audit class on the assignments table
+    val vout = "/tmp/graft_idxspec_audit_ivf"
+    val emb = Tables.embeddings(spark, sfDir).limit(100)
+    graft.sources.Connector.save(emb, vout, Map(
+      "graft.write.operation" -> "overwrite",
+      "graft.mapping.id" -> "vec_id",
+      "graft.index.vectors" -> "embedding",
+      "graft.index.vectors.centroids" -> "8"))
+    val vCount0 = spark.read.parquet(vout).count()
+    emb.limit(1).write.mode("append").parquet(vout) // exact id collision
+    spark.catalog.refreshByPath(vout)
+    IndexArtifacts.refreshIvf(spark, vout, "vec_id", "embedding")
+    // the audit rebuilt (meta fresh at the grown state) — assignment
+    // rows are PER-ID (assignToCentroids groups), so the collided id
+    // still resolves to exactly one list entry, covering every
+    // distinct id rather than silently covering none of the append
+    val (_, asg) = IndexArtifacts.loadIvf(spark, vout, "embedding").get
+    assert(asg.count() == vCount0,
+      "IVF rebuild must cover every distinct id after a colliding append")
+    assert(asg.select("id").distinct().count() == vCount0)
+  }
 }
