@@ -381,6 +381,21 @@ object ScaleProbe {
         Seq(((0 until 64).map(i => (i * 37 % 100) / 100.0 - 0.5), 20),
           ((0 until 64).map(i => (i * 53 % 100) / 100.0 - 0.5), 20)), k = 10).count()
     }
+    // r14: the quantized-storage family side by side — int8 (4x),
+    // int4 half-byte (8x), BBQ 1-bit (32x). All three pay one coarse
+    // corpus pass + the same 40-row exact rescore; the int4/bbq coarse
+    // passes read only their packed artifacts, so the curves should
+    // order by bytes touched at IO-bound scale (CPU-bound here).
+    time("knn_int4_10x") {
+      graft.sim.Ann.knnRescoreInt4TopK(emb, "vec_id", "embedding",
+        (0 until 64).map(i => (i * 37 % 100) / 100.0 - 0.5),
+        k = 10, oversample = 4).count()
+    }
+    time("knn_bbq_10x") {
+      graft.sim.Ann.bbqTopK(emb, "vec_id", "embedding",
+        (0 until 64).map(i => (i * 37 % 100) / 100.0 - 0.5),
+        k = 10, oversample = 4).count()
+    }
     time("transform_latest_10x") {
       // max_by partial agg: the exchange must carry |keys| rows
       val ev = times(Tables.events(spark, sfDir), "event_id", 100000000L)
