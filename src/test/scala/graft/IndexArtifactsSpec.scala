@@ -366,6 +366,38 @@ class IndexArtifactsSpec extends SparkSpec {
     assert(IndexArtifacts.loadMinhash(spark, out, "text").isEmpty)
   }
 
+  test("ensureArtifact: build-once reuse, atomic visibility, stale-generation sweep (r14)") {
+    val kind = s"spectest${System.nanoTime()}"
+    val user = System.getProperty("user.name")
+    // a stale sibling from an "earlier testdata generation"
+    val stale = new java.io.File(s"/tmp/graft_${kind}_${user}_oldfp")
+    stale.mkdirs()
+    new java.io.FileWriter(new java.io.File(stale, "junk")).append("x").close()
+
+    var builds = 0
+    def ensure() = IndexArtifacts.ensureArtifact(kind, "fp12345678")(
+      p => new java.io.File(p, "_done").exists())(
+      stage => {
+        builds += 1
+        val d = new java.io.File(stage)
+        d.mkdirs()
+        // the loaded() probe must never see a half-written dir at the
+        // FINAL path: _done is written inside staging, pre-rename
+        new java.io.FileWriter(new java.io.File(d, "_done")).append("ok").close()
+      })
+    val dir1 = ensure()
+    assert(builds == 1 && new java.io.File(dir1, "_done").exists())
+    assert(!stale.exists(), "stale generation must be swept on build")
+    // second call: loaded() sees the artifact, no rebuild, same path
+    assert(ensure() == dir1 && builds == 1)
+    // no staging leftovers
+    val leftovers = new java.io.File("/tmp").listFiles()
+      .filter(_.getName.contains(s"graft_${kind}_${user}_fp12345678_stage"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+    IndexArtifacts.ensureArtifact(kind, "ignored")(_ => true)(_ => ()) // cleanup no-op
+    new java.io.File(dir1).listFiles().foreach(_.delete()); new java.io.File(dir1).delete()
+  }
+
   test("refresh audits: id collisions and null ids force a FULL rebuild, never a silent gap (r14)") {
     // -- minhash: a colliding append is invisible to the anti-join
     // (its row would be missing from the artifact behind a fresh
