@@ -107,6 +107,22 @@ private[graft] object EntriesLate {
     "q_knn_int4" -> ((s, d) =>
       graft.sim.Ann.knnRescoreInt4TopK(t(s, d, "embeddings"), "vec_id", "embedding",
         ScriptQv, k = 10, oversample = 4)),
+    // pack-once persisted form: the write pays the packing, the query
+    // reads the ~8x-smaller packed table for the coarse pass —
+    // hash-equal to on-the-fly q_knn_int4 (same oracle SQL)
+    "q_knn_int4_persisted" -> ((s, d) => {
+      val srcFp = graft.index.IndexArtifacts
+        .dataFingerprint(s, s"$d/embeddings.parquet").take(12)
+      val out = graft.index.IndexArtifacts.ensureArtifact("int4idx", srcFp)(
+        p => graft.index.IndexArtifacts.loadInt4(s, p, "embedding").nonEmpty)(
+        stage => graft.sources.Connector.save(t(s, d, "embeddings"), stage, Map(
+          "graft.write.operation" -> "overwrite",
+          "graft.mapping.id" -> "vec_id",
+          "graft.index.int4" -> "embedding")))
+      graft.sim.Ann.knnRescoreInt4Indexed(s, out, "vec_id", "embedding",
+        ScriptQv, k = 10, oversample = 4)
+        .getOrElse(sys.error("int4 artifact missing right after build"))
+    }),
     // ip_range agg over the synthetic ip column (from-inclusive,
     // to-exclusive, unbounded sides open; one scan, N count_ifs)
     "q_agg_ip_range" -> ((s, d) => Aggs.ipRange(withIp(Tables.events(s, d)), "ip",
@@ -437,6 +453,22 @@ private[graft] object EntriesLate {
     "q_knn_bbq" -> bbqOracleSql(ScriptQv, 10, 4),
     // int4: the int8 oracle with 7 levels (scale = amax/7, clamp ±7)
     "q_knn_int4" -> ("WITH q AS (SELECT " + ScriptQv.mkString("[", ", ", "]") + "::DOUBLE[] AS w), " +
+      "e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), " +
+      "s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 7.0 AS scale FROM e), " +
+      "dq AS (SELECT vec_id, v, CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0) ELSE " +
+      "list_transform(v, x -> least(greatest(floor(x / scale + 0.5), -7.0), 7.0) * scale) END AS qv FROM s), " +
+      "coarse AS (SELECT vec_id, list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> qv[i] * w[i])), (a, b) -> a + b) / " +
+      "(sqrt(list_reduce(list_prepend(0.0, list_transform(qv, x -> x * x)), (a, b) -> a + b)) * " +
+      "sqrt(list_reduce(list_prepend(0.0, list_transform(w, x -> x * x)), (a, b) -> a + b))) AS qscore " +
+      "FROM dq CROSS JOIN q ORDER BY qscore DESC, vec_id LIMIT 40), " +
+      "ex AS (SELECT c.vec_id AS id, round(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> e.v[i] * w[i])), (a, b) -> a + b) / " +
+      "(sqrt(list_reduce(list_prepend(0.0, list_transform(e.v, x -> x * x)), (a, b) -> a + b)) * " +
+      "sqrt(list_reduce(list_prepend(0.0, list_transform(w, x -> x * x)), (a, b) -> a + b))), 4) AS cosine, " +
+      "round(c.qscore, 4) AS quantized FROM coarse c JOIN e ON e.vec_id = c.vec_id CROSS JOIN q) " +
+      "SELECT id, cosine, quantized FROM ex ORDER BY cosine DESC, id LIMIT 10"),
+    // hash-equal to the on-the-fly form by construction: the artifact
+    // persists exactly the packed codes the per-query pack computes
+    "q_knn_int4_persisted" -> ("WITH q AS (SELECT " + ScriptQv.mkString("[", ", ", "]") + "::DOUBLE[] AS w), " +
       "e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), " +
       "s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 7.0 AS scale FROM e), " +
       "dq AS (SELECT vec_id, v, CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0) ELSE " +

@@ -568,6 +568,95 @@ object IndexArtifacts {
     }
   }
 
+  // ---- persisted int4 quantized vectors (`int4_hnsw` storage) -----
+
+  val Int4DirName = "_graft_int4"
+
+  def int4Dir(indexPath: String, vecCol: String): String =
+    s"$indexPath/$Int4DirName/$vecCol"
+
+  /** Pack-once artifact for the int4 quantized scan: one (id, packed
+    * half-byte codes) table — 8 bytes of scale + dim/2 code bytes per
+    * doc, ~8x smaller than the float column. Queries read ONLY this
+    * table for the coarse pass (Ann.knnRescoreInt4Indexed); the
+    * oversampled exact rescore touches the float vectors for
+    * O(k·oversample) rows via a broadcast semi-join. The ES analog is
+    * the `int4_hnsw` index built at segment-write time. */
+  def buildInt4(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      vecCol: String,
+      fmt: String = "parquet"): Unit = {
+    val dir = int4Dir(indexPath, vecCol)
+    val corpus = spark.read.format(fmt).load(indexPath)
+    packInt4(corpus, idCol, vecCol)
+      .write.mode("overwrite").parquet(s"$dir/packed")
+    writeInt4Meta(spark, indexPath, idCol, vecCol)
+  }
+
+  /** Incremental add with the same append audit as refreshMinhash /
+    * refreshIvf: fresh batch non-null + internally distinct + the
+    * coverage identity, any mismatch rebuilds. */
+  def refreshInt4(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      vecCol: String,
+      fmt: String = "parquet"): Unit = {
+    val dir = int4Dir(indexPath, vecCol)
+    val known = spark.read.parquet(s"$dir/packed")
+      .select(col("id").as("__known_id"))
+    val data = spark.read.format(fmt).load(indexPath)
+    val fresh = data.join(known, col(idCol) === col("__known_id"), "left_anti")
+    val audit = fresh.agg(
+      count(lit(1)).as("n"),
+      count(col(idCol)).as("n_nonnull"),
+      countDistinct(col(idCol)).as("n_distinct")).head()
+    val nFresh = audit.getLong(0)
+    if (nFresh != audit.getLong(1) || nFresh != audit.getLong(2) ||
+        data.count() != known.count() + nFresh)
+      return buildInt4(spark, indexPath, idCol, vecCol, fmt)
+    if (nFresh > 0)
+      packInt4(fresh, idCol, vecCol).write.mode("append").parquet(s"$dir/packed")
+    writeInt4Meta(spark, indexPath, idCol, vecCol)
+  }
+
+  private def packInt4(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+    corpus
+      .where(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"),
+        org.apache.spark.sql.GraftBridge.column(graft.expr.Int4Pack(
+          org.apache.spark.sql.GraftBridge.expression(
+            col(vecCol).cast("array<double>")))).as("pk"))
+
+  private def writeInt4Meta(
+      spark: SparkSession, indexPath: String, idCol: String, vecCol: String): Unit = {
+    val fp = dataFingerprint(spark, indexPath)
+    val metaPath = new Path(s"${int4Dir(indexPath, vecCol)}/_graft_meta.json")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(metaPath, true)
+    out.write(
+      s"""{"fingerprint":"$fp","id_col":"$idCol","vec_col":"$vecCol"}"""
+        .getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** Fresh (id, packed) frame or None — loadIvf's freshness contract. */
+  def loadInt4(
+      spark: SparkSession,
+      indexPath: String,
+      vecCol: String,
+      expectIdCol: Option[String] = None): Option[DataFrame] = {
+    val dir = int4Dir(indexPath, vecCol)
+    readMeta(spark, s"$dir/_graft_meta.json") match {
+      case Some((fp, idc, _)) if fp == dataFingerprint(spark, indexPath)
+          && expectIdCol.forall(_ == idc) =>
+        Some(spark.read.parquet(s"$dir/packed"))
+      case _ => None
+    }
+  }
+
   /** (fingerprint, id_col, ids_clean) from an artifact meta file, or
     * None. ids_clean defaults false when absent (vector metas never
     * record it; only the analysis build audits ids). */

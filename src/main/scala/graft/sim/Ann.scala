@@ -932,6 +932,44 @@ object Ann {
       .limit(k)
   }
 
+  /** int4 over the PERSISTED pack-once artifact (graft.index.int4):
+    * the coarse pass reads the (id, packed) table — ~8x fewer bytes
+    * than the float column, and the packing cost was paid at WRITE
+    * time — and only the oversampled window's float vectors load for
+    * the exact rescore. Answer-equal to knnRescoreInt4TopK by
+    * construction (the artifact persists exactly the frame it packs
+    * per query — same oracle SQL). None when the artifact is missing
+    * or stale — callers fall back to the on-the-fly form. */
+  def knnRescoreInt4Indexed(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      idCol: String,
+      vecCol: String,
+      queryVec: Seq[Double],
+      k: Int,
+      oversample: Int,
+      fmt: String = "parquet"): Option[DataFrame] =
+    graft.index.IndexArtifacts.loadInt4(spark, indexPath, vecCol, Some(idCol))
+      .map { packed =>
+        import org.apache.spark.sql.GraftBridge
+        val q = array(queryVec.map(lit): _*)
+        val coarseScore = GraftBridge.column(graft.expr.Int4PackedCosine(
+          GraftBridge.expression(col("pk")), GraftBridge.expression(q)))
+        val coarse = packed.select(col("id"), coarseScore.as("qscore"))
+          .orderBy(col("qscore").desc, col("id").asc)
+          .limit(k * oversample)
+        val live = spark.read.format(fmt).load(indexPath)
+          .where(col(vecCol).isNotNull)
+        val exact = GraftBridge.column(graft.expr.CosineSim(
+          GraftBridge.expression(col(vecCol)), GraftBridge.expression(q)))
+        live.join(broadcast(coarse), live(idCol) === coarse("id"))
+          .select(coarse("id"),
+            graft.util.Num.round(exact, 4).as("cosine"),
+            graft.util.Num.round(coarse("qscore"), 4).as("quantized"))
+          .orderBy(col("cosine").desc, col("id").asc)
+          .limit(k)
+      }
+
   /** ES 8.18 knn `rescore_vector.oversample`: the quantized index
     * (int8 storage) ranks a COARSE top-(k * oversample) window with
     * its lossy score, then the raw vectors rescore exactly and keep

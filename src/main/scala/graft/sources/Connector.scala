@@ -716,6 +716,22 @@ object Connector {
           s"unknown graft.index.vectors.fit: $other")
       }
     }
+    // persisted int4 quantized vectors (`graft.index.int4` = vector
+    // column): half-byte codes packed ONCE at write time (the ES 8.18
+    // int4_hnsw storage shape), so the quantized coarse scan reads
+    // ~8x fewer bytes than the float column on every future query.
+    // APPEND packs only the new docs (refreshInt4's audited path).
+    cfg.get("graft.index.int4").foreach { vecCol =>
+      val idCol = cfg.getOrElse("graft.mapping.id",
+        throw new IllegalArgumentException(
+          "graft.index.int4 needs graft.mapping.id (the packed doc id)"))
+      val packedDir = new Path(
+        graft.index.IndexArtifacts.int4Dir(path, vecCol) + "/packed")
+      if (op == "append" && fs.exists(packedDir))
+        graft.index.IndexArtifacts.refreshInt4(spark, path, idCol, vecCol, fmt)
+      else
+        graft.index.IndexArtifacts.buildInt4(spark, path, idCol, vecCol, fmt)
+    }
   }
 
   /** `_aliases` analog: an alias is a directory holding ONE

@@ -398,6 +398,43 @@ class IndexArtifactsSpec extends SparkSpec {
     new java.io.File(dir1).listFiles().foreach(_.delete()); new java.io.File(dir1).delete()
   }
 
+  test("persisted int4: packed coarse scan, answer-equal to on-the-fly, audited appends (r14)") {
+    val out = "/tmp/graft_idxspec_int4"
+    val emb = Tables.embeddings(spark, sfDir).limit(150)
+    graft.sources.Connector.save(emb, out, Map(
+      "graft.write.operation" -> "overwrite",
+      "graft.mapping.id" -> "vec_id",
+      "graft.index.int4" -> "embedding"))
+    val packed = IndexArtifacts.loadInt4(spark, out, "embedding", Some("vec_id")).get
+    assert(packed.count() == 150)
+    // a wrong expected id column reads as absent
+    assert(IndexArtifacts.loadInt4(spark, out, "embedding", Some("other")).isEmpty)
+
+    val qv = (1 to 64).map(i => math.cos(i * 0.29))
+    val idx = graft.sim.Ann.knnRescoreInt4Indexed(
+      spark, out, "vec_id", "embedding", qv, k = 5, oversample = 4).get
+    val fly = graft.sim.Ann.knnRescoreInt4TopK(
+      spark.read.parquet(out), "vec_id", "embedding", qv, k = 5, oversample = 4)
+    assert(idx.collect().toSeq == fly.collect().toSeq && idx.count() == 5)
+    // the IO claim: the indexed plan's scans include the packed table
+    // (the artifact IS what the coarse pass reads)
+    assert(idx.queryExecution.executedPlan.toString.contains("packed"))
+
+    // audited incremental append: only the new docs pack
+    val extra = emb.limit(4).withColumn("vec_id", col("vec_id") + lit(9000000L))
+    graft.sources.Connector.save(extra, out, Map(
+      "graft.write.operation" -> "append",
+      "graft.mapping.id" -> "vec_id",
+      "graft.index.int4" -> "embedding"))
+    val p2 = IndexArtifacts.loadInt4(spark, out, "embedding", Some("vec_id")).get
+    assert(p2.count() == 154 && p2.where(col("id") >= 9000000L).count() == 4)
+    // a colliding raw append trips the audit -> full rebuild, fresh
+    emb.limit(1).write.mode("append").parquet(out)
+    spark.catalog.refreshByPath(out)
+    IndexArtifacts.refreshInt4(spark, out, "vec_id", "embedding")
+    assert(IndexArtifacts.loadInt4(spark, out, "embedding", Some("vec_id")).get.count() == 155)
+  }
+
   test("refresh audits: id collisions and null ids force a FULL rebuild, never a silent gap (r14)") {
     // -- minhash: a colliding append is invisible to the anti-join
     // (its row would be missing from the artifact behind a fresh
