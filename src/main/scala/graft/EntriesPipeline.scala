@@ -611,6 +611,15 @@ private[graft] object EntriesPipeline {
         .select(col("media_id"), col("v_sum"), col("v_min"), col("v_max"),
           Num.round(col("v_sum").cast("double") / col("n_values"), 4).as("mean_v"))
         .orderBy(col("media_id"))),
+    // REAL frame sampling (the "video" analog): payloads are complete
+    // animated GIF89a files, each kept frame LZW-decoded by the pure
+    // JDK codec; the oracle re-derives per-frame stats from the
+    // deterministic pixel formula — a container-walk or LZW bug
+    // anywhere breaks the hash
+    "q_multimodal_gif_frames" -> ((s, d) =>
+      Multimodal.gifFrameStats(s,
+        Multimodal.gifMediaTable(s, t(s, d, "documents")), stride = 2)
+        .orderBy(col("media_id"), col("frame_idx"))),
     // context-window chunking: 64-token windows, 16-token overlap
     "q_chunk" -> ((s, d) =>
       TextAnalysis.chunkTokens(t(s, d, "documents"), "doc_id", "text", 64, 16)
@@ -1301,6 +1310,21 @@ private[graft] object EntriesPipeline {
       "SELECT doc_id AS media_id, w::INT AS width, h::INT AS height, " +
       "sum(r)::BIGINT AS r_sum, sum(gr)::BIGINT AS g_sum, sum(b)::BIGINT AS b_sum " +
       "FROM g GROUP BY doc_id, w, h ORDER BY media_id"),
+    // per-frame stats re-derived from the frame-salted formula
+    // px(f,x,y) = (id*31 + f*41 + x*7 + y*13) % 256 at stride 2 — the
+    // Spark side reads these back out of real animated-GIF LZW streams
+    "q_multimodal_gif_frames" -> ("WITH d AS (SELECT doc_id, doc_id % 24 + 4 AS w, " +
+      "doc_id % 16 + 4 AS h, doc_id % 5 + 2 AS n FROM documents), " +
+      "g AS (SELECT d.doc_id, fs.f, d.w, d.h, " +
+      "(d.doc_id*31 + fs.f*41 + xs.x*7 + ys.y*13) % 256 AS px " +
+      "FROM d CROSS JOIN generate_series(0, 5) AS fs(f) " +
+      "CROSS JOIN generate_series(0, 27) AS xs(x) " +
+      "CROSS JOIN generate_series(0, 19) AS ys(y) " +
+      "WHERE fs.f < d.n AND fs.f % 2 = 0 AND xs.x < d.w AND ys.y < d.h) " +
+      "SELECT doc_id AS media_id, f::INT AS frame_idx, w::INT AS width, " +
+      "h::INT AS height, count(*)::BIGINT AS n_px, sum(px)::BIGINT AS px_sum, " +
+      "min(px)::BIGINT AS px_min, max(px)::BIGINT AS px_max " +
+      "FROM g GROUP BY doc_id, f, w, h ORDER BY media_id, frame_idx"),
     // nearest-neighbor to 8x6: out(x,y) = in((x*w)//8, (y*h)//6)
     "q_multimodal_resize_px" -> ("WITH d AS (SELECT doc_id, doc_id % 48 + 8 AS w, " +
       "doc_id % 32 + 8 AS h FROM documents WHERE doc_id % 2 = 0), " +

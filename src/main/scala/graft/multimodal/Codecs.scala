@@ -278,3 +278,237 @@ object Wav {
     Audio(sampleRate, samples)
   }
 }
+
+/** REAL animated-GIF codec in pure JDK — the frame-sampling ("video")
+  * analog of `Png`/`Wav`: a GIF89a file is a logical screen plus a
+  * SEQUENCE of LZW-compressed frames, so decoding one end-to-end
+  * exercises exactly what a video frame-sampler does (container walk →
+  * per-frame entropy decode → per-frame pixel fold). Everything here
+  * is the published GIF89a spec: variable-width LSB-first LZW codes
+  * (9→12 bits, clear/EOI, 4096-entry dictionary reset), 255-byte
+  * sub-block framing, grayscale global color table so a palette index
+  * IS its gray value.
+  *
+  * Scope: non-interlaced, full-frame images over a 256-entry global
+  * palette — the shape our encoder writes. Interlace, local color
+  * tables and partial-frame composition raise loudly (a silent
+  * misparse would corrupt every downstream frame feature).
+  */
+object Gif {
+
+  /** One decoded frame: row-major palette indexes = gray values. */
+  final case class Frame(index: Int, width: Int, height: Int, pixels: Array[Byte])
+
+  // ---- LZW bitstream ----------------------------------------------
+
+  /** GIF LZW compress (min code size 8): real variable-width codes,
+    * dictionary growth to 4096 then an explicit CLEAR reset. */
+  private[graft] def lzwCompress(data: Array[Byte]): Array[Byte] = {
+    val minCode = 8
+    val clear = 1 << minCode        // 256
+    val eoi = clear + 1             // 257
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L
+    var bitCnt = 0
+    var width = minCode + 1
+    def emit(code: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt
+      bitCnt += width
+      while (bitCnt >= 8) { out.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bitCnt -= 8 }
+    }
+    // dictionary: (prefixCode << 8 | byte) -> code
+    var dict = new java.util.HashMap[Integer, Integer]()
+    var next = eoi + 1
+    emit(clear)
+    var cur = -1
+    data.foreach { b =>
+      val k = b & 0xff
+      if (cur < 0) cur = k
+      else {
+        val key: Integer = (cur << 8) | k
+        val hit = dict.get(key)
+        if (hit != null) cur = hit
+        else {
+          emit(cur)
+          dict.put(key, next)
+          next += 1
+          // width grows once `next` no longer fits; at 4096 reset
+          if (next > (1 << width) && width < 12) width += 1
+          if (next == 4096) {
+            emit(clear)
+            dict = new java.util.HashMap[Integer, Integer]()
+            next = eoi + 1
+            width = minCode + 1
+          }
+          cur = k
+        }
+      }
+    }
+    if (cur >= 0) emit(cur)
+    emit(eoi)
+    if (bitCnt > 0) out.write((bitBuf & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** GIF LZW decompress; `n` = expected pixel count, extra codes after
+    * EOI (or short streams) raise. */
+  private[graft] def lzwDecompress(data: Array[Byte], minCode: Int, n: Int): Array[Byte] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val out = new Array[Byte](n)
+    var outAt = 0
+    // dictionary as prefix links: entry c = (prefix(c), lastByte(c))
+    val prefix = new Array[Int](4096)
+    val last = new Array[Byte](4096)
+    val firstByte = new Array[Byte](4096) // memoized first byte per code
+    var next = eoi + 1
+    var width = minCode + 1
+    var bitBuf = 0L
+    var bitCnt = 0
+    var at = 0
+    var prev = -1
+    def writeCode(c: Int): Byte = {
+      // expand into out right-to-left
+      var len = 0
+      var x = c
+      while (x >= clear) { len += 1; x = prefix(x) } // walk to a literal
+      len += 1
+      require(outAt + len <= n, s"LZW overrun: frame declares $n px")
+      var w = outAt + len - 1
+      x = c
+      while (x >= clear) { out(w) = last(x); w -= 1; x = prefix(x) }
+      out(w) = x.toByte
+      outAt += len
+      x.toByte
+    }
+    while (at < data.length || bitCnt >= width) {
+      while (bitCnt < width && at < data.length) {
+        bitBuf |= (data(at) & 0xffL) << bitCnt; bitCnt += 8; at += 1
+      }
+      if (bitCnt < width) {
+        require(outAt == n, s"LZW stream ended at $outAt/$n px without EOI")
+        return out
+      }
+      val code = (bitBuf & ((1L << width) - 1)).toInt
+      bitBuf >>>= width; bitCnt -= width
+      if (code == clear) { next = eoi + 1; width = minCode + 1; prev = -1 }
+      else if (code == eoi) {
+        require(outAt == n, s"EOI at $outAt/$n px")
+        return out
+      } else {
+        require(code < next || (code == next && prev >= 0), s"bad LZW code $code (next=$next)")
+        if (prev < 0) {
+          require(code < clear, s"first code after clear must be a literal, got $code")
+          out(outAt) = code.toByte; outAt += 1
+          firstByte(code & 0xff) = code.toByte
+        } else {
+          val fb =
+            if (code < next) writeCode(code)
+            else { // code == next: string(prev) + firstByte(string(prev))
+              require(next < 4096, s"code $code references the reset slot")
+              val pf = if (prev < clear) prev.toByte else firstByte(prev)
+              // register slot `next` first so writeCode can expand it;
+              // the uniform add below re-writes the same slot untouched
+              prefix(next) = prev; last(next) = pf
+              writeCode(code)
+            }
+          if (next < 4096) {
+            prefix(next) = prev; last(next) = fb
+            firstByte(next) = if (prev < clear) prev.toByte else firstByte(prev)
+            next += 1
+            if (next == (1 << width) && width < 12) width += 1
+          }
+        }
+        prev = code
+      }
+    }
+    require(outAt == n, s"LZW stream exhausted at $outAt/$n px")
+    out
+  }
+
+  // ---- container --------------------------------------------------
+
+  private def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+
+  /** Encode an animated grayscale GIF89a: 256-entry gray global
+    * palette, one GCE + image descriptor + real LZW stream per frame. */
+  def encodeGrayAnimated(width: Int, height: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(width > 0 && height > 0 && width < 65536 && height < 65536, s"bad dims ${width}x$height")
+    require(frames.nonEmpty, "no frames")
+    frames.foreach(f => require(f.length == width * height,
+      s"frame has ${f.length} px, expected ${width * height}"))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(le16(width)); out.write(le16(height))
+    out.write(0xf7) // GCT present, 8-bit color resolution, 256 entries
+    out.write(0)    // background index
+    out.write(0)    // aspect
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 } // gray GCT
+    frames.foreach { px =>
+      // graphic control extension (delay 10cs, no transparency)
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write(0); out.write(le16(10)); out.write(0); out.write(0)
+      // image descriptor: full frame, no LCT, not interlaced
+      out.write(0x2c)
+      out.write(le16(0)); out.write(le16(0))
+      out.write(le16(width)); out.write(le16(height))
+      out.write(0)
+      out.write(8) // LZW min code size
+      val lzw = lzwCompress(px)
+      var at = 0
+      while (at < lzw.length) {
+        val len = math.min(255, lzw.length - at)
+        out.write(len); out.write(lzw, at, len); at += len
+      }
+      out.write(0) // block terminator
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  /** Decode every frame of a GIF written in our scope (non-interlaced
+    * full frames over a global palette). Real container walk: skips
+    * extension blocks by their declared sub-block lengths, collects
+    * each image's sub-blocks, LZW-decodes. */
+  def decode(bytes: Array[Byte]): Seq[Frame] = {
+    require(bytes.length > 13 &&
+      new String(bytes, 0, 6, "US-ASCII").startsWith("GIF"), "not a GIF")
+    def u16(at: Int): Int = (bytes(at) & 0xff) | ((bytes(at + 1) & 0xff) << 8)
+    val packed = bytes(10) & 0xff
+    var at = 13
+    if ((packed & 0x80) != 0) at += 3 * (2 << (packed & 7)) // skip GCT
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Frame]
+    var done = false
+    while (!done) {
+      require(at < bytes.length, "GIF truncated before trailer")
+      (bytes(at) & 0xff) match {
+        case 0x3b => done = true
+        case 0x21 => // extension: label + sub-blocks
+          at += 2
+          while ((bytes(at) & 0xff) != 0) at += 1 + (bytes(at) & 0xff)
+          at += 1
+        case 0x2c =>
+          val left = u16(at + 1); val top = u16(at + 3)
+          val w = u16(at + 5); val h = u16(at + 7)
+          val ipacked = bytes(at + 9) & 0xff
+          require((ipacked & 0x80) == 0, "local color tables out of scope")
+          require((ipacked & 0x40) == 0, "interlaced GIFs out of scope")
+          require(left == 0 && top == 0, "partial-frame composition out of scope")
+          at += 10
+          val minCode = bytes(at) & 0xff; at += 1
+          val data = new java.io.ByteArrayOutputStream()
+          while ((bytes(at) & 0xff) != 0) {
+            val len = bytes(at) & 0xff
+            data.write(bytes, at + 1, len)
+            at += 1 + len
+          }
+          at += 1
+          frames += Frame(frames.length, w, h, lzwDecompress(data.toByteArray, minCode, w * h))
+        case other => throw new IllegalArgumentException(
+          f"unexpected GIF block 0x$other%02x at $at")
+      }
+    }
+    frames.toSeq
+  }
+}

@@ -293,6 +293,59 @@ object Multimodal {
         statsOf(id, Png.decode(Png.encodeGray(resized.width, resized.height, resized.pixels)))
       })
   }
+
+  private[graft] def pxFrame(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * 31 + f.toLong * 41 + x.toLong * 7 + y.toLong * 13) % 256).toInt
+
+  /** Media table whose payloads are COMPLETE animated GIF89a files —
+    * the frame-sequence ("video") analog of `pixelMediaTable`: each
+    * doc becomes a real multi-frame GIF (gray global palette, real
+    * variable-width LZW streams per frame), generated per partition.
+    * Frame count and dims derive from doc_id; pixel values from
+    * `pxFrame`, so frame sampling downstream is verifiable per frame. */
+  def gifMediaTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val w = (id % 24 + 4).toInt; val h = (id % 16 + 4).toInt
+      val n = (id % 5 + 2).toInt
+      val frames = (0 until n).map { f =>
+        val px = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { px(y * w + x) = pxFrame(id, f, x, y).toByte; x += 1 }
+          y += 1
+        }
+        px
+      }
+      (id, n, Gif.encodeGrayAnimated(w, h, frames))
+    }).toDF("media_id", "n_frames", "payload")
+  }
+
+  /** REAL frame sampling: walk each GIF container, LZW-decode every
+    * frame ONCE, keep frames at the requested stride (the fps-halving
+    * shape at stride 2) and fold integer-exact per-frame pixel stats.
+    * Map-only with an iterator fan-out (1 asset -> kept frames) — the
+    * payload never shuffles; only the tiny stats rows do. */
+  def gifFrameStats(spark: SparkSession, media: DataFrame, stride: Int): DataFrame = {
+    import spark.implicits._
+    require(stride > 0, s"bad stride $stride")
+    media.select("media_id", "payload")
+      .where(col("payload").isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        Gif.decode(payload).iterator
+          .filter(_.index % stride == 0)
+          .map { fr =>
+            var s = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+            fr.pixels.foreach { b =>
+              val v = (b & 0xff).toLong
+              s += v; if (v < mn) mn = v; if (v > mx) mx = v
+            }
+            (id, fr.index, fr.width, fr.height, fr.pixels.length.toLong, s, mn, mx)
+          }
+      }).toDF("media_id", "frame_idx", "width", "height", "n_px", "px_sum", "px_min", "px_max")
+  }
 }
 
 /** Parsed container metadata of one media asset. */

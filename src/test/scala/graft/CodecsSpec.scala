@@ -1,6 +1,6 @@
 package graft
 
-import graft.multimodal.{Multimodal, Png, Wav}
+import graft.multimodal.{Gif, Multimodal, Png, Wav}
 import org.apache.spark.sql.functions._
 
 /** The pure-JDK media codecs (real zlib PNG, real RIFF PCM) and the
@@ -194,5 +194,92 @@ class CodecsSpec extends SparkSpec {
       assert(st.v_sum == vals.map(_.toLong).sum)
       assert(st.v_min == vals.min && st.v_max == vals.max)
     }
+  }
+  test("GIF LZW round trip: arbitrary byte streams, incl. width growth") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      n <- Gen.choose(1, 3000)
+      bs <- Gen.listOfN(n, Gen.choose(0, 255))
+    } yield bs.map(_.toByte).toArray
+    val prop = Prop.forAll(gen) { data =>
+      Gif.lzwDecompress(Gif.lzwCompress(data), 8, data.length).toSeq == data.toSeq
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+    // low-entropy streams exercise deep dictionary chains + the
+    // code==next ("KwKwK") case
+    val runs = Array.tabulate(5000)(i => ((i / 97) % 7).toByte)
+    assert(Gif.lzwDecompress(Gif.lzwCompress(runs), 8, runs.length).toSeq == runs.toSeq)
+  }
+
+  test("GIF LZW dictionary reset: a frame large enough to hit 4096 codes") {
+    // random-ish bytes force ~1 new dict entry per input byte, so
+    // >4096 px guarantees the mid-stream CLEAR + width reset path runs
+    val big = Array.tabulate(12000)(i => ((i * 2654435761L) >>> 13).toByte)
+    val lzw = Gif.lzwCompress(big)
+    assert(Gif.lzwDecompress(lzw, 8, big.length).toSeq == big.toSeq)
+  }
+
+  test("GIF animated round trip: every frame recovered bit-exact") {
+    val w = 37; val h = 23
+    val frames = (0 until 4).map { f =>
+      Array.tabulate(w * h)(i => ((f * 41 + i * 7) % 256).toByte)
+    }
+    val gif = Gif.encodeGrayAnimated(w, h, frames)
+    // container sanity: header + trailer
+    assert(new String(gif, 0, 6, "US-ASCII") == "GIF89a")
+    assert((gif.last & 0xff) == 0x3b)
+    val dec = Gif.decode(gif)
+    assert(dec.length == 4)
+    dec.zipWithIndex.foreach { case (fr, i) =>
+      assert(fr.index == i && fr.width == w && fr.height == h)
+      assert(fr.pixels.toSeq == frames(i).toSeq)
+    }
+  }
+
+  test("GIF decode: sub-block boundaries, foreign extensions, loud rejects") {
+    // a frame big enough that its LZW stream spans many 255-byte
+    // sub-blocks
+    val w = 120; val h = 80
+    val px = Array.tabulate(w * h)(i => ((i * 31 + 7) % 256).toByte)
+    val gif = Gif.encodeGrayAnimated(w, h, Seq(px))
+    assert(Gif.decode(gif).head.pixels.toSeq == px.toSeq)
+    // splice a foreign application extension (NETSCAPE loop) after the
+    // GCT: decode must skip it by its declared sub-block lengths
+    val gctEnd = 13 + 256 * 3
+    val ext = Array[Byte](0x21, 0xff.toByte, 11) ++
+      "NETSCAPE2.0".getBytes("US-ASCII") ++ Array[Byte](3, 1, 0, 0, 0)
+    val spliced = gif.take(gctEnd) ++ ext ++ gif.drop(gctEnd)
+    assert(Gif.decode(spliced).head.pixels.toSeq == px.toSeq)
+    // interlaced flag and truncation raise loudly
+    val interlaced = gif.clone()
+    interlaced(gctEnd + 9) = (interlaced(gctEnd + 9) | 0x40).toByte
+    intercept[IllegalArgumentException](Gif.decode(interlaced))
+    intercept[Exception](Gif.decode(gif.dropRight(40)))
+    intercept[IllegalArgumentException](Gif.decode("nope".getBytes))
+  }
+
+  test("Spark GIF frame path: sampled per-frame stats equal the generator formula") {
+    val docs = spark.range(0, 60).select(col("id").as("doc_id"))
+    val media = Multimodal.gifMediaTable(spark, docs)
+    val stats = Multimodal.gifFrameStats(spark, media, stride = 2)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r)).toMap
+    (0L until 60L).foreach { id =>
+      val w = (id % 24 + 4).toInt; val h = (id % 16 + 4).toInt
+      val n = (id % 5 + 2).toInt
+      (0 until n).foreach { f =>
+        if (f % 2 == 0) {
+          val r = stats((id, f))
+          val vals = for (y <- 0 until h; x <- 0 until w)
+            yield Multimodal.pxFrame(id, f, x, y)
+          assert(r.getInt(2) == w && r.getInt(3) == h)
+          assert(r.getLong(4) == w * h.toLong)
+          assert(r.getLong(5) == vals.map(_.toLong).sum)
+          assert(r.getLong(6) == vals.min && r.getLong(7) == vals.max)
+        } else assert(!stats.contains((id, f)))
+      }
+    }
+    // every kept frame accounted for
+    assert(stats.size == (0L until 60L).map(id => ((id % 5 + 2) + 1) / 2).sum)
   }
 }
