@@ -396,6 +396,13 @@ object ScaleProbe {
         (0 until 64).map(i => (i * 37 % 100) / 100.0 - 0.5),
         k = 10, oversample = 4).count()
     }
+    time("gif_frames_10x") {
+      // the full video-shaped path at n x docs: encode real animated
+      // GIFs AND LZW-decode the kept frames — map-only both ways, so
+      // this prices the codec itself, not a shuffle
+      graft.multimodal.Multimodal.gifFrameStats(spark,
+        graft.multimodal.Multimodal.gifMediaTable(spark, docs), stride = 2).count()
+    }
     time("transform_latest_10x") {
       // max_by partial agg: the exchange must carry |keys| rows
       val ev = times(Tables.events(spark, sfDir), "event_id", 100000000L)
