@@ -25,6 +25,32 @@ private[graft] object EntriesWrite {
       Relational.upsertLastWriteWins(Tables.events(s, d), Seq("user_id"), col("ts_ns"), col("event_id"))
         .select(col("user_id"), col("event_type").as("last_type"), col("value").as("last_value"))
         .orderBy(col("user_id"))),
+    // WARC (Common Crawl) round trip: documents serialize into REAL
+    // .warc.gz files (one gzip member per record, the published CC
+    // layout) once per testdata generation, then the streaming
+    // one-file-per-task reader parses them back; the oracle checks the
+    // recovered HTTP fields and body hash against the source table —
+    // a header, HTTP-split or gzip-member bug anywhere breaks the hash
+    "q_warc_roundtrip" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val srcFp = graft.index.IndexArtifacts
+        .dataFingerprint(s, s"$d/documents.parquet").take(12)
+      val dir = graft.index.IndexArtifacts.ensureArtifact("warc", srcFp)(
+        p => new java.io.File(p).isDirectory)(
+        stage => graft.sources.Warc.saveWarc(
+          docs.select(
+            concat(lit("https://corpus.test/doc/"), col("doc_id")).as("uri"),
+            lit("text/plain; charset=UTF-8").as("mime"),
+            encode(col("text"), "UTF-8").as("body")),
+          stage, "2026-01-01T00:00:00Z"))
+      graft.sources.Warc.warcDF(s, dir)
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+          col("http_status"), col("mime"),
+          length(col("body")).cast("long").as("n_bytes"),
+          md5(col("body")).as("body_hash"))
+        .orderBy(col("doc_id"))
+    }),
     "q_write_roundtrip" -> ((s, d) => {
       val out = s"/tmp/graft_roundtrip_${System.getProperty("user.name")}"
       Multimodal.mediaTable(t(s, d, "documents"))
@@ -210,6 +236,11 @@ private[graft] object EntriesWrite {
     // Spark URL-escapes partition-dir values (mime=image%2Fpng) and
     // unescapes them on read; DuckDB's hive_partitioning reads the
     // raw dir name, so the oracle undoes the one escape mime can hit
+    // re-derived from the SOURCE table: the Spark side must recover
+    // exactly these fields out of real WARC/HTTP/gzip bytes
+    "q_warc_roundtrip" -> ("SELECT doc_id, 200 AS http_status, " +
+      "'text/plain; charset=UTF-8' AS mime, octet_length(encode(text))::BIGINT AS n_bytes, " +
+      "md5(text) AS body_hash FROM documents ORDER BY doc_id"),
     "q_write_roundtrip" -> ("SELECT replace(mime, '%2F', '/') AS mime, count(*) AS n " +
       s"FROM read_parquet('/tmp/graft_roundtrip_${System.getProperty("user.name")}/*/*.parquet', " +
       "hive_partitioning=true) GROUP BY 1 ORDER BY 1"),
