@@ -69,7 +69,12 @@ object IndexArtifacts {
       }
       val staging = new java.io.File(tmpRoot,
         s".$prefix${srcFp}_stage_${ProcessHandle.current().pid()}_${System.nanoTime()}")
-      build(staging.getAbsolutePath)
+      try build(staging.getAbsolutePath)
+      catch { case e: Throwable =>
+        // a failed build must not leak its half-written staging dir
+        try deleteRecursively(staging) catch { case _: Throwable => () }
+        throw e
+      }
       try {
         java.nio.file.Files.move(staging.toPath, new java.io.File(finalDir).toPath,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -607,7 +612,11 @@ object IndexArtifacts {
     val dir = int4Dir(indexPath, vecCol)
     val known = spark.read.parquet(s"$dir/packed")
       .select(col("id").as("__known_id"))
+    // the packable subset only: packInt4 drops null-vector rows, so
+    // counting them here would fail the coverage identity on every
+    // legitimate append and silently degrade refresh to full rebuilds
     val data = spark.read.format(fmt).load(indexPath)
+      .where(col(vecCol).isNotNull)
     val fresh = data.join(known, col(idCol) === col("__known_id"), "left_anti")
     val audit = fresh.agg(
       count(lit(1)).as("n"),

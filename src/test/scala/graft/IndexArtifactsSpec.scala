@@ -433,6 +433,21 @@ class IndexArtifactsSpec extends SparkSpec {
     spark.catalog.refreshByPath(out)
     IndexArtifacts.refreshInt4(spark, out, "vec_id", "embedding")
     assert(IndexArtifacts.loadInt4(spark, out, "embedding", Some("vec_id")).get.count() == 155)
+
+    // null-VECTOR rows are unpackable data, not audit failures: the
+    // coverage identity counts the packable subset, so this append
+    // routes incrementally (packs only the one real vector) instead
+    // of silently degrading every future refresh to a full rebuild
+    import spark.implicits._
+    Seq((9100000L, (1 to 64).map(_.toFloat * 0.01f).toArray),
+        (9100001L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+      .write.mode("append").parquet(out)
+    spark.catalog.refreshByPath(out)
+    IndexArtifacts.refreshInt4(spark, out, "vec_id", "embedding")
+    val p3 = IndexArtifacts.loadInt4(spark, out, "embedding", Some("vec_id")).get
+    assert(p3.count() == 156 && p3.where(col("id") === 9100000L).count() == 1)
+    assert(p3.where(col("id") === 9100001L).count() == 0)
   }
 
   test("refresh audits: id collisions and null ids force a FULL rebuild, never a silent gap (r14)") {
