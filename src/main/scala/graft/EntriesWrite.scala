@@ -51,6 +51,37 @@ private[graft] object EntriesWrite {
           md5(col("body")).as("body_hash"))
         .orderBy(col("doc_id"))
     }),
+    // crawl-to-corpus: the composed Common Crawl ingestion shape over
+    // the WARC source — real .warc.gz bytes -> streaming per-file
+    // parse -> html_strip extraction -> length gate -> exact dedup
+    // (first doc_id survives). Every stage after the source is a
+    // narrow pass except dedup's one (fingerprint, id) exchange; the
+    // oracle re-derives extraction + gate + dedup from the source
+    // table through the same strip mirror q_analyze_html pins
+    "q_warc_pipeline" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val srcFp = graft.index.IndexArtifacts
+        .dataFingerprint(s, s"$d/documents.parquet").take(12)
+      val dir = graft.index.IndexArtifacts.ensureArtifact("warchtml", srcFp)(
+        p => new java.io.File(p).isDirectory)(
+        stage => graft.sources.Warc.saveWarc(
+          docs.select(
+            concat(lit("https://corpus.test/doc/"), col("doc_id")).as("uri"),
+            lit("text/html; charset=UTF-8").as("mime"),
+            encode(concat(lit("<html><head><title>d</title></head><body><p>"),
+              col("text"), lit("</p></body></html>")), "UTF-8").as("body")),
+          stage, "2026-01-01T00:00:00Z"))
+      val extracted = graft.sources.Warc.warcDF(s, dir)
+        .where(col("http_status") === 200 && col("mime").like("text/html%"))
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+          trim(graft.analysis.Analyzer.htmlStrip(decode(col("body"), "UTF-8"))).as("text"))
+      graft.dedup.Dedup.keepFirstByKey(
+          extracted.where(length(col("text")) >= 100), "doc_id", md5(col("text")))
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+          md5(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
     "q_write_roundtrip" -> ((s, d) => {
       val out = s"/tmp/graft_roundtrip_${System.getProperty("user.name")}"
       Multimodal.mediaTable(t(s, d, "documents"))
@@ -236,6 +267,21 @@ private[graft] object EntriesWrite {
     // Spark URL-escapes partition-dir values (mime=image%2Fpng) and
     // unescapes them on read; DuckDB's hive_partitioning reads the
     // raw dir name, so the oracle undoes the one escape mime can hit
+    // extraction + gate + dedup re-derived from the source table via
+    // the same html_strip mirror q_analyze_html uses — the Spark side
+    // must land on identical md5s out of real WARC/HTTP/gzip bytes
+    "q_warc_pipeline" -> ("WITH h AS (SELECT doc_id, " +
+      "'<html><head><title>d</title></head><body><p>' || text || '</p></body></html>' AS html " +
+      "FROM documents), " +
+      "s AS (SELECT doc_id, trim(replace(replace(replace(replace(replace(replace(" +
+      "regexp_replace(html, '<[^>]*>', ' ', 'g'), " +
+      "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', chr(39)), '&nbsp;', ' '), " +
+      "'&amp;', '&')) AS text FROM h), " +
+      "g AS (SELECT doc_id, text, length(text) AS n_chars, md5(text) AS fp FROM s " +
+      "WHERE length(text) >= 100), " +
+      "k AS (SELECT fp, min(doc_id) AS keep FROM g GROUP BY fp) " +
+      "SELECT g.doc_id, g.n_chars::BIGINT AS n_chars, g.fp " +
+      "FROM g JOIN k ON g.fp = k.fp AND g.doc_id = k.keep ORDER BY g.doc_id"),
     // re-derived from the SOURCE table: the Spark side must recover
     // exactly these fields out of real WARC/HTTP/gzip bytes
     "q_warc_roundtrip" -> ("SELECT doc_id, 200 AS http_status, " +
