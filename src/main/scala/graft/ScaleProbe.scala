@@ -396,6 +396,21 @@ object ScaleProbe {
         (0 until 64).map(i => (i * 37 % 100) / 100.0 - 0.5),
         k = 10, oversample = 4).count()
     }
+    time("warc_roundtrip_10x") {
+      // the CC ingestion shape at n x docs: serialize real .warc.gz
+      // (one gzip member per record) and stream-parse it all back —
+      // write and read are both one-pass-per-task, no shuffle
+      val tmp = java.nio.file.Files.createTempDirectory("graft_probe_warc").toString
+      graft.sources.Warc.saveWarc(
+        docs.select(
+          concat(lit("https://t/"), col("doc_id")).as("uri"),
+          lit("text/plain").as("mime"),
+          encode(col("text"), "UTF-8").as("body")),
+        tmp, "2026-01-01T00:00:00Z")
+      val n = graft.sources.Warc.warcDF(spark, tmp).count()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      n
+    }
     time("gif_frames_10x") {
       // the full video-shaped path at n x docs: encode real animated
       // GIFs AND LZW-decode the kept frames — map-only both ways, so
