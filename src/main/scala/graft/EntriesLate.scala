@@ -123,6 +123,14 @@ private[graft] object EntriesLate {
         ScriptQv, k = 10, oversample = 4)
         .getOrElse(sys.error("int4 artifact missing right after build"))
     }),
+    // product quantization (Jégou et al. 2011 — IVFADC's PQ half):
+    // 4 code bytes per doc (128x vs float64), coarse pass = m LUT
+    // lookups off the codes alone, exact rescore on the oversampled
+    // window; deterministic sample codebooks so the oracle rebuilds
+    // assignment + ADC bit-for-bit (1e-6 fixed-point distances)
+    "q_knn_pq" -> ((s, d) =>
+      graft.sim.Ann.pqTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        ScriptQv, k = 10, oversample = 4)),
     // ip_range agg over the synthetic ip column (from-inclusive,
     // to-exclusive, unbounded sides open; one scan, N count_ifs)
     "q_agg_ip_range" -> ((s, d) => Aggs.ipRange(withIp(Tables.events(s, d)), "ip",
@@ -482,6 +490,43 @@ private[graft] object EntriesLate {
       "sqrt(list_reduce(list_prepend(0.0, list_transform(w, x -> x * x)), (a, b) -> a + b))), 4) AS cosine, " +
       "round(c.qscore, 4) AS quantized FROM coarse c JOIN e ON e.vec_id = c.vec_id CROSS JOIN q) " +
       "SELECT id, cosine, quantized FROM ex ORDER BY cosine DESC, id LIMIT 10"),
+    // PQ replayed verbatim: sample codebooks from the first 16 ids,
+    // per-subspace squared-L2 as an ORDERED left fold into 1e-6 fixed
+    // point (the kernel's exact accumulation), argmin with lowest-code
+    // ties, ADC = integer LUT sum / 1e6, exact-cosine rescore on the
+    // 40-row window
+    "q_knn_pq" -> ("WITH q0 AS (SELECT " + ScriptQv.mkString("[", ", ", "]") + "::DOUBLE[] AS w0), " +
+      "q AS (SELECT w0, list_transform(w0, x -> x / sqrt(list_reduce(list_prepend(0.0, " +
+      "list_transform(w0, y -> y * y)), (a, b) -> a + b))) AS w FROM q0), " +
+      "v0 AS (SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS rv FROM embeddings), " +
+      "v AS (SELECT id, rv, CASE WHEN nrm = 0 THEN rv ELSE " +
+      "list_transform(rv, x -> x / nrm) END AS v FROM (SELECT id, rv, " +
+      "sqrt(list_reduce(list_prepend(0.0, list_transform(rv, x -> x * x)), (a, b) -> a + b)) AS nrm " +
+      "FROM v0) t0), " +
+      "cb AS (SELECT row_number() OVER (ORDER BY id) - 1 AS c, v AS cv " +
+      "FROM (SELECT id, v FROM v ORDER BY id LIMIT 16) t), " +
+      "ad AS (SELECT v.id, s.s, cb.c, floor(list_reduce(list_prepend(0.0, " +
+      "list_transform(generate_series(1, 16), i -> " +
+      "(v.v[s.s*16 + i] - cb.cv[s.s*16 + i]) * (v.v[s.s*16 + i] - cb.cv[s.s*16 + i]))), " +
+      "(a, b) -> a + b) * 1e6 + 0.5)::BIGINT AS dl " +
+      "FROM v CROSS JOIN generate_series(0, 3) AS s(s) CROSS JOIN cb), " +
+      "asg AS (SELECT id, s, c FROM (SELECT id, s, c, " +
+      "row_number() OVER (PARTITION BY id, s ORDER BY dl ASC, c ASC) AS rn FROM ad) t " +
+      "WHERE rn = 1), " +
+      "lut AS (SELECT s.s, cb.c, floor(list_reduce(list_prepend(0.0, " +
+      "list_transform(generate_series(1, 16), i -> " +
+      "(w[s.s*16 + i] - cb.cv[s.s*16 + i]) * (w[s.s*16 + i] - cb.cv[s.s*16 + i]))), " +
+      "(a, b) -> a + b) * 1e6 + 0.5)::BIGINT AS dl " +
+      "FROM generate_series(0, 3) AS s(s) CROSS JOIN cb CROSS JOIN q), " +
+      "coarse AS (SELECT a.id, sum(l.dl)::DOUBLE / 1e6 AS adc " +
+      "FROM asg a JOIN lut l ON l.s = a.s AND l.c = a.c " +
+      "GROUP BY a.id ORDER BY adc ASC, a.id ASC LIMIT 40), " +
+      "ex AS (SELECT c.id, c.adc, round(list_reduce(list_prepend(0.0, " +
+      "list_transform(range(1, 65), i -> e.rv[i] * w0[i])), (a, b) -> a + b) / " +
+      "(sqrt(list_reduce(list_prepend(0.0, list_transform(e.rv, x -> x * x)), (a, b) -> a + b)) * " +
+      "sqrt(list_reduce(list_prepend(0.0, list_transform(w0, x -> x * x)), (a, b) -> a + b))), 4) AS cosine " +
+      "FROM coarse c JOIN v e ON e.id = c.id CROSS JOIN q) " +
+      "SELECT id, adc, cosine FROM ex ORDER BY cosine DESC, id LIMIT 10"),
     "q_agg_ip_range" -> (IpCte +
       " SELECT key, doc_count FROM (" +
       "SELECT 0 AS o, 'low' AS key, count(*) FILTER (WHERE ipn < 10 * 16777216 + 64 * 65536)::BIGINT AS doc_count FROM ipv " +

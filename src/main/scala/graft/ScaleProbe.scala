@@ -396,6 +396,12 @@ object ScaleProbe {
         (0 until 64).map(i => (i * 37 % 100) / 100.0 - 0.5),
         k = 10, oversample = 4).count()
     }
+    time("knn_pq_10x") {
+      // the 128x point: 4 code bytes/doc, coarse pass = 4 LUT lookups
+      graft.sim.Ann.pqTopK(emb, "vec_id", "embedding",
+        (0 until 64).map(i => (i * 37 % 100) / 100.0 - 0.5),
+        k = 10, oversample = 4).count()
+    }
     time("warc_roundtrip_10x") {
       // the CC ingestion shape at n x docs: serialize real .warc.gz
       // (one gzip member per record) and stream-parse it all back —

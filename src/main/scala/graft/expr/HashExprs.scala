@@ -872,6 +872,56 @@ object HashKernels {
     else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
+  /** Product-quantization encode: assign each of the vector's m
+    * subvectors to its nearest codeword by squared L2 — one byte per
+    * subspace. Distances round to 1e-6 FIXED POINT before the argmin
+    * (floor(d*1e6 + 0.5), d >= 0 so this is half-away-from-zero, the
+    * DuckDB rule) with ties to the LOWEST code, so the oracle can
+    * replay the assignment exactly. `cb` is the flattened codebook:
+    * codeword (s, c) lives at offset (s*k + c)*dsub. */
+  def pqEncodeKernel(v: ArrayData, cb: Array[Double], m: Int, k: Int): Array[Byte] = {
+    val n = v.numElements()
+    val dsub = n / m
+    val out = new Array[Byte](m)
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bestD = Long.MaxValue
+      var c = 0
+      while (c < k) {
+        val off = (s * k + c) * dsub
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val t = v.getDouble(s * dsub + i) - cb(off + i)
+          d += t * t
+          i += 1
+        }
+        val dl = math.floor(d * 1e6 + 0.5).toLong
+        if (dl < bestD) { bestD = dl; best = c }
+        c += 1
+      }
+      out(s) = best.toByte
+      s += 1
+    }
+    out
+  }
+
+  /** Asymmetric-distance (ADC) score off the PQ codes alone: m table
+    * lookups into the per-query LUT, never the float vector. The LUT
+    * carries 1e-6 fixed-point longs, so the total is an EXACT decimal
+    * sum (order-free) divided once — bit-equal to the oracle's
+    * DECIMAL sum cast to DOUBLE. */
+  def pqAdcKernel(codes: Array[Byte], lut: Array[Long], k: Int): Double = {
+    var s = 0
+    var tot = 0L
+    while (s < codes.length) {
+      tot += lut(s * k + (codes(s) & 0xff))
+      s += 1
+    }
+    tot / 1e6
+  }
+
   /** Mean-of-token-embeddings cosine vs a fixed query vector — the
     * dense rerank kernel of the neural inference service: average the
     * learned vectors of the row's KNOWN tokens (hash-map lookup into
@@ -1770,5 +1820,54 @@ case class BloomMightContain(
   }
 
   override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+}
+
+/** Product-quantization encode (see HashKernels.pqEncodeKernel): an
+  * array<double> vector becomes m code bytes — dim/m·8 x smaller than
+  * float64 storage. The codebook ships into codegen as a reference
+  * object, one argmin loop per subspace. */
+case class PqEncode(child: Expression, cb: Seq[Double], m: Int, k: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(m > 0 && k > 0 && k <= 256 && cb.nonEmpty && cb.length % (m * k) == 0,
+    s"codebook ${cb.length} doubles does not factor into $m subspaces x $k codes")
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] =
+    Seq(ArrayType(DoubleType))
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "pq_encode"
+  @transient private lazy val cbArr: Array[Double] = cb.toArray
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.pqEncodeKernel(input.asInstanceOf[ArrayData], cbArr, m, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", cbArr, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.HashKernels.pqEncodeKernel($c, $cbRef, $m, $k);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** ADC distance off the m PQ code bytes alone (see
+  * HashKernels.pqAdcKernel) — the corpus-wide coarse pass of an
+  * IVFADC-style search reads codes + the broadcast per-query LUT,
+  * never the float column. */
+case class PqAdc(child: Expression, lut: Seq[Long], k: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(k > 0 && lut.nonEmpty && lut.length % k == 0,
+    s"LUT ${lut.length} entries does not factor into $k codes per subspace")
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] =
+    Seq(BinaryType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+  @transient private lazy val lutArr: Array[Long] = lut.toArray
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Double.valueOf(HashKernels.pqAdcKernel(
+      input.asInstanceOf[Array[Byte]], lutArr, k))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lutRef = ctx.addReferenceObj("pqLut", lutArr, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.HashKernels.pqAdcKernel($c, $lutRef, $k);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqAdc =
     copy(child = newChild)
 }

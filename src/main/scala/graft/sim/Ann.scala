@@ -1004,4 +1004,161 @@ object Ann {
       .orderBy(col("cosine").desc, col("id").asc)
       .limit(k)
   }
+
+  /** Product quantization (IVFADC's PQ half, Jégou et al. 2011): the
+    * vector column compresses to m CODE BYTES per doc (here 4 bytes vs
+    * 512 for float64 — 128x), the corpus-wide coarse pass scores by
+    * asymmetric distance (m lookups into a broadcast per-query LUT,
+    * codes only — the float column is never read), and the raw
+    * vectors rescore exactly for O(k·oversample) rows via a broadcast
+    * semi-join. This is the remaining member of the quantized-storage
+    * family (int8 4x / int4 8x / BBQ 32x / PQ dim-bound): the one
+    * whose compression does NOT scale with per-dimension bit width.
+    *
+    * Codebooks are the DETERMINISTIC sample variant — subvectors of
+    * the first `codebookSize` corpus vectors by id (the random-sample
+    * baseline of the PQ literature, seeded by id order so the DuckDB
+    * oracle can rebuild them verbatim). A k-means-refined codebook
+    * drops into the same expressions; assignment/ADC math and plan
+    * shape are identical, which is what the oracle pins.
+    *
+    * Determinism contract: per-subspace squared-L2 lands in 1e-6
+    * fixed point before BOTH the assignment argmin (ties -> lowest
+    * code) and the ADC sum, so engines agree bit-for-bit. */
+  /** Train PQ codebooks with Lloyd's iterations per subspace over a
+    * deterministic sample (first `sampleN` unit vectors by id —
+    * sample-based training is the published PQ practice; codebooks
+    * are k·m tiny centroids, so the fit is a driver-side loop over a
+    * bounded sample, never a corpus job per iteration). Returns the
+    * flat layout pqTopK consumes: codeword (s, c) at (s*k + c)*dsub.
+    * Empty cells keep their previous centroid (k-means' standard
+    * dead-cell rule). */
+  def pqFitCodebooks(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      k: Int,
+      iters: Int = 5,
+      sampleN: Int = 2048): Array[Double] = {
+    val live = corpus.where(col(vecCol).isNotNull)
+    val nrmE = sqrt(aggregate(col(vecCol).cast("array<double>"), lit(0.0), (a, x) => a + x * x))
+    val sample = live
+      .select(col(idCol).as("id"),
+        when(nrmE === 0.0, col(vecCol).cast("array<double>"))
+          .otherwise(transform(col(vecCol).cast("array<double>"), x => x / nrmE)).as("v"))
+      .orderBy(col("id")).limit(sampleN)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(sample.length >= k, s"sample ${sample.length} smaller than k=$k")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim does not split into $m subspaces")
+    val dsub = dim / m
+    val cb = new Array[Double](m * k * dsub)
+    // init: first k sample subvectors (the untrained baseline)
+    for (s <- 0 until m; c <- 0 until k; i <- 0 until dsub)
+      cb((s * k + c) * dsub + i) = sample(c)(s * dsub + i)
+    val counts = new Array[Int](k)
+    val sums = new Array[Double](k * dsub)
+    for (s <- 0 until m; _ <- 0 until iters) {
+      java.util.Arrays.fill(counts, 0)
+      java.util.Arrays.fill(sums, 0.0)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < dsub) {
+            val t = v(s * dsub + i) - cb((s * k + c) * dsub + i); d += t * t; i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dsub) { sums(best * dsub + i) += v(s * dsub + i); i += 1 }
+      }
+      for (c <- 0 until k if counts(c) > 0; i <- 0 until dsub)
+        cb((s * k + c) * dsub + i) = sums(c * dsub + i) / counts(c)
+    }
+    cb
+  }
+
+  def pqTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryVec: Seq[Double],
+      k: Int,
+      oversample: Int,
+      m: Int = 4,
+      codebookSize: Int = 16,
+      codebooks: Option[Array[Double]] = None): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val live = corpus.where(col(vecCol).isNotNull)
+    // cosine is the target metric, so PQ runs in UNIT-NORM space —
+    // after normalization L2 is monotone in cosine (||a-b||² = 2-2cos)
+    // and the ADC ordering means what the rescore measures; zero
+    // vectors stay zero instead of NaN-ing the whole row
+    def normalized(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val nrm = sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))
+      when(nrm === 0.0, v).otherwise(transform(v, x => x / nrm))
+    }
+    val unit = live.select(col(idCol).as("id"),
+      normalized(col(vecCol).cast("array<double>")).as("v"))
+    require(queryVec.nonEmpty && queryVec.length % m == 0,
+      s"query dim ${queryVec.length} does not split into $m subspaces")
+    val dim = queryVec.length
+    val dsub = dim / m
+    // codebooks: caller-trained (pqFitCodebooks), or the deterministic
+    // sample baseline — first codebookSize unit vectors by id, sliced
+    val cb = codebooks.getOrElse {
+      val sample = unit.orderBy(col("id")).limit(codebookSize).collect()
+      require(sample.length == codebookSize,
+        s"corpus has only ${sample.length} vectors, need $codebookSize for the codebook")
+      require(sample.head.getSeq[Double](1).length == dim,
+        s"corpus dim ${sample.head.getSeq[Double](1).length} != query dim $dim")
+      val arr = new Array[Double](m * codebookSize * dsub)
+      for (s <- 0 until m; c <- 0 until codebookSize; i <- 0 until dsub)
+        arr((s * codebookSize + c) * dsub + i) = sample(c).getSeq[Double](1)(s * dsub + i)
+      arr
+    }
+    require(cb.length == m * codebookSize * dsub,
+      s"codebook ${cb.length} != $m x $codebookSize x $dsub")
+    // normalize the query the same left-fold way (driver scalars)
+    val qn = {
+      var n2 = 0.0
+      queryVec.foreach(x => n2 += x * x)
+      val nrm = math.sqrt(n2)
+      if (nrm == 0.0) queryVec else queryVec.map(_ / nrm)
+    }
+    // per-query ADC lookup table, 1e-6 fixed point (exact decimal sum)
+    val lut = new Array[Long](m * codebookSize)
+    for (s <- 0 until m; c <- 0 until codebookSize) {
+      var d = 0.0
+      for (i <- 0 until dsub) {
+        val t = qn(s * dsub + i) - cb((s * codebookSize + c) * dsub + i)
+        d += t * t
+      }
+      lut(s * codebookSize + c) = math.floor(d * 1e6 + 0.5).toLong
+    }
+    val q = array(queryVec.map(lit): _*)
+    // the stored artifact shape: (id, m code bytes) over unit vectors
+    val encoded = unit.select(col("id"),
+      GraftBridge.column(graft.expr.PqEncode(
+        GraftBridge.expression(col("v")),
+        cb.toSeq, m, codebookSize)).as("pq"))
+    val adc = GraftBridge.column(graft.expr.PqAdc(
+      GraftBridge.expression(col("pq")), lut.toSeq, codebookSize))
+    // L2 ADC: SMALLEST distance wins the window
+    val coarse = encoded.select(col("id"), adc.as("adc"))
+      .orderBy(col("adc").asc, col("id").asc)
+      .limit(k * oversample)
+    val exact = GraftBridge.column(graft.expr.CosineSim(
+      GraftBridge.expression(col(vecCol)), GraftBridge.expression(q)))
+    live.join(broadcast(coarse), live(idCol) === coarse("id"))
+      .select(coarse("id"), coarse("adc"),
+        graft.util.Num.round(exact, 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("id").asc)
+      .limit(k)
+  }
 }
