@@ -131,6 +131,22 @@ private[graft] object EntriesLate {
     "q_knn_pq" -> ((s, d) =>
       graft.sim.Ann.pqTopK(t(s, d, "embeddings"), "vec_id", "embedding",
         ScriptQv, k = 10, oversample = 4)),
+    // pack-once persisted PQ: the write pays the encode under a frozen
+    // codebook, the query's coarse pass reads m bytes/doc — hash-equal
+    // to on-the-fly q_knn_pq (same oracle SQL)
+    "q_knn_pq_persisted" -> ((s, d) => {
+      val srcFp = graft.index.IndexArtifacts
+        .dataFingerprint(s, s"$d/embeddings.parquet").take(12)
+      val out = graft.index.IndexArtifacts.ensureArtifact("pqidx", srcFp)(
+        p => graft.index.IndexArtifacts.loadPq(s, p, "embedding").nonEmpty)(
+        stage => graft.sources.Connector.save(t(s, d, "embeddings"), stage, Map(
+          "graft.write.operation" -> "overwrite",
+          "graft.mapping.id" -> "vec_id",
+          "graft.index.pq" -> "embedding")))
+      graft.sim.Ann.pqTopKIndexed(s, out, "vec_id", "embedding",
+        ScriptQv, k = 10, oversample = 4)
+        .getOrElse(sys.error("pq artifact missing right after build"))
+    }),
     // ip_range agg over the synthetic ip column (from-inclusive,
     // to-exclusive, unbounded sides open; one scan, N count_ifs)
     "q_agg_ip_range" -> ((s, d) => Aggs.ipRange(withIp(Tables.events(s, d)), "ip",
@@ -496,6 +512,41 @@ private[graft] object EntriesLate {
     // ties, ADC = integer LUT sum / 1e6, exact-cosine rescore on the
     // 40-row window
     "q_knn_pq" -> ("WITH q0 AS (SELECT " + ScriptQv.mkString("[", ", ", "]") + "::DOUBLE[] AS w0), " +
+      "q AS (SELECT w0, list_transform(w0, x -> x / sqrt(list_reduce(list_prepend(0.0, " +
+      "list_transform(w0, y -> y * y)), (a, b) -> a + b))) AS w FROM q0), " +
+      "v0 AS (SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS rv FROM embeddings), " +
+      "v AS (SELECT id, rv, CASE WHEN nrm = 0 THEN rv ELSE " +
+      "list_transform(rv, x -> x / nrm) END AS v FROM (SELECT id, rv, " +
+      "sqrt(list_reduce(list_prepend(0.0, list_transform(rv, x -> x * x)), (a, b) -> a + b)) AS nrm " +
+      "FROM v0) t0), " +
+      "cb AS (SELECT row_number() OVER (ORDER BY id) - 1 AS c, v AS cv " +
+      "FROM (SELECT id, v FROM v ORDER BY id LIMIT 16) t), " +
+      "ad AS (SELECT v.id, s.s, cb.c, floor(list_reduce(list_prepend(0.0, " +
+      "list_transform(generate_series(1, 16), i -> " +
+      "(v.v[s.s*16 + i] - cb.cv[s.s*16 + i]) * (v.v[s.s*16 + i] - cb.cv[s.s*16 + i]))), " +
+      "(a, b) -> a + b) * 1e6 + 0.5)::BIGINT AS dl " +
+      "FROM v CROSS JOIN generate_series(0, 3) AS s(s) CROSS JOIN cb), " +
+      "asg AS (SELECT id, s, c FROM (SELECT id, s, c, " +
+      "row_number() OVER (PARTITION BY id, s ORDER BY dl ASC, c ASC) AS rn FROM ad) t " +
+      "WHERE rn = 1), " +
+      "lut AS (SELECT s.s, cb.c, floor(list_reduce(list_prepend(0.0, " +
+      "list_transform(generate_series(1, 16), i -> " +
+      "(w[s.s*16 + i] - cb.cv[s.s*16 + i]) * (w[s.s*16 + i] - cb.cv[s.s*16 + i]))), " +
+      "(a, b) -> a + b) * 1e6 + 0.5)::BIGINT AS dl " +
+      "FROM generate_series(0, 3) AS s(s) CROSS JOIN cb CROSS JOIN q), " +
+      "coarse AS (SELECT a.id, sum(l.dl)::DOUBLE / 1e6 AS adc " +
+      "FROM asg a JOIN lut l ON l.s = a.s AND l.c = a.c " +
+      "GROUP BY a.id ORDER BY adc ASC, a.id ASC LIMIT 40), " +
+      "ex AS (SELECT c.id, c.adc, round(list_reduce(list_prepend(0.0, " +
+      "list_transform(range(1, 65), i -> e.rv[i] * w0[i])), (a, b) -> a + b) / " +
+      "(sqrt(list_reduce(list_prepend(0.0, list_transform(e.rv, x -> x * x)), (a, b) -> a + b)) * " +
+      "sqrt(list_reduce(list_prepend(0.0, list_transform(w0, x -> x * x)), (a, b) -> a + b))), 4) AS cosine " +
+      "FROM coarse c JOIN v e ON e.id = c.id CROSS JOIN q) " +
+      "SELECT id, adc, cosine FROM ex ORDER BY cosine DESC, id LIMIT 10"),
+    // hash-equal to on-the-fly PQ by construction: the artifact
+    // persists the same sample codebook + codes the per-query form
+    // computes (same oracle SQL)
+    "q_knn_pq_persisted" -> ("WITH q0 AS (SELECT " + ScriptQv.mkString("[", ", ", "]") + "::DOUBLE[] AS w0), " +
       "q AS (SELECT w0, list_transform(w0, x -> x / sqrt(list_reduce(list_prepend(0.0, " +
       "list_transform(w0, y -> y * y)), (a, b) -> a + b))) AS w FROM q0), " +
       "v0 AS (SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS rv FROM embeddings), " +

@@ -666,6 +666,111 @@ object IndexArtifacts {
     }
   }
 
+  val PqDirName = "_graft_pq"
+
+  def pqDir(indexPath: String, vecCol: String): String =
+    s"$indexPath/$PqDirName/$vecCol"
+
+  /** Pack-once PQ artifact: m code bytes per doc (the 128x storage
+    * point) plus the FROZEN codebook — exactly an ES segment's
+    * quantizer: trained/sampled at write time, appended rows encode
+    * under it unchanged. The coarse ADC pass reads only the codes
+    * table; the per-query LUT derives from the stored codebook. */
+  def buildPq(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      k: Int,
+      fmt: String = "parquet"): Unit = {
+    val dir = pqDir(indexPath, vecCol)
+    val corpus = spark.read.format(fmt).load(indexPath)
+    // the deterministic sample codebook — the same first-k-by-id rule
+    // the on-the-fly pqTopK uses, so artifact and per-query paths are
+    // answer-equal while the first-k id set is unchanged
+    val cb = graft.sim.Ann.pqSampleCodebooks(corpus, idCol, vecCol, m, k)
+    import spark.implicits._
+    Seq(cb.toSeq).toDF("cb").write.mode("overwrite").parquet(s"$dir/codebook")
+    graft.sim.Ann.pqEncodeFrame(corpus, idCol, vecCol, cb, m, k)
+      .write.mode("overwrite").parquet(s"$dir/codes")
+    writePqMeta(spark, indexPath, idCol, vecCol, m, k)
+  }
+
+  /** Incremental add under the FROZEN codebook, with the standard
+    * append audit on the packable (non-null-vector) subset. */
+  def refreshPq(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      vecCol: String,
+      fmt: String = "parquet"): Unit = {
+    val dir = pqDir(indexPath, vecCol)
+    val (mk, cb) = readPqCodebook(spark, dir).getOrElse(
+      return sys.error(s"refreshPq without a built artifact at $dir"))
+    val (m, k) = mk
+    val known = spark.read.parquet(s"$dir/codes")
+      .select(col("id").as("__known_id"))
+    val data = spark.read.format(fmt).load(indexPath)
+      .where(col(vecCol).isNotNull)
+    val fresh = data.join(known, col(idCol) === col("__known_id"), "left_anti")
+    val audit = fresh.agg(
+      count(lit(1)).as("n"),
+      count(col(idCol)).as("n_nonnull"),
+      countDistinct(col(idCol)).as("n_distinct")).head()
+    val nFresh = audit.getLong(0)
+    if (nFresh != audit.getLong(1) || nFresh != audit.getLong(2) ||
+        data.count() != known.count() + nFresh)
+      return buildPq(spark, indexPath, idCol, vecCol, m, k, fmt)
+    if (nFresh > 0)
+      graft.sim.Ann.pqEncodeFrame(fresh, idCol, vecCol, cb, m, k)
+        .write.mode("append").parquet(s"$dir/codes")
+    writePqMeta(spark, indexPath, idCol, vecCol, m, k)
+  }
+
+  private def writePqMeta(
+      spark: SparkSession, indexPath: String, idCol: String, vecCol: String,
+      m: Int, k: Int): Unit = {
+    val fp = dataFingerprint(spark, indexPath)
+    val metaPath = new Path(s"${pqDir(indexPath, vecCol)}/_graft_meta.json")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(metaPath, true)
+    out.write(
+      (s"""{"fingerprint":"$fp","id_col":"$idCol","vec_col":"$vecCol",""" +
+        s""""m":$m,"k":$k}""").getBytes("UTF-8"))
+    out.close()
+  }
+
+  private def readPqCodebook(
+      spark: SparkSession, dir: String): Option[((Int, Int), Array[Double])] =
+    readMetaJson(spark, s"$dir/_graft_meta.json").flatMap { meta =>
+      (meta \ "m", meta \ "k") match {
+        case (org.json4s.JInt(m), org.json4s.JInt(k)) =>
+          val cb = spark.read.parquet(s"$dir/codebook")
+            .head().getSeq[Double](0).toArray
+          Some(((m.toInt, k.toInt), cb))
+        case _ => None
+      }
+    }
+
+  /** Fresh ((m, k), codebook, codes frame) or None — the loadInt4
+    * freshness contract. */
+  def loadPq(
+      spark: SparkSession,
+      indexPath: String,
+      vecCol: String,
+      expectIdCol: Option[String] = None): Option[((Int, Int), Array[Double], DataFrame)] = {
+    val dir = pqDir(indexPath, vecCol)
+    readMeta(spark, s"$dir/_graft_meta.json") match {
+      case Some((fp, idc, _)) if fp == dataFingerprint(spark, indexPath)
+          && expectIdCol.forall(_ == idc) =>
+        readPqCodebook(spark, dir).map { case (mk, cb) =>
+          (mk, cb, spark.read.parquet(s"$dir/codes"))
+        }
+      case _ => None
+    }
+  }
+
   /** (fingerprint, id_col, ids_clean) from an artifact meta file, or
     * None. ids_clean defaults false when absent (vector metas never
     * record it; only the analysis build audits ids). */

@@ -1083,6 +1083,69 @@ object Ann {
     cb
   }
 
+  /** Unit-normalize an array<double> column (left-fold norm so the
+    * oracle mirrors it exactly); zero vectors stay zero, never NaN. */
+  private def pqNormalized(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val nrm = sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))
+    when(nrm === 0.0, v).otherwise(transform(v, x => x / nrm))
+  }
+
+  /** The deterministic sample codebook: subvectors of the first k
+    * unit-normalized corpus vectors by id, flat layout (s*k + c)*dsub. */
+  def pqSampleCodebooks(
+      corpus: DataFrame, idCol: String, vecCol: String, m: Int, k: Int): Array[Double] = {
+    val sample = corpus.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"),
+        pqNormalized(col(vecCol).cast("array<double>")).as("v"))
+      .orderBy(col("id")).limit(k)
+      .collect()
+    require(sample.length == k,
+      s"corpus has only ${sample.length} vectors, need $k for the codebook")
+    val dim = sample.head.getSeq[Double](1).length
+    require(dim % m == 0, s"dim $dim does not split into $m subspaces")
+    val dsub = dim / m
+    val cb = new Array[Double](m * k * dsub)
+    for (s <- 0 until m; c <- 0 until k; i <- 0 until dsub)
+      cb((s * k + c) * dsub + i) = sample(c).getSeq[Double](1)(s * dsub + i)
+    cb
+  }
+
+  /** Encode a corpus into (id, pq codes) under a given codebook —
+    * the frame the pack-once artifact persists. */
+  def pqEncodeFrame(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      cb: Array[Double], m: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    corpus.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"),
+        GraftBridge.column(graft.expr.PqEncode(
+          GraftBridge.expression(pqNormalized(col(vecCol).cast("array<double>"))),
+          cb.toSeq, m, k)).as("pq"))
+  }
+
+  /** The per-query ADC lookup table in 1e-6 fixed point, from a
+    * codebook and the (normalized-here) query. */
+  private def pqLut(
+      queryVec: Seq[Double], cb: Array[Double], m: Int, k: Int): Array[Long] = {
+    val dsub = queryVec.length / m
+    val qn = {
+      var n2 = 0.0
+      queryVec.foreach(x => n2 += x * x)
+      val nrm = math.sqrt(n2)
+      if (nrm == 0.0) queryVec else queryVec.map(_ / nrm)
+    }
+    val lut = new Array[Long](m * k)
+    for (s <- 0 until m; c <- 0 until k) {
+      var d = 0.0
+      for (i <- 0 until dsub) {
+        val t = qn(s * dsub + i) - cb((s * k + c) * dsub + i)
+        d += t * t
+      }
+      lut(s * k + c) = math.floor(d * 1e6 + 0.5).toLong
+    }
+    lut
+  }
+
   def pqTopK(
       corpus: DataFrame,
       idCol: String,
@@ -1094,65 +1157,35 @@ object Ann {
       codebookSize: Int = 16,
       codebooks: Option[Array[Double]] = None): DataFrame = {
     import org.apache.spark.sql.GraftBridge
-    val live = corpus.where(col(vecCol).isNotNull)
-    // cosine is the target metric, so PQ runs in UNIT-NORM space —
-    // after normalization L2 is monotone in cosine (||a-b||² = 2-2cos)
-    // and the ADC ordering means what the rescore measures; zero
-    // vectors stay zero instead of NaN-ing the whole row
-    def normalized(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-      val nrm = sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))
-      when(nrm === 0.0, v).otherwise(transform(v, x => x / nrm))
-    }
-    val unit = live.select(col(idCol).as("id"),
-      normalized(col(vecCol).cast("array<double>")).as("v"))
     require(queryVec.nonEmpty && queryVec.length % m == 0,
       s"query dim ${queryVec.length} does not split into $m subspaces")
-    val dim = queryVec.length
-    val dsub = dim / m
+    val dsub = queryVec.length / m
     // codebooks: caller-trained (pqFitCodebooks), or the deterministic
     // sample baseline — first codebookSize unit vectors by id, sliced
-    val cb = codebooks.getOrElse {
-      val sample = unit.orderBy(col("id")).limit(codebookSize).collect()
-      require(sample.length == codebookSize,
-        s"corpus has only ${sample.length} vectors, need $codebookSize for the codebook")
-      require(sample.head.getSeq[Double](1).length == dim,
-        s"corpus dim ${sample.head.getSeq[Double](1).length} != query dim $dim")
-      val arr = new Array[Double](m * codebookSize * dsub)
-      for (s <- 0 until m; c <- 0 until codebookSize; i <- 0 until dsub)
-        arr((s * codebookSize + c) * dsub + i) = sample(c).getSeq[Double](1)(s * dsub + i)
-      arr
-    }
+    val cb = codebooks.getOrElse(
+      pqSampleCodebooks(corpus, idCol, vecCol, m, codebookSize))
     require(cb.length == m * codebookSize * dsub,
       s"codebook ${cb.length} != $m x $codebookSize x $dsub")
-    // normalize the query the same left-fold way (driver scalars)
-    val qn = {
-      var n2 = 0.0
-      queryVec.foreach(x => n2 += x * x)
-      val nrm = math.sqrt(n2)
-      if (nrm == 0.0) queryVec else queryVec.map(_ / nrm)
-    }
-    // per-query ADC lookup table, 1e-6 fixed point (exact decimal sum)
-    val lut = new Array[Long](m * codebookSize)
-    for (s <- 0 until m; c <- 0 until codebookSize) {
-      var d = 0.0
-      for (i <- 0 until dsub) {
-        val t = qn(s * dsub + i) - cb((s * codebookSize + c) * dsub + i)
-        d += t * t
-      }
-      lut(s * codebookSize + c) = math.floor(d * 1e6 + 0.5).toLong
-    }
+    val lut = pqLut(queryVec, cb, m, codebookSize)
     val q = array(queryVec.map(lit): _*)
     // the stored artifact shape: (id, m code bytes) over unit vectors
-    val encoded = unit.select(col("id"),
-      GraftBridge.column(graft.expr.PqEncode(
-        GraftBridge.expression(col("v")),
-        cb.toSeq, m, codebookSize)).as("pq"))
+    val encoded = pqEncodeFrame(corpus, idCol, vecCol, cb, m, codebookSize)
     val adc = GraftBridge.column(graft.expr.PqAdc(
       GraftBridge.expression(col("pq")), lut.toSeq, codebookSize))
     // L2 ADC: SMALLEST distance wins the window
     val coarse = encoded.select(col("id"), adc.as("adc"))
       .orderBy(col("adc").asc, col("id").asc)
       .limit(k * oversample)
+    pqRescore(corpus.where(col(vecCol).isNotNull), idCol, vecCol, coarse, queryVec, k)
+  }
+
+  /** Exact-cosine rescore of a coarse ADC window against the raw
+    * vectors — shared by the on-the-fly and persisted PQ paths. */
+  private def pqRescore(
+      live: DataFrame, idCol: String, vecCol: String,
+      coarse: DataFrame, queryVec: Seq[Double], k: Int): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val q = array(queryVec.map(lit): _*)
     val exact = GraftBridge.column(graft.expr.CosineSim(
       GraftBridge.expression(col(vecCol)), GraftBridge.expression(q)))
     live.join(broadcast(coarse), live(idCol) === coarse("id"))
@@ -1161,4 +1194,35 @@ object Ann {
       .orderBy(col("cosine").desc, col("id").asc)
       .limit(k)
   }
+
+  /** PQ over the PERSISTED pack-once artifact (graft.index.pq): the
+    * coarse ADC pass reads the (id, codes) table — m bytes per doc vs
+    * dim·8 for the float column — with the LUT built from the STORED
+    * (frozen) codebook; only the oversampled window's raw vectors
+    * load for the exact rescore. Answer-equal to pqTopK while the
+    * artifact's sample-codebook id set is unchanged (the artifact
+    * freezes its quantizer exactly like an ES segment). None when
+    * missing or stale — callers fall back to the on-the-fly form. */
+  def pqTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      idCol: String,
+      vecCol: String,
+      queryVec: Seq[Double],
+      k: Int,
+      oversample: Int,
+      fmt: String = "parquet"): Option[DataFrame] =
+    graft.index.IndexArtifacts.loadPq(spark, indexPath, vecCol, Some(idCol))
+      .map { case ((m, ck), cb, codes) =>
+        import org.apache.spark.sql.GraftBridge
+        val lut = pqLut(queryVec, cb, m, ck)
+        val adc = GraftBridge.column(graft.expr.PqAdc(
+          GraftBridge.expression(col("pq")), lut.toSeq, ck))
+        val coarse = codes.select(col("id"), adc.as("adc"))
+          .orderBy(col("adc").asc, col("id").asc)
+          .limit(k * oversample)
+        val live = spark.read.format(fmt).load(indexPath)
+          .where(col(vecCol).isNotNull)
+        pqRescore(live, idCol, vecCol, coarse, queryVec, k)
+      }
 }

@@ -732,6 +732,24 @@ object Connector {
       else
         graft.index.IndexArtifacts.buildInt4(spark, path, idCol, vecCol, fmt)
     }
+    // persisted PQ codes (`graft.index.pq` = vector column, optional
+    // `.m`/`.k`): m code bytes per doc packed ONCE at write time under
+    // a codebook FROZEN at build — the ES-segment-quantizer shape.
+    // APPEND encodes only the new docs under the stored codebook
+    // (refreshPq's audited path).
+    cfg.get("graft.index.pq").foreach { vecCol =>
+      val idCol = cfg.getOrElse("graft.mapping.id",
+        throw new IllegalArgumentException(
+          "graft.index.pq needs graft.mapping.id (the coded doc id)"))
+      val m = cfg.getOrElse("graft.index.pq.m", "4").toInt
+      val k = cfg.getOrElse("graft.index.pq.k", "16").toInt
+      val codesDir = new Path(
+        graft.index.IndexArtifacts.pqDir(path, vecCol) + "/codes")
+      if (op == "append" && fs.exists(codesDir))
+        graft.index.IndexArtifacts.refreshPq(spark, path, idCol, vecCol, fmt)
+      else
+        graft.index.IndexArtifacts.buildPq(spark, path, idCol, vecCol, m, k, fmt)
+    }
   }
 
   /** `_aliases` analog: an alias is a directory holding ONE

@@ -450,6 +450,48 @@ class IndexArtifactsSpec extends SparkSpec {
     assert(p3.where(col("id") === 9100001L).count() == 0)
   }
 
+  test("persisted PQ: frozen codebook, codes-only coarse scan, audited appends (r14)") {
+    val out = "/tmp/graft_idxspec_pq"
+    val emb = Tables.embeddings(spark, sfDir).limit(150)
+    graft.sources.Connector.save(emb, out, Map(
+      "graft.write.operation" -> "overwrite",
+      "graft.mapping.id" -> "vec_id",
+      "graft.index.pq" -> "embedding"))
+    val ((m, k), cb, codes) =
+      IndexArtifacts.loadPq(spark, out, "embedding", Some("vec_id")).get
+    assert(m == 4 && k == 16 && cb.length == 4 * 16 * 16)
+    assert(codes.count() == 150)
+    assert(IndexArtifacts.loadPq(spark, out, "embedding", Some("other")).isEmpty)
+
+    val qv = (1 to 64).map(i => math.cos(i * 0.29))
+    val idx = graft.sim.Ann.pqTopKIndexed(
+      spark, out, "vec_id", "embedding", qv, k = 5, oversample = 4).get
+    val fly = graft.sim.Ann.pqTopK(
+      spark.read.parquet(out), "vec_id", "embedding", qv, k = 5, oversample = 4)
+    assert(idx.collect().toSeq == fly.collect().toSeq && idx.count() == 5)
+    // the IO claim: the coarse pass reads the persisted codes table
+    assert(idx.queryExecution.executedPlan.toString.contains("codes"))
+
+    // audited incremental append: only the new docs encode, and they
+    // encode under the FROZEN build-time codebook
+    val extra = emb.limit(4).withColumn("vec_id", col("vec_id") + lit(9000000L))
+    graft.sources.Connector.save(extra, out, Map(
+      "graft.write.operation" -> "append",
+      "graft.mapping.id" -> "vec_id",
+      "graft.index.pq" -> "embedding"))
+    val ((m2, k2), cb2, codes2) =
+      IndexArtifacts.loadPq(spark, out, "embedding", Some("vec_id")).get
+    assert(m2 == m && k2 == k)
+    assert(cb2.toSeq == cb.toSeq, "append must not retrain the codebook")
+    assert(codes2.count() == 154 && codes2.where(col("id") >= 9000000L).count() == 4)
+    // a colliding raw append trips the audit -> full rebuild, fresh
+    emb.limit(1).write.mode("append").parquet(out)
+    spark.catalog.refreshByPath(out)
+    IndexArtifacts.refreshPq(spark, out, "vec_id", "embedding")
+    assert(IndexArtifacts.loadPq(spark, out, "embedding", Some("vec_id"))
+      .get._3.count() == 155)
+  }
+
   test("refresh audits: id collisions and null ids force a FULL rebuild, never a silent gap (r14)") {
     // -- minhash: a colliding append is invisible to the anti-join
     // (its row would be missing from the artifact behind a fresh
