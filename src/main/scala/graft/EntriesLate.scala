@@ -147,6 +147,34 @@ private[graft] object EntriesLate {
         ScriptQv, k = 10, oversample = 4)
         .getOrElse(sys.error("pq artifact missing right after build"))
     }),
+    // IVFADC proper (Jégou et al. 2011 — FAISS's at-scale default):
+    // IVF probe routes the query to nprobe of nCentroids lists, ADC
+    // scores ONLY those lists' 4-byte codes, raw vectors rescore the
+    // window — per query: nprobe/nCentroids of the corpus in code
+    // bytes + O(k*oversample) float rows
+    "q_knn_ivfadc" -> ((s, d) =>
+      graft.sim.Ann.ivfAdcTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        ScriptQv, k = 10, oversample = 4, nCentroids = 16, nprobe = 4)),
+    // IVFADC over the PERSISTED index: probe + m-byte ADC + rescore,
+    // with quantizer, assignments AND codes all paid at write time —
+    // one write builds both artifacts; answer-equal to the on-the-fly
+    // composition (same oracle SQL)
+    "q_knn_ivfadc_persisted" -> ((s, d) => {
+      val srcFp = graft.index.IndexArtifacts
+        .dataFingerprint(s, s"$d/embeddings.parquet").take(12)
+      val out = graft.index.IndexArtifacts.ensureArtifact("ivfadcidx", srcFp)(
+        p => graft.index.IndexArtifacts.loadPq(s, p, "embedding", Some("vec_id")).nonEmpty &&
+          graft.index.IndexArtifacts.loadIvf(s, p, "embedding", Some("vec_id")).nonEmpty)(
+        stage => graft.sources.Connector.save(t(s, d, "embeddings"), stage, Map(
+          "graft.write.operation" -> "overwrite",
+          "graft.mapping.id" -> "vec_id",
+          "graft.index.vectors" -> "embedding",
+          "graft.index.vectors.centroids" -> "16",
+          "graft.index.pq" -> "embedding")))
+      graft.sim.Ann.ivfAdcTopKIndexed(s, out, "vec_id", "embedding",
+        ScriptQv, k = 10, oversample = 4, nprobe = 4)
+        .getOrElse(sys.error("ivfadc artifacts missing right after build"))
+    }),
     // ip_range agg over the synthetic ip column (from-inclusive,
     // to-exclusive, unbounded sides open; one scan, N count_ifs)
     "q_agg_ip_range" -> ((s, d) => Aggs.ipRange(withIp(Tables.events(s, d)), "ip",
@@ -577,6 +605,97 @@ private[graft] object EntriesLate {
       "(sqrt(list_reduce(list_prepend(0.0, list_transform(e.rv, x -> x * x)), (a, b) -> a + b)) * " +
       "sqrt(list_reduce(list_prepend(0.0, list_transform(w0, x -> x * x)), (a, b) -> a + b))), 4) AS cosine " +
       "FROM coarse c JOIN v e ON e.id = c.id CROSS JOIN q) " +
+      "SELECT id, adc, cosine FROM ex ORDER BY cosine DESC, id LIMIT 10"),
+    // the composition of the two proven mirrors: ivf assignment/probe
+    // (seed centroids, round-4 cosine, lowest-cent ties) gates which
+    // ids enter the PQ ADC stage (unit-norm codebooks, 1e-6 fixed
+    // point); rescore = exact cosine over the raw vectors
+    "q_knn_ivfadc" -> ("WITH q0 AS (SELECT " + ScriptQv.mkString("[", ", ", "]") + "::DOUBLE[] AS w0), " +
+      "qn AS (SELECT w0, sqrt(list_reduce(list_prepend(0.0, list_transform(w0, y -> y * y)), (a, b) -> a + b)) AS qnrm, " +
+      "list_transform(w0, x -> x / sqrt(list_reduce(list_prepend(0.0, " +
+      "list_transform(w0, y -> y * y)), (a, b) -> a + b))) AS w FROM q0), " +
+      "e AS (SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS rv FROM embeddings), " +
+      "n AS (SELECT id, rv, sqrt(list_reduce(list_prepend(0.0, list_transform(rv, x -> x * x)), (a, b) -> a + b)) AS nrm FROM e), " +
+      "cents AS (SELECT id AS cent_id, rv AS ccv, nrm AS cnrm FROM n ORDER BY id LIMIT 16), " +
+      "asg AS (SELECT id, cent_id FROM (SELECT c.id, cents.cent_id, " +
+      "row_number() OVER (PARTITION BY c.id ORDER BY round(list_reduce(list_prepend(0.0, " +
+      "list_transform(range(1, 65), i -> c.rv[i] * ccv[i])), (x, y) -> x + y) / (c.nrm * cnrm), 4) DESC, cents.cent_id) AS rn " +
+      "FROM n c CROSS JOIN cents) t WHERE rn = 1), " +
+      "probe AS (SELECT cent_id FROM (SELECT cents.cent_id, " +
+      "row_number() OVER (ORDER BY round(list_reduce(list_prepend(0.0, " +
+      "list_transform(range(1, 65), i -> w0[i] * ccv[i])), (x, y) -> x + y) / (qnrm * cnrm), 4) DESC, cents.cent_id) AS rn " +
+      "FROM cents CROSS JOIN qn) t WHERE rn <= 4), " +
+      "cand AS (SELECT a.id FROM asg a JOIN probe p USING (cent_id)), " +
+      "v AS (SELECT id, rv, CASE WHEN nrm = 0 THEN rv ELSE " +
+      "list_transform(rv, x -> x / nrm) END AS v FROM n), " +
+      "cb AS (SELECT row_number() OVER (ORDER BY id) - 1 AS c, v AS cv " +
+      "FROM (SELECT id, v FROM v ORDER BY id LIMIT 16) t), " +
+      "ad AS (SELECT v.id, s.s, cb.c, floor(list_reduce(list_prepend(0.0, " +
+      "list_transform(generate_series(1, 16), i -> " +
+      "(v.v[s.s*16 + i] - cb.cv[s.s*16 + i]) * (v.v[s.s*16 + i] - cb.cv[s.s*16 + i]))), " +
+      "(a, b) -> a + b) * 1e6 + 0.5)::BIGINT AS dl " +
+      "FROM v JOIN cand USING (id) CROSS JOIN generate_series(0, 3) AS s(s) CROSS JOIN cb), " +
+      "asgpq AS (SELECT id, s, c FROM (SELECT id, s, c, " +
+      "row_number() OVER (PARTITION BY id, s ORDER BY dl ASC, c ASC) AS rn FROM ad) t " +
+      "WHERE rn = 1), " +
+      "lut AS (SELECT s.s, cb.c, floor(list_reduce(list_prepend(0.0, " +
+      "list_transform(generate_series(1, 16), i -> " +
+      "(w[s.s*16 + i] - cb.cv[s.s*16 + i]) * (w[s.s*16 + i] - cb.cv[s.s*16 + i]))), " +
+      "(a, b) -> a + b) * 1e6 + 0.5)::BIGINT AS dl " +
+      "FROM generate_series(0, 3) AS s(s) CROSS JOIN cb CROSS JOIN qn), " +
+      "coarse AS (SELECT a.id, sum(l.dl)::DOUBLE / 1e6 AS adc " +
+      "FROM asgpq a JOIN lut l ON l.s = a.s AND l.c = a.c " +
+      "GROUP BY a.id ORDER BY adc ASC, a.id ASC LIMIT 40), " +
+      "ex AS (SELECT c.id, c.adc, round(list_reduce(list_prepend(0.0, " +
+      "list_transform(range(1, 65), i -> e2.rv[i] * w0[i])), (a, b) -> a + b) / " +
+      "(sqrt(list_reduce(list_prepend(0.0, list_transform(e2.rv, x -> x * x)), (a, b) -> a + b)) * " +
+      "sqrt(list_reduce(list_prepend(0.0, list_transform(w0, x -> x * x)), (a, b) -> a + b))), 4) AS cosine " +
+      "FROM coarse c JOIN n e2 ON e2.id = c.id CROSS JOIN q0) " +
+      "SELECT id, adc, cosine FROM ex ORDER BY cosine DESC, id LIMIT 10"),
+    // answer-equal to the on-the-fly composition: the artifacts
+    // persist the same seed quantizer, assignments, sample codebook
+    // and codes the per-query form derives (same oracle SQL)
+    "q_knn_ivfadc_persisted" -> ("WITH q0 AS (SELECT " + ScriptQv.mkString("[", ", ", "]") + "::DOUBLE[] AS w0), " +
+      "qn AS (SELECT w0, sqrt(list_reduce(list_prepend(0.0, list_transform(w0, y -> y * y)), (a, b) -> a + b)) AS qnrm, " +
+      "list_transform(w0, x -> x / sqrt(list_reduce(list_prepend(0.0, " +
+      "list_transform(w0, y -> y * y)), (a, b) -> a + b))) AS w FROM q0), " +
+      "e AS (SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS rv FROM embeddings), " +
+      "n AS (SELECT id, rv, sqrt(list_reduce(list_prepend(0.0, list_transform(rv, x -> x * x)), (a, b) -> a + b)) AS nrm FROM e), " +
+      "cents AS (SELECT id AS cent_id, rv AS ccv, nrm AS cnrm FROM n ORDER BY id LIMIT 16), " +
+      "asg AS (SELECT id, cent_id FROM (SELECT c.id, cents.cent_id, " +
+      "row_number() OVER (PARTITION BY c.id ORDER BY round(list_reduce(list_prepend(0.0, " +
+      "list_transform(range(1, 65), i -> c.rv[i] * ccv[i])), (x, y) -> x + y) / (c.nrm * cnrm), 4) DESC, cents.cent_id) AS rn " +
+      "FROM n c CROSS JOIN cents) t WHERE rn = 1), " +
+      "probe AS (SELECT cent_id FROM (SELECT cents.cent_id, " +
+      "row_number() OVER (ORDER BY round(list_reduce(list_prepend(0.0, " +
+      "list_transform(range(1, 65), i -> w0[i] * ccv[i])), (x, y) -> x + y) / (qnrm * cnrm), 4) DESC, cents.cent_id) AS rn " +
+      "FROM cents CROSS JOIN qn) t WHERE rn <= 4), " +
+      "cand AS (SELECT a.id FROM asg a JOIN probe p USING (cent_id)), " +
+      "v AS (SELECT id, rv, CASE WHEN nrm = 0 THEN rv ELSE " +
+      "list_transform(rv, x -> x / nrm) END AS v FROM n), " +
+      "cb AS (SELECT row_number() OVER (ORDER BY id) - 1 AS c, v AS cv " +
+      "FROM (SELECT id, v FROM v ORDER BY id LIMIT 16) t), " +
+      "ad AS (SELECT v.id, s.s, cb.c, floor(list_reduce(list_prepend(0.0, " +
+      "list_transform(generate_series(1, 16), i -> " +
+      "(v.v[s.s*16 + i] - cb.cv[s.s*16 + i]) * (v.v[s.s*16 + i] - cb.cv[s.s*16 + i]))), " +
+      "(a, b) -> a + b) * 1e6 + 0.5)::BIGINT AS dl " +
+      "FROM v JOIN cand USING (id) CROSS JOIN generate_series(0, 3) AS s(s) CROSS JOIN cb), " +
+      "asgpq AS (SELECT id, s, c FROM (SELECT id, s, c, " +
+      "row_number() OVER (PARTITION BY id, s ORDER BY dl ASC, c ASC) AS rn FROM ad) t " +
+      "WHERE rn = 1), " +
+      "lut AS (SELECT s.s, cb.c, floor(list_reduce(list_prepend(0.0, " +
+      "list_transform(generate_series(1, 16), i -> " +
+      "(w[s.s*16 + i] - cb.cv[s.s*16 + i]) * (w[s.s*16 + i] - cb.cv[s.s*16 + i]))), " +
+      "(a, b) -> a + b) * 1e6 + 0.5)::BIGINT AS dl " +
+      "FROM generate_series(0, 3) AS s(s) CROSS JOIN cb CROSS JOIN qn), " +
+      "coarse AS (SELECT a.id, sum(l.dl)::DOUBLE / 1e6 AS adc " +
+      "FROM asgpq a JOIN lut l ON l.s = a.s AND l.c = a.c " +
+      "GROUP BY a.id ORDER BY adc ASC, a.id ASC LIMIT 40), " +
+      "ex AS (SELECT c.id, c.adc, round(list_reduce(list_prepend(0.0, " +
+      "list_transform(range(1, 65), i -> e2.rv[i] * w0[i])), (a, b) -> a + b) / " +
+      "(sqrt(list_reduce(list_prepend(0.0, list_transform(e2.rv, x -> x * x)), (a, b) -> a + b)) * " +
+      "sqrt(list_reduce(list_prepend(0.0, list_transform(w0, x -> x * x)), (a, b) -> a + b))), 4) AS cosine " +
+      "FROM coarse c JOIN n e2 ON e2.id = c.id CROSS JOIN q0) " +
       "SELECT id, adc, cosine FROM ex ORDER BY cosine DESC, id LIMIT 10"),
     "q_agg_ip_range" -> (IpCte +
       " SELECT key, doc_count FROM (" +

@@ -402,6 +402,32 @@ object ScaleProbe {
         (0 until 64).map(i => (i * 37 % 100) / 100.0 - 0.5),
         k = 10, oversample = 4).count()
     }
+    time("knn_ivfadc_10x") {
+      // IVFADC on the fly: re-derives quantizer + assignments + codes
+      // per query — the number that shows WHY IVFADC is an index
+      graft.sim.Ann.ivfAdcTopK(emb, "vec_id", "embedding",
+        (0 until 64).map(i => (i * 37 % 100) / 100.0 - 0.5),
+        k = 10, oversample = 4, nCentroids = 16, nprobe = 4).count()
+    }
+    time("ivfadc_index_build_10x") {
+      val idx = "/tmp/graft_probe_ivfadc"
+      graft.sources.Connector.save(emb, idx, Map(
+        "graft.write.operation" -> "overwrite",
+        "graft.mapping.id" -> "vec_id",
+        "graft.index.vectors" -> "embedding",
+        "graft.index.vectors.centroids" -> "16",
+        "graft.index.pq" -> "embedding"))
+      1L
+    }
+    spark.catalog.clearCache()
+    time("ivfadc_indexed_query_10x") {
+      // the production shape: probe + m-byte ADC over stored
+      // assignments/codes + O(k*oversample) raw rows
+      graft.sim.Ann.ivfAdcTopKIndexed(spark, "/tmp/graft_probe_ivfadc",
+        "vec_id", "embedding",
+        (0 until 64).map(i => (i * 37 % 100) / 100.0 - 0.5),
+        k = 10, oversample = 4, nprobe = 4).get.count()
+    }
     time("warc_roundtrip_10x") {
       // the CC ingestion shape at n x docs: serialize real .warc.gz
       // (one gzip member per record) and stream-parse it all back —

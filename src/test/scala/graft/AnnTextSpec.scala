@@ -204,6 +204,36 @@ class AnnTextSpec extends SparkSpec {
     assert(coarsePlan.contains("pq_adc"), "coarse window must score by ADC")
   }
 
+  test("IVFADC: probe gates the ADC stage; all-lists probe degenerates to plain PQ") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val qv = (1 to 64).map(i => math.sin(i * 0.37))
+    // probing EVERY list removes the IVF gate: result must equal the
+    // plain PQ pipeline over the same sample codebook
+    val all = Ann.ivfAdcTopK(emb, "vec_id", "embedding", qv,
+      k = 5, oversample = 8, nCentroids = 16, nprobe = 16)
+    val pq = Ann.pqTopK(emb, "vec_id", "embedding", qv, k = 5, oversample = 8)
+    assert(all.collect().toSeq == pq.collect().toSeq)
+    // a narrow probe returns a (possibly weaker) subset, every cosine
+    // still exact vs brute force
+    val narrow = Ann.ivfAdcTopK(emb, "vec_id", "embedding", qv,
+      k = 5, oversample = 8, nCentroids = 16, nprobe = 2)
+      .select("id", "cosine").as[(Long, Double)].collect().toSeq
+    assert(narrow.nonEmpty && narrow.length <= 5)
+    // exactness of the rescored cosines: recompute directly
+    val direct = emb.select(col("vec_id"),
+      graft.util.Num.round(
+        graft.dedup.Vectors.cosine(col("embedding").cast("array<double>"),
+          array(qv.map(lit): _*)), 4).as("c"))
+      .as[(Long, Double)].collect().toMap
+    narrow.foreach { case (id, c) => assert(direct(id) == c) }
+    // the plan carries the membership semi-join (the IVF gate) below
+    // the ADC window
+    val plan = Ann.ivfAdcTopK(emb, "vec_id", "embedding", qv,
+      k = 5, oversample = 8, nCentroids = 16, nprobe = 2)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"), "IVF gate must be a semi-join on the coarse side")
+  }
+
   test("knn _explain: dot/norms/cosine breakdown consistent") {
     val r = Ann.explainKnn(vecs, "vec_id", "embedding",
       Seq(1.0, 1.0, 0.0, 0.0), docId = 2L)
