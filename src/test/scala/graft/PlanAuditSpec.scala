@@ -45,4 +45,49 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"UNBOUNDED global windows (single-partition at scale): ${offenders.distinct.mkString(", ")}")
   }
+
+  /** Keys whose cross-join BROADCAST side is not provably bounded in
+    * the plan itself, with the out-of-plan bound that makes each one
+    * safe. A new key landing here unexplained fails the audit — an
+    * unbounded broadcast is an executor OOM at scale, not a slowdown. */
+  private val crossJoinJustified: Map[String, String] = Map(
+    "q_ann_brute" -> "query frame capped by Ann.MaxQueryRows (loud runtime guard)",
+    "q_ann_hnsw" -> "query frame capped by Ann.MaxQueryRows (loud runtime guard)",
+    "q_ann_ivf" -> "query frame capped by Ann.MaxQueryRows (loud runtime guard)",
+    "q_ann_ivf_persisted" ->
+      "broadcast side reads the stored centroid table (nCentroids rows by build contract)",
+    "q_bm25_indexed" ->
+      "broadcast side reads the persisted 1-row corpus-stats artifact",
+    "q_contamination_embed" ->
+      "broadcast side is the eval-set frame (id-predicate-bounded eval split)")
+
+  test("every cross-join broadcast side is plan-bounded or explicitly justified") {
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    var crossJoins = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan =
+        try fn(spark, sfDir).queryExecution.optimizedPlan
+        catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
+      plan.foreach {
+        case j: Join if j.joinType.sql == "CROSS" ||
+            (j.joinType.sql == "INNER" && j.condition.isEmpty) =>
+          crossJoins += 1
+          // the broadcast side is the right by graft convention
+          // (crossJoin(broadcast(x))); bounded = a global aggregate
+          // (scalar frame), a limit, or a literal/local relation
+          val bounded = j.right.exists {
+            case a: Aggregate if a.groupingExpressions.isEmpty => true
+            case _: GlobalLimit | _: LocalLimit => true
+            case _: LocalRelation | _: Range | _: OneRowRelation => true
+            case _ => false
+          }
+          if (!bounded && !crossJoinJustified.contains(name)) offenders += name
+        case _ =>
+      }
+    }
+    assert(crossJoins > 50, s"only $crossJoins cross joins — the audit's Join match broke")
+    assert(offenders.isEmpty,
+      s"cross joins with UNBOUNDED broadcast sides (executor OOM at scale) — " +
+        s"bound them or justify in crossJoinJustified: ${offenders.distinct.mkString(", ")}")
+  }
 }
