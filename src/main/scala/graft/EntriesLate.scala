@@ -147,6 +147,22 @@ private[graft] object EntriesLate {
         ScriptQv, k = 10, oversample = 4)
         .getOrElse(sys.error("pq artifact missing right after build"))
     }),
+    // pack-once persisted BBQ: the write pays the sign-bit packing,
+    // the query's coarse pass reads 16 bytes/doc — hash-equal to
+    // on-the-fly q_knn_bbq (same oracle SQL)
+    "q_knn_bbq_persisted" -> ((s, d) => {
+      val srcFp = graft.index.IndexArtifacts
+        .dataFingerprint(s, s"$d/embeddings.parquet").take(12)
+      val out = graft.index.IndexArtifacts.ensureArtifact("bbqidx", srcFp)(
+        p => graft.index.IndexArtifacts.loadBbq(s, p, "embedding").nonEmpty)(
+        stage => graft.sources.Connector.save(t(s, d, "embeddings"), stage, Map(
+          "graft.write.operation" -> "overwrite",
+          "graft.mapping.id" -> "vec_id",
+          "graft.index.bbq" -> "embedding")))
+      graft.sim.Ann.bbqTopKIndexed(s, out, "vec_id", "embedding",
+        ScriptQv, k = 10, oversample = 4)
+        .getOrElse(sys.error("bbq artifact missing right after build"))
+    }),
     // IVFADC proper (Jégou et al. 2011 — FAISS's at-scale default):
     // IVF probe routes the query to nprobe of nCentroids lists, ADC
     // scores ONLY those lists' 4-byte codes, raw vectors rescore the
@@ -503,6 +519,8 @@ private[graft] object EntriesLate {
       "round(c.qscore, 4) AS quantized FROM coarse c JOIN e ON e.vec_id = c.vec_id CROSS JOIN q) " +
       "SELECT id, cosine, quantized FROM ex ORDER BY cosine DESC, id LIMIT 10"),
     "q_knn_bbq" -> bbqOracleSql(ScriptQv, 10, 4),
+    // hash-equal to on-the-fly BBQ by construction (same oracle SQL)
+    "q_knn_bbq_persisted" -> bbqOracleSql(ScriptQv, 10, 4),
     // int4: the int8 oracle with 7 levels (scale = amax/7, clamp ±7)
     "q_knn_int4" -> ("WITH q AS (SELECT " + ScriptQv.mkString("[", ", ", "]") + "::DOUBLE[] AS w), " +
       "e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), " +

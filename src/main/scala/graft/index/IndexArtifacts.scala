@@ -666,6 +666,84 @@ object IndexArtifacts {
     }
   }
 
+  val BbqDirName = "_graft_bbq"
+
+  def bbqDir(indexPath: String, vecCol: String): String =
+    s"$indexPath/$BbqDirName/$vecCol"
+
+  /** Pack-once BBQ artifact: (id, b_lo, b_hi) sign bits — 16 bytes
+    * per doc (32x vs float64), packed at write time. */
+  def buildBbq(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      vecCol: String,
+      fmt: String = "parquet"): Unit = {
+    val dir = bbqDir(indexPath, vecCol)
+    val corpus = spark.read.format(fmt).load(indexPath)
+    val dim = corpus.select(size(col(vecCol)).as("d"))
+      .where(col("d") > 0).limit(1).head().getInt(0)
+    graft.sim.Ann.bbqPack(corpus, idCol, vecCol, dim)
+      .write.mode("overwrite").parquet(s"$dir/packed")
+    writeBbqMeta(spark, indexPath, idCol, vecCol)
+  }
+
+  /** Incremental add with the standard packable-subset append audit. */
+  def refreshBbq(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      vecCol: String,
+      fmt: String = "parquet"): Unit = {
+    val dir = bbqDir(indexPath, vecCol)
+    val known = spark.read.parquet(s"$dir/packed")
+      .select(col("id").as("__known_id"))
+    val data = spark.read.format(fmt).load(indexPath)
+      .where(col(vecCol).isNotNull)
+    val fresh = data.join(known, col(idCol) === col("__known_id"), "left_anti")
+    val audit = fresh.agg(
+      count(lit(1)).as("n"),
+      count(col(idCol)).as("n_nonnull"),
+      countDistinct(col(idCol)).as("n_distinct")).head()
+    val nFresh = audit.getLong(0)
+    if (nFresh != audit.getLong(1) || nFresh != audit.getLong(2) ||
+        data.count() != known.count() + nFresh)
+      return buildBbq(spark, indexPath, idCol, vecCol, fmt)
+    if (nFresh > 0) {
+      val dim = fresh.select(size(col(vecCol)).as("d")).limit(1).head().getInt(0)
+      graft.sim.Ann.bbqPack(fresh, idCol, vecCol, dim)
+        .write.mode("append").parquet(s"$dir/packed")
+    }
+    writeBbqMeta(spark, indexPath, idCol, vecCol)
+  }
+
+  private def writeBbqMeta(
+      spark: SparkSession, indexPath: String, idCol: String, vecCol: String): Unit = {
+    val fp = dataFingerprint(spark, indexPath)
+    val metaPath = new Path(s"${bbqDir(indexPath, vecCol)}/_graft_meta.json")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(metaPath, true)
+    out.write(
+      s"""{"fingerprint":"$fp","id_col":"$idCol","vec_col":"$vecCol"}"""
+        .getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** Fresh (id, b_lo, b_hi) frame or None. */
+  def loadBbq(
+      spark: SparkSession,
+      indexPath: String,
+      vecCol: String,
+      expectIdCol: Option[String] = None): Option[DataFrame] = {
+    val dir = bbqDir(indexPath, vecCol)
+    readMeta(spark, s"$dir/_graft_meta.json") match {
+      case Some((fp, idc, _)) if fp == dataFingerprint(spark, indexPath)
+          && expectIdCol.forall(_ == idc) =>
+        Some(spark.read.parquet(s"$dir/packed"))
+      case _ => None
+    }
+  }
+
   val PqDirName = "_graft_pq"
 
   def pqDir(indexPath: String, vecCol: String): String =

@@ -850,9 +850,20 @@ object Ann {
       queryVec: Seq[Double],
       k: Int,
       oversample: Int): DataFrame = {
-    val dim = queryVec.size
+    // null vectors pack as all-zero bits, whose estimate -sum(q) can
+    // OUTRANK every real doc when the query sums negative — they'd
+    // flood the k*oversample coarse window and evict real candidates
+    val live = corpus.where(col(vecCol).isNotNull)
+    val coarse = bbqCoarse(bbqPack(live, idCol, vecCol, queryVec.size),
+      queryVec, k * oversample)
+    bbqRescore(live, idCol, vecCol, coarse, queryVec, k)
+  }
+
+  /** Sign-bit packing: (id, b_lo, b_hi) — two longs per doc, 32x
+    * smaller than float64. The stored-artifact frame. */
+  def bbqPack(
+      corpus: DataFrame, idCol: String, vecCol: String, dim: Int): DataFrame = {
     require(dim >= 1 && dim <= 64, "bbq packing supports 1..64 dims")
-    import org.apache.spark.sql.GraftBridge
     val v = col(vecCol).cast("array<double>")
     val lo = (0 until math.min(32, dim)).map(i =>
       when(element_at(v, i + 1) > 0.0, lit(1L << i)).otherwise(lit(0L)))
@@ -862,23 +873,31 @@ object Ann {
       else (32 until dim).map(i =>
         when(element_at(v, i + 1) > 0.0, lit(1L << (i - 32))).otherwise(lit(0L)))
         .reduce(_ + _)
-    // null vectors pack as all-zero bits, whose estimate -sum(q) can
-    // OUTRANK every real doc when the query sums negative — they'd
-    // flood the k*oversample coarse window and evict real candidates
-    val live = corpus.where(col(vecCol).isNotNull)
-    // the stored artifact: (id, b_lo, b_hi) — all the coarse pass reads
-    val packed = live.select(col(idCol).as("id"), lo.as("b_lo"), hi.as("b_hi"))
-    // fixed fold order (ascending dim) keeps the float sum identical
-    // on both engines
+    corpus.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), lo.as("b_lo"), hi.as("b_hi"))
+  }
+
+  /** Coarse window off the packed bits alone: asymmetric
+    * dot(q, sign(v)) with a fixed ascending-dim fold order so the
+    * float sum is identical on both engines. */
+  private def bbqCoarse(
+      packed: DataFrame, queryVec: Seq[Double], window: Int): DataFrame = {
+    val dim = queryVec.size
     val est = (0 until dim).map { i =>
       val bits = if (i < 32) col("b_lo") else col("b_hi")
       val mask = 1L << (if (i < 32) i else i - 32)
       when(bits.bitwiseAND(lit(mask)) =!= 0L, lit(queryVec(i)))
         .otherwise(lit(-queryVec(i)))
     }.reduce(_ + _)
-    val coarse = packed.select(col("id"), est.as("bscore"))
+    packed.select(col("id"), est.as("bscore"))
       .orderBy(col("bscore").desc, col("id").asc)
-      .limit(k * oversample)
+      .limit(window)
+  }
+
+  private def bbqRescore(
+      live: DataFrame, idCol: String, vecCol: String,
+      coarse: DataFrame, queryVec: Seq[Double], k: Int): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
     val q = array(queryVec.map(lit): _*)
     val exact = GraftBridge.column(graft.expr.CosineSim(
       GraftBridge.expression(col(vecCol)), GraftBridge.expression(q)))
@@ -891,6 +910,29 @@ object Ann {
       .orderBy(col("cosine").desc, col("id").asc)
       .limit(k)
   }
+
+  /** BBQ over the PERSISTED pack-once artifact (graft.index.bbq):
+    * the coarse pass reads (id, b_lo, b_hi) — 16 bytes per doc, 32x
+    * fewer than the float column, packed at write time — and only the
+    * oversampled window\u0027s raw vectors load for the exact rescore.
+    * Answer-equal to bbqTopK by construction (same oracle SQL). None
+    * when the artifact is missing or stale. */
+  def bbqTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      idCol: String,
+      vecCol: String,
+      queryVec: Seq[Double],
+      k: Int,
+      oversample: Int,
+      fmt: String = "parquet"): Option[DataFrame] =
+    graft.index.IndexArtifacts.loadBbq(spark, indexPath, vecCol, Some(idCol))
+      .map { packed =>
+        val coarse = bbqCoarse(packed, queryVec, k * oversample)
+        val live = spark.read.format(fmt).load(indexPath)
+          .where(col(vecCol).isNotNull)
+        bbqRescore(live, idCol, vecCol, coarse, queryVec, k)
+      }
 
   /** ES 8.18 `int4_hnsw`: the half-byte middle point between int8
     * (4x) and 1-bit BBQ (32x) — 8x-compressed storage with an

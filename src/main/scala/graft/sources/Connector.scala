@@ -732,6 +732,20 @@ object Connector {
       else
         graft.index.IndexArtifacts.buildInt4(spark, path, idCol, vecCol, fmt)
     }
+    // persisted BBQ sign bits (`graft.index.bbq` = vector column):
+    // (id, b_lo, b_hi) packed ONCE at write time — 32x less IO for
+    // the coarse pass. APPEND packs only the new docs.
+    cfg.get("graft.index.bbq").foreach { vecCol =>
+      val idCol = cfg.getOrElse("graft.mapping.id",
+        throw new IllegalArgumentException(
+          "graft.index.bbq needs graft.mapping.id (the packed doc id)"))
+      val packedBbq = new Path(
+        graft.index.IndexArtifacts.bbqDir(path, vecCol) + "/packed")
+      if (op == "append" && fs.exists(packedBbq))
+        graft.index.IndexArtifacts.refreshBbq(spark, path, idCol, vecCol, fmt)
+      else
+        graft.index.IndexArtifacts.buildBbq(spark, path, idCol, vecCol, fmt)
+    }
     // persisted PQ codes (`graft.index.pq` = vector column, optional
     // `.m`/`.k`): m code bytes per doc packed ONCE at write time under
     // a codebook FROZEN at build — the ES-segment-quantizer shape.

@@ -492,6 +492,41 @@ class IndexArtifactsSpec extends SparkSpec {
       .get._3.count() == 155)
   }
 
+  test("persisted BBQ: sign bits packed once, coarse scan off 16 bytes/doc, audited appends (r14)") {
+    val out = "/tmp/graft_idxspec_bbq"
+    val emb = Tables.embeddings(spark, sfDir).limit(150)
+    graft.sources.Connector.save(emb, out, Map(
+      "graft.write.operation" -> "overwrite",
+      "graft.mapping.id" -> "vec_id",
+      "graft.index.bbq" -> "embedding"))
+    val packed = IndexArtifacts.loadBbq(spark, out, "embedding", Some("vec_id")).get
+    assert(packed.count() == 150)
+    assert(packed.columns.toSeq == Seq("id", "b_lo", "b_hi"))
+    assert(IndexArtifacts.loadBbq(spark, out, "embedding", Some("other")).isEmpty)
+
+    val qv = (1 to 64).map(i => math.cos(i * 0.29))
+    val idx = graft.sim.Ann.bbqTopKIndexed(
+      spark, out, "vec_id", "embedding", qv, k = 5, oversample = 4).get
+    val fly = graft.sim.Ann.bbqTopK(
+      spark.read.parquet(out), "vec_id", "embedding", qv, k = 5, oversample = 4)
+    assert(idx.collect().toSeq == fly.collect().toSeq && idx.count() == 5)
+    assert(idx.queryExecution.executedPlan.toString.contains("packed"))
+
+    // audited incremental append: only the new docs pack
+    val extra = emb.limit(4).withColumn("vec_id", col("vec_id") + lit(9000000L))
+    graft.sources.Connector.save(extra, out, Map(
+      "graft.write.operation" -> "append",
+      "graft.mapping.id" -> "vec_id",
+      "graft.index.bbq" -> "embedding"))
+    val p2 = IndexArtifacts.loadBbq(spark, out, "embedding", Some("vec_id")).get
+    assert(p2.count() == 154 && p2.where(col("id") >= 9000000L).count() == 4)
+    // a colliding raw append trips the audit -> full rebuild, fresh
+    emb.limit(1).write.mode("append").parquet(out)
+    spark.catalog.refreshByPath(out)
+    IndexArtifacts.refreshBbq(spark, out, "vec_id", "embedding")
+    assert(IndexArtifacts.loadBbq(spark, out, "embedding", Some("vec_id")).get.count() == 155)
+  }
+
   test("refresh audits: id collisions and null ids force a FULL rebuild, never a silent gap (r14)") {
     // -- minhash: a colliding append is invisible to the anti-join
     // (its row would be missing from the artifact behind a fresh
