@@ -409,6 +409,20 @@ object ScaleProbe {
         (0 until 64).map(i => (i * 37 % 100) / 100.0 - 0.5),
         k = 10, oversample = 4, nCentroids = 16, nprobe = 4).count()
     }
+    time("bbq_indexed_query_10x") {
+      // persisted sign bits: the coarse pass reads 16 bytes/doc
+      val idx = "/tmp/graft_probe_bbqidx"
+      if (!new java.io.File(s"$idx/_graft_bbq").isDirectory) {
+        graft.sources.Connector.save(emb, idx, Map(
+          "graft.write.operation" -> "overwrite",
+          "graft.mapping.id" -> "vec_id",
+          "graft.index.bbq" -> "embedding"))
+        spark.catalog.clearCache()
+      }
+      graft.sim.Ann.bbqTopKIndexed(spark, idx, "vec_id", "embedding",
+        (0 until 64).map(i => (i * 37 % 100) / 100.0 - 0.5),
+        k = 10, oversample = 4).get.count()
+    }
     time("ivfadc_index_build_10x") {
       val idx = "/tmp/graft_probe_ivfadc"
       graft.sources.Connector.save(emb, idx, Map(
