@@ -59,7 +59,10 @@ object ScaleProbe {
       val t0 = System.nanoTime()
       val rows = thunk
       val (l, ni) = load()
-      println(f"[scaleprobe] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($rows rows, loadavg=$l noise=$ni)")
+      // labels were written for the default 10x; report the ACTUAL
+      // multiplier so a 30x/100x run's log can't be misread as 10x
+      val shown = name.replaceAll("_10x$", s"_${n}x")
+      println(f"[scaleprobe] $shown%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($rows rows, loadavg=$l noise=$ni)")
       // probes are billed standalone, same convention as Bench: drop
       // operator-cached intermediates (edge frames, shingle caches)
       // AFTER the timing so one probe's storage-pool residue can't
