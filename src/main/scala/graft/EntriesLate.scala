@@ -147,6 +147,22 @@ private[graft] object EntriesLate {
         ScriptQv, k = 10, oversample = 4)
         .getOrElse(sys.error("pq artifact missing right after build"))
     }),
+    // pack-once persisted int8 (the ES default int8_hnsw storage):
+    // packed score bit-equals QuantizedCosine over the raw vector, so
+    // the key is hash-equal to q_knn_rescore (same oracle SQL)
+    "q_knn_rescore_persisted" -> ((s, d) => {
+      val srcFp = graft.index.IndexArtifacts
+        .dataFingerprint(s, s"$d/embeddings.parquet").take(12)
+      val out = graft.index.IndexArtifacts.ensureArtifact("int8idx", srcFp)(
+        p => graft.index.IndexArtifacts.loadInt8(s, p, "embedding").nonEmpty)(
+        stage => graft.sources.Connector.save(t(s, d, "embeddings"), stage, Map(
+          "graft.write.operation" -> "overwrite",
+          "graft.mapping.id" -> "vec_id",
+          "graft.index.int8" -> "embedding")))
+      graft.sim.Ann.knnRescoreInt8Indexed(s, out, "vec_id", "embedding",
+        ScriptQv, k = 10, oversample = 4)
+        .getOrElse(sys.error("int8 artifact missing right after build"))
+    }),
     // pack-once persisted BBQ: the write pays the sign-bit packing,
     // the query's coarse pass reads 16 bytes/doc — hash-equal to
     // on-the-fly q_knn_bbq (same oracle SQL)
@@ -505,6 +521,22 @@ private[graft] object EntriesLate {
       "FROM w2 JOIN documents ON doc_id = id) " +
       "SELECT id, score FROM r2 ORDER BY score DESC, id LIMIT 10"),
     "q_knn_rescore" -> ("WITH q AS (SELECT " + ScriptQv.mkString("[", ", ", "]") + "::DOUBLE[] AS w), " +
+      "e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), " +
+      "s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e), " +
+      "dq AS (SELECT vec_id, v, CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0) ELSE " +
+      "list_transform(v, x -> least(greatest(floor(x / scale + 0.5), -127.0), 127.0) * scale) END AS qv FROM s), " +
+      "coarse AS (SELECT vec_id, list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> qv[i] * w[i])), (a, b) -> a + b) / " +
+      "(sqrt(list_reduce(list_prepend(0.0, list_transform(qv, x -> x * x)), (a, b) -> a + b)) * " +
+      "sqrt(list_reduce(list_prepend(0.0, list_transform(w, x -> x * x)), (a, b) -> a + b))) AS qscore " +
+      "FROM dq CROSS JOIN q ORDER BY qscore DESC, vec_id LIMIT 40), " +
+      "ex AS (SELECT c.vec_id AS id, round(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> e.v[i] * w[i])), (a, b) -> a + b) / " +
+      "(sqrt(list_reduce(list_prepend(0.0, list_transform(e.v, x -> x * x)), (a, b) -> a + b)) * " +
+      "sqrt(list_reduce(list_prepend(0.0, list_transform(w, x -> x * x)), (a, b) -> a + b))), 4) AS cosine, " +
+      "round(c.qscore, 4) AS quantized FROM coarse c JOIN e ON e.vec_id = c.vec_id CROSS JOIN q) " +
+      "SELECT id, cosine, quantized FROM ex ORDER BY cosine DESC, id LIMIT 10"),
+    // hash-equal to on-the-fly int8 by construction (the packed
+    // score bit-equals the inline-quantized cosine; same oracle SQL)
+    "q_knn_rescore_persisted" -> ("WITH q AS (SELECT " + ScriptQv.mkString("[", ", ", "]") + "::DOUBLE[] AS w), " +
       "e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), " +
       "s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e), " +
       "dq AS (SELECT vec_id, v, CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0) ELSE " +

@@ -872,6 +872,60 @@ object HashKernels {
     else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
+  /** Byte packing of a vector's int8 codes (8-byte scale header +
+    * one code byte per dim, stored as q+127) — the 4x ES default
+    * (`int8_hnsw`) storage, pack-once twin of int4PackKernel. */
+  def int8PackKernel(v: ArrayData): Array[Byte] = {
+    val n = v.numElements()
+    var amax = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(v.getDouble(i))
+      if (a > amax) amax = a
+      i += 1
+    }
+    val scale = amax / 127.0
+    val out = new Array[Byte](8 + n)
+    val bits = java.lang.Double.doubleToLongBits(scale)
+    i = 0
+    while (i < 8) { out(i) = ((bits >>> ((7 - i) * 8)) & 0xff).toByte; i += 1 }
+    i = 0
+    while (i < n) {
+      val x = v.getDouble(i)
+      var q = if (scale == 0.0) 0.0 else math.floor(x / scale + 0.5)
+      if (q > 127.0) q = 127.0
+      if (q < -127.0) q = -127.0
+      out(8 + i) = ((q.toInt + 127) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Score a PACKED int8 vector against a raw query — must agree
+    * exactly with quantCosineKernel over the unpacked vector. */
+  def int8PackedCosineKernel(packed: Array[Byte], y: ArrayData): Double = {
+    if (packed.length < 8) return 0.0
+    var bits = 0L
+    var i = 0
+    while (i < 8) { bits = (bits << 8) | (packed(i) & 0xffL); i += 1 }
+    val scale = java.lang.Double.longBitsToDouble(bits)
+    val n = math.min(packed.length - 8, y.numElements())
+    var dot = 0.0
+    var nx = 0.0
+    var ny = 0.0
+    i = 0
+    while (i < n) {
+      val a = ((packed(8 + i) & 0xff) - 127) * scale
+      val b = y.getDouble(i)
+      dot += a * b
+      nx += a * a
+      ny += b * b
+      i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0
+    else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
   /** Product-quantization encode: assign each of the vector's m
     * subvectors to its nearest codeword by squared L2 — one byte per
     * subspace. Distances round to 1e-6 FIXED POINT before the argmin
@@ -1870,4 +1924,43 @@ case class PqAdc(child: Expression, lut: Seq[Long], k: Int)
   }
   override protected def withNewChildInternal(newChild: Expression): PqAdc =
     copy(child = newChild)
+}
+
+/** Byte packing of a vector's int8 codes (scale header + one code
+  * byte per dim) — see HashKernels.int8PackKernel. */
+case class Int8Pack(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] =
+    Seq(ArrayType(DoubleType))
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "int8_pack"
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.int8PackKernel(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.HashKernels.int8PackKernel($c);")
+  override protected def withNewChildInternal(newChild: Expression): Int8Pack =
+    copy(child = newChild)
+}
+
+/** Cosine straight off the PACKED int8 codes vs a raw query — the
+  * scan the persisted int8 index runs (8 bytes scale + dim code
+  * bytes per doc, never the float vector). Must agree exactly with
+  * QuantizedCosine over the unpacked vector. */
+case class Int8PackedCosine(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] =
+    Seq(BinaryType, ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "int8_packed_cosine"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(HashKernels.int8PackedCosineKernel(
+      a.asInstanceOf[Array[Byte]], b.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expr.HashKernels.int8PackedCosineKernel($a, $b);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Int8PackedCosine =
+    copy(left = newLeft, right = newRight)
 }

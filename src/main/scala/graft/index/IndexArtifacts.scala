@@ -666,6 +666,88 @@ object IndexArtifacts {
     }
   }
 
+  val Int8DirName = "_graft_int8"
+
+  def int8Dir(indexPath: String, vecCol: String): String =
+    s"$indexPath/$Int8DirName/$vecCol"
+
+  /** Pack-once int8 artifact — the ES default (`int8_hnsw`) 4x
+    * storage, same shape as the int4 family: 8-byte scale header +
+    * one code byte per dim. */
+  def buildInt8(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      vecCol: String,
+      fmt: String = "parquet"): Unit = {
+    val dir = int8Dir(indexPath, vecCol)
+    val corpus = spark.read.format(fmt).load(indexPath)
+    packInt8(corpus, idCol, vecCol)
+      .write.mode("overwrite").parquet(s"$dir/packed")
+    writeInt8Meta(spark, indexPath, idCol, vecCol)
+  }
+
+  /** Incremental add with the standard packable-subset append audit. */
+  def refreshInt8(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      vecCol: String,
+      fmt: String = "parquet"): Unit = {
+    val dir = int8Dir(indexPath, vecCol)
+    val known = spark.read.parquet(s"$dir/packed")
+      .select(col("id").as("__known_id"))
+    val data = spark.read.format(fmt).load(indexPath)
+      .where(col(vecCol).isNotNull)
+    val fresh = data.join(known, col(idCol) === col("__known_id"), "left_anti")
+    val audit = fresh.agg(
+      count(lit(1)).as("n"),
+      count(col(idCol)).as("n_nonnull"),
+      countDistinct(col(idCol)).as("n_distinct")).head()
+    val nFresh = audit.getLong(0)
+    if (nFresh != audit.getLong(1) || nFresh != audit.getLong(2) ||
+        data.count() != known.count() + nFresh)
+      return buildInt8(spark, indexPath, idCol, vecCol, fmt)
+    if (nFresh > 0)
+      packInt8(fresh, idCol, vecCol).write.mode("append").parquet(s"$dir/packed")
+    writeInt8Meta(spark, indexPath, idCol, vecCol)
+  }
+
+  private def packInt8(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+    corpus
+      .where(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"),
+        org.apache.spark.sql.GraftBridge.column(graft.expr.Int8Pack(
+          org.apache.spark.sql.GraftBridge.expression(
+            col(vecCol).cast("array<double>")))).as("pk"))
+
+  private def writeInt8Meta(
+      spark: SparkSession, indexPath: String, idCol: String, vecCol: String): Unit = {
+    val fp = dataFingerprint(spark, indexPath)
+    val metaPath = new Path(s"${int8Dir(indexPath, vecCol)}/_graft_meta.json")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(metaPath, true)
+    out.write(
+      s"""{"fingerprint":"$fp","id_col":"$idCol","vec_col":"$vecCol"}"""
+        .getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** Fresh (id, packed) frame or None. */
+  def loadInt8(
+      spark: SparkSession,
+      indexPath: String,
+      vecCol: String,
+      expectIdCol: Option[String] = None): Option[DataFrame] = {
+    val dir = int8Dir(indexPath, vecCol)
+    readMeta(spark, s"$dir/_graft_meta.json") match {
+      case Some((fp, idc, _)) if fp == dataFingerprint(spark, indexPath)
+          && expectIdCol.forall(_ == idc) =>
+        Some(spark.read.parquet(s"$dir/packed"))
+      case _ => None
+    }
+  }
+
   val BbqDirName = "_graft_bbq"
 
   def bbqDir(indexPath: String, vecCol: String): String =

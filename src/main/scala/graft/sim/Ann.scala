@@ -911,6 +911,42 @@ object Ann {
       .limit(k)
   }
 
+  /** int8 over the PERSISTED pack-once artifact (graft.index.int8):
+    * the coarse pass reads 8 + dim bytes per doc (4x less than the
+    * float column) and scores with Int8PackedCosine, which agrees
+    * EXACTLY with QuantizedCosine over the unpacked vector — so this
+    * is answer-equal to knnRescoreTopK and shares its oracle SQL.
+    * None when the artifact is missing or stale. */
+  def knnRescoreInt8Indexed(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      idCol: String,
+      vecCol: String,
+      queryVec: Seq[Double],
+      k: Int,
+      oversample: Int,
+      fmt: String = "parquet"): Option[DataFrame] =
+    graft.index.IndexArtifacts.loadInt8(spark, indexPath, vecCol, Some(idCol))
+      .map { packed =>
+        import org.apache.spark.sql.GraftBridge
+        val q = array(queryVec.map(lit): _*)
+        val coarseScore = GraftBridge.column(graft.expr.Int8PackedCosine(
+          GraftBridge.expression(col("pk")), GraftBridge.expression(q)))
+        val coarse = packed.select(col("id"), coarseScore.as("qscore"))
+          .orderBy(col("qscore").desc, col("id").asc)
+          .limit(k * oversample)
+        val live = spark.read.format(fmt).load(indexPath)
+          .where(col(vecCol).isNotNull)
+        val exact = GraftBridge.column(graft.expr.CosineSim(
+          GraftBridge.expression(col(vecCol)), GraftBridge.expression(q)))
+        live.join(broadcast(coarse), live(idCol) === coarse("id"))
+          .select(coarse("id"),
+            graft.util.Num.round(exact, 4).as("cosine"),
+            graft.util.Num.round(coarse("qscore"), 4).as("quantized"))
+          .orderBy(col("cosine").desc, col("id").asc)
+          .limit(k)
+      }
+
   /** BBQ over the PERSISTED pack-once artifact (graft.index.bbq):
     * the coarse pass reads (id, b_lo, b_hi) — 16 bytes per doc, 32x
     * fewer than the float column, packed at write time — and only the

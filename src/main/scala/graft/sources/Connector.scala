@@ -732,6 +732,20 @@ object Connector {
       else
         graft.index.IndexArtifacts.buildInt4(spark, path, idCol, vecCol, fmt)
     }
+    // persisted int8 codes (`graft.index.int8` = vector column): the
+    // ES-default 4x storage packed ONCE at write time. APPEND packs
+    // only the new docs.
+    cfg.get("graft.index.int8").foreach { vecCol =>
+      val idCol = cfg.getOrElse("graft.mapping.id",
+        throw new IllegalArgumentException(
+          "graft.index.int8 needs graft.mapping.id (the packed doc id)"))
+      val packedI8 = new Path(
+        graft.index.IndexArtifacts.int8Dir(path, vecCol) + "/packed")
+      if (op == "append" && fs.exists(packedI8))
+        graft.index.IndexArtifacts.refreshInt8(spark, path, idCol, vecCol, fmt)
+      else
+        graft.index.IndexArtifacts.buildInt8(spark, path, idCol, vecCol, fmt)
+    }
     // persisted BBQ sign bits (`graft.index.bbq` = vector column):
     // (id, b_lo, b_hi) packed ONCE at write time — 32x less IO for
     // the coarse pass. APPEND packs only the new docs.

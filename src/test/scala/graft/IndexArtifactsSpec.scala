@@ -527,6 +527,52 @@ class IndexArtifactsSpec extends SparkSpec {
     assert(IndexArtifacts.loadBbq(spark, out, "embedding", Some("vec_id")).get.count() == 155)
   }
 
+  test("persisted int8: packed score bit-equals the inline quantized cosine; audited appends (r14)") {
+    import org.apache.spark.sql.GraftBridge
+    import spark.implicits._
+    // bit-equality of the two scoring paths on adversarial vectors
+    val vecs = Seq(
+      (1L, Array(0.9, -0.3, 0.05, 0.0, 1.4)),
+      (2L, Array(-1.0, 1.0, 0.5, -0.5, 0.25)),
+      (3L, Array(0.0, 0.0, 0.0, 0.0, 0.0)),
+      (4L, Array(2.0, 1.999, -2.0, 0.001, 1.0)))
+      .toDF("id", "v").withColumn("v", col("v").cast("array<double>"))
+    val qv = Seq(0.7, -0.1, 0.4, 0.2, 0.9)
+    val qc = array(qv.map(lit): _*)
+    vecs.select(
+      col("id"),
+      GraftBridge.column(graft.expr.QuantizedCosine(
+        GraftBridge.expression(col("v")), GraftBridge.expression(qc))).as("direct"),
+      GraftBridge.column(graft.expr.Int8Pack(
+        GraftBridge.expression(col("v")))).as("pk"))
+      .withColumn("packed", GraftBridge.column(graft.expr.Int8PackedCosine(
+        GraftBridge.expression(col("pk")), GraftBridge.expression(qc))))
+      .select(col("id"), col("direct"), col("packed"))
+      .as[(Long, Double, Double)].collect()
+      .foreach { case (id, d, p) => assert(d == p, s"id $id: packed $p != direct $d") }
+
+    // artifact round trip + audited append
+    val out = "/tmp/graft_idxspec_int8"
+    val emb = Tables.embeddings(spark, sfDir).limit(150)
+    graft.sources.Connector.save(emb, out, Map(
+      "graft.write.operation" -> "overwrite",
+      "graft.mapping.id" -> "vec_id",
+      "graft.index.int8" -> "embedding"))
+    val qv64 = (1 to 64).map(i => math.cos(i * 0.29))
+    val idx = graft.sim.Ann.knnRescoreInt8Indexed(
+      spark, out, "vec_id", "embedding", qv64, k = 5, oversample = 4).get
+    val fly = graft.sim.Ann.knnRescoreTopK(
+      spark.read.parquet(out), "vec_id", "embedding", qv64, k = 5, oversample = 4)
+    assert(idx.collect().toSeq == fly.collect().toSeq && idx.count() == 5)
+    val extra = emb.limit(4).withColumn("vec_id", col("vec_id") + lit(9000000L))
+    graft.sources.Connector.save(extra, out, Map(
+      "graft.write.operation" -> "append",
+      "graft.mapping.id" -> "vec_id",
+      "graft.index.int8" -> "embedding"))
+    val p2 = IndexArtifacts.loadInt8(spark, out, "embedding", Some("vec_id")).get
+    assert(p2.count() == 154 && p2.where(col("id") >= 9000000L).count() == 4)
+  }
+
   test("refresh audits: id collisions and null ids force a FULL rebuild, never a silent gap (r14)") {
     // -- minhash: a colliding append is invisible to the anti-join
     // (its row would be missing from the artifact behind a fresh
