@@ -843,18 +843,29 @@ object IndexArtifacts {
       vecCol: String,
       m: Int,
       k: Int,
-      fmt: String = "parquet"): Unit = {
+      fmt: String = "parquet",
+      fit: String = "sample"): Unit = {
     val dir = pqDir(indexPath, vecCol)
     val corpus = spark.read.format(fmt).load(indexPath)
-    // the deterministic sample codebook — the same first-k-by-id rule
-    // the on-the-fly pqTopK uses, so artifact and per-query paths are
-    // answer-equal while the first-k id set is unchanged
-    val cb = graft.sim.Ann.pqSampleCodebooks(corpus, idCol, vecCol, m, k)
+    // `sample` = the deterministic first-k-by-id codebook — the same
+    // rule the on-the-fly pqTopK uses, so artifact and per-query
+    // paths are answer-equal while the first-k id set is unchanged
+    // (and the DuckDB oracle can rebuild it). `lloyd` = k-means-
+    // refined codebooks over the id-ordered sample (pqFitCodebooks) —
+    // the production recall point; queries are unchanged (the LUT
+    // derives from whatever codebook is STORED), only answer-equality
+    // with the on-the-fly sample form is traded away.
+    val cb = fit match {
+      case "sample" => graft.sim.Ann.pqSampleCodebooks(corpus, idCol, vecCol, m, k)
+      case "lloyd" => graft.sim.Ann.pqFitCodebooks(corpus, idCol, vecCol, m, k)
+      case other => throw new IllegalArgumentException(
+        s"unknown graft.index.pq.fit: $other (sample | lloyd)")
+    }
     import spark.implicits._
     Seq(cb.toSeq).toDF("cb").write.mode("overwrite").parquet(s"$dir/codebook")
     graft.sim.Ann.pqEncodeFrame(corpus, idCol, vecCol, cb, m, k)
       .write.mode("overwrite").parquet(s"$dir/codes")
-    writePqMeta(spark, indexPath, idCol, vecCol, m, k)
+    writePqMeta(spark, indexPath, idCol, vecCol, m, k, fit)
   }
 
   /** Incremental add under the FROZEN codebook, with the standard
@@ -869,6 +880,14 @@ object IndexArtifacts {
     val (mk, cb) = readPqCodebook(spark, dir).getOrElse(
       return sys.error(s"refreshPq without a built artifact at $dir"))
     val (m, k) = mk
+    // the rebuild path must re-fit the SAME way the artifact was
+    // built — a lloyd artifact silently rebuilt as sample would
+    // degrade recall behind a fresh meta stamp
+    val fit = readMetaJson(spark, s"$dir/_graft_meta.json")
+      .map(meta => meta \ "fit" match {
+        case org.json4s.JString(f) => f
+        case _ => "sample"
+      }).getOrElse("sample")
     val known = spark.read.parquet(s"$dir/codes")
       .select(col("id").as("__known_id"))
     val data = spark.read.format(fmt).load(indexPath)
@@ -881,23 +900,23 @@ object IndexArtifacts {
     val nFresh = audit.getLong(0)
     if (nFresh != audit.getLong(1) || nFresh != audit.getLong(2) ||
         data.count() != known.count() + nFresh)
-      return buildPq(spark, indexPath, idCol, vecCol, m, k, fmt)
+      return buildPq(spark, indexPath, idCol, vecCol, m, k, fmt, fit)
     if (nFresh > 0)
       graft.sim.Ann.pqEncodeFrame(fresh, idCol, vecCol, cb, m, k)
         .write.mode("append").parquet(s"$dir/codes")
-    writePqMeta(spark, indexPath, idCol, vecCol, m, k)
+    writePqMeta(spark, indexPath, idCol, vecCol, m, k, fit)
   }
 
   private def writePqMeta(
       spark: SparkSession, indexPath: String, idCol: String, vecCol: String,
-      m: Int, k: Int): Unit = {
+      m: Int, k: Int, fit: String): Unit = {
     val fp = dataFingerprint(spark, indexPath)
     val metaPath = new Path(s"${pqDir(indexPath, vecCol)}/_graft_meta.json")
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(metaPath, true)
     out.write(
       (s"""{"fingerprint":"$fp","id_col":"$idCol","vec_col":"$vecCol",""" +
-        s""""m":$m,"k":$k}""").getBytes("UTF-8"))
+        s""""m":$m,"k":$k,"fit":"$fit"}""").getBytes("UTF-8"))
     out.close()
   }
 

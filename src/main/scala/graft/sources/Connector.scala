@@ -771,12 +771,16 @@ object Connector {
           "graft.index.pq needs graft.mapping.id (the coded doc id)"))
       val m = cfg.getOrElse("graft.index.pq.m", "4").toInt
       val k = cfg.getOrElse("graft.index.pq.k", "16").toInt
+      // sample = oracle-replayable deterministic codebooks (default);
+      // lloyd = k-means-refined (the production recall point; appends
+      // and audit-triggered rebuilds keep the recorded fit)
+      val pqFit = cfg.getOrElse("graft.index.pq.fit", "sample")
       val codesDir = new Path(
         graft.index.IndexArtifacts.pqDir(path, vecCol) + "/codes")
       if (op == "append" && fs.exists(codesDir))
         graft.index.IndexArtifacts.refreshPq(spark, path, idCol, vecCol, fmt)
       else
-        graft.index.IndexArtifacts.buildPq(spark, path, idCol, vecCol, m, k, fmt)
+        graft.index.IndexArtifacts.buildPq(spark, path, idCol, vecCol, m, k, fmt, pqFit)
     }
   }
 

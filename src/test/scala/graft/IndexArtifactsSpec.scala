@@ -492,6 +492,41 @@ class IndexArtifactsSpec extends SparkSpec {
       .get._3.count() == 155)
   }
 
+  test("persisted PQ, lloyd fit: trained codebooks stored, appends and rebuilds keep the fit (r14)") {
+    val out = "/tmp/graft_idxspec_pqlloyd"
+    val emb = Tables.embeddings(spark, sfDir).limit(150)
+    graft.sources.Connector.save(emb, out, Map(
+      "graft.write.operation" -> "overwrite",
+      "graft.mapping.id" -> "vec_id",
+      "graft.index.pq" -> "embedding",
+      "graft.index.pq.fit" -> "lloyd"))
+    val ((m, k), cbLloyd, codes) =
+      IndexArtifacts.loadPq(spark, out, "embedding", Some("vec_id")).get
+    assert(m == 4 && k == 16 && codes.count() == 150)
+    // the trained codebook differs from the sample baseline (Lloyd's
+    // moved the centroids) but queries run the same plan shape
+    val cbSample = graft.sim.Ann.pqSampleCodebooks(
+      spark.read.parquet(out), "vec_id", "embedding", 4, 16)
+    assert(cbLloyd.toSeq != cbSample.toSeq, "lloyd fit should move the codebook")
+    val qv = (1 to 64).map(i => math.cos(i * 0.29))
+    val idx = graft.sim.Ann.pqTopKIndexed(
+      spark, out, "vec_id", "embedding", qv, k = 5, oversample = 4).get
+    assert(idx.count() == 5)
+    // a colliding raw append trips the audit -> FULL rebuild, and the
+    // rebuild must re-fit lloyd (recorded in the meta), not silently
+    // degrade to the sample baseline
+    emb.limit(1).write.mode("append").parquet(out)
+    spark.catalog.refreshByPath(out)
+    IndexArtifacts.refreshPq(spark, out, "vec_id", "embedding")
+    val ((_, _), cbAfter, codesAfter) =
+      IndexArtifacts.loadPq(spark, out, "embedding", Some("vec_id")).get
+    assert(codesAfter.count() == 151)
+    val cbSample2 = graft.sim.Ann.pqSampleCodebooks(
+      spark.read.parquet(out), "vec_id", "embedding", 4, 16)
+    assert(cbAfter.toSeq != cbSample2.toSeq,
+      "audit-triggered rebuild degraded a lloyd artifact to sample codebooks")
+  }
+
   test("persisted BBQ: sign bits packed once, coarse scan off 16 bytes/doc, audited appends (r14)") {
     val out = "/tmp/graft_idxspec_bbq"
     val emb = Tables.embeddings(spark, sfDir).limit(150)
