@@ -426,6 +426,33 @@ object ScaleProbe {
         (0 until 64).map(i => (i * 37 % 100) / 100.0 - 0.5),
         k = 10, oversample = 4).get.count()
     }
+    if (selected("pq_recall")) {
+      // recall of the PQ family vs the (near-exact) int8-rescored
+      // reference at the same k: sample codebooks vs lloyd-trained vs
+      // the IVF-gated composition — the quality ledger beside the
+      // wall-time ledger
+      val qv = (0 until 64).map(i => (i * 37 % 100) / 100.0 - 0.5)
+      val truth = graft.sim.Ann.knnRescoreTopK(emb, "vec_id", "embedding",
+        qv, k = 10, oversample = 8).select("id").collect().map(_.getLong(0)).toSet
+      def r(df: org.apache.spark.sql.DataFrame): Int =
+        df.select("id").collect().map(_.getLong(0)).count(truth.contains)
+      val sample = r(graft.sim.Ann.pqTopK(emb, "vec_id", "embedding", qv,
+        k = 10, oversample = 8))
+      val lloyd = r(graft.sim.Ann.pqTopK(emb, "vec_id", "embedding", qv,
+        k = 10, oversample = 8, codebooks = Some(
+          graft.sim.Ann.pqFitCodebooks(emb, "vec_id", "embedding", m = 4, k = 16))))
+      // the resolution ladder: more subspaces x codewords + a wider
+      // window — the published PQ answer to recall at corpus scale
+      val lloydBig = r(graft.sim.Ann.pqTopK(emb, "vec_id", "embedding", qv,
+        k = 10, oversample = 40, m = 8, codebookSize = 64, codebooks = Some(
+          graft.sim.Ann.pqFitCodebooks(emb, "vec_id", "embedding", m = 8, k = 64))))
+      val ivfadc = r(graft.sim.Ann.ivfAdcTopK(emb, "vec_id", "embedding", qv,
+        k = 10, oversample = 8, nCentroids = 16, nprobe = 4))
+      println(s"[scaleprobe] pq_recall_${n}x        recall@10: " +
+        s"sample(4x16,w80)=$sample/10 lloyd(4x16,w80)=$lloyd/10 " +
+        s"lloyd(8x64,w400)=$lloydBig/10 ivfadc(4/16)=$ivfadc/10")
+      spark.catalog.clearCache()
+    }
     time("ivfadc_index_build_10x") {
       val idx = "/tmp/graft_probe_ivfadc"
       graft.sources.Connector.save(emb, idx, Map(
