@@ -21,8 +21,14 @@ private[graft] object EntriesWrite {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- E. Write path / geo ----
+    // pre-projected to the columns the result + ordering need: the
+    // upsert's payload struct packs every input column (whole-doc
+    // last-write-wins), which blocks pruning through the aggregate —
+    // so prune BEFORE the struct (r15 scan audit: props stays unread)
     "q_upsert_id" -> ((s, d) =>
-      Relational.upsertLastWriteWins(Tables.events(s, d), Seq("user_id"), col("ts_ns"), col("event_id"))
+      Relational.upsertLastWriteWins(
+        Tables.events(s, d).select("user_id", "event_type", "value", "ts_ns", "event_id"),
+        Seq("user_id"), col("ts_ns"), col("event_id"))
         .select(col("user_id"), col("event_type").as("last_type"), col("value").as("last_value"))
         .orderBy(col("user_id"))),
     // WARC (Common Crawl) round trip: documents serialize into REAL
@@ -80,6 +86,48 @@ private[graft] object EntriesWrite {
           extracted.where(length(col("text")) >= 100), "doc_id", md5(col("text")))
         .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
           md5(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+    // WET extraction sink: the other half of the Common Crawl
+    // pipeline — WARC-in (real crawl bytes), html_strip extraction,
+    // then the PUBLISHED WET layout out (warcinfo at file head +
+    // conversion records, one gzip member each) and a streaming
+    // read-back of those bytes. The oracle re-derives the extracted
+    // text from the source table through the q_analyze_html strip
+    // mirror: WARC parse, HTTP split, strip, WET serialize and WET
+    // parse must all agree to land on identical md5s
+    "q_wet_roundtrip" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val srcFp = graft.index.IndexArtifacts
+        .dataFingerprint(s, s"$d/documents.parquet").take(12)
+      val wetDir = graft.index.IndexArtifacts.ensureArtifact("wet", srcFp)(
+        p => new java.io.File(p).isDirectory)(stage => {
+          val warcDir = graft.index.IndexArtifacts.ensureArtifact("warchtml", srcFp)(
+            p => new java.io.File(p).isDirectory)(
+            st => graft.sources.Warc.saveWarc(
+              docs.select(
+                concat(lit("https://corpus.test/doc/"), col("doc_id")).as("uri"),
+                lit("text/html; charset=UTF-8").as("mime"),
+                encode(concat(lit("<html><head><title>d</title></head><body><p>"),
+                  col("text"), lit("</p></body></html>")), "UTF-8").as("body")),
+              st, "2026-01-01T00:00:00Z"))
+          graft.sources.Warc.saveWet(
+            graft.sources.Warc.warcDF(s, warcDir)
+              .where(col("http_status") === 200 && col("mime").like("text/html%"))
+              .select(
+                col("target_uri").as("uri"),
+                col("record_id").as("refers_to"),
+                trim(graft.analysis.Analyzer.htmlStrip(
+                  decode(col("body"), "UTF-8"))).as("text")),
+            stage, "2026-01-01T00:00:00Z")
+        })
+      graft.sources.Warc.warcDF(s, wetDir)
+        .where(col("warc_type") === "conversion")
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+          col("mime"),
+          length(decode(col("body"), "UTF-8")).cast("long").as("n_chars"),
+          md5(col("body")).as("fp"))
         .orderBy(col("doc_id"))
     }),
     "q_write_roundtrip" -> ((s, d) => {
@@ -287,6 +335,18 @@ private[graft] object EntriesWrite {
     "q_warc_roundtrip" -> ("SELECT doc_id, 200 AS http_status, " +
       "'text/plain; charset=UTF-8' AS mime, octet_length(encode(text))::BIGINT AS n_bytes, " +
       "md5(text) AS body_hash FROM documents ORDER BY doc_id"),
+    // extracted text re-derived from the source table via the same
+    // html_strip mirror; the Spark side must recover it from real
+    // WARC -> strip -> WET conversion-record bytes
+    "q_wet_roundtrip" -> ("WITH h AS (SELECT doc_id, " +
+      "'<html><head><title>d</title></head><body><p>' || text || '</p></body></html>' AS html " +
+      "FROM documents), " +
+      "s AS (SELECT doc_id, trim(replace(replace(replace(replace(replace(replace(" +
+      "regexp_replace(html, '<[^>]*>', ' ', 'g'), " +
+      "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', chr(39)), '&nbsp;', ' '), " +
+      "'&amp;', '&')) AS text FROM h) " +
+      "SELECT doc_id, 'text/plain' AS mime, length(text)::BIGINT AS n_chars, " +
+      "md5(text) AS fp FROM s ORDER BY doc_id"),
     "q_write_roundtrip" -> ("SELECT replace(mime, '%2F', '/') AS mime, count(*) AS n " +
       s"FROM read_parquet('/tmp/graft_roundtrip_${System.getProperty("user.name")}/*/*.parquet', " +
       "hive_partitioning=true) GROUP BY 1 ORDER BY 1"),

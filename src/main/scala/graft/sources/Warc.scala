@@ -158,6 +158,41 @@ object Warc {
     out.toByteArray
   }
 
+  /** Serialize one `conversion` record — the WET (extracted-text)
+    * sibling of `responseRecord`. Carries the published WET header
+    * set: Target-URI, Refers-To (the source response record), and a
+    * `text/plain` block holding the extracted text. */
+  def conversionRecord(
+      uri: String, recordId: String, refersTo: String, date: String,
+      text: String): Array[Byte] = {
+    val block = text.getBytes("UTF-8")
+    val out = new java.io.ByteArrayOutputStream(block.length + 256)
+    out.write((s"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Record-ID: $recordId\r\n" +
+      s"WARC-Date: $date\r\nWARC-Target-URI: $uri\r\n" +
+      s"WARC-Refers-To: $refersTo\r\n" +
+      s"Content-Type: text/plain\r\n" +
+      s"Content-Length: ${block.length}\r\n\r\n").getBytes("US-ASCII"))
+    out.write(block)
+    out.write(Crlf); out.write(Crlf)
+    out.toByteArray
+  }
+
+  /** The file-head `warcinfo` record every WET file leads with:
+    * `application/warc-fields` block describing the conversion. */
+  def warcinfoRecord(recordId: String, date: String, filename: String): Array[Byte] = {
+    val fields =
+      ("software: graft\r\nformat: WARC File Format 1.0\r\n" +
+        "conformsTo: ISO 28500\r\n").getBytes("UTF-8")
+    val out = new java.io.ByteArrayOutputStream(fields.length + 256)
+    out.write((s"WARC/1.0\r\nWARC-Type: warcinfo\r\nWARC-Record-ID: $recordId\r\n" +
+      s"WARC-Date: $date\r\nWARC-Filename: $filename\r\n" +
+      s"Content-Type: application/warc-fields\r\n" +
+      s"Content-Length: ${fields.length}\r\n\r\n").getBytes("US-ASCII"))
+    out.write(fields)
+    out.write(Crlf); out.write(Crlf)
+    out.toByteArray
+  }
+
   /** Streaming distributed read: one task per file (`.warc` plain or
     * `.warc.gz`; JDK GZIPInputStream natively walks the concatenated
     * per-record members Common Crawl writes). */
@@ -166,18 +201,31 @@ object Warc {
     spark.sparkContext.binaryFiles(dir)
       .flatMap { case (path, pds) =>
         val raw = pds.open()
-        val in = new BufferedInputStream(
-          if (path.endsWith(".gz")) new GZIPInputStream(raw) else raw, 1 << 16)
-        val inner = records(in)
-        // close the stream the moment the file's records are drained —
-        // tasks chaining many files must not hold every handle open
-        new Iterator[WarcRecord] {
-          override def hasNext: Boolean = {
-            val h = inner.hasNext
-            if (!h) in.close()
-            h
+        // a zero-length file (tolerated, though saveWarc no longer writes
+        // them) has no gzip header: the GZIPInputStream constructor would
+        // throw EOFException, so yield no records instead
+        val first = raw.read()
+        if (first < 0) { raw.close(); Iterator.empty }
+        else {
+          val pushed = new java.io.PushbackInputStream(raw)
+          pushed.unread(first)
+          val in = new BufferedInputStream(
+            if (path.endsWith(".gz")) new GZIPInputStream(pushed) else pushed, 1 << 16)
+          // limit-style queries stop mid-drain: close on task completion
+          // regardless, so long-lived executors never leak the handle
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ => in.close()))
+          val inner = records(in)
+          // close the stream the moment the file's records are drained —
+          // tasks chaining many files must not hold every handle open
+          new Iterator[WarcRecord] {
+            override def hasNext: Boolean = {
+              val h = inner.hasNext
+              if (!h) in.close()
+              h
+            }
+            override def next(): WarcRecord = inner.next()
           }
-          override def next(): WarcRecord = inner.next()
         }
       }
       .toDS()
@@ -192,6 +240,11 @@ object Warc {
     val conf = new org.apache.spark.util.SerializableConfiguration(
       df.sparkSession.sparkContext.hadoopConfiguration)
     df.select("uri", "mime", "body").rdd.mapPartitionsWithIndex { (pid, rows) =>
+      // empty partitions are routine after filters/repartition; a 0-byte
+      // .warc.gz has no gzip header and would poison every later read of
+      // the directory, so write nothing for them
+      if (!rows.hasNext) Iterator.single(0L)
+      else {
       val fs = new Path(dir).getFileSystem(conf.value)
       fs.mkdirs(new Path(dir))
       val file = new Path(dir, f"part-$pid%05d.warc.gz")
@@ -216,6 +269,48 @@ object Warc {
       }
       out.close()
       Iterator.single(n)
+      }
+    }.count(): Unit
+  }
+
+  /** Write `df` — (uri: String, refers_to: String, text: String) — as
+    * the published WET layout: one `.warc.wet.gz` per non-empty
+    * partition, a `warcinfo` record at file head, then one
+    * `conversion` record per row (each record its own gzip member, so
+    * WET output syncs on member boundaries exactly like the WARC
+    * write side). Record ids derive from the uri, dates are the
+    * caller's fixed stamp: byte-deterministic output. */
+  def saveWet(df: DataFrame, dir: String, date: String): Unit = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    df.select("uri", "refers_to", "text").rdd.mapPartitionsWithIndex { (pid, rows) =>
+      if (!rows.hasNext) Iterator.single(0L)
+      else {
+        val fs = new Path(dir).getFileSystem(conf.value)
+        fs.mkdirs(new Path(dir))
+        val name = f"part-$pid%05d.warc.wet.gz"
+        val out = new DataOutputStream(fs.create(new Path(dir, name), true))
+        def member(rec: Array[Byte]): Unit = {
+          val gz = new GZIPOutputStream(out) {
+            def finishMember(): Unit = { finish(); `def`.end() }
+          }
+          gz.write(rec); gz.finishMember()
+        }
+        member(warcinfoRecord(
+          s"<urn:graft:wet:${java.util.UUID.nameUUIDFromBytes(name.getBytes("UTF-8"))}>",
+          date, name))
+        var n = 0L
+        rows.foreach { r =>
+          val uri = r.getString(0)
+          member(conversionRecord(
+            uri,
+            s"<urn:graft:wet:${java.util.UUID.nameUUIDFromBytes(uri.getBytes("UTF-8"))}>",
+            r.getString(1), date, r.getString(2)))
+          n += 1
+        }
+        out.close()
+        Iterator.single(n)
+      }
     }.count(): Unit
   }
 }

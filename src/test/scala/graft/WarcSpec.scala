@@ -89,6 +89,66 @@ class WarcSpec extends SparkSpec {
     assert(ids.forall(_.startsWith("<urn:graft:")))
   }
 
+  test("empty partitions write no file; zero-length and limit reads stay safe (r15)") {
+    val dir = tmpDir("empty")
+    // 10 rows spread over 8 partitions by a key only 3 partitions hold:
+    // filters/repartition leave empty partitions ROUTINELY, and a
+    // 0-byte .warc.gz (no gzip header) would poison every later read
+    val docs = spark.range(0, 10).repartition(8, col("id") % 3)
+      .select(
+        concat(lit("https://e.test/"), col("id")).as("uri"),
+        lit("text/plain").as("mime"),
+        encode(col("id").cast("string"), "UTF-8").as("body"))
+    Warc.saveWarc(docs, dir, "2026-01-01T00:00:00Z")
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".warc.gz"))
+    assert(files.nonEmpty && files.forall(_.length > 0), "empty partition wrote a 0-byte member")
+    assert(Warc.warcDF(spark, dir).count() == 10)
+    // a hand-planted zero-length file is tolerated (yields no records),
+    // not an EOFException poisoning the whole directory
+    new java.io.FileOutputStream(s"$dir/part-99999.warc.gz").close()
+    assert(Warc.warcDF(spark, dir).count() == 10)
+    // early-terminated reads (limit) leave no leaked handles behind:
+    // the task-completion listener closes mid-drain streams
+    assert(Warc.warcDF(spark, dir).limit(2).collect().length == 2)
+  }
+
+  test("WET sink: warcinfo leads every file, conversion headers carry the published contract (r15)") {
+    // header contract on the raw bytes
+    val rec = Warc.conversionRecord("https://x.test/a", "<urn:graft:wet:1>",
+      "<urn:graft:src:9>", "2026-01-01T00:00:00Z", "extracted text é")
+    val s = new String(rec, "UTF-8")
+    assert(s.startsWith("WARC/1.0\r\n"))
+    assert(s.contains("WARC-Type: conversion\r\n"))
+    assert(s.contains("WARC-Refers-To: <urn:graft:src:9>\r\n"))
+    assert(s.contains("Content-Type: text/plain\r\n"))
+    assert(s.contains(s"Content-Length: ${"extracted text é".getBytes("UTF-8").length}\r\n"))
+    // and it parses back through the generic record path
+    val parsed = Warc.records(new java.io.ByteArrayInputStream(rec)).toSeq
+    assert(parsed.length == 1 && parsed.head.warc_type == "conversion")
+    assert(new String(parsed.head.body, "UTF-8") == "extracted text é")
+    // distributed round trip: every file leads with ONE warcinfo
+    val dir = tmpDir("wet")
+    val docs = spark.range(0, 40).repartition(3).select(
+      concat(lit("https://corpus.test/doc/"), col("id")).as("uri"),
+      concat(lit("<urn:src:"), col("id"), lit(">")).as("refers_to"),
+      concat(lit("text of "), col("id")).as("text"))
+    Warc.saveWet(docs, dir, "2026-01-01T00:00:00Z")
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".warc.wet.gz"))
+    assert(files.length == 3)
+    files.foreach { f =>
+      val in = new java.util.zip.GZIPInputStream(new java.io.FileInputStream(f))
+      val first = Warc.records(new java.io.BufferedInputStream(in)).next()
+      in.close()
+      assert(first.warc_type == "warcinfo", s"${f.getName} does not lead with warcinfo")
+    }
+    val back = Warc.warcDF(spark, dir)
+    assert(back.where(col("warc_type") === "warcinfo").count() == 3)
+    val conv = back.where(col("warc_type") === "conversion")
+    assert(conv.count() == 40)
+    assert(conv.where(col("target_uri") === "https://corpus.test/doc/7")
+      .select("body").as[Array[Byte]].head().sameElements("text of 7".getBytes("UTF-8")))
+  }
+
   test("plain .warc files read too; a task never needs the whole file in memory") {
     val dir = tmpDir("plain")
     val out = new java.io.FileOutputStream(s"$dir/a.warc")
