@@ -961,6 +961,17 @@ object HashKernels {
     out
   }
 
+  /** PQ code bytes -> array<int> of unsigned code values — the
+    * membership view a distributed Lloyd's iteration aggregates over
+    * (posexplode the vector, join position to subspace, group by the
+    * code this kernel exposes). */
+  def bytesToIntsKernel(b: Array[Byte]): ArrayData = {
+    val out = new Array[Int](b.length)
+    var i = 0
+    while (i < b.length) { out(i) = b(i) & 0xff; i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Asymmetric-distance (ADC) score off the PQ codes alone: m table
     * lookups into the per-query LUT, never the float vector. The LUT
     * carries 1e-6 fixed-point longs, so the total is an EXACT decimal
@@ -1898,6 +1909,25 @@ case class PqEncode(child: Expression, cb: Seq[Double], m: Int, k: Int)
       s"${ev.value} = graft.expr.HashKernels.pqEncodeKernel($c, $cbRef, $m, $k);")
   }
   override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** Binary -> array<int> of unsigned byte values. Lets SQL read a PQ
+  * code vector positionally (element_at over the array), which the
+  * distributed codebook fit's stats pass needs: group sample
+  * subvectors by their assigned code without a driver loop. */
+case class BytesToInts(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] =
+    Seq(BinaryType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "bytes_to_ints"
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.bytesToIntsKernel(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.HashKernels.bytesToIntsKernel($c);")
+  override protected def withNewChildInternal(newChild: Expression): BytesToInts =
     copy(child = newChild)
 }
 

@@ -56,42 +56,55 @@ object IndexArtifacts {
     * Sibling dirs from EARLIER testdata generations (same kind+user
     * prefix, different fingerprint) are best-effort swept, so /tmp
     * stops accumulating one artifact tree per regeneration. */
+  /** Artifact root: `graft.artifacts.root` on the active session (any
+    * Hadoop-FS-addressable URI — HDFS, S3A, local), defaulting to
+    * /tmp on the root's own filesystem. r15: the whole commit path
+    * runs on the Hadoop FileSystem API (staging dir + `fs.rename`
+    * commit — the same rename-as-commit contract HDFS gives output
+    * committers), so artifacts are storage-portable; NIO is gone. */
+  private def artifactRoot: String =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(s => s.conf.getOption("graft.artifacts.root"))
+      .getOrElse("/tmp")
+
+  private def hadoopConf: org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
   def ensureArtifact(kind: String, srcFp: String)
       (loaded: String => Boolean)(build: String => Unit): String = {
     val user = System.getProperty("user.name")
     val prefix = s"graft_${kind}_${user}_"
-    val finalDir = s"/tmp/$prefix$srcFp"
+    val root = new Path(artifactRoot)
+    val fs = root.getFileSystem(hadoopConf)
+    val finalPath = new Path(root, s"$prefix$srcFp")
+    val finalDir = Path.getPathWithoutSchemeAndAuthority(finalPath).toString
     if (!loaded(finalDir)) {
-      val tmpRoot = new java.io.File("/tmp")
-      tmpRoot.listFiles().foreach { f =>
-        if (f.getName.startsWith(prefix) && f.getName != s"$prefix$srcFp")
-          try deleteRecursively(f) catch { case _: Throwable => () }
-      }
-      val staging = new java.io.File(tmpRoot,
+      // sweep stale generations (same kind+user, other fingerprint)
+      try fs.listStatus(root).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(prefix) && n != s"$prefix$srcFp")
+          try { fs.delete(st.getPath, true); () } catch { case _: Throwable => () }
+      } catch { case _: Throwable => () }
+      val staging = new Path(root,
         s".$prefix${srcFp}_stage_${ProcessHandle.current().pid()}_${System.nanoTime()}")
-      try build(staging.getAbsolutePath)
+      try build(Path.getPathWithoutSchemeAndAuthority(staging).toString)
       catch { case e: Throwable =>
         // a failed build must not leak its half-written staging dir
-        try deleteRecursively(staging) catch { case _: Throwable => () }
+        try { fs.delete(staging, true); () } catch { case _: Throwable => () }
         throw e
       }
-      try {
-        java.nio.file.Files.move(staging.toPath, new java.io.File(finalDir).toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException |
-             _: java.nio.file.AccessDeniedException |
-             _: java.nio.file.FileSystemException =>
-          // a concurrent builder won the rename — use theirs
-          try deleteRecursively(staging) catch { case _: Throwable => () }
+      // rename-as-commit: atomic on HDFS/local; a false return means a
+      // concurrent builder already owns the final path — use theirs
+      val won = try fs.rename(staging, finalPath) catch { case _: Throwable => false }
+      if (!won) {
+        try { fs.delete(staging, true); () } catch { case _: Throwable => () }
+        require(fs.exists(finalPath),
+          s"artifact commit failed and no concurrent winner exists at $finalPath")
       }
     }
     finalDir
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete(): Unit
   }
 
   val AnalysisDirName = "_graft_analysis"
@@ -792,8 +805,19 @@ object IndexArtifacts {
         data.count() != known.count() + nFresh)
       return buildBbq(spark, indexPath, idCol, vecCol, fmt)
     if (nFresh > 0) {
-      val dim = fresh.select(size(col(vecCol)).as("d")).limit(1).head().getInt(0)
-      graft.sim.Ann.bbqPack(fresh, idCol, vecCol, dim)
+      // probe dims like buildBbq does (d > 0 guard: an appended
+      // empty-array vector must not define the dim), and compare the
+      // appended dim to the dim the artifact was built with — a drift
+      // would silently append bit layouts inconsistent with the
+      // existing packed rows, so rebuild instead
+      val builtDim = data.join(known, col(idCol) === col("__known_id"), "semi")
+        .select(size(col(vecCol)).as("d")).where(col("d") > 0)
+        .limit(1).head().getInt(0)
+      val freshDims = fresh.select(size(col(vecCol)).as("d"))
+        .where(col("d") > 0).distinct().limit(2).collect().map(_.getInt(0))
+      if (freshDims.length != 1 || freshDims.head != builtDim)
+        return buildBbq(spark, indexPath, idCol, vecCol, fmt)
+      graft.sim.Ann.bbqPack(fresh, idCol, vecCol, builtDim)
         .write.mode("append").parquet(s"$dir/packed")
     }
     writeBbqMeta(spark, indexPath, idCol, vecCol)
@@ -855,11 +879,16 @@ object IndexArtifacts {
     // the production recall point; queries are unchanged (the LUT
     // derives from whatever codebook is STORED), only answer-equality
     // with the on-the-fly sample form is traded away.
+    // `lloyd-dist` = the distributed unbiased fit (hash-ordered random
+    // sample, one Spark job per iteration — pqFitCodebooksDist): the
+    // production path at corpus scale, where the driver-side sample
+    // both caps and biases the codebook.
     val cb = fit match {
       case "sample" => graft.sim.Ann.pqSampleCodebooks(corpus, idCol, vecCol, m, k)
       case "lloyd" => graft.sim.Ann.pqFitCodebooks(corpus, idCol, vecCol, m, k)
+      case "lloyd-dist" => graft.sim.Ann.pqFitCodebooksDist(corpus, idCol, vecCol, m, k)
       case other => throw new IllegalArgumentException(
-        s"unknown graft.index.pq.fit: $other (sample | lloyd)")
+        s"unknown graft.index.pq.fit: $other (sample | lloyd | lloyd-dist)")
     }
     import spark.implicits._
     Seq(cb.toSeq).toDF("cb").write.mode("overwrite").parquet(s"$dir/codebook")

@@ -1161,6 +1161,78 @@ object Ann {
     cb
   }
 
+  /** Distributed, unbiased Lloyd's fit for PQ codebooks — the scale
+    * path `pqFitCodebooks` is the driver-capped oracle twin of.
+    *
+    * Two structural differences, both aimed at 100 TB:
+    *  - the sample is HASH-ordered (`xxhash64(id)`, id tie-break): a
+    *    seeded deterministic pseudo-random draw. Id-order sampling is
+    *    biased whenever generation order correlates with content (it
+    *    reads one contiguous region of the corpus); hash order touches
+    *    every partition uniformly, and the top-N-by-hash is a partial
+    *    per-partition top-N, never a full sort.
+    *  - each Lloyd iteration is ONE Spark job over the cached sample:
+    *    assignment via the compiled `PqEncode` kernel (the exact
+    *    fixed-point argmin the artifact encoder uses), then a
+    *    (subspace, code, dim-position) partial aggregation whose
+    *    result is exactly codebook-sized (m*k*dsub rows). Only the
+    *    k*m tiny centroid model ever reaches the driver — the
+    *    `kmeansCentroids` IVF shape, so sampleN is bounded by cluster
+    *    memory, not driver memory (the driver fit caps at ~2048).
+    *
+    * Per-cell means round to 1e-9 fixed point after each iteration so
+    * run-to-run partial-agg ordering drift cannot leak into the
+    * model; empty cells keep their previous centroid (the standard
+    * dead-cell rule, same as the driver fit). */
+  def pqFitCodebooksDist(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      k: Int,
+      iters: Int = 5,
+      sampleN: Int = 65536): Array[Double] = {
+    import org.apache.spark.sql.GraftBridge
+    val sample = corpus.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"),
+        pqNormalized(col(vecCol).cast("array<double>")).as("v"))
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(sampleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seed = sample.orderBy(xxhash64(col("id")), col("id")).limit(k)
+        .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+      require(seed.length >= k, s"sample ${seed.length} smaller than k=$k")
+      val dim = seed.head.length
+      require(dim % m == 0, s"dim $dim does not split into $m subspaces")
+      val dsub = dim / m
+      val cb = new Array[Double](m * k * dsub)
+      for (s <- 0 until m; c <- 0 until k; i <- 0 until dsub)
+        cb((s * k + c) * dsub + i) = seed(c)(s * dsub + i)
+      for (_ <- 1 to iters) {
+        val codes = GraftBridge.column(graft.expr.BytesToInts(
+          graft.expr.PqEncode(
+            GraftBridge.expression(col("v")), cb.toSeq, m, k)))
+        val stats = sample
+          .select(codes.as("codes"), posexplode(col("v")).as(Seq("pos", "x")))
+          .select(
+            (col("pos") / dsub).cast("int").as("s"),
+            (col("pos") % dsub).as("i"),
+            element_at(col("codes"), (col("pos") / dsub).cast("int") + 1).as("c"),
+            col("x"))
+          .groupBy(col("s"), col("c"), col("i"))
+          .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+          .collect()
+        stats.foreach { r =>
+          val s = r.getInt(0); val c = r.getInt(1); val i = r.getInt(2)
+          val mean = r.getDouble(3) / r.getLong(4)
+          cb((s * k + c) * dsub + i) = math.floor(mean * 1e9 + 0.5) / 1e9
+        }
+      }
+      cb
+    } finally { sample.unpersist(); () }
+  }
+
   /** Unit-normalize an array<double> column (left-fold norm so the
     * oracle mirrors it exactly); zero vectors stay zero, never NaN. */
   private def pqNormalized(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
@@ -1224,6 +1296,29 @@ object Ann {
     lut
   }
 
+  /** Last PQ sizing warning emitted (spec hook; also logged to
+    * stderr). None after a call whose window cleared the rule. */
+  @volatile var lastPqSizingWarning: Option[String] = None
+
+  /** The r14 recall-ledger sizing rule, as an API-level guard: the
+    * coarse ADC window (k·oversample) must cover at least 1/(m·k) of
+    * the corpus. The ledger's measured cliff — 4x16 codes at 50k
+    * vectors / window 400 reads 1-2/10 recall while 8x64 at the same
+    * window reads 10/10 — sits exactly on this line: 50k/400 = 125 is
+    * over 4·16 = 64 and under 8·64 = 512. Returns the warning text
+    * when the window is under-sized for the corpus at this
+    * resolution; raising oversample OR m·k clears it. */
+  def pqSizingWarning(
+      corpusOverThreshold: Boolean, n: String,
+      k: Int, oversample: Int, m: Int, codebookSize: Int): Option[String] =
+    if (corpusOverThreshold)
+      Some(s"PQ coarse window ${k.toLong * oversample} (k=$k x oversample=$oversample) " +
+        s"covers under 1/(m*k) = 1/${m * codebookSize} of the $n corpus at " +
+        s"m=$m k=$codebookSize — the measured regime where recall collapses to 1-2/10 " +
+        "(r14 ledger). Raise oversample toward corpus/window <= m*k, or raise the " +
+        "m x k resolution.")
+    else None
+
   def pqTopK(
       corpus: DataFrame,
       idCol: String,
@@ -1237,6 +1332,16 @@ object Ann {
     import org.apache.spark.sql.GraftBridge
     require(queryVec.nonEmpty && queryVec.length % m == 0,
       s"query dim ${queryVec.length} does not split into $m subspaces")
+    // sizing guard: bounded-scan count (limit(threshold+1), the
+    // requireBoundedQueries trick — never a full count of an
+    // unbounded corpus) decides whether corpus/window > m*k
+    val threshold = math.min(
+      k.toLong * oversample * m * codebookSize, Int.MaxValue - 1L)
+    val over = corpus.where(col(vecCol).isNotNull)
+      .limit((threshold + 1).toInt).count() > threshold
+    lastPqSizingWarning = pqSizingWarning(
+      over, s">${threshold}-vector", k, oversample, m, codebookSize)
+    lastPqSizingWarning.foreach(w => Console.err.println(s"WARN graft.sim.Ann: $w"))
     val dsub = queryVec.length / m
     // codebooks: caller-trained (pqFitCodebooks), or the deterministic
     // sample baseline — first codebookSize unit vectors by id, sliced
@@ -1245,7 +1350,6 @@ object Ann {
     require(cb.length == m * codebookSize * dsub,
       s"codebook ${cb.length} != $m x $codebookSize x $dsub")
     val lut = pqLut(queryVec, cb, m, codebookSize)
-    val q = array(queryVec.map(lit): _*)
     // the stored artifact shape: (id, m code bytes) over unit vectors
     val encoded = pqEncodeFrame(corpus, idCol, vecCol, cb, m, codebookSize)
     val adc = GraftBridge.column(graft.expr.PqAdc(
@@ -1293,6 +1397,14 @@ object Ann {
     graft.index.IndexArtifacts.loadPq(spark, indexPath, vecCol, Some(idCol))
       .map { case ((m, ck), cb, codes) =>
         import org.apache.spark.sql.GraftBridge
+        // the same r14-ledger sizing guard as the on-the-fly path —
+        // the persisted form is the one that meets real corpus sizes
+        val threshold = math.min(
+          k.toLong * oversample * m * ck, Int.MaxValue - 1L)
+        val over = codes.limit((threshold + 1).toInt).count() > threshold
+        lastPqSizingWarning = pqSizingWarning(
+          over, s">${threshold}-vector", k, oversample, m, ck)
+        lastPqSizingWarning.foreach(w => Console.err.println(s"WARN graft.sim.Ann: $w"))
         val lut = pqLut(queryVec, cb, m, ck)
         val adc = GraftBridge.column(graft.expr.PqAdc(
           GraftBridge.expression(col("pq")), lut.toSeq, ck))

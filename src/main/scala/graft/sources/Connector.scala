@@ -772,8 +772,11 @@ object Connector {
       val m = cfg.getOrElse("graft.index.pq.m", "4").toInt
       val k = cfg.getOrElse("graft.index.pq.k", "16").toInt
       // sample = oracle-replayable deterministic codebooks (default);
-      // lloyd = k-means-refined (the production recall point; appends
-      // and audit-triggered rebuilds keep the recorded fit)
+      // lloyd = k-means-refined over the driver-side sample;
+      // lloyd-dist = distributed unbiased Lloyd's (hash-ordered random
+      // sample, one job per iteration — the production fit at corpus
+      // scale). Appends and audit-triggered rebuilds keep the recorded
+      // fit either way.
       val pqFit = cfg.getOrElse("graft.index.pq.fit", "sample")
       val codesDir = new Path(
         graft.index.IndexArtifacts.pqDir(path, vecCol) + "/codes")

@@ -157,6 +157,77 @@ class AnnTextSpec extends SparkSpec {
     assert(int4 == brute, s"int4 window missed the true top-k: $int4 vs $brute")
   }
 
+  test("PQ distributed Lloyd's fit: deterministic, lower distortion than the sample codebook, recall holds") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val m = 4; val k = 16; val dsub = 64 / m
+    val dist = Ann.pqFitCodebooksDist(emb, "vec_id", "embedding", m, k)
+    assert(dist.length == m * k * dsub)
+    // deterministic: the hash-ordered sample and fixed-point means make
+    // a re-run reproduce the model exactly
+    val dist2 = Ann.pqFitCodebooksDist(emb, "vec_id", "embedding", m, k)
+    assert(dist.toSeq == dist2.toSeq, "lloyd-dist fit is not reproducible")
+    // quality: mean quantization distortion (squared L2 of each unit
+    // vector to its reconstruction) must not exceed the untrained
+    // sample codebook's — Lloyd's exists to shrink exactly this
+    val vecs = emb.select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+      .map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n == 0) v else v.map(_ / n)
+      }
+    def distortion(cb: Array[Double]): Double = {
+      var tot = 0.0
+      vecs.foreach { v =>
+        var s = 0
+        while (s < m) {
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < k) {
+            var d = 0.0; var i = 0
+            while (i < dsub) {
+              val t = v(s * dsub + i) - cb((s * k + c) * dsub + i); d += t * t; i += 1
+            }
+            if (d < bestD) bestD = d
+            c += 1
+          }
+          tot += bestD; s += 1
+        }
+      }
+      tot / vecs.length
+    }
+    val sampleCb = Ann.pqSampleCodebooks(emb, "vec_id", "embedding", m, k)
+    val dDist = distortion(dist)
+    val dSample = distortion(sampleCb)
+    assert(dDist <= dSample,
+      s"lloyd-dist distortion $dDist worse than sample codebook $dSample")
+    // and the driver lloyd fit too: the distributed fit must be at
+    // least as good as the capped driver sample fit on this corpus
+    val dDriver = distortion(Ann.pqFitCodebooks(emb, "vec_id", "embedding", m, k))
+    assert(dDist <= dDriver * 1.05,
+      s"lloyd-dist distortion $dDist far off the driver fit $dDriver")
+    // recall floor under the dist codebooks (same bar as the driver fit)
+    val qv = (1 to 64).map(i => math.sin(i * 0.37))
+    val pqRows = Ann.pqTopK(emb, "vec_id", "embedding", qv, k = 5, oversample = 20,
+      codebooks = Some(dist)).select("id").as[Long].collect().toSeq
+    val brute = Ann.knnRescoreTopK(emb, "vec_id", "embedding", qv, k = 5, oversample = 8)
+      .select("id").as[Long].collect().toSet
+    assert(pqRows.count(brute.contains) >= 3,
+      s"lloyd-dist PQ recall@5 too low: ${pqRows.count(brute.contains)}/5")
+  }
+
+  test("PQ sizing guard: under-sized coarse windows warn off the r14 ledger rule (r15)") {
+    val emb = Tables.embeddings(spark, sfDir) // 500 vectors
+    val qv = (1 to 64).map(i => math.sin(i * 0.37))
+    // window 5x1 = 5 -> rule threshold 5 * (4*16) = 320 < 500: the
+    // corpus/window ratio exceeds m*k, the measured collapse regime
+    Ann.pqTopK(emb, "vec_id", "embedding", qv, k = 5, oversample = 1)
+    assert(Ann.lastPqSizingWarning.nonEmpty, "under-sized PQ window did not warn")
+    assert(Ann.lastPqSizingWarning.get.contains("Raise oversample"))
+    // window 5x20 = 100 -> threshold 6400 > 500: correctly sized, silent
+    Ann.pqTopK(emb, "vec_id", "embedding", qv, k = 5, oversample = 20)
+    assert(Ann.lastPqSizingWarning.isEmpty, "well-sized PQ window warned spuriously")
+  }
+
   test("PQ: 4-byte codes, ADC window recovers the exact top-k, codes-only coarse plan") {
     import org.apache.spark.sql.GraftBridge
     val emb = Tables.embeddings(spark, sfDir)

@@ -527,6 +527,40 @@ class IndexArtifactsSpec extends SparkSpec {
       "audit-triggered rebuild degraded a lloyd artifact to sample codebooks")
   }
 
+  test("persisted PQ, lloyd-dist fit: distributed codebooks stored, clean appends encode under the frozen model (r15)") {
+    val out = "/tmp/graft_idxspec_pqlloyddist"
+    val emb = Tables.embeddings(spark, sfDir).where(col("vec_id") < 150)
+    graft.sources.Connector.save(emb, out, Map(
+      "graft.write.operation" -> "overwrite",
+      "graft.mapping.id" -> "vec_id",
+      "graft.index.pq" -> "embedding",
+      "graft.index.pq.fit" -> "lloyd-dist"))
+    val ((m, k), cbDist, codes) =
+      IndexArtifacts.loadPq(spark, out, "embedding", Some("vec_id")).get
+    assert(m == 4 && k == 16 && codes.count() == 150)
+    // the stored model IS the distributed fit, verbatim
+    val expect = graft.sim.Ann.pqFitCodebooksDist(
+      spark.read.parquet(out), "vec_id", "embedding", 4, 16)
+    assert(cbDist.toSeq == expect.toSeq,
+      "stored codebook is not the distributed fit of the written corpus")
+    val qv = (1 to 64).map(i => math.cos(i * 0.29))
+    val idx = graft.sim.Ann.pqTopKIndexed(
+      spark, out, "vec_id", "embedding", qv, k = 5, oversample = 4).get
+    assert(idx.count() == 5)
+    // a clean (non-colliding) append encodes ONLY the new docs under
+    // the FROZEN distributed codebook — no refit
+    Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") >= 150 && col("vec_id") < 160)
+      .write.mode("append").parquet(out)
+    spark.catalog.refreshByPath(out)
+    IndexArtifacts.refreshPq(spark, out, "vec_id", "embedding")
+    val ((_, _), cbAfter, codesAfter) =
+      IndexArtifacts.loadPq(spark, out, "embedding", Some("vec_id")).get
+    assert(codesAfter.count() == 160)
+    assert(cbAfter.toSeq == cbDist.toSeq,
+      "clean append must keep the frozen lloyd-dist codebook")
+  }
+
   test("persisted BBQ: sign bits packed once, coarse scan off 16 bytes/doc, audited appends (r14)") {
     val out = "/tmp/graft_idxspec_bbq"
     val emb = Tables.embeddings(spark, sfDir).limit(150)
