@@ -620,6 +620,21 @@ private[graft] object EntriesPipeline {
       Multimodal.gifFrameStats(s,
         Multimodal.gifMediaTable(s, t(s, d, "documents")), stride = 2)
         .orderBy(col("media_id"), col("frame_idx"))),
+    // REAL lossy-codec decode: payloads are complete baseline JFIF
+    // files (in-JDK encoder); expected stats are computed at
+    // GENERATION time by decoding the actual bytes and persisted
+    // beside the payload (a lossy codec has no replayable pixel
+    // formula). The query re-decodes the persisted bytes and must
+    // land on the same integers; the oracle reads the persisted
+    // expected stats — so parquet binary round-trip, the container
+    // walk, and decoder determinism are all under the hash
+    "q_multimodal_jpeg" -> ((s, d) => {
+      val out = s"/tmp/graft_jpeg_${System.getProperty("user.name")}"
+      Multimodal.jpegMediaTable(s, t(s, d, "documents"))
+        .write.mode("overwrite").parquet(out)
+      Multimodal.jpegPixelStats(s, s.read.parquet(out))
+        .orderBy(col("media_id"))
+    }),
     // context-window chunking: 64-token windows, 16-token overlap
     "q_chunk" -> ((s, d) =>
       TextAnalysis.chunkTokens(t(s, d, "documents"), "doc_id", "text", 64, 16)
@@ -1325,6 +1340,13 @@ private[graft] object EntriesPipeline {
       "h::INT AS height, count(*)::BIGINT AS n_px, sum(px)::BIGINT AS px_sum, " +
       "min(px)::BIGINT AS px_min, max(px)::BIGINT AS px_max " +
       "FROM g GROUP BY doc_id, f, w, h ORDER BY media_id, frame_idx"),
+    // lossy codec: the oracle reads the GENERATION-TIME stats the
+    // query persisted beside the payload bytes (Verify runs the query
+    // first); the Spark side recomputes them by re-decoding the bytes
+    "q_multimodal_jpeg" -> ("SELECT media_id, width, height, n_px, px_sum, " +
+      "px_min, px_max FROM read_parquet(" +
+      s"'/tmp/graft_jpeg_${System.getProperty("user.name")}/*.parquet') " +
+      "ORDER BY media_id"),
     // nearest-neighbor to 8x6: out(x,y) = in((x*w)//8, (y*h)//6)
     "q_multimodal_resize_px" -> ("WITH d AS (SELECT doc_id, doc_id % 48 + 8 AS w, " +
       "doc_id % 32 + 8 AS h FROM documents WHERE doc_id % 2 = 0), " +

@@ -467,17 +467,58 @@ object Gif {
     out.toByteArray
   }
 
-  /** Decode every frame of a GIF written in our scope (non-interlaced
-    * full frames over a global palette). Real container walk: skips
-    * extension blocks by their declared sub-block lengths, collects
-    * each image's sub-blocks, LZW-decodes. */
+  /** Fold one palette (3n RGB bytes at `off`) to gray values: exact
+    * when r==g==b (our encoder's tables), integer ITU-R BT.601
+    * luminance otherwise — deterministic either way. */
+  private def grayPalette(bytes: Array[Byte], off: Int, n: Int): Array[Int] = {
+    val t = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val r = bytes(off + 3 * i) & 0xff
+      val g = bytes(off + 3 * i + 1) & 0xff
+      val b = bytes(off + 3 * i + 2) & 0xff
+      t(i) = if (r == g && g == b) r else (r * 299 + g * 587 + b * 114 + 500) / 1000
+      i += 1
+    }
+    t
+  }
+
+  /** Undo GIF's 4-pass Adam interlace: stored rows come in passes
+    * (0,8,16.. / 4,12.. / 2,6.. / 1,3,5..), sequential in `px`. */
+  private def deinterlace(px: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](px.length)
+    var src = 0
+    Seq((0, 8), (4, 8), (2, 4), (1, 2)).foreach { case (start, step) =>
+      var row = start
+      while (row < h) {
+        System.arraycopy(px, src * w, out, row * w, w)
+        src += 1
+        row += step
+      }
+    }
+    out
+  }
+
+  /** Decode every frame of a full-frame GIF: global OR local color
+    * tables (folded to gray — exact for gray palettes, BT.601 for
+    * color), interlaced or sequential row order. Real container walk:
+    * skips extension blocks by their declared sub-block lengths,
+    * collects each image's sub-blocks, LZW-decodes, maps indices
+    * through the frame's ACTIVE palette. Partial-frame composition
+    * (left/top offsets) stays a loud reject. */
   def decode(bytes: Array[Byte]): Seq[Frame] = {
     require(bytes.length > 13 &&
       new String(bytes, 0, 6, "US-ASCII").startsWith("GIF"), "not a GIF")
     def u16(at: Int): Int = (bytes(at) & 0xff) | ((bytes(at + 1) & 0xff) << 8)
     val packed = bytes(10) & 0xff
     var at = 13
-    if ((packed & 0x80) != 0) at += 3 * (2 << (packed & 7)) // skip GCT
+    val gct: Array[Int] =
+      if ((packed & 0x80) != 0) {
+        val n = 2 << (packed & 7)
+        val t = grayPalette(bytes, at, n)
+        at += 3 * n
+        t
+      } else null
     val frames = scala.collection.mutable.ArrayBuffer.empty[Frame]
     var done = false
     while (!done) {
@@ -492,10 +533,18 @@ object Gif {
           val left = u16(at + 1); val top = u16(at + 3)
           val w = u16(at + 5); val h = u16(at + 7)
           val ipacked = bytes(at + 9) & 0xff
-          require((ipacked & 0x80) == 0, "local color tables out of scope")
-          require((ipacked & 0x40) == 0, "interlaced GIFs out of scope")
           require(left == 0 && top == 0, "partial-frame composition out of scope")
           at += 10
+          val table: Array[Int] =
+            if ((ipacked & 0x80) != 0) { // local color table wins for this frame
+              val n = 2 << (ipacked & 7)
+              val t = grayPalette(bytes, at, n)
+              at += 3 * n
+              t
+            } else {
+              require(gct != null, "frame without a local OR global color table")
+              gct
+            }
           val minCode = bytes(at) & 0xff; at += 1
           val data = new java.io.ByteArrayOutputStream()
           while ((bytes(at) & 0xff) != 0) {
@@ -504,11 +553,118 @@ object Gif {
             at += 1 + len
           }
           at += 1
-          frames += Frame(frames.length, w, h, lzwDecompress(data.toByteArray, minCode, w * h))
+          val idx = lzwDecompress(data.toByteArray, minCode, w * h)
+          val px = new Array[Byte](idx.length)
+          var i = 0
+          while (i < idx.length) {
+            val ix = idx(i) & 0xff
+            require(ix < table.length,
+              s"pixel index $ix outside the ${table.length}-entry color table")
+            px(i) = table(ix).toByte
+            i += 1
+          }
+          frames += Frame(frames.length, w, h,
+            if ((ipacked & 0x40) != 0) deinterlace(px, w, h) else px)
         case other => throw new IllegalArgumentException(
           f"unexpected GIF block 0x$other%02x at $at")
       }
     }
     frames.toSeq
+  }
+}
+
+/** Baseline JFIF decode/encode through the IN-JDK imaging stack
+  * (`javax.imageio` + `java.awt.image` — part of the JDK, no external
+  * media library). The container walk here is ours: SOI check, marker
+  * scan, SOF classification — PROGRESSIVE (SOF2) and arithmetic-coded
+  * variants are rejected loudly BEFORE any decode is attempted, so an
+  * out-of-scope stream can never half-decode. The entropy decode +
+  * IDCT are ImageIO's.
+  *
+  * JPEG is LOSSY: no pixel formula can replay decoded values, so
+  * expected stats are computed at GENERATION time from a decode of
+  * the actual bytes and persisted beside the payload (the oracle
+  * reads the persisted stats; the query re-decodes and must agree —
+  * pinning byte round-trip + decoder determinism).
+  */
+object Jpeg {
+
+  /** Marker walk to the first SOF: returns (sofMarker, width, height,
+    * nComponents). Validates SOI and marker framing on the way. */
+  private[graft] def sofInfo(bytes: Array[Byte]): (Int, Int, Int, Int) = {
+    require(bytes.length > 4 &&
+      (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
+      "not a JPEG (missing SOI marker)")
+    var at = 2
+    while (at + 3 < bytes.length) {
+      require((bytes(at) & 0xff) == 0xff,
+        f"expected a JPEG marker at offset $at, got 0x${bytes(at) & 0xff}%02x")
+      val marker = bytes(at + 1) & 0xff
+      require(marker != 0xd9 && marker != 0xda, "JPEG stream without a SOF header")
+      val len = ((bytes(at + 2) & 0xff) << 8) | (bytes(at + 3) & 0xff)
+      // SOFn = 0xC0-0xCF minus DHT (C4), JPG (C8), DAC (CC)
+      if (marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+        val h = ((bytes(at + 5) & 0xff) << 8) | (bytes(at + 6) & 0xff)
+        val w = ((bytes(at + 7) & 0xff) << 8) | (bytes(at + 8) & 0xff)
+        return (marker, w, h, bytes(at + 9) & 0xff)
+      }
+      at += 2 + len
+    }
+    throw new IllegalArgumentException("JPEG truncated before a SOF marker")
+  }
+
+  /** Decode a baseline (SOF0/SOF1 sequential Huffman) JPEG to
+    * grayscale. Progressive (SOF2) and every other SOF variant
+    * reject loudly. Color inputs fold to luminance via the JDK's
+    * gray color space. */
+  def decodeGray(bytes: Array[Byte]): Png.Image = {
+    val (sof, w, h, _) = sofInfo(bytes)
+    require(sof == 0xc0 || sof == 0xc1,
+      s"only baseline sequential-Huffman JPEG in scope (SOF0/SOF1), got SOF${sof - 0xc0}" +
+        (if (sof == 0xc2) " (progressive)" else ""))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "ImageIO could not decode the JPEG stream")
+    require(img.getWidth == w && img.getHeight == h,
+      s"SOF dims ${w}x$h disagree with decoded raster ${img.getWidth}x${img.getHeight}")
+    val gray =
+      if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) img
+      else {
+        val g2 = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val g = g2.createGraphics()
+        g.drawImage(img, 0, 0, null)
+        g.dispose()
+        g2
+      }
+    val px = gray.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    Png.Image(w, h, 1, java.util.Arrays.copyOf(px, px.length))
+  }
+
+  /** Encode grayscale pixels as real JFIF bytes (the JDK's baseline
+    * Huffman writer at an explicit quality — deterministic for a
+    * fixed JDK, which the generation-time-stats contract requires). */
+  def encodeGray(
+      width: Int, height: Int, pixels: Array[Byte],
+      quality: Float = 0.9f): Array[Byte] = {
+    require(pixels.length == width * height,
+      s"${pixels.length} pixels for ${width}x$height")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    System.arraycopy(pixels, 0,
+      img.getRaster.getDataBuffer.asInstanceOf[java.awt.image.DataBufferByte].getData,
+      0, pixels.length)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream(pixels.length / 2 + 1024)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
   }
 }

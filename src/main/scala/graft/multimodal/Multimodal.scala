@@ -322,6 +322,57 @@ object Multimodal {
     }).toDF("media_id", "n_frames", "payload")
   }
 
+  /** Media table whose payloads are COMPLETE baseline JFIF files —
+    * real JPEGs from the in-JDK encoder over a deterministic gray
+    * pattern. JPEG is LOSSY, so the expected pixel stats ride along
+    * in the same row, computed at GENERATION time by decoding the
+    * actual bytes: the downstream re-decode must reproduce them
+    * exactly (byte round-trip + decoder determinism), which is the
+    * published way to oracle-check a lossy codec. Dims are mostly
+    * NOT multiples of 8, so the MCU edge-padding path is exercised. */
+  def jpegMediaTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val w = (id % 21 + 12).toInt
+      val h = (id % 13 + 10).toInt
+      val px = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          px(y * w + x) = ((id * 7 + x * 3 + y * 5) % 256).toByte; x += 1
+        }
+        y += 1
+      }
+      val payload = Jpeg.encodeGray(w, h, px)
+      val img = Jpeg.decodeGray(payload)
+      var s = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+      img.pixels.foreach { b =>
+        val v = (b & 0xff).toLong
+        s += v; if (v < mn) mn = v; if (v > mx) mx = v
+      }
+      (id, payload, img.width, img.height, img.pixels.length.toLong, s, mn, mx)
+    }).toDF("media_id", "payload", "width", "height", "n_px", "px_sum", "px_min", "px_max")
+  }
+
+  /** Integer-exact gray stats recomputed by DECODING each JPEG
+    * payload — map-only, payloads never shuffle. */
+  def jpegPixelStats(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("media_id", "payload")
+      .where(col("payload").isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val img = Jpeg.decodeGray(payload)
+        var s = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+        img.pixels.foreach { b =>
+          val v = (b & 0xff).toLong
+          s += v; if (v < mn) mn = v; if (v > mx) mx = v
+        }
+        (id, img.width, img.height, img.pixels.length.toLong, s, mn, mx)
+      }).toDF("media_id", "width", "height", "n_px", "px_sum", "px_min", "px_max")
+  }
+
   /** REAL frame sampling: walk each GIF container, LZW-decode every
     * frame ONCE, keep frames at the requested stride (the fps-halving
     * shape at stride 2) and fold integer-exact per-frame pixel stats.

@@ -282,4 +282,141 @@ class CodecsSpec extends SparkSpec {
     // every kept frame accounted for
     assert(stats.size == (0L until 60L).map(id => ((id % 5 + 2) + 1) / 2).sum)
   }
+
+  // hand-built single-frame GIF the encoder never emits: optional
+  // GCT, optional LCT (own palette), optional interlace flag — so
+  // DECODE's palette/interlace paths are exercised beyond round-trip
+  private def gifOf(
+      w: Int, h: Int, px: Array[Byte],
+      gct: Option[Array[(Int, Int, Int)]],
+      lct: Option[Array[(Int, Int, Int)]],
+      interlaced: Boolean): Array[Byte] = {
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def sizeBits(n: Int) = (math.log(n) / math.log(2)).round.toInt - 1
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(le16(w)); out.write(le16(h))
+    out.write(gct.map(t => 0x80 | 0x70 | sizeBits(t.length)).getOrElse(0))
+    out.write(0); out.write(0)
+    gct.foreach(_.foreach { case (r, g, b) => out.write(r); out.write(g); out.write(b) })
+    out.write(0x2c)
+    out.write(le16(0)); out.write(le16(0))
+    out.write(le16(w)); out.write(le16(h))
+    out.write(lct.map(t => 0x80 | sizeBits(t.length)).getOrElse(0) |
+      (if (interlaced) 0x40 else 0))
+    lct.foreach(_.foreach { case (r, g, b) => out.write(r); out.write(g); out.write(b) })
+    out.write(8)
+    val stored =
+      if (!interlaced) px
+      else { // store rows in the 4-pass order the flag declares
+        val s = new java.io.ByteArrayOutputStream()
+        Seq((0, 8), (4, 8), (2, 4), (1, 2)).foreach { case (start, step) =>
+          var row = start
+          while (row < h) { s.write(px, row * w, w); row += step }
+        }
+        s.toByteArray
+      }
+    val lzw = graft.multimodal.Gif.lzwCompress(stored)
+    var at = 0
+    while (at < lzw.length) {
+      val len = math.min(255, lzw.length - at)
+      out.write(len); out.write(lzw, at, len); at += len
+    }
+    out.write(0); out.write(0x3b)
+    out.toByteArray
+  }
+
+  test("GIF local color tables: LCT overrides GCT, gray exact, color folds to BT.601 luma (r15)") {
+    val w = 9; val h = 7
+    val idx = Array.tabulate[Byte](w * h)(i => (i * 11 % 256).toByte)
+    val grayGct = Array.tabulate(256)(i => (i, i, i))
+    // LCT = inverted gray: decoded value must be 255 - index, proving
+    // the LOCAL table was applied, not the global one
+    val inverted = Array.tabulate(256)(i => (255 - i, 255 - i, 255 - i))
+    val lctFrames = Gif.decode(gifOf(w, h, idx, Some(grayGct), Some(inverted), interlaced = false))
+    assert(lctFrames.length == 1)
+    assert(lctFrames.head.pixels.toSeq == idx.map(b => (255 - (b & 0xff)).toByte).toSeq)
+    // pure-red palette: entry i = (i,0,0) -> BT.601 (i*299+500)/1000
+    val red = Array.tabulate(256)(i => (i, 0, 0))
+    val redFrames = Gif.decode(gifOf(w, h, idx, None, Some(red), interlaced = false))
+    assert(redFrames.head.pixels.toSeq ==
+      idx.map(b => (((b & 0xff) * 299 + 500) / 1000).toByte).toSeq)
+    // no GCT and no LCT: loud reject, never a silent zero palette
+    val e = intercept[IllegalArgumentException](
+      Gif.decode(gifOf(w, h, idx, None, None, interlaced = false)))
+    assert(e.getMessage.contains("color table"))
+    // an index past the table end: loud reject (4-entry LCT, index 9)
+    val tiny = Array.tabulate(4)(i => (i, i, i))
+    val bad = Array.tabulate[Byte](w * h)(i => (i % 10).toByte)
+    val e2 = intercept[IllegalArgumentException](
+      Gif.decode(gifOf(w, h, bad, None, Some(tiny), interlaced = false)))
+    assert(e2.getMessage.contains("outside"))
+  }
+
+  test("GIF interlace: 4-pass Adam row order undone exactly, incl. heights under one pass (r15)") {
+    val grayGct = Array.tabulate(256)(i => (i, i, i))
+    for (h <- Seq(1, 2, 3, 5, 8, 13, 17)) {
+      val w = 6
+      val px = Array.tabulate[Byte](w * h)(i => ((i * 7 + 3) % 256).toByte)
+      val frames = Gif.decode(gifOf(w, h, px, Some(grayGct), None, interlaced = true))
+      assert(frames.length == 1 && frames.head.width == w && frames.head.height == h)
+      assert(frames.head.pixels.toSeq == px.toSeq, s"interlace undo failed at h=$h")
+    }
+  }
+
+  test("JPEG: flat fields survive the lossy round trip near-exactly, odd dims exact (r15)") {
+    import graft.multimodal.Jpeg
+    // flat gray = DC-only blocks: decode must land within quantization
+    // distance of the source everywhere (an IDCT/marker bug lands far)
+    for (v <- Seq(0, 64, 128, 200, 255)) {
+      val px = Array.fill[Byte](32 * 24)(v.toByte)
+      val img = Jpeg.decodeGray(Jpeg.encodeGray(32, 24, px))
+      assert(img.width == 32 && img.height == 24 && img.channels == 1)
+      val vals = img.pixels.map(_ & 0xff)
+      assert(vals.forall(p => math.abs(p - v) <= 3),
+        s"flat $v decoded outside +-3: ${vals.distinct.toSeq.take(5)}")
+    }
+    // dims not multiples of 8: the MCU padding must not leak into dims
+    val odd = Array.tabulate[Byte](13 * 11)(i => (i * 5 % 256).toByte)
+    val img = Jpeg.decodeGray(Jpeg.encodeGray(13, 11, odd))
+    assert(img.width == 13 && img.height == 11 && img.pixels.length == 13 * 11)
+  }
+
+  test("JPEG: decode is deterministic and the stats contract holds; loud rejects (r15)") {
+    import graft.multimodal.Jpeg
+    val px = Array.tabulate[Byte](40 * 30)(i => ((i * 7 + i / 40 * 5) % 256).toByte)
+    val payload = Jpeg.encodeGray(40, 30, px)
+    // generation-time stats == later re-decode stats, bit for bit —
+    // the invariant the q_multimodal_jpeg oracle rides on
+    val a = Jpeg.decodeGray(payload).pixels.toSeq
+    val b = Jpeg.decodeGray(payload).pixels.toSeq
+    assert(a == b, "JPEG decode is not deterministic on identical bytes")
+    // container walk: SOF info agrees with the raster
+    assert(Jpeg.sofInfo(payload)._1 == 0xc0)
+    // progressive (SOF2) rejects BEFORE any decode
+    val prog = Array[Byte](0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xc2.toByte, 0, 11, 8, 0, 30, 0, 40, 1, 0x11, 0, 0)
+    val e = intercept[IllegalArgumentException](Jpeg.decodeGray(prog))
+    assert(e.getMessage.contains("progressive"))
+    // not a JPEG at all
+    intercept[IllegalArgumentException](Jpeg.decodeGray("PNGish".getBytes))
+  }
+
+  test("Spark JPEG path: persisted generation-time stats equal the re-decode, distributed (r15)") {
+    val docs = spark.range(0, 40).select(col("id").as("doc_id"))
+    val tbl = Multimodal.jpegMediaTable(spark, docs)
+    val out = "/tmp/graft_spec_jpeg"
+    tbl.write.mode("overwrite").parquet(out)
+    val stored = spark.read.parquet(out)
+    val recomputed = Multimodal.jpegPixelStats(spark, stored)
+    val joined = stored.select("media_id", "n_px", "px_sum", "px_min", "px_max")
+      .join(recomputed.withColumnRenamed("n_px", "r_n")
+        .withColumnRenamed("px_sum", "r_sum")
+        .withColumnRenamed("px_min", "r_min")
+        .withColumnRenamed("px_max", "r_max"), "media_id")
+    assert(joined.count() == 40)
+    assert(joined.where(col("n_px") =!= col("r_n") || col("px_sum") =!= col("r_sum") ||
+      col("px_min") =!= col("r_min") || col("px_max") =!= col("r_max")).count() == 0,
+      "re-decoded stats diverge from generation-time stats")
+  }
 }
