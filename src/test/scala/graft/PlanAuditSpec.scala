@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.FileSourceScanExec
 
 /** Whole-surface plan-shape audit: sweeps EVERY registered oracle key
   * at sf0.001 and pins the global-window invariant — a Window with an
@@ -60,6 +61,98 @@ class PlanAuditSpec extends SparkSpec {
       "broadcast side reads the persisted 1-row corpus-stats artifact",
     "q_contamination_embed" ->
       "broadcast side is the eval-set frame (id-predicate-bounded eval split)")
+
+  /** Keys allowed to scan the FULL width of a wide (>=5 column) table
+    * — each with the out-of-plan reason. Anything else reading every
+    * column of a wide table fails: at 100 TB an unpruned scan reads
+    * the whole table off storage for a projection that needed a
+    * fraction of it. */
+  private val fullWidthJustified: Map[String, String] = Map(
+    "q_search_paging" ->
+      "ES _source semantics: the hit IS the whole document (oracle is SELECT *)",
+    "q_search_body_collapse" ->
+      "ES _source semantics: collapse returns whole top-hit documents",
+    "q_percolate" ->
+      "percolator queries match on text/lang/source/n_chars and the match row carries doc_id — all 5 columns are predicate or output",
+    "q_pipeline_full" ->
+      "the composed pipeline consumes every column: text (quality/dedup), lang (gate), n_chars (packing size), source (shard key), doc_id (keep rule)")
+
+  test("scan pruning: no key reads the full width of a wide table unjustified") {
+    // (path tail, required, total) per parquet scan, per key
+    def scans(name: String): Seq[(String, Set[String], Set[String])] = {
+      val df =
+        try SparkEntry.queries(name)(spark, sfDir)
+        catch { case e: Throwable => fail(s"$name failed to build: ${e.getMessage}") }
+      df.queryExecution.sparkPlan.collectWithSubqueries {
+        case f: FileSourceScanExec =>
+          (f.relation.location.rootPaths.headOption.map(_.toString).getOrElse(""),
+            f.requiredSchema.fieldNames.toSet,
+            f.relation.dataSchema.fieldNames.toSet)
+      }
+    }
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    var sweptKeys = 0
+    var wideScans = 0
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      sweptKeys += 1
+      scans(name).foreach { case (path, required, total) =>
+        if (total.size >= 5) {
+          wideScans += 1
+          if (required == total && !fullWidthJustified.contains(name))
+            offenders += s"$name [$path: all ${total.size} cols]"
+        }
+      }
+    }
+    assert(sweptKeys > 500, s"swept only $sweptKeys keys — registry wiring broke")
+    assert(wideScans > 100, s"only $wideScans wide scans — the scan match broke")
+    assert(offenders.isEmpty,
+      s"UNPRUNED wide-table scans (full-width read at scale) — prune or justify in " +
+        s"fullWidthJustified: ${offenders.distinct.mkString("; ")}")
+  }
+
+  /** The quantized persisted-ANN contract, asserted plan-wide: when a
+    * key's plan reads a packed codes/sign-bits artifact, the float
+    * vector column may appear in AT MOST ONE scan — the exact-rescore
+    * window read. A second float scan means the coarse pass is
+    * secretly reading raw vectors, which forfeits the artifact's whole
+    * 4-128x IO saving at corpus scale. Same shape for indexed dedup:
+    * a minhash-artifact plan may read `text` at most once (the
+    * verify/confirm pass), never in the banded screen. */
+  test("persisted quantized-ANN and indexed-dedup plans touch heavy columns at most once") {
+    var artifactKeys = 0
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan =
+        try fn(spark, sfDir).queryExecution.sparkPlan
+        catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
+      val scans = plan.collectWithSubqueries {
+        case f: FileSourceScanExec =>
+          (f.relation.location.rootPaths.headOption.map(_.toString).getOrElse(""),
+            f.requiredSchema.fieldNames.toSet)
+      }
+      val readsQuantArtifact = scans.exists { case (p, _) =>
+        p.contains("_graft_pq") || p.contains("_graft_bbq") ||
+          p.contains("_graft_int4") || p.contains("_graft_int8") }
+      val readsMinhashArtifact = scans.exists(_._1.contains("_graft_minhash"))
+      if (readsQuantArtifact) {
+        artifactKeys += 1
+        val floatScans = scans.count(_._2.contains("embedding"))
+        if (floatScans > 1)
+          offenders += s"$name [embedding in $floatScans scans]"
+      }
+      if (readsMinhashArtifact) {
+        artifactKeys += 1
+        val textScans = scans.count(_._2.contains("text"))
+        if (textScans > 1)
+          offenders += s"$name [text in $textScans scans]"
+      }
+    }
+    // 5 quantized persisted keys (int4/pq/int8/bbq/ivfadc) + indexed dedup
+    assert(artifactKeys >= 6, s"only $artifactKeys artifact-reading keys — path match broke")
+    assert(offenders.isEmpty,
+      s"coarse passes reading heavy columns the artifact exists to avoid: " +
+        s"${offenders.distinct.mkString("; ")}")
+  }
 
   test("every cross-join broadcast side is plan-bounded or explicitly justified") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
