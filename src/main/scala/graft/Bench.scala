@@ -206,6 +206,19 @@ object Bench {
       val w = new java.io.PrintWriter("bench_summary.json")
       try w.println(summary) finally w.close()
     } catch { case _: Throwable => () }
+    // r15 (r14 verdict #8): the FULL per-key map survives as a repo
+    // sidecar — the driver's bounded BENCH tail keeps only the
+    // slowest-15, so round-over-round per-key diffs previously
+    // depended on SURVEY prose. Every key: first-attempt (reported)
+    // [time_s, loadavg_at_start, gc_ms, storage_mb].
+    try {
+      val w = new java.io.PrintWriter("bench_full.json")
+      try w.println(
+        s"""{"detail":"per_key [time_s,loadavg,gc_ms,storage_mb]","sf":"$sfDir",""" +
+          s""""failed":$failedJson,"retried":$retriedJson,"host_loadavg":"$loadavg",""" +
+          s""""total_sec":${d3(total)},"queries":$fullQs}""")
+      finally w.close()
+    } catch { case _: Throwable => () }
     println(summary)
   }
 }

@@ -412,19 +412,25 @@ object ScaleProbe {
         (0 until 64).map(i => (i * 37 % 100) / 100.0 - 0.5),
         k = 10, oversample = 4, nCentroids = 16, nprobe = 4).count()
     }
-    time("bbq_indexed_query_10x") {
-      // persisted sign bits: the coarse pass reads 16 bytes/doc
+    // persisted sign bits: the coarse pass reads 16 bytes/doc.
+    // Always rebuild, outside the timed query (like ivfadc_index_build):
+    // a path reused across runs at a different multiplier or regenerated
+    // testdata would silently measure a stale corpus.
+    locally {
       val idx = "/tmp/graft_probe_bbqidx"
-      if (!new java.io.File(s"$idx/_graft_bbq").isDirectory) {
+      time("bbq_index_build_10x") {
         graft.sources.Connector.save(emb, idx, Map(
           "graft.write.operation" -> "overwrite",
           "graft.mapping.id" -> "vec_id",
           "graft.index.bbq" -> "embedding"))
         spark.catalog.clearCache()
+        0L
       }
-      graft.sim.Ann.bbqTopKIndexed(spark, idx, "vec_id", "embedding",
-        (0 until 64).map(i => (i * 37 % 100) / 100.0 - 0.5),
-        k = 10, oversample = 4).get.count()
+      time("bbq_indexed_query_10x") {
+        graft.sim.Ann.bbqTopKIndexed(spark, idx, "vec_id", "embedding",
+          (0 until 64).map(i => (i * 37 % 100) / 100.0 - 0.5),
+          k = 10, oversample = 4).get.count()
+      }
     }
     if (selected("pq_recall")) {
       // recall of the PQ family vs the (near-exact) int8-rescored
@@ -451,6 +457,25 @@ object ScaleProbe {
       println(s"[scaleprobe] pq_recall_${n}x        recall@10: " +
         s"sample(4x16,w80)=$sample/10 lloyd(4x16,w80)=$lloyd/10 " +
         s"lloyd(8x64,w400)=$lloydBig/10 ivfadc(4/16)=$ivfadc/10")
+      // r15: the DISTRIBUTED unbiased fit beside the driver fits —
+      // same resolutions, same windows, so the fit is the only delta
+      val lloydDist = r(graft.sim.Ann.pqTopK(emb, "vec_id", "embedding", qv,
+        k = 10, oversample = 8, codebooks = Some(
+          graft.sim.Ann.pqFitCodebooksDist(emb, "vec_id", "embedding", m = 4, k = 16))))
+      val lloydDistBig = r(graft.sim.Ann.pqTopK(emb, "vec_id", "embedding", qv,
+        k = 10, oversample = 40, m = 8, codebookSize = 64, codebooks = Some(
+          graft.sim.Ann.pqFitCodebooksDist(emb, "vec_id", "embedding", m = 8, k = 64))))
+      println(s"[scaleprobe] pq_recall_dist_${n}x   recall@10: " +
+        s"lloyd-dist(4x16,w80)=$lloydDist/10 lloyd-dist(8x64,w400)=$lloydDistBig/10")
+      // r15: the "raise nprobe to buy recall back" guidance as a
+      // MEASURED curve (IVF list-miss is the recall loss mode here;
+      // nprobe=nCentroids degenerates to plain PQ over the corpus)
+      val sweep = Seq(1, 2, 4, 8, 16).map { np =>
+        np -> r(graft.sim.Ann.ivfAdcTopK(emb, "vec_id", "embedding", qv,
+          k = 10, oversample = 8, nCentroids = 16, nprobe = np))
+      }
+      println(s"[scaleprobe] ivfadc_nprobe_${n}x    curve: " +
+        sweep.map { case (np, rc) => s"np$np=$rc/10" }.mkString(" "))
       spark.catalog.clearCache()
     }
     time("ivfadc_index_build_10x") {
@@ -486,6 +511,37 @@ object ScaleProbe {
       val n = graft.sources.Warc.warcDF(spark, tmp).count()
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
       n
+    }
+    time("wet_extract_10x") {
+      // the full crawl-to-WET shape at n x docs: WARC-in (real bytes)
+      // -> html strip -> WET-out (warcinfo + conversion members) ->
+      // streaming WET read-back; both sinks one-pass-per-task
+      val wtmp = java.nio.file.Files.createTempDirectory("graft_probe_warcsrc").toString
+      val wetTmp = java.nio.file.Files.createTempDirectory("graft_probe_wet").toString
+      graft.sources.Warc.saveWarc(
+        docs.select(
+          concat(lit("https://t/"), col("doc_id")).as("uri"),
+          lit("text/html").as("mime"),
+          encode(concat(lit("<html><body><p>"), col("text"), lit("</p></body></html>")),
+            "UTF-8").as("body")),
+        wtmp, "2026-01-01T00:00:00Z")
+      graft.sources.Warc.saveWet(
+        graft.sources.Warc.warcDF(spark, wtmp)
+          .where(col("http_status") === 200)
+          .select(col("target_uri").as("uri"), col("record_id").as("refers_to"),
+            trim(graft.analysis.Analyzer.htmlStrip(decode(col("body"), "UTF-8"))).as("text")),
+        wetTmp, "2026-01-01T00:00:00Z")
+      val nOut = graft.sources.Warc.warcDF(spark, wetTmp)
+        .where(col("warc_type") === "conversion").count()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wtmp))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wetTmp))
+      nOut
+    }
+    time("jpeg_stats_10x") {
+      // the lossy-codec path at n x docs: encode real JFIF bytes AND
+      // re-decode for stats — map-only both ways, prices the codec
+      graft.multimodal.Multimodal.jpegPixelStats(spark,
+        graft.multimodal.Multimodal.jpegMediaTable(spark, docs)).count()
     }
     time("gif_frames_10x") {
       // the full video-shaped path at n x docs: encode real animated
