@@ -474,8 +474,30 @@ object ScaleProbe {
         np -> r(graft.sim.Ann.ivfAdcTopK(emb, "vec_id", "embedding", qv,
           k = 10, oversample = 8, nCentroids = 16, nprobe = np))
       }
-      println(s"[scaleprobe] ivfadc_nprobe_${n}x    curve: " +
+      println(s"[scaleprobe] ivfadc_nprobe_${n}x    curve(4x16,w80): " +
         sweep.map { case (np, rc) => s"np$np=$rc/10" }.mkString(" "))
+      // the same sweep at the WELL-SIZED resolution/window (8x64,
+      // w400): with the window no longer binding, nprobe is the only
+      // recall lever left and the curve must rise toward the plain-PQ
+      // ceiling at nprobe = nCentroids
+      val sweepBig = Seq(1, 2, 4, 8, 16).map { np =>
+        np -> r(graft.sim.Ann.ivfAdcTopK(emb, "vec_id", "embedding", qv,
+          k = 10, oversample = 40, nCentroids = 16, nprobe = np,
+          m = 8, codebookSize = 64))
+      }
+      println(s"[scaleprobe] ivfadc_nprobe_${n}x    curve(8x64,w400): " +
+        sweepBig.map { case (np, rc) => s"np$np=$rc/10" }.mkString(" "))
+      // IVFADC over the LLOYD-DIST codebooks (the r14 verdict's ask):
+      // fit quality and list gating compose — same sweep, trained fit
+      val cbDist8 = graft.sim.Ann.pqFitCodebooksDist(
+        emb, "vec_id", "embedding", m = 8, k = 64)
+      val sweepDist = Seq(2, 4, 8, 16).map { np =>
+        np -> r(graft.sim.Ann.ivfAdcTopK(emb, "vec_id", "embedding", qv,
+          k = 10, oversample = 40, nCentroids = 16, nprobe = np,
+          m = 8, codebookSize = 64, codebooks = Some(cbDist8)))
+      }
+      println(s"[scaleprobe] ivfadc_nprobe_${n}x    curve(8x64,w400,lloyd-dist): " +
+        sweepDist.map { case (np, rc) => s"np$np=$rc/10" }.mkString(" "))
       spark.catalog.clearCache()
     }
     time("ivfadc_index_build_10x") {

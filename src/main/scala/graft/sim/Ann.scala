@@ -1436,7 +1436,8 @@ object Ann {
       nCentroids: Int = 16,
       nprobe: Int = 4,
       m: Int = 4,
-      codebookSize: Int = 16): DataFrame = {
+      codebookSize: Int = 16,
+      codebooks: Option[Array[Double]] = None): DataFrame = {
     import org.apache.spark.sql.GraftBridge
     require(nprobe > 0 && nprobe <= nCentroids, s"nprobe $nprobe of $nCentroids")
     val centsDf = seedCentroids(corpus, idCol, vecCol, nCentroids)
@@ -1459,7 +1460,12 @@ object Ann {
     val member = assignToCentroids(corpus, idCol, vecCol, centsDf)
       .where(col("cent_id").isin(probed: _*))
       .select(col("id"))
-    val cb = pqSampleCodebooks(corpus, idCol, vecCol, m, codebookSize)
+    // codebooks: caller-trained (pqFitCodebooks / pqFitCodebooksDist),
+    // or the deterministic sample baseline the oracle replays
+    val cb = codebooks.getOrElse(
+      pqSampleCodebooks(corpus, idCol, vecCol, m, codebookSize))
+    require(cb.length == m * codebookSize * (queryVec.length / m),
+      s"codebook ${cb.length} != $m x $codebookSize x ${queryVec.length / m}")
     val lut = pqLut(queryVec, cb, m, codebookSize)
     val adc = GraftBridge.column(graft.expr.PqAdc(
       GraftBridge.expression(col("pq")), lut.toSeq, codebookSize))
