@@ -868,7 +868,9 @@ object IndexArtifacts {
       m: Int,
       k: Int,
       fmt: String = "parquet",
-      fit: String = "sample"): Unit = {
+      fit: String = "sample",
+      fitSampleN: Int = 65536,
+      fitIters: Int = 5): Unit = {
     val dir = pqDir(indexPath, vecCol)
     val corpus = spark.read.format(fmt).load(indexPath)
     // `sample` = the deterministic first-k-by-id codebook — the same
@@ -886,7 +888,8 @@ object IndexArtifacts {
     val cb = fit match {
       case "sample" => graft.sim.Ann.pqSampleCodebooks(corpus, idCol, vecCol, m, k)
       case "lloyd" => graft.sim.Ann.pqFitCodebooks(corpus, idCol, vecCol, m, k)
-      case "lloyd-dist" => graft.sim.Ann.pqFitCodebooksDist(corpus, idCol, vecCol, m, k)
+      case "lloyd-dist" => graft.sim.Ann.pqFitCodebooksDist(
+        corpus, idCol, vecCol, m, k, iters = fitIters, sampleN = fitSampleN)
       case other => throw new IllegalArgumentException(
         s"unknown graft.index.pq.fit: $other (sample | lloyd | lloyd-dist)")
     }
@@ -894,7 +897,7 @@ object IndexArtifacts {
     Seq(cb.toSeq).toDF("cb").write.mode("overwrite").parquet(s"$dir/codebook")
     graft.sim.Ann.pqEncodeFrame(corpus, idCol, vecCol, cb, m, k)
       .write.mode("overwrite").parquet(s"$dir/codes")
-    writePqMeta(spark, indexPath, idCol, vecCol, m, k, fit)
+    writePqMeta(spark, indexPath, idCol, vecCol, m, k, fit, fitSampleN, fitIters)
   }
 
   /** Incremental add under the FROZEN codebook, with the standard
@@ -912,11 +915,19 @@ object IndexArtifacts {
     // the rebuild path must re-fit the SAME way the artifact was
     // built — a lloyd artifact silently rebuilt as sample would
     // degrade recall behind a fresh meta stamp
-    val fit = readMetaJson(spark, s"$dir/_graft_meta.json")
-      .map(meta => meta \ "fit" match {
+    val metaJson = readMetaJson(spark, s"$dir/_graft_meta.json")
+    val fit = metaJson.map(meta => meta \ "fit" match {
         case org.json4s.JString(f) => f
         case _ => "sample"
       }).getOrElse("sample")
+    // fit hyperparams recorded at build time ride every rebuild too
+    def metaInt(field: String, dflt: Int): Int =
+      metaJson.map(meta => meta \ field match {
+        case org.json4s.JInt(v) => v.toInt
+        case _ => dflt
+      }).getOrElse(dflt)
+    val fitSampleN = metaInt("fit_sample_n", 65536)
+    val fitIters = metaInt("fit_iters", 5)
     val known = spark.read.parquet(s"$dir/codes")
       .select(col("id").as("__known_id"))
     val data = spark.read.format(fmt).load(indexPath)
@@ -929,23 +940,25 @@ object IndexArtifacts {
     val nFresh = audit.getLong(0)
     if (nFresh != audit.getLong(1) || nFresh != audit.getLong(2) ||
         data.count() != known.count() + nFresh)
-      return buildPq(spark, indexPath, idCol, vecCol, m, k, fmt, fit)
+      return buildPq(spark, indexPath, idCol, vecCol, m, k, fmt, fit, fitSampleN, fitIters)
     if (nFresh > 0)
       graft.sim.Ann.pqEncodeFrame(fresh, idCol, vecCol, cb, m, k)
         .write.mode("append").parquet(s"$dir/codes")
-    writePqMeta(spark, indexPath, idCol, vecCol, m, k, fit)
+    writePqMeta(spark, indexPath, idCol, vecCol, m, k, fit, fitSampleN, fitIters)
   }
 
   private def writePqMeta(
       spark: SparkSession, indexPath: String, idCol: String, vecCol: String,
-      m: Int, k: Int, fit: String): Unit = {
+      m: Int, k: Int, fit: String,
+      fitSampleN: Int = 65536, fitIters: Int = 5): Unit = {
     val fp = dataFingerprint(spark, indexPath)
     val metaPath = new Path(s"${pqDir(indexPath, vecCol)}/_graft_meta.json")
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(metaPath, true)
     out.write(
       (s"""{"fingerprint":"$fp","id_col":"$idCol","vec_col":"$vecCol",""" +
-        s""""m":$m,"k":$k,"fit":"$fit"}""").getBytes("UTF-8"))
+        s""""m":$m,"k":$k,"fit":"$fit","fit_sample_n":$fitSampleN,""" +
+        s""""fit_iters":$fitIters}""").getBytes("UTF-8"))
     out.close()
   }
 

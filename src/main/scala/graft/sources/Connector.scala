@@ -778,12 +778,18 @@ object Connector {
       // scale). Appends and audit-triggered rebuilds keep the recorded
       // fit either way.
       val pqFit = cfg.getOrElse("graft.index.pq.fit", "sample")
+      // lloyd-dist hyperparams (`.fit.sample_n` / `.fit.iters`):
+      // recorded in the artifact meta so audits/rebuilds re-fit the
+      // same model the build trained
+      val pqFitSampleN = cfg.getOrElse("graft.index.pq.fit.sample_n", "65536").toInt
+      val pqFitIters = cfg.getOrElse("graft.index.pq.fit.iters", "5").toInt
       val codesDir = new Path(
         graft.index.IndexArtifacts.pqDir(path, vecCol) + "/codes")
       if (op == "append" && fs.exists(codesDir))
         graft.index.IndexArtifacts.refreshPq(spark, path, idCol, vecCol, fmt)
       else
-        graft.index.IndexArtifacts.buildPq(spark, path, idCol, vecCol, m, k, fmt, pqFit)
+        graft.index.IndexArtifacts.buildPq(
+          spark, path, idCol, vecCol, m, k, fmt, pqFit, pqFitSampleN, pqFitIters)
     }
   }
 

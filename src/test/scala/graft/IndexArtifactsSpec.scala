@@ -561,6 +561,45 @@ class IndexArtifactsSpec extends SparkSpec {
       "clean append must keep the frozen lloyd-dist codebook")
   }
 
+  test("persisted IVFADC over the lloyd-dist fit: stored codebook IS the dist model, hyperparams survive rebuilds (r15)") {
+    val out = "/tmp/graft_idxspec_ivfadcdist"
+    val emb = Tables.embeddings(spark, sfDir).where(col("vec_id") < 200)
+    graft.sources.Connector.save(emb, out, Map(
+      "graft.write.operation" -> "overwrite",
+      "graft.mapping.id" -> "vec_id",
+      "graft.index.vectors" -> "embedding",
+      "graft.index.vectors.centroids" -> "8",
+      "graft.index.pq" -> "embedding",
+      "graft.index.pq.fit" -> "lloyd-dist",
+      "graft.index.pq.fit.sample_n" -> "128",
+      "graft.index.pq.fit.iters" -> "3"))
+    val ((m, k), cbStored, _) =
+      IndexArtifacts.loadPq(spark, out, "embedding", Some("vec_id")).get
+    // the stored model is the distributed fit at the REQUESTED
+    // hyperparams, verbatim — the composition IVFADC queries ride on
+    val expect = graft.sim.Ann.pqFitCodebooksDist(
+      spark.read.parquet(out), "vec_id", "embedding", m, k,
+      iters = 3, sampleN = 128)
+    assert(cbStored.toSeq == expect.toSeq)
+    val qv = (1 to 64).map(i => math.cos(i * 0.29))
+    val r = graft.sim.Ann.ivfAdcTopKIndexed(
+      spark, out, "vec_id", "embedding", qv, k = 5, oversample = 8, nprobe = 4).get
+    assert(r.count() == 5)
+    // a colliding append trips the audit -> FULL rebuild; the rebuild
+    // must re-fit lloyd-dist AT the recorded hyperparams, not defaults
+    emb.limit(1).write.mode("append").parquet(out)
+    spark.catalog.refreshByPath(out)
+    IndexArtifacts.refreshPq(spark, out, "vec_id", "embedding")
+    val ((_, _), cbAfter, codesAfter) =
+      IndexArtifacts.loadPq(spark, out, "embedding", Some("vec_id")).get
+    assert(codesAfter.count() == 201)
+    val expectAfter = graft.sim.Ann.pqFitCodebooksDist(
+      spark.read.parquet(out), "vec_id", "embedding", m, k,
+      iters = 3, sampleN = 128)
+    assert(cbAfter.toSeq == expectAfter.toSeq,
+      "audit-triggered rebuild did not re-fit at the recorded lloyd-dist hyperparams")
+  }
+
   test("persisted BBQ: sign bits packed once, coarse scan off 16 bytes/doc, audited appends (r14)") {
     val out = "/tmp/graft_idxspec_bbq"
     val emb = Tables.embeddings(spark, sfDir).limit(150)
