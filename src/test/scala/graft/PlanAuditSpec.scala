@@ -154,6 +154,46 @@ class PlanAuditSpec extends SparkSpec {
         s"${offenders.distinct.mkString("; ")}")
   }
 
+  /** Keys whose post-scan filter legitimately cannot push (with the
+    * reason); anything else with a pushable-shaped comparison left
+    * above an unpushed scan fails. */
+  private val unpushedJustified: Map[String, String] = Map.empty
+
+  test("filter pushdown: pushable comparisons reach the parquet scan") {
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, BinaryComparison, Literal}
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    var pushedScans = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan =
+        try fn(spark, sfDir).queryExecution.sparkPlan
+        catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
+      plan.collectWithSubqueries {
+        case f: FileSourceScanExec =>
+          // pushedDownFilters is protected; the explain metadata
+          // carries the same list as a string
+          val pushed = f.metadata.getOrElse("PushedFilters", "[]").trim
+          val hasPushed = pushed.nonEmpty && pushed != "[]"
+          if (hasPushed) pushedScans += 1
+          // a comparison of a plain top-level column to a literal is
+          // always pushable; one sitting in dataFilters with NOTHING
+          // pushed means the pushdown path was defeated upstream
+          val pushableLeft = f.dataFilters.exists {
+            case c: BinaryComparison =>
+              (c.left.isInstanceOf[Attribute] && c.right.isInstanceOf[Literal]) ||
+                (c.right.isInstanceOf[Attribute] && c.left.isInstanceOf[Literal])
+            case _ => false
+          }
+          if (pushableLeft && !hasPushed &&
+              !unpushedJustified.contains(name))
+            offenders += s"$name [${f.relation.location.rootPaths.headOption.getOrElse("")}]"
+      }
+    }
+    assert(pushedScans > 100, s"only $pushedScans scans with pushed filters — audit broke")
+    assert(offenders.isEmpty,
+      s"pushable comparisons NOT reaching the scan (full read then filter at scale): " +
+        s"${offenders.distinct.mkString("; ")}")
+  }
+
   test("every cross-join broadcast side is plan-bounded or explicitly justified") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     var crossJoins = 0
