@@ -458,13 +458,16 @@ object ScaleProbe {
         s"sample(4x16,w80)=$sample/10 lloyd(4x16,w80)=$lloyd/10 " +
         s"lloyd(8x64,w400)=$lloydBig/10 ivfadc(4/16)=$ivfadc/10")
       // r15: the DISTRIBUTED unbiased fit beside the driver fits —
-      // same resolutions, same windows, so the fit is the only delta
+      // same resolutions, same windows, so the fit is the only delta.
+      // The 8x64 fit is deterministic (spec-pinned), so one model
+      // serves both the plain-PQ point and the IVFADC sweep below.
+      val cbDist8 = graft.sim.Ann.pqFitCodebooksDist(
+        emb, "vec_id", "embedding", m = 8, k = 64)
       val lloydDist = r(graft.sim.Ann.pqTopK(emb, "vec_id", "embedding", qv,
         k = 10, oversample = 8, codebooks = Some(
           graft.sim.Ann.pqFitCodebooksDist(emb, "vec_id", "embedding", m = 4, k = 16))))
       val lloydDistBig = r(graft.sim.Ann.pqTopK(emb, "vec_id", "embedding", qv,
-        k = 10, oversample = 40, m = 8, codebookSize = 64, codebooks = Some(
-          graft.sim.Ann.pqFitCodebooksDist(emb, "vec_id", "embedding", m = 8, k = 64))))
+        k = 10, oversample = 40, m = 8, codebookSize = 64, codebooks = Some(cbDist8)))
       println(s"[scaleprobe] pq_recall_dist_${n}x   recall@10: " +
         s"lloyd-dist(4x16,w80)=$lloydDist/10 lloyd-dist(8x64,w400)=$lloydDistBig/10")
       // r15: the "raise nprobe to buy recall back" guidance as a
@@ -489,8 +492,6 @@ object ScaleProbe {
         sweepBig.map { case (np, rc) => s"np$np=$rc/10" }.mkString(" "))
       // IVFADC over the LLOYD-DIST codebooks (the r14 verdict's ask):
       // fit quality and list gating compose — same sweep, trained fit
-      val cbDist8 = graft.sim.Ann.pqFitCodebooksDist(
-        emb, "vec_id", "embedding", m = 8, k = 64)
       val sweepDist = Seq(2, 4, 8, 16).map { np =>
         np -> r(graft.sim.Ann.ivfAdcTopK(emb, "vec_id", "embedding", qv,
           k = 10, oversample = 40, nCentroids = 16, nprobe = np,

@@ -79,7 +79,15 @@ object IndexArtifacts {
     val root = new Path(artifactRoot)
     val fs = root.getFileSystem(hadoopConf)
     val finalPath = new Path(root, s"$prefix$srcFp")
-    val finalDir = Path.getPathWithoutSchemeAndAuthority(finalPath).toString
+    // scheme-less roots (the /tmp default) hand callers plain paths so
+    // java.io.File probes keep working; a URI root (s3a://, hdfs://)
+    // must KEEP its scheme or loaded()/build() would resolve against
+    // the wrong (default) filesystem
+    def external(p: Path): String =
+      if (root.toUri.getScheme == null)
+        Path.getPathWithoutSchemeAndAuthority(p).toString
+      else p.toString
+    val finalDir = external(finalPath)
     if (!loaded(finalDir)) {
       // sweep stale generations (same kind+user, other fingerprint)
       try fs.listStatus(root).foreach { st =>
@@ -89,16 +97,28 @@ object IndexArtifacts {
       } catch { case _: Throwable => () }
       val staging = new Path(root,
         s".$prefix${srcFp}_stage_${ProcessHandle.current().pid()}_${System.nanoTime()}")
-      try build(Path.getPathWithoutSchemeAndAuthority(staging).toString)
+      try build(external(staging))
       catch { case e: Throwable =>
         // a failed build must not leak its half-written staging dir
         try { fs.delete(staging, true); () } catch { case _: Throwable => () }
         throw e
       }
-      // rename-as-commit: atomic on HDFS/local; a false return means a
-      // concurrent builder already owns the final path — use theirs
-      val won = try fs.rename(staging, finalPath) catch { case _: Throwable => false }
-      if (!won) {
+      // rename-as-commit. Hadoop rename into an EXISTING directory
+      // does not fail like NIO ATOMIC_MOVE: it moves the source
+      // INSIDE the destination (or copy-falls-back on the local FS),
+      // so a pre-check decides the race and a post-check repairs the
+      // narrow window where a concurrent winner lands between the two
+      // (the nested leftover is deleted; the winner's artifact is the
+      // one both readers see either way).
+      val won =
+        if (fs.exists(finalPath)) false
+        else (try fs.rename(staging, finalPath) catch { case _: Throwable => false })
+      if (won) {
+        val nested = new Path(finalPath, staging.getName)
+        if (fs.exists(nested)) {
+          try { fs.delete(nested, true); () } catch { case _: Throwable => () }
+        }
+      } else {
         try { fs.delete(staging, true); () } catch { case _: Throwable => () }
         require(fs.exists(finalPath),
           s"artifact commit failed and no concurrent winner exists at $finalPath")
@@ -812,12 +832,14 @@ object IndexArtifacts {
       // existing packed rows, so rebuild instead
       val builtDim = data.join(known, col(idCol) === col("__known_id"), "semi")
         .select(size(col(vecCol)).as("d")).where(col("d") > 0)
-        .limit(1).head().getInt(0)
+        .limit(1).collect().headOption.map(_.getInt(0))
       val freshDims = fresh.select(size(col(vecCol)).as("d"))
         .where(col("d") > 0).distinct().limit(2).collect().map(_.getInt(0))
-      if (freshDims.length != 1 || freshDims.head != builtDim)
+      // no probe-able dim on either side, or a drift between them:
+      // fall back to the full rebuild like every other inconsistency
+      if (freshDims.length != 1 || !builtDim.contains(freshDims.head))
         return buildBbq(spark, indexPath, idCol, vecCol, fmt)
-      graft.sim.Ann.bbqPack(fresh, idCol, vecCol, builtDim)
+      graft.sim.Ann.bbqPack(fresh, idCol, vecCol, builtDim.get)
         .write.mode("append").parquet(s"$dir/packed")
     }
     writeBbqMeta(spark, indexPath, idCol, vecCol)

@@ -1213,19 +1213,23 @@ object Ann {
         val codes = GraftBridge.column(graft.expr.BytesToInts(
           graft.expr.PqEncode(
             GraftBridge.expression(col("v")), cb.toSeq, m, k)))
+        // per-element 1e-9 fixed point BEFORE the sum: long addition
+        // is order-independent, so the fit cannot drift with shuffle
+        // merge order (a double sum's error bound is the same order
+        // as a rounding boundary — bit-reproducibility needs ints)
         val stats = sample
           .select(codes.as("codes"), posexplode(col("v")).as(Seq("pos", "x")))
           .select(
             (col("pos") / dsub).cast("int").as("s"),
             (col("pos") % dsub).as("i"),
             element_at(col("codes"), (col("pos") / dsub).cast("int") + 1).as("c"),
-            col("x"))
+            floor(col("x") * 1e9 + 0.5).cast("long").as("xq"))
           .groupBy(col("s"), col("c"), col("i"))
-          .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+          .agg(sum(col("xq")).as("sx"), count(lit(1)).as("n"))
           .collect()
         stats.foreach { r =>
           val s = r.getInt(0); val c = r.getInt(1); val i = r.getInt(2)
-          val mean = r.getDouble(3) / r.getLong(4)
+          val mean = r.getLong(3).toDouble / r.getLong(4) / 1e9
           cb((s * k + c) * dsub + i) = math.floor(mean * 1e9 + 0.5) / 1e9
         }
       }
@@ -1334,7 +1338,11 @@ object Ann {
       s"query dim ${queryVec.length} does not split into $m subspaces")
     // sizing guard: bounded-scan count (limit(threshold+1), the
     // requireBoundedQueries trick — never a full count of an
-    // unbounded corpus) decides whether corpus/window > m*k
+    // unbounded corpus) decides whether corpus/window > m*k.
+    // Cost note: this is one extra bounded job per call, reading at
+    // most threshold+1 rows — strictly less work than the coarse
+    // pass's full corpus encode that follows, so the guard is always
+    // a small fraction of the query it protects.
     val threshold = math.min(
       k.toLong * oversample * m * codebookSize, Int.MaxValue - 1L)
     val over = corpus.where(col(vecCol).isNotNull)

@@ -232,44 +232,52 @@ object Warc {
       .toDF()
   }
 
-  /** Write `df` — (uri: String, mime: String, body: Array[Byte]) — as
-    * one `.warc.gz` per partition (each record its own gzip member,
-    * the Common Crawl layout). Record ids derive from the uri, dates
-    * are the caller's fixed stamp: byte-deterministic output. */
-  def saveWarc(df: DataFrame, dir: String, date: String): Unit = {
-    val conf = new org.apache.spark.util.SerializableConfiguration(
-      df.sparkSession.sparkContext.hadoopConfiguration)
-    df.select("uri", "mime", "body").rdd.mapPartitionsWithIndex { (pid, rows) =>
-      // empty partitions are routine after filters/repartition; a 0-byte
-      // .warc.gz has no gzip header and would poison every later read of
-      // the directory, so write nothing for them
-      if (!rows.hasNext) Iterator.single(0L)
-      else {
-      val fs = new Path(dir).getFileSystem(conf.value)
-      fs.mkdirs(new Path(dir))
-      val file = new Path(dir, f"part-$pid%05d.warc.gz")
-      val out = new DataOutputStream(fs.create(file, true))
+  /** Write `records` as `dir/fileName` — one gzip member per record
+    * (the Common Crawl layout: downstream readers can sync on member
+    * boundaries) through the Hadoop FS API. Shared by the WARC and
+    * WET sinks so the member framing and handle lifecycle live once.
+    * finish() completes a member WITHOUT closing the shared file
+    * stream; each deflater is released explicitly (close() would take
+    * the file with it). */
+  private def writeMemberFile(
+      conf: org.apache.spark.util.SerializableConfiguration,
+      dir: String, fileName: String,
+      records: Iterator[Array[Byte]]): Long = {
+    val fs = new Path(dir).getFileSystem(conf.value)
+    fs.mkdirs(new Path(dir))
+    val out = new DataOutputStream(fs.create(new Path(dir, fileName), true))
+    try {
       var n = 0L
-      rows.foreach { r =>
-        val uri = r.getString(0)
-        val rec = responseRecord(
-          uri,
-          s"<urn:graft:${java.util.UUID.nameUUIDFromBytes(uri.getBytes("UTF-8"))}>",
-          date, r.getString(1), r.getAs[Array[Byte]](2))
-        // one gzip member per record: a downstream reader can sync on
-        // member boundaries, exactly like Common Crawl's own files.
-        // finish() completes the member WITHOUT closing the shared
-        // file stream; the deflater is released explicitly (close()
-        // would take the file with it)
+      records.foreach { rec =>
         val gz = new GZIPOutputStream(out) {
           def finishMember(): Unit = { finish(); `def`.end() }
         }
         gz.write(rec); gz.finishMember()
         n += 1
       }
-      out.close()
-      Iterator.single(n)
-      }
+      n
+    } finally out.close()
+  }
+
+  /** Write `df` — (uri: String, mime: String, body: Array[Byte]) — as
+    * one `.warc.gz` per NON-EMPTY partition (empty partitions are
+    * routine after filters/repartition, and a 0-byte .gz has no gzip
+    * header — it would poison every later read of the directory).
+    * Record ids derive from the uri, dates are the caller's fixed
+    * stamp: byte-deterministic output. */
+  def saveWarc(df: DataFrame, dir: String, date: String): Unit = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    df.select("uri", "mime", "body").rdd.mapPartitionsWithIndex { (pid, rows) =>
+      if (!rows.hasNext) Iterator.single(0L)
+      else Iterator.single(writeMemberFile(conf, dir, f"part-$pid%05d.warc.gz",
+        rows.map { r =>
+          val uri = r.getString(0)
+          responseRecord(
+            uri,
+            s"<urn:graft:${java.util.UUID.nameUUIDFromBytes(uri.getBytes("UTF-8"))}>",
+            date, r.getString(1), r.getAs[Array[Byte]](2))
+        }))
     }.count(): Unit
   }
 
@@ -286,30 +294,19 @@ object Warc {
     df.select("uri", "refers_to", "text").rdd.mapPartitionsWithIndex { (pid, rows) =>
       if (!rows.hasNext) Iterator.single(0L)
       else {
-        val fs = new Path(dir).getFileSystem(conf.value)
-        fs.mkdirs(new Path(dir))
         val name = f"part-$pid%05d.warc.wet.gz"
-        val out = new DataOutputStream(fs.create(new Path(dir, name), true))
-        def member(rec: Array[Byte]): Unit = {
-          val gz = new GZIPOutputStream(out) {
-            def finishMember(): Unit = { finish(); `def`.end() }
-          }
-          gz.write(rec); gz.finishMember()
-        }
-        member(warcinfoRecord(
+        val head = Iterator.single(warcinfoRecord(
           s"<urn:graft:wet:${java.util.UUID.nameUUIDFromBytes(name.getBytes("UTF-8"))}>",
           date, name))
-        var n = 0L
-        rows.foreach { r =>
+        val body = rows.map { r =>
           val uri = r.getString(0)
-          member(conversionRecord(
+          conversionRecord(
             uri,
             s"<urn:graft:wet:${java.util.UUID.nameUUIDFromBytes(uri.getBytes("UTF-8"))}>",
-            r.getString(1), date, r.getString(2)))
-          n += 1
+            r.getString(1), date, r.getString(2))
         }
-        out.close()
-        Iterator.single(n)
+        // minus the warcinfo member in the returned count
+        Iterator.single(writeMemberFile(conf, dir, name, head ++ body) - 1)
       }
     }.count(): Unit
   }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BinaryComparison, Literal}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.execution.FileSourceScanExec
 
@@ -18,8 +19,54 @@ import org.apache.spark.sql.execution.FileSourceScanExec
   * Anything else fails here with the offending key, BEFORE it can ship
   * as a silent scale cliff. (The r14 sweep found 33 keys with global
   * windows; all were one of the two shapes above.)
+  *
+  * r15 adds three physical-scan sweeps (pruning, heavy columns,
+  * pushdown) over ONE shared planning pass: several keys execute
+  * side-effect writes at DataFrame-construction time, so each extra
+  * whole-registry sweep would re-run those writes — `scanFactsByKey`
+  * plans every key exactly once and the three tests assert over the
+  * shared facts.
   */
 class PlanAuditSpec extends SparkSpec {
+
+  /** Per-scan facts extracted from one FileSourceScanExec. */
+  private case class ScanFacts(
+      path: String,
+      required: Set[String],
+      total: Set[String],
+      hasPushed: Boolean,
+      pushableUnpushed: Boolean)
+
+  /** ONE physical-planning pass over the whole registry (see class
+    * doc): key -> facts of every parquet scan in its sparkPlan. */
+  private lazy val scanFactsByKey: Seq[(String, Seq[ScanFacts])] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val plan =
+        try fn(spark, sfDir).queryExecution.sparkPlan
+        catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
+      name -> plan.collectWithSubqueries {
+        case f: FileSourceScanExec =>
+          // pushedDownFilters is protected; the explain metadata
+          // carries the same list as a string
+          val pushed = f.metadata.getOrElse("PushedFilters", "[]").trim
+          val hasPushed = pushed.nonEmpty && pushed != "[]"
+          // a comparison of a plain top-level column to a literal is
+          // always pushable; one sitting in dataFilters with NOTHING
+          // pushed means the pushdown path was defeated upstream
+          val pushableLeft = f.dataFilters.exists {
+            case c: BinaryComparison =>
+              (c.left.isInstanceOf[Attribute] && c.right.isInstanceOf[Literal]) ||
+                (c.right.isInstanceOf[Attribute] && c.left.isInstanceOf[Literal])
+            case _ => false
+          }
+          ScanFacts(
+            f.relation.location.rootPaths.headOption.map(_.toString).getOrElse(""),
+            f.requiredSchema.fieldNames.toSet,
+            f.relation.dataSchema.fieldNames.toSet,
+            hasPushed,
+            pushableLeft && !hasPushed)
+      }
+    }
 
   test("every global window in every registered plan is limit- or aggregate-bounded") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -78,32 +125,19 @@ class PlanAuditSpec extends SparkSpec {
       "the composed pipeline consumes every column: text (quality/dedup), lang (gate), n_chars (packing size), source (shard key), doc_id (keep rule)")
 
   test("scan pruning: no key reads the full width of a wide table unjustified") {
-    // (path tail, required, total) per parquet scan, per key
-    def scans(name: String): Seq[(String, Set[String], Set[String])] = {
-      val df =
-        try SparkEntry.queries(name)(spark, sfDir)
-        catch { case e: Throwable => fail(s"$name failed to build: ${e.getMessage}") }
-      df.queryExecution.sparkPlan.collectWithSubqueries {
-        case f: FileSourceScanExec =>
-          (f.relation.location.rootPaths.headOption.map(_.toString).getOrElse(""),
-            f.requiredSchema.fieldNames.toSet,
-            f.relation.dataSchema.fieldNames.toSet)
-      }
-    }
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
-    var sweptKeys = 0
     var wideScans = 0
-    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
-      sweptKeys += 1
-      scans(name).foreach { case (path, required, total) =>
-        if (total.size >= 5) {
+    scanFactsByKey.foreach { case (name, scans) =>
+      scans.foreach { sc =>
+        if (sc.total.size >= 5) {
           wideScans += 1
-          if (required == total && !fullWidthJustified.contains(name))
-            offenders += s"$name [$path: all ${total.size} cols]"
+          if (sc.required == sc.total && !fullWidthJustified.contains(name))
+            offenders += s"$name [${sc.path}: all ${sc.total.size} cols]"
         }
       }
     }
-    assert(sweptKeys > 500, s"swept only $sweptKeys keys — registry wiring broke")
+    assert(scanFactsByKey.size > 500,
+      s"swept only ${scanFactsByKey.size} keys — registry wiring broke")
     assert(wideScans > 100, s"only $wideScans wide scans — the scan match broke")
     assert(offenders.isEmpty,
       s"UNPRUNED wide-table scans (full-width read at scale) — prune or justify in " +
@@ -121,28 +155,20 @@ class PlanAuditSpec extends SparkSpec {
   test("persisted quantized-ANN and indexed-dedup plans touch heavy columns at most once") {
     var artifactKeys = 0
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val plan =
-        try fn(spark, sfDir).queryExecution.sparkPlan
-        catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
-      val scans = plan.collectWithSubqueries {
-        case f: FileSourceScanExec =>
-          (f.relation.location.rootPaths.headOption.map(_.toString).getOrElse(""),
-            f.requiredSchema.fieldNames.toSet)
-      }
-      val readsQuantArtifact = scans.exists { case (p, _) =>
-        p.contains("_graft_pq") || p.contains("_graft_bbq") ||
-          p.contains("_graft_int4") || p.contains("_graft_int8") }
-      val readsMinhashArtifact = scans.exists(_._1.contains("_graft_minhash"))
+    scanFactsByKey.foreach { case (name, scans) =>
+      val readsQuantArtifact = scans.exists { sc =>
+        sc.path.contains("_graft_pq") || sc.path.contains("_graft_bbq") ||
+          sc.path.contains("_graft_int4") || sc.path.contains("_graft_int8") }
+      val readsMinhashArtifact = scans.exists(_.path.contains("_graft_minhash"))
       if (readsQuantArtifact) {
         artifactKeys += 1
-        val floatScans = scans.count(_._2.contains("embedding"))
+        val floatScans = scans.count(_.required.contains("embedding"))
         if (floatScans > 1)
           offenders += s"$name [embedding in $floatScans scans]"
       }
       if (readsMinhashArtifact) {
         artifactKeys += 1
-        val textScans = scans.count(_._2.contains("text"))
+        val textScans = scans.count(_.required.contains("text"))
         if (textScans > 1)
           offenders += s"$name [text in $textScans scans]"
       }
@@ -160,32 +186,13 @@ class PlanAuditSpec extends SparkSpec {
   private val unpushedJustified: Map[String, String] = Map.empty
 
   test("filter pushdown: pushable comparisons reach the parquet scan") {
-    import org.apache.spark.sql.catalyst.expressions.{Attribute, BinaryComparison, Literal}
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     var pushedScans = 0
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val plan =
-        try fn(spark, sfDir).queryExecution.sparkPlan
-        catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
-      plan.collectWithSubqueries {
-        case f: FileSourceScanExec =>
-          // pushedDownFilters is protected; the explain metadata
-          // carries the same list as a string
-          val pushed = f.metadata.getOrElse("PushedFilters", "[]").trim
-          val hasPushed = pushed.nonEmpty && pushed != "[]"
-          if (hasPushed) pushedScans += 1
-          // a comparison of a plain top-level column to a literal is
-          // always pushable; one sitting in dataFilters with NOTHING
-          // pushed means the pushdown path was defeated upstream
-          val pushableLeft = f.dataFilters.exists {
-            case c: BinaryComparison =>
-              (c.left.isInstanceOf[Attribute] && c.right.isInstanceOf[Literal]) ||
-                (c.right.isInstanceOf[Attribute] && c.left.isInstanceOf[Literal])
-            case _ => false
-          }
-          if (pushableLeft && !hasPushed &&
-              !unpushedJustified.contains(name))
-            offenders += s"$name [${f.relation.location.rootPaths.headOption.getOrElse("")}]"
+    scanFactsByKey.foreach { case (name, scans) =>
+      scans.foreach { sc =>
+        if (sc.hasPushed) pushedScans += 1
+        if (sc.pushableUnpushed && !unpushedJustified.contains(name))
+          offenders += s"$name [${sc.path}]"
       }
     }
     assert(pushedScans > 100, s"only $pushedScans scans with pushed filters — audit broke")
