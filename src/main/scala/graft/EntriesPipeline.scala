@@ -203,6 +203,25 @@ private[graft] object EntriesPipeline {
       Ann.ivfTopKIndexed(s, out, t(s, d, "embeddings").where(col("vec_id") < 5),
         "vec_id", "embedding", nCentroids = 16, nprobe = 4, k = 10)
     }),
+    // IVF list-balance build report over the SAME persisted artifact:
+    // per-list population + min/max/imbalance — the number that
+    // decides probe cost at scale (a skewed quantizer makes hot
+    // queries pay far over nprobe/nCentroids of the corpus). The
+    // oracle re-derives the full assignment from the seed-quantizer
+    // CTEs q_ann_ivf shares, then counts per list
+    "q_ivf_list_stats" -> ((s, d) => {
+      val srcFp = graft.index.IndexArtifacts
+        .dataFingerprint(s, s"$d/embeddings.parquet").take(12)
+      val out = graft.index.IndexArtifacts.ensureArtifact("ivfidx", srcFp)(
+        p => graft.index.IndexArtifacts.loadIvf(s, p, "embedding").nonEmpty)(
+        stage => graft.sources.Connector.save(t(s, d, "embeddings"), stage, Map(
+          "graft.write.operation" -> "overwrite",
+          "graft.mapping.id" -> "vec_id",
+          "graft.index.vectors" -> "embedding",
+          "graft.index.vectors.centroids" -> "16")))
+      graft.index.IndexArtifacts.ivfListStats(s, out, "embedding")
+        .getOrElse(sys.error("ivf artifact missing right after build"))
+    }),
     // _explain for a knn hit: dot / norms / cosine breakdown for one
     // (query vector, document) pair
     "q_explain_knn" -> ((s, d) =>

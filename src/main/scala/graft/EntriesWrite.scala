@@ -305,7 +305,23 @@ private[graft] object EntriesWrite {
       "SELECT query_id, id, cosine, rank FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rank FROM p) " +
       "WHERE rank <= 10 ORDER BY query_id, rank"
 
+  // the list-balance report over the same seed-quantizer assignment
+  // derivation (e/n/cents/asg CTEs shared verbatim with IvfSql)
+  private val IvfListStatsSql: String =
+    "WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), " +
+      "n AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm FROM e), " +
+      "cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n ORDER BY vec_id LIMIT 16), " +
+      "asg AS (SELECT id, cent_id FROM (SELECT c.vec_id AS id, cents.cent_id, " +
+      "row_number() OVER (PARTITION BY c.vec_id ORDER BY round(list_reduce(list_prepend(0.0, list_transform(range(1, len(c.v) + 1), i -> c.v[i] * cv[i])), (x, y) -> x + y) / (c.nrm * cnrm), 4) DESC, cents.cent_id) AS rn " +
+      "FROM n c CROSS JOIN cents) WHERE rn = 1), " +
+      "counts AS (SELECT cents.cent_id, count(asg.id)::BIGINT AS list_size " +
+      "FROM cents LEFT JOIN asg ON asg.cent_id = cents.cent_id GROUP BY cents.cent_id), " +
+      "agg AS (SELECT min(list_size) AS mn, max(list_size) AS mx, avg(list_size) AS av, count(*)::BIGINT AS nl FROM counts) " +
+      "SELECT c.cent_id, c.list_size, nl AS n_lists, mn AS min_size, mx AS max_size, " +
+      "round(mx / av, 4) AS imbalance FROM counts c CROSS JOIN agg ORDER BY c.cent_id"
+
   val oracleSql: Map[String, String] = Map(
+    "q_ivf_list_stats" -> IvfListStatsSql,
     // ---- E ----
     "q_upsert_id" -> ("SELECT user_id, event_type AS last_type, value AS last_value FROM events " +
       "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) DESC, event_id DESC) = 1 ORDER BY user_id"),

@@ -432,6 +432,74 @@ object ScaleProbe {
           k = 10, oversample = 4).get.count()
       }
     }
+    if (selected("pq_recall_real")) {
+      // the clone-replication caveat, FIXED at the measurement: a
+      // structured synthetic corpus at TRUE n x scale — 4096 cluster
+      // centers, every vector = its center + 15% deterministic
+      // per-vector noise (splitmix64-hash pseudo-randomness, so the
+      // corpus is reproducible without Math.random). No clones: the
+      // truth top-10 is 10 DISTINCT vectors, so recall measures
+      // quantization quality, not the replication artifact. Cluster
+      // structure is what real embedding corpora have — quantization's
+      // friendly case, as isotropic testdata is its worst case; both
+      // ledgers stay recorded.
+      import spark.implicits._
+      val nVec = 50000L * n
+      val dim = 64; val clusters = 4096L
+      def h(a: Long, b: Long): Double = {
+        var z = a * 0x9E3779B97F4A7C15L + b * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        ((z ^ (z >>> 31)) & 0xFFFFFFL).toDouble / (1 << 24) - 0.5
+      }
+      val embR = spark.range(nVec).map { id =>
+        val c = id % clusters
+        val v = new Array[Float](dim)
+        var i = 0
+        while (i < dim) {
+          v(i) = (h(c * 131L + 7L, i.toLong) + 0.15 * h(id * 31L + 3L, i.toLong)).toFloat
+          i += 1
+        }
+        (id, v)
+      }.toDF("vec_id", "embedding")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      embR.count()
+      val qv = (0 until 64).map(i => (i * 37 % 100) / 100.0 - 0.5)
+      val truth = graft.sim.Ann.knnRescoreTopK(embR, "vec_id", "embedding",
+        qv, k = 10, oversample = 8).select("id").collect().map(_.getLong(0)).toSet
+      def r(df: org.apache.spark.sql.DataFrame): Int =
+        df.select("id").collect().map(_.getLong(0)).count(truth.contains)
+      val sample = r(graft.sim.Ann.pqTopK(embR, "vec_id", "embedding", qv,
+        k = 10, oversample = 8))
+      val lloyd = r(graft.sim.Ann.pqTopK(embR, "vec_id", "embedding", qv,
+        k = 10, oversample = 8, codebooks = Some(
+          graft.sim.Ann.pqFitCodebooks(embR, "vec_id", "embedding", m = 4, k = 16))))
+      val dist = r(graft.sim.Ann.pqTopK(embR, "vec_id", "embedding", qv,
+        k = 10, oversample = 8, codebooks = Some(
+          graft.sim.Ann.pqFitCodebooksDist(embR, "vec_id", "embedding", m = 4, k = 16))))
+      val cbD8 = graft.sim.Ann.pqFitCodebooksDist(embR, "vec_id", "embedding", m = 8, k = 64)
+      val distBig = r(graft.sim.Ann.pqTopK(embR, "vec_id", "embedding", qv,
+        k = 10, oversample = 40, m = 8, codebookSize = 64, codebooks = Some(cbD8)))
+      println(s"[scaleprobe] pq_recall_real_${n}x   recall@10 over ${nVec} structured vectors: " +
+        s"sample(4x16,w80)=$sample/10 lloyd(4x16,w80)=$lloyd/10 " +
+        s"lloyd-dist(4x16,w80)=$dist/10 lloyd-dist(8x64,w400)=$distBig/10")
+      // the sizing rule as a PRESCRIPTION: oversample such that
+      // corpus/window <= m*k (what the guard tells the caller to do)
+      val ruleOs = math.max(40L, nVec / (8 * 64 * 10) + 1).toInt
+      val distRule = r(graft.sim.Ann.pqTopK(embR, "vec_id", "embedding", qv,
+        k = 10, oversample = ruleOs, m = 8, codebookSize = 64, codebooks = Some(cbD8)))
+      println(s"[scaleprobe] pq_recall_real_${n}x   rule-sized window w=${10 * ruleOs}: " +
+        s"lloyd-dist(8x64)=$distRule/10")
+      val sweepR = Seq(1, 2, 4, 8, 16).map { np =>
+        np -> r(graft.sim.Ann.ivfAdcTopK(embR, "vec_id", "embedding", qv,
+          k = 10, oversample = 40, nCentroids = 16, nprobe = np,
+          m = 8, codebookSize = 64, codebooks = Some(cbD8)))
+      }
+      println(s"[scaleprobe] ivfadc_nprobe_real_${n}x curve(8x64,w400,lloyd-dist): " +
+        sweepR.map { case (np, rc) => s"np$np=$rc/10" }.mkString(" "))
+      embR.unpersist()
+      spark.catalog.clearCache()
+    }
     if (selected("pq_recall")) {
       // recall of the PQ family vs the (near-exact) int8-rescored
       // reference at the same k: sample codebooks vs lloyd-trained vs

@@ -519,6 +519,38 @@ object IndexArtifacts {
     writeIvfMeta(spark, indexPath, idCol, vecCol)
   }
 
+  /** IVF list-balance report over the persisted assignments: one row
+    * per centroid list with its population, plus min/max/avg and the
+    * imbalance factor (max/avg) in every row for one-glance reads.
+    * The number that matters at scale: probe cost is proportional to
+    * the PROBED lists' sizes, so a skewed quantizer (imbalance >> 1,
+    * the seed-centroid trade-off kmeansCentroids exists to fix) makes
+    * hot queries pay far over nprobe/nCentroids of the corpus.
+    * Returns None when no fresh IVF artifact exists. */
+  def ivfListStats(
+      spark: SparkSession,
+      indexPath: String,
+      vecCol: String): Option[DataFrame] =
+    loadIvf(spark, indexPath, vecCol).map { case (cents, assignments) =>
+      val n = cents.count()
+      val counts = assignments.groupBy(col("cent_id"))
+        .agg(count(lit(1)).as("list_size"))
+      // empty lists (a centroid no vector chose) must appear as 0
+      val full = cents.select(col("cent_id"))
+        .join(counts, Seq("cent_id"), "left")
+        .select(col("cent_id"), coalesce(col("list_size"), lit(0L)).as("list_size"))
+      val agg = full.agg(
+        min(col("list_size")).as("mn"), max(col("list_size")).as("mx"),
+        avg(col("list_size")).as("av")).head()
+      full.withColumn("n_lists", lit(n))
+        .withColumn("min_size", lit(agg.getLong(0)))
+        .withColumn("max_size", lit(agg.getLong(1)))
+        .withColumn("imbalance",
+          lit(graft.util.Num.roundDouble(
+            if (agg.getDouble(2) == 0.0) 0.0 else agg.getLong(1) / agg.getDouble(2), 4)))
+        .orderBy(col("cent_id"))
+    }
+
   /** Incremental add — the daily-ingest shape: route ONLY documents
     * absent from the stored assignments to the EXISTING centroid
     * lists, append, and re-stamp the fingerprint. The quantizer never

@@ -600,6 +600,33 @@ class IndexArtifactsSpec extends SparkSpec {
       "audit-triggered rebuild did not re-fit at the recorded lloyd-dist hyperparams")
   }
 
+  test("ivfListStats: per-list populations, empty lists as zero, imbalance factor (r15)") {
+    val out = "/tmp/graft_idxspec_ivfstats"
+    // 40 vectors over 32 seed centroids: several lists stay empty and
+    // must report 0, not vanish from the frame
+    val emb = Tables.embeddings(spark, sfDir).where(col("vec_id") < 40)
+    graft.sources.Connector.save(emb, out, Map(
+      "graft.write.operation" -> "overwrite",
+      "graft.mapping.id" -> "vec_id",
+      "graft.index.vectors" -> "embedding",
+      "graft.index.vectors.centroids" -> "32"))
+    val stats = IndexArtifacts.ivfListStats(spark, out, "embedding").get
+      .select("cent_id", "list_size", "n_lists", "min_size", "max_size", "imbalance")
+      .collect()
+    assert(stats.length == 32, "one row per centroid list")
+    assert(stats.map(_.getLong(1)).sum == 40, "list sizes must sum to the corpus")
+    assert(stats.forall(_.getLong(2) == 32))
+    val sizes = stats.map(_.getLong(1))
+    assert(stats.head.getLong(3) == sizes.min && stats.head.getLong(4) == sizes.max)
+    val imb = stats.head.getDouble(5)
+    assert(imb >= 1.0, s"imbalance $imb below 1 with non-empty corpus")
+    assert(math.abs(imb - sizes.max / (40.0 / 32)) < 1e-3)
+    // stale artifact -> None, same contract as every loader
+    emb.limit(1).write.mode("append").parquet(out)
+    spark.catalog.refreshByPath(out)
+    assert(IndexArtifacts.ivfListStats(spark, out, "embedding").isEmpty)
+  }
+
   test("persisted BBQ: sign bits packed once, coarse scan off 16 bytes/doc, audited appends (r14)") {
     val out = "/tmp/graft_idxspec_bbq"
     val emb = Tables.embeddings(spark, sfDir).limit(150)
