@@ -131,6 +131,28 @@ private[graft] object EntriesLate {
     "q_knn_pq" -> ((s, d) =>
       graft.sim.Ann.pqTopK(t(s, d, "embeddings"), "vec_id", "embedding",
         ScriptQv, k = 10, oversample = 4)),
+    // the DISTRIBUTED-fit production path in the graded contract: PQ
+    // top-k under pqFitCodebooksDist codebooks (hash-ordered sample,
+    // one job per Lloyd iteration, 8x64 resolution). k-means has no
+    // SQL equivalent, so the key PERSISTS the trained codebook and
+    // the oracle replays assignment + ADC + exact rescore FROM it —
+    // Spark's compiled PqEncode/PqAdc kernels vs DuckDB's independent
+    // fixed-point derivation, under the trained model (the same
+    // split the jpeg keys use for their non-replayable step)
+    "q_knn_pq_dist" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cb = graft.sim.Ann.pqFitCodebooksDist(emb, "vec_id", "embedding", m = 8, k = 64)
+      val out = s"/tmp/graft_pqdist_cb_${System.getProperty("user.name")}"
+      import s.implicits._
+      val dsub = 8
+      (for (sp <- 0 until 8; c <- 0 until 64)
+        yield (sp, c, (0 until dsub).map(i => cb((sp * 64 + c) * dsub + i))))
+        .toDF("s", "c", "cv")
+        .coalesce(1).write.mode("overwrite").parquet(out)
+      graft.sim.Ann.pqTopK(emb, "vec_id", "embedding", ScriptQv,
+        k = 10, oversample = 40, m = 8, codebookSize = 64,
+        codebooks = Some(cb))
+    }),
     // pack-once persisted PQ: the write pays the encode under a frozen
     // codebook, the query's coarse pass reads m bytes/doc — hash-equal
     // to on-the-fly q_knn_pq (same oracle SQL)
@@ -589,6 +611,41 @@ private[graft] object EntriesLate {
     // point (the kernel's exact accumulation), argmin with lowest-code
     // ties, ADC = integer LUT sum / 1e6, exact-cosine rescore on the
     // 40-row window
+    // assignment + ADC + rescore replayed from the PERSISTED trained
+    // codebook (the query writes it before answering; Verify runs the
+    // query first) — the lossy-step split the jpeg oracles use
+    "q_knn_pq_dist" -> ("WITH q0 AS (SELECT " + ScriptQv.mkString("[", ", ", "]") + "::DOUBLE[] AS w0), " +
+      "q AS (SELECT w0, list_transform(w0, x -> x / sqrt(list_reduce(list_prepend(0.0, " +
+      "list_transform(w0, y -> y * y)), (a, b) -> a + b))) AS w FROM q0), " +
+      "v0 AS (SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS rv FROM embeddings), " +
+      "v AS (SELECT id, rv, CASE WHEN nrm = 0 THEN rv ELSE " +
+      "list_transform(rv, x -> x / nrm) END AS v FROM (SELECT id, rv, " +
+      "sqrt(list_reduce(list_prepend(0.0, list_transform(rv, x -> x * x)), (a, b) -> a + b)) AS nrm " +
+      "FROM v0) t0), " +
+      "cbp AS (SELECT s, c, cv FROM read_parquet(" +
+      s"'/tmp/graft_pqdist_cb_${System.getProperty("user.name")}/*.parquet')), " +
+      "ad AS (SELECT v.id, p.s, p.c, floor(list_reduce(list_prepend(0.0, " +
+      "list_transform(generate_series(1, 8), i -> " +
+      "(v.v[p.s*8 + i] - p.cv[i]) * (v.v[p.s*8 + i] - p.cv[i]))), " +
+      "(a, b) -> a + b) * 1e6 + 0.5)::BIGINT AS dl " +
+      "FROM v CROSS JOIN cbp p), " +
+      "asg AS (SELECT id, s, c FROM (SELECT id, s, c, " +
+      "row_number() OVER (PARTITION BY id, s ORDER BY dl ASC, c ASC) AS rn FROM ad) t " +
+      "WHERE rn = 1), " +
+      "lut AS (SELECT p.s, p.c, floor(list_reduce(list_prepend(0.0, " +
+      "list_transform(generate_series(1, 8), i -> " +
+      "(w[p.s*8 + i] - p.cv[i]) * (w[p.s*8 + i] - p.cv[i]))), " +
+      "(a, b) -> a + b) * 1e6 + 0.5)::BIGINT AS dl " +
+      "FROM cbp p CROSS JOIN q), " +
+      "coarse AS (SELECT a.id, sum(l.dl)::DOUBLE / 1e6 AS adc " +
+      "FROM asg a JOIN lut l ON l.s = a.s AND l.c = a.c " +
+      "GROUP BY a.id ORDER BY adc ASC, a.id ASC LIMIT 400), " +
+      "ex AS (SELECT c.id, c.adc, round(list_reduce(list_prepend(0.0, " +
+      "list_transform(range(1, 65), i -> e.rv[i] * w0[i])), (a, b) -> a + b) / " +
+      "(sqrt(list_reduce(list_prepend(0.0, list_transform(e.rv, x -> x * x)), (a, b) -> a + b)) * " +
+      "sqrt(list_reduce(list_prepend(0.0, list_transform(w0, x -> x * x)), (a, b) -> a + b))), 4) AS cosine " +
+      "FROM coarse c JOIN v e ON e.id = c.id CROSS JOIN q) " +
+      "SELECT id, adc, cosine FROM ex ORDER BY cosine DESC, id LIMIT 10"),
     "q_knn_pq" -> ("WITH q0 AS (SELECT " + ScriptQv.mkString("[", ", ", "]") + "::DOUBLE[] AS w0), " +
       "q AS (SELECT w0, list_transform(w0, x -> x / sqrt(list_reduce(list_prepend(0.0, " +
       "list_transform(w0, y -> y * y)), (a, b) -> a + b))) AS w FROM q0), " +

@@ -654,6 +654,16 @@ private[graft] object EntriesPipeline {
       Multimodal.jpegPixelStats(s, s.read.parquet(out))
         .orderBy(col("media_id"))
     }),
+    // the COLOR sibling: YCbCr JFIF with subsampled chroma (the shape
+    // web assets ship); same persisted generation-time-stats oracle
+    // contract, per channel
+    "q_multimodal_jpeg_rgb" -> ((s, d) => {
+      val out = s"/tmp/graft_jpeg_rgb_${System.getProperty("user.name")}"
+      Multimodal.jpegRgbMediaTable(s, t(s, d, "documents"))
+        .write.mode("overwrite").parquet(out)
+      Multimodal.jpegRgbPixelStats(s, s.read.parquet(out))
+        .orderBy(col("media_id"))
+    }),
     // context-window chunking: 64-token windows, 16-token overlap
     "q_chunk" -> ((s, d) =>
       TextAnalysis.chunkTokens(t(s, d, "documents"), "doc_id", "text", 64, 16)
@@ -1365,6 +1375,10 @@ private[graft] object EntriesPipeline {
     "q_multimodal_jpeg" -> ("SELECT media_id, width, height, n_px, px_sum, " +
       "px_min, px_max FROM read_parquet(" +
       s"'/tmp/graft_jpeg_${System.getProperty("user.name")}/*.parquet') " +
+      "ORDER BY media_id"),
+    "q_multimodal_jpeg_rgb" -> ("SELECT media_id, width, height, n_px, r_sum, " +
+      "g_sum, b_sum FROM read_parquet(" +
+      s"'/tmp/graft_jpeg_rgb_${System.getProperty("user.name")}/*.parquet') " +
       "ORDER BY media_id"),
     // nearest-neighbor to 8x6: out(x,y) = in((x*w)//8, (y*h)//6)
     "q_multimodal_resize_px" -> ("WITH d AS (SELECT doc_id, doc_id % 48 + 8 AS w, " +

@@ -642,6 +642,80 @@ object Jpeg {
     Png.Image(w, h, 1, java.util.Arrays.copyOf(px, px.length))
   }
 
+  /** Decode a baseline JPEG to interleaved RGB (channels = 3). Same
+    * container contract as decodeGray: progressive and non-baseline
+    * SOFs reject loudly before any decode; gray inputs expand to
+    * equal channels through the JDK color model. */
+  def decodeRgb(bytes: Array[Byte]): Png.Image = {
+    val (sof, w, h, _) = sofInfo(bytes)
+    require(sof == 0xc0 || sof == 0xc1,
+      s"only baseline sequential-Huffman JPEG in scope (SOF0/SOF1), got SOF${sof - 0xc0}" +
+        (if (sof == 0xc2) " (progressive)" else ""))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "ImageIO could not decode the JPEG stream")
+    require(img.getWidth == w && img.getHeight == h,
+      s"SOF dims ${w}x$h disagree with decoded raster ${img.getWidth}x${img.getHeight}")
+    val bgr =
+      if (img.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR) img
+      else {
+        val c = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        val g = c.createGraphics()
+        g.drawImage(img, 0, 0, null)
+        g.dispose()
+        c
+      }
+    val data = bgr.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    val rgb = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < w * h) { // BGR raster order -> RGB interleaved
+      rgb(3 * i) = data(3 * i + 2)
+      rgb(3 * i + 1) = data(3 * i + 1)
+      rgb(3 * i + 2) = data(3 * i)
+      i += 1
+    }
+    Png.Image(w, h, 3, rgb)
+  }
+
+  /** Encode interleaved RGB pixels as real color JFIF bytes (YCbCr
+    * through the JDK writer — the container real-world color assets
+    * ship in). */
+  def encodeRgb(
+      width: Int, height: Int, rgb: Array[Byte],
+      quality: Float = 0.9f): Array[Byte] = {
+    require(rgb.length == width * height * 3,
+      s"${rgb.length} bytes for ${width}x$height RGB")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val data = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    var i = 0
+    while (i < width * height) {
+      data(3 * i) = rgb(3 * i + 2)
+      data(3 * i + 1) = rgb(3 * i + 1)
+      data(3 * i + 2) = rgb(3 * i)
+      i += 1
+    }
+    writeJfif(img, quality)
+  }
+
+  private def writeJfif(
+      img: java.awt.image.BufferedImage, quality: Float): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream(
+      img.getWidth * img.getHeight / 2 + 1024)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
   /** Encode grayscale pixels as real JFIF bytes (the JDK's baseline
     * Huffman writer at an explicit quality — deterministic for a
     * fixed JDK, which the generation-time-stats contract requires). */
@@ -655,16 +729,6 @@ object Jpeg {
     System.arraycopy(pixels, 0,
       img.getRaster.getDataBuffer.asInstanceOf[java.awt.image.DataBufferByte].getData,
       0, pixels.length)
-    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
-    val params = writer.getDefaultWriteParam
-    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-    params.setCompressionQuality(quality)
-    val bos = new java.io.ByteArrayOutputStream(pixels.length / 2 + 1024)
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-    try {
-      writer.setOutput(ios)
-      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
-    } finally { writer.dispose(); ios.close() }
-    bos.toByteArray
+    writeJfif(img, quality)
   }
 }

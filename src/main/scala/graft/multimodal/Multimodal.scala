@@ -355,6 +355,62 @@ object Multimodal {
     }).toDF("media_id", "payload", "width", "height", "n_px", "px_sum", "px_min", "px_max")
   }
 
+  /** Color sibling of `jpegMediaTable`: real COLOR JFIF payloads
+    * (YCbCr through the JDK writer — subsampled chroma, the shape
+    * web assets actually ship) with generation-time per-channel sums
+    * persisted beside the bytes, same lossy-codec contract. */
+  def jpegRgbMediaTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val w = (id % 19 + 10).toInt
+      val h = (id % 11 + 9).toInt
+      val rgb = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val i = (y * w + x) * 3
+          rgb(i) = ((id * 31 + x * 7 + y * 13) % 256).toByte
+          rgb(i + 1) = ((id * 17 + x * 11 + y * 5) % 256).toByte
+          rgb(i + 2) = ((id * 23 + x * 3 + y * 19) % 256).toByte
+          x += 1
+        }
+        y += 1
+      }
+      val payload = Jpeg.encodeRgb(w, h, rgb)
+      val img = Jpeg.decodeRgb(payload)
+      var rs = 0L; var gs = 0L; var bs = 0L
+      var i = 0
+      while (i < w * h) {
+        rs += img.pixels(3 * i) & 0xff
+        gs += img.pixels(3 * i + 1) & 0xff
+        bs += img.pixels(3 * i + 2) & 0xff
+        i += 1
+      }
+      (id, payload, img.width, img.height, (w.toLong * h), rs, gs, bs)
+    }).toDF("media_id", "payload", "width", "height", "n_px", "r_sum", "g_sum", "b_sum")
+  }
+
+  /** Per-channel sums recomputed by DECODING each color payload. */
+  def jpegRgbPixelStats(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("media_id", "payload")
+      .where(col("payload").isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val img = Jpeg.decodeRgb(payload)
+        var rs = 0L; var gs = 0L; var bs = 0L
+        var i = 0
+        while (i < img.width * img.height) {
+          rs += img.pixels(3 * i) & 0xff
+          gs += img.pixels(3 * i + 1) & 0xff
+          bs += img.pixels(3 * i + 2) & 0xff
+          i += 1
+        }
+        (id, img.width, img.height, img.width.toLong * img.height, rs, gs, bs)
+      }).toDF("media_id", "width", "height", "n_px", "r_sum", "g_sum", "b_sum")
+  }
+
   /** Integer-exact gray stats recomputed by DECODING each JPEG
     * payload — map-only, payloads never shuffle. */
   def jpegPixelStats(spark: SparkSession, media: DataFrame): DataFrame = {

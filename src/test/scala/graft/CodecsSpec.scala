@@ -402,6 +402,38 @@ class CodecsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Jpeg.decodeGray("PNGish".getBytes))
   }
 
+  test("JPEG color: flat fields near-exact per channel, BGR/RGB order correct, deterministic (r15)") {
+    import graft.multimodal.Jpeg
+    // flat saturated channels: after YCbCr round trip each channel
+    // must come back close AND in the right slot (a BGR/RGB swap is
+    // the classic bug this pins)
+    for (((r, g, b), tag) <- Seq(((200, 30, 30), "red"), ((30, 200, 30), "green"),
+        ((30, 30, 200), "blue"), ((120, 120, 120), "gray"))) {
+      val rgb = new Array[Byte](24 * 16 * 3)
+      (0 until 24 * 16).foreach { i =>
+        rgb(3 * i) = r.toByte; rgb(3 * i + 1) = g.toByte; rgb(3 * i + 2) = b.toByte
+      }
+      val img = Jpeg.decodeRgb(Jpeg.encodeRgb(24, 16, rgb))
+      assert(img.channels == 3 && img.width == 24 && img.height == 16)
+      val (dr, dg, db) = (img.pixels(0) & 0xff, img.pixels(1) & 0xff, img.pixels(2) & 0xff)
+      // chroma subsampling + quantization: a wider tolerance than
+      // gray, but a channel swap would miss by ~170
+      assert(math.abs(dr - r) <= 8 && math.abs(dg - g) <= 8 && math.abs(db - b) <= 8,
+        s"$tag decoded ($dr,$dg,$db) far from ($r,$g,$b)")
+    }
+    // determinism + gray-input expansion through the color path
+    val px = Array.tabulate[Byte](15 * 13 * 3)(i => (i * 7 % 256).toByte)
+    val payload = Jpeg.encodeRgb(15, 13, px)
+    assert(Jpeg.decodeRgb(payload).pixels.toSeq == Jpeg.decodeRgb(payload).pixels.toSeq)
+    val grayIn = Jpeg.decodeRgb(Jpeg.encodeGray(8, 8, Array.fill[Byte](64)(100.toByte)))
+    assert(grayIn.channels == 3)
+    assert((0 until 64).forall { i =>
+      val (a, b2, c) = (grayIn.pixels(3 * i) & 0xff,
+        grayIn.pixels(3 * i + 1) & 0xff, grayIn.pixels(3 * i + 2) & 0xff)
+      a == b2 && b2 == c
+    }, "gray input must expand to equal channels")
+  }
+
   test("Spark JPEG path: persisted generation-time stats equal the re-decode, distributed (r15)") {
     val docs = spark.range(0, 40).select(col("id").as("doc_id"))
     val tbl = Multimodal.jpegMediaTable(spark, docs)
