@@ -288,6 +288,62 @@ object Warc {
     * WET output syncs on member boundaries exactly like the WARC
     * write side). Record ids derive from the uri, dates are the
     * caller's fixed stamp: byte-deterministic output. */
+  /** Executor-side mirror of `Analyzer.htmlStrip` (same entity order,
+    * `&amp;` LAST so `&amp;lt;` ends as the literal `&lt;`). */
+  private[sources] def stripHtml(s: String): String = {
+    var t = s.replaceAll("<[^>]*>", " ")
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&nbsp;" -> " ", "&amp;" -> "&").foreach { case (e, r) => t = t.replace(e, r) }
+    t.trim
+  }
+
+  /** PAIRED WARC -> WET extraction, the published Common Crawl
+    * naming: each source `<name>.warc[.gz]` produces exactly ONE
+    * `<name>.warc.wet.gz` in `wetDir` (warcinfo head + one
+    * `conversion` record per extracted 200 text/html response) — one
+    * task per file on both sides, nothing shuffles, and the 1:1 name
+    * pairing lets a consumer join crawl and extraction by filename
+    * exactly as with CC's own segments. Files with no extractable
+    * responses still produce their paired file (warcinfo only):
+    * pairing is the contract. Returns total conversion records. */
+  def extractToWet(
+      spark: SparkSession, warcDir: String, wetDir: String, date: String): Long = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    spark.sparkContext.binaryFiles(warcDir).map { case (path, pds) =>
+      val srcName = new Path(path).getName
+      val wetName = srcName.stripSuffix(".gz").stripSuffix(".warc") + ".warc.wet.gz"
+      val head = Iterator.single(warcinfoRecord(
+        s"<urn:graft:wet:${java.util.UUID.nameUUIDFromBytes(wetName.getBytes("UTF-8"))}>",
+        date, wetName))
+      val raw = pds.open()
+      val first = raw.read()
+      if (first < 0) {
+        raw.close()
+        writeMemberFile(conf, wetDir, wetName, head)
+        0L
+      } else {
+        val pushed = new java.io.PushbackInputStream(raw)
+        pushed.unread(first)
+        val in = new BufferedInputStream(
+          if (path.endsWith(".gz")) new GZIPInputStream(pushed) else pushed, 1 << 16)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => in.close()))
+        val conv = records(in)
+          .filter(r => r.warc_type == "response" && r.http_status == 200 &&
+            r.mime.startsWith("text/html"))
+          .map { r =>
+            conversionRecord(r.target_uri,
+              s"<urn:graft:wet:${java.util.UUID.nameUUIDFromBytes(r.target_uri.getBytes("UTF-8"))}>",
+              r.record_id, date, stripHtml(new String(r.body, "UTF-8")))
+          }
+        val n = writeMemberFile(conf, wetDir, wetName, head ++ conv) - 1
+        in.close()
+        n
+      }
+    }.sum().toLong
+  }
+
   def saveWet(df: DataFrame, dir: String, date: String): Unit = {
     val conf = new org.apache.spark.util.SerializableConfiguration(
       df.sparkSession.sparkContext.hadoopConfiguration)

@@ -149,6 +149,44 @@ class WarcSpec extends SparkSpec {
       .select("body").as[Array[Byte]].head().sameElements("text of 7".getBytes("UTF-8")))
   }
 
+  test("extractToWet: 1:1 paired naming, extracted text matches the strip, empty sources still pair (r15)") {
+    val warcDir = tmpDir("pairsrc")
+    val wetDir = tmpDir("pairwet")
+    // 3 partitions -> part-0000{0,1,2}.warc.gz; doc 0..29, html bodies
+    val docs = spark.range(0, 30).repartition(3).select(
+      concat(lit("https://p.test/"), col("id")).as("uri"),
+      lit("text/html; charset=UTF-8").as("mime"),
+      encode(concat(lit("<html><body><p>body &amp;amp; of "), col("id"),
+        lit("</p></body></html>")), "UTF-8").as("body"))
+    Warc.saveWarc(docs, warcDir, "2026-01-01T00:00:00Z")
+    val n = Warc.extractToWet(spark, warcDir, wetDir, "2026-01-01T00:00:00Z")
+    assert(n == 30)
+    val srcNames = new java.io.File(warcDir).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).map(_.getName).sorted
+    val wetNames = new java.io.File(wetDir).listFiles()
+      .filter(_.getName.endsWith(".warc.wet.gz")).map(_.getName).sorted
+    assert(wetNames.toSeq ==
+      srcNames.map(_.stripSuffix(".gz").stripSuffix(".warc") + ".warc.wet.gz").toSeq,
+      s"pairing broke: $srcNames vs $wetNames")
+    val back = Warc.warcDF(spark, wetDir)
+    assert(back.where(col("warc_type") === "warcinfo").count() == srcNames.length)
+    val row7 = back.where(col("warc_type") === "conversion" &&
+      col("target_uri") === "https://p.test/7").select("body").as[Array[Byte]].head()
+    // &amp;amp; -> &amp; (single unescape, &amp; LAST), tags -> spaces, trimmed
+    assert(new String(row7, "UTF-8") == "body &amp; of 7")
+    // a WARC with no extractable responses still writes its pair
+    val emptyDir = tmpDir("pairempty")
+    val wetEmpty = tmpDir("pairemptywet")
+    Warc.saveWarc(spark.range(0, 2).coalesce(1).select(
+      concat(lit("https://p.test/x"), col("id")).as("uri"),
+      lit("application/pdf").as("mime"),
+      encode(lit("x"), "UTF-8").as("body")), emptyDir, "2026-01-01T00:00:00Z")
+    assert(Warc.extractToWet(spark, emptyDir, wetEmpty, "2026-01-01T00:00:00Z") == 0)
+    val pairs = new java.io.File(wetEmpty).listFiles().filter(_.getName.endsWith(".warc.wet.gz"))
+    assert(pairs.length == 1, "no-html source must still produce its paired WET file")
+    assert(Warc.warcDF(spark, wetEmpty).count() == 1) // the warcinfo alone
+  }
+
   test("plain .warc files read too; a task never needs the whole file in memory") {
     val dir = tmpDir("plain")
     val out = new java.io.FileOutputStream(s"$dir/a.warc")
