@@ -140,14 +140,31 @@ private[graft] object EntriesLate {
     // fixed-point derivation, under the trained model (the same
     // split the jpeg keys use for their non-replayable step)
     "q_knn_pq_dist" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      val cb = graft.sim.Ann.pqFitCodebooksDist(emb, "vec_id", "embedding", m = 8, k = 64)
-      val out = s"/tmp/graft_pqdist_cb_${System.getProperty("user.name")}"
       import s.implicits._
+      val emb = t(s, d, "embeddings")
       val dsub = 8
-      (for (sp <- 0 until 8; c <- 0 until 64)
-        yield (sp, c, (0 until dsub).map(i => cb((sp * 64 + c) * dsub + i))))
-        .toDF("s", "c", "cv")
+      // the fit is deterministic per corpus, so it trains ONCE into a
+      // fingerprint-keyed artifact (the bm25_indexed precedent) and
+      // repeat runs reuse it; the oracle reads the static copy the
+      // key refreshes from the artifact each run
+      val srcFp = graft.index.IndexArtifacts
+        .dataFingerprint(s, s"$d/embeddings.parquet").take(12)
+      val cbDir = graft.index.IndexArtifacts.ensureArtifact("pqdistcb", srcFp)(
+        p => new java.io.File(s"$p/codebook").isDirectory)(stage => {
+          val fit = graft.sim.Ann.pqFitCodebooksDist(emb, "vec_id", "embedding", m = 8, k = 64)
+          (for (sp <- 0 until 8; c <- 0 until 64)
+            yield (sp, c, (0 until dsub).map(i => fit((sp * 64 + c) * dsub + i))))
+            .toDF("s", "c", "cv")
+            .coalesce(1).write.parquet(s"$stage/codebook")
+        })
+      val cb = new Array[Double](8 * 64 * dsub)
+      s.read.parquet(s"$cbDir/codebook").collect().foreach { r =>
+        val sp = r.getInt(0); val c = r.getInt(1)
+        val cv = r.getSeq[Double](2)
+        (0 until dsub).foreach(i => cb((sp * 64 + c) * dsub + i) = cv(i))
+      }
+      val out = s"/tmp/graft_pqdist_cb_${System.getProperty("user.name")}"
+      s.read.parquet(s"$cbDir/codebook")
         .coalesce(1).write.mode("overwrite").parquet(out)
       graft.sim.Ann.pqTopK(emb, "vec_id", "embedding", ScriptQv,
         k = 10, oversample = 40, m = 8, codebookSize = 64,
