@@ -432,6 +432,25 @@ object ScaleProbe {
           k = 10, oversample = 4).get.count()
       }
     }
+    if (selected("ivf_balance")) {
+      // the new list-balance report comparing the two quantizer fits:
+      // the seed quantizer trades list balance for zero fit cost;
+      // this measures what kmeans buys back (imbalance = max/avg —
+      // probe cost at scale is proportional to probed list sizes)
+      val idx = "/tmp/graft_probe_ivfbal"
+      Seq("seed", "kmeans").foreach { fit =>
+        graft.sources.Connector.save(Tables.embeddings(spark, sfDir), idx, Map(
+          "graft.write.operation" -> "overwrite",
+          "graft.mapping.id" -> "vec_id",
+          "graft.index.vectors" -> "embedding",
+          "graft.index.vectors.centroids" -> "16",
+          "graft.index.vectors.fit" -> fit))
+        spark.catalog.clearCache()
+        val st = graft.index.IndexArtifacts.ivfListStats(spark, idx, "embedding").get.head()
+        println(s"[scaleprobe] ivf_balance fit=$fit min=${st.getLong(3)} " +
+          s"max=${st.getLong(4)} imbalance=${st.getDouble(5)}")
+      }
+    }
     if (selected("pq_recall_real")) {
       // the clone-replication caveat, FIXED at the measurement: a
       // structured synthetic corpus at TRUE n x scale — 4096 cluster

@@ -1323,6 +1323,17 @@ object Ann {
         "m x k resolution.")
     else None
 
+  /** The sizing rule as an AUTO mode: window = corpus/(m·k), the
+    * prescription the r15 probe measured buying recall back from
+    * 0/10 to 9/10 at 1.5M vectors. Costs one full count (opt-in —
+    * callers passing oversample = 0 accept it); floor of 4 keeps
+    * tiny corpora from degenerate windows. */
+  private def autoOversample(
+      corpus: DataFrame, vecCol: String, k: Int, m: Int, codebookSize: Int): Int = {
+    val n = corpus.where(col(vecCol).isNotNull).count()
+    math.max(4L, n / (m.toLong * codebookSize * k) + 1).toInt
+  }
+
   def pqTopK(
       corpus: DataFrame,
       idCol: String,
@@ -1336,6 +1347,10 @@ object Ann {
     import org.apache.spark.sql.GraftBridge
     require(queryVec.nonEmpty && queryVec.length % m == 0,
       s"query dim ${queryVec.length} does not split into $m subspaces")
+    require(oversample >= 0, s"bad oversample $oversample (0 = auto rule-sized)")
+    if (oversample == 0)
+      return pqTopK(corpus, idCol, vecCol, queryVec, k,
+        autoOversample(corpus, vecCol, k, m, codebookSize), m, codebookSize, codebooks)
     // sizing guard: bounded-scan count (limit(threshold+1), the
     // requireBoundedQueries trick — never a full count of an
     // unbounded corpus) decides whether corpus/window > m*k.
@@ -1405,20 +1420,25 @@ object Ann {
     graft.index.IndexArtifacts.loadPq(spark, indexPath, vecCol, Some(idCol))
       .map { case ((m, ck), cb, codes) =>
         import org.apache.spark.sql.GraftBridge
+        // oversample = 0 -> AUTO rule-sized window off the codes count
+        val os =
+          if (oversample == 0)
+            math.max(4L, codes.count() / (m.toLong * ck * k) + 1).toInt
+          else oversample
         // the same r14-ledger sizing guard as the on-the-fly path —
         // the persisted form is the one that meets real corpus sizes
         val threshold = math.min(
-          k.toLong * oversample * m * ck, Int.MaxValue - 1L)
+          k.toLong * os * m * ck, Int.MaxValue - 1L)
         val over = codes.limit((threshold + 1).toInt).count() > threshold
         lastPqSizingWarning = pqSizingWarning(
-          over, s">${threshold}-vector", k, oversample, m, ck)
+          over, s">${threshold}-vector", k, os, m, ck)
         lastPqSizingWarning.foreach(w => Console.err.println(s"WARN graft.sim.Ann: $w"))
         val lut = pqLut(queryVec, cb, m, ck)
         val adc = GraftBridge.column(graft.expr.PqAdc(
           GraftBridge.expression(col("pq")), lut.toSeq, ck))
         val coarse = codes.select(col("id"), adc.as("adc"))
           .orderBy(col("adc").asc, col("id").asc)
-          .limit(k * oversample)
+          .limit(k * os)
         val live = spark.read.format(fmt).load(indexPath)
           .where(col(vecCol).isNotNull)
         pqRescore(live, idCol, vecCol, coarse, queryVec, k)

@@ -228,6 +228,22 @@ class AnnTextSpec extends SparkSpec {
     assert(Ann.lastPqSizingWarning.isEmpty, "well-sized PQ window warned spuriously")
   }
 
+  test("PQ auto oversample (0): rule-sized window, guard silent, equals the explicit call (r15)") {
+    val emb = Tables.embeddings(spark, sfDir) // 500 vectors
+    val qv = (1 to 64).map(i => math.sin(i * 0.37))
+    val auto = Ann.pqTopK(emb, "vec_id", "embedding", qv, k = 5, oversample = 0)
+      .select("id", "cosine").as[(Long, Double)].collect().toSeq
+    // auto can never trigger the guard: the window IS the rule size
+    assert(Ann.lastPqSizingWarning.isEmpty, "auto-sized window warned")
+    assert(auto.length == 5)
+    // 500/(4*16*5) + 1 = 2, floored to 4 — the explicit twin
+    val explicit = Ann.pqTopK(emb, "vec_id", "embedding", qv, k = 5, oversample = 4)
+      .select("id", "cosine").as[(Long, Double)].collect().toSeq
+    assert(auto == explicit, "auto window diverged from its explicit twin")
+    intercept[IllegalArgumentException](
+      Ann.pqTopK(emb, "vec_id", "embedding", qv, k = 5, oversample = -1))
+  }
+
   test("PQ: 4-byte codes, ADC window recovers the exact top-k, codes-only coarse plan") {
     import org.apache.spark.sql.GraftBridge
     val emb = Tables.embeddings(spark, sfDir)
