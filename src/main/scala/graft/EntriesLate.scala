@@ -149,22 +149,33 @@ private[graft] object EntriesLate {
       // key refreshes from the artifact each run
       val srcFp = graft.index.IndexArtifacts
         .dataFingerprint(s, s"$d/embeddings.parquet").take(12)
+      // FS-API probe, not java.io.File: the artifact root may be a
+      // URI (hdfs://, s3a://) — a local-File probe would always miss
+      // and retrain every run only to discard the staging copy
       val cbDir = graft.index.IndexArtifacts.ensureArtifact("pqdistcb", srcFp)(
-        p => new java.io.File(s"$p/codebook").isDirectory)(stage => {
+        p => {
+          val cp = new org.apache.hadoop.fs.Path(s"$p/codebook")
+          cp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(cp)
+        })(stage => {
           val fit = graft.sim.Ann.pqFitCodebooksDist(emb, "vec_id", "embedding", m = 8, k = 64)
           (for (sp <- 0 until 8; c <- 0 until 64)
             yield (sp, c, (0 until dsub).map(i => fit((sp * 64 + c) * dsub + i))))
             .toDF("s", "c", "cv")
             .coalesce(1).write.parquet(s"$stage/codebook")
         })
+      // one read: collect the 512 tiny rows, then write the static
+      // oracle copy FROM the collected data
+      val rows = s.read.parquet(s"$cbDir/codebook")
+        .select("s", "c", "cv").collect()
       val cb = new Array[Double](8 * 64 * dsub)
-      s.read.parquet(s"$cbDir/codebook").collect().foreach { r =>
+      rows.foreach { r =>
         val sp = r.getInt(0); val c = r.getInt(1)
         val cv = r.getSeq[Double](2)
         (0 until dsub).foreach(i => cb((sp * 64 + c) * dsub + i) = cv(i))
       }
       val out = s"/tmp/graft_pqdist_cb_${System.getProperty("user.name")}"
-      s.read.parquet(s"$cbDir/codebook")
+      rows.toSeq.map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+        .toDF("s", "c", "cv")
         .coalesce(1).write.mode("overwrite").parquet(out)
       graft.sim.Ann.pqTopK(emb, "vec_id", "embedding", ScriptQv,
         k = 10, oversample = 40, m = 8, codebookSize = 64,

@@ -118,14 +118,21 @@ object Analyzer {
   val FoldTo = "aaaaaaceeeeiiiinooooouuuuyy"
   def asciiFold(text: Column): Column = translate(text, FoldFrom, FoldTo)
 
-  /** `html_strip` char filter: tags become spaces, then the five
-    * common entities decode — `&amp;` LAST so `&amp;lt;` ends as the
-    * literal `&lt;`, not a spurious `<` (the double-unescape bug). */
+  /** The html_strip entity table, ORDER-SENSITIVE: `&amp;` LAST so
+    * `&amp;lt;` ends as the literal `&lt;`, not a spurious `<` (the
+    * double-unescape bug). ONE definition — the Column filter below,
+    * the executor-side WET extraction (Warc.stripHtml) and the
+    * q_warc / q_wet oracle SQL must all agree, so extending the
+    * set here is the single edit point. */
+  val HtmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+    "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** `html_strip` char filter: tags become spaces, then the entity
+    * table decodes in order. */
   def htmlStrip(text: Column): Column = {
     val noTags = regexp_replace(text, "<[^>]*>", " ")
-    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
-      "&nbsp;" -> " ", "&amp;" -> "&")
-      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    HtmlEntities.foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
   }
 
   /** ES `shingle` token filter: unigrams (when `outputUnigrams`) plus

@@ -1348,23 +1348,27 @@ object Ann {
     require(queryVec.nonEmpty && queryVec.length % m == 0,
       s"query dim ${queryVec.length} does not split into $m subspaces")
     require(oversample >= 0, s"bad oversample $oversample (0 = auto rule-sized)")
-    if (oversample == 0)
-      return pqTopK(corpus, idCol, vecCol, queryVec, k,
-        autoOversample(corpus, vecCol, k, m, codebookSize), m, codebookSize, codebooks)
+    val isAuto = oversample == 0
+    val os =
+      if (isAuto) autoOversample(corpus, vecCol, k, m, codebookSize) else oversample
     // sizing guard: bounded-scan count (limit(threshold+1), the
     // requireBoundedQueries trick — never a full count of an
     // unbounded corpus) decides whether corpus/window > m*k.
     // Cost note: this is one extra bounded job per call, reading at
     // most threshold+1 rows — strictly less work than the coarse
     // pass's full corpus encode that follows, so the guard is always
-    // a small fraction of the query it protects.
-    val threshold = math.min(
-      k.toLong * oversample * m * codebookSize, Int.MaxValue - 1L)
-    val over = corpus.where(col(vecCol).isNotNull)
-      .limit((threshold + 1).toInt).count() > threshold
-    lastPqSizingWarning = pqSizingWarning(
-      over, s">${threshold}-vector", k, oversample, m, codebookSize)
-    lastPqSizingWarning.foreach(w => Console.err.println(s"WARN graft.sim.Ann: $w"))
+    // a small fraction of the query it protects. AUTO-sized windows
+    // satisfy the rule by construction, so the guard job is skipped.
+    if (isAuto) lastPqSizingWarning = None
+    else {
+      val threshold = math.min(
+        k.toLong * os * m * codebookSize, Int.MaxValue - 1L)
+      val over = corpus.where(col(vecCol).isNotNull)
+        .limit((threshold + 1).toInt).count() > threshold
+      lastPqSizingWarning = pqSizingWarning(
+        over, s">${threshold}-vector", k, os, m, codebookSize)
+      lastPqSizingWarning.foreach(w => Console.err.println(s"WARN graft.sim.Ann: $w"))
+    }
     val dsub = queryVec.length / m
     // codebooks: caller-trained (pqFitCodebooks), or the deterministic
     // sample baseline — first codebookSize unit vectors by id, sliced
@@ -1380,7 +1384,7 @@ object Ann {
     // L2 ADC: SMALLEST distance wins the window
     val coarse = encoded.select(col("id"), adc.as("adc"))
       .orderBy(col("adc").asc, col("id").asc)
-      .limit(k * oversample)
+      .limit(k * os)
     pqRescore(corpus.where(col(vecCol).isNotNull), idCol, vecCol, coarse, queryVec, k)
   }
 
@@ -1420,19 +1424,24 @@ object Ann {
     graft.index.IndexArtifacts.loadPq(spark, indexPath, vecCol, Some(idCol))
       .map { case ((m, ck), cb, codes) =>
         import org.apache.spark.sql.GraftBridge
+        require(oversample >= 0, s"bad oversample $oversample (0 = auto rule-sized)")
         // oversample = 0 -> AUTO rule-sized window off the codes count
+        val isAuto = oversample == 0
         val os =
-          if (oversample == 0)
-            math.max(4L, codes.count() / (m.toLong * ck * k) + 1).toInt
+          if (isAuto) math.max(4L, codes.count() / (m.toLong * ck * k) + 1).toInt
           else oversample
         // the same r14-ledger sizing guard as the on-the-fly path —
-        // the persisted form is the one that meets real corpus sizes
-        val threshold = math.min(
-          k.toLong * os * m * ck, Int.MaxValue - 1L)
-        val over = codes.limit((threshold + 1).toInt).count() > threshold
-        lastPqSizingWarning = pqSizingWarning(
-          over, s">${threshold}-vector", k, os, m, ck)
-        lastPqSizingWarning.foreach(w => Console.err.println(s"WARN graft.sim.Ann: $w"))
+        // the persisted form is the one that meets real corpus sizes;
+        // auto windows satisfy the rule by construction (guard skipped)
+        if (isAuto) lastPqSizingWarning = None
+        else {
+          val threshold = math.min(
+            k.toLong * os * m * ck, Int.MaxValue - 1L)
+          val over = codes.limit((threshold + 1).toInt).count() > threshold
+          lastPqSizingWarning = pqSizingWarning(
+            over, s">${threshold}-vector", k, os, m, ck)
+          lastPqSizingWarning.foreach(w => Console.err.println(s"WARN graft.sim.Ann: $w"))
+        }
         val lut = pqLut(queryVec, cb, m, ck)
         val adc = GraftBridge.column(graft.expr.PqAdc(
           GraftBridge.expression(col("pq")), lut.toSeq, ck))

@@ -288,12 +288,12 @@ object Warc {
     * WET output syncs on member boundaries exactly like the WARC
     * write side). Record ids derive from the uri, dates are the
     * caller's fixed stamp: byte-deterministic output. */
-  /** Executor-side mirror of `Analyzer.htmlStrip` (same entity order,
-    * `&amp;` LAST so `&amp;lt;` ends as the literal `&lt;`). */
+  /** Executor-side twin of `Analyzer.htmlStrip`, consuming the SAME
+    * entity table (one edit point — a divergence would make paired
+    * extraction differ from the Column-based pipeline silently). */
   private[sources] def stripHtml(s: String): String = {
     var t = s.replaceAll("<[^>]*>", " ")
-    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
-      "&nbsp;" -> " ", "&amp;" -> "&").foreach { case (e, r) => t = t.replace(e, r) }
+    graft.analysis.Analyzer.HtmlEntities.foreach { case (e, r) => t = t.replace(e, r) }
     t.trim
   }
 
@@ -310,6 +310,19 @@ object Warc {
       spark: SparkSession, warcDir: String, wetDir: String, date: String): Long = {
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
+    // the 1:1 pairing is the contract: two sources normalizing to the
+    // same WET name (a.warc beside a.warc.gz) would have two tasks
+    // writing one path concurrently — corrupt members locally, a
+    // failed create on HDFS, lost records either way. Reject loudly.
+    locally {
+      val dir = new Path(warcDir)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val names = fs.listStatus(dir).filter(_.isFile).map(_.getPath.getName)
+      val dup = names.groupBy(n => n.stripSuffix(".gz").stripSuffix(".warc"))
+        .collect { case (b, vs) if vs.length > 1 => vs.mkString(" + ") }
+      require(dup.isEmpty,
+        s"sources normalize to the same paired WET name: ${dup.mkString("; ")}")
+    }
     spark.sparkContext.binaryFiles(warcDir).map { case (path, pds) =>
       val srcName = new Path(path).getName
       val wetName = srcName.stripSuffix(".gz").stripSuffix(".warc") + ".warc.wet.gz"

@@ -185,6 +185,17 @@ class WarcSpec extends SparkSpec {
     val pairs = new java.io.File(wetEmpty).listFiles().filter(_.getName.endsWith(".warc.wet.gz"))
     assert(pairs.length == 1, "no-html source must still produce its paired WET file")
     assert(Warc.warcDF(spark, wetEmpty).count() == 1) // the warcinfo alone
+    // colliding normalized names (a.warc beside a.warc.gz -> one WET
+    // path, two writers) reject loudly before any task runs
+    val clashDir = tmpDir("pairclash")
+    val rec = Warc.responseRecord("https://c/1", "<urn:c:1>",
+      "2026-01-01T00:00:00Z", "text/html", "<p>x</p>".getBytes("UTF-8"))
+    val fo = new java.io.FileOutputStream(s"$clashDir/a.warc"); fo.write(rec); fo.close()
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$clashDir/a.warc.gz")); gz.write(rec); gz.close()
+    val e2 = intercept[IllegalArgumentException](
+      Warc.extractToWet(spark, clashDir, tmpDir("pairclashwet"), "2026-01-01T00:00:00Z"))
+    assert(e2.getMessage.contains("same paired WET name"))
   }
 
   test("plain .warc files read too; a task never needs the whole file in memory") {
