@@ -42,7 +42,7 @@ private[graft] object EntriesWrite {
       val srcFp = graft.index.IndexArtifacts
         .dataFingerprint(s, s"$d/documents.parquet").take(12)
       val dir = graft.index.IndexArtifacts.ensureArtifact("warc", srcFp)(
-        p => new java.io.File(p).isDirectory)(
+        p => graft.index.IndexArtifacts.fsDirExists(s, p))(
         stage => graft.sources.Warc.saveWarc(
           docs.select(
             concat(lit("https://corpus.test/doc/"), col("doc_id")).as("uri"),
@@ -69,7 +69,7 @@ private[graft] object EntriesWrite {
       val srcFp = graft.index.IndexArtifacts
         .dataFingerprint(s, s"$d/documents.parquet").take(12)
       val dir = graft.index.IndexArtifacts.ensureArtifact("warchtml", srcFp)(
-        p => new java.io.File(p).isDirectory)(
+        p => graft.index.IndexArtifacts.fsDirExists(s, p))(
         stage => graft.sources.Warc.saveWarc(
           docs.select(
             concat(lit("https://corpus.test/doc/"), col("doc_id")).as("uri"),
@@ -101,9 +101,9 @@ private[graft] object EntriesWrite {
       val srcFp = graft.index.IndexArtifacts
         .dataFingerprint(s, s"$d/documents.parquet").take(12)
       val wetDir = graft.index.IndexArtifacts.ensureArtifact("wet", srcFp)(
-        p => new java.io.File(p).isDirectory)(stage => {
+        p => graft.index.IndexArtifacts.fsDirExists(s, p))(stage => {
           val warcDir = graft.index.IndexArtifacts.ensureArtifact("warchtml", srcFp)(
-            p => new java.io.File(p).isDirectory)(
+            p => graft.index.IndexArtifacts.fsDirExists(s, p))(
             st => graft.sources.Warc.saveWarc(
               docs.select(
                 concat(lit("https://corpus.test/doc/"), col("doc_id")).as("uri"),

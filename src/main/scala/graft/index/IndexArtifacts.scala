@@ -57,11 +57,17 @@ object IndexArtifacts {
     * prefix, different fingerprint) are best-effort swept, so /tmp
     * stops accumulating one artifact tree per regeneration. */
   /** Artifact root: `graft.artifacts.root` on the active session (any
-    * Hadoop-FS-addressable URI — HDFS, S3A, local), defaulting to
-    * /tmp on the root's own filesystem. r15: the whole commit path
-    * runs on the Hadoop FileSystem API (staging dir + `fs.rename`
-    * commit — the same rename-as-commit contract HDFS gives output
-    * committers), so artifacts are storage-portable; NIO is gone. */
+    * Hadoop-FS-addressable URI), defaulting to /tmp on the root's own
+    * filesystem. r15: the whole commit path runs on the Hadoop
+    * FileSystem API (staging dir + `fs.rename` commit), so artifacts
+    * are storage-portable; NIO is gone. ATOMICITY CAVEAT (r16):
+    * rename-as-commit is atomic on HDFS and local filesystems ONLY.
+    * S3A rename is a non-atomic O(data) copy — a concurrent reader on
+    * s3a:// can observe a partially-copied artifact that the exists()
+    * pre-check treats as committed. Point concurrent builders at an
+    * HDFS or local root; an S3A root is safe only when one process
+    * owns the build (the same restriction S3A puts on
+    * FileOutputCommitter v1, which this layer mirrors). */
   private def artifactRoot: String =
     org.apache.spark.sql.SparkSession.getActiveSession
       .flatMap(s => s.conf.getOption("graft.artifacts.root"))
@@ -71,6 +77,19 @@ object IndexArtifacts {
     org.apache.spark.sql.SparkSession.getActiveSession
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  /** FS-API directory probe for `ensureArtifact` loaded() callbacks:
+    * artifact roots may be Hadoop-FS URIs (hdfs://, s3a://) where a
+    * java.io.File probe always returns false — the artifact would
+    * rebuild every run only to lose the rename race and discard its
+    * staging copy (the r15 q_knn_pq_dist fix, shared here so every
+    * directory-shaped artifact probes the same way). */
+  def fsDirExists(spark: SparkSession, p: String): Boolean = {
+    val path = new Path(p)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try fs.getFileStatus(path).isDirectory
+    catch { case _: java.io.FileNotFoundException => false }
+  }
 
   def ensureArtifact(kind: String, srcFp: String)
       (loaded: String => Boolean)(build: String => Unit): String = {

@@ -573,13 +573,23 @@ object Gif {
   }
 }
 
-/** Baseline JFIF decode/encode through the IN-JDK imaging stack
+/** JFIF decode/encode through the IN-JDK imaging stack
   * (`javax.imageio` + `java.awt.image` — part of the JDK, no external
   * media library). The container walk here is ours: SOI check, marker
-  * scan, SOF classification — PROGRESSIVE (SOF2) and arithmetic-coded
-  * variants are rejected loudly BEFORE any decode is attempted, so an
-  * out-of-scope stream can never half-decode. The entropy decode +
-  * IDCT are ImageIO's.
+  * scan (0xFF fill-byte runs tolerated per B.1.1.2), SOF
+  * classification. In scope: Huffman SEQUENTIAL (SOF0/SOF1) and —
+  * r16, a double-digit share of real crawled JPEGs — Huffman
+  * PROGRESSIVE (SOF2), which ImageIO decodes natively. Lossless,
+  * hierarchical and arithmetic-coded SOFs reject loudly BEFORE any
+  * decode is attempted, so an out-of-scope stream can never
+  * half-decode. The entropy decode + IDCT are ImageIO's.
+  *
+  * EXIF ORIENTATION (documented decision, r16): decode is
+  * RASTER-ORDER. The EXIF orientation tag is metadata-only — ImageIO
+  * does not rotate, and neither do we, so decoded dims always equal
+  * the SOF dims (the cross-check below depends on that) and a
+  * training pipeline sees the stored pixel grid. Callers that need
+  * display orientation must rotate downstream off the metadata pass.
   *
   * JPEG is LOSSY: no pixel formula can replay decoded values, so
   * expected stats are computed at GENERATION time from a decode of
@@ -599,6 +609,12 @@ object Jpeg {
     while (at + 3 < bytes.length) {
       require((bytes(at) & 0xff) == 0xff,
         f"expected a JPEG marker at offset $at, got 0x${bytes(at) & 0xff}%02x")
+      // the spec (B.1.1.2) allows any run of 0xFF FILL bytes before a
+      // marker id, and some encoders emit them: a fill byte parsed as
+      // marker 0xFF would read a garbage length and derail the walk —
+      // skip the run; the marker id is the first non-0xFF byte
+      while (at + 3 < bytes.length && (bytes(at + 1) & 0xff) == 0xff) at += 1
+      require(at + 3 < bytes.length, "JPEG truncated inside a fill-byte run")
       val marker = bytes(at + 1) & 0xff
       require(marker != 0xd9 && marker != 0xda, "JPEG stream without a SOF header")
       val len = ((bytes(at + 2) & 0xff) << 8) | (bytes(at + 3) & 0xff)
@@ -620,9 +636,9 @@ object Jpeg {
     * gray color space. */
   def decodeGray(bytes: Array[Byte]): Png.Image = {
     val (sof, w, h, _) = sofInfo(bytes)
-    require(sof == 0xc0 || sof == 0xc1,
-      s"only baseline sequential-Huffman JPEG in scope (SOF0/SOF1), got SOF${sof - 0xc0}" +
-        (if (sof == 0xc2) " (progressive)" else ""))
+    require(sof == 0xc0 || sof == 0xc1 || sof == 0xc2,
+      s"only Huffman sequential/progressive JPEG in scope (SOF0/SOF1/SOF2), " +
+        s"got SOF${sof - 0xc0} (lossless/hierarchical/arithmetic)")
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     require(img != null, "ImageIO could not decode the JPEG stream")
     require(img.getWidth == w && img.getHeight == h,
@@ -648,9 +664,9 @@ object Jpeg {
     * equal channels through the JDK color model. */
   def decodeRgb(bytes: Array[Byte]): Png.Image = {
     val (sof, w, h, _) = sofInfo(bytes)
-    require(sof == 0xc0 || sof == 0xc1,
-      s"only baseline sequential-Huffman JPEG in scope (SOF0/SOF1), got SOF${sof - 0xc0}" +
-        (if (sof == 0xc2) " (progressive)" else ""))
+    require(sof == 0xc0 || sof == 0xc1 || sof == 0xc2,
+      s"only Huffman sequential/progressive JPEG in scope (SOF0/SOF1/SOF2), " +
+        s"got SOF${sof - 0xc0} (lossless/hierarchical/arithmetic)")
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     require(img != null, "ImageIO could not decode the JPEG stream")
     require(img.getWidth == w && img.getHeight == h,
@@ -701,11 +717,17 @@ object Jpeg {
   }
 
   private def writeJfif(
-      img: java.awt.image.BufferedImage, quality: Float): Array[Byte] = {
+      img: java.awt.image.BufferedImage, quality: Float,
+      progressive: Boolean = false): Array[Byte] = {
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
     val params = writer.getDefaultWriteParam
     params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     params.setCompressionQuality(quality)
+    // progressive = SOF2 multi-scan output (the JDK writer's default
+    // scan script) — the r16 in-scope extension; the SOF marker in
+    // the produced stream is the decode gate's own evidence
+    if (progressive)
+      params.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
     val bos = new java.io.ByteArrayOutputStream(
       img.getWidth * img.getHeight / 2 + 1024)
     val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
@@ -721,7 +743,7 @@ object Jpeg {
     * fixed JDK, which the generation-time-stats contract requires). */
   def encodeGray(
       width: Int, height: Int, pixels: Array[Byte],
-      quality: Float = 0.9f): Array[Byte] = {
+      quality: Float = 0.9f, progressive: Boolean = false): Array[Byte] = {
     require(pixels.length == width * height,
       s"${pixels.length} pixels for ${width}x$height")
     val img = new java.awt.image.BufferedImage(
@@ -729,6 +751,6 @@ object Jpeg {
     System.arraycopy(pixels, 0,
       img.getRaster.getDataBuffer.asInstanceOf[java.awt.image.DataBufferByte].getData,
       0, pixels.length)
-    writeJfif(img, quality)
+    writeJfif(img, quality, progressive)
   }
 }

@@ -344,7 +344,11 @@ object Multimodal {
         }
         y += 1
       }
-      val payload = Jpeg.encodeGray(w, h, px)
+      // a third of the corpus encodes PROGRESSIVE (SOF2, r16) — the
+      // double-digit share real crawls carry; the generation-time
+      // decode computes stats from whatever bytes were produced, so
+      // the persisted-stats oracle contract is mode-agnostic
+      val payload = Jpeg.encodeGray(w, h, px, progressive = id % 3 == 0)
       val img = Jpeg.decodeGray(payload)
       var s = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
       img.pixels.foreach { b =>

@@ -1314,7 +1314,7 @@ object Ann {
     * resolution; raising oversample OR m·k clears it. */
   def pqSizingWarning(
       corpusOverThreshold: Boolean, n: String,
-      k: Int, oversample: Int, m: Int, codebookSize: Int): Option[String] =
+      k: Int, oversample: Long, m: Int, codebookSize: Int): Option[String] =
     if (corpusOverThreshold)
       Some(s"PQ coarse window ${k.toLong * oversample} (k=$k x oversample=$oversample) " +
         s"covers under 1/(m*k) = 1/${m * codebookSize} of the $n corpus at " +
@@ -1327,11 +1327,38 @@ object Ann {
     * prescription the r15 probe measured buying recall back from
     * 0/10 to 9/10 at 1.5M vectors. Costs one full count (opt-in —
     * callers passing oversample = 0 accept it); floor of 4 keeps
-    * tiny corpora from degenerate windows. */
+    * tiny corpora from degenerate windows. Long, NOT Int (the r15
+    * advice): at the corpus scales the rule exists for, the
+    * oversample itself can exceed Int range. */
   private def autoOversample(
-      corpus: DataFrame, vecCol: String, k: Int, m: Int, codebookSize: Int): Int = {
+      corpus: DataFrame, vecCol: String, k: Int, m: Int, codebookSize: Int): Long = {
     val n = corpus.where(col(vecCol).isNotNull).count()
-    math.max(4L, n / (m.toLong * codebookSize * k) + 1).toInt
+    math.max(4L, n / (m.toLong * codebookSize * k) + 1)
+  }
+
+  /** Coarse window k·oversample as the Int `limit` needs, computed in
+    * Long: at auto-rule scales k·os overflows Int and `limit` would
+    * see a negative/garbage size. Caps at Int.MaxValue with a warning
+    * when the cap binds — a capped window only ever ADDS candidates
+    * relative to the requested one, never drops them. */
+  private def coarseWindow(k: Int, oversample: Long): Int = {
+    val w = k.toLong * oversample
+    if (w > Int.MaxValue) {
+      Console.err.println(s"WARN graft.sim.Ann: coarse window k*oversample = $w " +
+        s"exceeds Int.MaxValue; capping at ${Int.MaxValue}")
+      Int.MaxValue
+    } else w.toInt
+  }
+
+  /** k·os·m·ck for the bounded-count guard, with SATURATION at
+    * Int.MaxValue-1 (the largest limit()-able threshold): Long
+    * products of rule-sized windows overflow, and a wrapped threshold
+    * would silence the guard exactly where it matters. */
+  private def sizingThreshold(k: Int, oversample: Long, m: Int, ck: Int): Long = {
+    val cap = Int.MaxValue - 1L
+    Seq(oversample, m.toLong, ck.toLong).foldLeft(math.min(k.toLong, cap)) {
+      (acc, f) => if (f != 0L && acc > cap / f) cap else math.min(acc * f, cap)
+    }
   }
 
   def pqTopK(
@@ -1349,8 +1376,8 @@ object Ann {
       s"query dim ${queryVec.length} does not split into $m subspaces")
     require(oversample >= 0, s"bad oversample $oversample (0 = auto rule-sized)")
     val isAuto = oversample == 0
-    val os =
-      if (isAuto) autoOversample(corpus, vecCol, k, m, codebookSize) else oversample
+    val os: Long =
+      if (isAuto) autoOversample(corpus, vecCol, k, m, codebookSize) else oversample.toLong
     // sizing guard: bounded-scan count (limit(threshold+1), the
     // requireBoundedQueries trick — never a full count of an
     // unbounded corpus) decides whether corpus/window > m*k.
@@ -1361,8 +1388,7 @@ object Ann {
     // satisfy the rule by construction, so the guard job is skipped.
     if (isAuto) lastPqSizingWarning = None
     else {
-      val threshold = math.min(
-        k.toLong * os * m * codebookSize, Int.MaxValue - 1L)
+      val threshold = sizingThreshold(k, os, m, codebookSize)
       val over = corpus.where(col(vecCol).isNotNull)
         .limit((threshold + 1).toInt).count() > threshold
       lastPqSizingWarning = pqSizingWarning(
@@ -1384,7 +1410,7 @@ object Ann {
     // L2 ADC: SMALLEST distance wins the window
     val coarse = encoded.select(col("id"), adc.as("adc"))
       .orderBy(col("adc").asc, col("id").asc)
-      .limit(k * os)
+      .limit(coarseWindow(k, os))
     pqRescore(corpus.where(col(vecCol).isNotNull), idCol, vecCol, coarse, queryVec, k)
   }
 
@@ -1427,16 +1453,15 @@ object Ann {
         require(oversample >= 0, s"bad oversample $oversample (0 = auto rule-sized)")
         // oversample = 0 -> AUTO rule-sized window off the codes count
         val isAuto = oversample == 0
-        val os =
-          if (isAuto) math.max(4L, codes.count() / (m.toLong * ck * k) + 1).toInt
-          else oversample
+        val os: Long =
+          if (isAuto) math.max(4L, codes.count() / (m.toLong * ck * k) + 1)
+          else oversample.toLong
         // the same r14-ledger sizing guard as the on-the-fly path —
         // the persisted form is the one that meets real corpus sizes;
         // auto windows satisfy the rule by construction (guard skipped)
         if (isAuto) lastPqSizingWarning = None
         else {
-          val threshold = math.min(
-            k.toLong * os * m * ck, Int.MaxValue - 1L)
+          val threshold = sizingThreshold(k, os, m, ck)
           val over = codes.limit((threshold + 1).toInt).count() > threshold
           lastPqSizingWarning = pqSizingWarning(
             over, s">${threshold}-vector", k, os, m, ck)
@@ -1447,7 +1472,7 @@ object Ann {
           GraftBridge.expression(col("pq")), lut.toSeq, ck))
         val coarse = codes.select(col("id"), adc.as("adc"))
           .orderBy(col("adc").asc, col("id").asc)
-          .limit(k * os)
+          .limit(coarseWindow(k, os))
         val live = spark.read.format(fmt).load(indexPath)
           .where(col(vecCol).isNotNull)
         pqRescore(live, idCol, vecCol, coarse, queryVec, k)
@@ -1477,6 +1502,7 @@ object Ann {
       codebooks: Option[Array[Double]] = None): DataFrame = {
     import org.apache.spark.sql.GraftBridge
     require(nprobe > 0 && nprobe <= nCentroids, s"nprobe $nprobe of $nCentroids")
+    require(oversample >= 0, s"bad oversample $oversample (0 = auto rule-sized)")
     val centsDf = seedCentroids(corpus, idCol, vecCol, nCentroids)
     // probe selection on the driver: nCentroids is tiny by contract
     val cents = centsDf.collect()
@@ -1497,6 +1523,24 @@ object Ann {
     val member = assignToCentroids(corpus, idCol, vecCol, centsDf)
       .where(col("cent_id").isin(probed: _*))
       .select(col("id"))
+    // r16: the r15 sizing guard + auto mode, threaded through the
+    // IVFADC entry points (closing the r15 guard hole — the builder's
+    // own structured-corpus probe read 0/10 recall here at 1.5M
+    // vectors with an undersized window). The candidate corpus is the
+    // PROBED lists' rows, which the assignment pass already yields:
+    // rule reads corpus = |member|, window = k·os.
+    val isAuto = oversample == 0
+    val os: Long =
+      if (isAuto) math.max(4L, member.count() / (m.toLong * codebookSize * k) + 1)
+      else oversample.toLong
+    if (isAuto) lastPqSizingWarning = None
+    else {
+      val threshold = sizingThreshold(k, os, m, codebookSize)
+      val over = member.limit((threshold + 1).toInt).count() > threshold
+      lastPqSizingWarning = pqSizingWarning(
+        over, s">${threshold}-candidate probed", k, os, m, codebookSize)
+      lastPqSizingWarning.foreach(w => Console.err.println(s"WARN graft.sim.Ann: $w"))
+    }
     // codebooks: caller-trained (pqFitCodebooks / pqFitCodebooksDist),
     // or the deterministic sample baseline the oracle replays
     val cb = codebooks.getOrElse(
@@ -1510,7 +1554,7 @@ object Ann {
       .join(member, Seq("id"), "left_semi")
       .select(col("id"), adc.as("adc"))
       .orderBy(col("adc").asc, col("id").asc)
-      .limit(k * oversample)
+      .limit(coarseWindow(k, os))
     pqRescore(corpus.where(col(vecCol).isNotNull), idCol, vecCol,
       coarse, queryVec, k)
   }
@@ -1557,13 +1601,29 @@ object Ann {
         (cid, cos)
       }.sortBy { case (cid, cos) => (-cos, cid) }.take(nprobe).map(_._1).toSeq
       val member = assignments.where(col("cent_id").isin(probed: _*)).select(col("id"))
+      // the same r16 guard + auto as the on-the-fly IVFADC form; the
+      // candidate count reads only the probed lists' stored
+      // assignment rows (nprobe/nCentroids of the assignment table)
+      require(oversample >= 0, s"bad oversample $oversample (0 = auto rule-sized)")
+      val isAuto = oversample == 0
+      val os: Long =
+        if (isAuto) math.max(4L, member.count() / (m.toLong * ck * k) + 1)
+        else oversample.toLong
+      if (isAuto) lastPqSizingWarning = None
+      else {
+        val threshold = sizingThreshold(k, os, m, ck)
+        val over = member.limit((threshold + 1).toInt).count() > threshold
+        lastPqSizingWarning = pqSizingWarning(
+          over, s">${threshold}-candidate probed", k, os, m, ck)
+        lastPqSizingWarning.foreach(w => Console.err.println(s"WARN graft.sim.Ann: $w"))
+      }
       val lut = pqLut(queryVec, cb, m, ck)
       val adc = GraftBridge.column(graft.expr.PqAdc(
         GraftBridge.expression(col("pq")), lut.toSeq, ck))
       val coarse = codes.join(member, Seq("id"), "left_semi")
         .select(col("id"), adc.as("adc"))
         .orderBy(col("adc").asc, col("id").asc)
-        .limit(k * oversample)
+        .limit(coarseWindow(k, os))
       val live = spark.read.format(fmt).load(indexPath)
         .where(col(vecCol).isNotNull)
       pqRescore(live, idCol, vecCol, coarse, queryVec, k)

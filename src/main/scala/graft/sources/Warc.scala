@@ -291,10 +291,18 @@ object Warc {
   /** Executor-side twin of `Analyzer.htmlStrip`, consuming the SAME
     * entity table (one edit point — a divergence would make paired
     * extraction differ from the Column-based pipeline silently). */
-  private[sources] def stripHtml(s: String): String = {
+  private[graft] def stripHtml(s: String): String = {
     var t = s.replaceAll("<[^>]*>", " ")
     graft.analysis.Analyzer.HtmlEntities.foreach { case (e, r) => t = t.replace(e, r) }
-    t.trim
+    // SPACE-ONLY trim, matching Spark/DuckDB SQL `trim` (' ' alone):
+    // Java String.trim also strips \n/\t (any char <= U+0020), which
+    // would silently diverge this executor-side twin from the Column
+    // pipeline on pages with leading/trailing newlines
+    var from = 0
+    var to = t.length
+    while (from < to && t.charAt(from) == ' ') from += 1
+    while (to > from && t.charAt(to - 1) == ' ') to -= 1
+    t.substring(from, to)
   }
 
   /** PAIRED WARC -> WET extraction, the published Common Crawl

@@ -244,6 +244,67 @@ class AnnTextSpec extends SparkSpec {
       Ann.pqTopK(emb, "vec_id", "embedding", qv, k = 5, oversample = -1))
   }
 
+  test("PQ window math stays in Long: huge oversample caps instead of overflowing (r16)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val qv = (1 to 64).map(i => math.sin(i * 0.37))
+    // k*oversample = 5 x Int.MaxValue overflows Int multiply; the Long
+    // window caps at Int.MaxValue (warned), the guard threshold
+    // saturates instead of wrapping, and the call still returns k rows
+    val r = Ann.pqTopK(emb, "vec_id", "embedding", qv, k = 5, oversample = Int.MaxValue)
+    assert(r.count() == 5)
+  }
+
+  test("IVFADC sizing guard + auto: the r15 guard hole is closed on both entry points (r16)") {
+    val emb = Tables.embeddings(spark, sfDir) // 500 vectors
+    val qv = (1 to 64).map(i => math.sin(i * 0.37))
+    // the candidate corpus is the PROBED lists (~nprobe/nCentroids of
+    // 500 ≈ 125 rows). window 1x1 at m=4,ck=4 -> threshold 16 < 125:
+    // the collapse regime the r15 structured probe measured at 0/10
+    Ann.ivfAdcTopK(emb, "vec_id", "embedding", qv, k = 1, oversample = 1,
+      nCentroids = 16, nprobe = 4, m = 4, codebookSize = 4)
+    assert(Ann.lastPqSizingWarning.nonEmpty, "under-sized IVFADC window did not warn")
+    assert(Ann.lastPqSizingWarning.get.contains("Raise oversample"))
+    // window 5x20 -> threshold 6400 >> 125 candidates: silent
+    Ann.ivfAdcTopK(emb, "vec_id", "embedding", qv, k = 5, oversample = 20,
+      nCentroids = 16, nprobe = 4)
+    assert(Ann.lastPqSizingWarning.isEmpty, "well-sized IVFADC window warned spuriously")
+    // auto (0): rule-sized off the probed-list count, silent, equal to
+    // its explicit twin (125/(4*16*5)+1 = 1, floored to 4)
+    import spark.implicits._
+    val auto = Ann.ivfAdcTopK(emb, "vec_id", "embedding", qv, k = 5, oversample = 0,
+      nCentroids = 16, nprobe = 4)
+      .select("id", "cosine").as[(Long, Double)].collect().toSeq
+    assert(Ann.lastPqSizingWarning.isEmpty, "auto-sized IVFADC window warned")
+    val explicitTwin = Ann.ivfAdcTopK(emb, "vec_id", "embedding", qv, k = 5, oversample = 4,
+      nCentroids = 16, nprobe = 4)
+      .select("id", "cosine").as[(Long, Double)].collect().toSeq
+    assert(auto == explicitTwin, "IVFADC auto window diverged from its explicit twin")
+    intercept[IllegalArgumentException](
+      Ann.ivfAdcTopK(emb, "vec_id", "embedding", qv, k = 5, oversample = -1,
+        nCentroids = 16, nprobe = 4))
+    // the PERSISTED entry point carries the same guard + auto
+    val out = s"/tmp/graft_spec_ivfadc_guard_${System.getProperty("user.name")}"
+    graft.sources.Connector.save(emb, out, Map(
+      "graft.write.operation" -> "overwrite",
+      "graft.mapping.id" -> "vec_id",
+      "graft.index.vectors" -> "embedding",
+      "graft.index.vectors.centroids" -> "16",
+      "graft.index.pq" -> "embedding"))
+    def indexed(os: Int) = Ann.ivfAdcTopKIndexed(spark, out, "vec_id", "embedding",
+      qv, k = 5, oversample = os, nprobe = 4)
+      .getOrElse(sys.error("ivfadc artifacts missing right after build"))
+    // warn case: k=1 x os=1 at the artifact's m=4,ck=16 -> threshold
+    // 64 < ~125 probed candidates
+    Ann.ivfAdcTopKIndexed(spark, out, "vec_id", "embedding", qv,
+      k = 1, oversample = 1, nprobe = 4)
+      .getOrElse(sys.error("ivfadc artifacts missing")).collect()
+    assert(Ann.lastPqSizingWarning.nonEmpty, "indexed IVFADC under-sized window did not warn")
+    val autoIdx = indexed(0).select("id", "cosine").as[(Long, Double)].collect().toSeq
+    assert(Ann.lastPqSizingWarning.isEmpty, "indexed IVFADC auto window warned")
+    val explIdx = indexed(4).select("id", "cosine").as[(Long, Double)].collect().toSeq
+    assert(autoIdx == explIdx, "indexed IVFADC auto diverged from its explicit twin")
+  }
+
   test("PQ: 4-byte codes, ADC window recovers the exact top-k, codes-only coarse plan") {
     import org.apache.spark.sql.GraftBridge
     val emb = Tables.embeddings(spark, sfDir)

@@ -393,11 +393,28 @@ class CodecsSpec extends SparkSpec {
     assert(a == b, "JPEG decode is not deterministic on identical bytes")
     // container walk: SOF info agrees with the raster
     assert(Jpeg.sofInfo(payload)._1 == 0xc0)
-    // progressive (SOF2) rejects BEFORE any decode
-    val prog = Array[Byte](0xff.toByte, 0xd8.toByte,
-      0xff.toByte, 0xc2.toByte, 0, 11, 8, 0, 30, 0, 40, 1, 0x11, 0, 0)
-    val e = intercept[IllegalArgumentException](Jpeg.decodeGray(prog))
-    assert(e.getMessage.contains("progressive"))
+    // PROGRESSIVE (SOF2) is IN scope since r16: the produced stream
+    // really is multi-scan (SOF2 in its own container walk) and
+    // decodes to the same dims, deterministically, raster-order
+    val progPayload = Jpeg.encodeGray(40, 30, px, progressive = true)
+    assert(Jpeg.sofInfo(progPayload)._1 == 0xc2, "progressive encode did not emit SOF2")
+    val p1 = Jpeg.decodeGray(progPayload)
+    assert(p1.width == 40 && p1.height == 30 && p1.pixels.length == 40 * 30)
+    assert(p1.pixels.toSeq == Jpeg.decodeGray(progPayload).pixels.toSeq,
+      "progressive decode is not deterministic on identical bytes")
+    // lossless (SOF3) and arithmetic (SOF9) stay OUT of scope — loud
+    // reject BEFORE any decode attempt
+    for (sof <- Seq(0xc3, 0xc9)) {
+      val bad = Array[Byte](0xff.toByte, 0xd8.toByte,
+        0xff.toByte, sof.toByte, 0, 11, 8, 0, 30, 0, 40, 1, 0x11, 0, 0)
+      val e = intercept[IllegalArgumentException](Jpeg.decodeGray(bad))
+      assert(e.getMessage.contains("in scope"), s"SOF${sof - 0xc0}: ${e.getMessage}")
+    }
+    // 0xFF FILL bytes before a marker id (spec B.1.1.2) parse through
+    // the walk instead of derailing it (r16 advice): splice a fill
+    // run right after SOI and the SOF must still be found
+    val filled = payload.take(2) ++ Array[Byte](0xff.toByte, 0xff.toByte) ++ payload.drop(2)
+    assert(Jpeg.sofInfo(filled.toArray)._2 == 40 && Jpeg.sofInfo(filled.toArray)._3 == 30)
     // not a JPEG at all
     intercept[IllegalArgumentException](Jpeg.decodeGray("PNGish".getBytes))
   }

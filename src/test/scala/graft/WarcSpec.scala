@@ -198,6 +198,22 @@ class WarcSpec extends SparkSpec {
     assert(e2.getMessage.contains("same paired WET name"))
   }
 
+  test("stripHtml trims spaces ONLY, like SQL trim — the Column-pipeline twin (r16)") {
+    // '\n<p>x</p>\n' -> tags become spaces -> '\n x \n'; SQL trim
+    // (space-only) keeps the newlines, and so must the executor twin —
+    // Java String.trim would strip them and silently diverge WET
+    // extraction from the Column-based pipeline
+    assert(Warc.stripHtml("\n<p>x</p>\n") == "\n x \n")
+    assert(Warc.stripHtml("  <p>x</p>  ") == "x")
+    assert(Warc.stripHtml("\t<p>x</p>\t") == "\t x \t")
+    // exact agreement with the Column pipeline on the same input
+    val in = Seq("\n<p>a</p>\n", "  <b>b&amp;c</b>  ", "\tz\t").toDF("h")
+    val viaColumn = in.select(
+      trim(graft.analysis.Analyzer.htmlStrip(col("h"))).as("t")).as[String].collect()
+    val viaExec = Seq("\n<p>a</p>\n", "  <b>b&amp;c</b>  ", "\tz\t").map(Warc.stripHtml)
+    assert(viaExec == viaColumn.toSeq)
+  }
+
   test("plain .warc files read too; a task never needs the whole file in memory") {
     val dir = tmpDir("plain")
     val out = new java.io.FileOutputStream(s"$dir/a.warc")
