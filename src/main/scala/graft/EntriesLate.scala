@@ -181,6 +181,62 @@ private[graft] object EntriesLate {
         k = 10, oversample = 40, m = 8, codebookSize = 64,
         codebooks = Some(cb))
     }),
+    // trained fit over a STRUCTURED (clustered) corpus at oracle level
+    // (r16 — the verdict's TESTDATA item, without touching testdata):
+    // the corpus derives IN-PLAN from the embeddings table — centers =
+    // the first 64 vectors, every row = its center (vec_id % 64) +
+    // 0.15 x its own isotropic vector — the r15 probe's cluster
+    // recipe, expressed in exact double ops DuckDB replays verbatim.
+    // The lloyd-dist codebook trains ONCE on the clustered corpus
+    // (fingerprint-keyed artifact), the oracle replays assignment +
+    // ADC + exact rescore FROM the persisted model, and the window is
+    // the AUTO rule-sized one, mirrored in SQL off the corpus count —
+    // trained-fit recall under cluster structure is now in the graded
+    // contract, not just the probe ledger
+    "q_knn_pq_clustered" -> ((s, d) => {
+      import s.implicits._
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("ev"))
+      // row_number over an already-limit(64)-bounded frame: the
+      // center table is 64 rows by construction
+      val w64 = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
+      val cents = e.orderBy(col("vec_id")).limit(64)
+        .select((row_number().over(w64) - 1).cast("long").as("cid"), col("ev").as("cv"))
+      val corpus = e.withColumn("cid", pmod(col("vec_id"), lit(64L)))
+        .join(broadcast(cents), "cid")
+        .select(col("vec_id"),
+          zip_with(col("cv"), col("ev"), (c, x) => c + lit(0.15) * x).as("embedding"))
+      val dsub = 8
+      val srcFp = graft.index.IndexArtifacts
+        .dataFingerprint(s, s"$d/embeddings.parquet").take(12)
+      val cbDir = graft.index.IndexArtifacts.ensureArtifact("pqclustcb", srcFp)(
+        p => {
+          val cp = new org.apache.hadoop.fs.Path(s"$p/codebook")
+          cp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(cp)
+        })(stage => {
+          val fit = graft.sim.Ann.pqFitCodebooksDist(
+            corpus, "vec_id", "embedding", m = 8, k = 64)
+          (for (sp <- 0 until 8; c <- 0 until 64)
+            yield (sp, c, (0 until dsub).map(i => fit((sp * 64 + c) * dsub + i))))
+            .toDF("s", "c", "cv")
+            .coalesce(1).write.parquet(s"$stage/codebook")
+        })
+      val rows = s.read.parquet(s"$cbDir/codebook")
+        .select("s", "c", "cv").collect()
+      val cb = new Array[Double](8 * 64 * dsub)
+      rows.foreach { r =>
+        val sp = r.getInt(0); val c = r.getInt(1)
+        val cv = r.getSeq[Double](2)
+        (0 until dsub).foreach(i => cb((sp * 64 + c) * dsub + i) = cv(i))
+      }
+      rows.toSeq.map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+        .toDF("s", "c", "cv")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"/tmp/graft_pqclust_cb_${System.getProperty("user.name")}")
+      graft.sim.Ann.pqTopK(corpus, "vec_id", "embedding", ScriptQv,
+        k = 10, oversample = 0, m = 8, codebookSize = 64,
+        codebooks = Some(cb))
+    }),
     // pack-once persisted PQ: the write pays the encode under a frozen
     // codebook, the query's coarse pass reads m bytes/doc — hash-equal
     // to on-the-fly q_knn_pq (same oracle SQL)
@@ -256,6 +312,55 @@ private[graft] object EntriesLate {
       graft.sim.Ann.ivfAdcTopKIndexed(s, out, "vec_id", "embedding",
         ScriptQv, k = 10, oversample = 4, nprobe = 4)
         .getOrElse(sys.error("ivfadc artifacts missing right after build"))
+    }),
+    // IVFADC over TRAINED quantizers, persisted (r16 — the verdict's
+    // composition): the kmeans coarse quantizer (graft.index.vectors
+    // .fit = kmeans) routes probes to BALANCED lists — the cost the
+    // q_ivf_list_stats report prices — and lloyd-dist codebooks
+    // (graft.index.pq.fit = lloyd-dist, 8x64) drive the ADC. k-means
+    // has no SQL equivalent, so the key persists the trained model
+    // once (fingerprint-keyed) and the oracle replays probe +
+    // assignment + ADC + exact rescore FROM the stored centroids and
+    // codebook (the q_knn_pq_dist split). The window is the AUTO
+    // rule-sized one (oversample = 0, the r16 IVFADC guard), mirrored
+    // in SQL off the probed candidate count.
+    "q_knn_ivfadc_trained" -> ((s, d) => {
+      import s.implicits._
+      val srcFp = graft.index.IndexArtifacts
+        .dataFingerprint(s, s"$d/embeddings.parquet").take(12)
+      val out = graft.index.IndexArtifacts.ensureArtifact("ivfadctr", srcFp)(
+        p => graft.index.IndexArtifacts.loadPq(s, p, "embedding", Some("vec_id")).nonEmpty &&
+          graft.index.IndexArtifacts.loadIvf(s, p, "embedding", Some("vec_id")).nonEmpty)(
+        stage => graft.sources.Connector.save(t(s, d, "embeddings"), stage, Map(
+          "graft.write.operation" -> "overwrite",
+          "graft.mapping.id" -> "vec_id",
+          "graft.index.vectors" -> "embedding",
+          "graft.index.vectors.centroids" -> "16",
+          "graft.index.vectors.fit" -> "kmeans",
+          "graft.index.pq" -> "embedding",
+          "graft.index.pq.m" -> "8",
+          "graft.index.pq.k" -> "64",
+          "graft.index.pq.fit" -> "lloyd-dist")))
+      // static oracle copies FROM the persisted model — 16 centroid
+      // rows + 512 codebook rows, driver-tiny by contract
+      val (centsDf, _) = graft.index.IndexArtifacts
+        .loadIvf(s, out, "embedding", Some("vec_id")).get
+      centsDf.select(col("cent_id"), col("cv")).collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .toDF("cent_id", "cv").coalesce(1)
+        .write.mode("overwrite")
+        .parquet(s"/tmp/graft_ivfadctr_cents_${System.getProperty("user.name")}")
+      val ((m, ck), cb, _) = graft.index.IndexArtifacts
+        .loadPq(s, out, "embedding", Some("vec_id")).get
+      val dsub = 64 / m
+      (for (sp <- 0 until m; c <- 0 until ck)
+        yield (sp, c, (0 until dsub).map(i => cb((sp * ck + c) * dsub + i))))
+        .toDF("s", "c", "cv").coalesce(1)
+        .write.mode("overwrite")
+        .parquet(s"/tmp/graft_ivfadctr_cb_${System.getProperty("user.name")}")
+      graft.sim.Ann.ivfAdcTopKIndexed(s, out, "vec_id", "embedding",
+        ScriptQv, k = 10, oversample = 0, nprobe = 4)
+        .getOrElse(sys.error("trained ivfadc artifacts missing right after build"))
     }),
     // ip_range agg over the synthetic ip column (from-inclusive,
     // to-exclusive, unbounded sides open; one scan, N count_ifs)
@@ -674,6 +779,50 @@ private[graft] object EntriesLate {
       "sqrt(list_reduce(list_prepend(0.0, list_transform(w0, x -> x * x)), (a, b) -> a + b))), 4) AS cosine " +
       "FROM coarse c JOIN v e ON e.id = c.id CROSS JOIN q) " +
       "SELECT id, adc, cosine FROM ex ORDER BY cosine DESC, id LIMIT 10"),
+    // clustered-corpus trained PQ: the corpus CTE replays the in-plan
+    // derivation (center + 0.15 x own vector, exact double ops), the
+    // codebook reads the persisted lloyd-dist model's static copy,
+    // the window mirrors the auto rule off the corpus count
+    "q_knn_pq_clustered" -> ("WITH q0 AS (SELECT " + ScriptQv.mkString("[", ", ", "]") + "::DOUBLE[] AS w0), " +
+      "q AS (SELECT w0, list_transform(w0, x -> x / sqrt(list_reduce(list_prepend(0.0, " +
+      "list_transform(w0, y -> y * y)), (a, b) -> a + b))) AS w FROM q0), " +
+      "ctr AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, " +
+      "list_transform(embedding, x -> x::DOUBLE) AS cv " +
+      "FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 64) t64), " +
+      "v0 AS (SELECT e.vec_id AS id, list_transform(range(1, 65), i -> " +
+      "ctr.cv[i] + 0.15 * e.ev[i]) AS rv FROM (SELECT vec_id, " +
+      "list_transform(embedding, x -> x::DOUBLE) AS ev, vec_id % 64 AS cid " +
+      "FROM embeddings) e JOIN ctr USING (cid)), " +
+      "v AS (SELECT id, rv, CASE WHEN nrm = 0 THEN rv ELSE " +
+      "list_transform(rv, x -> x / nrm) END AS v FROM (SELECT id, rv, " +
+      "sqrt(list_reduce(list_prepend(0.0, list_transform(rv, x -> x * x)), (a, b) -> a + b)) AS nrm " +
+      "FROM v0) t0), " +
+      "cbp AS (SELECT s, c, cv FROM read_parquet(" +
+      s"'/tmp/graft_pqclust_cb_${System.getProperty("user.name")}/*.parquet')), " +
+      "ad AS (SELECT v.id, p.s, p.c, floor(list_reduce(list_prepend(0.0, " +
+      "list_transform(generate_series(1, 8), i -> " +
+      "(v.v[p.s*8 + i] - p.cv[i]) * (v.v[p.s*8 + i] - p.cv[i]))), " +
+      "(a, b) -> a + b) * 1e6 + 0.5)::BIGINT AS dl " +
+      "FROM v CROSS JOIN cbp p), " +
+      "asg AS (SELECT id, s, c FROM (SELECT id, s, c, " +
+      "row_number() OVER (PARTITION BY id, s ORDER BY dl ASC, c ASC) AS rn FROM ad) t " +
+      "WHERE rn = 1), " +
+      "lut AS (SELECT p.s, p.c, floor(list_reduce(list_prepend(0.0, " +
+      "list_transform(generate_series(1, 8), i -> " +
+      "(w[p.s*8 + i] - p.cv[i]) * (w[p.s*8 + i] - p.cv[i]))), " +
+      "(a, b) -> a + b) * 1e6 + 0.5)::BIGINT AS dl " +
+      "FROM cbp p CROSS JOIN q), " +
+      "wnd AS (SELECT 10 * GREATEST(4, (SELECT count(*) FROM v0) // (8*64*10) + 1) AS w), " +
+      "coarse AS (SELECT id, adc FROM (SELECT a.id, sum(l.dl)::DOUBLE / 1e6 AS adc, " +
+      "row_number() OVER (ORDER BY sum(l.dl) ASC, a.id ASC) AS rn " +
+      "FROM asg a JOIN lut l ON l.s = a.s AND l.c = a.c " +
+      "GROUP BY a.id) t WHERE rn <= (SELECT w FROM wnd)), " +
+      "ex AS (SELECT c.id, c.adc, round(list_reduce(list_prepend(0.0, " +
+      "list_transform(range(1, 65), i -> e.rv[i] * w0[i])), (a, b) -> a + b) / " +
+      "(sqrt(list_reduce(list_prepend(0.0, list_transform(e.rv, x -> x * x)), (a, b) -> a + b)) * " +
+      "sqrt(list_reduce(list_prepend(0.0, list_transform(w0, x -> x * x)), (a, b) -> a + b))), 4) AS cosine " +
+      "FROM coarse c JOIN v e ON e.id = c.id CROSS JOIN q0) " +
+      "SELECT id, adc, cosine FROM ex ORDER BY cosine DESC, id LIMIT 10"),
     "q_knn_pq" -> ("WITH q0 AS (SELECT " + ScriptQv.mkString("[", ", ", "]") + "::DOUBLE[] AS w0), " +
       "q AS (SELECT w0, list_transform(w0, x -> x / sqrt(list_reduce(list_prepend(0.0, " +
       "list_transform(w0, y -> y * y)), (a, b) -> a + b))) AS w FROM q0), " +
@@ -826,6 +975,56 @@ private[graft] object EntriesLate {
       "coarse AS (SELECT a.id, sum(l.dl)::DOUBLE / 1e6 AS adc " +
       "FROM asgpq a JOIN lut l ON l.s = a.s AND l.c = a.c " +
       "GROUP BY a.id ORDER BY adc ASC, a.id ASC LIMIT 40), " +
+      "ex AS (SELECT c.id, c.adc, round(list_reduce(list_prepend(0.0, " +
+      "list_transform(range(1, 65), i -> e2.rv[i] * w0[i])), (a, b) -> a + b) / " +
+      "(sqrt(list_reduce(list_prepend(0.0, list_transform(e2.rv, x -> x * x)), (a, b) -> a + b)) * " +
+      "sqrt(list_reduce(list_prepend(0.0, list_transform(w0, x -> x * x)), (a, b) -> a + b))), 4) AS cosine " +
+      "FROM coarse c JOIN n e2 ON e2.id = c.id CROSS JOIN q0) " +
+      "SELECT id, adc, cosine FROM ex ORDER BY cosine DESC, id LIMIT 10"),
+    // trained IVFADC: probe + assignment replay from the STORED
+    // kmeans centroids, ADC from the STORED lloyd-dist codebook
+    // (static /tmp copies the key refreshes), auto rule-sized window
+    // mirrored off the probed candidate count
+    "q_knn_ivfadc_trained" -> ("WITH q0 AS (SELECT " + ScriptQv.mkString("[", ", ", "]") + "::DOUBLE[] AS w0), " +
+      "qn AS (SELECT w0, sqrt(list_reduce(list_prepend(0.0, list_transform(w0, y -> y * y)), (a, b) -> a + b)) AS qnrm, " +
+      "list_transform(w0, x -> x / sqrt(list_reduce(list_prepend(0.0, " +
+      "list_transform(w0, y -> y * y)), (a, b) -> a + b))) AS w FROM q0), " +
+      "e AS (SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS rv FROM embeddings), " +
+      "n AS (SELECT id, rv, sqrt(list_reduce(list_prepend(0.0, list_transform(rv, x -> x * x)), (a, b) -> a + b)) AS nrm FROM e), " +
+      "cents AS (SELECT cent_id, cv AS ccv, sqrt(list_reduce(list_prepend(0.0, " +
+      "list_transform(cv, x -> x * x)), (a, b) -> a + b)) AS cnrm FROM read_parquet(" +
+      s"'/tmp/graft_ivfadctr_cents_${System.getProperty("user.name")}/*.parquet')), " +
+      "asg AS (SELECT id, cent_id FROM (SELECT c.id, cents.cent_id, " +
+      "row_number() OVER (PARTITION BY c.id ORDER BY round(list_reduce(list_prepend(0.0, " +
+      "list_transform(range(1, 65), i -> c.rv[i] * ccv[i])), (x, y) -> x + y) / (c.nrm * cnrm), 4) DESC, cents.cent_id) AS rn " +
+      "FROM n c CROSS JOIN cents) t WHERE rn = 1), " +
+      "probe AS (SELECT cent_id FROM (SELECT cents.cent_id, " +
+      "row_number() OVER (ORDER BY round(list_reduce(list_prepend(0.0, " +
+      "list_transform(range(1, 65), i -> w0[i] * ccv[i])), (x, y) -> x + y) / (qnrm * cnrm), 4) DESC, cents.cent_id) AS rn " +
+      "FROM cents CROSS JOIN qn) t WHERE rn <= 4), " +
+      "cand AS (SELECT a.id FROM asg a JOIN probe p USING (cent_id)), " +
+      "v AS (SELECT id, rv, CASE WHEN nrm = 0 THEN rv ELSE " +
+      "list_transform(rv, x -> x / nrm) END AS v FROM n), " +
+      "cbp AS (SELECT s, c, cv FROM read_parquet(" +
+      s"'/tmp/graft_ivfadctr_cb_${System.getProperty("user.name")}/*.parquet')), " +
+      "ad AS (SELECT v.id, p.s, p.c, floor(list_reduce(list_prepend(0.0, " +
+      "list_transform(generate_series(1, 8), i -> " +
+      "(v.v[p.s*8 + i] - p.cv[i]) * (v.v[p.s*8 + i] - p.cv[i]))), " +
+      "(a, b) -> a + b) * 1e6 + 0.5)::BIGINT AS dl " +
+      "FROM v JOIN cand USING (id) CROSS JOIN cbp p), " +
+      "asgpq AS (SELECT id, s, c FROM (SELECT id, s, c, " +
+      "row_number() OVER (PARTITION BY id, s ORDER BY dl ASC, c ASC) AS rn FROM ad) t " +
+      "WHERE rn = 1), " +
+      "lut AS (SELECT p.s, p.c, floor(list_reduce(list_prepend(0.0, " +
+      "list_transform(generate_series(1, 8), i -> " +
+      "(w[p.s*8 + i] - p.cv[i]) * (w[p.s*8 + i] - p.cv[i]))), " +
+      "(a, b) -> a + b) * 1e6 + 0.5)::BIGINT AS dl " +
+      "FROM cbp p CROSS JOIN qn), " +
+      "wnd AS (SELECT 10 * GREATEST(4, (SELECT count(*) FROM cand) // (8*64*10) + 1) AS w), " +
+      "coarse AS (SELECT id, adc FROM (SELECT a.id, sum(l.dl)::DOUBLE / 1e6 AS adc, " +
+      "row_number() OVER (ORDER BY sum(l.dl) ASC, a.id ASC) AS rn " +
+      "FROM asgpq a JOIN lut l ON l.s = a.s AND l.c = a.c " +
+      "GROUP BY a.id) t WHERE rn <= (SELECT w FROM wnd)), " +
       "ex AS (SELECT c.id, c.adc, round(list_reduce(list_prepend(0.0, " +
       "list_transform(range(1, 65), i -> e2.rv[i] * w0[i])), (a, b) -> a + b) / " +
       "(sqrt(list_reduce(list_prepend(0.0, list_transform(e2.rv, x -> x * x)), (a, b) -> a + b)) * " +

@@ -516,6 +516,27 @@ object ScaleProbe {
       }
       println(s"[scaleprobe] ivfadc_nprobe_real_${n}x curve(8x64,w400,lloyd-dist): " +
         sweepR.map { case (np, rc) => s"np$np=$rc/10" }.mkString(" "))
+      // trained vs seed COARSE quantizer at EQUAL nprobe, both under
+      // the AUTO rule-sized window (r16): the composition the
+      // q_ivf_list_stats balance report prices — balanced kmeans
+      // lists cover the query's true neighborhood at lower probe cost
+      val kmCents = graft.sim.Ann.kmeansCentroids(embR, "vec_id", "embedding",
+        k = 16, iters = 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      kmCents.count()
+      val sweepT = Seq(1, 2, 4).map { np =>
+        val seed = r(graft.sim.Ann.ivfAdcTopK(embR, "vec_id", "embedding", qv,
+          k = 10, oversample = 0, nCentroids = 16, nprobe = np,
+          m = 8, codebookSize = 64, codebooks = Some(cbD8)))
+        val trained = r(graft.sim.Ann.ivfAdcTopK(embR, "vec_id", "embedding", qv,
+          k = 10, oversample = 0, nCentroids = 16, nprobe = np,
+          m = 8, codebookSize = 64, codebooks = Some(cbD8),
+          coarseCents = Some(kmCents)))
+        (np, seed, trained)
+      }
+      println(s"[scaleprobe] ivfadc_trained_real_${n}x seed-vs-kmeans coarse (8x64, auto window): " +
+        sweepT.map { case (np, sd, tr) => s"np$np seed=$sd/10 kmeans=$tr/10" }.mkString(" "))
+      kmCents.unpersist()
       embR.unpersist()
       spark.catalog.clearCache()
     }

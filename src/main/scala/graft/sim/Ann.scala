@@ -1499,13 +1499,16 @@ object Ann {
       nprobe: Int = 4,
       m: Int = 4,
       codebookSize: Int = 16,
-      codebooks: Option[Array[Double]] = None): DataFrame = {
+      codebooks: Option[Array[Double]] = None,
+      coarseCents: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.GraftBridge
     require(nprobe > 0 && nprobe <= nCentroids, s"nprobe $nprobe of $nCentroids")
     require(oversample >= 0, s"bad oversample $oversample (0 = auto rule-sized)")
-    val centsDf = seedCentroids(corpus, idCol, vecCol, nCentroids)
+    // coarse quantizer: caller-trained (kmeansCentroids — the
+    // balanced-list production fit) or the deterministic seed default
+    val centsDf = coarseCents.getOrElse(seedCentroids(corpus, idCol, vecCol, nCentroids))
     // probe selection on the driver: nCentroids is tiny by contract
-    val cents = centsDf.collect()
+    val cents = centsDf.select(col("cent_id"), col("cv")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     require(cents.length == nCentroids,
       s"corpus has only ${cents.length} centroids, need $nCentroids")
