@@ -726,7 +726,7 @@ object Ann {
     // unknown knn options must not be silently ignored (a dropped
     // `similarity` would return hits the caller asked to cut)
     val unknownK = root.keySet -- Set("field", "query_vector", "k",
-      "num_candidates", "filter", "similarity", "boost")
+      "num_candidates", "filter", "similarity", "boost", "window")
     require(unknownK.isEmpty,
       s"unsupported knn option(s): ${unknownK.toSeq.sorted.mkString(", ")}")
     val field = root.get("field") match {
@@ -749,17 +749,40 @@ object Ann {
       case JDouble(d) => d.toInt
       case JDecimal(d) => d.toInt
     }.getOrElse(10)
-    val numCandidates =
-      root.get("num_candidates").collect {
-        case JInt(i) => i.toInt
-        case JDouble(d) => d.toInt
-        case JDecimal(d) => d.toInt
-      }.getOrElse(10 * k)
     val filtered = root.get("filter") match {
       case Some(f) => corpus.where(graft.dsl.QueryDslJson.compile(
         JsonMethods.compact(JsonMethods.render(f)), idField))
       case None => corpus
     }
+    // r16: `"window": "auto"` — the Scala API's rule-sized auto
+    // window, reachable through the JSON front door (body knn, dsl
+    // knn-in-bool, retriever knn legs all land here). Auto sizes the
+    // approximate budget off one corpus count (opt-in cost, exactly
+    // like oversample = 0): num_candidates = max(10k, ceil(n/16)) —
+    // the 16-list stage must see at least 1/nLists of the corpus as
+    // candidates or a probed list cannot cover the query's true
+    // neighborhood; past the exhaustive threshold this escalates to
+    // the exact path — the rail against the silent recall cliff.
+    // Anything but the literal "auto" is loud, and combining it with
+    // an explicit num_candidates is contradictory (also loud).
+    val windowAuto = root.get("window") match {
+      case None => false
+      case Some(JString("auto")) => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"bad knn window: ${JsonMethods.compact(JsonMethods.render(other))} " +
+          "(\"auto\" is the only accepted value; use num_candidates for an explicit budget)")
+    }
+    require(!(windowAuto && root.contains("num_candidates")),
+      "knn \"window\": \"auto\" and an explicit num_candidates are contradictory")
+    val numCandidates =
+      if (windowAuto) {
+        val n = filtered.where(col(field).isNotNull).count()
+        math.min(math.max(10L * k, (n + 15) / 16), Int.MaxValue.toLong).toInt
+      } else root.get("num_candidates").collect {
+        case JInt(i) => i.toInt
+        case JDouble(d) => d.toInt
+        case JDecimal(d) => d.toInt
+      }.getOrElse(10 * k)
     // the query vector as a 1-row frame with an id no corpus doc has,
     // so the tested brute/IVF paths apply unchanged
     val spark = corpus.sparkSession

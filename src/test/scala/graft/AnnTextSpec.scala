@@ -244,6 +244,35 @@ class AnnTextSpec extends SparkSpec {
       Ann.pqTopK(emb, "vec_id", "embedding", qv, k = 5, oversample = -1))
   }
 
+  test("knn JSON window:auto — rule-sized budget equals its explicit twin; loud rejects (r16)") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir) // 500 vectors
+    val vec = (0 until 64).map(i => (i * 41 % 100) / 100.0 - 0.5)
+    def body(tail: String) =
+      s"""{"field": "embedding", "query_vector": [${vec.mkString(",")}], "k": 5$tail}"""
+    // auto budget at n=500: max(10*5, ceil(500/16)=32) = 50 — the
+    // explicit twin is num_candidates: 50
+    val auto = Ann.knnSearch(emb, "vec_id", body(""", "window": "auto""""))
+      .select("id", "cosine").as[(Long, Double)].collect().toSeq
+    val explicit = Ann.knnSearch(emb, "vec_id", body(""", "num_candidates": 50"""))
+      .select("id", "cosine").as[(Long, Double)].collect().toSeq
+    assert(auto == explicit, "JSON auto window diverged from its explicit twin")
+    // the SAME option through the SearchBody front door (body knn leg)
+    val viaBody = graft.dsl.SearchBody.search(emb,
+      s"""{"knn": {"field": "embedding", "query_vector": [${vec.mkString(",")}],
+           "k": 5, "window": "auto"}, "size": 5}""", idField = "vec_id")
+      .select(col("vec_id")).as[Long].collect().toSet
+    assert(viaBody == auto.map(_._1).toSet, "body-auto diverged from API-auto")
+    // unknown window values are loud, not silently defaulted
+    val e1 = intercept[IllegalArgumentException](
+      Ann.knnSearch(emb, "vec_id", body(""", "window": "big"""")))
+    assert(e1.getMessage.contains("auto"))
+    // contradictory auto + explicit budget is loud
+    val e2 = intercept[IllegalArgumentException](
+      Ann.knnSearch(emb, "vec_id", body(""", "window": "auto", "num_candidates": 9""")))
+    assert(e2.getMessage.contains("contradictory"))
+  }
+
   test("PQ window math stays in Long: huge oversample caps instead of overflowing (r16)") {
     val emb = Tables.embeddings(spark, sfDir)
     val qv = (1 to 64).map(i => math.sin(i * 0.37))
