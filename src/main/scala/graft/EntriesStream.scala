@@ -59,6 +59,41 @@ private[graft] object EntriesStream {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- G. Streaming-shaped ----
+    // STREAMING WARC ingestion (r16): readStream over a landing dir
+    // of real .warc.gz files (the shared warchtml artifact), composed
+    // with the crawl stages — strip -> length gate -> exact dedup as
+    // dropDuplicates STATE — and drained through a memory sink. The
+    // oracle re-derives the distinct extracted fingerprints from the
+    // source table through the strip mirror: the WARC bytes, the
+    // binaryFile streaming source, the Column strip and the state
+    // dedup must all land on identical md5s
+    "q_stream_warc" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val srcFp = graft.index.IndexArtifacts
+        .dataFingerprint(s, s"$d/documents.parquet").take(12)
+      val landing = graft.index.IndexArtifacts.ensureArtifact("warchtml", srcFp)(
+        p => graft.index.IndexArtifacts.fsDirExists(s, p))(
+        stage => graft.sources.Warc.saveWarc(
+          docs.select(
+            concat(lit("https://corpus.test/doc/"), col("doc_id")).as("uri"),
+            lit("text/html; charset=UTF-8").as("mime"),
+            encode(concat(lit("<html><head><title>d</title></head><body><p>"),
+              col("text"), lit("</p></body></html>")), "UTF-8").as("body")),
+          stage, "2026-01-01T00:00:00Z"))
+      // state stores scale per shuffle partition per micro-batch:
+      // 4 keeps the bounded drain cheap (the runEventsStream rationale)
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = graft.sources.Warc.crawlExtract(
+            graft.sources.Warc.warcStreamDF(s, landing), minChars = 100)
+          .select(col("fp"), length(col("text")).cast("long").as("n_chars"))
+          .writeStream.outputMode("append")
+          .format("memory").queryName("q_stream_warc_sink").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table("q_stream_warc_sink").orderBy(col("fp"))
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }),
     "q_stream_window" -> ((s, d) => EventStreams.hourlyTypeCounts(Tables.events(s, d))),
     // _downsample: the time-series index aggregated to 1-day buckets
     "q_downsample" -> ((s, d) =>
@@ -174,6 +209,18 @@ private[graft] object EntriesStream {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // distinct extracted fingerprints re-derived from the source table
+    // through the q_warc_pipeline strip mirror — arrival order (which
+    // duplicate survives the state dedup) cannot affect (fp, n_chars)
+    "q_stream_warc" -> ("WITH h AS (SELECT doc_id, " +
+      "'<html><head><title>d</title></head><body><p>' || text || '</p></body></html>' AS html " +
+      "FROM documents), " +
+      "s AS (SELECT doc_id, trim(replace(replace(replace(replace(replace(replace(" +
+      "regexp_replace(html, '<[^>]*>', ' ', 'g'), " +
+      "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', chr(39)), '&nbsp;', ' '), " +
+      "'&amp;', '&')) AS text FROM h) " +
+      "SELECT DISTINCT md5(text) AS fp, length(text)::BIGINT AS n_chars FROM s " +
+      "WHERE length(text) >= 100 ORDER BY fp"),
     // ---- G ----
     "q_downsample" -> DownsampleOracle,
     "q_rollup_search" -> DownsampleOracle,

@@ -232,6 +232,70 @@ object Warc {
       .toDF()
   }
 
+  /** STREAMING ingestion (r16): `readStream` over a LANDING directory
+    * — the continuous half of the crawl story (a real crawl lands
+    * segment files over days; the batch reader assumes the corpus is
+    * already complete). The binaryFile file source tracks arrivals
+    * exactly-once per micro-batch; each landed `.warc[.gz]` file
+    * parses as one record batch inside its task — the same
+    * one-file-per-task contract as `warcDF`, driven by the file
+    * source's maxFilesPerTrigger pacing instead of binaryFiles
+    * partitioning. Caveat vs the batch reader (documented trade):
+    * the binaryFile source materializes each file as a row, so the
+    * landing contract is segment-sized files (Common Crawl's ~1 GB),
+    * which the per-executor memory budget at that scale already
+    * covers. Compose with `crawlExtract` and sink via GraftSink. */
+  def warcStreamDF(spark: SparkSession, landingDir: String): DataFrame = {
+    import spark.implicits._
+    val binSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    spark.readStream.format("binaryFile")
+      .option("pathGlobFilter", "*.warc*")
+      .schema(binSchema)
+      .load(landingDir)
+      .select(org.apache.spark.sql.functions.col("path"),
+        org.apache.spark.sql.functions.col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        // zero-length landings yield no records, like warcDF
+        if (bytes == null || bytes.isEmpty) Iterator.empty
+        else {
+          val base = new java.io.ByteArrayInputStream(bytes)
+          val in = new BufferedInputStream(
+            if (path.endsWith(".gz")) new GZIPInputStream(base) else base, 1 << 16)
+          records(in)
+        }
+      }
+      .toDF()
+  }
+
+  /** The composed crawl stages (parse -> strip -> gate -> exact
+    * dedup) as ONE transform that runs identically over the batch
+    * reader (`warcDF`) and the streaming source (`warcStreamDF`):
+    * every stage is narrow except the dedup exchange, which streaming
+    * runs as `dropDuplicates` — a per-fingerprint state store where
+    * the FIRST ARRIVAL survives, the streaming-native form of the
+    * batch pipeline's keepFirstByKey. The html strip is the Column
+    * pipeline (Analyzer.htmlStrip + SQL trim), so batch, streaming
+    * and the WET executor twin all extract identical text. */
+  def crawlExtract(records: DataFrame, minChars: Int = 100): DataFrame = {
+    import org.apache.spark.sql.functions._
+    records
+      .where(col("http_status") === 200 && col("mime").like("text/html%"))
+      .select(col("target_uri"),
+        trim(graft.analysis.Analyzer.htmlStrip(decode(col("body"), "UTF-8"))).as("text"))
+      .where(length(col("text")) >= minChars)
+      .withColumn("fp", md5(col("text")))
+      .dropDuplicates("fp")
+  }
+
   /** Write `records` as `dir/fileName` — one gzip member per record
     * (the Common Crawl layout: downstream readers can sync on member
     * boundaries) through the Hadoop FS API. Shared by the WARC and

@@ -201,6 +201,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming WARC ingestion: landing-dir arrivals parse, dedup state spans batches, GraftSink indexes (r16)") {
+    import graft.sources.Warc
+    import graft.streaming.GraftSink
+    val landing = Files.createTempDirectory("graft_warc_landing").toString
+    val stage = Files.createTempDirectory("graft_warc_stage").toString
+    // land a range of doc ids as ONE real .warc.gz file (body text is
+    // id-determined, so re-landing an id is an exact duplicate)
+    def land(ids: Range, tag: String): Unit = {
+      val dir = s"$stage/$tag"
+      Warc.saveWarc(spark.range(ids.start, ids.end).coalesce(1).select(
+        concat(lit("https://s.test/doc/"), col("id")).as("uri"),
+        lit("text/html; charset=UTF-8").as("mime"),
+        encode(concat(lit("<html><body><p>streamed body of doc "), col("id"),
+          lit(" with enough characters to clear the crawl length gate</p></body></html>")),
+          "UTF-8").as("body")), dir, "2026-01-01T00:00:00Z")
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".warc.gz"))
+        .zipWithIndex.foreach { case (f, i) =>
+          Files.move(f.toPath, Paths.get(s"$landing/$tag-$i.warc.gz")): Unit
+        }
+    }
+    land(0 until 20, "b1")
+    val idx = Files.createTempDirectory("graft_warc_idx").toString + "/idx"
+    // readStream -> strip -> gate -> state dedup -> the existing
+    // connector sink (append: deduped rows are new documents)
+    val q = GraftSink.startAppend(
+      Warc.crawlExtract(Warc.warcStreamDF(spark, landing), minChars = 50),
+      idx, Map.empty,
+      Files.createTempDirectory("graft_warc_ck").toString)
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(idx).count() == 20)
+      // a LATER landing: 10 exact duplicates (ids 10-19 re-land with
+      // identical bodies) + 10 new docs — the dropDuplicates state
+      // must span micro-batches, so only the new rows index
+      land(10 until 30, "b2")
+      q.processAllAvailable()
+      val rows = spark.read.parquet(idx)
+      assert(rows.count() == 30,
+        s"expected 20 + 10 new after cross-batch dedup, got ${rows.count()}")
+      assert(rows.select("fp").distinct().count() == 30)
+      // extracted text matches the batch pipeline's Column strip
+      val one = rows.where(col("target_uri") === "https://s.test/doc/7")
+        .select("text").as[String].head()
+      assert(one == "streamed body of doc 7 with enough characters to clear the crawl length gate")
+    } finally q.stop()
+  }
+
   test("continuous indexing: streaming appends keep analysis artifacts fresh incrementally") {
     import graft.streaming.GraftSink
     // two micro-batches (one file each) streaming into an index whose
