@@ -560,10 +560,11 @@ private[graft] object EntriesPipeline {
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.metadata(Multimodal.mediaTable(t(s, d, "documents")))
         .orderBy(col("media_id"))),
-    // REAL container decode (r13): payloads are genuine PNG/GIF bytes
-    // assembled in-plan; the mapPartitions pass parses the headers
-    // back — actual byte decoding, and the oracle checks the full
-    // encode -> parse round trip against the source dimensions
+    // REAL container decode (r13; webp r16): payloads are genuine
+    // PNG/GIF/WebP (VP8L + VP8X-anim) header bytes assembled in-plan;
+    // the mapPartitions pass parses them back — actual byte decoding,
+    // and the oracle checks the full encode -> parse round trip
+    // against the source dimensions (and the VP8X ANIM frame flag)
     "q_multimodal_container" -> ((s, d) =>
       Multimodal.decodeContainerMeta(s,
         Multimodal.containerMediaTable(t(s, d, "documents")))
@@ -1303,9 +1304,13 @@ private[graft] object EntriesPipeline {
       "SELECT pack_id, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS pack_chars " +
       "FROM p GROUP BY pack_id ORDER BY pack_id"),
     "q_multimodal_container" -> ("SELECT doc_id AS media_id, " +
-      "CASE WHEN doc_id % 2 = 0 " +
+      "CASE WHEN doc_id % 3 = 0 " +
       "THEN 'png ' || (n_chars % 100 + 1) || 'x' || (doc_id % 50 + 1) " +
-      "ELSE 'gif ' || (n_chars % 100 + 1) || 'x' || (doc_id % 50 + 1) END AS meta " +
+      "WHEN doc_id % 3 = 1 " +
+      "THEN 'gif ' || (n_chars % 100 + 1) || 'x' || (doc_id % 50 + 1) " +
+      "WHEN doc_id % 6 = 2 " +
+      "THEN 'webp ' || (n_chars % 100 + 1) || 'x' || (doc_id % 50 + 1) " +
+      "ELSE 'webp ' || (n_chars % 100 + 1) || 'x' || (doc_id % 50 + 1) || ' anim' END AS meta " +
       "FROM documents ORDER BY media_id"),
     "q_multimodal_decode" -> ("SELECT doc_id AS media_id, " +
       "CASE WHEN doc_id % 3 = 0 THEN 'image/png' WHEN doc_id % 3 = 1 THEN 'audio/wav' " +

@@ -158,6 +158,32 @@ object CorpusFittedService {
     else if (bytes.length >= 10 &&
       u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == '8')
       s"gif ${le16(6)}x${le16(8)}"
+    else if (bytes.length >= 12 &&
+      u8(0) == 'R' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == 'F' &&
+      u8(8) == 'W' && u8(9) == 'E' && u8(10) == 'B' && u8(11) == 'P') {
+      // WebP (RFC 9649): RIFF container, dims read from the first
+      // chunk's header — "VP8 " lossy (sync code + 14-bit dims),
+      // "VP8L" lossless (signature byte + packed width-1/height-1),
+      // "VP8X" extended (24-bit canvas-1 dims + the ANIM frame flag).
+      // Metadata ONLY: pixel decode of webp is out of codec scope and
+      // rejects loudly at the decoders' own format gates.
+      def le24(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)
+      if (bytes.length >= 30 &&
+          u8(12) == 'V' && u8(13) == 'P' && u8(14) == '8' && u8(15) == ' ' &&
+          u8(23) == 0x9d && u8(24) == 0x01 && u8(25) == 0x2a)
+        s"webp ${le16(26) & 0x3fff}x${le16(28) & 0x3fff}"
+      else if (bytes.length >= 25 &&
+          u8(12) == 'V' && u8(13) == 'P' && u8(14) == '8' && u8(15) == 'L' &&
+          u8(20) == 0x2f) {
+        val v = u8(21).toLong | (u8(22).toLong << 8) |
+          (u8(23).toLong << 16) | (u8(24).toLong << 24)
+        s"webp ${(v & 0x3fff) + 1}x${((v >> 14) & 0x3fff) + 1}"
+      } else if (bytes.length >= 30 &&
+          u8(12) == 'V' && u8(13) == 'P' && u8(14) == '8' && u8(15) == 'X') {
+        val anim = if ((u8(20) & 0x02) != 0) " anim" else ""
+        s"webp ${le24(24) + 1}x${le24(27) + 1}$anim"
+      } else s"webp ${bytes.length}B"
+    }
     else if (bytes.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
       // walk JPEG segments to the first SOFn frame header; the spec
       // allows 0xFF fill bytes between segments, and standalone

@@ -138,14 +138,36 @@ object Multimodal {
     def le16(c: org.apache.spark.sql.Column) =
       unhex(concat(lpad(hex(c.bitwiseAND(lit(255))), 2, "0"),
         lpad(hex(shiftright(c, 8)), 2, "0")))
+    def le24(c: org.apache.spark.sql.Column) =
+      unhex(concat(lpad(hex(c.bitwiseAND(lit(255))), 2, "0"),
+        lpad(hex(shiftright(c, 8).bitwiseAND(lit(255))), 2, "0"),
+        lpad(hex(shiftright(c, 16).bitwiseAND(lit(255))), 2, "0")))
+    def le32(c: org.apache.spark.sql.Column) =
+      unhex(concat(lpad(hex(c.bitwiseAND(lit(255))), 2, "0"),
+        lpad(hex(shiftright(c, 8).bitwiseAND(lit(255))), 2, "0"),
+        lpad(hex(shiftright(c, 16).bitwiseAND(lit(255))), 2, "0"),
+        lpad(hex(shiftright(c, 24).bitwiseAND(lit(255))), 2, "0")))
     val pngHead = lit(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
       0, 0, 0, 13, 'I', 'H', 'D', 'R'))
     val gifHead = lit("GIF89a".getBytes("US-ASCII"))
+    // WebP (r16): real RIFF/WEBP header bytes, two chunk shapes —
+    // VP8L's packed 14-bit (width-1 | height-1 << 14) after the 0x2F
+    // signature, and VP8X's 24-bit canvas-1 dims behind the ANIM
+    // frame flag — the layouts modern crawls carry heavily
+    val vp8lHead = concat(lit("RIFF".getBytes("US-ASCII")), le32(lit(17)),
+      lit("WEBPVP8L".getBytes("US-ASCII")), le32(lit(5)), lit(Array[Byte](0x2f)))
+    val vp8xHead = concat(lit("RIFF".getBytes("US-ASCII")), le32(lit(22)),
+      lit("WEBPVP8X".getBytes("US-ASCII")), le32(lit(10)),
+      lit(Array[Byte](0x02, 0, 0, 0))) // flags: ANIM set
     docs.select(
       col("doc_id").as("media_id"),
-      when(col("doc_id") % 2 === 0,
+      when(col("doc_id") % 3 === 0,
         concat(pngHead, be32(w), be32(h)))
-        .otherwise(concat(gifHead, le16(w), le16(h), lit(Array[Byte](0, 0))))
+        .when(col("doc_id") % 3 === 1,
+          concat(gifHead, le16(w), le16(h), lit(Array[Byte](0, 0))))
+        .when(col("doc_id") % 6 === 2,
+          concat(vp8lHead, le32((w - 1).bitwiseOR(shiftleft(h - 1, 14)))))
+        .otherwise(concat(vp8xHead, le24(w - 1), le24(h - 1)))
         .as("payload"),
       w.as("width"), h.as("height"))
   }

@@ -66,6 +66,49 @@ class MultimodalSpec extends SparkSpec {
     assert(spark.graftDF(s"$dir,$dir2").count() == 75)
   }
 
+  test("WebP header metadata: VP8/VP8L/VP8X dims + ANIM flag; malformed stays opaque (r16)") {
+    import graft.inference.CorpusFittedService.parseMedia
+    def riff(chunk: String, data: Array[Byte]): Array[Byte] = {
+      val size = 4 + 8 + data.length
+      "RIFF".getBytes("US-ASCII") ++
+        Array[Byte]((size & 255).toByte, ((size >> 8) & 255).toByte,
+          ((size >> 16) & 255).toByte, ((size >> 24) & 255).toByte) ++
+        ("WEBP" + chunk).getBytes("US-ASCII") ++
+        Array[Byte]((data.length & 255).toByte, ((data.length >> 8) & 255).toByte,
+          ((data.length >> 16) & 255).toByte, ((data.length >> 24) & 255).toByte) ++
+        data
+    }
+    // VP8 lossy: 3 frame-tag bytes, sync 9D 01 2A, 14-bit LE dims
+    val vp8 = riff("VP8 ", Array[Byte](0, 0, 0, 0x9d.toByte, 0x01, 0x2a,
+      (320 & 255).toByte, (320 >> 8).toByte, (240 & 255).toByte, (240 >> 8).toByte))
+    assert(parseMedia(vp8) == "webp 320x240")
+    // VP8L lossless: 0x2F signature, width-1 | height-1 << 14 packed LE32
+    val bits = (99L) | (49L << 14)
+    val vp8l = riff("VP8L", Array[Byte](0x2f,
+      (bits & 255).toByte, ((bits >> 8) & 255).toByte,
+      ((bits >> 16) & 255).toByte, ((bits >> 24) & 255).toByte))
+    assert(parseMedia(vp8l) == "webp 100x50")
+    // VP8X extended: ANIM flag + 24-bit canvas-1 dims
+    val vp8x = riff("VP8X", Array[Byte](0x02, 0, 0, 0,
+      (1279 & 255).toByte, ((1279 >> 8) & 255).toByte, 0,
+      (719 & 255).toByte, ((719 >> 8) & 255).toByte, 0))
+    assert(parseMedia(vp8x) == "webp 1280x720 anim")
+    // no ANIM flag -> no frame marker
+    val still = riff("VP8X", Array[Byte](0x00, 0, 0, 0,
+      (15 & 255).toByte, 0, 0, (7 & 255).toByte, 0, 0))
+    assert(parseMedia(still) == "webp 16x8")
+    // truncated / unknown chunk: stays a sized webp, never garbage dims
+    assert(parseMedia(riff("ALPH", Array[Byte](1, 2, 3))).startsWith("webp ") &&
+      parseMedia(riff("ALPH", Array[Byte](1, 2, 3))).endsWith("B"))
+    // bad VP8 sync code falls through to the opaque form
+    val badSync = riff("VP8 ", Array[Byte](0, 0, 0, 1, 2, 3, 4, 5, 6, 7))
+    assert(parseMedia(badSync).endsWith("B"))
+    // pixel decode of webp is OUT of codec scope: loud reject at the
+    // decoders' own format gates
+    intercept[IllegalArgumentException](graft.multimodal.Png.decode(vp8l))
+    intercept[IllegalArgumentException](graft.multimodal.Jpeg.decodeGray(vp8))
+  }
+
   test("entry + every registered query is runnable at sf0.001 (smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
