@@ -569,6 +569,42 @@ private[graft] object EntriesPipeline {
       Multimodal.decodeContainerMeta(s,
         Multimodal.containerMediaTable(t(s, d, "documents")))
         .toDF().orderBy(col("media_id"))),
+    // audio/video containers (r16): genuine MP4 box trees (mvhd
+    // duration + tkhd 16.16 dims, audio-only M4A without a trak),
+    // MP3 ID3v2+frame-sync headers and FLAC STREAMINFO bitfields,
+    // assembled in-plan and walked back by the same parseMedia pass —
+    // the oracle replays each recovered field from column arithmetic
+    "q_multimodal_av" -> ((s, d) =>
+      Multimodal.decodeContainerMeta(s,
+        Multimodal.avMediaTable(t(s, d, "documents")))
+        .toDF().orderBy(col("media_id"))),
+    // REAL spectral analysis (r16): each payload is a genuine PCM WAV
+    // carrying a quantized sine at an integer FFT bin; the plan decodes
+    // the bytes and runs a radix-2 FFT — the oracle states the expected
+    // dominant bin/frequency analytically from the generation formula,
+    // so an FFT, windowing or chunk-walk bug anywhere breaks the hash
+    "q_multimodal_spectral" -> ((s, d) =>
+      Multimodal.spectralFeatures(s,
+        Multimodal.toneMediaTable(s, t(s, d, "documents")))
+        .toDF().orderBy(col("media_id"))),
+    // STFT over a two-segment chirp (r16): per-frame FFTs must see the
+    // frequency STEP a whole-signal transform averages away — frame 0
+    // reads bin b, frame 1 reads b+40, both stated analytically by the
+    // oracle from the generation formula
+    "q_multimodal_stft" -> ((s, d) =>
+      Multimodal.stftFrames(s,
+        Multimodal.chirpMediaTable(s, t(s, d, "documents")))
+        .toDF().orderBy(col("media_id"), col("frame_idx"))),
+    // crawl media census (r16): every walker format plus a torn-asset
+    // class, counted by recovered header format — the binary column is
+    // consumed map-side and the exchange carries one row per format;
+    // the oracle replays the generator + truncation classes (a torn
+    // ID3 envelope still classifies as mp3 — the family is identified
+    // even when the frame sync is gone)
+    "q_multimodal_census" -> ((s, d) =>
+      Multimodal.mediaCensus(s,
+        Multimodal.censusMediaTable(t(s, d, "documents")))
+        .orderBy(col("format"))),
     // decode-features, oracle-keyed: the codec-init-once mapPartitions
     // pass with the declared stub (feat_hash = md5(payload))
     "q_multimodal_decode" -> ((s, d) =>
@@ -1312,6 +1348,39 @@ private[graft] object EntriesPipeline {
       "THEN 'webp ' || (n_chars % 100 + 1) || 'x' || (doc_id % 50 + 1) " +
       "ELSE 'webp ' || (n_chars % 100 + 1) || 'x' || (doc_id % 50 + 1) || ' anim' END AS meta " +
       "FROM documents ORDER BY media_id"),
+    "q_multimodal_av" -> ("SELECT doc_id AS media_id, " +
+      "CASE WHEN doc_id % 4 = 0 " +
+      "THEN 'mp4 ' || (n_chars % 100 + 1) || 'x' || (doc_id % 50 + 1) || ' ' || ((n_chars % 1000 + 1) * 10) || 'ms' " +
+      "WHEN doc_id % 4 = 1 " +
+      "THEN 'mp4 audio ' || ((n_chars % 1000 + 1) * 10) || 'ms' " +
+      "WHEN doc_id % 4 = 2 " +
+      "THEN 'mp3 ' || ([44100,48000,32000])[(doc_id % 3) + 1] || 'Hz ' || " +
+      "([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[(doc_id % 14) + 1] || 'kbps' " +
+      "ELSE 'flac ' || ([8000,16000,32000,44100,48000])[(doc_id % 5) + 1] || 'Hz ' || " +
+      "(doc_id % 2 + 1) || 'ch ' || (n_chars * 50) END AS meta " +
+      "FROM documents ORDER BY media_id"),
+    "q_multimodal_spectral" -> ("SELECT doc_id AS media_id, " +
+      "25600::INT AS sample_rate, 256::INT AS n_samples, " +
+      "(doc_id % 100 + 1)::INT AS dominant_bin, " +
+      "((doc_id % 100 + 1) * 100)::BIGINT AS dominant_freq_hz " +
+      "FROM documents ORDER BY media_id"),
+    "q_multimodal_census" -> ("WITH u AS (" +
+      "SELECT CASE WHEN doc_id % 9 = 0 THEN 'bin' " +
+      "WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'gif' " +
+      "ELSE 'webp' END AS format FROM documents " +
+      "UNION ALL " +
+      "SELECT CASE WHEN doc_id % 9 = 0 AND doc_id % 4 = 2 THEN 'mp3' " +
+      "WHEN doc_id % 9 = 0 THEN 'bin' " +
+      "WHEN doc_id % 4 IN (0, 1) THEN 'mp4' WHEN doc_id % 4 = 2 THEN 'mp3' " +
+      "ELSE 'flac' END AS format FROM documents) " +
+      "SELECT format, count(*)::BIGINT AS n FROM u " +
+      "GROUP BY format ORDER BY format"),
+    "q_multimodal_stft" -> ("WITH f AS (SELECT doc_id AS media_id, " +
+      "unnest([0, 1]) AS frame_idx FROM documents) " +
+      "SELECT media_id, frame_idx::INT AS frame_idx, " +
+      "(media_id % 60 + 1 + CASE WHEN frame_idx = 1 THEN 40 ELSE 0 END)::INT AS dominant_bin, " +
+      "((media_id % 60 + 1 + CASE WHEN frame_idx = 1 THEN 40 ELSE 0 END) * 100)::BIGINT AS dominant_freq_hz " +
+      "FROM f ORDER BY media_id, frame_idx"),
     "q_multimodal_decode" -> ("SELECT doc_id AS media_id, " +
       "CASE WHEN doc_id % 3 = 0 THEN 'image/png' WHEN doc_id % 3 = 1 THEN 'audio/wav' " +
       "ELSE 'video/mp4' END AS mime, octet_length(encode(text))::BIGINT AS n_bytes, " +

@@ -674,6 +674,21 @@ object ScaleProbe {
       graft.multimodal.Multimodal.jpegPixelStats(spark,
         graft.multimodal.Multimodal.jpegMediaTable(spark, docs)).count()
     }
+    time("fft_spectral_10x") {
+      // the audio feature path at n x docs: encode real PCM WAVs AND
+      // chunk-walk + radix-2 FFT each back — map-only both ways, so
+      // this prices the DSP kernel itself (O(N log N) per row, bounded
+      // window memory), not a shuffle
+      graft.multimodal.Multimodal.spectralFeatures(spark,
+        graft.multimodal.Multimodal.toneMediaTable(spark, docs)).count()
+    }
+    time("av_census_10x") {
+      // top-of-funnel media triage at n x docs: header-walk every
+      // format family + torn assets, format-count exchange carries one
+      // row per format
+      graft.multimodal.Multimodal.mediaCensus(spark,
+        graft.multimodal.Multimodal.censusMediaTable(docs)).count()
+    }
     time("gif_frames_10x") {
       // the full video-shaped path at n x docs: encode real animated
       // GIFs AND LZW-decode the kept frames — map-only both ways, so

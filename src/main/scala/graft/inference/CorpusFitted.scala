@@ -184,6 +184,154 @@ object CorpusFittedService {
         s"webp ${le24(24) + 1}x${le24(27) + 1}$anim"
       } else s"webp ${bytes.length}B"
     }
+    else if (bytes.length >= 12 &&
+      u8(0) == 'R' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == 'F' &&
+      u8(8) == 'W' && u8(9) == 'A' && u8(10) == 'V' && u8(11) == 'E') {
+      // RIFF/WAVE: chunk walk to fmt (rate, channels, block align) and
+      // data (sample count = len / align) — the metadata twin of the
+      // full Wav.decodePcm16 sample decoder
+      def le32(i: Int): Long =
+        u8(i).toLong | (u8(i + 1).toLong << 8) |
+          (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+      var pos = 12
+      var sr = 0L; var ch = 0; var align = 0; var n = -1L
+      while (pos + 8 <= bytes.length) {
+        val id = new String(bytes, pos, 4, "US-ASCII")
+        val len = le32(pos + 4)
+        if (len < 0 || pos + 8 + len > bytes.length) pos = bytes.length
+        else {
+          if (id == "fmt " && len >= 16) {
+            ch = le16(pos + 10); sr = le32(pos + 12); align = le16(pos + 20)
+          } else if (id == "data") n = len
+          pos += (8 + len + (len & 1)).toInt
+        }
+      }
+      if (sr > 0 && align > 0 && n >= 0) s"wav ${sr}Hz ${ch}ch ${n / align}"
+      else s"wav ${bytes.length}B"
+    }
+    else if (bytes.length >= 12 &&
+      u8(4) == 'f' && u8(5) == 't' && u8(6) == 'y' && u8(7) == 'p') {
+      // MP4 / ISO-BMFF (ISO 14496-12): a sequence of length-prefixed
+      // boxes. Dims come from moov > trak > tkhd (16.16 fixed-point
+      // width/height, the video track is the one with nonzero dims);
+      // duration from moov > mvhd (duration/timescale). size == 1
+      // means a 64-bit largesize follows the type; size == 0 means
+      // "to end of file". Metadata ONLY — sample decode (H.264/AAC)
+      // is out of codec scope and stays behind the inference seam.
+      def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+      // returns (payloadStart, boxEnd) or null when the header is torn
+      def boxBounds(at: Int, limit: Int): (Int, Int) = {
+        if (at + 8 > limit) null
+        else be32(at) match {
+          case 0 => (at + 8, limit)
+          case 1 =>
+            if (at + 16 > limit) null
+            else {
+              val sz = be64(at + 8)
+              if (sz < 16 || at + sz > limit) null else (at + 16, (at + sz).toInt)
+            }
+          case sz =>
+            if (sz < 8 || at + sz > limit) null else (at + 8, (at + sz).toInt)
+        }
+      }
+      def typeAt(at: Int): String =
+        new String(bytes, at + 4, 4, "US-ASCII")
+      var durMs = -1L
+      var w = 0L; var h = 0L
+      var i = 0
+      while (i < bytes.length && boxBounds(i, bytes.length) != null) {
+        val (pay, end) = boxBounds(i, bytes.length)
+        if (typeAt(i) == "moov") {
+          var j = pay
+          while (j < end && boxBounds(j, end) != null) {
+            val (jp, jend) = boxBounds(j, end)
+            typeAt(j) match {
+              case "mvhd" if jend - jp >= 20 =>
+                val v = u8(jp)
+                val (ts, dur) =
+                  if (v == 1) {
+                    if (jend - jp >= 32) (be32(jp + 20), be64(jp + 24))
+                    else (0L, 0L) // torn v1: never misread as v0
+                  } else (be32(jp + 12), be32(jp + 16))
+                if (ts > 0) durMs = dur * 1000L / ts
+              case "trak" =>
+                var k = jp
+                while (k < jend && boxBounds(k, jend) != null) {
+                  val (kp, kend) = boxBounds(k, jend)
+                  if (typeAt(k) == "tkhd" && kend - kp >= 84) {
+                    val off = if (u8(kp) == 1) kp + 88 else kp + 76
+                    if (off + 8 <= kend) {
+                      val tw = be32(off) >> 16; val th = be32(off + 4) >> 16
+                      if (tw > 0 && th > 0) { w = tw; h = th }
+                    }
+                  }
+                  k = kend
+                }
+              case _ => ()
+            }
+            j = jend
+          }
+        }
+        i = end
+      }
+      if (durMs < 0) s"mp4 ${bytes.length}B"
+      else if (w > 0) s"mp4 ${w}x$h ${durMs}ms"
+      else s"mp4 audio ${durMs}ms"
+    }
+    else if (bytes.length >= 4 && (
+      (u8(0) == 'I' && u8(1) == 'D' && u8(2) == '3') ||
+      (u8(0) == 0xff && (u8(1) & 0xe0) == 0xe0 && ((u8(1) >> 1) & 3) != 0))) {
+      // MP3 (ISO 11172-3 / 13818-3): optional ID3v2 envelope (synchsafe
+      // 28-bit size, +10 when the footer flag is set), then the first
+      // frame header: 11-bit sync, 2-bit version, 2-bit layer, 4-bit
+      // bitrate index, 2-bit samplerate index. Layer III of MPEG-1 and
+      // MPEG-2 resolve to real kbps/Hz; anything else falls back to a
+      // byte-length report rather than guessing a table.
+      var i = 0
+      if (u8(0) == 'I' && bytes.length >= 10) {
+        val sz = ((u8(6) & 0x7f) << 21) | ((u8(7) & 0x7f) << 14) |
+          ((u8(8) & 0x7f) << 7) | (u8(9) & 0x7f)
+        i = 10 + sz + (if ((u8(5) & 0x10) != 0) 10 else 0)
+      }
+      while (i + 3 < bytes.length &&
+        !(u8(i) == 0xff && (u8(i + 1) & 0xe0) == 0xe0)) i += 1
+      if (i + 3 >= bytes.length) s"mp3 ${bytes.length}B"
+      else {
+        val ver = (u8(i + 1) >> 3) & 3   // 3 = MPEG-1, 2 = MPEG-2
+        val layer = (u8(i + 1) >> 1) & 3 // 1 = Layer III
+        val brIdx = u8(i + 2) >> 4
+        val srIdx = (u8(i + 2) >> 2) & 3
+        val br =
+          if (layer != 1 || brIdx == 0 || brIdx == 15) 0
+          else if (ver == 3) Array(0, 32, 40, 48, 56, 64, 80, 96, 112,
+            128, 160, 192, 224, 256, 320)(brIdx)
+          else if (ver == 2) Array(0, 8, 16, 24, 32, 40, 48, 56, 64,
+            80, 96, 112, 128, 144, 160)(brIdx)
+          else 0
+        val sr =
+          if (srIdx == 3) 0
+          else if (ver == 3) Array(44100, 48000, 32000)(srIdx)
+          else if (ver == 2) Array(22050, 24000, 16000)(srIdx)
+          else 0
+        if (br > 0 && sr > 0) s"mp3 ${sr}Hz ${br}kbps"
+        else s"mp3 ${bytes.length}B"
+      }
+    }
+    else if (bytes.length >= 26 &&
+      u8(0) == 'f' && u8(1) == 'L' && u8(2) == 'a' && u8(3) == 'C' &&
+      (u8(4) & 0x7f) == 0) {
+      // FLAC (RFC 9639): "fLaC" then the mandatory STREAMINFO block.
+      // The last 8 bytes before the MD5 pack sample rate (20 bits),
+      // channels-1 (3), bits-per-sample-1 (5) and total samples (36)
+      // big-endian — one shifted read recovers all four.
+      var v = 0L
+      var k = 18
+      while (k < 26) { v = (v << 8) | u8(k); k += 1 }
+      val sr = v >>> 44
+      val ch = ((v >>> 41) & 7) + 1
+      val total = v & ((1L << 36) - 1)
+      s"flac ${sr}Hz ${ch}ch $total"
+    }
     else if (bytes.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
       // walk JPEG segments to the first SOFn frame header; the spec
       // allows 0xFF fill bytes between segments, and standalone

@@ -279,6 +279,80 @@ object Wav {
   }
 }
 
+/** Spectral analysis over decoded PCM — the audio feature-extraction
+  * half a training pipeline runs after decode (language/music gates,
+  * tone detection, silence trimming all start from a spectrum). Pure
+  * JDK: an iterative radix-2 Cooley–Tukey FFT, O(N log N), no library.
+  * Executor-side per-row work on bounded windows (the window length is
+  * a power of two <= the decoded sample count), so the pass scales
+  * exactly like the pixel decode: data-parallel, nothing shuffled. */
+object Dsp {
+
+  /** In-place iterative radix-2 FFT. `re`/`im` length must be a power
+    * of two. Standard bit-reversal permutation + butterfly passes. */
+  def fft(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    require(n == im.length && (n & (n - 1)) == 0 && n > 0,
+      s"FFT needs a power-of-two window, got $n")
+    // bit-reversal permutation
+    var i = 1; var j = 0
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    // butterflies
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val wr = math.cos(ang); val wi = math.sin(ang)
+      var base = 0
+      while (base < n) {
+        var cr = 1.0; var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val a = base + k; val b = a + len / 2
+          val xr = re(b) * cr - im(b) * ci
+          val xi = re(b) * ci + im(b) * cr
+          re(b) = re(a) - xr; im(b) = im(a) - xi
+          re(a) += xr; im(a) += xi
+          val ncr = cr * wr - ci * wi
+          ci = cr * wi + ci * wr; cr = ncr
+          k += 1
+        }
+        base += len
+      }
+      len <<= 1
+    }
+  }
+
+  /** Dominant frequency bin of a PCM window: argmax |X[k]| over
+    * k in 1..N/2 (DC excluded — quantization offsets land there).
+    * Ties break to the lowest bin; an all-silent window returns 0. */
+  def dominantBin(samples: Array[Short], n: Int): Int = {
+    require((n & (n - 1)) == 0 && n > 0, s"window must be a power of two, got $n")
+    val re = new Array[Double](n)
+    val im = new Array[Double](n)
+    val m = math.min(n, samples.length)
+    var i = 0
+    while (i < m) { re(i) = samples(i).toDouble; i += 1 }
+    fft(re, im)
+    var best = 0; var bestMag = 0.0
+    var k = 1
+    while (k <= n / 2) {
+      val mag = re(k) * re(k) + im(k) * im(k)
+      if (mag > bestMag) { bestMag = mag; best = k }
+      k += 1
+    }
+    best
+  }
+}
+
 /** REAL animated-GIF codec in pure JDK — the frame-sampling ("video")
   * analog of `Png`/`Wav`: a GIF89a file is a logical screen plus a
   * SEQUENCE of LZW-compressed frames, so decoding one end-to-end

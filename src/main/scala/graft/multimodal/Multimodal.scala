@@ -172,6 +172,96 @@ object Multimodal {
       w.as("width"), h.as("height"))
   }
 
+  /** Audio/video sibling of `containerMediaTable`: payloads are REAL
+    * MP4 (ISO-BMFF ftyp + moov > mvhd/tkhd), MP3 (ID3v2 envelope +
+    * MPEG-1 Layer III frame header) and FLAC (STREAMINFO bitfields)
+    * bytes assembled in-plan — codegen'd binary concat, no UDF. The
+    * decoder walks them back: box sizes, synchsafe ID3 skip, 20/3/5/36
+    * bit unpack; every field the walk recovers is mirrored column
+    * arithmetic the oracle replays. */
+  def avMediaTable(docs: DataFrame): DataFrame = {
+    def be8(c: org.apache.spark.sql.Column) =
+      unhex(lpad(hex(c), 2, "0"))
+    def be16(c: org.apache.spark.sql.Column) =
+      unhex(lpad(hex(c), 4, "0"))
+    def be32(c: org.apache.spark.sql.Column) =
+      unhex(lpad(hex(c), 8, "0"))
+    def be64(c: org.apache.spark.sql.Column) =
+      unhex(lpad(hex(c), 16, "0"))
+    def zeros(n: Int) = lit(Array.fill[Byte](n)(0))
+    def ascii(s: String) = lit(s.getBytes("US-ASCII"))
+    val w = (col("n_chars") % 100 + 1).cast("long")
+    val h = (col("doc_id") % 50 + 1).cast("long")
+    val durMs = ((col("n_chars") % 1000 + 1) * 10).cast("long")
+    // mvhd v0: timescale 1000, duration in ms; rate 1.0; next track 2
+    val mvhd = concat(
+      be32(lit(108)), ascii("mvhd"), zeros(12),
+      be32(lit(1000)), be32(durMs),
+      lit(Array[Byte](0, 1, 0, 0)), zeros(72), be32(lit(2)))
+    // tkhd v0: flags 7 (enabled), track 1, 16.16 fixed-point dims
+    val tkhd = concat(
+      be32(lit(92)), ascii("tkhd"), be32(lit(7)), zeros(8),
+      be32(lit(1)), zeros(4), be32(durMs), zeros(16), zeros(36),
+      be32(shiftleft(w, 16)), be32(shiftleft(h, 16)))
+    val ftypVideo = concat(be32(lit(16)), ascii("ftypisom"), zeros(4))
+    val ftypAudio = concat(be32(lit(16)), ascii("ftypM4A "), zeros(4))
+    val mp4Video = concat(ftypVideo, be32(lit(216)), ascii("moov"),
+      mvhd, be32(lit(100)), ascii("trak"), tkhd)
+    val mp4Audio = concat(ftypAudio, be32(lit(116)), ascii("moov"), mvhd)
+    // ID3v2.3 envelope (synchsafe size 32, zero padding) + frame sync:
+    // 0xFFFB = MPEG-1 Layer III no-CRC; byte 2 packs bitrate index
+    // (1..14) and samplerate index (0..2)
+    val brIdx = (col("doc_id") % 14 + 1).cast("long")
+    val srIdx = (col("doc_id") % 3).cast("long")
+    val mp3 = concat(
+      ascii("ID3"), lit(Array[Byte](3, 0, 0)), be32(lit(32)), zeros(32),
+      lit(Array[Byte](0xff.toByte, 0xfb.toByte)),
+      be8(brIdx * 16 + srIdx * 4), zeros(1))
+    // FLAC STREAMINFO: last-block flag + type 0, length 34; the 8-byte
+    // packed word = rate(20) | channels-1(3) | bps-1(5) | samples(36)
+    val flacSr = element_at(
+      array(Seq(8000, 16000, 32000, 44100, 48000).map(v => lit(v.toLong)): _*),
+      (col("doc_id") % 5 + 1).cast("int"))
+    val flacCh = (col("doc_id") % 2 + 1).cast("long")
+    val flacTotal = (col("n_chars") * 50).cast("long")
+    val flacPacked = shiftleft(flacSr, 44)
+      .bitwiseOR(shiftleft(flacCh - 1, 41))
+      .bitwiseOR(lit(15L << 36)).bitwiseOR(flacTotal)
+    val flac = concat(
+      ascii("fLaC"), lit(Array[Byte](0x80.toByte, 0, 0, 34)),
+      be16(lit(4096)), be16(lit(4096)), zeros(6), be64(flacPacked), zeros(16))
+    docs.select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 4 === 0, mp4Video)
+        .when(col("doc_id") % 4 === 1, mp4Audio)
+        .when(col("doc_id") % 4 === 2, mp3)
+        .otherwise(flac).as("payload"))
+  }
+
+  /** Census corpus: every container family the walkers understand —
+    * the image half (`containerMediaTable`) unioned with the AV half
+    * (`avMediaTable`) — plus a torn-asset class (every doc_id % 9 == 0
+    * payload truncated to 5 bytes), which is what a real crawl's media
+    * column looks like: mixed formats with a corrupt tail. */
+  def censusMediaTable(docs: DataFrame): DataFrame = {
+    val all = containerMediaTable(docs).select("media_id", "payload")
+      .unionByName(avMediaTable(docs).select("media_id", "payload"))
+    all.select(col("media_id"),
+      when(col("media_id") % 9 === 0, expr("substring(payload, 1, 5)"))
+        .otherwise(col("payload")).as("payload"))
+  }
+
+  /** Media census — the top-of-funnel triage a 100 TB crawl pipeline
+    * runs before any decode: header-walk every payload, count by
+    * recovered format (torn assets land in their fallback class). The
+    * heavy binary column is consumed map-side; the exchange carries
+    * one row per FORMAT, not per asset — a partial-agged groupBy over
+    * a single-digit key space. */
+  def mediaCensus(spark: SparkSession, media: DataFrame): DataFrame =
+    decodeContainerMeta(spark, media).toDF()
+      .groupBy(split(col("meta"), " ").getItem(0).as("format"))
+      .agg(count(lit(1)).as("n"))
+
   /** REAL container decode: per-partition header parsing of the binary
     * payload (PNG/GIF/JPEG via CorpusFittedService.parseMedia) — this
     * half of multimodal decode is honest byte decoding, no media lib
@@ -240,6 +330,87 @@ object Multimodal {
           var s = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
           a.samples.foreach { v => s += v; if (v < mn) mn = v; if (v > mx) mx = v }
           PixelStats(id, "wav", 1, a.samples.length, a.samples.length.toLong, s, mn, mx)
+        }
+      })
+  }
+
+  /** Tone-corpus media table: every payload is a REAL 16-bit PCM WAV
+    * carrying one quantized sinusoid at an integer FFT bin — 256
+    * samples of round(1000 * sin(2*pi*b*i/256)) at 25600 Hz, so bin b
+    * sits at exactly b*100 Hz. Generated per partition like
+    * `pixelMediaTable`; the tone bin derives from doc_id, which is
+    * what lets the oracle state the expected spectrum analytically. */
+  def toneMediaTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val b = (id % 100 + 1).toInt
+      val s = Array.tabulate(256)(i =>
+        math.round(1000.0 * math.sin(2.0 * math.Pi * b * i / 256.0)).toShort)
+      (id, "audio/wav", Wav.encodePcm16(s, sampleRate = 25600))
+    }).toDF("media_id", "mime", "payload")
+  }
+
+  /** REAL spectral feature extraction: WAV chunk-walk decode, then a
+    * radix-2 FFT over the leading power-of-two window and the dominant
+    * bin read off the magnitude spectrum (`Dsp.dominantBin`). Map-only
+    * executor work — the payload never shuffles, the output is a few
+    * integers per row; at 100 TB this pass has the same shape as the
+    * pixel decode: embarrassingly parallel, bounded memory (one window
+    * per row at a time). */
+  def spectralFeatures(spark: SparkSession, media: DataFrame, window: Int = 256): Dataset[SpectralFeature] = {
+    import spark.implicits._
+    require(window > 0 && (window & (window - 1)) == 0,
+      s"FFT window must be a power of two, got $window")
+    media.select("media_id", "payload")
+      .where(col("payload").isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val a = Wav.decodePcm16(payload)
+        val bin = Dsp.dominantBin(a.samples, window)
+        SpectralFeature(id, a.sampleRate, a.samples.length, bin,
+          bin.toLong * a.sampleRate / window)
+      })
+  }
+
+  /** Two-segment chirp corpus for the STFT path: 512 real PCM samples,
+    * the first 256 a sine at bin b, the second 256 at bin b+40 — a
+    * frequency STEP the single-window FFT cannot see but per-frame
+    * analysis must. Same generation contract as `toneMediaTable`. */
+  def chirpMediaTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val b1 = (id % 60 + 1).toInt; val b2 = b1 + 40
+      val s = Array.tabulate(512) { i =>
+        val b = if (i < 256) b1 else b2
+        math.round(1000.0 * math.sin(2.0 * math.Pi * b * (i % 256) / 256.0)).toShort
+      }
+      (id, "audio/wav", Wav.encodePcm16(s, sampleRate = 25600))
+    }).toDF("media_id", "mime", "payload")
+  }
+
+  /** Short-time Fourier transform features: decode, slice the PCM into
+    * hop-aligned frames, FFT each, emit one row per frame with its
+    * dominant bin — the temporal sibling of `spectralFeatures` (what a
+    * pipeline runs for VAD, music/speech gates, audio chunking). The
+    * 1->n flatMap mirrors `sampleFrames`' video frame fan-out; frames
+    * of one row never leave the task, so the pass stays map-only. */
+  def stftFrames(spark: SparkSession, media: DataFrame,
+      window: Int = 256, hop: Int = 256): Dataset[AudioFrame] = {
+    import spark.implicits._
+    require(window > 0 && (window & (window - 1)) == 0,
+      s"FFT window must be a power of two, got $window")
+    require(hop > 0, s"hop must be positive, got $hop")
+    media.select("media_id", "payload")
+      .where(col("payload").isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        val a = Wav.decodePcm16(payload)
+        val nFrames = math.max(0, (a.samples.length - window) / hop + 1)
+        (0 until nFrames).iterator.map { f =>
+          val frame = java.util.Arrays.copyOfRange(
+            a.samples, f * hop, f * hop + window)
+          val bin = Dsp.dominantBin(frame, window)
+          AudioFrame(id, f, bin, bin.toLong * a.sampleRate / window)
         }
       })
   }
@@ -492,3 +663,7 @@ case class PixelStats(
 
 /** One sampled frame of a media asset. */
 case class FrameSample(media_id: Long, frame_idx: Int, frame_hash: String)
+case class SpectralFeature(media_id: Long, sample_rate: Int, n_samples: Int,
+    dominant_bin: Int, dominant_freq_hz: Long)
+case class AudioFrame(media_id: Long, frame_idx: Int,
+    dominant_bin: Int, dominant_freq_hz: Long)

@@ -109,6 +109,150 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](graft.multimodal.Jpeg.decodeGray(vp8))
   }
 
+  test("AV container metadata: MP4 box walk, MP3 frame header, FLAC STREAMINFO (r16)") {
+    import graft.inference.CorpusFittedService.parseMedia
+    def be16(v: Int) = Array[Byte](((v >> 8) & 255).toByte, (v & 255).toByte)
+    def be32(v: Long) = Array[Byte](((v >> 24) & 255).toByte, ((v >> 16) & 255).toByte,
+      ((v >> 8) & 255).toByte, (v & 255).toByte)
+    def be64(v: Long) = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+    def ascii(s: String) = s.getBytes("US-ASCII")
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(8L + payload.length) ++ ascii(typ) ++ payload
+    def mvhd0(ts: Long, dur: Long) =
+      box("mvhd", new Array[Byte](12) ++ be32(ts) ++ be32(dur) ++
+        Array[Byte](0, 1, 0, 0) ++ new Array[Byte](72) ++ be32(2))
+    def tkhd0(w: Long, h: Long, dur: Long) =
+      box("tkhd", be32(7) ++ new Array[Byte](8) ++ be32(1) ++ new Array[Byte](4) ++
+        be32(dur) ++ new Array[Byte](52) ++ be32(w << 16) ++ be32(h << 16))
+    val ftyp = box("ftyp", ascii("isom") ++ new Array[Byte](4))
+    // v0 video: dims from tkhd, duration ms from mvhd at timescale 1000
+    val mp4 = ftyp ++ box("moov", mvhd0(1000, 500) ++ box("trak", tkhd0(100, 50, 500)))
+    assert(parseMedia(mp4) == "mp4 100x50 500ms")
+    // audio-only M4A: mvhd but no video trak
+    assert(parseMedia(ftyp ++ box("moov", mvhd0(600, 1200))) == "mp4 audio 2000ms")
+    // 64-bit largesize moov (size == 1) walks identically
+    val inner = mvhd0(1000, 250) ++ box("trak", tkhd0(8, 4, 250))
+    val big = ftyp ++ be32(1) ++ ascii("moov") ++ be64(16L + inner.length) ++ inner
+    assert(parseMedia(big) == "mp4 8x4 250ms")
+    // mvhd v1: 64-bit times, timescale at +20, duration at +24
+    val mvhd1 = box("mvhd", Array[Byte](1, 0, 0, 0) ++ new Array[Byte](16) ++
+      be32(1000) ++ be64(750) ++ Array[Byte](0, 1, 0, 0) ++ new Array[Byte](76))
+    assert(parseMedia(ftyp ++ box("moov", mvhd1)) == "mp4 audio 750ms")
+    // torn box header: sized fallback, never garbage
+    assert(parseMedia(ftyp ++ be32(9999) ++ ascii("moov")) == s"mp4 ${ftyp.length + 8}B")
+
+    // MP3: ID3v2 skip (synchsafe size) then MPEG-1 Layer III header
+    def mp3(ver: Int, brIdx: Int, srIdx: Int, id3Pad: Int, footer: Boolean = false) = {
+      val flags: Byte = if (footer) 0x10 else 0
+      val id3 = ascii("ID3") ++ Array[Byte](3, 0, flags) ++
+        be32(id3Pad) ++ new Array[Byte](id3Pad + (if (footer) 10 else 0))
+      id3 ++ Array[Byte](0xff.toByte, (0xe0 | (ver << 3) | (1 << 1)).toByte,
+        ((brIdx << 4) | (srIdx << 2)).toByte, 0)
+    }
+    assert(parseMedia(mp3(3, 9, 0, 17)) == "mp3 44100Hz 128kbps")
+    assert(parseMedia(mp3(3, 14, 2, 0)) == "mp3 32000Hz 320kbps")
+    assert(parseMedia(mp3(2, 13, 1, 5)) == "mp3 24000Hz 144kbps") // MPEG-2 tables
+    assert(parseMedia(mp3(3, 9, 0, 3, footer = true)) == "mp3 44100Hz 128kbps")
+    // bare frame with no ID3 envelope parses too
+    assert(parseMedia(Array[Byte](0xff.toByte, 0xfb.toByte, 0x90.toByte, 0))
+      == "mp3 44100Hz 128kbps")
+    // free-format (idx 0) / bad samplerate: sized fallback
+    assert(parseMedia(mp3(3, 0, 0, 0)).endsWith("B"))
+    assert(parseMedia(mp3(3, 9, 3, 0)).endsWith("B"))
+
+    // FLAC STREAMINFO: 20/3/5/36-bit unpack of the packed word
+    def flac(sr: Long, ch: Long, total: Long) = {
+      val packed = (sr << 44) | ((ch - 1) << 41) | (15L << 36) | total
+      ascii("fLaC") ++ Array[Byte](0x80.toByte, 0, 0, 34) ++
+        be16(4096) ++ be16(4096) ++ new Array[Byte](6) ++ be64(packed) ++
+        new Array[Byte](16)
+    }
+    assert(parseMedia(flac(44100, 2, 12345)) == "flac 44100Hz 2ch 12345")
+    assert(parseMedia(flac(8000, 1, (1L << 36) - 1)) ==
+      s"flac 8000Hz 1ch ${(1L << 36) - 1}")
+
+    // WAV: the metadata walk agrees with the full sample decoder
+    val wav = graft.multimodal.Wav.encodePcm16(new Array[Short](300), 22050)
+    assert(parseMedia(wav) == "wav 22050Hz 1ch 300")
+    assert(parseMedia(wav.take(20)) == "wav 20B") // torn: sized fallback
+  }
+
+  test("media census: all walker families + torn assets, counted by recovered format (r16)") {
+    val docs = spark.range(36).select(col("id").as("doc_id"),
+      (col("id") * 7 + 3).as("n_chars"))
+    val out = graft.multimodal.Multimodal.mediaCensus(spark,
+      graft.multimodal.Multimodal.censusMediaTable(docs))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = (0L until 36L).flatMap { id =>
+      val img = if (id % 9 == 0) "bin"
+        else if (id % 3 == 0) "png" else if (id % 3 == 1) "gif" else "webp"
+      val av = if (id % 9 == 0 && id % 4 == 2) "mp3" // ID3 family survives the tear
+        else if (id % 9 == 0) "bin"
+        else if (id % 4 <= 1) "mp4" else if (id % 4 == 2) "mp3" else "flac"
+      Seq(img, av)
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(out == expected)
+  }
+
+  test("Dsp FFT: exact 8-point cases, dominant-bin recovery, silence, window gate (r16)") {
+    import graft.multimodal.Dsp
+    // impulse: flat spectrum, |X[k]| = 1 for every k
+    val re = Array(1.0, 0, 0, 0, 0, 0, 0, 0); val im = new Array[Double](8)
+    Dsp.fft(re, im)
+    (0 until 8).foreach { k =>
+      assert(math.abs(re(k) - 1.0) < 1e-12 && math.abs(im(k)) < 1e-12)
+    }
+    // pure cosine at bin 2 of N=8: energy only at bins 2 and 6 (N/2 each)
+    val cr = Array.tabulate(8)(i => math.cos(2.0 * math.Pi * 2 * i / 8))
+    val ci = new Array[Double](8)
+    Dsp.fft(cr, ci)
+    assert(math.abs(cr(2) - 4.0) < 1e-9 && math.abs(cr(6) - 4.0) < 1e-9)
+    assert(math.abs(cr(1)) < 1e-9 && math.abs(cr(3)) < 1e-9)
+    // quantized integer-bin sines recover their bin exactly
+    def tone(bin: Int, amp: Double, n: Int = 256): Array[Short] =
+      Array.tabulate(n)(i => math.round(amp * math.sin(2.0 * math.Pi * bin * i / n)).toShort)
+    // (not 128: a SINE at Nyquist is identically zero — sin(pi*i) = 0)
+    Seq(1, 7, 50, 100, 127).foreach { b =>
+      assert(Dsp.dominantBin(tone(b, 1000.0), 256) == b, s"bin $b")
+    }
+    // two-tone: the stronger component wins
+    val two = tone(10, 1000.0).zip(tone(40, 300.0)).map { case (a, b) => (a + b).toShort }
+    assert(Dsp.dominantBin(two, 256) == 10)
+    // silence reports 0, not an arbitrary tie-broken bin
+    assert(Dsp.dominantBin(new Array[Short](256), 256) == 0)
+    // windows must be powers of two, loudly
+    intercept[IllegalArgumentException](Dsp.dominantBin(tone(3, 100.0), 200))
+    // end-to-end: encode -> WAV decode -> FFT recovers the generation bin
+    val media = graft.multimodal.Multimodal.toneMediaTable(spark,
+      spark.range(12).withColumnRenamed("id", "doc_id"))
+    val out = graft.multimodal.Multimodal.spectralFeatures(spark, media)
+      .collect().sortBy(_.media_id)
+    out.foreach { f =>
+      assert(f.sample_rate == 25600 && f.n_samples == 256)
+      assert(f.dominant_bin == (f.media_id % 100 + 1).toInt)
+      assert(f.dominant_freq_hz == (f.media_id % 100 + 1) * 100)
+    }
+    // STFT over the two-segment chirp: frame 0 reads b, frame 1 b+40 —
+    // the step a whole-signal FFT would average away
+    val chirp = graft.multimodal.Multimodal.chirpMediaTable(spark,
+      spark.range(8).withColumnRenamed("id", "doc_id"))
+    val frames = graft.multimodal.Multimodal.stftFrames(spark, chirp)
+      .collect().sortBy(f => (f.media_id, f.frame_idx))
+    assert(frames.length == 16)
+    frames.foreach { f =>
+      val b = (f.media_id % 60 + 1).toInt + (if (f.frame_idx == 1) 40 else 0)
+      assert(f.dominant_bin == b && f.dominant_freq_hz == b * 100L)
+    }
+    // overlapping hop: 3 frames from 512 samples at hop 128 within the
+    // first segment keep reading the segment bin
+    val one = graft.multimodal.Multimodal.stftFrames(spark,
+      graft.multimodal.Multimodal.toneMediaTable(spark,
+        spark.range(1).withColumnRenamed("id", "doc_id")), window = 64, hop = 32)
+      .collect()
+    assert(one.length == (256 - 64) / 32 + 1)
+    assert(one.forall(_.dominant_bin > 0))
+  }
+
   test("entry + every registered query is runnable at sf0.001 (smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
