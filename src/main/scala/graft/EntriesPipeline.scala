@@ -657,6 +657,22 @@ private[graft] object EntriesPipeline {
         .select(col("media_id"), col("width"), col("height"),
           col("r_sum"), col("g_sum"), col("b_sum"))
         .orderBy(col("media_id"))),
+    // paletted PNG (r16): color-type-3 payloads with a formula palette
+    // + formula index plane; decode must expand PLTE indices to RGB —
+    // channel sums come out as COMPOSED formulas the oracle replays
+    "q_multimodal_palette" -> ((s, d) =>
+      Multimodal.decodeRgbStats(s,
+        Multimodal.paletteMediaTable(s, t(s, d, "documents")))
+        .select(col("media_id"), col("width"), col("height"),
+          col("r_sum"), col("g_sum"), col("b_sum"))
+        .orderBy(col("media_id"))),
+    // stereo PCM (r16): interleaved 2-channel WAVs, per-channel
+    // formulas; the decode must de-interleave frames correctly — a
+    // swap or stride bug breaks exactly one channel's sum
+    "q_multimodal_stereo" -> ((s, d) =>
+      Multimodal.decodeStereoStats(s,
+        Multimodal.stereoMediaTable(s, t(s, d, "documents")))
+        .orderBy(col("media_id"))),
     // REAL resize: decode -> nearest-neighbor -> re-encode -> re-decode
     // -> stats; the oracle mirrors the integer source-index resample
     "q_multimodal_resize_px" -> ((s, d) =>
@@ -1427,6 +1443,30 @@ private[graft] object EntriesPipeline {
       "CROSS JOIN generate_series(0, 19) AS ys(y) WHERE xs.x < d.w AND ys.y < d.h) " +
       "SELECT doc_id AS media_id, w::INT AS width, h::INT AS height, " +
       "sum(r)::BIGINT AS r_sum, sum(gr)::BIGINT AS g_sum, sum(b)::BIGINT AS b_sum " +
+      "FROM g GROUP BY doc_id, w, h ORDER BY media_id"),
+    "q_multimodal_stereo" -> ("WITH d AS (SELECT doc_id, doc_id % 200 + 32 AS n " +
+      "FROM documents), " +
+      "g AS (SELECT d.doc_id, d.n, " +
+      "(d.doc_id*13 + i.i*7) % 4096 - 2048 AS l, " +
+      "(d.doc_id*19 + i.i*11) % 4096 - 2048 AS r " +
+      "FROM d CROSS JOIN generate_series(0, 231) AS i(i) WHERE i.i < d.n) " +
+      "SELECT doc_id AS media_id, n::INT AS n_samples, " +
+      "sum(l)::BIGINT AS l_sum, sum(r)::BIGINT AS r_sum " +
+      "FROM g GROUP BY doc_id, n ORDER BY media_id"),
+    // paletted PNG: channel values composed THROUGH the palette —
+    // idx(x,y) = (id*7 + x*3 + y*5) % 64, channel = palette formula
+    // over idx; a PLTE-expansion bug breaks all three sums at once,
+    // an index-plane bug breaks them in the composed pattern
+    "q_multimodal_palette" -> ("WITH d AS (SELECT doc_id, doc_id % 24 + 4 AS w, " +
+      "doc_id % 16 + 4 AS h FROM documents), " +
+      "g AS (SELECT d.doc_id, d.w, d.h, " +
+      "(d.doc_id*7 + xs.x*3 + ys.y*5) % 64 AS idx " +
+      "FROM d CROSS JOIN generate_series(0, 27) AS xs(x) " +
+      "CROSS JOIN generate_series(0, 19) AS ys(y) WHERE xs.x < d.w AND ys.y < d.h) " +
+      "SELECT doc_id AS media_id, w::INT AS width, h::INT AS height, " +
+      "sum((idx*5 + 7) % 256)::BIGINT AS r_sum, " +
+      "sum((idx*11 + 3) % 256)::BIGINT AS g_sum, " +
+      "sum((idx*17 + 1) % 256)::BIGINT AS b_sum " +
       "FROM g GROUP BY doc_id, w, h ORDER BY media_id"),
     // per-frame stats re-derived from the frame-salted formula
     // px(f,x,y) = (id*31 + f*41 + x*7 + y*13) % 256 at stride 2 — the

@@ -10,9 +10,10 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * parses a genuine RIFF chunk walk — the exact byte formats published
   * in the PNG (RFC 2083) and RIFF/WAVE specs.
   *
-  * Scope: PNG grayscale (color type 0) and truecolor RGB (color type
-  * 2) at bit depth 8 — the shapes a training pipeline normalizes to —
-  * and 16-bit mono PCM. Anything else raises, loudly: a silent partial
+  * Scope: PNG grayscale (color type 0), truecolor RGB (color type 2)
+  * and paletted (color type 3, PLTE expanded to RGB — r16) at bit
+  * depth 8 — the shapes a training pipeline normalizes to — and
+  * 16-bit mono PCM. Anything else raises, loudly: a silent partial
   * decode would corrupt downstream features.
   */
 object Png {
@@ -116,12 +117,16 @@ object Png {
 
   /** Decode a PNG: chunk walk (CRC-verified), zlib inflate of the
     * concatenated IDATs, and per-row unfiltering of all five filter
-    * types. Bit depth 8, color types 0 (gray) and 2 (RGB) only. */
+    * types. Bit depth 8; color types 0 (gray), 2 (RGB) and 3
+    * (paletted — indices filter as 1-byte pixels, then expand through
+    * the PLTE to interleaved RGB). */
   def decode(bytes: Array[Byte]): Image = {
     require(bytes != null && bytes.length > 8 &&
       Signature.indices.forall(i => bytes(i) == Signature(i)), "not a PNG")
     var pos = 8
     var width = 0; var height = 0; var channels = 0
+    var paletted = false
+    var palette: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     var sawEnd = false
     while (!sawEnd && pos + 8 <= bytes.length) {
@@ -141,8 +146,12 @@ object Png {
           channels = colorType match {
             case 0 => 1
             case 2 => 3
+            case 3 => paletted = true; 1 // indices filter as 1-byte px
             case other => sys.error(s"unsupported color type $other")
           }
+        case "PLTE" =>
+          require(len > 0 && len % 3 == 0 && len <= 768, s"bad PLTE length $len")
+          palette = java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + len)
         case "IDAT" => idat.write(bytes, pos + 8, len)
         case "IEND" => sawEnd = true
         case _ => () // ancillary chunks skipped
@@ -187,7 +196,59 @@ object Png {
       }
       y += 1
     }
-    Image(width, height, channels, px)
+    if (!paletted) Image(width, height, channels, px)
+    else {
+      // color type 3: indices expand through PLTE to interleaved RGB;
+      // an index past the palette is data corruption, not a default
+      require(palette != null, "paletted PNG without a PLTE chunk")
+      val nEntries = palette.length / 3
+      val rgb = new Array[Byte](width * height * 3)
+      var i = 0
+      while (i < px.length) {
+        val idx = px(i) & 0xff
+        require(idx < nEntries, s"palette index $idx out of $nEntries entries")
+        rgb(i * 3) = palette(idx * 3)
+        rgb(i * 3 + 1) = palette(idx * 3 + 1)
+        rgb(i * 3 + 2) = palette(idx * 3 + 2)
+        i += 1
+      }
+      Image(width, height, 3, rgb)
+    }
+  }
+
+  /** Encode a paletted image (color type 3): PLTE holds up to 256 RGB
+    * triples, IDAT carries 8-bit palette indices (filtered rows like
+    * any other scanline stream). */
+  def encodePalette(width: Int, height: Int,
+      palette: Array[Byte], indices: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    require(palette.length > 0 && palette.length % 3 == 0 && palette.length <= 768,
+      s"palette must be 1..256 RGB triples, got ${palette.length} bytes")
+    require(indices.length == width * height,
+      s"need ${width * height} indices, got ${indices.length}")
+    val nEntries = palette.length / 3
+    indices.foreach(i => require((i & 0xff) < nEntries,
+      s"palette index ${i & 0xff} out of $nEntries entries"))
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte).put(3.toByte) // bit depth 8, color type 3 (palette)
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive, no interlace
+      .array()
+    val raw = new Array[Byte](height * (1 + width))
+    var y = 0
+    while (y < height) {
+      raw(y * (1 + width)) = 0 // filter type 0 (None) per row
+      System.arraycopy(indices, y * width, raw, y * (1 + width) + 1, width)
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    Signature ++ chunk("IHDR", ihdr) ++ chunk("PLTE", palette) ++
+      chunk("IDAT", out.toByteArray) ++ chunk("IEND", Array.emptyByteArray)
   }
 
   /** Nearest-neighbor resample — the real pixel-space resize (the
@@ -276,6 +337,77 @@ object Wav {
     }
     require(sawFmt && samples != null, "missing fmt or data chunk")
     Audio(sampleRate, samples)
+  }
+
+  final case class StereoAudio(sampleRate: Int,
+      left: Array[Short], right: Array[Short])
+
+  /** Encode 16-bit STEREO PCM (interleaved L,R — block align 4), the
+    * channel layout real audio assets actually ship in. */
+  def encodePcm16Stereo(left: Array[Short], right: Array[Short],
+      sampleRate: Int = 16000): Array[Byte] = {
+    require(sampleRate > 0, s"bad sample rate $sampleRate")
+    require(left.length == right.length,
+      s"channel length mismatch: ${left.length} vs ${right.length}")
+    val dataLen = left.length * 4
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(2) // stereo
+      .putInt(sampleRate)
+      .putInt(sampleRate * 4) // byte rate
+      .putShort(4) // block align
+      .putShort(16) // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < left.length) { buf.putShort(left(i)); buf.putShort(right(i)); i += 1 }
+    buf.array()
+  }
+
+  /** Decode 16-bit stereo PCM: the same chunk walk as the mono path,
+    * de-interleaving the frames back into separate channels. */
+  def decodePcm16Stereo(bytes: Array[Byte]): StereoAudio = {
+    require(bytes != null && bytes.length >= 12 &&
+      new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(bytes, 8, 4, "US-ASCII") == "WAVE", "not a WAVE file")
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var pos = 12
+    var sampleRate = 0
+    var sawFmt = false
+    var left: Array[Short] = null
+    var right: Array[Short] = null
+    while (pos + 8 <= bytes.length && (left == null || !sawFmt)) {
+      val id = new String(bytes, pos, 4, "US-ASCII")
+      val len = bb.getInt(pos + 4)
+      require(len >= 0 && pos + 8 + len <= bytes.length, s"truncated chunk $id")
+      id match {
+        case "fmt " =>
+          require(len >= 16, "short fmt chunk")
+          val fmt = bb.getShort(pos + 8) & 0xffff
+          val ch = bb.getShort(pos + 10) & 0xffff
+          val bits = bb.getShort(pos + 22) & 0xffff
+          require(fmt == 1 && ch == 2 && bits == 16,
+            s"unsupported WAVE: format=$fmt channels=$ch bits=$bits (stereo path)")
+          sampleRate = bb.getInt(pos + 12)
+          sawFmt = true
+        case "data" =>
+          val n = len / 4
+          left = new Array[Short](n); right = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            left(i) = bb.getShort(pos + 8 + i * 4)
+            right(i) = bb.getShort(pos + 8 + i * 4 + 2)
+            i += 1
+          }
+        case _ => () // other chunks (LIST, fact, ...) skipped
+      }
+      pos += 8 + len + (len & 1)
+    }
+    require(sawFmt && left != null, "missing fmt or data chunk")
+    StereoAudio(sampleRate, left, right)
   }
 }
 

@@ -468,6 +468,67 @@ object Multimodal {
       }).toDF("media_id", "width", "height", "r_sum", "g_sum", "b_sum")
   }
 
+  /** Paletted media table: COMPLETE color-type-3 PNGs generated
+    * in-task — a 64-entry palette and an index plane both from
+    * deterministic formulas, so the oracle can state every expanded
+    * channel value as composed arithmetic. Paletted PNGs are the
+    * icon/graphic share of a real crawl; the decode path must expand
+    * PLTE indices, not just pass raster bytes through. */
+  def paletteMediaTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val w = (id % 24 + 4).toInt; val h = (id % 16 + 4).toInt
+      val pal = new Array[Byte](64 * 3)
+      var j = 0
+      while (j < 64) {
+        pal(j * 3) = ((j * 5 + 7) % 256).toByte
+        pal(j * 3 + 1) = ((j * 11 + 3) % 256).toByte
+        pal(j * 3 + 2) = ((j * 17 + 1) % 256).toByte
+        j += 1
+      }
+      val idx = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          idx(y * w + x) = ((id * 7 + x * 3 + y * 5) % 64).toByte
+          x += 1
+        }
+        y += 1
+      }
+      (id, Png.encodePalette(w, h, pal, idx))
+    }).toDF("media_id", "payload")
+  }
+
+  /** Stereo media table: real 2-channel interleaved PCM WAVs (block
+    * align 4), each channel from its own deterministic formula — a
+    * de-interleave bug breaks exactly one channel's sums, the same
+    * single-fault isolation the RGB channel key gives images. */
+  def stereoMediaTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val n = (id % 200 + 32).toInt
+      val l = Array.tabulate(n)(i => ((id * 13 + i.toLong * 7) % 4096 - 2048).toShort)
+      val r = Array.tabulate(n)(i => ((id * 19 + i.toLong * 11) % 4096 - 2048).toShort)
+      (id, Wav.encodePcm16Stereo(l, r))
+    }).toDF("media_id", "payload")
+  }
+
+  /** Decode stereo payloads and fold PER-CHANNEL sums — the audio twin
+    * of `decodeRgbStats`. */
+  def decodeStereoStats(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("media_id", "payload")
+      .where(col("payload").isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val a = Wav.decodePcm16Stereo(payload)
+        var ls = 0L; var rs = 0L
+        a.left.foreach(ls += _); a.right.foreach(rs += _)
+        (id, a.left.length, ls, rs)
+      }).toDF("media_id", "n_samples", "l_sum", "r_sum")
+  }
+
   /** Real resize: decode -> nearest-neighbor resample -> RE-ENCODE ->
     * RE-DECODE -> stats. The second encode/decode round trip is
     * deliberate: the stats prove the codec reproduces the resampled

@@ -177,6 +177,41 @@ class MultimodalSpec extends SparkSpec {
     assert(parseMedia(wav.take(20)) == "wav 20B") // torn: sized fallback
   }
 
+  test("paletted PNG + stereo WAV: round trips, expansion, de-interleave faults (r16)") {
+    import graft.multimodal.{Png, Wav}
+    // palette round trip: indices expand through PLTE to RGB
+    val pal = Array.tabulate(12)(j => (j * 20 + 5).toByte) // 4 entries
+    val idx = Array[Byte](0, 1, 2, 3, 3, 2, 1, 0)
+    val img = Png.decode(Png.encodePalette(4, 2, pal, idx))
+    assert(img.width == 4 && img.height == 2 && img.channels == 3)
+    idx.zipWithIndex.foreach { case (i, at) =>
+      (0 until 3).foreach { c =>
+        assert(img.pixels(at * 3 + c) == pal(i * 3 + c), s"px $at ch $c")
+      }
+    }
+    // out-of-palette index rejects at encode AND at decode
+    intercept[IllegalArgumentException](
+      Png.encodePalette(2, 1, pal, Array[Byte](0, 9)))
+    // gray/RGB paths unaffected: no PLTE means no palette expansion
+    val gray = Png.decode(Png.encodeGray(2, 2, Array[Byte](1, 2, 3, 4)))
+    assert(gray.channels == 1)
+
+    // stereo round trip: channels come back separated, not interleaved
+    val l = Array.tabulate(50)(i => (i * 3).toShort)
+    val r = Array.tabulate(50)(i => (-i * 5).toShort)
+    val a = Wav.decodePcm16Stereo(Wav.encodePcm16Stereo(l, r, 48000))
+    assert(a.sampleRate == 48000)
+    assert(a.left.sameElements(l) && a.right.sameElements(r))
+    // the mono decoder rejects stereo files loudly (and vice versa)
+    intercept[IllegalArgumentException](
+      Wav.decodePcm16(Wav.encodePcm16Stereo(l, r)))
+    intercept[IllegalArgumentException](
+      Wav.decodePcm16Stereo(Wav.encodePcm16(l)))
+    // metadata walk reads the stereo layout
+    import graft.inference.CorpusFittedService.parseMedia
+    assert(parseMedia(Wav.encodePcm16Stereo(l, r, 48000)) == "wav 48000Hz 2ch 50")
+  }
+
   test("media census: all walker families + torn assets, counted by recovered format (r16)") {
     val docs = spark.range(36).select(col("id").as("doc_id"),
       (col("id") * 7 + 3).as("n_chars"))
