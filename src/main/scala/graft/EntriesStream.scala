@@ -68,18 +68,7 @@ private[graft] object EntriesStream {
     // binaryFile streaming source, the Column strip and the state
     // dedup must all land on identical md5s
     "q_stream_warc" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val srcFp = graft.index.IndexArtifacts
-        .dataFingerprint(s, s"$d/documents.parquet").take(12)
-      val landing = graft.index.IndexArtifacts.ensureArtifact("warchtml", srcFp)(
-        p => graft.index.IndexArtifacts.fsDirExists(s, p))(
-        stage => graft.sources.Warc.saveWarc(
-          docs.select(
-            concat(lit("https://corpus.test/doc/"), col("doc_id")).as("uri"),
-            lit("text/html; charset=UTF-8").as("mime"),
-            encode(concat(lit("<html><head><title>d</title></head><body><p>"),
-              col("text"), lit("</p></body></html>")), "UTF-8").as("body")),
-          stage, "2026-01-01T00:00:00Z"))
+      val landing = EntryShared.ensureWarcHtml(s, d)
       // state stores scale per shuffle partition per micro-batch:
       // 4 keeps the bounded drain cheap (the runEventsStream rationale)
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")

@@ -65,18 +65,7 @@ private[graft] object EntriesWrite {
     // oracle re-derives extraction + gate + dedup from the source
     // table through the same strip mirror q_analyze_html pins
     "q_warc_pipeline" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val srcFp = graft.index.IndexArtifacts
-        .dataFingerprint(s, s"$d/documents.parquet").take(12)
-      val dir = graft.index.IndexArtifacts.ensureArtifact("warchtml", srcFp)(
-        p => graft.index.IndexArtifacts.fsDirExists(s, p))(
-        stage => graft.sources.Warc.saveWarc(
-          docs.select(
-            concat(lit("https://corpus.test/doc/"), col("doc_id")).as("uri"),
-            lit("text/html; charset=UTF-8").as("mime"),
-            encode(concat(lit("<html><head><title>d</title></head><body><p>"),
-              col("text"), lit("</p></body></html>")), "UTF-8").as("body")),
-          stage, "2026-01-01T00:00:00Z"))
+      val dir = EntryShared.ensureWarcHtml(s, d)
       val extracted = graft.sources.Warc.warcDF(s, dir)
         .where(col("http_status") === 200 && col("mime").like("text/html%"))
         .select(
@@ -97,20 +86,11 @@ private[graft] object EntriesWrite {
     // mirror: WARC parse, HTTP split, strip, WET serialize and WET
     // parse must all agree to land on identical md5s
     "q_wet_roundtrip" -> ((s, d) => {
-      val docs = t(s, d, "documents")
       val srcFp = graft.index.IndexArtifacts
         .dataFingerprint(s, s"$d/documents.parquet").take(12)
       val wetDir = graft.index.IndexArtifacts.ensureArtifact("wet", srcFp)(
         p => graft.index.IndexArtifacts.fsDirExists(s, p))(stage => {
-          val warcDir = graft.index.IndexArtifacts.ensureArtifact("warchtml", srcFp)(
-            p => graft.index.IndexArtifacts.fsDirExists(s, p))(
-            st => graft.sources.Warc.saveWarc(
-              docs.select(
-                concat(lit("https://corpus.test/doc/"), col("doc_id")).as("uri"),
-                lit("text/html; charset=UTF-8").as("mime"),
-                encode(concat(lit("<html><head><title>d</title></head><body><p>"),
-                  col("text"), lit("</p></body></html>")), "UTF-8").as("body")),
-              st, "2026-01-01T00:00:00Z"))
+          val warcDir = EntryShared.ensureWarcHtml(s, d)
           graft.sources.Warc.saveWet(
             graft.sources.Warc.warcDF(s, warcDir)
               .where(col("http_status") === 200 && col("mime").like("text/html%"))

@@ -22,6 +22,26 @@ private[graft] object EntryShared {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** The ONE builder of the `warchtml` artifact: real .warc.gz bytes
+    * wrapping the documents table in html. Three keys share the
+    * (name, srcFp) cache key — q_warc_pipeline, q_wet_roundtrip,
+    * q_stream_warc — so the wrapper MUST have a single definition:
+    * with per-key copies, the artifact's bytes would depend on which
+    * key built first if one copy were ever edited. */
+  def ensureWarcHtml(s: SparkSession, d: String): String = {
+    val srcFp = graft.index.IndexArtifacts
+      .dataFingerprint(s, s"$d/documents.parquet").take(12)
+    graft.index.IndexArtifacts.ensureArtifact("warchtml", srcFp)(
+      p => graft.index.IndexArtifacts.fsDirExists(s, p))(
+      stage => graft.sources.Warc.saveWarc(
+        t(s, d, "documents").select(
+          concat(lit("https://corpus.test/doc/"), col("doc_id")).as("uri"),
+          lit("text/html; charset=UTF-8").as("mime"),
+          encode(concat(lit("<html><head><title>d</title></head><body><p>"),
+            col("text"), lit("</p></body></html>")), "UTF-8").as("body")),
+        stage, "2026-01-01T00:00:00Z"))
+  }
+
 
   // shared DuckDB CTE: analyzed documents (mirror of Analyzer.tokens)
   val TokCte =

@@ -239,12 +239,14 @@ object CorpusFittedService {
       var durMs = -1L
       var w = 0L; var h = 0L
       var i = 0
-      while (i < bytes.length && boxBounds(i, bytes.length) != null) {
-        val (pay, end) = boxBounds(i, bytes.length)
+      var iB = boxBounds(i, bytes.length)
+      while (i < bytes.length && iB != null) {
+        val (pay, end) = iB
         if (typeAt(i) == "moov") {
           var j = pay
-          while (j < end && boxBounds(j, end) != null) {
-            val (jp, jend) = boxBounds(j, end)
+          var jB = boxBounds(j, end)
+          while (j < end && jB != null) {
+            val (jp, jend) = jB
             typeAt(j) match {
               case "mvhd" if jend - jp >= 20 =>
                 val v = u8(jp)
@@ -256,8 +258,9 @@ object CorpusFittedService {
                 if (ts > 0) durMs = dur * 1000L / ts
               case "trak" =>
                 var k = jp
-                while (k < jend && boxBounds(k, jend) != null) {
-                  val (kp, kend) = boxBounds(k, jend)
+                var kB = boxBounds(k, jend)
+                while (k < jend && kB != null) {
+                  val (kp, kend) = kB
                   if (typeAt(k) == "tkhd" && kend - kp >= 84) {
                     val off = if (u8(kp) == 1) kp + 88 else kp + 76
                     if (off + 8 <= kend) {
@@ -266,13 +269,16 @@ object CorpusFittedService {
                     }
                   }
                   k = kend
+                  kB = boxBounds(k, jend)
                 }
               case _ => ()
             }
             j = jend
+            jB = boxBounds(j, end)
           }
         }
         i = end
+        iB = boxBounds(i, bytes.length)
       }
       if (durMs < 0) s"mp4 ${bytes.length}B"
       else if (w > 0) s"mp4 ${w}x$h ${durMs}ms"

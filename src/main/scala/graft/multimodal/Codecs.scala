@@ -836,10 +836,10 @@ object Jpeg {
     throw new IllegalArgumentException("JPEG truncated before a SOF marker")
   }
 
-  /** Decode a baseline (SOF0/SOF1 sequential Huffman) JPEG to
-    * grayscale. Progressive (SOF2) and every other SOF variant
-    * reject loudly. Color inputs fold to luminance via the JDK's
-    * gray color space. */
+  /** Decode a Huffman JPEG (SOF0/SOF1 sequential, SOF2 progressive —
+    * in scope since r16) to grayscale. Lossless, hierarchical and
+    * arithmetic-coded SOFs reject loudly. Color inputs fold to
+    * luminance via the JDK's gray color space. */
   def decodeGray(bytes: Array[Byte]): Png.Image = {
     val (sof, w, h, _) = sofInfo(bytes)
     require(sof == 0xc0 || sof == 0xc1 || sof == 0xc2,
@@ -864,10 +864,11 @@ object Jpeg {
     Png.Image(w, h, 1, java.util.Arrays.copyOf(px, px.length))
   }
 
-  /** Decode a baseline JPEG to interleaved RGB (channels = 3). Same
-    * container contract as decodeGray: progressive and non-baseline
-    * SOFs reject loudly before any decode; gray inputs expand to
-    * equal channels through the JDK color model. */
+  /** Decode a Huffman JPEG (sequential or progressive) to interleaved
+    * RGB (channels = 3). Same container contract as decodeGray:
+    * lossless/hierarchical/arithmetic SOFs reject loudly before any
+    * decode; gray inputs expand to equal channels through the JDK
+    * color model. */
   def decodeRgb(bytes: Array[Byte]): Png.Image = {
     val (sof, w, h, _) = sofInfo(bytes)
     require(sof == 0xc0 || sof == 0xc1 || sof == 0xc2,

@@ -1346,19 +1346,6 @@ object Ann {
         "m x k resolution.")
     else None
 
-  /** The sizing rule as an AUTO mode: window = corpus/(m·k), the
-    * prescription the r15 probe measured buying recall back from
-    * 0/10 to 9/10 at 1.5M vectors. Costs one full count (opt-in —
-    * callers passing oversample = 0 accept it); floor of 4 keeps
-    * tiny corpora from degenerate windows. Long, NOT Int (the r15
-    * advice): at the corpus scales the rule exists for, the
-    * oversample itself can exceed Int range. */
-  private def autoOversample(
-      corpus: DataFrame, vecCol: String, k: Int, m: Int, codebookSize: Int): Long = {
-    val n = corpus.where(col(vecCol).isNotNull).count()
-    math.max(4L, n / (m.toLong * codebookSize * k) + 1)
-  }
-
   /** Coarse window k·oversample as the Int `limit` needs, computed in
     * Long: at auto-rule scales k·os overflows Int and `limit` would
     * see a negative/garbage size. Caps at Int.MaxValue with a warning
@@ -1384,6 +1371,34 @@ object Ann {
     }
   }
 
+  /** The window rule + sizing guard, shared by ALL FOUR quantized
+    * entry points (pqTopK / pqTopKIndexed / ivfAdcTopK /
+    * ivfAdcTopKIndexed) so a rule change can never reopen the r15
+    * guard hole by missing one copy. `candidates` is the narrow
+    * candidate frame the rule prices (live vectors, stored codes, or
+    * the probed lists' assignment ids). Auto (oversample = 0) pays
+    * one full count of it and sizes window = candidates/(m·ck) — the
+    * r15-measured prescription, floor 4; explicit windows pay only
+    * the bounded limit(threshold+1) scan and publish
+    * `lastPqSizingWarning` when the rule flags them. */
+  private def resolveWindow(
+      candidates: DataFrame, k: Int, oversample: Int,
+      m: Int, ck: Int, corpusLabel: String): Long = {
+    require(oversample >= 0, s"bad oversample $oversample (0 = auto rule-sized)")
+    if (oversample == 0) {
+      lastPqSizingWarning = None
+      math.max(4L, candidates.count() / (m.toLong * ck * k) + 1)
+    } else {
+      val os = oversample.toLong
+      val threshold = sizingThreshold(k, os, m, ck)
+      val over = candidates.limit((threshold + 1).toInt).count() > threshold
+      lastPqSizingWarning = pqSizingWarning(
+        over, s">$threshold-$corpusLabel", k, os, m, ck)
+      lastPqSizingWarning.foreach(w => Console.err.println(s"WARN graft.sim.Ann: $w"))
+      os
+    }
+  }
+
   def pqTopK(
       corpus: DataFrame,
       idCol: String,
@@ -1397,27 +1412,13 @@ object Ann {
     import org.apache.spark.sql.GraftBridge
     require(queryVec.nonEmpty && queryVec.length % m == 0,
       s"query dim ${queryVec.length} does not split into $m subspaces")
-    require(oversample >= 0, s"bad oversample $oversample (0 = auto rule-sized)")
-    val isAuto = oversample == 0
-    val os: Long =
-      if (isAuto) autoOversample(corpus, vecCol, k, m, codebookSize) else oversample.toLong
-    // sizing guard: bounded-scan count (limit(threshold+1), the
-    // requireBoundedQueries trick — never a full count of an
-    // unbounded corpus) decides whether corpus/window > m*k.
-    // Cost note: this is one extra bounded job per call, reading at
-    // most threshold+1 rows — strictly less work than the coarse
-    // pass's full corpus encode that follows, so the guard is always
-    // a small fraction of the query it protects. AUTO-sized windows
-    // satisfy the rule by construction, so the guard job is skipped.
-    if (isAuto) lastPqSizingWarning = None
-    else {
-      val threshold = sizingThreshold(k, os, m, codebookSize)
-      val over = corpus.where(col(vecCol).isNotNull)
-        .limit((threshold + 1).toInt).count() > threshold
-      lastPqSizingWarning = pqSizingWarning(
-        over, s">${threshold}-vector", k, os, m, codebookSize)
-      lastPqSizingWarning.foreach(w => Console.err.println(s"WARN graft.sim.Ann: $w"))
-    }
+    // window rule + guard (shared resolveWindow): auto pays one full
+    // count, explicit windows pay only a bounded limit(threshold+1)
+    // scan — strictly less work than the coarse pass's full corpus
+    // encode that follows, so the guard is always a small fraction of
+    // the query it protects.
+    val os: Long = resolveWindow(
+      corpus.where(col(vecCol).isNotNull), k, oversample, m, codebookSize, "vector")
     val dsub = queryVec.length / m
     // codebooks: caller-trained (pqFitCodebooks), or the deterministic
     // sample baseline — first codebookSize unit vectors by id, sliced
@@ -1473,23 +1474,9 @@ object Ann {
     graft.index.IndexArtifacts.loadPq(spark, indexPath, vecCol, Some(idCol))
       .map { case ((m, ck), cb, codes) =>
         import org.apache.spark.sql.GraftBridge
-        require(oversample >= 0, s"bad oversample $oversample (0 = auto rule-sized)")
-        // oversample = 0 -> AUTO rule-sized window off the codes count
-        val isAuto = oversample == 0
-        val os: Long =
-          if (isAuto) math.max(4L, codes.count() / (m.toLong * ck * k) + 1)
-          else oversample.toLong
-        // the same r14-ledger sizing guard as the on-the-fly path —
-        // the persisted form is the one that meets real corpus sizes;
-        // auto windows satisfy the rule by construction (guard skipped)
-        if (isAuto) lastPqSizingWarning = None
-        else {
-          val threshold = sizingThreshold(k, os, m, ck)
-          val over = codes.limit((threshold + 1).toInt).count() > threshold
-          lastPqSizingWarning = pqSizingWarning(
-            over, s">${threshold}-vector", k, os, m, ck)
-          lastPqSizingWarning.foreach(w => Console.err.println(s"WARN graft.sim.Ann: $w"))
-        }
+        // window rule + guard off the stored codes count — the
+        // persisted form is the one that meets real corpus sizes
+        val os: Long = resolveWindow(codes, k, oversample, m, ck, "vector")
         val lut = pqLut(queryVec, cb, m, ck)
         val adc = GraftBridge.column(graft.expr.PqAdc(
           GraftBridge.expression(col("pq")), lut.toSeq, ck))
@@ -1545,28 +1532,24 @@ object Ann {
       (cid, cos)
     }.sortBy { case (cid, cos) => (-cos, cid) }.take(nprobe).map(_._1).toSeq
     // membership: the stored IVF assignment (one narrow pass); only
-    // the probed lists' ids survive into the ADC stage
+    // the probed lists' ids survive into the ADC stage. PERSISTED:
+    // the assignment ends in a groupBy/max_by aggregation, and both
+    // the window rule below and the left_semi join consume `member` —
+    // without the persist the full assignment pass would run twice
+    // per query (the guard job materializes the cache, the join
+    // reads it back)
     val member = assignToCentroids(corpus, idCol, vecCol, centsDf)
       .where(col("cent_id").isin(probed: _*))
       .select(col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // r16: the r15 sizing guard + auto mode, threaded through the
     // IVFADC entry points (closing the r15 guard hole — the builder's
     // own structured-corpus probe read 0/10 recall here at 1.5M
     // vectors with an undersized window). The candidate corpus is the
     // PROBED lists' rows, which the assignment pass already yields:
     // rule reads corpus = |member|, window = k·os.
-    val isAuto = oversample == 0
-    val os: Long =
-      if (isAuto) math.max(4L, member.count() / (m.toLong * codebookSize * k) + 1)
-      else oversample.toLong
-    if (isAuto) lastPqSizingWarning = None
-    else {
-      val threshold = sizingThreshold(k, os, m, codebookSize)
-      val over = member.limit((threshold + 1).toInt).count() > threshold
-      lastPqSizingWarning = pqSizingWarning(
-        over, s">${threshold}-candidate probed", k, os, m, codebookSize)
-      lastPqSizingWarning.foreach(w => Console.err.println(s"WARN graft.sim.Ann: $w"))
-    }
+    val os: Long = resolveWindow(
+      member, k, oversample, m, codebookSize, "candidate probed")
     // codebooks: caller-trained (pqFitCodebooks / pqFitCodebooksDist),
     // or the deterministic sample baseline the oracle replays
     val cb = codebooks.getOrElse(
@@ -1629,20 +1612,9 @@ object Ann {
       val member = assignments.where(col("cent_id").isin(probed: _*)).select(col("id"))
       // the same r16 guard + auto as the on-the-fly IVFADC form; the
       // candidate count reads only the probed lists' stored
-      // assignment rows (nprobe/nCentroids of the assignment table)
-      require(oversample >= 0, s"bad oversample $oversample (0 = auto rule-sized)")
-      val isAuto = oversample == 0
-      val os: Long =
-        if (isAuto) math.max(4L, member.count() / (m.toLong * ck * k) + 1)
-        else oversample.toLong
-      if (isAuto) lastPqSizingWarning = None
-      else {
-        val threshold = sizingThreshold(k, os, m, ck)
-        val over = member.limit((threshold + 1).toInt).count() > threshold
-        lastPqSizingWarning = pqSizingWarning(
-          over, s">${threshold}-candidate probed", k, os, m, ck)
-        lastPqSizingWarning.foreach(w => Console.err.println(s"WARN graft.sim.Ann: $w"))
-      }
+      // assignment rows (nprobe/nCentroids of the assignment table —
+      // a narrow parquet scan, cheap to read twice, so no persist)
+      val os: Long = resolveWindow(member, k, oversample, m, ck, "candidate probed")
       val lut = pqLut(queryVec, cb, m, ck)
       val adc = GraftBridge.column(graft.expr.PqAdc(
         GraftBridge.expression(col("pq")), lut.toSeq, ck))

@@ -284,7 +284,20 @@ object Warc {
     * the FIRST ARRIVAL survives, the streaming-native form of the
     * batch pipeline's keepFirstByKey. The html strip is the Column
     * pipeline (Analyzer.htmlStrip + SQL trim), so batch, streaming
-    * and the WET executor twin all extract identical text. */
+    * and the WET executor twin all extract identical text.
+    *
+    * State-growth trade, stated plainly: EXACT streaming dedup means
+    * one state-store entry per distinct fingerprint, forever — there
+    * is no watermark because a duplicate page can land months after
+    * the original, and evicting its fingerprint would re-admit it.
+    * At ~48 bytes/entry that is ~48 GB of (RocksDB-spillable) state
+    * per billion distinct pages, which is the honest cost of the
+    * guarantee. A days-long continuous crawl that prefers bounded
+    * state over exactness should add
+    * `.withWatermark("landing_ts", ...)` upstream and accept
+    * re-admitted late duplicates, or periodically restart the query
+    * against the batch dedup (keepFirstByKey over the indexed sink),
+    * which re-bases the state at zero. */
   def crawlExtract(records: DataFrame, minChars: Int = 100): DataFrame = {
     import org.apache.spark.sql.functions._
     records
