@@ -595,6 +595,13 @@ private[graft] object EntriesPipeline {
       Multimodal.stftFrames(s,
         Multimodal.chirpMediaTable(s, t(s, d, "documents")))
         .toDF().orderBy(col("media_id"), col("frame_idx"))),
+    // HEIF (r16): AVIF/HEIC — ISO-BMFF like MP4 but dims come from
+    // the meta > iprp > ipco > ispe property chain, routed on the
+    // ftyp BRAND; the oracle replays brand + ispe dims
+    "q_multimodal_heif" -> ((s, d) =>
+      Multimodal.decodeContainerMeta(s,
+        Multimodal.heifMediaTable(t(s, d, "documents")))
+        .toDF().orderBy(col("media_id"))),
     // crawl media census (r16): every walker format plus a torn-asset
     // class, counted by recovered header format — the binary column is
     // consumed map-side and the exchange carries one row per format;
@@ -1379,6 +1386,10 @@ private[graft] object EntriesPipeline {
       "25600::INT AS sample_rate, 256::INT AS n_samples, " +
       "(doc_id % 100 + 1)::INT AS dominant_bin, " +
       "((doc_id % 100 + 1) * 100)::BIGINT AS dominant_freq_hz " +
+      "FROM documents ORDER BY media_id"),
+    "q_multimodal_heif" -> ("SELECT doc_id AS media_id, " +
+      "CASE WHEN doc_id % 2 = 0 THEN 'avif ' ELSE 'heic ' END || " +
+      "(n_chars % 512 + 1) || 'x' || (doc_id % 512 + 1) AS meta " +
       "FROM documents ORDER BY media_id"),
     "q_multimodal_census" -> ("WITH u AS (" +
       "SELECT CASE WHEN doc_id % 9 = 0 THEN 'bin' " +

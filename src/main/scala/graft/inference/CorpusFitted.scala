@@ -236,6 +236,49 @@ object CorpusFittedService {
       }
       def typeAt(at: Int): String =
         new String(bytes, at + 4, 4, "US-ASCII")
+      // HEIF family (AVIF/HEIC — ISO-BMFF too, but an IMAGE: dims live
+      // in meta > iprp > ipco > ispe, not in a movie header; 'meta'
+      // and 'ispe' are FULLBOXES, so 4 version/flags bytes precede
+      // their payloads). AV1/HEVC tile decode stays out of scope.
+      val brand =
+        if (bytes.length >= 12) new String(bytes, 8, 4, "US-ASCII") else ""
+      val heifFmt = brand match {
+        case "avif" | "avis" => "avif"
+        case "heic" | "heix" | "mif1" | "msf1" => "heic"
+        case _ => null
+      }
+      if (heifFmt != null) {
+        def findChild(from: Int, limit: Int, name: String): Int = {
+          var at = from
+          var b = boxBounds(at, limit)
+          while (at < limit && b != null) {
+            if (typeAt(at) == name) return at
+            at = b._2
+            b = boxBounds(at, limit)
+          }
+          -1
+        }
+        var w = 0L; var h = 0L
+        val meta = findChild(0, bytes.length, "meta")
+        if (meta >= 0) {
+          val (mp, mend) = boxBounds(meta, bytes.length)
+          val iprp = findChild(mp + 4, mend, "iprp") // +4: fullbox verflags
+          if (iprp >= 0) {
+            val (pp, pend) = boxBounds(iprp, mend)
+            val ipco = findChild(pp, pend, "ipco")
+            if (ipco >= 0) {
+              val (cp, cend) = boxBounds(ipco, pend)
+              val ispe = findChild(cp, cend, "ispe")
+              if (ispe >= 0) {
+                val (sp, send) = boxBounds(ispe, cend)
+                if (send - sp >= 12) { w = be32(sp + 4); h = be32(sp + 8) }
+              }
+            }
+          }
+        }
+        return if (w > 0 && h > 0) s"$heifFmt ${w}x$h"
+        else s"$heifFmt ${bytes.length}B"
+      }
       var durMs = -1L
       var w = 0L; var h = 0L
       var i = 0
@@ -337,6 +380,54 @@ object CorpusFittedService {
       val ch = ((v >>> 41) & 7) + 1
       val total = v & ((1L << 36) - 1)
       s"flac ${sr}Hz ${ch}ch $total"
+    }
+    else if (bytes.length >= 26 && u8(0) == 'B' && u8(1) == 'M') {
+      // BMP: BITMAPINFOHEADER dims at 18/22, both signed LE32 — a
+      // negative height is the legal top-down orientation
+      def le32s(i: Int): Int =
+        u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+      val w = le32s(18); val h = le32s(22)
+      if (w > 0 && h != 0) s"bmp ${w}x${math.abs(h)}"
+      else s"bmp ${bytes.length}B"
+    }
+    else if (bytes.length >= 8 &&
+      u8(0) == 0 && u8(1) == 0 && u8(2) == 1 && u8(3) == 0 && le16(4) > 0) {
+      // ICO: directory entries of 1-byte dims where 0 means 256
+      val n = le16(4)
+      val w = if (u8(6) == 0) 256 else u8(6)
+      val h = if (u8(7) == 0) 256 else u8(7)
+      s"ico ${w}x$h ${n}img"
+    }
+    else if (bytes.length >= 8 &&
+      ((u8(0) == 'I' && u8(1) == 'I' && u8(2) == 42 && u8(3) == 0) ||
+       (u8(0) == 'M' && u8(1) == 'M' && u8(2) == 0 && u8(3) == 42))) {
+      // TIFF: endian-tagged IFD walk for ImageWidth (256) and
+      // ImageLength (257); SHORT values sit in the value field's
+      // leading bytes per the byte order, LONG fills it
+      val le = u8(0) == 'I'
+      def r16(i: Int): Int = if (le) le16(i) else be16(i)
+      def r32(i: Int): Long =
+        if (le) u8(i).toLong | (u8(i + 1).toLong << 8) |
+          (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+        else be32(i)
+      val ifd = r32(4)
+      var w = 0L; var h = 0L
+      if (ifd > 0 && ifd + 2 <= bytes.length) {
+        val n = r16(ifd.toInt)
+        var e = 0
+        while (e < n && ifd + 2 + (e + 1) * 12 <= bytes.length) {
+          val at = (ifd + 2 + e * 12).toInt
+          val tag = r16(at); val typ = r16(at + 2)
+          val value =
+            if (typ == 3) r16(at + 8).toLong // SHORT
+            else if (typ == 4) r32(at + 8)   // LONG
+            else -1L
+          if (tag == 256 && value > 0) w = value
+          if (tag == 257 && value > 0) h = value
+          e += 1
+        }
+      }
+      if (w > 0 && h > 0) s"tiff ${w}x$h" else s"tiff ${bytes.length}B"
     }
     else if (bytes.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
       // walk JPEG segments to the first SOFn frame header; the spec

@@ -238,6 +238,30 @@ object Multimodal {
         .otherwise(flac).as("payload"))
   }
 
+  /** HEIF media table (r16): real AVIF/HEIC structures — ISO-BMFF
+    * like MP4, but an IMAGE format whose dims live in the
+    * meta > iprp > ipco > ispe property chain (meta and ispe are
+    * fullboxes, so 4 version/flags bytes precede their payloads).
+    * AVIF is the fastest-growing crawled image format; the walker
+    * must route on the ftyp BRAND, not just the box signature. */
+  def heifMediaTable(docs: DataFrame): DataFrame = {
+    def be32(c: org.apache.spark.sql.Column) =
+      unhex(lpad(hex(c), 8, "0"))
+    def ascii(s: String) = lit(s.getBytes("US-ASCII"))
+    def zeros(n: Int) = lit(Array.fill[Byte](n)(0))
+    val w = (col("n_chars") % 512 + 1).cast("long")
+    val h = (col("doc_id") % 512 + 1).cast("long")
+    val ispe = concat(be32(lit(20)), ascii("ispe"), zeros(4), be32(w), be32(h))
+    val meta = concat(be32(lit(48)), ascii("meta"), zeros(4),
+      be32(lit(36)), ascii("iprp"), be32(lit(28)), ascii("ipco"), ispe)
+    def ftyp(brand: String) =
+      concat(be32(lit(16)), ascii("ftyp" + brand), zeros(4))
+    docs.select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 2 === 0, concat(ftyp("avif"), meta))
+        .otherwise(concat(ftyp("heic"), meta)).as("payload"))
+  }
+
   /** Census corpus: every container family the walkers understand —
     * the image half (`containerMediaTable`) unioned with the AV half
     * (`avMediaTable`) — plus a torn-asset class (every doc_id % 9 == 0

@@ -177,6 +177,58 @@ class MultimodalSpec extends SparkSpec {
     assert(parseMedia(wav.take(20)) == "wav 20B") // torn: sized fallback
   }
 
+  test("HEIF/BMP/ICO/TIFF metadata: brand-routed ispe dims, endian IFD walk (r16)") {
+    import graft.inference.CorpusFittedService.parseMedia
+    def be32(v: Long) = Array[Byte](((v >> 24) & 255).toByte, ((v >> 16) & 255).toByte,
+      ((v >> 8) & 255).toByte, (v & 255).toByte)
+    def ascii(s: String) = s.getBytes("US-ASCII")
+    // AVIF: ftyp brand routes to the meta > iprp > ipco > ispe chain
+    def heif(brand: String, w: Long, h: Long) = {
+      val ispe = be32(20) ++ ascii("ispe") ++ new Array[Byte](4) ++ be32(w) ++ be32(h)
+      be32(16) ++ ascii("ftyp" + brand) ++ new Array[Byte](4) ++
+        be32(48) ++ ascii("meta") ++ new Array[Byte](4) ++
+        be32(36) ++ ascii("iprp") ++ be32(28) ++ ascii("ipco") ++ ispe
+    }
+    assert(parseMedia(heif("avif", 800, 600)) == "avif 800x600")
+    assert(parseMedia(heif("heic", 4032, 3024)) == "heic 4032x3024")
+    assert(parseMedia(heif("mif1", 10, 20)) == "heic 10x20")
+    // missing ispe: sized fallback, and NOT misread as mp4
+    val noIspe = be32(16) ++ ascii("ftypavif") ++ new Array[Byte](4) ++
+      be32(12) ++ ascii("meta") ++ new Array[Byte](4)
+    assert(parseMedia(noIspe) == s"avif ${noIspe.length}B")
+    // BMP: signed LE32 dims; negative height = legal top-down form
+    def bmp(w: Int, h: Int) = {
+      val b = java.nio.ByteBuffer.allocate(26).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).position(18)
+      b.putInt(w).putInt(h); b.array()
+    }
+    assert(parseMedia(bmp(640, 480)) == "bmp 640x480")
+    assert(parseMedia(bmp(640, -480)) == "bmp 640x480")
+    // ICO: 0-valued 1-byte dims mean 256
+    val ico = Array[Byte](0, 0, 1, 0, 2, 0, 0, 48)
+    assert(parseMedia(ico) == "ico 256x48 2img")
+    // TIFF: both byte orders, SHORT and LONG tag types
+    def tiff(le: Boolean, w: Long, h: Long, shortType: Boolean) = {
+      val b = java.nio.ByteBuffer.allocate(8 + 2 + 24 + 4)
+        .order(if (le) java.nio.ByteOrder.LITTLE_ENDIAN else java.nio.ByteOrder.BIG_ENDIAN)
+      b.put((if (le) "II" else "MM").getBytes("US-ASCII"))
+      b.putShort(42).putInt(8) // IFD at offset 8
+      b.putShort(2) // 2 entries
+      def entry(tag: Int, v: Long): Unit = {
+        b.putShort(tag.toShort)
+        if (shortType) { b.putShort(3).putInt(1).putShort(v.toShort).putShort(0) }
+        else { b.putShort(4).putInt(1).putInt(v.toInt) }
+      }
+      entry(256, w); entry(257, h)
+      b.putInt(0) // next IFD
+      b.array()
+    }
+    assert(parseMedia(tiff(le = true, 1024, 768, shortType = true)) == "tiff 1024x768")
+    assert(parseMedia(tiff(le = false, 1024, 768, shortType = true)) == "tiff 1024x768")
+    assert(parseMedia(tiff(le = true, 100000, 90000, shortType = false)) == "tiff 100000x90000")
+    assert(parseMedia(tiff(le = false, 100000, 90000, shortType = false)) == "tiff 100000x90000")
+  }
+
   test("paletted PNG + stereo WAV: round trips, expansion, de-interleave faults (r16)") {
     import graft.multimodal.{Png, Wav}
     // palette round trip: indices expand through PLTE to RGB
