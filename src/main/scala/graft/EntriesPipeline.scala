@@ -821,6 +821,40 @@ private[graft] object EntriesPipeline {
         graft.text.Bpe.tokenCount(col("text"), graft.text.Bpe.PretrainedMerges)
           .as("n_bpe"))
       .orderBy(col("doc_id"))),
+    // DISTRIBUTED BPE trainer in the graded contract (r16): merges
+    // fit cluster-side (one Spark job per merge, only the merge table
+    // reaches the driver — the q_knn_pq_dist split for tokenizers),
+    // persisted into a fingerprint-keyed artifact; counting runs
+    // under the STORED table and the oracle folds the same table out
+    // of a static parquet copy — the engines cannot count under
+    // different merges, and the fit itself is spec-pinned equal to
+    // the driver trainer
+    "q_tokens_bpe_dist" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val srcFp = graft.index.IndexArtifacts
+        .dataFingerprint(s, s"$d/documents.parquet").take(12)
+      val mDir = graft.index.IndexArtifacts.ensureArtifact("bpedist", srcFp)(
+        p => {
+          val mp = new org.apache.hadoop.fs.Path(s"$p/merges")
+          mp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(mp)
+        })(stage => {
+          val fit = graft.text.Bpe.fitDist(docs, "text", nMerges = 32)
+          fit.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+            .toDF("rank", "a", "b")
+            .coalesce(1).write.parquet(s"$stage/merges")
+        })
+      val rows = s.read.parquet(s"$mDir/merges")
+        .orderBy(col("rank")).collect()
+      val merges = rows.map(r => (r.getString(1), r.getString(2))).toSeq
+      rows.map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+        .toDF("rank", "a", "b")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"/tmp/graft_bpedist_${System.getProperty("user.name")}")
+      docs.select(col("doc_id"),
+        graft.text.Bpe.tokenCount(col("text"), merges).as("n_bpe"))
+        .orderBy(col("doc_id"))
+    }),
     // fertility RE-KEYED on the real BPE (r13): per-language tokens /
     // chars under the same frozen merges — what a mixing policy's
     // per-language token budget should actually read
@@ -877,6 +911,14 @@ private[graft] object EntriesPipeline {
   private def dsirModel(s: SparkSession, d: String): Array[Long] =
     dsirModels.computeIfAbsent(d, dir => graft.text.Dsir.fitBucketModel(
       t(s, dir, "documents"), col("source") === "src1", "doc_id", "text", 4096))
+
+  // the q_tokens_bpe_dist word fold: the ranked 'a|b' merge list
+  // list_reduces Bpe.tokenCountSql's ,a,b, -> ,ab, replace chain over
+  // the comma-delimited symbol string (same chain, table-driven)
+  private val BpeDistFold: String =
+    "list_reduce(list_prepend(',' || regexp_replace(w, '(.)', '\\1,', 'g'), ml), " +
+      "(s, mm) -> replace(s, ',' || split_part(mm, '|', 1) || ',' || split_part(mm, '|', 2) || ',', " +
+      "',' || split_part(mm, '|', 1) || split_part(mm, '|', 2) || ','))"
 
   val oracleSql: Map[String, String] = Map(
     // ---- F ----
@@ -1706,6 +1748,17 @@ private[graft] object EntriesPipeline {
       "list_reduce(list_prepend(0::BIGINT, list_transform(toks, w -> " +
       graft.text.Bpe.tokenCountSql("w", graft.text.Bpe.PretrainedMerges) +
       ")), (a, b) -> a + b)::BIGINT AS n_bpe FROM tok ORDER BY doc_id"),
+    // the dist-trained merges fold DYNAMICALLY out of the artifact's
+    // static parquet copy: the ranked merge list ('a|b' strings)
+    // list_reduces the same ,a,b, -> ,ab, replace chain the Spark
+    // kernel compiles — same table, same chain, both engines
+    "q_tokens_bpe_dist" -> ("WITH m AS (SELECT list(a || '|' || b ORDER BY rank) AS ml " +
+      s"FROM read_parquet('/tmp/graft_bpedist_${System.getProperty("user.name")}/*.parquet')), " +
+      "tok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks FROM documents) " +
+      "SELECT doc_id, list_reduce(list_prepend(0::BIGINT, list_transform(toks, w -> (" +
+      "len(" + BpeDistFold + ") - len(replace(" + BpeDistFold + ", ',', '')) - 1" +
+      ")::BIGINT)), (a, b) -> a + b)::BIGINT AS n_bpe " +
+      "FROM tok CROSS JOIN m ORDER BY doc_id"),
     "q_pack_layout" -> ("WITH p AS (SELECT doc_id, source, n_chars, " +
       "sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_chars AS st " +
       "FROM documents) " +

@@ -91,6 +91,63 @@ object Bpe {
     merges.toSeq
   }
 
+  /** DISTRIBUTED BPE trainer — the `pqFitCodebooksDist` of
+    * tokenizers: when the word dictionary itself is too large to
+    * collect (byte-level vocabularies, no-whitespace scripts, or a
+    * maxWords budget past driver memory), the greedy fit becomes one
+    * Spark job per merge. The vocabulary frame (symbol array, count)
+    * stays on the cluster; each round explodes adjacent symbol pairs,
+    * partial-aggregates the weighted pair counts, and collects
+    * exactly ONE row — the argmax pair under the same count-desc /
+    * pair-asc tie-break as `fit`, so both trainers emit the SAME
+    * merge sequence on the same corpus (spec-pinned). The merge then
+    * applies cluster-side with `applyMerge`'s left-to-right
+    * non-overlap, and the new vocabulary persists before the old one
+    * unpersists so round N never recomputes rounds 1..N-1. Only the
+    * merge table ever reaches the driver. */
+  def fitDist(
+      docs: DataFrame,
+      textCol: String,
+      nMerges: Int,
+      maxWords: Int = 50000): Seq[(String, String)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // EAGER localCheckpoint per round, not persist: the fit is
+    // iterative, and a lineage that accretes one map per merge makes
+    // round N's plan O(N) deep — Catalyst re-analysis across 32
+    // rounds is what blows up (driver time and heap), not the data.
+    // Checkpointing truncates the plan to a leaf each round, so every
+    // round costs the same. (Dedup's CC loop, same rationale.)
+    var vocab = docs
+      .select(explode(Analyzer.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w").asc)
+      .limit(maxWords)
+      .as[(String, Long)]
+      .map { case (w, n) => (w.split("").filter(_.nonEmpty), n) }
+      .localCheckpoint(true)
+    require(vocab.filter(v => !v._1.forall(_.matches("[a-z0-9]"))).isEmpty,
+      "BPE symbols must stay in the analyzer alphabet")
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var continue = true
+    while (merges.size < nMerges && continue) {
+      val best = vocab.flatMap { case (syms, n) =>
+        (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1), n))
+      }.toDF("a", "b", "n")
+        .groupBy(col("a"), col("b")).agg(sum(col("n")).as("n"))
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (best.isEmpty) continue = false
+      else {
+        val m = (best(0).getString(0), best(0).getString(1))
+        merges += m
+        vocab = vocab.map { case (syms, n) => (applyMerge(syms, m), n) }
+          .localCheckpoint(true)
+      }
+    }
+    merges.toSeq
+  }
+
   /** One merge pass, left-to-right non-overlapping — the same
     * semantics as the literal replace chain the Column path uses. */
   private def applyMerge(syms: Array[String], m: (String, String)): Array[String] = {

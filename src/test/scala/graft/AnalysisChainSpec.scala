@@ -233,6 +233,24 @@ class AnalysisChainSpec extends SparkSpec {
       .select(Bpe.tokenCount(col("t"), Seq(("a", "a"))).as("n"))
       .head().getLong(0)
     assert(run == 3L)
+  }
+
+  test("BPE distributed trainer emits the SAME merge sequence as the driver fit (r16)") {
+    import graft.text.Bpe
+    // the toy corpus, incl. tie-break-sensitive pairs
+    val docs = Seq(
+      (1L, "low low low low low"),
+      (2L, "lower lower newest newest"),
+      (3L, "low lowest widest ab ab cd cd")).toDF("doc_id", "text")
+    assert(Bpe.fitDist(docs, "text", 8) == Bpe.fit(docs, "text", 8))
+    // over the real corpus too — the parity the q_tokens_bpe_dist
+    // artifact rides on
+    val real = Tables.documents(spark, sfDir).limit(200)
+    assert(Bpe.fitDist(real, "text", 12) == Bpe.fit(real, "text", 12))
+    // merge exhaustion stops both trainers at the same table
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    assert(Bpe.fitDist(tiny, "text", 10) == Bpe.fit(tiny, "text", 10))
+    assert(Bpe.fitDist(tiny, "text", 10).size == 1) // 'ab' then nothing left
 
     // the compiled kernel must stay bit-equal to the declarative
     // replace chain (the oracle's reference semantics) on real text,
