@@ -844,13 +844,11 @@ private[graft] object EntriesPipeline {
             .toDF("rank", "a", "b")
             .coalesce(1).write.parquet(s"$stage/merges")
         })
-      val rows = s.read.parquet(s"$mDir/merges")
-        .orderBy(col("rank")).collect()
-      val merges = rows.map(r => (r.getString(1), r.getString(2))).toSeq
-      rows.map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
-        .toDF("rank", "a", "b")
-        .coalesce(1).write.mode("overwrite")
+      val stored = s.read.parquet(s"$mDir/merges")
+      stored.coalesce(1).write.mode("overwrite")
         .parquet(s"/tmp/graft_bpedist_${System.getProperty("user.name")}")
+      val merges = stored.orderBy(col("rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
       docs.select(col("doc_id"),
         graft.text.Bpe.tokenCount(col("text"), merges).as("n_bpe"))
         .orderBy(col("doc_id"))

@@ -674,6 +674,13 @@ object ScaleProbe {
       graft.multimodal.Multimodal.jpegPixelStats(spark,
         graft.multimodal.Multimodal.jpegMediaTable(spark, docs)).count()
     }
+    time("bpe_fit_dist_10x") {
+      // the distributed tokenizer trainer at n x docs: 16 merge
+      // rounds, each one pair-count job + one argmax row to the
+      // driver; vocab localCheckpoints per round so the plan depth
+      // stays constant across rounds
+      graft.text.Bpe.fitDist(docs, "text", nMerges = 16).size.toLong
+    }
     time("fft_spectral_10x") {
       // the audio feature path at n x docs: encode real PCM WAVs AND
       // chunk-walk + radix-2 FFT each back — map-only both ways, so

@@ -382,12 +382,19 @@ object CorpusFittedService {
       s"flac ${sr}Hz ${ch}ch $total"
     }
     else if (bytes.length >= 26 && u8(0) == 'B' && u8(1) == 'M') {
-      // BMP: BITMAPINFOHEADER dims at 18/22, both signed LE32 — a
-      // negative height is the legal top-down orientation
+      // BMP: dims are 32-bit only under BITMAPINFOHEADER and later
+      // (DIB size >= 40); the OS/2 BITMAPCOREHEADER (size 12) packs
+      // 16-bit dims at the same offsets, so reading LE32 there would
+      // fuse width and height into garbage — gate on the DIB size
+      // first. A negative height is the legal top-down orientation.
       def le32s(i: Int): Int =
         u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
-      val w = le32s(18); val h = le32s(22)
-      if (w > 0 && h != 0) s"bmp ${w}x${math.abs(h)}"
+      if (le32s(14) >= 40) {
+        val w = le32s(18); val h = le32s(22)
+        if (w > 0 && h != 0) s"bmp ${w}x${math.abs(h)}"
+        else s"bmp ${bytes.length}B"
+      } else if (le32s(14) == 12 && bytes.length >= 22)
+        s"bmp ${le16(18)}x${le16(20)}" // core header: 16-bit dims
       else s"bmp ${bytes.length}B"
     }
     else if (bytes.length >= 8 &&

@@ -130,23 +130,37 @@ object Multimodal {
     * concat, no UDF. This is the honest counterpart of `mediaTable`'s
     * stand-in payloads: what the decoder reads back is genuinely
     * parsed from bytes. */
+  // in-plan byte-assembly helpers shared by ALL the container
+  // generators (image, AV, HEIF): codegen'd hex/lpad/unhex column
+  // math — ONE definition so an encoding fix can't miss a copy.
+  // Values must fit the stated width (the generators' dims/rates do
+  // by construction; hex() of a wider value would over-length lpad).
+  private def be8(c: org.apache.spark.sql.Column) =
+    unhex(lpad(hex(c), 2, "0"))
+  private def be16(c: org.apache.spark.sql.Column) =
+    unhex(lpad(hex(c), 4, "0"))
+  private def be32(c: org.apache.spark.sql.Column) =
+    unhex(lpad(hex(c), 8, "0"))
+  private def be64(c: org.apache.spark.sql.Column) =
+    unhex(lpad(hex(c), 16, "0"))
+  private def le16(c: org.apache.spark.sql.Column) =
+    unhex(concat(lpad(hex(c.bitwiseAND(lit(255))), 2, "0"),
+      lpad(hex(shiftright(c, 8)), 2, "0")))
+  private def le24(c: org.apache.spark.sql.Column) =
+    unhex(concat(lpad(hex(c.bitwiseAND(lit(255))), 2, "0"),
+      lpad(hex(shiftright(c, 8).bitwiseAND(lit(255))), 2, "0"),
+      lpad(hex(shiftright(c, 16).bitwiseAND(lit(255))), 2, "0")))
+  private def le32(c: org.apache.spark.sql.Column) =
+    unhex(concat(lpad(hex(c.bitwiseAND(lit(255))), 2, "0"),
+      lpad(hex(shiftright(c, 8).bitwiseAND(lit(255))), 2, "0"),
+      lpad(hex(shiftright(c, 16).bitwiseAND(lit(255))), 2, "0"),
+      lpad(hex(shiftright(c, 24).bitwiseAND(lit(255))), 2, "0")))
+  private def zeros(n: Int) = lit(Array.fill[Byte](n)(0))
+  private def asciiLit(s: String) = lit(s.getBytes("US-ASCII"))
+
   def containerMediaTable(docs: DataFrame): DataFrame = {
     val w = (col("n_chars") % 100 + 1).cast("int")
     val h = (col("doc_id") % 50 + 1).cast("int")
-    def be32(c: org.apache.spark.sql.Column) =
-      unhex(lpad(hex(c), 8, "0"))
-    def le16(c: org.apache.spark.sql.Column) =
-      unhex(concat(lpad(hex(c.bitwiseAND(lit(255))), 2, "0"),
-        lpad(hex(shiftright(c, 8)), 2, "0")))
-    def le24(c: org.apache.spark.sql.Column) =
-      unhex(concat(lpad(hex(c.bitwiseAND(lit(255))), 2, "0"),
-        lpad(hex(shiftright(c, 8).bitwiseAND(lit(255))), 2, "0"),
-        lpad(hex(shiftright(c, 16).bitwiseAND(lit(255))), 2, "0")))
-    def le32(c: org.apache.spark.sql.Column) =
-      unhex(concat(lpad(hex(c.bitwiseAND(lit(255))), 2, "0"),
-        lpad(hex(shiftright(c, 8).bitwiseAND(lit(255))), 2, "0"),
-        lpad(hex(shiftright(c, 16).bitwiseAND(lit(255))), 2, "0"),
-        lpad(hex(shiftright(c, 24).bitwiseAND(lit(255))), 2, "0")))
     val pngHead = lit(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
       0, 0, 0, 13, 'I', 'H', 'D', 'R'))
     val gifHead = lit("GIF89a".getBytes("US-ASCII"))
@@ -180,16 +194,7 @@ object Multimodal {
     * bit unpack; every field the walk recovers is mirrored column
     * arithmetic the oracle replays. */
   def avMediaTable(docs: DataFrame): DataFrame = {
-    def be8(c: org.apache.spark.sql.Column) =
-      unhex(lpad(hex(c), 2, "0"))
-    def be16(c: org.apache.spark.sql.Column) =
-      unhex(lpad(hex(c), 4, "0"))
-    def be32(c: org.apache.spark.sql.Column) =
-      unhex(lpad(hex(c), 8, "0"))
-    def be64(c: org.apache.spark.sql.Column) =
-      unhex(lpad(hex(c), 16, "0"))
-    def zeros(n: Int) = lit(Array.fill[Byte](n)(0))
-    def ascii(s: String) = lit(s.getBytes("US-ASCII"))
+    def ascii(s: String) = asciiLit(s)
     val w = (col("n_chars") % 100 + 1).cast("long")
     val h = (col("doc_id") % 50 + 1).cast("long")
     val durMs = ((col("n_chars") % 1000 + 1) * 10).cast("long")
@@ -245,10 +250,7 @@ object Multimodal {
     * AVIF is the fastest-growing crawled image format; the walker
     * must route on the ftyp BRAND, not just the box signature. */
   def heifMediaTable(docs: DataFrame): DataFrame = {
-    def be32(c: org.apache.spark.sql.Column) =
-      unhex(lpad(hex(c), 8, "0"))
-    def ascii(s: String) = lit(s.getBytes("US-ASCII"))
-    def zeros(n: Int) = lit(Array.fill[Byte](n)(0))
+    def ascii(s: String) = asciiLit(s)
     val w = (col("n_chars") % 512 + 1).cast("long")
     val h = (col("doc_id") % 512 + 1).cast("long")
     val ispe = concat(be32(lit(20)), ascii("ispe"), zeros(4), be32(w), be32(h))

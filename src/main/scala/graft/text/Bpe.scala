@@ -102,9 +102,12 @@ object Bpe {
     * pair-asc tie-break as `fit`, so both trainers emit the SAME
     * merge sequence on the same corpus (spec-pinned). The merge then
     * applies cluster-side with `applyMerge`'s left-to-right
-    * non-overlap, and the new vocabulary persists before the old one
-    * unpersists so round N never recomputes rounds 1..N-1. Only the
-    * merge table ever reaches the driver. */
+    * non-overlap, and each round's vocabulary goes through
+    * `Stages.truncate` (reliable checkpoint on a cluster, eager
+    * localCheckpoint in local mode) so round N never recomputes
+    * rounds 1..N-1 and superseded rounds' blocks are ContextCleaner-
+    * collected as the binding goes out of scope. Only the merge
+    * table ever reaches the driver. */
   def fitDist(
       docs: DataFrame,
       textCol: String,
@@ -112,20 +115,24 @@ object Bpe {
       maxWords: Int = 50000): Seq[(String, String)] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // EAGER localCheckpoint per round, not persist: the fit is
-    // iterative, and a lineage that accretes one map per merge makes
-    // round N's plan O(N) deep — Catalyst re-analysis across 32
+    // Stage-truncate per round (Stages.truncate — reliable checkpoint
+    // on a cluster, eager localCheckpoint locally), not persist: the
+    // fit is iterative, and a lineage that accretes one map per merge
+    // makes round N's plan O(N) deep — Catalyst re-analysis across 32
     // rounds is what blows up (driver time and heap), not the data.
-    // Checkpointing truncates the plan to a leaf each round, so every
-    // round costs the same. (Dedup's CC loop, same rationale.)
-    var vocab = docs
+    // Truncating to a leaf each round keeps every round the same
+    // cost, and on a cluster the reliable blocks survive executor
+    // loss mid-fit. (Dedup's CC loop, same recipe.)
+    def truncate(ds: org.apache.spark.sql.Dataset[(Array[String], Long)]) =
+      graft.util.Stages.truncate(ds.toDF("syms", "n"))
+        .select(col("syms").as[Array[String]], col("n").as[Long])
+    var vocab = truncate(docs
       .select(explode(Analyzer.tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("w").asc)
       .limit(maxWords)
       .as[(String, Long)]
-      .map { case (w, n) => (w.split("").filter(_.nonEmpty), n) }
-      .localCheckpoint(true)
+      .map { case (w, n) => (w.split("").filter(_.nonEmpty), n) })
     require(vocab.filter(v => !v._1.forall(_.matches("[a-z0-9]"))).isEmpty,
       "BPE symbols must stay in the analyzer alphabet")
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
@@ -141,8 +148,7 @@ object Bpe {
       else {
         val m = (best(0).getString(0), best(0).getString(1))
         merges += m
-        vocab = vocab.map { case (syms, n) => (applyMerge(syms, m), n) }
-          .localCheckpoint(true)
+        vocab = truncate(vocab.map { case (syms, n) => (applyMerge(syms, m), n) })
       }
     }
     merges.toSeq

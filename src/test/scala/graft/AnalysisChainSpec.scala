@@ -249,9 +249,13 @@ class AnalysisChainSpec extends SparkSpec {
     assert(Bpe.fitDist(real, "text", 12) == Bpe.fit(real, "text", 12))
     // merge exhaustion stops both trainers at the same table
     val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
-    assert(Bpe.fitDist(tiny, "text", 10) == Bpe.fit(tiny, "text", 10))
-    assert(Bpe.fitDist(tiny, "text", 10).size == 1) // 'ab' then nothing left
+    val tinyFit = Bpe.fitDist(tiny, "text", 10)
+    assert(tinyFit == Bpe.fit(tiny, "text", 10))
+    assert(tinyFit.size == 1) // 'ab' then nothing left
+  }
 
+  test("BPE kernel stays bit-equal to the declarative replace chain") {
+    import graft.text.Bpe
     // the compiled kernel must stay bit-equal to the declarative
     // replace chain (the oracle's reference semantics) on real text,
     // chained merges, and the run edge cases

@@ -196,14 +196,24 @@ class MultimodalSpec extends SparkSpec {
     val noIspe = be32(16) ++ ascii("ftypavif") ++ new Array[Byte](4) ++
       be32(12) ++ ascii("meta") ++ new Array[Byte](4)
     assert(parseMedia(noIspe) == s"avif ${noIspe.length}B")
-    // BMP: signed LE32 dims; negative height = legal top-down form
+    // BMP: DIB size gates the layout — 40+ reads signed LE32 dims
+    // (negative height = legal top-down form), the OS/2 core header
+    // (size 12) reads 16-bit dims, anything else stays opaque
     def bmp(w: Int, h: Int) = {
       val b = java.nio.ByteBuffer.allocate(26).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      b.put('B'.toByte).put('M'.toByte).position(18)
-      b.putInt(w).putInt(h); b.array()
+      b.put('B'.toByte).put('M'.toByte).position(14)
+      b.putInt(40).putInt(w).putInt(h); b.array()
     }
     assert(parseMedia(bmp(640, 480)) == "bmp 640x480")
     assert(parseMedia(bmp(640, -480)) == "bmp 640x480")
+    val core = java.nio.ByteBuffer.allocate(26).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    core.put('B'.toByte).put('M'.toByte).position(14)
+    core.putInt(12).putShort(320.toShort).putShort(200.toShort)
+    assert(parseMedia(core.array()) == "bmp 320x200")
+    // unknown DIB size: opaque, never fused garbage dims
+    val odd = java.nio.ByteBuffer.allocate(26).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    odd.put('B'.toByte).put('M'.toByte).position(14); odd.putInt(16)
+    assert(parseMedia(odd.array()) == "bmp 26B")
     // ICO: 0-valued 1-byte dims mean 256
     val ico = Array[Byte](0, 0, 1, 0, 2, 0, 0, 48)
     assert(parseMedia(ico) == "ico 256x48 2img")
