@@ -724,6 +724,45 @@ private[graft] object EntriesPipeline {
       Multimodal.jpegRgbPixelStats(s, s.read.parquet(out))
         .orderBy(col("media_id"))
     }),
+    // compression-ratio quality signal (r16): deflate at build,
+    // inflate at query — sizes, ratio and the md5 of the
+    // ROUND-TRIPPED text under the hash; the oracle recomputes the
+    // md5 and raw size from the source table independently and reads
+    // only deflate_bytes from the build (zlib has no SQL equivalent —
+    // the jpeg lossy-step split, for text)
+    "q_quality_compression" -> ((s, d) => {
+      val out = s"/tmp/graft_deflate_${System.getProperty("user.name")}"
+      TextAnalysis.deflateCorpus(s, t(s, d, "documents"), "doc_id", "text")
+        .write.mode("overwrite").parquet(out)
+      TextAnalysis.inflateStats(s, s.read.parquet(out))
+        .select(col("doc_id"), col("raw_bytes"), col("deflate_bytes"),
+          col("ratio"), col("fp"))
+        .orderBy(col("doc_id"))
+    }),
+    // charset sniffing (r16): real crawled bodies are not all UTF-8 —
+    // bodies are generated in-plan in four REAL encodings (UTF-8 with
+    // a non-ASCII marker, latin-1 whose 0xE9 is invalid UTF-8, UTF-16
+    // behind its BOM, plain ASCII); the detector must route each to
+    // the right decoder and the md5 of the DECODED text must match
+    // the oracle's independent recomputation from the source column
+    "q_charset_detect" -> ((s, d) => {
+      import s.implicits._
+      val clean = regexp_replace(col("text"), "[^\\x20-\\x7e]", "")
+      val marked = concat(clean, lit("\u00e9")) // e-acute: latin-1 0xE9, UTF-8 C3 A9
+      t(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 4 === 0, encode(marked, "UTF-8"))
+          .when(col("doc_id") % 4 === 1, encode(marked, "ISO-8859-1"))
+          .when(col("doc_id") % 4 === 2, encode(marked, "UTF-16"))
+          .otherwise(encode(clean, "UTF-8")).as("body"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, b) =>
+          val (cs, text) = TextAnalysis.decodeDetected(b)
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(text.getBytes("UTF-8"))
+          (id, cs, md.map(x => f"${x & 0xff}%02x").mkString)
+        }).toDF("doc_id", "charset", "fp")
+        .orderBy(col("doc_id"))
+    }),
     // context-window chunking: 64-token windows, 16-token overlap
     "q_chunk" -> ((s, d) =>
       TextAnalysis.chunkTokens(t(s, d, "documents"), "doc_id", "text", 64, 16)
@@ -1746,6 +1785,23 @@ private[graft] object EntriesPipeline {
       "list_reduce(list_prepend(0::BIGINT, list_transform(toks, w -> " +
       graft.text.Bpe.tokenCountSql("w", graft.text.Bpe.PretrainedMerges) +
       ")), (a, b) -> a + b)::BIGINT AS n_bpe FROM tok ORDER BY doc_id"),
+    // expected charset from the generation class; the decoded-text
+    // md5 recomputed INDEPENDENTLY from the source column (chr(233)
+    // = the e-acute marker) — encode, detect, decode and BOM
+    // consumption all under the hash
+    "q_charset_detect" -> ("SELECT doc_id, " +
+      "CASE WHEN doc_id % 4 = 1 THEN 'windows-1252' " +
+      "WHEN doc_id % 4 = 2 THEN 'utf-16be' ELSE 'utf-8' END AS charset, " +
+      "CASE WHEN doc_id % 4 = 3 THEN md5(regexp_replace(text, '[^\\x20-\\x7e]', '', 'g')) " +
+      "ELSE md5(regexp_replace(text, '[^\\x20-\\x7e]', '', 'g') || chr(233)) END AS fp " +
+      "FROM documents ORDER BY doc_id"),
+    "q_quality_compression" -> ("SELECT d.doc_id, " +
+      "octet_length(encode(d.text))::BIGINT AS raw_bytes, p.deflate_bytes, " +
+      "round(p.deflate_bytes::DOUBLE / NULLIF(octet_length(encode(d.text)), 0), 4) AS ratio, " +
+      "md5(d.text) AS fp FROM documents d JOIN (SELECT doc_id, " +
+      "octet_length(payload)::BIGINT AS deflate_bytes FROM read_parquet(" +
+      s"'/tmp/graft_deflate_${System.getProperty("user.name")}/*.parquet')) p " +
+      "USING (doc_id) ORDER BY d.doc_id"),
     // the dist-trained merges fold DYNAMICALLY out of the artifact's
     // static parquet copy: the ranked merge list ('a|b' strings)
     // list_reduces the same ,a,b, -> ,ab, replace chain the Spark

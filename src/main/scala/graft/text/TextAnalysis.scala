@@ -426,6 +426,121 @@ object TextAnalysis {
       when(total > 0, (total - distinctN) / total).otherwise(lit(0.0)), 4)
   }
 
+  /** Compression-ratio quality signal (deflate side): the classic
+    * boilerplate/templated-page detector (Gopher and RefinedWeb both
+    * gate on it — machine-generated and heavily repeated text
+    * compresses far below prose). One zlib Deflater per PARTITION,
+    * reset per row (codec-init-once, like the media decoders); output
+    * is the deflated payload + its size, which the query half
+    * round-trips back. Map-only, nothing shuffles. */
+  def deflateCorpus(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val deflater = new java.util.zip.Deflater()
+        val buf = new Array[Byte](1 << 16)
+        rows.map { case (id, text) =>
+          val raw = text.getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(raw); deflater.finish()
+          val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 32)
+          while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+          (id, out.toByteArray)
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Compression-ratio quality signal (inflate side): re-inflate the
+    * deflated payloads and emit sizes, the ratio, and the md5 of the
+    * ROUND-TRIPPED text — the oracle recomputes that md5 from the
+    * source table independently, so the deflate, the parquet binary
+    * round trip and the inflate are all under the hash (the jpeg
+    * generation-time-stats contract, for text). A low ratio is the
+    * drop signal; the threshold lives with the caller's gate. */
+  def inflateStats(
+      spark: org.apache.spark.sql.SparkSession, packed: DataFrame): DataFrame = {
+    import spark.implicits._
+    packed.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val buf = new Array[Byte](1 << 16)
+        rows.map { case (id, payload) =>
+          val inflater = new java.util.zip.Inflater()
+          inflater.setInput(payload)
+          val out = new java.io.ByteArrayOutputStream(payload.length * 3 + 32)
+          while (!inflater.finished()) {
+            val n = inflater.inflate(buf)
+            // all input was set upfront: zero progress without finish
+            // is a torn or dictionary-demanding stream — loud, never
+            // an infinite loop
+            require(n > 0 || inflater.finished(),
+              s"truncated deflate stream for doc $id")
+            out.write(buf, 0, n)
+          }
+          inflater.end()
+          val raw = out.toByteArray
+          val md = java.security.MessageDigest.getInstance("MD5").digest(raw)
+          (id, raw.length.toLong, payload.length.toLong,
+            md.map(b => f"${b & 0xff}%02x").mkString)
+        }
+      }.toDF("doc_id", "raw_bytes", "deflate_bytes", "fp")
+      // empty docs have no ratio (NULL, both engines) — zlib's fixed
+      // 8-byte empty stream over 0 raw bytes is not a quality signal
+      .withColumn("ratio", when(col("raw_bytes") > 0,
+        Num.round(col("deflate_bytes").cast("double") / col("raw_bytes"), 4)))
+  }
+
+  /** Charset sniffing — real crawled bodies are NOT all UTF-8. The
+    * browser-grade minimum: BOM first (UTF-8 / UTF-16BE / UTF-16LE),
+    * then strict UTF-8 validation (the multi-byte state machine — a
+    * single stray 0x80..0xFF continuation error rejects), else the
+    * web's legacy default windows-1252 (what browsers actually use
+    * where "latin-1" is declared). Pure byte inspection, no library. */
+  def charsetOf(bytes: Array[Byte]): String = {
+    def u(i: Int) = bytes(i) & 0xff
+    if (bytes == null || bytes.isEmpty) "utf-8"
+    else if (bytes.length >= 3 && u(0) == 0xef && u(1) == 0xbb && u(2) == 0xbf) "utf-8"
+    else if (bytes.length >= 2 && u(0) == 0xfe && u(1) == 0xff) "utf-16be"
+    else if (bytes.length >= 2 && u(0) == 0xff && u(1) == 0xfe) "utf-16le"
+    else {
+      var i = 0; var ok = true
+      while (ok && i < bytes.length) {
+        val b = u(i)
+        val need =
+          if (b < 0x80) 0
+          else if ((b & 0xe0) == 0xc0 && b >= 0xc2) 1 // c0/c1 = overlong
+          else if ((b & 0xf0) == 0xe0) 2
+          else if ((b & 0xf8) == 0xf0 && b <= 0xf4) 3
+          else -1
+        if (need < 0 || i + need >= bytes.length) ok = need == 0 && b < 0x80
+        else {
+          var k = 1
+          while (k <= need && (u(i + k) & 0xc0) == 0x80) k += 1
+          ok = k > need
+        }
+        i += 1 + math.max(0, need)
+      }
+      if (ok) "utf-8" else "windows-1252"
+    }
+  }
+
+  /** Detect + decode in one step: BOMs are consumed (the Java UTF-16
+    * decoder handles its own; the UTF-8 BOM is stripped manually),
+    * and the windows-1252 fallback maps every byte — decode can never
+    * throw, which is what a crawl pipeline needs from this stage. */
+  def decodeDetected(bytes: Array[Byte]): (String, String) = charsetOf(bytes) match {
+    case "utf-8" =>
+      val off = if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xef &&
+        (bytes(1) & 0xff) == 0xbb && (bytes(2) & 0xff) == 0xbf) 3 else 0
+      ("utf-8", new String(bytes, off, bytes.length - off, "UTF-8"))
+    case cs @ ("utf-16be" | "utf-16le") =>
+      (cs, new String(bytes, "UTF-16")) // BOM-driven, consumed
+    case cs => (cs, new String(bytes, "windows-1252"))
+  }
+
   /** PII redaction (the masking counterpart of `piiSignals`): URLs,
     * emails, then long digit runs replaced with typed placeholders, in
     * that order — URLs first so an email-looking URL path segment

@@ -681,4 +681,62 @@ class AnnTextSpec extends SparkSpec {
     assert(!r(3L).getBoolean(6) && r(3L).getDouble(3) >= 0.1) // symbol_ratio
     assert(!r(4L).getBoolean(6) && r(4L).getDouble(4) < 0.7)  // alpha_ratio
   }
+
+  test("charset sniffing: BOMs, strict UTF-8 validation, windows-1252 fallback (r16)") {
+    import graft.text.TextAnalysis.{charsetOf, decodeDetected}
+    val eAcute = "café"
+    assert(charsetOf(eAcute.getBytes("UTF-8")) == "utf-8")
+    assert(charsetOf(eAcute.getBytes("ISO-8859-1")) == "windows-1252")
+    assert(charsetOf(eAcute.getBytes("UTF-16")) == "utf-16be")       // BE BOM
+    assert(charsetOf(eAcute.getBytes("UTF-16LE")) == "windows-1252") // no BOM, has NULs -> not valid UTF-8... see below
+    // UTF-16LE WITHOUT a BOM is genuinely ambiguous; WITH one it routes
+    val le = Array[Byte](0xff.toByte, 0xfe.toByte) ++ eAcute.getBytes("UTF-16LE")
+    assert(charsetOf(le) == "utf-16le")
+    assert(decodeDetected(le) == ("utf-16le", eAcute))
+    // decode round trips, BOMs consumed
+    assert(decodeDetected(eAcute.getBytes("UTF-8")) == ("utf-8", eAcute))
+    assert(decodeDetected(eAcute.getBytes("ISO-8859-1")) == ("windows-1252", eAcute))
+    assert(decodeDetected(eAcute.getBytes("UTF-16")) == ("utf-16be", eAcute))
+    val bom8 = Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++ eAcute.getBytes("UTF-8")
+    assert(decodeDetected(bom8) == ("utf-8", eAcute))
+    // strictness: overlong C0 and stray continuation both reject
+    assert(charsetOf(Array[Byte](0xc0.toByte, 0xaf.toByte)) == "windows-1252")
+    assert(charsetOf(Array[Byte]('a', 0x85.toByte, 'b')) == "windows-1252")
+    // truncated multi-byte tail rejects
+    assert(charsetOf(Array[Byte]('a', 0xc3.toByte)) == "windows-1252")
+    // windows-1252 never throws: every byte maps
+    assert(decodeDetected((0 to 255).map(_.toByte).toArray)._2.length == 256)
+    assert(charsetOf(Array.emptyByteArray) == "utf-8")
+  }
+
+  test("compression quality signal: deflate/inflate round trip, ratio separates prose from loops (r16)") {
+    import graft.text.TextAnalysis
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog while counting stars"),
+      (2L, "spam " * 200),
+      (3L, "")).toDF("doc_id", "text")
+    val packed = TextAnalysis.deflateCorpus(spark, docs, "doc_id", "text")
+    val rows = TextAnalysis.inflateStats(spark, packed).collect()
+    val stats = rows.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4),
+        r.getString(3))).toMap
+    // an empty doc round-trips but carries NO ratio (null, not inf)
+    assert(stats(3L)._1 == 0L && stats(3L)._3.isNaN)
+    // round trip: md5 of the inflated text equals md5 of the source
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    assert(stats(1L)._4 == md5("the quick brown fox jumps over the lazy dog while counting stars"))
+    assert(stats(2L)._4 == md5("spam " * 200))
+    // the drop signal: looped text compresses an order of magnitude
+    // below prose
+    assert(stats(2L)._3 < 0.1 && stats(1L)._3 > 0.5, stats.toString)
+    assert(stats(1L)._1 == 64L)
+    // torn payloads are loud, not silent short reads
+    val torn = packed.limit(1).collect()(0).getAs[Array[Byte]]("payload").dropRight(4)
+    intercept[Exception] {
+      TextAnalysis.inflateStats(spark,
+        Seq((9L, torn)).toDF("doc_id", "payload")).collect()
+    }
+  }
 }
