@@ -739,6 +739,41 @@ private[graft] object EntriesPipeline {
           col("ratio"), col("fp"))
         .orderBy(col("doc_id"))
     }),
+    // robots.txt politeness gate (r16): RFC 9309 parse + longest-match
+    // verdicts, evaluated for TWO agents against one body — the named
+    // group (prefix-matched product token) must NOT merge with `*`,
+    // wildcards/$ anchor/Allow-overrides all exercised; the oracle
+    // replays the expected verdicts from the path generation classes
+    "q_robots_filter" -> ((s, d) => {
+      import s.implicits._
+      val robotsTxt =
+        """User-agent: *
+          |Disallow: /private/
+          |Allow: /private/ok/
+          |Disallow: /*.pdf$
+          |
+          |User-agent: graftbot
+          |Disallow: /bot-trap/
+          |""".stripMargin
+      val rStar = graft.text.Robots.parse(robotsTxt, "othercrawler")
+      val rBot = graft.text.Robots.parse(robotsTxt, "graftbot-news")
+      val path = concat(
+        when(col("doc_id") % 5 === 0, lit("/public/page"))
+          .when(col("doc_id") % 5 === 1, lit("/private/page"))
+          .when(col("doc_id") % 5 === 2, lit("/private/ok/page"))
+          .when(col("doc_id") % 5 === 3, lit("/docs/file"))
+          .otherwise(lit("/bot-trap/page")),
+        (col("doc_id") % 60).cast("string"),
+        when(col("doc_id") % 5 === 3, lit(".pdf")).otherwise(lit("")))
+      t(s, d, "documents").select(col("doc_id"), path.as("path"))
+        .as[(Long, String)]
+        .map { case (id, p) =>
+          (id, p, graft.text.Robots.allowed(p, rStar),
+            graft.text.Robots.allowed(p, rBot))
+        }
+        .toDF("doc_id", "path", "star_allowed", "bot_allowed")
+        .orderBy(col("doc_id"))
+    }),
     // charset sniffing (r16): real crawled bodies are not all UTF-8 —
     // bodies are generated in-plan in four REAL encodings (UTF-8 with
     // a non-ASCII marker, latin-1 whose 0xE9 is invalid UTF-8, UTF-16
@@ -1785,6 +1820,16 @@ private[graft] object EntriesPipeline {
       "list_reduce(list_prepend(0::BIGINT, list_transform(toks, w -> " +
       graft.text.Bpe.tokenCountSql("w", graft.text.Bpe.PretrainedMerges) +
       ")), (a, b) -> a + b)::BIGINT AS n_bpe FROM tok ORDER BY doc_id"),
+    "q_robots_filter" -> ("SELECT doc_id, " +
+      "CASE WHEN doc_id % 5 = 0 THEN '/public/page' " +
+      "WHEN doc_id % 5 = 1 THEN '/private/page' " +
+      "WHEN doc_id % 5 = 2 THEN '/private/ok/page' " +
+      "WHEN doc_id % 5 = 3 THEN '/docs/file' " +
+      "ELSE '/bot-trap/page' END || (doc_id % 60) || " +
+      "CASE WHEN doc_id % 5 = 3 THEN '.pdf' ELSE '' END AS path, " +
+      "doc_id % 5 NOT IN (1, 3) AS star_allowed, " +
+      "doc_id % 5 != 4 AS bot_allowed " +
+      "FROM documents ORDER BY doc_id"),
     // expected charset from the generation class; the decoded-text
     // md5 recomputed INDEPENDENTLY from the source column (chr(233)
     // = the e-acute marker) — encode, detect, decode and BOM

@@ -709,6 +709,51 @@ class AnnTextSpec extends SparkSpec {
     assert(charsetOf(Array.emptyByteArray) == "utf-8")
   }
 
+  test("robots.txt: group selection, longest-match, wildcards, anchors, Allow ties (r16)") {
+    import graft.text.Robots
+    val txt =
+      """# politeness config
+        |User-agent: *
+        |Disallow: /private/
+        |Allow: /private/ok/
+        |Disallow: /*.pdf$
+        |Crawl-delay: 10
+        |
+        |User-agent: graftbot
+        |User-agent: graftbot-image
+        |Disallow: /bot-trap/
+        |Disallow:
+        |""".stripMargin
+    val star = Robots.parse(txt, "somecrawler/1.0")
+    assert(star.map(r => (r.allow, r.pattern)) == Seq(
+      (false, "/private/"), (true, "/private/ok/"), (false, "/*.pdf$")))
+    // named group via case-insensitive PREFIX of the product token;
+    // never merged with '*' (so /private/ is allowed for the bot)
+    val bot = Robots.parse(txt, "GraftBot-News/2.1")
+    assert(bot.map(_.pattern) == Seq("/bot-trap/"))
+    assert(Robots.allowed("/private/page1", bot))
+    // longest-match + Allow override + no-match default
+    assert(!Robots.allowed("/private/page1", star))
+    assert(Robots.allowed("/private/ok/page1", star))
+    assert(Robots.allowed("/anything/else", star))
+    // wildcard + $ anchor: .pdf only at the end
+    assert(!Robots.allowed("/docs/file3.pdf", star))
+    assert(Robots.allowed("/docs/file3.pdfx", star))
+    assert(Robots.allowed("/docs/pdf/page", star))
+    // '/a/' (3 octets) vs '/a/*' (4): the longer Allow wins
+    val longer = Robots.parse("User-agent: *\nDisallow: /a/\nAllow: /a/*\n", "x")
+    assert(Robots.allowed("/a/p", longer))
+    // exact tie between Allow and Disallow: Allow wins
+    assert(Robots.allowed("/a/", Seq(Robots.Rule(false, "/a/"), Robots.Rule(true, "/a/"))))
+    // empty body / no groups: everything allowed
+    assert(Robots.allowed("/x", Robots.parse("", "anybot")))
+    // the two-agent longest-prefix rule: the MORE specific token wins
+    val multi = Robots.parse(
+      "User-agent: graft\nDisallow: /g/\nUser-agent: graftbot\nDisallow: /gb/\n",
+      "graftbot-news")
+    assert(multi.map(_.pattern) == Seq("/gb/"))
+  }
+
   test("compression quality signal: deflate/inflate round trip, ratio separates prose from loops (r16)") {
     import graft.text.TextAnalysis
     val docs = Seq(
