@@ -739,6 +739,33 @@ private[graft] object EntriesPipeline {
           col("ratio"), col("fp"))
         .orderBy(col("doc_id"))
     }),
+    // sitemap.xml frontier extraction (r16): real XML assembled
+    // in-plan, parsed back with Spark's XPATH functions (an actual
+    // XML parser — entities, attributes and all), one row per <url>
+    // entry via posexplode over the zipped loc/lastmod node lists;
+    // the oracle reconstructs every field from generation arithmetic,
+    // so the xpath extraction itself is what's under the hash
+    "q_sitemap" -> ((s, d) => {
+      val day1 = lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0")
+      val day2 = lpad((col("doc_id") * 3 % 28 + 1).cast("string"), 2, "0")
+      val xml = concat(
+        lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+          "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+          "<url><loc>https://corpus.test/doc/"),
+        col("doc_id"), lit("</loc><lastmod>2026-01-"), day1,
+        lit("</lastmod></url><url><loc>https://corpus.test/doc/"),
+        col("doc_id"), lit("/amp</loc><lastmod>2026-02-"), day2,
+        lit("</lastmod></url></urlset>"))
+      t(s, d, "documents")
+        .select(col("doc_id"), xml.as("xml"))
+        .select(col("doc_id"),
+          expr("posexplode(arrays_zip(" +
+            "xpath(xml, '/urlset/url/loc/text()'), " +
+            "xpath(xml, '/urlset/url/lastmod/text()')))"))
+        .select(col("doc_id"), col("pos").cast("int").as("entry_idx"),
+          col("col.0").as("loc"), col("col.1").as("lastmod"))
+        .orderBy(col("doc_id"), col("entry_idx"))
+    }),
     // robots.txt politeness gate (r16): RFC 9309 parse + longest-match
     // verdicts, evaluated for TWO agents against one body — the named
     // group (prefix-matched product token) must NOT merge with `*`,
@@ -1820,6 +1847,14 @@ private[graft] object EntriesPipeline {
       "list_reduce(list_prepend(0::BIGINT, list_transform(toks, w -> " +
       graft.text.Bpe.tokenCountSql("w", graft.text.Bpe.PretrainedMerges) +
       ")), (a, b) -> a + b)::BIGINT AS n_bpe FROM tok ORDER BY doc_id"),
+    "q_sitemap" -> ("WITH e AS (SELECT doc_id, unnest([0, 1]) AS entry_idx " +
+      "FROM documents) " +
+      "SELECT doc_id, entry_idx::INT AS entry_idx, " +
+      "'https://corpus.test/doc/' || doc_id || " +
+      "CASE WHEN entry_idx = 1 THEN '/amp' ELSE '' END AS loc, " +
+      "CASE WHEN entry_idx = 0 THEN '2026-01-' || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0') " +
+      "ELSE '2026-02-' || lpad((doc_id * 3 % 28 + 1)::VARCHAR, 2, '0') END AS lastmod " +
+      "FROM e ORDER BY doc_id, entry_idx"),
     "q_robots_filter" -> ("SELECT doc_id, " +
       "CASE WHEN doc_id % 5 = 0 THEN '/public/page' " +
       "WHEN doc_id % 5 = 1 THEN '/private/page' " +
