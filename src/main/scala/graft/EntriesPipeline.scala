@@ -817,12 +817,14 @@ private[graft] object EntriesPipeline {
           .when(col("doc_id") % 4 === 2, encode(marked, "UTF-16"))
           .otherwise(encode(clean, "UTF-8")).as("body"))
         .as[(Long, Array[Byte])]
-        .mapPartitions(_.map { case (id, b) =>
-          val (cs, text) = TextAnalysis.decodeDetected(b)
-          val md = java.security.MessageDigest.getInstance("MD5")
-            .digest(text.getBytes("UTF-8"))
-          (id, cs, md.map(x => f"${x & 0xff}%02x").mkString)
-        }).toDF("doc_id", "charset", "fp")
+        .mapPartitions { it =>
+          val digest = java.security.MessageDigest.getInstance("MD5")
+          it.map { case (id, b) =>
+            val (cs, text) = TextAnalysis.decodeDetected(b)
+            val md = digest.digest(text.getBytes("UTF-8"))
+            (id, cs, md.map(x => f"${x & 0xff}%02x").mkString)
+          }
+        }.toDF("doc_id", "charset", "fp")
         .orderBy(col("doc_id"))
     }),
     // context-window chunking: 64-token windows, 16-token overlap

@@ -23,22 +23,41 @@ import org.apache.spark.sql.functions._
 object Robots {
 
   final case class Rule(allow: Boolean, pattern: String) {
-    // '*' -> '.*', '$' only anchors at the very end, everything else
-    // is a literal (quoted); matching is "pattern matches a PREFIX of
-    // the path" unless anchored
-    private[Robots] val regex: java.util.regex.Pattern = {
-      val anchored = pattern.endsWith("$")
-      val body = if (anchored) pattern.dropRight(1) else pattern
-      val sb = new StringBuilder("^")
-      body.foreach {
-        case '*' => sb.append(".*")
-        case c => sb.append(java.util.regex.Pattern.quote(c.toString))
+    // LINEAR wildcard matching, not java.util.regex: robots bodies
+    // come from untrusted hosts, and a hostile '/*a*a*a*...' pattern
+    // against a long path backtracks catastrophically in a regex
+    // engine — the reference matchers are linear for exactly this
+    // reason. '*' segments resolve left-to-right by indexOf (greedy
+    // scan is correct for "matches a prefix": any placement that
+    // reaches the end works, and earliest-first never overshoots);
+    // '$' only anchors at the very end.
+    private val anchored = pattern.endsWith("$")
+    private val parts: Array[String] =
+      (if (anchored) pattern.dropRight(1) else pattern).split("\\*", -1)
+    private[Robots] def matches(path: String): Boolean = {
+      if (!path.startsWith(parts(0))) return false
+      var pos = parts(0).length
+      var i = 1
+      val last = parts.length - 1
+      while (i <= last) {
+        val p = parts(i)
+        if (i == last && anchored) {
+          // final segment must END the path, at or after pos
+          return path.length - p.length >= pos && path.endsWith(p)
+        }
+        val at = path.indexOf(p, pos)
+        if (at < 0) return false
+        pos = at + p.length
+        i += 1
       }
-      if (anchored) sb.append("$")
-      java.util.regex.Pattern.compile(sb.toString)
+      // un-anchored: the pattern only needs to cover a prefix, and it
+      // just did (anchored single-segment handled above; a no-'*'
+      // anchored pattern hits the i==last branch with i=0? no — the
+      // loop starts at 1, so handle it here)
+      if (anchored && last == 0)
+        path.length == parts(0).length
+      else true
     }
-    private[Robots] def matches(path: String): Boolean =
-      regex.matcher(path).lookingAt()
   }
 
   /** Parse a robots body and select the rule group for `agent`. */
@@ -57,7 +76,9 @@ object Robots {
         val key = line.substring(0, at).trim.toLowerCase(java.util.Locale.ROOT)
         val value = line.substring(at + 1).trim
         key match {
-          case "user-agent" =>
+          case "user-agent" if value.nonEmpty =>
+            // an EMPTY agent token would prefix-match every crawler
+            // and shadow the '*' fallback — malformed, ignored
             if (!inAgents || groups.isEmpty) {
               groups += ((scala.collection.mutable.ArrayBuffer(value),
                 scala.collection.mutable.ArrayBuffer.empty[Rule]))
@@ -68,7 +89,9 @@ object Robots {
             if (groups.nonEmpty && value.nonEmpty)
               groups.last._2 += Rule(key == "allow", value)
           // empty Disallow = allow everything: no rule to add
-          case _ => inAgents = false // crawl-delay, sitemap, unknown
+          case _ => () // crawl-delay, sitemap, unknown: NOT part of a
+          // group and MUST NOT split consecutive User-agent lines
+          // (RFC 9309 §2.2.4) — inAgents is left untouched
         }
       }
     }

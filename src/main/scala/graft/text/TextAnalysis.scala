@@ -442,13 +442,24 @@ object TextAnalysis {
       .mapPartitions { rows =>
         val deflater = new java.util.zip.Deflater()
         val buf = new Array[Byte](1 << 16)
-        rows.map { case (id, text) =>
+        val mapped = rows.map { case (id, text) =>
           val raw = text.getBytes("UTF-8")
           deflater.reset()
           deflater.setInput(raw); deflater.finish()
           val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 32)
           while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
           (id, out.toByteArray)
+        }
+        // release the native zlib buffer when the partition drains —
+        // waiting for the finalizer leaks GC-invisible native memory
+        // on long-lived executors (end() is idempotent)
+        new Iterator[(Long, Array[Byte])] {
+          def hasNext: Boolean = {
+            val h = mapped.hasNext
+            if (!h) deflater.end()
+            h
+          }
+          def next(): (Long, Array[Byte]) = mapped.next()
         }
       }.toDF("doc_id", "payload")
   }
@@ -466,9 +477,14 @@ object TextAnalysis {
     packed.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
+        // codec-init-once like the deflate side: one Inflater (reset
+        // per row) and one MessageDigest (digest() resets it) per
+        // partition, not per document
+        val inflater = new java.util.zip.Inflater()
+        val digest = java.security.MessageDigest.getInstance("MD5")
         val buf = new Array[Byte](1 << 16)
-        rows.map { case (id, payload) =>
-          val inflater = new java.util.zip.Inflater()
+        val mapped = rows.map { case (id, payload) =>
+          inflater.reset()
           inflater.setInput(payload)
           val out = new java.io.ByteArrayOutputStream(payload.length * 3 + 32)
           while (!inflater.finished()) {
@@ -480,11 +496,18 @@ object TextAnalysis {
               s"truncated deflate stream for doc $id")
             out.write(buf, 0, n)
           }
-          inflater.end()
           val raw = out.toByteArray
-          val md = java.security.MessageDigest.getInstance("MD5").digest(raw)
+          val md = digest.digest(raw)
           (id, raw.length.toLong, payload.length.toLong,
             md.map(b => f"${b & 0xff}%02x").mkString)
+        }
+        new Iterator[(Long, Long, Long, String)] {
+          def hasNext: Boolean = {
+            val h = mapped.hasNext
+            if (!h) inflater.end()
+            h
+          }
+          def next(): (Long, Long, Long, String) = mapped.next()
         }
       }.toDF("doc_id", "raw_bytes", "deflate_bytes", "fp")
       // empty docs have no ratio (NULL, both engines) — zlib's fixed
@@ -506,22 +529,42 @@ object TextAnalysis {
     else if (bytes.length >= 2 && u(0) == 0xfe && u(1) == 0xff) "utf-16be"
     else if (bytes.length >= 2 && u(0) == 0xff && u(1) == 0xfe) "utf-16le"
     else {
+      // the full table (RFC 3629): the lead byte constrains the
+      // SECOND byte's range — E0 A0-BF (else overlong), ED 80-9F
+      // (else a UTF-16 surrogate), F0 90-BF (else overlong), F4
+      // 80-8F (else past U+10FFFF). A validator without these
+      // accepts sequences a real decoder replaces with U+FFFD —
+      // silently corrupting text that the windows-1252 fallback
+      // would have decoded correctly.
       var i = 0; var ok = true
       while (ok && i < bytes.length) {
         val b = u(i)
-        val need =
-          if (b < 0x80) 0
-          else if ((b & 0xe0) == 0xc0 && b >= 0xc2) 1 // c0/c1 = overlong
-          else if ((b & 0xf0) == 0xe0) 2
-          else if ((b & 0xf8) == 0xf0 && b <= 0xf4) 3
-          else -1
-        if (need < 0 || i + need >= bytes.length) ok = need == 0 && b < 0x80
+        if (b < 0x80) i += 1
         else {
-          var k = 1
-          while (k <= need && (u(i + k) & 0xc0) == 0x80) k += 1
-          ok = k > need
+          val need =
+            if (b >= 0xc2 && b <= 0xdf) 1
+            else if (b >= 0xe0 && b <= 0xef) 2
+            else if (b >= 0xf0 && b <= 0xf4) 3
+            else -1 // 80-C1 stray/overlong, F5-FF out of range
+          if (need < 0 || i + need >= bytes.length) ok = false
+          else {
+            val b2 = u(i + 1)
+            val (lo2, hi2) = b match {
+              case 0xe0 => (0xa0, 0xbf)
+              case 0xed => (0x80, 0x9f)
+              case 0xf0 => (0x90, 0xbf)
+              case 0xf4 => (0x80, 0x8f)
+              case _ => (0x80, 0xbf)
+            }
+            ok = b2 >= lo2 && b2 <= hi2
+            var k = 2
+            while (ok && k <= need) {
+              ok = (u(i + k) & 0xc0) == 0x80
+              k += 1
+            }
+            i += 1 + need
+          }
         }
-        i += 1 + math.max(0, need)
       }
       if (ok) "utf-8" else "windows-1252"
     }
@@ -531,7 +574,8 @@ object TextAnalysis {
     * decoder handles its own; the UTF-8 BOM is stripped manually),
     * and the windows-1252 fallback maps every byte — decode can never
     * throw, which is what a crawl pipeline needs from this stage. */
-  def decodeDetected(bytes: Array[Byte]): (String, String) = charsetOf(bytes) match {
+  def decodeDetected(bytes: Array[Byte]): (String, String) =
+    if (bytes == null) ("utf-8", "") else charsetOf(bytes) match {
     case "utf-8" =>
       val off = if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xef &&
         (bytes(1) & 0xff) == 0xbb && (bytes(2) & 0xff) == 0xbf) 3 else 0

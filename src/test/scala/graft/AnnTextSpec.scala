@@ -704,6 +704,21 @@ class AnnTextSpec extends SparkSpec {
     assert(charsetOf(Array[Byte]('a', 0x85.toByte, 'b')) == "windows-1252")
     // truncated multi-byte tail rejects
     assert(charsetOf(Array[Byte]('a', 0xc3.toByte)) == "windows-1252")
+    // second-byte range table: overlong E0 80, UTF-16 surrogate
+    // ED A0, overlong F0 80, past-U+10FFFF F4 90 — all reject (a
+    // decoder would replace them with U+FFFD, corrupting the text
+    // the windows-1252 fallback decodes faithfully)
+    assert(charsetOf(Array[Byte](0xe0.toByte, 0x80.toByte, 0x80.toByte)) == "windows-1252")
+    assert(charsetOf(Array[Byte](0xed.toByte, 0xa0.toByte, 0x80.toByte)) == "windows-1252")
+    assert(charsetOf(Array[Byte](0xf0.toByte, 0x80.toByte, 0x80.toByte, 0x80.toByte)) == "windows-1252")
+    assert(charsetOf(Array[Byte](0xf4.toByte, 0x90.toByte, 0x80.toByte, 0x80.toByte)) == "windows-1252")
+    // ...while their legal neighbors pass
+    def cp(c: Int) = new String(Character.toChars(c)).getBytes("UTF-8")
+    assert(charsetOf(cp(0x800)) == "utf-8")    // E0 A0 80
+    assert(charsetOf(cp(0xd7ff)) == "utf-8")   // ED 9F BF
+    assert(charsetOf(cp(0x10000)) == "utf-8")  // F0 90 80 80
+    assert(charsetOf(cp(0x10ffff)) == "utf-8") // F4 8F BF BF
+    assert(decodeDetected(null) == ("utf-8", ""))
     // windows-1252 never throws: every byte maps
     assert(decodeDetected((0 to 255).map(_.toByte).toArray)._2.length == 256)
     assert(charsetOf(Array.emptyByteArray) == "utf-8")
@@ -752,6 +767,33 @@ class AnnTextSpec extends SparkSpec {
       "User-agent: graft\nDisallow: /g/\nUser-agent: graftbot\nDisallow: /gb/\n",
       "graftbot-news")
     assert(multi.map(_.pattern) == Seq("/gb/"))
+    // RFC 9309 §2.2.4: a non-group line (Sitemap) between consecutive
+    // User-agent lines must NOT split the group
+    val split = Robots.parse(
+      "User-agent: a\nSitemap: https://x/s.xml\nUser-agent: b\nDisallow: /x\n", "a")
+    assert(split.map(_.pattern) == Seq("/x"))
+    // a malformed EMPTY agent token must not shadow the '*' fallback
+    val emptyUa = Robots.parse(
+      "User-agent:\nDisallow: /secret/\n\nUser-agent: *\nDisallow: /\n", "anybot")
+    assert(!Robots.allowed("/anything", emptyUa))
+    // hostile wildcard pattern: the LINEAR matcher answers instantly
+    // where a backtracking regex would take exponential time
+    val hostile = Robots.parse(
+      "User-agent: *\nDisallow: /*a*a*a*a*a*a*a*a*a*a*a*a*a*a*a\n", "x")
+    val t0 = System.nanoTime()
+    // 10 a's < 15 segments: no match -> allowed; 2000 a's: match
+    assert(Robots.allowed("/" + ("a" * 10) + "b", hostile))
+    assert(!Robots.allowed("/" + ("a" * 2000) + "b", hostile))
+    assert((System.nanoTime() - t0) < 1e9, "matcher must be linear")
+    // anchored no-wildcard pattern matches the exact path only
+    val exact = Robots.parse("User-agent: *\nDisallow: /x$\n", "x")
+    assert(!Robots.allowed("/x", exact) && Robots.allowed("/xy", exact))
+    // the distributed gate API: same verdicts, as a DataFrame column
+    val urls = Seq((1L, "/public/x"), (2L, "/private/x"), (3L, "/private/ok/x"))
+      .toDF("doc_id", "path")
+    val gated = Robots.filterAllowed(spark, urls, "doc_id", "path", txt, "somecrawler")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(gated == Map(1L -> true, 2L -> false, 3L -> true))
   }
 
   test("compression quality signal: deflate/inflate round trip, ratio separates prose from loops (r16)") {
