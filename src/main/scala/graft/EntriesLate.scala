@@ -358,8 +358,14 @@ private[graft] object EntriesLate {
         .toDF("s", "c", "cv").coalesce(1)
         .write.mode("overwrite")
         .parquet(s"/tmp/graft_ivfadctr_cb_${System.getProperty("user.name")}")
+      // r17: BOTH knobs auto — the rule-sized window (oversample = 0)
+      // AND the rule-sized probe set (nprobe = 0): auto-nprobe walks
+      // the kmeans lists in cosine order until cumulative probed mass
+      // crosses the corpus/(m*ck) rule floor, then floors at
+      // ceil(sqrt(16)) = 4 for the measured spread cliff; the oracle
+      // replays the same walk off its own assignment counts
       graft.sim.Ann.ivfAdcTopKIndexed(s, out, "vec_id", "embedding",
-        ScriptQv, k = 10, oversample = 0, nprobe = 4)
+        ScriptQv, k = 10, oversample = 0, nprobe = 0)
         .getOrElse(sys.error("trained ivfadc artifacts missing right after build"))
     }),
     // ip_range agg over the synthetic ip column (from-inclusive,
@@ -998,10 +1004,20 @@ private[graft] object EntriesLate {
       "row_number() OVER (PARTITION BY c.id ORDER BY round(list_reduce(list_prepend(0.0, " +
       "list_transform(range(1, 65), i -> c.rv[i] * ccv[i])), (x, y) -> x + y) / (c.nrm * cnrm), 4) DESC, cents.cent_id) AS rn " +
       "FROM n c CROSS JOIN cents) t WHERE rn = 1), " +
-      "probe AS (SELECT cent_id FROM (SELECT cents.cent_id, " +
+      // r17 auto-nprobe replay: lists in query-cosine order, probe
+      // until cumulative assignment mass crosses the corpus/(m*ck)
+      // rule floor, then the ceil(sqrt(16)) = 4 spread floor
+      "po AS (SELECT cents.cent_id, " +
       "row_number() OVER (ORDER BY round(list_reduce(list_prepend(0.0, " +
       "list_transform(range(1, 65), i -> w0[i] * ccv[i])), (x, y) -> x + y) / (qnrm * cnrm), 4) DESC, cents.cent_id) AS rn " +
-      "FROM cents CROSS JOIN qn) t WHERE rn <= 4), " +
+      "FROM cents CROSS JOIN qn), " +
+      "lsz AS (SELECT cent_id, count(*)::BIGINT AS sz FROM asg GROUP BY cent_id), " +
+      "pc AS (SELECT po.cent_id, po.rn, sum(coalesce(lsz.sz, 0)) OVER (ORDER BY po.rn) AS cum " +
+      "FROM po LEFT JOIN lsz USING (cent_id)), " +
+      "tcnt AS (SELECT count(*)::BIGINT AS tot FROM asg), " +
+      "npr AS (SELECT LEAST(16, GREATEST(4, coalesce((SELECT min(rn) FROM pc, tcnt " +
+      "WHERE cum >= LEAST(tot // 512 + 1, tot)), 16))) AS p), " +
+      "probe AS (SELECT cent_id FROM pc, npr WHERE rn <= npr.p), " +
       "cand AS (SELECT a.id FROM asg a JOIN probe p USING (cent_id)), " +
       "v AS (SELECT id, rv, CASE WHEN nrm = 0 THEN rv ELSE " +
       "list_transform(rv, x -> x / nrm) END AS v FROM n), " +

@@ -24,34 +24,41 @@ private[graft] object EntriesStream {
     * (file sources read DIRECTORIES), run the transform through
     * readStream -> complete-mode memory sink, drain, read the sink
     * back, and clean the staging dir up. */
+  /** A session CLONE with the streaming drain's shuffle layout: a
+    * stateful streaming operator materializes ONE STATE STORE PER
+    * SHUFFLE PARTITION per micro-batch — at the session's 32 that is
+    * pure fixed setup cost against a bounded test input; 4 keeps the
+    * drain parallel enough while cutting store bring-up 8x. The clone
+    * shares the SparkContext and catalog but owns its SQL conf, so
+    * the setting can never leak into (or race with) other queries on
+    * the shared session — the r16 form toggled the session-global
+    * conf around the stream and restored it in finally, which was
+    * only safe while the driver ran keys strictly sequentially. */
+  private[graft] def streamSession(s: SparkSession): SparkSession = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2
+  }
+
   private def runEventsStream(
       s: SparkSession, d: String, sink: String, mode: String = "complete")(
       transform: DataFrame => DataFrame): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory(s"graft_$sink")
-    // a stateful streaming operator materializes ONE STATE STORE PER
-    // SHUFFLE PARTITION per micro-batch — at the session's 32 that is
-    // pure fixed setup cost against a bounded test input. 4 keeps the
-    // drain parallel enough while cutting store bring-up 8x; results
-    // are partitioning-independent (restored after the drain; the
-    // harness runs queries sequentially, same assumption the bench's
-    // clearCache makes)
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val s2 = streamSession(s)
     try {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$d/events.parquet"),
         dir.resolve("events.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      val in = s.readStream.schema(Tables.eventsSchema)
+      val in = s2.readStream.schema(Tables.eventsSchema)
         .parquet(dir.toString)
         .transform(Tables.normalizeEvents)
       val q = transform(in)
         .writeStream.outputMode(mode)
         .format("memory").queryName(sink).start()
       try q.processAllAvailable() finally q.stop()
-      s.table(sink)
+      s2.table(sink)
     } finally {
-      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       java.nio.file.Files.deleteIfExists(dir.resolve("events.parquet"))
       java.nio.file.Files.deleteIfExists(dir)
     }
@@ -69,19 +76,17 @@ private[graft] object EntriesStream {
     // dedup must all land on identical md5s
     "q_stream_warc" -> ((s, d) => {
       val landing = EntryShared.ensureWarcHtml(s, d)
-      // state stores scale per shuffle partition per micro-batch:
-      // 4 keeps the bounded drain cheap (the runEventsStream rationale)
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
-        val q = graft.sources.Warc.crawlExtract(
-            graft.sources.Warc.warcStreamDF(s, landing), minChars = 100)
-          .select(col("fp"), length(col("text")).cast("long").as("n_chars"))
-          .writeStream.outputMode("append")
-          .format("memory").queryName("q_stream_warc_sink").start()
-        try q.processAllAvailable() finally q.stop()
-        s.table("q_stream_warc_sink").orderBy(col("fp"))
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      // state stores scale per shuffle partition per micro-batch: the
+      // session CLONE carries the drain's 4-partition layout without
+      // ever touching the shared session's conf (r17, the r16 advice)
+      val s2 = streamSession(s)
+      val q = graft.sources.Warc.crawlExtract(
+          graft.sources.Warc.warcStreamDF(s2, landing), minChars = 100)
+        .select(col("fp"), length(col("text")).cast("long").as("n_chars"))
+        .writeStream.outputMode("append")
+        .format("memory").queryName("q_stream_warc_sink").start()
+      try q.processAllAvailable() finally q.stop()
+      s2.table("q_stream_warc_sink").orderBy(col("fp"))
     }),
     "q_stream_window" -> ((s, d) => EventStreams.hourlyTypeCounts(Tables.events(s, d))),
     // _downsample: the time-series index aggregated to 1-day buckets

@@ -756,13 +756,21 @@ object Ann {
     }
     // r16: `"window": "auto"` — the Scala API's rule-sized auto
     // window, reachable through the JSON front door (body knn, dsl
-    // knn-in-bool, retriever knn legs all land here). Auto sizes the
-    // approximate budget off one corpus count (opt-in cost, exactly
-    // like oversample = 0): num_candidates = max(10k, ceil(n/16)) —
+    // knn-in-bool, retriever knn legs all land here). GRAFT-SPECIFIC
+    // EXTENSION: the upstream knn DSL defines only num_candidates and
+    // rejects unknown options, so a body using "window" is not
+    // portable back to the reference engine — it is loud, opt-in, and
+    // triggers an eager corpus count at query-parse time (documented
+    // trade: one narrow count buys the recall rail). Auto sizes the
+    // approximate budget off that count (opt-in cost, exactly like
+    // oversample = 0): num_candidates = max(10k, 16k, ceil(n/16)) —
     // the 16-list stage must see at least 1/nLists of the corpus as
     // candidates or a probed list cannot cover the query's true
-    // neighborhood; past the exhaustive threshold this escalates to
-    // the exact path — the rail against the silent recall cliff.
+    // neighborhood, and the 16k floor keeps the derived nprobe at or
+    // above the sqrt(nLists) spread floor (the r17 nprobe rail: a
+    // balanced quantizer spreads the neighborhood across ~sqrt(nLists)
+    // lists); past the exhaustive threshold this escalates to the
+    // exact path — the rail against the silent recall cliff.
     // Anything but the literal "auto" is loud, and combining it with
     // an explicit num_candidates is contradictory (also loud).
     val windowAuto = root.get("window") match {
@@ -777,7 +785,9 @@ object Ann {
     val numCandidates =
       if (windowAuto) {
         val n = filtered.where(col(field).isNotNull).count()
-        math.min(math.max(10L * k, (n + 15) / 16), Int.MaxValue.toLong).toInt
+        // 16k = 4·k·nprobeSpreadFloor(16): auto must clear the r17
+        // nprobe spread rail, not just the mass rule
+        math.min(Seq(10L * k, 16L * k, (n + 15) / 16).max, Int.MaxValue.toLong).toInt
       } else root.get("num_candidates").collect {
         case JInt(i) => i.toInt
         case JDouble(d) => d.toInt
@@ -789,6 +799,7 @@ object Ann {
     val queries = spark.range(1).select(
       lit(-1L).as(idCol),
       array(qv.map(lit): _*).as(field))
+    lastNprobeWarning = None // exact path probes nothing to warn about
     val result =
       // ES semantics: num_candidates bounds the per-shard approximate
       // stage; at or beyond this budget the search is effectively
@@ -803,6 +814,14 @@ object Ann {
         // selective pre-filter — e.g. a label predicate that excludes
         // every low id).
         val nprobe = math.max(1, math.min(16, numCandidates / math.max(1, 4 * k)))
+        // r17 nprobe rail on the body leg: num_candidates is the
+        // caller's explicit cost knob (never resized — ES semantics),
+        // but an under-spread derived probe count is the measured
+        // silent-recall regime, so it warns (auto mode's 16k floor
+        // keeps this silent by construction)
+        lastNprobeWarning = nprobeSpreadWarning(nprobe, 16).map(w =>
+          s"knn num_candidates=$numCandidates maps to $w")
+        lastNprobeWarning.foreach(w => Console.err.println(s"WARN graft.sim.Ann: $w"))
         val cents = filtered
           .select(col(idCol).as("cent_src_id"),
             col(field).cast("array<double>").as("cv"))
@@ -1327,6 +1346,11 @@ object Ann {
     * stderr). None after a call whose window cleared the rule. */
   @volatile var lastPqSizingWarning: Option[String] = None
 
+  /** Last nprobe-rail warning emitted (spec hook; also logged to
+    * stderr). None after a call whose probe set cleared both rails
+    * (probed mass and the sqrt(nLists) spread floor). */
+  @volatile var lastNprobeWarning: Option[String] = None
+
   /** The r14 recall-ledger sizing rule, as an API-level guard: the
     * coarse ADC window (k·oversample) must cover at least 1/(m·k) of
     * the corpus. The ledger's measured cliff — 4x16 codes at 50k
@@ -1349,8 +1373,11 @@ object Ann {
   /** Coarse window k·oversample as the Int `limit` needs, computed in
     * Long: at auto-rule scales k·os overflows Int and `limit` would
     * see a negative/garbage size. Caps at Int.MaxValue with a warning
-    * when the cap binds — a capped window only ever ADDS candidates
-    * relative to the requested one, never drops them. */
+    * when the cap binds — note the cap SHRINKS the window below the
+    * requested/rule size, which at that scale lowers recall below the
+    * sizing rule's prescription; the stderr warning is the signal to
+    * switch to the exact path (a rule-sized window past 2^31
+    * candidates is an exhaustive search wearing a window's clothes). */
   private def coarseWindow(k: Int, oversample: Long): Int = {
     val w = k.toLong * oversample
     if (w > Int.MaxValue) {
@@ -1371,31 +1398,124 @@ object Ann {
     }
   }
 
-  /** The window rule + sizing guard, shared by ALL FOUR quantized
-    * entry points (pqTopK / pqTopKIndexed / ivfAdcTopK /
-    * ivfAdcTopKIndexed) so a rule change can never reopen the r15
-    * guard hole by missing one copy. `candidates` is the narrow
-    * candidate frame the rule prices (live vectors, stored codes, or
-    * the probed lists' assignment ids). Auto (oversample = 0) pays
-    * one full count of it and sizes window = candidates/(m·ck) — the
-    * r15-measured prescription, floor 4; explicit windows pay only
-    * the bounded limit(threshold+1) scan and publish
-    * `lastPqSizingWarning` when the rule flags them. */
-  private def resolveWindow(
-      candidates: DataFrame, k: Int, oversample: Int,
+  /** The window rule on an EXACTLY-KNOWN candidate mass — the SINGLE
+    * rule site: the frame form below delegates here, and the IVFADC
+    * entry points call it directly because the per-list size
+    * aggregation already gives them the probed mass exactly (no
+    * second candidate scan). Auto (oversample = 0) sizes window =
+    * mass/(m·ck) — the r15-measured prescription, floor 4; explicit
+    * windows publish `lastPqSizingWarning` when the rule flags them. */
+  private def resolveWindowFromMass(
+      mass: Long, k: Int, oversample: Int,
       m: Int, ck: Int, corpusLabel: String): Long = {
     require(oversample >= 0, s"bad oversample $oversample (0 = auto rule-sized)")
     if (oversample == 0) {
       lastPqSizingWarning = None
-      math.max(4L, candidates.count() / (m.toLong * ck * k) + 1)
+      math.max(4L, mass / (m.toLong * ck * k) + 1)
     } else {
       val os = oversample.toLong
       val threshold = sizingThreshold(k, os, m, ck)
-      val over = candidates.limit((threshold + 1).toInt).count() > threshold
       lastPqSizingWarning = pqSizingWarning(
-        over, s">$threshold-$corpusLabel", k, os, m, ck)
+        mass > threshold, corpusLabel, k, os, m, ck)
       lastPqSizingWarning.foreach(w => Console.err.println(s"WARN graft.sim.Ann: $w"))
       os
+    }
+  }
+
+  /** The window rule + sizing guard, shared by ALL FOUR quantized
+    * entry points (pqTopK / pqTopKIndexed / ivfAdcTopK /
+    * ivfAdcTopKIndexed) so a rule change can never reopen the r15
+    * guard hole by missing one copy — the rule itself lives in
+    * `resolveWindowFromMass`; this form prices a candidate FRAME
+    * (live vectors or stored codes). Auto (oversample = 0) pays one
+    * full count of it; explicit windows pay only the bounded
+    * limit(threshold+1) scan that decides over/under. */
+  private def resolveWindow(
+      candidates: DataFrame, k: Int, oversample: Int,
+      m: Int, ck: Int, corpusLabel: String): Long = {
+    require(oversample >= 0, s"bad oversample $oversample (0 = auto rule-sized)")
+    if (oversample == 0)
+      resolveWindowFromMass(candidates.count(), k, 0, m, ck, corpusLabel)
+    else {
+      val threshold = sizingThreshold(k, oversample.toLong, m, ck)
+      val over = candidates.limit((threshold + 1).toInt).count() > threshold
+      // the bounded scan yields a boolean, not a count: feed the rule
+      // core a mass just over/at the threshold so the warning decision
+      // (mass > threshold) is identical to the old inline form
+      resolveWindowFromMass(if (over) threshold + 1 else threshold,
+        k, oversample, m, ck, s">$threshold-$corpusLabel")
+    }
+  }
+
+  /** The sqrt(nLists) probe-spread floor, shared by the IVFADC rail
+    * and the JSON knn leg so the two warnings can't drift: a TRAINED
+    * (balanced) coarse quantizer spreads the true neighborhood across
+    * several lists — measured r16 on the 500k structured corpus,
+    * kmeans coarse read 0/10 recall at nprobe 1-2 and 10/10 at 4 of
+    * 16, where any probed-MASS rule alone would admit nprobe 1 (each
+    * balanced list already carries 1/16 of the corpus). ceil(sqrt(n))
+    * is the published balanced-IVF starting point (the FAISS guidance
+    * for nlist/nprobe tuning). */
+  private def nprobeSpreadFloor(nLists: Int): Int =
+    math.ceil(math.sqrt(nLists.toDouble)).toInt
+
+  private def nprobeSpreadWarning(nprobe: Int, nLists: Int): Option[String] = {
+    val floor = nprobeSpreadFloor(nLists)
+    if (nprobe < floor)
+      Some(s"nprobe=$nprobe is under ceil(sqrt($nLists)) = $floor — a balanced " +
+        "(trained) coarse quantizer spreads the true neighborhood across ~sqrt(nLists) " +
+        "lists (measured: kmeans coarse read 0/10 recall at nprobe 1-2 and 10/10 at " +
+        "4 of 16 on the 500k structured corpus). Raise nprobe, or pass nprobe = 0 " +
+        "(auto rule-sized).")
+    else None
+  }
+
+  /** The nprobe rail (r17) — the same silent-recall-cliff guard the
+    * window got in r15/r16, one knob over, shared by BOTH IVFADC
+    * entry points. `listSizes` is the per-list assignment mass (ONE
+    * narrow partial aggregation — nLists rows reach the driver);
+    * `probeOrder` is ALL cent_ids in probe order (query cosine desc,
+    * cent_id asc).
+    *
+    * nprobe = 0 (AUTO): probe lists in cosine order until cumulative
+    * probed mass crosses the threshold the window rule prices —
+    * sizingThreshold(k·os·m·ck) when the window is explicit (give the
+    * window the candidate pool it is sized for), the corpus/(m·ck)
+    * rule floor when the window is auto (auto window sizes OFF probed
+    * mass, so the corpus-level floor is the non-circular anchor) —
+    * then floor at ceil(sqrt(nLists)) for the measured spread cliff.
+    *
+    * Explicit nprobe: never resized (the caller chose the cost), but
+    * `lastNprobeWarning` publishes when probed mass is under
+    * corpus/(m·ck) or nprobe is under the spread floor. */
+  private def resolveNprobe(
+      listSizes: Map[Long, Long], probeOrder: Seq[Long],
+      nprobe: Int, k: Int, oversample: Int, m: Int, ck: Int): Int = {
+    val nLists = probeOrder.length
+    val total = probeOrder.iterator.map(listSizes.getOrElse(_, 0L)).sum
+    val floorMass = total / (m.toLong * ck) + 1
+    val spreadFloor = nprobeSpreadFloor(nLists)
+    if (nprobe == 0) {
+      lastNprobeWarning = None
+      val need = math.min(total,
+        if (oversample > 0) sizingThreshold(k, oversample.toLong, m, ck)
+        else floorMass)
+      var cum = 0L; var p = 0
+      while (p < nLists && cum < need) {
+        cum += listSizes.getOrElse(probeOrder(p), 0L); p += 1
+      }
+      math.min(nLists, math.max(math.max(p, 1), spreadFloor))
+    } else {
+      val mass = probeOrder.iterator.take(nprobe).map(listSizes.getOrElse(_, 0L)).sum
+      lastNprobeWarning =
+        if (mass < floorMass)
+          Some(s"IVFADC probed mass $mass (nprobe=$nprobe of $nLists lists) covers " +
+            s"under 1/(m*ck) = 1/${m * ck} of the $total-row corpus — the window " +
+            "rule's collapse regime, reached through the probe set instead of the " +
+            "window. Raise nprobe, or pass nprobe = 0 (auto rule-sized).")
+        else nprobeSpreadWarning(nprobe, nLists)
+      lastNprobeWarning.foreach(w => Console.err.println(s"WARN graft.sim.Ann: $w"))
+      nprobe
     }
   }
 
@@ -1488,6 +1608,41 @@ object Ann {
         pqRescore(live, idCol, vecCol, coarse, queryVec, k)
       }
 
+  /** Per-row coarse-list assignment as ONE declarative expression
+    * over the DRIVER-side centroids (they are already collected for
+    * probe ranking — nCentroids is tiny by contract): the same
+    * round-4 cosine argmax with lowest-cent_id tie-break as
+    * `assignToCentroids`, with NO crossJoin/groupBy exchange and
+    * nothing to persist or release — the map-only form the probed-
+    * member filter wants (the r16 form persisted a shuffled
+    * assignment frame per query and leaked the cache handle). */
+  private def assignedCentCol(
+      vec: Column, cents: Array[(Long, Array[Double])]): Column = {
+    val scored = cents.map { case (cid, cv) =>
+      struct(
+        Num.round(Vectors.cosine(vec, array(cv.toSeq.map(lit): _*)), 4).as("c"),
+        lit(-cid).as("n"))
+    }
+    -array_max(array(scored.toSeq: _*)).getField("n")
+  }
+
+  /** Query-to-centroid probe ranking on the driver: ALL cent_ids in
+    * probe order (round-4 cosine desc, cent_id asc) — `take(nprobe)`
+    * of this is the probe set, and the full order feeds the auto-
+    * nprobe mass walk. */
+  private def probeOrderOf(
+      cents: Array[(Long, Array[Double])], queryVec: Seq[Double]): Seq[Long] = {
+    val qNorm = math.sqrt(queryVec.foldLeft(0.0)((a, x) => a + x * x))
+    cents.map { case (cid, cv) =>
+      var dot = 0.0; var n2 = 0.0
+      var i = 0
+      while (i < cv.length) { dot += queryVec(i) * cv(i); n2 += cv(i) * cv(i); i += 1 }
+      val cos = if (qNorm == 0.0 || n2 == 0.0) 0.0
+        else graft.util.Num.roundDouble(dot / (qNorm * math.sqrt(n2)), 4)
+      (cid, cos)
+    }.sortBy { case (cid, cos) => (-cos, cid) }.map(_._1).toSeq
+  }
+
   /** IVFADC proper (Jégou et al. 2011, the FAISS default at scale):
     * the IVF coarse quantizer routes the query to its nprobe nearest
     * centroid lists, the ADC pass scores ONLY those lists' PQ codes
@@ -1497,7 +1652,10 @@ object Ann {
     * O(k·oversample) float rows — the published 100 TB search shape.
     * IVF assignment/probing reuse the seed-centroid + round-4 cosine
     * contract of ivfTopK; the ADC math is pqTopK's 1e-6 fixed point —
-    * both already oracle-mirrored, so the composition is too. */
+    * both already oracle-mirrored, so the composition is too.
+    * nprobe = 0 (r17) resolves by the auto rule (`resolveNprobe`);
+    * an explicit nprobe publishes `lastNprobeWarning` when the rail
+    * flags it. */
   def ivfAdcTopK(
       corpus: DataFrame,
       idCol: String,
@@ -1512,7 +1670,8 @@ object Ann {
       codebooks: Option[Array[Double]] = None,
       coarseCents: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.GraftBridge
-    require(nprobe > 0 && nprobe <= nCentroids, s"nprobe $nprobe of $nCentroids")
+    require(nprobe >= 0 && nprobe <= nCentroids,
+      s"nprobe $nprobe of $nCentroids (0 = auto rule-sized)")
     require(oversample >= 0, s"bad oversample $oversample (0 = auto rule-sized)")
     // coarse quantizer: caller-trained (kmeansCentroids — the
     // balanced-list production fit) or the deterministic seed default
@@ -1522,34 +1681,29 @@ object Ann {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     require(cents.length == nCentroids,
       s"corpus has only ${cents.length} centroids, need $nCentroids")
-    val qNorm = math.sqrt(queryVec.foldLeft(0.0)((a, x) => a + x * x))
-    val probed = cents.map { case (cid, cv) =>
-      var dot = 0.0; var n2 = 0.0
-      var i = 0
-      while (i < cv.length) { dot += queryVec(i) * cv(i); n2 += cv(i) * cv(i); i += 1 }
-      val cos = if (qNorm == 0.0 || n2 == 0.0) 0.0
-        else graft.util.Num.roundDouble(dot / (qNorm * math.sqrt(n2)), 4)
-      (cid, cos)
-    }.sortBy { case (cid, cos) => (-cos, cid) }.take(nprobe).map(_._1).toSeq
-    // membership: the stored IVF assignment (one narrow pass); only
-    // the probed lists' ids survive into the ADC stage. PERSISTED:
-    // the assignment ends in a groupBy/max_by aggregation, and both
-    // the window rule below and the left_semi join consume `member` —
-    // without the persist the full assignment pass would run twice
-    // per query (the guard job materializes the cache, the join
-    // reads it back)
-    val member = assignToCentroids(corpus, idCol, vecCol, centsDf)
-      .where(col("cent_id").isin(probed: _*))
-      .select(col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // r16: the r15 sizing guard + auto mode, threaded through the
-    // IVFADC entry points (closing the r15 guard hole — the builder's
-    // own structured-corpus probe read 0/10 recall here at 1.5M
-    // vectors with an undersized window). The candidate corpus is the
-    // PROBED lists' rows, which the assignment pass already yields:
-    // rule reads corpus = |member|, window = k·os.
-    val os: Long = resolveWindow(
-      member, k, oversample, m, codebookSize, "candidate probed")
+    val probeOrder = probeOrderOf(cents, queryVec)
+    val live = corpus.where(col(vecCol).isNotNull)
+    val vcast = col(vecCol).cast("array<double>")
+    // per-list mass: one narrow partial aggregation over the map-only
+    // assignment expression — nCentroids rows reach the driver. This
+    // feeds BOTH rails (nprobe and window) with exact masses, so the
+    // window guard needs no second candidate scan and nothing is
+    // cached across jobs (the r16 persist + its leaked handle are gone)
+    val sizes = live
+      .select(assignedCentCol(vcast, cents).as("cent_id"))
+      .groupBy(col("cent_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // r17: the nprobe rail — auto (0) walks probed mass to the window
+    // rule's threshold with the sqrt(nLists) spread floor; explicit
+    // nprobe warns when under-massed/under-spread (the r16 verdict's
+    // measured cliff: kmeans coarse 0/10 at nprobe 1-2, 10/10 at 4)
+    val np = resolveNprobe(sizes, probeOrder, nprobe, k, oversample, m, codebookSize)
+    val probed = probeOrder.take(np)
+    val probedMass = probed.iterator.map(sizes.getOrElse(_, 0L)).sum
+    // r16 window rule + guard: the candidate corpus is the PROBED
+    // lists' rows — mass known exactly from the size aggregation
+    val os: Long = resolveWindowFromMass(
+      probedMass, k, oversample, m, codebookSize, s"$probedMass-candidate probed")
     // codebooks: caller-trained (pqFitCodebooks / pqFitCodebooksDist),
     // or the deterministic sample baseline the oracle replays
     val cb = codebooks.getOrElse(
@@ -1559,13 +1713,17 @@ object Ann {
     val lut = pqLut(queryVec, cb, m, codebookSize)
     val adc = GraftBridge.column(graft.expr.PqAdc(
       GraftBridge.expression(col("pq")), lut.toSeq, codebookSize))
-    val coarse = pqEncodeFrame(corpus, idCol, vecCol, cb, m, codebookSize)
-      .join(member, Seq("id"), "left_semi")
+    // membership is a map-side FILTER (the assignment expression
+    // against the probed id set), so only nprobe/nCentroids of the
+    // corpus is ever PQ-encoded — the r16 form encoded everything and
+    // semi-joined the window down afterwards
+    val coarse = pqEncodeFrame(
+        live.where(assignedCentCol(vcast, cents).isin(probed: _*)),
+        idCol, vecCol, cb, m, codebookSize)
       .select(col("id"), adc.as("adc"))
       .orderBy(col("adc").asc, col("id").asc)
       .limit(coarseWindow(k, os))
-    pqRescore(corpus.where(col(vecCol).isNotNull), idCol, vecCol,
-      coarse, queryVec, k)
+    pqRescore(live, idCol, vecCol, coarse, queryVec, k)
   }
 
   /** IVFADC over the PERSISTED artifacts — the production shape: the
@@ -1598,23 +1756,24 @@ object Ann {
       import org.apache.spark.sql.GraftBridge
       val cents = centsDf.select(col("cent_id"), col("cv")).collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      require(nprobe > 0 && nprobe <= cents.length,
-        s"nprobe $nprobe of ${cents.length} stored centroids")
-      val qNorm = math.sqrt(queryVec.foldLeft(0.0)((a, x) => a + x * x))
-      val probed = cents.map { case (cid, cv) =>
-        var dot = 0.0; var n2 = 0.0
-        var i = 0
-        while (i < cv.length) { dot += queryVec(i) * cv(i); n2 += cv(i) * cv(i); i += 1 }
-        val cos = if (qNorm == 0.0 || n2 == 0.0) 0.0
-          else graft.util.Num.roundDouble(dot / (qNorm * math.sqrt(n2)), 4)
-        (cid, cos)
-      }.sortBy { case (cid, cos) => (-cos, cid) }.take(nprobe).map(_._1).toSeq
+      require(nprobe >= 0 && nprobe <= cents.length,
+        s"nprobe $nprobe of ${cents.length} stored centroids (0 = auto rule-sized)")
+      val probeOrder = probeOrderOf(cents, queryVec)
+      // per-list mass from the STORED assignment table — one narrow
+      // partial aggregation, nLists rows to the driver; feeds both
+      // the r17 nprobe rail and the window rule with exact masses
+      val sizes = assignments
+        .groupBy(col("cent_id")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val np = resolveNprobe(sizes, probeOrder, nprobe, k, oversample, m, ck)
+      val probed = probeOrder.take(np)
+      val probedMass = probed.iterator.map(sizes.getOrElse(_, 0L)).sum
       val member = assignments.where(col("cent_id").isin(probed: _*)).select(col("id"))
       // the same r16 guard + auto as the on-the-fly IVFADC form; the
-      // candidate count reads only the probed lists' stored
-      // assignment rows (nprobe/nCentroids of the assignment table —
-      // a narrow parquet scan, cheap to read twice, so no persist)
-      val os: Long = resolveWindow(member, k, oversample, m, ck, "candidate probed")
+      // probed mass is exact from the size aggregation, so the rule
+      // pays no candidate scan at all here
+      val os: Long = resolveWindowFromMass(
+        probedMass, k, oversample, m, ck, s"$probedMass-candidate probed")
       val lut = pqLut(queryVec, cb, m, ck)
       val adc = GraftBridge.column(graft.expr.PqAdc(
         GraftBridge.expression(col("pq")), lut.toSeq, ck))

@@ -250,13 +250,22 @@ class AnnTextSpec extends SparkSpec {
     val vec = (0 until 64).map(i => (i * 41 % 100) / 100.0 - 0.5)
     def body(tail: String) =
       s"""{"field": "embedding", "query_vector": [${vec.mkString(",")}], "k": 5$tail}"""
-    // auto budget at n=500: max(10*5, ceil(500/16)=32) = 50 — the
-    // explicit twin is num_candidates: 50
+    // auto budget at n=500: max(10*5, 16*5=80 — the r17 nprobe spread
+    // floor in candidate units, ceil(500/16)=32) = 80 — the explicit
+    // twin is num_candidates: 80
     val auto = Ann.knnSearch(emb, "vec_id", body(""", "window": "auto""""))
       .select("id", "cosine").as[(Long, Double)].collect().toSeq
-    val explicit = Ann.knnSearch(emb, "vec_id", body(""", "num_candidates": 50"""))
+    assert(Ann.lastNprobeWarning.isEmpty,
+      "auto window's derived probe set warned — the floor must clear the rail by construction")
+    val explicit = Ann.knnSearch(emb, "vec_id", body(""", "num_candidates": 80"""))
       .select("id", "cosine").as[(Long, Double)].collect().toSeq
     assert(auto == explicit, "JSON auto window diverged from its explicit twin")
+    // an explicit budget that derives nprobe below ceil(sqrt(16)) = 4
+    // warns (50/(4*5) = 2 lists) but is never resized — ES semantics,
+    // num_candidates is the caller's cost knob
+    Ann.knnSearch(emb, "vec_id", body(""", "num_candidates": 50""")).collect()
+    assert(Ann.lastNprobeWarning.nonEmpty, "under-spread body-knn probe did not warn")
+    assert(Ann.lastNprobeWarning.get.contains("num_candidates"))
     // the SAME option through the SearchBody front door (body knn leg)
     val viaBody = graft.dsl.SearchBody.search(emb,
       s"""{"knn": {"field": "embedding", "query_vector": [${vec.mkString(",")}],
@@ -334,6 +343,63 @@ class AnnTextSpec extends SparkSpec {
     assert(autoIdx == explIdx, "indexed IVFADC auto diverged from its explicit twin")
   }
 
+  test("IVFADC nprobe rail: auto = mass walk + sqrt spread floor; explicit under-probe warns (r17)") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir) // 500 vectors
+    val qv = (1 to 64).map(i => math.sin(i * 0.37))
+    // auto (nprobe = 0) with the auto window: the mass rule needs
+    // 500/(4*16)+1 = 8 rows (one probed list covers it), then the
+    // spread floor lifts the probe set to ceil(sqrt(16)) = 4 — the
+    // measured r16 cliff point (kmeans coarse read 0/10 at nprobe 1-2
+    // and 10/10 at 4 of 16). The explicit twin is nprobe = 4.
+    val auto = Ann.ivfAdcTopK(emb, "vec_id", "embedding", qv, k = 5, oversample = 0,
+      nCentroids = 16, nprobe = 0)
+      .select("id", "cosine").as[(Long, Double)].collect().toSeq
+    assert(Ann.lastNprobeWarning.isEmpty, "auto nprobe warned")
+    val twin = Ann.ivfAdcTopK(emb, "vec_id", "embedding", qv, k = 5, oversample = 0,
+      nCentroids = 16, nprobe = 4)
+      .select("id", "cosine").as[(Long, Double)].collect().toSeq
+    assert(auto == twin, "auto nprobe diverged from its explicit twin")
+    // explicit nprobe under the rail warns — and is NOT resized (the
+    // caller chose the cost; the rail is loud, not silent)
+    Ann.ivfAdcTopK(emb, "vec_id", "embedding", qv, k = 5, oversample = 20,
+      nCentroids = 16, nprobe = 2).collect()
+    assert(Ann.lastNprobeWarning.nonEmpty, "under-probed explicit nprobe did not warn")
+    assert(Ann.lastNprobeWarning.get.contains("nprobe"))
+    // a well-probed explicit call is silent
+    Ann.ivfAdcTopK(emb, "vec_id", "embedding", qv, k = 5, oversample = 20,
+      nCentroids = 16, nprobe = 8).collect()
+    assert(Ann.lastNprobeWarning.isEmpty, "well-probed explicit nprobe warned spuriously")
+    // the PERSISTED entry point carries the same rail: auto equals its
+    // explicit twin off the STORED assignment's list sizes
+    val out = s"/tmp/graft_spec_ivfadc_nprobe_${System.getProperty("user.name")}"
+    graft.sources.Connector.save(emb, out, Map(
+      "graft.write.operation" -> "overwrite",
+      "graft.mapping.id" -> "vec_id",
+      "graft.index.vectors" -> "embedding",
+      "graft.index.vectors.centroids" -> "16",
+      "graft.index.pq" -> "embedding"))
+    def indexedNp(np: Int) = Ann.ivfAdcTopKIndexed(spark, out, "vec_id", "embedding",
+      qv, k = 5, oversample = 0, nprobe = np)
+      .getOrElse(sys.error("ivfadc artifacts missing right after build"))
+      .select("id", "cosine").as[(Long, Double)].collect().toSeq
+    val autoIdx = indexedNp(0)
+    assert(Ann.lastNprobeWarning.isEmpty, "indexed auto nprobe warned")
+    assert(autoIdx == indexedNp(4), "indexed auto nprobe diverged from its explicit twin")
+    indexedNp(1)
+    assert(Ann.lastNprobeWarning.nonEmpty, "indexed under-probed nprobe did not warn")
+  }
+
+  test("IVFADC leaves no cached blocks behind: the r16 member persist is gone (r17)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val qv = (1 to 64).map(i => math.sin(i * 0.37))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Ann.ivfAdcTopK(emb, "vec_id", "embedding", qv, k = 5, oversample = 4,
+      nCentroids = 16, nprobe = 4).collect()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"IVFADC left cached RDDs registered: $leaked")
+  }
+
   test("PQ: 4-byte codes, ADC window recovers the exact top-k, codes-only coarse plan") {
     import org.apache.spark.sql.GraftBridge
     val emb = Tables.embeddings(spark, sfDir)
@@ -403,12 +469,20 @@ class AnnTextSpec extends SparkSpec {
           array(qv.map(lit): _*)), 4).as("c"))
       .as[(Long, Double)].collect().toMap
     narrow.foreach { case (id, c) => assert(direct(id) == c) }
-    // the plan carries the membership semi-join (the IVF gate) below
-    // the ADC window
+    // the IVF gate is a MAP-SIDE FILTER below the ADC window (r17):
+    // the assignment argmax runs as a per-row expression against the
+    // driver-collected centroids, so the coarse side carries NO join
+    // at all — the only join in the plan is the rescore's broadcast
+    // of the bounded window
     val plan = Ann.ivfAdcTopK(emb, "vec_id", "embedding", qv,
       k = 5, oversample = 8, nCentroids = 16, nprobe = 2)
       .queryExecution.optimizedPlan.toString
-    assert(plan.contains("LeftSemi"), "IVF gate must be a semi-join on the coarse side")
+    assert(!plan.contains("LeftSemi"),
+      "IVF gate regressed to a semi-join — the map-side filter form shuffles nothing")
+    assert(plan.contains("array_max"),
+      "IVF gate must be the per-row assignment-argmax filter")
+    assert(plan.sliding(5).count(_ == "Join ") == 1,
+      "coarse side must be join-free; only the rescore broadcast join remains")
   }
 
   test("knn _explain: dot/norms/cosine breakdown consistent") {
