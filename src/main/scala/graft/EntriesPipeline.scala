@@ -595,6 +595,15 @@ private[graft] object EntriesPipeline {
       Multimodal.stftFrames(s,
         Multimodal.chirpMediaTable(s, t(s, d, "documents")))
         .toDF().orderBy(col("media_id"), col("frame_idx"))),
+    // codec realism (r17): OGG pages with REAL Vorbis/Opus
+    // identification packets (rate/channels from the id header), and
+    // MP4 whose trak carries a genuine avcC + baseline H.264 SPS —
+    // the walk recovers the CODED dims from exp-Golomb SPS fields
+    // (the container's tkhd can lie), all replayed analytically
+    "q_multimodal_codecs" -> ((s, d) =>
+      Multimodal.decodeContainerMeta(s,
+        Multimodal.codecsMediaTable(t(s, d, "documents")))
+        .toDF().orderBy(col("media_id"))),
     // HEIF (r16): AVIF/HEIC — ISO-BMFF like MP4 but dims come from
     // the meta > iprp > ipco > ispe property chain, routed on the
     // ftyp BRAND; the oracle replays brand + ispe dims
@@ -801,10 +810,49 @@ private[graft] object EntriesPipeline {
         .toDF("doc_id", "path", "star_allowed", "bot_allowed")
         .orderBy(col("doc_id"))
     }),
+    // PER-HOST robots gate (r17, the crawl-frontier shape): the
+    // frontier joins a (host, robots body) TABLE on host and the
+    // bodies parse EXECUTOR-side (per-partition rule cache) — no
+    // driver-side parse of corpus data. Four hosts x two agents: a
+    // has both a '*' and a named graftbot group (groups must NOT
+    // merge), b only '*' (longest-match Allow-vs-Disallow tie broken
+    // by pattern length), c only a named group (no fallback: foreign
+    // agents fully allowed), d has NO robots row (missing robots.txt
+    // = allowed). The oracle replays every verdict from the
+    // generation classes analytically.
+    "q_robots_hosts" -> ((s, d) => {
+      import s.implicits._
+      val robots = Seq(
+        ("a.example", "User-agent: *\nDisallow: /private/\nAllow: /private/ok/\n\n" +
+          "User-agent: graftbot\nDisallow: /bot-trap/\nDisallow: /*.pdf$\n"),
+        ("b.example", "User-agent: *\nDisallow: /*.pdf$\nAllow: /docs/\n"),
+        ("c.example", "User-agent: graftbot\nDisallow: /\n"))
+        .toDF("host", "robots_txt")
+      val host = when(col("doc_id") % 4 === 0, lit("a.example"))
+        .when(col("doc_id") % 4 === 1, lit("b.example"))
+        .when(col("doc_id") % 4 === 2, lit("c.example"))
+        .otherwise(lit("d.example"))
+      val path = concat(
+        when(col("doc_id") % 5 === 0, lit("/public/page"))
+          .when(col("doc_id") % 5 === 1, lit("/private/page"))
+          .when(col("doc_id") % 5 === 2, lit("/private/ok/page"))
+          .when(col("doc_id") % 5 === 3, lit("/docs/file"))
+          .otherwise(lit("/bot-trap/page")),
+        (col("doc_id") % 60).cast("string"),
+        when(col("doc_id") % 5 === 3, lit(".pdf")).otherwise(lit("")))
+      graft.text.Robots.filterAllowedByHost(
+        t(s, d, "documents").select(col("doc_id"), host.as("host"), path.as("path")),
+        "doc_id", "host", "path", robots, "host", "robots_txt",
+        Seq("othercrawler" -> "star_allowed", "graftbot-news" -> "bot_allowed"))
+        .orderBy(col("doc_id"))
+    }),
     // charset sniffing (r16): real crawled bodies are not all UTF-8 —
-    // bodies are generated in-plan in four REAL encodings (UTF-8 with
+    // bodies are generated in-plan in SIX real classes (UTF-8 with
     // a non-ASCII marker, latin-1 whose 0xE9 is invalid UTF-8, UTF-16
-    // behind its BOM, plain ASCII); the detector must route each to
+    // behind its BOM, plain ASCII, r17: BOM-less UTF-16LE caught by
+    // the alternating-NUL heuristic, and an HTML meta-declared
+    // iso-8859-1 body whose bytes are valid UTF-8 — the class only
+    // the browser meta hint routes right); the detector must route each to
     // the right decoder and the md5 of the DECODED text must match
     // the oracle's independent recomputation from the source column
     "q_charset_detect" -> ((s, d) => {
@@ -812,10 +860,19 @@ private[graft] object EntriesPipeline {
       val clean = regexp_replace(col("text"), "[^\\x20-\\x7e]", "")
       val marked = concat(clean, lit("\u00e9")) // e-acute: latin-1 0xE9, UTF-8 C3 A9
       t(s, d, "documents").select(col("doc_id"),
-        when(col("doc_id") % 4 === 0, encode(marked, "UTF-8"))
-          .when(col("doc_id") % 4 === 1, encode(marked, "ISO-8859-1"))
-          .when(col("doc_id") % 4 === 2, encode(marked, "UTF-16"))
-          .otherwise(encode(clean, "UTF-8")).as("body"))
+        when(col("doc_id") % 6 === 0, encode(marked, "UTF-8"))
+          .when(col("doc_id") % 6 === 1, encode(marked, "ISO-8859-1"))
+          .when(col("doc_id") % 6 === 2, encode(marked, "UTF-16"))
+          .when(col("doc_id") % 6 === 3, encode(clean, "UTF-8"))
+          // r17 class 4: BOM-less UTF-16LE — the tail guard keeps
+          // every body over the heuristic's 16-byte abstain floor
+          .when(col("doc_id") % 6 === 4,
+            encode(concat(clean, lit(" utf16le tail guard")), "UTF-16LE"))
+          // r17 class 5: meta-declared iso-8859-1 over VALID UTF-8
+          // bytes — only the browser meta hint routes this right
+          .otherwise(encode(
+            concat(lit("<meta charset=\"iso-8859-1\">"), marked), "UTF-8"))
+          .as("body"))
         .as[(Long, Array[Byte])]
         .mapPartitions { it =>
           val digest = java.security.MessageDigest.getInstance("MD5")
@@ -1542,9 +1599,24 @@ private[graft] object EntriesPipeline {
       "SELECT CASE WHEN doc_id % 9 = 0 AND doc_id % 4 = 2 THEN 'mp3' " +
       "WHEN doc_id % 9 = 0 THEN 'bin' " +
       "WHEN doc_id % 4 IN (0, 1) THEN 'mp4' WHEN doc_id % 4 = 2 THEN 'mp3' " +
-      "ELSE 'flac' END AS format FROM documents) " +
+      "ELSE 'flac' END AS format FROM documents " +
+      "UNION ALL " +
+      // r17 codecs leg: a torn 5-byte ogg page keeps its family (the
+      // OggS magic survives truncation); a torn avc MP4 loses even
+      // its ftyp and lands in 'bin'
+      "SELECT CASE WHEN doc_id % 4 IN (0, 1) THEN 'ogg' " +
+      "WHEN doc_id % 9 = 0 THEN 'bin' ELSE 'mp4' END AS format FROM documents) " +
       "SELECT format, count(*)::BIGINT AS n FROM u " +
       "GROUP BY format ORDER BY format"),
+    "q_multimodal_codecs" -> ("SELECT doc_id AS media_id, " +
+      "CASE WHEN doc_id % 4 = 0 " +
+      "THEN 'ogg vorbis ' || ([8000,16000,22050,44100,48000])[(doc_id % 5) + 1] || 'Hz ' || (doc_id % 2 + 1) || 'ch' " +
+      "WHEN doc_id % 4 = 1 " +
+      "THEN 'ogg opus ' || ([48000,44100,16000])[(doc_id % 3) + 1] || 'Hz ' || (doc_id % 2 + 1) || 'ch' " +
+      "WHEN doc_id % 4 = 2 " +
+      "THEN 'mp4 ' || (n_chars % 100 + 1) || 'x' || (doc_id % 50 + 1) || ' ' || ((n_chars % 1000 + 1) * 10) || 'ms h264 320x240' " +
+      "ELSE 'mp4 ' || (n_chars % 100 + 1) || 'x' || (doc_id % 50 + 1) || ' ' || ((n_chars % 1000 + 1) * 10) || 'ms h264 1280x720' END AS meta " +
+      "FROM documents ORDER BY media_id"),
     "q_multimodal_stft" -> ("WITH f AS (SELECT doc_id AS media_id, " +
       "unnest([0, 1]) AS frame_idx FROM documents) " +
       "SELECT media_id, frame_idx::INT AS frame_idx, " +
@@ -1867,14 +1939,41 @@ private[graft] object EntriesPipeline {
       "doc_id % 5 NOT IN (1, 3) AS star_allowed, " +
       "doc_id % 5 != 4 AS bot_allowed " +
       "FROM documents ORDER BY doc_id"),
+    // per-host verdict replay from the generation classes: host a's
+    // '*' group blocks /private/ (Allow /private/ok/ is longer) and
+    // its graftbot group blocks /bot-trap/ + *.pdf; host b's '*'
+    // group blocks *.pdf for BOTH agents (Disallow 7 octets beats
+    // Allow /docs/ 6 on the tie-break); host c blocks graftbot
+    // everywhere and has no '*' fallback; host d has no robots row
+    "q_robots_hosts" -> ("SELECT doc_id, " +
+      "CASE doc_id % 4 WHEN 0 THEN 'a.example' WHEN 1 THEN 'b.example' " +
+      "WHEN 2 THEN 'c.example' ELSE 'd.example' END AS host, " +
+      "CASE WHEN doc_id % 5 = 0 THEN '/public/page' " +
+      "WHEN doc_id % 5 = 1 THEN '/private/page' " +
+      "WHEN doc_id % 5 = 2 THEN '/private/ok/page' " +
+      "WHEN doc_id % 5 = 3 THEN '/docs/file' " +
+      "ELSE '/bot-trap/page' END || (doc_id % 60) || " +
+      "CASE WHEN doc_id % 5 = 3 THEN '.pdf' ELSE '' END AS path, " +
+      "NOT ((doc_id % 4 = 0 AND doc_id % 5 = 1) OR " +
+      "(doc_id % 4 = 1 AND doc_id % 5 = 3)) AS star_allowed, " +
+      "NOT ((doc_id % 4 = 0 AND doc_id % 5 IN (3, 4)) OR " +
+      "(doc_id % 4 = 1 AND doc_id % 5 = 3) OR doc_id % 4 = 2) AS bot_allowed " +
+      "FROM documents ORDER BY doc_id"),
     // expected charset from the generation class; the decoded-text
     // md5 recomputed INDEPENDENTLY from the source column (chr(233)
     // = the e-acute marker) — encode, detect, decode and BOM
     // consumption all under the hash
     "q_charset_detect" -> ("SELECT doc_id, " +
-      "CASE WHEN doc_id % 4 = 1 THEN 'windows-1252' " +
-      "WHEN doc_id % 4 = 2 THEN 'utf-16be' ELSE 'utf-8' END AS charset, " +
-      "CASE WHEN doc_id % 4 = 3 THEN md5(regexp_replace(text, '[^\\x20-\\x7e]', '', 'g')) " +
+      "CASE WHEN doc_id % 6 IN (1, 5) THEN 'windows-1252' " +
+      "WHEN doc_id % 6 = 2 THEN 'utf-16be' " +
+      "WHEN doc_id % 6 = 4 THEN 'utf-16le' ELSE 'utf-8' END AS charset, " +
+      "CASE WHEN doc_id % 6 = 3 THEN md5(regexp_replace(text, '[^\\x20-\\x7e]', '', 'g')) " +
+      "WHEN doc_id % 6 = 4 THEN md5(regexp_replace(text, '[^\\x20-\\x7e]', '', 'g') || ' utf16le tail guard') " +
+      // class 5 decodes its VALID-UTF-8 bytes as windows-1252 (the
+      // meta hint wins): the C3 A9 marker bytes come back as the two
+      // chars U+00C3 U+00A9 — the faithful browser mojibake
+      "WHEN doc_id % 6 = 5 THEN md5('<meta charset=\"iso-8859-1\">' || " +
+      "regexp_replace(text, '[^\\x20-\\x7e]', '', 'g') || chr(195) || chr(169)) " +
       "ELSE md5(regexp_replace(text, '[^\\x20-\\x7e]', '', 'g') || chr(233)) END AS fp " +
       "FROM documents ORDER BY doc_id"),
     "q_quality_compression" -> ("SELECT d.doc_id, " +

@@ -140,6 +140,94 @@ object CorpusFittedService {
     CorpusFittedService(idf, idfOf(0.5), trans, genSteps)
   }
 
+  /** Coded dims from an H.264 sequence parameter set (ISO 14496-10
+    * §7.3.2.1, r17): RBSP de-emulation (strip the 00 00 03 bytes),
+    * exp-Golomb reader, the high-profile chroma/scaling-list branch,
+    * and the frame-cropping arithmetic (4:2:0 crop units — the
+    * baseline/main case; monochrome crop would halve, out of the
+    * generated corpus's scope). `off` points at the first byte AFTER
+    * the NAL header, `len` is the RBSP byte count. (0, 0) on any
+    * torn/over-running read — the container walk reports the box
+    * dims alone then. */
+  private def spsDims(bytes: Array[Byte], off: Int, len: Int): (Long, Long) = {
+    val rbspBuf = new java.io.ByteArrayOutputStream(len)
+    var i = off
+    val end = math.min(off + len, bytes.length)
+    var zrun = 0
+    while (i < end) {
+      val b = bytes(i) & 0xff
+      if (zrun >= 2 && b == 3) zrun = 0 // emulation-prevention byte
+      else { rbspBuf.write(b); zrun = if (b == 0) zrun + 1 else 0 }
+      i += 1
+    }
+    val r = rbspBuf.toByteArray
+    var bit = 0
+    def b1(): Int = { val v = (r(bit >> 3) >> (7 - (bit & 7))) & 1; bit += 1; v }
+    def u(n: Int): Long = {
+      var v = 0L; var k = 0
+      while (k < n) { v = (v << 1) | b1(); k += 1 }
+      v
+    }
+    def ue(): Long = {
+      var z = 0
+      while (z < 32 && b1() == 0) z += 1
+      (1L << z) - 1 + u(z)
+    }
+    def se(): Long = { val k = ue(); if ((k & 1) == 1) (k + 1) / 2 else -(k / 2) }
+    try {
+      val profile = u(8)
+      u(16) // constraint flags + level_idc
+      ue() // seq_parameter_set_id
+      if (Set(100L, 110L, 122L, 244L, 44L, 83L, 86L, 118L, 128L,
+        138L, 139L, 134L, 135L).contains(profile)) {
+        val chroma = ue()
+        if (chroma == 3) b1() // separate_colour_plane
+        ue(); ue(); b1() // bit depths, qpprime
+        if (b1() == 1) { // seq_scaling_matrix_present
+          val nLists = if (chroma == 3) 12 else 8
+          var li = 0
+          while (li < nLists) {
+            if (b1() == 1) {
+              val size = if (li < 6) 16 else 64
+              var lastScale = 8L; var nextScale = 8L
+              var j = 0
+              while (j < size) {
+                if (nextScale != 0) nextScale = (lastScale + se() + 256) % 256
+                lastScale = if (nextScale == 0) lastScale else nextScale
+                j += 1
+              }
+            }
+            li += 1
+          }
+        }
+      }
+      ue() // log2_max_frame_num_minus4
+      val poc = ue()
+      if (poc == 0) ue()
+      else if (poc == 1) {
+        b1(); se(); se()
+        val n = ue()
+        var j = 0L
+        while (j < n) { se(); j += 1 }
+      }
+      ue() // max_num_ref_frames
+      b1() // gaps_in_frame_num_value_allowed
+      val wMb = ue() + 1
+      val hUnits = ue() + 1
+      val frameMbsOnly = b1()
+      if (frameMbsOnly == 0) b1() // mb_adaptive_frame_field
+      b1() // direct_8x8_inference
+      var w = wMb * 16
+      var h = (2 - frameMbsOnly) * hUnits * 16
+      if (b1() == 1) { // frame_cropping
+        val cl = ue(); val cr = ue(); val ct = ue(); val cb = ue()
+        w -= (cl + cr) * 2
+        h -= (ct + cb) * 2 * (2 - frameMbsOnly)
+      }
+      if (w > 0 && h > 0) (w, h) else (0L, 0L)
+    } catch { case _: ArrayIndexOutOfBoundsException => (0L, 0L) }
+  }
+
   /** Real media-container metadata decode: PNG / GIF / JPEG header
     * parse to "fmt WxH"; anything else reports its byte length.
     * Public — Multimodal.decodeContainerMeta runs it as the honest
@@ -236,6 +324,16 @@ object CorpusFittedService {
       }
       def typeAt(at: Int): String =
         new String(bytes, at + 4, 4, "US-ASCII")
+      def findChild(from: Int, limit: Int, name: String): Int = {
+        var at = from
+        var b = boxBounds(at, limit)
+        while (at < limit && b != null) {
+          if (typeAt(at) == name) return at
+          at = b._2
+          b = boxBounds(at, limit)
+        }
+        -1
+      }
       // HEIF family (AVIF/HEIC — ISO-BMFF too, but an IMAGE: dims live
       // in meta > iprp > ipco > ispe, not in a movie header; 'meta'
       // and 'ispe' are FULLBOXES, so 4 version/flags bytes precede
@@ -248,16 +346,6 @@ object CorpusFittedService {
         case _ => null
       }
       if (heifFmt != null) {
-        def findChild(from: Int, limit: Int, name: String): Int = {
-          var at = from
-          var b = boxBounds(at, limit)
-          while (at < limit && b != null) {
-            if (typeAt(at) == name) return at
-            at = b._2
-            b = boxBounds(at, limit)
-          }
-          -1
-        }
         var w = 0L; var h = 0L
         val meta = findChild(0, bytes.length, "meta")
         if (meta >= 0) {
@@ -281,6 +369,7 @@ object CorpusFittedService {
       }
       var durMs = -1L
       var w = 0L; var h = 0L
+      var cw = 0L; var ch = 0L // CODED dims from the avcC SPS (r17)
       var i = 0
       var iB = boxBounds(i, bytes.length)
       while (i < bytes.length && iB != null) {
@@ -310,6 +399,46 @@ object CorpusFittedService {
                       val tw = be32(off) >> 16; val th = be32(off + 4) >> 16
                       if (tw > 0 && th > 0) { w = tw; h = th }
                     }
+                  } else if (typeAt(k) == "mdia") {
+                    // trak > mdia > minf > stbl > stsd > avc1 > avcC:
+                    // the CODED H.264 dims live in the SPS inside the
+                    // decoder config, not in the container's tkhd —
+                    // the tkhd can lie (track matrix scaling, crop)
+                    val minf = findChild(kp, kend, "minf")
+                    val stbl = if (minf < 0) -1 else {
+                      val (mp2, me2) = boxBounds(minf, kend)
+                      findChild(mp2, me2, "stbl")
+                    }
+                    val stsd = if (stbl < 0) -1 else {
+                      val (sp2, se2) = boxBounds(stbl, kend)
+                      findChild(sp2, se2, "stsd")
+                    }
+                    if (stsd >= 0) {
+                      val (dp, dend) = boxBounds(stsd, kend)
+                      // stsd is a fullbox: verflags(4) + entry_count(4)
+                      val avc1 = findChild(dp + 8, dend, "avc1") match {
+                        case -1 => findChild(dp + 8, dend, "avc3")
+                        case a => a
+                      }
+                      if (avc1 >= 0) {
+                        val (ap, aend) = boxBounds(avc1, dend)
+                        // VisualSampleEntry: 8 (reserved+dri) + 70
+                        val avcC = findChild(ap + 78, aend, "avcC")
+                        if (avcC >= 0) {
+                          val (cp, cend) = boxBounds(avcC, aend)
+                          // avcC: ver, profile, compat, level,
+                          // 0xFC|lenSize, 0xE0|numSPS, then be16
+                          // length + the SPS NAL per set
+                          if (cend - cp >= 9 && (u8(cp + 5) & 0x1f) >= 1) {
+                            val spsLen = be16(cp + 6).toInt
+                            if (cp + 8 + spsLen <= cend && spsLen >= 2) {
+                              val (sw, sh) = spsDims(bytes, cp + 9, spsLen - 1)
+                              if (sw > 0) { cw = sw; ch = sh }
+                            }
+                          }
+                        }
+                      }
+                    }
                   }
                   k = kend
                   kB = boxBounds(k, jend)
@@ -323,9 +452,38 @@ object CorpusFittedService {
         i = end
         iB = boxBounds(i, bytes.length)
       }
+      val codec = if (cw > 0) s" h264 ${cw}x$ch" else ""
       if (durMs < 0) s"mp4 ${bytes.length}B"
-      else if (w > 0) s"mp4 ${w}x$h ${durMs}ms"
-      else s"mp4 audio ${durMs}ms"
+      else if (w > 0) s"mp4 ${w}x$h ${durMs}ms$codec"
+      else s"mp4 audio ${durMs}ms$codec"
+    }
+    else if (bytes.length >= 5 &&
+      u8(0) == 'O' && u8(1) == 'g' && u8(2) == 'g' && u8(3) == 'S') {
+      // OGG (RFC 3533): page header = magic + version + type +
+      // granule(8) + serial(4) + seq(4) + crc(4) + nsegs + lacing
+      // table; the FIRST page's packet is the codec identification
+      // header — Vorbis `\x01vorbis` (channels u8 @11, rate le32
+      // @12) or `OpusHead` (channels u8 @9, input rate le32 @12).
+      // A torn page still classifies as the ogg FAMILY.
+      def le32o(i: Int): Long =
+        u8(i).toLong | (u8(i + 1).toLong << 8) |
+          (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+      if (bytes.length < 28) s"ogg ${bytes.length}B"
+      else {
+        val nseg = u8(26)
+        val p = 27 + nseg
+        if (nseg >= 1 && bytes.length >= p + 16 &&
+          u8(p) == 1 && u8(p + 1) == 'v' && u8(p + 2) == 'o' &&
+          u8(p + 3) == 'r' && u8(p + 4) == 'b' && u8(p + 5) == 'i' &&
+          u8(p + 6) == 's')
+          s"ogg vorbis ${le32o(p + 12)}Hz ${u8(p + 11)}ch"
+        else if (nseg >= 1 && bytes.length >= p + 16 &&
+          u8(p) == 'O' && u8(p + 1) == 'p' && u8(p + 2) == 'u' &&
+          u8(p + 3) == 's' && u8(p + 4) == 'H' && u8(p + 5) == 'e' &&
+          u8(p + 6) == 'a' && u8(p + 7) == 'd')
+          s"ogg opus ${le32o(p + 12)}Hz ${u8(p + 9)}ch"
+        else s"ogg ${bytes.length}B"
+      }
     }
     else if (bytes.length >= 4 && (
       (u8(0) == 'I' && u8(1) == 'D' && u8(2) == '3') ||

@@ -243,6 +243,142 @@ object Multimodal {
         .otherwise(flac).as("payload"))
   }
 
+  /** Bit-writer for the REAL baseline-profile H.264 SPS the codecs
+    * table embeds (ISO 14496-10 §7.3.2.1): exp-Golomb fields, POC
+    * type 0, frame_mbs_only, no cropping, emulation-prevention bytes
+    * inserted. Driver-side constant — the dims are class constants,
+    * so each whole NAL is ONE literal in the plan; the decoder's
+    * spsDims must walk the real bitstream back. */
+  private[multimodal] def spsNal(wMb: Int, hMb: Int): Array[Byte] = {
+    val bits = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def u(v: Long, n: Int): Unit = {
+      var k = n - 1
+      while (k >= 0) { bits += ((v >> k) & 1L).toInt; k -= 1 }
+    }
+    def ue(v: Long): Unit = {
+      val vv = v + 1
+      val nb = 64 - java.lang.Long.numberOfLeadingZeros(vv)
+      u(0L, nb - 1); u(vv, nb)
+    }
+    u(0x67, 8) // NAL header: ref_idc 3, type 7 (SPS)
+    u(66, 8)   // profile_idc: baseline
+    u(0, 8)    // constraint flags
+    u(30, 8)   // level_idc 3.0
+    ue(0)      // seq_parameter_set_id
+    ue(0)      // log2_max_frame_num_minus4
+    ue(0)      // pic_order_cnt_type = 0
+    ue(0)      // log2_max_pic_order_cnt_lsb_minus4
+    ue(1)      // max_num_ref_frames
+    u(0, 1)    // gaps_in_frame_num_value_allowed
+    ue(wMb - 1L)
+    ue(hMb - 1L)
+    u(1, 1)    // frame_mbs_only
+    u(0, 1)    // direct_8x8_inference
+    u(0, 1)    // frame_cropping
+    u(0, 1)    // vui_parameters_present
+    u(1, 1)    // rbsp_stop_one_bit
+    while (bits.length % 8 != 0) bits += 0
+    val raw = bits.grouped(8)
+      .map(g => g.foldLeft(0)((a, b) => (a << 1) | b).toByte).toArray
+    // emulation prevention AFTER the NAL header byte: 00 00 <=03
+    // sequences get a 03 interposed so a decoder's de-emulation
+    // reverses exactly
+    val out = scala.collection.mutable.ArrayBuffer[Byte](raw(0))
+    var zrun = 0
+    var i = 1
+    while (i < raw.length) {
+      val b = raw(i) & 0xff
+      if (zrun >= 2 && b <= 3) { out += 3; zrun = 0 }
+      out += raw(i)
+      zrun = if (b == 0) zrun + 1 else 0
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** The constant trak tail carrying a genuine decoder config:
+    * mdia > minf > stbl > stsd > avc1 (VisualSampleEntry) > avcC
+    * with ONE real SPS — the chain `parseMedia`'s coded-dims walk
+    * descends. Box sizes computed here once; the whole subtree is a
+    * class-constant literal in the generated plan. */
+  private[multimodal] def avcTrackTailBytes(wMb: Int, hMb: Int): Array[Byte] = {
+    def be32b(v: Long) = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be16b(v: Int) = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(name: String, payload: Array[Byte]*): Array[Byte] = {
+      val p = payload.toArray.flatten
+      be32b(p.length + 8L) ++ name.getBytes("US-ASCII") ++ p
+    }
+    val sps = spsNal(wMb, hMb)
+    val avcC = box("avcC",
+      Array[Byte](1, 66, 0, 30, 0xff.toByte, 0xe1.toByte),
+      be16b(sps.length), sps, Array[Byte](0)) // 0 PPS (config-only)
+    val avc1 = box("avc1",
+      new Array[Byte](6), be16b(1), // reserved + data_reference_index
+      new Array[Byte](16), // pre_defined/reserved
+      be16b(wMb * 16), be16b(hMb * 16), // sample-entry dims
+      new Array[Byte](50), // resolution/frame_count/name/depth tail
+      avcC)
+    val stsd = box("stsd", Array[Byte](0, 0, 0, 0), be32b(1), avc1)
+    box("mdia", box("minf", box("stbl", stsd)))
+  }
+
+  /** Codec-realism sibling of `avMediaTable` (r17): OGG pages whose
+    * first packet is a REAL Vorbis/Opus identification header, and
+    * MP4 video whose trak carries a genuine avcC decoder config — the
+    * CODED H.264 dims come from exp-Golomb SPS fields, not the
+    * container's tkhd (which can lie: matrix scaling, crop). Page
+    * checksums are zero (the walk does not verify CRCs, like every
+    * metadata-only sniffer). */
+  def codecsMediaTable(docs: DataFrame): DataFrame = {
+    def ascii(s: String) = asciiLit(s)
+    val ch = (col("doc_id") % 2 + 1).cast("long")
+    // ogg BOS page: magic, version 0, type 0x02, granule/serial/seq/
+    // crc zeroed, ONE lacing segment = the id packet
+    def oggPage(bodyLen: Int, body: org.apache.spark.sql.Column) = concat(
+      ascii("OggS"), zeros(1), lit(Array[Byte](2)), zeros(20),
+      lit(Array[Byte](1, bodyLen.toByte)), body)
+    val vorbisRate = element_at(
+      array(Seq(8000, 16000, 22050, 44100, 48000).map(v => lit(v.toLong)): _*),
+      (col("doc_id") % 5 + 1).cast("int"))
+    val vorbis = oggPage(30, concat(
+      lit(Array[Byte](1)), ascii("vorbis"), zeros(4),
+      be8(ch), le32(vorbisRate), zeros(12),
+      lit(Array[Byte](0xb8.toByte, 1))))
+    val opusRate = element_at(
+      array(Seq(48000, 44100, 16000).map(v => lit(v.toLong)): _*),
+      (col("doc_id") % 3 + 1).cast("int"))
+    val opus = oggPage(19, concat(
+      ascii("OpusHead"), lit(Array[Byte](1)), be8(ch),
+      zeros(2), le32(opusRate), zeros(3)))
+    // the avMediaTable mvhd/tkhd contract (same oracle arithmetic)
+    val w = (col("n_chars") % 100 + 1).cast("long")
+    val h = (col("doc_id") % 50 + 1).cast("long")
+    val durMs = ((col("n_chars") % 1000 + 1) * 10).cast("long")
+    val mvhd = concat(
+      be32(lit(108)), ascii("mvhd"), zeros(12),
+      be32(lit(1000)), be32(durMs),
+      lit(Array[Byte](0, 1, 0, 0)), zeros(72), be32(lit(2)))
+    val tkhd = concat(
+      be32(lit(92)), ascii("tkhd"), be32(lit(7)), zeros(8),
+      be32(lit(1)), zeros(4), be32(durMs), zeros(16), zeros(36),
+      be32(shiftleft(w, 16)), be32(shiftleft(h, 16)))
+    val ftypVideo = concat(be32(lit(16)), ascii("ftypisom"), zeros(4))
+    def avcMp4(wMb: Int, hMb: Int) = {
+      val tail = avcTrackTailBytes(wMb, hMb)
+      val trakSize = 8 + 92 + tail.length
+      concat(ftypVideo, be32(lit(8 + 108 + trakSize)), ascii("moov"), mvhd,
+        be32(lit(trakSize)), ascii("trak"), tkhd, lit(tail))
+    }
+    docs.select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 4 === 0, vorbis)
+        .when(col("doc_id") % 4 === 1, opus)
+        .when(col("doc_id") % 4 === 2, avcMp4(20, 15)) // coded 320x240
+        .otherwise(avcMp4(80, 45)).as("payload"))      // coded 1280x720
+  }
+
   /** HEIF media table (r16): real AVIF/HEIC structures — ISO-BMFF
     * like MP4, but an IMAGE format whose dims live in the
     * meta > iprp > ipco > ispe property chain (meta and ispe are
@@ -272,6 +408,7 @@ object Multimodal {
   def censusMediaTable(docs: DataFrame): DataFrame = {
     val all = containerMediaTable(docs).select("media_id", "payload")
       .unionByName(avMediaTable(docs).select("media_id", "payload"))
+      .unionByName(codecsMediaTable(docs).select("media_id", "payload"))
     all.select(col("media_id"),
       when(col("media_id") % 9 === 0, expr("substring(payload, 1, 5)"))
         .otherwise(col("payload")).as("payload"))

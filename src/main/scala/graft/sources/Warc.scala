@@ -293,11 +293,11 @@ object Warc {
     * At ~48 bytes/entry that is ~48 GB of (RocksDB-spillable) state
     * per billion distinct pages, which is the honest cost of the
     * guarantee. A days-long continuous crawl that prefers bounded
-    * state over exactness should add
-    * `.withWatermark("landing_ts", ...)` upstream and accept
-    * re-admitted late duplicates, or periodically restart the query
-    * against the batch dedup (keepFirstByKey over the indexed sink),
-    * which re-bases the state at zero. */
+    * state over exactness should run `crawlExtractBounded` (the
+    * watermark-TTL'd form, r17) and accept re-admitted late
+    * duplicates, or periodically restart the query against the batch
+    * dedup (keepFirstByKey over the indexed sink), which re-bases the
+    * state at zero. */
   def crawlExtract(records: DataFrame, minChars: Int = 100): DataFrame = {
     import org.apache.spark.sql.functions._
     records
@@ -307,6 +307,37 @@ object Warc {
       .where(length(col("text")) >= minChars)
       .withColumn("fp", md5(col("text")))
       .dropDuplicates("fp")
+  }
+
+  /** BOUNDED-STATE streaming crawl dedup (r17, opt-in) — the
+    * watermark-TTL alternative `crawlExtract` documents: the same
+    * parse -> strip -> gate stages, but the dedup state is
+    * `dropDuplicatesWithinWatermark` keyed on the fingerprint with
+    * event time = the record's WARC-Date, so a fingerprint's state
+    * entry is EVICTED once the watermark passes `ttl` beyond it —
+    * state holds ~one entry per distinct page crawled per TTL window
+    * (bounded by crawl rate x ttl, NOT by corpus lifetime), which is
+    * what lets a continuous 100 TB crawl run forever.
+    *
+    * The trade, stated plainly: a duplicate landing more than `ttl`
+    * after the original is RE-ADMITTED (its fingerprint was evicted);
+    * within the window the guarantee is exact. Choose `ttl` as the
+    * re-crawl horizon — politeness-scheduled crawlers revisit a page
+    * no sooner than their revisit interval, so a ttl at that interval
+    * catches the mass of real duplicates while the long tail falls
+    * through to the batch dedup downstream. */
+  def crawlExtractBounded(
+      records: DataFrame, minChars: Int = 100, ttl: String = "24 hours"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    records
+      .where(col("http_status") === 200 && col("mime").like("text/html%"))
+      .select(col("target_uri"),
+        to_timestamp(col("warc_date")).as("crawl_ts"),
+        trim(graft.analysis.Analyzer.htmlStrip(decode(col("body"), "UTF-8"))).as("text"))
+      .where(length(col("text")) >= minChars)
+      .withColumn("fp", md5(col("text")))
+      .withWatermark("crawl_ts", ttl)
+      .dropDuplicatesWithinWatermark("fp")
   }
 
   /** Write `records` as `dir/fileName` — one gzip member per record

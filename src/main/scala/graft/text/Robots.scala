@@ -124,9 +124,9 @@ object Robots {
   /** The distributed gate: adds `allowed` per row from the path
     * column. Rules parse once here (driver), matchers ride the
     * closure — per-row work is a few compiled-regex prefix tests,
-    * map-only, codegen-adjacent cost. For per-host robots, group the
-    * URL frame by host and apply per group (the rules object is
-    * per-host config, not data). */
+    * map-only, codegen-adjacent cost. For per-host robots use
+    * `filterAllowedByHost` (the crawl-frontier shape — this form is
+    * for ONE robots body the caller already holds). */
   def filterAllowed(
       spark: SparkSession, df: DataFrame, idCol: String, pathCol: String,
       robots: String, agent: String): DataFrame = {
@@ -136,5 +136,62 @@ object Robots {
       .as[(Long, String)]
       .map { case (id, p) => (id, p, allowed(p, rules)) }
       .toDF(idCol, pathCol, "allowed")
+  }
+
+  /** Per-host robots gate — the crawl-FRONTIER shape (r17): the
+    * frontier (id, host, path) joins the (host, robots body) table on
+    * host, and bodies parse EXECUTOR-SIDE with a per-partition
+    * (host, agent) → rules cache, so a billion-row frontier against a
+    * million-host robots table never collects a body to the driver
+    * and parses each host's body once per partition, not once per
+    * URL. Catalyst broadcasts the robots side when it is small; at
+    * real frontier scale both sides hash-partition on host, which
+    * also bounds the cache to the partition's few distinct hosts (a
+    * hard cap clears it defensively under a broadcast plan, where a
+    * partition can see many hosts). A frontier host with NO robots
+    * row is fully allowed (the RFC's missing-robots.txt default).
+    * `agents` maps each product token to its output verdict column —
+    * one pass evaluates all of them. */
+  def filterAllowedByHost(
+      frontier: DataFrame, idCol: String, hostCol: String, pathCol: String,
+      robotsByHost: DataFrame, robotsHostCol: String, robotsBodyCol: String,
+      agents: Seq[(String, String)]): DataFrame = {
+    require(agents.nonEmpty, "filterAllowedByHost needs at least one agent")
+    val spark = frontier.sparkSession
+    import spark.implicits._
+    val agentTokens = agents.map(_._1)
+    val joined = frontier
+      .select(col(idCol).cast("long").as("id"),
+        col(hostCol).cast("string").as("host"),
+        col(pathCol).cast("string").as("path"))
+      .join(
+        robotsByHost.select(col(robotsHostCol).cast("string").as("host"),
+          col(robotsBodyCol).cast("string").as("robots")),
+        Seq("host"), "left")
+      .select(col("id"), col("host"), col("path"), col("robots"))
+      .as[(Long, String, String, Option[String])]
+    val verdictRows = joined.mapPartitions { rows =>
+      // (host, agent) -> selected rule group, parsed once per
+      // partition; co-partitioning on host keeps this tiny, the cap
+      // only guards the broadcast-join plan where hosts interleave
+      val cache = scala.collection.mutable.HashMap.empty[(String, String), Seq[Rule]]
+      val cap = 4096
+      rows.map { case (id, host, path, robotsOpt) =>
+        val verdicts = robotsOpt match {
+          case None => agentTokens.map(_ => true)
+          case Some(body) =>
+            agentTokens.map { agent =>
+              if (cache.size >= cap && !cache.contains((host, agent))) cache.clear()
+              allowed(path, cache.getOrElseUpdate((host, agent), parse(body, agent)))
+            }
+        }
+        (id, host, path, verdicts)
+      }
+    }.toDF("id", "host", "path", "verdicts")
+    verdictRows.select(
+      col("id").as(idCol) +: col("host").as(hostCol) +: col("path").as(pathCol) +:
+        agents.zipWithIndex.map { case ((_, out), i) =>
+          element_at(col("verdicts"), i + 1).as(out)
+        }: _*)
   }
 }

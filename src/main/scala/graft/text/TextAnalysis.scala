@@ -441,6 +441,12 @@ object TextAnalysis {
       .as[(Long, String)]
       .mapPartitions { rows =>
         val deflater = new java.util.zip.Deflater()
+        // free the native zlib handle even when a downstream
+        // limit/take abandons the iterator before it drains (the
+        // drain-time end() below never fires then); end() is
+        // idempotent so the full-drain path may release twice
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => deflater.end()))
         val buf = new Array[Byte](1 << 16)
         val mapped = rows.map { case (id, text) =>
           val raw = text.getBytes("UTF-8")
@@ -481,6 +487,11 @@ object TextAnalysis {
         // per row) and one MessageDigest (digest() resets it) per
         // partition, not per document
         val inflater = new java.util.zip.Inflater()
+        // same partial-consumption rail as the deflate side: the
+        // task-completion listener frees the native handle when a
+        // limit/take stops the iterator early; end() is idempotent
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => inflater.end()))
         val digest = java.security.MessageDigest.getInstance("MD5")
         val buf = new Array[Byte](1 << 16)
         val mapped = rows.map { case (id, payload) =>
@@ -516,19 +527,101 @@ object TextAnalysis {
         Num.round(col("deflate_bytes").cast("double") / col("raw_bytes"), 4)))
   }
 
+  /** BOM-less UTF-16 heuristic (r17): ASCII-dominant UTF-16 text is
+    * an alternating-NUL byte pattern — ≥3/4 of one parity's bytes are
+    * 0x00 while ≤1/8 of the other's are, over the first 1024 bytes.
+    * Real 8-bit text (UTF-8 / windows-1252 crawled HTML) carries no
+    * NULs at all, so the rule cannot misfire there; a short window
+    * (< 16 bytes) abstains rather than guess. */
+  private def utf16Heuristic(bytes: Array[Byte]): Option[String] = {
+    val w = math.min(bytes.length & ~1, 1024)
+    if (w < 16) None
+    else {
+      var evenZ = 0; var oddZ = 0
+      var i = 0
+      while (i < w) {
+        if (bytes(i) == 0) { if ((i & 1) == 0) evenZ += 1 else oddZ += 1 }
+        i += 1
+      }
+      val pairs = w / 2
+      if (evenZ * 4 >= pairs * 3 && oddZ * 8 <= pairs) Some("utf-16be")
+      else if (oddZ * 4 >= pairs * 3 && evenZ * 8 <= pairs) Some("utf-16le")
+      else None
+    }
+  }
+
+  /** HTML `<meta charset=...>` prescan (r17) — the hint browsers
+    * honor and real crawls need constantly: an ASCII-case-folded
+    * linear scan of the first 1024 bytes for `<meta ...>` tags, then
+    * `charset=` inside the tag (covers both the HTML5 attribute and
+    * the legacy `http-equiv` `content="...; charset=..."` spelling,
+    * whose charset= token also lives inside the tag text). Labels
+    * map per the WHATWG encoding registry's crawl-relevant rows:
+    * latin-1/ascii/x-user-defined are windows-1252 in browsers, and
+    * a meta claiming utf-16 is read as utf-8 (the prescan only
+    * succeeded because the bytes were ASCII-compatible). UNKNOWN
+    * labels return None — the caller falls back to the byte sniff,
+    * and the decision is visible in the output charset column. */
+  private[text] def metaCharsetHint(bytes: Array[Byte]): Option[String] = {
+    val w = math.min(bytes.length, 1024)
+    val s = {
+      val arr = new Array[Char](w)
+      var i = 0
+      while (i < w) {
+        val c = (bytes(i) & 0xff).toChar
+        arr(i) = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+        i += 1
+      }
+      new String(arr)
+    }
+    var from = 0
+    while (from < w) {
+      val tagAt = s.indexOf("<meta", from)
+      if (tagAt < 0) return None
+      val tagEnd = { val e = s.indexOf('>', tagAt); if (e < 0) w else e }
+      val tag = s.substring(tagAt, tagEnd)
+      val csAt = tag.indexOf("charset")
+      if (csAt >= 0) {
+        var i = csAt + "charset".length
+        while (i < tag.length && tag(i) == ' ') i += 1
+        if (i < tag.length && tag(i) == '=') {
+          i += 1
+          while (i < tag.length && (tag(i) == ' ' || tag(i) == '"' || tag(i) == '\'')) i += 1
+          val start = i
+          while (i < tag.length && tag(i) != '"' && tag(i) != '\'' &&
+            tag(i) != ' ' && tag(i) != ';' && tag(i) != '/') i += 1
+          val label = tag.substring(start, i).trim
+          val mapped = label match {
+            case "utf-8" | "utf8" => Some("utf-8")
+            case "iso-8859-1" | "latin1" | "latin-1" | "us-ascii" | "ascii" |
+                 "windows-1252" | "cp1252" | "x-user-defined" => Some("windows-1252")
+            case "utf-16" | "utf-16be" | "utf-16le" | "utf16" => Some("utf-8")
+            case _ => None // unknown label: fall back to the byte sniff
+          }
+          if (mapped.nonEmpty) return mapped
+        }
+      }
+      from = tagEnd + 1
+    }
+    None
+  }
+
   /** Charset sniffing — real crawled bodies are NOT all UTF-8. The
     * browser-grade minimum: BOM first (UTF-8 / UTF-16BE / UTF-16LE),
-    * then strict UTF-8 validation (the multi-byte state machine — a
-    * single stray 0x80..0xFF continuation error rejects), else the
-    * web's legacy default windows-1252 (what browsers actually use
-    * where "latin-1" is declared). Pure byte inspection, no library. */
+    * then the BOM-less UTF-16 alternating-NUL heuristic, then the
+    * HTML `<meta charset>` prescan hint (browsers honor it over
+    * content sniffing), then strict UTF-8 validation (the multi-byte
+    * state machine — a single stray 0x80..0xFF continuation error
+    * rejects), else the web's legacy default windows-1252 (what
+    * browsers actually use where "latin-1" is declared). Pure byte
+    * inspection, no library. */
   def charsetOf(bytes: Array[Byte]): String = {
     def u(i: Int) = bytes(i) & 0xff
     if (bytes == null || bytes.isEmpty) "utf-8"
     else if (bytes.length >= 3 && u(0) == 0xef && u(1) == 0xbb && u(2) == 0xbf) "utf-8"
     else if (bytes.length >= 2 && u(0) == 0xfe && u(1) == 0xff) "utf-16be"
     else if (bytes.length >= 2 && u(0) == 0xff && u(1) == 0xfe) "utf-16le"
-    else {
+    else utf16Heuristic(bytes).orElse(metaCharsetHint(bytes)).getOrElse {
       // the full table (RFC 3629): the lead byte constrains the
       // SECOND byte's range — E0 A0-BF (else overlong), ED 80-9F
       // (else a UTF-16 surrogate), F0 90-BF (else overlong), F4
@@ -581,7 +674,14 @@ object TextAnalysis {
         (bytes(1) & 0xff) == 0xbb && (bytes(2) & 0xff) == 0xbf) 3 else 0
       ("utf-8", new String(bytes, off, bytes.length - off, "UTF-8"))
     case cs @ ("utf-16be" | "utf-16le") =>
-      (cs, new String(bytes, "UTF-16")) // BOM-driven, consumed
+      val bom = bytes.length >= 2 &&
+        (((bytes(0) & 0xff) == 0xfe && (bytes(1) & 0xff) == 0xff) ||
+          ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xfe))
+      if (bom) (cs, new String(bytes, "UTF-16")) // BOM-driven, consumed
+      // BOM-less (the r17 heuristic): the detected endianness IS the
+      // decode parameter — Java's "UTF-16" would default BOM-less
+      // input to big-endian and shred an LE body into CJK garbage
+      else (cs, new String(bytes, if (cs == "utf-16be") "UTF-16BE" else "UTF-16LE"))
     case cs => (cs, new String(bytes, "windows-1252"))
   }
 

@@ -248,6 +248,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bounded-state crawl dedup: watermark TTL caps state; late duplicates re-admit (r17)") {
+    import graft.sources.Warc
+    val landing = Files.createTempDirectory("graft_warcb_landing").toString
+    val stage = Files.createTempDirectory("graft_warcb_stage").toString
+    def land(ids: Range, tag: String, date: String): Unit = {
+      val dir = s"$stage/$tag"
+      Warc.saveWarc(spark.range(ids.start, ids.end).coalesce(1).select(
+        concat(lit("https://s.test/doc/"), col("id")).as("uri"),
+        lit("text/html; charset=UTF-8").as("mime"),
+        encode(concat(lit("<html><body><p>streamed body of doc "), col("id"),
+          lit(" with enough characters to clear the crawl length gate</p></body></html>")),
+          "UTF-8").as("body")), dir, date)
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".warc.gz"))
+        .zipWithIndex.foreach { case (f, i) =>
+          Files.move(f.toPath, Paths.get(s"$landing/$tag-$i.warc.gz")): Unit
+        }
+    }
+    land(0 until 20, "b1", "2026-01-01T00:00:00Z")
+    val q = Warc.crawlExtractBounded(
+        Warc.warcStreamDF(spark, landing), minChars = 50, ttl = "1 hour")
+      .select(col("fp"), col("crawl_ts"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("warcb_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("warcb_out").count() == 20)
+      // duplicates WITHIN the TTL window: dropped exactly like the
+      // unbounded form
+      land(10 until 20, "b2", "2026-01-01T00:30:00Z")
+      q.processAllAvailable()
+      assert(spark.table("warcb_out").count() == 20,
+        "within-TTL duplicates were not dropped")
+      // fresh ids far past the TTL advance the watermark, which
+      // EVICTS the first batch's fingerprint state...
+      land(20 until 30, "b3", "2026-01-01T10:00:00Z")
+      q.processAllAvailable()
+      assert(spark.table("warcb_out").count() == 30)
+      // ...so the SAME pages re-landing now are re-admitted — the
+      // documented trade for bounded state
+      land(0 until 10, "b4", "2026-01-01T10:30:00Z")
+      q.processAllAvailable()
+      assert(spark.table("warcb_out").count() == 40,
+        "beyond-TTL duplicates must re-admit (their state was evicted)")
+      // boundedness, measured: state rows track the TTL window (the
+      // 20 fingerprints inside the last hour), NOT the 30 distinct
+      // fingerprints ever seen — the unbounded form would hold 30
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 20 && stateRows < 30,
+        s"state rows $stateRows not bounded by the TTL window (30 distinct fps ever)")
+    } finally q.stop()
+  }
+
   test("continuous indexing: streaming appends keep analysis artifacts fresh incrementally") {
     import graft.streaming.GraftSink
     // two micro-batches (one file each) streaming into an index whose
