@@ -88,6 +88,26 @@ private[graft] object EntriesStream {
       try q.processAllAvailable() finally q.stop()
       s2.table("q_stream_warc_sink").orderBy(col("fp"))
     }),
+    // BOUNDED-STATE streaming WARC dedup (r17): the watermark-TTL
+    // form — dropDuplicatesWithinWatermark on the fingerprint keyed
+    // by WARC-Date event time, state bounded by crawl rate x ttl
+    // instead of corpus lifetime. The artifact's records share one
+    // crawl date, so within the TTL the guarantee is exact and the
+    // oracle is the same distinct-fp strip mirror as q_stream_warc;
+    // the TTL-eviction/re-admission behavior itself is spec-driven
+    // over a four-batch drain (StreamingSpec)
+    "q_stream_warc_bounded" -> ((s, d) => {
+      val landing = EntryShared.ensureWarcHtml(s, d)
+      val s2 = streamSession(s)
+      val q = graft.sources.Warc.crawlExtractBounded(
+          graft.sources.Warc.warcStreamDF(s2, landing),
+          minChars = 100, ttl = "24 hours")
+        .select(col("fp"), length(col("text")).cast("long").as("n_chars"))
+        .writeStream.outputMode("append")
+        .format("memory").queryName("q_stream_warc_bounded_sink").start()
+      try q.processAllAvailable() finally q.stop()
+      s2.table("q_stream_warc_bounded_sink").orderBy(col("fp"))
+    }),
     "q_stream_window" -> ((s, d) => EventStreams.hourlyTypeCounts(Tables.events(s, d))),
     // _downsample: the time-series index aggregated to 1-day buckets
     "q_downsample" -> ((s, d) =>
@@ -207,6 +227,17 @@ private[graft] object EntriesStream {
     // through the q_warc_pipeline strip mirror — arrival order (which
     // duplicate survives the state dedup) cannot affect (fp, n_chars)
     "q_stream_warc" -> ("WITH h AS (SELECT doc_id, " +
+      "'<html><head><title>d</title></head><body><p>' || text || '</p></body></html>' AS html " +
+      "FROM documents), " +
+      "s AS (SELECT doc_id, trim(replace(replace(replace(replace(replace(replace(" +
+      "regexp_replace(html, '<[^>]*>', ' ', 'g'), " +
+      "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', chr(39)), '&nbsp;', ' '), " +
+      "'&amp;', '&')) AS text FROM h) " +
+      "SELECT DISTINCT md5(text) AS fp, length(text)::BIGINT AS n_chars FROM s " +
+      "WHERE length(text) >= 100 ORDER BY fp"),
+    // the bounded form is answer-equal within one TTL window (the
+    // artifact's records share a crawl date): same strip mirror
+    "q_stream_warc_bounded" -> ("WITH h AS (SELECT doc_id, " +
       "'<html><head><title>d</title></head><body><p>' || text || '</p></body></html>' AS html " +
       "FROM documents), " +
       "s AS (SELECT doc_id, trim(replace(replace(replace(replace(replace(replace(" +

@@ -536,6 +536,22 @@ object ScaleProbe {
       }
       println(s"[scaleprobe] ivfadc_trained_real_${n}x seed-vs-kmeans coarse (8x64, auto window): " +
         sweepT.map { case (np, sd, tr) => s"np$np seed=$sd/10 kmeans=$tr/10" }.mkString(" "))
+      // r17: the nprobe RAIL measured — nprobe = 0 (auto: mass walk +
+      // sqrt spread floor) on both coarse quantizers, recording what
+      // the rail resolved and the recall it bought; the question the
+      // ledger answers is whether the rule's resolution sits at or
+      // past the measured seed/kmeans crossover
+      val autoSeed = r(graft.sim.Ann.ivfAdcTopK(embR, "vec_id", "embedding", qv,
+        k = 10, oversample = 0, nCentroids = 16, nprobe = 0,
+        m = 8, codebookSize = 64, codebooks = Some(cbD8)))
+      val npSeed = graft.sim.Ann.lastNprobeResolved.getOrElse(-1)
+      val autoTrained = r(graft.sim.Ann.ivfAdcTopK(embR, "vec_id", "embedding", qv,
+        k = 10, oversample = 0, nCentroids = 16, nprobe = 0,
+        m = 8, codebookSize = 64, codebooks = Some(cbD8),
+        coarseCents = Some(kmCents)))
+      val npTrained = graft.sim.Ann.lastNprobeResolved.getOrElse(-1)
+      println(s"[scaleprobe] ivfadc_autonp_real_${n}x auto-nprobe rail (8x64, auto window): " +
+        s"seed np=$npSeed recall=$autoSeed/10 kmeans np=$npTrained recall=$autoTrained/10")
       kmCents.unpersist()
       embR.unpersist()
       spark.catalog.clearCache()

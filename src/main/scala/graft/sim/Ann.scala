@@ -1351,6 +1351,11 @@ object Ann {
     * (probed mass and the sqrt(nLists) spread floor). */
   @volatile var lastNprobeWarning: Option[String] = None
 
+  /** The probe count the last IVFADC call actually ran with (spec +
+    * ledger hook — what the auto rail resolved, or the explicit
+    * value). */
+  @volatile var lastNprobeResolved: Option[Int] = None
+
   /** The r14 recall-ledger sizing rule, as an API-level guard: the
     * coarse ADC window (k·oversample) must cover at least 1/(m·k) of
     * the corpus. The ledger's measured cliff — 4x16 codes at 50k
@@ -1504,8 +1509,11 @@ object Ann {
       while (p < nLists && cum < need) {
         cum += listSizes.getOrElse(probeOrder(p), 0L); p += 1
       }
-      math.min(nLists, math.max(math.max(p, 1), spreadFloor))
+      val resolved = math.min(nLists, math.max(math.max(p, 1), spreadFloor))
+      lastNprobeResolved = Some(resolved)
+      resolved
     } else {
+      lastNprobeResolved = Some(nprobe)
       val mass = probeOrder.iterator.take(nprobe).map(listSizes.getOrElse(_, 0L)).sum
       lastNprobeWarning =
         if (mass < floorMass)

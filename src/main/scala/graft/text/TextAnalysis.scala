@@ -562,7 +562,7 @@ object TextAnalysis {
     * succeeded because the bytes were ASCII-compatible). UNKNOWN
     * labels return None — the caller falls back to the byte sniff,
     * and the decision is visible in the output charset column. */
-  private[text] def metaCharsetHint(bytes: Array[Byte]): Option[String] = {
+  private[graft] def metaCharsetHint(bytes: Array[Byte]): Option[String] = {
     val w = math.min(bytes.length, 1024)
     val s = {
       val arr = new Array[Char](w)

@@ -798,6 +798,46 @@ class AnnTextSpec extends SparkSpec {
     assert(charsetOf(Array.emptyByteArray) == "utf-8")
   }
 
+  test("charset sniffing r17: BOM-less UTF-16 heuristic + HTML meta charset prescan") {
+    import graft.text.TextAnalysis.{charsetOf, decodeDetected, metaCharsetHint}
+    val long = "plain ascii body long enough for the heuristic window"
+    // BOM-less UTF-16 routes on the alternating-NUL parity and
+    // decodes with the DETECTED endianness (Java's bare UTF-16 would
+    // default BOM-less input to BE and shred the LE body)
+    assert(charsetOf(long.getBytes("UTF-16LE")) == "utf-16le")
+    assert(decodeDetected(long.getBytes("UTF-16LE")) == ("utf-16le", long))
+    assert(charsetOf(long.getBytes("UTF-16BE")) == "utf-16be")
+    assert(decodeDetected(long.getBytes("UTF-16BE")) == ("utf-16be", long))
+    // 8-bit text carries no NULs: the heuristic cannot misfire there
+    assert(charsetOf(("x" * 100).getBytes("UTF-8")) == "utf-8")
+    // under the 16-byte abstain floor the heuristic stays out (the
+    // r16 short-LE behavior is unchanged)
+    assert(charsetOf("café".getBytes("UTF-16LE")) == "windows-1252")
+    // meta hint: a latin-1 label over VALID UTF-8 bytes wins — the
+    // browser rule, and the case only the meta hint routes right
+    assert(charsetOf("<meta charset=\"iso-8859-1\">café".getBytes("UTF-8"))
+      == "windows-1252")
+    // the legacy http-equiv spelling, single quotes, case folding
+    assert(charsetOf(("<META HTTP-EQUIV='Content-Type' " +
+      "CONTENT='text/html; charset=ISO-8859-1'>body").getBytes("UTF-8"))
+      == "windows-1252")
+    // a meta claiming utf-16 reads as utf-8 (WHATWG: the prescan only
+    // succeeded because the bytes were ASCII-compatible)
+    assert(charsetOf("<meta charset=utf-16>abc".getBytes("UTF-8")) == "utf-8")
+    // UNKNOWN labels fall through to the byte sniff, loudly visible
+    // in the returned charset
+    assert(metaCharsetHint("<meta charset=klingon>x".getBytes("UTF-8")).isEmpty)
+    assert(charsetOf("<meta charset=klingon>café".getBytes("ISO-8859-1"))
+      == "windows-1252")
+    assert(charsetOf("<meta charset=klingon>café".getBytes("UTF-8")) == "utf-8")
+    // a BOM still wins over a contradicting meta
+    assert(charsetOf(Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+      "<meta charset=iso-8859-1>x".getBytes("UTF-8")) == "utf-8")
+    // the prescan reads only the first 1KB (the browser budget)
+    assert(charsetOf((("x" * 1100) + "<meta charset=iso-8859-1>")
+      .getBytes("UTF-8")) == "utf-8")
+  }
+
   test("robots.txt: group selection, longest-match, wildcards, anchors, Allow ties (r16)") {
     import graft.text.Robots
     val txt =
