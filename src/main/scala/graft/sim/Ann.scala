@@ -763,7 +763,7 @@ object Ann {
     // triggers an eager corpus count at query-parse time (documented
     // trade: one narrow count buys the recall rail). Auto sizes the
     // approximate budget off that count (opt-in cost, exactly like
-    // oversample = 0): num_candidates = max(10k, 16k, ceil(n/16)) —
+    // oversample = 0): num_candidates = max(16k, ceil(n/16)) —
     // the 16-list stage must see at least 1/nLists of the corpus as
     // candidates or a probed list cannot cover the query's true
     // neighborhood, and the 16k floor keeps the derived nprobe at or
@@ -786,8 +786,9 @@ object Ann {
       if (windowAuto) {
         val n = filtered.where(col(field).isNotNull).count()
         // 16k = 4·k·nprobeSpreadFloor(16): auto must clear the r17
-        // nprobe spread rail, not just the mass rule
-        math.min(Seq(10L * k, 16L * k, (n + 15) / 16).max, Int.MaxValue.toLong).toInt
+        // nprobe spread rail, not just the mass rule (16k subsumes
+        // the old 10k budget floor)
+        math.min(math.max(16L * k, (n + 15) / 16), Int.MaxValue.toLong).toInt
       } else root.get("num_candidates").collect {
         case JInt(i) => i.toInt
         case JDouble(d) => d.toInt

@@ -325,19 +325,30 @@ object Warc {
     * re-crawl horizon — politeness-scheduled crawlers revisit a page
     * no sooner than their revisit interval, so a ttl at that interval
     * catches the mass of real duplicates while the long tail falls
-    * through to the batch dedup downstream. */
+    * through to the batch dedup downstream.
+    *
+    * Records whose WARC-Date fails to parse (real crawl segments
+    * contain these) cannot participate in time-bounded state: they
+    * BYPASS the dedup and pass through un-deduplicated — admitted,
+    * exactly like `crawlExtract` admits them, minus the dedup
+    * guarantee. Routing them into the watermark operator instead
+    * would silently DROP them (a null event time never clears the
+    * late-row predicate), and any sentinel time either vanishes
+    * below the watermark or catapults it. */
   def crawlExtractBounded(
       records: DataFrame, minChars: Int = 100, ttl: String = "24 hours"): DataFrame = {
     import org.apache.spark.sql.functions._
-    records
+    val staged = records
       .where(col("http_status") === 200 && col("mime").like("text/html%"))
       .select(col("target_uri"),
         to_timestamp(col("warc_date")).as("crawl_ts"),
         trim(graft.analysis.Analyzer.htmlStrip(decode(col("body"), "UTF-8"))).as("text"))
       .where(length(col("text")) >= minChars)
       .withColumn("fp", md5(col("text")))
+    val dated = staged.where(col("crawl_ts").isNotNull)
       .withWatermark("crawl_ts", ttl)
       .dropDuplicatesWithinWatermark("fp")
+    dated.unionByName(staged.where(col("crawl_ts").isNull))
   }
 
   /** Write `records` as `dir/fileName` — one gzip member per record

@@ -171,18 +171,27 @@ object Robots {
       .select(col("id"), col("host"), col("path"), col("robots"))
       .as[(Long, String, String, Option[String])]
     val verdictRows = joined.mapPartitions { rows =>
-      // (host, agent) -> selected rule group, parsed once per
-      // partition; co-partitioning on host keeps this tiny, the cap
-      // only guards the broadcast-join plan where hosts interleave
+      // (agent, body) -> selected rule group, parsed once per
+      // partition. Keyed on the BODY, not the host: a duplicate host
+      // row carrying a different body (a re-fetched robots.txt kept
+      // beside the old one) must get ITS body's verdicts, and hosts
+      // sharing one default body share one parse. String hashCodes
+      // are cached, so the KB-sized key costs one hash per row.
+      // Co-partitioning on host keeps the cache tiny; the cap only
+      // guards the broadcast-join plan where hosts interleave.
       val cache = scala.collection.mutable.HashMap.empty[(String, String), Seq[Rule]]
       val cap = 4096
       rows.map { case (id, host, path, robotsOpt) =>
         val verdicts = robotsOpt match {
+          // no robots row, or no path to test: nothing can disallow —
+          // a null path must not NPE the matcher (RFC verdicts are
+          // about fetchable URLs; a row without one stays admitted)
           case None => agentTokens.map(_ => true)
+          case Some(_) if path == null => agentTokens.map(_ => true)
           case Some(body) =>
             agentTokens.map { agent =>
-              if (cache.size >= cap && !cache.contains((host, agent))) cache.clear()
-              allowed(path, cache.getOrElseUpdate((host, agent), parse(body, agent)))
+              if (cache.size >= cap && !cache.contains((agent, body))) cache.clear()
+              allowed(path, cache.getOrElseUpdate((agent, body), parse(body, agent)))
             }
         }
         (id, host, path, verdicts)

@@ -574,32 +574,38 @@ object TextAnalysis {
       }
       new String(arr)
     }
+    // WHATWG "ASCII whitespace": tab, LF, FF, CR, space
+    def ws(c: Char) = c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
     var from = 0
     while (from < w) {
       val tagAt = s.indexOf("<meta", from)
       if (tagAt < 0) return None
       val tagEnd = { val e = s.indexOf('>', tagAt); if (e < 0) w else e }
       val tag = s.substring(tagAt, tagEnd)
-      val csAt = tag.indexOf("charset")
-      if (csAt >= 0) {
+      // EVERY charset= occurrence in the tag gets a chance (the first
+      // may be data-charset="x" or an unknown label; a later one —
+      // e.g. inside http-equiv content — can still resolve)
+      var csAt = tag.indexOf("charset")
+      while (csAt >= 0) {
         var i = csAt + "charset".length
-        while (i < tag.length && tag(i) == ' ') i += 1
+        while (i < tag.length && ws(tag(i))) i += 1
         if (i < tag.length && tag(i) == '=') {
           i += 1
-          while (i < tag.length && (tag(i) == ' ' || tag(i) == '"' || tag(i) == '\'')) i += 1
+          while (i < tag.length && (ws(tag(i)) || tag(i) == '"' || tag(i) == '\'')) i += 1
           val start = i
           while (i < tag.length && tag(i) != '"' && tag(i) != '\'' &&
-            tag(i) != ' ' && tag(i) != ';' && tag(i) != '/') i += 1
+            !ws(tag(i)) && tag(i) != ';' && tag(i) != '/') i += 1
           val label = tag.substring(start, i).trim
           val mapped = label match {
             case "utf-8" | "utf8" => Some("utf-8")
             case "iso-8859-1" | "latin1" | "latin-1" | "us-ascii" | "ascii" |
                  "windows-1252" | "cp1252" | "x-user-defined" => Some("windows-1252")
             case "utf-16" | "utf-16be" | "utf-16le" | "utf16" => Some("utf-8")
-            case _ => None // unknown label: fall back to the byte sniff
+            case _ => None // unknown label: try the next occurrence
           }
           if (mapped.nonEmpty) return mapped
         }
+        csAt = tag.indexOf("charset", csAt + "charset".length)
       }
       from = tagEnd + 1
     }

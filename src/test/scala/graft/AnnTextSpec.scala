@@ -250,9 +250,9 @@ class AnnTextSpec extends SparkSpec {
     val vec = (0 until 64).map(i => (i * 41 % 100) / 100.0 - 0.5)
     def body(tail: String) =
       s"""{"field": "embedding", "query_vector": [${vec.mkString(",")}], "k": 5$tail}"""
-    // auto budget at n=500: max(10*5, 16*5=80 — the r17 nprobe spread
-    // floor in candidate units, ceil(500/16)=32) = 80 — the explicit
-    // twin is num_candidates: 80
+    // auto budget at n=500: max(16*5=80 — the r17 nprobe spread floor
+    // in candidate units, ceil(500/16)=32) = 80 — the explicit twin
+    // is num_candidates: 80
     val auto = Ann.knnSearch(emb, "vec_id", body(""", "window": "auto""""))
       .select("id", "cosine").as[(Long, Double)].collect().toSeq
     assert(Ann.lastNprobeWarning.isEmpty,
@@ -836,6 +836,14 @@ class AnnTextSpec extends SparkSpec {
     // the prescan reads only the first 1KB (the browser budget)
     assert(charsetOf((("x" * 1100) + "<meta charset=iso-8859-1>")
       .getBytes("UTF-8")) == "utf-8")
+    // WHATWG whitespace around '=' (tab/LF count, not just space)
+    assert(metaCharsetHint("<meta charset =\n'iso-8859-1'>x".getBytes("UTF-8"))
+      .contains("windows-1252"))
+    // a first non-declaration 'charset' substring (data-charset) must
+    // not mask a later real declaration in the same tag
+    assert(metaCharsetHint(
+      "<meta data-charset=\"x\" charset=\"iso-8859-1\">".getBytes("UTF-8"))
+      .contains("windows-1252"))
   }
 
   test("robots.txt: group selection, longest-match, wildcards, anchors, Allow ties (r16)") {
@@ -908,6 +916,39 @@ class AnnTextSpec extends SparkSpec {
     val gated = Robots.filterAllowed(spark, urls, "doc_id", "path", txt, "somecrawler")
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(gated == Map(1L -> true, 2L -> false, 3L -> true))
+  }
+
+  test("per-host robots gate: executor-side parse, body-keyed cache, null-path safety (r17)") {
+    import graft.text.Robots
+    val frontier = Seq(
+      (1L, "a.example", "/private/x"),
+      (2L, "a.example", "/public/x"),
+      (3L, "b.example", "/private/x"),   // b's body allows /private/
+      (4L, "nohost.example", "/private/x"), // no robots row: allowed
+      (5L, "a.example", null),           // null path must not NPE
+      (6L, "dup.example", "/old/x"))     // host with TWO robots rows
+      .toDF("doc_id", "host", "path")
+    val robots = Seq(
+      ("a.example", "User-agent: *\nDisallow: /private/\n"),
+      ("b.example", "User-agent: *\nDisallow: /secret/\n"),
+      // duplicate host: each row's verdict must come from ITS body
+      // (the cache is keyed on the body, not the host)
+      ("dup.example", "User-agent: *\nDisallow: /old/\n"),
+      ("dup.example", "User-agent: *\nDisallow: /new/\n"))
+      .toDF("host", "robots_txt")
+    val out = Robots.filterAllowedByHost(frontier, "doc_id", "host", "path",
+      robots, "host", "robots_txt", Seq("anybot" -> "ok"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(2)), r.getBoolean(3)))
+    val byId = out.groupBy(_._1)
+    assert(byId(1L).map(_._3).toSeq == Seq(false))
+    assert(byId(2L).map(_._3).toSeq == Seq(true))
+    assert(byId(3L).map(_._3).toSeq == Seq(true))
+    assert(byId(4L).map(_._3).toSeq == Seq(true))
+    assert(byId(5L).map(_._3).toSeq == Seq(true) && byId(5L).head._2.isEmpty)
+    // the duplicate-host join fans id 6 to two rows: /old/x is
+    // disallowed under the first body, allowed under the second —
+    // BOTH verdicts present means no cross-body cache bleed
+    assert(byId(6L).map(_._3).sorted.toSeq == Seq(false, true))
   }
 
   test("compression quality signal: deflate/inflate round trip, ratio separates prose from loops (r16)") {
