@@ -552,6 +552,23 @@ object ScaleProbe {
       val npTrained = graft.sim.Ann.lastNprobeResolved.getOrElse(-1)
       println(s"[scaleprobe] ivfadc_autonp_real_${n}x auto-nprobe rail (8x64, auto window): " +
         s"seed np=$npSeed recall=$autoSeed/10 kmeans np=$npTrained recall=$autoTrained/10")
+      // r17: the RESOLUTION prescription, measured — where the 30x
+      // point starves at 8x64 under every probe setting, the window
+      // warning says "raise m*ck": 16x256 (4096 reproduction values)
+      // at the SAME rail settings should buy recall back with the
+      // rule window at corpus/4096
+      val cbD16 = graft.sim.Ann.pqFitCodebooksDist(embR, "vec_id", "embedding",
+        m = 16, k = 256)
+      val hi = r(graft.sim.Ann.ivfAdcTopK(embR, "vec_id", "embedding", qv,
+        k = 10, oversample = 0, nCentroids = 16, nprobe = 0,
+        m = 16, codebookSize = 256, codebooks = Some(cbD16),
+        coarseCents = Some(kmCents)))
+      val npHi = graft.sim.Ann.lastNprobeResolved.getOrElse(-1)
+      val hiPq = r(graft.sim.Ann.pqTopK(embR, "vec_id", "embedding", qv,
+        k = 10, oversample = 0, m = 16, codebookSize = 256, codebooks = Some(cbD16)))
+      println(s"[scaleprobe] ivfadc_hires_real_${n}x 16x256 lloyd-dist at the rail " +
+        s"(auto window + auto nprobe): kmeans np=$npHi recall=$hi/10, " +
+        s"plain-PQ rule window recall=$hiPq/10")
       kmCents.unpersist()
       embR.unpersist()
       spark.catalog.clearCache()

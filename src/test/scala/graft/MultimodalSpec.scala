@@ -286,7 +286,11 @@ class MultimodalSpec extends SparkSpec {
       val av = if (id % 9 == 0 && id % 4 == 2) "mp3" // ID3 family survives the tear
         else if (id % 9 == 0) "bin"
         else if (id % 4 <= 1) "mp4" else if (id % 4 == 2) "mp3" else "flac"
-      Seq(img, av)
+      // r17 codecs leg: a torn 5-byte OggS page keeps its family;
+      // a torn avc MP4 loses even its ftyp and lands in 'bin'
+      val codec = if (id % 4 <= 1) "ogg"
+        else if (id % 9 == 0) "bin" else "mp4"
+      Seq(img, av, codec)
     }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
     assert(out == expected)
   }
