@@ -37,6 +37,65 @@ private[graft] object EntriesPipeline {
     ", lw AS (SELECT fx.doc_id, CAST(sum(logr) AS DOUBLE) AS log_weight " +
     "FROM fx JOIN ratio USING (b) GROUP BY fx.doc_id) "
 
+  /** The link-graph keys' shared page corpus: residue-deterministic
+    * HTML so the DuckDB oracle replays every edge from arithmetic.
+    * Host = h(doc_id%7).example. Every page carries a relative anchor
+    * (self-edge), a rel=nofollow anchor, a mailto: and a #fragment
+    * (all three unfollowable); pages NOT on h6 add two absolute
+    * anchors — double-quoted lowercase and single-quoted
+    * uppercase-HTTPS/.EXAMPLE (host case-folds, path keeps case) —
+    * so h6 is the dangling host with in-edges only. */
+  private def linkCorpus(docs: DataFrame): DataFrame = {
+    val r = col("doc_id") % 7
+    val host = concat(lit("h"), r.cast("string"), lit(".example"))
+    val absA = concat(lit("<a href=\"https://h"),
+      ((col("doc_id") * 2 + 1) % 7).cast("string"),
+      lit(".example/p"), (col("doc_id") % 50).cast("string"), lit("\">x</a>"))
+    val absB = concat(lit("<A HREF='HTTPS://h"),
+      ((col("doc_id") + 3) % 7).cast("string"), lit(".EXAMPLE/Q'>y</A>"))
+    val relA = concat(lit("<a class=\"z\" href=\"/local/p"),
+      (col("doc_id") % 13).cast("string"), lit("\">rel</a>"))
+    val nofA = concat(lit("<a href=\"https://h"),
+      ((col("doc_id") + 1) % 7).cast("string"),
+      lit(".example/n\" rel=\"nofollow\">n</a>"))
+    val junk = lit("<a href=\"mailto:a@b.c\">m</a><a href=\"#top\">t</a>")
+    val html = concat(lit("<html><body><p>page</p>"), relA, nofA, junk,
+      when(r =!= 6, concat(absA, absB)).otherwise(lit("")),
+      lit("</body></html>"))
+    docs.select(col("doc_id"), host.as("host"), html.as("html"))
+  }
+
+  /** DuckDB mirror of pageRankInt over the linkCorpus cross-host edge
+    * set: the SAME integer formulas (r0 = scale//N; contrib =
+    * (r*w*85)//(100*outw); base = 15000000//(100*N); dangling share =
+    * (85*D)//(100*N)), unrolled `iters` times — long sums are
+    * order-independent and `//` floors like `div`, so the ranks must
+    * hash-match bit-for-bit. */
+  private def linkRankSql(iters: Int): String = {
+    val head =
+      "WITH d AS (SELECT doc_id, doc_id % 7 AS r FROM documents), " +
+      "l AS (SELECT doc_id, r AS src, (2*doc_id+1) % 7 AS dst FROM d WHERE r != 6 " +
+      "UNION ALL SELECT doc_id, r, (doc_id+3) % 7 FROM d WHERE r != 6), " +
+      "e AS (SELECT src, dst, count(*)::BIGINT AS w FROM l WHERE src != dst GROUP BY 1, 2), " +
+      "nodes AS (SELECT DISTINCT h FROM (SELECT src AS h FROM e UNION SELECT dst AS h FROM e) t), " +
+      "nn AS (SELECT count(*)::BIGINT AS n FROM nodes), " +
+      "ow AS (SELECT src, sum(w)::BIGINT AS outw FROM e GROUP BY src), " +
+      "r0 AS (SELECT h, (1000000 // n)::BIGINT AS rank FROM nodes CROSS JOIN nn)"
+    val steps = (1 to iters).map { i =>
+      val p = s"r${i - 1}"
+      s", r$i AS (SELECT n2.h, ((15000000 // (100*nn.n)) + " +
+        "((dm.d*85) // (100*nn.n)) + coalesce(c.cin, 0))::BIGINT AS rank " +
+        "FROM nodes n2 CROSS JOIN nn " +
+        s"CROSS JOIN (SELECT coalesce(sum(r.rank), 0)::BIGINT AS d FROM $p r " +
+        "LEFT JOIN ow ON r.h = ow.src WHERE ow.src IS NULL) dm " +
+        "LEFT JOIN (SELECT e.dst AS h, sum((r.rank*e.w*85) // (100*ow.outw))::BIGINT AS cin " +
+        s"FROM $p r JOIN ow ON r.h = ow.src JOIN e ON e.src = r.h " +
+        "GROUP BY e.dst) c ON n2.h = c.h)"
+    }.mkString
+    head + steps +
+      s" SELECT 'h' || h::VARCHAR || '.example' AS host, rank FROM r$iters ORDER BY host"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- F. LLM-data-pipeline ----
     "q_dedup_exact" -> ((s, d) => Dedup.exactDuplicates(Tables.events(s, d), "event_id", "props")),
@@ -845,6 +904,39 @@ private[graft] object EntriesPipeline {
         "doc_id", "host", "path", robots, "host", "robots_txt",
         Seq("othercrawler" -> "star_allowed", "graftbot-news" -> "bot_allowed"))
         .orderBy(col("doc_id"))
+    }),
+    // link graph (r17): outlink extraction -> host-level edge weights,
+    // the Common-Crawl-shaped structure signal. HTML is assembled
+    // in-plan so the oracle replays edges from residue arithmetic and
+    // the anchor-tag walk itself is what's under the hash: quote
+    // variants (double/single), case variants (<A HREF=, an
+    // uppercase-HTTPS host that must case-fold per RFC 3986 while
+    // paths keep case), rel=nofollow dropped, mailto:/#fragment
+    // unfollowable, relative hrefs resolving to the page's own host
+    // (= a self-edge), and host h6 emitting NO followable absolute
+    // anchor (the dangling host the rank key leans on). doc_id%7==2
+    // pages aim both absolute anchors at the same host, so weight
+    // (anchors) and pages (distinct docs) must disagree there.
+    "q_link_hostgraph" -> ((s, d) => {
+      val pages = linkCorpus(t(s, d, "documents"))
+      graft.text.LinkGraph.hostGraph(
+        graft.text.LinkGraph.extractLinks(pages))
+        .orderBy(col("src_host"), col("dst_host"))
+    }),
+    // damped PageRank over the cross-host edge set (r17), k=3, in
+    // integer micro-units: per-edge contributions floor via `div` and
+    // long sums are order-independent, so DuckDB unrolling the SAME
+    // three iterations reproduces every rank bit-for-bit — the
+    // floating formulation could never hash-match across engines.
+    // h6 has in-edges but no out-edges: the dangling-mass
+    // redistribution is live in the graded plan, not just the spec.
+    "q_link_rank" -> ((s, d) => {
+      val pages = linkCorpus(t(s, d, "documents"))
+      val edges = graft.text.LinkGraph.hostGraph(
+        graft.text.LinkGraph.extractLinks(pages))
+        .filter(col("src_host") =!= col("dst_host"))
+      graft.text.LinkGraph.pageRankInt(edges, iters = 3)
+        .orderBy(col("host"))
     }),
     // charset sniffing (r16): real crawled bodies are not all UTF-8 —
     // bodies are generated in-plan in SIX real classes (UTF-8 with
@@ -1959,6 +2051,20 @@ private[graft] object EntriesPipeline {
       "NOT ((doc_id % 4 = 0 AND doc_id % 5 IN (3, 4)) OR " +
       "(doc_id % 4 = 1 AND doc_id % 5 = 3) OR doc_id % 4 = 2) AS bot_allowed " +
       "FROM documents ORDER BY doc_id"),
+    // edge replay from the residue classes: every page a relative
+    // self-anchor; non-h6 pages two absolute anchors at (2*id+1)%7
+    // and (id+3)%7 (which COLLIDE when id%7=2 — weight 2 per page,
+    // pages stays distinct); nofollow/mailto/#fragment contribute
+    // nothing. The anchor-tag walk itself is what's under the hash.
+    "q_link_hostgraph" -> ("WITH d AS (SELECT doc_id, doc_id % 7 AS r FROM documents), " +
+      "l AS (SELECT doc_id, r AS src, r AS dst FROM d " +
+      "UNION ALL SELECT doc_id, r, (2*doc_id+1) % 7 FROM d WHERE r != 6 " +
+      "UNION ALL SELECT doc_id, r, (doc_id+3) % 7 FROM d WHERE r != 6) " +
+      "SELECT 'h' || src::VARCHAR || '.example' AS src_host, " +
+      "'h' || dst::VARCHAR || '.example' AS dst_host, " +
+      "count(*)::BIGINT AS weight, count(DISTINCT doc_id)::BIGINT AS pages " +
+      "FROM l GROUP BY 1, 2 ORDER BY src_host, dst_host"),
+    "q_link_rank" -> linkRankSql(3),
     // expected charset from the generation class; the decoded-text
     // md5 recomputed INDEPENDENTLY from the source column (chr(233)
     // = the e-acute marker) — encode, detect, decode and BOM

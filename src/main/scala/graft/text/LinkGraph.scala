@@ -1,0 +1,141 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Stages
+
+/** Link-graph primitives for crawl-quality ranking — the top-of-funnel
+  * signal a training-data pipeline derives from crawl STRUCTURE rather
+  * than page content (Common Crawl publishes exactly this shape as its
+  * host-level ranking artifact: outlink extraction → host graph →
+  * centrality).
+  *
+  * Design for 100 TB:
+  *   - extraction is plan-native (posexplode + linear-class regexps —
+  *     `[^>]*` / `[^"]*` character classes cannot backtrack on hostile
+  *     HTML, the Robots.scala lesson) and map-only: page bytes never
+  *     shuffle, the exchange starts at the (src_host, dst_host) edge
+  *     row, which is two short strings however large the page was;
+  *   - the host graph is a groupBy over those edge rows — cardinality
+  *     is hosts², not pages, and real graphs are sparse (the exchange
+  *     carries one row per DISTINCT host pair);
+  *   - PageRank is the Pregel-on-DataFrames shape: per iteration one
+  *     hash join ranks⋈edges on src (both sides partitioned by the
+  *     join key) + one partial-aggregated groupBy on dst; the only
+  *     driver values are N (one count over the host-cardinality node
+  *     frame) and the per-iteration 1-row dangling-mass aggregate,
+  *     which re-enters the plan as a broadcast — no rank frame is ever
+  *     collected. Lineage is cut per iteration via Stages.truncate
+  *     (the r16 BPE lesson: accreting iteration lineage OOMs the
+  *     driver on Catalyst re-analysis long before data size matters).
+  *
+  * All rank arithmetic is INTEGER (micro-units of 1e-6): per-edge
+  * contributions floor with `div`, and long sums are exact and
+  * order-independent — so a SQL engine replaying the same formulas
+  * reproduces the ranks bit-for-bit, which no floating formulation
+  * survives (float sum order differs across engines and partitionings).
+  */
+object LinkGraph {
+
+  /** `<a>` tags out of an HTML column, one row per anchor:
+    * (id, src_host, tag). Linear-class patterns only; (?i) folds the
+    * tag NAME while the tag body keeps its original case (paths are
+    * case-sensitive, so hrefs must survive unfolded). */
+  private def anchorTags(pages: DataFrame, idCol: String, hostCol: String,
+      htmlCol: String): DataFrame =
+    pages.select(col(idCol), col(hostCol),
+        expr(s"explode_outer(regexp_extract_all($htmlCol, '(?i)<a\\\\s[^>]*>', 0))")
+          .as("tag"))
+
+  /** Outlink extraction: one row per followable anchor, href resolved
+    * to a destination HOST. Drops rel=nofollow anchors (the crawl-
+    * politeness signal), fragments, and non-http schemes; relative
+    * hrefs resolve to the page's own host; hosts case-fold (RFC 3986
+    * — host is case-insensitive, path is not, so only the recovered
+    * host is lowered). Output: (id, src_host, dst_host, href). */
+  def extractLinks(pages: DataFrame, idCol: String = "doc_id",
+      hostCol: String = "host", htmlCol: String = "html"): DataFrame = {
+    val tagged = anchorTags(pages, idCol, hostCol, htmlCol)
+      // href value: double- or single-quoted attribute, first match;
+      // attribute names fold, values don't
+      .withColumn("href", when(
+          regexp_extract(col("tag"), "(?i)href\\s*=\\s*\"([^\"]*)\"", 1) =!= "",
+          regexp_extract(col("tag"), "(?i)href\\s*=\\s*\"([^\"]*)\"", 1))
+        .otherwise(regexp_extract(col("tag"), "(?i)href\\s*=\\s*'([^']*)'", 1)))
+      .withColumn("nofollow",
+        lower(regexp_extract(col("tag"), "(?i)rel\\s*=\\s*[\"']([^\"']*)[\"']", 1))
+          .contains("nofollow"))
+    tagged
+      .filter(col("href").isNotNull && col("href") =!= "" && !col("nofollow"))
+      // followable schemes only: absolute http(s) or site-relative
+      .withColumn("lhref", lower(col("href")))
+      .filter(col("lhref").startsWith("http://") ||
+        col("lhref").startsWith("https://") || col("href").startsWith("/"))
+      .withColumn("dst_host", when(col("href").startsWith("/"), col(hostCol))
+        .otherwise(regexp_extract(col("lhref"), "^https?://([^/]+)", 1)))
+      .filter(col("dst_host") =!= "")
+      .select(col(idCol), col(hostCol).as("src_host"), col("dst_host"),
+        col("href"))
+  }
+
+  /** Host graph: (src_host, dst_host, weight = anchor count,
+    * pages = distinct linking pages). One exchange over edge rows. */
+  def hostGraph(links: DataFrame, idCol: String = "doc_id"): DataFrame =
+    links.groupBy(col("src_host"), col("dst_host"))
+      .agg(count(lit(1)).as("weight"),
+        countDistinct(col(idCol)).as("pages"))
+
+  /** Damped PageRank over a weighted host graph, in integer micro-units
+    * (`scale` = total initial mass). Deterministic and SQL-replayable:
+    * every division floors via `div`, every sum is over longs.
+    *
+    *   r0(v)   = scale div N
+    *   contrib = (r(src) * w * dampNum) div (dampDen * outW(src))
+    *   r'(v)   = (1-d) base + dangling share + Σ contrib(in-edges)
+    *             where base     = ((dampDen-dampNum) * scale) div (dampDen * N)
+    *                   dangling = (dampNum * Σ r(no-out-edge hosts)) div (dampDen * N)
+    *
+    * Floors shed a few micro-units of mass per round — deterministic,
+    * and the bound is N + |E| units per iteration, stated so a mass
+    * audit knows what drift is arithmetic rather than a bug.
+    * Overflow headroom: r ≤ scale and contrib multiplies r * w * dampNum,
+    * so callers need scale * maxWeight * dampNum < 2^63 (at the 1e6
+    * default that allows per-pair weights up to ~10^11).
+    *
+    * Returns (host, rank) with ranks in micro-units. */
+  def pageRankInt(edges: DataFrame, iters: Int = 3, dampNum: Long = 85,
+      dampDen: Long = 100, scale: Long = 1000000L): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col("src_host"), col("dst_host"),
+      col("weight").cast("long").as("w"))
+    val nodes = e.select(col("src_host").as("host"))
+      .union(e.select(col("dst_host").as("host"))).distinct()
+    val nodesT = Stages.truncate(nodes)
+    val n = nodesT.count() // host-cardinality scalar: the one sizing count
+    require(n > 0, "pageRankInt: empty graph")
+    val outW = e.groupBy(col("src_host").as("host"))
+      .agg(sum(col("w")).as("outw"))
+    val outWT = Stages.truncate(outW)
+    val base = (dampDen - dampNum) * scale / (dampDen * n)
+    var ranks = nodesT.select(col("host"), lit(scale / n).as("rank"))
+    for (_ <- 0 until iters) {
+      // dangling mass re-enters as a broadcast 1-row aggregate — no
+      // rank ever reaches the driver
+      val dangling = ranks.join(outWT, Seq("host"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("dmass"))
+      val contribs = ranks.join(outWT, Seq("host"))
+        .join(e, ranks("host") === e("src_host"))
+        .select(col("dst_host").as("host"),
+          expr(s"(rank * w * ${dampNum}L) div (${dampDen}L * outw)")
+            .as("contrib"))
+        .groupBy(col("host")).agg(sum(col("contrib")).as("cin"))
+      ranks = Stages.truncate(
+        nodesT.join(contribs, Seq("host"), "left_outer")
+          .crossJoin(broadcast(dangling))
+          .select(col("host"),
+            (lit(base) + expr(s"(dmass * ${dampNum}L) div (${dampDen}L * ${n}L)") +
+              coalesce(col("cin"), lit(0L))).as("rank")))
+    }
+    ranks
+  }
+}

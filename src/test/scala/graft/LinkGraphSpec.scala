@@ -1,0 +1,88 @@
+package graft
+
+import graft.text.LinkGraph
+import org.apache.spark.sql.functions._
+
+/** r17 link-graph primitives: the anchor walk's followability rules
+  * and the integer-PageRank contracts (determinism, mass accounting,
+  * dangling redistribution, symmetry) that make the DuckDB replay a
+  * bit-for-bit mirror rather than a tolerance compare. */
+class LinkGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pages(rows: (Long, String, String)*) =
+    rows.toSeq.toDF("doc_id", "host", "html")
+
+  test("extraction: quotes, case, nofollow, schemes, relative resolution") {
+    val links = LinkGraph.extractLinks(pages(
+      (1L, "a.example",
+        """<p>x</p><a href="https://b.example/p1">d</a>""" +
+          """<A HREF='HTTPS://C.EXAMPLE/Path'>u</A>""" +
+          """<a href="/local/p">rel</a>""" +
+          """<a href="https://d.example/n" rel="NoFollow">nf</a>""" +
+          """<a href="mailto:x@y.z">m</a><a href="#top">f</a>""" +
+          """<a name="anchor-without-href">plain</a>""")))
+      .orderBy($"href")
+      .select($"src_host", $"dst_host", $"href").collect().toSeq
+    // 3 followable of 7 anchors: absolute double-quoted, absolute
+    // single-quoted with case-folding HOST only, relative -> own host
+    assert(links.map(r => (r.getString(0), r.getString(1))) ===
+      Seq(("a.example", "a.example"),            // /local/p
+        ("a.example", "c.example"),              // HTTPS://C.EXAMPLE
+        ("a.example", "b.example")))             // https://b.example
+    // the path keeps its case even though the host folded
+    assert(links.map(_.getString(2)).contains("HTTPS://C.EXAMPLE/Path"))
+  }
+
+  test("hostGraph: weight counts anchors, pages counts distinct docs") {
+    val g = LinkGraph.hostGraph(LinkGraph.extractLinks(pages(
+      (1L, "a.example",
+        """<a href="https://b.example/1">x</a><a href="https://b.example/2">y</a>"""),
+      (2L, "a.example", """<a href="https://b.example/3">z</a>"""))))
+      .collect()
+    assert(g.length === 1)
+    assert(g.head.getAs[Long]("weight") === 3L)
+    assert(g.head.getAs[Long]("pages") === 2L)
+  }
+
+  private def edges(rows: (String, String, Long)*) =
+    rows.toSeq.toDF("src_host", "dst_host", "weight")
+
+  test("pageRankInt: symmetric 2-cycle holds equal ranks; deterministic") {
+    val e = edges(("a", "b", 1L), ("b", "a", 1L))
+    val r1 = LinkGraph.pageRankInt(e, iters = 4).orderBy($"host")
+      .as[(String, Long)].collect().toSeq
+    val r2 = LinkGraph.pageRankInt(e, iters = 4).orderBy($"host")
+      .as[(String, Long)].collect().toSeq
+    assert(r1 === r2)
+    assert(r1.map(_._2).distinct.size === 1) // symmetry -> equal ranks
+    // no dangling, no floor starvation beyond N units/iter: total mass
+    // stays within iters * (N + |E|) micro-units of scale
+    assert(math.abs(r1.map(_._2).sum - 1000000L) <= 4 * 4)
+  }
+
+  test("pageRankInt: star sink accumulates, dangling mass recycles") {
+    // a, b, c all -> sink; sink has no out-edges (dangling)
+    val e = edges(("a", "sink", 1L), ("b", "sink", 1L), ("c", "sink", 1L))
+    val r = LinkGraph.pageRankInt(e, iters = 3).orderBy($"host")
+      .as[(String, Long)].collect().toMap
+    assert(r("sink") > r("a"))
+    // a, b, c have identical in-link structure (none) -> equal ranks
+    assert(r("a") === r("b") && r("b") === r("c"))
+    // the dangling share keeps sources above the bare base: with no
+    // recycling their rank would be exactly base = 15000000/(100*4)
+    assert(r("a") > 15000000L / 400L)
+    // bounded mass loss: floors shed at most N + |E| units per round
+    assert(r.values.sum <= 1000000L && r.values.sum >= 1000000L - 3 * 7)
+  }
+
+  test("pageRankInt: weights steer mass proportionally") {
+    // a splits 3:1 between b and c -> b ends above c
+    val e = edges(("a", "b", 3L), ("a", "c", 1L),
+      ("b", "a", 1L), ("c", "a", 1L))
+    val r = LinkGraph.pageRankInt(e, iters = 5).orderBy($"host")
+      .as[(String, Long)].collect().toMap
+    assert(r("b") > r("c"))
+    assert(r("a") > r("b")) // both feed a alone
+  }
+}
