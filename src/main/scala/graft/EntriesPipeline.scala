@@ -50,7 +50,8 @@ private[graft] object EntriesPipeline {
     val host = concat(lit("h"), r.cast("string"), lit(".example"))
     val absA = concat(lit("<a href=\"https://h"),
       ((col("doc_id") * 2 + 1) % 7).cast("string"),
-      lit(".example/p"), (col("doc_id") % 50).cast("string"), lit("\">x</a>"))
+      lit(".example/p"), (col("doc_id") % 50).cast("string"), lit("\">t"),
+      (col("doc_id") % 5).cast("string"), lit("</a>"))
     val absB = concat(lit("<A HREF='HTTPS://h"),
       ((col("doc_id") + 3) % 7).cast("string"), lit(".EXAMPLE/Q'>y</A>"))
     val relA = concat(lit("<a class=\"z\" href=\"/local/p"),
@@ -937,6 +938,86 @@ private[graft] object EntriesPipeline {
         .filter(col("src_host") =!= col("dst_host"))
       graft.text.LinkGraph.pageRankInt(edges, iters = 3)
         .orderBy(col("host"))
+    }),
+    // anchor-TEXT aggregation per destination host (r17): what other
+    // sites call a page — the classic external ranking signal. The
+    // walk matches whole <a ...>text</a> ELEMENTS so href and text
+    // pair exactly (an href-less <a name=...> can't shift the
+    // pairing); nofollow and unfollowable schemes drop like the edge
+    // walk; the oracle replays (dst, anchor, n) from residue classes
+    "q_link_anchors" -> ((s, d) => {
+      val pages = linkCorpus(t(s, d, "documents"))
+      graft.text.LinkGraph.extractAnchors(pages)
+        .groupBy(col("dst_host"), col("anchor"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("dst_host"), col("anchor"))
+    }),
+    // crawl-delay politeness scheduling (r17): the frontier becomes a
+    // per-host fetch TIMELINE — one window partitioned by host (the
+    // plan is as wide as the worst host, never the frontier), delays
+    // from each host's robots Crawl-delay for the agent's selected
+    // group (named group beats '*', fractional seconds floor to ms,
+    // executor-side parse), missing hosts/delays at the crawler's
+    // default floor. The oracle mirrors the window arithmetic with
+    // the per-host delays replayed from the generation classes.
+    "q_crawl_schedule" -> ((s, d) => {
+      import s.implicits._
+      val robots = Seq(
+        ("a.example", "User-agent: *\nCrawl-delay: 2\nDisallow: /private/\n"),
+        ("b.example", "User-agent: *\nCrawl-delay: 3\n\n" +
+          "User-agent: graftbot\nCrawl-delay: 0.5\nDisallow: /x/\n"),
+        ("c.example", "User-agent: *\nDisallow: /y/\n"))
+        .toDF("host", "robots_txt")
+      val host = when(col("doc_id") % 4 === 0, lit("a.example"))
+        .when(col("doc_id") % 4 === 1, lit("b.example"))
+        .when(col("doc_id") % 4 === 2, lit("c.example"))
+        .otherwise(lit("d.example"))
+      val frontier = t(s, d, "documents")
+        .select(col("doc_id"), host.as("host"),
+          (col("doc_id") % 9).as("priority"))
+      val delays = graft.text.Frontier.crawlDelays(
+        robots, "host", "robots_txt", "graftbot-news")
+      graft.text.Frontier.schedule(
+        frontier, "doc_id", "host", "priority", delays, 1000L)
+        .select(col("doc_id"), col("host"), col("priority"), col("slot"),
+          col("delay_ms"), col("fetch_offset_ms"))
+        .orderBy(col("host"), col("slot"))
+    }),
+    // nested sitemap discovery (r17): a sitemapindex built in-plan
+    // over per-doc child sitemaps, parsed back through TWO xpath
+    // stages joined on the extracted child loc — the real two-level
+    // discovery shape (index -> child sitemap -> url entries); every
+    // field replays from generation arithmetic, so both xpath walks
+    // and the loc join are what sit under the hash
+    "q_sitemap_index" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val childXml = concat(
+        lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+          "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+          "<url><loc>https://corpus.test/doc/"), col("doc_id"),
+        lit("</loc></url><url><loc>https://corpus.test/doc/"),
+        col("doc_id"), lit("/amp</loc></url></urlset>"))
+      val children = docs.select(col("doc_id"), childXml.as("cxml"))
+      val idx = docs
+        .select(expr("doc_id div 5").as("group_id"),
+          concat(lit("<sitemap><loc>https://corpus.test/sitemap/"),
+            col("doc_id"), lit(".xml</loc></sitemap>")).as("entry"))
+        .groupBy(col("group_id"))
+        .agg(concat(lit("<sitemapindex>"),
+          concat_ws("", array_sort(collect_list(col("entry")))),
+          lit("</sitemapindex>")).as("ixml"))
+      val sitemapLocs = idx.select(col("group_id"),
+          explode(expr("xpath(ixml, '/sitemapindex/sitemap/loc/text()')"))
+            .as("sitemap_loc"))
+        .withColumn("child_id",
+          regexp_extract(col("sitemap_loc"), "sitemap/(\\d+)\\.xml", 1)
+            .cast("long"))
+      sitemapLocs.join(children, col("child_id") === children("doc_id"))
+        .select(col("group_id"), col("sitemap_loc"),
+          posexplode(expr("xpath(cxml, '/urlset/url/loc/text()')")))
+        .select(col("group_id"), col("sitemap_loc"),
+          col("pos").cast("int").as("entry_idx"), col("col").as("loc"))
+        .orderBy(col("group_id"), col("sitemap_loc"), col("entry_idx"))
     }),
     // charset sniffing (r16): real crawled bodies are not all UTF-8 —
     // bodies are generated in-plan in SIX real classes (UTF-8 with
@@ -2065,6 +2146,41 @@ private[graft] object EntriesPipeline {
       "count(*)::BIGINT AS weight, count(DISTINCT doc_id)::BIGINT AS pages " +
       "FROM l GROUP BY 1, 2 ORDER BY src_host, dst_host"),
     "q_link_rank" -> linkRankSql(3),
+    // anchor replay: relative 'rel' self-anchor on every page;
+    // non-h6 pages add 't'||(id%5) at (2id+1)%7 and 'y' at (id+3)%7;
+    // nofollow/mailto/#fragment anchors contribute nothing
+    "q_link_anchors" -> ("WITH d AS (SELECT doc_id, doc_id % 7 AS r FROM documents), " +
+      "a AS (SELECT doc_id, r AS dst, 'rel' AS anchor FROM d " +
+      "UNION ALL SELECT doc_id, (2*doc_id+1) % 7, 't' || (doc_id % 5)::VARCHAR " +
+      "FROM d WHERE r != 6 " +
+      "UNION ALL SELECT doc_id, (doc_id+3) % 7, 'y' FROM d WHERE r != 6) " +
+      "SELECT 'h' || dst::VARCHAR || '.example' AS dst_host, anchor, " +
+      "count(*)::BIGINT AS n FROM a GROUP BY 1, 2 ORDER BY dst_host, anchor"),
+    // per-host window mirror with delays replayed from the robots
+    // classes: a's '*' group declares 2s; b's named graftbot group
+    // (0.5s) beats its '*' (3s); c declares none and d has no robots
+    // row — both at the 1000 ms default
+    "q_crawl_schedule" -> ("WITH f AS (SELECT doc_id, " +
+      "CASE doc_id % 4 WHEN 0 THEN 'a.example' WHEN 1 THEN 'b.example' " +
+      "WHEN 2 THEN 'c.example' ELSE 'd.example' END AS host, " +
+      "doc_id % 9 AS priority FROM documents), " +
+      "s AS (SELECT doc_id, host, priority, " +
+      "(row_number() OVER (PARTITION BY host ORDER BY priority DESC, doc_id ASC) - 1)::BIGINT AS slot, " +
+      "(CASE host WHEN 'a.example' THEN 2000 WHEN 'b.example' THEN 500 " +
+      "ELSE 1000 END)::BIGINT AS delay_ms FROM f) " +
+      "SELECT doc_id, host, priority, slot, delay_ms, " +
+      "(slot * delay_ms)::BIGINT AS fetch_offset_ms " +
+      "FROM s ORDER BY host, slot"),
+    // two-level discovery replay: group = doc_id // 5, child sitemap
+    // loc from the id, two url entries per child
+    "q_sitemap_index" -> ("WITH e AS (SELECT doc_id, unnest([0, 1]) AS entry_idx " +
+      "FROM documents) " +
+      "SELECT (doc_id // 5)::BIGINT AS group_id, " +
+      "'https://corpus.test/sitemap/' || doc_id || '.xml' AS sitemap_loc, " +
+      "entry_idx::INT AS entry_idx, " +
+      "'https://corpus.test/doc/' || doc_id || " +
+      "CASE WHEN entry_idx = 1 THEN '/amp' ELSE '' END AS loc " +
+      "FROM e ORDER BY group_id, sitemap_loc, entry_idx"),
     // expected charset from the generation class; the decoded-text
     // md5 recomputed INDEPENDENTLY from the source column (chr(233)
     // = the e-acute marker) — encode, detect, decode and BOM

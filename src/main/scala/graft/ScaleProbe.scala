@@ -573,6 +573,63 @@ object ScaleProbe {
       embR.unpersist()
       spark.catalog.clearCache()
     }
+    if (selected("pq_hires_sweep")) {
+      // r17 follow-up to ivfadc_hires_real: at 16x256 resolution the
+      // rail's spread-floor nprobe (4 of 16) read 6/10 at 30x — is the
+      // remaining gap really coarse-probe COVERAGE (closes as nprobe
+      // grows) and not residual codebook starvation (wouldn't)? Fit
+      // once, sweep nprobe at the auto window; np16 ≡ probing every
+      // list, which must converge to the plain-PQ rule-window number.
+      import spark.implicits._
+      val nVec = 50000L * n
+      val dim = 64; val clusters = 4096L
+      def h(a: Long, b: Long): Double = {
+        var z = a * 0x9E3779B97F4A7C15L + b * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        ((z ^ (z >>> 31)) & 0xFFFFFFL).toDouble / (1 << 24) - 0.5
+      }
+      val embR = spark.range(nVec).map { id =>
+        val c = id % clusters
+        val v = new Array[Float](dim)
+        var i = 0
+        while (i < dim) {
+          v(i) = (h(c * 131L + 7L, i.toLong) + 0.15 * h(id * 31L + 3L, i.toLong)).toFloat
+          i += 1
+        }
+        (id, v)
+      }.toDF("vec_id", "embedding")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      embR.count()
+      val qv = (0 until 64).map(i => (i * 37 % 100) / 100.0 - 0.5)
+      val truth = graft.sim.Ann.knnRescoreTopK(embR, "vec_id", "embedding",
+        qv, k = 10, oversample = 8).select("id").collect().map(_.getLong(0)).toSet
+      def r(df: org.apache.spark.sql.DataFrame): Int =
+        df.select("id").collect().map(_.getLong(0)).count(truth.contains)
+      val kmCents = graft.sim.Ann.kmeansCentroids(embR, "vec_id", "embedding",
+        k = 16, iters = 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      kmCents.count()
+      val cbD16 = graft.sim.Ann.pqFitCodebooksDist(embR, "vec_id", "embedding",
+        m = 16, k = 256)
+      val sweep = Seq(0, 8, 16).map { np =>
+        val got = r(graft.sim.Ann.ivfAdcTopK(embR, "vec_id", "embedding", qv,
+          k = 10, oversample = 0, nCentroids = 16, nprobe = np,
+          m = 16, codebookSize = 256, codebooks = Some(cbD16),
+          coarseCents = Some(kmCents)))
+        val resolved = if (np == 0) graft.sim.Ann.lastNprobeResolved.getOrElse(-1) else np
+        (np, resolved, got)
+      }
+      val pq = r(graft.sim.Ann.pqTopK(embR, "vec_id", "embedding", qv,
+        k = 10, oversample = 0, m = 16, codebookSize = 256, codebooks = Some(cbD16)))
+      println(s"[scaleprobe] pq_hires_sweep_${n}x 16x256 kmeans-coarse nprobe sweep (auto window): " +
+        sweep.map { case (np, res, got) =>
+          (if (np == 0) s"auto(np=$res)" else s"np$np") + s"=$got/10"
+        }.mkString(" ") + s" plainPQ=$pq/10")
+      kmCents.unpersist()
+      embR.unpersist()
+      spark.catalog.clearCache()
+    }
     if (selected("pq_recall")) {
       // recall of the PQ family vs the (near-exact) int8-rescored
       // reference at the same k: sample codebooks vs lloyd-trained vs

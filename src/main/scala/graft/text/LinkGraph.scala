@@ -53,9 +53,13 @@ object LinkGraph {
     * hrefs resolve to the page's own host; hosts case-fold (RFC 3986
     * — host is case-insensitive, path is not, so only the recovered
     * host is lowered). Output: (id, src_host, dst_host, href). */
-  def extractLinks(pages: DataFrame, idCol: String = "doc_id",
-      hostCol: String = "host", htmlCol: String = "html"): DataFrame = {
-    val tagged = anchorTags(pages, idCol, hostCol, htmlCol)
+  /** The shared followability pass over a frame carrying a `tag`
+    * column (an `<a ...>` open tag or a whole anchor element — the
+    * href/rel patterns read the same either way): resolves `href` and
+    * `dst_host`, drops nofollow / unfollowable schemes. Keeps every
+    * other column. */
+  private def followed(tagged: DataFrame, hostCol: String): DataFrame =
+    tagged
       // href value: double- or single-quoted attribute, first match;
       // attribute names fold, values don't
       .withColumn("href", when(
@@ -65,7 +69,6 @@ object LinkGraph {
       .withColumn("nofollow",
         lower(regexp_extract(col("tag"), "(?i)rel\\s*=\\s*[\"']([^\"']*)[\"']", 1))
           .contains("nofollow"))
-    tagged
       .filter(col("href").isNotNull && col("href") =!= "" && !col("nofollow"))
       // followable schemes only: absolute http(s) or site-relative
       .withColumn("lhref", lower(col("href")))
@@ -74,8 +77,29 @@ object LinkGraph {
       .withColumn("dst_host", when(col("href").startsWith("/"), col(hostCol))
         .otherwise(regexp_extract(col("lhref"), "^https?://([^/]+)", 1)))
       .filter(col("dst_host") =!= "")
+
+  def extractLinks(pages: DataFrame, idCol: String = "doc_id",
+      hostCol: String = "host", htmlCol: String = "html"): DataFrame =
+    followed(anchorTags(pages, idCol, hostCol, htmlCol), hostCol)
       .select(col(idCol), col(hostCol).as("src_host"), col("dst_host"),
         col("href"))
+
+  /** Anchor TEXT per destination host — the classic external ranking
+    * signal (what other sites call a page). Matches whole `<a
+    * ...>text</a>` ELEMENTS so href and text pair exactly: an
+    * href-less `<a name=...>` anchor can never shift the pairing the
+    * way two independent extract-all passes would. Output:
+    * (id, src_host, dst_host, anchor). */
+  def extractAnchors(pages: DataFrame, idCol: String = "doc_id",
+      hostCol: String = "host", htmlCol: String = "html"): DataFrame = {
+    val elems = pages.select(col(idCol), col(hostCol),
+      expr(s"explode_outer(regexp_extract_all($htmlCol, " +
+        "'(?i)<a\\\\s[^>]*>[^<]*</a>', 0))").as("tag"))
+    followed(elems, hostCol)
+      .withColumn("anchor", trim(regexp_extract(col("tag"), ">([^<]*)<", 1)))
+      .filter(col("anchor") =!= "")
+      .select(col(idCol), col(hostCol).as("src_host"), col("dst_host"),
+        col("anchor"))
   }
 
   /** Host graph: (src_host, dst_host, weight = anchor count,

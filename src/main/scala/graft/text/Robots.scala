@@ -61,13 +61,19 @@ object Robots {
   }
 
   /** Parse a robots body and select the rule group for `agent`. */
-  def parse(robots: String, agent: String): Seq[Rule] = {
-    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
-    // split into (agent tokens, rules) groups: consecutive User-agent
-    // lines open a group; the first rule line closes the agent list
-    val groups = scala.collection.mutable.ArrayBuffer.empty[
-      (scala.collection.mutable.ArrayBuffer[String],
-        scala.collection.mutable.ArrayBuffer[Rule])]
+  private final class Group {
+    val agents = scala.collection.mutable.ArrayBuffer.empty[String]
+    val rules = scala.collection.mutable.ArrayBuffer.empty[Rule]
+    var crawlDelay: Option[Double] = None
+  }
+
+  /** The shared group walk: consecutive User-agent lines open a group;
+    * the first GROUP-DIRECTIVE line (Allow/Disallow/Crawl-delay)
+    * closes the agent list. Unknown and non-group lines (Sitemap,
+    * comments) leave inAgents untouched and MUST NOT split
+    * consecutive User-agent lines (RFC 9309 §2.2.4). */
+  private def groupsOf(robots: String): Seq[Group] = {
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
     var inAgents = false
     robots.split("\n").foreach { raw =>
       val line = raw.takeWhile(_ != '#').trim
@@ -80,34 +86,63 @@ object Robots {
             // an EMPTY agent token would prefix-match every crawler
             // and shadow the '*' fallback — malformed, ignored
             if (!inAgents || groups.isEmpty) {
-              groups += ((scala.collection.mutable.ArrayBuffer(value),
-                scala.collection.mutable.ArrayBuffer.empty[Rule]))
-            } else groups.last._1 += value
+              val g = new Group; g.agents += value; groups += g
+            } else groups.last.agents += value
             inAgents = true
           case "allow" | "disallow" =>
             inAgents = false
             if (groups.nonEmpty && value.nonEmpty)
-              groups.last._2 += Rule(key == "allow", value)
+              groups.last.rules += Rule(key == "allow", value)
           // empty Disallow = allow everything: no rule to add
-          case _ => () // crawl-delay, sitemap, unknown: NOT part of a
-          // group and MUST NOT split consecutive User-agent lines
-          // (RFC 9309 §2.2.4) — inAgents is left untouched
+          case "crawl-delay" =>
+            // a GROUP directive, not an "other record": like Allow/
+            // Disallow it closes the agent list (the dominant
+            // implementations — Bing documents it as a group rule —
+            // and without this `User-agent: x` after a '*' group's
+            // delay would merge into that group). First value in a
+            // group wins; a malformed number is ignored rather than
+            // read as zero (zero would disable politeness on a typo)
+            inAgents = false
+            if (groups.nonEmpty && groups.last.crawlDelay.isEmpty)
+              try { groups.last.crawlDelay = Some(value.toDouble) }
+              catch { case _: NumberFormatException => () }
+          case _ => () // sitemap, unknown: NOT part of a group and
+          // MUST NOT split consecutive User-agent lines (RFC 9309
+          // §2.2.4) — inAgents is left untouched
         }
       }
     }
-    // longest agent-prefix match wins; '*' is the fallback
-    val named = groups.filter(_._1.exists(a =>
+    groups.toSeq
+  }
+
+  /** The groups the agent selects: longest agent-prefix match wins,
+    * '*' is the fallback; all groups carrying the best token
+    * contribute (RFC: groups with the same selected agent merge). */
+  private def selectGroups(groups: Seq[Group], agent: String): Seq[Group] = {
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    val named = groups.filter(_.agents.exists(a =>
       a != "*" && agentLc.startsWith(a.toLowerCase(java.util.Locale.ROOT))))
     if (named.nonEmpty) {
-      val bestLen = named.flatMap(_._1).filter(a =>
+      val bestLen = named.flatMap(_.agents).filter(a =>
         a != "*" && agentLc.startsWith(a.toLowerCase(java.util.Locale.ROOT)))
         .map(_.length).max
-      // all groups carrying the best token contribute (RFC: groups
-      // with the same selected agent merge)
-      named.filter(_._1.exists(a => a.length == bestLen &&
+      named.filter(_.agents.exists(a => a.length == bestLen &&
         agentLc.startsWith(a.toLowerCase(java.util.Locale.ROOT))))
-        .flatMap(_._2).toSeq
-    } else groups.filter(_._1.contains("*")).flatMap(_._2).toSeq
+    } else groups.filter(_.agents.contains("*"))
+  }
+
+  def parse(robots: String, agent: String): Seq[Rule] =
+    selectGroups(groupsOf(robots), agent).flatMap(_.rules)
+
+  /** Crawl-delay in SECONDS for the agent's selected group(s), if any
+    * declares one — the politeness knob a frontier scheduler spaces
+    * per-host fetches by. When merged groups disagree, the smallest
+    * declared delay wins (deterministic, and the conservative read
+    * for the crawler is arguable either way — smallest matches the
+    * major crawlers' merge behavior). */
+  def crawlDelay(robots: String, agent: String): Option[Double] = {
+    val ds = selectGroups(groupsOf(robots), agent).flatMap(_.crawlDelay)
+    if (ds.isEmpty) None else Some(ds.min)
   }
 
   /** Longest-match verdict for one path. */

@@ -76,6 +76,52 @@ class LinkGraphSpec extends SparkSpec {
     assert(r.values.sum <= 1000000L && r.values.sum >= 1000000L - 3 * 7)
   }
 
+  test("extractAnchors: element pairing survives href-less anchors") {
+    val a = LinkGraph.extractAnchors(pages(
+      (1L, "a.example",
+        """<a name="x">not a link</a>""" +                // href-less: no row, no shift
+          """<a href="https://b.example/p">First Text</a>""" +
+          """<a href="/l">local</a>""" +
+          """<a href="https://c.example/q" rel="nofollow">hidden</a>""" +
+          """<a href="https://d.example/r">   </a>""")))  // blank text drops
+      .orderBy($"anchor")
+      .select($"dst_host", $"anchor").as[(String, String)].collect().toSeq
+    assert(a === Seq(("b.example", "First Text"), ("a.example", "local")))
+  }
+
+  test("crawlDelay: group directive semantics, named-over-star, malformed ignored") {
+    import graft.text.Robots
+    val body = "User-agent: *\nCrawl-delay: 3\n\n" +
+      "User-agent: graftbot\nCrawl-delay: 0.5\nDisallow: /x/\n"
+    // the '*' group's delay CLOSES its agent list: graftbot opens a
+    // new group rather than merging into '*'
+    assert(Robots.crawlDelay(body, "graftbot-news") === Some(0.5))
+    assert(Robots.crawlDelay(body, "othercrawler") === Some(3.0))
+    assert(Robots.crawlDelay("User-agent: *\nDisallow: /y/\n", "any") === None)
+    // malformed number ignored (NOT read as zero), first valid wins
+    assert(Robots.crawlDelay(
+      "User-agent: *\nCrawl-delay: fast\nCrawl-delay: 2\n", "any") === Some(2.0))
+    // parse() is unchanged by the delay lines: the graftbot group
+    // still carries only its own rule
+    assert(Robots.parse(body, "graftbot-news").map(_.pattern) === Seq("/x/"))
+  }
+
+  test("Frontier.schedule: per-host slots by priority, default delay fallback") {
+    import graft.text.Frontier
+    val frontier = Seq(
+      (1L, "a.example", 5L), (2L, "a.example", 9L), (3L, "a.example", 9L),
+      (4L, "b.example", 1L))
+      .toDF("doc_id", "host", "priority")
+    val delays = Seq(("a.example", 2000L)).toDF("host", "delay_ms")
+    val out = Frontier.schedule(frontier, "doc_id", "host", "priority",
+        delays, 1000L)
+      .select($"doc_id", $"slot", $"delay_ms", $"fetch_offset_ms")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // a: priority desc, id tiebreak -> 2, 3, 1; b falls back to 1000
+    assert(out === Seq((1L, 2L, 2000L, 4000L), (2L, 0L, 2000L, 0L),
+      (3L, 1L, 2000L, 2000L), (4L, 0L, 1000L, 0L)))
+  }
+
   test("pageRankInt: weights steer mass proportionally") {
     // a splits 3:1 between b and c -> b ends above c
     val e = edges(("a", "b", 3L), ("a", "c", 1L),
