@@ -956,7 +956,7 @@ private[graft] object EntriesPipeline {
     // per-host fetch TIMELINE — one window partitioned by host (the
     // plan is as wide as the worst host, never the frontier), delays
     // from each host's robots Crawl-delay for the agent's selected
-    // group (named group beats '*', fractional seconds floor to ms,
+    // group (named group beats '*', fractional seconds round to ms,
     // executor-side parse), missing hosts/delays at the crawler's
     // default floor. The oracle mirrors the window arithmetic with
     // the per-host delays replayed from the generation classes.

@@ -19,6 +19,47 @@ import org.apache.spark.sql.functions._
   * Run: SPARK_GRAFT_CPUS=32 sbt "runMain graft.ScaleProbe [N]"
   */
 object ScaleProbe {
+
+  /** The ONE structured recall corpus both PQ-recall probes measure:
+    * 4096 cluster centers, every vector = its center + 15%
+    * deterministic splitmix64 noise, no clones — so the truth top-10
+    * is 10 DISTINCT vectors and recall measures quantization quality.
+    * A per-block copy would let the two probes drift onto different
+    * corpora under a one-sided tweak. Returns the persisted frame,
+    * the probe query vector, and the recall@10 scorer against the
+    * int8-rescored truth set. */
+  private def structuredRecallHarness(spark: org.apache.spark.sql.SparkSession,
+      n: Int): (org.apache.spark.sql.DataFrame, Seq[Double],
+        org.apache.spark.sql.DataFrame => Int) = {
+    import spark.implicits._
+    val nVec = 50000L * n
+    val dim = 64; val clusters = 4096L
+    def h(a: Long, b: Long): Double = {
+      var z = a * 0x9E3779B97F4A7C15L + b * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      ((z ^ (z >>> 31)) & 0xFFFFFFL).toDouble / (1 << 24) - 0.5
+    }
+    val embR = spark.range(nVec).map { id =>
+      val c = id % clusters
+      val v = new Array[Float](dim)
+      var i = 0
+      while (i < dim) {
+        v(i) = (h(c * 131L + 7L, i.toLong) + 0.15 * h(id * 31L + 3L, i.toLong)).toFloat
+        i += 1
+      }
+      (id, v)
+    }.toDF("vec_id", "embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    embR.count()
+    val qv = (0 until 64).map(i => (i * 37 % 100) / 100.0 - 0.5)
+    val truth = graft.sim.Ann.knnRescoreTopK(embR, "vec_id", "embedding",
+      qv, k = 10, oversample = 8).select("id").collect().map(_.getLong(0)).toSet
+    val r = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("id").collect().map(_.getLong(0)).count(truth.contains)
+    (embR, qv, r)
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(10)
     // optional 2nd arg: comma-separated substring filters — only
@@ -461,33 +502,10 @@ object ScaleProbe {
       // quantization quality, not the replication artifact. Cluster
       // structure is what real embedding corpora have — quantization's
       // friendly case, as isotropic testdata is its worst case; both
-      // ledgers stay recorded.
-      import spark.implicits._
+      // ledgers stay recorded. (Corpus + truth harness shared with
+      // pq_hires_sweep — ONE definition, structuredRecallHarness.)
+      val (embR, qv, r) = structuredRecallHarness(spark, n)
       val nVec = 50000L * n
-      val dim = 64; val clusters = 4096L
-      def h(a: Long, b: Long): Double = {
-        var z = a * 0x9E3779B97F4A7C15L + b * 0xBF58476D1CE4E5B9L
-        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-        ((z ^ (z >>> 31)) & 0xFFFFFFL).toDouble / (1 << 24) - 0.5
-      }
-      val embR = spark.range(nVec).map { id =>
-        val c = id % clusters
-        val v = new Array[Float](dim)
-        var i = 0
-        while (i < dim) {
-          v(i) = (h(c * 131L + 7L, i.toLong) + 0.15 * h(id * 31L + 3L, i.toLong)).toFloat
-          i += 1
-        }
-        (id, v)
-      }.toDF("vec_id", "embedding")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      embR.count()
-      val qv = (0 until 64).map(i => (i * 37 % 100) / 100.0 - 0.5)
-      val truth = graft.sim.Ann.knnRescoreTopK(embR, "vec_id", "embedding",
-        qv, k = 10, oversample = 8).select("id").collect().map(_.getLong(0)).toSet
-      def r(df: org.apache.spark.sql.DataFrame): Int =
-        df.select("id").collect().map(_.getLong(0)).count(truth.contains)
       val sample = r(graft.sim.Ann.pqTopK(embR, "vec_id", "embedding", qv,
         k = 10, oversample = 8))
       val lloyd = r(graft.sim.Ann.pqTopK(embR, "vec_id", "embedding", qv,
@@ -580,32 +598,7 @@ object ScaleProbe {
       // grows) and not residual codebook starvation (wouldn't)? Fit
       // once, sweep nprobe at the auto window; np16 ≡ probing every
       // list, which must converge to the plain-PQ rule-window number.
-      import spark.implicits._
-      val nVec = 50000L * n
-      val dim = 64; val clusters = 4096L
-      def h(a: Long, b: Long): Double = {
-        var z = a * 0x9E3779B97F4A7C15L + b * 0xBF58476D1CE4E5B9L
-        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-        ((z ^ (z >>> 31)) & 0xFFFFFFL).toDouble / (1 << 24) - 0.5
-      }
-      val embR = spark.range(nVec).map { id =>
-        val c = id % clusters
-        val v = new Array[Float](dim)
-        var i = 0
-        while (i < dim) {
-          v(i) = (h(c * 131L + 7L, i.toLong) + 0.15 * h(id * 31L + 3L, i.toLong)).toFloat
-          i += 1
-        }
-        (id, v)
-      }.toDF("vec_id", "embedding")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      embR.count()
-      val qv = (0 until 64).map(i => (i * 37 % 100) / 100.0 - 0.5)
-      val truth = graft.sim.Ann.knnRescoreTopK(embR, "vec_id", "embedding",
-        qv, k = 10, oversample = 8).select("id").collect().map(_.getLong(0)).toSet
-      def r(df: org.apache.spark.sql.DataFrame): Int =
-        df.select("id").collect().map(_.getLong(0)).count(truth.contains)
+      val (embR, qv, r) = structuredRecallHarness(spark, n)
       val kmCents = graft.sim.Ann.kmeansCentroids(embR, "vec_id", "embedding",
         k = 16, iters = 2)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -42,7 +42,12 @@ object Frontier {
   /** (host, delay_ms) out of a (host, robots body) frame for one
     * agent: bodies parse EXECUTOR-side (same discipline as the
     * per-host robots gate — no corpus body reaches the driver),
-    * seconds scale to millis with floor. Hosts whose selected group
+    * seconds scale to millis via round (a bare (d*1000).toLong floors
+    * through binary-double error: 2.3 * 1000 = 2299.999... would read
+    * 2299). Duplicate host rows (a re-fetched robots.txt kept beside
+    * the old one — the per-host gate supports them) aggregate to the
+    * MIN delay, so the join side is one row per host and schedule()
+    * can never duplicate frontier rows. Hosts whose selected group
     * declares no delay drop out (schedule() applies the default). */
   def crawlDelays(robots: DataFrame, hostCol: String, bodyCol: String,
       agent: String): DataFrame = {
@@ -52,8 +57,9 @@ object Frontier {
       .as[(String, String)]
       .flatMap { case (host, body) =>
         Robots.crawlDelay(if (body == null) "" else body, agent)
-          .map(d => (host, (d * 1000).toLong))
+          .map(d => (host, math.round(d * 1000)))
       }
       .toDF(hostCol, "delay_ms")
+      .groupBy(col(hostCol)).agg(min(col("delay_ms")).as("delay_ms"))
   }
 }

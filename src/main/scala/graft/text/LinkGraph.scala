@@ -47,37 +47,46 @@ object LinkGraph {
         expr(s"explode_outer(regexp_extract_all($htmlCol, '(?i)<a\\\\s[^>]*>', 0))")
           .as("tag"))
 
-  /** Outlink extraction: one row per followable anchor, href resolved
-    * to a destination HOST. Drops rel=nofollow anchors (the crawl-
-    * politeness signal), fragments, and non-http schemes; relative
-    * hrefs resolve to the page's own host; hosts case-fold (RFC 3986
-    * — host is case-insensitive, path is not, so only the recovered
-    * host is lowered). Output: (id, src_host, dst_host, href). */
   /** The shared followability pass over a frame carrying a `tag`
-    * column (an `<a ...>` open tag or a whole anchor element — the
-    * href/rel patterns read the same either way): resolves `href` and
-    * `dst_host`, drops nofollow / unfollowable schemes. Keeps every
-    * other column. */
+    * column that is an `<a ...>` OPEN TAG only — attribute patterns
+    * must never see anchor text, where a literal `href="..."` or
+    * `rel="nofollow"` in the prose would hijack them. Resolves `href`
+    * and `dst_host`, drops nofollow / unfollowable schemes; keeps
+    * every other column. The attribute-name patterns carry a
+    * `(?<![\\w-])` boundary so `data-href=` / `data-rel=` can't
+    * shadow the real attributes. */
   private def followed(tagged: DataFrame, hostCol: String): DataFrame =
     tagged
       // href value: double- or single-quoted attribute, first match;
       // attribute names fold, values don't
       .withColumn("href", when(
-          regexp_extract(col("tag"), "(?i)href\\s*=\\s*\"([^\"]*)\"", 1) =!= "",
-          regexp_extract(col("tag"), "(?i)href\\s*=\\s*\"([^\"]*)\"", 1))
-        .otherwise(regexp_extract(col("tag"), "(?i)href\\s*=\\s*'([^']*)'", 1)))
+          regexp_extract(col("tag"), "(?i)(?<![\\w-])href\\s*=\\s*\"([^\"]*)\"", 1) =!= "",
+          regexp_extract(col("tag"), "(?i)(?<![\\w-])href\\s*=\\s*\"([^\"]*)\"", 1))
+        .otherwise(regexp_extract(col("tag"), "(?i)(?<![\\w-])href\\s*=\\s*'([^']*)'", 1)))
       .withColumn("nofollow",
-        lower(regexp_extract(col("tag"), "(?i)rel\\s*=\\s*[\"']([^\"']*)[\"']", 1))
+        lower(regexp_extract(col("tag"), "(?i)(?<![\\w-])rel\\s*=\\s*[\"']([^\"']*)[\"']", 1))
           .contains("nofollow"))
       .filter(col("href").isNotNull && col("href") =!= "" && !col("nofollow"))
-      // followable schemes only: absolute http(s) or site-relative
+      // followable schemes only: absolute http(s), protocol-relative
+      // (//host/... inherits the page's scheme but NOT its host), or
+      // site-relative
       .withColumn("lhref", lower(col("href")))
       .filter(col("lhref").startsWith("http://") ||
         col("lhref").startsWith("https://") || col("href").startsWith("/"))
-      .withColumn("dst_host", when(col("href").startsWith("/"), col(hostCol))
+      .withColumn("dst_host",
+        when(col("href").startsWith("//"),
+          regexp_extract(col("lhref"), "^//([^/]+)", 1))
+        .when(col("href").startsWith("/"), col(hostCol))
         .otherwise(regexp_extract(col("lhref"), "^https?://([^/]+)", 1)))
       .filter(col("dst_host") =!= "")
 
+  /** Outlink extraction: one row per followable anchor, href resolved
+    * to a destination HOST. Drops rel=nofollow anchors (the crawl-
+    * politeness signal), fragments, and non-http schemes; relative
+    * hrefs resolve to the page's own host, protocol-relative ones to
+    * their own authority; hosts case-fold (RFC 3986 — host is
+    * case-insensitive, path is not, so only the recovered host is
+    * lowered). Output: (id, src_host, dst_host, href). */
   def extractLinks(pages: DataFrame, idCol: String = "doc_id",
       hostCol: String = "host", htmlCol: String = "html"): DataFrame =
     followed(anchorTags(pages, idCol, hostCol, htmlCol), hostCol)
@@ -85,18 +94,28 @@ object LinkGraph {
         col("href"))
 
   /** Anchor TEXT per destination host — the classic external ranking
-    * signal (what other sites call a page). Matches whole `<a
-    * ...>text</a>` ELEMENTS so href and text pair exactly: an
-    * href-less `<a name=...>` anchor can never shift the pairing the
-    * way two independent extract-all passes would. Output:
+    * signal (what other sites call a page). Matches whole `<a ...>
+    * ... </a>` ELEMENTS (lazy to the first close tag — HTML forbids
+    * nesting anchors) so href and text pair exactly: an href-less
+    * `<a name=...>` anchor can never shift the pairing the way two
+    * independent extract-all passes would. The attribute pass sees
+    * ONLY the open-tag prefix (anchor text mentioning href=/nofollow
+    * must not hijack it), and nested markup inside the anchor
+    * (<b>, <span>, <img>) is stripped to its text. Output:
     * (id, src_host, dst_host, anchor). */
   def extractAnchors(pages: DataFrame, idCol: String = "doc_id",
       hostCol: String = "host", htmlCol: String = "html"): DataFrame = {
     val elems = pages.select(col(idCol), col(hostCol),
       expr(s"explode_outer(regexp_extract_all($htmlCol, " +
-        "'(?i)<a\\\\s[^>]*>[^<]*</a>', 0))").as("tag"))
+        "'(?is)<a\\\\s[^>]*>.*?</a>', 0))").as("elem"))
+      // the attribute pass sees only the open tag
+      .withColumn("tag", regexp_extract(col("elem"), "^<[^>]*>", 0))
     followed(elems, hostCol)
-      .withColumn("anchor", trim(regexp_extract(col("tag"), ">([^<]*)<", 1)))
+      .withColumn("anchor", trim(regexp_replace(
+        regexp_replace(
+          regexp_extract(col("elem"), "(?is)^<[^>]*>(.*)</a>$", 1),
+          "<[^>]*>", " "),
+        "[ \\t\\n\\f\\r]+", " ")))
       .filter(col("anchor") =!= "")
       .select(col(idCol), col(hostCol).as("src_host"), col("dst_host"),
         col("anchor"))

@@ -104,8 +104,14 @@ object Robots {
             // read as zero (zero would disable politeness on a typo)
             inAgents = false
             if (groups.nonEmpty && groups.last.crawlDelay.isEmpty)
-              try { groups.last.crawlDelay = Some(value.toDouble) }
-              catch { case _: NumberFormatException => () }
+              try {
+                val d = value.toDouble
+                // toDouble accepts "NaN"/"Infinity"/negatives — all of
+                // which would defeat the malformed-not-zero guard
+                // (NaN*1000 .toLong IS zero) or overflow the schedule
+                if (java.lang.Double.isFinite(d) && d >= 0)
+                  groups.last.crawlDelay = Some(d)
+              } catch { case _: NumberFormatException => () }
           case _ => () // sitemap, unknown: NOT part of a group and
           // MUST NOT split consecutive User-agent lines (RFC 9309
           // §2.2.4) — inAgents is left untouched

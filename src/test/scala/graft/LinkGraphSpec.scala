@@ -76,6 +76,44 @@ class LinkGraphSpec extends SparkSpec {
     assert(r.values.sum <= 1000000L && r.values.sum >= 1000000L - 3 * 7)
   }
 
+  test("extraction hardening: protocol-relative, data-href boundary, text hijack (r17 review)") {
+    val links = LinkGraph.extractLinks(pages(
+      (1L, "a.example",
+        // protocol-relative resolves to ITS OWN authority, not the page
+        """<a href="//CDN.Example/lib.js">cdn</a>""" +
+          // data-href must not shadow the real href
+          """<a data-href="https://tracker.example/x" href="/real">z</a>""" +
+          // data-rel must not fake a nofollow
+          """<a data-rel="nofollow" href="https://e.example/ok">ok</a>""")))
+      .orderBy($"href").select($"dst_host", $"href")
+      .as[(String, String)].collect().toSeq
+    assert(links === Seq(
+      ("cdn.example", "//CDN.Example/lib.js"),
+      ("a.example", "/real"),
+      ("e.example", "https://e.example/ok")))
+    // anchor TEXT mentioning href=/nofollow must not hijack the
+    // attribute pass (it runs on the open-tag prefix only)
+    val a = LinkGraph.extractAnchors(pages(
+      (2L, "a.example",
+        """<a href="/p">see rel="nofollow" docs</a>""" +
+          """<a href="/q">quote: href="https://x.example/e"</a>""")))
+      .orderBy($"anchor").select($"dst_host", $"anchor")
+      .as[(String, String)].collect().toSeq
+    assert(a === Seq(
+      ("a.example", "quote: href=\"https://x.example/e\""),
+      ("a.example", "see rel=\"nofollow\" docs")))
+  }
+
+  test("extractAnchors: nested markup strips to text, edge parity with extractLinks") {
+    val html = """<a href="https://x.example/p"><b>Click</b> <i>here</i></a>"""
+    val p = pages((1L, "a.example", html))
+    val anchors = LinkGraph.extractAnchors(p)
+      .select($"dst_host", $"anchor").as[(String, String)].collect().toSeq
+    assert(anchors === Seq(("x.example", "Click here")))
+    // the element walk must see every edge the open-tag walk sees
+    assert(LinkGraph.extractLinks(p).count() === anchors.size)
+  }
+
   test("extractAnchors: element pairing survives href-less anchors") {
     val a = LinkGraph.extractAnchors(pages(
       (1L, "a.example",
@@ -101,6 +139,12 @@ class LinkGraphSpec extends SparkSpec {
     // malformed number ignored (NOT read as zero), first valid wins
     assert(Robots.crawlDelay(
       "User-agent: *\nCrawl-delay: fast\nCrawl-delay: 2\n", "any") === Some(2.0))
+    // toDouble-parseable garbage is still malformed: NaN would read
+    // as delay 0 downstream, Infinity/negatives would overflow the
+    // schedule (r17 review)
+    for (bad <- Seq("NaN", "Infinity", "-5"))
+      assert(Robots.crawlDelay(
+        s"User-agent: *\nCrawl-delay: $bad\nCrawl-delay: 1\n", "any") === Some(1.0))
     // parse() is unchanged by the delay lines: the graftbot group
     // still carries only its own rule
     assert(Robots.parse(body, "graftbot-news").map(_.pattern) === Seq("/x/"))
@@ -120,6 +164,26 @@ class LinkGraphSpec extends SparkSpec {
     // a: priority desc, id tiebreak -> 2, 3, 1; b falls back to 1000
     assert(out === Seq((1L, 2L, 2000L, 4000L), (2L, 0L, 2000L, 0L),
       (3L, 1L, 2000L, 2000L), (4L, 0L, 1000L, 0L)))
+  }
+
+  test("crawlDelays: ms rounding, duplicate host rows collapse to min (r17 review)") {
+    import graft.text.Frontier
+    // 2.3 s must read 2300 ms (a bare *1000 floor gives 2299 through
+    // binary-double error), and a re-fetched robots row beside the
+    // old one must yield ONE delay row so schedule can't duplicate
+    // frontier rows
+    val robots = Seq(
+      ("a.example", "User-agent: *\nCrawl-delay: 2.3\n"),
+      ("a.example", "User-agent: *\nCrawl-delay: 4\n"))
+      .toDF("host", "robots_txt")
+    val d = Frontier.crawlDelays(robots, "host", "robots_txt", "any")
+      .as[(String, Long)].collect().toSeq
+    assert(d === Seq(("a.example", 2300L)))
+    val frontier = Seq((1L, "a.example", 1L), (2L, "a.example", 2L))
+      .toDF("doc_id", "host", "priority")
+    val out = Frontier.schedule(frontier, "doc_id", "host", "priority",
+        Frontier.crawlDelays(robots, "host", "robots_txt", "any"), 1000L)
+    assert(out.count() === 2)
   }
 
   test("pageRankInt: weights steer mass proportionally") {
