@@ -71,8 +71,12 @@ private[graft] object EntriesPipeline {
     * (r*w*85)//(100*outw); base = 15000000//(100*N); dangling share =
     * (85*D)//(100*N)), unrolled `iters` times — long sums are
     * order-independent and `//` floors like `div`, so the ranks must
-    * hash-match bit-for-bit. */
-  private def linkRankSql(iters: Int): String = {
+    * hash-match bit-for-bit. `finalSelect` lets the rank-consuming
+    * keys (q_link_rank_mix) share the SAME iteration CTEs rather
+    * than keeping a drifting copy. */
+  private def linkRankSql(iters: Int,
+      finalSelect: String => String = last =>
+        s" SELECT 'h' || h::VARCHAR || '.example' AS host, rank FROM $last ORDER BY host"): String = {
     val head =
       "WITH d AS (SELECT doc_id, doc_id % 7 AS r FROM documents), " +
       "l AS (SELECT doc_id, r AS src, (2*doc_id+1) % 7 AS dst FROM d WHERE r != 6 " +
@@ -93,8 +97,7 @@ private[graft] object EntriesPipeline {
         s"FROM $p r JOIN ow ON r.h = ow.src JOIN e ON e.src = r.h " +
         "GROUP BY e.dst) c ON n2.h = c.h)"
     }.mkString
-    head + steps +
-      s" SELECT 'h' || h::VARCHAR || '.example' AS host, rank FROM r$iters ORDER BY host"
+    head + steps + finalSelect(s"r$iters")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -937,6 +940,28 @@ private[graft] object EntriesPipeline {
         graft.text.LinkGraph.extractLinks(pages))
         .filter(col("src_host") =!= col("dst_host"))
       graft.text.LinkGraph.pageRankInt(edges, iters = 3)
+        .orderBy(col("host"))
+    }),
+    // rank-proportional domain mixing (r17): host authority becomes a
+    // per-host sampling QUOTA — the curation use the rank exists for
+    // (rank-weighted corpus reweighting, the link-structure sibling
+    // of q_domain_mix). quota = (rank * total_docs) div total_rank,
+    // all integer; both totals are 1-row broadcast aggregates, so the
+    // plan stays hosts-cardinality end to end
+    "q_link_rank_mix" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pages = linkCorpus(docs)
+      val edges = graft.text.LinkGraph.hostGraph(
+        graft.text.LinkGraph.extractLinks(pages))
+        .filter(col("src_host") =!= col("dst_host"))
+      val ranks = graft.text.LinkGraph.pageRankInt(edges, iters = 3)
+      val perHost = pages.groupBy(col("host")).agg(count(lit(1)).as("n_docs"))
+      val totals = ranks.agg(sum(col("rank")).as("total_rank"))
+        .crossJoin(perHost.agg(sum(col("n_docs")).as("total_docs")))
+      ranks.join(perHost, Seq("host"))
+        .crossJoin(broadcast(totals))
+        .select(col("host"), col("n_docs"), col("rank"),
+          expr("(rank * total_docs) div total_rank").as("quota"))
         .orderBy(col("host"))
     }),
     // anchor-TEXT aggregation per destination host (r17): what other
@@ -2146,6 +2171,16 @@ private[graft] object EntriesPipeline {
       "count(*)::BIGINT AS weight, count(DISTINCT doc_id)::BIGINT AS pages " +
       "FROM l GROUP BY 1, 2 ORDER BY src_host, dst_host"),
     "q_link_rank" -> linkRankSql(3),
+    // the SAME iteration CTEs as q_link_rank (shared builder), joined
+    // to per-host doc counts with integer quota arithmetic
+    "q_link_rank_mix" -> linkRankSql(3, last =>
+      s", dph AS (SELECT doc_id % 7 AS hr, count(*)::BIGINT AS n_docs " +
+      "FROM documents GROUP BY 1), " +
+      s"tot AS (SELECT (SELECT sum(rank) FROM $last)::BIGINT AS total_rank, " +
+      "(SELECT sum(n_docs) FROM dph)::BIGINT AS total_docs) " +
+      s"SELECT 'h' || r.h::VARCHAR || '.example' AS host, dph.n_docs, r.rank, " +
+      "((r.rank * tot.total_docs) // tot.total_rank)::BIGINT AS quota " +
+      s"FROM $last r JOIN dph ON r.h = dph.hr CROSS JOIN tot ORDER BY host"),
     // anchor replay: relative 'rel' self-anchor on every page;
     // non-h6 pages add 't'||(id%5) at (2id+1)%7 and 'y' at (id+3)%7;
     // nofollow/mailto/#fragment anchors contribute nothing

@@ -623,6 +623,34 @@ object ScaleProbe {
       embR.unpersist()
       spark.catalog.clearCache()
     }
+    if (selected("link_rank")) {
+      // the r17 link-graph iterate shape at scale: 100k*n hosts with 5
+      // residue-arithmetic out-edges each (deterministic, no shuffle to
+      // build), 3 integer-PageRank iterations. The curve to watch: each
+      // iteration is one ranks⋈edges hash join + one partial-agg
+      // groupBy, both hash-partitioned on the join key — cost should
+      // track |E| linearly, with the truncate paying a
+      // materialization of |V| rows per round. scale rises with n per
+      // the >=1000-units-per-node rule.
+      import org.apache.spark.sql.functions.{array, explode, pmod}
+      val nHosts = 100000L * n
+      val t0 = System.nanoTime()
+      val edges = spark.range(nHosts).select(
+          concat(lit("h"), col("id")).as("src_host"), col("id"))
+        .select(col("src_host"), explode(array((1 to 5).map(k =>
+          pmod(col("id") * 31 + lit(k * 7), lit(nHosts))): _*)).as("dst"))
+        .select(col("src_host"), concat(lit("h"), col("dst")).as("dst_host"),
+          (pmod(col("dst"), lit(3)) + 1).as("weight"))
+      val ranks = graft.text.LinkGraph.pageRankInt(edges, iters = 3,
+        scale = nHosts * 1000L)
+      val cnt = ranks.count()
+      val topRank = ranks.agg(org.apache.spark.sql.functions.max("rank"))
+        .collect()(0).getLong(0)
+      println(f"[scaleprobe] link_rank_${n}x     3-iter integer PageRank over " +
+        f"$cnt hosts / ${nHosts * 5} edges: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+        f"(top rank $topRank, scale ${nHosts * 1000L})")
+      spark.catalog.clearCache()
+    }
     if (selected("pq_recall")) {
       // recall of the PQ family vs the (near-exact) int8-rescored
       // reference at the same k: sample codebooks vs lloyd-trained vs

@@ -156,6 +156,15 @@ object LinkGraph {
     val nodesT = Stages.truncate(nodes)
     val n = nodesT.count() // host-cardinality scalar: the one sizing count
     require(n > 0, "pageRankInt: empty graph")
+    // integer ranks starve when a node's share of `scale` is a handful
+    // of units (floors eat the whole signal): demand >= ~1000 units
+    // per node, the same scale-with-corpus rule as PQ code bits. A
+    // million-host graph runs scale = 1e9; the default 1e6 covers
+    // graphs to ~1000 hosts.
+    require(scale / n >= 1000,
+      s"pageRankInt: scale $scale gives under 1000 micro-units per node " +
+        s"for $n nodes - raise scale (e.g. ${n * 100000L}) so integer " +
+        "floors can't starve the rank signal")
     val outW = e.groupBy(col("src_host").as("host"))
       .agg(sum(col("w")).as("outw"))
     val outWT = Stages.truncate(outW)

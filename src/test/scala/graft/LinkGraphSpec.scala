@@ -186,6 +186,16 @@ class LinkGraphSpec extends SparkSpec {
     assert(out.count() === 2)
   }
 
+  test("pageRankInt: integer-floor starvation guard rejects undersized scale") {
+    // 3 nodes at scale 2000 = ~666 units/node, under the 1000 floor:
+    // loud, with the fix (raise scale) in the message
+    val e = edges(("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L))
+    val ex = intercept[IllegalArgumentException] {
+      LinkGraph.pageRankInt(e, iters = 1, scale = 2000L)
+    }
+    assert(ex.getMessage.contains("raise scale"))
+  }
+
   test("pageRankInt: weights steer mass proportionally") {
     // a splits 3:1 between b and c -> b ends above c
     val e = edges(("a", "b", 3L), ("a", "c", 1L),
