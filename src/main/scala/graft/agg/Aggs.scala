@@ -255,47 +255,218 @@ object Aggs {
     df.agg(
       percentile_approx(col(field), lit(0.5), lit(10000)).as("p50_approx"))
 
-  /** Exact interpolated percentiles by DISTRIBUTED sort + positional
-    * selection — same values as `percentile(...)` (and the oracle's
-    * quantile_cont), different plan: Spark's exact percentile agg
-    * merges a value->count map of the whole column into ONE reducer,
-    * which is the last single-node bottleneck at scale. Here the
-    * column goes through a range-partitioned sort (TeraSort shape —
-    * every partition sorts locally after a sampled range exchange),
-    * `zipWithIndex` assigns global positions with one count job, and
-    * only the <= 2*|qs| boundary values reach the driver. The
-    * interpolation is Spark's own lower + (upper-lower)*frac, which
-    * the existing oracle hash-match shows agrees with quantile_cont.
+  /** Exact interpolated percentiles WITHOUT a global sort (r17): the
+    * r16 form range-partition-sorted the whole column (a full-column
+    * Exchange) and ran ~4 jobs (sample, count, zipWithIndex, pick);
+    * this form is two MAP-ONLY passes and zero shuffles.
+    *
+    *   Pass 1 — per partition: sort the projected column locally and
+    *   emit (count, nanCount, stride, every stride-th sorted value).
+    *   A sample value at local sample index j has EXACT local rank
+    *   j*stride, so for any x the global-rank error of the merged
+    *   sample is bounded by Σ_p stride_p — a deterministic guarantee,
+    *   not a probabilistic one.
+    *   Pass 2 — per partition: for the (merged, disjoint) candidate
+    *   intervals derived from that bound, count values strictly below
+    *   each interval and collect the values inside it. The true k-th
+    *   order statistic is provably inside its interval, so the driver
+    *   resolves exact positions from interval offsets + a local sort
+    *   of the collected values.
+    *
+    * Same values as `percentile(...)` / the oracle's quantile_cont
+    * (lower + (upper-lower)*frac on exact order statistics). Driver
+    * data stays bounded: P*C sample doubles + ~2*n/C in-bracket
+    * doubles (C = per-partition sample cap); columns that are massive
+    * runs of one value short-circuit (lo == hi needs no collection).
+    * If a pathological distribution still over-fills an interval, the
+    * pass re-runs with the interval refined by its own sample —
+    * deterministic, and never triggered by sane data.
     */
   def percentilesExactDistributed(
-      df: DataFrame, field: String, qs: Seq[(String, Double)]): DataFrame = {
+      df: DataFrame, field: String, qs: Seq[(String, Double)],
+      sampleCap: Int = 65536): DataFrame = {
     val spark = df.sparkSession
     val vals = df.select(col(field).cast("double").as("v")).where(col("v").isNotNull)
-    // one sort, cached: the count job and the selection job share it
-    val sorted = vals.orderBy(col("v")).rdd.map(_.getDouble(0))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val n = sorted.count()
-      require(n > 0, s"percentiles over empty column $field")
-      val positions = qs.map { case (_, q) =>
-        val pos = (n - 1) * q
-        (math.floor(pos).toLong, math.ceil(pos).toLong, pos)
+    val rdd = vals.queryExecution.toRdd.map(_.getDouble(0))
+    // per-partition sample cap: balances the sample collect (P*C
+    // doubles) against the bracket width (~n/C ranks); 64k doubles
+    // gives stride 1 (exact) up to 64k-row partitions and ~1.5e7-rank
+    // brackets at n = 1e12. Parameterized so tests can force wide
+    // brackets through the count/collect path.
+    val C = sampleCap
+    // ---- pass 1: local sort + stride sample (positions 0, s, 2s, ...,
+    // and always the last element, so the global max is representable) ----
+    case class PartStat(n: Long, nan: Long, stride: Long,
+        sample: Array[Double], gaps: Array[Long])
+    val stats = rdd.mapPartitions { it =>
+      var nan = 0L
+      var buf = new Array[Double](1024)
+      var n = 0
+      while (it.hasNext) {
+        val v = it.next()
+        if (java.lang.Double.isNaN(v)) nan += 1
+        else {
+          if (n == buf.length) buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+          buf(n) = v; n += 1
+        }
       }
-      val needed = positions.flatMap(p => Seq(p._1, p._2)).toSet
-      val picked = sorted.zipWithIndex()
-        .filter { case (_, i) => needed.contains(i) }
-        .map(_.swap).collect().toMap // <= 2*|qs| scalars
-      val row = org.apache.spark.sql.Row.fromSeq(positions.map {
-        case (lo, hi, pos) =>
-          val l = picked(lo); val h = picked(hi)
-          Num.roundDouble(l + (h - l) * (pos - lo), 4)
-      })
-      spark.createDataFrame(
-        java.util.List.of(row),
-        org.apache.spark.sql.types.StructType(qs.map { case (name, _) =>
-          org.apache.spark.sql.types.StructField(name, org.apache.spark.sql.types.DoubleType)
-        }))
-    } finally sorted.unpersist(blocking = false)
+      java.util.Arrays.sort(buf, 0, n) // IEEE order; NaN already split out
+      val stride = math.max(1L, math.ceil(n.toDouble / C).toLong)
+      val pos = (Iterator.range(0, n, stride.toInt) ++
+        (if (n > 0 && (n - 1) % stride != 0) Iterator.single(n - 1) else Iterator.empty)).toArray
+      val sample = pos.map(buf(_))
+      // gap(j) = pos(j) - pos(j-1) (first gap = pos(0)+1 = 1): summing
+      // gaps of samples with value <= v gives an exact LOWER bound of
+      // countBelowOrEq(v), and gaps of samples < v a LOWER bound of
+      // countBelow(v) — the two sides of the bracket guarantee
+      val gaps = pos.indices.map(j =>
+        if (j == 0) 1L else (pos(j) - pos(j - 1)).toLong).toArray
+      Iterator.single(PartStat(n.toLong, nan, stride, sample, gaps))
+    }.collect()
+    val nNon = stats.map(_.n).sum
+    val nNan = stats.map(_.nan).sum
+    val n = nNon + nNan
+    require(n > 0, s"percentiles over empty column $field")
+    // merged samples grouped by value with cumulative gap weights:
+    //   cumBefore(g) = Σ gaps of samples with value <  g  (=: Gs)
+    //   cumThrough(g) = Σ gaps of samples with value <= g (=: G)
+    // Provable bounds (per partition, A sorted, sample j at index p_j):
+    //   A[p_j] < v  ⟹ countBelow >= p_j + 1  ⟹ countBelow(v)  >= Gs(v)
+    //   A[p_j] <= v ⟹ countBelowOrEq >= p_j+1 ⟹ countBelowOrEq(v) >= G(v)
+    //   first sample >= v at p_j' ⟹ countBelow <= p_j' ⟹
+    //     countBelow(v) <= Gs(v) + E  with E = Σ_p stride_p
+    val entries = stats.flatMap(s => s.sample.zip(s.gaps)).sortBy(_._1)
+    val (grpVals, grpCumBefore, grpCumThrough) = {
+      val vsB = Array.newBuilder[Double]
+      val cbB = Array.newBuilder[Long]
+      val ctB = Array.newBuilder[Long]
+      var acc = 0L; var i = 0
+      while (i < entries.length) {
+        val v = entries(i)._1
+        val before = acc
+        while (i < entries.length && entries(i)._1 == v) { acc += entries(i)._2; i += 1 }
+        vsB += v; cbB += before; ctB += acc
+      }
+      (vsB.result(), cbB.result(), ctB.result())
+    }
+    val eBound = stats.filter(_.n > 0).map(_.stride).sum
+    // bracket lo for rank k: largest sample value with Gs(v) <= k
+    // (then countBelow(lo) could still exceed... no: lo <= val_k iff
+    // countBelow(lo) <= k; countBelow(lo) <= Gs(lo) + E, so demand
+    // Gs(v) <= k - E; fall back to the global min sample, whose
+    // countBelow is exactly 0)
+    def bracketLo(k: Long): Double = {
+      val target = k - eBound
+      // largest index with cumBefore <= target
+      var lo = 0; var hi = grpVals.length - 1; var ans = 0
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (grpCumBefore(mid) <= target) { ans = mid; lo = mid + 1 } else hi = mid - 1
+      }
+      grpVals(ans)
+    }
+    // bracket hi for rank k: smallest sample value with G(v) >= k+1
+    // (countBelowOrEq(hi) >= G(hi) >= k+1 ⟹ val_k <= hi); the global
+    // max sample has G = nNon, so it always qualifies
+    def bracketHi(k: Long): Double = {
+      val target = k + 1
+      var lo = 0; var hi = grpVals.length - 1; var ans = grpVals.length - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (grpCumThrough(mid) >= target) { ans = mid; hi = mid - 1 } else lo = mid + 1
+      }
+      grpVals(ans)
+    }
+    def cumBeforeOf(v: Double): Long = {
+      val i = java.util.Arrays.binarySearch(grpVals, v)
+      if (i >= 0) grpCumBefore(i) else 0L
+    }
+    val positions = qs.map { case (_, q) =>
+      val pos = (n - 1) * q
+      (math.floor(pos).toLong, math.ceil(pos).toLong, pos)
+    }
+    val neededNonNan = positions.flatMap(p => Seq(p._1, p._2))
+      .filter(_ < nNon).distinct.sorted
+    // ---- pass 2: count-below + bounded collect inside the intervals ----
+    var resolved = Map.empty[Long, Double]
+    if (neededNonNan.nonEmpty && nNon > 0) {
+      val intervals = neededNonNan.map(k => (k, bracketLo(k), bracketHi(k)))
+      // exact shortcut: a collapsed interval IS the order statistic
+      // (massive-duplicate columns never collect anything)
+      val (flat, open) = intervals.partition { case (_, lo, hi) => lo == hi }
+      resolved ++= flat.map { case (k, lo, _) => k -> lo }
+      if (open.nonEmpty) {
+        // merge overlapping intervals so the pass scans values once;
+        // each keeps the max needed rank for its retain cap
+        val sortedIv = open.map { case (k, lo, hi) => (lo, hi, k) }.sortBy(_._1)
+        val mergedIv = sortedIv.foldLeft(List.empty[(Double, Double, Long)]) {
+          case (acc, (lo, hi, k)) => acc match {
+            case (alo, ahi, ak) :: rest if lo <= ahi =>
+              (alo, math.max(ahi, hi), math.max(ak, k)) :: rest
+            case _ => (lo, hi, k) :: acc
+          }
+        }.reverse.toArray
+        // per-partition retain cap: the needed in-interval index is
+        // k - countBelow(ivLo) <= k - Gs(ivLo), so the cap-smallest
+        // values per partition are a superset of every needed rank
+        val caps = mergedIv.map { case (lo, _, kMax) =>
+          val cap = kMax - cumBeforeOf(lo) + 1
+          require(cap > 0 && cap <= Int.MaxValue, s"percentile cap out of range: $cap")
+          cap.toInt
+        }
+        val ivB = spark.sparkContext.broadcast((mergedIv.map(iv => (iv._1, iv._2)), caps))
+        val perIv = rdd.mapPartitions { it =>
+          val (iv, cp) = ivB.value
+          val below = new Array[Long](iv.length)
+          // bounded max-heap per interval: keep the cap smallest
+          val heaps = cp.map(c => new java.util.PriorityQueue[java.lang.Double](
+            java.util.Comparator.reverseOrder[java.lang.Double]()))
+          while (it.hasNext) {
+            val v = it.next()
+            if (!java.lang.Double.isNaN(v)) {
+              var j = 0
+              while (j < iv.length) {
+                if (v < iv(j)._1) below(j) += 1
+                else if (v <= iv(j)._2) {
+                  val h = heaps(j)
+                  if (h.size < cp(j)) h.add(v)
+                  else if (v < h.peek()) { h.poll(); h.add(v) }
+                }
+                j += 1
+              }
+            }
+          }
+          Iterator.single((below, heaps.map { h =>
+            val a = new Array[Double](h.size)
+            var i = 0; while (!h.isEmpty) { a(i) = h.poll(); i += 1 }
+            a
+          }))
+        }.collect()
+        ivB.destroy()
+        for (j <- mergedIv.indices) {
+          val below = perIv.map(_._1(j)).sum
+          val vsArr = perIv.flatMap(_._2(j))
+          java.util.Arrays.sort(vsArr)
+          for ((k, lo, hi) <- open if lo >= mergedIv(j)._1 && hi <= mergedIv(j)._2) {
+            val idx = k - below
+            require(idx >= 0 && idx < vsArr.length,
+              s"percentile bracket missed rank $k (below=$below, in=${vsArr.length})")
+            resolved += k -> vsArr(idx.toInt)
+          }
+        }
+      }
+    }
+    def at(k: Long): Double = if (k >= nNon) Double.NaN else resolved(k)
+    val row = org.apache.spark.sql.Row.fromSeq(positions.map {
+      case (lo, hi, pos) =>
+        val l = at(lo); val h = at(hi)
+        Num.roundDouble(l + (h - l) * (pos - lo), 4)
+    })
+    spark.createDataFrame(
+      java.util.List.of(row),
+      org.apache.spark.sql.types.StructType(qs.map { case (name, _) =>
+        org.apache.spark.sql.types.StructField(name, org.apache.spark.sql.types.DoubleType)
+      }))
   }
 
   /** `{"cardinality": {"field": f}}` — exact for the oracle; the ES

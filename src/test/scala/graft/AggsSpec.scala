@@ -144,6 +144,39 @@ class AggsSpec extends SparkSpec {
     assert(p.getAs[Double]("p50") == 3.5)
   }
 
+  test("distributed exact percentiles: bracket selection matches percentile()") {
+    // r17 shuffle-free rewrite: per-partition sorted sampling + one
+    // count/collect pass. Deterministic synthetic column with heavy
+    // duplicates and a skewed tail, spread over several partitions.
+    val big = spark.range(0, 20001, 1, 7)
+      .selectExpr("CAST(CASE WHEN id % 5 = 0 THEN 42 ELSE (id * 37) % 1999 END AS DOUBLE) AS v")
+    val qs = Seq("p01" -> 0.01, "p25" -> 0.25, "p50" -> 0.5,
+      "p90" -> 0.9, "p999" -> 0.999, "min" -> 0.0, "max" -> 1.0)
+    val expect = big.selectExpr(
+      qs.map { case (n, q) => s"round(percentile(v, $q), 4) AS $n" }: _*)
+      .collect().head
+    // tiny sampleCap forces wide brackets => the heap-capped
+    // count/collect path (not just the collapsed-interval shortcut)
+    for (cap <- Seq(8, 64, 65536)) {
+      val got = Aggs.percentilesExactDistributed(big, "v", qs, sampleCap = cap)
+        .collect().head
+      qs.indices.foreach { i =>
+        assert(got.getDouble(i) == expect.getDouble(i),
+          s"cap=$cap q=${qs(i)._1}: got ${got.getDouble(i)} want ${expect.getDouble(i)}")
+      }
+    }
+    // massive-duplicate column: collapsed intervals short-circuit
+    val const = spark.range(0, 5000, 1, 4).selectExpr("CAST(7 AS DOUBLE) AS v")
+    val c = Aggs.percentilesExactDistributed(const, "v",
+      Seq("p50" -> 0.5), sampleCap = 4).collect().head
+    assert(c.getDouble(0) == 7.0)
+    // two-value interpolation at an off-grid quantile
+    val two = Seq(1.0, 2.0).toDF("v")
+    val t = Aggs.percentilesExactDistributed(two, "v", Seq("p75" -> 0.75))
+      .collect().head
+    assert(t.getDouble(0) == 1.75)
+  }
+
   test("t-digest percentiles: rank-error bound + small-n exactness") {
     import graft.agg.TDigest
     // small n (< one centroid buffer): digest is exact-interpolated,
