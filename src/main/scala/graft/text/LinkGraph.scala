@@ -24,8 +24,8 @@ import graft.util.Stages
   *     join key) + one partial-aggregated groupBy on dst; the only
   *     driver values are N (one count over the host-cardinality node
   *     frame) and the per-iteration 1-row dangling-mass aggregate,
-  *     which re-enters the plan as a broadcast — no rank frame is ever
-  *     collected. Lineage is cut per iteration via Stages.truncate
+  *     which re-enters the next round as a literal — no rank frame is
+  *     ever collected. Lineage is cut per iteration via Stages.truncate
   *     (the r16 BPE lesson: accreting iteration lineage OOMs the
   *     driver on Catalyst re-analysis long before data size matters).
   *
@@ -149,12 +149,29 @@ object LinkGraph {
   def pageRankInt(edges: DataFrame, iters: Int = 3, dampNum: Long = 85,
       dampDen: Long = 100, scale: Long = 1000000L): DataFrame = {
     val spark = edges.sparkSession
-    val e = edges.select(col("src_host"), col("dst_host"),
-      col("weight").cast("long").as("w"))
+    // materialize the edge frame once: it feeds outW, the fused edge
+    // table AND the node set, and upstream of it sits the page-bytes
+    // extraction walk — without the cut that walk would run once per
+    // consumer
+    val e = Stages.truncate(edges.select(col("src_host"), col("dst_host"),
+      col("weight").cast("long").as("w")))
+    val outW = e.groupBy(col("src_host").as("host"))
+      .agg(sum(col("w")).as("outw"))
+    // r17: the iteration body used to re-join outW and re-derive the
+    // dangling set (a left_anti) EVERY round — 3 extra exchanges per
+    // iteration. Fuse the source's total out-weight into the edge
+    // table once, and carry an is-dangling flag inside the rank frame,
+    // so one round is exactly one join + one groupBy.
+    val e2 = Stages.truncate(
+      e.join(outW.withColumnRenamed("host", "src_host"), Seq("src_host"))
+        .repartition(col("src_host")))
     val nodes = e.select(col("src_host").as("host"))
       .union(e.select(col("dst_host").as("host"))).distinct()
-    val nodesT = Stages.truncate(nodes)
-    val n = nodesT.count() // host-cardinality scalar: the one sizing count
+    val nodesF = Stages.truncate(
+      nodes.join(outW.select(col("host"), lit(true).as("has_out")),
+          Seq("host"), "left_outer")
+        .select(col("host"), col("has_out").isNull.as("dangling")))
+    val n = nodesF.count() // host-cardinality scalar: the one sizing count
     require(n > 0, "pageRankInt: empty graph")
     // integer ranks starve when a node's share of `scale` is a handful
     // of units (floors eat the whole signal): demand >= ~1000 units
@@ -165,29 +182,28 @@ object LinkGraph {
       s"pageRankInt: scale $scale gives under 1000 micro-units per node " +
         s"for $n nodes - raise scale (e.g. ${n * 100000L}) so integer " +
         "floors can't starve the rank signal")
-    val outW = e.groupBy(col("src_host").as("host"))
-      .agg(sum(col("w")).as("outw"))
-    val outWT = Stages.truncate(outW)
     val base = (dampDen - dampNum) * scale / (dampDen * n)
-    var ranks = nodesT.select(col("host"), lit(scale / n).as("rank"))
+    var ranks = nodesF.select(col("host"), col("dangling"),
+      lit(scale / n).as("rank"))
     for (_ <- 0 until iters) {
-      // dangling mass re-enters as a broadcast 1-row aggregate — no
-      // rank ever reaches the driver
-      val dangling = ranks.join(outWT, Seq("host"), "left_anti")
-        .agg(coalesce(sum(col("rank")), lit(0L)).as("dmass"))
-      val contribs = ranks.join(outWT, Seq("host"))
-        .join(e, ranks("host") === e("src_host"))
-        .select(col("dst_host").as("host"),
+      // dangling mass: one 1-row aggregate over the truncated rank
+      // frame, returned as a driver scalar (no rank VALUES ever reach
+      // the driver — one long does); both operands nonnegative, so
+      // Scala / == SQL div
+      val dmass = ranks.where(col("dangling"))
+        .agg(coalesce(sum(col("rank")), lit(0L))).head().getLong(0)
+      val fixed = base + dmass * dampNum / (dampDen * n)
+      val contribs = ranks.join(e2, ranks("host") === e2("src_host"))
+        .select(e2("dst_host").as("host"),
           expr(s"(rank * w * ${dampNum}L) div (${dampDen}L * outw)")
             .as("contrib"))
         .groupBy(col("host")).agg(sum(col("contrib")).as("cin"))
       ranks = Stages.truncate(
-        nodesT.join(contribs, Seq("host"), "left_outer")
-          .crossJoin(broadcast(dangling))
-          .select(col("host"),
-            (lit(base) + expr(s"(dmass * ${dampNum}L) div (${dampDen}L * ${n}L)") +
-              coalesce(col("cin"), lit(0L))).as("rank")))
+        ranks.select(col("host"), col("dangling"))
+          .join(contribs, Seq("host"), "left_outer")
+          .select(col("host"), col("dangling"),
+            (lit(fixed) + coalesce(col("cin"), lit(0L))).as("rank")))
     }
-    ranks
+    ranks.select(col("host"), col("rank"))
   }
 }
