@@ -828,7 +828,7 @@ private[graft] object EntriesPipeline {
         lit("</lastmod></url><url><loc>https://corpus.test/doc/"),
         col("doc_id"), lit("/amp</loc><lastmod>2026-02-"), day2,
         lit("</lastmod></url></urlset>"))
-      t(s, d, "documents")
+      graft.util.Stages.fanOut(t(s, d, "documents"))
         .select(col("doc_id"), xml.as("xml"))
         .select(col("doc_id"),
           expr("posexplode(arrays_zip(" +
@@ -1015,7 +1015,7 @@ private[graft] object EntriesPipeline {
     // field replays from generation arithmetic, so both xpath walks
     // and the loc join are what sit under the hash
     "q_sitemap_index" -> ((s, d) => {
-      val docs = t(s, d, "documents")
+      val docs = graft.util.Stages.fanOut(t(s, d, "documents"))
       val childXml = concat(
         lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
           "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +

@@ -840,12 +840,31 @@ object Jpeg {
     * in scope since r16) to grayscale. Lossless, hierarchical and
     * arithmetic-coded SOFs reject loudly. Color inputs fold to
     * luminance via the JDK's gray color space. */
+  // Per-thread cached JPEG reader/writer (r17): ImageIO.read and
+  // getImageWritersByFormatName walk the synchronized IIORegistry per
+  // call, and the InputStream overload additionally spools through a
+  // DISK-cache temp file — under a 32-task decode stage the registry
+  // lock and temp-file churn serialize the whole stage. One
+  // reader/writer per task thread, memory-cache streams, same JDK
+  // plugin, bit-identical pixels.
+  private val jpegReaderTL = ThreadLocal.withInitial[javax.imageio.ImageReader](() =>
+    javax.imageio.ImageIO.getImageReadersByFormatName("jpeg").next())
+  private val jpegWriterTL = ThreadLocal.withInitial[javax.imageio.ImageWriter](() =>
+    javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next())
+  private def readJpegCached(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val reader = jpegReaderTL.get()
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try { reader.setInput(iis, true, true); reader.read(0) }
+    finally { reader.setInput(null); iis.close() }
+  }
+
   def decodeGray(bytes: Array[Byte]): Png.Image = {
     val (sof, w, h, _) = sofInfo(bytes)
     require(sof == 0xc0 || sof == 0xc1 || sof == 0xc2,
       s"only Huffman sequential/progressive JPEG in scope (SOF0/SOF1/SOF2), " +
         s"got SOF${sof - 0xc0} (lossless/hierarchical/arithmetic)")
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val img = readJpegCached(bytes)
     require(img != null, "ImageIO could not decode the JPEG stream")
     require(img.getWidth == w && img.getHeight == h,
       s"SOF dims ${w}x$h disagree with decoded raster ${img.getWidth}x${img.getHeight}")
@@ -874,7 +893,7 @@ object Jpeg {
     require(sof == 0xc0 || sof == 0xc1 || sof == 0xc2,
       s"only Huffman sequential/progressive JPEG in scope (SOF0/SOF1/SOF2), " +
         s"got SOF${sof - 0xc0} (lossless/hierarchical/arithmetic)")
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val img = readJpegCached(bytes)
     require(img != null, "ImageIO could not decode the JPEG stream")
     require(img.getWidth == w && img.getHeight == h,
       s"SOF dims ${w}x$h disagree with decoded raster ${img.getWidth}x${img.getHeight}")
@@ -926,7 +945,7 @@ object Jpeg {
   private def writeJfif(
       img: java.awt.image.BufferedImage, quality: Float,
       progressive: Boolean = false): Array[Byte] = {
-    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val writer = jpegWriterTL.get()
     val params = writer.getDefaultWriteParam
     params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     params.setCompressionQuality(quality)
@@ -937,11 +956,13 @@ object Jpeg {
       params.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
     val bos = new java.io.ByteArrayOutputStream(
       img.getWidth * img.getHeight / 2 + 1024)
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    // memory-cache output stream: createImageOutputStream defaults to a
+    // disk-backed cache file per encode
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
     try {
       writer.setOutput(ios)
       writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
-    } finally { writer.dispose(); ios.close() }
+    } finally { writer.setOutput(null); ios.close() }
     bos.toByteArray
   }
 

@@ -88,7 +88,7 @@ object Multimodal {
     // "no videos" — an empty result would be indistinguishable
     require(n > 0, s"sampleFrames needs n > 0 frames, got $n")
     val svc = graft.inference.Inference.service
-    media.select("media_id", "payload")
+    graft.util.Stages.fanOut(media.select("media_id", "payload"))
       .where(col("payload").isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
@@ -111,7 +111,7 @@ object Multimodal {
     import spark.implicits._
     require(w > 0 && h > 0, s"resize needs positive target dims, got ${w}x$h")
     val svc = graft.inference.Inference.service
-    media.select("media_id", "mime", "payload")
+    graft.util.Stages.fanOut(media.select("media_id", "mime", "payload"))
       .where(col("payload").isNotNull)
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
@@ -433,7 +433,7 @@ object Multimodal {
     * full codec swaps into identical plumbing. */
   def decodeContainerMeta(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
-    media.select("media_id", "payload")
+    graft.util.Stages.fanOut(media.select("media_id", "payload"))
       .where(col("payload").isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) =>
@@ -458,7 +458,7 @@ object Multimodal {
     * `pxOf`/`sampleOf`, so the decode side is verifiable end-to-end. */
   def pixelMediaTable(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    graft.util.Stages.fanOut(docs.select(col("doc_id"))).as[Long].mapPartitions(_.map { id =>
       if (id % 2 == 0) {
         val w = (id % 48 + 8).toInt; val h = (id % 32 + 8).toInt
         val px = new Array[Byte](w * h)
@@ -482,7 +482,7 @@ object Multimodal {
     * stats are integer-exact so the oracle can re-derive them. */
   def decodePixelStats(spark: SparkSession, media: DataFrame): Dataset[PixelStats] = {
     import spark.implicits._
-    media.select("media_id", "payload")
+    graft.util.Stages.fanOut(media.select("media_id", "payload"))
       .where(col("payload").isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) =>
@@ -505,7 +505,7 @@ object Multimodal {
     * what lets the oracle state the expected spectrum analytically. */
   def toneMediaTable(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    graft.util.Stages.fanOut(docs.select(col("doc_id"))).as[Long].mapPartitions(_.map { id =>
       val b = (id % 100 + 1).toInt
       val s = Array.tabulate(256)(i =>
         math.round(1000.0 * math.sin(2.0 * math.Pi * b * i / 256.0)).toShort)
@@ -524,7 +524,7 @@ object Multimodal {
     import spark.implicits._
     require(window > 0 && (window & (window - 1)) == 0,
       s"FFT window must be a power of two, got $window")
-    media.select("media_id", "payload")
+    graft.util.Stages.fanOut(media.select("media_id", "payload"))
       .where(col("payload").isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) =>
@@ -541,7 +541,7 @@ object Multimodal {
     * analysis must. Same generation contract as `toneMediaTable`. */
   def chirpMediaTable(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    graft.util.Stages.fanOut(docs.select(col("doc_id"))).as[Long].mapPartitions(_.map { id =>
       val b1 = (id % 60 + 1).toInt; val b2 = b1 + 40
       val s = Array.tabulate(512) { i =>
         val b = if (i < 256) b1 else b2
@@ -563,7 +563,7 @@ object Multimodal {
     require(window > 0 && (window & (window - 1)) == 0,
       s"FFT window must be a power of two, got $window")
     require(hop > 0, s"hop must be positive, got $hop")
-    media.select("media_id", "payload")
+    graft.util.Stages.fanOut(media.select("media_id", "payload"))
       .where(col("payload").isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, payload) =>
@@ -591,7 +591,7 @@ object Multimodal {
     * or interleave bug anywhere breaks exactly one channel's hash. */
   def rgbMediaTable(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    graft.util.Stages.fanOut(docs.select(col("doc_id"))).as[Long].mapPartitions(_.map { id =>
       val w = (id % 24 + 4).toInt; val h = (id % 16 + 4).toInt
       val px = new Array[Byte](w * h * 3)
       var y = 0
@@ -613,7 +613,7 @@ object Multimodal {
   /** Decode RGB payloads and fold PER-CHANNEL sums. */
   def decodeRgbStats(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
-    media.select("media_id", "payload")
+    graft.util.Stages.fanOut(media.select("media_id", "payload"))
       .where(col("payload").isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) =>
@@ -639,7 +639,7 @@ object Multimodal {
     * PLTE indices, not just pass raster bytes through. */
   def paletteMediaTable(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    graft.util.Stages.fanOut(docs.select(col("doc_id"))).as[Long].mapPartitions(_.map { id =>
       val w = (id % 24 + 4).toInt; val h = (id % 16 + 4).toInt
       val pal = new Array[Byte](64 * 3)
       var j = 0
@@ -669,7 +669,7 @@ object Multimodal {
     * single-fault isolation the RGB channel key gives images. */
   def stereoMediaTable(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    graft.util.Stages.fanOut(docs.select(col("doc_id"))).as[Long].mapPartitions(_.map { id =>
       val n = (id % 200 + 32).toInt
       val l = Array.tabulate(n)(i => ((id * 13 + i.toLong * 7) % 4096 - 2048).toShort)
       val r = Array.tabulate(n)(i => ((id * 19 + i.toLong * 11) % 4096 - 2048).toShort)
@@ -681,7 +681,7 @@ object Multimodal {
     * of `decodeRgbStats`. */
   def decodeStereoStats(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
-    media.select("media_id", "payload")
+    graft.util.Stages.fanOut(media.select("media_id", "payload"))
       .where(col("payload").isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) =>
@@ -702,7 +702,7 @@ object Multimodal {
       spark: SparkSession, media: DataFrame, w2: Int, h2: Int): Dataset[PixelStats] = {
     import spark.implicits._
     require(w2 > 0 && h2 > 0, s"bad target dims ${w2}x$h2")
-    media.select("media_id", "payload")
+    graft.util.Stages.fanOut(media.select("media_id", "payload"))
       .where(col("payload").isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) =>
@@ -722,7 +722,7 @@ object Multimodal {
     * `pxFrame`, so frame sampling downstream is verifiable per frame. */
   def gifMediaTable(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    graft.util.Stages.fanOut(docs.select(col("doc_id"))).as[Long].mapPartitions(_.map { id =>
       val w = (id % 24 + 4).toInt; val h = (id % 16 + 4).toInt
       val n = (id % 5 + 2).toInt
       val frames = (0 until n).map { f =>
@@ -749,7 +749,7 @@ object Multimodal {
     * NOT multiples of 8, so the MCU edge-padding path is exercised. */
   def jpegMediaTable(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    graft.util.Stages.fanOut(docs.select(col("doc_id"))).as[Long].mapPartitions(_.map { id =>
       val w = (id % 21 + 12).toInt
       val h = (id % 13 + 10).toInt
       val px = new Array[Byte](w * h)
@@ -782,7 +782,7 @@ object Multimodal {
     * persisted beside the bytes, same lossy-codec contract. */
   def jpegRgbMediaTable(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    graft.util.Stages.fanOut(docs.select(col("doc_id"))).as[Long].mapPartitions(_.map { id =>
       val w = (id % 19 + 10).toInt
       val h = (id % 11 + 9).toInt
       val rgb = new Array[Byte](w * h * 3)
@@ -815,7 +815,7 @@ object Multimodal {
   /** Per-channel sums recomputed by DECODING each color payload. */
   def jpegRgbPixelStats(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
-    media.select("media_id", "payload")
+    graft.util.Stages.fanOut(media.select("media_id", "payload"))
       .where(col("payload").isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) =>
@@ -836,7 +836,7 @@ object Multimodal {
     * payload — map-only, payloads never shuffle. */
   def jpegPixelStats(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
-    media.select("media_id", "payload")
+    graft.util.Stages.fanOut(media.select("media_id", "payload"))
       .where(col("payload").isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) =>
@@ -858,7 +858,7 @@ object Multimodal {
   def gifFrameStats(spark: SparkSession, media: DataFrame, stride: Int): DataFrame = {
     import spark.implicits._
     require(stride > 0, s"bad stride $stride")
-    media.select("media_id", "payload")
+    graft.util.Stages.fanOut(media.select("media_id", "payload"))
       .where(col("payload").isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, payload) =>

@@ -66,7 +66,7 @@ object Dsir {
     * double->decimal(18,4) cast). */
   def fitBucketModel(raw: DataFrame, targetPred: Column,
       idCol: String, textCol: String, buckets: Int): Array[Long] = {
-    val counts = raw
+    val counts = graft.util.Stages.fanOut(raw)
       .select(targetPred.as("__tgt"), explode(ngrams(col(textCol))).as("g"))
       .select(col("__tgt"), featureBucket(col("g"), buckets).as("b"))
       .groupBy("b").agg(
@@ -120,7 +120,10 @@ object Dsir {
     val ng = ngrams(col(textCol))
     val sumScaled = GraftBridge.column(
       DsirScoreSum(GraftBridge.expression(ng), model))
-    raw
+    // the scoring pass hashes every feature n-gram of every doc — fan
+    // the tiny-input case out so the kernel isn't pinned to the 1-2
+    // splits a single-row-group corpus file scans as
+    graft.util.Stages.fanOut(raw)
       .where(size(ng) > 0)
       .select(col(idCol),
         (sumScaled.cast("double") / 10000.0).as("log_weight"))

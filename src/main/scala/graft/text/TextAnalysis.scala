@@ -801,7 +801,7 @@ object TextAnalysis {
       docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.GraftBridge
     import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(
+    val toks = graft.util.Stages.fanOut(docs).select(
       col(idCol).as("id"), Analyzer.tokens(col(textCol)).as("toks"))
     val wf = GraftBridge.column(graft.expr.WindowFingerprints(
       GraftBridge.expression(col("toks")), k))

@@ -25,4 +25,22 @@ object Stages {
   def truncate(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()
+
+  /** Scale-adaptive fan-out for CPU-bound map kernels (r17): a tiny
+    * input (single-row-group parquet, a just-written sidecar file)
+    * scans as 1-2 splits, so a decode/tokenize/score kernel downstream
+    * runs on 1-2 of the session's cores. When the input's size
+    * ESTIMATE is under cores x 4 MB, round-robin repartition to the
+    * default parallelism so the per-row compute uses the machine; the
+    * shuffled bytes are bounded by the same guard. Above the
+    * threshold the input already splits past the core count and this
+    * is the identity — at 100 TB the guard never fires and no
+    * exchange is added. Decision reads the plan's stats estimate;
+    * it never runs a job. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes < BigInt(target.toLong * 4L * 1024 * 1024)) df.repartition(target)
+    else df
+  }
 }

@@ -368,10 +368,14 @@ class DedupSpec extends SparkSpec {
       s"target-mean ${means(true)} should beat non-target ${means(false)}")
     // scale shape: scoring against the fitted model is MAP-ONLY — the
     // dense log-ratio table rides into the compiled kernel as a
-    // codegen reference, so the plan has no exchange, no join, and no
-    // explode (the fit pass pays the one bucket-bounded exchange)
+    // codegen reference, so the plan has no key-based exchange, no
+    // join, and no explode (the fit pass pays the one bucket-bounded
+    // exchange). The r17 fan-out may add ONE round-robin repartition
+    // on tiny inputs (it is the identity at scale); any hash/range
+    // exchange would still mean a per-key shuffle snuck in.
     val plan = w.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange") && !plan.contains("Generate"), plan.take(2000))
+    assert(!plan.contains("hashpartitioning") && !plan.contains("rangepartitioning")
+      && !plan.contains("Generate"), plan.take(2000))
     // resampling is deterministic and k-bounded
     val r1 = Dsir.resampleTopK(w, "doc_id", 20).as[(Long, Double, Double)].collect()
     val r2 = Dsir.resampleTopK(w, "doc_id", 20).as[(Long, Double, Double)].collect()
