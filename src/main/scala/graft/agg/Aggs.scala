@@ -1793,28 +1793,37 @@ object Aggs {
       itemCol: String,
       minSupport: Long,
       maxBasketItems: Int = 10000): DataFrame = {
-    val items = baskets
-      .select(col(basketCol).as("b"), col(itemCol).as("item")).distinct()
-    // A-Priori screen: frequent-item frame is tiny post-filter, so AQE
-    // turns the prune join into a broadcast
-    val freq = items.groupBy(col("item"))
-      .agg(count(lit(1)).as("item_freq"))
+    val items = baskets.select(col(basketCol).as("b"), col(itemCol).as("item"))
+    // one basket-keyed exchange builds the distinct item set per basket
+    // (collect_set partial-aggregates, so map-side rows arrive deduped);
+    // the freq branch and the prune branch share it via ReusedExchange
+    val sets0 = items.groupBy(col("b")).agg(collect_set(col("item")).as("its0"))
+    // A-Priori screen from the sets: explode emits exactly one row per
+    // DISTINCT (basket, item), so item_freq is the distinct-basket count
+    val freq = sets0.select(explode(col("its0")).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("item_freq"))
       .where(col("item_freq") >= minSupport)
-    val prunedAll = items.join(freq.select(col("item")), Seq("item"), "left_semi")
-    // degenerate-basket guard: post-prune sizes over the cap drop the
-    // basket. An UNORDERED window count computes the size on the same
-    // hash(b) exchange the self-join consumes — a local per-partition
-    // pass, measured ~0.8 s at sf0.1 vs ~2 s for a dedicated
-    // groupBy(b)+anti-join guard pass
-    val wB = Window.partitionBy(col("b"))
-    val pruned = prunedAll
-      .withColumn("_bsz", count(lit(1)).over(wB))
-      .where(col("_bsz") <= maxBasketItems)
-      .select(col("b"), col("item"))
-    val a = pruned.select(col("b"), col("item").as("item1"))
-    val bb = pruned.select(col("b"), col("item").as("item2"))
-    a.join(bb, Seq("b"))
-      .where(col("item1") < col("item2"))
+    // prune each basket to frequent items (semi join on the exploded
+    // rows — the post-filter freq frame is tiny, AQE broadcasts it),
+    // re-group, and drop degenerate baskets whose POST-PRUNE size
+    // exceeds the cap (same drop-whole-basket semantics as before;
+    // size(its) replaces the r16 window count). Baskets under 2 items
+    // cannot produce a pair and exit here.
+    val pruned = sets0.select(col("b"), explode(col("its0")).as("item"))
+      .join(freq.select(col("item")), Seq("item"), "left_semi")
+      .groupBy(col("b")).agg(sort_array(collect_set(col("item"))).as("its"))
+      .where(size(col("its")) <= maxBasketItems && size(col("its")) >= 2)
+    // i < j pairs stream out of two nested Generates over the sorted
+    // set (item1 < item2 holds because the array is sorted + distinct),
+    // then ONE partial-aggregating groupBy counts support — the r16
+    // self-join on the basket key (and the window-based size guard) are
+    // gone, and pair rows partial-aggregate map-side before the only
+    // pair-keyed exchange. The quadratic hazard stays bounded by the
+    // same cap that bounded the join.
+    pruned
+      .select(col("its"), posexplode(col("its")).as(Seq("i", "item1")))
+      .select(col("item1"),
+        explode(expr("slice(its, i + 2, size(its))")).as("item2"))
       .groupBy("item1", "item2")
       .agg(count(lit(1)).as("support"))
       .where(col("support") >= minSupport)
