@@ -783,7 +783,7 @@ private[graft] object EntriesPipeline {
       val out = s"/tmp/graft_jpeg_${System.getProperty("user.name")}"
       Multimodal.jpegMediaTable(s, t(s, d, "documents"))
         .write.mode("overwrite").parquet(out)
-      Multimodal.jpegPixelStats(s, s.read.parquet(out))
+      Multimodal.jpegPixelStats(s, graft.util.Stages.fanOut(s.read.parquet(out)))
         .orderBy(col("media_id"))
     }),
     // the COLOR sibling: YCbCr JFIF with subsampled chroma (the shape
@@ -793,7 +793,7 @@ private[graft] object EntriesPipeline {
       val out = s"/tmp/graft_jpeg_rgb_${System.getProperty("user.name")}"
       Multimodal.jpegRgbMediaTable(s, t(s, d, "documents"))
         .write.mode("overwrite").parquet(out)
-      Multimodal.jpegRgbPixelStats(s, s.read.parquet(out))
+      Multimodal.jpegRgbPixelStats(s, graft.util.Stages.fanOut(s.read.parquet(out)))
         .orderBy(col("media_id"))
     }),
     // compression-ratio quality signal (r16): deflate at build,

@@ -88,7 +88,7 @@ object Multimodal {
     // "no videos" — an empty result would be indistinguishable
     require(n > 0, s"sampleFrames needs n > 0 frames, got $n")
     val svc = graft.inference.Inference.service
-    graft.util.Stages.fanOut(media.select("media_id", "payload"))
+    media.select("media_id", "payload")
       .where(col("payload").isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
@@ -111,7 +111,7 @@ object Multimodal {
     import spark.implicits._
     require(w > 0 && h > 0, s"resize needs positive target dims, got ${w}x$h")
     val svc = graft.inference.Inference.service
-    graft.util.Stages.fanOut(media.select("media_id", "mime", "payload"))
+    media.select("media_id", "mime", "payload")
       .where(col("payload").isNotNull)
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
@@ -433,7 +433,7 @@ object Multimodal {
     * full codec swaps into identical plumbing. */
   def decodeContainerMeta(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
-    graft.util.Stages.fanOut(media.select("media_id", "payload"))
+    media.select("media_id", "payload")
       .where(col("payload").isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) =>
@@ -482,7 +482,7 @@ object Multimodal {
     * stats are integer-exact so the oracle can re-derive them. */
   def decodePixelStats(spark: SparkSession, media: DataFrame): Dataset[PixelStats] = {
     import spark.implicits._
-    graft.util.Stages.fanOut(media.select("media_id", "payload"))
+    media.select("media_id", "payload")
       .where(col("payload").isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) =>
@@ -524,7 +524,7 @@ object Multimodal {
     import spark.implicits._
     require(window > 0 && (window & (window - 1)) == 0,
       s"FFT window must be a power of two, got $window")
-    graft.util.Stages.fanOut(media.select("media_id", "payload"))
+    media.select("media_id", "payload")
       .where(col("payload").isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) =>
@@ -563,7 +563,7 @@ object Multimodal {
     require(window > 0 && (window & (window - 1)) == 0,
       s"FFT window must be a power of two, got $window")
     require(hop > 0, s"hop must be positive, got $hop")
-    graft.util.Stages.fanOut(media.select("media_id", "payload"))
+    media.select("media_id", "payload")
       .where(col("payload").isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, payload) =>
@@ -613,7 +613,7 @@ object Multimodal {
   /** Decode RGB payloads and fold PER-CHANNEL sums. */
   def decodeRgbStats(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
-    graft.util.Stages.fanOut(media.select("media_id", "payload"))
+    media.select("media_id", "payload")
       .where(col("payload").isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) =>
@@ -681,7 +681,7 @@ object Multimodal {
     * of `decodeRgbStats`. */
   def decodeStereoStats(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
-    graft.util.Stages.fanOut(media.select("media_id", "payload"))
+    media.select("media_id", "payload")
       .where(col("payload").isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) =>
@@ -702,7 +702,7 @@ object Multimodal {
       spark: SparkSession, media: DataFrame, w2: Int, h2: Int): Dataset[PixelStats] = {
     import spark.implicits._
     require(w2 > 0 && h2 > 0, s"bad target dims ${w2}x$h2")
-    graft.util.Stages.fanOut(media.select("media_id", "payload"))
+    media.select("media_id", "payload")
       .where(col("payload").isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) =>
@@ -815,7 +815,7 @@ object Multimodal {
   /** Per-channel sums recomputed by DECODING each color payload. */
   def jpegRgbPixelStats(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
-    graft.util.Stages.fanOut(media.select("media_id", "payload"))
+    media.select("media_id", "payload")
       .where(col("payload").isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) =>
@@ -836,7 +836,7 @@ object Multimodal {
     * payload — map-only, payloads never shuffle. */
   def jpegPixelStats(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
-    graft.util.Stages.fanOut(media.select("media_id", "payload"))
+    media.select("media_id", "payload")
       .where(col("payload").isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) =>
@@ -858,7 +858,7 @@ object Multimodal {
   def gifFrameStats(spark: SparkSession, media: DataFrame, stride: Int): DataFrame = {
     import spark.implicits._
     require(stride > 0, s"bad stride $stride")
-    graft.util.Stages.fanOut(media.select("media_id", "payload"))
+    media.select("media_id", "payload")
       .where(col("payload").isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, payload) =>
