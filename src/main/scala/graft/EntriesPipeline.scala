@@ -1230,7 +1230,7 @@ private[graft] object EntriesPipeline {
     // once so the edge pass and the bucket pass share ONE corpus scan
     "q_ccnet_buckets" -> ((s, d) =>
       TextAnalysis.ccnetBucketsScored(graft.util.Stages.truncate(
-        TextAnalysis.unigramSurprisal(t(s, d, "documents"), "doc_id", "text")))),
+        TextAnalysis.unigramSurprisalUnsorted(t(s, d, "documents"), "doc_id", "text")))),
     // domain-mix rebalancing weights toward a uniform source mix
     "q_domain_mix" -> ((s, d) =>
       TextAnalysis.domainMixWeights(t(s, d, "documents"), "source")),

@@ -891,7 +891,15 @@ object TextAnalysis {
     * shuffle-joins beyond that — then one per-doc aggregate. Per-token
     * surprisals go through DECIMAL so the per-doc sum is
     * aggregation-order independent. */
-  def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    unigramSurprisalUnsorted(docs, idCol, textCol).orderBy(col("id"))
+
+  /** The pipeline-facing form: no presentation sort. Consumers that
+    * re-aggregate or join the score frame (CCNet buckets, the training
+    * build) pay a full range exchange for nothing if the frame comes
+    * back sorted — the r17 job audit measured the sort as pure waste
+    * on those paths. */
+  def unigramSurprisalUnsorted(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
       explode(Analyzer.tokens(col(textCol))).as("term"))
     val counts = toks.groupBy(col("term")).agg(count(lit(1)).as("ct"))
@@ -905,7 +913,6 @@ object TextAnalysis {
       .groupBy(col("id"))
       .agg(Num.round(
         sum(col("srp")).cast("double") / count(lit(1)), 4).as("surprisal"))
-      .orderBy(col("id"))
   }
 
   /** Domain-mix rebalancing weights: per-source document share and the
@@ -1076,7 +1083,7 @@ object TextAnalysis {
     val deduped = graft.dedup.Dedup.exactDedupKeep(docs, idCol, textCol)
     val kept = Stages.truncate(
       qualityScore(col(textCol))(deduped).where(col("quality") >= qualityMin))
-    val srp = Stages.truncate(unigramSurprisal(kept, idCol, textCol))
+    val srp = Stages.truncate(unigramSurprisalUnsorted(kept, idCol, textCol))
     val e2 = Num.roundDouble(
       graft.agg.Aggs.percentilesExactDistributed(
         srp, "surprisal", Seq("e2" -> (2.0 / 3))).head().getDouble(0), 4)
@@ -1100,7 +1107,7 @@ object TextAnalysis {
     // persist-free so no cache entry outlives the call; a caller
     // running both passes at corpus scale truncates/persists `scored`
     // itself and uses the scored-frame form below
-    ccnetBucketsScored(unigramSurprisal(docs, idCol, textCol))
+    ccnetBucketsScored(unigramSurprisalUnsorted(docs, idCol, textCol))
 
   /** The scored-frame form: callers that already hold the surprisal
     * frame — composed pipelines, or a standalone caller that
