@@ -2064,11 +2064,16 @@ object Search {
     }
     def evalLeaves(lv: DataFrame): DataFrame = {
       val candLeaf = cand.join(lv, "query_id")
-      val termEval = candLeaf.where(col("kind") === "term")
-        .join(docTerms.withColumn("_present", lit(true)), Seq("id", "term"), "left")
-        .select(col("id"), col("query_id"), col("path"),
-          coalesce(col("_present"), lit(false)).as("ok"))
-      val rpEval = candLeaf.where(col("kind").isin("range", "phrase", "prefix", "wildcard"))
+      // r17: term leaves used to take a separate (id, term) join
+      // against the exploded docTerms frame, unioned with the docSide
+      // join the other four kinds need — but union branches execute
+      // regardless of which kinds the registry holds, so the doc-side
+      // tokenize ran in every percolation anyway. ONE join against
+      // docSide now evaluates every kind (term presence =
+      // array_contains over the same analyzer's token stream — the
+      // vocabulary termSet/tokens share), dropping the extra exchange
+      // of the exploded term frame and the union.
+      candLeaf
         .join(docSide, "id")
         // ES wildcard -> SQL LIKE: escape LIKE's own metachars, then
         // * -> % and ? -> _ (stored in the `term` column, like prefix)
@@ -2077,8 +2082,9 @@ object Search {
             lit("\\"), lit("\\\\")), lit("%"), lit("\\%")), lit("_"), lit("\\_")),
             lit("*"), lit("%")), lit("?"), lit("_")))
         .select(col("id"), col("query_id"), col("path"),
-          when(col("kind") === "range",
-            fieldVal >= col("range_min") && fieldVal < col("range_max"))
+          when(col("kind") === "term", array_contains(col("_toks"), col("term")))
+            .when(col("kind") === "range",
+              fieldVal >= col("range_min") && fieldVal < col("range_max"))
             .when(col("kind") === "phrase",
               col("_joined").contains(concat(lit(" "), col("phrase"), lit(" "))))
             // a token starts with the prefix iff " <prefix>" occurs
@@ -2086,7 +2092,6 @@ object Search {
               col("_joined").contains(concat(lit(" "), col("term"))))
             .otherwise(expr("exists(_toks, t -> t LIKE _wpat)"))
             .as("ok"))
-      termEval.unionByName(rpEval)
     }
 
     // bottom-up fold: one level at a time, deepest first; depth is a
