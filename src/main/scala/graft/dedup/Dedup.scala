@@ -1082,20 +1082,33 @@ object Dedup {
     import spark.implicits._
     val v = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // r17: assignment as ONE map-only expression over the driver-side
+    // centroids (they are on the driver anyway — the mean update
+    // collects them every round). The r16 form crossJoined a broadcast
+    // centroid frame and re-grouped by id, shuffling ~N FULL VECTORS
+    // per Lloyd round; argmax-as-expression shuffles nothing, and the
+    // mean update's (cent_id, pos) partial sums combine map-side to
+    // |centroids| x dim rows per partition. Same round-4 cosine argmax
+    // with the lowest-cent tie-break (struct max orders by (cos, -cid)).
+    def best(cents: Seq[(Long, Seq[Double])]): Column =
+      array_max(array(cents.map { case (cid, cv) =>
+        struct(
+          Num.round(Vectors.cosine(col("v"), array(cv.map(lit): _*)), 4).as("c"),
+          lit(-cid).as("n"))
+      }: _*))
     try {
       var cents: Seq[(Long, Seq[Double])] = v.orderBy(col("id").asc).limit(nCentroids)
         .as[(Long, Seq[Double])].collect().toSeq
         .zipWithIndex.map { case ((_, vv), i) => (i.toLong, vv) }
+      require(cents.nonEmpty, "semanticDedupPairsKmeans: empty corpus")
       for (_ <- 1 to iters) {
-        val centsDf = cents.toDF("cent_id", "cv")
-        val assigned = v.crossJoin(broadcast(centsDf))
-          .withColumn("cos", Num.round(Vectors.cosine(col("v"), col("cv")), 4))
-          .groupBy(col("id"))
-          .agg(max_by(struct(col("cent_id"), col("v")),
-            struct(col("cos"), negate(col("cent_id")))).as("w"))
-          .select(col("w.cent_id").as("cent_id"), col("w.v").as("v"))
-        val means = assigned
-          .select(col("cent_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        // two-stage select: resolving getField on the aliased struct
+        // in the same projection as the generator defeats the
+        // analyzer's name fill-in (fields come back col1/col2)
+        val means = v
+          .select(col("v"), best(cents).as("_b"))
+          .select(negate(col("_b").getField("n")).as("cent_id"),
+            posexplode(col("v")).as(Seq("pos", "x")))
           .groupBy(col("cent_id"), col("pos"))
           .agg(Num.round(
             sum(col("x").cast("decimal(38,18)")).cast("double") / count(lit(1)), 6)
@@ -1106,13 +1119,10 @@ object Dedup {
         }
         cents = cents.map { case (cid, old) => (cid, byCent.getOrElse(cid, old)) }
       }
-      val centsDf = cents.toDF("cent_id", "cv")
-      val asg = v.crossJoin(broadcast(centsDf))
-        .withColumn("cos", Num.round(Vectors.cosine(col("v"), col("cv")), 4))
-        .groupBy(col("id"))
-        .agg(
-          max_by(col("cent_id"), struct(col("cos"), negate(col("cent_id")))).as("k0"),
-          max(col("cos")).as("ccos"))
+      val asg = v.select(col("id"), best(cents).as("_b"))
+        .select(col("id"),
+          negate(col("_b").getField("n")).as("k0"),
+          col("_b").getField("c").as("ccos"))
       val guarded =
         if (maxClusterSize == Int.MaxValue)
           asg.select(col("id"), col("k0").cast("string").as("cent_id"))
@@ -1151,16 +1161,27 @@ object Dedup {
     * hash-shuffle — at 1e9 docs x 1e4 centroids that is the
     * difference between a 1e13-row shuffle and a 1e9-row one. */
   private def semanticAssign(v: DataFrame, nCentroids: Int): DataFrame = {
-    val cents = v.orderBy(col("id").asc).limit(nCentroids)
-      .select(col("id").as("cent_id"), col("v").as("cv"))
-    v.crossJoin(broadcast(cents))
-      .withColumn("cos", graft.util.Num.round(Vectors.cosine(col("v"), col("cv")), 4))
-      .groupBy(col("id"))
-      .agg(
-        max_by(col("cent_id"), struct(col("cos"), negate(col("cent_id")))).as("cent_id"),
-        // the argmax's own cosine rides along — max(cos) IS the cos of
-        // the max_by winner — so the keeper policy costs no extra pass
-        max(col("cos")).as("cent_cos"))
+    // r17: seeds are nCentroids rows by contract — collect them and
+    // assign via ONE map-only argmax expression (round-4 cosine,
+    // lowest-cent tie via the (cos, -cent) struct max) instead of the
+    // r16 crossJoin + re-group, which shuffled ~N pre-combined vector
+    // rows. The argmax's own cosine rides in the same struct.
+    val spark = v.sparkSession
+    import spark.implicits._
+    val cents: Seq[(Long, Seq[Double])] = v.orderBy(col("id").asc).limit(nCentroids)
+      .as[(Long, Seq[Double])].collect().toSeq
+    if (cents.isEmpty) // empty corpus: zero rows, same schema as the assign
+      return v.select(col("id"), lit(null).cast("long").as("cent_id"),
+        lit(null).cast("double").as("cent_cos")).where(lit(false))
+    val best = array_max(array(cents.map { case (cid, cv) =>
+      struct(
+        graft.util.Num.round(
+          Vectors.cosine(col("v"), array(cv.map(lit): _*)), 4).as("c"),
+        lit(-cid).as("n"))
+    }: _*))
+    v.select(col("id"),
+      negate(best.getField("n")).as("cent_id"),
+      best.getField("c").as("cent_cos"))
   }
 
   private def semanticPairsFrom(v: DataFrame, asg: DataFrame, minCosine: Double): DataFrame = {
