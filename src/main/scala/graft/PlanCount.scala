@@ -1,16 +1,32 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Local diagnostic: run a declared query through the noop sink, then
+  * report operator counts from the POST-EXECUTION (AQE-final) plan —
+  * FileScan / Exchange / ReusedExchange — so within-plan reuse claims
+  * can be checked against what actually ran (the pre-execution plan
+  * shows duplicate subtrees that AQE later collapses). Env knobs match
+  * Bench (SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS). */
 object PlanCount {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.001"
     for (name <- args.toSeq) {
-      val p = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
-      val scans = "FileScan".r.findAllIn(p).length
-      println(s"$name: $scans FileScan(s)")
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.write.format("noop").mode("overwrite").save()
+      val p = df.queryExecution.executedPlan.toString
+      def n(re: String) = re.r.findAllIn(p).length
+      println(s"$name: ${n("FileScan")} FileScan, " +
+        s"${n("Exchange (hash|range|Single|RoundRobin)")} Exchange, " +
+        s"${n("ReusedExchange")} ReusedExchange, " +
+        s"${n("(?m)^\\s*[+:]?[- ]*InMemoryTableScan")} InMemoryTableScan")
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

@@ -255,6 +255,64 @@ object Aggs {
     df.agg(
       percentile_approx(col(field), lit(0.5), lit(10000)).as("p50_approx"))
 
+  /** Per-partition sample cap for percentilesExactDistributed, scaled
+    * so the pass-1 driver collect stays bounded regardless of the
+    * input's partition count: total sample budget 64 Mi doubles
+    * (~0.5 GB), i.e. C = clamp(1024, requested, 64Mi / P). At local
+    * partition counts this is the requested cap unchanged; at 100 TB
+    * scan widths (~1e5-1e6 partitions) it shrinks toward the 1 Ki
+    * floor — wider brackets (more pass-2 work per partition, still
+    * provably exact) in exchange for a driver that cannot OOM on
+    * samples. An explicitly SMALLER requested cap (tests forcing the
+    * bracket path) always wins. */
+  private[graft] def effectiveSampleCap(requested: Int, numPartitions: Int): Int =
+    math.min(requested,
+      math.max(1024, ((64 << 20) / math.max(1, numPartitions))))
+
+  /** Bounded PRIMITIVE max-heap keeping the `cap` smallest doubles
+    * offered — pass 2's per-interval retain buffer. The r17 form was a
+    * `PriorityQueue[java.lang.Double]`: ~16 B box + pointer per element
+    * means a 1.5e7-element bracket cap (100 TB widths) costs ~360 MB
+    * of boxed heap per task where this array costs ~120 MB flat (§5).
+    * Backing array grows geometrically to the cap, so sparse intervals
+    * never pre-allocate the worst case. */
+  private[graft] final class DoubleMaxHeap(cap: Int) {
+    private var a = new Array[Double](math.max(1, math.min(cap, 16)))
+    private var n = 0
+    def size: Int = n
+    def offer(v: Double): Unit = {
+      if (n < cap) {
+        if (n == a.length)
+          a = java.util.Arrays.copyOf(a, math.min(cap.toLong, a.length * 2L).toInt)
+        a(n) = v; n += 1
+        // sift up
+        var i = n - 1
+        var going = true
+        while (going && i > 0) {
+          val p = (i - 1) >>> 1
+          if (a(p) < a(i)) { val t = a(p); a(p) = a(i); a(i) = t; i = p }
+          else going = false
+        }
+      } else if (v < a(0)) {
+        a(0) = v
+        // sift down
+        var i = 0
+        var going = true
+        while (going) {
+          val l = 2 * i + 1
+          val r = l + 1
+          var m = i
+          if (l < n && a(l) > a(m)) m = l
+          if (r < n && a(r) > a(m)) m = r
+          if (m == i) going = false
+          else { val t = a(m); a(m) = a(i); a(i) = t; i = m }
+        }
+      }
+    }
+    /** retained values, unsorted (callers sort the merged result) */
+    def values: Array[Double] = java.util.Arrays.copyOf(a, n)
+  }
+
   /** Exact interpolated percentiles WITHOUT a global sort (r17): the
     * r16 form range-partition-sorted the whole column (a full-column
     * Exchange) and ran ~4 jobs (sample, count, zipWithIndex, pick);
@@ -276,11 +334,14 @@ object Aggs {
     * Same values as `percentile(...)` / the oracle's quantile_cont
     * (lower + (upper-lower)*frac on exact order statistics). Driver
     * data stays bounded: P*C sample doubles + ~2*n/C in-bracket
-    * doubles (C = per-partition sample cap); columns that are massive
-    * runs of one value short-circuit (lo == hi needs no collection).
-    * If a pathological distribution still over-fills an interval, the
-    * pass re-runs with the interval refined by its own sample —
-    * deterministic, and never triggered by sane data.
+    * doubles (C = per-partition sample cap, scaled down with the
+    * partition count — see effectiveSampleCap); columns that are
+    * massive runs of one value short-circuit (lo == hi needs no
+    * collection). The brackets are PROVABLY correct (the Gs/G bounds
+    * below are deterministic, not probabilistic), so the pass-2
+    * `require`s on bracket hit and cap range are assertions of that
+    * proof, not a fallback path: a violation means a broken invariant
+    * and must fail loudly rather than refine-and-retry.
     */
   def percentilesExactDistributed(
       df: DataFrame, field: String, qs: Seq[(String, Double)],
@@ -291,9 +352,11 @@ object Aggs {
     // per-partition sample cap: balances the sample collect (P*C
     // doubles) against the bracket width (~n/C ranks); 64k doubles
     // gives stride 1 (exact) up to 64k-row partitions and ~1.5e7-rank
-    // brackets at n = 1e12. Parameterized so tests can force wide
-    // brackets through the count/collect path.
-    val C = sampleCap
+    // brackets at n = 1e12. Scaled down with the partition count so
+    // the pass-1 driver collect stays bounded (~0.5 GB of sample
+    // doubles) at 100 TB partition counts. Parameterized so tests can
+    // force wide brackets through the count/collect path.
+    val C = effectiveSampleCap(sampleCap, rdd.getNumPartitions)
     // ---- pass 1: local sort + stride sample (positions 0, s, 2s, ...,
     // and always the last element, so the global max is representable) ----
     case class PartStat(n: Long, nan: Long, stride: Long,
@@ -418,29 +481,21 @@ object Aggs {
         val perIv = rdd.mapPartitions { it =>
           val (iv, cp) = ivB.value
           val below = new Array[Long](iv.length)
-          // bounded max-heap per interval: keep the cap smallest
-          val heaps = cp.map(c => new java.util.PriorityQueue[java.lang.Double](
-            java.util.Comparator.reverseOrder[java.lang.Double]()))
+          // bounded primitive max-heap per interval: keep the cap
+          // smallest without boxing (offer handles the cap)
+          val heaps = cp.map(c => new DoubleMaxHeap(c))
           while (it.hasNext) {
             val v = it.next()
             if (!java.lang.Double.isNaN(v)) {
               var j = 0
               while (j < iv.length) {
                 if (v < iv(j)._1) below(j) += 1
-                else if (v <= iv(j)._2) {
-                  val h = heaps(j)
-                  if (h.size < cp(j)) h.add(v)
-                  else if (v < h.peek()) { h.poll(); h.add(v) }
-                }
+                else if (v <= iv(j)._2) heaps(j).offer(v)
                 j += 1
               }
             }
           }
-          Iterator.single((below, heaps.map { h =>
-            val a = new Array[Double](h.size)
-            var i = 0; while (!h.isEmpty) { a(i) = h.poll(); i += 1 }
-            a
-          }))
+          Iterator.single((below, heaps.map(_.values)))
         }.collect()
         ivB.destroy()
         for (j <- mergedIv.indices) {
@@ -1775,18 +1830,17 @@ object Aggs {
     * A-Priori screen FIRST (exact, no result change): a pair with
     * support >= minSupport requires BOTH items to individually appear
     * in >= minSupport baskets, so items below that bar are pruned
-    * before the self-join ever sees them — the same downward-closure
+    * before pair generation ever sees them — the same downward-closure
     * prune every A-Priori/FP-growth implementation opens with. Then
-    * explode (distinct within basket), self-join ON THE BASKET KEY
-    * with item1 < item2, one partial-agg count. The join is key-local
-    * and quadratic only in the post-prune basket size; `maxBasketItems`
-    * bounds that hazard by DROPPING baskets whose post-prune size
-    * exceeds the cap (a 10^5-item "basket" is degenerate input, and
-    * dropping it whole is deterministic where truncation would need an
-    * arbitrary keep-rule) — the size check is one partial-agg count
-    * and a left_anti against a frame that is EMPTY on sane data, so
-    * the guard costs ~nothing until it fires. At 100 TB the shuffle
-    * carries (basket, item) pairs and AQE handles hot baskets. */
+    * the pruned per-basket sorted sets stream i < j pairs through two
+    * nested Generates and one partial-agg count. `maxBasketItems`
+    * bounds the quadratic hazard by DROPPING baskets whose post-prune
+    * size exceeds the cap (a 10^5-item "basket" is degenerate input,
+    * and dropping it whole is deterministic where truncation would
+    * need an arbitrary keep-rule); the r18 CollectSetBounded collector
+    * enforces the same drop INSIDE the aggregation buffer, so no array
+    * over the cap ever materializes (§5). At 100 TB the shuffles carry
+    * distinct (basket, item) pairs and AQE handles hot baskets. */
   def frequentItemSets(
       baskets: DataFrame,
       basketCol: String,
@@ -1794,25 +1848,35 @@ object Aggs {
       minSupport: Long,
       maxBasketItems: Int = 10000): DataFrame = {
     val items = baskets.select(col(basketCol).as("b"), col(itemCol).as("item"))
-    // one basket-keyed exchange builds the distinct item set per basket
-    // (collect_set partial-aggregates, so map-side rows arrive deduped);
-    // the freq branch and the prune branch share it via ReusedExchange
-    val sets0 = items.groupBy(col("b")).agg(collect_set(col("item")).as("its0"))
-    // A-Priori screen from the sets: explode emits exactly one row per
-    // DISTINCT (basket, item), so item_freq is the distinct-basket count
-    val freq = sets0.select(explode(col("its0")).as("item"))
-      .groupBy(col("item")).agg(count(lit(1)).as("item_freq"))
+    // r18: ONE distinct-pair exchange replaces the r17 basket-keyed
+    // collect_set exchange. The r17 form materialized EVERY basket's
+    // full item array inside an aggregation buffer before any guard
+    // could fire — one degenerate basket (10^7 distinct items) is a
+    // 10^7-element array in a single buffer (§5), and its raw rows all
+    // funneled through one reducer (§2.5). Distinct (b, item) rows
+    // partial-aggregate map-side to the same deduped bytes, spread a
+    // hot basket across reducers, and keep every buffer row-sized.
+    // Both consumers below share this exchange via ReusedExchange.
+    val dist = items.distinct()
+    // A-Priori screen: dist has exactly one row per DISTINCT
+    // (basket, item), so item_freq is the distinct-basket count
+    val freq = dist.groupBy(col("item")).agg(count(lit(1)).as("item_freq"))
       .where(col("item_freq") >= minSupport)
-    // prune each basket to frequent items (semi join on the exploded
-    // rows — the post-filter freq frame is tiny, AQE broadcasts it),
-    // re-group, and drop degenerate baskets whose POST-PRUNE size
-    // exceeds the cap (same drop-whole-basket semantics as before;
-    // size(its) replaces the r16 window count). Baskets under 2 items
-    // cannot produce a pair and exit here.
-    val pruned = sets0.select(col("b"), explode(col("its0")).as("item"))
+    // prune each basket to frequent items (the post-filter freq frame
+    // is tiny — AQE broadcasts the semi join), re-group with the
+    // BOUNDED collector: a basket over the cap stops retaining at
+    // cap+1 elements and evaluates to NULL — exactly the drop the r17
+    // `size(its) <= cap` guard expressed, but the buffer now stays
+    // bounded by the cap REGARDLESS of input (§5). Baskets under 2
+    // items cannot produce a pair and exit here.
+    val pruned = dist
       .join(freq.select(col("item")), Seq("item"), "left_semi")
-      .groupBy(col("b")).agg(sort_array(collect_set(col("item"))).as("its"))
-      .where(size(col("its")) <= maxBasketItems && size(col("its")) >= 2)
+      .groupBy(col("b"))
+      .agg(sort_array(org.apache.spark.sql.GraftBridge.column(
+        graft.expr.CollectSetBounded(
+          org.apache.spark.sql.GraftBridge.expression(col("item")),
+          maxBasketItems).toAggregateExpression())).as("its"))
+      .where(col("its").isNotNull && size(col("its")) >= 2)
     // i < j pairs stream out of two nested Generates over the sorted
     // set (item1 < item2 holds because the array is sorted + distinct),
     // then ONE partial-aggregating groupBy counts support — the r16

@@ -1086,16 +1086,14 @@ object Dedup {
     // centroids (they are on the driver anyway — the mean update
     // collects them every round). The r16 form crossJoined a broadcast
     // centroid frame and re-grouped by id, shuffling ~N FULL VECTORS
-    // per Lloyd round; argmax-as-expression shuffles nothing, and the
-    // mean update's (cent_id, pos) partial sums combine map-side to
-    // |centroids| x dim rows per partition. Same round-4 cosine argmax
-    // with the lowest-cent tie-break (struct max orders by (cos, -cid)).
+    // per Lloyd round. r18: the r17 argmax built the centroids into a
+    // k x dim LITERAL tree (struct-max over k cosine structs) — a
+    // multi-million-node Catalyst tree at the 1e4-centroid target;
+    // BestCentroid ships the same table as one codegen reference
+    // object and computes the identical round-4 argmax (lowest-cent
+    // tie-break) in one compiled loop.
     def best(cents: Seq[(Long, Seq[Double])]): Column =
-      array_max(array(cents.map { case (cid, cv) =>
-        struct(
-          Num.round(Vectors.cosine(col("v"), array(cv.map(lit): _*)), 4).as("c"),
-          lit(-cid).as("n"))
-      }: _*))
+      Dedup.bestCentroidCol(cents)
     try {
       var cents: Seq[(Long, Seq[Double])] = v.orderBy(col("id").asc).limit(nCentroids)
         .as[(Long, Seq[Double])].collect().toSeq
@@ -1107,7 +1105,7 @@ object Dedup {
         // analyzer's name fill-in (fields come back col1/col2)
         val means = v
           .select(col("v"), best(cents).as("_b"))
-          .select(negate(col("_b").getField("n")).as("cent_id"),
+          .select(col("_b").getField("cent").as("cent_id"),
             posexplode(col("v")).as(Seq("pos", "x")))
           .groupBy(col("cent_id"), col("pos"))
           .agg(Num.round(
@@ -1121,7 +1119,7 @@ object Dedup {
       }
       val asg = v.select(col("id"), best(cents).as("_b"))
         .select(col("id"),
-          negate(col("_b").getField("n")).as("k0"),
+          col("_b").getField("cent").as("k0"),
           col("_b").getField("c").as("ccos"))
       val guarded =
         if (maxClusterSize == Int.MaxValue)
@@ -1163,25 +1161,45 @@ object Dedup {
   private def semanticAssign(v: DataFrame, nCentroids: Int): DataFrame = {
     // r17: seeds are nCentroids rows by contract — collect them and
     // assign via ONE map-only argmax expression (round-4 cosine,
-    // lowest-cent tie via the (cos, -cent) struct max) instead of the
-    // r16 crossJoin + re-group, which shuffled ~N pre-combined vector
-    // rows. The argmax's own cosine rides in the same struct.
+    // lowest-cent tie-break) instead of the r16 crossJoin + re-group,
+    // which shuffled ~N pre-combined vector rows. r18: the argmax is
+    // the compiled BestCentroid kernel over one reference-object
+    // centroid table, not a k x dim literal tree (see bestCentroidCol).
     val spark = v.sparkSession
     import spark.implicits._
-    val cents: Seq[(Long, Seq[Double])] = v.orderBy(col("id").asc).limit(nCentroids)
+    val seeds: Seq[(Long, Seq[Double])] = v.orderBy(col("id").asc).limit(nCentroids)
       .as[(Long, Seq[Double])].collect().toSeq
-    if (cents.isEmpty) // empty corpus: zero rows, same schema as the assign
+    if (seeds.isEmpty) // empty corpus: zero rows, same schema as the assign
       return v.select(col("id"), lit(null).cast("long").as("cent_id"),
         lit(null).cast("double").as("cent_cos")).where(lit(false))
-    val best = array_max(array(cents.map { case (cid, cv) =>
-      struct(
-        graft.util.Num.round(
-          Vectors.cosine(col("v"), array(cv.map(lit): _*)), 4).as("c"),
-        lit(-cid).as("n"))
-    }: _*))
+    // the kernel returns the table INDEX; cent_id must stay the seed
+    // DOC id (it is output-visible as cluster_id). Seeds collect in
+    // ascending id order, so index order == id order and the kernel's
+    // lowest-index tie-break IS the old lowest-id tie-break; one
+    // k-element literal array translates index -> id.
+    val cents = seeds.zipWithIndex.map { case ((_, vv), i) => (i.toLong, vv) }
+    val best = bestCentroidCol(cents)
+    val idArr = lit(seeds.map(_._1).toArray)
     v.select(col("id"),
-      negate(best.getField("n")).as("cent_id"),
+      element_at(idArr, (best.getField("cent") + 1).cast("int")).as("cent_id"),
       best.getField("c").as("cent_cos"))
+  }
+
+  /** Shared argmax-assignment column for the SemDeDup family:
+    * struct(c = best round-4 cosine of `v` against the centroids,
+    * cent = winning centroid id). Requires the 0-based contiguous
+    * centroid ids both callers construct (the kernel returns the
+    * table INDEX as the id). */
+  private def bestCentroidCol(cents: Seq[(Long, Seq[Double])]): Column = {
+    require(cents.nonEmpty, "bestCentroidCol: no centroids")
+    cents.zipWithIndex.foreach { case ((cid, _), i) =>
+      require(cid == i.toLong, s"centroid ids must be 0-based contiguous, got $cid at $i") }
+    val dim = cents.head._2.length
+    cents.foreach { case (_, cv) =>
+      require(cv.length == dim, "centroid dims must be uniform") }
+    org.apache.spark.sql.GraftBridge.column(graft.expr.BestCentroid(
+      org.apache.spark.sql.GraftBridge.expression(col("v")),
+      cents.flatMap(_._2), dim))
   }
 
   private def semanticPairsFrom(v: DataFrame, asg: DataFrame, minCosine: Double): DataFrame = {

@@ -314,7 +314,14 @@ object Esql {
         case ("to_ip", Seq(x)) =>
           when(x.rlike("^([0-9]{1,3}\\.){3}[0-9]{1,3}$"), x)
         case ("cidr_match", x +: blocks) if blocks.nonEmpty =>
-          blocks.map { b =>
+          // r18: compiled one-parse kernel. The r17 column form
+          // (`ipValue(x) >= net && < net+block` OR-folded) re-evaluated
+          // the split/cast chain — with x's derived-ip expression
+          // substituted INTO it by predicate pushdown — once per octet
+          // per bound: 16 evaluations/row for a 2-block match, the
+          // whole cost of q_esql_cidr's scan stage (guide §1.2 "per-
+          // task work"). Same numeric-range semantics, one byte scan.
+          val ranges = blocks.map { b =>
             // each block arg is a 'a.b.c.d/n' string literal column;
             // extract the literal at compile time
             val lit = org.apache.spark.sql.GraftBridge.literalValue(b) match {
@@ -328,10 +335,11 @@ object Esql {
               s"bad CIDR block: $lit")
             val ipn = o(0) * 16777216L + o(1) * 65536L + o(2) * 256L + o(3)
             val block = 1L << (32 - bits.toInt)
-            val net = ipn / block * block
-            val v = graft.agg.Aggs.ipValue(x)
-            v >= net && v < net + block
-          }.reduce(_ || _)
+            (ipn / block * block, block)
+          }
+          org.apache.spark.sql.GraftBridge.column(graft.expr.IpInRanges(
+            org.apache.spark.sql.GraftBridge.expression(x),
+            ranges.map(_._1), ranges.map(_._2)))
         case ("substring", Seq(x, a, b)) => x.substr(a, b)
         case ("concat", xs) => concat(xs: _*)
         case ("coalesce", xs) => coalesce(xs: _*)

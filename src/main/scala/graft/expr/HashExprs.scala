@@ -1050,6 +1050,93 @@ object HashKernels {
     math.sqrt(s)
   }
 
+  /** Argmax-cosine centroid assignment in one compiled loop (r18):
+    * for row vector v and the flattened k x dim centroid table,
+    * returns (best rounded-4 cosine, lowest winning centroid index) —
+    * value-identical to the r17 column form
+    * `array_max(array(struct(round4(cosine(v, cent_i)), -i)))` but
+    * WITHOUT the k x dim literal expression tree, which at the
+    * operator's stated scale target (1e4 centroids x high-dim
+    * vectors) is a multi-million-node Catalyst tree that analysis and
+    * codegen cannot survive. Same round-half-away-from-zero on the
+    * binary double (Num.roundDouble), same cosine fold order as
+    * cosineKernel, ties to the LOWEST centroid (ascending scan,
+    * strict improvement). */
+  def bestCentroidKernel(
+      v: ArrayData, flat: Array[Double], dim: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = v.numElements()
+    require(n <= dim, s"vector dim $n exceeds centroid dim $dim")
+    val k = flat.length / dim
+    // hoist the row vector once: the inner loop reads it k times
+    val x = new Array[Double](n)
+    var i = 0
+    while (i < n) { x(i) = v.getDouble(i); i += 1 }
+    var nx = 0.0
+    i = 0
+    while (i < n) { nx += x(i) * x(i); i += 1 }
+    var bestC = Double.NegativeInfinity
+    var bestId = 0L
+    var c = 0
+    while (c < k) {
+      val base = c * dim
+      var dot = 0.0
+      var ny = 0.0
+      i = 0
+      while (i < n) {
+        val b = flat(base + i)
+        dot += x(i) * b
+        ny += b * b
+        i += 1
+      }
+      val cos = if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+      // Num.roundDouble(cos, 4): floor(|c|*1e4 + 0.5)/1e4, sign kept
+      val r = math.floor(math.abs(cos) * 1e4 + 0.5) / 1e4
+      val rounded = if (cos < 0) -r else r
+      if (rounded > bestC) { bestC = rounded; bestId = c.toLong }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestC, bestId))
+  }
+
+  /** Dotted-quad IP string -> any-CIDR-block membership in ONE parse
+    * (r18): value-identical to the column formulation
+    * `v >= net_i && v < net_i + block_i` OR-folded over blocks, with
+    * `v = ipValue(ip)` = o1*2^24 + o2*2^16 + o3*2^8 + o4 — but the
+    * column form re-evaluates the split-and-cast chain (and the
+    * caller's derived-ip expression substituted into it) once PER
+    * OCTET PER COMPARISON: 16 evaluations per row for a 2-block
+    * match, which dominated q_esql_cidr's scan stage. One byte scan
+    * here. Malformed input (not 4 dot-separated digit runs) throws,
+    * matching the ANSI element_at/cast behavior of the column form. */
+  def ipInRangesKernel(ip: UTF8String, nets: Array[Long], blocks: Array[Long]): Boolean = {
+    val b = ip.getBytes
+    var v = 0L
+    var octet = 0L
+    var nOct = 0
+    var digits = 0
+    var i = 0
+    while (i < b.length) {
+      val c = b(i)
+      if (c >= '0' && c <= '9') { octet = octet * 10 + (c - '0'); digits += 1 }
+      else if (c == '.') {
+        if (digits == 0 || nOct >= 3)
+          throw new IllegalArgumentException(s"bad dotted-quad ip: $ip")
+        v = (v << 8) + octet; octet = 0L; digits = 0; nOct += 1
+      } else throw new IllegalArgumentException(s"bad dotted-quad ip: $ip")
+      i += 1
+    }
+    if (digits == 0 || nOct != 3)
+      throw new IllegalArgumentException(s"bad dotted-quad ip: $ip")
+    v = (v << 8) + octet
+    var j = 0
+    while (j < nets.length) {
+      if (v >= nets(j) && v < nets(j) + blocks(j)) return true
+      j += 1
+    }
+    false
+  }
+
   /** tokens × sparse query vector dot product: Σ weight(t) · tf(t).
     * One pass over the token array; the query side is a small parallel
     * (terms, weights) pair scanned linearly per token — O(n·k) with
@@ -1074,6 +1161,75 @@ object HashKernels {
     }
     sum
   }
+}
+
+/** Argmax-cosine centroid assignment (see
+  * HashKernels.bestCentroidKernel): struct(c: best rounded-4 cosine,
+  * cent: winning 0-based centroid index, lowest on ties). The
+  * flattened centroid table rides into codegen as ONE reference
+  * object broadcast with the task closure (the DsirScoreSum /
+  * DenseMeanCosine contract) instead of a k x dim literal tree, so
+  * the expression stays analysis- and codegen-sized at any centroid
+  * count. */
+case class BestCentroid(child: Expression, flat: Seq[Double], dim: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(dim > 0 && flat.nonEmpty && flat.length % dim == 0,
+    "centroid table must be k x dim")
+
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] =
+    Seq(ArrayType(DoubleType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("c", DoubleType, nullable = false),
+    StructField("cent", LongType, nullable = false)))
+  override def prettyName: String = "best_centroid"
+
+  @transient private lazy val flatArr: Array[Double] = flat.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.bestCentroidKernel(input.asInstanceOf[ArrayData], flatArr, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("centroids", flatArr, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.HashKernels.bestCentroidKernel($c, $flatRef, $dim);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BestCentroid =
+    copy(child = newChild)
+}
+
+/** CIDR-block membership of a dotted-quad IP string — one compiled
+  * parse per row instead of the split/cast column chain re-evaluated
+  * per octet per bound (see HashKernels.ipInRangesKernel). `nets` are
+  * the block base addresses as 32-bit values, `blocks` the block
+  * sizes (2^(32-bits)); both are compile-time literals from the
+  * query's CIDR strings. */
+case class IpInRanges(child: Expression, nets: Seq[Long], blocks: Seq[Long])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(nets.nonEmpty && nets.length == blocks.length,
+    "cidr_match needs parallel non-empty nets/blocks")
+
+  override def inputTypes: Seq[org.apache.spark.sql.GraftTypes.AbstractType] =
+    Seq(StringType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "ip_in_ranges"
+
+  @transient private lazy val netArr: Array[Long] = nets.toArray
+  @transient private lazy val blockArr: Array[Long] = blocks.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Boolean.valueOf(HashKernels.ipInRangesKernel(
+      input.asInstanceOf[UTF8String], netArr, blockArr))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val netsRef = ctx.addReferenceObj("nets", netArr, "long[]")
+    val blocksRef = ctx.addReferenceObj("blocks", blockArr, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.HashKernels.ipInRangesKernel($c, $netsRef, $blocksRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IpInRanges =
+    copy(child = newChild)
 }
 
 /** `sparse_vector` / text_expansion scoring: the weighted term-

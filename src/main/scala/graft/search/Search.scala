@@ -1911,11 +1911,28 @@ object Search {
       textCol: String,
       registry: DataFrame,
       numericFields: Seq[String]): DataFrame = {
+    // r18: ONE term-keyed exchange replaces the r17 cache+count. The
+    // three consumers (df stats, candidate join, conjunction verify)
+    // all read the SAME repartition exchange via ReusedExchange, so
+    // the scan + tokenize + explode runs once WITHIN the query's own
+    // plan — no eager count job, no pinned storage blocks, no final
+    // localCheckpoint to release them, and shuffle files scale past
+    // what the storage pool could pin at 100 TB (§2.4 within-plan
+    // reuse). Exchange reuse is SUBTREE EQUALITY, so the branches must
+    // not be pruned apart: the explicit isNotNull mirrors the filter
+    // the id-keyed joins push into their branches anyway, and df
+    // counts col("id") (identical to count(1) under that filter) so
+    // column pruning cannot narrow the df branch's scan — verified in
+    // plans/r18: one documents scan, ReusedExchange reads.
+    // Output unchanged: a null-id doc can never reach the output (it
+    // is keyed by id), and df stats only pick WHICH conjunctive term
+    // selects candidates — any term yields a complete superset and the
+    // full conjunction is re-verified after.
     val docTerms = docs
       .select(col(idCol).as("id"), explode(Analyzer.termSet(col(textCol))).as("term"))
-      .cache()
-    docTerms.count() // eager: three consumers (df, candidates, verify)
-    val dfStats = docTerms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .where(col("id").isNotNull)
+      .repartition(col("term"))
+    val dfStats = docTerms.groupBy(col("term")).agg(count(col("id")).as("df"))
     val q = registry.select(
       col("query_id"),
       explode(col("terms")).as("term"),
@@ -1956,11 +1973,6 @@ object Search {
           col("_joined").contains(concat(lit(" "), col("phrase"), lit(" ")))))
       .select(col("id"), col("query_id"))
       .orderBy(col("id").asc, col("query_id").asc)
-      // materialize the (small, verified) match set so docTerms'
-      // cached blocks can be released now instead of leaking into
-      // executor storage for the session's lifetime
-      .localCheckpoint(true)
-    docTerms.unpersist(false)
     out
   }
 
@@ -2006,29 +2018,33 @@ object Search {
     val leaves = registry.where(col("kind") =!= "bool")
     val bools = registry.where(col("kind") === "bool")
       .select(col("query_id"), col("path").as("_bpath"), col("msm"))
-    // unknown kinds evaluate as NOTHING in the leaf union — the query
-    // would silently lose clauses; reject them up front
+    // registry validation as ONE job (r18 — was two: a distinct-kind
+    // collect + a max-depth head): unknown kinds evaluate as NOTHING
+    // in the leaf union — the query would silently lose clauses — and
+    // an empty/leafless registry has no defined fold depth
     val knownKinds = Set("bool", "term", "range", "phrase", "prefix", "wildcard")
-    val badKinds = registry.select(col("kind")).distinct()
-      .collect().map(_.getString(0)).filterNot(knownKinds)
-    require(badKinds.isEmpty,
-      s"percolateBool: unknown clause kind(s) ${badKinds.mkString(", ")}")
-
-    // validate the (small) registry BEFORE caching the corpus terms:
-    // a thrown require after the cache+count would leak the pinned
-    // corpus-term frame into executor storage for the session
     val depthOf = when(col("path") === "", lit(0))
       .otherwise(size(split(col("path"), "/")))
-    val maxDepthRow = registry.agg(max(depthOf).as("d")).head()
-    require(!maxDepthRow.isNullAt(0) && maxDepthRow.getInt(0) >= 1,
+    val vRow = registry.agg(
+      collect_set(when(!col("kind").isInCollection(knownKinds), col("kind"))).as("bad"),
+      max(depthOf).as("d")).head()
+    val badKinds = vRow.getSeq[String](0)
+    require(badKinds.isEmpty,
+      s"percolateBool: unknown clause kind(s) ${badKinds.mkString(", ")}")
+    require(!vRow.isNullAt(1) && vRow.getInt(1) >= 1,
       "percolateBool needs a non-empty registry with at least one leaf clause")
-    val maxDepth = maxDepthRow.getInt(0)
+    val maxDepth = vRow.getInt(1)
 
+    // r18: one term-keyed exchange shared by BOTH corpus-term
+    // consumers (df stats, candidate join) via ReusedExchange — the
+    // percolateDsl rationale and the same pruning-alignment tricks
+    // (explicit isNotNull, df counts the id column); replaces the r17
+    // cache+count+final-localCheckpoint triple.
     val docTerms = docs
       .select(col(idCol).as("id"), explode(Analyzer.termSet(col(textCol))).as("term"))
-      .cache()
-    docTerms.count() // eager: df stats + candidate join + term verify
-    val dfStats = docTerms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .where(col("id").isNotNull)
+      .repartition(col("term"))
+    val dfStats = docTerms.groupBy(col("term")).agg(count(col("id")).as("df"))
 
     // required terms: term leaves (and phrase tokens) on pure-must
     // paths — every edge above them is must/filter
@@ -2133,12 +2149,9 @@ object Search {
       carry = Some(folded)
     }
     // after the last fold every surviving row sits at the root
-    val out = carry.get.where(col("ok"))
+    carry.get.where(col("ok"))
       .select(col("id"), col("query_id"))
       .orderBy(col("id").asc, col("query_id").asc)
-      .localCheckpoint(true)
-    docTerms.unpersist(false)
-    out
   }
 
   /** `more_like_this`: take the seed document's top-`m` terms by term

@@ -136,9 +136,25 @@ object Bpe {
     require(vocab.filter(v => !v._1.forall(_.matches("[a-z0-9]"))).isEmpty,
       "BPE symbols must stay in the analyzer alphabet")
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    // r18 iteration diet (the PageRank treatment): the r17 loop ran
+    // TWO jobs per merge — the argmax collect plus an eager truncate
+    // that re-materialized the whole vocabulary every round. Pending
+    // merges now ride INTO the argmax job as one driver-side fold
+    // (one map node regardless of how many are pending, so lineage
+    // depth never grows), and the vocabulary re-materializes only
+    // every `truncateEvery` rounds to bound the re-applied work.
+    // Jobs/merge: 2 -> ~1.13; identical merge sequence (applyMerge is
+    // per-word deterministic, fold order = merge order).
+    val truncateEvery = 8
+    var pending = List.empty[(String, String)]
+    def current = {
+      val ms = pending
+      if (ms.isEmpty) vocab
+      else vocab.map { case (syms, n) => (ms.foldLeft(syms)(applyMerge), n) }
+    }
     var continue = true
     while (merges.size < nMerges && continue) {
-      val best = vocab.flatMap { case (syms, n) =>
+      val best = current.flatMap { case (syms, n) =>
         (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1), n))
       }.toDF("a", "b", "n")
         .groupBy(col("a"), col("b")).agg(sum(col("n")).as("n"))
@@ -148,7 +164,11 @@ object Bpe {
       else {
         val m = (best(0).getString(0), best(0).getString(1))
         merges += m
-        vocab = truncate(vocab.map { case (syms, n) => (applyMerge(syms, m), n) })
+        pending = pending :+ m
+        if (pending.size >= truncateEvery) {
+          vocab = truncate(current)
+          pending = Nil
+        }
       }
     }
     merges.toSeq

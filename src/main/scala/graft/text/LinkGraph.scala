@@ -171,6 +171,58 @@ object LinkGraph {
       nodes.join(outW.select(col("host"), lit(true).as("has_out")),
           Seq("host"), "left_outer")
         .select(col("host"), col("has_out").isNull.as("dangling")))
+
+    // r18 small-graph regime (the dedupClusters size-adaptive recipe):
+    // the distributed loop costs 2 actions + a localCheckpoint PER
+    // ROUND — right when the host graph is cluster-sized, pure fixed
+    // overhead when it fits in a driver array. Probe with a BOUNDED
+    // limit(cap+1) collect (<= cap rows back means we hold the WHOLE
+    // edge set — never an unbounded collect); below the cap, run the
+    // identical integer recurrence driver-side: same div floors, same
+    // long sums (addition order is irrelevant on exact integers), so
+    // the ranks are bit-identical to the distributed rounds. A 100 TB
+    // host graph blows the cap on the first probe and takes the
+    // distributed path below, unchanged. Cap is conf-able
+    // (graft.pagerank.driverEdgeCap); 2e5 edge rows is ~10 MB driver
+    // memory — Bloom-filter-build territory (§3.2), not "data work".
+    val edgeCap = spark.conf.getOption("graft.pagerank.driverEdgeCap")
+      .map(_.toInt).getOrElse(200000)
+    val probe = e2.select(col("src_host"), col("dst_host"), col("w"), col("outw"))
+      .limit(edgeCap + 1).collect()
+    if (probe.length <= edgeCap) {
+      val nf = nodesF.select(col("host"), col("dangling")).collect()
+        .map(r => (r.getString(0), r.getBoolean(1)))
+      val n = nf.length.toLong
+      require(n > 0, "pageRankInt: empty graph")
+      require(scale / n >= 1000,
+        s"pageRankInt: scale $scale gives under 1000 micro-units per node " +
+          s"for $n nodes - raise scale (e.g. ${n * 100000L}) so integer " +
+          "floors can't starve the rank signal")
+      val base = (dampDen - dampNum) * scale / (dampDen * n)
+      val idx = nf.iterator.map(_._1).zipWithIndex.toMap
+      val dangling = nf.map(_._2)
+      val srcI = probe.map(r => idx(r.getString(0)))
+      val dstI = probe.map(r => idx(r.getString(1)))
+      val ws = probe.map(_.getLong(2))
+      val outw = probe.map(_.getLong(3))
+      var rank = Array.fill(nf.length)(scale / n)
+      for (_ <- 0 until iters) {
+        var dmass = 0L
+        var i = 0
+        while (i < rank.length) { if (dangling(i)) dmass += rank(i); i += 1 }
+        val fixed = base + dmass * dampNum / (dampDen * n)
+        val next = Array.fill(nf.length)(fixed)
+        var j = 0
+        while (j < srcI.length) {
+          next(dstI(j)) += rank(srcI(j)) * ws(j) * dampNum / (dampDen * outw(j))
+          j += 1
+        }
+        rank = next
+      }
+      import spark.implicits._
+      return nf.indices.map(i => (nf(i)._1, rank(i))).toDF("host", "rank")
+    }
+
     val n = nodesF.count() // host-cardinality scalar: the one sizing count
     require(n > 0, "pageRankInt: empty graph")
     // integer ranks starve when a node's share of `scale` is a handful

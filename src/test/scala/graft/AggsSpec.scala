@@ -36,6 +36,44 @@ class AggsSpec extends SparkSpec {
     assert(capped == Seq(("bread", "milk", 2L)))
   }
 
+  test("frequent_item_sets: degenerate basket drops without materializing") {
+    // r18 CollectSetBounded: a basket whose POST-PRUNE size passes the
+    // cap stops retaining at cap+1 buffer elements and evaluates to
+    // NULL (= dropped whole, the r17 size-guard semantics). The
+    // degenerate items appear in TWO baskets so A-Priori keeps them
+    // frequent — the cap, not the prune, must do the dropping.
+    val sane = Seq(
+      (1L, "x"), (1L, "y"),
+      (2L, "x"), (2L, "y")).toDF("basket", "item")
+    val degenerate = Seq.tabulate(60)(i => (98L, f"it$i%02d"))
+      .++(Seq.tabulate(60)(i => (99L, f"it$i%02d"))).toDF("basket", "item")
+    val r = Aggs.frequentItemSets(
+      sane.unionByName(degenerate), "basket", "item",
+      minSupport = 2L, maxBasketItems = 50)
+      .as[(String, String, Long)].collect().toSeq
+    assert(r == Seq(("x", "y", 2L)))
+    // same input, cap raised past 60: the degenerate baskets survive
+    // and their C(60,2) pairs (support 2) flood in — proof the cap,
+    // not the prune, was the dropper above
+    val r2 = Aggs.frequentItemSets(
+      sane.unionByName(degenerate), "basket", "item",
+      minSupport = 2L, maxBasketItems = 100).count()
+    assert(r2 == 60L * 59 / 2 + 1)
+    // a dropped basket's items still count toward A-Priori item
+    // frequencies: x rides in degenerate basket 99, so (q, x) from
+    // basket 1 sees x at freq 2 — but its pair support stays 1 and
+    // nothing survives (identical to the r17 post-materialize guard)
+    val shared = Seq((1L, "x"), (1L, "q"), (2L, "q"), (2L, "z")).toDF("basket", "item")
+    val deg2 = (Seq.tabulate(60)(i => (98L, f"it$i%02d"))
+      ++ Seq.tabulate(60)(i => (99L, f"it$i%02d")) :+ ((99L, "x")))
+      .toDF("basket", "item")
+    val r3 = Aggs.frequentItemSets(
+      shared.unionByName(deg2), "basket", "item",
+      minSupport = 2L, maxBasketItems = 50)
+      .as[(String, String, Long)].collect().toSeq
+    assert(r3.isEmpty)
+  }
+
   test("aggs JSON compiler: terms size top-k, nesting, range labels, metric-only") {
     import graft.dsl.AggsJson
     // terms with size: top-k by doc_count desc, key asc
@@ -175,6 +213,42 @@ class AggsSpec extends SparkSpec {
     val t = Aggs.percentilesExactDistributed(two, "v", Seq("p75" -> 0.75))
       .collect().head
     assert(t.getDouble(0) == 1.75)
+  }
+
+  test("distributed exact percentiles: sample cap scales with partition count") {
+    // r18: pass-1's driver collect is P*C doubles, so C must shrink as
+    // P grows — total sample budget 64 Mi doubles, floor 1 Ki
+    assert(Aggs.effectiveSampleCap(65536, 1) == 65536)
+    assert(Aggs.effectiveSampleCap(65536, 1024) == 65536)      // budget edge
+    assert(Aggs.effectiveSampleCap(65536, 2048) == 32768)      // halves
+    assert(Aggs.effectiveSampleCap(65536, 100000) == 1024)     // floor
+    assert(Aggs.effectiveSampleCap(Int.MaxValue, 800000) == 1024) // 100 TB widths
+    assert(Aggs.effectiveSampleCap(8, 100000) == 8)            // explicit cap wins
+    // end-to-end at a partition count past the budget edge: the
+    // shrunken cap must leave results identical to percentile()
+    val many = spark.range(0, 30000, 1, 1500)
+      .selectExpr("CAST((id * 131) % 997 AS DOUBLE) AS v")
+    val expect = many.selectExpr(
+      "round(percentile(v, 0.5), 4) AS p50",
+      "round(percentile(v, 0.99), 4) AS p99").collect().head
+    val got = Aggs.percentilesExactDistributed(
+      many, "v", Seq("p50" -> 0.5, "p99" -> 0.99)).collect().head
+    assert(got.getDouble(0) == expect.getDouble(0))
+    assert(got.getDouble(1) == expect.getDouble(1))
+  }
+
+  test("bounded primitive max-heap keeps the cap smallest") {
+    val h = new Aggs.DoubleMaxHeap(5)
+    val rnd = new scala.util.Random(7)
+    val vals = Array.fill(200)(rnd.nextDouble() * 1000)
+    vals.foreach(h.offer)
+    assert(h.size == 5)
+    assert(h.values.sorted.sameElements(vals.sorted.take(5)))
+    // cap larger than the stream: everything retained
+    val h2 = new Aggs.DoubleMaxHeap(500)
+    vals.foreach(h2.offer)
+    assert(h2.size == 200)
+    assert(h2.values.sorted.sameElements(vals.sorted))
   }
 
   test("t-digest percentiles: rank-error bound + small-n exactness") {

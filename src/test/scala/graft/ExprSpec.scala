@@ -188,4 +188,60 @@ class ExprSpec extends SparkSpec {
     r.foreach { case (k, h) => assert(k == h) } // bit-identical
     assert(r.map(_._1).toSeq == Seq(0.5, 0.0, 1.0))
   }
+
+  test("BestCentroid matches the literal struct-max argmax, incl. ties") {
+    import graft.util.Num
+    // 5 centroids in 3 dims, one exact duplicate pair (ids 1 and 3) so
+    // the lowest-id tie-break is exercised; vectors include a zero
+    // vector (cosine 0.0 by convention everywhere)
+    val cents: Seq[Seq[Double]] = Seq(
+      Seq(1.0, 0.0, 0.0), Seq(0.5, 0.5, 0.0), Seq(0.0, 1.0, 0.0),
+      Seq(0.5, 0.5, 0.0), Seq(0.3, -0.2, 0.9))
+    val df = Seq(
+      (1L, Seq(0.9, 0.1, 0.0)), (2L, Seq(0.5, 0.5, 0.0)),
+      (3L, Seq(0.0, 0.0, 0.0)), (4L, Seq(-0.2, 0.4, 0.8))).toDF("id", "v")
+    val kernel = org.apache.spark.sql.GraftBridge.column(graft.expr.BestCentroid(
+      org.apache.spark.sql.GraftBridge.expression(col("v")),
+      cents.flatten, 3))
+    // the r17 literal formulation this kernel replaced
+    val literal = array_max(array(cents.zipWithIndex.map { case (cv, i) =>
+      struct(
+        Num.round(graft.dedup.Vectors.cosine(col("v"), array(cv.map(lit): _*)), 4).as("c"),
+        lit(-i.toLong).as("n"))
+    }: _*))
+    val rows = df.select(col("id"),
+      kernel.getField("c"), kernel.getField("cent"),
+      literal.getField("c"), negate(literal.getField("n")))
+      .as[(Long, Double, Long, Double, Long)].collect()
+    rows.foreach { case (id, kc, kid, lc, lid) =>
+      assert(kc == lc, s"id=$id cosine $kc != $lc")
+      assert(kid == lid, s"id=$id centroid $kid != $lid")
+    }
+    // duplicate-centroid tie resolves to the LOWEST id
+    assert(rows.find(_._1 == 2L).get._3 == 1L)
+  }
+
+  test("BestCentroid scales past the literal-tree ceiling") {
+    // 2000 centroids x 64 dims = 128k doubles: as the r17 literal tree
+    // this is ~1M Catalyst nodes (analysis/codegen crawl or fall over);
+    // as a reference object it must plan and run in normal time
+    val k = 2000
+    val dim = 64
+    val rnd = new scala.util.Random(11)
+    val flat = Array.fill(k * dim)(rnd.nextDouble() * 2 - 1)
+    val df = Seq.tabulate(50)(i =>
+      (i.toLong, Seq.tabulate(dim)(j => flat((i % k) * dim + j)))).toDF("id", "v")
+    val kernel = org.apache.spark.sql.GraftBridge.column(graft.expr.BestCentroid(
+      org.apache.spark.sql.GraftBridge.expression(col("v")),
+      flat.toSeq, dim))
+    val t0 = System.nanoTime()
+    val out = df.select(col("id"), kernel.getField("cent").as("cent"))
+      .as[(Long, Long)].collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // row i's vector IS centroid i % k -> cosine 1.0; a duplicate
+    // centroid elsewhere can only tie, and ties go to the lowest index,
+    // which with a seeded continuous draw is the row's own centroid
+    out.foreach { case (id, cent) => assert(cent == id % k, s"row $id -> $cent") }
+    assert(secs < 30.0, s"argmax over $k x $dim centroids took ${secs}s")
+  }
 }
