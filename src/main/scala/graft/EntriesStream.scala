@@ -37,6 +37,16 @@ private[graft] object EntriesStream {
   private[graft] def streamSession(s: SparkSession): SparkSession = {
     val s2 = s.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", "4")
+    // r18: after the data batch drains, the engine by default runs an
+    // extra NO-DATA micro-batch (watermark-only state maintenance) —
+    // a full IncrementalExecution replan + one job against an empty
+    // source, pure fixed cost on these bounded drains. Disabling it
+    // changes no emitted row: complete-mode sinks hold the last DATA
+    // batch's result either way, and append-mode dedup emits on
+    // arrival (eviction timing moves to the next data batch, which on
+    // a live stream is immediate). Scoped to the CLONE, so the
+    // session-global default stays untouched for everything else.
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     s2
   }
 

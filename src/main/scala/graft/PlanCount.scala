@@ -19,12 +19,16 @@ object PlanCount {
     spark.sparkContext.setLogLevel("ERROR")
     for (name <- args.toSeq) {
       val df = SparkEntry.queries(name)(spark, sfDir)
-      df.write.format("noop").mode("overwrite").save()
+      // collect() executes df's OWN QueryExecution (a noop write spawns
+      // a separate one and leaves df's AdaptiveSparkPlan un-finalized,
+      // so its string would show the pre-AQE duplicate subtrees)
+      df.collect()
       val p = df.queryExecution.executedPlan.toString
       def n(re: String) = re.r.findAllIn(p).length
       println(s"$name: ${n("FileScan")} FileScan, " +
         s"${n("Exchange (hash|range|Single|RoundRobin)")} Exchange, " +
-        s"${n("ReusedExchange")} ReusedExchange, " +
+        s"${n("ReusedExchange|ReusedQueryStage")} Reused, " +
+        s"${n("ShuffleQueryStage")} ShuffleQueryStage, " +
         s"${n("(?m)^\\s*[+:]?[- ]*InMemoryTableScan")} InMemoryTableScan")
       spark.catalog.clearCache()
     }
